@@ -1,0 +1,72 @@
+"""Headline benchmark: runs the engine's flagship queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each query is forced with a cheap count()-style action so timing covers the full
+plan execution, not DataFrame construction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pagila_etl_airflow_assignment_spark.session import build_session
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the flagship + the heaviest representative per operator family.
+HEADLINE = [
+    "weekly_rental_summary",
+    "weekly_rental_summary_correlated",
+    "a1_delta_scan",
+    "d5_affected_weeks",
+    "d2_weekly_counts",
+]
+
+
+def main() -> None:
+    from pagila_etl_airflow_assignment_spark.registry import queries
+
+    spark = build_session(app_name="engine-bench")
+    qmap = queries()
+    names = [n for n in HEADLINE if n in qmap]
+    # also include any llm.* headline entries registered later
+    for n in qmap:
+        if n.startswith(("dedup_", "ann_", "text_")) and n not in names:
+            names.append(n)
+
+    timings: dict[str, float] = {}
+    # warm the JVM + parquet footer cache once with the cheapest plan
+    qmap[names[0]](spark, SF_DIR).limit(1).collect()
+
+    t_total0 = time.perf_counter()
+    for name in names:
+        t0 = time.perf_counter()
+        df = qmap[name](spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+    total = round(time.perf_counter() - t_total0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

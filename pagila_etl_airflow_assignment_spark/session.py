@@ -1,0 +1,58 @@
+"""SparkSession factory with the engine's canonical configuration.
+
+The reference treats all timestamps as naive-UTC ("Simplified Timezone Handling",
+etl_script_incremental_pandas.py:29,105-108); we pin the session to UTC so
+TimestampType round-trips faithfully through Parquet and matches the DuckDB oracle
+(SURVEY.md §1.4).
+
+Scale posture (SURVEY.md §4, O-12/O-13): AQE on (runtime re-planning, skew-join
+splitting, partition coalescing), broadcast threshold left at default so small
+dimension/spine joins become broadcast-hash joins automatically, Arrow enabled for
+the few Pandas-UDF paths (llm.*).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Default parallelism knobs. On the test rig this is local[32]; on a real cluster
+# the caller overrides master/shuffle partitions (rule of thumb: 2-3x total cores,
+# and at 100 TB let AQE coalesce from a high initial number).
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def build_session(
+    app_name: str = "pagila-spark-engine",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the canonical engine session.
+
+    UTC-pinned, AQE-enabled, Arrow-enabled. ANSI mode stays off so
+    ``to_timestamp`` parse failures yield NULL, matching the reference's
+    ``pd.to_datetime(errors='coerce')`` (etl_script_incremental_pandas.py:134-135,
+    SURVEY.md H-12).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,84 @@
+"""Shared fixtures: one session-scoped SparkSession, DuckDB oracle helpers.
+
+Mirrors the driver's verify harness: Spark result vs DuckDB SQL on the same
+parquet files, compared order-insensitively after sorting columns by name
+(SURVEY.md §5 T1).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pagila_etl_airflow_assignment_spark.schemas import FIXTURE_TABLES
+from pagila_etl_airflow_assignment_spark.session import build_session
+
+SF_SMALL = "/root/testdata/sf0.001"
+SF_MEDIUM = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = build_session(app_name="engine-tests", shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def ddb():
+    con = duckdb.connect()
+    for sf_dir, suffix in ((SF_SMALL, ""),):
+        pass
+    for name in FIXTURE_TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{SF_SMALL}/{name}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _norm_cell(v):
+    """Normalize a value for cross-engine comparison."""
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 6)
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_cell(x) for x in v)
+    return v
+
+
+def normalize_rows(cols, rows):
+    """Sort columns by name, normalize cells, sort rows → canonical list."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return [cols[i] for i in order], out
+
+
+def assert_matches_oracle(spark_df, ddb_con, oracle_sql, check_colnames=True):
+    """Differential assertion: Spark DataFrame ≡ DuckDB oracle result."""
+    s_cols = spark_df.columns
+    s_rows = [tuple(r) for r in spark_df.collect()]
+    rel = ddb_con.sql(oracle_sql)
+    d_cols = list(rel.columns)
+    d_rows = [tuple(r) for r in rel.fetchall()]
+    if check_colnames:
+        assert sorted(s_cols) == sorted(d_cols), (
+            f"column mismatch: spark={sorted(s_cols)} duckdb={sorted(d_cols)}"
+        )
+    assert len(s_rows) == len(d_rows), (
+        f"row count mismatch: spark={len(s_rows)} duckdb={len(d_rows)}"
+    )
+    _, sn = normalize_rows(s_cols, s_rows)
+    _, dn = normalize_rows(d_cols, d_rows)
+    for i, (a, b) in enumerate(zip(sn, dn)):
+        assert a == b, f"first differing row #{i}:\n  spark : {a}\n  duckdb: {b}"

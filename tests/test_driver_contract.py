@@ -1,0 +1,61 @@
+"""Simulates the driver's verify: every queries() entry vs oracle_sql() in DuckDB.
+
+Runs at sf0.001 for speed (the driver uses sf0.01; all derivations are
+deterministic arithmetic so scale doesn't change semantics). One flagship check
+repeats at sf0.01 to catch scale-dependent divergence.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+from pagila_etl_airflow_assignment_spark.schemas import FIXTURE_TABLES
+
+from conftest import SF_MEDIUM, SF_SMALL, assert_matches_oracle
+
+
+def _ddb_for(sf_dir):
+    con = duckdb.connect()
+    for name in FIXTURE_TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
+        )
+    return con
+
+
+def _all_cases():
+    q = entrymod.queries()
+    o = entrymod.oracle_sql()
+    return [(name, q[name], o.get(name)) for name in sorted(q)]
+
+
+@pytest.mark.parametrize("name,fn,oracle", _all_cases(), ids=[c[0] for c in _all_cases()])
+def test_query_matches_oracle_sf0001(spark, ddb, name, fn, oracle):
+    df = fn(spark, SF_SMALL)
+    if oracle is None:
+        # driver records a weaker rows-only check for these
+        assert df.count() >= 0
+        return
+    assert_matches_oracle(df, ddb, oracle)
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+
+
+@pytest.mark.slow
+def test_flagship_matches_oracle_sf001(spark):
+    con = _ddb_for(SF_MEDIUM)
+    try:
+        q = entrymod.queries()
+        o = entrymod.oracle_sql()
+        assert_matches_oracle(
+            q["weekly_rental_summary"](spark, SF_MEDIUM),
+            con,
+            o["weekly_rental_summary"],
+        )
+    finally:
+        con.close()
