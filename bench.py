@@ -35,9 +35,9 @@ def main() -> None:
     spark = build_session(app_name="engine-bench")
     qmap = queries()
     names = [n for n in HEADLINE if n in qmap]
-    # also include any llm.* headline entries registered later
+    # plus the llm/streaming extension headliners
     for n in qmap:
-        if n.startswith(("dedup_", "ann_", "text_")) and n not in names:
+        if n.startswith(("dedup_", "ann_", "text_", "events_")) and n not in names:
             names.append(n)
 
     timings: dict[str, float] = {}

@@ -1,0 +1,361 @@
+"""Deduplication operators over `documents`: exact, n-gram Jaccard,
+MinHash+LSH, SimHash, embedding-cosine.
+
+Scale design notes (the part that matters at 100 TB):
+
+- exact          — one hash-groupBy shuffle on the fingerprint; map-side
+                   partial aggregation makes it bandwidth-bound, not CPU-bound.
+- ngram Jaccard  — inverted-index self-join on shingle (shuffle on shingle),
+                   then a groupBy on the pair. Quadratic only within a shingle's
+                   posting list; ``max_df`` caps posting-list length (skew guard).
+- MinHash+LSH    — the scale path: k-permutation signatures from the exploded
+                   shingle relation (one groupBy), banding to buckets (narrow),
+                   bucket self-join (shuffle on small band keys), exact-Jaccard
+                   verification of candidates only.
+- SimHash        — 32-bit signatures from per-token hashes (one groupBy), then
+                   Hamming-distance candidate pairs via banding.
+- embedding      — blocked brute-force cosine within `label` blocks; the ANN
+                   module (similarity.py) is the unblocked scale path.
+
+Everything is built-in-function Spark (JVM codegen); no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .hashing import (
+    HASH_P,
+    md5_int,
+    md5_int_sql,
+    universal_hash,
+    universal_hash_sql,
+    universal_params,
+)
+from .shingles import DEFAULT_N, shingles, shingles_sql
+from .text import _norm, _norm_sql
+
+# --- exact dedup --------------------------------------------------------------
+
+
+def dedup_exact(docs: DataFrame) -> DataFrame:
+    """One representative (min doc_id) per normalized-text group, with the
+    group's duplicate count. Single hash-groupBy; partial agg map-side."""
+    return (
+        docs.groupBy(F.md5(_norm(F.col("text"))).alias("fingerprint"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").cast("long").alias("n_copies"),
+        )
+        .select("fingerprint", "keep_doc_id", "n_copies")
+    )
+
+
+DEDUP_EXACT_SQL = f"""
+    SELECT md5({_norm_sql('text')}) AS fingerprint,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+"""
+
+
+# --- exact n-gram Jaccard pairs ----------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = DEFAULT_N, threshold: float = 0.2
+) -> DataFrame:
+    """All pairs with word-n-gram Jaccard >= threshold (inverted-index join)."""
+    sh = shingles(docs, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("sz", "sz_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .withColumnRenamed("sz", "sz_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def ngram_jaccard_pairs_sql(n: int = DEFAULT_N, threshold: float = 0.2) -> str:
+    return f"""
+        WITH sh AS ({shingles_sql(n)}),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+            FROM sh a JOIN sh b USING (shingle)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= {threshold}
+        ORDER BY doc_a, doc_b
+    """
+
+
+# --- MinHash signatures + LSH -------------------------------------------------
+
+MINHASH_K = 16
+LSH_BANDS = 4  # 4 bands x 4 rows
+
+
+def minhash_signatures(docs: DataFrame, k: int = MINHASH_K, n: int = DEFAULT_N) -> DataFrame:
+    """k-permutation MinHash signature per doc as columns mh0..mh{k-1}.
+
+    One explode + one groupBy with k min() aggregates — map-side combinable,
+    single shuffle keyed by doc_id.
+    """
+    sh = shingles(docs, n)
+    h = (md5_int(F.col("shingle")) % HASH_P).alias("h")
+    base = sh.select("doc_id", h)
+    aggs = [
+        F.min(universal_hash(F.col("h"), a, b)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(universal_params(k))
+    ]
+    return base.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures_sql(k: int = MINHASH_K, n: int = DEFAULT_N) -> str:
+    h_expr = f"({md5_int_sql('shingle')} % {HASH_P})"
+    cols = ",\n               ".join(
+        f"MIN({universal_hash_sql('h', a, b)}) AS mh{i}"
+        for i, (a, b) in enumerate(universal_params(k))
+    )
+    return f"""
+        WITH sh AS ({shingles_sql(n)}),
+        hashed AS (SELECT doc_id, {h_expr} AS h FROM sh)
+        SELECT doc_id,
+               {cols}
+        FROM hashed GROUP BY doc_id
+    """
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    n: int = DEFAULT_N,
+    verify_threshold: float = 0.2,
+) -> DataFrame:
+    """MinHash-LSH candidate generation + exact-Jaccard verification.
+
+    Banding: signature split into ``bands`` bands of k/bands rows; docs
+    colliding on any full band become candidates. Candidates are then verified
+    with the exact n-gram Jaccard, so the output has no false positives —
+    recall (vs the exact all-pairs join) is what LSH trades away.
+    """
+    sig = minhash_signatures(docs, k, n)
+    rows_per_band = k // bands
+    band_cols = [
+        F.concat_ws(
+            "_",
+            F.lit(b),
+            *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select("doc_id", *band_cols)
+    bucketed = banded.select(
+        "doc_id",
+        F.explode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias("bucket"),
+    )
+    candidates = (
+        bucketed.alias("a")
+        .join(bucketed.alias("b"), "bucket")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(docs, n, threshold=0.0)
+    return (
+        candidates.join(exact, ["doc_a", "doc_b"])
+        .where(F.col("jaccard") >= verify_threshold)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --- SimHash ------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash_signatures(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """SimHash over word tokens: bit b is the sign of the sum of (+1/-1) votes
+    from each distinct word's hash bit b. One explode + one groupBy."""
+    from .text import WS_RE
+
+    words = (
+        docs.select(
+            "doc_id", F.explode(F.split(_norm(F.col("text")), WS_RE)).alias("w")
+        )
+        .where(F.col("w") != "")
+        .distinct()
+        .select("doc_id", (md5_int(F.col("w"))).alias("h"))
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    agg = words.groupBy("doc_id").agg(*votes)
+    sig = None
+    for b in range(bits):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return agg.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_signatures_sql(bits: int = SIMHASH_BITS) -> str:
+    from .text import WS_RE
+
+    votes = ",\n               ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(bits)
+    )
+    sig = " + ".join(f"(CASE WHEN v{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(bits))
+    return f"""
+        WITH words AS (
+            SELECT DISTINCT doc_id, w
+            FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex({_norm_sql('text')}, '{WS_RE}')) AS w
+                FROM documents
+            ) WHERE w <> ''
+        ),
+        hashed AS (SELECT doc_id, {md5_int_sql('w')} AS h FROM words),
+        votes AS (
+            SELECT doc_id,
+               {votes}
+            FROM hashed GROUP BY doc_id
+        )
+        SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM votes
+    """
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, via 4-chunk banding
+    (pigeonhole: distance <= 6 over 4 chunks → at least one chunk equal)."""
+    sig = simhash_signatures(docs)
+    chunks = [
+        (F.shiftright(F.col("simhash"), 8 * c).bitwiseAND(F.lit(0xFF))).alias(f"c{c}")
+        for c in range(4)
+    ]
+    banded = sig.select("doc_id", "simhash", *chunks)
+    bucketed = banded.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws("_", F.lit(c), F.col(f"c{c}").cast("string"))
+                    for c in range(4)
+                ]
+            )
+        ).alias("bucket"),
+    )
+    pairs = (
+        bucketed.alias("a")
+        .join(bucketed.alias("b"), "bucket")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+        .orderBy("doc_a", "doc_b")
+    )
+    return pairs
+
+
+# --- embedding-cosine near-dup ------------------------------------------------
+
+
+def _cosine(a, b):
+    """Double-precision cosine via zip_with + ordered fold (matches DuckDB's
+    list_cosine_similarity over DOUBLE[] bit-for-bit on the same arrays)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            F.transform(b, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return dot / (na * nb)
+
+
+def embedding_near_pairs(embeddings: DataFrame, threshold: float = 0.95) -> DataFrame:
+    """Near-duplicate vector pairs (cosine >= threshold), blocked by `label`.
+
+    Blocking turns the O(n^2) all-pairs into O(sum of block^2) and shuffles on
+    the block key; the unblocked scale path is LSH in similarity.py.
+    """
+    e = embeddings.select("vec_id", "label", "embedding")
+    return (
+        e.alias("a")
+        .join(e.alias("b"), "label")
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(_cosine(F.col("a.embedding"), F.col("b.embedding")), 6).alias(
+                "cosine"
+            ),
+        )
+        .where(F.col("cosine") >= threshold)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def embedding_near_pairs_sql(threshold: float = 0.95) -> str:
+    return f"""
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_cosine_similarity(
+                   a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+        FROM embeddings a JOIN embeddings b ON a.label = b.label
+        WHERE a.vec_id < b.vec_id
+          AND round(list_cosine_similarity(
+                  a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= {threshold}
+        ORDER BY vec_a, vec_b
+    """

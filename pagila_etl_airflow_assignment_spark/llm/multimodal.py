@@ -1,0 +1,106 @@
+"""Multimodal column plumbing: opaque binary payloads with typed metadata,
+processed by Arrow-batched pandas iterators.
+
+The container has no image/audio codecs, so the *decode* step is stubbed
+(NotImplementedError behind ``require_codecs`` / a deterministic fake), but the
+Spark-side plumbing — schema, partitioning, ``mapInPandas`` signature, Arrow
+batch shape — is real and tested, which is the part that has to be right at
+100 TB:
+
+- payloads travel as `binary` columns; metadata as plain typed columns so
+  predicate pushdown / column pruning still work on the scan (never bury
+  filterable fields inside the blob);
+- per-row work runs in ``mapInPandas`` so Python sees columnar Arrow batches
+  (amortized serialization), and `spark.sql.execution.arrow.maxRecordsPerBatch`
+  bounds peak memory per batch of large blobs;
+- outputs are again typed columns → downstream stays JVM-side.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),  # image | audio | video
+        StructField("mime", StringType(), False),
+        StructField("payload", BinaryType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("duration_ms", IntegerType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("byte_mean", LongType(), False),
+        StructField("header_hex", StringType(), False),
+    ]
+)
+
+
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic fake media table: each document's utf-8 bytes become an
+    opaque payload with plausible metadata. Stands in for `spark.read.format
+    ("binaryFile")` / a lake table of blobs."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("kind"),
+        F.when(F.col("doc_id") % 3 == 0, "image/png")
+        .when(F.col("doc_id") % 3 == 1, "audio/wav")
+        .otherwise("video/mp4")
+        .alias("mime"),
+        F.encode("text", "utf-8").alias("payload"),
+        (F.col("doc_id") % 1920).cast("int").alias("width"),
+        (F.col("doc_id") % 1080).cast("int").alias("height"),
+        (F.col("n_chars") * 40).cast("int").alias("duration_ms"),
+    )
+
+
+def require_codecs() -> None:
+    """Gate for the real decode path. The container ships no codecs; a real
+    deployment implements this with PIL/ffmpeg and the same mapInPandas shape."""
+    raise NotImplementedError(
+        "media decode requires image/audio codecs not present in this "
+        "environment; extract_features uses the deterministic byte-level fake"
+    )
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Byte-level feature extraction over Arrow batches (the deterministic
+    stand-in for decode/resize/frame-sample). Shape: mapInPandas over
+    (media_id, payload) — exactly what a real decoder would use."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "byte_mean": payloads.map(
+                        lambda b: int(sum(b) // max(len(b), 1))
+                    ).astype("int64"),
+                    "header_hex": payloads.map(lambda b: bytes(b[:4]).hex()),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(batches, FEATURE_SCHEMA)

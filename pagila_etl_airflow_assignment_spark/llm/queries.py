@@ -1,0 +1,116 @@
+"""Registered llm.* queries: each a `queries()` entry with a DuckDB oracle
+where SQL-expressible (rows-only otherwise, per the driver contract)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.parquet import load_table
+from . import dedup, multimodal, similarity, text
+
+ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+
+
+# --- text analysis ------------------------------------------------------------
+
+
+@register("text_token_counts", oracle=text.TOKEN_COUNTS_SQL)
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_counts(load_table(spark, sf_dir, "documents"))
+
+
+@register("text_quality_scores", oracle=text.QUALITY_SCORES_SQL)
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_scores(load_table(spark, sf_dir, "documents"))
+
+
+@register("text_lang_id", oracle=text.LANG_ID_SQL)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.lang_id(load_table(spark, sf_dir, "documents"))
+
+
+@register("text_fingerprints", oracle=text.FINGERPRINTS_SQL)
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+# --- dedup --------------------------------------------------------------------
+
+
+@register("dedup_exact", oracle=dedup.DEDUP_EXACT_SQL)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_exact(load_table(spark, sf_dir, "documents"))
+
+
+@register("dedup_ngram_jaccard", oracle=dedup.ngram_jaccard_pairs_sql())
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register("dedup_minhash_signatures", oracle=dedup.minhash_signatures_sql())
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+@register("dedup_minhash_lsh")  # approximate candidate set → rows-only check
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register("dedup_simhash_signatures", oracle=dedup.simhash_signatures_sql())
+def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+@register("dedup_simhash_pairs")  # banding-approximate → rows-only check
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_near_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register("dedup_embedding_cosine", oracle=dedup.embedding_near_pairs_sql(0.5))
+def q_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.embedding_near_pairs(load_table(spark, sf_dir, "embeddings"), 0.5)
+
+
+# --- similarity search --------------------------------------------------------
+
+
+@register("ann_bruteforce_topk", oracle=similarity.brute_force_topk_sql(ANN_QUERY_IDS))
+def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.brute_force_topk(
+        load_table(spark, sf_dir, "embeddings"), ANN_QUERY_IDS
+    )
+
+
+@register("ann_lsh_topk")  # approximate → rows-only; recall pinned by test
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.lsh_bucket_topk(
+        load_table(spark, sf_dir, "embeddings"), ANN_QUERY_IDS
+    )
+
+
+# --- multimodal ---------------------------------------------------------------
+
+
+@register(
+    "multimodal_features",
+    oracle="""
+        WITH h AS (
+            SELECT doc_id, hex(encode(text)) AS hx,
+                   octet_length(encode(text)) AS n
+            FROM documents
+        )
+        SELECT doc_id AS media_id,
+               n AS n_bytes,
+               CAST(list_sum([('0x' || substr(hx, 2*i-1, 2))::BIGINT
+                              FOR i IN generate_series(1, n)])
+                    // greatest(n, 1) AS BIGINT) AS byte_mean,
+               lower(substr(hx, 1, 8)) AS header_hex
+        FROM h
+    """,
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.media_from_documents(load_table(spark, sf_dir, "documents"))
+    return multimodal.extract_features(media)

@@ -1,0 +1,62 @@
+"""Word n-gram shingling, dual-dialect.
+
+The exploded (doc_id, shingle) relation is the inverted index every set-based
+dedup builds on. Shingling itself is a narrow transformation (no shuffle);
+downstream joins shuffle on the shingle key. At 100 TB the standard skew
+mitigation is dropping ultra-frequent shingles (document-frequency cap) before
+the self-join — exposed via ``max_df``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import WS_RE, _norm, _norm_sql
+
+DEFAULT_N = 3
+
+
+def shingles(docs: DataFrame, n: int = DEFAULT_N) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, shingle)."""
+    words = F.split(_norm(F.col("text")), WS_RE)
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words, i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array())
+    return (
+        docs.select("doc_id", F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+def shingles_sql(n: int = DEFAULT_N, docs_rel: str = "documents") -> str:
+    """DuckDB twin of ``shingles`` (list comprehension over the word list)."""
+    parts = " || ' ' || ".join(f"w[i+{j}]" for j in range(n))
+    return f"""
+        SELECT DISTINCT doc_id, shingle
+        FROM (
+            SELECT doc_id,
+                   unnest([{parts} FOR i IN generate_series(1, len(w) - {n - 1})])
+                     AS shingle
+            FROM (
+                SELECT doc_id,
+                       string_split_regex({_norm_sql('text')}, '{WS_RE}') AS w
+                FROM {docs_rel}
+            )
+            WHERE len(w) >= {n}
+        )
+    """
+
+
+def with_df_cap(sh: DataFrame, max_df: int) -> DataFrame:
+    """Drop shingles appearing in more than ``max_df`` docs (skew guard)."""
+    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    return sh.join(df_counts.where(F.col("df") <= max_df), "shingle", "inner").select(
+        "doc_id", "shingle"
+    )

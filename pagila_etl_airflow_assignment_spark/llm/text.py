@@ -1,0 +1,201 @@
+"""Text analysis over the `documents` table: language-ID, quality scoring,
+token counting, fingerprinting.
+
+All four are pure built-in-function pipelines — JVM-side, whole-stage-codegen,
+zero Python UDFs — so they scale linearly with no shuffle at all (narrow
+transformations over the scan). Each has an exact DuckDB oracle twin generated
+from the same constants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lexicons for the n-gram/lexicon heuristic.
+# Deterministic and dialect-portable (plain \b word-boundary regexes).
+LANG_LEXICONS: dict[str, str] = {
+    "de": r"\b(der|die|und|das|ist|nicht|ein|zu|mit|auf)\b",
+    "en": r"\b(the|and|of|to|in|is|that|for|with|as)\b",
+    "es": r"\b(el|la|y|de|los|que|en|un|por|con)\b",
+    "fr": r"\b(le|la|et|les|des|que|en|un|pour|dans)\b",
+}
+# CJK detection via a literal unicode character-class (identical semantics in
+# Java regex and RE2).
+CJK_CLASS = "[一-鿿]"
+
+# "BPE-ish" tokenizer regex: word runs or single non-space punctuation — the
+# standard pre-tokenization shape; identical in Java regex and RE2.
+BPE_TOKEN_RE = r"\w+|[^\w\s]"
+WS_RE = r"\s+"
+
+STOPWORDS_EN = "(the|and|of|to|in|is|that|for|with|as|a|an|it|on|at)"
+
+
+def _norm(col) -> Column:
+    """Canonical text normalization: lowercase, collapse whitespace."""
+    return F.lower(F.regexp_replace(F.trim(col), WS_RE, " "))
+
+
+def _norm_sql(expr: str) -> str:
+    return f"lower(regexp_replace(trim({expr}), '{WS_RE}', ' ', 'g'))"
+
+
+# --- token counting -----------------------------------------------------------
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Whitespace and BPE-ish regex token counts per document."""
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), WS_RE)).cast("long").alias("ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit(BPE_TOKEN_RE)).cast("long").alias("re_tokens"),
+    )
+
+
+TOKEN_COUNTS_SQL = rf"""
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '{WS_RE}')) AS ws_tokens,
+           len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS re_tokens
+    FROM documents
+"""
+
+
+# --- quality scoring ----------------------------------------------------------
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Length / punctuation-ratio / stopword-ratio quality features plus a
+    composite keep/drop flag (the usual pre-training corpus filter shape)."""
+    n_chars = F.length("text")
+    words = F.split(F.trim("text"), WS_RE)
+    n_words = F.size(words)
+    n_punct = F.regexp_count(F.col("text"), F.lit(r"[^\w\s]"))
+    n_stop = F.regexp_count(_norm(F.col("text")), F.lit(rf"\b{STOPWORDS_EN}\b"))
+    mean_wlen = (
+        F.length(F.regexp_replace(F.trim("text"), WS_RE, "")) / n_words
+    )
+    punct_ratio = n_punct / n_chars
+    stop_ratio = n_stop / n_words
+    return docs.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars_m"),
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_wlen, 6).alias("mean_word_len"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        (
+            (n_words >= 5)
+            & (mean_wlen >= 2.0)
+            & (mean_wlen <= 12.0)
+            & (punct_ratio <= 0.2)
+        ).alias("keep"),
+    )
+
+
+QUALITY_SCORES_SQL = rf"""
+    SELECT doc_id,
+           length(text) AS n_chars_m,
+           len(string_split_regex(trim(text), '{WS_RE}')) AS n_words,
+           round(length(regexp_replace(trim(text), '{WS_RE}', '', 'g'))
+                 / len(string_split_regex(trim(text), '{WS_RE}')), 6) AS mean_word_len,
+           round(len(regexp_extract_all(text, '[^\w\s]'))
+                 / length(text), 6) AS punct_ratio,
+           round(len(regexp_extract_all({_norm_sql('text')}, '\b{STOPWORDS_EN}\b'))
+                 / len(string_split_regex(trim(text), '{WS_RE}')), 6) AS stopword_ratio,
+           (len(string_split_regex(trim(text), '{WS_RE}')) >= 5
+            AND length(regexp_replace(trim(text), '{WS_RE}', '', 'g'))
+                / len(string_split_regex(trim(text), '{WS_RE}')) >= 2.0
+            AND length(regexp_replace(trim(text), '{WS_RE}', '', 'g'))
+                / len(string_split_regex(trim(text), '{WS_RE}')) <= 12.0
+            AND len(regexp_extract_all(text, '[^\w\s]')) / length(text) <= 0.2
+           ) AS keep
+    FROM documents
+"""
+
+
+# --- language identification --------------------------------------------------
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Lexicon/charset heuristic language ID.
+
+    Scores each candidate language by stopword hits per word; CJK wins when CJK
+    characters dominate. Deterministic alphabetical tie-break via the
+    least-value struct trick (score desc, lang asc) — no UDF.
+    """
+    norm = _norm(F.col("text"))
+    n_words = F.size(F.split(F.trim("text"), WS_RE))
+    scores = [
+        F.struct(
+            (-F.regexp_count(norm, F.lit(pat))).alias("neg_score"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, pat in sorted(LANG_LEXICONS.items())
+    ]
+    best = F.least(*scores)
+    cjk_count = F.regexp_count(F.col("text"), F.lit(CJK_CLASS))
+    return docs.select(
+        "doc_id",
+        F.when(cjk_count * 2 > F.length("text"), F.lit("zh"))
+        .when(best["neg_score"] < 0, best["lang"])
+        .otherwise(F.lit("und"))
+        .alias("pred_lang"),
+        (-best["neg_score"]).cast("long").alias("lexicon_hits"),
+        n_words.cast("long").alias("n_words"),
+    )
+
+
+def _lang_id_sql() -> str:
+    norm = _norm_sql("text")
+    score = lambda pat: f"len(regexp_extract_all({norm}, '{pat}'))"
+    structs = ", ".join(
+        f"{{'neg_score': -{score(pat)}, 'lang': '{lang}'}}"
+        for lang, pat in sorted(LANG_LEXICONS.items())
+    )
+    return rf"""
+    SELECT doc_id,
+           CASE WHEN 2 * len(regexp_extract_all(text, '{CJK_CLASS}')) > length(text)
+                THEN 'zh'
+                WHEN best.neg_score < 0 THEN best.lang
+                ELSE 'und' END AS pred_lang,
+           -best.neg_score AS lexicon_hits,
+           len(string_split_regex(trim(text), '{WS_RE}')) AS n_words
+    FROM (
+        SELECT *, list_min([{structs}]) AS best FROM documents
+    )
+    """
+
+
+LANG_ID_SQL = _lang_id_sql()
+
+
+# --- fingerprinting -----------------------------------------------------------
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """Stable document fingerprint: md5 over normalized text (exact-dup key)
+    plus a 60-bit integer form for compact joins."""
+    from .hashing import md5_int
+
+    norm = _norm(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("fingerprint"),
+        md5_int(norm).alias("fingerprint_int"),
+    )
+
+
+def _fingerprints_sql() -> str:
+    from .hashing import md5_int_sql
+
+    norm = _norm_sql("text")
+    return f"""
+    SELECT doc_id,
+           md5({norm}) AS fingerprint,
+           {md5_int_sql(norm)} AS fingerprint_int
+    FROM documents
+    """
+
+
+FINGERPRINTS_SQL = _fingerprints_sql()

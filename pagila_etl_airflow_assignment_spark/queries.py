@@ -62,6 +62,84 @@ def q_weekly_rental_summary_correlated(spark: SparkSession, sf_dir: str) -> Data
     return weekly_rental_summary_sql(spark, load_rental(spark, sf_dir))
 
 
+@register(
+    "incremental_weekly_summary",
+    oracle=f"""
+        WITH rental AS ({RENTAL_DUCKDB_SQL}),
+        date_range AS (
+            SELECT MIN(CAST(rental_date AS DATE)) AS min_date,
+                   MAX(CASE WHEN return_date IS NOT NULL THEN CAST(return_date AS DATE)
+                            ELSE CAST(rental_date AS DATE) END) AS max_date
+            FROM rental
+        ),
+        all_weeks AS (
+            SELECT CAST(unnest(generate_series(
+                DATE_TRUNC('week', (SELECT min_date FROM date_range)),
+                DATE_TRUNC('week', (SELECT max_date FROM date_range)),
+                INTERVAL 1 WEEK)) AS DATE) AS week_beginning
+        ),
+        weekly_returned_counts AS (
+            SELECT CAST(DATE_TRUNC('week', return_date) AS DATE) AS w,
+                   COUNT(rental_id) AS n
+            FROM rental WHERE return_date IS NOT NULL GROUP BY 1
+        ),
+        weekly_rented_counts AS (
+            SELECT CAST(DATE_TRUNC('week', rental_date) AS DATE) AS w,
+                   COUNT(rental_id) AS n
+            FROM rental GROUP BY 1
+        )
+        SELECT
+            aw.week_beginning,
+            CAST((SELECT COUNT(r.rental_id) FROM rental r
+             WHERE CAST(r.rental_date AS DATE) <= aw.week_beginning + 6
+               AND (r.return_date IS NULL
+                    OR CAST(r.return_date AS DATE) > aw.week_beginning + 6))
+              AS INT) AS "OutstandingRentals",
+            CAST(COALESCE(ret.n, 0) AS INT) AS "ReturnedRentals",
+            CAST(COALESCE(rent.n, 0) AS INT) AS newly_rented_during_week,
+            CAST(COALESCE(rent.n, 0) - COALESCE(ret.n, 0) AS INT)
+              AS net_change_in_outstanding
+        FROM all_weeks aw
+        LEFT JOIN weekly_returned_counts ret ON aw.week_beginning = ret.w
+        LEFT JOIN weekly_rented_counts rent ON aw.week_beginning = rent.w
+        ORDER BY aw.week_beginning
+    """,
+    survey_rows=("A-5", "A-6", "A-7", "I-1", "I-2", "I-3", "I-4", "I-5", "I-6", "I-7", "O-8"),
+)
+def q_incremental_weekly_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full incremental protocol, driver-checkable: bootstrap from an empty
+    target in two watermarked batches (split on the median last_update), then
+    return the materialized target table. Matching the full-recompute oracle
+    proves watermarking, dirty-week planning, MERGE and crash-safe ordering
+    compose to the reference's end state (its intended-but-never-automated
+    differential check, SURVEY.md §5)."""
+    import shutil
+    import tempfile
+
+    from .incremental import run_incremental
+    from .incremental.upsert import read_parquet_table
+
+    rental = load_rental(spark, sf_dir)
+    cut = rental.selectExpr(
+        "percentile_approx(cast(last_update as double), 0.5) p"
+    ).first()["p"]
+    cut_ts = dt.datetime.utcfromtimestamp(cut)
+    root = tempfile.mkdtemp(prefix="inc-query-")
+    try:
+        tgt, st = f"{root}/target", f"{root}/state"
+        run_incremental(spark, rental.where(F.col("last_update") <= F.lit(cut_ts)), tgt, st)
+        run_incremental(spark, rental, tgt, st)
+        out = (
+            read_parquet_table(spark, tgt)
+            .drop("last_updated")
+            .orderBy("week_beginning")
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)  # detach from temp dir
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 # --- A. scans / sources -------------------------------------------------------
 
 

@@ -51,5 +51,7 @@ def _load_all() -> None:
     if _LOADED:
         return
     from . import queries as _q  # noqa: F401
+    from .llm import queries as _lq  # noqa: F401
+    from .streaming import queries as _sq  # noqa: F401
 
     _LOADED = True

@@ -123,6 +123,20 @@ EVENTS = StructType(
     ]
 )
 
+# On-disk form: the fixture stores ts as parquet TIMESTAMP(NANOS), which the
+# engine reads as raw long nanos (session.py nanosAsLong) and converts
+# (sources.parquet.normalize_event_ts).
+EVENTS_RAW = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
 FIXTURE_TABLES = (
     "region",
     "nation",

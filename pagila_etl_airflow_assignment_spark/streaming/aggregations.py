@@ -1,0 +1,272 @@
+"""Structured Streaming operators over the `events` table, each with a batch
+twin so correctness is oracle-checkable.
+
+The reference is batch-incremental, not streaming (SURVEY.md §2.I) — its
+watermark table is the batch analog of Structured Streaming's event-time
+watermark. This module supplies the true streaming counterparts:
+
+- tumbling-window aggregation with late-data watermark (I-1's streaming form);
+- custom stateful sessionization via ``applyInPandasWithState`` (the
+  "custom stateful operator" extension point).
+
+Batch twins run the identical logic through the batch planner: the tumbling
+window via the same ``F.window``, sessionization via lag/cumsum window
+functions. Tests assert stream (availableNow) == batch twin; the batch twins
+are also registered as driver queries with DuckDB oracles.
+
+Scale: streaming state is keyed by (window, event_type) / user_id — both
+shuffle-partitioned; the watermark bounds state size (late rows beyond 1 hour
+are dropped), which is what keeps unbounded streams at bounded memory.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ..schemas import EVENTS_RAW
+from ..sources.parquet import normalize_event_ts
+
+SESSION_GAP = dt.timedelta(minutes=5)
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("session_start", TimestampType(), False),
+        StructField("session_end", TimestampType(), False),
+        StructField("n_events", LongType(), False),
+        StructField("total_value", DoubleType(), True),
+    ]
+)
+
+
+# --- tumbling-window aggregation ---------------------------------------------
+
+
+def hourly_event_counts(events: DataFrame) -> DataFrame:
+    """Batch twin: tumbling 1-hour window per event_type."""
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour").start.alias("hour_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .orderBy("hour_start", "event_type")
+    )
+
+
+HOURLY_EVENT_COUNTS_SQL = """
+    SELECT date_trunc('hour', ts) AS hour_start,
+           event_type,
+           COUNT(*) AS n_events,
+           round(SUM(value), 6) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""
+
+
+def streaming_hourly_event_counts(
+    spark: SparkSession, events_path: str, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming form: file source → watermark → tumbling window agg.
+
+    The watermark lets Spark finalize and evict window state once event time
+    passes window_end + watermark — bounded state on unbounded input.
+    """
+    stream = normalize_event_ts(
+        spark.readStream.schema(EVENTS_RAW).parquet(events_path)
+    )
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").start.alias("hour_start"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+    )
+
+
+# --- sessionization -----------------------------------------------------------
+
+
+def sessionize_batch(events: DataFrame, gap: dt.timedelta = SESSION_GAP) -> DataFrame:
+    """Batch twin: gap-based sessions per user via lag + running sum —
+    the classic two-window formulation, no UDF."""
+    w_user = Window.partitionBy("user_id").orderBy("ts")
+    gap_s = int(gap.total_seconds())
+    with_breaks = events.select(
+        "user_id",
+        "ts",
+        "value",
+        # integer-microsecond gap math: exact, and identical to the DuckDB
+        # oracle's epoch_us() (double-seconds epoch would round differently)
+        F.when(
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w_user))
+            > gap_s * 1_000_000,
+            1,
+        )
+        .otherwise(0)
+        .alias("is_break"),
+    )
+    with_ids = with_breaks.withColumn(
+        "session_id",
+        F.sum("is_break").over(
+            w_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        with_ids.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            "user_id", "session_start", "session_end", "n_events", "total_value"
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+def sessionize_batch_sql(gap: dt.timedelta = SESSION_GAP) -> str:
+    gap_s = int(gap.total_seconds())
+    return f"""
+        WITH with_breaks AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                             > {gap_s} * 1000000
+                        THEN 1 ELSE 0 END AS is_break
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        with_ids AS (
+            SELECT *, SUM(is_break) OVER (
+                PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS session_id
+            FROM with_breaks
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) AS session_end,
+               COUNT(*) AS n_events,
+               round(SUM(value), 6) AS total_value
+        FROM with_ids
+        GROUP BY user_id, session_id
+        ORDER BY user_id, session_start
+    """
+
+
+def streaming_sessionize(
+    spark: SparkSession,
+    events_path: str,
+    gap: dt.timedelta = SESSION_GAP,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Custom stateful streaming operator: gap sessionization with
+    ``applyInPandasWithState`` (per-user session state, processing-time-safe
+    eviction via event-time timeout).
+
+    State per user is the open session (start, end, count, sum). A microbatch's
+    rows are merged in event-time order; sessions closed by the gap are
+    emitted; the still-open session stays in state until the watermark timeout
+    fires. Arrow-batched — Python touches grouped columnar chunks, not rows."""
+    gap_s = int(gap.total_seconds())
+
+    state_schema = StructType(
+        [
+            StructField("start_s", DoubleType()),
+            StructField("end_s", DoubleType()),
+            StructField("n", LongType()),
+            StructField("total", DoubleType()),
+        ]
+    )
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        rows = pd.concat(list(pdfs)).sort_values("ts")
+        out: list[tuple] = []
+        if state.hasTimedOut:
+            if state.exists:
+                s, e, n, tot = state.get
+                out.append((user_id, s, e, n, tot))
+                state.remove()
+        else:
+            if state.exists:
+                cur = list(state.get)
+            else:
+                cur = None
+            for ts, val in zip(rows["ts"], rows["value"]):
+                t = ts.timestamp()
+                if cur is None:
+                    cur = [t, t, 1, float(val)]
+                elif t - cur[1] > gap_s:
+                    out.append((user_id, cur[0], cur[1], cur[2], cur[3]))
+                    cur = [t, t, 1, float(val)]
+                else:
+                    cur[1] = t
+                    cur[2] += 1
+                    cur[3] += float(val)
+            if cur is not None:
+                state.update(tuple(cur))
+                state.setTimeoutTimestamp(int((cur[1] + gap_s) * 1000))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["user_id", "start_s", "end_s", "n", "total"]
+            )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("start_s", DoubleType()),
+            StructField("end_s", DoubleType()),
+            StructField("n", LongType()),
+            StructField("total", DoubleType()),
+        ]
+    )
+
+    stream = normalize_event_ts(
+        spark.readStream.schema(EVENTS_RAW).parquet(events_path)
+    )
+    sessions = (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    return sessions.select(
+        "user_id",
+        F.timestamp_seconds("start_s").alias("session_start"),
+        F.timestamp_seconds("end_s").alias("session_end"),
+        F.col("n").alias("n_events"),
+        F.round("total", 6).alias("total_value"),
+    )

@@ -1,0 +1,27 @@
+"""Registered batch twins of the streaming operators (oracle-checkable)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..registry import register
+from ..sources.parquet import load_table
+from .aggregations import (
+    HOURLY_EVENT_COUNTS_SQL,
+    hourly_event_counts,
+    sessionize_batch,
+    sessionize_batch_sql,
+)
+
+
+@register("events_hourly_tumbling", oracle=HOURLY_EVENT_COUNTS_SQL)
+def q_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation (batch twin of the streaming form)."""
+    return hourly_event_counts(load_table(spark, sf_dir, "events"))
+
+
+@register("events_sessionization", oracle=sessionize_batch_sql())
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via lag+cumsum windows (batch twin of the
+    applyInPandasWithState streaming operator)."""
+    return sessionize_batch(load_table(spark, sf_dir, "events"))

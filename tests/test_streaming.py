@@ -1,0 +1,80 @@
+"""Streaming == batch-twin differential tests (availableNow trigger)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from pagila_etl_airflow_assignment_spark.sources.parquet import load_table
+from pagila_etl_airflow_assignment_spark.streaming.aggregations import (
+    hourly_event_counts,
+    sessionize_batch,
+    streaming_hourly_event_counts,
+    streaming_sessionize,
+)
+
+from conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark):
+    """Streaming file source needs a directory; copy the fixture file in."""
+    d = tempfile.mkdtemp(prefix="events-stream-")
+    shutil.copy(f"{SF_SMALL}/events.parquet", f"{d}/events.parquet")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _run_to_memory(spark, sdf, name, output_mode):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt-{name}-"))
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_streaming_hourly_counts_equal_batch(spark, events_dir):
+    got = _run_to_memory(
+        spark,
+        streaming_hourly_event_counts(spark, events_dir),
+        "hourly_counts",
+        "complete",
+    )
+    want = hourly_event_counts(load_table(spark, SF_SMALL, "events"))
+    g = sorted(tuple(r) for r in got.collect())
+    w = sorted(tuple(r) for r in want.collect())
+    assert g == w
+
+
+def test_streaming_sessionize_matches_batch_closed_sessions(spark, events_dir):
+    """availableNow + event-time timeout: all sessions whose close is confirmed
+    by the final watermark must match the batch twin exactly; the batch twin
+    may additionally contain trailing still-open sessions."""
+    got = _run_to_memory(
+        spark,
+        streaming_sessionize(spark, events_dir),
+        "sessions_stream",
+        "append",
+    )
+    want = sessionize_batch(load_table(spark, SF_SMALL, "events"))
+    g = {tuple(r) for r in got.collect()}
+    w = {tuple(r) for r in want.collect()}
+    assert g <= w, f"streaming emitted sessions not in batch: {sorted(g - w)[:3]}"
+    # per-user: only the last (possibly unclosed) session may be missing
+    missing = w - g
+    by_user = {}
+    for r in want.collect():
+        by_user.setdefault(r.user_id, []).append(tuple(r))
+    for m in missing:
+        assert m == max(by_user[m[0]], key=lambda t: t[1]), (
+            f"non-trailing session missing from stream output: {m}"
+        )
+    assert len(g) > 0
