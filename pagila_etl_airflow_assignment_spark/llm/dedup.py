@@ -201,7 +201,10 @@ def minhash_lsh_pairs(
 
 # --- SimHash ------------------------------------------------------------------
 
-SIMHASH_BITS = 32
+# 48 bits (not 32): md5_int supplies 60 usable bits, and 12-bit band chunks
+# give 4096-value buckets — with 32 bits the templated fixture text collapses
+# into a handful of 8-bit buckets and the candidate join goes quadratic.
+SIMHASH_BITS = 48
 
 
 def simhash_signatures(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
@@ -217,18 +220,18 @@ def simhash_signatures(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
         .distinct()
         .select("doc_id", (md5_int(F.col("w"))).alias("h"))
     )
+    # vote/bit expressions as parsed SQL strings — one py4j round-trip per
+    # expression instead of ~7 Column-API calls each (plan-build time halves)
     votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v{b}")
+        F.expr(f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}")
         for b in range(bits)
     ]
     agg = words.groupBy("doc_id").agg(*votes)
-    sig = None
-    for b in range(bits):
-        bit = F.when(F.col(f"v{b}") > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0))
-        sig = bit if sig is None else sig + bit
-    return agg.select("doc_id", sig.alias("simhash"))
+    sig_sql = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END)"
+        for b in range(bits)
+    )
+    return agg.selectExpr("doc_id", f"({sig_sql}) AS simhash")
 
 
 def simhash_signatures_sql(bits: int = SIMHASH_BITS) -> str:
@@ -258,12 +261,19 @@ def simhash_signatures_sql(bits: int = SIMHASH_BITS) -> str:
     """
 
 
-def simhash_near_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
+def simhash_near_pairs(
+    docs: DataFrame, max_hamming: int = 3, bits: int = SIMHASH_BITS
+) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, via 4-chunk banding
-    (pigeonhole: distance <= 6 over 4 chunks → at least one chunk equal)."""
-    sig = simhash_signatures(docs)
+    (pigeonhole guarantee for distance <= 3 over 4 chunks: at least one chunk
+    equal; larger radii are recall-approximate)."""
+    sig = simhash_signatures(docs, bits)
+    width = bits // 4
+    mask = (1 << width) - 1
     chunks = [
-        (F.shiftright(F.col("simhash"), 8 * c).bitwiseAND(F.lit(0xFF))).alias(f"c{c}")
+        (F.shiftright(F.col("simhash"), width * c).bitwiseAND(F.lit(mask))).alias(
+            f"c{c}"
+        )
         for c in range(4)
     ]
     banded = sig.select("doc_id", "simhash", *chunks)
@@ -290,8 +300,10 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
                 F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
             ).alias("hamming"),
         )
-        .distinct()
+        # filter BEFORE the distinct: a pair colliding in several chunks is
+        # deduped after the cheap hamming cut, not shuffled 4x first
         .where(F.col("hamming") <= max_hamming)
+        .distinct()
         .orderBy("doc_a", "doc_b")
     )
     return pairs
@@ -300,29 +312,34 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
 # --- embedding-cosine near-dup ------------------------------------------------
 
 
-def _cosine(a, b):
-    """Double-precision cosine via zip_with + ordered fold (matches DuckDB's
-    list_cosine_similarity over DOUBLE[] bit-for-bit on the same arrays)."""
-    dot = F.aggregate(
+def _dot(a, b):
+    """Double-precision dot product via zip_with + ordered fold."""
+    return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    na = F.sqrt(
+
+
+def _l2norm(a):
+    """Double-precision L2 norm (same ordered fold as ``_dot(a, a)``)."""
+    return F.sqrt(
         F.aggregate(
             F.transform(a, lambda x: x.cast("double") * x.cast("double")),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
     )
-    nb = F.sqrt(
-        F.aggregate(
-            F.transform(b, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-    return dot / (na * nb)
+
+
+def _cosine(a, b):
+    """Double-precision cosine via zip_with + ordered fold (matches DuckDB's
+    list_cosine_similarity over DOUBLE[] bit-for-bit on the same arrays).
+
+    Prefer precomputing ``_l2norm`` per vector and dividing a ``_dot`` by the
+    two norms when scoring many pairs — higher-order folds are interpreted
+    (not codegen'd), so three folds per pair costs 3x one."""
+    return _dot(a, b) / (_l2norm(a) * _l2norm(b))
 
 
 def embedding_near_pairs(embeddings: DataFrame, threshold: float = 0.95) -> DataFrame:
@@ -331,7 +348,12 @@ def embedding_near_pairs(embeddings: DataFrame, threshold: float = 0.95) -> Data
     Blocking turns the O(n^2) all-pairs into O(sum of block^2) and shuffles on
     the block key; the unblocked scale path is LSH in similarity.py.
     """
-    e = embeddings.select("vec_id", "label", "embedding")
+    # Norm precomputed once per vector (identical fold arithmetic to the
+    # inline form, so 6-dp-rounded cosines are unchanged); per pair only the
+    # dot fold remains — 3x fewer interpreted higher-order evals.
+    e = embeddings.select(
+        "vec_id", "label", "embedding", _l2norm(F.col("embedding")).alias("nrm")
+    )
     return (
         e.alias("a")
         .join(e.alias("b"), "label")
@@ -339,9 +361,11 @@ def embedding_near_pairs(embeddings: DataFrame, threshold: float = 0.95) -> Data
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.round(_cosine(F.col("a.embedding"), F.col("b.embedding")), 6).alias(
-                "cosine"
-            ),
+            F.round(
+                _dot(F.col("a.embedding"), F.col("b.embedding"))
+                / (F.col("a.nrm") * F.col("b.nrm")),
+                6,
+            ).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
         .orderBy("vec_a", "vec_b")

@@ -66,12 +66,17 @@ def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dedup_simhash_pairs")  # banding-approximate → rows-only check
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.simhash_near_pairs(load_table(spark, sf_dir, "documents"))
+    # radius 3 (not the default 6): the templated fixture text clusters tightly
+    # in simhash space — radius 6 emits ~4.8M pairs at sf0.1, radius 3 keeps
+    # the output a near-dup candidate set rather than a cross product.
+    return dedup.simhash_near_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
 
 
-@register("dedup_embedding_cosine", oracle=dedup.embedding_near_pairs_sql(0.5))
+# threshold 0.35 is calibrated to the synthetic fixtures: non-trivial matches
+# at every sf (14 pairs @ sf0.001, 26 @ sf0.01) where 0.5 returns zero rows.
+@register("dedup_embedding_cosine", oracle=dedup.embedding_near_pairs_sql(0.35))
 def q_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.embedding_near_pairs(load_table(spark, sf_dir, "embeddings"), 0.5)
+    return dedup.embedding_near_pairs(load_table(spark, sf_dir, "embeddings"), 0.35)
 
 
 # --- similarity search --------------------------------------------------------
