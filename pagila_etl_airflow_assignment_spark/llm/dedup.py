@@ -191,9 +191,34 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    exact = ngram_jaccard_pairs(docs, n, threshold=0.0)
+    # Exact-Jaccard verification restricted to the candidate pairs — the whole
+    # point of LSH at scale. (An earlier form computed the full all-pairs
+    # Jaccard and joined, making LSH cost MORE than brute force.) Work is
+    # O(candidates x shingles-per-doc), all keyed equi-joins.
+    sh = shingles(docs, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        candidates.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(
+            sh.withColumnRenamed("doc_id", "doc_b"),
+            ["doc_b", "shingle"],
+            "inner",
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
     return (
-        candidates.join(exact, ["doc_a", "doc_b"])
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("sz", "sz_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .withColumnRenamed("sz", "sz_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
         .where(F.col("jaccard") >= verify_threshold)
         .orderBy("doc_a", "doc_b")
     )

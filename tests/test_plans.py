@@ -1,0 +1,93 @@
+"""Physical-plan assertions: the scale properties (pushdown, pruning,
+broadcast, shuffle count) are pinned by tests, not just claimed in docstrings.
+
+Each helper executes the DataFrame first so AQE's *final* plan is inspected —
+the initial plan may show sort-merge joins that AQE later converts.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from pagila_etl_airflow_assignment_spark import queries as _q  # registers
+from pagila_etl_airflow_assignment_spark.registry import queries
+from pagila_etl_airflow_assignment_spark.sources.parquet import load_table
+from pagila_etl_airflow_assignment_spark.sources.rental import load_rental
+
+from conftest import SF_SMALL
+
+
+def final_plan(df) -> str:
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # AQE's toString prints Final Plan followed by Initial Plan; only the
+    # final section should be asserted on (the initial one may still contain
+    # the pre-adaptive sort-merge joins / uncoalesced exchanges)
+    return plan.split("== Initial Plan ==")[0]
+
+
+def test_rental_scan_prunes_to_two_columns(spark):
+    """The rental derivation uses only o_orderkey/o_orderdate; Catalyst must
+    prune the orders scan to exactly those (9-column table)."""
+    plan = final_plan(load_rental(spark, SF_SMALL))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = sorted(c.split(":")[0] for c in m.group(1).split(",") if c)
+    assert cols == ["o_orderdate", "o_orderkey"], cols
+
+
+def test_delta_scan_keeps_projection_narrow(spark):
+    plan = final_plan(queries()["a1_delta_scan"](spark, SF_SMALL))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert sorted(c.split(":")[0] for c in m.group(1).split(",") if c) == [
+        "o_orderdate",
+        "o_orderkey",
+    ]
+
+
+def test_weekly_summary_joins_are_broadcast(spark):
+    """Spine/counts joins are tiny-side joins: the final adaptive plan must use
+    broadcast hash joins, never a sort-merge shuffle."""
+    plan = final_plan(queries()["weekly_rental_summary"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_text_pipelines_have_no_shuffle(spark):
+    """token/quality/lang/fingerprint are narrow per-row pipelines — zero
+    Exchange operators anywhere in the plan."""
+    for name in (
+        "text_token_counts",
+        "text_quality_scores",
+        "text_lang_id",
+        "text_fingerprints",
+    ):
+        plan = final_plan(queries()[name](spark, SF_SMALL))
+        assert "Exchange" not in plan, f"{name} shuffles:\n{plan}"
+
+
+def test_dedup_exact_is_single_shuffle(spark):
+    """Exact dedup is one hash-groupBy: exactly one shuffle exchange, with a
+    map-side partial aggregate before it."""
+    plan = final_plan(queries()["dedup_exact"](spark, SF_SMALL))
+    n_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_exchanges == 1, plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_filter_pushdown_reaches_parquet_on_raw_table(spark):
+    """On an underived table a filter must reach the scan as PushedFilters.
+
+    Uses `part` — other test modules .cache() documents/embeddings, and a
+    cached relation is served from InMemoryTableScan with no parquet scan to
+    push into.
+    """
+    df = (
+        load_table(spark, SF_SMALL, "part")
+        .where(F.col("p_partkey") > 100)
+        .select("p_partkey", "p_name")
+    )
+    plan = final_plan(df)
+    assert re.search(r"PushedFilters: \[.*GreaterThan\(p_partkey,100\).*\]", plan), plan
