@@ -36,6 +36,12 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.fingerprints(load_table(spark, sf_dir, "documents"))
 
 
+@register("text_winnowing", oracle=text.winnowing_fingerprints_sql())
+def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash winnowing fingerprint set per document."""
+    return text.winnowing_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
 # --- dedup --------------------------------------------------------------------
 
 

@@ -9,7 +9,7 @@ from the same constants.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword lexicons for the n-gram/lexicon heuristic.
@@ -199,3 +199,87 @@ def _fingerprints_sql() -> str:
 
 
 FINGERPRINTS_SQL = _fingerprints_sql()
+
+
+# --- winnowing (rolling-hash) fingerprints ------------------------------------
+
+WINNOW_K = 8  # char k-gram length
+WINNOW_W = 4  # winnowing window (k-gram positions per window)
+
+
+def winnowing_fingerprints(
+    docs: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken): hash every
+    char k-gram of the normalized text, slide a w-position window over the
+    hash sequence, keep each window's minimum — the distinct selected hashes
+    are the fingerprint set (robust to local edits, unlike a whole-doc hash).
+
+    All built-in: posexplode of a substring sequence (narrow), md5-based
+    rolling hash, and a bounded ROWS window per doc — the shuffle is one
+    hash-partition on doc_id for the window, same key as the final distinct.
+    """
+    from .hashing import md5_int
+
+    grams = (
+        docs.select("doc_id", _norm(F.col("text")).alias("nt"))
+        .where(F.length("nt") >= k)
+        .select(
+            "doc_id",
+            F.length("nt").alias("L"),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("nt") - (k - 1)),
+                    lambda i: F.substring(F.col("nt"), i, k),
+                )
+            ).alias("pos", "gram"),
+        )
+        .select("doc_id", "L", "pos", md5_int(F.col("gram")).alias("h"))
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    n_windows = F.col("L") - (k - 1) - (w - 1)  # windows start at pos 0..n-1
+    return (
+        grams.select(
+            "doc_id", "pos", F.min("h").over(win).alias("sel"), n_windows.alias("nw")
+        )
+        .where(F.col("pos") < F.col("nw"))
+        .select("doc_id", F.col("sel").alias("selected_hash"))
+        .distinct()
+        .orderBy("doc_id", "selected_hash")
+    )
+
+
+def winnowing_fingerprints_sql(k: int = WINNOW_K, w: int = WINNOW_W) -> str:
+    from .hashing import md5_int_sql
+
+    norm = _norm_sql("text")
+    return f"""
+    WITH nt AS (
+        SELECT doc_id, {norm} AS nt FROM documents
+        WHERE length({norm}) >= {k}
+    ),
+    grams AS (
+        SELECT doc_id, length(nt) AS L,
+               unnest(generate_series(1, length(nt) - {k - 1})) AS p
+        FROM nt
+    ),
+    hashed AS (
+        SELECT g.doc_id, g.L, g.p - 1 AS pos,
+               {md5_int_sql(f"substring(n.nt, g.p, {k})")} AS h
+        FROM grams g JOIN nt n USING (doc_id)
+    ),
+    selected AS (
+        SELECT doc_id, pos,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS sel,
+               L - {k - 1} - {w - 1} AS nw
+        FROM hashed
+    )
+    SELECT DISTINCT doc_id, sel AS selected_hash
+    FROM selected WHERE pos < nw
+    ORDER BY doc_id, selected_hash
+    """
