@@ -104,7 +104,12 @@ def q_weekly_rental_summary_correlated(spark: SparkSession, sf_dir: str) -> Data
         LEFT JOIN weekly_rented_counts rent ON aw.week_beginning = rent.w
         ORDER BY aw.week_beginning
     """,
-    survey_rows=("A-5", "A-6", "A-7", "I-1", "I-2", "I-3", "I-4", "I-5", "I-6", "I-7", "O-8"),
+    survey_rows=(
+        "A-4", "A-5", "A-6", "A-7",  # DDL bootstrap + MERGE sinks + txn ordering
+        "I-1", "I-2", "I-3", "I-4", "I-5", "I-6", "I-7",
+        "H-8",  # last_updated audit column (excluded from the compared output)
+        "O-8",
+    ),
 )
 def q_incremental_weekly_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full incremental protocol, driver-checkable: bootstrap from an empty
@@ -173,7 +178,7 @@ def q_delta_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                COUNT(*) AS n_rows
         FROM rental
     """,
-    survey_rows=("A-2", "D-1"),
+    survey_rows=("A-2", "D-1", "H-13"),  # H-13: naive-UTC via pinned session tz
 )
 def q_scalar_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The watermark-protocol scalar probes (etl.py:98,151,162,175) as one
@@ -196,7 +201,7 @@ def q_scalar_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
           COUNT(CASE WHEN return_date IS NOT NULL THEN 1 END) AS n_returned
         FROM rental
     """,
-    survey_rows=("B-3", "D-3"),
+    survey_rows=("B-3", "B-6", "D-3"),  # B-6: pandas notna guard, set-based form
 )
 def q_null_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_rental(spark, sf_dir)
@@ -232,6 +237,90 @@ def q_week_window_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .select("rental_id")
+        .orderBy("rental_id")
+    )
+
+
+@register(
+    "a3_f3_existence_probe",
+    oracle=f"""{_RENTAL_CTE}
+        SELECT rental_id FROM rental ORDER BY rental_id LIMIT 1
+    """,
+    survey_rows=("A-3", "F-3"),
+)
+def q_existence_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empty-target detection probe (etl.py:70-71): LIMIT 1 made deterministic
+    with an order key. The engine's real check is `df.isEmpty()`, which plans
+    the same single-row LocalLimit scan."""
+    return (
+        load_rental(spark, sf_dir).select("rental_id").orderBy("rental_id").limit(1)
+    )
+
+
+# --- C. correlated per-week counts --------------------------------------------
+
+
+@register(
+    "c3_per_week_counts",
+    oracle=f"""{_RENTAL_CTE}
+        SELECT
+          CAST((SELECT COUNT(*) FROM rental
+                WHERE CAST(rental_date AS DATE) >= DATE '1995-07-03'
+                  AND CAST(rental_date AS DATE) <= DATE '1995-07-03' + 6) AS INT)
+            AS newly_rented,
+          CAST((SELECT COUNT(*) FROM rental
+                WHERE return_date IS NOT NULL
+                  AND CAST(return_date AS DATE) >= DATE '1995-07-03'
+                  AND CAST(return_date AS DATE) <= DATE '1995-07-03' + 6) AS INT)
+            AS returned,
+          CAST((SELECT COUNT(*) FROM rental
+                WHERE CAST(rental_date AS DATE) <= DATE '1995-07-03' + 6
+                  AND (return_date IS NULL
+                       OR CAST(return_date AS DATE) > DATE '1995-07-03' + 6)) AS INT)
+            AS outstanding
+    """,
+    survey_rows=("C-3", "D-3"),
+)
+def q_per_week_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's per-week recompute statement (etl.py:224-236, three
+    correlated scalar subqueries rescanning `rental`) as ONE conditional
+    aggregation over a single scan — the O-9 rewrite at the statement level."""
+    wk = F.lit("1995-07-03").cast("date")
+    wk_end = F.date_add(wk, 6)
+    rd, xd = F.to_date("rental_date"), F.to_date("return_date")
+    return load_rental(spark, sf_dir).agg(
+        F.count(F.when(rd.between(wk, wk_end), 1)).cast("int").alias("newly_rented"),
+        F.count(
+            F.when(F.col("return_date").isNotNull() & xd.between(wk, wk_end), 1)
+        ).cast("int").alias("returned"),
+        F.count(
+            F.when(
+                (rd <= wk_end) & (F.col("return_date").isNull() | (xd > wk_end)), 1
+            )
+        ).cast("int").alias("outstanding"),
+    )
+
+
+@register(
+    "h12_parse_to_null",
+    oracle=f"""{_RENTAL_CTE}
+        SELECT rental_id,
+               TRY_CAST(CASE WHEN rental_id % 10 = 0 THEN 'not-a-timestamp'
+                             ELSE CAST(rental_date AS VARCHAR) END
+                        AS TIMESTAMP) AS parsed
+        FROM rental ORDER BY rental_id
+    """,
+    survey_rows=("H-12",),
+)
+def q_parse_to_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pd.to_datetime(errors='coerce') parity (etl.py:134-135): unparseable
+    input becomes NULL, never an error (ANSI mode off / TRY_CAST)."""
+    s = F.when(
+        F.col("rental_id") % 10 == 0, F.lit("not-a-timestamp")
+    ).otherwise(F.col("rental_date").cast("string"))
+    return (
+        load_rental(spark, sf_dir)
+        .select("rental_id", F.to_timestamp(s).alias("parsed"))
         .orderBy("rental_id")
     )
 
@@ -296,7 +385,7 @@ def q_greatest_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AND last_update <= TIMESTAMP '{WM_HI}'
         ) ORDER BY 1
     """,
-    survey_rows=("D-5", "G-1", "I-4", "O-10"),
+    survey_rows=("D-5", "F-2", "G-1", "I-4", "O-10"),  # F-2: sorted week list
 )
 def q_affected_weeks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-based affected-week derivation replacing the reference's iterrows
@@ -335,7 +424,7 @@ def q_affected_weeks(spark: SparkSession, sf_dir: str) -> DataFrame:
             INTERVAL 1 WEEK)) AS DATE) AS week_beginning
         ORDER BY 1
     """,
-    survey_rows=("H-3", "C-4", "F-1"),
+    survey_rows=("H-3", "H-11", "C-4", "F-1"),  # H-11: 1-week sequence step
 )
 def q_week_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GENERATE_SERIES week spine (ref.sql:12-19) via sequence+explode."""
