@@ -26,6 +26,9 @@ HEADLINE = [
     "a1_delta_scan",
     "d5_affected_weeks",
     "d2_weekly_counts",
+    "warehouse_pricing_summary",
+    "warehouse_star_join_revenue",
+    "warehouse_salted_aggregation",
 ]
 
 

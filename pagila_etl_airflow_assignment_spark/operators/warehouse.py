@@ -1,0 +1,175 @@
+"""Warehouse-scale operators over the TPC-H-ish fixtures.
+
+Post-parity extensions (the reference's own surface is the rental summary;
+SURVEY.md §7 step 7): the three canonical fact-table patterns a 100 TB engine
+must get right, each with an exact DuckDB oracle.
+
+- pricing_summary: the classic scan-heavy single-pass aggregation (TPC-H Q1
+  shape) — partial+final hash agg, no join, bandwidth-bound.
+- star_join_revenue: fact ⋈ dims with a broadcast chain — dims broadcast,
+  only the fact-fact join may shuffle; plan pinned in tests/test_plans.py.
+- salted_aggregation: the skew-mitigation pattern from SCALE.md §4 as a
+  two-stage aggregate; the oracle is the UNSALTED group-by (salting must be
+  result-invariant by construction).
+
+All money arithmetic is cast to DECIMAL before summing: double-precision sums
+are order-dependent in the last bits, and a 600k-row sum can differ between
+engines at the 6-dp hash granularity; decimal sums are exact and identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# built lazily — F.col needs an active SparkContext, and this module is
+# imported at registry load (before any session exists in test collection)
+def _price():
+    return F.col("l_extendedprice").cast("decimal(18,2)")
+
+
+def _disc():
+    return F.col("l_discount").cast("decimal(18,2)")
+
+
+def _tax():
+    return F.col("l_tax").cast("decimal(18,2)")
+
+
+def _qty():
+    return F.col("l_quantity").cast("decimal(18,2)")
+
+
+def _one():
+    return F.lit(1).cast("decimal(18,2)")
+
+
+def pricing_summary(lineitem: DataFrame, ship_cutoff: str = "1998-09-02") -> DataFrame:
+    """Pricing summary report per (returnflag, linestatus) — one scan, one
+    shuffle (partial+final hash aggregate on a 6-ish-key space)."""
+    return (
+        lineitem.where(F.to_date("l_shipdate") <= F.lit(ship_cutoff).cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_qty()).alias("sum_qty"),
+            F.sum(_price()).alias("sum_base_price"),
+            F.sum(_price() * (_one() - _disc())).alias("sum_disc_price"),
+            F.sum(
+                _price() * (_one() - _disc()) * (_one() + _tax())
+            ).alias("sum_charge"),
+            # cast avgs to double: Spark's round(avg(decimal)) stays decimal,
+            # DuckDB's returns double — same value, different cell type
+            F.round(F.avg(_qty()), 6).cast("double").alias("avg_qty"),
+            F.round(F.avg(_price()), 6).cast("double").alias("avg_price"),
+            F.round(F.avg(_disc()), 6).cast("double").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def pricing_summary_sql(ship_cutoff: str = "1998-09-02") -> str:
+    p = "CAST(l_extendedprice AS DECIMAL(18,2))"
+    d = "CAST(l_discount AS DECIMAL(18,2))"
+    t = "CAST(l_tax AS DECIMAL(18,2))"
+    q = "CAST(l_quantity AS DECIMAL(18,2))"
+    return f"""
+        SELECT l_returnflag, l_linestatus,
+               SUM({q}) AS sum_qty,
+               SUM({p}) AS sum_base_price,
+               SUM({p} * (CAST(1 AS DECIMAL(18,2)) - {d})) AS sum_disc_price,
+               SUM({p} * (CAST(1 AS DECIMAL(18,2)) - {d})
+                       * (CAST(1 AS DECIMAL(18,2)) + {t})) AS sum_charge,
+               CAST(ROUND(AVG({q}), 6) AS DOUBLE) AS avg_qty,
+               CAST(ROUND(AVG({p}), 6) AS DOUBLE) AS avg_price,
+               CAST(ROUND(AVG({d}), 6) AS DOUBLE) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE CAST(l_shipdate AS DATE) <= DATE '{ship_cutoff}'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """
+
+
+def star_join_revenue(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """Revenue by (region, order year): the star-join shape. The three dims
+    are explicitly broadcast (provably small by construction); only
+    lineitem ⋈ orders is a genuine fact-fact join, which at scale shuffles on
+    the order key (or is co-located by bucketing both on it)."""
+    revenue = _price() * (_one() - _disc())
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"), F.year("o_orderdate").alias("yr"))
+        .agg(
+            F.sum(revenue).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("region", "yr")
+    )
+
+
+STAR_JOIN_REVENUE_SQL = """
+    SELECT r_name AS region,
+           CAST(year(o_orderdate) AS INT) AS yr,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+             AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, year(o_orderdate)
+    ORDER BY region, yr
+"""
+
+
+def salted_aggregation(lineitem: DataFrame, salt_buckets: int = 16) -> DataFrame:
+    """Two-stage skew-safe aggregation: stage 1 aggregates (key, salt) —
+    spreading a hot key over ``salt_buckets`` reducers — stage 2 merges the
+    partials per key. Result is identical to the direct group-by (the oracle
+    IS the unsalted form); only the shuffle distribution changes.
+
+    SUM/COUNT re-aggregate losslessly; AVG must be derived from merged
+    SUM/COUNT, never averaged across partials."""
+    salted = lineitem.withColumn(
+        "__salt", F.pmod(F.col("l_orderkey") + F.col("l_linenumber"), salt_buckets)
+    )
+    partial = salted.groupBy("l_suppkey", "__salt").agg(
+        F.sum(_qty()).alias("p_qty"),
+        F.count("*").alias("p_cnt"),
+    )
+    return (
+        partial.groupBy("l_suppkey")
+        .agg(
+            F.sum("p_qty").alias("total_qty"),
+            F.sum("p_cnt").alias("n_items"),
+        )
+        .withColumn(
+            "avg_qty",
+            F.round(F.col("total_qty") / F.col("n_items"), 6).cast("double"),
+        )
+        .orderBy("l_suppkey")
+    )
+
+
+SALTED_AGGREGATION_SQL = """
+    SELECT l_suppkey,
+           SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty,
+           COUNT(*) AS n_items,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))) / COUNT(*), 6)
+                AS DOUBLE) AS avg_qty
+    FROM lineitem
+    GROUP BY l_suppkey
+    ORDER BY l_suppkey
+"""

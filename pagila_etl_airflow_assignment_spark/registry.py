@@ -74,6 +74,7 @@ def _load_all() -> None:
         return
     from . import queries as _q  # noqa: F401
     from .llm import queries as _lq  # noqa: F401
+    from .operators import queries as _oq  # noqa: F401
     from .streaming import queries as _sq  # noqa: F401
 
     _LOADED = True

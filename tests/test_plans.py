@@ -77,6 +77,33 @@ def test_dedup_exact_is_single_shuffle(spark):
     assert plan.count("HashAggregate") >= 2  # partial + final
 
 
+def test_star_join_dims_are_broadcast(spark):
+    """customer/nation/region joins must be broadcast; at most the fact-fact
+    lineitem-orders join may be a shuffle join."""
+    plan = final_plan(queries()["warehouse_star_join_revenue"](spark, SF_SMALL))
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert plan.count("SortMergeJoin") <= 1, plan
+
+
+def test_pricing_summary_reads_only_needed_columns(spark):
+    plan = final_plan(queries()["warehouse_pricing_summary"](spark, SF_SMALL))
+    # ReadSchema gets truncated in toString; the FileScan output list is full
+    m = re.search(r"FileScan parquet \[([^\]]*)\]", plan)
+    cols = sorted(c.split("#")[0] for c in m.group(1).split(",") if c)
+    assert cols == [
+        "l_discount",
+        "l_extendedprice",
+        "l_linestatus",
+        "l_quantity",
+        "l_returnflag",
+        "l_shipdate",
+        "l_tax",
+    ], cols
+    # the to_date(l_shipdate) <= cutoff filter must be rewritten into a raw
+    # timestamp bound the parquet reader can push
+    assert re.search(r"PushedFilters: \[.*LessThan\(l_shipdate", plan), plan
+
+
 def test_filter_pushdown_reaches_parquet_on_raw_table(spark):
     """On an underived table a filter must reach the scan as PushedFilters.
 
