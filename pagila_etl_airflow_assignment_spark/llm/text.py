@@ -215,40 +215,43 @@ def winnowing_fingerprints(
     hash sequence, keep each window's minimum — the distinct selected hashes
     are the fingerprint set (robust to local edits, unlike a whole-doc hash).
 
-    All built-in: posexplode of a substring sequence (narrow), md5-based
-    rolling hash, and a bounded ROWS window per doc — the shuffle is one
-    hash-partition on doc_id for the window, same key as the final distinct.
+    Entirely array-side per document (transform / slice / array_min /
+    array_distinct are narrow): the only shuffle in the whole plan is the
+    final orderBy on the ~0.01×-sized fingerprint output. An exploded
+    row-per-gram formulation with a per-doc ROWS window costs three shuffles
+    over the gram set (window sort, distinct, order) — at 100 TB that's the
+    difference between a map-only pass and re-materializing ~300× the corpus.
+
+    The hash array is aliased in its own projection and referenced twice
+    (size + slice) so CollapseProject cannot inline the md5 array into the
+    sliding-window lambda, which would re-evaluate it once per window.
     """
     from .hashing import md5_int
 
-    grams = (
+    hashed = (
         docs.select("doc_id", _norm(F.col("text")).alias("nt"))
-        .where(F.length("nt") >= k)
+        # need at least one full window of k-grams: L - (k-1) >= w
+        .where(F.length("nt") >= k + w - 1)
         .select(
             "doc_id",
-            F.length("nt").alias("L"),
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(1), F.length("nt") - (k - 1)),
-                    lambda i: F.substring(F.col("nt"), i, k),
-                )
-            ).alias("pos", "gram"),
+            F.transform(
+                F.sequence(F.lit(1), F.length("nt") - (k - 1)),
+                lambda i: md5_int(F.substring(F.col("nt"), i, k)),
+            ).alias("hs"),
         )
-        .select("doc_id", "L", "pos", md5_int(F.col("gram")).alias("h"))
     )
-    win = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.currentRow, w - 1)
-    )
-    n_windows = F.col("L") - (k - 1) - (w - 1)  # windows start at pos 0..n-1
+    windows = F.sequence(F.lit(1), F.size("hs") - (w - 1))
     return (
-        grams.select(
-            "doc_id", "pos", F.min("h").over(win).alias("sel"), n_windows.alias("nw")
+        hashed.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        windows, lambda j: F.array_min(F.slice("hs", j, F.lit(w)))
+                    )
+                )
+            ).alias("selected_hash"),
         )
-        .where(F.col("pos") < F.col("nw"))
-        .select("doc_id", F.col("sel").alias("selected_hash"))
-        .distinct()
         .orderBy("doc_id", "selected_hash")
     )
 
