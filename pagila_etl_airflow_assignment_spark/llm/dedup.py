@@ -237,14 +237,16 @@ def simhash_signatures(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     from each distinct word's hash bit b. One explode + one groupBy."""
     from .text import WS_RE
 
-    words = (
-        docs.select(
-            "doc_id", F.explode(F.split(_norm(F.col("text")), WS_RE)).alias("w")
-        )
-        .where(F.col("w") != "")
-        .distinct()
-        .select("doc_id", (md5_int(F.col("w"))).alias("h"))
-    )
+    # per-doc distinct words narrowly (array_distinct before the explode) —
+    # a .distinct() after the explode would shuffle the full token relation
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(F.split(_norm(F.col("text")), WS_RE), lambda x: x != "")
+            )
+        ).alias("w"),
+    ).select("doc_id", (md5_int(F.col("w"))).alias("h"))
     # vote/bit expressions as parsed SQL strings — one py4j round-trip per
     # expression instead of ~7 Column-API calls each (plan-build time halves)
     votes = [
