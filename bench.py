@@ -29,6 +29,8 @@ HEADLINE = [
     "warehouse_pricing_summary",
     "warehouse_star_join_revenue",
     "warehouse_salted_aggregation",
+    "asof_click_attribution",
+    "range_click_correlation",
 ]
 
 

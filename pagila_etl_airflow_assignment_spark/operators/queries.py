@@ -3,10 +3,11 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..registry import register
 from ..sources.parquet import load_table
-from . import warehouse
+from . import temporal, warehouse
 
 
 @register(
@@ -40,3 +41,81 @@ def q_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return warehouse.salted_aggregation(load_table(spark, sf_dir, "lineitem"))
+
+
+ASOF_ATTRIBUTION_SQL = """
+    SELECT p.event_id AS purchase_id,
+           p.user_id AS user_id,
+           p.ts AS purchase_ts,
+           c.ts AS click_ts,
+           epoch_us(p.ts) - epoch_us(c.ts) AS micros_since_click
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    ORDER BY purchase_id
+"""
+
+
+@register("asof_click_attribution", oracle=ASOF_ATTRIBUTION_SQL)
+def q_asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase→click attribution: each purchase matched to the user's most
+    recent prior click (point-in-time / as-of join; oracle is DuckDB's native
+    ASOF LEFT JOIN)."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = events.where(F.col("event_type") == "click").select("user_id", "ts")
+    joined = temporal.asof_join(
+        purchases, clicks, on="user_id", left_ts="purchase_ts", right_ts="ts"
+    )
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        "purchase_ts",
+        F.col("matched_ts").alias("click_ts"),
+        (
+            F.unix_micros("purchase_ts") - F.unix_micros("matched_ts")
+        ).alias("micros_since_click"),
+    ).orderBy("purchase_id")
+
+
+RANGE_CORRELATION_SQL = """
+    SELECT e.event_id AS error_id,
+           COUNT(*) AS n_nearby_clicks,
+           ROUND(SUM(c.value), 6) AS nearby_click_value
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON epoch_us(c.ts) BETWEEN epoch_us(e.ts) - 300 * 1000000
+                            AND epoch_us(e.ts) + 300 * 1000000
+    GROUP BY e.event_id
+    ORDER BY error_id
+"""
+
+
+@register("range_click_correlation", oracle=RANGE_CORRELATION_SQL)
+def q_range_click_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clicks within ±5 min of each error event, with no equi key: the binned
+    range join plans as an equi shuffle join on the time bucket instead of the
+    nested-loop join Catalyst would otherwise need (oracle: DuckDB IEJoin on
+    the declarative inequality form)."""
+    events = load_table(spark, sf_dir, "events")
+    errors = events.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), F.col("ts").alias("error_ts")
+    )
+    clicks = events.where(F.col("event_type") == "click").select(
+        F.col("ts").alias("click_ts"), F.col("value").alias("click_value")
+    )
+    pairs = temporal.range_join_binned(
+        errors, clicks, "error_ts", "click_ts", lo_seconds=-300, hi_seconds=300
+    )
+    return (
+        pairs.groupBy("error_id")
+        .agg(
+            F.count("*").alias("n_nearby_clicks"),
+            F.round(F.sum("click_value"), 6).alias("nearby_click_value"),
+        )
+        .orderBy("error_id")
+    )

@@ -1,0 +1,137 @@
+"""Temporal join operators Spark has no native node for: as-of (point-in-time)
+join and no-equi-key range join.
+
+The reference has no as-of/range joins (SURVEY.md §2.C: "No inner/right/full/
+semi/anti/range/as-of joins exist in the reference") — these are post-parity
+extensions for the training-data-pipeline surface (event attribution, temporal
+correlation), each with an exact DuckDB oracle (DuckDB ships native ASOF JOIN
+and an IEJoin for inequality joins, so the oracle is the declarative form).
+
+Scale design:
+
+- asof_join: the naive formulation (left join on key + right_ts <= left_ts,
+  then keep max right_ts per left row) materializes every historical match
+  before discarding all but one — O(|L| x avg-history) shuffle. This
+  implementation is the union/last-value pattern: tag both sides, single
+  shuffle on the key, one ordered pass per key carrying the latest right
+  payload forward. Cost is sort-merge of |L|+|R| — optimal, skew-bounded by
+  the hottest key, and never wider than the inputs.
+- range_join_binned: with no equi key, Catalyst can only plan a (broadcast)
+  nested-loop join for `r.ts BETWEEN l.ts - d AND l.ts + d` — O(|L| x |R|).
+  Binning assigns each right row to ONE fixed-width time bucket and explodes
+  each left row to the 2-3 buckets its window overlaps; the join becomes an
+  equi shuffle join on the bucket id plus an exact residual filter. Bucket
+  width = window width keeps the fan-out at <= ceil(span/width)+1 = 3.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_MICROS = 1_000_000
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: tuple[str, ...] = (),
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """For each left row, attach the single most recent right row of the same
+    ``on`` key with ``right_ts <= left_ts`` (inclusive) — pandas
+    ``merge_asof(direction='backward')`` / DuckDB ``ASOF LEFT JOIN`` semantics.
+    Unmatched left rows keep nulls.
+
+    Output = all left columns + ``matched_<right_ts>`` + the requested
+    ``right_cols``. The right payload travels as ONE struct through
+    ``last(ignorenulls)`` so a match is always a consistent single right row,
+    never a column-wise mix of different rows.
+
+    Ties: right rows sort before left rows at equal timestamps (inclusive
+    bound); among right rows with identical timestamps the last in (ts,
+    ``right_ts``) order wins — callers needing total determinism should
+    include a tiebreaker column in ``right_cols`` semantics they can accept.
+    """
+    payload = F.struct(
+        F.col(right_ts).alias("__rts"), *[F.col(c) for c in right_cols]
+    )
+    r = right.select(
+        F.col(on).alias("__key"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(1).alias("__is_right"),
+        payload.alias("__payload"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns],
+    )
+    l = left.select(
+        F.col(on).alias("__key"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(0).alias("__is_right"),
+        F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
+        *left.columns,
+    )
+    # right-before-left at equal ts makes the bound inclusive
+    w = (
+        Window.partitionBy("__key")
+        .orderBy(F.col("__ts").asc(), F.col("__is_right").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        r.unionByName(l)
+        .withColumn("__m", F.last("__payload", ignorenulls=True).over(w))
+        .where(F.col("__is_right") == 0)
+    )
+    if tolerance_seconds is not None:
+        too_old = (
+            F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__m.__rts"))
+        ) > tolerance_seconds * _MICROS
+        matched = matched.withColumn(
+            "__m", F.when(too_old, F.lit(None)).otherwise(F.col("__m"))
+        )
+    return matched.select(
+        *left.columns,
+        F.col("__m.__rts").alias(f"matched_{right_ts}"),
+        *[F.col(f"__m.{c}").alias(c) for c in right_cols],
+    )
+
+
+def range_join_binned(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    lo_seconds: int,
+    hi_seconds: int,
+    bin_seconds: int | None = None,
+) -> DataFrame:
+    """Inner join of every (left, right) pair with
+    ``right_ts`` in ``[left_ts + lo_seconds, left_ts + hi_seconds]`` and NO
+    equi key, planned as an equi join: right rows land in one fixed-width time
+    bin, left rows explode to every bin their window overlaps, join on the bin
+    id, then apply the exact range as a residual filter.
+
+    Returns all left columns + all right columns (names must not collide).
+    """
+    if bin_seconds is None:
+        bin_seconds = max(hi_seconds - lo_seconds, 1)
+    width = bin_seconds * _MICROS
+    r = right.withColumn(
+        "__bin", F.floor(F.unix_micros(F.col(right_ts)) / width)
+    )
+    lo_bin = F.floor((F.unix_micros(F.col(left_ts)) + lo_seconds * _MICROS) / width)
+    hi_bin = F.floor((F.unix_micros(F.col(left_ts)) + hi_seconds * _MICROS) / width)
+    l = left.withColumn("__bin", F.explode(F.sequence(lo_bin, hi_bin)))
+    rts_micros = F.unix_micros(F.col(right_ts))
+    lts_micros = F.unix_micros(F.col(left_ts))
+    return (
+        l.join(r, "__bin")
+        .where(
+            rts_micros.between(
+                lts_micros + lo_seconds * _MICROS, lts_micros + hi_seconds * _MICROS
+            )
+        )
+        .drop("__bin")
+    )
