@@ -29,6 +29,9 @@ HEADLINE = [
     "warehouse_pricing_summary",
     "warehouse_star_join_revenue",
     "warehouse_salted_aggregation",
+    "warehouse_topk_per_nation",
+    "warehouse_rollup_revenue",
+    "events_session_window_native",
     "asof_click_attribution",
     "range_click_correlation",
 ]

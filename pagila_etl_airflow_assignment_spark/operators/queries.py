@@ -35,6 +35,33 @@ def q_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "warehouse_topk_per_nation",
+    oracle=warehouse.topk_suppliers_per_nation_sql(),
+)
+def q_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 suppliers by revenue per nation: rank-within-group over the
+    PRE-AGGREGATED fact (window runs on |suppliers| rows, never |lineitem|)."""
+    return warehouse.topk_suppliers_per_nation(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+@register("warehouse_rollup_revenue", oracle=warehouse.ROLLUP_REVENUE_SQL)
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by (region, year) + per-region subtotals + grand total in one
+    Expand+aggregate pass (ROLLUP with grouping_id disambiguation)."""
+    return warehouse.rollup_revenue(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+@register(
     "warehouse_salted_aggregation",
     oracle=warehouse.SALTED_AGGREGATION_SQL,
     survey_rows=("O-12",),

@@ -19,7 +19,7 @@ engines at the 6-dp hash granularity; decimal sums are exact and identical.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # built lazily — F.col needs an active SparkContext, and this module is
@@ -172,4 +172,116 @@ SALTED_AGGREGATION_SQL = """
     FROM lineitem
     GROUP BY l_suppkey
     ORDER BY l_suppkey
+"""
+
+
+def topk_suppliers_per_nation(
+    lineitem: DataFrame, supplier: DataFrame, nation: DataFrame, k: int = 3
+) -> DataFrame:
+    """Top-k suppliers by lineitem revenue within each nation — the rank-
+    within-group pattern. Scale shape: the fact table is reduced FIRST
+    (groupBy suppkey, one shuffle over the fact), so the rank window runs over
+    |suppliers| rows, not |lineitem| rows; supplier/nation join by broadcast.
+    Ties broken by suppkey so the result is total-order deterministic."""
+    revenue = (
+        lineitem.groupBy("l_suppkey")
+        .agg(F.sum(_price() * (_one() - _disc())).alias("revenue"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("revenue").desc(), F.col("l_suppkey").asc()
+    )
+    return (
+        revenue.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(
+            F.col("n_name").alias("nation"),
+            "rk",
+            F.col("l_suppkey").alias("suppkey"),
+            "revenue",
+        )
+        .orderBy("nation", "rk")
+    )
+
+
+def topk_suppliers_per_nation_sql(k: int = 3) -> str:
+    return f"""
+        WITH rev AS (
+            SELECT l_suppkey,
+                   SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (CAST(1 AS DECIMAL(18,2))
+                          - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+            FROM lineitem
+            GROUP BY l_suppkey
+        )
+        SELECT nation, rk, suppkey, revenue FROM (
+            SELECT n_name AS nation,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY n_name
+                       ORDER BY revenue DESC, l_suppkey ASC) AS INT) AS rk,
+                   l_suppkey AS suppkey,
+                   revenue
+            FROM rev
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+        )
+        WHERE rk <= {k}
+        ORDER BY nation, rk
+    """
+
+
+def rollup_revenue(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """Revenue at three grouping granularities in ONE pass — (region, year),
+    per-region subtotal, grand total — via ROLLUP. Spark plans a single
+    Expand + hash aggregate, so the fact table is scanned once for all three
+    levels instead of three separate jobs; `grouping_id` (bit per rolled-up
+    column, first column = MSB — same convention as DuckDB's GROUPING)
+    disambiguates subtotal rows from real NULL groups."""
+    revenue = _price() * (_one() - _disc())
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .rollup(
+            F.col("r_name").alias("region"), F.year("o_orderdate").alias("yr")
+        )
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.sum(revenue).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .select(
+            F.coalesce("region", F.lit("ALL")).alias("region"),
+            F.coalesce("yr", F.lit(0)).cast("int").alias("yr"),
+            "gid",
+            "revenue",
+            "n_items",
+        )
+        .orderBy("gid", "region", "yr")
+    )
+
+
+ROLLUP_REVENUE_SQL = """
+    SELECT COALESCE(r_name, 'ALL') AS region,
+           CAST(COALESCE(year(o_orderdate), 0) AS INT) AS yr,
+           CAST(GROUPING(r_name, year(o_orderdate)) AS INT) AS gid,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+             AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, year(o_orderdate))
+    ORDER BY gid, region, yr
 """

@@ -177,6 +177,65 @@ def sessionize_batch_sql(gap: dt.timedelta = SESSION_GAP) -> str:
     """
 
 
+def sessionize_native(
+    events: DataFrame, gap: dt.timedelta = SESSION_GAP
+) -> DataFrame:
+    """Gap sessionization via Spark's built-in ``session_window`` — the
+    engine-native form of the lag+cumsum twin above. Semantics differ at the
+    exact-gap boundary: ``session_window`` keeps a session open while the next
+    event is STRICTLY inside ``last_ts + gap`` (break at ``delta >= gap``),
+    and ``session_end`` is ``last_ts + gap`` (eviction horizon), not the last
+    event time. The oracle encodes exactly those semantics. At scale this is
+    the preferred form: Catalyst plans one UpdatingSessionsExec pass instead
+    of two ordered windows + an aggregate, and the same expression works
+    unchanged under ``readStream``."""
+    gap_expr = f"{int(gap.total_seconds())} seconds"
+    return (
+        events.groupBy("user_id", F.session_window("ts", gap_expr))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+def sessionize_native_sql(gap: dt.timedelta = SESSION_GAP) -> str:
+    gap_s = int(gap.total_seconds())
+    return f"""
+        WITH with_breaks AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                             >= {gap_s} * 1000000
+                        THEN 1 ELSE 0 END AS is_break
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        with_ids AS (
+            SELECT *, SUM(is_break) OVER (
+                PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS session_id
+            FROM with_breaks
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL '{gap_s} seconds' AS session_end,
+               COUNT(*) AS n_events,
+               round(SUM(value), 6) AS total_value
+        FROM with_ids
+        GROUP BY user_id, session_id
+        ORDER BY user_id, session_start
+    """
+
+
 def streaming_sessionize(
     spark: SparkSession,
     events_path: str,

@@ -11,6 +11,8 @@ from .aggregations import (
     hourly_event_counts,
     sessionize_batch,
     sessionize_batch_sql,
+    sessionize_native,
+    sessionize_native_sql,
 )
 
 
@@ -25,3 +27,10 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization via lag+cumsum windows (batch twin of the
     applyInPandasWithState streaming operator)."""
     return sessionize_batch(load_table(spark, sf_dir, "events"))
+
+
+@register("events_session_window_native", oracle=sessionize_native_sql())
+def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via Spark's native session_window (one
+    UpdatingSessions pass; streaming-ready unchanged)."""
+    return sessionize_native(load_table(spark, sf_dir, "events"))

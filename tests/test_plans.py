@@ -118,3 +118,19 @@ def test_filter_pushdown_reaches_parquet_on_raw_table(spark):
     )
     plan = final_plan(df)
     assert re.search(r"PushedFilters: \[.*GreaterThan\(p_partkey,100\).*\]", plan), plan
+
+
+def test_topk_window_runs_on_preaggregated_rows(spark):
+    """supplier/nation joins broadcast; the rank window sorts only the
+    pre-aggregated per-supplier rows (one fact shuffle + one window shuffle)."""
+    plan = final_plan(queries()["warehouse_topk_per_nation"](spark, SF_SMALL))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "RunningWindowFunction" in plan or "Window" in plan, plan
+
+
+def test_rollup_is_single_expand_pass(spark):
+    """ROLLUP must plan one Expand over one scan of the joined fact — never
+    one aggregate job per grouping level."""
+    plan = final_plan(queries()["warehouse_rollup_revenue"](spark, SF_SMALL))
+    assert plan.count("Expand") == 1, plan
