@@ -34,6 +34,8 @@ HEADLINE = [
     "events_session_window_native",
     "asof_click_attribution",
     "range_click_correlation",
+    "events_value_percentiles",
+    "text_chunking",
 ]
 
 

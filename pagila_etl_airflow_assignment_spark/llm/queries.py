@@ -42,6 +42,13 @@ def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.winnowing_fingerprints(load_table(spark, sf_dir, "documents"))
 
 
+@register("text_chunking", oracle=text.chunk_documents_sql())
+def q_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 64-token/32-stride pretraining chunks per document (narrow
+    array pipeline + posexplode; zero data shuffles)."""
+    return text.chunk_documents(load_table(spark, sf_dir, "documents"))
+
+
 # --- dedup --------------------------------------------------------------------
 
 

@@ -201,6 +201,62 @@ def _fingerprints_sql() -> str:
 FINGERPRINTS_SQL = _fingerprints_sql()
 
 
+# --- sliding-window document chunking -----------------------------------------
+
+CHUNK_SIZE = 64  # tokens per chunk
+CHUNK_STRIDE = 32  # tokens between chunk starts (50% overlap)
+
+
+def chunk_documents(
+    docs: DataFrame, size: int = CHUNK_SIZE, stride: int = CHUNK_STRIDE
+) -> DataFrame:
+    """Split each document into overlapping token windows (size=64, stride=32)
+    — the standard LLM-pretraining chunker. Entirely narrow: tokenization,
+    window-start generation, and slicing are array expressions per row;
+    posexplode fans out to one row per chunk with NO shuffle (the orderBy is
+    display-only and the only exchange in the plan). Start positions run
+    through ``sequence(0, n_tokens-1, stride)``, so a trailing partial window
+    is emitted (slice truncates at the array end) — no token is dropped.
+    """
+    toks = F.split(F.trim("text"), WS_RE)
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(stride)
+    )
+    chunk = F.slice("t", F.col("s") + 1, size)
+    return (
+        docs.select("doc_id", toks.alias("t"), F.posexplode(starts).alias("cid", "s"))
+        .select(
+            "doc_id",
+            F.col("cid").cast("int").alias("chunk_id"),
+            F.col("s").cast("long").alias("start_token"),
+            F.size(chunk).cast("long").alias("n_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+def chunk_documents_sql(size: int = CHUNK_SIZE, stride: int = CHUNK_STRIDE) -> str:
+    return rf"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '{WS_RE}') AS t
+        FROM documents
+    ),
+    starts AS (
+        SELECT doc_id, t,
+               unnest(generate_series(0, greatest(len(t) - 1, 0), {stride})) AS s
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST(s // {stride} AS INT) AS chunk_id,
+           s AS start_token,
+           len(t[s + 1 : s + {size}]) AS n_tokens,
+           array_to_string(t[s + 1 : s + {size}], ' ') AS chunk_text
+    FROM starts
+    ORDER BY doc_id, chunk_id
+    """
+
+
 # --- winnowing (rolling-hash) fingerprints ------------------------------------
 
 WINNOW_K = 8  # char k-gram length

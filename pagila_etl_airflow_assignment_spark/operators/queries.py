@@ -109,6 +109,40 @@ def q_asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("purchase_id")
 
 
+VALUE_PERCENTILES_SQL = """
+    SELECT event_type,
+           COUNT(value) AS n_values,
+           ROUND(quantile_cont(value, 0.5), 6) AS p50,
+           ROUND(quantile_cont(value, 0.9), 6) AS p90,
+           ROUND(quantile_cont(value, 0.99), 6) AS p99
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+"""
+
+
+@register("events_value_percentiles", oracle=VALUE_PERCENTILES_SQL)
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated p50/p90/p99 of event value per type — F.percentile
+    (exact, sort-based) matches DuckDB quantile_cont bit-for-bit, unlike the
+    approx_percentile sketch. At scale the approximate sketch is the default
+    path; this exact form is the oracle-checkable one."""
+    events = load_table(spark, sf_dir, "events")
+    q = F.percentile("value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return (
+        events.groupBy("event_type")
+        .agg(F.count("value").alias("n_values"), q.alias("q"))
+        .select(
+            "event_type",
+            "n_values",
+            F.round(F.element_at("q", 1), 6).alias("p50"),
+            F.round(F.element_at("q", 2), 6).alias("p90"),
+            F.round(F.element_at("q", 3), 6).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
 RANGE_CORRELATION_SQL = """
     SELECT e.event_id AS error_id,
            COUNT(*) AS n_nearby_clicks,

@@ -134,3 +134,11 @@ def test_rollup_is_single_expand_pass(spark):
     one aggregate job per grouping level."""
     plan = final_plan(queries()["warehouse_rollup_revenue"](spark, SF_SMALL))
     assert plan.count("Expand") == 1, plan
+
+
+def test_chunking_has_no_data_shuffle(spark):
+    """Chunking is tokenize+posexplode per row: no hash-partitioned exchange
+    anywhere (the only exchange is the display orderBy's range partitioning)."""
+    plan = final_plan(queries()["text_chunking"](spark, SF_SMALL))
+    assert "Generate" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
