@@ -5,9 +5,11 @@ The reference is batch-incremental, not streaming (SURVEY.md §2.I) — its
 watermark table is the batch analog of Structured Streaming's event-time
 watermark. This module supplies the true streaming counterparts:
 
-- tumbling-window aggregation with late-data watermark (I-1's streaming form);
-- custom stateful sessionization via ``applyInPandasWithState`` (the
-  "custom stateful operator" extension point).
+- tumbling- and sliding-window aggregation with late-data watermark (I-1's
+  streaming form);
+- gap sessionization twice: Spark-native ``session_window`` and custom
+  stateful ``applyInPandasWithState`` (the "custom stateful operator"
+  extension point).
 
 Batch twins run the identical logic through the batch planner: the tumbling
 window via the same ``F.window``, sessionization via lag/cumsum window
@@ -98,6 +100,61 @@ def streaming_hourly_event_counts(
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").start.alias("hour_start"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+    )
+
+
+def sliding_event_counts(events: DataFrame) -> DataFrame:
+    """Batch twin of the sliding-window form: 1-hour windows every 15 minutes.
+    Spark's Expand fans each event to windows/slide = 4 rows BEFORE the
+    map-side partial aggregate, so the shuffle carries only aggregated
+    (window, event_type) groups — overlap multiplies map CPU, not shuffle
+    bytes. Same expression runs unchanged under readStream + withWatermark."""
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour", "15 minutes").start.alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+# each event belongs to exactly windows/slide = 4 sliding windows: the one
+# starting at its last 15-min boundary and the three before it
+SLIDING_EVENT_COUNTS_SQL = """
+    SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000
+                          - k * 900000000) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           round(SUM(value), 6) AS total_value
+    FROM events, unnest(generate_series(0, 3)) AS t(k)
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""
+
+
+def streaming_sliding_event_counts(
+    spark: SparkSession, events_path: str, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming form of the sliding window: identical window expression under
+    readStream; state is one entry per open (window, event_type), finalized
+    once the watermark passes window_end."""
+    stream = normalize_event_ts(
+        spark.readStream.schema(EVENTS_RAW).parquet(events_path)
+    )
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", "1 hour", "15 minutes").start.alias("window_start"),
+            "event_type",
+        )
         .agg(
             F.count("*").alias("n_events"),
             F.round(F.sum("value"), 6).alias("total_value"),

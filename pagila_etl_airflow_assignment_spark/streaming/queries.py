@@ -8,11 +8,13 @@ from ..registry import register
 from ..sources.parquet import load_table
 from .aggregations import (
     HOURLY_EVENT_COUNTS_SQL,
+    SLIDING_EVENT_COUNTS_SQL,
     hourly_event_counts,
     sessionize_batch,
     sessionize_batch_sql,
     sessionize_native,
     sessionize_native_sql,
+    sliding_event_counts,
 )
 
 
@@ -27,6 +29,13 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization via lag+cumsum windows (batch twin of the
     applyInPandasWithState streaming operator)."""
     return sessionize_batch(load_table(spark, sf_dir, "events"))
+
+
+@register("events_sliding_window", oracle=SLIDING_EVENT_COUNTS_SQL)
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour/15-min window aggregation (batch twin of the streaming
+    form; Expand fan-out happens before the partial aggregate)."""
+    return sliding_event_counts(load_table(spark, sf_dir, "events"))
 
 
 @register("events_session_window_native", oracle=sessionize_native_sql())

@@ -78,3 +78,21 @@ def test_streaming_sessionize_matches_batch_closed_sessions(spark, events_dir):
             f"non-trailing session missing from stream output: {m}"
         )
     assert len(g) > 0
+
+
+def test_streaming_sliding_counts_equal_batch(spark, events_dir):
+    from pagila_etl_airflow_assignment_spark.streaming.aggregations import (
+        sliding_event_counts,
+        streaming_sliding_event_counts,
+    )
+
+    got = _run_to_memory(
+        spark,
+        streaming_sliding_event_counts(spark, events_dir),
+        "sliding_counts",
+        "complete",
+    )
+    want = sliding_event_counts(load_table(spark, SF_SMALL, "events"))
+    g = sorted(tuple(r) for r in got.collect())
+    w = sorted(tuple(r) for r in want.collect())
+    assert g == w
