@@ -261,6 +261,8 @@ def chunk_documents_sql(size: int = CHUNK_SIZE, stride: int = CHUNK_STRIDE) -> s
 
 WINNOW_K = 8  # char k-gram length
 WINNOW_W = 4  # winnowing window (k-gram positions per window)
+WINNOW_B = 131  # Karp-Rabin polynomial base
+WINNOW_M = 1_000_000_007  # prime modulus (Horner steps stay within int64)
 
 
 def winnowing_fingerprints(
@@ -271,30 +273,46 @@ def winnowing_fingerprints(
     hash sequence, keep each window's minimum — the distinct selected hashes
     are the fingerprint set (robust to local edits, unlike a whole-doc hash).
 
-    Entirely array-side per document (transform / slice / array_min /
+    K-gram hashes are Karp-Rabin polynomial hashes (the paper's own choice)
+    computed by an 8-step Horner chain over a per-doc codepoint array — pure
+    int64 arithmetic, no per-gram string allocation. The earlier md5-per-gram
+    form measured 2.3× slower at sf0.1 (every gram paid substring + hex +
+    conv); codepoints are extracted ONCE per char, then each gram is k
+    multiply-adds. The window minimum is ``least(element_at..)`` rather than
+    ``array_min(slice(..))`` — no per-window array allocation.
+
+    Entirely array-side per document (split / transform / element_at /
     array_distinct are narrow): the only shuffle in the whole plan is the
     final orderBy on the ~0.01×-sized fingerprint output. An exploded
     row-per-gram formulation with a per-doc ROWS window costs three shuffles
     over the gram set (window sort, distinct, order) — at 100 TB that's the
     difference between a map-only pass and re-materializing ~300× the corpus.
 
-    The hash array is aliased in its own projection and referenced twice
-    (size + slice) so CollapseProject cannot inline the md5 array into the
-    sliding-window lambda, which would re-evaluate it once per window.
+    The code/hash arrays are aliased in their own projections and referenced
+    more than once so CollapseProject cannot inline them into downstream
+    lambdas (which would re-evaluate per reference).
     """
-    from .hashing import md5_int
-
-    hashed = (
+    # int64 codes: the Horner step h*B + c must not wrap in int32 (Spark would
+    # wrap silently with ANSI off; DuckDB raises)
+    codes = F.transform(F.split(F.col("nt"), ""), lambda c: F.ascii(c).cast("long"))
+    base = (
         docs.select("doc_id", _norm(F.col("text")).alias("nt"))
         # need at least one full window of k-grams: L - (k-1) >= w
         .where(F.length("nt") >= k + w - 1)
-        .select(
-            "doc_id",
-            F.transform(
-                F.sequence(F.lit(1), F.length("nt") - (k - 1)),
-                lambda i: md5_int(F.substring(F.col("nt"), i, k)),
-            ).alias("hs"),
-        )
+        .select("doc_id", codes.alias("cs"))
+    )
+
+    def gram_hash(j):
+        h = F.element_at("cs", j)
+        for d in range(1, k):
+            h = (h * WINNOW_B + F.element_at("cs", j + d)) % WINNOW_M
+        return h
+
+    hashed = base.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(1), F.size("cs") - (k - 1)), gram_hash
+        ).alias("hs"),
     )
     windows = F.sequence(F.lit(1), F.size("hs") - (w - 1))
     return (
@@ -303,7 +321,10 @@ def winnowing_fingerprints(
             F.explode(
                 F.array_distinct(
                     F.transform(
-                        windows, lambda j: F.array_min(F.slice("hs", j, F.lit(w)))
+                        windows,
+                        lambda j: F.least(
+                            *[F.element_at("hs", j + i) for i in range(w)]
+                        ),
                     )
                 )
             ).alias("selected_hash"),
@@ -313,23 +334,30 @@ def winnowing_fingerprints(
 
 
 def winnowing_fingerprints_sql(k: int = WINNOW_K, w: int = WINNOW_W) -> str:
-    from .hashing import md5_int_sql
-
     norm = _norm_sql("text")
+    horner = "c.cs[g.p]"
+    for d in range(1, k):
+        horner = f"(({horner}) * {WINNOW_B} + c.cs[g.p + {d}]) % {WINNOW_M}"
     return f"""
     WITH nt AS (
         SELECT doc_id, {norm} AS nt FROM documents
-        WHERE length({norm}) >= {k}
+        WHERE length({norm}) >= {k + w - 1}
+    ),
+    codes AS (
+        SELECT doc_id,
+               list_transform(string_split(nt, ''),
+                              ch -> CAST(unicode(ch) AS BIGINT)) AS cs
+        FROM nt
     ),
     grams AS (
-        SELECT doc_id, length(nt) AS L,
-               unnest(generate_series(1, length(nt) - {k - 1})) AS p
-        FROM nt
+        SELECT doc_id, len(cs) AS L,
+               unnest(generate_series(1, len(cs) - {k - 1})) AS p
+        FROM codes
     ),
     hashed AS (
         SELECT g.doc_id, g.L, g.p - 1 AS pos,
-               {md5_int_sql(f"substring(n.nt, g.p, {k})")} AS h
-        FROM grams g JOIN nt n USING (doc_id)
+               {horner} AS h
+        FROM grams g JOIN codes c USING (doc_id)
     ),
     selected AS (
         SELECT doc_id, pos,
