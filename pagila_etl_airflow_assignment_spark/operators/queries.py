@@ -143,6 +143,33 @@ def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("events_approx_sketches")  # rows-only: sketch values are
+# engine-specific (Spark HLL++/KLL vs DuckDB HLL), so no value oracle —
+# tests/test_approx.py bounds the error against the exact forms instead
+def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The at-scale form of distinct-count and percentile: HLL++
+    approx_count_distinct and approx_percentile sketches per event type —
+    one pass, fixed-size state (KBs) regardless of input size, vs the exact
+    forms' per-key hash set / full sort. At 100 TB the exact distinct is a
+    shuffle of every user_id; the sketch is a map-side-mergeable few KB."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.approx_percentile("value", F.array(F.lit(0.5), F.lit(0.9)), 10000)
+            .alias("q"),
+        )
+        .select(
+            "event_type",
+            "approx_users",
+            F.round(F.element_at("q", 1), 6).alias("approx_p50"),
+            F.round(F.element_at("q", 2), 6).alias("approx_p90"),
+        )
+        .orderBy("event_type")
+    )
+
+
 RANGE_CORRELATION_SQL = """
     SELECT e.event_id AS error_id,
            COUNT(*) AS n_nearby_clicks,
