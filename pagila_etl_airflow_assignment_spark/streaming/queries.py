@@ -16,6 +16,7 @@ from .aggregations import (
     sessionize_native_sql,
     sliding_event_counts,
 )
+from .joins import PURCHASE_CLICK_WINDOW_JOIN_SQL, purchase_click_window_join
 
 
 @register("events_hourly_tumbling", oracle=HOURLY_EVENT_COUNTS_SQL)
@@ -29,6 +30,13 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization via lag+cumsum windows (batch twin of the
     applyInPandasWithState streaming operator)."""
     return sessionize_batch(load_table(spark, sf_dir, "events"))
+
+
+@register("events_windowed_click_join", oracle=PURCHASE_CLICK_WINDOW_JOIN_SQL)
+def q_windowed_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per purchase, same-user clicks in the preceding hour (batch twin of the
+    watermarked stream-stream interval join)."""
+    return purchase_click_window_join(load_table(spark, sf_dir, "events"))
 
 
 @register("events_sliding_window", oracle=SLIDING_EVENT_COUNTS_SQL)

@@ -96,3 +96,32 @@ def test_streaming_sliding_counts_equal_batch(spark, events_dir):
     g = sorted(tuple(r) for r in got.collect())
     w = sorted(tuple(r) for r in want.collect())
     assert g == w
+
+
+def test_stream_stream_join_pairs_equal_batch(spark, events_dir):
+    """Watermarked stream-stream interval join (availableNow) must emit
+    exactly the batch join's pairs — the fixture's event times all fall
+    within one file/batch, so no pair is lost to watermark eviction."""
+    from pagila_etl_airflow_assignment_spark.streaming.joins import (
+        _clicks,
+        _pair_condition,
+        _purchases,
+        streaming_purchase_click_pairs,
+    )
+
+    got = _run_to_memory(
+        spark,
+        streaming_purchase_click_pairs(spark, events_dir),
+        "ss_join_pairs",
+        "append",
+    )
+    events = load_table(spark, SF_SMALL, "events")
+    want = (
+        _purchases(events)
+        .join(_clicks(events), _pair_condition())
+        .select("purchase_id", "purchase_ts", "click_ts", "click_value")
+    )
+    g = sorted(tuple(r) for r in got.collect())
+    w = sorted(tuple(r) for r in want.collect())
+    assert g == w
+    assert len(g) > 0
