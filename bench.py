@@ -31,6 +31,7 @@ HEADLINE = [
     "warehouse_salted_aggregation",
     "warehouse_topk_per_nation",
     "warehouse_rollup_revenue",
+    "warehouse_pivot_revenue",
     "events_session_window_native",
     "asof_click_attribution",
     "range_click_correlation",

@@ -48,6 +48,18 @@ def q_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("warehouse_pivot_revenue", oracle=warehouse.pivot_revenue_by_year_sql())
+def q_pivot_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per nation pivoted to one column per year (explicit pivot
+    values: deterministic schema, no distinct-discovery job)."""
+    return warehouse.pivot_revenue_by_year(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
 @register("warehouse_rollup_revenue", oracle=warehouse.ROLLUP_REVENUE_SQL)
 def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue by (region, year) + per-region subtotals + grand total in one

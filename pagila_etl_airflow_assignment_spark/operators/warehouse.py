@@ -269,6 +269,73 @@ def rollup_revenue(
     )
 
 
+PIVOT_YEARS = (1992, 1993, 1994, 1995, 1996, 1997, 1998)
+
+
+def pivot_revenue_by_year(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    years: tuple[int, ...] = PIVOT_YEARS,
+) -> DataFrame:
+    """Revenue per nation with one column per order year — groupBy().pivot()
+    with an EXPLICIT value list. Pinning the pivot values matters twice at
+    scale: the schema is deterministic (no schema drift when a year is absent
+    from one partition of a 100 TB table), and Spark skips the extra
+    distinct-values job it otherwise runs over the whole input to discover
+    the columns. Physically this is the same single-pass conditional
+    aggregation the oracle spells out."""
+    revenue = _price() * (_one() - _disc())
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("yr"),
+            revenue.alias("rev"),
+        )
+        .groupBy("nation")
+        .pivot("yr", list(years))
+        .agg(F.sum("rev"))
+        # empty (nation, year) cells surface as NULL after the pivot, so the
+        # zero-fill must happen here; scale 4 = the sum's own decimal scale
+        .select(
+            "nation",
+            *[
+                F.coalesce(F.col(str(y)), F.lit(0).cast("decimal(38,4)")).alias(
+                    f"rev_{y}"
+                )
+                for y in years
+            ],
+        )
+        .orderBy("nation")
+    )
+
+
+def pivot_revenue_by_year_sql(years: tuple[int, ...] = PIVOT_YEARS) -> str:
+    rev = (
+        "CAST(l_extendedprice AS DECIMAL(18,2))"
+        " * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+    )
+    cols = ",\n           ".join(
+        f"COALESCE(SUM(CASE WHEN year(o_orderdate) = {y} THEN {rev} END),"
+        f" CAST(0 AS DECIMAL(38,4))) AS rev_{y}"
+        for y in years
+    )
+    return f"""
+        SELECT n_name AS nation,
+           {cols}
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        ORDER BY nation
+    """
+
+
 ROLLUP_REVENUE_SQL = """
     SELECT COALESCE(r_name, 'ALL') AS region,
            CAST(COALESCE(year(o_orderdate), 0) AS INT) AS yr,
