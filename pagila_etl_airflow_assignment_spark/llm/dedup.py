@@ -61,6 +61,47 @@ DEDUP_EXACT_SQL = f"""
 """
 
 
+CORPUS_SPLIT_ID = 250  # doc_id < split = "existing corpus", rest = "new batch"
+
+
+def incremental_new_docs(docs: DataFrame, split_id: int = CORPUS_SPLIT_ID) -> DataFrame:
+    """Dedupe a new batch against an existing corpus: LEFT ANTI join on the
+    normalized-text fingerprint keeps only new docs whose content never
+    appeared before (the ingest-time dedup every training pipeline runs).
+    At scale the anti join shuffles 16-byte fingerprints, not documents —
+    and when the corpus side is a Bloom filter or pre-bucketed fingerprint
+    table it degrades gracefully to a broadcast/co-located anti join. Also
+    dedups WITHIN the new batch (min doc_id wins) so output is replay-safe."""
+    fp = F.md5(_norm(F.col("text"))).alias("fingerprint")
+    corpus = docs.where(F.col("doc_id") < split_id).select(fp)
+    batch = docs.where(F.col("doc_id") >= split_id).select("doc_id", fp)
+    return (
+        batch.join(corpus, "fingerprint", "left_anti")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "fingerprint")
+        .orderBy("doc_id")
+    )
+
+
+def incremental_new_docs_sql(split_id: int = CORPUS_SPLIT_ID) -> str:
+    fp = f"md5({_norm_sql('text')})"
+    return f"""
+        SELECT MIN(doc_id) AS doc_id, fingerprint
+        FROM (
+            SELECT doc_id, {fp} AS fingerprint
+            FROM documents WHERE doc_id >= {split_id}
+        ) batch
+        WHERE NOT EXISTS (
+            SELECT 1 FROM documents c
+            WHERE c.doc_id < {split_id}
+              AND md5({_norm_sql('c.text')}) = fingerprint
+        )
+        GROUP BY fingerprint
+        ORDER BY doc_id
+    """
+
+
 # --- exact n-gram Jaccard pairs ----------------------------------------------
 
 

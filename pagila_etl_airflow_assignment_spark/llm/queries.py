@@ -57,6 +57,13 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_exact(load_table(spark, sf_dir, "documents"))
 
 
+@register("dedup_incremental_new_docs", oracle=dedup.incremental_new_docs_sql())
+def q_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-batch-vs-corpus ingest dedup: LEFT ANTI join on content
+    fingerprint + in-batch min-id dedup."""
+    return dedup.incremental_new_docs(load_table(spark, sf_dir, "documents"))
+
+
 @register("dedup_ngram_jaccard", oracle=dedup.ngram_jaccard_pairs_sql())
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
