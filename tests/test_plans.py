@@ -142,3 +142,11 @@ def test_chunking_has_no_data_shuffle(spark):
     plan = final_plan(queries()["text_chunking"](spark, SF_SMALL))
     assert "Generate" in plan, plan
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_incremental_dedup_is_anti_join_on_fingerprints(spark):
+    """The corpus side projects to the 16-byte fingerprint only (never full
+    documents) and the join is an anti join — broadcast under AQE here."""
+    plan = final_plan(queries()["dedup_incremental_new_docs"](spark, SF_SMALL))
+    assert "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
