@@ -155,6 +155,46 @@ def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+JSON_STATS_SQL = """
+    SELECT event_type,
+           COUNT(k) AS n_with_k,
+           ROUND(AVG(k), 6) AS avg_k,
+           ROUND(stddev_samp(value), 6) AS sd_value,
+           ROUND(var_samp(value), 6) AS var_value,
+           ROUND(corr(value, k), 6) AS corr_value_k
+    FROM (
+        SELECT event_type, value,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        FROM events
+    )
+    GROUP BY event_type
+    ORDER BY event_type
+"""
+
+
+@register("events_json_stats", oracle=JSON_STATS_SQL)
+def q_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction + statistical aggregates: pull `k` out of
+    the JSON props column (get_json_object — JVM-side Jackson path eval, no
+    UDF) and compute stddev/variance/Pearson-correlation per event type. At
+    scale, repeated extraction from the same JSON column should instead
+    from_json() once into a struct column (single parse, then columnar)."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        events.select("event_type", "value", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.round(F.stddev_samp("value"), 6).alias("sd_value"),
+            F.round(F.var_samp("value"), 6).alias("var_value"),
+            F.round(F.corr("value", "k"), 6).alias("corr_value_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 @register("events_approx_sketches")  # rows-only: sketch values are
 # engine-specific (Spark HLL++/KLL vs DuckDB HLL), so no value oracle —
 # tests/test_approx.py bounds the error against the exact forms instead
