@@ -15,6 +15,13 @@ must get right, each with an exact DuckDB oracle.
 All money arithmetic is cast to DECIMAL before summing: double-precision sums
 are order-dependent in the last bits, and a 600k-row sum can differ between
 engines at the 6-dp hash granularity; decimal sums are exact and identical.
+
+OUTPUT sums/revenues are then cast (not rounded — rounding-mode divergence on
+half-cent boundaries) to DOUBLE on both the Spark and oracle sides: the exact
+decimal value is identical in both engines, so nearest-double conversion is
+bit-identical, while leaving the column as DECIMAL serializes as
+``Decimal('14123.00')`` in Spark's toPandas vs ``float64`` in DuckDB's fetchdf
+and fails the driver's hash canonicalization despite equal values.
 """
 
 from __future__ import annotations
@@ -51,12 +58,12 @@ def pricing_summary(lineitem: DataFrame, ship_cutoff: str = "1998-09-02") -> Dat
         lineitem.where(F.to_date("l_shipdate") <= F.lit(ship_cutoff).cast("date"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_qty()).alias("sum_qty"),
-            F.sum(_price()).alias("sum_base_price"),
-            F.sum(_price() * (_one() - _disc())).alias("sum_disc_price"),
+            F.sum(_qty()).cast("double").alias("sum_qty"),
+            F.sum(_price()).cast("double").alias("sum_base_price"),
+            F.sum(_price() * (_one() - _disc())).cast("double").alias("sum_disc_price"),
             F.sum(
                 _price() * (_one() - _disc()) * (_one() + _tax())
-            ).alias("sum_charge"),
+            ).cast("double").alias("sum_charge"),
             # cast avgs to double: Spark's round(avg(decimal)) stays decimal,
             # DuckDB's returns double — same value, different cell type
             F.round(F.avg(_qty()), 6).cast("double").alias("avg_qty"),
@@ -75,11 +82,12 @@ def pricing_summary_sql(ship_cutoff: str = "1998-09-02") -> str:
     q = "CAST(l_quantity AS DECIMAL(18,2))"
     return f"""
         SELECT l_returnflag, l_linestatus,
-               SUM({q}) AS sum_qty,
-               SUM({p}) AS sum_base_price,
-               SUM({p} * (CAST(1 AS DECIMAL(18,2)) - {d})) AS sum_disc_price,
-               SUM({p} * (CAST(1 AS DECIMAL(18,2)) - {d})
-                       * (CAST(1 AS DECIMAL(18,2)) + {t})) AS sum_charge,
+               CAST(SUM({q}) AS DOUBLE) AS sum_qty,
+               CAST(SUM({p}) AS DOUBLE) AS sum_base_price,
+               CAST(SUM({p} * (CAST(1 AS DECIMAL(18,2)) - {d})) AS DOUBLE)
+                 AS sum_disc_price,
+               CAST(SUM({p} * (CAST(1 AS DECIMAL(18,2)) - {d})
+                       * (CAST(1 AS DECIMAL(18,2)) + {t})) AS DOUBLE) AS sum_charge,
                CAST(ROUND(AVG({q}), 6) AS DOUBLE) AS avg_qty,
                CAST(ROUND(AVG({p}), 6) AS DOUBLE) AS avg_price,
                CAST(ROUND(AVG({d}), 6) AS DOUBLE) AS avg_disc,
@@ -110,7 +118,7 @@ def star_join_revenue(
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy(F.col("r_name").alias("region"), F.year("o_orderdate").alias("yr"))
         .agg(
-            F.sum(revenue).alias("revenue"),
+            F.sum(revenue).cast("double").alias("revenue"),
             F.count("*").alias("n_items"),
         )
         .orderBy("region", "yr")
@@ -120,9 +128,9 @@ def star_join_revenue(
 STAR_JOIN_REVENUE_SQL = """
     SELECT r_name AS region,
            CAST(year(o_orderdate) AS INT) AS yr,
-           SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
-             AS revenue,
+             AS DOUBLE) AS revenue,
            COUNT(*) AS n_items
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
@@ -152,12 +160,18 @@ def salted_aggregation(lineitem: DataFrame, salt_buckets: int = 16) -> DataFrame
     return (
         partial.groupBy("l_suppkey")
         .agg(
-            F.sum("p_qty").alias("total_qty"),
+            F.sum("p_qty").alias("__total_qty_dec"),
             F.sum("p_cnt").alias("n_items"),
         )
-        .withColumn(
-            "avg_qty",
-            F.round(F.col("total_qty") / F.col("n_items"), 6).cast("double"),
+        # avg derived from the exact DECIMAL sum (before the output cast) so
+        # its arithmetic matches the oracle's SUM(decimal)/COUNT exactly
+        .select(
+            "l_suppkey",
+            F.col("__total_qty_dec").cast("double").alias("total_qty"),
+            "n_items",
+            F.round(F.col("__total_qty_dec") / F.col("n_items"), 6)
+            .cast("double")
+            .alias("avg_qty"),
         )
         .orderBy("l_suppkey")
     )
@@ -165,7 +179,7 @@ def salted_aggregation(lineitem: DataFrame, salt_buckets: int = 16) -> DataFrame
 
 SALTED_AGGREGATION_SQL = """
     SELECT l_suppkey,
-           SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
            COUNT(*) AS n_items,
            CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))) / COUNT(*), 6)
                 AS DOUBLE) AS avg_qty
@@ -199,7 +213,8 @@ def topk_suppliers_per_nation(
             F.col("n_name").alias("nation"),
             "rk",
             F.col("l_suppkey").alias("suppkey"),
-            "revenue",
+            # rank above is computed on the exact DECIMAL; only the output is double
+            F.col("revenue").cast("double").alias("revenue"),
         )
         .orderBy("nation", "rk")
     )
@@ -215,7 +230,7 @@ def topk_suppliers_per_nation_sql(k: int = 3) -> str:
             FROM lineitem
             GROUP BY l_suppkey
         )
-        SELECT nation, rk, suppkey, revenue FROM (
+        SELECT nation, rk, suppkey, CAST(revenue AS DOUBLE) AS revenue FROM (
             SELECT n_name AS nation,
                    CAST(ROW_NUMBER() OVER (
                        PARTITION BY n_name
@@ -255,7 +270,7 @@ def rollup_revenue(
         )
         .agg(
             F.grouping_id().cast("int").alias("gid"),
-            F.sum(revenue).alias("revenue"),
+            F.sum(revenue).cast("double").alias("revenue"),
             F.count("*").alias("n_items"),
         )
         .select(
@@ -300,11 +315,12 @@ def pivot_revenue_by_year(
         .pivot("yr", list(years))
         .agg(F.sum("rev"))
         # empty (nation, year) cells surface as NULL after the pivot, so the
-        # zero-fill must happen here; scale 4 = the sum's own decimal scale
+        # zero-fill must happen here; the exact decimal sum is cast to DOUBLE
+        # for the output (see module docstring on cross-engine hashing)
         .select(
             "nation",
             *[
-                F.coalesce(F.col(str(y)), F.lit(0).cast("decimal(38,4)")).alias(
+                F.coalesce(F.col(str(y)).cast("double"), F.lit(0.0)).alias(
                     f"rev_{y}"
                 )
                 for y in years
@@ -320,8 +336,8 @@ def pivot_revenue_by_year_sql(years: tuple[int, ...] = PIVOT_YEARS) -> str:
         " * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
     )
     cols = ",\n           ".join(
-        f"COALESCE(SUM(CASE WHEN year(o_orderdate) = {y} THEN {rev} END),"
-        f" CAST(0 AS DECIMAL(38,4))) AS rev_{y}"
+        f"COALESCE(CAST(SUM(CASE WHEN year(o_orderdate) = {y} THEN {rev} END)"
+        f" AS DOUBLE), 0.0) AS rev_{y}"
         for y in years
     )
     return f"""
@@ -340,9 +356,9 @@ ROLLUP_REVENUE_SQL = """
     SELECT COALESCE(r_name, 'ALL') AS region,
            CAST(COALESCE(year(o_orderdate), 0) AS INT) AS yr,
            CAST(GROUPING(r_name, year(o_orderdate)) AS INT) AS gid,
-           SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
-             AS revenue,
+             AS DOUBLE) AS revenue,
            COUNT(*) AS n_items
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey

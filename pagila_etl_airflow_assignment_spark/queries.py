@@ -314,13 +314,15 @@ def q_per_week_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_parse_to_null(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pd.to_datetime(errors='coerce') parity (etl.py:134-135): unparseable
-    input becomes NULL, never an error (ANSI mode off / TRY_CAST)."""
+    input becomes NULL, never an error. `try_to_timestamp` is NULL-on-failure
+    by construction — independent of the session's ANSI mode (Spark 4.x
+    defaults ANSI on, where a plain to_timestamp raises CAST_INVALID_INPUT)."""
     s = F.when(
         F.col("rental_id") % 10 == 0, F.lit("not-a-timestamp")
     ).otherwise(F.col("rental_date").cast("string"))
     return (
         load_rental(spark, sf_dir)
-        .select("rental_id", F.to_timestamp(s).alias("parsed"))
+        .select("rental_id", F.try_to_timestamp(s).alias("parsed"))
         .orderBy("rental_id")
     )
 

@@ -15,9 +15,35 @@ from ..schemas import FIXTURE_TABLES
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Runtime-settable confs the engine's reads depend on. The engine must behave
+# under ANY caller's session (a bare Spark 4.x `getOrCreate()` has ANSI on, no
+# nanos handling, machine-local timezone), so `load_table` self-heals these at
+# read time instead of assuming session.build_session() ran:
+#   - nanosAsLong: fixture `events.ts` is parquet TIMESTAMP(NANOS), which
+#     vanilla Spark rejects with PARQUET_TYPE_ILLEGAL; read as long and let
+#     normalize_event_ts truncate to microseconds (DuckDB-identical).
+#   - UTC session tz: the engine's timestamps are naive-UTC (reference
+#     "Simplified Timezone Handling"); pinning the tz makes TimestampType
+#     round-trip through parquet byte-identically to the DuckDB oracle.
+_RUNTIME_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def ensure_read_confs(spark: SparkSession) -> None:
+    """Set the runtime confs reads rely on (idempotent, safe on any session)."""
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:
+            pass  # never let a conf probe break a read on an exotic session
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table (TESTDATA.md) as a DataFrame."""
+    ensure_read_confs(spark)
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
     if name == "events":
         df = normalize_event_ts(df)
