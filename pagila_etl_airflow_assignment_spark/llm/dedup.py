@@ -33,8 +33,31 @@ from .hashing import (
     universal_hash_sql,
     universal_params,
 )
-from .shingles import DEFAULT_N, shingles, shingles_sql
+from .shingles import DEFAULT_N, df_cap_filter_sql, shingles, shingles_sql, with_df_cap
 from .text import _norm, _norm_sql
+
+# Default skew-guard caps. Chosen far above any fixture document frequency
+# (fixtures have <= ~5k docs) so capped and uncapped results are identical at
+# test scale, while at 100 TB they bound the worst posting list / LSH bucket:
+# without a cap, one stop-phrase shingle or one degenerate bucket makes the
+# candidate self-join quadratic in its posting length. The caps are applied
+# IDENTICALLY in the Spark plan and the DuckDB oracle, so the two engines
+# compute the same (capped) semantics at every scale.
+DEFAULT_MAX_DF = 10_000
+DEFAULT_MAX_BUCKET = 10_000
+
+
+def _bucket_cap(bucketed: DataFrame, max_bucket: int) -> DataFrame:
+    """Drop LSH buckets holding more than ``max_bucket`` docs (skew guard):
+    broadcast LEFT ANTI against the tiny hot-bucket set, same shape as
+    ``shingles.with_df_cap``."""
+    hot = (
+        bucketed.groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") > max_bucket)
+        .select("bucket")
+    )
+    return bucketed.join(F.broadcast(hot), "bucket", "left_anti")
 
 # --- exact dedup --------------------------------------------------------------
 
@@ -106,18 +129,47 @@ def incremental_new_docs_sql(split_id: int = CORPUS_SPLIT_ID) -> str:
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, n: int = DEFAULT_N, threshold: float = 0.2
+    docs: DataFrame,
+    n: int = DEFAULT_N,
+    threshold: float = 0.2,
+    max_df: int | None = DEFAULT_MAX_DF,
 ) -> DataFrame:
-    """All pairs with word-n-gram Jaccard >= threshold (inverted-index join)."""
+    """All pairs with word-n-gram Jaccard >= threshold (inverted-index join).
+
+    ``max_df`` drops ultra-frequent shingles from the similarity universe
+    (both intersections and set sizes — well-defined capped-Jaccard
+    semantics, mirrored in the oracle), bounding each posting list at scale.
+
+    Plan shape: the shingle relation is aggregated ONCE into posting lists
+    (one shuffle on shingle); pair candidates are expanded NARROWLY from each
+    (sorted) posting list, and doc set sizes are derived from the same posts
+    relation — so the expensive shingling+aggregation subplan is shared via
+    exchange reuse instead of being recomputed by a three-way self-join, and
+    df=1 shingles (the vast majority; they can never produce a pair) are
+    dropped before any pair work. The cap is then a free WHERE on the posting
+    length — the skew guard costs nothing extra."""
     sh = shingles(docs, n)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    posts = sh.groupBy("shingle").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("ds")
+    )
+    if max_df is not None:
+        posts = posts.where(F.size("ds") <= max_df)
+    # capped-universe doc sizes (df=1 shingles DO count toward |A|)
+    sizes = (
+        posts.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("sz"))
+    )
+    # ordered pairs (a < b) from each posting list; lists are tiny (<= max_df,
+    # typically 2-5), so the L^2 expansion stays narrow and bounded
+    pair_structs = F.expr(
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, size(ds) - i - 1), y -> struct(x AS doc_a, y AS doc_b))))"
+    )
     inter = (
-        sh.alias("a")
-        .join(sh.alias("b"), "shingle")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        posts.where(F.size("ds") >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count("*").alias("inter"))
     )
     return (
@@ -137,9 +189,15 @@ def ngram_jaccard_pairs(
     )
 
 
-def ngram_jaccard_pairs_sql(n: int = DEFAULT_N, threshold: float = 0.2) -> str:
+def ngram_jaccard_pairs_sql(
+    n: int = DEFAULT_N,
+    threshold: float = 0.2,
+    max_df: int | None = DEFAULT_MAX_DF,
+) -> str:
+    cap = f"WHERE {df_cap_filter_sql('sh0', max_df)}" if max_df is not None else ""
     return f"""
-        WITH sh AS ({shingles_sql(n)}),
+        WITH sh0 AS ({shingles_sql(n)}),
+        sh AS (SELECT * FROM sh0 {cap}),
         sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
         inter AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
@@ -200,6 +258,7 @@ def minhash_lsh_pairs(
     bands: int = LSH_BANDS,
     n: int = DEFAULT_N,
     verify_threshold: float = 0.2,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """MinHash-LSH candidate generation + exact-Jaccard verification.
 
@@ -207,6 +266,8 @@ def minhash_lsh_pairs(
     colliding on any full band become candidates. Candidates are then verified
     with the exact n-gram Jaccard, so the output has no false positives —
     recall (vs the exact all-pairs join) is what LSH trades away.
+    ``max_bucket`` drops degenerate buckets (e.g. the all-empty-docs
+    signature) before the self-join — the same skew guard as ``max_df``.
     """
     sig = minhash_signatures(docs, k, n)
     rows_per_band = k // bands
@@ -223,6 +284,8 @@ def minhash_lsh_pairs(
         "doc_id",
         F.explode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias("bucket"),
     )
+    if max_bucket is not None:
+        bucketed = _bucket_cap(bucketed, max_bucket)
     candidates = (
         bucketed.alias("a")
         .join(bucketed.alias("b"), "bucket")
@@ -263,6 +326,63 @@ def minhash_lsh_pairs(
         .where(F.col("jaccard") >= verify_threshold)
         .orderBy("doc_a", "doc_b")
     )
+
+
+def minhash_lsh_pairs_sql(
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    n: int = DEFAULT_N,
+    verify_threshold: float = 0.2,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> str:
+    """Full DuckDB oracle for ``minhash_lsh_pairs``: the banding, bucket
+    self-join and exact-Jaccard verification are all deterministic given the
+    md5-derived hash twins, so the whole pipeline (not just the verify stage)
+    is SQL-expressible."""
+    rows_per_band = k // bands
+    band_exprs = ",\n                ".join(
+        "concat_ws('_', "
+        + ", ".join([str(b)] + [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)])
+        + ")"
+        for b in range(bands)
+    )
+    cap = (
+        "WHERE bucket NOT IN (SELECT bucket FROM bucketed0 "
+        f"GROUP BY bucket HAVING COUNT(*) > {max_bucket})"
+        if max_bucket is not None
+        else ""
+    )
+    return f"""
+        WITH sig AS ({minhash_signatures_sql(k, n)}),
+        bucketed0 AS (
+            SELECT doc_id, unnest([
+                {band_exprs}
+            ]) AS bucket
+            FROM sig
+        ),
+        bucketed AS (SELECT * FROM bucketed0 {cap}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bucketed a JOIN bucketed b USING (bucket)
+            WHERE a.doc_id < b.doc_id
+        ),
+        sh AS ({shingles_sql(n)}),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+        inter AS (
+            SELECT doc_a, doc_b, COUNT(*) AS inter
+            FROM cand
+            JOIN sh sa ON sa.doc_id = cand.doc_a
+            JOIN sh sb ON sb.doc_id = cand.doc_b AND sb.shingle = sa.shingle
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= {verify_threshold}
+        ORDER BY doc_a, doc_b
+    """
 
 
 # --- SimHash ------------------------------------------------------------------
@@ -330,11 +450,16 @@ def simhash_signatures_sql(bits: int = SIMHASH_BITS) -> str:
 
 
 def simhash_near_pairs(
-    docs: DataFrame, max_hamming: int = 3, bits: int = SIMHASH_BITS
+    docs: DataFrame,
+    max_hamming: int = 3,
+    bits: int = SIMHASH_BITS,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, via 4-chunk banding
     (pigeonhole guarantee for distance <= 3 over 4 chunks: at least one chunk
-    equal; larger radii are recall-approximate)."""
+    equal; larger radii are recall-approximate). ``max_bucket`` bounds each
+    chunk bucket before the self-join (skew guard; a dropped hot bucket
+    weakens the pigeonhole guarantee only for docs inside it)."""
     sig = simhash_signatures(docs, bits)
     width = bits // 4
     mask = (1 << width) - 1
@@ -357,6 +482,8 @@ def simhash_near_pairs(
             )
         ).alias("bucket"),
     )
+    if max_bucket is not None:
+        bucketed = _bucket_cap(bucketed, max_bucket)
     pairs = (
         bucketed.alias("a")
         .join(bucketed.alias("b"), "bucket")
@@ -375,6 +502,44 @@ def simhash_near_pairs(
         .orderBy("doc_a", "doc_b")
     )
     return pairs
+
+
+def simhash_near_pairs_sql(
+    max_hamming: int = 3,
+    bits: int = SIMHASH_BITS,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> str:
+    """Full DuckDB oracle for ``simhash_near_pairs`` — signatures, chunk
+    banding, bucket join and Hamming filter are all deterministic integer
+    arithmetic, identical in both engines."""
+    width = bits // 4
+    mask = (1 << width) - 1
+    chunk_exprs = ",\n                ".join(
+        f"concat_ws('_', {c}, CAST((simhash >> {width * c}) & {mask} AS VARCHAR))"
+        for c in range(4)
+    )
+    cap = (
+        "WHERE bucket NOT IN (SELECT bucket FROM bucketed0 "
+        f"GROUP BY bucket HAVING COUNT(*) > {max_bucket})"
+        if max_bucket is not None
+        else ""
+    )
+    return f"""
+        WITH sig AS ({simhash_signatures_sql(bits)}),
+        bucketed0 AS (
+            SELECT doc_id, simhash, unnest([
+                {chunk_exprs}
+            ]) AS bucket
+            FROM sig
+        ),
+        bucketed AS (SELECT * FROM bucketed0 {cap})
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        FROM bucketed a JOIN bucketed b USING (bucket)
+        WHERE a.doc_id < b.doc_id
+          AND bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+        ORDER BY doc_a, doc_b
+    """
 
 
 # --- embedding-cosine near-dup ------------------------------------------------

@@ -74,8 +74,12 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_signatures(load_table(spark, sf_dir, "documents"))
 
 
-@register("dedup_minhash_lsh")  # approximate candidate set → rows-only check
+@register("dedup_minhash_lsh", oracle=dedup.minhash_lsh_pairs_sql())
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH is recall-approximate vs exact all-pairs, but DETERMINISTIC given
+    the md5-derived hash family — so the full pipeline (banding, bucket join,
+    exact-Jaccard verify) has an exact DuckDB oracle; the recall property is
+    pinned separately in tests/test_llm.py."""
     return dedup.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
 
 
@@ -84,11 +88,12 @@ def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_signatures(load_table(spark, sf_dir, "documents"))
 
 
-@register("dedup_simhash_pairs")  # banding-approximate → rows-only check
+@register("dedup_simhash_pairs", oracle=dedup.simhash_near_pairs_sql(max_hamming=3))
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # radius 3 (not the default 6): the templated fixture text clusters tightly
     # in simhash space — radius 6 emits ~4.8M pairs at sf0.1, radius 3 keeps
     # the output a near-dup candidate set rather than a cross product.
+    # Banding is deterministic integer arithmetic → exact DuckDB oracle.
     return dedup.simhash_near_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
 
 
@@ -109,15 +114,21 @@ def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_lsh_topk")  # approximate → rows-only; recall pinned by test
+@register("ann_lsh_topk", oracle=similarity.lsh_bucket_topk_sql(ANN_QUERY_IDS))
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate in recall, deterministic in output: md5-derived hyperplanes
+    are embedded as identical float literals in both engines, so the full
+    bucket→candidate→score pipeline has an exact DuckDB oracle; recall vs
+    brute force is additionally pinned by tests/test_llm.py."""
     return similarity.lsh_bucket_topk(
         load_table(spark, sf_dir, "embeddings"), ANN_QUERY_IDS
     )
 
 
-@register("ann_ivf_topk")  # approximate → rows-only; recall pinned by test
+@register("ann_ivf_topk", oracle=similarity.ivf_topk_sql(ANN_QUERY_IDS))
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic IVF (md5-ordered centroid sample, argmax assignment) →
+    exact DuckDB oracle; recall pinned by tests/test_llm.py."""
     return similarity.ivf_topk(load_table(spark, sf_dir, "embeddings"), ANN_QUERY_IDS)
 
 
@@ -177,7 +188,27 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("frame_hex", F.lower("frame_hex"))
 
 
-@register("multimodal_resize")  # fake resample → rows-only check
+@register(
+    "multimodal_resize",
+    # The deterministic fake scales payload length by the pixel-count ratio —
+    # pure integer arithmetic, so the registered output (id, dims, byte count)
+    # has an exact SQL oracle even though the payload itself is a fake.
+    oracle="""
+        WITH img AS (
+            SELECT doc_id AS media_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS src_len,
+                   CASE WHEN doc_id % 1920 = 0 THEN 1 ELSE doc_id % 1920 END AS w,
+                   CASE WHEN doc_id % 1080 = 0 THEN 1 ELSE doc_id % 1080 END AS h
+            FROM documents WHERE doc_id % 3 = 0
+        )
+        SELECT media_id,
+               CAST(224 AS INT) AS width,
+               CAST(224 AS INT) AS height,
+               CAST(greatest(1, src_len * 50176 // greatest(w * h, 1)) AS INT)
+                 AS n_bytes
+        FROM img
+    """,
+)
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.media_from_documents(load_table(spark, sf_dir, "documents"))
     return multimodal.resize_images(media, 224, 224).select(

@@ -63,8 +63,24 @@ def shingles_sql(n: int = DEFAULT_N, docs_rel: str = "documents") -> str:
 
 
 def with_df_cap(sh: DataFrame, max_df: int) -> DataFrame:
-    """Drop shingles appearing in more than ``max_df`` docs (skew guard)."""
-    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    return sh.join(df_counts.where(F.col("df") <= max_df), "shingle", "inner").select(
-        "doc_id", "shingle"
+    """Drop shingles appearing in more than ``max_df`` docs (skew guard).
+
+    Shape: broadcast LEFT ANTI against the HOT set only. The hot set is tiny
+    by construction (few shingles exceed any sane cap even at 100 TB — they
+    are the stop-phrases), so this is a broadcast anti join over the exploded
+    relation, not an inner join against the full df-count table."""
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") > max_df)
+        .select("shingle")
+    )
+    return sh.join(F.broadcast(hot), "shingle", "left_anti")
+
+
+def df_cap_filter_sql(sh_rel: str, max_df: int) -> str:
+    """DuckDB twin of ``with_df_cap`` as a WHERE-clause predicate."""
+    return (
+        f"shingle NOT IN (SELECT shingle FROM {sh_rel} "
+        f"GROUP BY shingle HAVING COUNT(*) > {max_df})"
     )

@@ -191,6 +191,65 @@ def lsh_bucket_topk(
     )
 
 
+def lsh_bucket_topk_sql(
+    query_ids: list[int],
+    k: int = DEFAULT_K,
+    tables: int = LSH_TABLES,
+    planes: int = LSH_HYPERPLANES,
+    dim: int = 64,
+) -> str:
+    """Full DuckDB oracle for ``lsh_bucket_topk``. LSH here is
+    recall-approximate but DETERMINISTIC: the hyperplanes are md5-derived
+    constants (embedded as the same float literals both engines parse to the
+    same doubles), and DuckDB's list_dot_product / list_cosine_similarity
+    match Spark's ordered fold bit-for-bit on DOUBLE[] (round-1 evidence:
+    dedup_embedding_cosine / ann_bruteforce hash-match)."""
+    planes_by_table = [
+        [_hyperplane(dim, t, p) for p in range(planes)] for t in range(tables)
+    ]
+
+    def bucket_sql(t: int) -> str:
+        bits = []
+        for p in range(planes):
+            hp = ", ".join(repr(v) for v in planes_by_table[t][p])
+            dot = f"list_dot_product(embedding::DOUBLE[], [{hp}])"
+            bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END)")
+        return f"concat_ws('_', '{t}', CAST({' + '.join(bits)} AS VARCHAR))"
+
+    ids = ", ".join(str(i) for i in query_ids)
+    buckets = ",\n                ".join(bucket_sql(t) for t in range(tables))
+    return f"""
+        WITH bucketed AS (
+            SELECT vec_id, unnest([
+                {buckets}
+            ]) AS bucket
+            FROM embeddings
+        ),
+        cand AS (
+            SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+            FROM bucketed c
+            JOIN (SELECT * FROM bucketed WHERE vec_id IN ({ids})) q
+              USING (bucket)
+            WHERE c.vec_id <> q.vec_id
+        ),
+        scored AS (
+            SELECT cand.query_id, cand.vec_id,
+                   round(list_cosine_similarity(
+                       q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine
+            FROM cand
+            JOIN embeddings c ON c.vec_id = cand.vec_id
+            JOIN embeddings q ON q.vec_id = cand.query_id
+        )
+        SELECT query_id, vec_id, cosine,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC
+               ) AS INT) AS rank
+        FROM scored
+        QUALIFY rank <= {k}
+        ORDER BY query_id, rank
+    """
+
+
 # --- IVF (inverted-file) ------------------------------------------------------
 
 IVF_CENTROIDS = 16
@@ -289,3 +348,73 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+def ivf_topk_sql(
+    query_ids: list[int],
+    k: int = DEFAULT_K,
+    n_centroids: int = IVF_CENTROIDS,
+    nprobe: int = IVF_NPROBE,
+) -> str:
+    """Full DuckDB oracle for ``ivf_topk``: centroid selection (md5-ordered
+    sample), list assignment (argmax affinity; ties break to the LARGER
+    centroid_id, matching Spark's max-struct ordering) and probe/scoring are
+    all deterministic."""
+    from .hashing import md5_int_sql
+
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+        WITH centroids AS (
+            SELECT vec_id AS centroid_id, embedding AS c_emb
+            FROM embeddings
+            ORDER BY {md5_int_sql("CAST(vec_id AS VARCHAR)")}, vec_id
+            LIMIT {n_centroids}
+        ),
+        affinity AS (
+            SELECT e.vec_id, c.centroid_id,
+                   list_cosine_similarity(
+                       e.embedding::DOUBLE[], c.c_emb::DOUBLE[]) AS c_sim
+            FROM embeddings e CROSS JOIN centroids c
+        ),
+        assignment AS (
+            SELECT vec_id, centroid_id AS list_id
+            FROM (
+                SELECT vec_id, centroid_id,
+                       row_number() OVER (
+                           PARTITION BY vec_id
+                           ORDER BY c_sim DESC, centroid_id DESC
+                       ) AS rn
+                FROM affinity
+            ) WHERE rn = 1
+        ),
+        probes AS (
+            SELECT vec_id AS query_id, centroid_id AS list_id
+            FROM (
+                SELECT vec_id, centroid_id,
+                       row_number() OVER (
+                           PARTITION BY vec_id
+                           ORDER BY c_sim DESC, centroid_id ASC
+                       ) AS pr
+                FROM affinity WHERE vec_id IN ({ids})
+            ) WHERE pr <= {nprobe}
+        ),
+        cand AS (
+            SELECT p.query_id, a.vec_id
+            FROM assignment a JOIN probes p USING (list_id)
+            WHERE a.vec_id <> p.query_id
+        ),
+        scored AS (
+            SELECT cand.query_id, cand.vec_id,
+                   round(list_cosine_similarity(
+                       q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine
+            FROM cand
+            JOIN embeddings c ON c.vec_id = cand.vec_id
+            JOIN embeddings q ON q.vec_id = cand.query_id
+        )
+        SELECT query_id, vec_id, cosine,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC
+               ) AS INT) AS rank
+        FROM scored
+        QUALIFY rank <= {k}
+        ORDER BY query_id, rank
+    """
