@@ -166,22 +166,36 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     at the proportional offset."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in it:
-            out: dict[str, list] = {
-                "media_id": [], "frame_idx": [], "ts_ms": [], "frame_payload": []
-            }
-            for _, row in pdf.iterrows():
-                payload = bytes(row["payload"])
-                dur = max(int(row["duration_ms"] or 0), 0)
-                n_frames = max(dur // every_ms, 1)
-                for i in range(n_frames):
-                    ts = i * every_ms
-                    off = len(payload) * ts // max(dur, 1)
-                    out["media_id"].append(row["media_id"])
-                    out["frame_idx"].append(i)
-                    out["ts_ms"].append(ts)
-                    out["frame_payload"].append(payload[off : off + 16])
-            yield pd.DataFrame(out)
+            # vectorized 1->N fan-out: per-row frame counts become a repeat
+            # index, frame numbers come from a global arange minus each row's
+            # start offset — no per-row Python loop; only the final byte
+            # slicing stays per-frame (bytes objects aren't vectorizable)
+            payloads = [bytes(b) for b in pdf["payload"]]
+            lens = np.fromiter((len(p) for p in payloads), dtype=np.int64,
+                               count=len(payloads))
+            durs = np.maximum(
+                pdf["duration_ms"].fillna(0).astype("int64").to_numpy(), 0
+            )
+            n_frames = np.maximum(durs // every_ms, 1)
+            row_idx = np.repeat(np.arange(len(pdf)), n_frames)
+            starts = np.cumsum(n_frames) - n_frames
+            fi = np.arange(int(n_frames.sum())) - np.repeat(starts, n_frames)
+            ts = fi * every_ms
+            offs = lens[row_idx] * ts // np.maximum(durs[row_idx], 1)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy()[row_idx],
+                    "frame_idx": fi.astype("int32"),
+                    "ts_ms": ts.astype("int32"),
+                    "frame_payload": [
+                        payloads[i][o : o + 16]
+                        for i, o in zip(row_idx.tolist(), offs.tolist())
+                    ],
+                }
+            )
 
     return (
         media.where(F.col("kind") == "video")
