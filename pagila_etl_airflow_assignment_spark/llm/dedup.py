@@ -50,7 +50,13 @@ DEFAULT_MAX_BUCKET = 10_000
 def _bucket_cap(bucketed: DataFrame, max_bucket: int) -> DataFrame:
     """Drop LSH buckets holding more than ``max_bucket`` docs (skew guard):
     broadcast LEFT ANTI against the tiny hot-bucket set, same shape as
-    ``shingles.with_df_cap``."""
+    ``shingles.with_df_cap``.
+
+    Callers pass a ``repartition("bucket")``-ed relation: the explicit
+    exchange is the reuse point — hot-bucket counting, the anti join, and the
+    downstream pair self-join all read that ONE shuffle instead of each
+    recomputing the signature pipeline feeding it (a groupBy would otherwise
+    put its partial aggregate BELOW the exchange, defeating reuse)."""
     hot = (
         bucketed.groupBy("bucket")
         .agg(F.count("*").alias("n"))
@@ -283,7 +289,7 @@ def minhash_lsh_pairs(
     bucketed = banded.select(
         "doc_id",
         F.explode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias("bucket"),
-    )
+    ).repartition("bucket")  # single exchange shared by cap + self-join
     if max_bucket is not None:
         bucketed = _bucket_cap(bucketed, max_bucket)
     candidates = (
@@ -481,7 +487,7 @@ def simhash_near_pairs(
                 ]
             )
         ).alias("bucket"),
-    )
+    ).repartition("bucket")  # single exchange shared by cap + self-join
     if max_bucket is not None:
         bucketed = _bucket_cap(bucketed, max_bucket)
     pairs = (

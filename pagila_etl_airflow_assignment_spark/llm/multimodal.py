@@ -90,16 +90,34 @@ def extract_features(media: DataFrame) -> DataFrame:
     (media_id, payload) — exactly what a real decoder would use."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in it:
-            payloads = pdf["payload"]
+            # one concatenated uint8 buffer + reduceat: the whole batch's byte
+            # sums in a single vectorized pass (a per-payload Python sum() was
+            # the hot loop: ~1.5s of the 2.2s query time at sf0.1)
+            payloads = [bytes(b) for b in pdf["payload"]]
+            lens = np.fromiter((len(p) for p in payloads), dtype=np.int64,
+                               count=len(payloads))
+            if len(payloads) and int(lens.sum()) > 0:
+                buf = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+                starts = np.cumsum(lens) - lens
+                # reduceat needs non-empty segments; empty payloads sum to 0
+                nonzero = lens > 0
+                sums = np.zeros(len(payloads), dtype=np.int64)
+                if nonzero.any():
+                    seg = np.add.reduceat(
+                        buf.astype(np.int64), starts[nonzero]
+                    )
+                    sums[nonzero] = seg
+            else:
+                sums = np.zeros(len(payloads), dtype=np.int64)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "n_bytes": payloads.map(len).astype("int64"),
-                    "byte_mean": payloads.map(
-                        lambda b: int(sum(b) // max(len(b), 1))
-                    ).astype("int64"),
-                    "header_hex": payloads.map(lambda b: bytes(b[:4]).hex()),
+                    "n_bytes": lens,
+                    "byte_mean": sums // np.maximum(lens, 1),
+                    "header_hex": [p[:4].hex() for p in payloads],
                 }
             )
 
