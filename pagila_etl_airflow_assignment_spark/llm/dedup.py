@@ -548,6 +548,91 @@ def simhash_near_pairs_sql(
     """
 
 
+# --- cluster resolution (connected components) --------------------------------
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Resolve near-dup PAIRS into CLUSTERS: each doc labeled with the min
+    doc_id of its connected component (the canonical representative a
+    training pipeline keeps; everything else in the cluster is dropped).
+
+    Algorithm: iterative min-label propagation — each round every node takes
+    the min of its own label and its neighbors' labels; converges in
+    graph-diameter rounds (near-dup components are shallow: dup clusters are
+    dense, so diameter is small — typically 2-3 rounds). Convergence is
+    detected by the global label SUM (monotone non-increasing integer; equal
+    sum ⇔ fixpoint), one scalar action per round — no data-sized collect.
+    Each round's labels are localCheckpoint-ed to keep lineage flat.
+
+    At extreme diameters (chain-shaped graphs) the alternating small-star/
+    large-star variant converges in O(log n) rounds with the same per-round
+    join shape; near-dup graphs don't need it.
+
+    ``pairs`` must have (doc_a, doc_b) columns with doc_a < doc_b. Docs in no
+    pair form singleton clusters (cluster_id = own doc_id).
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+        )
+        # materialize once: the union references `pairs` twice and every
+        # propagation round joins `edges` — without this the (expensive)
+        # pair-generation plan re-executes 2x per round
+        .localCheckpoint(eager=True)
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    prev_sum = None
+    for _ in range(max_rounds):
+        nbr_min = (
+            edges.join(
+                labels.withColumnRenamed("doc_id", "v"), "v"
+            )
+            .groupBy("u")
+            .agg(F.min("cluster_id").alias("nbr_label"))
+            .withColumnRenamed("u", "doc_id")
+        )
+        labels = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nbr_label", "cluster_id")
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("cluster_id")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.orderBy("doc_id")
+
+
+def dedup_clusters_sql(pairs_sql: str, docs_rel: str = "documents") -> str:
+    """DuckDB oracle: min label over the transitive closure (recursive CTE
+    with UNION dedup for termination)."""
+    return f"""
+        WITH RECURSIVE pairs AS ({pairs_sql}),
+        edges AS (
+            SELECT doc_a AS u, doc_b AS v FROM pairs
+            UNION ALL
+            SELECT doc_b AS u, doc_a AS v FROM pairs
+        ),
+        reach(src, dst) AS (
+            SELECT doc_id, doc_id FROM {docs_rel}
+            UNION
+            SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.dst
+        )
+        SELECT src AS doc_id, MIN(dst) AS cluster_id
+        FROM reach GROUP BY src ORDER BY doc_id
+    """
+
+
 # --- embedding-cosine near-dup ------------------------------------------------
 
 

@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..sources.parquet import load_table
-from . import dedup, multimodal, similarity, text
+from . import dedup, multimodal, sampling, similarity, text
 
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 
@@ -102,6 +102,38 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("dedup_embedding_cosine", oracle=dedup.embedding_near_pairs_sql(0.35))
 def q_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_near_pairs(load_table(spark, sf_dir, "embeddings"), 0.35)
+
+
+@register(
+    "dedup_clusters",
+    oracle=dedup.dedup_clusters_sql(dedup.ngram_jaccard_pairs_sql(threshold=0.1)),
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs resolved to connected-component clusters (min-doc_id
+    canonical label per component; iterative label propagation vs the
+    oracle's recursive-CTE transitive closure). Threshold 0.1 yields
+    multi-edge components on the fixtures, exercising transitivity."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.1)
+    return dedup.dedup_clusters(docs, pairs)
+
+
+@register("sampling_split_assign", oracle=sampling.split_assign_sql())
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-stable 80/10/10 train/val/test assignment by md5 bucket."""
+    return sampling.split_assign(load_table(spark, sf_dir, "documents"))
+
+
+@register("sampling_stratified", oracle=sampling.stratified_sample_sql())
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% stratified sample per `source` stratum."""
+    return sampling.stratified_sample(load_table(spark, sf_dir, "documents"))
+
+
+@register("text_pii_scrub", oracle=text.PII_SCRUB_SQL)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Email/phone redaction with injected synthetic PII (h12-style)."""
+    return text.pii_scrub(load_table(spark, sf_dir, "documents"))
 
 
 # --- similarity search --------------------------------------------------------

@@ -370,3 +370,68 @@ def winnowing_fingerprints_sql(k: int = WINNOW_K, w: int = WINNOW_W) -> str:
     FROM selected WHERE pos < nw
     ORDER BY doc_id, selected_hash
     """
+
+
+# --- PII scrubbing -------------------------------------------------------------
+
+# RE2-safe patterns (no lookahead/backrefs) that Java regex and DuckDB RE2
+# interpret identically; '-' escaped inside classes for dialect safety.
+EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """Scrub emails/phone numbers from document text (the redaction pass
+    every training-data pipeline runs before a corpus ships). The fixture
+    text contains no PII, so deterministic synthetic PII is injected first
+    (same trick as the h12 bad-timestamp query): doc_id%3==0 gets an email,
+    doc_id%4==0 a phone — so the scrubber is provably exercised, and the
+    oracle injects identically.
+
+    Pure regexp_replace/regexp_count — JVM codegen, narrow, zero shuffles."""
+    injected = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit(" call +1 555-01"), (F.col("doc_id") % 100).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    t = F.col("__t")
+    return (
+        docs.select("doc_id", injected.alias("__t"))
+        .select(
+            "doc_id",
+            F.regexp_count(t, F.lit(EMAIL_RE)).cast("int").alias("n_emails"),
+            F.regexp_count(t, F.lit(PHONE_RE)).cast("int").alias("n_phones"),
+            F.regexp_replace(
+                F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+            ).alias("clean_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+PII_SCRUB_SQL = f"""
+    WITH injected AS (
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 3 = 0
+                       THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                       ELSE '' END
+               || CASE WHEN doc_id % 4 = 0
+                       THEN ' call +1 555-01' || CAST(doc_id % 100 AS VARCHAR)
+                       ELSE '' END AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{EMAIL_RE}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{PHONE_RE}')) AS INT) AS n_phones,
+           regexp_replace(regexp_replace(t, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{PHONE_RE}', '<PHONE>', 'g') AS clean_text
+    FROM injected
+    ORDER BY doc_id
+"""

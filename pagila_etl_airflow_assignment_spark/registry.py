@@ -46,6 +46,42 @@ MODULE_COVERAGE: dict[str, str] = {
 }
 
 
+# SURVEY.md §2.L (LLM training-data pipeline extensions): query → inventory row.
+# Centralized here (rather than per-registration survey_rows) so the L-table
+# and the registry stay in sync in one place; merged in _load_all.
+EXTENSION_SURVEY_ROWS: dict[str, tuple[str, ...]] = {
+    "dedup_exact": ("L-1",),
+    "dedup_incremental_new_docs": ("L-2",),
+    "dedup_ngram_jaccard": ("L-3",),
+    "dedup_minhash_signatures": ("L-4",),
+    "dedup_minhash_lsh": ("L-5",),
+    "dedup_simhash_signatures": ("L-6",),
+    "dedup_simhash_pairs": ("L-7",),
+    "dedup_embedding_cosine": ("L-8",),
+    "dedup_clusters": ("L-9",),
+    "ann_bruteforce_topk": ("L-10",),
+    "ann_lsh_topk": ("L-11",),
+    "ann_ivf_topk": ("L-12",),
+    "text_token_counts": ("L-13",),
+    "text_quality_scores": ("L-14",),
+    "text_lang_id": ("L-15",),
+    "text_fingerprints": ("L-16",),
+    "text_winnowing": ("L-17",),
+    "text_chunking": ("L-18",),
+    "text_pii_scrub": ("L-19",),
+    "sampling_split_assign": ("L-20",),
+    "sampling_stratified": ("L-21",),
+    "multimodal_features": ("L-22",),
+    "multimodal_frame_sample": ("L-23",),
+    "multimodal_resize": ("L-24",),
+    "events_hourly_tumbling": ("L-25",),
+    "events_sliding_window": ("L-26",),
+    "events_sessionization": ("L-27",),
+    "events_session_window_native": ("L-27",),
+    "events_windowed_click_join": ("L-28",),
+}
+
+
 def register(name: str, oracle: str | None = None, survey_rows: tuple[str, ...] = ()):
     def deco(fn):
         _REGISTRY[name] = QueryEntry(fn=fn, oracle=oracle, survey_rows=survey_rows)
@@ -76,5 +112,10 @@ def _load_all() -> None:
     from .llm import queries as _lq  # noqa: F401
     from .operators import queries as _oq  # noqa: F401
     from .streaming import queries as _sq  # noqa: F401
+
+    for name, rows in EXTENSION_SURVEY_ROWS.items():
+        entry = _REGISTRY.get(name)
+        if entry is not None:
+            entry.survey_rows = tuple(dict.fromkeys(entry.survey_rows + rows))
 
     _LOADED = True

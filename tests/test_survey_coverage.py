@@ -15,11 +15,17 @@ def test_every_survey_row_is_covered():
     for entry in registry._REGISTRY.values():
         covered.update(entry.survey_rows)
     text = Path(__file__).resolve().parent.parent.joinpath("SURVEY.md").read_text()
-    rows = set(re.findall(r"^\| ([A-K]-\d+) \|", text, re.M))
+    rows = set(re.findall(r"^\| ([A-L]-\d+) \|", text, re.M))
     rows |= set(re.findall(r"^\| (O-\d+) \|", text, re.M))
     assert rows, "SURVEY.md inventory rows not found"
     missing = sorted(rows - covered)
     assert not missing, f"SURVEY rows with no query or module claim: {missing}"
+
+
+def test_extension_rows_reference_real_queries():
+    registry._load_all()
+    unknown = sorted(set(registry.EXTENSION_SURVEY_ROWS) - set(registry._REGISTRY))
+    assert not unknown, f"EXTENSION_SURVEY_ROWS names not registered: {unknown}"
 
 
 def test_every_query_name_is_unique_and_callable():
