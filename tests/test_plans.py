@@ -150,3 +150,25 @@ def test_incremental_dedup_is_anti_join_on_fingerprints(spark):
     plan = final_plan(queries()["dedup_incremental_new_docs"](spark, SF_SMALL))
     assert "LeftAnti" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_split_assign_is_narrow(spark):
+    """Split assignment must be a pure projection: zero shuffles at any scale
+    (the whole point of hash-bucket splits vs df.sample)."""
+    plan = final_plan(queries()["sampling_split_assign"](spark, SF_SMALL))
+    # the registered query orders by doc_id (oracle determinism) which adds
+    # one range-partitioning sort; no HASH shuffle may appear
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_stratified_sample_is_single_stratum_shuffle(spark):
+    """One hash shuffle (the stratum rank window); quota riding the same
+    window means no second aggregation pass."""
+    plan = final_plan(queries()["sampling_stratified"](spark, SF_SMALL))
+    n = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n == 1, plan
+
+
+def test_pii_scrub_is_narrow(spark):
+    plan = final_plan(queries()["text_pii_scrub"](spark, SF_SMALL))
+    assert "Exchange hashpartitioning" not in plan, plan
