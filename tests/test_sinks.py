@@ -1,0 +1,80 @@
+"""Lake-maintenance sinks: compaction reduces file count losslessly;
+clustered writes produce narrow per-file value ranges (verified against the
+actual parquet footer stats via pyarrow — the stats row-group pruning uses)."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from pagila_etl_airflow_assignment_spark.sinks import (
+    clustered_write,
+    compact_table,
+    table_file_stats,
+)
+from pagila_etl_airflow_assignment_spark.sources.parquet import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def tdir():
+    with tempfile.TemporaryDirectory(prefix="sinks-") as d:
+        yield d
+
+
+def _file_ranges(path: str, col: str) -> list[tuple[int, int]]:
+    """Per-file (min, max) of ``col`` from parquet footer statistics."""
+    import os
+
+    ranges = []
+    for root, _, files in os.walk(path):
+        for f in sorted(files):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(root, f)).metadata
+            idx = md.schema.names.index(col)
+            lo = min(md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups))
+            hi = max(md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups))
+            ranges.append((lo, hi))
+    return ranges
+
+
+def test_compaction_reduces_files_losslessly(spark, tdir):
+    path = f"{tdir}/frag"
+    orders = load_table(spark, SF, "orders")
+    orders.repartition(40).write.parquet(path)  # fragment: 40 small files
+    before_rows = spark.read.parquet(path).count()
+    n_before, n_after = compact_table(spark, path, target_file_bytes=10**9)
+    assert n_before == 40 and n_after == 1
+    assert spark.read.parquet(path).count() == before_rows
+
+
+def test_clustered_write_gives_narrow_file_ranges(spark, tdir):
+    orders = load_table(spark, SF, "orders").select("o_orderkey", "o_totalprice")
+    lo, hi = orders.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    span = hi - lo
+
+    random_path = f"{tdir}/random"
+    orders.orderBy(F.md5(F.col("o_orderkey").cast("string"))).repartition(
+        8
+    ).write.parquet(random_path)
+    clustered_path = f"{tdir}/clustered"
+    clustered_write(orders, clustered_path, ["o_orderkey"], n_files=8)
+
+    rand = _file_ranges(random_path, "o_orderkey")
+    clus = _file_ranges(clustered_path, "o_orderkey")
+    # random layout: every file spans ~the whole key range
+    assert all((h - l) > 0.8 * span for l, h in rand)
+    # clustered layout: files cover narrow, near-disjoint slices
+    assert all((h - l) < 0.3 * span for l, h in clus)
+    covered = sorted(clus)
+    assert all(a[1] <= b[0] for a, b in zip(covered, covered[1:]))  # disjoint
+
+    # and the data round-trips identically
+    a = sorted(r["o_orderkey"] for r in spark.read.parquet(clustered_path).collect())
+    b = sorted(r["o_orderkey"] for r in orders.collect())
+    assert a == b
