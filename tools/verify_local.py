@@ -6,7 +6,11 @@ order-insensitive value hash — the same shape the driver records into
 CORRECTNESS_r{N}.json. Queries without an oracle get the weaker rows-only
 check. Exit code 1 if anything mismatches.
 
-Usage: python tools/verify_local.py [sf_dir]
+Usage: python tools/verify_local.py [sf_dir] [--bare]
+
+``--bare`` runs the queries on an unconfigured ``SparkSession`` (ANSI on, no
+nanosAsLong, machine timezone) — the driver's environment. Every query must
+pass under --bare; the engine self-heals required confs at read time.
 """
 
 from __future__ import annotations
@@ -25,7 +29,9 @@ import __spark_entry__ as entrymod
 from pagila_etl_airflow_assignment_spark.schemas import FIXTURE_TABLES
 from pagila_etl_airflow_assignment_spark.session import build_session
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+_args = [a for a in sys.argv[1:] if a != "--bare"]
+BARE = "--bare" in sys.argv[1:]
+SF_DIR = _args[0] if _args else "/root/testdata/sf0.01"
 
 
 def _norm(v):
@@ -51,7 +57,16 @@ def value_hash(cols, rows):
 
 
 def main() -> int:
-    spark = build_session(app_name="verify-local")
+    if BARE:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .appName("verify-local-bare")
+            .getOrCreate()
+        )
+    else:
+        spark = build_session(app_name="verify-local")
     con = duckdb.connect()
     for name in FIXTURE_TABLES:
         con.execute(
