@@ -7,7 +7,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..sources.parquet import load_table
+from ..sources.parquet import load_table, spread
 from . import dedup, multimodal, sampling, similarity, text
 
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
@@ -39,7 +39,7 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("text_winnowing", oracle=text.winnowing_fingerprints_sql())
 def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash winnowing fingerprint set per document."""
-    return text.winnowing_fingerprints(load_table(spark, sf_dir, "documents"))
+    return text.winnowing_fingerprints(spread(load_table(spark, sf_dir, "documents")))
 
 
 @register("text_chunking", oracle=text.chunk_documents_sql())
@@ -66,7 +66,7 @@ def q_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dedup_ngram_jaccard", oracle=dedup.ngram_jaccard_pairs_sql())
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+    return dedup.ngram_jaccard_pairs(spread(load_table(spark, sf_dir, "documents")))
 
 
 @register("dedup_minhash_signatures", oracle=dedup.minhash_signatures_sql())
@@ -101,7 +101,7 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # at every sf (14 pairs @ sf0.001, 26 @ sf0.01) where 0.5 returns zero rows.
 @register("dedup_embedding_cosine", oracle=dedup.embedding_near_pairs_sql(0.35))
 def q_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.embedding_near_pairs(load_table(spark, sf_dir, "embeddings"), 0.35)
+    return dedup.embedding_near_pairs(spread(load_table(spark, sf_dir, "embeddings")), 0.35)
 
 
 @register(
@@ -113,7 +113,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical label per component; iterative label propagation vs the
     oracle's recursive-CTE transitive closure). Threshold 0.1 yields
     multi-edge components on the fixtures, exercising transitivity."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.1)
     return dedup.dedup_clusters(docs, pairs)
 
@@ -153,7 +153,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket→candidate→score pipeline has an exact DuckDB oracle; recall vs
     brute force is additionally pinned by tests/test_llm.py."""
     return similarity.lsh_bucket_topk(
-        load_table(spark, sf_dir, "embeddings"), ANN_QUERY_IDS
+        spread(load_table(spark, sf_dir, "embeddings")), ANN_QUERY_IDS
     )
 
 

@@ -60,6 +60,36 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+SPREAD_ENABLED = True
+
+
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Fan a narrow scan out across cores before CPU-heavy per-row work.
+
+    A small parquet file is one input split (row groups don't subdivide), so
+    a CPU-bound transform chain — shingling, rolling hashes, signature
+    builds, Arrow-batch UDFs — would serialize on a single core no matter
+    how many the session has. At lake scale inputs already arrive in
+    hundreds of splits and this is a pure no-op (the gate checks the planned
+    scan partitioning, never forcing an exchange on data that is already
+    parallel). When it does fire, the round-robin exchange costs one pass
+    over a small input and buys full-cluster parallelism for everything
+    downstream.
+
+    Use ONLY on pipelines that consume the input once before their first
+    shuffle: each plan reference re-executes the exchange (exchange reuse is
+    unreliable across repartition+self-join diamonds), and materializing the
+    input instead (localCheckpoint) was measured strictly worse — full-row
+    block storage of document payloads costs more than re-scanning parquet.
+    """
+    if not SPREAD_ENABLED:
+        return df
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names=FIXTURE_TABLES) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in names}
 
