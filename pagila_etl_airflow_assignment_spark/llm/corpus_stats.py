@@ -1,0 +1,215 @@
+"""Corpus-level statistics for training-data curation: Gopher-style
+repetition signals, vocabulary building, and benchmark decontamination.
+
+These are the three corpus analyses a pre-training pipeline runs after
+per-document quality scoring (text.py) and before/alongside dedup (dedup.py):
+
+- repetition signals — flag documents dominated by repeated words/phrases
+  (the Gopher "repetition" filters, Rae et al. 2021, arXiv:2112.11446 §A1.1);
+- vocabulary top-n-grams — global term frequencies feeding tokenizer/BPE
+  training and mixture diagnostics;
+- decontamination — drop training documents sharing long word n-grams with an
+  evaluation benchmark (the GPT-3/Lee et al. 13-gram-overlap shape, scaled
+  down to the fixtures' synthetic vocabulary).
+
+Scale design notes:
+
+- repetition  — per-document aggregates: every shuffle is keyed by (doc_id[, gram]),
+  so cardinality grows linearly with the corpus and no key is hotter than the
+  longest document. Three gram sizes = three scans of the two-column
+  (doc_id, text) projection; at 100 TB fuse them into one tagged explode if
+  the job turns scan-bound (kept separate here for exact SQL twins).
+- vocabulary  — groupBy(gram) with map-side partial aggregation, then a
+  distributed top-k (TakeOrderedAndProject), NEVER a global sort or a
+  single-partition window over the full term set; the rank window runs on the
+  k surviving rows only.
+- decontamination — inverted-index join on the shingle key. The benchmark
+  side is an eval suite (thousands of documents), orders of magnitude smaller
+  than the corpus → broadcast. The corpus posting lists are capped with the
+  same ``max_df`` guard as dedup so one stop-phrase can't blow up the join.
+
+Everything is built-in-function Spark (JVM codegen); no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import DEFAULT_MAX_DF
+from .shingles import (
+    df_cap_filter_sql,
+    grams,
+    grams_sql,
+    shingles,
+    shingles_sql,
+    with_df_cap,
+)
+
+# Decontamination defaults: every (doc_id % 10 == 7) document plays the role
+# of the held-out benchmark; 5-gram overlap flags contamination (long enough
+# to be meaningful on the synthetic vocabulary, cf. the 13-gram production
+# default). Deterministic, so the DuckDB oracle is exact.
+BENCH_MOD = 10
+BENCH_REM = 7
+DECON_N = 5
+
+
+# --- repetition signals (Gopher A1.1) ----------------------------------------
+
+
+def _per_doc_gram_stats(docs: DataFrame, n: int, prefix: str) -> DataFrame:
+    """(doc_id, {prefix}_total, {prefix}_distinct, {prefix}_top) for word n-grams."""
+    per_gram = grams(docs, n).groupBy("doc_id", "gram").agg(F.count("*").alias("cnt"))
+    return per_gram.groupBy("doc_id").agg(
+        F.sum("cnt").alias(f"{prefix}_total"),
+        F.count("*").alias(f"{prefix}_distinct"),
+        F.max("cnt").alias(f"{prefix}_top"),
+    )
+
+
+def repetition_signals(docs: DataFrame) -> DataFrame:
+    """Per-document repetition ratios: top-word fraction and duplicate
+    2-/3-gram fractions, the Gopher repetition-filter family.
+
+    ``dup_ngram_frac = 1 - distinct/total`` (count fraction of duplicated
+    n-grams); ``top_word_frac`` = occurrences of the most frequent word over
+    total words. Documents too short to form an n-gram score 0.0.
+    """
+    w = _per_doc_gram_stats(docs, 1, "w")
+    g2 = _per_doc_gram_stats(docs, 2, "g2")
+    g3 = _per_doc_gram_stats(docs, 3, "g3")
+    out = (
+        docs.select("doc_id")
+        .join(w, "doc_id", "left")
+        .join(g2, "doc_id", "left")
+        .join(g3, "doc_id", "left")
+    )
+    dup_frac = lambda p: F.round((F.col(f"{p}_total") - F.col(f"{p}_distinct")) / F.col(f"{p}_total"), 6)
+    return out.select(
+        "doc_id",
+        F.coalesce(F.col("w_total"), F.lit(0)).cast("long").alias("n_words"),
+        F.coalesce(F.round(F.col("w_top") / F.col("w_total"), 6), F.lit(0.0)).alias("top_word_frac"),
+        F.coalesce(dup_frac("g2"), F.lit(0.0)).alias("dup_2gram_frac"),
+        F.coalesce(dup_frac("g3"), F.lit(0.0)).alias("dup_3gram_frac"),
+    )
+
+
+def repetition_signals_sql(docs_rel: str = "documents") -> str:
+    def stats(n: int) -> str:
+        return f"""(
+            SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS total,
+                   COUNT(*) AS "distinct", MAX(cnt) AS top
+            FROM (SELECT doc_id, gram, COUNT(*) AS cnt
+                  FROM ({grams_sql(n, docs_rel)}) GROUP BY doc_id, gram)
+            GROUP BY doc_id
+        )"""
+
+    return f"""
+        SELECT d.doc_id,
+               COALESCE(w.total, 0) AS n_words,
+               COALESCE(round(w.top / w.total, 6), 0.0) AS top_word_frac,
+               COALESCE(round((g2.total - g2."distinct") / g2.total, 6), 0.0) AS dup_2gram_frac,
+               COALESCE(round((g3.total - g3."distinct") / g3.total, 6), 0.0) AS dup_3gram_frac
+        FROM {docs_rel} d
+        LEFT JOIN {stats(1)} w ON d.doc_id = w.doc_id
+        LEFT JOIN {stats(2)} g2 ON d.doc_id = g2.doc_id
+        LEFT JOIN {stats(3)} g3 ON d.doc_id = g3.doc_id
+    """
+
+
+# --- vocabulary top-n-grams ---------------------------------------------------
+
+
+def vocab_top_ngrams(docs: DataFrame, k: int = 25) -> DataFrame:
+    """Top-``k`` unigrams and bigrams by corpus frequency with deterministic
+    tie-break (count desc, term asc): (n, term, cnt, rank).
+
+    The top-k is ``orderBy().limit(k)`` — Spark plans TakeOrderedAndProject
+    (per-partition partial top-k, tiny driver merge), so no global sort of
+    the term dictionary ever happens; the rank window only sees k rows.
+    """
+    order = [F.col("cnt").desc(), F.col("term").asc()]
+    parts = []
+    for n in (1, 2):
+        counts = (
+            grams(docs, n)
+            .groupBy(F.col("gram").alias("term"))
+            .agg(F.count("*").alias("cnt"))
+        )
+        top = counts.orderBy(*order).limit(k)
+        parts.append(
+            top.select(
+                F.lit(n).alias("n"),
+                "term",
+                "cnt",
+                F.row_number().over(Window.orderBy(*order)).cast("long").alias("rank"),
+            )
+        )
+    return parts[0].unionByName(parts[1])
+
+
+def vocab_top_ngrams_sql(k: int = 25, docs_rel: str = "documents") -> str:
+    def one(n: int) -> str:
+        return f"""
+            SELECT * FROM (
+                SELECT {n} AS n, gram AS term, COUNT(*) AS cnt,
+                       ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, gram) AS rank
+                FROM ({grams_sql(n, docs_rel)})
+                GROUP BY gram
+            ) WHERE rank <= {k}
+        """
+
+    return f"{one(1)} UNION ALL {one(2)}"
+
+
+# --- benchmark decontamination ------------------------------------------------
+
+
+def benchmark_overlap(
+    docs: DataFrame,
+    n: int = DECON_N,
+    mod: int = BENCH_MOD,
+    rem: int = BENCH_REM,
+    max_df: int = DEFAULT_MAX_DF,
+) -> DataFrame:
+    """Contamination pairs: (doc_id, bench_doc_id, overlap_ngrams) for every
+    corpus document sharing at least one word ``n``-gram with a benchmark
+    document.
+
+    The benchmark shingle relation is broadcast (eval suites are tiny next to
+    the corpus); the corpus side gets the standard ``max_df`` posting-list cap
+    before the join so a stop-phrase shared with the benchmark can't make the
+    join output quadratic. Downstream, a pipeline drops or flags every
+    ``doc_id`` in this result.
+    """
+    sh = shingles(docs, n)
+    is_bench = (F.col("doc_id") % mod) == rem
+    bench = sh.where(is_bench).withColumnRenamed("doc_id", "bench_doc_id")
+    corpus = with_df_cap(sh.where(~is_bench), max_df)
+    return (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id", "bench_doc_id")
+        .agg(F.count("*").alias("overlap_ngrams"))
+    )
+
+
+def benchmark_overlap_sql(
+    n: int = DECON_N,
+    mod: int = BENCH_MOD,
+    rem: int = BENCH_REM,
+    max_df: int = DEFAULT_MAX_DF,
+    docs_rel: str = "documents",
+) -> str:
+    return f"""
+        WITH sh AS ({shingles_sql(n, docs_rel)}),
+             bench AS (SELECT doc_id AS bench_doc_id, shingle FROM sh
+                       WHERE doc_id % {mod} = {rem}),
+             corpus_raw AS (SELECT doc_id, shingle FROM sh
+                            WHERE doc_id % {mod} <> {rem}),
+             corpus AS (SELECT * FROM corpus_raw
+                        WHERE {df_cap_filter_sql('corpus_raw', max_df)})
+        SELECT c.doc_id, b.bench_doc_id, COUNT(*) AS overlap_ngrams
+        FROM corpus c JOIN bench b USING (shingle)
+        GROUP BY c.doc_id, b.bench_doc_id
+    """

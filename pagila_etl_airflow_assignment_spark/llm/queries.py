@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..sources.parquet import load_table, spread
-from . import dedup, multimodal, sampling, similarity, text
+from . import corpus_stats, dedup, multimodal, sampling, similarity, text
 
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 
@@ -47,6 +47,27 @@ def q_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping 64-token/32-stride pretraining chunks per document (narrow
     array pipeline + posexplode; zero data shuffles)."""
     return text.chunk_documents(load_table(spark, sf_dir, "documents"))
+
+
+@register("text_repetition_signals", oracle=corpus_stats.repetition_signals_sql())
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: top-word fraction, duplicate 2-/3-gram
+    fractions per document (all shuffles keyed by doc_id)."""
+    return corpus_stats.repetition_signals(spread(load_table(spark, sf_dir, "documents")))
+
+
+@register("vocab_top_ngrams", oracle=corpus_stats.vocab_top_ngrams_sql())
+def q_vocab_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-25 unigrams/bigrams via distributed top-k
+    (TakeOrderedAndProject — no global sort of the term dictionary)."""
+    return corpus_stats.vocab_top_ngrams(spread(load_table(spark, sf_dir, "documents")))
+
+
+@register("text_decontaminate", oracle=corpus_stats.benchmark_overlap_sql())
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing a word 5-gram with the
+    held-out benchmark split (broadcast bench side, max_df-capped corpus)."""
+    return corpus_stats.benchmark_overlap(spread(load_table(spark, sf_dir, "documents")))
 
 
 # --- dedup --------------------------------------------------------------------

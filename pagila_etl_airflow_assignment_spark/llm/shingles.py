@@ -62,6 +62,42 @@ def shingles_sql(n: int = DEFAULT_N, docs_rel: str = "documents") -> str:
     """
 
 
+def grams(docs: DataFrame, n: int = DEFAULT_N) -> DataFrame:
+    """All word n-grams per doc WITH multiplicity: (doc_id, gram).
+
+    Same narrow explode as ``shingles`` but without the per-doc
+    ``array_distinct`` — repetition statistics and vocabulary counts need the
+    multiplicities that set-based dedup deliberately discards."""
+    w = F.col("__words")
+    g = F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(n)]),
+        ),
+    ).otherwise(F.array())
+    return (
+        docs.select("doc_id", F.split(_norm(F.col("text")), WS_RE).alias("__words"))
+        .select("doc_id", F.explode(g).alias("gram"))
+    )
+
+
+def grams_sql(n: int = DEFAULT_N, docs_rel: str = "documents") -> str:
+    """DuckDB twin of ``grams`` (keeps duplicates — no DISTINCT)."""
+    parts = " || ' ' || ".join(f"w[i+{j}]" for j in range(n))
+    return f"""
+        SELECT doc_id,
+               unnest([{parts} FOR i IN generate_series(1, len(w) - {n - 1})])
+                 AS gram
+        FROM (
+            SELECT doc_id,
+                   string_split_regex({_norm_sql('text')}, '{WS_RE}') AS w
+            FROM {docs_rel}
+        )
+        WHERE len(w) >= {n}
+    """
+
+
 def with_df_cap(sh: DataFrame, max_df: int) -> DataFrame:
     """Drop shingles appearing in more than ``max_df`` docs (skew guard).
 

@@ -79,6 +79,10 @@ EXTENSION_SURVEY_ROWS: dict[str, tuple[str, ...]] = {
     "events_sessionization": ("L-27",),
     "events_session_window_native": ("L-27",),
     "events_windowed_click_join": ("L-28",),
+    "text_repetition_signals": ("L-29",),
+    "vocab_top_ngrams": ("L-30",),
+    "text_decontaminate": ("L-31",),
+    "events_streaming_dedup": ("L-32",),
 }
 
 

@@ -16,6 +16,7 @@ from .aggregations import (
     sessionize_native_sql,
     sliding_event_counts,
 )
+from .dedup import DEDUP_EVENT_COUNTS_SQL, dedup_event_counts
 from .joins import PURCHASE_CLICK_WINDOW_JOIN_SQL, purchase_click_window_join
 
 
@@ -44,6 +45,13 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding 1-hour/15-min window aggregation (batch twin of the streaming
     form; Expand fan-out happens before the partial aggregate)."""
     return sliding_event_counts(load_table(spark, sf_dir, "events"))
+
+
+@register("events_streaming_dedup", oracle=DEDUP_EVENT_COUNTS_SQL)
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once per-type stats over at-least-once (replayed) delivery
+    (batch twin of watermarked dropDuplicatesWithinWatermark)."""
+    return dedup_event_counts(load_table(spark, sf_dir, "events"))
 
 
 @register("events_session_window_native", oracle=sessionize_native_sql())

@@ -127,6 +127,55 @@ def test_stream_stream_join_pairs_equal_batch(spark, events_dir):
     assert len(g) > 0
 
 
+def test_streaming_dedup_equals_unique_batch(spark):
+    """dropDuplicatesWithinWatermark over a doubled delivery (same file twice
+    = every event delivered twice) must emit each event_id exactly once —
+    the exactly-once-from-at-least-once contract."""
+    from pagila_etl_airflow_assignment_spark.streaming.dedup import (
+        streaming_dedup_events,
+    )
+
+    d = tempfile.mkdtemp(prefix="events-replayed-")
+    try:
+        shutil.copy(f"{SF_SMALL}/events.parquet", f"{d}/events.parquet")
+        shutil.copy(f"{SF_SMALL}/events.parquet", f"{d}/events_redelivered.parquet")
+        got = _run_to_memory(
+            spark,
+            streaming_dedup_events(spark, d),
+            "deduped_events",
+            "append",
+        )
+        events = load_table(spark, SF_SMALL, "events")
+        assert got.count() == events.count()
+        g = {r.event_id for r in got.select("event_id").collect()}
+        w = {r.event_id for r in events.select("event_id").collect()}
+        assert g == w
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_batch_dedup_twin_roundtrips(spark):
+    """Replay + dedup must be an exact no-op: per-type stats equal those over
+    the original (already-unique) events."""
+    from pagila_etl_airflow_assignment_spark.streaming.dedup import (
+        dedup_event_counts,
+    )
+
+    events = load_table(spark, SF_SMALL, "events")
+    got = sorted(tuple(r) for r in dedup_event_counts(events).collect())
+    want = sorted(
+        tuple(r)
+        for r in events.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .collect()
+    )
+    assert got == want
+
+
 def test_stream_merge_sink_equals_batch(spark, events_dir):
     """Streaming hourly counts MERGE-upserted into a parquet table
     (foreachBatch) must equal the batch twin — and a REPLAY of the stream
