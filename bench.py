@@ -48,7 +48,9 @@ def main() -> None:
     names = [n for n in HEADLINE if n in qmap]
     # plus the llm/streaming extension headliners
     for n in qmap:
-        if n.startswith(("dedup_", "ann_", "text_", "events_", "multimodal_")) and n not in names:
+        if n.startswith(
+            ("dedup_", "ann_", "text_", "events_", "multimodal_", "vocab_", "sampling_")
+        ) and n not in names:
             names.append(n)
 
     timings: dict[str, float] = {}

@@ -163,6 +163,117 @@ def vocab_top_ngrams_sql(k: int = 25, docs_rel: str = "documents") -> str:
     return f"{one(1)} UNION ALL {one(2)}"
 
 
+# --- TF-IDF keyword extraction ------------------------------------------------
+
+
+def tfidf_topk(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Top-``k`` terms per document by TF-IDF: (doc_id, term, tf, df, tfidf, rank).
+
+    Classic keyword extraction / relevance weighting over the corpus. Three
+    shuffles, all narrow: tf keyed by (doc_id, term), df keyed by term (on the
+    already-aggregated tf relation, one row per posting — never the raw gram
+    stream), and the per-doc rank window keyed by doc_id. The corpus size is a
+    1-row aggregate broadcast into the scoring join, not a driver collect.
+
+    The rank orders by the ROUNDED score (then term asc): sub-round float
+    noise must not be able to flip the order between engines.
+    """
+    g = grams(docs, 1).withColumnRenamed("gram", "term")
+    tf = g.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rank")
+    )
+
+
+def tfidf_topk_sql(k: int = 3, docs_rel: str = "documents") -> str:
+    score = "round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6)"
+    return f"""
+        WITH g AS (SELECT doc_id, gram AS term FROM ({grams_sql(1, docs_rel)})),
+             tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM g GROUP BY doc_id, term),
+             df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+             n AS (SELECT COUNT(*) AS n_docs FROM {docs_rel})
+        SELECT doc_id, term, tf, df, tfidf, rank FROM (
+            SELECT tf.doc_id, tf.term, tf.tf, df.df, {score} AS tfidf,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY tf.doc_id ORDER BY {score} DESC, tf.term ASC
+                   ) AS rank
+            FROM tf JOIN df USING (term) CROSS JOIN n
+        ) WHERE rank <= {k}
+    """
+
+
+# --- unigram-LM quality scoring -----------------------------------------------
+
+
+def unigram_logprob(docs: DataFrame) -> DataFrame:
+    """Per-document mean negative log-probability under the corpus's own
+    unigram language model: (doc_id, n_words, avg_neg_logprob).
+
+    The CCNet-style fluency proxy (Wenzek et al. 2019, arXiv:1911.00359):
+    documents whose words are globally rare score high (gibberish, boilerplate
+    hashes); low scores mean in-distribution text. At 100 TB the unigram model
+    is the vocab aggregation this module already builds — narrow (term, p)
+    rows — joined back to the gram stream on the term key; no driver-side
+    model object, no Python in the loop.
+    """
+    g = grams(docs, 1).withColumnRenamed("gram", "term")
+    counts = g.groupBy("term").agg(F.count("*").alias("cnt"))
+    total = g.agg(F.count("*").alias("total"))
+    probs = counts.crossJoin(F.broadcast(total)).select(
+        "term", (F.col("cnt") / F.col("total")).alias("p")
+    )
+    per_doc = (
+        g.join(probs, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.round(F.sum(-F.log("p")) / F.count("*"), 6).alias("avg_neg_logprob"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_words"), F.lit(0)).cast("long").alias("n_words"),
+            F.coalesce(F.col("avg_neg_logprob"), F.lit(0.0)).alias("avg_neg_logprob"),
+        )
+    )
+
+
+def unigram_logprob_sql(docs_rel: str = "documents") -> str:
+    return f"""
+        WITH g AS (SELECT doc_id, gram AS term FROM ({grams_sql(1, docs_rel)})),
+             counts AS (SELECT term, COUNT(*) AS cnt FROM g GROUP BY term),
+             total AS (SELECT COUNT(*) AS total FROM g),
+             probs AS (SELECT term, CAST(cnt AS DOUBLE) / total AS p
+                       FROM counts CROSS JOIN total),
+             per_doc AS (
+                 SELECT doc_id, COUNT(*) AS n_words,
+                        round(SUM(-ln(p)) / COUNT(*), 6) AS avg_neg_logprob
+                 FROM g JOIN probs USING (term)
+                 GROUP BY doc_id
+             )
+        SELECT d.doc_id,
+               CAST(COALESCE(p.n_words, 0) AS BIGINT) AS n_words,
+               COALESCE(p.avg_neg_logprob, 0.0) AS avg_neg_logprob
+        FROM {docs_rel} d LEFT JOIN per_doc p USING (doc_id)
+    """
+
+
 # --- benchmark decontamination ------------------------------------------------
 
 

@@ -70,6 +70,20 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_stats.benchmark_overlap(spread(load_table(spark, sf_dir, "documents")))
 
 
+@register("text_tfidf_topk", oracle=corpus_stats.tfidf_topk_sql())
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document (df computed on the aggregated
+    posting relation; corpus size broadcast, never collected)."""
+    return corpus_stats.tfidf_topk(spread(load_table(spark, sf_dir, "documents")))
+
+
+@register("text_unigram_logprob", oracle=corpus_stats.unigram_logprob_sql())
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style fluency proxy: per-doc mean -ln p(word) under the corpus's
+    own unigram LM (term-keyed join back to the gram stream)."""
+    return corpus_stats.unigram_logprob(spread(load_table(spark, sf_dir, "documents")))
+
+
 # --- dedup --------------------------------------------------------------------
 
 
@@ -149,6 +163,13 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 10% stratified sample per `source` stratum."""
     return sampling.stratified_sample(load_table(spark, sf_dir, "documents"))
+
+
+@register("sampling_mixture_weighted", oracle=sampling.mixture_weighted_sample_sql())
+def q_mixture_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest deterministic subsample hitting a 50/30/20 target domain
+    mixture (integer quota arithmetic, md5-ordered within domain)."""
+    return sampling.mixture_weighted_sample(load_table(spark, sf_dir, "documents"))
 
 
 @register("text_pii_scrub", oracle=text.PII_SCRUB_SQL)

@@ -64,6 +64,87 @@ def split_assign_sql(
     """
 
 
+# Target domain mixture for ``mixture_weighted_sample`` (integer percents,
+# summing to 100): the training-mix shape every pre-training pipeline tunes
+# (e.g. web/wiki/books ratios), mapped onto fixture sources.
+DEFAULT_MIXTURE = (("src0", 50), ("src1", 30), ("src2", 20))
+
+
+def mixture_weighted_sample(
+    docs: DataFrame,
+    mixture: tuple[tuple[str, int], ...] = DEFAULT_MIXTURE,
+    stratum: str = "source",
+    key: str = "doc_id",
+) -> DataFrame:
+    """Largest deterministic subsample realizing a target domain mixture.
+
+    Given integer percent weights w_s, the output size is maximized subject
+    to every domain hitting its exact share: T = min_s(n_s * 100 div w_s)
+    rows total, quota_s = w_s * T div 100 per domain (all INTEGER arithmetic
+    — float shares diverge between engines at representation boundaries).
+    Within a domain, rows are taken in md5(key) order: stable under
+    re-ingestion and re-partitioning, like ``split_assign``.
+
+    Scale shape: domain counts are a tiny aggregate (|domains| rows) folded
+    into a broadcast quota map; the only data-sized operation is the same
+    per-domain rank window ``stratified_sample`` uses. Domains not in the
+    target mixture are dropped (weight 0).
+    """
+    spark = docs.sparkSession
+    weights = spark.createDataFrame(
+        list(mixture), f"{stratum} string, weight long"
+    )
+    counts = docs.groupBy(stratum).agg(F.count("*").alias("n_stratum"))
+    joined = counts.join(F.broadcast(weights), stratum)
+    capacity = joined.agg(
+        F.min(F.expr("n_stratum * 100 div weight")).alias("t_total")
+    )
+    quotas = joined.crossJoin(F.broadcast(capacity)).select(
+        stratum, F.expr("weight * t_total div 100").alias("quota")
+    )
+    w = Window.partitionBy(stratum).orderBy(
+        md5_int(F.col(key).cast("string")).asc(), F.col(key).asc()
+    )
+    ranked = docs.select(
+        F.col(key), F.col(stratum), F.row_number().over(w).alias("rn")
+    )
+    return (
+        ranked.join(F.broadcast(quotas), stratum)
+        .where(F.col("rn") <= F.col("quota"))
+        .select(key, stratum, F.col("rn").cast("int").alias("sample_rank"))
+        .orderBy(stratum, "sample_rank")
+    )
+
+
+def mixture_weighted_sample_sql(
+    mixture: tuple[tuple[str, int], ...] = DEFAULT_MIXTURE,
+    stratum: str = "source",
+    key: str = "doc_id",
+    rel: str = "documents",
+) -> str:
+    h = md5_int_sql(f"CAST({key} AS VARCHAR)")
+    values = ", ".join(f"('{s}', {w})" for s, w in mixture)
+    return f"""
+        WITH w({stratum}, weight) AS (VALUES {values}),
+             c AS (SELECT {stratum}, COUNT(*) AS n_stratum FROM {rel}
+                   GROUP BY {stratum}),
+             j AS (SELECT c.{stratum}, n_stratum, weight FROM c
+                   JOIN w USING ({stratum})),
+             cap AS (SELECT MIN(n_stratum * 100 // weight) AS t_total FROM j),
+             q AS (SELECT {stratum}, weight * t_total // 100 AS quota
+                   FROM j CROSS JOIN cap),
+             r AS (SELECT {key}, {stratum},
+                          row_number() OVER (
+                              PARTITION BY {stratum} ORDER BY {h} ASC, {key} ASC
+                          ) AS rn
+                   FROM {rel})
+        SELECT {key}, {stratum}, CAST(rn AS INT) AS sample_rank
+        FROM r JOIN q USING ({stratum})
+        WHERE rn <= quota
+        ORDER BY {stratum}, sample_rank
+    """
+
+
 def stratified_sample(
     docs: DataFrame,
     stratum: str = "source",

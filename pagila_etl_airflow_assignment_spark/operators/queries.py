@@ -7,7 +7,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..sources.parquet import load_table
-from . import temporal, warehouse
+from . import analytics, temporal, warehouse
 
 
 @register(
@@ -119,6 +119,16 @@ def q_asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros("purchase_ts") - F.unix_micros("matched_ts")
         ).alias("micros_since_click"),
     ).orderBy("purchase_id")
+
+
+@register(
+    "events_user_rolling_stats", oracle=analytics.USER_ROLLING_STATS_SQL
+)
+def q_user_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered analytics in one Window pass: sequence number,
+    running value total, delta vs previous event, trailing 3-event mean
+    (explicit ROWS frames — identical accumulation order in the oracle)."""
+    return analytics.user_rolling_stats(load_table(spark, sf_dir, "events"))
 
 
 VALUE_PERCENTILES_SQL = """

@@ -83,6 +83,10 @@ EXTENSION_SURVEY_ROWS: dict[str, tuple[str, ...]] = {
     "vocab_top_ngrams": ("L-30",),
     "text_decontaminate": ("L-31",),
     "events_streaming_dedup": ("L-32",),
+    "text_tfidf_topk": ("L-33",),
+    "text_unigram_logprob": ("L-34",),
+    "sampling_mixture_weighted": ("L-35",),
+    "events_user_rolling_stats": ("L-36",),
 }
 
 

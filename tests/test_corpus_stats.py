@@ -65,6 +65,42 @@ def test_vocab_top_ngrams_respects_k(spark):
     assert sum(1 for r in rows if r.n == 2) == 3
 
 
+def test_tfidf_hand_computed(spark):
+    import math
+
+    # 3 docs; "rare" appears only in doc 1, "common" in all three
+    docs = _docs(spark, [(1, "common rare"), (2, "common"), (3, "common")])
+    got = {(r.doc_id, r.term): r for r in corpus_stats.tfidf_topk(docs, k=5).collect()}
+    assert got[(1, "rare")].tfidf == pytest.approx(math.log(3 / 1), abs=1e-6)
+    assert got[(1, "common")].tfidf == pytest.approx(math.log(3 / 3), abs=1e-6)  # 0
+    # rank within doc 1: rare (ln 3) before common (0)
+    assert got[(1, "rare")].rank == 1
+    assert got[(1, "common")].rank == 2
+    assert got[(1, "rare")].tf == 1 and got[(1, "rare")].df == 1
+
+
+def test_tfidf_weights_by_term_frequency(spark):
+    import math
+
+    docs = _docs(spark, [(1, "x x y"), (2, "y")])
+    got = {(r.doc_id, r.term): r.tfidf for r in corpus_stats.tfidf_topk(docs).collect()}
+    # tf=2 doubles the idf weight: x has df=1, tf=2 -> 2*ln(2)
+    assert got[(1, "x")] == pytest.approx(2 * math.log(2), abs=1e-6)
+
+
+def test_unigram_logprob_hand_computed(spark):
+    import math
+
+    # corpus: a a a b -> p(a)=3/4, p(b)=1/4
+    docs = _docs(spark, [(1, "a a"), (2, "a b")])
+    got = {r.doc_id: r for r in corpus_stats.unigram_logprob(docs).collect()}
+    assert got[1].n_words == 2
+    assert got[1].avg_neg_logprob == pytest.approx(-math.log(3 / 4), abs=1e-6)
+    assert got[2].avg_neg_logprob == pytest.approx(
+        (-math.log(3 / 4) - math.log(1 / 4)) / 2, abs=1e-6
+    )
+
+
 def test_benchmark_overlap_flags_only_sharing_docs(spark):
     shared = "one two three four five"
     docs = _docs(

@@ -70,6 +70,60 @@ def test_stratified_sample_quota_exact(spark):
         assert per_stratum.get(src, 0) == (n * 10 + 99) // 100  # ceil(10%)
 
 
+def test_mixture_sample_hits_exact_mixture(spark):
+    """Fixture sources are uniform 25-per-source: with 50/30/20 targets the
+    binding domain is src0 (T = 25*100//50 = 50) -> quotas 25/15/10."""
+    docs = load_table(spark, SF, "documents")
+    got = sampling.mixture_weighted_sample(docs).collect()
+    per = {}
+    for r in got:
+        per[r["source"]] = per.get(r["source"], 0) + 1
+    assert per == {"src0": 25, "src1": 15, "src2": 10}
+
+
+def test_mixture_sample_binding_constraint(spark):
+    """A domain smaller than its share must bind the total: with src0 capped
+    to 5 docs at weight 50, T = 10 -> quotas 5/3/2."""
+    docs = load_table(spark, SF, "documents")
+    capped = docs.where(
+        (F.col("source") != "src0") | (F.col("doc_id") < 100)
+    )
+    n_src0 = capped.where(F.col("source") == "src0").count()
+    assert 0 < n_src0 < 25
+    got = sampling.mixture_weighted_sample(capped).collect()
+    per = {}
+    for r in got:
+        per[r["source"]] = per.get(r["source"], 0) + 1
+    t = n_src0 * 100 // 50
+    assert per == {
+        "src0": min(n_src0, 50 * t // 100),
+        "src1": 30 * t // 100,
+        "src2": 20 * t // 100,
+    }
+
+
+def test_mixture_sample_is_stable_subset(spark):
+    """Shrinking a NON-binding domain must not move the selected rows of
+    other domains (md5 order is content-stable)."""
+    docs = load_table(spark, SF, "documents")
+    full = {
+        (r["source"], r["doc_id"])
+        for r in sampling.mixture_weighted_sample(docs).collect()
+    }
+    # drop half of src1's UNSELECTED rows -> src1 keeps its quota as long as
+    # enough rows remain; src0/src2 selections must be identical
+    selected_src1 = {d for s, d in full if s == "src1"}
+    pruned = docs.where(
+        (F.col("source") != "src1")
+        | F.col("doc_id").isin([int(d) for d in selected_src1])
+    )
+    got = {
+        (r["source"], r["doc_id"])
+        for r in sampling.mixture_weighted_sample(pruned).collect()
+    }
+    assert got == full
+
+
 def test_pii_scrub_removes_all_matches(spark):
     docs = load_table(spark, SF, "documents")
     got = text.pii_scrub(docs)

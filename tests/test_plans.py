@@ -172,3 +172,12 @@ def test_stratified_sample_is_single_stratum_shuffle(spark):
 def test_pii_scrub_is_narrow(spark):
     plan = final_plan(queries()["text_pii_scrub"](spark, SF_SMALL))
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_user_rolling_stats_is_single_window_pass(spark):
+    """All four window expressions (seq, cum, lag, rolling avg) must share
+    ONE user_id shuffle + sort — Spark plans them in a single Window group
+    because they share partitioning and ordering."""
+    plan = final_plan(queries()["events_user_rolling_stats"](spark, SF_SMALL))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert len(re.findall(r"\bSort \[", plan)) == 1, plan
