@@ -32,6 +32,7 @@ HEADLINE = [
     "warehouse_topk_per_nation",
     "warehouse_rollup_revenue",
     "warehouse_pivot_revenue",
+    "warehouse_semi_anti_priority",
     "events_session_window_native",
     "asof_click_attribution",
     "range_click_correlation",

@@ -122,6 +122,18 @@ def q_asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "warehouse_semi_anti_priority",
+    oracle=warehouse.semi_anti_order_priority_sql(),
+)
+def q_semi_anti_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shape existence counts per order priority via dedicated
+    LEFT SEMI / LEFT ANTI joins (no join fan-out, no post-join distinct)."""
+    return warehouse.semi_anti_order_priority(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "orders")
+    )
+
+
+@register(
     "events_user_rolling_stats", oracle=analytics.USER_ROLLING_STATS_SQL
 )
 def q_user_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

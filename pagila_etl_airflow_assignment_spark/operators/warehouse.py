@@ -352,6 +352,73 @@ def pivot_revenue_by_year_sql(years: tuple[int, ...] = PIVOT_YEARS) -> str:
     """
 
 
+HEAVY_QTY = 45  # "heavy line" threshold for the semi/anti demo (TPC-H Q4 shape)
+
+
+def semi_anti_order_priority(
+    lineitem: DataFrame, orders: DataFrame, heavy_qty: int = HEAVY_QTY
+) -> DataFrame:
+    """Per order priority: orders WITH at least one heavy line (LEFT SEMI)
+    and orders with NONE (LEFT ANTI) — the TPC-H Q4 existence shape, using
+    Spark's dedicated semi/anti join operators rather than a join+distinct.
+
+    Scale shape: semi/anti joins shuffle only the join KEY from the probe
+    side and short-circuit per key (no fan-out on multi-line orders, no
+    post-join distinct over a data-sized result). The heavy-line filter is
+    pushed to the lineitem scan; both aggregates produce |priorities| rows,
+    outer-merged so a priority fully on one side still appears.
+    """
+    heavy = lineitem.where(F.col("l_quantity") >= heavy_qty).select("l_orderkey")
+    cond = orders["o_orderkey"] == heavy["l_orderkey"]
+    with_heavy = (
+        orders.join(heavy, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_with_heavy_line"))
+    )
+    without_heavy = (
+        orders.join(heavy, cond, "left_anti")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_without_heavy_line"))
+    )
+    return (
+        with_heavy.join(without_heavy, "o_orderpriority", "full_outer")
+        .select(
+            "o_orderpriority",
+            F.coalesce("n_with_heavy_line", F.lit(0)).alias("n_with_heavy_line"),
+            F.coalesce("n_without_heavy_line", F.lit(0)).alias(
+                "n_without_heavy_line"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def semi_anti_order_priority_sql(heavy_qty: int = HEAVY_QTY) -> str:
+    return f"""
+        WITH s AS (
+            SELECT o_orderpriority, COUNT(*) AS n_with_heavy_line
+            FROM orders o
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_quantity >= {heavy_qty})
+            GROUP BY o_orderpriority
+        ),
+        a AS (
+            SELECT o_orderpriority, COUNT(*) AS n_without_heavy_line
+            FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                              WHERE l.l_orderkey = o.o_orderkey
+                                AND l.l_quantity >= {heavy_qty})
+            GROUP BY o_orderpriority
+        )
+        SELECT COALESCE(s.o_orderpriority, a.o_orderpriority) AS o_orderpriority,
+               COALESCE(n_with_heavy_line, 0) AS n_with_heavy_line,
+               COALESCE(n_without_heavy_line, 0) AS n_without_heavy_line
+        FROM s FULL OUTER JOIN a ON s.o_orderpriority = a.o_orderpriority
+        ORDER BY o_orderpriority
+    """
+
+
 ROLLUP_REVENUE_SQL = """
     SELECT COALESCE(r_name, 'ALL') AS region,
            CAST(COALESCE(year(o_orderdate), 0) AS INT) AS yr,

@@ -78,3 +78,51 @@ def test_clustered_write_gives_narrow_file_ranges(spark, tdir):
     a = sorted(r["o_orderkey"] for r in spark.read.parquet(clustered_path).collect())
     b = sorted(r["o_orderkey"] for r in orders.collect())
     assert a == b
+
+
+def test_cobucketed_join_has_no_exchange(spark, tdir):
+    """Both sides bucketed on the join key with equal bucket counts: the
+    executed fact-fact join plan must contain ZERO Exchange nodes — the
+    write-time shuffle replaces every query-time shuffle."""
+    import re
+
+    from pagila_etl_airflow_assignment_spark.sinks import (
+        cobucketed_join,
+        write_bucketed,
+    )
+
+    lineitem = load_table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    orders = load_table(spark, SF, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    write_bucketed(
+        lineitem, "li_b", f"{tdir}/li_b", ["l_orderkey"], 8, ["l_orderkey"]
+    )
+    write_bucketed(
+        orders, "ord_b", f"{tdir}/ord_b", ["o_orderkey"], 8, ["o_orderkey"]
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = cobucketed_join(
+            spark,
+            "li_b",
+            "ord_b",
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString().split(
+            "== Initial Plan =="
+        )[0]
+        assert not re.search(r"Exchange", plan), plan
+        # and the co-located join returns exactly the plain join's rows
+        want = lineitem.join(
+            orders, F.col("l_orderkey") == F.col("o_orderkey")
+        ).count()
+        assert joined.count() == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS ord_b")
