@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..sources.parquet import load_table, spread
-from . import corpus_stats, dedup, multimodal, sampling, similarity, text
+from . import corpus_stats, curation, dedup, multimodal, sampling, similarity, text
 
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 
@@ -68,6 +68,13 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: corpus docs sharing a word 5-gram with the
     held-out benchmark split (broadcast bench side, max_df-capped corpus)."""
     return corpus_stats.benchmark_overlap(spread(load_table(spark, sf_dir, "documents")))
+
+
+@register("text_curation_pipeline", oracle=curation.curation_decisions_sql())
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation decision: keep/reject + first-failing-filter
+    lineage per document (dedup -> quality -> lang -> repetition), one plan."""
+    return curation.curation_decisions(spread(load_table(spark, sf_dir, "documents")))
 
 
 @register("text_tfidf_topk", oracle=corpus_stats.tfidf_topk_sql())

@@ -87,6 +87,7 @@ EXTENSION_SURVEY_ROWS: dict[str, tuple[str, ...]] = {
     "text_unigram_logprob": ("L-34",),
     "sampling_mixture_weighted": ("L-35",),
     "events_user_rolling_stats": ("L-36",),
+    "text_curation_pipeline": ("L-37",),
 }
 
 

@@ -101,6 +101,41 @@ def test_unigram_logprob_hand_computed(spark):
     )
 
 
+def test_curation_every_reject_branch_fires(spark):
+    from pagila_etl_airflow_assignment_spark.llm import curation
+
+    docs = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over a lazy dog and runs away"),  # keep
+            (2, "the quick brown fox jumps over a lazy dog and runs away"),  # dup of 1
+            (3, "hi"),  # too short -> quality
+            (4, "der die das und ist nicht ein eine zu mit sich auf"),  # German -> lang
+            (5, "the spam the spam the spam the spam the spam the spam"),  # repetition
+        ],
+    )
+    got = {r.doc_id: (r.keep, r.reject_reason) for r in
+           curation.curation_decisions(docs).collect()}
+    assert got[1] == (True, None)
+    assert got[2] == (False, "exact_dup")
+    assert got[3] == (False, "quality")
+    assert got[4] == (False, "lang")
+    assert got[5] == (False, "repetition")
+
+
+def test_curation_filter_order_first_reason_wins(spark):
+    """A doc failing several filters reports the FIRST (structural) one:
+    a duplicate of a repetitive doc is 'exact_dup', not 'repetition'."""
+    from pagila_etl_airflow_assignment_spark.llm import curation
+
+    rep = "the spam the spam the spam the spam the spam the spam"
+    docs = _docs(spark, [(1, rep), (2, rep)])
+    got = {r.doc_id: r.reject_reason for r in
+           curation.curation_decisions(docs).collect()}
+    assert got[1] == "repetition"  # canonical copy falls through to repetition
+    assert got[2] == "exact_dup"
+
+
 def test_benchmark_overlap_flags_only_sharing_docs(spark):
     shared = "one two three four five"
     docs = _docs(
