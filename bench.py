@@ -33,6 +33,7 @@ HEADLINE = [
     "warehouse_rollup_revenue",
     "warehouse_pivot_revenue",
     "warehouse_semi_anti_priority",
+    "warehouse_table_profile",
     "events_session_window_native",
     "asof_click_attribution",
     "range_click_correlation",

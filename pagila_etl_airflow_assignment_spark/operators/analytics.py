@@ -55,3 +55,48 @@ USER_ROLLING_STATS_SQL = f"""
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
+
+
+def scd2_user_state(events: DataFrame) -> DataFrame:
+    """Slowly-changing-dimension type 2 from a change log: collapse each
+    user's event stream into state-validity intervals — (user_id, state,
+    valid_from, valid_to, is_current), where consecutive equal states merge
+    and ``valid_to`` is the next change (NULL while current).
+
+    The classic warehouse history-table build. Both window passes share the
+    (user_id, ts, event_id) partitioning and sort, and the change filter
+    preserves partitioning AND order, so Catalyst plans ONE shuffle + ONE
+    sort for the whole thing (pinned in tests/test_plans.py)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.col("event_type").alias("state"),
+        F.lag("event_type").over(w).alias("prev_state"),
+    ).where(F.col("prev_state").isNull() | (F.col("prev_state") != F.col("state")))
+    return changes.select(
+        "user_id",
+        "state",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+
+
+SCD2_USER_STATE_SQL = """
+    WITH marked AS (
+        SELECT user_id, event_id, ts, event_type AS state,
+               lag(event_type) OVER w AS prev_state
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    changes AS (
+        SELECT * FROM marked WHERE prev_state IS NULL OR prev_state <> state
+    )
+    SELECT user_id, state, ts AS valid_from,
+           lead(ts) OVER w AS valid_to,
+           lead(ts) OVER w IS NULL AS is_current
+    FROM changes
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""

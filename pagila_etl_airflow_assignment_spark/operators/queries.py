@@ -7,7 +7,8 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..sources.parquet import load_table
-from . import analytics, temporal, warehouse
+from ..schemas import ORDERS
+from . import analytics, profile, temporal, warehouse
 
 
 @register(
@@ -141,6 +142,23 @@ def q_user_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     running value total, delta vs previous event, trailing 3-event mean
     (explicit ROWS frames — identical accumulation order in the oracle)."""
     return analytics.user_rolling_stats(load_table(spark, sf_dir, "events"))
+
+
+@register("events_scd2_user_state", oracle=analytics.SCD2_USER_STATE_SQL)
+def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history build: per-user state-validity intervals from the
+    event change log (one shuffle + one sort for both window passes)."""
+    return analytics.scd2_user_state(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "warehouse_table_profile",
+    oracle=profile.profile_table_sql([f.name for f in ORDERS.fields], "orders"),
+)
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column null/distinct/min/max profile of `orders` in ONE
+    aggregation pass (exact distincts via Expand; see operators/profile.py)."""
+    return profile.profile_table(load_table(spark, sf_dir, "orders"))
 
 
 VALUE_PERCENTILES_SQL = """

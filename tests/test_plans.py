@@ -174,6 +174,14 @@ def test_pii_scrub_is_narrow(spark):
     assert "Exchange hashpartitioning" not in plan, plan
 
 
+def test_scd2_is_single_shuffle_single_sort(spark):
+    """Both window passes and the change filter share one (user_id) shuffle
+    and one (user_id, ts, event_id) sort."""
+    plan = final_plan(queries()["events_scd2_user_state"](spark, SF_SMALL))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert len(re.findall(r"\bSort \[", plan)) == 1, plan
+
+
 def test_user_rolling_stats_is_single_window_pass(spark):
     """All four window expressions (seq, cum, lag, rolling avg) must share
     ONE user_id shuffle + sort — Spark plans them in a single Window group
