@@ -5,6 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import micros
 from ..registry import register
 from ..sources.parquet import load_table
 from ..schemas import ORDERS
@@ -116,9 +117,7 @@ def q_asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "purchase_ts",
         F.col("matched_ts").alias("click_ts"),
-        (
-            F.unix_micros("purchase_ts") - F.unix_micros("matched_ts")
-        ).alias("micros_since_click"),
+        (micros("purchase_ts") - micros("matched_ts")).alias("micros_since_click"),
     ).orderBy("purchase_id")
 
 

@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions import micros
+
 _MICROS = 1_000_000
 
 
@@ -86,7 +88,7 @@ def asof_join(
     )
     if tolerance_seconds is not None:
         too_old = (
-            F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__m.__rts"))
+            micros(F.col("__ts")) - micros(F.col("__m.__rts"))
         ) > tolerance_seconds * _MICROS
         matched = matched.withColumn(
             "__m", F.when(too_old, F.lit(None)).otherwise(F.col("__m"))
@@ -118,14 +120,12 @@ def range_join_binned(
     if bin_seconds is None:
         bin_seconds = max(hi_seconds - lo_seconds, 1)
     width = bin_seconds * _MICROS
-    r = right.withColumn(
-        "__bin", F.floor(F.unix_micros(F.col(right_ts)) / width)
-    )
-    lo_bin = F.floor((F.unix_micros(F.col(left_ts)) + lo_seconds * _MICROS) / width)
-    hi_bin = F.floor((F.unix_micros(F.col(left_ts)) + hi_seconds * _MICROS) / width)
+    r = right.withColumn("__bin", F.floor(micros(right_ts) / width))
+    lo_bin = F.floor((micros(left_ts) + lo_seconds * _MICROS) / width)
+    hi_bin = F.floor((micros(left_ts) + hi_seconds * _MICROS) / width)
     l = left.withColumn("__bin", F.explode(F.sequence(lo_bin, hi_bin)))
-    rts_micros = F.unix_micros(F.col(right_ts))
-    lts_micros = F.unix_micros(F.col(left_ts))
+    rts_micros = micros(right_ts)
+    lts_micros = micros(left_ts)
     return (
         l.join(r, "__bin")
         .where(

@@ -123,9 +123,12 @@ EVENTS = StructType(
     ]
 )
 
-# On-disk form: the fixture stores ts as parquet TIMESTAMP(NANOS), which the
-# engine reads as raw long nanos (session.py nanosAsLong) and converts
-# (sources.parquet.normalize_event_ts).
+# On-disk form for the LEGACY nanos-era fixture only: parquet TIMESTAMP(NANOS)
+# read as raw long nanos (session.py nanosAsLong). The fixture encoding has
+# changed between rounds (nanos -> micros-NTZ), so NOTHING should hardcode
+# this schema for reads — streaming uses sources.parquet.events_stream, which
+# probes the real file schema and normalizes via normalize_event_ts. Kept for
+# tests that synthesize old-encoding files.
 EVENTS_RAW = StructType(
     [
         StructField("event_id", LongType()),

@@ -50,9 +50,10 @@ def build_session(
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # fixture `events.ts` is parquet TIMESTAMP(NANOS), which vanilla Spark
-        # rejects; read as long and convert (sources.parquet truncates to µs,
-        # matching DuckDB's read of the same file)
+        # tolerate LEGACY parquet TIMESTAMP(NANOS) files (vanilla Spark rejects
+        # them): read as long, then sources.parquet.normalize_event_ts truncates
+        # to µs. Harmless for micros/NTZ encodings — normalization is dtype-
+        # driven, so any of nanos / micros-NTZ / micros-UTC ingests identically.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")

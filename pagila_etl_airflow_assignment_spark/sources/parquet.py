@@ -51,13 +51,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def normalize_event_ts(df: DataFrame) -> DataFrame:
-    """`events.ts` arrives as raw nanos (see session.py nanosAsLong); truncate
-    to microsecond timestamps — byte-identical to DuckDB's read of the file."""
+    """Normalize `events.ts` to canonical TimestampType whatever the on-disk
+    encoding. The fixture has shipped as parquet TIMESTAMP(NANOS) (read as raw
+    long nanos under session.py nanosAsLong) and as TIMESTAMP(MICROS,
+    isAdjustedToUTC=false) (read as TIMESTAMP_NTZ); lake producers vary the
+    same way, so ingestion must accept ANY of nanos / micros-NTZ / micros-UTC
+    and emit one canonical type. Mirrors the reference's
+    normalize-whatever-arrives timestamps (etl.py:105-108). The NTZ cast
+    reinterprets wall-clock in the session tz, which ensure_read_confs pins to
+    UTC — identical instants to DuckDB's naive-UTC read."""
     from pyspark.sql import functions as F
 
-    if dict(df.dtypes).get("ts") == "bigint":
+    dtype = dict(df.dtypes).get("ts")
+    if dtype == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dtype == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
+
+
+def events_stream(spark: SparkSession, events_path: str) -> DataFrame:
+    """`readStream` over the events fixture with the schema probed from the
+    actual files — never a hardcoded encoding-era schema. The one batch
+    metadata read costs a footer fetch; hardcoding the schema instead is how
+    a fixture encoding flip silently corrupts every streaming query."""
+    ensure_read_confs(spark)
+    schema = spark.read.parquet(events_path).schema
+    return normalize_event_ts(spark.readStream.schema(schema).parquet(events_path))
 
 
 SPREAD_ENABLED = True

@@ -41,8 +41,8 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-from ..schemas import EVENTS_RAW
-from ..sources.parquet import normalize_event_ts
+from ..functions import micros
+from ..sources.parquet import events_stream
 
 SESSION_GAP = dt.timedelta(minutes=5)
 
@@ -94,9 +94,7 @@ def streaming_hourly_event_counts(
     The watermark lets Spark finalize and evict window state once event time
     passes window_end + watermark — bounded state on unbounded input.
     """
-    stream = normalize_event_ts(
-        spark.readStream.schema(EVENTS_RAW).parquet(events_path)
-    )
+    stream = events_stream(spark, events_path)
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").start.alias("hour_start"), "event_type")
@@ -146,9 +144,7 @@ def streaming_sliding_event_counts(
     """Streaming form of the sliding window: identical window expression under
     readStream; state is one entry per open (window, event_type), finalized
     once the watermark passes window_end."""
-    stream = normalize_event_ts(
-        spark.readStream.schema(EVENTS_RAW).parquet(events_path)
-    )
+    stream = events_stream(spark, events_path)
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(
@@ -177,7 +173,7 @@ def sessionize_batch(events: DataFrame, gap: dt.timedelta = SESSION_GAP) -> Data
         # integer-microsecond gap math: exact, and identical to the DuckDB
         # oracle's epoch_us() (double-seconds epoch would round differently)
         F.when(
-            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w_user))
+            micros("ts") - micros(F.lag("ts").over(w_user))
             > gap_s * 1_000_000,
             1,
         )
@@ -365,9 +361,7 @@ def streaming_sessionize(
         ]
     )
 
-    stream = normalize_event_ts(
-        spark.readStream.schema(EVENTS_RAW).parquet(events_path)
-    )
+    stream = events_stream(spark, events_path)
     sessions = (
         stream.withWatermark("ts", watermark)
         .groupBy("user_id")

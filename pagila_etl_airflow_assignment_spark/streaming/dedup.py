@@ -23,8 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..schemas import EVENTS_RAW
-from ..sources.parquet import normalize_event_ts
+from ..sources.parquet import events_stream
 
 # Deterministic at-least-once simulation: every 20th event is delivered twice.
 REPLAY_MOD = 20
@@ -86,9 +85,7 @@ def streaming_dedup_events(
     Append-mode safe: a row is emitted once its event_id is first seen; the
     watermark bounds how long the id is remembered (duplicates arriving
     within the horizon are dropped, state for older ids is evicted)."""
-    stream = normalize_event_ts(
-        spark.readStream.schema(EVENTS_RAW).parquet(events_path)
-    )
+    stream = events_stream(spark, events_path)
     return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )

@@ -22,8 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..schemas import EVENTS_RAW
-from ..sources.parquet import normalize_event_ts
+from ..sources.parquet import events_stream
 
 JOIN_WINDOW_SECONDS = 3600
 
@@ -90,9 +89,7 @@ def streaming_purchase_click_pairs(
     Spark bound both join buffers: clicks older than
     `watermark + JOIN_WINDOW` relative to the purchase-side watermark are
     evicted."""
-    raw = normalize_event_ts(
-        spark.readStream.schema(EVENTS_RAW).parquet(events_path)
-    )
+    raw = events_stream(spark, events_path)
     p = _purchases(raw).withWatermark("purchase_ts", watermark)
     c = _clicks(raw).withWatermark("click_ts", watermark)
     return p.join(c, _pair_condition()).select(
