@@ -39,6 +39,10 @@ HEADLINE = [
     "range_click_correlation",
     "events_value_percentiles",
     "text_chunking",
+    "weekly_summary_monthly_rollup",
+    "warehouse_grouping_sets_revenue",
+    "cdc_orders_snapshot_diff",
+    "embedding_centroid_outliers",
 ]
 
 

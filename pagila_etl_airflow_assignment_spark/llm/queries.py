@@ -8,7 +8,8 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..sources.parquet import load_table, spread
-from . import corpus_stats, curation, dedup, multimodal, sampling, similarity, text
+from . import corpus_stats, curation, dedup, multimodal, packing, sampling, similarity, text
+from . import embeddings as embeddings_mod
 
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 
@@ -295,3 +296,25 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.resize_images(media, 224, 224).select(
         "media_id", "width", "height", F.length("payload").alias("n_bytes")
     )
+
+
+@register("text_sequence_packing", oracle=packing.pack_chunks_sql())
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-offset sequence packing of non-overlapping chunks into
+    fixed-capacity context windows, sharded per (lang, doc-bucket) so the
+    running sum never serializes on one partition."""
+    return packing.pack_chunks(spread(load_table(spark, sf_dir, "documents")))
+
+
+@register("embedding_centroid_outliers", oracle=embeddings_mod.centroid_outliers_sql())
+def q_embedding_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid (posexplode + one (label,pos) aggregate, broadcast
+    back) and top-k distance-to-centroid outliers per label."""
+    return embeddings_mod.centroid_outliers(load_table(spark, sf_dir, "embeddings"))
+
+
+@register("text_quality_quantile", oracle=text.quality_quantile_filter_sql())
+def q_quality_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quantile cut on fluency (stopword ratio): keep the top
+    half within each language — the mixture-preserving curation filter."""
+    return text.quality_quantile_filter(load_table(spark, sf_dir, "documents"))

@@ -435,3 +435,58 @@ PII_SCRUB_SQL = f"""
     FROM injected
     ORDER BY doc_id
 """
+
+
+# --- quality-quantile curation filter -----------------------------------------
+
+QUANTILE_KEEP_FRAC = 0.5
+
+
+def quality_quantile_filter(
+    docs: DataFrame, keep_frac: float = QUANTILE_KEEP_FRAC
+) -> DataFrame:
+    """Keep the top ``keep_frac`` of documents PER LANGUAGE by fluency score
+    (stopword ratio) — the FineWeb-style quantile cut. An absolute threshold
+    over a multilingual corpus silently biases the mix (stopword lexicon
+    coverage varies by language); ranking within language keeps the mixture.
+
+    percent_rank orders by (score desc, doc_id) — the explicit tiebreak makes
+    every rank unique, so the cut is deterministic and engine-independent.
+    One shuffle keyed by lang; per-language partitions are the corpus/langs,
+    so at 100 TB this windows within language shards, never globally.
+    """
+    words = F.split(F.trim("text"), WS_RE)
+    n_stop = F.regexp_count(_norm(F.col("text")), F.lit(rf"\b{STOPWORDS_EN}\b"))
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.round(n_stop / F.size(words), 6).alias("fluency"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("fluency").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("pct_rank", F.round(F.percent_rank().over(w), 6))
+        .where(F.col("pct_rank") <= keep_frac)
+        .orderBy("lang", "pct_rank")
+    )
+
+
+def quality_quantile_filter_sql(keep_frac: float = QUANTILE_KEEP_FRAC) -> str:
+    return rf"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               round(len(regexp_extract_all({_norm_sql('text')}, '\b{STOPWORDS_EN}\b'))
+                     / len(string_split_regex(trim(text), '{WS_RE}')), 6) AS fluency
+        FROM documents
+    )
+    SELECT doc_id, lang, fluency, pct_rank
+    FROM (
+        SELECT *, round(percent_rank() OVER (
+            PARTITION BY lang ORDER BY fluency DESC, doc_id ASC
+        ), 6) AS pct_rank
+        FROM scored
+    )
+    WHERE pct_rank <= {keep_frac}
+    ORDER BY lang, pct_rank
+    """

@@ -1,0 +1,136 @@
+"""Snapshot-diff (CDC derivation) operator: given two snapshots of a keyed
+table, emit the row-level change set — inserts, updates, deletes.
+
+The reference's change capture is watermark-column-based (CDC-lite,
+etl.py:115-128, SURVEY.md I-3) and explicitly cannot see deletes or edits that
+don't touch `last_update`. Snapshot diffing is the lakehouse-native complement:
+compare yesterday's table state to today's and derive the full change set,
+deletes included — what Delta's Change Data Feed materializes, computed here
+from plain snapshots.
+
+Scale design: ONE full-outer shuffle join keyed on the primary key — both
+sides partition on the key, so at 100 TB this is the minimal data movement for
+the problem (bucketed/co-partitioned snapshots make it shuffle-free). Change
+detection compares a null-safe struct of the tracked columns — one vectorized
+JVM comparison per row, wide-row-proof, no per-column driver loop beyond
+building the expression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Classify every key as insert / update / delete / (unchanged, dropped).
+
+    Output: key columns + `change_type` + `old_<c>` / `new_<c>` for each
+    tracked column. Unchanged keys (null-safe equality on ALL tracked
+    columns) are filtered out — the result is the change set only.
+    """
+    o = old.select(
+        *[F.col(k).alias(f"__ok_{k}") for k in key],
+        *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *[F.col(k).alias(f"__nk_{k}") for k in key],
+        *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+    )
+    cond = [F.col(f"__ok_{k}").eqNullSafe(F.col(f"__nk_{k}")) for k in key]
+    join_cond = cond[0]
+    for c in cond[1:]:
+        join_cond = join_cond & c
+    joined = o.join(n, on=join_cond, how="full_outer")
+
+    in_old = F.col(f"__ok_{key[0]}").isNotNull()
+    in_new = F.col(f"__nk_{key[0]}").isNotNull()
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+    change = (
+        F.when(~in_old, F.lit("insert"))
+        .when(~in_new, F.lit("delete"))
+        .when(~same, F.lit("update"))
+    )
+    return (
+        joined.withColumn("change_type", change)
+        .where(F.col("change_type").isNotNull())
+        .select(
+            *[
+                F.coalesce(f"__ok_{k}", f"__nk_{k}").alias(k)
+                for k in key
+            ],
+            "change_type",
+            *[f"old_{c}" for c in compare_cols],
+            *[f"new_{c}" for c in compare_cols],
+        )
+    )
+
+
+# --- deterministic snapshot derivation over the orders fixture ----------------
+# old snapshot: keys ≡ 7 (mod 10) absent (later inserted), keys ≡ 3 carry a
+# pre-update price (exact +1.0 — no float rounding ambiguity across engines);
+# new snapshot: keys ≡ 5 removed (deletes).
+
+INSERT_MOD, DELETE_MOD, UPDATE_MOD = 7, 5, 3
+
+
+def orders_old_snapshot(orders: DataFrame) -> DataFrame:
+    return orders.where(F.col("o_orderkey") % 10 != INSERT_MOD).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 10 == UPDATE_MOD, F.col("o_totalprice") + 1.0
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderstatus",
+    )
+
+
+def orders_new_snapshot(orders: DataFrame) -> DataFrame:
+    return orders.where(F.col("o_orderkey") % 10 != DELETE_MOD).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+
+
+def orders_snapshot_diff(orders: DataFrame) -> DataFrame:
+    return snapshot_diff(
+        orders_old_snapshot(orders),
+        orders_new_snapshot(orders),
+        key=["o_orderkey"],
+        compare_cols=["o_totalprice", "o_orderstatus"],
+    ).orderBy("o_orderkey")
+
+
+ORDERS_SNAPSHOT_DIFF_SQL = f"""
+    WITH old AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 10 = {UPDATE_MOD}
+                    THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
+               o_orderstatus
+        FROM orders WHERE o_orderkey % 10 <> {INSERT_MOD}
+    ),
+    new AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey % 10 <> {DELETE_MOD}
+    )
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                WHEN n.o_orderkey IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type,
+           o.o_totalprice  AS old_o_totalprice,
+           o.o_orderstatus AS old_o_orderstatus,
+           n.o_totalprice  AS new_o_totalprice,
+           n.o_orderstatus AS new_o_orderstatus
+    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+       OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+    ORDER BY o_orderkey
+"""

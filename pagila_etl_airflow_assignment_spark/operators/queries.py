@@ -9,7 +9,7 @@ from ..functions import micros
 from ..registry import register
 from ..sources.parquet import load_table
 from ..schemas import ORDERS
-from . import analytics, profile, temporal, warehouse
+from . import analytics, cdc, profile, temporal, warehouse
 
 
 @register(
@@ -298,3 +298,19 @@ def q_range_click_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("error_id")
     )
+
+
+@register("cdc_orders_snapshot_diff", oracle=cdc.ORDERS_SNAPSHOT_DIFF_SQL)
+def q_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level change set between two deterministic snapshots of `orders`
+    (insert/update/delete classification via one full-outer key join) — the
+    lakehouse complement of the reference's watermark CDC-lite, which cannot
+    see deletes (etl.py:115-128 limits, README:122-130)."""
+    return cdc.orders_snapshot_diff(load_table(spark, sf_dir, "orders"))
+
+
+@register("warehouse_grouping_sets_revenue", oracle=warehouse.GROUPING_SETS_REVENUE_SQL)
+def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order revenue at three non-hierarchical granularities in one
+    Expand+aggregate pass via explicit GROUPING SETS."""
+    return warehouse.grouping_sets_revenue(load_table(spark, sf_dir, "orders"))

@@ -435,3 +435,51 @@ ROLLUP_REVENUE_SQL = """
     GROUP BY ROLLUP (r_name, year(o_orderdate))
     ORDER BY gid, region, yr
 """
+
+
+def grouping_sets_revenue(orders: DataFrame) -> DataFrame:
+    """Order revenue at three NON-hierarchical granularities in one pass —
+    (priority, year), per-priority, per-year — via explicit GROUPING SETS
+    (rollup can't express this set family: per-year totals aren't a prefix of
+    (priority, year)). Spark plans a single Expand + hash aggregate: the fact
+    is scanned once for all three levels, the same single-shuffle shape as
+    ``rollup_revenue``. ``grouping_id`` disambiguates subtotal rows from real
+    NULL groups (bit per column, first column = MSB — DuckDB GROUPING
+    convention)."""
+    base = orders.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.year("o_orderdate").alias("yr"),
+        "o_totalprice",
+    )
+    pr, yr = F.col("priority"), F.col("yr")
+    return (
+        base.groupingSets([[pr, yr], [pr], [yr]], pr, yr)
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .select(
+            F.coalesce("priority", F.lit("ALL")).alias("priority"),
+            F.coalesce("yr", F.lit(0)).cast("int").alias("yr"),
+            "gid",
+            "revenue",
+            "n_orders",
+        )
+        .orderBy("gid", "priority", "yr")
+    )
+
+
+GROUPING_SETS_REVENUE_SQL = """
+    SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+           CAST(COALESCE(year(o_orderdate), 0) AS INT) AS yr,
+           CAST(GROUPING(o_orderpriority, year(o_orderdate)) AS INT) AS gid,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, year(o_orderdate)),
+                            (o_orderpriority), (year(o_orderdate)))
+    ORDER BY gid, priority, yr
+"""

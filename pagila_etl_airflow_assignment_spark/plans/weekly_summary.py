@@ -248,3 +248,46 @@ def oracle_weekly_summary_sql(as_of: dt.date | None = None) -> str:
                ON aw.week_beginning = wrc_rented.week_of_rental
         ORDER BY aw.week_beginning
     """
+
+
+def monthly_rollup(weekly: DataFrame) -> DataFrame:
+    """Continuous-aggregate rollup of the weekly summary to calendar months
+    (the hypertable/materialized-rollup pattern): flow counts SUM across the
+    month's weeks; the stock count (outstanding) is NOT summable — the
+    month-end value is the LAST week's value, taken with ``max_by`` ordered by
+    week. A week belongs to the month of its Monday (weeks never split).
+
+    One hash aggregate over the ~10^3-row weekly spine — rollup cost is
+    proportional to the summary, never the fact table; at 100 TB this reads
+    the materialized weekly table, not the rentals."""
+    return (
+        weekly.groupBy(
+            F.trunc("week_beginning", "month").alias("month_start")
+        )
+        .agg(
+            F.sum("newly_rented_during_week").cast("long").alias("newly_rented"),
+            F.sum("returned_rentals_during_week").cast("long").alias("returned"),
+            F.sum("net_change_in_outstanding").cast("long").alias("net_change"),
+            F.max_by("outstanding_rentals_at_week_end", "week_beginning")
+            .cast("long")
+            .alias("outstanding_at_month_end"),
+            F.count("*").cast("long").alias("n_weeks"),
+        )
+        .orderBy("month_start")
+    )
+
+
+def oracle_monthly_rollup_sql(as_of: dt.date | None = None) -> str:
+    return f"""
+        WITH weekly AS ({oracle_weekly_summary_sql(as_of)})
+        SELECT CAST(DATE_TRUNC('month', week_beginning) AS DATE) AS month_start,
+               CAST(SUM(newly_rented_during_week) AS BIGINT) AS newly_rented,
+               CAST(SUM(returned_rentals_during_week) AS BIGINT) AS returned,
+               CAST(SUM(net_change_in_outstanding) AS BIGINT) AS net_change,
+               CAST(arg_max(outstanding_rentals_at_week_end, week_beginning)
+                    AS BIGINT) AS outstanding_at_month_end,
+               COUNT(*) AS n_weeks
+        FROM weekly
+        GROUP BY 1
+        ORDER BY month_start
+    """

@@ -15,6 +15,8 @@ from .registry import register
 from .sources.parquet import load_table
 from .sources.rental import RENTAL_DUCKDB_SQL, load_rental
 from .plans.weekly_summary import (
+    monthly_rollup,
+    oracle_monthly_rollup_sql,
     oracle_weekly_summary_sql,
     week_spine,
     weekly_rental_summary,
@@ -464,3 +466,11 @@ def q_case_and_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rental_id")
     )
+
+
+@register("weekly_summary_monthly_rollup", oracle=oracle_monthly_rollup_sql())
+def q_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate rollup of the flagship weekly summary to months
+    (hypertable-rollup pattern): flows SUM, the outstanding stock takes the
+    last week's value via max_by."""
+    return monthly_rollup(weekly_rental_summary(load_rental(spark, sf_dir)))

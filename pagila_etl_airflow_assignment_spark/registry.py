@@ -88,6 +88,10 @@ EXTENSION_SURVEY_ROWS: dict[str, tuple[str, ...]] = {
     "sampling_mixture_weighted": ("L-35",),
     "events_user_rolling_stats": ("L-36",),
     "text_curation_pipeline": ("L-37",),
+    "cdc_orders_snapshot_diff": ("L-38",),
+    "text_sequence_packing": ("L-39",),
+    "embedding_centroid_outliers": ("L-40",),
+    "text_quality_quantile": ("L-41",),
 }
 
 

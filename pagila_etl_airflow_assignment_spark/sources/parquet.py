@@ -105,9 +105,42 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     if not SPREAD_ENABLED:
         return df
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    if _estimated_scan_partitions(df) >= target:
         return df
     return df.repartition(target)
+
+
+def _estimated_scan_partitions(df: DataFrame) -> int:
+    """Planned scan parallelism WITHOUT the `df.rdd` bridge (which forces the
+    whole plan through RDD conversion on every call — measurable per-query
+    driver cost). `inputFiles()` is analysis-only; splits are estimated from
+    local file sizes against `spark.sql.files.maxPartitionBytes`. Non-local
+    or unstatable files (object stores) count 1 split each, which at lake
+    scale (hundreds of files) already clears the target → spread() is the
+    intended no-op there."""
+    import math
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if not files:
+        # non-scan plan (in-memory df, post-shuffle): fall back to the exact
+        # count; rare — spread() is documented for use directly on scans
+        return df.rdd.getNumPartitions()
+    conf = df.sparkSession.conf.get(
+        "spark.sql.files.maxPartitionBytes", "134217728b"
+    )
+    max_bytes = int("".join(ch for ch in str(conf) if ch.isdigit()) or "134217728")
+    est = 0
+    for f in files:
+        path = f[len("file:"):] if f.startswith("file:") else f
+        try:
+            size = os.path.getsize(path)
+        except OSError:
+            size = 0
+        est += max(1, math.ceil(size / max_bytes)) if size else 1
+    return est
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names=FIXTURE_TABLES) -> dict[str, DataFrame]:

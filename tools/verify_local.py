@@ -6,7 +6,7 @@ order-insensitive value hash — the same shape the driver records into
 CORRECTNESS_r{N}.json. Queries without an oracle get the weaker rows-only
 check. Exit code 1 if anything mismatches.
 
-Usage: python tools/verify_local.py [sf_dir] [--bare]
+Usage: python tools/verify_local.py [sf_dir] [--bare] [--only a,b,c]
 
 ``--bare`` runs the queries on an unconfigured ``SparkSession`` (ANSI on, no
 nanosAsLong, machine timezone) — the driver's environment. Every query must
@@ -29,8 +29,14 @@ import __spark_entry__ as entrymod
 from pagila_etl_airflow_assignment_spark.schemas import FIXTURE_TABLES
 from pagila_etl_airflow_assignment_spark.session import build_session
 
-_args = [a for a in sys.argv[1:] if a != "--bare"]
-BARE = "--bare" in sys.argv[1:]
+_argv = sys.argv[1:]
+BARE = "--bare" in _argv
+ONLY: set[str] | None = None
+if "--only" in _argv:
+    i = _argv.index("--only")
+    ONLY = set(_argv[i + 1].split(","))
+    _argv = _argv[:i] + _argv[i + 2:]
+_args = [a for a in _argv if a != "--bare"]
 SF_DIR = _args[0] if _args else "/root/testdata/sf0.01"
 
 
@@ -76,6 +82,8 @@ def main() -> int:
 
     qmap = entrymod.queries()
     omap = entrymod.oracle_sql()
+    if ONLY is not None:
+        qmap = {k: v for k, v in qmap.items() if k in ONLY}
     failures = []
     for name in sorted(qmap):
         t0 = time.perf_counter()
