@@ -43,6 +43,7 @@ HEADLINE = [
     "warehouse_grouping_sets_revenue",
     "cdc_orders_snapshot_diff",
     "embedding_centroid_outliers",
+    "warehouse_salted_skew_join",
 ]
 
 

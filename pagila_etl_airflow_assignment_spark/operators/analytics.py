@@ -100,3 +100,122 @@ SCD2_USER_STATE_SQL = """
     FROM changes
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
+
+
+# --- ordered funnel -----------------------------------------------------------
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def funnel_user_stages(
+    events: DataFrame, steps: tuple[str, ...] = FUNNEL_STEPS
+) -> DataFrame:
+    """Ordered conversion funnel: per user, the timestamp of the FIRST event
+    of each step that occurs at-or-after the previous step's first event
+    (view -> click -> purchase). A user who clicked before ever viewing has
+    that click ignored — order is the funnel's contract.
+
+    Scale shape: each step is a per-user MIN aggregate joined back on
+    user_id — every shuffle is keyed by user_id, so all stages co-partition
+    (one real exchange under AQE; broadcast when a step's survivor set is
+    small). No window over the full event set and no per-user array
+    materialization."""
+    first_ts = F.min("ts").alias(f"{steps[0]}_ts")
+    stage = (
+        events.where(F.col("event_type") == steps[0])
+        .groupBy("user_id")
+        .agg(first_ts)
+    )
+    prev_col = f"{steps[0]}_ts"
+    for step in steps[1:]:
+        nxt = (
+            events.where(F.col("event_type") == step)
+            .join(stage.select("user_id", prev_col), "user_id")
+            .where(F.col("ts") >= F.col(prev_col))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(f"{step}_ts"))
+        )
+        stage = stage.join(nxt, "user_id", "left")
+        prev_col = f"{step}_ts"
+    return stage.orderBy("user_id")
+
+
+def funnel_user_stages_sql(steps: tuple[str, ...] = FUNNEL_STEPS) -> str:
+    s0, s1, s2 = steps
+    return f"""
+        WITH step0 AS (
+            SELECT user_id, MIN(ts) AS {s0}_ts FROM events
+            WHERE event_type = '{s0}' GROUP BY user_id
+        ),
+        step1 AS (
+            SELECT e.user_id, MIN(e.ts) AS {s1}_ts
+            FROM events e JOIN step0 USING (user_id)
+            WHERE e.event_type = '{s1}' AND e.ts >= step0.{s0}_ts
+            GROUP BY e.user_id
+        ),
+        step2 AS (
+            SELECT e.user_id, MIN(e.ts) AS {s2}_ts
+            FROM events e JOIN step1 USING (user_id)
+            WHERE e.event_type = '{s2}' AND e.ts >= step1.{s1}_ts
+            GROUP BY e.user_id
+        )
+        SELECT step0.user_id, {s0}_ts, {s1}_ts, {s2}_ts
+        FROM step0
+        LEFT JOIN step1 USING (user_id)
+        LEFT JOIN step2 USING (user_id)
+        ORDER BY user_id
+    """
+
+
+# --- cohort retention ---------------------------------------------------------
+
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """Weekly cohort retention triangle: users grouped by first-activity week
+    (the cohort), counted as retained in every subsequent week they are
+    active. Output (cohort_week, week_offset, n_active).
+
+    Scale shape: first-activity is one user_id-keyed aggregate; activity is
+    a distinct over (user_id, week) — both map-side combined; the cohort join
+    is user_id-keyed and co-partitions with them. The output triangle is
+    |weeks|^2 rows — tiny forever."""
+    cohorts = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    active = (
+        events.select(
+            "user_id", F.date_trunc("week", "ts").cast("date").alias("active_week")
+        )
+        .distinct()
+    )
+    return (
+        active.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("active_week", "cohort_week") / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count("*").cast("long").alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+COHORT_RETENTION_SQL = """
+    WITH cohorts AS (
+        SELECT user_id,
+               CAST(DATE_TRUNC('week', MIN(ts)) AS DATE) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    active AS (
+        SELECT DISTINCT user_id,
+               CAST(DATE_TRUNC('week', ts) AS DATE) AS active_week
+        FROM events
+    )
+    SELECT cohort_week,
+           CAST((active_week - cohort_week) // 7 AS BIGINT) AS week_offset,
+           COUNT(*) AS n_active
+    FROM active JOIN cohorts USING (user_id)
+    GROUP BY 1, 2
+    ORDER BY cohort_week, week_offset
+"""

@@ -314,3 +314,31 @@ def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order revenue at three non-hierarchical granularities in one
     Expand+aggregate pass via explicit GROUPING SETS."""
     return warehouse.grouping_sets_revenue(load_table(spark, sf_dir, "orders"))
+
+
+@register("events_funnel_stages", oracle=analytics.funnel_user_stages_sql())
+def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view->click->purchase funnel: first qualifying timestamp per
+    stage per user; every shuffle keyed by user_id (co-partitioned chain)."""
+    return analytics.funnel_user_stages(load_table(spark, sf_dir, "events"))
+
+
+@register("events_cohort_retention", oracle=analytics.COHORT_RETENTION_SQL)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle (first-activity cohort x week offset
+    x active-user count)."""
+    return analytics.cohort_retention(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "warehouse_salted_skew_join",
+    oracle=warehouse.SALTED_SKEW_JOIN_REVENUE_SQL,
+    survey_rows=("O-12",),
+)
+def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-side skew salting: deterministic fact salt + dim replication,
+    joined on (key, salt) — result identical to the unsalted join (the
+    oracle), only the shuffle distribution changes."""
+    return warehouse.salted_skew_join_revenue(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "orders")
+    )

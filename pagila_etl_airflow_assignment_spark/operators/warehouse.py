@@ -483,3 +483,58 @@ GROUPING_SETS_REVENUE_SQL = """
                             (o_orderpriority), (year(o_orderdate)))
     ORDER BY gid, priority, yr
 """
+
+
+SALT_BUCKETS = 8
+
+
+def salted_skew_join_revenue(
+    lineitem: DataFrame, orders: DataFrame, salt_buckets: int = SALT_BUCKETS
+) -> DataFrame:
+    """Fact-fact join with JOIN-SIDE skew salting: the fact's join key gets a
+    deterministic salt (md5 of the row's unique id, not a RNG — reruns give
+    identical partitioning), the other side is replicated across all salt
+    values, and the join runs on (key, salt) so one hot order key spreads
+    over `salt_buckets` reducers instead of one straggler.
+
+    Companion to ``salted_aggregation`` (agg-side skew, SCALE.md §4): AQE's
+    skew-join splitter handles moderate skew automatically, but a
+    pathological hot key inside ONE shuffle block still needs explicit
+    salting. Correctness is salt-invariant by construction — the oracle is
+    the UNSALTED join."""
+    fact = lineitem.withColumn(
+        "__salt",
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 8), 16, 10)
+            .cast("long"),
+            F.lit(salt_buckets),
+        ).cast("int"),
+    )
+    dim = orders.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    revenue = _price() * (_one() - _disc())
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        fact["__salt"] == dim["__salt"]
+    )
+    return (
+        fact.join(dim, cond, "inner")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+SALTED_SKEW_JOIN_REVENUE_SQL = """
+    SELECT o_orderpriority,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+             AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""

@@ -92,6 +92,8 @@ EXTENSION_SURVEY_ROWS: dict[str, tuple[str, ...]] = {
     "text_sequence_packing": ("L-39",),
     "embedding_centroid_outliers": ("L-40",),
     "text_quality_quantile": ("L-41",),
+    "events_funnel_stages": ("L-42",),
+    "events_cohort_retention": ("L-43",),
 }
 
 

@@ -133,3 +133,75 @@ def test_quality_quantile_keeps_top_fraction_per_lang(spark):
         assert abs(k - total / 2) <= 1.5, f"{lang}: kept {k} of {total}"
     # fluency ordering: every kept doc's pct_rank is within the cut
     assert kept.where(F.col("pct_rank") > 0.5).count() == 0
+
+
+def test_funnel_order_constraint(spark):
+    import datetime as dt
+
+    t = lambda m: (dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m))
+    rows = [
+        # user 1: proper view -> click -> purchase
+        (1, t(0), 1, "view", 1.0, "{}"),
+        (2, t(5), 1, "click", 1.0, "{}"),
+        (3, t(9), 1, "purchase", 1.0, "{}"),
+        # user 2: click BEFORE any view — must not count as stage 2
+        (4, t(0), 2, "click", 1.0, "{}"),
+        (5, t(5), 2, "view", 1.0, "{}"),
+        (6, t(9), 2, "purchase", 1.0, "{}"),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    from pagila_etl_airflow_assignment_spark.operators.analytics import (
+        funnel_user_stages,
+    )
+
+    got = {r.user_id: r for r in funnel_user_stages(events).collect()}
+    assert got[1].click_ts == t(5) and got[1].purchase_ts == t(9)
+    # user 2 never clicks after viewing -> stages 2 and 3 are null even
+    # though a purchase exists after the view
+    assert got[2].view_ts == t(5)
+    assert got[2].click_ts is None and got[2].purchase_ts is None
+
+
+def test_cohort_retention_offset_zero_covers_all_users(spark):
+    from pagila_etl_airflow_assignment_spark.operators.analytics import (
+        cohort_retention,
+    )
+
+    events = load_table(spark, SF_SMALL, "events")
+    tri = cohort_retention(events).collect()
+    assert all(r.week_offset >= 0 for r in tri)
+    n_users = events.select("user_id").distinct().count()
+    # every user is active in their own cohort week by definition
+    assert sum(r.n_active for r in tri if r.week_offset == 0) == n_users
+
+
+def test_salted_skew_join_matches_unsalted(spark):
+    from pagila_etl_airflow_assignment_spark.operators.warehouse import (
+        salted_skew_join_revenue,
+    )
+
+    li = load_table(spark, SF_SMALL, "lineitem")
+    od = load_table(spark, SF_SMALL, "orders")
+    salted = {
+        r.o_orderpriority: (r.revenue, r.n_items)
+        for r in salted_skew_join_revenue(li, od, salt_buckets=4).collect()
+    }
+    plain = (
+        li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .collect()
+    )
+    assert salted == {r.o_orderpriority: (r.revenue, r.n_items) for r in plain}
