@@ -94,6 +94,7 @@ EXTENSION_SURVEY_ROWS: dict[str, tuple[str, ...]] = {
     "text_quality_quantile": ("L-41",),
     "events_funnel_stages": ("L-42",),
     "events_cohort_retention": ("L-43",),
+    "events_user_totals": ("L-44",),
 }
 
 

@@ -72,3 +72,15 @@ def split_quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     clean = df.where(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     bad = df.where(F.col(CORRUPT_COL).isNotNull()).localCheckpoint(eager=False)
     return clean, bad
+
+
+def read_orc(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """Columnar sibling of the parquet reader: explicit schema (no footer
+    round-trip surprises), vectorized scan, same predicate-pushdown and
+    column-pruning behavior. ORC is the other first-class lake format; the
+    engine treats it identically to parquet."""
+    return spark.read.schema(schema).orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)

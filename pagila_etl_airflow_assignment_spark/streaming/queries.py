@@ -18,6 +18,7 @@ from .aggregations import (
 )
 from .dedup import DEDUP_EVENT_COUNTS_SQL, dedup_event_counts
 from .joins import PURCHASE_CLICK_WINDOW_JOIN_SQL, purchase_click_window_join
+from .stateful import USER_TOTALS_SQL, user_totals_batch
 
 
 @register("events_hourly_tumbling", oracle=HOURLY_EVENT_COUNTS_SQL)
@@ -59,3 +60,10 @@ def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization via Spark's native session_window (one
     UpdatingSessions pass; streaming-ready unchanged)."""
     return sessionize_native(load_table(spark, sf_dir, "events"))
+
+
+@register("events_user_totals", oracle=USER_TOTALS_SQL)
+def q_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running totals (batch twin of the transformWithStateInPandas
+    arbitrary-state streaming operator, streaming/stateful.py)."""
+    return user_totals_batch(load_table(spark, sf_dir, "events"))

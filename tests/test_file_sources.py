@@ -5,7 +5,10 @@ from __future__ import annotations
 import tempfile
 
 import pytest
+import pyspark.sql.functions as F
 from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+from conftest import SF_SMALL
 
 from pagila_etl_airflow_assignment_spark.sources.files import (
     read_csv,
@@ -54,3 +57,39 @@ def test_jsonl_roundtrip_and_quarantine(spark, tdir):
         (3, "carol"),
     }
     assert bad.count() == 1
+
+
+def test_orc_round_trip_preserves_schema_and_values(spark, tmp_path):
+    from pagila_etl_airflow_assignment_spark.sources.files import (
+        read_orc,
+        write_orc,
+    )
+    from pagila_etl_airflow_assignment_spark.sources.parquet import load_table
+
+    src = load_table(spark, SF_SMALL, "events")
+    path = str(tmp_path / "events_orc")
+    write_orc(src, path)
+    back = read_orc(spark, path, src.schema)
+    assert back.schema == src.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_orc_scan_pushes_filters_and_prunes_columns(spark, tmp_path):
+    from pagila_etl_airflow_assignment_spark.sources.files import (
+        read_orc,
+        write_orc,
+    )
+    from pagila_etl_airflow_assignment_spark.sources.parquet import load_table
+
+    src = load_table(spark, SF_SMALL, "events")
+    path = str(tmp_path / "events_orc2")
+    write_orc(src, path)
+    q = (
+        read_orc(spark, path, src.schema)
+        .where(F.col("event_type") == "click")
+        .select("event_id", "ts")
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "event_type" in plan.split("PushedFilters")[1][:200]
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "value" not in read_schema and "props" not in read_schema

@@ -216,3 +216,52 @@ def test_stream_merge_sink_equals_batch(spark, events_dir):
         for r in read_parquet_table(spark, target).collect()
     }
     assert got2 == expected
+
+
+def test_transform_with_state_running_totals_equal_batch(spark, events_dir):
+    """Spark 4 arbitrary-state API (transformWithStateInPandas): the LAST
+    emitted running total per user must equal the batch aggregate.
+
+    The TWS Python runner requires google.protobuf (ships with full Spark
+    distros; absent in this container) — skip, don't fake, where missing."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithState runner needs protobuf",
+    )
+    from pagila_etl_airflow_assignment_spark.streaming.stateful import (
+        streaming_user_running_totals,
+        user_totals_batch,
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        got = _run_to_memory(
+            spark,
+            streaming_user_running_totals(spark, events_dir),
+            "running_totals",
+            "append",
+        )
+        # keep only each user's final emission (availableNow may emit one row
+        # per microbatch per user)
+        import pyspark.sql.functions as F
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+        final = (
+            got.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+        g = sorted(tuple(r) for r in final.collect())
+        want = user_totals_batch(load_table(spark, SF_SMALL, "events"))
+        wrows = sorted(tuple(r) for r in want.collect())
+        assert g == wrows
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
