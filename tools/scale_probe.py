@@ -1,0 +1,122 @@
+"""Empirical scaling probe: run representative operators at 1x and Nx data
+and report wall-clock ratios.
+
+The N-times corpus is synthesized deterministically from the sf fixtures
+(replicas get offset ids and perturbed content so near-dup pair counts grow
+linearly with data, as in a real corpus, not quadratically as naive
+duplication would cause). An operator whose time ratio tracks the data ratio
+is shuffle/partition-healthy; a super-linear ratio exposes a scale bug.
+
+Usage: python tools/scale_probe.py [sf_dir] [factor]
+Writes one JSON line: {"factor": N, "queries": {name: {"t1": s, "tN": s,
+"ratio": r}}}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from pagila_etl_airflow_assignment_spark.registry import queries
+from pagila_etl_airflow_assignment_spark.session import build_session
+from pagila_etl_airflow_assignment_spark.sources.parquet import load_table
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+FACTOR = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+
+# Representative, data-dominated operators (one per scale-critical family).
+PROBES = [
+    "dedup_exact",
+    "dedup_minhash_signatures",
+    "dedup_minhash_lsh",
+    "text_winnowing",
+    "text_tfidf_topk",
+    "text_sequence_packing",
+    "events_sessionization",
+    "asof_click_attribution",
+    "events_cohort_retention",
+    "ann_bruteforce_topk",
+    "embedding_centroid_outliers",
+]
+
+
+def synthesize(spark, out_dir: str) -> None:
+    """FACTOR-times fixtures: replicas with offset ids + perturbed content."""
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    n_events = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    n_vecs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+    k = F.explode(F.sequence(F.lit(0), F.lit(FACTOR - 1))).alias("k")
+
+    docs = load_table(spark, SF_DIR, "documents").select("*", k)
+    docs.select(
+        (F.col("doc_id") + F.col("k") * n_docs).alias("doc_id"),
+        # replica text diverges: append a replica-unique token so shingle /
+        # signature work grows linearly, not quadratically
+        F.concat("text", F.lit(" rep"), F.col("k"), F.lit("x"), F.col("doc_id"))
+        .alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    ).write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+
+    events = load_table(spark, SF_DIR, "events").select("*", k)
+    events.select(
+        (F.col("event_id") + F.col("k") * n_events).alias("event_id"),
+        (F.col("ts") + F.make_interval(days=F.col("k") * 31)).alias("ts"),
+        (F.col("user_id") + F.col("k") * 1000).alias("user_id"),
+        "event_type",
+        "value",
+        "props",
+    ).write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
+
+    vecs = load_table(spark, SF_DIR, "embeddings").select("*", k)
+    vecs.select(
+        (F.col("vec_id") + F.col("k") * n_vecs).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: x + (F.col("k") * 0.001) * (i % 3 - 1)
+        ).alias("embedding"),
+        "label",
+    ).write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
+
+    # relational tables pass through untouched (probes don't scale them)
+    for t in ("region", "nation", "customer", "supplier", "part", "orders", "lineitem"):
+        shutil.copy(f"{SF_DIR}/{t}.parquet", f"{out_dir}/{t}.parquet")
+
+
+def main() -> None:
+    spark = build_session(app_name="scale-probe")
+    out_dir = tempfile.mkdtemp(prefix="scaleprobe-")
+    synthesize(spark, out_dir)
+    qmap = queries()
+    results = {}
+    for name in PROBES:
+        fn = qmap[name]
+        fn(spark, SF_DIR).count()  # warm plan+JVM for this shape
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).count()
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        n = fn(spark, out_dir).count()
+        tn = time.perf_counter() - t0
+        results[name] = {
+            "t1": round(t1, 2),
+            "tN": round(tn, 2),
+            "ratio": round(tn / t1, 1) if t1 > 0 else None,
+            "rows_at_N": n,
+        }
+        print(f"# {name}: {t1:.2f}s -> {tn:.2f}s (x{tn/t1:.1f})", file=sys.stderr)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    print(json.dumps({"factor": FACTOR, "sf_dir": SF_DIR, "queries": results}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
