@@ -22,7 +22,7 @@ Everything is built-in-function Spark (JVM codegen); no Python UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .hashing import (
@@ -706,4 +706,59 @@ def embedding_near_pairs_sql(threshold: float = 0.95) -> str:
           AND round(list_cosine_similarity(
                   a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= {threshold}
         ORDER BY vec_a, vec_b
+    """
+
+
+def cluster_representatives(docs: DataFrame, labels: DataFrame) -> DataFrame:
+    """Pick each near-dup cluster's KEEP document — the longest member,
+    ties to the smallest doc_id (the content-retention policy training
+    pipelines actually use: keep the most complete copy, drop the rest).
+
+    ``labels`` is ``dedup_clusters`` output (doc_id, cluster_id). One
+    doc_id-keyed join + one window over cluster members; cluster sizes are
+    bounded by the dedup threshold's true-duplicate density, so the window
+    partitions stay small at any corpus size."""
+    members = labels.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        members.withColumn("__rn", F.row_number().over(w))
+        .withColumn(
+            "n_members",
+            F.count("*").over(Window.partitionBy("cluster_id")).cast("long"),
+        )
+        .where(F.col("__rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("rep_doc_id"),
+            F.col("n_chars").alias("rep_chars"),
+            "n_members",
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def cluster_representatives_sql(clusters_sql: str, docs_rel: str = "documents") -> str:
+    return f"""
+        WITH labels AS ({clusters_sql}),
+        members AS (
+            SELECT l.doc_id, l.cluster_id, d.n_chars
+            FROM labels l JOIN {docs_rel} d USING (doc_id)
+        )
+        SELECT cluster_id,
+               doc_id AS rep_doc_id,
+               n_chars AS rep_chars,
+               n_members
+        FROM (
+            SELECT *,
+                   row_number() OVER (
+                       PARTITION BY cluster_id
+                       ORDER BY n_chars DESC, doc_id ASC
+                   ) AS rn,
+                   COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+            FROM members
+        )
+        WHERE rn = 1
+        ORDER BY cluster_id
     """

@@ -318,3 +318,18 @@ def q_quality_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language quantile cut on fluency (stopword ratio): keep the top
     half within each language — the mixture-preserving curation filter."""
     return text.quality_quantile_filter(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_cluster_representatives",
+    oracle=dedup.cluster_representatives_sql(
+        dedup.dedup_clusters_sql(dedup.ngram_jaccard_pairs_sql(threshold=0.1))
+    ),
+)
+def q_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best selection per near-dup cluster: the longest member wins
+    (ties to smallest doc_id) — the retention policy applied after cluster
+    resolution."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    labels = dedup.dedup_clusters(docs, dedup.ngram_jaccard_pairs(docs, threshold=0.1))
+    return dedup.cluster_representatives(docs, labels)

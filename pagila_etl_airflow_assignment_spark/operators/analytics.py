@@ -219,3 +219,51 @@ COHORT_RETENTION_SQL = """
     GROUP BY 1, 2
     ORDER BY cohort_week, week_offset
 """
+
+
+# --- time-RANGE rolling window ------------------------------------------------
+
+RANGE_WINDOW_SECONDS = 3600
+
+
+def user_trailing_window(
+    events: DataFrame, window_seconds: int = RANGE_WINDOW_SECONDS
+) -> DataFrame:
+    """Per event: count and value-sum of the SAME USER's events in the
+    trailing `window_seconds` (inclusive) — a RANGE frame over event-time
+    micros, the time-based sibling of the ROWS frames in
+    ``user_rolling_stats``. RANGE is the correct frame when event spacing is
+    irregular: a ROWS frame of fixed width silently changes meaning with
+    event density.
+
+    Same single user_id shuffle + one Window sort as the ROWS form; frame
+    evaluation is a sliding two-pointer inside the sorted partition."""
+    from ..functions import micros
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(micros("ts"))
+        .rangeBetween(-window_seconds * 1_000_000, 0)
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.count("*").over(w).cast("long").alias("n_trailing"),
+        F.round(F.sum("value").over(w), 6).alias("value_trailing"),
+    ).orderBy("user_id", "ts", "event_id")
+
+
+def user_trailing_window_sql(window_seconds: int = RANGE_WINDOW_SECONDS) -> str:
+    return f"""
+        SELECT user_id, event_id, ts,
+               COUNT(*) OVER w AS n_trailing,
+               round(SUM(value) OVER w, 6) AS value_trailing
+        FROM events
+        WINDOW w AS (
+            PARTITION BY user_id ORDER BY epoch_us(ts)
+            RANGE BETWEEN {window_seconds} * CAST(1000000 AS BIGINT) PRECEDING
+                      AND CURRENT ROW
+        )
+        ORDER BY user_id, ts, event_id
+    """

@@ -342,3 +342,19 @@ def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return warehouse.salted_skew_join_revenue(
         load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "orders")
     )
+
+
+@register("events_trailing_window", oracle=analytics.user_trailing_window_sql())
+def q_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-hour count/sum for the same user via a time-RANGE
+    window frame (the irregular-spacing-correct sibling of ROWS frames)."""
+    return analytics.user_trailing_window(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "warehouse_pricing_melted", oracle=warehouse.pricing_summary_melted_sql()
+)
+def q_pricing_melted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt of the pricing summary to long form — the inverse of
+    PIVOT, a zero-shuffle Expand over the aggregated rows."""
+    return warehouse.pricing_summary_melted(load_table(spark, sf_dir, "lineitem"))

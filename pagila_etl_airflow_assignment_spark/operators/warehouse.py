@@ -538,3 +538,35 @@ SALTED_SKEW_JOIN_REVENUE_SQL = """
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority
 """
+
+
+MELT_METRICS = ("sum_qty", "sum_base_price", "sum_disc_price", "sum_charge")
+
+
+def pricing_summary_melted(lineitem: DataFrame) -> DataFrame:
+    """Wide-to-long reshape (UNPIVOT/melt) of the pricing summary: one row
+    per (group, metric). The inverse of PIVOT completes the reshape pair;
+    Spark's `unpivot` is a zero-shuffle Expand over the already-aggregated
+    rows — the reshape costs nothing beyond the underlying aggregate."""
+    wide = pricing_summary(lineitem)
+    return (
+        wide.unpivot(
+            ids=["l_returnflag", "l_linestatus"],
+            values=list(MELT_METRICS),
+            variableColumnName="metric",
+            valueColumnName="amount",
+        )
+        .orderBy("l_returnflag", "l_linestatus", "metric")
+    )
+
+
+def pricing_summary_melted_sql(ship_cutoff: str = "1998-09-02") -> str:
+    arms = " UNION ALL ".join(
+        f"SELECT l_returnflag, l_linestatus, '{m}' AS metric, {m} AS amount FROM wide"
+        for m in MELT_METRICS
+    )
+    return f"""
+        WITH wide AS ({pricing_summary_sql(ship_cutoff)})
+        {arms}
+        ORDER BY l_returnflag, l_linestatus, metric
+    """

@@ -95,6 +95,9 @@ EXTENSION_SURVEY_ROWS: dict[str, tuple[str, ...]] = {
     "events_funnel_stages": ("L-42",),
     "events_cohort_retention": ("L-43",),
     "events_user_totals": ("L-44",),
+    "dedup_cluster_representatives": ("L-45",),
+    "events_trailing_window": ("L-46",),
+    "events_enriched": ("L-47",),
 }
 
 

@@ -19,6 +19,7 @@ from .aggregations import (
 from .dedup import DEDUP_EVENT_COUNTS_SQL, dedup_event_counts
 from .joins import PURCHASE_CLICK_WINDOW_JOIN_SQL, purchase_click_window_join
 from .stateful import USER_TOTALS_SQL, user_totals_batch
+from . import enrichment
 
 
 @register("events_hourly_tumbling", oracle=HOURLY_EVENT_COUNTS_SQL)
@@ -67,3 +68,10 @@ def q_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user running totals (batch twin of the transformWithStateInPandas
     arbitrary-state streaming operator, streaming/stateful.py)."""
     return user_totals_batch(load_table(spark, sf_dir, "events"))
+
+
+@register("events_enriched", oracle=enrichment.enriched_events_sql())
+def q_enriched_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Category-dim enrichment join (batch twin of the stateless
+    stream-static broadcast join, streaming/enrichment.py)."""
+    return enrichment.enriched_events_batch(load_table(spark, sf_dir, "events"))

@@ -265,3 +265,25 @@ def test_transform_with_state_running_totals_equal_batch(spark, events_dir):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_streaming_enrichment_equals_batch(spark, events_dir):
+    """Stream-static broadcast join (stateless, append-mode): streamed
+    enrichment rows must equal the batch twin exactly."""
+    from pagila_etl_airflow_assignment_spark.streaming.enrichment import (
+        enriched_events_batch,
+        streaming_enriched_events,
+    )
+
+    got = _run_to_memory(
+        spark,
+        streaming_enriched_events(spark, events_dir),
+        "enriched_stream",
+        "append",
+    )
+    g = sorted(tuple(r) for r in got.collect())
+    w = sorted(
+        tuple(r)
+        for r in enriched_events_batch(load_table(spark, SF_SMALL, "events")).collect()
+    )
+    assert g == w and len(g) > 0
