@@ -44,6 +44,7 @@ HEADLINE = [
     "cdc_orders_snapshot_diff",
     "embedding_centroid_outliers",
     "warehouse_salted_skew_join",
+    "embedding_kmeans_step",
 ]
 
 

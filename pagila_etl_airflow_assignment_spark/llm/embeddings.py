@@ -96,3 +96,107 @@ def centroid_outliers_sql(top_k: int = OUTLIER_TOP_K) -> str:
     WHERE rnk <= {top_k}
     ORDER BY label, rnk
     """
+
+
+# --- k-means refinement step --------------------------------------------------
+
+KMEANS_K = 8
+
+
+def kmeans_step(embeddings: DataFrame, k: int = KMEANS_K) -> DataFrame:
+    """One Lloyd iteration from the md5-ordered deterministic seed centroids
+    (the refinement pass the IVF index's docstring promises): assign every
+    vector to its nearest seed by cosine (argmax affinity, ties to larger
+    centroid_id — Spark max-struct order), then emit the refined centroids
+    as LONG-form (centroid_id, pos, c_new) plus member counts.
+
+    Scale: the seed set is tiny and broadcast; assignment is one narrow pass
+    over the corpus; the mean is a (centroid_id, pos) keyed aggregate after
+    posexplode — two map-side-combined shuffles total per iteration, no
+    driver-side vectors. Long-form output avoids array re-assembly and is
+    exactly what the next iteration's broadcast join consumes."""
+    from .dedup import _dot, _l2norm
+    from .hashing import md5_int
+
+    corpus = embeddings.select(
+        "vec_id", "embedding", _l2norm(F.col("embedding")).alias("nrm")
+    )
+    seeds = (
+        corpus.withColumn("ck", md5_int(F.col("vec_id").cast("string")))
+        .orderBy("ck", "vec_id")
+        .limit(k)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("c_emb"),
+            F.col("nrm").alias("c_nrm"),
+        )
+    )
+    assignment = (
+        corpus.crossJoin(F.broadcast(seeds))
+        .select(
+            "vec_id",
+            "embedding",
+            "centroid_id",
+            (
+                _dot(F.col("embedding"), F.col("c_emb"))
+                / (F.col("nrm") * F.col("c_nrm"))
+            ).alias("c_sim"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.max(F.struct("c_sim", "centroid_id")).alias("best"),
+            F.first("embedding").alias("embedding"),
+        )
+        .select(F.col("best.centroid_id").alias("centroid_id"), "vec_id", "embedding")
+    )
+    exploded = assignment.select(
+        "centroid_id", "vec_id", F.posexplode("embedding").alias("pos0", "x")
+    )
+    return (
+        exploded.groupBy("centroid_id", (F.col("pos0") + 1).alias("pos"))
+        .agg(
+            F.round(F.avg("x"), 6).alias("c_new"),
+            F.count_distinct("vec_id").cast("long").alias("n_members"),
+        )
+        .orderBy("centroid_id", "pos")
+    )
+
+
+def kmeans_step_sql(k: int = KMEANS_K) -> str:
+    from .hashing import md5_int_sql
+
+    return f"""
+    WITH seeds AS (
+        SELECT vec_id AS centroid_id, embedding AS c_emb
+        FROM embeddings
+        ORDER BY {md5_int_sql("CAST(vec_id AS VARCHAR)")}, vec_id
+        LIMIT {k}
+    ),
+    affinity AS (
+        SELECT e.vec_id, e.embedding, s.centroid_id,
+               list_cosine_similarity(
+                   e.embedding::DOUBLE[], s.c_emb::DOUBLE[]) AS c_sim
+        FROM embeddings e CROSS JOIN seeds s
+    ),
+    assignment AS (
+        SELECT centroid_id, vec_id, embedding
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY c_sim DESC, centroid_id DESC
+            ) AS rn
+            FROM affinity
+        ) WHERE rn = 1
+    ),
+    exploded AS (
+        SELECT centroid_id, vec_id,
+               generate_subscripts(embedding, 1) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM assignment
+    )
+    SELECT centroid_id, pos,
+           round(AVG(x), 6) AS c_new,
+           COUNT(DISTINCT vec_id) AS n_members
+    FROM exploded
+    GROUP BY centroid_id, pos
+    ORDER BY centroid_id, pos
+    """

@@ -333,3 +333,10 @@ def q_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"))
     labels = dedup.dedup_clusters(docs, dedup.ngram_jaccard_pairs(docs, threshold=0.1))
     return dedup.cluster_representatives(docs, labels)
+
+
+@register("embedding_kmeans_step", oracle=embeddings_mod.kmeans_step_sql())
+def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd refinement iteration over the md5-seeded IVF centroids:
+    broadcast assignment pass + (centroid,pos)-keyed mean, long-form output."""
+    return embeddings_mod.kmeans_step(load_table(spark, sf_dir, "embeddings"))

@@ -9,7 +9,7 @@ from ..functions import micros
 from ..registry import register
 from ..sources.parquet import load_table
 from ..schemas import ORDERS
-from . import analytics, cdc, profile, temporal, warehouse
+from . import analytics, cdc, features, profile, temporal, warehouse
 
 
 @register(
@@ -358,3 +358,21 @@ def q_pricing_melted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNPIVOT/melt of the pricing summary to long form — the inverse of
     PIVOT, a zero-shuffle Expand over the aggregated rows."""
     return warehouse.pricing_summary_melted(load_table(spark, sf_dir, "lineitem"))
+
+
+@register("events_pit_state_lookup", oracle=features.pit_state_lookup_sql())
+def q_pit_state_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct dimension lookup: each purchase joined to the
+    SCD2 state valid at its timestamp (as-of join against validity
+    intervals — the feature-store PIT join)."""
+    return features.pit_state_lookup(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "events_leakage_free_features",
+    oracle=features.leakage_free_click_features_sql(),
+)
+def q_leakage_free_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per purchase: the user's strictly-prior click count/value via a
+    1-PRECEDING cumulative frame — leakage-impossible by construction."""
+    return features.leakage_free_click_features(load_table(spark, sf_dir, "events"))

@@ -98,6 +98,9 @@ EXTENSION_SURVEY_ROWS: dict[str, tuple[str, ...]] = {
     "dedup_cluster_representatives": ("L-45",),
     "events_trailing_window": ("L-46",),
     "events_enriched": ("L-47",),
+    "events_pit_state_lookup": ("L-48",),
+    "events_leakage_free_features": ("L-49",),
+    "embedding_kmeans_step": ("L-50",),
 }
 
 

@@ -205,3 +205,76 @@ def test_salted_skew_join_matches_unsalted(spark):
         .collect()
     )
     assert salted == {r.o_orderpriority: (r.revenue, r.n_items) for r in plain}
+
+
+def _mk_events(spark, rows):
+    import datetime as dt
+
+    t = lambda m: (dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m))
+    return spark.createDataFrame(
+        [(i, t(m), u, et, v, "{}") for i, (m, u, et, v) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ), t
+
+
+def test_pit_lookup_boundary_and_no_future_state(spark):
+    from pagila_etl_airflow_assignment_spark.operators.features import (
+        pit_state_lookup,
+    )
+
+    events, t = _mk_events(
+        spark,
+        [
+            (0, 1, "view", 1.0),      # id 0: state view from t0
+            (5, 1, "click", 1.0),     # id 1: state click from t5
+            (5, 1, "purchase", 9.0),  # id 2: label AT the state change
+            (2, 2, "purchase", 9.0),  # id 3: label BEFORE any state
+            (4, 2, "signup", 1.0),    # id 4: future state, must not leak back
+        ],
+    )
+    got = {r.label_id: r.state_at_label for r in pit_state_lookup(events).collect()}
+    # boundary: label at exactly valid_from sees the NEW state
+    assert got[2] == "click"
+    # no state existed yet -> null, never the later signup
+    assert got[3] is None
+
+
+def test_leakage_free_features_exclude_current_and_later(spark):
+    from pagila_etl_airflow_assignment_spark.operators.features import (
+        leakage_free_click_features,
+    )
+
+    events, t = _mk_events(
+        spark,
+        [
+            (0, 1, "click", 2.0),
+            (5, 1, "purchase", 9.0),  # id 1: sees exactly one prior click
+            (6, 1, "click", 3.0),     # later click must not count for id 1
+            (9, 1, "purchase", 9.0),  # id 3: sees both clicks
+            (0, 2, "purchase", 9.0),  # id 4: zero priors -> 0, not null
+        ],
+    )
+    got = {
+        r.label_id: (r.prior_clicks, r.prior_click_value)
+        for r in leakage_free_click_features(events).collect()
+    }
+    assert got[1] == (1, 2.0)
+    assert got[3] == (2, 5.0)
+    assert got[4] == (0, 0.0)
+
+
+def test_kmeans_step_centroid_count_and_membership(spark):
+    from pagila_etl_airflow_assignment_spark.llm.embeddings import kmeans_step
+
+    out = kmeans_step(load_table(spark, SF_SMALL, "embeddings"), k=4).collect()
+    dims = {}
+    members = {}
+    for r in out:
+        dims[r.centroid_id] = dims.get(r.centroid_id, 0) + 1
+        members.setdefault(r.centroid_id, set()).add(r.n_members)
+    assert len(dims) <= 4 and all(d == 64 for d in dims.values())
+    # n_members constant across a centroid's positions
+    assert all(len(m) == 1 for m in members.values())
+    n_vecs = load_table(spark, SF_SMALL, "embeddings").count()
+    assert sum(next(iter(m)) for m in members.values()) == n_vecs
