@@ -42,6 +42,7 @@ HEADLINE = [
     "weekly_summary_monthly_rollup",
     "warehouse_grouping_sets_revenue",
     "cdc_orders_snapshot_diff",
+    "cdc_orders_apply_roundtrip",
     "embedding_centroid_outliers",
     "warehouse_salted_skew_join",
     "embedding_kmeans_step",

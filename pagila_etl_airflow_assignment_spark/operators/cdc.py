@@ -134,3 +134,48 @@ ORDERS_SNAPSHOT_DIFF_SQL = f"""
        OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
     ORDER BY o_orderkey
 """
+
+
+def apply_changes(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Apply a `snapshot_diff`-shaped change set to a snapshot, producing the
+    next snapshot — the CDC-apply half of the pair (what a downstream mirror
+    runs on a replicated change feed). By construction
+    ``apply_changes(old, snapshot_diff(old, new)) == new`` (pinned by test).
+
+    One full-outer key join: inserts/updates take the change's new values,
+    deletes drop the row, untouched keys pass through. Same single-shuffle,
+    co-partitionable shape as snapshot_diff."""
+    ch = changes.select(
+        *[F.col(k).alias(f"__ck_{k}") for k in key],
+        "change_type",
+        *[F.col(f"new_{c}").alias(f"__new_{c}") for c in compare_cols],
+    )
+    cond = [snapshot[k].eqNullSafe(F.col(f"__ck_{k}")) for k in key]
+    join_cond = cond[0]
+    for c in cond[1:]:
+        join_cond = join_cond & c
+    joined = snapshot.join(ch, on=join_cond, how="full_outer")
+    keep = F.col("change_type").isNull() | (F.col("change_type") != "delete")
+    return (
+        joined.where(keep)
+        .select(
+            *[
+                F.coalesce(snapshot[k], F.col(f"__ck_{k}")).alias(k)
+                for k in key
+            ],
+            *[
+                F.when(
+                    F.col("change_type").isin("insert", "update"),
+                    F.col(f"__new_{c}"),
+                )
+                .otherwise(snapshot[c])
+                .alias(c)
+                for c in compare_cols
+            ],
+        )
+    )

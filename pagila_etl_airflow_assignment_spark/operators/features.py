@@ -140,3 +140,81 @@ def leakage_free_click_features_sql(
         WHERE event_type = '{label_type}'
         ORDER BY label_id
     """
+
+
+# --- gap fill / forward fill --------------------------------------------------
+
+GRID_STEP_SECONDS = 3600
+
+
+def gap_fill_ffill(
+    events: DataFrame, step_seconds: int = GRID_STEP_SECONDS
+) -> DataFrame:
+    """Resample each user's irregular event stream onto a regular time grid
+    with forward-fill — the time-series regularization step before any
+    fixed-step model. Grid points span the USER's own [min, max] activity
+    (hour-aligned); each point carries the user's most recent value at or
+    before it (as-of backward semantics; ties at an exact event time take the
+    event).
+
+    Scale: the grid is generated per user by `sequence` (no cross join with a
+    global calendar), sized by activity span / step — output is bounded and
+    predictable; the fill itself is the engine's union/last-value as-of join
+    (single user_id shuffle, no interval fan-out)."""
+    from ..functions import micros
+    from . import temporal
+
+    spans = events.groupBy("user_id").agg(
+        F.min("ts").alias("t_min"), F.max("ts").alias("t_max")
+    )
+    step = step_seconds * 1_000_000
+    grid = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                (F.ceil(micros("t_min") / step) * step).cast("long"),
+                (F.floor(micros("t_max") / step) * step).cast("long"),
+                F.lit(step),
+            )
+        ).alias("grid_us"),
+    ).select("user_id", F.timestamp_micros("grid_us").alias("grid_ts"))
+    filled = temporal.asof_join(
+        grid,
+        events.select("user_id", "ts", "value"),
+        on="user_id",
+        left_ts="grid_ts",
+        right_ts="ts",
+        right_cols=("value",),
+    )
+    return filled.select(
+        "user_id",
+        "grid_ts",
+        F.col("matched_ts").alias("last_event_ts"),
+        F.round("value", 6).alias("last_value"),
+    ).orderBy("user_id", "grid_ts")
+
+
+def gap_fill_ffill_sql(step_seconds: int = GRID_STEP_SECONDS) -> str:
+    step = step_seconds * 1_000_000
+    return f"""
+        WITH spans AS (
+            SELECT user_id, MIN(ts) AS t_min, MAX(ts) AS t_max
+            FROM events GROUP BY user_id
+        ),
+        grid AS (
+            SELECT user_id,
+                   make_timestamp(unnest(generate_series(
+                       CAST(ceil(epoch_us(t_min) / {step}) AS BIGINT) * {step},
+                       CAST(floor(epoch_us(t_max) / {step}) AS BIGINT) * {step},
+                       {step}
+                   ))) AS grid_ts
+            FROM spans
+        )
+        SELECT g.user_id, g.grid_ts,
+               e.ts AS last_event_ts,
+               round(e.value, 6) AS last_value
+        FROM grid g
+        ASOF LEFT JOIN (SELECT user_id, ts, value FROM events) e
+          ON g.user_id = e.user_id AND g.grid_ts >= e.ts
+        ORDER BY g.user_id, g.grid_ts
+    """

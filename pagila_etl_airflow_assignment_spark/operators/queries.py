@@ -376,3 +376,34 @@ def q_leakage_free_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per purchase: the user's strictly-prior click count/value via a
     1-PRECEDING cumulative frame — leakage-impossible by construction."""
     return features.leakage_free_click_features(load_table(spark, sf_dir, "events"))
+
+
+@register("events_gap_fill_ffill", oracle=features.gap_fill_ffill_sql())
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user regular-grid resampling with forward-fill (as-of backward
+    fill over an hour grid spanning each user's own activity)."""
+    return features.gap_fill_ffill(load_table(spark, sf_dir, "events"))
+
+
+APPLY_ROUNDTRIP_SQL = f"""
+    SELECT o_orderkey, o_totalprice, o_orderstatus
+    FROM orders WHERE o_orderkey % 10 <> {cdc.DELETE_MOD}
+    ORDER BY o_orderkey
+"""
+
+
+@register("cdc_orders_apply_roundtrip", oracle=APPLY_ROUNDTRIP_SQL)
+def q_cdc_apply_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply: replaying snapshot_diff's change set onto the old snapshot
+    must reproduce the new snapshot exactly (oracle IS the new snapshot)."""
+    orders = load_table(spark, sf_dir, "orders")
+    old = cdc.orders_old_snapshot(orders)
+    diff = cdc.snapshot_diff(
+        old,
+        cdc.orders_new_snapshot(orders),
+        key=["o_orderkey"],
+        compare_cols=["o_totalprice", "o_orderstatus"],
+    )
+    return cdc.apply_changes(
+        old, diff, key=["o_orderkey"], compare_cols=["o_totalprice", "o_orderstatus"]
+    ).orderBy("o_orderkey")

@@ -101,6 +101,8 @@ EXTENSION_SURVEY_ROWS: dict[str, tuple[str, ...]] = {
     "events_pit_state_lookup": ("L-48",),
     "events_leakage_free_features": ("L-49",),
     "embedding_kmeans_step": ("L-50",),
+    "events_gap_fill_ffill": ("L-51",),
+    "cdc_orders_apply_roundtrip": ("L-52",),
 }
 
 

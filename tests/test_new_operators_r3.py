@@ -278,3 +278,45 @@ def test_kmeans_step_centroid_count_and_membership(spark):
     assert all(len(m) == 1 for m in members.values())
     n_vecs = load_table(spark, SF_SMALL, "embeddings").count()
     assert sum(next(iter(m)) for m in members.values()) == n_vecs
+
+
+def test_cdc_apply_inverts_diff(spark):
+    """apply_changes(old, snapshot_diff(old, new)) must reproduce new exactly
+    (the CDC mirror-replication contract)."""
+    from pagila_etl_airflow_assignment_spark.operators import cdc
+
+    orders = load_table(spark, SF_SMALL, "orders")
+    old = cdc.orders_old_snapshot(orders)
+    new = cdc.orders_new_snapshot(orders)
+    diff = cdc.snapshot_diff(
+        old, new, key=["o_orderkey"], compare_cols=["o_totalprice", "o_orderstatus"]
+    )
+    rebuilt = cdc.apply_changes(
+        old, diff, key=["o_orderkey"], compare_cols=["o_totalprice", "o_orderstatus"]
+    )
+    got = sorted(tuple(r) for r in rebuilt.collect())
+    want = sorted(tuple(r) for r in new.collect())
+    assert got == want and len(got) > 0
+
+
+def test_gap_fill_forward_fill_semantics(spark):
+    from pagila_etl_airflow_assignment_spark.operators.features import (
+        gap_fill_ffill,
+    )
+
+    events, t = _mk_events(
+        spark,
+        [
+            (10, 1, "click", 2.0),    # 00:10
+            (70, 1, "click", 5.0),    # 01:10
+            (200, 1, "view", 7.0),    # 03:20
+        ],
+    )
+    rows = {r.grid_ts: r.last_value for r in gap_fill_ffill(events).collect()}
+    import datetime as dt
+
+    # grid = 01:00, 02:00, 03:00 (hour-aligned inside [00:10, 03:20])
+    assert rows[dt.datetime(2024, 1, 1, 1)] == 2.0   # before 01:10 event
+    assert rows[dt.datetime(2024, 1, 1, 2)] == 5.0   # forward-filled
+    assert rows[dt.datetime(2024, 1, 1, 3)] == 5.0   # still filled from 01:10
+    assert len(rows) == 3
