@@ -46,6 +46,7 @@ HEADLINE = [
     "embedding_centroid_outliers",
     "warehouse_salted_skew_join",
     "embedding_kmeans_step",
+    "warehouse_fuzzy_part_match",
 ]
 
 

@@ -267,3 +267,40 @@ def user_trailing_window_sql(window_seconds: int = RANGE_WINDOW_SECONDS) -> str:
         )
         ORDER BY user_id, ts, event_id
     """
+
+
+# --- equi-width histogram -----------------------------------------------------
+
+HIST_BIN_WIDTH = 5.0
+
+
+def value_histogram(events: DataFrame, bin_width: float = HIST_BIN_WIDTH) -> DataFrame:
+    """Equi-width histogram of event value per type: one partial+final hash
+    aggregate keyed (event_type, bin) — the distribution profile that feeds
+    dashboards and drift monitors. Bin count is value-range/width regardless
+    of row count, so output stays tiny at any scale."""
+    b = F.floor(F.col("value") / bin_width).cast("long")
+    return (
+        events.where(F.col("value").isNotNull())
+        .groupBy("event_type", b.alias("bin"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.min("value"), 6).alias("bin_min"),
+            F.round(F.max("value"), 6).alias("bin_max"),
+        )
+        .orderBy("event_type", "bin")
+    )
+
+
+def value_histogram_sql(bin_width: float = HIST_BIN_WIDTH) -> str:
+    return f"""
+        SELECT event_type,
+               CAST(floor(value / {bin_width}) AS BIGINT) AS bin,
+               COUNT(*) AS n,
+               round(MIN(value), 6) AS bin_min,
+               round(MAX(value), 6) AS bin_max
+        FROM events
+        WHERE value IS NOT NULL
+        GROUP BY 1, 2
+        ORDER BY event_type, bin
+    """

@@ -407,3 +407,16 @@ def q_cdc_apply_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc.apply_changes(
         old, diff, key=["o_orderkey"], compare_cols=["o_totalprice", "o_orderstatus"]
     ).orderBy("o_orderkey")
+
+
+@register("warehouse_fuzzy_part_match", oracle=warehouse.fuzzy_part_match_sql())
+def q_fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand-blocked fuzzy record linkage: same-brand part pairs within 2
+    name edits (blocked equi join + levenshtein verify)."""
+    return warehouse.fuzzy_part_match(load_table(spark, sf_dir, "part"))
+
+
+@register("events_value_histogram", oracle=analytics.value_histogram_sql())
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width value histogram per event type (one hash aggregate)."""
+    return analytics.value_histogram(load_table(spark, sf_dir, "events"))

@@ -103,6 +103,8 @@ EXTENSION_SURVEY_ROWS: dict[str, tuple[str, ...]] = {
     "embedding_kmeans_step": ("L-50",),
     "events_gap_fill_ffill": ("L-51",),
     "cdc_orders_apply_roundtrip": ("L-52",),
+    "warehouse_fuzzy_part_match": ("L-53",),
+    "events_value_histogram": ("L-54",),
 }
 
 
