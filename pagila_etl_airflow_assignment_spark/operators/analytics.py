@@ -304,3 +304,69 @@ def value_histogram_sql(bin_width: float = HIST_BIN_WIDTH) -> str:
         GROUP BY 1, 2
         ORDER BY event_type, bin
     """
+
+
+# --- per-entity linear trend --------------------------------------------------
+
+
+def user_value_trend(events: DataFrame) -> DataFrame:
+    """Per-user OLS trend of value over event time — slope/intercept in
+    CLOSED FORM from one aggregation pass (covar/var built-ins), no
+    iterative fitting and no per-group Python. Time is hours since the
+    user's first event (small, well-conditioned regressor). Users with a
+    degenerate regressor (single event / zero time spread) report NULL
+    slope rather than dividing by zero.
+
+    The trend-detection shape: at any scale this is one user_id-keyed
+    partial+final aggregate — the same cost as a COUNT."""
+    from ..functions import micros
+
+    w = Window.partitionBy("user_id")
+    x = (
+        (micros("ts") - F.min(micros("ts")).over(w)) / 3_600_000_000.0
+    ).alias("x_hours")
+    base = events.where(F.col("value").isNotNull()).select(
+        "user_id", x, F.col("value").alias("y")
+    )
+    agg = base.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_points"),
+        F.covar_samp("x_hours", "y").alias("cov_xy"),
+        F.var_samp("x_hours").alias("var_x"),
+        F.avg("x_hours").alias("mean_x"),
+        F.avg("y").alias("mean_y"),
+    )
+    slope = F.when(F.col("var_x") > 0, F.col("cov_xy") / F.col("var_x"))
+    return agg.select(
+        "user_id",
+        "n_points",
+        F.round(slope, 6).alias("slope_per_hour"),
+        F.round(F.col("mean_y") - slope * F.col("mean_x"), 6).alias("intercept"),
+    ).orderBy("user_id")
+
+
+USER_VALUE_TREND_SQL = """
+    WITH base AS (
+        SELECT user_id,
+               (epoch_us(ts) - MIN(epoch_us(ts)) OVER (PARTITION BY user_id))
+                 / 3600000000.0 AS x_hours,
+               value AS y
+        FROM events
+        WHERE value IS NOT NULL
+    ),
+    agg AS (
+        SELECT user_id,
+               COUNT(*) AS n_points,
+               covar_samp(x_hours, y) AS cov_xy,
+               var_samp(x_hours) AS var_x,
+               AVG(x_hours) AS mean_x,
+               AVG(y) AS mean_y
+        FROM base GROUP BY user_id
+    )
+    SELECT user_id, n_points,
+           round(CASE WHEN var_x > 0 THEN cov_xy / var_x END, 6)
+             AS slope_per_hour,
+           round(mean_y - CASE WHEN var_x > 0 THEN cov_xy / var_x END * mean_x, 6)
+             AS intercept
+    FROM agg
+    ORDER BY user_id
+"""

@@ -420,3 +420,10 @@ def q_fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-width value histogram per event type (one hash aggregate)."""
     return analytics.value_histogram(load_table(spark, sf_dir, "events"))
+
+
+@register("events_user_trend", oracle=analytics.USER_VALUE_TREND_SQL)
+def q_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS value trend in closed form (covar/var built-ins) — one
+    user_id-keyed aggregate, no iterative fit, no per-group Python."""
+    return analytics.user_value_trend(load_table(spark, sf_dir, "events"))

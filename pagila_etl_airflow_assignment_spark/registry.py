@@ -105,6 +105,7 @@ EXTENSION_SURVEY_ROWS: dict[str, tuple[str, ...]] = {
     "cdc_orders_apply_roundtrip": ("L-52",),
     "warehouse_fuzzy_part_match": ("L-53",),
     "events_value_histogram": ("L-54",),
+    "events_user_trend": ("L-55",),
 }
 
 

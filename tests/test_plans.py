@@ -189,3 +189,39 @@ def test_user_rolling_stats_is_single_window_pass(spark):
     plan = final_plan(queries()["events_user_rolling_stats"](spark, SF_SMALL))
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
     assert len(re.findall(r"\bSort \[", plan)) == 1, plan
+
+
+def _hash_exchanges(plan: str) -> int:
+    return len(re.findall(r"Exchange hashpartitioning", plan))
+
+
+def test_trailing_window_single_user_shuffle(spark):
+    """RANGE-frame trailing window: exactly one hash exchange (user_id) —
+    the range partition for the display sort is the only other exchange."""
+    plan = final_plan(queries()["events_trailing_window"](spark, SF_SMALL))
+    assert _hash_exchanges(plan) == 1, plan
+
+
+def test_leakage_free_features_single_user_shuffle(spark):
+    plan = final_plan(queries()["events_leakage_free_features"](spark, SF_SMALL))
+    assert _hash_exchanges(plan) == 1, plan
+
+
+def test_histogram_single_aggregate_exchange(spark):
+    plan = final_plan(queries()["events_value_histogram"](spark, SF_SMALL))
+    assert _hash_exchanges(plan) == 1, plan
+    assert "PushedFilters: [IsNotNull(value)]" in plan, "null filter must reach the scan"
+
+
+def test_user_trend_is_aggregate_only(spark):
+    """Closed-form OLS: window + aggregate share the user_id key — no more
+    than two hash exchanges (window partition, final agg), no join."""
+    plan = final_plan(queries()["events_user_trend"](spark, SF_SMALL))
+    assert "Join" not in plan
+    assert _hash_exchanges(plan) <= 2, plan
+
+
+def test_kmeans_assignment_broadcasts_seeds(spark):
+    plan = final_plan(queries()["embedding_kmeans_step"](spark, SF_SMALL))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
