@@ -36,6 +36,7 @@ HEADLINE = [
     "warehouse_table_profile",
     "events_session_window_native",
     "asof_click_attribution",
+    "asof_next_error_after_click",
     "range_click_correlation",
     "events_value_percentiles",
     "text_chunking",

@@ -427,3 +427,40 @@ def q_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user OLS value trend in closed form (covar/var built-ins) — one
     user_id-keyed aggregate, no iterative fit, no per-group Python."""
     return analytics.user_value_trend(load_table(spark, sf_dir, "events"))
+
+
+NEXT_ERROR_SQL = """
+    SELECT c.event_id AS click_id,
+           c.user_id AS user_id,
+           c.ts AS click_ts,
+           e.ts AS error_ts,
+           epoch_us(e.ts) - epoch_us(c.ts) AS micros_until_error
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      ON c.user_id = e.user_id AND c.ts <= e.ts
+    ORDER BY click_id
+"""
+
+
+@register("asof_next_error_after_click", oracle=NEXT_ERROR_SQL)
+def q_next_error_after_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each click matched to the user's next error at or
+    after it (time-to-failure attribution; oracle is DuckDB ASOF with the
+    inequality reversed)."""
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    errors = events.where(F.col("event_type") == "error").select("user_id", "ts")
+    joined = temporal.asof_join_forward(
+        clicks, errors, on="user_id", left_ts="click_ts", right_ts="ts"
+    )
+    return joined.select(
+        "click_id",
+        "user_id",
+        "click_ts",
+        F.col("matched_ts").alias("error_ts"),
+        (micros("matched_ts") - micros("click_ts")).alias("micros_until_error"),
+    ).orderBy("click_id")

@@ -135,3 +135,51 @@ def range_join_binned(
         )
         .drop("__bin")
     )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Forward as-of: for each left row, the EARLIEST right row of the same
+    key with ``right_ts >= left_ts`` (inclusive) — pandas
+    ``merge_asof(direction='forward')``. The time-mirror of ``asof_join``:
+    identical union/last-value plan with the sort reversed, so the same
+    single-shuffle |L|+|R| cost bound holds."""
+    payload = F.struct(
+        F.col(right_ts).alias("__rts"), *[F.col(c) for c in right_cols]
+    )
+    r = right.select(
+        F.col(on).alias("__key"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(1).alias("__is_right"),
+        payload.alias("__payload"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns],
+    )
+    l = left.select(
+        F.col(on).alias("__key"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(0).alias("__is_right"),
+        F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
+        *left.columns,
+    )
+    # descending time; right-before-left at equal ts keeps the bound inclusive
+    w = (
+        Window.partitionBy("__key")
+        .orderBy(F.col("__ts").desc(), F.col("__is_right").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        r.unionByName(l)
+        .withColumn("__m", F.last("__payload", ignorenulls=True).over(w))
+        .where(F.col("__is_right") == 0)
+    )
+    return matched.select(
+        *left.columns,
+        F.col("__m.__rts").alias(f"matched_{right_ts}"),
+        *[F.col(f"__m.{c}").alias(c) for c in right_cols],
+    )

@@ -106,6 +106,7 @@ EXTENSION_SURVEY_ROWS: dict[str, tuple[str, ...]] = {
     "warehouse_fuzzy_part_match": ("L-53",),
     "events_value_histogram": ("L-54",),
     "events_user_trend": ("L-55",),
+    "asof_next_error_after_click": ("L-56",),
 }
 
 

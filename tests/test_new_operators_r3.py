@@ -320,3 +320,38 @@ def test_gap_fill_forward_fill_semantics(spark):
     assert rows[dt.datetime(2024, 1, 1, 2)] == 5.0   # forward-filled
     assert rows[dt.datetime(2024, 1, 1, 3)] == 5.0   # still filled from 01:10
     assert len(rows) == 3
+
+
+def test_cdc_roundtrip_property_random_snapshots(spark):
+    """Property: for ANY pair of keyed snapshots (random keys, values, nulls),
+    apply_changes(old, snapshot_diff(old, new)) == new."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pagila_etl_airflow_assignment_spark.operators import cdc
+
+    row = st.tuples(
+        st.integers(0, 15),
+        st.one_of(st.none(), st.floats(0, 100, allow_nan=False)),
+        st.one_of(st.none(), st.sampled_from(["A", "B", "C"])),
+    )
+    # unique keys per snapshot (snapshots are keyed tables by contract)
+    snap = st.lists(row, max_size=12, unique_by=lambda r: r[0])
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(old_rows=snap, new_rows=snap)
+    def check(old_rows, new_rows):
+        schema = "k int, price double, status string"
+        old = spark.createDataFrame(old_rows, schema) if old_rows else spark.createDataFrame([], schema)
+        new = spark.createDataFrame(new_rows, schema) if new_rows else spark.createDataFrame([], schema)
+        diff = cdc.snapshot_diff(old, new, ["k"], ["price", "status"])
+        rebuilt = cdc.apply_changes(old, diff, ["k"], ["price", "status"])
+        assert sorted(map(tuple, rebuilt.collect())) == sorted(
+            map(tuple, new.collect())
+        )
+
+    check()
