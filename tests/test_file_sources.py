@@ -93,3 +93,20 @@ def test_orc_scan_pushes_filters_and_prunes_columns(spark, tmp_path):
     assert "PushedFilters: [" in plan and "event_type" in plan.split("PushedFilters")[1][:200]
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "value" not in read_schema and "props" not in read_schema
+
+
+def test_schema_evolution_merge_reads_both_generations(spark, tmp_path):
+    """A lake path whose later files carry an added column must read as the
+    union schema with nulls for the old generation (mergeSchema) — the
+    additive-evolution contract producers rely on."""
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(
+        f"{p}/gen=1"
+    )
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.parquet(f"{p}/gen=2")
+    df = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(df.columns) == {"id", "name", "score", "gen"}
+    rows = {r.id: (r.name, r.score) for r in df.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}

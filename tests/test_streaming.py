@@ -287,3 +287,63 @@ def test_streaming_enrichment_equals_batch(spark, events_dir):
         for r in enriched_events_batch(load_table(spark, SF_SMALL, "events")).collect()
     )
     assert g == w and len(g) > 0
+
+
+def test_hourly_counts_across_multiple_microbatches(spark):
+    """Watermark correctness over REAL microbatch boundaries: the events
+    split into 4 time-ordered files processed one per trigger
+    (maxFilesPerTrigger=1) must produce the same hourly counts as one big
+    batch — time-ordered arrival keeps every row inside the 1-hour
+    watermark, so nothing may be dropped."""
+    import pyspark.sql.functions as F
+
+    events = load_table(spark, SF_SMALL, "events").orderBy("ts")
+    d = tempfile.mkdtemp(prefix="events-4batch-")
+    try:
+        n = events.count()
+        rows = events.collect()
+        quarter = (n + 3) // 4
+        for i in range(4):
+            chunk = rows[i * quarter : (i + 1) * quarter]
+            spark.createDataFrame(chunk, events.schema).coalesce(1).write.parquet(
+                f"{d}/part{i}"
+            )
+        # flatten: move each part's parquet file up as fileN.parquet
+        import glob
+        import os
+        import shutil as sh
+
+        for i in range(4):
+            (src,) = glob.glob(f"{d}/part{i}/*.parquet")
+            os.rename(src, f"{d}/batch{i}.parquet")
+            sh.rmtree(f"{d}/part{i}")
+
+        from pagila_etl_airflow_assignment_spark.sources.parquet import (
+            events_stream,
+        )
+
+        stream = (
+            spark.readStream.schema(spark.read.parquet(d).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        from pagila_etl_airflow_assignment_spark.sources.parquet import (
+            normalize_event_ts,
+        )
+
+        sdf = (
+            normalize_event_ts(stream)
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").start.alias("hour_start"), "event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 6).alias("total_value"),
+            )
+        )
+        got = _run_to_memory(spark, sdf, "hourly_4batch", "complete")
+        want = hourly_event_counts(load_table(spark, SF_SMALL, "events"))
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -107,3 +107,63 @@ def test_range_join_binned_plans_as_equi_join(spark):
         .toString()
     )
     assert "NestedLoop" not in plan, plan
+
+
+def test_asof_join_matches_pandas_merge_asof_backward(spark):
+    """Differential vs pandas merge_asof (an independent reference
+    implementation) on random-ish deterministic data."""
+    import pandas as pd
+
+    import pyspark.sql.functions as F
+    from pagila_etl_airflow_assignment_spark.operators.temporal import asof_join
+
+    left_rows = [(u, 100 * u + 7 * i) for u in range(4) for i in range(25)]
+    right_rows = [(u, 100 * u + 11 * i) for u in range(4) for i in range(17)]
+    left = spark.createDataFrame(
+        [(u, t) for u, t in left_rows], "k long, lt long"
+    ).select("k", F.timestamp_micros(F.col("lt") * 1_000_000).alias("lt"))
+    right = spark.createDataFrame(
+        [(u, t) for u, t in right_rows], "k long, rt long"
+    ).select("k", F.timestamp_micros(F.col("rt") * 1_000_000).alias("rt"))
+    got = {
+        (r.k, r.lt): r.matched_rt
+        for r in asof_join(left, right, on="k", left_ts="lt", right_ts="rt").collect()
+    }
+    lp = left.toPandas().sort_values("lt")
+    rp = right.toPandas().sort_values("rt")
+    want_df = pd.merge_asof(lp, rp, left_on="lt", right_on="rt", by="k")
+    for _, row in want_df.iterrows():
+        want = None if pd.isna(row["rt"]) else row["rt"].to_pydatetime()
+        assert got[(row["k"], row["lt"].to_pydatetime())] == want
+
+
+def test_asof_forward_matches_pandas_merge_asof_forward(spark):
+    import pandas as pd
+
+    import pyspark.sql.functions as F
+    from pagila_etl_airflow_assignment_spark.operators.temporal import (
+        asof_join_forward,
+    )
+
+    left_rows = [(u, 100 * u + 7 * i) for u in range(4) for i in range(25)]
+    right_rows = [(u, 100 * u + 11 * i) for u in range(4) for i in range(17)]
+    left = spark.createDataFrame(left_rows, "k long, lt long").select(
+        "k", F.timestamp_micros(F.col("lt") * 1_000_000).alias("lt")
+    )
+    right = spark.createDataFrame(right_rows, "k long, rt long").select(
+        "k", F.timestamp_micros(F.col("rt") * 1_000_000).alias("rt")
+    )
+    got = {
+        (r.k, r.lt): r.matched_rt
+        for r in asof_join_forward(
+            left, right, on="k", left_ts="lt", right_ts="rt"
+        ).collect()
+    }
+    lp = left.toPandas().sort_values("lt")
+    rp = right.toPandas().sort_values("rt")
+    want_df = pd.merge_asof(
+        lp, rp, left_on="lt", right_on="rt", by="k", direction="forward"
+    )
+    for _, row in want_df.iterrows():
+        want = None if pd.isna(row["rt"]) else row["rt"].to_pydatetime()
+        assert got[(row["k"], row["lt"].to_pydatetime())] == want
