@@ -126,3 +126,67 @@ def test_cobucketed_join_has_no_exchange(spark, tdir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS li_b")
         spark.sql("DROP TABLE IF EXISTS ord_b")
+
+
+def test_zorder_write_tightens_both_dimensions(spark, tmp_path):
+    """Z-order layout: per-row-group bounding boxes must be tight on BOTH
+    dimensions, where a single-column sort leaves the second dimension
+    spanning ~the full range (no skipping possible). Measured from real
+    parquet footer min/max — the same stats engines prune with."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from pagila_etl_airflow_assignment_spark.sinks.zorder import zordered_write
+    from pagila_etl_airflow_assignment_spark.sources.parquet import load_table
+
+    events = load_table(spark, SF, "events").select(
+        "event_id", "user_id", "value"
+    ).where(F.col("value").isNotNull())
+
+    zpath = str(tmp_path / "zorder")
+    spath = str(tmp_path / "single")
+    zordered_write(events, zpath, "user_id", "value", n_files=8)
+    (
+        events.repartitionByRange(8, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.parquet(spath)
+    )
+
+    def mean_coverage(path, col, full_span):
+        spans = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    c = g.column(ci)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        spans.append(
+                            (c.statistics.max - c.statistics.min) / full_span
+                        )
+        assert spans
+        return sum(spans) / len(spans)
+
+    lohi = events.agg(
+        F.min("user_id"), F.max("user_id"), F.min("value"), F.max("value")
+    ).first()
+    u_span = float(lohi[1] - lohi[0])
+    v_span = float(lohi[3] - lohi[2])
+
+    z_u = mean_coverage(zpath, "user_id", u_span)
+    z_v = mean_coverage(zpath, "value", v_span)
+    s_u = mean_coverage(spath, "user_id", u_span)
+    s_v = mean_coverage(spath, "value", v_span)
+
+    # single-column sort: first dim tight, second dim ~full range
+    assert s_u < 0.35 and s_v > 0.7
+    # z-order: BOTH dims materially narrower than the single-sort's
+    # unsorted dimension
+    assert z_u < 0.6 and z_v < 0.6, (z_u, z_v, s_u, s_v)
+
+    # and the data itself round-trips unchanged
+    back = spark.read.parquet(zpath)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, events.collect())
+    )
