@@ -19,21 +19,25 @@ ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 
 @register("text_token_counts", oracle=text.TOKEN_COUNTS_SQL)
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace and BPE-ish regex token counts per document."""
     return text.token_counts(load_table(spark, sf_dir, "documents"))
 
 
 @register("text_quality_scores", oracle=text.QUALITY_SCORES_SQL)
 def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length / punctuation / stopword quality features + composite keep flag."""
     return text.quality_scores(load_table(spark, sf_dir, "documents"))
 
 
 @register("text_lang_id", oracle=text.LANG_ID_SQL)
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID via stopword-lexicon and CJK character-class heuristics."""
     return text.lang_id(load_table(spark, sf_dir, "documents"))
 
 
 @register("text_fingerprints", oracle=text.FINGERPRINTS_SQL)
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-document md5 + Karp-Rabin rolling-hash fingerprints."""
     return text.fingerprints(load_table(spark, sf_dir, "documents"))
 
 
@@ -97,6 +101,7 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dedup_exact", oracle=dedup.DEDUP_EXACT_SQL)
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups by md5 fingerprint of normalized text (one hash shuffle)."""
     return dedup.dedup_exact(load_table(spark, sf_dir, "documents"))
 
 
@@ -109,11 +114,13 @@ def q_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dedup_ngram_jaccard", oracle=dedup.ngram_jaccard_pairs_sql())
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All near-dup pairs by word-shingle Jaccard via posting lists (df=1 early drop, max_df cap)."""
     return dedup.ngram_jaccard_pairs(spread(load_table(spark, sf_dir, "documents")))
 
 
 @register("dedup_minhash_signatures", oracle=dedup.minhash_signatures_sql())
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-permutation MinHash signature per document (explode + k min aggregates)."""
     return dedup.minhash_signatures(load_table(spark, sf_dir, "documents"))
 
 
@@ -128,11 +135,13 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dedup_simhash_signatures", oracle=dedup.simhash_signatures_sql())
 def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """48-bit SimHash signature per document (per-token hash votes, one groupBy)."""
     return dedup.simhash_signatures(load_table(spark, sf_dir, "documents"))
 
 
 @register("dedup_simhash_pairs", oracle=dedup.simhash_near_pairs_sql(max_hamming=3))
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-pairs within Hamming radius 3 via 12-bit chunk banding."""
     # radius 3 (not the default 6): the templated fixture text clusters tightly
     # in simhash space — radius 6 emits ~4.8M pairs at sf0.1, radius 3 keeps
     # the output a near-dup candidate set rather than a cross product.
@@ -144,6 +153,7 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # at every sf (14 pairs @ sf0.001, 26 @ sf0.01) where 0.5 returns zero rows.
 @register("dedup_embedding_cosine", oracle=dedup.embedding_near_pairs_sql(0.35))
 def q_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-blocked embedding near-duplicate pairs above a cosine threshold."""
     return dedup.embedding_near_pairs(spread(load_table(spark, sf_dir, "embeddings")), 0.35)
 
 
@@ -191,6 +201,7 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("ann_bruteforce_topk", oracle=similarity.brute_force_topk_sql(ANN_QUERY_IDS))
 def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k per query vector (broadcast query set, per-query rank window)."""
     return similarity.brute_force_topk(
         load_table(spark, sf_dir, "embeddings"), ANN_QUERY_IDS
     )
@@ -235,6 +246,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level feature extraction over binary blobs (Arrow-batched mapInPandas)."""
     media = multimodal.media_from_documents(load_table(spark, sf_dir, "documents"))
     return multimodal.extract_features(media)
 
@@ -292,6 +304,7 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize plumbing over binary blobs (codec-gated fake, real schema/batching)."""
     media = multimodal.media_from_documents(load_table(spark, sf_dir, "documents"))
     return multimodal.resize_images(media, 224, 224).select(
         "media_id", "width", "height", F.length("payload").alias("n_bytes")

@@ -18,6 +18,7 @@ from . import analytics, cdc, features, profile, temporal, warehouse
     survey_rows=("D-2", "D-3", "O-3"),
 )
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shape pricing summary: one scan, one partial+final hash aggregate."""
     return warehouse.pricing_summary(load_table(spark, sf_dir, "lineitem"))
 
 
@@ -27,6 +28,7 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_rows=("C-1", "O-12"),
 )
 def q_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: fact-fact shuffle join + broadcast dimension chain, revenue per (region, year)."""
     return warehouse.star_join_revenue(
         load_table(spark, sf_dir, "lineitem"),
         load_table(spark, sf_dir, "orders"),
@@ -81,6 +83,7 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_rows=("O-12",),
 )
 def q_salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage skew-safe aggregation (salted partials merged per key; oracle is unsalted)."""
     return warehouse.salted_aggregation(load_table(spark, sf_dir, "lineitem"))
 
 

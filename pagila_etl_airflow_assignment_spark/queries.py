@@ -41,6 +41,7 @@ AS_OF = dt.date(1999, 6, 7)
     survey_rows=("C-1", "C-2", "D-1", "D-2", "H-1", "H-3", "H-5", "H-14", "F-1"),
 )
 def q_weekly_rental_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship ref.sql weekly rental summary (spine + counts + cumulative outstanding)."""
     return weekly_rental_summary(load_rental(spark, sf_dir))
 
 
@@ -206,6 +207,7 @@ def q_scalar_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_rows=("B-3", "B-6", "D-3"),  # B-6: pandas notna guard, set-based form
 )
 def q_null_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IS NULL / IS NOT NULL predicate counts over the rental view (ref.sql:25,46)."""
     r = load_rental(spark, sf_dir)
     return r.agg(
         F.count(F.when(F.col("return_date").isNull(), 1)).alias("n_open"),
