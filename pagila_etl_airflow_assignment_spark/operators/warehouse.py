@@ -576,43 +576,50 @@ FUZZY_MAX_DIST = 2
 
 
 def fuzzy_part_match(part: DataFrame, max_dist: int = FUZZY_MAX_DIST) -> DataFrame:
-    """Record-linkage fuzzy self-join: part pairs in the SAME brand block
-    whose names are within `max_dist` edits (levenshtein, JVM built-in).
+    """Record-linkage fuzzy self-join: part pairs in the SAME (brand, size)
+    block whose names are within `max_dist` edits (levenshtein, JVM
+    built-in). A cheap |length delta| <= d pre-filter (sound: length
+    difference lower-bounds edit distance) runs before the O(len^2) verify.
 
-    Attribute blocking is the declared contract, not a lossy optimization:
-    the equi key (brand) bounds the quadratic verify to per-block sizes, the
-    exact same shape as the LSH bucket joins (SCALE.md §4) — and at corpus
-    scale a skewed block gets the same max_bucket/salting treatment. An
-    unblocked fuzzy join is O(n²) at any engine; name-ngram LSH (the llm
-    dedup family) is the unblocked scale path."""
+    COMPOSITE attribute blocking is the declared contract, not a lossy
+    optimization: the equi key bounds the quadratic verify to per-block
+    sizes (the LSH-bucket shape, SCALE.md §4), and the two-column key keeps
+    blocks small as the catalog grows — brand alone gives O((n/brands)^2)
+    per block, brand+size divides that by |sizes| again. At corpus scale a
+    skewed block gets the max_bucket/salting treatment; the unblocked fuzzy
+    path is name-ngram LSH (the llm dedup family)."""
     a = part.select(
         F.col("p_brand").alias("brand"),
+        F.col("p_size").alias("size"),
         F.col("p_partkey").alias("part_a"),
         F.col("p_name").alias("name_a"),
     )
     b = part.select(
         F.col("p_brand").alias("brand"),
+        F.col("p_size").alias("size"),
         F.col("p_partkey").alias("part_b"),
         F.col("p_name").alias("name_b"),
     )
     return (
-        a.join(b, "brand")
+        a.join(b, ["brand", "size"])
         .where(F.col("part_a") < F.col("part_b"))
+        .where(F.abs(F.length("name_a") - F.length("name_b")) <= max_dist)
         .withColumn("dist", F.levenshtein("name_a", "name_b").cast("int"))
         .where(F.col("dist") <= max_dist)
-        .select("brand", "part_a", "part_b", "name_a", "name_b", "dist")
-        .orderBy("brand", "part_a", "part_b")
+        .select("brand", "size", "part_a", "part_b", "name_a", "name_b", "dist")
+        .orderBy("brand", "size", "part_a", "part_b")
     )
 
 
 def fuzzy_part_match_sql(max_dist: int = FUZZY_MAX_DIST) -> str:
     return f"""
-        SELECT a.p_brand AS brand,
+        SELECT a.p_brand AS brand, a.p_size AS size,
                a.p_partkey AS part_a, b.p_partkey AS part_b,
                a.p_name AS name_a, b.p_name AS name_b,
                CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
         FROM part a JOIN part b
-          ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+          ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+         AND a.p_partkey < b.p_partkey
         WHERE levenshtein(a.p_name, b.p_name) <= {max_dist}
-        ORDER BY brand, part_a, part_b
+        ORDER BY brand, size, part_a, part_b
     """

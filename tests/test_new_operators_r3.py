@@ -355,3 +355,16 @@ def test_cdc_roundtrip_property_random_snapshots(spark):
         )
 
     check()
+
+
+def test_curate_cli_runs_end_to_end(spark, tmp_path):
+    """Dual-entry parity for the curation surface: the CLI writes kept docs +
+    per-doc decisions and kept == decisions.keep rows."""
+    from pagila_etl_airflow_assignment_spark.jobs.curate import main
+
+    out = str(tmp_path / "curated")
+    assert main(["--source", SF_SMALL, "--out", out], stop_session=False) == 0
+    kept = spark.read.parquet(f"{out}/kept")
+    dec = spark.read.parquet(f"{out}/decisions")
+    assert kept.count() == dec.where(F.col("keep")).count() > 0
+    assert set(dec.columns) == {"doc_id", "keep", "reject_reason"}
