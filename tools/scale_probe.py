@@ -45,6 +45,11 @@ PROBES = [
     "events_cohort_retention",
     "ann_bruteforce_topk",
     "embedding_centroid_outliers",
+    "events_trailing_window",
+    "events_gap_fill_ffill",
+    "events_leakage_free_features",
+    "embedding_kmeans_step",
+    "cdc_orders_snapshot_diff",
 ]
 
 
@@ -86,8 +91,19 @@ def synthesize(spark, out_dir: str) -> None:
         "label",
     ).write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
 
-    # relational tables pass through untouched (probes don't scale them)
-    for t in ("region", "nation", "customer", "supplier", "part", "orders", "lineitem"):
+    n_orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").count()
+    orders = load_table(spark, SF_DIR, "orders").select("*", k)
+    orders.select(
+        (F.col("o_orderkey") + F.col("k") * n_orders * 10).alias("o_orderkey"),
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ).write.mode("overwrite").parquet(f"{out_dir}/orders.parquet")
+
+    # remaining relational tables pass through untouched (no probe scales them)
+    for t in ("region", "nation", "customer", "supplier", "part", "lineitem"):
         shutil.copy(f"{SF_DIR}/{t}.parquet", f"{out_dir}/{t}.parquet")
 
 
