@@ -10,6 +10,7 @@ from ..registry import register
 from ..sources.parquet import load_table, spread
 from . import corpus_stats, curation, dedup, multimodal, packing, sampling, similarity, text
 from . import embeddings as embeddings_mod
+from . import vectorized
 
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 
@@ -353,3 +354,11 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One Lloyd refinement iteration over the md5-seeded IVF centroids:
     broadcast assignment pass + (centroid,pos)-keyed mean, long-form output."""
     return embeddings_mod.kmeans_step(load_table(spark, sf_dir, "embeddings"))
+
+
+@register("embedding_vector_norms", oracle=vectorized.VECTOR_NORMS_SQL)
+def q_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding L2 norms via the Arrow-batched pandas_udf scalar path (the
+    sanctioned when-Python-is-unavoidable pattern, parity-tested against the
+    JVM fold)."""
+    return vectorized.vector_norms(load_table(spark, sf_dir, "embeddings"))

@@ -107,6 +107,7 @@ EXTENSION_SURVEY_ROWS: dict[str, tuple[str, ...]] = {
     "events_value_histogram": ("L-54",),
     "events_user_trend": ("L-55",),
     "asof_next_error_after_click": ("L-56",),
+    "embedding_vector_norms": ("L-57",),
 }
 
 

@@ -368,3 +368,20 @@ def test_curate_cli_runs_end_to_end(spark, tmp_path):
     dec = spark.read.parquet(f"{out}/decisions")
     assert kept.count() == dec.where(F.col("keep")).count() > 0
     assert set(dec.columns) == {"doc_id", "keep", "reject_reason"}
+
+
+def test_pandas_udf_norms_match_jvm_fold(spark):
+    """The Arrow pandas_udf path and the JVM aggregate fold must agree to
+    6dp on every vector — the Python boundary changes cost, never values."""
+    from pagila_etl_airflow_assignment_spark.llm.dedup import _l2norm
+    from pagila_etl_airflow_assignment_spark.llm.vectorized import vector_norms
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    py = {r.vec_id: r.norm for r in vector_norms(emb).collect()}
+    jvm = {
+        r.vec_id: r.norm
+        for r in emb.select(
+            "vec_id", F.round(_l2norm(F.col("embedding")), 6).alias("norm")
+        ).collect()
+    }
+    assert py == jvm and len(py) > 0

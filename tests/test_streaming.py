@@ -347,3 +347,81 @@ def test_hourly_counts_across_multiple_microbatches(spark):
         )
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_closed_window_is_final_despite_late_arrival(spark):
+    """The append-mode watermark contract Spark guarantees: once a window is
+    emitted (watermark passed window end + delay), a late row for that window
+    can never update or re-emit it. File 'a' advances the watermark past the
+    00:00 window and flushes it; file 'b' then delivers a late 00:30 row —
+    the emitted count must stay 1 and the window must not appear twice.
+    (Spark's late-row handling is best-effort for windows with no existing
+    state — a late row may still open-and-flush a fresh window — so finality
+    of CLOSED windows, not input dropping, is the assertable contract.)"""
+    import datetime as dt
+    import glob
+    import os
+
+    import pyspark.sql.functions as F
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+
+    batches = [
+        # batch 0: on-time data (watermark still at epoch during this batch)
+        ("a.parquet", mk([(i, dt.datetime(2024, 2, 1, h), 1, "click", 1.0, "{}") for i, h in enumerate([0, 2, 3])])),
+        # batch 1: advances the in-effect watermark past 01:00 -> CLOSES and
+        # emits the 00:00 window with its on-time count
+        ("b.parquet", mk([(50, dt.datetime(2024, 2, 1, 3, 30), 1, "click", 1.0, "{}")])),
+        # batch 2: late row into the now-closed 00:00 window -> must be
+        # dropped by the watermark, never merged or re-emitted
+        ("c.parquet", mk([(99, dt.datetime(2024, 2, 1, 0, 30), 1, "click", 1.0, "{}")])),
+    ]
+    d = tempfile.mkdtemp(prefix="events-late-")
+    try:
+        for name, df in batches:
+            df.coalesce(1).write.parquet(f"{d}/stage")
+            (src,) = glob.glob(f"{d}/stage/*.parquet")
+            os.rename(src, f"{d}/{name}")
+            shutil.rmtree(f"{d}/stage")
+
+        stream = (
+            spark.readStream.schema(spark.read.parquet(d).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        # append mode needs the FULL window column in the grouping (event-time
+        # tracking); .start is projected after the aggregate
+        sdf = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("hour_start"), "n")
+        )
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName("late_final")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt-late-"))
+            .start()
+        )
+        q.awaitTermination(180)
+        dropped = sum(
+            p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            if p["stateOperators"]
+        )
+        per_window = {}
+        for r in spark.table("late_final").collect():
+            per_window.setdefault(r.hour_start, []).append(r.n)
+        # the closed 00:00 window: emitted exactly once, on-time count only
+        assert per_window[dt.datetime(2024, 2, 1, 0)] == [1], per_window
+        # and the state operator actually reported the late-row drop
+        assert dropped >= 1
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
