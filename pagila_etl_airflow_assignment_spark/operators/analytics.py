@@ -370,3 +370,57 @@ USER_VALUE_TREND_SQL = """
     FROM agg
     ORDER BY user_id
 """
+
+
+# --- mergeable-aggregate maintenance ------------------------------------------
+
+DELTA_SPLIT_MOD = 5  # last 1/5th of events (by id) plays the delta batch
+
+
+def merge_aggregate_delta(base_agg: DataFrame, delta_agg: DataFrame) -> DataFrame:
+    """Merge two partial aggregates of the SAME shape (event_type, n, total)
+    into the combined aggregate — the algebraic-aggregate maintenance step: a
+    materialized rollup is refreshed from a delta batch by merging partials,
+    never by rescanning history. SUM/COUNT merge losslessly; anything
+    non-algebraic (exact median, exact distinct) must be recomputed or
+    sketched (events_approx_sketches is the mergeable substitute).
+
+    Cost: a union of two aggregate-sized relations + one tiny re-aggregate —
+    independent of fact-table size by construction."""
+    return (
+        base_agg.unionByName(delta_agg)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.round(F.sum("total"), 6).alias("total"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _typed_agg(events: DataFrame) -> DataFrame:
+    return events.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        # keep the partial UNROUNDED: rounding belongs to the final merge
+        # output only, otherwise merged totals drift from the full recompute
+        F.sum("value").alias("total"),
+    )
+
+
+def delta_agg_merge(events: DataFrame, mod: int = DELTA_SPLIT_MOD) -> DataFrame:
+    """Driver-checkable form: base = events with event_id % mod != 0,
+    delta = the rest; merging their partials must equal the full aggregate
+    (which is the oracle)."""
+    base = _typed_agg(events.where(F.col("event_id") % mod != 0))
+    delta = _typed_agg(events.where(F.col("event_id") % mod == 0))
+    return merge_aggregate_delta(base, delta)
+
+
+DELTA_AGG_MERGE_SQL = """
+    SELECT event_type,
+           COUNT(*) AS n,
+           round(SUM(value), 6) AS total
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+"""

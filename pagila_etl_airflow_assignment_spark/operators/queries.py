@@ -467,3 +467,11 @@ def q_next_error_after_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("matched_ts").alias("error_ts"),
         (micros("matched_ts") - micros("click_ts")).alias("micros_until_error"),
     ).orderBy("click_id")
+
+
+@register("events_delta_agg_merge", oracle=analytics.DELTA_AGG_MERGE_SQL)
+def q_delta_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Algebraic-aggregate maintenance: a materialized per-type rollup
+    refreshed by MERGING a delta batch's partials — the oracle is the full
+    recompute the merge must equal."""
+    return analytics.delta_agg_merge(load_table(spark, sf_dir, "events"))

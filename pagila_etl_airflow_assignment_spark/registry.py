@@ -108,6 +108,7 @@ EXTENSION_SURVEY_ROWS: dict[str, tuple[str, ...]] = {
     "events_user_trend": ("L-55",),
     "asof_next_error_after_click": ("L-56",),
     "embedding_vector_norms": ("L-57",),
+    "events_delta_agg_merge": ("L-58",),
 }
 
 

@@ -70,3 +70,32 @@ def test_profile_counts_nulls_distincts_and_bounds(spark):
     assert (got["s"].min_value, got["s"].max_value) == ("x", "y")
     assert got["v"].n_nulls == 1 and got["v"].n_distinct == 3
     assert (got["v"].min_value, got["v"].max_value) == ("1.5", "4.0")
+
+
+def test_delta_agg_merge_equals_full_for_any_split(spark):
+    """Mergeable-aggregate property: for several base/delta split points the
+    merged partials equal the full aggregate exactly."""
+    import pyspark.sql.functions as F
+
+    from conftest import SF_SMALL
+    from pagila_etl_airflow_assignment_spark.operators.analytics import (
+        _typed_agg,
+        merge_aggregate_delta,
+    )
+    from pagila_etl_airflow_assignment_spark.sources.parquet import load_table
+
+    events = load_table(spark, SF_SMALL, "events")
+    full = {
+        r.event_type: (r.n, r.total)
+        for r in merge_aggregate_delta(
+            _typed_agg(events), _typed_agg(events.limit(0))
+        ).collect()
+    }
+    for mod in (2, 3, 7):
+        base = _typed_agg(events.where(F.col("event_id") % mod != 0))
+        delta = _typed_agg(events.where(F.col("event_id") % mod == 0))
+        merged = {
+            r.event_type: (r.n, r.total)
+            for r in merge_aggregate_delta(base, delta).collect()
+        }
+        assert merged == full, f"split mod={mod} diverged"
