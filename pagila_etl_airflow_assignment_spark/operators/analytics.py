@@ -424,3 +424,32 @@ DELTA_AGG_MERGE_SQL = """
     GROUP BY event_type
     ORDER BY event_type
 """
+
+
+# --- windowed distinct-count --------------------------------------------------
+
+
+def hourly_unique_users(events: DataFrame) -> DataFrame:
+    """Exact distinct users per tumbling hour — the activity metric behind
+    every DAU/WAU board. Spark plans Expand + two-phase aggregate (partial
+    distinct per mapper, exact merge); at lake scale the mergeable
+    substitute is the HLL sketch (events_approx_sketches), same query
+    shape — this exact form is the oracle-checkable twin."""
+    return (
+        events.groupBy(F.window("ts", "1 hour").start.alias("hour_start"))
+        .agg(
+            F.count_distinct("user_id").cast("long").alias("n_users"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+        .orderBy("hour_start")
+    )
+
+
+HOURLY_UNIQUE_USERS_SQL = """
+    SELECT date_trunc('hour', ts) AS hour_start,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1
+    ORDER BY hour_start
+"""

@@ -475,3 +475,10 @@ def q_delta_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     refreshed by MERGING a delta batch's partials — the oracle is the full
     recompute the merge must equal."""
     return analytics.delta_agg_merge(load_table(spark, sf_dir, "events"))
+
+
+@register("events_hourly_unique_users", oracle=analytics.HOURLY_UNIQUE_USERS_SQL)
+def q_hourly_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per tumbling hour (the DAU-shape metric; the
+    HLL sketch in events_approx_sketches is the mergeable 100 TB twin)."""
+    return analytics.hourly_unique_users(load_table(spark, sf_dir, "events"))

@@ -109,6 +109,7 @@ EXTENSION_SURVEY_ROWS: dict[str, tuple[str, ...]] = {
     "asof_next_error_after_click": ("L-56",),
     "embedding_vector_norms": ("L-57",),
     "events_delta_agg_merge": ("L-58",),
+    "events_hourly_unique_users": ("L-59",),
 }
 
 
