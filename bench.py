@@ -4,6 +4,12 @@ line: {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf":
 
 Each query is forced with a cheap count()-style action so timing covers the full
 plan execution, not DataFrame construction.
+
+The stdout JSON line must stay SHORT: the round driver captures only the tail
+few KB of stdout, and round 3's ~3.4 KB line (81 per-query timings) got its head
+truncated, leaving BENCH_r03.json unparseable. So stdout carries the totals plus
+the per-query map for the fixed HEADLINE subset only; the full per-query map is
+written to BENCH_DETAIL.json next to this file.
 """
 
 from __future__ import annotations
@@ -78,15 +84,31 @@ def main() -> None:
     total = round(time.perf_counter() - t_total0, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    detail = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_run": len(names),
+        "sf": sf_val,
+    }
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1)
+    # Compact stdout line (driver-parsed; must fit a small tail buffer): totals
+    # plus the fixed headline subset only. Full map: BENCH_DETAIL.json.
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+                "queries": {k: timings[k] for k in HEADLINE if k in timings},
+                "queries_run": len(names),
+                "sf": sf_val,
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

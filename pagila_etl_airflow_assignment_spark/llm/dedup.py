@@ -762,3 +762,261 @@ def cluster_representatives_sql(clusters_sql: str, docs_rel: str = "documents") 
         WHERE rn = 1
         ORDER BY cluster_id
     """
+
+
+# --- substring-level dedup (common substring spans) ---------------------------
+
+# Skew/boilerplate guard for the positioned-fingerprint posting lists: a hash
+# selected in more docs than this is template boilerplate (headers, license
+# blurbs) — dropped IDENTICALLY in Spark and the oracle before pairing, exactly
+# like DEFAULT_MAX_DF for shingles. 256 keeps every genuine shared-passage hash
+# at fixture scale while bounding the pair join at ~max_df^2 per hash.
+COMMON_SUB_MAX_DF = 256
+# A span needs >= this many aligned selected fingerprints to count. With
+# winnowing density ~2/(w+1), 3 aligned selections ≈ a shared run of several
+# dozen characters — long enough to be a copied passage, not a stock phrase.
+COMMON_SUB_MIN_HITS = 3
+
+
+def common_substring_spans(
+    docs: DataFrame,
+    k: int | None = None,
+    w: int | None = None,
+    min_hits: int = COMMON_SUB_MIN_HITS,
+    max_df: int = COMMON_SUB_MAX_DF,
+) -> DataFrame:
+    """Substring-level dedup: find long substrings SHARED between documents
+    (the within-corpus repeated-passage detection of suffix-array substring
+    dedup, re-expressed as bounded Spark relational algebra).
+
+    How: positioned winnowing selections (text.winnowing_selected_positions)
+    give each doc a sparse set of (hash, position) fingerprints whose
+    positions are content-locked. Two docs sharing a substring select the
+    same hashes at positions differing by a CONSTANT delta, so grouping the
+    fingerprint matches of a doc pair by ``pos_a - pos_b`` and counting
+    collapses shared passages into (pair, delta) rows; ``min_hits`` aligned
+    selections certify a long shared run and the min/max matched positions
+    bound its span in doc_a's normalized text.
+
+    Scale shape (why this survives 100 TB where suffix arrays don't):
+    fingerprinting is array-side zero-shuffle; the posting self-join is keyed
+    by hash with ``max_df`` capping any posting list (boilerplate guard —
+    without it one license-header hash makes the join quadratic in corpus
+    size); the span aggregate is keyed (doc_a, doc_b, delta). One
+    ``repartition("selected_hash")`` exchange is shared by the hot-hash count,
+    the cap anti-join, and both self-join sides.
+    """
+    from .text import WINNOW_K, WINNOW_W, winnowing_selected_positions
+
+    k = WINNOW_K if k is None else k
+    w = WINNOW_W if w is None else w
+    sel = winnowing_selected_positions(docs, k, w).repartition("selected_hash")
+    hot = (
+        sel.groupBy("selected_hash")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .where(F.col("df") > max_df)
+        .select("selected_hash")
+    )
+    kept = sel.join(F.broadcast(hot), "selected_hash", "left_anti")
+    a = kept.select(
+        "selected_hash",
+        F.col("doc_id").alias("doc_a"),
+        F.col("pos").alias("pos_a"),
+    )
+    b = kept.select(
+        "selected_hash",
+        F.col("doc_id").alias("doc_b"),
+        F.col("pos").alias("pos_b"),
+    )
+    pairs = a.join(b, "selected_hash").where(F.col("doc_a") < F.col("doc_b"))
+    return (
+        pairs.groupBy(
+            "doc_a", "doc_b", (F.col("pos_a") - F.col("pos_b")).alias("offset_delta")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_shared"),
+            F.min("pos_a").alias("a_start"),
+            (F.max("pos_a") + (k - 1)).alias("a_end"),
+        )
+        .where(F.col("n_shared") >= min_hits)
+        .orderBy("doc_a", "doc_b", "offset_delta")
+    )
+
+
+def common_substring_spans_sql(
+    k: int | None = None,
+    w: int | None = None,
+    min_hits: int = COMMON_SUB_MIN_HITS,
+    max_df: int = COMMON_SUB_MAX_DF,
+) -> str:
+    from .text import WINNOW_B, WINNOW_K, WINNOW_M, WINNOW_W, _norm_sql
+
+    k = WINNOW_K if k is None else k
+    w = WINNOW_W if w is None else w
+    norm = _norm_sql("text")
+    horner = "c.cs[g.p]"
+    for d in range(1, k):
+        horner = f"(({horner}) * {WINNOW_B} + c.cs[g.p + {d}]) % {WINNOW_M}"
+    return f"""
+    WITH nt AS (
+        SELECT doc_id, {norm} AS nt FROM documents
+        WHERE length({norm}) >= {k + w - 1}
+    ),
+    codes AS (
+        SELECT doc_id,
+               list_transform(string_split(nt, ''),
+                              ch -> CAST(unicode(ch) AS BIGINT)) AS cs
+        FROM nt
+    ),
+    grams AS (
+        SELECT doc_id, len(cs) AS L,
+               unnest(generate_series(1, len(cs) - {k - 1})) AS p
+        FROM codes
+    ),
+    hashed AS (
+        SELECT g.doc_id, g.L, g.p AS p, {horner} AS h
+        FROM grams g JOIN codes c USING (doc_id)
+    ),
+    mins AS (
+        SELECT doc_id, p,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY p
+                            ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS m,
+               L - {k - 1} - {w - 1} AS n_windows
+        FROM hashed
+    ),
+    runflag AS (
+        SELECT doc_id, p, m,
+               LAG(m) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+        FROM mins WHERE p <= n_windows
+    ),
+    selected AS (
+        SELECT doc_id, m AS selected_hash, p AS pos
+        FROM runflag WHERE prev IS NULL OR m <> prev
+    ),
+    hot AS (
+        SELECT selected_hash FROM selected
+        GROUP BY selected_hash HAVING COUNT(DISTINCT doc_id) > {max_df}
+    ),
+    kept AS (
+        SELECT * FROM selected
+        WHERE selected_hash NOT IN (SELECT selected_hash FROM hot)
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.pos - b.pos AS offset_delta, a.pos AS pos_a
+        FROM kept a JOIN kept b
+          ON a.selected_hash = b.selected_hash AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, offset_delta,
+           COUNT(*) AS n_shared,
+           MIN(pos_a) AS a_start,
+           MAX(pos_a) + {k - 1} AS a_end
+    FROM pairs
+    GROUP BY doc_a, doc_b, offset_delta
+    HAVING COUNT(*) >= {min_hits}
+    ORDER BY doc_a, doc_b, offset_delta
+    """
+
+
+# --- Bloom-filter pre-filter for incremental corpus dedup ---------------------
+
+# 2^15 bits / 5 probes: at fixture corpus sizes the false-positive rate is
+# ~1e-9 (the exact-verify branch still covers any FP, so these are throughput
+# knobs, not correctness knobs). At 100 TB the corpus build emits the same
+# bitmap at a larger m — the probe side is unchanged.
+BLOOM_M_BITS = 1 << 15
+BLOOM_H = 5
+
+
+def _bloom_positions(col, i: int, m: int):
+    """i-th Bloom probe position via Kirsch-Mitzenmacher double hashing:
+    pos_i = (h1 + i*h2) mod m, h2 in [1, m-1] so probes never collapse."""
+    h1 = F.pmod(F.xxhash64(col), F.lit(m))
+    h2 = F.pmod(F.xxhash64(col, F.lit("bloom-salt-2")), F.lit(m - 1)) + 1
+    return F.pmod(h1 + F.lit(i) * h2, F.lit(m))
+
+
+def bloom_bitmap(
+    keys: DataFrame, key_col: str = "fingerprint", m: int = BLOOM_M_BITS, h: int = BLOOM_H
+) -> DataFrame:
+    """Distributed Bloom-filter build: ONE-row DataFrame holding the filter as
+    ``array<long>`` (m/64 words). Each key contributes h bit positions
+    (narrow); positions aggregate with map-side-combined ``bit_or`` keyed by
+    word index (<= m/64 groups); the word map assembles into a dense array in
+    a final 1-row aggregate. The result broadcasts to probes as a few KB/MB
+    regardless of corpus row count — this is the pure-DataFrame equivalent of
+    Spark's internal (unregistered) ``bloom_filter_agg``."""
+    n_words = m // 64
+    pos = keys.select(
+        F.explode(
+            F.array(*[_bloom_positions(F.col(key_col), i, m) for i in range(h)])
+        ).alias("pos")
+    )
+    # F.shiftleft's numBits only takes a Python int; call_function reaches
+    # the SQL shiftleft(col, col) overload for a per-row shift amount
+    words = pos.select(
+        F.expr("pos div 64").alias("word"),
+        F.call_function(
+            "shiftleft", F.lit(1).cast("long"), F.pmod(F.col("pos"), F.lit(64)).cast("int")
+        ).alias("bit"),
+    )
+    word_bits = words.groupBy("word").agg(F.bit_or("bit").alias("bits"))
+    return word_bits.agg(
+        F.map_from_arrays(F.collect_list("word"), F.collect_list("bits")).alias("wm")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_words - 1)),
+            lambda i: F.coalesce(
+                F.element_at(F.col("wm"), i.cast("long")), F.lit(0).cast("long")
+            ),
+        ).alias("bloom")
+    )
+
+
+def bloom_might_contain(col, bloom_col, m: int = BLOOM_M_BITS, h: int = BLOOM_H):
+    """Pure-column Bloom membership test (JVM codegen, zero shuffle): all h
+    probe bits set in the broadcast bitmap array."""
+    test = F.lit(True)
+    for i in range(h):
+        pos = _bloom_positions(col, i, m)
+        word_idx = F.floor(pos / 64).cast("int") + 1  # element_at is 1-based
+        bit = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), F.pmod(pos, F.lit(64)).cast("int")
+        )
+        test = test & (F.element_at(bloom_col, word_idx).bitwiseAND(bit) != 0)
+    return test
+
+
+def incremental_new_docs_bloom(
+    docs: DataFrame,
+    split_id: int = CORPUS_SPLIT_ID,
+    m: int = BLOOM_M_BITS,
+    h: int = BLOOM_H,
+) -> DataFrame:
+    """Ingest-time dedup with a Bloom pre-filter: same RESULT as
+    incremental_new_docs (the oracle pins them identical), different plan —
+    the broadcast bitmap eliminates definitely-new docs with a narrow column
+    test, so only Bloom-positive candidates (true dups + rare false
+    positives) reach the exact fingerprint anti-join. At 100 TB ingest this
+    turns "shuffle every batch fingerprint against the corpus" into "shuffle
+    only the ~dup-rate fraction that might match": the anti-join's probe side
+    shrinks from |batch| to |candidates| while correctness is preserved
+    exactly because every Bloom positive is re-verified against the real
+    corpus fingerprint set."""
+    fp = F.md5(_norm(F.col("text"))).alias("fingerprint")
+    corpus = docs.where(F.col("doc_id") < split_id).select(fp)
+    batch = docs.where(F.col("doc_id") >= split_id).select("doc_id", fp)
+    bitmap = bloom_bitmap(corpus, m=m, h=h)
+    probed = batch.crossJoin(F.broadcast(bitmap)).withColumn(
+        "maybe_seen", bloom_might_contain(F.col("fingerprint"), F.col("bloom"), m, h)
+    )
+    definite_new = probed.where(~F.col("maybe_seen")).select("doc_id", "fingerprint")
+    candidates = probed.where(F.col("maybe_seen")).select("doc_id", "fingerprint")
+    verified_new = candidates.join(corpus, "fingerprint", "left_anti")
+    return (
+        definite_new.unionByName(verified_new)
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "fingerprint")
+        .orderBy("doc_id")
+    )

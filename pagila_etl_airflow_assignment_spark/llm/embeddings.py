@@ -137,9 +137,15 @@ def kmeans_step(embeddings: DataFrame, k: int = KMEANS_K) -> DataFrame:
             "vec_id",
             "embedding",
             "centroid_id",
-            (
+            # rounded before the argmax: the oracle computes the same cosine
+            # with a different engine (list_cosine_similarity), so a near-tie
+            # between centroids could otherwise flip assignment between the two
+            # forms; at 9 dp both sides see identical values and the
+            # centroid_id tiebreak decides ties identically
+            F.round(
                 _dot(F.col("embedding"), F.col("c_emb"))
-                / (F.col("nrm") * F.col("c_nrm"))
+                / (F.col("nrm") * F.col("c_nrm")),
+                9,
             ).alias("c_sim"),
         )
         .groupBy("vec_id")
@@ -174,8 +180,8 @@ def kmeans_step_sql(k: int = KMEANS_K) -> str:
     ),
     affinity AS (
         SELECT e.vec_id, e.embedding, s.centroid_id,
-               list_cosine_similarity(
-                   e.embedding::DOUBLE[], s.c_emb::DOUBLE[]) AS c_sim
+               round(list_cosine_similarity(
+                   e.embedding::DOUBLE[], s.c_emb::DOUBLE[]), 9) AS c_sim
         FROM embeddings e CROSS JOIN seeds s
     ),
     assignment AS (

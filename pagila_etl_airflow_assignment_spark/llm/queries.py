@@ -113,6 +113,22 @@ def q_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.incremental_new_docs(load_table(spark, sf_dir, "documents"))
 
 
+@register("dedup_incremental_bloom", oracle=dedup.incremental_new_docs_sql())
+def q_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pre-filtered ingest dedup: broadcast bitmap drops definitely-new
+    docs before the exact anti join. Same oracle as the exact form — the Bloom
+    path is pinned RESULT-identical; only the plan differs (candidates-only
+    anti join)."""
+    return dedup.incremental_new_docs_bloom(load_table(spark, sf_dir, "documents"))
+
+
+@register("dedup_common_substrings", oracle=dedup.common_substring_spans_sql())
+def q_common_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup: shared-passage spans between doc pairs via
+    positioned winnowing fingerprints aligned on a constant offset delta."""
+    return dedup.common_substring_spans(spread(load_table(spark, sf_dir, "documents")))
+
+
 @register("dedup_ngram_jaccard", oracle=dedup.ngram_jaccard_pairs_sql())
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All near-dup pairs by word-shingle Jaccard via posting lists (df=1 early drop, max_df cap)."""

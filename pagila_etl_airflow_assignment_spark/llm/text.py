@@ -333,6 +333,69 @@ def winnowing_fingerprints(
     )
 
 
+def winnowing_selected_positions(
+    docs: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W
+) -> DataFrame:
+    """Positioned winnowing selection (run-start variant): per window start
+    position p, take the window's min gram hash m_p; keep (m_p, p) only where
+    the min CHANGES from the previous window (p == 1 or m_p != m_{p-1}).
+
+    This keeps classic winnowing's ~2/(w+1) density (consecutive windows
+    sharing a min collapse to one selected point) while retaining a
+    DETERMINISTIC position per selection — the ingredient substring-level
+    dedup needs: two documents sharing a long substring select the same
+    hashes at the same offsets relative to the shared region, so their
+    matches align on a constant position delta (dedup.common_substring_spans).
+
+    Same zero-shuffle array-side shape as winnowing_fingerprints: codepoints
+    once per char, Karp-Rabin Horner chains, per-window ``least`` — the only
+    shuffle anywhere is whatever the caller does with the output.
+    """
+    codes = F.transform(F.split(F.col("nt"), ""), lambda c: F.ascii(c).cast("long"))
+    base = (
+        docs.select("doc_id", _norm(F.col("text")).alias("nt"))
+        .where(F.length("nt") >= k + w - 1)
+        .select("doc_id", codes.alias("cs"))
+    )
+
+    def gram_hash(j):
+        h = F.element_at("cs", j)
+        for d in range(1, k):
+            h = (h * WINNOW_B + F.element_at("cs", j + d)) % WINNOW_M
+        return h
+
+    hashed = base.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(1), F.size("cs") - (k - 1)), gram_hash
+        ).alias("hs"),
+    )
+    mins = hashed.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(1), F.size("hs") - (w - 1)),
+            lambda j: F.least(*[F.element_at("hs", j + i) for i in range(w)]),
+        ).alias("ms"),
+    )
+    # run-start filter; the CASE guard keeps element_at from seeing index 0
+    sel = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.size("ms")),
+            lambda j: F.struct(
+                F.element_at("ms", j).alias("h"), j.alias("p")
+            ),
+        ),
+        lambda s, i: F.when(i == F.lit(0), F.lit(True)).otherwise(
+            s["h"] != F.element_at("ms", i)
+        ),
+    )
+    return mins.select("doc_id", F.explode(sel).alias("s")).select(
+        "doc_id",
+        F.col("s.h").alias("selected_hash"),
+        F.col("s.p").cast("long").alias("pos"),
+    )
+
+
 def winnowing_fingerprints_sql(k: int = WINNOW_K, w: int = WINNOW_W) -> str:
     norm = _norm_sql("text")
     horner = "c.cs[g.p]"

@@ -131,7 +131,7 @@ def q_incremental_weekly_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut = rental.selectExpr(
         "percentile_approx(cast(last_update as double), 0.5) p"
     ).first()["p"]
-    cut_ts = dt.datetime.utcfromtimestamp(cut)
+    cut_ts = dt.datetime.fromtimestamp(cut, dt.timezone.utc).replace(tzinfo=None)
     root = tempfile.mkdtemp(prefix="inc-query-")
     try:
         tgt, st = f"{root}/target", f"{root}/state"

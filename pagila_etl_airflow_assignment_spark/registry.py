@@ -110,7 +110,126 @@ EXTENSION_SURVEY_ROWS: dict[str, tuple[str, ...]] = {
     "embedding_vector_norms": ("L-57",),
     "events_delta_agg_merge": ("L-58",),
     "events_hourly_unique_users": ("L-59",),
+    "dedup_common_substrings": ("L-60",),
+    "dedup_incremental_bloom": ("L-61",),
 }
+
+
+# Driver-sample rotation. The external correctness driver certifies only the
+# FIRST 50 entries of queries() dict order per round, so emission order controls
+# which queries get a driver-signed CORRECTNESS row. We order so that evidence
+# accumulates across rounds instead of re-certifying the same 50:
+#   1. names NOT in this list (i.e. queries added this round) come first;
+#   2. then this list, which ranks never-driver-certified queries (as of round
+#      3: no row in CORRECTNESS_r01..r03) ahead of queries certified only in
+#      r01/r02, ahead of queries certified in r03.
+# tools/verify_local.py always checks the FULL registry regardless of order.
+_DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
+    # -- never driver-certified through round 3 (30) --
+    "text_quality_quantile",
+    "dedup_cluster_representatives",
+    "embedding_kmeans_step",
+    "embedding_vector_norms",
+    "warehouse_semi_anti_priority",
+    "events_user_rolling_stats",
+    "events_scd2_user_state",
+    "warehouse_table_profile",
+    "cdc_orders_snapshot_diff",
+    "warehouse_grouping_sets_revenue",
+    "events_funnel_stages",
+    "events_cohort_retention",
+    "warehouse_salted_skew_join",
+    "events_trailing_window",
+    "warehouse_pricing_melted",
+    "events_pit_state_lookup",
+    "events_leakage_free_features",
+    "events_gap_fill_ffill",
+    "cdc_orders_apply_roundtrip",
+    "warehouse_fuzzy_part_match",
+    "events_value_histogram",
+    "events_user_trend",
+    "asof_next_error_after_click",
+    "events_delta_agg_merge",
+    "events_hourly_unique_users",
+    "events_sliding_window",
+    "events_streaming_dedup",
+    "events_session_window_native",
+    "events_user_totals",
+    "events_enriched",
+    # -- certified in r01/r02 only; code has changed since (14) --
+    "warehouse_pricing_summary",
+    "warehouse_star_join_revenue",
+    "warehouse_topk_per_nation",
+    "warehouse_pivot_revenue",
+    "warehouse_rollup_revenue",
+    "warehouse_salted_aggregation",
+    "asof_click_attribution",
+    "events_value_percentiles",
+    "events_json_stats",
+    "events_approx_sketches",
+    "range_click_correlation",
+    "events_hourly_tumbling",
+    "events_sessionization",
+    "events_windowed_click_join",
+    # -- driver-certified green in round 3 (50) --
+    "weekly_rental_summary",
+    "weekly_rental_summary_as_of",
+    "weekly_rental_summary_correlated",
+    "incremental_weekly_summary",
+    "a1_delta_scan",
+    "a2_scalar_probes",
+    "b3_null_predicates",
+    "b4_b5_week_window_membership",
+    "a3_f3_existence_probe",
+    "c3_per_week_counts",
+    "h12_parse_to_null",
+    "d2_weekly_counts",
+    "d4_greatest_activity",
+    "d5_affected_weeks",
+    "h3_week_spine",
+    "h6_h9_case_and_casts",
+    "weekly_summary_monthly_rollup",
+    "text_token_counts",
+    "text_quality_scores",
+    "text_lang_id",
+    "text_fingerprints",
+    "text_winnowing",
+    "text_chunking",
+    "text_repetition_signals",
+    "vocab_top_ngrams",
+    "text_decontaminate",
+    "text_curation_pipeline",
+    "text_tfidf_topk",
+    "text_unigram_logprob",
+    "dedup_exact",
+    "dedup_incremental_new_docs",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_signatures",
+    "dedup_minhash_lsh",
+    "dedup_simhash_signatures",
+    "dedup_simhash_pairs",
+    "dedup_embedding_cosine",
+    "dedup_clusters",
+    "sampling_split_assign",
+    "sampling_stratified",
+    "sampling_mixture_weighted",
+    "text_pii_scrub",
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "text_sequence_packing",
+    "embedding_centroid_outliers",
+)
+
+
+def _emission_order() -> list[str]:
+    """Registry keys, new/never-certified names first (see _DRIVER_SAMPLE_PRIORITY)."""
+    rank = {n: i for i, n in enumerate(_DRIVER_SAMPLE_PRIORITY)}
+    reg_pos = {n: i for i, n in enumerate(_REGISTRY)}
+    return sorted(_REGISTRY, key=lambda n: (rank.get(n, -1), reg_pos[n]))
 
 
 def register(name: str, oracle: str | None = None, survey_rows: tuple[str, ...] = ()):
@@ -123,12 +242,16 @@ def register(name: str, oracle: str | None = None, survey_rows: tuple[str, ...] 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _load_all()
-    return {k: v.fn for k, v in _REGISTRY.items()}
+    return {k: _REGISTRY[k].fn for k in _emission_order()}
 
 
 def oracle_sql() -> dict[str, str]:
     _load_all()
-    return {k: v.oracle for k, v in _REGISTRY.items() if v.oracle is not None}
+    return {
+        k: _REGISTRY[k].oracle
+        for k in _emission_order()
+        if _REGISTRY[k].oracle is not None
+    }
 
 
 _LOADED = False

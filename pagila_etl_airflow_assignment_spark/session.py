@@ -60,4 +60,28 @@ def build_session(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    _quiet_known_benign_warnings(spark)
+    return spark
+
+
+def _quiet_known_benign_warnings(spark: SparkSession) -> None:
+    """Raise the log level of WindowExec only.
+
+    Every unpartitioned window in the engine runs over a spine/aggregate
+    relation that is tiny BY CONSTRUCTION (the week spine is one row per week —
+    plans/weekly_summary.py:114-118), yet WindowExec logs a per-query "No
+    Partition Defined ... serious performance degradation" warning that buries
+    real warnings in bench/verify logs. Fact-table windows in this engine are
+    always partitioned (pinned by tests/test_plans.py), so silencing this one
+    logger hides no genuine scale hazard."""
+    try:
+        jvm = spark.sparkContext._jvm
+        logger = jvm.org.apache.logging.log4j.LogManager.getLogger(
+            "org.apache.spark.sql.execution.window.WindowExec"
+        )
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            logger.getName(), jvm.org.apache.logging.log4j.Level.ERROR
+        )
+    except Exception:
+        pass  # log4j1 or restricted JVM gateway: warning stays, engine works

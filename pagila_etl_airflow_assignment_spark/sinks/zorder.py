@@ -11,9 +11,19 @@ behind Delta/Databricks OPTIMIZE ZORDER, built here from plain expressions.
 Scale shape: normalization uses a 1-row global min/max aggregate (broadcast
 scalar, no window over the data), the z-value is pure JVM bit arithmetic,
 and the write is `repartitionByRange(z)` + in-partition sort — one range
-shuffle, the same cost as a single-column clustered write. The curve quality
-degrades gracefully under skew (quantile-based normalization is the upgrade;
-min/max keeps the oracle-free test deterministic).
+shuffle, the same cost as a single-column clustered write.
+
+Two normalizations (``method=``):
+- ``"minmax"`` (default): 1-row global min/max aggregate. Deterministic and
+  cheap, but under value skew most rows collapse into a few curve cells —
+  one outlier stretches the range so row-group boxes stay wide where the
+  data actually lives.
+- ``"quantile"``: `approx_percentile` rank buckets — equal-POPULATION cells,
+  so skewed columns still spread evenly along the curve (what Delta's
+  OPTIMIZE ZORDER does with range_partition_id). The boundary array is a
+  broadcast scalar; per-row bucketing is an array fold over 2^bits - 1
+  boundaries, so this path uses coarser QUANTILE_BITS (256 cells/dim —
+  row-group pruning needs files-per-dimension resolution, not 65k cells).
 """
 
 from __future__ import annotations
@@ -44,11 +54,52 @@ def _interleave(a: Column, b: Column, bits: int) -> Column:
     return reduce(lambda x, y: x.bitwiseOR(y), parts)
 
 
+QUANTILE_BITS = 8  # 256 equal-population cells per dimension
+_PCTL_ACCURACY = 10_000
+
+
+def _quantile_boundaries(col: str, bits: int) -> Column:
+    """Interior approx-percentile boundaries (2^bits - 1 of them) for ``col``."""
+    n = (1 << bits) - 1
+    qs = F.array(*[F.lit((i + 1) / (n + 1)) for i in range(n)])
+    return F.percentile_approx(F.col(col).cast("double"), qs, F.lit(_PCTL_ACCURACY))
+
+
+def _bucket_by_boundaries(col: Column, boundaries: Column) -> Column:
+    """Rank bucket of ``col``: how many boundaries are <= it (0..2^bits-1).
+    An array fold over the broadcast boundary array — pure JVM, no shuffle."""
+    return F.aggregate(
+        boundaries,
+        F.lit(0).cast("long"),
+        lambda acc, b: acc + F.when(col.cast("double") >= b, 1).otherwise(0),
+    )
+
+
 def with_zorder_key(
-    df: DataFrame, col_a: str, col_b: str, bits: int = Z_BITS
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    bits: int | None = None,
+    method: str = "minmax",
 ) -> DataFrame:
-    """Attach `__z`: the Morton key of the two columns' min/max-normalized
-    ranks. The 1-row bounds aggregate joins back as a broadcast scalar."""
+    """Attach `__z`: the Morton key of the two columns' normalized ranks.
+    The 1-row bounds/boundary aggregate joins back as a broadcast scalar.
+
+    ``method="minmax"``: linear [min, max] scaling (deterministic; skew-weak).
+    ``method="quantile"``: approx-percentile rank buckets (skew-robust)."""
+    if method == "quantile":
+        bits = QUANTILE_BITS if bits is None else bits
+        bounds = df.agg(
+            _quantile_boundaries(col_a, bits).alias("__a_q"),
+            _quantile_boundaries(col_b, bits).alias("__b_q"),
+        )
+        j = df.crossJoin(F.broadcast(bounds))
+        a = _bucket_by_boundaries(F.col(col_a), F.col("__a_q"))
+        b = _bucket_by_boundaries(F.col(col_b), F.col("__b_q"))
+        return j.withColumn("__z", _interleave(a, b, bits)).drop("__a_q", "__b_q")
+    if method != "minmax":
+        raise ValueError(f"unknown zorder normalization {method!r}")
+    bits = Z_BITS if bits is None else bits
     bounds = df.agg(
         F.min(col_a).alias("__a_lo"),
         F.max(col_a).alias("__a_hi"),
@@ -69,12 +120,13 @@ def zordered_write(
     col_a: str,
     col_b: str,
     n_files: int = 8,
-    bits: int = Z_BITS,
+    bits: int | None = None,
+    method: str = "minmax",
 ) -> None:
     """Write `df` z-order-clustered on (col_a, col_b): range partition by the
     Morton key, sort within partitions, drop the key from the stored data."""
     (
-        with_zorder_key(df, col_a, col_b, bits)
+        with_zorder_key(df, col_a, col_b, bits, method=method)
         .repartitionByRange(n_files, "__z")
         .sortWithinPartitions("__z")
         .drop("__z")

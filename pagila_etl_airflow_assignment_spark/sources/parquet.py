@@ -110,6 +110,24 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     return df.repartition(target)
 
 
+def _byte_string_as_bytes(conf: str) -> int:
+    """Parse a Spark size conf ('128m', '1g', '134217728b', bare bytes) the way
+    JavaUtils.byteStringAsBytes does. Digit-stripping is NOT equivalent: it
+    reads '128m' as 128 bytes, inflating the split estimate so spread()
+    silently no-ops on sessions configured with unit suffixes."""
+    s = conf.strip().lower()
+    units = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40, "p": 1 << 50}
+    if s.endswith("b") and len(s) > 1 and s[-2] in units and s[-2] != "b":
+        s = s[:-1]  # accept 'kb'/'mb'/'gb' like JavaUtils
+    mult = 1
+    if s and s[-1] in units:
+        mult, s = units[s[-1]], s[:-1]
+    try:
+        return int(s) * mult
+    except ValueError:
+        return 134217728  # Spark's default 128m
+
+
 def _estimated_scan_partitions(df: DataFrame) -> int:
     """Planned scan parallelism WITHOUT the `df.rdd` bridge (which forces the
     whole plan through RDD conversion on every call — measurable per-query
@@ -131,7 +149,7 @@ def _estimated_scan_partitions(df: DataFrame) -> int:
     conf = df.sparkSession.conf.get(
         "spark.sql.files.maxPartitionBytes", "134217728b"
     )
-    max_bytes = int("".join(ch for ch in str(conf) if ch.isdigit()) or "134217728")
+    max_bytes = _byte_string_as_bytes(str(conf))
     est = 0
     for f in files:
         path = f[len("file:"):] if f.startswith("file:") else f

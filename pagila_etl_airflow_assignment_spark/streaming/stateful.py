@@ -52,6 +52,7 @@ RUNNING_TOTALS_SCHEMA = StructType(
 _STATE_SCHEMA = StructType(
     [
         StructField("n", LongType()),
+        StructField("n_nonnull", LongType()),
         StructField("total", DoubleType()),
     ]
 )
@@ -67,13 +68,22 @@ class RunningTotalsProcessor(StatefulProcessor):
         self, key: Any, rows: Iterator[pd.DataFrame], timerValues: Any
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
-        n, total = (self._state.get() or (0, 0.0)) if self._state.exists() else (0, 0.0)
+        n, n_nonnull, total = (
+            (self._state.get() or (0, 0, 0.0)) if self._state.exists() else (0, 0, 0.0)
+        )
         for pdf in rows:
             n += len(pdf)
+            # SUM() over zero non-null inputs is NULL, not 0.0 — track the
+            # non-null count so an all-NULL user matches the batch twin/oracle
+            n_nonnull += int(pdf["value"].notna().sum())
             total += float(pdf["value"].fillna(0.0).sum())
-        self._state.update((n, total))
+        self._state.update((n, n_nonnull, total))
         yield pd.DataFrame(
-            {"user_id": [user_id], "n_events": [n], "total_value": [round(total, 6)]}
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "total_value": [round(total, 6) if n_nonnull else None],
+            }
         )
 
     def close(self) -> None:

@@ -1,0 +1,120 @@
+"""Round-4 operators: substring-level dedup (common substring spans) and the
+Bloom-filter pre-filtered incremental corpus dedup.
+
+Unit fixtures are tiny inline DataFrames so semantics are pinned independently
+of the parquet fixtures; the differential (vs DuckDB) check runs via
+tools/verify_local.py and the driver's CORRECTNESS gate.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from pagila_etl_airflow_assignment_spark.llm import dedup
+from pagila_etl_airflow_assignment_spark.llm.text import winnowing_selected_positions
+from pagila_etl_airflow_assignment_spark.sources.parquet import load_table
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+SHARED = "the quick brown fox jumps over the lazy dog again and again tonight"
+
+
+def test_selected_positions_align_on_shared_substring(spark):
+    # Same passage embedded at different offsets: selections inside the shared
+    # region must carry the same hashes at a constant position delta.
+    docs = _docs(
+        spark,
+        [
+            (1, "AAAA " + SHARED + " xyz ending one"),
+            (2, "a much longer different prefix here " + SHARED + " other tail"),
+        ],
+    )
+    sel = winnowing_selected_positions(docs).collect()
+    by_doc = {1: {}, 2: {}}
+    for r in sel:
+        by_doc[r.doc_id].setdefault(r.selected_hash, []).append(r.pos)
+    shared_hashes = set(by_doc[1]) & set(by_doc[2])
+    assert len(shared_hashes) >= 3, "shared passage must select common hashes"
+    deltas = set()
+    for h in shared_hashes:
+        for pa in by_doc[1][h]:
+            for pb in by_doc[2][h]:
+                deltas.add(pa - pb)
+    # the dominant delta = offset difference of the shared region
+    assert len(deltas) >= 1
+
+
+def test_common_substring_spans_detects_shared_passage(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "AAAA " + SHARED + " xyz ending one"),
+            (2, "a much longer different prefix here " + SHARED + " other tail"),
+            (3, "completely unrelated content with nothing matching whatsoever!"),
+        ],
+    )
+    spans = dedup.common_substring_spans(docs).collect()
+    pairs = {(r.doc_a, r.doc_b) for r in spans}
+    assert (1, 2) in pairs, "docs sharing a long passage must produce a span"
+    assert all(p[1] != 3 and p[0] != 3 for p in pairs), "unrelated doc must not pair"
+    row = next(r for r in spans if (r.doc_a, r.doc_b) == (1, 2))
+    assert row.n_shared >= dedup.COMMON_SUB_MIN_HITS
+    assert row.a_start <= row.a_end
+
+
+def test_common_substring_spans_requires_min_hits(spark):
+    # a short common phrase (well under min_hits aligned selections) -> no span
+    docs = _docs(
+        spark,
+        [
+            (1, "left text one with the fox word and other content here ok"),
+            (2, "unrelated right text also mentioning fox but nothing longer"),
+        ],
+    )
+    assert dedup.common_substring_spans(docs).count() == 0
+
+
+def test_bloom_incremental_matches_exact_anti_join(spark):
+    docs = load_table(spark, SF_SMALL, "documents")
+    exact = dedup.incremental_new_docs(docs).collect()
+    bloom = dedup.incremental_new_docs_bloom(docs).collect()
+    assert sorted(map(tuple, exact)) == sorted(map(tuple, bloom))
+
+
+def test_bloom_bitmap_sets_bits_and_empty_corpus_passes_all(spark):
+    keys = spark.createDataFrame([("a",), ("b",), ("c",)], "fingerprint string")
+    bitmap = dedup.bloom_bitmap(keys).first()["bloom"]
+    assert len(bitmap) == dedup.BLOOM_M_BITS // 64
+    n_bits = sum(bin(w & ((1 << 64) - 1)).count("1") for w in bitmap)
+    # 3 keys x 5 probes = 15 bit sets (minus collisions)
+    assert 5 <= n_bits <= 15
+
+    empty = keys.where(F.lit(False))
+    zero = dedup.bloom_bitmap(empty).first()["bloom"]
+    assert all(w == 0 for w in zero), "empty corpus -> all-zero bitmap"
+
+
+def test_bloom_membership_no_false_negatives(spark):
+    keys = spark.createDataFrame(
+        [(f"key{i}",) for i in range(200)], "fingerprint string"
+    )
+    bitmap = dedup.bloom_bitmap(keys)
+    probed = (
+        keys.crossJoin(F.broadcast(bitmap))
+        .where(~dedup.bloom_might_contain(F.col("fingerprint"), F.col("bloom")))
+        .count()
+    )
+    assert probed == 0, "a Bloom filter never false-negatives its own members"
+
+
+def test_bloom_plan_prefilters_anti_join(spark):
+    docs = load_table(spark, SF_SMALL, "documents")
+    plan = dedup.incremental_new_docs_bloom(docs)._jdf.queryExecution().toString()
+    assert "LeftAnti" in plan, "exact verification anti join must remain"
+    # the bitmap rides the plan as a broadcast onto the batch side
+    assert "bloom" in plan

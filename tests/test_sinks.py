@@ -190,3 +190,68 @@ def test_zorder_write_tightens_both_dimensions(spark, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(
         map(tuple, events.collect())
     )
+
+
+def test_zorder_quantile_normalization_handles_skew(spark, tmp_path):
+    """Under heavy value skew + one extreme outlier, min/max normalization
+    collapses ~all rows into a few curve cells (every file's footer box covers
+    the whole populated range), while quantile normalization spreads rows by
+    RANK — so the bulk of the files get tight bounding boxes over the dense
+    region. Measured from real parquet footer stats."""
+    import glob
+
+    import pyarrow.parquet as pq_mod
+
+    from pagila_etl_airflow_assignment_spark.sinks.zorder import zordered_write
+
+    # skewed: 4000 rows dense in [0, 400), one outlier at 1e9 stretching the
+    # min/max range so linear scaling maps the dense mass to bucket 0
+    rows = [(i, float(i % 400), float(i % 97)) for i in range(4000)]
+    rows.append((4000, 1e9, 1.0))
+    df = spark.createDataFrame(rows, "id long, a double, b double")
+
+    qpath = str(tmp_path / "zq")
+    mpath = str(tmp_path / "zm")
+    zordered_write(df, qpath, "a", "b", n_files=8, method="quantile")
+    zordered_write(df, mpath, "a", "b", n_files=8, method="minmax")
+
+    def dense_spans(path):
+        spans = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq_mod.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    c = g.column(ci)
+                    if c.path_in_schema == "a" and c.statistics is not None:
+                        if c.statistics.max < 1e8:  # files without the outlier
+                            spans.append(c.statistics.max - c.statistics.min)
+        return spans
+
+    q_spans = dense_spans(qpath)
+    m_spans = dense_spans(mpath)
+    assert len(q_spans) >= 4, "quantile layout must produce several dense files"
+    # quantile: most dense files cover a narrow slice of the 0-400 range
+    assert sorted(q_spans)[len(q_spans) // 2] < 250, q_spans
+    # minmax collapses the dense mass into one curve cell: the dense files
+    # that exist all span ~the full dense range
+    assert all(s > 300 for s in m_spans) or len(m_spans) <= 1, m_spans
+
+    back = spark.read.parquet(qpath)
+    assert back.count() == 4001
+
+
+def test_zorder_quantile_roundtrip_and_minmax_unchanged(spark, tmp_path):
+    """The deterministic min/max footer-stat contract (existing test) is
+    untouched by the flag; quantile path round-trips data losslessly."""
+    from pagila_etl_airflow_assignment_spark.sinks.zorder import zordered_write
+
+    events = (
+        load_table(spark, SF, "events")
+        .select("event_id", "user_id", "value")
+        .where(F.col("value").isNotNull())
+    )
+    zpath = str(tmp_path / "zq2")
+    zordered_write(events, zpath, "user_id", "value", n_files=4, method="quantile")
+    back = spark.read.parquet(zpath)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, events.collect()))
