@@ -178,10 +178,21 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count("*").alias("inter"))
     )
+    # shuffle_hash (not broadcast) for the sizes joins: Catalyst's STATIC size
+    # estimate undervalues the post-aggregation pair relation and picks IT as
+    # the broadcast build side — at 10x fixture scale that collected tens of
+    # millions of pairs onto the driver and OOMed (measured). The hinted
+    # shuffled hash join builds the genuinely-small per-doc sizes side per
+    # partition and streams the pairs; both relations are doc-keyed, so this
+    # shape holds at any corpus size.
     return (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        inter.join(
+            sizes.withColumnRenamed("doc_id", "doc_a").hint("shuffle_hash"), "doc_a"
+        )
         .withColumnRenamed("sz", "sz_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").hint("shuffle_hash"), "doc_b"
+        )
         .withColumnRenamed("sz", "sz_b")
         .select(
             "doc_a",
@@ -317,10 +328,17 @@ def minhash_lsh_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
     )
+    # shuffle_hash on the sizes joins for the same reason as
+    # ngram_jaccard_pairs: the statically-underestimated candidate/intersection
+    # relation must never become a broadcast build side.
     return (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        inter.join(
+            sizes.withColumnRenamed("doc_id", "doc_a").hint("shuffle_hash"), "doc_a"
+        )
         .withColumnRenamed("sz", "sz_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").hint("shuffle_hash"), "doc_b"
+        )
         .withColumnRenamed("sz", "sz_b")
         .select(
             "doc_a",
@@ -811,13 +829,19 @@ def common_substring_spans(
     k = WINNOW_K if k is None else k
     w = WINNOW_W if w is None else w
     sel = winnowing_selected_positions(docs, k, w).repartition("selected_hash")
-    hot = (
-        sel.groupBy("selected_hash")
-        .agg(F.count_distinct("doc_id").alias("df"))
-        .where(F.col("df") > max_df)
-        .select("selected_hash")
+    # df=1 early-drop + max_df cap in ONE semi join: a hash held by a single
+    # doc cannot pair (dropping it is free correctness-preserving pruning —
+    # most content is unique, so this shrinks the self-join input by ~the
+    # unique fraction of the corpus), and a hash held by > max_df docs is
+    # boilerplate. `counts` inherits sel's hash partitioning (same-key
+    # groupBy), so the semi join adds NO extra exchange.
+    counts = sel.groupBy("selected_hash").agg(
+        F.count_distinct("doc_id").alias("df")
     )
-    kept = sel.join(F.broadcast(hot), "selected_hash", "left_anti")
+    eligible = counts.where(
+        (F.col("df") >= 2) & (F.col("df") <= max_df)
+    ).select("selected_hash")
+    kept = sel.join(eligible, "selected_hash", "left_semi")
     a = kept.select(
         "selected_hash",
         F.col("doc_id").alias("doc_a"),
@@ -1020,3 +1044,171 @@ def incremental_new_docs_bloom(
         .select("doc_id", "fingerprint")
         .orderBy("doc_id")
     )
+
+
+# --- incremental NEAR-dup ingest dedup (MinHash-LSH batch-vs-corpus) ----------
+
+
+def incremental_minhash_new_docs(
+    docs: DataFrame,
+    split_id: int = CORPUS_SPLIT_ID,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    n: int = DEFAULT_N,
+    verify_threshold: float = 0.2,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """NEAR-dup ingest dedup: keep the batch docs that are not near-duplicates
+    of anything already in the corpus. ``incremental_new_docs`` catches only
+    byte-identical content; real ingest also has to drop light edits of
+    already-held documents — the batch-vs-corpus twin of
+    ``minhash_lsh_pairs``.
+
+    Scale shape: signatures/banding are the existing one-shuffle pipeline; the
+    candidate join is batch-buckets x corpus-buckets (NOT a corpus self-join —
+    cost tracks batch size, the quantity that matters at ingest), with hot
+    CORPUS buckets capped before the join; candidates-only exact-Jaccard
+    verification; final LEFT ANTI of the batch against verified matches. In a
+    deployed lake the corpus-side bucket relation is materialized once and
+    bucket-bucketed on disk, so each ingest batch shuffles only itself.
+    """
+    sig = minhash_signatures(docs, k, n)
+    rows_per_band = k // bands
+    band_cols = [
+        F.concat_ws(
+            "_",
+            F.lit(b),
+            *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    bucketed = (
+        sig.select("doc_id", *band_cols)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array(*[F.col(f"band{b}") for b in range(bands)])
+            ).alias("bucket"),
+        )
+        .repartition("bucket")
+    )
+    corpus_b = bucketed.where(F.col("doc_id") < split_id)
+    batch_b = bucketed.where(F.col("doc_id") >= split_id)
+    if max_bucket is not None:
+        hot = (
+            corpus_b.groupBy("bucket")
+            .agg(F.count("*").alias("n"))
+            .where(F.col("n") > max_bucket)
+            .select("bucket")
+        )
+        corpus_b = corpus_b.join(F.broadcast(hot), "bucket", "left_anti")
+        batch_b = batch_b.join(F.broadcast(hot), "bucket", "left_anti")
+    candidates = (
+        batch_b.select(F.col("doc_id").alias("batch_doc"), "bucket")
+        .join(
+            corpus_b.select(F.col("doc_id").alias("corpus_doc"), "bucket"),
+            "bucket",
+        )
+        .select("batch_doc", "corpus_doc")
+        .distinct()
+    )
+    sh = shingles(docs, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        candidates.join(sh.withColumnRenamed("doc_id", "batch_doc"), "batch_doc")
+        .join(
+            sh.withColumnRenamed("doc_id", "corpus_doc"),
+            ["corpus_doc", "shingle"],
+            "inner",
+        )
+        .groupBy("batch_doc", "corpus_doc")
+        .agg(F.count("*").alias("inter"))
+    )
+    # shuffle_hash: see ngram_jaccard_pairs — the candidate-intersection side
+    # must not be chosen as a (statically underestimated) broadcast build side
+    matched = (
+        inter.join(
+            sizes.withColumnRenamed("doc_id", "batch_doc")
+            .withColumnRenamed("sz", "sz_a")
+            .hint("shuffle_hash"),
+            "batch_doc",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "corpus_doc")
+            .withColumnRenamed("sz", "sz_b")
+            .hint("shuffle_hash"),
+            "corpus_doc",
+        )
+        .where(
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            )
+            >= verify_threshold
+        )
+        .select(F.col("batch_doc").alias("doc_id"))
+        .distinct()
+    )
+    batch = docs.where(F.col("doc_id") >= split_id).select("doc_id")
+    return batch.join(matched, "doc_id", "left_anti").orderBy("doc_id")
+
+
+def incremental_minhash_new_docs_sql(
+    split_id: int = CORPUS_SPLIT_ID,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    n: int = DEFAULT_N,
+    verify_threshold: float = 0.2,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> str:
+    rows_per_band = k // bands
+    band_exprs = ",\n                ".join(
+        "concat_ws('_', "
+        + ", ".join(
+            [str(b)] + [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
+        )
+        + ")"
+        for b in range(bands)
+    )
+    cap = (
+        "WHERE bucket NOT IN (SELECT bucket FROM corpus_b0 "
+        f"GROUP BY bucket HAVING COUNT(*) > {max_bucket})"
+        if max_bucket is not None
+        else ""
+    )
+    return f"""
+        WITH sig AS ({minhash_signatures_sql(k, n)}),
+        bucketed0 AS (
+            SELECT doc_id, unnest([
+                {band_exprs}
+            ]) AS bucket
+            FROM sig
+        ),
+        corpus_b0 AS (SELECT * FROM bucketed0 WHERE doc_id < {split_id}),
+        batch_b0 AS (SELECT * FROM bucketed0 WHERE doc_id >= {split_id}),
+        corpus_b AS (SELECT * FROM corpus_b0 {cap}),
+        batch_b AS (SELECT * FROM batch_b0 {cap}),
+        cand AS (
+            SELECT DISTINCT b.doc_id AS batch_doc, c.doc_id AS corpus_doc
+            FROM batch_b b JOIN corpus_b c USING (bucket)
+        ),
+        sh AS ({shingles_sql(n)}),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+        inter AS (
+            SELECT batch_doc, corpus_doc, COUNT(*) AS inter
+            FROM cand
+            JOIN sh sa ON sa.doc_id = cand.batch_doc
+            JOIN sh sb ON sb.doc_id = cand.corpus_doc AND sb.shingle = sa.shingle
+            GROUP BY 1, 2
+        ),
+        matched AS (
+            SELECT DISTINCT batch_doc AS doc_id
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = batch_doc
+            JOIN sizes sb ON sb.doc_id = corpus_doc
+            WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= {verify_threshold}
+        )
+        SELECT doc_id FROM documents
+        WHERE doc_id >= {split_id}
+          AND doc_id NOT IN (SELECT doc_id FROM matched)
+        ORDER BY doc_id
+    """

@@ -122,6 +122,16 @@ def q_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.incremental_new_docs_bloom(load_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "dedup_incremental_minhash", oracle=dedup.incremental_minhash_new_docs_sql()
+)
+def q_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-dup ingest dedup: batch docs kept only if no corpus doc shares an
+    LSH band and verifies >= threshold exact Jaccard (batch-vs-corpus bucket
+    join, hot corpus buckets capped, candidates-only verification)."""
+    return dedup.incremental_minhash_new_docs(load_table(spark, sf_dir, "documents"))
+
+
 @register("dedup_common_substrings", oracle=dedup.common_substring_spans_sql())
 def q_common_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level dedup: shared-passage spans between doc pairs via

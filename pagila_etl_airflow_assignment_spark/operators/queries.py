@@ -216,13 +216,13 @@ JSON_STATS_SQL = """
 
 @register("events_json_stats", oracle=JSON_STATS_SQL)
 def q_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semi-structured extraction + statistical aggregates: pull `k` out of
-    the JSON props column (get_json_object — JVM-side Jackson path eval, no
-    UDF) and compute stddev/variance/Pearson-correlation per event type. At
-    scale, repeated extraction from the same JSON column should instead
-    from_json() once into a struct column (single parse, then columnar)."""
+    """Semi-structured extraction + statistical aggregates: parse the JSON
+    props column ONCE with from_json into a typed struct (single Jackson
+    parse per row however many fields are consumed downstream — the at-scale
+    form; per-path get_json_object re-parses the document for every extracted
+    key) and compute stddev/variance/Pearson-correlation per event type."""
     events = load_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("long")
+    k = F.from_json("props", "k BIGINT")["k"]
     return (
         events.select("event_type", "value", k.alias("k"))
         .groupBy("event_type")

@@ -517,8 +517,13 @@ def salted_skew_join_revenue(
     cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
         fact["__salt"] == dim["__salt"]
     )
+    # Pin a SHUFFLE join: salting only exists to spread a hot key across
+    # shuffle reducers — under a broadcast join there is no shuffle to skew,
+    # and building the salt_buckets-times-replicated dim as a broadcast table
+    # is exactly the OOM the technique avoids (measured: 10x-scale probe blew
+    # the driver broadcasting the x8 orders replica before this hint).
     return (
-        fact.join(dim, cond, "inner")
+        fact.join(dim.hint("shuffle_hash"), cond, "inner")
         .groupBy("o_orderpriority")
         .agg(
             F.sum(revenue).cast("double").alias("revenue"),

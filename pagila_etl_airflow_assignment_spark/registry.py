@@ -112,6 +112,8 @@ EXTENSION_SURVEY_ROWS: dict[str, tuple[str, ...]] = {
     "events_hourly_unique_users": ("L-59",),
     "dedup_common_substrings": ("L-60",),
     "dedup_incremental_bloom": ("L-61",),
+    "dedup_incremental_minhash": ("L-62",),
+    "events_windowed_click_join_outer": ("L-28",),
 }
 
 

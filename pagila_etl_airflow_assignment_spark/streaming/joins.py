@@ -81,6 +81,57 @@ PURCHASE_CLICK_WINDOW_JOIN_SQL = f"""
 """
 
 
+def purchase_click_window_join_outer(events: DataFrame) -> DataFrame:
+    """LEFT OUTER batch twin: EVERY purchase appears, including those with no
+    prior-hour click (n_prior_clicks 0, prior_click_value NULL — SUM over no
+    rows). Same one-shuffle-per-side user_id equi join; the outer row padding
+    is free. The streaming counterpart (below) is the capability the inner
+    form can't express: "purchases that did NOT convert from a click" exit
+    the stream as null-padded rows once the watermark closes their window."""
+    pairs = _purchases(events).join(_clicks(events), _pair_condition(), "left_outer")
+    return (
+        pairs.groupBy("purchase_id")
+        .agg(
+            F.count("click_ts").alias("n_prior_clicks"),
+            F.round(F.sum("click_value"), 6).alias("prior_click_value"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+PURCHASE_CLICK_WINDOW_JOIN_OUTER_SQL = f"""
+    SELECT p.event_id AS purchase_id,
+           COUNT(c.click_ts) AS n_prior_clicks,
+           ROUND(SUM(c.click_value), 6) AS prior_click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (
+        SELECT user_id AS c_user, ts AS click_ts, value AS click_value
+        FROM events WHERE event_type = 'click'
+    ) c
+      ON p.user_id = c.c_user
+     AND epoch_us(c.click_ts) >= epoch_us(p.ts) - {JOIN_WINDOW_SECONDS} * CAST(1000000 AS BIGINT)
+     AND epoch_us(c.click_ts) <= epoch_us(p.ts)
+    GROUP BY p.event_id
+    ORDER BY purchase_id
+"""
+
+
+def streaming_purchase_click_pairs_outer(
+    spark: SparkSession, events_path: str, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming LEFT OUTER stream-stream join: unmatched purchases are
+    emitted null-padded only after the watermark guarantees no matching click
+    can still arrive — the state-eviction deadline doubles as the
+    null-emission trigger (this is why outer stream-stream joins REQUIRE
+    both the watermark and a time-bound join condition)."""
+    raw = events_stream(spark, events_path)
+    p = _purchases(raw).withWatermark("purchase_ts", watermark)
+    c = _clicks(raw).withWatermark("click_ts", watermark)
+    return p.join(c, _pair_condition(), "leftOuter").select(
+        "purchase_id", "purchase_ts", "click_ts", "click_value"
+    )
+
+
 def streaming_purchase_click_pairs(
     spark: SparkSession, events_path: str, watermark: str = "2 hours"
 ) -> DataFrame:

@@ -17,7 +17,12 @@ from .aggregations import (
     sliding_event_counts,
 )
 from .dedup import DEDUP_EVENT_COUNTS_SQL, dedup_event_counts
-from .joins import PURCHASE_CLICK_WINDOW_JOIN_SQL, purchase_click_window_join
+from .joins import (
+    PURCHASE_CLICK_WINDOW_JOIN_OUTER_SQL,
+    PURCHASE_CLICK_WINDOW_JOIN_SQL,
+    purchase_click_window_join,
+    purchase_click_window_join_outer,
+)
 from .stateful import USER_TOTALS_SQL, user_totals_batch
 from . import enrichment
 
@@ -40,6 +45,16 @@ def q_windowed_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per purchase, same-user clicks in the preceding hour (batch twin of the
     watermarked stream-stream interval join)."""
     return purchase_click_window_join(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "events_windowed_click_join_outer", oracle=PURCHASE_CLICK_WINDOW_JOIN_OUTER_SQL
+)
+def q_windowed_click_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVERY purchase with its preceding-hour click stats, zero-click
+    purchases included (batch twin of the watermarked LEFT OUTER
+    stream-stream join — null padding emitted at watermark close)."""
+    return purchase_click_window_join_outer(load_table(spark, sf_dir, "events"))
 
 
 @register("events_sliding_window", oracle=SLIDING_EVENT_COUNTS_SQL)

@@ -425,3 +425,67 @@ def test_closed_window_is_final_despite_late_arrival(spark):
         assert dropped >= 1
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_stream_left_outer_join_semantics(spark, events_dir):
+    """LEFT OUTER stream-stream join: matched pairs must equal the inner
+    join exactly; null-padded (no-click) purchases must be a subset of the
+    batch zero-click purchases; and every zero-click purchase whose eviction
+    deadline falls safely before the final watermark must have been emitted
+    null-padded (the watermark-close emission contract)."""
+    import datetime as dt
+
+    from pagila_etl_airflow_assignment_spark.streaming.joins import (
+        JOIN_WINDOW_SECONDS,
+        _clicks,
+        _pair_condition,
+        _purchases,
+        streaming_purchase_click_pairs_outer,
+    )
+
+    got = _run_to_memory(
+        spark,
+        streaming_purchase_click_pairs_outer(spark, events_dir),
+        "ss_join_pairs_outer",
+        "append",
+    )
+    events = load_table(spark, SF_SMALL, "events")
+    inner = (
+        _purchases(events)
+        .join(_clicks(events), _pair_condition())
+        .select("purchase_id", "purchase_ts", "click_ts", "click_value")
+    )
+    g_matched = sorted(
+        tuple(r) for r in got.where(F.col("click_ts").isNotNull()).collect()
+    )
+    w_matched = sorted(tuple(r) for r in inner.collect())
+    assert g_matched == w_matched and len(g_matched) > 0
+
+    batch_zero = {
+        r.purchase_id
+        for r in _purchases(events)
+        .join(_clicks(events), _pair_condition(), "left_anti")
+        .collect()
+    }
+    g_null = {r.purchase_id for r in got.where(F.col("click_ts").isNull()).collect()}
+    assert g_null <= batch_zero, "stream must never null-pad a matched purchase"
+
+    # watermark-close contract: zero-click purchases old enough that their
+    # state was certainly evicted before end-of-stream must have been emitted.
+    # The slack is deliberately generous (4x the 2h-watermark + 1h-window
+    # envelope): the exact eviction threshold also depends on per-microbatch
+    # watermark propagation lag, which is not part of the contract under test
+    # (empirically rows ~5.6h from stream end were still buffered).
+    max_ts = events.agg(F.max("ts")).first()[0]
+    slack = dt.timedelta(seconds=4 * (7200 + JOIN_WINDOW_SECONDS))
+    must_emit = {
+        r.purchase_id
+        for r in _purchases(events)
+        .join(_clicks(events), _pair_condition(), "left_anti")
+        .where(F.col("purchase_ts") < F.lit(max_ts - slack))
+        .collect()
+    }
+    assert must_emit <= g_null, (
+        f"{len(must_emit - g_null)} long-closed zero-click purchases missing"
+    )
+    assert len(must_emit) > 0, "fixture must exercise the null-padding path"

@@ -7,7 +7,7 @@ linearly with data, as in a real corpus, not quadratically as naive
 duplication would cause). An operator whose time ratio tracks the data ratio
 is shuffle/partition-healthy; a super-linear ratio exposes a scale bug.
 
-Usage: python tools/scale_probe.py [sf_dir] [factor]
+Usage: python tools/scale_probe.py [sf_dir] [factor] [--only a,b,c]
 Writes one JSON line: {"factor": N, "queries": {name: {"t1": s, "tN": s,
 "ratio": r}}}.
 """
@@ -29,8 +29,14 @@ from pagila_etl_airflow_assignment_spark.registry import queries
 from pagila_etl_airflow_assignment_spark.session import build_session
 from pagila_etl_airflow_assignment_spark.sources.parquet import load_table
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-FACTOR = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+_argv = sys.argv[1:]
+ONLY = None
+if "--only" in _argv:
+    i = _argv.index("--only")
+    ONLY = set(_argv[i + 1].split(","))
+    _argv = _argv[:i] + _argv[i + 2 :]
+SF_DIR = _argv[0] if _argv else "/root/testdata/sf0.1"
+FACTOR = int(_argv[1]) if len(_argv) > 1 else 10
 
 # Representative, data-dominated operators (one per scale-critical family).
 PROBES = [
@@ -141,14 +147,22 @@ def main() -> None:
     qmap = queries()
     results = {}
     for name in PROBES:
+        if ONLY is not None and name not in ONLY:
+            continue
         fn = qmap[name]
-        fn(spark, SF_DIR).count()  # warm plan+JVM for this shape
-        t0 = time.perf_counter()
-        fn(spark, SF_DIR).count()
-        t1 = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        n = fn(spark, out_dir).count()
-        tn = time.perf_counter() - t0
+        try:
+            fn(spark, SF_DIR).count()  # warm plan+JVM for this shape
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).count()
+            t1 = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            n = fn(spark, out_dir).count()
+            tn = time.perf_counter() - t0
+        except Exception as exc:  # a probe failure is itself the finding
+            msg = str(exc).splitlines()[0][:300]
+            results[name] = {"error": msg}
+            print(f"# {name}: ERROR {msg}", file=sys.stderr)
+            continue
         results[name] = {
             "t1": round(t1, 2),
             "tN": round(tn, 2),
