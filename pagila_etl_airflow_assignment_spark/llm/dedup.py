@@ -1212,3 +1212,117 @@ def incremental_minhash_new_docs_sql(
           AND doc_id NOT IN (SELECT doc_id FROM matched)
         ORDER BY doc_id
     """
+
+
+def repeated_span_coverage(
+    docs: DataFrame,
+    k: int | None = None,
+    w: int | None = None,
+    min_hits: int = COMMON_SUB_MIN_HITS,
+    max_df: int = COMMON_SUB_MAX_DF,
+) -> DataFrame:
+    """Per-document coverage of CROSS-DOC repeated passages: how much of each
+    doc (the doc_b 'later copy' side of common_substring_spans) is covered by
+    substrings shared with an earlier doc — the quantity substring-level
+    dedup policies threshold on ("drop/trim docs that are >X% copied").
+
+    Overlapping spans from different partners are merged with the classic
+    island algebra: per doc, order spans by start, a span opens a new island
+    when its start exceeds the running max end, island id = running sum of
+    opens, then one aggregate per island and one per doc. Two window passes
+    + two aggregates, ALL keyed by doc_id — the span relation is tiny
+    relative to the corpus (pairs with >= min_hits aligned fingerprints), so
+    this adds nothing to the substring pipeline's scale envelope.
+    """
+    from .text import WINNOW_K
+
+    k_eff = WINNOW_K if k is None else k
+    spans = common_substring_spans(docs, k, w, min_hits, max_df)
+    # DISTINCT before the island windows: duplicate (s, e) rows (same span
+    # shared with several partners) are redundant for coverage, and their
+    # tie-order between the two window sorts is engine/run-nondeterministic —
+    # an opens=1 flag can land on a different duplicate in the re-sort and
+    # split an island. Unique rows make the (s, e) ordering total.
+    b_spans = spans.select(
+        F.col("doc_b").alias("doc_id"),
+        (F.col("a_start") - F.col("offset_delta")).alias("s"),
+        (F.col("a_end") - F.col("offset_delta")).alias("e"),
+    ).distinct()
+    order = Window.partitionBy("doc_id").orderBy("s", "e")
+    prev_max_end = F.max("e").over(
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = (
+        b_spans.withColumn(
+            "opens",
+            F.when(
+                prev_max_end.isNull() | (F.col("s") > prev_max_end), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "island",
+            F.sum("opens").over(
+                order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("doc_id", "island")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+    )
+    return (
+        islands.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_islands"),
+            F.sum(F.col("e") - F.col("s") + 1).alias("covered_chars"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def repeated_span_coverage_sql(
+    k: int | None = None,
+    w: int | None = None,
+    min_hits: int = COMMON_SUB_MIN_HITS,
+    max_df: int = COMMON_SUB_MAX_DF,
+) -> str:
+    return f"""
+    WITH spans AS ({common_substring_spans_sql(k, w, min_hits, max_df)}),
+    b_spans AS (
+        SELECT DISTINCT doc_b AS doc_id,
+               a_start - offset_delta AS s,
+               a_end - offset_delta AS e
+        FROM spans
+    ),
+    flagged AS (
+        SELECT doc_id, s, e,
+               CASE WHEN MAX(e) OVER (
+                        PARTITION BY doc_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ) IS NULL
+                    OR s > MAX(e) OVER (
+                        PARTITION BY doc_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    )
+                    THEN 1 ELSE 0 END AS opens
+        FROM b_spans
+    ),
+    numbered AS (
+        SELECT doc_id, s, e,
+               SUM(opens) OVER (
+                   PARTITION BY doc_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS island
+        FROM flagged
+    ),
+    islands AS (
+        SELECT doc_id, island, MIN(s) AS s, MAX(e) AS e
+        FROM numbered GROUP BY doc_id, island
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_islands,
+           SUM(e - s + 1) AS covered_chars
+    FROM islands
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """

@@ -139,6 +139,14 @@ def q_common_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.common_substring_spans(spread(load_table(spark, sf_dir, "documents")))
 
 
+@register("text_repeated_span_coverage", oracle=dedup.repeated_span_coverage_sql())
+def q_repeated_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc merged coverage of cross-doc repeated passages (island-merge
+    over common_substring_spans) — the quantity substring-dedup policies
+    threshold on."""
+    return dedup.repeated_span_coverage(spread(load_table(spark, sf_dir, "documents")))
+
+
 @register("dedup_ngram_jaccard", oracle=dedup.ngram_jaccard_pairs_sql())
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All near-dup pairs by word-shingle Jaccard via posting lists (df=1 early drop, max_df cap)."""

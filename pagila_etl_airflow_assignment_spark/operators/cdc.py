@@ -179,3 +179,132 @@ def apply_changes(
             ],
         )
     )
+
+
+# --- partition checksums (merkle-style divergence localization) ---------------
+
+CHECKSUM_BUCKETS = 10  # o_orderkey % 10: the snapshot mutations live in exactly
+# three residue classes (INSERT/UPDATE/DELETE_MOD), so bucketing by the same
+# modulus yields a deterministic mix of clean and diverged partitions — the
+# localization behavior the operator exists to demonstrate.
+
+
+def _bucket_checksums(snap: DataFrame, n_buckets: int) -> DataFrame:
+    """Per-bucket (row count, order-independent content checksum). The
+    checksum is bit_xor of a 60-bit md5 integer over a canonical row string —
+    commutative, so it needs NO sort, distributes as one map-side-combined
+    aggregate, and matches DuckDB bit-for-bit. o_totalprice is canonicalized
+    to DECIMAL(18,2) text so both engines format identically."""
+    from ..llm.hashing import md5_int
+
+    row_str = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+        F.col("o_orderstatus"),
+    )
+    return (
+        snap.select(
+            F.pmod("o_orderkey", F.lit(n_buckets)).alias("bucket"),
+            md5_int(row_str).alias("h"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.expr("bit_xor(h)").alias("checksum"),
+        )
+    )
+
+
+def partition_checksum_diff(
+    old: DataFrame, new: DataFrame, n_buckets: int = CHECKSUM_BUCKETS
+) -> DataFrame:
+    """Merkle-style snapshot comparison: instead of full-outer-joining two
+    100 TB snapshots row-by-row (snapshot_diff), first compare per-partition
+    checksums — each side reduces to n_buckets rows with ONE aggregate scan —
+    and only the diverged partitions need the expensive row-level diff. This
+    is the standard cheap pre-pass for lake replication / backup validation;
+    `diverged` marks the partitions snapshot_diff would then be scoped to.
+    """
+    o = _bucket_checksums(old, n_buckets).select(
+        "bucket",
+        F.col("n_rows").alias("old_rows"),
+        F.col("checksum").alias("old_checksum"),
+    )
+    n = _bucket_checksums(new, n_buckets).select(
+        "bucket",
+        F.col("n_rows").alias("new_rows"),
+        F.col("checksum").alias("new_checksum"),
+    )
+    return (
+        o.join(n, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("old_rows", F.lit(0)).alias("old_rows"),
+            F.coalesce("new_rows", F.lit(0)).alias("new_rows"),
+            "old_checksum",
+            "new_checksum",
+            (
+                ~F.col("old_checksum").eqNullSafe(F.col("new_checksum"))
+                | ~F.col("old_rows").eqNullSafe(F.col("new_rows"))
+            ).alias("diverged"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def orders_partition_checksum_diff(orders: DataFrame) -> DataFrame:
+    return partition_checksum_diff(
+        orders_old_snapshot(orders), orders_new_snapshot(orders)
+    )
+
+
+def _checksum_side_sql(rel: str) -> str:
+    from ..llm.hashing import md5_int_sql
+
+    row = (
+        "concat_ws('|', CAST(o_orderkey AS VARCHAR), "
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), o_orderstatus)"
+    )
+    return f"""
+        SELECT o_orderkey % {CHECKSUM_BUCKETS} AS bucket,
+               COUNT(*) AS n_rows,
+               bit_xor({md5_int_sql(row)}) AS checksum
+        FROM {rel} GROUP BY 1
+    """
+
+
+ORDERS_PARTITION_CHECKSUM_DIFF_SQL_TEMPLATE = """
+    WITH old AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 10 = {update_mod}
+                    THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
+               o_orderstatus
+        FROM orders WHERE o_orderkey % 10 <> {insert_mod}
+    ),
+    new AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey % 10 <> {delete_mod}
+    ),
+    oc AS ({old_side}),
+    nc AS ({new_side})
+    SELECT COALESCE(oc.bucket, nc.bucket) AS bucket,
+           COALESCE(oc.n_rows, 0) AS old_rows,
+           COALESCE(nc.n_rows, 0) AS new_rows,
+           oc.checksum AS old_checksum,
+           nc.checksum AS new_checksum,
+           (oc.checksum IS DISTINCT FROM nc.checksum
+            OR oc.n_rows IS DISTINCT FROM nc.n_rows) AS diverged
+    FROM oc FULL OUTER JOIN nc ON oc.bucket = nc.bucket
+    ORDER BY bucket
+"""
+
+
+def orders_partition_checksum_diff_sql() -> str:
+    return ORDERS_PARTITION_CHECKSUM_DIFF_SQL_TEMPLATE.format(
+        update_mod=UPDATE_MOD,
+        insert_mod=INSERT_MOD,
+        delete_mod=DELETE_MOD,
+        old_side=_checksum_side_sql("old"),
+        new_side=_checksum_side_sql("new"),
+    )

@@ -303,6 +303,17 @@ def q_range_click_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cdc_partition_checksums", oracle=cdc.orders_partition_checksum_diff_sql()
+)
+def q_cdc_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-style snapshot comparison: per-partition order-independent
+    bit_xor content checksums locate diverged partitions with one aggregate
+    scan per side, scoping the expensive row-level snapshot_diff to the
+    partitions that actually changed."""
+    return cdc.orders_partition_checksum_diff(load_table(spark, sf_dir, "orders"))
+
+
 @register("cdc_orders_snapshot_diff", oracle=cdc.ORDERS_SNAPSHOT_DIFF_SQL)
 def q_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level change set between two deterministic snapshots of `orders`

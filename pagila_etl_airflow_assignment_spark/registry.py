@@ -114,6 +114,8 @@ EXTENSION_SURVEY_ROWS: dict[str, tuple[str, ...]] = {
     "dedup_incremental_bloom": ("L-61",),
     "dedup_incremental_minhash": ("L-62",),
     "events_windowed_click_join_outer": ("L-28",),
+    "text_repeated_span_coverage": ("L-63",),
+    "cdc_partition_checksums": ("L-64",),
 }
 
 

@@ -118,3 +118,43 @@ def test_bloom_plan_prefilters_anti_join(spark):
     assert "LeftAnti" in plan, "exact verification anti join must remain"
     # the bitmap rides the plan as a broadcast onto the batch side
     assert "bloom" in plan
+
+
+def test_repeated_span_coverage_islands_merge(spark):
+    # doc 2 contains the shared passage twice, far apart -> two islands whose
+    # merged coverage is less than naive per-span sums
+    left = "prefix one " + SHARED + " middle filler text goes here for a while " + SHARED + " suffix"
+    docs = _docs(
+        spark,
+        [
+            (1, SHARED),
+            (2, left),
+            (3, "entirely unrelated other content without any overlap at all!"),
+        ],
+    )
+    rows = {r.doc_id: r for r in dedup.repeated_span_coverage(docs).collect()}
+    assert 3 not in rows
+    assert 2 in rows, "doc sharing passages with an earlier doc must appear"
+    r = rows[2]
+    assert r.n_islands == 2, f"two separated shared passages -> 2 islands, got {r.n_islands}"
+    # each island covers at most the shared passage's normalized length + noise
+    assert r.covered_chars <= 2 * (len(SHARED) + 10)
+
+
+def test_partition_checksums_localize_divergence(spark):
+    from pagila_etl_airflow_assignment_spark.operators import cdc
+    from pagila_etl_airflow_assignment_spark.sources.parquet import load_table
+
+    orders = load_table(spark, SF_SMALL, "orders")
+    rows = {r.bucket: r for r in cdc.orders_partition_checksum_diff(orders).collect()}
+    assert set(rows) == set(range(10))
+    diverged = {b for b, r in rows.items() if r.diverged}
+    assert diverged == {cdc.INSERT_MOD, cdc.UPDATE_MOD, cdc.DELETE_MOD}
+    for b, r in rows.items():
+        if b not in diverged:
+            assert r.old_checksum == r.new_checksum and r.old_rows == r.new_rows
+    # inserts/deletes change row counts; updates only the checksum
+    assert rows[cdc.INSERT_MOD].old_rows < rows[cdc.INSERT_MOD].new_rows
+    assert rows[cdc.DELETE_MOD].old_rows > rows[cdc.DELETE_MOD].new_rows
+    assert rows[cdc.UPDATE_MOD].old_rows == rows[cdc.UPDATE_MOD].new_rows
+    assert rows[cdc.UPDATE_MOD].old_checksum != rows[cdc.UPDATE_MOD].new_checksum

@@ -225,3 +225,30 @@ def test_kmeans_assignment_broadcasts_seeds(spark):
     plan = final_plan(queries()["embedding_kmeans_step"](spark, SF_SMALL))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_jaccard_verify_joins_never_broadcast_the_pair_relation(spark):
+    """The sizes joins in ngram_jaccard / LSH verification must be SHUFFLED
+    hash joins: Catalyst's static estimate undervalues the post-aggregation
+    pair relation and — unhinted — picked it as a broadcast build side, which
+    OOMed the driver at 10x scale (SCALE.md §7). Pin the strategy."""
+    for name in ("dedup_ngram_jaccard", "dedup_minhash_lsh"):
+        plan = final_plan(queries()[name](spark, SF_SMALL))
+        assert "ShuffledHashJoin" in plan, f"{name} lost its shuffle_hash pin"
+
+
+def test_salted_skew_join_is_a_shuffle_join(spark):
+    """Salting spreads a hot key across SHUFFLE reducers; a broadcast join has
+    no shuffle to skew and would build the x-salt-replicated dim in driver
+    memory. The final plan must be a shuffled join on (key, salt)."""
+    plan = final_plan(queries()["warehouse_salted_skew_join"](spark, SF_SMALL))
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_bloom_prefilter_feeds_candidates_only_anti_join(spark):
+    """The Bloom path keeps exactly one anti join (the exact verification) and
+    the batch side carries the broadcast bitmap test before it."""
+    plan = final_plan(queries()["dedup_incremental_bloom"](spark, SF_SMALL))
+    assert plan.count("LeftAnti") == 1
+    assert "bloom" in plan
