@@ -50,6 +50,7 @@ HEADLINE = [
     "warehouse_grouping_sets_revenue",
     "cdc_orders_snapshot_diff",
     "cdc_orders_apply_roundtrip",
+    "cdc_partition_checksums",
     "embedding_centroid_outliers",
     "warehouse_salted_skew_join",
     "embedding_kmeans_step",

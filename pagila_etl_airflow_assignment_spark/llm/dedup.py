@@ -828,34 +828,42 @@ def common_substring_spans(
 
     k = WINNOW_K if k is None else k
     w = WINNOW_W if w is None else w
-    sel = winnowing_selected_positions(docs, k, w).repartition("selected_hash")
-    # df=1 early-drop + max_df cap in ONE semi join: a hash held by a single
-    # doc cannot pair (dropping it is free correctness-preserving pruning —
-    # most content is unique, so this shrinks the self-join input by ~the
-    # unique fraction of the corpus), and a hash held by > max_df docs is
-    # boilerplate. `counts` inherits sel's hash partitioning (same-key
-    # groupBy), so the semi join adds NO extra exchange.
-    counts = sel.groupBy("selected_hash").agg(
-        F.count_distinct("doc_id").alias("df")
+    sel = winnowing_selected_positions(docs, k, w)
+    # Posting-ARRAY expansion (the ngram_jaccard shape) instead of a hash
+    # self-join: one groupBy collects each hash's (doc, pos) members; the
+    # df-cap and the df>=2 early-drop (a hash held by one doc cannot pair;
+    # most content is unique) become free WHEREs on the array; cross-doc
+    # ordered pairs expand NARROWLY inside each posting. This computes the
+    # fingerprint pipeline ONCE and shuffles it once — the earlier join form
+    # paid the whole pipeline per join branch when exchange reuse missed.
+    posts = (
+        sel.groupBy("selected_hash")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("doc_id", "pos"))
+            ).alias("ms")
+        )
+        .where(
+            (F.col("ms")[F.size("ms") - 1]["doc_id"] != F.col("ms")[0]["doc_id"])
+            & (
+                F.size(F.array_distinct(F.transform("ms", lambda m: m["doc_id"])))
+                <= max_df
+            )
+        )
     )
-    eligible = counts.where(
-        (F.col("df") >= 2) & (F.col("df") <= max_df)
-    ).select("selected_hash")
-    kept = sel.join(eligible, "selected_hash", "left_semi")
-    a = kept.select(
-        "selected_hash",
-        F.col("doc_id").alias("doc_a"),
-        F.col("pos").alias("pos_a"),
+    # all ordered cross-doc pairs from one posting list; members are sorted by
+    # (doc_id, pos) so x.doc_id <= y.doc_id for x before y — keep strict <
+    pair_structs = F.expr(
+        "flatten(transform(ms, (x, i) -> "
+        "  transform(filter(slice(ms, i + 2, size(ms) - i - 1), "
+        "                   y -> y.doc_id > x.doc_id), "
+        "            y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
+        "                        x.pos AS pos_a, x.pos - y.pos AS delta))))"
     )
-    b = kept.select(
-        "selected_hash",
-        F.col("doc_id").alias("doc_b"),
-        F.col("pos").alias("pos_b"),
-    )
-    pairs = a.join(b, "selected_hash").where(F.col("doc_a") < F.col("doc_b"))
+    pairs = posts.select(F.explode(pair_structs).alias("p")).select("p.*")
     return (
         pairs.groupBy(
-            "doc_a", "doc_b", (F.col("pos_a") - F.col("pos_b")).alias("offset_delta")
+            "doc_a", "doc_b", F.col("delta").alias("offset_delta")
         )
         .agg(
             F.count("*").cast("long").alias("n_shared"),
