@@ -58,3 +58,182 @@ def profile_table_sql(columns: list[str], rel: str) -> str:
         for c in columns
     ]
     return " UNION ALL ".join(parts) + " ORDER BY col_name"
+
+
+# --- declarative data-quality constraint checks -------------------------------
+
+
+def constraint_checks(
+    orders: DataFrame, customer: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """Deequ/dbt-style constraint suite over the warehouse tables, one row per
+    constraint: (constraint, n_checked, n_violations, passed). The standard
+    gate a pipeline runs before publishing a snapshot.
+
+    Shapes (each the minimal plan for its class — all map-side-combinable):
+    - uniqueness      -> one hash agg on the key, violations = rows in groups
+                         of >1 (NOT distinct-count arithmetic, so the number
+                         is actionable: how many rows to quarantine);
+    - not-null / accepted-range / set-membership -> conditional counts
+                         sharing ONE scan per table, no shuffle beyond the
+                         1-row aggregate;
+    - referential     -> LEFT ANTI against the parent key (joins only keys).
+
+    The result is a tiny union of 1-row aggregates; at 100 TB each check
+    costs one pass over its table, and the per-table conditional counts
+    share that pass. Composes with partition_checksums (cdc.py): checksums
+    locate WHERE a snapshot changed, constraints decide whether it may ship.
+    """
+
+    def one(name: str, checked, violations):
+        return (
+            F.lit(name).alias("check_name"),
+            checked.cast("long").alias("n_checked"),
+            violations.cast("long").alias("n_violations"),
+            (violations == 0).alias("passed"),
+        )
+
+    uniq = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count("*").alias("n"))
+        .agg(
+            *one(
+                "orders.o_orderkey unique",
+                F.sum("n"),
+                F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(0)),
+            )
+        )
+    )
+    order_scan = orders.agg(
+        F.struct(
+            *one(
+                "orders.o_custkey not null",
+                F.count("*"),
+                F.count(F.when(F.col("o_custkey").isNull(), 1)),
+            )
+        ).alias("c1"),
+        F.struct(
+            *one(
+                "orders.o_totalprice > 0",
+                F.count("*"),
+                F.count(F.when(~(F.col("o_totalprice") > 0), 1)),
+            )
+        ).alias("c2"),
+        F.struct(
+            *one(
+                "orders.o_orderstatus in (O,F,P)",
+                F.count("*"),
+                F.count(
+                    F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1)
+                ),
+            )
+        ).alias("c3"),
+    )
+    order_checks = order_scan.select(
+        F.explode(F.array("c1", "c2", "c3")).alias("s")
+    ).select("s.*")
+    # SQL FK semantics: NULL child keys are not violations (the not-null
+    # check owns those); only non-null orphans count
+    fk = (
+        orders.select("o_custkey")
+        .where(F.col("o_custkey").isNotNull())
+        .join(
+            customer.select(F.col("c_custkey").alias("o_custkey")),
+            "o_custkey",
+            "left_anti",
+        )
+        .agg(*one("orders.o_custkey references customer", F.count("*"), F.count("*")))
+    )
+    # n_checked for the FK row is the orphan count itself (the anti join never
+    # sees satisfied rows); restate it against the full child count:
+    fk = fk.crossJoin(
+        F.broadcast(orders.agg(F.count("*").alias("__total")))
+    ).select(
+        "check_name",
+        F.col("__total").alias("n_checked"),
+        "n_violations",
+        "passed",
+    )
+    li = lineitem.agg(
+        F.struct(
+            *one(
+                "lineitem.l_quantity between 1 and 50",
+                F.count("*"),
+                F.count(F.when(~F.col("l_quantity").between(1, 50), 1)),
+            )
+        ).alias("c1"),
+        F.struct(
+            *one(
+                "lineitem.l_discount between 0 and 1",
+                F.count("*"),
+                F.count(F.when(~F.col("l_discount").between(0, 1), 1)),
+            )
+        ).alias("c2"),
+    )
+    li_checks = li.select(F.explode(F.array("c1", "c2")).alias("s")).select("s.*")
+    return (
+        uniq.unionByName(order_checks)
+        .unionByName(fk)
+        .unionByName(li_checks)
+        .orderBy("check_name")
+    )
+
+
+CONSTRAINT_CHECKS_SQL = """
+    WITH uniq AS (
+        SELECT 'orders.o_orderkey unique' AS check_name,
+               SUM(n) AS n_checked,
+               COALESCE(SUM(CASE WHEN n > 1 THEN n END), 0) AS n_violations
+        FROM (SELECT o_orderkey, COUNT(*) AS n FROM orders GROUP BY 1)
+    ),
+    ord AS (
+        SELECT * FROM (
+            SELECT 'orders.o_custkey not null' AS check_name,
+                   COUNT(*) AS n_checked,
+                   COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) AS n_violations
+            FROM orders
+            UNION ALL
+            SELECT 'orders.o_totalprice > 0',
+                   COUNT(*),
+                   COUNT(CASE WHEN NOT (o_totalprice > 0) THEN 1 END)
+            FROM orders
+            UNION ALL
+            SELECT 'orders.o_orderstatus in (O,F,P)',
+                   COUNT(*),
+                   COUNT(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 END)
+            FROM orders
+        )
+    ),
+    fk AS (
+        SELECT 'orders.o_custkey references customer' AS check_name,
+               (SELECT COUNT(*) FROM orders) AS n_checked,
+               COUNT(*) AS n_violations
+        FROM orders o
+        WHERE o.o_custkey IS NOT NULL
+          AND NOT EXISTS (
+            SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey
+        )
+    ),
+    li AS (
+        SELECT 'lineitem.l_quantity between 1 and 50' AS check_name,
+               COUNT(*) AS n_checked,
+               COUNT(CASE WHEN l_quantity NOT BETWEEN 1 AND 50 THEN 1 END) AS n_violations
+        FROM lineitem
+        UNION ALL
+        SELECT 'lineitem.l_discount between 0 and 1',
+               COUNT(*),
+               COUNT(CASE WHEN l_discount NOT BETWEEN 0 AND 1 THEN 1 END)
+        FROM lineitem
+    )
+    SELECT check_name,
+           CAST(n_checked AS BIGINT) AS n_checked,
+           CAST(n_violations AS BIGINT) AS n_violations,
+           n_violations = 0 AS passed
+    FROM (
+        SELECT * FROM uniq
+        UNION ALL SELECT * FROM ord
+        UNION ALL SELECT * FROM fk
+        UNION ALL SELECT * FROM li
+    )
+    ORDER BY check_name
+"""

@@ -303,6 +303,18 @@ def q_range_click_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("warehouse_constraint_checks", oracle=profile.CONSTRAINT_CHECKS_SQL)
+def q_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality constraint suite (unique / not-null / range /
+    set-membership / referential integrity), one row per constraint — the
+    publish gate a warehouse pipeline runs before a snapshot ships."""
+    return profile.constraint_checks(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
 @register(
     "cdc_partition_checksums", oracle=cdc.orders_partition_checksum_diff_sql()
 )

@@ -116,6 +116,7 @@ EXTENSION_SURVEY_ROWS: dict[str, tuple[str, ...]] = {
     "events_windowed_click_join_outer": ("L-28",),
     "text_repeated_span_coverage": ("L-63",),
     "cdc_partition_checksums": ("L-64",),
+    "warehouse_constraint_checks": ("L-65",),
 }
 
 

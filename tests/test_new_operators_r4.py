@@ -158,3 +158,38 @@ def test_partition_checksums_localize_divergence(spark):
     assert rows[cdc.DELETE_MOD].old_rows > rows[cdc.DELETE_MOD].new_rows
     assert rows[cdc.UPDATE_MOD].old_rows == rows[cdc.UPDATE_MOD].new_rows
     assert rows[cdc.UPDATE_MOD].old_checksum != rows[cdc.UPDATE_MOD].new_checksum
+
+
+def test_constraint_checks_detect_injected_violations(spark):
+    from pagila_etl_airflow_assignment_spark.operators.profile import (
+        constraint_checks,
+    )
+
+    orders = spark.createDataFrame(
+        [
+            # (o_orderkey, o_custkey, o_totalprice, o_orderstatus)
+            (1, 10, 100.0, "O"),
+            (1, 10, 100.0, "O"),  # duplicate key (2 rows in violation)
+            (2, None, 50.0, "F"),  # null custkey
+            (3, 99, -5.0, "X"),  # bad price + bad status + orphan custkey
+            (4, 11, 10.0, "P"),
+        ],
+        "o_orderkey long, o_custkey long, o_totalprice double, o_orderstatus string",
+    )
+    customer = spark.createDataFrame([(10,), (11,)], "c_custkey long")
+    lineitem = spark.createDataFrame(
+        [(1, 5.0, 0.1), (2, 99.0, 1.5)],
+        "l_orderkey long, l_quantity double, l_discount double",
+    )
+    rows = {r.check_name: r for r in constraint_checks(orders, customer, lineitem).collect()}
+    assert rows["orders.o_orderkey unique"].n_violations == 2
+    assert rows["orders.o_custkey not null"].n_violations == 1
+    assert rows["orders.o_totalprice > 0"].n_violations == 1
+    assert rows["orders.o_orderstatus in (O,F,P)"].n_violations == 1
+    assert rows["orders.o_custkey references customer"].n_violations == 1
+    assert rows["orders.o_custkey references customer"].n_checked == 5
+    assert rows["lineitem.l_quantity between 1 and 50"].n_violations == 1
+    assert rows["lineitem.l_discount between 0 and 1"].n_violations == 1
+    assert not any(
+        r.passed for r in rows.values()
+    ), "every injected violation class must flip its check to failed"

@@ -1,0 +1,94 @@
+"""Automated physical-plan anti-pattern audit over the whole registry.
+
+For every registered query, build the physical plan at a small fixture (no
+execution beyond what query CONSTRUCTION itself requires) and scan it for the
+patterns that kill large-scale runs:
+
+- ``CartesianProduct``           — unconstrained cross join of data-sized
+                                   relations; never acceptable.
+- ``BatchEvalPython``            — row-at-a-time Python UDF in the plan; the
+                                   engine's contract is zero of these
+                                   (Arrow ``ArrowEvalPython``/``mapInPandas``
+                                   stages are the sanctioned Python boundary).
+- ``BroadcastNestedLoopJoin``    — acceptable ONLY for the deliberate
+                                   1-row-aggregate / tiny-literal broadcast
+                                   cross joins; every such use must be
+                                   allowlisted here WITH its justification so
+                                   a new accidental one fails the audit.
+
+Usage: python tools/plan_audit.py [sf_dir]
+Prints one JSON line {"flags": {query: [pattern,...]}, "unexpected": N} and
+exits 1 if any flag is not allowlisted.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pagila_etl_airflow_assignment_spark.registry import queries
+from pagila_etl_airflow_assignment_spark.session import build_session
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+
+# query -> patterns allowed there, each because the broadcast side is a 1-row
+# aggregate or a provably tiny constant relation (see the query's docstring).
+ALLOWED: dict[str, set[str]] = {
+    # spine bounds / corpus scalars: crossJoin(broadcast(1-row agg))
+    "weekly_rental_summary": {"BroadcastNestedLoopJoin"},
+    "weekly_rental_summary_as_of": {"BroadcastNestedLoopJoin"},
+    "weekly_rental_summary_correlated": {"BroadcastNestedLoopJoin"},
+    "incremental_weekly_summary": {"BroadcastNestedLoopJoin"},
+    "h3_week_spine": {"BroadcastNestedLoopJoin"},
+    "weekly_summary_monthly_rollup": {"BroadcastNestedLoopJoin"},
+    # broadcast corpus-size / df scalars
+    "text_tfidf_topk": {"BroadcastNestedLoopJoin"},
+    "text_unigram_logprob": {"BroadcastNestedLoopJoin"},
+    "text_decontaminate": {"BroadcastNestedLoopJoin"},
+    "text_quality_quantile": {"BroadcastNestedLoopJoin"},
+    "sampling_mixture_weighted": {"BroadcastNestedLoopJoin"},
+    # broadcast query/centroid sets (tiny by contract)
+    "ann_bruteforce_topk": {"BroadcastNestedLoopJoin"},
+    "ann_lsh_topk": {"BroadcastNestedLoopJoin"},
+    "ann_ivf_topk": {"BroadcastNestedLoopJoin"},
+    "embedding_centroid_outliers": {"BroadcastNestedLoopJoin"},
+    "embedding_kmeans_step": {"BroadcastNestedLoopJoin"},
+    "dedup_embedding_cosine": {"BroadcastNestedLoopJoin"},
+    # broadcast Bloom bitmap (1 row) / corpus totals
+    "dedup_incremental_bloom": {"BroadcastNestedLoopJoin"},
+    # broadcast total-rows scalar for the FK n_checked restatement
+    "warehouse_constraint_checks": {"BroadcastNestedLoopJoin"},
+}
+
+PATTERNS = ("CartesianProduct", "BatchEvalPython", "BroadcastNestedLoopJoin")
+
+
+def main() -> None:
+    spark = build_session(app_name="plan-audit")
+    flags: dict[str, list[str]] = {}
+    unexpected = 0
+    for name, fn in queries().items():
+        try:
+            df = fn(spark, SF_DIR)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as exc:
+            flags[name] = [f"PLAN_ERROR: {str(exc).splitlines()[0][:150]}"]
+            unexpected += 1
+            continue
+        hits = [p for p in PATTERNS if p in plan]
+        bad = [p for p in hits if p not in ALLOWED.get(name, set())]
+        if hits:
+            flags[name] = hits
+        if bad:
+            unexpected += 1
+            print(f"# UNEXPECTED {name}: {bad}", file=sys.stderr)
+    print(json.dumps({"flags": flags, "unexpected": unexpected}))
+    spark.stop()
+    sys.exit(1 if unexpected else 0)
+
+
+if __name__ == "__main__":
+    main()
