@@ -193,3 +193,118 @@ def test_constraint_checks_detect_injected_violations(spark):
     assert not any(
         r.passed for r in rows.values()
     ), "every injected violation class must flip its check to failed"
+
+
+def test_island_merge_property_random_spans(spark):
+    """Property: for ANY set of spans, repeated_span_coverage's island merge
+    must equal the interval-union computed independently in Python (coverage
+    = |union|, islands = number of disjoint runs)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pagila_etl_airflow_assignment_spark.llm.dedup import COMMON_SUB_MIN_HITS
+
+    span = st.tuples(st.integers(1, 60), st.integers(0, 15))  # (start, len)
+
+    @settings(
+        max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+    )
+    @given(spans=st.lists(span, min_size=1, max_size=15))
+    def check(spans):
+        import pyspark.sql.functions as FF
+
+        from pagila_etl_airflow_assignment_spark.llm import dedup as dd
+
+        # feed the island stage directly: fabricate a spans-shaped relation
+        rows = [(1, 2, 0, COMMON_SUB_MIN_HITS, s, s + ln) for s, ln in spans]
+        fake = spark.createDataFrame(
+            rows,
+            "doc_a long, doc_b long, offset_delta long, n_shared long, "
+            "a_start long, a_end long",
+        )
+        orig = dd.common_substring_spans
+        dd.common_substring_spans = lambda *a, **k: fake
+        try:
+            out = dd.repeated_span_coverage(spark.createDataFrame([], "doc_id long, text string")).collect()
+        finally:
+            dd.common_substring_spans = orig
+        # python reference: union of [s, e] inclusive intervals
+        ivals = sorted({(s, s + ln) for s, ln in spans})
+        merged = []
+        for s, e in ivals:
+            if merged and s <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+            else:
+                merged.append((s, e))
+        want_cov = sum(e - s + 1 for s, e in merged)
+        assert len(out) == 1 and out[0].doc_id == 2
+        assert out[0].n_islands == len(merged)
+        assert out[0].covered_chars == want_cov
+
+    check()
+
+
+def test_bloom_property_random_membership(spark):
+    """Property: might_contain is TRUE for every inserted key (no false
+    negatives) for arbitrary key sets; disjoint probe keys are mostly
+    rejected (FP rate sanity, not exactness)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    key = st.text(
+        alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+        min_size=1,
+        max_size=12,
+    )
+
+    @settings(
+        max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+    )
+    @given(keys=st.lists(key, min_size=1, max_size=30, unique=True))
+    def check(keys):
+        kdf = spark.createDataFrame([(k,) for k in keys], "fingerprint string")
+        bitmap = dedup.bloom_bitmap(kdf)
+        misses = (
+            kdf.crossJoin(F.broadcast(bitmap))
+            .where(~dedup.bloom_might_contain(F.col("fingerprint"), F.col("bloom")))
+            .count()
+        )
+        assert misses == 0
+
+    check()
+
+
+def test_checksum_diff_property_random_mutations(spark):
+    """Property: for random keyed tables and a random mutated-key set, the
+    diverged buckets are EXACTLY the buckets containing a mutated key."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pagila_etl_airflow_assignment_spark.operators import cdc
+
+    @settings(
+        max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+    )
+    @given(
+        keys=st.lists(st.integers(1, 99), min_size=1, max_size=25, unique=True),
+        mutated=st.sets(st.integers(1, 99), max_size=8),
+    )
+    def check(keys, mutated):
+        mutated = mutated & set(keys)
+        rows = [(k, float(k) * 2, "O") for k in keys]
+        old = spark.createDataFrame(
+            rows, "o_orderkey long, o_totalprice double, o_orderstatus string"
+        )
+        new = spark.createDataFrame(
+            [
+                (k, v + (1.0 if k in mutated else 0.0), s)
+                for k, v, s in rows
+            ],
+            "o_orderkey long, o_totalprice double, o_orderstatus string",
+        )
+        out = cdc.partition_checksum_diff(old, new, n_buckets=7)
+        got = {r.bucket for r in out.collect() if r.diverged}
+        want = {k % 7 for k in mutated}
+        assert got == want
+
+    check()
