@@ -390,6 +390,14 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embeddings_mod.kmeans_step(load_table(spark, sf_dir, "embeddings"))
 
 
+@register("events_median_value_udaf", oracle=vectorized.MEDIAN_VALUE_BY_TYPE_SQL)
+def q_median_value_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type median via a GROUPED_AGG pandas_udf (Arrow UDAF) — the
+    custom-aggregate extension point, parity-pinned to the built-in
+    percentile semantics by the oracle."""
+    return vectorized.median_value_by_type(load_table(spark, sf_dir, "events"))
+
+
 @register("embedding_vector_norms", oracle=vectorized.VECTOR_NORMS_SQL)
 def q_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding L2 norms via the Arrow-batched pandas_udf scalar path (the

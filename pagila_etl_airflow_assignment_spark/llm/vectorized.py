@@ -55,3 +55,50 @@ VECTOR_NORMS_SQL = """
     FROM embeddings
     ORDER BY vec_id
 """
+
+
+# --- grouped-aggregate pandas_udf (Arrow UDAF) --------------------------------
+
+
+def _median_agg():
+    # lazy for the same DDL-parse reason as _l2_norm_vec
+    @pandas_udf("double")
+    def udf(values: pd.Series) -> float:
+        import numpy as np
+
+        v = values.dropna()
+        return float(np.median(v)) if len(v) else None
+
+    return udf
+
+
+def median_value_by_type(events: DataFrame) -> DataFrame:
+    """Per-event-type median via a GROUPED_AGG pandas_udf — the Arrow UDAF
+    extension point (each group's column arrives as one pandas Series; the
+    return is a scalar). Completes the sanctioned Python-boundary taxonomy:
+    scalar pandas_udf (vector_norms), grouped-agg (this), mapInPandas
+    (multimodal), applyInPandasWithState / transformWithStateInPandas
+    (streaming).
+
+    A median IS expressible JVM-side (percentile), which is exactly why it's
+    the demo: the oracle pins the Python path to the built-in's semantics,
+    so when a real non-SQL aggregate (a sklearn scorer, a calibration fit)
+    replaces the body, the harness shape is already proven. Scale caveat
+    (why built-ins stay the default): a grouped-agg UDF materializes each
+    whole group in one worker's memory — fine for bounded groups
+    (|event types| here), wrong for data-sized ones; percentile_approx is
+    the mergeable at-scale form."""
+    return (
+        events.groupBy("event_type")
+        .agg(F.round(_median_agg()(F.col("value")), 6).alias("median_value"))
+        .orderBy("event_type")
+    )
+
+
+MEDIAN_VALUE_BY_TYPE_SQL = """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS median_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+"""

@@ -117,6 +117,7 @@ EXTENSION_SURVEY_ROWS: dict[str, tuple[str, ...]] = {
     "text_repeated_span_coverage": ("L-63",),
     "cdc_partition_checksums": ("L-64",),
     "warehouse_constraint_checks": ("L-65",),
+    "events_median_value_udaf": ("L-66",),
 }
 
 

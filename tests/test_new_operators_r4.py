@@ -308,3 +308,24 @@ def test_checksum_diff_property_random_mutations(spark):
         assert got == want
 
     check()
+
+
+def test_grouped_agg_udaf_matches_jvm_percentile(spark):
+    """The pandas_udf grouped-agg median must equal the JVM percentile(0.5)
+    built-in on the same data (the parity contract that makes the Python
+    boundary safe to swap a real model into)."""
+    from pagila_etl_airflow_assignment_spark.llm.vectorized import (
+        median_value_by_type,
+    )
+
+    events = load_table(spark, SF_SMALL, "events")
+    got = {
+        r.event_type: r.median_value for r in median_value_by_type(events).collect()
+    }
+    want = {
+        r.event_type: r.m
+        for r in events.groupBy("event_type")
+        .agg(F.round(F.expr("percentile(value, 0.5)"), 6).alias("m"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
