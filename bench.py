@@ -40,6 +40,7 @@ HEADLINE = [
     "warehouse_pivot_revenue",
     "warehouse_semi_anti_priority",
     "warehouse_table_profile",
+    "warehouse_constraint_checks",
     "events_session_window_native",
     "asof_click_attribution",
     "asof_next_error_after_click",

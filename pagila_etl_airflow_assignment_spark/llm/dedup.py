@@ -1242,9 +1242,6 @@ def repeated_span_coverage(
     relative to the corpus (pairs with >= min_hits aligned fingerprints), so
     this adds nothing to the substring pipeline's scale envelope.
     """
-    from .text import WINNOW_K
-
-    k_eff = WINNOW_K if k is None else k
     spans = common_substring_spans(docs, k, w, min_hits, max_df)
     # DISTINCT before the island windows: duplicate (s, e) rows (same span
     # shared with several partners) are redundant for coverage, and their
