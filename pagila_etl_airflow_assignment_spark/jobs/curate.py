@@ -29,16 +29,38 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
     p.add_argument("--show", action="store_true", help="show decision counts")
     args = p.parse_args(argv)
 
+    from pyspark.sql import Observation
+
     spark = build_session(app_name="curation-job")
     docs = load_table(spark, args.source, "documents")
     decisions = curation_decisions(docs)
-    decisions.write.mode("overwrite").parquet(f"{args.out}/decisions")
+    # observe(): pipeline telemetry from the SAME pass as the write — the
+    # in/kept counts ride the write job as accumulator-style metrics instead
+    # of two extra count() jobs re-running the curation plan afterwards.
+    obs = Observation("curation_metrics")
+    (
+        decisions.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_in"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{args.out}/decisions")
+    )
+    metrics = obs.get
+    # semi-join against the WRITTEN decisions so the curation plan is not
+    # recomputed for the kept-documents write
     kept = docs.join(
-        decisions.where(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
+        spark.read.parquet(f"{args.out}/decisions")
+        .where(F.col("keep"))
+        .select("doc_id"),
+        "doc_id",
+        "left_semi",
     )
     kept.write.mode("overwrite").parquet(f"{args.out}/kept")
-    n_in, n_kept = docs.count(), kept.count()
-    print(f"curated: {n_kept}/{n_in} documents kept -> {args.out}/kept")
+    print(
+        f"curated: {metrics['n_kept']}/{metrics['n_in']} documents kept -> {args.out}/kept"
+    )
     if args.show:
         spark.read.parquet(f"{args.out}/decisions").groupBy(
             "keep", "reject_reason"

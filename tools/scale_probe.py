@@ -67,6 +67,10 @@ PROBES = [
     # round-4 additions
     "dedup_common_substrings",
     "dedup_incremental_bloom",
+    "dedup_incremental_minhash",
+    "text_repeated_span_coverage",
+    "cdc_partition_checksums",
+    "warehouse_constraint_checks",
 ]
 
 
