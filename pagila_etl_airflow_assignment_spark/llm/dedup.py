@@ -1331,3 +1331,99 @@ def repeated_span_coverage_sql(
     GROUP BY doc_id
     ORDER BY doc_id
     """
+
+
+# --- connected components: alternating two-star algorithm ---------------------
+
+
+def _canonical_edges(e: DataFrame) -> DataFrame:
+    """Undirected edge set stored once as (hi, lo), hi > lo, deduplicated."""
+    return (
+        e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star round: every node u links its LARGER neighbors to the min
+    of its closed neighborhood. Emits (v, m) for v in N(u), v > u."""
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(
+        F.least(F.min("v"), F.first("u")).alias("m")
+    )
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star round: every node u links its SMALLER-or-equal neighbors
+    (and itself) to the min of its closed neighborhood. Operates on the
+    (hi, lo) orientation, so the per-u neighbor set is all v < u."""
+    d = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    )
+    mins = d.groupBy("u").agg(F.min("v").alias("m"))  # m < u always
+    links = d.join(mins, "u")
+    return (
+        links.where(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .union(links.select("u", F.col("m").alias("v")))
+    )
+
+
+def dedup_clusters_twostar(
+    docs: DataFrame, pairs: DataFrame, max_rounds: int = 30
+) -> DataFrame:
+    """Connected components via the alternating large-star/small-star
+    algorithm (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") — same output contract as ``dedup_clusters`` (each doc labeled
+    with its component's min doc_id; singletons label themselves), same
+    DuckDB oracle.
+
+    Why keep BOTH: min-label propagation (dedup_clusters) converges in
+    graph-DIAMETER rounds — ideal for dense near-dup clusters (2-3 rounds),
+    linear-round-count on chain-shaped graphs. The star alternation contracts
+    any component to a star in O(log n) rounds regardless of diameter: each
+    round is two keyed aggregates + joins (same per-round shuffle shape),
+    and convergence is detected by a (count, hash-sum) scalar pair — no
+    data-sized collect. At 100 TB this is the adversarial-topology insurance
+    policy; edge state is localCheckpoint-ed per round to keep lineage flat.
+    """
+    edges = _canonical_edges(
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    ).localCheckpoint(eager=True)
+    prev_sig = None
+    for _ in range(max_rounds):
+        edges = _canonical_edges(_small_star(_large_star(edges))).localCheckpoint(
+            eager=True
+        )
+        # bit_xor, not sum: order-independent like sum but can never overflow
+        # (an ANSI-on caller session would fail a 64-bit hash SUM)
+        sig = tuple(
+            edges.agg(
+                F.count("*"),
+                F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)),
+            ).first()
+        )
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # converged edges form stars (u -> component min); docs in no pair are
+    # their own singleton cluster
+    labels = edges.groupBy(F.col("u").alias("doc_id")).agg(
+        F.min("v").alias("cluster_id")
+    )
+    return (
+        docs.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+        )
+        .orderBy("doc_id")
+    )

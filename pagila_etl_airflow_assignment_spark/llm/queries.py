@@ -206,6 +206,20 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_clusters(docs, pairs)
 
 
+@register(
+    "dedup_clusters_star",
+    oracle=dedup.dedup_clusters_sql(dedup.ngram_jaccard_pairs_sql(threshold=0.1)),
+)
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clusters via the alternating large-star/small-star algorithm —
+    O(log n) rounds regardless of component diameter (the adversarial-
+    topology path beside dedup_clusters' diameter-round propagation); both
+    pinned to the identical recursive-CTE oracle."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.1)
+    return dedup.dedup_clusters_twostar(docs, pairs)
+
+
 @register("sampling_split_assign", oracle=sampling.split_assign_sql())
 def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-stable 80/10/10 train/val/test assignment by md5 bucket."""

@@ -303,6 +303,24 @@ def q_range_click_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "warehouse_local_supplier_volume", oracle=warehouse.LOCAL_SUPPLIER_VOLUME_SQL
+)
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue by nation where the customer and the line's
+    supplier share a nation — a 6-way join whose cross-dimension equality
+    (c_nationkey = s_nationkey) rides the broadcast chain as a residual, so
+    the fact side still pays only the single orders-key shuffle."""
+    return warehouse.local_supplier_volume(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
 @register("warehouse_constraint_checks", oracle=profile.CONSTRAINT_CHECKS_SQL)
 def q_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality constraint suite (unique / not-null / range /

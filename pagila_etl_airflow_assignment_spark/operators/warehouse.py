@@ -628,3 +628,56 @@ def fuzzy_part_match_sql(max_dist: int = FUZZY_MAX_DIST) -> str:
         WHERE levenshtein(a.p_name, b.p_name) <= {max_dist}
         ORDER BY brand, size, part_a, part_b
     """
+
+
+def local_supplier_volume(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """TPC-H Q5 shape — revenue by nation where the customer and the line's
+    SUPPLIER share a nation ("local supplier volume"). The distinctive piece
+    beyond star_join_revenue is the c_nationkey = s_nationkey equality
+    BETWEEN two different broadcast dimensions: Catalyst evaluates it as a
+    residual on the last broadcast join, so the fact side still flows through
+    one orders-key shuffle and a chain of broadcast hash joins — the classic
+    6-way join costs the same single fact shuffle as the 5-way star."""
+    revenue = _price() * (_one() - _disc())
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("region", "nation")
+    )
+
+
+LOCAL_SUPPLIER_VOLUME_SQL = """
+    SELECT r_name AS region,
+           n_name AS nation,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+             AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    ORDER BY region, nation
+"""

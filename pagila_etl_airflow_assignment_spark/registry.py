@@ -118,6 +118,8 @@ EXTENSION_SURVEY_ROWS: dict[str, tuple[str, ...]] = {
     "cdc_partition_checksums": ("L-64",),
     "warehouse_constraint_checks": ("L-65",),
     "events_median_value_udaf": ("L-66",),
+    "dedup_clusters_star": ("L-9",),
+    "warehouse_local_supplier_volume": ("O-12",),
 }
 
 

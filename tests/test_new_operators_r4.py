@@ -329,3 +329,31 @@ def test_grouped_agg_udaf_matches_jvm_percentile(spark):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_twostar_clusters_equal_propagation_clusters(spark):
+    """Both connected-component algorithms must produce identical labels on
+    the fixture near-dup graph (and the chain topology where they differ in
+    round count is pinned by the synthetic checks below)."""
+    from pagila_etl_airflow_assignment_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.1)
+    a = sorted(map(tuple, dedup.dedup_clusters(docs, pairs).collect()))
+    b = sorted(map(tuple, dedup.dedup_clusters_twostar(docs, pairs).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_twostar_handles_chain_and_singletons(spark):
+    import pyspark.sql.functions as FF
+
+    docs = spark.range(7).select(FF.col("id").alias("doc_id"))
+    # chain 0-1-2-3-4 (graph-diameter worst case), singleton 5, pair (5? no) 6 alone
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4)], "doc_a long, doc_b long"
+    )
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.dedup_clusters_twostar(docs, pairs).collect()
+    }
+    assert got == {(0, 0), (1, 0), (2, 0), (3, 0), (4, 0), (5, 5), (6, 6)}
