@@ -34,6 +34,7 @@ HEADLINE = [
     "d2_weekly_counts",
     "warehouse_pricing_summary",
     "warehouse_star_join_revenue",
+    "warehouse_local_supplier_volume",
     "warehouse_salted_aggregation",
     "warehouse_topk_per_nation",
     "warehouse_rollup_revenue",

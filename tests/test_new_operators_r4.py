@@ -357,3 +357,39 @@ def test_twostar_handles_chain_and_singletons(spark):
         for r in dedup.dedup_clusters_twostar(docs, pairs).collect()
     }
     assert got == {(0, 0), (1, 0), (2, 0), (3, 0), (4, 0), (5, 5), (6, 6)}
+
+
+def test_prepare_corpus_job_end_to_end(spark, tmp_path):
+    """The composed corpus-preparation job: dedup -> curation -> split ->
+    pack -> partitioned write + metrics. Checks stage-count consistency,
+    split-disjoint packing, and content-stable split assignment across
+    re-runs."""
+    import json as json_mod
+
+    from pagila_etl_airflow_assignment_spark.jobs.prepare_corpus import (
+        prepare_corpus,
+    )
+
+    out = str(tmp_path / "corpus")
+    m = prepare_corpus(spark, SF_SMALL, out)
+    assert m["n_input_docs"] >= m["n_after_exact_dedup"] >= m["n_after_curation"] > 0
+    assert sum(m["split_counts"].values()) == m["n_after_curation"]
+    assert m["n_docs_packed"] == m["n_after_curation"]
+    assert m["n_chunks"] >= m["n_docs_packed"]
+
+    written = spark.read.parquet(f"{out}/packed")
+    # no doc may appear in more than one split
+    assert (
+        written.select("doc_id", "split").distinct().groupBy("doc_id").count()
+        .where(F.col("count") > 1)
+        .count()
+        == 0
+    )
+    # metrics.json round-trips
+    disk = json_mod.load(open(f"{out}/metrics.json"))
+    assert disk == m
+
+    # re-run: identical split assignment (content-stable md5 buckets)
+    out2 = str(tmp_path / "corpus2")
+    m2 = prepare_corpus(spark, SF_SMALL, out2)
+    assert m2["split_counts"] == m["split_counts"]

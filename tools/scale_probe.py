@@ -71,6 +71,7 @@ PROBES = [
     "text_repeated_span_coverage",
     "cdc_partition_checksums",
     "warehouse_constraint_checks",
+    "dedup_clusters_star",
 ]
 
 
