@@ -57,6 +57,15 @@ HEADLINE = [
     "warehouse_salted_skew_join",
     "embedding_kmeans_step",
     "warehouse_fuzzy_part_match",
+    "warehouse_shipping_priority",
+    "warehouse_large_volume_orders",
+    "warehouse_sole_final_shipper",
+    "warehouse_dormant_rich_customers",
+    "warehouse_supplier_concentration",
+    "warehouse_nation_trade_volume",
+    "warehouse_min_cost_supplier",
+    "graph_copurchase_pairs",
+    "graph_part_degree",
 ]
 
 

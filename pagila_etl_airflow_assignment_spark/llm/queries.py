@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..sources.parquet import load_table, spread
-from . import corpus_stats, curation, dedup, multimodal, packing, sampling, similarity, text
+from . import corpus_stats, curation, dedup, multimodal, novelty, packing, sampling, similarity, text
 from . import embeddings as embeddings_mod
 from . import vectorized
 
@@ -418,3 +418,10 @@ def q_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     sanctioned when-Python-is-unavoidable pattern, parity-tested against the
     JVM fold)."""
     return vectorized.vector_norms(load_table(spark, sf_dir, "embeddings"))
+
+
+@register("text_shingle_novelty", oracle=novelty.shingle_novelty_sql())
+def q_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-occurrence shingle novelty per document (corpus-growth
+    diagnostic): one shingle-keyed MIN window + one doc_id aggregate."""
+    return novelty.shingle_novelty(spread(load_table(spark, sf_dir, "documents")))

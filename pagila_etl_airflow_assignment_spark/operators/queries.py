@@ -9,7 +9,7 @@ from ..functions import micros
 from ..registry import register
 from ..sources.parquet import load_table
 from ..schemas import ORDERS
-from . import analytics, cdc, features, profile, temporal, warehouse
+from . import analytics, cdc, features, graph, profile, sequences, temporal, tpch_shapes, warehouse
 
 
 @register(
@@ -523,3 +523,159 @@ def q_hourly_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct users per tumbling hour (the DAU-shape metric; the
     HLL sketch in events_approx_sketches is the mergeable 100 TB twin)."""
     return analytics.hourly_unique_users(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Classic decision-support shapes (TPC-H Q2/Q3/Q7/Q11/Q18/Q21/Q22 adapted to
+# the fixture schema) — operators/tpch_shapes.py
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "warehouse_shipping_priority",
+    oracle=tpch_shapes.shipping_priority_sql(),
+    survey_rows=("C-1", "F-1", "F-3", "O-12"),
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment-filtered customers broadcast into orders, one
+    fact-fact shuffle, top-10 unshipped revenue via TakeOrderedAndProject."""
+    return tpch_shapes.shipping_priority(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+@register(
+    "warehouse_large_volume_orders",
+    oracle=tpch_shapes.large_volume_orders_sql(),
+    survey_rows=("D-2", "O-12"),
+)
+def q_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING on the fact aggregate, tiny result broadcast
+    back into the dimensions (fact scanned once)."""
+    return tpch_shapes.large_volume_orders(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+@register(
+    "warehouse_sole_final_shipper",
+    oracle=tpch_shapes.SOLE_FINAL_SHIPPER_SQL,
+    survey_rows=("E", "D-2"),
+)
+def q_sole_final_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS/NOT-EXISTS pair collapsed into windowed counts
+    over the (order, supplier) pre-aggregate."""
+    return tpch_shapes.sole_final_shipper(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+    )
+
+
+@register(
+    "warehouse_dormant_rich_customers",
+    oracle=tpch_shapes.dormant_rich_customers_sql(),
+    survey_rows=("C-4", "G-1"),
+)
+def q_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: broadcast scalar average + LEFT ANTI join replacing
+    the correlated NOT EXISTS."""
+    return tpch_shapes.dormant_rich_customers(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+    )
+
+
+@register(
+    "warehouse_supplier_concentration",
+    oracle=tpch_shapes.supplier_revenue_concentration_sql(),
+    survey_rows=("C-4", "D-1"),
+)
+def q_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-supplier revenue vs a fraction of the broadcast
+    global total; lineitem scanned once, second pass over 100 rows."""
+    return tpch_shapes.supplier_revenue_concentration(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+    )
+
+
+@register(
+    "warehouse_nation_trade_volume",
+    oracle=tpch_shapes.NATION_TRADE_VOLUME_SQL,
+    survey_rows=("C-1", "O-12"),
+)
+def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: nation dim joined twice under aliases (both broadcast);
+    cust-nation × supp-nation × year revenue matrix."""
+    return tpch_shapes.nation_trade_volume(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+@register(
+    "warehouse_min_cost_supplier",
+    oracle=tpch_shapes.min_cost_supplier_sql(),
+    survey_rows=("C-2", "E"),
+)
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated min-per-part decorrelated into a rank-1
+    window over the (part, supplier) pre-aggregate."""
+    return tpch_shapes.min_cost_supplier(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Co-occurrence graph (operators/graph.py)
+# ---------------------------------------------------------------------------
+
+
+@register("graph_copurchase_pairs", oracle=graph.copurchase_pairs_sql())
+def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: per-basket bounded self-join (max_basket
+    cap), pair-key aggregate, distributed top-k."""
+    return graph.copurchase_pairs(load_table(spark, sf_dir, "lineitem"))
+
+
+@register("graph_part_degree", oracle=graph.part_degree_sql())
+def q_part_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-purchase graph degree distribution: distinct neighbors per part
+    from the symmetric pair closure, distributed top-k."""
+    return graph.part_degree(load_table(spark, sf_dir, "lineitem"))
+
+
+# ---------------------------------------------------------------------------
+# Event-sequence operators (operators/sequences.py)
+# ---------------------------------------------------------------------------
+
+
+@register("events_type_transitions", oracle=sequences.EVENT_TRANSITIONS_SQL)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types: per-user lag (one
+    user_id shuffle) + a ≤|types|²-key aggregate with row-normalized p."""
+    return sequences.event_transitions(load_table(spark, sf_dir, "events"))
+
+
+@register("events_value_anomalies", oracle=sequences.user_value_anomalies_sql())
+def q_user_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window z-score anomaly flags (baseline excludes the scored
+    row — the no-peek frame from events_leakage_free_features)."""
+    return sequences.user_value_anomalies(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "events_balance_with_reset", oracle=sequences.running_balance_with_reset_sql()
+)
+def q_running_balance_with_reset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reset-on-marker running sum decomposed into two cumulative frames over
+    one (user_id | ts) sort — no epoch numbering, no second shuffle."""
+    return sequences.running_balance_with_reset(load_table(spark, sf_dir, "events"))

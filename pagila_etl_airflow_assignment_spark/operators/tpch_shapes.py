@@ -1,0 +1,409 @@
+"""Classic decision-support query shapes (TPC-H Q2/Q3/Q7/Q11/Q18/Q21/Q22)
+adapted to the fixture star schema.
+
+The reference's surface is the rental summary (etl.py); these are post-parity
+extensions exercising the join/subquery topologies every warehouse engine must
+plan well at 100 TB:
+
+- shipping_priority (Q3): double fact join + broadcast-filtered dim + top-k.
+  The top-10 is ``orderBy(...).limit(10)`` which Spark plans as
+  TakeOrderedAndProject — a per-partition heap + driver merge of 10-row
+  partials, never a global sort.
+- large_volume_orders (Q18): HAVING on a fact aggregate, then join BACK to the
+  dimensions. The having-filtered aggregate is tiny (0.1% of orders), so the
+  join-back broadcasts the aggregate, not the fact.
+- sole_final_shipper (Q21 shape; fixture has no commit/receipt dates): orders
+  with ≥2 suppliers where exactly one supplier shipped on the order's final
+  ship date. Aggregates to (order, supplier) grain first, then one window
+  over the order key — all work after the first shuffle is on the reduced
+  grain (|orders|·avg-suppliers rows, not |lineitem|).
+- dormant_rich_customers (Q22 shape; every fixture customer has orders, so
+  "no orders at all" is rewritten as "no orders since a cutoff"): scalar
+  subquery (broadcast 1-row aggregate) + LEFT ANTI join against the
+  date-filtered orders.
+- supplier_revenue_concentration (Q11 shape; no partsupp table, so value =
+  shipped revenue): per-supplier revenue vs a fraction of the global total —
+  the global total is a broadcast 1-row aggregate reused from the same
+  pre-aggregated relation, so lineitem is scanned once.
+- nation_trade_volume (Q7): customer-nation × supplier-nation revenue matrix;
+  the nation dim joins twice under different aliases (both broadcast).
+- min_cost_supplier (Q2 shape; unit price proxies partsupp.supplycost):
+  correlated-min-per-part rewritten as a rank-1 window over the
+  (part, supplier) pre-aggregate — the canonical decorrelation.
+
+Money arithmetic follows operators/warehouse.py: DECIMAL(18,2) sums (exact,
+engine-identical), final CAST to DOUBLE (bit-identical nearest-double) so the
+driver's hash canonicalization sees the same cells from Spark and DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .warehouse import _disc, _one, _price
+
+
+def shipping_priority(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-06-15",
+    k: int = 10,
+) -> DataFrame:
+    """Q3: top-k unshipped revenue among orders placed before ``cutoff`` by
+    ``segment`` customers, revenue from lineitems shipping after ``cutoff``.
+
+    Plan shape: the segment-filtered customer dim broadcasts into orders;
+    lineitem ⋈ orders is the one genuine shuffle (orderkey); the aggregate
+    runs at order grain; the top-k is TakeOrderedAndProject (no global sort).
+    """
+    cust = customer.where(F.col("c_mktsegment") == segment).select("c_custkey")
+    ords = orders.where(F.to_date("o_orderdate") < F.lit(cutoff).cast("date")).join(
+        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+    )
+    items = lineitem.where(F.to_date("l_shipdate") > F.lit(cutoff).cast("date"))
+    return (
+        items.join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_price() * (_one() - _disc())).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderdate", "o_orderkey")
+        .limit(k)
+    )
+
+
+def shipping_priority_sql(
+    segment: str = "BUILDING", cutoff: str = "1998-06-15", k: int = 10
+) -> str:
+    p = "CAST(l_extendedprice AS DECIMAL(18,2))"
+    d = "CAST(l_discount AS DECIMAL(18,2))"
+    return f"""
+        SELECT o_orderkey, o_orderdate, o_orderpriority,
+               CAST(SUM({p} * (CAST(1 AS DECIMAL(18,2)) - {d})) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = '{segment}'
+          AND CAST(o_orderdate AS DATE) < DATE '{cutoff}'
+          AND CAST(l_shipdate AS DATE) > DATE '{cutoff}'
+        GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderdate, o_orderkey
+        LIMIT {k}
+    """
+
+
+def large_volume_orders(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    min_quantity: float = 300.0,
+) -> DataFrame:
+    """Q18: orders whose total quantity exceeds ``min_quantity``, joined back
+    to customer/order attributes.
+
+    The HAVING aggregate reduces orders by ~500× before any join, so the
+    join-back broadcasts the filtered aggregate into orders (then customer
+    broadcasts as usual) — the fact is scanned exactly once.
+    """
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"))
+        .where(F.col("qty") > F.lit(min_quantity))
+    )
+    return (
+        orders.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice"),
+            F.col("qty").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+    )
+
+
+def large_volume_orders_sql(min_quantity: float = 300.0) -> str:
+    return f"""
+        SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+               CAST(qty AS DOUBLE) AS total_qty
+        FROM (
+            SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > {min_quantity}
+        ) big
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY total_qty DESC, o_orderkey
+    """
+
+
+def sole_final_shipper(lineitem: DataFrame, supplier: DataFrame) -> DataFrame:
+    """Q21 shape: per supplier, how many multi-supplier orders it alone closed
+    (its lines carry the order's latest ship date and no other supplier's do).
+
+    One shuffle to (orderkey, suppkey) grain, one window over orderkey on the
+    reduced grain, one broadcast of the supplier dim. No correlated EXISTS /
+    NOT EXISTS pair survives — both collapse into the windowed counts.
+    """
+    per_supp = lineitem.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.to_date("l_shipdate")).alias("supp_last_ship")
+    )
+    w = Window.partitionBy("l_orderkey")
+    flagged = per_supp.select(
+        "l_orderkey",
+        "l_suppkey",
+        "supp_last_ship",
+        F.count("*").over(w).alias("n_supp"),
+        F.max("supp_last_ship").over(w).alias("order_last_ship"),
+    ).withColumn(
+        "n_at_last",
+        F.count(F.when(F.col("supp_last_ship") == F.col("order_last_ship"), 1)).over(w),
+    )
+    sole = flagged.where(
+        (F.col("n_supp") >= 2)
+        & (F.col("n_at_last") == 1)
+        & (F.col("supp_last_ship") == F.col("order_last_ship"))
+    )
+    return (
+        sole.groupBy("l_suppkey")
+        .agg(F.count("*").alias("n_orders_closed"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "n_orders_closed")
+        .orderBy(F.desc("n_orders_closed"), "s_suppkey")
+    )
+
+
+SOLE_FINAL_SHIPPER_SQL = """
+    WITH per_supp AS (
+        SELECT l_orderkey, l_suppkey, MAX(CAST(l_shipdate AS DATE)) AS supp_last_ship
+        FROM lineitem GROUP BY l_orderkey, l_suppkey
+    ), ranked AS (
+        SELECT l_orderkey, l_suppkey, supp_last_ship,
+               COUNT(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+               MAX(supp_last_ship) OVER (PARTITION BY l_orderkey) AS order_last_ship
+        FROM per_supp
+    ), flagged AS (
+        SELECT *,
+               COUNT(*) FILTER (supp_last_ship = order_last_ship)
+                   OVER (PARTITION BY l_orderkey) AS n_at_last
+        FROM ranked
+    )
+    SELECT s_suppkey, s_name, COUNT(*) AS n_orders_closed
+    FROM flagged
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE n_supp >= 2 AND n_at_last = 1 AND supp_last_ship = order_last_ship
+    GROUP BY s_suppkey, s_name
+    ORDER BY n_orders_closed DESC, s_suppkey
+"""
+
+
+def dormant_rich_customers(
+    customer: DataFrame, orders: DataFrame, since: str = "2000-01-01"
+) -> DataFrame:
+    """Q22 shape: above-average-balance customers with no orders since
+    ``since``, counted per market segment.
+
+    The global average is a broadcast 1-row aggregate (crossJoin), the
+    "no recent orders" is a LEFT ANTI join against the date-filtered order
+    keys — no correlated NOT EXISTS reaches the physical plan.
+    """
+    avg_bal = customer.where(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    recent = orders.where(
+        F.to_date("o_orderdate") >= F.lit(since).cast("date")
+    ).select("o_custkey")
+    return (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_dormant"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def dormant_rich_customers_sql(since: str = "2000-01-01") -> str:
+    return f"""
+        SELECT c_mktsegment,
+               COUNT(*) AS n_dormant,
+               CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
+                   AS total_acctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+          AND NOT EXISTS (
+              SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey
+                AND CAST(o_orderdate AS DATE) >= DATE '{since}'
+          )
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """
+
+
+def supplier_revenue_concentration(
+    lineitem: DataFrame, supplier: DataFrame, fraction: float = 0.011
+) -> DataFrame:
+    """Q11 shape: suppliers whose shipped revenue exceeds ``fraction`` of the
+    global total, with their share.
+
+    lineitem is scanned once: the per-supplier aggregate feeds both the
+    global total (re-aggregated 1-row, broadcast back) and the filter — the
+    second "pass" runs over 100 rows, not the fact.
+    """
+    per_supp = lineitem.groupBy("l_suppkey").agg(
+        F.sum(_price() * (_one() - _disc())).alias("revenue")
+    )
+    total = per_supp.agg(F.sum("revenue").alias("total_revenue"))
+    return (
+        per_supp.crossJoin(F.broadcast(total))
+        .where(F.col("revenue") > F.col("total_revenue") * F.lit(fraction))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("revenue").cast("double").alias("revenue"),
+            # the decimal/decimal quotient would stay DECIMAL in Spark but
+            # DOUBLE in DuckDB; divide as double (exact sums, one conversion
+            # each side) so round-then-compare sees identical doubles
+            F.round(
+                F.col("revenue").cast("double") / F.col("total_revenue").cast("double"),
+                6,
+            ).alias("share"),
+        )
+        .orderBy(F.desc("revenue"), "s_suppkey")
+    )
+
+
+def supplier_revenue_concentration_sql(fraction: float = 0.011) -> str:
+    p = "CAST(l_extendedprice AS DECIMAL(18,2))"
+    d = "CAST(l_discount AS DECIMAL(18,2))"
+    return f"""
+        WITH per_supp AS (
+            SELECT l_suppkey,
+                   SUM({p} * (CAST(1 AS DECIMAL(18,2)) - {d})) AS revenue
+            FROM lineitem GROUP BY l_suppkey
+        ), tot AS (SELECT SUM(revenue) AS total_revenue FROM per_supp)
+        SELECT s_suppkey, s_name,
+               CAST(revenue AS DOUBLE) AS revenue,
+               ROUND(CAST(revenue AS DOUBLE) / CAST(total_revenue AS DOUBLE), 6)
+                   AS share
+        FROM per_supp, tot
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE revenue > total_revenue * {fraction}
+        ORDER BY revenue DESC, s_suppkey
+    """
+
+
+def nation_trade_volume(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """Q7: revenue between distinct (customer nation → supplier nation) pairs
+    per order year. The nation dim joins twice under different aliases; all
+    four dims broadcast, so the only shuffles are lineitem ⋈ orders and the
+    final (≤ nations² × years)-key aggregate."""
+    cust_nation = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    supp_nation = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust_nation), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("sn_key"))
+        .where(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy("cust_nation", "supp_nation", F.year("o_orderdate").alias("yr"))
+        .agg(F.sum(_price() * (_one() - _disc())).cast("double").alias("revenue"))
+        .orderBy("cust_nation", "supp_nation", "yr")
+    )
+
+
+NATION_TRADE_VOLUME_SQL = """
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           YEAR(o_orderdate) AS yr,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE cn.n_name <> sn.n_name
+    GROUP BY cn.n_name, sn.n_name, YEAR(o_orderdate)
+    ORDER BY cust_nation, supp_nation, yr
+"""
+
+
+def min_cost_supplier(
+    lineitem: DataFrame, supplier: DataFrame, max_parts: int = 2000
+) -> DataFrame:
+    """Q2 shape: for each part (bounded output via partkey < ``max_parts``),
+    the supplier with the lowest observed unit price.
+
+    The correlated ``price = (SELECT MIN ... WHERE partkey = outer.partkey)``
+    decorrelates into a rank-1 window over the (part, supplier) pre-aggregate
+    — the window input is |parts|·|suppliers-per-part| rows, not |lineitem|,
+    and the partkey filter is pushed into the parquet scan.
+    """
+    unit = (
+        lineitem.where(F.col("l_partkey") < max_parts)
+        .where(F.col("l_quantity") > 0)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 6).alias(
+                "min_unit_price"
+            )
+        )
+    )
+    w = Window.partitionBy("l_partkey").orderBy("min_unit_price", "l_suppkey")
+    return (
+        unit.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "s_suppkey",
+            "s_name",
+            "min_unit_price",
+        )
+        .orderBy("p_partkey")
+    )
+
+
+def min_cost_supplier_sql(max_parts: int = 2000) -> str:
+    return f"""
+        WITH unit AS (
+            SELECT l_partkey, l_suppkey,
+                   ROUND(MIN(l_extendedprice / l_quantity), 6) AS min_unit_price
+            FROM lineitem
+            WHERE l_partkey < {max_parts} AND l_quantity > 0
+            GROUP BY l_partkey, l_suppkey
+        ), ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY l_partkey ORDER BY min_unit_price, l_suppkey
+            ) AS rk
+            FROM unit
+        )
+        SELECT l_partkey AS p_partkey, s_suppkey, s_name, min_unit_price
+        FROM ranked JOIN supplier ON l_suppkey = s_suppkey
+        WHERE rk = 1
+        ORDER BY p_partkey
+    """

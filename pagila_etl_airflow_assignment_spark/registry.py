@@ -120,6 +120,12 @@ EXTENSION_SURVEY_ROWS: dict[str, tuple[str, ...]] = {
     "events_median_value_udaf": ("L-66",),
     "dedup_clusters_star": ("L-9",),
     "warehouse_local_supplier_volume": ("O-12",),
+    "events_type_transitions": ("L-67",),
+    "events_value_anomalies": ("L-68",),
+    "events_balance_with_reset": ("L-69",),
+    "graph_copurchase_pairs": ("L-70",),
+    "graph_part_degree": ("L-70",),
+    "text_shingle_novelty": ("L-71",),
 }
 
 
