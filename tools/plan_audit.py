@@ -61,6 +61,10 @@ ALLOWED: dict[str, set[str]] = {
     "dedup_incremental_bloom": {"BroadcastNestedLoopJoin"},
     # broadcast total-rows scalar for the FK n_checked restatement
     "warehouse_constraint_checks": {"BroadcastNestedLoopJoin"},
+    # broadcast 1-row global-average scalar (Q22 shape)
+    "warehouse_dormant_rich_customers": {"BroadcastNestedLoopJoin"},
+    # broadcast 1-row total-revenue scalar (Q11 shape)
+    "warehouse_supplier_concentration": {"BroadcastNestedLoopJoin"},
 }
 
 PATTERNS = ("CartesianProduct", "BatchEvalPython", "BroadcastNestedLoopJoin")
