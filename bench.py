@@ -66,6 +66,9 @@ HEADLINE = [
     "warehouse_min_cost_supplier",
     "graph_copurchase_pairs",
     "graph_part_degree",
+    "warehouse_customer_deciles",
+    "warehouse_ship_latency",
+    "embedding_quantize_int8",
 ]
 
 

@@ -324,3 +324,64 @@ def benchmark_overlap_sql(
         FROM corpus c JOIN bench b USING (shingle)
         GROUP BY c.doc_id, b.bench_doc_id
     """
+
+
+# --- Zipf fit -----------------------------------------------------------------
+
+ZIPF_TOP_K = 1000
+
+
+def zipf_slope(docs: DataFrame, k: int = ZIPF_TOP_K) -> DataFrame:
+    """Closed-form OLS fit of log(freq) vs log(rank) over the top-``k``
+    unigrams — the Zipf-law exponent (a healthy natural corpus sits near −1;
+    templated/bot text flattens it).
+
+    Scale shape: one term-keyed aggregate over the exploded grams, a
+    distributed top-k (TakeOrderedAndProject) down to ``k`` rows, THEN the
+    rank window — the only global-order window runs over the k-row relation,
+    never the vocabulary. Slope/intercept in closed form (covar/var) like
+    user_value_trend — no iterative fit."""
+    freqs = (
+        grams(docs, 1)
+        .groupBy("gram")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), "gram")
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("freq"), "gram")
+    pts = freqs.select(
+        F.log(F.row_number().over(w).cast("double")).alias("lx"),
+        F.log(F.col("freq").cast("double")).alias("ly"),
+    )
+    slope = F.when(F.var_samp("lx") > 0, F.covar_samp("lx", "ly") / F.var_samp("lx"))
+    return pts.agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(F.avg("ly") - slope * F.avg("lx"), 6).alias("zipf_intercept"),
+    )
+
+
+def zipf_slope_sql(k: int = ZIPF_TOP_K, docs_rel: str = "documents") -> str:
+    return f"""
+        WITH g AS ({grams_sql(1, docs_rel)}),
+        freqs AS (
+            SELECT gram, COUNT(*) AS freq
+            FROM g GROUP BY gram
+            ORDER BY freq DESC, gram
+            LIMIT {k}
+        ),
+        pts AS (
+            SELECT ln(CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, gram) AS DOUBLE))
+                       AS lx,
+                   ln(CAST(freq AS DOUBLE)) AS ly
+            FROM freqs
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+               round(CASE WHEN var_samp(lx) > 0
+                          THEN covar_samp(lx, ly) / var_samp(lx) END, 6)
+                   AS zipf_slope,
+               round(AVG(ly) - CASE WHEN var_samp(lx) > 0
+                          THEN covar_samp(lx, ly) / var_samp(lx) END * AVG(lx), 6)
+                   AS zipf_intercept
+        FROM pts
+    """

@@ -425,3 +425,17 @@ def q_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-occurrence shingle novelty per document (corpus-growth
     diagnostic): one shingle-keyed MIN window + one doc_id aggregate."""
     return novelty.shingle_novelty(spread(load_table(spark, sf_dir, "documents")))
+
+
+@register("vocab_zipf_slope", oracle=corpus_stats.zipf_slope_sql())
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law exponent of the unigram distribution (closed-form OLS over
+    the top-1000 terms; rank window runs on k rows only)."""
+    return corpus_stats.zipf_slope(spread(load_table(spark, sf_dir, "documents")))
+
+
+@register("embedding_quantize_int8", oracle=embeddings_mod.QUANTIZE_INT8_SQL)
+def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization (4x ANN storage cut), all-JVM
+    array expressions with double-widened rounding on both engines."""
+    return embeddings_mod.quantize_int8(load_table(spark, sf_dir, "embeddings"))

@@ -1,0 +1,174 @@
+"""User-behavior mining: windowed trend ranking, session journey paths, and
+inter-purchase intervals.
+
+Composition layer over the sequence/sessionization primitives: each operator
+pre-aggregates to a reduced grain (hour-type, session, purchase pairs) before
+any ranking or path assembly, so windows never run over raw fact rows.
+
+- trending_event_types: rank event types per tumbling hour. The rank window
+  partitions by hour over the (hour, type) AGGREGATE (≤ hours·|types| rows).
+- session_paths: gap-sessionized journeys (lag + running-sum break ids — the
+  sessionize_batch formulation from streaming/aggregations.py) reduced to an
+  ordered event-type path string per session, then counted. Paths are
+  assembled per session via array_sort over (ts, event_id)-keyed structs —
+  collect_list alone has no ordering guarantee.
+- repurchase_intervals: day-gap histogram between consecutive purchases per
+  user. Integer-microsecond gap math (functions.micros) — identical to the
+  oracle's epoch_us, no double rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import micros
+
+TREND_TOP_K = 3
+PATH_TOP_K = 20
+SESSION_GAP_S = 1800
+
+
+def trending_event_types(events: DataFrame, k: int = TREND_TOP_K) -> DataFrame:
+    """Top-k event types per tumbling hour with counts and rank."""
+    hourly = events.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("hour").orderBy(F.desc("n"), "event_type")
+    return (
+        hourly.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .orderBy("hour", "rk")
+    )
+
+
+def trending_event_types_sql(k: int = TREND_TOP_K) -> str:
+    return f"""
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n
+            FROM events GROUP BY 1, 2
+        )
+        SELECT hour, event_type, n, rk
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY hour ORDER BY n DESC, event_type) AS rk
+            FROM hourly
+        )
+        WHERE rk <= {k}
+        ORDER BY hour, rk
+    """
+
+
+def session_paths(
+    events: DataFrame, gap_s: int = SESSION_GAP_S, k: int = PATH_TOP_K
+) -> DataFrame:
+    """Top-k session journey paths ('click>view>purchase') by session count.
+
+    One user_id shuffle covers the break-flag window AND the session-id
+    cumulative sum; the session grouping then shuffles on (user, session) —
+    session grain, already reduced. Ordering inside a path comes from
+    array_sort over (ts, event_id, type) structs, not collect_list order."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    with_breaks = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            micros("ts") - micros(F.lag("ts").over(w)) > gap_s * 1_000_000, 1
+        )
+        .otherwise(0)
+        .alias("is_break"),
+    )
+    with_ids = with_breaks.withColumn(
+        "session_id",
+        F.sum("is_break").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    paths = (
+        with_ids.groupBy("user_id", "session_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("ordered")
+        )
+        .select(
+            F.concat_ws(
+                ">", F.transform("ordered", lambda s: s["event_type"])
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(k)
+    )
+
+
+def session_paths_sql(gap_s: int = SESSION_GAP_S, k: int = PATH_TOP_K) -> str:
+    return f"""
+        WITH with_breaks AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                             > {gap_s} * CAST(1000000 AS BIGINT)
+                        THEN 1 ELSE 0 END AS is_break
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), with_ids AS (
+            SELECT *, SUM(is_break) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+            FROM with_breaks
+        ), paths AS (
+            SELECT string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+            FROM with_ids
+            GROUP BY user_id, session_id
+        )
+        SELECT path, COUNT(*) AS n_sessions
+        FROM paths
+        GROUP BY path
+        ORDER BY n_sessions DESC, path
+        LIMIT {k}
+    """
+
+
+def repurchase_intervals(events: DataFrame) -> DataFrame:
+    """Histogram of whole-day gaps between a user's consecutive purchases.
+
+    The purchase filter is pushed into the scan; the lag window runs over the
+    filtered relation (purchase-grain, ~1/|types| of events)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    purchases = events.where(F.col("event_type") == "purchase")
+    gaps = purchases.select(
+        "user_id",
+        (
+            (micros("ts") - micros(F.lag("ts").over(w)))
+            / F.lit(86_400_000_000).cast("long")
+        )
+        .cast("long")
+        .alias("gap_days"),
+    ).where(F.col("gap_days").isNotNull())
+    return (
+        gaps.groupBy("gap_days")
+        .agg(F.count("*").alias("n_intervals"))
+        .orderBy("gap_days")
+    )
+
+
+REPURCHASE_INTERVALS_SQL = """
+    WITH gaps AS (
+        SELECT user_id,
+               CAST((epoch_us(ts) - epoch_us(lag(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)))
+                   // CAST(86400000000 AS BIGINT) AS BIGINT) AS gap_days
+        FROM events
+        WHERE event_type = 'purchase'
+    )
+    SELECT gap_days, COUNT(*) AS n_intervals
+    FROM gaps
+    WHERE gap_days IS NOT NULL
+    GROUP BY gap_days
+    ORDER BY gap_days
+"""

@@ -1,0 +1,124 @@
+"""Distributional analytics: per-segment customer spend deciles and order
+fulfillment-latency percentiles.
+
+Both reduce to an entity grain FIRST (customer totals, per-order first-ship)
+and only then rank/quantile, so the expensive step runs over |customers| /
+|orders| rows, never |lineitem|. Neither uses a global-order window: deciles
+partition by market segment (the text_quality_quantile pattern — a global
+ntile serializes the whole relation through one partition), and percentiles
+are grouped aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+N_BUCKETS = 10
+
+
+def customer_spend_deciles(
+    orders: DataFrame, customer: DataFrame, n_buckets: int = N_BUCKETS
+) -> DataFrame:
+    """Per (segment, decile): customer count and avg/total lifetime spend.
+    Decile 1 = top spenders within their segment. Customers with no orders
+    count as zero spend (left join keeps them)."""
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend")
+    )
+    per_cust = (
+        customer.join(spend, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.coalesce(F.col("spend"), F.lit(0).cast("decimal(18,2)")).alias(
+                "spend"
+            ),
+        )
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("spend"), "c_custkey")
+    return (
+        per_cust.withColumn("decile", F.ntile(n_buckets).over(w))
+        .groupBy("c_mktsegment", "decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.avg("spend"), 2).cast("double").alias("avg_spend"),
+            F.sum("spend").cast("double").alias("total_spend"),
+        )
+        .orderBy("c_mktsegment", "decile")
+    )
+
+
+def customer_spend_deciles_sql(n_buckets: int = N_BUCKETS) -> str:
+    return f"""
+        WITH spend AS (
+            SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+            FROM orders GROUP BY o_custkey
+        ), per_cust AS (
+            SELECT c_custkey, c_mktsegment,
+                   COALESCE(spend, CAST(0 AS DECIMAL(18,2))) AS spend
+            FROM customer LEFT JOIN spend ON c_custkey = o_custkey
+        )
+        SELECT c_mktsegment, decile,
+               COUNT(*) AS n_customers,
+               CAST(ROUND(AVG(spend), 2) AS DOUBLE) AS avg_spend,
+               CAST(SUM(spend) AS DOUBLE) AS total_spend
+        FROM (
+            SELECT *, NTILE({n_buckets}) OVER (
+                PARTITION BY c_mktsegment ORDER BY spend DESC, c_custkey)
+                AS decile
+            FROM per_cust
+        )
+        GROUP BY c_mktsegment, decile
+        ORDER BY c_mktsegment, decile
+    """
+
+
+def ship_latency_percentiles(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Per order priority: exact p50/p90/p99 of days from order placement to
+    FIRST shipment. Exact interpolated F.percentile matches DuckDB
+    quantile_cont bit-for-bit (the events_value_percentiles pattern); at
+    100 TB the approx_percentile sketch is the drop-in swap."""
+    first_ship = lineitem.groupBy("l_orderkey").agg(
+        F.min(F.to_date("l_shipdate")).alias("first_ship")
+    )
+    latency = orders.join(
+        first_ship, F.col("o_orderkey") == F.col("l_orderkey")
+    ).select(
+        "o_orderpriority",
+        F.datediff("first_ship", F.to_date("o_orderdate")).alias("latency_days"),
+    )
+    q = F.percentile("latency_days", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return (
+        latency.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), q.alias("q"))
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            F.round(F.element_at("q", 1), 6).alias("p50_days"),
+            F.round(F.element_at("q", 2), 6).alias("p90_days"),
+            F.round(F.element_at("q", 3), 6).alias("p99_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+SHIP_LATENCY_SQL = """
+    WITH first_ship AS (
+        SELECT l_orderkey, MIN(CAST(l_shipdate AS DATE)) AS first_ship
+        FROM lineitem GROUP BY l_orderkey
+    ), latency AS (
+        SELECT o_orderpriority,
+               date_diff('day', CAST(o_orderdate AS DATE), first_ship)
+                   AS latency_days
+        FROM orders JOIN first_ship ON o_orderkey = l_orderkey
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           ROUND(quantile_cont(latency_days, 0.5), 6) AS p50_days,
+           ROUND(quantile_cont(latency_days, 0.9), 6) AS p90_days,
+           ROUND(quantile_cont(latency_days, 0.99), 6) AS p99_days
+    FROM latency
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""

@@ -9,7 +9,7 @@ from ..functions import micros
 from ..registry import register
 from ..sources.parquet import load_table
 from ..schemas import ORDERS
-from . import analytics, cdc, features, graph, profile, sequences, temporal, tpch_shapes, warehouse
+from . import analytics, behavior, cdc, distributions, features, graph, profile, sequences, temporal, tpch_shapes, warehouse
 
 
 @register(
@@ -679,3 +679,53 @@ def q_running_balance_with_reset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reset-on-marker running sum decomposed into two cumulative frames over
     one (user_id | ts) sort — no epoch numbering, no second shuffle."""
     return sequences.running_balance_with_reset(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Behavior mining (operators/behavior.py) + distributions
+# ---------------------------------------------------------------------------
+
+
+@register("events_trending_hourly", oracle=behavior.trending_event_types_sql())
+def q_trending_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 event types per tumbling hour: rank window over the (hour, type)
+    AGGREGATE, never the raw events."""
+    return behavior.trending_event_types(load_table(spark, sf_dir, "events"))
+
+
+@register("events_session_paths", oracle=behavior.session_paths_sql())
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top session journey paths: gap sessionization + array_sort path
+    assembly per session + path-key count."""
+    return behavior.session_paths(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "events_repurchase_intervals", oracle=behavior.REPURCHASE_INTERVALS_SQL
+)
+def q_repurchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase day-gap histogram: pushed purchase filter, per-user lag
+    over the reduced relation, bounded-key aggregate."""
+    return behavior.repurchase_intervals(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "warehouse_customer_deciles", oracle=distributions.customer_spend_deciles_sql()
+)
+def q_customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment customer lifetime-spend deciles: ntile partitioned by
+    segment over the customer-grain aggregate (no global-order window)."""
+    return distributions.customer_spend_deciles(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+    )
+
+
+@register("warehouse_ship_latency", oracle=distributions.SHIP_LATENCY_SQL)
+def q_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order→first-ship latency percentiles per priority (exact interpolated
+    percentile; approx sketch is the at-scale swap)."""
+    return distributions.ship_latency_percentiles(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )

@@ -126,6 +126,13 @@ EXTENSION_SURVEY_ROWS: dict[str, tuple[str, ...]] = {
     "graph_copurchase_pairs": ("L-70",),
     "graph_part_degree": ("L-70",),
     "text_shingle_novelty": ("L-71",),
+    "events_trending_hourly": ("L-72",),
+    "events_session_paths": ("L-73",),
+    "events_repurchase_intervals": ("L-74",),
+    "warehouse_customer_deciles": ("L-75",),
+    "warehouse_ship_latency": ("L-76",),
+    "vocab_zipf_slope": ("L-77",),
+    "embedding_quantize_int8": ("L-78",),
 }
 
 

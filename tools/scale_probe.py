@@ -72,6 +72,15 @@ PROBES = [
     "cdc_partition_checksums",
     "warehouse_constraint_checks",
     "dedup_clusters_star",
+    # round-4b additions: per-basket bounded self-join, orderkey-grain window,
+    # shingle-keyed first-occurrence window, user-sequence windows
+    "graph_copurchase_pairs",
+    "graph_part_degree",
+    "warehouse_sole_final_shipper",
+    "warehouse_shipping_priority",
+    "text_shingle_novelty",
+    "events_type_transitions",
+    "events_balance_with_reset",
 ]
 
 
@@ -145,6 +154,22 @@ def synthesize(spark, out_dir: str) -> None:
         shutil.copy(f"{SF_DIR}/{t}.parquet", f"{out_dir}/{t}.parquet")
 
 
+def _force(df) -> int:
+    """Force FULL evaluation and return the row count.
+
+    ``count()`` is the wrong probe action for row-preserving plans: Catalyst
+    prunes unreferenced projections AND whole Window nodes under a count-only
+    aggregate (verified: the balance-with-reset Window vanishes from the
+    count plan), so a windowed query would time as a bare scan. Hashing every
+    output column into a checksum keeps every operator in the executed plan.
+    """
+    agg = df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64(*df.columns)).alias("chk"),
+    ).first()
+    return agg["n"]
+
+
 def main() -> None:
     spark = build_session(app_name="scale-probe")
     out_dir = tempfile.mkdtemp(prefix="scaleprobe-")
@@ -156,12 +181,12 @@ def main() -> None:
             continue
         fn = qmap[name]
         try:
-            fn(spark, SF_DIR).count()  # warm plan+JVM for this shape
+            _force(fn(spark, SF_DIR))  # warm plan+JVM for this shape
             t0 = time.perf_counter()
-            fn(spark, SF_DIR).count()
+            _force(fn(spark, SF_DIR))
             t1 = time.perf_counter() - t0
             t0 = time.perf_counter()
-            n = fn(spark, out_dir).count()
+            n = _force(fn(spark, out_dir))
             tn = time.perf_counter() - t0
         except Exception as exc:  # a probe failure is itself the finding
             msg = str(exc).splitlines()[0][:300]
