@@ -69,6 +69,8 @@ HEADLINE = [
     "warehouse_customer_deciles",
     "warehouse_ship_latency",
     "embedding_quantize_int8",
+    "graph_copurchase_pagerank",
+    "graph_association_rules",
 ]
 
 

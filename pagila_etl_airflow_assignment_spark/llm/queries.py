@@ -439,3 +439,10 @@ def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric per-vector int8 quantization (4x ANN storage cut), all-JVM
     array expressions with double-widened rounding on both engines."""
     return embeddings_mod.quantize_int8(load_table(spark, sf_dir, "embeddings"))
+
+
+@register("sampling_weighted_wor", oracle=sampling.weighted_sample_wor_sql())
+def q_weighted_sample_wor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample without replacement via deterministic exponential sort
+    keys (Efraimidis-Spirakis A-Res); distributed top-k, no global sort."""
+    return sampling.weighted_sample_wor(load_table(spark, sf_dir, "documents"))

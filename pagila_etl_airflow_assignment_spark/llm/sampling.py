@@ -196,3 +196,49 @@ def stratified_sample_sql(
         WHERE rn <= (n_stratum * {fraction_pct} + 99) // 100
         ORDER BY {stratum}, sample_rank
     """
+
+
+# --- weighted sampling without replacement ------------------------------------
+
+WRS_K = 100
+
+
+def weighted_sample_wor(docs: DataFrame, k: int = WRS_K) -> DataFrame:
+    """Weighted random sample WITHOUT replacement of k documents, weight =
+    n_chars (longer docs proportionally likelier), via exponential sort keys
+    (Efraimidis–Spirakis A-Res): key = ln(u)/w with u ~ U(0,1); the k largest
+    keys form an exact weighted sample.
+
+    Deterministic and oracle-checkable: u derives from md5(doc_id) — the
+    split-assignment trick — so both engines draw the same "randomness".
+    Selection is a distributed top-k (TakeOrderedAndProject), never a global
+    sort; the whole operator is one narrow projection + top-k."""
+    # u in (0, 1): 60-bit md5 int scaled by 2^60, +0.5 to avoid ln(0)
+    u = (md5_int(F.col("doc_id").cast("string")) + F.lit(0.5)) / F.lit(
+        float(1 << 60)
+    )
+    key = F.log(u) / F.col("n_chars").cast("double")
+    return (
+        docs.where(F.col("n_chars") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.round(key, 12).alias("sort_key"),
+        )
+        .orderBy(F.desc("sort_key"), "doc_id")
+        .limit(k)
+    )
+
+
+def weighted_sample_wor_sql(k: int = WRS_K, docs_rel: str = "documents") -> str:
+    h = md5_int_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+        SELECT doc_id, lang, n_chars,
+               round(ln(({h} + 0.5) / {float(1 << 60)})
+                     / CAST(n_chars AS DOUBLE), 12) AS sort_key
+        FROM {docs_rel}
+        WHERE n_chars > 0
+        ORDER BY sort_key DESC, doc_id
+        LIMIT {k}
+    """

@@ -172,3 +172,50 @@ REPURCHASE_INTERVALS_SQL = """
     GROUP BY gap_days
     ORDER BY gap_days
 """
+
+
+# --- time-weighted average ----------------------------------------------------
+
+
+def time_weighted_value(events: DataFrame) -> DataFrame:
+    """Per-user time-weighted average of value: each reading holds until the
+    user's next event (step interpolation), weights = holding micros. The
+    user's last event has no duration and is excluded from the weighting —
+    the standard left-closed TWA convention.
+
+    One user_id shuffle: the lead() duration and the weighted aggregate share
+    the (user_id | ts, event_id) sort."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    spans = events.select(
+        "user_id",
+        "value",
+        (micros(F.lead("ts").over(w)) - micros("ts")).alias("dur_us"),
+    ).where(F.col("dur_us").isNotNull())
+    return (
+        spans.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.round(
+                F.sum(F.col("value") * F.col("dur_us")) / F.sum("dur_us"), 6
+            ).alias("twa_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+TIME_WEIGHTED_VALUE_SQL = """
+    WITH spans AS (
+        SELECT user_id, value,
+               epoch_us(lead(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id))
+                   - epoch_us(ts) AS dur_us
+        FROM events
+    )
+    SELECT user_id,
+           COUNT(*) AS n_spans,
+           round(SUM(value * dur_us) / SUM(dur_us), 6) AS twa_value
+    FROM spans
+    WHERE dur_us IS NOT NULL
+    GROUP BY user_id
+    ORDER BY user_id
+"""

@@ -113,3 +113,205 @@ def part_degree_sql(k: int = 100, max_basket: int = 30) -> str:
         ORDER BY degree DESC, n_copurchases DESC, p_partkey
         LIMIT {k}
     """
+
+
+# --- PageRank -----------------------------------------------------------------
+
+PR_ITERS = 5
+PR_DAMPING = 0.85
+PR_TOP_K = 50
+
+
+def _symmetric_edges(lineitem: DataFrame, max_basket: int):
+    """Distinct undirected co-purchase edges, symmetrized to (src, dst)."""
+    items = _baskets(lineitem, max_basket)
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    return (
+        a.join(b, "ok")
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+def copurchase_pagerank(
+    lineitem: DataFrame,
+    iters: int = PR_ITERS,
+    damping: float = PR_DAMPING,
+    k: int = PR_TOP_K,
+    max_basket: int = 30,
+) -> DataFrame:
+    """Top-k parts by PageRank over the co-purchase graph after a FIXED
+    number of power iterations (r_{t+1} = (1−d) + d·Σ r_t(u)/deg(u)).
+
+    The iteration count is a constant, not a convergence test, so the whole
+    computation is one deterministic declarative plan — the oracle unrolls
+    the same five iterations as chained CTEs. Each iteration is one
+    (dst-keyed) aggregate + one broadcast-sized rank join; the symmetric
+    graph has no dangling nodes (every node in an edge has degree ≥ 1), so
+    no dangling-mass redistribution term is needed. For unbounded iteration
+    counts the dedup_clusters pattern (localCheckpoint + scalar convergence
+    probe) is the swap."""
+    edges = _symmetric_edges(lineitem, max_basket)
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    contrib_base = edges.join(deg, "src")
+    ranks = deg.select(F.col("src").alias("node"), F.lit(1.0).alias("r"))
+    for _ in range(iters):
+        ranks = (
+            contrib_base.join(
+                ranks, F.col("src") == F.col("node")
+            )
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") / F.col("deg")).alias("mass"))
+            .select(
+                F.col("dst").alias("node"),
+                (F.lit(1.0 - damping) + F.lit(damping) * F.col("mass")).alias("r"),
+            )
+        )
+    return (
+        ranks.select(
+            F.col("node").alias("p_partkey"), F.round("r", 6).alias("pagerank")
+        )
+        .orderBy(F.desc("pagerank"), "p_partkey")
+        .limit(k)
+    )
+
+
+def copurchase_pagerank_sql(
+    iters: int = PR_ITERS,
+    damping: float = PR_DAMPING,
+    k: int = PR_TOP_K,
+    max_basket: int = 30,
+) -> str:
+    its = [
+        f"""r0 AS (
+            SELECT src AS node, 1.0 AS r FROM deg
+        )"""
+    ]
+    for i in range(1, iters + 1):
+        its.append(
+            f"""r{i} AS (
+            SELECT e.dst AS node,
+                   {1.0 - damping} + {damping} * SUM(r.r / d.deg) AS r
+            FROM edges e
+            JOIN deg d ON e.src = d.src
+            JOIN r{i - 1} r ON r.node = e.src
+            GROUP BY e.dst
+        )"""
+        )
+    chain = ",\n        ".join(its)
+    return f"""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), small AS (
+            SELECT l_orderkey FROM items
+            GROUP BY l_orderkey HAVING COUNT(*) <= {max_basket}
+        ), basket AS (
+            SELECT i.l_orderkey, i.l_partkey FROM items i
+            JOIN small USING (l_orderkey)
+        ), edges AS (
+            SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+            FROM basket a JOIN basket b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        ), deg AS (
+            SELECT src, COUNT(*) AS deg FROM edges GROUP BY src
+        ),
+        {chain}
+        SELECT node AS p_partkey, round(r, 6) AS pagerank
+        FROM r{iters}
+        ORDER BY pagerank DESC, p_partkey
+        LIMIT {k}
+    """
+
+
+# --- association rules --------------------------------------------------------
+
+RULE_MIN_SUPPORT = 2
+RULE_TOP_K = 20
+
+
+def association_rules(
+    lineitem: DataFrame,
+    min_support: int = RULE_MIN_SUPPORT,
+    k: int = RULE_TOP_K,
+    max_basket: int = 30,
+) -> DataFrame:
+    """Top-k co-purchase rules a→b by lift (support/confidence/lift — the
+    market-basket association measures) with a minimum pair support.
+
+    Item supports come from ONE aggregate of the basket relation; the global
+    basket count is a broadcast 1-row scalar; pair counts reuse the bounded
+    self-join. Everything after the pair aggregate operates on ≤|pairs
+    above min_support| rows."""
+    items = _baskets(lineitem, max_basket)
+    n_baskets = items.select("l_orderkey").distinct().agg(
+        F.count("*").alias("n_baskets")
+    )
+    supp = items.groupBy("l_partkey").agg(F.count("*").alias("n_item"))
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "ok")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_pair"))
+        .where(F.col("n_pair") >= min_support)
+    )
+    sa = supp.select(F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a"))
+    sb = supp.select(F.col("l_partkey").alias("part_b"), F.col("n_item").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(sa), "part_a")
+        .join(F.broadcast(sb), "part_b")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "part_a",
+            "part_b",
+            "n_pair",
+            F.round(F.col("n_pair") / F.col("n_baskets"), 6).alias("support"),
+            F.round(F.col("n_pair") / F.col("n_a"), 6).alias("confidence"),
+            F.round(
+                (F.col("n_pair") * F.col("n_baskets"))
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "part_a", "part_b")
+        .limit(k)
+    )
+
+
+def association_rules_sql(
+    min_support: int = RULE_MIN_SUPPORT, k: int = RULE_TOP_K, max_basket: int = 30
+) -> str:
+    return f"""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), small AS (
+            SELECT l_orderkey FROM items
+            GROUP BY l_orderkey HAVING COUNT(*) <= {max_basket}
+        ), basket AS (
+            SELECT i.l_orderkey, i.l_partkey FROM items i
+            JOIN small USING (l_orderkey)
+        ), nb AS (
+            SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM basket
+        ), supp AS (
+            SELECT l_partkey, COUNT(*) AS n_item FROM basket GROUP BY l_partkey
+        ), pairs AS (
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   COUNT(*) AS n_pair
+            FROM basket a JOIN basket b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY a.l_partkey, b.l_partkey
+            HAVING COUNT(*) >= {min_support}
+        )
+        SELECT part_a, part_b, n_pair,
+               round(n_pair / n_baskets, 6) AS support,
+               round(n_pair / sa.n_item, 6) AS confidence,
+               round((n_pair * n_baskets) / (sa.n_item * sb.n_item), 6) AS lift
+        FROM pairs, nb
+        JOIN supp sa ON sa.l_partkey = part_a
+        JOIN supp sb ON sb.l_partkey = part_b
+        ORDER BY lift DESC, part_a, part_b
+        LIMIT {k}
+    """

@@ -729,3 +729,31 @@ def q_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "orders"),
         load_table(spark, sf_dir, "lineitem"),
     )
+
+
+@register("graph_copurchase_pagerank", oracle=graph.copurchase_pagerank_sql())
+def q_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the co-purchase graph (5 power
+    iterations as one declarative plan; oracle unrolls the same CTE chain)."""
+    return graph.copurchase_pagerank(load_table(spark, sf_dir, "lineitem"))
+
+
+@register("graph_association_rules", oracle=graph.association_rules_sql())
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (support/confidence/lift) with
+    min-support cut, top-k by lift; supports broadcast back to pairs."""
+    return graph.association_rules(load_table(spark, sf_dir, "lineitem"))
+
+
+@register("events_winsorized_stats", oracle=distributions.winsorized_stats_sql())
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type means after exact-percentile winsorization (bounds
+    relation is |types| rows, broadcast back)."""
+    return distributions.winsorized_stats(load_table(spark, sf_dir, "events"))
+
+
+@register("events_time_weighted_value", oracle=behavior.TIME_WEIGHTED_VALUE_SQL)
+def q_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted value average (step interpolation, holding-time
+    weights): lead() spans and the weighted aggregate share one sort."""
+    return behavior.time_weighted_value(load_table(spark, sf_dir, "events"))

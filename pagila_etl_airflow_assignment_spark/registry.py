@@ -133,6 +133,11 @@ EXTENSION_SURVEY_ROWS: dict[str, tuple[str, ...]] = {
     "warehouse_ship_latency": ("L-76",),
     "vocab_zipf_slope": ("L-77",),
     "embedding_quantize_int8": ("L-78",),
+    "graph_copurchase_pagerank": ("L-79",),
+    "graph_association_rules": ("L-80",),
+    "sampling_weighted_wor": ("L-81",),
+    "events_winsorized_stats": ("L-82",),
+    "events_time_weighted_value": ("L-83",),
 }
 
 
