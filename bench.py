@@ -71,6 +71,8 @@ HEADLINE = [
     "embedding_quantize_int8",
     "graph_copurchase_pagerank",
     "graph_association_rules",
+    "warehouse_promo_revenue_share",
+    "warehouse_disjunctive_revenue",
 ]
 
 

@@ -9,7 +9,7 @@ from ..functions import micros
 from ..registry import register
 from ..sources.parquet import load_table
 from ..schemas import ORDERS
-from . import analytics, behavior, cdc, distributions, features, graph, profile, sequences, temporal, tpch_shapes, warehouse
+from . import analytics, behavior, cdc, cmsketch, distributions, features, graph, profile, sequences, temporal, tpch_shapes, warehouse
 
 
 @register(
@@ -757,3 +757,43 @@ def q_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user time-weighted value average (step interpolation, holding-time
     weights): lead() spans and the weighted aggregate share one sort."""
     return behavior.time_weighted_value(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "warehouse_promo_revenue_share",
+    oracle=tpch_shapes.PROMO_REVENUE_SHARE_SQL,
+    survey_rows=("H-6", "D-2"),
+)
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: monthly promo share via conditional aggregation —
+    numerator and denominator ride one partial+final agg."""
+    return tpch_shapes.promo_revenue_share(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+@register(
+    "warehouse_disjunctive_revenue",
+    oracle=tpch_shapes.DISJUNCTIVE_PREDICATE_REVENUE_SQL,
+    survey_rows=("B-4",),
+)
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR of three brand/size/quantity conjunctions evaluated
+    in one fact pass behind the broadcast part join (no 3-branch union)."""
+    return tpch_shapes.disjunctive_predicate_revenue(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+@register("events_cm_sketch", oracle=cmsketch.cm_build_sql())
+def q_cm_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch build (4x256 cells, md5 universal hashes): mergeable
+    fixed-size frequency summary, every cell oracle-checkable."""
+    return cmsketch.cm_build(load_table(spark, sf_dir, "events"))
+
+
+@register("events_cm_estimates", oracle=cmsketch.cm_estimate_topk_sql())
+def q_cm_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CM point-query accuracy report: top-20 users' true counts vs their
+    row-wise-MIN sketch estimates (one-sided error by construction)."""
+    return cmsketch.cm_estimate_topk(load_table(spark, sf_dir, "events"))

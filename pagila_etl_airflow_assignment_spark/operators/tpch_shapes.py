@@ -407,3 +407,85 @@ def min_cost_supplier_sql(max_parts: int = 2000) -> str:
         WHERE rk = 1
         ORDER BY p_partkey
     """
+
+
+def promo_revenue_share(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Q14: monthly promo-revenue share — conditional aggregation over the
+    broadcast part join, one (month)-keyed agg. The CASE rides the same
+    partial+final aggregate as the denominator, so the share needs no second
+    pass and no join of two aggregates."""
+    rev = _price() * (_one() - _disc())
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return (
+        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        # to_date: DuckDB's month-trunc yields DATE, Spark's TIMESTAMP — align
+        .groupBy(F.to_date(F.date_trunc("month", "l_shipdate")).alias("ship_month"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(rev).cast("double"),
+                6,
+            ).alias("promo_share_pct"),
+            F.sum(rev).cast("double").alias("total_revenue"),
+        )
+        .orderBy("ship_month")
+    )
+
+
+PROMO_REVENUE_SHARE_SQL = """
+    SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+           round(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                 / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                     AS DOUBLE), 6) AS promo_share_pct,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                AS DOUBLE) AS total_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY CAST(date_trunc('month', l_shipdate) AS DATE)
+    ORDER BY ship_month
+"""
+
+
+def disjunctive_predicate_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Q19: revenue under an OR of three multi-attribute conjunctions
+    (brand × size-range × quantity-bound). The disjunction evaluates inside
+    the broadcast hash join's post-condition — one fact scan, no union of
+    three filtered branches (which would scan the fact three times)."""
+    c1 = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 15)
+        & (F.col("l_quantity") < 25)
+    )
+    c2 = (
+        (F.col("p_brand") == "Brand#19")
+        & F.col("p_size").between(10, 30)
+        & (F.col("l_quantity") < 40)
+    )
+    c3 = (F.col("p_brand") == "Brand#23") & F.col("p_size").between(20, 50)
+    return (
+        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .where(c1 | c2 | c3)
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(_price() * (_one() - _disc())).cast("double").alias("revenue"),
+        )
+    )
+
+
+DISJUNCTIVE_PREDICATE_REVENUE_SQL = """
+    SELECT COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15 AND l_quantity < 25)
+       OR (p_brand = 'Brand#19' AND p_size BETWEEN 10 AND 30 AND l_quantity < 40)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 20 AND 50)
+"""

@@ -138,6 +138,8 @@ EXTENSION_SURVEY_ROWS: dict[str, tuple[str, ...]] = {
     "sampling_weighted_wor": ("L-81",),
     "events_winsorized_stats": ("L-82",),
     "events_time_weighted_value": ("L-83",),
+    "events_cm_sketch": ("L-84",),
+    "events_cm_estimates": ("L-84",),
 }
 
 
