@@ -65,6 +65,8 @@ ALLOWED: dict[str, set[str]] = {
     "warehouse_dormant_rich_customers": {"BroadcastNestedLoopJoin"},
     # broadcast 1-row total-revenue scalar (Q11 shape)
     "warehouse_supplier_concentration": {"BroadcastNestedLoopJoin"},
+    # broadcast 1-row basket-count scalar (lift denominator)
+    "graph_association_rules": {"BroadcastNestedLoopJoin"},
 }
 
 PATTERNS = ("CartesianProduct", "BatchEvalPython", "BroadcastNestedLoopJoin")

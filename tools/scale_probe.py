@@ -81,6 +81,14 @@ PROBES = [
     "text_shingle_novelty",
     "events_type_transitions",
     "events_balance_with_reset",
+    # round-4c additions: iterative graph, basket rules, sketch build+probe,
+    # session paths (two-window + path aggs)
+    "graph_copurchase_pagerank",
+    "graph_association_rules",
+    "events_cm_sketch",
+    "events_cm_estimates",
+    "events_session_paths",
+    "events_time_weighted_value",
 ]
 
 
