@@ -9,7 +9,7 @@ from ..functions import micros
 from ..registry import register
 from ..sources.parquet import load_table
 from ..schemas import ORDERS
-from . import analytics, behavior, cdc, cmsketch, distributions, features, graph, profile, sequences, temporal, tpch_shapes, warehouse
+from . import analytics, behavior, cdc, cmsketch, distributions, features, graph, ivm, profile, sequences, stats, temporal, tpch_shapes, warehouse
 
 
 @register(
@@ -797,3 +797,28 @@ def q_cm_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CM point-query accuracy report: top-20 users' true counts vs their
     row-wise-MIN sketch estimates (one-sided error by construction)."""
     return cmsketch.cm_estimate_topk(load_table(spark, sf_dir, "events"))
+
+
+@register("warehouse_ivm_join_view", oracle=ivm.MAINTAINED_JOIN_VIEW_SQL)
+def q_ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Insert-only IVM for a join view: the four-term delta-rule union
+    (V ∪ ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB) pinned equal to the oracle's DIRECT full
+    join — two genuinely different computations of the same relation."""
+    return ivm.maintained_join_view(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+@register("events_chi_square", oracle=stats.CHI_SQUARE_INDEPENDENCE_SQL)
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence of event_type x hour-of-day: one cell
+    aggregate, marginals via windows over the <=|types|*24-row cells."""
+    return stats.chi_square_independence(load_table(spark, sf_dir, "events"))
+
+
+@register("events_welch_ab_test", oracle=stats.WELCH_AB_TEST_SQL)
+def q_welch_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample t per event_type between user-parity cohorts —
+    sufficient statistics from one conditional aggregate, closed-form t/dof."""
+    return stats.welch_ab_test(load_table(spark, sf_dir, "events"))

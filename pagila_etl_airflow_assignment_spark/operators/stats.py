@@ -1,0 +1,139 @@
+"""Closed-form statistical tests over grouped aggregates: chi-square
+independence and Welch's two-sample t.
+
+Both follow the user_value_trend pattern (operators/analytics.py): the test
+statistic is an algebraic function of sufficient statistics (counts, means,
+variances) that one partial+final aggregate produces — no sampling, no
+iteration, no Python. The expensive step is a bounded-key hash aggregate;
+the statistic assembly runs over |cells| / |groups| rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def chi_square_independence(events: DataFrame) -> DataFrame:
+    """Chi-square statistic for independence of event_type × hour-of-day.
+
+    One (type, hour) cell aggregate, DENSIFIED to the full types × hours
+    grid (a zero cell contributes its full expected count to the statistic —
+    dropping structurally-empty cells understates dependence); the grid is a
+    broadcast cross join of two ≤24-row margin relations. Marginals are
+    window sums over the ≤|types|·24-row cells (no second scan of events);
+    output is one row: statistic, degrees of freedom, cell count."""
+    observed = events.groupBy(
+        "event_type", F.hour("ts").alias("hr")
+    ).agg(F.count("*").alias("o"))
+    grid = observed.select("event_type").distinct().crossJoin(
+        F.broadcast(observed.select("hr").distinct())
+    )
+    cells = grid.join(observed, ["event_type", "hr"], "left").select(
+        "event_type", "hr", F.coalesce("o", F.lit(0)).alias("o")
+    )
+    wr = Window.partitionBy("event_type")
+    wc = Window.partitionBy("hr")
+    wall = Window.partitionBy()
+    with_margins = cells.select(
+        "event_type",
+        "hr",
+        "o",
+        F.sum("o").over(wr).alias("row_tot"),
+        F.sum("o").over(wc).alias("col_tot"),
+        F.sum("o").over(wall).alias("n"),
+    )
+    expected = (F.col("row_tot") * F.col("col_tot")) / F.col("n")
+    return with_margins.agg(
+        F.round(F.sum(F.pow(F.col("o") - expected, 2) / expected), 6).alias("chi2"),
+        (
+            (F.count_distinct("event_type") - 1) * (F.count_distinct("hr") - 1)
+        ).alias("dof"),
+        F.count("*").alias("n_cells"),
+    )
+
+
+CHI_SQUARE_INDEPENDENCE_SQL = """
+    WITH observed AS (
+        SELECT event_type, hour(ts) AS hr, COUNT(*) AS o
+        FROM events GROUP BY event_type, hour(ts)
+    ), grid AS (
+        SELECT t.event_type, h.hr
+        FROM (SELECT DISTINCT event_type FROM observed) t
+        CROSS JOIN (SELECT DISTINCT hr FROM observed) h
+    ), cells AS (
+        SELECT g.event_type, g.hr, COALESCE(o.o, 0) AS o
+        FROM grid g
+        LEFT JOIN observed o
+          ON o.event_type = g.event_type AND o.hr = g.hr
+    ), m AS (
+        SELECT event_type, hr, o,
+               SUM(o) OVER (PARTITION BY event_type) AS row_tot,
+               SUM(o) OVER (PARTITION BY hr) AS col_tot,
+               SUM(o) OVER () AS n
+        FROM cells
+    )
+    SELECT round(SUM(POW(o - (row_tot * col_tot) / n, 2)
+                     / ((row_tot * col_tot) / n)), 6) AS chi2,
+           (COUNT(DISTINCT event_type) - 1) * (COUNT(DISTINCT hr) - 1) AS dof,
+           COUNT(*) AS n_cells
+    FROM m
+"""
+
+
+def welch_ab_test(events: DataFrame) -> DataFrame:
+    """Welch's t statistic per event_type between two deterministic user
+    cohorts (user_id parity plays the A/B assignment).
+
+    Sufficient statistics (n, mean, sample variance per cohort) come from ONE
+    conditional aggregate pass; t and the Welch–Satterthwaite dof are closed
+    form. Groups with degenerate variance report NULL t rather than dividing
+    by zero — both engines agree on the NULL."""
+    g = (F.col("user_id") % 2 == 0).cast("int")
+    agg = events.groupBy("event_type").agg(
+        F.count(F.when(g == 1, F.col("value"))).alias("n_a"),
+        F.avg(F.when(g == 1, F.col("value"))).alias("m_a"),
+        F.var_samp(F.when(g == 1, F.col("value"))).alias("v_a"),
+        F.count(F.when(g == 0, F.col("value"))).alias("n_b"),
+        F.avg(F.when(g == 0, F.col("value"))).alias("m_b"),
+        F.var_samp(F.when(g == 0, F.col("value"))).alias("v_b"),
+    )
+    se2 = F.col("v_a") / F.col("n_a") + F.col("v_b") / F.col("n_b")
+    ok = (F.col("n_a") >= 2) & (F.col("n_b") >= 2) & (se2 > 0)
+    t = (F.col("m_a") - F.col("m_b")) / F.sqrt(se2)
+    dof = F.pow(se2, 2) / (
+        F.pow(F.col("v_a") / F.col("n_a"), 2) / (F.col("n_a") - 1)
+        + F.pow(F.col("v_b") / F.col("n_b"), 2) / (F.col("n_b") - 1)
+    )
+    return agg.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round(F.col("m_a") - F.col("m_b"), 6).alias("mean_diff"),
+        F.round(F.when(ok, t), 6).alias("t_stat"),
+        F.round(F.when(ok, dof), 6).alias("welch_dof"),
+    ).orderBy("event_type")
+
+
+WELCH_AB_TEST_SQL = """
+    WITH agg AS (
+        SELECT event_type,
+               COUNT(CASE WHEN user_id % 2 = 0 THEN value END) AS n_a,
+               AVG(CASE WHEN user_id % 2 = 0 THEN value END) AS m_a,
+               var_samp(CASE WHEN user_id % 2 = 0 THEN value END) AS v_a,
+               COUNT(CASE WHEN user_id % 2 <> 0 THEN value END) AS n_b,
+               AVG(CASE WHEN user_id % 2 <> 0 THEN value END) AS m_b,
+               var_samp(CASE WHEN user_id % 2 <> 0 THEN value END) AS v_b
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type, n_a, n_b,
+           round(m_a - m_b, 6) AS mean_diff,
+           round(CASE WHEN n_a >= 2 AND n_b >= 2 AND (v_a/n_a + v_b/n_b) > 0
+                 THEN (m_a - m_b) / sqrt(v_a/n_a + v_b/n_b) END, 6) AS t_stat,
+           round(CASE WHEN n_a >= 2 AND n_b >= 2 AND (v_a/n_a + v_b/n_b) > 0
+                 THEN POW(v_a/n_a + v_b/n_b, 2)
+                      / (POW(v_a/n_a, 2) / (n_a - 1)
+                         + POW(v_b/n_b, 2) / (n_b - 1)) END, 6) AS welch_dof
+    FROM agg
+    ORDER BY event_type
+"""

@@ -140,6 +140,9 @@ EXTENSION_SURVEY_ROWS: dict[str, tuple[str, ...]] = {
     "events_time_weighted_value": ("L-83",),
     "events_cm_sketch": ("L-84",),
     "events_cm_estimates": ("L-84",),
+    "warehouse_ivm_join_view": ("L-85",),
+    "events_chi_square": ("L-86",),
+    "events_welch_ab_test": ("L-87",),
 }
 
 

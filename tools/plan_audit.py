@@ -67,6 +67,8 @@ ALLOWED: dict[str, set[str]] = {
     "warehouse_supplier_concentration": {"BroadcastNestedLoopJoin"},
     # broadcast 1-row basket-count scalar (lift denominator)
     "graph_association_rules": {"BroadcastNestedLoopJoin"},
+    # broadcast ≤24-row hour margin × ≤|types|-row type margin (dense grid)
+    "events_chi_square": {"BroadcastNestedLoopJoin"},
 }
 
 PATTERNS = ("CartesianProduct", "BatchEvalPython", "BroadcastNestedLoopJoin")
