@@ -150,10 +150,14 @@ EXTENSION_SURVEY_ROWS: dict[str, tuple[str, ...]] = {
 # FIRST 50 entries of queries() dict order per round, so emission order controls
 # which queries get a driver-signed CORRECTNESS row. We order so that evidence
 # accumulates across rounds instead of re-certifying the same 50:
-#   1. names NOT in this list (i.e. queries added this round) come first;
-#   2. then this list, which ranks never-driver-certified queries (as of round
-#      3: no row in CORRECTNESS_r01..r03) ahead of queries certified only in
-#      r01/r02, ahead of queries certified in r03.
+#   1. names NOT in this list (queries added after this ordering was fixed)
+#      come first;
+#   2. then this list: the round-3 verdict's explicit ask — the 30 queries
+#      with no driver row in r01..r03 — first, then a curated 20 covering
+#      one representative per round-4 family (the verdict's item-3/4
+#      deliverables and the new TPC-H/graph/sequence/sketch/IVM families),
+#      then the remaining round-4 additions (they rotate into r5's sample),
+#      then previously-certified queries.
 # tools/verify_local.py always checks the FULL registry regardless of order.
 _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     # -- never driver-certified through round 3 (30) --
@@ -187,6 +191,51 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "events_session_window_native",
     "events_user_totals",
     "events_enriched",
+    # -- round-4 additions, curated: verdict deliverables + one rep per new
+    #    family (20 -> driver slots 31-50 this round) --
+    "dedup_incremental_bloom",
+    "dedup_common_substrings",
+    "dedup_incremental_minhash",
+    "text_repeated_span_coverage",
+    "cdc_partition_checksums",
+    "warehouse_constraint_checks",
+    "events_median_value_udaf",
+    "warehouse_local_supplier_volume",
+    "dedup_clusters_star",
+    "events_windowed_click_join_outer",
+    "warehouse_shipping_priority",
+    "warehouse_sole_final_shipper",
+    "graph_copurchase_pairs",
+    "graph_copurchase_pagerank",
+    "text_shingle_novelty",
+    "events_type_transitions",
+    "warehouse_customer_deciles",
+    "sampling_weighted_wor",
+    "events_cm_estimates",
+    "warehouse_ivm_join_view",
+    # -- round-4 additions, remainder (rotate into the r5 sample) --
+    "warehouse_large_volume_orders",
+    "warehouse_dormant_rich_customers",
+    "warehouse_supplier_concentration",
+    "warehouse_nation_trade_volume",
+    "warehouse_min_cost_supplier",
+    "warehouse_promo_revenue_share",
+    "warehouse_disjunctive_revenue",
+    "warehouse_ship_latency",
+    "graph_part_degree",
+    "graph_association_rules",
+    "events_value_anomalies",
+    "events_balance_with_reset",
+    "events_trending_hourly",
+    "events_session_paths",
+    "events_repurchase_intervals",
+    "events_winsorized_stats",
+    "events_time_weighted_value",
+    "events_cm_sketch",
+    "events_chi_square",
+    "events_welch_ab_test",
+    "vocab_zipf_slope",
+    "embedding_quantize_int8",
     # -- certified in r01/r02 only; code has changed since (14) --
     "warehouse_pricing_summary",
     "warehouse_star_join_revenue",
