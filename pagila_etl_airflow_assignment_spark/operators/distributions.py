@@ -42,7 +42,15 @@ def customer_spend_deciles(
         .groupBy("c_mktsegment", "decile")
         .agg(
             F.count("*").alias("n_customers"),
-            F.round(F.avg("spend"), 2).cast("double").alias("avg_spend"),
+            # avg = exact-decimal SUM cast to double, then / count, rounded
+            # at 6 dp. Rounding at 2 dp hits exact half-cents (sum/2 ends in
+            # .425), where Spark (shortest-decimal HALF_UP) and DuckDB (binary
+            # value) disagree; a cent-valued sum over n customers never
+            # produces an exact half at the 6th digit, so 6 dp is safe in
+            # both engines
+            F.round(
+                F.sum("spend").cast("double") / F.count("*"), 6
+            ).alias("avg_spend"),
             F.sum("spend").cast("double").alias("total_spend"),
         )
         .orderBy("c_mktsegment", "decile")
@@ -61,7 +69,7 @@ def customer_spend_deciles_sql(n_buckets: int = N_BUCKETS) -> str:
         )
         SELECT c_mktsegment, decile,
                COUNT(*) AS n_customers,
-               CAST(ROUND(AVG(spend), 2) AS DOUBLE) AS avg_spend,
+               ROUND(CAST(SUM(spend) AS DOUBLE) / COUNT(*), 6) AS avg_spend,
                CAST(SUM(spend) AS DOUBLE) AS total_spend
         FROM (
             SELECT *, NTILE({n_buckets}) OVER (
