@@ -822,3 +822,14 @@ def q_welch_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Welch two-sample t per event_type between user-parity cohorts —
     sufficient statistics from one conditional aggregate, closed-form t/dof."""
     return stats.welch_ab_test(load_table(spark, sf_dir, "events"))
+
+
+@register("warehouse_order_backlog", oracle=temporal.ORDER_BACKLOG_CURVE_SQL)
+def q_order_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily open-order backlog via interval EVENT-IFICATION (+1 open, -1
+    close, cumsum over the tiny day spine); the oracle is the naive
+    dayxorders overlap join - two different algorithms, one curve."""
+    return temporal.order_backlog_curve(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )

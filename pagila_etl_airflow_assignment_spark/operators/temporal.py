@@ -183,3 +183,71 @@ def asof_join_forward(
         F.col("__m.__rts").alias(f"matched_{right_ts}"),
         *[F.col(f"__m.{c}").alias(c) for c in right_cols],
     )
+
+
+# --- interval concurrency (event-ification) -----------------------------------
+
+
+def order_backlog_curve(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Daily backlog: how many orders are placed but not yet fully shipped on
+    each day an order opens or closes (backlog on day d = orders with
+    orderdate ≤ d < last_shipdate).
+
+    The interval-overlap count is EVENT-IFIED: each order contributes
+    (+1 at open, −1 at close), deltas aggregate to day grain (bounded-key
+    hash agg over the fact), and one cumulative window runs over the ~10³-row
+    day relation — never a day × orders join. The oracle deliberately IS the
+    naive day×orders overlap join, so the differential test compares two
+    genuinely different algorithms for the same curve. The cumulative window
+    is a single ordered spine (tiny by construction, same as the weekly
+    summary's week spine).
+    """
+    spans = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.max(F.to_date("l_shipdate")).alias("close_day"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.to_date("o_orderdate").alias("open_day"),
+            # the synthetic fixture has ~20% of orders "shipping" before the
+            # order date; clamp so every span is well-formed (zero-length
+            # spans contribute nothing) — mirrored in the oracle
+            F.greatest(F.col("close_day"), F.to_date("o_orderdate")).alias(
+                "close_day"
+            ),
+        )
+    )
+    deltas = (
+        spans.select(F.col("open_day").alias("day"), F.lit(1).alias("delta"))
+        .unionByName(
+            spans.select(F.col("close_day").alias("day"), F.lit(-1).alias("delta"))
+        )
+        .groupBy("day")
+        .agg(F.sum("delta").alias("net"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        deltas.repartition(1)  # ~10³ day rows — documented single-spine window
+        .select("day", F.sum("net").over(w).alias("open_orders"))
+        .orderBy("day")
+    )
+
+
+ORDER_BACKLOG_CURVE_SQL = """
+    WITH spans AS (
+        SELECT CAST(o_orderdate AS DATE) AS open_day,
+               GREATEST(close_day, CAST(o_orderdate AS DATE)) AS close_day
+        FROM orders
+        JOIN (SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS close_day
+              FROM lineitem GROUP BY l_orderkey) s
+          ON o_orderkey = l_orderkey
+    ), days AS (
+        SELECT open_day AS day FROM spans
+        UNION
+        SELECT close_day FROM spans
+    )
+    SELECT d.day,
+           (SELECT COUNT(*) FROM spans s
+            WHERE s.open_day <= d.day AND d.day < s.close_day) AS open_orders
+    FROM days d
+    ORDER BY d.day
+"""

@@ -143,6 +143,7 @@ EXTENSION_SURVEY_ROWS: dict[str, tuple[str, ...]] = {
     "warehouse_ivm_join_view": ("L-85",),
     "events_chi_square": ("L-86",),
     "events_welch_ab_test": ("L-87",),
+    "warehouse_order_backlog": ("L-88",),
 }
 
 

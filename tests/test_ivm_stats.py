@@ -127,3 +127,30 @@ def test_streaming_cm_sketch_equals_batch(spark, events_dir):
         for r in cmsketch.cm_build(load_table(spark, SF_SMALL, "events")).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_backlog_eventification_matches_naive_overlap(spark):
+    import datetime as dt
+
+    orders = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1)), (2, dt.datetime(2024, 1, 2)),
+         (3, dt.datetime(2024, 1, 10))],
+        "o_orderkey long, o_orderdate timestamp",
+    )
+    li = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 5)), (2, dt.datetime(2024, 1, 5)),
+         (3, dt.datetime(2024, 1, 3))],  # order 3 "ships" before opening -> clamped
+        "l_orderkey long, l_shipdate timestamp",
+    )
+    from pagila_etl_airflow_assignment_spark.operators.temporal import (
+        order_backlog_curve,
+    )
+
+    out = {r.day: r.open_orders for r in order_backlog_curve(orders, li).collect()}
+    # days: 1/1 open(1); 1/2 open(2); 1/5 close both; 1/10 open+close order 3 (clamped)
+    assert out == {
+        dt.date(2024, 1, 1): 1,
+        dt.date(2024, 1, 2): 2,
+        dt.date(2024, 1, 5): 0,
+        dt.date(2024, 1, 10): 0,
+    }
