@@ -453,3 +453,76 @@ HOURLY_UNIQUE_USERS_SQL = """
     GROUP BY 1
     ORDER BY hour_start
 """
+
+
+# --- time-bound funnel --------------------------------------------------------
+
+FUNNEL_STEP_TIMEOUT_S = 86_400  # next step must land within a day
+
+
+def funnel_user_stages_timebound(
+    events: DataFrame,
+    steps: tuple[str, ...] = FUNNEL_STEPS,
+    timeout_s: int = FUNNEL_STEP_TIMEOUT_S,
+) -> DataFrame:
+    """The ordered funnel with a per-step DEADLINE: each step counts only if
+    it happens within ``timeout_s`` after the previous step's first
+    qualifying event (the marketing-attribution form — a purchase a month
+    after the click is not conversion). Same all-user_id-keyed join shape as
+    funnel_user_stages; the deadline is one extra predicate on the step
+    join, so the plan is unchanged."""
+    from ..functions import micros
+
+    first_ts = F.min("ts").alias(f"{steps[0]}_ts")
+    stage = (
+        events.where(F.col("event_type") == steps[0]).groupBy("user_id").agg(first_ts)
+    )
+    prev_col = f"{steps[0]}_ts"
+    for step in steps[1:]:
+        nxt = (
+            events.where(F.col("event_type") == step)
+            .join(stage.select("user_id", prev_col), "user_id")
+            .where(
+                (F.col("ts") >= F.col(prev_col))
+                & (
+                    micros("ts") - micros(F.col(prev_col))
+                    <= F.lit(timeout_s).cast("long") * 1_000_000
+                )
+            )
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(f"{step}_ts"))
+        )
+        stage = stage.join(nxt, "user_id", "left")
+        prev_col = f"{step}_ts"
+    counts = [
+        F.count(F.col(f"{s}_ts")).alias(f"n_{s}") for s in steps
+    ]
+    return stage.agg(*counts)
+
+
+def funnel_timebound_sql(
+    steps: tuple[str, ...] = FUNNEL_STEPS, timeout_s: int = FUNNEL_STEP_TIMEOUT_S
+) -> str:
+    s0, s1, s2 = steps
+    us = f"CAST({timeout_s} AS BIGINT) * CAST(1000000 AS BIGINT)"
+    return f"""
+        WITH st0 AS (
+            SELECT user_id, MIN(ts) AS {s0}_ts
+            FROM events WHERE event_type = '{s0}' GROUP BY user_id
+        ), st1 AS (
+            SELECT e.user_id, MIN(e.ts) AS {s1}_ts
+            FROM events e JOIN st0 USING (user_id)
+            WHERE e.event_type = '{s1}' AND e.ts >= {s0}_ts
+              AND epoch_us(e.ts) - epoch_us({s0}_ts) <= {us}
+            GROUP BY e.user_id
+        ), st2 AS (
+            SELECT e.user_id, MIN(e.ts) AS {s2}_ts
+            FROM events e JOIN st1 USING (user_id)
+            WHERE e.event_type = '{s2}' AND e.ts >= {s1}_ts
+              AND epoch_us(e.ts) - epoch_us({s1}_ts) <= {us}
+            GROUP BY e.user_id
+        )
+        SELECT (SELECT COUNT(*) FROM st0) AS n_{s0},
+               (SELECT COUNT(*) FROM st1) AS n_{s1},
+               (SELECT COUNT(*) FROM st2) AS n_{s2}
+    """

@@ -833,3 +833,27 @@ def q_order_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "orders"),
         load_table(spark, sf_dir, "lineitem"),
     )
+
+
+@register("events_funnel_timebound", oracle=analytics.funnel_timebound_sql())
+def q_funnel_timebound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel with per-step deadlines (conversion must land within a
+    day of the prior step) - same user_id-keyed join shape as the plain
+    funnel, deadline as one extra join predicate."""
+    return analytics.funnel_user_stages_timebound(load_table(spark, sf_dir, "events"))
+
+
+@register("events_user_entropy", oracle=stats.USER_TYPE_ENTROPY_SQL)
+def q_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type mix from the (user, type)
+    count relation - two map-side-combined aggregates, closed form."""
+    return stats.user_type_entropy(load_table(spark, sf_dir, "events"))
+
+
+@register("warehouse_segment_gini", oracle=stats.SEGMENT_SPEND_GINI_SQL)
+def q_segment_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini spend-concentration per segment: rank window over customer-grain
+    aggregate partitioned by segment, closed-form coefficient."""
+    return stats.segment_spend_gini(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "customer")
+    )

@@ -137,3 +137,103 @@ WELCH_AB_TEST_SQL = """
     FROM agg
     ORDER BY event_type
 """
+
+
+def user_type_entropy(events: DataFrame) -> DataFrame:
+    """Shannon entropy of each user's event-type mix (behavioral diversity):
+    H = ln(n) − Σ c·ln(c)/n from the (user, type) count relation — two
+    map-side-combinable aggregates, no per-user arrays, no window."""
+    per_type = events.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("c")
+    )
+    return (
+        per_type.groupBy("user_id")
+        .agg(
+            F.sum("c").alias("n_events"),
+            F.count("*").alias("n_types"),
+            F.sum(F.col("c") * F.log(F.col("c"))).alias("_clogc"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            "n_types",
+            F.round(
+                F.log(F.col("n_events")) - F.col("_clogc") / F.col("n_events"), 6
+            ).alias("entropy"),
+        )
+        .orderBy("user_id")
+    )
+
+
+USER_TYPE_ENTROPY_SQL = """
+    WITH per_type AS (
+        SELECT user_id, event_type, COUNT(*) AS c
+        FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           SUM(c) AS n_events,
+           COUNT(*) AS n_types,
+           round(ln(SUM(c)) - SUM(c * ln(c)) / SUM(c), 6) AS entropy
+    FROM per_type
+    GROUP BY user_id
+    ORDER BY user_id
+"""
+
+
+def segment_spend_gini(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """Gini coefficient of customer-spend concentration per market segment:
+    G = (2·Σ i·xᵢ)/(n·Σ xᵢ) − (n+1)/n over ascending-sorted spends.
+
+    The rank window partitions by segment over the customer-grain aggregate
+    (the deciles rule: no global-order window); zero-spend customers are
+    kept — concentration among non-buyers is part of the answer."""
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("spend")
+    )
+    per_cust = customer.join(
+        spend, F.col("c_custkey") == F.col("o_custkey"), "left"
+    ).select(
+        "c_custkey", "c_mktsegment", F.coalesce("spend", F.lit(0.0)).alias("spend")
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("spend", "c_custkey")
+    ranked = per_cust.withColumn("i", F.row_number().over(w))
+    return (
+        ranked.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("spend"), 2).alias("total_spend"),
+            F.round(
+                (F.lit(2.0) * F.sum(F.col("i") * F.col("spend")))
+                / (F.count("*") * F.sum("spend"))
+                - (F.count("*") + F.lit(1.0)) / F.count("*"),
+                6,
+            ).alias("gini"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+SEGMENT_SPEND_GINI_SQL = """
+    WITH spend AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        FROM orders GROUP BY o_custkey
+    ), per_cust AS (
+        SELECT c_custkey, c_mktsegment, COALESCE(spend, 0.0) AS spend
+        FROM customer LEFT JOIN spend ON c_custkey = o_custkey
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY c_mktsegment ORDER BY spend, c_custkey) AS i
+        FROM per_cust
+    )
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           round(SUM(spend), 2) AS total_spend,
+           round((2.0 * SUM(i * spend)) / (COUNT(*) * SUM(spend))
+                 - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+    FROM ranked
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+"""

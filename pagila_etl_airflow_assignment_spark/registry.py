@@ -144,6 +144,9 @@ EXTENSION_SURVEY_ROWS: dict[str, tuple[str, ...]] = {
     "events_chi_square": ("L-86",),
     "events_welch_ab_test": ("L-87",),
     "warehouse_order_backlog": ("L-88",),
+    "events_funnel_timebound": ("L-89",),
+    "events_user_entropy": ("L-90",),
+    "warehouse_segment_gini": ("L-91",),
 }
 
 

@@ -154,3 +154,47 @@ def test_backlog_eventification_matches_naive_overlap(spark):
         dt.date(2024, 1, 5): 0,
         dt.date(2024, 1, 10): 0,
     }
+
+
+def test_entropy_uniform_and_point_mass(spark):
+    rows = [(1, 1, dt.datetime(2024, 1, 1), t, 0.0) for t in ("a", "b", "c", "d")]
+    rows += [(10 + i, 2, dt.datetime(2024, 1, 1), "a", 0.0) for i in range(5)]
+    out = {r.user_id: r for r in stats.user_type_entropy(_events(spark, rows)).collect()}
+    assert math.isclose(out[1].entropy, math.log(4), abs_tol=1e-6)  # uniform
+    assert out[2].entropy == 0.0  # point mass
+
+
+def test_gini_equal_vs_concentrated(spark):
+    orders = spark.createDataFrame(
+        [(1, 1, 100.0, dt.datetime(2024, 1, 1)), (2, 2, 100.0, dt.datetime(2024, 1, 1)),
+         (3, 3, 400.0, dt.datetime(2024, 1, 1))],
+        "o_orderkey long, o_custkey long, o_totalprice double, o_orderdate timestamp",
+    )
+    cust = spark.createDataFrame(
+        [(1, "EQ"), (2, "EQ"), (3, "CONC"), (4, "CONC")],
+        "c_custkey long, c_mktsegment string",
+    )
+    out = {r.c_mktsegment: r.gini for r in
+           stats.segment_spend_gini(orders, cust).collect()}
+    assert math.isclose(out["EQ"], 0.0, abs_tol=1e-9)  # equal spend -> 0
+    assert math.isclose(out["CONC"], 0.5, abs_tol=1e-9)  # (0,400): G=0.5
+
+
+def test_funnel_timebound_enforces_deadline(spark):
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: full funnel within deadlines
+        (1, 1, base, "view", 0.0),
+        (2, 1, base + dt.timedelta(hours=1), "click", 0.0),
+        (3, 1, base + dt.timedelta(hours=2), "purchase", 0.0),
+        # user 2: click 2 days after view -> misses the 1-day deadline
+        (4, 2, base, "view", 0.0),
+        (5, 2, base + dt.timedelta(days=2), "click", 0.0),
+        (6, 2, base + dt.timedelta(days=2, hours=1), "purchase", 0.0),
+    ]
+    from pagila_etl_airflow_assignment_spark.operators.analytics import (
+        funnel_user_stages_timebound,
+    )
+
+    out = funnel_user_stages_timebound(_events(spark, rows)).collect()[0]
+    assert (out.n_view, out.n_click, out.n_purchase) == (2, 1, 1)
