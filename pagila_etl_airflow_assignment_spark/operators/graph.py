@@ -155,7 +155,13 @@ def copurchase_pagerank(
     probe) is the swap."""
     edges = _symmetric_edges(lineitem, max_basket)
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    contrib_base = edges.join(deg, "src")
+    # lazy localCheckpoint keeps the lineage flat as iterations grow (the
+    # dedup_clusters treatment). It is NOT a wall-clock win here — measured
+    # 7.5 s with and without at sf0.1: ReusedExchange already dedupes the 5
+    # identical edge subplans, and the cost is the iteration rounds
+    # themselves (join + dst-keyed agg per round, inherent to power
+    # iteration) — but it caps plan depth if iters grows.
+    contrib_base = edges.join(deg, "src").localCheckpoint(eager=False)
     ranks = deg.select(F.col("src").alias("node"), F.lit(1.0).alias("r"))
     for _ in range(iters):
         ranks = (
