@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..sources.parquet import load_table, spread
-from . import corpus_stats, curation, dedup, multimodal, novelty, packing, sampling, similarity, text
+from . import corpus_stats, curation, dedup, multimodal, novelty, packing, sampling, similarity, text, udtf_ops
 from . import embeddings as embeddings_mod
 from . import vectorized
 
@@ -446,3 +446,11 @@ def q_weighted_sample_wor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sample without replacement via deterministic exponential sort
     keys (Efraimidis-Spirakis A-Res); distributed top-k, no global sort."""
     return sampling.weighted_sample_wor(load_table(spark, sf_dir, "documents"))
+
+
+@register("text_sentence_split_udtf", oracle=udtf_ops.SENTENCE_SPLIT_SQL)
+def q_sentence_split_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF boundary (Spark 4 table function via LATERAL): sentence
+    splitting, relational output pinned identical to the DuckDB regexp
+    formulation."""
+    return udtf_ops.sentence_split(load_table(spark, sf_dir, "documents"))

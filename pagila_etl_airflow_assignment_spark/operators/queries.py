@@ -857,3 +857,38 @@ def q_segment_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.segment_spend_gini(
         load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "customer")
     )
+
+
+VARIANT_STATS_SQL = """
+    SELECT event_type,
+           COUNT(k) AS n_with_k,
+           ROUND(AVG(k), 6) AS avg_k,
+           MIN(k) AS min_k,
+           MAX(k) AS max_k
+    FROM (
+        SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        FROM events
+    )
+    GROUP BY event_type
+    ORDER BY event_type
+"""
+
+
+@register("events_variant_stats", oracle=VARIANT_STATS_SQL)
+def q_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path for semi-structured data: parse_json once into a
+    variant, variant_get typed extraction - the open-ended-schema twin of the
+    fixed-schema from_json in events_json_stats; same aggregate contract."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "bigint")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )

@@ -43,6 +43,8 @@ MODULE_COVERAGE: dict[str, str] = {
     "O-12": "tests/test_plans.py::test_weekly_summary_joins_are_broadcast (+AQE in session.py)",
     "O-13": "session.py (whole-stage codegen / Tungsten defaults; zero-UDF parity surface)",
     "O-14": "built-in Catalyst (ConstantFolding; no engine code needed)",
+    # L-rows implemented as modules (no pure-query form)
+    "L-94": "sources/ledger.py (file-ingestion ledger; exactly-once pinned by tests/test_file_sources.py)",
 }
 
 
@@ -147,6 +149,8 @@ EXTENSION_SURVEY_ROWS: dict[str, tuple[str, ...]] = {
     "events_funnel_timebound": ("L-89",),
     "events_user_entropy": ("L-90",),
     "warehouse_segment_gini": ("L-91",),
+    "text_sentence_split_udtf": ("L-92",),
+    "events_variant_stats": ("L-93",),
 }
 
 

@@ -110,3 +110,52 @@ def test_schema_evolution_merge_reads_both_generations(spark, tmp_path):
     assert set(df.columns) == {"id", "name", "score", "gen"}
     rows = {r.id: (r.name, r.score) for r in df.collect()}
     assert rows == {1: ("a", None), 2: ("b", 9.5)}
+
+
+# --- ingestion ledger ---------------------------------------------------------
+
+
+def test_ingestion_ledger_exactly_once_per_file(spark, tmp_path):
+    import shutil
+
+    from pagila_etl_airflow_assignment_spark.sources.ledger import (
+        ingest_new_files,
+        processed_files,
+    )
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    ledger = str(tmp_path / "ledger")
+    shutil.copy("/root/testdata/sf0.001/events.parquet", land / "batch1.parquet")
+
+    first = ingest_new_files(spark, str(land), ledger)
+    assert [f.rsplit("/", 1)[-1] for f, _ in first] == ["batch1.parquet"]
+    assert first[0][1] > 0
+
+    # steady state: nothing new -> no-op
+    assert ingest_new_files(spark, str(land), ledger) == []
+
+    # a second file arrives -> ONLY it is processed
+    shutil.copy("/root/testdata/sf0.001/events.parquet", land / "batch2.parquet")
+    second = ingest_new_files(spark, str(land), ledger)
+    assert [f.rsplit("/", 1)[-1] for f, _ in second] == ["batch2.parquet"]
+    assert len(processed_files(spark, ledger)) == 2
+
+
+def test_ingestion_ledger_custom_process_barrier(spark, tmp_path):
+    import shutil
+
+    from pagila_etl_airflow_assignment_spark.sources.ledger import ingest_new_files
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet", land / "b.parquet")
+    seen = []
+
+    def process(df):
+        n = df.where(df.event_type == "click").count()
+        seen.append(n)
+        return n
+
+    out = ingest_new_files(spark, str(land), str(tmp_path / "led"), process)
+    assert out[0][1] == seen[0] > 0
