@@ -892,3 +892,64 @@ def q_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "warehouse_custdist",
+    oracle=tpch_shapes.customer_order_distribution_sql(),
+    survey_rows=("C-1", "D-2", "H-5"),
+)
+def q_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer-count per order-count (zero-order customers
+    included via LEFT join + COALESCE); both aggregates on reduced grain."""
+    return tpch_shapes.customer_order_distribution(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+@register("warehouse_small_qty_revenue", oracle=tpch_shapes.small_quantity_revenue_sql())
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from below-20%-of-part-average quantities;
+    correlated AVG decorrelated to a per-part aggregate, threshold compared
+    in exact decimal arithmetic (5*qty*n < sum_qty)."""
+    return tpch_shapes.small_quantity_revenue(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+@register("warehouse_top_supplier", oracle=tpch_shapes.top_revenue_suppliers_sql())
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) at the quarterly revenue maximum — the
+    scalar-MAX subquery decorrelated as a rank-1 window over the |suppliers|-
+    row pre-aggregate; exact decimal revenue keeps ties engine-identical."""
+    return tpch_shapes.top_revenue_suppliers(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "supplier")
+    )
+
+
+@register("warehouse_returned_items", oracle=tpch_shapes.returned_item_report_sql())
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue in a
+    quarter; aggregate collapses to customer grain before broadcast dims,
+    top-k is TakeOrderedAndProject."""
+    return tpch_shapes.returned_item_report(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+@register(
+    "warehouse_parts_supplier_counts",
+    oracle=tpch_shapes.parts_supplier_counts_sql(),
+)
+def q_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct suppliers per (brand, type, size) from the
+    observed lineitem pairs; NOT-IN supplier exclusion as broadcast LEFT
+    ANTI; the wide shuffle carries deduped pairs, not raw lineitem."""
+    return tpch_shapes.parts_supplier_counts(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"),
+    )

@@ -1,5 +1,5 @@
-"""Classic decision-support query shapes (TPC-H Q2/Q3/Q7/Q11/Q18/Q21/Q22)
-adapted to the fixture star schema.
+"""Classic decision-support query shapes (TPC-H Q2/Q3/Q7/Q10/Q11/Q13/Q15/
+Q16/Q17/Q18/Q21/Q22) adapted to the fixture star schema.
 
 The reference's surface is the rental summary (etl.py); these are post-parity
 extensions exercising the join/subquery topologies every warehouse engine must
@@ -489,3 +489,270 @@ DISJUNCTIVE_PREDICATE_REVENUE_SQL = """
        OR (p_brand = 'Brand#19' AND p_size BETWEEN 10 AND 30 AND l_quantity < 40)
        OR (p_brand = 'Brand#23' AND p_size BETWEEN 20 AND 50)
 """
+
+
+def customer_order_distribution(
+    customer: DataFrame, orders: DataFrame, exclude_priority: str = "1-URGENT"
+) -> DataFrame:
+    """Q13 shape (custdist; fixture orders have no comment column, so the
+    "special requests" exclusion becomes a priority-class exclusion): how many
+    customers placed exactly N qualifying orders, including N = 0.
+
+    Two aggregations, both on reduced grain: orders collapse to per-customer
+    counts (one custkey shuffle over the filtered fact), the LEFT join keeps
+    zero-order customers, and the distribution aggregate runs on |customers|
+    rows keyed by the tiny c_count domain."""
+    per_cust = (
+        orders.where(F.col("o_orderpriority") != exclude_priority)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("c_count"))
+    )
+    return (
+        customer.join(per_cust, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(F.coalesce("c_count", F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def customer_order_distribution_sql(exclude_priority: str = "1-URGENT") -> str:
+    return f"""
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (
+            SELECT c_custkey, COALESCE(oc.c_count, 0) AS c_count
+            FROM customer
+            LEFT JOIN (
+                SELECT o_custkey, COUNT(*) AS c_count
+                FROM orders WHERE o_orderpriority <> '{exclude_priority}'
+                GROUP BY o_custkey
+            ) oc ON c_custkey = o_custkey
+        ) dist
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """
+
+
+def small_quantity_revenue(
+    lineitem: DataFrame, part: DataFrame, brand: str = "Brand#23"
+) -> DataFrame:
+    """Q17 shape: average yearly revenue lost if small-quantity orders of one
+    brand's parts were not taken — lines with ``l_quantity`` below 20% of the
+    part's average quantity.
+
+    The correlated AVG subquery decorrelates into a per-part aggregate over
+    the brand-filtered lines (the broadcast part dim prunes the fact FIRST, so
+    the aggregate and the join-back both run on ~brand-share of lineitem).
+    The 20%-of-average threshold is compared in exact arithmetic —
+    ``5 · qty · n < Σqty`` with decimal qty and integer n — so Spark and the
+    oracle make identical keep/drop decisions with no float divide."""
+    brand_parts = part.where(F.col("p_brand") == brand).select("p_partkey")
+    brand_lines = lineitem.join(
+        F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey")
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    per_part = brand_lines.groupBy(F.col("l_partkey").alias("agg_partkey")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+        F.count("*").alias("n_lines"),
+    )
+    return (
+        brand_lines.join(
+            F.broadcast(per_part), F.col("l_partkey") == F.col("agg_partkey")
+        )
+        .where(
+            F.col("l_quantity").cast("decimal(18,2)") * 5 * F.col("n_lines")
+            < F.col("sum_qty")
+        )
+        .agg(
+            (F.sum(_price()).cast("double") / 7.0).alias("avg_yearly"),
+            F.count("*").alias("n_small_lines"),
+        )
+    )
+
+
+def small_quantity_revenue_sql(brand: str = "Brand#23") -> str:
+    return f"""
+        WITH brand_lines AS (
+            SELECT l_partkey, l_quantity, l_extendedprice
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand = '{brand}'
+        ), per_part AS (
+            SELECT l_partkey AS agg_partkey,
+                   SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+                   COUNT(*) AS n_lines
+            FROM brand_lines GROUP BY l_partkey
+        )
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+                   AS avg_yearly,
+               COUNT(*) AS n_small_lines
+        FROM brand_lines JOIN per_part ON l_partkey = agg_partkey
+        WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * n_lines < sum_qty
+    """
+
+
+def top_revenue_suppliers(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    start: str = "1996-01-01",
+    end: str = "1996-04-01",
+) -> DataFrame:
+    """Q15 shape: the supplier(s) achieving the maximum shipped revenue in a
+    quarter (the view + scalar-MAX of Q15, decorrelated as a rank window).
+
+    Revenue pre-aggregates to |suppliers| rows (one suppkey shuffle over the
+    date-pruned fact); the MAX-selection window then runs over that tiny
+    relation — never the fact — and ties all surface, exactly like the SQL
+    ``revenue = (SELECT MAX ...)``. Exact decimal revenue makes the
+    tie-versus-not decision engine-identical; the final cast to double is
+    display-only."""
+    rev = (
+        lineitem.where(
+            (F.to_date("l_shipdate") >= F.lit(start).cast("date"))
+            & (F.to_date("l_shipdate") < F.lit(end).cast("date"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(_price() * (_one() - _disc())).alias("total_revenue"))
+    )
+    best = rev.withColumn(
+        "rnk", F.rank().over(Window.orderBy(F.desc("total_revenue")))
+    ).where(F.col("rnk") == 1)
+    return (
+        best.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def top_revenue_suppliers_sql(
+    start: str = "1996-01-01", end: str = "1996-04-01"
+) -> str:
+    rev = f"""
+            SELECT l_suppkey,
+                   SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                       AS total_revenue
+            FROM lineitem
+            WHERE CAST(l_shipdate AS DATE) >= DATE '{start}'
+              AND CAST(l_shipdate AS DATE) < DATE '{end}'
+            GROUP BY l_suppkey
+    """
+    return f"""
+        WITH revenue AS ({rev})
+        SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+        FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        ORDER BY s_suppkey
+    """
+
+
+def returned_item_report(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    start: str = "1996-01-01",
+    end: str = "1996-04-01",
+    k: int = 20,
+) -> DataFrame:
+    """Q10 shape: top-k customers by revenue lost to returned items
+    (``l_returnflag = 'R'``) for orders placed in a quarter.
+
+    The date-filtered orders join the returned lines on orderkey (the one
+    fact-fact shuffle); the aggregate collapses to customer grain before the
+    broadcast customer/nation joins; top-k is TakeOrderedAndProject."""
+    ords = orders.where(
+        (F.to_date("o_orderdate") >= F.lit(start).cast("date"))
+        & (F.to_date("o_orderdate") < F.lit(end).cast("date"))
+    ).select("o_orderkey", "o_custkey")
+    returned = lineitem.where(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    per_cust = (
+        returned.join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.sum(_price() * (_one() - _disc())).cast("double").alias("revenue"))
+    )
+    return (
+        per_cust.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "c_name", "c_acctbal", "n_name", "revenue")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(k)
+    )
+
+
+def returned_item_report_sql(
+    start: str = "1996-01-01", end: str = "1996-04-01", k: int = 20
+) -> str:
+    return f"""
+        SELECT c_custkey, c_name, c_acctbal, n_name,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                    AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND CAST(o_orderdate AS DATE) >= DATE '{start}'
+          AND CAST(o_orderdate AS DATE) < DATE '{end}'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT {k}
+    """
+
+
+def parts_supplier_counts(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    exclude_brand: str = "Brand#13",
+    sizes: tuple[int, ...] = (1, 9, 14, 19, 23, 36, 45, 49),
+) -> DataFrame:
+    """Q16 shape (fixture has no partsupp — the observed (part, supplier)
+    pairs in lineitem stand in for it; the "customer complaints" supplier
+    exclusion becomes negative ``s_acctbal``): distinct supplier count per
+    (brand, type, size) for selected sizes, excluding one brand.
+
+    The part dim broadcasts to prune the fact before the distinct; the
+    excluded suppliers are a broadcast LEFT ANTI (NOT IN with no nullable-key
+    trap); COUNT(DISTINCT suppkey) runs per bounded (brand, type, size) key
+    after the pairs relation dedups — the only wide shuffle carries the
+    already-distinct (partkey, suppkey) pairs, not raw lineitem."""
+    keep_parts = part.where(
+        (F.col("p_brand") != exclude_brand) & F.col("p_size").isin(*sizes)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad_supp = supplier.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    pairs = (
+        lineitem.join(F.broadcast(keep_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+        )
+        .select("p_brand", "p_type", "p_size", "l_suppkey")
+        .distinct()
+    )
+    return (
+        pairs.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count("*").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+def parts_supplier_counts_sql(
+    exclude_brand: str = "Brand#13",
+    sizes: tuple[int, ...] = (1, 9, 14, 19, 23, 36, 45, 49),
+) -> str:
+    size_list = ", ".join(str(s) for s in sizes)
+    return f"""
+        SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> '{exclude_brand}'
+          AND p_size IN ({size_list})
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """

@@ -151,6 +151,11 @@ EXTENSION_SURVEY_ROWS: dict[str, tuple[str, ...]] = {
     "warehouse_segment_gini": ("L-91",),
     "text_sentence_split_udtf": ("L-92",),
     "events_variant_stats": ("L-93",),
+    "warehouse_custdist": ("L-95",),
+    "warehouse_small_qty_revenue": ("L-95",),
+    "warehouse_top_supplier": ("L-95",),
+    "warehouse_returned_items": ("L-95",),
+    "warehouse_parts_supplier_counts": ("L-95",),
 }
 
 
@@ -244,6 +249,11 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "events_welch_ab_test",
     "vocab_zipf_slope",
     "embedding_quantize_int8",
+    "warehouse_custdist",
+    "warehouse_small_qty_revenue",
+    "warehouse_top_supplier",
+    "warehouse_returned_items",
+    "warehouse_parts_supplier_counts",
     # -- certified in r01/r02 only; code has changed since (14) --
     "warehouse_pricing_summary",
     "warehouse_star_join_revenue",
