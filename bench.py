@@ -73,6 +73,7 @@ HEADLINE = [
     "graph_association_rules",
     "warehouse_promo_revenue_share",
     "warehouse_disjunctive_revenue",
+    "graph_triangle_census",
     "warehouse_custdist",
     "warehouse_small_qty_revenue",
     "warehouse_top_supplier",

@@ -1427,3 +1427,114 @@ def dedup_clusters_twostar(
         )
         .orderBy("doc_id")
     )
+
+
+# --- prefix-filtered all-pairs similarity join (PPJoin-lite) -------------------
+
+PREFIX_THRESHOLD = 0.5
+
+
+def prefix_filter_pairs(
+    docs: DataFrame, n: int = DEFAULT_N, threshold: float = PREFIX_THRESHOLD
+) -> DataFrame:
+    """All pairs with n-gram Jaccard ≥ ``threshold`` via PREFIX FILTERING
+    (Chaudhuri et al. 2006 / PPJoin, Xiao et al. 2008) — provably the same
+    result as the brute-force all-pairs join (the oracle IS brute force;
+    the differential test is the filter-correctness theorem).
+
+    Order each doc's shingles by ascending GLOBAL document frequency (rarest
+    first, shingle text as tiebreak — a total order both engines agree on).
+    Two sets with Jaccard ≥ τ overlap in ≥ ⌈τ·max(|A|,|B|)⌉ elements, so each
+    must hit the other's first |s| − ⌈τ·|s|⌉ + 1 tokens: ONLY those prefix
+    tokens index candidates. Frequent shingles sort to the ends of docs and
+    almost never enter an index list — the skew that forces ``max_df`` caps
+    in the plain inverted-index join is filtered OUT by construction, which
+    is why this is the standard all-pairs algorithm at corpus scale.
+
+    Plan: df aggregate (shingle-keyed) → per-doc rank window (doc-keyed) →
+    prefix-only self-equi-join for candidates → verification on candidates
+    only, via array_intersect of the two docs' sorted shingle arrays (the
+    per-doc array relation is built once and joined twice)."""
+    sh = shingles(docs, n)
+    df = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    ranked = sh.join(df, "shingle").withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("df", "shingle")
+        ),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    prefix = (
+        ranked.join(sizes, "doc_id")
+        # prefix length |s| - ceil(t*|s|) + 1
+        .where(F.col("rnk") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
+        .select("doc_id", "shingle")
+    )
+    cands = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    doc_sets = sh.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list("shingle")).alias("set")
+    )
+    verified = (
+        cands.join(
+            doc_sets.select(
+                F.col("doc_id").alias("doc_a"), F.col("set").alias("set_a")
+            ).hint("shuffle_hash"),
+            "doc_a",
+        )
+        .join(
+            doc_sets.select(
+                F.col("doc_id").alias("doc_b"), F.col("set").alias("set_b")
+            ).hint("shuffle_hash"),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("set_a", "set_b")).alias("inter"),
+            F.size("set_a").alias("sz_a"),
+            F.size("set_b").alias("sz_b"),
+        )
+    )
+    return (
+        verified.select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def prefix_filter_pairs_sql(
+    n: int = DEFAULT_N, threshold: float = PREFIX_THRESHOLD
+) -> str:
+    """Brute-force all-pairs Jaccard — deliberately NO prefix logic, so the
+    differential test checks the filter loses nothing."""
+    return f"""
+        WITH sh AS ({shingles_sql(n)}),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+            FROM sh a JOIN sh b USING (shingle)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= {threshold}
+        ORDER BY doc_a, doc_b
+    """

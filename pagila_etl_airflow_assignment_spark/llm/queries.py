@@ -454,3 +454,18 @@ def q_sentence_split_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     splitting, relational output pinned identical to the DuckDB regexp
     formulation."""
     return udtf_ops.sentence_split(load_table(spark, sf_dir, "documents"))
+
+
+@register("text_feature_hashing", oracle=text.feature_hash_vectors_sql())
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick bag-of-words: fixed 32-dim signed-count vectors with no
+    vocabulary build — md5 bucket + independent md5 sign bit, all integers."""
+    return text.feature_hash_vectors(load_table(spark, sf_dir, "documents"))
+
+
+@register("dedup_prefix_filter_pairs", oracle=dedup.prefix_filter_pairs_sql())
+def q_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered all-pairs Jaccard join (PPJoin-lite): only each doc's
+    rarest |s|−⌈τ|s|⌉+1 shingles index candidates; verification on candidates
+    only. Oracle is brute force — the filter must lose nothing."""
+    return dedup.prefix_filter_pairs(load_table(spark, sf_dir, "documents"))

@@ -553,3 +553,81 @@ def quality_quantile_filter_sql(keep_frac: float = QUANTILE_KEEP_FRAC) -> str:
     WHERE pct_rank <= {keep_frac}
     ORDER BY lang, pct_rank
     """
+
+
+# --- feature hashing (hashing trick) -----------------------------------------
+
+FEATHASH_DIM = 32
+
+
+def feature_hash_vectors(docs: DataFrame, dim: int = FEATHASH_DIM) -> DataFrame:
+    """Hashing-trick bag-of-words: each token maps to ``dim`` buckets via md5
+    (bucket = h mod dim, sign = ±1 from the next hash bit), giving every
+    document a fixed-width integer vector with no vocabulary build, no
+    global term dictionary, and no shuffle — the standard way to featurize
+    unbounded vocabularies at corpus scale (Weinberger et al., ICML 2009).
+
+    All-JVM narrow plan: split → explode-free transform? No — tokens explode
+    to (doc, bucket, sign) and re-aggregate per doc via pivot-free
+    conditional sums on the ≤dim-wide key, one doc_id-keyed shuffle. Values
+    are exact integers (signed counts), so the vector is hash-comparable
+    with zero float tolerance."""
+    toks = docs.select(
+        "doc_id", F.explode(F.split(_norm(F.col("text")), " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+    # sign from an INDEPENDENT md5 digit (position 16), not h//dim — integer
+    # division of a 60-bit value through double arithmetic is lossy
+    sign_bit = F.conv(F.substring(F.md5(F.col("tok")), 16, 1), 16, 10).cast("long")
+    hashed = toks.select(
+        "doc_id",
+        (h % dim).alias("bucket"),
+        F.when(sign_bit % 2 == 0, 1).otherwise(-1).alias("sign"),
+    )
+    per_bucket = hashed.groupBy("doc_id", "bucket").agg(F.sum("sign").alias("s"))
+    return (
+        per_bucket.groupBy("doc_id")
+        .agg(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("bucket"), F.col("s")))
+                ),
+                F.array_repeat(F.lit(0).cast("long"), dim),
+                lambda acc, x: F.transform(
+                    acc,
+                    lambda v, i: F.when(i == x["bucket"], v + x["s"]).otherwise(v),
+                ),
+            ).alias("features")
+        )
+        .orderBy("doc_id")
+    )
+
+
+def feature_hash_vectors_sql(dim: int = FEATHASH_DIM) -> str:
+    h = "CAST(('0x' || substr(md5(tok), 1, 15)) AS UBIGINT)::BIGINT"
+    sign_bit = "CAST(('0x' || substr(md5(tok), 16, 1)) AS UBIGINT)::BIGINT"
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split({_norm_sql('text')}, ' ')) AS tok
+            FROM documents
+        ), hashed AS (
+            SELECT doc_id, ({h}) % {dim} AS bucket,
+                   CASE WHEN ({sign_bit}) % 2 = 0 THEN 1 ELSE -1 END AS sign
+            FROM toks WHERE tok <> ''
+        ), per_bucket AS (
+            SELECT doc_id, bucket, CAST(SUM(sign) AS BIGINT) AS s
+            FROM hashed GROUP BY doc_id, bucket
+        ), packed AS (
+            SELECT doc_id,
+                   list(bucket ORDER BY bucket) AS buckets,
+                   list(s ORDER BY bucket) AS sums
+            FROM per_bucket GROUP BY doc_id
+        )
+        SELECT doc_id,
+               list_transform(
+                   range(0, {dim}),
+                   i -> COALESCE(sums[list_position(buckets, i)], 0)
+               ) AS features
+        FROM packed
+        ORDER BY doc_id
+    """

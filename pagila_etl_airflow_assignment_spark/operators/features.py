@@ -218,3 +218,116 @@ def gap_fill_ffill_sql(step_seconds: int = GRID_STEP_SECONDS) -> str:
           ON g.user_id = e.user_id AND g.grid_ts >= e.ts
         ORDER BY g.user_id, g.grid_ts
     """
+
+
+# --- EWMA (truncated, exact-arithmetic) --------------------------------------
+
+EWMA_K = 16  # window length; alpha = 0.5 so weights are exact powers of two
+
+
+def ewma_user_value(events: DataFrame, k: int = EWMA_K) -> DataFrame:
+    """Per-event EWMA of the user's last ``k`` values (α = 0.5, normalized —
+    pandas ``ewm(alpha=.5).mean()`` truncated to a bounded frame).
+
+    The recursive definition is rewritten as one bounded ROWS frame: the
+    frame's values fold JVM-side (collect_list → zip_with weights →
+    aggregate), so cost is O(k) per row with a single user_id shuffle and
+    no Python. EXACTNESS: values quantize to integer cents (floor — both
+    engines agree), α = 1/2 makes every weight 2^(k-1-j) an exact integer
+    (newest = 2^15 … oldest = 2^0 in the full frame), so numerator and
+    denominator are exact int64 sums and the final result is one IEEE
+    division of exactly-agreed operands — no rounding epsilon anywhere.
+    At scale this is the feature-store "decayed activity" column: one
+    window pass, frame bounded, density-independent state."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(k - 1), 0)
+    )
+    cents = F.floor(F.col("value") * 100).cast("long")
+    vals = F.collect_list(cents).over(w)  # frame order = window order (oldest first)
+    # Horner folds: newest-first acc·2 + v gives Σ v_j·2^j (j = age from the
+    # oldest end, newest carries 2^(n-1)); the same fold with v = 1 gives the
+    # matching denominator Σ 2^j = 2^n − 1. All int64, no shiftleft-by-column.
+    zero = F.lit(0).cast("long")
+    num = F.aggregate(F.reverse(vals), zero, lambda acc, x: acc * 2 + x)
+    den = F.aggregate(vals, zero, lambda acc, x: acc * 2 + 1)
+    base = events.where(F.col("value").isNotNull())
+    return base.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (num.cast("double") / den.cast("double") / F.lit(100.0)).alias("ewma_value"),
+    ).orderBy("event_id")
+
+
+def ewma_user_value_sql(k: int = EWMA_K) -> str:
+    return f"""
+        WITH seq AS (
+            SELECT event_id, user_id, ts,
+                   CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+                   ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+            FROM events WHERE value IS NOT NULL
+        )
+        -- weights 2^(k-1-age) are the Spark fold's 2^(n-1-age) scaled by the
+        -- constant 2^(k-n); numerator and denominator scale together, so the
+        -- IEEE quotient is bit-identical to the engine's
+        SELECT a.event_id, a.user_id, a.ts,
+               CAST(SUM(b.cents * (CAST(1 AS BIGINT) << CAST(({k} - 1) - (a.rn - b.rn) AS INTEGER))) AS DOUBLE)
+               / CAST(SUM(CAST(1 AS BIGINT) << CAST(({k} - 1) - (a.rn - b.rn) AS INTEGER)) AS DOUBLE)
+               / 100.0 AS ewma_value
+        FROM seq a JOIN seq b
+          ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - {k} + 1 AND a.rn
+        GROUP BY a.event_id, a.user_id, a.ts, a.rn
+        ORDER BY a.event_id
+    """
+
+
+# --- leave-one-out target encoding -------------------------------------------
+
+
+def target_encode_loo(events: DataFrame) -> DataFrame:
+    """Leakage-free categorical target encoding: each event's ``event_type``
+    encoded as the mean value of OTHER events of that type (leave-one-out —
+    the row's own target never leaks into its feature; singleton categories
+    encode NULL).
+
+    One tiny |types|-keyed aggregate broadcast back over the fact — no
+    window over the raw events, no per-category shuffle of the fact. Exact:
+    sums run on integer cents, the LOO mean (sum − own) / (n − 1) is integer
+    subtraction then one IEEE division — engine-identical."""
+    cents = F.floor(F.col("value") * 100).cast("long")
+    base = events.where(F.col("value").isNotNull()).select(
+        "event_id", "event_type", cents.alias("cents")
+    )
+    per_type = base.groupBy("event_type").agg(
+        F.sum("cents").alias("type_sum"), F.count("*").alias("type_n")
+    )
+    loo = F.when(
+        F.col("type_n") > 1,
+        (F.col("type_sum") - F.col("cents")).cast("double")
+        / (F.col("type_n") - 1).cast("double")
+        / F.lit(100.0),
+    )
+    return (
+        base.join(F.broadcast(per_type), "event_type")
+        .select("event_id", "event_type", loo.alias("loo_mean_value"))
+        .orderBy("event_id")
+    )
+
+
+TARGET_ENCODE_LOO_SQL = """
+    WITH base AS (
+        SELECT event_id, event_type, CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        FROM events WHERE value IS NOT NULL
+    ), per_type AS (
+        SELECT event_type, SUM(cents) AS type_sum, COUNT(*) AS type_n
+        FROM base GROUP BY event_type
+    )
+    SELECT event_id, base.event_type,
+           CASE WHEN type_n > 1
+                THEN CAST(type_sum - cents AS DOUBLE) / CAST(type_n - 1 AS DOUBLE) / 100.0
+           END AS loo_mean_value
+    FROM base JOIN per_type ON base.event_type = per_type.event_type
+    ORDER BY event_id
+"""

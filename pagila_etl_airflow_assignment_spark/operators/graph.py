@@ -321,3 +321,90 @@ def association_rules_sql(
         ORDER BY lift DESC, part_a, part_b
         LIMIT {k}
     """
+
+
+# --- triangle counting --------------------------------------------------------
+
+TRI_MIN_SUPPORT = 2
+
+
+def triangle_count(
+    lineitem: DataFrame, max_basket: int = 30, min_support: int = TRI_MIN_SUPPORT
+) -> DataFrame:
+    """Global triangle census of the co-purchase graph: edges are part pairs
+    sharing ≥ ``min_support`` orders (support pruning bounds |E| the way
+    max_basket bounds pair fan-out).
+
+    Canonical two-join plan on ORIENTED edges (src < dst, so each triangle
+    is materialized exactly once as a < b < c): edges(a,b) ⋈ edges(b,c)
+    builds wedges, the second join closes them against edges(a,c). Both
+    joins are edge-keyed shuffles of the REDUCED edge relation — raw
+    lineitem is long gone. At larger scale the standard refinement is
+    degree-ordering the orientation (high-degree nodes get few out-edges,
+    bounding wedge fan-out); support pruning already caps the fixture's
+    skew. Output is one row — edge count, wedge count, triangle count,
+    global clustering coefficient (3·Δ / wedges, exact dyadic division)."""
+    items = _baskets(lineitem, max_basket)
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "ok")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("support"))
+        .where(F.col("support") >= min_support)
+        .select("u", "v")
+    )
+    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    wedges = e1.join(e2, "b").select("a", "b", "c")
+    closing = edges.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tris = wedges.join(closing, ["a", "c"])
+    return (
+        edges.agg(F.count("*").alias("n_edges"))
+        .crossJoin(wedges.agg(F.count("*").alias("n_wedges")))
+        .crossJoin(tris.agg(F.count("*").alias("n_triangles")))
+        .select(
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.when(
+                F.col("n_wedges") > 0,
+                3.0 * F.col("n_triangles") / F.col("n_wedges"),
+            ).alias("clustering_coeff"),
+        )
+    )
+
+
+def triangle_count_sql(
+    max_basket: int = 30, min_support: int = TRI_MIN_SUPPORT
+) -> str:
+    return f"""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), small AS (
+            SELECT l_orderkey FROM items
+            GROUP BY l_orderkey HAVING COUNT(*) <= {max_basket}
+        ), basket AS (
+            SELECT i.l_orderkey, i.l_partkey FROM items i
+            JOIN small USING (l_orderkey)
+        ), edges AS (
+            SELECT a.l_partkey AS u, b.l_partkey AS v
+            FROM basket a JOIN basket b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY a.l_partkey, b.l_partkey
+            HAVING COUNT(*) >= {min_support}
+        ), wedges AS (
+            SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            FROM edges e1 JOIN edges e2 ON e1.v = e2.u
+        ), tris AS (
+            SELECT 1 FROM wedges w JOIN edges e ON w.a = e.u AND w.c = e.v
+        )
+        SELECT (SELECT COUNT(*) FROM edges) AS n_edges,
+               (SELECT COUNT(*) FROM wedges) AS n_wedges,
+               (SELECT COUNT(*) FROM tris) AS n_triangles,
+               CASE WHEN (SELECT COUNT(*) FROM wedges) > 0
+                    THEN 3.0 * (SELECT COUNT(*) FROM tris)
+                         / (SELECT COUNT(*) FROM wedges)
+               END AS clustering_coeff
+    """

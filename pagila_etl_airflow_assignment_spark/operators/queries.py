@@ -9,7 +9,7 @@ from ..functions import micros
 from ..registry import register
 from ..sources.parquet import load_table
 from ..schemas import ORDERS
-from . import analytics, behavior, cdc, cmsketch, distributions, features, graph, ivm, profile, sequences, stats, temporal, tpch_shapes, warehouse
+from . import analytics, behavior, cdc, cmsketch, distributions, features, graph, hll, ivm, profile, sequences, stats, temporal, tpch_shapes, warehouse
 
 
 @register(
@@ -953,3 +953,43 @@ def q_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "part"),
         load_table(spark, sf_dir, "supplier"),
     )
+
+
+@register("events_hll_distinct", oracle=hll.HLL_DISTINCT_USERS_SQL)
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog: 64 max-rank registers per event_type from
+    md5 hex (string-CASE rank, no float log), integer-scaled harmonic sum —
+    the white-box mergeable twin of approx_count_distinct, exactly
+    oracle-checked beside the true distinct count."""
+    return hll.hll_distinct_users(load_table(spark, sf_dir, "events"))
+
+
+@register("events_ewma_value", oracle=features.ewma_user_value_sql())
+def q_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event EWMA of the user's trailing values (α=1/2, 16-row frame):
+    one bounded-frame window fold, exact power-of-two weights on integer
+    cents — zero rounding epsilon between engines."""
+    return features.ewma_user_value(load_table(spark, sf_dir, "events"))
+
+
+@register("events_target_encoding", oracle=features.TARGET_ENCODE_LOO_SQL)
+def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of event_type: broadcast |types|-row
+    aggregate joined back; (sum − own)/(n − 1) in exact integer cents."""
+    return features.target_encode_loo(load_table(spark, sf_dir, "events"))
+
+
+@register("graph_triangle_census", oracle=graph.triangle_count_sql())
+def q_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the co-purchase
+    graph: oriented edges (support-pruned), wedge join + closing join —
+    both on the reduced edge relation."""
+    return graph.triangle_count(load_table(spark, sf_dir, "lineitem"))
+
+
+@register("events_attribution_linear", oracle=temporal.linear_attribution_sql())
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: per-user bounded interval join pairs
+    clicks with purchases in a 3-day lookback; equal credit per touch,
+    rolled up by click hour."""
+    return temporal.linear_attribution(load_table(spark, sf_dir, "events"))

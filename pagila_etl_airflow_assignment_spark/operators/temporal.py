@@ -251,3 +251,88 @@ ORDER_BACKLOG_CURVE_SQL = """
     FROM days d
     ORDER BY d.day
 """
+
+
+# --- multi-touch attribution --------------------------------------------------
+
+ATTRIB_LOOKBACK_SECONDS = 3 * 24 * 3600
+
+
+def linear_attribution(
+    events: DataFrame, lookback_seconds: int = ATTRIB_LOOKBACK_SECONDS
+) -> DataFrame:
+    """Linear (equal-credit) multi-touch attribution: every click in the
+    ``lookback_seconds`` before a purchase shares that purchase's credit
+    equally; credit rolls up by click hour-of-day (the fixture's stand-in
+    for an acquisition channel).
+
+    The click×purchase pairing is a per-user interval join — user_id-keyed
+    shuffle, window bounded by the lookback, never a global range join.
+    Credit 1/n and value/n divide per purchase BEFORE the rollup (each
+    purchase's denominator is its own touch count), and the ≤24-row output
+    rounds at 6 dp to absorb sum-order ulps — the same contract as the
+    engine's other double-sum reports. The single-shuffle as-of variant
+    (last-touch) is ``asof_join``; this is its all-touch generalization."""
+    clicks = events.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("click_ts"),
+        F.hour("ts").alias("click_hour"),
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    touches = clicks.join(
+        purchases,
+        (F.col("cu") == F.col("pu"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {lookback_seconds} SECOND")
+        ),
+    )
+    w = Window.partitionBy("purchase_id")
+    credited = touches.select(
+        "click_hour",
+        (F.lit(1.0) / F.count("*").over(w)).alias("credit"),
+        (F.col("purchase_value") / F.count("*").over(w)).alias("value_credit"),
+    )
+    return (
+        credited.groupBy("click_hour")
+        .agg(
+            F.round(F.sum("credit"), 6).alias("attributed_purchases"),
+            F.round(F.sum("value_credit"), 6).alias("attributed_value"),
+        )
+        .orderBy("click_hour")
+    )
+
+
+def linear_attribution_sql(
+    lookback_seconds: int = ATTRIB_LOOKBACK_SECONDS
+) -> str:
+    return f"""
+        WITH touches AS (
+            SELECT hour(c.ts) AS click_hour, p.event_id AS purchase_id,
+                   p.value AS purchase_value
+            FROM events c
+            JOIN events p
+              ON c.user_id = p.user_id
+             AND c.event_type = 'click' AND p.event_type = 'purchase'
+             AND c.ts <= p.ts
+             AND c.ts >= p.ts - INTERVAL {lookback_seconds} SECOND
+        ), credited AS (
+            SELECT click_hour,
+                   1.0 / COUNT(*) OVER (PARTITION BY purchase_id) AS credit,
+                   purchase_value / COUNT(*) OVER (PARTITION BY purchase_id)
+                       AS value_credit
+            FROM touches
+        )
+        SELECT click_hour,
+               ROUND(SUM(credit), 6) AS attributed_purchases,
+               ROUND(SUM(value_credit), 6) AS attributed_value
+        FROM credited
+        GROUP BY click_hour
+        ORDER BY click_hour
+    """

@@ -156,6 +156,13 @@ EXTENSION_SURVEY_ROWS: dict[str, tuple[str, ...]] = {
     "warehouse_top_supplier": ("L-95",),
     "warehouse_returned_items": ("L-95",),
     "warehouse_parts_supplier_counts": ("L-95",),
+    "events_hll_distinct": ("L-96",),
+    "events_ewma_value": ("L-97",),
+    "events_target_encoding": ("L-98",),
+    "graph_triangle_census": ("L-99",),
+    "events_attribution_linear": ("L-100",),
+    "text_feature_hashing": ("L-101",),
+    "dedup_prefix_filter_pairs": ("L-102",),
 }
 
 

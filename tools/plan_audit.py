@@ -69,6 +69,11 @@ ALLOWED: dict[str, set[str]] = {
     "graph_association_rules": {"BroadcastNestedLoopJoin"},
     # broadcast ≤24-row hour margin × ≤|types|-row type margin (dense grid)
     "events_chi_square": {"BroadcastNestedLoopJoin"},
+    # three 1-row census aggregates (edges/wedges/triangles) cross-joined
+    "graph_triangle_census": {"BroadcastNestedLoopJoin"},
+    # Python UDTF: BatchEvalPython IS the UDTF execution node in Spark 4 —
+    # this query exists to pin the UDTF boundary, not to avoid it
+    "text_sentence_split_udtf": {"BatchEvalPython"},
 }
 
 PATTERNS = ("CartesianProduct", "BatchEvalPython", "BroadcastNestedLoopJoin")
