@@ -74,6 +74,12 @@ HEADLINE = [
     "warehouse_promo_revenue_share",
     "warehouse_disjunctive_revenue",
     "graph_triangle_census",
+    "warehouse_forecast_revenue",
+    "warehouse_market_share",
+    "warehouse_product_profit",
+    "warehouse_dominant_suppliers",
+    "warehouse_ivm_counting",
+    "embedding_random_projection",
     "warehouse_custdist",
     "warehouse_small_qty_revenue",
     "warehouse_top_supplier",

@@ -469,3 +469,10 @@ def q_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     rarest |s|−⌈τ|s|⌉+1 shingles index candidates; verification on candidates
     only. Oracle is brute force — the filter must lose nothing."""
     return dedup.prefix_filter_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register("embedding_random_projection", oracle=embeddings_mod.random_projection_sql())
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss ±1 random projection 64→16: fixed md5-derived
+    sign matrix, zero-shuffle JVM folds, bit-identical to the SQL oracle."""
+    return embeddings_mod.random_projection(load_table(spark, sf_dir, "embeddings"))

@@ -195,3 +195,73 @@ def winsorized_stats_sql(lo: float = WINSOR_LO, hi: float = WINSOR_HI) -> str:
         GROUP BY event_type
         ORDER BY event_type
     """
+
+
+# --- MAD robust outliers ------------------------------------------------------
+
+MAD_SCALE = 1.4826  # consistency constant: MAD * 1.4826 ~ sigma for normal data
+MAD_CUTOFF = 3.0
+
+
+def mad_outlier_stats(
+    events: DataFrame, cutoff: float = MAD_CUTOFF
+) -> DataFrame:
+    """Per-type robust dispersion report: median, MAD (median absolute
+    deviation), and how many values sit beyond ``cutoff`` robust sigmas
+    (MAD·1.4826). The mean/stddev z-score (events_value_anomalies) breaks
+    under heavy tails — one fat outlier inflates σ and masks the rest; the
+    median/MAD pair has a 50% breakdown point, which is why data-quality
+    monitors prefer it.
+
+    Two |types|-row exact-median aggregates (the second over deviations from
+    the broadcast first), then one conditional count — three passes over the
+    fact but every shuffle is |types|-keyed; at 100 TB the exact medians swap
+    for approx_percentile in the same shape (winsorized_stats pattern)."""
+    med = events.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = events.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.first("med").alias("med"), F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    flagged = dev.drop("med").join(F.broadcast(mad), "event_type")
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count("value").alias("n"),
+            F.round(F.first("med"), 6).alias("median_value"),
+            F.round(F.first("mad"), 6).alias("mad_value"),
+            F.sum(
+                (
+                    F.col("adev") > F.lit(cutoff * MAD_SCALE) * F.col("mad")
+                ).cast("int")
+            ).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def mad_outlier_stats_sql(cutoff: float = MAD_CUTOFF) -> str:
+    return f"""
+        WITH med AS (
+            SELECT event_type, quantile_cont(value, 0.5) AS med
+            FROM events GROUP BY event_type
+        ), dev AS (
+            SELECT e.event_type, value, med, ABS(value - med) AS adev
+            FROM events e JOIN med USING (event_type)
+        ), mad AS (
+            SELECT event_type, ANY_VALUE(med) AS med,
+                   quantile_cont(adev, 0.5) AS mad
+            FROM dev GROUP BY event_type
+        )
+        SELECT d.event_type,
+               COUNT(value) AS n,
+               round(ANY_VALUE(m.med), 6) AS median_value,
+               round(ANY_VALUE(m.mad), 6) AS mad_value,
+               SUM(CAST(adev > {cutoff * MAD_SCALE} * m.mad AS INT)) AS n_outliers
+        FROM dev d JOIN mad m ON d.event_type = m.event_type
+        GROUP BY d.event_type
+        ORDER BY d.event_type
+    """

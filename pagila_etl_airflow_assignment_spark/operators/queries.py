@@ -993,3 +993,71 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks with purchases in a 3-day lookback; equal credit per touch,
     rolled up by click hour."""
     return temporal.linear_attribution(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "warehouse_forecast_revenue",
+    oracle=tpch_shapes.forecast_revenue_change_sql(),
+    survey_rows=("O-1", "D-3"),
+)
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: the pushdown probe — one scan, all predicates at the reader,
+    one 1-row aggregate, zero joins."""
+    return tpch_shapes.forecast_revenue_change(load_table(spark, sf_dir, "lineitem"))
+
+
+@register("warehouse_market_share", oracle=tpch_shapes.national_market_share_sql())
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's revenue share per year within one customer
+    region — numerator as conditional sum inside the denominator's aggregate,
+    nation dim broadcast twice under different roles."""
+    return tpch_shapes.national_market_share(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+@register("warehouse_product_profit", oracle=tpch_shapes.product_type_profit_sql())
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation × year for one product type;
+    broadcast part dim prunes the fact before the single orderkey shuffle."""
+    return tpch_shapes.product_type_profit(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+@register(
+    "warehouse_dominant_suppliers", oracle=tpch_shapes.dominant_part_suppliers_sql()
+)
+def q_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers shipping >50% of some part's volume —
+    two aggregates on one grain relation, exact integer-scaled dominance
+    test, semi join into the dim."""
+    return tpch_shapes.dominant_part_suppliers(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "supplier")
+    )
+
+
+@register("events_mad_outliers", oracle=distributions.mad_outlier_stats_sql())
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust dispersion per type: median, MAD, and beyond-3-robust-sigma
+    outlier count — the heavy-tail-safe twin of the z-score anomaly scan."""
+    return distributions.mad_outlier_stats(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "warehouse_ivm_counting", oracle=ivm.maintained_agg_view_counting_sql()
+)
+def q_ivm_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counting-algorithm IVM: aggregate view maintained under inserts AND
+    deletes via signed delta partials; dead groups dropped at count 0.
+    Oracle aggregates the final table state directly."""
+    return ivm.maintained_agg_view_counting(load_table(spark, sf_dir, "orders"))

@@ -41,7 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .warehouse import _disc, _one, _price
+from .warehouse import _disc, _one, _price, _qty
 
 
 def shipping_priority(
@@ -755,4 +755,222 @@ def parts_supplier_counts_sql(
           AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
         GROUP BY p_brand, p_type, p_size
         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """
+
+
+def forecast_revenue_change(
+    lineitem: DataFrame,
+    year: int = 1996,
+    disc_lo: float = 0.05,
+    disc_hi: float = 0.07,
+    max_qty: float = 24.0,
+) -> DataFrame:
+    """Q6: revenue delta if discounts in a band were eliminated — the
+    canonical pushdown probe: one scan, every predicate reaches the parquet
+    reader (year bounds, discount band, quantity cap), one partial+final
+    aggregate, no join, no shuffle beyond the 1-row reduction."""
+    return lineitem.where(
+        (F.to_date("l_shipdate") >= F.lit(f"{year}-01-01").cast("date"))
+        & (F.to_date("l_shipdate") < F.lit(f"{year + 1}-01-01").cast("date"))
+        & F.col("l_discount").between(disc_lo, disc_hi)
+        & (F.col("l_quantity") < max_qty)
+    ).agg(
+        F.sum(_price() * _disc()).cast("double").alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+def forecast_revenue_change_sql(
+    year: int = 1996,
+    disc_lo: float = 0.05,
+    disc_hi: float = 0.07,
+    max_qty: float = 24.0,
+) -> str:
+    return f"""
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem
+        WHERE CAST(l_shipdate AS DATE) >= DATE '{year}-01-01'
+          AND CAST(l_shipdate AS DATE) < DATE '{year + 1}-01-01'
+          AND l_discount BETWEEN {disc_lo} AND {disc_hi}
+          AND l_quantity < {max_qty}
+    """
+
+
+def national_market_share(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    target_region: str = "EUROPE",
+    share_nation: str = "NATION_5",
+) -> DataFrame:
+    """Q8 shape: per order year, the revenue share supplied by one nation
+    within one customer region's orders.
+
+    The numerator rides the denominator's aggregate as a conditional sum —
+    one fact pipeline, not two filtered branches. Exact decimal sums make
+    the share division a single deterministic IEEE op. The nation dim joins
+    twice (customer side filtered through region, supplier side for the
+    share flag) — both broadcast."""
+    cust_in_region = (
+        customer.join(
+            F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .where(F.col("r_name") == target_region)
+        .select("c_custkey")
+    )
+    supp_nation = supplier.join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("s_nation"))),
+        F.col("s_nationkey") == F.col("sn_key"),
+    ).select("s_suppkey", "s_nation")
+    rev = _price() * (_one() - _disc())
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust_in_region), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("s_nation") == share_nation, rev).otherwise(F.lit(0).cast("decimal(18,2)"))).alias("nation_rev"),
+            F.sum(rev).alias("total_rev"),
+        )
+        .select(
+            "o_year",
+            (F.col("nation_rev").cast("double") / F.col("total_rev").cast("double")).alias("mkt_share"),
+            F.col("total_rev").cast("double").alias("total_rev"),
+        )
+        .orderBy("o_year")
+    )
+
+
+def national_market_share_sql(
+    target_region: str = "EUROPE", share_nation: str = "NATION_5"
+) -> str:
+    rev = (
+        "CAST(l_extendedprice AS DECIMAL(18,2)) * "
+        "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+    )
+    return f"""
+        WITH joined AS (
+            SELECT year(o_orderdate) AS o_year, sn.n_name AS s_nation, {rev} AS rev
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            JOIN region ON cn.n_regionkey = r_regionkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            WHERE r_name = '{target_region}'
+        )
+        SELECT o_year,
+               CAST(SUM(CASE WHEN s_nation = '{share_nation}' THEN rev
+                             ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                   / CAST(SUM(rev) AS DOUBLE) AS mkt_share,
+               CAST(SUM(rev) AS DOUBLE) AS total_rev
+        FROM joined
+        GROUP BY o_year
+        ORDER BY o_year
+    """
+
+
+def product_type_profit(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    type_filter: str = "ECONOMY",
+) -> DataFrame:
+    """Q9 shape (no partsupp: p_retailprice ÷ 10 proxies unit supply cost):
+    profit by supplier nation × order year for one product type.
+
+    Profit = Σ price·(1−disc) − cost·qty in one decimal expression per line;
+    the broadcast part dim prunes the fact before the orderkey shuffle (the
+    only wide exchange — orders arrives projected to (key, year))."""
+    typed = part.where(F.col("p_type") == type_filter).select(
+        "p_partkey", (F.col("p_retailprice").cast("decimal(18,2)") / 10).cast("decimal(18,2)").alias("unit_cost")
+    )
+    amount = _price() * (_one() - _disc()) - F.col("unit_cost") * _qty()
+    return (
+        lineitem.join(F.broadcast(typed), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders.select("o_orderkey", F.year("o_orderdate").alias("o_year")), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(
+                supplier.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")).select("s_suppkey", "n_name")
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"), "o_year")
+        .agg(F.sum(amount).cast("double").alias("profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def product_type_profit_sql(type_filter: str = "ECONOMY") -> str:
+    return f"""
+        SELECT n_name AS nation, year(o_orderdate) AS o_year,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                        - CAST(CAST(p_retailprice AS DECIMAL(18,2)) / 10 AS DECIMAL(18,2))
+                          * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_type = '{type_filter}'
+        GROUP BY n_name, year(o_orderdate)
+        ORDER BY nation, o_year DESC
+    """
+
+
+def dominant_part_suppliers(
+    lineitem: DataFrame, supplier: DataFrame, min_share_pct: int = 50
+) -> DataFrame:
+    """Q20 shape (shipped quantity proxies partsupp availability): suppliers
+    that shipped MORE than ``min_share_pct``% of some part's total volume —
+    the "who could corner this part" probe.
+
+    Two aggregates on the same (part, supplier) grain relation (exchange
+    reuse), the dominance test in exact integer-scaled decimal
+    (100·sup_qty > pct·total_qty — no float share), then a semi join into
+    the supplier dim: the output is supplier-grain, the fact never leaves
+    its first shuffle."""
+    ps = lineitem.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(_qty()).alias("sup_qty")
+    )
+    totals = ps.groupBy("l_partkey").agg(F.sum("sup_qty").alias("total_qty"))
+    dominant = (
+        ps.join(totals, "l_partkey")
+        .where(F.col("sup_qty") * 100 > F.col("total_qty") * min_share_pct)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supplier.join(dominant, F.col("s_suppkey") == F.col("l_suppkey"), "semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+def dominant_part_suppliers_sql(min_share_pct: int = 50) -> str:
+    return f"""
+        WITH ps AS (
+            SELECT l_partkey, l_suppkey,
+                   SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sup_qty
+            FROM lineitem GROUP BY l_partkey, l_suppkey
+        ), totals AS (
+            SELECT l_partkey, SUM(sup_qty) AS total_qty FROM ps GROUP BY l_partkey
+        )
+        SELECT s_suppkey, s_name
+        FROM supplier
+        WHERE s_suppkey IN (
+            SELECT l_suppkey FROM ps JOIN totals USING (l_partkey)
+            WHERE sup_qty * 100 > total_qty * {min_share_pct}
+        )
+        ORDER BY s_suppkey
     """

@@ -163,6 +163,13 @@ EXTENSION_SURVEY_ROWS: dict[str, tuple[str, ...]] = {
     "events_attribution_linear": ("L-100",),
     "text_feature_hashing": ("L-101",),
     "dedup_prefix_filter_pairs": ("L-102",),
+    "warehouse_forecast_revenue": ("L-103",),
+    "warehouse_market_share": ("L-103",),
+    "warehouse_product_profit": ("L-103",),
+    "warehouse_dominant_suppliers": ("L-103",),
+    "events_mad_outliers": ("L-104",),
+    "warehouse_ivm_counting": ("L-105",),
+    "embedding_random_projection": ("L-106",),
 }
 
 

@@ -1,0 +1,92 @@
+"""Round-4e operators: Q6/Q8/Q9/Q20 shapes, MAD outliers, counting IVM,
+random projection.
+
+Semantics pinned on tiny inline fixtures; the differential check vs DuckDB
+runs via tools/verify_local.py and the driver's CORRECTNESS gate.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pyspark.sql.functions as F
+
+from pagila_etl_airflow_assignment_spark.llm import embeddings as emb
+from pagila_etl_airflow_assignment_spark.operators import distributions, ivm, tpch_shapes
+
+
+def _ts(day: int):
+    return dt.datetime(1996, 1, day)
+
+
+def test_q6_predicates_conjoin(spark):
+    li = spark.createDataFrame(
+        [
+            (100.0, 0.06, 10.0, _ts(5)),   # qualifies
+            (100.0, 0.06, 30.0, _ts(5)),   # qty too big
+            (100.0, 0.02, 10.0, _ts(5)),   # discount outside band
+            (100.0, 0.06, 10.0, dt.datetime(1995, 5, 1)),  # wrong year
+        ],
+        "l_extendedprice double, l_discount double, l_quantity double, l_shipdate timestamp",
+    )
+    row = tpch_shapes.forecast_revenue_change(li).collect()[0]
+    assert row.n_lines == 1
+    assert row.revenue == 6.0
+
+
+def test_q20_dominance_is_strict_majority(spark):
+    li = spark.createDataFrame(
+        [
+            (1, 1, 6.0),   # supplier 1 ships 6 of part 1's 10 -> dominant
+            (1, 2, 4.0),
+            (2, 1, 5.0),   # exactly 50% -> NOT dominant (strict >)
+            (2, 2, 5.0),
+        ],
+        "l_partkey long, l_suppkey long, l_quantity double",
+    )
+    supp = spark.createDataFrame(
+        [(1, "s1"), (2, "s2")], "s_suppkey long, s_name string"
+    )
+    rows = tpch_shapes.dominant_part_suppliers(li, supp).collect()
+    assert [r.s_suppkey for r in rows] == [1]
+
+
+def test_mad_robust_to_single_outlier(spark):
+    # 9 values at 10.0 plus one at 1000.0: median 10, MAD 0 -> the outlier is
+    # beyond any positive cutoff*MAD threshold
+    ev = spark.createDataFrame(
+        [(i, _ts(1), 1, "a", 10.0) for i in range(9)] + [(9, _ts(1), 1, "a", 1000.0)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    row = distributions.mad_outlier_stats(ev).collect()[0]
+    assert row.median_value == 10.0
+    assert row.mad_value == 0.0
+    assert row.n_outliers == 1
+
+
+def test_counting_ivm_drops_dead_groups(spark):
+    # customer 1: only order is key 11 (pre-existing, deleted) -> group dies;
+    # customer 2: key 1 stays, key 7 inserted -> n_orders 2
+    orders = spark.createDataFrame(
+        [(11, 1, 50.0), (1, 2, 10.0), (7, 2, 20.0)],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    )
+    rows = {r.o_custkey: r for r in ivm.maintained_agg_view_counting(orders).collect()}
+    assert 1 not in rows
+    assert rows[2].n_orders == 2 and rows[2].total_spend == 30.0
+
+
+def test_random_projection_shape_and_linearity(spark):
+    v1 = [1.0] + [0.0] * 63
+    v0 = [0.0] * 64
+    vecs = spark.createDataFrame(
+        [(1, v1), (2, v0)], "vec_id long, embedding array<float>"
+    )
+    out = {r.vec_id: r.projected for r in emb.random_projection(vecs).collect()}
+    assert len(out[1]) == emb.RP_OUT_DIM
+    assert out[2] == [0.0] * emb.RP_OUT_DIM
+    # unit basis vector projects to column 0 of the sign matrix / sqrt(dim)
+    mat = emb._rp_sign_matrix()
+    expect = [row[0] / math.sqrt(emb.RP_OUT_DIM) for row in mat]
+    assert out[1] == expect
