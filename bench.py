@@ -74,6 +74,9 @@ HEADLINE = [
     "warehouse_promo_revenue_share",
     "warehouse_disjunctive_revenue",
     "graph_triangle_census",
+    "graph_bfs_distance",
+    "warehouse_customer_set_ops",
+    "warehouse_phonetic_match",
     "warehouse_forecast_revenue",
     "warehouse_market_share",
     "warehouse_product_profit",

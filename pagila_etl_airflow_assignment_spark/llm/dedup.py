@@ -1468,12 +1468,19 @@ def prefix_filter_pairs(
         ranked.join(sizes, "doc_id")
         # prefix length |s| - ceil(t*|s|) + 1
         .where(F.col("rnk") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
-        .select("doc_id", "shingle")
+        .select("doc_id", "shingle", "sz")
     )
+    # length filter (the other half of PPJoin): J ≥ τ forces τ·max(|A|,|B|)
+    # ≤ min(|A|,|B|) — floor() keeps the bound PERMISSIVE under float
+    # rounding so no true pair can be cut, only candidates
     cands = (
         prefix.alias("a")
         .join(prefix.alias("b"), "shingle")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .where(
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("b.sz") >= F.floor(F.lit(threshold) * F.col("a.sz")))
+            & (F.col("a.sz") >= F.floor(F.lit(threshold) * F.col("b.sz")))
+        )
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )

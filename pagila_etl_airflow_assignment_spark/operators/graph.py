@@ -408,3 +408,87 @@ def triangle_count_sql(
                          / (SELECT COUNT(*) FROM wedges)
                END AS clustering_coeff
     """
+
+
+# --- bounded BFS --------------------------------------------------------------
+
+BFS_MAX_HOPS = 3
+
+
+def bfs_hop_distance(
+    lineitem: DataFrame, max_hops: int = BFS_MAX_HOPS, max_basket: int = 30
+) -> DataFrame:
+    """Min-hop distance from the highest-degree part to every part reachable
+    in ≤ ``max_hops`` hops over the co-purchase graph — bounded breadth-first
+    traversal as a fixed number of unrolled frontier joins (the PageRank
+    treatment: constant rounds → one declarative plan; unbounded traversal
+    is the dedup_clusters convergence pattern).
+
+    Each round joins the CURRENT frontier (small) against the edge relation
+    and anti-joins the visited set — both edge-keyed shuffles of reduced
+    relations. The source is data-derived (max degree, partkey tiebreak) via
+    a broadcast 1-row rank, not a hardcoded id."""
+    edges = _symmetric_edges(lineitem, max_basket)
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    source = (
+        deg.orderBy(F.desc("deg"), "src")
+        .limit(1)
+        .select(F.col("src").alias("node"), F.lit(0).alias("hops"))
+    )
+    visited = source
+    frontier = source
+    for hop in range(1, max_hops + 1):
+        frontier = (
+            edges.join(
+                F.broadcast(frontier.select(F.col("node").alias("src"))), "src"
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(hop))
+        )
+        visited = visited.unionByName(frontier)
+    return visited.orderBy("hops", "node")
+
+
+def bfs_hop_distance_sql(
+    max_hops: int = BFS_MAX_HOPS, max_basket: int = 30
+) -> str:
+    rounds = [
+        """v0 AS (
+            SELECT src AS node, 0 AS hops FROM deg
+            ORDER BY deg DESC, src LIMIT 1
+        ), f0 AS (SELECT node FROM v0)"""
+    ]
+    for h in range(1, max_hops + 1):
+        rounds.append(
+            f"""f{h} AS (
+            SELECT DISTINCT e.dst AS node
+            FROM edges e JOIN f{h - 1} f ON e.src = f.node
+            WHERE e.dst NOT IN (SELECT node FROM v{h - 1})
+        ), v{h} AS (
+            SELECT node, hops FROM v{h - 1}
+            UNION ALL SELECT node, {h} AS hops FROM f{h}
+        )"""
+        )
+    chain = ",\n        ".join(rounds)
+    return f"""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), small AS (
+            SELECT l_orderkey FROM items
+            GROUP BY l_orderkey HAVING COUNT(*) <= {max_basket}
+        ), basket AS (
+            SELECT i.l_orderkey, i.l_partkey FROM items i
+            JOIN small USING (l_orderkey)
+        ), edges AS (
+            SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+            FROM basket a JOIN basket b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        ), deg AS (
+            SELECT src, COUNT(*) AS deg FROM edges GROUP BY src
+        ),
+        {chain}
+        SELECT node, hops FROM v{max_hops}
+        ORDER BY hops, node
+    """

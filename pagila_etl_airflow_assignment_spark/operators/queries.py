@@ -1061,3 +1061,28 @@ def q_ivm_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
     deletes via signed delta partials; dead groups dropped at count 0.
     Oracle aggregates the final table state directly."""
     return ivm.maintained_agg_view_counting(load_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "warehouse_customer_set_ops",
+    oracle=warehouse.customer_activity_set_ops_sql(),
+    survey_rows=("G-1",),
+)
+def q_customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT/EXCEPT set algebra: retained-then-churned customers from
+    per-year distinct projections of one orders scan."""
+    return warehouse.customer_activity_set_ops(load_table(spark, sf_dir, "orders"))
+
+
+@register("warehouse_phonetic_match", oracle=warehouse.phonetic_part_match_sql())
+def q_phonetic_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sound-alike record linkage: soundex-lite blocking on the name's final
+    word, candidates-only levenshtein verify."""
+    return warehouse.phonetic_part_match(load_table(spark, sf_dir, "part"))
+
+
+@register("graph_bfs_distance", oracle=graph.bfs_hop_distance_sql())
+def q_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded BFS: min-hop distance ≤3 from the max-degree part; unrolled
+    frontier joins with anti-joined visited set."""
+    return graph.bfs_hop_distance(load_table(spark, sf_dir, "lineitem"))

@@ -681,3 +681,120 @@ LOCAL_SUPPLIER_VOLUME_SQL = """
     GROUP BY r_name, n_name
     ORDER BY region, nation
 """
+
+
+# --- set operations (INTERSECT / EXCEPT) --------------------------------------
+
+
+def customer_activity_set_ops(
+    orders: DataFrame, y1: int = 1996, y2: int = 1997, y3: int = 1998
+) -> DataFrame:
+    """Retained-but-then-churned customers via relational set algebra:
+    (active in ``y1`` INTERSECT active in ``y2``) EXCEPT active in ``y3``.
+
+    Spark plans INTERSECT as a distinct-aggregated LEFT SEMI join and EXCEPT
+    as LEFT ANTI — set semantics without manual dedup bookkeeping. All three
+    inputs are per-year DISTINCT custkey projections of one orders scan
+    (exchange-reused), so the set ops run on |customers|-sized relations,
+    never raw orders."""
+    def active(year: int):
+        return (
+            orders.where(F.year("o_orderdate") == year)
+            .select("o_custkey")
+            .distinct()
+        )
+
+    return (
+        active(y1)
+        .intersect(active(y2))
+        .exceptAll(active(y3))
+        .orderBy("o_custkey")
+    )
+
+
+def customer_activity_set_ops_sql(
+    y1: int = 1996, y2: int = 1997, y3: int = 1998
+) -> str:
+    return f"""
+        (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = {y1}
+         INTERSECT
+         SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = {y2})
+        EXCEPT
+        SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = {y3}
+        ORDER BY o_custkey
+    """
+
+
+# --- phonetic blocking linkage ------------------------------------------------
+
+PHONETIC_MAX_DIST = 2
+
+
+def _phonetic_code(col):
+    """Soundex-lite: first letter + consonant-class digits of the rest
+    (vowels/h/w/y dropped). No adjacent-duplicate collapse — RE2 (the oracle
+    dialect) has no backreferences, and for blocking purposes the coarser
+    code only makes blocks slightly larger, never splits true matches.
+    Pure translate/regexp — identical semantics in Spark and DuckDB."""
+    lower = F.lower(col)
+    head = F.substring(lower, 1, 1)
+    tail = F.regexp_replace(F.substring(lower, 2, 100), "[aeiouyhw]", "")
+    digits = F.translate(tail, "bfpvcgjkqsxzdtlmnr", "111122222222334556")
+    return F.concat(head, F.substring(digits, 1, 3))
+
+
+def _phonetic_code_sql(expr: str) -> str:
+    return (
+        f"lower({expr})[1:1] || "
+        f"translate(regexp_replace(lower({expr})[2:], '[aeiouyhw]', '', 'g'),"
+        f" 'bfpvcgjkqsxzdtlmnr', '111122222222334556')[1:3]"
+    )
+
+
+def phonetic_part_match(
+    part: DataFrame, max_dist: int = PHONETIC_MAX_DIST
+) -> DataFrame:
+    """Record linkage round 2: block part names by the PHONETIC code of their
+    final word (sound-alike blocking — catches transcription typos attribute
+    blocking misses), then verify candidates with edit distance.
+
+    Same scale contract as fuzzy_part_match: the quadratic step is per
+    phonetic block (bounded by block size), candidates-only levenshtein, one
+    block-keyed shuffle."""
+    noun = F.element_at(F.split(F.col("p_name"), " "), -1)
+    named = part.select(
+        "p_partkey", "p_name", _phonetic_code(noun).alias("block")
+    )
+    a = named.select(
+        F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a"), "block"
+    )
+    b = named.select(
+        F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b"), "block"
+    )
+    return (
+        a.join(b, "block")
+        .where(
+            (F.col("key_a") < F.col("key_b"))
+            & (F.col("name_a") != F.col("name_b"))
+            & (F.levenshtein("name_a", "name_b") <= max_dist)
+        )
+        .select("name_a", "name_b", "block")
+        .distinct()
+        .orderBy("name_a", "name_b")
+    )
+
+
+def phonetic_part_match_sql(max_dist: int = PHONETIC_MAX_DIST) -> str:
+    noun = "string_split(p_name, ' ')[-1]"
+    return f"""
+        WITH named AS (
+            SELECT p_partkey, p_name, {_phonetic_code_sql(noun)} AS block
+            FROM part
+        )
+        SELECT DISTINCT a.p_name AS name_a, b.p_name AS name_b, a.block
+        FROM named a JOIN named b USING (block)
+        WHERE a.p_partkey < b.p_partkey
+          AND a.p_name <> b.p_name
+          AND levenshtein(a.p_name, b.p_name) <= {max_dist}
+        ORDER BY name_a, name_b
+    """

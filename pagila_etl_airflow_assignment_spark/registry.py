@@ -170,6 +170,9 @@ EXTENSION_SURVEY_ROWS: dict[str, tuple[str, ...]] = {
     "events_mad_outliers": ("L-104",),
     "warehouse_ivm_counting": ("L-105",),
     "embedding_random_projection": ("L-106",),
+    "warehouse_customer_set_ops": ("L-107",),
+    "warehouse_phonetic_match": ("L-108",),
+    "graph_bfs_distance": ("L-109",),
 }
 
 

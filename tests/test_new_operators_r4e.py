@@ -90,3 +90,51 @@ def test_random_projection_shape_and_linearity(spark):
     mat = emb._rp_sign_matrix()
     expect = [row[0] / math.sqrt(emb.RP_OUT_DIM) for row in mat]
     assert out[1] == expect
+
+
+def test_set_ops_retained_then_churned(spark):
+    orders = spark.createDataFrame(
+        [
+            (1, 1, dt.datetime(1996, 2, 1)),
+            (2, 1, dt.datetime(1997, 2, 1)),   # cust 1: active 96+97, not 98 -> kept
+            (3, 2, dt.datetime(1996, 3, 1)),   # cust 2: only 96 -> dropped
+            (4, 3, dt.datetime(1996, 4, 1)),
+            (5, 3, dt.datetime(1997, 4, 1)),
+            (6, 3, dt.datetime(1998, 4, 1)),   # cust 3: still active 98 -> dropped
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp",
+    )
+    from pagila_etl_airflow_assignment_spark.operators import warehouse
+
+    rows = warehouse.customer_activity_set_ops(orders).collect()
+    assert [r.o_custkey for r in rows] == [1]
+
+
+def test_phonetic_code_blocks_sound_alikes(spark):
+    from pagila_etl_airflow_assignment_spark.operators import warehouse
+
+    part = spark.createDataFrame(
+        [(1, "red bolt"), (2, "red bolte"), (3, "red washer")],
+        "p_partkey long, p_name string",
+    )
+    rows = warehouse.phonetic_part_match(part).collect()
+    assert [(r.name_a, r.name_b) for r in rows] == [("red bolt", "red bolte")]
+
+
+def test_bfs_hops_and_visited_exclusion(spark):
+    # chain 1-2-3-4-5 (each consecutive pair co-ordered twice); source = part 1?
+    # degree: interior nodes have degree 2, endpoints 1 -> max-degree tie goes
+    # to smallest partkey among degree-2 nodes = 2
+    rows = []
+    ok = 0
+    for a, b in [(1, 2), (2, 3), (3, 4), (4, 5)]:
+        rows += [(ok, a), (ok, b)]
+        ok += 1
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    from pagila_etl_airflow_assignment_spark.operators import graph
+
+    out = {r.node: r.hops for r in graph.bfs_hop_distance(li).collect()}
+    assert out[2] == 0
+    assert out[1] == 1 and out[3] == 1
+    assert out[4] == 2
+    assert out[5] == 3

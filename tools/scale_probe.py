@@ -89,6 +89,17 @@ PROBES = [
     "events_cm_estimates",
     "events_session_paths",
     "events_time_weighted_value",
+    # round-4d/4e additions: sketch registers, bounded-frame fold, interval
+    # attribution, prefix-filter candidates, wedge joins, median passes,
+    # zero-shuffle projections
+    "events_hll_distinct",
+    "events_ewma_value",
+    "events_attribution_linear",
+    "text_feature_hashing",
+    "dedup_prefix_filter_pairs",
+    "graph_triangle_census",
+    "events_mad_outliers",
+    "embedding_random_projection",
 ]
 
 
