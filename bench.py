@@ -82,6 +82,7 @@ HEADLINE = [
     "warehouse_product_profit",
     "warehouse_dominant_suppliers",
     "warehouse_ivm_counting",
+    "warehouse_golden_records",
     "embedding_random_projection",
     "warehouse_custdist",
     "warehouse_small_qty_revenue",

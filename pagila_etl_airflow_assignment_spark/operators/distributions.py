@@ -265,3 +265,125 @@ def mad_outlier_stats_sql(cutoff: float = MAD_CUTOFF) -> str:
         GROUP BY d.event_type
         ORDER BY d.event_type
     """
+
+
+# --- CUSUM drift chart --------------------------------------------------------
+
+
+def cusum_drift(events: DataFrame, h_sigmas: float = 3.0) -> DataFrame:
+    """CUSUM control chart over each type's DAILY mean value: cumulative sum
+    of deviations from the type's overall daily-mean level, flagged where it
+    exits ±h·σ — catching slow drifts a per-point z-score never sees (each
+    individual day looks fine; the accumulated bias does not).
+
+    Day grain makes the chart bounded (|types|·|days| rows): one exact
+    integer-cents day aggregate, a |types|-row level/σ aggregate broadcast
+    back, one ordered cumulative window per type (days arrive in order —
+    both engines fold the same sequence, so the running sum is
+    deterministic)."""
+    day = F.to_date("ts").alias("day")
+    daily = (
+        events.where(F.col("value").isNotNull())
+        .groupBy("event_type", day)
+        .agg(
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "event_type",
+            "day",
+            (F.col("cents").cast("double") / F.col("n").cast("double") / 100.0).alias(
+                "m"
+            ),
+        )
+    )
+    level = daily.groupBy("event_type").agg(
+        F.avg("m").alias("mu"), F.stddev_pop("m").alias("sigma")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        daily.join(F.broadcast(level), "event_type")
+        .select(
+            "event_type",
+            "day",
+            F.round("m", 6).alias("daily_mean"),
+            F.round(F.sum(F.col("m") - F.col("mu")).over(w), 6).alias("cusum"),
+            # compare ROUNDED magnitudes: a last-ulp σ difference between
+            # engines must not flip the flag at the boundary
+            (
+                F.abs(F.round(F.sum(F.col("m") - F.col("mu")).over(w), 6))
+                > F.round(F.lit(h_sigmas) * F.col("sigma"), 6)
+            ).alias("is_drift"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+def cusum_drift_sql(h_sigmas: float = 3.0) -> str:
+    return f"""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE) / 100.0 AS m
+            FROM events WHERE value IS NOT NULL
+            GROUP BY event_type, CAST(ts AS DATE)
+        ), level AS (
+            SELECT event_type, AVG(m) AS mu, stddev_pop(m) AS sigma
+            FROM daily GROUP BY event_type
+        )
+        SELECT d.event_type, day,
+               round(m, 6) AS daily_mean,
+               round(SUM(m - mu) OVER w, 6) AS cusum,
+               ABS(round(SUM(m - mu) OVER w, 6)) > round({h_sigmas} * sigma, 6) AS is_drift
+        FROM daily d JOIN level l ON d.event_type = l.event_type
+        WINDOW w AS (PARTITION BY d.event_type ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ORDER BY d.event_type, day
+    """
+
+
+# --- equi-depth histogram -----------------------------------------------------
+
+DEPTH_BUCKETS = 10
+
+
+def equidepth_histogram(
+    events: DataFrame, n_buckets: int = DEPTH_BUCKETS
+) -> DataFrame:
+    """Per-type equi-DEPTH histogram: ntile buckets of equal population with
+    their value ranges — the quantile twin of the equi-width
+    events_value_histogram (equal-width bins starve in the tails; equal-depth
+    bins ARE the empirical quantile function, what optimizers store as
+    statistics). Total order (value, event_id) makes the ntile assignment
+    deterministic; the window partitions per type, never globally."""
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        events.where(F.col("value").isNotNull())
+        .select("event_type", "value", F.ntile(n_buckets).over(w).alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 6).alias("lo"),
+            F.round(F.max("value"), 6).alias("hi"),
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+def equidepth_histogram_sql(n_buckets: int = DEPTH_BUCKETS) -> str:
+    return f"""
+        SELECT event_type, bucket, COUNT(*) AS n,
+               round(MIN(value), 6) AS lo, round(MAX(value), 6) AS hi
+        FROM (
+            SELECT event_type, value, event_id,
+                   ntile({n_buckets}) OVER (PARTITION BY event_type
+                                            ORDER BY value, event_id) AS bucket
+            FROM events WHERE value IS NOT NULL
+        )
+        GROUP BY event_type, bucket
+        ORDER BY event_type, bucket
+    """

@@ -1086,3 +1086,33 @@ def q_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded BFS: min-hop distance ≤3 from the max-degree part; unrolled
     frontier joins with anti-joined visited set."""
     return graph.bfs_hop_distance(load_table(spark, sf_dir, "lineitem"))
+
+
+@register("events_cuped_adjustment", oracle=stats.cuped_adjustment_sql())
+def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B means: pre-period covariate adjustment
+    y−θ(x−x̄) from exact integer sufficient statistics."""
+    return stats.cuped_adjustment(load_table(spark, sf_dir, "events"))
+
+
+@register("events_cusum_drift", oracle=distributions.cusum_drift_sql())
+def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM control chart of daily mean value per type: ordered cumulative
+    deviation from the level, flagged beyond ±3σ — slow-drift detection."""
+    return distributions.cusum_drift(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "events_equidepth_histogram", oracle=distributions.equidepth_histogram_sql()
+)
+def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile) histogram per type via deterministic ntile —
+    the statistics-grade twin of the equi-width histogram."""
+    return distributions.equidepth_histogram(load_table(spark, sf_dir, "events"))
+
+
+@register("warehouse_golden_records", oracle=warehouse.part_golden_records_sql())
+def q_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MDM golden records: phonetic blocking → edit-distance edges → the
+    SAME min-label CC used for document dedup → representative per entity."""
+    return warehouse.part_golden_records(load_table(spark, sf_dir, "part"))

@@ -798,3 +798,97 @@ def phonetic_part_match_sql(max_dist: int = PHONETIC_MAX_DIST) -> str:
           AND levenshtein(a.p_name, b.p_name) <= {max_dist}
         ORDER BY name_a, name_b
     """
+
+
+# --- golden records (MDM composition) -----------------------------------------
+
+
+def part_golden_records(part: DataFrame, max_dist: int = PHONETIC_MAX_DIST) -> DataFrame:
+    """Master-data golden records for part names: phonetic blocking →
+    candidates-only edit-distance edges → connected components → one
+    representative per entity cluster, with variant and row counts. The
+    classic MDM pipeline as a COMPOSITION of engine operators — the same
+    min-label CC that resolves near-dup documents (llm/dedup.py
+    dedup_clusters) runs unchanged on md5-keyed name nodes.
+
+    Scale: everything after the first aggregate runs on the DISTINCT-name
+    relation (entity grain, not row grain); blocking bounds the quadratic
+    step per phonetic block; CC converges on a scalar probe."""
+    from ..llm.dedup import dedup_clusters
+    from ..llm.hashing import md5_int
+
+    names = part.groupBy("p_name").agg(F.count("*").alias("n_parts"))
+    keyed = names.select("p_name", "n_parts", md5_int(F.col("p_name")).alias("nid"))
+    noun = F.element_at(F.split(F.col("p_name"), " "), -1)
+    blocked = keyed.select("nid", "p_name", _phonetic_code(noun).alias("block"))
+    a = blocked.select(
+        F.col("nid").alias("nid_a"), F.col("p_name").alias("name_a"), "block"
+    )
+    b = blocked.select(
+        F.col("nid").alias("nid_b"), F.col("p_name").alias("name_b"), "block"
+    )
+    pairs = (
+        a.join(b, "block")
+        .where(
+            (F.col("nid_a") < F.col("nid_b"))
+            & (F.levenshtein("name_a", "name_b") <= max_dist)
+        )
+        .select(F.col("nid_a").alias("doc_a"), F.col("nid_b").alias("doc_b"))
+        .distinct()
+    )
+    labels = dedup_clusters(keyed.select(F.col("nid").alias("doc_id")), pairs)
+    members = keyed.join(labels, keyed["nid"] == labels["doc_id"]).select(
+        "cluster_id", "p_name", "n_parts", "nid"
+    )
+    return (
+        members.groupBy("cluster_id")
+        .agg(
+            F.min(F.when(F.col("nid") == F.col("cluster_id"), F.col("p_name"))).alias(
+                "golden_name"
+            ),
+            F.count("*").alias("n_variants"),
+            F.sum("n_parts").alias("n_rows"),
+            F.array_sort(F.collect_list("p_name")).alias("variants"),
+        )
+        .select("golden_name", "n_variants", "n_rows", "variants")
+        .orderBy("golden_name")
+    )
+
+
+def part_golden_records_sql(max_dist: int = PHONETIC_MAX_DIST) -> str:
+    from ..llm.hashing import md5_int_sql
+
+    noun = "string_split(p_name, ' ')[-1]"
+    return f"""
+        WITH RECURSIVE names AS (
+            SELECT p_name, COUNT(*) AS n_parts FROM part GROUP BY p_name
+        ), keyed AS (
+            SELECT p_name, n_parts, {md5_int_sql('p_name')} AS nid FROM names
+        ), blocked AS (
+            SELECT nid, p_name, {_phonetic_code_sql(noun)} AS block FROM keyed
+        ), pairs AS (
+            SELECT DISTINCT a.nid AS doc_a, b.nid AS doc_b
+            FROM blocked a JOIN blocked b USING (block)
+            WHERE a.nid < b.nid AND levenshtein(a.p_name, b.p_name) <= {max_dist}
+        ), edges AS (
+            SELECT doc_a AS u, doc_b AS v FROM pairs
+            UNION ALL
+            SELECT doc_b AS u, doc_a AS v FROM pairs
+        ), reach(src, dst) AS (
+            SELECT nid, nid FROM keyed
+            UNION
+            SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.dst
+        ), labels AS (
+            SELECT src AS nid, MIN(dst) AS cluster_id FROM reach GROUP BY src
+        ), members AS (
+            SELECT cluster_id, k.p_name, k.n_parts, k.nid
+            FROM keyed k JOIN labels l ON k.nid = l.nid
+        )
+        SELECT MIN(CASE WHEN nid = cluster_id THEN p_name END) AS golden_name,
+               COUNT(*) AS n_variants,
+               SUM(n_parts) AS n_rows,
+               list(p_name ORDER BY p_name) AS variants
+        FROM members
+        GROUP BY cluster_id
+        ORDER BY golden_name
+    """

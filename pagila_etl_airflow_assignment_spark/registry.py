@@ -173,6 +173,10 @@ EXTENSION_SURVEY_ROWS: dict[str, tuple[str, ...]] = {
     "warehouse_customer_set_ops": ("L-107",),
     "warehouse_phonetic_match": ("L-108",),
     "graph_bfs_distance": ("L-109",),
+    "events_cuped_adjustment": ("L-110",),
+    "events_cusum_drift": ("L-111",),
+    "events_equidepth_histogram": ("L-112",),
+    "warehouse_golden_records": ("L-113",),
 }
 
 
@@ -190,6 +194,29 @@ EXTENSION_SURVEY_ROWS: dict[str, tuple[str, ...]] = {
 #      then previously-certified queries.
 # tools/verify_local.py always checks the FULL registry regardless of order.
 _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
+    # -- round-4 closing additions: one representative per genuinely-new
+    #    family (20 -> slots 1-20 this round; the other new TPC-H shapes and
+    #    variants sit in the remainder and rotate into r5) --
+    "text_sentence_split_udtf",
+    "warehouse_order_backlog",
+    "events_funnel_timebound",
+    "events_user_entropy",
+    "warehouse_segment_gini",
+    "events_variant_stats",
+    "events_hll_distinct",
+    "events_ewma_value",
+    "events_target_encoding",
+    "graph_triangle_census",
+    "events_attribution_linear",
+    "text_feature_hashing",
+    "dedup_prefix_filter_pairs",
+    "events_mad_outliers",
+    "warehouse_ivm_counting",
+    "embedding_random_projection",
+    "warehouse_customer_set_ops",
+    "warehouse_phonetic_match",
+    "graph_bfs_distance",
+    "warehouse_custdist",
     # -- never driver-certified through round 3 (30) --
     "text_quality_quantile",
     "dedup_cluster_representatives",
@@ -266,11 +293,18 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "events_welch_ab_test",
     "vocab_zipf_slope",
     "embedding_quantize_int8",
-    "warehouse_custdist",
     "warehouse_small_qty_revenue",
     "warehouse_top_supplier",
     "warehouse_returned_items",
     "warehouse_parts_supplier_counts",
+    "warehouse_forecast_revenue",
+    "warehouse_market_share",
+    "warehouse_product_profit",
+    "warehouse_dominant_suppliers",
+    "events_cuped_adjustment",
+    "events_cusum_drift",
+    "events_equidepth_histogram",
+    "warehouse_golden_records",
     # -- certified in r01/r02 only; code has changed since (14) --
     "warehouse_pricing_summary",
     "warehouse_star_join_revenue",

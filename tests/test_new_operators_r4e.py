@@ -138,3 +138,77 @@ def test_bfs_hops_and_visited_exclusion(spark):
     assert out[1] == 1 and out[3] == 1
     assert out[4] == 2
     assert out[5] == 3
+
+
+def test_cuped_preserves_pooled_mean_and_tightens(spark):
+    from pagila_etl_airflow_assignment_spark.operators import stats
+
+    # pre-period x strongly predicts post-period y; cohorts differ only
+    # through their x (selection), so CUPED pulls the adjusted means together
+    rows = []
+    for u in range(8):
+        base = 10.0 * (u % 4)
+        rows.append((u * 2, dt.datetime(2024, 1, 5), u, "a", base))        # pre
+        rows.append((u * 2 + 1, dt.datetime(2024, 1, 20), u, "a", base + 1.0))  # post
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = {r.cohort: r for r in stats.cuped_adjustment(ev).collect()}
+    assert set(out) == {0, 1}
+    # raw means differ (cohort 0 has x in {0,20}, cohort 1 in {10,30})
+    assert out[0].mean_raw != out[1].mean_raw
+    # theta ~= 1 (y = x + 1), so adjusted means collapse to the same value
+    assert abs(out[0].mean_cuped - out[1].mean_cuped) < 1e-6
+
+
+def test_cusum_flags_sustained_drift(spark):
+    from pagila_etl_airflow_assignment_spark.operators import distributions
+
+    # 20 days at 10.0, then 10 days at 11.0: each late day is only +~0.67
+    # from the overall level but the cumulative sum exits the band
+    rows = []
+    eid = 0
+    for d in range(1, 31):
+        v = 10.0 if d <= 20 else 11.0
+        for _ in range(3):
+            rows.append((eid, dt.datetime(2024, 1, d), 1, "a", v))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = distributions.cusum_drift(ev).collect()
+    assert any(r.is_drift for r in out)
+    # retrospective CUSUM centers on the POOLED level, so both segments
+    # accumulate deviation — but the first days are inside the band
+    assert not any(r.is_drift for r in out[:3])
+    assert out[-1].is_drift
+
+
+def test_equidepth_buckets_are_equal_population(spark):
+    from pagila_etl_airflow_assignment_spark.operators import distributions
+
+    ev = spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1), 1, "a", float(i)) for i in range(100)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    rows = distributions.equidepth_histogram(ev).collect()
+    assert len(rows) == 10
+    assert all(r.n == 10 for r in rows)
+    assert rows[0].lo == 0.0 and rows[-1].hi == 99.0
+
+
+def test_golden_records_merge_variants(spark):
+    from pagila_etl_airflow_assignment_spark.operators import warehouse
+
+    part = spark.createDataFrame(
+        [(1, "red bolt"), (2, "red bolte"), (3, "red bolt"), (4, "green gear")],
+        "p_partkey long, p_name string",
+    )
+    rows = {r.golden_name for r in warehouse.part_golden_records(part).collect()}
+    out = {r.golden_name: r for r in warehouse.part_golden_records(part).collect()}
+    merged = [r for r in out.values() if r.n_variants == 2]
+    assert len(merged) == 1
+    assert sorted(merged[0].variants) == ["red bolt", "red bolte"]
+    assert merged[0].n_rows == 3  # two 'red bolt' rows + one variant row
+    singleton = [r for r in out.values() if r.n_variants == 1]
+    assert singleton[0].golden_name == "green gear"
