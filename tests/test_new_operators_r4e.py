@@ -178,10 +178,12 @@ def test_cusum_flags_sustained_drift(spark):
     )
     out = distributions.cusum_drift(ev).collect()
     assert any(r.is_drift for r in out)
-    # retrospective CUSUM centers on the POOLED level, so both segments
-    # accumulate deviation — but the first days are inside the band
+    # retrospective CUSUM centers on the POOLED level: the first days are
+    # inside the band, |cusum| peaks AT the change point (day 20), and the
+    # chart returns to ~0 by the final day (deviations sum to zero)
     assert not any(r.is_drift for r in out[:3])
-    assert out[-1].is_drift
+    assert out[19].is_drift
+    assert not out[-1].is_drift
 
 
 def test_equidepth_buckets_are_equal_population(spark):
