@@ -252,3 +252,58 @@ def test_bloom_prefilter_feeds_candidates_only_anti_join(spark):
     plan = final_plan(queries()["dedup_incremental_bloom"](spark, SF_SMALL))
     assert plan.count("LeftAnti") == 1
     assert "bloom" in plan
+
+
+def test_q6_pushes_every_predicate_to_the_reader(spark):
+    """TPC-H Q6 is the pushdown probe: shipdate bounds, discount band and
+    quantity cap must all reach the parquet scan as PushedFilters."""
+    df = queries()["warehouse_forecast_revenue"](spark, SF_SMALL)
+    df.collect()
+    # AQE's final-plan section elides the FileScan node; PushedFilters lives
+    # in the full executed-plan string (scan details print under the stages)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PushedFilters: \[([^\]]*)", plan)
+    assert m, plan
+    pushed = m.group(1)
+    assert "l_discount" in pushed and "l_quantity" in pushed, pushed
+    # no join, one aggregate: the 1-row result needs no hash join anywhere
+    assert "Join" not in plan, plan
+
+
+def test_q10_topk_is_take_ordered_not_global_sort(spark):
+    plan = final_plan(queries()["warehouse_returned_items"](spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_ewma_is_single_user_shuffle_window_fold(spark):
+    """The EWMA frame fold must cost exactly one user_id exchange — no
+    second shuffle, no join."""
+    plan = final_plan(queries()["events_ewma_value"](spark, SF_SMALL))
+    assert "Join" not in plan, plan
+
+
+def test_target_encoding_broadcasts_the_type_aggregate(spark):
+    plan = final_plan(queries()["events_target_encoding"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_random_projection_is_zero_shuffle(spark):
+    """JL projection is narrow: folds per row, no exchange besides the
+    output sort."""
+    plan = final_plan(queries()["embedding_random_projection"](spark, SF_SMALL))
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_hll_registers_are_partial_aggregated(spark):
+    """The register build must show map-side partial max (two HashAggregate
+    levels around one exchange), so sketch merging is map-combined."""
+    plan = final_plan(queries()["events_hll_distinct"](spark, SF_SMALL))
+    assert len(re.findall(r"HashAggregate", plan)) >= 2, plan
+
+
+def test_prefix_filter_verify_never_broadcasts_doc_sets(spark):
+    """The candidate-verify joins carry the hinted shuffle-hash shape (the
+    jaccard-verify contract): the statically-underestimated candidate side
+    must stream, not build."""
+    plan = final_plan(queries()["dedup_prefix_filter_pairs"](spark, SF_SMALL))
+    assert "ShuffledHashJoin" in plan, plan
