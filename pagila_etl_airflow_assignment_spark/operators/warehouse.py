@@ -758,28 +758,25 @@ def phonetic_part_match(
     final word (sound-alike blocking — catches transcription typos attribute
     blocking misses), then verify candidates with edit distance.
 
-    Same scale contract as fuzzy_part_match: the quadratic step is per
-    phonetic block (bounded by block size), candidates-only levenshtein, one
-    block-keyed shuffle."""
+    Linkage runs on the DISTINCT-NAME relation, never row grain: names
+    dedupe first (entity resolution compares entities, and a row-grain block
+    self-join would be quadratic in rows-per-name — measured 22 s vs 0.5 s
+    at sf0.1, where 20k parts share 64 names). The quadratic step is per
+    phonetic block of distinct names, candidates-only levenshtein, one
+    block-keyed shuffle; name pairs are emitted once in canonical order."""
     noun = F.element_at(F.split(F.col("p_name"), " "), -1)
-    named = part.select(
-        "p_partkey", "p_name", _phonetic_code(noun).alias("block")
+    named = part.select("p_name").distinct().select(
+        "p_name", _phonetic_code(noun).alias("block")
     )
-    a = named.select(
-        F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a"), "block"
-    )
-    b = named.select(
-        F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b"), "block"
-    )
+    a = named.select(F.col("p_name").alias("name_a"), "block")
+    b = named.select(F.col("p_name").alias("name_b"), "block")
     return (
         a.join(b, "block")
         .where(
-            (F.col("key_a") < F.col("key_b"))
-            & (F.col("name_a") != F.col("name_b"))
+            (F.col("name_a") < F.col("name_b"))
             & (F.levenshtein("name_a", "name_b") <= max_dist)
         )
         .select("name_a", "name_b", "block")
-        .distinct()
         .orderBy("name_a", "name_b")
     )
 
@@ -788,19 +785,15 @@ def phonetic_part_match_sql(max_dist: int = PHONETIC_MAX_DIST) -> str:
     noun = "string_split(p_name, ' ')[-1]"
     return f"""
         WITH named AS (
-            SELECT p_partkey, p_name, {_phonetic_code_sql(noun)} AS block
-            FROM part
+            SELECT p_name, {_phonetic_code_sql(noun)} AS block
+            FROM (SELECT DISTINCT p_name FROM part)
         )
-        SELECT DISTINCT a.p_name AS name_a, b.p_name AS name_b, a.block
+        SELECT a.p_name AS name_a, b.p_name AS name_b, a.block
         FROM named a JOIN named b USING (block)
-        WHERE a.p_partkey < b.p_partkey
-          AND a.p_name <> b.p_name
+        WHERE a.p_name < b.p_name
           AND levenshtein(a.p_name, b.p_name) <= {max_dist}
         ORDER BY name_a, name_b
     """
-
-
-# --- golden records (MDM composition) -----------------------------------------
 
 
 def part_golden_records(part: DataFrame, max_dist: int = PHONETIC_MAX_DIST) -> DataFrame:
