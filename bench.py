@@ -84,6 +84,7 @@ HEADLINE = [
     "warehouse_ivm_counting",
     "warehouse_golden_records",
     "embedding_random_projection",
+    "embedding_product_quantization",
     "warehouse_custdist",
     "warehouse_small_qty_revenue",
     "warehouse_top_supplier",

@@ -624,7 +624,10 @@ def dedup_clusters(
             )
             .localCheckpoint(eager=True)
         )
-        cur_sum = labels.agg(F.sum("cluster_id")).first()[0]
+        # decimal(38,0): label ids can be 60-bit (md5-keyed nodes, e.g. the
+        # golden-records reuse) and an int64 sum overflows — fatally under
+        # the driver's bare ANSI session
+        cur_sum = labels.agg(F.sum(F.col("cluster_id").cast("decimal(38,0)"))).first()[0]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum

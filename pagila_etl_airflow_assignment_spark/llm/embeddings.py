@@ -334,3 +334,150 @@ def random_projection_sql(out_dim: int = RP_OUT_DIM) -> str:
         FROM embeddings
         ORDER BY vec_id
     """
+
+
+# --- product quantization -----------------------------------------------------
+
+PQ_SUBSPACES = 8  # 64 dims -> 8 subvectors of 8
+PQ_CODEBOOK = 16  # centroids per subspace -> 4-bit codes
+
+
+def product_quantization(
+    vectors: DataFrame, m_sub: int = PQ_SUBSPACES, k_codes: int = PQ_CODEBOOK
+) -> DataFrame:
+    """Product-quantization codes (Jégou et al., TPAMI 2011): each vector
+    compresses to ``m_sub`` 4-bit codebook indices — 64 floats → 8 half-byte
+    codes, the 64× memory cut that makes billion-vector ANN indexes fit RAM.
+
+    Codebooks are md5-ordered corpus samples per subspace (the IVF centroid
+    treatment — deterministic, no k-means dependency; a Lloyd refinement is
+    embedding_kmeans_step's job). The codebook relation is m_sub·k_codes
+    rows, broadcast; assignment is one min-struct aggregate per (vector,
+    subspace); distances fold sub-slices left-to-right and round at 9 dp
+    before the argmin so both engines pick identical codes; the quantization
+    error sums per-subspace distances in subspace order."""
+    from .hashing import md5_int
+
+    codebook = (
+        vectors.orderBy(md5_int(F.col("vec_id").cast("string")), "vec_id")
+        .limit(k_codes)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(md5_int(F.col("vec_id").cast("string")), "vec_id"))
+            .alias("code"),
+            "embedding",
+        )
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(m).alias("m"),
+                            F.col("code"),
+                            F.slice("embedding", m * 8 + 1, 8).alias("c_sub"),
+                        )
+                        for m in range(m_sub)
+                    ]
+                )
+            ).alias("cb")
+        )
+        .select("cb.m", "cb.code", "cb.c_sub")
+    )
+    subs = vectors.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice("embedding", m * 8 + 1, 8).alias("sub"),
+                    )
+                    for m in range(m_sub)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", "s.m", "s.sub")
+    dist = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("sub"),
+                F.col("c_sub"),
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        ),
+        9,
+    )
+    assigned = (
+        subs.join(F.broadcast(codebook), "m")
+        .select("vec_id", "m", F.struct(dist.alias("d"), F.col("code")).alias("cand"))
+        .groupBy("vec_id", "m")
+        .agg(F.min("cand").alias("best"))
+    )
+    return (
+        assigned.groupBy("vec_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("m", F.col("best.code").alias("code")))
+            ).alias("mc"),
+            F.array_sort(
+                F.collect_list(F.struct("m", F.col("best.d").alias("d")))
+            ).alias("md"),
+        )
+        .select(
+            "vec_id",
+            F.transform(F.col("mc"), lambda s: s["code"]).alias("codes"),
+            F.round(
+                F.aggregate(
+                    F.transform(F.col("md"), lambda s: s["d"]),
+                    F.lit(0.0),
+                    lambda acc, t: acc + t,
+                ),
+                6,
+            ).alias("quant_error"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def product_quantization_sql(
+    m_sub: int = PQ_SUBSPACES, k_codes: int = PQ_CODEBOOK
+) -> str:
+    from .hashing import md5_int_sql
+
+    return f"""
+        WITH sampled AS (
+            SELECT ROW_NUMBER() OVER (
+                       ORDER BY {md5_int_sql("CAST(vec_id AS VARCHAR)")}, vec_id
+                   ) AS code, embedding
+            FROM embeddings
+            ORDER BY {md5_int_sql("CAST(vec_id AS VARCHAR)")}, vec_id
+            LIMIT {k_codes}
+        ), codebook AS (
+            SELECT m, code, embedding[m * 8 + 1 : m * 8 + 8] AS c_sub
+            FROM sampled, (SELECT unnest(range(0, {m_sub})) AS m)
+        ), subs AS (
+            SELECT vec_id, m, embedding[m * 8 + 1 : m * 8 + 8] AS sub
+            FROM embeddings, (SELECT unnest(range(0, {m_sub})) AS m)
+        ), scored AS (
+            SELECT vec_id, s.m,
+                   round(list_sum(list_transform(range(1, 9),
+                       i -> (CAST(sub[i] AS DOUBLE) - CAST(c_sub[i] AS DOUBLE))
+                            * (CAST(sub[i] AS DOUBLE) - CAST(c_sub[i] AS DOUBLE)))), 9)
+                       AS d,
+                   code
+            FROM subs s JOIN codebook c ON s.m = c.m
+        ), best AS (
+            SELECT vec_id, m,
+                   MIN(struct_pack(d := d, code := code)) AS b
+            FROM scored GROUP BY vec_id, m
+        )
+        SELECT vec_id,
+               list(b.code ORDER BY m) AS codes,
+               round(list_sum(list(b.d ORDER BY m)), 6) AS quant_error
+        FROM best
+        GROUP BY vec_id
+        ORDER BY vec_id
+    """

@@ -476,3 +476,21 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson-Lindenstrauss ±1 random projection 64→16: fixed md5-derived
     sign matrix, zero-shuffle JVM folds, bit-identical to the SQL oracle."""
     return embeddings_mod.random_projection(load_table(spark, sf_dir, "embeddings"))
+
+
+@register("text_readability", oracle=text.READABILITY_SCORES_SQL)
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-style readability features: vowel-group syllables, terminal-
+    punctuation sentences — zero-shuffle regexp arithmetic."""
+    return text.readability_scores(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "embedding_product_quantization",
+    oracle=embeddings_mod.product_quantization_sql(),
+)
+def q_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: 64 floats → 8 four-bit codes via md5-sampled
+    per-subspace codebooks; rounded-distance argmin keeps codes
+    engine-identical; the 64× index-compression step under billion-vector ANN."""
+    return embeddings_mod.product_quantization(load_table(spark, sf_dir, "embeddings"))

@@ -631,3 +631,58 @@ def feature_hash_vectors_sql(dim: int = FEATHASH_DIM) -> str:
         FROM packed
         ORDER BY doc_id
     """
+
+
+# --- readability scoring ------------------------------------------------------
+
+
+def readability_scores(docs: DataFrame) -> DataFrame:
+    """Flesch-style readability features per document: word/sentence/syllable
+    counts and the reading-ease score — a standard pretraining quality signal
+    (too-hard and degenerate text both score far from prose).
+
+    Syllables use the vowel-group approximation (runs of [aeiouy] per word);
+    sentences count terminal-punctuation runs (min 1 — headlines have no
+    period). Pure regexp_count arithmetic: narrow, zero-shuffle, identical
+    RE2-safe patterns in both engines; the score is fixed-constant double
+    arithmetic on exact integer counts, rounded at 6 dp."""
+    norm = _norm(F.col("text"))
+    words = F.greatest(F.regexp_count(norm, F.lit(r"[a-z0-9']+")), F.lit(1)).cast(
+        "long"
+    )
+    sentences = F.greatest(
+        F.regexp_count(F.col("text"), F.lit(r"[.!?]+")), F.lit(1)
+    ).cast("long")
+    syllables = F.greatest(F.regexp_count(norm, F.lit(r"[aeiouy]+")), F.lit(1)).cast(
+        "long"
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (words.cast("double") / sentences.cast("double"))
+        - F.lit(84.6) * (syllables.cast("double") / words.cast("double"))
+    )
+    return docs.select(
+        "doc_id",
+        words.alias("n_words"),
+        sentences.alias("n_sentences"),
+        syllables.alias("n_syllables"),
+        F.round(flesch, 6).alias("flesch_score"),
+    ).orderBy("doc_id")
+
+
+READABILITY_SCORES_SQL = rf"""
+    SELECT doc_id,
+           GREATEST(len(regexp_extract_all({_norm_sql('text')}, '[a-z0-9'']+')), 1)
+               AS n_words,
+           GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+           GREATEST(len(regexp_extract_all({_norm_sql('text')}, '[aeiouy]+')), 1)
+               AS n_syllables,
+           round(206.835
+                 - 1.015 * (CAST(GREATEST(len(regexp_extract_all({_norm_sql('text')}, '[a-z0-9'']+')), 1) AS DOUBLE)
+                            / CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS DOUBLE))
+                 - 84.6 * (CAST(GREATEST(len(regexp_extract_all({_norm_sql('text')}, '[aeiouy]+')), 1) AS DOUBLE)
+                           / CAST(GREATEST(len(regexp_extract_all({_norm_sql('text')}, '[a-z0-9'']+')), 1) AS DOUBLE)), 6)
+               AS flesch_score
+    FROM documents
+    ORDER BY doc_id
+"""

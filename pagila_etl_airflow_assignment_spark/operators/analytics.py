@@ -526,3 +526,69 @@ def funnel_timebound_sql(
                (SELECT COUNT(*) FROM st1) AS n_{s1},
                (SELECT COUNT(*) FROM st2) AS n_{s2}
     """
+
+
+# --- RFM segmentation ---------------------------------------------------------
+
+RFM_BUCKETS = 5
+
+
+def rfm_segments(events: DataFrame, n_buckets: int = RFM_BUCKETS) -> DataFrame:
+    """RFM (recency / frequency / monetary) quintile segmentation of
+    purchasers — the classic CRM grid, scored per user as three independent
+    ntile ranks over the purchase history.
+
+    One user-grain aggregate (the only fact shuffle), then three global
+    ntile windows over the |users| relation. Global-order windows are
+    banned over fact data (sequence-packing rule) but |users| is the
+    REDUCED grain — at deployment scale the same three windows partition by
+    a coarse hash stripe and quantile boundaries broadcast (the
+    customer-deciles treatment); fixture-size keeps the literal grid. Ties
+    break on user_id for a total order, so every score is deterministic."""
+    per_user = (
+        events.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_purchase"),
+            F.count("*").alias("frequency"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("monetary_cents"),
+        )
+    )
+    r_w = Window.orderBy(F.desc("last_purchase"), "user_id")  # most recent -> 1
+    f_w = Window.orderBy(F.desc("frequency"), "user_id")
+    m_w = Window.orderBy(F.desc("monetary_cents"), "user_id")
+    scored = per_user.select(
+        "user_id",
+        F.ntile(n_buckets).over(r_w).alias("r_score"),
+        F.ntile(n_buckets).over(f_w).alias("f_score"),
+        F.ntile(n_buckets).over(m_w).alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+def rfm_segments_sql(n_buckets: int = RFM_BUCKETS) -> str:
+    return f"""
+        WITH per_user AS (
+            SELECT user_id, MAX(ts) AS last_purchase, COUNT(*) AS frequency,
+                   SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS monetary_cents
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id
+        ), scored AS (
+            SELECT user_id,
+                   ntile({n_buckets}) OVER (ORDER BY last_purchase DESC, user_id)
+                       AS r_score,
+                   ntile({n_buckets}) OVER (ORDER BY frequency DESC, user_id)
+                       AS f_score,
+                   ntile({n_buckets}) OVER (ORDER BY monetary_cents DESC, user_id)
+                       AS m_score
+            FROM per_user
+        )
+        SELECT r_score, f_score, m_score, COUNT(*) AS n_users
+        FROM scored
+        GROUP BY r_score, f_score, m_score
+        ORDER BY r_score, f_score, m_score
+    """

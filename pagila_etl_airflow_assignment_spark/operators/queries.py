@@ -1116,3 +1116,10 @@ def q_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MDM golden records: phonetic blocking → edit-distance edges → the
     SAME min-label CC used for document dedup → representative per entity."""
     return warehouse.part_golden_records(load_table(spark, sf_dir, "part"))
+
+
+@register("events_rfm_segments", oracle=analytics.rfm_segments_sql())
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quintile grid over purchasers: one fact shuffle to user grain,
+    three deterministic ntile windows on the reduced relation."""
+    return analytics.rfm_segments(load_table(spark, sf_dir, "events"))

@@ -45,6 +45,7 @@ MODULE_COVERAGE: dict[str, str] = {
     "O-14": "built-in Catalyst (ConstantFolding; no engine code needed)",
     # L-rows implemented as modules (no pure-query form)
     "L-94": "sources/ledger.py (file-ingestion ledger; exactly-once pinned by tests/test_file_sources.py)",
+    "L-117": "streaming/sketch.py streaming_hll_registers (stream==batch register differential pinned by tests/test_ivm_stats.py)",
 }
 
 
@@ -177,6 +178,9 @@ EXTENSION_SURVEY_ROWS: dict[str, tuple[str, ...]] = {
     "events_cusum_drift": ("L-111",),
     "events_equidepth_histogram": ("L-112",),
     "warehouse_golden_records": ("L-113",),
+    "events_rfm_segments": ("L-114",),
+    "text_readability": ("L-115",),
+    "embedding_product_quantization": ("L-116",),
 }
 
 
@@ -305,6 +309,9 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "events_cusum_drift",
     "events_equidepth_histogram",
     "warehouse_golden_records",
+    "events_rfm_segments",
+    "text_readability",
+    "embedding_product_quantization",
     # -- certified in r01/r02 only; code has changed since (14) --
     "warehouse_pricing_summary",
     "warehouse_star_join_revenue",

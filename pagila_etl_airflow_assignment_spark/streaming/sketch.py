@@ -34,3 +34,31 @@ def streaming_cm_sketch(
         .groupBy(F.col("c.row").alias("row"), F.col("c.col").alias("col"))
         .agg(F.count("*").alias("n"))
     )
+
+
+def streaming_hll_registers(
+    spark: SparkSession, events_path: str
+) -> DataFrame:
+    """HLL max-rank registers maintained incrementally over the event stream.
+
+    MAX is the ideal streaming aggregate: idempotent (replays are free) and
+    mergeable, so the register table stays current with state capped at
+    |types|·64 rows forever — the streaming twin of the batch register build
+    inside operators/hll.py, and the reason HLL (not exact distinct) is what
+    streams carry for cardinality. Differential contract: stream registers
+    after availableNow == the batch registers (tests/test_ivm_stats.py)."""
+    from ..operators.hll import _bucket, _rank
+
+    sdf = events_stream(spark, events_path)
+    hexed = sdf.select(
+        "event_type", F.md5(F.col("user_id").cast("string")).alias("kh")
+    )
+    return (
+        hexed.select(
+            "event_type",
+            _bucket(F.col("kh")).alias("bucket"),
+            _rank(F.col("kh")).alias("r"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.max("r").alias("m"))
+    )

@@ -198,3 +198,34 @@ def test_funnel_timebound_enforces_deadline(spark):
 
     out = funnel_user_stages_timebound(_events(spark, rows)).collect()[0]
     assert (out.n_view, out.n_click, out.n_purchase) == (2, 1, 1)
+
+
+def test_streaming_hll_registers_equal_batch(spark, events_dir):
+    from pagila_etl_airflow_assignment_spark.operators.hll import _bucket, _rank
+    from pagila_etl_airflow_assignment_spark.streaming.sketch import (
+        streaming_hll_registers,
+    )
+
+    q = (
+        streaming_hll_registers(spark, events_dir)
+        .writeStream.format("memory")
+        .queryName("hll_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt-hll-"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(tuple(r) for r in spark.table("hll_stream").collect())
+    ev = load_table(spark, SF_SMALL, "events")
+    hexed = ev.select("event_type", F.md5(F.col("user_id").cast("string")).alias("kh"))
+    want = sorted(
+        tuple(r)
+        for r in hexed.select(
+            "event_type", _bucket(F.col("kh")).alias("bucket"), _rank(F.col("kh")).alias("r")
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.max("r").alias("m"))
+        .collect()
+    )
+    assert got == want and len(got) > 0
