@@ -385,3 +385,99 @@ def zipf_slope_sql(k: int = ZIPF_TOP_K, docs_rel: str = "documents") -> str:
                    AS zipf_intercept
         FROM pts
     """
+
+
+# --- bigram LM with stupid backoff --------------------------------------------
+
+BACKOFF_ALPHA = 0.4
+LM_TRAIN_MOD = 2  # doc_id % 2 == 0 trains the model; all docs are scored
+
+
+def bigram_backoff_logprob(
+    docs: DataFrame, alpha: float = BACKOFF_ALPHA, train_mod: int = LM_TRAIN_MOD
+) -> DataFrame:
+    """Per-document mean negative log-score under a bigram model with Stupid
+    Backoff (Brants et al., EMNLP 2007 — the count-ratio backoff that made
+    web-scale LMs tractable: no discounting state, just S(w₂|w₁) =
+    c(w₁w₂)/c(w₁), backing off to α·c(w₂)/N when the bigram is unseen).
+
+    The model trains on the even-doc_id half and scores EVERY document, so
+    the backoff branch genuinely fires on held-out bigrams (a same-corpus
+    model would never back off). Model relations are (term, count)
+    aggregates joined back on the gram keys — the unigram_logprob shape one
+    order up; unseen words floor at c = 1 (out-of-vocabulary words would
+    otherwise score -ln(0))."""
+    uni = grams(docs, 1).withColumnRenamed("gram", "w")
+    big = grams(docs, 2).withColumnRenamed("gram", "bg")
+    train_uni = uni.where(F.col("doc_id") % train_mod == 0)
+    train_big = big.where(F.col("doc_id") % train_mod == 0)
+    cu = train_uni.groupBy("w").agg(F.count("*").alias("cu"))
+    cb = train_big.groupBy("bg").agg(F.count("*").alias("cb"))
+    total = train_uni.agg(F.count("*").alias("n_train"))
+    w1 = F.split(F.col("bg"), " ")[0]
+    w2 = F.split(F.col("bg"), " ")[1]
+    scored = (
+        big.select("doc_id", "bg", w1.alias("w1"), w2.alias("w2"))
+        .join(cb.hint("shuffle_hash"), "bg", "left")
+        .join(cu.select(F.col("w").alias("w1"), F.col("cu").alias("cu1")), "w1", "left")
+        .join(cu.select(F.col("w").alias("w2"), F.col("cu").alias("cu2")), "w2", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.when(
+                F.col("cb").isNotNull() & F.col("cu1").isNotNull(),
+                F.col("cb").cast("double") / F.col("cu1").cast("double"),
+            )
+            .otherwise(
+                F.lit(alpha)
+                * F.coalesce(F.col("cu2"), F.lit(1)).cast("double")
+                / F.col("n_train").cast("double")
+            )
+            .alias("s"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.sum(-F.log("s")) / F.count("*"), 6).alias("avg_neg_logscore"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def bigram_backoff_logprob_sql(
+    alpha: float = BACKOFF_ALPHA,
+    train_mod: int = LM_TRAIN_MOD,
+    docs_rel: str = "documents",
+) -> str:
+    return f"""
+        WITH uni AS (SELECT doc_id, gram AS w FROM ({grams_sql(1, docs_rel)})),
+        big AS (SELECT doc_id, gram AS bg FROM ({grams_sql(2, docs_rel)})),
+        cu AS (SELECT w, COUNT(*) AS cu FROM uni
+               WHERE doc_id % {train_mod} = 0 GROUP BY w),
+        cb AS (SELECT bg, COUNT(*) AS cb FROM big
+               WHERE doc_id % {train_mod} = 0 GROUP BY bg),
+        total AS (SELECT COUNT(*) AS n_train FROM uni WHERE doc_id % {train_mod} = 0),
+        scored AS (
+            SELECT doc_id,
+                   CASE WHEN cb IS NOT NULL AND cu1.cu IS NOT NULL
+                        THEN CAST(cb AS DOUBLE) / CAST(cu1.cu AS DOUBLE)
+                        ELSE {alpha} * CAST(COALESCE(cu2.cu, 1) AS DOUBLE)
+                             / CAST(n_train AS DOUBLE)
+                   END AS s
+            FROM (SELECT doc_id, bg,
+                         string_split(bg, ' ')[1] AS w1,
+                         string_split(bg, ' ')[2] AS w2
+                  FROM big) b
+            LEFT JOIN cb USING (bg)
+            LEFT JOIN cu cu1 ON b.w1 = cu1.w
+            LEFT JOIN cu cu2 ON b.w2 = cu2.w
+            CROSS JOIN total
+        )
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+               round(SUM(-ln(s)) / COUNT(*), 6) AS avg_neg_logscore
+        FROM scored
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """

@@ -494,3 +494,11 @@ def q_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-subspace codebooks; rounded-distance argmin keeps codes
     engine-identical; the 64× index-compression step under billion-vector ANN."""
     return embeddings_mod.product_quantization(load_table(spark, sf_dir, "embeddings"))
+
+
+@register("text_bigram_backoff", oracle=corpus_stats.bigram_backoff_logprob_sql())
+def q_bigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM with Stupid Backoff trained on the even-doc half: held-out
+    bigrams exercise the α·c(w)/N backoff branch; all model relations are
+    term-keyed aggregates, no driver model object."""
+    return corpus_stats.bigram_backoff_logprob(load_table(spark, sf_dir, "documents"))

@@ -127,3 +127,100 @@ def cm_estimate_topk_sql(
         GROUP BY user_id, true_n
         ORDER BY true_n DESC, user_id
     """
+
+
+def cm_join_size_estimate(
+    events: DataFrame,
+    type_a: str = "click",
+    type_b: str = "purchase",
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+) -> DataFrame:
+    """Equi-join cardinality estimation from two Count-Min sketches (the
+    AMS-style inner-product estimate): |A ⋈_k B| = Σ_k f_A(k)·f_B(k), and the
+    row-wise dot product of two CM rows overestimates exactly that — take the
+    MIN over the d rows. The planner-side use: estimate a join's output size
+    from two 8 KB summaries without touching either table.
+
+    Both sketches build from one conditional pass over events (shared scan);
+    the dot product is a ≤ d·w-row join keyed (row, col); the exact answer —
+    a full key-frequency join — rides along for the accuracy report.
+    One-sided error (estimate ≥ exact) is pinned by a property test."""
+    cells_a = (
+        events.where(F.col("event_type") == type_a)
+        .select(F.explode(_cells(F.col("user_id"), depth, width)).alias("c"))
+        .groupBy(F.col("c.row").alias("row"), F.col("c.col").alias("col"))
+        .agg(F.count("*").alias("n_a"))
+    )
+    cells_b = (
+        events.where(F.col("event_type") == type_b)
+        .select(F.explode(_cells(F.col("user_id"), depth, width)).alias("c"))
+        .groupBy(F.col("c.row").alias("row"), F.col("c.col").alias("col"))
+        .agg(F.count("*").alias("n_b"))
+    )
+    est = (
+        cells_a.join(cells_b, ["row", "col"])
+        .groupBy("row")
+        .agg(F.sum(F.col("n_a") * F.col("n_b")).alias("dot"))
+        .agg(F.min("dot").alias("cm_join_size"))
+    )
+    fa = (
+        events.where(F.col("event_type") == type_a)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("fa"))
+    )
+    fb = (
+        events.where(F.col("event_type") == type_b)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("fb"))
+    )
+    exact = fa.join(fb, "user_id").agg(
+        F.sum(F.col("fa") * F.col("fb")).alias("exact_join_size")
+    )
+    return est.crossJoin(exact).select("cm_join_size", "exact_join_size")
+
+
+def cm_join_size_estimate_sql(
+    type_a: str = "click",
+    type_b: str = "purchase",
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+) -> str:
+    from ..llm.hashing import HASH_P, md5_int_sql, universal_hash_sql, universal_params
+
+    h = f"({md5_int_sql('CAST(user_id AS VARCHAR)')} % {HASH_P})"
+
+    def cells(tname: str) -> str:
+        arms = " UNION ALL ".join(
+            f"SELECT {i} AS row, ({universal_hash_sql('h', a, b)} % {width}) AS col "
+            f"FROM hashed_{tname}"
+            for i, (a, b) in enumerate(universal_params(depth))
+        )
+        return arms
+
+    return f"""
+        WITH hashed_a AS (
+            SELECT {h} AS h FROM events WHERE event_type = '{type_a}'
+        ), hashed_b AS (
+            SELECT {h} AS h FROM events WHERE event_type = '{type_b}'
+        ), cells_a AS (
+            SELECT row, col, COUNT(*) AS n_a FROM ({cells('a')}) GROUP BY row, col
+        ), cells_b AS (
+            SELECT row, col, COUNT(*) AS n_b FROM ({cells('b')}) GROUP BY row, col
+        ), est AS (
+            SELECT MIN(dot) AS cm_join_size FROM (
+                SELECT row, SUM(n_a * n_b) AS dot
+                FROM cells_a JOIN cells_b USING (row, col)
+                GROUP BY row
+            )
+        ), exact AS (
+            SELECT SUM(fa * fb) AS exact_join_size FROM (
+                SELECT user_id, COUNT(*) AS fa FROM events
+                WHERE event_type = '{type_a}' GROUP BY user_id
+            ) a JOIN (
+                SELECT user_id, COUNT(*) AS fb FROM events
+                WHERE event_type = '{type_b}' GROUP BY user_id
+            ) b USING (user_id)
+        )
+        SELECT cm_join_size, exact_join_size FROM est CROSS JOIN exact
+    """

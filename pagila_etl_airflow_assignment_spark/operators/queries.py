@@ -1123,3 +1123,11 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM quintile grid over purchasers: one fact shuffle to user grain,
     three deterministic ntile windows on the reduced relation."""
     return analytics.rfm_segments(load_table(spark, sf_dir, "events"))
+
+
+@register("events_cm_join_size", oracle=cmsketch.cm_join_size_estimate_sql())
+def q_cm_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS-style join-cardinality estimate from two CM sketches (row-wise
+    dot, min over rows) beside the exact Σ f_a·f_b — planner-grade size
+    estimation from 8 KB summaries."""
+    return cmsketch.cm_join_size_estimate(load_table(spark, sf_dir, "events"))

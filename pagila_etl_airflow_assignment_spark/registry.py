@@ -181,6 +181,8 @@ EXTENSION_SURVEY_ROWS: dict[str, tuple[str, ...]] = {
     "events_rfm_segments": ("L-114",),
     "text_readability": ("L-115",),
     "embedding_product_quantization": ("L-116",),
+    "events_cm_join_size": ("L-118",),
+    "text_bigram_backoff": ("L-119",),
 }
 
 
@@ -312,6 +314,8 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "events_rfm_segments",
     "text_readability",
     "embedding_product_quantization",
+    "events_cm_join_size",
+    "text_bigram_backoff",
     # -- certified in r01/r02 only; code has changed since (14) --
     "warehouse_pricing_summary",
     "warehouse_star_join_revenue",

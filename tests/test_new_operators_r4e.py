@@ -214,3 +214,47 @@ def test_golden_records_merge_variants(spark):
     assert merged[0].n_rows == 3  # two 'red bolt' rows + one variant row
     singleton = [r for r in out.values() if r.n_variants == 1]
     assert singleton[0].golden_name == "green gear"
+
+
+def test_cm_join_size_is_one_sided_overestimate(spark):
+    from pagila_etl_airflow_assignment_spark.operators import cmsketch
+
+    rows = []
+    for u in range(30):
+        for _ in range(u % 3 + 1):
+            rows.append((len(rows), dt.datetime(2024, 1, 1), u, "click", 1.0))
+        if u % 2 == 0:
+            rows.append((len(rows), dt.datetime(2024, 1, 2), u, "purchase", 1.0))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = cmsketch.cm_join_size_estimate(ev).collect()[0]
+    exact = sum((u % 3 + 1) for u in range(30) if u % 2 == 0)
+    assert out.exact_join_size == exact
+    assert out.cm_join_size >= out.exact_join_size  # one-sided by construction
+
+
+def test_bigram_backoff_fires_on_heldout_bigrams(spark):
+    from pagila_etl_airflow_assignment_spark.llm import corpus_stats
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat sat"),   # trains: bigrams "the cat", "cat sat"
+            (2, "the cat ran"),   # trains: "the cat", "cat ran"
+            (1, "the cat sat"),   # scored, all bigrams in-model
+            (3, "dog cat sat"),   # "dog cat" unseen -> backoff on c("cat")
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in corpus_stats.bigram_backoff_logprob(docs).collect()}
+    assert out[1].n_bigrams == 2
+    # doc 3's unseen bigram scores via backoff: 0.4 * c(cat)/N = 0.4*2/6
+    import math
+
+    s_seen_the_cat = 2 / 2  # c("the cat")=2 / c("the")=2
+    s_cat_sat = 1 / 2
+    expect1 = round(-(math.log(s_seen_the_cat) + math.log(s_cat_sat)) / 2, 6)
+    assert abs(out[1].avg_neg_logscore - expect1) < 1e-6
+    s_backoff = 0.4 * 2 / 6
+    expect3 = round(-(math.log(s_backoff) + math.log(s_cat_sat)) / 2, 6)
+    assert abs(out[3].avg_neg_logscore - expect3) < 1e-6
