@@ -85,6 +85,9 @@ HEADLINE = [
     "warehouse_golden_records",
     "embedding_random_projection",
     "embedding_product_quantization",
+    "embedding_similarity_profile",
+    "graph_link_prediction",
+    "warehouse_fd_profile",
     "warehouse_custdist",
     "warehouse_small_qty_revenue",
     "warehouse_top_supplier",

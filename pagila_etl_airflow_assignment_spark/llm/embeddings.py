@@ -481,3 +481,109 @@ def product_quantization_sql(
         GROUP BY vec_id
         ORDER BY vec_id
     """
+
+
+# --- embedding-space health profile -------------------------------------------
+
+SIM_PROFILE_BINS = 20
+
+
+def similarity_profile(
+    vectors: DataFrame, n_bins: int = SIM_PROFILE_BINS
+) -> DataFrame:
+    """Histogram of cosine similarity over a deterministic pseudo-random
+    pairing of the corpus — the embedding-space health check (a collapsed
+    encoder shows mass piled at cosine ≈ 1; healthy spaces spread): each
+    vector pairs with its md5-rank neighbor (even rank = left, odd = right),
+    giving |corpus|/2 disjoint pairs with no self-join fan-out and no
+    driver-side count.
+
+    One rank window over md5 order (ties impossible — vec_id tiebreak),
+    one equi-join on the pair index, narrow cosine folds, one ≤n_bins-row
+    aggregate. No sampling randomness: backfills reproduce the identical
+    profile."""
+    from .hashing import md5_int
+
+    w = Window.orderBy(md5_int(F.col("vec_id").cast("string")), "vec_id")
+    ranked = vectors.select(
+        "vec_id", "embedding", (F.row_number().over(w) - 1).alias("rk")
+    )
+    lo = ranked.where(F.col("rk") % 2 == 0).select(
+        (F.col("rk") / 2).cast("long").alias("pair_id"),
+        F.col("embedding").alias("emb_a"),
+    )
+    hi = ranked.where(F.col("rk") % 2 == 1).select(
+        ((F.col("rk") - 1) / 2).cast("long").alias("pair_id"),
+        F.col("embedding").alias("emb_b"),
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("emb_a"), F.col("emb_b"), lambda x, y: x.cast("double") * y.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    nrm = lambda c: F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+    )
+    cos = F.round(dot / (nrm(F.col("emb_a")) * nrm(F.col("emb_b"))), 9)
+    binned = (
+        lo.join(hi, "pair_id")
+        .select(
+            F.least(
+                F.floor((cos + 1.0) / 2.0 * n_bins).cast("int"), F.lit(n_bins - 1)
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+    return binned.select(
+        "bin",
+        F.round(F.col("bin") * 2.0 / n_bins - 1.0, 6).alias("cos_lo"),
+        F.round((F.col("bin") + 1) * 2.0 / n_bins - 1.0, 6).alias("cos_hi"),
+        "n_pairs",
+    ).orderBy("bin")
+
+
+def similarity_profile_sql(n_bins: int = SIM_PROFILE_BINS) -> str:
+    from .hashing import md5_int_sql
+
+    dot = (
+        "list_sum(list_transform(range(1, 65), "
+        "i -> CAST(a.emb_a[i] AS DOUBLE) * CAST(b.emb_b[i] AS DOUBLE)))"
+    )
+    nrm = lambda side, col: (
+        f"sqrt(list_sum(list_transform(range(1, 65), "
+        f"i -> CAST({side}.{col}[i] AS DOUBLE) * CAST({side}.{col}[i] AS DOUBLE))))"
+    )
+    return f"""
+        WITH ranked AS (
+            SELECT vec_id, embedding,
+                   ROW_NUMBER() OVER (
+                       ORDER BY {md5_int_sql("CAST(vec_id AS VARCHAR)")}, vec_id
+                   ) - 1 AS rk
+            FROM embeddings
+        ), lo AS (
+            SELECT rk // 2 AS pair_id, embedding AS emb_a
+            FROM ranked WHERE rk % 2 = 0
+        ), hi AS (
+            SELECT (rk - 1) // 2 AS pair_id, embedding AS emb_b
+            FROM ranked WHERE rk % 2 = 1
+        ), cosined AS (
+            SELECT LEAST(CAST(FLOOR((round({dot}
+                       / ({nrm('a', 'emb_a')} * {nrm('b', 'emb_b')}), 9) + 1.0)
+                       / 2.0 * {n_bins}) AS INT), {n_bins - 1}) AS bin
+            FROM lo a JOIN hi b USING (pair_id)
+        )
+        SELECT bin,
+               round(bin * 2.0 / {n_bins} - 1.0, 6) AS cos_lo,
+               round((bin + 1) * 2.0 / {n_bins} - 1.0, 6) AS cos_hi,
+               COUNT(*) AS n_pairs
+        FROM cosined
+        GROUP BY bin
+        ORDER BY bin
+    """

@@ -502,3 +502,14 @@ def q_bigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigrams exercise the α·c(w)/N backoff branch; all model relations are
     term-keyed aggregates, no driver model object."""
     return corpus_stats.bigram_backoff_logprob(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "embedding_similarity_profile",
+    oracle=embeddings_mod.similarity_profile_sql(),
+)
+def q_similarity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space health histogram: cosine over md5-paired disjoint
+    vector pairs, 20 fixed bins — encoder-collapse detection with zero
+    sampling randomness."""
+    return embeddings_mod.similarity_profile(load_table(spark, sf_dir, "embeddings"))

@@ -387,3 +387,108 @@ def equidepth_histogram_sql(n_buckets: int = DEPTH_BUCKETS) -> str:
         GROUP BY event_type, bucket
         ORDER BY event_type, bucket
     """
+
+
+# --- seasonal decomposition ---------------------------------------------------
+
+
+def seasonal_decompose_hourly(events: DataFrame) -> DataFrame:
+    """Additive seasonal decomposition of each type's hourly value series:
+    level (overall mean), per-hour-of-day seasonal offset, and residual
+    variance after removing both — the health check that separates "values
+    drift" from "it's just 3 AM" before any anomaly alerting.
+
+    Bounded relations all the way down: the series aggregates to
+    (type, hour-of-day) grain — ≤ |types|·24 seasonal cells from one exact
+    integer-cents pass; level is the |types|-row aggregate OF those cells
+    (weighted by cell counts, still exact); residuals need one more fact
+    pass against the broadcast seasonal table. Exact sums make level and
+    offsets engine-identical; residual variance rounds at 6 dp."""
+    cents = F.floor(F.col("value") * 100).cast("long")
+    base = events.where(F.col("value").isNotNull()).select(
+        "event_type", F.hour("ts").alias("hr"), cents.alias("cents")
+    )
+    cells = base.groupBy("event_type", "hr").agg(
+        F.sum("cents").alias("c_sum"), F.count("*").alias("c_n")
+    )
+    level = cells.groupBy("event_type").agg(
+        (
+            F.sum("c_sum").cast("double") / F.sum("c_n").cast("double") / 100.0
+        ).alias("level")
+    )
+    seasonal = (
+        cells.join(level, "event_type")
+        .select(
+            "event_type",
+            "hr",
+            (
+                F.col("c_sum").cast("double") / F.col("c_n").cast("double") / 100.0
+                - F.col("level")
+            ).alias("seasonal"),
+            "level",
+        )
+    )
+    resid = (
+        base.join(F.broadcast(seasonal), ["event_type", "hr"])
+        .select(
+            "event_type",
+            "hr",
+            "seasonal",
+            "level",
+            (
+                F.col("cents").cast("double") / 100.0
+                - F.col("level")
+                - F.col("seasonal")
+            ).alias("r"),
+        )
+        .groupBy("event_type", "hr")
+        .agg(
+            F.first("level").alias("level"),
+            F.first("seasonal").alias("seasonal"),
+            F.count("*").alias("n"),
+            F.sum(F.col("r") * F.col("r")).alias("ss_resid"),
+        )
+    )
+    return resid.select(
+        "event_type",
+        "hr",
+        F.round("level", 6).alias("level"),
+        F.round("seasonal", 6).alias("seasonal_offset"),
+        "n",
+        F.round(F.col("ss_resid") / F.col("n"), 6).alias("resid_var"),
+    ).orderBy("event_type", "hr")
+
+
+SEASONAL_DECOMPOSE_SQL = """
+    WITH base AS (
+        SELECT event_type, hour(ts) AS hr,
+               CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        FROM events WHERE value IS NOT NULL
+    ), cells AS (
+        SELECT event_type, hr, SUM(cents) AS c_sum, COUNT(*) AS c_n
+        FROM base GROUP BY event_type, hr
+    ), level AS (
+        SELECT event_type,
+               CAST(SUM(c_sum) AS DOUBLE) / CAST(SUM(c_n) AS DOUBLE) / 100.0
+                   AS level
+        FROM cells GROUP BY event_type
+    ), seasonal AS (
+        SELECT c.event_type, hr,
+               CAST(c_sum AS DOUBLE) / CAST(c_n AS DOUBLE) / 100.0 - level
+                   AS seasonal,
+               level
+        FROM cells c JOIN level l ON c.event_type = l.event_type
+    )
+    SELECT event_type, hr,
+           round(ANY_VALUE(level), 6) AS level,
+           round(ANY_VALUE(seasonal), 6) AS seasonal_offset,
+           COUNT(*) AS n,
+           round(SUM(r * r) / COUNT(*), 6) AS resid_var
+    FROM (
+        SELECT b.event_type, b.hr, s.level, s.seasonal,
+               CAST(cents AS DOUBLE) / 100.0 - s.level - s.seasonal AS r
+        FROM base b JOIN seasonal s ON b.event_type = s.event_type AND b.hr = s.hr
+    )
+    GROUP BY event_type, hr
+    ORDER BY event_type, hr
+"""

@@ -497,3 +497,133 @@ def bfs_hop_distance_sql(
         SELECT node, hops FROM v{max_hops}
         ORDER BY hops, node
     """
+
+
+# --- link prediction ----------------------------------------------------------
+
+LP_TOP_K = 50
+
+
+def link_prediction_jaccard(
+    lineitem: DataFrame,
+    k: int = LP_TOP_K,
+    max_basket: int = 30,
+    min_support: int = TRI_MIN_SUPPORT,
+) -> DataFrame:
+    """Top-k NON-edges ranked by neighborhood Jaccard — the classic
+    similarity-based link predictor ("parts that should co-sell but don't
+    yet"). Candidates come from wedges (pairs sharing ≥1 neighbor — the only
+    pairs with nonzero score), existing edges anti-join out, and the score
+    verifies on the two neighbor SETS via array_intersect — the
+    prefix-filter verify pattern transplanted to graphs.
+
+    Everything runs on the support-pruned edge relation: wedge candidates,
+    neighbor-set build (one collect_list per node after symmetrization),
+    and the ≤candidate-sized verify joins. Integer |∩| and degrees make the
+    rounded score engine-exact."""
+    # oriented, support-pruned edges (the triangle_count edge rule)
+    items = _baskets(lineitem, max_basket)
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    pruned = (
+        a.join(b, "ok")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("support"))
+        .where(F.col("support") >= min_support)
+        .select("u", "v")
+        .localCheckpoint(eager=True)
+    )
+    sym = pruned.unionByName(
+        pruned.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    nbrs = sym.groupBy("u").agg(F.array_sort(F.collect_list("v")).alias("nb"))
+    wedge = (
+        sym.alias("e1")
+        .join(sym.alias("e2"), F.col("e1.v") == F.col("e2.u"))
+        .where(F.col("e1.u") < F.col("e2.v"))
+        .select(F.col("e1.u").alias("x"), F.col("e2.v").alias("y"))
+        .distinct()
+    )
+    non_edges = wedge.join(
+        pruned.select(F.col("u").alias("x"), F.col("v").alias("y")),
+        ["x", "y"],
+        "left_anti",
+    )
+    scored = (
+        non_edges.join(
+            nbrs.select(F.col("u").alias("x"), F.col("nb").alias("nb_x")).hint(
+                "shuffle_hash"
+            ),
+            "x",
+        )
+        .join(
+            nbrs.select(F.col("u").alias("y"), F.col("nb").alias("nb_y")).hint(
+                "shuffle_hash"
+            ),
+            "y",
+        )
+        .select(
+            "x",
+            "y",
+            F.size(F.array_intersect("nb_x", "nb_y")).alias("common"),
+            F.size("nb_x").alias("dx"),
+            F.size("nb_y").alias("dy"),
+        )
+        .select(
+            "x",
+            "y",
+            "common",
+            F.round(
+                F.col("common") / (F.col("dx") + F.col("dy") - F.col("common")), 6
+            ).alias("score"),
+        )
+    )
+    return scored.orderBy(F.desc("score"), "x", "y").limit(k)
+
+
+def link_prediction_jaccard_sql(
+    k: int = LP_TOP_K, max_basket: int = 30, min_support: int = TRI_MIN_SUPPORT
+) -> str:
+    return f"""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), small AS (
+            SELECT l_orderkey FROM items
+            GROUP BY l_orderkey HAVING COUNT(*) <= {max_basket}
+        ), basket AS (
+            SELECT i.l_orderkey, i.l_partkey FROM items i
+            JOIN small USING (l_orderkey)
+        ), pruned AS (
+            SELECT a.l_partkey AS u, b.l_partkey AS v
+            FROM basket a JOIN basket b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY a.l_partkey, b.l_partkey
+            HAVING COUNT(*) >= {min_support}
+        ), sym AS (
+            SELECT u, v FROM pruned
+            UNION ALL SELECT v AS u, u AS v FROM pruned
+        ), deg AS (
+            SELECT u, COUNT(*) AS d FROM sym GROUP BY u
+        ), wedge AS (
+            SELECT DISTINCT e1.u AS x, e2.v AS y
+            FROM sym e1 JOIN sym e2 ON e1.v = e2.u
+            WHERE e1.u < e2.v
+        ), non_edges AS (
+            SELECT x, y FROM wedge w
+            WHERE NOT EXISTS (SELECT 1 FROM pruned p WHERE p.u = w.x AND p.v = w.y)
+        ), common AS (
+            SELECT n.x, n.y, COUNT(*) AS common
+            FROM non_edges n
+            JOIN sym sx ON sx.u = n.x
+            JOIN sym sy ON sy.u = n.y AND sy.v = sx.v
+            GROUP BY n.x, n.y
+        )
+        SELECT c.x, c.y, c.common,
+               round(c.common / (dx.d + dy.d - c.common), 6) AS score
+        FROM common c
+        JOIN deg dx ON dx.u = c.x
+        JOIN deg dy ON dy.u = c.y
+        ORDER BY score DESC, x, y
+        LIMIT {k}
+    """

@@ -237,3 +237,68 @@ CONSTRAINT_CHECKS_SQL = """
     )
     ORDER BY check_name
 """
+
+
+# --- functional-dependency profiling ------------------------------------------
+
+FD_CANDIDATES = (
+    ("p_name", "p_brand"),
+    ("p_name", "p_type"),
+    ("p_brand", "p_type"),
+    ("p_partkey", "p_name"),
+)
+
+
+def fd_profile(
+    part: DataFrame, candidates: tuple[tuple[str, str], ...] = FD_CANDIDATES
+) -> DataFrame:
+    """Functional-dependency discovery report: for each candidate A → B, how
+    many A-values map to more than one B (violations). FDs are what schema
+    inference, normalization advice, and dedup-key mining read off a
+    profile — the constraint suite's (warehouse_constraint_checks) "does the
+    data obey the declared rules" complement: "what rules does the data
+    actually obey".
+
+    One (A, B) distinct + one A-grain aggregate per candidate — every
+    relation is bounded by the attribute domain, and all candidates union
+    into one result. At lake scale each candidate is a two-column scan
+    (column pruning does the rest)."""
+    reports = []
+    for lhs, rhs in candidates:
+        per_lhs = (
+            part.select(lhs, rhs)
+            .distinct()
+            .groupBy(lhs)
+            .agg(F.count("*").alias("n_rhs"))
+        )
+        reports.append(
+            per_lhs.agg(
+                F.lit(f"{lhs}->{rhs}").alias("fd"),
+                F.count("*").alias("n_lhs_values"),
+                F.sum((F.col("n_rhs") > 1).cast("int")).alias("violating_lhs"),
+                (F.sum((F.col("n_rhs") > 1).cast("int")) == 0).alias("holds"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("fd")
+
+
+def fd_profile_sql(
+    candidates: tuple[tuple[str, str], ...] = FD_CANDIDATES
+) -> str:
+    arms = " UNION ALL ".join(
+        f"""
+        SELECT '{lhs}->{rhs}' AS fd,
+               COUNT(*) AS n_lhs_values,
+               SUM(CAST(n_rhs > 1 AS INT)) AS violating_lhs,
+               SUM(CAST(n_rhs > 1 AS INT)) = 0 AS holds
+        FROM (
+            SELECT {lhs}, COUNT(*) AS n_rhs
+            FROM (SELECT DISTINCT {lhs}, {rhs} FROM part)
+            GROUP BY {lhs}
+        )"""
+        for lhs, rhs in candidates
+    )
+    return f"SELECT * FROM ({arms}) ORDER BY fd"

@@ -1131,3 +1131,28 @@ def q_cm_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     dot, min over rows) beside the exact Σ f_a·f_b — planner-grade size
     estimation from 8 KB summaries."""
     return cmsketch.cm_join_size_estimate(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "events_seasonal_decompose", oracle=distributions.SEASONAL_DECOMPOSE_SQL
+)
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition on the bounded (type, hour-of-day)
+    grid: level, seasonal offsets, residual variance — drift vs just-3AM."""
+    return distributions.seasonal_decompose_hourly(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "graph_link_prediction", oracle=graph.link_prediction_jaccard_sql()
+)
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood-Jaccard link prediction: wedge candidates minus existing
+    edges, neighbor-set verify via array_intersect, distributed top-k."""
+    return graph.link_prediction_jaccard(load_table(spark, sf_dir, "lineitem"))
+
+
+@register("warehouse_fd_profile", oracle=profile.fd_profile_sql())
+def q_fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery over candidate column pairs: distinct
+    (A,B) projection + A-grain aggregate per candidate, one unioned report."""
+    return profile.fd_profile(load_table(spark, sf_dir, "part"))

@@ -183,6 +183,10 @@ EXTENSION_SURVEY_ROWS: dict[str, tuple[str, ...]] = {
     "embedding_product_quantization": ("L-116",),
     "events_cm_join_size": ("L-118",),
     "text_bigram_backoff": ("L-119",),
+    "events_seasonal_decompose": ("L-120",),
+    "graph_link_prediction": ("L-121",),
+    "warehouse_fd_profile": ("L-122",),
+    "embedding_similarity_profile": ("L-123",),
 }
 
 
@@ -316,6 +320,10 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "embedding_product_quantization",
     "events_cm_join_size",
     "text_bigram_backoff",
+    "events_seasonal_decompose",
+    "graph_link_prediction",
+    "warehouse_fd_profile",
+    "embedding_similarity_profile",
     # -- certified in r01/r02 only; code has changed since (14) --
     "warehouse_pricing_summary",
     "warehouse_star_join_revenue",

@@ -258,3 +258,68 @@ def test_bigram_backoff_fires_on_heldout_bigrams(spark):
     s_backoff = 0.4 * 2 / 6
     expect3 = round(-(math.log(s_backoff) + math.log(s_cat_sat)) / 2, 6)
     assert abs(out[3].avg_neg_logscore - expect3) < 1e-6
+
+
+def test_seasonal_decompose_recovers_planted_offsets(spark):
+    from pagila_etl_airflow_assignment_spark.operators import distributions
+
+    # hour 0 runs 2.0 above hour 1 consistently; level = pooled mean
+    rows = []
+    for d in range(1, 11):
+        rows.append((2 * d, dt.datetime(2024, 1, d, 0), 1, "a", 12.0))
+        rows.append((2 * d + 1, dt.datetime(2024, 1, d, 1), 1, "a", 10.0))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = {r.hr: r for r in distributions.seasonal_decompose_hourly(ev).collect()}
+    assert out[0].level == 11.0
+    assert out[0].seasonal_offset == 1.0 and out[1].seasonal_offset == -1.0
+    assert out[0].resid_var == 0.0 and out[1].resid_var == 0.0
+
+
+def test_link_prediction_excludes_existing_edges(spark):
+    from pagila_etl_airflow_assignment_spark.operators import graph
+
+    # path 1-2-3 (edges (1,2),(2,3) with support 2): candidate non-edge (1,3)
+    # shares neighbor 2; jaccard = |{2}| / |{2} u {2}| = 1.0
+    rows = []
+    ok = 0
+    for a, b in [(1, 2), (2, 3)]:
+        for _ in range(2):
+            rows += [(ok, a), (ok, b)]
+            ok += 1
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    out = graph.link_prediction_jaccard(li).collect()
+    assert [(r.x, r.y, r.score) for r in out] == [(1, 3, 1.0)]
+
+
+def test_fd_profile_flags_violations(spark):
+    from pagila_etl_airflow_assignment_spark.operators import profile
+
+    part = spark.createDataFrame(
+        [
+            (1, "red bolt", "Brand#1", "ECONOMY"),
+            (2, "red bolt", "Brand#2", "ECONOMY"),  # name -> brand violated
+            (3, "blue gear", "Brand#1", "ECONOMY"),
+        ],
+        "p_partkey long, p_name string, p_brand string, p_type string",
+    )
+    out = {r.fd: r for r in profile.fd_profile(part).collect()}
+    assert not out["p_name->p_brand"].holds
+    assert out["p_name->p_brand"].violating_lhs == 1
+    assert out["p_name->p_type"].holds
+    assert out["p_partkey->p_name"].holds
+
+
+def test_similarity_profile_bins_cover_and_count(spark):
+    from pagila_etl_airflow_assignment_spark.llm import embeddings as e2
+
+    vecs = spark.createDataFrame(
+        [(i, [1.0 if j == i % 4 else 0.0 for j in range(64)]) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    rows = e2.similarity_profile(vecs).collect()
+    assert sum(r.n_pairs for r in rows) == 5  # 10 vectors -> 5 disjoint pairs
+    for r in rows:
+        assert 0 <= r.bin < e2.SIM_PROFILE_BINS
+        assert r.cos_lo < r.cos_hi
