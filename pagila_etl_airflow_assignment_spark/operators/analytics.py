@@ -592,3 +592,95 @@ def rfm_segments_sql(n_buckets: int = RFM_BUCKETS) -> str:
         GROUP BY r_score, f_score, m_score
         ORDER BY r_score, f_score, m_score
     """
+
+
+def funnel_latency(
+    events: DataFrame, steps: tuple[str, ...] = FUNNEL_STEPS
+) -> DataFrame:
+    """Time-to-convert distribution for full-funnel completers: exact
+    p50/p90/max seconds from first step to conversion, plus the completer
+    count — the "how fast does the funnel flow" companion to the stage
+    counts. Latencies derive from the funnel relation (one user-grain row
+    each, already user_id-keyed); the percentile aggregate runs over
+    |completers| rows. Integer epoch-MICROsecond subtraction keeps every
+    latency exact (unix_timestamp would truncate to seconds while the
+    oracle's epoch() keeps micros — measured as a real hash divergence);
+    percentile interpolation is the winsorized_stats contract."""
+    from ..functions import micros
+
+    stage = funnel_user_stages(events, steps)
+    first_col, last_col = f"{steps[0]}_ts", f"{steps[-1]}_ts"
+    lat = stage.where(F.col(last_col).isNotNull()).select(
+        ((micros(last_col) - micros(first_col)).cast("double") / 1e6).alias(
+            "latency_s"
+        )
+    )
+    return lat.agg(
+        F.count("*").alias("n_converted"),
+        F.round(F.percentile("latency_s", F.lit(0.5)), 6).alias("p50_s"),
+        F.round(F.percentile("latency_s", F.lit(0.9)), 6).alias("p90_s"),
+        F.max("latency_s").alias("max_s"),
+    )
+
+
+def funnel_latency_sql(steps: tuple[str, ...] = FUNNEL_STEPS) -> str:
+    first_col, last_col = f"{steps[0]}_ts", f"{steps[-1]}_ts"
+    return f"""
+        WITH funnel AS ({funnel_user_stages_sql(steps)}),
+        lat AS (
+            SELECT CAST(epoch_us({last_col}) - epoch_us({first_col}) AS DOUBLE)
+                   / 1000000.0 AS latency_s
+            FROM funnel WHERE {last_col} IS NOT NULL
+        )
+        SELECT COUNT(*) AS n_converted,
+               round(quantile_cont(latency_s, 0.5), 6) AS p50_s,
+               round(quantile_cont(latency_s, 0.9), 6) AS p90_s,
+               MAX(latency_s) AS max_s
+        FROM lat
+    """
+
+
+def scd3_user_state(events: DataFrame) -> DataFrame:
+    """SCD Type 3 snapshot: each user's CURRENT event-type state plus the
+    immediately-previous state and when it changed — the fixed-width
+    "current + one history column" alternative to the full SCD2 interval
+    history (Type 3 is what dimension tables use when only last-change
+    context matters and row-count must stay one-per-entity).
+
+    Derives from the SCD2 change relation: one rank window over the
+    |state-changes| rows (already user_id-keyed), first/second rows pivot to
+    columns via conditional aggregation — no second pass over events."""
+    changes = scd2_user_state(events)
+    w = Window.partitionBy("user_id").orderBy(F.desc("valid_from"))
+    ranked = changes.select(
+        "user_id", "state", "valid_from", F.row_number().over(w).alias("rn")
+    ).where(F.col("rn") <= 2)
+    return (
+        ranked.groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("rn") == 1, F.col("state"))).alias("current_state"),
+            F.min(F.when(F.col("rn") == 1, F.col("valid_from"))).alias(
+                "state_since"
+            ),
+            F.min(F.when(F.col("rn") == 2, F.col("state"))).alias("previous_state"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def scd3_user_state_sql() -> str:
+    return f"""
+        WITH ranked AS (
+            SELECT user_id, state, valid_from,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY valid_from DESC) AS rn
+            FROM ({SCD2_USER_STATE_SQL}) scd2
+        )
+        SELECT user_id,
+               MIN(CASE WHEN rn = 1 THEN state END) AS current_state,
+               MIN(CASE WHEN rn = 1 THEN valid_from END) AS state_since,
+               MIN(CASE WHEN rn = 2 THEN state END) AS previous_state
+        FROM ranked WHERE rn <= 2
+        GROUP BY user_id
+        ORDER BY user_id
+    """

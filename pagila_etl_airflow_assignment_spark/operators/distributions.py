@@ -492,3 +492,98 @@ SEASONAL_DECOMPOSE_SQL = """
     GROUP BY event_type, hr
     ORDER BY event_type, hr
 """
+
+
+# --- population stability index (drift between periods) -----------------------
+
+PSI_BINS = 10
+PSI_SPLIT = "2024-01-15"
+
+
+def psi_drift(
+    events: DataFrame, split: str = PSI_SPLIT, n_bins: int = PSI_BINS
+) -> DataFrame:
+    """Population Stability Index per event type between the pre-``split``
+    reference period and the current period — THE model-monitoring drift
+    metric (rule of thumb: <0.1 stable, >0.25 retrain).
+
+    Bin edges are the REFERENCE period's exact deciles (a drifted current
+    period can't move its own goalposts); both periods' bin masses come
+    from one broadcast-join pass; Laplace add-one smoothing keeps empty
+    bins finite and deterministic. PSI = Σ (q−p)·ln(q/p) over ≤n_bins rows
+    per type, rounded at 6 dp."""
+    is_ref = F.to_date("ts") < F.lit(split).cast("date")
+    base = events.where(F.col("value").isNotNull()).select(
+        "event_type", "value", is_ref.alias("is_ref")
+    )
+    edges = (
+        base.where("is_ref")
+        .groupBy("event_type")
+        .agg(
+            F.percentile(
+                "value", F.array(*[F.lit(i / n_bins) for i in range(1, n_bins)])
+            ).alias("edges")
+        )
+    )
+    # bin = count of edges <= value (0..n_bins-1), via an array fold
+    binned = base.join(F.broadcast(edges), "event_type").select(
+        "event_type",
+        "is_ref",
+        F.aggregate(
+            F.col("edges"),
+            F.lit(0),
+            lambda acc, e: acc + F.when(F.col("value") > e, 1).otherwise(0),
+        ).alias("bin"),
+    )
+    cells = binned.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).alias("n_cur"),
+    )
+    totals = cells.groupBy("event_type").agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    p = (F.col("n_ref") + 1).cast("double") / (F.col("t_ref") + n_bins).cast("double")
+    q = (F.col("n_cur") + 1).cast("double") / (F.col("t_cur") + n_bins).cast("double")
+    return (
+        cells.join(totals, "event_type")
+        .select("event_type", ((q - p) * F.log(q / p)).alias("term"))
+        .groupBy("event_type")
+        .agg(F.round(F.sum("term"), 6).alias("psi"), F.count("*").alias("n_bins_hit"))
+        .orderBy("event_type")
+    )
+
+
+def psi_drift_sql(split: str = PSI_SPLIT, n_bins: int = PSI_BINS) -> str:
+    qs = ", ".join(str(i / n_bins) for i in range(1, n_bins))
+    return f"""
+        WITH base AS (
+            SELECT event_type, value,
+                   CAST(ts AS DATE) < DATE '{split}' AS is_ref
+            FROM events WHERE value IS NOT NULL
+        ), edges AS (
+            SELECT event_type, quantile_cont(value, [{qs}]) AS edges
+            FROM base WHERE is_ref GROUP BY event_type
+        ), binned AS (
+            SELECT b.event_type, is_ref,
+                   len(list_filter(edges, e -> b.value > e)) AS bin
+            FROM base b JOIN edges USING (event_type)
+        ), cells AS (
+            SELECT event_type, bin,
+                   SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS n_ref,
+                   SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS n_cur
+            FROM binned GROUP BY event_type, bin
+        ), totals AS (
+            SELECT event_type, SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur
+            FROM cells GROUP BY event_type
+        )
+        SELECT c.event_type,
+               round(SUM((CAST(n_cur + 1 AS DOUBLE) / CAST(t_cur + {n_bins} AS DOUBLE)
+                          - CAST(n_ref + 1 AS DOUBLE) / CAST(t_ref + {n_bins} AS DOUBLE))
+                         * ln((CAST(n_cur + 1 AS DOUBLE) / CAST(t_cur + {n_bins} AS DOUBLE))
+                              / (CAST(n_ref + 1 AS DOUBLE) / CAST(t_ref + {n_bins} AS DOUBLE)))), 6)
+                   AS psi,
+               COUNT(*) AS n_bins_hit
+        FROM cells c JOIN totals t ON c.event_type = t.event_type
+        GROUP BY c.event_type
+        ORDER BY c.event_type
+    """

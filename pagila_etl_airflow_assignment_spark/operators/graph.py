@@ -502,6 +502,7 @@ def bfs_hop_distance_sql(
 # --- link prediction ----------------------------------------------------------
 
 LP_TOP_K = 50
+LP_MAX_HUB_DEGREE = 50
 
 
 def link_prediction_jaccard(
@@ -509,6 +510,7 @@ def link_prediction_jaccard(
     k: int = LP_TOP_K,
     max_basket: int = 30,
     min_support: int = TRI_MIN_SUPPORT,
+    max_hub_degree: int = LP_MAX_HUB_DEGREE,
 ) -> DataFrame:
     """Top-k NON-edges ranked by neighborhood Jaccard — the classic
     similarity-based link predictor ("parts that should co-sell but don't
@@ -520,7 +522,14 @@ def link_prediction_jaccard(
     Everything runs on the support-pruned edge relation: wedge candidates,
     neighbor-set build (one collect_list per node after symmetrization),
     and the ≤candidate-sized verify joins. Integer |∩| and degrees make the
-    rounded score engine-exact."""
+    rounded score engine-exact.
+
+    ``max_hub_degree`` drops HUB nodes from the wedge MIDDLE (the stop-node
+    rule — the graph twin of max_df/max_bucket): a hub of degree d spawns
+    ~d² candidate pairs that mostly share only that hub, so candidates stay
+    ≤ cap·|E| instead of Σdeg² (the uncapped probe measured ×49.7 at 10×
+    data; capped it tracks the edge growth). Scores still verify on FULL
+    neighbor sets — the cap only bounds who proposes a candidate."""
     # oriented, support-pruned edges (the triangle_count edge rule)
     items = _baskets(lineitem, max_basket)
     a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
@@ -538,9 +547,16 @@ def link_prediction_jaccard(
         pruned.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
     nbrs = sym.groupBy("u").agg(F.array_sort(F.collect_list("v")).alias("nb"))
+    mid_ok = (
+        sym.groupBy("u")
+        .agg(F.count("*").alias("d"))
+        .where(F.col("d") <= max_hub_degree)
+        .select(F.col("u").alias("mid"))
+    )
+    capped = sym.join(mid_ok, sym["v"] == mid_ok["mid"]).select("u", "v")
     wedge = (
-        sym.alias("e1")
-        .join(sym.alias("e2"), F.col("e1.v") == F.col("e2.u"))
+        capped.alias("e1")
+        .join(capped.alias("e2"), F.col("e1.v") == F.col("e2.u"))
         .where(F.col("e1.u") < F.col("e2.v"))
         .select(F.col("e1.u").alias("x"), F.col("e2.v").alias("y"))
         .distinct()
@@ -583,7 +599,10 @@ def link_prediction_jaccard(
 
 
 def link_prediction_jaccard_sql(
-    k: int = LP_TOP_K, max_basket: int = 30, min_support: int = TRI_MIN_SUPPORT
+    k: int = LP_TOP_K,
+    max_basket: int = 30,
+    min_support: int = TRI_MIN_SUPPORT,
+    max_hub_degree: int = LP_MAX_HUB_DEGREE,
 ) -> str:
     return f"""
         WITH items AS (
@@ -605,9 +624,13 @@ def link_prediction_jaccard_sql(
             UNION ALL SELECT v AS u, u AS v FROM pruned
         ), deg AS (
             SELECT u, COUNT(*) AS d FROM sym GROUP BY u
+        ), capped AS (
+            SELECT s.u, s.v FROM sym s
+            JOIN deg ON deg.u = s.v
+            WHERE deg.d <= {max_hub_degree}
         ), wedge AS (
             SELECT DISTINCT e1.u AS x, e2.v AS y
-            FROM sym e1 JOIN sym e2 ON e1.v = e2.u
+            FROM capped e1 JOIN capped e2 ON e1.v = e2.u
             WHERE e1.u < e2.v
         ), non_edges AS (
             SELECT x, y FROM wedge w

@@ -1156,3 +1156,24 @@ def q_fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Functional-dependency discovery over candidate column pairs: distinct
     (A,B) projection + A-grain aggregate per candidate, one unioned report."""
     return profile.fd_profile(load_table(spark, sf_dir, "part"))
+
+
+@register("events_funnel_latency", oracle=analytics.funnel_latency_sql())
+def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert for full-funnel completers: exact p50/p90/max seconds
+    over the user-grain funnel relation."""
+    return analytics.funnel_latency(load_table(spark, sf_dir, "events"))
+
+
+@register("events_scd3_user_state", oracle=analytics.scd3_user_state_sql())
+def q_scd3_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 3: current + previous state per user from the SCD2 change
+    relation — one rank window + conditional pivot, one row per entity."""
+    return analytics.scd3_user_state(load_table(spark, sf_dir, "events"))
+
+
+@register("events_psi_drift", oracle=distributions.psi_drift_sql())
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per type: reference-decile bins, Laplace
+    smoothing, Σ(q−p)ln(q/p) — the model-monitoring drift gauge."""
+    return distributions.psi_drift(load_table(spark, sf_dir, "events"))

@@ -187,6 +187,9 @@ EXTENSION_SURVEY_ROWS: dict[str, tuple[str, ...]] = {
     "graph_link_prediction": ("L-121",),
     "warehouse_fd_profile": ("L-122",),
     "embedding_similarity_profile": ("L-123",),
+    "events_funnel_latency": ("L-124",),
+    "events_scd3_user_state": ("L-125",),
+    "events_psi_drift": ("L-126",),
 }
 
 
@@ -324,6 +327,9 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "graph_link_prediction",
     "warehouse_fd_profile",
     "embedding_similarity_profile",
+    "events_funnel_latency",
+    "events_scd3_user_state",
+    "events_psi_drift",
     # -- certified in r01/r02 only; code has changed since (14) --
     "warehouse_pricing_summary",
     "warehouse_star_join_revenue",

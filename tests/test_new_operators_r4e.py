@@ -323,3 +323,62 @@ def test_similarity_profile_bins_cover_and_count(spark):
     for r in rows:
         assert 0 <= r.bin < e2.SIM_PROFILE_BINS
         assert r.cos_lo < r.cos_hi
+
+
+def test_funnel_latency_counts_only_completers(spark):
+    from pagila_etl_airflow_assignment_spark.operators import analytics
+
+    ev = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 0), 1, "view", 0.0),
+            (2, dt.datetime(2024, 1, 1, 1), 1, "click", 0.0),
+            (3, dt.datetime(2024, 1, 1, 2), 1, "purchase", 0.0),
+            (4, dt.datetime(2024, 1, 2, 0), 2, "view", 0.0),  # never converts
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    row = analytics.funnel_latency(ev).collect()[0]
+    assert row.n_converted == 1
+    assert row.p50_s == 7200.0 and row.max_s == 7200.0
+
+
+def test_scd3_tracks_current_and_previous(spark):
+    from pagila_etl_airflow_assignment_spark.operators import analytics
+
+    ev = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1), 1, "view", 0.0),
+            (2, dt.datetime(2024, 1, 2), 1, "click", 0.0),
+            (3, dt.datetime(2024, 1, 3), 1, "purchase", 0.0),
+            (4, dt.datetime(2024, 1, 1), 2, "view", 0.0),  # single state
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    out = {r.user_id: r for r in analytics.scd3_user_state(ev).collect()}
+    assert out[1].current_state == "purchase"
+    assert out[1].previous_state == "click"
+    assert out[1].state_since == dt.datetime(2024, 1, 3)
+    assert out[2].current_state == "view" and out[2].previous_state is None
+
+
+def test_psi_zero_for_identical_periods_and_positive_under_shift(spark):
+    from pagila_etl_airflow_assignment_spark.operators import distributions
+
+    stable = [
+        (i, dt.datetime(2024, 1, 5 + 20 * (i % 2)), 1, "a", float((i // 2) % 10))
+        for i in range(200)
+    ]
+    shifted = [
+        (1000 + i, dt.datetime(2024, 1, 5), 1, "b", float(i % 10))
+        for i in range(100)
+    ] + [
+        (2000 + i, dt.datetime(2024, 1, 25), 1, "b", 50.0 + i % 10)
+        for i in range(100)
+    ]
+    ev = spark.createDataFrame(
+        stable + shifted,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    out = {r.event_type: r.psi for r in distributions.psi_drift(ev).collect()}
+    assert abs(out["a"]) < 0.01        # identical distributions -> ~0
+    assert out["b"] > 0.25             # wholesale shift -> retrain territory

@@ -100,6 +100,22 @@ PROBES = [
     "graph_triangle_census",
     "events_mad_outliers",
     "embedding_random_projection",
+    # round-4f additions: stats/CRM/graph/profiling/sketch/LM families
+    "events_cuped_adjustment",
+    "events_cusum_drift",
+    "events_equidepth_histogram",
+    "warehouse_golden_records",
+    "events_rfm_segments",
+    "text_readability",
+    "embedding_product_quantization",
+    "events_cm_join_size",
+    "text_bigram_backoff",
+    "events_seasonal_decompose",
+    "graph_link_prediction",
+    "warehouse_fd_profile",
+    "embedding_similarity_profile",
+    "warehouse_phonetic_match",
+    "graph_bfs_distance",
 ]
 
 
