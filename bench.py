@@ -88,6 +88,9 @@ HEADLINE = [
     "embedding_similarity_profile",
     "graph_link_prediction",
     "warehouse_fd_profile",
+    "warehouse_revenue_growth",
+    "warehouse_abc_classification",
+    "warehouse_cohort_ltv",
     "warehouse_custdist",
     "warehouse_small_qty_revenue",
     "warehouse_top_supplier",

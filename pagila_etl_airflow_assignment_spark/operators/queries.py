@@ -1177,3 +1177,31 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index per type: reference-decile bins, Laplace
     smoothing, Σ(q−p)ln(q/p) — the model-monitoring drift gauge."""
     return distributions.psi_drift(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "warehouse_revenue_growth",
+    oracle=warehouse.WEEKLY_REVENUE_GROWTH_SQL,
+)
+def q_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth + 4-week trailing average on the week-grain
+    aggregate — lag/frame windows over hundreds of rows, never orders."""
+    return warehouse.weekly_revenue_growth(load_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "warehouse_abc_classification", oracle=warehouse.ABC_CLASSIFICATION_SQL
+)
+def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC/Pareto classes: exact-decimal cumulative revenue share over the
+    part-grain aggregate; integer-scaled 80/95% boundaries."""
+    return warehouse.abc_classification(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+@register("warehouse_cohort_ltv", oracle=warehouse.COHORT_LTV_SQL)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curve: first-order-month cohorts, cumulative exact-decimal
+    revenue over the bounded cohort×age grid."""
+    return warehouse.cohort_ltv(load_table(spark, sf_dir, "orders"))

@@ -885,3 +885,197 @@ def part_golden_records_sql(max_dist: int = PHONETIC_MAX_DIST) -> str:
         GROUP BY cluster_id
         ORDER BY golden_name
     """
+
+
+# --- BI time-series shapes ----------------------------------------------------
+
+
+def weekly_revenue_growth(orders: DataFrame) -> DataFrame:
+    """Week-over-week revenue growth + 4-week trailing average — the
+    standard BI trend panel. All windows run on the WEEK-grain aggregate
+    (≤ a few hundred rows after one exact-decimal pass over orders), ordered
+    by week so lag/frames are deterministic; growth ratios divide exact
+    decimal sums cast to double."""
+    weekly = (
+        orders.groupBy(F.date_trunc("week", "o_orderdate").cast("date").alias("week"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    )
+    w = Window.orderBy("week")
+    frame4 = w.rowsBetween(-3, 0)
+    prev = F.lag("rev").over(w)
+    return (
+        weekly.select(
+            "week",
+            F.col("rev").cast("double").alias("revenue"),
+            F.when(
+                prev.isNotNull(),
+                F.round(
+                    (F.col("rev").cast("double") - prev.cast("double"))
+                    / prev.cast("double"),
+                    6,
+                ),
+            ).alias("wow_growth"),
+            F.round(
+                F.sum(F.col("rev")).over(frame4).cast("double")
+                / F.count("*").over(frame4),
+                6,
+            ).alias("trailing_4wk_avg"),
+        )
+        .orderBy("week")
+    )
+
+
+WEEKLY_REVENUE_GROWTH_SQL = """
+    WITH weekly AS (
+        SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS week,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders GROUP BY 1
+    )
+    SELECT week,
+           CAST(rev AS DOUBLE) AS revenue,
+           CASE WHEN lag(rev) OVER w IS NOT NULL
+                THEN round((CAST(rev AS DOUBLE) - CAST(lag(rev) OVER w AS DOUBLE))
+                           / CAST(lag(rev) OVER w AS DOUBLE), 6)
+           END AS wow_growth,
+           round(CAST(SUM(rev) OVER f4 AS DOUBLE) / COUNT(*) OVER f4, 6)
+               AS trailing_4wk_avg
+    FROM weekly
+    WINDOW w AS (ORDER BY week),
+           f4 AS (ORDER BY week ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    ORDER BY week
+"""
+
+
+def abc_classification(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """ABC (Pareto) inventory classes: parts ranked by revenue; the top
+    cumulative 80% of revenue is class A, the next 15% B, the tail C — the
+    80/20 analysis every supply chain runs.
+
+    The cumulative window runs over the PART-grain revenue aggregate
+    (|parts| rows, not lineitem); exact decimal revenue makes rank order
+    and every cumulative sum engine-identical, and the class boundaries
+    compare exact decimal cumulative shares scaled by the (exact decimal)
+    total — no float thresholds."""
+    rev = (
+        lineitem.groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (
+                    F.lit(1).cast("decimal(18,2)")
+                    - F.col("l_discount").cast("decimal(18,2)")
+                )
+            ).alias("rev")
+        )
+    )
+    w = Window.orderBy(F.desc("rev"), "l_partkey")
+    total = rev.agg(F.sum("rev").alias("total"))
+    classed = (
+        rev.crossJoin(F.broadcast(total))
+        .select(
+            "l_partkey",
+            "rev",
+            F.sum("rev").over(w).alias("cum_rev"),
+            "total",
+        )
+        # class compares exact decimals: cum <= 80% of total  <=>  5*cum <= 4*total
+        .select(
+            "l_partkey",
+            F.col("rev").cast("double").alias("revenue"),
+            F.when(F.col("cum_rev") * 5 <= F.col("total") * 4, "A")
+            .when(F.col("cum_rev") * 20 <= F.col("total") * 19, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(F.sum("revenue"), 2).alias("class_revenue"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+ABC_CLASSIFICATION_SQL = """
+    WITH rev AS (
+        SELECT l_partkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                   AS rev
+        FROM lineitem GROUP BY l_partkey
+    ), total AS (
+        SELECT SUM(rev) AS total FROM rev
+    ), classed AS (
+        SELECT l_partkey, CAST(rev AS DOUBLE) AS revenue,
+               CASE WHEN SUM(rev) OVER w * 5 <= total * 4 THEN 'A'
+                    WHEN SUM(rev) OVER w * 20 <= total * 19 THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM rev CROSS JOIN total
+        WINDOW w AS (ORDER BY rev DESC, l_partkey)
+    )
+    SELECT abc_class, COUNT(*) AS n_parts,
+           round(SUM(revenue), 2) AS class_revenue
+    FROM classed
+    GROUP BY abc_class
+    ORDER BY abc_class
+"""
+
+
+def cohort_ltv(orders: DataFrame) -> DataFrame:
+    """Cohort lifetime-value curve: customers grouped by first-order month,
+    cumulative revenue per cohort at each month-age — the money twin of the
+    cohort retention triangle (events_cohort_retention).
+
+    First-order month is one custkey aggregate; the (cohort, age) cells
+    aggregate exact decimal revenue; the cumulative curve is a window over
+    the bounded cohort×age grid, never order rows."""
+    first = orders.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).cast("date").alias("cohort")
+    )
+    cells = (
+        orders.join(first, "o_custkey")
+        .groupBy(
+            "cohort",
+            (
+                F.months_between(
+                    F.date_trunc("month", "o_orderdate").cast("date"), F.col("cohort")
+                )
+            ).cast("int").alias("age_months"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    )
+    w = Window.partitionBy("cohort").orderBy("age_months")
+    return (
+        cells.select(
+            "cohort",
+            "age_months",
+            F.col("rev").cast("double").alias("month_revenue"),
+            F.sum("rev").over(w).cast("double").alias("cumulative_ltv"),
+        )
+        .orderBy("cohort", "age_months")
+    )
+
+
+COHORT_LTV_SQL = """
+    WITH first AS (
+        SELECT o_custkey,
+               CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS cohort
+        FROM orders GROUP BY o_custkey
+    ), cells AS (
+        SELECT cohort,
+               CAST(datediff('month', cohort,
+                    CAST(date_trunc('month', o_orderdate) AS DATE)) AS INT)
+                   AS age_months,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders o JOIN first f ON o.o_custkey = f.o_custkey
+        GROUP BY 1, 2
+    )
+    SELECT cohort, age_months,
+           CAST(rev AS DOUBLE) AS month_revenue,
+           CAST(SUM(rev) OVER (PARTITION BY cohort ORDER BY age_months)
+                AS DOUBLE) AS cumulative_ltv
+    FROM cells
+    ORDER BY cohort, age_months
+"""

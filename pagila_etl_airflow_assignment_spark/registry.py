@@ -190,6 +190,9 @@ EXTENSION_SURVEY_ROWS: dict[str, tuple[str, ...]] = {
     "events_funnel_latency": ("L-124",),
     "events_scd3_user_state": ("L-125",),
     "events_psi_drift": ("L-126",),
+    "warehouse_revenue_growth": ("L-127",),
+    "warehouse_abc_classification": ("L-128",),
+    "warehouse_cohort_ltv": ("L-129",),
 }
 
 
@@ -330,6 +333,9 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "events_funnel_latency",
     "events_scd3_user_state",
     "events_psi_drift",
+    "warehouse_revenue_growth",
+    "warehouse_abc_classification",
+    "warehouse_cohort_ltv",
     # -- certified in r01/r02 only; code has changed since (14) --
     "warehouse_pricing_summary",
     "warehouse_star_join_revenue",

@@ -382,3 +382,52 @@ def test_psi_zero_for_identical_periods_and_positive_under_shift(spark):
     out = {r.event_type: r.psi for r in distributions.psi_drift(ev).collect()}
     assert abs(out["a"]) < 0.01        # identical distributions -> ~0
     assert out["b"] > 0.25             # wholesale shift -> retrain territory
+
+
+def test_abc_classes_follow_cumulative_share(spark):
+    from pagila_etl_airflow_assignment_spark.operators import warehouse
+
+    # one dominant part (80% exactly), one mid, one tail
+    li = spark.createDataFrame(
+        [(1, 80.0, 0.0), (2, 15.0, 0.0), (3, 5.0, 0.0)],
+        "l_partkey long, l_extendedprice double, l_discount double",
+    )
+    part = spark.createDataFrame([(1,), (2,), (3,)], "p_partkey long")
+    out = {r.abc_class: r for r in warehouse.abc_classification(li, part).collect()}
+    assert out["A"].n_parts == 1 and out["A"].class_revenue == 80.0
+    assert out["B"].n_parts == 1 and out["B"].class_revenue == 15.0
+    assert out["C"].n_parts == 1
+
+
+def test_revenue_growth_lag_and_trailing(spark):
+    from pagila_etl_airflow_assignment_spark.operators import warehouse
+
+    orders = spark.createDataFrame(
+        [
+            (1, 1, dt.datetime(2024, 1, 1), 100.0),   # week of Jan 1
+            (2, 1, dt.datetime(2024, 1, 8), 150.0),   # next week
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp, o_totalprice double",
+    )
+    rows = warehouse.weekly_revenue_growth(orders).collect()
+    assert rows[0].wow_growth is None
+    assert rows[1].wow_growth == 0.5
+    assert rows[1].trailing_4wk_avg == 125.0
+
+
+def test_cohort_ltv_accumulates_within_cohort(spark):
+    from pagila_etl_airflow_assignment_spark.operators import warehouse
+
+    orders = spark.createDataFrame(
+        [
+            (1, 1, dt.datetime(2024, 1, 5), 10.0),
+            (2, 1, dt.datetime(2024, 2, 5), 20.0),
+            (3, 2, dt.datetime(2024, 2, 10), 5.0),
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp, o_totalprice double",
+    )
+    rows = warehouse.cohort_ltv(orders).collect()
+    jan = [r for r in rows if str(r.cohort) == "2024-01-01"]
+    assert [(r.age_months, r.cumulative_ltv) for r in jan] == [(0, 10.0), (1, 30.0)]
+    feb = [r for r in rows if str(r.cohort) == "2024-02-01"]
+    assert [(r.age_months, r.cumulative_ltv) for r in feb] == [(0, 5.0)]
