@@ -297,8 +297,22 @@ def cusum_drift(events: DataFrame, h_sigmas: float = 3.0) -> DataFrame:
             ),
         )
     )
-    level = daily.groupBy("event_type").agg(
-        F.avg("m").alias("mu"), F.stddev_pop("m").alias("sigma")
+    # mu/sigma via ORDERED folds over the day-sorted means: plain AVG/stddev
+    # aggregate in parallel-hash order, which varies run to run — measured as
+    # an actually-unstable oracle hash when 3σ rounds at a boundary. The
+    # day-sorted fold is bit-deterministic and engine-identical.
+    packed = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "m"))).alias("dm")
+    )
+    ms = F.transform(F.col("dm"), lambda x: x["m"])
+    ssum = F.aggregate(ms, F.lit(0.0), lambda a, x: a + x)
+    ssq = F.aggregate(ms, F.lit(0.0), lambda a, x: a + x * x)
+    k = F.size(ms).cast("double")
+    mu = ssum / k
+    level = packed.select(
+        "event_type",
+        mu.alias("mu"),
+        F.sqrt(ssq / k - mu * mu).alias("sigma"),
     )
     w = (
         Window.partitionBy("event_type")
@@ -311,7 +325,14 @@ def cusum_drift(events: DataFrame, h_sigmas: float = 3.0) -> DataFrame:
             "event_type",
             "day",
             F.round("m", 6).alias("daily_mean"),
-            F.round(F.sum(F.col("m") - F.col("mu")).over(w), 6).alias("cusum"),
+            # + 0.0 canonicalizes IEEE −0.0 (a near-cancelled running sum
+            # rounds to NEGATIVE zero on whichever engine's addition order
+            # leaves a −1e-17 residual; "%.6f" then prints "-0.000000" and
+            # the driver's value hash diverges — observed flakily on the
+            # final day, where deviations sum to ~0 by construction)
+            (F.round(F.sum(F.col("m") - F.col("mu")).over(w), 6) + 0.0).alias(
+                "cusum"
+            ),
             # compare ROUNDED magnitudes: a last-ulp σ difference between
             # engines must not flip the flag at the boundary
             (
@@ -331,13 +352,20 @@ def cusum_drift_sql(h_sigmas: float = 3.0) -> str:
                        / CAST(COUNT(*) AS DOUBLE) / 100.0 AS m
             FROM events WHERE value IS NOT NULL
             GROUP BY event_type, CAST(ts AS DATE)
-        ), level AS (
-            SELECT event_type, AVG(m) AS mu, stddev_pop(m) AS sigma
+        ), packed AS (
+            SELECT event_type, list(m ORDER BY day) AS ms
             FROM daily GROUP BY event_type
+        ), level AS (
+            SELECT event_type,
+                   list_sum(ms) / len(ms) AS mu,
+                   sqrt(list_sum(list_transform(ms, x -> x * x)) / len(ms)
+                        - (list_sum(ms) / len(ms)) * (list_sum(ms) / len(ms)))
+                       AS sigma
+            FROM packed
         )
         SELECT d.event_type, day,
                round(m, 6) AS daily_mean,
-               round(SUM(m - mu) OVER w, 6) AS cusum,
+               round(SUM(m - mu) OVER w, 6) + 0.0 AS cusum,
                ABS(round(SUM(m - mu) OVER w, 6)) > round({h_sigmas} * sigma, 6) AS is_drift
         FROM daily d JOIN level l ON d.event_type = l.event_type
         WINDOW w AS (PARTITION BY d.event_type ORDER BY day
