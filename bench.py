@@ -91,6 +91,9 @@ HEADLINE = [
     "warehouse_revenue_growth",
     "warehouse_abc_classification",
     "warehouse_cohort_ltv",
+    "warehouse_share_shift",
+    "warehouse_new_vs_returning",
+    "warehouse_discount_lift",
     "warehouse_custdist",
     "warehouse_small_qty_revenue",
     "warehouse_top_supplier",

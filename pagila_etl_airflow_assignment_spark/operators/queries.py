@@ -1205,3 +1205,39 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort LTV curve: first-order-month cohorts, cumulative exact-decimal
     revenue over the bounded cohort×age grid."""
     return warehouse.cohort_ltv(load_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "events_attribution_position", oracle=temporal.position_attribution_sql()
+)
+def q_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (40/20/40) multi-touch attribution: first/last touch windows
+    per purchase over the same bounded interval join as the linear model."""
+    return temporal.position_attribution(load_table(spark, sf_dir, "events"))
+
+
+@register("warehouse_share_shift", oracle=warehouse.SEGMENT_SHARE_SHIFT_SQL)
+def q_share_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-mix analysis: per-segment yearly share and YoY share shift;
+    windows over the segments×years grid only."""
+    return warehouse.segment_share_shift(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "customer")
+    )
+
+
+@register("warehouse_new_vs_returning", oracle=warehouse.NEW_VS_RETURNING_SQL)
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue split into new-customer vs returning — conditional
+    exact-decimal aggregate against the broadcast first-order month."""
+    return warehouse.new_vs_returning(load_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "warehouse_discount_lift", oracle=warehouse.DISCOUNT_QUANTITY_LIFT_SQL
+)
+def q_discount_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand OLS slope of quantity on discount (closed-form covar/var) —
+    the retail elasticity probe, one brand-keyed aggregate."""
+    return warehouse.discount_quantity_lift(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )

@@ -336,3 +336,110 @@ def linear_attribution_sql(
         GROUP BY click_hour
         ORDER BY click_hour
     """
+
+
+ATTRIB_POS_FIRST = 0.4
+ATTRIB_POS_LAST = 0.4
+
+
+def position_attribution(
+    events: DataFrame,
+    lookback_seconds: int = ATTRIB_LOOKBACK_SECONDS,
+    w_first: float = ATTRIB_POS_FIRST,
+    w_last: float = ATTRIB_POS_LAST,
+) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: within each
+    purchase's lookback window the FIRST click earns ``w_first``, the LAST
+    earns ``w_last``, middles split the remainder — the industry-standard
+    40/20/40 compromise between first- and last-touch.
+
+    Same bounded per-user interval join as linear_attribution; position
+    ranks come from two row_number windows per purchase (first/last), the
+    middle weight divides by the exact middle count, and single-touch
+    purchases collapse to weight 1 (first == last). ≤24-row rollup, 6-dp
+    rounding absorbs sum-order ulps (the linear-attribution contract)."""
+    clicks = events.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+        F.hour("ts").alias("click_hour"),
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    touches = clicks.join(
+        purchases,
+        (F.col("cu") == F.col("pu"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {lookback_seconds} SECOND")
+        ),
+    )
+    wp = Window.partitionBy("purchase_id")
+    asc = wp.orderBy("click_ts", "click_id")
+    desc = wp.orderBy(F.desc("click_ts"), F.desc("click_id"))
+    ranked = touches.select(
+        "click_hour",
+        F.row_number().over(asc).alias("rn_first"),
+        F.row_number().over(desc).alias("rn_last"),
+        F.count("*").over(wp).alias("n_touch"),
+    )
+    w_mid = (1.0 - w_first - w_last) / F.greatest(
+        F.col("n_touch") - 2, F.lit(1)
+    ).cast("double")
+    credit = (
+        F.when(F.col("n_touch") == 1, F.lit(1.0))
+        .when((F.col("n_touch") == 2) & (F.col("rn_first") == 1), F.lit(0.5))
+        .when((F.col("n_touch") == 2) & (F.col("rn_last") == 1), F.lit(0.5))
+        .when(F.col("rn_first") == 1, F.lit(w_first))
+        .when(F.col("rn_last") == 1, F.lit(w_last))
+        .otherwise(w_mid)
+    )
+    return (
+        ranked.select("click_hour", credit.alias("credit"))
+        .groupBy("click_hour")
+        .agg(F.round(F.sum("credit"), 6).alias("attributed_purchases"))
+        .orderBy("click_hour")
+    )
+
+
+def position_attribution_sql(
+    lookback_seconds: int = ATTRIB_LOOKBACK_SECONDS,
+    w_first: float = ATTRIB_POS_FIRST,
+    w_last: float = ATTRIB_POS_LAST,
+) -> str:
+    return f"""
+        WITH touches AS (
+            SELECT hour(c.ts) AS click_hour, p.event_id AS purchase_id,
+                   c.ts AS click_ts, c.event_id AS click_id
+            FROM events c
+            JOIN events p
+              ON c.user_id = p.user_id
+             AND c.event_type = 'click' AND p.event_type = 'purchase'
+             AND c.ts <= p.ts
+             AND c.ts >= p.ts - INTERVAL {lookback_seconds} SECOND
+        ), ranked AS (
+            SELECT click_hour,
+                   ROW_NUMBER() OVER (PARTITION BY purchase_id
+                                      ORDER BY click_ts, click_id) AS rn_first,
+                   ROW_NUMBER() OVER (PARTITION BY purchase_id
+                                      ORDER BY click_ts DESC, click_id DESC)
+                       AS rn_last,
+                   COUNT(*) OVER (PARTITION BY purchase_id) AS n_touch
+            FROM touches
+        )
+        SELECT click_hour,
+               round(SUM(CASE WHEN n_touch = 1 THEN 1.0
+                              WHEN n_touch = 2 THEN 0.5
+                              WHEN rn_first = 1 THEN {w_first}
+                              WHEN rn_last = 1 THEN {w_last}
+                              ELSE {1.0 - w_first - w_last}
+                                   / CAST(GREATEST(n_touch - 2, 1) AS DOUBLE)
+                         END), 6) AS attributed_purchases
+        FROM ranked
+        GROUP BY click_hour
+        ORDER BY click_hour
+    """

@@ -1079,3 +1079,149 @@ COHORT_LTV_SQL = """
     FROM cells
     ORDER BY cohort, age_months
 """
+
+
+def segment_share_shift(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """Mix analysis: each market segment's share of yearly revenue and its
+    year-over-year share shift (in percentage points) — "did we grow, or did
+    our mix move?". Both windows run over the ≤ segments × years grid;
+    revenue aggregates in exact decimal, shares and shifts divide exact
+    sums and round at 6 dp."""
+    cells = (
+        orders.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.year("o_orderdate").alias("yr"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    )
+    wy = Window.partitionBy("yr")
+    ws = Window.partitionBy("segment").orderBy("yr")
+    share = (F.col("rev").cast("double") / F.sum("rev").over(wy).cast("double"))
+    with_share = cells.select("segment", "yr", share.alias("share"))
+    return (
+        with_share.select(
+            "segment",
+            "yr",
+            F.round("share", 6).alias("revenue_share"),
+            F.round(F.col("share") - F.lag("share").over(ws), 6).alias(
+                "share_shift"
+            ),
+        )
+        .orderBy("segment", "yr")
+    )
+
+
+SEGMENT_SHARE_SHIFT_SQL = """
+    WITH cells AS (
+        SELECT c_mktsegment AS segment, year(o_orderdate) AS yr,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2
+    ), with_share AS (
+        SELECT segment, yr,
+               CAST(rev AS DOUBLE)
+                   / CAST(SUM(rev) OVER (PARTITION BY yr) AS DOUBLE) AS share
+        FROM cells
+    )
+    SELECT segment, yr,
+           round(share, 6) AS revenue_share,
+           round(share - lag(share) OVER (PARTITION BY segment ORDER BY yr), 6)
+               AS share_shift
+    FROM with_share
+    ORDER BY segment, yr
+"""
+
+
+def new_vs_returning(orders: DataFrame) -> DataFrame:
+    """Monthly revenue decomposed into NEW customers (first-ever order that
+    month) vs RETURNING — the growth-quality readout behind every revenue
+    chart. First-order month is one custkey aggregate joined back broadcast;
+    the decomposition is a conditional exact-decimal aggregate on the
+    bounded month grid."""
+    first = orders.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).cast("date").alias("first_month")
+    )
+    month = F.date_trunc("month", "o_orderdate").cast("date")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    zero = F.lit(0).cast("decimal(18,2)")
+    return (
+        orders.join(first, "o_custkey")
+        .groupBy(month.alias("month"))
+        .agg(
+            F.sum(F.when(month == F.col("first_month"), price).otherwise(zero))
+            .cast("double")
+            .alias("new_revenue"),
+            F.sum(F.when(month != F.col("first_month"), price).otherwise(zero))
+            .cast("double")
+            .alias("returning_revenue"),
+            F.count_distinct(
+                F.when(month == F.col("first_month"), F.col("o_custkey"))
+            ).alias("new_customers"),
+        )
+        .orderBy("month")
+    )
+
+
+NEW_VS_RETURNING_SQL = """
+    WITH first AS (
+        SELECT o_custkey,
+               CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS first_month
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           CAST(SUM(CASE WHEN CAST(date_trunc('month', o_orderdate) AS DATE)
+                              = first_month
+                         THEN CAST(o_totalprice AS DECIMAL(18,2))
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+               AS new_revenue,
+           CAST(SUM(CASE WHEN CAST(date_trunc('month', o_orderdate) AS DATE)
+                              <> first_month
+                         THEN CAST(o_totalprice AS DECIMAL(18,2))
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+               AS returning_revenue,
+           COUNT(DISTINCT CASE WHEN CAST(date_trunc('month', o_orderdate) AS DATE)
+                                    = first_month
+                               THEN o.o_custkey END) AS new_customers
+    FROM orders o JOIN first f ON o.o_custkey = f.o_custkey
+    GROUP BY 1
+    ORDER BY month
+"""
+
+
+def discount_quantity_lift(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Per-brand OLS slope of quantity on discount — "does discounting this
+    brand move volume?" — the user_value_trend pattern on retail axes:
+    closed-form covar/var from one brand-keyed aggregate (never an
+    iterative fit), NULL slope under degenerate variance, 6-dp rounding."""
+    joined = lineitem.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    agg = joined.groupBy("p_brand").agg(
+        F.count("*").alias("n"),
+        F.covar_pop("l_discount", "l_quantity").alias("cov"),
+        F.var_pop("l_discount").alias("var_d"),
+        F.avg("l_quantity").alias("mean_qty"),
+    )
+    return agg.select(
+        "p_brand",
+        "n",
+        F.round("mean_qty", 6).alias("mean_qty"),
+        F.round(
+            F.when(F.col("var_d") > 0, F.col("cov") / F.col("var_d")), 6
+        ).alias("qty_per_discount_unit"),
+    ).orderBy("p_brand")
+
+
+DISCOUNT_QUANTITY_LIFT_SQL = """
+    SELECT p_brand, COUNT(*) AS n,
+           round(AVG(l_quantity), 6) AS mean_qty,
+           round(CASE WHEN var_pop(l_discount) > 0
+                      THEN covar_pop(l_discount, l_quantity)
+                           / var_pop(l_discount) END, 6)
+               AS qty_per_discount_unit
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    ORDER BY p_brand
+"""

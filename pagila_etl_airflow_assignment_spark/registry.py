@@ -193,6 +193,10 @@ EXTENSION_SURVEY_ROWS: dict[str, tuple[str, ...]] = {
     "warehouse_revenue_growth": ("L-127",),
     "warehouse_abc_classification": ("L-128",),
     "warehouse_cohort_ltv": ("L-129",),
+    "events_attribution_position": ("L-130",),
+    "warehouse_share_shift": ("L-131",),
+    "warehouse_new_vs_returning": ("L-132",),
+    "warehouse_discount_lift": ("L-133",),
 }
 
 
@@ -336,6 +340,10 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "warehouse_revenue_growth",
     "warehouse_abc_classification",
     "warehouse_cohort_ltv",
+    "events_attribution_position",
+    "warehouse_share_shift",
+    "warehouse_new_vs_returning",
+    "warehouse_discount_lift",
     # -- certified in r01/r02 only; code has changed since (14) --
     "warehouse_pricing_summary",
     "warehouse_star_join_revenue",

@@ -431,3 +431,51 @@ def test_cohort_ltv_accumulates_within_cohort(spark):
     assert [(r.age_months, r.cumulative_ltv) for r in jan] == [(0, 10.0), (1, 30.0)]
     feb = [r for r in rows if str(r.cohort) == "2024-02-01"]
     assert [(r.age_months, r.cumulative_ltv) for r in feb] == [(0, 5.0)]
+
+
+def test_position_attribution_u_shape(spark):
+    from pagila_etl_airflow_assignment_spark.operators import temporal
+
+    # three touches in hours 1,2,3 then purchase: 0.4 / 0.2 / 0.4
+    ev = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 1), 1, "click", 0.0),
+            (2, dt.datetime(2024, 1, 1, 2), 1, "click", 0.0),
+            (3, dt.datetime(2024, 1, 1, 3), 1, "click", 0.0),
+            (4, dt.datetime(2024, 1, 1, 4), 1, "purchase", 9.0),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    out = {r.click_hour: r.attributed_purchases for r in temporal.position_attribution(ev).collect()}
+    assert out == {1: 0.4, 2: 0.2, 3: 0.4}
+
+
+def test_new_vs_returning_splits_by_first_month(spark):
+    from pagila_etl_airflow_assignment_spark.operators import warehouse
+
+    orders = spark.createDataFrame(
+        [
+            (1, 1, dt.datetime(2024, 1, 5), 10.0),
+            (2, 1, dt.datetime(2024, 2, 5), 20.0),   # returning in Feb
+            (3, 2, dt.datetime(2024, 2, 10), 5.0),   # new in Feb
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp, o_totalprice double",
+    )
+    out = {str(r.month): r for r in warehouse.new_vs_returning(orders).collect()}
+    assert out["2024-01-01"].new_revenue == 10.0
+    assert out["2024-02-01"].new_revenue == 5.0
+    assert out["2024-02-01"].returning_revenue == 20.0
+    assert out["2024-02-01"].new_customers == 1
+
+
+def test_discount_lift_recovers_planted_slope(spark):
+    from pagila_etl_airflow_assignment_spark.operators import warehouse
+
+    # qty = 100*discount + 1 exactly -> slope 100
+    li = spark.createDataFrame(
+        [(1, d / 100, 100 * (d / 100) + 1.0) for d in range(0, 10)],
+        "l_partkey long, l_discount double, l_quantity double",
+    )
+    part = spark.createDataFrame([(1, "B1")], "p_partkey long, p_brand string")
+    row = warehouse.discount_quantity_lift(li, part).collect()[0]
+    assert abs(row.qty_per_discount_unit - 100.0) < 1e-6
