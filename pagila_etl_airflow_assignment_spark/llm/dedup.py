@@ -1548,3 +1548,132 @@ def prefix_filter_pairs_sql(
         WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= {threshold}
         ORDER BY doc_a, doc_b
     """
+
+
+# --- hybrid lexical + semantic dedup ------------------------------------------
+
+
+def hybrid_near_pairs(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    jaccard_threshold: float = 0.2,
+    cosine_threshold: float = 0.95,
+) -> DataFrame:
+    """Union of LEXICAL near-dup pairs (n-gram Jaccard) and SEMANTIC pairs
+    (embedding cosine, SemDeDup-style) with a provenance flag — the modern
+    curation recipe: lexical catches templated boilerplate that embeds far
+    apart, embeddings catch paraphrases that share no shingle; production
+    pipelines run BOTH and resolve the union's clusters once.
+
+    Pure composition: both inputs are existing capped/blocked pipelines
+    (posting-list Jaccard, label-blocked cosine) joined by the shared
+    doc_id = vec_id key space; the full-outer merge runs on the two PAIR
+    relations (tiny), never the corpora."""
+    lex = ngram_jaccard_pairs(docs, threshold=jaccard_threshold).select(
+        "doc_a", "doc_b", F.lit(True).alias("lexical")
+    )
+    sem = embedding_near_pairs(embeddings, threshold=cosine_threshold).select(
+        F.col("vec_a").alias("doc_a"),
+        F.col("vec_b").alias("doc_b"),
+        F.lit(True).alias("semantic"),
+    )
+    return (
+        lex.join(sem, ["doc_a", "doc_b"], "full_outer")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.coalesce("lexical", F.lit(False)).alias("lexical"),
+            F.coalesce("semantic", F.lit(False)).alias("semantic"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def hybrid_near_pairs_sql(
+    jaccard_threshold: float = 0.2, cosine_threshold: float = 0.95
+) -> str:
+    return f"""
+        WITH lex AS (
+            SELECT doc_a, doc_b, TRUE AS lexical
+            FROM ({ngram_jaccard_pairs_sql(threshold=jaccard_threshold)})
+        ), sem AS (
+            SELECT vec_a AS doc_a, vec_b AS doc_b, TRUE AS semantic
+            FROM ({embedding_near_pairs_sql(threshold=cosine_threshold)})
+        )
+        SELECT COALESCE(lex.doc_a, sem.doc_a) AS doc_a,
+               COALESCE(lex.doc_b, sem.doc_b) AS doc_b,
+               COALESCE(lexical, FALSE) AS lexical,
+               COALESCE(semantic, FALSE) AS semantic
+        FROM lex FULL OUTER JOIN sem
+          ON lex.doc_a = sem.doc_a AND lex.doc_b = sem.doc_b
+        ORDER BY doc_a, doc_b
+    """
+
+
+# --- cross-source duplication matrix ------------------------------------------
+
+
+def cross_source_dup_matrix(docs: DataFrame) -> DataFrame:
+    """Exact-duplicate leakage BETWEEN sources: for every source pair, how
+    many identical-fingerprint doc pairs span them — the governance view
+    that catches one feed republishing another (licensing/consent risk) and
+    over-weighted mirror content before training.
+
+    Fingerprint groups aggregate once (16-byte md5 keys); per-group
+    (source, count) breakdowns are tiny arrays; the pair expansion runs per
+    fingerprint group over its ≤|sources| distinct-source rows — never a
+    doc×doc join. Within-source duplicate pairs report on the diagonal."""
+    fp = docs.select(
+        "source", F.md5(_norm(F.col("text"))).alias("fingerprint")
+    )
+    per_src = fp.groupBy("fingerprint", "source").agg(F.count("*").alias("n"))
+    a = per_src.select(
+        "fingerprint", F.col("source").alias("source_a"), F.col("n").alias("n_a")
+    )
+    b = per_src.select(
+        "fingerprint", F.col("source").alias("source_b"), F.col("n").alias("n_b")
+    )
+    pairs = (
+        a.join(b, "fingerprint")
+        .where(F.col("source_a") <= F.col("source_b"))
+        .select(
+            "source_a",
+            "source_b",
+            # cross-source: n_a*n_b pairs; within-source: n*(n-1)/2
+            F.when(
+                F.col("source_a") == F.col("source_b"),
+                (F.col("n_a") * (F.col("n_a") - 1) / 2).cast("long"),
+            )
+            .otherwise(F.col("n_a") * F.col("n_b"))
+            .alias("dup_pairs"),
+        )
+    )
+    return (
+        pairs.groupBy("source_a", "source_b")
+        .agg(F.sum("dup_pairs").alias("dup_pairs"))
+        .where(F.col("dup_pairs") > 0)
+        .orderBy("source_a", "source_b")
+    )
+
+
+def cross_source_dup_matrix_sql() -> str:
+    return f"""
+        WITH fp AS (
+            SELECT source, md5({_norm_sql('text')}) AS fingerprint
+            FROM documents
+        ), per_src AS (
+            SELECT fingerprint, source, COUNT(*) AS n
+            FROM fp GROUP BY fingerprint, source
+        )
+        SELECT a.source AS source_a, b.source AS source_b,
+               SUM(CASE WHEN a.source = b.source
+                        THEN CAST(a.n * (a.n - 1) // 2 AS BIGINT)
+                        ELSE a.n * b.n END) AS dup_pairs
+        FROM per_src a JOIN per_src b
+          ON a.fingerprint = b.fingerprint AND a.source <= b.source
+        GROUP BY a.source, b.source
+        HAVING SUM(CASE WHEN a.source = b.source
+                        THEN CAST(a.n * (a.n - 1) // 2 AS BIGINT)
+                        ELSE a.n * b.n END) > 0
+        ORDER BY source_a, source_b
+    """

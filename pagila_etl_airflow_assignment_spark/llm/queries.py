@@ -513,3 +513,35 @@ def q_similarity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector pairs, 20 fixed bins — encoder-collapse detection with zero
     sampling randomness."""
     return embeddings_mod.similarity_profile(load_table(spark, sf_dir, "embeddings"))
+
+
+@register("dedup_hybrid_pairs", oracle=dedup.hybrid_near_pairs_sql())
+def q_hybrid_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical ∪ semantic near-dup pairs with provenance flags (SemDeDup
+    recipe): Jaccard catches boilerplate, cosine catches paraphrase; the
+    merge runs on the two pair relations only."""
+    return dedup.hybrid_near_pairs(
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
+    )
+
+
+@register("dedup_cross_source_matrix", oracle=dedup.cross_source_dup_matrix_sql())
+def q_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup leakage between sources: per source pair, fingerprint-group
+    pair counts — governance view of feed mirroring; never a doc×doc join."""
+    return dedup.cross_source_dup_matrix(load_table(spark, sf_dir, "documents"))
+
+
+@register("text_token_fertility", oracle=text.TOKEN_FERTILITY_SQL)
+def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language chars-per-token and tokens-per-doc — the tokenizer cost
+    model per corpus slice."""
+    return text.token_fertility(load_table(spark, sf_dir, "documents"))
+
+
+@register("text_char_entropy", oracle=text.CHAR_ENTROPY_SQL)
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-bigram Shannon entropy per doc — mojibake/base64/key-mash
+    detector via the c·ln c entropy identity on (doc, pair) counts."""
+    return text.char_entropy(load_table(spark, sf_dir, "documents"))

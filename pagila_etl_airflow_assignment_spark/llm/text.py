@@ -686,3 +686,120 @@ READABILITY_SCORES_SQL = rf"""
     FROM documents
     ORDER BY doc_id
 """
+
+
+# --- tokenizer fertility ------------------------------------------------------
+
+
+def token_fertility(docs: DataFrame) -> DataFrame:
+    """Per-language tokenizer-fertility report: characters per regex token
+    and tokens per document — the corpus statistic that predicts training
+    cost per byte and flags languages a tokenizer fragments (high fertility
+    = more tokens per character = worse compression).
+
+    Narrow per-doc counts then one |langs|-row aggregate; ratios divide
+    exact integer sums (one IEEE division per cell)."""
+    toks = F.regexp_count(F.col("text"), F.lit(BPE_TOKEN_RE)).cast("long")
+    per_doc = docs.select(
+        "lang", F.length("text").cast("long").alias("chars"), toks.alias("toks")
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("chars").alias("total_chars"),
+            F.sum("toks").alias("total_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            (F.col("total_chars").cast("double") / F.col("total_tokens").cast("double")).alias(
+                "chars_per_token"
+            ),
+            (F.col("total_tokens").cast("double") / F.col("n_docs").cast("double")).alias(
+                "tokens_per_doc"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+TOKEN_FERTILITY_SQL = rf"""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(length(text)) AS DOUBLE)
+               / CAST(SUM(len(regexp_extract_all(text, '{BPE_TOKEN_RE}'))) AS DOUBLE)
+               AS chars_per_token,
+           CAST(SUM(len(regexp_extract_all(text, '{BPE_TOKEN_RE}'))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS tokens_per_doc
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+"""
+
+
+# --- character-bigram entropy -------------------------------------------------
+
+
+def char_entropy(docs: DataFrame) -> DataFrame:
+    """Per-document character-BIGRAM Shannon entropy — the encoding-damage /
+    gibberish detector that catches what word-level stats miss (base64
+    blobs, mojibake, key-mashing all have abnormal char-pair structure).
+
+    The pair relation explodes per character ONCE (doc_id-keyed shuffle,
+    linear in corpus bytes); H = ln n − Σ c·ln c / n assembles from the
+    (doc, pair) counts with the entropy identity (events_user_entropy's
+    form — no per-pair probability division). The normalized text
+    materializes as a column BEFORE the per-position lambda (the shingles
+    rule: expressions inside higher-order-function lambdas get no CSE, so
+    an inlined norm would re-run regexp_replace per character); short docs
+    guard against sequence()'s descending-when-empty behavior."""
+    t = F.col("__t")
+    grams = F.when(
+        F.length(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.length(t) - 1), lambda i: t.substr(i, F.lit(2))
+        ),
+    ).otherwise(F.array())
+    pairs = (
+        docs.select("doc_id", _norm(F.col("text")).alias("__t"))
+        .select("doc_id", F.explode(grams).alias("pair"))
+    )
+    counts = pairs.groupBy("doc_id", "pair").agg(F.count("*").alias("c"))
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n"),
+            F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double"))).alias(
+                "clogc"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.round(
+                F.log(F.col("n").cast("double")) - F.col("clogc") / F.col("n"), 6
+            ).alias("char_bigram_entropy"),
+            F.col("n").alias("n_bigrams"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+CHAR_ENTROPY_SQL = f"""
+    WITH pairs AS (
+        SELECT doc_id,
+               unnest([t[i : i + 1] FOR i IN generate_series(1, length(t) - 1)])
+                   AS pair
+        FROM (SELECT doc_id, {_norm_sql('text')} AS t FROM documents)
+        WHERE length(t) >= 2
+    ), counts AS (
+        SELECT doc_id, pair, COUNT(*) AS c FROM pairs GROUP BY doc_id, pair
+    )
+    SELECT doc_id,
+           round(ln(CAST(SUM(c) AS DOUBLE))
+                 - SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+                   / CAST(SUM(c) AS DOUBLE), 6) AS char_bigram_entropy,
+           SUM(c) AS n_bigrams
+    FROM counts
+    GROUP BY doc_id
+    ORDER BY doc_id
+"""

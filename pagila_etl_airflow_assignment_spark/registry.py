@@ -197,6 +197,10 @@ EXTENSION_SURVEY_ROWS: dict[str, tuple[str, ...]] = {
     "warehouse_share_shift": ("L-131",),
     "warehouse_new_vs_returning": ("L-132",),
     "warehouse_discount_lift": ("L-133",),
+    "dedup_hybrid_pairs": ("L-134",),
+    "dedup_cross_source_matrix": ("L-135",),
+    "text_token_fertility": ("L-136",),
+    "text_char_entropy": ("L-137",),
 }
 
 
@@ -344,6 +348,10 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "warehouse_share_shift",
     "warehouse_new_vs_returning",
     "warehouse_discount_lift",
+    "dedup_hybrid_pairs",
+    "dedup_cross_source_matrix",
+    "text_token_fertility",
+    "text_char_entropy",
     # -- certified in r01/r02 only; code has changed since (14) --
     "warehouse_pricing_summary",
     "warehouse_star_join_revenue",

@@ -479,3 +479,56 @@ def test_discount_lift_recovers_planted_slope(spark):
     part = spark.createDataFrame([(1, "B1")], "p_partkey long, p_brand string")
     row = warehouse.discount_quantity_lift(li, part).collect()[0]
     assert abs(row.qty_per_discount_unit - 100.0) < 1e-6
+
+
+def test_hybrid_pairs_merge_provenance(spark):
+    from pagila_etl_airflow_assignment_spark.llm import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon"),  # lexical dup of 1
+            (3, "totally different words here now"),
+        ],
+        "doc_id long, text string",
+    )
+    v = [1.0] + [0.0] * 63
+    vecs = spark.createDataFrame(
+        [(1, v, 0), (2, [0.0] * 63 + [1.0], 0), (3, v, 0)],  # 1~3 semantic
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {(r.doc_a, r.doc_b): (r.lexical, r.semantic)
+           for r in dedup.hybrid_near_pairs(docs, vecs).collect()}
+    assert out[(1, 2)] == (True, False)
+    assert out[(1, 3)] == (False, True)
+
+
+def test_cross_source_matrix_counts_pairs(spark):
+    from pagila_etl_airflow_assignment_spark.llm import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "same text", "srcA"),
+            (2, "same text", "srcB"),
+            (3, "same text", "srcB"),
+            (4, "unique", "srcA"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {(r.source_a, r.source_b): r.dup_pairs
+           for r in dedup.cross_source_dup_matrix(docs).collect()}
+    assert out[("srcA", "srcB")] == 2   # doc1 x {doc2, doc3}
+    assert out[("srcB", "srcB")] == 1   # doc2 x doc3
+    assert ("srcA", "srcA") not in out  # no within-A dup
+
+
+def test_char_entropy_orders_degenerate_below_diverse(spark):
+    from pagila_etl_airflow_assignment_spark.llm import text as t2
+
+    docs = spark.createDataFrame(
+        [(1, "aaaaaaaaaa"), (2, "abcdefghij")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.char_bigram_entropy for r in t2.char_entropy(docs).collect()}
+    assert out[1] == 0.0            # single repeated bigram
+    assert out[2] > 2.0             # 9 distinct bigrams -> ln(9) ~ 2.197
