@@ -1241,3 +1241,25 @@ def q_discount_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return warehouse.discount_quantity_lift(
         load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
     )
+
+
+@register("events_burst_collapse", oracle=sequences.burst_collapse_sql())
+def q_burst_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapse same-type event bursts (gaps ≤60 s) per user into one row —
+    telemetry de-noising via the sessionization island shape, exact
+    microsecond gaps."""
+    return sequences.burst_collapse(load_table(spark, sf_dir, "events"))
+
+
+@register("events_activity_streaks", oracle=sequences.ACTIVITY_STREAKS_SQL)
+def q_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day streak per user — gaps-and-islands via the
+    day−rank constant, on the distinct-day relation."""
+    return sequences.activity_streaks(load_table(spark, sf_dir, "events"))
+
+
+@register("events_out_of_order_audit", oracle=sequences.OUT_OF_ORDER_AUDIT_SQL)
+def q_out_of_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time lateness vs per-user arrival-order high-water mark — the
+    measurement that sets a streaming watermark delay; exact micros."""
+    return sequences.out_of_order_audit(load_table(spark, sf_dir, "events"))

@@ -184,3 +184,198 @@ def running_balance_with_reset_sql(marker: str = RESET_MARKER) -> str:
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         ORDER BY event_id
     """
+
+
+# --- burst collapse -----------------------------------------------------------
+
+BURST_GAP_SECONDS = 60
+
+
+def burst_collapse(
+    events: DataFrame, gap_seconds: int = BURST_GAP_SECONDS
+) -> DataFrame:
+    """Collapse bursts — runs of same-type events per user with gaps under
+    ``gap_seconds`` — to one row each (first ts, last ts, size): telemetry
+    de-noising for double-clicks, retry storms, and scroll spam before any
+    counting metric.
+
+    The island derivation is the sessionization shape with an extra key
+    (type): one (user, ts) sort carries the lag, the gap flag cumulative-sums
+    into burst ids, and the burst aggregate is (user, type, burst)-keyed.
+    Exact integer microsecond gaps — no float time arithmetic."""
+    from ..functions import micros
+
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap_us = gap_seconds * 1_000_000
+    flagged = events.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(
+            (micros(F.col("ts")) - F.lag(micros(F.col("ts"))).over(w)) <= gap_us,
+            0,
+        )
+        .otherwise(1)
+        .alias("is_new"),
+    ).withColumn("burst", F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (
+        flagged.groupBy("user_id", "event_type", "burst")
+        .agg(
+            F.min("ts").alias("burst_start"),
+            F.max("ts").alias("burst_end"),
+            F.count("*").alias("n_events"),
+        )
+        .drop("burst")
+        .orderBy("user_id", "event_type", "burst_start")
+    )
+
+
+def burst_collapse_sql(gap_seconds: int = BURST_GAP_SECONDS) -> str:
+    gap_us = gap_seconds * 1_000_000
+    return f"""
+        WITH flagged AS (
+            SELECT user_id, event_type, ts, event_id,
+                   CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                             <= {gap_us}
+                        THEN 0 ELSE 1 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+        ), islands AS (
+            SELECT user_id, event_type, ts,
+                   SUM(is_new) OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS burst
+            FROM flagged
+        )
+        SELECT user_id, event_type,
+               MIN(ts) AS burst_start, MAX(ts) AS burst_end,
+               COUNT(*) AS n_events
+        FROM islands
+        GROUP BY user_id, event_type, burst
+        ORDER BY user_id, event_type, burst_start
+    """
+
+
+# --- gaps and islands: activity streaks ---------------------------------------
+
+
+def activity_streaks(events: DataFrame) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the classic
+    gaps-and-islands: distinct active days minus a per-user day rank is
+    CONSTANT within a consecutive run, so streaks fall out of one
+    (user, day−rank) aggregate. One user-keyed shuffle on the DISTINCT-day
+    relation (≤ days per user), never raw events."""
+    days = events.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    grouped = days.select(
+        "user_id",
+        "day",
+        F.date_sub("day", F.row_number().over(w)).alias("anchor"),
+    )
+    streaks = grouped.groupBy("user_id", "anchor").agg(
+        F.count("*").alias("len"),
+        F.min("day").alias("streak_start"),
+        F.max("day").alias("streak_end"),
+    )
+    best = Window.partitionBy("user_id").orderBy(
+        F.desc("len"), F.asc("streak_start")
+    )
+    return (
+        streaks.withColumn("rn", F.row_number().over(best))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("len").alias("longest_streak_days"),
+            "streak_start",
+            "streak_end",
+        )
+        .orderBy("user_id")
+    )
+
+
+ACTIVITY_STREAKS_SQL = """
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), grouped AS (
+        SELECT user_id, day,
+               day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+                          AS INT) AS anchor
+        FROM days
+    ), streaks AS (
+        SELECT user_id, anchor, COUNT(*) AS len,
+               MIN(day) AS streak_start, MAX(day) AS streak_end
+        FROM grouped GROUP BY user_id, anchor
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY len DESC, streak_start) AS rn
+        FROM streaks
+    )
+    SELECT user_id, len AS longest_streak_days, streak_start, streak_end
+    FROM ranked WHERE rn = 1
+    ORDER BY user_id
+"""
+
+
+# --- out-of-orderness audit ---------------------------------------------------
+
+
+def out_of_order_audit(events: DataFrame) -> DataFrame:
+    """Event-time lateness audit: how far behind each user's running
+    event-time high-water mark events arrive (arrival order = event_id, the
+    ingest sequence) — the measurement that SETS a streaming watermark delay
+    instead of guessing it.
+
+    One per-user window in arrival order computes running-max(ts) before
+    each event; the report aggregates lateness seconds per event type:
+    late-event share and exact p95/max. All integer microsecond arithmetic
+    until the final divisions."""
+    from ..functions import micros
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    late_us = F.greatest(
+        F.max(micros(F.col("ts"))).over(w) - micros(F.col("ts")), F.lit(0)
+    )
+    scored = events.select(
+        "event_type",
+        F.coalesce(late_us, F.lit(0)).alias("late_us"),
+    )
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("late_us") > 0).cast("long")).alias("n_late"),
+            F.round(
+                F.percentile("late_us", F.lit(0.95)) / 1e6, 6
+            ).alias("p95_lateness_s"),
+            F.round(F.max("late_us") / 1e6, 6).alias("max_lateness_s"),
+        )
+        .orderBy("event_type")
+    )
+
+
+OUT_OF_ORDER_AUDIT_SQL = """
+    WITH scored AS (
+        SELECT event_type,
+               COALESCE(GREATEST(
+                   MAX(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+                                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING)
+                   - epoch_us(ts), 0), 0) AS late_us
+        FROM events
+    )
+    SELECT event_type, COUNT(*) AS n,
+           SUM(CAST(late_us > 0 AS BIGINT)) AS n_late,
+           round(quantile_cont(late_us, 0.95) / 1000000.0, 6) AS p95_lateness_s,
+           round(MAX(late_us) / 1000000.0, 6) AS max_lateness_s
+    FROM scored
+    GROUP BY event_type
+    ORDER BY event_type
+"""

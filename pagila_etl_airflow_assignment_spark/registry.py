@@ -201,6 +201,9 @@ EXTENSION_SURVEY_ROWS: dict[str, tuple[str, ...]] = {
     "dedup_cross_source_matrix": ("L-135",),
     "text_token_fertility": ("L-136",),
     "text_char_entropy": ("L-137",),
+    "events_burst_collapse": ("L-138",),
+    "events_activity_streaks": ("L-139",),
+    "events_out_of_order_audit": ("L-140",),
 }
 
 
@@ -352,6 +355,9 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "dedup_cross_source_matrix",
     "text_token_fertility",
     "text_char_entropy",
+    "events_burst_collapse",
+    "events_activity_streaks",
+    "events_out_of_order_audit",
     # -- certified in r01/r02 only; code has changed since (14) --
     "warehouse_pricing_summary",
     "warehouse_star_join_revenue",

@@ -532,3 +532,51 @@ def test_char_entropy_orders_degenerate_below_diverse(spark):
     out = {r.doc_id: r.char_bigram_entropy for r in t2.char_entropy(docs).collect()}
     assert out[1] == 0.0            # single repeated bigram
     assert out[2] > 2.0             # 9 distinct bigrams -> ln(9) ~ 2.197
+
+
+def test_burst_collapse_islands(spark):
+    from pagila_etl_airflow_assignment_spark.operators import sequences
+
+    ev = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 0, 0, 0), 1, "click", 0.0),
+            (2, dt.datetime(2024, 1, 1, 0, 0, 30), 1, "click", 0.0),  # same burst
+            (3, dt.datetime(2024, 1, 1, 0, 5, 0), 1, "click", 0.0),   # new burst
+            (4, dt.datetime(2024, 1, 1, 0, 0, 10), 1, "view", 0.0),   # other type
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    rows = sequences.burst_collapse(ev).collect()
+    clicks = [r for r in rows if r.event_type == "click"]
+    assert [r.n_events for r in clicks] == [2, 1]
+    assert len([r for r in rows if r.event_type == "view"]) == 1
+
+
+def test_activity_streaks_longest_run(spark):
+    from pagila_etl_airflow_assignment_spark.operators import sequences
+
+    days = [1, 2, 3, 7, 8]  # longest = 3 days
+    ev = spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, d, 10), 1, "click", 0.0) for i, d in enumerate(days)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    row = sequences.activity_streaks(ev).collect()[0]
+    assert row.longest_streak_days == 3
+    assert str(row.streak_start) == "2024-01-01" and str(row.streak_end) == "2024-01-03"
+
+
+def test_out_of_order_audit_measures_lateness(spark):
+    from pagila_etl_airflow_assignment_spark.operators import sequences
+
+    # arrival order (event_id): t=100s, t=40s (60s late), t=200s
+    ev = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 0, 1, 40), 1, "click", 0.0),
+            (2, dt.datetime(2024, 1, 1, 0, 0, 40), 1, "click", 0.0),
+            (3, dt.datetime(2024, 1, 1, 0, 3, 20), 1, "click", 0.0),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    row = sequences.out_of_order_audit(ev).collect()[0]
+    assert row.n == 3 and row.n_late == 1
+    assert row.max_lateness_s == 60.0
