@@ -684,3 +684,183 @@ def scd3_user_state_sql() -> str:
         GROUP BY user_id
         ORDER BY user_id
     """
+
+
+# --- discrete-time survival ---------------------------------------------------
+
+HAZARD_MAX_DAYS = 14
+
+
+def discrete_hazard(
+    events: DataFrame, max_days: int = HAZARD_MAX_DAYS
+) -> DataFrame:
+    """Discrete-time survival table for signup→purchase: per day-since-signup,
+    who was still at risk, who converted that day, and the hazard rate —
+    time-to-event analysis without the float-product ladder (hazards are
+    pure integer ratios per row; survival curves multiply them downstream
+    if needed).
+
+    Users reduce to one (signup_ts, first_purchase_ts) row each (two
+    conditional MIN aggregates, one user shuffle); day offsets land on a
+    ≤max_days grid; at-risk counts derive from the offset histogram by a
+    reverse cumulative window over that tiny grid. Right-censoring is
+    explicit: users who never convert (or convert past the horizon) stay in
+    every day's risk set."""
+    per_user = (
+        events.where(F.col("event_type").isin("signup", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+                "signup_ts"
+            ),
+            F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+                "purchase_ts"
+            ),
+        )
+        .where(F.col("signup_ts").isNotNull())
+    )
+    offset = F.datediff(F.to_date("purchase_ts"), F.to_date("signup_ts"))
+    cohort = per_user.select(
+        F.when(
+            F.col("purchase_ts").isNotNull()
+            & (offset >= 0)
+            & (offset <= max_days),
+            offset,
+        ).alias("conv_day")  # NULL = censored within the horizon
+    )
+    total = cohort.agg(F.count("*").alias("n_users"))
+    conv = cohort.where(F.col("conv_day").isNotNull()).groupBy("conv_day").agg(
+        F.count("*").alias("n_converted")
+    )
+    days = events.sparkSession.range(0, max_days + 1).select(
+        F.col("id").cast("int").alias("day")
+    )
+    grid = (
+        days.join(conv, days["day"] == conv["conv_day"], "left")
+        .select("day", F.coalesce("n_converted", F.lit(0)).alias("n_converted"))
+        .crossJoin(F.broadcast(total))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    at_risk = F.col("n_users") - F.coalesce(
+        F.sum("n_converted").over(w), F.lit(0)
+    )
+    return grid.select(
+        "day",
+        at_risk.alias("n_at_risk"),
+        "n_converted",
+        F.round(
+            F.col("n_converted").cast("double") / at_risk.cast("double"), 6
+        ).alias("hazard"),
+    ).orderBy("day")
+
+
+def discrete_hazard_sql(max_days: int = HAZARD_MAX_DAYS) -> str:
+    return f"""
+        WITH per_user AS (
+            SELECT user_id,
+                   MIN(CASE WHEN event_type = 'signup' THEN ts END) AS signup_ts,
+                   MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+                       AS purchase_ts
+            FROM events WHERE event_type IN ('signup', 'purchase')
+            GROUP BY user_id
+            HAVING MIN(CASE WHEN event_type = 'signup' THEN ts END) IS NOT NULL
+        ), cohort AS (
+            SELECT CASE WHEN purchase_ts IS NOT NULL
+                         AND datediff('day', CAST(signup_ts AS DATE),
+                                      CAST(purchase_ts AS DATE))
+                             BETWEEN 0 AND {max_days}
+                        THEN datediff('day', CAST(signup_ts AS DATE),
+                                      CAST(purchase_ts AS DATE))
+                   END AS conv_day
+            FROM per_user
+        ), total AS (
+            SELECT COUNT(*) AS n_users FROM cohort
+        ), conv AS (
+            SELECT conv_day, COUNT(*) AS n_converted
+            FROM cohort WHERE conv_day IS NOT NULL GROUP BY conv_day
+        ), grid AS (
+            SELECT d.day, COALESCE(n_converted, 0) AS n_converted, n_users
+            FROM (SELECT unnest(range(0, {max_days + 1})) AS day) d
+            LEFT JOIN conv ON d.day = conv.conv_day
+            CROSS JOIN total
+        )
+        SELECT day,
+               n_users - COALESCE(SUM(n_converted) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS n_at_risk,
+               n_converted,
+               round(CAST(n_converted AS DOUBLE)
+                     / CAST(n_users - COALESCE(SUM(n_converted) OVER (ORDER BY day
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS DOUBLE), 6) AS hazard
+        FROM grid
+        ORDER BY day
+    """
+
+
+def wau_overlap(events: DataFrame) -> DataFrame:
+    """Week-over-week active-audience stability: Jaccard overlap of adjacent
+    weeks' active-user sets — the "same people or churn-and-replace?" gauge
+    a WAU line hides.
+
+    (week, user) distincts once; adjacent weeks join per user (the only
+    data-sized shuffle, user-keyed); intersection/union counts are exact
+    integers on the ≤weeks-row output grid."""
+    wk = events.select(
+        F.date_trunc("week", "ts").cast("date").alias("week"), "user_id"
+    ).distinct()
+    cur = wk.select(F.col("week"), F.col("user_id"))
+    prev = wk.select(
+        F.date_add(F.col("week"), 7).alias("week"), F.col("user_id")
+    )
+    inter = cur.join(prev, ["week", "user_id"]).groupBy("week").agg(
+        F.count("*").alias("n_inter")
+    )
+    sizes = wk.groupBy("week").agg(F.count("*").alias("n_cur"))
+    prev_sizes = wk.groupBy(F.date_add("week", 7).alias("week")).agg(
+        F.count("*").alias("n_prev")
+    )
+    return (
+        sizes.join(prev_sizes, "week")
+        .join(inter, "week", "left")
+        .select(
+            "week",
+            "n_cur",
+            "n_prev",
+            F.coalesce("n_inter", F.lit(0)).alias("n_both"),
+            F.round(
+                F.coalesce("n_inter", F.lit(0)).cast("double")
+                / (
+                    F.col("n_cur") + F.col("n_prev") - F.coalesce("n_inter", F.lit(0))
+                ).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("week")
+    )
+
+
+WAU_OVERLAP_SQL = """
+    WITH wk AS (
+        SELECT DISTINCT CAST(date_trunc('week', ts) AS DATE) AS week, user_id
+        FROM events
+    ), inter AS (
+        SELECT c.week, COUNT(*) AS n_inter
+        FROM wk c JOIN wk p
+          ON p.week + 7 = c.week AND p.user_id = c.user_id
+        GROUP BY c.week
+    ), sizes AS (
+        SELECT week, COUNT(*) AS n_cur FROM wk GROUP BY week
+    ), prev_sizes AS (
+        SELECT week + 7 AS week, COUNT(*) AS n_prev FROM wk GROUP BY week + 7
+    )
+    SELECT s.week, n_cur, n_prev,
+           COALESCE(n_inter, 0) AS n_both,
+           round(CAST(COALESCE(n_inter, 0) AS DOUBLE)
+                 / CAST(n_cur + n_prev - COALESCE(n_inter, 0) AS DOUBLE), 6)
+               AS jaccard
+    FROM sizes s
+    JOIN prev_sizes p ON s.week = p.week
+    LEFT JOIN inter i ON s.week = i.week
+    ORDER BY s.week
+"""

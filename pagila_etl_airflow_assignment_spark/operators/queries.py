@@ -1263,3 +1263,26 @@ def q_out_of_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time lateness vs per-user arrival-order high-water mark — the
     measurement that sets a streaming watermark delay; exact micros."""
     return sequences.out_of_order_audit(load_table(spark, sf_dir, "events"))
+
+
+@register("events_discrete_hazard", oracle=analytics.discrete_hazard_sql())
+def q_discrete_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-time survival table (signup→purchase): at-risk counts from a
+    reverse cumulative over the ≤14-day grid; hazards are integer ratios —
+    no float-product survival ladder."""
+    return analytics.discrete_hazard(load_table(spark, sf_dir, "events"))
+
+
+@register("events_wau_overlap", oracle=analytics.WAU_OVERLAP_SQL)
+def q_wau_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week active-set Jaccard: audience stability behind the WAU
+    line; one user-keyed join of adjacent weeks' distinct sets."""
+    return analytics.wau_overlap(load_table(spark, sf_dir, "events"))
+
+
+@register("events_woe_iv", oracle=stats.woe_iv_binning_sql())
+def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence quintile bins + IV contributions for click-value →
+    later-purchase — the scorecard feature screen, smoothed and exact-ntile
+    deterministic."""
+    return stats.woe_iv_binning(load_table(spark, sf_dir, "events"))

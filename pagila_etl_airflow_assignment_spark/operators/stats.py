@@ -339,3 +339,100 @@ def cuped_adjustment_sql(split: str = "2024-01-15") -> str:
         GROUP BY cohort
         ORDER BY cohort
     """
+
+
+# --- WOE / IV scorecard binning -----------------------------------------------
+
+WOE_BINS = 5
+
+
+def woe_iv_binning(events: DataFrame, n_bins: int = WOE_BINS) -> DataFrame:
+    """Weight-of-evidence bins + information value for "click value predicts
+    later purchase" — the credit-scorecard feature screen (IV < 0.02
+    useless, > 0.3 strong) applied to behavioral data.
+
+    Label: did the click's user purchase within the dataset AFTER the click
+    (a per-user first-purchase MIN joined back — user-keyed, no event×event
+    join). Bins are value quintiles via deterministic ntile; good/bad rates
+    use add-one smoothing so empty cells stay finite; WOE = ln(good%/bad%),
+    IV = Σ (good%−bad%)·WOE, both rounded at 6 dp on the ≤n_bins grid."""
+    first_purchase = (
+        events.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fp_ts"))
+    )
+    clicks = (
+        events.where(
+            (F.col("event_type") == "click") & F.col("value").isNotNull()
+        )
+        .join(first_purchase, "user_id", "left")
+        .select(
+            "value",
+            "event_id",
+            (
+                F.col("fp_ts").isNotNull() & (F.col("fp_ts") > F.col("ts"))
+            ).cast("int").alias("good"),
+        )
+    )
+    w = Window.orderBy("value", "event_id")
+    binned = clicks.select(
+        F.ntile(n_bins).over(w).alias("bin"), "good"
+    )
+    cells = binned.groupBy("bin").agg(
+        F.sum("good").alias("n_good"),
+        F.sum(1 - F.col("good")).alias("n_bad"),
+    )
+    totals = cells.agg(
+        F.sum("n_good").alias("t_good"), F.sum("n_bad").alias("t_bad")
+    )
+    gp = (F.col("n_good") + 1).cast("double") / (
+        F.col("t_good") + n_bins
+    ).cast("double")
+    bp = (F.col("n_bad") + 1).cast("double") / (
+        F.col("t_bad") + n_bins
+    ).cast("double")
+    woe = F.log(gp / bp)
+    return (
+        cells.crossJoin(F.broadcast(totals))
+        .select(
+            "bin",
+            "n_good",
+            "n_bad",
+            F.round(woe, 6).alias("woe"),
+            F.round((gp - bp) * woe, 6).alias("iv_contrib"),
+        )
+        .orderBy("bin")
+    )
+
+
+def woe_iv_binning_sql(n_bins: int = WOE_BINS) -> str:
+    return f"""
+        WITH first_purchase AS (
+            SELECT user_id, MIN(ts) AS fp_ts
+            FROM events WHERE event_type = 'purchase' GROUP BY user_id
+        ), clicks AS (
+            SELECT value, event_id,
+                   CAST(fp_ts IS NOT NULL AND fp_ts > c.ts AS INT) AS good
+            FROM events c LEFT JOIN first_purchase USING (user_id)
+            WHERE c.event_type = 'click' AND value IS NOT NULL
+        ), binned AS (
+            SELECT ntile({n_bins}) OVER (ORDER BY value, event_id) AS bin, good
+            FROM clicks
+        ), cells AS (
+            SELECT bin, SUM(good) AS n_good, SUM(1 - good) AS n_bad
+            FROM binned GROUP BY bin
+        ), totals AS (
+            SELECT SUM(n_good) AS t_good, SUM(n_bad) AS t_bad FROM cells
+        )
+        SELECT bin, n_good, n_bad,
+               round(ln((CAST(n_good + 1 AS DOUBLE) / CAST(t_good + {n_bins} AS DOUBLE))
+                        / (CAST(n_bad + 1 AS DOUBLE) / CAST(t_bad + {n_bins} AS DOUBLE))), 6)
+                   AS woe,
+               round((CAST(n_good + 1 AS DOUBLE) / CAST(t_good + {n_bins} AS DOUBLE)
+                      - CAST(n_bad + 1 AS DOUBLE) / CAST(t_bad + {n_bins} AS DOUBLE))
+                     * ln((CAST(n_good + 1 AS DOUBLE) / CAST(t_good + {n_bins} AS DOUBLE))
+                          / (CAST(n_bad + 1 AS DOUBLE) / CAST(t_bad + {n_bins} AS DOUBLE))), 6)
+                   AS iv_contrib
+        FROM cells CROSS JOIN totals
+        ORDER BY bin
+    """

@@ -204,6 +204,9 @@ EXTENSION_SURVEY_ROWS: dict[str, tuple[str, ...]] = {
     "events_burst_collapse": ("L-138",),
     "events_activity_streaks": ("L-139",),
     "events_out_of_order_audit": ("L-140",),
+    "events_discrete_hazard": ("L-141",),
+    "events_wau_overlap": ("L-142",),
+    "events_woe_iv": ("L-143",),
 }
 
 
@@ -358,6 +361,9 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "events_burst_collapse",
     "events_activity_streaks",
     "events_out_of_order_audit",
+    "events_discrete_hazard",
+    "events_wau_overlap",
+    "events_woe_iv",
     # -- certified in r01/r02 only; code has changed since (14) --
     "warehouse_pricing_summary",
     "warehouse_star_join_revenue",

@@ -580,3 +580,64 @@ def test_out_of_order_audit_measures_lateness(spark):
     row = sequences.out_of_order_audit(ev).collect()[0]
     assert row.n == 3 and row.n_late == 1
     assert row.max_lateness_s == 60.0
+
+
+def test_discrete_hazard_at_risk_shrinks(spark):
+    from pagila_etl_airflow_assignment_spark.operators import analytics
+
+    # 3 signups; user 1 converts day 0, user 2 day 2, user 3 censored
+    rows = [
+        (1, dt.datetime(2024, 1, 1), 1, "signup", 0.0),
+        (2, dt.datetime(2024, 1, 1, 5), 1, "purchase", 0.0),
+        (3, dt.datetime(2024, 1, 1), 2, "signup", 0.0),
+        (4, dt.datetime(2024, 1, 3), 2, "purchase", 0.0),
+        (5, dt.datetime(2024, 1, 1), 3, "signup", 0.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = {r.day: r for r in analytics.discrete_hazard(ev).collect()}
+    assert out[0].n_at_risk == 3 and out[0].n_converted == 1
+    assert out[1].n_at_risk == 2 and out[1].n_converted == 0
+    assert out[2].n_at_risk == 2 and out[2].n_converted == 1
+    assert out[3].n_at_risk == 1  # censored user stays at risk
+    assert out[2].hazard == 0.5
+
+
+def test_wau_overlap_jaccard(spark):
+    from pagila_etl_airflow_assignment_spark.operators import analytics
+
+    # week1 Mondays 2024-01-01; week2 2024-01-08. users {1,2} then {2,3}
+    ev = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 2), 1, "click", 0.0),
+            (2, dt.datetime(2024, 1, 3), 2, "click", 0.0),
+            (3, dt.datetime(2024, 1, 9), 2, "click", 0.0),
+            (4, dt.datetime(2024, 1, 10), 3, "click", 0.0),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    rows = analytics.wau_overlap(ev).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_both == 1 and r.n_cur == 2 and r.n_prev == 2
+    assert abs(r.jaccard - 1 / 3) < 1e-6
+
+
+def test_woe_separates_predictive_bins(spark):
+    from pagila_etl_airflow_assignment_spark.operators import stats
+
+    # low-value clicks never convert, high-value always do
+    rows = []
+    eid = 0
+    for u in range(20):
+        v = 1.0 if u < 10 else 100.0
+        rows.append((eid, dt.datetime(2024, 1, 1, 1), u, "click", v)); eid += 1
+        if u >= 10:
+            rows.append((eid, dt.datetime(2024, 1, 2), u, "purchase", 5.0)); eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = stats.woe_iv_binning(ev).collect()
+    assert out[0].woe < 0 < out[-1].woe  # low bins bad, high bins good
+    assert sum(r.iv_contrib for r in out) > 0.3  # strongly predictive
