@@ -94,6 +94,7 @@ HEADLINE = [
     "warehouse_share_shift",
     "warehouse_new_vs_returning",
     "warehouse_discount_lift",
+    "warehouse_benford_audit",
     "warehouse_custdist",
     "warehouse_small_qty_revenue",
     "warehouse_top_supplier",

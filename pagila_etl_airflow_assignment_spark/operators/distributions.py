@@ -615,3 +615,35 @@ def psi_drift_sql(split: str = PSI_SPLIT, n_bins: int = PSI_BINS) -> str:
         GROUP BY c.event_type
         ORDER BY c.event_type
     """
+
+
+# --- daily percentile bands ---------------------------------------------------
+
+
+def daily_percentile_bands(events: DataFrame) -> DataFrame:
+    """p10/p50/p90 value bands per (type, day) — the observability ribbon
+    every metrics dashboard draws. One grouped exact-percentile aggregate
+    over the bounded day grid (the winsorized_stats percentile contract);
+    at lake scale the same shape swaps in approx_percentile."""
+    return (
+        events.where(F.col("value").isNotNull())
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.percentile("value", F.lit(0.1)), 6).alias("p10"),
+            F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+DAILY_PERCENTILE_BANDS_SQL = """
+    SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n,
+           round(quantile_cont(value, 0.1), 6) AS p10,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type, CAST(ts AS DATE)
+    ORDER BY event_type, day
+"""

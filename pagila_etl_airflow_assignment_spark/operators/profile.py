@@ -302,3 +302,84 @@ def fd_profile_sql(
         for lhs, rhs in candidates
     )
     return f"SELECT * FROM ({arms}) ORDER BY fd"
+
+
+# --- Benford first-digit audit ------------------------------------------------
+
+
+def benford_audit(orders: DataFrame) -> DataFrame:
+    """Benford's-law first-digit screen on order totals — the forensic
+    data-quality check for fabricated or truncated monetary data: observed
+    first-significant-digit shares vs log10(1+1/d), with the chi-square
+    distance as the headline.
+
+    The first digit comes from STRING manipulation (strip sign/zeros/dot,
+    take the first char) — no float log extraction, so both engines agree
+    exactly; expected shares are compile-time Python constants; the 9-row
+    grid carries counts, shares, and per-digit chi terms."""
+    import math
+
+    digit = F.substring(
+        F.regexp_replace(F.format_number(F.abs(F.col("o_totalprice")), 6), "[0.,]", ""),
+        1,
+        1,
+    )
+    obs = (
+        orders.where(F.col("o_totalprice") != 0)
+        .select(digit.cast("int").alias("d"))
+        .where(F.col("d").between(1, 9))
+        .groupBy("d")
+        .agg(F.count("*").alias("n"))
+    )
+    total = obs.agg(F.sum("n").alias("t"))
+    expected = F.create_map(
+        *[
+            x
+            for d in range(1, 10)
+            for x in (F.lit(d), F.lit(math.log10(1 + 1 / d)))
+        ]
+    )
+    share = F.col("n").cast("double") / F.col("t").cast("double")
+    exp_p = expected[F.col("d")]
+    return (
+        obs.crossJoin(F.broadcast(total))
+        .select(
+            "d",
+            "n",
+            F.round(share, 6).alias("observed_share"),
+            F.round(exp_p, 6).alias("benford_share"),
+            F.round(
+                (share - exp_p) * (share - exp_p) / exp_p * F.col("t").cast("double"),
+                6,
+            ).alias("chi_term"),
+        )
+        .orderBy("d")
+    )
+
+
+def benford_audit_sql() -> str:
+    import math
+
+    cases = " ".join(
+        f"WHEN {d} THEN {math.log10(1 + 1 / d)!r}" for d in range(1, 10)
+    )
+    return f"""
+        WITH obs AS (
+            SELECT CAST(substr(regexp_replace(
+                       format('{{:.6f}}', ABS(o_totalprice)), '[0.,]', '', 'g'),
+                       1, 1) AS INT) AS d,
+                   COUNT(*) AS n
+            FROM orders WHERE o_totalprice <> 0
+            GROUP BY 1
+        ), valid AS (
+            SELECT * FROM obs WHERE d BETWEEN 1 AND 9
+        ), total AS (SELECT SUM(n) AS t FROM valid)
+        SELECT d, n,
+               round(CAST(n AS DOUBLE) / CAST(t AS DOUBLE), 6) AS observed_share,
+               round(CASE d {cases} END, 6) AS benford_share,
+               round((CAST(n AS DOUBLE) / CAST(t AS DOUBLE) - CASE d {cases} END)
+                     * (CAST(n AS DOUBLE) / CAST(t AS DOUBLE) - CASE d {cases} END)
+                     / (CASE d {cases} END) * CAST(t AS DOUBLE), 6) AS chi_term
+        FROM valid CROSS JOIN total
+        ORDER BY d
+    """

@@ -1286,3 +1286,27 @@ def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
     later-purchase — the scorecard feature screen, smoothed and exact-ntile
     deterministic."""
     return stats.woe_iv_binning(load_table(spark, sf_dir, "events"))
+
+
+@register("events_prop_ztest", oracle=stats.PROPORTION_ZTEST_SQL)
+def q_prop_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test per type on user-parity cohorts' conversion —
+    the COUNT companion to the Welch means test; integer sufficient stats."""
+    return stats.proportion_ztest(load_table(spark, sf_dir, "events"))
+
+
+@register("warehouse_benford_audit", oracle=profile.benford_audit_sql())
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit forensic screen on order totals: string-derived
+    first significant digit (no float log), chi terms on the 9-row grid."""
+    return profile.benford_audit(load_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "events_daily_percentile_bands",
+    oracle=distributions.DAILY_PERCENTILE_BANDS_SQL,
+)
+def q_daily_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p10/p50/p90 observability ribbon per (type, day): one grouped exact
+    percentile pass over the bounded grid."""
+    return distributions.daily_percentile_bands(load_table(spark, sf_dir, "events"))

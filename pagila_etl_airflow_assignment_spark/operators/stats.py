@@ -436,3 +436,87 @@ def woe_iv_binning_sql(n_bins: int = WOE_BINS) -> str:
         FROM cells CROSS JOIN totals
         ORDER BY bin
     """
+
+
+def proportion_ztest(events: DataFrame) -> DataFrame:
+    """Two-proportion z-test per event type: does the parity-cohort split
+    convert (event carries value > its type median? no — simpler and exact:
+    event's user made ANY purchase) at different rates — the COUNT
+    companion to welch_ab_test's means. All inputs are integer counts from
+    one conditional aggregate; z = (p̂_a − p̂_b)/√(p̂(1−p̂)(1/n_a+1/n_b))
+    assembles in identical closed form; degenerate pools report NULL."""
+    purchasers = (
+        events.where(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .withColumn("converted", F.lit(1))
+    )
+    marked = events.join(purchasers, "user_id", "left").select(
+        "event_type",
+        "user_id",
+        F.coalesce("converted", F.lit(0)).alias("conv"),
+        (F.col("user_id") % 2 == 0).cast("int").alias("in_a"),
+    )
+    per_user = marked.groupBy("event_type", "user_id").agg(
+        F.first("conv").alias("conv"), F.first("in_a").alias("in_a")
+    )
+    agg = per_user.groupBy("event_type").agg(
+        F.sum(F.when(F.col("in_a") == 1, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("in_a") == 1, F.col("conv")).otherwise(0)).alias("c_a"),
+        F.sum(F.when(F.col("in_a") == 0, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("in_a") == 0, F.col("conv")).otherwise(0)).alias("c_b"),
+    )
+    pa = F.col("c_a").cast("double") / F.col("n_a").cast("double")
+    pb = F.col("c_b").cast("double") / F.col("n_b").cast("double")
+    pool = (F.col("c_a") + F.col("c_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    se = F.sqrt(
+        pool
+        * (1.0 - pool)
+        * (
+            1.0 / F.col("n_a").cast("double")
+            + 1.0 / F.col("n_b").cast("double")
+        )
+    )
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0) & (pool > 0) & (pool < 1)
+    return agg.select(
+        "event_type",
+        "n_a",
+        "c_a",
+        "n_b",
+        "c_b",
+        F.round(F.when(ok, (pa - pb) / se), 6).alias("z_stat"),
+    ).orderBy("event_type")
+
+
+PROPORTION_ZTEST_SQL = """
+    WITH purchasers AS (
+        SELECT DISTINCT user_id, 1 AS converted
+        FROM events WHERE event_type = 'purchase'
+    ), per_user AS (
+        SELECT event_type, e.user_id,
+               ANY_VALUE(COALESCE(converted, 0)) AS conv,
+               ANY_VALUE(CAST(e.user_id % 2 = 0 AS INT)) AS in_a
+        FROM events e LEFT JOIN purchasers p ON e.user_id = p.user_id
+        GROUP BY event_type, e.user_id
+    ), agg AS (
+        SELECT event_type,
+               SUM(CASE WHEN in_a = 1 THEN 1 ELSE 0 END) AS n_a,
+               SUM(CASE WHEN in_a = 1 THEN conv ELSE 0 END) AS c_a,
+               SUM(CASE WHEN in_a = 0 THEN 1 ELSE 0 END) AS n_b,
+               SUM(CASE WHEN in_a = 0 THEN conv ELSE 0 END) AS c_b
+        FROM per_user GROUP BY event_type
+    )
+    SELECT event_type, n_a, c_a, n_b, c_b,
+           round(CASE WHEN n_a > 0 AND n_b > 0
+                       AND (c_a + c_b) > 0 AND (c_a + c_b) < (n_a + n_b)
+                      THEN (CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                            - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                           / sqrt((CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                                  * (1.0 - CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                                  * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+                 END, 6) AS z_stat
+    FROM agg
+    ORDER BY event_type
+"""

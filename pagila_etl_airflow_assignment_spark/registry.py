@@ -207,6 +207,9 @@ EXTENSION_SURVEY_ROWS: dict[str, tuple[str, ...]] = {
     "events_discrete_hazard": ("L-141",),
     "events_wau_overlap": ("L-142",),
     "events_woe_iv": ("L-143",),
+    "events_prop_ztest": ("L-144",),
+    "warehouse_benford_audit": ("L-145",),
+    "events_daily_percentile_bands": ("L-146",),
 }
 
 
@@ -364,6 +367,9 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "events_discrete_hazard",
     "events_wau_overlap",
     "events_woe_iv",
+    "events_prop_ztest",
+    "warehouse_benford_audit",
+    "events_daily_percentile_bands",
     # -- certified in r01/r02 only; code has changed since (14) --
     "warehouse_pricing_summary",
     "warehouse_star_join_revenue",

@@ -641,3 +641,31 @@ def test_woe_separates_predictive_bins(spark):
     out = stats.woe_iv_binning(ev).collect()
     assert out[0].woe < 0 < out[-1].woe  # low bins bad, high bins good
     assert sum(r.iv_contrib for r in out) > 0.3  # strongly predictive
+
+
+def test_benford_digit_extraction_and_shares(spark):
+    from pagila_etl_airflow_assignment_spark.operators import profile
+
+    orders = spark.createDataFrame(
+        [(i, 1, dt.datetime(2024, 1, 1), v) for i, v in
+         enumerate([123.45, 0.019, 250.0, 1999.0, 0.5])],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp, o_totalprice double",
+    )
+    out = {r.d: r.n for r in profile.benford_audit(orders).collect()}
+    assert out == {1: 3, 2: 1, 5: 1}  # 123->1, 0.019->1, 250->2, 1999->1, 0.5->5
+
+
+def test_prop_ztest_detects_lopsided_conversion(spark):
+    from pagila_etl_airflow_assignment_spark.operators import stats
+
+    rows = []
+    eid = 0
+    for u in range(40):
+        rows.append((eid, dt.datetime(2024, 1, 1), u, "click", 1.0)); eid += 1
+        if u % 2 == 0:  # only cohort A (even users) converts
+            rows.append((eid, dt.datetime(2024, 1, 2), u, "purchase", 1.0)); eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = {r.event_type: r for r in stats.proportion_ztest(ev).collect()}
+    assert out["click"].z_stat > 3.0  # total separation -> large z

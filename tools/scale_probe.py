@@ -116,6 +116,28 @@ PROBES = [
     "embedding_similarity_profile",
     "warehouse_phonetic_match",
     "graph_bfs_distance",
+    # round-4g additions: survival/audience/scorecard, island shapes,
+    # attribution variants, BI grids, hybrid dedup, char-grain text
+    "events_funnel_latency",
+    "events_scd3_user_state",
+    "events_psi_drift",
+    "warehouse_revenue_growth",
+    "warehouse_abc_classification",
+    "warehouse_cohort_ltv",
+    "events_attribution_position",
+    "warehouse_share_shift",
+    "warehouse_new_vs_returning",
+    "warehouse_discount_lift",
+    "dedup_hybrid_pairs",
+    "dedup_cross_source_matrix",
+    "text_token_fertility",
+    "text_char_entropy",
+    "events_burst_collapse",
+    "events_activity_streaks",
+    "events_out_of_order_audit",
+    "events_discrete_hazard",
+    "events_wau_overlap",
+    "events_woe_iv",
 ]
 
 
