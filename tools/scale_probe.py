@@ -138,6 +138,9 @@ PROBES = [
     "events_discrete_hazard",
     "events_wau_overlap",
     "events_woe_iv",
+    "events_prop_ztest",
+    "warehouse_benford_audit",
+    "events_daily_percentile_bands",
 ]
 
 
