@@ -71,6 +71,20 @@ ALLOWED: dict[str, set[str]] = {
     "events_chi_square": {"BroadcastNestedLoopJoin"},
     # three 1-row census aggregates (edges/wedges/triangles) cross-joined
     "graph_triangle_census": {"BroadcastNestedLoopJoin"},
+    # broadcast 1-row θ/x̄ sufficient-statistics aggregate
+    "events_cuped_adjustment": {"BroadcastNestedLoopJoin"},
+    # two 1-row estimates (sketch dot-min × exact join size) cross-joined
+    "events_cm_join_size": {"BroadcastNestedLoopJoin"},
+    # broadcast 1-row training-token-count scalar (backoff denominator)
+    "text_bigram_backoff": {"BroadcastNestedLoopJoin"},
+    # broadcast 1-row total-revenue scalar (Pareto share denominator)
+    "warehouse_abc_classification": {"BroadcastNestedLoopJoin"},
+    # broadcast 1-row cohort-size scalar over the ≤15-day grid
+    "events_discrete_hazard": {"BroadcastNestedLoopJoin"},
+    # broadcast 1-row good/bad totals over the ≤bins grid
+    "events_woe_iv": {"BroadcastNestedLoopJoin"},
+    # broadcast 1-row digit-count total over the 9-row grid
+    "warehouse_benford_audit": {"BroadcastNestedLoopJoin"},
     # Python UDTF: BatchEvalPython IS the UDTF execution node in Spark 4 —
     # this query exists to pin the UDTF boundary, not to avoid it
     "text_sentence_split_udtf": {"BatchEvalPython"},
