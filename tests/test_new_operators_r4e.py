@@ -1,5 +1,9 @@
-"""Round-4e operators: Q6/Q8/Q9/Q20 shapes, MAD outliers, counting IVM,
-random projection.
+"""Round-4e..4g operators: Q6/Q8/Q9/Q20 shapes, MAD outliers, counting IVM,
+random projection, set algebra, phonetic blocking, BFS, CUPED/CUSUM/PSI,
+equi-depth bins, golden records, BI shapes (growth/ABC/LTV/share-shift/
+new-vs-returning/discount-lift), attribution variants, hybrid dedup,
+cross-source matrix, char entropy, islands (bursts/streaks), lateness audit,
+survival hazard, WAU overlap, WOE/IV, proportion z, Benford.
 
 Semantics pinned on tiny inline fixtures; the differential check vs DuckDB
 runs via tools/verify_local.py and the driver's CORRECTNESS gate.
