@@ -360,8 +360,12 @@ def benford_audit(orders: DataFrame) -> DataFrame:
 def benford_audit_sql() -> str:
     import math
 
+    # CAST each literal: DuckDB types bare decimal literals as DECIMAL, and
+    # a DECIMAL share column stringifies differently from Spark's double in
+    # the driver's canonicalization
     cases = " ".join(
-        f"WHEN {d} THEN {math.log10(1 + 1 / d)!r}" for d in range(1, 10)
+        f"WHEN {d} THEN CAST({math.log10(1 + 1 / d)!r} AS DOUBLE)"
+        for d in range(1, 10)
     )
     return f"""
         WITH obs AS (
