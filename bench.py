@@ -95,6 +95,7 @@ HEADLINE = [
     "warehouse_new_vs_returning",
     "warehouse_discount_lift",
     "warehouse_benford_audit",
+    "warehouse_sla_compliance",
     "warehouse_custdist",
     "warehouse_small_qty_revenue",
     "warehouse_top_supplier",

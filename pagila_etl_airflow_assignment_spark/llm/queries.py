@@ -545,3 +545,21 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-bigram Shannon entropy per doc — mojibake/base64/key-mash
     detector via the c·ln c entropy identity on (doc, pair) counts."""
     return text.char_entropy(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "ann_lsh_recall", oracle=similarity.lsh_recall_at_k_sql(ANN_QUERY_IDS)
+)
+def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of LSH vs brute force per query — the ANN index-quality
+    gate, composed from the two existing deterministic top-k pipelines."""
+    return similarity.lsh_recall_at_k(
+        load_table(spark, sf_dir, "embeddings"), ANN_QUERY_IDS
+    )
+
+
+@register("text_langid_confusion", oracle=text.LANGID_CONFUSION_SQL)
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of heuristic lang-ID vs labeled lang — in-warehouse
+    offline eval on a ≤|langs|² grid."""
+    return text.langid_confusion(load_table(spark, sf_dir, "documents"))

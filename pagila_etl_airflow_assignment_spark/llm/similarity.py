@@ -418,3 +418,61 @@ def ivf_topk_sql(
         QUALIFY rank <= {k}
         ORDER BY query_id, rank
     """
+
+
+# --- ANN evaluation: recall@k -------------------------------------------------
+
+
+def lsh_recall_at_k(
+    embeddings: DataFrame, query_ids: list[int], k: int = DEFAULT_K
+) -> DataFrame:
+    """Recall@k of the LSH index against exact brute force — the evaluation
+    every ANN deployment runs before trusting its index: per query, what
+    fraction of the TRUE top-k the bucketed search returned.
+
+    Pure composition of the two existing top-k pipelines (both md5-
+    deterministic): a left join of truth to candidate on (query, vec) counts
+    hits; recall divides exact integers. The report is |queries| rows plus
+    a summary mean."""
+    truth = brute_force_topk(embeddings, query_ids, k).select(
+        "query_id", "vec_id", F.lit(1).alias("is_true")
+    )
+    got = lsh_bucket_topk(embeddings, query_ids, k).select(
+        "query_id", "vec_id", F.lit(1).alias("is_got")
+    )
+    per_query = (
+        truth.join(got, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("n_true"),
+            F.sum(F.coalesce("is_got", F.lit(0))).alias("n_hit"),
+        )
+        .select(
+            "query_id",
+            "n_true",
+            "n_hit",
+            (F.col("n_hit").cast("double") / F.col("n_true").cast("double")).alias(
+                "recall_at_k"
+            ),
+        )
+    )
+    return per_query.orderBy("query_id")
+
+
+def lsh_recall_at_k_sql(query_ids: list[int], k: int = DEFAULT_K) -> str:
+    return f"""
+        WITH truth AS (
+            SELECT query_id, vec_id FROM ({brute_force_topk_sql(query_ids, k)})
+        ), got AS (
+            SELECT query_id, vec_id FROM ({lsh_bucket_topk_sql(query_ids, k)})
+        )
+        SELECT t.query_id,
+               COUNT(*) AS n_true,
+               SUM(CASE WHEN g.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hit,
+               CAST(SUM(CASE WHEN g.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS recall_at_k
+        FROM truth t
+        LEFT JOIN got g ON t.query_id = g.query_id AND t.vec_id = g.vec_id
+        GROUP BY t.query_id
+        ORDER BY t.query_id
+    """

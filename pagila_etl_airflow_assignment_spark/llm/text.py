@@ -803,3 +803,35 @@ CHAR_ENTROPY_SQL = f"""
     GROUP BY doc_id
     ORDER BY doc_id
 """
+
+
+# --- lang-ID evaluation -------------------------------------------------------
+
+
+def langid_confusion(docs: DataFrame) -> DataFrame:
+    """Confusion matrix of the heuristic language-ID against the fixture's
+    labeled ``lang`` — the offline-eval loop every classifier-shaped
+    operator needs in-warehouse (per-cell counts; precision/recall/accuracy
+    derive downstream from this exact relation).
+
+    Composition: lang_id's prediction relation joins the labels it already
+    carries; one ≤|langs|²-key aggregate."""
+    pred = lang_id(docs).select("doc_id", "pred_lang")
+    return (
+        docs.select("doc_id", F.col("lang").alias("true_lang"))
+        .join(pred, "doc_id")
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+        .orderBy("true_lang", "pred_lang")
+    )
+
+
+LANGID_CONFUSION_SQL = f"""
+    WITH pred AS (
+        SELECT doc_id, pred_lang FROM ({{lang_id_sql}})
+    )
+    SELECT d.lang AS true_lang, pred_lang, COUNT(*) AS n
+    FROM documents d JOIN pred USING (doc_id)
+    GROUP BY d.lang, pred_lang
+    ORDER BY true_lang, pred_lang
+""".format(lang_id_sql=LANG_ID_SQL)

@@ -1310,3 +1310,12 @@ def q_daily_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """p10/p50/p90 observability ribbon per (type, day): one grouped exact
     percentile pass over the bounded grid."""
     return distributions.daily_percentile_bands(load_table(spark, sf_dir, "events"))
+
+
+@register("warehouse_sla_compliance", oracle=warehouse.sla_compliance_sql())
+def q_sla_compliance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-ship SLA rate per priority: contract compliance as exact
+    integer ratios on the ≤|priorities| grid."""
+    return warehouse.sla_compliance(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )

@@ -1225,3 +1225,54 @@ DISCOUNT_QUANTITY_LIFT_SQL = """
     GROUP BY p_brand
     ORDER BY p_brand
 """
+
+
+SLA_DAYS = 30
+
+
+def sla_compliance(
+    orders: DataFrame, lineitem: DataFrame, sla_days: int = SLA_DAYS
+) -> DataFrame:
+    """First-ship SLA compliance per order priority: share of orders whose
+    FIRST line shipped within ``sla_days`` — the ops-review cousin of the
+    latency percentiles (a rate against a contract, not a distribution).
+
+    One orderkey aggregate for first-ship, one broadcast-ready join back to
+    orders, one ≤|priorities|-row conditional aggregate; the rate divides
+    exact integers."""
+    first_ship = lineitem.groupBy("l_orderkey").agg(
+        F.min(F.to_date("l_shipdate")).alias("first_ship")
+    )
+    met = (
+        F.datediff(F.col("first_ship"), F.to_date("o_orderdate")) <= sla_days
+    ).cast("int")
+    return (
+        orders.join(first_ship, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(met).alias("n_within_sla"),
+            F.round(
+                F.sum(met).cast("double") / F.count("*").cast("double"), 6
+            ).alias("sla_rate"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def sla_compliance_sql(sla_days: int = SLA_DAYS) -> str:
+    return f"""
+        WITH first_ship AS (
+            SELECT l_orderkey, MIN(CAST(l_shipdate AS DATE)) AS first_ship
+            FROM lineitem GROUP BY l_orderkey
+        )
+        SELECT o_orderpriority, COUNT(*) AS n_orders,
+               SUM(CAST(datediff('day', CAST(o_orderdate AS DATE), first_ship)
+                        <= {sla_days} AS INT)) AS n_within_sla,
+               round(CAST(SUM(CAST(datediff('day', CAST(o_orderdate AS DATE),
+                                            first_ship) <= {sla_days} AS INT))
+                          AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS sla_rate
+        FROM orders JOIN first_ship ON o_orderkey = l_orderkey
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """

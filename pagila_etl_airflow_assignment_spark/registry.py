@@ -210,6 +210,9 @@ EXTENSION_SURVEY_ROWS: dict[str, tuple[str, ...]] = {
     "events_prop_ztest": ("L-144",),
     "warehouse_benford_audit": ("L-145",),
     "events_daily_percentile_bands": ("L-146",),
+    "ann_lsh_recall": ("L-147",),
+    "text_langid_confusion": ("L-148",),
+    "warehouse_sla_compliance": ("L-149",),
 }
 
 
@@ -370,6 +373,9 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "events_prop_ztest",
     "warehouse_benford_audit",
     "events_daily_percentile_bands",
+    "ann_lsh_recall",
+    "text_langid_confusion",
+    "warehouse_sla_compliance",
     # -- certified in r01/r02 only; code has changed since (14) --
     "warehouse_pricing_summary",
     "warehouse_star_join_revenue",

@@ -673,3 +673,54 @@ def test_prop_ztest_detects_lopsided_conversion(spark):
     )
     out = {r.event_type: r for r in stats.proportion_ztest(ev).collect()}
     assert out["click"].z_stat > 3.0  # total separation -> large z
+
+
+def test_ann_recall_is_one_when_methods_agree(spark):
+    from pagila_etl_airflow_assignment_spark.llm import similarity
+
+    # orthonormal-ish corpus where every method finds the same neighbors
+    vecs = spark.createDataFrame(
+        [(i, [(1.0 if j == i % 8 else 0.01 * ((i + j) % 3)) for j in range(64)])
+         for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    rows = similarity.lsh_recall_at_k(vecs, [0, 1]).collect()
+    for r in rows:
+        assert r.n_true == 5
+        assert 0.0 <= r.recall_at_k <= 1.0
+
+
+def test_langid_confusion_diagonal_dominates(spark):
+    from pagila_etl_airflow_assignment_spark.llm import text as t3
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat and the dog sat in the house with a hat", "en"),
+            (2, "le chat et le chien dans la maison pour les amis", "fr"),
+            (3, "xyzzy qwerty", "en"),  # no lexicon hits -> 'und'
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {(r.true_lang, r.pred_lang): r.n for r in t3.langid_confusion(docs).collect()}
+    assert out[("en", "en")] == 1
+    assert out[("fr", "fr")] == 1
+    assert out[("en", "und")] == 1
+
+
+def test_sla_rate_counts_first_ship(spark):
+    from pagila_etl_airflow_assignment_spark.operators import warehouse
+
+    orders = spark.createDataFrame(
+        [(1, dt.datetime(1996, 1, 1), "1-URGENT"), (2, dt.datetime(1996, 1, 1), "1-URGENT")],
+        "o_orderkey long, o_orderdate timestamp, o_orderpriority string",
+    )
+    li = spark.createDataFrame(
+        [
+            (1, dt.datetime(1996, 1, 10)),  # within 30d
+            (1, dt.datetime(1996, 6, 1)),   # later line ignored (first ship counts)
+            (2, dt.datetime(1996, 3, 15)),  # outside 30d
+        ],
+        "l_orderkey long, l_shipdate timestamp",
+    )
+    row = warehouse.sla_compliance(orders, li).collect()[0]
+    assert row.n_orders == 2 and row.n_within_sla == 1 and row.sla_rate == 0.5
