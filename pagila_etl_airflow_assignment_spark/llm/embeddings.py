@@ -219,7 +219,13 @@ def quantize_int8(vectors: DataFrame) -> DataFrame:
 
     All arithmetic is done in double on both engines (the float4 inputs are
     widened first) so the rounding boundary is computed on identical values.
-    Zero vectors emit scale 0 and an all-zero q (guarded division)."""
+    Zero vectors emit scale 0 and an all-zero q (guarded division).
+
+    Certified output form: ``q`` is CSV-joined (driver hasher rejects ARRAY
+    cells) and ``scale`` is emitted in nano-units as an exact BIGINT —
+    round-to-integer of a bit-identical double is engine-stable, while
+    ``round(x, 9)`` is not (Spark rounds the shortest-decimal repr via
+    BigDecimal, DuckDB multiplies in binary)."""
     xd = F.transform("embedding", lambda x: x.cast("double"))
     amax = F.array_max(F.transform(xd, F.abs))
     scale = (amax / F.lit(127.0)).alias("scale")
@@ -233,13 +239,13 @@ def quantize_int8(vectors: DataFrame) -> DataFrame:
         vectors.select("vec_id", xd.alias("__xd"), scale)
         .select(
             "vec_id",
-            F.round("scale", 9).alias("scale"),
+            F.round(F.col("scale") * F.lit(1e9)).cast("long").alias("scale_nano"),
             q.alias("q"),
         )
         .select(
             "vec_id",
-            "scale",
-            "q",
+            "scale_nano",
+            F.array_join("q", ",").alias("q"),
             F.aggregate(
                 "q", F.lit(0).cast("long"), lambda acc, x: acc + F.abs(x)
             ).alias("q_l1"),
@@ -260,11 +266,12 @@ QUANTIZE_INT8_SQL = """
         FROM widened
     )
     SELECT vec_id,
-           round(scale, 9) AS scale,
-           CASE WHEN scale > 0
-                THEN list_transform(xd, x -> CAST(round(x / scale) AS INT))
-                ELSE list_transform(xd, x -> 0)
-           END AS q,
+           CAST(round(scale * 1e9) AS BIGINT) AS scale_nano,
+           array_to_string(
+               CASE WHEN scale > 0
+                    THEN list_transform(xd, x -> CAST(round(x / scale) AS INT))
+                    ELSE list_transform(xd, x -> 0)
+               END, ',') AS q,
            CASE WHEN scale > 0
                 THEN CAST(list_sum(list_transform(xd,
                          x -> abs(CAST(round(x / scale) AS INT)))) AS BIGINT)
@@ -307,30 +314,41 @@ def random_projection(vectors: DataFrame, out_dim: int = RP_OUT_DIM) -> DataFram
     multiplies float32 inputs (cast exactly to double) by integer signs and
     adds in ascending index order — the oracle's list_sum walks the same
     order, so every output coordinate is bit-identical; the final scale
-    divides by √16 = 4 (exact)."""
+    divides by √16 = 4 (exact).
+
+    Certified output form: each coordinate is scaled to micro-units and
+    rounded to an exact BIGINT (round-to-integer of bit-identical doubles is
+    engine-stable), then CSV-joined — the driver's value-hasher rejects
+    ARRAY cells, and float-array stringification differs across engines
+    while integer strings do not."""
     mat = _rp_sign_matrix(out_dim)
     rows = F.array(*[F.array(*[F.lit(s) for s in row]) for row in mat])
     proj = F.transform(
         rows,
-        lambda row: F.aggregate(
-            F.zip_with(F.col("embedding"), row, lambda x, s: x.cast("double") * s),
-            F.lit(0.0),
-            lambda acc, t: acc + t,
-        )
-        / F.lit(float(out_dim) ** 0.5),
+        lambda row: F.round(
+            F.aggregate(
+                F.zip_with(F.col("embedding"), row, lambda x, s: x.cast("double") * s),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            )
+            / F.lit(float(out_dim) ** 0.5)
+            * F.lit(1e6)
+        ).cast("long"),
     )
-    return vectors.select("vec_id", proj.alias("projected")).orderBy("vec_id")
+    return vectors.select(
+        "vec_id", F.array_join(proj, ",").alias("projected_micro")
+    ).orderBy("vec_id")
 
 
 def random_projection_sql(out_dim: int = RP_OUT_DIM) -> str:
     mat = _rp_sign_matrix(out_dim)
     coords = ",\n                   ".join(
-        "list_sum(list_transform(range(1, %d), j -> CAST(embedding[j] AS DOUBLE) * ([%s])[j])) / %r"
+        "CAST(round(list_sum(list_transform(range(1, %d), j -> CAST(embedding[j] AS DOUBLE) * ([%s])[j])) / %r * 1e6) AS BIGINT)"
         % (RP_IN_DIM + 1, ", ".join(str(s) for s in row), float(out_dim) ** 0.5)
         for row in mat
     )
     return f"""
-        SELECT vec_id, [{coords}] AS projected
+        SELECT vec_id, array_to_string([{coords}], ',') AS projected_micro
         FROM embeddings
         ORDER BY vec_id
     """
@@ -353,9 +371,11 @@ def product_quantization(
     treatment — deterministic, no k-means dependency; a Lloyd refinement is
     embedding_kmeans_step's job). The codebook relation is m_sub·k_codes
     rows, broadcast; assignment is one min-struct aggregate per (vector,
-    subspace); distances fold sub-slices left-to-right and round at 9 dp
-    before the argmin so both engines pick identical codes; the quantization
-    error sums per-subspace distances in subspace order."""
+    subspace); distances fold sub-slices left-to-right (bit-identical on
+    both engines) and are nano-scaled to exact BIGINTs before the argmin so
+    both engines pick identical codes; the quantization error is then an
+    exact integer sum (order-independent). Certified output form: ``codes``
+    CSV-joined (driver hasher rejects ARRAY cells), error in nano-units."""
     from .hashing import md5_int
 
     codebook = (
@@ -407,9 +427,9 @@ def product_quantization(
             ),
             F.lit(0.0),
             lambda acc, t: acc + t,
-        ),
-        9,
-    )
+        )
+        * F.lit(1e9)
+    ).cast("long")
     assigned = (
         subs.join(F.broadcast(codebook), "m")
         .select("vec_id", "m", F.struct(dist.alias("d"), F.col("code")).alias("cand"))
@@ -428,15 +448,14 @@ def product_quantization(
         )
         .select(
             "vec_id",
-            F.transform(F.col("mc"), lambda s: s["code"]).alias("codes"),
-            F.round(
-                F.aggregate(
-                    F.transform(F.col("md"), lambda s: s["d"]),
-                    F.lit(0.0),
-                    lambda acc, t: acc + t,
-                ),
-                6,
-            ).alias("quant_error"),
+            F.array_join(
+                F.transform(F.col("mc"), lambda s: s["code"]), ","
+            ).alias("codes"),
+            F.aggregate(
+                F.transform(F.col("md"), lambda s: s["d"]),
+                F.lit(0).cast("long"),
+                lambda acc, t: acc + t,
+            ).alias("quant_error_nano"),
         )
         .orderBy("vec_id")
     )
@@ -463,9 +482,9 @@ def product_quantization_sql(
             FROM embeddings, (SELECT unnest(range(0, {m_sub})) AS m)
         ), scored AS (
             SELECT vec_id, s.m,
-                   round(list_sum(list_transform(range(1, 9),
+                   CAST(round(list_sum(list_transform(range(1, 9),
                        i -> (CAST(sub[i] AS DOUBLE) - CAST(c_sub[i] AS DOUBLE))
-                            * (CAST(sub[i] AS DOUBLE) - CAST(c_sub[i] AS DOUBLE)))), 9)
+                            * (CAST(sub[i] AS DOUBLE) - CAST(c_sub[i] AS DOUBLE)))) * 1e9) AS BIGINT)
                        AS d,
                    code
             FROM subs s JOIN codebook c ON s.m = c.m
@@ -475,8 +494,8 @@ def product_quantization_sql(
             FROM scored GROUP BY vec_id, m
         )
         SELECT vec_id,
-               list(b.code ORDER BY m) AS codes,
-               round(list_sum(list(b.d ORDER BY m)), 6) AS quant_error
+               array_to_string(list(b.code ORDER BY m), ',') AS codes,
+               CAST(list_sum(list(b.d ORDER BY m)) AS BIGINT) AS quant_error_nano
         FROM best
         GROUP BY vec_id
         ORDER BY vec_id

@@ -585,20 +585,20 @@ def feature_hash_vectors(docs: DataFrame, dim: int = FEATHASH_DIM) -> DataFrame:
         F.when(sign_bit % 2 == 0, 1).otherwise(-1).alias("sign"),
     )
     per_bucket = hashed.groupBy("doc_id", "bucket").agg(F.sum("sign").alias("s"))
+    # The certified output joins the exact-integer vector to one CSV string:
+    # the driver's value-hasher rejects ARRAY cells (unhashable), and integer
+    # -> string is bit-exact on both engines, so the scalar form loses nothing.
+    vec = F.aggregate(
+        F.array_sort(F.collect_list(F.struct(F.col("bucket"), F.col("s")))),
+        F.array_repeat(F.lit(0).cast("long"), dim),
+        lambda acc, x: F.transform(
+            acc,
+            lambda v, i: F.when(i == x["bucket"], v + x["s"]).otherwise(v),
+        ),
+    )
     return (
         per_bucket.groupBy("doc_id")
-        .agg(
-            F.aggregate(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("bucket"), F.col("s")))
-                ),
-                F.array_repeat(F.lit(0).cast("long"), dim),
-                lambda acc, x: F.transform(
-                    acc,
-                    lambda v, i: F.when(i == x["bucket"], v + x["s"]).otherwise(v),
-                ),
-            ).alias("features")
-        )
+        .agg(F.array_join(vec, ",").alias("features"))
         .orderBy("doc_id")
     )
 
@@ -624,10 +624,10 @@ def feature_hash_vectors_sql(dim: int = FEATHASH_DIM) -> str:
             FROM per_bucket GROUP BY doc_id
         )
         SELECT doc_id,
-               list_transform(
+               array_to_string(list_transform(
                    range(0, {dim}),
                    i -> COALESCE(sums[list_position(buckets, i)], 0)
-               ) AS features
+               ), ',') AS features
         FROM packed
         ORDER BY doc_id
     """

@@ -233,9 +233,15 @@ def mad_outlier_stats(
             F.count("value").alias("n"),
             F.round(F.first("med"), 6).alias("median_value"),
             F.round(F.first("mad"), 6).alias("mad_value"),
+            # both comparands rounded at 6 dp before the predicate (the
+            # cusum_drift contract): adev and cutoff·MAD can be mathematically
+            # EQUAL (both derive from the same interpolated medians), and an
+            # unrounded > on last-ulp-divergent engines flips boundary rows
+            # (observed driver r4 hash-FAIL)
             F.sum(
                 (
-                    F.col("adev") > F.lit(cutoff * MAD_SCALE) * F.col("mad")
+                    F.round(F.col("adev"), 6)
+                    > F.round(F.lit(cutoff * MAD_SCALE) * F.col("mad"), 6)
                 ).cast("int")
             ).alias("n_outliers"),
         )
@@ -260,7 +266,8 @@ def mad_outlier_stats_sql(cutoff: float = MAD_CUTOFF) -> str:
                COUNT(value) AS n,
                round(ANY_VALUE(m.med), 6) AS median_value,
                round(ANY_VALUE(m.mad), 6) AS mad_value,
-               SUM(CAST(adev > {cutoff * MAD_SCALE} * m.mad AS INT)) AS n_outliers
+               SUM(CAST(round(adev, 6) > round({cutoff * MAD_SCALE} * m.mad, 6)
+                        AS INT)) AS n_outliers
         FROM dev d JOIN mad m ON d.event_type = m.event_type
         GROUP BY d.event_type
         ORDER BY d.event_type

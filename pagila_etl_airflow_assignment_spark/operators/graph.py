@@ -342,8 +342,11 @@ def triangle_count(
     lineitem is long gone. At larger scale the standard refinement is
     degree-ordering the orientation (high-degree nodes get few out-edges,
     bounding wedge fan-out); support pruning already caps the fixture's
-    skew. Output is one row — edge count, wedge count, triangle count,
-    global clustering coefficient (3·Δ / wedges, exact dyadic division)."""
+    skew. Output is one row — edge count, wedge count (the STANDARD
+    Σ C(deg, 2) over symmetrized degrees, so 3·Δ/wedges is the textbook
+    global clustering coefficient in [0, 1]; the oriented a<b<c wedge
+    relation is only the triangle-closure intermediate), triangle count,
+    and the coefficient (one float division of exact integer counts)."""
     items = _baskets(lineitem, max_basket)
     a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
     b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
@@ -360,9 +363,18 @@ def triangle_count(
     wedges = e1.join(e2, "b").select("a", "b", "c")
     closing = edges.select(F.col("u").alias("a"), F.col("v").alias("c"))
     tris = wedges.join(closing, ["a", "c"])
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    std_wedges = deg.agg(
+        F.sum((F.col("deg") * (F.col("deg") - 1) / 2).cast("long")).alias("n_wedges")
+    )
     return (
         edges.agg(F.count("*").alias("n_edges"))
-        .crossJoin(wedges.agg(F.count("*").alias("n_wedges")))
+        .crossJoin(std_wedges)
         .crossJoin(tris.agg(F.count("*").alias("n_triangles")))
         .select(
             "n_edges",
@@ -399,13 +411,22 @@ def triangle_count_sql(
             FROM edges e1 JOIN edges e2 ON e1.v = e2.u
         ), tris AS (
             SELECT 1 FROM wedges w JOIN edges e ON w.a = e.u AND w.c = e.v
+        ), deg AS (
+            SELECT node, COUNT(*) AS deg FROM (
+                SELECT u AS node FROM edges
+                UNION ALL SELECT v AS node FROM edges
+            ) GROUP BY node
+        ), std_wedges AS (
+            SELECT CAST(SUM(CAST(deg * (deg - 1) / 2 AS BIGINT)) AS BIGINT)
+                       AS n_wedges
+            FROM deg
         )
         SELECT (SELECT COUNT(*) FROM edges) AS n_edges,
-               (SELECT COUNT(*) FROM wedges) AS n_wedges,
+               (SELECT n_wedges FROM std_wedges) AS n_wedges,
                (SELECT COUNT(*) FROM tris) AS n_triangles,
-               CASE WHEN (SELECT COUNT(*) FROM wedges) > 0
+               CASE WHEN (SELECT n_wedges FROM std_wedges) > 0
                     THEN 3.0 * (SELECT COUNT(*) FROM tris)
-                         / (SELECT COUNT(*) FROM wedges)
+                         / (SELECT n_wedges FROM std_wedges)
                END AS clustering_coeff
     """
 

@@ -142,7 +142,17 @@ WELCH_AB_TEST_SQL = """
 def user_type_entropy(events: DataFrame) -> DataFrame:
     """Shannon entropy of each user's event-type mix (behavioral diversity):
     H = ln(n) − Σ c·ln(c)/n from the (user, type) count relation — two
-    map-side-combinable aggregates, no per-user arrays, no window."""
+    map-side-combinable aggregates, no per-user arrays, no window.
+
+    Cross-engine exactness: a float Σ c·ln(c) is summation-order-dependent
+    (Spark folds partition partials, DuckDB its own order), so last-ulp drift
+    near a round(…, 6) boundary flips the certified hash (observed driver
+    r4). Instead each ln(c) of an EXACT INTEGER count is quantized once to
+    micro-nats (round-to-integer of near-identical libm values — stable),
+    and everything after is exact integer arithmetic: the sum is
+    order-independent, the one division runs on identical operands, and the
+    output is an exact BIGINT in micro-nats."""
+    micro = lambda col: F.round(F.log(col) * F.lit(1e6)).cast("long")  # noqa: E731
     per_type = events.groupBy("user_id", "event_type").agg(
         F.count("*").alias("c")
     )
@@ -151,15 +161,16 @@ def user_type_entropy(events: DataFrame) -> DataFrame:
         .agg(
             F.sum("c").alias("n_events"),
             F.count("*").alias("n_types"),
-            F.sum(F.col("c") * F.log(F.col("c"))).alias("_clogc"),
+            F.sum(F.col("c") * micro(F.col("c"))).alias("_clogc_micro"),
         )
         .select(
             "user_id",
             "n_events",
             "n_types",
-            F.round(
-                F.log(F.col("n_events")) - F.col("_clogc") / F.col("n_events"), 6
-            ).alias("entropy"),
+            (
+                micro(F.col("n_events"))
+                - F.round(F.col("_clogc_micro") / F.col("n_events")).cast("long")
+            ).alias("entropy_micro"),
         )
         .orderBy("user_id")
     )
@@ -167,13 +178,16 @@ def user_type_entropy(events: DataFrame) -> DataFrame:
 
 USER_TYPE_ENTROPY_SQL = """
     WITH per_type AS (
-        SELECT user_id, event_type, COUNT(*) AS c
+        SELECT user_id, event_type, COUNT(*) AS c,
+               CAST(round(ln(COUNT(*)) * 1e6) AS BIGINT) AS lc_micro
         FROM events GROUP BY user_id, event_type
     )
     SELECT user_id,
            SUM(c) AS n_events,
            COUNT(*) AS n_types,
-           round(ln(SUM(c)) - SUM(c * ln(c)) / SUM(c), 6) AS entropy
+           CAST(round(ln(SUM(c)) * 1e6) AS BIGINT)
+               - CAST(round(CAST(SUM(c * lc_micro) AS DOUBLE) / SUM(c)) AS BIGINT)
+               AS entropy_micro
     FROM per_type
     GROUP BY user_id
     ORDER BY user_id

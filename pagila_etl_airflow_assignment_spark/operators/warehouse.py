@@ -738,7 +738,10 @@ def _phonetic_code(col):
     Pure translate/regexp — identical semantics in Spark and DuckDB."""
     lower = F.lower(col)
     head = F.substring(lower, 1, 1)
-    tail = F.regexp_replace(F.substring(lower, 2, 100), "[aeiouyhw]", "")
+    # effectively-unbounded tail (matches the oracle's lower(expr)[2:]) — a
+    # fixed 100-char cap would silently diverge from the SQL form on
+    # >101-char inputs
+    tail = F.regexp_replace(F.substring(lower, 2, 1 << 30), "[aeiouyhw]", "")
     digits = F.translate(tail, "bfpvcgjkqsxzdtlmnr", "111122222222334556")
     return F.concat(head, F.substring(digits, 1, 3))
 
@@ -841,7 +844,11 @@ def part_golden_records(part: DataFrame, max_dist: int = PHONETIC_MAX_DIST) -> D
             ),
             F.count("*").alias("n_variants"),
             F.sum("n_parts").alias("n_rows"),
-            F.array_sort(F.collect_list("p_name")).alias("variants"),
+            # pipe-joined (p_name never contains '|'): the driver's value-
+            # hasher rejects ARRAY cells, and the joined string is lossless
+            F.array_join(F.array_sort(F.collect_list("p_name")), "|").alias(
+                "variants"
+            ),
         )
         .select("golden_name", "n_variants", "n_rows", "variants")
         .orderBy("golden_name")
@@ -880,7 +887,7 @@ def part_golden_records_sql(max_dist: int = PHONETIC_MAX_DIST) -> str:
         SELECT MIN(CASE WHEN nid = cluster_id THEN p_name END) AS golden_name,
                COUNT(*) AS n_variants,
                SUM(n_parts) AS n_rows,
-               list(p_name ORDER BY p_name) AS variants
+               array_to_string(list(p_name ORDER BY p_name), '|') AS variants
         FROM members
         GROUP BY cluster_id
         ORDER BY golden_name

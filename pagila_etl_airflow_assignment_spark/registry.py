@@ -222,70 +222,38 @@ EXTENSION_SURVEY_ROWS: dict[str, tuple[str, ...]] = {
 # accumulates across rounds instead of re-certifying the same 50:
 #   1. names NOT in this list (queries added after this ordering was fixed)
 #      come first;
-#   2. then this list: the round-3 verdict's explicit ask — the 30 queries
-#      with no driver row in r01..r03 — first, then a curated 20 covering
-#      one representative per round-4 family (the verdict's item-3/4
-#      deliverables and the new TPC-H/graph/sequence/sketch/IVM families),
-#      then the remaining round-4 additions (they rotate into r5's sample),
-#      then previously-certified queries.
+#   2. then this list, re-cut for round 5: tier A = queries whose code or
+#      certified encoding changed this round (the r4 driver failures, their
+#      latent array-output twins, and two semantic fixes); tier B = r1-era
+#      failures fixed since but never re-certified; tier C = never
+#      driver-sampled; tier D = previously-certified green.
 # tools/verify_local.py always checks the FULL registry regardless of order.
 _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
-    # -- round-4 closing additions: one representative per genuinely-new
-    #    family (20 -> slots 1-20 this round; the other new TPC-H shapes and
-    #    variants sit in the remainder and rotate into r5) --
-    "text_sentence_split_udtf",
-    "warehouse_order_backlog",
-    "events_funnel_timebound",
-    "events_user_entropy",
-    "warehouse_segment_gini",
-    "events_variant_stats",
-    "events_hll_distinct",
-    "events_ewma_value",
-    "events_target_encoding",
-    "graph_triangle_census",
-    "events_attribution_linear",
+    # -- round-5 tier A: queries FIXED this round (r4 driver failures +
+    #    latent array-output twins + coeff/substring semantic fixes) --
     "text_feature_hashing",
-    "dedup_prefix_filter_pairs",
-    "events_mad_outliers",
-    "warehouse_ivm_counting",
     "embedding_random_projection",
-    "warehouse_customer_set_ops",
+    "events_user_entropy",
+    "events_mad_outliers",
+    "embedding_quantize_int8",
+    "embedding_product_quantization",
+    "warehouse_golden_records",
+    "graph_triangle_census",
     "warehouse_phonetic_match",
-    "graph_bfs_distance",
-    "warehouse_custdist",
-    # -- never driver-certified through round 3 (30) --
-    "text_quality_quantile",
-    "dedup_cluster_representatives",
-    "embedding_kmeans_step",
-    "embedding_vector_norms",
-    "warehouse_semi_anti_priority",
-    "events_user_rolling_stats",
-    "events_scd2_user_state",
-    "warehouse_table_profile",
-    "cdc_orders_snapshot_diff",
-    "warehouse_grouping_sets_revenue",
-    "events_funnel_stages",
-    "events_cohort_retention",
-    "warehouse_salted_skew_join",
-    "events_trailing_window",
-    "warehouse_pricing_melted",
-    "events_pit_state_lookup",
-    "events_leakage_free_features",
-    "events_gap_fill_ffill",
-    "cdc_orders_apply_roundtrip",
-    "warehouse_fuzzy_part_match",
-    "events_value_histogram",
-    "events_user_trend",
-    "asof_next_error_after_click",
-    "events_delta_agg_merge",
-    "events_hourly_unique_users",
-    "events_sliding_window",
-    "events_streaming_dedup",
-    "events_session_window_native",
-    "events_user_totals",
-    "events_enriched",
-    # -- round-4 additions, curated: verdict deliverables + one rep per new
-    #    family (20 -> driver slots 31-50 this round) --
+    # -- tier B: r1-era failures, fixed since but never re-certified --
+    "warehouse_pivot_revenue",
+    "warehouse_rollup_revenue",
+    "warehouse_salted_aggregation",
+    "asof_click_attribution",
+    "events_value_percentiles",
+    "events_json_stats",
+    "events_approx_sketches",
+    "range_click_correlation",
+    "events_hourly_tumbling",
+    "events_sessionization",
+    "events_windowed_click_join",
+    # -- tier C: never driver-sampled (r5 sample takes ~30 of these;
+    #    the rest rotate into r6) --
     "dedup_incremental_bloom",
     "dedup_common_substrings",
     "dedup_incremental_minhash",
@@ -306,7 +274,6 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "sampling_weighted_wor",
     "events_cm_estimates",
     "warehouse_ivm_join_view",
-    # -- round-4 additions, remainder (rotate into the r5 sample) --
     "warehouse_large_volume_orders",
     "warehouse_dormant_rich_customers",
     "warehouse_supplier_concentration",
@@ -328,7 +295,6 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "events_chi_square",
     "events_welch_ab_test",
     "vocab_zipf_slope",
-    "embedding_quantize_int8",
     "warehouse_small_qty_revenue",
     "warehouse_top_supplier",
     "warehouse_returned_items",
@@ -340,10 +306,8 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "events_cuped_adjustment",
     "events_cusum_drift",
     "events_equidepth_histogram",
-    "warehouse_golden_records",
     "events_rfm_segments",
     "text_readability",
-    "embedding_product_quantization",
     "events_cm_join_size",
     "text_bigram_backoff",
     "events_seasonal_decompose",
@@ -376,22 +340,54 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "ann_lsh_recall",
     "text_langid_confusion",
     "warehouse_sla_compliance",
-    # -- certified in r01/r02 only; code has changed since (14) --
+    # -- tier D: previously driver-certified green --
+    "text_sentence_split_udtf",
+    "warehouse_order_backlog",
+    "events_funnel_timebound",
+    "warehouse_segment_gini",
+    "events_variant_stats",
+    "events_hll_distinct",
+    "events_ewma_value",
+    "events_target_encoding",
+    "events_attribution_linear",
+    "dedup_prefix_filter_pairs",
+    "warehouse_ivm_counting",
+    "warehouse_customer_set_ops",
+    "graph_bfs_distance",
+    "warehouse_custdist",
+    "text_quality_quantile",
+    "dedup_cluster_representatives",
+    "embedding_kmeans_step",
+    "embedding_vector_norms",
+    "warehouse_semi_anti_priority",
+    "events_user_rolling_stats",
+    "events_scd2_user_state",
+    "warehouse_table_profile",
+    "cdc_orders_snapshot_diff",
+    "warehouse_grouping_sets_revenue",
+    "events_funnel_stages",
+    "events_cohort_retention",
+    "warehouse_salted_skew_join",
+    "events_trailing_window",
+    "warehouse_pricing_melted",
+    "events_pit_state_lookup",
+    "events_leakage_free_features",
+    "events_gap_fill_ffill",
+    "cdc_orders_apply_roundtrip",
+    "warehouse_fuzzy_part_match",
+    "events_value_histogram",
+    "events_user_trend",
+    "asof_next_error_after_click",
+    "events_delta_agg_merge",
+    "events_hourly_unique_users",
+    "events_sliding_window",
+    "events_streaming_dedup",
+    "events_session_window_native",
+    "events_user_totals",
+    "events_enriched",
     "warehouse_pricing_summary",
     "warehouse_star_join_revenue",
     "warehouse_topk_per_nation",
-    "warehouse_pivot_revenue",
-    "warehouse_rollup_revenue",
-    "warehouse_salted_aggregation",
-    "asof_click_attribution",
-    "events_value_percentiles",
-    "events_json_stats",
-    "events_approx_sketches",
-    "range_click_correlation",
-    "events_hourly_tumbling",
-    "events_sessionization",
-    "events_windowed_click_join",
-    # -- driver-certified green in round 3 (50) --
     "weekly_rental_summary",
     "weekly_rental_summary_as_of",
     "weekly_rental_summary_correlated",

@@ -117,11 +117,11 @@ def test_quantize_int8_roundtrip_and_zero_vector(spark):
     )
     out = {r.vec_id: r for r in embeddings_mod.quantize_int8(vecs).collect()}
     r1 = out[1]
-    assert math.isclose(r1.scale, 1.0 / 127, rel_tol=1e-6)
-    # 0.5/(1.0/127) is 63.4999999999… in doubles (1/127 rounds UP to the
-    # nearest double), so both engines round to 63 — the arithmetic is pinned
-    # in double precision on purpose so the boundary lands identically
-    assert r1.q == [63, -127, 32]
-    assert r1.q_l1 == 63 + 127 + 32
+    assert r1.scale_nano == round(1.0 / 127 * 1e9)
+    # 0.5 / (1.0/127 as double) lands EXACTLY on 63.5 in binary, and both
+    # engines round half away from zero on the identical raw (unrounded)
+    # scale — the boundary case that pins the q arithmetic cross-engine
+    assert r1.q == "64,-127,32"
+    assert r1.q_l1 == 64 + 127 + 32
     r2 = out[2]
-    assert r2.scale == 0.0 and r2.q == [0, 0, 0] and r2.q_l1 == 0
+    assert r2.scale_nano == 0 and r2.q == "0,0,0" and r2.q_l1 == 0

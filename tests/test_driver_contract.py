@@ -46,6 +46,30 @@ def test_entry_smoke(spark):
     assert df.count() > 0
 
 
+def test_no_complex_types_in_certified_outputs(spark):
+    """The driver's value-hasher crashes on ARRAY cells ('unhashable type:
+    list', observed CORRECTNESS_r04 for text_feature_hashing and
+    embedding_random_projection) and would equally reject STRUCT/MAP. Every
+    certified query output must therefore be scalar-typed — vector-valued
+    results join to CSV strings (the mh0..mh15 / array_join convention).
+    This walks all registered output schemas so the class can't recur."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    offenders = {}
+    for name, fn in entrymod.queries().items():
+        schema = fn(spark, SF_SMALL).schema
+        bad = [
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        f"complex-typed output columns would crash the driver hasher: {offenders}"
+    )
+
+
 @pytest.mark.slow
 def test_flagship_matches_oracle_sf001(spark):
     con = _ddb_for(SF_MEDIUM)

@@ -160,8 +160,8 @@ def test_entropy_uniform_and_point_mass(spark):
     rows = [(1, 1, dt.datetime(2024, 1, 1), t, 0.0) for t in ("a", "b", "c", "d")]
     rows += [(10 + i, 2, dt.datetime(2024, 1, 1), "a", 0.0) for i in range(5)]
     out = {r.user_id: r for r in stats.user_type_entropy(_events(spark, rows)).collect()}
-    assert math.isclose(out[1].entropy, math.log(4), abs_tol=1e-6)  # uniform
-    assert out[2].entropy == 0.0  # point mass
+    assert out[1].entropy_micro == round(math.log(4) * 1e6)  # uniform
+    assert out[2].entropy_micro == 0  # point mass
 
 
 def test_gini_equal_vs_concentrated(spark):

@@ -126,8 +126,10 @@ def test_triangle_census_counts_one_triangle(spark):
     out = graph.triangle_count(li).collect()[0]
     assert out.n_edges == 4  # (1,2) (1,3) (2,3) (1,4)
     assert out.n_triangles == 1
-    # wedges from oriented edges: (1,2)+(2,3) -> 1 wedge; coeff = 3*1/wedges
+    # standard wedges Σ C(deg,2): degrees 1→3, 2→2, 3→2, 4→1 → 3+1+1+0 = 5
+    assert out.n_wedges == 5
     assert out.clustering_coeff == 3.0 * out.n_triangles / out.n_wedges
+    assert 0.0 <= out.clustering_coeff <= 1.0
 
 
 # --- attribution --------------------------------------------------------------
@@ -168,7 +170,10 @@ def test_feature_hashing_fixed_width_and_repeat_counts(spark):
     docs = spark.createDataFrame(
         [(1, "foo foo bar"), (2, "foo")], "doc_id long, text string"
     )
-    out = {r.doc_id: r.features for r in text.feature_hash_vectors(docs).collect()}
+    out = {
+        r.doc_id: [int(v) for v in r.features.split(",")]
+        for r in text.feature_hash_vectors(docs).collect()
+    }
     assert len(out[1]) == text.FEATHASH_DIM and len(out[2]) == text.FEATHASH_DIM
     # doc1 has twice doc2's 'foo' contribution in the same bucket
     diffs = [a - 2 * b for a, b in zip(out[1], out[2])]

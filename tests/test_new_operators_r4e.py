@@ -87,12 +87,16 @@ def test_random_projection_shape_and_linearity(spark):
     vecs = spark.createDataFrame(
         [(1, v1), (2, v0)], "vec_id long, embedding array<float>"
     )
-    out = {r.vec_id: r.projected for r in emb.random_projection(vecs).collect()}
+    out = {
+        r.vec_id: [int(v) for v in r.projected_micro.split(",")]
+        for r in emb.random_projection(vecs).collect()
+    }
     assert len(out[1]) == emb.RP_OUT_DIM
-    assert out[2] == [0.0] * emb.RP_OUT_DIM
-    # unit basis vector projects to column 0 of the sign matrix / sqrt(dim)
+    assert out[2] == [0] * emb.RP_OUT_DIM
+    # unit basis vector projects to column 0 of the sign matrix / sqrt(dim),
+    # emitted in micro-units as exact integers
     mat = emb._rp_sign_matrix()
-    expect = [row[0] / math.sqrt(emb.RP_OUT_DIM) for row in mat]
+    expect = [round(row[0] / math.sqrt(emb.RP_OUT_DIM) * 1e6) for row in mat]
     assert out[1] == expect
 
 
@@ -214,7 +218,7 @@ def test_golden_records_merge_variants(spark):
     out = {r.golden_name: r for r in warehouse.part_golden_records(part).collect()}
     merged = [r for r in out.values() if r.n_variants == 2]
     assert len(merged) == 1
-    assert sorted(merged[0].variants) == ["red bolt", "red bolte"]
+    assert merged[0].variants == "red bolt|red bolte"
     assert merged[0].n_rows == 3  # two 'red bolt' rows + one variant row
     singleton = [r for r in out.values() if r.n_variants == 1]
     assert singleton[0].golden_name == "green gear"
