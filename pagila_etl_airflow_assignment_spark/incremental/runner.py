@@ -61,12 +61,31 @@ def run_incremental(
     process_name: str = ETL_PROCESS_NAME,
     as_of: dt.date | None = None,
     fail_before_watermark: bool = False,
+    fail_point: str | None = None,
 ) -> IncrementalRunReport:
     """One incremental run. ``rental`` is the current source snapshot.
 
-    ``fail_before_watermark`` injects a crash between the summary MERGE and the
-    watermark advance, for the T2(e) crash-safety property test.
-    """
+    Fault injection for the T2(e) crash-safety property tests: ``fail_point``
+    crashes the run at a named protocol boundary —
+
+    * ``"after_reset"``    — after the empty-target watermark reset (step 0)
+    * ``"after_window"``   — after the time window is read, before any write
+    * ``"before_merge"``   — after the updates are computed, before the MERGE
+    * ``"before_watermark"`` — after the summary MERGE, before the watermark
+      advance (the O-8 ordering certificate; ``fail_before_watermark=True``
+      is the backward-compatible alias)
+
+    The protocol invariant under ANY of these: a rerun on the same (or a
+    further-grown) snapshot converges to the full recompute, because the
+    watermark only advances after the summary commit and every step before
+    the MERGE is read-only."""
+    if fail_before_watermark:
+        fail_point = "before_watermark"
+
+    def _maybe_fail(point: str) -> None:
+        if fail_point == point:
+            raise RuntimeError(f"injected crash at {point}")
+
     store = WatermarkStore(spark, state_dir)
 
     # --- Step 0: empty-target → reset watermark (I-2) -------------------------
@@ -75,6 +94,7 @@ def run_incremental(
     if target is None or target.isEmpty():
         store.write(process_name, DEFAULT_WATERMARK_START)
         watermark_reset = True
+    _maybe_fail("after_reset")
 
     # --- Step 1: time window (A-2) -------------------------------------------
     prev_wm = store.read(process_name)
@@ -88,6 +108,7 @@ def run_incremental(
         ).alias("min_activity"),
     ).first()
     cur_max = probe.max_lu if probe.max_lu is not None else prev_wm
+    _maybe_fail("after_window")
 
     # --- Step 2: delta over half-open (prev, cur] window (I-3/B-2) -----------
     delta = rental.where(
@@ -162,10 +183,9 @@ def run_incremental(
         )
     )
     n_weeks_written = updates.count()
+    _maybe_fail("before_merge")
     merge_upsert(spark, target_dir, updates, key=["week_beginning"])
-
-    if fail_before_watermark:
-        raise RuntimeError("injected crash between summary MERGE and watermark advance")
+    _maybe_fail("before_watermark")
 
     # --- Step 5: advance watermark AFTER the summary commit (O-8) ------------
     store.write(process_name, cur_max)

@@ -28,8 +28,14 @@ EVENT_CATEGORIES: tuple[tuple[str, str, float], ...] = (
 
 
 def category_dim(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(
-        list(EVENT_CATEGORIES), "event_type string, category string, weight double"
+    # inline VALUES relation, not createDataFrame: the dim is 5 literal rows,
+    # and a Python->JVM serialization roundtrip per call was the dominant cost
+    # of this otherwise sub-second query (r3->r4 bench regression re-measure)
+    rows = ", ".join(
+        f"('{t}', '{c}', CAST({w} AS DOUBLE))" for t, c, w in EVENT_CATEGORIES
+    )
+    return spark.sql(
+        f"SELECT * FROM (VALUES {rows}) AS t(event_type, category, weight)"
     )
 
 

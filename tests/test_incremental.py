@@ -157,6 +157,52 @@ def test_crash_between_merge_and_watermark_converges(spark, rental, dirs):
     assert _target_rows(spark, target_dir) == _full_recompute_rows(grown)
 
 
+FAIL_POINTS = ("after_reset", "after_window", "before_merge", "before_watermark")
+
+
+@pytest.mark.parametrize(
+    "schedule",
+    [
+        {0: "after_reset"},
+        {1: "after_window"},
+        {1: "before_merge"},
+        {2: "before_watermark", 3: "before_merge"},  # double fault
+        {0: "after_reset", 1: "after_window", 2: "before_merge", 3: "before_watermark"},
+    ],
+    ids=["reset", "window", "merge", "double", "every-step"],
+)
+def test_crash_at_any_boundary_converges(spark, rental, dirs, schedule):
+    """(e) generalized: crash the protocol at ANY named boundary, at any step
+    of a 4-batch growth sequence (including repeated faults), then rerun —
+    the target must equal the full recompute of the current snapshot after
+    every healed step. This is the end-to-end certificate that the O-8
+    write ordering (summary commit BEFORE watermark advance) makes every
+    boundary crash recoverable by plain rerun."""
+    target_dir, state_dir = dirs
+    cuts = [
+        dt.datetime(1996, 1, 1),
+        dt.datetime(1997, 6, 1),
+        dt.datetime(1999, 1, 1),
+        dt.datetime(2005, 1, 1),
+    ]
+    for step, cut in enumerate(cuts):
+        snapshot = rental.where(F.col("last_update") <= F.lit(cut))
+        point = schedule.get(step)
+        if point is not None:
+            with pytest.raises(RuntimeError, match=f"injected crash at {point}"):
+                run_incremental(
+                    spark, snapshot, target_dir, state_dir, fail_point=point
+                )
+        run_incremental(spark, snapshot, target_dir, state_dir)
+        assert _target_rows(spark, target_dir) == _full_recompute_rows(snapshot), (
+            f"divergence after crash at {point!r} in step {step}"
+        )
+    # a final clean rerun is a no-op: the healed state is also quiescent
+    final = run_incremental(spark, rental.where(F.col("last_update") <= F.lit(cuts[-1])),
+                            target_dir, state_dir)
+    assert final.noop
+
+
 def test_watermark_store_default_and_roundtrip(spark, dirs):
     _, state_dir = dirs
     store = WatermarkStore(spark, state_dir)
