@@ -86,6 +86,7 @@ HEADLINE = [
     "embedding_random_projection",
     "embedding_product_quantization",
     "embedding_similarity_profile",
+    "embedding_dimension_stats",
     "graph_link_prediction",
     "warehouse_fd_profile",
     "warehouse_revenue_growth",

@@ -1677,3 +1677,165 @@ def cross_source_dup_matrix_sql() -> str:
                         ELSE a.n * b.n END) > 0
         ORDER BY source_a, source_b
     """
+
+
+# --- LSH calibration (band-collision estimate vs exact Jaccard) -----------------
+
+
+def lsh_band_calibration(
+    docs: DataFrame,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    n: int = DEFAULT_N,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Index-quality calibration for the MinHash-LSH dedup path: for every
+    candidate pair, how many of the ``bands`` band buckets collided, vs the
+    pair's EXACT n-gram Jaccard — grouped into the ≤``bands``-row calibration
+    table (collided bands → observed mean/min/max similarity). This is how an
+    operator validates the banding configuration before trusting it at
+    100 TB: if 1-band collisions average the same Jaccard as 4-band
+    collisions, the bands are too coarse.
+
+    Plan: the signature/banding pipeline REUSED from minhash_lsh_pairs (one
+    bucket-keyed self-join, hot buckets capped), pair band-hit counts from
+    one pair-keyed aggregate, exact Jaccard only for candidates (the verify
+    economics), then a ≤``bands``-row aggregate. Jaccard quantizes to
+    milli-units per pair (round of identical exact-integer ratios), so every
+    statistic is exact integer arithmetic."""
+    sig = minhash_signatures(docs, k, n)
+    rows_per_band = k // bands
+    band_cols = [
+        F.concat_ws(
+            "_",
+            F.lit(b),
+            *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select("doc_id", *band_cols)
+    bucketed = banded.select(
+        "doc_id",
+        F.explode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias("bucket"),
+    ).repartition("bucket")
+    if max_bucket is not None:
+        bucketed = _bucket_cap(bucketed, max_bucket)
+    hits = (
+        bucketed.alias("a")
+        .join(bucketed.alias("b"), "bucket")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("bands_hit"))
+    )
+    sh = shingles(docs, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        hits.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b"), ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    jac_milli = F.round(
+        F.lit(1000.0)
+        * F.col("inter")
+        / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    ).cast("long")
+    per_pair = (
+        hits.join(inter, ["doc_a", "doc_b"], "left")
+        .na.fill({"inter": 0})
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_a").hint("shuffle_hash"), "doc_a"
+        )
+        .withColumnRenamed("sz", "sz_a")
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").hint("shuffle_hash"), "doc_b"
+        )
+        .withColumnRenamed("sz", "sz_b")
+        .select("bands_hit", jac_milli.alias("jac_milli"))
+    )
+    return (
+        per_pair.groupBy("bands_hit")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.sum("jac_milli") / F.count("*")).cast("long").alias(
+                "mean_jaccard_milli"
+            ),
+            F.min("jac_milli").alias("min_jaccard_milli"),
+            F.max("jac_milli").alias("max_jaccard_milli"),
+        )
+        .withColumn(
+            "est_jaccard_milli",
+            F.round(F.lit(1000.0) * F.col("bands_hit") / bands).cast("long"),
+        )
+        .orderBy("bands_hit")
+    )
+
+
+def lsh_band_calibration_sql(
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    n: int = DEFAULT_N,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> str:
+    rows_per_band = k // bands
+    band_exprs = ", ".join(
+        "CAST({b} AS VARCHAR) || '_' || ".format(b=b)
+        + " || '_' || ".join(
+            f"CAST(mh{b * rows_per_band + r} AS VARCHAR)" for r in range(rows_per_band)
+        )
+        for b in range(bands)
+    )
+    cap = (
+        f"AND bucket NOT IN (SELECT bucket FROM buckets "
+        f"GROUP BY bucket HAVING COUNT(*) > {max_bucket})"
+        if max_bucket is not None
+        else ""
+    )
+    return f"""
+        WITH sig AS ({minhash_signatures_sql(k, n)}),
+        buckets AS (
+            SELECT doc_id, unnest([{band_exprs}]) AS bucket FROM sig
+        ),
+        capped AS (
+            SELECT * FROM buckets WHERE TRUE {cap}
+        ),
+        hits AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   COUNT(*) AS bands_hit
+            FROM capped a JOIN capped b USING (bucket)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ),
+        sh AS ({shingles_sql(n)}),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT h.doc_a, h.doc_b, COUNT(*) AS inter
+            FROM hits h
+            JOIN sh sa ON sa.doc_id = h.doc_a
+            JOIN sh sb ON sb.doc_id = h.doc_b AND sb.shingle = sa.shingle
+            GROUP BY h.doc_a, h.doc_b
+        ),
+        per_pair AS (
+            SELECT h.bands_hit,
+                   CAST(round(1000.0 * COALESCE(i.inter, 0)
+                        / (za.sz + zb.sz - COALESCE(i.inter, 0))) AS BIGINT)
+                       AS jac_milli
+            FROM hits h
+            LEFT JOIN inter i ON i.doc_a = h.doc_a AND i.doc_b = h.doc_b
+            JOIN sizes za ON za.doc_id = h.doc_a
+            JOIN sizes zb ON zb.doc_id = h.doc_b
+        )
+        SELECT bands_hit,
+               COUNT(*) AS n_pairs,
+               CAST(round(CAST(SUM(jac_milli) AS DOUBLE) / COUNT(*)) AS BIGINT)
+                   AS mean_jaccard_milli,
+               MIN(jac_milli) AS min_jaccard_milli,
+               MAX(jac_milli) AS max_jaccard_milli,
+               CAST(round(1000.0 * bands_hit / {bands}) AS BIGINT)
+                   AS est_jaccard_milli
+        FROM per_pair
+        GROUP BY bands_hit
+        ORDER BY bands_hit
+    """

@@ -606,3 +606,243 @@ def similarity_profile_sql(n_bins: int = SIM_PROFILE_BINS) -> str:
         GROUP BY bin
         ORDER BY bin
     """
+
+
+# --- semantic dedup (SemDeDup) --------------------------------------------------
+
+SEMDEDUP_CENTROIDS = 16
+SEMDEDUP_TAU = 0.35
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    n_centroids: int = SEMDEDUP_CENTROIDS,
+    tau: float = SEMDEDUP_TAU,
+) -> DataFrame:
+    """SemDeDup (Abbas et al., 2023): cluster the embedding space coarsely,
+    then WITHIN each cluster drop every vector that is cosine-≥ ``tau`` to a
+    better-ranked member — semantic near-duplicates that byte/shingle dedup
+    can never see (paraphrases, translations, re-renders).
+
+    Spark shape: the IVF treatment end to end — md5-ordered deterministic
+    centroid sample (no RNG; Lloyd refinement is embedding_kmeans_step's
+    job), broadcast centroid assignment via max-struct, then a per-cluster
+    self-join on the rank-ordered members (quadratic ONLY within a cluster —
+    cluster sizes are |corpus|/n_centroids by construction, the same bound
+    IVF search rides). Rank = closeness to the assigned centroid (6-dp
+    rounded, vec_id tiebreak) so "keep the most central representative" is
+    deterministic on both engines.
+
+    Output: one row per vector — its cluster, rank, and kept/pruned verdict.
+    ``kept`` is FALSE iff some lower-rank member of the same cluster scores
+    cosine ≥ tau against it."""
+    from .hashing import md5_int
+
+    corpus = vectors.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(
+            F.aggregate(
+                F.transform("embedding", lambda x: x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x * x,
+            )
+        ).alias("nrm"),
+    )
+    centroids = (
+        corpus.withColumn("ck", md5_int(F.col("vec_id").cast("string")))
+        .orderBy("ck", "vec_id")
+        .limit(n_centroids)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("c_emb"),
+            F.col("nrm").alias("c_nrm"),
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("c_emb"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    assigned = (
+        corpus.crossJoin(F.broadcast(centroids))
+        .select(
+            "vec_id",
+            "embedding",
+            "nrm",
+            "centroid_id",
+            # 9-dp rounded before the argmax (the kmeans_step treatment) so a
+            # near-tie between centroids resolves identically on both engines
+            F.round(dot / (F.col("nrm") * F.col("c_nrm")), 9).alias("c_sim"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.first("embedding").alias("embedding"),
+            F.first("nrm").alias("nrm"),
+            F.max(F.struct("c_sim", "centroid_id")).alias("best"),
+        )
+        .select(
+            "vec_id",
+            "embedding",
+            "nrm",
+            F.col("best.centroid_id").alias("centroid_id"),
+            F.col("best.c_sim").alias("c_sim"),
+        )
+    )
+    w = Window.partitionBy("centroid_id").orderBy(
+        F.col("c_sim").desc(), F.col("vec_id").asc()
+    )
+    ranked = assigned.withColumn("c_rank", F.row_number().over(w))
+    lo = ranked.select(
+        "centroid_id",
+        F.col("c_rank").alias("rank_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    hi = ranked.select(
+        "centroid_id",
+        F.col("vec_id").alias("vec_b"),
+        F.col("c_rank").alias("rank_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    pair_cos = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("emb_a"),
+                F.col("emb_b"),
+                lambda x, y: x.cast("double") * y.cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        / (F.col("nrm_a") * F.col("nrm_b")),
+        6,
+    )
+    pruned = (
+        lo.join(hi, "centroid_id")
+        .where(F.col("rank_a") < F.col("rank_b"))
+        .where(pair_cos >= F.lit(tau))
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        ranked.join(pruned.withColumn("__pruned", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "centroid_id",
+            "c_rank",
+            F.coalesce(~F.col("__pruned"), F.lit(True)).alias("kept"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def semantic_dedup_sql(
+    n_centroids: int = SEMDEDUP_CENTROIDS, tau: float = SEMDEDUP_TAU
+) -> str:
+    from .hashing import md5_int_sql
+
+    return f"""
+        WITH centroids AS (
+            SELECT vec_id AS centroid_id, embedding AS c_emb
+            FROM embeddings
+            ORDER BY {md5_int_sql("CAST(vec_id AS VARCHAR)")}, vec_id
+            LIMIT {n_centroids}
+        ), affinity AS (
+            SELECT e.vec_id, e.embedding, c.centroid_id,
+                   round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                c.c_emb::DOUBLE[]), 9) AS c_sim
+            FROM embeddings e CROSS JOIN centroids c
+        ), assigned AS (
+            SELECT vec_id, embedding, centroid_id, c_sim
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY c_sim DESC, centroid_id DESC
+                ) AS rn
+                FROM affinity
+            ) WHERE rn = 1
+        ), ranked AS (
+            SELECT vec_id, embedding, centroid_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY centroid_id
+                       ORDER BY c_sim DESC, vec_id ASC
+                   ) AS INT) AS c_rank
+            FROM assigned
+        ), pruned AS (
+            SELECT DISTINCT b.vec_id
+            FROM ranked a JOIN ranked b USING (centroid_id)
+            WHERE a.c_rank < b.c_rank
+              AND round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                               b.embedding::DOUBLE[]), 6) >= {tau}
+        )
+        SELECT r.vec_id, r.centroid_id, r.c_rank,
+               p.vec_id IS NULL AS kept
+        FROM ranked r LEFT JOIN pruned p ON r.vec_id = p.vec_id
+        ORDER BY r.vec_id
+    """
+
+
+# --- per-dimension corpus statistics --------------------------------------------
+
+
+def dimension_stats(vectors: DataFrame) -> DataFrame:
+    """Per-dimension corpus statistics (mean / variance in exact micro-units):
+    the whitening/normalization diagnostic every embedding pipeline runs
+    before indexing — a dead dimension (var ≈ 0) or a runaway one (mean far
+    off 0) flags an encoder or ingestion fault.
+
+    Exactness: each float32 component is quantized once to micro-units
+    (exact BIGINT), so Σx and Σx² are order-free integer sums; mean and
+    variance are then single divisions of identical exact operands,
+    round-to-integer emitted. One (pos)-keyed map-side-combined aggregate
+    over the posexploded corpus — the label_centroids_long shuffle shape.
+    At 10⁹+ vectors the long Σx² upgrades to DECIMAL(38,0) in place."""
+    exploded = vectors.select(
+        F.posexplode("embedding").alias("pos0", "x")
+    ).select(
+        (F.col("pos0") + 1).alias("pos"),
+        F.round(F.col("x").cast("double") * F.lit(1e6)).cast("long").alias("xm"),
+    )
+    agg = exploded.groupBy("pos").agg(
+        F.count("*").alias("n"),
+        F.sum("xm").alias("s"),
+        F.sum(F.col("xm") * F.col("xm")).alias("ss"),
+    )
+    return agg.select(
+        "pos",
+        "n",
+        F.round(F.col("s") / F.col("n")).cast("long").alias("mean_micro"),
+        # var = (n·Σx² − (Σx)²) / n² in micro² units, integer-rounded
+        F.round(
+            (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+            / (F.col("n") * F.col("n"))
+        )
+        .cast("long")
+        .alias("var_micro2"),
+    ).orderBy("pos")
+
+
+DIMENSION_STATS_SQL = """
+    WITH exploded AS (
+        SELECT generate_subscripts(embedding, 1) AS pos,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT)
+                   AS xm
+        FROM embeddings
+    ), agg AS (
+        SELECT pos, COUNT(*) AS n,
+               CAST(SUM(xm) AS BIGINT) AS s,
+               CAST(SUM(xm * xm) AS BIGINT) AS ss
+        FROM exploded GROUP BY pos
+    )
+    SELECT pos, n,
+           CAST(round(CAST(s AS DOUBLE) / n) AS BIGINT) AS mean_micro,
+           CAST(round(CAST(n * ss - s * s AS DOUBLE) / (n * n)) AS BIGINT)
+               AS var_micro2
+    FROM agg
+    ORDER BY pos
+"""

@@ -563,3 +563,42 @@ def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Confusion matrix of heuristic lang-ID vs labeled lang — in-warehouse
     offline eval on a ≤|langs|² grid."""
     return text.langid_confusion(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "ann_hard_negatives", oracle=similarity.hard_negatives_topk_sql(ANN_QUERY_IDS)
+)
+def q_ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: top-k most-similar
+    OTHER-label vectors per query (broadcast queries, per-query rank window)."""
+    return similarity.hard_negatives_topk(
+        load_table(spark, sf_dir, "embeddings"), ANN_QUERY_IDS
+    )
+
+
+@register("dedup_semantic_clusters", oracle=embeddings_mod.semantic_dedup_sql())
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: coarse centroid clustering + within-cluster cosine pruning —
+    keep the most-central member of every semantic near-dup group."""
+    return embeddings_mod.semantic_dedup(load_table(spark, sf_dir, "embeddings"))
+
+
+@register("sampling_importance_dsir", oracle=sampling.importance_weights_dsir_sql())
+def q_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights: hashed-unigram target-vs-raw log-likelihood
+    ratio per raw document, exact integer micro-nats end to end."""
+    return sampling.importance_weights_dsir(load_table(spark, sf_dir, "documents"))
+
+
+@register("embedding_dimension_stats", oracle=embeddings_mod.DIMENSION_STATS_SQL)
+def q_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/variance in exact micro-units — the whitening /
+    dead-dimension diagnostic over the embedding corpus."""
+    return embeddings_mod.dimension_stats(load_table(spark, sf_dir, "embeddings"))
+
+
+@register("dedup_lsh_calibration", oracle=dedup.lsh_band_calibration_sql())
+def q_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding calibration: band-collision count vs exact Jaccard per
+    candidate pair, aggregated to the <=bands-row quality table."""
+    return dedup.lsh_band_calibration(load_table(spark, sf_dir, "documents"))

@@ -242,3 +242,124 @@ def weighted_sample_wor_sql(k: int = WRS_K, docs_rel: str = "documents") -> str:
         ORDER BY sort_key DESC, doc_id
         LIMIT {k}
     """
+
+
+# --- DSIR importance weighting --------------------------------------------------
+
+DSIR_DIM = 64
+DSIR_TARGET_LANG = "en"
+
+
+def importance_weights_dsir(
+    docs: DataFrame, target_lang: str = DSIR_TARGET_LANG, dim: int = DSIR_DIM
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al., 2023): score each
+    raw document by how target-like its hashed-unigram distribution is —
+    log w(doc) = Σ_tokens [ln p_target(bucket) − ln p_raw(bucket)] with
+    add-one smoothing over ``dim`` md5 buckets. The standard cheap way to
+    bias a 100 TB crawl toward a small high-quality target domain without
+    training a classifier; here the target is the ``target_lang`` slice and
+    every non-target document gets a weight.
+
+    Cross-engine exactness (the entropy treatment): each ln() of an EXACT
+    INTEGER count is quantized once to micro-nats; the per-document score is
+    then a pure integer sum over tokens — order-free — and the output is an
+    exact BIGINT. The bucket model is ≤ ``dim`` rows, broadcast; per-doc
+    scoring is one doc-keyed aggregate over the token stream."""
+    from .text import _norm
+
+    q = lambda col: F.round(F.log(col) * F.lit(1e6)).cast("long")  # noqa: E731
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+    toks = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.explode(F.split(_norm(F.col("text")), " ")).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+        .select("doc_id", "lang", (h % dim).alias("b"))
+    )
+    tgt = toks.where(F.col("lang") == target_lang).groupBy("b").agg(
+        F.count("*").alias("c_t")
+    )
+    raw = toks.where(F.col("lang") != target_lang).groupBy("b").agg(
+        F.count("*").alias("c_r")
+    )
+    n_t = toks.where(F.col("lang") == target_lang).agg(
+        F.count("*").alias("n_t")
+    )
+    n_r = toks.where(F.col("lang") != target_lang).agg(
+        F.count("*").alias("n_r")
+    )
+    model = (
+        tgt.join(raw, "b", "full_outer")
+        .select(
+            "b",
+            F.coalesce("c_t", F.lit(0)).alias("c_t"),
+            F.coalesce("c_r", F.lit(0)).alias("c_r"),
+        )
+        .crossJoin(F.broadcast(n_t))
+        .crossJoin(F.broadcast(n_r))
+        .select(
+            "b",
+            (
+                (q(F.col("c_t") + 1) - q(F.col("n_t") + dim))
+                - (q(F.col("c_r") + 1) - q(F.col("n_r") + dim))
+            ).alias("lr_micro"),
+        )
+    )
+    return (
+        toks.where(F.col("lang") != target_lang)
+        .join(F.broadcast(model), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("lr_micro").alias("logratio_micro"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def importance_weights_dsir_sql(
+    target_lang: str = DSIR_TARGET_LANG, dim: int = DSIR_DIM
+) -> str:
+    from .text import _norm_sql
+
+    h = "CAST(('0x' || substr(md5(tok), 1, 15)) AS UBIGINT)::BIGINT"
+
+    def q(expr: str) -> str:
+        return f"CAST(round(ln({expr}) * 1e6) AS BIGINT)"
+
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, lang, ({h}) % {dim} AS b
+            FROM (
+                SELECT doc_id, lang,
+                       unnest(string_split({_norm_sql('text')}, ' ')) AS tok
+                FROM documents
+            ) WHERE tok <> ''
+        ), tgt AS (
+            SELECT b, COUNT(*) AS c_t FROM toks
+            WHERE lang = '{target_lang}' GROUP BY b
+        ), raw AS (
+            SELECT b, COUNT(*) AS c_r FROM toks
+            WHERE lang <> '{target_lang}' GROUP BY b
+        ), n_t AS (
+            SELECT COUNT(*) AS n_t FROM toks WHERE lang = '{target_lang}'
+        ), n_r AS (
+            SELECT COUNT(*) AS n_r FROM toks WHERE lang <> '{target_lang}'
+        ), model AS (
+            SELECT COALESCE(t.b, r.b) AS b,
+                   ({q("COALESCE(c_t, 0) + 1")} - {q(f"n_t + {dim}")})
+                 - ({q("COALESCE(c_r, 0) + 1")} - {q(f"n_r + {dim}")}) AS lr_micro
+            FROM tgt t FULL OUTER JOIN raw r ON t.b = r.b
+            CROSS JOIN n_t CROSS JOIN n_r
+        )
+        SELECT doc_id,
+               COUNT(*) AS n_tokens,
+               CAST(SUM(lr_micro) AS BIGINT) AS logratio_micro
+        FROM toks JOIN model USING (b)
+        WHERE lang <> '{target_lang}'
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """

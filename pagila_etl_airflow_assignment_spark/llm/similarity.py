@@ -476,3 +476,76 @@ def lsh_recall_at_k_sql(query_ids: list[int], k: int = DEFAULT_K) -> str:
         GROUP BY t.query_id
         ORDER BY t.query_id
     """
+
+
+# --- hard-negative mining -------------------------------------------------------
+
+
+def hard_negatives_topk(
+    embeddings: DataFrame, query_ids: list[int], k: int = DEFAULT_K
+) -> DataFrame:
+    """Top-k HARD NEGATIVES per query vector: the most cosine-similar corpus
+    vectors whose ``label`` DIFFERS from the query's — the contrastive-
+    training mining step (high-similarity, wrong-class examples carry the
+    gradient signal; random negatives are trivially separable).
+
+    Same plan shape as ``brute_force_topk`` (broadcast query set, per-query
+    rank window, no corpus shuffle) plus the one extra label predicate; at
+    scale the brute-force scorer swaps for the IVF/LSH candidate generator
+    with the identical predicate applied post-candidates."""
+    corpus = embeddings.select(
+        "vec_id", "label", "embedding", _l2norm(F.col("embedding")).alias("nrm")
+    )
+    queries = corpus.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .where(F.col("label") != F.col("q_label"))
+        .select(
+            "query_id",
+            "q_label",
+            "vec_id",
+            F.col("label").alias("neg_label"),
+            F.round(
+                _dot(F.col("q_emb"), F.col("embedding"))
+                / (F.col("q_nrm") * F.col("nrm")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def hard_negatives_topk_sql(query_ids: list[int], k: int = DEFAULT_K) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+        WITH queries AS (
+            SELECT vec_id AS query_id, label AS q_label, embedding AS q_emb
+            FROM embeddings WHERE vec_id IN ({ids})
+        ),
+        scored AS (
+            SELECT q.query_id, q.q_label, c.vec_id, c.label AS neg_label,
+                   round(list_cosine_similarity(
+                       q.q_emb::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine
+            FROM embeddings c CROSS JOIN queries q
+            WHERE c.label <> q.q_label
+        )
+        SELECT query_id, q_label, vec_id, neg_label, cosine,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC
+               ) AS INT) AS rank
+        FROM scored
+        QUALIFY rank <= {k}
+        ORDER BY query_id, rank
+    """

@@ -213,6 +213,11 @@ EXTENSION_SURVEY_ROWS: dict[str, tuple[str, ...]] = {
     "ann_lsh_recall": ("L-147",),
     "text_langid_confusion": ("L-148",),
     "warehouse_sla_compliance": ("L-149",),
+    "ann_hard_negatives": ("L-150",),
+    "dedup_semantic_clusters": ("L-151",),
+    "sampling_importance_dsir": ("L-152",),
+    "embedding_dimension_stats": ("L-153",),
+    "dedup_lsh_calibration": ("L-154",),
 }
 
 
@@ -252,6 +257,13 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "events_hourly_tumbling",
     "events_sessionization",
     "events_windowed_click_join",
+    # -- round-5 additions (L-150..L-154): listed explicitly so they slot
+    #    after the fixes, not ahead of them via the not-in-list rule --
+    "ann_hard_negatives",
+    "dedup_semantic_clusters",
+    "sampling_importance_dsir",
+    "embedding_dimension_stats",
+    "dedup_lsh_calibration",
     # -- tier C: never driver-sampled (r5 sample takes ~30 of these;
     #    the rest rotate into r6) --
     "dedup_incremental_bloom",
