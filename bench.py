@@ -87,6 +87,7 @@ HEADLINE = [
     "embedding_product_quantization",
     "embedding_similarity_profile",
     "embedding_dimension_stats",
+    "embedding_matryoshka_quality",
     "graph_link_prediction",
     "warehouse_fd_profile",
     "warehouse_revenue_growth",

@@ -846,3 +846,153 @@ DIMENSION_STATS_SQL = """
     FROM agg
     ORDER BY pos
 """
+
+
+# --- Matryoshka truncation quality ----------------------------------------------
+
+MRL_WIDTHS = (8, 16, 32)
+
+
+def matryoshka_quality(
+    vectors: DataFrame, widths: tuple[int, ...] = MRL_WIDTHS
+) -> DataFrame:
+    """Truncation-quality profile for Matryoshka-style dimensionality cuts:
+    over the deterministic md5-rank pairing of the corpus (the
+    similarity_profile treatment — |corpus|/2 disjoint pairs, no self-join),
+    compare each pair's FULL-width cosine with its first-``w``-dims cosine
+    and report, per width, the mean/max absolute error in milli-units plus
+    the mean retained energy ‖x[:w]‖²/‖x‖². This is the go/no-go table for
+    serving a truncated index: if cos₈ tracks cos₆₄ within a few milli, the
+    8-dim index is 8× cheaper at negligible recall cost.
+
+    Exactness: per-pair errors quantize to exact integers (round of
+    bit-identical double folds), so all aggregates are order-free integer
+    sums; per-width output is ≤|widths| rows."""
+    from .hashing import md5_int
+
+    w = Window.orderBy(md5_int(F.col("vec_id").cast("string")), "vec_id")
+    ranked = vectors.select(
+        "vec_id", "embedding", (F.row_number().over(w) - 1).alias("rk")
+    )
+    lo = ranked.where(F.col("rk") % 2 == 0).select(
+        (F.col("rk") / 2).cast("long").alias("pair_id"),
+        F.col("embedding").alias("emb_a"),
+    )
+    hi = ranked.where(F.col("rk") % 2 == 1).select(
+        ((F.col("rk") - 1) / 2).cast("long").alias("pair_id"),
+        F.col("embedding").alias("emb_b"),
+    )
+
+    from .dedup import _cosine as cos  # dot/( ‖a‖·‖b‖ ) — the op order DuckDB's
+    # list_cosine_similarity reproduces bit-for-bit (dedup.py:680)
+
+    def energy(v, width):
+        full = F.aggregate(
+            F.transform(v, lambda x: x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x * x,
+        )
+        part = F.aggregate(
+            F.transform(F.slice(v, 1, width), lambda x: x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x * x,
+        )
+        return part / full
+
+    pairs = lo.join(hi, "pair_id")
+    per_width = [
+        pairs.select(
+            F.lit(width).alias("width"),
+            F.round(
+                F.abs(
+                    cos(F.slice("emb_a", 1, width), F.slice("emb_b", 1, width))
+                    - cos(F.col("emb_a"), F.col("emb_b"))
+                )
+                * 1000
+            )
+            .cast("long")
+            .alias("abs_err_milli"),
+            F.round(
+                (energy(F.col("emb_a"), width) + energy(F.col("emb_b"), width))
+                / 2
+                * 1000
+            )
+            .cast("long")
+            .alias("energy_milli"),
+        )
+        for width in widths
+    ]
+    union = per_width[0]
+    for df in per_width[1:]:
+        union = union.unionByName(df)
+    return (
+        union.groupBy("width")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.sum("abs_err_milli") / F.count("*")).cast("long").alias(
+                "mean_abs_err_milli"
+            ),
+            F.max("abs_err_milli").alias("max_abs_err_milli"),
+            F.round(F.sum("energy_milli") / F.count("*")).cast("long").alias(
+                "mean_energy_milli"
+            ),
+        )
+        .orderBy("width")
+    )
+
+
+def matryoshka_quality_sql(widths: tuple[int, ...] = MRL_WIDTHS) -> str:
+    from .hashing import md5_int_sql
+
+    def one(width: int) -> str:
+        return f"""
+            SELECT {width} AS width,
+                   CAST(round(ABS(
+                       list_cosine_similarity(emb_a[1:{width}]::DOUBLE[],
+                                              emb_b[1:{width}]::DOUBLE[])
+                       - list_cosine_similarity(emb_a::DOUBLE[],
+                                                emb_b::DOUBLE[])) * 1000)
+                       AS BIGINT) AS abs_err_milli,
+                   CAST(round((
+                       list_sum(list_transform(emb_a[1:{width}],
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+                       / list_sum(list_transform(emb_a,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+                     + list_sum(list_transform(emb_b[1:{width}],
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+                       / list_sum(list_transform(emb_b,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+                   ) / 2 * 1000) AS BIGINT) AS energy_milli
+            FROM pairs
+        """
+
+    body = "\n            UNION ALL\n".join(one(w) for w in widths)
+    return f"""
+        WITH ranked AS (
+            SELECT vec_id, embedding,
+                   row_number() OVER (
+                       ORDER BY {md5_int_sql("CAST(vec_id AS VARCHAR)")}, vec_id
+                   ) - 1 AS rk
+            FROM embeddings
+        ), lo AS (
+            SELECT CAST(rk / 2 AS BIGINT) AS pair_id, embedding AS emb_a
+            FROM ranked WHERE rk % 2 = 0
+        ), hi AS (
+            SELECT CAST((rk - 1) / 2 AS BIGINT) AS pair_id, embedding AS emb_b
+            FROM ranked WHERE rk % 2 = 1
+        ), pairs AS (
+            SELECT emb_a, emb_b FROM lo JOIN hi USING (pair_id)
+        ), per_width AS (
+            {body}
+        )
+        SELECT width,
+               COUNT(*) AS n_pairs,
+               CAST(round(CAST(SUM(abs_err_milli) AS DOUBLE) / COUNT(*))
+                   AS BIGINT) AS mean_abs_err_milli,
+               MAX(abs_err_milli) AS max_abs_err_milli,
+               CAST(round(CAST(SUM(energy_milli) AS DOUBLE) / COUNT(*))
+                   AS BIGINT) AS mean_energy_milli
+        FROM per_width
+        GROUP BY width
+        ORDER BY width
+    """

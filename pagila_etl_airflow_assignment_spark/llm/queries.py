@@ -602,3 +602,11 @@ def q_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding calibration: band-collision count vs exact Jaccard per
     candidate pair, aggregated to the <=bands-row quality table."""
     return dedup.lsh_band_calibration(load_table(spark, sf_dir, "documents"))
+
+
+@register("embedding_matryoshka_quality", oracle=embeddings_mod.matryoshka_quality_sql())
+def q_matryoshka_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncation-quality table for Matryoshka dimensionality cuts: per
+    width, cosine error vs full-width and retained energy over the
+    deterministic disjoint pairing."""
+    return embeddings_mod.matryoshka_quality(load_table(spark, sf_dir, "embeddings"))

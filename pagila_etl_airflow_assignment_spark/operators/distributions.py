@@ -654,3 +654,111 @@ DAILY_PERCENTILE_BANDS_SQL = """
     GROUP BY event_type, CAST(ts AS DATE)
     ORDER BY event_type, day
 """
+
+
+# --- single changepoint localization --------------------------------------------
+
+
+def changepoint_detection(events: DataFrame) -> DataFrame:
+    """Best single changepoint per event type: the day split that maximizes
+    the absolute difference of the DAILY-MEAN level before vs after —
+    binary-segmentation step 1, the localization companion to cusum_drift
+    (CUSUM says "something drifted"; this says WHERE).
+
+    Exact arithmetic end to end: daily values aggregate to integer cents and
+    row counts; prefix/total sums are window/broadcast integer aggregates;
+    the candidate deltas are single divisions of identical exact operands
+    (bit-stable), rounded at 6 dp before the argmax with a day tiebreak so
+    both engines pick the same split. Everything past the first aggregate
+    runs on the bounded |types|·|days| grid."""
+    day = F.to_date("ts").alias("day")
+    daily = (
+        events.where(F.col("value").isNotNull())
+        .groupBy("event_type", day)
+        .agg(
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents"),
+            F.count("*").alias("n"),
+        )
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("event_type")
+    cand = daily.select(
+        "event_type",
+        "day",
+        F.sum("cents").over(wcum).alias("c_pre"),
+        F.sum("n").over(wcum).alias("n_pre"),
+        F.sum("cents").over(wall).alias("c_tot"),
+        F.sum("n").over(wall).alias("n_tot"),
+        F.count("*").over(wall).alias("days_tot"),
+        F.row_number().over(Window.partitionBy("event_type").orderBy("day")).alias(
+            "k"
+        ),
+    ).where(F.col("k") < F.col("days_tot"))
+    mean_pre = F.col("c_pre") / F.col("n_pre") / F.lit(100.0)
+    mean_post = (F.col("c_tot") - F.col("c_pre")) / (
+        F.col("n_tot") - F.col("n_pre")
+    ) / F.lit(100.0)
+    scored = cand.select(
+        "event_type",
+        "day",
+        F.round(mean_pre, 6).alias("mean_before"),
+        F.round(mean_post, 6).alias("mean_after"),
+        F.round(F.abs(mean_post - mean_pre), 6).alias("delta"),
+    )
+    wbest = Window.partitionBy("event_type").orderBy(
+        F.col("delta").desc(), F.col("day").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(wbest))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("split_day"),
+            "mean_before",
+            "mean_after",
+            "delta",
+        )
+        .orderBy("event_type")
+    )
+
+
+CHANGEPOINT_DETECTION_SQL = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+               COUNT(*) AS n
+        FROM events WHERE value IS NOT NULL
+        GROUP BY event_type, CAST(ts AS DATE)
+    ), cand AS (
+        SELECT event_type, day,
+               SUM(cents) OVER (PARTITION BY event_type ORDER BY day
+                   ROWS UNBOUNDED PRECEDING) AS c_pre,
+               SUM(n) OVER (PARTITION BY event_type ORDER BY day
+                   ROWS UNBOUNDED PRECEDING) AS n_pre,
+               SUM(cents) OVER (PARTITION BY event_type) AS c_tot,
+               SUM(n) OVER (PARTITION BY event_type) AS n_tot,
+               COUNT(*) OVER (PARTITION BY event_type) AS days_tot,
+               row_number() OVER (PARTITION BY event_type ORDER BY day) AS k
+        FROM daily
+    ), scored AS (
+        SELECT event_type, day,
+               round(CAST(c_pre AS DOUBLE) / n_pre / 100.0, 6) AS mean_before,
+               round(CAST(c_tot - c_pre AS DOUBLE) / (n_tot - n_pre) / 100.0, 6)
+                   AS mean_after,
+               round(ABS(CAST(c_tot - c_pre AS DOUBLE) / (n_tot - n_pre) / 100.0
+                         - CAST(c_pre AS DOUBLE) / n_pre / 100.0), 6) AS delta
+        FROM cand WHERE k < days_tot
+    )
+    SELECT event_type, day AS split_day, mean_before, mean_after, delta
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY event_type ORDER BY delta DESC, day ASC
+        ) AS rn
+        FROM scored
+    ) WHERE rn = 1
+    ORDER BY event_type
+"""

@@ -1319,3 +1319,18 @@ def q_sla_compliance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return warehouse.sla_compliance(
         load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
     )
+
+
+@register("events_changepoint", oracle=distributions.CHANGEPOINT_DETECTION_SQL)
+def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best single changepoint per type: the day split maximizing the
+    before/after daily-mean gap — binary-segmentation step 1, localizing
+    what cusum_drift flags. Exact cents arithmetic on the day grid."""
+    return distributions.changepoint_detection(load_table(spark, sf_dir, "events"))
+
+
+@register("events_bot_regularity", oracle=stats.bot_regularity_scores_sql())
+def q_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user automation signal: coefficient of variation of integer-second
+    inter-arrival gaps; low-CV high-volume users flag as bots."""
+    return stats.bot_regularity_scores(load_table(spark, sf_dir, "events"))

@@ -534,3 +534,114 @@ PROPORTION_ZTEST_SQL = """
     FROM agg
     ORDER BY event_type
 """
+
+
+# --- bot / automation detection --------------------------------------------------
+
+BOT_MIN_EVENTS = 20
+BOT_CV_MILLI_MAX = 100
+
+
+def bot_regularity_scores(
+    events: DataFrame,
+    min_events: int = BOT_MIN_EVENTS,
+    cv_milli_max: int = BOT_CV_MILLI_MAX,
+) -> DataFrame:
+    """Per-user automation signal from inter-arrival regularity: humans emit
+    bursty, high-variance gaps; schedulers and scripts tick with a clock-like
+    cadence. The flag is a low coefficient of variation (std/mean of gaps)
+    over enough events — the standard first-pass bot filter a training-data
+    pipeline runs before user-generated text is trusted.
+
+    Exact arithmetic: gaps are integer SECONDS (µs-exact timestamps, integer
+    division), Σg and Σg² are order-free integer sums, and cv derives as
+    round(1000·√(n·Σg²−(Σg)²)/Σg) — one sqrt/division chain on identical
+    exact operands per engine. One user-keyed window (the rolling-stats
+    shuffle shape) + one user aggregate."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        events.select(
+            "user_id", "ts", "event_id", F.unix_micros("ts").alias("us")
+        )
+        .select(
+            "user_id",
+            # explicit FLOOR on both engines: Spark's cast(double→long)
+            # truncates while DuckDB's rounds, so a bare cast diverges on
+            # fractional-second gaps
+            F.floor((F.col("us") - F.lag("us").over(w)) / 1_000_000)
+            .cast("long")
+            .alias("gap_s"),
+        )
+        .where(F.col("gap_s").isNotNull())
+    )
+    agg = gaps.groupBy("user_id").agg(
+        F.count("*").alias("n_gaps"),
+        F.sum("gap_s").alias("s"),
+        F.sum(F.col("gap_s") * F.col("gap_s")).alias("ss"),
+    )
+    cv = F.when(
+        F.col("s") > 0,
+        F.round(
+            F.lit(1000.0)
+            * F.sqrt(
+                (F.col("n_gaps") * F.col("ss") - F.col("s") * F.col("s")).cast(
+                    "double"
+                )
+            )
+            / F.col("s")
+        ).cast("long"),
+    )
+    return (
+        agg.select(
+            "user_id",
+            "n_gaps",
+            F.round(F.col("s") / F.col("n_gaps")).cast("long").alias("mean_gap_s"),
+            cv.alias("cv_milli"),
+        )
+        .select(
+            "user_id",
+            "n_gaps",
+            "mean_gap_s",
+            "cv_milli",
+            (
+                (F.col("n_gaps") >= min_events)
+                & F.col("cv_milli").isNotNull()
+                & (F.col("cv_milli") <= cv_milli_max)
+            ).alias("is_bot"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def bot_regularity_scores_sql(
+    min_events: int = BOT_MIN_EVENTS, cv_milli_max: int = BOT_CV_MILLI_MAX
+) -> str:
+    return f"""
+        WITH gaps AS (
+            SELECT user_id,
+                   CAST(FLOOR((epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   )) / 1000000) AS BIGINT) AS gap_s
+            FROM events
+        ), agg AS (
+            SELECT user_id, COUNT(*) AS n_gaps,
+                   CAST(SUM(gap_s) AS BIGINT) AS s,
+                   CAST(SUM(gap_s * gap_s) AS BIGINT) AS ss
+            FROM gaps WHERE gap_s IS NOT NULL
+            GROUP BY user_id
+        ), scored AS (
+            SELECT user_id, n_gaps,
+                   CAST(round(CAST(s AS DOUBLE) / n_gaps) AS BIGINT)
+                       AS mean_gap_s,
+                   CASE WHEN s > 0 THEN CAST(round(
+                       1000.0 * sqrt(CAST(n_gaps * ss - s * s AS DOUBLE)) / s)
+                       AS BIGINT) END AS cv_milli
+            FROM agg
+        )
+        SELECT user_id, n_gaps, mean_gap_s, cv_milli,
+               n_gaps >= {min_events}
+                   AND cv_milli IS NOT NULL
+                   AND cv_milli <= {cv_milli_max} AS is_bot
+        FROM scored
+        ORDER BY user_id
+    """

@@ -218,6 +218,9 @@ EXTENSION_SURVEY_ROWS: dict[str, tuple[str, ...]] = {
     "sampling_importance_dsir": ("L-152",),
     "embedding_dimension_stats": ("L-153",),
     "dedup_lsh_calibration": ("L-154",),
+    "events_changepoint": ("L-155",),
+    "embedding_matryoshka_quality": ("L-156",),
+    "events_bot_regularity": ("L-157",),
 }
 
 
@@ -264,6 +267,9 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "sampling_importance_dsir",
     "embedding_dimension_stats",
     "dedup_lsh_calibration",
+    "events_changepoint",
+    "embedding_matryoshka_quality",
+    "events_bot_regularity",
     # -- tier C: never driver-sampled (r5 sample takes ~30 of these;
     #    the rest rotate into r6) --
     "dedup_incremental_bloom",

@@ -147,3 +147,83 @@ def test_lsh_calibration_estimate_is_monotone_grid(spark):
     assert ests == sorted(ests)
     for r in rows:
         assert 0 <= r.min_jaccard_milli <= r.mean_jaccard_milli <= r.max_jaccard_milli <= 1000
+
+
+# --- changepoint ------------------------------------------------------------------
+
+import datetime as dt
+
+from pagila_etl_airflow_assignment_spark.operators import distributions, stats
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+
+
+def test_changepoint_finds_level_shift(spark):
+    # 3 days at 10.0 then 3 days at 50.0 -> split after day 3
+    rows = []
+    for d in range(1, 7):
+        v = 10.0 if d <= 3 else 50.0
+        rows += [(d * 10 + i, dt.datetime(2024, 1, d), 1, "a", v) for i in range(4)]
+    out = distributions.changepoint_detection(_events(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.split_day == dt.date(2024, 1, 3)
+    assert r.mean_before == 10.0 and r.mean_after == 50.0
+    assert r.delta == 40.0
+
+
+def test_changepoint_tie_prefers_earliest_day(spark):
+    # constant series: every split has delta 0 -> earliest day wins the tie
+    rows = [(d, dt.datetime(2024, 1, d), 1, "a", 5.0) for d in range(1, 5)]
+    r = distributions.changepoint_detection(_events(spark, rows)).collect()[0]
+    assert r.delta == 0.0 and r.split_day == dt.date(2024, 1, 1)
+
+
+# --- bot regularity ---------------------------------------------------------------
+
+
+def test_bot_regularity_flags_clockwork_user(spark):
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(seconds=60 * i), 1, "ping", 0.0) for i in range(25)
+    ]  # metronome: 60 s gaps exactly
+    human = [
+        (100 + i, base + dt.timedelta(seconds=s), 2, "click", 0.0)
+        for i, s in enumerate([0, 7, 200, 205, 1000, 1001, 5000])
+    ]
+    out = {r.user_id: r for r in stats.bot_regularity_scores(_events(spark, rows + human)).collect()}
+    assert out[1].n_gaps == 24
+    assert out[1].mean_gap_s == 60 and out[1].cv_milli == 0
+    assert out[1].is_bot
+    assert not out[2].is_bot  # bursty and below min_events
+
+
+def test_bot_regularity_zero_gap_sum_guard(spark):
+    base = dt.datetime(2024, 1, 1)
+    rows = [(i, base, 3, "x", 0.0) for i in range(5)]  # identical timestamps
+    r = stats.bot_regularity_scores(_events(spark, rows)).collect()[0]
+    assert r.cv_milli is None and not r.is_bot
+
+
+# --- matryoshka quality -----------------------------------------------------------
+
+
+def test_matryoshka_energy_and_error_bounds(spark):
+    import math
+
+    vecs = spark.createDataFrame(
+        [(i, [float((i * 7 + j * 3) % 5 - 2) for j in range(64)], 0) for i in range(10)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = {r.width: r for r in emb.matryoshka_quality(vecs).collect()}
+    assert set(rows) == {8, 16, 32}
+    for r in rows.values():
+        assert r.n_pairs == 5
+        assert 0 <= r.mean_abs_err_milli <= r.max_abs_err_milli <= 2000
+        assert 0 <= r.mean_energy_milli <= 1000
+    # wider truncation retains at least as much energy on average
+    assert rows[8].mean_energy_milli <= rows[16].mean_energy_milli <= rows[32].mean_energy_milli

@@ -141,6 +141,16 @@ PROBES = [
     "events_prop_ztest",
     "warehouse_benford_audit",
     "events_daily_percentile_bands",
+    # round-5 additions: contrastive mining, semantic dedup, importance
+    # weighting, embedding diagnostics, LSH calibration
+    "ann_hard_negatives",
+    "dedup_semantic_clusters",
+    "sampling_importance_dsir",
+    "embedding_dimension_stats",
+    "dedup_lsh_calibration",
+    "events_changepoint",
+    "embedding_matryoshka_quality",
+    "events_bot_regularity",
 ]
 
 
