@@ -481,3 +481,109 @@ def bigram_backoff_logprob_sql(
         GROUP BY doc_id
         ORDER BY doc_id
     """
+
+
+# --- LM-score corpus composition -------------------------------------------------
+
+LM_MIX_QUARTILES = (0.25, 0.5, 0.75)
+
+
+def lm_score_mix(docs: DataFrame) -> DataFrame:
+    """Corpus composition by unigram-LM fluency quartile × source: how much
+    of each source's mass sits in the most/least in-distribution quarter of
+    the corpus — the mixing diagnostic run before quality-weighted sampling
+    (a source concentrated in Q4 is mostly out-of-distribution text).
+
+    Exactness (the entropy treatment): per-term −ln p quantizes ONCE to
+    exact integer micro-nats (p = cnt/total, both exact integers, so
+    L = Q(ln total) − Q(ln cnt)); per-doc scores are integer sums/divisions;
+    quartile breakpoints come from one exact-percentile aggregate over the
+    integer scores (bit-identical interpolation on identical multisets) and
+    bucketing is integer-vs-double comparison. Shuffles: the vocab aggregate,
+    the doc aggregate, one 1-row breakpoint broadcast, one (source, bucket)
+    aggregate."""
+    q = lambda col: F.round(F.log(col) * F.lit(1e6)).cast("long")  # noqa: E731
+    g = grams(docs, 1).withColumnRenamed("gram", "term")
+    counts = g.groupBy("term").agg(F.count("*").alias("cnt"))
+    total = g.agg(F.count("*").alias("total"))
+    neglogp_micro = (
+        counts.crossJoin(F.broadcast(total))
+        .select("term", (q(F.col("total")) - q(F.col("cnt"))).alias("nlp_micro"))
+    )
+    per_doc = (
+        g.join(neglogp_micro, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("nlp_micro") / F.count("*")).cast("long").alias(
+                "score_micro"
+            )
+        )
+    )
+    scored = docs.select("doc_id", "source").join(per_doc, "doc_id")
+    breaks = scored.agg(
+        *[
+            F.percentile("score_micro", F.lit(p)).alias(f"b{i}")
+            for i, p in enumerate(LM_MIX_QUARTILES, start=1)
+        ]
+    )
+    bucketed = scored.crossJoin(F.broadcast(breaks)).select(
+        "source",
+        "score_micro",
+        F.when(F.col("score_micro") <= F.col("b1"), 1)
+        .when(F.col("score_micro") <= F.col("b2"), 2)
+        .when(F.col("score_micro") <= F.col("b3"), 3)
+        .otherwise(4)
+        .alias("quartile"),
+    )
+    return (
+        bucketed.groupBy("source", "quartile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.sum("score_micro") / F.count("*")).cast("long").alias(
+                "mean_score_micro"
+            ),
+        )
+        .orderBy("source", "quartile")
+    )
+
+
+def lm_score_mix_sql(docs_rel: str = "documents") -> str:
+    def q(expr: str) -> str:
+        return f"CAST(round(ln({expr}) * 1e6) AS BIGINT)"
+
+    qs = ", ".join(
+        f"quantile_cont(score_micro, {p}) AS b{i}"
+        for i, p in enumerate(LM_MIX_QUARTILES, start=1)
+    )
+    return f"""
+        WITH g AS (SELECT doc_id, gram AS term FROM ({grams_sql(1, docs_rel)})),
+        counts AS (SELECT term, COUNT(*) AS cnt FROM g GROUP BY term),
+        total AS (SELECT COUNT(*) AS total FROM g),
+        nlp AS (
+            SELECT term, {q('total')} - {q('cnt')} AS nlp_micro
+            FROM counts CROSS JOIN total
+        ),
+        per_doc AS (
+            SELECT doc_id,
+                   CAST(round(CAST(SUM(nlp_micro) AS DOUBLE) / COUNT(*))
+                       AS BIGINT) AS score_micro
+            FROM g JOIN nlp USING (term)
+            GROUP BY doc_id
+        ),
+        scored AS (
+            SELECT d.source, p.score_micro
+            FROM {docs_rel} d JOIN per_doc p USING (doc_id)
+        ),
+        breaks AS (SELECT {qs} FROM scored)
+        SELECT source,
+               CASE WHEN score_micro <= b1 THEN 1
+                    WHEN score_micro <= b2 THEN 2
+                    WHEN score_micro <= b3 THEN 3
+                    ELSE 4 END AS quartile,
+               COUNT(*) AS n_docs,
+               CAST(round(CAST(SUM(score_micro) AS DOUBLE) / COUNT(*))
+                   AS BIGINT) AS mean_score_micro
+        FROM scored CROSS JOIN breaks
+        GROUP BY source, quartile
+        ORDER BY source, quartile
+    """

@@ -610,3 +610,17 @@ def q_matryoshka_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     width, cosine error vs full-width and retained energy over the
     deterministic disjoint pairing."""
     return embeddings_mod.matryoshka_quality(load_table(spark, sf_dir, "embeddings"))
+
+
+@register("text_code_detection", oracle=text.CODE_DETECTION_SQL)
+def q_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose heuristic per document: symbol/digit ratios, code-keyword
+    hits, statement line endings — zero-shuffle regexp arithmetic."""
+    return text.code_detection_scores(load_table(spark, sf_dir, "documents"))
+
+
+@register("text_lm_score_mix", oracle=corpus_stats.lm_score_mix_sql())
+def q_lm_score_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition by unigram-LM fluency quartile x source — the
+    quality-mix diagnostic before weighted sampling; exact micro-nats."""
+    return corpus_stats.lm_score_mix(load_table(spark, sf_dir, "documents"))

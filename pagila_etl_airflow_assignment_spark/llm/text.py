@@ -835,3 +835,73 @@ LANGID_CONFUSION_SQL = f"""
     GROUP BY d.lang, pred_lang
     ORDER BY true_lang, pred_lang
 """.format(lang_id_sql=LANG_ID_SQL)
+
+
+# --- code-vs-prose detection ----------------------------------------------------
+
+CODE_SYMBOL_MILLI_MIN = 50   # >=5% symbol chars
+CODE_KEYWORD_MIN = 2         # or >=2 code-keyword hits
+
+
+def code_detection_scores(docs: DataFrame) -> DataFrame:
+    """Heuristic code-vs-prose signals per document: symbol-character ratio,
+    digit ratio, code-keyword hits (def/return/import/void/etc.), and
+    semicolon/brace line endings — the cheap pre-filter a text corpus runs
+    before routing documents to a code-specific pipeline (a code classifier
+    is expensive; these ratios remove the obvious mass first).
+
+    Zero-shuffle narrow regexp_count arithmetic over the raw text (case
+    preserved — code casing is signal); ratios emitted as exact milli
+    integers (round of identical integer-ratio doubles). The flag mirrors
+    the lang-ID contract: a deterministic heuristic, evaluated offline by
+    its own confusion query when labels exist."""
+    raw = F.col("text")
+    chars = F.greatest(F.length(raw), F.lit(1))
+    symbols = F.regexp_count(raw, F.lit(r"[{}()\[\];=<>+*/\\|&^%$#@~`]"))
+    digits = F.regexp_count(raw, F.lit(r"[0-9]"))
+    keywords = F.regexp_count(
+        F.lower(raw),
+        F.lit(
+            r"\b(def|return|import|class|void|int|const|var|function|"
+            r"lambda|printf|include|select|from|where)\b"
+        ),
+    )
+    stmt_ends = F.regexp_count(raw, F.lit(r"[;{}]\s*($|\n)"))
+    sym_milli = F.round(F.lit(1000.0) * symbols / chars).cast("long")
+    dig_milli = F.round(F.lit(1000.0) * digits / chars).cast("long")
+    return docs.select(
+        "doc_id",
+        F.length(raw).alias("n_chars"),
+        sym_milli.alias("symbol_milli"),
+        dig_milli.alias("digit_milli"),
+        keywords.alias("keyword_hits"),
+        stmt_ends.alias("stmt_line_ends"),
+        (
+            (sym_milli >= CODE_SYMBOL_MILLI_MIN)
+            | (keywords >= CODE_KEYWORD_MIN)
+        ).alias("looks_like_code"),
+    ).orderBy("doc_id")
+
+
+CODE_DETECTION_SQL = rf"""
+    WITH scored AS (
+        SELECT doc_id,
+               length(text) AS n_chars,
+               CAST(round(1000.0 * len(regexp_extract_all(text,
+                   '[{{}}()\[\];=<>+*/\\|&^%$#@~`]'))
+                   / GREATEST(length(text), 1)) AS BIGINT) AS symbol_milli,
+               CAST(round(1000.0 * len(regexp_extract_all(text, '[0-9]'))
+                   / GREATEST(length(text), 1)) AS BIGINT) AS digit_milli,
+               len(regexp_extract_all(lower(text),
+                   '\b(def|return|import|class|void|int|const|var|function|lambda|printf|include|select|from|where)\b'))
+                   AS keyword_hits,
+               len(regexp_extract_all(text, '[;{{}}]\s*($|\n)')) AS stmt_line_ends
+        FROM documents
+    )
+    SELECT doc_id, n_chars, symbol_milli, digit_milli, keyword_hits,
+           stmt_line_ends,
+           symbol_milli >= {CODE_SYMBOL_MILLI_MIN}
+               OR keyword_hits >= {CODE_KEYWORD_MIN} AS looks_like_code
+    FROM scored
+    ORDER BY doc_id
+"""

@@ -219,3 +219,72 @@ TIME_WEIGHTED_VALUE_SQL = """
     GROUP BY user_id
     ORDER BY user_id
 """
+
+
+# --- DAU/MAU stickiness -----------------------------------------------------------
+
+
+def dau_mau_stickiness(events: DataFrame) -> DataFrame:
+    """Per-day product stickiness: DAU / trailing-28-day MAU in milli-units.
+    The canonical engagement ratio (how much of the monthly audience shows up
+    on a given day); a falling curve with flat MAU is the classic
+    drive-by-growth warning.
+
+    Plan: one (day, user) distinct reduction, then DAU is a day aggregate
+    and MAU a 28-day RANGE window COUNT DISTINCT — expressed as a
+    day-offset-keyed semi-sum (distinct users exploded once per covered day
+    would multiply the relation ×28, so instead MAU joins the distinct
+    (day, user) grain against the day spine with a range condition bounded
+    by 28 — the range-join bin trick on the bounded day grid). Exact
+    integers end to end; ratio emitted in milli."""
+    du = events.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    dau = du.groupBy("day").agg(F.count("*").alias("dau"))
+    days = dau.select("day")
+    # MAU per day d: distinct users active in [d-27, d] — the (day,user) grain
+    # joins the bounded day spine (|days| rows, broadcast), then one distinct
+    # per (spine day, user) collapses multi-active users
+    mau = (
+        du.join(
+            F.broadcast(days.withColumnRenamed("day", "d")),
+            (F.col("day") <= F.col("d"))
+            & (F.col("day") >= F.date_sub(F.col("d"), 27)),
+        )
+        .select("d", "user_id")
+        .distinct()
+        .groupBy("d")
+        .agg(F.count("*").alias("mau"))
+    )
+    return (
+        dau.join(mau, dau["day"] == mau["d"])
+        .select(
+            "day",
+            "dau",
+            "mau",
+            F.round(F.lit(1000.0) * F.col("dau") / F.col("mau"))
+            .cast("long")
+            .alias("stickiness_milli"),
+        )
+        .orderBy("day")
+    )
+
+
+DAU_MAU_STICKINESS_SQL = """
+    WITH du AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ), dau AS (
+        SELECT day, COUNT(*) AS dau FROM du GROUP BY day
+    ), mau AS (
+        SELECT d.day AS d, COUNT(DISTINCT u.user_id) AS mau
+        FROM (SELECT day FROM dau) d
+        JOIN du u
+          ON u.day <= d.day AND u.day >= d.day - INTERVAL 27 DAY
+        GROUP BY d.day
+    )
+    SELECT dau.day, dau.dau, mau.mau,
+           CAST(round(1000.0 * dau.dau / mau.mau) AS BIGINT)
+               AS stickiness_milli
+    FROM dau JOIN mau ON dau.day = mau.d
+    ORDER BY dau.day
+"""

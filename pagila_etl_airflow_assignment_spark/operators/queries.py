@@ -1334,3 +1334,17 @@ def q_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user automation signal: coefficient of variation of integer-second
     inter-arrival gaps; low-CV high-volume users flag as bots."""
     return stats.bot_regularity_scores(load_table(spark, sf_dir, "events"))
+
+
+@register("warehouse_part_skyline", oracle=warehouse.PART_SKYLINE_SQL)
+def q_part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) of parts — min price, max size — as ONE
+    ordered window over integer cents; no self-join, no quadratic step."""
+    return warehouse.part_skyline(load_table(spark, sf_dir, "part"))
+
+
+@register("events_dau_mau_stickiness", oracle=behavior.DAU_MAU_STICKINESS_SQL)
+def q_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-28-day MAU per day in milli-units — the engagement
+    stickiness curve on the bounded day grid."""
+    return behavior.dau_mau_stickiness(load_table(spark, sf_dir, "events"))

@@ -1283,3 +1283,59 @@ def sla_compliance_sql(sla_days: int = SLA_DAYS) -> str:
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority
     """
+
+
+# --- 2-D skyline (Pareto frontier) ----------------------------------------------
+
+
+def part_skyline(part: DataFrame) -> DataFrame:
+    """2-D skyline of parts: minimize retail price, maximize size — a part is
+    on the frontier iff NO other part is both cheaper-or-equal and
+    bigger-or-equal (with at least one strict). The classic dominance
+    operator relational engines lack natively; at two dimensions it
+    collapses to ONE ordered window: sort by (price asc, size desc) and keep
+    rows whose size strictly exceeds the running max size of everything
+    cheaper — no self-join, no quadratic step, and the same plan holds at
+    any cardinality (the window runs on the |parts| relation, and a
+    price-bucketed two-pass refinement shards the sort at 100 TB).
+
+    Exact arithmetic: price compares in integer cents; ties inside one cent
+    bucket resolve by the window ORDER (size desc, partkey) so both engines
+    walk an identical sequence."""
+    cents = F.floor(F.col("p_retailprice") * 100).cast("long")
+    w = (
+        Window.orderBy(
+            F.col("price_cents").asc(), F.col("p_size").desc(), F.col("p_partkey")
+        )
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = part.select(
+        "p_partkey", "p_name", cents.alias("price_cents"), "p_size"
+    ).withColumn("max_size_cheaper", F.max("p_size").over(w))
+    return (
+        ranked.where(
+            F.col("max_size_cheaper").isNull()
+            | (F.col("p_size") > F.col("max_size_cheaper"))
+        )
+        .select("p_partkey", "p_name", "price_cents", "p_size")
+        .orderBy("price_cents", "p_partkey")
+    )
+
+
+PART_SKYLINE_SQL = """
+    WITH ranked AS (
+        SELECT p_partkey, p_name,
+               CAST(FLOOR(p_retailprice * 100) AS BIGINT) AS price_cents,
+               p_size,
+               MAX(p_size) OVER (
+                   ORDER BY CAST(FLOOR(p_retailprice * 100) AS BIGINT) ASC,
+                            p_size DESC, p_partkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS max_size_cheaper
+        FROM part
+    )
+    SELECT p_partkey, p_name, price_cents, p_size
+    FROM ranked
+    WHERE max_size_cheaper IS NULL OR p_size > max_size_cheaper
+    ORDER BY price_cents, p_partkey
+"""

@@ -221,6 +221,10 @@ EXTENSION_SURVEY_ROWS: dict[str, tuple[str, ...]] = {
     "events_changepoint": ("L-155",),
     "embedding_matryoshka_quality": ("L-156",),
     "events_bot_regularity": ("L-157",),
+    "warehouse_part_skyline": ("L-158",),
+    "events_dau_mau_stickiness": ("L-159",),
+    "text_code_detection": ("L-160",),
+    "text_lm_score_mix": ("L-161",),
 }
 
 
@@ -270,6 +274,10 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "events_changepoint",
     "embedding_matryoshka_quality",
     "events_bot_regularity",
+    "warehouse_part_skyline",
+    "events_dau_mau_stickiness",
+    "text_code_detection",
+    "text_lm_score_mix",
     # -- tier C: never driver-sampled (r5 sample takes ~30 of these;
     #    the rest rotate into r6) --
     "dedup_incremental_bloom",

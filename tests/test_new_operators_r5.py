@@ -227,3 +227,85 @@ def test_matryoshka_energy_and_error_bounds(spark):
         assert 0 <= r.mean_energy_milli <= 1000
     # wider truncation retains at least as much energy on average
     assert rows[8].mean_energy_milli <= rows[16].mean_energy_milli <= rows[32].mean_energy_milli
+
+
+# --- 2-D skyline ------------------------------------------------------------------
+
+from pagila_etl_airflow_assignment_spark.operators import behavior, warehouse
+from pagila_etl_airflow_assignment_spark.llm import corpus_stats, text
+
+
+def test_skyline_keeps_only_undominated(spark):
+    part = spark.createDataFrame(
+        [
+            (1, "a", 10.0, 5),   # frontier (cheapest)
+            (2, "b", 20.0, 9),   # frontier (bigger than anything cheaper)
+            (3, "c", 20.0, 4),   # dominated by 1 (pricier, smaller)
+            (4, "d", 30.0, 9),   # dominated by 2 (pricier, same size)
+            (5, "e", 40.0, 12),  # frontier
+        ],
+        "p_partkey long, p_name string, p_retailprice double, p_size int",
+    )
+    out = warehouse.part_skyline(part).collect()
+    assert [r.p_partkey for r in out] == [1, 2, 5]
+    # frontier sizes strictly increase along rising price
+    sizes = [r.p_size for r in out]
+    assert sizes == sorted(sizes) and len(set(sizes)) == len(sizes)
+
+
+# --- DAU/MAU ----------------------------------------------------------------------
+
+
+def test_stickiness_bounds_and_window(spark):
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # 3 users active day 1; 1 user active day 30 (outside 28-day window of day 1)
+    for u in (1, 2, 3):
+        rows.append((eid, base, u, "x", 0.0)); eid += 1
+    rows.append((eid, base + dt.timedelta(days=29), 9, "x", 0.0))
+    out = {r.day: r for r in behavior.dau_mau_stickiness(_events(spark, rows)).collect()}
+    d1, d30 = dt.date(2024, 1, 1), dt.date(2024, 1, 30)
+    assert out[d1].dau == 3 and out[d1].mau == 3
+    assert out[d1].stickiness_milli == 1000  # everyone monthly was there today
+    # day-1 users fell out of the trailing-28d window by day 30
+    assert out[d30].dau == 1 and out[d30].mau == 1
+
+
+# --- code detection ---------------------------------------------------------------
+
+
+def test_code_detection_separates_code_from_prose(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "def foo(x): return x + 1; import os"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in text.code_detection_scores(docs).collect()}
+    assert out[1].looks_like_code and out[1].keyword_hits >= 2
+    assert not out[2].looks_like_code
+    assert out[2].symbol_milli == 0 and out[2].digit_milli == 0
+
+
+# --- LM-score mix -----------------------------------------------------------------
+
+
+def test_lm_score_mix_quartiles_partition_docs(spark):
+    docs = spark.createDataFrame(
+        [
+            (i, "common words common words" if i % 2 else "rare%d token%d" % (i, i),
+             "en", "srcA" if i < 10 else "srcB")
+            for i in range(20)
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    rows = corpus_stats.lm_score_mix(docs).collect()
+    assert sum(r.n_docs for r in rows) == 20
+    assert {r.quartile for r in rows} <= {1, 2, 3, 4}
+    # mean score rises with the quartile within each source
+    for src in ("srcA", "srcB"):
+        ms = [r.mean_score_micro for r in sorted(
+            (r for r in rows if r.source == src), key=lambda r: r.quartile)]
+        assert ms == sorted(ms)

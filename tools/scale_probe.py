@@ -151,6 +151,10 @@ PROBES = [
     "events_changepoint",
     "embedding_matryoshka_quality",
     "events_bot_regularity",
+    "warehouse_part_skyline",
+    "events_dau_mau_stickiness",
+    "text_code_detection",
+    "text_lm_score_mix",
 ]
 
 
