@@ -88,6 +88,18 @@ ALLOWED: dict[str, set[str]] = {
     # Python UDTF: BatchEvalPython IS the UDTF execution node in Spark 4 —
     # this query exists to pin the UDTF boundary, not to avoid it
     "text_sentence_split_udtf": {"BatchEvalPython"},
+    # composed from the two broadcast-query-set top-k pipelines above
+    "ann_lsh_recall": {"BroadcastNestedLoopJoin"},
+    # broadcast query set (tiny by contract), cross-label predicate applied post-join
+    "ann_hard_negatives": {"BroadcastNestedLoopJoin"},
+    # broadcast ≤n_centroids-row centroid relation (the kmeans/IVF affinity shape)
+    "dedup_semantic_clusters": {"BroadcastNestedLoopJoin"},
+    # two broadcast 1-row token-total scalars (target/raw denominators)
+    "sampling_importance_dsir": {"BroadcastNestedLoopJoin"},
+    # broadcast ≤|days|-row spine with a range condition (no hashable equi-key)
+    "events_dau_mau_stickiness": {"BroadcastNestedLoopJoin"},
+    # broadcast 1-row quartile-breakpoint aggregate
+    "text_lm_score_mix": {"BroadcastNestedLoopJoin"},
 }
 
 PATTERNS = ("CartesianProduct", "BatchEvalPython", "BroadcastNestedLoopJoin")
