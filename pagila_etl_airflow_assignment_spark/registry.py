@@ -225,6 +225,7 @@ EXTENSION_SURVEY_ROWS: dict[str, tuple[str, ...]] = {
     "events_dau_mau_stickiness": ("L-159",),
     "text_code_detection": ("L-160",),
     "text_lm_score_mix": ("L-161",),
+    "events_throttled": ("L-162",),
 }
 
 
@@ -278,6 +279,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "events_dau_mau_stickiness",
     "text_code_detection",
     "text_lm_score_mix",
+    "events_throttled",
     # -- tier C: never driver-sampled (r5 sample takes ~30 of these;
     #    the rest rotate into r6) --
     "dedup_incremental_bloom",

@@ -23,7 +23,12 @@ from .joins import (
     purchase_click_window_join,
     purchase_click_window_join_outer,
 )
-from .stateful import USER_TOTALS_SQL, user_totals_batch
+from .stateful import (
+    USER_TOTALS_SQL,
+    throttle_events,
+    throttle_events_sql,
+    user_totals_batch,
+)
 from . import enrichment
 
 
@@ -90,3 +95,11 @@ def q_enriched_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Category-dim enrichment join (batch twin of the stateless
     stream-static broadcast join, streaming/enrichment.py)."""
     return enrichment.enriched_events_batch(load_table(spark, sf_dir, "events"))
+
+
+@register("events_throttled", oracle=throttle_events_sql())
+def q_throttled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True per-user rate limiting (emit iff >= min_gap since last EMITTED
+    event — the anchor hops): JVM struct-accumulator fold per user; the
+    streaming twin is a ValueState StatefulProcessor."""
+    return throttle_events(load_table(spark, sf_dir, "events"))

@@ -129,3 +129,158 @@ USER_TOTALS_SQL = """
     GROUP BY user_id
     ORDER BY user_id
 """
+
+
+# --- per-user rate limiting (throttle) --------------------------------------------
+
+THROTTLE_MIN_GAP_S = 86_400  # at most one emitted event per user per day
+
+THROTTLED_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("emit_seq", LongType()),
+    ]
+)
+
+_ANCHOR_SCHEMA = StructType(
+    [StructField("anchor_us", LongType()), StructField("n_emitted", LongType())]
+)
+
+
+def throttle_events(
+    events: DataFrame, min_gap_s: int = THROTTLE_MIN_GAP_S
+) -> DataFrame:
+    """Per-user rate limiting with TRUE throttle semantics: an event is
+    emitted iff it arrives ≥ ``min_gap_s`` after the LAST EMITTED event of
+    that user (the emitted event re-anchors the window — unlike bucketed
+    first-per-window, a burst straddling a bucket boundary cannot emit
+    twice). The alerting/notification dedup every event pipeline ships.
+
+    Sequential dependence makes this window-inexpressible (the anchor hops
+    to whichever event was kept), so the batch form folds each user's
+    SORTED event array left-to-right with a struct accumulator — one
+    user-keyed shuffle, all-JVM (higher-order aggregate, no Python); the
+    oracle walks the identical recursion as a recursive CTE; the STREAMING
+    form (``ThrottleProcessor``) is one ValueState anchor per user. Exact
+    integer microseconds end to end."""
+    gap_us = int(min_gap_s) * 1_000_000
+    evs = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.unix_micros("ts").alias("us"), F.col("event_id").alias("eid")
+            )
+        )
+    )
+    init = F.struct(
+        F.lit(-(1 << 62)).cast("long").alias("anchor"),
+        F.array().cast("array<long>").alias("kept"),
+    )
+    folded = F.aggregate(
+        evs,
+        init,
+        lambda acc, e: F.when(
+            e["us"] - acc["anchor"] >= gap_us,
+            F.struct(
+                e["us"].alias("anchor"),
+                F.array_append(acc["kept"], e["eid"]).alias("kept"),
+            ),
+        ).otherwise(acc),
+    )
+    kept = (
+        events.groupBy("user_id")
+        .agg(folded.alias("f"))
+        .select("user_id", F.posexplode(F.col("f.kept")).alias("pos0", "event_id"))
+        .select("event_id", "user_id", (F.col("pos0") + 1).cast("long").alias("emit_seq"))
+    )
+    return kept.orderBy("event_id")
+
+
+def throttle_events_sql(min_gap_s: int = THROTTLE_MIN_GAP_S) -> str:
+    gap_us = int(min_gap_s) * 1_000_000
+    return f"""
+        WITH RECURSIVE ordered AS (
+            SELECT user_id, event_id, epoch_us(ts) AS us,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                   ) AS rn
+            FROM events
+        ), walk(user_id, rn, event_id, anchor, kept, n_emitted) AS (
+            SELECT user_id, rn, event_id, us, TRUE, CAST(1 AS BIGINT)
+            FROM ordered WHERE rn = 1
+            UNION ALL
+            SELECT o.user_id, o.rn, o.event_id,
+                   CASE WHEN o.us - w.anchor >= CAST({gap_us} AS BIGINT)
+                        THEN o.us ELSE w.anchor END,
+                   o.us - w.anchor >= CAST({gap_us} AS BIGINT),
+                   w.n_emitted + CAST(o.us - w.anchor >= CAST({gap_us} AS BIGINT)
+                                      AS BIGINT)
+            FROM walk w JOIN ordered o
+              ON o.user_id = w.user_id AND o.rn = w.rn + 1
+        )
+        SELECT event_id, user_id, n_emitted AS emit_seq
+        FROM walk WHERE kept
+        ORDER BY event_id
+    """
+
+
+class ThrottleProcessor(StatefulProcessor):
+    """ValueState anchor per user: emit iff ts - anchor >= min_gap."""
+
+    def __init__(self, min_gap_s: int = THROTTLE_MIN_GAP_S) -> None:
+        self._gap_us = int(min_gap_s) * 1_000_000
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._state = handle.getValueState("anchor", _ANCHOR_SCHEMA)
+
+    def handleInputRows(
+        self, key: Any, rows: Iterator[pd.DataFrame], timerValues: Any
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        anchor, n_emitted = (
+            (self._state.get() or (-(1 << 62), 0))
+            if self._state.exists()
+            else (-(1 << 62), 0)
+        )
+        pdf = pd.concat(list(rows), ignore_index=True)
+        # microbatch rows arrive unordered; the throttle walk is defined over
+        # event time with event_id tiebreak
+        pdf = pdf.sort_values(["us", "event_id"], kind="mergesort")
+        out_ids, out_seqs = [], []
+        for eid, us in zip(pdf["event_id"], pdf["us"]):
+            if int(us) - anchor >= self._gap_us:
+                anchor = int(us)
+                n_emitted += 1
+                out_ids.append(int(eid))
+                out_seqs.append(n_emitted)
+        self._state.update((anchor, n_emitted))
+        yield pd.DataFrame(
+            {
+                "event_id": pd.Series(out_ids, dtype="int64"),
+                "user_id": pd.Series([user_id] * len(out_ids), dtype="int64"),
+                "emit_seq": pd.Series(out_seqs, dtype="int64"),
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def streaming_throttled_events(
+    spark: SparkSession, events_path: str, min_gap_s: int = THROTTLE_MIN_GAP_S
+) -> DataFrame:
+    """Streaming form: file source → transformWithStateInPandas keyed by
+    user_id, ValueState anchor; exactly the batch fold's emissions."""
+    stream = events_stream(spark, events_path)
+    return (
+        stream.select(
+            "user_id", "event_id", F.unix_micros("ts").alias("us")
+        )
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=ThrottleProcessor(min_gap_s),
+            outputStructType=THROTTLED_SCHEMA,
+            outputMode="append",
+            timeMode="none",
+        )
+    )

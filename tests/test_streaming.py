@@ -489,3 +489,69 @@ def test_stream_stream_left_outer_join_semantics(spark, events_dir):
         f"{len(must_emit - g_null)} long-closed zero-click purchases missing"
     )
     assert len(must_emit) > 0, "fixture must exercise the null-padding path"
+
+
+def test_throttle_batch_semantics_anchor_hops(spark):
+    """The throttle anchor must hop to the EMITTED event: a burst straddling
+    a fixed-bucket boundary emits once, and the next emission waits a full
+    gap from the last EMITTED event, not from any bucket edge."""
+    import datetime as dt
+
+    from pagila_etl_airflow_assignment_spark.streaming.stateful import (
+        throttle_events,
+    )
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # user 1: t=0 emit; t=30s suppressed; t=70s emit (>=60s after t=0? no:
+        # 70-0=70 >= 60 -> emit and re-anchor); t=100s suppressed (100-70=30);
+        # t=130s emit (130-70=60)
+        (1, base, 1, "x", 0.0),
+        (2, base + dt.timedelta(seconds=30), 1, "x", 0.0),
+        (3, base + dt.timedelta(seconds=70), 1, "x", 0.0),
+        (4, base + dt.timedelta(seconds=100), 1, "x", 0.0),
+        (5, base + dt.timedelta(seconds=130), 1, "x", 0.0),
+        # user 2: single event always emits
+        (9, base, 2, "x", 0.0),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    out = throttle_events(ev, min_gap_s=60).collect()
+    got = {(r.event_id, r.emit_seq) for r in out}
+    assert got == {(1, 1), (3, 2), (5, 3), (9, 1)}
+
+
+def test_transform_with_state_throttle_equals_batch(spark, events_dir):
+    """Streaming ValueState throttle == batch fold, row for row."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithState runner needs protobuf",
+    )
+    from pagila_etl_airflow_assignment_spark.streaming.stateful import (
+        streaming_throttled_events,
+        throttle_events,
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        got = _run_to_memory(
+            spark,
+            streaming_throttled_events(spark, events_dir),
+            "throttled_events",
+            "append",
+        )
+        g = sorted(tuple(r) for r in got.collect())
+        want = throttle_events(load_table(spark, SF_SMALL, "events"))
+        wrows = sorted(tuple(r) for r in want.collect())
+        assert g == wrows
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")

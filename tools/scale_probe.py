@@ -155,6 +155,7 @@ PROBES = [
     "events_dau_mau_stickiness",
     "text_code_detection",
     "text_lm_score_mix",
+    "events_throttled",
 ]
 
 
