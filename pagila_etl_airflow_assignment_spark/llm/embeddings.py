@@ -996,3 +996,176 @@ def matryoshka_quality_sql(widths: tuple[int, ...] = MRL_WIDTHS) -> str:
         GROUP BY width
         ORDER BY width
     """
+
+
+# --- multi-iteration Lloyd refinement ---------------------------------------------
+
+KMEANS_ITERS = 3
+
+
+def kmeans_lloyd(
+    embeddings: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> DataFrame:
+    """``iters`` chained Lloyd iterations from the md5-ordered seeds — the
+    converging refinement loop kmeans_step's docstring promises, as ONE
+    declarative plan (fixed iteration count, the pagerank treatment; for
+    unbounded convergence swap in the dedup_clusters scalar-probe loop).
+
+    Cross-engine exactness by construction: centroids live in exact integer
+    MICRO-units (each float32 component quantizes once; means are
+    round(Σ/ n) of integer sums — order-free), and cosine is scale-invariant
+    so the integer centroids feed the next assignment without
+    rescaling. Every iteration is one broadcast-assignment pass + one
+    (centroid, pos)-keyed aggregate; the k-row centroid relation reassembles
+    to arrays via a sorted per-centroid collect — no driver-side state."""
+    corpus = embeddings.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("xd"),
+    ).select(
+        "vec_id",
+        "xd",
+        F.sqrt(
+            F.aggregate(F.col("xd"), F.lit(0.0), lambda a, x: a + x * x)
+        ).alias("nrm"),
+    )
+    from .hashing import md5_int
+
+    cents = (
+        corpus.withColumn("ck", md5_int(F.col("vec_id").cast("string")))
+        .orderBy("ck", "vec_id")
+        .limit(k)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(md5_int(F.col("vec_id").cast("string")), "vec_id"))
+            .alias("centroid_id"),
+            F.transform(
+                "xd", lambda x: F.round(x * F.lit(1e6)).cast("long")
+            ).alias("c_micro"),
+        )
+    )
+    for _ in range(iters):
+        cd = F.transform("c_micro", lambda c: c.cast("double"))
+        dot = F.aggregate(
+            F.zip_with(F.col("xd"), cd, lambda x, c: x * c),
+            F.lit(0.0),
+            lambda a, t: a + t,
+        )
+        cnrm = F.sqrt(
+            F.aggregate(cd, F.lit(0.0), lambda a, c: a + c * c)
+        )
+        assigned = (
+            corpus.crossJoin(F.broadcast(cents))
+            .select(
+                "vec_id",
+                "xd",
+                "centroid_id",
+                F.round(dot / (F.col("nrm") * cnrm), 9).alias("c_sim"),
+            )
+            .groupBy("vec_id")
+            .agg(
+                F.max(F.struct("c_sim", "centroid_id")).alias("best"),
+                F.first("xd").alias("xd"),
+            )
+            .select(F.col("best.centroid_id").alias("centroid_id"), "vec_id", "xd")
+        )
+        long_form = assigned.select(
+            "centroid_id",
+            F.posexplode(
+                F.transform("xd", lambda x: F.round(x * F.lit(1e6)).cast("long"))
+            ).alias("pos0", "xm"),
+        )
+        cents = (
+            long_form.groupBy("centroid_id", F.col("pos0").alias("pos0"))
+            .agg(
+                F.round(F.sum("xm") / F.count("*")).cast("long").alias("c"),
+                F.count("*").alias("n"),
+            )
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos0", F.col("c")))
+                    ),
+                    lambda s: s["c"],
+                ).alias("c_micro"),
+                F.first("n").alias("n_members"),
+            )
+        )
+    return (
+        cents.select(
+            "centroid_id",
+            F.posexplode("c_micro").alias("pos0", "c_micro"),
+        )
+        .select(
+            "centroid_id",
+            (F.col("pos0") + 1).alias("pos"),
+            "c_micro",
+        )
+        .orderBy("centroid_id", "pos")
+    )
+
+
+def kmeans_lloyd_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
+    from .hashing import md5_int_sql
+
+    def one_iter(i: int) -> str:
+        prev = f"cents{i - 1}"
+        return f"""assigned{i} AS (
+            SELECT centroid_id, vec_id, xd
+            FROM (
+                SELECT c.centroid_id, e.vec_id, e.xd,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY round(
+                               list_dot_product(e.xd,
+                                   list_transform(c.c_micro, v -> CAST(v AS DOUBLE)))
+                               / (sqrt(list_sum(list_transform(e.xd, x -> x * x)))
+                                  * sqrt(list_sum(list_transform(c.c_micro,
+                                        v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))),
+                               9) DESC,
+                               c.centroid_id DESC
+                       ) AS rn
+                FROM corpus e CROSS JOIN {prev} c
+            ) WHERE rn = 1
+        ), lf{i} AS (
+            SELECT centroid_id,
+                   generate_subscripts(xd, 1) AS pos,
+                   CAST(round(unnest(xd) * 1e6) AS BIGINT) AS xm
+            FROM assigned{i}
+        ), cl{i} AS (
+            SELECT centroid_id, pos,
+                   CAST(round(CAST(SUM(xm) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c,
+                   COUNT(*) AS n
+            FROM lf{i} GROUP BY centroid_id, pos
+        ), cents{i} AS (
+            SELECT centroid_id,
+                   list(c ORDER BY pos) AS c_micro,
+                   ANY_VALUE(n) AS n_members
+            FROM cl{i} GROUP BY centroid_id
+        )"""
+
+    chain = ",\n        ".join(one_iter(i) for i in range(1, iters + 1))
+    return f"""
+        WITH corpus AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
+            FROM embeddings
+        ), cents0 AS (
+            SELECT row_number() OVER (
+                       ORDER BY {md5_int_sql("CAST(vec_id AS VARCHAR)")}, vec_id
+                   ) AS centroid_id,
+                   list_transform(xd, x -> CAST(round(x * 1e6) AS BIGINT))
+                       AS c_micro
+            FROM (
+                SELECT vec_id, xd FROM corpus
+                ORDER BY {md5_int_sql("CAST(vec_id AS VARCHAR)")}, vec_id
+                LIMIT {k}
+            )
+        ),
+        {chain}
+        SELECT centroid_id,
+               generate_subscripts(c_micro, 1) AS pos,
+               unnest(c_micro) AS c_micro
+        FROM cents{iters}
+        ORDER BY centroid_id, pos
+    """

@@ -624,3 +624,25 @@ def q_lm_score_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus composition by unigram-LM fluency quartile x source — the
     quality-mix diagnostic before weighted sampling; exact micro-nats."""
     return corpus_stats.lm_score_mix(load_table(spark, sf_dir, "documents"))
+
+
+@register("embedding_kmeans_lloyd", oracle=embeddings_mod.kmeans_lloyd_sql())
+def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three chained Lloyd iterations from md5 seeds — the converging
+    refinement loop as one declarative plan; centroids in exact integer
+    micro-units so every iteration is bit-stable cross-engine."""
+    return embeddings_mod.kmeans_lloyd(load_table(spark, sf_dir, "embeddings"))
+
+
+@register("text_gopher_rules", oracle=text.GOPHER_RULES_SQL)
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality rules (word count/length windows, symbol ratio,
+    alpha-word fraction, stopword minimum) as independent flags + keep."""
+    return text.gopher_rules(load_table(spark, sf_dir, "documents"))
+
+
+@register("sampling_temperature_mixture", oracle=sampling.temperature_mixture_sample_sql())
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened source mixture (quota ∝ √n, the multilingual
+    rebalancer): exact micro-unit shares, integer largest-share quotas."""
+    return sampling.temperature_mixture_sample(load_table(spark, sf_dir, "documents"))

@@ -363,3 +363,84 @@ def importance_weights_dsir_sql(
         GROUP BY doc_id
         ORDER BY doc_id
     """
+
+
+# --- temperature-flattened mixture --------------------------------------------------
+
+TEMP_MIXTURE_T = 2          # weights ∝ n_s^(1/T): T=2 → sqrt flattening
+TEMP_MIXTURE_TOTAL = 200    # output budget (rows) to allocate across sources
+
+
+def temperature_mixture_sample(
+    docs: DataFrame,
+    total: int = TEMP_MIXTURE_TOTAL,
+    stratum: str = "source",
+    key: str = "doc_id",
+) -> DataFrame:
+    """Temperature-flattened mixture (the multilingual-pretraining
+    rebalancer, XLM/mT5 style with α = 1/T = 0.5): source quotas follow
+    n_s^(1/2) instead of n_s, boosting small sources without letting any
+    source dominate. Quotas allocate a fixed ``total`` budget by exact
+    integer largest-share arithmetic; rows are taken in md5(key) order
+    (stable under re-ingestion, the split_assign rule).
+
+    Cross-engine exactness: √n_s quantizes once to exact micro-units
+    (bit-identical sqrt of an identical integer), so the share sum, the
+    `div`-based quota, and the ranks are all integer arithmetic."""
+    counts = docs.groupBy(stratum).agg(F.count("*").alias("n_stratum"))
+    q = F.round(F.sqrt(F.col("n_stratum")) * F.lit(1e6)).cast("long")
+    shares = counts.select(stratum, "n_stratum", q.alias("w_micro"))
+    tot_w = shares.agg(F.sum("w_micro").alias("tw"))
+    quotas = shares.crossJoin(F.broadcast(tot_w)).select(
+        stratum,
+        F.least(
+            F.col("n_stratum"),
+            F.expr(f"w_micro * {total} div tw"),
+        ).alias("quota"),
+    )
+    w = Window.partitionBy(stratum).orderBy(
+        md5_int(F.col(key).cast("string")).asc(), F.col(key).asc()
+    )
+    ranked = docs.select(
+        F.col(key), F.col(stratum), F.row_number().over(w).alias("rn")
+    )
+    return (
+        ranked.join(F.broadcast(quotas), stratum)
+        .where(F.col("rn") <= F.col("quota"))
+        .select(key, stratum, F.col("rn").cast("int").alias("sample_rank"))
+        .orderBy(stratum, "sample_rank")
+    )
+
+
+def temperature_mixture_sample_sql(
+    total: int = TEMP_MIXTURE_TOTAL,
+    stratum: str = "source",
+    key: str = "doc_id",
+    docs_rel: str = "documents",
+) -> str:
+    return f"""
+        WITH counts AS (
+            SELECT {stratum}, COUNT(*) AS n_stratum
+            FROM {docs_rel} GROUP BY {stratum}
+        ), shares AS (
+            SELECT {stratum}, n_stratum,
+                   CAST(round(sqrt(n_stratum) * 1e6) AS BIGINT) AS w_micro
+            FROM counts
+        ), tot AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS tw FROM shares),
+        quotas AS (
+            SELECT {stratum},
+                   LEAST(n_stratum, w_micro * {total} // tw) AS quota
+            FROM shares CROSS JOIN tot
+        ), ranked AS (
+            SELECT {key}, {stratum},
+                   row_number() OVER (
+                       PARTITION BY {stratum}
+                       ORDER BY {md5_int_sql(f"CAST({key} AS VARCHAR)")}, {key}
+                   ) AS rn
+            FROM {docs_rel}
+        )
+        SELECT {key}, {stratum}, CAST(rn AS INT) AS sample_rank
+        FROM ranked JOIN quotas USING ({stratum})
+        WHERE rn <= quota
+        ORDER BY {stratum}, sample_rank
+    """

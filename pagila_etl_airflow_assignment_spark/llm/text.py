@@ -905,3 +905,113 @@ CODE_DETECTION_SQL = rf"""
     FROM scored
     ORDER BY doc_id
 """
+
+
+# --- Gopher quality rules ---------------------------------------------------------
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WLEN = 3.0
+GOPHER_MAX_MEAN_WLEN = 10.0
+GOPHER_MAX_SYMBOL_WORD_MILLI = 100  # symbol-to-word ratio <= 0.1
+GOPHER_MIN_ALPHA_WORD_MILLI = 800   # >=80% words contain a letter
+GOPHER_MIN_STOPWORDS = 2
+
+
+def gopher_rules(docs: DataFrame) -> DataFrame:
+    """The Gopher repetition-free quality rules (Rae et al. 2021,
+    arXiv:2112.11446 §A1.1) as one zero-shuffle pass: word-count window,
+    mean-word-length window, symbol-to-word ratio (# and … are the named
+    symbols), alphabetic-word fraction, and a minimum count of common English
+    stop words — each emitted as its own flag so downstream can ablate rules
+    independently, plus the conjunction ``gopher_keep``.
+
+    All ratios are exact milli integers over exact counts; the word list
+    derives from the same `_norm`/whitespace convention the rest of the text
+    stack uses, so flags compose with quality_scores / lang_id without
+    re-tokenizing."""
+    norm = _norm(F.col("text"))
+    words = F.split(norm, " ")
+    n_words = F.size(
+        F.filter(words, lambda w: w != F.lit(""))
+    ).cast("long")
+    nw = F.greatest(n_words, F.lit(1))
+    mean_wlen = F.length(F.regexp_replace(norm, F.lit(" "), F.lit(""))) / nw
+    n_symbols = F.regexp_count(F.col("text"), F.lit(r"(#|\.\.\.|…)"))
+    n_alpha_words = F.size(
+        F.filter(words, lambda w: w.rlike("[a-z]"))
+    ).cast("long")
+    n_stop = F.regexp_count(norm, F.lit(rf"\b{STOPWORDS_EN}\b"))
+    symbol_word_milli = F.round(F.lit(1000.0) * n_symbols / nw).cast("long")
+    alpha_word_milli = F.round(F.lit(1000.0) * n_alpha_words / nw).cast("long")
+    f_words = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+    f_wlen = (mean_wlen >= GOPHER_MIN_MEAN_WLEN) & (
+        mean_wlen <= GOPHER_MAX_MEAN_WLEN
+    )
+    f_symbol = symbol_word_milli <= GOPHER_MAX_SYMBOL_WORD_MILLI
+    f_alpha = alpha_word_milli >= GOPHER_MIN_ALPHA_WORD_MILLI
+    f_stop = n_stop >= GOPHER_MIN_STOPWORDS
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(mean_wlen, 6).alias("mean_word_len"),
+        symbol_word_milli.alias("symbol_word_milli"),
+        alpha_word_milli.alias("alpha_word_milli"),
+        n_stop.cast("long").alias("n_stopwords"),
+        f_words.alias("pass_word_count"),
+        f_wlen.alias("pass_word_length"),
+        f_symbol.alias("pass_symbol_ratio"),
+        f_alpha.alias("pass_alpha_words"),
+        f_stop.alias("pass_stopwords"),
+        (f_words & f_wlen & f_symbol & f_alpha & f_stop).alias("gopher_keep"),
+    ).orderBy("doc_id")
+
+
+def _gopher_rules_sql() -> str:
+    norm = _norm_sql("text")
+    return rf"""
+    WITH scored AS (
+        SELECT doc_id,
+               len(list_filter(string_split({norm}, ' '), w -> w <> ''))
+                   AS n_words,
+               length(replace({norm}, ' ', ''))
+                   / GREATEST(len(list_filter(string_split({norm}, ' '),
+                                              w -> w <> '')), 1) AS mean_word_len,
+               CAST(round(1000.0 * len(regexp_extract_all(text, '(#|\.\.\.|…)'))
+                   / GREATEST(len(list_filter(string_split({norm}, ' '),
+                                              w -> w <> '')), 1)) AS BIGINT)
+                   AS symbol_word_milli,
+               CAST(round(1000.0 * len(list_filter(string_split({norm}, ' '),
+                            w -> regexp_matches(w, '[a-z]')))
+                   / GREATEST(len(list_filter(string_split({norm}, ' '),
+                                              w -> w <> '')), 1)) AS BIGINT)
+                   AS alpha_word_milli,
+               CAST(len(regexp_extract_all({norm}, '\b{STOPWORDS_EN}\b'))
+                   AS BIGINT) AS n_stopwords
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           round(mean_word_len, 6) AS mean_word_len,
+           symbol_word_milli, alpha_word_milli, n_stopwords,
+           n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
+               AS pass_word_count,
+           mean_word_len >= {GOPHER_MIN_MEAN_WLEN}
+               AND mean_word_len <= {GOPHER_MAX_MEAN_WLEN} AS pass_word_length,
+           symbol_word_milli <= {GOPHER_MAX_SYMBOL_WORD_MILLI}
+               AS pass_symbol_ratio,
+           alpha_word_milli >= {GOPHER_MIN_ALPHA_WORD_MILLI}
+               AS pass_alpha_words,
+           n_stopwords >= {GOPHER_MIN_STOPWORDS} AS pass_stopwords,
+           (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
+            AND mean_word_len >= {GOPHER_MIN_MEAN_WLEN}
+            AND mean_word_len <= {GOPHER_MAX_MEAN_WLEN}
+            AND symbol_word_milli <= {GOPHER_MAX_SYMBOL_WORD_MILLI}
+            AND alpha_word_milli >= {GOPHER_MIN_ALPHA_WORD_MILLI}
+            AND n_stopwords >= {GOPHER_MIN_STOPWORDS}) AS gopher_keep
+    FROM scored
+    ORDER BY doc_id
+    """
+
+
+GOPHER_RULES_SQL = _gopher_rules_sql()

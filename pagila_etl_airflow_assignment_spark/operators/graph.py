@@ -696,3 +696,127 @@ def link_prediction_jaccard_sql(
         ORDER BY score DESC, x, y
         LIMIT {k}
     """
+
+
+# --- personalized PageRank ------------------------------------------------------
+
+
+def personalized_pagerank(
+    lineitem: DataFrame,
+    iters: int = PR_ITERS,
+    damping: float = PR_DAMPING,
+    k: int = PR_TOP_K,
+    max_basket: int = 30,
+) -> DataFrame:
+    """Top-k parts by PERSONALIZED PageRank from the highest-degree part:
+    random walks restart at the SOURCE (r_{t+1} = (1−d)·e_src + d·Σ r_t/deg),
+    so rank concentrates in the source's neighborhood — the
+    related-items/recommendation scorer, vs global pagerank's popularity
+    scorer. Source selection is data-derived (max degree, partkey tiebreak)
+    via a broadcast 1-row rank, the bfs_hop_distance rule.
+
+    Same plan economics as copurchase_pagerank: fixed iterations, one
+    dst-keyed aggregate + broadcast rank join per round over the single-
+    shuffle basket-derived edges; the restart term is a broadcast 1-row
+    source relation coalesced in. The oracle unrolls identical CTEs."""
+    edges = _symmetric_edges(lineitem, max_basket)
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    source = (
+        deg.orderBy(F.desc("deg"), "src")
+        .limit(1)
+        .select(F.col("src").alias("node"), F.lit(True).alias("is_src"))
+    )
+    contrib_base = edges.join(deg, "src").localCheckpoint(eager=False)
+    # r0 = e_src (all mass at the source)
+    ranks = deg.select(F.col("src").alias("node")).join(
+        F.broadcast(source.select("node", "is_src")), "node", "left"
+    ).select(
+        "node",
+        F.when(F.col("is_src"), F.lit(1.0)).otherwise(F.lit(0.0)).alias("r"),
+    )
+    for _ in range(iters):
+        spread = (
+            contrib_base.join(ranks, F.col("src") == F.col("node"))
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") / F.col("deg")).alias("mass"))
+            .select(F.col("dst").alias("node"), F.col("mass"))
+        )
+        ranks = (
+            deg.select(F.col("src").alias("node"))
+            .join(spread, "node", "left")
+            .join(F.broadcast(source.select("node", "is_src")), "node", "left")
+            .select(
+                "node",
+                (
+                    F.when(F.col("is_src"), F.lit(1.0 - damping)).otherwise(
+                        F.lit(0.0)
+                    )
+                    + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))
+                ).alias("r"),
+            )
+        )
+    return (
+        ranks.where(F.col("r") > 0)
+        .select(F.col("node").alias("p_partkey"), F.round("r", 6).alias("ppr"))
+        .orderBy(F.desc("ppr"), "p_partkey")
+        .limit(k)
+    )
+
+
+def personalized_pagerank_sql(
+    iters: int = PR_ITERS,
+    damping: float = PR_DAMPING,
+    k: int = PR_TOP_K,
+    max_basket: int = 30,
+) -> str:
+    its = [
+        """r0 AS (
+            SELECT d.src AS node,
+                   CASE WHEN d.src = (SELECT node FROM source) THEN 1.0
+                        ELSE 0.0 END AS r
+            FROM deg d
+        )"""
+    ]
+    for i in range(1, iters + 1):
+        its.append(
+            f"""r{i} AS (
+            SELECT d.src AS node,
+                   CASE WHEN d.src = (SELECT node FROM source)
+                        THEN {1.0 - damping} ELSE 0.0 END
+                   + {damping} * COALESCE(m.mass, 0.0) AS r
+            FROM deg d
+            LEFT JOIN (
+                SELECT e.dst AS node, SUM(r.r / dd.deg) AS mass
+                FROM edges e
+                JOIN deg dd ON e.src = dd.src
+                JOIN r{i - 1} r ON r.node = e.src
+                GROUP BY e.dst
+            ) m ON m.node = d.src
+        )"""
+        )
+    chain = ",\n        ".join(its)
+    return f"""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), small AS (
+            SELECT l_orderkey FROM items
+            GROUP BY l_orderkey HAVING COUNT(*) <= {max_basket}
+        ), basket AS (
+            SELECT i.l_orderkey, i.l_partkey FROM items i
+            JOIN small USING (l_orderkey)
+        ), edges AS (
+            SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+            FROM basket a JOIN basket b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        ), deg AS (
+            SELECT src, COUNT(*) AS deg FROM edges GROUP BY src
+        ), source AS (
+            SELECT src AS node FROM deg ORDER BY deg DESC, src LIMIT 1
+        ),
+        {chain}
+        SELECT node AS p_partkey, round(r, 6) AS ppr
+        FROM r{iters}
+        WHERE r > 0
+        ORDER BY ppr DESC, p_partkey
+        LIMIT {k}
+    """

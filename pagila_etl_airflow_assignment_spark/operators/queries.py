@@ -1348,3 +1348,10 @@ def q_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DAU / trailing-28-day MAU per day in milli-units — the engagement
     stickiness curve on the bounded day grid."""
     return behavior.dau_mau_stickiness(load_table(spark, sf_dir, "events"))
+
+
+@register("graph_personalized_pagerank", oracle=graph.personalized_pagerank_sql())
+def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from the max-degree part (restart at source) —
+    the related-items scorer; fixed unrolled iterations, oracle-mirrored."""
+    return graph.personalized_pagerank(load_table(spark, sf_dir, "lineitem"))

@@ -226,6 +226,10 @@ EXTENSION_SURVEY_ROWS: dict[str, tuple[str, ...]] = {
     "text_code_detection": ("L-160",),
     "text_lm_score_mix": ("L-161",),
     "events_throttled": ("L-162",),
+    "embedding_kmeans_lloyd": ("L-163",),
+    "graph_personalized_pagerank": ("L-164",),
+    "text_gopher_rules": ("L-165",),
+    "sampling_temperature_mixture": ("L-166",),
 }
 
 
@@ -280,6 +284,10 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "text_code_detection",
     "text_lm_score_mix",
     "events_throttled",
+    "embedding_kmeans_lloyd",
+    "graph_personalized_pagerank",
+    "text_gopher_rules",
+    "sampling_temperature_mixture",
     # -- tier C: never driver-sampled (r5 sample takes ~30 of these;
     #    the rest rotate into r6) --
     "dedup_incremental_bloom",

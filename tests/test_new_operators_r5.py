@@ -309,3 +309,85 @@ def test_lm_score_mix_quartiles_partition_docs(spark):
         ms = [r.mean_score_micro for r in sorted(
             (r for r in rows if r.source == src), key=lambda r: r.quartile)]
         assert ms == sorted(ms)
+
+
+# --- Lloyd k-means (3 iterations) ---------------------------------------------------
+
+
+def test_kmeans_lloyd_converges_to_true_centroids(spark):
+    # two tight clusters around orthogonal axes; k=2 must land one centroid
+    # in each and the micro-unit means must be exact integer averages
+    rows = []
+    for i in range(6):
+        rows.append((i, [1.0, 0.01 * i, 0.0, 0.0], 0))          # cluster A
+        rows.append((100 + i, [0.0, 0.0, 1.0, 0.01 * i], 1))    # cluster B
+    vecs = _vecs(spark, rows, dim=4)
+    out = emb.kmeans_lloyd(vecs, k=2, iters=3).collect()
+    assert len(out) == 2 * 4
+    by_c = {}
+    for r in out:
+        by_c.setdefault(r.centroid_id, {})[r.pos] = r.c_micro
+    # each centroid dominates one axis (pos 1 for A, pos 3 for B)
+    axes = sorted(max(d, key=d.get) for d in by_c.values())
+    assert axes == [1, 3]
+    # micro means are exact: cluster A pos1 = mean of six 1.0 = 1_000_000
+    dom = {max(d, key=d.get): d for d in by_c.values()}
+    assert dom[1][1] == 1_000_000 and dom[3][3] == 1_000_000
+
+
+# --- personalized pagerank ----------------------------------------------------------
+
+from pagila_etl_airflow_assignment_spark.operators import graph
+
+
+def test_personalized_pagerank_concentrates_near_source(spark):
+    # star around part 1 (max degree) + a far pair (4,5); walks restart at 1
+    rows = []
+    for rep in range(2):  # repeat so co-purchase edges form
+        rows += [(10 + rep, 1), (10 + rep, 2), (20 + rep, 1), (20 + rep, 3)]
+        rows += [(30 + rep, 4), (30 + rep, 5)]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    out = {r.p_partkey: r.ppr for r in graph.personalized_pagerank(li, k=10).collect()}
+    assert out[1] == max(out.values())      # source holds the most mass
+    assert 4 not in out and 5 not in out    # disconnected pair gets none
+
+
+# --- gopher rules ---------------------------------------------------------------------
+
+
+def test_gopher_rules_flags_compose(spark):
+    good = "the and of " + " ".join(f"alpha{i} beta gamma delta" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            (1, good),                              # passes everything
+            (2, "too short"),                        # fails word count
+            (3, "# # # " * 40 + good),               # fails symbol ratio
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in text.gopher_rules(docs).collect()}
+    assert out[1].gopher_keep
+    assert not out[2].pass_word_count and not out[2].gopher_keep
+    assert not out[3].pass_symbol_ratio and not out[3].gopher_keep
+    assert out[3].pass_word_count  # the symbol rule, not length, kills it
+
+
+# --- temperature mixture ----------------------------------------------------------------
+
+
+def test_temperature_mixture_flattens_shares(spark):
+    # 160 docs in srcBig, 10 in srcSmall: raw shares 94%/6%; sqrt shares
+    # ~78%/22% — the small source's share must rise under T=2
+    docs = spark.createDataFrame(
+        [(i, "txt", "en", "srcBig") for i in range(160)]
+        + [(1000 + i, "txt", "en", "srcSmall") for i in range(10)],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = sampling.temperature_mixture_sample(docs, total=50).collect()
+    by_src = {}
+    for r in out:
+        by_src[r.source] = by_src.get(r.source, 0) + 1
+    assert by_src["srcSmall"] >= 9   # ~10/50 = 20% >> raw 6%
+    assert by_src["srcBig"] > by_src["srcSmall"]
+    # quota never exceeds the stratum population
+    assert by_src["srcSmall"] <= 10

@@ -100,6 +100,10 @@ ALLOWED: dict[str, set[str]] = {
     "events_dau_mau_stickiness": {"BroadcastNestedLoopJoin"},
     # broadcast 1-row quartile-breakpoint aggregate
     "text_lm_score_mix": {"BroadcastNestedLoopJoin"},
+    # broadcast ≤k-row centroid relation per Lloyd iteration
+    "embedding_kmeans_lloyd": {"BroadcastNestedLoopJoin"},
+    # broadcast 1-row Σ√n share-total scalar
+    "sampling_temperature_mixture": {"BroadcastNestedLoopJoin"},
 }
 
 PATTERNS = ("CartesianProduct", "BatchEvalPython", "BroadcastNestedLoopJoin")

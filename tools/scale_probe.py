@@ -156,6 +156,10 @@ PROBES = [
     "text_code_detection",
     "text_lm_score_mix",
     "events_throttled",
+    "embedding_kmeans_lloyd",
+    "graph_personalized_pagerank",
+    "text_gopher_rules",
+    "sampling_temperature_mixture",
 ]
 
 
