@@ -646,3 +646,15 @@ def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-flattened source mixture (quota ∝ √n, the multilingual
     rebalancer): exact micro-unit shares, integer largest-share quotas."""
     return sampling.temperature_mixture_sample(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "ann_ivf_recall_curve", oracle=similarity.ivf_recall_curve_sql(ANN_QUERY_IDS)
+)
+def q_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k vs nprobe tuning curve for the IVF index — the
+    latency/recall trade-off table, composed from the deterministic
+    brute-force and IVF pipelines."""
+    return similarity.ivf_recall_curve(
+        load_table(spark, sf_dir, "embeddings"), ANN_QUERY_IDS
+    )

@@ -549,3 +549,91 @@ def hard_negatives_topk_sql(query_ids: list[int], k: int = DEFAULT_K) -> str:
         QUALIFY rank <= {k}
         ORDER BY query_id, rank
     """
+
+
+# --- IVF tuning curve (recall@k vs nprobe) ----------------------------------------
+
+IVF_SWEEP_NPROBES = (1, 2, 4)
+
+
+def ivf_recall_curve(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = DEFAULT_K,
+    n_centroids: int = IVF_CENTROIDS,
+    nprobes: tuple[int, ...] = IVF_SWEEP_NPROBES,
+) -> DataFrame:
+    """Recall@k of the IVF index vs brute force ACROSS the nprobe sweep —
+    the tuning table an operator reads before fixing the latency/recall
+    trade-off (recall must be monotone in nprobe; where it plateaus is the
+    cheapest safe setting).
+
+    Composition of the two existing deterministic pipelines (the
+    lsh_recall_at_k treatment), one IVF run per swept nprobe, aggregated to
+    a ≤|nprobes|-row curve. Exact integer hit counts; the mean recall is a
+    division of identical exact integers emitted in milli."""
+    truth = brute_force_topk(embeddings, query_ids, k).select(
+        "query_id", "vec_id"
+    )
+    curves = []
+    for np_ in nprobes:
+        got = ivf_topk(embeddings, query_ids, k, n_centroids, np_).select(
+            "query_id", F.col("vec_id").alias("got_id")
+        )
+        per_q = (
+            truth.join(
+                got,
+                (truth["query_id"] == got["query_id"])
+                & (truth["vec_id"] == got["got_id"]),
+                "left",
+            )
+            .groupBy(truth["query_id"])
+            .agg(
+                F.count("*").alias("n_true"),
+                F.count("got_id").alias("n_hit"),
+            )
+        )
+        curves.append(
+            per_q.agg(
+                F.lit(np_).alias("nprobe"),
+                F.sum("n_true").alias("n_true"),
+                F.sum("n_hit").alias("n_hit"),
+                F.round(
+                    F.lit(1000.0) * F.sum("n_hit") / F.sum("n_true")
+                )
+                .cast("long")
+                .alias("recall_milli"),
+            )
+        )
+    out = curves[0]
+    for c in curves[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("nprobe")
+
+
+def ivf_recall_curve_sql(
+    query_ids: list[int],
+    k: int = DEFAULT_K,
+    n_centroids: int = IVF_CENTROIDS,
+    nprobes: tuple[int, ...] = IVF_SWEEP_NPROBES,
+) -> str:
+    def one(np_: int) -> str:
+        return f"""
+            SELECT {np_} AS nprobe,
+                   COUNT(*) AS n_true,
+                   SUM(CASE WHEN g.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hit,
+                   CAST(round(1000.0 *
+                       SUM(CASE WHEN g.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                       / COUNT(*)) AS BIGINT) AS recall_milli
+            FROM ({brute_force_topk_sql(query_ids, k)}) t
+            LEFT JOIN ({ivf_topk_sql(query_ids, k, n_centroids, np_)}) g
+              ON t.query_id = g.query_id AND t.vec_id = g.vec_id
+        """
+
+    body = "\n            UNION ALL\n".join(one(np_) for np_ in nprobes)
+    return f"""
+        SELECT * FROM (
+            {body}
+        )
+        ORDER BY nprobe
+    """

@@ -230,6 +230,7 @@ EXTENSION_SURVEY_ROWS: dict[str, tuple[str, ...]] = {
     "graph_personalized_pagerank": ("L-164",),
     "text_gopher_rules": ("L-165",),
     "sampling_temperature_mixture": ("L-166",),
+    "ann_ivf_recall_curve": ("L-167",),
 }
 
 
@@ -288,6 +289,7 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "graph_personalized_pagerank",
     "text_gopher_rules",
     "sampling_temperature_mixture",
+    "ann_ivf_recall_curve",
     # -- tier C: never driver-sampled (r5 sample takes ~30 of these;
     #    the rest rotate into r6) --
     "dedup_incremental_bloom",

@@ -391,3 +391,19 @@ def test_temperature_mixture_flattens_shares(spark):
     assert by_src["srcBig"] > by_src["srcSmall"]
     # quota never exceeds the stratum population
     assert by_src["srcSmall"] <= 10
+
+
+# --- IVF recall curve --------------------------------------------------------------
+
+
+def test_ivf_recall_curve_monotone_in_nprobe(spark):
+    vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qids = [r.vec_id for r in vecs.limit(3).collect()]
+    rows = sorted(
+        similarity.ivf_recall_curve(vecs, qids).collect(), key=lambda r: r.nprobe
+    )
+    assert [r.nprobe for r in rows] == [1, 2, 4]
+    recalls = [r.recall_milli for r in rows]
+    assert recalls == sorted(recalls)  # more lists probed -> recall never drops
+    assert all(r.n_true == rows[0].n_true for r in rows)
+    assert 0 <= recalls[0] and recalls[-1] <= 1000

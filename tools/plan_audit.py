@@ -104,6 +104,8 @@ ALLOWED: dict[str, set[str]] = {
     "embedding_kmeans_lloyd": {"BroadcastNestedLoopJoin"},
     # broadcast 1-row Σ√n share-total scalar
     "sampling_temperature_mixture": {"BroadcastNestedLoopJoin"},
+    # composed from the broadcast-query-set brute-force + IVF pipelines
+    "ann_ivf_recall_curve": {"BroadcastNestedLoopJoin"},
 }
 
 PATTERNS = ("CartesianProduct", "BatchEvalPython", "BroadcastNestedLoopJoin")

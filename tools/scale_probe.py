@@ -160,6 +160,7 @@ PROBES = [
     "graph_personalized_pagerank",
     "text_gopher_rules",
     "sampling_temperature_mixture",
+    "ann_ivf_recall_curve",
 ]
 
 
