@@ -88,6 +88,9 @@ HEADLINE = [
     "embedding_similarity_profile",
     "embedding_dimension_stats",
     "embedding_matryoshka_quality",
+    "embedding_kmeans_lloyd",
+    "graph_personalized_pagerank",
+    "warehouse_part_skyline",
     "graph_link_prediction",
     "warehouse_fd_profile",
     "warehouse_revenue_growth",
