@@ -1839,3 +1839,98 @@ def lsh_band_calibration_sql(
         GROUP BY bands_hit
         ORDER BY bands_hit
     """
+
+
+# --- asymmetric containment (doc-in-doc) ------------------------------------------
+
+CONTAINMENT_THRESHOLD_MILLI = 800  # |A∩B| / min(|A|,|B|) >= 0.8
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    n: int = DEFAULT_N,
+    threshold_milli: int = CONTAINMENT_THRESHOLD_MILLI,
+    max_df: int | None = DEFAULT_MAX_DF,
+) -> DataFrame:
+    """Near-CONTAINMENT pairs: |A∩B| / min(|A|,|B|) ≥ threshold — the
+    asymmetric complement to Jaccard dedup. A quote, excerpt, or doc-inside-
+    doc scores near 1.0 here while its Jaccard stays low (the small side is
+    swallowed by the big side's union), so symmetric dedup never finds it;
+    containment is how quotation farms and wrapper pages get caught.
+
+    Identical plan economics to ngram_jaccard_pairs (ONE posting-list
+    aggregate, narrow pair expansion, df=1 early drop, max_df cap, hinted
+    shuffle-hash size joins) — only the final normalization differs, and the
+    score quantizes to exact milli integers (one division of exact ints)."""
+    sh = shingles(docs, n)
+    posts = sh.groupBy("shingle").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("ds")
+    )
+    if max_df is not None:
+        posts = posts.where(F.size("ds") <= max_df)
+    sizes = (
+        posts.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("sz"))
+    )
+    pair_structs = F.expr(
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, size(ds) - i - 1), y -> struct(x AS doc_a, y AS doc_b))))"
+    )
+    inter = (
+        posts.where(F.size("ds") >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    cont_milli = F.round(
+        F.lit(1000.0) * F.col("inter") / F.least(F.col("sz_a"), F.col("sz_b"))
+    ).cast("long")
+    return (
+        inter.join(
+            sizes.withColumnRenamed("doc_id", "doc_a").hint("shuffle_hash"), "doc_a"
+        )
+        .withColumnRenamed("sz", "sz_a")
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").hint("shuffle_hash"), "doc_b"
+        )
+        .withColumnRenamed("sz", "sz_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            "sz_a",
+            "sz_b",
+            cont_milli.alias("containment_milli"),
+        )
+        .where(F.col("containment_milli") >= threshold_milli)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def ngram_containment_pairs_sql(
+    n: int = DEFAULT_N,
+    threshold_milli: int = CONTAINMENT_THRESHOLD_MILLI,
+    max_df: int | None = DEFAULT_MAX_DF,
+) -> str:
+    cap = f"WHERE {df_cap_filter_sql('sh0', max_df)}" if max_df is not None else ""
+    return f"""
+        WITH sh0 AS ({shingles_sql(n)}),
+        sh AS (SELECT * FROM sh0 {cap}),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+            FROM sh a JOIN sh b USING (shingle)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
+               CAST(round(1000.0 * inter / LEAST(sa.sz, sb.sz)) AS BIGINT)
+                   AS containment_milli
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(round(1000.0 * inter / LEAST(sa.sz, sb.sz)) AS BIGINT)
+              >= {threshold_milli}
+        ORDER BY doc_a, doc_b
+    """

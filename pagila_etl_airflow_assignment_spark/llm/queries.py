@@ -658,3 +658,10 @@ def q_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_recall_curve(
         load_table(spark, sf_dir, "embeddings"), ANN_QUERY_IDS
     )
+
+
+@register("dedup_containment_pairs", oracle=dedup.ngram_containment_pairs_sql())
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-containment pairs (|A∩B|/min(|A|,|B|)): catches
+    quotes/excerpts/doc-in-doc that symmetric Jaccard dedup misses."""
+    return dedup.ngram_containment_pairs(load_table(spark, sf_dir, "documents"))

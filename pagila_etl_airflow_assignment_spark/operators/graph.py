@@ -820,3 +820,87 @@ def personalized_pagerank_sql(
         ORDER BY ppr DESC, p_partkey
         LIMIT {k}
     """
+
+
+# --- k-core decomposition -------------------------------------------------------
+
+KCORE_K = 4
+KCORE_PEELS = 4
+
+
+def kcore_membership(
+    lineitem: DataFrame,
+    k: int = KCORE_K,
+    peels: int = KCORE_PEELS,
+    max_basket: int = 30,
+) -> DataFrame:
+    """Nodes surviving ``peels`` rounds of k-core peeling (degree < k nodes
+    removed, degrees recomputed) — the standard dense-community filter: the
+    k-core is where recommendation/graph-ML signal lives; peripheral
+    low-degree nodes are noise. A FIXED peel count makes the whole
+    decomposition one declarative plan (the pagerank treatment — full
+    convergence swaps in the dedup_clusters scalar-probe loop); each round
+    is one degree aggregate + one semi-join of the edge relation against the
+    surviving node set.
+
+    Output: the surviving node set with its residual degree after the last
+    peel (residual >= k certifies core membership when the peel converged;
+    the n_peels column makes the fixed-round contract explicit)."""
+    edges = _symmetric_edges(lineitem, max_basket).localCheckpoint(eager=False)
+    for _ in range(peels):
+        deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+        keep = deg.where(F.col("deg") >= k).select("src")
+        edges = (
+            edges.join(keep, "src")
+            .join(keep.withColumnRenamed("src", "dst"), "dst")
+            .select("src", "dst")
+        )
+    return (
+        edges.groupBy("src")
+        .agg(F.count("*").alias("residual_degree"))
+        .select(
+            F.col("src").alias("p_partkey"),
+            "residual_degree",
+            F.lit(peels).alias("n_peels"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+def kcore_membership_sql(
+    k: int = KCORE_K, peels: int = KCORE_PEELS, max_basket: int = 30
+) -> str:
+    its = ["e0 AS (SELECT src, dst FROM edges)"]
+    for i in range(1, peels + 1):
+        its.append(
+            f"""k{i} AS (
+            SELECT src FROM e{i - 1} GROUP BY src HAVING COUNT(*) >= {k}
+        ), e{i} AS (
+            SELECT e.src, e.dst FROM e{i - 1} e
+            JOIN k{i} a ON e.src = a.src
+            JOIN k{i} b ON e.dst = b.src
+        )"""
+        )
+    chain = ",\n        ".join(its)
+    return f"""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), small AS (
+            SELECT l_orderkey FROM items
+            GROUP BY l_orderkey HAVING COUNT(*) <= {max_basket}
+        ), basket AS (
+            SELECT i.l_orderkey, i.l_partkey FROM items i
+            JOIN small USING (l_orderkey)
+        ), edges AS (
+            SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+            FROM basket a JOIN basket b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        ),
+        {chain}
+        SELECT src AS p_partkey,
+               COUNT(*) AS residual_degree,
+               {peels} AS n_peels
+        FROM e{peels}
+        GROUP BY src
+        ORDER BY p_partkey
+    """

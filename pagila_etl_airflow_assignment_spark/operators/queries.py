@@ -1355,3 +1355,10 @@ def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Personalized PageRank from the max-degree part (restart at source) —
     the related-items scorer; fixed unrolled iterations, oracle-mirrored."""
     return graph.personalized_pagerank(load_table(spark, sf_dir, "lineitem"))
+
+
+@register("graph_kcore", oracle=graph.kcore_membership_sql())
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core membership after fixed peeling rounds — the dense-community
+    filter; one degree aggregate + node semi-join per round."""
+    return graph.kcore_membership(load_table(spark, sf_dir, "lineitem"))

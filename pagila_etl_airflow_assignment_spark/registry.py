@@ -231,6 +231,8 @@ EXTENSION_SURVEY_ROWS: dict[str, tuple[str, ...]] = {
     "text_gopher_rules": ("L-165",),
     "sampling_temperature_mixture": ("L-166",),
     "ann_ivf_recall_curve": ("L-167",),
+    "graph_kcore": ("L-168",),
+    "dedup_containment_pairs": ("L-169",),
 }
 
 
@@ -290,6 +292,8 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "text_gopher_rules",
     "sampling_temperature_mixture",
     "ann_ivf_recall_curve",
+    "graph_kcore",
+    "dedup_containment_pairs",
     # -- tier C: never driver-sampled (r5 sample takes ~30 of these;
     #    the rest rotate into r6) --
     "dedup_incremental_bloom",

@@ -407,3 +407,39 @@ def test_ivf_recall_curve_monotone_in_nprobe(spark):
     assert recalls == sorted(recalls)  # more lists probed -> recall never drops
     assert all(r.n_true == rows[0].n_true for r in rows)
     assert 0 <= recalls[0] and recalls[-1] <= 1000
+
+
+# --- k-core -------------------------------------------------------------------------
+
+
+def test_kcore_peels_periphery(spark):
+    # clique of 4 parts (every pair co-purchased) + a pendant part 9 hanging
+    # off part 1: k=3 core keeps the clique, peels the pendant
+    rows = []
+    for rep in range(2):
+        rows += [(10 + rep, p) for p in (1, 2, 3, 4)]   # clique basket
+        rows += [(20 + rep, p) for p in (1, 9)]          # pendant
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    out = {r.p_partkey: r for r in graph.kcore_membership(li, k=3).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert all(r.residual_degree == 3 for r in out.values())
+
+
+# --- containment --------------------------------------------------------------------
+
+
+def test_containment_catches_doc_in_doc_jaccard_misses(spark):
+    small = "alpha beta gamma delta epsilon zeta"
+    big = small + " " + " ".join(f"filler{i} words{i} here{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(1, small), (2, big), (3, "совсем other unrelated text entirely")],
+        "doc_id long, text string",
+    )
+    out = dedup.ngram_containment_pairs(docs, threshold_milli=800).collect()
+    assert [(r.doc_a, r.doc_b) for r in out] == [(1, 2)]
+    r = out[0]
+    assert r.containment_milli == 1000  # the small doc is fully contained
+    # symmetric Jaccard on the same pair stays low — this is the point
+    jac = dedup.ngram_jaccard_pairs(docs, threshold=0.0).collect()
+    jpair = [x for x in jac if (x.doc_a, x.doc_b) == (1, 2)]
+    assert jpair and jpair[0].jaccard < 0.2

@@ -161,6 +161,8 @@ PROBES = [
     "text_gopher_rules",
     "sampling_temperature_mixture",
     "ann_ivf_recall_curve",
+    "graph_kcore",
+    "dedup_containment_pairs",
 ]
 
 
