@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import DEFAULT_MAX_DF
+from .text import WS_RE, _norm as _norm_text, _norm_sql as _norm_text_sql
 from .shingles import (
     df_cap_filter_sql,
     grams,
@@ -586,4 +587,97 @@ def lm_score_mix_sql(docs_rel: str = "documents") -> str:
         FROM scored CROSS JOIN breaks
         GROUP BY source, quartile
         ORDER BY source, quartile
+    """
+
+
+# --- per-source distinct-n diversity -------------------------------------------
+
+DIVERSITY_NS = (1, 2, 3)
+
+
+def ngram_diversity(
+    docs: DataFrame, ns: tuple[int, ...] = DIVERSITY_NS
+) -> DataFrame:
+    """Distinct-n diversity per source: distinct n-grams / total n-grams for
+    n = 1, 2, 3 — the standard corpus-diversity / self-repetition signal (a
+    source whose ratio collapses is template-generated or over-crawled, a
+    memorization risk for training).
+
+    One tagged gram relation (per-n narrow explodes, union — each a
+    zero-shuffle array transform carrying the source column), then two
+    key-aggregates: (source, n, gram) -> multiplicity, (source, n) ->
+    totals; both have map-side partial agg, so the wide exchange carries
+    pre-aggregated gram counts, never raw gram instances. The ratio is exact
+    integer half-up milli — bit-stable cross-engine. Output <= |sources|*|ns|
+    rows."""
+    w = F.col("__words")
+
+    def gram_at(n: int):
+        return lambda i: F.concat_ws(
+            " ", *[F.element_at(w, i + j) for j in range(n)]
+        )
+
+    tagged = None
+    for n in ns:
+        g = F.when(
+            F.size(w) >= n,
+            F.transform(F.sequence(F.lit(1), F.size(w) - (n - 1)), gram_at(n)),
+        ).otherwise(F.array())
+        rel = docs.select(
+            "source", F.split(_norm_text(F.col("text")), WS_RE).alias("__words")
+        ).select("source", F.lit(n).alias("n"), F.explode(g).alias("gram"))
+        tagged = rel if tagged is None else tagged.unionAll(rel)
+    per_gram = tagged.groupBy("source", "n", "gram").agg(F.count("*").alias("c"))
+    return (
+        per_gram.groupBy("source", "n")
+        .agg(
+            F.sum("c").cast("long").alias("total_ngrams"),
+            F.count("*").alias("distinct_ngrams"),
+        )
+        .select(
+            "source",
+            "n",
+            "total_ngrams",
+            "distinct_ngrams",
+            F.expr(
+                "CAST((2000 * distinct_ngrams + total_ngrams)"
+                " DIV (2 * total_ngrams) AS BIGINT)"
+            ).alias("diversity_milli"),
+        )
+        .orderBy("source", "n")
+    )
+
+
+def ngram_diversity_sql(
+    ns: tuple[int, ...] = DIVERSITY_NS, docs_rel: str = "documents"
+) -> str:
+    def one(n: int) -> str:
+        parts = " || ' ' || ".join(f"w[i+{j}]" for j in range(n))
+        return f"""
+            SELECT source, {n} AS n,
+                   unnest([{parts} FOR i IN generate_series(1, len(w) - {n - 1})])
+                     AS gram
+            FROM (
+                SELECT source,
+                       string_split_regex({_norm_text_sql('text')}, '{WS_RE}') AS w
+                FROM {docs_rel}
+            )
+            WHERE len(w) >= {n}
+        """
+
+    union = " UNION ALL ".join(one(n) for n in ns)
+    return f"""
+        WITH tagged AS ({union}),
+        per_gram AS (
+            SELECT source, n, gram, COUNT(*) AS c
+            FROM tagged GROUP BY source, n, gram
+        )
+        SELECT source, n,
+               CAST(SUM(c) AS BIGINT) AS total_ngrams,
+               COUNT(*) AS distinct_ngrams,
+               CAST((2000 * COUNT(*) + SUM(c)) // (2 * SUM(c)) AS BIGINT)
+                   AS diversity_milli
+        FROM per_gram
+        GROUP BY source, n
+        ORDER BY source, n
     """

@@ -1169,3 +1169,108 @@ def kmeans_lloyd_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
         FROM cents{iters}
         ORDER BY centroid_id, pos
     """
+
+
+# --- farthest-point (k-center) coreset sampling ---------------------------------
+
+KCENTER_ROUNDS = 5
+
+
+def kcenter_coreset(
+    embeddings: DataFrame, rounds: int = KCENTER_ROUNDS
+) -> DataFrame:
+    """Farthest-point (greedy k-center) coreset selection: start from the
+    smallest vec_id, then ``rounds - 1`` times pick the point farthest (max
+    min-distance) from everything selected so far — the classic 2-approx
+    k-center rule used for diverse training-data subset selection; each
+    selection's ``min_d2`` is the coverage radius the NEXT round improves,
+    so the output doubles as the radius-vs-k curve.
+
+    Cross-engine exactness by construction (the kmeans_lloyd treatment):
+    coordinates quantize ONCE to integer micro-units, so every squared
+    distance is an exact BIGINT (max |diff| ~2e7 -> 64 * 4e14 well inside
+    int64) and the argmax has a deterministic (min_d2 DESC, vec_id) total
+    order. Each round is one broadcast of the <= ``rounds``-row selected
+    relation against the corpus (map-side min combine, so the exchange
+    carries one row per vec_id), one top-1, and one broadcast equi-join to
+    recover the winner's vector; ``localCheckpoint`` per round keeps the
+    unioned selected relation's lineage flat instead of 2^rounds deep."""
+    xm_rel = embeddings.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * F.lit(1e6)).cast("long"),
+        ).alias("xm"),
+    )
+    selected = (
+        xm_rel.orderBy("vec_id")
+        .limit(1)
+        .select(
+            F.lit(1).alias("sel_round"),
+            "vec_id",
+            "xm",
+            F.lit(0).cast("long").alias("min_d2"),
+        )
+        .localCheckpoint()
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("xm"), F.col("s_xm"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    for r in range(2, rounds + 1):
+        winner = (
+            xm_rel.crossJoin(F.broadcast(selected.select(F.col("xm").alias("s_xm"))))
+            .select("vec_id", d2.alias("d2"))
+            .groupBy("vec_id")
+            .agg(F.min("d2").alias("min_d2"))
+            .orderBy(F.desc("min_d2"), "vec_id")
+            .limit(1)
+        )
+        nxt = xm_rel.join(F.broadcast(winner), "vec_id").select(
+            F.lit(r).alias("sel_round"), "vec_id", "xm", "min_d2"
+        )
+        selected = selected.unionAll(nxt).localCheckpoint()
+    return selected.select("sel_round", "vec_id", "min_d2").orderBy("sel_round")
+
+
+def kcenter_coreset_sql(rounds: int = KCENTER_ROUNDS, dim: int = RP_IN_DIM) -> str:
+    parts = [
+        f"""
+    WITH xm AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS xm
+        FROM embeddings
+    ),
+    sel1 AS (
+        SELECT vec_id, xm FROM xm ORDER BY vec_id LIMIT 1
+    )"""
+    ]
+    for r in range(2, rounds + 1):
+        parts.append(
+            f""",
+    m{r} AS (
+        SELECT x.vec_id,
+               MIN(list_sum(list_transform(range(1, {dim + 1}),
+                   j -> (x.xm[j] - s.xm[j]) * (x.xm[j] - s.xm[j])))) AS min_d2
+        FROM xm x CROSS JOIN sel{r - 1} s
+        GROUP BY x.vec_id
+    ),
+    w{r} AS (
+        SELECT m.vec_id, x.xm, CAST(m.min_d2 AS BIGINT) AS min_d2
+        FROM m{r} m JOIN xm x USING (vec_id)
+        ORDER BY m.min_d2 DESC, m.vec_id LIMIT 1
+    ),
+    sel{r} AS (
+        SELECT vec_id, xm FROM sel{r - 1} UNION ALL SELECT vec_id, xm FROM w{r}
+    )"""
+        )
+    finals = " UNION ALL ".join(
+        ["SELECT 1 AS sel_round, vec_id, CAST(0 AS BIGINT) AS min_d2 FROM sel1"]
+        + [
+            f"SELECT {r} AS sel_round, vec_id, min_d2 FROM w{r}"
+            for r in range(2, rounds + 1)
+        ]
+    )
+    return "".join(parts) + f"\n    {finals}\n    ORDER BY sel_round"

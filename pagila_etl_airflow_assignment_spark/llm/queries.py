@@ -665,3 +665,24 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric near-containment pairs (|A∩B|/min(|A|,|B|)): catches
     quotes/excerpts/doc-in-doc that symmetric Jaccard dedup misses."""
     return dedup.ngram_containment_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register("text_boilerplate_filter", oracle=text.boilerplate_filter_sql())
+def q_boilerplate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-frequency boilerplate removal at the 8-token
+    segment grain: per-doc retained tokens + boilerplate share."""
+    return text.boilerplate_filter(load_table(spark, sf_dir, "documents"))
+
+
+@register("text_ngram_diversity", oracle=corpus_stats.ngram_diversity_sql())
+def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-n diversity (distinct/total n-grams, n=1..3) per source —
+    the corpus self-repetition / memorization-risk signal."""
+    return corpus_stats.ngram_diversity(load_table(spark, sf_dir, "documents"))
+
+
+@register("embedding_kcenter_coreset", oracle=embeddings_mod.kcenter_coreset_sql())
+def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Farthest-point (greedy k-center) coreset selection over embeddings:
+    5 rounds of exact integer max-min-distance argmax."""
+    return embeddings_mod.kcenter_coreset(load_table(spark, sf_dir, "embeddings"))

@@ -1015,3 +1015,101 @@ def _gopher_rules_sql() -> str:
 
 
 GOPHER_RULES_SQL = _gopher_rules_sql()
+
+
+# --- corpus-frequency boilerplate filtering (CCNet line-dedup analog) -----------
+
+BOILER_SEG_W = 8   # tokens per non-overlapping segment (the "line" unit)
+BOILER_MIN_DF = 3  # a segment seen in >= this many distinct docs is boilerplate
+
+
+def boilerplate_filter(
+    docs: DataFrame, seg_w: int = BOILER_SEG_W, min_df: int = BOILER_MIN_DF
+) -> DataFrame:
+    """CCNet-style corpus-frequency boilerplate removal, at the segment grain:
+    the corpus is cut into NON-overlapping ``seg_w``-token segments (the
+    "line" unit for newline-free text), a segment appearing in >= ``min_df``
+    distinct documents is template boilerplate (headers, footers, nav,
+    license blocks), and each document reports how much of it survives.
+
+    Two shuffles total, both key-aggregates with map-side partial agg:
+    (1) segment-hash -> distinct-doc frequency, (2) doc_id re-aggregation
+    after the hash-keyed frequency join. The 16-byte md5 segment key keeps
+    the exchange narrow at corpus scale; there is NO pair expansion anywhere
+    (frequency is aggregate-then-join), so a million-doc boilerplate segment
+    costs one hot aggregate key, not a quadratic bucket. boiler_share_milli
+    is exact integer half-up arithmetic — bit-stable cross-engine."""
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("t") - 1, F.lit(0)), F.lit(seg_w)
+    )
+    seg = F.slice("t", F.col("s") + 1, seg_w)
+    segs = (
+        docs.select("doc_id", F.split(_norm(F.col("text")), WS_RE).alias("t"))
+        .select("doc_id", "t", F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            F.md5(F.array_join(seg, " ")).alias("h"),
+            F.size(seg).cast("long").alias("w"),
+        )
+    )
+    seg_df = segs.groupBy("h").agg(F.count_distinct("doc_id").alias("df"))
+    boiler = F.when(F.col("df") >= min_df, 1).otherwise(0)
+    return (
+        segs.join(seg_df, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum(boiler).cast("long").alias("n_boiler_segments"),
+            F.sum(F.when(F.col("df") < min_df, F.col("w")).otherwise(0))
+            .cast("long")
+            .alias("kept_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_segments",
+            "n_boiler_segments",
+            "kept_tokens",
+            F.expr(
+                "CAST((2000 * n_boiler_segments + n_segments)"
+                " DIV (2 * n_segments) AS BIGINT)"
+            ).alias("boiler_share_milli"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def boilerplate_filter_sql(
+    seg_w: int = BOILER_SEG_W, min_df: int = BOILER_MIN_DF
+) -> str:
+    return rf"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex({_norm_sql('text')}, '{WS_RE}') AS t
+        FROM documents
+    ),
+    starts AS (
+        SELECT doc_id, t,
+               unnest(generate_series(0, greatest(len(t) - 1, 0), {seg_w})) AS s
+        FROM toks
+    ),
+    segs AS (
+        SELECT doc_id,
+               md5(array_to_string(t[s + 1 : s + {seg_w}], ' ')) AS h,
+               len(t[s + 1 : s + {seg_w}]) AS w
+        FROM starts
+    ),
+    seg_df AS (
+        SELECT h, COUNT(DISTINCT doc_id) AS df FROM segs GROUP BY h
+    )
+    SELECT s.doc_id,
+           COUNT(*) AS n_segments,
+           CAST(SUM(CASE WHEN d.df >= {min_df} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_boiler_segments,
+           CAST(SUM(CASE WHEN d.df < {min_df} THEN w ELSE 0 END) AS BIGINT)
+               AS kept_tokens,
+           CAST((2000 * SUM(CASE WHEN d.df >= {min_df} THEN 1 ELSE 0 END)
+                 + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+               AS boiler_share_milli
+    FROM segs s JOIN seg_df d USING (h)
+    GROUP BY s.doc_id
+    ORDER BY doc_id
+    """

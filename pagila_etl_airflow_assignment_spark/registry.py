@@ -233,6 +233,9 @@ EXTENSION_SURVEY_ROWS: dict[str, tuple[str, ...]] = {
     "ann_ivf_recall_curve": ("L-167",),
     "graph_kcore": ("L-168",),
     "dedup_containment_pairs": ("L-169",),
+    "text_boilerplate_filter": ("L-170",),
+    "text_ngram_diversity": ("L-171",),
+    "embedding_kcenter_coreset": ("L-172",),
 }
 
 
@@ -294,6 +297,9 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "ann_ivf_recall_curve",
     "graph_kcore",
     "dedup_containment_pairs",
+    "text_boilerplate_filter",
+    "text_ngram_diversity",
+    "embedding_kcenter_coreset",
     # -- tier C: never driver-sampled (r5 sample takes ~30 of these;
     #    the rest rotate into r6) --
     "dedup_incremental_bloom",

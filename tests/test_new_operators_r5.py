@@ -443,3 +443,63 @@ def test_containment_catches_doc_in_doc_jaccard_misses(spark):
     jac = dedup.ngram_jaccard_pairs(docs, threshold=0.0).collect()
     jpair = [x for x in jac if (x.doc_a, x.doc_b) == (1, 2)]
     assert jpair and jpair[0].jaccard < 0.2
+
+
+# --- boilerplate filter ---------------------------------------------------------
+
+
+def test_boilerplate_filter_flags_shared_segments(spark):
+    from pagila_etl_airflow_assignment_spark.llm import text as text_mod
+
+    header = "a b c d e f g h"  # one full 8-token segment, shared by 3 docs
+    docs = spark.createDataFrame(
+        [
+            (1, header + " t1a t1b t1c t1d t1e t1f t1g t1h"),
+            (2, header + " t2a t2b t2c t2d t2e t2f t2g t2h"),
+            (3, header + " t3a t3b t3c t3d t3e t3f t3g t3h"),
+            (4, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12 u13 u14 u15 u16"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in text_mod.boilerplate_filter(docs, min_df=3).collect()}
+    for d in (1, 2, 3):
+        r = out[d]
+        assert (r.n_segments, r.n_boiler_segments, r.kept_tokens) == (2, 1, 8)
+        assert r.boiler_share_milli == 500
+    r4 = out[4]
+    assert (r4.n_boiler_segments, r4.kept_tokens, r4.boiler_share_milli) == (0, 16, 0)
+
+
+# --- distinct-n diversity -------------------------------------------------------
+
+
+def test_ngram_diversity_collapses_on_repetition(spark):
+    from pagila_etl_airflow_assignment_spark.llm import corpus_stats as cs
+
+    docs = spark.createDataFrame(
+        [(1, "x x x x", "rep"), (2, "p q r s", "fresh")],
+        "doc_id long, text string, source string",
+    )
+    out = {(r.source, r.n): r for r in cs.ngram_diversity(docs).collect()}
+    assert out[("rep", 1)].total_ngrams == 4
+    assert out[("rep", 1)].distinct_ngrams == 1
+    assert out[("rep", 1)].diversity_milli == 250
+    assert out[("rep", 2)].diversity_milli == 333  # (2000*1+3)//6
+    assert out[("rep", 3)].diversity_milli == 500
+    for n in (1, 2, 3):
+        assert out[("fresh", n)].diversity_milli == 1000
+
+
+# --- k-center coreset -----------------------------------------------------------
+
+
+def test_kcenter_picks_farthest_first(spark):
+    # 1-D points at 0, 1, 10, 30: greedy k-center from the min-id seed must
+    # select 0 -> 30 -> 10 -> 1 with exactly-integer micro^2 radii
+    vecs = _vecs(
+        spark,
+        [(1, [0.0], 0), (2, [1.0], 0), (3, [10.0], 0), (4, [30.0], 0)],
+    )
+    out = emb.kcenter_coreset(vecs, rounds=4).collect()
+    assert [(r.sel_round, r.vec_id) for r in out] == [(1, 1), (2, 4), (3, 3), (4, 2)]
+    assert [r.min_d2 for r in out] == [0, 900 * 10**12, 100 * 10**12, 10**12]

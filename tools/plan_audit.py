@@ -92,6 +92,8 @@ ALLOWED: dict[str, set[str]] = {
     "ann_lsh_recall": {"BroadcastNestedLoopJoin"},
     # broadcast query set (tiny by contract), cross-label predicate applied post-join
     "ann_hard_negatives": {"BroadcastNestedLoopJoin"},
+    # broadcast <=5-row selected relation per k-center round (max-min argmax)
+    "embedding_kcenter_coreset": {"BroadcastNestedLoopJoin"},
     # broadcast ≤n_centroids-row centroid relation (the kmeans/IVF affinity shape)
     "dedup_semantic_clusters": {"BroadcastNestedLoopJoin"},
     # two broadcast 1-row token-total scalars (target/raw denominators)

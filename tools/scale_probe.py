@@ -163,6 +163,9 @@ PROBES = [
     "ann_ivf_recall_curve",
     "graph_kcore",
     "dedup_containment_pairs",
+    "text_boilerplate_filter",
+    "text_ngram_diversity",
+    "embedding_kcenter_coreset",
 ]
 
 
