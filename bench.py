@@ -75,6 +75,7 @@ HEADLINE = [
     "warehouse_disjunctive_revenue",
     "graph_triangle_census",
     "graph_bfs_distance",
+    "graph_kcore",
     "warehouse_customer_set_ops",
     "warehouse_phonetic_match",
     "warehouse_forecast_revenue",
@@ -89,6 +90,7 @@ HEADLINE = [
     "embedding_dimension_stats",
     "embedding_matryoshka_quality",
     "embedding_kmeans_lloyd",
+    "embedding_kcenter_coreset",
     "graph_personalized_pagerank",
     "warehouse_part_skyline",
     "graph_link_prediction",
