@@ -681,3 +681,74 @@ def ngram_diversity_sql(
         GROUP BY source, n
         ORDER BY source, n
     """
+
+
+# --- BPE merge-step pair counting ----------------------------------------------
+
+BPE_TOP_K = 20
+
+
+def bpe_merge_step(docs: DataFrame, k: int = BPE_TOP_K) -> DataFrame:
+    """One BPE tokenizer-training iteration: count adjacent character pairs
+    over the corpus (each distinct word's pairs weighted by the word's
+    corpus frequency) and emit the top-``k`` merge candidates — the
+    inner-loop primitive of byte-pair-encoding vocabulary construction,
+    which at corpus scale is exactly this weighted pair aggregate repeated
+    per merge.
+
+    Two key aggregates: word -> frequency (the corpus's distinct-word
+    relation is orders of magnitude smaller than the token stream, so all
+    downstream work runs on it, not on raw text), then a narrow per-word
+    adjacent-pair expansion and a pair -> Σfreq aggregate with distributed
+    top-k (TakeOrderedAndProject, never a global sort)."""
+    toks = F.split(_norm_text(F.col("text")), WS_RE)
+    words = (
+        docs.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .where(F.length("word") >= 2)
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.length("word") - 1),
+        lambda i: F.concat(
+            F.col("word").substr(i, F.lit(1)),
+            F.lit(" "),
+            F.col("word").substr(i + 1, F.lit(1)),
+        ),
+    )
+    return (
+        words.select(F.explode(pairs).alias("pair"), "freq")
+        .groupBy("pair")
+        .agg(F.sum("freq").cast("long").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "pair")
+        .limit(k)
+    )
+
+
+def bpe_merge_step_sql(k: int = BPE_TOP_K, docs_rel: str = "documents") -> str:
+    return f"""
+    WITH words AS (
+        SELECT word, COUNT(*) AS freq
+        FROM (
+            SELECT unnest(string_split_regex({_norm_text_sql('text')}, '{WS_RE}'))
+                     AS word
+            FROM {docs_rel}
+        )
+        GROUP BY word
+        HAVING len(word) >= 2
+    ),
+    pairs AS (
+        SELECT substr(word, i, 1) || ' ' || substr(word, i + 1, 1) AS pair,
+               freq
+        FROM (
+            SELECT word, freq,
+                   unnest(generate_series(1, len(word) - 1)) AS i
+            FROM words
+        )
+    )
+    SELECT pair, CAST(SUM(freq) AS BIGINT) AS n_occurrences
+    FROM pairs
+    GROUP BY pair
+    ORDER BY n_occurrences DESC, pair
+    LIMIT {k}
+    """

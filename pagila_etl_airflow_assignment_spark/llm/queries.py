@@ -686,3 +686,31 @@ def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Farthest-point (greedy k-center) coreset selection over embeddings:
     5 rounds of exact integer max-min-distance argmax."""
     return embeddings_mod.kcenter_coreset(load_table(spark, sf_dir, "embeddings"))
+
+
+@register("text_classifier_score", oracle=text.CLASSIFIER_SCORES_SQL)
+def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed hashed-weight linear quality classifier (fineweb/DCLM shape):
+    exact integer milli logit + keep flag per document."""
+    return text.classifier_scores(load_table(spark, sf_dir, "documents"))
+
+
+@register("text_k_anonymity", oracle=text.k_anonymity_sql())
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over (lang, source) with one generalization level —
+    the release-governance gate."""
+    return text.k_anonymity(load_table(spark, sf_dir, "documents"))
+
+
+@register("text_first_occurrence_dedup", oracle=text.first_occurrence_dedup_sql())
+def q_first_occurrence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style span dedup: keep only the first (doc_id, position) occurrence
+    of every 8-token segment; per-doc retention stats."""
+    return text.first_occurrence_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@register("vocab_bpe_merge_step", oracle=corpus_stats.bpe_merge_step_sql())
+def q_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE training iteration: corpus-frequency-weighted adjacent char
+    pair counts on the distinct-word relation; top-20 merge candidates."""
+    return corpus_stats.bpe_merge_step(load_table(spark, sf_dir, "documents"))

@@ -1113,3 +1113,241 @@ def boilerplate_filter_sql(
     GROUP BY s.doc_id
     ORDER BY doc_id
     """
+
+
+# --- fixed-weight linear quality classifier -------------------------------------
+
+CLF_W_MOD = 2001  # token weights in [0, 2000] milli, recentred by -1000
+
+
+def classifier_scores(docs: DataFrame) -> DataFrame:
+    """FastText-style linear quality classifier with a FIXED hashed-weight
+    table (the fineweb/DCLM shape: a pretrained linear model over hashed
+    token features scores every document; training happens offline, scoring
+    is the corpus-scale job). The weight of a token is a deterministic
+    md5-derived integer in [0, 2000] milli; the document logit is the mean
+    token weight recentred by 1000 — exact integer half-up arithmetic on
+    NON-NEGATIVE operands (integer div semantics diverge cross-engine below
+    zero), so the score is bit-stable.
+
+    Entirely narrow: tokenize, per-element hash->weight lookup, and the
+    array-fold sum are zero-shuffle row expressions in whole-stage codegen;
+    a real weight table swaps the hash for a broadcast map join without
+    changing the plan shape."""
+    from .hashing import md5_int
+
+    toks = F.split(_norm(F.col("text")), WS_RE)
+    wsum = F.aggregate(
+        F.transform(F.col("t"), lambda t: md5_int(t) % CLF_W_MOD),
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + w,
+    )
+    return (
+        docs.select("doc_id", toks.alias("t"))
+        .select(
+            "doc_id",
+            F.size("t").cast("long").alias("n_tokens"),
+            wsum.alias("wsum"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (
+                F.expr("CAST((2 * wsum + n_tokens) DIV (2 * n_tokens) AS BIGINT)")
+                - F.lit(1000)
+            ).alias("logit_milli"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "logit_milli",
+            (F.col("logit_milli") > 0).alias("clf_keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _classifier_scores_sql() -> str:
+    from .hashing import md5_int_sql
+
+    w = f"({md5_int_sql('t')} % {CLF_W_MOD})"
+    return rf"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex({_norm_sql('text')}, '{WS_RE}') AS t
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id,
+               len(t) AS n_tokens,
+               CAST(list_sum(list_transform(t, t -> {w})) AS BIGINT) AS wsum
+        FROM toks
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST((2 * wsum + n_tokens) // (2 * n_tokens) AS BIGINT) - 1000
+               AS logit_milli,
+           (CAST((2 * wsum + n_tokens) // (2 * n_tokens) AS BIGINT) - 1000) > 0
+               AS clf_keep
+    FROM scored
+    ORDER BY doc_id
+    """
+
+
+CLASSIFIER_SCORES_SQL = _classifier_scores_sql()
+
+
+# --- k-anonymity generalization audit -------------------------------------------
+
+KANON_K = 5
+
+
+def k_anonymity(docs: DataFrame, k: int = KANON_K) -> DataFrame:
+    """k-anonymity audit with one generalization level over the
+    (lang, source) quasi-identifier — the release-governance gate a corpus
+    passes before distribution: a (lang, source) group smaller than ``k``
+    re-identifies its members, so its source generalizes to '*' (level 1);
+    if even the lang-level group is small the row is suppress-only
+    (level 2).
+
+    Two key aggregates (full grain + lang grain, both map-side combined)
+    and one broadcast-sized equi-join between them — the output is
+    |lang × source| rows regardless of corpus size."""
+    g0 = docs.groupBy("lang", "source").agg(F.count("*").alias("group_n"))
+    g1 = docs.groupBy("lang").agg(F.count("*").alias("lang_n"))
+    level = (
+        F.when(F.col("group_n") >= k, 0)
+        .when(F.col("lang_n") >= k, 1)
+        .otherwise(2)
+        .cast("int")
+    )
+    return (
+        g0.join(F.broadcast(g1), "lang")
+        .select(
+            "lang",
+            "source",
+            "group_n",
+            level.alias("anonymity_level"),
+            F.when(level == 0, F.col("source")).otherwise(F.lit("*")).alias(
+                "released_source"
+            ),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+def k_anonymity_sql(k: int = KANON_K) -> str:
+    return f"""
+    WITH g0 AS (
+        SELECT lang, source, COUNT(*) AS group_n
+        FROM documents GROUP BY lang, source
+    ),
+    g1 AS (
+        SELECT lang, COUNT(*) AS lang_n FROM documents GROUP BY lang
+    ),
+    lev AS (
+        SELECT g0.lang, g0.source, g0.group_n,
+               CAST(CASE WHEN g0.group_n >= {k} THEN 0
+                         WHEN g1.lang_n >= {k} THEN 1
+                         ELSE 2 END AS INT) AS anonymity_level
+        FROM g0 JOIN g1 USING (lang)
+    )
+    SELECT lang, source, group_n, anonymity_level,
+           CASE WHEN anonymity_level = 0 THEN source ELSE '*' END
+               AS released_source
+    FROM lev
+    ORDER BY lang, source
+    """
+
+
+# --- C4-style first-occurrence span dedup ---------------------------------------
+
+
+def first_occurrence_dedup(
+    docs: DataFrame, seg_w: int = BOILER_SEG_W
+) -> DataFrame:
+    """C4-style span dedup: the corpus keeps only the FIRST occurrence (by
+    (doc_id, position) order) of every ``seg_w``-token segment and every
+    later copy is dropped — unlike the boilerplate df-threshold filter,
+    which removes popular segments from ALL documents, this preserves one
+    canonical copy (the C4 three-sentence-span rule re-expressed on the
+    segment grain).
+
+    Two shuffles: segment-hash -> min (doc_id, position) struct aggregate
+    (an order-free MIN, so map-side partial agg applies), then the hash-
+    keyed ownership join and a doc_id re-aggregation. No pair expansion; a
+    segment duplicated a million times costs one hot MIN key."""
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("t") - 1, F.lit(0)), F.lit(seg_w)
+    )
+    seg = F.slice("t", F.col("s") + 1, seg_w)
+    segs = (
+        docs.select("doc_id", F.split(_norm(F.col("text")), WS_RE).alias("t"))
+        .select("doc_id", "t", F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            F.col("s").cast("long").alias("s"),
+            F.md5(F.array_join(seg, " ")).alias("h"),
+            F.size(seg).cast("long").alias("w"),
+        )
+    )
+    # lexicographic (doc_id, s) min via an exact integer key: positions are
+    # segment starts < 1e6 by construction, so doc_id*1e6 + s is collision-free
+    key = F.col("doc_id") * F.lit(1_000_000) + F.col("s")
+    firsts = segs.groupBy("h").agg(F.min(key).alias("first_key"))
+    kept = key == F.col("first_key")
+    return (
+        segs.join(firsts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum(kept.cast("int")).cast("long").alias("n_kept"),
+            F.sum(F.when(kept, F.col("w")).otherwise(0))
+            .cast("long")
+            .alias("kept_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_segments",
+            "n_kept",
+            "kept_tokens",
+            F.expr(
+                "CAST((2000 * n_kept + n_segments)"
+                " DIV (2 * n_segments) AS BIGINT)"
+            ).alias("retained_milli"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def first_occurrence_dedup_sql(seg_w: int = BOILER_SEG_W) -> str:
+    return rf"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex({_norm_sql('text')}, '{WS_RE}') AS t
+        FROM documents
+    ),
+    starts AS (
+        SELECT doc_id, t,
+               unnest(generate_series(0, greatest(len(t) - 1, 0), {seg_w})) AS s
+        FROM toks
+    ),
+    segs AS (
+        SELECT doc_id, CAST(s AS BIGINT) AS s,
+               md5(array_to_string(t[s + 1 : s + {seg_w}], ' ')) AS h,
+               len(t[s + 1 : s + {seg_w}]) AS w
+        FROM starts
+    ),
+    firsts AS (
+        SELECT h, MIN(doc_id * 1000000 + s) AS first_key FROM segs GROUP BY h
+    )
+    SELECT g.doc_id,
+           COUNT(*) AS n_segments,
+           CAST(SUM(CASE WHEN g.doc_id * 1000000 + g.s = f.first_key
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN g.doc_id * 1000000 + g.s = f.first_key
+                         THEN w ELSE 0 END) AS BIGINT) AS kept_tokens,
+           CAST((2000 * SUM(CASE WHEN g.doc_id * 1000000 + g.s = f.first_key
+                                 THEN 1 ELSE 0 END)
+                 + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) AS retained_milli
+    FROM segs g JOIN firsts f USING (h)
+    GROUP BY g.doc_id
+    ORDER BY doc_id
+    """

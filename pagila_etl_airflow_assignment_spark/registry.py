@@ -236,6 +236,10 @@ EXTENSION_SURVEY_ROWS: dict[str, tuple[str, ...]] = {
     "text_boilerplate_filter": ("L-170",),
     "text_ngram_diversity": ("L-171",),
     "embedding_kcenter_coreset": ("L-172",),
+    "text_classifier_score": ("L-173",),
+    "vocab_bpe_merge_step": ("L-174",),
+    "text_k_anonymity": ("L-175",),
+    "text_first_occurrence_dedup": ("L-176",),
 }
 
 
@@ -300,6 +304,10 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "text_boilerplate_filter",
     "text_ngram_diversity",
     "embedding_kcenter_coreset",
+    "text_classifier_score",
+    "vocab_bpe_merge_step",
+    "text_k_anonymity",
+    "text_first_occurrence_dedup",
     # -- tier C: never driver-sampled (r5 sample takes ~30 of these;
     #    the rest rotate into r6) --
     "dedup_incremental_bloom",

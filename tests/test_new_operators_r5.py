@@ -503,3 +503,79 @@ def test_kcenter_picks_farthest_first(spark):
     out = emb.kcenter_coreset(vecs, rounds=4).collect()
     assert [(r.sel_round, r.vec_id) for r in out] == [(1, 1), (2, 4), (3, 3), (4, 2)]
     assert [r.min_d2 for r in out] == [0, 900 * 10**12, 100 * 10**12, 10**12]
+
+
+# --- linear classifier score ----------------------------------------------------
+
+
+def test_classifier_score_matches_hand_hash(spark):
+    import hashlib
+
+    from pagila_etl_airflow_assignment_spark.llm import text as text_mod
+
+    def w(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % 2001
+
+    docs = spark.createDataFrame(
+        [(1, "alpha"), (2, "alpha beta")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in text_mod.classifier_scores(docs).collect()}
+    assert out[1].logit_milli == w("alpha") - 1000
+    ws = w("alpha") + w("beta")
+    assert out[2].logit_milli == (2 * ws + 2) // 4 - 1000
+    assert out[1].clf_keep == (out[1].logit_milli > 0)
+
+
+# --- k-anonymity ----------------------------------------------------------------
+
+
+def test_k_anonymity_generalization_levels(spark):
+    from pagila_etl_airflow_assignment_spark.llm import text as text_mod
+
+    rows = (
+        [(i, "t", "en", "a") for i in range(6)]       # safe at full grain
+        + [(10 + i, "t", "en", "b") for i in range(2)]  # safe only at lang grain
+        + [(20 + i, "t", "xx", "c") for i in range(2)]  # unsafe everywhere
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    out = {(r.lang, r.source): r for r in text_mod.k_anonymity(docs, k=5).collect()}
+    assert out[("en", "a")].anonymity_level == 0
+    assert out[("en", "a")].released_source == "a"
+    assert out[("en", "b")].anonymity_level == 1
+    assert out[("en", "b")].released_source == "*"
+    assert out[("xx", "c")].anonymity_level == 2
+    assert out[("xx", "c")].released_source == "*"
+
+
+# --- first-occurrence span dedup ------------------------------------------------
+
+
+def test_first_occurrence_keeps_earliest_copy(spark):
+    from pagila_etl_airflow_assignment_spark.llm import text as text_mod
+
+    seg_a = "a1 a2 a3 a4 a5 a6 a7 a8"
+    seg_b = "b1 b2 b3 b4 b5 b6 b7 b8"
+    seg_c = "c1 c2 c3 c4 c5 c6 c7 c8"
+    docs = spark.createDataFrame(
+        [(1, seg_a + " " + seg_b), (2, seg_a + " " + seg_c)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in text_mod.first_occurrence_dedup(docs).collect()}
+    assert (out[1].n_kept, out[1].retained_milli) == (2, 1000)  # owns both
+    assert (out[2].n_kept, out[2].retained_milli) == (1, 500)   # seg_a deduped
+    assert out[2].kept_tokens == 8
+
+
+# --- BPE merge step -------------------------------------------------------------
+
+
+def test_bpe_merge_step_weighted_pairs(spark):
+    from pagila_etl_airflow_assignment_spark.llm import corpus_stats as cs
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab ab cd cd x")], "doc_id long, text string"
+    )
+    out = cs.bpe_merge_step(docs).collect()
+    assert (out[0].pair, out[0].n_occurrences) == ("a b", 3)
+    assert (out[1].pair, out[1].n_occurrences) == ("c d", 2)
+    assert len(out) == 2  # 'x' is single-char, contributes no pair

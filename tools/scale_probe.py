@@ -166,6 +166,10 @@ PROBES = [
     "text_boilerplate_filter",
     "text_ngram_diversity",
     "embedding_kcenter_coreset",
+    "text_classifier_score",
+    "vocab_bpe_merge_step",
+    "text_k_anonymity",
+    "text_first_occurrence_dedup",
 ]
 
 
