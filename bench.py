@@ -76,6 +76,7 @@ HEADLINE = [
     "graph_triangle_census",
     "graph_bfs_distance",
     "graph_kcore",
+    "graph_label_propagation",
     "warehouse_customer_set_ops",
     "warehouse_phonetic_match",
     "warehouse_forecast_revenue",

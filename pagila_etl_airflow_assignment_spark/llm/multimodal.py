@@ -220,3 +220,66 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         .select("media_id", "duration_ms", "payload")
         .mapInPandas(batches, FRAME_SCHEMA)
     )
+
+
+def payload_dedup_stats(media: DataFrame) -> DataFrame:
+    """Exact binary-payload dedup per modality: content-hash (md5 over the
+    raw payload BYTES — codec-free, so it works on images/audio/video alike)
+    grouped to duplicate classes, reported per kind. This is the first
+    dedup pass every multimodal corpus runs (bit-identical re-crawls /
+    re-uploads) before any perceptual or embedding near-dup.
+
+    Two key aggregates — (kind, hash) -> copies, then kind -> stats — both
+    map-side combined; the 16-byte hash is the only wide column shuffled,
+    never the payload. dup_share_milli is exact integer half-up."""
+    per_hash = (
+        media.select("kind", F.md5("payload").alias("h"))
+        .groupBy("kind", "h")
+        .agg(F.count("*").alias("copies"))
+    )
+    return (
+        per_hash.groupBy("kind")
+        .agg(
+            F.sum("copies").cast("long").alias("n_payloads"),
+            F.count("*").alias("n_unique"),
+            F.sum((F.col("copies") > 1).cast("int")).cast("long").alias("n_dup_groups"),
+            F.sum(F.col("copies") - 1).cast("long").alias("n_redundant"),
+        )
+        .select(
+            "kind",
+            "n_payloads",
+            "n_unique",
+            "n_dup_groups",
+            "n_redundant",
+            F.expr(
+                "CAST((2000 * n_redundant + n_payloads)"
+                " DIV (2 * n_payloads) AS BIGINT)"
+            ).alias("dup_share_milli"),
+        )
+        .orderBy("kind")
+    )
+
+
+PAYLOAD_DEDUP_STATS_SQL = """
+    WITH media AS (
+        SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio'
+                    ELSE 'video' END AS kind,
+               md5(text) AS h
+        FROM documents
+    ),
+    per_hash AS (
+        SELECT kind, h, COUNT(*) AS copies FROM media GROUP BY kind, h
+    )
+    SELECT kind,
+           CAST(SUM(copies) AS BIGINT) AS n_payloads,
+           COUNT(*) AS n_unique,
+           CAST(SUM(CASE WHEN copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_groups,
+           CAST(SUM(copies - 1) AS BIGINT) AS n_redundant,
+           CAST((2000 * SUM(copies - 1) + SUM(copies)) // (2 * SUM(copies))
+                AS BIGINT) AS dup_share_milli
+    FROM per_hash
+    GROUP BY kind
+    ORDER BY kind
+"""

@@ -714,3 +714,19 @@ def q_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One BPE training iteration: corpus-frequency-weighted adjacent char
     pair counts on the distinct-word relation; top-20 merge candidates."""
     return corpus_stats.bpe_merge_step(load_table(spark, sf_dir, "documents"))
+
+
+@register("text_filter_agreement", oracle=text.FILTER_AGREEMENT_SQL)
+def q_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa + 2x2 agreement between the Gopher rule filter and the
+    linear classifier — filter calibration, exact milli."""
+    return text.filter_agreement(load_table(spark, sf_dir, "documents"))
+
+
+@register("multimodal_payload_dedup", oracle=multimodal.PAYLOAD_DEDUP_STATS_SQL)
+def q_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact binary-payload dedup stats per modality (md5 over raw bytes,
+    codec-free) — the first multimodal dedup pass."""
+    return multimodal.payload_dedup_stats(
+        multimodal.media_from_documents(load_table(spark, sf_dir, "documents"))
+    )

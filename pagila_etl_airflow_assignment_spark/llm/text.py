@@ -1351,3 +1351,112 @@ def first_occurrence_dedup_sql(seg_w: int = BOILER_SEG_W) -> str:
     GROUP BY g.doc_id
     ORDER BY doc_id
     """
+
+
+# --- filter agreement (Cohen's kappa) -------------------------------------------
+
+
+def filter_agreement(docs: DataFrame) -> DataFrame:
+    """Cohen's kappa between the Gopher rule filter and the linear
+    classifier — the judge-agreement / calibration metric every multi-filter
+    curation pipeline reports (two keep/drop raters over the same corpus;
+    kappa corrects raw agreement for chance). Composes gopher_rules and
+    classifier_scores on their shared doc_id grain: one equi-join plus a
+    single global 2x2 aggregate.
+
+    kappa = (N·(a+d) − pe) / (N² − pe) with pe = (a+b)(a+c) + (c+d)(b+d),
+    all exact integers; the milli rounding is signed half-up away from zero
+    built from abs/sign so the truncating integer division agrees
+    cross-engine on negative kappas. Degenerate raters (pe = N²) yield
+    NULL kappa."""
+    g = gopher_rules(docs).select("doc_id", "gopher_keep")
+    c = classifier_scores(docs).select("doc_id", "clf_keep")
+    cell = lambda gk, ck: F.sum(
+        ((F.col("gopher_keep") == gk) & (F.col("clf_keep") == ck)).cast("long")
+    )
+    counts = (
+        g.join(c, "doc_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            cell(True, True).alias("both_keep"),
+            cell(True, False).alias("gopher_only"),
+            cell(False, True).alias("clf_only"),
+            cell(False, False).alias("both_drop"),
+        )
+    )
+    pe = (F.col("both_keep") + F.col("gopher_only")) * (
+        F.col("both_keep") + F.col("clf_only")
+    ) + (F.col("clf_only") + F.col("both_drop")) * (
+        F.col("gopher_only") + F.col("both_drop")
+    )
+    num = F.col("n_docs") * (F.col("both_keep") + F.col("both_drop")) - pe
+    den = F.col("n_docs") * F.col("n_docs") - pe
+    kappa = F.when(
+        den > 0,
+        F.signum(num).cast("long")
+        * F.expr(
+            "CAST((2000 * abs(__num) + __den) DIV (2 * __den) AS BIGINT)"
+        ),
+    )
+    return (
+        counts.withColumn("__num", num)
+        .withColumn("__den", den)
+        .select(
+            "n_docs",
+            "both_keep",
+            "gopher_only",
+            "clf_only",
+            "both_drop",
+            F.expr(
+                "CAST((2000 * (both_keep + both_drop) + n_docs)"
+                " DIV (2 * n_docs) AS BIGINT)"
+            ).alias("agreement_milli"),
+            kappa.alias("kappa_milli"),
+        )
+    )
+
+
+def _filter_agreement_sql() -> str:
+    return f"""
+    WITH g AS (
+        SELECT doc_id, gopher_keep FROM ({_gopher_rules_sql()})
+    ),
+    c AS (
+        SELECT doc_id, clf_keep FROM ({_classifier_scores_sql()})
+    ),
+    counts AS (
+        SELECT COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN gopher_keep AND clf_keep THEN 1 ELSE 0 END)
+                    AS BIGINT) AS both_keep,
+               CAST(SUM(CASE WHEN gopher_keep AND NOT clf_keep THEN 1 ELSE 0 END)
+                    AS BIGINT) AS gopher_only,
+               CAST(SUM(CASE WHEN NOT gopher_keep AND clf_keep THEN 1 ELSE 0 END)
+                    AS BIGINT) AS clf_only,
+               CAST(SUM(CASE WHEN NOT gopher_keep AND NOT clf_keep THEN 1 ELSE 0 END)
+                    AS BIGINT) AS both_drop
+        FROM g JOIN c USING (doc_id)
+    ),
+    kt AS (
+        SELECT *,
+               n_docs * (both_keep + both_drop)
+                 - ((both_keep + gopher_only) * (both_keep + clf_only)
+                    + (clf_only + both_drop) * (gopher_only + both_drop))
+                   AS num,
+               n_docs * n_docs
+                 - ((both_keep + gopher_only) * (both_keep + clf_only)
+                    + (clf_only + both_drop) * (gopher_only + both_drop))
+                   AS den
+        FROM counts
+    )
+    SELECT n_docs, both_keep, gopher_only, clf_only, both_drop,
+           CAST((2000 * (both_keep + both_drop) + n_docs) // (2 * n_docs)
+                AS BIGINT) AS agreement_milli,
+           CASE WHEN den > 0 THEN
+               CAST(CASE WHEN num < 0 THEN -1 ELSE 1 END
+                    * ((2000 * abs(num) + den) // (2 * den)) AS BIGINT)
+           END AS kappa_milli
+    FROM kt
+    """
+
+
+FILTER_AGREEMENT_SQL = _filter_agreement_sql()

@@ -864,3 +864,40 @@ WAU_OVERLAP_SQL = """
     LEFT JOIN inter i ON s.week = i.week
     ORDER BY s.week
 """
+
+
+def cumulative_unique_users(events: DataFrame) -> DataFrame:
+    """Cumulative distinct users per day — the growth-accounting curve. A
+    running COUNT(DISTINCT) is state the size of the user set, so it
+    rewrites to "new users": one user_id-keyed MIN aggregate finds each
+    user's first day, a day-keyed count collapses that to the tiny
+    |days|-row grid, and the cumulative sum window runs on the grid only —
+    never a distinct-over-expanding-window. Output (day, new_users,
+    cumulative_users)."""
+    firsts = events.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("day")
+    )
+    daily = firsts.groupBy("day").agg(F.count("*").alias("new_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
+    ).orderBy("day")
+
+
+CUMULATIVE_UNIQUE_USERS_SQL = """
+    WITH firsts AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS day
+        FROM events GROUP BY user_id
+    ),
+    daily AS (
+        SELECT day, COUNT(*) AS new_users FROM firsts GROUP BY day
+    )
+    SELECT day, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cumulative_users
+    FROM daily
+    ORDER BY day
+"""

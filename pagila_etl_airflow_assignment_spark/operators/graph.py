@@ -909,3 +909,103 @@ def kcore_membership_sql(
         GROUP BY src
         ORDER BY p_partkey
     """
+
+
+# --- label propagation communities ----------------------------------------------
+
+LPA_ROUNDS = 3
+
+
+def label_propagation(
+    lineitem: DataFrame,
+    rounds: int = LPA_ROUNDS,
+    max_basket: int = 30,
+    min_support: int = TRI_MIN_SUPPORT,
+) -> DataFrame:
+    """Synchronous label propagation (LPA) community detection: every node
+    starts as its own label and each round adopts the most frequent label
+    among its neighbors, ties to the SMALLEST label — the deterministic
+    variant, so a fixed round count is one declarative plan (the pagerank
+    treatment) and the oracle unrolls identically. Communities are the
+    granularity between connected components (dedup_clusters: too coarse on
+    a co-purchase graph, it's one giant component) and k-core (a filter,
+    not a partition).
+
+    Per round: one edge join against the ≤|V|-row label relation, one
+    (node, label) count aggregate, one per-node argmax via an order-free
+    MAX(struct(cnt, -label)) — all map-side combinable; the edge relation
+    is support-pruned and checkpointed once, labels checkpoint per round so
+    the plan never nests."""
+    pruned = (
+        _oriented_pair_rel(lineitem, max_basket)
+        .groupBy(F.col("part_a").alias("u"), F.col("part_b").alias("v"))
+        .agg(F.count("*").alias("support"))
+        .where(F.col("support") >= min_support)
+        .select("u", "v")
+    )
+    edges = pruned.unionByName(
+        pruned.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=False)
+    labels = edges.select("u").distinct().select(
+        "u", F.col("u").alias("label")
+    ).localCheckpoint(eager=False)
+    for _ in range(rounds):
+        labels = (
+            edges.join(labels.withColumnRenamed("u", "v"), "v")
+            .groupBy("u", "label")
+            .agg(F.count("*").alias("cnt"))
+            .groupBy("u")
+            .agg(F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))).alias("b"))
+            .select("u", (-F.col("b.nl")).alias("label"))
+            .localCheckpoint(eager=False)
+        )
+    return (
+        labels.select(F.col("u").alias("p_partkey"), F.col("label").alias("community"))
+        .orderBy("p_partkey")
+    )
+
+
+def label_propagation_sql(
+    rounds: int = LPA_ROUNDS, max_basket: int = 30, min_support: int = TRI_MIN_SUPPORT
+) -> str:
+    its = []
+    for i in range(1, rounds + 1):
+        its.append(
+            f"""l{i} AS (
+            SELECT u, label FROM (
+                SELECT e.u, l.label, COUNT(*) AS cnt,
+                       ROW_NUMBER() OVER (PARTITION BY e.u
+                                          ORDER BY COUNT(*) DESC, l.label)
+                           AS rk
+                FROM edges e JOIN l{i - 1} l ON e.v = l.u
+                GROUP BY e.u, l.label
+            ) WHERE rk = 1
+        )"""
+        )
+    chain = ",\n        ".join(its)
+    return f"""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), small AS (
+            SELECT l_orderkey FROM items
+            GROUP BY l_orderkey HAVING COUNT(*) <= {max_basket}
+        ), basket AS (
+            SELECT i.l_orderkey, i.l_partkey FROM items i
+            JOIN small USING (l_orderkey)
+        ), pruned AS (
+            SELECT a.l_partkey AS u, b.l_partkey AS v
+            FROM basket a JOIN basket b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY a.l_partkey, b.l_partkey
+            HAVING COUNT(*) >= {min_support}
+        ), edges AS (
+            SELECT u, v FROM pruned
+            UNION ALL SELECT v AS u, u AS v FROM pruned
+        ), l0 AS (
+            SELECT DISTINCT u, u AS label FROM edges
+        ),
+        {chain}
+        SELECT u AS p_partkey, label AS community
+        FROM l{rounds}
+        ORDER BY p_partkey
+    """

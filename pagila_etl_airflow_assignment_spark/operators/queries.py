@@ -1362,3 +1362,17 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core membership after fixed peeling rounds — the dense-community
     filter; one degree aggregate + node semi-join per round."""
     return graph.kcore_membership(load_table(spark, sf_dir, "lineitem"))
+
+
+@register("graph_label_propagation", oracle=graph.label_propagation_sql())
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous LPA communities (3 rounds, min-label ties)
+    over the support-pruned co-purchase graph."""
+    return graph.label_propagation(load_table(spark, sf_dir, "lineitem"))
+
+
+@register("events_cumulative_unique_users", oracle=analytics.CUMULATIVE_UNIQUE_USERS_SQL)
+def q_cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day via the new-users rewrite (no
+    distinct-over-expanding-window state)."""
+    return analytics.cumulative_unique_users(load_table(spark, sf_dir, "events"))

@@ -240,6 +240,10 @@ EXTENSION_SURVEY_ROWS: dict[str, tuple[str, ...]] = {
     "vocab_bpe_merge_step": ("L-174",),
     "text_k_anonymity": ("L-175",),
     "text_first_occurrence_dedup": ("L-176",),
+    "graph_label_propagation": ("L-177",),
+    "text_filter_agreement": ("L-178",),
+    "events_cumulative_unique_users": ("L-179",),
+    "multimodal_payload_dedup": ("L-180",),
 }
 
 
@@ -308,6 +312,10 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "vocab_bpe_merge_step",
     "text_k_anonymity",
     "text_first_occurrence_dedup",
+    "graph_label_propagation",
+    "text_filter_agreement",
+    "events_cumulative_unique_users",
+    "multimodal_payload_dedup",
     # -- tier C: never driver-sampled (r5 sample takes ~30 of these;
     #    the rest rotate into r6) --
     "dedup_incremental_bloom",

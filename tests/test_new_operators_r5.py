@@ -579,3 +579,80 @@ def test_bpe_merge_step_weighted_pairs(spark):
     assert (out[0].pair, out[0].n_occurrences) == ("a b", 3)
     assert (out[1].pair, out[1].n_occurrences) == ("c d", 2)
     assert len(out) == 2  # 'x' is single-char, contributes no pair
+
+
+# --- label propagation ----------------------------------------------------------
+
+
+def test_lpa_converges_on_clique_oscillates_on_pair(spark):
+    # triangle {1,2,3} (each pair co-bought twice, passing min_support=2)
+    # converges to community 1; isolated pair {7,8} is bipartite, where
+    # synchronous LPA deterministically 2-cycles — after 3 rounds the labels
+    # are swapped (the fixed round count pins this)
+    rows = []
+    for rep in range(2):
+        rows += [(10 + rep, p) for p in (1, 2, 3)]
+        rows += [(20 + rep, p) for p in (7, 8)]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    out = {r.p_partkey: r.community for r in graph.label_propagation(li).collect()}
+    assert out[1] == out[2] == out[3] == 1
+    assert (out[7], out[8]) == (8, 7)
+
+
+# --- filter agreement -----------------------------------------------------------
+
+
+def test_filter_agreement_kappa_matches_python(spark):
+    from pagila_etl_airflow_assignment_spark.llm import text as text_mod
+    from pagila_etl_airflow_assignment_spark.sources.parquet import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    r = text_mod.filter_agreement(docs).collect()[0]
+    a, b, c, d, n = r.both_keep, r.gopher_only, r.clf_only, r.both_drop, r.n_docs
+    assert a + b + c + d == n
+    assert r.agreement_milli == (2000 * (a + d) + n) // (2 * n)
+    pe = (a + b) * (a + c) + (c + d) * (b + d)
+    num, den = n * (a + d) - pe, n * n - pe
+    if den > 0:
+        sign = -1 if num < 0 else 1
+        assert r.kappa_milli == sign * ((2000 * abs(num) + den) // (2 * den))
+
+
+# --- cumulative unique users ----------------------------------------------------
+
+
+def test_cumulative_unique_users_counts_first_seen(spark):
+    from pagila_etl_airflow_assignment_spark.operators import analytics
+
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 100),
+            (2, "2024-01-01 11:00:00", 101),
+            (3, "2024-01-02 09:00:00", 100),   # returning, not new
+            (4, "2024-01-02 10:00:00", 102),
+        ],
+        "event_id long, ts string, user_id long",
+    ).selectExpr("event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id")
+    out = analytics.cumulative_unique_users(ev).collect()
+    assert [(str(r.day), r.new_users, r.cumulative_users) for r in out] == [
+        ("2024-01-01", 2, 2),
+        ("2024-01-02", 1, 3),
+    ]
+
+
+# --- multimodal payload dedup ---------------------------------------------------
+
+
+def test_payload_dedup_counts_bit_identical_copies(spark):
+    from pagila_etl_airflow_assignment_spark.llm import multimodal
+
+    docs = spark.createDataFrame(
+        [(0, "same bytes", 10), (3, "same bytes", 10), (6, "other", 5), (1, "audio doc", 9)],
+        "doc_id long, text string, n_chars long",
+    )
+    media = multimodal.media_from_documents(docs)
+    out = {r.kind: r for r in multimodal.payload_dedup_stats(media).collect()}
+    img = out["image"]  # doc_ids 0,3,6 -> two identical + one distinct
+    assert (img.n_payloads, img.n_unique, img.n_dup_groups, img.n_redundant) == (3, 2, 1, 1)
+    assert img.dup_share_milli == 333
+    assert out["audio"].n_redundant == 0

@@ -170,6 +170,10 @@ PROBES = [
     "vocab_bpe_merge_step",
     "text_k_anonymity",
     "text_first_occurrence_dedup",
+    "graph_label_propagation",
+    "text_filter_agreement",
+    "events_cumulative_unique_users",
+    "multimodal_payload_dedup",
 ]
 
 
