@@ -41,6 +41,9 @@ HEADLINE = [
     "warehouse_pivot_revenue",
     "warehouse_semi_anti_priority",
     "warehouse_table_profile",
+    "warehouse_skew_profile",
+    "warehouse_encoding_advisor",
+    "warehouse_zorder_layout",
     "warehouse_constraint_checks",
     "events_session_window_native",
     "asof_click_attribution",

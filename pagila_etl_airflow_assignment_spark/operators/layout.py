@@ -1,0 +1,125 @@
+"""Data-layout optimization: z-order clustering keys and their pruning value.
+
+Multi-dimensional clustering is how 100 TB lake tables make BOTH
+``WHERE o_custkey = ?`` and ``WHERE o_orderdate BETWEEN ...`` prune files:
+interleave the bits of the two dimensions into one z-value, sort/bucket the
+table by it, and every file's min/max range stays narrow on EVERY interleaved
+dimension (a date-sorted layout is perfect on date and useless on custkey).
+These operators compute the z-value with plain integer arithmetic (identical
+expression in both dialects — no engine-specific intrinsics) and quantify the
+payoff: per-bucket min/max ranges as the fraction of the global domain a
+min/max-pruned scan would have to read.
+
+Scale shape: the z-value is a narrow per-row expression; the quality report
+is one bucket-keyed aggregate (|buckets| output rows). Re-clustering a real
+table is then just ``repartitionByRange(zvalue)`` + write — the expensive
+global sort the report exists to justify.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+Z_BITS = 10          # bits kept per dimension (1024-cell grid per dim)
+Z_BUCKETS_LOG2 = 6   # 64 z-buckets = the simulated file count
+
+
+def _interleave_expr(x: str, y: str, bits: int, dialect: str) -> str:
+    """Bit-interleave expression ``...y1x1y0x0`` from the low ``bits`` bits
+    of x and y, as a sum of shifted single-bit terms — the same arithmetic
+    string works in both engines modulo shift syntax."""
+    terms = []
+    for i in range(bits):
+        if dialect == "spark":
+            terms.append(f"shiftleft(shiftright({x}, {i}) & 1, {2 * i})")
+            terms.append(f"shiftleft(shiftright({y}, {i}) & 1, {2 * i + 1})")
+        else:
+            terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+            terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+def zorder_layout_quality(orders: DataFrame) -> DataFrame:
+    """Assign every order a z-value over (o_custkey, o_orderdate) and report,
+    per simulated file bucket (top bits of the z-value), the min/max range
+    each dimension would expose to min/max pruning: (bucket, n_rows,
+    cust_lo, cust_hi, day_lo, day_hi, cust_width_milli, day_width_milli).
+
+    Both *_width_milli columns are the bucket's span over the GLOBAL span in
+    exact milli — the expected fraction of files a single-dimension
+    predicate reads under this layout (~sqrt-law for z-order vs 1.0 for the
+    unsorted dimension of a linear sort). The global spans ride the same
+    aggregate via a 1-row broadcast."""
+    cust = f"(o_custkey % {1 << Z_BITS})"
+    day = f"(datediff(CAST(o_orderdate AS DATE), DATE'1992-01-01') % {1 << Z_BITS})"
+    z = _interleave_expr(cust, day, Z_BITS, "spark")
+    rows = orders.select(
+        F.expr(cust).cast("long").alias("c"),
+        F.expr(day).cast("long").alias("d"),
+        F.expr(f"({z}) DIV {1 << (2 * Z_BITS - Z_BUCKETS_LOG2)}")
+        .cast("long")
+        .alias("bucket"),
+    )
+    buckets = rows.groupBy("bucket").agg(
+        F.count("*").alias("n_rows"),
+        F.min("c").alias("cust_lo"),
+        F.max("c").alias("cust_hi"),
+        F.min("d").alias("day_lo"),
+        F.max("d").alias("day_hi"),
+    )
+    glob = rows.agg(
+        (F.max("c") - F.min("c")).alias("gc"),
+        (F.max("d") - F.min("d")).alias("gd"),
+    )
+    width = lambda hi, lo, g: F.expr(
+        f"CAST((2000 * ({hi} - {lo}) + {g}) DIV (2 * {g}) AS BIGINT)"
+    )
+    return (
+        buckets.crossJoin(F.broadcast(glob))
+        .select(
+            "bucket",
+            "n_rows",
+            "cust_lo",
+            "cust_hi",
+            "day_lo",
+            "day_hi",
+            width("cust_hi", "cust_lo", "gc").alias("cust_width_milli"),
+            width("day_hi", "day_lo", "gd").alias("day_width_milli"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def zorder_layout_quality_sql() -> str:
+    cust = f"(o_custkey % {1 << Z_BITS})"
+    day = f"(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) % {1 << Z_BITS})"
+    z = _interleave_expr("c", "d", Z_BITS, "duck")
+    return f"""
+    WITH rows_z AS (
+        SELECT CAST({cust} AS BIGINT) AS c,
+               CAST({day} AS BIGINT) AS d
+        FROM orders
+    ),
+    zb AS (
+        SELECT c, d,
+               ({z}) // {1 << (2 * Z_BITS - Z_BUCKETS_LOG2)} AS bucket
+        FROM rows_z
+    ),
+    buckets AS (
+        SELECT bucket, COUNT(*) AS n_rows,
+               MIN(c) AS cust_lo, MAX(c) AS cust_hi,
+               MIN(d) AS day_lo, MAX(d) AS day_hi
+        FROM zb GROUP BY bucket
+    ),
+    gspan AS (
+        SELECT MAX(c) - MIN(c) AS gc, MAX(d) - MIN(d) AS gd FROM zb
+    )
+    SELECT bucket, n_rows, cust_lo, cust_hi, day_lo, day_hi,
+           CAST((2000 * (cust_hi - cust_lo) + gc) // (2 * gc) AS BIGINT)
+               AS cust_width_milli,
+           CAST((2000 * (day_hi - day_lo) + gd) // (2 * gd) AS BIGINT)
+               AS day_width_milli
+    FROM buckets, gspan
+    ORDER BY bucket
+    """

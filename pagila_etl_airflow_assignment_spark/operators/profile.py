@@ -387,3 +387,173 @@ def benford_audit_sql() -> str:
         FROM valid CROSS JOIN total
         ORDER BY d
     """
+
+
+# --- join-key skew profiling ----------------------------------------------------
+
+SKEW_TOP_K = 10
+
+
+def key_skew_profile(
+    keyed: list[tuple[str, DataFrame]], top_k: int = SKEW_TOP_K
+) -> DataFrame:
+    """Skew report for candidate shuffle keys: per key column (key_name,
+    n_rows, n_keys, max_count, hottest_key, max_share_milli,
+    top{k}_share_milli) — the capacity-planning numbers that decide whether
+    a join/agg on that key needs salting, AQE skew handling, or a broadcast
+    at 100 TB (max_share_milli is the fraction of ALL rows the single
+    hottest reducer would receive).
+
+    ``keyed`` is [(key_name, single-column DataFrame)]. Per key: one
+    key-count aggregate (map-side combined), a distributed top-k on the
+    counts (TakeOrderedAndProject — never a global sort of the key
+    dictionary), and a 1-row total; the per-key reports union into one
+    |keys|-row table. All shares are exact integer half-up milli."""
+    outs = []
+    for key_name, df in keyed:
+        col = df.columns[0]
+        counts = df.groupBy(F.col(col).alias("k")).agg(
+            F.count("*").alias("cnt")
+        )
+        top = (
+            counts.orderBy(F.desc("cnt"), "k")
+            .limit(top_k)
+            .agg(
+                F.max(F.struct("cnt", (-F.col("k")).alias("nk"))).alias("b"),
+                F.sum("cnt").alias("top_cnt"),
+            )
+        )
+        tot = counts.agg(
+            F.sum("cnt").cast("long").alias("n_rows"),
+            F.count("*").alias("n_keys"),
+        )
+        outs.append(
+            tot.crossJoin(F.broadcast(top)).select(
+                F.lit(key_name).alias("key_name"),
+                "n_rows",
+                "n_keys",
+                F.col("b.cnt").cast("long").alias("max_count"),
+                (-F.col("b.nk")).cast("long").alias("hottest_key"),
+                F.expr(
+                    "CAST((2000 * b.cnt + n_rows) DIV (2 * n_rows) AS BIGINT)"
+                ).alias("max_share_milli"),
+                F.expr(
+                    "CAST((2000 * top_cnt + n_rows) DIV (2 * n_rows) AS BIGINT)"
+                ).alias("topk_share_milli"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.orderBy("key_name")
+
+
+def key_skew_profile_sql(
+    keys: list[tuple[str, str, str]], top_k: int = SKEW_TOP_K
+) -> str:
+    """``keys`` is [(key_name, table, column)] mirroring the Spark call."""
+    parts = []
+    for key_name, table, col in keys:
+        parts.append(
+            f"""
+        SELECT '{key_name}' AS key_name,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM {table}) AS n_rows,
+               (SELECT COUNT(DISTINCT {col}) FROM {table}) AS n_keys,
+               (SELECT CAST(cnt AS BIGINT) FROM (
+                    SELECT {col} AS k, COUNT(*) AS cnt FROM {table} GROUP BY 1
+                ) ORDER BY cnt DESC, k LIMIT 1) AS max_count,
+               (SELECT CAST(k AS BIGINT) FROM (
+                    SELECT {col} AS k, COUNT(*) AS cnt FROM {table} GROUP BY 1
+                ) ORDER BY cnt DESC, k LIMIT 1) AS hottest_key,
+               CAST((2000 * (SELECT cnt FROM (
+                        SELECT COUNT(*) AS cnt FROM {table} GROUP BY {col}
+                        ORDER BY cnt DESC, {col} LIMIT 1))
+                     + (SELECT COUNT(*) FROM {table}))
+                    // (2 * (SELECT COUNT(*) FROM {table})) AS BIGINT)
+                   AS max_share_milli,
+               CAST((2000 * (SELECT SUM(cnt) FROM (
+                        SELECT COUNT(*) AS cnt FROM {table} GROUP BY {col}
+                        ORDER BY cnt DESC, {col} LIMIT {top_k}))
+                     + (SELECT COUNT(*) FROM {table}))
+                    // (2 * (SELECT COUNT(*) FROM {table})) AS BIGINT)
+                   AS topk_share_milli
+        """
+        )
+    return " UNION ALL ".join(parts) + " ORDER BY key_name"
+
+
+# --- columnar encoding advisor --------------------------------------------------
+
+ENC_DICT_MAX_DISTINCT = 1000
+ENC_DICT_MAX_PERMILLE = 100
+
+
+def encoding_advisor(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Per-column encoding recommendation for a columnar rewrite: (col_name,
+    n_rows, n_distinct, distinct_milli, avg_width_centi, encoding) — the
+    lake-compaction decision (dictionary-encode low-cardinality columns,
+    plain-encode high-cardinality ones) made from order-free statistics, so
+    the report is deterministic under any partitioning.
+
+    One aggregation carries every column's stats (the profile_table shape:
+    the exact distinct set costs an Expand; swap approx_count_distinct in at
+    100 TB). avg_width_centi is the exact mean serialized width in
+    hundredths of a char (integer half-up on Σlength)."""
+    aggs = []
+    for c in columns:
+        aggs += [
+            F.count(c).alias(f"__n_{c}"),
+            F.count_distinct(c).alias(f"__d_{c}"),
+            F.sum(F.length(F.col(c).cast("string"))).alias(f"__w_{c}"),
+        ]
+    one = df.agg(*aggs)
+    outs = []
+    for c in columns:
+        n, d, w = f"__n_{c}", f"__d_{c}", f"__w_{c}"
+        dist_milli = F.expr(f"CAST((2000 * {d} + {n}) DIV (2 * {n}) AS BIGINT)")
+        enc = (
+            F.when(
+                (F.col(d) <= ENC_DICT_MAX_DISTINCT)
+                | (dist_milli <= ENC_DICT_MAX_PERMILLE),
+                "DICT",
+            ).otherwise("PLAIN")
+        )
+        outs.append(
+            one.select(
+                F.lit(c).alias("col_name"),
+                F.col(n).cast("long").alias("n_rows"),
+                F.col(d).cast("long").alias("n_distinct"),
+                dist_milli.alias("distinct_milli"),
+                F.expr(f"CAST((200 * {w} + {n}) DIV (2 * {n}) AS BIGINT)").alias(
+                    "avg_width_centi"
+                ),
+                enc.alias("encoding"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.orderBy("col_name")
+
+
+def encoding_advisor_sql(table: str, columns: list[str]) -> str:
+    parts = []
+    for c in columns:
+        parts.append(
+            f"""
+        SELECT '{c}' AS col_name,
+               CAST(COUNT({c}) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               CAST((2000 * COUNT(DISTINCT {c}) + COUNT({c}))
+                    // (2 * COUNT({c})) AS BIGINT) AS distinct_milli,
+               CAST((200 * SUM(len(CAST({c} AS VARCHAR))) + COUNT({c}))
+                    // (2 * COUNT({c})) AS BIGINT) AS avg_width_centi,
+               CASE WHEN COUNT(DISTINCT {c}) <= {ENC_DICT_MAX_DISTINCT}
+                         OR CAST((2000 * COUNT(DISTINCT {c}) + COUNT({c}))
+                                 // (2 * COUNT({c})) AS BIGINT)
+                            <= {ENC_DICT_MAX_PERMILLE}
+                    THEN 'DICT' ELSE 'PLAIN' END AS encoding
+        FROM {table}
+        """
+        )
+    return " UNION ALL ".join(parts) + " ORDER BY col_name"

@@ -9,7 +9,7 @@ from ..functions import micros
 from ..registry import register
 from ..sources.parquet import load_table
 from ..schemas import ORDERS
-from . import analytics, behavior, cdc, cmsketch, distributions, features, graph, hll, ivm, profile, sequences, stats, temporal, tpch_shapes, warehouse
+from . import analytics, behavior, bitmap, cdc, cmsketch, distributions, features, graph, hll, ivm, layout, profile, sequences, stats, temporal, tpch_shapes, warehouse
 
 
 @register(
@@ -1376,3 +1376,47 @@ def q_cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative distinct users per day via the new-users rewrite (no
     distinct-over-expanding-window state)."""
     return analytics.cumulative_unique_users(load_table(spark, sf_dir, "events"))
+
+
+SKEW_KEYS_SQL = [
+    ("lineitem.l_partkey", "lineitem", "l_partkey"),
+    ("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+    ("orders.o_custkey", "orders", "o_custkey"),
+    ("events.user_id", "events", "user_id"),
+]
+
+
+@register("warehouse_skew_profile", oracle=profile.key_skew_profile_sql(SKEW_KEYS_SQL))
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew report (max/top-10 reducer share per candidate join
+    key) — the salting / AQE-skew decision input."""
+    return profile.key_skew_profile(
+        [
+            (name, load_table(spark, sf_dir, table).select(col))
+            for name, table, col in SKEW_KEYS_SQL
+        ]
+    )
+
+
+ENC_COLS = ["l_partkey", "l_suppkey", "l_linenumber", "l_returnflag", "l_linestatus"]
+
+
+@register("warehouse_encoding_advisor", oracle=profile.encoding_advisor_sql("lineitem", ENC_COLS))
+def q_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar encoding recommendation per column from order-free stats
+    (dictionary vs plain) — the lake-compaction decision."""
+    return profile.encoding_advisor(load_table(spark, sf_dir, "lineitem"), ENC_COLS)
+
+
+@register("warehouse_zorder_layout", oracle=layout.zorder_layout_quality_sql())
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering keys over (o_custkey, o_orderdate) + per-bucket
+    min/max pruning widths — the multi-dimensional layout payoff report."""
+    return layout.zorder_layout_quality(load_table(spark, sf_dir, "orders"))
+
+
+@register("events_bitmap_intersections", oracle=bitmap.BITMAP_INTERSECTIONS_SQL)
+def q_bitmap_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap between event types via 63-bit packed
+    bitmap words (bit_or / AND / popcount) — exact, no row-per-user join."""
+    return bitmap.bitmap_intersections(load_table(spark, sf_dir, "events"))

@@ -244,6 +244,10 @@ EXTENSION_SURVEY_ROWS: dict[str, tuple[str, ...]] = {
     "text_filter_agreement": ("L-178",),
     "events_cumulative_unique_users": ("L-179",),
     "multimodal_payload_dedup": ("L-180",),
+    "warehouse_skew_profile": ("L-181",),
+    "warehouse_encoding_advisor": ("L-182",),
+    "warehouse_zorder_layout": ("L-183",),
+    "events_bitmap_intersections": ("L-184",),
 }
 
 
@@ -316,6 +320,10 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "text_filter_agreement",
     "events_cumulative_unique_users",
     "multimodal_payload_dedup",
+    "warehouse_skew_profile",
+    "warehouse_encoding_advisor",
+    "warehouse_zorder_layout",
+    "events_bitmap_intersections",
     # -- tier C: never driver-sampled (r5 sample takes ~30 of these;
     #    the rest rotate into r6) --
     "dedup_incremental_bloom",

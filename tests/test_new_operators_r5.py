@@ -656,3 +656,71 @@ def test_payload_dedup_counts_bit_identical_copies(spark):
     assert (img.n_payloads, img.n_unique, img.n_dup_groups, img.n_redundant) == (3, 2, 1, 1)
     assert img.dup_share_milli == 333
     assert out["audio"].n_redundant == 0
+
+
+# --- skew profile ---------------------------------------------------------------
+
+
+def test_skew_profile_finds_hot_key(spark):
+    from pagila_etl_airflow_assignment_spark.operators import profile
+
+    df = spark.createDataFrame(
+        [(7,)] * 90 + [(10 + i,) for i in range(10)], "k long"
+    )
+    r = profile.key_skew_profile([("t.k", df)]).collect()[0]
+    assert (r.n_rows, r.n_keys, r.max_count, r.hottest_key) == (100, 11, 90, 7)
+    assert r.max_share_milli == 900
+    assert r.topk_share_milli == 990  # hot key + 9 singletons
+
+
+# --- encoding advisor -----------------------------------------------------------
+
+
+def test_encoding_advisor_rules(spark):
+    from pagila_etl_airflow_assignment_spark.operators import profile
+
+    df = spark.createDataFrame(
+        [(i, i % 3, "flagA" if i % 2 else "flagB") for i in range(2000)],
+        "uid long, small long, flag string",
+    )
+    out = {r.col_name: r for r in profile.encoding_advisor(df, ["uid", "small", "flag"]).collect()}
+    assert out["uid"].encoding == "PLAIN" and out["uid"].n_distinct == 2000
+    assert out["small"].encoding == "DICT" and out["small"].n_distinct == 3
+    assert out["flag"].encoding == "DICT"
+    assert out["flag"].avg_width_centi == 500  # 'flagA'/'flagB' are 5 chars
+
+
+# --- z-order layout -------------------------------------------------------------
+
+
+def test_zorder_buckets_bound_both_dimensions(spark):
+    from pagila_etl_airflow_assignment_spark.operators import layout
+
+    orders = spark.createDataFrame(
+        [(i, i % 1000, f"1995-0{1 + i % 9}-15") for i in range(4000)],
+        "o_orderkey long, o_custkey long, o_orderdate string",
+    ).selectExpr("o_orderkey", "o_custkey", "CAST(o_orderdate AS TIMESTAMP) AS o_orderdate")
+    out = layout.zorder_layout_quality(orders).collect()
+    assert sum(r.n_rows for r in out) == 4000
+    # z-bucketing must bound BOTH dims strictly below the full domain on
+    # average — the whole point vs a one-dimensional sort
+    avg_cust = sum(r.cust_width_milli for r in out) / len(out)
+    avg_day = sum(r.day_width_milli for r in out) / len(out)
+    assert avg_cust < 600 and avg_day < 600
+    assert all(0 <= r.cust_width_milli <= 1000 for r in out)
+
+
+# --- bitmap intersections -------------------------------------------------------
+
+
+def test_bitmap_intersections_exact_overlap(spark):
+    from pagila_etl_airflow_assignment_spark.operators import bitmap
+
+    rows = [(i, "click", 100 + i) for i in range(10)]          # users 100..109
+    rows += [(50 + i, "view", 105 + i) for i in range(10)]     # users 105..114
+    rows += [(99, "click", 100)]                               # dup event, same user
+    ev = spark.createDataFrame(rows, "event_id long, event_type string, user_id long")
+    r = bitmap.bitmap_intersections(ev).collect()[0]
+    assert (r.type_a, r.type_b) == ("click", "view")
+    assert (r.users_a, r.users_b, r.users_both) == (10, 10, 5)
+    assert r.jaccard_milli == 333  # 5 / 15

@@ -94,6 +94,10 @@ ALLOWED: dict[str, set[str]] = {
     "ann_hard_negatives": {"BroadcastNestedLoopJoin"},
     # broadcast <=5-row selected relation per k-center round (max-min argmax)
     "embedding_kcenter_coreset": {"BroadcastNestedLoopJoin"},
+    # broadcast 1-row top-k/hottest-key summary per profiled key
+    "warehouse_skew_profile": {"BroadcastNestedLoopJoin"},
+    # broadcast 1-row global-span aggregate (pruning-width denominator)
+    "warehouse_zorder_layout": {"BroadcastNestedLoopJoin"},
     # broadcast ≤n_centroids-row centroid relation (the kmeans/IVF affinity shape)
     "dedup_semantic_clusters": {"BroadcastNestedLoopJoin"},
     # two broadcast 1-row token-total scalars (target/raw denominators)

@@ -174,6 +174,10 @@ PROBES = [
     "text_filter_agreement",
     "events_cumulative_unique_users",
     "multimodal_payload_dedup",
+    "warehouse_skew_profile",
+    "warehouse_encoding_advisor",
+    "warehouse_zorder_layout",
+    "events_bitmap_intersections",
 ]
 
 
