@@ -730,3 +730,19 @@ def q_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.payload_dedup_stats(
         multimodal.media_from_documents(load_table(spark, sf_dir, "documents"))
     )
+
+
+@register("sampling_doremi_step", oracle=sampling.doremi_step_sql())
+def q_doremi_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linearized DoReMi domain-reweighting step: per-source proxy score ->
+    excess-over-average -> normalized micro weights, all exact integers."""
+    return sampling.doremi_step(load_table(spark, sf_dir, "documents"))
+
+
+@register("ann_mmr_rerank", oracle=similarity.mmr_rerank_sql(ANN_QUERY_IDS[0]))
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-rank of the exact top-20 pool (λ=0.7,
+    5 greedy rounds) — diversity-aware retrieval selection."""
+    return similarity.mmr_rerank(
+        load_table(spark, sf_dir, "embeddings"), ANN_QUERY_IDS[0]
+    )

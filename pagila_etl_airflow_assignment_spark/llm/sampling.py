@@ -444,3 +444,114 @@ def temperature_mixture_sample_sql(
         WHERE rn <= quota
         ORDER BY {stratum}, sample_rank
     """
+
+
+# --- DoReMi-style domain reweighting --------------------------------------------
+
+DOREMI_ETA_BASE = 1000  # linearized step: factor = max(0, base + excess)
+
+
+def doremi_step(docs: DataFrame) -> DataFrame:
+    """One linearized DoReMi domain-reweighting step: score every source by
+    its mean hashed-token weight (the same fixed linear model
+    text.classifier_scores runs per document — the stand-in for the proxy
+    model's per-domain excess loss), then upweight sources whose score
+    exceeds the cross-source average: factor_s = max(0, 1000 + score_s −
+    avg), w_s = factor_s / Σfactor. The true DoReMi exponentiated-gradient
+    update is this step with exp(); the linearization keeps every quantity
+    an exact integer so the oracle is bit-stable, and repeated application
+    converges to the same fixed point ordering.
+
+    Plan: one narrow per-doc scoring pass, one source-keyed aggregate, and
+    the cross-source normalization as window sums over the ≤|sources|-row
+    relation (never the corpus). Output |sources| rows."""
+    from .hashing import md5_int
+    from .text import WS_RE, _norm
+
+    toks = F.split(_norm(F.col("text")), WS_RE)
+    wsum = F.aggregate(
+        F.transform(F.col("t"), lambda t: md5_int(t) % 2001),
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + w,
+    )
+    per_src = (
+        docs.select("source", toks.alias("t"))
+        .select("source", F.size("t").cast("long").alias("ntok"), wsum.alias("ws"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ntok").alias("tok"),
+            F.sum("ws").alias("w"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.expr("CAST((2 * w + tok) DIV (2 * tok) AS BIGINT)").alias(
+                "score_milli"
+            ),
+        )
+    )
+    g = Window.partitionBy()
+    avg = F.expr(
+        "CAST((2 * tot + cnt) DIV (2 * cnt) AS BIGINT)"
+    )
+    out = (
+        per_src.withColumn("tot", F.sum("score_milli").over(g))
+        .withColumn("cnt", F.count("*").over(g))
+        .withColumn("excess_milli", F.col("score_milli") - avg)
+        .withColumn(
+            "factor",
+            F.greatest(F.lit(0), F.lit(DOREMI_ETA_BASE) + F.col("excess_milli")),
+        )
+        .withColumn("sfac", F.sum("factor").over(g))
+    )
+    return out.select(
+        "source",
+        "n_docs",
+        "score_milli",
+        "excess_milli",
+        F.expr(
+            "CAST((2000000 * factor + sfac) DIV (2 * sfac) AS BIGINT)"
+        ).alias("weight_micro"),
+    ).orderBy("source")
+
+
+def doremi_step_sql(docs_rel: str = "documents") -> str:
+    from .hashing import md5_int_sql
+    from .text import WS_RE, _norm_sql
+
+    w = f"({md5_int_sql('t')} % 2001)"
+    return rf"""
+    WITH scored AS (
+        SELECT source,
+               len(t) AS ntok,
+               CAST(list_sum(list_transform(t, t -> {w})) AS BIGINT) AS ws
+        FROM (
+            SELECT source,
+                   string_split_regex({_norm_sql('text')}, '{WS_RE}') AS t
+            FROM {docs_rel}
+        )
+    ),
+    per_src AS (
+        SELECT source, COUNT(*) AS n_docs,
+               CAST((2 * SUM(ws) + SUM(ntok)) // (2 * SUM(ntok)) AS BIGINT)
+                   AS score_milli
+        FROM scored GROUP BY source
+    ),
+    ranked AS (
+        SELECT *,
+               CAST((2 * SUM(score_milli) OVER () + COUNT(*) OVER ())
+                    // (2 * COUNT(*) OVER ()) AS BIGINT) AS avg_milli
+        FROM per_src
+    ),
+    fac AS (
+        SELECT *, score_milli - avg_milli AS excess_milli,
+               greatest(0, {DOREMI_ETA_BASE} + score_milli - avg_milli) AS factor
+        FROM ranked
+    )
+    SELECT source, n_docs, score_milli, excess_milli,
+           CAST((2000000 * factor + SUM(factor) OVER ())
+                // (2 * SUM(factor) OVER ()) AS BIGINT) AS weight_micro
+    FROM fac
+    ORDER BY source
+    """

@@ -637,3 +637,179 @@ def ivf_recall_curve_sql(
         )
         ORDER BY nprobe
     """
+
+
+# --- maximal marginal relevance re-ranking --------------------------------------
+
+MMR_POOL = 20
+MMR_K = 5
+MMR_LAMBDA6 = 700_000  # λ = 0.7 in micro
+
+
+def mmr_rerank(
+    embeddings: DataFrame,
+    query_id: int,
+    pool: int = MMR_POOL,
+    k: int = MMR_K,
+) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking: from the exact top-``pool``
+    cosine candidates, greedily select ``k`` maximizing
+    λ·sim(query, d) − (1−λ)·max_{s∈selected} sim(d, s) — the standard
+    diversity-aware retrieval re-rank (RAG context selection, dedup-aware
+    search) that plain top-k cannot express.
+
+    The candidate pool is one broadcast-query scan + distributed top-pool
+    (the brute_force_topk plan) checkpointed once at ≤``pool`` rows; every
+    greedy round then runs on that tiny relation (broadcast selected set,
+    max-pair-sim aggregate, top-1) — corpus-scale work happens exactly
+    once, the iteration cost is O(pool·k) on 6-dp-rounded similarities with
+    vec_id tiebreaks, so the argmax is engine-deterministic (the
+    brute_force_topk convention)."""
+    corpus = embeddings.select(
+        "vec_id", "embedding", _l2norm(F.col("embedding")).alias("nrm")
+    )
+    q = corpus.where(F.col("vec_id") == query_id).select(
+        F.col("embedding").alias("q_emb"), F.col("nrm").alias("q_nrm")
+    )
+    cands = (
+        corpus.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != query_id)
+        .select(
+            "vec_id",
+            "embedding",
+            "nrm",
+            F.round(
+                _dot(F.col("q_emb"), F.col("embedding"))
+                / (F.col("q_nrm") * F.col("nrm")),
+                6,
+            ).alias("simq"),
+        )
+        .orderBy(F.desc("simq"), "vec_id")
+        .limit(pool)
+        .localCheckpoint()
+    )
+    selected = (
+        cands.orderBy(F.desc("simq"), "vec_id")
+        .limit(1)
+        .select(
+            F.lit(1).alias("sel_round"),
+            "vec_id",
+            "embedding",
+            "nrm",
+            "simq",
+            F.lit(None).cast("double").alias("mmr"),
+        )
+        .localCheckpoint()
+    )
+    lam = MMR_LAMBDA6 / 1_000_000
+    for r in range(2, k + 1):
+        sel = selected.select(
+            F.col("vec_id").alias("s_id"),
+            F.col("embedding").alias("s_emb"),
+            F.col("nrm").alias("s_nrm"),
+        )
+        pair = F.round(
+            _dot(F.col("embedding"), F.col("s_emb"))
+            / (F.col("nrm") * F.col("s_nrm")),
+            6,
+        )
+        winner = (
+            cands.join(
+                selected.select(F.col("vec_id")), "vec_id", "left_anti"
+            )
+            .crossJoin(F.broadcast(sel))
+            .select("vec_id", "embedding", "nrm", "simq", pair.alias("ps"))
+            .groupBy("vec_id")
+            .agg(
+                F.first("embedding").alias("embedding"),
+                F.first("nrm").alias("nrm"),
+                F.first("simq").alias("simq"),
+                F.max("ps").alias("ms"),
+            )
+            .select(
+                "vec_id",
+                "embedding",
+                "nrm",
+                "simq",
+                F.round(
+                    F.lit(lam) * F.col("simq")
+                    - F.lit(1 - lam) * F.col("ms"),
+                    6,
+                ).alias("mmr"),
+            )
+            .orderBy(F.desc("mmr"), "vec_id")
+            .limit(1)
+            .select(
+                F.lit(r).alias("sel_round"),
+                "vec_id",
+                "embedding",
+                "nrm",
+                "simq",
+                "mmr",
+            )
+        )
+        selected = selected.unionAll(winner).localCheckpoint()
+    return selected.select("sel_round", "vec_id", "simq", "mmr").orderBy(
+        "sel_round"
+    )
+
+
+def mmr_rerank_sql(
+    query_id: int, pool: int = MMR_POOL, k: int = MMR_K
+) -> str:
+    lam = MMR_LAMBDA6 / 1_000_000
+    cos = (
+        "round(list_cosine_similarity({a}::DOUBLE[], {b}::DOUBLE[]), 6)"
+    )
+    parts = [
+        f"""
+    WITH cand AS (
+        SELECT c.vec_id, c.embedding,
+               {cos.format(a='q.q_emb', b='c.embedding')} AS simq
+        FROM embeddings c CROSS JOIN (
+            SELECT embedding AS q_emb FROM embeddings
+            WHERE vec_id = {query_id}
+        ) q
+        WHERE c.vec_id <> {query_id}
+        ORDER BY simq DESC, c.vec_id LIMIT {pool}
+    ),
+    s1 AS (
+        SELECT vec_id, embedding, simq FROM cand
+        ORDER BY simq DESC, vec_id LIMIT 1
+    )"""
+    ]
+    for r in range(2, k + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT vec_id FROM s{i}" for i in range(1, r)
+        )
+        sel_union = " UNION ALL ".join(
+            f"SELECT embedding FROM s{i}" for i in range(1, r)
+        )
+        parts.append(
+            f""",
+    m{r} AS (
+        SELECT c.vec_id, any_value(c.embedding) AS embedding,
+               any_value(c.simq) AS simq,
+               MAX({cos.format(a='c.embedding', b='s.embedding')}) AS ms
+        FROM cand c CROSS JOIN ({sel_union}) s
+        WHERE c.vec_id NOT IN ({prev})
+        GROUP BY c.vec_id
+    ),
+    s{r} AS (
+        SELECT vec_id, embedding, simq,
+               round({lam!r} * simq - {1 - lam!r} * ms, 6) AS mmr
+        FROM m{r}
+        ORDER BY mmr DESC, vec_id LIMIT 1
+    )"""
+        )
+    finals = " UNION ALL ".join(
+        [
+            "SELECT 1 AS sel_round, vec_id, simq,"
+            " CAST(NULL AS DOUBLE) AS mmr FROM s1"
+        ]
+        + [
+            f"SELECT {r} AS sel_round, vec_id, simq, mmr FROM s{r}"
+            for r in range(2, k + 1)
+        ]
+    )
+    return "".join(parts) + f"\n    {finals}\n    ORDER BY sel_round"

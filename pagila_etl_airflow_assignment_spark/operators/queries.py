@@ -1420,3 +1420,10 @@ def q_bitmap_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise audience overlap between event types via 63-bit packed
     bitmap words (bit_or / AND / popcount) — exact, no row-per-user join."""
     return bitmap.bitmap_intersections(load_table(spark, sf_dir, "events"))
+
+
+@register("events_markov_accuracy", oracle=sequences.MARKOV_ACCURACY_SQL)
+def q_markov_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-split top-1 accuracy of the first-order Markov next-event
+    predictor vs the majority baseline — the behavioral-model eval harness."""
+    return sequences.markov_accuracy(load_table(spark, sf_dir, "events"))

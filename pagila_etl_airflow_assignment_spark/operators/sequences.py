@@ -379,3 +379,121 @@ OUT_OF_ORDER_AUDIT_SQL = """
     GROUP BY event_type
     ORDER BY event_type
 """
+
+
+# --- Markov next-event prediction eval ------------------------------------------
+
+
+def markov_accuracy(events: DataFrame) -> DataFrame:
+    """Time-split evaluation of the first-order Markov next-event predictor:
+    transitions whose NEXT event falls in the first half of the global time
+    range train the model (per prev_type, the most frequent next type, ties
+    to the smallest type string); the second half evaluates top-1 accuracy
+    against the majority-class baseline — the eval-harness discipline
+    (temporal split, baseline comparison) every behavioral model ships with.
+
+    One user-keyed lag window builds transitions; the model and baseline are
+    ≤|types|²-row aggregates of the train half; evaluation is a broadcast
+    join of the tiny model onto test transitions. The global midpoint is an
+    exact integer micros average, broadcast as a 1-row aggregate. Exact
+    integer milli accuracy."""
+    from ..functions import micros
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+        .select("prev_type", "event_type", micros("ts").alias("m"))
+    )
+    span = events.agg(
+        F.expr("CAST((min(unix_micros(CAST(ts AS TIMESTAMP)))"
+               " + max(unix_micros(CAST(ts AS TIMESTAMP)))) DIV 2 AS BIGINT)")
+        .alias("mid")
+    )
+    split = trans.crossJoin(F.broadcast(span))
+    train = split.where(F.col("m") <= F.col("mid"))
+    test = split.where(F.col("m") > F.col("mid"))
+    rk = Window.partitionBy("prev_type").orderBy(
+        F.desc("n"), F.col("event_type")
+    )
+    model = (
+        train.groupBy("prev_type", "event_type")
+        .agg(F.count("*").alias("n"))
+        .withColumn("r", F.row_number().over(rk))
+        .where(F.col("r") == 1)
+        .select("prev_type", F.col("event_type").alias("pred_type"))
+    )
+    majority = (
+        train.groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "event_type")
+        .limit(1)
+        .select(F.col("event_type").alias("maj_type"))
+    )
+    acc = lambda hit: F.expr(
+        f"CAST((2000 * {hit} + n_test) DIV (2 * n_test) AS BIGINT)"
+    )
+    return (
+        test.join(F.broadcast(model), "prev_type", "left")
+        .crossJoin(F.broadcast(majority))
+        .agg(
+            F.count("*").alias("n_test"),
+            F.sum((F.col("event_type") == F.col("pred_type")).cast("int"))
+            .cast("long")
+            .alias("n_hit"),
+            F.sum((F.col("event_type") == F.col("maj_type")).cast("int"))
+            .cast("long")
+            .alias("n_base_hit"),
+        )
+        .crossJoin(F.broadcast(train.agg(F.count("*").cast("long").alias("n_train"))))
+        .select(
+            "n_train",
+            "n_test",
+            acc("n_hit").alias("accuracy_milli"),
+            acc("n_base_hit").alias("baseline_milli"),
+        )
+    )
+
+
+MARKOV_ACCURACY_SQL = """
+    WITH trans AS (
+        SELECT prev_type, event_type, epoch_us(ts) AS m
+        FROM (
+            SELECT event_type, ts,
+                   LAG(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_type
+            FROM events
+        )
+        WHERE prev_type IS NOT NULL
+    ),
+    span AS (
+        SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS mid FROM events
+    ),
+    train AS (SELECT t.* FROM trans t, span WHERE t.m <= span.mid),
+    test  AS (SELECT t.* FROM trans t, span WHERE t.m > span.mid),
+    model AS (
+        SELECT prev_type, event_type AS pred_type FROM (
+            SELECT prev_type, event_type, COUNT(*) AS n,
+                   ROW_NUMBER() OVER (PARTITION BY prev_type
+                                      ORDER BY COUNT(*) DESC, event_type) AS r
+            FROM train GROUP BY prev_type, event_type
+        ) WHERE r = 1
+    ),
+    majority AS (
+        SELECT event_type AS maj_type FROM train
+        GROUP BY event_type ORDER BY COUNT(*) DESC, event_type LIMIT 1
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM train) AS n_train,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST((2000 * SUM(CASE WHEN t.event_type = m.pred_type
+                                 THEN 1 ELSE 0 END) + COUNT(*))
+                // (2 * COUNT(*)) AS BIGINT) AS accuracy_milli,
+           CAST((2000 * SUM(CASE WHEN t.event_type = j.maj_type
+                                 THEN 1 ELSE 0 END) + COUNT(*))
+                // (2 * COUNT(*)) AS BIGINT) AS baseline_milli
+    FROM test t
+    LEFT JOIN model m USING (prev_type)
+    CROSS JOIN majority j
+"""

@@ -248,6 +248,9 @@ EXTENSION_SURVEY_ROWS: dict[str, tuple[str, ...]] = {
     "warehouse_encoding_advisor": ("L-182",),
     "warehouse_zorder_layout": ("L-183",),
     "events_bitmap_intersections": ("L-184",),
+    "sampling_doremi_step": ("L-185",),
+    "events_markov_accuracy": ("L-186",),
+    "ann_mmr_rerank": ("L-187",),
 }
 
 
@@ -324,6 +327,9 @@ _DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "warehouse_encoding_advisor",
     "warehouse_zorder_layout",
     "events_bitmap_intersections",
+    "sampling_doremi_step",
+    "events_markov_accuracy",
+    "ann_mmr_rerank",
     # -- tier C: never driver-sampled (r5 sample takes ~30 of these;
     #    the rest rotate into r6) --
     "dedup_incremental_bloom",

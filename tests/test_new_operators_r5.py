@@ -724,3 +724,61 @@ def test_bitmap_intersections_exact_overlap(spark):
     assert (r.type_a, r.type_b) == ("click", "view")
     assert (r.users_a, r.users_b, r.users_both) == (10, 10, 5)
     assert r.jaccard_milli == 333  # 5 / 15
+
+
+# --- DoReMi step ----------------------------------------------------------------
+
+
+def test_doremi_weights_normalize_and_rank_by_score(spark):
+    docs = spark.createDataFrame(
+        [(i, f"w{i}a w{i}b", f"src{i % 3}") for i in range(30)],
+        "doc_id long, text string, source string",
+    )
+    out = sampling.doremi_step(docs).collect()
+    assert abs(sum(r.weight_micro for r in out) - 1_000_000) <= len(out)
+    by_score = sorted(out, key=lambda r: (-r.score_milli, r.source))
+    by_weight = sorted(out, key=lambda r: (-r.weight_micro, r.source))
+    assert [r.source for r in by_score] == [r.source for r in by_weight]
+    assert sum(r.excess_milli for r in out) <= len(out)  # centred around avg
+
+
+# --- Markov accuracy eval -------------------------------------------------------
+
+
+def test_markov_accuracy_learns_deterministic_chain(spark):
+    from pagila_etl_airflow_assignment_spark.operators import sequences
+
+    # user 1 repeats a->b->a->b... across the whole span: the model learns
+    # the swap in the first half and scores 100% on the second half
+    rows = [
+        (i, f"2024-01-01 {i:02d}:00:00", 1, "a" if i % 2 == 0 else "b")
+        for i in range(20)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).selectExpr("event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id", "event_type")
+    r = sequences.markov_accuracy(ev).collect()[0]
+    assert r.n_train + r.n_test == 19
+    assert r.accuracy_milli == 1000
+    assert r.baseline_milli < 1000  # majority class is right only half the time
+
+
+# --- MMR re-rank ----------------------------------------------------------------
+
+
+def test_mmr_prefers_diverse_over_redundant(spark):
+    # query q=[1,0]; c1=[0.9,0.1] and c3=[0.9,-0.1] are equally relevant on
+    # opposite sides, c2=[0.9,0.11] is a near-duplicate of c1 with slightly
+    # higher plain-cosine rank than nothing-else: top-k would emit (c1, c2);
+    # MMR's redundancy penalty flips round 2 to the diverse c3
+    vecs = _vecs(
+        spark,
+        [
+            (0, [1.0, 0.0], 0),
+            (1, [0.9, 0.1], 0),
+            (2, [0.9, 0.11], 0),
+            (3, [0.9, -0.1], 0),
+        ],
+    )
+    out = similarity.mmr_rerank(vecs, 0, pool=3, k=2).collect()
+    assert [(r.sel_round, r.vec_id) for r in out] == [(1, 1), (2, 3)]

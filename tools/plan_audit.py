@@ -98,6 +98,10 @@ ALLOWED: dict[str, set[str]] = {
     "warehouse_skew_profile": {"BroadcastNestedLoopJoin"},
     # broadcast 1-row global-span aggregate (pruning-width denominator)
     "warehouse_zorder_layout": {"BroadcastNestedLoopJoin"},
+    # broadcast 1-row midpoint + <=|types|-row model/majority relations
+    "events_markov_accuracy": {"BroadcastNestedLoopJoin"},
+    # broadcast 1-row query vector + <=k-row selected set per greedy round
+    "ann_mmr_rerank": {"BroadcastNestedLoopJoin"},
     # broadcast ≤n_centroids-row centroid relation (the kmeans/IVF affinity shape)
     "dedup_semantic_clusters": {"BroadcastNestedLoopJoin"},
     # two broadcast 1-row token-total scalars (target/raw denominators)

@@ -178,6 +178,9 @@ PROBES = [
     "warehouse_encoding_advisor",
     "warehouse_zorder_layout",
     "events_bitmap_intersections",
+    "sampling_doremi_step",
+    "events_markov_accuracy",
+    "ann_mmr_rerank",
 ]
 
 
