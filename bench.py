@@ -56,6 +56,7 @@ HEADLINE = [
     "cdc_orders_snapshot_diff",
     "cdc_orders_apply_roundtrip",
     "cdc_partition_checksums",
+    "incremental_backfill_plan",
     "embedding_centroid_outliers",
     "warehouse_salted_skew_join",
     "embedding_kmeans_step",
@@ -95,6 +96,7 @@ HEADLINE = [
     "embedding_matryoshka_quality",
     "embedding_kmeans_lloyd",
     "embedding_kcenter_coreset",
+    "embedding_cluster_silhouette",
     "graph_personalized_pagerank",
     "warehouse_part_skyline",
     "graph_link_prediction",

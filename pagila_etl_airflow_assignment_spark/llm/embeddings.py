@@ -1274,3 +1274,137 @@ def kcenter_coreset_sql(rounds: int = KCENTER_ROUNDS, dim: int = RP_IN_DIM) -> s
         ]
     )
     return "".join(parts) + f"\n    {finals}\n    ORDER BY sel_round"
+
+
+# --- labeled-clustering silhouette eval -----------------------------------------
+
+
+def cluster_silhouette(embeddings: DataFrame) -> DataFrame:
+    """Centroid-silhouette evaluation of the label partition: every vector's
+    margin = cos(v, own centroid) − max cos(v, other centroid); per label
+    the mean margin and the count of negative margins (vectors sitting
+    closer to a foreign centroid — the misclustering signal). This is the
+    clustering-quality harness (simplified silhouette: centroid distances
+    instead of the quadratic pairwise form, the standard large-scale
+    substitute).
+
+    Exactness: coordinates quantize once to integer micro-units and
+    centroids are round(Σ/n) integer means (the kmeans_lloyd contract);
+    cosines round at 6 dp then quantize to exact micro ints, so margins,
+    sums, and the signed half-up milli means are bit-stable. Plan: one
+    long-form centroid aggregate (k×dim rows, broadcast), one pos-keyed
+    join with map-side partial dot-product aggregation (the exchange
+    carries (vec, label) partials, never the pos fan-out), one label
+    aggregate."""
+    xm = embeddings.select(
+        "vec_id",
+        "label",
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * F.lit(1e6)).cast("long"),
+            )
+        ).alias("pos0", "xm"),
+    ).withColumn("pos", F.col("pos0") + 1)
+    cents = (
+        xm.groupBy(F.col("label").alias("label_c"), "pos")
+        .agg(
+            F.expr("CAST(round(CAST(SUM(xm) AS DOUBLE) / COUNT(*)) AS BIGINT)")
+            .alias("cm")
+        )
+    )
+    cnorm = cents.groupBy("label_c").agg(
+        F.sqrt(F.sum(F.col("cm") * F.col("cm")).cast("double")).alias("cn")
+    )
+    vnorm = xm.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("xm") * F.col("xm")).cast("double")).alias("vn")
+    )
+    cos_micro = F.expr("CAST(round(round(dot / (vn * cn), 6) * 1e6) AS BIGINT)")
+    sims = (
+        xm.join(F.broadcast(cents), "pos")
+        .groupBy("vec_id", "label", "label_c")
+        .agg(F.sum(F.col("xm") * F.col("cm")).cast("double").alias("dot"))
+        .join(vnorm, "vec_id")
+        .join(F.broadcast(cnorm), "label_c")
+        .select("vec_id", "label", "label_c", cos_micro.alias("cos_micro"))
+    )
+    margins = (
+        sims.groupBy("vec_id", "label")
+        .agg(
+            F.max(F.when(F.col("label_c") == F.col("label"), F.col("cos_micro")))
+            .alias("own"),
+            F.max(F.when(F.col("label_c") != F.col("label"), F.col("cos_micro")))
+            .alias("other"),
+        )
+        .select("label", (F.col("own") - F.col("other")).alias("m"))
+    )
+    return (
+        margins.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum("m").alias("sm"),
+            F.sum((F.col("m") < 0).cast("int")).cast("long").alias("n_negative"),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            F.expr(
+                "CAST(CASE WHEN sm < 0 THEN -1 ELSE 1 END"
+                " * ((2 * abs(sm) + n_vecs) DIV (2 * n_vecs)) AS BIGINT)"
+            ).alias("mean_margin_micro"),
+            "n_negative",
+        )
+        .orderBy("label")
+    )
+
+
+CLUSTER_SILHOUETTE_SQL = """
+    WITH xm AS (
+        SELECT vec_id, label,
+               generate_subscripts(embedding, 1) AS pos,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT)
+                   AS xm
+        FROM embeddings
+    ),
+    cents AS (
+        SELECT label AS label_c, pos,
+               CAST(round(CAST(SUM(xm) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cm
+        FROM xm GROUP BY label, pos
+    ),
+    cnorm AS (
+        SELECT label_c, sqrt(CAST(SUM(cm * cm) AS DOUBLE)) AS cn
+        FROM cents GROUP BY label_c
+    ),
+    vnorm AS (
+        SELECT vec_id, sqrt(CAST(SUM(xm * xm) AS DOUBLE)) AS vn
+        FROM xm GROUP BY vec_id
+    ),
+    sims AS (
+        SELECT d.vec_id, d.label, d.label_c,
+               CAST(round(round(d.dot / (v.vn * c.cn), 6) * 1e6) AS BIGINT)
+                   AS cos_micro
+        FROM (
+            SELECT x.vec_id, x.label, c.label_c,
+                   CAST(SUM(x.xm * c.cm) AS DOUBLE) AS dot
+            FROM xm x JOIN cents c USING (pos)
+            GROUP BY x.vec_id, x.label, c.label_c
+        ) d
+        JOIN vnorm v ON v.vec_id = d.vec_id
+        JOIN cnorm c ON c.label_c = d.label_c
+    ),
+    margins AS (
+        SELECT label,
+               MAX(CASE WHEN label_c = label THEN cos_micro END)
+                 - MAX(CASE WHEN label_c <> label THEN cos_micro END) AS m
+        FROM sims GROUP BY vec_id, label
+    )
+    SELECT label, COUNT(*) AS n_vecs,
+           CAST(CASE WHEN SUM(m) < 0 THEN -1 ELSE 1 END
+                * ((2 * abs(SUM(m)) + COUNT(*)) // (2 * COUNT(*)))
+                AS BIGINT) AS mean_margin_micro,
+           CAST(SUM(CASE WHEN m < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_negative
+    FROM margins
+    GROUP BY label
+    ORDER BY label
+"""

@@ -746,3 +746,10 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.mmr_rerank(
         load_table(spark, sf_dir, "embeddings"), ANN_QUERY_IDS[0]
     )
+
+
+@register("embedding_cluster_silhouette", oracle=embeddings_mod.CLUSTER_SILHOUETTE_SQL)
+def q_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-silhouette clustering eval per label: mean own-vs-nearest-
+    foreign cosine margin + misclustered count, exact micro arithmetic."""
+    return embeddings_mod.cluster_silhouette(load_table(spark, sf_dir, "embeddings"))

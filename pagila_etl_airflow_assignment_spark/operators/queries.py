@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from ..functions import micros
 from ..registry import register
+from ..incremental import backfill
 from ..sources.parquet import load_table
 from ..schemas import ORDERS
 from . import analytics, behavior, bitmap, cdc, cmsketch, distributions, features, graph, hll, ivm, layout, profile, sequences, stats, temporal, tpch_shapes, warehouse
@@ -1427,3 +1428,10 @@ def q_markov_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-split top-1 accuracy of the first-order Markov next-event
     predictor vs the majority baseline — the behavioral-model eval harness."""
     return sequences.markov_accuracy(load_table(spark, sf_dir, "events"))
+
+
+@register("incremental_backfill_plan", oracle=backfill.backfill_plan_sql())
+def q_backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunked backfill work-list from the simulated watermark gap — the
+    orchestrator-side complement of the incremental runner."""
+    return backfill.backfill_plan(load_table(spark, sf_dir, "events"))

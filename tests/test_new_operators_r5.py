@@ -782,3 +782,57 @@ def test_mmr_prefers_diverse_over_redundant(spark):
     )
     out = similarity.mmr_rerank(vecs, 0, pool=3, k=2).collect()
     assert [(r.sel_round, r.vec_id) for r in out] == [(1, 1), (2, 3)]
+
+
+# --- backfill planner -----------------------------------------------------------
+
+
+def test_backfill_plan_chunks_cover_gap(spark):
+    from pagila_etl_airflow_assignment_spark.incremental import backfill
+
+    # 20-day span 01-01..01-21 (datediff=20) -> watermark at day 6 (01-07);
+    # gap of 14 days -> two 7-day chunks
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (2, "2024-01-21 00:00:00")],
+        "event_id long, ts string",
+    ).selectExpr("event_id", "CAST(ts AS TIMESTAMP) AS ts")
+    out = backfill.backfill_plan(ev).collect()
+    assert [(r.run_id, str(r.start_day), str(r.end_day), r.n_days) for r in out] == [
+        (1, "2024-01-08", "2024-01-14", 7),
+        (2, "2024-01-15", "2024-01-21", 7),
+    ]
+
+
+def test_backfill_plan_trailing_partial_chunk(spark):
+    from pagila_etl_airflow_assignment_spark.incremental import backfill
+
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (2, "2024-01-11 00:00:00")],
+        "event_id long, ts string",
+    ).selectExpr("event_id", "CAST(ts AS TIMESTAMP) AS ts")
+    out = backfill.backfill_plan(ev).collect()
+    # span 10 days -> wm day 3 (01-04); gap 01-05..01-11 = 7 days: one chunk
+    assert len(out) == 1 and out[0].n_days == 7
+    assert str(out[0].end_day) == "2024-01-11"
+
+
+# --- cluster silhouette ---------------------------------------------------------
+
+
+def test_silhouette_separates_clean_clusters(spark):
+    # two tight, well-separated clusters: margins strongly positive, no
+    # vector closer to the foreign centroid
+    vecs = _vecs(
+        spark,
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [0.99, 0.05], 0),
+            (3, [0.0, 1.0], 1),
+            (4, [0.05, 0.99], 1),
+            (5, [0.5, 0.52], 1),  # straddler: nearer its own centroid still
+        ],
+    )
+    out = {r.label: r for r in emb.cluster_silhouette(vecs).collect()}
+    assert out[0].n_negative == 0 and out[0].mean_margin_micro > 200_000
+    assert out[1].n_vecs == 3
+    assert out[1].n_negative == 0

@@ -181,6 +181,8 @@ PROBES = [
     "sampling_doremi_step",
     "events_markov_accuracy",
     "ann_mmr_rerank",
+    "incremental_backfill_plan",
+    "embedding_cluster_silhouette",
 ]
 
 
