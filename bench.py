@@ -97,6 +97,7 @@ HEADLINE = [
     "embedding_kmeans_lloyd",
     "embedding_kcenter_coreset",
     "embedding_cluster_silhouette",
+    "embedding_pca_power_iteration",
     "graph_personalized_pagerank",
     "warehouse_part_skyline",
     "graph_link_prediction",

@@ -752,3 +752,64 @@ def bpe_merge_step_sql(k: int = BPE_TOP_K, docs_rel: str = "documents") -> str:
     ORDER BY n_occurrences DESC, pair
     LIMIT {k}
     """
+
+
+# --- corpus-adaptive stopword discovery -----------------------------------------
+
+STOPWORD_MIN_DF_MILLI = 600  # in >= 60% of the language's documents
+
+
+def stopword_discovery(
+    docs: DataFrame, min_df_milli: int = STOPWORD_MIN_DF_MILLI
+) -> DataFrame:
+    """Per-language corpus-derived stopword lists: a term present in >=
+    ``min_df_milli``/1000 of a language's documents is a stopword for that
+    language — how curation pipelines bootstrap lexicons for languages with
+    no curated list (the CCNet per-language resource build).
+
+    One distinct (lang, doc, term) explode (array_distinct BEFORE the
+    explode — narrow), one (lang, term) document-frequency aggregate, and a
+    broadcast join against the tiny per-language doc-count relation. Output
+    is the lexicon, ordered by (lang, df desc, term)."""
+    terms = docs.select(
+        "lang",
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(_norm_text(F.col("text")), WS_RE))
+        ).alias("term"),
+    )
+    df_rel = terms.groupBy("lang", "term").agg(F.count("*").alias("df"))
+    lang_n = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    dfm = F.expr("CAST((2000 * df + n_docs) DIV (2 * n_docs) AS BIGINT)")
+    return (
+        df_rel.join(F.broadcast(lang_n), "lang")
+        .select("lang", "term", "df", "n_docs", dfm.alias("df_milli"))
+        .where(F.col("df_milli") >= min_df_milli)
+        .orderBy("lang", F.desc("df"), "term")
+    )
+
+
+def stopword_discovery_sql(
+    min_df_milli: int = STOPWORD_MIN_DF_MILLI, docs_rel: str = "documents"
+) -> str:
+    return rf"""
+    WITH terms AS (
+        SELECT DISTINCT lang, doc_id,
+               unnest(string_split_regex({_norm_text_sql('text')}, '{WS_RE}'))
+                   AS term
+        FROM {docs_rel}
+    ),
+    df_rel AS (
+        SELECT lang, term, COUNT(*) AS df FROM terms GROUP BY lang, term
+    ),
+    lang_n AS (
+        SELECT lang, COUNT(*) AS n_docs FROM {docs_rel} GROUP BY lang
+    )
+    SELECT d.lang, d.term, d.df, l.n_docs,
+           CAST((2000 * d.df + l.n_docs) // (2 * l.n_docs) AS BIGINT)
+               AS df_milli
+    FROM df_rel d JOIN lang_n l USING (lang)
+    WHERE CAST((2000 * d.df + l.n_docs) // (2 * l.n_docs) AS BIGINT)
+          >= {min_df_milli}
+    ORDER BY lang, df DESC, term
+    """

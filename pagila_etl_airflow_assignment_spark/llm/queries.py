@@ -753,3 +753,17 @@ def q_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Centroid-silhouette clustering eval per label: mean own-vs-nearest-
     foreign cosine margin + misclustered count, exact micro arithmetic."""
     return embeddings_mod.cluster_silhouette(load_table(spark, sf_dir, "embeddings"))
+
+
+@register("text_stopword_discovery", oracle=corpus_stats.stopword_discovery_sql())
+def q_stopword_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus-derived stopword lexicon (df >= 60% of the
+    language's documents) — the CCNet resource-bootstrap step."""
+    return corpus_stats.stopword_discovery(load_table(spark, sf_dir, "documents"))
+
+
+@register("embedding_pca_power_iteration", oracle=embeddings_mod.pca_power_iteration_sql())
+def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction via matrix-free power iteration (3 rounds,
+    integer-micro direction, order-free integer contribution sums)."""
+    return embeddings_mod.pca_power_iteration(load_table(spark, sf_dir, "embeddings"))

@@ -1435,3 +1435,10 @@ def q_backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunked backfill work-list from the simulated watermark gap — the
     orchestrator-side complement of the incremental runner."""
     return backfill.backfill_plan(load_table(spark, sf_dir, "events"))
+
+
+@register("events_dow_anova", oracle=stats.DOW_ANOVA_SQL)
+def q_dow_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F across day-of-week groups from exact-cents sufficient
+    statistics — the k-group seasonality significance test."""
+    return stats.dow_anova(load_table(spark, sf_dir, "events"))

@@ -645,3 +645,83 @@ def bot_regularity_scores_sql(
         FROM scored
         ORDER BY user_id
     """
+
+
+# --- one-way ANOVA across day-of-week groups ------------------------------------
+
+
+def dow_anova(events: DataFrame) -> DataFrame:
+    """One-way ANOVA F-statistic for event value across day-of-week groups —
+    the seasonality significance test completing the stats family
+    (chi-square for counts, Welch for two means, ANOVA for k means).
+
+    Sufficient statistics are EXACT integer cents (one rounding per value,
+    then order-free integer Σv / Σv² per group — never a distributed float
+    sum); SSB/SSW/F are closed-form doubles over those exact integers,
+    rounded at 6 dp. Day-of-week is pure date arithmetic
+    (days-since-Monday-epoch mod 7) so both engines bucket identically.
+    Plan: one 7-group aggregate, one 1-row reduction."""
+    vc = F.expr("CAST(round(value * 100) AS BIGINT)")
+    dow = F.expr(
+        "CAST(datediff(CAST(ts AS DATE), DATE'1970-01-05') % 7 AS INT)"
+    )
+    per = (
+        events.select(dow.alias("dow"), vc.alias("vc"))
+        .groupBy("dow")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("vc").alias("s"),
+            F.sum(F.col("vc") * F.col("vc")).alias("q"),
+        )
+    )
+    tot = per.agg(
+        F.count("*").cast("long").alias("k_groups"),
+        F.sum("n").cast("long").alias("n_events"),
+        F.sum(F.col("s").cast("double") * F.col("s") / F.col("n")).alias("sb"),
+        F.sum("s").cast("double").alias("st"),
+        F.sum("q").cast("double").alias("qt"),
+    )
+    ssb = (F.col("sb") - F.col("st") * F.col("st") / F.col("n_events")) / 1e4
+    ssw = (F.col("qt") - F.col("sb")) / 1e4
+    ok = (F.col("k_groups") > 1) & (F.col("n_events") > F.col("k_groups"))
+    f = (ssb / (F.col("k_groups") - 1)) / (
+        ssw / (F.col("n_events") - F.col("k_groups"))
+    )
+    return tot.select(
+        "k_groups",
+        "n_events",
+        F.round(ssb, 6).alias("ss_between"),
+        F.round(ssw, 6).alias("ss_within"),
+        F.round(F.when(ok & (ssw > 0), f), 6).alias("f_stat"),
+    )
+
+
+DOW_ANOVA_SQL = """
+    WITH per AS (
+        SELECT CAST(datediff('day', DATE '1970-01-05', CAST(ts AS DATE)) % 7
+                    AS INT) AS dow,
+               COUNT(*) AS n,
+               SUM(CAST(round(value * 100) AS BIGINT)) AS s,
+               SUM(CAST(round(value * 100) AS BIGINT)
+                   * CAST(round(value * 100) AS BIGINT)) AS q
+        FROM events
+        GROUP BY 1
+    ),
+    tot AS (
+        SELECT COUNT(*) AS k_groups,
+               CAST(SUM(n) AS BIGINT) AS n_events,
+               SUM(CAST(s AS DOUBLE) * s / n) AS sb,
+               CAST(SUM(s) AS DOUBLE) AS st,
+               CAST(SUM(q) AS DOUBLE) AS qt
+        FROM per
+    )
+    SELECT k_groups, n_events,
+           round((sb - st * st / n_events) / 1e4, 6) AS ss_between,
+           round((qt - sb) / 1e4, 6) AS ss_within,
+           round(CASE WHEN k_groups > 1 AND n_events > k_groups
+                           AND (qt - sb) > 0
+                      THEN ((sb - st * st / n_events) / (k_groups - 1))
+                           / ((qt - sb) / (n_events - k_groups))
+                 END, 6) AS f_stat
+    FROM tot
+"""

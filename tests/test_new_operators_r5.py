@@ -836,3 +836,64 @@ def test_silhouette_separates_clean_clusters(spark):
     assert out[0].n_negative == 0 and out[0].mean_margin_micro > 200_000
     assert out[1].n_vecs == 3
     assert out[1].n_negative == 0
+
+
+# --- stopword discovery ---------------------------------------------------------
+
+
+def test_stopword_discovery_per_lang_threshold(spark):
+    from pagila_etl_airflow_assignment_spark.llm import corpus_stats as cs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat", "en"), (2, "the dog", "en"), (3, "the bird", "en"),
+            (4, "rare word", "en"),
+            (5, "le chat", "fr"), (6, "le chien", "fr"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {(r.lang, r.term): r for r in cs.stopword_discovery(docs).collect()}
+    assert ("en", "the") in out and out[("en", "the")].df_milli == 750
+    assert ("fr", "le") in out and out[("fr", "le")].df_milli == 1000
+    assert ("en", "cat") not in out  # df 1/4 = 250 < 600
+    assert ("en", "le") not in out   # per-language lexicons
+
+
+# --- PCA power iteration --------------------------------------------------------
+
+
+def test_pca_finds_dominant_direction(spark):
+    # data stretched along (1,1)/sqrt(2): the top component must align with
+    # it (equal weight on both coords, same sign)
+    import itertools
+
+    pts = [(i, [float(c), float(c) + 0.01 * (i % 3 - 1)], 0)
+           for i, c in enumerate(itertools.chain(range(-5, 0), range(1, 6)))]
+    vecs = _vecs(spark, pts, dim=2)
+    out = {r.pos: r.vm for r in emb.pca_power_iteration(vecs).collect()}
+    assert set(out) == {1, 2}
+    assert out[1] * out[2] > 0                      # same sign
+    ratio = abs(out[1]) / abs(out[2])
+    assert 0.9 < ratio < 1.1                        # near-equal loadings
+    n = (out[1] ** 2 + out[2] ** 2) ** 0.5
+    assert abs(n - 1_000_000) < 2_000               # unit micro norm
+
+
+# --- day-of-week ANOVA ----------------------------------------------------------
+
+
+def test_dow_anova_detects_group_shift(spark):
+    from pagila_etl_airflow_assignment_spark.operators import stats
+
+    rows = []
+    eid = 0
+    for day, base in (("2024-01-01", 10.0), ("2024-01-02", 10.0), ("2024-01-03", 50.0)):
+        for j in range(20):
+            rows.append((eid, f"{day} 0{j % 10}:00:00", base + (j % 5) * 0.5))
+            eid += 1
+    ev = spark.createDataFrame(rows, "event_id long, ts string, value double") \
+        .selectExpr("event_id", "CAST(ts AS TIMESTAMP) AS ts", "value")
+    r = stats.dow_anova(ev).collect()[0]
+    assert (r.k_groups, r.n_events) == (3, 60)
+    assert r.f_stat > 100           # the shifted Wednesday dominates
+    assert r.ss_between > r.ss_within

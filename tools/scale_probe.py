@@ -183,6 +183,9 @@ PROBES = [
     "ann_mmr_rerank",
     "incremental_backfill_plan",
     "embedding_cluster_silhouette",
+    "text_stopword_discovery",
+    "embedding_pca_power_iteration",
+    "events_dow_anova",
 ]
 
 
