@@ -813,3 +813,120 @@ def stopword_discovery_sql(
           >= {min_df_milli}
     ORDER BY lang, df DESC, term
     """
+
+
+# --- BM25 retrieval scoring -----------------------------------------------------
+
+BM25_K1_CENTI = 120  # k1 = 1.2
+BM25_B_CENTI = 75    # b = 0.75
+BM25_QUERY_TERMS = 3
+BM25_TOP_K = 20
+
+
+def bm25_topk(
+    docs: DataFrame, n_query_terms: int = BM25_QUERY_TERMS, k: int = BM25_TOP_K
+) -> DataFrame:
+    """BM25 top-``k`` retrieval for a deterministic query (the corpus's
+    ``n_query_terms`` most frequent non-stopword terms, df < 60%) — the
+    classic lexical ranking function TF-IDF approximates; doc-length
+    normalization (b) and tf saturation (k1) are what make it the retrieval
+    baseline every RAG pipeline starts from.
+
+    Exactness: idf and the per-(doc, term) saturation ratio are
+    deterministic doubles over exact integer (tf, df, dl, N) statistics,
+    each contribution rounds ONCE to micro ints and doc scores are
+    order-free integer sums. Plan: the (doc, term) tf relation joins the
+    broadcast ≤``n_query_terms``-row query-stats relation — corpus work is
+    one tf aggregate; scoring touches only matching postings; distributed
+    top-k."""
+    k1 = BM25_K1_CENTI / 100
+    b = BM25_B_CENTI / 100
+    g = grams(docs, 1).withColumnRenamed("gram", "term")
+    tf = g.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = g.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    dstats = tf.groupBy("term").agg(F.count("*").alias("df"))
+    corpus = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").cast("long").alias("total_len")
+    )
+    qterms = (
+        g.groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .join(dstats, "term")
+        .crossJoin(F.broadcast(corpus))
+        .where(F.lit(1000) * F.col("df") < F.lit(600) * F.col("n_docs"))
+        .orderBy(F.desc("cnt"), "term")
+        .limit(n_query_terms)
+        .select("term", "df", "n_docs", "total_len")
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    avgdl = F.col("total_len") / F.col("n_docs")
+    contrib = F.expr(
+        f"CAST(round(1e6 * idf * tf * {k1 + 1!r}"
+        f" / (tf + {k1!r} * (1 - {b!r} + {b!r} * dl / avgdl))) AS BIGINT)"
+    )
+    return (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dl, "doc_id")
+        .withColumn("idf", idf)
+        .withColumn("avgdl", avgdl)
+        .withColumn("c", contrib)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("bm25_micro"),
+            F.count("*").alias("n_matched_terms"),
+        )
+        .orderBy(F.desc("bm25_micro"), "doc_id")
+        .limit(k)
+    )
+
+
+def bm25_topk_sql(
+    n_query_terms: int = BM25_QUERY_TERMS,
+    k: int = BM25_TOP_K,
+    docs_rel: str = "documents",
+) -> str:
+    k1 = BM25_K1_CENTI / 100
+    b = BM25_B_CENTI / 100
+    return f"""
+    WITH g AS (
+        SELECT doc_id, gram AS term FROM ({grams_sql(1, docs_rel)})
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM g GROUP BY doc_id, term
+    ),
+    dl AS (
+        SELECT doc_id, COUNT(*) AS dl FROM g GROUP BY doc_id
+    ),
+    dstats AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ),
+    corpus AS (
+        SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_len
+        FROM dl
+    ),
+    qterms AS (
+        SELECT t.term, d.df, c.n_docs, c.total_len
+        FROM (SELECT term, COUNT(*) AS cnt FROM g GROUP BY term) t
+        JOIN dstats d USING (term)
+        CROSS JOIN corpus c
+        WHERE 1000 * d.df < 600 * c.n_docs
+        ORDER BY t.cnt DESC, t.term
+        LIMIT {n_query_terms}
+    )
+    SELECT f.doc_id,
+           CAST(SUM(CAST(round(
+               1e6 * ln((q.n_docs - q.df + 0.5) / (q.df + 0.5) + 1.0)
+               * f.tf * {k1 + 1!r}
+               / (f.tf + {k1!r} * (1 - {b!r}
+                  + {b!r} * l.dl / (CAST(q.total_len AS DOUBLE) / q.n_docs)))
+           ) AS BIGINT)) AS BIGINT) AS bm25_micro,
+           COUNT(*) AS n_matched_terms
+    FROM tf f
+    JOIN qterms q USING (term)
+    JOIN dl l USING (doc_id)
+    GROUP BY f.doc_id
+    ORDER BY bm25_micro DESC, f.doc_id
+    LIMIT {k}
+    """

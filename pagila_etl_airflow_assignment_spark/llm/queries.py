@@ -767,3 +767,10 @@ def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal direction via matrix-free power iteration (3 rounds,
     integer-micro direction, order-free integer contribution sums)."""
     return embeddings_mod.pca_power_iteration(load_table(spark, sf_dir, "embeddings"))
+
+
+@register("text_bm25_topk", oracle=corpus_stats.bm25_topk_sql())
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 retrieval for the corpus-derived 3-term query — the
+    lexical ranking baseline; exact integer-micro contributions."""
+    return corpus_stats.bm25_topk(load_table(spark, sf_dir, "documents"))

@@ -901,3 +901,58 @@ CUMULATIVE_UNIQUE_USERS_SQL = """
     FROM daily
     ORDER BY day
 """
+
+
+def kaplan_meier(events: DataFrame, max_days: int = HAZARD_MAX_DAYS) -> DataFrame:
+    """Kaplan-Meier survival curve over the discrete_hazard table — the
+    float-product ladder that docstring defers "downstream": S(t) =
+    Π_{s≤t} (1 − d_s/n_s), computed as exp of a CUMULATIVE ln-sum so the
+    product is a sequential window over the ≤max_days-row grid (ordered,
+    single tiny partition — deterministic double arithmetic over exact
+    integer d/n, the engine-stable form of a running product). Days where
+    the risk set empties contribute nothing; a day that converts the entire
+    remaining risk set pins the curve to exactly 0 thereafter."""
+    h = discrete_hazard(events, max_days)
+    n, d = F.col("n_at_risk"), F.col("n_converted")
+    term = F.when((n > 0) & (d < n), F.log((n - d).cast("double") / n)).otherwise(
+        F.lit(0.0)
+    )
+    died = ((n > 0) & (d == n)).cast("int")
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        h.withColumn("t", term)
+        .withColumn("z", F.max(died).over(w))
+        .select(
+            "day",
+            "n_at_risk",
+            "n_converted",
+            F.when(F.col("z") == 1, F.lit(0.0))
+            .otherwise(F.round(F.exp(F.sum("t").over(w)), 6))
+            .alias("km_survival"),
+        )
+        .orderBy("day")
+    )
+
+
+def kaplan_meier_sql(max_days: int = HAZARD_MAX_DAYS) -> str:
+    return f"""
+    WITH h AS ({discrete_hazard_sql(max_days)}),
+    t AS (
+        SELECT day, n_at_risk, n_converted,
+               CASE WHEN n_at_risk > 0 AND n_converted < n_at_risk
+                    THEN ln(CAST(n_at_risk - n_converted AS DOUBLE) / n_at_risk)
+                    ELSE 0.0 END AS lt,
+               CASE WHEN n_at_risk > 0 AND n_converted = n_at_risk
+                    THEN 1 ELSE 0 END AS died
+        FROM h
+    )
+    SELECT day, n_at_risk, n_converted,
+           CASE WHEN MAX(died) OVER (ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+                THEN 0.0
+                ELSE round(exp(SUM(lt) OVER (ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+           END AS km_survival
+    FROM t
+    ORDER BY day
+    """

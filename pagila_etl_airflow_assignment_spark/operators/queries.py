@@ -1442,3 +1442,10 @@ def q_dow_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-way ANOVA F across day-of-week groups from exact-cents sufficient
     statistics — the k-group seasonality significance test."""
     return stats.dow_anova(load_table(spark, sf_dir, "events"))
+
+
+@register("events_kaplan_meier", oracle=analytics.kaplan_meier_sql())
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier signup->purchase survival curve over the discrete-hazard
+    grid (cumulative ln-sum product on the tiny day grid)."""
+    return analytics.kaplan_meier(load_table(spark, sf_dir, "events"))

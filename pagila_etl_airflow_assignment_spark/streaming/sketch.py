@@ -62,3 +62,28 @@ def streaming_hll_registers(
         .groupBy("event_type", "bucket")
         .agg(F.max("r").alias("m"))
     )
+
+
+def streaming_user_bitmaps(spark: SparkSession, events_path: str) -> DataFrame:
+    """Per-event-type 63-bit user bitmap words maintained incrementally over
+    the event stream — the streaming twin of operators/bitmap.py's batch
+    build. BIT_OR is MAX-class streaming state: idempotent under replay and
+    mergeable, so exact per-type distinct-user sets stay current with state
+    capped at |types|·⌈max_user/63⌉ words (the exact-cardinality analog of
+    the HLL registers above; use this while the user space fits words, HLL
+    past it). Differential contract: stream words after availableNow ==
+    user_bitmaps on the same data (tests/test_streaming_bitmap.py)."""
+    from ..operators.bitmap import WORD_BITS
+
+    sdf = events_stream(spark, events_path)
+    return (
+        sdf.select(
+            "event_type",
+            F.expr(f"user_id DIV {WORD_BITS}").alias("word"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(user_id % {WORD_BITS} AS INT))"
+            ).alias("w"),
+        )
+        .groupBy("event_type", "word")
+        .agg(F.bit_or("w").alias("bits"))
+    )

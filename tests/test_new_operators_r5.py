@@ -897,3 +897,58 @@ def test_dow_anova_detects_group_shift(spark):
     assert (r.k_groups, r.n_events) == (3, 60)
     assert r.f_stat > 100           # the shifted Wednesday dominates
     assert r.ss_between > r.ss_within
+
+
+# --- BM25 -----------------------------------------------------------------------
+
+
+def test_bm25_ranks_matching_docs_with_length_norm(spark):
+    from pagila_etl_airflow_assignment_spark.llm import corpus_stats as cs
+
+    # 'hot' is the only non-stopword frequent term ('the' appears in 100% of
+    # docs -> stopword-filtered out of the query); the short doc mentioning
+    # it must outrank the long one (length normalization), non-matching docs
+    # don't appear
+    docs = spark.createDataFrame(
+        [
+            (1, "the hot term"),
+            (2, "the hot term " + " ".join(f"pad{i}" for i in range(40))),
+            (3, "the unrelated text entirely"),
+            (4, "the hot hot hot doc"),
+            (5, "the filler alpha beta"),
+            (6, "the filler gamma delta"),
+        ],
+        "doc_id long, text string",
+    )
+    out = cs.bm25_topk(docs, n_query_terms=1).collect()
+    ids = [r.doc_id for r in out]
+    assert set(ids) == {1, 2, 4}
+    scores = {r.doc_id: r.bm25_micro for r in out}
+    assert scores[4] > scores[1] > scores[2]  # tf saturation + length norm
+
+
+# --- Kaplan-Meier ---------------------------------------------------------------
+
+
+def test_kaplan_meier_steps_down_on_conversions(spark):
+    from pagila_etl_airflow_assignment_spark.operators import analytics
+
+    rows = []
+    # 4 users sign up on day 0; users 1,2 convert day 1, user 3 converts day
+    # 3, user 4 never converts (censored)
+    for u in (1, 2, 3, 4):
+        rows.append((u * 10, "2024-01-01 00:00:00", u, "signup", 0.0))
+    rows += [
+        (101, "2024-01-02 00:00:00", 1, "purchase", 1.0),
+        (102, "2024-01-02 00:00:00", 2, "purchase", 1.0),
+        (103, "2024-01-04 00:00:00", 3, "purchase", 1.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).selectExpr("event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id", "event_type", "value")
+    km = {r.day: r for r in analytics.kaplan_meier(ev).collect()}
+    assert km[0].km_survival == 1.0
+    assert km[1].km_survival == 0.5          # 2 of 4 convert
+    assert km[2].km_survival == 0.5
+    assert km[3].km_survival == 0.25         # 1 of remaining 2
+    assert km[14].km_survival == 0.25        # censored user never converts

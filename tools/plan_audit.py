@@ -102,6 +102,10 @@ ALLOWED: dict[str, set[str]] = {
     "events_markov_accuracy": {"BroadcastNestedLoopJoin"},
     # broadcast 1-row query vector + <=k-row selected set per greedy round
     "ann_mmr_rerank": {"BroadcastNestedLoopJoin"},
+    # broadcast 1-row corpus-stats aggregate (N, total length) into the query terms
+    "text_bm25_topk": {"BroadcastNestedLoopJoin"},
+    # inherits the discrete-hazard 1-row cohort-size broadcast over the day grid
+    "events_kaplan_meier": {"BroadcastNestedLoopJoin"},
     # broadcast ≤n_centroids-row centroid relation (the kmeans/IVF affinity shape)
     "dedup_semantic_clusters": {"BroadcastNestedLoopJoin"},
     # two broadcast 1-row token-total scalars (target/raw denominators)

@@ -186,6 +186,8 @@ PROBES = [
     "text_stopword_discovery",
     "embedding_pca_power_iteration",
     "events_dow_anova",
+    "text_bm25_topk",
+    "events_kaplan_meier",
 ]
 
 
