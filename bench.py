@@ -44,6 +44,7 @@ HEADLINE = [
     "warehouse_skew_profile",
     "warehouse_encoding_advisor",
     "warehouse_zorder_layout",
+    "warehouse_price_volume_mix",
     "warehouse_constraint_checks",
     "events_session_window_native",
     "asof_click_attribution",
@@ -81,6 +82,7 @@ HEADLINE = [
     "graph_bfs_distance",
     "graph_kcore",
     "graph_label_propagation",
+    "graph_assortativity",
     "warehouse_customer_set_ops",
     "warehouse_phonetic_match",
     "warehouse_forecast_revenue",

@@ -956,3 +956,82 @@ def kaplan_meier_sql(max_days: int = HAZARD_MAX_DAYS) -> str:
     FROM t
     ORDER BY day
     """
+
+
+def forecast_backtest(events: DataFrame) -> DataFrame:
+    """Rolling-origin backtest of the two standard baseline forecasters over
+    the daily value series: naive (yesterday's total) and seasonal-naive
+    (same weekday last week). Per method: days evaluated, MAE and bias in
+    exact cents — the eval harness that decides whether a fancier model
+    earns its keep.
+
+    One day-grid aggregate (exact-cents totals), two lag windows over the
+    ≤|days|-row grid, one 2-row summary. Signed bias uses the abs/sign
+    half-up form so the integer division is engine-stable below zero."""
+    daily = (
+        events.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("tot")
+        )
+    )
+    w = Window.orderBy("day")
+    g = daily.select(
+        "day",
+        "tot",
+        F.lag("tot", 1).over(w).alias("naive"),
+        F.lag("tot", 7).over(w).alias("snaive"),
+    )
+    rows = []
+    for method, col in (("naive", "naive"), ("seasonal_naive", "snaive")):
+        e = g.where(F.col(col).isNotNull()).select(
+            (F.col(col) - F.col("tot")).alias("err")
+        )
+        rows.append(
+            e.agg(
+                F.lit(method).alias("method"),
+                F.count("*").cast("long").alias("n_days"),
+                F.sum(F.abs("err")).alias("sae"),
+                F.sum("err").alias("se"),
+            ).select(
+                "method",
+                "n_days",
+                F.expr(
+                    "CAST((2 * sae + n_days) DIV (2 * n_days) AS BIGINT)"
+                ).alias("mae_cents"),
+                F.expr(
+                    "CAST(CASE WHEN se < 0 THEN -1 ELSE 1 END"
+                    " * ((2 * abs(se) + n_days) DIV (2 * n_days)) AS BIGINT)"
+                ).alias("bias_cents"),
+            )
+        )
+    return rows[0].unionByName(rows[1]).orderBy("method")
+
+
+FORECAST_BACKTEST_SQL = """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS tot
+        FROM events GROUP BY 1
+    ),
+    g AS (
+        SELECT day, tot,
+               LAG(tot, 1) OVER (ORDER BY day) AS naive,
+               LAG(tot, 7) OVER (ORDER BY day) AS snaive
+        FROM daily
+    ),
+    e AS (
+        SELECT 'naive' AS method, naive - tot AS err FROM g
+        WHERE naive IS NOT NULL
+        UNION ALL
+        SELECT 'seasonal_naive', snaive - tot FROM g WHERE snaive IS NOT NULL
+    )
+    SELECT method, CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST((2 * SUM(abs(err)) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+               AS mae_cents,
+           CAST(CASE WHEN SUM(err) < 0 THEN -1 ELSE 1 END
+                * ((2 * abs(SUM(err)) + COUNT(*)) // (2 * COUNT(*)))
+                AS BIGINT) AS bias_cents
+    FROM e
+    GROUP BY method
+    ORDER BY method
+"""

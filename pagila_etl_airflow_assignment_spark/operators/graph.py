@@ -1009,3 +1009,102 @@ def label_propagation_sql(
         FROM l{rounds}
         ORDER BY p_partkey
     """
+
+
+# --- degree assortativity -------------------------------------------------------
+
+
+def degree_assortativity(
+    lineitem: DataFrame, max_basket: int = 30, min_support: int = TRI_MIN_SUPPORT
+) -> DataFrame:
+    """Degree assortativity of the co-purchase graph: the Pearson
+    correlation of endpoint degrees over all (directed) edges — positive
+    means hubs sell with hubs (a clustered catalog), negative means
+    hub-and-spoke. The one-number graph-health diagnostic next to the
+    triangle census.
+
+    All sufficient statistics (Σx, Σy, Σxy, Σx², Σy² over the symmetrized
+    edge list, with integer degrees) are exact integer sums; r is the
+    closed-form double over them, rounded at 6 dp. One degree aggregate,
+    two degree joins, one 1-row reduction."""
+    pruned = (
+        _oriented_pair_rel(lineitem, max_basket)
+        .groupBy(F.col("part_a").alias("u"), F.col("part_b").alias("v"))
+        .agg(F.count("*").alias("support"))
+        .where(F.col("support") >= min_support)
+        .select("u", "v")
+    )
+    edges = pruned.unionByName(
+        pruned.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = edges.groupBy("u").agg(F.count("*").alias("d"))
+    du = deg.select(F.col("u"), F.col("d").alias("dx"))
+    dv = deg.select(F.col("u").alias("v"), F.col("d").alias("dy"))
+    s = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .agg(
+            F.count("*").cast("long").alias("n_edges"),
+            F.sum("dx").alias("sx"),
+            F.sum("dy").alias("sy"),
+            F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+            F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+            F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+        )
+    )
+    num = F.col("n_edges") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n_edges") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+            "double"
+        )
+    ) * F.sqrt(
+        (F.col("n_edges") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+            "double"
+        )
+    )
+    return s.select(
+        "n_edges",
+        F.round(
+            F.when(den > 0, num.cast("double") / den), 6
+        ).alias("assortativity"),
+    )
+
+
+def degree_assortativity_sql(
+    max_basket: int = 30, min_support: int = TRI_MIN_SUPPORT
+) -> str:
+    return f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), small AS (
+        SELECT l_orderkey FROM items
+        GROUP BY l_orderkey HAVING COUNT(*) <= {max_basket}
+    ), basket AS (
+        SELECT i.l_orderkey, i.l_partkey FROM items i
+        JOIN small USING (l_orderkey)
+    ), pruned AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM basket a JOIN basket b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING COUNT(*) >= {min_support}
+    ), edges AS (
+        SELECT u, v FROM pruned UNION ALL SELECT v, u FROM pruned
+    ), deg AS (
+        SELECT u, COUNT(*) AS d FROM edges GROUP BY u
+    ), s AS (
+        SELECT COUNT(*) AS n, SUM(x.d) AS sx, SUM(y.d) AS sy,
+               SUM(x.d * y.d) AS sxy, SUM(x.d * x.d) AS sxx,
+               SUM(y.d * y.d) AS syy
+        FROM edges e
+        JOIN deg x ON e.u = x.u
+        JOIN deg y ON e.v = y.u
+    )
+    SELECT CAST(n AS BIGINT) AS n_edges,
+           round(CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                      THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                           / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                              * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                 END, 6) AS assortativity
+    FROM s
+"""

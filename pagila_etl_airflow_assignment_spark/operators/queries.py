@@ -1449,3 +1449,24 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier signup->purchase survival curve over the discrete-hazard
     grid (cumulative ln-sum product on the tiny day grid)."""
     return analytics.kaplan_meier(load_table(spark, sf_dir, "events"))
+
+
+@register("warehouse_price_volume_mix", oracle=warehouse.PRICE_VOLUME_MIX_SQL)
+def q_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue bridge: price / volume / mix-in / mix-out
+    effects reconciling exactly to the total delta (exact cents)."""
+    return warehouse.price_volume_mix(load_table(spark, sf_dir, "lineitem"))
+
+
+@register("events_forecast_backtest", oracle=analytics.FORECAST_BACKTEST_SQL)
+def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin backtest of naive vs seasonal-naive daily forecasts:
+    MAE + signed bias in exact cents."""
+    return analytics.forecast_backtest(load_table(spark, sf_dir, "events"))
+
+
+@register("graph_assortativity", oracle=graph.degree_assortativity_sql())
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Pearson r of endpoint degrees) of the
+    co-purchase graph from exact integer sufficient statistics."""
+    return graph.degree_assortativity(load_table(spark, sf_dir, "lineitem"))

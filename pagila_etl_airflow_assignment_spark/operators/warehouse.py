@@ -1339,3 +1339,130 @@ PART_SKYLINE_SQL = """
     WHERE max_size_cheaper IS NULL OR p_size > max_size_cheaper
     ORDER BY price_cents, p_partkey
 """
+
+
+# --- price-volume-mix decomposition ---------------------------------------------
+
+
+def price_volume_mix(lineitem: DataFrame) -> DataFrame:
+    """Month-over-month revenue bridge (the FP&A price/volume/mix
+    decomposition): ΔR = Σ_parts (p₁−p₀)·q₁ (price effect) + (q₁−q₀)·p₀
+    (volume effect) + revenue from parts traded in only one of the two
+    months (mix-in / mix-out). The four effects reconcile exactly to the
+    total month delta — the reconciliation IS the correctness check.
+
+    Exact arithmetic throughout: revenue in integer cents, quantities in
+    integer units; the per-part unit price p = R/Q enters only as the
+    cross-multiplied form (R₁·Q₀ − R₀·Q₁ etc. over Q products), so every
+    effect is a ratio of exact int128-safe products rounded once to cents.
+    Plan: one (month, part) aggregate, a self-join shifted by one month on
+    the (part, month) key, one month-level rollup. Output |months|−1 rows."""
+    per = (
+        lineitem.select(
+            F.date_trunc("month", F.col("l_shipdate")).cast("date").alias("m"),
+            F.col("l_partkey").alias("pk"),
+            F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("rc"),
+            F.expr("CAST(round(l_quantity) AS BIGINT)").alias("q"),
+        )
+        .groupBy("m", "pk")
+        .agg(F.sum("rc").alias("r"), F.sum("q").alias("q"))
+    )
+    cur = per.select(
+        F.col("m"), "pk", F.col("r").alias("r1"), F.col("q").alias("q1")
+    )
+    prev = per.select(
+        F.add_months(F.col("m"), 1).alias("m"),
+        "pk",
+        F.col("r").alias("r0"),
+        F.col("q").alias("q0"),
+    )
+    j = cur.join(prev, ["m", "pk"], "full")
+    both = F.col("r1").isNotNull() & F.col("r0").isNotNull()
+    # (p1-p0)*q1 = r1 - r0*q1/q0 ; (q1-q0)*p0 = (q1-q0)*r0/q0  (cents)
+    price_eff = F.when(
+        both, F.expr("CAST(round(r1 - CAST(r0 AS DOUBLE) * q1 / q0) AS BIGINT)")
+    ).otherwise(F.lit(0))
+    vol_eff = F.when(
+        both,
+        F.expr("CAST(round(CAST(q1 - q0 AS DOUBLE) * r0 / q0) AS BIGINT)"),
+    ).otherwise(F.lit(0))
+    mix_in = F.when(F.col("r0").isNull(), F.col("r1")).otherwise(F.lit(0))
+    mix_out = F.when(F.col("r1").isNull(), -F.col("r0")).otherwise(F.lit(0))
+    out = (
+        j.groupBy("m")
+        .agg(
+            F.sum(F.coalesce("r1", F.lit(0))).alias("rev_cents"),
+            F.sum(F.coalesce("r0", F.lit(0))).alias("prev_cents"),
+            F.sum(price_eff).alias("price_effect_cents"),
+            F.sum(vol_eff).alias("volume_effect_cents"),
+            F.sum(mix_in).alias("mix_in_cents"),
+            F.sum(mix_out).alias("mix_out_cents"),
+        )
+        .where(F.col("prev_cents") > 0)
+    )
+    return out.select(
+        F.col("m").alias("month"),
+        "rev_cents",
+        "prev_cents",
+        (F.col("rev_cents") - F.col("prev_cents")).alias("delta_cents"),
+        "price_effect_cents",
+        "volume_effect_cents",
+        "mix_in_cents",
+        "mix_out_cents",
+        (
+            F.col("rev_cents")
+            - F.col("prev_cents")
+            - F.col("price_effect_cents")
+            - F.col("volume_effect_cents")
+            - F.col("mix_in_cents")
+            - F.col("mix_out_cents")
+        ).alias("residual_cents"),
+    ).orderBy("month")
+
+
+PRICE_VOLUME_MIX_SQL = """
+    WITH per AS (
+        SELECT CAST(DATE_TRUNC('month', l_shipdate) AS DATE) AS m,
+               l_partkey AS pk,
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                   AS r,
+               CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q
+        FROM lineitem
+        GROUP BY 1, 2
+    ),
+    j AS (
+        SELECT COALESCE(c.m, p.m) AS m,
+               c.r AS r1, c.q AS q1, p.r AS r0, p.q AS q0
+        FROM per c
+        FULL JOIN (SELECT CAST(m + INTERVAL 1 MONTH AS DATE) AS m, pk, r, q
+                   FROM per) p
+          ON c.m = p.m AND c.pk = p.pk
+    ),
+    eff AS (
+        SELECT CAST(m AS DATE) AS m,
+               COALESCE(r1, 0) AS r1c, COALESCE(r0, 0) AS r0c,
+               CASE WHEN r1 IS NOT NULL AND r0 IS NOT NULL
+                    THEN CAST(round(r1 - CAST(r0 AS DOUBLE) * q1 / q0) AS BIGINT)
+                    ELSE 0 END AS pe,
+               CASE WHEN r1 IS NOT NULL AND r0 IS NOT NULL
+                    THEN CAST(round(CAST(q1 - q0 AS DOUBLE) * r0 / q0) AS BIGINT)
+                    ELSE 0 END AS ve,
+               CASE WHEN r0 IS NULL THEN r1 ELSE 0 END AS mi,
+               CASE WHEN r1 IS NULL THEN -r0 ELSE 0 END AS mo
+        FROM j
+    )
+    SELECT m AS month,
+           CAST(SUM(r1c) AS BIGINT) AS rev_cents,
+           CAST(SUM(r0c) AS BIGINT) AS prev_cents,
+           CAST(SUM(r1c) - SUM(r0c) AS BIGINT) AS delta_cents,
+           CAST(SUM(pe) AS BIGINT) AS price_effect_cents,
+           CAST(SUM(ve) AS BIGINT) AS volume_effect_cents,
+           CAST(SUM(mi) AS BIGINT) AS mix_in_cents,
+           CAST(SUM(mo) AS BIGINT) AS mix_out_cents,
+           CAST(SUM(r1c) - SUM(r0c) - SUM(pe) - SUM(ve) - SUM(mi) - SUM(mo)
+                AS BIGINT) AS residual_cents
+    FROM eff
+    GROUP BY m
+    HAVING SUM(r0c) > 0
+    ORDER BY month
+"""

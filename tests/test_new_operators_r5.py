@@ -952,3 +952,66 @@ def test_kaplan_meier_steps_down_on_conversions(spark):
     assert km[2].km_survival == 0.5
     assert km[3].km_survival == 0.25         # 1 of remaining 2
     assert km[14].km_survival == 0.25        # censored user never converts
+
+
+# --- price-volume-mix -----------------------------------------------------------
+
+
+def test_pvm_effects_reconcile_exactly(spark):
+    from pagila_etl_airflow_assignment_spark.operators import warehouse
+
+    rows = [
+        # Jan: part 1 sells 10 @ 2.00 (ext 20.00); part 2 sells 5 @ 4.00
+        (1, 1, 10.0, 20.0, "2024-01-15 00:00:00"),
+        (2, 2, 5.0, 20.0, "2024-01-20 00:00:00"),
+        # Feb: part 1 sells 20 @ 3.00 (price AND volume up); part 2 dropped;
+        # part 3 new with 7.00
+        (3, 1, 20.0, 60.0, "2024-02-10 00:00:00"),
+        (4, 3, 1.0, 7.0, "2024-02-11 00:00:00"),
+    ]
+    li = spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_quantity double, l_extendedprice double, l_shipdate string"
+    ).selectExpr("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice",
+                 "CAST(l_shipdate AS TIMESTAMP) AS l_shipdate")
+    r = warehouse.price_volume_mix(li).collect()[0]
+    assert str(r.month) == "2024-02-01"
+    assert (r.rev_cents, r.prev_cents, r.delta_cents) == (6700, 4000, 2700)
+    # part1: price (3-2)*20 = +2000c, volume (20-10)*2 = +2000c
+    assert r.price_effect_cents == 2000
+    assert r.volume_effect_cents == 2000
+    assert (r.mix_in_cents, r.mix_out_cents) == (700, -2000)
+    assert r.residual_cents == 0  # the bridge reconciles exactly
+
+
+# --- forecast backtest ----------------------------------------------------------
+
+
+def test_forecast_backtest_perfect_naive_on_constant_series(spark):
+    from pagila_etl_airflow_assignment_spark.operators import analytics
+
+    rows = [(d * 10 + j, f"2024-01-{d + 1:02d} 0{j}:00:00", 5.0)
+            for d in range(10) for j in range(4)]
+    ev = spark.createDataFrame(rows, "event_id long, ts string, value double") \
+        .selectExpr("event_id", "CAST(ts AS TIMESTAMP) AS ts", "value")
+    out = {r.method: r for r in analytics.forecast_backtest(ev).collect()}
+    assert out["naive"].mae_cents == 0 and out["naive"].bias_cents == 0
+    assert out["naive"].n_days == 9
+    assert out["seasonal_naive"].n_days == 3  # only days 8..10 have a lag-7
+
+
+# --- assortativity --------------------------------------------------------------
+
+
+def test_assortativity_negative_on_star_graph(spark):
+    from pagila_etl_airflow_assignment_spark.operators import graph as g
+
+    # star: hub 1 co-purchased with 4 leaves (each pair twice for support):
+    # every edge links degree-4 to degree-1 -> strongly negative r
+    rows = []
+    for rep in range(2):
+        for leaf in (2, 3, 4, 5):
+            rows += [(100 * leaf + rep, 1), (100 * leaf + rep, leaf)]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    r = g.degree_assortativity(li).collect()[0]
+    assert r.n_edges == 8
+    assert r.assortativity == -1.0

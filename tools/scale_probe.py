@@ -188,6 +188,9 @@ PROBES = [
     "events_dow_anova",
     "text_bm25_topk",
     "events_kaplan_meier",
+    "warehouse_price_volume_mix",
+    "events_forecast_backtest",
+    "graph_assortativity",
 ]
 
 
