@@ -774,3 +774,10 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-20 retrieval for the corpus-derived 3-term query — the
     lexical ranking baseline; exact integer-micro contributions."""
     return corpus_stats.bm25_topk(load_table(spark, sf_dir, "documents"))
+
+
+@register("text_l_diversity", oracle=text.l_diversity_sql())
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit over (lang, source) with the length class as the
+    sensitive attribute — the k-anonymity companion gate."""
+    return text.l_diversity(load_table(spark, sf_dir, "documents"))

@@ -1460,3 +1460,53 @@ def _filter_agreement_sql() -> str:
 
 
 FILTER_AGREEMENT_SQL = _filter_agreement_sql()
+
+
+# --- l-diversity audit ----------------------------------------------------------
+
+LDIV_L = 3
+
+
+def l_diversity(docs: DataFrame, l_min: int = LDIV_L) -> DataFrame:
+    """l-diversity audit, the k-anonymity companion: a (lang, source) group
+    is only safe to release if its SENSITIVE attribute (here the document
+    length class — short/medium/long) takes at least ``l_min`` distinct
+    values inside the group; a k-large but homogeneous group still leaks
+    (everyone in it shares the sensitive value). One grouped
+    count-distinct aggregate; output |lang × source| rows."""
+    sens = (
+        F.when(F.col("n_chars") < 100, "short")
+        .when(F.col("n_chars") < 180, "medium")
+        .otherwise("long")
+    )
+    return (
+        docs.select("lang", "source", sens.alias("sv"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("group_n"),
+            F.count_distinct("sv").alias("n_sensitive_values"),
+        )
+        .select(
+            "lang",
+            "source",
+            "group_n",
+            "n_sensitive_values",
+            (F.col("n_sensitive_values") >= l_min).alias("l_diverse"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+def l_diversity_sql(l_min: int = LDIV_L) -> str:
+    return f"""
+    SELECT lang, source, COUNT(*) AS group_n,
+           COUNT(DISTINCT CASE WHEN n_chars < 100 THEN 'short'
+                               WHEN n_chars < 180 THEN 'medium'
+                               ELSE 'long' END) AS n_sensitive_values,
+           COUNT(DISTINCT CASE WHEN n_chars < 100 THEN 'short'
+                               WHEN n_chars < 180 THEN 'medium'
+                               ELSE 'long' END) >= {l_min} AS l_diverse
+    FROM documents
+    GROUP BY lang, source
+    ORDER BY lang, source
+    """

@@ -1035,3 +1035,55 @@ FORECAST_BACKTEST_SQL = """
     GROUP BY method
     ORDER BY method
 """
+
+
+PEAK_PROMINENCE_MILLI = 1200  # a peak must top both neighbors by >= 20%
+
+
+def daily_peaks(events: DataFrame) -> DataFrame:
+    """Local-maxima detection over the daily value series: a day is a peak
+    when its exact-cents total tops BOTH neighbors by the prominence factor
+    (>= 1.2x) — the alerting primitive behind spike dashboards. One
+    day-grid aggregate + two lag/lead comparisons on the tiny grid; the
+    prominence test is exact integer cross-multiplication (no ratios)."""
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("tot")
+    )
+    w = Window.orderBy("day")
+    g = daily.select(
+        "day",
+        "tot",
+        F.lag("tot").over(w).alias("prev"),
+        F.lead("tot").over(w).alias("next"),
+    )
+    is_peak = (
+        F.col("prev").isNotNull()
+        & F.col("next").isNotNull()
+        & (F.lit(1000) * F.col("tot") >= F.lit(PEAK_PROMINENCE_MILLI) * F.col("prev"))
+        & (F.lit(1000) * F.col("tot") >= F.lit(PEAK_PROMINENCE_MILLI) * F.col("next"))
+    )
+    return (
+        g.select("day", F.col("tot").alias("total_cents"), is_peak.alias("is_peak"))
+        .orderBy("day")
+    )
+
+
+DAILY_PEAKS_SQL = f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS tot
+        FROM events GROUP BY 1
+    ),
+    g AS (
+        SELECT day, tot,
+               LAG(tot) OVER (ORDER BY day) AS prev,
+               LEAD(tot) OVER (ORDER BY day) AS next
+        FROM daily
+    )
+    SELECT day, tot AS total_cents,
+           (prev IS NOT NULL AND next IS NOT NULL
+            AND 1000 * tot >= {PEAK_PROMINENCE_MILLI} * prev
+            AND 1000 * tot >= {PEAK_PROMINENCE_MILLI} * next) AS is_peak
+    FROM g
+    ORDER BY day
+"""

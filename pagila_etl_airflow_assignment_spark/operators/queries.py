@@ -1470,3 +1470,17 @@ def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree assortativity (Pearson r of endpoint degrees) of the
     co-purchase graph from exact integer sufficient statistics."""
     return graph.degree_assortativity(load_table(spark, sf_dir, "lineitem"))
+
+
+@register("events_power_analysis", oracle=stats.POWER_ANALYSIS_SQL)
+def q_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B sample-size calculator per metric (80% power, 5% MDE) from
+    exact-cents sufficient statistics — the experiment-design step."""
+    return stats.power_analysis(load_table(spark, sf_dir, "events"))
+
+
+@register("events_daily_peaks", oracle=analytics.DAILY_PEAKS_SQL)
+def q_daily_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-maxima spike detection over daily totals with exact integer
+    prominence tests."""
+    return analytics.daily_peaks(load_table(spark, sf_dir, "events"))

@@ -725,3 +725,74 @@ DOW_ANOVA_SQL = """
                  END, 6) AS f_stat
     FROM tot
 """
+
+
+# --- A/B test power analysis ----------------------------------------------------
+
+POWER_Z_ALPHA_MICRO = 1_959_964  # z_{0.975}, two-sided α = 0.05
+POWER_Z_BETA_MICRO = 841_621     # z_{0.80}, power = 80%
+POWER_MDE_MILLI = 50             # detect a 5% relative lift
+
+
+def power_analysis(events: DataFrame) -> DataFrame:
+    """Sample-size calculator per event type for the A/B harness (the design
+    step welch_ab_test analyzes after the fact): n per arm =
+    2σ²(z_α + z_β)² / δ² with δ = 5% of the current mean — how long an
+    experiment on this metric must run before the test can see the lift.
+
+    σ² and the mean come from exact-cents integer sums (order-free); the
+    closed form evaluates in deterministic doubles and CEILs to a whole
+    user count. Degenerate metrics (zero mean or variance) yield NULL."""
+    vc = F.expr("CAST(round(value * 100) AS BIGINT)")
+    agg = (
+        events.select("event_type", vc.alias("vc"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_obs"),
+            F.sum("vc").alias("s"),
+            F.sum(F.col("vc") * F.col("vc")).alias("q"),
+        )
+    )
+    n, s, q = F.col("n_obs"), F.col("s").cast("double"), F.col("q").cast("double")
+    mean = s / n
+    var = (q - s * s / n) / (n - 1)
+    z = (POWER_Z_ALPHA_MICRO + POWER_Z_BETA_MICRO) / 1e6
+    delta = mean * (POWER_MDE_MILLI / 1000)
+    ok = (n > 1) & (var > 0) & (mean > 0)
+    n_req = F.ceil(2.0 * var * z * z / (delta * delta)).cast("long")
+    return agg.select(
+        "event_type",
+        "n_obs",
+        F.round(mean / 100, 6).alias("mean_value"),
+        F.round(F.when(n > 1, var) / 10000, 6).alias("variance"),
+        F.when(ok, n_req).alias("n_per_arm"),
+    ).orderBy("event_type")
+
+
+POWER_ANALYSIS_SQL = f"""
+    WITH agg AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_obs,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) AS s,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)
+                        * CAST(round(value * 100) AS BIGINT)) AS DOUBLE) AS q
+        FROM events
+        GROUP BY event_type
+    )
+    SELECT event_type, n_obs,
+           round(s / n_obs / 100, 6) AS mean_value,
+           round(CASE WHEN n_obs > 1
+                      THEN (q - s * s / n_obs) / (n_obs - 1) END / 10000, 6)
+               AS variance,
+           CASE WHEN n_obs > 1 AND (q - s * s / n_obs) / (n_obs - 1) > 0
+                     AND s > 0
+                THEN CAST(ceil(
+                     2.0 * ((q - s * s / n_obs) / (n_obs - 1))
+                     * {(POWER_Z_ALPHA_MICRO + POWER_Z_BETA_MICRO) / 1e6!r}
+                     * {(POWER_Z_ALPHA_MICRO + POWER_Z_BETA_MICRO) / 1e6!r}
+                     / ((s / n_obs * {POWER_MDE_MILLI / 1000!r})
+                        * (s / n_obs * {POWER_MDE_MILLI / 1000!r}))
+                ) AS BIGINT) END AS n_per_arm
+    FROM agg
+    ORDER BY event_type
+"""

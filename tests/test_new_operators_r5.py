@@ -1015,3 +1015,62 @@ def test_assortativity_negative_on_star_graph(spark):
     r = g.degree_assortativity(li).collect()[0]
     assert r.n_edges == 8
     assert r.assortativity == -1.0
+
+
+# --- l-diversity ----------------------------------------------------------------
+
+
+def test_l_diversity_flags_homogeneous_group(spark):
+    from pagila_etl_airflow_assignment_spark.llm import text as text_mod
+
+    rows = (
+        [(i, "t", "en", "a", 50) for i in range(5)]             # all 'short'
+        + [(10, "t", "en", "b", 50), (11, "t", "en", "b", 150),
+           (12, "t", "en", "b", 250)]                            # 3 classes
+    )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {(r.lang, r.source): r for r in text_mod.l_diversity(docs).collect()}
+    assert out[("en", "a")].n_sensitive_values == 1
+    assert not out[("en", "a")].l_diverse       # big but homogeneous: leaks
+    assert out[("en", "b")].l_diverse
+
+
+# --- power analysis -------------------------------------------------------------
+
+
+def test_power_analysis_matches_closed_form(spark):
+    import math
+
+    from pagila_etl_airflow_assignment_spark.operators import stats
+
+    vals = [10.0, 12.0, 8.0, 11.0, 9.0, 10.0] * 5
+    rows = [(i, "2024-01-01 00:00:00", "buy", v) for i, v in enumerate(vals)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string, value double"
+    ).selectExpr("event_id", "CAST(ts AS TIMESTAMP) AS ts", "event_type", "value")
+    r = stats.power_analysis(ev).collect()[0]
+    cents = [v * 100 for v in vals]
+    m = sum(cents) / len(cents)
+    var = sum((c - m) ** 2 for c in cents) / (len(cents) - 1)
+    z = (1_959_964 + 841_621) / 1e6
+    expect = math.ceil(2 * var * z * z / ((m * 0.05) ** 2))
+    assert r.n_per_arm == expect
+    assert r.mean_value == 10.0
+
+
+# --- peak detection -------------------------------------------------------------
+
+
+def test_daily_peaks_requires_prominence_both_sides(spark):
+    from pagila_etl_airflow_assignment_spark.operators import analytics
+
+    series = {1: 100.0, 2: 100.0, 3: 130.0, 4: 100.0, 5: 115.0, 6: 100.0}
+    rows = [(d, f"2024-01-0{d} 00:00:00", v) for d, v in series.items()]
+    ev = spark.createDataFrame(rows, "event_id long, ts string, value double") \
+        .selectExpr("event_id", "CAST(ts AS TIMESTAMP) AS ts", "value")
+    out = {str(r.day): r.is_peak for r in analytics.daily_peaks(ev).collect()}
+    assert out["2024-01-03"] is True    # 130 >= 1.2 * 100 both sides
+    assert out["2024-01-05"] is False   # 115 < 1.2 * 100
+    assert out["2024-01-01"] is False   # boundary: no prev neighbor

@@ -191,6 +191,9 @@ PROBES = [
     "warehouse_price_volume_mix",
     "events_forecast_backtest",
     "graph_assortativity",
+    "text_l_diversity",
+    "events_power_analysis",
+    "events_daily_peaks",
 ]
 
 
