@@ -1934,3 +1934,120 @@ def ngram_containment_pairs_sql(
               >= {threshold_milli}
         ORDER BY doc_a, doc_b
     """
+
+
+# --- dedup pipeline attrition funnel ----------------------------------------------
+
+FUNNEL_JACCARD = 0.2
+
+
+def dedup_pipeline_funnel(
+    docs: DataFrame,
+    n: int = DEFAULT_N,
+    threshold: float = FUNNEL_JACCARD,
+    max_df: int | None = DEFAULT_MAX_DF,
+) -> DataFrame:
+    """The dedup "onion" as an attrition report: raw corpus → exact dedup
+    (keep the min doc_id per normalized-text fingerprint) → near-dup dedup
+    (drop any survivor with a smaller-id Jaccard-≥τ neighbor — the greedy
+    pair-dominance rule, one LSH-verify pass instead of transitive
+    clustering) → Gopher quality gate. One row per stage with docs
+    remaining and removed — the report every curation pipeline publishes so
+    attrition is attributable to a stage, not discovered at training time.
+
+    Each stage reuses the module's own primitives on the previous stage's
+    survivor relation, so the funnel's cost profile is exactly the sum of
+    its stages (no new join shapes); the pair stage inherits the max_df
+    posting-list cap."""
+    from .text import _norm, gopher_rules
+
+    total = docs.count()
+    keep1 = (
+        docs.select("doc_id", F.md5(_norm(F.col("text"))).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    s1 = docs.join(keep1, "doc_id").localCheckpoint(eager=False)
+    n1 = s1.count()
+    losers = (
+        ngram_jaccard_pairs(s1, n=n, threshold=threshold, max_df=max_df)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    s2 = s1.join(losers, "doc_id", "left_anti").localCheckpoint(eager=False)
+    n2 = s2.count()
+    n3 = (
+        gopher_rules(s2.select("doc_id", "text"))
+        .where(F.col("gopher_keep"))
+        .count()
+    )
+    spark = docs.sparkSession
+    rows = [
+        (1, "raw", total, 0),
+        (2, "exact_dedup", n1, total - n1),
+        (3, "neardup_dedup", n2, n1 - n2),
+        (4, "quality_gate", n3, n2 - n3),
+    ]
+    return spark.createDataFrame(
+        rows, "stage int, stage_name string, docs_remaining long, removed long"
+    ).orderBy("stage")
+
+
+def dedup_pipeline_funnel_sql(
+    n: int = DEFAULT_N,
+    threshold: float = FUNNEL_JACCARD,
+    max_df: int | None = DEFAULT_MAX_DF,
+) -> str:
+    from .shingles import shingles_sql
+    from .text import _gopher_rules_sql, _norm_sql
+
+    cap = f"WHERE {df_cap_filter_sql('sh0', max_df)}" if max_df is not None else ""
+    gopher = _gopher_rules_sql().replace("FROM documents", "FROM s2d")
+    return f"""
+    WITH keep1 AS (
+        SELECT MIN(doc_id) AS doc_id
+        FROM (SELECT doc_id, md5({_norm_sql('text')}) AS fp FROM documents)
+        GROUP BY fp
+    ),
+    s1 AS (
+        SELECT d.* FROM documents d JOIN keep1 USING (doc_id)
+    ),
+    sh0 AS ({shingles_sql(n, 's1')}),
+    sh AS (SELECT * FROM sh0 {cap}),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        FROM sh a JOIN sh b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    losers AS (
+        SELECT DISTINCT doc_b AS doc_id
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = inter.doc_a
+        JOIN sizes sb ON sb.doc_id = inter.doc_b
+        WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= {threshold}
+    ),
+    s2 AS (
+        SELECT * FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+    ),
+    s2d AS (SELECT doc_id, text FROM s2),
+    g AS ({gopher}),
+    counts AS (
+        SELECT (SELECT COUNT(*) FROM documents) AS n0,
+               (SELECT COUNT(*) FROM s1) AS n1,
+               (SELECT COUNT(*) FROM s2) AS n2,
+               (SELECT COUNT(*) FROM g WHERE gopher_keep) AS n3
+    )
+    SELECT 1 AS stage, 'raw' AS stage_name,
+           CAST(n0 AS BIGINT) AS docs_remaining, CAST(0 AS BIGINT) AS removed
+    FROM counts
+    UNION ALL SELECT 2, 'exact_dedup', CAST(n1 AS BIGINT),
+                     CAST(n0 - n1 AS BIGINT) FROM counts
+    UNION ALL SELECT 3, 'neardup_dedup', CAST(n2 AS BIGINT),
+                     CAST(n1 - n2 AS BIGINT) FROM counts
+    UNION ALL SELECT 4, 'quality_gate', CAST(n3 AS BIGINT),
+                     CAST(n2 - n3 AS BIGINT) FROM counts
+    ORDER BY stage
+    """

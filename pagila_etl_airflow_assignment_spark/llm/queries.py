@@ -781,3 +781,10 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """l-diversity audit over (lang, source) with the length class as the
     sensitive attribute — the k-anonymity companion gate."""
     return text.l_diversity(load_table(spark, sf_dir, "documents"))
+
+
+@register("dedup_pipeline_funnel", oracle=dedup.dedup_pipeline_funnel_sql())
+def q_dedup_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation attrition funnel: raw -> exact dedup -> near-dup dominance ->
+    Gopher gate, one row per stage with removed counts."""
+    return dedup.dedup_pipeline_funnel(load_table(spark, sf_dir, "documents"))

@@ -1074,3 +1074,25 @@ def test_daily_peaks_requires_prominence_both_sides(spark):
     assert out["2024-01-03"] is True    # 130 >= 1.2 * 100 both sides
     assert out["2024-01-05"] is False   # 115 < 1.2 * 100
     assert out["2024-01-01"] is False   # boundary: no prev neighbor
+
+
+# --- dedup pipeline funnel ------------------------------------------------------
+
+
+def test_funnel_attributes_removals_per_stage(spark):
+    near = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, near),
+            (2, near),                      # exact duplicate of 1 (normalized)
+            (3, near + " iota"),            # near-dup of 1 (high jaccard)
+            (4, "совсем unrelated short"),  # unique, fails the quality gate
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.stage: r for r in dedup.dedup_pipeline_funnel(docs).collect()}
+    assert out[1].docs_remaining == 4
+    assert (out[2].docs_remaining, out[2].removed) == (3, 1)   # doc 2 out
+    assert (out[3].docs_remaining, out[3].removed) == (2, 1)   # doc 3 out
+    assert out[4].docs_remaining == 0  # all remaining fail gopher min-words
+    assert sum(r.removed for r in out.values()) == 4

@@ -194,6 +194,7 @@ PROBES = [
     "text_l_diversity",
     "events_power_analysis",
     "events_daily_peaks",
+    "dedup_pipeline_funnel",
 ]
 
 
