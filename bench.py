@@ -45,6 +45,8 @@ HEADLINE = [
     "warehouse_encoding_advisor",
     "warehouse_zorder_layout",
     "warehouse_price_volume_mix",
+    "warehouse_budget_apportionment",
+    "warehouse_reorder_points",
     "warehouse_constraint_checks",
     "events_session_window_native",
     "asof_click_attribution",

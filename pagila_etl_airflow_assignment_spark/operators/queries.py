@@ -1484,3 +1484,28 @@ def q_daily_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local-maxima spike detection over daily totals with exact integer
     prominence tests."""
     return analytics.daily_peaks(load_table(spark, sf_dir, "events"))
+
+
+@register("warehouse_budget_apportionment", oracle=warehouse.budget_apportionment_sql())
+def q_budget_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) budget allocation across nations by
+    revenue share — whole cents summing exactly to the budget."""
+    return warehouse.budget_apportionment(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+@register("events_markov_stationary", oracle=sequences.markov_stationary_sql())
+def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain (5 exact
+    integer-micro power iterations from uniform)."""
+    return sequences.markov_stationary(load_table(spark, sf_dir, "events"))
+
+
+@register("warehouse_reorder_points", oracle=warehouse.reorder_points_sql())
+def q_reorder_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inventory reorder points (95% service, 7-day lead) for the top-50
+    movers from exact integer daily-demand statistics."""
+    return warehouse.reorder_points(load_table(spark, sf_dir, "lineitem"))

@@ -497,3 +497,121 @@ MARKOV_ACCURACY_SQL = """
     LEFT JOIN model m USING (prev_type)
     CROSS JOIN majority j
 """
+
+
+# --- Markov stationary distribution ---------------------------------------------
+
+STATIONARY_ITERS = 5
+
+
+def markov_stationary(
+    events: DataFrame, iters: int = STATIONARY_ITERS
+) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain: π ← πP
+    iterated from uniform, in exact integer MICRO units (π re-quantizes
+    half-up each round, P enters as exact transition counts — the bit-
+    stable fixed-round convention). The long-run type mix the chain
+    converges to — what the transition matrix means operationally.
+
+    The chain state is ≤|types| rows and P is ≤|types|² counts: after the
+    one lag-window pass over events, every iteration is arithmetic on tiny
+    broadcast relations."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    row_tot = trans.groupBy("prev_type").agg(F.sum("c").alias("rt"))
+    p_rel = trans.join(row_tot, "prev_type")
+    states = trans.select(F.col("prev_type").alias("t")).unionByName(
+        trans.select(F.col("event_type").alias("t"))
+    ).distinct()
+    n_states = states.count()
+    pi = states.select(
+        "t", F.lit(1_000_000 // n_states).cast("long").alias("pi")
+    ).localCheckpoint()
+    for _ in range(iters):
+        # π'_j = Σ_i π_i · c_ij / rt_i, half-up at micro; states with no
+        # outgoing transitions keep their mass (self-loop convention)
+        flow = (
+            p_rel.join(pi.withColumnRenamed("t", "prev_type"), "prev_type")
+            .groupBy(F.col("event_type").alias("t"))
+            .agg(
+                F.sum(
+                    F.expr("CAST((2 * pi * c + rt) DIV (2 * rt) AS BIGINT)")
+                ).alias("inflow")
+            )
+        )
+        sinks = pi.join(
+            row_tot.withColumnRenamed("prev_type", "t"), "t", "left_anti"
+        ).select("t", F.col("pi").alias("inflow"))
+        pi = (
+            flow.unionByName(sinks)
+            .groupBy("t")
+            .agg(F.sum("inflow").cast("long").alias("pi"))
+            .localCheckpoint()
+        )
+    return pi.select(
+        F.col("t").alias("event_type"), F.col("pi").alias("pi_micro")
+    ).orderBy("event_type")
+
+
+def markov_stationary_sql(iters: int = STATIONARY_ITERS) -> str:
+    its = []
+    for i in range(1, iters + 1):
+        its.append(
+            f"""pi{i} AS (
+            SELECT t, CAST(SUM(inflow) AS BIGINT) AS pi FROM (
+                SELECT p.event_type AS t,
+                       CAST((2 * v.pi * p.c + p.rt) // (2 * p.rt) AS BIGINT)
+                           AS inflow
+                FROM p_rel p JOIN pi{i - 1} v ON v.t = p.prev_type
+                UNION ALL
+                SELECT v.t, v.pi FROM pi{i - 1} v
+                WHERE v.t NOT IN (SELECT prev_type FROM row_tot)
+            ) GROUP BY t
+        )"""
+        )
+    chain = ",\n        ".join(its)
+    return f"""
+        WITH trans AS (
+            SELECT prev_type, event_type, COUNT(*) AS c
+            FROM (
+                SELECT event_type,
+                       LAG(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS prev_type
+                FROM events
+            )
+            WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, event_type
+        ),
+        row_tot AS (
+            SELECT prev_type, CAST(SUM(c) AS BIGINT) AS rt
+            FROM trans GROUP BY prev_type
+        ),
+        p_rel AS (
+            SELECT t.prev_type, t.event_type, t.c, r.rt
+            FROM trans t JOIN row_tot r USING (prev_type)
+        ),
+        states AS (
+            SELECT DISTINCT t FROM (
+                SELECT prev_type AS t FROM trans
+                UNION ALL SELECT event_type FROM trans
+            )
+        ),
+        pi0 AS (
+            SELECT t,
+                   CAST(1000000 // (SELECT COUNT(*) FROM states) AS BIGINT)
+                       AS pi
+            FROM states
+        ),
+        {chain}
+        SELECT t AS event_type, pi AS pi_micro
+        FROM pi{iters}
+        ORDER BY event_type
+    """

@@ -1466,3 +1466,198 @@ PRICE_VOLUME_MIX_SQL = """
     HAVING SUM(r0c) > 0
     ORDER BY month
 """
+
+
+# --- largest-remainder budget apportionment -------------------------------------
+
+APPORTION_BUDGET_CENTS = 1_000_000  # $10,000.00 to allocate
+
+
+def budget_apportionment(
+    orders: DataFrame, customer: DataFrame, nation: DataFrame,
+    budget_cents: int = APPORTION_BUDGET_CENTS,
+) -> DataFrame:
+    """Allocate a fixed budget across nations proportionally to revenue with
+    the largest-remainder (Hamilton) method — the exact-integer allocation
+    every finance/quota system needs: floor every proportional share, then
+    hand the leftover cents to the largest remainders (ties to the smaller
+    nation key), so allocations are whole cents and sum EXACTLY to the
+    budget; reconciliation is by construction, not by rounding luck.
+
+    Revenue aggregates in exact cents; shares use integer cross-
+    multiplication (budget·rev vs total), remainders are exact modulo
+    ranks; the rank window runs on the ≤|nations|-row relation only."""
+    rev = (
+        orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(nation, customer["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_nationkey", "n_name")
+        .agg(
+            F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias(
+                "rev_cents"
+            )
+        )
+    )
+    g = Window.partitionBy()
+    w = Window.orderBy(F.desc("rem"), "n_nationkey")
+    alloc = (
+        rev.withColumn("tot", F.sum("rev_cents").over(g))
+        .withColumn(
+            "base",
+            F.expr(f"CAST({budget_cents} AS BIGINT) * rev_cents DIV tot"),
+        )
+        .withColumn(
+            "rem", F.expr(f"CAST({budget_cents} AS BIGINT) * rev_cents % tot")
+        )
+        .withColumn("leftover", F.lit(budget_cents) - F.sum("base").over(g))
+        .withColumn("rk", F.row_number().over(w))
+    )
+    return alloc.select(
+        "n_nationkey",
+        "n_name",
+        "rev_cents",
+        (
+            F.col("base")
+            + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+        ).alias("alloc_cents"),
+    ).orderBy("n_nationkey")
+
+
+def budget_apportionment_sql(budget_cents: int = APPORTION_BUDGET_CENTS) -> str:
+    return f"""
+    WITH rev AS (
+        SELECT n.n_nationkey, n.n_name,
+               CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS rev_cents
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_nationkey, n.n_name
+    ),
+    alloc AS (
+        SELECT *,
+               SUM(rev_cents) OVER () AS tot,
+               CAST({budget_cents} AS BIGINT) * rev_cents
+                 // SUM(rev_cents) OVER () AS base,
+               CAST({budget_cents} AS BIGINT) * rev_cents
+                 % SUM(rev_cents) OVER () AS rem
+        FROM rev
+    ),
+    ranked AS (
+        SELECT *,
+               {budget_cents} - SUM(base) OVER () AS leftover,
+               ROW_NUMBER() OVER (ORDER BY rem DESC, n_nationkey) AS rk
+        FROM alloc
+    )
+    SELECT n_nationkey, n_name, rev_cents,
+           CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+               AS alloc_cents
+    FROM ranked
+    ORDER BY n_nationkey
+    """
+
+
+# --- inventory reorder-point policy ---------------------------------------------
+
+REORDER_Z_MICRO = 1_644_854  # z_{0.95} service level
+REORDER_LEAD_DAYS = 7
+REORDER_TOP_K = 50
+
+
+def reorder_points(
+    lineitem: DataFrame,
+    lead_days: int = REORDER_LEAD_DAYS,
+    k: int = REORDER_TOP_K,
+) -> DataFrame:
+    """Reorder point per part for the top-``k`` movers: ROP = ceil(mu_d*L +
+    z*sigma_d*sqrt(L)) with mu_d = mean daily demand over the observed day
+    span, sigma_d = demand std over days WITH sales, 95% service level and
+    ``lead_days`` of lead time — the inventory-policy calculation a
+    replenishment system runs nightly over the whole catalog.
+
+    Daily demand aggregates to exact integer units on the (part, day)
+    grain; mu/sigma/ROP are deterministic doubles over those exact sums
+    (the power-analysis convention) and the published point CEILs to whole
+    units. Two aggregates + one distributed top-k; the observed-day-span
+    scalar rides a 1-row broadcast."""
+    daily = (
+        lineitem.select(
+            F.col("l_partkey").alias("pk"),
+            F.to_date("l_shipdate").alias("day"),
+            F.expr("CAST(round(l_quantity) AS BIGINT)").alias("q"),
+        )
+        .groupBy("pk", "day")
+        .agg(F.sum("q").alias("dq"))
+    )
+    span = daily.agg(
+        (F.datediff(F.max("day"), F.min("day")) + 1).cast("long").alias("n_days")
+    )
+    per = daily.groupBy("pk").agg(
+        F.count("*").cast("long").alias("days_sold"),
+        F.sum("dq").alias("s"),
+        F.sum(F.col("dq") * F.col("dq")).alias("q2"),
+    )
+    z = REORDER_Z_MICRO / 1e6
+    mu = F.col("s").cast("double") / F.col("n_days")
+    vard = (
+        F.col("q2").cast("double")
+        - F.col("s").cast("double") * F.col("s") / F.col("days_sold")
+    ) / (F.col("days_sold") - 1)
+    sigma = F.sqrt(F.when(vard > 0, vard).otherwise(F.lit(0.0)))
+    rop = mu * lead_days + z * sigma * (lead_days ** 0.5)
+    return (
+        per.crossJoin(F.broadcast(span))
+        .where(F.col("days_sold") > 1)
+        .select(
+            F.col("pk").alias("p_partkey"),
+            "days_sold",
+            F.col("s").alias("total_units"),
+            F.round(mu, 6).alias("mean_daily_demand"),
+            F.round(sigma, 6).alias("demand_std"),
+            F.ceil(rop).cast("long").alias("reorder_point_units"),
+        )
+        .orderBy(F.desc("total_units"), "p_partkey")
+        .limit(k)
+    )
+
+
+def reorder_points_sql(
+    lead_days: int = REORDER_LEAD_DAYS, k: int = REORDER_TOP_K
+) -> str:
+    z = REORDER_Z_MICRO / 1e6
+    return f"""
+    WITH daily AS (
+        SELECT l_partkey AS pk, CAST(l_shipdate AS DATE) AS day,
+               CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS dq
+        FROM lineitem
+        GROUP BY 1, 2
+    ),
+    span AS (
+        SELECT CAST(datediff('day', MIN(day), MAX(day)) + 1 AS BIGINT)
+                   AS n_days
+        FROM daily
+    ),
+    per AS (
+        SELECT pk, CAST(COUNT(*) AS BIGINT) AS days_sold,
+               CAST(SUM(dq) AS BIGINT) AS s,
+               CAST(SUM(dq * dq) AS BIGINT) AS q2
+        FROM daily GROUP BY pk
+    )
+    SELECT pk AS p_partkey, days_sold, s AS total_units,
+           round(CAST(s AS DOUBLE) / n_days, 6) AS mean_daily_demand,
+           round(sqrt(CASE WHEN (q2 - CAST(s AS DOUBLE) * s / days_sold)
+                                / (days_sold - 1) > 0
+                           THEN (q2 - CAST(s AS DOUBLE) * s / days_sold)
+                                / (days_sold - 1)
+                           ELSE 0.0 END), 6) AS demand_std,
+           CAST(ceil(CAST(s AS DOUBLE) / n_days * {lead_days}
+                + {z!r} * sqrt(CASE WHEN (q2 - CAST(s AS DOUBLE) * s
+                                          / days_sold) / (days_sold - 1) > 0
+                                    THEN (q2 - CAST(s AS DOUBLE) * s
+                                          / days_sold) / (days_sold - 1)
+                                    ELSE 0.0 END)
+                  * {lead_days ** 0.5!r}) AS BIGINT) AS reorder_point_units
+    FROM per, span
+    WHERE days_sold > 1
+    ORDER BY total_units DESC, p_partkey
+    LIMIT {k}
+    """

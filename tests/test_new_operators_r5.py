@@ -1096,3 +1096,69 @@ def test_funnel_attributes_removals_per_stage(spark):
     assert (out[3].docs_remaining, out[3].removed) == (2, 1)   # doc 3 out
     assert out[4].docs_remaining == 0  # all remaining fail gopher min-words
     assert sum(r.removed for r in out.values()) == 4
+
+
+# --- budget apportionment -------------------------------------------------------
+
+
+def test_apportionment_sums_exactly_with_largest_remainder(spark):
+    from pagila_etl_airflow_assignment_spark.operators import warehouse
+
+    orders = spark.createDataFrame(
+        [(1, 1, 10.0), (2, 2, 10.0), (3, 3, 10.0)],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    )
+    customer = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "c_custkey long, c_nationkey long"
+    )
+    nation = spark.createDataFrame(
+        [(10, "A"), (20, "B"), (30, "C")], "n_nationkey long, n_name string"
+    )
+    out = warehouse.budget_apportionment(orders, customer, nation, budget_cents=100).collect()
+    allocs = {r.n_name: r.alloc_cents for r in out}
+    # 100/3: base 33 each, remainder cent goes to the smallest nation key
+    assert sum(allocs.values()) == 100
+    assert allocs == {"A": 34, "B": 33, "C": 33}
+
+
+# --- Markov stationary ----------------------------------------------------------
+
+
+def test_markov_stationary_on_two_state_chain(spark):
+    from pagila_etl_airflow_assignment_spark.operators import sequences
+
+    # a -> b always, b -> a always: stationary = 50/50 and uniform init is
+    # already stationary; exact micro halves survive all 5 iterations
+    rows = [(i, f"2024-01-01 {i:02d}:00:00", 1, "a" if i % 2 == 0 else "b")
+            for i in range(10)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).selectExpr("event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id", "event_type")
+    out = {r.event_type: r.pi_micro for r in sequences.markov_stationary(ev).collect()}
+    assert out == {"a": 500_000, "b": 500_000}
+
+
+# --- reorder points -------------------------------------------------------------
+
+
+def test_reorder_point_formula(spark):
+    import math
+
+    from pagila_etl_airflow_assignment_spark.operators import warehouse
+
+    # part 1 sells 10/day on 3 consecutive days (sigma 0): ROP = 70 exactly;
+    # part 2 sells 5 then 15 (mu over the span, sigma sqrt(50))
+    rows = [
+        (1, 1, 10.0, "2024-01-01"), (2, 1, 10.0, "2024-01-02"), (3, 1, 10.0, "2024-01-03"),
+        (4, 2, 5.0, "2024-01-01"), (5, 2, 15.0, "2024-01-03"),
+    ]
+    li = spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_quantity double, l_shipdate string"
+    ).selectExpr("l_orderkey", "l_partkey", "l_quantity",
+                 "CAST(l_shipdate AS TIMESTAMP) AS l_shipdate")
+    out = {r.p_partkey: r for r in warehouse.reorder_points(li).collect()}
+    assert out[1].reorder_point_units == 70
+    z, L = 1.644854, 7
+    expect = math.ceil(20 / 3 * L + z * math.sqrt(50) * math.sqrt(L))
+    assert out[2].reorder_point_units == expect
+    assert out[2].demand_std == round(math.sqrt(50), 6)

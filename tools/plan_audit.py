@@ -106,6 +106,8 @@ ALLOWED: dict[str, set[str]] = {
     "text_bm25_topk": {"BroadcastNestedLoopJoin"},
     # inherits the discrete-hazard 1-row cohort-size broadcast over the day grid
     "events_kaplan_meier": {"BroadcastNestedLoopJoin"},
+    # broadcast 1-row observed-day-span scalar (mean-demand denominator)
+    "warehouse_reorder_points": {"BroadcastNestedLoopJoin"},
     # broadcast ≤n_centroids-row centroid relation (the kmeans/IVF affinity shape)
     "dedup_semantic_clusters": {"BroadcastNestedLoopJoin"},
     # two broadcast 1-row token-total scalars (target/raw denominators)

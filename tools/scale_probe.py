@@ -195,6 +195,9 @@ PROBES = [
     "events_power_analysis",
     "events_daily_peaks",
     "dedup_pipeline_funnel",
+    "warehouse_budget_apportionment",
+    "events_markov_stationary",
+    "warehouse_reorder_points",
 ]
 
 
