@@ -1087,3 +1087,86 @@ DAILY_PEAKS_SQL = f"""
     FROM g
     ORDER BY day
 """
+
+
+HOLT_ALPHA_MILLI = 300  # level smoothing
+HOLT_BETA_MILLI = 200   # trend smoothing
+
+
+def holt_level_trend(events: DataFrame) -> DataFrame:
+    """Holt double exponential smoothing over the daily value series — the
+    level+trend upgrade over plain EWMA and the model the forecast_backtest
+    harness exists to judge: l' = αy + (1−α)(l+t), t' = β(l'−l) + (1−β)t,
+    one-step forecast l+t.
+
+    The recursion is inherently sequential, so it runs as ONE JVM array
+    fold over the ≤|days|-row grid collected into a single ordered array
+    (the events_throttled treatment) — never a driver loop. State stays in
+    exact integer cents with SIGNED half-up at each step (trend goes
+    negative on declines; the abs/sign form keeps truncating division
+    engine-stable), so the fold is bit-identical to the oracle's recursive
+    CTE."""
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("tot")
+    )
+    ys = daily.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "tot"))),
+            lambda s: s["tot"],
+        ).alias("ys")
+    )
+    def hu(num: str) -> str:
+        return (
+            f"CAST(CASE WHEN ({num}) < 0 THEN -1 ELSE 1 END"
+            f" * ((2 * abs({num}) + 1000) DIV 2000) AS BIGINT)"
+        )
+
+    a, b = HOLT_ALPHA_MILLI, HOLT_BETA_MILLI
+    nl = hu(f"{a} * y + {1000 - a} * (acc.l + acc.t)")
+    nt = hu(f"{b} * ({nl} - acc.l) + {1000 - b} * acc.t")
+    fold = F.expr(
+        "aggregate(slice(ys, 2, size(ys) - 1),"
+        " named_struct('l', ys[0], 't', CAST(0 AS BIGINT)),"
+        " (acc, y) -> named_struct('l', " + nl + ", 't', " + nt + "),"
+        " acc -> acc)"
+    )
+    return ys.where(F.size("ys") >= 2).select(
+        F.size("ys").cast("long").alias("n_days"),
+        fold["l"].alias("level_cents"),
+        fold["t"].alias("trend_cents"),
+        (fold["l"] + fold["t"]).alias("forecast_next_cents"),
+    )
+
+
+def holt_level_trend_sql() -> str:
+    a, b = HOLT_ALPHA_MILLI, HOLT_BETA_MILLI
+
+    def hu(num: str) -> str:
+        return (
+            f"CAST(CASE WHEN ({num}) < 0 THEN -1 ELSE 1 END"
+            f" * ((2 * abs({num}) + 1000) // 2000) AS BIGINT)"
+        )
+
+    nl = hu(f"{a} * d.y + {1000 - a} * (s.l + s.t)")
+    return f"""
+    WITH RECURSIVE daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS tot
+        FROM events GROUP BY 1
+    ),
+    d AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY day) AS i, tot AS y FROM daily
+    ),
+    state(i, l, t) AS (
+        SELECT 1, y, CAST(0 AS BIGINT) FROM d WHERE i = 1
+        UNION ALL
+        SELECT d.i, {nl},
+               {hu(f"{b} * ({nl} - s.l) + {1000 - b} * s.t")}
+        FROM state s JOIN d ON d.i = s.i + 1
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS n_days,
+           l AS level_cents, t AS trend_cents,
+           l + t AS forecast_next_cents
+    FROM state
+    WHERE i = (SELECT MAX(i) FROM d) AND (SELECT COUNT(*) FROM d) >= 2
+    """

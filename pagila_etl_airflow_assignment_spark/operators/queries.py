@@ -1509,3 +1509,10 @@ def q_reorder_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inventory reorder points (95% service, 7-day lead) for the top-50
     movers from exact integer daily-demand statistics."""
     return warehouse.reorder_points(load_table(spark, sf_dir, "lineitem"))
+
+
+@register("events_holt_level_trend", oracle=analytics.holt_level_trend_sql())
+def q_holt_level_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt level+trend smoothing of daily totals as one exact-integer JVM
+    array fold (signed half-up per step; recursive-CTE oracle)."""
+    return analytics.holt_level_trend(load_table(spark, sf_dir, "events"))

@@ -1162,3 +1162,29 @@ def test_reorder_point_formula(spark):
     expect = math.ceil(20 / 3 * L + z * math.sqrt(50) * math.sqrt(L))
     assert out[2].reorder_point_units == expect
     assert out[2].demand_std == round(math.sqrt(50), 6)
+
+
+# --- Holt level + trend ---------------------------------------------------------
+
+
+def test_holt_tracks_linear_ramp(spark):
+    from pagila_etl_airflow_assignment_spark.operators import analytics
+
+    # perfectly linear daily series 10, 20, ..., 100: level approaches the
+    # last value and the trend estimate is positive
+    rows = [(d, f"2024-01-{d + 1:02d} 00:00:00", float((d + 1) * 10))
+            for d in range(10)]
+    ev = spark.createDataFrame(rows, "event_id long, ts string, value double") \
+        .selectExpr("event_id", "CAST(ts AS TIMESTAMP) AS ts", "value")
+    r = analytics.holt_level_trend(ev).collect()[0]
+    assert r.n_days == 10
+    assert r.trend_cents > 0
+    assert 5000 < r.level_cents < 10000      # between mid and last (cents)
+    assert r.forecast_next_cents == r.level_cents + r.trend_cents
+    # pin one hand-computed step chain: y=[1000,2000] -> l=1300, t=60
+    ev2 = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 10.0), (2, "2024-01-02 00:00:00", 20.0)],
+        "event_id long, ts string, value double",
+    ).selectExpr("event_id", "CAST(ts AS TIMESTAMP) AS ts", "value")
+    r2 = analytics.holt_level_trend(ev2).collect()[0]
+    assert (r2.level_cents, r2.trend_cents) == (1300, 60)

@@ -198,6 +198,7 @@ PROBES = [
     "warehouse_budget_apportionment",
     "events_markov_stationary",
     "warehouse_reorder_points",
+    "events_holt_level_trend",
 ]
 
 
