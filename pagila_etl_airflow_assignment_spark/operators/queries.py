@@ -1516,3 +1516,10 @@ def q_holt_level_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holt level+trend smoothing of daily totals as one exact-integer JVM
     array fold (signed half-up per step; recursive-CTE oracle)."""
     return analytics.holt_level_trend(load_table(spark, sf_dir, "events"))
+
+
+@register("warehouse_abc_xyz_matrix", oracle=warehouse.ABC_XYZ_MATRIX_SQL)
+def q_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC-XYZ planning matrix: Pareto revenue classes x demand-CV classes,
+    all thresholds as exact integer cross-multiplication."""
+    return warehouse.abc_xyz_matrix(load_table(spark, sf_dir, "lineitem"))

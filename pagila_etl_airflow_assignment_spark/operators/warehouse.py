@@ -1661,3 +1661,119 @@ def reorder_points_sql(
     ORDER BY total_units DESC, p_partkey
     LIMIT {k}
     """
+
+
+# --- ABC-XYZ inventory matrix ---------------------------------------------------
+
+XYZ_X_CV_MILLI = 500    # CV < 0.5  -> X (stable demand)
+XYZ_Y_CV_MILLI = 1000   # CV < 1.0  -> Y; else Z (erratic)
+
+
+def abc_xyz_matrix(lineitem: DataFrame) -> DataFrame:
+    """The ABC-XYZ inventory planning matrix: value classes (Pareto revenue,
+    the abc_classification rule) crossed with demand-variability classes
+    (coefficient of variation of daily demand: X stable / Y variable / Z
+    erratic) — the 9-cell grid that decides which parts get safety stock,
+    which get forecasting effort, and which get make-to-order.
+
+    Revenue classes compare exact integer-cents cumulative shares by cross-
+    multiplication; CV classes compare n·Σq² against thresholded (Σq)²
+    forms — entirely integer predicates, no float thresholds anywhere
+    (headroom note: the cross-multiplied CV predicate needs n·(Σq)²·c²
+    within int64 — at per-part volumes past ~10⁵ units/day·decade, divide
+    q through by a fixed unit scale first).
+    Plan: one (part, day) aggregate, one part rollup, one cumulative window
+    over the |parts|-row relation, one 9-cell rollup."""
+    daily = (
+        lineitem.select(
+            F.col("l_partkey").alias("pk"),
+            F.to_date("l_shipdate").alias("day"),
+            F.expr("CAST(round(l_quantity) AS BIGINT)").alias("q"),
+            F.expr(
+                "CAST(round(l_extendedprice * (1 - l_discount) * 100)"
+                " AS BIGINT)"
+            ).alias("rc"),
+        )
+        .groupBy("pk", "day")
+        .agg(F.sum("q").alias("dq"), F.sum("rc").alias("drc"))
+    )
+    per = daily.groupBy("pk").agg(
+        F.count("*").alias("nd"),
+        F.sum("dq").alias("s"),
+        F.sum(F.col("dq") * F.col("dq")).alias("q2"),
+        F.sum("drc").alias("rev"),
+    )
+    w = Window.orderBy(F.desc("rev"), "pk")
+    g = Window.partitionBy()
+    # CV² = var/mean² with var = (n·q2 − s²)/(n·(n−1)), mean = s/n
+    #   CV < c  <=>  n·(n·q2 − s²) < c²·(n−1)·s²   (exact integers; c in milli)
+    cv_lt = lambda c: (
+        F.col("nd") * (F.col("nd") * F.col("q2") - F.col("s") * F.col("s"))
+        * 1_000_000
+        < F.lit(c * c) * (F.col("nd") - 1) * F.col("s") * F.col("s")
+    )
+    classed = (
+        per.withColumn("cum", F.sum("rev").over(w))
+        .withColumn("tot", F.sum("rev").over(g))
+        .select(
+            "pk",
+            "rev",
+            F.when(F.col("cum") * 5 <= F.col("tot") * 4, "A")
+            .when(F.col("cum") * 20 <= F.col("tot") * 19, "B")
+            .otherwise("C")
+            .alias("abc"),
+            F.when(F.col("nd") <= 1, "Z")
+            .when(cv_lt(XYZ_X_CV_MILLI), "X")
+            .when(cv_lt(XYZ_Y_CV_MILLI), "Y")
+            .otherwise("Z")
+            .alias("xyz"),
+        )
+    )
+    return (
+        classed.groupBy("abc", "xyz")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum("rev").cast("long").alias("rev_cents"),
+        )
+        .orderBy("abc", "xyz")
+    )
+
+
+ABC_XYZ_MATRIX_SQL = f"""
+    WITH daily AS (
+        SELECT l_partkey AS pk, CAST(l_shipdate AS DATE) AS day,
+               CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS dq,
+               CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                             AS BIGINT)) AS BIGINT) AS drc
+        FROM lineitem GROUP BY 1, 2
+    ),
+    per AS (
+        SELECT pk, CAST(COUNT(*) AS BIGINT) AS nd,
+               CAST(SUM(dq) AS BIGINT) AS s,
+               CAST(SUM(dq * dq) AS BIGINT) AS q2,
+               CAST(SUM(drc) AS BIGINT) AS rev
+        FROM daily GROUP BY pk
+    ),
+    classed AS (
+        SELECT pk, rev,
+               CASE WHEN SUM(rev) OVER (ORDER BY rev DESC, pk) * 5
+                         <= SUM(rev) OVER () * 4 THEN 'A'
+                    WHEN SUM(rev) OVER (ORDER BY rev DESC, pk) * 20
+                         <= SUM(rev) OVER () * 19 THEN 'B'
+                    ELSE 'C' END AS abc,
+               CASE WHEN nd <= 1 THEN 'Z'
+                    WHEN nd * (nd * q2 - s * s) * 1000000
+                         < {XYZ_X_CV_MILLI * XYZ_X_CV_MILLI} * (nd - 1) * s * s
+                         THEN 'X'
+                    WHEN nd * (nd * q2 - s * s) * 1000000
+                         < {XYZ_Y_CV_MILLI * XYZ_Y_CV_MILLI} * (nd - 1) * s * s
+                         THEN 'Y'
+                    ELSE 'Z' END AS xyz
+        FROM per
+    )
+    SELECT abc, xyz, COUNT(*) AS n_parts,
+           CAST(SUM(rev) AS BIGINT) AS rev_cents
+    FROM classed
+    GROUP BY abc, xyz
+    ORDER BY abc, xyz
+"""

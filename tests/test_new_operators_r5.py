@@ -1188,3 +1188,30 @@ def test_holt_tracks_linear_ramp(spark):
     ).selectExpr("event_id", "CAST(ts AS TIMESTAMP) AS ts", "value")
     r2 = analytics.holt_level_trend(ev2).collect()[0]
     assert (r2.level_cents, r2.trend_cents) == (1300, 60)
+
+
+# --- ABC-XYZ matrix -------------------------------------------------------------
+
+
+def test_abc_xyz_classes(spark):
+    from pagila_etl_airflow_assignment_spark.operators import warehouse
+
+    rows = []
+    # revenue shares 40/30/15/10/5 across parts 1..5 -> cum 40,70 (A), 85,
+    # 95 (B), 100 (C); part 1 has constant daily qty (X), part 5 erratic
+    shares = {1: 400.0, 2: 300.0, 3: 150.0, 4: 100.0, 5: 50.0}
+    for d in range(1, 11):
+        for pk, price in shares.items():
+            qty = 10.0 if pk != 5 else (1.0 if d % 2 else 20.0)
+            rows.append((d * 10 + pk, pk, qty, price, 0.0, f"2024-01-{d:02d}"))
+    li = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_quantity double,"
+        " l_extendedprice double, l_discount double, l_shipdate string",
+    ).selectExpr("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice",
+                 "l_discount", "CAST(l_shipdate AS TIMESTAMP) AS l_shipdate")
+    out = {(r.abc, r.xyz): r for r in warehouse.abc_xyz_matrix(li).collect()}
+    assert out[("A", "X")].n_parts == 2      # parts 1, 2: stable + cum<=80%
+    assert out[("B", "X")].n_parts == 2      # parts 3, 4
+    assert ("C", "Z") in out or ("C", "Y") in out  # erratic tail part 5
+    assert sum(r.n_parts for r in out.values()) == 5

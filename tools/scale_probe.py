@@ -199,6 +199,7 @@ PROBES = [
     "events_markov_stationary",
     "warehouse_reorder_points",
     "events_holt_level_trend",
+    "warehouse_abc_xyz_matrix",
 ]
 
 
