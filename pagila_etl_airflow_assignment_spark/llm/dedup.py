@@ -1329,7 +1329,7 @@ def repeated_span_coverage_sql(
     )
     SELECT doc_id,
            COUNT(*) AS n_islands,
-           SUM(e - s + 1) AS covered_chars
+           CAST(SUM(e - s + 1) AS BIGINT) AS covered_chars
     FROM islands
     GROUP BY doc_id
     ORDER BY doc_id
@@ -1668,7 +1668,7 @@ def cross_source_dup_matrix_sql() -> str:
         SELECT a.source AS source_a, b.source AS source_b,
                SUM(CASE WHEN a.source = b.source
                         THEN CAST(a.n * (a.n - 1) // 2 AS BIGINT)
-                        ELSE a.n * b.n END) AS dup_pairs
+                        ELSE a.n * b.n END) :: BIGINT AS dup_pairs
         FROM per_src a JOIN per_src b
           ON a.fingerprint = b.fingerprint AND a.source <= b.source
         GROUP BY a.source, b.source

@@ -468,7 +468,7 @@ def lsh_recall_at_k_sql(query_ids: list[int], k: int = DEFAULT_K) -> str:
         )
         SELECT t.query_id,
                COUNT(*) AS n_true,
-               SUM(CASE WHEN g.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hit,
+               CAST(SUM(CASE WHEN g.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
                CAST(SUM(CASE WHEN g.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
                    / CAST(COUNT(*) AS DOUBLE) AS recall_at_k
         FROM truth t
@@ -621,7 +621,7 @@ def ivf_recall_curve_sql(
         return f"""
             SELECT {np_} AS nprobe,
                    COUNT(*) AS n_true,
-                   SUM(CASE WHEN g.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hit,
+                   CAST(SUM(CASE WHEN g.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
                    CAST(round(1000.0 *
                        SUM(CASE WHEN g.vec_id IS NOT NULL THEN 1 ELSE 0 END)
                        / COUNT(*)) AS BIGINT) AS recall_milli

@@ -798,7 +798,7 @@ CHAR_ENTROPY_SQL = f"""
            round(ln(CAST(SUM(c) AS DOUBLE))
                  - SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
                    / CAST(SUM(c) AS DOUBLE), 6) AS char_bigram_entropy,
-           SUM(c) AS n_bigrams
+           CAST(SUM(c) AS BIGINT) AS n_bigrams
     FROM counts
     GROUP BY doc_id
     ORDER BY doc_id

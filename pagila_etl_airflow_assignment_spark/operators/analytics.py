@@ -785,9 +785,9 @@ def discrete_hazard_sql(max_days: int = HAZARD_MAX_DAYS) -> str:
             CROSS JOIN total
         )
         SELECT day,
-               n_users - COALESCE(SUM(n_converted) OVER (ORDER BY day
+               CAST(n_users - COALESCE(SUM(n_converted) OVER (ORDER BY day
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                   AS n_at_risk,
+                   AS BIGINT) AS n_at_risk,
                n_converted,
                round(CAST(n_converted AS DOUBLE)
                      / CAST(n_users - COALESCE(SUM(n_converted) OVER (ORDER BY day

@@ -208,13 +208,13 @@ def cm_join_size_estimate_sql(
         ), cells_b AS (
             SELECT row, col, COUNT(*) AS n_b FROM ({cells('b')}) GROUP BY row, col
         ), est AS (
-            SELECT MIN(dot) AS cm_join_size FROM (
+            SELECT CAST(MIN(dot) AS BIGINT) AS cm_join_size FROM (
                 SELECT row, SUM(n_a * n_b) AS dot
                 FROM cells_a JOIN cells_b USING (row, col)
                 GROUP BY row
             )
         ), exact AS (
-            SELECT SUM(fa * fb) AS exact_join_size FROM (
+            SELECT CAST(SUM(fa * fb) AS BIGINT) AS exact_join_size FROM (
                 SELECT user_id, COUNT(*) AS fa FROM events
                 WHERE event_type = '{type_a}' GROUP BY user_id
             ) a JOIN (

@@ -190,7 +190,7 @@ def winsorized_stats_sql(lo: float = WINSOR_LO, hi: float = WINSOR_HI) -> str:
                COUNT(value) AS n,
                round(AVG(value), 6) AS mean_raw,
                round(AVG(wvalue), 6) AS mean_winsorized,
-               SUM(is_clipped) AS n_clipped
+               CAST(SUM(is_clipped) AS BIGINT) AS n_clipped
         FROM clipped
         GROUP BY event_type
         ORDER BY event_type
@@ -266,8 +266,8 @@ def mad_outlier_stats_sql(cutoff: float = MAD_CUTOFF) -> str:
                COUNT(value) AS n,
                round(ANY_VALUE(m.med), 6) AS median_value,
                round(ANY_VALUE(m.mad), 6) AS mad_value,
-               SUM(CAST(round(adev, 6) > round({cutoff * MAD_SCALE} * m.mad, 6)
-                        AS INT)) AS n_outliers
+               CAST(SUM(CAST(round(adev, 6) > round({cutoff * MAD_SCALE} * m.mad, 6)
+                        AS INT)) AS BIGINT) AS n_outliers
         FROM dev d JOIN mad m ON d.event_type = m.event_type
         GROUP BY d.event_type
         ORDER BY d.event_type

@@ -292,7 +292,7 @@ def fd_profile_sql(
         f"""
         SELECT '{lhs}->{rhs}' AS fd,
                COUNT(*) AS n_lhs_values,
-               SUM(CAST(n_rhs > 1 AS INT)) AS violating_lhs,
+               CAST(SUM(CAST(n_rhs > 1 AS INT)) AS BIGINT) AS violating_lhs,
                SUM(CAST(n_rhs > 1 AS INT)) = 0 AS holds
         FROM (
             SELECT {lhs}, COUNT(*) AS n_rhs

@@ -372,7 +372,7 @@ OUT_OF_ORDER_AUDIT_SQL = """
         FROM events
     )
     SELECT event_type, COUNT(*) AS n,
-           SUM(CAST(late_us > 0 AS BIGINT)) AS n_late,
+           CAST(SUM(CAST(late_us > 0 AS BIGINT)) AS BIGINT) AS n_late,
            round(quantile_cont(late_us, 0.95) / 1000000.0, 6) AS p95_lateness_s,
            round(MAX(late_us) / 1000000.0, 6) AS max_lateness_s
     FROM scored

@@ -183,7 +183,7 @@ USER_TYPE_ENTROPY_SQL = """
         FROM events GROUP BY user_id, event_type
     )
     SELECT user_id,
-           SUM(c) AS n_events,
+           CAST(SUM(c) AS BIGINT) AS n_events,
            COUNT(*) AS n_types,
            CAST(round(ln(SUM(c)) * 1e6) AS BIGINT)
                - CAST(round(CAST(SUM(c * lc_micro) AS DOUBLE) / SUM(c)) AS BIGINT)
@@ -433,7 +433,8 @@ def woe_iv_binning_sql(n_bins: int = WOE_BINS) -> str:
             SELECT ntile({n_bins}) OVER (ORDER BY value, event_id) AS bin, good
             FROM clicks
         ), cells AS (
-            SELECT bin, SUM(good) AS n_good, SUM(1 - good) AS n_bad
+            SELECT bin, CAST(SUM(good) AS BIGINT) AS n_good,
+                   CAST(SUM(1 - good) AS BIGINT) AS n_bad
             FROM binned GROUP BY bin
         ), totals AS (
             SELECT SUM(n_good) AS t_good, SUM(n_bad) AS t_bad FROM cells
@@ -516,10 +517,10 @@ PROPORTION_ZTEST_SQL = """
         GROUP BY event_type, e.user_id
     ), agg AS (
         SELECT event_type,
-               SUM(CASE WHEN in_a = 1 THEN 1 ELSE 0 END) AS n_a,
-               SUM(CASE WHEN in_a = 1 THEN conv ELSE 0 END) AS c_a,
-               SUM(CASE WHEN in_a = 0 THEN 1 ELSE 0 END) AS n_b,
-               SUM(CASE WHEN in_a = 0 THEN conv ELSE 0 END) AS c_b
+               CAST(SUM(CASE WHEN in_a = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN in_a = 1 THEN conv ELSE 0 END) AS BIGINT) AS c_a,
+               CAST(SUM(CASE WHEN in_a = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+               CAST(SUM(CASE WHEN in_a = 0 THEN conv ELSE 0 END) AS BIGINT) AS c_b
         FROM per_user GROUP BY event_type
     )
     SELECT event_type, n_a, c_a, n_b, c_b,

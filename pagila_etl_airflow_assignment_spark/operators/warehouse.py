@@ -886,7 +886,7 @@ def part_golden_records_sql(max_dist: int = PHONETIC_MAX_DIST) -> str:
         )
         SELECT MIN(CASE WHEN nid = cluster_id THEN p_name END) AS golden_name,
                COUNT(*) AS n_variants,
-               SUM(n_parts) AS n_rows,
+               CAST(SUM(n_parts) AS BIGINT) AS n_rows,
                array_to_string(list(p_name ORDER BY p_name), '|') AS variants
         FROM members
         GROUP BY cluster_id
@@ -1274,8 +1274,8 @@ def sla_compliance_sql(sla_days: int = SLA_DAYS) -> str:
             FROM lineitem GROUP BY l_orderkey
         )
         SELECT o_orderpriority, COUNT(*) AS n_orders,
-               SUM(CAST(datediff('day', CAST(o_orderdate AS DATE), first_ship)
-                        <= {sla_days} AS INT)) AS n_within_sla,
+               CAST(SUM(CAST(datediff('day', CAST(o_orderdate AS DATE), first_ship)
+                        <= {sla_days} AS INT)) AS BIGINT) AS n_within_sla,
                round(CAST(SUM(CAST(datediff('day', CAST(o_orderdate AS DATE),
                                             first_ship) <= {sla_days} AS INT))
                           AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS sla_rate

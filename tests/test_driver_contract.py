@@ -70,6 +70,30 @@ def test_no_complex_types_in_certified_outputs(spark):
     )
 
 
+def test_no_hugeint_in_oracle_outputs(ddb):
+    """The driver hashes result cells after a pandas conversion, and DuckDB
+    renders HUGEINT (the default SUM(BIGINT) result type) as float64 there —
+    so an oracle emitting HUGEINT hashes "3.0" while Spark's int64 hashes
+    "3" and the driver flags a value mismatch even though the values are
+    identical (observed CORRECTNESS_r05: events_user_entropy,
+    events_mad_outliers, warehouse_golden_records, ann_ivf_recall_curve —
+    exactly the four sampled queries whose oracle had a HUGEINT column).
+    Every integer SUM in an oracle must be CAST(... AS BIGINT)."""
+    offenders = {}
+    for name, sql in entrymod.oracle_sql().items():
+        rel = ddb.sql(sql)
+        bad = [
+            c
+            for c, t in zip(rel.columns, rel.types)
+            if str(t) in ("HUGEINT", "UHUGEINT")
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        f"HUGEINT oracle outputs hash as floats at the driver: {offenders}"
+    )
+
+
 @pytest.mark.slow
 def test_flagship_matches_oracle_sf001(spark):
     con = _ddb_for(SF_MEDIUM)
