@@ -164,6 +164,92 @@ def vocab_top_ngrams_sql(k: int = 25, docs_rel: str = "documents") -> str:
     return f"{one(1)} UNION ALL {one(2)}"
 
 
+# --- tokenizer vocabulary coverage (OOV rate) ----------------------------------
+
+OOV_VOCAB_K = 200
+
+
+def vocab_oov_rate(docs: DataFrame, k: int = OOV_VOCAB_K) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus top-``k``
+    unigram vocabulary: (doc_id, n_tokens, n_oov, oov_milli).
+
+    The tokenizer-coverage evaluation a pipeline runs before committing to a
+    vocabulary size: documents with high OOV under the candidate vocab will
+    fragment into byte-fallback tokens and train poorly. Deterministic
+    tie-break (count desc, term asc) makes the vocab — and therefore the
+    rate — reproducible; the rate is integer mills (1000·oov div tokens), so
+    no float crosses the engine boundary.
+
+    Scale shape: the vocab is a distributed top-k over the term aggregate
+    (TakeOrderedAndProject — never a global term sort) broadcast into the
+    token stream; per-doc counts are one doc_id-keyed aggregate. The token
+    explode is narrow. No data-sized relation is ever collected or sorted.
+    """
+    toks = grams(docs, 1)
+    vocab = (
+        toks.groupBy(F.col("gram").alias("term"))
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("term").asc())
+        .limit(k)
+        .select("term")
+    )
+    per_doc = (
+        toks.join(F.broadcast(vocab), toks["gram"] == vocab["term"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_toks"),
+            F.sum(F.when(F.col("term").isNull(), 1).otherwise(0)).alias("n_oov_raw"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_toks", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("n_oov_raw", F.lit(0)).cast("long").alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.when(
+                F.col("n_tokens") > 0, F.expr("n_oov * 1000 div n_tokens")
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("oov_milli"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def vocab_oov_rate_sql(k: int = OOV_VOCAB_K, docs_rel: str = "documents") -> str:
+    return f"""
+        WITH toks AS ({grams_sql(1, docs_rel)}),
+             vocab AS (
+                 SELECT gram AS term FROM toks GROUP BY gram
+                 ORDER BY COUNT(*) DESC, gram ASC LIMIT {k}
+             ),
+             per_doc AS (
+                 SELECT doc_id,
+                        CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                        CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+                             AS BIGINT) AS n_oov
+                 FROM toks t LEFT JOIN vocab v ON t.gram = v.term
+                 GROUP BY doc_id
+             )
+        SELECT d.doc_id,
+               COALESCE(n_tokens, 0) AS n_tokens,
+               COALESCE(n_oov, 0) AS n_oov,
+               CASE WHEN COALESCE(n_tokens, 0) > 0
+                    THEN n_oov * 1000 // n_tokens
+                    ELSE 0 END AS oov_milli
+        FROM {docs_rel} d LEFT JOIN per_doc USING (doc_id)
+        ORDER BY d.doc_id
+    """
+
+
 # --- TF-IDF keyword extraction ------------------------------------------------
 
 

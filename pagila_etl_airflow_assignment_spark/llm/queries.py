@@ -788,3 +788,24 @@ def q_dedup_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation attrition funnel: raw -> exact dedup -> near-dup dominance ->
     Gopher gate, one row per stage with removed counts."""
     return dedup.dedup_pipeline_funnel(load_table(spark, sf_dir, "documents"))
+
+
+@register("vocab_oov_rate", oracle=corpus_stats.vocab_oov_rate_sql())
+def q_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc OOV rate vs the corpus top-200 unigram vocabulary — the
+    tokenizer-coverage evaluation; integer-mill rates."""
+    return corpus_stats.vocab_oov_rate(load_table(spark, sf_dir, "documents"))
+
+
+@register("source_scorecard", oracle=curation.source_scorecard_sql())
+def q_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level curation scorecard: per-source keep/dup rates and
+    dominant language — the CCNet-style domain filtering input."""
+    return curation.source_scorecard(load_table(spark, sf_dir, "documents"))
+
+
+@register("split_leakage_audit", oracle=curation.split_leakage_audit_sql())
+def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs crossing the train/val/test split boundary — the
+    eval-contamination audit composing LSH dedup with md5 split assignment."""
+    return curation.split_leakage_audit(load_table(spark, sf_dir, "documents"))

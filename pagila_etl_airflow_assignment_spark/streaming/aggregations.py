@@ -380,3 +380,116 @@ def streaming_sessionize(
         F.col("n").alias("n_events"),
         F.round("total", 6).alias("total_value"),
     )
+
+# --- peak session concurrency (sweep line) --------------------------------------
+
+
+def session_concurrency(events: DataFrame, gap: dt.timedelta = SESSION_GAP) -> DataFrame:
+    """Peak concurrent sessions per day via the classic boundary sweep:
+    (day, n_sessions, peak_concurrency).
+
+    The capacity-planning twin of sessionization — "how many sessions were
+    EVER open at once?" cannot be answered by any per-session aggregate; it
+    needs the +1/−1 sweep over session boundaries with a running sum. The
+    sweep is partitioned by day (a session spanning midnight re-enters the
+    next day with a clipped start boundary, so the carry-in is represented
+    locally and no cross-partition running state is needed). Boundaries are
+    ordered (ts, delta): at an exact boundary tie the −1 departure is
+    processed first, i.e. intervals are closed [start, end] and a session
+    ending at instant t does not overlap one starting at t+1µs.
+
+    Within a (ts, delta) tie the row order is arbitrary, but every tied row
+    carries the SAME delta, so the running sum's set of values — and
+    therefore its max — is order-independent: deterministic cross-engine.
+
+    Scale shape: the day-explode is narrow and bounded by session span; the
+    sweep is one window per day partition. Day partitions at 100 TB can be
+    large but the sweep relation is SESSIONS (already aggregated), orders of
+    magnitude smaller than events; for a pathological single-day corpus the
+    hierarchical sweep (chunk-local sums + prefix-merged offsets) is the
+    documented escape hatch.
+    """
+    sessions = sessionize_batch(events, gap).select("session_start", "session_end")
+    spanned = sessions.select(
+        "session_start",
+        "session_end",
+        F.explode(
+            F.sequence(F.to_date("session_start"), F.to_date("session_end"))
+        ).alias("day"),
+    )
+    day_start = F.col("day").cast("timestamp")
+    day_last_us = day_start + F.expr("INTERVAL '0 23:59:59.999999' DAY TO SECOND")
+    arrive = spanned.select(
+        "day",
+        F.greatest(F.col("session_start"), day_start).alias("ts"),
+        F.lit(1).alias("delta"),
+    )
+    depart = spanned.select(
+        "day",
+        (
+            F.least(F.col("session_end"), day_last_us)
+            + F.expr("INTERVAL '0.000001' SECOND")
+        ).alias("ts"),
+        F.lit(-1).alias("delta"),
+    )
+    w = Window.partitionBy("day").orderBy("ts", "delta").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    swept = arrive.unionByName(depart).select(
+        "day", F.sum("delta").over(w).alias("open_now"), "delta"
+    )
+    return (
+        swept.groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_sessions"),
+            F.max("open_now").cast("long").alias("peak_concurrency"),
+        )
+        .orderBy("day")
+    )
+
+
+def session_concurrency_sql(gap: dt.timedelta = SESSION_GAP) -> str:
+    return f"""
+        WITH sessions AS (
+            SELECT session_start, session_end FROM ({sessionize_batch_sql(gap)})
+        ),
+        spanned AS (
+            SELECT session_start, session_end,
+                   CAST(unnest(generate_series(
+                       CAST(session_start AS DATE),
+                       CAST(session_end AS DATE),
+                       INTERVAL 1 DAY)) AS DATE) AS day
+            FROM sessions
+        ),
+        boundaries AS (
+            SELECT day,
+                   GREATEST(session_start, CAST(day AS TIMESTAMP)) AS ts,
+                   1 AS delta
+            FROM spanned
+            UNION ALL
+            SELECT day,
+                   LEAST(session_end,
+                         CAST(day AS TIMESTAMP) + INTERVAL 1 DAY
+                             - INTERVAL 1 MICROSECOND)
+                       + INTERVAL 1 MICROSECOND AS ts,
+                   -1 AS delta
+            FROM spanned
+        ),
+        swept AS (
+            SELECT day, delta,
+                   SUM(delta) OVER (
+                       PARTITION BY day ORDER BY ts, delta
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS open_now
+            FROM boundaries
+        )
+        SELECT day,
+               CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_sessions,
+               CAST(MAX(open_now) AS BIGINT) AS peak_concurrency
+        FROM swept
+        GROUP BY day
+        ORDER BY day
+    """

@@ -10,6 +10,8 @@ from .aggregations import (
     HOURLY_EVENT_COUNTS_SQL,
     SLIDING_EVENT_COUNTS_SQL,
     hourly_event_counts,
+    session_concurrency,
+    session_concurrency_sql,
     sessionize_batch,
     sessionize_batch_sql,
     sessionize_native,
@@ -103,3 +105,11 @@ def q_throttled(spark: SparkSession, sf_dir: str) -> DataFrame:
     event — the anchor hops): JVM struct-accumulator fold per user; the
     streaming twin is a ValueState StatefulProcessor."""
     return throttle_events(load_table(spark, sf_dir, "events"))
+
+
+@register("events_session_concurrency", oracle=session_concurrency_sql())
+def q_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day via the +1/-1 boundary sweep over
+    gap-based sessions — the capacity-planning operator no per-session
+    aggregate can express."""
+    return session_concurrency(load_table(spark, sf_dir, "events"))
