@@ -2051,3 +2051,48 @@ def dedup_pipeline_funnel_sql(
                      CAST(n2 - n3 AS BIGINT) FROM counts
     ORDER BY stage
     """
+
+# --- duplicate-cluster size distribution ------------------------------------------
+
+
+def cluster_size_hist(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Cluster-size histogram over resolved near-dup clusters:
+    (cluster_size, n_clusters, n_docs) — the "how duplicated is this
+    corpus" distribution every dedup report leads with (size-1 singletons,
+    the long tail of big dup families), and the input to dedup-savings
+    estimates (docs removed = n_docs − n_clusters summed over sizes ≥ 2).
+
+    Scale shape: two aggregates ON TOP of the cluster labels — one keyed by
+    cluster_id (≤ |docs| rows), one by size (≤ |distinct sizes| rows). The
+    cost is the cluster resolution itself, shared with ``dedup_clusters``."""
+    sizes = dedup_clusters(docs, pairs).groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+def cluster_size_hist_sql(pairs_sql: str, docs_rel: str = "documents") -> str:
+    return f"""
+        WITH clusters AS ({dedup_clusters_sql(pairs_sql, docs_rel)}),
+        sizes AS (
+            SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+            FROM clusters GROUP BY cluster_id
+        )
+        SELECT cluster_size,
+               CAST(COUNT(*) AS BIGINT) AS n_clusters,
+               CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+        FROM sizes
+        GROUP BY cluster_size
+        ORDER BY cluster_size
+    """

@@ -809,3 +809,16 @@ def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs crossing the train/val/test split boundary — the
     eval-contamination audit composing LSH dedup with md5 split assignment."""
     return curation.split_leakage_audit(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_cluster_size_hist",
+    oracle=dedup.cluster_size_hist_sql(dedup.ngram_jaccard_pairs_sql(threshold=0.1)),
+)
+def q_dedup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution over the resolved near-dup
+    clusters — the dedup-savings histogram (n_docs - n_clusters = removable)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.cluster_size_hist(
+        docs, dedup.ngram_jaccard_pairs(docs, threshold=0.1)
+    )

@@ -1523,3 +1523,17 @@ def q_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ABC-XYZ planning matrix: Pareto revenue classes x demand-CV classes,
     all thresholds as exact integer cross-multiplication."""
     return warehouse.abc_xyz_matrix(load_table(spark, sf_dir, "lineitem"))
+
+
+@register("events_markov_entropy_rate", oracle=sequences.markov_entropy_rate_sql())
+def q_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the event-type Markov chain (stationary-weighted
+    per-state entropies) — behavioral predictability in exact micro-nats."""
+    return sequences.markov_entropy_rate(load_table(spark, sf_dir, "events"))
+
+
+@register("warehouse_order_aging", oracle=warehouse.order_aging_sql())
+def q_order_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aging buckets over open orders: outstanding count and exact-cents
+    tied-up value per (priority, age band) vs the corpus reference date."""
+    return warehouse.order_aging(load_table(spark, sf_dir, "orders"))

@@ -615,3 +615,99 @@ def markov_stationary_sql(iters: int = STATIONARY_ITERS) -> str:
         FROM pi{iters}
         ORDER BY event_type
     """
+
+def markov_entropy_rate(
+    events: DataFrame, iters: int = STATIONARY_ITERS
+) -> DataFrame:
+    """Entropy rate of the event-type Markov chain, per state:
+    (event_type, pi_micro, h_micro, contrib_micro) with the chain's entropy
+    rate = Σ contrib_micro. H(state i) = Σ_j p_ij·ln(1/p_ij) measures how
+    PREDICTABLE behavior is from state i; weighting by the stationary mass
+    π gives the per-symbol information rate of user behavior — the
+    behavioral-predictability score bot detection and compression-based
+    anomaly scoring read.
+
+    Exactness: each ln of an exact integer count is quantized once to
+    micro-nats (the user_entropy convention), every sum/division after is
+    half-up integer arithmetic — order-independent, bit-stable cross-engine.
+    π comes from ``markov_stationary`` (same quantization). Sink states
+    (no outgoing transitions) have H = 0 by the self-loop convention.
+
+    Scale shape: one lag-window pass over events builds the ≤|types|² count
+    matrix; everything downstream is arithmetic on that tiny relation."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lnm = lambda c: F.round(F.log(c) * F.lit(1e6)).cast("long")  # noqa: E731
+    trans = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count("*").alias("c"))
+    )
+    row_tot = trans.groupBy("prev_type").agg(F.sum("c").alias("rt"))
+    h_rel = (
+        trans.join(row_tot, "prev_type")
+        .groupBy("prev_type")
+        .agg(
+            F.sum(F.col("c") * (lnm(F.col("rt")) - lnm(F.col("c")))).alias("num"),
+            F.max("rt").alias("rt"),
+        )
+        .select(
+            F.col("prev_type").alias("event_type"),
+            F.expr("CAST((2 * num + rt) DIV (2 * rt) AS BIGINT)").alias("h_micro"),
+        )
+    )
+    pi = markov_stationary(events, iters)
+    return (
+        pi.join(h_rel, "event_type", "left")
+        .select(
+            "event_type",
+            "pi_micro",
+            F.coalesce("h_micro", F.lit(0)).cast("long").alias("h_micro"),
+        )
+        .select(
+            "event_type",
+            "pi_micro",
+            "h_micro",
+            F.expr(
+                "CAST((2 * pi_micro * h_micro + 1000000) DIV 2000000 AS BIGINT)"
+            ).alias("contrib_micro"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def markov_entropy_rate_sql(iters: int = STATIONARY_ITERS) -> str:
+    return f"""
+        WITH pi AS ({markov_stationary_sql(iters)}),
+        trans2 AS (
+            SELECT prev_type, event_type, COUNT(*) AS c
+            FROM (
+                SELECT event_type,
+                       LAG(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS prev_type
+                FROM events
+            )
+            WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, event_type
+        ),
+        row_tot2 AS (
+            SELECT prev_type, CAST(SUM(c) AS BIGINT) AS rt
+            FROM trans2 GROUP BY prev_type
+        ),
+        h_rel AS (
+            SELECT prev_type AS event_type,
+                   CAST((2 * SUM(c * (CAST(round(ln(rt) * 1e6) AS BIGINT)
+                                      - CAST(round(ln(c) * 1e6) AS BIGINT)))
+                         + MAX(rt)) // (2 * MAX(rt)) AS BIGINT) AS h_micro
+            FROM trans2 JOIN row_tot2 USING (prev_type)
+            GROUP BY prev_type
+        )
+        SELECT pi.event_type, pi.pi_micro,
+               COALESCE(h.h_micro, 0) AS h_micro,
+               CAST((2 * pi.pi_micro * COALESCE(h.h_micro, 0) + 1000000)
+                    // 2000000 AS BIGINT) AS contrib_micro
+        FROM pi LEFT JOIN h_rel h USING (event_type)
+        ORDER BY pi.event_type
+    """

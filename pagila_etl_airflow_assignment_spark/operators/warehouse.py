@@ -1777,3 +1777,75 @@ ABC_XYZ_MATRIX_SQL = f"""
     GROUP BY abc, xyz
     ORDER BY abc, xyz
 """
+
+# --- open-order aging buckets ----------------------------------------------------
+
+AGING_BUCKETS = ((365, "0-365"), (730, "366-730"), (1460, "731-1460"))
+AGING_OVERFLOW = "1460+"
+
+
+def order_aging(orders: DataFrame) -> DataFrame:
+    """Receivables-style aging report over OPEN orders: per (priority, age
+    bucket), how many orders are outstanding and how much value is tied up —
+    (o_orderpriority, age_bucket, n_orders, value_cents).
+
+    Age = days from o_orderdate to the corpus reference date (MAX order
+    date — a deterministic stand-in for "today", the same device as the
+    dormant-customers query). Value is exact integer cents via DECIMAL so
+    no float sum crosses the engine boundary.
+
+    Scale shape: the reference date is a 1-row broadcast aggregate
+    (crossJoin(broadcast(·)), the repo's blessed global-scalar pattern);
+    the rest is one (priority, bucket)-keyed aggregate — map-side
+    combinable, bounded output."""
+    ref = orders.agg(F.max(F.to_date("o_orderdate")).alias("ref_date"))
+    age = F.datediff(F.col("ref_date"), F.to_date("o_orderdate"))
+    bucket = F.when(age <= AGING_BUCKETS[0][0], AGING_BUCKETS[0][1])
+    for days, label in AGING_BUCKETS[1:]:
+        bucket = bucket.when(age <= days, label)
+    bucket = bucket.otherwise(AGING_OVERFLOW)
+    return (
+        orders.where(F.col("o_orderstatus") != "F")
+        .crossJoin(F.broadcast(ref))
+        .select(
+            "o_orderpriority",
+            bucket.alias("age_bucket"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        )
+        .groupBy("o_orderpriority", "age_bucket")
+        .agg(
+            F.count("*").alias("n_orders"),
+            (F.sum("price") * 100).cast("long").alias("value_cents"),
+        )
+        .orderBy("o_orderpriority", "age_bucket")
+    )
+
+
+def order_aging_sql(orders_rel: str = "orders") -> str:
+    cases = "\n                   ".join(
+        f"WHEN age <= {days} THEN '{label}'" for days, label in AGING_BUCKETS
+    )
+    return f"""
+        WITH ref AS (
+            SELECT MAX(CAST(o_orderdate AS DATE)) AS ref_date FROM {orders_rel}
+        ),
+        aged AS (
+            SELECT o_orderpriority,
+                   CASE {cases}
+                        ELSE '{AGING_OVERFLOW}' END AS age_bucket,
+                   CAST(o_totalprice AS DECIMAL(18,2)) AS price
+            FROM (
+                SELECT o_orderpriority, o_totalprice,
+                       datediff('day', CAST(o_orderdate AS DATE), ref_date)
+                           AS age
+                FROM {orders_rel} CROSS JOIN ref
+                WHERE o_orderstatus <> 'F'
+            )
+        )
+        SELECT o_orderpriority, age_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(price) * 100 AS BIGINT) AS value_cents
+        FROM aged
+        GROUP BY o_orderpriority, age_bucket
+        ORDER BY o_orderpriority, age_bucket
+    """

@@ -85,6 +85,8 @@ ALLOWED: dict[str, set[str]] = {
     "events_woe_iv": {"BroadcastNestedLoopJoin"},
     # broadcast 1-row digit-count total over the 9-row grid
     "warehouse_benford_audit": {"BroadcastNestedLoopJoin"},
+    # broadcast 1-row reference-date scalar (aging "today" stand-in)
+    "warehouse_order_aging": {"BroadcastNestedLoopJoin"},
     # Python UDTF: BatchEvalPython IS the UDTF execution node in Spark 4 —
     # this query exists to pin the UDTF boundary, not to avoid it
     "text_sentence_split_udtf": {"BatchEvalPython"},
