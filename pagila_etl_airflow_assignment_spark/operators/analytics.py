@@ -1170,3 +1170,105 @@ def holt_level_trend_sql() -> str:
     FROM state
     WHERE i = (SELECT MAX(i) FROM d) AND (SELECT COUNT(*) FROM d) >= 2
     """
+
+# --- autocorrelation of the daily series -------------------------------------------
+
+ACF_MAX_LAG = 7
+
+
+def acf_daily(events: DataFrame, max_lag: int = ACF_MAX_LAG) -> DataFrame:
+    """Autocorrelation of the daily event-count series at lags 1..max_lag:
+    (lag, n_pairs, acf_milli) — the seasonality fingerprint (a weekly cycle
+    shows as a spike at lag 7) read before fitting any seasonal model.
+
+    Exactness: with x̄ = S/n rational, r_k's numerator and denominator are
+    both multiplied through by n² — Σ(n·x_t − S)(n·x_{t+k} − S) over
+    Σ(n·x_t − S)² — keeping EVERYTHING integer until one signed half-up
+    milli emit. Counts are exact, so the statistic is bit-stable.
+
+    Scale shape: one day-grain aggregate collapses events; S and the
+    denominator ride a broadcast 1-row aggregate; the lag alignment is
+    max_lag lead windows over the ≤|days| grid."""
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("x")
+    )
+    tot = daily.agg(
+        F.count("*").alias("n"), F.sum("x").alias("s")
+    )
+    wd = Window.orderBy("day")
+    leads = daily.crossJoin(F.broadcast(tot)).select(
+        "day",
+        (F.col("x") * F.col("n") - F.col("s")).alias("cx"),
+        "n",
+        *[
+            F.lead("x", k).over(wd).alias(f"x{k}")
+            for k in range(1, max_lag + 1)
+        ],
+        F.col("s"),
+    )
+    den_rel = leads.agg(F.sum(F.col("cx") * F.col("cx")).alias("den"))
+    parts = []
+    for k in range(1, max_lag + 1):
+        num_k = leads.where(F.col(f"x{k}").isNotNull()).agg(
+            F.lit(k).alias("lag"),
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum(
+                F.col("cx") * (F.col(f"x{k}") * F.col("n") - F.col("s"))
+            ).alias("num"),
+        )
+        parts.append(num_k)
+    nums = parts[0]
+    for p in parts[1:]:
+        nums = nums.unionByName(p)
+    return (
+        nums.crossJoin(F.broadcast(den_rel))
+        .select(
+            "lag",
+            "n_pairs",
+            F.expr(
+                "CAST(SIGN(num) * ((2 * 1000 * ABS(num) + den) DIV (2 * den))"
+                " AS BIGINT)"
+            ).alias("acf_milli"),
+        )
+        .orderBy("lag")
+    )
+
+
+def acf_daily_sql(max_lag: int = ACF_MAX_LAG) -> str:
+    lag_rows = "\n            UNION ALL ".join(
+        f"""SELECT {k} AS lag,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(SUM(cx * (x{k} * n - s)) AS BIGINT) AS num
+            FROM leads WHERE x{k} IS NOT NULL"""
+        for k in range(1, max_lag + 1)
+    )
+    lead_cols = ",\n                   ".join(
+        f"LEAD(x, {k}) OVER (ORDER BY day) AS x{k}"
+        for k in range(1, max_lag + 1)
+    )
+    return f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY CAST(ts AS DATE)
+        ),
+        tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s
+            FROM daily
+        ),
+        leads AS (
+            SELECT day, x * n - s AS cx, n, s,
+                   {lead_cols}
+            FROM daily CROSS JOIN tot
+        ),
+        den_rel AS (
+            SELECT CAST(SUM(cx * cx) AS BIGINT) AS den FROM leads
+        ),
+        nums AS (
+            {lag_rows}
+        )
+        SELECT lag, n_pairs,
+               CAST(SIGN(num) * ((2 * 1000 * ABS(num) + den) // (2 * den))
+                    AS BIGINT) AS acf_milli
+        FROM nums CROSS JOIN den_rel
+        ORDER BY lag
+    """

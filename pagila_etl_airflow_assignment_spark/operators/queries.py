@@ -1537,3 +1537,31 @@ def q_order_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aging buckets over open orders: outstanding count and exact-cents
     tied-up value per (priority, age band) vs the corpus reference date."""
     return warehouse.order_aging(load_table(spark, sf_dir, "orders"))
+
+
+@register("events_mannwhitney_u", oracle=stats.mannwhitney_u_sql())
+def q_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test between click and view values — the
+    nonparametric A/B twin; 2U and tie-corrected variance as exact integers."""
+    return stats.mannwhitney_u(load_table(spark, sf_dir, "events"))
+
+
+@register("events_kendall_tau", oracle=stats.kendall_tau_daily_sql())
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-a between daily click and error counts — rank correlation
+    with no sqrt and no tie-averaging, exact integers end to end."""
+    return stats.kendall_tau_daily(load_table(spark, sf_dir, "events"))
+
+
+@register("warehouse_weighted_median_price", oracle=warehouse.weighted_median_price_sql())
+def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median traded price per return flag via the
+    integer 2*cumw >= totw threshold over the distinct-price relation."""
+    return warehouse.weighted_median_price(load_table(spark, sf_dir, "lineitem"))
+
+
+@register("events_acf_daily", oracle=analytics.acf_daily_sql())
+def q_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of daily event counts at lags 1..7 — the seasonality
+    fingerprint, integers end to end via the n-scaled centering trick."""
+    return analytics.acf_daily(load_table(spark, sf_dir, "events"))

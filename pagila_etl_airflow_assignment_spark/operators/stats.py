@@ -797,3 +797,202 @@ POWER_ANALYSIS_SQL = f"""
     FROM agg
     ORDER BY event_type
 """
+
+
+# --- Mann-Whitney U (rank-sum) test ---------------------------------------------
+
+MW_GROUP_A = "click"
+MW_GROUP_B = "view"
+
+
+def mannwhitney_u(
+    events: DataFrame, group_a: str = MW_GROUP_A, group_b: str = MW_GROUP_B
+) -> DataFrame:
+    """Mann-Whitney U rank-sum test between two event types' value
+    distributions: (n_a, n_b, u2_a, u2_b, tie_cubes, var_milli).
+
+    The nonparametric twin of the Welch t-test — rank-based, so heavy tails
+    and outliers can't dominate. Everything is EXACT integer arithmetic:
+    values quantize to cents, tie groups get the textbook average rank as
+    2·rank (2b + m + 1, an integer), so u2_* are 2·U. The normal-approx
+    variance (with the tie correction) keeps its tie term exact via the
+    integer /6 identity and quantizes once through an identically-
+    associated double expression; z = (U − n_a·n_b/2)/σ is one sqrt away downstream.
+
+    Scale shape: one value-grain aggregate (cents, group) → one ordered
+    window over the DISTINCT-value relation (bounded by value cardinality,
+    not row count) → a 1-row summary. No data-sized sort."""
+    cents = F.expr("CAST(round(value * 100) AS BIGINT)")
+    base = events.where(
+        F.col("event_type").isin(group_a, group_b)
+    ).select(
+        cents.alias("v"),
+        (F.col("event_type") == group_a).cast("long").alias("in_a"),
+    )
+    per_v = base.groupBy("v").agg(
+        F.count("*").alias("m"),
+        F.sum("in_a").alias("m_a"),
+    )
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_v.select(
+        "v",
+        "m",
+        "m_a",
+        F.coalesce(F.sum("m").over(wv), F.lit(0)).alias("b"),
+    )
+    agg = ranked.agg(
+        F.sum("m_a").alias("n_a"),
+        F.sum(F.col("m") - F.col("m_a")).alias("n_b"),
+        F.sum(F.col("m_a") * (2 * F.col("b") + F.col("m") + 1)).alias("r2_a"),
+        F.sum(
+            F.when(F.col("m") > 1, F.col("m") * F.col("m") * F.col("m") - F.col("m"))
+            .otherwise(0)
+        ).alias("tie_cubes"),
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.expr("CAST(r2_a - n_a * (n_a + 1) AS BIGINT)").alias("u2_a"),
+        F.expr("CAST(2 * n_a * n_b - (r2_a - n_a * (n_a + 1)) AS BIGINT)").alias(
+            "u2_b"
+        ),
+        F.col("tie_cubes").cast("long").alias("tie_cubes"),
+        # m6 = ((n^3 - n) - tie_cubes)/6 is exact (t^3 - t is divisible by
+        # 6), so the only non-integer step is ONE double expression whose
+        # operands and association are written identically in both engines
+        # (the entropy-division precedent) - bit-stable without int64-
+        # overflowing products.
+        F.expr(
+            """CAST(round(((1000.0 * n_a) * n_b)
+                    * CAST((((n_a + n_b) * (n_a + n_b) * (n_a + n_b)
+                             - (n_a + n_b)) - tie_cubes) DIV 6 AS DOUBLE)
+                    / (((2.0 * (n_a + n_b)) * (n_a + n_b - 1)))) AS BIGINT)"""
+        ).alias("var_milli"),
+    )
+
+
+def mannwhitney_u_sql(
+    group_a: str = MW_GROUP_A, group_b: str = MW_GROUP_B
+) -> str:
+    return f"""
+        WITH base AS (
+            SELECT CAST(round(value * 100) AS BIGINT) AS v,
+                   CASE WHEN event_type = '{group_a}' THEN 1 ELSE 0 END AS in_a
+            FROM events WHERE event_type IN ('{group_a}', '{group_b}')
+        ),
+        per_v AS (
+            SELECT v, CAST(COUNT(*) AS BIGINT) AS m,
+                   CAST(SUM(in_a) AS BIGINT) AS m_a
+            FROM base GROUP BY v
+        ),
+        ranked AS (
+            SELECT v, m, m_a,
+                   COALESCE(SUM(m) OVER (
+                       ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS b
+            FROM per_v
+        ),
+        agg AS (
+            SELECT CAST(SUM(m_a) AS BIGINT) AS n_a,
+                   CAST(SUM(m - m_a) AS BIGINT) AS n_b,
+                   CAST(SUM(m_a * (2 * b + m + 1)) AS BIGINT) AS r2_a,
+                   CAST(SUM(CASE WHEN m > 1 THEN m * m * m - m ELSE 0 END)
+                        AS BIGINT) AS tie_cubes
+            FROM ranked
+        )
+        SELECT n_a, n_b,
+               CAST(r2_a - n_a * (n_a + 1) AS BIGINT) AS u2_a,
+               CAST(2 * n_a * n_b - (r2_a - n_a * (n_a + 1)) AS BIGINT) AS u2_b,
+               tie_cubes,
+               CAST(round(((1000.0 * n_a) * n_b)
+                    * CAST((((n_a + n_b) * (n_a + n_b) * (n_a + n_b)
+                             - (n_a + n_b)) - tie_cubes) // 6 AS DOUBLE)
+                    / (((2.0 * (n_a + n_b)) * (n_a + n_b - 1)))) AS BIGINT)
+                   AS var_milli
+        FROM agg
+    """
+
+
+# --- Kendall tau-a rank correlation ----------------------------------------------
+
+KENDALL_X_TYPE = "click"
+KENDALL_Y_TYPE = "error"
+
+
+def kendall_tau_daily(
+    events: DataFrame, x_type: str = KENDALL_X_TYPE, y_type: str = KENDALL_Y_TYPE
+) -> DataFrame:
+    """Kendall tau-a between two event types' DAILY counts:
+    (n_days, concordant, discordant, tied, tau_a_milli).
+
+    The rank correlation that needs NO sqrt and NO rank-tie averaging —
+    tau-a is a pure pairwise count ratio, so the whole statistic is exact
+    integer arithmetic end to end (the abs/sign half-up emit at milli).
+    Use it where Spearman/Pearson would put a float boundary in the plan.
+
+    Scale shape: the day grid is a bounded aggregate (≤|days| rows); the
+    pairwise comparison is a self-join on that bounded grid, never on raw
+    events."""
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum((F.col("event_type") == x_type).cast("long")).alias("x"),
+        F.sum((F.col("event_type") == y_type).cast("long")).alias("y"),
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(b, F.col("a.day") < F.col("b.day")).select(
+        ((F.col("a.x") - F.col("b.x")) * (F.col("a.y") - F.col("b.y"))).alias(
+            "prod"
+        )
+    )
+    agg = pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.sum((F.col("prod") > 0).cast("long")).alias("concordant"),
+        F.sum((F.col("prod") < 0).cast("long")).alias("discordant"),
+        F.sum((F.col("prod") == 0).cast("long")).alias("tied"),
+    )
+    n_days = daily.count()  # scalar probe over the bounded grid
+    return agg.select(
+        F.lit(n_days).cast("long").alias("n_days"),
+        "concordant",
+        "discordant",
+        "tied",
+        F.expr(
+            "CAST(SIGN(concordant - discordant) *"
+            " ((2 * 1000 * ABS(concordant - discordant) + n_pairs)"
+            "  DIV (2 * n_pairs)) AS BIGINT)"
+        ).alias("tau_a_milli"),
+    )
+
+
+def kendall_tau_daily_sql(
+    x_type: str = KENDALL_X_TYPE, y_type: str = KENDALL_Y_TYPE
+) -> str:
+    return f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(SUM(CASE WHEN event_type = '{x_type}' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS x,
+                   CAST(SUM(CASE WHEN event_type = '{y_type}' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS y
+            FROM events GROUP BY CAST(ts AS DATE)
+        ),
+        pairs AS (
+            SELECT (a.x - b.x) * (a.y - b.y) AS prod
+            FROM daily a JOIN daily b ON a.day < b.day
+        ),
+        agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(SUM(CASE WHEN prod > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS concordant,
+                   CAST(SUM(CASE WHEN prod < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS discordant,
+                   CAST(SUM(CASE WHEN prod = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS tied
+            FROM pairs
+        )
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days,
+               concordant, discordant, tied,
+               CAST(SIGN(concordant - discordant) *
+                    ((2 * 1000 * ABS(concordant - discordant) + n_pairs)
+                     // (2 * n_pairs)) AS BIGINT) AS tau_a_milli
+        FROM agg
+    """

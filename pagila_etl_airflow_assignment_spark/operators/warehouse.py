@@ -1849,3 +1849,74 @@ def order_aging_sql(orders_rel: str = "orders") -> str:
         GROUP BY o_orderpriority, age_bucket
         ORDER BY o_orderpriority, age_bucket
     """
+
+# --- weighted median ---------------------------------------------------------------
+
+
+def weighted_median_price(lineitem: DataFrame) -> DataFrame:
+    """Quantity-weighted median unit price per return flag:
+    (l_returnflag, total_weight, wmedian_cents).
+
+    The weighted median — smallest price whose cumulative quantity reaches
+    half the total — is the robust "typical traded price" (an unweighted
+    median over line items overweights small orders). Prices quantize to
+    exact cents; the half-total threshold is the integer cross-multiplied
+    predicate 2·cumw ≥ totw, so no float division anywhere.
+
+    Scale shape: one (flag, price)-grain aggregate collapses the fact table,
+    then the cumulative window runs over the DISTINCT price relation per
+    flag — bounded by price cardinality, not row count. The total rides the
+    same window (unbounded frame), no second pass."""
+    base = lineitem.select(
+        "l_returnflag",
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("price_cents"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    per_price = base.groupBy("l_returnflag", "price_cents").agg(
+        F.sum("w").alias("w_sum")
+    )
+    wp = Window.partitionBy("l_returnflag")
+    wo = wp.orderBy("price_cents").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_price.select(
+        "l_returnflag",
+        "price_cents",
+        F.sum("w_sum").over(wo).alias("cumw"),
+        F.sum("w_sum").over(wp).alias("totw"),
+    )
+    return (
+        cum.where(2 * F.col("cumw") >= F.col("totw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.max("totw").alias("total_weight"),
+            F.min("price_cents").alias("wmedian_cents"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def weighted_median_price_sql(rel: str = "lineitem") -> str:
+    return f"""
+        WITH per_price AS (
+            SELECT l_returnflag,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w_sum
+            FROM {rel}
+            GROUP BY l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT)
+        ),
+        cum AS (
+            SELECT l_returnflag, price_cents,
+                   SUM(w_sum) OVER (
+                       PARTITION BY l_returnflag ORDER BY price_cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cumw,
+                   SUM(w_sum) OVER (PARTITION BY l_returnflag) AS totw
+            FROM per_price
+        )
+        SELECT l_returnflag,
+               CAST(MAX(totw) AS BIGINT) AS total_weight,
+               CAST(MIN(price_cents) AS BIGINT) AS wmedian_cents
+        FROM cum
+        WHERE 2 * cumw >= totw
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """

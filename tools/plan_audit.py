@@ -85,6 +85,10 @@ ALLOWED: dict[str, set[str]] = {
     "events_woe_iv": {"BroadcastNestedLoopJoin"},
     # broadcast 1-row digit-count total over the 9-row grid
     "warehouse_benford_audit": {"BroadcastNestedLoopJoin"},
+    # bounded day-grid self-join (non-equi a.day < b.day, ≤|days|² pairs)
+    "events_kendall_tau": {"BroadcastNestedLoopJoin"},
+    # broadcast 1-row (n, S) and denominator scalars over the day grid
+    "events_acf_daily": {"BroadcastNestedLoopJoin"},
     # broadcast 1-row reference-date scalar (aging "today" stand-in)
     "warehouse_order_aging": {"BroadcastNestedLoopJoin"},
     # Python UDTF: BatchEvalPython IS the UDTF execution node in Spark 4 —
