@@ -1016,3 +1016,174 @@ def bm25_topk_sql(
     ORDER BY bm25_micro DESC, f.doc_id
     LIMIT {k}
     """
+
+
+# --- Jensen-Shannon divergence between source unigram mixes ------------------------
+
+JS_VOCAB_K = 50
+JS_REST = "<rest>"
+
+
+def js_divergence_sources(docs: DataFrame, k: int = JS_VOCAB_K) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between source unigram
+    distributions: (source_a, source_b, js_micro) — the corpus-drift /
+    mixture-similarity matrix curation reads when deciding whether two
+    crawls are interchangeable or a new source shifts the mix.
+
+    Distributions live on the global top-``k`` vocabulary plus one ``<rest>``
+    bucket, so the support is identical (and bounded) for every source.
+    JS(p,q) = ½KL(p‖m) + ½KL(q‖m), m = (p+q)/2, expanded over exact integer
+    counts: with a_t/A and b_t/B the term ratios, ln(p_t/m_t) =
+    ln(2·a_t·B) − ln(a_t·B + b_t·A) — each ln of an exact integer quantized
+    once to micro-nats, summed exactly, divided by A (resp. B) on
+    identically-agreed operands. Zero-count terms contribute zero (the
+    0·ln 0 convention). Count products must stay in int64 — at trillion-
+    token scale rescale counts per pair (divide both sides by a common
+    power of two) before the product; the fixture grain is far inside.
+
+    Scale shape: term counts aggregate per (source, term) on the bounded
+    vocab+rest support; the dense grid is a broadcast cross join of two
+    bounded dims (|sources| × (k+1)); the pair join is grid × grid on term
+    — everything after the one token-stream aggregate is dimension-sized."""
+    toks = grams(docs.select("doc_id", "text"), 1).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    vocab = (
+        toks.groupBy(F.col("gram").alias("term"))
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("term").asc())
+        .limit(k)
+        .select("term")
+    )
+    termed = toks.join(
+        F.broadcast(vocab), toks["gram"] == vocab["term"], "left"
+    ).select(
+        "source",
+        F.coalesce("term", F.lit(JS_REST)).alias("term"),
+    )
+    counts = termed.groupBy("source", "term").agg(F.count("*").alias("c"))
+    support = vocab.unionByName(
+        termed.sparkSession.createDataFrame([(JS_REST,)], "term string")
+    )
+    sources = counts.select("source").distinct()
+    grid = (
+        sources.crossJoin(F.broadcast(support))
+        .join(counts, ["source", "term"], "left")
+        .select("source", "term", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    totals = counts.groupBy("source").agg(F.sum("c").alias("tot"))
+    ga = grid.join(totals, "source").select(
+        F.col("source").alias("source_a"),
+        "term",
+        F.col("c").alias("a"),
+        F.col("tot").alias("ta"),
+    )
+    gb = grid.join(totals, "source").select(
+        F.col("source").alias("source_b"),
+        "term",
+        F.col("c").alias("b"),
+        F.col("tot").alias("tb"),
+    )
+    lnm = lambda c: F.round(F.log(c) * F.lit(1e6)).cast("long")  # noqa: E731
+    paired = ga.join(gb, "term").where(F.col("source_a") < F.col("source_b"))
+    contrib = paired.select(
+        "source_a",
+        "source_b",
+        "ta",
+        "tb",
+        F.when(
+            F.col("a") > 0,
+            F.col("a") * (lnm(2 * F.col("a") * F.col("tb"))
+                          - lnm(F.col("a") * F.col("tb") + F.col("b") * F.col("ta"))),
+        )
+        .otherwise(F.lit(0))
+        .alias("na"),
+        F.when(
+            F.col("b") > 0,
+            F.col("b") * (lnm(2 * F.col("b") * F.col("ta"))
+                          - lnm(F.col("a") * F.col("tb") + F.col("b") * F.col("ta"))),
+        )
+        .otherwise(F.lit(0))
+        .alias("nb"),
+    )
+    return (
+        contrib.groupBy("source_a", "source_b")
+        .agg(
+            F.sum("na").alias("num_a"),
+            F.sum("nb").alias("num_b"),
+            F.max("ta").alias("ta"),
+            F.max("tb").alias("tb"),
+        )
+        .select(
+            "source_a",
+            "source_b",
+            F.round(
+                (F.col("num_a") / F.col("ta") + F.col("num_b") / F.col("tb"))
+                / F.lit(2.0)
+            )
+            .cast("long")
+            .alias("js_micro"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def js_divergence_sources_sql(k: int = JS_VOCAB_K, docs_rel: str = "documents") -> str:
+    lnm = lambda e: f"CAST(round(ln({e}) * 1e6) AS BIGINT)"  # noqa: E731
+    return f"""
+        WITH toks AS (
+            SELECT t.doc_id, t.gram, d.source
+            FROM ({grams_sql(1, docs_rel)}) t
+            JOIN {docs_rel} d USING (doc_id)
+        ),
+        vocab AS (
+            SELECT gram AS term FROM toks GROUP BY gram
+            ORDER BY COUNT(*) DESC, gram ASC LIMIT {k}
+        ),
+        termed AS (
+            SELECT source, COALESCE(v.term, '{JS_REST}') AS term
+            FROM toks LEFT JOIN vocab v ON toks.gram = v.term
+        ),
+        counts AS (
+            SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c
+            FROM termed GROUP BY source, term
+        ),
+        support AS (
+            SELECT term FROM vocab UNION ALL SELECT '{JS_REST}'
+        ),
+        grid AS (
+            SELECT s.source, sup.term, COALESCE(c.c, 0) AS c
+            FROM (SELECT DISTINCT source FROM counts) s
+            CROSS JOIN support sup
+            LEFT JOIN counts c ON c.source = s.source AND c.term = sup.term
+        ),
+        totals AS (
+            SELECT source, CAST(SUM(c) AS BIGINT) AS tot
+            FROM counts GROUP BY source
+        ),
+        paired AS (
+            SELECT ga.source AS source_a, gb.source AS source_b, ga.term,
+                   ga.c AS a, ta.tot AS ta, gb.c AS b, tb.tot AS tb
+            FROM grid ga
+            JOIN totals ta ON ta.source = ga.source
+            JOIN grid gb ON ga.term = gb.term AND ga.source < gb.source
+            JOIN totals tb ON tb.source = gb.source
+        ),
+        contrib AS (
+            SELECT source_a, source_b, ta, tb,
+                   CASE WHEN a > 0 THEN a * ({lnm('2 * a * tb')}
+                                            - {lnm('a * tb + b * ta')})
+                        ELSE 0 END AS na,
+                   CASE WHEN b > 0 THEN b * ({lnm('2 * b * ta')}
+                                             - {lnm('a * tb + b * ta')})
+                        ELSE 0 END AS nb
+            FROM paired
+        )
+        SELECT source_a, source_b,
+               CAST(round((CAST(SUM(na) AS DOUBLE) / MAX(ta)
+                           + CAST(SUM(nb) AS DOUBLE) / MAX(tb)) / 2.0)
+                    AS BIGINT) AS js_micro
+        FROM contrib
+        GROUP BY source_a, source_b
+        ORDER BY source_a, source_b
+    """

@@ -115,3 +115,76 @@ def pack_chunks_sql(
     FROM offs
     ORDER BY lang, shard, doc_id, chunk_id
     """
+
+# --- shard manifest (WebDataset-style) ---------------------------------------------
+
+SHARD_BUDGET_BYTES = 4096
+
+
+def shard_manifest(
+    docs: DataFrame, budget: int = SHARD_BUDGET_BYTES
+) -> DataFrame:
+    """Plan fixed-budget training shards per source: (source, shard_idx,
+    n_docs, shard_bytes, first_doc, last_doc) — the WebDataset/tar-shard
+    manifest a multimodal loader streams.
+
+    Greedy linear fill: docs scan in doc_id order, a doc's shard is
+    cum_bytes_before div budget — deterministic, single-pass, and stable
+    under re-partitioning (the order is the data, not the layout). Sharding
+    is PER SOURCE so the cumulative window is source-partitioned — no
+    global-order window at any scale; a source's shard sequence is
+    independent of every other source.
+
+    Byte size uses n_chars (the fixture's payload-size column); swap in the
+    binary payload length for real media."""
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    assigned = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.coalesce(F.sum("n_chars").over(w), F.lit(0))
+        .cast("long")
+        .alias("cum_before"),
+    ).select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.expr(f"cum_before DIV {budget}").alias("shard_idx"),
+    )
+    return (
+        assigned.groupBy("source", "shard_idx")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("shard_bytes"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("source", "shard_idx")
+    )
+
+
+def shard_manifest_sql(
+    budget: int = SHARD_BUDGET_BYTES, docs_rel: str = "documents"
+) -> str:
+    return f"""
+        WITH assigned AS (
+            SELECT source, doc_id, n_chars,
+                   COALESCE(SUM(n_chars) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) // {budget} AS shard_idx
+            FROM {docs_rel}
+        )
+        SELECT source, CAST(shard_idx AS BIGINT) AS shard_idx,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS shard_bytes,
+               CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+               CAST(MAX(doc_id) AS BIGINT) AS last_doc
+        FROM assigned
+        GROUP BY source, shard_idx
+        ORDER BY source, shard_idx
+    """

@@ -822,3 +822,17 @@ def q_dedup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.cluster_size_hist(
         docs, dedup.ngram_jaccard_pairs(docs, threshold=0.1)
     )
+
+
+@register("multimodal_shard_manifest", oracle=packing.shard_manifest_sql())
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style fixed-budget shard manifest per source — greedy
+    linear fill over the source-partitioned cumulative byte window."""
+    return packing.shard_manifest(load_table(spark, sf_dir, "documents"))
+
+
+@register("text_js_divergence_sources", oracle=corpus_stats.js_divergence_sources_sql())
+def q_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between source unigram mixes on
+    the bounded vocab+rest support — the corpus-drift matrix, micro-nats."""
+    return corpus_stats.js_divergence_sources(load_table(spark, sf_dir, "documents"))

@@ -331,3 +331,119 @@ TARGET_ENCODE_LOO_SQL = """
     FROM base JOIN per_type ON base.event_type = per_type.event_type
     ORDER BY event_id
 """
+
+# --- linear-interpolation gap fill ------------------------------------------------
+
+
+def linear_interp_fill(events: DataFrame) -> DataFrame:
+    """Fill missing days of each event type's daily value series by LINEAR
+    interpolation between the nearest present neighbors:
+    (event_type, day, filled_cents, is_interpolated).
+
+    The interpolation upgrade of ``gap_fill_ffill``: forward-fill carries a
+    stale plateau through a gap, linear fill reconstructs the trend — the
+    choice every feature-store backfill makes per column. The grid spans
+    each type's own [min, max] day, so both neighbors always exist and no
+    extrapolation rule is needed. Interpolated values are exact half-up
+    integer cents via cross-multiplication — no float ratio.
+
+    Scale shape: per-type day grid by `sequence` (no global calendar cross
+    join); neighbor lookup is two IGNORE NULLS window passes over the
+    bounded grid; everything keyed by event_type."""
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("cents"))
+    spans = daily.groupBy("event_type").agg(
+        F.min("day").alias("d_min"), F.max("day").alias("d_max")
+    )
+    grid = spans.select(
+        "event_type",
+        F.explode(F.sequence("d_min", "d_max")).alias("day"),
+    )
+    g = grid.join(daily, ["event_type", "day"], "left")
+    w = Window.partitionBy("event_type").orderBy("day")
+    wb = w.rowsBetween(Window.unboundedPreceding, 0)
+    wf = w.rowsBetween(0, Window.unboundedFollowing)
+    marked = g.select(
+        "event_type",
+        "day",
+        "cents",
+        F.last("cents", ignorenulls=True).over(wb).alias("v_prev"),
+        F.last(F.when(F.col("cents").isNotNull(), F.col("day")), ignorenulls=True)
+        .over(wb)
+        .alias("d_prev"),
+        F.first("cents", ignorenulls=True).over(wf).alias("v_next"),
+        F.first(F.when(F.col("cents").isNotNull(), F.col("day")), ignorenulls=True)
+        .over(wf)
+        .alias("d_next"),
+    )
+    span = F.datediff("d_next", "d_prev")
+    num = F.col("v_prev") * F.datediff("d_next", "day") + F.col(
+        "v_next"
+    ) * F.datediff("day", "d_prev")
+    interp = ((2 * num + span) / (2 * span)).cast("long")  # half-up, num >= 0
+    return marked.select(
+        "event_type",
+        "day",
+        F.when(F.col("cents").isNotNull(), F.col("cents"))
+        .otherwise(F.expr("CAST((2 * (v_prev * datediff(d_next, day)"
+                          " + v_next * datediff(day, d_prev))"
+                          " + datediff(d_next, d_prev))"
+                          " DIV (2 * datediff(d_next, d_prev)) AS BIGINT)"))
+        .alias("filled_cents"),
+        F.col("cents").isNull().alias("is_interpolated"),
+    ).orderBy("event_type", "day")
+
+
+def linear_interp_fill_sql() -> str:
+    return """
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS cents
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ),
+        spans AS (
+            SELECT event_type, MIN(day) AS d_min, MAX(day) AS d_max
+            FROM daily GROUP BY event_type
+        ),
+        grid AS (
+            SELECT event_type,
+                   CAST(unnest(generate_series(d_min, d_max, INTERVAL 1 DAY))
+                        AS DATE) AS day
+            FROM spans
+        ),
+        marked AS (
+            SELECT g.event_type, g.day, d.cents,
+                   last_value(d.cents IGNORE NULLS) OVER (
+                       PARTITION BY g.event_type ORDER BY g.day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS v_prev,
+                   last_value(CASE WHEN d.cents IS NOT NULL THEN g.day END
+                              IGNORE NULLS) OVER (
+                       PARTITION BY g.event_type ORDER BY g.day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS d_prev,
+                   first_value(d.cents IGNORE NULLS) OVER (
+                       PARTITION BY g.event_type ORDER BY g.day
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+                   ) AS v_next,
+                   first_value(CASE WHEN d.cents IS NOT NULL THEN g.day END
+                               IGNORE NULLS) OVER (
+                       PARTITION BY g.event_type ORDER BY g.day
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+                   ) AS d_next
+            FROM grid g LEFT JOIN daily d USING (event_type, day)
+        )
+        SELECT event_type, day,
+               CASE WHEN cents IS NOT NULL THEN cents
+                    ELSE CAST((2 * (v_prev * datediff('day', day, d_next)
+                                    + v_next * datediff('day', d_prev, day))
+                               + datediff('day', d_prev, d_next))
+                              // (2 * datediff('day', d_prev, d_next))
+                              AS BIGINT)
+               END AS filled_cents,
+               cents IS NULL AS is_interpolated
+        FROM marked
+        ORDER BY event_type, day
+    """

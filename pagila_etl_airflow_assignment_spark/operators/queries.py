@@ -1565,3 +1565,18 @@ def q_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Autocorrelation of daily event counts at lags 1..7 — the seasonality
     fingerprint, integers end to end via the n-scaled centering trick."""
     return analytics.acf_daily(load_table(spark, sf_dir, "events"))
+
+
+@register("events_cep_pattern", oracle=sequences.cep_pattern_counts_sql())
+def q_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style contiguous pattern counting (view->click->
+    purchase) per user via one lead-window conjunction — exact under
+    adjacency and overlap."""
+    return sequences.cep_pattern_counts(load_table(spark, sf_dir, "events"))
+
+
+@register("events_linear_interp_fill", oracle=features.linear_interp_fill_sql())
+def q_linear_interp_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation gap fill of daily value series per type —
+    exact half-up integer cents via cross-multiplication."""
+    return features.linear_interp_fill(load_table(spark, sf_dir, "events"))

@@ -711,3 +711,61 @@ def markov_entropy_rate_sql(iters: int = STATIONARY_ITERS) -> str:
         FROM pi LEFT JOIN h_rel h USING (event_type)
         ORDER BY pi.event_type
     """
+
+# --- MATCH_RECOGNIZE-style pattern counting ----------------------------------------
+
+CEP_PATTERN = ("view", "click", "purchase")
+
+
+def cep_pattern_counts(
+    events: DataFrame, pattern: tuple[str, ...] = CEP_PATTERN
+) -> DataFrame:
+    """Complex-event-processing pattern counter: per user, how many times the
+    CONTIGUOUS event-type sequence ``pattern`` occurs in their (ts,
+    event_id)-ordered stream — (user_id, n_events, n_patterns), the
+    MATCH_RECOGNIZE shape Spark lacks natively.
+
+    A match is a position whose next len(pattern)-1 events complete the
+    sequence — one lead-window conjunction per pattern step, so adjacent and
+    overlapping occurrences are counted exactly (a string replace-length
+    count silently misses adjacent matches at the shared delimiter; tested
+    and rejected). Ties order by (ts, event_id) — deterministic.
+
+    Scale shape: one user-keyed window pass + one user-keyed aggregate;
+    pattern length only widens the lead conjunction, never adds a pass."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    hit = F.col("event_type") == pattern[0]
+    for i, step in enumerate(pattern[1:], start=1):
+        hit = hit & (F.lead("event_type", i).over(w) == step)
+    return (
+        events.select("user_id", hit.cast("long").alias("is_hit"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("is_hit").cast("long").alias("n_patterns"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def cep_pattern_counts_sql(pattern: tuple[str, ...] = CEP_PATTERN) -> str:
+    conds = ["event_type = '" + pattern[0] + "'"] + [
+        f"LEAD(event_type, {i}) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+        f" = '{step}'"
+        for i, step in enumerate(pattern[1:], start=1)
+    ]
+    cond = "\n                     AND ".join(conds)
+    return f"""
+        WITH hits AS (
+            SELECT user_id,
+                   CASE WHEN {cond}
+                        THEN 1 ELSE 0 END AS is_hit
+            FROM events
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(is_hit) AS BIGINT) AS n_patterns
+        FROM hits
+        GROUP BY user_id
+        ORDER BY user_id
+    """

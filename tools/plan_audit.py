@@ -85,6 +85,8 @@ ALLOWED: dict[str, set[str]] = {
     "events_woe_iv": {"BroadcastNestedLoopJoin"},
     # broadcast 1-row digit-count total over the 9-row grid
     "warehouse_benford_audit": {"BroadcastNestedLoopJoin"},
+    # broadcast bounded-support grid (|sources| x (vocab k+1) dense cross)
+    "text_js_divergence_sources": {"BroadcastNestedLoopJoin"},
     # bounded day-grid self-join (non-equi a.day < b.day, ≤|days|² pairs)
     "events_kendall_tau": {"BroadcastNestedLoopJoin"},
     # broadcast 1-row (n, S) and denominator scalars over the day grid
