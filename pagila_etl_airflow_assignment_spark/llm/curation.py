@@ -138,9 +138,11 @@ def source_scorecard(docs: DataFrame) -> DataFrame:
     per_source = base.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum(F.col("keep").cast("long")).alias("n_kept"),
-        F.sum((F.col("reject_reason") == "exact_dup").cast("long")).alias(
-            "n_exact_dup"
-        ),
+        # NULL reject_reason (kept docs) must count as 0, not poison the
+        # sum: an all-kept source would otherwise emit NULL
+        F.sum(
+            F.when(F.col("reject_reason") == "exact_dup", 1).otherwise(0)
+        ).cast("long").alias("n_exact_dup"),
     )
     lang_counts = base.groupBy("source", "pred_lang").agg(
         F.count("*").alias("lang_cnt")

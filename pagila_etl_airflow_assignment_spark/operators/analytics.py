@@ -1225,9 +1225,12 @@ def acf_daily(events: DataFrame, max_lag: int = ACF_MAX_LAG) -> DataFrame:
         .select(
             "lag",
             "n_pairs",
+            # den = 0 (a constant daily series) must not divide — ANSI
+            # sessions raise where non-ANSI would return NULL
             F.expr(
-                "CAST(SIGN(num) * ((2 * 1000 * ABS(num) + den) DIV (2 * den))"
-                " AS BIGINT)"
+                "CAST(CASE WHEN den > 0 THEN SIGN(num)"
+                " * ((2 * 1000 * ABS(num) + den) DIV (2 * den))"
+                " ELSE 0 END AS BIGINT)"
             ).alias("acf_milli"),
         )
         .orderBy("lag")
@@ -1267,8 +1270,9 @@ def acf_daily_sql(max_lag: int = ACF_MAX_LAG) -> str:
             {lag_rows}
         )
         SELECT lag, n_pairs,
-               CAST(SIGN(num) * ((2 * 1000 * ABS(num) + den) // (2 * den))
-                    AS BIGINT) AS acf_milli
+               CAST(CASE WHEN den > 0 THEN SIGN(num)
+                    * ((2 * 1000 * ABS(num) + den) // (2 * den))
+                    ELSE 0 END AS BIGINT) AS acf_milli
         FROM nums CROSS JOIN den_rel
         ORDER BY lag
     """

@@ -863,10 +863,11 @@ def mannwhitney_u(
         # (the entropy-division precedent) - bit-stable without int64-
         # overflowing products.
         F.expr(
-            """CAST(round(((1000.0 * n_a) * n_b)
+            """CAST(CASE WHEN n_a + n_b >= 2 THEN round(((1000.0 * n_a) * n_b)
                     * CAST((((n_a + n_b) * (n_a + n_b) * (n_a + n_b)
                              - (n_a + n_b)) - tie_cubes) DIV 6 AS DOUBLE)
-                    / (((2.0 * (n_a + n_b)) * (n_a + n_b - 1)))) AS BIGINT)"""
+                    / (((2.0 * (n_a + n_b)) * (n_a + n_b - 1))))
+                    ELSE 0 END AS BIGINT)"""
         ).alias("var_milli"),
     )
 
@@ -904,10 +905,11 @@ def mannwhitney_u_sql(
                CAST(r2_a - n_a * (n_a + 1) AS BIGINT) AS u2_a,
                CAST(2 * n_a * n_b - (r2_a - n_a * (n_a + 1)) AS BIGINT) AS u2_b,
                tie_cubes,
-               CAST(round(((1000.0 * n_a) * n_b)
+               CAST(CASE WHEN n_a + n_b >= 2 THEN round(((1000.0 * n_a) * n_b)
                     * CAST((((n_a + n_b) * (n_a + n_b) * (n_a + n_b)
                              - (n_a + n_b)) - tie_cubes) // 6 AS DOUBLE)
-                    / (((2.0 * (n_a + n_b)) * (n_a + n_b - 1)))) AS BIGINT)
+                    / (((2.0 * (n_a + n_b)) * (n_a + n_b - 1))))
+                    ELSE 0 END AS BIGINT)
                    AS var_milli
         FROM agg
     """
@@ -955,10 +957,11 @@ def kendall_tau_daily(
         "concordant",
         "discordant",
         "tied",
+        # n_pairs = 0 (a one-day grid) must not divide under ANSI
         F.expr(
-            "CAST(SIGN(concordant - discordant) *"
+            "CAST(CASE WHEN n_pairs > 0 THEN SIGN(concordant - discordant) *"
             " ((2 * 1000 * ABS(concordant - discordant) + n_pairs)"
-            "  DIV (2 * n_pairs)) AS BIGINT)"
+            "  DIV (2 * n_pairs)) ELSE 0 END AS BIGINT)"
         ).alias("tau_a_milli"),
     )
 
@@ -991,8 +994,8 @@ def kendall_tau_daily_sql(
         )
         SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days,
                concordant, discordant, tied,
-               CAST(SIGN(concordant - discordant) *
+               CAST(CASE WHEN n_pairs > 0 THEN SIGN(concordant - discordant) *
                     ((2 * 1000 * ABS(concordant - discordant) + n_pairs)
-                     // (2 * n_pairs)) AS BIGINT) AS tau_a_milli
+                     // (2 * n_pairs)) ELSE 0 END AS BIGINT) AS tau_a_milli
         FROM agg
     """

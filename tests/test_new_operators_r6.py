@@ -1,0 +1,371 @@
+"""Round-6 operators: OOV rate, source scorecard, split leakage, session
+concurrency, Markov entropy rate, order aging, cluster-size histogram,
+weighted median, Mann-Whitney U, Kendall tau, daily ACF, CEP patterns,
+JS divergence, linear interpolation, shard manifest.
+
+Semantics pinned on tiny inline fixtures; the differential check vs DuckDB
+runs via tools/verify_local.py and the driver's CORRECTNESS gate.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from pyspark.sql import functions as F
+
+from pagila_etl_airflow_assignment_spark.llm import corpus_stats, curation, dedup, packing
+from pagila_etl_airflow_assignment_spark.operators import (
+    analytics,
+    features,
+    sequences,
+    stats,
+    warehouse,
+)
+from pagila_etl_airflow_assignment_spark.streaming import aggregations
+
+
+def _docs(spark, rows):
+    """rows: (doc_id, text, lang, source)."""
+    return spark.createDataFrame(
+        [(i, t, l, s, len(t)) for i, t, l, s in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def _events(spark, rows):
+    """rows: (event_id, ts, user_id, event_type, value)."""
+    return spark.createDataFrame(
+        [(i, ts, u, et, v, "{}") for i, ts, u, et, v in rows],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+
+
+def _ts(day, h=0, m=0, s=0):
+    return dt.datetime(2024, 1, day, h, m, s)
+
+
+# --- vocab OOV rate -------------------------------------------------------------
+
+
+def test_oov_rate_counts_out_of_vocab_tokens(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "a a a b b", "en", "s0"),  # corpus vocab (k=2): a(4), b(3)
+            (2, "a b zz qq", "en", "s0"),   # 2 OOV of 4
+            (3, "rr ss tt uu", "en", "s0"),  # all OOV
+        ],
+    )
+    out = {r.doc_id: r for r in corpus_stats.vocab_oov_rate(docs, k=2).collect()}
+    assert out[1].n_oov == 0 and out[1].oov_milli == 0
+    assert out[2].n_tokens == 4 and out[2].n_oov == 2 and out[2].oov_milli == 500
+    assert out[3].oov_milli == 1000
+
+
+# --- source scorecard -----------------------------------------------------------
+
+
+def test_source_scorecard_counts_exact_dups_per_source(spark):
+    # s1 has a cross-corpus duplicate of doc 1; quality/lang gates pass all
+    body = "the and is to of in that it was for on are with as at this but"
+    docs = _docs(
+        spark,
+        [
+            (1, body, "en", "s0"),
+            (2, body, "en", "s1"),  # exact dup, non-canonical (doc 1 wins)
+            (3, body + " extra", "en", "s1"),
+        ],
+    )
+    out = {r.source: r for r in curation.source_scorecard(docs).collect()}
+    assert out["s0"].n_exact_dup == 0
+    assert out["s1"].n_exact_dup == 1
+    assert out["s1"].n_docs == 2
+    assert out["s1"].top_lang == "en"
+    assert out["s1"].top_lang_milli == 1000
+
+
+# --- session concurrency ---------------------------------------------------------
+
+
+def test_session_concurrency_peak_counts_overlap(spark):
+    # two users whose sessions overlap 10:00-10:02; a third session later
+    ev = _events(
+        spark,
+        [
+            (1, _ts(1, 10, 0), 1, "view", 0.0),
+            (2, _ts(1, 10, 2), 1, "view", 0.0),
+            (3, _ts(1, 10, 1), 2, "view", 0.0),
+            (4, _ts(1, 18, 0), 3, "view", 0.0),
+        ],
+    )
+    out = aggregations.session_concurrency(ev).collect()
+    assert len(out) == 1
+    assert out[0].n_sessions == 3
+    assert out[0].peak_concurrency == 2
+
+
+def test_session_concurrency_midnight_carry_in(spark):
+    # one session spanning midnight: counted in BOTH days, peak 1 each
+    ev = _events(
+        spark,
+        [
+            (1, _ts(1, 23, 59, 0), 1, "view", 0.0),
+            (2, _ts(2, 0, 1, 0), 1, "view", 0.0),
+        ],
+    )
+    out = {r.day: r for r in aggregations.session_concurrency(ev).collect()}
+    assert len(out) == 2
+    assert all(r.peak_concurrency == 1 for r in out.values())
+
+
+def test_session_concurrency_touching_sessions_do_not_overlap(spark):
+    # user 2 starts >gap after user 1 ends; same day, peak stays 1
+    ev = _events(
+        spark,
+        [
+            (1, _ts(1, 10, 0), 1, "view", 0.0),
+            (2, _ts(1, 11, 0), 2, "view", 0.0),
+        ],
+    )
+    out = aggregations.session_concurrency(ev).collect()
+    assert out[0].n_sessions == 2 and out[0].peak_concurrency == 1
+
+
+# --- Markov entropy rate ----------------------------------------------------------
+
+
+def test_markov_entropy_deterministic_chain_is_zero(spark):
+    # a -> b -> a -> b: every row of P is a point mass, H = 0 everywhere
+    ev = _events(
+        spark,
+        [(i, _ts(1, 10, i), 1, t, 0.0) for i, t in enumerate(["a", "b"] * 4)],
+    )
+    out = sequences.markov_entropy_rate(ev).collect()
+    assert all(r.h_micro == 0 and r.contrib_micro == 0 for r in out)
+
+
+def test_markov_entropy_uniform_two_way_is_ln2(spark):
+    # from 'a', exactly half the transitions go to 'b' and half to 'c'
+    seq = ["a", "b", "a", "c", "a", "b", "a", "c", "a"]
+    ev = _events(
+        spark, [(i, _ts(1, 10, i), 1, t, 0.0) for i, t in enumerate(seq)]
+    )
+    out = {r.event_type: r for r in sequences.markov_entropy_rate(ev).collect()}
+    assert abs(out["a"].h_micro - round(math.log(2) * 1e6)) <= 1
+
+
+# --- order aging -----------------------------------------------------------------
+
+
+def test_order_aging_buckets_and_cents(spark):
+    orders = spark.createDataFrame(
+        [
+            (1, 1, "O", 10.50, dt.datetime(2024, 1, 1), "1-URGENT"),
+            (2, 1, "O", 20.00, dt.datetime(2023, 1, 1), "1-URGENT"),
+            (3, 1, "F", 99.00, dt.datetime(2020, 1, 1), "1-URGENT"),  # closed
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    out = {r.age_bucket: r for r in warehouse.order_aging(orders).collect()}
+    # ref date = 2024-01-01; ages 0 and 365 both land in 0-365
+    assert out["0-365"].n_orders == 2
+    assert out["0-365"].value_cents == 3050
+    assert "1460+" not in out  # the closed order never enters
+
+
+# --- cluster size histogram --------------------------------------------------------
+
+
+def test_cluster_size_hist_counts_singletons_and_pairs(spark):
+    docs = _docs(
+        spark,
+        [(1, "x", "en", "s"), (2, "x", "en", "s"), (3, "y", "en", "s")],
+    )
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    out = {r.cluster_size: r for r in dedup.cluster_size_hist(docs, pairs).collect()}
+    assert out[1].n_clusters == 1 and out[1].n_docs == 1
+    assert out[2].n_clusters == 1 and out[2].n_docs == 2
+
+
+# --- weighted median ---------------------------------------------------------------
+
+
+def test_weighted_median_follows_quantity_mass(spark):
+    li = spark.createDataFrame(
+        [
+            ("A", 1.00, 1.0),
+            ("A", 2.00, 1.0),
+            ("A", 3.00, 10.0),  # the mass sits at 3.00
+        ],
+        "l_returnflag string, l_extendedprice double, l_quantity double",
+    )
+    out = warehouse.weighted_median_price(li).collect()
+    assert out[0].total_weight == 12
+    assert out[0].wmedian_cents == 300
+
+
+# --- Mann-Whitney U ----------------------------------------------------------------
+
+
+def test_mannwhitney_u_matches_hand_computation(spark):
+    # A values {1,2}, B values {3,4}: every B beats every A -> U_A = 0
+    ev = _events(
+        spark,
+        [
+            (1, _ts(1), 1, "click", 0.01),
+            (2, _ts(1), 1, "click", 0.02),
+            (3, _ts(1), 1, "view", 0.03),
+            (4, _ts(1), 1, "view", 0.04),
+        ],
+    )
+    row = stats.mannwhitney_u(ev).collect()[0]
+    assert (row.n_a, row.n_b) == (2, 2)
+    assert row.u2_a == 0 and row.u2_b == 8  # 2*U, U_A + U_B = n_a*n_b
+    assert row.tie_cubes == 0
+    # var = n_a*n_b*(n+1)/12 = 4*5/12; milli half-up = 1667
+    assert row.var_milli == 1667
+
+
+def test_mannwhitney_ties_use_average_ranks(spark):
+    # all four values equal: R_A = 2 * avg rank 2.5 per row -> U2 symmetric
+    ev = _events(
+        spark,
+        [
+            (1, _ts(1), 1, "click", 0.05),
+            (2, _ts(1), 1, "click", 0.05),
+            (3, _ts(1), 1, "view", 0.05),
+            (4, _ts(1), 1, "view", 0.05),
+        ],
+    )
+    row = stats.mannwhitney_u(ev).collect()[0]
+    assert row.u2_a == row.u2_b == 4  # 2*U = n_a*n_b under total tie
+    assert row.tie_cubes == 4 ** 3 - 4
+
+
+# --- Kendall tau -------------------------------------------------------------------
+
+
+def test_kendall_tau_perfect_concordance(spark):
+    # clicks and errors both strictly increase day over day
+    rows = []
+    eid = 0
+    for d in (1, 2, 3):
+        for _ in range(d):
+            rows.append((eid, _ts(d), 1, "click", 0.0)); eid += 1
+        for _ in range(d * 2):
+            rows.append((eid, _ts(d), 1, "error", 0.0)); eid += 1
+    out = stats.kendall_tau_daily(_events(spark, rows)).collect()[0]
+    assert out.n_days == 3
+    assert out.concordant == 3 and out.discordant == 0
+    assert out.tau_a_milli == 1000
+
+
+# --- daily ACF ---------------------------------------------------------------------
+
+
+def test_acf_alternating_series_is_negative_at_lag1(spark):
+    # daily counts 1,3,1,3,... -> lag-1 ACF strongly negative, lag-2 positive
+    rows = []
+    eid = 0
+    for d in range(1, 9):
+        for _ in range(1 if d % 2 else 3):
+            rows.append((eid, _ts(d), 1, "view", 0.0)); eid += 1
+    out = {r.lag: r for r in analytics.acf_daily(_events(spark, rows)).collect()}
+    assert out[1].acf_milli < -800
+    assert out[2].acf_milli > 700
+
+
+def test_acf_constant_series_guards_zero_denominator(spark):
+    rows = [(d, _ts(d), 1, "view", 0.0) for d in range(1, 9)]
+    out = analytics.acf_daily(_events(spark, rows)).collect()
+    assert all(r.acf_milli == 0 for r in out)
+
+
+# --- CEP pattern counting ------------------------------------------------------------
+
+
+def test_cep_counts_adjacent_patterns_exactly(spark):
+    seq = ["view", "click", "purchase", "view", "click", "purchase"]
+    ev = _events(
+        spark, [(i, _ts(1, 10, i), 1, t, 0.0) for i, t in enumerate(seq)]
+    )
+    out = sequences.cep_pattern_counts(ev).collect()[0]
+    assert out.n_patterns == 2  # adjacency must not hide the second match
+
+
+def test_cep_interleaved_non_contiguous_does_not_match(spark):
+    seq = ["view", "error", "click", "purchase"]
+    ev = _events(
+        spark, [(i, _ts(1, 10, i), 1, t, 0.0) for i, t in enumerate(seq)]
+    )
+    out = sequences.cep_pattern_counts(ev).collect()[0]
+    assert out.n_patterns == 0  # contiguous semantics
+
+
+# --- JS divergence -------------------------------------------------------------------
+
+
+def test_js_divergence_identical_sources_is_zero(spark):
+    docs = _docs(
+        spark,
+        [(1, "a b c", "en", "s0"), (2, "a b c", "en", "s1")],
+    )
+    out = corpus_stats.js_divergence_sources(docs).collect()
+    assert len(out) == 1 and out[0].js_micro == 0
+
+
+def test_js_divergence_disjoint_sources_is_ln2(spark):
+    # disjoint supports: JS = ln 2 (in nats)
+    docs = _docs(
+        spark,
+        [(1, "a a a", "en", "s0"), (2, "b b b", "en", "s1")],
+    )
+    out = corpus_stats.js_divergence_sources(docs).collect()[0]
+    assert abs(out.js_micro - round(math.log(2) * 1e6)) <= 2
+
+
+# --- linear interpolation fill --------------------------------------------------------
+
+
+def test_linear_interp_fills_gap_midpoints(spark):
+    # type 'view': day1 total 100 cents, day4 total 400 -> day2=200, day3=300
+    ev = _events(
+        spark,
+        [(1, _ts(1), 1, "view", 1.00), (2, _ts(4), 1, "view", 4.00)],
+    )
+    out = {r.day: r for r in features.linear_interp_fill(ev).collect()}
+    assert out[dt.date(2024, 1, 2)].filled_cents == 200
+    assert out[dt.date(2024, 1, 2)].is_interpolated
+    assert out[dt.date(2024, 1, 3)].filled_cents == 300
+    assert not out[dt.date(2024, 1, 1)].is_interpolated
+
+
+# --- shard manifest --------------------------------------------------------------------
+
+
+def test_shard_manifest_splits_on_byte_budget(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "x" * 10, "en", "s0"),
+            (2, "x" * 10, "en", "s0"),
+            (3, "x" * 10, "en", "s0"),
+        ],
+    )
+    out = packing.shard_manifest(docs, budget=20).collect()
+    # docs 1,2 fill shard 0 (cum_before 0,10); doc 3 (cum_before 20) opens shard 1
+    assert [(r.shard_idx, r.n_docs) for r in out] == [(0, 2), (1, 1)]
+    assert out[0].first_doc == 1 and out[0].last_doc == 2
+
+
+def test_shard_manifest_is_per_source(spark):
+    docs = _docs(
+        spark,
+        [(1, "x" * 30, "en", "s0"), (2, "x" * 30, "en", "s1")],
+    )
+    out = packing.shard_manifest(docs, budget=20).collect()
+    # each source starts its own shard 0 — no cross-source cumsum
+    assert [(r.source, r.shard_idx) for r in out] == [("s0", 0), ("s1", 0)]
