@@ -75,7 +75,12 @@ HEADLINE = [
     "graph_part_degree",
     "warehouse_customer_deciles",
     "warehouse_ship_latency",
+    "warehouse_order_aging",
+    "warehouse_weighted_median_price",
+    "source_scorecard",
+    "split_leakage_audit",
     "embedding_quantize_int8",
+    "embedding_hamming_pairs",
     "graph_copurchase_pagerank",
     "graph_association_rules",
     "warehouse_promo_revenue_share",

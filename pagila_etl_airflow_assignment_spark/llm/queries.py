@@ -836,3 +836,10 @@ def q_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Jensen-Shannon divergence between source unigram mixes on
     the bounded vocab+rest support — the corpus-drift matrix, micro-nats."""
     return corpus_stats.js_divergence_sources(load_table(spark, sf_dir, "documents"))
+
+
+@register("embedding_hamming_pairs", oracle=similarity.embedding_hamming_pairs_sql())
+def q_embedding_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-for-embeddings: banded 24-bit sign projections, pigeonhole
+    candidate recall, exact Hamming verify with cosine reporting."""
+    return similarity.embedding_hamming_pairs(load_table(spark, sf_dir, "embeddings"))

@@ -813,3 +813,170 @@ def mmr_rerank_sql(
         ]
     )
     return "".join(parts) + f"\n    {finals}\n    ORDER BY sel_round"
+
+# --- sign-projection Hamming near-dup index ------------------------------------------
+
+HAM_BANDS = 3
+HAM_BAND_BITS = 8
+HAM_MAX = 2
+
+
+def embedding_hamming_pairs(
+    embeddings: DataFrame,
+    bands: int = HAM_BANDS,
+    band_bits: int = HAM_BAND_BITS,
+    max_hamming: int = HAM_MAX,
+    dim: int = 64,
+) -> DataFrame:
+    """SimHash-for-embeddings: 24 sign-projection bits per vector, banded
+    8+8+8; pairs sharing any band verify by exact signature Hamming distance
+    (≤ ``max_hamming``) and report cosine — (vec_a, vec_b, hamming,
+    cos_milli).
+
+    The binary-index twin of MinHash-LSH for the embedding space: two
+    vectors within Hamming ``d`` of each other on ``bands`` bands must agree
+    on a full band whenever d < bands (pigeonhole), so candidate recall is
+    structural, not probabilistic. Signatures are ints — the self-join
+    shuffles 2 longs per row, never the float arrays; embeddings re-join
+    only for surviving pairs.
+
+    Scale shape: identical to the text SimHash pipeline (banded buckets,
+    candidates-only verification); hyperplanes are md5-derived constants so
+    the whole index is deterministic and oracle-checkable."""
+    planes_by_band = [
+        [_hyperplane(dim, t, p) for p in range(band_bits)] for t in range(bands)
+    ]
+
+    def band_sig(t: int) -> str:
+        bits = []
+        for p in range(band_bits):
+            hp = ", ".join(f"{v!r}D" for v in planes_by_band[t][p])
+            dot = (
+                f"aggregate(zip_with(embedding, array({hp}), "
+                f"(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, x) -> acc + x)"
+            )
+            bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END)")
+        return f"CAST({' + '.join(bits)} AS BIGINT)"
+
+    sigs = embeddings.selectExpr(
+        "vec_id",
+        *[f"{band_sig(t)} AS b{t}" for t in range(bands)],
+    ).selectExpr(
+        "vec_id",
+        " + ".join(f"b{t} * {1 << (t * band_bits)}" for t in range(bands))
+        + " AS sig",
+        *[f"b{t}" for t in range(bands)],
+    )
+    banded = sigs.selectExpr(
+        "vec_id",
+        "sig",
+        "explode(array({})) AS band".format(
+            ", ".join(f"concat_ws('_', '{t}', CAST(b{t} AS STRING))" for t in range(bands))
+        ),
+    )
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), "band")
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+        .withColumn("hamming", F.expr("bit_count(sig_a ^ sig_b)"))
+        .where(F.col("hamming") <= max_hamming)
+    )
+    corpus = embeddings.select(
+        "vec_id", "embedding", _l2norm(F.col("embedding")).alias("nrm")
+    )
+    return (
+        cand.join(
+            corpus.selectExpr(
+                "vec_id AS vec_a", "embedding AS emb_a", "nrm AS nrm_a"
+            ),
+            "vec_a",
+        )
+        .join(
+            corpus.selectExpr(
+                "vec_id AS vec_b", "embedding AS emb_b", "nrm AS nrm_b"
+            ),
+            "vec_b",
+        )
+        .select(
+            "vec_a",
+            "vec_b",
+            F.col("hamming").cast("long").alias("hamming"),
+            F.expr(
+                "CAST(round(1000 * aggregate(zip_with(emb_a, emb_b,"
+                " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+                " 0.0D, (acc, x) -> acc + x) / (nrm_a * nrm_b)) AS BIGINT)"
+            ).alias("cos_milli"),
+        )
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def embedding_hamming_pairs_sql(
+    bands: int = HAM_BANDS,
+    band_bits: int = HAM_BAND_BITS,
+    max_hamming: int = HAM_MAX,
+    dim: int = 64,
+) -> str:
+    planes_by_band = [
+        [_hyperplane(dim, t, p) for p in range(band_bits)] for t in range(bands)
+    ]
+
+    def band_sig(t: int) -> str:
+        bits = []
+        for p in range(band_bits):
+            hp = ", ".join(repr(v) for v in planes_by_band[t][p])
+            dot = f"list_dot_product(embedding::DOUBLE[], [{hp}])"
+            bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END)")
+        return f"CAST({' + '.join(bits)} AS BIGINT)"
+
+    band_cols = ",\n                   ".join(
+        f"{band_sig(t)} AS b{t}" for t in range(bands)
+    )
+    sig_expr = " + ".join(f"b{t} * {1 << (t * band_bits)}" for t in range(bands))
+    band_tags = ", ".join(
+        f"concat_ws('_', '{t}', CAST(b{t} AS VARCHAR))" for t in range(bands)
+    )
+    return f"""
+        WITH sigs AS (
+            SELECT vec_id, {sig_expr} AS sig, b0, b1, b2
+            FROM (
+                SELECT vec_id,
+                   {band_cols}
+                FROM embeddings
+            )
+        ),
+        banded AS (
+            SELECT vec_id, sig, unnest([{band_tags}]) AS band FROM sigs
+        ),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   a.sig AS sig_a, b.sig AS sig_b
+            FROM banded a JOIN banded b USING (band)
+            WHERE a.vec_id < b.vec_id
+        ),
+        verified AS (
+            SELECT vec_a, vec_b,
+                   CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+            FROM cand
+            WHERE bit_count(xor(sig_a, sig_b)) <= {max_hamming}
+        )
+        SELECT v.vec_a, v.vec_b, v.hamming,
+               CAST(round(1000 * list_dot_product(ea.embedding::DOUBLE[],
+                                                  eb.embedding::DOUBLE[])
+                    / (sqrt(list_dot_product(ea.embedding::DOUBLE[],
+                                             ea.embedding::DOUBLE[]))
+                       * sqrt(list_dot_product(eb.embedding::DOUBLE[],
+                                               eb.embedding::DOUBLE[]))))
+                    AS BIGINT) AS cos_milli
+        FROM verified v
+        JOIN embeddings ea ON ea.vec_id = v.vec_a
+        JOIN embeddings eb ON eb.vec_id = v.vec_b
+        ORDER BY v.vec_a, v.vec_b
+    """

@@ -22,7 +22,7 @@ Determinism comes from working on the md5 HEX STRING, never floats:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 HLL_M = 64  # registers per group (2^6); std error ~1.04/sqrt(64) = 13%
@@ -142,3 +142,124 @@ HLL_DISTINCT_USERS_SQL = f"""
           FROM events GROUP BY event_type) t ON est.event_type = t.event_type
     ORDER BY est.event_type
 """
+
+
+# --- KMV (k-minimum-values) distinct sketch -----------------------------------------
+
+KMV_K = 128
+KMV_SCALE = 1 << 53  # hash space after the div-128 fold of the 60-bit md5
+KMV_SALTS = 64
+
+
+def kmv_distinct(events: DataFrame, k: int = KMV_K) -> DataFrame:
+    """KMV distinct-user sketch per event type (plus a merged 'click+view'
+    row): (label, exact_users, kmv_est, err_milli).
+
+    The OTHER mergeable distinct sketch: where HLL keeps max-rank registers,
+    KMV keeps the k smallest hash values — union(A, B) is just the k
+    smallest of the combined sets (shown by the merged row), and the
+    estimator (k−1)·H/kth_min is one exact integer division, so unlike HLL
+    the whole sketch + estimate pipeline is DuckDB-oracle-checkable bit for
+    bit. Saturated sketches (fewer than k distinct) return the exact count.
+
+    Scale shape: k-mins are collected in two stages — per (label, salt)
+    partial top-k (64 salts, so no label ever sorts in one task), then the
+    final top-k over the ≤ 64k survivors — the same partial/final shape as
+    any distributed top-k. The exact side is one distinct-count aggregate,
+    present only because the query IS the sketch-accuracy harness."""
+    base = events.select("event_type", "user_id").unionByName(
+        events.where(F.col("event_type").isin("click", "view")).select(
+            F.lit("click+view").alias("event_type"), "user_id"
+        )
+    )
+    hashed = base.select(
+        F.col("event_type").alias("label"),
+        F.expr(
+            f"CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10)"
+            f" AS BIGINT) DIV 128"
+        ).alias("h"),
+    ).distinct()
+    w_salt = Window.partitionBy("label", F.col("h") % KMV_SALTS).orderBy("h")
+    partial = hashed.withColumn("rs", F.row_number().over(w_salt)).where(
+        F.col("rs") <= k
+    )
+    w_label = Window.partitionBy("label").orderBy("h")
+    sketch = partial.withColumn("rn", F.row_number().over(w_label)).where(
+        F.col("rn") <= k
+    )
+    agg = sketch.groupBy("label").agg(
+        F.count("*").alias("n_sk"), F.max("h").alias("kth")
+    )
+    exact = base.groupBy(F.col("event_type").alias("label")).agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return (
+        agg.join(exact, "label")
+        .select(
+            "label",
+            "exact_users",
+            F.expr(
+                f"CAST(CASE WHEN n_sk < {k} THEN n_sk"
+                f" ELSE ({k} - 1) * {KMV_SCALE} DIV kth END AS BIGINT)"
+            ).alias("kmv_est"),
+        )
+        .select(
+            "label",
+            "exact_users",
+            "kmv_est",
+            F.expr(
+                "CAST(1000 * ABS(kmv_est - exact_users) DIV exact_users"
+                " AS BIGINT)"
+            ).alias("err_milli"),
+        )
+        .orderBy("label")
+    )
+
+
+def kmv_distinct_sql(k: int = KMV_K) -> str:
+    h = "CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS UBIGINT)::BIGINT // 128"
+    return f"""
+        WITH base AS (
+            SELECT event_type, user_id FROM events
+            UNION ALL
+            SELECT 'click+view' AS event_type, user_id FROM events
+            WHERE event_type IN ('click', 'view')
+        ),
+        hashed AS (
+            SELECT DISTINCT event_type AS label, {h} AS h FROM base
+        ),
+        partial AS (
+            SELECT label, h FROM (
+                SELECT label, h, ROW_NUMBER() OVER (
+                    PARTITION BY label, h % {KMV_SALTS} ORDER BY h) AS rs
+                FROM hashed
+            ) WHERE rs <= {k}
+        ),
+        sketch AS (
+            SELECT label, h FROM (
+                SELECT label, h,
+                       ROW_NUMBER() OVER (PARTITION BY label ORDER BY h) AS rn
+                FROM partial
+            ) WHERE rn <= {k}
+        ),
+        agg AS (
+            SELECT label, CAST(COUNT(*) AS BIGINT) AS n_sk,
+                   MAX(h) AS kth
+            FROM sketch GROUP BY label
+        ),
+        exact AS (
+            SELECT event_type AS label,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+            FROM base GROUP BY event_type
+        )
+        SELECT a.label, e.exact_users,
+               CAST(CASE WHEN n_sk < {k} THEN n_sk
+                    ELSE ({k} - 1) * {KMV_SCALE} // kth END AS BIGINT)
+                   AS kmv_est,
+               CAST(1000 * ABS(CASE WHEN n_sk < {k} THEN n_sk
+                               ELSE ({k} - 1) * {KMV_SCALE} // kth END
+                               - e.exact_users) // e.exact_users AS BIGINT)
+                   AS err_milli
+        FROM agg a JOIN exact e USING (label)
+        ORDER BY a.label
+    """

@@ -1580,3 +1580,19 @@ def q_linear_interp_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear-interpolation gap fill of daily value series per type —
     exact half-up integer cents via cross-multiplication."""
     return features.linear_interp_fill(load_table(spark, sf_dir, "events"))
+
+
+@register("events_kmv_distinct", oracle=hll.kmv_distinct_sql())
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV k-minimum-values distinct sketch per type plus a merged
+    click+view row — the mergeable sketch whose estimator is one exact
+    integer division, fully oracle-checkable."""
+    return hll.kmv_distinct(load_table(spark, sf_dir, "events"))
+
+
+@register("events_markov_attribution", oracle=sequences.markov_attribution_sql())
+def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution: per-channel conversion credit from
+    how much chain reach drops when the channel is removed — all scenarios
+    propagated in one plan, exact micro quantization per round."""
+    return sequences.markov_attribution(load_table(spark, sf_dir, "events"))

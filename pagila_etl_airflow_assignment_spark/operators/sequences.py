@@ -769,3 +769,260 @@ def cep_pattern_counts_sql(pattern: tuple[str, ...] = CEP_PATTERN) -> str:
         GROUP BY user_id
         ORDER BY user_id
     """
+
+# --- Markov removal-effect attribution ----------------------------------------------
+
+ATTRIB_CHANNELS = ("click", "error", "signup", "view")
+ATTRIB_CONV = "purchase"
+ATTRIB_ROUNDS = 4
+
+
+def markov_attribution(
+    events: DataFrame,
+    channels: tuple[str, ...] = ATTRIB_CHANNELS,
+    conv: str = ATTRIB_CONV,
+    rounds: int = ATTRIB_ROUNDS,
+) -> DataFrame:
+    """Markov removal-effect attribution: (channel, conv_full_micro,
+    conv_removed_micro, removal_micro, attr_milli) — each channel's credit is
+    how much the chain's conversion reach DROPS when walks may no longer
+    pass through it (Anderl et al.'s data-driven attribution, the
+    principled alternative to linear/position rules).
+
+    One first-order chain from per-user journeys: start mass = each user's
+    first event type; per round, mass flowing into ``conv`` absorbs, mass
+    into a removed channel dies. ALL scenarios (full + one per channel)
+    propagate in ONE plan — the scenario is a key column on the mass
+    relation, not a Python loop, so the round count (not the channel count)
+    sets plan depth. ``rounds`` is a fixed constant (the oracle unrolls the
+    same rounds), and every per-edge flow quantizes half-up at micro on
+    exact integer counts — the markov_stationary convention, bit-stable.
+
+    Scale shape: journeys collapse to a ≤|types|² count matrix + a ≤|types|
+    start vector in one window pass; every round is arithmetic on
+    (scenarios × states) rows."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.row_number().over(w).alias("rn"),
+    )
+    trans = (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count("*").alias("c"))
+    )
+    row_tot = trans.groupBy("prev_type").agg(F.sum("c").alias("rt"))
+    p_rel = trans.join(row_tot, "prev_type").localCheckpoint(eager=True)
+    starts = (
+        seq.where(F.col("rn") == 1)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n0"))
+    )
+    spark = events.sparkSession
+    scen = spark.createDataFrame(
+        [("full", None)] + [(f"no_{c}", c) for c in channels],
+        "scenario string, removed string",
+    )
+    # v0: start distribution in micro, minus mass on the removed channel;
+    # start mass already on `conv` converts at round 0
+    tot = starts.agg(F.sum("n0").alias("t0"))
+    v0 = (
+        starts.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(scen))
+        .where(
+            F.col("removed").isNull() | (F.col("event_type") != F.col("removed"))
+        )
+        .select(
+            "scenario",
+            F.col("event_type").alias("state"),
+            F.expr("CAST((2 * 1000000 * n0 + t0) DIV (2 * t0) AS BIGINT)").alias(
+                "mass"
+            ),
+        )
+    )
+    # seed EVERY scenario at 0 so one whose walks never reach `conv`
+    # (e.g. removing the gateway channel) still emits a row (the SQL twin's
+    # LEFT JOIN + COALESCE does the same)
+    conv_acc = (
+        scen.select("scenario", F.lit(0).cast("long").alias("conv_mass"))
+        .unionByName(
+            v0.where(F.col("state") == conv).select(
+                "scenario", F.col("mass").alias("conv_mass")
+            )
+        )
+        .groupBy("scenario")
+        .agg(F.sum("conv_mass").alias("conv_mass"))
+    )
+    v = v0.where(F.col("state") != conv).localCheckpoint(eager=True)
+    term = "CAST((2 * mass * c + rt) DIV (2 * rt) AS BIGINT)"
+    for _ in range(rounds):
+        flow = (
+            v.join(p_rel, F.col("state") == F.col("prev_type"))
+            .join(F.broadcast(scen), "scenario")
+            .where(
+                F.col("removed").isNull()
+                | (F.col("event_type") != F.col("removed"))
+            )
+            .groupBy("scenario", F.col("event_type").alias("nstate"))
+            .agg(F.sum(F.expr(term)).alias("mass"))
+        )
+        conv_acc = (
+            conv_acc.unionByName(
+                flow.where(F.col("nstate") == conv).select(
+                    "scenario", F.col("mass").alias("conv_mass")
+                )
+            )
+            .groupBy("scenario")
+            .agg(F.sum("conv_mass").alias("conv_mass"))
+            .select("scenario", "conv_mass")
+            .localCheckpoint(eager=True)
+        )
+        v = (
+            flow.where(F.col("nstate") != conv)
+            .select("scenario", F.col("nstate").alias("state"), "mass")
+            .localCheckpoint(eager=True)
+        )
+    full = conv_acc.where(F.col("scenario") == "full").select(
+        F.col("conv_mass").alias("conv_full_micro")
+    )
+    per_channel = (
+        conv_acc.where(F.col("scenario") != "full")
+        .select(
+            F.expr("substring(scenario, 4)").alias("channel"),
+            F.col("conv_mass").alias("conv_removed_micro"),
+        )
+        .crossJoin(F.broadcast(full))
+        .select(
+            "channel",
+            "conv_full_micro",
+            "conv_removed_micro",
+            (F.col("conv_full_micro") - F.col("conv_removed_micro")).alias(
+                "removal_micro"
+            ),
+        )
+    )
+    tot_eff = per_channel.agg(
+        F.sum(F.expr("GREATEST(removal_micro, 0)")).alias("eff_tot")
+    )
+    return (
+        per_channel.crossJoin(F.broadcast(tot_eff))
+        .select(
+            "channel",
+            "conv_full_micro",
+            "conv_removed_micro",
+            "removal_micro",
+            F.expr(
+                "CAST(CASE WHEN eff_tot > 0 THEN"
+                " (2 * 1000 * GREATEST(removal_micro, 0) + eff_tot)"
+                " DIV (2 * eff_tot) ELSE 0 END AS BIGINT)"
+            ).alias("attr_milli"),
+        )
+        .orderBy("channel")
+    )
+
+
+def markov_attribution_sql(
+    channels: tuple[str, ...] = ATTRIB_CHANNELS,
+    conv: str = ATTRIB_CONV,
+    rounds: int = ATTRIB_ROUNDS,
+) -> str:
+    scen_rows = ", ".join(
+        ["('full', NULL)"] + [f"('no_{c}', '{c}')" for c in channels]
+    )
+    term = "CAST((2 * mass * c + rt) // (2 * rt) AS BIGINT)"
+    its = []
+    for r in range(1, rounds + 1):
+        its.append(f"""flow{r} AS (
+            SELECT v.scenario, p.event_type AS nstate,
+                   CAST(SUM({term}) AS BIGINT) AS mass
+            FROM v{r - 1} v
+            JOIN p_rel p ON v.state = p.prev_type
+            JOIN scen s ON s.scenario = v.scenario
+            WHERE s.removed IS NULL OR p.event_type <> s.removed
+            GROUP BY v.scenario, p.event_type
+        ),
+        conv{r} AS (
+            SELECT scenario, CAST(SUM(conv_mass) AS BIGINT) AS conv_mass
+            FROM (
+                SELECT scenario, conv_mass FROM conv{r - 1}
+                UNION ALL
+                SELECT scenario, mass FROM flow{r} WHERE nstate = '{conv}'
+            ) GROUP BY scenario
+        ),
+        v{r} AS (
+            SELECT scenario, nstate AS state, mass FROM flow{r}
+            WHERE nstate <> '{conv}'
+        )""")
+    chain = ",\n        ".join(its)
+    return f"""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   LAG(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_type,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS rn
+            FROM events
+        ),
+        trans AS (
+            SELECT prev_type, event_type, COUNT(*) AS c
+            FROM seq WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, event_type
+        ),
+        row_tot AS (
+            SELECT prev_type, CAST(SUM(c) AS BIGINT) AS rt
+            FROM trans GROUP BY prev_type
+        ),
+        p_rel AS (
+            SELECT t.prev_type, t.event_type, t.c, r.rt
+            FROM trans t JOIN row_tot r USING (prev_type)
+        ),
+        scen(scenario, removed) AS (VALUES {scen_rows}),
+        starts AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n0
+            FROM seq WHERE rn = 1 GROUP BY event_type
+        ),
+        tot AS (SELECT CAST(SUM(n0) AS BIGINT) AS t0 FROM starts),
+        v0all AS (
+            SELECT s.scenario, st.event_type AS state,
+                   CAST((2 * 1000000 * st.n0 + t.t0) // (2 * t.t0) AS BIGINT)
+                       AS mass
+            FROM starts st CROSS JOIN tot t CROSS JOIN scen s
+            WHERE s.removed IS NULL OR st.event_type <> s.removed
+        ),
+        conv0 AS (
+            SELECT scenario, CAST(COALESCE(SUM(mass), 0) AS BIGINT)
+                       AS conv_mass
+            FROM (SELECT scenario FROM scen) s
+            LEFT JOIN (SELECT scenario AS sc, mass FROM v0all
+                       WHERE state = '{conv}') c ON s.scenario = c.sc
+            GROUP BY scenario
+        ),
+        v0 AS (
+            SELECT scenario, state, mass FROM v0all WHERE state <> '{conv}'
+        ),
+        {chain},
+        per_channel AS (
+            SELECT substr(c.scenario, 4) AS channel,
+                   f.conv_mass AS conv_full_micro,
+                   c.conv_mass AS conv_removed_micro,
+                   f.conv_mass - c.conv_mass AS removal_micro
+            FROM conv{rounds} c
+            CROSS JOIN (SELECT conv_mass FROM conv{rounds}
+                        WHERE scenario = 'full') f
+            WHERE c.scenario <> 'full'
+        ),
+        eff AS (
+            SELECT CAST(SUM(GREATEST(removal_micro, 0)) AS BIGINT) AS eff_tot
+            FROM per_channel
+        )
+        SELECT channel, conv_full_micro, conv_removed_micro, removal_micro,
+               CAST(CASE WHEN eff_tot > 0 THEN
+                    (2 * 1000 * GREATEST(removal_micro, 0) + eff_tot)
+                    // (2 * eff_tot) ELSE 0 END AS BIGINT) AS attr_milli
+        FROM per_channel CROSS JOIN eff
+        ORDER BY channel
+    """

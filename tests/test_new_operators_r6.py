@@ -369,3 +369,70 @@ def test_shard_manifest_is_per_source(spark):
     out = packing.shard_manifest(docs, budget=20).collect()
     # each source starts its own shard 0 — no cross-source cumsum
     assert [(r.source, r.shard_idx) for r in out] == [("s0", 0), ("s1", 0)]
+
+
+# --- KMV distinct sketch -------------------------------------------------------------
+
+
+def test_kmv_saturated_sketch_is_exact(spark):
+    from pagila_etl_airflow_assignment_spark.operators import hll
+
+    # 5 distinct users < k: sketch saturates, estimate == exact, error 0
+    ev = _events(
+        spark, [(i, _ts(1), i % 5, "click", 0.0) for i in range(20)]
+    )
+    out = {r.label: r for r in hll.kmv_distinct(ev).collect()}
+    assert out["click"].exact_users == 5
+    assert out["click"].kmv_est == 5 and out["click"].err_milli == 0
+    # merged click+view row covers the union (here just click users)
+    assert out["click+view"].kmv_est == 5
+
+
+def test_kmv_estimates_large_cardinality_within_tolerance(spark):
+    from pagila_etl_airflow_assignment_spark.operators import hll
+
+    ev = _events(
+        spark, [(i, _ts(1), i, "view", 0.0) for i in range(2000)]
+    )
+    out = {r.label: r for r in hll.kmv_distinct(ev).collect()}
+    # KMV with k=128 has ~1/sqrt(k-1) ≈ 9% relative error; allow 3 sigma
+    assert abs(out["view"].kmv_est - 2000) < 2000 * 0.27
+
+
+# --- Markov attribution -----------------------------------------------------------
+
+
+def test_markov_attribution_credits_the_gateway_channel(spark):
+    # every journey converts THROUGH click: view -> click -> purchase.
+    # removing click kills all conversion; removing error changes nothing.
+    rows = []
+    eid = 0
+    for u in range(4):
+        for t in ("view", "click", "purchase"):
+            rows.append((eid, _ts(1, 10, eid % 60), u, t, 0.0)); eid += 1
+    rows.append((eid, _ts(2), 99, "error", 0.0))
+    out = {r.channel: r for r in sequences.markov_attribution(_events(spark, rows)).collect()}
+    assert out["click"].conv_removed_micro == 0
+    assert out["click"].removal_micro == out["click"].conv_full_micro
+    assert out["error"].removal_micro == 0
+    # view is equally essential here (every journey starts with it), so the
+    # two gateway channels split the credit evenly and error gets none
+    assert out["click"].attr_milli == out["view"].attr_milli == 500
+    assert out["error"].attr_milli == 0
+
+
+# --- embedding Hamming index --------------------------------------------------------
+
+
+def test_hamming_pairs_find_identical_vectors(spark):
+    from pagila_etl_airflow_assignment_spark.llm import similarity
+
+    base = [0.1 * ((i * 7) % 13 - 6) for i in range(64)]
+    far = [-v for v in base]
+    vecs = spark.createDataFrame(
+        [(1, base, 0), (2, list(base), 0), (3, far, 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = similarity.embedding_hamming_pairs(vecs).collect()
+    assert [(r.vec_a, r.vec_b) for r in out] == [(1, 2)]
+    assert out[0].hamming == 0 and out[0].cos_milli == 1000

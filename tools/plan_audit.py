@@ -85,6 +85,9 @@ ALLOWED: dict[str, set[str]] = {
     "events_woe_iv": {"BroadcastNestedLoopJoin"},
     # broadcast 1-row digit-count total over the 9-row grid
     "warehouse_benford_audit": {"BroadcastNestedLoopJoin"},
+    # broadcast 1-row start-total / full-conv / effect-total scalars and
+    # the ≤|channels|+1 scenario dim (all crossJoin(broadcast(tiny)))
+    "events_markov_attribution": {"BroadcastNestedLoopJoin"},
     # broadcast bounded-support grid (|sources| x (vocab k+1) dense cross)
     "text_js_divergence_sources": {"BroadcastNestedLoopJoin"},
     # bounded day-grid self-join (non-equi a.day < b.day, ≤|days|² pairs)

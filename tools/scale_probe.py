@@ -88,6 +88,15 @@ PROBES = [
     "events_cm_sketch",
     "events_cm_estimates",
     "events_session_paths",
+    # round-6 additions: LSH x split composition, top-k + broadcast probe,
+    # day-partitioned sweep line, bounded-grid pair join, per-source cumsum,
+    # lead-window CEP conjunction
+    "split_leakage_audit",
+    "vocab_oov_rate",
+    "events_session_concurrency",
+    "text_js_divergence_sources",
+    "multimodal_shard_manifest",
+    "events_cep_pattern",
     "events_time_weighted_value",
     # round-4d/4e additions: sketch registers, bounded-frame fold, interval
     # attribution, prefix-filter candidates, wedge joins, median passes,
