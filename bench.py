@@ -76,6 +76,8 @@ HEADLINE = [
     "warehouse_customer_deciles",
     "warehouse_ship_latency",
     "warehouse_order_aging",
+    "warehouse_topdown_forecast",
+    "warehouse_date_dimension",
     "warehouse_weighted_median_price",
     "source_scorecard",
     "split_leakage_audit",

@@ -1596,3 +1596,34 @@ def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     how much chain reach drops when the channel is removed — all scenarios
     propagated in one plan, exact micro quantization per round."""
     return sequences.markov_attribution(load_table(spark, sf_dir, "events"))
+
+
+@register("events_poisson_bootstrap_ci", oracle=stats.poisson_bootstrap_ci_sql())
+def q_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% CI for each type's mean value — the distributed
+    bootstrap (per-row Poisson(1) weights, no global resampling), fully
+    deterministic via md5-derived uniforms."""
+    return stats.poisson_bootstrap_ci(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "warehouse_topdown_forecast",
+    oracle=warehouse.topdown_forecast_reconciliation_sql(),
+)
+def q_topdown_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-down forecast reconciliation: region seasonal-naive forecast
+    split to nations by Hamilton apportionment in exact cents — the
+    hierarchy sums exactly."""
+    return warehouse.topdown_forecast_reconciliation(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+@register("warehouse_date_dimension", oracle=warehouse.date_dimension_sql())
+def q_date_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kimball conformed date dimension generated from the corpus span —
+    ISO weekday numbering (engines disagree on Sunday-based)."""
+    return warehouse.date_dimension(load_table(spark, sf_dir, "orders"))

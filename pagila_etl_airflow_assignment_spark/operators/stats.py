@@ -999,3 +999,162 @@ def kendall_tau_daily_sql(
                      // (2 * n_pairs)) ELSE 0 END AS BIGINT) AS tau_a_milli
         FROM agg
     """
+
+
+# --- Poisson bootstrap confidence interval -------------------------------------------
+
+BOOT_B = 32
+# P(Poisson(1) <= j) thresholds, written as identical double literals in both
+# engines; u below threshold j selects weight j (inverse-CDF lookup, capped 5)
+_POIS_CDF = (
+    0.36787944117144233,  # w=0
+    0.7357588823428847,   # w=1
+    0.9196986029286058,   # w=2
+    0.9810118431238462,   # w=3
+    0.9963401531726563,   # w=4
+)
+
+
+def poisson_bootstrap_ci(events: DataFrame, b: int = BOOT_B) -> DataFrame:
+    """Poisson-bootstrap confidence interval for each event type's mean
+    value: (event_type, n, mean_cents, ci_lo_cents, ci_hi_cents).
+
+    THE distributed bootstrap: classical resampling needs n draws with
+    replacement (global coordination), the Poisson(1) approximation gives
+    every row an independent weight — one narrow projection per replicate,
+    no shared state, the standard large-scale A/B machinery. Weights come
+    from an md5-derived uniform through the inverse Poisson CDF (thresholds
+    are identical double literals in both engines), so every replicate is
+    deterministic and the whole interval is oracle-checkable. Replicate
+    means stay exact (integer-cent numerators / integer weights) until one
+    half-up emit; the CI is the 2.5%/97.5% rank of the B replicate means.
+
+    Scale shape: the replicate dimension is a bounded explode (×B rows
+    BEFORE the map-side partial agg — the ROLLUP Expand economics); both
+    aggregates are (type, rep)- then type-keyed. B=32 replicates cost one
+    scan."""
+    reps = F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("rep")
+    u = (
+        F.expr(
+            "CAST(conv(substring(md5(concat_ws('_', CAST(event_id AS STRING),"
+            " CAST(rep AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+        )
+        / F.lit(float(1 << 60))
+    )
+    w = (
+        F.when(u < _POIS_CDF[0], 0)
+        .when(u < _POIS_CDF[1], 1)
+        .when(u < _POIS_CDF[2], 2)
+        .when(u < _POIS_CDF[3], 3)
+        .when(u < _POIS_CDF[4], 4)
+        .otherwise(5)
+    )
+    weighted = events.select(
+        "event_type",
+        "event_id",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        reps,
+    ).select("event_type", "rep", w.alias("w"), "cents")
+    rep_means = (
+        weighted.groupBy("event_type", "rep")
+        .agg(
+            F.sum(F.col("w") * F.col("cents")).alias("num"),
+            F.sum("w").alias("den"),
+        )
+        .where(F.col("den") > 0)
+        .select(
+            "event_type",
+            "rep",
+            F.expr("CAST((2 * num + den) DIV (2 * den) AS BIGINT)").alias(
+                "rep_mean"
+            ),
+        )
+    )
+    wr = Window.partitionBy("event_type").orderBy("rep_mean", "rep")
+    ranked = rep_means.select(
+        "event_type",
+        "rep_mean",
+        F.row_number().over(wr).alias("rk"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("nb"),
+    )
+    lo_rk = F.expr("GREATEST(CAST(nb * 25 DIV 1000 AS INT), 1)")
+    hi_rk = F.expr("LEAST(CAST((nb * 975 + 999) DIV 1000 AS INT), nb)")
+    bounds = ranked.groupBy("event_type").agg(
+        F.min(F.when(F.col("rk") == lo_rk, F.col("rep_mean"))).alias(
+            "ci_lo_cents"
+        ),
+        F.min(F.when(F.col("rk") == hi_rk, F.col("rep_mean"))).alias(
+            "ci_hi_cents"
+        ),
+    )
+    base = events.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.expr(
+            "CAST((2 * SUM(CAST(round(value * 100) AS BIGINT)) + COUNT(*))"
+            " DIV (2 * COUNT(*)) AS BIGINT)"
+        ).alias("mean_cents"),
+    )
+    return (
+        base.join(bounds, "event_type")
+        .select("event_type", "n", "mean_cents", "ci_lo_cents", "ci_hi_cents")
+        .orderBy("event_type")
+    )
+
+
+def poisson_bootstrap_ci_sql(b: int = BOOT_B) -> str:
+    u = (
+        "CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || '_' ||"
+        " CAST(rep AS VARCHAR)), 1, 15)) AS UBIGINT)::BIGINT"
+        f" / {float(1 << 60)!r}"
+    )
+    w = f"""CASE WHEN {u} < {_POIS_CDF[0]!r} THEN 0
+                 WHEN {u} < {_POIS_CDF[1]!r} THEN 1
+                 WHEN {u} < {_POIS_CDF[2]!r} THEN 2
+                 WHEN {u} < {_POIS_CDF[3]!r} THEN 3
+                 WHEN {u} < {_POIS_CDF[4]!r} THEN 4
+                 ELSE 5 END"""
+    return f"""
+        WITH weighted AS (
+            SELECT event_type, rep,
+                   {w} AS w,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM (
+                SELECT event_type, event_id, value,
+                       unnest(generate_series(0, {b - 1})) AS rep
+                FROM events
+            )
+        ),
+        rep_means AS (
+            SELECT event_type, rep,
+                   CAST((2 * SUM(w * cents) + SUM(w)) // (2 * SUM(w))
+                        AS BIGINT) AS rep_mean
+            FROM weighted GROUP BY event_type, rep
+            HAVING SUM(w) > 0
+        ),
+        ranked AS (
+            SELECT event_type, rep_mean,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY rep_mean, rep) AS rk,
+                   COUNT(*) OVER (PARTITION BY event_type) AS nb
+            FROM rep_means
+        ),
+        bounds AS (
+            SELECT event_type,
+                   MIN(CASE WHEN rk = GREATEST(CAST(nb * 25 // 1000 AS INT), 1)
+                            THEN rep_mean END) AS ci_lo_cents,
+                   MIN(CASE WHEN rk = LEAST(CAST((nb * 975 + 999) // 1000
+                                                 AS INT), nb)
+                            THEN rep_mean END) AS ci_hi_cents
+            FROM ranked GROUP BY event_type
+        ),
+        base AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST((2 * SUM(CAST(round(value * 100) AS BIGINT))
+                         + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+                       AS mean_cents
+            FROM events GROUP BY event_type
+        )
+        SELECT b.event_type, b.n, b.mean_cents, c.ci_lo_cents, c.ci_hi_cents
+        FROM base b JOIN bounds c USING (event_type)
+        ORDER BY b.event_type
+    """

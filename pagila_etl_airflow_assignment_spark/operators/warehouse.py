@@ -1920,3 +1920,191 @@ def weighted_median_price_sql(rel: str = "lineitem") -> str:
         GROUP BY l_returnflag
         ORDER BY l_returnflag
     """
+
+# --- hierarchical (top-down) forecast reconciliation --------------------------------
+
+
+def topdown_forecast_reconciliation(
+    orders: DataFrame, customer: DataFrame, nation: DataFrame, region: DataFrame
+) -> DataFrame:
+    """Top-down forecast reconciliation: a region-level seasonal-naive
+    forecast (same month, last year) split to nations by trailing-12-month
+    revenue share — (r_name, n_name, nation_trailing_cents,
+    region_forecast_cents, forecast_cents).
+
+    The hierarchical-forecasting discipline: forecast at the aggregate level
+    (stabler signal), allocate down so the hierarchy ADDS UP EXACTLY. The
+    split is largest-remainder (Hamilton) apportionment per region in exact
+    integer cents — floor quotas by integer cross-multiplication, leftover
+    cents to the largest remainders (remainder rank = modulo, nation
+    tiebreak) — so Σ nation forecasts ≡ the region forecast, cent for cent,
+    the property proportional float splits can't guarantee.
+
+    Scale shape: the fact table collapses to (nation, month) cents in one
+    aggregate; everything after runs on |nations| rows with per-region rank
+    windows."""
+    base = (
+        orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            "r_name",
+            "n_name",
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        )
+    )
+    latest = base.agg(F.max("month").alias("m_max"))
+    with_ref = base.crossJoin(F.broadcast(latest))
+    region_forecast = (
+        with_ref.where(F.col("month") == F.add_months(F.col("m_max"), -11))
+        .groupBy("r_name")
+        .agg((F.sum("price") * 100).cast("long").alias("region_forecast_cents"))
+    )
+    trailing = (
+        with_ref.where(F.col("month") > F.add_months(F.col("m_max"), -12))
+        .groupBy("r_name", "n_name")
+        .agg((F.sum("price") * 100).cast("long").alias("nation_trailing_cents"))
+    )
+    wr = Window.partitionBy("r_name")
+    tot = trailing.withColumn(
+        "share_tot", F.sum("nation_trailing_cents").over(wr)
+    )
+    quoted = (
+        tot.join(region_forecast, "r_name")
+        .select(
+            "r_name",
+            "n_name",
+            "nation_trailing_cents",
+            "region_forecast_cents",
+            F.expr(
+                "CAST(region_forecast_cents * nation_trailing_cents"
+                " DIV share_tot AS BIGINT)"
+            ).alias("floor_q"),
+            F.expr(
+                "CAST(region_forecast_cents * nation_trailing_cents"
+                " % share_tot AS BIGINT)"
+            ).alias("rem"),
+        )
+    )
+    wrk = Window.partitionBy("r_name").orderBy(F.desc("rem"), "n_name")
+    leftover = F.col("region_forecast_cents") - F.sum("floor_q").over(wr)
+    return (
+        quoted.withColumn("rk", F.row_number().over(wrk))
+        .withColumn("leftover", leftover)
+        .select(
+            "r_name",
+            "n_name",
+            "nation_trailing_cents",
+            "region_forecast_cents",
+            (
+                F.col("floor_q")
+                + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("forecast_cents"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+def topdown_forecast_reconciliation_sql() -> str:
+    return """
+        WITH base AS (
+            SELECT r.r_name, n.n_name,
+                   CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
+                   CAST(o.o_totalprice AS DECIMAL(18,2)) AS price
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+        ),
+        latest AS (SELECT MAX(month) AS m_max FROM base),
+        region_forecast AS (
+            SELECT r_name,
+                   CAST(SUM(price) * 100 AS BIGINT) AS region_forecast_cents
+            FROM base CROSS JOIN latest
+            WHERE month = m_max - INTERVAL 11 MONTH
+            GROUP BY r_name
+        ),
+        trail12 AS (
+            SELECT r_name, n_name,
+                   CAST(SUM(price) * 100 AS BIGINT) AS nation_trailing_cents
+            FROM base CROSS JOIN latest
+            WHERE month > m_max - INTERVAL 12 MONTH
+            GROUP BY r_name, n_name
+        ),
+        quoted AS (
+            SELECT t.r_name, t.n_name, t.nation_trailing_cents,
+                   f.region_forecast_cents,
+                   CAST(f.region_forecast_cents * t.nation_trailing_cents
+                        // SUM(t.nation_trailing_cents) OVER (PARTITION BY t.r_name)
+                        AS BIGINT) AS floor_q,
+                   CAST(f.region_forecast_cents * t.nation_trailing_cents
+                        % SUM(t.nation_trailing_cents) OVER (PARTITION BY t.r_name)
+                        AS BIGINT) AS rem
+            FROM trail12 t JOIN region_forecast f USING (r_name)
+        )
+        SELECT r_name, n_name, nation_trailing_cents, region_forecast_cents,
+               CAST(floor_q + CASE WHEN
+                    ROW_NUMBER() OVER (PARTITION BY r_name
+                                       ORDER BY rem DESC, n_name)
+                    <= region_forecast_cents
+                       - SUM(floor_q) OVER (PARTITION BY r_name)
+                    THEN 1 ELSE 0 END AS BIGINT) AS forecast_cents
+        FROM quoted
+        ORDER BY r_name, n_name
+    """
+
+
+# --- conformed date dimension --------------------------------------------------------
+
+
+def date_dimension(orders: DataFrame) -> DataFrame:
+    """Kimball-style conformed date dimension spanning the corpus's order
+    dates: (day, iso_dow, is_weekend, week_beginning, month_start, quarter,
+    year) — the join spine every BI layer conforms its facts to.
+
+    Generated, not loaded: the span derives from the data (min..max order
+    date), the attributes are pure date arithmetic — a bounded `sequence`
+    explode off a 1-row aggregate, no calendar file dependency. ISO weekday
+    (Mon=1) is used because engines disagree on Sunday-based numbering."""
+    span = orders.agg(
+        F.min(F.to_date("o_orderdate")).alias("d0"),
+        F.max(F.to_date("o_orderdate")).alias("d1"),
+    )
+    days = span.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    iso_dow = F.expr("weekday(day) + 1")
+    return days.select(
+        "day",
+        iso_dow.cast("int").alias("iso_dow"),
+        (iso_dow >= 6).alias("is_weekend"),
+        F.date_trunc("week", "day").cast("date").alias("week_beginning"),
+        F.date_trunc("month", "day").cast("date").alias("month_start"),
+        F.quarter("day").cast("int").alias("quarter"),
+        F.year("day").cast("int").alias("year"),
+    ).orderBy("day")
+
+
+def date_dimension_sql() -> str:
+    return """
+        WITH span AS (
+            SELECT MIN(CAST(o_orderdate AS DATE)) AS d0,
+                   MAX(CAST(o_orderdate AS DATE)) AS d1
+            FROM orders
+        ),
+        days AS (
+            SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+                        AS DATE) AS day
+            FROM span
+        )
+        SELECT day,
+               CAST(isodow(day) AS INT) AS iso_dow,
+               isodow(day) >= 6 AS is_weekend,
+               CAST(date_trunc('week', day) AS DATE) AS week_beginning,
+               CAST(date_trunc('month', day) AS DATE) AS month_start,
+               CAST(quarter(day) AS INT) AS quarter,
+               CAST(year(day) AS INT) AS year
+        FROM days
+        ORDER BY day
+    """

@@ -436,3 +436,51 @@ def test_hamming_pairs_find_identical_vectors(spark):
     out = similarity.embedding_hamming_pairs(vecs).collect()
     assert [(r.vec_a, r.vec_b) for r in out] == [(1, 2)]
     assert out[0].hamming == 0 and out[0].cos_milli == 1000
+
+
+# --- top-down forecast reconciliation ------------------------------------------------
+
+
+def test_topdown_forecast_sums_exactly_per_region(spark, ddb):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["warehouse_topdown_forecast"](
+        spark, "/root/testdata/sf0.001"
+    )
+    rows = df.collect()
+    by_region = {}
+    for r in rows:
+        by_region.setdefault(r.r_name, [0, r.region_forecast_cents])
+        by_region[r.r_name][0] += r.forecast_cents
+    for region, (s, f) in by_region.items():
+        assert s == f, f"{region}: nation sum {s} != region forecast {f}"
+
+
+# --- date dimension ---------------------------------------------------------------
+
+
+def test_date_dimension_iso_weekday_and_span(spark):
+    orders = spark.createDataFrame(
+        [(1, 1, "O", 1.0, dt.datetime(2024, 1, 1), "x"),
+         (2, 1, "O", 1.0, dt.datetime(2024, 1, 7), "x")],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    out = {r.day: r for r in warehouse.date_dimension(orders).collect()}
+    assert len(out) == 7
+    jan1 = out[dt.date(2024, 1, 1)]   # a Monday
+    assert jan1.iso_dow == 1 and not jan1.is_weekend
+    sat = out[dt.date(2024, 1, 6)]
+    assert sat.iso_dow == 6 and sat.is_weekend
+    assert jan1.week_beginning == dt.date(2024, 1, 1)
+
+
+# --- Poisson bootstrap -------------------------------------------------------------
+
+
+def test_poisson_bootstrap_ci_brackets_the_mean(spark):
+    rows = [(i, _ts(1 + i % 28), i, "view", 10.0 + (i % 5)) for i in range(400)]
+    out = stats.poisson_bootstrap_ci(_events(spark, rows)).collect()[0]
+    assert out.ci_lo_cents <= out.mean_cents <= out.ci_hi_cents
+    # CI should be tight around 1200 cents for this low-variance fixture
+    assert 1150 < out.ci_lo_cents and out.ci_hi_cents < 1250
