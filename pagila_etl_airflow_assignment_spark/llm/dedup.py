@@ -2096,3 +2096,104 @@ def cluster_size_hist_sql(pairs_sql: str, docs_rel: str = "documents") -> str:
         GROUP BY cluster_size
         ORDER BY cluster_size
     """
+
+# --- b-bit MinHash calibration -------------------------------------------------------
+
+BBIT_B = 4
+
+
+def bbit_minhash_estimates(docs: DataFrame, b: int = BBIT_B) -> DataFrame:
+    """b-bit MinHash (Li & Konig) similarity estimates vs exact Jaccard on
+    the LSH-verified pair set: (doc_a, doc_b, bbit_est_milli, jaccard_milli,
+    err_milli).
+
+    The storage-optimal dedup signature: keeping only the low ``b`` bits of
+    each of k min-hashes shrinks sketches 64/b-fold; a pair's bit-match
+    rate m/k estimates J through E[m/k] = J + (1-J)/2^b, inverted here in
+    exact integer milli (half-up, clamped at 0). Run against the exact
+    Jaccard of the same pairs, the output IS the calibration table that
+    says whether b bits suffice at a given dedup threshold.
+
+    Scale shape: two broadcast-size joins of the pair set against the
+    signature relation; the signature agg is shared with MinHash-LSH."""
+    k = MINHASH_K
+    sig = minhash_signatures(docs)
+    pairs = minhash_lsh_pairs(docs).select("doc_a", "doc_b", "jaccard")
+    sig_a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[(F.col(f"mh{i}") % (1 << b)).alias(f"a{i}") for i in range(k)],
+    )
+    sig_b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[(F.col(f"mh{i}") % (1 << b)).alias(f"b{i}") for i in range(k)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(k)
+    )
+    two_b = 1 << b
+    return (
+        pairs.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            matches.alias("m"),
+            F.expr("CAST(round(jaccard * 1000) AS BIGINT)").alias(
+                "jaccard_milli"
+            ),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(
+                f"CAST(GREATEST((2 * 1000 * ({two_b} * m - {k})"
+                f" + ({two_b - 1}) * {k})"
+                f" DIV (2 * ({two_b - 1}) * {k}), 0) AS BIGINT)"
+            ).alias("bbit_est_milli"),
+            "jaccard_milli",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "bbit_est_milli",
+            "jaccard_milli",
+            (F.col("bbit_est_milli") - F.col("jaccard_milli"))
+            .cast("long")
+            .alias("err_milli"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def bbit_minhash_estimates_sql(b: int = BBIT_B) -> str:
+    k = MINHASH_K
+    two_b = 1 << b
+    a_cols = ", ".join(f"mh{i} % {two_b} AS a{i}" for i in range(k))
+    b_cols = ", ".join(f"mh{i} % {two_b} AS b{i}" for i in range(k))
+    m = " + ".join(
+        f"CASE WHEN a{i} = b{i} THEN 1 ELSE 0 END" for i in range(k)
+    )
+    return f"""
+        WITH sig AS ({minhash_signatures_sql()}),
+        pairs AS ({minhash_lsh_pairs_sql()}),
+        scored AS (
+            SELECT p.doc_a, p.doc_b, {m} AS m,
+                   CAST(round(p.jaccard * 1000) AS BIGINT) AS jaccard_milli
+            FROM pairs p
+            JOIN (SELECT doc_id, {a_cols} FROM sig) sa ON sa.doc_id = p.doc_a
+            JOIN (SELECT doc_id, {b_cols} FROM sig) sb ON sb.doc_id = p.doc_b
+        )
+        SELECT doc_a, doc_b,
+               CAST(GREATEST((2 * 1000 * ({two_b} * m - {k})
+                    + ({two_b - 1}) * {k})
+                    // (2 * ({two_b - 1}) * {k}), 0) AS BIGINT)
+                   AS bbit_est_milli,
+               jaccard_milli,
+               CAST(CAST(GREATEST((2 * 1000 * ({two_b} * m - {k})
+                    + ({two_b - 1}) * {k})
+                    // (2 * ({two_b - 1}) * {k}), 0) AS BIGINT)
+                    - jaccard_milli AS BIGINT) AS err_milli
+        FROM scored
+        ORDER BY doc_a, doc_b
+    """

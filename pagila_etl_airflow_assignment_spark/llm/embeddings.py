@@ -1531,3 +1531,86 @@ def pca_power_iteration_sql(iters: int = PCA_ITERS, dim: int = RP_IN_DIM) -> str
     return "".join(parts) + f"""
     SELECT pos, vm FROM v{iters} ORDER BY pos
     """
+
+
+# --- centroid drift monitoring -------------------------------------------------------
+
+
+def centroid_drift(embeddings: DataFrame) -> DataFrame:
+    """Embedding-distribution drift per label between two content-stable
+    halves of the corpus (vec_id parity as the batch proxy): (label, n0, n1,
+    l1_drift_micro, max_drift_micro).
+
+    The ML-ops monitor for "did the embedding distribution move?": per
+    label, the L1 and max component shift between the halves' centroids.
+    Components quantize ONCE to integer micro units, so the sums are
+    order-independent and the centroids are exact half-up integers — unlike
+    a float mean, bit-stable under any partitioning (and any engine).
+
+    Scale shape: one (label, half, pos) aggregate over the exploded
+    components; everything after is |labels|×dim arithmetic."""
+    exploded = embeddings.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("pos0", "x"),
+    ).select(
+        "label",
+        "half",
+        (F.col("pos0") + 1).alias("pos"),
+        F.expr("CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)").alias("q"),
+    )
+    cents = exploded.groupBy("label", "half", "pos").agg(
+        F.sum("q").alias("s"), F.count("*").alias("n")
+    ).select(
+        "label",
+        "half",
+        "pos",
+        "n",
+        F.expr(
+            "CAST(SIGN(s) * ((2 * ABS(s) + n) DIV (2 * n)) AS BIGINT)"
+        ).alias("c"),
+    )
+    c0 = cents.where(F.col("half") == 0).select(
+        "label", "pos", F.col("c").alias("c0"), F.col("n").alias("n0")
+    )
+    c1 = cents.where(F.col("half") == 1).select(
+        "label", "pos", F.col("c").alias("c1"), F.col("n").alias("n1")
+    )
+    return (
+        c0.join(c1, ["label", "pos"])
+        .groupBy("label")
+        .agg(
+            F.max("n0").alias("n0"),
+            F.max("n1").alias("n1"),
+            F.sum(F.abs(F.col("c0") - F.col("c1"))).alias("l1_drift_micro"),
+            F.max(F.abs(F.col("c0") - F.col("c1"))).alias("max_drift_micro"),
+        )
+        .orderBy("label")
+    )
+
+
+def centroid_drift_sql() -> str:
+    return """
+        WITH exploded AS (
+            SELECT label, vec_id % 2 AS half,
+                   generate_subscripts(embedding, 1) AS pos,
+                   CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6)
+                        AS BIGINT) AS q
+            FROM embeddings
+        ),
+        cents AS (
+            SELECT label, half, pos, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SIGN(SUM(q)) * ((2 * ABS(SUM(q)) + COUNT(*))
+                        // (2 * COUNT(*))) AS BIGINT) AS c
+            FROM exploded GROUP BY label, half, pos
+        )
+        SELECT c0.label,
+               CAST(MAX(c0.n) AS BIGINT) AS n0,
+               CAST(MAX(c1.n) AS BIGINT) AS n1,
+               CAST(SUM(ABS(c0.c - c1.c)) AS BIGINT) AS l1_drift_micro,
+               CAST(MAX(ABS(c0.c - c1.c)) AS BIGINT) AS max_drift_micro
+        FROM (SELECT * FROM cents WHERE half = 0) c0
+        JOIN (SELECT * FROM cents WHERE half = 1) c1 USING (label, pos)
+        GROUP BY c0.label
+        ORDER BY c0.label
+    """

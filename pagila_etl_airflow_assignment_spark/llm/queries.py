@@ -843,3 +843,24 @@ def q_embedding_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-for-embeddings: banded 24-bit sign projections, pigeonhole
     candidate recall, exact Hamming verify with cosine reporting."""
     return similarity.embedding_hamming_pairs(load_table(spark, sf_dir, "embeddings"))
+
+
+@register("embedding_centroid_drift", oracle=embeddings_mod.centroid_drift_sql())
+def q_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid drift between content-stable corpus halves —
+    micro-quantized components so the centroids are exact integers."""
+    return embeddings_mod.centroid_drift(load_table(spark, sf_dir, "embeddings"))
+
+
+@register("dedup_bbit_minhash", oracle=dedup.bbit_minhash_estimates_sql())
+def q_bbit_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b-bit MinHash estimates vs exact Jaccard on the LSH pair set — the
+    calibration table for storage-optimal dedup signatures."""
+    return dedup.bbit_minhash_estimates(load_table(spark, sf_dir, "documents"))
+
+
+@register("sampling_group_kfold", oracle=sampling.group_kfold_sql())
+def q_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-integrity k-fold assignment (whole sources per fold) — the
+    leakage-safe eval split for near-dup corpora."""
+    return sampling.group_kfold(load_table(spark, sf_dir, "documents"))

@@ -555,3 +555,32 @@ def doremi_step_sql(docs_rel: str = "documents") -> str:
     FROM fac
     ORDER BY source
     """
+
+
+# --- group k-fold assignment ---------------------------------------------------------
+
+KFOLD_K = 5
+
+
+def group_kfold(docs: DataFrame, k: int = KFOLD_K, group: str = "source") -> DataFrame:
+    """Group-integrity k-fold assignment: every document of a group lands in
+    the SAME fold (fold = md5(group) % k) — (doc_id, source, fold).
+
+    The eval-split discipline near-dup corpora need: random per-row folds
+    leak a group's near-identical documents across train and validation;
+    group-keyed folds keep whole sources out-of-fold. Content-stable like
+    split_assign (survives re-ingestion and repartitioning), and a narrow
+    projection — zero shuffles at any scale."""
+    fold = (md5_int(F.col(group).cast("string")) % k).cast("int")
+    return docs.select("doc_id", group, fold.alias("fold")).orderBy("doc_id")
+
+
+def group_kfold_sql(
+    k: int = KFOLD_K, group: str = "source", rel: str = "documents"
+) -> str:
+    h = md5_int_sql(f"CAST({group} AS VARCHAR)")
+    return f"""
+        SELECT doc_id, {group}, CAST({h} % {k} AS INT) AS fold
+        FROM {rel}
+        ORDER BY doc_id
+    """
