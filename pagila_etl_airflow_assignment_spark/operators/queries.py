@@ -1627,3 +1627,10 @@ def q_date_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kimball conformed date dimension generated from the corpus span —
     ISO weekday numbering (engines disagree on Sunday-based)."""
     return warehouse.date_dimension(load_table(spark, sf_dir, "orders"))
+
+
+@register("events_diff_in_diff", oracle=stats.diff_in_diff_sql())
+def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: 2x2 treated/period panel in exact cents
+    plus the DiD effect row — the quasi-experimental workhorse."""
+    return stats.diff_in_diff(load_table(spark, sf_dir, "events"))

@@ -1158,3 +1158,125 @@ def poisson_bootstrap_ci_sql(b: int = BOOT_B) -> str:
         FROM base b JOIN bounds c USING (event_type)
         ORDER BY b.event_type
     """
+
+
+# --- difference-in-differences -------------------------------------------------------
+
+DID_TREAT_TYPE = "signup"
+
+
+def diff_in_diff(events: DataFrame, treat_type: str = DID_TREAT_TYPE) -> DataFrame:
+    """Difference-in-differences estimate of the treatment effect on mean
+    event value: (grp, period, n, mean_cents) for the 2×2 panel plus a
+    ('did', 'effect') row — the workhorse quasi-experimental estimator.
+
+    Treatment group = users who ever emit ``treat_type`` (the natural
+    experiment proxy); periods split at the corpus midpoint timestamp
+    (min+max)/2 — both content-derived, so the panel is deterministic.
+    Cell means are exact half-up integer cents; the DiD effect
+    (T_post − T_pre) − (C_post − C_pre) is plain integer arithmetic on
+    them — no float anywhere.
+
+    Scale shape: the treated-user set is one aggregate semi-joined back
+    (broadcast at any realistic treated-fraction); the panel is a 4-group
+    aggregate; the midpoint is a 1-row broadcast scalar."""
+    treated = events.where(F.col("event_type") == treat_type).select(
+        "user_id"
+    ).distinct()
+    span = events.agg(
+        F.min("ts").alias("t0"), F.max("ts").alias("t1")
+    )
+    labeled = (
+        events.crossJoin(F.broadcast(span))
+        .join(
+            F.broadcast(treated.withColumn("is_treated", F.lit(True))),
+            "user_id",
+            "left",
+        )
+        .select(
+            F.when(F.col("is_treated"), "treatment")
+            .otherwise("control")
+            .alias("grp"),
+            F.when(
+                F.expr("unix_micros(ts) * 2 >= unix_micros(t0) + unix_micros(t1)"),
+                "post",
+            )
+            .otherwise("pre")
+            .alias("period"),
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+    )
+    panel = labeled.groupBy("grp", "period").agg(
+        F.count("*").alias("n"),
+        F.expr(
+            "CAST((2 * SUM(cents) + COUNT(*)) DIV (2 * COUNT(*)) AS BIGINT)"
+        ).alias("mean_cents"),
+    )
+    # DiD from the four cells without a pivot (engine-identical path):
+    eff = panel.agg(
+        F.sum(
+            F.when(
+                (F.col("grp") == "treatment") & (F.col("period") == "post"),
+                F.col("mean_cents"),
+            )
+            .when(
+                (F.col("grp") == "treatment") & (F.col("period") == "pre"),
+                -F.col("mean_cents"),
+            )
+            .when(
+                (F.col("grp") == "control") & (F.col("period") == "post"),
+                -F.col("mean_cents"),
+            )
+            .when(
+                (F.col("grp") == "control") & (F.col("period") == "pre"),
+                F.col("mean_cents"),
+            )
+        ).alias("mean_cents")
+    ).select(
+        F.lit("did").alias("grp"),
+        F.lit("effect").alias("period"),
+        F.lit(0).cast("long").alias("n"),
+        F.col("mean_cents").cast("long"),
+    )
+    return panel.select("grp", "period", "n", "mean_cents").unionByName(
+        eff
+    ).orderBy("grp", "period")
+
+
+def diff_in_diff_sql(treat_type: str = DID_TREAT_TYPE) -> str:
+    return f"""
+        WITH treated AS (
+            SELECT DISTINCT user_id FROM events
+            WHERE event_type = '{treat_type}'
+        ),
+        span AS (
+            SELECT MIN(ts) AS t0, MAX(ts) AS t1 FROM events
+        ),
+        labeled AS (
+            SELECT CASE WHEN t.user_id IS NOT NULL
+                        THEN 'treatment' ELSE 'control' END AS grp,
+                   CASE WHEN epoch_us(e.ts) * 2 >= epoch_us(s.t0) + epoch_us(s.t1)
+                        THEN 'post' ELSE 'pre' END AS period,
+                   CAST(round(e.value * 100) AS BIGINT) AS cents
+            FROM events e
+            CROSS JOIN span s
+            LEFT JOIN treated t ON e.user_id = t.user_id
+        ),
+        panel AS (
+            SELECT grp, period, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST((2 * SUM(cents) + COUNT(*)) // (2 * COUNT(*))
+                        AS BIGINT) AS mean_cents
+            FROM labeled GROUP BY grp, period
+        )
+        SELECT grp, period, n, mean_cents FROM panel
+        UNION ALL
+        SELECT 'did' AS grp, 'effect' AS period, CAST(0 AS BIGINT) AS n,
+               CAST(SUM(CASE
+                    WHEN grp = 'treatment' AND period = 'post' THEN mean_cents
+                    WHEN grp = 'treatment' AND period = 'pre' THEN -mean_cents
+                    WHEN grp = 'control' AND period = 'post' THEN -mean_cents
+                    WHEN grp = 'control' AND period = 'pre' THEN mean_cents
+                    END) AS BIGINT) AS mean_cents
+        FROM panel
+        ORDER BY grp, period
+    """

@@ -94,6 +94,8 @@ ALLOWED: dict[str, set[str]] = {
     "events_kendall_tau": {"BroadcastNestedLoopJoin"},
     # broadcast 1-row (n, S) and denominator scalars over the day grid
     "events_acf_daily": {"BroadcastNestedLoopJoin"},
+    # broadcast 1-row corpus-midpoint scalar (DiD period split)
+    "events_diff_in_diff": {"BroadcastNestedLoopJoin"},
     # broadcast 1-row latest-month scalar (forecast anchor)
     "warehouse_topdown_forecast": {"BroadcastNestedLoopJoin"},
     # broadcast 1-row reference-date scalar (aging "today" stand-in)
