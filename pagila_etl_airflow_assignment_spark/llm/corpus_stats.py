@@ -1187,3 +1187,149 @@ def js_divergence_sources_sql(k: int = JS_VOCAB_K, docs_rel: str = "documents") 
         GROUP BY source_a, source_b
         ORDER BY source_a, source_b
     """
+
+
+# --- RAKE keyword extraction ---------------------------------------------------------
+
+RAKE_STOP = (
+    "the", "and", "of", "to", "in", "is", "that", "for", "with", "as",
+    "a", "an", "it", "on", "at",
+)
+RAKE_TOP_K = 20
+
+
+def rake_keywords(docs: DataFrame, k: int = RAKE_TOP_K) -> DataFrame:
+    """RAKE keyword extraction (Rose et al.): candidate phrases are maximal
+    stopword-free token runs; a word scores degree/freq (degree = total
+    length of phrases it appears in), a phrase scores the sum of its word
+    scores — (rank, phrase, n_words, n_occurrences, score_milli).
+
+    The classic unsupervised keyphrase baseline, complementary to TF-IDF
+    (which can't score multi-word phrases). All scores are half-up integer
+    milli on exact degree/freq counts — no float.
+
+    Scale shape: phrase segmentation is one per-doc cumulative window over
+    token positions; degree/freq are word-keyed aggregates; the final
+    ranking is a distributed top-k over the phrase aggregate."""
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split(_norm_text(F.col("text")), WS_RE)).alias("pos", "w")
+    ).withColumn("is_stop", F.col("w").isin(*RAKE_STOP) | (F.col("w") == ""))
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    seg = toks.withColumn(
+        "phrase_id",
+        F.sum(F.col("is_stop").cast("int")).over(
+            wd.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).where(~F.col("is_stop"))
+    plens = seg.groupBy("doc_id", "phrase_id").agg(
+        F.count("*").alias("plen"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda x: x["w"],
+            ),
+            " ",
+        ).alias("phrase"),
+    )
+    word_stats = (
+        seg.join(plens.select("doc_id", "phrase_id", "plen"), ["doc_id", "phrase_id"])
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"), F.sum("plen").alias("degree"))
+        .select(
+            "w",
+            F.expr(
+                "CAST((2 * 1000 * degree + freq) DIV (2 * freq) AS BIGINT)"
+            ).alias("w_score_milli"),
+        )
+    )
+    phrase_scores = (
+        seg.join(F.broadcast(word_stats), "w")
+        .groupBy("doc_id", "phrase_id")
+        .agg(F.sum("w_score_milli").alias("score_milli"))
+        .join(plens, ["doc_id", "phrase_id"])
+        .groupBy("phrase")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.max("plen").cast("long").alias("n_words"),
+            F.max("score_milli").cast("long").alias("score_milli"),
+        )
+    )
+    wr = Window.orderBy(F.col("score_milli").desc(), F.col("phrase").asc())
+    return (
+        phrase_scores.orderBy(F.col("score_milli").desc(), F.col("phrase").asc())
+        .limit(k)
+        .select(
+            F.row_number().over(wr).cast("long").alias("rank"),
+            "phrase",
+            "n_words",
+            "n_occurrences",
+            "score_milli",
+        )
+        .orderBy("rank")
+    )
+
+
+def rake_keywords_sql(k: int = RAKE_TOP_K, docs_rel: str = "documents") -> str:
+    stop = ", ".join(f"'{w}'" for w in RAKE_STOP)
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   generate_subscripts(w_list, 1) AS pos,
+                   unnest(w_list) AS w
+            FROM (
+                SELECT doc_id,
+                       string_split_regex({_norm_text_sql('text')}, '{WS_RE}')
+                           AS w_list
+                FROM {docs_rel}
+            )
+        ),
+        marked AS (
+            SELECT doc_id, pos, w,
+                   (w IN ({stop}) OR w = '') AS is_stop
+            FROM toks
+        ),
+        seg AS (
+            -- the window must see the stopword rows (they delimit phrases);
+            -- WHERE runs before OVER, so filter OUTSIDE the window subquery
+            SELECT doc_id, pos, w, phrase_id FROM (
+                SELECT doc_id, pos, w, is_stop,
+                       SUM(CASE WHEN is_stop THEN 1 ELSE 0 END) OVER (
+                           PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS phrase_id
+                FROM marked
+            ) WHERE NOT is_stop
+        ),
+        plens AS (
+            SELECT doc_id, phrase_id, CAST(COUNT(*) AS BIGINT) AS plen,
+                   string_agg(w, ' ' ORDER BY pos) AS phrase
+            FROM seg GROUP BY doc_id, phrase_id
+        ),
+        word_stats AS (
+            SELECT s.w,
+                   CAST((2 * 1000 * SUM(p.plen) + COUNT(*))
+                        // (2 * COUNT(*)) AS BIGINT) AS w_score_milli
+            FROM seg s JOIN plens p USING (doc_id, phrase_id)
+            GROUP BY s.w
+        ),
+        phrase_scores AS (
+            SELECT p.phrase,
+                   CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+                   CAST(MAX(p.plen) AS BIGINT) AS n_words,
+                   CAST(MAX(sc.score) AS BIGINT) AS score_milli
+            FROM (
+                SELECT doc_id, phrase_id,
+                       CAST(SUM(w_score_milli) AS BIGINT) AS score
+                FROM seg JOIN word_stats USING (w)
+                GROUP BY doc_id, phrase_id
+            ) sc
+            JOIN plens p USING (doc_id, phrase_id)
+            GROUP BY p.phrase
+        )
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_milli DESC, phrase ASC)
+                    AS BIGINT) AS rank,
+               phrase, n_words, n_occurrences, score_milli
+        FROM phrase_scores
+        ORDER BY score_milli DESC, phrase ASC
+        LIMIT {k}
+    """

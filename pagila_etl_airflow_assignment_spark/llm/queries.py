@@ -864,3 +864,20 @@ def q_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group-integrity k-fold assignment (whole sources per fold) — the
     leakage-safe eval split for near-dup corpora."""
     return sampling.group_kfold(load_table(spark, sf_dir, "documents"))
+
+
+@register("text_rake_keywords", oracle=corpus_stats.rake_keywords_sql())
+def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction: stopword-free runs scored by summed
+    degree/freq word scores in exact milli — the multi-word complement to
+    TF-IDF."""
+    return corpus_stats.rake_keywords(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "sampling_negative_table", oracle=sampling.negative_sampling_table_sql()
+)
+def q_negative_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec-style count^0.75 negative-sampling table with exact integer
+    normalization and cumulative inversion column."""
+    return sampling.negative_sampling_table(load_table(spark, sf_dir, "documents"))

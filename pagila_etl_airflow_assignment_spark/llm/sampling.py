@@ -584,3 +584,96 @@ def group_kfold_sql(
         FROM {rel}
         ORDER BY doc_id
     """
+
+
+# --- unigram^0.75 negative-sampling table --------------------------------------------
+
+NEG_VOCAB_K = 100
+NEG_POWER_MILLI = 750  # exponent 0.75, the word2vec convention
+
+
+def negative_sampling_table(docs: DataFrame, k: int = NEG_VOCAB_K) -> DataFrame:
+    """word2vec-style negative-sampling distribution over the top-``k``
+    vocabulary: (rank, term, cnt, w_milli, p_micro, cum_micro) with
+    p ∝ count^0.75 — the smoothed-unigram noise distribution contrastive
+    objectives draw from (raising rare words, damping stop words).
+
+    Each pow(count, 0.75) quantizes ONCE to milli on an exact integer
+    operand (the micro-nat ln convention — both engines evaluate the same
+    double pow and round at a point 1 ulp cannot reach in practice);
+    everything after — normalization, cumulative table — is half-up integer
+    arithmetic, so the sampler's inversion table is bit-stable.
+
+    Scale shape: one term aggregate + a distributed top-k; the table itself
+    is k rows."""
+    from .shingles import grams
+
+    counts = (
+        grams(docs, 1)
+        .groupBy(F.col("gram").alias("term"))
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("term").asc())
+        .limit(k)
+    )
+    weighted = counts.select(
+        "term",
+        "cnt",
+        F.expr(
+            "CAST(round(pow(CAST(cnt AS DOUBLE), 0.75) * 1000) AS BIGINT)"
+        ).alias("w_milli"),
+    )
+    tot = weighted.agg(F.sum("w_milli").alias("w_tot"))
+    wr = Window.orderBy(F.col("cnt").desc(), F.col("term").asc())
+    return (
+        weighted.crossJoin(F.broadcast(tot))
+        .select(
+            F.row_number().over(wr).cast("long").alias("rank"),
+            "term",
+            "cnt",
+            "w_milli",
+            F.expr(
+                "CAST((2 * 1000000 * w_milli + w_tot) DIV (2 * w_tot)"
+                " AS BIGINT)"
+            ).alias("p_micro"),
+        )
+        .withColumn(
+            "cum_micro",
+            F.sum("p_micro")
+            .over(wr.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long"),
+        )
+        .orderBy("rank")
+    )
+
+
+def negative_sampling_table_sql(k: int = NEG_VOCAB_K, docs_rel: str = "documents") -> str:
+    from .shingles import grams_sql
+
+    return f"""
+        WITH counts AS (
+            SELECT gram AS term, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM ({grams_sql(1, docs_rel)})
+            GROUP BY gram
+            ORDER BY COUNT(*) DESC, gram ASC LIMIT {k}
+        ),
+        weighted AS (
+            SELECT term, cnt,
+                   CAST(round(pow(CAST(cnt AS DOUBLE), 0.75) * 1000)
+                        AS BIGINT) AS w_milli
+            FROM counts
+        ),
+        tot AS (SELECT CAST(SUM(w_milli) AS BIGINT) AS w_tot FROM weighted),
+        scored AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY cnt DESC, term ASC) AS rank,
+                   term, cnt, w_milli,
+                   CAST((2 * 1000000 * w_milli + w_tot) // (2 * w_tot)
+                        AS BIGINT) AS p_micro
+            FROM weighted CROSS JOIN tot
+        )
+        SELECT CAST(rank AS BIGINT) AS rank, term, cnt, w_milli, p_micro,
+               CAST(SUM(p_micro) OVER (ORDER BY rank
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_micro
+        FROM scored
+        ORDER BY rank
+    """

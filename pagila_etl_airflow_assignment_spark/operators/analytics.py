@@ -1276,3 +1276,143 @@ def acf_daily_sql(max_lag: int = ACF_MAX_LAG) -> str:
         FROM nums CROSS JOIN den_rel
         ORDER BY lag
     """
+
+# --- lead-lag cross-correlation ------------------------------------------------------
+
+XCORR_MAX_LAG = 7
+
+
+def xcorr_daily(
+    events: DataFrame,
+    x_type: str = "click",
+    y_type: str = "purchase",
+    max_lag: int = XCORR_MAX_LAG,
+) -> DataFrame:
+    """Lead-lag cross-correlation between two event types' daily counts at
+    lags −max_lag..max_lag: (lag, n_pairs, num, den_x, den_y, r_milli) —
+    positive-lag r answers "do clicks today predict purchases k days
+    later?", the causal-direction screen before any attribution model.
+
+    The ACF device generalized: n-scaled centering keeps num/den_x/den_y
+    exact integers; the one float step is r = num/√(den_x·den_y) written as
+    the identically-associated double expression in both engines (exact
+    integer operands → deterministic IEEE result), emitted once at milli.
+
+    Scale shape: one day-grain aggregate; lag alignment via lead/lag
+    windows over the bounded day grid; totals ride broadcast 1-row
+    aggregates."""
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum((F.col("event_type") == x_type).cast("long")).alias("x"),
+        F.sum((F.col("event_type") == y_type).cast("long")).alias("y"),
+    )
+    tot = daily.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+    )
+    wd = Window.orderBy("day")
+    cols = [
+        F.lead("y", k).over(wd).alias(f"y{k}") for k in range(1, max_lag + 1)
+    ] + [F.lag("y", k).over(wd).alias(f"y_m{k}") for k in range(1, max_lag + 1)]
+    leads = daily.crossJoin(F.broadcast(tot)).select(
+        "day", "x", "y", "n", "sx", "sy", *cols
+    )
+    dens = leads.agg(
+        F.sum(
+            (F.col("x") * F.col("n") - F.col("sx"))
+            * (F.col("x") * F.col("n") - F.col("sx"))
+        ).alias("den_x"),
+        F.sum(
+            (F.col("y") * F.col("n") - F.col("sy"))
+            * (F.col("y") * F.col("n") - F.col("sy"))
+        ).alias("den_y"),
+    )
+    parts = []
+    for k in range(-max_lag, max_lag + 1):
+        ycol = "y" if k == 0 else (f"y{k}" if k > 0 else f"y_m{-k}")
+        parts.append(
+            leads.where(F.col(ycol).isNotNull()).agg(
+                F.lit(k).alias("lag"),
+                F.count("*").cast("long").alias("n_pairs"),
+                F.sum(
+                    (F.col("x") * F.col("n") - F.col("sx"))
+                    * (F.col(ycol) * F.col("n") - F.col("sy"))
+                ).alias("num"),
+            )
+        )
+    nums = parts[0]
+    for p in parts[1:]:
+        nums = nums.unionByName(p)
+    return (
+        nums.crossJoin(F.broadcast(dens))
+        .select(
+            "lag",
+            "n_pairs",
+            "num",
+            "den_x",
+            "den_y",
+            F.expr(
+                "CAST(CASE WHEN den_x > 0 AND den_y > 0 THEN"
+                " round((1000.0 * num)"
+                " / sqrt(CAST(den_x AS DOUBLE) * CAST(den_y AS DOUBLE)))"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("r_milli"),
+        )
+        .orderBy("lag")
+    )
+
+
+def xcorr_daily_sql(
+    x_type: str = "click", y_type: str = "purchase", max_lag: int = XCORR_MAX_LAG
+) -> str:
+    lead_cols = ",\n                   ".join(
+        [f"LEAD(y, {k}) OVER (ORDER BY day) AS y{k}" for k in range(1, max_lag + 1)]
+        + [f"LAG(y, {k}) OVER (ORDER BY day) AS y_m{k}" for k in range(1, max_lag + 1)]
+    )
+
+    def one(k: int) -> str:
+        ycol = "y" if k == 0 else (f"y{k}" if k > 0 else f"y_m{-k}")
+        return f"""SELECT {k} AS lag,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(SUM((x * n - sx) * ({ycol} * n - sy)) AS BIGINT) AS num
+            FROM leads WHERE {ycol} IS NOT NULL"""
+
+    lag_rows = "\n            UNION ALL ".join(
+        one(k) for k in range(-max_lag, max_lag + 1)
+    )
+    return f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(SUM(CASE WHEN event_type = '{x_type}' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS x,
+                   CAST(SUM(CASE WHEN event_type = '{y_type}' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS y
+            FROM events GROUP BY CAST(ts AS DATE)
+        ),
+        tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy
+            FROM daily
+        ),
+        leads AS (
+            SELECT day, x, y, n, sx, sy,
+                   {lead_cols}
+            FROM daily CROSS JOIN tot
+        ),
+        dens AS (
+            SELECT CAST(SUM((x * n - sx) * (x * n - sx)) AS BIGINT) AS den_x,
+                   CAST(SUM((y * n - sy) * (y * n - sy)) AS BIGINT) AS den_y
+            FROM leads
+        ),
+        nums AS (
+            {lag_rows}
+        )
+        SELECT lag, n_pairs, num, den_x, den_y,
+               CAST(CASE WHEN den_x > 0 AND den_y > 0 THEN
+                    round((1000.0 * num)
+                    / sqrt(CAST(den_x AS DOUBLE) * CAST(den_y AS DOUBLE)))
+                    ELSE 0 END AS BIGINT) AS r_milli
+        FROM nums CROSS JOIN dens
+        ORDER BY lag
+    """

@@ -1634,3 +1634,11 @@ def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Difference-in-differences: 2x2 treated/period panel in exact cents
     plus the DiD effect row — the quasi-experimental workhorse."""
     return stats.diff_in_diff(load_table(spark, sf_dir, "events"))
+
+
+@register("events_xcorr_daily", oracle=analytics.xcorr_daily_sql())
+def q_xcorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation of daily click vs purchase counts at lags
+    -7..7 — integer numerators/denominators, one identically-associated
+    sqrt emit."""
+    return analytics.xcorr_daily(load_table(spark, sf_dir, "events"))

@@ -493,3 +493,102 @@ def session_concurrency_sql(gap: dt.timedelta = SESSION_GAP) -> str:
         GROUP BY day
         ORDER BY day
     """
+
+# --- session KPI panel ---------------------------------------------------------------
+
+
+def session_kpis(events: DataFrame, gap: dt.timedelta = SESSION_GAP) -> DataFrame:
+    """Daily session KPI panel: (day, n_sessions, bounce_milli,
+    median_depth, median_duration_s) — bounce rate (single-event sessions),
+    median events per session and median duration, the web-analytics
+    heads-up display.
+
+    Medians are exact: per day, the depth/duration value distributions
+    collapse to (value, count) and the median is the smallest value whose
+    doubled cumulative count reaches the total (the weighted-median integer
+    threshold — no percentile floats). Durations are whole seconds by
+    integer microsecond division.
+
+    Scale shape: sessions are the (already aggregated) sessionize_batch
+    relation; each median is a cumulative window over the DISTINCT value
+    relation per day, bounded by value cardinality."""
+    s = sessionize_batch(events, gap).select(
+        F.to_date("session_start").alias("day"),
+        F.col("n_events").alias("depth"),
+        (
+            (micros("session_end") - micros("session_start"))
+            / F.lit(1_000_000)
+        )
+        .cast("long")
+        .alias("dur_s"),
+    )
+    base = s.groupBy("day").agg(
+        F.count("*").alias("n_sessions"),
+        F.expr(
+            "CAST((2 * 1000 * SUM(CASE WHEN depth = 1 THEN 1 ELSE 0 END)"
+            " + COUNT(*)) DIV (2 * COUNT(*)) AS BIGINT)"
+        ).alias("bounce_milli"),
+    )
+
+    def _median(col: str, out: str) -> DataFrame:
+        per_v = s.groupBy("day", col).agg(F.count("*").alias("m"))
+        wday = Window.partitionBy("day")
+        wcum = wday.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+        cum = per_v.select(
+            "day",
+            F.col(col).alias("v"),
+            F.sum("m").over(wcum).alias("cum"),
+            F.sum("m").over(wday).alias("tot"),
+        )
+        return (
+            cum.where(2 * F.col("cum") >= F.col("tot"))
+            .groupBy("day")
+            .agg(F.min("v").cast("long").alias(out))
+        )
+
+    return (
+        base.join(_median("depth", "median_depth"), "day")
+        .join(_median("dur_s", "median_duration_s"), "day")
+        .orderBy("day")
+    )
+
+
+def session_kpis_sql(gap: dt.timedelta = SESSION_GAP) -> str:
+    def median(col: str, out: str) -> str:
+        return f"""(
+            SELECT day, CAST(MIN(v) AS BIGINT) AS {out}
+            FROM (
+                SELECT day, {col} AS v,
+                       SUM(m) OVER (PARTITION BY day ORDER BY {col}
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS cum,
+                       SUM(m) OVER (PARTITION BY day) AS tot
+                FROM (SELECT day, {col}, COUNT(*) AS m
+                      FROM s GROUP BY day, {col})
+            )
+            WHERE 2 * cum >= tot GROUP BY day
+        )"""
+
+    return f"""
+        WITH sess AS ({sessionize_batch_sql(gap)}),
+        s AS (
+            SELECT CAST(session_start AS DATE) AS day,
+                   n_events AS depth,
+                   (epoch_us(session_end) - epoch_us(session_start))
+                       // 1000000 AS dur_s
+            FROM sess
+        ),
+        base AS (
+            SELECT day, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+                   CAST((2 * 1000 * SUM(CASE WHEN depth = 1 THEN 1 ELSE 0 END)
+                         + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+                       AS bounce_milli
+            FROM s GROUP BY day
+        )
+        SELECT b.day, b.n_sessions, b.bounce_milli,
+               d.median_depth, u.median_duration_s
+        FROM base b
+        JOIN {median("depth", "median_depth")} d USING (day)
+        JOIN {median("dur_s", "median_duration_s")} u USING (day)
+        ORDER BY b.day
+    """

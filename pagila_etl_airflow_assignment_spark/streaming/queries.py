@@ -12,6 +12,8 @@ from .aggregations import (
     hourly_event_counts,
     session_concurrency,
     session_concurrency_sql,
+    session_kpis,
+    session_kpis_sql,
     sessionize_batch,
     sessionize_batch_sql,
     sessionize_native,
@@ -113,3 +115,10 @@ def q_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap-based sessions — the capacity-planning operator no per-session
     aggregate can express."""
     return session_concurrency(load_table(spark, sf_dir, "events"))
+
+
+@register("events_session_kpis", oracle=session_kpis_sql())
+def q_session_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily session KPI panel: bounce rate and exact medians of depth and
+    duration via the integer cumulative-threshold rule."""
+    return session_kpis(load_table(spark, sf_dir, "events"))

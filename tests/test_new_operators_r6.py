@@ -14,7 +14,7 @@ import math
 
 from pyspark.sql import functions as F
 
-from pagila_etl_airflow_assignment_spark.llm import corpus_stats, curation, dedup, packing
+from pagila_etl_airflow_assignment_spark.llm import corpus_stats, curation, dedup, packing, sampling
 from pagila_etl_airflow_assignment_spark.operators import (
     analytics,
     features,
@@ -484,3 +484,74 @@ def test_poisson_bootstrap_ci_brackets_the_mean(spark):
     assert out.ci_lo_cents <= out.mean_cents <= out.ci_hi_cents
     # CI should be tight around 1200 cents for this low-variance fixture
     assert 1150 < out.ci_lo_cents and out.ci_hi_cents < 1250
+
+
+# --- session KPIs ------------------------------------------------------------------
+
+
+def test_session_kpis_bounce_and_medians(spark):
+    # day 1: three sessions - depths 1, 1, 3 -> bounce 667 milli, median 1
+    ev = _events(
+        spark,
+        [
+            (1, _ts(1, 9, 0), 1, "view", 0.0),
+            (2, _ts(1, 10, 0), 2, "view", 0.0),
+            (3, _ts(1, 11, 0), 3, "view", 0.0),
+            (4, _ts(1, 11, 1), 3, "view", 0.0),
+            (5, _ts(1, 11, 2), 3, "view", 0.0),
+        ],
+    )
+    out = aggregations.session_kpis(ev).collect()[0]
+    assert out.n_sessions == 3
+    assert out.bounce_milli == 667
+    assert out.median_depth == 1
+    assert out.median_duration_s == 0  # two instant sessions out of three
+
+
+# --- cross-correlation -------------------------------------------------------------
+
+
+def test_xcorr_shifted_series_peaks_at_its_lag(spark):
+    # purchases copy clicks shifted +2 days: r at lag 2 ~ 1000
+    rows, eid = [], 0
+    clicks = [1, 5, 2, 8, 3, 7, 1, 6, 2, 9, 4, 5]
+    for d, c in enumerate(clicks, start=1):
+        for _ in range(c):
+            rows.append((eid, _ts(d), 1, "click", 0.0)); eid += 1
+    for d, c in enumerate(clicks, start=3):
+        if d <= 14:
+            for _ in range(c):
+                rows.append((eid, _ts(d), 1, "purchase", 0.0)); eid += 1
+    out = {r.lag: r for r in analytics.xcorr_daily(_events(spark, rows)).collect()}
+    best = max(out.values(), key=lambda r: r.r_milli)
+    assert best.lag == 2
+    # zero-padded edges (the shifted copy truncates) dilute r below 1.0
+    assert best.r_milli > 700
+
+
+# --- negative sampling table --------------------------------------------------------
+
+
+def test_negative_sampling_table_smooths_toward_rare(spark):
+    docs = _docs(
+        spark,
+        [(1, " ".join(["a"] * 16 + ["b"]), "en", "s0")],
+    )
+    out = {r.term: r for r in sampling.negative_sampling_table(docs, k=2).collect()}
+    # raw ratio 16:1, smoothed ratio 16^0.75 = 8:1
+    assert out["a"].cnt == 16 and out["b"].cnt == 1
+    assert out["a"].w_milli == 8000 and out["b"].w_milli == 1000
+    assert abs(out["a"].p_micro - 888889) <= 1
+    assert out["b"].cum_micro >= 999999  # table covers the full mass
+
+
+# --- RAKE -------------------------------------------------------------------------
+
+
+def test_rake_scores_phrases_by_degree_over_freq(spark):
+    # "x y" is a 2-word phrase; each of x,y has degree 2, freq 1 -> score 4000
+    docs = _docs(spark, [(1, "x y the z", "en", "s0")])
+    out = {r.phrase: r for r in corpus_stats.rake_keywords(docs).collect()}
+    assert out["x y"].score_milli == 4000
+    assert out["x y"].n_words == 2
+    assert out["z"].score_milli == 1000

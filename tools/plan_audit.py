@@ -94,6 +94,10 @@ ALLOWED: dict[str, set[str]] = {
     "events_kendall_tau": {"BroadcastNestedLoopJoin"},
     # broadcast 1-row (n, S) and denominator scalars over the day grid
     "events_acf_daily": {"BroadcastNestedLoopJoin"},
+    # broadcast 1-row (n, Sx, Sy) and denominator scalars over the day grid
+    "events_xcorr_daily": {"BroadcastNestedLoopJoin"},
+    # broadcast 1-row weight-total scalar (sampling normalizer)
+    "sampling_negative_table": {"BroadcastNestedLoopJoin"},
     # broadcast 1-row corpus-midpoint scalar (DiD period split)
     "events_diff_in_diff": {"BroadcastNestedLoopJoin"},
     # broadcast 1-row latest-month scalar (forecast anchor)
