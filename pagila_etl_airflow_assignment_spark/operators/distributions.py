@@ -542,32 +542,56 @@ def psi_drift(
     reference period and the current period — THE model-monitoring drift
     metric (rule of thumb: <0.1 stable, >0.25 retrain).
 
-    Bin edges are the REFERENCE period's exact deciles (a drifted current
-    period can't move its own goalposts); both periods' bin masses come
-    from one broadcast-join pass; Laplace add-one smoothing keeps empty
-    bins finite and deterministic. PSI = Σ (q−p)·ln(q/p) over ≤n_bins rows
-    per type, rounded at 6 dp."""
+    Bin edges are the REFERENCE period's deciles (a drifted current period
+    can't move its own goalposts) computed by EXACT integer rank selection
+    over the cents-quantized value distribution — edge_j is the smallest
+    cents value whose cumulative reference count reaches j/n_bins of the
+    total (the weighted-median threshold device). Interpolated percentiles
+    were the original form and flipped the certified hash at sf0.1: a
+    1-ulp engine difference in an interpolated edge moved an entire tie
+    group of cents values across a bin boundary. Laplace add-one smoothing
+    keeps empty bins finite; PSI = Σ (q−p)·ln(q/p) over ≤n_bins rows per
+    type with p, q built from identical exact integers on both engines.
+
+    Scale shape: the edge relation is (type, j≤n_bins−1) rows built from
+    the (type, cents) aggregate; binning is one broadcast join + array
+    fold; everything else is (type, bin)-keyed."""
     is_ref = F.to_date("ts") < F.lit(split).cast("date")
     base = events.where(F.col("value").isNotNull()).select(
-        "event_type", "value", is_ref.alias("is_ref")
+        "event_type",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        is_ref.alias("is_ref"),
     )
-    edges = (
+    per_v = (
         base.where("is_ref")
-        .groupBy("event_type")
-        .agg(
-            F.percentile(
-                "value", F.array(*[F.lit(i / n_bins) for i in range(1, n_bins)])
-            ).alias("edges")
-        )
+        .groupBy("event_type", "cents")
+        .agg(F.count("*").alias("m"))
     )
-    # bin = count of edges <= value (0..n_bins-1), via an array fold
+    wt = Window.partitionBy("event_type")
+    wc = wt.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_v.select(
+        "event_type",
+        "cents",
+        F.sum("m").over(wc).alias("cum"),
+        F.sum("m").over(wt).alias("t_ref"),
+    )
+    spark = events.sparkSession
+    js = spark.range(1, n_bins).select(F.col("id").alias("j"))
+    edges = (
+        cum.join(F.broadcast(js))
+        .where(F.col("cum") * n_bins >= F.col("j") * F.col("t_ref"))
+        .groupBy("event_type", "j")
+        .agg(F.min("cents").alias("edge"))
+        .groupBy("event_type")
+        .agg(F.array_sort(F.collect_list("edge")).alias("edges"))
+    )
     binned = base.join(F.broadcast(edges), "event_type").select(
         "event_type",
         "is_ref",
         F.aggregate(
             F.col("edges"),
             F.lit(0),
-            lambda acc, e: acc + F.when(F.col("value") > e, 1).otherwise(0),
+            lambda acc, e: acc + F.when(F.col("cents") > e, 1).otherwise(0),
         ).alias("bin"),
     )
     cells = binned.groupBy("event_type", "bin").agg(
@@ -589,19 +613,32 @@ def psi_drift(
 
 
 def psi_drift_sql(split: str = PSI_SPLIT, n_bins: int = PSI_BINS) -> str:
-    qs = ", ".join(str(i / n_bins) for i in range(1, n_bins))
     return f"""
         WITH base AS (
-            SELECT event_type, value,
+            SELECT event_type,
+                   CAST(round(value * 100) AS BIGINT) AS cents,
                    CAST(ts AS DATE) < DATE '{split}' AS is_ref
             FROM events WHERE value IS NOT NULL
+        ), cum AS (
+            SELECT event_type, cents,
+                   SUM(m) OVER (PARTITION BY event_type ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum,
+                   SUM(m) OVER (PARTITION BY event_type) AS t_ref
+            FROM (SELECT event_type, cents, COUNT(*) AS m
+                  FROM base WHERE is_ref GROUP BY event_type, cents)
         ), edges AS (
-            SELECT event_type, quantile_cont(value, [{qs}]) AS edges
-            FROM base WHERE is_ref GROUP BY event_type
+            SELECT event_type, j, MIN(cents) AS edge
+            FROM cum CROSS JOIN (SELECT unnest(generate_series(1, {n_bins - 1})) AS j)
+            WHERE cum * {n_bins} >= j * t_ref
+            GROUP BY event_type, j
+        ), edge_lists AS (
+            SELECT event_type, list(edge ORDER BY edge) AS edges
+            FROM edges GROUP BY event_type
         ), binned AS (
-            SELECT b.event_type, is_ref,
-                   len(list_filter(edges, e -> b.value > e)) AS bin
-            FROM base b JOIN edges USING (event_type)
+            SELECT b.event_type, b.is_ref,
+                   len(list_filter(el.edges, e -> b.cents > e)) AS bin
+            FROM base b JOIN edge_lists el USING (event_type)
         ), cells AS (
             SELECT event_type, bin,
                    SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS n_ref,

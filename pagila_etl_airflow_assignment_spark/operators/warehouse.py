@@ -1977,13 +1977,15 @@ def topdown_forecast_reconciliation(
             "n_name",
             "nation_trailing_cents",
             "region_forecast_cents",
+            # the cents product overflows int64 at sf0.1 (~1.6e20);
+            # widen through DECIMAL(38,0) (HUGEINT on the oracle side)
             F.expr(
-                "CAST(region_forecast_cents * nation_trailing_cents"
-                " DIV share_tot AS BIGINT)"
+                "CAST((CAST(region_forecast_cents AS DECIMAL(38,0))"
+                " * nation_trailing_cents) DIV share_tot AS BIGINT)"
             ).alias("floor_q"),
             F.expr(
-                "CAST(region_forecast_cents * nation_trailing_cents"
-                " % share_tot AS BIGINT)"
+                "CAST((CAST(region_forecast_cents AS DECIMAL(38,0))"
+                " * nation_trailing_cents) % share_tot AS BIGINT)"
             ).alias("rem"),
         )
     )
@@ -2037,10 +2039,10 @@ def topdown_forecast_reconciliation_sql() -> str:
         quoted AS (
             SELECT t.r_name, t.n_name, t.nation_trailing_cents,
                    f.region_forecast_cents,
-                   CAST(f.region_forecast_cents * t.nation_trailing_cents
+                   CAST(f.region_forecast_cents::HUGEINT * t.nation_trailing_cents
                         // SUM(t.nation_trailing_cents) OVER (PARTITION BY t.r_name)
                         AS BIGINT) AS floor_q,
-                   CAST(f.region_forecast_cents * t.nation_trailing_cents
+                   CAST(f.region_forecast_cents::HUGEINT * t.nation_trailing_cents
                         % SUM(t.nation_trailing_cents) OVER (PARTITION BY t.r_name)
                         AS BIGINT) AS rem
             FROM trail12 t JOIN region_forecast f USING (r_name)
