@@ -881,3 +881,15 @@ def q_negative_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """word2vec-style count^0.75 negative-sampling table with exact integer
     normalization and cumulative inversion column."""
     return sampling.negative_sampling_table(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "ann_multiprobe_topk",
+    oracle=similarity.multiprobe_lsh_topk_sql(ANN_QUERY_IDS),
+)
+def q_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiprobe hyperplane LSH top-k: queries probe their bucket plus all
+    one-bit-flip neighbors — single-table memory, multi-table recall."""
+    return similarity.multiprobe_lsh_topk(
+        load_table(spark, sf_dir, "embeddings"), ANN_QUERY_IDS
+    )

@@ -980,3 +980,182 @@ def embedding_hamming_pairs_sql(
         JOIN embeddings eb ON eb.vec_id = v.vec_b
         ORDER BY v.vec_a, v.vec_b
     """
+
+# --- multiprobe LSH ------------------------------------------------------------------
+
+MP_TABLES = 4
+
+
+def multiprobe_lsh_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = DEFAULT_K,
+    tables: int = MP_TABLES,
+    planes: int = LSH_HYPERPLANES,
+    dim: int = 64,
+) -> DataFrame:
+    """ANN top-k via MULTIPROBE hyperplane LSH: queries probe their own
+    bucket AND every one-bit-flipped neighbor bucket per table, so a vector
+    that lands just across one hyperplane is still found — the recall of
+    ~(planes+1)× more tables at the memory cost of ``tables`` (Lv et al.,
+    the standard LSH memory/recall trade).
+
+    The corpus is bucketed ONCE per table (same narrow sign-projection as
+    ``lsh_bucket_topk``); only the tiny query side expands ×(planes+1).
+    Deterministic md5-derived hyperplanes keep the whole index
+    oracle-checkable.
+
+    Scale shape: candidate generation is a broadcast join of the expanded
+    query-probe set against the corpus bucket relation; scoring joins
+    embeddings only for surviving candidates."""
+    planes_by_table = [
+        [_hyperplane(dim, t, p) for p in range(planes)] for t in range(tables)
+    ]
+
+    def bucket_bits(t: int) -> str:
+        bits = []
+        for p in range(planes):
+            hp = ", ".join(f"{v!r}D" for v in planes_by_table[t][p])
+            dot = (
+                f"aggregate(zip_with(embedding, array({hp}), "
+                f"(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, x) -> acc + x)"
+            )
+            bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END)")
+        return " + ".join(bits)
+
+    corpus = embeddings.select(
+        "vec_id", "embedding", _l2norm(F.col("embedding")).alias("nrm")
+    )
+    bucketed = corpus.selectExpr(
+        "vec_id",
+        "explode(array({})) AS bucket".format(
+            ", ".join(
+                f"concat_ws('_', '{t}', CAST({bucket_bits(t)} AS STRING))"
+                for t in range(tables)
+            )
+        ),
+    )
+    # query probes: exact bucket + every one-bit flip (XOR with 1<<p)
+    probe_exprs = []
+    for t in range(tables):
+        base = f"({bucket_bits(t)})"
+        probe_exprs.append(f"concat_ws('_', '{t}', CAST({base} AS STRING))")
+        for p in range(planes):
+            probe_exprs.append(
+                f"concat_ws('_', '{t}', CAST({base} ^ {1 << p} AS STRING))"
+            )
+    q_probes = (
+        corpus.where(F.col("vec_id").isin(query_ids))
+        .selectExpr(
+            "vec_id AS query_id",
+            "explode(array({})) AS bucket".format(", ".join(probe_exprs)),
+        )
+        .distinct()
+    )
+    candidates = (
+        bucketed.join(F.broadcast(q_probes), "bucket")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    queries = corpus.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    scored = (
+        candidates.join(corpus, "vec_id")
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                _dot(F.col("q_emb"), F.col("embedding"))
+                / (F.col("q_nrm") * F.col("nrm")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def multiprobe_lsh_topk_sql(
+    query_ids: list[int],
+    k: int = DEFAULT_K,
+    tables: int = MP_TABLES,
+    planes: int = LSH_HYPERPLANES,
+    dim: int = 64,
+) -> str:
+    planes_by_table = [
+        [_hyperplane(dim, t, p) for p in range(planes)] for t in range(tables)
+    ]
+
+    def bucket_bits(t: int) -> str:
+        bits = []
+        for p in range(planes):
+            hp = ", ".join(repr(v) for v in planes_by_table[t][p])
+            dot = f"list_dot_product(embedding::DOUBLE[], [{hp}])"
+            bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END)")
+        return " + ".join(bits)
+
+    ids = ", ".join(str(i) for i in query_ids)
+    corpus_buckets = ",\n                ".join(
+        f"concat_ws('_', '{t}', CAST({bucket_bits(t)} AS VARCHAR))"
+        for t in range(tables)
+    )
+    probes = []
+    for t in range(tables):
+        base = f"({bucket_bits(t)})"
+        probes.append(f"concat_ws('_', '{t}', CAST({base} AS VARCHAR))")
+        for p in range(planes):
+            probes.append(
+                f"concat_ws('_', '{t}', CAST(xor({base}, {1 << p}) AS VARCHAR))"
+            )
+    probe_list = ",\n                ".join(probes)
+    return f"""
+        WITH bucketed AS (
+            SELECT vec_id, unnest([
+                {corpus_buckets}
+            ]) AS bucket
+            FROM embeddings
+        ),
+        q_probes AS (
+            SELECT DISTINCT vec_id AS query_id, unnest([
+                {probe_list}
+            ]) AS bucket
+            FROM embeddings WHERE vec_id IN ({ids})
+        ),
+        candidates AS (
+            SELECT DISTINCT q.query_id, b.vec_id
+            FROM bucketed b JOIN q_probes q USING (bucket)
+            WHERE b.vec_id <> q.query_id
+        ),
+        scored AS (
+            SELECT c.query_id, c.vec_id,
+                   round(list_dot_product(eq.embedding::DOUBLE[],
+                                          ec.embedding::DOUBLE[])
+                         / (sqrt(list_dot_product(eq.embedding::DOUBLE[],
+                                                  eq.embedding::DOUBLE[]))
+                            * sqrt(list_dot_product(ec.embedding::DOUBLE[],
+                                                    ec.embedding::DOUBLE[]))),
+                         6) AS cosine
+            FROM candidates c
+            JOIN embeddings eq ON eq.vec_id = c.query_id
+            JOIN embeddings ec ON ec.vec_id = c.vec_id
+        )
+        SELECT query_id, vec_id, cosine, rank FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC
+            ) AS rank
+            FROM scored
+        )
+        WHERE rank <= {k}
+        ORDER BY query_id, rank
+    """

@@ -799,3 +799,111 @@ CHANGEPOINT_DETECTION_SQL = """
     ) WHERE rn = 1
     ORDER BY event_type
 """
+
+# --- Kolmogorov-Smirnov drift test ---------------------------------------------------
+
+KS_SPLIT = PSI_SPLIT
+
+
+def ks_drift(events: DataFrame, split: str = KS_SPLIT) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic per event type between the
+    pre-``split`` reference and current periods: (event_type, n_ref, n_cur,
+    d_scaled, ks_milli) — the binning-free nonparametric drift test (PSI's
+    twin without the bin-edge degree of freedom).
+
+    D = sup |F_ref − F_cur| evaluated over the merged distinct cents
+    values with EVERYTHING cross-multiplied to integers:
+    d_scaled = max |cum_ref·n_cur − cum_cur·n_ref|, ks = d_scaled /
+    (n_ref·n_cur) emitted half-up at milli. No interpolation, no bins, no
+    floats — bit-stable at any scale that keeps n_ref·n_cur inside int64
+    (rescale counts per type beyond ~3·10⁹ rows each).
+
+    Scale shape: one (type, cents) aggregate, one cumulative window over
+    the distinct-value relation per type (bounded by value cardinality),
+    one max."""
+    is_ref = F.to_date("ts") < F.lit(split).cast("date")
+    per_v = (
+        events.where(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+            is_ref.alias("is_ref"),
+        )
+        .groupBy("event_type", "cents")
+        .agg(
+            F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("m_ref"),
+            F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).alias("m_cur"),
+        )
+    )
+    wt = Window.partitionBy("event_type")
+    wc = wt.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_v.select(
+        "event_type",
+        F.sum("m_ref").over(wc).alias("cum_ref"),
+        F.sum("m_cur").over(wc).alias("cum_cur"),
+        F.sum("m_ref").over(wt).alias("n_ref"),
+        F.sum("m_cur").over(wt).alias("n_cur"),
+    )
+    return (
+        cum.groupBy("event_type")
+        .agg(
+            F.max("n_ref").alias("n_ref"),
+            F.max("n_cur").alias("n_cur"),
+            F.max(
+                F.abs(
+                    F.col("cum_ref") * F.col("n_cur")
+                    - F.col("cum_cur") * F.col("n_ref")
+                )
+            ).alias("d_scaled"),
+        )
+        .select(
+            "event_type",
+            "n_ref",
+            "n_cur",
+            "d_scaled",
+            F.expr(
+                "CAST(CASE WHEN n_ref > 0 AND n_cur > 0 THEN"
+                " (2 * 1000 * d_scaled + n_ref * n_cur)"
+                " DIV (2 * n_ref * n_cur) ELSE 0 END AS BIGINT)"
+            ).alias("ks_milli"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def ks_drift_sql(split: str = KS_SPLIT) -> str:
+    return f"""
+        WITH per_v AS (
+            SELECT event_type,
+                   CAST(round(value * 100) AS BIGINT) AS cents,
+                   CAST(SUM(CASE WHEN CAST(ts AS DATE) < DATE '{split}'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS m_ref,
+                   CAST(SUM(CASE WHEN CAST(ts AS DATE) < DATE '{split}'
+                            THEN 0 ELSE 1 END) AS BIGINT) AS m_cur
+            FROM events WHERE value IS NOT NULL
+            GROUP BY event_type, CAST(round(value * 100) AS BIGINT)
+        ),
+        cum AS (
+            SELECT event_type,
+                   SUM(m_ref) OVER w AS cum_ref,
+                   SUM(m_cur) OVER w AS cum_cur,
+                   SUM(m_ref) OVER (PARTITION BY event_type) AS n_ref,
+                   SUM(m_cur) OVER (PARTITION BY event_type) AS n_cur
+            FROM per_v
+            WINDOW w AS (PARTITION BY event_type ORDER BY cents
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_type,
+               CAST(MAX(n_ref) AS BIGINT) AS n_ref,
+               CAST(MAX(n_cur) AS BIGINT) AS n_cur,
+               CAST(MAX(ABS(cum_ref * n_cur - cum_cur * n_ref)) AS BIGINT)
+                   AS d_scaled,
+               CAST(CASE WHEN MAX(n_ref) > 0 AND MAX(n_cur) > 0 THEN
+                    (2 * 1000 * MAX(ABS(cum_ref * n_cur - cum_cur * n_ref))
+                     + MAX(n_ref) * MAX(n_cur))
+                    // (2 * MAX(n_ref) * MAX(n_cur)) ELSE 0 END AS BIGINT)
+                   AS ks_milli
+        FROM cum
+        GROUP BY event_type
+        ORDER BY event_type
+    """

@@ -1642,3 +1642,22 @@ def q_xcorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     -7..7 — integer numerators/denominators, one identically-associated
     sqrt emit."""
     return analytics.xcorr_daily(load_table(spark, sf_dir, "events"))
+
+
+@register("events_ks_drift", oracle=distributions.ks_drift_sql())
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test per type — the binning-free
+    twin of PSI, fully integer via cross-multiplied CDFs."""
+    return distributions.ks_drift(load_table(spark, sf_dir, "events"))
+
+
+@register("warehouse_vendor_scorecard", oracle=warehouse.vendor_scorecard_sql())
+def q_vendor_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Procurement vendor scorecard: volume, exact-cents revenue, integer
+    median ship latency, and a cross-multiplied price competitiveness
+    index per supplier."""
+    return warehouse.vendor_scorecard(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "supplier"),
+    )

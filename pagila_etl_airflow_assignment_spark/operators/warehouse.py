@@ -2110,3 +2110,176 @@ def date_dimension_sql() -> str:
         FROM days
         ORDER BY day
     """
+
+# --- supplier vendor scorecard -------------------------------------------------------
+
+
+def vendor_scorecard(
+    lineitem: DataFrame, orders: DataFrame, supplier: DataFrame
+) -> DataFrame:
+    """Procurement vendor scorecard per supplier: (s_suppkey, s_name,
+    n_items, revenue_cents, median_latency_days, price_index_milli) —
+    volume, exact-cents revenue, median order→ship latency, and a price
+    competitiveness index (supplier revenue vs what the same quantities
+    would cost at each part's corpus-average unit price, 1000 = at market).
+
+    All exact: revenue in integer cents; the median latency is the integer
+    cumulative-threshold rule over the (supplier, latency-day) counts; the
+    price index cross-multiplies two exact cents×quantity sums into one
+    half-up milli emit (per-part average price never materializes as a
+    float — the expected-cost side is Σ qty_s·(part_revenue/part_qty)
+    rewritten as integer Σ to keep division out of the hot path).
+
+    Scale shape: two fact-grain aggregates (per supplier, per part) + one
+    supplier-keyed median window over the bounded latency-day relation."""
+    li = lineitem.select(
+        "l_suppkey",
+        "l_partkey",
+        "l_orderkey",
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.expr(
+            "CAST(round(l_extendedprice * 100) AS BIGINT)"
+        ).alias("price_cents"),
+        F.to_date("l_shipdate").alias("ship_day"),
+    )
+    part_tot = li.groupBy("l_partkey").agg(
+        F.sum("price_cents").alias("part_cents"),
+        F.sum("qty").alias("part_qty"),
+    )
+    # expected cost of this line at the part's average unit price, scaled:
+    # qty * part_cents / part_qty — cross-multiplied into the final ratio so
+    # the per-line division never happens: index = 1000 * Σ price /
+    # Σ (qty·part_cents/part_qty). To stay integer, compute the expected
+    # side as Σ over parts of (sup_qty_in_part · part_cents) / part_qty via
+    # ONE half-up division per (supplier, part) — bounded error, exact rule.
+    per_sup_part = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum("qty").alias("sup_qty"),
+        F.sum("price_cents").alias("sup_cents"),
+        F.count("*").alias("n_items"),
+    )
+    expected = (
+        per_sup_part.join(part_tot, "l_partkey")
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum("n_items").alias("n_items"),
+            F.sum("sup_cents").alias("revenue_cents"),
+            F.sum(
+                F.expr(
+                    "CAST((2 * sup_qty * part_cents + part_qty)"
+                    " DIV (2 * part_qty) AS BIGINT)"
+                )
+            ).alias("expected_cents"),
+        )
+    )
+    latency = (
+        li.join(
+            orders.select(
+                F.col("o_orderkey").alias("l_orderkey"),
+                F.to_date("o_orderdate").alias("order_day"),
+            ),
+            "l_orderkey",
+        )
+        .select(
+            "l_suppkey", F.datediff("ship_day", F.col("order_day")).alias("lat")
+        )
+        .groupBy("l_suppkey", "lat")
+        .agg(F.count("*").alias("m"))
+    )
+    ws = Window.partitionBy("l_suppkey")
+    wc = ws.orderBy("lat").rowsBetween(Window.unboundedPreceding, 0)
+    med = (
+        latency.select(
+            "l_suppkey",
+            "lat",
+            F.sum("m").over(wc).alias("cum"),
+            F.sum("m").over(ws).alias("tot"),
+        )
+        .where(2 * F.col("cum") >= F.col("tot"))
+        .groupBy("l_suppkey")
+        .agg(F.min("lat").cast("long").alias("median_latency_days"))
+    )
+    return (
+        expected.join(med, "l_suppkey")
+        .join(
+            supplier.select(
+                F.col("s_suppkey").alias("l_suppkey"), "s_name"
+            ),
+            "l_suppkey",
+        )
+        .select(
+            F.col("l_suppkey").alias("s_suppkey"),
+            "s_name",
+            "n_items",
+            "revenue_cents",
+            "median_latency_days",
+            F.expr(
+                "CAST((2 * 1000 * revenue_cents + expected_cents)"
+                " DIV (2 * expected_cents) AS BIGINT)"
+            ).alias("price_index_milli"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def vendor_scorecard_sql() -> str:
+    return """
+        WITH li AS (
+            SELECT l_suppkey, l_partkey, l_orderkey,
+                   CAST(l_quantity AS BIGINT) AS qty,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+                   CAST(l_shipdate AS DATE) AS ship_day
+            FROM lineitem
+        ),
+        part_tot AS (
+            SELECT l_partkey,
+                   CAST(SUM(price_cents) AS BIGINT) AS part_cents,
+                   CAST(SUM(qty) AS BIGINT) AS part_qty
+            FROM li GROUP BY l_partkey
+        ),
+        per_sup_part AS (
+            SELECT l_suppkey, l_partkey,
+                   CAST(SUM(qty) AS BIGINT) AS sup_qty,
+                   CAST(SUM(price_cents) AS BIGINT) AS sup_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_items
+            FROM li GROUP BY l_suppkey, l_partkey
+        ),
+        expected AS (
+            SELECT p.l_suppkey,
+                   CAST(SUM(n_items) AS BIGINT) AS n_items,
+                   CAST(SUM(sup_cents) AS BIGINT) AS revenue_cents,
+                   CAST(SUM((2 * sup_qty * t.part_cents + t.part_qty)
+                            // (2 * t.part_qty)) AS BIGINT) AS expected_cents
+            FROM per_sup_part p JOIN part_tot t USING (l_partkey)
+            GROUP BY p.l_suppkey
+        ),
+        latency AS (
+            SELECT l_suppkey,
+                   datediff('day', CAST(o.o_orderdate AS DATE), li.ship_day)
+                       AS lat,
+                   COUNT(*) AS m
+            FROM li JOIN orders o ON li.l_orderkey = o.o_orderkey
+            GROUP BY l_suppkey,
+                     datediff('day', CAST(o.o_orderdate AS DATE), li.ship_day)
+        ),
+        med AS (
+            SELECT l_suppkey, CAST(MIN(lat) AS BIGINT) AS median_latency_days
+            FROM (
+                SELECT l_suppkey, lat,
+                       SUM(m) OVER (PARTITION BY l_suppkey ORDER BY lat
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS cum,
+                       SUM(m) OVER (PARTITION BY l_suppkey) AS tot
+                FROM latency
+            )
+            WHERE 2 * cum >= tot GROUP BY l_suppkey
+        )
+        SELECT e.l_suppkey AS s_suppkey, s.s_name, e.n_items, e.revenue_cents,
+               m.median_latency_days,
+               CAST((2 * 1000 * e.revenue_cents + e.expected_cents)
+                    // (2 * e.expected_cents) AS BIGINT)
+                   AS price_index_milli
+        FROM expected e
+        JOIN med m USING (l_suppkey)
+        JOIN supplier s ON s.s_suppkey = e.l_suppkey
+        ORDER BY s_suppkey
+    """

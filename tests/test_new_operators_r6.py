@@ -555,3 +555,75 @@ def test_rake_scores_phrases_by_degree_over_freq(spark):
     assert out["x y"].score_milli == 4000
     assert out["x y"].n_words == 2
     assert out["z"].score_milli == 1000
+
+
+# --- KS drift ---------------------------------------------------------------------
+
+
+def test_ks_drift_identical_distributions_is_zero(spark):
+    from pagila_etl_airflow_assignment_spark.operators import distributions
+
+    # same value mix before and after the split date -> D = 0
+    rows = []
+    for i in range(40):
+        day = 1 + (i % 10)  # Jan 2024 days (all pre-split reference)
+        rows.append((i, _ts(day), 1, "view", float(i % 4)))
+    for i in range(40, 80):
+        rows.append((i, dt.datetime(2025, 1, 1 + (i % 10)), 1, "view", float(i % 4)))
+    out = distributions.ks_drift(_events(spark, rows), split="2024-06-01").collect()
+    assert out[0].d_scaled == 0 and out[0].ks_milli == 0
+
+
+def test_ks_drift_disjoint_supports_is_one(spark):
+    from pagila_etl_airflow_assignment_spark.operators import distributions
+
+    rows = [(i, _ts(1), 1, "view", 1.0) for i in range(10)] + [
+        (10 + i, dt.datetime(2025, 1, 1), 1, "view", 9.0) for i in range(10)
+    ]
+    out = distributions.ks_drift(_events(spark, rows), split="2024-06-01").collect()
+    assert out[0].ks_milli == 1000
+
+
+# --- multiprobe LSH ----------------------------------------------------------------
+
+
+def test_multiprobe_probes_superset_of_single_probe(spark):
+    from pagila_etl_airflow_assignment_spark.llm import similarity
+
+    vecs = spark.createDataFrame(
+        [
+            (i, [0.01 * ((i * j) % 17 - 8) for j in range(64)], i % 3)
+            for i in range(60)
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    multi = similarity.multiprobe_lsh_topk(vecs, [0, 1], k=5).collect()
+    assert len(multi) > 0
+    for r in multi:
+        assert r.query_id in (0, 1) and r.vec_id != r.query_id
+
+
+# --- vendor scorecard --------------------------------------------------------------
+
+
+def test_vendor_scorecard_price_index_at_market_is_1000(spark):
+    li = spark.createDataFrame(
+        [
+            (1, 100, 10, 1.0, 10.00, dt.datetime(2024, 1, 5)),
+            (1, 100, 11, 1.0, 10.00, dt.datetime(2024, 1, 7)),
+        ],
+        "l_suppkey long, l_partkey long, l_orderkey long, l_quantity double,"
+        " l_extendedprice double, l_shipdate timestamp",
+    )
+    orders = spark.createDataFrame(
+        [(10, dt.datetime(2024, 1, 1)), (11, dt.datetime(2024, 1, 1))],
+        "o_orderkey long, o_orderdate timestamp",
+    )
+    supplier = spark.createDataFrame(
+        [(1, "ACME")], "s_suppkey long, s_name string"
+    )
+    out = warehouse.vendor_scorecard(li, orders, supplier).collect()[0]
+    # sole supplier of the part -> exactly at market, median of {4, 6} -> 4
+    assert out.price_index_milli == 1000
+    assert out.median_latency_days == 4
+    assert out.revenue_cents == 2000
