@@ -893,3 +893,16 @@ def q_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.multiprobe_lsh_topk(
         load_table(spark, sf_dir, "embeddings"), ANN_QUERY_IDS
     )
+
+
+@register(
+    "ann_pq_adc_topk",
+    oracle=similarity.pq_adc_topk_sql(ANN_QUERY_IDS),
+)
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k: corpus seen only through 4-bit codes,
+    queries through broadcast distance lookup tables — the RAM-resident
+    billion-vector search layout, with exact-top-k membership flags."""
+    return similarity.pq_adc_topk(
+        load_table(spark, sf_dir, "embeddings"), ANN_QUERY_IDS
+    )

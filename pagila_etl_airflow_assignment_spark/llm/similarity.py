@@ -1159,3 +1159,265 @@ def multiprobe_lsh_topk_sql(
         WHERE rank <= {k}
         ORDER BY query_id, rank
     """
+
+
+# --- product-quantization ADC search ------------------------------------------------
+
+PQ_ADC_SUB = 8  # 64 dims -> 8 subvectors of 8
+PQ_ADC_CODES = 16  # centroids per subspace
+
+
+def pq_adc_topk(
+    embeddings: DataFrame, query_ids: list[int], k: int = DEFAULT_K
+) -> DataFrame:
+    """Product-quantization asymmetric-distance (ADC) top-k search (Jégou
+    et al., TPAMI 2011): the corpus is seen ONLY through its 4-bit PQ codes;
+    each query precomputes an 8x16 lookup table of exact subspace distances
+    to the codebook, and a vector's approximate distance is the integer sum
+    of 8 table lookups — the memory layout that serves billion-vector
+    indexes from RAM. Output: (query_id, rank, vec_id, adc_nano, in_exact)
+    with in_exact marking membership in the EXACT L2 top-k, so the result
+    doubles as the recall report.
+
+    Codebooks are the md5-ordered corpus samples of embedding_product_
+    quantization (deterministic, no RNG); every distance is nano-quantized
+    ONCE per (pair, subspace) and summed as exact BIGINTs, so ranking ties
+    and the oracle hash are bit-stable cross-engine. The exact side reuses
+    the identical per-subspace quantization (sum of 8 rounded sub-distances)
+    rather than one 64-term fold — same numbers, same certainty.
+
+    Scale shape: corpus encoding is one broadcast-codebook argmin per
+    (vector, subspace) — embarrassingly parallel, done once and stored in a
+    deployment; the search itself joins codes to the broadcast 640-row LUT
+    and takes a per-query partial top-k. No corpus shuffle anywhere."""
+    from .hashing import md5_int
+
+    m_sub, k_codes = PQ_ADC_SUB, PQ_ADC_CODES
+    codebook = (
+        embeddings.orderBy(md5_int(F.col("vec_id").cast("string")), "vec_id")
+        .limit(k_codes)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(md5_int(F.col("vec_id").cast("string")), "vec_id"))
+            .alias("code"),
+            "embedding",
+        )
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(m).alias("m"),
+                            F.col("code"),
+                            F.slice("embedding", m * 8 + 1, 8).alias("c_sub"),
+                        )
+                        for m in range(m_sub)
+                    ]
+                )
+            ).alias("cb")
+        )
+        .select("cb.m", "cb.code", "cb.c_sub")
+    )
+    subs = embeddings.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice("embedding", m * 8 + 1, 8).alias("sub"),
+                    )
+                    for m in range(m_sub)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", "s.m", "s.sub")
+    d_nano = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("sub"),
+                F.col("c_sub"),
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        * F.lit(1e9)
+    ).cast("long")
+    # corpus -> codes: argmin centroid per (vector, subspace)
+    codes = (
+        subs.join(F.broadcast(codebook), "m")
+        .select("vec_id", "m", F.struct(d_nano.alias("d"), F.col("code")).alias("cand"))
+        .groupBy("vec_id", "m")
+        .agg(F.min("cand").alias("best"))
+        .select("vec_id", "m", F.col("best.code").alias("code"))
+    )
+    # query -> LUT: exact subspace distance to every centroid
+    q_subs = subs.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), "m", F.col("sub").alias("q_sub")
+    )
+    lut = (
+        q_subs.join(F.broadcast(codebook), "m")
+        .select(
+            "query_id",
+            "m",
+            "code",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("q_sub"),
+                        F.col("c_sub"),
+                        lambda x, y: (x.cast("double") - y.cast("double"))
+                        * (x.cast("double") - y.cast("double")),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, t: acc + t,
+                )
+                * F.lit(1e9)
+            )
+            .cast("long")
+            .alias("d"),
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d").alias("adc_nano"))
+    )
+    w_q = Window.partitionBy("query_id").orderBy(
+        F.col("adc_nano").asc(), F.col("vec_id").asc()
+    )
+    approx = adc.withColumn("rank", F.row_number().over(w_q)).where(
+        F.col("rank") <= k
+    )
+    # exact L2 top-k under the identical per-subspace nano quantization
+    exact_d = (
+        subs.join(
+            F.broadcast(
+                subs.where(F.col("vec_id").isin(query_ids)).select(
+                    F.col("vec_id").alias("query_id"),
+                    "m",
+                    F.col("sub").alias("q_sub"),
+                )
+            ),
+            "m",
+        )
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("sub"),
+                        F.col("q_sub"),
+                        lambda x, y: (x.cast("double") - y.cast("double"))
+                        * (x.cast("double") - y.cast("double")),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, t: acc + t,
+                )
+                * F.lit(1e9)
+            )
+            .cast("long")
+            .alias("d"),
+        )
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d").alias("l2_nano"))
+    )
+    w_e = Window.partitionBy("query_id").orderBy(
+        F.col("l2_nano").asc(), F.col("vec_id").asc()
+    )
+    exact_topk = (
+        exact_d.withColumn("erank", F.row_number().over(w_e))
+        .where(F.col("erank") <= k)
+        .select("query_id", "vec_id", F.lit(1).alias("in_exact"))
+    )
+    return (
+        approx.join(exact_topk, ["query_id", "vec_id"], "left")
+        .select(
+            "query_id",
+            "rank",
+            "vec_id",
+            "adc_nano",
+            F.coalesce("in_exact", F.lit(0)).cast("int").alias("in_exact"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def pq_adc_topk_sql(query_ids: list[int], k: int = DEFAULT_K) -> str:
+    from .hashing import md5_int_sql
+
+    ids = ", ".join(str(i) for i in query_ids)
+    m_sub, k_codes = PQ_ADC_SUB, PQ_ADC_CODES
+    subd = (
+        "CAST(round(list_sum(list_transform(range(1, 9),"
+        " i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+        " * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)))) * 1e9)"
+        " AS BIGINT)"
+    )
+    return f"""
+        WITH sampled AS (
+            SELECT ROW_NUMBER() OVER (
+                       ORDER BY {md5_int_sql("CAST(vec_id AS VARCHAR)")}, vec_id
+                   ) AS code, embedding
+            FROM embeddings
+            ORDER BY {md5_int_sql("CAST(vec_id AS VARCHAR)")}, vec_id
+            LIMIT {k_codes}
+        ), codebook AS (
+            SELECT m, code, embedding[m * 8 + 1 : m * 8 + 8] AS c_sub
+            FROM sampled, (SELECT unnest(range(0, {m_sub})) AS m)
+        ), subs AS (
+            SELECT vec_id, m, embedding[m * 8 + 1 : m * 8 + 8] AS sub
+            FROM embeddings, (SELECT unnest(range(0, {m_sub})) AS m)
+        ), scored AS (
+            SELECT vec_id, s.m, {subd.format(a="sub", b="c_sub")} AS d, code
+            FROM subs s JOIN codebook c ON s.m = c.m
+        ), codes AS (
+            SELECT vec_id, m, (MIN(struct_pack(d := d, code := code))).code
+                       AS code
+            FROM scored GROUP BY vec_id, m
+        ), lut AS (
+            SELECT q.vec_id AS query_id, q.m, c.code,
+                   {subd.format(a="q.sub", b="c.c_sub")} AS d
+            FROM subs q JOIN codebook c ON q.m = c.m
+            WHERE q.vec_id IN ({ids})
+        ), adc AS (
+            SELECT l.query_id, co.vec_id, CAST(SUM(l.d) AS BIGINT) AS adc_nano
+            FROM codes co JOIN lut l ON co.m = l.m AND co.code = l.code
+            WHERE co.vec_id <> l.query_id
+            GROUP BY l.query_id, co.vec_id
+        ), approx AS (
+            SELECT query_id, vec_id, adc_nano,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY adc_nano ASC, vec_id ASC) AS INT) AS rank
+            FROM adc
+            QUALIFY rank <= {k}
+        ), exact_d AS (
+            SELECT q.vec_id AS query_id, s.vec_id,
+                   CAST(SUM({subd.format(a="s.sub", b="q.sub")}) AS BIGINT)
+                       AS l2_nano
+            FROM subs s
+            JOIN subs q ON s.m = q.m AND q.vec_id IN ({ids})
+            WHERE s.vec_id <> q.vec_id
+            GROUP BY q.vec_id, s.vec_id
+        ), exact_topk AS (
+            SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id, ROW_NUMBER() OVER (
+                    PARTITION BY query_id
+                    ORDER BY l2_nano ASC, vec_id ASC) AS erank
+                FROM exact_d
+            ) WHERE erank <= {k}
+        )
+        SELECT a.query_id, a.rank, a.vec_id, a.adc_nano,
+               CAST(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END AS INT)
+                   AS in_exact
+        FROM approx a
+        LEFT JOIN exact_topk e
+          ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+        ORDER BY a.query_id, a.rank
+    """

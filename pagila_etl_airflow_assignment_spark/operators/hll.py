@@ -263,3 +263,274 @@ def kmv_distinct_sql(k: int = KMV_K) -> str:
         FROM agg a JOIN exact e USING (label)
         ORDER BY a.label
     """
+
+
+# --- KMV set algebra (union / intersection / Jaccard across sketches) ----------------
+
+
+def kmv_setops(events: DataFrame, k: int = KMV_K) -> DataFrame:
+    """KMV sketch SET ALGEBRA across event-type user populations: for each
+    unordered pair of types, estimate |A∪B|, |A∩B| and Jaccard from the two
+    k-min sketches ALONE, with the exact values alongside:
+    (label_a, label_b, exact_union, est_union, exact_inter, est_inter,
+    jaccard_milli_est, jaccard_milli_exact).
+
+    This is the operation that makes KMV the audience-overlap sketch of
+    choice (Beyer et al., SIGMOD 2007): the union sketch is just the k
+    smallest of the merged min-sets, and intersection follows by counting
+    union-sketch members present in BOTH input sketches (ρ = n_both/k,
+    est_inter = ρ·est_union) — no rescan of either population. All
+    estimators are single exact integer divisions, so the whole pipeline is
+    DuckDB-checkable bit for bit; saturated unions (< k distinct) fall back
+    to the exact merged count.
+
+    Scale shape: the only corpus-sized work is building the per-label
+    sketches (same two-stage salted top-k as kmv_distinct — no label sorts
+    in one task). Everything after operates on ≤ 5·k rows; the exact panel
+    is one distinct-pair aggregate, present because the query IS the
+    sketch-accuracy harness."""
+    labels = ["click", "purchase", "view"]
+    hashed = (
+        events.where(F.col("event_type").isin(labels))
+        .select(
+            F.col("event_type").alias("label"),
+            F.expr(
+                "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10)"
+                " AS BIGINT) DIV 128"
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    w_salt = Window.partitionBy("label", F.col("h") % KMV_SALTS).orderBy("h")
+    partial = hashed.withColumn("rs", F.row_number().over(w_salt)).where(
+        F.col("rs") <= k
+    )
+    w_label = Window.partitionBy("label").orderBy("h")
+    sketch = (
+        partial.withColumn("rn", F.row_number().over(w_label))
+        .where(F.col("rn") <= k)
+        .select("label", "h")
+    )
+
+    pairs = [(a, b) for i, a in enumerate(labels) for b in labels[i + 1 :]]
+    # merged min-set per pair: each sketch row fans out (narrow explode — no
+    # Python-built dim relation, no crossJoin) to the two pairs its label
+    # belongs to, then dedup h within pair and keep the k smallest
+    pair_map = {
+        lbl: [(a, b) for (a, b) in pairs if lbl in (a, b)] for lbl in labels
+    }
+    fanout = F.array(
+        *[
+            F.when(
+                F.col("label") == lbl,
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(a).alias("label_a"), F.lit(b).alias("label_b")
+                        )
+                        for (a, b) in pair_map[lbl]
+                    ]
+                ),
+            )
+            for lbl in labels
+        ]
+    )
+    merged = (
+        sketch.select(
+            "h", F.explode(F.flatten(F.filter(fanout, lambda x: x.isNotNull()))).alias("p")
+        )
+        .select(F.col("p.label_a").alias("label_a"), F.col("p.label_b").alias("label_b"), "h")
+        .distinct()
+    )
+    w_pair = Window.partitionBy("label_a", "label_b").orderBy("h")
+    union_sketch = merged.withColumn("rn", F.row_number().over(w_pair)).where(
+        F.col("rn") <= k
+    )
+    in_a = sketch.select(F.col("label").alias("label_a"), "h").withColumn(
+        "one_a", F.lit(1)
+    )
+    in_b = sketch.select(F.col("label").alias("label_b"), "h").withColumn(
+        "one_b", F.lit(1)
+    )
+    est = (
+        union_sketch.join(in_a, ["label_a", "h"], "left")
+        .join(in_b, ["label_b", "h"], "left")
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.count("*").alias("n_sk"),
+            F.max("h").alias("kth"),
+            F.sum(
+                F.when(
+                    F.col("one_a").isNotNull() & F.col("one_b").isNotNull(), 1
+                ).otherwise(0)
+            ).alias("n_both"),
+        )
+        .withColumn(
+            "est_union",
+            F.expr(
+                f"CAST(CASE WHEN n_sk < {k} THEN n_sk"
+                f" ELSE ({k} - 1) * {KMV_SCALE} DIV kth END AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "est_inter",
+            F.expr("CAST(n_both * est_union DIV n_sk AS BIGINT)"),
+        )
+        .withColumn(
+            "jaccard_milli_est", F.expr("CAST(1000 * n_both DIV n_sk AS BIGINT)")
+        )
+    )
+    flags = (
+        events.where(F.col("event_type").isin(labels))
+        .groupBy("user_id")
+        .agg(*[
+            F.max(F.when(F.col("event_type") == lbl, 1).otherwise(0)).alias(
+                f"is_{lbl}"
+            )
+            for lbl in labels
+        ])
+    )
+    # one events pass: each user row explodes to its 3 pair-membership rows
+    exact = (
+        flags.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(a).alias("label_a"),
+                            F.lit(b).alias("label_b"),
+                            F.when(
+                                (F.col(f"is_{a}") == 1) | (F.col(f"is_{b}") == 1),
+                                1,
+                            )
+                            .otherwise(0)
+                            .alias("in_u"),
+                            F.when(
+                                (F.col(f"is_{a}") == 1) & (F.col(f"is_{b}") == 1),
+                                1,
+                            )
+                            .otherwise(0)
+                            .alias("in_i"),
+                        )
+                        for (a, b) in pairs
+                    ]
+                )
+            ).alias("x")
+        )
+        .select("x.*")
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum("in_u").cast("long").alias("exact_union"),
+            F.sum("in_i").cast("long").alias("exact_inter"),
+        )
+    )
+    return (
+        est.join(exact, ["label_a", "label_b"])
+        .select(
+            "label_a",
+            "label_b",
+            "exact_union",
+            "est_union",
+            "exact_inter",
+            "est_inter",
+            "jaccard_milli_est",
+            F.expr(
+                "CAST(1000 * exact_inter DIV exact_union AS BIGINT)"
+            ).alias("jaccard_milli_exact"),
+        )
+        .orderBy("label_a", "label_b")
+    )
+
+
+def kmv_setops_sql(k: int = KMV_K) -> str:
+    h = (
+        "CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))"
+        " AS UBIGINT)::BIGINT // 128"
+    )
+    return f"""
+        WITH hashed AS (
+            SELECT DISTINCT event_type AS label, {h} AS h
+            FROM events WHERE event_type IN ('click', 'purchase', 'view')
+        ),
+        sketch AS (
+            SELECT label, h FROM (
+                SELECT label, h,
+                       ROW_NUMBER() OVER (PARTITION BY label ORDER BY h) AS rn
+                FROM hashed
+            ) WHERE rn <= {k}
+        ),
+        pairs(label_a, label_b) AS (
+            VALUES ('click', 'purchase'), ('click', 'view'),
+                   ('purchase', 'view')
+        ),
+        merged AS (
+            SELECT DISTINCT label_a, label_b, h
+            FROM (
+                SELECT p.label_a, p.label_b, s.h
+                FROM pairs p JOIN sketch s ON s.label = p.label_a
+                UNION ALL
+                SELECT p.label_a, p.label_b, s.h
+                FROM pairs p JOIN sketch s ON s.label = p.label_b
+            )
+        ),
+        union_sketch AS (
+            SELECT label_a, label_b, h FROM (
+                SELECT label_a, label_b, h, ROW_NUMBER() OVER (
+                    PARTITION BY label_a, label_b ORDER BY h) AS rn
+                FROM merged
+            ) WHERE rn <= {k}
+        ),
+        est AS (
+            SELECT u.label_a, u.label_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_sk,
+                   MAX(u.h) AS kth,
+                   CAST(SUM(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+            FROM union_sketch u
+            LEFT JOIN sketch a ON a.label = u.label_a AND a.h = u.h
+            LEFT JOIN sketch b ON b.label = u.label_b AND b.h = u.h
+            GROUP BY u.label_a, u.label_b
+        ),
+        est2 AS (
+            SELECT label_a, label_b, n_sk, n_both,
+                   CAST(CASE WHEN n_sk < {k} THEN n_sk
+                        ELSE ({k} - 1) * {KMV_SCALE} // kth END AS BIGINT)
+                       AS est_union
+            FROM est
+        ),
+        flags AS (
+            SELECT user_id,
+                   MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS is_click,
+                   MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS is_purchase,
+                   MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS is_view
+            FROM events WHERE event_type IN ('click', 'purchase', 'view')
+            GROUP BY user_id
+        ),
+        exact AS (
+            SELECT p.label_a, p.label_b,
+                   CAST(SUM(CASE WHEN (CASE p.label_a WHEN 'click' THEN is_click
+                                       WHEN 'purchase' THEN is_purchase
+                                       ELSE is_view END) = 1
+                                  OR (CASE p.label_b WHEN 'click' THEN is_click
+                                      WHEN 'purchase' THEN is_purchase
+                                      ELSE is_view END) = 1
+                            THEN 1 ELSE 0 END) AS BIGINT) AS exact_union,
+                   CAST(SUM(CASE WHEN (CASE p.label_a WHEN 'click' THEN is_click
+                                       WHEN 'purchase' THEN is_purchase
+                                       ELSE is_view END) = 1
+                                 AND (CASE p.label_b WHEN 'click' THEN is_click
+                                      WHEN 'purchase' THEN is_purchase
+                                      ELSE is_view END) = 1
+                            THEN 1 ELSE 0 END) AS BIGINT) AS exact_inter
+            FROM pairs p CROSS JOIN flags
+            GROUP BY p.label_a, p.label_b
+        )
+        SELECT e.label_a, e.label_b, x.exact_union, e.est_union,
+               x.exact_inter,
+               CAST(e.n_both * e.est_union // e.n_sk AS BIGINT) AS est_inter,
+               CAST(1000 * e.n_both // e.n_sk AS BIGINT) AS jaccard_milli_est,
+               CAST(1000 * x.exact_inter // x.exact_union AS BIGINT)
+                   AS jaccard_milli_exact
+        FROM est2 e JOIN exact x USING (label_a, label_b)
+        ORDER BY e.label_a, e.label_b
+    """

@@ -1661,3 +1661,27 @@ def q_vendor_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "orders"),
         load_table(spark, sf_dir, "supplier"),
     )
+
+
+@register("events_kmv_setops", oracle=hll.kmv_setops_sql())
+def q_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch set algebra: union / intersection / Jaccard estimates
+    between event-type user populations from the k-min sketches alone,
+    exact panel alongside — the audience-overlap sketch operation."""
+    return hll.kmv_setops(load_table(spark, sf_dir, "events"))
+
+
+@register("warehouse_fifo_costing", oracle=warehouse.fifo_costing_sql())
+def q_fifo_costing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO inventory cost-layer matching: running-sum layer intervals +
+    scalar clamp replace the recursive layer walk; exact integer cents."""
+    return warehouse.fifo_costing(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+@register("warehouse_record_linkage", oracle=warehouse.record_linkage_sql())
+def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage: blocked capped pairs,
+    integer milli-log-odds agreement weights, two-threshold decision."""
+    return warehouse.record_linkage(load_table(spark, sf_dir, "customer"))

@@ -2283,3 +2283,292 @@ def vendor_scorecard_sql() -> str:
         JOIN supplier s ON s.s_suppkey = e.l_suppkey
         ORDER BY s_suppkey
     """
+
+
+# --- FIFO inventory costing ----------------------------------------------------------
+
+FIFO_BRAND = "Brand#11"
+FIFO_SPLIT = "1998-01-01"
+
+
+def fifo_costing(
+    lineitem: DataFrame, part: DataFrame, brand: str = FIFO_BRAND
+) -> DataFrame:
+    """FIFO inventory cost-layer matching per part (one brand): receipts
+    (pre-1998 shipments, in ship order) build cost layers; later shipments
+    are the issue demand; output (p_partkey, qty_received, qty_issued,
+    filled_qty, layers_consumed, cogs_cents, ending_qty,
+    ending_value_cents).
+
+    The classic hard-SQL costing operator, expressed without a recursive
+    layer walk: layer i covers the cumulative-quantity interval
+    (cum_{i-1}, cum_i], so the quantity FIFO takes from it against demand Q
+    is clamp(min(cum_i, Q) − cum_{i-1}, 0, qty_i) — one running-sum window
+    per part and a scalar clamp, no iteration. Layer cost attribution is
+    the exact integer rule price_cents·consumed DIV qty (quantities are
+    integral); fully-consumed layers contribute their exact cents, so
+    ending_value = Σ price − cogs is an identity, not an approximation.
+
+    Scale shape: one window + one aggregate, both keyed on p_partkey — the
+    natural partitioning; the brand filter prunes at the part dimension and
+    the join is broadcast. No skew risk: layers per part are bounded by
+    per-part order counts."""
+    keys = F.broadcast(
+        part.where(F.col("p_brand") == brand).select("p_partkey")
+    )
+    li = lineitem.join(
+        keys, lineitem.l_partkey == keys.p_partkey
+    ).select(
+        "p_partkey",
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias(
+            "price_cents"
+        ),
+        F.to_date("l_shipdate").alias("ship_day"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    receipts = li.where(F.col("ship_day") < F.lit(FIFO_SPLIT))
+    demand = (
+        li.where(F.col("ship_day") >= F.lit(FIFO_SPLIT))
+        .groupBy("p_partkey")
+        .agg(F.sum("qty").alias("q_demand"))
+    )
+    w_cum = (
+        Window.partitionBy("p_partkey")
+        .orderBy("ship_day", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    layered = receipts.select(
+        "p_partkey",
+        "qty",
+        "price_cents",
+        F.sum("qty").over(w_cum).alias("cum"),
+    )
+    consumed = (
+        layered.join(demand, "p_partkey", "left")
+        .withColumn("q", F.coalesce("q_demand", F.lit(0)))
+        .withColumn(
+            "taken",
+            F.greatest(
+                F.lit(0),
+                F.least(F.col("cum"), F.col("q")) - (F.col("cum") - F.col("qty")),
+            ),
+        )
+        .withColumn(
+            "cogs_part",
+            F.expr("CAST(price_cents * taken DIV qty AS BIGINT)"),
+        )
+    )
+    return (
+        consumed.groupBy("p_partkey")
+        .agg(
+            F.sum("qty").alias("qty_received"),
+            F.max("q").alias("qty_issued"),
+            F.least(F.max("q"), F.sum("qty")).alias("filled_qty"),
+            F.sum(F.when(F.col("taken") > 0, 1).otherwise(0)).alias(
+                "layers_consumed"
+            ),
+            F.sum("cogs_part").alias("cogs_cents"),
+            (F.sum("qty") - F.least(F.max("q"), F.sum("qty"))).alias(
+                "ending_qty"
+            ),
+            (F.sum("price_cents") - F.sum("cogs_part")).alias(
+                "ending_value_cents"
+            ),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+def fifo_costing_sql(brand: str = FIFO_BRAND) -> str:
+    return f"""
+        WITH li AS (
+            SELECT l.l_partkey AS p_partkey,
+                   CAST(l_quantity AS BIGINT) AS qty,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+                   CAST(l_shipdate AS DATE) AS ship_day,
+                   l_orderkey, l_linenumber
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_brand = '{brand}'
+        ),
+        demand AS (
+            SELECT p_partkey, CAST(SUM(qty) AS BIGINT) AS q_demand
+            FROM li WHERE ship_day >= DATE '{FIFO_SPLIT}'
+            GROUP BY p_partkey
+        ),
+        layered AS (
+            SELECT p_partkey, qty, price_cents,
+                   SUM(qty) OVER (
+                       PARTITION BY p_partkey
+                       ORDER BY ship_day, l_orderkey, l_linenumber
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum
+            FROM li WHERE ship_day < DATE '{FIFO_SPLIT}'
+        ),
+        consumed AS (
+            SELECT l.p_partkey, qty, price_cents, cum,
+                   COALESCE(d.q_demand, 0) AS q,
+                   GREATEST(0, LEAST(cum, COALESCE(d.q_demand, 0))
+                               - (cum - qty)) AS taken
+            FROM layered l LEFT JOIN demand d USING (p_partkey)
+        )
+        SELECT p_partkey,
+               CAST(SUM(qty) AS BIGINT) AS qty_received,
+               CAST(MAX(q) AS BIGINT) AS qty_issued,
+               CAST(LEAST(MAX(q), SUM(qty)) AS BIGINT) AS filled_qty,
+               CAST(SUM(CASE WHEN taken > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS layers_consumed,
+               CAST(SUM(price_cents * taken // qty) AS BIGINT) AS cogs_cents,
+               CAST(SUM(qty) - LEAST(MAX(q), SUM(qty)) AS BIGINT) AS ending_qty,
+               CAST(SUM(price_cents) - SUM(price_cents * taken // qty)
+                   AS BIGINT) AS ending_value_cents
+        FROM consumed
+        GROUP BY p_partkey
+        ORDER BY p_partkey
+    """
+
+
+# --- Fellegi-Sunter probabilistic record linkage -------------------------------------
+
+RL_W_NAME_AGREE, RL_W_NAME_DIS = 2400, -300
+RL_W_BAL_AGREE, RL_W_BAL_DIS = 1600, -400
+RL_W_KEY_AGREE, RL_W_KEY_DIS = 800, -100
+RL_T_LINK, RL_T_POSSIBLE = 3000, 1200
+RL_MAX_BLOCK = 512
+
+
+def record_linkage(customer: DataFrame) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage over the customer table:
+    candidate pairs blocked on (nation, mktsegment), scored by fixed
+    integer milli-log-odds agreement weights on three fields (edit-distance
+    name match, account-balance proximity, key proximity), classified by
+    the two-threshold rule into link / possible / nonlink. Output is the
+    per-(nation, class) decision summary: (c_nationkey, decision, n_pairs,
+    max_score, min_score).
+
+    The 1969 JASA model with deterministic integer weights in place of
+    EM-estimated m/u probabilities (EM is a training concern; the linkage
+    OPERATOR — blocking, bounded pair generation, agreement vector, score,
+    two thresholds — is what must scale). Blocking bounds the quadratic:
+    pairs are generated only within (nation, segment) blocks, each capped
+    at {RL_MAX_BLOCK} md5-ordered members (the hot-block cap every
+    quadratic-risk operator here carries), so worst-case work is
+    blocks·cap² — never corpus².
+
+    Scale shape: one block-keyed self-join on the capped relation, narrow
+    integer scoring (levenshtein on bounded-length names), one bounded
+    aggregate. Matches the repo's phonetic_match blocking discipline."""
+    base = customer.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        "c_name",
+        F.expr("CAST(round(c_acctbal * 100) AS BIGINT)").alias("bal_cents"),
+    )
+    w_blk = Window.partitionBy("c_nationkey", "c_mktsegment").orderBy(
+        F.md5(F.col("c_custkey").cast("string")), "c_custkey"
+    )
+    capped = base.withColumn("rk", F.row_number().over(w_blk)).where(
+        F.col("rk") <= RL_MAX_BLOCK
+    )
+    a = capped.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("c_custkey").alias("key_a"),
+        F.col("c_name").alias("name_a"),
+        F.col("bal_cents").alias("bal_a"),
+    )
+    b = capped.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("c_custkey").alias("key_b"),
+        F.col("c_name").alias("name_b"),
+        F.col("bal_cents").alias("bal_b"),
+    )
+    scored = (
+        a.join(b, ["c_nationkey", "c_mktsegment"])
+        .where(F.col("key_a") < F.col("key_b"))
+        .select(
+            "c_nationkey",
+            (
+                F.when(
+                    F.levenshtein("name_a", "name_b") <= 2,
+                    F.lit(RL_W_NAME_AGREE),
+                ).otherwise(F.lit(RL_W_NAME_DIS))
+                + F.when(
+                    F.abs(F.col("bal_a") - F.col("bal_b")) <= 5000,
+                    F.lit(RL_W_BAL_AGREE),
+                ).otherwise(F.lit(RL_W_BAL_DIS))
+                + F.when(
+                    F.abs(F.col("key_a") - F.col("key_b")) <= 20,
+                    F.lit(RL_W_KEY_AGREE),
+                ).otherwise(F.lit(RL_W_KEY_DIS))
+            ).alias("score"),
+        )
+        .withColumn(
+            "decision",
+            F.when(F.col("score") >= RL_T_LINK, F.lit("link"))
+            .when(F.col("score") >= RL_T_POSSIBLE, F.lit("possible"))
+            .otherwise(F.lit("nonlink")),
+        )
+    )
+    return (
+        scored.groupBy("c_nationkey", "decision")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.max("score").cast("long").alias("max_score"),
+            F.min("score").cast("long").alias("min_score"),
+        )
+        .orderBy("c_nationkey", "decision")
+    )
+
+
+def record_linkage_sql() -> str:
+    return f"""
+        WITH base AS (
+            SELECT c_custkey, c_nationkey, c_mktsegment, c_name,
+                   CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+            FROM customer
+        ),
+        capped AS (
+            SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY c_nationkey, c_mktsegment
+                    ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey
+                ) AS rk
+                FROM base
+            ) WHERE rk <= {RL_MAX_BLOCK}
+        ),
+        scored AS (
+            SELECT a.c_nationkey,
+                   (CASE WHEN levenshtein(a.c_name, b.c_name) <= 2
+                         THEN {RL_W_NAME_AGREE} ELSE {RL_W_NAME_DIS} END
+                    + CASE WHEN ABS(a.bal_cents - b.bal_cents) <= 5000
+                           THEN {RL_W_BAL_AGREE} ELSE {RL_W_BAL_DIS} END
+                    + CASE WHEN ABS(a.c_custkey - b.c_custkey) <= 20
+                           THEN {RL_W_KEY_AGREE} ELSE {RL_W_KEY_DIS} END)
+                       AS score
+            FROM capped a
+            JOIN capped b
+              ON a.c_nationkey = b.c_nationkey
+             AND a.c_mktsegment = b.c_mktsegment
+             AND a.c_custkey < b.c_custkey
+        ),
+        classed AS (
+            SELECT c_nationkey,
+                   CASE WHEN score >= {RL_T_LINK} THEN 'link'
+                        WHEN score >= {RL_T_POSSIBLE} THEN 'possible'
+                        ELSE 'nonlink' END AS decision,
+                   score
+            FROM scored
+        )
+        SELECT c_nationkey, decision,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(MAX(score) AS BIGINT) AS max_score,
+               CAST(MIN(score) AS BIGINT) AS min_score
+        FROM classed
+        GROUP BY c_nationkey, decision
+        ORDER BY c_nationkey, decision
+    """

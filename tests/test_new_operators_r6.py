@@ -627,3 +627,164 @@ def test_vendor_scorecard_price_index_at_market_is_1000(spark):
     assert out.price_index_milli == 1000
     assert out.median_latency_days == 4
     assert out.revenue_cents == 2000
+
+
+# --- KMV set algebra ---------------------------------------------------------------
+
+
+def test_kmv_setops_saturated_sketches_are_exact(spark):
+    from pagila_etl_airflow_assignment_spark.operators import hll
+
+    # 30 users: 0-19 click, 10-29 view, 5-14 purchase -> all sketches
+    # saturated (< k=128 distinct), so estimates must EQUAL exact values
+    rows = []
+    eid = 0
+    for u in range(20):
+        rows.append((eid, _ts(1), u, "click", 1.0)); eid += 1
+    for u in range(10, 30):
+        rows.append((eid, _ts(1), u, "view", 1.0)); eid += 1
+    for u in range(5, 15):
+        rows.append((eid, _ts(1), u, "purchase", 1.0)); eid += 1
+    out = {
+        (r.label_a, r.label_b): r
+        for r in hll.kmv_setops(_events(spark, rows)).collect()
+    }
+    cv = out[("click", "view")]
+    assert cv.exact_union == 30 and cv.est_union == 30
+    assert cv.exact_inter == 10 and cv.est_inter == 10
+    assert cv.jaccard_milli_est == cv.jaccard_milli_exact == 1000 * 10 // 30
+    cp = out[("click", "purchase")]
+    assert cp.exact_union == 20 and cp.exact_inter == 10
+    assert cp.est_inter == 10
+
+
+# --- FIFO costing ------------------------------------------------------------------
+
+
+def _li_fifo(spark, rows):
+    """rows: (partkey, qty, extprice, shipdate, orderkey, linenumber)."""
+    return spark.createDataFrame(
+        [
+            (ok_, pk, 1, ln, float(q), ep, 0.0, 0.0, "N", "O", sd)
+            for (pk, q, ep, sd, ok_, ln) in rows
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    )
+
+
+def _parts(spark, keys, brand="Brand#11"):
+    return spark.createDataFrame(
+        [(k, f"part{k}", brand, "T", 1, 1.0) for k in keys],
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    )
+
+
+def test_fifo_partial_layer_floor_division_and_identity(spark):
+    # layers: 10 @ $100 (1000c/u), 5 @ $60 (1200c/u); demand = 12
+    # -> layer1 fully consumed (10000c), layer2 gives 2 units:
+    #    6000 * 2 // 5 = 2400c; ending = 3 units, 6000-2400 = 3600c
+    li = _li_fifo(
+        spark,
+        [
+            (7, 10, 100.00, dt.datetime(1996, 1, 1), 1, 1),
+            (7, 5, 60.00, dt.datetime(1997, 1, 1), 2, 1),
+            (7, 12, 999.99, dt.datetime(1999, 1, 1), 3, 1),
+        ],
+    )
+    out = warehouse.fifo_costing(li, _parts(spark, [7])).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.qty_received == 15 and r.qty_issued == 12 and r.filled_qty == 12
+    assert r.layers_consumed == 2
+    assert r.cogs_cents == 10000 + 2400
+    assert r.ending_qty == 3 and r.ending_value_cents == 3600
+
+
+def test_fifo_demand_exceeding_stock_caps_filled(spark):
+    li = _li_fifo(
+        spark,
+        [
+            (3, 4, 40.00, dt.datetime(1996, 5, 1), 1, 1),
+            (3, 9, 999.0, dt.datetime(1998, 6, 1), 2, 1),
+        ],
+    )
+    r = warehouse.fifo_costing(li, _parts(spark, [3])).collect()[0]
+    assert r.qty_received == 4 and r.qty_issued == 9
+    assert r.filled_qty == 4 and r.ending_qty == 0
+    assert r.cogs_cents == 4000 and r.ending_value_cents == 0
+
+
+def test_fifo_no_demand_leaves_layers_intact(spark):
+    li = _li_fifo(spark, [(5, 6, 66.00, dt.datetime(1996, 2, 1), 1, 1)])
+    r = warehouse.fifo_costing(li, _parts(spark, [5])).collect()[0]
+    assert r.qty_issued == 0 and r.layers_consumed == 0
+    assert r.ending_qty == 6 and r.ending_value_cents == 6600
+
+
+# --- record linkage ----------------------------------------------------------------
+
+
+def _cust(spark, rows):
+    """rows: (custkey, nationkey, name, acctbal, mktsegment)."""
+    return spark.createDataFrame(
+        [(k, n, nm, b, s) for (k, n, nm, b, s) in rows],
+        "c_custkey long, c_nationkey int, c_name string, c_acctbal double,"
+        " c_mktsegment string",
+    )
+
+
+def test_record_linkage_thresholds_classify_pairs(spark):
+    rows = [
+        # near-identical pair -> all three agreements: 2400+1600+800 = 4800
+        (1, 1, "Customer#000000001", 100.00, "AUTO"),
+        (2, 1, "Customer#000000002", 120.00, "AUTO"),
+        # same block, all disagreements: -300-400-100 = -800 -> nonlink
+        (3, 1, "Customer#000000003", 99999.00, "AUTO"),
+    ]
+    out = warehouse.record_linkage(_cust(spark, rows)).collect()
+    by = {(r.c_nationkey, r.decision): r for r in out}
+    assert by[(1, "link")].n_pairs == 1
+    assert by[(1, "link")].max_score == 4800
+    # pairs (1,3) and (2,3): name agrees (lev<=2), bal+key... key |1-3|<=20
+    # agrees: 2400-400+800 = 2800 -> possible
+    assert by[(1, "possible")].n_pairs == 2
+    assert (1, "nonlink") not in by
+
+
+def test_record_linkage_blocks_never_cross(spark):
+    rows = [
+        (1, 1, "Customer#000000001", 100.00, "AUTO"),
+        (2, 2, "Customer#000000002", 100.00, "AUTO"),  # other nation
+        (4, 1, "Customer#000000004", 100.00, "BIKE"),  # other segment
+    ]
+    assert warehouse.record_linkage(_cust(spark, rows)).count() == 0
+
+
+# --- PQ ADC search -----------------------------------------------------------------
+
+
+def test_pq_adc_ranks_exclude_self_and_flag_exact_hits(spark):
+    from pagila_etl_airflow_assignment_spark.llm import similarity
+
+    vecs = spark.createDataFrame(
+        [
+            (i, [0.05 * (((i * 7 + j * 3) % 19) - 9) for j in range(64)], 0)
+            for i in range(40)
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = similarity.pq_adc_topk(vecs, [0, 1], k=4).collect()
+    assert {r.query_id for r in out} == {0, 1}
+    for r in out:
+        assert r.vec_id != r.query_id
+        assert r.in_exact in (0, 1)
+    for q in (0, 1):
+        ranks = sorted(r.rank for r in out if r.query_id == q)
+        assert ranks == [1, 2, 3, 4]
+        ds = [r.adc_nano for r in sorted(
+            (x for x in out if x.query_id == q), key=lambda x: x.rank)]
+        assert ds == sorted(ds)
