@@ -1333,3 +1333,120 @@ def rake_keywords_sql(k: int = RAKE_TOP_K, docs_rel: str = "documents") -> str:
         ORDER BY score_milli DESC, phrase ASC
         LIMIT {k}
     """
+
+
+# --- PMI collocations ----------------------------------------------------------
+
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 30
+
+
+def collocations_pmi(
+    docs: DataFrame, min_count: int = PMI_MIN_COUNT, k: int = PMI_TOP_K
+) -> DataFrame:
+    """Top-``k`` word-bigram collocations by pointwise mutual information:
+    (bigram, c12, c1, c2, pmi_micro, rank) — the Church & Hanks (1990)
+    association measure that surfaces multiword units ("new york") for
+    tokenizer/vocabulary decisions, with a ``min_count`` floor because PMI
+    is notoriously noisy on rare pairs.
+
+    PMI = ln(p12/(p1·p2)) decomposes over exact integer counts as
+    μ(c12) + 2μ(N1) − μ(N2) − μ(c1) − μ(c2), where μ is the micro-nat
+    quantization (one round(ln·1e6) per EXACT integer operand — the
+    user_entropy convention), so the score, ordering and hash are
+    bit-stable cross-engine: every arithmetic step after the single ln per
+    operand is BIGINT.
+
+    Scale shape: the unigram model attaches by two term-keyed joins (the
+    bigram_backoff discipline — no driver-side dictionary), the corpus
+    totals are 1-row broadcast scalars, and the top-k is
+    TakeOrderedAndProject — no global sort of the pair dictionary."""
+    micro = lambda col: F.round(F.log(col) * F.lit(1e6)).cast("long")  # noqa: E731
+    uni = (
+        grams(docs, 1)
+        .groupBy(F.col("gram").alias("term"))
+        .agg(F.count("*").alias("c"))
+    )
+    bi = (
+        grams(docs, 2)
+        .groupBy(F.col("gram").alias("bigram"))
+        .agg(F.count("*").alias("c12"))
+        .where(F.col("c12") >= min_count)
+    )
+    totals = (
+        grams(docs, 1)
+        .agg(F.count("*").alias("n1"))
+        .crossJoin(F.broadcast(grams(docs, 2).agg(F.count("*").alias("n2"))))
+    )
+    scored = (
+        bi.withColumn("w1", F.split(F.col("bigram"), " ")[0])
+        .withColumn("w2", F.split(F.col("bigram"), " ")[1])
+        .join(uni.select(F.col("term").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("term").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bigram",
+            "c12",
+            "c1",
+            "c2",
+            (
+                micro(F.col("c12"))
+                + F.lit(2) * micro(F.col("n1"))
+                - micro(F.col("n2"))
+                - micro(F.col("c1"))
+                - micro(F.col("c2"))
+            ).alias("pmi_micro"),
+        )
+    )
+    order = [F.col("pmi_micro").desc(), F.col("bigram").asc()]
+    return (
+        scored.orderBy(*order)
+        .limit(k)
+        .select(
+            "bigram",
+            "c12",
+            "c1",
+            "c2",
+            "pmi_micro",
+            F.row_number().over(Window.orderBy(*order)).cast("long").alias("rank"),
+        )
+    )
+
+
+def collocations_pmi_sql(
+    min_count: int = PMI_MIN_COUNT,
+    k: int = PMI_TOP_K,
+    docs_rel: str = "documents",
+) -> str:
+    mu = "CAST(round(ln({x}) * 1e6) AS BIGINT)"
+    return f"""
+        WITH uni AS (
+            SELECT gram AS term, COUNT(*) AS c
+            FROM ({grams_sql(1, docs_rel)}) GROUP BY gram
+        ),
+        bi AS (
+            SELECT gram AS bigram, COUNT(*) AS c12
+            FROM ({grams_sql(2, docs_rel)}) GROUP BY gram
+            HAVING COUNT(*) >= {min_count}
+        ),
+        totals AS (
+            SELECT (SELECT COUNT(*) FROM ({grams_sql(1, docs_rel)})) AS n1,
+                   (SELECT COUNT(*) FROM ({grams_sql(2, docs_rel)})) AS n2
+        ),
+        scored AS (
+            SELECT b.bigram, b.c12, u1.c AS c1, u2.c AS c2,
+                   {mu.format(x="b.c12")} + 2 * {mu.format(x="t.n1")}
+                   - {mu.format(x="t.n2")} - {mu.format(x="u1.c")}
+                   - {mu.format(x="u2.c")} AS pmi_micro
+            FROM bi b
+            JOIN uni u1 ON u1.term = string_split(b.bigram, ' ')[1]
+            JOIN uni u2 ON u2.term = string_split(b.bigram, ' ')[2]
+            CROSS JOIN totals t
+        )
+        SELECT bigram, c12, c1, c2, pmi_micro,
+               CAST(ROW_NUMBER() OVER (ORDER BY pmi_micro DESC, bigram ASC)
+                   AS BIGINT) AS rank
+        FROM scored
+        ORDER BY pmi_micro DESC, bigram ASC
+        LIMIT {k}
+    """

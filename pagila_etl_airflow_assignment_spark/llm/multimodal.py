@@ -21,7 +21,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
@@ -283,3 +283,179 @@ PAYLOAD_DEDUP_STATS_SQL = """
     GROUP BY kind
     ORDER BY kind
 """
+
+
+
+# --- perceptual-hash near-duplicate pairs --------------------------------------
+
+PHASH_SEGMENTS = 64
+PHASH_BANDS = 8  # 8 segments -> one 8-bit band key each
+PHASH_MAX_HAMMING = 14
+PHASH_MAX_BUCKET = 64
+
+
+def phash_keys(docs: DataFrame) -> DataFrame:
+    """64-bit perceptual average-hash per payload as 8 eight-bit band
+    keys: (doc_id, band, key). The payload (deterministic byte-level decode
+    stand-in — see ``media_from_documents``) is split into 64 equal
+    segments; bit s is set iff segment s's mean byte exceeds the
+    whole-payload mean (the classic 8x8 downsample-and-threshold on the
+    1-D stream).
+
+    Fully relational: characters explode to (doc, position) rows, segment
+    membership is the integer map s = pos·64 DIV len, and the two grains
+    (segment sums, payload total) are map-side-combined aggregates — no
+    nested higher-order folds, so nothing re-evaluates per access and the
+    same plan shape carries a real decoded-pixel stream unchanged.
+    Exactness: the threshold compares seg_sum·L > total·seg_len
+    cross-multiplied in BIGINTs — no division, no floats."""
+    n_seg, n_band = PHASH_SEGMENTS, PHASH_BANDS
+    per_band = n_seg // n_band
+    chars = (
+        docs.where(F.length("text") >= n_seg)
+        .select(
+            "doc_id",
+            F.length("text").cast("long").alias("l"),
+            F.posexplode(F.split("text", "")).alias("pos", "ch"),
+        )
+        .where(F.col("ch") != "")  # split('') yields a trailing empty token
+        .select(
+            "doc_id",
+            "l",
+            F.expr(f"pos * {n_seg} DIV l").alias("s"),
+            F.ascii("ch").cast("long").alias("cp"),
+        )
+    )
+    segs = chars.groupBy("doc_id", "s").agg(
+        F.sum("cp").alias("seg_sum"),
+        F.count("*").alias("seg_len"),
+        F.max("l").alias("l"),
+    )
+    tot = segs.groupBy("doc_id").agg(F.sum("seg_sum").alias("total"))
+    bits = segs.join(tot, "doc_id").select(
+        "doc_id",
+        F.expr(f"s DIV {per_band}").alias("band"),
+        F.expr(f"s % {per_band}").alias("j"),
+        F.when(
+            F.col("seg_sum") * F.col("l") > F.col("total") * F.col("seg_len"), 1
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("bit"),
+    )
+    return bits.groupBy("doc_id", "band").agg(
+        F.sum(F.expr(f"shiftleft(bit, {per_band - 1} - j)")).alias("key")
+    )
+
+
+def phash_pairs(docs: DataFrame) -> DataFrame:
+    """Perceptual average-hash near-duplicate pairs over media payloads:
+    (doc_a, doc_b, hamming) for every pair within Hamming distance
+    {PHASH_MAX_HAMMING} of the 64-bit aHash (``phash_keys``). Candidates
+    are found SimHash-style — the 8 eight-bit band keys index buckets,
+    a pair must collide on >= 1 band (pigeonhole: d <= 7 guaranteed, d <= 14
+    caught with high probability), and only candidates pay the exact
+    Hamming verification.
+
+    Scale shape: hashing is two map-side-combined aggregates; the band
+    join is bucketed with the repo's hot-bucket cap ({PHASH_MAX_BUCKET}
+    md5-capped members), so worst-case candidates are buckets·cap² —
+    never corpus². The verify joins the 4-row key relations per side and
+    sums bit_count(xor) — candidates only. This is the image-dedup
+    plumbing: swap the byte stream for decoded pixels (require_codecs)
+    and nothing else changes."""
+    keys = phash_keys(docs)
+    w_bucket = Window.partitionBy("band", "key").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    capped = keys.withColumn("rk", F.row_number().over(w_bucket)).where(
+        F.col("rk") <= PHASH_MAX_BUCKET
+    )
+    cand = (
+        capped.alias("a")
+        .join(
+            capped.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    ka = keys.select(
+        F.col("doc_id").alias("doc_a"), "band", F.col("key").alias("key_a")
+    )
+    kb = keys.select(
+        F.col("doc_id").alias("doc_b"), "band", F.col("key").alias("key_b")
+    )
+    return (
+        cand.join(ka, "doc_a")
+        .join(kb, ["doc_b", "band"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(F.expr("bit_count(key_a ^ key_b)")).cast("int").alias("hamming")
+        )
+        .where(F.col("hamming") <= PHASH_MAX_HAMMING)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def phash_pairs_sql() -> str:
+    n_seg, n_band = PHASH_SEGMENTS, PHASH_BANDS
+    per_band = n_seg // n_band
+    return f"""
+        WITH chars AS (
+            SELECT doc_id, CAST(len(text) AS BIGINT) AS l,
+                   (p * {n_seg}) // CAST(len(text) AS BIGINT) AS s,
+                   CAST(unicode(substr(text, CAST(p AS INT) + 1, 1)) AS BIGINT)
+                       AS cp
+            FROM (
+                SELECT doc_id, text, unnest(range(0, len(text))) AS p
+                FROM documents WHERE len(text) >= {n_seg}
+            )
+        ),
+        segs AS (
+            SELECT doc_id, s, SUM(cp) AS seg_sum, COUNT(*) AS seg_len,
+                   MAX(l) AS l
+            FROM chars GROUP BY doc_id, s
+        ),
+        tot AS (
+            SELECT doc_id, SUM(seg_sum) AS total FROM segs GROUP BY doc_id
+        ),
+        bits AS (
+            SELECT segs.doc_id, s // {per_band} AS band, s % {per_band} AS j,
+                   CASE WHEN seg_sum * l > total * seg_len
+                        THEN CAST(1 AS BIGINT) ELSE 0 END AS bit
+            FROM segs JOIN tot ON segs.doc_id = tot.doc_id
+        ),
+        keys AS (
+            SELECT doc_id, band,
+                   SUM(bit << ({per_band - 1} - j)) AS key
+            FROM bits GROUP BY doc_id, band
+        ),
+        capped AS (
+            SELECT doc_id, band, key FROM (
+                SELECT doc_id, band, key, ROW_NUMBER() OVER (
+                    PARTITION BY band, key
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+                FROM keys
+            ) WHERE rk <= {PHASH_MAX_BUCKET}
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM capped a
+            JOIN capped b ON a.band = b.band AND a.key = b.key
+                         AND a.doc_id < b.doc_id
+        )
+        SELECT c.doc_a, c.doc_b,
+               CAST(SUM(bit_count(xor(ka.key, kb.key))) AS INT) AS hamming
+        FROM cand c
+        JOIN keys ka ON ka.doc_id = c.doc_a
+        JOIN keys kb ON kb.doc_id = c.doc_b AND kb.band = ka.band
+        GROUP BY c.doc_a, c.doc_b
+        HAVING CAST(SUM(bit_count(xor(ka.key, kb.key))) AS INT)
+               <= {PHASH_MAX_HAMMING}
+        ORDER BY doc_a, doc_b
+    """

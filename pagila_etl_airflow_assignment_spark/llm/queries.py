@@ -906,3 +906,24 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_adc_topk(
         load_table(spark, sf_dir, "embeddings"), ANN_QUERY_IDS
     )
+
+
+@register("text_collocations_pmi", oracle=corpus_stats.collocations_pmi_sql())
+def q_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top bigram collocations by PMI with a min-count floor — micro-nat
+    quantized lns over exact counts, distributed top-k."""
+    return corpus_stats.collocations_pmi(load_table(spark, sf_dir, "documents"))
+
+
+@register("text_t_closeness", oracle=text.t_closeness_sql())
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness release audit: per-source total-variation distance of the
+    sensitive lang mix vs the corpus, cross-multiplied exact integers."""
+    return text.t_closeness(load_table(spark, sf_dir, "documents"))
+
+
+@register("multimodal_phash_pairs", oracle=multimodal.phash_pairs_sql())
+def q_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash near-dup pairs over media payloads: 64-bit
+    aHash, SimHash-style banded candidates, exact Hamming verify."""
+    return multimodal.phash_pairs(load_table(spark, sf_dir, "documents"))

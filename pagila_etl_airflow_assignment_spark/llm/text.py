@@ -1510,3 +1510,96 @@ def l_diversity_sql(l_min: int = LDIV_L) -> str:
     GROUP BY lang, source
     ORDER BY lang, source
     """
+
+
+# --- t-closeness ---------------------------------------------------------------
+
+TCLOSE_T_MILLI = 150
+
+
+def t_closeness(docs: DataFrame, t_milli: int = TCLOSE_T_MILLI) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007) — the
+    third rung of the release-governance ladder after [[k-anonymity]] and
+    l-diversity: a quasi-identifier block (``source``) passes only if its
+    SENSITIVE-attribute (``lang``) distribution stays within ``t`` of the
+    corpus-wide distribution. For a nominal attribute the earth-mover
+    distance reduces to total variation: TV = ½·Σ_l |p_bl − p_l|. Output:
+    (source, n_docs, tv_milli, meets_t).
+
+    Exactness: with p_bl = c_bl/n_b and p_l = c_l/N both ratios of exact
+    integers, ½Σ|p_bl − p_l| = Σ|c_bl·N − c_l·n_b| / (2·n_b·N) — one
+    integer numerator (absent (block, lang) cells contribute c_l·n_b via
+    the dense grid), one half-up milli division at the end. No float ever
+    crosses the engine boundary.
+
+    Scale shape: two bounded aggregates (block grain, lang grain) densified
+    into the |blocks|×|langs| grid by a broadcast cross of the tiny lang
+    margin — grid size is governance-bounded, never corpus-sized."""
+    per_cell = docs.groupBy("source", "lang").agg(F.count("*").alias("c_bl"))
+    per_src = docs.groupBy("source").agg(F.count("*").alias("n_b"))
+    per_lang = docs.groupBy("lang").agg(F.count("*").alias("c_l"))
+    total = docs.agg(F.count("*").alias("n_tot"))
+    grid = (
+        per_src.crossJoin(F.broadcast(per_lang))
+        .crossJoin(F.broadcast(total))
+        .join(per_cell, ["source", "lang"], "left")
+        .withColumn("c_bl", F.coalesce("c_bl", F.lit(0)))
+    )
+    return (
+        grid.groupBy("source")
+        .agg(
+            F.max("n_b").alias("n_docs"),
+            F.sum(
+                F.abs(F.col("c_bl") * F.col("n_tot") - F.col("c_l") * F.col("n_b"))
+            ).alias("num"),
+            F.max(F.col("n_b") * F.col("n_tot")).alias("den2"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.expr("CAST((1000 * num + den2) DIV (2 * den2) AS BIGINT)").alias(
+                "tv_milli"
+            ),
+        )
+        .withColumn(
+            "meets_t",
+            F.when(F.col("tv_milli") <= t_milli, 1).otherwise(0).cast("int"),
+        )
+        .orderBy("source")
+    )
+
+
+def t_closeness_sql(t_milli: int = TCLOSE_T_MILLI) -> str:
+    return f"""
+        WITH per_cell AS (
+            SELECT source, lang, COUNT(*) AS c_bl
+            FROM documents GROUP BY source, lang
+        ),
+        per_src AS (
+            SELECT source, COUNT(*) AS n_b FROM documents GROUP BY source
+        ),
+        per_lang AS (
+            SELECT lang, COUNT(*) AS c_l FROM documents GROUP BY lang
+        ),
+        total AS (SELECT COUNT(*) AS n_tot FROM documents),
+        grid AS (
+            SELECT s.source, l.lang, s.n_b, l.c_l, t.n_tot,
+                   COALESCE(c.c_bl, 0) AS c_bl
+            FROM per_src s
+            CROSS JOIN per_lang l
+            CROSS JOIN total t
+            LEFT JOIN per_cell c ON c.source = s.source AND c.lang = l.lang
+        ),
+        agg AS (
+            SELECT source, MAX(n_b) AS n_docs,
+                   SUM(ABS(c_bl * n_tot - c_l * n_b)) AS num,
+                   MAX(n_b * n_tot) AS den2
+            FROM grid GROUP BY source
+        )
+        SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+               CAST((1000 * num + den2) // (2 * den2) AS BIGINT) AS tv_milli,
+               CAST(CASE WHEN (1000 * num + den2) // (2 * den2) <= {t_milli}
+                    THEN 1 ELSE 0 END AS INT) AS meets_t
+        FROM agg
+        ORDER BY source
+    """

@@ -907,3 +907,138 @@ def ks_drift_sql(split: str = KS_SPLIT) -> str:
         GROUP BY event_type
         ORDER BY event_type
     """
+
+
+# --- split-conformal prediction interval --------------------------------------------
+
+CONF_ALPHA_PCT = 10  # target 90% coverage
+
+
+def conformal_interval(events: DataFrame) -> DataFrame:
+    """Split-conformal calibration of a per-user purchase-value predictor
+    (Vovk et al.; the distribution-free interval recipe every ML serving
+    pipeline bolts onto a point model): train (days 1-10) fits the
+    predictor — each user's integer mean purchase cents; calibration (days
+    11-20) takes the ceil((n+1)·0.9)-th smallest absolute residual as the
+    interval half-width q_hat; test (days 21+) reports achieved coverage.
+    Output: one panel row (n_users, n_cal, q_hat_cents, n_test, n_covered,
+    coverage_milli).
+
+    Exactness: predictions are floor-divided integer cents, residuals exact
+    integers, and q_hat is ORDER-STATISTIC SELECTION by row_number (the PSI
+    lesson: rank selection, never float quantiles). Coverage is one milli
+    division at the end.
+
+    Scale shape: predictor and residuals are user-keyed aggregates/joins;
+    the only narrow-waist step is selecting the q_hat order statistic,
+    which ranks the CALIBRATION RESIDUALS ONLY (a purchase subset of one
+    10-day window — bounded, and itself two-stage if it ever grew);
+    coverage is a map-side-combined count."""
+    p = events.where(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.dayofmonth("ts").alias("day"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    pred = (
+        p.where(F.col("day") <= 10)
+        .groupBy("user_id")
+        .agg(F.expr("CAST(SUM(cents) DIV COUNT(*) AS BIGINT)").alias("pred"))
+    )
+    cal = (
+        p.where((F.col("day") >= 11) & (F.col("day") <= 20))
+        .join(pred, "user_id")
+        .select("event_id", F.abs(F.col("cents") - F.col("pred")).alias("score"))
+    )
+    w_all = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = cal.select(
+        "score",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").asc(), F.col("event_id").asc()))
+        .alias("rn"),
+        F.count("*").over(w_all).alias("n_cal"),
+    )
+    q_hat = ranked.where(
+        F.col("rn")
+        == F.expr(f"CAST((9 * (n_cal + 1) + 9) DIV 10 AS INT)")
+    ).select(F.col("score").alias("q_hat_cents"), "n_cal")
+    test = (
+        p.where(F.col("day") >= 21)
+        .join(pred, "user_id")
+        .select(F.abs(F.col("cents") - F.col("pred")).alias("res"))
+    )
+    return (
+        test.crossJoin(F.broadcast(q_hat))
+        .agg(
+            F.max("n_cal").cast("long").alias("n_cal"),
+            F.max("q_hat_cents").alias("q_hat_cents"),
+            F.count("*").cast("long").alias("n_test"),
+            F.sum(
+                F.when(F.col("res") <= F.col("q_hat_cents"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_covered"),
+        )
+        .crossJoin(
+            F.broadcast(pred.agg(F.count("*").cast("long").alias("n_users")))
+        )
+        .select(
+            "n_users",
+            "n_cal",
+            "q_hat_cents",
+            "n_test",
+            "n_covered",
+            F.expr("CAST(1000 * n_covered DIV n_test AS BIGINT)").alias(
+                "coverage_milli"
+            ),
+        )
+    )
+
+
+def conformal_interval_sql() -> str:
+    return """
+        WITH p AS (
+            SELECT event_id, user_id,
+                   EXTRACT(day FROM ts) AS day,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events WHERE event_type = 'purchase'
+        ),
+        pred AS (
+            SELECT user_id, CAST(SUM(cents) // COUNT(*) AS BIGINT) AS pred
+            FROM p WHERE day <= 10 GROUP BY user_id
+        ),
+        cal AS (
+            SELECT p.event_id, ABS(p.cents - pred.pred) AS score
+            FROM p JOIN pred USING (user_id)
+            WHERE p.day BETWEEN 11 AND 20
+        ),
+        ranked AS (
+            SELECT score,
+                   ROW_NUMBER() OVER (ORDER BY score ASC, event_id ASC) AS rn,
+                   COUNT(*) OVER () AS n_cal
+            FROM cal
+        ),
+        q_hat AS (
+            SELECT score AS q_hat_cents, n_cal FROM ranked
+            WHERE rn = (9 * (n_cal + 1) + 9) // 10
+        ),
+        test AS (
+            SELECT ABS(p.cents - pred.pred) AS res
+            FROM p JOIN pred USING (user_id)
+            WHERE p.day >= 21
+        ),
+        cov AS (
+            SELECT CAST(MAX(q.n_cal) AS BIGINT) AS n_cal,
+                   CAST(MAX(q.q_hat_cents) AS BIGINT) AS q_hat_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_test,
+                   CAST(SUM(CASE WHEN t.res <= q.q_hat_cents THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_covered
+            FROM test t CROSS JOIN q_hat q
+        )
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM pred) AS n_users,
+               n_cal, q_hat_cents, n_test, n_covered,
+               CAST(1000 * n_covered // n_test AS BIGINT) AS coverage_milli
+        FROM cov
+    """

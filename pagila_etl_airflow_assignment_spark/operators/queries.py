@@ -1685,3 +1685,10 @@ def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fellegi-Sunter probabilistic record linkage: blocked capped pairs,
     integer milli-log-odds agreement weights, two-threshold decision."""
     return warehouse.record_linkage(load_table(spark, sf_dir, "customer"))
+
+
+@register("events_conformal_interval", oracle=distributions.conformal_interval_sql())
+def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval: train/calibrate/test splits,
+    order-statistic q_hat, achieved-coverage panel — all exact integers."""
+    return distributions.conformal_interval(load_table(spark, sf_dir, "events"))

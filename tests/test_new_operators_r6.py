@@ -788,3 +788,94 @@ def test_pq_adc_ranks_exclude_self_and_flag_exact_hits(spark):
         ds = [r.adc_nano for r in sorted(
             (x for x in out if x.query_id == q), key=lambda x: x.rank)]
         assert ds == sorted(ds)
+
+
+# --- PMI collocations --------------------------------------------------------------
+
+
+def test_pmi_fixed_phrase_outranks_chance_pair(spark):
+    # "alpha beta" always together (PMI high); "x" words co-occur by chance
+    docs = _docs(
+        spark,
+        [(i, "alpha beta x" + str(i % 3) + " x" + str((i + 1) % 3), "en", "s")
+         for i in range(10)],
+    )
+    out = corpus_stats.collocations_pmi(docs, min_count=5, k=5).collect()
+    assert out[0].bigram == "alpha beta"
+    assert out[0].rank == 1 and out[0].c12 == 10
+    assert all(out[0].pmi_micro >= r.pmi_micro for r in out)
+
+
+# --- t-closeness -------------------------------------------------------------------
+
+
+def test_t_closeness_matching_block_is_zero(spark):
+    # s0 mirrors the corpus mix exactly within itself when all sources match
+    docs = _docs(
+        spark,
+        [(i, "t", ["en", "de"][i % 2], ["s0", "s1"][i // 2 % 2]) for i in range(40)],
+    )
+    out = {r.source: r for r in __import__(
+        "pagila_etl_airflow_assignment_spark.llm.text", fromlist=["text"]
+    ).t_closeness(docs).collect()}
+    assert out["s0"].tv_milli == 0 and out["s0"].meets_t == 1
+    assert out["s1"].tv_milli == 0
+
+
+def test_t_closeness_skewed_block_fails(spark):
+    # s1 is all-'de' while the corpus is 50/50 -> TV = 0.5 -> 500 milli
+    rows = [(i, "t", "en", "s0") for i in range(10)]
+    rows += [(100 + i, "t", "de", "s1") for i in range(10)]
+    docs = _docs(spark, rows)
+    from pagila_etl_airflow_assignment_spark.llm import text as text_mod
+
+    out = {r.source: r for r in text_mod.t_closeness(docs).collect()}
+    assert out["s1"].tv_milli == 500 and out["s1"].meets_t == 0
+
+
+# --- split-conformal ---------------------------------------------------------------
+
+
+def test_conformal_quantile_and_coverage(spark):
+    rows = []
+    eid = 0
+    # user 1: train purchases all 10.00 -> pred = 1000 cents
+    for d in (1, 2, 3):
+        rows.append((eid, _ts(d), 1, "purchase", 10.00)); eid += 1
+    # calibration days 11-20: residuals 100, 200, ..., 900 cents (n_cal=9)
+    for i, d in enumerate(range(11, 20)):
+        rows.append((eid, _ts(d), 1, "purchase", 10.00 + (i + 1) * 1.00)); eid += 1
+    # test days 21+: residuals 0 and 5000 -> exactly one covered
+    rows.append((eid, _ts(21), 1, "purchase", 10.00)); eid += 1
+    rows.append((eid, _ts(22), 1, "purchase", 60.00)); eid += 1
+    from pagila_etl_airflow_assignment_spark.operators import distributions
+
+    out = distributions.conformal_interval(_events(spark, rows)).collect()[0]
+    # rank = ceil(0.9 * 10) = 9 -> q_hat = 900
+    assert out.n_cal == 9 and out.q_hat_cents == 900
+    assert out.n_test == 2 and out.n_covered == 1
+    assert out.coverage_milli == 500
+
+
+# --- perceptual hash ---------------------------------------------------------------
+
+
+def test_phash_identical_payloads_collide_at_zero(spark):
+    from pagila_etl_airflow_assignment_spark.llm import multimodal
+
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    other = "zzz qqq " + "completely different content here now " * 4
+    docs = _docs(spark, [(1, base, "en", "s"), (2, base, "en", "s"),
+                         (3, other, "en", "s")])
+    out = multimodal.phash_pairs(docs).collect()
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in out}
+    assert pairs.get((1, 2)) == 0
+
+
+def test_phash_keys_are_eight_bytes(spark):
+    from pagila_etl_airflow_assignment_spark.llm import multimodal
+
+    docs = _docs(spark, [(1, "ab" * 64, "en", "s")])
+    keys = multimodal.phash_keys(docs).collect()
+    assert len(keys) == 8
+    assert all(0 <= r.key <= 255 for r in keys)

@@ -104,6 +104,12 @@ ALLOWED: dict[str, set[str]] = {
     "warehouse_topdown_forecast": {"BroadcastNestedLoopJoin"},
     # broadcast 1-row reference-date scalar (aging "today" stand-in)
     "warehouse_order_aging": {"BroadcastNestedLoopJoin"},
+    # broadcast 1-row corpus token/bigram totals (PMI denominators)
+    "text_collocations_pmi": {"BroadcastNestedLoopJoin"},
+    # broadcast bounded lang margin x 1-row total (governance grid densify)
+    "text_t_closeness": {"BroadcastNestedLoopJoin"},
+    # broadcast 1-row q_hat order statistic + 1-row train-user count
+    "events_conformal_interval": {"BroadcastNestedLoopJoin"},
     # Python UDTF: BatchEvalPython IS the UDTF execution node in Spark 4 —
     # this query exists to pin the UDTF boundary, not to avoid it
     "text_sentence_split_udtf": {"BatchEvalPython"},
