@@ -294,6 +294,36 @@ PHASH_MAX_HAMMING = 14
 PHASH_MAX_BUCKET = 64
 
 
+def _segment_sums(docs: DataFrame) -> DataFrame:
+    """Equal-segment energy sums of each payload's byte stream:
+    (doc_id, s, seg_sum, seg_len, l). Characters explode to (doc, position)
+    rows, segment membership is the integer map s = pos·{PHASH_SEGMENTS}
+    DIV len, and the sums are one map-side-combined aggregate — no nested
+    higher-order folds, so nothing re-evaluates per access and a real
+    decoded pixel/PCM stream slots in unchanged."""
+    n_seg = PHASH_SEGMENTS
+    chars = (
+        docs.where(F.length("text") >= n_seg)
+        .select(
+            "doc_id",
+            F.length("text").cast("long").alias("l"),
+            F.posexplode(F.split("text", "")).alias("pos", "ch"),
+        )
+        .where(F.col("ch") != "")  # split('') yields a trailing empty token
+        .select(
+            "doc_id",
+            "l",
+            F.expr(f"pos * {n_seg} DIV l").alias("s"),
+            F.ascii("ch").cast("long").alias("cp"),
+        )
+    )
+    return chars.groupBy("doc_id", "s").agg(
+        F.sum("cp").alias("seg_sum"),
+        F.count("*").alias("seg_len"),
+        F.max("l").alias("l"),
+    )
+
+
 def phash_keys(docs: DataFrame) -> DataFrame:
     """64-bit perceptual average-hash per payload as 8 eight-bit band
     keys: (doc_id, band, key). The payload (deterministic byte-level decode
@@ -311,26 +341,7 @@ def phash_keys(docs: DataFrame) -> DataFrame:
     cross-multiplied in BIGINTs — no division, no floats."""
     n_seg, n_band = PHASH_SEGMENTS, PHASH_BANDS
     per_band = n_seg // n_band
-    chars = (
-        docs.where(F.length("text") >= n_seg)
-        .select(
-            "doc_id",
-            F.length("text").cast("long").alias("l"),
-            F.posexplode(F.split("text", "")).alias("pos", "ch"),
-        )
-        .where(F.col("ch") != "")  # split('') yields a trailing empty token
-        .select(
-            "doc_id",
-            "l",
-            F.expr(f"pos * {n_seg} DIV l").alias("s"),
-            F.ascii("ch").cast("long").alias("cp"),
-        )
-    )
-    segs = chars.groupBy("doc_id", "s").agg(
-        F.sum("cp").alias("seg_sum"),
-        F.count("*").alias("seg_len"),
-        F.max("l").alias("l"),
-    )
+    segs = _segment_sums(docs)
     tot = segs.groupBy("doc_id").agg(F.sum("seg_sum").alias("total"))
     bits = segs.join(tot, "doc_id").select(
         "doc_id",
@@ -458,4 +469,119 @@ def phash_pairs_sql() -> str:
         HAVING CAST(SUM(bit_count(xor(ka.key, kb.key))) AS INT)
                <= {PHASH_MAX_HAMMING}
         ORDER BY doc_a, doc_b
+    """
+
+
+# --- energy-envelope activity segments ------------------------------------------
+
+ENERGY_NUM, ENERGY_DEN = 21, 20  # active iff seg mean > 1.05x payload mean
+
+
+def energy_segments(docs: DataFrame) -> DataFrame:
+    """VAD-style activity segmentation of each payload's energy envelope:
+    the byte stream (deterministic decode stand-in) splits into
+    {PHASH_SEGMENTS} equal segments; a segment is ACTIVE when its mean
+    exceeds 1.05x the payload mean (cross-multiplied — 20·seg_sum·L >
+    21·total·seg_len, no ratio materializes), and adjacent active segments
+    merge into runs by the gaps-and-islands rule (s − row_number() is
+    constant within a run). Output per payload: (media_id, n_active,
+    n_islands, longest_run, active_energy) — the shape a voice-activity
+    detector or scene segmenter feeds downstream, with the byte fold
+    standing in for a real energy envelope (require_codecs).
+
+    Scale shape: identical to phash_keys — two map-side-combined
+    aggregates for the envelope, one per-doc window over <= 64 segment
+    rows for the islands. Nothing is corpus-wide."""
+    segs = _segment_sums(docs)
+    tot = segs.groupBy("doc_id").agg(F.sum("seg_sum").alias("total"))
+    active = (
+        segs.join(tot, "doc_id")
+        .where(
+            F.col("seg_sum") * F.col("l") * ENERGY_DEN
+            > F.col("total") * F.col("seg_len") * ENERGY_NUM
+        )
+        .select("doc_id", "s", "seg_sum")
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("s")
+    islands = (
+        active.withColumn("grp", F.col("s") - F.row_number().over(w_doc))
+        .groupBy("doc_id", "grp")
+        .agg(F.count("*").alias("run_len"), F.sum("seg_sum").alias("run_energy"))
+    )
+    per_doc = islands.groupBy("doc_id").agg(
+        F.sum("run_len").cast("long").alias("n_active"),
+        F.count("*").cast("long").alias("n_islands"),
+        F.max("run_len").cast("long").alias("longest_run"),
+        F.sum("run_energy").cast("long").alias("active_energy"),
+    )
+    return (
+        docs.where(F.length("text") >= PHASH_SEGMENTS)
+        .select(F.col("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.coalesce("n_active", F.lit(0)).cast("long").alias("n_active"),
+            F.coalesce("n_islands", F.lit(0)).cast("long").alias("n_islands"),
+            F.coalesce("longest_run", F.lit(0)).cast("long").alias("longest_run"),
+            F.coalesce("active_energy", F.lit(0)).cast("long").alias(
+                "active_energy"
+            ),
+        )
+        .orderBy("media_id")
+    )
+
+
+def energy_segments_sql() -> str:
+    n_seg = PHASH_SEGMENTS
+    return f"""
+        WITH chars AS (
+            SELECT doc_id, CAST(len(text) AS BIGINT) AS l,
+                   (p * {n_seg}) // CAST(len(text) AS BIGINT) AS s,
+                   CAST(unicode(substr(text, CAST(p AS INT) + 1, 1)) AS BIGINT)
+                       AS cp
+            FROM (
+                SELECT doc_id, text, unnest(range(0, len(text))) AS p
+                FROM documents WHERE len(text) >= {n_seg}
+            )
+        ),
+        segs AS (
+            SELECT doc_id, s, SUM(cp) AS seg_sum, COUNT(*) AS seg_len,
+                   MAX(l) AS l
+            FROM chars GROUP BY doc_id, s
+        ),
+        tot AS (
+            SELECT doc_id, SUM(seg_sum) AS total FROM segs GROUP BY doc_id
+        ),
+        active AS (
+            SELECT segs.doc_id, s, seg_sum
+            FROM segs JOIN tot ON segs.doc_id = tot.doc_id
+            WHERE seg_sum * l * {ENERGY_DEN} > total * seg_len * {ENERGY_NUM}
+        ),
+        islands AS (
+            SELECT doc_id,
+                   s - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s)
+                       AS grp,
+                   seg_sum, s
+            FROM active
+        ),
+        runs AS (
+            SELECT doc_id, grp, COUNT(*) AS run_len,
+                   SUM(seg_sum) AS run_energy
+            FROM islands GROUP BY doc_id, grp
+        ),
+        per_doc AS (
+            SELECT doc_id, CAST(SUM(run_len) AS BIGINT) AS n_active,
+                   CAST(COUNT(*) AS BIGINT) AS n_islands,
+                   CAST(MAX(run_len) AS BIGINT) AS longest_run,
+                   CAST(SUM(run_energy) AS BIGINT) AS active_energy
+            FROM runs GROUP BY doc_id
+        )
+        SELECT d.doc_id AS media_id,
+               COALESCE(p.n_active, 0) AS n_active,
+               COALESCE(p.n_islands, 0) AS n_islands,
+               COALESCE(p.longest_run, 0) AS longest_run,
+               COALESCE(p.active_energy, 0) AS active_energy
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        WHERE len(d.text) >= {n_seg}
+        ORDER BY media_id
     """

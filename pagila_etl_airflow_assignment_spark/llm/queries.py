@@ -927,3 +927,10 @@ def q_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual average-hash near-dup pairs over media payloads: 64-bit
     aHash, SimHash-style banded candidates, exact Hamming verify."""
     return multimodal.phash_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register("multimodal_energy_segments", oracle=multimodal.energy_segments_sql())
+def q_energy_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VAD-style activity segmentation of payload energy envelopes:
+    cross-multiplied threshold, gaps-and-islands runs, per-payload panel."""
+    return multimodal.energy_segments(load_table(spark, sf_dir, "documents"))

@@ -19,7 +19,7 @@ SEMANTICS, the DataFrame plan defines the execution strategy.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -1108,3 +1108,155 @@ def degree_assortativity_sql(
                  END, 6) AS assortativity
     FROM s
 """
+
+
+# --- deterministic random-walk skip-gram pairs ---------------------------------------
+
+WALK_STEPS = 3  # 4-node walks
+WALK_WINDOW = 2
+WALK_TOP_K = 50
+
+
+def walk_pair_counts(
+    lineitem: DataFrame,
+    steps: int = WALK_STEPS,
+    k: int = WALK_TOP_K,
+    max_basket: int = 30,
+) -> DataFrame:
+    """Skip-gram co-occurrence counts from deterministic random walks on the
+    co-purchase graph — the DeepWalk/node2vec TRAINING-DATA generator
+    (Perozzi et al., KDD 2014) with the RNG replaced by md5 selection so
+    the corpus is reproducible: one walk starts at every node, and each
+    step moves to the neighbor minimizing md5(cur|step|neighbor). Pairs
+    within window {WALK_WINDOW} of the 4-node walks are counted and the
+    top-{WALK_TOP_K} reported: (part_a, part_b, dist, cnt, rank).
+
+    Scale shape: each step is one frontier-edges equi-join + a
+    (walk, step)-keyed min-struct aggregate — the BFS discipline, with the
+    frontier always |nodes| rows; the edge relation builds once from the
+    basket arrays. Pair counting is a bounded explode of the walk tuple.
+    No iteration-count blowup: ``steps`` is a constant, the plan unrolls."""
+    edges = _symmetric_edges(lineitem, max_basket)
+    # hop selector: md5(cur|step|dst) — deterministic, neighbor-uniform-ish
+    walks = edges.select(F.col("src").alias("w0")).distinct()
+    cols = ["w0"]
+    for h in range(1, steps + 1):
+        prev = cols[-1]
+        hop = (
+            walks.join(edges, F.col(prev) == F.col("src"))
+            .select(
+                *cols,
+                F.struct(
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.col(prev).cast("string"),
+                            F.lit(str(h)),
+                            F.col("dst").cast("string"),
+                        )
+                    ).alias("hk"),
+                    F.col("dst").alias("nxt"),
+                ).alias("cand"),
+            )
+            .groupBy(*cols)
+            .agg(F.min("cand").alias("best"))
+            .select(*cols, F.col("best.nxt").alias(f"w{h}"))
+        )
+        walks = hop
+        cols.append(f"w{h}")
+    pair_structs = []
+    for i in range(steps + 1):
+        for j in range(i + 1, min(i + WALK_WINDOW, steps) + 1):
+            pair_structs.append(
+                F.struct(
+                    F.least(F.col(f"w{i}"), F.col(f"w{j}")).alias("part_a"),
+                    F.greatest(F.col(f"w{i}"), F.col(f"w{j}")).alias("part_b"),
+                    F.lit(j - i).alias("dist"),
+                )
+            )
+    counted = (
+        walks.select(F.explode(F.array(*pair_structs)).alias("p"))
+        .where(F.col("p.part_a") != F.col("p.part_b"))
+        .groupBy(
+            F.col("p.part_a").alias("part_a"),
+            F.col("p.part_b").alias("part_b"),
+            F.col("p.dist").alias("dist"),
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    order = [
+        F.col("cnt").desc(),
+        F.col("part_a").asc(),
+        F.col("part_b").asc(),
+        F.col("dist").asc(),
+    ]
+    return (
+        counted.orderBy(*order)
+        .limit(k)
+        .select(
+            "part_a",
+            "part_b",
+            "dist",
+            "cnt",
+            F.row_number().over(Window.orderBy(*order)).cast("long").alias("rank"),
+        )
+    )
+
+
+def walk_pair_counts_sql(
+    steps: int = WALK_STEPS, k: int = WALK_TOP_K, max_basket: int = 30
+) -> str:
+    hops = []
+    cols = ["w0"]
+    for h in range(1, steps + 1):
+        prev = cols[-1]
+        sel = ", ".join(f"w.{c}" for c in cols)
+        hops.append(
+            f"""walk{h} AS (
+            SELECT {sel},
+                   arg_min(e.dst, md5(CAST(w.{prev} AS VARCHAR) || '|{h}|'
+                                      || CAST(e.dst AS VARCHAR))) AS w{h}
+            FROM walk{h - 1} w JOIN edges e ON w.{prev} = e.src
+            GROUP BY {sel}
+        )"""
+        )
+        cols.append(f"w{h}")
+    pair_rows = []
+    for i in range(steps + 1):
+        for j in range(i + 1, min(i + WALK_WINDOW, steps) + 1):
+            pair_rows.append(
+                f"SELECT LEAST(w{i}, w{j}) AS part_a,"
+                f" GREATEST(w{i}, w{j}) AS part_b, {j - i} AS dist"
+                f" FROM walk{steps} WHERE w{i} <> w{j}"
+            )
+    pairs_union = " UNION ALL ".join(pair_rows)
+    chain = ",\n        ".join(hops)
+    return f"""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), small AS (
+            SELECT l_orderkey FROM items
+            GROUP BY l_orderkey HAVING COUNT(*) <= {max_basket}
+        ), basket AS (
+            SELECT i.l_orderkey, i.l_partkey FROM items i
+            JOIN small USING (l_orderkey)
+        ), edges AS (
+            SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+            FROM basket a JOIN basket b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        ), walk0 AS (
+            SELECT DISTINCT src AS w0 FROM edges
+        ),
+        {chain},
+        counted AS (
+            SELECT part_a, part_b, dist, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM ({pairs_union})
+            GROUP BY part_a, part_b, dist
+        )
+        SELECT part_a, part_b, dist, cnt,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY cnt DESC, part_a, part_b, dist) AS BIGINT) AS rank
+        FROM counted
+        ORDER BY cnt DESC, part_a, part_b, dist
+        LIMIT {k}
+    """

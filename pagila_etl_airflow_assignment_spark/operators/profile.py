@@ -16,7 +16,7 @@ map-side partials.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -557,3 +557,97 @@ def encoding_advisor_sql(table: str, columns: list[str]) -> str:
         """
         )
     return " UNION ALL ".join(parts) + " ORDER BY col_name"
+
+
+# --- ingest quarantine routing -------------------------------------------------------
+
+QUARANTINE_VALUE_CAP_CENTS = 40000  # value > $400 -> outlier
+QUARANTINE_PROPS_MAX_K = 89
+
+
+def quarantine_audit(events: DataFrame) -> DataFrame:
+    """Dead-letter quarantine routing for the ingest edge: every event is
+    routed by the FIRST violated rule (priority order — value outlier,
+    props schema range, clock skew) or 'clean', and the audit reports each
+    route's population: (reason, n_events, n_users, min_event_id,
+    max_event_id, share_milli).
+
+    The operational front door of every 100 TB pipeline: bad rows must be
+    QUARANTINED WITH A REASON, not dropped (reprocessing needs them) and
+    not passed through (they poison aggregates). Routing is one narrow
+    CASE over parsed fields (JSON probed with the engine's native path
+    extractor); the audit is one reason-keyed aggregate plus a 4-row
+    window for the share — in production the same CASE feeds a
+    partitionBy('reason') writer.
+
+    Exactness: value parses to integer cents before comparison; shares are
+    1000·n DIV total over the tiny grouped relation."""
+    routed = events.select(
+        "event_id",
+        "user_id",
+        F.when(
+            F.expr("CAST(round(value * 100) AS BIGINT)")
+            > QUARANTINE_VALUE_CAP_CENTS,
+            F.lit("value_outlier"),
+        )
+        .when(
+            F.expr("CAST(get_json_object(props, '$.k') AS BIGINT)")
+            > QUARANTINE_PROPS_MAX_K,
+            F.lit("props_range"),
+        )
+        .when(F.hour("ts") == 0, F.lit("clock_skew"))
+        .otherwise(F.lit("clean"))
+        .alias("reason"),
+    )
+    agg = routed.groupBy("reason").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.min("event_id").alias("min_event_id"),
+        F.max("event_id").alias("max_event_id"),
+    )
+    w_all = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        agg.withColumn("total", F.sum("n_events").over(w_all))
+        .select(
+            "reason",
+            "n_events",
+            "n_users",
+            "min_event_id",
+            "max_event_id",
+            F.expr("CAST(1000 * n_events DIV total AS BIGINT)").alias(
+                "share_milli"
+            ),
+        )
+        .orderBy("reason")
+    )
+
+
+def quarantine_audit_sql() -> str:
+    return f"""
+        WITH routed AS (
+            SELECT event_id, user_id,
+                   CASE WHEN CAST(round(value * 100) AS BIGINT)
+                             > {QUARANTINE_VALUE_CAP_CENTS}
+                        THEN 'value_outlier'
+                        WHEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+                             > {QUARANTINE_PROPS_MAX_K}
+                        THEN 'props_range'
+                        WHEN EXTRACT(hour FROM ts) = 0 THEN 'clock_skew'
+                        ELSE 'clean' END AS reason
+            FROM events
+        ),
+        agg AS (
+            SELECT reason, CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+                   MIN(event_id) AS min_event_id,
+                   MAX(event_id) AS max_event_id
+            FROM routed GROUP BY reason
+        )
+        SELECT reason, n_events, n_users, min_event_id, max_event_id,
+               CAST(1000 * n_events // SUM(n_events) OVER () AS BIGINT)
+                   AS share_milli
+        FROM agg
+        ORDER BY reason
+    """

@@ -1692,3 +1692,26 @@ def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Split-conformal prediction interval: train/calibrate/test splits,
     order-statistic q_hat, achieved-coverage panel — all exact integers."""
     return distributions.conformal_interval(load_table(spark, sf_dir, "events"))
+
+
+@register("warehouse_price_scenarios", oracle=warehouse.price_scenarios_sql())
+def q_price_scenarios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What-if repricing grid: constant-elasticity scenario sweep applied
+    to the brand aggregate, all scenarios in one plan."""
+    return warehouse.price_scenarios(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+@register("graph_walk_pair_counts", oracle=graph.walk_pair_counts_sql())
+def q_walk_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk-style skip-gram pair corpus from md5-deterministic random
+    walks: unrolled frontier joins, bounded window explode, top-k."""
+    return graph.walk_pair_counts(load_table(spark, sf_dir, "lineitem"))
+
+
+@register("events_quarantine_audit", oracle=profile.quarantine_audit_sql())
+def q_quarantine_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter quarantine routing: first-violated-rule reason codes,
+    per-route populations and shares — the ingest front door."""
+    return profile.quarantine_audit(load_table(spark, sf_dir, "events"))

@@ -2572,3 +2572,94 @@ def record_linkage_sql() -> str:
         GROUP BY c_nationkey, decision
         ORDER BY c_nationkey, decision
     """
+
+
+# --- what-if price scenario grid -----------------------------------------------------
+
+# (price delta in milli, constant-elasticity quantity multiplier in milli,
+# precomputed for e = -1.5: qm = round(1000 * (1 + delta)^-1.5) — constants,
+# never a runtime pow, so both engines see identical integers)
+PRICE_SCENARIOS = ((-100, 1171), (-50, 1080), (0, 1000), (50, 929), (100, 867))
+
+
+def price_scenarios(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """What-if repricing grid per brand: revenue under five price-change
+    scenarios with constant demand elasticity e = -1.5 — the merchandising
+    scenario sweep (price -10%..+10%, quantity responds as (1+d)^e):
+    (p_brand, delta_milli, base_rev_cents, scenario_rev_cents,
+    rev_index_milli).
+
+    All-scenarios-one-plan (the markov_attribution discipline): the fact
+    table aggregates ONCE per brand; the 5-scenario grid explodes on the
+    25-row aggregate, never on the fact rows. Elasticity multipliers are
+    precomputed integer constants, scenario revenue is one floor division
+    of positive BIGINTs, and the index is 1000·scenario DIV base —
+    positive-only integer division (floor-vs-truncate never diverges).
+
+    Scale shape: one broadcast dimension join + one brand-keyed aggregate;
+    everything after operates on |brands| rows."""
+    base = (
+        lineitem.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            lineitem.l_partkey == part.p_partkey,
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))"
+                " AS BIGINT)"
+            ).alias("base_rev_cents")
+        )
+    )
+    grid = F.array(
+        *[
+            F.struct(
+                F.lit(d).cast("long").alias("delta_milli"),
+                F.lit(q).cast("long").alias("qm"),
+            )
+            for d, q in PRICE_SCENARIOS
+        ]
+    )
+    return (
+        base.select("p_brand", "base_rev_cents", F.explode(grid).alias("sc"))
+        .select(
+            "p_brand",
+            F.col("sc.delta_milli").alias("delta_milli"),
+            "base_rev_cents",
+            F.expr(
+                "CAST(base_rev_cents * (1000 + sc.delta_milli) * sc.qm"
+                " DIV 1000000 AS BIGINT)"
+            ).alias("scenario_rev_cents"),
+        )
+        .withColumn(
+            "rev_index_milli",
+            F.expr(
+                "CAST(1000 * scenario_rev_cents DIV base_rev_cents AS BIGINT)"
+            ),
+        )
+        .orderBy("p_brand", "delta_milli")
+    )
+
+
+def price_scenarios_sql() -> str:
+    rows = ", ".join(f"({d}, {q})" for d, q in PRICE_SCENARIOS)
+    return f"""
+        WITH base AS (
+            SELECT p.p_brand,
+                   CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                       AS BIGINT) AS base_rev_cents
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY p.p_brand
+        ),
+        grid(delta_milli, qm) AS (VALUES {rows})
+        SELECT b.p_brand,
+               CAST(g.delta_milli AS BIGINT) AS delta_milli,
+               b.base_rev_cents,
+               CAST(b.base_rev_cents * (1000 + g.delta_milli) * g.qm
+                   // 1000000 AS BIGINT) AS scenario_rev_cents,
+               CAST(1000 * (b.base_rev_cents * (1000 + g.delta_milli) * g.qm
+                   // 1000000) // b.base_rev_cents AS BIGINT)
+                   AS rev_index_milli
+        FROM base b CROSS JOIN grid g
+        ORDER BY b.p_brand, delta_milli
+    """

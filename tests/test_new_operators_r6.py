@@ -879,3 +879,94 @@ def test_phash_keys_are_eight_bytes(spark):
     keys = multimodal.phash_keys(docs).collect()
     assert len(keys) == 8
     assert all(0 <= r.key <= 255 for r in keys)
+
+
+# --- price scenarios ---------------------------------------------------------------
+
+
+def test_price_scenarios_neutral_is_identity(spark):
+    li = _li_fifo(spark, [(1, 2, 50.00, dt.datetime(1996, 1, 1), 1, 1)])
+    out = warehouse.price_scenarios(li, _parts(spark, [1])).collect()
+    by = {r.delta_milli: r for r in out}
+    assert len(out) == 5
+    assert by[0].scenario_rev_cents == by[0].base_rev_cents == 5000
+    assert by[0].rev_index_milli == 1000
+    # -10% price with e=-1.5: 5000 * 900 * 1171 // 1e6 = 5269
+    assert by[-100].scenario_rev_cents == 5000 * 900 * 1171 // 1_000_000
+    assert by[100].scenario_rev_cents < by[0].scenario_rev_cents
+
+
+# --- energy segments ---------------------------------------------------------------
+
+
+def test_energy_segments_flat_payload_has_no_active(spark):
+    from pagila_etl_airflow_assignment_spark.llm import multimodal
+
+    docs = _docs(spark, [(1, "a" * 128, "en", "s")])
+    r = multimodal.energy_segments(docs).collect()[0]
+    assert r.n_active == 0 and r.n_islands == 0 and r.longest_run == 0
+
+
+def test_energy_segments_hot_run_forms_one_island(spark):
+    from pagila_etl_airflow_assignment_spark.llm import multimodal
+
+    # 128 chars -> 64 segments of 2; one hot block of 16 chars (8 segments)
+    text = "a" * 56 + "z" * 16 + "a" * 56
+    r = multimodal.energy_segments(_docs(spark, [(1, text, "en", "s")])).collect()[0]
+    assert r.n_islands == 1
+    assert r.n_active == 8 and r.longest_run == 8
+
+
+# --- walk pairs --------------------------------------------------------------------
+
+
+def test_walk_pairs_deterministic_and_bounded(spark):
+    li = spark.createDataFrame(
+        [
+            (o, p, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", dt.datetime(1996, 1, 1))
+            for o, parts in [(1, [10, 11]), (2, [11, 12]), (3, [12, 13]), (4, [13, 10])]
+            for p in parts
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    )
+    from pagila_etl_airflow_assignment_spark.operators import graph
+
+    out1 = graph.walk_pair_counts(li).collect()
+    out2 = graph.walk_pair_counts(li).collect()
+    assert [tuple(r) for r in out1] == [tuple(r) for r in out2]  # deterministic
+    assert len(out1) > 0
+    for r in out1:
+        assert r.part_a < r.part_b and r.dist in (1, 2)
+    # ring graph: every pair must be adjacent or two-apart on the ring
+    ring = {10: {11, 13}, 11: {10, 12}, 12: {11, 13}, 13: {12, 10}}
+    for r in out1:
+        if r.dist == 1:
+            assert r.part_b in ring[r.part_a]
+
+
+# --- quarantine audit --------------------------------------------------------------
+
+
+def test_quarantine_routes_by_first_violated_rule(spark):
+    from pagila_etl_airflow_assignment_spark.operators import profile
+
+    rows = [
+        (1, dt.datetime(2024, 1, 5, 10), 1, "view", 500.0, '{"k": 95}'),  # outlier wins
+        (2, dt.datetime(2024, 1, 5, 0), 2, "view", 10.0, '{"k": 95}'),    # props wins
+        (3, dt.datetime(2024, 1, 5, 0), 3, "view", 10.0, '{"k": 5}'),     # clock skew
+        (4, dt.datetime(2024, 1, 5, 12), 4, "view", 10.0, '{"k": 5}'),    # clean
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = {r.reason: r for r in profile.quarantine_audit(ev).collect()}
+    assert out["value_outlier"].n_events == 1 and out["value_outlier"].min_event_id == 1
+    assert out["props_range"].n_events == 1 and out["props_range"].min_event_id == 2
+    assert out["clock_skew"].n_events == 1
+    assert out["clean"].n_events == 1
+    assert out["clean"].share_milli == 250

@@ -104,6 +104,9 @@ ALLOWED: dict[str, set[str]] = {
     "warehouse_topdown_forecast": {"BroadcastNestedLoopJoin"},
     # broadcast 1-row reference-date scalar (aging "today" stand-in)
     "warehouse_order_aging": {"BroadcastNestedLoopJoin"},
+    # broadcast 1-row reference-count scalar (exact integer decile-edge
+    # rank selection, the r6 ulp fix)
+    "events_psi_drift": {"BroadcastNestedLoopJoin"},
     # broadcast 1-row corpus token/bigram totals (PMI denominators)
     "text_collocations_pmi": {"BroadcastNestedLoopJoin"},
     # broadcast bounded lang margin x 1-row total (governance grid densify)
