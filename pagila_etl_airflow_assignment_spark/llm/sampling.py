@@ -677,3 +677,98 @@ def negative_sampling_table_sql(k: int = NEG_VOCAB_K, docs_rel: str = "documents
         FROM scored
         ORDER BY rank
     """
+
+
+# --- Neyman optimal allocation -------------------------------------------------
+
+NEYMAN_BUDGET = 1000
+
+
+def neyman_allocation(docs: DataFrame, budget: int = NEYMAN_BUDGET) -> DataFrame:
+    """Neyman optimal sample allocation across source strata: the survey-
+    design rule n_h ∝ N_h·S_h that spends a fixed QA budget where the
+    variance is (Neyman 1934) — here sized on document length: (source,
+    n_docs, s_weight, alloc). Rounding is largest-remainder (Hamilton), so
+    allocations sum EXACTLY to the budget.
+
+    Exactness: N_h·S_h = sqrt(N_h·Σx² − (Σx)²) on exact integer sums, so
+    only ONE sqrt of an exactly-agreed integer happens per stratum,
+    quantized once to an integer weight (the micro-nat ln discipline
+    applied to sqrt); the Hamilton split is pure integer floor + modulo
+    ranking after that.
+
+    Scale shape: one stratum-grain aggregate (map-side combined) and two
+    windows over the |strata|-row relation — bounded, never corpus-sized."""
+    per = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("n_chars")).alias("sx"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("sxx"),
+    )
+    weighted = per.select(
+        "source",
+        "n_docs",
+        F.round(F.sqrt(F.col("n_docs") * F.col("sxx") - F.col("sx") * F.col("sx")))
+        .cast("long")
+        .alias("s_weight"),
+    )
+    g = Window.partitionBy()
+    w = Window.orderBy(F.desc("rem"), "source")
+    alloc = (
+        weighted.withColumn("tot", F.sum("s_weight").over(g))
+        .withColumn(
+            "base", F.expr(f"CAST({budget} AS BIGINT) * s_weight DIV tot")
+        )
+        .withColumn("rem", F.expr(f"CAST({budget} AS BIGINT) * s_weight % tot"))
+        .withColumn("leftover", F.lit(budget) - F.sum("base").over(g))
+        .withColumn("rk", F.row_number().over(w))
+    )
+    return (
+        alloc.select(
+            "source",
+            "n_docs",
+            "s_weight",
+            (
+                F.col("base")
+                + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("alloc"),
+        )
+        .orderBy("source")
+    )
+
+
+def neyman_allocation_sql(budget: int = NEYMAN_BUDGET) -> str:
+    return f"""
+        WITH per AS (
+            SELECT source, COUNT(*) AS n_docs,
+                   SUM(n_chars) AS sx, SUM(n_chars * n_chars) AS sxx
+            FROM documents GROUP BY source
+        ),
+        weighted AS (
+            SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+                   CAST(round(sqrt(CAST(n_docs * sxx - sx * sx AS DOUBLE)))
+                       AS BIGINT) AS s_weight
+            FROM per
+        ),
+        alloc AS (
+            SELECT *,
+                   SUM(s_weight) OVER () AS tot,
+                   CAST({budget} AS BIGINT) * s_weight
+                       // SUM(s_weight) OVER () AS base,
+                   CAST({budget} AS BIGINT) * s_weight
+                       % SUM(s_weight) OVER () AS rem
+            FROM weighted
+        ),
+        ranked AS (
+            SELECT *,
+                   {budget} - SUM(base) OVER () AS leftover,
+                   ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk
+            FROM alloc
+        )
+        SELECT source, n_docs, s_weight,
+               CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                   AS BIGINT) AS alloc
+        FROM ranked
+        ORDER BY source
+    """

@@ -1416,3 +1416,128 @@ def xcorr_daily_sql(
         FROM nums CROSS JOIN dens
         ORDER BY lag
     """
+
+
+# --- Holt-Winters triple exponential smoothing ---------------------------------------
+
+HW_ALPHA_MILLI = 300
+HW_BETA_MILLI = 200
+HW_GAMMA_MILLI = 200
+HW_SEASON = 7
+
+
+def holt_winters(events: DataFrame) -> DataFrame:
+    """Holt-Winters additive triple smoothing over the daily value series —
+    the seasonal upgrade of [[holt_level_trend]] (weekly cycle, period 7):
+    l' = α(y−s_i) + (1−α)(l+t); t' = β(l'−l) + (1−β)t;
+    s_i' = γ(y−l') + (1−γ)s_i; forecast = l' + t' + s_next. Output: one
+    panel row (n_days, level_cents, trend_cents, season_next_cents,
+    forecast_next_cents).
+
+    Same execution contract as Holt: the inherently-sequential recursion is
+    ONE JVM array fold over the ≤|days| ordered grid — the state struct
+    additionally carries the 7-slot seasonal array, updated functionally
+    (transform with an index CASE), and every step is SIGNED half-up exact
+    integer cents, so the fold is bit-identical to the oracle's recursive
+    CTE carrying a LIST column."""
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("tot")
+    )
+    ys = daily.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "tot"))),
+            lambda s: s["tot"],
+        ).alias("ys")
+    )
+
+    def hu(num: str) -> str:
+        return (
+            f"CAST(CASE WHEN ({num}) < 0 THEN -1 ELSE 1 END"
+            f" * ((2 * abs({num}) + 1000) DIV 2000) AS BIGINT)"
+        )
+
+    a, b, g, m = HW_ALPHA_MILLI, HW_BETA_MILLI, HW_GAMMA_MILLI, HW_SEASON
+    si = f"element_at(acc.s, CAST((acc.i + 1) % {m} AS INT) + 1)"
+    nl = hu(f"{a} * (y - {si}) + {1000 - a} * (acc.l + acc.t)")
+    nt = hu(f"{b} * ({nl} - acc.l) + {1000 - b} * acc.t")
+    ns = hu(f"{g} * (y - {nl}) + {1000 - g} * {si}")
+    upd = (
+        f"transform(sequence(0, {m - 1}), j -> CASE"
+        f" WHEN j = CAST((acc.i + 1) % {m} AS INT) THEN {ns}"
+        f" ELSE element_at(acc.s, j + 1) END)"
+    )
+    fold = F.expr(
+        "aggregate(slice(ys, 2, size(ys) - 1),"
+        " named_struct('i', CAST(0 AS BIGINT), 'l', ys[0],"
+        " 't', CAST(0 AS BIGINT),"
+        f" 's', transform(sequence(0, {m - 1}), j -> CAST(0 AS BIGINT))),"
+        f" (acc, y) -> named_struct('i', acc.i + 1, 'l', {nl}, 't', {nt},"
+        f" 's', {upd}),"
+        " acc -> acc)"
+    )
+    return (
+        ys.where(F.size("ys") >= 2)
+        .select(F.size("ys").cast("long").alias("n_days"), fold.alias("st"))
+        .select(
+            "n_days",
+            F.col("st.l").alias("level_cents"),
+            F.col("st.t").alias("trend_cents"),
+            F.expr(
+                f"element_at(st.s, CAST(n_days % {m} AS INT) + 1)"
+            ).alias("season_next_cents"),
+            (
+                F.col("st.l")
+                + F.col("st.t")
+                + F.expr(f"element_at(st.s, CAST(n_days % {m} AS INT) + 1)")
+            ).alias("forecast_next_cents"),
+        )
+    )
+
+
+def holt_winters_sql() -> str:
+    a, b, g, m = HW_ALPHA_MILLI, HW_BETA_MILLI, HW_GAMMA_MILLI, HW_SEASON
+
+    def hu(num: str) -> str:
+        return (
+            f"CAST(CASE WHEN ({num}) < 0 THEN -1 ELSE 1 END"
+            f" * ((2 * abs({num}) + 1000) // 2000) AS BIGINT)"
+        )
+
+    si = f"s.s[CAST((d.i - 1) % {m} AS INT) + 1]"
+    nl = hu(f"{a} * (d.y - {si}) + {1000 - a} * (s.l + s.t)")
+    nt = hu(f"{b} * ({nl} - s.l) + {1000 - b} * s.t")
+    ns = hu(f"{g} * (d.y - {nl}) + {1000 - g} * {si}")
+    upd = (
+        f"list_transform(range(0, {m}), j -> CASE"
+        f" WHEN j = (d.i - 1) % {m} THEN {ns}"
+        f" ELSE s.s[CAST(j AS INT) + 1] END)"
+    )
+    zeros = "[" + ", ".join(["CAST(0 AS BIGINT)"] * m) + "]"
+    return f"""
+    WITH RECURSIVE daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS tot
+        FROM events GROUP BY 1
+    ),
+    d AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY day) AS i, tot AS y FROM daily
+    ),
+    state(i, l, t, s) AS (
+        SELECT CAST(1 AS BIGINT), y, CAST(0 AS BIGINT), {zeros}
+        FROM d WHERE i = 1
+        UNION ALL
+        SELECT d.i, {nl}, {nt}, {upd}
+        FROM state s JOIN d ON d.i = s.i + 1
+    ),
+    final AS (
+        SELECT * FROM state WHERE i = (SELECT MAX(i) FROM d)
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS n_days,
+           l AS level_cents, t AS trend_cents,
+           s[CAST((SELECT COUNT(*) FROM d) % {m} AS INT) + 1]
+               AS season_next_cents,
+           l + t + s[CAST((SELECT COUNT(*) FROM d) % {m} AS INT) + 1]
+               AS forecast_next_cents
+    FROM final
+    WHERE (SELECT COUNT(*) FROM d) >= 2
+    """

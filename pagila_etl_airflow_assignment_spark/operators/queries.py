@@ -1715,3 +1715,36 @@ def q_quarantine_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dead-letter quarantine routing: first-violated-rule reason codes,
     per-route populations and shares — the ingest front door."""
     return profile.quarantine_audit(load_table(spark, sf_dir, "events"))
+
+
+from ..llm.sampling import neyman_allocation_sql as _neyman_allocation_sql
+
+
+@register("sampling_neyman_allocation", oracle=_neyman_allocation_sql())
+def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman optimal allocation across source strata with Hamilton
+    rounding — one sqrt per stratum, quantized once, integer after."""
+    from ..llm import sampling as sampling_mod
+
+    return sampling_mod.neyman_allocation(load_table(spark, sf_dir, "documents"))
+
+
+@register("warehouse_bom_rollup", oracle=warehouse.bom_rollup_sql())
+def q_bom_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bill-of-materials cost rollup via ancestor-key path enumeration:
+    constant explode, one ancestor-keyed aggregate, no recursion."""
+    return warehouse.bom_rollup(load_table(spark, sf_dir, "part"))
+
+
+@register("events_person_time_rates", oracle=stats.PERSON_TIME_RATES_SQL)
+def q_person_time_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exposure-adjusted incidence rates: events per 1000 observed
+    user-days, shared person-time denominator."""
+    return stats.person_time_rates(load_table(spark, sf_dir, "events"))
+
+
+@register("events_holt_winters", oracle=analytics.holt_winters_sql())
+def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters additive triple smoothing (weekly season) as one exact
+    integer array fold, bit-identical to the recursive-CTE oracle."""
+    return analytics.holt_winters(load_table(spark, sf_dir, "events"))

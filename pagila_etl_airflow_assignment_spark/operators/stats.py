@@ -1280,3 +1280,68 @@ def diff_in_diff_sql(treat_type: str = DID_TREAT_TYPE) -> str:
         FROM panel
         ORDER BY grp, period
     """
+
+
+# --- person-time incidence rates -----------------------------------------------------
+
+
+def person_time_rates(events: DataFrame) -> DataFrame:
+    """Exposure-adjusted incidence rates per event type: events per 1000
+    user-days of observed exposure (the epidemiology denominator — raw
+    counts mislead when users are observed for different spans): (event_type,
+    n_events, person_days, rate_per_1000_days).
+
+    Person-time is each user's observed span (first..last activity day,
+    inclusive) summed over users; every type shares the denominator, so
+    rates are comparable. Two map-side-combined aggregates (user grain for
+    spans, type grain for counts) and one milli division on exact integers.
+
+    Scale shape: no window, no join against the fact — the span aggregate
+    and the type aggregate shuffle once each on their natural keys; the
+    final combine is |types| rows against a 1-row broadcast scalar."""
+    spans = (
+        events.groupBy("user_id")
+        .agg(
+            (
+                F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts"))) + 1
+            ).alias("span_days")
+        )
+        .agg(F.sum("span_days").cast("long").alias("person_days"))
+    )
+    by_type = events.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events")
+    )
+    return (
+        by_type.crossJoin(F.broadcast(spans))
+        .select(
+            "event_type",
+            "n_events",
+            "person_days",
+            F.expr(
+                "CAST(1000 * n_events DIV person_days AS BIGINT)"
+            ).alias("rate_per_1000_days"),
+        )
+        .orderBy("event_type")
+    )
+
+
+PERSON_TIME_RATES_SQL = """
+    WITH spans AS (
+        SELECT CAST(SUM(span_days) AS BIGINT) AS person_days
+        FROM (
+            SELECT user_id,
+                   date_diff('day', MIN(CAST(ts AS DATE)),
+                             MAX(CAST(ts AS DATE))) + 1 AS span_days
+            FROM events GROUP BY user_id
+        )
+    ),
+    by_type AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type, n_events, person_days,
+           CAST(1000 * n_events // person_days AS BIGINT)
+               AS rate_per_1000_days
+    FROM by_type CROSS JOIN spans
+    ORDER BY event_type
+"""

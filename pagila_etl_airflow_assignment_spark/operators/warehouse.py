@@ -2663,3 +2663,108 @@ def price_scenarios_sql() -> str:
         FROM base b CROSS JOIN grid g
         ORDER BY b.p_brand, delta_milli
     """
+
+
+# --- bill-of-materials hierarchy rollup ----------------------------------------------
+
+BOM_FANOUT = 7
+BOM_TIERS = 3
+BOM_TOP_K = 50
+
+
+def bom_rollup(part: DataFrame, k: int = BOM_TOP_K) -> DataFrame:
+    """Bill-of-materials cost rollup over the synthetic part hierarchy
+    (parent(p) = p DIV {BOM_FANOUT}; the derived-key stand-in for a real
+    BOM edge table): each assembly's rolled-up cost is its own retail
+    cents plus every component's cents within {BOM_TIERS} tiers. Output:
+    top-{BOM_TOP_K} assemblies (p_partkey, n_components, deepest_tier,
+    own_cents, rollup_cents, rank).
+
+    The hierarchical-rollup operator family (BOM explosion, org charts,
+    account trees) WITHOUT recursion: because ancestors are key-derivable,
+    each part emits its (ancestor, tier) contributions as a narrow
+    explode — the path-enumeration trick — and the rollup is ONE
+    ancestor-keyed map-side-combined aggregate. A real edge table gets the
+    same plan from {BOM_TIERS} unrolled joins (the BFS discipline); the
+    aggregate side is identical.
+
+    Scale shape: explode fan-out is a constant {BOM_TIERS}; no join, one
+    shuffle on the ancestor key. Skew-safe: fan-in per assembly is
+    {BOM_FANOUT}^tier, a constant."""
+    ancestors = F.array(
+        *[
+            F.struct(
+                F.expr(f"p_partkey DIV {BOM_FANOUT ** t}").alias("asm"),
+                F.lit(t).alias("tier"),
+            )
+            for t in range(1, BOM_TIERS + 1)
+        ]
+    )
+    cents = F.expr("CAST(round(p_retailprice * 100) AS BIGINT)")
+    contrib = (
+        part.select(cents.alias("cents"), F.explode(ancestors).alias("a"))
+        .where(F.col("a.asm") >= 1)
+        .select(
+            F.col("a.asm").alias("p_partkey"),
+            F.col("a.tier").alias("tier"),
+            "cents",
+        )
+    )
+    rolled = contrib.groupBy("p_partkey").agg(
+        F.count("*").cast("long").alias("n_components"),
+        F.max("tier").cast("int").alias("deepest_tier"),
+        F.sum("cents").alias("component_cents"),
+    )
+    order = [F.col("rollup_cents").desc(), F.col("p_partkey").asc()]
+    joined = (
+        part.select("p_partkey", cents.alias("own_cents"))
+        .join(rolled, "p_partkey")
+        .select(
+            "p_partkey",
+            "n_components",
+            "deepest_tier",
+            "own_cents",
+            (F.col("own_cents") + F.col("component_cents")).alias("rollup_cents"),
+        )
+    )
+    return (
+        joined.orderBy(*order)
+        .limit(k)
+        .select(
+            "*",
+            F.row_number().over(Window.orderBy(*order)).cast("long").alias("rank"),
+        )
+    )
+
+
+def bom_rollup_sql(k: int = BOM_TOP_K) -> str:
+    tiers = ", ".join(
+        f"({t}, {BOM_FANOUT ** t})" for t in range(1, BOM_TIERS + 1)
+    )
+    return f"""
+        WITH tiers(tier, divisor) AS (VALUES {tiers}),
+        contrib AS (
+            SELECT p.p_partkey // t.divisor AS asm, t.tier,
+                   CAST(round(p.p_retailprice * 100) AS BIGINT) AS cents
+            FROM part p CROSS JOIN tiers t
+            WHERE p.p_partkey // t.divisor >= 1
+        ),
+        rolled AS (
+            SELECT asm AS p_partkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_components,
+                   CAST(MAX(tier) AS INT) AS deepest_tier,
+                   SUM(cents) AS component_cents
+            FROM contrib GROUP BY asm
+        )
+        SELECT p.p_partkey, r.n_components, r.deepest_tier,
+               CAST(round(p.p_retailprice * 100) AS BIGINT) AS own_cents,
+               CAST(round(p.p_retailprice * 100) AS BIGINT)
+                   + r.component_cents AS rollup_cents,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY CAST(round(p.p_retailprice * 100) AS BIGINT)
+                            + r.component_cents DESC, p.p_partkey)
+                   AS BIGINT) AS rank
+        FROM part p JOIN rolled r USING (p_partkey)
+        ORDER BY rollup_cents DESC, p.p_partkey
+        LIMIT {k}
+    """

@@ -970,3 +970,87 @@ def test_quarantine_routes_by_first_violated_rule(spark):
     assert out["clock_skew"].n_events == 1
     assert out["clean"].n_events == 1
     assert out["clean"].share_milli == 250
+
+
+# --- Neyman allocation -------------------------------------------------------------
+
+
+def test_neyman_zero_variance_stratum_gets_nothing(spark):
+    # s0: all identical lengths (S=0); s1: spread -> s1 takes the budget
+    rows = [(i, "x" * 50, "en", "s0") for i in range(10)]
+    rows += [(100 + i, "x" * (10 + 40 * (i % 2)), "en", "s1") for i in range(10)]
+    out = {r.source: r for r in sampling.neyman_allocation(_docs(spark, rows)).collect()}
+    assert out["s0"].s_weight == 0 and out["s0"].alloc == 0
+    assert out["s1"].alloc == 1000
+
+
+def test_neyman_allocations_sum_to_budget(spark):
+    rows = [(i, "y" * (20 + (i * 13) % 90), "en", f"s{i % 3}") for i in range(30)]
+    allocs = [r.alloc for r in sampling.neyman_allocation(_docs(spark, rows)).collect()]
+    assert sum(allocs) == 1000
+
+
+# --- BOM rollup --------------------------------------------------------------------
+
+
+def test_bom_rollup_three_tiers_sum_exactly(spark):
+    # parts 1..400: assembly 1 receives tier1 {7..13}, tier2 {49..97... },
+    # check against a brute-force python rollup
+    parts = _parts(spark, list(range(1, 401)))
+    parts = parts.withColumn("p_retailprice", (F.col("p_partkey") * 1.0))
+    out = {r.p_partkey: r for r in warehouse.bom_rollup(parts, k=400).collect()}
+    exp = {}
+    for p in range(1, 401):
+        for t, d in ((1, 7), (2, 49), (3, 343)):
+            a = p // d
+            if a >= 1:
+                exp.setdefault(a, [0, 0])
+                exp[a][0] += p * 100
+                exp[a][1] += 1
+    for a, (cents, n) in exp.items():
+        if a in out:
+            assert out[a].rollup_cents == a * 100 + cents
+            assert out[a].n_components == n
+
+
+# --- person-time rates -------------------------------------------------------------
+
+
+def test_person_time_uses_span_not_count(spark):
+    rows = [
+        (1, _ts(1), 1, "view", 1.0),
+        (2, _ts(10), 1, "view", 1.0),   # user 1: span 10 days
+        (3, _ts(5), 2, "click", 1.0),   # user 2: span 1 day
+    ]
+    out = {r.event_type: r for r in stats.person_time_rates(_events(spark, rows)).collect()}
+    assert out["view"].person_days == 11
+    assert out["view"].rate_per_1000_days == 2000 // 11
+    assert out["click"].n_events == 1
+
+
+# --- Holt-Winters ------------------------------------------------------------------
+
+
+def test_holt_winters_matches_python_reference(spark):
+    vals = [100.0, 120.0, 90.0, 110.0, 130.0, 80.0, 105.0, 115.0, 125.0]
+    rows = [(i, _ts(1 + i), 1, "purchase", v) for i, v in enumerate(vals)]
+    out = analytics.holt_winters(_events(spark, rows)).collect()[0]
+
+    def hu(x):
+        sign = -1 if x < 0 else 1
+        return sign * ((2 * abs(x) + 1000) // 2000)
+
+    a, b, g, m = 300, 200, 200, 7
+    cents = [int(round(v * 100)) for v in vals]
+    l, t, s, i = cents[0], 0, [0] * m, 0
+    for y in cents[1:]:
+        i += 1
+        si = s[i % m]
+        nl = hu(a * (y - si) + (1000 - a) * (l + t))
+        nt = hu(b * (nl - l) + (1000 - b) * t)
+        s[i % m] = hu(g * (y - nl) + (1000 - g) * si)
+        l, t = nl, nt
+    assert out.n_days == len(vals)
+    assert out.level_cents == l and out.trend_cents == t
+    assert out.season_next_cents == s[len(vals) % m]
+    assert out.forecast_next_cents == l + t + s[len(vals) % m]

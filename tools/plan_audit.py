@@ -104,6 +104,8 @@ ALLOWED: dict[str, set[str]] = {
     "warehouse_topdown_forecast": {"BroadcastNestedLoopJoin"},
     # broadcast 1-row reference-date scalar (aging "today" stand-in)
     "warehouse_order_aging": {"BroadcastNestedLoopJoin"},
+    # broadcast 1-row person-days scalar (shared exposure denominator)
+    "events_person_time_rates": {"BroadcastNestedLoopJoin"},
     # broadcast 1-row reference-count scalar (exact integer decile-edge
     # rank selection, the r6 ulp fix)
     "events_psi_drift": {"BroadcastNestedLoopJoin"},
