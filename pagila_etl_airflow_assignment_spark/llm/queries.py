@@ -934,3 +934,21 @@ def q_energy_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VAD-style activity segmentation of payload energy envelopes:
     cross-multiplied threshold, gaps-and-islands runs, per-payload panel."""
     return multimodal.energy_segments(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_classifier_calibration", oracle=text.classifier_calibration_sql()
+)
+def q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + ECE for the linear quality classifier —
+    exact-integer milli bins, the deploy gate for learned filters."""
+    return text.classifier_calibration(load_table(spark, sf_dir, "documents"))
+
+
+@register("ann_ndcg_eval", oracle=similarity.ndcg_eval_sql(ANN_QUERY_IDS))
+def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@k of the LSH ranking vs exact cosine — graded ranking quality
+    with precomputed integer discount weights, no runtime logs."""
+    return similarity.ndcg_eval(
+        load_table(spark, sf_dir, "embeddings"), ANN_QUERY_IDS
+    )

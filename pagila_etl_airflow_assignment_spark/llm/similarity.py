@@ -1421,3 +1421,89 @@ def pq_adc_topk_sql(query_ids: list[int], k: int = DEFAULT_K) -> str:
           ON a.query_id = e.query_id AND a.vec_id = e.vec_id
         ORDER BY a.query_id, a.rank
     """
+
+
+# --- NDCG ranking-quality evaluation ------------------------------------------------
+
+# integer milli-scaled discount weights round(1e6 / log2(r + 1)) for r = 1..5,
+# precomputed so no engine ever evaluates a log at runtime
+NDCG_W = (1000000, 630930, 500000, 430677, 386853)
+NDCG_IDCG = 7323467  # sum of rel (4,3,2,1,0) * NDCG_W — the ideal DCG
+
+
+def ndcg_eval(
+    embeddings: DataFrame, query_ids: list[int], k: int = DEFAULT_K
+) -> DataFrame:
+    """NDCG@k of the LSH approximate ranking against the exact cosine
+    ranking — the GRADED ranking metric recall@k cannot see (it treats
+    rank 1 and rank k alike): exact neighbors get graded relevance
+    k−rank, the LSH list is scored with precomputed integer discount
+    weights, and NDCG = DCG/IDCG where the ideal is the constant
+    {NDCG_IDCG}. Output: (query_id, n_hits, dcg_scaled, ndcg_milli).
+
+    Everything is exact-integer: relevance grades, the weight table and
+    IDCG are constants, DCG is a Σ rel·w BIGINT, and ndcg_milli is one
+    positive floor division — nothing to drift cross-engine.
+
+    Scale shape: both rankings come from the existing broadcast-query
+    pipelines (corpus never shuffles); the join aligning them is
+    (query, vec)-keyed over ≤ |queries|·k rows."""
+    exact = brute_force_topk(embeddings, query_ids, k).select(
+        "query_id", "vec_id", (F.lit(k) - F.col("rank")).alias("rel")
+    )
+    approx = lsh_bucket_topk(embeddings, query_ids, k).select(
+        "query_id", "vec_id", F.col("rank").alias("arank")
+    )
+    w_expr = "CASE arank " + " ".join(
+        f"WHEN {r + 1} THEN {w}" for r, w in enumerate(NDCG_W)
+    ) + " ELSE 0 END"
+    per_q = (
+        approx.join(exact, ["query_id", "vec_id"], "left")
+        .select(
+            "query_id",
+            F.coalesce("rel", F.lit(0)).alias("rel"),
+            F.expr(w_expr).alias("w"),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.when(F.col("rel") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_hits"),
+            F.sum(F.col("rel") * F.col("w")).alias("dcg_scaled"),
+        )
+    )
+    return per_q.select(
+        "query_id",
+        "n_hits",
+        "dcg_scaled",
+        F.expr(f"CAST(1000 * dcg_scaled DIV {NDCG_IDCG} AS BIGINT)").alias(
+            "ndcg_milli"
+        ),
+    ).orderBy("query_id")
+
+
+def ndcg_eval_sql(query_ids: list[int], k: int = DEFAULT_K) -> str:
+    w_expr = "CASE a.rank " + " ".join(
+        f"WHEN {r + 1} THEN {w}" for r, w in enumerate(NDCG_W)
+    ) + " ELSE 0 END"
+    return f"""
+        WITH exact_r AS ({brute_force_topk_sql(query_ids, k)}),
+        approx_r AS ({lsh_bucket_topk_sql(query_ids, k)}),
+        aligned AS (
+            SELECT a.query_id,
+                   COALESCE({k} - e.rank, 0) AS rel,
+                   {w_expr} AS w
+            FROM approx_r a
+            LEFT JOIN exact_r e
+              ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+        )
+        SELECT query_id,
+               CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_hits,
+               CAST(SUM(rel * w) AS BIGINT) AS dcg_scaled,
+               CAST(1000 * SUM(rel * w) // {NDCG_IDCG} AS BIGINT)
+                   AS ndcg_milli
+        FROM aligned
+        GROUP BY query_id
+        ORDER BY query_id
+    """

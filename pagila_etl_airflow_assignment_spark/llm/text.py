@@ -1603,3 +1603,134 @@ def t_closeness_sql(t_milli: int = TCLOSE_T_MILLI) -> str:
         FROM agg
         ORDER BY source
     """
+
+
+# --- classifier calibration (reliability + ECE) ----------------------------------
+
+CALIB_LABEL_CHARS = 300  # "long-form" outcome the score is judged against
+
+
+def classifier_calibration(docs: DataFrame) -> DataFrame:
+    """Reliability diagram + expected calibration error for the linear
+    quality classifier: scores map to a pseudo-probability, documents fall
+    into 10 confidence bins, and each bin compares mean predicted
+    confidence against the observed rate of the outcome (long-form,
+    n_chars >= {CALIB_LABEL_CHARS}): (bin, n_docs, conf_milli, acc_milli,
+    gap_milli, ece_milli) — ece_milli is the corpus ECE
+    Σ n_b·|acc−conf| / N repeated on every row of the 10-row panel.
+
+    The deploy gate for any learned filter: a quality score can RANK well
+    and still lie about its confidence, and ECE is the number that says
+    so (Guo et al., ICML 2017). All arithmetic is exact-integer milli with
+    half-up division; binning is integer p DIV 100.
+
+    Scale shape: scoring is the zero-shuffle classifier expression; the
+    panel is one 10-row aggregate plus windows over those 10 rows."""
+    from .hashing import md5_int
+
+    toks = F.split(_norm(F.col("text")), WS_RE)
+    wsum = F.aggregate(
+        F.transform(F.col("t"), lambda t: md5_int(t) % CLF_W_MOD),
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + w,
+    )
+    scored = (
+        docs.select("doc_id", "n_chars", toks.alias("t"))
+        .select(
+            "doc_id",
+            "n_chars",
+            F.size("t").cast("long").alias("n_tokens"),
+            wsum.alias("wsum"),
+        )
+        .select(
+            "n_chars",
+            (
+                F.expr("CAST((2 * wsum + n_tokens) DIV (2 * n_tokens) AS BIGINT)")
+                - F.lit(1000)
+            ).alias("logit_milli"),
+        )
+        .select(
+            F.expr(
+                "LEAST(CAST(1000 AS BIGINT),"
+                " GREATEST(CAST(0 AS BIGINT), 500 + logit_milli))"
+            ).alias("p_milli"),
+            F.when(F.col("n_chars") >= CALIB_LABEL_CHARS, 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("label"),
+        )
+    )
+    binned = scored.groupBy(
+        F.expr("LEAST(CAST(9 AS BIGINT), p_milli DIV 100)").alias("bin")
+    ).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("p_milli").alias("p_sum"),
+        F.sum("label").alias("pos"),
+    )
+    g = Window.partitionBy()
+    panel = binned.select(
+        "bin",
+        "n_docs",
+        F.expr("CAST((2 * p_sum + n_docs) DIV (2 * n_docs) AS BIGINT)").alias(
+            "conf_milli"
+        ),
+        F.expr("CAST((2000 * pos + n_docs) DIV (2 * n_docs) AS BIGINT)").alias(
+            "acc_milli"
+        ),
+    ).withColumn("gap_milli", F.abs(F.col("acc_milli") - F.col("conf_milli")))
+    return (
+        panel.withColumn(
+            "ece_milli",
+            F.expr(
+                "CAST(SUM(n_docs * gap_milli) OVER () DIV SUM(n_docs) OVER ()"
+                " AS BIGINT)"
+            ),
+        )
+        .orderBy("bin")
+    )
+
+
+def classifier_calibration_sql() -> str:
+    from .hashing import md5_int_sql
+
+    w = f"({md5_int_sql('t')} % {CLF_W_MOD})"
+    return rf"""
+    WITH toks AS (
+        SELECT doc_id, n_chars,
+               string_split_regex({_norm_sql('text')}, '{WS_RE}') AS t
+        FROM documents
+    ),
+    raw AS (
+        SELECT n_chars, len(t) AS n_tokens,
+               CAST(list_sum(list_transform(t, t -> {w})) AS BIGINT) AS wsum
+        FROM toks
+    ),
+    scored AS (
+        SELECT LEAST(CAST(1000 AS BIGINT), GREATEST(CAST(0 AS BIGINT),
+                   500 + CAST((2 * wsum + n_tokens) // (2 * n_tokens)
+                              AS BIGINT) - 1000)) AS p_milli,
+               CASE WHEN n_chars >= {CALIB_LABEL_CHARS} THEN 1 ELSE 0 END
+                   AS label
+        FROM raw
+    ),
+    binned AS (
+        SELECT LEAST(CAST(9 AS BIGINT), p_milli // 100) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               SUM(p_milli) AS p_sum, SUM(label) AS pos
+        FROM scored GROUP BY 1
+    ),
+    panel AS (
+        SELECT bin, n_docs,
+               CAST((2 * p_sum + n_docs) // (2 * n_docs) AS BIGINT)
+                   AS conf_milli,
+               CAST((2000 * pos + n_docs) // (2 * n_docs) AS BIGINT)
+                   AS acc_milli
+        FROM binned
+    )
+    SELECT bin, n_docs, conf_milli, acc_milli,
+           ABS(acc_milli - conf_milli) AS gap_milli,
+           CAST(SUM(n_docs * ABS(acc_milli - conf_milli)) OVER ()
+                // SUM(n_docs) OVER () AS BIGINT) AS ece_milli
+    FROM panel
+    ORDER BY bin
+    """

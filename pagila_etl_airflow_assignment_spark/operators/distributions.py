@@ -1042,3 +1042,103 @@ def conformal_interval_sql() -> str:
                CAST(1000 * n_covered // n_test AS BIGINT) AS coverage_milli
         FROM cov
     """
+
+
+# --- distribution-free median confidence interval -----------------------------------
+
+
+def median_ci(events: DataFrame) -> DataFrame:
+    """Distribution-free 95% confidence interval for the median event value
+    per type, by ORDER-STATISTIC RANKS (the sign-test inversion: the CI is
+    [x_(l), x_(u)] with l,u = n/2 ∓ 0.98·sqrt(n) — no distributional
+    assumption, no bootstrap replicates): (event_type, n, median_cents,
+    lo_cents, hi_cents).
+
+    The one irrational operand (sqrt n) is quantized ONCE on an
+    exactly-agreed integer (the micro-nat discipline); ranks derive from
+    it in pure integer arithmetic, and all three reported statistics are
+    order-statistic SELECTIONS by row_number — floats never touch values.
+
+    Scale shape: one per-type rank window (two-stage if a type ever grew
+    unbounded) and a 4-way selection join on the |types|-row rank spec."""
+    vals = events.select(
+        "event_type",
+        "event_id",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    spec = (
+        vals.groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "event_type",
+            "n",
+            F.round(F.lit(980) * F.sqrt("n")).cast("long").alias("d_milli"),
+        )
+        .select(
+            "event_type",
+            "n",
+            F.expr("(n + 1) DIV 2").alias("med_rank"),
+            F.expr(
+                "GREATEST(CAST(1 AS BIGINT), (500 * n - d_milli) DIV 1000)"
+            ).alias("lo_rank"),
+            F.expr(
+                "LEAST(n, (500 * n + d_milli + 999) DIV 1000 + 1)"
+            ).alias("hi_rank"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    ranked = vals.withColumn("rn", F.row_number().over(w))
+    def pick(rank_col: str, out: str):
+        return (
+            ranked.join(
+                spec.select("event_type", F.col(rank_col).alias("__r")),
+                "event_type",
+            )
+            .where(F.col("rn") == F.col("__r"))
+            .select("event_type", F.col("cents").alias(out))
+        )
+    return (
+        spec.select("event_type", F.col("n").cast("long").alias("n"))
+        .join(pick("med_rank", "median_cents"), "event_type")
+        .join(pick("lo_rank", "lo_cents"), "event_type")
+        .join(pick("hi_rank", "hi_cents"), "event_type")
+        .orderBy("event_type")
+    )
+
+
+MEDIAN_CI_SQL = """
+    WITH vals AS (
+        SELECT event_type, event_id,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    spec AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(round(980 * sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT)
+                   AS d_milli
+        FROM vals GROUP BY event_type
+    ),
+    ranks AS (
+        SELECT event_type, n,
+               (n + 1) // 2 AS med_rank,
+               GREATEST(CAST(1 AS BIGINT), (500 * n - d_milli) // 1000)
+                   AS lo_rank,
+               LEAST(n, (500 * n + d_milli + 999) // 1000 + 1) AS hi_rank
+        FROM spec
+    ),
+    ranked AS (
+        SELECT event_type, cents,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY cents, event_id) AS rn
+        FROM vals
+    )
+    SELECT r.event_type, r.n,
+           med.cents AS median_cents,
+           lo.cents AS lo_cents,
+           hi.cents AS hi_cents
+    FROM ranks r
+    JOIN ranked med ON med.event_type = r.event_type AND med.rn = r.med_rank
+    JOIN ranked lo ON lo.event_type = r.event_type AND lo.rn = r.lo_rank
+    JOIN ranked hi ON hi.event_type = r.event_type AND hi.rn = r.hi_rank
+    ORDER BY r.event_type
+"""

@@ -1260,3 +1260,135 @@ def walk_pair_counts_sql(
         ORDER BY cnt DESC, part_a, part_b, dist
         LIMIT {k}
     """
+
+
+# --- Adamic-Adar link prediction -----------------------------------------------------
+
+AA_TOP_K = 50
+
+
+def adamic_adar(
+    lineitem: DataFrame,
+    k: int = AA_TOP_K,
+    max_basket: int = 30,
+    min_support: int = TRI_MIN_SUPPORT,
+    max_hub_degree: int = LP_MAX_HUB_DEGREE,
+) -> DataFrame:
+    """Top-k non-edges by Adamic-Adar score — the degree-weighted upgrade of
+    [[link_prediction_jaccard]]: a shared neighbor z contributes 1/ln(deg z),
+    so rare mutual contacts count more than ubiquitous ones (Adamic & Adar,
+    2003). Output: (x, y, n_common, aa_micro).
+
+    Because the score decomposes over WEDGE MIDDLES, no neighbor-set
+    intersection is needed at all: each wedge (x, z, y) carries its
+    middle's weight and the score is one (x, y)-keyed SUM — cheaper than
+    the Jaccard verify. Weights are ln of an exact integer degree,
+    micro-quantized once (the user_entropy convention); middles with
+    degree < 2 are excluded (1/ln(1) is undefined — and a degree-1 node
+    cannot be a wedge middle anyway).
+
+    Scale shape: identical candidate economics to the Jaccard predictor —
+    support-pruned edges, hub-capped middles (cap·|E| wedges, never
+    Σdeg²), existing edges anti-joined out."""
+    pruned = (
+        _oriented_pair_rel(lineitem, max_basket)
+        .groupBy(F.col("part_a").alias("u"), F.col("part_b").alias("v"))
+        .agg(F.count("*").alias("support"))
+        .where(F.col("support") >= min_support)
+        .select("u", "v")
+        .localCheckpoint(eager=True)
+    )
+    sym = pruned.unionByName(
+        pruned.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count("*").alias("d"))
+    mids = (
+        deg.where((F.col("d") >= 2) & (F.col("d") <= max_hub_degree))
+        .select(
+            F.col("u").alias("mid"),
+            F.round(F.lit(1e6) / F.log("d")).cast("long").alias("w"),
+        )
+    )
+    capped = sym.join(mids, sym["v"] == mids["mid"]).select("u", "v", "w")
+    # second leg from the UNRESTRICTED edge set: the middle (e1.v = e2.u) is
+    # already degree-bounded via `mids`, which is what caps wedge volume —
+    # restricting e2's endpoint too would silently drop candidates whose y
+    # happens to be a leaf or hub
+    wedges = (
+        capped.alias("e1")
+        .join(
+            sym.alias("e2"),
+            (F.col("e1.v") == F.col("e2.u")) & (F.col("e1.u") < F.col("e2.v")),
+        )
+        .select(
+            F.col("e1.u").alias("x"),
+            F.col("e2.v").alias("y"),
+            F.col("e1.w").alias("w"),
+        )
+    )
+    non_edge_scores = (
+        wedges.join(
+            pruned.select(F.col("u").alias("x"), F.col("v").alias("y")),
+            ["x", "y"],
+            "left_anti",
+        )
+        .groupBy("x", "y")
+        .agg(
+            F.count("*").cast("long").alias("n_common"),
+            F.sum("w").alias("aa_micro"),
+        )
+    )
+    return non_edge_scores.orderBy(
+        F.desc("aa_micro"), "x", "y"
+    ).limit(k)
+
+
+def adamic_adar_sql(
+    k: int = AA_TOP_K,
+    max_basket: int = 30,
+    min_support: int = TRI_MIN_SUPPORT,
+    max_hub_degree: int = LP_MAX_HUB_DEGREE,
+) -> str:
+    return f"""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), small AS (
+            SELECT l_orderkey FROM items
+            GROUP BY l_orderkey HAVING COUNT(*) <= {max_basket}
+        ), basket AS (
+            SELECT i.l_orderkey, i.l_partkey FROM items i
+            JOIN small USING (l_orderkey)
+        ), pruned AS (
+            SELECT a.l_partkey AS u, b.l_partkey AS v
+            FROM basket a JOIN basket b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY a.l_partkey, b.l_partkey
+            HAVING COUNT(*) >= {min_support}
+        ), sym AS (
+            SELECT u, v FROM pruned
+            UNION ALL SELECT v AS u, u AS v FROM pruned
+        ), deg AS (
+            SELECT u, COUNT(*) AS d FROM sym GROUP BY u
+        ), mids AS (
+            SELECT u AS mid,
+                   CAST(round(1e6 / ln(d)) AS BIGINT) AS w
+            FROM deg WHERE d >= 2 AND d <= {max_hub_degree}
+        ), capped AS (
+            SELECT s.u, s.v, m.w FROM sym s JOIN mids m ON m.mid = s.v
+        ), wedges AS (
+            SELECT e1.u AS x, e2.v AS y, e1.w
+            FROM capped e1 JOIN sym e2
+              ON e1.v = e2.u AND e1.u < e2.v
+        ), scored AS (
+            SELECT w.x, w.y, CAST(COUNT(*) AS BIGINT) AS n_common,
+                   CAST(SUM(w.w) AS BIGINT) AS aa_micro
+            FROM wedges w
+            WHERE NOT EXISTS (
+                SELECT 1 FROM pruned p WHERE p.u = w.x AND p.v = w.y)
+            GROUP BY w.x, w.y
+        )
+        SELECT x, y, n_common, aa_micro
+        FROM scored
+        ORDER BY aa_micro DESC, x, y
+        LIMIT {k}
+    """

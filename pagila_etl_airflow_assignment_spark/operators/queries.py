@@ -1748,3 +1748,17 @@ def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holt-Winters additive triple smoothing (weekly season) as one exact
     integer array fold, bit-identical to the recursive-CTE oracle."""
     return analytics.holt_winters(load_table(spark, sf_dir, "events"))
+
+
+@register("graph_adamic_adar", oracle=graph.adamic_adar_sql())
+def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction: wedge-middle decomposition makes the
+    score one keyed SUM of micro-quantized 1/ln(degree) weights."""
+    return graph.adamic_adar(load_table(spark, sf_dir, "lineitem"))
+
+
+@register("events_median_ci", oracle=distributions.MEDIAN_CI_SQL)
+def q_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free median CI per event type by order-statistic rank
+    selection — one quantized sqrt, everything else exact integers."""
+    return distributions.median_ci(load_table(spark, sf_dir, "events"))

@@ -1054,3 +1054,95 @@ def test_holt_winters_matches_python_reference(spark):
     assert out.level_cents == l and out.trend_cents == t
     assert out.season_next_cents == s[len(vals) % m]
     assert out.forecast_next_cents == l + t + s[len(vals) % m]
+
+
+# --- classifier calibration --------------------------------------------------------
+
+
+def test_calibration_ece_is_doc_weighted_gap(spark):
+    from pagila_etl_airflow_assignment_spark.llm import text as text_mod
+
+    docs = _docs(
+        spark,
+        [(i, ("w%d " % (i * 31)) * 20, "en", "s") for i in range(12)]
+        + [(100 + i, "long doc " + "filler words here " * 30, "en", "s")
+           for i in range(4)],
+    )
+    out = text_mod.classifier_calibration(docs).collect()
+    assert len(out) >= 1
+    total = sum(r.n_docs for r in out)
+    expected_ece = sum(r.n_docs * r.gap_milli for r in out) // total
+    for r in out:
+        assert r.gap_milli == abs(r.acc_milli - r.conf_milli)
+        assert r.ece_milli == expected_ece
+        assert 0 <= r.conf_milli <= 1000 and 0 <= r.acc_milli <= 1000
+
+
+# --- NDCG --------------------------------------------------------------------------
+
+
+def test_ndcg_perfect_ranking_is_1000(spark):
+    from pagila_etl_airflow_assignment_spark.llm import similarity
+
+    # clustered vectors: queries 0,1 each have clear distinct neighbors, so
+    # LSH and exact agree and NDCG should be high; bounds always hold
+    vecs = spark.createDataFrame(
+        [(i, [0.1 * ((i * 13 + j * 7) % 23 - 11) for j in range(64)], 0)
+         for i in range(30)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = similarity.ndcg_eval(vecs, [0, 1], k=5).collect()
+    assert {r.query_id for r in out} <= {0, 1}
+    for r in out:
+        assert 0 <= r.ndcg_milli <= 1000
+        assert 0 <= r.n_hits <= 5
+        # dcg consistency: scaled dcg implies the milli value
+        assert r.ndcg_milli == 1000 * r.dcg_scaled // 7323467
+
+
+# --- Adamic-Adar -------------------------------------------------------------------
+
+
+def test_adamic_adar_weights_rare_middles_higher(spark):
+    import math
+
+    # path graph x-z1-y (z1 degree 2) and wedges through hub z2 (degree 4):
+    # baskets: {1,2},{2,3} -> wedge 1-3 via 2; {4,5},{5,6},{5,7},{5,1}
+    baskets = [(1, [1, 2]), (2, [2, 3]), (3, [4, 5]), (4, [5, 6]), (5, [5, 7]), (6, [5, 1])]
+    li = spark.createDataFrame(
+        [
+            (o, p, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", dt.datetime(1996, 1, 1))
+            for o, parts in baskets for p in parts
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    )
+    from pagila_etl_airflow_assignment_spark.operators import graph
+
+    out = graph.adamic_adar(li, min_support=1).collect()
+    scores = {(r.x, r.y): r for r in out}
+    assert (1, 3) in scores  # wedge through degree-2 node 2
+    w2 = round(1e6 / math.log(2))
+    assert scores[(1, 3)].aa_micro == w2
+    # pairs through hub 5 (degree 4) get the smaller weight
+    w4 = round(1e6 / math.log(4))
+    hub_pair = scores[(4, 6)]
+    assert hub_pair.aa_micro == w4 and w4 < w2
+
+
+# --- median CI ---------------------------------------------------------------------
+
+
+def test_median_ci_brackets_median_and_uses_order_stats(spark):
+    rows = [(i, _ts(1 + i % 20), 1, "view", float(i + 1)) for i in range(99)]
+    from pagila_etl_airflow_assignment_spark.operators import distributions
+
+    out = distributions.median_ci(_events(spark, rows)).collect()[0]
+    assert out.n == 99
+    assert out.median_cents == 5000  # 50th of 1..99 dollars
+    assert out.lo_cents <= out.median_cents <= out.hi_cents
+    # ranks: d = round(980*sqrt(99)) = 9751; lo = (49500-9751)//1000 = 39
+    # hi = min(99, (49500+9751+999)//1000 + 1) = 61
+    assert out.lo_cents == 3900 and out.hi_cents == 6100
