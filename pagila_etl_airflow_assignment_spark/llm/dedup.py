@@ -2197,3 +2197,108 @@ def bbit_minhash_estimates_sql(b: int = BBIT_B) -> str:
         FROM scored
         ORDER BY doc_a, doc_b
     """
+
+
+# --- B-cubed cluster-quality evaluation ----------------------------------------------
+
+BCUBED_GOLD_PREFIX = 80
+
+
+def bcubed_eval(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """B-cubed precision/recall/F1 of the resolved near-dup clustering
+    against the prefix-replica gold standard (documents sharing their
+    first {BCUBED_GOLD_PREFIX} characters are replicas of one origin —
+    the generator's dup mechanism): one panel row (n_docs,
+    n_pred_clusters, n_gold_clusters, b3_precision_milli, b3_recall_milli,
+    b3_f1_milli).
+
+    B³ (Bagga & Baldwin 1998) is the clustering metric that punishes both
+    over-merge (precision: how much of my predicted cluster shares my gold
+    cluster) and over-split (recall: how much of my gold cluster my
+    predicted cluster found) PER ELEMENT — pairwise metrics let giant
+    clusters dominate. Per-element scores are rationals n_cg/n_c; the
+    pinned integer rule is per-CELL milli flooring (Σ 1000·n_cg² DIV n_c,
+    then DIV N) — identical on both engines, and the systematic floor bias
+    is < 1 milli per cell.
+
+    Scale shape: clustering is the existing min-label propagation; the
+    eval itself is three bounded aggregates on (cluster, gold) cells —
+    cells ≤ docs, and the panel is one row."""
+    clusters = dedup_clusters(docs, pairs).select("doc_id", "cluster_id")
+    gold = docs.select(
+        "doc_id",
+        F.md5(F.substring("text", 1, BCUBED_GOLD_PREFIX)).alias("gold_id"),
+    )
+    cells = (
+        clusters.join(gold, "doc_id")
+        .groupBy("cluster_id", "gold_id")
+        .agg(F.count("*").alias("n_cg"))
+    )
+    c_sizes = cells.groupBy("cluster_id").agg(F.sum("n_cg").alias("n_c"))
+    g_sizes = cells.groupBy("gold_id").agg(F.sum("n_cg").alias("n_g"))
+    scored = (
+        cells.join(c_sizes, "cluster_id")
+        .join(g_sizes, "gold_id")
+        .agg(
+            F.sum("n_cg").cast("long").alias("n_docs"),
+            F.countDistinct("cluster_id").cast("long").alias("n_pred_clusters"),
+            F.countDistinct("gold_id").cast("long").alias("n_gold_clusters"),
+            F.sum(F.expr("1000 * n_cg * n_cg DIV n_c")).alias("p_num"),
+            F.sum(F.expr("1000 * n_cg * n_cg DIV n_g")).alias("r_num"),
+        )
+    )
+    return scored.select(
+        "n_docs",
+        "n_pred_clusters",
+        "n_gold_clusters",
+        F.expr("CAST(p_num DIV n_docs AS BIGINT)").alias("b3_precision_milli"),
+        F.expr("CAST(r_num DIV n_docs AS BIGINT)").alias("b3_recall_milli"),
+        F.expr(
+            "CAST(CASE WHEN p_num + r_num = 0 THEN 0"
+            " ELSE 2 * (p_num DIV n_docs) * (r_num DIV n_docs)"
+            " DIV ((p_num DIV n_docs) + (r_num DIV n_docs)) END AS BIGINT)"
+        ).alias("b3_f1_milli"),
+    )
+
+
+def bcubed_eval_sql(pairs_sql: str, docs_rel: str = "documents") -> str:
+    clusters = dedup_clusters_sql(pairs_sql, docs_rel)
+    return f"""
+        WITH clusters AS ({clusters}),
+        gold AS (
+            SELECT doc_id,
+                   md5(substr(text, 1, {BCUBED_GOLD_PREFIX})) AS gold_id
+            FROM {docs_rel}
+        ),
+        cells AS (
+            SELECT c.cluster_id, g.gold_id, COUNT(*) AS n_cg
+            FROM clusters c JOIN gold g USING (doc_id)
+            GROUP BY c.cluster_id, g.gold_id
+        ),
+        c_sizes AS (
+            SELECT cluster_id, SUM(n_cg) AS n_c FROM cells GROUP BY cluster_id
+        ),
+        g_sizes AS (
+            SELECT gold_id, SUM(n_cg) AS n_g FROM cells GROUP BY gold_id
+        ),
+        scored AS (
+            SELECT CAST(SUM(n_cg) AS BIGINT) AS n_docs,
+                   CAST(COUNT(DISTINCT cells.cluster_id) AS BIGINT)
+                       AS n_pred_clusters,
+                   CAST(COUNT(DISTINCT cells.gold_id) AS BIGINT)
+                       AS n_gold_clusters,
+                   CAST(SUM(1000 * n_cg * n_cg // n_c) AS BIGINT) AS p_num,
+                   CAST(SUM(1000 * n_cg * n_cg // n_g) AS BIGINT) AS r_num
+            FROM cells
+            JOIN c_sizes USING (cluster_id)
+            JOIN g_sizes USING (gold_id)
+        )
+        SELECT n_docs, n_pred_clusters, n_gold_clusters,
+               CAST(p_num // n_docs AS BIGINT) AS b3_precision_milli,
+               CAST(r_num // n_docs AS BIGINT) AS b3_recall_milli,
+               CAST(CASE WHEN p_num + r_num = 0 THEN 0
+                    ELSE 2 * (p_num // n_docs) * (r_num // n_docs)
+                         // ((p_num // n_docs) + (r_num // n_docs)) END
+                   AS BIGINT) AS b3_f1_milli
+        FROM scored
+    """

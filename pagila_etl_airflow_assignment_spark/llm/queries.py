@@ -952,3 +952,27 @@ def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ndcg_eval(
         load_table(spark, sf_dir, "embeddings"), ANN_QUERY_IDS
     )
+
+
+@register(
+    "dedup_bcubed_eval",
+    oracle=dedup.bcubed_eval_sql(dedup.ngram_jaccard_pairs_sql(threshold=0.1)),
+)
+def q_bcubed_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-cubed precision/recall/F1 of the resolved clustering vs the
+    prefix-replica gold standard — per-element clustering quality."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.1)
+    return dedup.bcubed_eval(docs, pairs)
+
+
+@register(
+    "embedding_triplet_mining",
+    oracle=similarity.triplet_mining_sql(ANN_QUERY_IDS),
+)
+def q_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-triplet mining (hardest same-label positive, hardest other-label
+    negative, semi-hard margin test) for metric-learning training data."""
+    return similarity.triplet_mining(
+        load_table(spark, sf_dir, "embeddings"), ANN_QUERY_IDS
+    )

@@ -1507,3 +1507,123 @@ def ndcg_eval_sql(query_ids: list[int], k: int = DEFAULT_K) -> str:
         GROUP BY query_id
         ORDER BY query_id
     """
+
+
+# --- triplet mining ------------------------------------------------------------------
+
+TRIPLET_MARGIN = 0.05
+
+
+def triplet_mining(
+    embeddings: DataFrame, anchor_ids: list[int], margin: float = TRIPLET_MARGIN
+) -> DataFrame:
+    """Hard-triplet mining for metric-learning training data: for each
+    anchor, the hardest POSITIVE is its most-similar same-label vector and
+    the hardest NEGATIVE its most-similar other-label vector; the triplet
+    is worth training on when the margin is violated (neg_cos > pos_cos −
+    margin — FaceNet's semi-hard criterion, Schroff et al. 2015). Output:
+    (anchor_id, label, pos_id, pos_cos, neg_id, neg_cos, margin_violated).
+
+    Cosines follow the repo's certified convention (one round(·,6) per
+    score — both engines evaluate the same dot/norm fold); the argmax per
+    (anchor, side) is a min-struct aggregate with vec_id tiebreak, and the
+    margin test compares two identically-rounded doubles against an exact
+    literal.
+
+    Scale shape: anchors broadcast against the corpus (the brute-force-
+    topk economics — no corpus shuffle); two aggregates on the anchor key."""
+    corpus = embeddings.select(
+        "vec_id", "label", "embedding", _l2norm(F.col("embedding")).alias("nrm")
+    )
+    anchors = corpus.where(F.col("vec_id").isin(anchor_ids)).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("a_label"),
+        F.col("embedding").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(anchors))
+        .where(F.col("vec_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "a_label",
+            "vec_id",
+            "label",
+            F.round(
+                _dot(F.col("a_emb"), F.col("embedding"))
+                / (F.col("a_nrm") * F.col("nrm")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    best = lambda df, out_id, out_cos: (  # noqa: E731
+        df.select(
+            "anchor_id",
+            "a_label",
+            F.struct(
+                (-F.col("cosine")).alias("neg_cos"), F.col("vec_id").alias("v")
+            ).alias("cand"),
+            "cosine",
+        )
+        .groupBy("anchor_id", "a_label")
+        .agg(F.min("cand").alias("b"))
+        .select(
+            "anchor_id",
+            "a_label",
+            F.col("b.v").alias(out_id),
+            (-F.col("b.neg_cos")).alias(out_cos),
+        )
+    )
+    pos = best(scored.where(F.col("label") == F.col("a_label")), "pos_id", "pos_cos")
+    neg = best(scored.where(F.col("label") != F.col("a_label")), "neg_id", "neg_cos")
+    return (
+        pos.join(neg, ["anchor_id", "a_label"])
+        .select(
+            "anchor_id",
+            F.col("a_label").alias("label"),
+            "pos_id",
+            "pos_cos",
+            "neg_id",
+            "neg_cos",
+            (F.col("neg_cos") > F.col("pos_cos") - F.lit(margin)).alias(
+                "margin_violated"
+            ),
+        )
+        .orderBy("anchor_id")
+    )
+
+
+def triplet_mining_sql(
+    anchor_ids: list[int], margin: float = TRIPLET_MARGIN
+) -> str:
+    ids = ", ".join(str(i) for i in anchor_ids)
+    return f"""
+        WITH anchors AS (
+            SELECT vec_id AS anchor_id, label AS a_label, embedding AS a_emb
+            FROM embeddings WHERE vec_id IN ({ids})
+        ),
+        scored AS (
+            SELECT a.anchor_id, a.a_label, c.vec_id, c.label,
+                   round(list_cosine_similarity(
+                       a.a_emb::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine
+            FROM embeddings c CROSS JOIN anchors a
+            WHERE c.vec_id <> a.anchor_id
+        ),
+        pos AS (
+            SELECT anchor_id, a_label,
+                   (MIN(struct_pack(nc := -cosine, v := vec_id))).v AS pos_id,
+                   -(MIN(struct_pack(nc := -cosine, v := vec_id))).nc AS pos_cos
+            FROM scored WHERE label = a_label GROUP BY anchor_id, a_label
+        ),
+        neg AS (
+            SELECT anchor_id, a_label,
+                   (MIN(struct_pack(nc := -cosine, v := vec_id))).v AS neg_id,
+                   -(MIN(struct_pack(nc := -cosine, v := vec_id))).nc AS neg_cos
+            FROM scored WHERE label <> a_label GROUP BY anchor_id, a_label
+        )
+        SELECT p.anchor_id, p.a_label AS label,
+               p.pos_id, p.pos_cos, n.neg_id, n.neg_cos,
+               n.neg_cos > p.pos_cos - {margin} AS margin_violated
+        FROM pos p JOIN neg n USING (anchor_id, a_label)
+        ORDER BY p.anchor_id
+    """

@@ -308,3 +308,144 @@ def orders_partition_checksum_diff_sql() -> str:
         old_side=_checksum_side_sql("old"),
         new_side=_checksum_side_sql("new"),
     )
+
+
+# --- multi-master last-writer-wins reconciliation ------------------------------------
+
+LWW_A_MOD = 1  # keys edited by BOTH regions (conflict class)
+LWW_B_MOD = 2  # keys edited by region B only
+LWW_A_ONLY_MOD = 3  # keys edited by region A only
+
+
+def multimaster_lww(orders: DataFrame) -> DataFrame:
+    """Multi-master replica reconciliation by last-writer-wins: two regions
+    hold replicas of the orders table with region-local edits (derived
+    deterministically from the key, the module's synthetic-CDC
+    convention); the merged table keeps, per key, the version with the
+    LATEST edit timestamp, ties to the lexicographically larger region.
+    Output: per winning source (winner, n_keys, n_conflicts,
+    sum_price_cents) — 'base' rows survived untouched, region rows won an
+    edit; n_conflicts counts keys BOTH regions edited.
+
+    The conflict-resolution operator every active-active ingest needs
+    before a golden table exists. Each key's candidate versions
+    materialize as a narrow per-row explode (base always; region edits
+    when the key matches their mod class — never a join), the winner is
+    one min-struct aggregate on (-edit_epoch, region), and the audit is a
+    3-row aggregate. Keys-with-2-edits is decided per row (both mod tests
+    are on the same key), so conflicts need no second pass.
+
+    Scale shape: one explode (≤3 candidates/row) + one key-grain
+    aggregate + one 3-row rollup. Timestamp math in exact epoch seconds."""
+    base_cents = F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    epoch = F.unix_timestamp("o_orderdate")
+    is_a = (F.col("o_orderkey") % 7 == LWW_A_MOD) | (
+        F.col("o_orderkey") % 7 == LWW_A_ONLY_MOD
+    )
+    is_b = (F.col("o_orderkey") % 7 == LWW_B_MOD) | (
+        F.col("o_orderkey") % 7 == LWW_A_MOD
+    )
+    cand = F.array(
+        F.struct(
+            F.lit("base").alias("src"),
+            epoch.alias("ts"),
+            base_cents.alias("cents"),
+        ),
+        F.when(
+            is_a,
+            F.struct(
+                F.lit("region_a").alias("src"),
+                (epoch + 2 * 86400).alias("ts"),
+                (base_cents + 100).alias("cents"),
+            ),
+        ),
+        F.when(
+            is_b,
+            F.struct(
+                F.lit("region_b").alias("src"),
+                (epoch + F.when(is_a, 3 * 86400).otherwise(86400)).alias("ts"),
+                (base_cents + 200).alias("cents"),
+            ),
+        ),
+    )
+    per_key = (
+        orders.select(
+            "o_orderkey",
+            (is_a & is_b).cast("int").alias("conflicted"),
+            F.explode(F.filter(cand, lambda c: c.isNotNull())).alias("c"),
+        )
+        .groupBy("o_orderkey", "conflicted")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("c.ts")).alias("neg_ts"),
+                    # region DESC on ties: larger name wins -> minimize the
+                    # reversed string? simpler: minimize negative rank
+                    F.when(F.col("c.src") == "region_b", -2)
+                    .when(F.col("c.src") == "region_a", -1)
+                    .otherwise(0)
+                    .alias("pri"),
+                    F.col("c.src").alias("src"),
+                    F.col("c.cents").alias("cents"),
+                )
+            ).alias("w")
+        )
+    )
+    return (
+        per_key.groupBy(F.col("w.src").alias("winner"))
+        .agg(
+            F.count("*").cast("long").alias("n_keys"),
+            F.sum("conflicted").cast("long").alias("n_conflicts"),
+            F.sum("w.cents").alias("sum_price_cents"),
+        )
+        .orderBy("winner")
+    )
+
+
+def multimaster_lww_sql() -> str:
+    return f"""
+        WITH base AS (
+            SELECT o_orderkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                   CAST(epoch(o_orderdate) AS BIGINT) AS ts,
+                   (o_orderkey % 7 = {LWW_A_MOD}
+                    OR o_orderkey % 7 = {LWW_A_ONLY_MOD}) AS is_a,
+                   (o_orderkey % 7 = {LWW_B_MOD}
+                    OR o_orderkey % 7 = {LWW_A_MOD}) AS is_b
+            FROM orders
+        ),
+        cand AS (
+            SELECT o_orderkey, is_a AND is_b AS conflicted,
+                   'base' AS src, ts, cents FROM base
+            UNION ALL
+            SELECT o_orderkey, is_a AND is_b, 'region_a',
+                   ts + 2 * 86400, cents + 100 FROM base WHERE is_a
+            UNION ALL
+            SELECT o_orderkey, is_a AND is_b, 'region_b',
+                   ts + CASE WHEN is_a THEN 3 * 86400 ELSE 86400 END,
+                   cents + 200
+            FROM base WHERE is_b
+        ),
+        won AS (
+            SELECT o_orderkey, conflicted,
+                   (MIN(struct_pack(
+                        neg_ts := -ts,
+                        pri := CASE src WHEN 'region_b' THEN -2
+                               WHEN 'region_a' THEN -1 ELSE 0 END,
+                        src := src, cents := cents))).src AS winner,
+                   (MIN(struct_pack(
+                        neg_ts := -ts,
+                        pri := CASE src WHEN 'region_b' THEN -2
+                               WHEN 'region_a' THEN -1 ELSE 0 END,
+                        src := src, cents := cents))).cents AS cents
+            FROM cand
+            GROUP BY o_orderkey, conflicted
+        )
+        SELECT winner, CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(CASE WHEN conflicted THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_conflicts,
+               CAST(SUM(cents) AS BIGINT) AS sum_price_cents
+        FROM won
+        GROUP BY winner
+        ORDER BY winner
+    """

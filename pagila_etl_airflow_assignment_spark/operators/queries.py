@@ -1762,3 +1762,17 @@ def q_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-free median CI per event type by order-statistic rank
     selection — one quantized sqrt, everything else exact integers."""
     return distributions.median_ci(load_table(spark, sf_dir, "events"))
+
+
+@register("cdc_multimaster_lww", oracle=cdc.multimaster_lww_sql())
+def q_multimaster_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-master last-writer-wins reconciliation: per-key candidate
+    explode, min-struct winner on (ts desc, region), 3-row audit."""
+    return cdc.multimaster_lww(load_table(spark, sf_dir, "orders"))
+
+
+@register("events_ipw_ate", oracle=stats.IPW_ATE_SQL)
+def q_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-propensity-weighted ATE under known stratified assignment -
+    Hajek means with pinned integer weights, naive bias shown beside."""
+    return stats.ipw_ate(load_table(spark, sf_dir, "events"))

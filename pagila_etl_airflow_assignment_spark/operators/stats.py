@@ -1345,3 +1345,137 @@ PERSON_TIME_RATES_SQL = """
     FROM by_type CROSS JOIN spans
     ORDER BY event_type
 """
+
+
+# --- inverse-propensity-weighted treatment effect ------------------------------------
+
+IPW_STRATA = 5
+
+
+def ipw_ate(events: DataFrame) -> DataFrame:
+    """Inverse-propensity-weighted average treatment effect with a KNOWN
+    stratified propensity — the estimator that un-biases a naive mean
+    difference when treatment assignment depends on activity: users fall
+    into {IPW_STRATA} activity strata, the (synthetic) assignment rule
+    treats more-active strata more often (p = 200 + 100·stratum milli —
+    exactly the confounding that inflates naive comparisons, since active
+    users also spend more), and the Hájek estimate reweights each group by
+    1/p (treated) or 1/(1−p) (control). Output: one panel row (n_users,
+    n_treated, ipw_treated_mean_cents, ipw_control_mean_cents, ate_cents,
+    naive_ate_cents).
+
+    Exactness: propensities are milli constants per stratum, weights are
+    the pinned integer rule 10^6 DIV p_milli, and both Hájek means are
+    single floor divisions of exact BIGINT sums. The naive column sits
+    beside the corrected one to show the bias the estimator removes.
+
+    Scale shape: two user-grain aggregates (activity for strata, purchase
+    cents for outcomes) and one |strata|-bounded rollup."""
+    per_user = events.groupBy("user_id").agg(
+        F.count("*").alias("n_ev"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.expr("CAST(round(value * 100) AS BIGINT)"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("y_cents"),
+    )
+    stratum = F.least(
+        F.lit(IPW_STRATA - 1), F.expr("n_ev DIV 40")
+    ).alias("stratum")
+    treated = (
+        F.expr(
+            "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 8), 16, 10)"
+            " AS BIGINT) % 1000"
+        )
+        < (200 + 100 * F.least(F.lit(IPW_STRATA - 1), F.expr("n_ev DIV 40")))
+    ).alias("treated")
+    assigned = per_user.select(
+        "user_id", "y_cents", stratum, treated
+    ).withColumn("p_milli", 200 + 100 * F.col("stratum"))
+    w_t = F.expr("CAST(1000000 DIV p_milli AS BIGINT)")
+    w_c = F.expr("CAST(1000000 DIV (1000 - p_milli) AS BIGINT)")
+    agg = assigned.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum(F.when(F.col("treated"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_treated"),
+        F.sum(F.when(F.col("treated"), w_t * F.col("y_cents")).otherwise(0)).alias(
+            "t_num"
+        ),
+        F.sum(F.when(F.col("treated"), w_t).otherwise(0)).alias("t_den"),
+        F.sum(
+            F.when(~F.col("treated"), w_c * F.col("y_cents")).otherwise(0)
+        ).alias("c_num"),
+        F.sum(F.when(~F.col("treated"), w_c).otherwise(0)).alias("c_den"),
+        F.sum(F.when(F.col("treated"), F.col("y_cents")).otherwise(0)).alias(
+            "t_raw"
+        ),
+        F.sum(F.when(~F.col("treated"), F.col("y_cents")).otherwise(0)).alias(
+            "c_raw"
+        ),
+    )
+    return agg.select(
+        "n_users",
+        "n_treated",
+        F.expr("CAST(t_num DIV t_den AS BIGINT)").alias(
+            "ipw_treated_mean_cents"
+        ),
+        F.expr("CAST(c_num DIV c_den AS BIGINT)").alias(
+            "ipw_control_mean_cents"
+        ),
+        F.expr(
+            "CAST(t_num DIV t_den AS BIGINT) - CAST(c_num DIV c_den AS BIGINT)"
+        ).alias("ate_cents"),
+        F.expr(
+            "CAST(t_raw DIV n_treated AS BIGINT)"
+            " - CAST(c_raw DIV (n_users - n_treated) AS BIGINT)"
+        ).alias("naive_ate_cents"),
+    )
+
+
+IPW_ATE_SQL = f"""
+    WITH per_user AS (
+        SELECT user_id, COUNT(*) AS n_ev,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                        THEN CAST(round(value * 100) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS y_cents
+        FROM events GROUP BY user_id
+    ),
+    assigned AS (
+        SELECT user_id, y_cents,
+               LEAST({IPW_STRATA - 1}, n_ev // 40) AS stratum,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 1000
+                   < 200 + 100 * LEAST({IPW_STRATA - 1}, n_ev // 40)
+                   AS treated,
+               200 + 100 * LEAST({IPW_STRATA - 1}, n_ev // 40) AS p_milli
+        FROM per_user
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(CASE WHEN treated THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_treated,
+               SUM(CASE WHEN treated
+                   THEN (1000000 // p_milli) * y_cents ELSE 0 END) AS t_num,
+               SUM(CASE WHEN treated THEN 1000000 // p_milli ELSE 0 END)
+                   AS t_den,
+               SUM(CASE WHEN NOT treated
+                   THEN (1000000 // (1000 - p_milli)) * y_cents ELSE 0 END)
+                   AS c_num,
+               SUM(CASE WHEN NOT treated
+                   THEN 1000000 // (1000 - p_milli) ELSE 0 END) AS c_den,
+               SUM(CASE WHEN treated THEN y_cents ELSE 0 END) AS t_raw,
+               SUM(CASE WHEN NOT treated THEN y_cents ELSE 0 END) AS c_raw
+        FROM assigned
+    )
+    SELECT n_users, n_treated,
+           CAST(t_num // t_den AS BIGINT) AS ipw_treated_mean_cents,
+           CAST(c_num // c_den AS BIGINT) AS ipw_control_mean_cents,
+           CAST(t_num // t_den AS BIGINT) - CAST(c_num // c_den AS BIGINT)
+               AS ate_cents,
+           CAST(t_raw // n_treated AS BIGINT)
+               - CAST(c_raw // (n_users - n_treated) AS BIGINT)
+               AS naive_ate_cents
+    FROM agg
+"""

@@ -1146,3 +1146,131 @@ def test_median_ci_brackets_median_and_uses_order_stats(spark):
     # ranks: d = round(980*sqrt(99)) = 9751; lo = (49500-9751)//1000 = 39
     # hi = min(99, (49500+9751+999)//1000 + 1) = 61
     assert out.lo_cents == 3900 and out.hi_cents == 6100
+
+
+# --- B-cubed ------------------------------------------------------------------------
+
+
+def test_bcubed_perfect_clustering_is_1000(spark):
+    # two replica groups sharing 80-char prefixes; jaccard pairs cluster them
+    base1 = "alpha beta gamma delta " * 8
+    base2 = "omega psi chi phi upsilon " * 8
+    docs = _docs(
+        spark,
+        [
+            (1, base1 + "tail one", "en", "s"),
+            (2, base1 + "tail two", "en", "s"),
+            (3, base2 + "other one", "en", "s"),
+            (4, base2 + "other two", "en", "s"),
+        ],
+    )
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.1)
+    out = dedup.bcubed_eval(docs, pairs).collect()[0]
+    assert out.n_docs == 4
+    assert out.b3_precision_milli == 1000
+    assert out.b3_recall_milli == 1000
+    assert out.b3_f1_milli == 1000
+
+
+def test_bcubed_overmerge_hits_precision_only(spark):
+    # all four docs near-identical text -> ONE predicted cluster, but gold
+    # says two groups (different 80-char prefixes)
+    a = "x" * 80
+    b = "y" + "x" * 79
+    shared = " common words repeated here " * 10
+    docs = _docs(
+        spark,
+        [(1, a + shared, "en", "s"), (2, a + shared, "en", "s"),
+         (3, b + shared, "en", "s"), (4, b + shared, "en", "s")],
+    )
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.1)
+    out = dedup.bcubed_eval(docs, pairs).collect()[0]
+    assert out.n_pred_clusters == 1 and out.n_gold_clusters == 2
+    assert out.b3_recall_milli == 1000
+    assert out.b3_precision_milli == 500
+
+
+# --- triplet mining -----------------------------------------------------------------
+
+
+def test_triplet_picks_same_and_other_label_extremes(spark):
+    import random
+
+    rnd = random.Random(7)
+    rows = []
+    for i in range(30):
+        label = i % 3
+        base = [0.0] * 64
+        base[label] = 1.0
+        vec = [v + 0.01 * rnd.uniform(-1, 1) for v in base + [0.0] * 0]
+        rows.append((i, [float(x) for x in vec], label))
+    vecs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    from pagila_etl_airflow_assignment_spark.llm import similarity
+
+    out = similarity.triplet_mining(vecs, [0, 1]).collect()
+    assert len(out) == 2
+    for r in out:
+        assert r.pos_id != r.anchor_id and r.neg_id != r.anchor_id
+        assert r.pos_cos > r.neg_cos  # clusters are well separated
+        assert r.margin_violated is False
+
+
+# --- multimaster LWW ----------------------------------------------------------------
+
+
+def test_lww_latest_writer_wins_and_conflicts_counted(spark):
+    orders = spark.createDataFrame(
+        [(k, 1, "O", 100.0, dt.datetime(2024, 1, 1), "1-URGENT") for k in range(14)],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    from pagila_etl_airflow_assignment_spark.operators import cdc
+
+    out = {r.winner: r for r in cdc.multimaster_lww(orders).collect()}
+    # keys 0..13: %7==1 -> {1,8} both regions, B later wins; %7==2 -> {2,9} B;
+    # %7==3 -> {3,10} A only; rest base
+    assert out["region_b"].n_keys == 4 and out["region_b"].n_conflicts == 2
+    assert out["region_a"].n_keys == 2 and out["region_a"].n_conflicts == 0
+    assert out["base"].n_keys == 8
+    assert out["region_a"].sum_price_cents == 2 * 10100
+    assert out["region_b"].sum_price_cents == 4 * 10200
+
+
+# --- IPW ATE ------------------------------------------------------------------------
+
+
+def test_ipw_matches_python_replication_of_the_pinned_rule(spark):
+    import hashlib
+
+    rows = []
+    eid = 0
+    for u in range(60):
+        n = 10 if u % 2 == 0 else 200  # stratum 0 vs stratum 4
+        spend = 10.0 if u % 2 == 0 else 50.0
+        for i in range(2):
+            rows.append((eid, _ts(1 + i), u, "purchase", spend)); eid += 1
+        for i in range(n - 2):
+            rows.append((eid, _ts(5 + i % 20), u, "view", 1.0)); eid += 1
+    out = stats.ipw_ate(_events(spark, rows)).collect()[0]
+
+    # replicate the pinned estimator exactly
+    t_num = t_den = c_num = c_den = t_raw = c_raw = n_t = 0
+    for u in range(60):
+        n_ev = 10 if u % 2 == 0 else 200
+        y = 2000 if u % 2 == 0 else 10000
+        stratum = min(4, n_ev // 40)
+        p = 200 + 100 * stratum
+        treated = int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16) % 1000 < p
+        if treated:
+            w = 1_000_000 // p
+            t_num += w * y; t_den += w; t_raw += y; n_t += 1
+        else:
+            w = 1_000_000 // (1000 - p)
+            c_num += w * y; c_den += w; c_raw += y
+    assert out.n_users == 60 and out.n_treated == n_t
+    assert out.ipw_treated_mean_cents == t_num // t_den
+    assert out.ipw_control_mean_cents == c_num // c_den
+    assert out.ate_cents == t_num // t_den - c_num // c_den
+    assert out.naive_ate_cents == t_raw // n_t - c_raw // (60 - n_t)

@@ -56,6 +56,24 @@ PROBES = [
     "events_leakage_free_features",
     "embedding_kmeans_step",
     "cdc_orders_snapshot_diff",
+    # round-6 continuation additions (L-240..259): sketch set algebra,
+    # FIFO window+clamp, capped-block pair scoring, PQ code/LUT joins,
+    # term-keyed PMI, char-explode envelopes, banded Hamming, walk joins,
+    # wedge-middle sums, ancestor-key rollup, rank selections
+    "events_kmv_setops",
+    "warehouse_fifo_costing",
+    "warehouse_record_linkage",
+    "ann_pq_adc_topk",
+    "text_collocations_pmi",
+    "multimodal_phash_pairs",
+    "multimodal_energy_segments",
+    "graph_walk_pair_counts",
+    "events_conformal_interval",
+    "warehouse_bom_rollup",
+    "graph_adamic_adar",
+    "events_median_ci",
+    "ann_ndcg_eval",
+    "text_classifier_calibration",
     # the 5 most expensive bench queries (r3 plan-audit set): their caps /
     # Expand trade-offs carry the scale story, so their ratios get measured,
     # not argued
