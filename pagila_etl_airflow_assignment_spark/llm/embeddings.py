@@ -1614,3 +1614,114 @@ def centroid_drift_sql() -> str:
         GROUP BY c0.label
         ORDER BY c0.label
     """
+
+
+# --- k selection by elbow (WCSS sweep) -----------------------------------------
+
+ELBOW_KS = (4, 8, 16)
+
+
+def k_selection_elbow(vectors: DataFrame) -> DataFrame:
+    """Model-selection sweep for the clustering family: within-cluster sum
+    of squares at k ∈ {ELBOW_KS} deterministic codebooks (md5-ordered
+    corpus samples, the IVF/PQ centroid treatment), reported as the elbow
+    table (k, wcss_nano, drop_nano) where drop is the improvement over the
+    previous k — the curve whose flattening picks k.
+
+    Each candidate k is ONE broadcast-centroid argmin pass over the corpus
+    (the kmeans-step shape); distances are the repo's nano-quantized exact
+    BIGINTs so WCSS is an order-independent integer sum. All sweeps share
+    the same scan shape and run as a union of three passes.
+
+    Scale shape: 3 broadcast joins of |corpus|×k rows, three aggregates;
+    no iteration, no driver-side model state."""
+    from .hashing import md5_int
+
+    sweeps = []
+    for k in ELBOW_KS:
+        centroids = (
+            vectors.orderBy(md5_int(F.col("vec_id").cast("string")), "vec_id")
+            .limit(k)
+            .select(
+                F.row_number()
+                .over(
+                    Window.orderBy(md5_int(F.col("vec_id").cast("string")), "vec_id")
+                )
+                .alias("cid"),
+                F.col("embedding").alias("c_emb"),
+            )
+        )
+        d_nano = F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding"),
+                    F.col("c_emb"),
+                    lambda x, y: (x.cast("double") - y.cast("double"))
+                    * (x.cast("double") - y.cast("double")),
+                ),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            )
+            * F.lit(1e9)
+        ).cast("long")
+        best = (
+            vectors.crossJoin(F.broadcast(centroids))
+            .select("vec_id", F.struct(d_nano.alias("d"), F.col("cid")).alias("c"))
+            .groupBy("vec_id")
+            .agg(F.min("c").alias("b"))
+        )
+        sweeps.append(
+            best.agg(
+                F.lit(k).cast("long").alias("k"),
+                F.sum("b.d").alias("wcss_nano"),
+            )
+        )
+    out = sweeps[0]
+    for s in sweeps[1:]:
+        out = out.unionByName(s)
+    w = Window.orderBy("k")
+    return out.select(
+        "k",
+        "wcss_nano",
+        (F.coalesce(F.lag("wcss_nano").over(w), F.col("wcss_nano")) - F.col("wcss_nano")).alias(
+            "drop_nano"
+        ),
+    ).orderBy("k")
+
+
+def k_selection_elbow_sql() -> str:
+    from .hashing import md5_int_sql
+
+    parts = []
+    for k in ELBOW_KS:
+        parts.append(
+            f"""
+            SELECT CAST({k} AS BIGINT) AS k,
+                   CAST(SUM(d) AS BIGINT) AS wcss_nano
+            FROM (
+                SELECT e.vec_id,
+                       MIN(CAST(round(list_sum(list_transform(
+                           range(1, len(e.embedding) + 1),
+                           i -> (CAST(e.embedding[i] AS DOUBLE)
+                                 - CAST(c.c_emb[i] AS DOUBLE))
+                                * (CAST(e.embedding[i] AS DOUBLE)
+                                   - CAST(c.c_emb[i] AS DOUBLE)))) * 1e9)
+                           AS BIGINT)) AS d
+                FROM embeddings e
+                CROSS JOIN (
+                    SELECT embedding AS c_emb FROM embeddings
+                    ORDER BY {md5_int_sql("CAST(vec_id AS VARCHAR)")}, vec_id
+                    LIMIT {k}
+                ) c
+                GROUP BY e.vec_id
+            )"""
+        )
+    union = " UNION ALL ".join(parts)
+    return f"""
+        WITH sweeps AS ({union})
+        SELECT k, wcss_nano,
+               COALESCE(LAG(wcss_nano) OVER (ORDER BY k), wcss_nano)
+                   - wcss_nano AS drop_nano
+        FROM sweeps
+        ORDER BY k
+    """

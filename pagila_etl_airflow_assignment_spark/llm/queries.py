@@ -976,3 +976,12 @@ def q_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.triplet_mining(
         load_table(spark, sf_dir, "embeddings"), ANN_QUERY_IDS
     )
+
+
+@register("embedding_k_selection_elbow", oracle=embeddings_mod.k_selection_elbow_sql())
+def q_k_selection_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WCSS elbow sweep over k in {4,8,16} deterministic codebooks — the
+    model-selection table for the clustering family, exact nano sums."""
+    return embeddings_mod.k_selection_elbow(
+        load_table(spark, sf_dir, "embeddings")
+    )

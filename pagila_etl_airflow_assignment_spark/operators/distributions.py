@@ -1142,3 +1142,111 @@ MEDIAN_CI_SQL = """
     JOIN ranked hi ON hi.event_type = r.event_type AND hi.rn = r.hi_rank
     ORDER BY r.event_type
 """
+
+
+# --- anomaly-detector ensemble -------------------------------------------------------
+
+
+def anomaly_ensemble(events: DataFrame) -> DataFrame:
+    """Three independent anomaly detectors voting on the daily event-count
+    series — the production pattern for alert precision (a single detector
+    either floods or sleeps): z-score vs the corpus mean (|c−μ| > 3σ,
+    squared into exact integers — no sqrt), MAD (|c − median| > 3·MAD,
+    both rank-selected), and day-over-day jump (>50% move). Output per
+    day: (day, n_events, z_flag, mad_flag, jump_flag, votes).
+
+    All three tests are exact: the z test compares (n·c − S)² against
+    9·(n·Sq − S²), the MAD test is pure rank selection, and the jump test
+    cross-multiplies. An alerting policy reads votes >= 2.
+
+    Scale shape: everything after the day-grain aggregate operates on the
+    ≤|days| grid — windows and selections on a bounded relation."""
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("c")
+    )
+    g = Window.partitionBy()
+    w_rank = Window.orderBy("c", "day")
+    ranked = daily.select(
+        "day",
+        "c",
+        F.lag("c").over(Window.orderBy("day")).alias("prev"),
+        F.count("*").over(g).alias("n"),
+        F.sum("c").over(g).alias("s"),
+        F.sum(F.col("c") * F.col("c")).over(g).alias("sq"),
+        F.row_number().over(w_rank).alias("rn"),
+    )
+    med = ranked.where(
+        F.col("rn") == F.expr("(n + 1) DIV 2")
+    ).select(F.col("c").alias("med"))
+    with_med = ranked.crossJoin(F.broadcast(med)).withColumn(
+        "adev", F.abs(F.col("c") - F.col("med"))
+    )
+    w_arank = Window.orderBy("adev", "day")
+    mad = (
+        with_med.select("adev", F.row_number().over(w_arank).alias("arn"), "n")
+        .where(F.col("arn") == F.expr("(n + 1) DIV 2"))
+        .select(F.col("adev").alias("mad"))
+    )
+    return (
+        with_med.crossJoin(F.broadcast(mad))
+        .select(
+            "day",
+            F.col("c").cast("long").alias("n_events"),
+            F.expr(
+                "CAST((n * c - s) * (n * c - s) > 9 * (n * sq - s * s) AS INT)"
+            ).alias("z_flag"),
+            F.expr("CAST(adev > 3 * mad AS INT)").alias("mad_flag"),
+            F.expr(
+                "CAST(prev IS NOT NULL AND ABS(c - prev) * 2 > prev AS INT)"
+            ).alias("jump_flag"),
+        )
+        .withColumn(
+            "votes",
+            (F.col("z_flag") + F.col("mad_flag") + F.col("jump_flag")).cast(
+                "int"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+ANOMALY_ENSEMBLE_SQL = """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1
+    ),
+    ranked AS (
+        SELECT day, c,
+               LAG(c) OVER (ORDER BY day) AS prev,
+               COUNT(*) OVER () AS n,
+               SUM(c) OVER () AS s,
+               SUM(c * c) OVER () AS sq,
+               ROW_NUMBER() OVER (ORDER BY c, day) AS rn
+        FROM daily
+    ),
+    med AS (
+        SELECT c AS med FROM ranked WHERE rn = (n + 1) // 2
+    ),
+    with_med AS (
+        SELECT r.*, ABS(r.c - m.med) AS adev
+        FROM ranked r CROSS JOIN med m
+    ),
+    mad AS (
+        SELECT adev AS mad FROM (
+            SELECT adev, ROW_NUMBER() OVER (ORDER BY adev, day) AS arn, n
+            FROM with_med
+        ) WHERE arn = (n + 1) // 2
+    )
+    SELECT day, c AS n_events,
+           CAST((n * c - s) * (n * c - s) > 9 * (n * sq - s * s) AS INT)
+               AS z_flag,
+           CAST(adev > 3 * m.mad AS INT) AS mad_flag,
+           CAST(prev IS NOT NULL AND ABS(c - prev) * 2 > prev AS INT)
+               AS jump_flag,
+           CAST((n * c - s) * (n * c - s) > 9 * (n * sq - s * s) AS INT)
+               + CAST(adev > 3 * m.mad AS INT)
+               + CAST(prev IS NOT NULL AND ABS(c - prev) * 2 > prev AS INT)
+               AS votes
+    FROM with_med CROSS JOIN mad m
+    ORDER BY day
+"""

@@ -1392,3 +1392,132 @@ def adamic_adar_sql(
         ORDER BY aa_micro DESC, x, y
         LIMIT {k}
     """
+
+
+# --- bipartite HITS (hubs and authorities) -------------------------------------------
+
+HITS_ROUNDS = 2
+HITS_TOP_K = 20
+
+
+def hits_bipartite(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    customer: DataFrame,
+    rounds: int = HITS_ROUNDS,
+    k: int = HITS_TOP_K,
+) -> DataFrame:
+    """HITS on the customer→part purchase bipartite graph (Kleinberg 1999):
+    authorities are parts bought by strong hubs, hubs are customers buying
+    strong authorities — the mutual-reinforcement pair PageRank's single
+    score collapses. {HITS_ROUNDS} exact power rounds, each renormalized
+    to milli by the round's max (integer 1000·x DIV max — the scale-free
+    twin of the L2 norm, engine-exact). Output: top-{HITS_TOP_K} rows per
+    side, (side, id, score_milli, rank).
+
+    Scale shape: each half-round is one edge-keyed aggregate over the
+    distinct (customer, part) edge relation — the PageRank economics on a
+    bipartite adjacency; the max is a bounded single-partition window on
+    the node grain (two-stage if a node grain ever outgrew one task)."""
+    edges = (
+        orders.select("o_orderkey", "o_custkey")
+        .join(
+            lineitem.select("l_orderkey", "l_partkey"),
+            orders.o_orderkey == lineitem.l_orderkey,
+        )
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    g = Window.partitionBy()
+    hubs = edges.select("c").distinct().select("c", F.lit(1000).cast("long").alias("h"))
+    for _ in range(rounds):
+        auth = (
+            edges.join(hubs, "c")
+            .groupBy("p")
+            .agg(F.sum("h").alias("a_raw"))
+            .withColumn("mx", F.max("a_raw").over(g))
+            .select("p", F.expr("CAST(1000 * a_raw DIV mx AS BIGINT)").alias("a"))
+        )
+        hubs = (
+            edges.join(auth, "p")
+            .groupBy("c")
+            .agg(F.sum("a").alias("h_raw"))
+            .withColumn("mx", F.max("h_raw").over(g))
+            .select("c", F.expr("CAST(1000 * h_raw DIV mx AS BIGINT)").alias("h"))
+        )
+    top = lambda df, side, idc, sc: (  # noqa: E731
+        df.orderBy(F.desc(sc), F.asc(idc))
+        .limit(k)
+        .select(
+            F.lit(side).alias("side"),
+            F.col(idc).cast("long").alias("id"),
+            F.col(sc).alias("score_milli"),
+            F.row_number()
+            .over(Window.orderBy(F.desc(sc), F.asc(idc)))
+            .cast("long")
+            .alias("rank"),
+        )
+    )
+    auth_final = (
+        edges.join(hubs, "c")
+        .groupBy("p")
+        .agg(F.sum("h").alias("a_raw"))
+        .withColumn("mx", F.max("a_raw").over(g))
+        .select("p", F.expr("CAST(1000 * a_raw DIV mx AS BIGINT)").alias("a"))
+    )
+    return top(hubs, "hub", "c", "h").unionByName(
+        top(auth_final, "authority", "p", "a")
+    ).orderBy("side", "rank")
+
+
+def hits_bipartite_sql(rounds: int = HITS_ROUNDS, k: int = HITS_TOP_K) -> str:
+    body = ["""hubs0 AS (
+            SELECT c, CAST(1000 AS BIGINT) AS h FROM (SELECT DISTINCT c FROM edges)
+        )"""]
+    cur = "hubs0"
+    for r in range(1, rounds + 1):
+        body.append(f"""auth{r} AS (
+            SELECT p, CAST(1000 * a_raw // MAX(a_raw) OVER () AS BIGINT) AS a
+            FROM (
+                SELECT e.p, SUM(h.h) AS a_raw
+                FROM edges e JOIN {cur} h USING (c) GROUP BY e.p
+            )
+        ), hubs{r} AS (
+            SELECT c, CAST(1000 * h_raw // MAX(h_raw) OVER () AS BIGINT) AS h
+            FROM (
+                SELECT e.c, SUM(a.a) AS h_raw
+                FROM edges e JOIN auth{r} a USING (p) GROUP BY e.c
+            )
+        )""")
+        cur = f"hubs{r}"
+    final_auth = f"""auth_final AS (
+            SELECT p, CAST(1000 * a_raw // MAX(a_raw) OVER () AS BIGINT) AS a
+            FROM (
+                SELECT e.p, SUM(h.h) AS a_raw
+                FROM edges e JOIN {cur} h USING (c) GROUP BY e.p
+            )
+        )"""
+    chain = ",\n        ".join(body + [final_auth])
+    return f"""
+        WITH edges AS (
+            SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        ),
+        {chain}
+        SELECT * FROM (
+            SELECT 'hub' AS side, CAST(c AS BIGINT) AS id, h AS score_milli,
+                   CAST(ROW_NUMBER() OVER (ORDER BY h DESC, c ASC) AS BIGINT)
+                       AS rank
+            FROM {cur} QUALIFY rank <= {k}
+        )
+        UNION ALL
+        SELECT * FROM (
+            SELECT 'authority' AS side, CAST(p AS BIGINT) AS id,
+                   a AS score_milli,
+                   CAST(ROW_NUMBER() OVER (ORDER BY a DESC, p ASC) AS BIGINT)
+                       AS rank
+            FROM auth_final QUALIFY rank <= {k}
+        )
+        ORDER BY side, rank
+    """

@@ -1776,3 +1776,28 @@ def q_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverse-propensity-weighted ATE under known stratified assignment -
     Hajek means with pinned integer weights, naive bias shown beside."""
     return stats.ipw_ate(load_table(spark, sf_dir, "events"))
+
+
+@register("graph_hits_bipartite", oracle=graph.hits_bipartite_sql())
+def q_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities on the customer-part purchase bipartite graph:
+    two exact power rounds, milli max-renormalization, top-k per side."""
+    return graph.hits_bipartite(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "customer"),
+    )
+
+
+@register("warehouse_returns_p_chart", oracle=warehouse.returns_p_chart_sql())
+def q_returns_p_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shewhart p-chart on weekly return rates: squared 3-sigma binomial
+    band in 38-digit exact types — no sqrt ever evaluates."""
+    return warehouse.returns_p_chart(load_table(spark, sf_dir, "lineitem"))
+
+
+@register("events_anomaly_ensemble", oracle=distributions.ANOMALY_ENSEMBLE_SQL)
+def q_anomaly_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three exact anomaly detectors (squared z, MAD, jump) voting on the
+    daily series — the alert-precision ensemble."""
+    return distributions.anomaly_ensemble(load_table(spark, sf_dir, "events"))

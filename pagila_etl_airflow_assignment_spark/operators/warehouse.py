@@ -2768,3 +2768,82 @@ def bom_rollup_sql(k: int = BOM_TOP_K) -> str:
         ORDER BY rollup_cents DESC, p.p_partkey
         LIMIT {k}
     """
+
+
+# --- p-chart statistical process control ---------------------------------------------
+
+
+def returns_p_chart(lineitem: DataFrame) -> DataFrame:
+    """Shewhart p-chart over the weekly RETURN RATE — statistical process
+    control for a pipeline KPI: a week signals when its return proportion
+    leaves the 3-sigma binomial band around the overall rate
+    p_bar ± 3·sqrt(p_bar(1−p_bar)/n_i). Output per week: (week, n_items,
+    n_returns, rate_milli, signal, direction).
+
+    NO sqrt ever evaluates: squaring the control inequality turns it into
+    (x_i·N − R·n_i)² > 9·R·(N−R)·n_i — all integers. The left square can
+    reach ~10²³ at sf-scale, so both sides compare in 38-digit exact types
+    (Spark DECIMAL(38,0) / DuckDB HUGEINT — the apportionment overflow
+    lesson applied at design time instead of debugged later).
+
+    Scale shape: one week-grain aggregate + a broadcast 1-row corpus
+    total; the signal test is a narrow projection."""
+    flags = lineitem.select(
+        F.date_trunc("week", "l_shipdate").cast("date").alias("week"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("r"),
+    )
+    weekly = flags.groupBy("week").agg(
+        F.count("*").alias("n_i"), F.sum("r").alias("x_i")
+    )
+    totals = flags.agg(
+        F.count("*").alias("n_tot"), F.sum("r").alias("r_tot")
+    )
+    lhs = "CAST(x_i * n_tot - r_tot * n_i AS DECIMAL(38, 0))"
+    rhs = "CAST(9 AS DECIMAL(38, 0)) * r_tot * (n_tot - r_tot) * n_i"
+    return (
+        weekly.crossJoin(F.broadcast(totals))
+        .select(
+            "week",
+            F.col("n_i").cast("long").alias("n_items"),
+            F.col("x_i").cast("long").alias("n_returns"),
+            F.expr("CAST((2000 * x_i + n_i) DIV (2 * n_i) AS BIGINT)").alias(
+                "rate_milli"
+            ),
+            F.expr(f"CAST(({lhs}) * ({lhs}) > {rhs} AS INT)").alias("signal"),
+            F.expr(
+                "CASE WHEN x_i * n_tot > r_tot * n_i THEN 'high'"
+                " WHEN x_i * n_tot < r_tot * n_i THEN 'low'"
+                " ELSE 'at' END"
+            ).alias("direction"),
+        )
+        .orderBy("week")
+    )
+
+
+def returns_p_chart_sql() -> str:
+    lhs = "CAST(x_i * n_tot - r_tot * n_i AS HUGEINT)"
+    rhs = "CAST(9 AS HUGEINT) * r_tot * (n_tot - r_tot) * n_i"
+    return f"""
+        WITH flags AS (
+            SELECT CAST(date_trunc('week', l_shipdate) AS DATE) AS week,
+                   CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS r
+            FROM lineitem
+        ),
+        weekly AS (
+            SELECT week, COUNT(*) AS n_i, SUM(r) AS x_i
+            FROM flags GROUP BY week
+        ),
+        totals AS (
+            SELECT COUNT(*) AS n_tot, SUM(r) AS r_tot FROM flags
+        )
+        SELECT week,
+               CAST(n_i AS BIGINT) AS n_items,
+               CAST(x_i AS BIGINT) AS n_returns,
+               CAST((2000 * x_i + n_i) // (2 * n_i) AS BIGINT) AS rate_milli,
+               CAST(({lhs}) * ({lhs}) > {rhs} AS INT) AS signal,
+               CASE WHEN x_i * n_tot > r_tot * n_i THEN 'high'
+                    WHEN x_i * n_tot < r_tot * n_i THEN 'low'
+                    ELSE 'at' END AS direction
+        FROM weekly CROSS JOIN totals
+        ORDER BY week
+    """

@@ -1274,3 +1274,103 @@ def test_ipw_matches_python_replication_of_the_pinned_rule(spark):
     assert out.ipw_control_mean_cents == c_num // c_den
     assert out.ate_cents == t_num // t_den - c_num // c_den
     assert out.naive_ate_cents == t_raw // n_t - c_raw // (60 - n_t)
+
+
+# --- elbow k-selection -------------------------------------------------------------
+
+
+def test_elbow_wcss_decreases_with_k(spark):
+    from pagila_etl_airflow_assignment_spark.llm import embeddings as emb
+
+    vecs = spark.createDataFrame(
+        [(i, [0.05 * ((i * 11 + j * 5) % 21 - 10) for j in range(64)], 0)
+         for i in range(40)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = emb.k_selection_elbow(vecs).collect()
+    assert [r.k for r in out] == [4, 8, 16]
+    assert out[0].wcss_nano >= out[1].wcss_nano >= out[2].wcss_nano
+    assert out[0].drop_nano == 0
+    assert out[1].drop_nano == out[0].wcss_nano - out[1].wcss_nano
+
+
+# --- HITS --------------------------------------------------------------------------
+
+
+def test_hits_authority_follows_hub_mass(spark):
+    from pagila_etl_airflow_assignment_spark.operators import graph
+
+    orders = spark.createDataFrame(
+        [(o, o % 3, "O", 1.0, dt.datetime(2024, 1, 1), "x") for o in range(9)],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    # part 100 bought by every customer; part 200 by customer 0 only
+    li_rows = [(o, 100, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", dt.datetime(2024, 1, 2))
+               for o in range(9)]
+    li_rows += [(0, 200, 1, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", dt.datetime(2024, 1, 2))]
+    li = spark.createDataFrame(
+        li_rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    )
+    cust = spark.createDataFrame(
+        [(c, f"Customer#{c}", 1, 0.0, "AUTO") for c in range(3)],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double,"
+        " c_mktsegment string",
+    )
+    out = graph.hits_bipartite(orders, li, cust).collect()
+    auth = {r.id: r.score_milli for r in out if r.side == "authority"}
+    assert auth[100] == 1000  # universal part is the max authority
+    assert auth[200] < 1000
+
+
+# --- p-chart -----------------------------------------------------------------------
+
+
+def test_p_chart_flags_only_out_of_band_weeks(spark):
+    rows = []
+    ok_ = 0
+    # 10 stable weeks at 10% returns (40 items), one week at 90%
+    for w in range(10):
+        d = dt.datetime(2024, 1, 1) + dt.timedelta(weeks=w)
+        for i in range(40):
+            flag = "R" if i < 4 else "N"
+            rows.append((ok_, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, flag, "O", d)); ok_ += 1
+    d = dt.datetime(2024, 3, 18)
+    for i in range(40):
+        flag = "R" if i < 36 else "N"
+        rows.append((ok_, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, flag, "O", d)); ok_ += 1
+    li = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    )
+    out = warehouse.returns_p_chart(li).collect()
+    flagged = [r for r in out if r.signal == 1]
+    assert len(flagged) == 1
+    assert flagged[0].direction == "high" and flagged[0].rate_milli == 900
+
+
+# --- anomaly ensemble --------------------------------------------------------------
+
+
+def test_ensemble_votes_spike_day(spark):
+    rows = []
+    eid = 0
+    for d in range(1, 21):
+        n = 500 if d == 10 else 10  # one massive spike
+        for i in range(n):
+            rows.append((eid, _ts(d, i % 24), 1 + i % 5, "view", 1.0)); eid += 1
+    from pagila_etl_airflow_assignment_spark.operators import distributions
+
+    out = {r.day.day: r for r in distributions.anomaly_ensemble(_events(spark, rows)).collect()}
+    spike = out[10]
+    assert spike.z_flag == 1 and spike.mad_flag == 1 and spike.jump_flag == 1
+    assert spike.votes == 3
+    quiet = out[5]
+    assert quiet.votes == 0

@@ -104,6 +104,12 @@ ALLOWED: dict[str, set[str]] = {
     "warehouse_topdown_forecast": {"BroadcastNestedLoopJoin"},
     # broadcast 1-row reference-date scalar (aging "today" stand-in)
     "warehouse_order_aging": {"BroadcastNestedLoopJoin"},
+    # broadcast k-row deterministic codebooks (elbow sweep, k <= 16)
+    "embedding_k_selection_elbow": {"BroadcastNestedLoopJoin"},
+    # broadcast 1-row corpus totals (p-chart center line)
+    "warehouse_returns_p_chart": {"BroadcastNestedLoopJoin"},
+    # broadcast 1-row median / MAD order statistics over the day grid
+    "events_anomaly_ensemble": {"BroadcastNestedLoopJoin"},
     # broadcast 1-row person-days scalar (shared exposure denominator)
     "events_person_time_rates": {"BroadcastNestedLoopJoin"},
     # broadcast 1-row reference-count scalar (exact integer decile-edge
