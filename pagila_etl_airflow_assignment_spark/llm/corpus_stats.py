@@ -1450,3 +1450,99 @@ def collocations_pmi_sql(
         ORDER BY pmi_micro DESC, bigram ASC
         LIMIT {k}
     """
+
+
+# --- tokenizer vocabulary budget curve -----------------------------------------
+
+BUDGET_VOCAB_KS = (100, 200, 400)
+
+
+def vocab_budget_curve(docs: DataFrame) -> DataFrame:
+    """Tokenizer budget curve: corpus token count under candidate
+    vocabulary sizes k ∈ {BUDGET_VOCAB_KS} with character fallback — a
+    word in the top-k unigram vocab costs 1 token, anything else falls
+    back to its characters (the byte-fallback cost a too-small vocab
+    pays): (vocab_k, n_in_vocab, n_fallback_words, total_tokens,
+    tokens_per_100_words). The curve's knee chooses the vocabulary budget;
+    this is [[vocab_oov_rate]]'s cost-model completion.
+
+    Vocabularies are deterministic (count desc, term asc); the per-word
+    cost is CASE in-vocab THEN 1 ELSE length(word); totals are exact
+    BIGINTs and the rate one half-up division.
+
+    Scale shape: one term aggregate reused across the sweep; each k is a
+    broadcast top-k membership join against the token stream, unioned —
+    the elbow-sweep economics on text."""
+    g = grams(docs, 1).withColumnRenamed("gram", "term")
+    counts = g.groupBy("term").agg(F.count("*").alias("cnt"))
+    sweeps = []
+    for k in BUDGET_VOCAB_KS:
+        vocab = (
+            counts.orderBy(F.col("cnt").desc(), F.col("term").asc())
+            .limit(k)
+            .select("term", F.lit(1).alias("in_v"))
+        )
+        sweeps.append(
+            g.join(F.broadcast(vocab), "term", "left")
+            .agg(
+                F.lit(k).cast("long").alias("vocab_k"),
+                F.sum(F.when(F.col("in_v").isNotNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_in_vocab"),
+                F.sum(F.when(F.col("in_v").isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_fallback_words"),
+                F.sum(
+                    F.when(F.col("in_v").isNotNull(), 1).otherwise(
+                        F.length("term")
+                    )
+                )
+                .cast("long")
+                .alias("total_tokens"),
+                F.count("*").cast("long").alias("n_words"),
+            )
+        )
+    out = sweeps[0]
+    for s in sweeps[1:]:
+        out = out.unionByName(s)
+    return out.select(
+        "vocab_k",
+        "n_in_vocab",
+        "n_fallback_words",
+        "total_tokens",
+        F.expr(
+            "CAST((200 * total_tokens + n_words) DIV (2 * n_words) AS BIGINT)"
+        ).alias("tokens_per_100_words"),
+    ).orderBy("vocab_k")
+
+
+def vocab_budget_curve_sql(docs_rel: str = "documents") -> str:
+    parts = []
+    for k in BUDGET_VOCAB_KS:
+        parts.append(
+            f"""
+            SELECT CAST({k} AS BIGINT) AS vocab_k,
+                   CAST(SUM(CASE WHEN v.term IS NOT NULL THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_in_vocab,
+                   CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_fallback_words,
+                   CAST(SUM(CASE WHEN v.term IS NOT NULL THEN 1
+                            ELSE len(g.term) END) AS BIGINT) AS total_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS n_words
+            FROM (SELECT doc_id, gram AS term FROM ({grams_sql(1, docs_rel)})) g
+            LEFT JOIN (
+                SELECT term FROM (
+                    SELECT gram AS term, COUNT(*) AS cnt
+                    FROM ({grams_sql(1, docs_rel)}) GROUP BY gram
+                ) ORDER BY cnt DESC, term ASC LIMIT {k}
+            ) v USING (term)"""
+        )
+    union = " UNION ALL ".join(parts)
+    return f"""
+        WITH sweeps AS ({union})
+        SELECT vocab_k, n_in_vocab, n_fallback_words, total_tokens,
+               CAST((200 * total_tokens + n_words) // (2 * n_words) AS BIGINT)
+                   AS tokens_per_100_words
+        FROM sweeps
+        ORDER BY vocab_k
+    """

@@ -2302,3 +2302,59 @@ def bcubed_eval_sql(pairs_sql: str, docs_rel: str = "documents") -> str:
                    AS BIGINT) AS b3_f1_milli
         FROM scored
     """
+
+
+# --- soft deduplication weights ------------------------------------------------------
+
+
+def soft_dedup_weights(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Soft deduplication: instead of DROPPING near-duplicates, every
+    document gets the sampling weight 1/|cluster| in exact micro units —
+    repeated content contributes one document's worth of gradient in
+    expectation while unique phrasing inside the cluster still surfaces
+    (the down-weighting alternative the data-mixing literature prefers
+    when clusters are plentiful but not byte-identical). Output:
+    (doc_id, cluster_id, cluster_size, weight_micro, is_canonical).
+
+    One aggregate over the resolved clusters attaches sizes; the weight is
+    the pinned integer rule 10^6 DIV size. Canonical flag marks the
+    min-doc_id representative (what hard dedup would have kept), so a
+    pipeline can switch hard/soft by predicate.
+
+    Scale shape: clustering is the existing min-label propagation; this
+    adds one cluster-keyed size aggregate and a broadcast-size join."""
+    clusters = dedup_clusters(docs, pairs)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return (
+        clusters.join(sizes, "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            F.expr("CAST(1000000 DIV cluster_size AS BIGINT)").alias(
+                "weight_micro"
+            ),
+            (F.col("doc_id") == F.col("cluster_id")).cast("int").alias(
+                "is_canonical"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def soft_dedup_weights_sql(pairs_sql: str, docs_rel: str = "documents") -> str:
+    return f"""
+        WITH clusters AS ({dedup_clusters_sql(pairs_sql, docs_rel)}),
+        sizes AS (
+            SELECT cluster_id, COUNT(*) AS cluster_size
+            FROM clusters GROUP BY cluster_id
+        )
+        SELECT c.doc_id, c.cluster_id,
+               CAST(s.cluster_size AS BIGINT) AS cluster_size,
+               CAST(1000000 // s.cluster_size AS BIGINT) AS weight_micro,
+               CAST(c.doc_id = c.cluster_id AS INT) AS is_canonical
+        FROM clusters c JOIN sizes s USING (cluster_id)
+        ORDER BY c.doc_id
+    """

@@ -985,3 +985,22 @@ def q_k_selection_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embeddings_mod.k_selection_elbow(
         load_table(spark, sf_dir, "embeddings")
     )
+
+
+@register(
+    "dedup_soft_weights",
+    oracle=dedup.soft_dedup_weights_sql(dedup.ngram_jaccard_pairs_sql(threshold=0.1)),
+)
+def q_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup: 1/cluster-size sampling weights instead of drops, with
+    the canonical flag hard dedup would have kept."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.1)
+    return dedup.soft_dedup_weights(docs, pairs)
+
+
+@register("vocab_budget_curve", oracle=corpus_stats.vocab_budget_curve_sql())
+def q_vocab_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer budget curve: corpus token cost under top-k vocabularies
+    with char fallback — the cost model that sizes the vocab."""
+    return corpus_stats.vocab_budget_curve(load_table(spark, sf_dir, "documents"))

@@ -1521,3 +1521,95 @@ def hits_bipartite_sql(rounds: int = HITS_ROUNDS, k: int = HITS_TOP_K) -> str:
         )
         ORDER BY side, rank
     """
+
+
+# --- connected components of the co-purchase graph -----------------------------------
+
+
+def components_summary(
+    lineitem: DataFrame, max_basket: int = 30, min_support: int = TRI_MIN_SUPPORT
+) -> DataFrame:
+    """Connected components of the support-pruned co-purchase graph,
+    summarized as the component-size histogram: (component_size,
+    n_components, n_nodes) — the substitutability-market map (one giant
+    component = everything co-sells; many small ones = separable
+    assortments).
+
+    Reuses the dedup family's min-label propagation (the repo's CC
+    engine — per-round edge join + min aggregate, scalar-sum convergence
+    probe, O(diameter) rounds) on part nodes instead of documents;
+    isolated parts (pruned out of every edge) are excluded — the graph
+    under analysis is the one the support threshold defines.
+
+    Scale shape: CC rounds ∝ |E|; the histogram is two bounded
+    aggregates."""
+    from ..llm import dedup as _dedup
+
+    pruned = (
+        _oriented_pair_rel(lineitem, max_basket)
+        .groupBy(F.col("part_a").alias("u"), F.col("part_b").alias("v"))
+        .agg(F.count("*").alias("support"))
+        .where(F.col("support") >= min_support)
+        .select("u", "v")
+    )
+    nodes = (
+        pruned.select(F.col("u").alias("doc_id"))
+        .unionByName(pruned.select(F.col("v").alias("doc_id")))
+        .distinct()
+    )
+    labels = _dedup.dedup_clusters(
+        nodes,
+        pruned.select(F.col("u").alias("doc_a"), F.col("v").alias("doc_b")),
+    )
+    sizes = labels.groupBy("cluster_id").agg(F.count("*").alias("sz"))
+    return (
+        sizes.groupBy(F.col("sz").cast("long").alias("component_size"))
+        .agg(
+            F.count("*").cast("long").alias("n_components"),
+            F.sum("sz").cast("long").alias("n_nodes"),
+        )
+        .orderBy("component_size")
+    )
+
+
+def components_summary_sql(
+    max_basket: int = 30, min_support: int = TRI_MIN_SUPPORT
+) -> str:
+    return f"""
+        WITH RECURSIVE items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), small AS (
+            SELECT l_orderkey FROM items
+            GROUP BY l_orderkey HAVING COUNT(*) <= {max_basket}
+        ), basket AS (
+            SELECT i.l_orderkey, i.l_partkey FROM items i
+            JOIN small USING (l_orderkey)
+        ), pruned AS (
+            SELECT a.l_partkey AS u, b.l_partkey AS v
+            FROM basket a JOIN basket b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY a.l_partkey, b.l_partkey
+            HAVING COUNT(*) >= {min_support}
+        ), nodes AS (
+            SELECT u AS node FROM pruned
+            UNION SELECT v FROM pruned
+        ), edges AS (
+            SELECT u, v FROM pruned
+            UNION ALL SELECT v AS u, u AS v FROM pruned
+        ), reach(src, dst) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.dst
+        ), labels AS (
+            SELECT src AS node, MIN(dst) AS comp
+            FROM reach GROUP BY src
+        ), sizes AS (
+            SELECT comp, COUNT(*) AS sz FROM labels GROUP BY comp
+        )
+        SELECT CAST(sz AS BIGINT) AS component_size,
+               CAST(COUNT(*) AS BIGINT) AS n_components,
+               CAST(SUM(sz) AS BIGINT) AS n_nodes
+        FROM sizes
+        GROUP BY sz
+        ORDER BY component_size
+    """

@@ -1801,3 +1801,17 @@ def q_anomaly_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three exact anomaly detectors (squared z, MAD, jump) voting on the
     daily series — the alert-precision ensemble."""
     return distributions.anomaly_ensemble(load_table(spark, sf_dir, "events"))
+
+
+@register("graph_components", oracle=graph.components_summary_sql())
+def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the co-purchase graph via the dedup
+    family's min-label propagation; component-size histogram."""
+    return graph.components_summary(load_table(spark, sf_dir, "lineitem"))
+
+
+@register("warehouse_junk_dimension", oracle=warehouse.JUNK_DIMENSION_SQL)
+def q_junk_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kimball junk dimension over the orders flag fields: dense
+    reproducible surrogate keys on the observed combination domain."""
+    return warehouse.junk_dimension(load_table(spark, sf_dir, "orders"))

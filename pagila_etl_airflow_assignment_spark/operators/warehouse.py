@@ -2847,3 +2847,51 @@ def returns_p_chart_sql() -> str:
         FROM weekly CROSS JOIN totals
         ORDER BY week
     """
+
+
+# --- junk dimension builder ----------------------------------------------------------
+
+
+def junk_dimension(orders: DataFrame) -> DataFrame:
+    """Kimball junk-dimension build over the orders flag fields: every
+    OBSERVED (status, priority) combination gets a dense surrogate key,
+    with the profile a fact re-key would use: (junk_key, o_orderstatus,
+    o_orderpriority, n_orders, first_seen, last_seen).
+
+    The dimensional-modeling workhorse for miscellaneous low-cardinality
+    flags: rather than one column each on a 100 TB fact, the combinations
+    (bounded by the attribute-domain product, not the fact size) live in
+    one tiny dimension and the fact carries a single integer. Surrogate
+    keys are dense_rank over the deterministic (status, priority) order —
+    reproducible across rebuilds, no identity column needed.
+
+    Scale shape: one combination-grain aggregate (map-side combined to
+    the tiny domain) and a window over those few rows. The fact re-key
+    itself would be a broadcast join against this output."""
+    combos = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.min(F.to_date("o_orderdate")).alias("first_seen"),
+        F.max(F.to_date("o_orderdate")).alias("last_seen"),
+    )
+    w = Window.orderBy("o_orderstatus", "o_orderpriority")
+    return combos.select(
+        F.dense_rank().over(w).cast("long").alias("junk_key"),
+        "o_orderstatus",
+        "o_orderpriority",
+        "n_orders",
+        "first_seen",
+        "last_seen",
+    ).orderBy("junk_key")
+
+
+JUNK_DIMENSION_SQL = """
+    SELECT CAST(DENSE_RANK() OVER (
+               ORDER BY o_orderstatus, o_orderpriority) AS BIGINT) AS junk_key,
+           o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           MIN(CAST(o_orderdate AS DATE)) AS first_seen,
+           MAX(CAST(o_orderdate AS DATE)) AS last_seen
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    ORDER BY junk_key
+"""

@@ -1374,3 +1374,78 @@ def test_ensemble_votes_spike_day(spark):
     assert spike.votes == 3
     quiet = out[5]
     assert quiet.votes == 0
+
+
+# --- soft dedup weights ------------------------------------------------------------
+
+
+def test_soft_weights_sum_preserves_cluster_mass(spark):
+    docs = _docs(
+        spark,
+        [(1, "a b c d e " * 10, "en", "s"), (2, "a b c d e " * 10, "en", "s"),
+         (3, "totally different words here now", "en", "s")],
+    )
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    out = {r.doc_id: r for r in dedup.soft_dedup_weights(docs, pairs).collect()}
+    assert out[1].cluster_size == 2 and out[1].weight_micro == 500000
+    assert out[1].is_canonical == 1 and out[2].is_canonical == 0
+    assert out[3].cluster_size == 1 and out[3].weight_micro == 1000000
+
+
+# --- graph components --------------------------------------------------------------
+
+
+def test_components_histogram_on_two_rings(spark):
+    # two disjoint 3-cliques -> two components of size 3
+    baskets = [(1, [1, 2, 3]), (2, [10, 11, 12])]
+    li = spark.createDataFrame(
+        [
+            (o, p, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", dt.datetime(1996, 1, 1))
+            for o, parts in baskets for p in parts
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    )
+    from pagila_etl_airflow_assignment_spark.operators import graph
+
+    out = graph.components_summary(li, min_support=1).collect()
+    assert len(out) == 1
+    assert out[0].component_size == 3
+    assert out[0].n_components == 2 and out[0].n_nodes == 6
+
+
+# --- junk dimension ----------------------------------------------------------------
+
+
+def test_junk_dimension_keys_are_dense_and_ordered(spark):
+    orders = spark.createDataFrame(
+        [
+            (1, 1, "O", 1.0, dt.datetime(2024, 1, 5), "2-HIGH"),
+            (2, 1, "O", 1.0, dt.datetime(2024, 2, 1), "2-HIGH"),
+            (3, 1, "F", 1.0, dt.datetime(2024, 1, 1), "1-URGENT"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    out = warehouse.junk_dimension(orders).collect()
+    assert [r.junk_key for r in out] == [1, 2]
+    assert out[0].o_orderstatus == "F"
+    assert out[1].n_orders == 2
+    assert out[1].first_seen == dt.date(2024, 1, 5)
+    assert out[1].last_seen == dt.date(2024, 2, 1)
+
+
+# --- vocab budget curve ------------------------------------------------------------
+
+
+def test_budget_curve_char_fallback_cost(spark):
+    # vocab k=100 covers everything here (few distinct words) so in-vocab
+    # words cost 1; verify totals on a tiny corpus by hand at k=100
+    docs = _docs(spark, [(1, "aa bb aa cc", "en", "s")])
+    out = {r.vocab_k: r for r in corpus_stats.vocab_budget_curve(docs).collect()}
+    r = out[100]
+    assert r.n_in_vocab == 4 and r.n_fallback_words == 0
+    assert r.total_tokens == 4
+    assert r.tokens_per_100_words == 100
