@@ -1004,3 +1004,12 @@ def q_vocab_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer budget curve: corpus token cost under top-k vocabularies
     with char fallback — the cost model that sizes the vocab."""
     return corpus_stats.vocab_budget_curve(load_table(spark, sf_dir, "documents"))
+
+
+@register("ann_mips_reduction", oracle=similarity.mips_reduction_sql(ANN_QUERY_IDS))
+def q_mips_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIPS-to-L2 reduction: augmented-coordinate transform with the
+    top-1 agreement certificate — L2 indexes answering inner-product."""
+    return similarity.mips_reduction(
+        load_table(spark, sf_dir, "embeddings"), ANN_QUERY_IDS
+    )

@@ -1627,3 +1627,159 @@ def triplet_mining_sql(
         FROM pos p JOIN neg n USING (anchor_id, a_label)
         ORDER BY p.anchor_id
     """
+
+
+# --- MIPS-to-L2 reduction ------------------------------------------------------------
+
+MIPS_SCALE_MILLI = 1000  # augmentation scale: vectors pre-scaled to |x| <= ~1
+
+
+def mips_reduction(embeddings: DataFrame, query_ids: list[int]) -> DataFrame:
+    """Maximum-inner-product search via the L2 reduction (Bachrach et al.,
+    RecSys 2014): augment every corpus vector with sqrt(M² − |x|²) (M =
+    corpus max norm) and queries with 0 — then argmin L2 distance EQUALS
+    argmax inner product, so any L2-native ANN index (IVF, PQ, LSH)
+    serves MIPS unchanged. Output per query: (query_id, ip_top_id,
+    ip_score_nano, l2_top_id, reduction_agrees) — the top-1 by direct
+    inner product next to the top-1 by reduced L2, with the agreement
+    flag that certifies the transform.
+
+    The augmented coordinate's sqrt is quantized once per vector on the
+    exactly-agreed nano |x|² integer (micro-nat discipline); both
+    rankings tie-break on vec_id, so agreement is bit-stable. This is the
+    bridge operator that lets the repo's PQ/IVF machinery answer
+    recommendation-style MIPS queries, not just cosine.
+
+    Scale shape: one corpus pass for norms + the broadcast-query scoring
+    economics of brute_force_topk; at deployment the reduced vectors feed
+    the existing IVF/PQ indexes."""
+    sq_nano = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda a, t: a + t,
+    ) * F.lit(1e9)
+    base = embeddings.select(
+        "vec_id", "embedding", F.round(sq_nano).cast("long").alias("sq_nano")
+    )
+    g = Window.partitionBy()
+    with_aug = base.withColumn("max_sq", F.max("sq_nano").over(g)).select(
+        "vec_id",
+        "embedding",
+        # augmented coordinate, nano-quantized once: sqrt(M^2 - |x|^2)
+        F.round(F.sqrt((F.col("max_sq") - F.col("sq_nano")).cast("double") / 1e9) * 1e9)
+        .cast("long")
+        .alias("aug_nano"),
+        "sq_nano",
+    )
+    queries = base.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    ip_nano = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("q_emb"), F.col("embedding"),
+                lambda x, y: x.cast("double") * y.cast("double"),
+            ),
+            F.lit(0.0),
+            lambda a, t: a + t,
+        )
+        * F.lit(1e9)
+    ).cast("long")
+    scored = (
+        with_aug.crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", ip_nano.alias("ip"), "sq_nano", "aug_nano")
+        # reduced L2^2 = |x|^2 + aug^2 - 2<q,x> + const(q): rank by
+        # (sq + aug^2/1e9 - 2 ip)  -- aug^2 folded to nano once
+        .withColumn(
+            "l2red",
+            F.col("sq_nano")
+            + F.expr("CAST(aug_nano * aug_nano DIV 1000000000 AS BIGINT)")
+            - 2 * F.col("ip"),
+        )
+    )
+    top_ip = (
+        scored.select(
+            "query_id",
+            F.struct((-F.col("ip")).alias("k"), F.col("vec_id").alias("v"),
+                     F.col("ip").alias("s")).alias("c"),
+        )
+        .groupBy("query_id")
+        .agg(F.min("c").alias("b"))
+        .select("query_id", F.col("b.v").alias("ip_top_id"),
+                F.col("b.s").alias("ip_score_nano"))
+    )
+    top_l2 = (
+        scored.select(
+            "query_id",
+            F.struct(F.col("l2red").alias("k"), F.col("vec_id").alias("v")).alias("c"),
+        )
+        .groupBy("query_id")
+        .agg(F.min("c").alias("b"))
+        .select("query_id", F.col("b.v").alias("l2_top_id"))
+    )
+    return (
+        top_ip.join(top_l2, "query_id")
+        .select(
+            "query_id",
+            "ip_top_id",
+            "ip_score_nano",
+            "l2_top_id",
+            (F.col("ip_top_id") == F.col("l2_top_id")).cast("int").alias(
+                "reduction_agrees"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
+def mips_reduction_sql(query_ids: list[int]) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    dot = (
+        "CAST(round(list_sum(list_transform(range(1, len({a}) + 1),"
+        " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))) * 1e9)"
+        " AS BIGINT)"
+    )
+    return f"""
+        WITH base AS (
+            SELECT vec_id, embedding,
+                   {dot.format(a="embedding", b="embedding")} AS sq_nano
+            FROM embeddings
+        ),
+        with_aug AS (
+            SELECT vec_id, embedding, sq_nano,
+                   CAST(round(sqrt(CAST(MAX(sq_nano) OVER () - sq_nano
+                        AS DOUBLE) / 1e9) * 1e9) AS BIGINT) AS aug_nano
+            FROM base
+        ),
+        queries AS (
+            SELECT vec_id AS query_id, embedding AS q_emb
+            FROM base WHERE vec_id IN ({ids})
+        ),
+        scored AS (
+            SELECT q.query_id, w.vec_id,
+                   {dot.format(a="q.q_emb", b="w.embedding")} AS ip,
+                   w.sq_nano,
+                   w.sq_nano + (w.aug_nano * w.aug_nano // 1000000000)
+                       - 2 * {dot.format(a="q.q_emb", b="w.embedding")} AS l2red
+            FROM with_aug w CROSS JOIN queries q
+            WHERE w.vec_id <> q.query_id
+        ),
+        top_ip AS (
+            SELECT query_id,
+                   (MIN(struct_pack(k := -ip, v := vec_id, s := ip))).v
+                       AS ip_top_id,
+                   (MIN(struct_pack(k := -ip, v := vec_id, s := ip))).s
+                       AS ip_score_nano
+            FROM scored GROUP BY query_id
+        ),
+        top_l2 AS (
+            SELECT query_id,
+                   (MIN(struct_pack(k := l2red, v := vec_id))).v AS l2_top_id
+            FROM scored GROUP BY query_id
+        )
+        SELECT i.query_id, i.ip_top_id, i.ip_score_nano, l.l2_top_id,
+               CAST(i.ip_top_id = l.l2_top_id AS INT) AS reduction_agrees
+        FROM top_ip i JOIN top_l2 l USING (query_id)
+        ORDER BY i.query_id
+    """

@@ -288,3 +288,88 @@ DAU_MAU_STICKINESS_SQL = """
     FROM dau JOIN mau ON dau.day = mau.d
     ORDER BY dau.day
 """
+
+
+# --- churn label generation ----------------------------------------------------------
+
+CHURN_OBS_END_DAY = 20  # observation window: days 1-20
+CHURN_HOLDOUT_FROM = 21  # label window: days 21+
+
+
+def churn_labels(events: DataFrame) -> DataFrame:
+    """Training-label generation for churn models: users active in the
+    observation window (days 1-{CHURN_OBS_END_DAY}) are labeled CHURNED
+    when the label window (days {CHURN_HOLDOUT_FROM}+) shows no activity —
+    plus the summary a modeler sanity-checks before training: (cohort,
+    n_users, n_churned, churn_milli, avg_obs_events). Cohort is the
+    user's first-activity week within the observation window.
+
+    The point-in-time discipline matters more than the arithmetic: only
+    observation-window activity defines the population AND the features
+    (avg_obs_events), so the label can never leak backward. Two user-grain
+    aggregates over disjoint windows, one anti-join-free membership flag
+    (max over the label window), exact milli rate.
+
+    Scale shape: user-keyed aggregates with map-side combine; the panel is
+    |cohorts| rows."""
+    obs = (
+        events.where(F.dayofmonth("ts") <= CHURN_OBS_END_DAY)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_obs"),
+            F.weekofyear(F.min("ts")).cast("long").alias("cohort"),
+        )
+    )
+    labeled = (
+        events.where(F.dayofmonth("ts") >= CHURN_HOLDOUT_FROM)
+        .select("user_id")
+        .distinct()
+        .withColumn("active_later", F.lit(1))
+    )
+    per_user = obs.join(labeled, "user_id", "left").select(
+        "cohort",
+        "n_obs",
+        F.when(F.col("active_later").isNull(), 1).otherwise(0).alias("churned"),
+    )
+    return (
+        per_user.groupBy("cohort")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum("churned").cast("long").alias("n_churned"),
+            F.expr(
+                "CAST(1000 * SUM(churned) DIV COUNT(*) AS BIGINT)"
+            ).alias("churn_milli"),
+            F.expr(
+                "CAST((2 * SUM(n_obs) + COUNT(*)) DIV (2 * COUNT(*)) AS BIGINT)"
+            ).alias("avg_obs_events"),
+        )
+        .orderBy("cohort")
+    )
+
+
+CHURN_LABELS_SQL = f"""
+    WITH obs AS (
+        SELECT user_id, COUNT(*) AS n_obs,
+               CAST(EXTRACT(week FROM MIN(ts)) AS BIGINT) AS cohort
+        FROM events WHERE EXTRACT(day FROM ts) <= {CHURN_OBS_END_DAY}
+        GROUP BY user_id
+    ),
+    labeled AS (
+        SELECT DISTINCT user_id FROM events
+        WHERE EXTRACT(day FROM ts) >= {CHURN_HOLDOUT_FROM}
+    ),
+    per_user AS (
+        SELECT o.cohort, o.n_obs,
+               CASE WHEN l.user_id IS NULL THEN 1 ELSE 0 END AS churned
+        FROM obs o LEFT JOIN labeled l USING (user_id)
+    )
+    SELECT cohort,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(churned) AS BIGINT) AS n_churned,
+           CAST(1000 * SUM(churned) // COUNT(*) AS BIGINT) AS churn_milli,
+           CAST((2 * SUM(n_obs) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+               AS avg_obs_events
+    FROM per_user
+    GROUP BY cohort
+    ORDER BY cohort
+"""

@@ -1613,3 +1613,94 @@ def components_summary_sql(
         GROUP BY sz
         ORDER BY component_size
     """
+
+
+# --- square (4-cycle) census ----------------------------------------------------------
+
+
+def square_census(
+    lineitem: DataFrame, max_basket: int = 30, min_support: int = TRI_MIN_SUPPORT
+) -> DataFrame:
+    """4-cycle (square) census of the co-purchase graph — the motif that
+    measures BIPARTITE-like redundancy triangles can't see (two parts
+    sharing two distinct co-purchase partners form a square even with no
+    edge between them): one row (n_edges, n_wedge_pairs, n_squares,
+    squares_per_1000_wedges).
+
+    Squares decompose over CO-NEIGHBOR COUNTS: for every unordered pair
+    (x, y), c_xy = |N(x) ∩ N(y)| gives C(c_xy, 2) squares through that
+    pair, and Σ C(c_xy,2) counts each 4-cycle exactly twice (once per
+    diagonal). So the census is the wedge aggregation the link predictor
+    already runs plus one closed-form combine — no 4-way join ever.
+
+    Scale shape: wedge counts are hub-capped (the stop-node rule); the
+    census is a 1-row rollup."""
+    pruned = (
+        _oriented_pair_rel(lineitem, max_basket)
+        .groupBy(F.col("part_a").alias("u"), F.col("part_b").alias("v"))
+        .agg(F.count("*").alias("support"))
+        .where(F.col("support") >= min_support)
+        .select("u", "v")
+        .localCheckpoint(eager=True)
+    )
+    sym = pruned.unionByName(
+        pruned.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    wedges = (
+        sym.alias("e1")
+        .join(
+            sym.alias("e2"),
+            (F.col("e1.v") == F.col("e2.u")) & (F.col("e1.u") < F.col("e2.v")),
+        )
+        .groupBy(F.col("e1.u").alias("x"), F.col("e2.v").alias("y"))
+        .agg(F.count("*").alias("c_xy"))
+    )
+    agg = wedges.agg(
+        F.count("*").cast("long").alias("n_wedge_pairs"),
+        F.sum(F.expr("c_xy * (c_xy - 1) DIV 2")).alias("sq2"),
+    ).crossJoin(
+        F.broadcast(pruned.agg(F.count("*").cast("long").alias("n_edges")))
+    )
+    return agg.select(
+        "n_edges",
+        "n_wedge_pairs",
+        F.expr("CAST(sq2 DIV 2 AS BIGINT)").alias("n_squares"),
+        F.expr(
+            "CAST(1000 * (sq2 DIV 2) DIV n_wedge_pairs AS BIGINT)"
+        ).alias("squares_per_1000_wedges"),
+    )
+
+
+def square_census_sql(
+    max_basket: int = 30, min_support: int = TRI_MIN_SUPPORT
+) -> str:
+    return f"""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), small AS (
+            SELECT l_orderkey FROM items
+            GROUP BY l_orderkey HAVING COUNT(*) <= {max_basket}
+        ), basket AS (
+            SELECT i.l_orderkey, i.l_partkey FROM items i
+            JOIN small USING (l_orderkey)
+        ), pruned AS (
+            SELECT a.l_partkey AS u, b.l_partkey AS v
+            FROM basket a JOIN basket b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY a.l_partkey, b.l_partkey
+            HAVING COUNT(*) >= {min_support}
+        ), sym AS (
+            SELECT u, v FROM pruned
+            UNION ALL SELECT v AS u, u AS v FROM pruned
+        ), wedges AS (
+            SELECT e1.u AS x, e2.v AS y, COUNT(*) AS c_xy
+            FROM sym e1 JOIN sym e2 ON e1.v = e2.u AND e1.u < e2.v
+            GROUP BY e1.u, e2.v
+        )
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM pruned) AS n_edges,
+               CAST(COUNT(*) AS BIGINT) AS n_wedge_pairs,
+               CAST(SUM(c_xy * (c_xy - 1) // 2) // 2 AS BIGINT) AS n_squares,
+               CAST(1000 * (SUM(c_xy * (c_xy - 1) // 2) // 2) // COUNT(*)
+                   AS BIGINT) AS squares_per_1000_wedges
+        FROM wedges
+    """

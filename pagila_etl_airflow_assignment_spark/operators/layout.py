@@ -18,7 +18,7 @@ global sort the report exists to justify.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 Z_BITS = 10          # bits kept per dimension (1024-cell grid per dim)
@@ -122,4 +122,81 @@ def zorder_layout_quality_sql() -> str:
                AS day_width_milli
     FROM buckets, gspan
     ORDER BY bucket
+    """
+
+
+# --- compaction (OPTIMIZE) planner ---------------------------------------------------
+
+COMPACT_TARGET_ROWS = 4000
+
+
+def compaction_plan(
+    events: DataFrame, target_rows: int = COMPACT_TARGET_ROWS
+) -> DataFrame:
+    """Small-file compaction plan over the day-partitioned events layout —
+    the planning half of Delta/Iceberg OPTIMIZE: daily "files" (day row
+    counts, the stand-in for real file-manifest sizes) coalesce into
+    sequential output bins of ~{COMPACT_TARGET_ROWS} rows, preserving day
+    order so clustering survives the rewrite: (bin_id, n_files, first_day,
+    last_day, bin_rows, fill_milli).
+
+    Bin assignment is the sequential-coalesce rule bin = (cum_rows − rows)
+    DIV target — exactly how sorted-compaction binpacks without an
+    optimizer loop: one running-sum window in day order, one integer
+    division, one bin-grain aggregate. fill_milli shows how close each
+    bin lands to target (the fragmentation metric the plan exists to fix).
+
+    Scale shape: the window runs over the |days| file-manifest grain —
+    manifests are small by definition; never over the data itself."""
+    files = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("rows")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    binned = files.select(
+        "day",
+        "rows",
+        (F.sum("rows").over(w)).alias("cum"),
+    ).select(
+        "day",
+        "rows",
+        F.expr(f"CAST((cum - rows) DIV {target_rows} AS BIGINT)").alias("bin_id"),
+    )
+    return (
+        binned.groupBy("bin_id")
+        .agg(
+            F.count("*").cast("long").alias("n_files"),
+            F.min("day").alias("first_day"),
+            F.max("day").alias("last_day"),
+            F.sum("rows").cast("long").alias("bin_rows"),
+        )
+        .withColumn(
+            "fill_milli",
+            F.expr(f"CAST(1000 * bin_rows DIV {target_rows} AS BIGINT)"),
+        )
+        .orderBy("bin_id")
+    )
+
+
+def compaction_plan_sql(target_rows: int = COMPACT_TARGET_ROWS) -> str:
+    return f"""
+        WITH files AS (
+            SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS rows
+            FROM events GROUP BY 1
+        ),
+        binned AS (
+            SELECT day, rows,
+                   (SUM(rows) OVER (ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - rows) // {target_rows} AS bin_id
+            FROM files
+        )
+        SELECT CAST(bin_id AS BIGINT) AS bin_id,
+               CAST(COUNT(*) AS BIGINT) AS n_files,
+               MIN(day) AS first_day,
+               MAX(day) AS last_day,
+               CAST(SUM(rows) AS BIGINT) AS bin_rows,
+               CAST(1000 * SUM(rows) // {target_rows} AS BIGINT) AS fill_milli
+        FROM binned
+        GROUP BY bin_id
+        ORDER BY bin_id
     """

@@ -1815,3 +1815,24 @@ def q_junk_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kimball junk dimension over the orders flag fields: dense
     reproducible surrogate keys on the observed combination domain."""
     return warehouse.junk_dimension(load_table(spark, sf_dir, "orders"))
+
+
+@register("graph_square_census", oracle=graph.square_census_sql())
+def q_square_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-cycle census via co-neighbor counts: squares = sum C(c_xy,2)/2 -
+    no 4-way join, one wedge aggregate plus a closed-form combine."""
+    return graph.square_census(load_table(spark, sf_dir, "lineitem"))
+
+
+@register("warehouse_compaction_plan", oracle=layout.compaction_plan_sql())
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE-style compaction plan: sequential-coalesce binpacking of
+    the day-partition manifest with fill-rate diagnostics."""
+    return layout.compaction_plan(load_table(spark, sf_dir, "events"))
+
+
+@register("events_churn_labels", oracle=behavior.CHURN_LABELS_SQL)
+def q_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time churn label generation: observation-window population
+    and features, holdout-window labels, per-cohort sanity panel."""
+    return behavior.churn_labels(load_table(spark, sf_dir, "events"))

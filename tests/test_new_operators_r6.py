@@ -1449,3 +1449,84 @@ def test_budget_curve_char_fallback_cost(spark):
     assert r.n_in_vocab == 4 and r.n_fallback_words == 0
     assert r.total_tokens == 4
     assert r.tokens_per_100_words == 100
+
+
+# --- MIPS reduction ----------------------------------------------------------------
+
+
+def test_mips_reduction_top1_agrees(spark):
+    vecs = spark.createDataFrame(
+        [(i, [0.02 * ((i * 17 + j * 3) % 29 - 14) for j in range(64)], 0)
+         for i in range(25)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    from pagila_etl_airflow_assignment_spark.llm import similarity
+
+    out = similarity.mips_reduction(vecs, [0, 1, 2]).collect()
+    assert len(out) == 3
+    for r in out:
+        # the reduction theorem: argmax IP == argmin reduced L2
+        assert r.reduction_agrees == 1
+        assert r.ip_top_id == r.l2_top_id
+
+
+# --- square census -----------------------------------------------------------------
+
+
+def test_square_census_counts_the_one_square(spark):
+    # 4-cycle 1-2-3-4-1 via four 2-item baskets
+    baskets = [(1, [1, 2]), (2, [2, 3]), (3, [3, 4]), (4, [1, 4])]
+    li = spark.createDataFrame(
+        [
+            (o, p, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", dt.datetime(1996, 1, 1))
+            for o, parts in baskets for p in parts
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    )
+    from pagila_etl_airflow_assignment_spark.operators import graph
+
+    out = graph.square_census(li, min_support=1).collect()[0]
+    assert out.n_edges == 4
+    assert out.n_squares == 1
+
+
+# --- compaction plan ---------------------------------------------------------------
+
+
+def test_compaction_plan_sequential_coalesce(spark):
+    # 6 days x 1000 rows each, target 4000 -> bins of cum-div: days 1-4 in
+    # bin 0 (cum-rows at start 0..3000), days 5-6 in bin 1
+    rows = []
+    eid = 0
+    for d in range(1, 7):
+        for i in range(1000):
+            rows.append((eid, _ts(d, i % 24), 1 + i % 5, "view", 1.0)); eid += 1
+    from pagila_etl_airflow_assignment_spark.operators import layout
+
+    out = layout.compaction_plan(_events(spark, rows)).collect()
+    assert [r.bin_id for r in out] == [0, 1]
+    assert out[0].n_files == 4 and out[0].bin_rows == 4000
+    assert out[0].fill_milli == 1000
+    assert out[1].n_files == 2 and out[1].bin_rows == 2000
+
+
+# --- churn labels ------------------------------------------------------------------
+
+
+def test_churn_labels_point_in_time(spark):
+    rows = [
+        # user 1: active obs + holdout -> retained
+        (1, _ts(2), 1, "view", 1.0), (2, _ts(25), 1, "view", 1.0),
+        # user 2: obs only -> churned
+        (3, _ts(3), 2, "view", 1.0), (4, _ts(18), 2, "view", 1.0),
+        # user 3: holdout only -> NOT in population
+        (5, _ts(28), 3, "view", 1.0),
+    ]
+    from pagila_etl_airflow_assignment_spark.operators import behavior
+
+    out = behavior.churn_labels(_events(spark, rows)).collect()
+    assert sum(r.n_users for r in out) == 2
+    assert sum(r.n_churned for r in out) == 1

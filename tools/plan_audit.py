@@ -104,6 +104,10 @@ ALLOWED: dict[str, set[str]] = {
     "warehouse_topdown_forecast": {"BroadcastNestedLoopJoin"},
     # broadcast 1-row reference-date scalar (aging "today" stand-in)
     "warehouse_order_aging": {"BroadcastNestedLoopJoin"},
+    # broadcast 1-row edge-count scalar (census denominator)
+    "graph_square_census": {"BroadcastNestedLoopJoin"},
+    # broadcast query set + 1-row max-norm scalar (MIPS augmentation)
+    "ann_mips_reduction": {"BroadcastNestedLoopJoin"},
     # broadcast k-row deterministic codebooks (elbow sweep, k <= 16)
     "embedding_k_selection_elbow": {"BroadcastNestedLoopJoin"},
     # broadcast 1-row corpus totals (p-chart center line)
