@@ -1725,3 +1725,83 @@ def k_selection_elbow_sql() -> str:
         FROM sweeps
         ORDER BY k
     """
+
+
+# --- isotropy score ------------------------------------------------------------
+
+
+def isotropy_score(vectors: DataFrame) -> DataFrame:
+    """Embedding-space isotropy panel: (n_vectors, dim,
+    mean_vector_mass_milli, mean_sq_micro2) — where mean_vector_mass is
+    |mean vector|² over mean |x|², the anisotropy diagnostic (Ethayarajh
+    2019): a healthy space scores near 0 (directions cancel), a collapsed
+    or un-centered one concentrates mass in the mean direction and
+    downstream cosine similarities saturate. The companion to
+    [[embedding_similarity_profile]] — this is the 1-row number, that is
+    the distribution.
+
+    Exactness: every float is quantized ONCE at ingest to micro units
+    (the kmeans micro-centroid discipline); per-dimension sums, the
+    floor-divided per-dimension means, both squared masses and the final
+    milli ratio are then pure BIGINT arithmetic — no cross-engine float
+    sum ever happens.
+
+    Scale shape: one narrow dim-explode aggregate (map-side combined,
+    64·|corpus| rows in, 64 out) and a 1-row combine."""
+    dims = vectors.select(
+        "vec_id",
+        F.posexplode(
+            F.expr("transform(embedding, v -> CAST(round(v * 1e6) AS BIGINT))")
+        ).alias("d", "v_micro"),
+    )
+    per_dim = dims.groupBy("d").agg(
+        F.sum("v_micro").alias("sum_d"),
+        F.sum(F.col("v_micro") * F.col("v_micro")).alias("sq_d"),
+        F.countDistinct("vec_id").alias("n"),
+    )
+    return per_dim.agg(
+        F.max("n").cast("long").alias("n_vectors"),
+        F.count("*").cast("long").alias("dim"),
+        F.sum(F.expr("(sum_d DIV n) * (sum_d DIV n)")).alias("mean_mass"),
+        F.sum("sq_d").alias("total_sq"),
+    ).select(
+        "n_vectors",
+        "dim",
+        F.expr(
+            "CAST(1000 * mean_mass DIV (total_sq DIV n_vectors) AS BIGINT)"
+        ).alias("mean_vector_mass_milli"),
+        F.expr("CAST(total_sq DIV (n_vectors * dim) AS BIGINT)").alias(
+            "mean_sq_micro2"
+        ),
+    )
+
+
+ISOTROPY_SCORE_SQL = """
+    WITH dims AS (
+        SELECT vec_id, d,
+               CAST(round(embedding[d + 1] * 1e6) AS BIGINT) AS v_micro
+        FROM (
+            SELECT vec_id, embedding,
+                   unnest(range(0, len(embedding))) AS d
+            FROM embeddings
+        )
+    ),
+    per_dim AS (
+        SELECT d, SUM(v_micro) AS sum_d,
+               SUM(v_micro * v_micro) AS sq_d,
+               COUNT(DISTINCT vec_id) AS n
+        FROM dims GROUP BY d
+    ),
+    agg AS (
+        SELECT CAST(MAX(n) AS BIGINT) AS n_vectors,
+               CAST(COUNT(*) AS BIGINT) AS dim,
+               SUM((sum_d // n) * (sum_d // n)) AS mean_mass,
+               SUM(sq_d) AS total_sq
+        FROM per_dim
+    )
+    SELECT n_vectors, dim,
+           CAST(1000 * mean_mass // (total_sq // n_vectors) AS BIGINT)
+               AS mean_vector_mass_milli,
+           CAST(total_sq // (n_vectors * dim) AS BIGINT) AS mean_sq_micro2
+    FROM agg
+"""

@@ -1013,3 +1013,10 @@ def q_mips_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.mips_reduction(
         load_table(spark, sf_dir, "embeddings"), ANN_QUERY_IDS
     )
+
+
+@register("embedding_isotropy", oracle=embeddings_mod.ISOTROPY_SCORE_SQL)
+def q_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotropy panel: |mean vector|^2 over mean |x|^2 in once-quantized
+    micro integers — the collapsed-encoder one-number diagnostic."""
+    return embeddings_mod.isotropy_score(load_table(spark, sf_dir, "embeddings"))

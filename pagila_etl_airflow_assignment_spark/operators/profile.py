@@ -651,3 +651,59 @@ def quarantine_audit_sql() -> str:
         FROM agg
         ORDER BY reason
     """
+
+
+# --- source watermark skew -----------------------------------------------------------
+
+
+def watermark_skew(events: DataFrame) -> DataFrame:
+    """Multi-source ingest watermark audit: treating each event type as an
+    independent upstream stream, the SAFE event-time watermark is the
+    minimum of the per-source high-water marks — one stalled source holds
+    back every downstream window. Output per source: (event_type,
+    watermark_ts, lag_s, is_laggard).
+
+    lag_s is how far the source's own watermark runs AHEAD of the safe
+    line (0 = this source IS the laggard gating everyone). The operational
+    readout behind every 'why is my window not closing' page.
+
+    Scale shape: one type-grain max aggregate; the safe line is the min
+    over that bounded relation (window over |sources| rows)."""
+    marks = events.groupBy("event_type").agg(F.max("ts").alias("watermark_ts"))
+    g = Window.partitionBy()
+    return (
+        marks.withColumn("safe", F.min("watermark_ts").over(g))
+        .select(
+            "event_type",
+            "watermark_ts",
+            (F.unix_micros("watermark_ts") - F.unix_micros("safe"))
+            .cast("long")
+            .alias("lag_us"),
+        )
+        .select(
+            "event_type",
+            "watermark_ts",
+            F.expr("CAST(lag_us DIV 1000000 AS BIGINT)").alias("lag_s"),
+            (F.col("lag_us") == 0).cast("int").alias("is_laggard"),
+        )
+        .orderBy("event_type")
+    )
+
+
+WATERMARK_SKEW_SQL = """
+    WITH marks AS (
+        SELECT event_type, MAX(ts) AS watermark_ts
+        FROM events GROUP BY event_type
+    ),
+    lined AS (
+        SELECT event_type, watermark_ts,
+               epoch_us(watermark_ts) - epoch_us(MIN(watermark_ts) OVER ())
+                   AS lag_us
+        FROM marks
+    )
+    SELECT event_type, watermark_ts,
+           CAST(lag_us // 1000000 AS BIGINT) AS lag_s,
+           CAST(lag_us = 0 AS INT) AS is_laggard
+    FROM lined
+    ORDER BY event_type
+"""

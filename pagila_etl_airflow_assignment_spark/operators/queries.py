@@ -1836,3 +1836,17 @@ def q_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time churn label generation: observation-window population
     and features, holdout-window labels, per-cohort sanity panel."""
     return behavior.churn_labels(load_table(spark, sf_dir, "events"))
+
+
+@register("events_watermark_skew", oracle=profile.WATERMARK_SKEW_SQL)
+def q_watermark_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source watermark skew vs the safe (minimum) line — the
+    'why is my window not closing' readout."""
+    return profile.watermark_skew(load_table(spark, sf_dir, "events"))
+
+
+@register("events_simpson_check", oracle=stats.SIMPSON_CHECK_SQL)
+def q_simpson_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox audit: sign-only cross-multiplied variant
+    comparison per stratum vs pooled, with the reversal flag."""
+    return stats.simpson_check(load_table(spark, sf_dir, "events"))

@@ -1479,3 +1479,138 @@ IPW_ATE_SQL = f"""
                AS naive_ate_cents
     FROM agg
 """
+
+
+# --- Simpson's paradox detector ------------------------------------------------------
+
+SIMPSON_STRATA = 3
+
+
+def simpson_check(events: DataFrame) -> DataFrame:
+    """Simpson's-paradox audit of the variant comparison: the overall
+    conversion-rate difference is compared, SIGN ONLY and fully
+    cross-multiplied (no rate ever materializes), against the same
+    difference inside each activity stratum. A reversal — every stratum
+    agreeing on one sign while the pooled comparison shows the other — is
+    the aggregation artifact that has shipped wrong launch decisions;
+    this is the gate that catches it. Output: one row per stratum plus
+    'overall' (stratum, n_treat, conv_treat, n_ctrl, conv_ctrl,
+    diff_sign, reversal_flag — flag repeated on all rows).
+
+    Variants assign by user-id parity (the repo's variant_stats rule);
+    strata are activity terciles via integer thresholds.
+
+    Scale shape: one user-grain aggregate, one |strata|-bounded rollup,
+    windows over ≤4 rows."""
+    per_user = events.groupBy("user_id").agg(
+        F.count("*").alias("n_ev"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "conv"
+        ),
+    )
+    assigned = per_user.select(
+        F.least(F.lit(SIMPSON_STRATA - 1), F.expr("n_ev DIV 67")).alias(
+            "stratum"
+        ),
+        (F.col("user_id") % 2 == 1).alias("treat"),
+        "conv",
+    )
+    cells = lambda df, label_col: (  # noqa: E731
+        df.groupBy(label_col)
+        .agg(
+            F.sum(F.when(F.col("treat"), 1).otherwise(0)).cast("long").alias("n_treat"),
+            F.sum(F.when(F.col("treat"), F.col("conv")).otherwise(0))
+            .cast("long")
+            .alias("conv_treat"),
+            F.sum(F.when(~F.col("treat"), 1).otherwise(0)).cast("long").alias("n_ctrl"),
+            F.sum(F.when(~F.col("treat"), F.col("conv")).otherwise(0))
+            .cast("long")
+            .alias("conv_ctrl"),
+        )
+    )
+    strata = cells(
+        assigned.withColumn("label", F.concat(F.lit("stratum_"), F.col("stratum"))),
+        "label",
+    )
+    overall = cells(assigned.withColumn("label", F.lit("overall")), "label")
+    panel = strata.unionByName(overall).withColumn(
+        "diff_sign",
+        F.expr(
+            "CAST(SIGN(conv_treat * n_ctrl - conv_ctrl * n_treat) AS BIGINT)"
+        ),
+    )
+    g = Window.partitionBy()
+    return (
+        panel.withColumn(
+            "reversal_flag",
+            (
+                # all strata share one sign...
+                (
+                    F.max(
+                        F.when(F.col("label") != "overall", F.col("diff_sign"))
+                    ).over(g)
+                    == F.min(
+                        F.when(F.col("label") != "overall", F.col("diff_sign"))
+                    ).over(g)
+                )
+                # ...and the overall sign differs from it
+                & (
+                    F.max(
+                        F.when(F.col("label") == "overall", F.col("diff_sign"))
+                    ).over(g)
+                    != F.max(
+                        F.when(F.col("label") != "overall", F.col("diff_sign"))
+                    ).over(g)
+                )
+            ).cast("int"),
+        )
+        .orderBy("label")
+    )
+
+
+SIMPSON_CHECK_SQL = f"""
+    WITH per_user AS (
+        SELECT user_id, COUNT(*) AS n_ev,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        FROM events GROUP BY user_id
+    ),
+    assigned AS (
+        SELECT LEAST({SIMPSON_STRATA - 1}, n_ev // 67) AS stratum,
+               user_id % 2 = 1 AS treat, conv
+        FROM per_user
+    ),
+    strata AS (
+        SELECT 'stratum_' || CAST(stratum AS VARCHAR) AS label,
+               CAST(SUM(CASE WHEN treat THEN 1 ELSE 0 END) AS BIGINT) AS n_treat,
+               CAST(SUM(CASE WHEN treat THEN conv ELSE 0 END) AS BIGINT)
+                   AS conv_treat,
+               CAST(SUM(CASE WHEN NOT treat THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_ctrl,
+               CAST(SUM(CASE WHEN NOT treat THEN conv ELSE 0 END) AS BIGINT)
+                   AS conv_ctrl
+        FROM assigned GROUP BY stratum
+        UNION ALL
+        SELECT 'overall',
+               CAST(SUM(CASE WHEN treat THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(CASE WHEN treat THEN conv ELSE 0 END) AS BIGINT),
+               CAST(SUM(CASE WHEN NOT treat THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(CASE WHEN NOT treat THEN conv ELSE 0 END) AS BIGINT)
+        FROM assigned
+    ),
+    signed AS (
+        SELECT *,
+               CAST(SIGN(conv_treat * n_ctrl - conv_ctrl * n_treat) AS BIGINT)
+                   AS diff_sign
+        FROM strata
+    )
+    SELECT label, n_treat, conv_treat, n_ctrl, conv_ctrl, diff_sign,
+           CAST(
+               MAX(CASE WHEN label <> 'overall' THEN diff_sign END) OVER ()
+               = MIN(CASE WHEN label <> 'overall' THEN diff_sign END) OVER ()
+               AND MAX(CASE WHEN label = 'overall' THEN diff_sign END) OVER ()
+                   <> MAX(CASE WHEN label <> 'overall' THEN diff_sign END)
+                      OVER ()
+           AS INT) AS reversal_flag
+    FROM signed
+    ORDER BY label
+"""

@@ -122,3 +122,13 @@ def q_session_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily session KPI panel: bounce rate and exact medians of depth and
     duration via the integer cumulative-threshold rule."""
     return session_kpis(load_table(spark, sf_dir, "events"))
+
+
+from . import stateful as _stateful
+
+
+@register("events_throttle_whatif", oracle=_stateful.throttle_whatif_sql())
+def q_throttle_whatif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-limit policy sweep: every candidate min-gap evaluated in the
+    one user-keyed pass — capacity planning without N replays."""
+    return _stateful.throttle_whatif(load_table(spark, sf_dir, "events"))

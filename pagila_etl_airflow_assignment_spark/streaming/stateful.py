@@ -284,3 +284,121 @@ def streaming_throttled_events(
             timeMode="none",
         )
     )
+
+
+# --- throttle what-if sweep ----------------------------------------------------------
+
+THROTTLE_WHATIF_GAPS_H = (6, 24, 72)
+
+
+def throttle_whatif(events: DataFrame) -> DataFrame:
+    """Policy sweep over the true throttle: how many notifications would
+    each candidate min-gap emit? One pass evaluates every config in
+    {THROTTLE_WHATIF_GAPS_H} hours — the capacity-planning question asked
+    before changing a rate limit, answered without replaying the stream N
+    times: (min_gap_hours, n_emitted, n_suppressed, suppress_milli).
+
+    Each user's sorted event array folds once PER CONFIG with a
+    (anchor, count) accumulator — the same sequential recursion as
+    ``throttle_events``, counting instead of collecting, so the sweep adds
+    zero shuffles: configs differ only in the fold constant. The oracle
+    walks the identical recursion per config and unions.
+
+    Scale shape: one user-keyed shuffle total; fold work is
+    |configs|·|user events|."""
+    evs = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.unix_micros("ts").alias("us"), F.col("event_id").alias("eid")
+            )
+        )
+    )
+    per_user = events.groupBy("user_id").agg(evs.alias("evs"))
+    counts = []
+    for gap_h in THROTTLE_WHATIF_GAPS_H:
+        gap_us = gap_h * 3600 * 1_000_000
+        def step_for(g):
+            def step(acc, e):
+                return F.when(
+                    e["us"] - acc["anchor"] >= F.lit(g),
+                    F.struct(
+                        e["us"].alias("anchor"), (acc["n"] + 1).alias("n")
+                    ),
+                ).otherwise(acc)
+
+            return step
+
+        fold = F.aggregate(
+            F.col("evs"),
+            F.struct(
+                F.lit(-(1 << 62)).cast("long").alias("anchor"),
+                F.lit(0).cast("long").alias("n"),
+            ),
+            step_for(gap_us),
+        )
+        counts.append(
+            per_user.select(
+                F.lit(gap_h).cast("long").alias("min_gap_hours"),
+                fold["n"].alias("n_kept"),
+                F.size("evs").cast("long").alias("n_total"),
+            )
+        )
+    un = counts[0]
+    for c in counts[1:]:
+        un = un.unionByName(c)
+    return (
+        un.groupBy("min_gap_hours")
+        .agg(
+            F.sum("n_kept").cast("long").alias("n_emitted"),
+            (F.sum("n_total") - F.sum("n_kept")).cast("long").alias(
+                "n_suppressed"
+            ),
+            F.expr(
+                "CAST(1000 * (SUM(n_total) - SUM(n_kept)) DIV SUM(n_total)"
+                " AS BIGINT)"
+            ).alias("suppress_milli"),
+        )
+        .orderBy("min_gap_hours")
+    )
+
+
+def throttle_whatif_sql() -> str:
+    parts = []
+    for gap_h in THROTTLE_WHATIF_GAPS_H:
+        gap_us = gap_h * 3600 * 1_000_000
+        parts.append(
+            f"""
+        SELECT CAST({gap_h} AS BIGINT) AS min_gap_hours,
+               CAST(SUM(CASE WHEN emitted THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept,
+               CAST(COUNT(*) AS BIGINT) AS n_total
+        FROM (
+            WITH RECURSIVE ordered AS (
+                SELECT user_id, event_id, epoch_us(ts) AS us,
+                       row_number() OVER (
+                           PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                       ) AS rn
+                FROM events
+            ), walk(user_id, rn, anchor, emitted) AS (
+                SELECT user_id, rn, us, TRUE FROM ordered WHERE rn = 1
+                UNION ALL
+                SELECT o.user_id, o.rn,
+                       CASE WHEN o.us - w.anchor >= CAST({gap_us} AS BIGINT)
+                            THEN o.us ELSE w.anchor END,
+                       o.us - w.anchor >= CAST({gap_us} AS BIGINT)
+                FROM walk w
+                JOIN ordered o ON o.user_id = w.user_id AND o.rn = w.rn + 1
+            )
+            SELECT user_id, emitted FROM walk
+        )"""
+        )
+    union = " UNION ALL ".join(parts)
+    return f"""
+        WITH sweeps AS ({union})
+        SELECT min_gap_hours, n_kept AS n_emitted,
+               n_total - n_kept AS n_suppressed,
+               CAST(1000 * (n_total - n_kept) // n_total AS BIGINT)
+                   AS suppress_milli
+        FROM sweeps
+        ORDER BY min_gap_hours
+    """

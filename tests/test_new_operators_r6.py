@@ -1530,3 +1530,110 @@ def test_churn_labels_point_in_time(spark):
     out = behavior.churn_labels(_events(spark, rows)).collect()
     assert sum(r.n_users for r in out) == 2
     assert sum(r.n_churned for r in out) == 1
+
+
+# --- watermark skew ----------------------------------------------------------------
+
+
+def test_watermark_skew_identifies_laggard(spark):
+    ev = _events(
+        spark,
+        [
+            (1, _ts(10), 1, "view", 1.0),
+            (2, _ts(20), 1, "click", 1.0),
+            (3, _ts(15), 1, "purchase", 1.0),
+        ],
+    )
+    from pagila_etl_airflow_assignment_spark.operators import profile
+
+    out = {r.event_type: r for r in profile.watermark_skew(ev).collect()}
+    assert out["view"].is_laggard == 1 and out["view"].lag_s == 0
+    assert out["click"].lag_s == 10 * 86400
+    assert out["purchase"].is_laggard == 0
+
+
+# --- Simpson check -----------------------------------------------------------------
+
+
+def test_simpson_reversal_detected(spark):
+    # construct a reversal: stratum 0 (low activity, mostly control),
+    # stratum 2 (high activity, mostly treated); within each stratum the
+    # treated convert LESS, but treated concentrate in the high-converting
+    # stratum so pooled treated look BETTER
+    rows = []
+    eid = 0
+    uid = 0
+
+    def add_users(n, treated, n_ev, convert):
+        nonlocal eid, uid
+        for _ in range(n):
+            u = uid * 2 + (1 if treated else 0)  # parity assigns variant
+            uid += 1
+            for i in range(n_ev):
+                t = "purchase" if (convert and i == 0) else "view"
+                rows.append((eid, _ts(1 + i % 25), u, t, 1.0)); eid += 1
+
+    # stratum 0 (n_ev=10): 20 control 50% conv; 4 treated 25% conv
+    add_users(10, False, 10, True); add_users(10, False, 10, False)
+    add_users(1, True, 10, True); add_users(3, True, 10, False)
+    # stratum 2 (n_ev=140): 4 control 100% conv; 20 treated 90% conv
+    add_users(4, False, 140, True)
+    add_users(18, True, 140, True); add_users(2, True, 140, False)
+    out = {r.label: r for r in stats.simpson_check(_events(spark, rows)).collect()}
+    s0, s2, ov = out["stratum_0"], out["stratum_2"], out["overall"]
+    assert s0.diff_sign == -1 and s2.diff_sign == -1
+    assert ov.diff_sign == 1
+    assert all(r.reversal_flag == 1 for r in out.values())
+
+
+# --- isotropy ----------------------------------------------------------------------
+
+
+def test_isotropy_zero_mean_space_scores_zero(spark):
+    # antipodal pairs -> mean vector exactly 0 -> mass 0
+    rows = []
+    for i in range(10):
+        v = [0.1 * ((i + j) % 5 - 2) for j in range(64)]
+        rows.append((2 * i, v, 0))
+        rows.append((2 * i + 1, [-x for x in v], 0))
+    vecs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    from pagila_etl_airflow_assignment_spark.llm import embeddings as emb
+
+    out = emb.isotropy_score(vecs).collect()[0]
+    assert out.n_vectors == 20 and out.dim == 64
+    assert out.mean_vector_mass_milli == 0
+
+
+def test_isotropy_collapsed_space_scores_1000(spark):
+    # identical vectors -> |mean|^2 == mean |x|^2
+    v = [0.25] * 64
+    vecs = spark.createDataFrame(
+        [(i, v, 0) for i in range(8)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    from pagila_etl_airflow_assignment_spark.llm import embeddings as emb
+
+    out = emb.isotropy_score(vecs).collect()[0]
+    assert out.mean_vector_mass_milli == 1000
+
+
+# --- throttle what-if --------------------------------------------------------------
+
+
+def test_throttle_whatif_monotone_in_gap(spark):
+    # events every 8 hours (0h, 8h, 16h each day) -> all gaps >= 6h
+    rows = [(i, _ts(1 + i // 3, (i % 3) * 8), 1, "view", 1.0) for i in range(30)]
+    from pagila_etl_airflow_assignment_spark.streaming import stateful
+
+    out = {r.min_gap_hours: r for r in stateful.throttle_whatif(_events(spark, rows)).collect()}
+    assert set(out) == {6, 24, 72}
+    # larger gap -> fewer emitted
+    assert out[6].n_emitted >= out[24].n_emitted >= out[72].n_emitted
+    for r in out.values():
+        assert r.n_emitted + r.n_suppressed == 30
+    assert out[6].n_emitted == 30
+    # 24h gap keeps exactly one per day; 72h keeps every third day
+    assert out[24].n_emitted == 10
+    assert out[72].n_emitted == 4
