@@ -1850,3 +1850,24 @@ def q_simpson_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Simpson's-paradox audit: sign-only cross-multiplied variant
     comparison per stratum vs pooled, with the reversal flag."""
     return stats.simpson_check(load_table(spark, sf_dir, "events"))
+
+
+@register("events_attribution_shapley", oracle=sequences.shapley_attribution_sql())
+def q_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapley-value attribution over the 3-channel coalition lattice:
+    integer x6 weights, exact efficiency-identity check column."""
+    return sequences.shapley_attribution(load_table(spark, sf_dir, "events"))
+
+
+@register("events_bayes_smoothed_ranking", oracle=stats.BAYES_SMOOTHED_RANKING_SQL)
+def q_bayes_smoothed_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beta(1,1)-smoothed segment ranking beside the raw one, with the
+    rank_moved flags where shrinkage changes the decision."""
+    return stats.bayes_smoothed_ranking(load_table(spark, sf_dir, "events"))
+
+
+@register("graph_harmonic_centrality", oracle=graph.harmonic_centrality_sql())
+def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled harmonic centrality by multi-source unrolled BFS — exact
+    1e6 DIV hops terms, top-k by summed reciprocal distance."""
+    return graph.harmonic_centrality(load_table(spark, sf_dir, "lineitem"))

@@ -1033,3 +1033,163 @@ def markov_attribution_sql(
         FROM per_channel CROSS JOIN eff
         ORDER BY channel
     """
+
+
+# --- Shapley-value attribution -------------------------------------------------------
+
+SHAPLEY_CHANNELS = ("click", "error", "view")  # bit order: click=4, error=2, view=1
+
+
+def shapley_attribution(events: DataFrame) -> DataFrame:
+    """Shapley-value conversion attribution over the three touch channels —
+    the game-theoretic credit rule (each channel's marginal contribution
+    averaged over every join order) that linear/position/Markov
+    attribution approximate: (channel, phi_x6_milli, efficiency_gap).
+
+    The coalition value v(S) is the milli conversion rate of users whose
+    touched-channel set is EXACTLY S (unobserved sets value 0). With 3
+    channels the Shapley weights |S|!(2-|S|)!/3! scale to integers by 6,
+    so phi_x6_milli = Σ_S w6(|S|)·(v(S∪{i}) − v(S)) is EXACT — no signed
+    division ever happens — and the efficiency identity Σφ = v(full) −
+    v(∅) is checkable to the bit: efficiency_gap (repeated on each row)
+    must be 0.
+
+    Scale shape: one user-grain flag aggregate, one 8-row coalition
+    aggregate densified from a literal mask explode, and a 12-term static
+    join on that tiny relation."""
+    flags = events.groupBy("user_id").agg(
+        *[
+            F.max(
+                F.when(F.col("event_type") == ch, 1).otherwise(0)
+            ).alias(f"has_{ch}")
+            for ch in SHAPLEY_CHANNELS
+        ],
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv"),
+    )
+    mask = (
+        F.col(f"has_{SHAPLEY_CHANNELS[0]}") * 4
+        + F.col(f"has_{SHAPLEY_CHANNELS[1]}") * 2
+        + F.col(f"has_{SHAPLEY_CHANNELS[2]}")
+    )
+    observed = flags.groupBy(mask.alias("mask")).agg(
+        F.count("*").alias("n"), F.sum("conv").alias("x")
+    )
+    # dense 8-row v table: v(S) = 1000*x DIV n milli, 0 where unobserved
+    all_masks = (
+        observed.sparkSession.range(8)
+        .select(F.col("id").cast("long").alias("mask"))
+    )
+    v = all_masks.join(observed, "mask", "left").select(
+        "mask",
+        F.expr(
+            "CAST(CASE WHEN n IS NULL OR n = 0 THEN 0"
+            " ELSE 1000 * x DIV n END AS BIGINT)"
+        ).alias("v"),
+    )
+    # static Shapley terms: for channel bit b and every S without b,
+    # weight6 = |S|!(2-|S|)!  (scaled by 3! = 6): |S|=0 -> 2, 1 -> 1, 2 -> 2
+    terms = []
+    bits = {"click": 4, "error": 2, "view": 1}
+    for ch in SHAPLEY_CHANNELS:
+        b = bits[ch]
+        for s in range(8):
+            if s & b:
+                continue
+            size = bin(s).count("1")
+            w6 = {0: 2, 1: 1, 2: 2}[size]
+            terms.append((ch, s, s | b, w6))
+    term_rows = ", ".join(f"('{c}', {s}, {si}, {w})" for c, s, si, w in terms)
+    term_df = observed.sparkSession.sql(
+        f"SELECT * FROM VALUES {term_rows} AS t(channel, s_mask, si_mask, w6)"
+    )
+    phi = (
+        term_df.join(
+            v.select(F.col("mask").alias("si_mask"), F.col("v").alias("v_si")),
+            "si_mask",
+        )
+        .join(
+            v.select(F.col("mask").alias("s_mask"), F.col("v").alias("v_s")),
+            "s_mask",
+        )
+        .groupBy("channel")
+        .agg(
+            F.sum(F.col("w6") * (F.col("v_si") - F.col("v_s")))
+            .cast("long")
+            .alias("phi_x6_milli")
+        )
+    )
+    g = Window.partitionBy()
+    v_ends = v.agg(
+        F.max(F.when(F.col("mask") == 7, F.col("v"))).alias("v_full"),
+        F.max(F.when(F.col("mask") == 0, F.col("v"))).alias("v_empty"),
+    )
+    return (
+        phi.crossJoin(F.broadcast(v_ends))
+        .withColumn(
+            "efficiency_gap",
+            (
+                F.sum("phi_x6_milli").over(g)
+                - 6 * (F.col("v_full") - F.col("v_empty"))
+            ).cast("long"),
+        )
+        .select("channel", "phi_x6_milli", "efficiency_gap")
+        .orderBy("channel")
+    )
+
+
+def shapley_attribution_sql() -> str:
+    terms = []
+    bits = {"click": 4, "error": 2, "view": 1}
+    for ch in SHAPLEY_CHANNELS:
+        b = bits[ch]
+        for s in range(8):
+            if s & b:
+                continue
+            size = bin(s).count("1")
+            w6 = {0: 2, 1: 1, 2: 2}[size]
+            terms.append((ch, s, s | b, w6))
+    term_rows = ", ".join(f"('{c}', {s}, {si}, {w})" for c, s, si, w in terms)
+    return f"""
+        WITH flags AS (
+            SELECT user_id,
+                   MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS hc,
+                   MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS he,
+                   MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS hv,
+                   MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS conv
+            FROM events GROUP BY user_id
+        ),
+        observed AS (
+            SELECT hc * 4 + he * 2 + hv AS mask,
+                   COUNT(*) AS n, SUM(conv) AS x
+            FROM flags GROUP BY 1
+        ),
+        v AS (
+            SELECT m.mask,
+                   CAST(CASE WHEN o.n IS NULL OR o.n = 0 THEN 0
+                        ELSE 1000 * o.x // o.n END AS BIGINT) AS v
+            FROM (SELECT unnest(range(0, 8)) AS mask) m
+            LEFT JOIN observed o ON o.mask = m.mask
+        ),
+        terms(channel, s_mask, si_mask, w6) AS (VALUES {term_rows}),
+        phi AS (
+            SELECT t.channel,
+                   CAST(SUM(t.w6 * (vi.v - vs.v)) AS BIGINT) AS phi_x6_milli
+            FROM terms t
+            JOIN v vi ON vi.mask = t.si_mask
+            JOIN v vs ON vs.mask = t.s_mask
+            GROUP BY t.channel
+        ),
+        ends AS (
+            SELECT MAX(CASE WHEN mask = 7 THEN v END) AS v_full,
+                   MAX(CASE WHEN mask = 0 THEN v END) AS v_empty
+            FROM v
+        )
+        SELECT p.channel, p.phi_x6_milli,
+               CAST(SUM(p.phi_x6_milli) OVER ()
+                    - 6 * (e.v_full - e.v_empty) AS BIGINT) AS efficiency_gap
+        FROM phi p CROSS JOIN ends e
+        ORDER BY p.channel
+    """

@@ -1614,3 +1614,84 @@ SIMPSON_CHECK_SQL = f"""
     FROM signed
     ORDER BY label
 """
+
+
+# --- Bayes-smoothed ranking ----------------------------------------------------------
+
+BAYES_SEGMENTS = 10
+
+
+def bayes_smoothed_ranking(events: DataFrame) -> DataFrame:
+    """Small-sample ranking correction: user segments ranked by raw
+    conversion rate NEXT TO the Beta(1,1)-smoothed posterior mean
+    (x+1)/(n+2) — the add-one shrinkage that stops a 2-of-3 segment from
+    outranking a 400-of-1000 one: (segment, n_users, n_conv, raw_milli,
+    smooth_milli, rank_raw, rank_smooth, rank_moved).
+
+    Both rates are floor-milli on exact integers; both rankings tie-break
+    on segment id, so the rank_moved flags — the rows where shrinkage
+    changes the decision — are bit-stable. The panel IS the lesson: sort
+    by raw and by smooth and watch the small-n rows fall.
+
+    Scale shape: one user-grain aggregate, one |segments| rollup, two
+    windows over that bounded relation."""
+    per_user = events.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv")
+    )
+    seg = per_user.groupBy(
+        (F.col("user_id") % BAYES_SEGMENTS).alias("segment")
+    ).agg(F.count("*").alias("n"), F.sum("conv").alias("x"))
+    rated = seg.select(
+        "segment",
+        F.col("n").cast("long").alias("n_users"),
+        F.col("x").cast("long").alias("n_conv"),
+        F.expr("CAST(1000 * x DIV n AS BIGINT)").alias("raw_milli"),
+        F.expr("CAST(1000 * (x + 1) DIV (n + 2) AS BIGINT)").alias(
+            "smooth_milli"
+        ),
+    )
+    w_raw = Window.orderBy(F.desc("raw_milli"), "segment")
+    w_sm = Window.orderBy(F.desc("smooth_milli"), "segment")
+    return (
+        rated.withColumn("rank_raw", F.row_number().over(w_raw).cast("long"))
+        .withColumn("rank_smooth", F.row_number().over(w_sm).cast("long"))
+        .withColumn(
+            "rank_moved",
+            (F.col("rank_raw") != F.col("rank_smooth")).cast("int"),
+        )
+        .orderBy("segment")
+    )
+
+
+BAYES_SMOOTHED_RANKING_SQL = f"""
+    WITH per_user AS (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        FROM events GROUP BY user_id
+    ),
+    seg AS (
+        SELECT user_id % {BAYES_SEGMENTS} AS segment,
+               COUNT(*) AS n, SUM(conv) AS x
+        FROM per_user GROUP BY 1
+    ),
+    rated AS (
+        SELECT segment,
+               CAST(n AS BIGINT) AS n_users,
+               CAST(x AS BIGINT) AS n_conv,
+               CAST(1000 * x // n AS BIGINT) AS raw_milli,
+               CAST(1000 * (x + 1) // (n + 2) AS BIGINT) AS smooth_milli
+        FROM seg
+    )
+    SELECT segment, n_users, n_conv, raw_milli, smooth_milli,
+           CAST(ROW_NUMBER() OVER (ORDER BY raw_milli DESC, segment)
+               AS BIGINT) AS rank_raw,
+           CAST(ROW_NUMBER() OVER (ORDER BY smooth_milli DESC, segment)
+               AS BIGINT) AS rank_smooth,
+           CAST(ROW_NUMBER() OVER (ORDER BY raw_milli DESC, segment)
+                <> ROW_NUMBER() OVER (ORDER BY smooth_milli DESC, segment)
+               AS INT) AS rank_moved
+    FROM rated
+    ORDER BY segment
+"""

@@ -1637,3 +1637,88 @@ def test_throttle_whatif_monotone_in_gap(spark):
     # 24h gap keeps exactly one per day; 72h keeps every third day
     assert out[24].n_emitted == 10
     assert out[72].n_emitted == 4
+
+
+# --- Shapley attribution -----------------------------------------------------------
+
+
+def test_shapley_single_channel_gets_all_credit(spark):
+    # only clickers convert; view/error never co-occur with conversion
+    rows = []
+    eid = 0
+    for u in range(10):  # clickers who convert
+        rows.append((eid, _ts(1), u, "click", 1.0)); eid += 1
+        rows.append((eid, _ts(2), u, "purchase", 1.0)); eid += 1
+    for u in range(10, 20):  # viewers who don't
+        rows.append((eid, _ts(1), u, "view", 1.0)); eid += 1
+    out = {r.channel: r for r in sequences.shapley_attribution(_events(spark, rows)).collect()}
+    assert all(r.efficiency_gap == 0 for r in out.values())
+    assert out["click"].phi_x6_milli > 0
+    assert out["view"].phi_x6_milli <= 0
+    # efficiency: sum phi_x6 = 6*(v_full - v_empty) = 0 since mask 7 unseen
+    assert sum(r.phi_x6_milli for r in out.values()) == 0
+
+
+def test_shapley_efficiency_identity_holds_generally(spark):
+    rows = []
+    eid = 0
+    for u in range(30):
+        if u % 3 == 0:
+            rows.append((eid, _ts(1), u, "click", 1.0)); eid += 1
+        if u % 2 == 0:
+            rows.append((eid, _ts(1), u, "view", 1.0)); eid += 1
+        if u % 5 == 0:
+            rows.append((eid, _ts(1), u, "error", 1.0)); eid += 1
+        if u % 4 == 0:
+            rows.append((eid, _ts(2), u, "purchase", 1.0)); eid += 1
+        if not any([u % 3 == 0, u % 2 == 0, u % 5 == 0, u % 4 == 0]):
+            rows.append((eid, _ts(1), u, "view", 1.0)); eid += 1
+    out = sequences.shapley_attribution(_events(spark, rows)).collect()
+    assert all(r.efficiency_gap == 0 for r in out)
+
+
+# --- Bayes ranking -----------------------------------------------------------------
+
+
+def test_bayes_shrinkage_rates(spark):
+    rows = []
+    eid = 0
+    # segment 0: 1 user who converts (raw 1000); segment 1: 50 users, 40 conv
+    rows.append((eid, _ts(1), 0, "purchase", 1.0)); eid += 1
+    for i in range(50):
+        u = 1 + i * 10  # all in segment 1
+        t = "purchase" if i < 40 else "view"
+        rows.append((eid, _ts(1), u, t, 1.0)); eid += 1
+    out = {r.segment: r for r in stats.bayes_smoothed_ranking(_events(spark, rows)).collect()}
+    assert out[0].raw_milli == 1000 and out[0].smooth_milli == 2000 // 3
+    assert out[1].raw_milli == 800 and out[1].smooth_milli == 1000 * 41 // 52
+    # raw ranks segment 0 first; smoothing flips the order
+    assert out[0].rank_raw == 1 and out[0].rank_smooth == 2
+    assert out[0].rank_moved == 1 and out[1].rank_moved == 1
+
+
+# --- harmonic centrality -----------------------------------------------------------
+
+
+def test_harmonic_centrality_star_center_wins(spark):
+    # star: 0 connected to 1..6; plus a 2-path tail 6-7
+    baskets = [(i, [0, i]) for i in range(1, 7)] + [(9, [6, 7])]
+    li = spark.createDataFrame(
+        [
+            (o, p, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", dt.datetime(1996, 1, 1))
+            for o, parts in baskets for p in parts
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    )
+    from pagila_etl_airflow_assignment_spark.operators import graph
+
+    out = graph.harmonic_centrality(li, min_support=1) if False else graph.harmonic_centrality(li)
+    rows = {r.node: r for r in out.collect()}
+    # node 0 is 1 hop from seeds 1.. (seeds = top-degree: 0 itself + two
+    # spokes); whatever the seed set, node 0 must appear with max reach
+    assert 0 in rows
+    top = max(rows.values(), key=lambda r: (r.harmonic_micro,))
+    assert top.node == 0 or rows[0].n_seeds_reached >= top.n_seeds_reached - 1

@@ -104,6 +104,8 @@ ALLOWED: dict[str, set[str]] = {
     "warehouse_topdown_forecast": {"BroadcastNestedLoopJoin"},
     # broadcast 1-row reference-date scalar (aging "today" stand-in)
     "warehouse_order_aging": {"BroadcastNestedLoopJoin"},
+    # broadcast 1-row v(full)/v(empty) scalars (efficiency identity)
+    "events_attribution_shapley": {"BroadcastNestedLoopJoin"},
     # broadcast 1-row edge-count scalar (census denominator)
     "graph_square_census": {"BroadcastNestedLoopJoin"},
     # broadcast query set + 1-row max-norm scalar (MIPS augmentation)
