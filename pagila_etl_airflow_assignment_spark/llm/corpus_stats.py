@@ -1546,3 +1546,134 @@ def vocab_budget_curve_sql(docs_rel: str = "documents") -> str:
         FROM sweeps
         ORDER BY vocab_k
     """
+
+
+# --- TextRank keywords ---------------------------------------------------------
+
+TEXTRANK_ITERS = 3
+TEXTRANK_DAMPING = 0.85
+TEXTRANK_MIN_COOC = 3
+TEXTRANK_TOP_K = 25
+TEXTRANK_MIN_LEN = 4
+
+
+def textrank_keywords(docs: DataFrame) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004): PageRank
+    over the word co-occurrence graph — adjacent words (length >=
+    {TEXTRANK_MIN_LEN}, co-count >= {TEXTRANK_MIN_COOC}) form weighted
+    edges, {TEXTRANK_ITERS} damped power rounds rank them, top-
+    {TEXTRANK_TOP_K} emitted: (term, degree, score, rank). The
+    graph-centrality extractor beside RAKE's degree/frequency heuristic.
+
+    Execution is the copurchase_pagerank discipline verbatim: fixed
+    unrolled rounds (one weighted-contribution aggregate + rank join per
+    round), the oracle chains the same CTEs, scores round(·, 6) at the
+    certified emission boundary.
+
+    Scale shape: edges are one bigram aggregate off the gram stream;
+    rounds are term-keyed joins on the bounded word-graph relation."""
+    bi = (
+        grams(docs, 2)
+        .select(
+            F.split(F.col("gram"), " ")[0].alias("w1"),
+            F.split(F.col("gram"), " ")[1].alias("w2"),
+        )
+        .where(
+            (F.length("w1") >= TEXTRANK_MIN_LEN)
+            & (F.length("w2") >= TEXTRANK_MIN_LEN)
+            & (F.col("w1") != F.col("w2"))
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") >= TEXTRANK_MIN_COOC)
+    )
+    edges = (
+        bi.select(F.col("w1").alias("src"), F.col("w2").alias("dst"), "cnt")
+        .unionByName(
+            bi.select(F.col("w2").alias("src"), F.col("w1").alias("dst"), "cnt")
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("cnt").alias("w"))
+        .localCheckpoint(eager=False)
+    )
+    wdeg = edges.groupBy("src").agg(F.sum("w").alias("wdeg"), F.count("*").alias("degree"))
+    contrib_base = edges.join(wdeg.select("src", "wdeg"), "src")
+    d = TEXTRANK_DAMPING
+    ranks = wdeg.select(F.col("src").alias("node"), F.lit(1.0).alias("r"))
+    for _ in range(TEXTRANK_ITERS):
+        ranks = (
+            contrib_base.join(ranks, F.col("src") == F.col("node"))
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") * F.col("w") / F.col("wdeg")).alias("mass"))
+            .select(
+                F.col("dst").alias("node"),
+                (F.lit(1.0 - d) + F.lit(d) * F.col("mass")).alias("r"),
+            )
+        )
+    order = [F.desc("score"), F.asc("term")]
+    return (
+        ranks.join(wdeg, ranks["node"] == wdeg["src"])
+        .select(
+            F.col("node").alias("term"),
+            F.col("degree").cast("long").alias("degree"),
+            F.round("r", 6).alias("score"),
+        )
+        .orderBy(*order)
+        .limit(TEXTRANK_TOP_K)
+        .select(
+            "term",
+            "degree",
+            "score",
+            F.row_number().over(Window.orderBy(*order)).cast("long").alias("rank"),
+        )
+    )
+
+
+def textrank_keywords_sql(docs_rel: str = "documents") -> str:
+    d = TEXTRANK_DAMPING
+    its = ["r0 AS (SELECT src AS node, 1.0 AS r FROM wdeg)"]
+    for i in range(1, TEXTRANK_ITERS + 1):
+        its.append(
+            f"""r{i} AS (
+            SELECT c.dst AS node,
+                   {1 - d} + {d} * SUM(r.r * c.w / c.wdeg) AS r
+            FROM contrib c JOIN r{i - 1} r ON c.src = r.node
+            GROUP BY c.dst
+        )"""
+        )
+    chain = ",\n        ".join(its)
+    return f"""
+        WITH bi AS (
+            SELECT string_split(gram, ' ')[1] AS w1,
+                   string_split(gram, ' ')[2] AS w2,
+                   COUNT(*) AS cnt
+            FROM ({grams_sql(2, docs_rel)})
+            WHERE len(string_split(gram, ' ')[1]) >= {TEXTRANK_MIN_LEN}
+              AND len(string_split(gram, ' ')[2]) >= {TEXTRANK_MIN_LEN}
+              AND string_split(gram, ' ')[1] <> string_split(gram, ' ')[2]
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= {TEXTRANK_MIN_COOC}
+        ),
+        edges AS (
+            SELECT src, dst, SUM(cnt) AS w FROM (
+                SELECT w1 AS src, w2 AS dst, cnt FROM bi
+                UNION ALL SELECT w2, w1, cnt FROM bi
+            ) GROUP BY src, dst
+        ),
+        wdeg AS (
+            SELECT src, SUM(w) AS wdeg, COUNT(*) AS degree
+            FROM edges GROUP BY src
+        ),
+        contrib AS (
+            SELECT e.src, e.dst, e.w, d.wdeg
+            FROM edges e JOIN wdeg d ON d.src = e.src
+        ),
+        {chain}
+        SELECT node AS term, CAST(degree AS BIGINT) AS degree,
+               round(r, 6) AS score,
+               CAST(ROW_NUMBER() OVER (ORDER BY round(r, 6) DESC, node ASC)
+                   AS BIGINT) AS rank
+        FROM r{TEXTRANK_ITERS} JOIN wdeg ON wdeg.src = node
+        ORDER BY score DESC, term ASC
+        LIMIT {TEXTRANK_TOP_K}
+    """

@@ -1020,3 +1020,17 @@ def q_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Isotropy panel: |mean vector|^2 over mean |x|^2 in once-quantized
     micro integers — the collapsed-encoder one-number diagnostic."""
     return embeddings_mod.isotropy_score(load_table(spark, sf_dir, "embeddings"))
+
+
+@register("text_textrank_keywords", oracle=corpus_stats.textrank_keywords_sql())
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keywords: damped PageRank over the word co-occurrence
+    graph, fixed unrolled rounds — the centrality extractor beside RAKE."""
+    return corpus_stats.textrank_keywords(load_table(spark, sf_dir, "documents"))
+
+
+@register("sampling_pps_systematic", oracle=sampling.pps_systematic_sql())
+def q_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPS systematic sampling: cumulative-size thresholds in pure integer
+    arithmetic — inclusion probability proportional to size, no RNG."""
+    return sampling.pps_systematic(load_table(spark, sf_dir, "documents"))

@@ -772,3 +772,87 @@ def neyman_allocation_sql(budget: int = NEYMAN_BUDGET) -> str:
         FROM ranked
         ORDER BY source
     """
+
+
+# --- PPS systematic sampling ---------------------------------------------------
+
+PPS_SAMPLE_N = 50
+
+
+def pps_systematic(docs: DataFrame, n: int = PPS_SAMPLE_N) -> DataFrame:
+    """Probability-proportional-to-size SYSTEMATIC sampling (the other
+    classical survey design beside [[sampling_neyman_allocation]]): units
+    sort deterministically (md5 of doc_id — the randomization stand-in),
+    sizes (n_chars) accumulate, and unit i is selected iff its cumulative
+    interval (cum−size, cum] contains a threshold t_j = j·W DIV n +
+    W DIV (2n) — one pass, exactly n selections, inclusion probability
+    ∝ size, zero RNG. Output: (doc_id, n_chars, cum_lo, hit_threshold)
+    for the selected units.
+
+    Selection is pure integer arithmetic: a unit is selected iff
+    floor((cum − offset)·n/W) > floor((cum_prev − offset)·n/W) — cum is a
+    running-sum window, the comparison cross-multiplies, nothing divides
+    until the pinned floor.
+
+    Scale shape: one ordered running-sum window (two-stage at scale: per-
+    partition partials + offset join — the standard distributed scan) and
+    a narrow filter."""
+    from .hashing import md5_int
+
+    w = Window.orderBy(md5_int(F.col("doc_id").cast("string")), "doc_id")
+    g = Window.partitionBy()
+    cum = (
+        docs.select("doc_id", "n_chars")
+        .withColumn("cum", F.sum("n_chars").over(w))
+        .withColumn("tot", F.sum("n_chars").over(g))
+    )
+    # threshold index below a cumulative point x: floor((2*x*n - tot) / (2*tot))
+    # (thresholds at (2j+1)*tot/(2n), j = 0..n-1) — computed with a +2*tot
+    # shift so the numerator stays positive and integer DIV is a true floor
+    # on both engines (the PSI bin-edge lesson: no float ever nears an edge)
+    idx = lambda x: F.expr(
+        f"CAST((2 * ({x}) * {n} - tot + 2 * tot) DIV (2 * tot) - 1 AS BIGINT)"
+    )  # noqa: E731
+    sel = (
+        cum.withColumn("i_hi", idx("cum"))
+        .withColumn("i_lo", idx("(cum - n_chars)"))
+        .where(F.col("i_hi") > F.col("i_lo"))
+        .select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            (F.col("cum") - F.col("n_chars")).cast("long").alias("cum_lo"),
+            (F.col("i_lo") + 1).cast("long").alias("hit_threshold"),
+        )
+    )
+    return sel.orderBy("hit_threshold", "doc_id")
+
+
+def pps_systematic_sql(n: int = PPS_SAMPLE_N) -> str:
+    from .hashing import md5_int_sql
+
+    h = md5_int_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+        WITH cum AS (
+            SELECT doc_id, n_chars,
+                   SUM(n_chars) OVER (
+                       ORDER BY {h}, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum,
+                   SUM(n_chars) OVER () AS tot
+            FROM documents
+        ),
+        marked AS (
+            SELECT doc_id, n_chars, cum,
+                   CAST((2 * cum * {n} - tot + 2 * tot) // (2 * tot) - 1
+                       AS BIGINT) AS i_hi,
+                   CAST((2 * (cum - n_chars) * {n} - tot + 2 * tot)
+                        // (2 * tot) - 1 AS BIGINT) AS i_lo
+            FROM cum
+        )
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+               CAST(cum - n_chars AS BIGINT) AS cum_lo,
+               CAST(i_lo + 1 AS BIGINT) AS hit_threshold
+        FROM marked
+        WHERE i_hi > i_lo
+        ORDER BY hit_threshold, doc_id
+    """

