@@ -585,3 +585,95 @@ def energy_segments_sql() -> str:
         WHERE len(d.text) >= {n_seg}
         ORDER BY media_id
     """
+
+
+# --- bitrate outliers ----------------------------------------------------------
+
+
+def bitrate_outliers(docs: DataFrame) -> DataFrame:
+    """Bitrate sanity audit over the media manifest: per-payload kbps
+    (8·bytes·1000 / duration_ms — exact integer kilobits per second) with
+    the corpus p99 rank-selected, flagging payloads above it: (media_id,
+    kind, kbps, p99_kbps, is_outlier). The codec-misconfiguration catch
+    (a '128 kbps' audio file at 9000 kbps is a mislabeled WAV) that runs
+    before any expensive decode.
+
+    p99 is ORDER-STATISTIC SELECTION (ceil(0.99·n)-th smallest by
+    row_number — the PSI/median-CI discipline), so the threshold and every
+    flag are engine-exact.
+
+    Scale shape: narrow per-row arithmetic + one rank selection on the
+    kbps relation (two-stage at scale), broadcast back as one scalar."""
+    # the DECLARED duration comes from upstream metadata, not the payload —
+    # modeled as an id-keyed stand-in so declared and actual can disagree
+    # (duration_ms in media_from_documents is derived FROM the byte length,
+    # which would make every bitrate identical and the audit vacuous)
+    media = media_from_documents(docs).select(
+        "media_id",
+        "kind",
+        "payload",
+        (1000 + (F.col("media_id") % 97) * 50).cast("long").alias("decl_ms"),
+    )
+    rated = media.select(
+        "media_id",
+        "kind",
+        F.expr("CAST(8000 * length(payload) DIV decl_ms AS BIGINT)").alias(
+            "kbps"
+        ),
+    )
+    w = Window.orderBy("kbps", "media_id")
+    g = Window.partitionBy()
+    ranked = rated.select(
+        "media_id", "kind", "kbps",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(g).alias("n"),
+    )
+    p99 = ranked.where(
+        F.col("rn") == F.expr("CAST((99 * n + 99) DIV 100 AS INT)")
+    ).select(F.col("kbps").alias("p99_kbps"))
+    return (
+        rated.crossJoin(F.broadcast(p99))
+        .select(
+            "media_id",
+            "kind",
+            "kbps",
+            "p99_kbps",
+            (F.col("kbps") > F.col("p99_kbps")).cast("int").alias("is_outlier"),
+        )
+        .where(F.col("is_outlier") == 1)
+        .orderBy("media_id")
+    )
+
+
+def bitrate_outliers_sql() -> str:
+    return """
+        WITH media AS (
+            SELECT doc_id AS media_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 'image'
+                        WHEN doc_id % 3 = 1 THEN 'audio'
+                        ELSE 'video' END AS kind,
+                   CAST(8000 * strlen(text) AS BIGINT) AS kbits,
+                   CAST(1000 + (doc_id % 97) * 50 AS BIGINT) AS decl_ms
+            FROM documents
+        ),
+        rated AS (
+            SELECT media_id, kind,
+                   CAST(kbits // decl_ms AS BIGINT) AS kbps
+            FROM media
+        ),
+        ranked AS (
+            SELECT media_id, kind, kbps,
+                   ROW_NUMBER() OVER (ORDER BY kbps, media_id) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM rated
+        ),
+        p99 AS (
+            SELECT kbps AS p99_kbps FROM ranked
+            WHERE rn = (99 * n + 99) // 100
+        )
+        SELECT r.media_id, r.kind, r.kbps, p.p99_kbps,
+               CAST(r.kbps > p.p99_kbps AS INT) AS is_outlier
+        FROM rated r CROSS JOIN p99 p
+        WHERE r.kbps > p.p99_kbps
+        ORDER BY r.media_id
+    """

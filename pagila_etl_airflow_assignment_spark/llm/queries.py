@@ -1034,3 +1034,10 @@ def q_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PPS systematic sampling: cumulative-size thresholds in pure integer
     arithmetic — inclusion probability proportional to size, no RNG."""
     return sampling.pps_systematic(load_table(spark, sf_dir, "documents"))
+
+
+@register("multimodal_bitrate_outliers", oracle=multimodal.bitrate_outliers_sql())
+def q_bitrate_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitrate sanity audit: integer kbps vs declared duration, p99
+    rank-selected threshold — the pre-decode codec-misconfig catch."""
+    return multimodal.bitrate_outliers(load_table(spark, sf_dir, "documents"))

@@ -1250,3 +1250,68 @@ ANOMALY_ENSEMBLE_SQL = """
     FROM with_med CROSS JOIN mad m
     ORDER BY day
 """
+
+
+# --- overdispersion (Fano) index -----------------------------------------------------
+
+
+def overdispersion(events: DataFrame) -> DataFrame:
+    """Fano dispersion index of the hourly arrival counts per event type —
+    the Poissonness check (a Poisson stream has variance = mean, D = 1;
+    bursty streams overdisperse, throttled ones underdisperse):
+    (event_type, n_hours, mean_milli, fano_milli, verdict).
+
+    D = s²/x̄ assembles entirely from exact integer power sums:
+    fano_milli = 1000·n·(n·Σc² − S²) DIV ((n−1)·n·S... all one pinned
+    floor on positive integers; the verdict thresholds at ±10%.
+
+    Scale shape: one (type, hour) aggregate, one |types| rollup."""
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").alias("c"))
+    agg = hourly.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("sq"),
+    )
+    return (
+        agg.select(
+            "event_type",
+            F.col("n").cast("long").alias("n_hours"),
+            F.expr("CAST(1000 * s DIV n AS BIGINT)").alias("mean_milli"),
+            F.expr(
+                "CAST(1000 * (n * sq - s * s) DIV ((n - 1) * s) AS BIGINT)"
+            ).alias("fano_milli"),
+        )
+        .withColumn(
+            "verdict",
+            F.when(F.col("fano_milli") > 1100, F.lit("overdispersed"))
+            .when(F.col("fano_milli") < 900, F.lit("underdispersed"))
+            .otherwise(F.lit("poisson-like")),
+        )
+        .orderBy("event_type")
+    )
+
+
+OVERDISPERSION_SQL = """
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    agg AS (
+        SELECT event_type, COUNT(*) AS n, SUM(c) AS s, SUM(c * c) AS sq
+        FROM hourly GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_hours,
+           CAST(1000 * s // n AS BIGINT) AS mean_milli,
+           CAST(1000 * (n * sq - s * s) // ((n - 1) * s) AS BIGINT)
+               AS fano_milli,
+           CASE WHEN 1000 * (n * sq - s * s) // ((n - 1) * s) > 1100
+                THEN 'overdispersed'
+                WHEN 1000 * (n * sq - s * s) // ((n - 1) * s) < 900
+                THEN 'underdispersed'
+                ELSE 'poisson-like' END AS verdict
+    FROM agg
+    ORDER BY event_type
+"""

@@ -1824,3 +1824,76 @@ def harmonic_centrality_sql(
         ORDER BY harmonic_micro DESC, n_seeds_reached DESC, node
         LIMIT {k}
     """
+
+
+# --- degree-distribution power-law fit -----------------------------------------------
+
+
+def degree_zipf(
+    lineitem: DataFrame, max_basket: int = 30
+) -> DataFrame:
+    """Log-log OLS fit of the co-purchase degree distribution — the
+    scale-free check (a power-law tail means hubs dominate and every
+    hub-capped operator in this module earns its cap; an exponential tail
+    means they could relax): one row (n_points, slope, intercept,
+    max_degree).
+
+    Points are (ln degree, ln count-of-nodes-with-that-degree) over the
+    bounded degree histogram; closed-form covar/var OLS with the zipf_slope
+    emission discipline (round(·,6) over a ≤|degrees|-row relation).
+
+    Scale shape: one node-degree aggregate, one |degrees|-row histogram,
+    closed-form fit — no iteration."""
+    edges = _symmetric_edges(lineitem, max_basket)
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    hist = deg.groupBy("d").agg(F.count("*").alias("cnt"))
+    pts = hist.select(
+        F.log(F.col("d").cast("double")).alias("lx"),
+        F.log(F.col("cnt").cast("double")).alias("ly"),
+        "d",
+    )
+    slope = F.when(
+        F.var_samp("lx") > 0, F.covar_samp("lx", "ly") / F.var_samp("lx")
+    )
+    return pts.agg(
+        F.count("*").cast("long").alias("n_points"),
+        F.round(slope, 6).alias("slope"),
+        F.round(F.avg("ly") - slope * F.avg("lx"), 6).alias("intercept"),
+        F.max("d").cast("long").alias("max_degree"),
+    )
+
+
+def degree_zipf_sql(max_basket: int = 30) -> str:
+    return f"""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), small AS (
+            SELECT l_orderkey FROM items
+            GROUP BY l_orderkey HAVING COUNT(*) <= {max_basket}
+        ), basket AS (
+            SELECT i.l_orderkey, i.l_partkey FROM items i
+            JOIN small USING (l_orderkey)
+        ), edges AS (
+            SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+            FROM basket a JOIN basket b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        ), deg AS (
+            SELECT src, COUNT(*) AS d FROM edges GROUP BY src
+        ), hist AS (
+            SELECT d, COUNT(*) AS cnt FROM deg GROUP BY d
+        ),
+        pts AS (
+            SELECT ln(CAST(d AS DOUBLE)) AS lx,
+                   ln(CAST(cnt AS DOUBLE)) AS ly, d
+            FROM hist
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+               round(CASE WHEN var_samp(lx) > 0
+                          THEN covar_samp(lx, ly) / var_samp(lx) END, 6)
+                   AS slope,
+               round(AVG(ly) - CASE WHEN var_samp(lx) > 0
+                          THEN covar_samp(lx, ly) / var_samp(lx) END
+                          * AVG(lx), 6) AS intercept,
+               CAST(MAX(d) AS BIGINT) AS max_degree
+        FROM pts
+    """

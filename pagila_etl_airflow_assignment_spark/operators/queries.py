@@ -1871,3 +1871,24 @@ def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampled harmonic centrality by multi-source unrolled BFS — exact
     1e6 DIV hops terms, top-k by summed reciprocal distance."""
     return graph.harmonic_centrality(load_table(spark, sf_dir, "lineitem"))
+
+
+@register("events_overdispersion", oracle=distributions.OVERDISPERSION_SQL)
+def q_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano dispersion index of hourly arrivals per type — the Poissonness
+    check from exact integer power sums."""
+    return distributions.overdispersion(load_table(spark, sf_dir, "events"))
+
+
+@register("events_mutual_information", oracle=stats.MUTUAL_INFORMATION_SQL)
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event type and hour-of-day — micro-nat
+    quantized joint/marginal entropies, NMI panel."""
+    return stats.mutual_information(load_table(spark, sf_dir, "events"))
+
+
+@register("graph_degree_zipf", oracle=graph.degree_zipf_sql())
+def q_degree_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-log OLS over the degree histogram — the scale-free check that
+    justifies (or relaxes) every hub cap in the graph family."""
+    return graph.degree_zipf(load_table(spark, sf_dir, "lineitem"))

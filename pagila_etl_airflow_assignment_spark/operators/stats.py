@@ -1695,3 +1695,134 @@ BAYES_SMOOTHED_RANKING_SQL = f"""
     FROM rated
     ORDER BY segment
 """
+
+
+# --- mutual information (type x hour) ------------------------------------------------
+
+
+def mutual_information(events: DataFrame) -> DataFrame:
+    """Mutual information between event type and hour-of-day — does WHAT
+    happen depend on WHEN (a routing/seasonality signal feature selection
+    reads before crossing the two columns): one panel row (n_events,
+    h_type_micro, h_hour_micro, mi_micro, nmi_milli).
+
+    MI = Σ p_xy·ln(p_xy·N / (n_x·n_y)) decomposes over exact integer
+    counts with ONE micro-nat quantization per ln operand (the
+    user_entropy convention, applied to the joint grid): every cell
+    contributes c_xy·(μ(c_xy) + μ(N) − μ(n_x) − μ(n_y)), an exact BIGINT
+    sum divided once by N. Marginal entropies ride the same quantization;
+    NMI = 2·MI/(Hx+Hy) is one milli division.
+
+    Scale shape: one (type, hour) aggregate (the grid is ≤ types·24 rows),
+    two marginal rollups joined back on their keys, 1-row combine."""
+    micro = lambda col: F.round(F.log(col) * F.lit(1e6)).cast("long")  # noqa: E731
+    joint = events.groupBy(
+        "event_type", F.hour("ts").alias("hr")
+    ).agg(F.count("*").alias("c_xy"))
+    mx = joint.groupBy("event_type").agg(F.sum("c_xy").alias("n_x"))
+    my = joint.groupBy("hr").agg(F.sum("c_xy").alias("n_y"))
+    tot = joint.agg(F.sum("c_xy").alias("n_tot"))
+    cells = (
+        joint.join(mx, "event_type")
+        .join(my, "hr")
+        .crossJoin(F.broadcast(tot))
+    )
+    mi_sum = F.sum(
+        F.col("c_xy")
+        * (
+            micro(F.col("c_xy"))
+            + micro(F.col("n_tot"))
+            - micro(F.col("n_x"))
+            - micro(F.col("n_y"))
+        )
+    )
+    agg = cells.agg(
+        F.max("n_tot").cast("long").alias("n_events"),
+        mi_sum.alias("mi_raw"),
+        F.max("n_tot").alias("nt"),
+    )
+    # marginal entropies from their own rollups (exact micro convention)
+    hx = (
+        mx.crossJoin(F.broadcast(tot))
+        .agg(
+            (
+                micro(F.max("n_tot"))
+                - F.round(
+                    F.sum(F.col("n_x") * micro(F.col("n_x"))) / F.max("n_tot")
+                ).cast("long")
+            ).alias("h_type_micro")
+        )
+    )
+    hy = (
+        my.crossJoin(F.broadcast(tot))
+        .agg(
+            (
+                micro(F.max("n_tot"))
+                - F.round(
+                    F.sum(F.col("n_y") * micro(F.col("n_y"))) / F.max("n_tot")
+                ).cast("long")
+            ).alias("h_hour_micro")
+        )
+    )
+    return (
+        agg.select(
+            "n_events",
+            F.round(F.col("mi_raw") / F.col("nt")).cast("long").alias("mi_micro"),
+        )
+        .crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .select(
+            "n_events",
+            "h_type_micro",
+            "h_hour_micro",
+            "mi_micro",
+            F.expr(
+                "CAST(2000 * mi_micro DIV (h_type_micro + h_hour_micro)"
+                " AS BIGINT)"
+            ).alias("nmi_milli"),
+        )
+    )
+
+
+MUTUAL_INFORMATION_SQL = """
+    WITH joint AS (
+        SELECT event_type, EXTRACT(hour FROM ts) AS hr, COUNT(*) AS c_xy
+        FROM events GROUP BY 1, 2
+    ),
+    mx AS (SELECT event_type, SUM(c_xy) AS n_x FROM joint GROUP BY event_type),
+    my AS (SELECT hr, SUM(c_xy) AS n_y FROM joint GROUP BY hr),
+    tot AS (SELECT SUM(c_xy) AS n_tot FROM joint),
+    cells AS (
+        SELECT j.c_xy, x.n_x, y.n_y, t.n_tot
+        FROM joint j
+        JOIN mx x USING (event_type)
+        JOIN my y USING (hr)
+        CROSS JOIN tot t
+    ),
+    mi AS (
+        SELECT CAST(MAX(n_tot) AS BIGINT) AS n_events,
+               CAST(round(SUM(c_xy * (
+                   CAST(round(ln(c_xy) * 1e6) AS BIGINT)
+                   + CAST(round(ln(n_tot) * 1e6) AS BIGINT)
+                   - CAST(round(ln(n_x) * 1e6) AS BIGINT)
+                   - CAST(round(ln(n_y) * 1e6) AS BIGINT)
+               )) / MAX(n_tot)) AS BIGINT) AS mi_micro
+        FROM cells
+    ),
+    hx AS (
+        SELECT CAST(round(ln(MAX(t.n_tot)) * 1e6) AS BIGINT)
+               - CAST(round(SUM(n_x * CAST(round(ln(n_x) * 1e6) AS BIGINT))
+                      / MAX(t.n_tot)) AS BIGINT) AS h_type_micro
+        FROM mx CROSS JOIN tot t
+    ),
+    hy AS (
+        SELECT CAST(round(ln(MAX(t.n_tot)) * 1e6) AS BIGINT)
+               - CAST(round(SUM(n_y * CAST(round(ln(n_y) * 1e6) AS BIGINT))
+                      / MAX(t.n_tot)) AS BIGINT) AS h_hour_micro
+        FROM my CROSS JOIN tot t
+    )
+    SELECT mi.n_events, hx.h_type_micro, hy.h_hour_micro, mi.mi_micro,
+           CAST(2000 * mi.mi_micro // (hx.h_type_micro + hy.h_hour_micro)
+               AS BIGINT) AS nmi_milli
+    FROM mi CROSS JOIN hx CROSS JOIN hy
+"""

@@ -1751,3 +1751,91 @@ def test_pps_selects_n_and_respects_size(spark):
     # every selected unit's interval indeed contains its threshold
     for r in out:
         assert r.cum_lo >= 0 and r.n_chars > 0
+
+
+# --- overdispersion ----------------------------------------------------------------
+
+
+def test_fano_constant_rate_is_underdispersed(spark):
+    # exactly 5 events every hour -> variance 0 -> fano 0
+    rows = []
+    eid = 0
+    for h in range(20):
+        for i in range(5):
+            rows.append((eid, _ts(1 + h // 24, h % 24, i), 1, "view", 1.0)); eid += 1
+    from pagila_etl_airflow_assignment_spark.operators import distributions
+
+    out = distributions.overdispersion(_events(spark, rows)).collect()[0]
+    assert out.fano_milli == 0 and out.verdict == "underdispersed"
+    assert out.mean_milli == 5000
+
+
+def test_fano_bursty_stream_overdisperses(spark):
+    # one hour with 100 events, 19 hours with 1
+    rows = []
+    eid = 0
+    for i in range(100):
+        rows.append((eid, _ts(1, 0, i % 60, i % 60), 1, "view", 1.0)); eid += 1
+    for h in range(1, 20):
+        rows.append((eid, _ts(1, h), 1, "view", 1.0)); eid += 1
+    from pagila_etl_airflow_assignment_spark.operators import distributions
+
+    out = distributions.overdispersion(_events(spark, rows)).collect()[0]
+    assert out.verdict == "overdispersed" and out.fano_milli > 1100
+
+
+# --- mutual information ------------------------------------------------------------
+
+
+def test_mi_independent_layout_near_zero_and_dependent_high(spark):
+    # dependent: type fully determined by hour
+    rows = []
+    eid = 0
+    for d in range(1, 11):
+        for i in range(10):
+            rows.append((eid, _ts(d, 1), 1, "click", 1.0)); eid += 1
+            rows.append((eid, _ts(d, 13), 1, "view", 1.0)); eid += 1
+    out = stats.mutual_information(_events(spark, rows)).collect()[0]
+    # H(type) = H(hour) = ln 2; MI = ln 2 (full dependence) -> NMI ~ 1000
+    assert abs(out.mi_micro - 693147) <= 2
+    assert out.nmi_milli >= 999
+
+
+# --- degree zipf -------------------------------------------------------------------
+
+
+def test_degree_zipf_decreasing_histogram_fits_negative(spark):
+    # star-heavy graph: many degree-1 leaves, one high-degree hub
+    baskets = [(i, [0, i]) for i in range(1, 13)]
+    baskets += [(100, [20, 21]), (101, [22, 23])]
+    li = spark.createDataFrame(
+        [
+            (o, p, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", dt.datetime(1996, 1, 1))
+            for o, parts in baskets for p in parts
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    )
+    from pagila_etl_airflow_assignment_spark.operators import graph
+
+    out = graph.degree_zipf(li).collect()[0]
+    assert out.n_points == 2  # degrees {1, 12}
+    assert out.slope < 0
+    assert out.max_degree == 12
+
+
+# --- bitrate outliers --------------------------------------------------------------
+
+
+def test_bitrate_outliers_flags_above_p99_only(spark):
+    docs = _docs(
+        spark,
+        [(i, "x" * (50 + (i % 7) * 30), "en", "s") for i in range(100)],
+    )
+    from pagila_etl_airflow_assignment_spark.llm import multimodal
+
+    out = multimodal.bitrate_outliers(docs).collect()
+    assert len(out) >= 1
+    assert all(r.kbps > r.p99_kbps for r in out)

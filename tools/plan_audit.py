@@ -104,6 +104,10 @@ ALLOWED: dict[str, set[str]] = {
     "warehouse_topdown_forecast": {"BroadcastNestedLoopJoin"},
     # broadcast 1-row reference-date scalar (aging "today" stand-in)
     "warehouse_order_aging": {"BroadcastNestedLoopJoin"},
+    # broadcast 1-row joint-total / marginal-entropy scalars (MI panel)
+    "events_mutual_information": {"BroadcastNestedLoopJoin"},
+    # broadcast 1-row p99 order statistic (bitrate threshold)
+    "multimodal_bitrate_outliers": {"BroadcastNestedLoopJoin"},
     # broadcast 1-row v(full)/v(empty) scalars (efficiency identity)
     "events_attribution_shapley": {"BroadcastNestedLoopJoin"},
     # broadcast 1-row edge-count scalar (census denominator)
