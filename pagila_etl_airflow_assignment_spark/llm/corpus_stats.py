@@ -1677,3 +1677,65 @@ def textrank_keywords_sql(docs_rel: str = "documents") -> str:
         ORDER BY score DESC, term ASC
         LIMIT {TEXTRANK_TOP_K}
     """
+
+
+# --- term burstiness -----------------------------------------------------------
+
+BURSTINESS_TOP_K = 30
+
+
+def term_burstiness(docs: DataFrame, k: int = BURSTINESS_TOP_K) -> DataFrame:
+    """Church-Gale term burstiness for the top-{BURSTINESS_TOP_K} corpus
+    terms: cf/df — mean occurrences per document CONTAINING the term.
+    Function words sit near 1 (appear once, everywhere); topical/templated
+    terms burst (many repeats in few documents) — the signal separating
+    stopword candidates from content words that raw frequency conflates:
+    (term, cf, df, burstiness_milli, rank).
+
+    One gram aggregate computes cf and df together (count + distinct-doc
+    count per term, map-side combined); the top-k is distributed
+    (TakeOrderedAndProject), milli division exact.
+
+    Scale shape: term-keyed aggregate + k-row rank window."""
+    stats_df = (
+        grams(docs, 1)
+        .groupBy(F.col("gram").alias("term"))
+        .agg(
+            F.count("*").alias("cf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+    )
+    order = [F.col("cf").desc(), F.col("term").asc()]
+    return (
+        stats_df.orderBy(*order)
+        .limit(k)
+        .select(
+            "term",
+            F.col("cf").cast("long").alias("cf"),
+            F.col("df").cast("long").alias("df"),
+            F.expr("CAST(1000 * cf DIV df AS BIGINT)").alias(
+                "burstiness_milli"
+            ),
+            F.row_number().over(Window.orderBy(*order)).cast("long").alias("rank"),
+        )
+    )
+
+
+def term_burstiness_sql(
+    k: int = BURSTINESS_TOP_K, docs_rel: str = "documents"
+) -> str:
+    return f"""
+        WITH stats AS (
+            SELECT gram AS term, COUNT(*) AS cf,
+                   COUNT(DISTINCT doc_id) AS df
+            FROM ({grams_sql(1, docs_rel)})
+            GROUP BY gram
+        )
+        SELECT term, CAST(cf AS BIGINT) AS cf, CAST(df AS BIGINT) AS df,
+               CAST(1000 * cf // df AS BIGINT) AS burstiness_milli,
+               CAST(ROW_NUMBER() OVER (ORDER BY cf DESC, term ASC) AS BIGINT)
+                   AS rank
+        FROM stats
+        ORDER BY cf DESC, term ASC
+        LIMIT {k}
+    """

@@ -1041,3 +1041,10 @@ def q_bitrate_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bitrate sanity audit: integer kbps vs declared duration, p99
     rank-selected threshold — the pre-decode codec-misconfig catch."""
     return multimodal.bitrate_outliers(load_table(spark, sf_dir, "documents"))
+
+
+@register("vocab_term_burstiness", oracle=corpus_stats.term_burstiness_sql())
+def q_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Church-Gale burstiness (cf/df) for the top corpus terms — the
+    stopword-vs-topical separator raw frequency conflates."""
+    return corpus_stats.term_burstiness(load_table(spark, sf_dir, "documents"))

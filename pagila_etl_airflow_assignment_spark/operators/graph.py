@@ -1897,3 +1897,105 @@ def degree_zipf_sql(max_basket: int = 30) -> str:
                CAST(MAX(d) AS BIGINT) AS max_degree
         FROM pts
     """
+
+
+# --- rich-club coefficient -----------------------------------------------------------
+
+RICH_CLUB_KS = (10, 20, 40)
+
+
+def rich_club(
+    lineitem: DataFrame, max_basket: int = 30
+) -> DataFrame:
+    """Rich-club coefficient sweep: among the top-k highest-degree nodes,
+    what fraction of the possible k·(k−1)/2 edges actually exist —
+    φ near 1 means the hubs form an elite clique (one co-sell core),
+    near 0 means hubs bridge disjoint regions. Output per k:
+    (club_k, n_members, n_club_edges, possible_edges, phi_milli).
+
+    Each k is a broadcast top-k membership semi-join against the edge
+    list (both endpoints in the club) — no pairwise materialization, the
+    club relation is k rows. Exact integer milli.
+
+    Scale shape: one degree aggregate reused across the sweep; per-k work
+    is a double broadcast semi-join + count."""
+    edges = _symmetric_edges(lineitem, max_basket).localCheckpoint(eager=True)
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    sweeps = []
+    for k in RICH_CLUB_KS:
+        club = (
+            deg.orderBy(F.desc("deg"), "src")
+            .limit(k)
+            .select(F.col("src").alias("member"))
+        )
+        club_edges = (
+            edges.join(
+                F.broadcast(club.withColumnRenamed("member", "src")), "src"
+            )
+            .join(
+                F.broadcast(club.withColumnRenamed("member", "dst")), "dst"
+            )
+            .where(F.col("src") < F.col("dst"))
+        )
+        sweeps.append(
+            club_edges.agg(
+                F.lit(k).cast("long").alias("club_k"),
+                F.count("*").cast("long").alias("n_club_edges"),
+            )
+        )
+    out = sweeps[0]
+    for sdf in sweeps[1:]:
+        out = out.unionByName(sdf)
+    return out.select(
+        "club_k",
+        F.col("club_k").alias("n_members"),
+        "n_club_edges",
+        F.expr("CAST(club_k * (club_k - 1) DIV 2 AS BIGINT)").alias(
+            "possible_edges"
+        ),
+        F.expr(
+            "CAST(1000 * n_club_edges DIV (club_k * (club_k - 1) DIV 2)"
+            " AS BIGINT)"
+        ).alias("phi_milli"),
+    ).orderBy("club_k")
+
+
+def rich_club_sql(max_basket: int = 30) -> str:
+    parts = []
+    for k in RICH_CLUB_KS:
+        parts.append(
+            f"""
+            SELECT CAST({k} AS BIGINT) AS club_k,
+                   CAST(COUNT(*) AS BIGINT) AS n_club_edges
+            FROM edges e
+            JOIN (SELECT src FROM deg ORDER BY deg DESC, src LIMIT {k}) a
+              ON e.src = a.src
+            JOIN (SELECT src FROM deg ORDER BY deg DESC, src LIMIT {k}) b
+              ON e.dst = b.src
+            WHERE e.src < e.dst"""
+        )
+    union = " UNION ALL ".join(parts)
+    return f"""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), small AS (
+            SELECT l_orderkey FROM items
+            GROUP BY l_orderkey HAVING COUNT(*) <= {max_basket}
+        ), basket AS (
+            SELECT i.l_orderkey, i.l_partkey FROM items i
+            JOIN small USING (l_orderkey)
+        ), edges AS (
+            SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+            FROM basket a JOIN basket b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        ), deg AS (
+            SELECT src, COUNT(*) AS deg FROM edges GROUP BY src
+        ),
+        sweeps AS ({union})
+        SELECT club_k, club_k AS n_members, n_club_edges,
+               CAST(club_k * (club_k - 1) // 2 AS BIGINT) AS possible_edges,
+               CAST(1000 * n_club_edges // (club_k * (club_k - 1) // 2)
+                   AS BIGINT) AS phi_milli
+        FROM sweeps
+        ORDER BY club_k
+    """

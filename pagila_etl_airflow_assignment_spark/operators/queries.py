@@ -1892,3 +1892,24 @@ def q_degree_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Log-log OLS over the degree histogram — the scale-free check that
     justifies (or relaxes) every hub cap in the graph family."""
     return graph.degree_zipf(load_table(spark, sf_dir, "lineitem"))
+
+
+@register("warehouse_revenue_waterfall", oracle=warehouse.REVENUE_WATERFALL_SQL)
+def q_revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gross-to-net revenue waterfall per year: line amounts rounded once
+    to cents (invoice rule), then exact BIGINT sums."""
+    return warehouse.revenue_waterfall(load_table(spark, sf_dir, "lineitem"))
+
+
+@register("warehouse_price_elasticity", oracle=warehouse.PRICE_ELASTICITY_SQL)
+def q_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observational own-price elasticity: milli-nat quantized lns, pure
+    BIGINT closed-form OLS — the measured twin of the scenario grid."""
+    return warehouse.price_elasticity(load_table(spark, sf_dir, "lineitem"))
+
+
+@register("graph_rich_club", oracle=graph.rich_club_sql())
+def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient sweep: hub-clique density at k in {10,20,40}
+    via double broadcast membership joins."""
+    return graph.rich_club(load_table(spark, sf_dir, "lineitem"))

@@ -2895,3 +2895,178 @@ JUNK_DIMENSION_SQL = """
     GROUP BY o_orderstatus, o_orderpriority
     ORDER BY junk_key
 """
+
+
+# --- revenue waterfall ---------------------------------------------------------------
+
+
+def revenue_waterfall(lineitem: DataFrame) -> DataFrame:
+    """Gross-to-net revenue waterfall per ship year — the finance bridge
+    (gross, discount given, tax collected, net) in exact cents with the
+    reference's application order (discount off gross, tax on the
+    discounted base): (year, gross_cents, discount_cents, tax_cents,
+    net_cents, discount_share_milli).
+
+    Per-line money math follows the repo's TPC-H discipline: each line's
+    discount and tax amounts round half-up to cents ONCE (the invoice
+    rule — totals are sums of rounded line amounts, not rounded sums),
+    then everything aggregates as BIGINTs.
+
+    Scale shape: one fact-grain projection + one year-keyed aggregate."""
+    gross = "CAST(round(l_extendedprice * 100) AS BIGINT)"
+    disc = "CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)"
+    tax = (
+        "CAST(round(l_extendedprice * (1 - l_discount) * l_tax * 100)"
+        " AS BIGINT)"
+    )
+    lines = lineitem.select(
+        F.year("l_shipdate").cast("long").alias("year"),
+        F.expr(gross).alias("g"),
+        F.expr(disc).alias("d"),
+        F.expr(tax).alias("t"),
+    )
+    return (
+        lines.groupBy("year")
+        .agg(
+            F.sum("g").alias("gross_cents"),
+            F.sum("d").alias("discount_cents"),
+            F.sum("t").alias("tax_cents"),
+            (F.sum("g") - F.sum("d") + F.sum("t")).alias("net_cents"),
+        )
+        .withColumn(
+            "discount_share_milli",
+            F.expr("CAST(1000 * discount_cents DIV gross_cents AS BIGINT)"),
+        )
+        .orderBy("year")
+    )
+
+
+REVENUE_WATERFALL_SQL = """
+    WITH lines AS (
+        SELECT CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS year,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS g,
+               CAST(round(l_extendedprice * l_discount * 100) AS BIGINT) AS d,
+               CAST(round(l_extendedprice * (1 - l_discount) * l_tax * 100)
+                   AS BIGINT) AS t
+        FROM lineitem
+    )
+    SELECT year,
+           CAST(SUM(g) AS BIGINT) AS gross_cents,
+           CAST(SUM(d) AS BIGINT) AS discount_cents,
+           CAST(SUM(t) AS BIGINT) AS tax_cents,
+           CAST(SUM(g) - SUM(d) + SUM(t) AS BIGINT) AS net_cents,
+           CAST(1000 * SUM(d) // SUM(g) AS BIGINT) AS discount_share_milli
+    FROM lines
+    GROUP BY year
+    ORDER BY year
+"""
+
+
+# --- price elasticity estimate -------------------------------------------------------
+
+
+def price_elasticity(lineitem: DataFrame) -> DataFrame:
+    """Observational own-price elasticity estimate: OLS slope of
+    ln(quantity) on ln(price) across parts — the measured companion to
+    the price_scenarios grid's ASSUMED elasticity: one row (n_parts,
+    elasticity_milli, intercept_milli).
+
+    Cross-engine exactness over a corpus-sized point set: zipf_slope's
+    double covar is safe on its ≤25 one-partition rows but NOT on |parts|
+    rows whose float summation order differs per engine — so both lns
+    quantize ONCE per part to milli-nats and the OLS closed form
+    (n·Σxy − ΣxΣy) / (n·Σx² − (Σx)²) runs in pure BIGINTs, with ONE
+    signed half-up division at the end (milli scale keeps n·Σxy ~ 1e14,
+    far from overflow).
+
+    Scale shape: one part-grain aggregate, 1-row closed-form combine."""
+    per_part = (
+        lineitem.groupBy("l_partkey")
+        .agg(
+            F.sum(F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).alias(
+                "cents"
+            ),
+            F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+        )
+        .where((F.col("qty") > 0) & (F.col("cents") > 0))
+        .select(
+            # unit price in cents (floor) and total qty, each ln-quantized
+            # once to milli-nats
+            F.round(F.log(F.expr("cents DIV qty")) * 1000)
+            .cast("long")
+            .alias("x"),
+            F.round(F.log("qty") * 1000).cast("long").alias("y"),
+        )
+    )
+    agg = per_part.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    # 2000*|num| clears int64 at sf-scale -> the one wide product runs in
+    # DECIMAL(38,0) (the p-chart treatment); everything else stays BIGINT
+    num = "(n * sxy - sx * sy)"
+    den = "(n * sxx - sx * sx)"
+    hu = (
+        f"CAST(CASE WHEN {num} < 0 THEN -1 ELSE 1 END"
+        f" * CAST((CAST(2000 AS DECIMAL(38, 0)) * abs({num}) + {den})"
+        f" DIV (2 * {den}) AS BIGINT) AS BIGINT)"
+    )
+    # intercept = (sy - slope*sx/1000)/n in milli: one signed half-up on
+    # small operands (slope_milli*sx ~ 1e12)
+    inum = f"(1000 * sy - ({hu}) * sx)"
+    return agg.select(
+        F.col("n").cast("long").alias("n_parts"),
+        F.expr(hu).alias("elasticity_milli"),
+        F.expr(
+            f"CAST(CASE WHEN {inum} < 0 THEN -1 ELSE 1 END"
+            f" * ((2 * abs({inum}) + 1000 * n) DIV (2000 * n))"
+            " AS BIGINT)"
+        ).alias("intercept_milli"),
+    )
+
+
+PRICE_ELASTICITY_SQL = """
+    WITH per_part AS (
+        SELECT CAST(round(ln(cents // qty) * 1000) AS BIGINT) AS x,
+               CAST(round(ln(qty) * 1000) AS BIGINT) AS y
+        FROM (
+            SELECT l_partkey,
+                   SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents,
+                   SUM(CAST(l_quantity AS BIGINT)) AS qty
+            FROM lineitem GROUP BY l_partkey
+        )
+        WHERE qty > 0 AND cents > 0
+    ),
+    agg AS (
+        SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * y) AS sxy, SUM(x * x) AS sxx
+        FROM per_part
+    )
+    SELECT CAST(n AS BIGINT) AS n_parts,
+           CAST(CASE WHEN (n * sxy - sx * sy) < 0 THEN -1 ELSE 1 END
+                * CAST((CAST(2000 AS HUGEINT) * abs(n * sxy - sx * sy)
+                        + (n * sxx - sx * sx))
+                       // (2 * (n * sxx - sx * sx)) AS BIGINT) AS BIGINT)
+               AS elasticity_milli,
+           CAST(CASE WHEN (1000 * sy
+                     - (CASE WHEN (n * sxy - sx * sy) < 0 THEN -1 ELSE 1 END
+                        * CAST((CAST(2000 AS HUGEINT)
+                                * abs(n * sxy - sx * sy)
+                                + (n * sxx - sx * sx))
+                               // (2 * (n * sxx - sx * sx)) AS BIGINT)) * sx)
+                     < 0
+                THEN -1 ELSE 1 END
+                * ((2 * abs(1000 * sy
+                     - (CASE WHEN (n * sxy - sx * sy) < 0 THEN -1 ELSE 1 END
+                        * CAST((CAST(2000 AS HUGEINT)
+                                * abs(n * sxy - sx * sy)
+                                + (n * sxx - sx * sx))
+                               // (2 * (n * sxx - sx * sx)) AS BIGINT)) * sx)
+                    + 1000 * n)
+                   // (2000 * n)) AS BIGINT)
+               AS intercept_milli
+    FROM agg
+"""

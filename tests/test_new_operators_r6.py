@@ -1839,3 +1839,96 @@ def test_bitrate_outliers_flags_above_p99_only(spark):
     out = multimodal.bitrate_outliers(docs).collect()
     assert len(out) >= 1
     assert all(r.kbps > r.p99_kbps for r in out)
+
+
+# --- revenue waterfall -------------------------------------------------------------
+
+
+def test_waterfall_invoice_rounding_and_identity(spark):
+    li = spark.createDataFrame(
+        [
+            (1, 1, 1, 1, 1.0, 100.00, 0.10, 0.05, "N", "O", dt.datetime(1996, 3, 1)),
+            (2, 1, 1, 1, 1.0, 33.335, 0.00, 0.00, "N", "O", dt.datetime(1996, 5, 1)),
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    )
+    out = warehouse.revenue_waterfall(li).collect()[0]
+    # line 1: gross 10000, discount 1000, tax on 90.00 at 5% = 450
+    # line 2: gross round(3333.5) = 3334 (half-up), no discount/tax
+    assert out.gross_cents == 10000 + 3334
+    assert out.discount_cents == 1000
+    assert out.tax_cents == 450
+    assert out.net_cents == out.gross_cents - out.discount_cents + out.tax_cents
+
+
+# --- price elasticity --------------------------------------------------------------
+
+
+def test_elasticity_recovers_constructed_slope(spark):
+    import math
+
+    # construct parts where qty = C * price^-2 exactly in ln-space
+    rows = []
+    ok_ = 0
+    for i, price in enumerate([10.0, 20.0, 40.0, 80.0]):
+        qty = int(round(10000 * (price ** -2) * 100))  # keep integral qty
+        for q in range(qty):
+            rows.append((ok_, 100 + i, 1, 1, 1.0, price, 0.0, 0.0,
+                         "N", "O", dt.datetime(1996, 1, 1)))
+            ok_ += 1
+    li = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    )
+    out = warehouse.price_elasticity(li).collect()[0]
+    assert out.n_parts == 4
+    # slope should sit near -3000 milli? qty halves... qty = C p^-2 but the
+    # fixture's unit price equals extendedprice (qty 1 per line), so the OLS
+    # slope in milli-lns must be ~-2000 within quantization noise
+    assert -2100 <= out.elasticity_milli <= -1900
+
+
+# --- rich club ---------------------------------------------------------------------
+
+
+def test_rich_club_clique_scores_1000(spark):
+    # 5 hub nodes all co-purchased together repeatedly + leaf pairs
+    baskets = [(1, [1, 2, 3, 4, 5])]
+    baskets += [(10 + i, [100 + i, 200 + i]) for i in range(20)]
+    li = spark.createDataFrame(
+        [
+            (o, p, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", dt.datetime(1996, 1, 1))
+            for o, parts in baskets for p in parts
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    )
+    from pagila_etl_airflow_assignment_spark.operators import graph
+
+    out = {r.club_k: r for r in graph.rich_club(li).collect()}
+    # top-10 club: the 5 clique nodes (deg 4) + 5 leaves (deg 1);
+    # edges among them: C(5,2)=10 -> phi = 10/45
+    assert out[10].n_club_edges == 10
+    assert out[10].phi_milli == 1000 * 10 // 45
+
+
+# --- burstiness --------------------------------------------------------------------
+
+
+def test_burstiness_separates_function_from_bursty_terms(spark):
+    docs = _docs(
+        spark,
+        [(i, "the cat " + ("lava " * 10 if i == 0 else ""), "en", "s")
+         for i in range(10)],
+    )
+    out = {r.term: r for r in corpus_stats.term_burstiness(docs, k=5).collect()}
+    assert out["the"].burstiness_milli == 1000  # once per doc
+    assert out["lava"].df == 1 and out["lava"].burstiness_milli == 10000
