@@ -2753,7 +2753,7 @@ def bom_rollup_sql(k: int = BOM_TOP_K) -> str:
             SELECT asm AS p_partkey,
                    CAST(COUNT(*) AS BIGINT) AS n_components,
                    CAST(MAX(tier) AS INT) AS deepest_tier,
-                   SUM(cents) AS component_cents
+                   CAST(SUM(cents) AS BIGINT) AS component_cents
             FROM contrib GROUP BY asm
         )
         SELECT p.p_partkey, r.n_components, r.deepest_tier,
