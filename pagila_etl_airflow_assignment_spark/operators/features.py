@@ -447,3 +447,106 @@ def linear_interp_fill_sql() -> str:
         FROM marked
         ORDER BY event_type, day
     """
+
+
+# --- hashed feature crossing ---------------------------------------------------------
+
+CROSS_DIMS = (1024, 16384)
+
+
+def hashed_cross_features(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """Feature-crossing collision diagnostics: the (customer-segment x
+    order-priority) cross hashed into candidate embedding-table sizes D ∈
+    {CROSS_DIMS} — the sizing study every CTR-style pipeline runs before
+    committing a hash dimension: (dim, n_distinct_crosses, n_buckets_used,
+    n_colliding_buckets, collision_milli, max_bucket_crosses).
+
+    Collisions are measured on DISTINCT crosses (weighting by row count
+    would conflate popularity with hash quality); the hash is the repo's
+    md5 convention so both engines bucket identically.
+
+    Scale shape: one cross-grain distinct aggregate (bounded by the
+    attribute-domain product), then per-D bucket rollups on that bounded
+    relation — the fact table is touched once."""
+    crosses = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == customer.c_custkey,
+        )
+        .select(
+            F.concat_ws(
+                "|",
+                F.col("c_mktsegment"),
+                F.col("o_orderpriority"),
+                F.date_format("o_orderdate", "yyyy-MM"),
+            ).alias("cross_key")
+        )
+        .distinct()
+    )
+    sweeps = []
+    for d in CROSS_DIMS:
+        bucketed = crosses.select(
+            F.expr(
+                f"CAST(conv(substring(md5(cross_key), 1, 15), 16, 10)"
+                f" AS BIGINT) % {d}"
+            ).alias("bucket")
+        ).groupBy("bucket").agg(F.count("*").alias("k"))
+        sweeps.append(
+            bucketed.agg(
+                F.lit(d).cast("long").alias("dim"),
+                F.sum("k").cast("long").alias("n_distinct_crosses"),
+                F.count("*").cast("long").alias("n_buckets_used"),
+                F.sum(F.when(F.col("k") > 1, 1).otherwise(0))
+                .cast("long")
+                .alias("n_colliding_buckets"),
+                F.sum(F.when(F.col("k") > 1, F.col("k")).otherwise(0)).alias(
+                    "_in_collisions"
+                ),
+                F.max("k").cast("long").alias("max_bucket_crosses"),
+            )
+        )
+    out = sweeps[0]
+    for sdf in sweeps[1:]:
+        out = out.unionByName(sdf)
+    return out.select(
+        "dim",
+        "n_distinct_crosses",
+        "n_buckets_used",
+        "n_colliding_buckets",
+        F.expr(
+            "CAST(1000 * _in_collisions DIV n_distinct_crosses AS BIGINT)"
+        ).alias("collision_milli"),
+        "max_bucket_crosses",
+    ).orderBy("dim")
+
+
+def hashed_cross_features_sql() -> str:
+    parts = []
+    for d in CROSS_DIMS:
+        parts.append(
+            f"""
+            SELECT CAST({d} AS BIGINT) AS dim,
+                   CAST(SUM(k) AS BIGINT) AS n_distinct_crosses,
+                   CAST(COUNT(*) AS BIGINT) AS n_buckets_used,
+                   CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_colliding_buckets,
+                   CAST(1000 * SUM(CASE WHEN k > 1 THEN k ELSE 0 END)
+                        // SUM(k) AS BIGINT) AS collision_milli,
+                   CAST(MAX(k) AS BIGINT) AS max_bucket_crosses
+            FROM (
+                SELECT CAST(('0x' || substr(md5(cross_key), 1, 15))
+                            AS UBIGINT)::BIGINT % {d} AS bucket,
+                       COUNT(*) AS k
+                FROM crosses GROUP BY 1
+            )"""
+        )
+    union = " UNION ALL ".join(parts)
+    return f"""
+        WITH crosses AS (
+            SELECT DISTINCT c.c_mktsegment || '|' || o.o_orderpriority
+                   || '|' || strftime(o.o_orderdate, '%Y-%m') AS cross_key
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        ),
+        sweeps AS ({union})
+        SELECT * FROM sweeps ORDER BY dim
+    """

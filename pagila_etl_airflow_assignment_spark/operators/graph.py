@@ -1999,3 +1999,111 @@ def rich_club_sql(max_basket: int = 30) -> str:
         FROM sweeps
         ORDER BY club_k
     """
+
+
+# --- brand-partition modularity ------------------------------------------------------
+
+
+def brand_modularity(lineitem: DataFrame, part: DataFrame, max_basket: int = 30) -> DataFrame:
+    """Modularity Q of the BRAND partition over the co-purchase graph — do
+    parts co-sell within their brand (assortment coherence) or across
+    (Q near 0: brand is not a community)? One row (n_edges, n_brands,
+    q_milli) plus per-brand detail (within-edge share vs degree share) is
+    deliberately NOT emitted — Q is the decision number.
+
+    Q = Σ_i [m_ii/m − (d_i/2m)²] assembles exactly: with integer
+    within-community edge counts m_ii, community degree sums d_i and
+    total edges m, q_milli = (Σ 4·m·m_ii − Σ d_i²)·1000 / (4m²) with one
+    pinned signed half-up division (numerator can be negative).
+
+    Scale shape: one edge aggregate joined twice to the broadcast
+    part→brand dim, two bounded rollups."""
+    dim = F.broadcast(part.select("p_partkey", "p_brand"))
+    edges = (
+        _oriented_pair_rel(lineitem, max_basket)
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("_s"))
+        .select("part_a", "part_b")
+    )
+    labeled = (
+        edges.join(dim.withColumnRenamed("p_partkey", "part_a"), "part_a")
+        .withColumnRenamed("p_brand", "brand_a")
+        .join(dim.withColumnRenamed("p_partkey", "part_b"), "part_b")
+        .withColumnRenamed("p_brand", "brand_b")
+    )
+    m_rel = labeled.agg(F.count("*").cast("long").alias("m"))
+    within = labeled.where(F.col("brand_a") == F.col("brand_b")).groupBy(
+        F.col("brand_a").alias("brand")
+    ).agg(F.count("*").alias("m_ii"))
+    deg = (
+        labeled.select(F.col("brand_a").alias("brand"))
+        .unionByName(labeled.select(F.col("brand_b").alias("brand")))
+        .groupBy("brand")
+        .agg(F.count("*").alias("d_i"))
+    )
+    agg = (
+        deg.join(within, "brand", "left")
+        .agg(
+            F.count("*").cast("long").alias("n_brands"),
+            F.sum(F.coalesce("m_ii", F.lit(0))).alias("sum_mii"),
+            F.sum(F.col("d_i") * F.col("d_i")).alias("sum_d2"),
+        )
+        .crossJoin(F.broadcast(m_rel))
+    )
+    num = "(4 * m * sum_mii - sum_d2)"
+    den = "(4 * m * m)"
+    return agg.select(
+        F.col("m").alias("n_edges"),
+        "n_brands",
+        F.expr(
+            f"CAST(CASE WHEN {num} < 0 THEN -1 ELSE 1 END"
+            f" * ((2000 * abs({num}) + {den}) DIV (2 * {den})) AS BIGINT)"
+        ).alias("q_milli"),
+    )
+
+
+def brand_modularity_sql(max_basket: int = 30) -> str:
+    return f"""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), small AS (
+            SELECT l_orderkey FROM items
+            GROUP BY l_orderkey HAVING COUNT(*) <= {max_basket}
+        ), basket AS (
+            SELECT i.l_orderkey, i.l_partkey FROM items i
+            JOIN small USING (l_orderkey)
+        ), edges AS (
+            SELECT DISTINCT a.l_partkey AS part_a, b.l_partkey AS part_b
+            FROM basket a JOIN basket b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ), labeled AS (
+            SELECT e.part_a, e.part_b, pa.p_brand AS brand_a,
+                   pb.p_brand AS brand_b
+            FROM edges e
+            JOIN part pa ON pa.p_partkey = e.part_a
+            JOIN part pb ON pb.p_partkey = e.part_b
+        ), m AS (SELECT COUNT(*) AS m FROM labeled),
+        within AS (
+            SELECT brand_a AS brand, COUNT(*) AS m_ii
+            FROM labeled WHERE brand_a = brand_b GROUP BY brand_a
+        ),
+        deg AS (
+            SELECT brand, COUNT(*) AS d_i FROM (
+                SELECT brand_a AS brand FROM labeled
+                UNION ALL SELECT brand_b FROM labeled
+            ) GROUP BY brand
+        ),
+        agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_brands,
+                   CAST(SUM(COALESCE(w.m_ii, 0)) AS BIGINT) AS sum_mii,
+                   CAST(SUM(d.d_i * d.d_i) AS BIGINT) AS sum_d2
+            FROM deg d LEFT JOIN within w USING (brand)
+        )
+        SELECT CAST(m.m AS BIGINT) AS n_edges, a.n_brands,
+               CAST(CASE WHEN (4 * m.m * a.sum_mii - a.sum_d2) < 0
+                    THEN -1 ELSE 1 END
+                    * ((2000 * abs(4 * m.m * a.sum_mii - a.sum_d2)
+                        + (4 * m.m * m.m))
+                       // (2 * (4 * m.m * m.m))) AS BIGINT) AS q_milli
+        FROM agg a CROSS JOIN m
+    """

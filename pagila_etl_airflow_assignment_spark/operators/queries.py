@@ -1913,3 +1913,30 @@ def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rich-club coefficient sweep: hub-clique density at k in {10,20,40}
     via double broadcast membership joins."""
     return graph.rich_club(load_table(spark, sf_dir, "lineitem"))
+
+
+@register("features_hashed_cross", oracle=features.hashed_cross_features_sql())
+def q_hashed_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-cross hash-dimension sizing: collision diagnostics of the
+    (segment x priority x month) cross at candidate table sizes."""
+    return features.hashed_cross_features(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "customer")
+    )
+
+
+@register("warehouse_newsvendor_quantity", oracle=warehouse.NEWSVENDOR_QUANTITY_SQL)
+def q_newsvendor_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free newsvendor stocking: critical-fractile order
+    statistics of weekly demand per brand — the empirical reorder twin."""
+    return warehouse.newsvendor_quantity(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+@register("graph_brand_modularity", oracle=graph.brand_modularity_sql())
+def q_brand_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modularity of the brand partition over co-purchases — exact integer
+    Q with one pinned signed division."""
+    return graph.brand_modularity(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )

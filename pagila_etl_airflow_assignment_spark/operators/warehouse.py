@@ -3070,3 +3070,87 @@ PRICE_ELASTICITY_SQL = """
                AS intercept_milli
     FROM agg
 """
+
+
+# --- newsvendor order quantity -------------------------------------------------------
+
+NEWSVENDOR_FRACTILE_MILLI = 800  # cu/(cu+co): underage 4x overage cost
+
+
+def newsvendor_quantity(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Distribution-free newsvendor stocking quantities per brand: the
+    optimal order-up-to level is the critical fractile
+    (cu/(cu+co) = {NEWSVENDOR_FRACTILE_MILLI} milli here) of WEEKLY
+    demand, taken directly as an order statistic of the observed weekly
+    totals — no distributional fit, the empirical-quantile twin of the
+    normal-approximation reorder_points: (p_brand, n_weeks, median_weekly,
+    order_up_to, peak_weekly).
+
+    Rank selection per brand (row_number over the bounded week grid) with
+    the ceil((n·f) rule in pure integers — the PSI discipline.
+
+    Scale shape: one (brand, week) aggregate, one per-brand rank window
+    over ≤|weeks| rows, selection joins on the brand rank spec."""
+    weekly = (
+        lineitem.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            lineitem.l_partkey == part.p_partkey,
+        )
+        .groupBy(
+            "p_brand", F.date_trunc("week", "l_shipdate").alias("wk")
+        )
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("q"))
+    )
+    w = Window.partitionBy("p_brand").orderBy("q", "wk")
+    ranked = weekly.select(
+        "p_brand",
+        "q",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("p_brand")).alias("n"),
+    )
+    f = NEWSVENDOR_FRACTILE_MILLI
+    spec = ranked.groupBy("p_brand").agg(
+        F.max("n").cast("long").alias("n_weeks"),
+        F.max("q").cast("long").alias("peak_weekly"),
+    )
+    pick = lambda rank_expr, out: (  # noqa: E731
+        ranked.where(F.col("rn") == F.expr(rank_expr))
+        .select("p_brand", F.col("q").cast("long").alias(out))
+    )
+    return (
+        spec.join(pick("(n + 1) DIV 2", "median_weekly"), "p_brand")
+        .join(pick(f"(({f} * n) + 999) DIV 1000", "order_up_to"), "p_brand")
+        .orderBy("p_brand")
+    )
+
+
+NEWSVENDOR_QUANTITY_SQL = f"""
+    WITH weekly AS (
+        SELECT p.p_brand, date_trunc('week', l.l_shipdate) AS wk,
+               SUM(CAST(l.l_quantity AS BIGINT)) AS q
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT p_brand, q,
+               ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY q, wk) AS rn,
+               COUNT(*) OVER (PARTITION BY p_brand) AS n
+        FROM weekly
+    ),
+    spec AS (
+        SELECT p_brand, CAST(MAX(n) AS BIGINT) AS n_weeks,
+               CAST(MAX(q) AS BIGINT) AS peak_weekly
+        FROM ranked GROUP BY p_brand
+    )
+    SELECT s.p_brand, s.n_weeks,
+           med.q AS median_weekly,
+           up.q AS order_up_to,
+           s.peak_weekly
+    FROM spec s
+    JOIN ranked med ON med.p_brand = s.p_brand
+                   AND med.rn = (med.n + 1) // 2
+    JOIN ranked up ON up.p_brand = s.p_brand
+                  AND up.rn = (({NEWSVENDOR_FRACTILE_MILLI} * up.n) + 999)
+                              // 1000
+    ORDER BY s.p_brand
+"""

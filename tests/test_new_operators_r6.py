@@ -1932,3 +1932,83 @@ def test_burstiness_separates_function_from_bursty_terms(spark):
     out = {r.term: r for r in corpus_stats.term_burstiness(docs, k=5).collect()}
     assert out["the"].burstiness_milli == 1000  # once per doc
     assert out["lava"].df == 1 and out["lava"].burstiness_milli == 10000
+
+
+# --- hashed cross sizing -----------------------------------------------------------
+
+
+def test_hashed_cross_counts_distinct_crosses(spark):
+    orders = spark.createDataFrame(
+        [(o, o % 3, "O", 1.0, dt.datetime(2024, 1 + o % 2, 1), f"P{o % 4}")
+         for o in range(24)],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    cust = spark.createDataFrame(
+        [(c, f"n{c}", 1, 0.0, f"SEG{c}") for c in range(3)],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double,"
+        " c_mktsegment string",
+    )
+    out = {r.dim: r for r in features.hashed_cross_features(orders, cust).collect()}
+    for r in out.values():
+        # crosses: 3 segs x 4 prios x 2 months observed subset
+        assert r.n_distinct_crosses == r.n_distinct_crosses
+        assert r.n_buckets_used <= r.n_distinct_crosses
+        assert 0 <= r.collision_milli <= 1000
+    # both sweeps see the same cross population
+    dims = list(out)
+    assert out[dims[0]].n_distinct_crosses == out[dims[1]].n_distinct_crosses
+
+
+# --- newsvendor --------------------------------------------------------------------
+
+
+def test_newsvendor_fractile_order_statistic(spark):
+    # 10 weeks of demand 10,20,...,100 for one brand -> f=0.8 -> rank 8 -> 80
+    rows = []
+    ok_ = 0
+    for w, q in enumerate([10, 20, 30, 40, 50, 60, 70, 80, 90, 100]):
+        d = dt.datetime(2024, 1, 1) + dt.timedelta(weeks=w)
+        rows.append((ok_, 5, 1, 1, float(q), 1.0, 0.0, 0.0, "N", "O", d)); ok_ += 1
+    li = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    )
+    out = warehouse.newsvendor_quantity(li, _parts(spark, [5])).collect()[0]
+    assert out.n_weeks == 10
+    assert out.median_weekly == 50
+    assert out.order_up_to == 80
+    assert out.peak_weekly == 100
+
+
+# --- brand modularity --------------------------------------------------------------
+
+
+def test_modularity_perfect_brand_communities(spark):
+    # two brands, each a closed triangle -> all edges within -> Q = 1/2
+    baskets = [(1, [1, 2, 3]), (2, [11, 12, 13])]
+    li = spark.createDataFrame(
+        [
+            (o, p, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", dt.datetime(1996, 1, 1))
+            for o, parts in baskets for p in parts
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    )
+    parts = spark.createDataFrame(
+        [(k, f"p{k}", "BrandA" if k < 10 else "BrandB", "T", 1, 1.0)
+         for k in [1, 2, 3, 11, 12, 13]],
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    )
+    from pagila_etl_airflow_assignment_spark.operators import graph
+
+    out = graph.brand_modularity(li, parts).collect()[0]
+    # equal halves: Q = sum(mii/m) - sum((di/2m)^2) = 1 - 2*(1/2)^2 = 0.5
+    assert out.n_edges == 6
+    assert out.q_milli == 500

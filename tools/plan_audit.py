@@ -104,6 +104,8 @@ ALLOWED: dict[str, set[str]] = {
     "warehouse_topdown_forecast": {"BroadcastNestedLoopJoin"},
     # broadcast 1-row reference-date scalar (aging "today" stand-in)
     "warehouse_order_aging": {"BroadcastNestedLoopJoin"},
+    # broadcast 1-row total-edge scalar (modularity denominator)
+    "graph_brand_modularity": {"BroadcastNestedLoopJoin"},
     # broadcast 1-row joint-total / marginal-entropy scalars (MI panel)
     "events_mutual_information": {"BroadcastNestedLoopJoin"},
     # broadcast 1-row p99 order statistic (bitrate threshold)

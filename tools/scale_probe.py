@@ -74,6 +74,40 @@ PROBES = [
     "events_median_ci",
     "ann_ndcg_eval",
     "text_classifier_calibration",
+    # round-6 continuation batches N..W (L-260..292)
+    "dedup_bcubed_eval",
+    "embedding_triplet_mining",
+    "cdc_multimaster_lww",
+    "events_ipw_ate",
+    "embedding_k_selection_elbow",
+    "graph_hits_bipartite",
+    "warehouse_returns_p_chart",
+    "events_anomaly_ensemble",
+    "dedup_soft_weights",
+    "graph_components",
+    "warehouse_junk_dimension",
+    "vocab_budget_curve",
+    "ann_mips_reduction",
+    "graph_square_census",
+    "warehouse_compaction_plan",
+    "events_churn_labels",
+    "events_watermark_skew",
+    "events_simpson_check",
+    "embedding_isotropy",
+    "events_throttle_whatif",
+    "events_attribution_shapley",
+    "events_bayes_smoothed_ranking",
+    "graph_harmonic_centrality",
+    "text_textrank_keywords",
+    "sampling_pps_systematic",
+    "events_overdispersion",
+    "events_mutual_information",
+    "graph_degree_zipf",
+    "multimodal_bitrate_outliers",
+    "warehouse_revenue_waterfall",
+    "warehouse_price_elasticity",
+    "graph_rich_club",
+    "vocab_term_burstiness",
     # the 5 most expensive bench queries (r3 plan-audit set): their caps /
     # Expand trade-offs carry the scale story, so their ratios get measured,
     # not argued
