@@ -1619,7 +1619,10 @@ def components_summary_sql(
 
 
 def square_census(
-    lineitem: DataFrame, max_basket: int = 30, min_support: int = TRI_MIN_SUPPORT
+    lineitem: DataFrame,
+    max_basket: int = 30,
+    min_support: int = TRI_MIN_SUPPORT,
+    max_hub_degree: int = LP_MAX_HUB_DEGREE,
 ) -> DataFrame:
     """4-cycle (square) census of the co-purchase graph — the motif that
     measures BIPARTITE-like redundancy triangles can't see (two parts
@@ -1646,8 +1649,19 @@ def square_census(
     sym = pruned.unionByName(
         pruned.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
+    # hub cap on the wedge MIDDLE (the stop-node rule): wedge volume is
+    # sum(deg_mid^2), and the uncapped 10x probe measured x14.4 — capped it
+    # tracks edge growth; hub-mediated squares are excluded by contract,
+    # exactly like the link predictors
+    mid_ok = (
+        sym.groupBy("u")
+        .agg(F.count("*").alias("d"))
+        .where(F.col("d") <= LP_MAX_HUB_DEGREE)
+        .select(F.col("u").alias("mid"))
+    )
+    capped = sym.join(mid_ok, sym["v"] == mid_ok["mid"]).select("u", "v")
     wedges = (
-        sym.alias("e1")
+        capped.alias("e1")
         .join(
             sym.alias("e2"),
             (F.col("e1.v") == F.col("e2.u")) & (F.col("e1.u") < F.col("e2.v")),
@@ -1672,7 +1686,9 @@ def square_census(
 
 
 def square_census_sql(
-    max_basket: int = 30, min_support: int = TRI_MIN_SUPPORT
+    max_basket: int = 30,
+    min_support: int = TRI_MIN_SUPPORT,
+    max_hub_degree: int = LP_MAX_HUB_DEGREE,
 ) -> str:
     return f"""
         WITH items AS (
@@ -1692,9 +1708,15 @@ def square_census_sql(
         ), sym AS (
             SELECT u, v FROM pruned
             UNION ALL SELECT v AS u, u AS v FROM pruned
+        ), deg AS (
+            SELECT u, COUNT(*) AS d FROM sym GROUP BY u
+        ), capped AS (
+            SELECT s.u, s.v FROM sym s
+            JOIN deg ON deg.u = s.v
+            WHERE deg.d <= {max_hub_degree}
         ), wedges AS (
             SELECT e1.u AS x, e2.v AS y, COUNT(*) AS c_xy
-            FROM sym e1 JOIN sym e2 ON e1.v = e2.u AND e1.u < e2.v
+            FROM capped e1 JOIN sym e2 ON e1.v = e2.u AND e1.u < e2.v
             GROUP BY e1.u, e2.v
         )
         SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM pruned) AS n_edges,
