@@ -1805,3 +1805,106 @@ ISOTROPY_SCORE_SQL = """
            CAST(total_sq // (n_vectors * dim) AS BIGINT) AS mean_sq_micro2
     FROM agg
 """
+
+
+# --- nearest-centroid label confusion ------------------------------------------
+
+
+def centroid_confusion(vectors: DataFrame) -> DataFrame:
+    """Nearest-centroid classifier confusion over the labeled embedding
+    corpus: per-label micro-integer centroids (each float quantized ONCE
+    at ingest — the kmeans discipline), every vector assigned to its
+    nearest centroid, and the (true_label, assigned_label) matrix with
+    per-cell share — the linear-separability probe run before training
+    anything: (true_label, assigned_label, n, row_share_milli).
+
+    Distances are exact micro² integers (Σ (v−c)² over once-quantized
+    operands), argmin by min-struct with centroid-id tiebreak, shares one
+    milli division per row.
+
+    Scale shape: one label-grain centroid aggregate (broadcast),
+    one argmin pass over the corpus, one bounded matrix rollup."""
+    dims = vectors.select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        F.posexplode(
+            F.expr("transform(embedding, v -> CAST(round(v * 1e6) AS BIGINT))")
+        ).alias("d", "v_micro"),
+    )
+    cent = dims.groupBy(F.col("label").alias("c_label"), "d").agg(
+        F.expr("CAST(SUM(v_micro) DIV COUNT(*) AS BIGINT)").alias("c_micro")
+    )
+    scored = (
+        dims.join(F.broadcast(cent), "d")
+        .groupBy("vec_id", "label", "c_label")
+        .agg(
+            F.sum(
+                (F.col("v_micro") - F.col("c_micro"))
+                * (F.col("v_micro") - F.col("c_micro"))
+            ).alias("d2")
+        )
+    )
+    assigned = (
+        scored.select(
+            "vec_id",
+            "label",
+            F.struct(F.col("d2"), F.col("c_label")).alias("cand"),
+        )
+        .groupBy("vec_id", "label")
+        .agg(F.min("cand").alias("b"))
+        .select("label", F.col("b.c_label").alias("assigned_label"))
+    )
+    cells = assigned.groupBy(
+        F.col("label").alias("true_label"), "assigned_label"
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("true_label")
+    return (
+        cells.withColumn("row_n", F.sum("n").over(w))
+        .select(
+            "true_label",
+            "assigned_label",
+            F.col("n").cast("long").alias("n"),
+            F.expr("CAST(1000 * n DIV row_n AS BIGINT)").alias(
+                "row_share_milli"
+            ),
+        )
+        .orderBy("true_label", "assigned_label")
+    )
+
+
+CENTROID_CONFUSION_SQL = """
+    WITH dims AS (
+        SELECT vec_id, CAST(label AS BIGINT) AS label, d,
+               CAST(round(embedding[d + 1] * 1e6) AS BIGINT) AS v_micro
+        FROM (
+            SELECT vec_id, label, embedding,
+                   unnest(range(0, len(embedding))) AS d
+            FROM embeddings
+        )
+    ),
+    cent AS (
+        SELECT label AS c_label, d,
+               CAST(SUM(v_micro) // COUNT(*) AS BIGINT) AS c_micro
+        FROM dims GROUP BY label, d
+    ),
+    scored AS (
+        SELECT dims.vec_id, dims.label, cent.c_label,
+               SUM((v_micro - c_micro) * (v_micro - c_micro)) AS d2
+        FROM dims JOIN cent USING (d)
+        GROUP BY dims.vec_id, dims.label, cent.c_label
+    ),
+    assigned AS (
+        SELECT label,
+               (MIN(struct_pack(d2 := d2, c := c_label))).c AS assigned_label
+        FROM scored GROUP BY vec_id, label
+    ),
+    cells AS (
+        SELECT label AS true_label, assigned_label, COUNT(*) AS n
+        FROM assigned GROUP BY 1, 2
+    )
+    SELECT true_label, assigned_label, CAST(n AS BIGINT) AS n,
+           CAST(1000 * n // SUM(n) OVER (PARTITION BY true_label) AS BIGINT)
+               AS row_share_milli
+    FROM cells
+    ORDER BY true_label, assigned_label
+"""

@@ -1048,3 +1048,12 @@ def q_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Church-Gale burstiness (cf/df) for the top corpus terms — the
     stopword-vs-topical separator raw frequency conflates."""
     return corpus_stats.term_burstiness(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "embedding_centroid_confusion", oracle=embeddings_mod.CENTROID_CONFUSION_SQL
+)
+def q_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid label confusion matrix — the linear-separability
+    probe in once-quantized micro integers."""
+    return embeddings_mod.centroid_confusion(load_table(spark, sf_dir, "embeddings"))

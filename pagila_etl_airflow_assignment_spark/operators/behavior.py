@@ -373,3 +373,98 @@ CHURN_LABELS_SQL = f"""
     GROUP BY cohort
     ORDER BY cohort
 """
+
+
+# --- dormancy reactivation -----------------------------------------------------------
+
+REACTIVATION_GAP_DAYS = 10
+
+
+def reactivation_rates(events: DataFrame) -> DataFrame:
+    """Dormancy-and-return audit: a user REACTIVATES when consecutive
+    active days sit >= {REACTIVATION_GAP_DAYS} days apart — the winback
+    population retention curves blur into churn: one panel row per
+    longest-gap bucket (gap_bucket, n_users, n_reactivated,
+    reactivated_milli, avg_active_days).
+
+    One lag window over each user's distinct active days finds every gap;
+    the per-user rollup keeps the max gap and the reactivation flag; the
+    panel buckets users by that max gap (0-2, 3-9, 10+ days). All counts
+    exact; the rate and average are single half-up divisions.
+
+    Scale shape: distinct (user, day) projection, one user-keyed lag
+    window, two bounded rollups."""
+    days = events.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    gaps = days.select(
+        "user_id",
+        F.datediff(F.col("day"), F.lag("day").over(w)).alias("gap"),
+    )
+    per_user = gaps.groupBy("user_id").agg(
+        (F.count("*")).alias("n_days"),  # rows = active days (first has NULL gap)
+        F.max(F.coalesce("gap", F.lit(0))).alias("max_gap"),
+    )
+    bucket = (
+        F.when(F.col("max_gap") >= REACTIVATION_GAP_DAYS, "10+")
+        .when(F.col("max_gap") >= 3, "3-9")
+        .otherwise("0-2")
+    )
+    return (
+        per_user.groupBy(bucket.alias("gap_bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum(
+                F.when(
+                    F.col("max_gap") >= REACTIVATION_GAP_DAYS, 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_reactivated"),
+            F.expr(
+                "CAST((2 * SUM(n_days) + COUNT(*)) DIV (2 * COUNT(*))"
+                " AS BIGINT)"
+            ).alias("avg_active_days"),
+        )
+        .withColumn(
+            "reactivated_milli",
+            F.expr("CAST(1000 * n_reactivated DIV n_users AS BIGINT)"),
+        )
+        .select(
+            "gap_bucket", "n_users", "n_reactivated", "reactivated_milli",
+            "avg_active_days",
+        )
+        .orderBy("gap_bucket")
+    )
+
+
+REACTIVATION_RATES_SQL = f"""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    gaps AS (
+        SELECT user_id,
+               date_diff('day', LAG(day) OVER (
+                   PARTITION BY user_id ORDER BY day), day) AS gap
+        FROM days
+    ),
+    per_user AS (
+        SELECT user_id, COUNT(*) AS n_days,
+               MAX(COALESCE(gap, 0)) AS max_gap
+        FROM gaps GROUP BY user_id
+    )
+    SELECT CASE WHEN max_gap >= {REACTIVATION_GAP_DAYS} THEN '10+'
+                WHEN max_gap >= 3 THEN '3-9' ELSE '0-2' END AS gap_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN max_gap >= {REACTIVATION_GAP_DAYS}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_reactivated,
+           CAST(1000 * SUM(CASE WHEN max_gap >= {REACTIVATION_GAP_DAYS}
+                    THEN 1 ELSE 0 END) // COUNT(*) AS BIGINT)
+               AS reactivated_milli,
+           CAST((2 * SUM(n_days) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+               AS avg_active_days
+    FROM per_user
+    GROUP BY 1
+    ORDER BY 1
+"""

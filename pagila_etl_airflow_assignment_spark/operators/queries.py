@@ -1940,3 +1940,27 @@ def q_brand_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.brand_modularity(
         load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
     )
+
+
+@register("warehouse_abc_migration", oracle=warehouse.abc_migration_sql())
+def q_abc_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period ABC reclassification matrix — assortment churn
+    a static snapshot hides; cross-multiplied cuts per period."""
+    return warehouse.abc_migration(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "warehouse_monthly_seasonal_index",
+    oracle=warehouse.MONTHLY_SEASONAL_INDEX_SQL,
+)
+def q_monthly_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical month-of-year seasonal indices — cross-multiplied milli,
+    per-month averages never materialize."""
+    return warehouse.monthly_seasonal_index(load_table(spark, sf_dir, "lineitem"))
+
+
+@register("events_reactivation", oracle=behavior.REACTIVATION_RATES_SQL)
+def q_reactivation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dormancy-and-return audit: per-user max activity gap buckets with
+    reactivation rates — the winback population."""
+    return behavior.reactivation_rates(load_table(spark, sf_dir, "events"))

@@ -3154,3 +3154,176 @@ NEWSVENDOR_QUANTITY_SQL = f"""
                               // 1000
     ORDER BY s.p_brand
 """
+
+
+# --- ABC class migration matrix ------------------------------------------------------
+
+ABC_MIGRATION_SPLIT = "1998-07-01"
+
+
+def abc_migration(lineitem: DataFrame) -> DataFrame:
+    """Period-over-period ABC reclassification matrix: every part is
+    ABC-classed (cumulative-revenue 80/95 cuts) independently in the two
+    halves of the history, and the matrix counts migrations —
+    the assortment-churn view a static ABC snapshot hides:
+    (class_before, class_after, n_parts, revenue_after_cents). Parts
+    absent from a period class as '-'.
+
+    Classification is the repo's abc_classification rule per period
+    (cumulative share by rank over exact cents, cuts at 800/950 milli via
+    cross-multiplication — no share ever materializes); the matrix is a
+    ≤16-cell aggregate.
+
+    Scale shape: two period-scoped part aggregates + their rank windows
+    (part-dimension grain), one full-outer key join, tiny rollup."""
+    def classify(period):
+        rev = (
+            lineitem.where(period)
+            .groupBy("l_partkey")
+            .agg(
+                F.sum(
+                    F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+                ).alias("cents")
+            )
+        )
+        w = Window.orderBy(F.desc("cents"), "l_partkey").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        g = Window.partitionBy()
+        return rev.select(
+            "l_partkey",
+            "cents",
+            F.sum("cents").over(w).alias("cum"),
+            F.sum("cents").over(g).alias("tot"),
+        ).select(
+            "l_partkey",
+            "cents",
+            F.when(F.col("cum") * 1000 <= F.col("tot") * 800, "A")
+            .when(F.col("cum") * 1000 <= F.col("tot") * 950, "B")
+            .otherwise("C")
+            .alias("abc"),
+        )
+    before = classify(F.col("l_shipdate") < F.lit(ABC_MIGRATION_SPLIT)).select(
+        "l_partkey", F.col("abc").alias("class_before")
+    )
+    after = classify(F.col("l_shipdate") >= F.lit(ABC_MIGRATION_SPLIT)).select(
+        "l_partkey", F.col("abc").alias("class_after"), "cents"
+    )
+    return (
+        before.join(after, "l_partkey", "full_outer")
+        .select(
+            F.coalesce("class_before", F.lit("-")).alias("class_before"),
+            F.coalesce("class_after", F.lit("-")).alias("class_after"),
+            F.coalesce("cents", F.lit(0)).alias("cents"),
+        )
+        .groupBy("class_before", "class_after")
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.sum("cents").alias("revenue_after_cents"),
+        )
+        .orderBy("class_before", "class_after")
+    )
+
+
+def abc_migration_sql() -> str:
+    def half(cmp: str) -> str:
+        return f"""
+            SELECT l_partkey, cents,
+                   CASE WHEN cum * 1000 <= tot * 800 THEN 'A'
+                        WHEN cum * 1000 <= tot * 950 THEN 'B'
+                        ELSE 'C' END AS abc
+            FROM (
+                SELECT l_partkey, cents,
+                       SUM(cents) OVER (ORDER BY cents DESC, l_partkey
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS cum,
+                       SUM(cents) OVER () AS tot
+                FROM (
+                    SELECT l_partkey,
+                           CAST(SUM(CAST(round(l_extendedprice * 100)
+                               AS BIGINT)) AS BIGINT) AS cents
+                    FROM lineitem WHERE l_shipdate {cmp}
+                        TIMESTAMP '{ABC_MIGRATION_SPLIT} 00:00:00'
+                    GROUP BY l_partkey
+                )
+            )"""
+    return f"""
+        WITH before AS ({half('<')}), after AS ({half('>=')})
+        SELECT COALESCE(b.abc, '-') AS class_before,
+               COALESCE(a.abc, '-') AS class_after,
+               CAST(COUNT(*) AS BIGINT) AS n_parts,
+               CAST(SUM(COALESCE(a.cents, 0)) AS BIGINT)
+                   AS revenue_after_cents
+        FROM before b FULL OUTER JOIN after a USING (l_partkey)
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """
+
+
+# --- monthly seasonal index ----------------------------------------------------------
+
+
+def monthly_seasonal_index(lineitem: DataFrame) -> DataFrame:
+    """Classical month-of-year seasonal indices of revenue: each calendar
+    month's average monthly revenue over the all-months average, in milli
+    (1000 = no seasonality) — the deflator a demand plan divides by:
+    (month, n_months, avg_rev_cents, seasonal_index_milli).
+
+    Cross-multiplied exactness: index = (Σ_m rev / n_m) / (Σ rev / N)
+    computes as (rev_m · N · 1000) DIV (n_m · tot) with half-up — per-month
+    averages never materialize.
+
+    Scale shape: one (year, month) aggregate, a 12-row rollup, broadcast
+    1-row total."""
+    monthly = lineitem.groupBy(
+        F.year("l_shipdate").alias("y"), F.month("l_shipdate").alias("month")
+    ).agg(
+        F.sum(F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).alias(
+            "rev"
+        )
+    )
+    per_month = monthly.groupBy("month").agg(
+        F.count("*").alias("n_months"), F.sum("rev").alias("rev_m")
+    )
+    tot = monthly.agg(
+        F.count("*").alias("n_all"), F.sum("rev").alias("rev_all")
+    )
+    return (
+        per_month.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("month").cast("long").alias("month"),
+            F.col("n_months").cast("long").alias("n_months"),
+            F.expr("CAST(rev_m DIV n_months AS BIGINT)").alias("avg_rev_cents"),
+            F.expr(
+                "CAST((2000 * rev_m * n_all + n_months * rev_all)"
+                " DIV (2 * n_months * rev_all) AS BIGINT)"
+            ).alias("seasonal_index_milli"),
+        )
+        .orderBy("month")
+    )
+
+
+MONTHLY_SEASONAL_INDEX_SQL = """
+    WITH monthly AS (
+        SELECT EXTRACT(year FROM l_shipdate) AS y,
+               EXTRACT(month FROM l_shipdate) AS month,
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                   AS BIGINT) AS rev
+        FROM lineitem GROUP BY 1, 2
+    ),
+    per_month AS (
+        SELECT month, COUNT(*) AS n_months, SUM(rev) AS rev_m
+        FROM monthly GROUP BY month
+    ),
+    tot AS (
+        SELECT COUNT(*) AS n_all, SUM(rev) AS rev_all FROM monthly
+    )
+    SELECT CAST(month AS BIGINT) AS month,
+           CAST(n_months AS BIGINT) AS n_months,
+           CAST(rev_m // n_months AS BIGINT) AS avg_rev_cents,
+           CAST((2000 * rev_m * n_all + n_months * rev_all)
+                // (2 * n_months * rev_all) AS BIGINT)
+               AS seasonal_index_milli
+    FROM per_month CROSS JOIN tot
+    ORDER BY month
+"""

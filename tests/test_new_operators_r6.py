@@ -2012,3 +2012,90 @@ def test_modularity_perfect_brand_communities(spark):
     # equal halves: Q = sum(mii/m) - sum((di/2m)^2) = 1 - 2*(1/2)^2 = 0.5
     assert out.n_edges == 6
     assert out.q_milli == 500
+
+
+# --- ABC migration -----------------------------------------------------------------
+
+
+def test_abc_migration_detects_class_swap(spark):
+    rows = []
+    ok_ = 0
+    # H1: p1 70% (A), p2 20% (B), p3 10% (C); H2: p1 and p2 swap
+    for (d, p, price) in [
+        (dt.datetime(1997, 1, 1), 1, 700.0), (dt.datetime(1997, 2, 1), 2, 200.0),
+        (dt.datetime(1997, 3, 1), 3, 100.0),
+        (dt.datetime(1999, 1, 1), 1, 200.0), (dt.datetime(1999, 2, 1), 2, 700.0),
+        (dt.datetime(1999, 3, 1), 3, 100.0),
+    ]:
+        rows.append((ok_, p, 1, 1, 1.0, price, 0.0, 0.0, "N", "O", d)); ok_ += 1
+    li = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    )
+    out = {(r.class_before, r.class_after): r for r in warehouse.abc_migration(li).collect()}
+    assert out[("A", "B")].n_parts == 1  # part 1 demoted
+    assert out[("B", "A")].n_parts == 1  # part 2 promoted
+    assert out[("C", "C")].n_parts == 1
+
+
+# --- seasonal index ----------------------------------------------------------------
+
+
+def test_seasonal_index_flat_series_is_1000(spark):
+    rows = []
+    ok_ = 0
+    for y in (1996, 1997):
+        for m in range(1, 13):
+            rows.append((ok_, 1, 1, 1, 1.0, 100.0, 0.0, 0.0, "N", "O",
+                         dt.datetime(y, m, 15))); ok_ += 1
+    li = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    )
+    out = warehouse.monthly_seasonal_index(li).collect()
+    assert len(out) == 12
+    assert all(r.seasonal_index_milli == 1000 for r in out)
+
+
+# --- reactivation ------------------------------------------------------------------
+
+
+def test_reactivation_buckets_max_gap(spark):
+    rows = [
+        (1, _ts(1), 1, "view", 1.0), (2, _ts(2), 1, "view", 1.0),     # gap 1
+        (3, _ts(1), 2, "view", 1.0), (4, _ts(15), 2, "view", 1.0),    # gap 14
+        (5, _ts(1), 3, "view", 1.0), (6, _ts(6), 3, "view", 1.0),     # gap 5
+    ]
+    from pagila_etl_airflow_assignment_spark.operators import behavior
+
+    out = {r.gap_bucket: r for r in behavior.reactivation_rates(_events(spark, rows)).collect()}
+    assert out["0-2"].n_users == 1 and out["0-2"].n_reactivated == 0
+    assert out["3-9"].n_users == 1
+    assert out["10+"].n_users == 1 and out["10+"].reactivated_milli == 1000
+
+
+# --- centroid confusion ------------------------------------------------------------
+
+
+def test_centroid_confusion_separable_labels_are_diagonal(spark):
+    rows = []
+    for i in range(30):
+        label = i % 3
+        v = [0.0] * 64
+        v[label * 3] = 1.0 + 0.001 * (i % 5)
+        rows.append((i, v, label))
+    vecs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    from pagila_etl_airflow_assignment_spark.llm import embeddings as emb
+
+    out = emb.centroid_confusion(vecs).collect()
+    for r in out:
+        assert r.true_label == r.assigned_label  # perfectly separable
+        assert r.row_share_milli == 1000

@@ -104,6 +104,8 @@ ALLOWED: dict[str, set[str]] = {
     "warehouse_topdown_forecast": {"BroadcastNestedLoopJoin"},
     # broadcast 1-row reference-date scalar (aging "today" stand-in)
     "warehouse_order_aging": {"BroadcastNestedLoopJoin"},
+    # broadcast 1-row all-months total (seasonal-index denominator)
+    "warehouse_monthly_seasonal_index": {"BroadcastNestedLoopJoin"},
     # broadcast 1-row total-edge scalar (modularity denominator)
     "graph_brand_modularity": {"BroadcastNestedLoopJoin"},
     # broadcast 1-row joint-total / marginal-entropy scalars (MI panel)
