@@ -3143,8 +3143,8 @@ NEWSVENDOR_QUANTITY_SQL = f"""
         FROM ranked GROUP BY p_brand
     )
     SELECT s.p_brand, s.n_weeks,
-           med.q AS median_weekly,
-           up.q AS order_up_to,
+           CAST(med.q AS BIGINT) AS median_weekly,
+           CAST(up.q AS BIGINT) AS order_up_to,
            s.peak_weekly
     FROM spec s
     JOIN ranked med ON med.p_brand = s.p_brand
