@@ -1739,3 +1739,89 @@ def term_burstiness_sql(
         ORDER BY cf DESC, term ASC
         LIMIT {k}
     """
+
+
+# --- Heaps'-law vocabulary growth ---------------------------------------------
+
+
+def heaps_law(docs: DataFrame) -> DataFrame:
+    """Vocabulary-growth (Heaps'-law) curve: distinct terms vs corpus
+    prefix size, the sizing input for tokenizer vocab budgets and the
+    sanity check that a "new" data source actually brings new words.
+
+    Prefixes are doc_id ranges at power-of-two boundaries (docs with
+    doc_id < 2^k), so the curve needs NO global row-number window:
+    each term contributes one row at the bucket of its FIRST doc_id
+    (bit-length of the id), each doc contributes its token count at its
+    own bucket, and the cumulative curve is a running sum over the ≤64
+    bucket rows. One row per occupied bit-length bucket:
+    (prefix_limit, n_docs, n_tokens, n_terms) — all exact BIGINTs,
+    cumulative.
+
+    Scale shape: one term-keyed aggregate (min doc_id per term) and one
+    doc-keyed token count; the window runs over the ≤64-row bucket
+    rollup, never the corpus."""
+    toks = grams(docs, 1)
+    term_first = toks.groupBy("gram").agg(F.min("doc_id").alias("first_id"))
+    bl = lambda c: F.length(F.bin(F.col(c))).cast("int")  # noqa: E731
+    terms_per = term_first.groupBy(bl("first_id").alias("bucket")).agg(
+        F.count("*").cast("long").alias("new_terms")
+    )
+    docs_per = (
+        toks.groupBy("doc_id")
+        .agg(F.count("*").alias("n_tok"))
+        .groupBy(bl("doc_id").alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("new_docs"),
+            F.sum("n_tok").cast("long").alias("new_tokens"),
+        )
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        docs_per.join(terms_per, "bucket", "full")
+        .select(
+            F.expr(
+                "CAST(shiftleft(CAST(1 AS BIGINT), bucket) - 1 AS BIGINT)"
+            ).alias("prefix_limit"),
+            F.col("bucket"),
+            F.coalesce("new_docs", F.lit(0)).alias("nd"),
+            F.coalesce("new_tokens", F.lit(0)).alias("nt"),
+            F.coalesce("new_terms", F.lit(0)).alias("nv"),
+        )
+        .select(
+            "prefix_limit",
+            F.sum("nd").over(w).cast("long").alias("n_docs"),
+            F.sum("nt").over(w).cast("long").alias("n_tokens"),
+            F.sum("nv").over(w).cast("long").alias("n_terms"),
+        )
+        .orderBy("prefix_limit")
+    )
+
+
+HEAPS_LAW_SQL = f"""
+    WITH toks AS ({grams_sql(1)}),
+    term_first AS (
+        SELECT gram, MIN(doc_id) AS first_id FROM toks GROUP BY gram
+    ),
+    terms_per AS (
+        SELECT length(bin(first_id)) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS new_terms
+        FROM term_first GROUP BY 1
+    ),
+    docs_per AS (
+        SELECT length(bin(doc_id)) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS new_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS new_tokens
+        FROM (SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY doc_id)
+        GROUP BY 1
+    )
+    SELECT CAST((CAST(1 AS BIGINT) << bucket) - 1 AS BIGINT) AS prefix_limit,
+           CAST(SUM(COALESCE(new_docs, 0)) OVER (
+               ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_docs,
+           CAST(SUM(COALESCE(new_tokens, 0)) OVER (
+               ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_tokens,
+           CAST(SUM(COALESCE(new_terms, 0)) OVER (
+               ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_terms
+    FROM docs_per FULL JOIN terms_per USING (bucket)
+    ORDER BY prefix_limit
+"""

@@ -2358,3 +2358,96 @@ def soft_dedup_weights_sql(pairs_sql: str, docs_rel: str = "documents") -> str:
         FROM clusters c JOIN sizes s USING (cluster_id)
         ORDER BY c.doc_id
     """
+
+
+# --- transitivity audit ---------------------------------------------------------
+
+
+def transitivity_audit(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Data-quality audit of the near-dup pair graph: how transitive is
+    "near-duplicate"? Exact dedup is an equivalence relation; similarity
+    is not — if A~B and B~C but A!~C, connected-component clustering
+    (dedup_clusters) will still merge A and C, silently over-deleting.
+    The wedge-closure rate quantifies that risk before committing to
+    CC-based dedup: one row (n_pairs, n_wedges, n_closed, closure_milli),
+    where closure = closed wedges / wedges (the global clustering
+    coefficient of the SimHash near-pair graph, exact integer milli).
+
+    Plan: the pair relation from ``simhash_near_pairs`` (banded, capped);
+    wedges counted as the exact sum of C(deg, 2) over symmetric degrees;
+    closed wedges = 3x the oriented-two-join triangle count. All counts
+    are exact integers; the rate is one half-even-free DIV.
+
+    Scale shape: everything downstream of pair generation is keyed by
+    node or oriented edge — the audit costs two self-joins of the REDUCED
+    pair relation, never of the corpus.
+    """
+    pairs = simhash_near_pairs(docs, max_hamming=max_hamming).select(
+        "doc_a", "doc_b"
+    )
+    # pair relation is referenced five times below (degree union, three
+    # triangle-join sides, count) — cut it once
+    pairs = pairs.localCheckpoint(eager=True)
+    deg = (
+        pairs.select(F.col("doc_a").alias("node"))
+        .unionAll(pairs.select(F.col("doc_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    n_wedges = deg.agg(
+        F.expr(
+            "CAST(SUM(CAST(deg * (deg - 1) AS BIGINT) DIV 2) AS BIGINT)"
+        ).alias("n_wedges")
+    )
+    e1 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = pairs.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
+    closing = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
+    tris = e1.join(e2, "b").join(closing, ["a", "c"])
+    return (
+        pairs.agg(F.count("*").cast("long").alias("n_pairs"))
+        .crossJoin(n_wedges)
+        .crossJoin(tris.agg((F.count("*") * 3).cast("long").alias("n_closed")))
+        .select(
+            "n_pairs",
+            "n_wedges",
+            "n_closed",
+            F.expr(
+                "CASE WHEN n_wedges > 0"
+                " THEN CAST(1000 * n_closed DIV n_wedges AS BIGINT)"
+                " ELSE CAST(0 AS BIGINT) END"
+            ).alias("closure_milli"),
+        )
+    )
+
+
+def transitivity_audit_sql(max_hamming: int = 3) -> str:
+    return f"""
+        WITH pairs AS (
+            SELECT doc_a, doc_b
+            FROM ({simhash_near_pairs_sql(max_hamming=max_hamming)})
+        ),
+        deg AS (
+            SELECT node, COUNT(*) AS deg FROM (
+                SELECT doc_a AS node FROM pairs
+                UNION ALL SELECT doc_b AS node FROM pairs
+            ) GROUP BY node
+        ),
+        wedge_total AS (
+            SELECT CAST(SUM(CAST(deg * (deg - 1) AS BIGINT) // 2) AS BIGINT)
+                       AS n_wedges
+            FROM deg
+        ),
+        tris AS (
+            SELECT 1 AS one
+            FROM pairs e1
+            JOIN pairs e2 ON e1.doc_b = e2.doc_a
+            JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+        )
+        SELECT CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS n_pairs,
+               COALESCE((SELECT n_wedges FROM wedge_total), 0) AS n_wedges,
+               CAST(3 * (SELECT COUNT(*) FROM tris) AS BIGINT) AS n_closed,
+               CASE WHEN COALESCE((SELECT n_wedges FROM wedge_total), 0) > 0
+                    THEN CAST(1000 * 3 * (SELECT COUNT(*) FROM tris)
+                              // (SELECT n_wedges FROM wedge_total) AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END AS closure_milli
+    """

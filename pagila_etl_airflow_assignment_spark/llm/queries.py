@@ -1057,3 +1057,24 @@ def q_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-centroid label confusion matrix — the linear-separability
     probe in once-quantized micro integers."""
     return embeddings_mod.centroid_confusion(load_table(spark, sf_dir, "embeddings"))
+
+
+@register("dedup_transitivity_audit", oracle=dedup.transitivity_audit_sql())
+def q_transitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wedge-closure census of the SimHash near-pair graph — how safe
+    connected-component dedup is from transitive over-merging."""
+    return dedup.transitivity_audit(load_table(spark, sf_dir, "documents"))
+
+
+@register("vocab_heaps_law", oracle=corpus_stats.HEAPS_LAW_SQL)
+def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve at power-of-two doc-id
+    prefixes — cumulative docs/tokens/terms, all exact BIGINTs."""
+    return corpus_stats.heaps_law(load_table(spark, sf_dir, "documents"))
+
+
+@register("embedding_knn_hubness", oracle=similarity.knn_hubness_sql())
+def q_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-degree histogram of the exact k-NN graph over the mod-sampled
+    half-corpus — the hubness / antihub health check."""
+    return similarity.knn_hubness(load_table(spark, sf_dir, "embeddings"))

@@ -1783,3 +1783,107 @@ def mips_reduction_sql(query_ids: list[int]) -> str:
         FROM top_ip i JOIN top_l2 l USING (query_id)
         ORDER BY i.query_id
     """
+
+
+# --- k-NN graph hubness --------------------------------------------------------
+
+HUBNESS_K = 10
+HUBNESS_MOD = 2  # content-stable corpus sample: vec_id % HUBNESS_MOD == 0
+
+
+def knn_hubness(embeddings: DataFrame, k: int = HUBNESS_K) -> DataFrame:
+    """In-degree histogram of the exact k-NN graph — the standard
+    embedding-space health check for HUBNESS (Radovanovic et al., JMLR
+    2010): in high-dimensional or badly-normalized spaces a few "hub"
+    points appear in everyone's neighbor list (in-degree >> k) while
+    antihubs appear in none (in-degree 0), and ANN recall, dedup and
+    retrieval all degrade. A healthy space has in-degrees concentrated
+    near k.
+
+    Graph: each sampled vector's exact top-k cosine neighbors within the
+    content-stable half-corpus (vec_id % {HUBNESS_MOD} == 0 — the same
+    mod-sampling discipline as the split/ mixture ops, so the oracle is
+    deterministic). Output: one row per observed in-degree
+    (indeg, n_vecs), exact integers, plus antihubs as indeg = 0.
+
+    Scale shape: the exact graph is quadratic by construction — the
+    audit form. At corpus scale the SAME histogram reads off the
+    ANN-index neighbor lists (ann_lsh_topk / ann_ivf_topk) instead;
+    the brute-force pairing here is the sf-bounded oracle baseline.
+    """
+    corpus = (
+        embeddings.where(F.col("vec_id") % HUBNESS_MOD == 0)
+        .select("vec_id", "embedding", _l2norm(F.col("embedding")).alias("nrm"))
+    )
+    right = corpus.select(
+        F.col("vec_id").alias("nbr_id"),
+        F.col("embedding").alias("n_emb"),
+        F.col("nrm").alias("n_nrm"),
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(right))
+        .where(F.col("vec_id") != F.col("nbr_id"))
+        .select(
+            "vec_id",
+            "nbr_id",
+            F.round(
+                _dot(F.col("embedding"), F.col("n_emb"))
+                / (F.col("nrm") * F.col("n_nrm")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("nbr_id").asc()
+    )
+    knn = scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+    indeg = (
+        corpus.select("vec_id")
+        .join(
+            knn.groupBy("nbr_id").agg(F.count("*").alias("d")),
+            corpus.vec_id == F.col("nbr_id"),
+            "left",
+        )
+        .select(F.coalesce("d", F.lit(0)).cast("long").alias("indeg"))
+    )
+    return (
+        indeg.groupBy("indeg")
+        .agg(F.count("*").cast("long").alias("n_vecs"))
+        .orderBy("indeg")
+    )
+
+
+def knn_hubness_sql(k: int = HUBNESS_K) -> str:
+    return f"""
+        WITH corpus AS (
+            SELECT vec_id, embedding FROM embeddings
+            WHERE vec_id % {HUBNESS_MOD} = 0
+        ),
+        scored AS (
+            SELECT a.vec_id, b.vec_id AS nbr_id,
+                   round(list_cosine_similarity(
+                       a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+                       AS cosine
+            FROM corpus a CROSS JOIN corpus b
+            WHERE a.vec_id <> b.vec_id
+        ),
+        knn AS (
+            SELECT vec_id, nbr_id,
+                   row_number() OVER (
+                       PARTITION BY vec_id ORDER BY cosine DESC, nbr_id ASC
+                   ) AS rank
+            FROM scored
+            QUALIFY rank <= {k}
+        ),
+        indeg AS (
+            SELECT c.vec_id, CAST(COALESCE(d.d, 0) AS BIGINT) AS indeg
+            FROM corpus c
+            LEFT JOIN (
+                SELECT nbr_id, COUNT(*) AS d FROM knn GROUP BY nbr_id
+            ) d ON d.nbr_id = c.vec_id
+        )
+        SELECT indeg, CAST(COUNT(*) AS BIGINT) AS n_vecs
+        FROM indeg GROUP BY indeg ORDER BY indeg
+    """

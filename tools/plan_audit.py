@@ -135,6 +135,11 @@ ALLOWED: dict[str, set[str]] = {
     "text_t_closeness": {"BroadcastNestedLoopJoin"},
     # broadcast 1-row q_hat order statistic + 1-row train-user count
     "events_conformal_interval": {"BroadcastNestedLoopJoin"},
+    # three 1-row census aggregates (pairs/wedges/closed) cross-joined
+    "dedup_transitivity_audit": {"BroadcastNestedLoopJoin"},
+    # exact quadratic k-NN audit over the broadcast mod-sampled half-corpus
+    # (the sf-bounded oracle baseline; ANN lists replace it at scale)
+    "embedding_knn_hubness": {"BroadcastNestedLoopJoin"},
     # Python UDTF: BatchEvalPython IS the UDTF execution node in Spark 4 —
     # this query exists to pin the UDTF boundary, not to avoid it
     "text_sentence_split_udtf": {"BatchEvalPython"},
