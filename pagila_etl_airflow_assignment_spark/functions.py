@@ -25,3 +25,30 @@ def micros(col: Column | str) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     return F.unix_micros(c.cast("timestamp"))
+
+def isqrt(col: Column | str) -> Column:
+    """EXACT integer square root (floor) of a non-negative BIGINT column.
+
+    IEEE-754 sqrt is correctly rounded in both Spark and DuckDB, so
+    `FLOOR(SQRT(CAST(x AS DOUBLE)))` lands within ±1 of floor(sqrt(x)) for
+    any 63-bit input; the one-step two-sided integer correction then makes
+    the result exact — and therefore bit-identical cross-engine, which is
+    what lets sqrt-based statistics live in the exact-integer output
+    discipline (stddev, EOQ) instead of the float-hash danger zone.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    s0 = F.floor(F.sqrt(c.cast("double"))).cast("long")
+    return (
+        F.when((s0 + 1) * (s0 + 1) <= c, s0 + 1)
+        .when(s0 * s0 > c, s0 - 1)
+        .otherwise(s0)
+    )
+
+
+def isqrt_sql(expr: str) -> str:
+    """DuckDB twin of ``isqrt``: exact floor-sqrt of a BIGINT expression."""
+    s0 = f"CAST(FLOOR(SQRT(CAST(({expr}) AS DOUBLE))) AS BIGINT)"
+    return (
+        f"(CASE WHEN ({s0} + 1) * ({s0} + 1) <= ({expr}) THEN {s0} + 1 "
+        f"WHEN {s0} * {s0} > ({expr}) THEN {s0} - 1 ELSE {s0} END)"
+    )

@@ -677,3 +677,84 @@ def bitrate_outliers_sql() -> str:
         WHERE r.kbps > p.p99_kbps
         ORDER BY r.media_id
     """
+
+
+# --- aspect-ratio bucketing -------------------------------------------------------
+
+ASPECT_LADDER_MILLI = (333, 500, 750, 1000, 1333, 1500, 2000, 3000)
+ASPECT_BATCH = 32
+
+
+def _aspect_bucket_case(a: str) -> str:
+    """Nearest-ladder CASE over 2x-milli aspect (ties snap DOWN): shared
+    text between the Spark expr and the DuckDB twin, so the two engines
+    cannot drift."""
+    L = ASPECT_LADDER_MILLI
+    arms = " ".join(
+        f"WHEN 2 * ({a}) <= {L[i] + L[i + 1]} THEN {L[i]}"
+        for i in range(len(L) - 1)
+    )
+    return f"CASE {arms} ELSE {L[-1]} END"
+
+
+def aspect_buckets(docs: DataFrame) -> DataFrame:
+    """Aspect-ratio bucketing for resolution-bucketed image training
+    batches (the SDXL/NaViT idea): batching mixed aspect ratios forces
+    destructive square crops or padding waste, so the loader groups
+    images into a fixed ladder of aspect buckets and draws each batch
+    from one bucket.
+
+    Images only (the fake media table's kind routing), zero-dimension
+    payloads excluded as undecodable. Aspect snaps to the nearest ladder
+    step in exact integer milli (ties down, via the doubled comparison —
+    no halves materialize). One row per occupied bucket:
+    (aspect_milli, n_images, n_batches, sum_pixels) with the batch count
+    the ceil division at batch size {ASPECT_BATCH}.
+
+    Scale shape: narrow metadata projection + one bounded-key aggregate;
+    payload bytes are never touched."""
+    media = media_from_documents(docs)
+    sized = media.where(
+        (F.col("kind") == "image") & (F.col("width") > 0) & (F.col("height") > 0)
+    ).select(
+        F.expr(
+            _aspect_bucket_case("1000 * width DIV height")
+        ).cast("long").alias("aspect_milli"),
+        (F.col("width").cast("long") * F.col("height")).alias("pixels"),
+    )
+    return (
+        sized.groupBy("aspect_milli")
+        .agg(
+            F.count("*").cast("long").alias("n_images"),
+            F.expr(
+                f"CAST((COUNT(*) + {ASPECT_BATCH - 1}) DIV {ASPECT_BATCH}"
+                " AS BIGINT)"
+            ).alias("n_batches"),
+            F.sum("pixels").cast("long").alias("sum_pixels"),
+        )
+        .orderBy("aspect_milli")
+    )
+
+
+def aspect_buckets_sql() -> str:
+    bucket = _aspect_bucket_case("1000 * width // height")
+    return f"""
+        WITH media AS (
+            SELECT doc_id % 1920 AS width, doc_id % 1080 AS height
+            FROM documents
+            WHERE doc_id % 3 = 0
+        ),
+        sized AS (
+            SELECT CAST({bucket} AS BIGINT) AS aspect_milli,
+                   CAST(width AS BIGINT) * height AS pixels
+            FROM media WHERE width > 0 AND height > 0
+        )
+        SELECT aspect_milli,
+               CAST(COUNT(*) AS BIGINT) AS n_images,
+               CAST((COUNT(*) + {ASPECT_BATCH - 1}) // {ASPECT_BATCH}
+                    AS BIGINT) AS n_batches,
+               CAST(SUM(pixels) AS BIGINT) AS sum_pixels
+        FROM sized
+        GROUP BY aspect_milli
+        ORDER BY aspect_milli
+    """

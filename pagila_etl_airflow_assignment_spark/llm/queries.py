@@ -1078,3 +1078,10 @@ def q_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-degree histogram of the exact k-NN graph over the mod-sampled
     half-corpus — the hubness / antihub health check."""
     return similarity.knn_hubness(load_table(spark, sf_dir, "embeddings"))
+
+
+@register("multimodal_aspect_buckets", oracle=multimodal.aspect_buckets_sql())
+def q_aspect_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-ratio ladder bucketing for resolution-bucketed training
+    batches — metadata-only, exact integer milli."""
+    return multimodal.aspect_buckets(load_table(spark, sf_dir, "documents"))

@@ -1541,3 +1541,86 @@ def holt_winters_sql() -> str:
     FROM final
     WHERE (SELECT COUNT(*) FROM d) >= 2
     """
+
+
+# --- daily volatility (exact-isqrt stddev) ----------------------------------------
+
+
+def daily_volatility(events: DataFrame) -> DataFrame:
+    """Per-type volatility of daily event volume: mean, population
+    standard deviation, and coefficient of variation of the observed
+    daily counts — the capacity-planning companion to the Fano
+    overdispersion panel (which reports var/mean and never needed a
+    root). The stddev is an EXACT integer: variance numerator
+    V = n·Σc² − (Σc)² in BIGINT, stddev_milli = isqrt(10⁶·V / n²) via
+    functions.isqrt — bit-stable cross-engine, no float hash exposure.
+
+    Output per type: (event_type, n_days, mean_milli, stddev_milli,
+    cv_milli). BIGINT headroom: 10⁶·V caps at ~10¹⁸ for 10⁵-event days
+    over a decade; beyond that the sums move to DECIMAL(38,0) unchanged.
+
+    Scale shape: one (type, day) aggregate then a type-keyed rollup;
+    the sqrt is a scalar projection."""
+    from ..functions import isqrt
+
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").alias("c"))
+    rolled = daily.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("sq"),
+    )
+    return (
+        rolled.select(
+            "event_type",
+            F.col("n").cast("long").alias("n_days"),
+            F.expr("CAST((2000 * s + n) DIV (2 * n) AS BIGINT)").alias(
+                "mean_milli"
+            ),
+            isqrt(
+                F.expr("CAST(1000000 * (n * sq - s * s) DIV (n * n) AS BIGINT)")
+            ).alias("stddev_milli"),
+        )
+        .withColumn(
+            "cv_milli",
+            F.expr(
+                "CASE WHEN mean_milli > 0 THEN"
+                " CAST(1000 * stddev_milli DIV mean_milli AS BIGINT)"
+                " ELSE CAST(0 AS BIGINT) END"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+def daily_volatility_sql() -> str:
+    from ..functions import isqrt_sql
+
+    sd = isqrt_sql("CAST(1000000 * (n * sq - s * s) // (n * n) AS BIGINT)")
+    return f"""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        rolled AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(c) AS BIGINT) AS s,
+                   CAST(SUM(c * c) AS BIGINT) AS sq
+            FROM daily GROUP BY event_type
+        ),
+        stats AS (
+            SELECT event_type, n AS n_days,
+                   CAST((2000 * s + n) // (2 * n) AS BIGINT) AS mean_milli,
+                   CAST({sd} AS BIGINT) AS stddev_milli
+            FROM rolled
+        )
+        SELECT event_type, n_days, mean_milli, stddev_milli,
+               CASE WHEN mean_milli > 0 THEN
+                    CAST(1000 * stddev_milli // mean_milli AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END AS cv_milli
+        FROM stats
+        ORDER BY event_type
+    """

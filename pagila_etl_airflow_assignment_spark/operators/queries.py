@@ -1971,3 +1971,31 @@ def q_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local-clustering-coefficient decile panel of the co-purchase
     graph — per-node triangle closure, exact integer milli."""
     return graph.local_clustering(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "warehouse_promo_cannibalization",
+    oracle=warehouse.PROMO_CANNIBALIZATION_SQL,
+)
+def q_promo_cannibalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-brand promo cannibalization: non-promo shelf volume in
+    promo-active vs quiet months, signed exact milli."""
+    return warehouse.promo_cannibalization(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+@register("warehouse_eoq_quantity", oracle=warehouse.eoq_quantity_sql())
+def q_eoq_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson EOQ lot sizes per brand via the exact integer square
+    root — sqrt-based outputs inside the exact-BIGINT discipline."""
+    return warehouse.eoq_quantity(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+@register("events_daily_volatility", oracle=analytics.daily_volatility_sql())
+def q_daily_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type daily-volume volatility: exact-isqrt population stddev
+    and CV of daily counts."""
+    return analytics.daily_volatility(load_table(spark, sf_dir, "events"))

@@ -3327,3 +3327,225 @@ MONTHLY_SEASONAL_INDEX_SQL = """
     FROM per_month CROSS JOIN tot
     ORDER BY month
 """
+
+
+# --- promo cannibalization -------------------------------------------------------
+
+
+def promo_cannibalization(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Within-brand promo cannibalization: do a brand's NON-promo parts
+    ship less in months where the brand has promo activity? Share-shift
+    and discount-lift read the promoted item; this reads the rest of the
+    shelf — the cross-item effect that decides whether a promo grew the
+    brand or just moved volume sideways.
+
+    Per brand x month: promo and non-promo quantities; months classify as
+    promo-active (promo_qty > 0) or quiet. Brands observed in BOTH
+    regimes emit one row: month counts, milli-average non-promo quantity
+    per month in each regime, and cannibalization_milli =
+    1000·(quiet_avg − promo_avg) / quiet_avg (positive = promo months
+    depress the rest of the brand). All exact integer arithmetic.
+
+    Scale shape: one (brand, month) aggregate off the fact scan with the
+    part dim broadcast, then a brand-keyed rollup — no window, no
+    self-join."""
+    monthly = (
+        lineitem.join(
+            F.broadcast(part.select("p_partkey", "p_brand", "p_type")),
+            lineitem.l_partkey == part.p_partkey,
+        )
+        .groupBy("p_brand", F.date_trunc("month", "l_shipdate").alias("mth"))
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", F.col("l_quantity"))
+                .otherwise(0.0)
+                .cast("long")
+            ).alias("promo_q"),
+            F.sum(
+                F.when(F.col("p_type") != "PROMO", F.col("l_quantity"))
+                .otherwise(0.0)
+                .cast("long")
+            ).alias("nonpromo_q"),
+        )
+    )
+    per_brand = monthly.groupBy("p_brand").agg(
+        F.sum(F.when(F.col("promo_q") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("promo_months"),
+        F.sum(F.when(F.col("promo_q") <= 0, 1).otherwise(0))
+        .cast("long")
+        .alias("quiet_months"),
+        F.sum(F.when(F.col("promo_q") > 0, F.col("nonpromo_q")).otherwise(0))
+        .cast("long")
+        .alias("nonpromo_in_promo"),
+        F.sum(F.when(F.col("promo_q") <= 0, F.col("nonpromo_q")).otherwise(0))
+        .cast("long")
+        .alias("nonpromo_in_quiet"),
+    )
+    return (
+        per_brand.where(
+            (F.col("promo_months") > 0) & (F.col("quiet_months") > 0)
+        )
+        .select(
+            "p_brand",
+            "promo_months",
+            "quiet_months",
+            F.expr(
+                "CAST(1000 * nonpromo_in_promo DIV promo_months AS BIGINT)"
+            ).alias("promo_avg_milli"),
+            F.expr(
+                "CAST(1000 * nonpromo_in_quiet DIV quiet_months AS BIGINT)"
+            ).alias("quiet_avg_milli"),
+        )
+        .withColumn(
+            "cannibalization_milli",
+            # abs/sign form: truncating signed division is engine-stable
+            # (Spark DIV truncates, DuckDB // floors — they differ below 0)
+            F.expr(
+                "CASE WHEN quiet_avg_milli > 0 THEN"
+                " CAST(CASE WHEN quiet_avg_milli < promo_avg_milli"
+                " THEN -1 ELSE 1 END"
+                " * (1000 * abs(quiet_avg_milli - promo_avg_milli)"
+                " DIV quiet_avg_milli) AS BIGINT)"
+                " ELSE CAST(0 AS BIGINT) END"
+            ),
+        )
+        .orderBy("p_brand")
+    )
+
+
+PROMO_CANNIBALIZATION_SQL = """
+    WITH monthly AS (
+        SELECT p.p_brand, date_trunc('month', l.l_shipdate) AS mth,
+               CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN l.l_quantity
+                        ELSE 0 END) AS BIGINT) AS promo_q,
+               CAST(SUM(CASE WHEN p.p_type <> 'PROMO' THEN l.l_quantity
+                        ELSE 0 END) AS BIGINT) AS nonpromo_q
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1, 2
+    ),
+    per_brand AS (
+        SELECT p_brand,
+               CAST(SUM(CASE WHEN promo_q > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS promo_months,
+               CAST(SUM(CASE WHEN promo_q <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS quiet_months,
+               CAST(SUM(CASE WHEN promo_q > 0 THEN nonpromo_q ELSE 0 END)
+                    AS BIGINT) AS nonpromo_in_promo,
+               CAST(SUM(CASE WHEN promo_q <= 0 THEN nonpromo_q ELSE 0 END)
+                    AS BIGINT) AS nonpromo_in_quiet
+        FROM monthly GROUP BY p_brand
+    )
+    , avgs AS (
+        SELECT p_brand, promo_months, quiet_months,
+               CAST(1000 * nonpromo_in_promo // promo_months AS BIGINT)
+                   AS promo_avg_milli,
+               CAST(1000 * nonpromo_in_quiet // quiet_months AS BIGINT)
+                   AS quiet_avg_milli
+        FROM per_brand
+        WHERE promo_months > 0 AND quiet_months > 0
+    )
+    SELECT p_brand, promo_months, quiet_months, promo_avg_milli,
+           quiet_avg_milli,
+           CASE WHEN quiet_avg_milli > 0 THEN
+                CAST((CASE WHEN quiet_avg_milli < promo_avg_milli
+                      THEN -1 ELSE 1 END)
+                     * (1000 * abs(quiet_avg_milli - promo_avg_milli)
+                        // quiet_avg_milli) AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS cannibalization_milli
+    FROM avgs
+    ORDER BY p_brand
+"""
+
+
+# --- economic order quantity ------------------------------------------------------
+
+EOQ_ORDER_COST_CENTS = 10000  # S: fixed cost per replenishment order
+EOQ_HOLD_CENTS = 50  # H: holding cost per unit per year
+
+
+def eoq_quantity(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Wilson economic order quantities per brand: EOQ = sqrt(2·D·S / H)
+    with annualized demand D from shipped quantities — the lot-size twin
+    of the reorder-point and newsvendor ops, and the first consumer of
+    the EXACT integer square root (functions.isqrt): sqrt-based outputs
+    without leaving the exact-BIGINT discipline.
+
+    Output per brand: (p_brand, annual_demand, eoq_units,
+    orders_per_year, cycle_days) — orders/year is the ceil division
+    D/EOQ, cycle_days its 365-day inverse, all exact.
+
+    Scale shape: one brand-keyed aggregate with the part dim broadcast;
+    the sqrt is a scalar projection."""
+    from ..functions import isqrt
+
+    years = F.countDistinct(F.year("l_shipdate")).alias("n_years")
+    demand = (
+        lineitem.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            lineitem.l_partkey == part.p_partkey,
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("total_q"), years
+        )
+        .select(
+            "p_brand",
+            F.expr("CAST(total_q DIV n_years AS BIGINT)").alias(
+                "annual_demand"
+            ),
+        )
+    )
+    eoq = isqrt(
+        F.expr(
+            f"CAST(2 * annual_demand * {EOQ_ORDER_COST_CENTS}"
+            f" DIV {EOQ_HOLD_CENTS} AS BIGINT)"
+        )
+    ).alias("eoq_units")
+    return (
+        demand.where(F.col("annual_demand") > 0)
+        .select("p_brand", "annual_demand", eoq)
+        .select(
+            "p_brand",
+            "annual_demand",
+            "eoq_units",
+            F.expr(
+                "CAST((annual_demand + eoq_units - 1) DIV eoq_units"
+                " AS BIGINT)"
+            ).alias("orders_per_year"),
+            F.expr(
+                "CAST(365 * eoq_units DIV annual_demand AS BIGINT)"
+            ).alias("cycle_days"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+def eoq_quantity_sql() -> str:
+    from ..functions import isqrt_sql
+
+    eoq = isqrt_sql(
+        f"CAST(2 * annual_demand * {EOQ_ORDER_COST_CENTS}"
+        f" // {EOQ_HOLD_CENTS} AS BIGINT)"
+    )
+    return f"""
+        WITH demand AS (
+            SELECT p.p_brand,
+                   CAST(SUM(CAST(l.l_quantity AS BIGINT))
+                        // COUNT(DISTINCT year(l.l_shipdate)) AS BIGINT)
+                       AS annual_demand
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY p.p_brand
+        ),
+        sized AS (
+            SELECT p_brand, annual_demand,
+                   CAST({eoq} AS BIGINT) AS eoq_units
+            FROM demand WHERE annual_demand > 0
+        )
+        SELECT p_brand, annual_demand, eoq_units,
+               CAST((annual_demand + eoq_units - 1) // eoq_units AS BIGINT)
+                   AS orders_per_year,
+               CAST(365 * eoq_units // annual_demand AS BIGINT) AS cycle_days
+        FROM sized
+        ORDER BY p_brand
+    """

@@ -2199,3 +2199,122 @@ def test_local_clustering_closed_triangle_tops_decile(spark):
     assert (r.lcc_decile, r.n_nodes, r.sum_triangles, r.avg_deg_milli) == (
         9, 3, 3, 2000,
     )
+
+
+# --- promo cannibalization (L-304) ------------------------------------------------
+
+
+def test_promo_cannibalization_signed_milli(spark):
+    part = spark.createDataFrame(
+        [(1, "n", "B1", "PROMO", 1, 1.0), (2, "n", "B1", "STANDARD", 1, 1.0)],
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    )
+    # Jan: promo active, non-promo ships 10; Feb: quiet, non-promo ships 40
+    li = spark.createDataFrame(
+        [
+            (1, 1, 1, 5.0, 1.0, 0.0, dt.datetime(2024, 1, 5)),
+            (2, 2, 1, 10.0, 1.0, 0.0, dt.datetime(2024, 1, 6)),
+            (3, 2, 1, 40.0, 1.0, 0.0, dt.datetime(2024, 2, 5)),
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_quantity double, "
+        "l_extendedprice double, l_discount double, l_shipdate timestamp",
+    )
+    r = warehouse.promo_cannibalization(li, part).collect()[0]
+    assert (r.promo_months, r.quiet_months) == (1, 1)
+    assert (r.promo_avg_milli, r.quiet_avg_milli) == (10000, 40000)
+    # (40000 - 10000) / 40000 = 0.75
+    assert r.cannibalization_milli == 750
+
+
+def test_promo_cannibalization_negative_truncates_toward_zero(spark):
+    part = spark.createDataFrame(
+        [(1, "n", "B1", "PROMO", 1, 1.0), (2, "n", "B1", "STANDARD", 1, 1.0)],
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    )
+    # halo effect: non-promo ships MORE in the promo month (30 vs 20)
+    li = spark.createDataFrame(
+        [
+            (1, 1, 1, 5.0, 1.0, 0.0, dt.datetime(2024, 1, 5)),
+            (2, 2, 1, 30.0, 1.0, 0.0, dt.datetime(2024, 1, 6)),
+            (3, 2, 1, 20.0, 1.0, 0.0, dt.datetime(2024, 2, 5)),
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_quantity double, "
+        "l_extendedprice double, l_discount double, l_shipdate timestamp",
+    )
+    r = warehouse.promo_cannibalization(li, part).collect()[0]
+    # -(1000*10000 DIV 20000) = -500 exactly (trunc == floor here; the
+    # abs/sign form is what keeps uneven cases engine-stable)
+    assert r.cannibalization_milli == -500
+
+
+# --- EOQ via exact isqrt (L-306) ---------------------------------------------------
+
+
+def test_isqrt_exact_at_boundaries(spark):
+    from pagila_etl_airflow_assignment_spark.functions import isqrt
+
+    df = spark.createDataFrame(
+        [(0,), (1,), (3,), (4,), (15,), (16,), (10**12 - 1,), (10**12,)],
+        "x long",
+    )
+    got = [r.s for r in df.select(isqrt("x").alias("s")).orderBy("x").collect()]
+    assert got == [0, 1, 1, 2, 3, 4, 999999, 1000000]
+
+
+def test_eoq_quantity_wilson_formula(spark):
+    part = spark.createDataFrame(
+        [(1, "n", "B1", "STANDARD", 1, 1.0)],
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    )
+    # one year, total demand 1000 -> EOQ = isqrt(2*1000*10000/50) = isqrt(400000) = 632
+    li = spark.createDataFrame(
+        [(1, 1, 1, 1000.0, 1.0, 0.0, dt.datetime(2024, 3, 1))],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_quantity double, "
+        "l_extendedprice double, l_discount double, l_shipdate timestamp",
+    )
+    r = warehouse.eoq_quantity(li, part).collect()[0]
+    assert (r.annual_demand, r.eoq_units) == (1000, 632)
+    assert r.orders_per_year == 2  # ceil(1000/632)
+    assert r.cycle_days == 230  # 365*632 DIV 1000
+
+
+# --- daily volatility (L-307) -------------------------------------------------------
+
+
+def test_daily_volatility_exact_stddev(spark):
+    # counts 2 and 4 on two days: mean 3.0, pop var 1.0, stddev 1.0, cv 1/3
+    ev = _events(
+        spark,
+        [(1, _ts(1), 1, "click", 0.0), (2, _ts(1), 2, "click", 0.0),
+         (3, _ts(2), 1, "click", 0.0), (4, _ts(2), 2, "click", 0.0),
+         (5, _ts(2), 3, "click", 0.0), (6, _ts(2), 4, "click", 0.0)],
+    )
+    from pagila_etl_airflow_assignment_spark.operators import analytics
+
+    r = analytics.daily_volatility(ev).collect()[0]
+    assert (r.n_days, r.mean_milli, r.stddev_milli, r.cv_milli) == (
+        2, 3000, 1000, 333,
+    )
+
+
+# --- aspect buckets (L-305) ---------------------------------------------------------
+
+
+def test_aspect_buckets_ladder_snap(spark):
+    from pagila_etl_airflow_assignment_spark.llm import multimodal
+
+    # image docs are doc_id % 3 == 0; width = id % 1920, height = id % 1080.
+    # id=1083: w=1083 h=3 -> aspect 361000 -> clamps to 3000 bucket.
+    # id=540: w=540 h=540 -> 1000. id=1080: h=0 -> excluded.
+    docs = _docs(
+        spark,
+        [(540, "x", "en", "s0"), (1083, "y", "en", "s0"),
+         (1080, "z", "en", "s0"), (541, "odd", "en", "s0")],
+    )
+    rows = {r.aspect_milli: r for r in multimodal.aspect_buckets(docs).collect()}
+    assert set(rows) == {1000, 3000}
+    assert rows[1000].n_images == 1 and rows[1000].sum_pixels == 540 * 540
+    assert rows[3000].n_batches == 1
