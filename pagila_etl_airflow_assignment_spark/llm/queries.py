@@ -1085,3 +1085,10 @@ def q_aspect_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aspect-ratio ladder bucketing for resolution-bucketed training
     batches — metadata-only, exact integer milli."""
     return multimodal.aspect_buckets(load_table(spark, sf_dir, "documents"))
+
+
+@register("sampling_hash_calibration", oracle=sampling.hash_calibration_sql())
+def q_hash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration audit of the md5-bucket sampler: measured vs nominal
+    keep-rate per source at three rates, exact milli."""
+    return sampling.hash_calibration(load_table(spark, sf_dir, "documents"))

@@ -856,3 +856,84 @@ def pps_systematic_sql(n: int = PPS_SAMPLE_N) -> str:
         WHERE i_hi > i_lo
         ORDER BY hit_threshold, doc_id
     """
+
+
+# --- hash-sampler calibration ------------------------------------------------------
+
+CALIBRATION_RATES_MILLI = (10, 100, 500)
+
+
+def hash_calibration(docs: DataFrame) -> DataFrame:
+    """Calibration audit of the md5-bucket sampler every split/mixture
+    op in this module relies on: for each nominal rate, the measured
+    keep-rate per source and its absolute error — the evidence that
+    content-stable hash sampling actually delivers the rates it
+    promises (a skewed key space or a broken hash shows up here first,
+    BEFORE a mixture quietly over-serves one source).
+
+    Keep rule: md5_int(doc_id) % 1000 < rate — the same bucket
+    arithmetic as split_assign, audited at rates {CALIBRATION_RATES_MILLI}.
+    Output per (source, nominal_milli): n_docs, n_kept, measured_milli
+    (half-up), abs_err_milli. Exact integers.
+
+    Scale shape: the rate grid is a ≤3-element literal array exploded
+    per row — one narrow pass, one (source, rate) aggregate."""
+    rates = F.array(*[F.lit(r) for r in CALIBRATION_RATES_MILLI])
+    bucket = md5_int(F.col("doc_id").cast("string")) % 1000
+    graded = docs.select(
+        "source",
+        F.explode(rates).alias("nominal_milli"),
+        bucket.alias("bucket"),
+    )
+    return (
+        graded.groupBy("source", "nominal_milli")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(
+                F.when(F.col("bucket") < F.col("nominal_milli"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_kept"),
+        )
+        .select(
+            "source",
+            F.col("nominal_milli").cast("long").alias("nominal_milli"),
+            "n_docs",
+            "n_kept",
+            F.expr(
+                "CAST((2000 * n_kept + n_docs) DIV (2 * n_docs) AS BIGINT)"
+            ).alias("measured_milli"),
+        )
+        .withColumn(
+            "abs_err_milli",
+            F.abs(F.col("measured_milli") - F.col("nominal_milli"))
+            .cast("long"),
+        )
+        .orderBy("source", "nominal_milli")
+    )
+
+
+def hash_calibration_sql() -> str:
+    rates = ", ".join(str(r) for r in CALIBRATION_RATES_MILLI)
+    bucket = f"({md5_int_sql('CAST(doc_id AS VARCHAR)')} % 1000)"
+    return f"""
+        WITH graded AS (
+            SELECT source, unnest([{rates}]) AS nominal_milli,
+                   {bucket} AS bucket
+            FROM documents
+        ),
+        panel AS (
+            SELECT source, CAST(nominal_milli AS BIGINT) AS nominal_milli,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN bucket < nominal_milli THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_kept
+            FROM graded GROUP BY 1, 2
+        )
+        SELECT source, nominal_milli, n_docs, n_kept,
+               CAST((2000 * n_kept + n_docs) // (2 * n_docs) AS BIGINT)
+                   AS measured_milli,
+               CAST(abs((2000 * n_kept + n_docs) // (2 * n_docs)
+                        - nominal_milli) AS BIGINT) AS abs_err_milli
+        FROM panel
+        ORDER BY source, nominal_milli
+    """

@@ -468,3 +468,117 @@ REACTIVATION_RATES_SQL = f"""
     GROUP BY 1
     ORDER BY 1
 """
+
+
+# --- growth accounting -----------------------------------------------------------
+
+GROWTH_EPOCH_MONDAY = "1970-01-05"  # a Monday: week indices are exact ints
+
+
+def growth_accounting(events: DataFrame) -> DataFrame:
+    """Weekly growth accounting — the canonical active-user decomposition
+    (new + retained + resurrected this week; churned counted against the
+    week they left): the panel that separates "WAU is flat" into
+    acquisition masking churn vs genuine retention, which single-number
+    retention curves and the reactivation audit both blur.
+
+    Identity: wau(w) = new(w) + retained(w) + resurrected(w), and
+    churned(w) = wau(w−1) − retained(w) — users active last week who
+    didn't return. Weeks index as days-since-Monday-epoch DIV 7, so
+    "consecutive" is exact integer arithmetic in both engines.
+
+    Scale shape: one distinct (user, week) projection, one per-user lag
+    window, one bounded week rollup joined to its own +1 shift."""
+    um = events.select(
+        "user_id",
+        F.date_trunc("week", "ts").cast("date").alias("week"),
+    ).distinct().select(
+        "user_id",
+        "week",
+        (F.datediff("week", F.lit(GROWTH_EPOCH_MONDAY)) / 7)
+        .cast("long")
+        .alias("widx"),
+    )
+    w = Window.partitionBy("user_id").orderBy("widx")
+    classified = um.select(
+        "week",
+        "widx",
+        F.lag("widx").over(w).alias("prev_widx"),
+    ).select(
+        "week",
+        "widx",
+        F.when(F.col("prev_widx").isNull(), "new")
+        .when(F.col("prev_widx") == F.col("widx") - 1, "retained")
+        .otherwise("resurrected")
+        .alias("cls"),
+    )
+    weekly = classified.groupBy("week", "widx").agg(
+        F.count("*").cast("long").alias("wau"),
+        F.sum(F.when(F.col("cls") == "new", 1).otherwise(0))
+        .cast("long")
+        .alias("n_new"),
+        F.sum(F.when(F.col("cls") == "retained", 1).otherwise(0))
+        .cast("long")
+        .alias("n_retained"),
+        F.sum(F.when(F.col("cls") == "resurrected", 1).otherwise(0))
+        .cast("long")
+        .alias("n_resurrected"),
+    )
+    prev = weekly.select(
+        (F.col("widx") + 1).alias("widx"), F.col("wau").alias("prev_wau")
+    )
+    return (
+        weekly.join(prev, "widx", "left")
+        .select(
+            "week",
+            "wau",
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            (F.coalesce("prev_wau", F.lit(0)) - F.col("n_retained"))
+            .cast("long")
+            .alias("n_churned"),
+        )
+        .orderBy("week")
+    )
+
+
+GROWTH_ACCOUNTING_SQL = f"""
+    WITH um AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('week', ts) AS DATE) AS week
+        FROM events
+    ),
+    indexed AS (
+        SELECT user_id, week,
+               date_diff('day', DATE '{GROWTH_EPOCH_MONDAY}', week) // 7
+                   AS widx
+        FROM um
+    ),
+    classified AS (
+        SELECT week, widx,
+               CASE WHEN LAG(widx) OVER (
+                        PARTITION BY user_id ORDER BY widx) IS NULL THEN 'new'
+                    WHEN LAG(widx) OVER (
+                        PARTITION BY user_id ORDER BY widx) = widx - 1
+                        THEN 'retained'
+                    ELSE 'resurrected' END AS cls
+        FROM indexed
+    ),
+    weekly AS (
+        SELECT week, widx,
+               CAST(COUNT(*) AS BIGINT) AS wau,
+               CAST(SUM(CASE WHEN cls = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_new,
+               CAST(SUM(CASE WHEN cls = 'retained' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_retained,
+               CAST(SUM(CASE WHEN cls = 'resurrected' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_resurrected
+        FROM classified GROUP BY week, widx
+    )
+    SELECT m.week, m.wau, m.n_new, m.n_retained, m.n_resurrected,
+           CAST(COALESCE(p.wau, 0) - m.n_retained AS BIGINT) AS n_churned
+    FROM weekly m
+    LEFT JOIN weekly p ON p.widx = m.widx - 1
+    ORDER BY m.week
+"""

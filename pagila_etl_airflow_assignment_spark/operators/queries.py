@@ -1999,3 +1999,24 @@ def q_daily_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type daily-volume volatility: exact-isqrt population stddev
     and CV of daily counts."""
     return analytics.daily_volatility(load_table(spark, sf_dir, "events"))
+
+
+@register("events_growth_accounting", oracle=behavior.GROWTH_ACCOUNTING_SQL)
+def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly WAU growth accounting: new + retained + resurrected,
+    churn charged to the week users left."""
+    return behavior.growth_accounting(load_table(spark, sf_dir, "events"))
+
+
+@register("warehouse_split_shipments", oracle=warehouse.SPLIT_SHIPMENTS_SQL)
+def q_split_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-shipment panel: multi-ship-date order share and drag span
+    per month, exact milli."""
+    return warehouse.split_shipments(load_table(spark, sf_dir, "lineitem"))
+
+
+@register("events_srm_check", oracle=stats.srm_check_sql())
+def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail on the md5 assignment path:
+    chi-square vs even split, exact integer micro."""
+    return stats.srm_check(load_table(spark, sf_dir, "events"))

@@ -1826,3 +1826,81 @@ MUTUAL_INFORMATION_SQL = """
                AS BIGINT) AS nmi_milli
     FROM mi CROSS JOIN hx CROSS JOIN hy
 """
+
+
+# --- sample-ratio-mismatch guardrail -----------------------------------------------
+
+SRM_CHI2_CRIT_MICRO = 3_841_459  # chi-square 95% critical value, 1 dof
+
+
+def srm_check(events: DataFrame) -> DataFrame:
+    """Sample-ratio-mismatch guardrail — the FIRST check any experiment
+    readout must pass: under a 50/50 md5 assignment the two arms' user
+    counts should differ only by chance, and a significant imbalance
+    means broken bucketing / differential logging loss, invalidating
+    every downstream test (Welch, z, CUPED) before it runs.
+
+    Assignment is the hash the samplers use (md5 of user_id, low bit),
+    NOT user-id parity — SRM exists to audit the real assignment path.
+    Per event_type over distinct users: chi-square vs the expected even
+    split, exact integer micro: chi2 = (n_a − n_b)² / (n_a + n_b), and
+    the 95% flag against {SRM_CHI2_CRIT_MICRO} micro.
+
+    Scale shape: one distinct (type, user) projection, one bounded
+    type-keyed aggregate."""
+    from ..llm.hashing import md5_int
+
+    arm = (md5_int(F.col("user_id").cast("string")) % 2).alias("arm")
+    users = events.select("event_type", "user_id", arm).distinct()
+    return (
+        users.groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_a"),
+            F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_b"),
+        )
+        .select(
+            "event_type",
+            "n_a",
+            "n_b",
+            F.expr(
+                "CAST(1000000 * (n_a - n_b) * (n_a - n_b)"
+                " DIV (n_a + n_b) AS BIGINT)"
+            ).alias("srm_chi2_micro"),
+        )
+        .withColumn(
+            "srm_flag",
+            (F.col("srm_chi2_micro") > SRM_CHI2_CRIT_MICRO).cast("int"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def srm_check_sql() -> str:
+    from ..llm.hashing import md5_int_sql
+
+    arm = f"({md5_int_sql('CAST(user_id AS VARCHAR)')} % 2)"
+    return f"""
+        WITH users AS (
+            SELECT DISTINCT event_type, user_id, {arm} AS arm
+            FROM events
+        ),
+        counts AS (
+            SELECT event_type,
+                   CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_a,
+                   CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_b
+            FROM users GROUP BY event_type
+        )
+        SELECT event_type, n_a, n_b,
+               CAST(1000000 * (n_a - n_b) * (n_a - n_b) // (n_a + n_b)
+                    AS BIGINT) AS srm_chi2_micro,
+               CAST(1000000 * (n_a - n_b) * (n_a - n_b) // (n_a + n_b)
+                    > {SRM_CHI2_CRIT_MICRO} AS INT) AS srm_flag
+        FROM counts
+        ORDER BY event_type
+    """

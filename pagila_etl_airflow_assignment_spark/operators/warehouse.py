@@ -3549,3 +3549,85 @@ def eoq_quantity_sql() -> str:
         FROM sized
         ORDER BY p_brand
     """
+
+
+# --- split shipments -------------------------------------------------------------
+
+
+def split_shipments(lineitem: DataFrame) -> DataFrame:
+    """Split-shipment panel: per month, how many orders shipped in one
+    go vs across multiple ship dates, and how long the split ones
+    dragged — the fulfillment-cost / customer-experience metric order
+    aging (days open) and ship latency (commit vs receipt) don't
+    capture: an order can age zero days and still arrive in four boxes.
+
+    Per order: distinct ship dates and first→last span; the order's
+    month is its FIRST ship date's month. Panel per month:
+    (month, n_orders, split_orders, split_milli, avg_span_days_milli)
+    with the average span over split orders only, half-up milli.
+
+    Scale shape: one order-keyed aggregate off the fact scan, one
+    bounded month rollup — no window, no join."""
+    per_order = lineitem.groupBy("l_orderkey").agg(
+        F.count_distinct(F.to_date("l_shipdate")).alias("n_dates"),
+        F.datediff(
+            F.max(F.to_date("l_shipdate")), F.min(F.to_date("l_shipdate"))
+        ).alias("span"),
+        F.date_trunc("month", F.min("l_shipdate")).cast("date").alias("month"),
+    )
+    return (
+        per_order.groupBy("month")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.when(F.col("n_dates") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("split_orders"),
+            F.sum(F.when(F.col("n_dates") > 1, F.col("span")).otherwise(0))
+            .cast("long")
+            .alias("_span_sum"),
+        )
+        .select(
+            "month",
+            "n_orders",
+            "split_orders",
+            F.expr(
+                "CAST(1000 * split_orders DIV n_orders AS BIGINT)"
+            ).alias("split_milli"),
+            F.expr(
+                "CASE WHEN split_orders > 0 THEN"
+                " CAST((2000 * _span_sum + split_orders)"
+                " DIV (2 * split_orders) AS BIGINT)"
+                " ELSE CAST(0 AS BIGINT) END"
+            ).alias("avg_span_days_milli"),
+        )
+        .orderBy("month")
+    )
+
+
+SPLIT_SHIPMENTS_SQL = """
+    WITH per_order AS (
+        SELECT l_orderkey,
+               COUNT(DISTINCT CAST(l_shipdate AS DATE)) AS n_dates,
+               date_diff('day', MIN(CAST(l_shipdate AS DATE)),
+                         MAX(CAST(l_shipdate AS DATE))) AS span,
+               CAST(date_trunc('month', MIN(l_shipdate)) AS DATE) AS month
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    panel AS (
+        SELECT month,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CASE WHEN n_dates > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS split_orders,
+               CAST(SUM(CASE WHEN n_dates > 1 THEN span ELSE 0 END)
+                    AS BIGINT) AS span_sum
+        FROM per_order GROUP BY month
+    )
+    SELECT month, n_orders, split_orders,
+           CAST(1000 * split_orders // n_orders AS BIGINT) AS split_milli,
+           CASE WHEN split_orders > 0 THEN
+                CAST((2000 * span_sum + split_orders)
+                     // (2 * split_orders) AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS avg_span_days_milli
+    FROM panel
+    ORDER BY month
+"""

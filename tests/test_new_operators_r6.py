@@ -2318,3 +2318,93 @@ def test_aspect_buckets_ladder_snap(spark):
     assert set(rows) == {1000, 3000}
     assert rows[1000].n_images == 1 and rows[1000].sum_pixels == 540 * 540
     assert rows[3000].n_batches == 1
+
+
+# --- growth accounting (L-308) ------------------------------------------------------
+
+
+def test_growth_accounting_decomposition(spark):
+    from pagila_etl_airflow_assignment_spark.operators import behavior
+
+    # weeks: Jan 1-7 (w1), Jan 8-14 (w2), Jan 15-21 (w3), all Mondays.
+    # u1 active w1,w2,w3; u2 active w1 only (churns against w2);
+    # u3 active w1 and w3 (resurrects in w3)
+    ev = _events(
+        spark,
+        [
+            (1, _ts(1), 1, "click", 0.0), (2, _ts(2), 2, "click", 0.0),
+            (3, _ts(3), 3, "click", 0.0),
+            (4, _ts(8), 1, "click", 0.0),
+            (5, _ts(15), 1, "click", 0.0), (6, _ts(16), 3, "click", 0.0),
+        ],
+    )
+    rows = {str(r.week): r for r in behavior.growth_accounting(ev).collect()}
+    w1, w2, w3 = "2024-01-01", "2024-01-08", "2024-01-15"
+    assert (rows[w1].wau, rows[w1].n_new, rows[w1].n_churned) == (3, 3, 0)
+    assert (rows[w2].wau, rows[w2].n_retained, rows[w2].n_churned) == (1, 1, 2)
+    assert (
+        rows[w3].wau, rows[w3].n_retained, rows[w3].n_resurrected,
+        rows[w3].n_churned,
+    ) == (2, 1, 1, 0)
+    for r in rows.values():  # the accounting identity
+        assert r.wau == r.n_new + r.n_retained + r.n_resurrected
+
+
+# --- split shipments (L-309) ---------------------------------------------------------
+
+
+def test_split_shipments_span_and_share(spark):
+    li = spark.createDataFrame(
+        [
+            # order 1: two ship dates 4 days apart (split)
+            (1, 1, 1, 1.0, 1.0, 0.0, dt.datetime(2024, 1, 2)),
+            (1, 2, 1, 1.0, 1.0, 0.0, dt.datetime(2024, 1, 6)),
+            # order 2: single date
+            (2, 1, 1, 1.0, 1.0, 0.0, dt.datetime(2024, 1, 9)),
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_quantity double, "
+        "l_extendedprice double, l_discount double, l_shipdate timestamp",
+    )
+    r = warehouse.split_shipments(li).collect()[0]
+    assert (r.n_orders, r.split_orders, r.split_milli) == (2, 1, 500)
+    assert r.avg_span_days_milli == 4000
+
+
+# --- sampler calibration (L-310) ------------------------------------------------------
+
+
+def test_hash_calibration_errors_bounded(spark):
+    docs = _docs(
+        spark, [(i, f"text {i}", "en", "s0") for i in range(1, 401)]
+    )
+    rows = sampling.hash_calibration(docs).collect()
+    assert [r.nominal_milli for r in rows] == [10, 100, 500]
+    for r in rows:
+        assert r.n_docs == 400
+        assert r.measured_milli == (2000 * r.n_kept + 400) // 800
+        # md5 uniformity at n=400: generous tolerance, deterministic data
+        assert r.abs_err_milli <= 120
+
+
+# --- SRM guardrail (L-311) -------------------------------------------------------------
+
+
+def test_srm_check_balanced_and_broken(spark):
+    from pagila_etl_airflow_assignment_spark.operators import stats
+
+    # balanced: 400 users, md5 low bit ~50/50. broken: only users whose
+    # md5 bit is 0 emit "buy" (simulated differential logging loss)
+    from pagila_etl_airflow_assignment_spark.llm.hashing import md5_int
+
+    base = [(i, _ts(1 + i % 20), i, "click", 0.0) for i in range(1, 401)]
+    ev = _events(spark, base)
+    arm0 = {
+        r.user_id
+        for r in ev.select(
+            "user_id", (md5_int(F.col("user_id").cast("string")) % 2).alias("a")
+        ).where(F.col("a") == 0).collect()
+    }
+    broken = [(1000 + u, _ts(2), u, "buy", 0.0) for u in arm0]
+    out = {r.event_type: r for r in stats.srm_check(_events(spark, base + broken)).collect()}
+    assert out["click"].srm_flag == 0
+    assert out["buy"].n_b == 0 and out["buy"].srm_flag == 1

@@ -135,6 +135,11 @@ ALLOWED: dict[str, set[str]] = {
     "text_t_closeness": {"BroadcastNestedLoopJoin"},
     # broadcast 1-row q_hat order statistic + 1-row train-user count
     "events_conformal_interval": {"BroadcastNestedLoopJoin"},
+    # broadcast tiny query set (wraps brute-force + LSH top-k, the same
+    # ann_bruteforce/ann_lsh broadcast-query pattern)
+    "ann_ndcg_eval": {"BroadcastNestedLoopJoin"},
+    # broadcast tiny anchor set (same broadcast-query pattern)
+    "embedding_triplet_mining": {"BroadcastNestedLoopJoin"},
     # three 1-row census aggregates (pairs/wedges/closed) cross-joined
     "dedup_transitivity_audit": {"BroadcastNestedLoopJoin"},
     # exact quadratic k-NN audit over the broadcast mod-sampled half-corpus
