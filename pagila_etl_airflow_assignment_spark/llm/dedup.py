@@ -2362,31 +2362,39 @@ def soft_dedup_weights_sql(pairs_sql: str, docs_rel: str = "documents") -> str:
 
 # --- transitivity audit ---------------------------------------------------------
 
+TRANSITIVITY_MAX_DEG = 64  # hub cap: census runs on the induced subgraph
 
-def transitivity_audit(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+
+def transitivity_audit(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    max_deg: int = TRANSITIVITY_MAX_DEG,
+) -> DataFrame:
     """Data-quality audit of the near-dup pair graph: how transitive is
     "near-duplicate"? Exact dedup is an equivalence relation; similarity
     is not — if A~B and B~C but A!~C, connected-component clustering
     (dedup_clusters) will still merge A and C, silently over-deleting.
     The wedge-closure rate quantifies that risk before committing to
-    CC-based dedup: one row (n_pairs, n_wedges, n_closed, closure_milli),
-    where closure = closed wedges / wedges (the global clustering
-    coefficient of the SimHash near-pair graph, exact integer milli).
+    CC-based dedup: one row (n_pairs, n_capped_nodes, n_wedges,
+    n_closed, closure_milli), closure = closed wedges / wedges (the
+    global clustering coefficient of the SimHash near-pair graph,
+    exact integer milli).
 
-    Plan: the pair relation from ``simhash_near_pairs`` (banded, capped);
-    wedges counted as the exact sum of C(deg, 2) over symmetric degrees;
-    closed wedges = 3x the oriented-two-join triangle count. All counts
-    are exact integers; the rate is one half-even-free DIV.
+    Hub cap (the square-census discipline): wedge volume is Σ C(deg, 2),
+    quadratic in the hottest node, so nodes with degree > ``max_deg``
+    are EXCLUDED and counted in ``n_capped_nodes`` — the census runs on
+    the induced subgraph, where the measurement is still the question
+    being asked (hubs are exactly the mega-cluster cores whose merge
+    risk is already known).
 
     Scale shape: everything downstream of pair generation is keyed by
-    node or oriented edge — the audit costs two self-joins of the REDUCED
-    pair relation, never of the corpus.
+    node or oriented edge of the REDUCED, degree-capped pair relation —
+    never the corpus.
     """
     pairs = simhash_near_pairs(docs, max_hamming=max_hamming).select(
         "doc_a", "doc_b"
     )
-    # pair relation is referenced five times below (degree union, three
-    # triangle-join sides, count) — cut it once
+    # referenced by degree pass + three census sides: cut the plan once
     pairs = pairs.localCheckpoint(eager=True)
     deg = (
         pairs.select(F.col("doc_a").alias("node"))
@@ -2394,25 +2402,40 @@ def transitivity_audit(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         .groupBy("node")
         .agg(F.count("*").alias("deg"))
     )
-    n_wedges = deg.agg(
+    hot = deg.where(F.col("deg") > max_deg).select("node")
+    kept = (
+        pairs.join(hot.withColumnRenamed("node", "doc_a"), "doc_a", "anti")
+        .join(hot.withColumnRenamed("node", "doc_b"), "doc_b", "anti")
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    kdeg = (
+        kept.select(F.col("doc_a").alias("node"))
+        .unionAll(kept.select(F.col("doc_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    n_wedges = kdeg.agg(
         F.expr(
             "CAST(SUM(CAST(deg * (deg - 1) AS BIGINT) DIV 2) AS BIGINT)"
         ).alias("n_wedges")
     )
-    e1 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-    e2 = pairs.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
-    closing = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
+    e1 = kept.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = kept.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
+    closing = kept.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
     tris = e1.join(e2, "b").join(closing, ["a", "c"])
     return (
         pairs.agg(F.count("*").cast("long").alias("n_pairs"))
+        .crossJoin(hot.agg(F.count("*").cast("long").alias("n_capped_nodes")))
         .crossJoin(n_wedges)
         .crossJoin(tris.agg((F.count("*") * 3).cast("long").alias("n_closed")))
         .select(
             "n_pairs",
-            "n_wedges",
+            "n_capped_nodes",
+            F.coalesce("n_wedges", F.lit(0)).cast("long").alias("n_wedges"),
             "n_closed",
             F.expr(
-                "CASE WHEN n_wedges > 0"
+                "CASE WHEN COALESCE(n_wedges, 0) > 0"
                 " THEN CAST(1000 * n_closed DIV n_wedges AS BIGINT)"
                 " ELSE CAST(0 AS BIGINT) END"
             ).alias("closure_milli"),
@@ -2420,7 +2443,9 @@ def transitivity_audit(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     )
 
 
-def transitivity_audit_sql(max_hamming: int = 3) -> str:
+def transitivity_audit_sql(
+    max_hamming: int = 3, max_deg: int = TRANSITIVITY_MAX_DEG
+) -> str:
     return f"""
         WITH pairs AS (
             SELECT doc_a, doc_b
@@ -2432,18 +2457,31 @@ def transitivity_audit_sql(max_hamming: int = 3) -> str:
                 UNION ALL SELECT doc_b AS node FROM pairs
             ) GROUP BY node
         ),
+        hot AS (SELECT node FROM deg WHERE deg > {max_deg}),
+        kept AS (
+            SELECT doc_a, doc_b FROM pairs
+            WHERE doc_a NOT IN (SELECT node FROM hot)
+              AND doc_b NOT IN (SELECT node FROM hot)
+        ),
+        kdeg AS (
+            SELECT node, COUNT(*) AS deg FROM (
+                SELECT doc_a AS node FROM kept
+                UNION ALL SELECT doc_b AS node FROM kept
+            ) GROUP BY node
+        ),
         wedge_total AS (
             SELECT CAST(SUM(CAST(deg * (deg - 1) AS BIGINT) // 2) AS BIGINT)
                        AS n_wedges
-            FROM deg
+            FROM kdeg
         ),
         tris AS (
             SELECT 1 AS one
-            FROM pairs e1
-            JOIN pairs e2 ON e1.doc_b = e2.doc_a
-            JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+            FROM kept e1
+            JOIN kept e2 ON e1.doc_b = e2.doc_a
+            JOIN kept e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
         )
         SELECT CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS n_pairs,
+               CAST((SELECT COUNT(*) FROM hot) AS BIGINT) AS n_capped_nodes,
                COALESCE((SELECT n_wedges FROM wedge_total), 0) AS n_wedges,
                CAST(3 * (SELECT COUNT(*) FROM tris) AS BIGINT) AS n_closed,
                CASE WHEN COALESCE((SELECT n_wedges FROM wedge_total), 0) > 0

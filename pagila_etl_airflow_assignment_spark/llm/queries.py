@@ -1092,3 +1092,10 @@ def q_hash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calibration audit of the md5-bucket sampler: measured vs nominal
     keep-rate per source at three rates, exact milli."""
     return sampling.hash_calibration(load_table(spark, sf_dir, "documents"))
+
+
+@register("embedding_knn_purity", oracle=similarity.knn_purity_sql())
+def q_knn_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label purity of the exact k-NN graph over the adaptive
+    mod-sample — the classifier-free label-noise audit."""
+    return similarity.knn_purity(load_table(spark, sf_dir, "embeddings"))

@@ -1788,7 +1788,36 @@ def mips_reduction_sql(query_ids: list[int]) -> str:
 # --- k-NN graph hubness --------------------------------------------------------
 
 HUBNESS_K = 10
-HUBNESS_MOD = 2  # content-stable corpus sample: vec_id % HUBNESS_MOD == 0
+# The exact graph is quadratic, so the audit runs on a content-stable
+# mod-sample whose modulus ADAPTS to corpus size: mod = smallest power of
+# two >= ceil(n / HUBNESS_TARGET), keeping the sampled corpus (and the
+# pair volume) bounded at any sf. Exact integer arithmetic (ceil division
+# + bit-length), identical in both engines — no float log2 at the
+# power-of-two boundaries.
+HUBNESS_TARGET = 512
+
+
+def _hubness_mod(embeddings: DataFrame):
+    """1-row (mod) scalar: smallest power of two >= ceil(n / target)."""
+    return embeddings.agg(
+        F.expr(
+            f"CAST(CASE WHEN (COUNT(*) + {HUBNESS_TARGET - 1})"
+            f" DIV {HUBNESS_TARGET} <= 1 THEN 1"
+            f" ELSE shiftleft(CAST(1 AS BIGINT), length(bin("
+            f"(COUNT(*) + {HUBNESS_TARGET - 1}) DIV {HUBNESS_TARGET} - 1)))"
+            " END AS BIGINT)"
+        ).alias("mod")
+    )
+
+
+HUBNESS_MOD_SQL = f"""
+    SELECT CAST(CASE WHEN (COUNT(*) + {HUBNESS_TARGET - 1})
+                          // {HUBNESS_TARGET} <= 1 THEN 1
+                ELSE (CAST(1 AS BIGINT) << length(bin(
+                    (COUNT(*) + {HUBNESS_TARGET - 1}) // {HUBNESS_TARGET} - 1)))
+                END AS BIGINT) AS mod
+    FROM embeddings
+"""
 
 
 def knn_hubness(embeddings: DataFrame, k: int = HUBNESS_K) -> DataFrame:
@@ -1801,9 +1830,9 @@ def knn_hubness(embeddings: DataFrame, k: int = HUBNESS_K) -> DataFrame:
     near k.
 
     Graph: each sampled vector's exact top-k cosine neighbors within the
-    content-stable half-corpus (vec_id % {HUBNESS_MOD} == 0 — the same
-    mod-sampling discipline as the split/ mixture ops, so the oracle is
-    deterministic). Output: one row per observed in-degree
+    content-stable adaptive mod-sample (vec_id % mod == 0, mod the smallest power of
+    two keeping <= {HUBNESS_TARGET} vectors — content-stable AND bounded
+    at any corpus size, so the audit cost never grows quadratically). Output: one row per observed in-degree
     (indeg, n_vecs), exact integers, plus antihubs as indeg = 0.
 
     Scale shape: the exact graph is quadratic by construction — the
@@ -1812,7 +1841,8 @@ def knn_hubness(embeddings: DataFrame, k: int = HUBNESS_K) -> DataFrame:
     the brute-force pairing here is the sf-bounded oracle baseline.
     """
     corpus = (
-        embeddings.where(F.col("vec_id") % HUBNESS_MOD == 0)
+        embeddings.crossJoin(F.broadcast(_hubness_mod(embeddings)))
+        .where(F.col("vec_id") % F.col("mod") == 0)
         .select("vec_id", "embedding", _l2norm(F.col("embedding")).alias("nrm"))
     )
     right = corpus.select(
@@ -1857,9 +1887,10 @@ def knn_hubness(embeddings: DataFrame, k: int = HUBNESS_K) -> DataFrame:
 
 def knn_hubness_sql(k: int = HUBNESS_K) -> str:
     return f"""
-        WITH corpus AS (
+        WITH m AS ({HUBNESS_MOD_SQL}),
+        corpus AS (
             SELECT vec_id, embedding FROM embeddings
-            WHERE vec_id % {HUBNESS_MOD} = 0
+            WHERE vec_id % (SELECT mod FROM m) = 0
         ),
         scored AS (
             SELECT a.vec_id, b.vec_id AS nbr_id,
@@ -1886,4 +1917,122 @@ def knn_hubness_sql(k: int = HUBNESS_K) -> str:
         )
         SELECT indeg, CAST(COUNT(*) AS BIGINT) AS n_vecs
         FROM indeg GROUP BY indeg ORDER BY indeg
+    """
+
+
+# --- k-NN label purity ------------------------------------------------------------
+
+
+def knn_purity(embeddings: DataFrame, k: int = HUBNESS_K) -> DataFrame:
+    """Label purity of the exact k-NN graph: for each sampled vector,
+    how many of its k nearest neighbors share its label — the
+    classifier-free label-noise / class-overlap audit (low purity for
+    one label = that class is entangled in embedding space, and any
+    kNN-based curation or pseudo-labeling over it will leak).
+
+    Same graph as ``knn_hubness`` (adaptive mod-sample, top-k by
+    rounded cosine, ties to the lower vec_id). Per label:
+    (label, n_vecs, sum_matches, sum_k, purity_milli) — purity is the
+    exact pooled ratio Σmatches / Σk in milli, not a mean of per-vector
+    floats.
+
+    Scale shape: quadratic audit form (see knn_hubness) — the same
+    histogram reads off ANN neighbor lists at corpus scale."""
+    corpus = (
+        embeddings.crossJoin(F.broadcast(_hubness_mod(embeddings)))
+        .where(F.col("vec_id") % F.col("mod") == 0)
+        .select(
+            "vec_id",
+            "label",
+            "embedding",
+            _l2norm(F.col("embedding")).alias("nrm"),
+        )
+    )
+    right = corpus.select(
+        F.col("vec_id").alias("nbr_id"),
+        F.col("label").alias("nbr_label"),
+        F.col("embedding").alias("n_emb"),
+        F.col("nrm").alias("n_nrm"),
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(right))
+        .where(F.col("vec_id") != F.col("nbr_id"))
+        .select(
+            "vec_id",
+            "label",
+            "nbr_id",
+            "nbr_label",
+            F.round(
+                _dot(F.col("embedding"), F.col("n_emb"))
+                / (F.col("nrm") * F.col("n_nrm")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("nbr_id").asc()
+    )
+    knn = scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+    per_vec = knn.groupBy("vec_id", "label").agg(
+        F.count("*").alias("kk"),
+        F.sum(
+            F.when(F.col("label") == F.col("nbr_label"), 1).otherwise(0)
+        ).alias("match"),
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.sum("match").cast("long").alias("sum_matches"),
+            F.sum("kk").cast("long").alias("sum_k"),
+        )
+        .withColumn(
+            "purity_milli",
+            F.expr("CAST(1000 * sum_matches DIV sum_k AS BIGINT)"),
+        )
+        .orderBy("label")
+    )
+
+
+def knn_purity_sql(k: int = HUBNESS_K) -> str:
+    return f"""
+        WITH m AS ({HUBNESS_MOD_SQL}),
+        corpus AS (
+            SELECT vec_id, label, embedding FROM embeddings
+            WHERE vec_id % (SELECT mod FROM m) = 0
+        ),
+        scored AS (
+            SELECT a.vec_id, a.label, b.vec_id AS nbr_id,
+                   b.label AS nbr_label,
+                   round(list_cosine_similarity(
+                       a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+                       AS cosine
+            FROM corpus a CROSS JOIN corpus b
+            WHERE a.vec_id <> b.vec_id
+        ),
+        knn AS (
+            SELECT vec_id, label, nbr_label,
+                   row_number() OVER (
+                       PARTITION BY vec_id ORDER BY cosine DESC, nbr_id ASC
+                   ) AS rank
+            FROM scored
+            QUALIFY rank <= {k}
+        ),
+        per_vec AS (
+            SELECT vec_id, label,
+                   CAST(COUNT(*) AS BIGINT) AS kk,
+                   CAST(SUM(CASE WHEN label = nbr_label THEN 1 ELSE 0 END)
+                        AS BIGINT) AS match
+            FROM knn GROUP BY vec_id, label
+        )
+        SELECT label,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               CAST(SUM(match) AS BIGINT) AS sum_matches,
+               CAST(SUM(kk) AS BIGINT) AS sum_k,
+               CAST(1000 * SUM(match) // SUM(kk) AS BIGINT) AS purity_milli
+        FROM per_vec
+        GROUP BY label
+        ORDER BY label
     """

@@ -1624,3 +1624,77 @@ def daily_volatility_sql() -> str:
         FROM stats
         ORDER BY event_type
     """
+
+
+# --- SRE error budget ---------------------------------------------------------------
+
+ERROR_SLO_MILLI = 10  # 1% of events may be errors
+
+
+def error_budget(events: DataFrame) -> DataFrame:
+    """SRE error-budget accounting over the event stream: daily error
+    rate against a {ERROR_SLO_MILLI}-milli SLO and the CUMULATIVE budget
+    burn — the signal that turns "errors happened" into "we are X% of
+    the way to breaching the monthly objective", which a per-day rate
+    panel alone can't say.
+
+    burn_milli(d) = cumulative errors / (SLO · cumulative events) in
+    milli — 1000 means the budget is exactly spent; the breach flag
+    trips above it. Exact integers throughout.
+
+    Scale shape: one day-grain aggregate off the event scan; the
+    cumulative window runs over the ≤|days| panel rows, never events."""
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias(
+            "err"
+        ),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily.select(
+            "day",
+            F.col("n").cast("long").alias("n_events"),
+            F.col("err").cast("long").alias("n_errors"),
+            F.expr("CAST(1000 * err DIV n AS BIGINT)").alias("error_milli"),
+            F.sum("n").over(w).alias("cum_n"),
+            F.sum("err").over(w).alias("cum_err"),
+        )
+        .select(
+            "day",
+            "n_events",
+            "n_errors",
+            "error_milli",
+            F.expr(
+                f"CAST(1000000 * cum_err DIV ({ERROR_SLO_MILLI} * cum_n)"
+                " AS BIGINT)"
+            ).alias("burn_milli"),
+        )
+        .withColumn("breached", (F.col("burn_milli") > 1000).cast("int"))
+        .orderBy("day")
+    )
+
+
+ERROR_BUDGET_SQL = f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS err
+        FROM events GROUP BY 1
+    ),
+    cum AS (
+        SELECT day, n AS n_events, err AS n_errors,
+               CAST(1000 * err // n AS BIGINT) AS error_milli,
+               SUM(n) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cum_n,
+               SUM(err) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cum_err
+        FROM daily
+    )
+    SELECT day, n_events, n_errors, error_milli,
+           CAST(1000000 * cum_err // ({ERROR_SLO_MILLI} * cum_n) AS BIGINT)
+               AS burn_milli,
+           CAST(1000000 * cum_err // ({ERROR_SLO_MILLI} * cum_n) > 1000
+                AS INT) AS breached
+    FROM cum
+    ORDER BY day
+"""

@@ -2020,3 +2020,29 @@ def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample-ratio-mismatch guardrail on the md5 assignment path:
     chi-square vs even split, exact integer micro."""
     return stats.srm_check(load_table(spark, sf_dir, "events"))
+
+
+@register("events_error_budget", oracle=analytics.ERROR_BUDGET_SQL)
+def q_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRE error-budget burn: daily error rate vs a 1% SLO with exact
+    cumulative burn and breach flag."""
+    return analytics.error_budget(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "warehouse_assortment_attrition",
+    oracle=warehouse.ASSORTMENT_ATTRITION_SQL,
+)
+def q_assortment_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assortment attrition per brand: once-selling parts quiet in the
+    trailing window, with revenue at risk in exact cents."""
+    return warehouse.assortment_attrition(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+@register("events_autoscale_replay", oracle=sequences.autoscale_replay_sql())
+def q_autoscale_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic autoscaler replay over the hourly grid: one JVM
+    array fold == the oracle's recursive CTE, exact integers."""
+    return sequences.autoscale_replay(load_table(spark, sf_dir, "events"))

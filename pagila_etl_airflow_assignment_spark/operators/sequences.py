@@ -1193,3 +1193,115 @@ def shapley_attribution_sql() -> str:
         FROM phi p CROSS JOIN ends e
         ORDER BY p.channel
     """
+
+
+# --- autoscaler replay ------------------------------------------------------------
+
+AUTOSCALE_CAP0 = 128
+AUTOSCALE_CAP_MAX = 4096
+AUTOSCALE_COOLDOWN_H = 2  # hours locked after any capacity change
+
+
+def autoscale_replay(events: DataFrame) -> DataFrame:
+    """Deterministic autoscaler replay over hourly arrivals — the
+    capacity-planning what-if that turns a load series into "how many
+    hours would we have been overloaded under this scaling policy",
+    before touching production autoscaling config.
+
+    Policy (evaluated on each hour's arrivals a against the capacity c
+    in force DURING that hour): scale up c←min(2c, {AUTOSCALE_CAP_MAX})
+    when 10a > 8c, scale down c←max(c/2, {AUTOSCALE_CAP0}) when
+    10a < 2c, and any change locks the policy for
+    {AUTOSCALE_COOLDOWN_H} hours (the flap guard). Sequentially
+    dependent, so the batch form is the events_throttled treatment: ONE
+    JVM array fold over the ≤|hours| global grid collected into an
+    ordered array — never a driver loop; the oracle walks the identical
+    recursion as a recursive CTE. Exact integers.
+
+    Output per hour: (hour, arrivals, capacity, overloaded).
+
+    Scale shape: one hour-grain aggregate off the event scan; the fold
+    runs over the bounded hour grid (a retention window's hours, never
+    event rows)."""
+    hourly = events.groupBy(
+        F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count("*").cast("long").alias("a"))
+    hs = hourly.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("hour"), F.col("a")))
+        ).alias("hs")
+    )
+    up = f"least(acc.cap * 2, {AUTOSCALE_CAP_MAX})"
+    down = f"greatest(acc.cap DIV 2, {AUTOSCALE_CAP0})"
+    step = (
+        "named_struct("
+        " 'cap', CASE WHEN acc.cool > 0 THEN acc.cap"
+        f"             WHEN 10 * h.a > 8 * acc.cap THEN {up}"
+        f"             WHEN 10 * h.a < 2 * acc.cap THEN {down}"
+        "             ELSE acc.cap END,"
+        " 'cool', CASE WHEN acc.cool > 0 THEN acc.cool - 1"
+        f"              WHEN 10 * h.a > 8 * acc.cap THEN {AUTOSCALE_COOLDOWN_H}"
+        f"              WHEN 10 * h.a < 2 * acc.cap THEN {AUTOSCALE_COOLDOWN_H}"
+        "              ELSE CAST(0 AS BIGINT) END,"
+        " 'caps', array_append(acc.caps, acc.cap))"
+    )
+    fold = F.expr(
+        "aggregate(hs,"
+        f" named_struct('cap', CAST({AUTOSCALE_CAP0} AS BIGINT),"
+        "               'cool', CAST(0 AS BIGINT),"
+        "               'caps', CAST(array() AS ARRAY<BIGINT>)),"
+        f" (acc, h) -> {step},"
+        " acc -> acc.caps)"
+    )
+    return (
+        hs.select("hs", fold.alias("caps"))
+        .select(
+            F.explode(F.arrays_zip("hs", "caps")).alias("z")
+        )
+        .select(
+            F.col("z.hs.hour").cast("timestamp").alias("hour"),
+            F.col("z.hs.a").alias("arrivals"),
+            F.col("z.caps").alias("capacity"),
+            (F.col("z.hs.a") > F.col("z.caps")).cast("int").alias(
+                "overloaded"
+            ),
+        )
+        .orderBy("hour")
+    )
+
+
+def autoscale_replay_sql() -> str:
+    up = f"LEAST(w.cap * 2, {AUTOSCALE_CAP_MAX})"
+    down = f"GREATEST(w.cap // 2, {AUTOSCALE_CAP0})"
+    return f"""
+        WITH RECURSIVE hourly AS (
+            SELECT date_trunc('hour', ts) AS hour,
+                   CAST(COUNT(*) AS BIGINT) AS a
+            FROM events GROUP BY 1
+        ),
+        ordered AS (
+            SELECT hour, a,
+                   row_number() OVER (ORDER BY hour) AS rn
+            FROM hourly
+        ),
+        walk(rn, hour, a, cap, cool) AS (
+            SELECT rn, hour, a, CAST({AUTOSCALE_CAP0} AS BIGINT),
+                   CAST(0 AS BIGINT)
+            FROM ordered WHERE rn = 1
+            UNION ALL
+            SELECT o.rn, o.hour, o.a,
+                   CASE WHEN w.cool > 0 THEN w.cap
+                        WHEN 10 * w.a > 8 * w.cap THEN {up}
+                        WHEN 10 * w.a < 2 * w.cap THEN {down}
+                        ELSE w.cap END,
+                   CASE WHEN w.cool > 0 THEN w.cool - 1
+                        WHEN 10 * w.a > 8 * w.cap THEN {AUTOSCALE_COOLDOWN_H}
+                        WHEN 10 * w.a < 2 * w.cap THEN {AUTOSCALE_COOLDOWN_H}
+                        ELSE CAST(0 AS BIGINT) END
+            FROM walk w JOIN ordered o ON o.rn = w.rn + 1
+        )
+        SELECT hour, a AS arrivals, cap AS capacity,
+               CAST(a > cap AS INT) AS overloaded
+        FROM walk
+        ORDER BY hour
+    """

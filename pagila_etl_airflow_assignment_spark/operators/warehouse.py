@@ -3631,3 +3631,113 @@ SPLIT_SHIPMENTS_SQL = """
     FROM panel
     ORDER BY month
 """
+
+
+# --- assortment attrition ----------------------------------------------------------
+
+ATTRITION_TRAIL_DAYS = 180
+
+
+def assortment_attrition(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Assortment attrition per brand: parts that were selling earlier
+    but have shipped NOTHING in the trailing {ATTRITION_TRAIL_DAYS} days
+    — the product-level counterpart of dormant-customer winback, and the
+    rationalization input ABC snapshots miss (a part can hold a B class
+    on historical volume while being functionally dead today).
+
+    The cutoff is max(shipdate) − {ATTRITION_TRAIL_DAYS}d, a 1-row
+    broadcast scalar (the order-aging reference-date treatment). Per
+    brand: parts with early activity, how many went quiet, the quiet
+    share (milli), and the early-period revenue now at risk (cents).
+
+    Scale shape: one part-grain aggregate off the fact scan, brand
+    rollup with the part dim broadcast; the scalar join is 1-row."""
+    cutoff = lineitem.agg(
+        F.date_sub(
+            F.max(F.to_date("l_shipdate")), ATTRITION_TRAIL_DAYS
+        ).alias("cutoff")
+    )
+    per_part = (
+        lineitem.crossJoin(F.broadcast(cutoff))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.when(
+                    F.to_date("l_shipdate") <= F.col("cutoff"),
+                    F.expr(
+                        "CAST(round(l_extendedprice * (1 - l_discount) * 100)"
+                        " AS BIGINT)"
+                    ),
+                ).otherwise(0)
+            ).alias("early_rev_cents"),
+            F.sum(
+                F.when(F.to_date("l_shipdate") > F.col("cutoff"), 1).otherwise(
+                    0
+                )
+            ).alias("late_lines"),
+        )
+        .where(F.col("early_rev_cents") > 0)
+    )
+    return (
+        per_part.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            per_part.l_partkey == part.p_partkey,
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.sum(F.when(F.col("late_lines") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_quiet"),
+            F.sum(
+                F.when(
+                    F.col("late_lines") == 0, F.col("early_rev_cents")
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("quiet_rev_cents"),
+        )
+        .select(
+            "p_brand",
+            "n_parts",
+            "n_quiet",
+            F.expr("CAST(1000 * n_quiet DIV n_parts AS BIGINT)").alias(
+                "quiet_milli"
+            ),
+            "quiet_rev_cents",
+        )
+        .orderBy("p_brand")
+    )
+
+
+ASSORTMENT_ATTRITION_SQL = f"""
+    WITH cutoff AS (
+        SELECT MAX(CAST(l_shipdate AS DATE))
+                 - INTERVAL {ATTRITION_TRAIL_DAYS} DAY AS cutoff
+        FROM lineitem
+    ),
+    per_part AS (
+        SELECT l.l_partkey,
+               CAST(SUM(CASE WHEN CAST(l.l_shipdate AS DATE)
+                                  <= c.cutoff
+                        THEN CAST(round(l.l_extendedprice
+                                        * (1 - l.l_discount) * 100) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS early_rev_cents,
+               CAST(SUM(CASE WHEN CAST(l.l_shipdate AS DATE) > c.cutoff
+                        THEN 1 ELSE 0 END) AS BIGINT) AS late_lines
+        FROM lineitem l CROSS JOIN cutoff c
+        GROUP BY l.l_partkey
+        HAVING early_rev_cents > 0
+    )
+    SELECT p.p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(CASE WHEN pp.late_lines = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_quiet,
+           CAST(1000 * SUM(CASE WHEN pp.late_lines = 0 THEN 1 ELSE 0 END)
+                // COUNT(*) AS BIGINT) AS quiet_milli,
+           CAST(SUM(CASE WHEN pp.late_lines = 0 THEN pp.early_rev_cents
+                    ELSE 0 END) AS BIGINT) AS quiet_rev_cents
+    FROM per_part pp JOIN part p ON pp.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    ORDER BY p.p_brand
+"""

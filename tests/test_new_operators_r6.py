@@ -2170,13 +2170,31 @@ def test_knn_hubness_uniform_triangle(spark):
             (0, [1.0, 0.0], 0),
             (2, [0.0, 1.0], 0),
             (4, [1.0, 1.0], 0),
-            (5, [9.0, 9.0], 0),  # odd id: excluded by the mod sample
+            (5, [9.0, 9.0], 0),
         ],
         "vec_id long, embedding array<float>, label int",
     )
+    # n=4 <= HUBNESS_TARGET -> adaptive mod = 1, all four sampled;
+    # k=10 > n-1 so every vector appears in every other's list
     rows = {r.indeg: r.n_vecs for r in similarity.knn_hubness(emb).collect()}
-    # 3 sampled vectors, each appears in both others' neighbor lists
-    assert rows == {2: 3}
+    assert rows == {3: 4}
+
+
+def test_hubness_adaptive_mod_downsamples(spark):
+    from pagila_etl_airflow_assignment_spark.llm import similarity
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), 1.0], 0) for i in range(1200)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    # n=1200 -> ceil(1200/512)=3 -> mod 4 -> 300 sampled vectors
+    total = (
+        similarity.knn_hubness(emb)
+        .agg(F.sum("n_vecs").alias("t"))
+        .collect()[0]
+        .t
+    )
+    assert total == 300
 
 
 # --- local clustering coefficient (L-303) -----------------------------------------
@@ -2408,3 +2426,90 @@ def test_srm_check_balanced_and_broken(spark):
     out = {r.event_type: r for r in stats.srm_check(_events(spark, base + broken)).collect()}
     assert out["click"].srm_flag == 0
     assert out["buy"].n_b == 0 and out["buy"].srm_flag == 1
+
+
+# --- error budget (L-312) --------------------------------------------------------------
+
+
+def test_error_budget_burn_and_breach(spark):
+    from pagila_etl_airflow_assignment_spark.operators import analytics
+
+    # day1: 1 error in 10 events (10% >> 1% SLO -> burn 10x = 10000 milli)
+    ev = _events(
+        spark,
+        [(i, _ts(1, h=i), i, "view", 0.0) for i in range(9)]
+        + [(9, _ts(1, h=10), 9, "error", 0.0)]
+        + [(i + 10, _ts(2, h=i % 24), i, "view", 0.0) for i in range(90)],
+    )
+    rows = {str(r.day): r for r in analytics.error_budget(ev).collect()}
+    d1 = rows["2024-01-01"]
+    assert (d1.n_events, d1.n_errors, d1.error_milli) == (10, 1, 100)
+    assert (d1.burn_milli, d1.breached) == (10000, 1)
+    d2 = rows["2024-01-02"]
+    # cumulative: 1 error / 100 events = exactly the 1% SLO -> burn 1000
+    assert (d2.burn_milli, d2.breached) == (1000, 0)
+
+
+# --- assortment attrition (L-313) --------------------------------------------------------
+
+
+def test_assortment_attrition_flags_quiet_parts(spark):
+    part = spark.createDataFrame(
+        [(1, "n", "B1", "STANDARD", 1, 1.0), (2, "n", "B1", "STANDARD", 1, 1.0)],
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    )
+    li = spark.createDataFrame(
+        [
+            # part 1 sells early then goes quiet; part 2 sells in both
+            (1, 1, 1, 1.0, 100.0, 0.0, dt.datetime(2023, 1, 5)),
+            (2, 2, 1, 1.0, 100.0, 0.0, dt.datetime(2023, 1, 6)),
+            (3, 2, 1, 1.0, 100.0, 0.0, dt.datetime(2024, 1, 2)),
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_quantity double, "
+        "l_extendedprice double, l_discount double, l_shipdate timestamp",
+    )
+    r = warehouse.assortment_attrition(li, part).collect()[0]
+    assert (r.n_parts, r.n_quiet, r.quiet_milli) == (2, 1, 500)
+    assert r.quiet_rev_cents == 10000
+
+
+# --- kNN label purity (L-314) --------------------------------------------------------------
+
+
+def test_knn_purity_separable_labels(spark):
+    from pagila_etl_airflow_assignment_spark.llm import similarity
+
+    # two tight, well-separated clusters -> purity 1000 for both labels
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0], 0), (1, [0.99, 0.01], 0), (2, [0.98, 0.02], 0),
+         (3, [0.0, 1.0], 1), (4, [0.01, 0.99], 1), (5, [0.02, 0.98], 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = {r.label: r for r in similarity.knn_purity(emb, k=2).collect()}
+    assert rows[0].purity_milli == 1000 and rows[1].purity_milli == 1000
+    assert rows[0].sum_k == 6  # 3 vecs x k=2
+
+
+# --- autoscale replay (L-315) ----------------------------------------------------------------
+
+
+def test_autoscale_replay_scales_up_with_cooldown(spark):
+    from pagila_etl_airflow_assignment_spark.operators import sequences
+
+    # h0: 200 arrivals > 0.8*128 -> overloaded, cap doubles for h1 (cool 2)
+    # h1, h2: cooldown holds cap at 256 despite load
+    # h3: cooldown expired; h2's 300 > 0.8*256 had no effect (cool), but
+    #     h3 sees cap from h2 fold: recompute below
+    rows_in = []
+    eid = 0
+    for h, n in [(0, 200), (1, 300), (2, 300), (3, 300), (4, 300)]:
+        for i in range(n):
+            rows_in.append((eid, dt.datetime(2024, 1, 1, h, i % 60, i // 60), i, "view", 0.0))
+            eid += 1
+    out = {r.hour.hour: r for r in sequences.autoscale_replay(_events(spark, rows_in)).collect()}
+    assert (out[0].capacity, out[0].overloaded) == (128, 1)
+    assert out[1].capacity == 256  # scaled up after h0
+    assert out[2].capacity == 256  # cooldown (set at h0 fold) still holds
+    assert out[3].capacity == 256  # cooldown second hour
+    assert out[4].capacity == 512  # h3 triggered the next scale-up

@@ -142,9 +142,13 @@ ALLOWED: dict[str, set[str]] = {
     "embedding_triplet_mining": {"BroadcastNestedLoopJoin"},
     # three 1-row census aggregates (pairs/wedges/closed) cross-joined
     "dedup_transitivity_audit": {"BroadcastNestedLoopJoin"},
-    # exact quadratic k-NN audit over the broadcast mod-sampled half-corpus
-    # (the sf-bounded oracle baseline; ANN lists replace it at scale)
+    # exact k-NN audit over the broadcast adaptive mod-sample (bounded
+    # corpus at any sf; ANN lists replace the exact graph at scale)
     "embedding_knn_hubness": {"BroadcastNestedLoopJoin"},
+    # same adaptive mod-sample k-NN graph, label-purity readout
+    "embedding_knn_purity": {"BroadcastNestedLoopJoin"},
+    # broadcast 1-row max-shipdate cutoff scalar (order-aging treatment)
+    "warehouse_assortment_attrition": {"BroadcastNestedLoopJoin"},
     # Python UDTF: BatchEvalPython IS the UDTF execution node in Spark 4 —
     # this query exists to pin the UDTF boundary, not to avoid it
     "text_sentence_split_udtf": {"BatchEvalPython"},

@@ -261,6 +261,26 @@ PROBES = [
     "warehouse_reorder_points",
     "events_holt_level_trend",
     "warehouse_abc_xyz_matrix",
+    # round-6 late batch (L-300..311): pair-graph census, bit-length
+    # bucket rollups, quadratic kNN audit, node-keyed triangle closure,
+    # brand/month rollups, metadata ladder, isqrt projections, user-lag
+    # growth windows, order-grain shipments, rate-grid explode, SRM counts
+    "dedup_transitivity_audit",
+    "vocab_heaps_law",
+    "embedding_knn_hubness",
+    "graph_local_clustering",
+    "warehouse_promo_cannibalization",
+    "multimodal_aspect_buckets",
+    "warehouse_eoq_quantity",
+    "events_daily_volatility",
+    "events_growth_accounting",
+    "warehouse_split_shipments",
+    "sampling_hash_calibration",
+    "events_srm_check",
+    "events_error_budget",
+    "warehouse_assortment_attrition",
+    "embedding_knn_purity",
+    "events_autoscale_replay",
 ]
 
 
