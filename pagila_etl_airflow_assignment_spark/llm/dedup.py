@@ -2489,3 +2489,90 @@ def transitivity_audit_sql(
                               // (SELECT n_wedges FROM wedge_total) AS BIGINT)
                     ELSE CAST(0 AS BIGINT) END AS closure_milli
     """
+
+
+# --- dedup mixture-shift audit ---------------------------------------------------
+
+
+def mixture_shift(docs: DataFrame) -> DataFrame:
+    """Dedup bias audit: how exact dedup SHIFTS the source mixture —
+    duplicates are never uniform across sources (mirrors, boilerplate
+    farms), so "dedup then train" silently retunes the mixture the data
+    team thought it had set. Per source: docs before/after the
+    first-occurrence keep rule, corpus share before/after (milli), and
+    the signed share shift.
+
+    Keep rule is the exact-dedup convention (min doc_id per normalized-
+    text fingerprint). Shift uses the abs/sign form (truncating signed
+    division is engine-stable). Corpus totals are two 1-row broadcast
+    scalars folded into one pass: shares divide by SUM() OVER () window
+    totals over the ≤|sources| panel — no data-sized join.
+
+    Scale shape: one fingerprint groupBy (map-side combinable), one
+    source rollup; windows run over the bounded source panel."""
+    fp = F.md5(_norm(F.col("text"))).alias("fingerprint")
+    keep = (
+        docs.select("doc_id", "source", fp)
+        .withColumn(
+            "keep",
+            (
+                F.col("doc_id")
+                == F.min("doc_id").over(
+                    Window.partitionBy("fingerprint")
+                )
+            ).cast("int"),
+        )
+    )
+    panel = keep.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("keep").cast("long").alias("n_kept"),
+    )
+    w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        panel.select(
+            "source",
+            "n_docs",
+            "n_kept",
+            F.expr(
+                "CAST(1000 * n_docs DIV (SUM(n_docs) OVER ()) AS BIGINT)"
+            ).alias("share_before_milli"),
+            F.expr(
+                "CAST(1000 * n_kept DIV (SUM(n_kept) OVER ()) AS BIGINT)"
+            ).alias("share_after_milli"),
+        )
+        .withColumn(
+            "shift_milli",
+            F.expr(
+                "CAST(share_after_milli - share_before_milli AS BIGINT)"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+MIXTURE_SHIFT_SQL = f"""
+    WITH keep AS (
+        SELECT doc_id, source,
+               CAST(doc_id = MIN(doc_id) OVER (
+                   PARTITION BY md5({_norm_sql('text')})) AS INT) AS keep
+        FROM documents
+    ),
+    panel AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(keep) AS BIGINT) AS n_kept
+        FROM keep GROUP BY source
+    )
+    SELECT source, n_docs, n_kept,
+           CAST(1000 * n_docs // (SUM(n_docs) OVER ()) AS BIGINT)
+               AS share_before_milli,
+           CAST(1000 * n_kept // (SUM(n_kept) OVER ()) AS BIGINT)
+               AS share_after_milli,
+           CAST(1000 * n_kept // (SUM(n_kept) OVER ())
+                - 1000 * n_docs // (SUM(n_docs) OVER ()) AS BIGINT)
+               AS shift_milli
+    FROM panel
+    ORDER BY source
+"""

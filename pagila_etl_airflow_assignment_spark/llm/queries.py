@@ -1099,3 +1099,10 @@ def q_knn_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label purity of the exact k-NN graph over the adaptive
     mod-sample — the classifier-free label-noise audit."""
     return similarity.knn_purity(load_table(spark, sf_dir, "embeddings"))
+
+
+@register("dedup_mixture_shift", oracle=dedup.MIXTURE_SHIFT_SQL)
+def q_mixture_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup bias audit: source-mixture shares before vs after the
+    first-occurrence exact-dedup keep rule."""
+    return dedup.mixture_shift(load_table(spark, sf_dir, "documents"))

@@ -2046,3 +2046,28 @@ def q_autoscale_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic autoscaler replay over the hourly grid: one JVM
     array fold == the oracle's recursive CTE, exact integers."""
     return sequences.autoscale_replay(load_table(spark, sf_dir, "events"))
+
+
+@register("events_lateness_sweep", oracle=sequences.lateness_sweep_sql())
+def q_lateness_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allowed-lateness tuning curve: drop rate at four candidate
+    watermark delays, exact milli."""
+    return sequences.lateness_sweep(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "warehouse_decile_migration",
+    oracle=warehouse.CUSTOMER_DECILE_MIGRATION_SQL,
+)
+def q_decile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer value-decile migration matrix between timeline halves —
+    exact rank deciles, no ntile tie instability."""
+    return warehouse.customer_decile_migration(
+        load_table(spark, sf_dir, "orders")
+    )
+
+
+@register("warehouse_basket_profile", oracle=warehouse.BASKET_PROFILE_SQL)
+def q_basket_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basket-size economics: AOV and quantity per line-count bucket."""
+    return warehouse.basket_profile(load_table(spark, sf_dir, "lineitem"))

@@ -1305,3 +1305,92 @@ def autoscale_replay_sql() -> str:
         FROM walk
         ORDER BY hour
     """
+
+
+# --- allowed-lateness sweep ---------------------------------------------------------
+
+LATENESS_SWEEP_S = (0, 60, 300, 3600)
+
+
+def lateness_sweep(events: DataFrame) -> DataFrame:
+    """Allowed-lateness tuning curve: for each candidate watermark delay,
+    what fraction of events would a streaming job DROP — the sweep that
+    turns the out-of-order audit's lateness distribution into the actual
+    knob setting (delay {LATENESS_SWEEP_S} seconds), trading state size
+    against completeness with numbers instead of folklore.
+
+    Lateness per event is the same per-user running event-time
+    high-water-mark window as the audit (arrival order = event_id);
+    the grid is a ≤4-element literal explode. Output per threshold:
+    (allowed_s, n_events, n_dropped, drop_milli), exact integers.
+
+    Scale shape: one per-user arrival-order window, one bounded
+    (threshold) aggregate — the explode multiplies rows by the constant
+    grid size only."""
+    from ..functions import micros
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    late_us = F.coalesce(
+        F.greatest(
+            F.max(micros(F.col("ts"))).over(w) - micros(F.col("ts")),
+            F.lit(0),
+        ),
+        F.lit(0),
+    )
+    grid = F.array(*[F.lit(s) for s in LATENESS_SWEEP_S])
+    scored = events.select(late_us.alias("late_us")).select(
+        "late_us", F.explode(grid).alias("allowed_s")
+    )
+    return (
+        scored.groupBy(F.col("allowed_s").cast("long").alias("allowed_s"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(
+                (
+                    F.col("late_us")
+                    > F.col("allowed_s").cast("long") * 1_000_000
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("n_dropped"),
+        )
+        .withColumn(
+            "drop_milli",
+            F.expr("CAST(1000 * n_dropped DIV n_events AS BIGINT)"),
+        )
+        .orderBy("allowed_s")
+    )
+
+
+def lateness_sweep_sql() -> str:
+    rates = ", ".join(str(s) for s in LATENESS_SWEEP_S)
+    return f"""
+        WITH scored AS (
+            SELECT COALESCE(GREATEST(
+                       MAX(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING)
+                       - epoch_us(ts), 0), 0) AS late_us
+            FROM events
+        ),
+        graded AS (
+            SELECT late_us, unnest([{rates}]) AS allowed_s FROM scored
+        ),
+        panel AS (
+            SELECT CAST(allowed_s AS BIGINT) AS allowed_s,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CASE WHEN late_us >
+                            CAST(allowed_s AS BIGINT) * 1000000
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+            FROM graded GROUP BY 1
+        )
+        SELECT allowed_s, n_events, n_dropped,
+               CAST(1000 * n_dropped // n_events AS BIGINT) AS drop_milli
+        FROM panel
+        ORDER BY allowed_s
+    """

@@ -3741,3 +3741,156 @@ ASSORTMENT_ATTRITION_SQL = f"""
     GROUP BY p.p_brand
     ORDER BY p.p_brand
 """
+
+
+# --- customer decile migration -----------------------------------------------------
+
+DECILE_SPLIT_YEAR = 1998  # period 0 = orders through this year; 1 = after
+
+
+def customer_decile_migration(orders: DataFrame) -> DataFrame:
+    """Customer value-decile migration matrix between the two halves of
+    the order timeline (through {DECILE_SPLIT_YEAR} vs after) — the
+    customer twin of the ABC part-class migration: which value tiers
+    actually hold their customers, and where decile-1 spenders land
+    next period. A static RFM/decile snapshot can't show this churn.
+
+    Deciles are EXACT rank arithmetic, not ntile: within each period
+    customers rank by (spend desc, custkey) and decile = 10·(rank−1)
+    DIV n — deterministic under ties in both engines. Output one row
+    per observed (decile_before, decile_after): n_customers, plus the
+    period-1 spend those customers carry (cents).
+
+    Scale shape: one custkey-grain aggregate per period off the order
+    scan, one rank window per period partition, a custkey equi-join of
+    the two ≤|customers| rank relations, bounded 10×10 rollup."""
+    spend = orders.groupBy(
+        "o_custkey",
+        (F.year("o_orderdate") > DECILE_SPLIT_YEAR).cast("int").alias("period"),
+    ).agg(
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias(
+            "cents"
+        )
+    )
+    w = Window.partitionBy("period").orderBy(
+        F.desc("cents"), F.col("o_custkey")
+    )
+    n = Window.partitionBy("period")
+    ranked = spend.select(
+        "o_custkey",
+        "period",
+        "cents",
+        F.expr(
+            "CAST(10 * (CAST(row_number() OVER ("
+            " PARTITION BY period ORDER BY cents DESC, o_custkey)"
+            " AS BIGINT) - 1) DIV count(*) OVER (PARTITION BY period)"
+            " AS BIGINT)"
+        ).alias("decile"),
+    )
+    p0 = ranked.where(F.col("period") == 0).select(
+        "o_custkey", F.col("decile").alias("decile_before")
+    )
+    p1 = ranked.where(F.col("period") == 1).select(
+        "o_custkey",
+        F.col("decile").alias("decile_after"),
+        F.col("cents").alias("after_cents"),
+    )
+    return (
+        p0.join(p1, "o_custkey")
+        .groupBy("decile_before", "decile_after")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum("after_cents").cast("long").alias("after_rev_cents"),
+        )
+        .orderBy("decile_before", "decile_after")
+    )
+
+
+CUSTOMER_DECILE_MIGRATION_SQL = f"""
+    WITH spend AS (
+        SELECT o_custkey,
+               CAST(year(o_orderdate) > {DECILE_SPLIT_YEAR} AS INT) AS period,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT o_custkey, period, cents,
+               CAST(10 * (row_number() OVER (
+                   PARTITION BY period ORDER BY cents DESC, o_custkey) - 1)
+                   // COUNT(*) OVER (PARTITION BY period) AS BIGINT) AS decile
+        FROM spend
+    )
+    SELECT p0.decile AS decile_before, p1.decile AS decile_after,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(p1.cents) AS BIGINT) AS after_rev_cents
+    FROM ranked p0
+    JOIN ranked p1 ON p0.o_custkey = p1.o_custkey
+                  AND p0.period = 0 AND p1.period = 1
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""
+
+
+# --- basket profile ----------------------------------------------------------------
+
+BASKET_LINE_CAP = 7
+
+
+def basket_profile(lineitem: DataFrame) -> DataFrame:
+    """Basket-size economics: order count, revenue, average order value
+    and average quantity by line-count bucket (1..{BASKET_LINE_CAP},
+    larger baskets capped into the top bucket) — the AOV curve behind
+    free-shipping thresholds and bundling decisions; custdist counts
+    orders per customer, this prices orders per basket size.
+
+    Scale shape: one order-grain aggregate off the fact scan, bounded
+    bucket rollup."""
+    per_order = lineitem.groupBy("l_orderkey").agg(
+        F.least(F.count("*"), F.lit(BASKET_LINE_CAP)).alias("n_lines"),
+        F.sum(
+            F.expr(
+                "CAST(round(l_extendedprice * (1 - l_discount) * 100)"
+                " AS BIGINT)"
+            )
+        ).alias("rev_cents"),
+        F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+    )
+    return (
+        per_order.groupBy(F.col("n_lines").cast("long").alias("n_lines"))
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("rev_cents").cast("long").alias("rev_cents"),
+            F.expr(
+                "CAST((2 * SUM(rev_cents) + COUNT(*)) DIV (2 * COUNT(*))"
+                " AS BIGINT)"
+            ).alias("aov_cents"),
+            F.expr(
+                "CAST((2000 * SUM(qty) + COUNT(*)) DIV (2 * COUNT(*))"
+                " AS BIGINT)"
+            ).alias("avg_qty_milli"),
+        )
+        .orderBy("n_lines")
+    )
+
+
+BASKET_PROFILE_SQL = f"""
+    WITH per_order AS (
+        SELECT l_orderkey,
+               LEAST(COUNT(*), {BASKET_LINE_CAP}) AS n_lines,
+               CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                             AS BIGINT)) AS BIGINT) AS rev_cents,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT CAST(n_lines AS BIGINT) AS n_lines,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(rev_cents) AS BIGINT) AS rev_cents,
+           CAST((2 * SUM(rev_cents) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+               AS aov_cents,
+           CAST((2000 * SUM(qty) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+               AS avg_qty_milli
+    FROM per_order
+    GROUP BY n_lines
+    ORDER BY n_lines
+"""

@@ -2513,3 +2513,91 @@ def test_autoscale_replay_scales_up_with_cooldown(spark):
     assert out[2].capacity == 256  # cooldown (set at h0 fold) still holds
     assert out[3].capacity == 256  # cooldown second hour
     assert out[4].capacity == 512  # h3 triggered the next scale-up
+
+
+# --- lateness sweep (L-316) -----------------------------------------------------------
+
+
+def test_lateness_sweep_monotone_drop(spark):
+    from pagila_etl_airflow_assignment_spark.operators import sequences
+
+    # u1 arrival order: t=100s, t=40s (60s late), t=99s (1s late)
+    ev = _events(
+        spark,
+        [
+            (1, _ts(1, 0, 1, 40), 1, "view", 0.0),
+            (2, _ts(1, 0, 0, 40), 1, "view", 0.0),
+            (3, _ts(1, 0, 1, 39), 1, "view", 0.0),
+        ],
+    )
+    rows = {r.allowed_s: r for r in sequences.lateness_sweep(ev).collect()}
+    assert rows[0].n_dropped == 2  # both late events dropped at 0s
+    assert rows[60].n_dropped == 0  # 60s allows the 60s-late event (>)
+    assert rows[3600].n_dropped == 0
+    assert rows[0].drop_milli == 666
+
+
+# --- decile migration (L-317) -----------------------------------------------------------
+
+
+def test_decile_migration_rank_arithmetic(spark):
+    from pagila_etl_airflow_assignment_spark.operators import warehouse as wh
+
+    # 2 customers in both periods: c1 top spender both halves, c2 bottom
+    orders = spark.createDataFrame(
+        [
+            (1, 1, "F", 900.0, dt.datetime(1996, 1, 1), "3-MEDIUM"),
+            (2, 2, "F", 100.0, dt.datetime(1996, 2, 1), "3-MEDIUM"),
+            (3, 1, "F", 800.0, dt.datetime(2000, 1, 1), "3-MEDIUM"),
+            (4, 2, "F", 50.0, dt.datetime(2000, 2, 1), "3-MEDIUM"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    rows = {(r.decile_before, r.decile_after): r
+            for r in wh.customer_decile_migration(orders).collect()}
+    # rank 1 of 2 -> decile 0; rank 2 of 2 -> decile 5
+    assert rows[(0, 0)].n_customers == 1
+    assert rows[(5, 5)].n_customers == 1
+    assert rows[(0, 0)].after_rev_cents == 80000
+
+
+# --- dedup mixture shift (L-318) -----------------------------------------------------------
+
+
+def test_mixture_shift_tracks_duplicate_heavy_source(spark):
+    # s0: 2 unique docs; s1: 2 copies of one doc -> after dedup s1 keeps 1
+    docs = _docs(
+        spark,
+        [
+            (1, "unique one", "en", "s0"),
+            (2, "unique two", "en", "s0"),
+            (3, "copy copy", "en", "s1"),
+            (4, "copy copy", "en", "s1"),
+        ],
+    )
+    rows = {r.source: r for r in dedup.mixture_shift(docs).collect()}
+    assert (rows["s0"].n_docs, rows["s0"].n_kept) == (2, 2)
+    assert (rows["s1"].n_docs, rows["s1"].n_kept) == (2, 1)
+    assert rows["s0"].share_before_milli == 500
+    assert rows["s0"].share_after_milli == 666
+    assert rows["s1"].shift_milli == 333 - 500
+
+
+# --- basket profile (L-319) -----------------------------------------------------------
+
+
+def test_basket_profile_caps_and_prices(spark):
+    li = spark.createDataFrame(
+        # order 1: one line of 200; order 2: eight lines of 100 -> capped at 7
+        [(1, 1, 1, 2.0, 200.0, 0.0, dt.datetime(2024, 1, 1))]
+        + [(2, p, 1, 1.0, 100.0, 0.0, dt.datetime(2024, 1, 2))
+           for p in range(1, 9)],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_quantity double, "
+        "l_extendedprice double, l_discount double, l_shipdate timestamp",
+    )
+    rows = {r.n_lines: r for r in warehouse.basket_profile(li).collect()}
+    assert set(rows) == {1, 7}
+    assert rows[1].aov_cents == 20000
+    assert rows[7].n_orders == 1 and rows[7].rev_cents == 80000
+    assert rows[7].avg_qty_milli == 8000

@@ -281,6 +281,10 @@ PROBES = [
     "warehouse_assortment_attrition",
     "embedding_knn_purity",
     "events_autoscale_replay",
+    "events_lateness_sweep",
+    "warehouse_decile_migration",
+    "dedup_mixture_shift",
+    "warehouse_basket_profile",
 ]
 
 
