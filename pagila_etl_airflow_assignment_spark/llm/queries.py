@@ -1106,3 +1106,10 @@ def q_mixture_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup bias audit: source-mixture shares before vs after the
     first-occurrence exact-dedup keep rule."""
     return dedup.mixture_shift(load_table(spark, sf_dir, "documents"))
+
+
+@register("ann_ivf_balance", oracle=similarity.ivf_balance_sql())
+def q_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF inverted-list balance audit: per-list load vs perfect
+    balance in exact milli."""
+    return similarity.ivf_balance(load_table(spark, sf_dir, "embeddings"))

@@ -2036,3 +2036,111 @@ def knn_purity_sql(k: int = HUBNESS_K) -> str:
         GROUP BY label
         ORDER BY label
     """
+
+
+# --- IVF list-balance audit --------------------------------------------------------
+
+
+def ivf_balance(
+    embeddings: DataFrame, n_centroids: int = IVF_CENTROIDS
+) -> DataFrame:
+    """Inverted-list balance audit for the IVF index: per-list vector
+    counts and each list's load relative to perfect balance — the ANN
+    serving concern recall curves don't show (a hot list makes every
+    query probing it pay its length in tail latency, and a starved list
+    wastes a centroid).
+
+    Same deterministic md5-sampled centroids and argmax assignment as
+    ``ann_ivf_topk``. Output per list: (list_id, n_vecs, load_milli)
+    where load_milli = 1000·n_vecs·n_centroids / corpus — 1000 is
+    perfect balance. Exact integers after the float-cosine argmax that
+    defines the index itself.
+
+    Scale shape: one broadcast-centroid affinity pass, one vec-keyed
+    argmax aggregate, one bounded list rollup with a 1-row corpus
+    scalar."""
+    corpus = embeddings.select(
+        "vec_id", "embedding", _l2norm(F.col("embedding")).alias("nrm")
+    )
+    from .hashing import md5_int
+
+    centroids = (
+        corpus.withColumn("ck", md5_int(F.col("vec_id").cast("string")))
+        .orderBy("ck", "vec_id")
+        .limit(n_centroids)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("c_emb"),
+            F.col("nrm").alias("c_nrm"),
+        )
+    )
+    affinity = corpus.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "centroid_id",
+        (
+            _dot(F.col("embedding"), F.col("c_emb"))
+            / (F.col("nrm") * F.col("c_nrm"))
+        ).alias("c_sim"),
+    )
+    assignment = (
+        affinity.groupBy("vec_id")
+        .agg(F.max(F.struct("c_sim", "centroid_id")).alias("best"))
+        .select("vec_id", F.col("best.centroid_id").alias("list_id"))
+    )
+    total = assignment.agg(F.count("*").cast("long").alias("n_total"))
+    return (
+        assignment.groupBy("list_id")
+        .agg(F.count("*").cast("long").alias("n_vecs"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "list_id",
+            "n_vecs",
+            F.expr(
+                f"CAST(1000 * n_vecs * {n_centroids} DIV n_total AS BIGINT)"
+            ).alias("load_milli"),
+        )
+        .orderBy("list_id")
+    )
+
+
+def ivf_balance_sql(n_centroids: int = IVF_CENTROIDS) -> str:
+    from .hashing import md5_int_sql
+
+    ck = md5_int_sql("CAST(vec_id AS VARCHAR)")
+    return f"""
+        WITH corpus AS (
+            SELECT vec_id, embedding FROM embeddings
+        ),
+        centroids AS (
+            SELECT vec_id AS centroid_id, embedding AS c_emb
+            FROM corpus
+            ORDER BY {ck}, vec_id
+            LIMIT {n_centroids}
+        ),
+        affinity AS (
+            SELECT v.vec_id, c.centroid_id,
+                   list_cosine_similarity(
+                       v.embedding::DOUBLE[], c.c_emb::DOUBLE[]) AS c_sim
+            FROM corpus v CROSS JOIN centroids c
+        ),
+        assignment AS (
+            -- ties break to the LARGER centroid_id: Spark max(struct)
+            SELECT vec_id, centroid_id AS list_id
+            FROM (
+                SELECT vec_id, centroid_id,
+                       row_number() OVER (
+                           PARTITION BY vec_id
+                           ORDER BY c_sim DESC, centroid_id DESC
+                       ) AS rn
+                FROM affinity
+            ) WHERE rn = 1
+        ),
+        total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM assignment)
+        SELECT a.list_id,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               CAST(1000 * COUNT(*) * {n_centroids}
+                    // (SELECT n_total FROM total) AS BIGINT) AS load_milli
+        FROM assignment a
+        GROUP BY a.list_id
+        ORDER BY a.list_id
+    """

@@ -582,3 +582,95 @@ GROWTH_ACCOUNTING_SQL = f"""
     LEFT JOIN weekly p ON p.widx = m.widx - 1
     ORDER BY m.week
 """
+
+
+# --- event-type affinity -----------------------------------------------------------
+
+
+def type_affinity(events: DataFrame) -> DataFrame:
+    """Within-day event-type affinity (lift) matrix: for each type pair,
+    how much more often they co-occur in the same user-day than
+    independence predicts — the behavioral basket analysis
+    (association_rules mines PART baskets; this mines the activity mix,
+    the input for "users who view also buy?" product questions).
+
+    Baskets are distinct (user, day); lift in exact milli =
+    1000·n_ab·N / (n_a·n_b) with N the basket count. The type domain is
+    bounded, so the pair relation is a per-basket self-join over ≤|types|
+    rows per basket. Output (type_a, type_b, n_ab, lift_milli).
+
+    Scale shape: one distinct (user, day, type) projection; the basket
+    self-join fans out ≤ C(|types|, 2) per basket; margins come from
+    one bounded rollup joined twice broadcast; the basket total is a
+    1-row broadcast scalar."""
+    b = events.select(
+        "user_id", F.to_date("ts").alias("day"), "event_type"
+    ).distinct()
+    total = (
+        b.select("user_id", "day")
+        .distinct()
+        .agg(F.count("*").cast("long").alias("n_baskets"))
+    )
+    margins = b.groupBy("event_type").agg(F.count("*").alias("n"))
+    pairs = (
+        b.alias("x")
+        .join(b.alias("y"), ["user_id", "day"])
+        .where(F.col("x.event_type") < F.col("y.event_type"))
+        .groupBy(
+            F.col("x.event_type").alias("type_a"),
+            F.col("y.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_ab"))
+    )
+    ma = margins.select(
+        F.col("event_type").alias("type_a"), F.col("n").alias("n_a")
+    )
+    mb = margins.select(
+        F.col("event_type").alias("type_b"), F.col("n").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(ma), "type_a")
+        .join(F.broadcast(mb), "type_b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            F.expr(
+                "CAST(1000 * n_ab * n_baskets DIV (n_a * n_b) AS BIGINT)"
+            ).alias("lift_milli"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+TYPE_AFFINITY_SQL = """
+    WITH b AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+        FROM events
+    ),
+    total AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM (
+            SELECT DISTINCT user_id, day FROM b
+        )
+    ),
+    margins AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM b GROUP BY event_type
+    ),
+    pairs AS (
+        SELECT x.event_type AS type_a, y.event_type AS type_b,
+               CAST(COUNT(*) AS BIGINT) AS n_ab
+        FROM b x JOIN b y
+          ON x.user_id = y.user_id AND x.day = y.day
+         AND x.event_type < y.event_type
+        GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b, p.n_ab,
+           CAST(1000 * p.n_ab * (SELECT n FROM total)
+                // (ma.n * mb.n) AS BIGINT) AS lift_milli
+    FROM pairs p
+    JOIN margins ma ON ma.event_type = p.type_a
+    JOIN margins mb ON mb.event_type = p.type_b
+    ORDER BY p.type_a, p.type_b
+"""

@@ -200,3 +200,94 @@ def compaction_plan_sql(target_rows: int = COMPACT_TARGET_ROWS) -> str:
         GROUP BY bin_id
         ORDER BY bin_id
     """
+
+
+# --- snapshot retention plan --------------------------------------------------------
+
+RETAIN_DAILY = 7
+RETAIN_WEEKLY = 4
+RETAIN_MONTHLY = 12
+
+
+def snapshot_retention(orders: DataFrame) -> DataFrame:
+    """Grandfather-father-son snapshot-retention plan — the lakehouse GC
+    policy (keep the last {RETAIN_DAILY} daily snapshots, the first
+    snapshot of each of the last {RETAIN_WEEKLY} weeks, the first of
+    each of the last {RETAIN_MONTHLY} months; expire the rest) computed
+    as a PLAN over the snapshot catalog, the same declarative shape as
+    the compaction planner. Distinct order dates stand in for the
+    snapshot log.
+
+    Every rule is exact date arithmetic against the max snapshot date
+    (1-row broadcast scalar); week/month "first" comes from min-date
+    windows over the snapshot relation — no driver loop over snapshots.
+    Output per snapshot: (snap_date, reason ∈ daily|weekly|monthly|
+    expire, age_days), ordered by date.
+
+    Scale shape: the snapshot catalog is ≤ days-of-history rows; one
+    distinct projection, two min windows, one broadcast scalar."""
+    snaps = orders.select(
+        F.to_date("o_orderdate").alias("snap_date")
+    ).distinct()
+    mx = snaps.agg(F.max("snap_date").alias("max_date"))
+    wk = Window.partitionBy(F.date_trunc("week", "snap_date"))
+    mo = Window.partitionBy(F.date_trunc("month", "snap_date"))
+    flagged = (
+        snaps.crossJoin(F.broadcast(mx))
+        .withColumn("age_days", F.datediff("max_date", "snap_date"))
+        .withColumn(
+            "week_first", F.col("snap_date") == F.min("snap_date").over(wk)
+        )
+        .withColumn(
+            "month_first", F.col("snap_date") == F.min("snap_date").over(mo)
+        )
+    )
+    reason = (
+        F.when(F.col("age_days") < RETAIN_DAILY, "daily")
+        .when(
+            F.col("week_first") & (F.col("age_days") < 7 * RETAIN_WEEKLY),
+            "weekly",
+        )
+        .when(
+            F.col("month_first") & (F.col("age_days") < 31 * RETAIN_MONTHLY),
+            "monthly",
+        )
+        .otherwise("expire")
+    )
+    return (
+        flagged.select(
+            "snap_date",
+            reason.alias("reason"),
+            F.col("age_days").cast("long").alias("age_days"),
+        )
+        .orderBy("snap_date")
+    )
+
+
+SNAPSHOT_RETENTION_SQL = f"""
+    WITH snaps AS (
+        SELECT DISTINCT CAST(o_orderdate AS DATE) AS snap_date FROM orders
+    ),
+    mx AS (SELECT MAX(snap_date) AS max_date FROM snaps),
+    flagged AS (
+        SELECT s.snap_date,
+               date_diff('day', s.snap_date, m.max_date) AS age_days,
+               s.snap_date = MIN(s.snap_date) OVER (
+                   PARTITION BY date_trunc('week', s.snap_date))
+                   AS week_first,
+               s.snap_date = MIN(s.snap_date) OVER (
+                   PARTITION BY date_trunc('month', s.snap_date))
+                   AS month_first
+        FROM snaps s CROSS JOIN mx m
+    )
+    SELECT snap_date,
+           CASE WHEN age_days < {RETAIN_DAILY} THEN 'daily'
+                WHEN week_first AND age_days < {7 * RETAIN_WEEKLY}
+                    THEN 'weekly'
+                WHEN month_first AND age_days < {31 * RETAIN_MONTHLY}
+                    THEN 'monthly'
+                ELSE 'expire' END AS reason,
+           CAST(age_days AS BIGINT) AS age_days
+    FROM flagged
+    ORDER BY snap_date
+"""

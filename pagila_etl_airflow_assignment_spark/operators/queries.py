@@ -2071,3 +2071,29 @@ def q_decile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_basket_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Basket-size economics: AOV and quantity per line-count bucket."""
     return warehouse.basket_profile(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "events_attribution_time_decay",
+    oracle=temporal.time_decay_attribution_sql(),
+)
+def q_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution: power-of-two halving weights,
+    per-purchase normalization, exact integer micro credit."""
+    return temporal.time_decay_attribution(load_table(spark, sf_dir, "events"))
+
+
+@register("events_type_affinity", oracle=behavior.TYPE_AFFINITY_SQL)
+def q_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-day event-type lift matrix — the behavioral basket
+    analysis, exact milli lift."""
+    return behavior.type_affinity(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "warehouse_snapshot_retention", oracle=layout.SNAPSHOT_RETENTION_SQL
+)
+def q_snapshot_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GFS snapshot-retention plan over the snapshot catalog: daily /
+    weekly / monthly keeps, the rest expired — pure date arithmetic."""
+    return layout.snapshot_retention(load_table(spark, sf_dir, "orders"))

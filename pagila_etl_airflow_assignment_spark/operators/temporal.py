@@ -443,3 +443,121 @@ def position_attribution_sql(
         GROUP BY click_hour
         ORDER BY click_hour
     """
+
+
+# --- time-decay attribution --------------------------------------------------------
+
+DECAY_HALFLIFE_H = 24  # credit halves per day of click->purchase distance
+DECAY_MAX_HALVINGS = 3
+
+
+def time_decay_attribution(
+    events: DataFrame, lookback_seconds: int = ATTRIB_LOOKBACK_SECONDS
+) -> DataFrame:
+    """Time-decay multi-touch attribution — the missing classic next to
+    linear / position / Shapley / Markov in this engine: a click's
+    credit halves for every {DECAY_HALFLIFE_H} hours between it and the
+    purchase, so the last-day touches dominate without last-touch's
+    winner-take-all distortion.
+
+    Exact integers throughout (unlike the 6-dp linear report): weights
+    are powers of two 2^({DECAY_MAX_HALVINGS} − halvings) from the
+    integer hour gap, per-purchase normalization is credit_micro =
+    10⁶·w / Σw (floor), and the hour-of-day rollup sums BIGINTs. Same
+    per-user bounded interval join as linear_attribution — never a
+    global range join.
+
+    Output per click hour-of-day: (click_hour, n_touches,
+    credited_micro, value_credited_cents)."""
+    clicks = events.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("click_ts"),
+        F.hour("ts").alias("click_hour"),
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    touches = clicks.join(
+        purchases,
+        (F.col("cu") == F.col("pu"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts")
+            - F.expr(f"INTERVAL {lookback_seconds} SECOND")
+        ),
+    ).select(
+        "click_hour",
+        "purchase_id",
+        "purchase_value",
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT),"
+            f" {DECAY_MAX_HALVINGS} - CAST(least("
+            " (unix_micros(purchase_ts) - unix_micros(click_ts))"
+            f" DIV ({DECAY_HALFLIFE_H} * CAST(3600000000 AS BIGINT)),"
+            f" {DECAY_MAX_HALVINGS}) AS INT))"
+        ).alias("w"),
+    )
+    wsum = Window.partitionBy("purchase_id")
+    credited = touches.select(
+        "click_hour",
+        F.expr("CAST(1000000 AS BIGINT) * w").alias("wm"),
+        F.sum("w").over(wsum).alias("sw"),
+        F.expr("CAST(round(purchase_value * 100) AS BIGINT) * w").alias(
+            "vm"
+        ),
+    ).select(
+        "click_hour",
+        F.expr("CAST(wm DIV sw AS BIGINT)").alias("credit_micro"),
+        F.expr("CAST(vm DIV sw AS BIGINT)").alias("value_cents"),
+    )
+    return (
+        credited.groupBy(F.col("click_hour").cast("long").alias("click_hour"))
+        .agg(
+            F.count("*").cast("long").alias("n_touches"),
+            F.sum("credit_micro").cast("long").alias("credited_micro"),
+            F.sum("value_cents").cast("long").alias("value_credited_cents"),
+        )
+        .orderBy("click_hour")
+    )
+
+
+def time_decay_attribution_sql(
+    lookback_seconds: int = ATTRIB_LOOKBACK_SECONDS,
+) -> str:
+    return f"""
+        WITH touches AS (
+            SELECT hour(c.ts) AS click_hour, p.event_id AS purchase_id,
+                   p.value AS purchase_value,
+                   (CAST(1 AS BIGINT) << ({DECAY_MAX_HALVINGS}
+                      - CAST(LEAST(
+                          (epoch_us(p.ts) - epoch_us(c.ts))
+                          // ({DECAY_HALFLIFE_H} * CAST(3600000000 AS BIGINT)),
+                          {DECAY_MAX_HALVINGS}) AS INT))) AS w
+            FROM events c
+            JOIN events p
+              ON c.user_id = p.user_id
+             AND c.event_type = 'click' AND p.event_type = 'purchase'
+             AND c.ts <= p.ts
+             AND c.ts >= p.ts - INTERVAL {lookback_seconds} SECOND
+        ), credited AS (
+            SELECT click_hour,
+                   CAST(CAST(1000000 AS BIGINT) * w
+                        // SUM(w) OVER (PARTITION BY purchase_id) AS BIGINT)
+                       AS credit_micro,
+                   CAST(CAST(round(purchase_value * 100) AS BIGINT) * w
+                        // SUM(w) OVER (PARTITION BY purchase_id) AS BIGINT)
+                       AS value_cents
+            FROM touches
+        )
+        SELECT CAST(click_hour AS BIGINT) AS click_hour,
+               CAST(COUNT(*) AS BIGINT) AS n_touches,
+               CAST(SUM(credit_micro) AS BIGINT) AS credited_micro,
+               CAST(SUM(value_cents) AS BIGINT) AS value_credited_cents
+        FROM credited
+        GROUP BY 1
+        ORDER BY 1
+    """

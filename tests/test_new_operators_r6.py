@@ -2601,3 +2601,90 @@ def test_basket_profile_caps_and_prices(spark):
     assert rows[1].aov_cents == 20000
     assert rows[7].n_orders == 1 and rows[7].rev_cents == 80000
     assert rows[7].avg_qty_milli == 8000
+
+
+# --- time-decay attribution (L-320) ---------------------------------------------------
+
+
+def test_time_decay_attribution_halving_weights(spark):
+    from pagila_etl_airflow_assignment_spark.operators import temporal
+
+    # purchase at day3 12:00 (100.0); clicks 1h before (w=8) and 50h
+    # before (2 halvings -> w=2): credits 800000/200000 micro
+    ev = _events(
+        spark,
+        [
+            (1, dt.datetime(2024, 1, 3, 11, 0), 1, "click", 0.0),
+            (2, dt.datetime(2024, 1, 1, 10, 0), 1, "click", 0.0),
+            (3, dt.datetime(2024, 1, 3, 12, 0), 1, "purchase", 100.0),
+        ],
+    )
+    rows = {r.click_hour: r for r in temporal.time_decay_attribution(ev).collect()}
+    assert rows[11].credited_micro == 800000
+    assert rows[10].credited_micro == 200000
+    assert rows[11].value_credited_cents == 8000
+    assert rows[10].value_credited_cents == 2000
+
+
+# --- type affinity (L-321) --------------------------------------------------------------
+
+
+def test_type_affinity_lift(spark):
+    from pagila_etl_airflow_assignment_spark.operators import behavior
+
+    # 2 baskets: u1d1 {click,buy}, u2d1 {click} -> lift(buy,click) =
+    # (1 * 2) / (2 * 1) = 1.0
+    ev = _events(
+        spark,
+        [
+            (1, _ts(1), 1, "click", 0.0), (2, _ts(1), 1, "buy", 0.0),
+            (3, _ts(1), 2, "click", 0.0),
+        ],
+    )
+    r = behavior.type_affinity(ev).collect()
+    assert len(r) == 1
+    assert (r[0].type_a, r[0].type_b, r[0].n_ab, r[0].lift_milli) == (
+        "buy", "click", 1, 1000,
+    )
+
+
+# --- snapshot retention (L-322) -----------------------------------------------------------
+
+
+def test_snapshot_retention_gfs_rules(spark):
+    days = (
+        [dt.datetime(2024, 6, 1) + dt.timedelta(days=i) for i in range(30)]
+    )
+    orders = spark.createDataFrame(
+        [(i, 1, "F", 10.0, d, "3-MEDIUM") for i, d in enumerate(days)],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    from pagila_etl_airflow_assignment_spark.operators import layout
+
+    rows = {str(r.snap_date): r.reason for r in layout.snapshot_retention(orders).collect()}
+    assert rows["2024-06-30"] == "daily"  # age 0
+    assert rows["2024-06-24"] == "daily"  # age 6
+    # age 7+ : only week-firsts survive as weekly
+    assert rows["2024-06-17"] == "weekly"  # a Monday, age 13
+    assert rows["2024-06-18"] == "expire"
+    assert rows["2024-06-01"] == "monthly"  # month first, age 29 > 27
+
+
+# --- IVF balance (L-323) -----------------------------------------------------------------
+
+
+def test_ivf_balance_loads_sum_to_corpus(spark):
+    from pagila_etl_airflow_assignment_spark.llm import similarity
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7) % 13), float((i * 3) % 11), 1.0], 0)
+         for i in range(64)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = similarity.ivf_balance(emb).collect()
+    assert sum(r.n_vecs for r in rows) == 64
+    assert all(r.load_milli >= 0 for r in rows)
+    # perfectly balanced would be 1000 each; loads average to ~1000
+    total_load = sum(r.n_vecs * 16 * 1000 // 64 for r in rows)
+    assert abs(sum(r.load_milli for r in rows) - total_load) <= len(rows)

@@ -149,6 +149,12 @@ ALLOWED: dict[str, set[str]] = {
     "embedding_knn_purity": {"BroadcastNestedLoopJoin"},
     # broadcast 1-row max-shipdate cutoff scalar (order-aging treatment)
     "warehouse_assortment_attrition": {"BroadcastNestedLoopJoin"},
+    # broadcast 1-row basket-count scalar (lift denominator)
+    "events_type_affinity": {"BroadcastNestedLoopJoin"},
+    # broadcast 1-row max-snapshot-date scalar (retention reference)
+    "warehouse_snapshot_retention": {"BroadcastNestedLoopJoin"},
+    # broadcast centroid set + 1-row corpus-count scalar (IVF audit)
+    "ann_ivf_balance": {"BroadcastNestedLoopJoin"},
     # Python UDTF: BatchEvalPython IS the UDTF execution node in Spark 4 —
     # this query exists to pin the UDTF boundary, not to avoid it
     "text_sentence_split_udtf": {"BatchEvalPython"},

@@ -285,6 +285,10 @@ PROBES = [
     "warehouse_decile_migration",
     "dedup_mixture_shift",
     "warehouse_basket_profile",
+    "events_attribution_time_decay",
+    "events_type_affinity",
+    "warehouse_snapshot_retention",
+    "ann_ivf_balance",
 ]
 
 
