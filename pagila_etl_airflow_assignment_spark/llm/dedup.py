@@ -2576,3 +2576,91 @@ MIXTURE_SHIFT_SQL = f"""
     FROM panel
     ORDER BY source
 """
+
+
+# --- dup-rate-by-length profile ---------------------------------------------------
+
+
+def length_profile(docs: DataFrame) -> DataFrame:
+    """Duplicate propensity vs document length: exact-dup rate per
+    length decile — the curation diagnostic that separates "our corpus
+    is 20% duplicated" into WHERE (boilerplate snippets duplicate at the
+    short end; mirrored articles at the long end), which decides whether
+    line-level or document-level dedup pays.
+
+    Deciles come from the LENGTH-VALUE histogram, not a global row
+    window: decile(v) = 10·|docs shorter than v| / N, so the only
+    cumulative window runs over the ≤|distinct lengths| histogram rows
+    (the PSI exact-rank-edge discipline) and equal lengths always share
+    a decile. Dup flag is the first-occurrence fingerprint rule. Output
+    per occupied decile: (length_decile, n_docs, n_dupes, dup_milli,
+    min_chars, max_chars).
+
+    Scale shape: one fingerprint keep window, one (n_chars) histogram
+    aggregate with a bounded cumulative window, broadcast value→decile
+    map joined back."""
+    fp = F.md5(_norm(F.col("text"))).alias("fingerprint")
+    keep = docs.select("doc_id", "n_chars", fp).withColumn(
+        "dup",
+        (
+            F.col("doc_id")
+            != F.min("doc_id").over(Window.partitionBy("fingerprint"))
+        ).cast("int"),
+    )
+    hist = keep.groupBy("n_chars").agg(F.count("*").alias("c"))
+    edges = hist.select(
+        "n_chars",
+        F.expr(
+            "CAST(10 * COALESCE(SUM(c) OVER (ORDER BY n_chars"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+            " DIV SUM(c) OVER () AS BIGINT)"
+        ).alias("length_decile"),
+    )
+    return (
+        keep.join(F.broadcast(edges), "n_chars")
+        .groupBy("length_decile")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("dup").cast("long").alias("n_dupes"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+        .withColumn(
+            "dup_milli",
+            F.expr("CAST(1000 * n_dupes DIV n_docs AS BIGINT)"),
+        )
+        .select(
+            "length_decile", "n_docs", "n_dupes", "dup_milli",
+            "min_chars", "max_chars",
+        )
+        .orderBy("length_decile")
+    )
+
+
+LENGTH_PROFILE_SQL = f"""
+    WITH keep AS (
+        SELECT doc_id, n_chars,
+               CAST(doc_id <> MIN(doc_id) OVER (
+                   PARTITION BY md5({_norm_sql('text')})) AS INT) AS dup
+        FROM documents
+    ),
+    hist AS (
+        SELECT n_chars, COUNT(*) AS c FROM keep GROUP BY n_chars
+    ),
+    edges AS (
+        SELECT n_chars,
+               CAST(10 * COALESCE(SUM(c) OVER (ORDER BY n_chars
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    // SUM(c) OVER () AS BIGINT) AS length_decile
+        FROM hist
+    )
+    SELECT e.length_decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(k.dup) AS BIGINT) AS n_dupes,
+           CAST(1000 * SUM(k.dup) // COUNT(*) AS BIGINT) AS dup_milli,
+           CAST(MIN(k.n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(k.n_chars) AS BIGINT) AS max_chars
+    FROM keep k JOIN edges e USING (n_chars)
+    GROUP BY e.length_decile
+    ORDER BY e.length_decile
+"""

@@ -1113,3 +1113,17 @@ def q_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF inverted-list balance audit: per-list load vs perfect
     balance in exact milli."""
     return similarity.ivf_balance(load_table(spark, sf_dir, "embeddings"))
+
+
+@register("sampling_class_balance", oracle=sampling.class_balance_sql())
+def q_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling plan: md5-rank keeps exactly the
+    minority-class count per label, content-stable."""
+    return sampling.class_balance(load_table(spark, sf_dir, "embeddings"))
+
+
+@register("dedup_length_profile", oracle=dedup.LENGTH_PROFILE_SQL)
+def q_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate rate per length decile — deciles from the length-value
+    histogram, no global row window."""
+    return dedup.length_profile(load_table(spark, sf_dir, "documents"))

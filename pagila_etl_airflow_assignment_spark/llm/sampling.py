@@ -937,3 +937,58 @@ def hash_calibration_sql() -> str:
         FROM panel
         ORDER BY source, nominal_milli
     """
+
+
+# --- class-balanced downsampling -----------------------------------------------------
+
+
+def class_balance(embeddings: DataFrame) -> DataFrame:
+    """Class-balanced downsampling plan over a labeled corpus: every
+    label keeps exactly the MINORITY class's count, selected by the
+    md5-rank order (content-stable — re-runs and backfills pick the
+    same rows, unlike random sampling). The majority-class crush that
+    otherwise dominates contrastive/classifier training data.
+
+    Output per vector: (vec_id, label, keep) with keep ∈ {0,1}; every
+    label's kept count equals min class count.
+
+    Scale shape: one label-keyed rank window over the labeled corpus,
+    one bounded label rollup broadcast back; no self-join."""
+    counts = embeddings.groupBy("label").agg(F.count("*").alias("n"))
+    target = counts.agg(F.min("n").cast("long").alias("target"))
+    w = Window.partitionBy("label").orderBy(
+        md5_int(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    return (
+        embeddings.select("vec_id", "label")
+        .withColumn("rk", F.row_number().over(w))
+        .crossJoin(F.broadcast(target))
+        .select(
+            "vec_id",
+            "label",
+            (F.col("rk") <= F.col("target")).cast("int").alias("keep"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def class_balance_sql() -> str:
+    rk = md5_int_sql("CAST(vec_id AS VARCHAR)")
+    return f"""
+        WITH target AS (
+            SELECT CAST(MIN(n) AS BIGINT) AS target FROM (
+                SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label
+            )
+        ),
+        ranked AS (
+            SELECT vec_id, label,
+                   row_number() OVER (
+                       PARTITION BY label ORDER BY {rk}, vec_id
+                   ) AS rk
+            FROM embeddings
+        )
+        SELECT vec_id, label,
+               CAST(rk <= (SELECT target FROM target) AS INT) AS keep
+        FROM ranked
+        ORDER BY vec_id
+    """

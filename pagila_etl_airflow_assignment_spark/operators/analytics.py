@@ -1698,3 +1698,98 @@ ERROR_BUDGET_SQL = f"""
     FROM cum
     ORDER BY day
 """
+
+
+# --- incident impact ----------------------------------------------------------------
+
+
+def incident_impact(events: DataFrame) -> DataFrame:
+    """Incident blast-radius panel: the day with the most error events
+    plays the incident; for every event type, volume on that day vs the
+    day before and after — the before/during/after readout an on-call
+    writes into the postmortem, computed without hand-picking the date.
+
+    The incident day is a deterministic 1-row argmax scalar (max error
+    count, ties to the earlier day), broadcast into one bounded panel.
+    Output per type: (event_type, before_n, incident_n, after_n,
+    impact_milli) with impact = incident/before in milli (0 when no
+    before-baseline).
+
+    Scale shape: one (day) error aggregate for the argmax, one (type,
+    day) aggregate filtered to the 3-day window — never a full-history
+    panel."""
+    err_daily = (
+        events.where(F.col("event_type") == "error")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("ne"))
+    )
+    # ties to the EARLIER day need an inverted tiebreak: max(struct) takes
+    # the larger day, so rank explicitly
+    incident = (
+        err_daily.select(
+            "day",
+            F.row_number()
+            .over(Window.orderBy(F.desc("ne"), F.col("day")))
+            .alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .select(F.col("day").alias("iday"))
+    )
+    window3 = events.crossJoin(F.broadcast(incident)).where(
+        (F.to_date("ts") >= F.date_sub("iday", 1))
+        & (F.to_date("ts") <= F.date_add("iday", 1))
+    )
+    panel = window3.groupBy("event_type").agg(
+        F.sum(
+            (F.to_date("ts") == F.date_sub("iday", 1)).cast("long")
+        ).alias("before_n"),
+        F.sum((F.to_date("ts") == F.col("iday")).cast("long")).alias(
+            "incident_n"
+        ),
+        F.sum(
+            (F.to_date("ts") == F.date_add("iday", 1)).cast("long")
+        ).alias("after_n"),
+    )
+    return panel.select(
+        "event_type",
+        "before_n",
+        "incident_n",
+        "after_n",
+        F.expr(
+            "CASE WHEN before_n > 0 THEN"
+            " CAST(1000 * incident_n DIV before_n AS BIGINT)"
+            " ELSE CAST(0 AS BIGINT) END"
+        ).alias("impact_milli"),
+    ).orderBy("event_type")
+
+
+INCIDENT_IMPACT_SQL = """
+    WITH err_daily AS (
+        SELECT CAST(ts AS DATE) AS day, COUNT(*) AS ne
+        FROM events WHERE event_type = 'error' GROUP BY 1
+    ),
+    incident AS (
+        SELECT day AS iday FROM (
+            SELECT day, row_number() OVER (ORDER BY ne DESC, day) AS rn
+            FROM err_daily
+        ) WHERE rn = 1
+    )
+    SELECT e.event_type,
+           CAST(SUM(CASE WHEN CAST(e.ts AS DATE) = i.iday - 1
+                    THEN 1 ELSE 0 END) AS BIGINT) AS before_n,
+           CAST(SUM(CASE WHEN CAST(e.ts AS DATE) = i.iday
+                    THEN 1 ELSE 0 END) AS BIGINT) AS incident_n,
+           CAST(SUM(CASE WHEN CAST(e.ts AS DATE) = i.iday + 1
+                    THEN 1 ELSE 0 END) AS BIGINT) AS after_n,
+           CASE WHEN SUM(CASE WHEN CAST(e.ts AS DATE) = i.iday - 1
+                         THEN 1 ELSE 0 END) > 0 THEN
+                CAST(1000 * SUM(CASE WHEN CAST(e.ts AS DATE) = i.iday
+                                THEN 1 ELSE 0 END)
+                     // SUM(CASE WHEN CAST(e.ts AS DATE) = i.iday - 1
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS impact_milli
+    FROM events e CROSS JOIN incident i
+    WHERE CAST(e.ts AS DATE) BETWEEN i.iday - 1 AND i.iday + 1
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+"""

@@ -2097,3 +2097,19 @@ def q_snapshot_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GFS snapshot-retention plan over the snapshot catalog: daily /
     weekly / monthly keeps, the rest expired — pure date arithmetic."""
     return layout.snapshot_retention(load_table(spark, sf_dir, "orders"))
+
+
+@register("events_incident_impact", oracle=analytics.INCIDENT_IMPACT_SQL)
+def q_incident_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incident blast radius: per-type volume before/during/after the
+    peak-error day, argmax day as a 1-row scalar."""
+    return analytics.incident_impact(load_table(spark, sf_dir, "events"))
+
+
+@register("warehouse_cross_elasticity", oracle=warehouse.CROSS_ELASTICITY_SQL)
+def q_cross_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-price elasticity matrix over the monthly brand panel —
+    milli-nat quantized OLS in pure BIGINTs."""
+    return warehouse.cross_elasticity(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )

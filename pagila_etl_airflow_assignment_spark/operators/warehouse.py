@@ -3894,3 +3894,120 @@ BASKET_PROFILE_SQL = f"""
     GROUP BY n_lines
     ORDER BY n_lines
 """
+
+
+# --- cross-price elasticity --------------------------------------------------------
+
+
+def cross_elasticity(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Cross-price elasticity matrix between brands: OLS slope of
+    ln(qty_a) on ln(price_b) over the monthly panel — positive slope
+    reads as substitution (b priced up, a sells more), negative as
+    complement — the pair-level companion to own-price
+    ``price_elasticity``, same exact-arithmetic discipline: both lns
+    quantize ONCE per (brand, month) to milli-nats, the OLS closed form
+    (n·Σxy − ΣxΣy)/(n·Σx² − (Σx)²) runs in pure BIGINTs, one signed
+    half-up division at the end.
+
+    The panel self-join is |brands|² × months — a bounded grid (the
+    brand dim is small by construction), NOT a fact self-join. Output
+    per directed pair: (brand_a, brand_b, n_months,
+    cross_elasticity_milli).
+
+    Scale shape: one (brand, month) aggregate off the fact scan with
+    the part dim broadcast; everything after runs on the bounded
+    panel."""
+    monthly = (
+        lineitem.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            lineitem.l_partkey == part.p_partkey,
+        )
+        .groupBy(
+            "p_brand", F.date_trunc("month", "l_shipdate").alias("mth")
+        )
+        .agg(
+            F.sum(F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).alias(
+                "cents"
+            ),
+            F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+        )
+        .where((F.col("qty") > 0) & (F.col("cents") > 0))
+        .select(
+            "p_brand",
+            "mth",
+            F.round(F.log("qty") * 1000).cast("long").alias("lq"),
+            F.round(F.log(F.expr("cents DIV qty")) * 1000)
+            .cast("long")
+            .alias("lp"),
+        )
+    )
+    a = monthly.select(
+        F.col("p_brand").alias("brand_a"), "mth", F.col("lq").alias("y")
+    )
+    b = monthly.select(
+        F.col("p_brand").alias("brand_b"), "mth", F.col("lp").alias("x")
+    )
+    pts = a.join(b, "mth").where(F.col("brand_a") != F.col("brand_b"))
+    agg = pts.groupBy("brand_a", "brand_b").agg(
+        F.count("*").cast("long").alias("n_months"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = "(n_months * sxy - sx * sy)"
+    den = "(n_months * sxx - sx * sx)"
+    return (
+        agg.where(F.expr(f"{den} <> 0"))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_months",
+            F.expr(
+                f"CAST(CASE WHEN {num} < 0 THEN -1 ELSE 1 END"
+                f" * ((2000 * abs({num}) + abs({den}))"
+                f" DIV (2 * abs({den}))) AS BIGINT)"
+            ).alias("cross_elasticity_milli"),
+        )
+        .orderBy("brand_a", "brand_b")
+    )
+
+
+CROSS_ELASTICITY_SQL = """
+    WITH monthly AS (
+        SELECT p.p_brand, date_trunc('month', l.l_shipdate) AS mth,
+               CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents,
+               CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1, 2
+        HAVING SUM(CAST(l.l_quantity AS BIGINT)) > 0
+           AND SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) > 0
+    ),
+    pts0 AS (
+        SELECT p_brand, mth,
+               CAST(round(ln(qty) * 1000) AS BIGINT) AS lq,
+               CAST(round(ln(cents // qty) * 1000) AS BIGINT) AS lp
+        FROM monthly
+    ),
+    agg AS (
+        SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+               CAST(COUNT(*) AS BIGINT) AS n_months,
+               CAST(SUM(b.lp) AS BIGINT) AS sx,
+               CAST(SUM(a.lq) AS BIGINT) AS sy,
+               CAST(SUM(b.lp * a.lq) AS BIGINT) AS sxy,
+               CAST(SUM(b.lp * b.lp) AS BIGINT) AS sxx
+        FROM pts0 a JOIN pts0 b
+          ON a.mth = b.mth AND a.p_brand <> b.p_brand
+        GROUP BY 1, 2
+    )
+    SELECT brand_a, brand_b, n_months,
+           CAST((CASE WHEN (n_months * sxy - sx * sy) < 0 THEN -1 ELSE 1 END)
+                * ((2000 * abs(n_months * sxy - sx * sy)
+                    + abs(n_months * sxx - sx * sx))
+                   // (2 * abs(n_months * sxx - sx * sx))) AS BIGINT)
+               AS cross_elasticity_milli
+    FROM agg
+    WHERE (n_months * sxx - sx * sx) <> 0
+    ORDER BY brand_a, brand_b
+"""

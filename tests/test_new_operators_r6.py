@@ -2688,3 +2688,91 @@ def test_ivf_balance_loads_sum_to_corpus(spark):
     # perfectly balanced would be 1000 each; loads average to ~1000
     total_load = sum(r.n_vecs * 16 * 1000 // 64 for r in rows)
     assert abs(sum(r.load_milli for r in rows) - total_load) <= len(rows)
+
+
+# --- class balance (L-324) -----------------------------------------------------------
+
+
+def test_class_balance_keeps_minority_count(spark):
+    emb = spark.createDataFrame(
+        [(i, [1.0], 0) for i in range(10)] + [(100 + i, [1.0], 1) for i in range(3)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = sampling.class_balance(emb)
+    kept = out.where(F.col("keep") == 1).groupBy("label").count().collect()
+    assert {r.label: r["count"] for r in kept} == {0: 3, 1: 3}
+
+
+# --- incident impact (L-325) -----------------------------------------------------------
+
+
+def test_incident_impact_picks_peak_error_day(spark):
+    from pagila_etl_airflow_assignment_spark.operators import analytics
+
+    ev = _events(
+        spark,
+        # day2 has 2 errors (the incident); day1 and day3 have 1 click each
+        [
+            (1, _ts(1), 1, "click", 0.0),
+            (2, _ts(2), 1, "error", 0.0), (3, _ts(2), 2, "error", 0.0),
+            (4, _ts(2), 3, "click", 0.0), (5, _ts(2), 4, "click", 0.0),
+            (6, _ts(3), 1, "click", 0.0),
+            (7, _ts(10), 1, "error", 0.0),  # lone later error, not the peak
+        ],
+    )
+    rows = {r.event_type: r for r in analytics.incident_impact(ev).collect()}
+    assert (rows["error"].before_n, rows["error"].incident_n,
+            rows["error"].after_n) == (0, 2, 0)
+    assert (rows["click"].before_n, rows["click"].incident_n,
+            rows["click"].after_n) == (1, 2, 1)
+    assert rows["click"].impact_milli == 2000
+
+
+# --- length profile (L-326) ------------------------------------------------------------
+
+
+def test_length_profile_histogram_deciles(spark):
+    # 4 docs: two dup shorts (len 9), two unique longs
+    docs = _docs(
+        spark,
+        [
+            (1, "short one", "en", "s0"),
+            (2, "short one", "en", "s0"),
+            (3, "a much longer unique document body", "en", "s0"),
+            (4, "another much longer unique document", "en", "s0"),
+        ],
+    )
+    rows = {r.length_decile: r for r in dedup.length_profile(docs).collect()}
+    # lengths: 9,9 -> decile 0; 35,35? compute: n_chars from len(text)
+    d0 = rows[0]
+    assert (d0.n_docs, d0.n_dupes, d0.dup_milli) == (2, 1, 500)
+    long_decile = max(rows)
+    assert rows[long_decile].n_dupes == 0
+
+
+# --- cross elasticity (L-327) ------------------------------------------------------------
+
+
+def test_cross_elasticity_substitution_sign(spark):
+    part = spark.createDataFrame(
+        [(1, "n", "BA", "STANDARD", 1, 1.0), (2, "n", "BB", "STANDARD", 1, 1.0)],
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    )
+    # BB price rises month over month; BA quantity rises with it
+    rows_li = []
+    ok = 1
+    for m, (pb, qa) in enumerate([(100.0, 10.0), (200.0, 20.0), (400.0, 40.0)]):
+        d = dt.datetime(2024, 1 + m, 1)
+        rows_li.append((ok, 1, 1, qa, 50.0 * qa, 0.0, d)); ok += 1
+        rows_li.append((ok, 2, 1, 5.0, pb * 5, 0.0, d)); ok += 1
+    li = spark.createDataFrame(
+        rows_li,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_quantity double, "
+        "l_extendedprice double, l_discount double, l_shipdate timestamp",
+    )
+    rows = {(r.brand_a, r.brand_b): r for r in warehouse.cross_elasticity(li, part).collect()}
+    r = rows[("BA", "BB")]
+    assert r.n_months == 3
+    # qty_a doubles when price_b doubles -> elasticity ~ +1.0
+    assert 900 <= r.cross_elasticity_milli <= 1100

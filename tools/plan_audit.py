@@ -155,6 +155,10 @@ ALLOWED: dict[str, set[str]] = {
     "warehouse_snapshot_retention": {"BroadcastNestedLoopJoin"},
     # broadcast centroid set + 1-row corpus-count scalar (IVF audit)
     "ann_ivf_balance": {"BroadcastNestedLoopJoin"},
+    # broadcast 1-row min-class-count scalar (balance target)
+    "sampling_class_balance": {"BroadcastNestedLoopJoin"},
+    # broadcast 1-row argmax incident-day scalar
+    "events_incident_impact": {"BroadcastNestedLoopJoin"},
     # Python UDTF: BatchEvalPython IS the UDTF execution node in Spark 4 —
     # this query exists to pin the UDTF boundary, not to avoid it
     "text_sentence_split_udtf": {"BatchEvalPython"},

@@ -289,6 +289,10 @@ PROBES = [
     "events_type_affinity",
     "warehouse_snapshot_retention",
     "ann_ivf_balance",
+    "sampling_class_balance",
+    "events_incident_impact",
+    "dedup_length_profile",
+    "warehouse_cross_elasticity",
 ]
 
 
