@@ -1825,3 +1825,74 @@ HEAPS_LAW_SQL = f"""
     FROM docs_per FULL JOIN terms_per USING (bucket)
     ORDER BY prefix_limit
 """
+
+
+# --- effective token yield ----------------------------------------------------------
+
+
+def token_yield(docs: DataFrame) -> DataFrame:
+    """Effective token yield per source: raw tokens vs tokens surviving
+    the first-occurrence exact-dedup keep rule — the number that turns
+    "we have X TB of source S" into "S contributes Y real training
+    tokens", which is what mixture budgeting actually spends.
+
+    Output per source: (source, n_docs, raw_tokens, kept_tokens,
+    yield_milli). Exact integers; token counts are unigram counts from
+    the shared normalizer.
+
+    Scale shape: one fingerprint keep window over (doc, len) grain, one
+    source rollup — token counting is a narrow size() projection, never
+    an explode."""
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(_norm_text(F.col("text")), WS_RE)).alias("n_tok"),
+        F.md5(_norm_text(F.col("text"))).alias("fp"),
+    )
+    keep = toks.withColumn(
+        "keep",
+        (
+            F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("fp"))
+        ).cast("long"),
+    )
+    return (
+        keep.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("raw_tokens"),
+            F.sum(F.col("keep") * F.col("n_tok")).cast("long").alias(
+                "kept_tokens"
+            ),
+        )
+        .withColumn(
+            "yield_milli",
+            F.expr("CAST(1000 * kept_tokens DIV raw_tokens AS BIGINT)"),
+        )
+        .orderBy("source")
+    )
+
+
+TOKEN_YIELD_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               len(string_split_regex({_norm_text_sql('text')}, '{WS_RE}'))
+                   AS n_tok,
+               md5({_norm_text_sql('text')}) AS fp
+        FROM documents
+    ),
+    keep AS (
+        SELECT source, n_tok,
+               CAST(doc_id = MIN(doc_id) OVER (PARTITION BY fp) AS BIGINT)
+                   AS keep
+        FROM toks
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS raw_tokens,
+           CAST(SUM(keep * n_tok) AS BIGINT) AS kept_tokens,
+           CAST(1000 * SUM(keep * n_tok) // SUM(n_tok) AS BIGINT)
+               AS yield_milli
+    FROM keep
+    GROUP BY source
+    ORDER BY source
+"""

@@ -2664,3 +2664,126 @@ LENGTH_PROFILE_SQL = f"""
     GROUP BY e.length_decile
     ORDER BY e.length_decile
 """
+
+
+# --- Jaccard-threshold sweep -------------------------------------------------------
+
+THRESHOLD_SWEEP_MILLI = (200, 500, 700, 900)
+
+
+def threshold_sweep(
+    docs: DataFrame,
+    n: int = DEFAULT_N,
+    max_df: int | None = DEFAULT_MAX_DF,
+) -> DataFrame:
+    """Dedup-threshold tuning curve: near-pair volume and affected-doc
+    count at each candidate Jaccard cutoff {THRESHOLD_SWEEP_MILLI} milli
+    — the sweep that picks the ngram_jaccard/LSH threshold from data
+    (too low merges topical neighbors, too high misses mirrors; this
+    shows the knee) instead of folklore.
+
+    One posting-list pass builds the pair relation ONCE (the
+    ngram_jaccard plan, df=1 early drop, max_df cap); the comparison is
+    pure integers — j ≥ t ⇔ 1000·inter ≥ t·(|A|+|B|−inter) — so the
+    sweep never materializes a float Jaccard. Output per threshold:
+    (threshold_milli, n_pairs, n_docs_affected).
+
+    Scale shape: identical to ngram_jaccard_pairs plus a constant-grid
+    explode over the REDUCED pair relation."""
+    sh = shingles(docs, n)
+    posts = sh.groupBy("shingle").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("ds")
+    )
+    if max_df is not None:
+        posts = posts.where(F.size("ds") <= max_df)
+    sizes = (
+        posts.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("sz"))
+    )
+    pair_structs = F.expr(
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, size(ds) - i - 1),"
+        " y -> struct(x AS doc_a, y AS doc_b))))"
+    )
+    inter = (
+        posts.where(F.size("ds") >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    scored = (
+        inter.join(
+            sizes.withColumnRenamed("doc_id", "doc_a").hint("shuffle_hash"),
+            "doc_a",
+        )
+        .withColumnRenamed("sz", "sz_a")
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").hint("shuffle_hash"),
+            "doc_b",
+        )
+        .withColumnRenamed("sz", "sz_b")
+    )
+    grid = F.array(*[F.lit(t) for t in THRESHOLD_SWEEP_MILLI])
+    graded = scored.select(
+        "doc_a",
+        "doc_b",
+        "inter",
+        (F.col("sz_a") + F.col("sz_b") - F.col("inter")).alias("un"),
+        F.explode(grid).alias("t"),
+    ).where(F.expr("1000 * inter >= t * un"))
+    pairs_panel = graded.groupBy(
+        F.col("t").cast("long").alias("threshold_milli")
+    ).agg(F.count("*").cast("long").alias("n_pairs"))
+    docs_panel = (
+        graded.select("t", F.explode(F.array("doc_a", "doc_b")).alias("d"))
+        .groupBy(F.col("t").cast("long").alias("threshold_milli"))
+        .agg(F.count_distinct("d").cast("long").alias("n_docs_affected"))
+    )
+    return pairs_panel.join(docs_panel, "threshold_milli").orderBy(
+        "threshold_milli"
+    )
+
+
+def threshold_sweep_sql(
+    n: int = DEFAULT_N, max_df: int | None = DEFAULT_MAX_DF
+) -> str:
+    cap = f"WHERE {df_cap_filter_sql('sh0', max_df)}" if max_df is not None else ""
+    grid = ", ".join(str(t) for t in THRESHOLD_SWEEP_MILLI)
+    return f"""
+        WITH sh0 AS ({shingles_sql(n)}),
+        sh AS (SELECT * FROM sh0 {cap}),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+            FROM sh a JOIN sh b USING (shingle)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        grid AS (SELECT unnest([{grid}]) AS t),
+        graded AS (
+            SELECT i.doc_a, i.doc_b, i.inter,
+                   sa.sz + sb.sz - i.inter AS un,
+                   g.t
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.doc_a
+            JOIN sizes sb ON sb.doc_id = i.doc_b
+            CROSS JOIN grid g
+        ),
+        hits AS (SELECT * FROM graded WHERE 1000 * inter >= t * un),
+        pairs_panel AS (
+            SELECT CAST(t AS BIGINT) AS threshold_milli,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM hits GROUP BY t
+        ),
+        docs_panel AS (
+            SELECT CAST(t AS BIGINT) AS threshold_milli,
+                   CAST(COUNT(DISTINCT d) AS BIGINT) AS n_docs_affected
+            FROM (
+                SELECT t, unnest([doc_a, doc_b]) AS d FROM hits
+            ) GROUP BY t
+        )
+        SELECT threshold_milli, n_pairs, n_docs_affected
+        FROM pairs_panel JOIN docs_panel USING (threshold_milli)
+        ORDER BY threshold_milli
+    """

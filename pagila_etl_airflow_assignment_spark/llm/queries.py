@@ -1127,3 +1127,24 @@ def q_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate rate per length decile — deciles from the length-value
     histogram, no global row window."""
     return dedup.length_profile(load_table(spark, sf_dir, "documents"))
+
+
+@register("dedup_threshold_sweep", oracle=dedup.threshold_sweep_sql())
+def q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard-threshold tuning curve: pair volume + affected docs per
+    cutoff, pure-integer comparisons, one posting pass."""
+    return dedup.threshold_sweep(load_table(spark, sf_dir, "documents"))
+
+
+@register("sampling_training_manifest", oracle=sampling.training_manifest_sql())
+def q_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation manifest: keep flag, soft weight and split
+    per document from one fingerprint window."""
+    return sampling.training_manifest(load_table(spark, sf_dir, "documents"))
+
+
+@register("vocab_token_yield", oracle=corpus_stats.TOKEN_YIELD_SQL)
+def q_token_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective token yield per source after exact dedup — what
+    mixture budgeting actually spends."""
+    return corpus_stats.token_yield(load_table(spark, sf_dir, "documents"))

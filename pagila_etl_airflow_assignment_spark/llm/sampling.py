@@ -992,3 +992,70 @@ def class_balance_sql() -> str:
         FROM ranked
         ORDER BY vec_id
     """
+
+
+# --- training manifest ---------------------------------------------------------------
+
+
+def training_manifest(docs: DataFrame) -> DataFrame:
+    """The end-to-end curation MANIFEST — the single artifact a training
+    run actually consumes, composing this module's primitives over each
+    document in one plan: exact-dedup keep flag (first-occurrence
+    fingerprint), soft cluster weight (10⁶ / copies, so duplicate
+    content trains at 1× total instead of n×), and the content-stable
+    md5 split (train/val/test).
+
+    Output per doc: (doc_id, source, keep, weight_micro, split). The
+    three decisions come from ONE fingerprint window and ONE bucket
+    expression — auditable row-by-row against dedup_exact,
+    dedup_soft_weights and sampling_split_assign individually.
+
+    Scale shape: one fingerprint-keyed window, narrow projections."""
+    from .text import _norm as _norm_text
+
+    fpw = Window.partitionBy(F.md5(_norm_text(F.col("text"))))
+    bucket = md5_int(F.col("doc_id").cast("string")) % SPLIT_BUCKETS
+    return (
+        docs.select("doc_id", "source", "text")
+        .withColumn("n_copies", F.count("*").over(fpw))
+        .withColumn(
+            "keep",
+            (F.col("doc_id") == F.min("doc_id").over(fpw)).cast("int"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "keep",
+            F.expr("CAST(1000000 DIV n_copies AS BIGINT)").alias(
+                "weight_micro"
+            ),
+            F.when(bucket < 80, "train")
+            .when(bucket < 90, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def training_manifest_sql() -> str:
+    from .text import _norm_sql as norm_sql
+
+    bucket = f"({md5_int_sql('CAST(doc_id AS VARCHAR)')} % {SPLIT_BUCKETS})"
+    return f"""
+        WITH fp AS (
+            SELECT doc_id, source,
+                   COUNT(*) OVER (PARTITION BY md5({norm_sql('text')}))
+                       AS n_copies,
+                   CAST(doc_id = MIN(doc_id) OVER (
+                       PARTITION BY md5({norm_sql('text')})) AS INT) AS keep
+            FROM documents
+        )
+        SELECT doc_id, source, keep,
+               CAST(1000000 // n_copies AS BIGINT) AS weight_micro,
+               CASE WHEN {bucket} < 80 THEN 'train'
+                    WHEN {bucket} < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM fp
+        ORDER BY doc_id
+    """

@@ -2113,3 +2113,12 @@ def q_cross_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return warehouse.cross_elasticity(
         load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
     )
+
+
+@register(
+    "warehouse_returns_by_discount", oracle=warehouse.RETURNS_BY_DISCOUNT_SQL
+)
+def q_returns_by_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adverse-selection check: return rate and returned revenue per
+    discount band."""
+    return warehouse.returns_by_discount(load_table(spark, sf_dir, "lineitem"))

@@ -4011,3 +4011,75 @@ CROSS_ELASTICITY_SQL = """
     WHERE (n_months * sxx - sx * sx) <> 0
     ORDER BY brand_a, brand_b
 """
+
+
+# --- returns by discount band -------------------------------------------------------
+
+
+def returns_by_discount(lineitem: DataFrame) -> DataFrame:
+    """Adverse-selection check on promotions: do discounted lines come
+    back more? Return rate (l_returnflag = 'R') per discount band — the
+    margin-and-quality readout discount_lift (revenue) and the p-chart
+    (time) both miss: a discount that moves units which then return has
+    negative true lift.
+
+    Bands are exact integer percent floors of the discount (0, 1-2,
+    3-5, 6+). Output per band: (discount_band, n_lines, n_returned,
+    return_milli, returned_rev_cents).
+
+    Scale shape: one narrow projection + bounded band rollup."""
+    band = (
+        F.when(F.expr("CAST(round(l_discount * 100) AS INT)") <= 0, "00")
+        .when(F.expr("CAST(round(l_discount * 100) AS INT)") <= 2, "01-02")
+        .when(F.expr("CAST(round(l_discount * 100) AS INT)") <= 5, "03-05")
+        .otherwise("06+")
+    )
+    return (
+        lineitem.select(
+            band.alias("discount_band"),
+            (F.col("l_returnflag") == "R").cast("long").alias("ret"),
+            F.expr(
+                "CAST(round(l_extendedprice * (1 - l_discount) * 100)"
+                " AS BIGINT)"
+            ).alias("cents"),
+        )
+        .groupBy("discount_band")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum("ret").cast("long").alias("n_returned"),
+            F.sum(F.col("ret") * F.col("cents")).cast("long").alias(
+                "returned_rev_cents"
+            ),
+        )
+        .withColumn(
+            "return_milli",
+            F.expr("CAST(1000 * n_returned DIV n_lines AS BIGINT)"),
+        )
+        .select(
+            "discount_band", "n_lines", "n_returned", "return_milli",
+            "returned_rev_cents",
+        )
+        .orderBy("discount_band")
+    )
+
+
+RETURNS_BY_DISCOUNT_SQL = """
+    WITH graded AS (
+        SELECT CASE WHEN CAST(round(l_discount * 100) AS INT) <= 0 THEN '00'
+                    WHEN CAST(round(l_discount * 100) AS INT) <= 2 THEN '01-02'
+                    WHEN CAST(round(l_discount * 100) AS INT) <= 5 THEN '03-05'
+                    ELSE '06+' END AS discount_band,
+               CAST(l_returnflag = 'R' AS BIGINT) AS ret,
+               CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                   AS cents
+        FROM lineitem
+    )
+    SELECT discount_band,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(ret) AS BIGINT) AS n_returned,
+           CAST(1000 * SUM(ret) // COUNT(*) AS BIGINT) AS return_milli,
+           CAST(SUM(ret * cents) AS BIGINT) AS returned_rev_cents
+    FROM graded
+    GROUP BY discount_band
+    ORDER BY discount_band
+"""

@@ -2776,3 +2776,72 @@ def test_cross_elasticity_substitution_sign(spark):
     assert r.n_months == 3
     # qty_a doubles when price_b doubles -> elasticity ~ +1.0
     assert 900 <= r.cross_elasticity_milli <= 1100
+
+
+# --- threshold sweep (L-328) ----------------------------------------------------------
+
+
+def test_threshold_sweep_monotone(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "aa bb cc dd ee ff gg hh", "en", "s0"),
+            (2, "aa bb cc dd ee ff gg hh", "en", "s0"),  # j=1.0 with 1
+            (3, "aa bb cc dd ee xx yy zz", "en", "s0"),  # partial overlap
+        ],
+    )
+    rows = {r.threshold_milli: r for r in dedup.threshold_sweep(docs).collect()}
+    # identical pair survives every threshold; partial pair only low ones
+    assert rows[900].n_pairs >= 1
+    counts = [rows[t].n_pairs for t in sorted(rows)]
+    assert counts == sorted(counts, reverse=True)  # monotone non-increasing
+
+
+# --- training manifest (L-329) ----------------------------------------------------------
+
+
+def test_training_manifest_composes_primitives(spark):
+    docs = _docs(
+        spark,
+        [(1, "dup text", "s", "s0"), (2, "dup text", "s", "s0"),
+         (3, "unique", "s", "s0")],
+    )
+    rows = {r.doc_id: r for r in sampling.training_manifest(docs).collect()}
+    assert rows[1].keep == 1 and rows[2].keep == 0
+    assert rows[1].weight_micro == 500000 and rows[3].weight_micro == 1000000
+    assert all(r.split in ("train", "val", "test") for r in rows.values())
+
+
+# --- token yield (L-330) -----------------------------------------------------------------
+
+
+def test_token_yield_counts_kept_tokens(spark):
+    docs = _docs(
+        spark,
+        [(1, "one two three", "en", "sA"), (2, "one two three", "en", "sA"),
+         (3, "four five", "en", "sB")],
+    )
+    rows = {r.source: r for r in corpus_stats.token_yield(docs).collect()}
+    assert (rows["sA"].raw_tokens, rows["sA"].kept_tokens) == (6, 3)
+    assert rows["sA"].yield_milli == 500
+    assert rows["sB"].yield_milli == 1000
+
+
+# --- returns by discount (L-331) -----------------------------------------------------------
+
+
+def test_returns_by_discount_bands(spark):
+    li = spark.createDataFrame(
+        [
+            (1, 1, 1, 1.0, 100.0, 0.00, dt.datetime(2024, 1, 1), "R"),
+            (2, 1, 1, 1.0, 100.0, 0.00, dt.datetime(2024, 1, 1), "N"),
+            (3, 1, 1, 1.0, 100.0, 0.10, dt.datetime(2024, 1, 1), "R"),
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_quantity double, "
+        "l_extendedprice double, l_discount double, l_shipdate timestamp,"
+        " l_returnflag string",
+    )
+    rows = {r.discount_band: r for r in warehouse.returns_by_discount(li).collect()}
+    assert (rows["00"].n_lines, rows["00"].n_returned, rows["00"].return_milli) == (2, 1, 500)
+    assert rows["06+"].n_returned == 1
+    assert rows["06+"].returned_rev_cents == 9000

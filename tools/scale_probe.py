@@ -293,6 +293,10 @@ PROBES = [
     "events_incident_impact",
     "dedup_length_profile",
     "warehouse_cross_elasticity",
+    "dedup_threshold_sweep",
+    "sampling_training_manifest",
+    "vocab_token_yield",
+    "warehouse_returns_by_discount",
 ]
 
 
