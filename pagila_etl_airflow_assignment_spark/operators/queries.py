@@ -2122,3 +2122,38 @@ def q_returns_by_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adverse-selection check: return rate and returned revenue per
     discount band."""
     return warehouse.returns_by_discount(load_table(spark, sf_dir, "lineitem"))
+
+
+@register("warehouse_cube_revenue", oracle=warehouse.CUBE_REVENUE_SQL)
+def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over (returnflag, linestatus): detail, both margins
+    and the grand total in one Expand pass."""
+    return warehouse.cube_revenue(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "warehouse_variance_decomposition",
+    oracle=warehouse.VARIANCE_DECOMPOSITION_SQL,
+)
+def q_variance_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Between-vs-within brand variance decomposition of monthly
+    revenue: exact-integer eta-squared."""
+    return warehouse.variance_decomposition(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+@register("warehouse_lorenz_points", oracle=warehouse.LORENZ_POINTS_SQL)
+def q_lorenz_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of customer spend at decile points — the plottable
+    curve behind the Gini coefficient."""
+    return warehouse.lorenz_points(load_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "events_process_conformance", oracle=sequences.process_conformance_sql()
+)
+def q_process_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Process-mining conformance: observed transitions vs the declared
+    model, violation shares in exact milli."""
+    return sequences.process_conformance(load_table(spark, sf_dir, "events"))

@@ -1394,3 +1394,100 @@ def lateness_sweep_sql() -> str:
         FROM panel
         ORDER BY allowed_s
     """
+
+
+# --- process conformance ------------------------------------------------------------
+
+# the intended funnel: signup precedes everything; view -> click -> purchase;
+# error may follow anything (it is an outcome, not a step)
+CONFORMANT_TRANSITIONS = (
+    ("signup", "view"), ("signup", "error"),
+    ("view", "view"), ("view", "click"), ("view", "error"),
+    ("click", "view"), ("click", "click"), ("click", "purchase"),
+    ("click", "error"),
+    ("purchase", "view"), ("purchase", "error"),
+    ("error", "view"), ("error", "signup"),
+)
+
+
+def process_conformance(events: DataFrame) -> DataFrame:
+    """Process-mining conformance audit: observed per-user event-type
+    transitions checked against the DECLARED process model — the
+    type_transitions matrix says what happens; this says what happens
+    that SHOULDN'T (purchase→click loops, view→purchase skips), the
+    replay-fitness readout a funnel redesign starts from.
+
+    One per-user lag window in (event-time, id) order builds the
+    transition stream; the allowed set is a broadcast literal relation.
+    Output per transition: (from_type, to_type, n, allowed,
+    share_of_violations_milli) — share over violating transitions only
+    (0 for allowed rows).
+
+    Scale shape: one user-keyed lag window, bounded (from, to) rollup
+    with a window over the ≤|types|² panel."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        events.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.lag("event_type").over(w).alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .where(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    allowed_rows = ", ".join(
+        f"('{a}', '{b}')" for a, b in CONFORMANT_TRANSITIONS
+    )
+    flagged = trans.withColumn(
+        "allowed",
+        F.expr(
+            f"CAST((from_type, to_type) IN ({allowed_rows}) AS INT)"
+        ),
+    )
+    return flagged.select(
+        "from_type",
+        "to_type",
+        "n",
+        "allowed",
+        F.expr(
+            "CASE WHEN allowed = 0 THEN CAST(1000 * n DIV"
+            " (SUM(CASE WHEN allowed = 0 THEN n ELSE 0 END) OVER ())"
+            " AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        ).alias("violation_share_milli"),
+    ).orderBy("from_type", "to_type")
+
+
+def process_conformance_sql() -> str:
+    allowed_rows = ", ".join(
+        f"('{a}', '{b}')" for a, b in CONFORMANT_TRANSITIONS
+    )
+    return f"""
+        WITH trans AS (
+            SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+            FROM (
+                SELECT LAG(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS from_type,
+                       event_type AS to_type
+                FROM events
+            )
+            WHERE from_type IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        flagged AS (
+            SELECT from_type, to_type, n,
+                   CAST((from_type, to_type) IN ({allowed_rows}) AS INT)
+                       AS allowed
+            FROM trans
+        )
+        SELECT from_type, to_type, n, allowed,
+               CASE WHEN allowed = 0 THEN
+                    CAST(1000 * n // (SUM(CASE WHEN allowed = 0 THEN n
+                                          ELSE 0 END) OVER ()) AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END AS violation_share_milli
+        FROM flagged
+        ORDER BY from_type, to_type
+    """

@@ -4083,3 +4083,240 @@ RETURNS_BY_DISCOUNT_SQL = """
     GROUP BY discount_band
     ORDER BY discount_band
 """
+
+
+# --- CUBE revenue -------------------------------------------------------------------
+
+
+def cube_revenue(lineitem: DataFrame) -> DataFrame:
+    """Full CUBE over (returnflag, linestatus): all four granularities
+    — detail, each single-dimension margin, and the grand total — in
+    one Expand + single-shuffle aggregate. Completes the multi-grain
+    trio next to ROLLUP (hierarchical prefixes) and explicit GROUPING
+    SETS (arbitrary families): CUBE is the power-set case a pivoted BI
+    dashboard's margin row AND column need at once.
+
+    Revenue stays exact: cents BIGINTs per the house convention;
+    ``grouping_id`` disambiguates subtotal rows from genuine values.
+
+    Scale shape: one fact scan, one Expand (×4), one hash aggregate on
+    the tiny key domain."""
+    base = lineitem.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.expr(
+            "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"
+        ).alias("cents"),
+    )
+    return (
+        base.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.sum("cents").cast("long").alias("rev_cents"),
+            F.count("*").cast("long").alias("n_lines"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "gid",
+            "rev_cents",
+            "n_lines",
+        )
+        .orderBy("gid", "returnflag", "linestatus")
+    )
+
+
+CUBE_REVENUE_SQL = """
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+           CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS rev_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY gid, returnflag, linestatus
+"""
+
+
+# --- variance decomposition ---------------------------------------------------------
+
+
+def variance_decomposition(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """One-way variance decomposition of monthly revenue by brand: how
+    much of month-to-month revenue variance is BETWEEN brands (mix)
+    vs WITHIN brands (volatility) — the exact-integer eta² that says
+    whether revenue risk is concentration or noise.
+
+    Overflow discipline: cell values CENTER on the global mean first
+    (variance is translation-invariant), so every subsequent square is
+    a deviation² — small — instead of a corpus-total² that overflows
+    BIGINT (DuckDB raises on it; non-ANSI Spark would wrap silently,
+    which is exactly the class of bug this house rule exists to kill).
+    The center is a 1-row broadcast scalar. SS identity
+    SS_total = SS_between + SS_within holds by construction. Output one
+    row: (n_cells, n_brands, ss_between_dollars2, ss_within_dollars2,
+    eta_sq_milli).
+
+    Scale shape: one (brand, month) aggregate, a 1-row center scalar,
+    one brand rollup, 1-row combine."""
+    cells = (
+        lineitem.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            lineitem.l_partkey == part.p_partkey,
+        )
+        .groupBy("p_brand", F.date_trunc("month", "l_shipdate").alias("mth"))
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount)"
+                " * 100) AS BIGINT)) DIV 100 AS BIGINT)"
+            ).alias("d")
+        )
+    )
+    center = cells.agg(
+        F.expr("CAST(SUM(d) DIV COUNT(*) AS BIGINT)").alias("c")
+    )
+    centered = cells.crossJoin(F.broadcast(center)).select(
+        "p_brand", (F.col("d") - F.col("c")).alias("d")
+    )
+    per_brand = centered.groupBy("p_brand").agg(
+        F.count("*").alias("ng"),
+        F.sum("d").alias("sg"),
+        F.sum(F.col("d") * F.col("d")).alias("sqg"),
+    )
+    totals = per_brand.agg(
+        F.sum("ng").alias("n"),
+        F.sum("sg").alias("s"),
+        F.sum("sqg").alias("sq"),
+        F.count("*").cast("long").alias("n_brands"),
+        F.sum(
+            F.expr("CAST((2 * sg * sg + ng) DIV (2 * ng) AS BIGINT)")
+        ).alias("sb_raw"),
+    )
+    return totals.select(
+        F.col("n").cast("long").alias("n_cells"),
+        "n_brands",
+        F.expr(
+            "CAST(sb_raw - (2 * s * s + n) DIV (2 * n) AS BIGINT)"
+        ).alias("ss_between_dollars2"),
+        F.expr("CAST(sq - sb_raw AS BIGINT)").alias("ss_within_dollars2"),
+        F.expr(
+            "CASE WHEN sq - (2 * s * s + n) DIV (2 * n) > 0 THEN"
+            " CAST(1000 * (sb_raw - (2 * s * s + n) DIV (2 * n))"
+            " DIV (sq - (2 * s * s + n) DIV (2 * n)) AS BIGINT)"
+            " ELSE CAST(0 AS BIGINT) END"
+        ).alias("eta_sq_milli"),
+    )
+
+
+VARIANCE_DECOMPOSITION_SQL = """
+    WITH cells AS (
+        SELECT p.p_brand, date_trunc('month', l.l_shipdate) AS mth,
+               CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                   * 100) AS BIGINT)) // 100 AS BIGINT) AS d
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1, 2
+    ),
+    center AS (SELECT CAST(SUM(d) // COUNT(*) AS BIGINT) AS c FROM cells),
+    centered AS (
+        SELECT p_brand, CAST(d - c AS BIGINT) AS d
+        FROM cells CROSS JOIN center
+    ),
+    per_brand AS (
+        SELECT p_brand,
+               CAST(COUNT(*) AS BIGINT) AS ng,
+               CAST(SUM(d) AS BIGINT) AS sg,
+               CAST(SUM(d * d) AS BIGINT) AS sqg
+        FROM centered GROUP BY p_brand
+    ),
+    totals AS (
+        SELECT CAST(SUM(ng) AS BIGINT) AS n,
+               CAST(SUM(sg) AS BIGINT) AS s,
+               CAST(SUM(sqg) AS BIGINT) AS sq,
+               CAST(COUNT(*) AS BIGINT) AS n_brands,
+               CAST(SUM((2 * sg * sg + ng) // (2 * ng)) AS BIGINT) AS sb_raw
+        FROM per_brand
+    )
+    SELECT n AS n_cells, n_brands,
+           CAST(sb_raw - (2 * s * s + n) // (2 * n) AS BIGINT)
+               AS ss_between_dollars2,
+           CAST(sq - sb_raw AS BIGINT) AS ss_within_dollars2,
+           CASE WHEN sq - (2 * s * s + n) // (2 * n) > 0 THEN
+                CAST(1000 * (sb_raw - (2 * s * s + n) // (2 * n))
+                     // (sq - (2 * s * s + n) // (2 * n)) AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS eta_sq_milli
+    FROM totals
+"""
+
+
+# --- Lorenz curve points ------------------------------------------------------------
+
+
+def lorenz_points(orders: DataFrame) -> DataFrame:
+    """Lorenz curve of customer spend at decile points — the plottable
+    curve behind the one-number Gini (segment_spend_gini): cumulative
+    revenue share held by the bottom d deciles of customers. The
+    "bottom 50% of customers hold 9% of revenue" readout.
+
+    Deciles are exact rank arithmetic over per-customer spend
+    ascending (ties by custkey); shares are exact milli of cents sums.
+    Output per decile d ∈ 0..9: (decile, n_customers, decile_cents,
+    cum_share_milli).
+
+    Scale shape: one custkey aggregate, one rank window over the
+    customer grain, bounded decile rollup + cumulative window over 10
+    rows."""
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias(
+            "cents"
+        )
+    )
+    ranked = spend.select(
+        "cents",
+        F.expr(
+            "CAST(10 * (CAST(row_number() OVER (ORDER BY cents, o_custkey)"
+            " AS BIGINT) - 1) DIV count(*) OVER () AS BIGINT)"
+        ).alias("decile"),
+    )
+    panel = ranked.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum("cents").cast("long").alias("decile_cents"),
+    )
+    return panel.select(
+        "decile",
+        "n_customers",
+        "decile_cents",
+        F.expr(
+            "CAST(1000 * SUM(decile_cents) OVER (ORDER BY decile"
+            " ROWS UNBOUNDED PRECEDING)"
+            " DIV SUM(decile_cents) OVER () AS BIGINT)"
+        ).alias("cum_share_milli"),
+    ).orderBy("decile")
+
+
+LORENZ_POINTS_SQL = """
+    WITH spend AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT cents,
+               CAST(10 * (row_number() OVER (ORDER BY cents, o_custkey) - 1)
+                    // COUNT(*) OVER () AS BIGINT) AS decile
+        FROM spend
+    ),
+    panel AS (
+        SELECT decile,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(cents) AS BIGINT) AS decile_cents
+        FROM ranked GROUP BY decile
+    )
+    SELECT decile, n_customers, decile_cents,
+           CAST(1000 * SUM(decile_cents) OVER (ORDER BY decile
+                    ROWS UNBOUNDED PRECEDING)
+                // SUM(decile_cents) OVER () AS BIGINT) AS cum_share_milli
+    FROM panel
+    ORDER BY decile
+"""

@@ -2845,3 +2845,91 @@ def test_returns_by_discount_bands(spark):
     assert (rows["00"].n_lines, rows["00"].n_returned, rows["00"].return_milli) == (2, 1, 500)
     assert rows["06+"].n_returned == 1
     assert rows["06+"].returned_rev_cents == 9000
+
+
+# --- CUBE revenue (L-332) --------------------------------------------------------------
+
+
+def test_cube_revenue_margins(spark):
+    li = spark.createDataFrame(
+        [
+            (1, 1, 1, 1.0, 100.0, 0.0, dt.datetime(2024, 1, 1), "R", "F"),
+            (2, 1, 1, 1.0, 200.0, 0.0, dt.datetime(2024, 1, 2), "N", "O"),
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_quantity double, "
+        "l_extendedprice double, l_discount double, l_shipdate timestamp,"
+        " l_returnflag string, l_linestatus string",
+    )
+    rows = {(r.returnflag, r.linestatus): r for r in warehouse.cube_revenue(li).collect()}
+    assert rows[("ALL", "ALL")].rev_cents == 30000
+    assert rows[("R", "ALL")].rev_cents == 10000
+    assert rows[("ALL", "O")].rev_cents == 20000
+    assert rows[("R", "F")].gid == 0 and rows[("ALL", "ALL")].gid == 3
+
+
+# --- variance decomposition (L-333) --------------------------------------------------------
+
+
+def test_variance_decomposition_identity(spark):
+    part = spark.createDataFrame(
+        [(1, "n", "B1", "S", 1, 1.0), (2, "n", "B2", "S", 1, 1.0)],
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    )
+    # B1 months: $100, $100 (no within variance); B2: $300, $300
+    li = spark.createDataFrame(
+        [
+            (1, 1, 1, 1.0, 10000.0, 0.0, dt.datetime(2024, 1, 1)),
+            (2, 1, 1, 1.0, 10000.0, 0.0, dt.datetime(2024, 2, 1)),
+            (3, 2, 1, 1.0, 30000.0, 0.0, dt.datetime(2024, 1, 1)),
+            (4, 2, 1, 1.0, 30000.0, 0.0, dt.datetime(2024, 2, 1)),
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_quantity double, "
+        "l_extendedprice double, l_discount double, l_shipdate timestamp",
+    )
+    r = warehouse.variance_decomposition(li, part).collect()[0]
+    # deviations ±10000 dollars -> SS_between = 4e8, SS_within = 0
+    assert (r.n_cells, r.n_brands) == (4, 2)
+    assert r.ss_within_dollars2 == 0
+    assert r.ss_between_dollars2 == 4 * 10000 * 10000
+    assert r.eta_sq_milli == 1000
+
+
+# --- Lorenz points (L-334) ------------------------------------------------------------------
+
+
+def test_lorenz_points_cumulative_shares(spark):
+    orders = spark.createDataFrame(
+        [(i, i, "F", float(100 * i), dt.datetime(2024, 1, 1), "3-M")
+         for i in range(1, 11)],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    rows = [r for r in warehouse.lorenz_points(orders).collect()]
+    assert len(rows) == 10
+    assert rows[-1].cum_share_milli == 1000
+    shares = [r.cum_share_milli for r in rows]
+    assert shares == sorted(shares)
+    # bottom decile = customer 1: 100/5500
+    assert rows[0].cum_share_milli == 1000 * 100 * 100 // 550000
+
+
+# --- process conformance (L-335) -------------------------------------------------------------
+
+
+def test_process_conformance_flags_violations(spark):
+    from pagila_etl_airflow_assignment_spark.operators import sequences
+
+    ev = _events(
+        spark,
+        [
+            (1, _ts(1, 1), 1, "view", 0.0),
+            (2, _ts(1, 2), 1, "click", 0.0),     # view->click allowed
+            (3, _ts(1, 3), 1, "purchase", 0.0),  # click->purchase allowed
+            (4, _ts(1, 4), 1, "purchase", 0.0),  # purchase->purchase VIOLATION
+        ],
+    )
+    rows = {(r.from_type, r.to_type): r for r in sequences.process_conformance(ev).collect()}
+    assert rows[("view", "click")].allowed == 1
+    v = rows[("purchase", "purchase")]
+    assert v.allowed == 0 and v.violation_share_milli == 1000

@@ -159,6 +159,8 @@ ALLOWED: dict[str, set[str]] = {
     "sampling_class_balance": {"BroadcastNestedLoopJoin"},
     # broadcast 1-row argmax incident-day scalar
     "events_incident_impact": {"BroadcastNestedLoopJoin"},
+    # broadcast 1-row global-mean center scalar (overflow discipline)
+    "warehouse_variance_decomposition": {"BroadcastNestedLoopJoin"},
     # Python UDTF: BatchEvalPython IS the UDTF execution node in Spark 4 —
     # this query exists to pin the UDTF boundary, not to avoid it
     "text_sentence_split_udtf": {"BatchEvalPython"},

@@ -297,6 +297,10 @@ PROBES = [
     "sampling_training_manifest",
     "vocab_token_yield",
     "warehouse_returns_by_discount",
+    "warehouse_cube_revenue",
+    "warehouse_variance_decomposition",
+    "warehouse_lorenz_points",
+    "events_process_conformance",
 ]
 
 
