@@ -2787,3 +2787,68 @@ def threshold_sweep_sql(
         FROM pairs_panel JOIN docs_panel USING (threshold_milli)
         ORDER BY threshold_milli
     """
+
+
+# --- normalization-impact audit -----------------------------------------------------
+
+
+def normalization_impact(docs: DataFrame) -> DataFrame:
+    """How much duplicate mass does TEXT NORMALIZATION unlock? Exact-dup
+    doc counts under the raw-bytes hash vs the normalized hash, per
+    source — the evidence for (or against) the normalizer every
+    fingerprint in this engine shares: a big uplift means near-misses
+    (case, whitespace) dominate and normalization pays; zero uplift
+    means dups are byte-exact and the normalizer only costs CPU.
+
+    Output per source: (source, n_docs, raw_dup_docs, norm_dup_docs,
+    uplift_docs). Exact counts; a doc is a "dup doc" when it is not the
+    first occurrence of its hash.
+
+    Scale shape: two fingerprint windows (one per hash), one source
+    rollup — both single-key shuffles on 16-byte hashes."""
+    raw_w = Window.partitionBy(F.md5(F.col("text")))
+    norm_w = Window.partitionBy(F.md5(_norm(F.col("text"))))
+    graded = docs.select(
+        "doc_id",
+        "source",
+        (F.col("doc_id") != F.min("doc_id").over(raw_w)).cast("long").alias(
+            "raw_dup"
+        ),
+        (F.col("doc_id") != F.min("doc_id").over(norm_w)).cast("long").alias(
+            "norm_dup"
+        ),
+    )
+    return (
+        graded.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("raw_dup").cast("long").alias("raw_dup_docs"),
+            F.sum("norm_dup").cast("long").alias("norm_dup_docs"),
+        )
+        .withColumn(
+            "uplift_docs",
+            (F.col("norm_dup_docs") - F.col("raw_dup_docs")).cast("long"),
+        )
+        .orderBy("source")
+    )
+
+
+NORMALIZATION_IMPACT_SQL = f"""
+    WITH graded AS (
+        SELECT source,
+               CAST(doc_id <> MIN(doc_id) OVER (
+                   PARTITION BY md5(text)) AS BIGINT) AS raw_dup,
+               CAST(doc_id <> MIN(doc_id) OVER (
+                   PARTITION BY md5({_norm_sql('text')})) AS BIGINT)
+                   AS norm_dup
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(raw_dup) AS BIGINT) AS raw_dup_docs,
+           CAST(SUM(norm_dup) AS BIGINT) AS norm_dup_docs,
+           CAST(SUM(norm_dup) - SUM(raw_dup) AS BIGINT) AS uplift_docs
+    FROM graded
+    GROUP BY source
+    ORDER BY source
+"""

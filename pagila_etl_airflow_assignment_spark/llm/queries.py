@@ -1148,3 +1148,12 @@ def q_token_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Effective token yield per source after exact dedup — what
     mixture budgeting actually spends."""
     return corpus_stats.token_yield(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_normalization_impact", oracle=dedup.NORMALIZATION_IMPACT_SQL
+)
+def q_normalization_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-hash vs normalized-hash duplicate counts per source — the
+    normalizer's measured uplift."""
+    return dedup.normalization_impact(load_table(spark, sf_dir, "documents"))

@@ -2157,3 +2157,29 @@ def q_process_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Process-mining conformance: observed transitions vs the declared
     model, violation shares in exact milli."""
     return sequences.process_conformance(load_table(spark, sf_dir, "events"))
+
+
+@register("warehouse_tax_profile", oracle=warehouse.TAX_PROFILE_SQL)
+def q_tax_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective tax-rate audit per return flag, exact cents/milli."""
+    return warehouse.tax_profile(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "warehouse_price_consistency", oracle=warehouse.PRICE_CONSISTENCY_SQL
+)
+def q_price_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-price consistency audit: top spread offenders per part."""
+    return warehouse.price_consistency(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "warehouse_moving_annual_total",
+    oracle=warehouse.MOVING_ANNUAL_TOTAL_SQL,
+)
+def q_moving_annual_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-12-month revenue per brand via a RANGE window over the
+    integer month index."""
+    return warehouse.moving_annual_total(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )

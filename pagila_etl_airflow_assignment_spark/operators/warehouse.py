@@ -4320,3 +4320,227 @@ LORENZ_POINTS_SQL = """
     FROM panel
     ORDER BY decile
 """
+
+
+# --- effective tax profile ----------------------------------------------------------
+
+
+def tax_profile(lineitem: DataFrame) -> DataFrame:
+    """Effective tax-rate audit per return flag: nominal l_tax is a
+    per-line rate, but the EFFECTIVE rate on net revenue is what the
+    ledger reconciles — mix shifts move it even when nominal rates
+    don't. Per flag: net revenue, tax collected, effective rate (milli)
+    and the min/max nominal rate observed (milli) to bound the mix.
+
+    Tax cents per line follow the house rounding (net · tax, rounded
+    once). Exact integers.
+
+    Scale shape: one narrow projection + bounded flag rollup."""
+    graded = lineitem.select(
+        "l_returnflag",
+        F.expr(
+            "CAST(round(l_extendedprice * (1 - l_discount) * 100)"
+            " AS BIGINT)"
+        ).alias("net_cents"),
+        F.expr(
+            "CAST(round(l_extendedprice * (1 - l_discount) * l_tax * 100)"
+            " AS BIGINT)"
+        ).alias("tax_cents"),
+        F.expr("CAST(round(l_tax * 1000) AS BIGINT)").alias("rate_milli"),
+    )
+    return (
+        graded.groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum("net_cents").cast("long").alias("net_cents"),
+            F.sum("tax_cents").cast("long").alias("tax_cents"),
+            F.min("rate_milli").cast("long").alias("min_rate_milli"),
+            F.max("rate_milli").cast("long").alias("max_rate_milli"),
+        )
+        .withColumn(
+            "effective_milli",
+            F.expr(
+                "CASE WHEN net_cents > 0 THEN"
+                " CAST(1000 * tax_cents DIV net_cents AS BIGINT)"
+                " ELSE CAST(0 AS BIGINT) END"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+TAX_PROFILE_SQL = """
+    WITH graded AS (
+        SELECT l_returnflag,
+               CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                    AS BIGINT) AS net_cents,
+               CAST(round(l_extendedprice * (1 - l_discount) * l_tax * 100)
+                    AS BIGINT) AS tax_cents,
+               CAST(round(l_tax * 1000) AS BIGINT) AS rate_milli
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(net_cents) AS BIGINT) AS net_cents,
+           CAST(SUM(tax_cents) AS BIGINT) AS tax_cents,
+           CAST(MIN(rate_milli) AS BIGINT) AS min_rate_milli,
+           CAST(MAX(rate_milli) AS BIGINT) AS max_rate_milli,
+           CASE WHEN SUM(net_cents) > 0 THEN
+                CAST(1000 * SUM(tax_cents) // SUM(net_cents) AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS effective_milli
+    FROM graded
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+"""
+
+
+# --- unit-price consistency ---------------------------------------------------------
+
+
+def price_consistency(lineitem: DataFrame) -> DataFrame:
+    """Unit-price consistency audit per part: the master-data check
+    that the same part doesn't sell at wildly different unit prices
+    (entry errors, unauthorized discounts, currency mix-ups). Unit
+    price is exact floor cents (line net DIV quantity); parts with more
+    than one distinct unit price report their spread.
+
+    Output: the top 100 offenders by relative spread —
+    (l_partkey, n_lines, n_prices, min_unit_cents, max_unit_cents,
+    spread_milli) with spread = (max−min)/min.
+
+    Scale shape: one part-keyed aggregate off the fact scan;
+    distributed top-k (TakeOrderedAndProject), never a global sort."""
+    units = lineitem.where(F.col("l_quantity") > 0).select(
+        "l_partkey",
+        F.expr(
+            "CAST(CAST(round(l_extendedprice * (1 - l_discount) * 100)"
+            " AS BIGINT) DIV CAST(l_quantity AS BIGINT) AS BIGINT)"
+        ).alias("unit_cents"),
+    )
+    return (
+        units.groupBy("l_partkey")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.count_distinct("unit_cents").cast("long").alias("n_prices"),
+            F.min("unit_cents").cast("long").alias("min_unit_cents"),
+            F.max("unit_cents").cast("long").alias("max_unit_cents"),
+        )
+        .where((F.col("n_prices") > 1) & (F.col("min_unit_cents") > 0))
+        .withColumn(
+            "spread_milli",
+            F.expr(
+                "CAST(1000 * (max_unit_cents - min_unit_cents)"
+                " DIV min_unit_cents AS BIGINT)"
+            ),
+        )
+        .orderBy(F.desc("spread_milli"), "l_partkey")
+        .limit(100)
+    )
+
+
+PRICE_CONSISTENCY_SQL = """
+    WITH units AS (
+        SELECT l_partkey,
+               CAST(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT) // CAST(l_quantity AS BIGINT) AS BIGINT)
+                   AS unit_cents
+        FROM lineitem WHERE l_quantity > 0
+    ),
+    panel AS (
+        SELECT l_partkey,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(COUNT(DISTINCT unit_cents) AS BIGINT) AS n_prices,
+               CAST(MIN(unit_cents) AS BIGINT) AS min_unit_cents,
+               CAST(MAX(unit_cents) AS BIGINT) AS max_unit_cents
+        FROM units GROUP BY l_partkey
+    )
+    SELECT l_partkey, n_lines, n_prices, min_unit_cents, max_unit_cents,
+           CAST(1000 * (max_unit_cents - min_unit_cents) // min_unit_cents
+                AS BIGINT) AS spread_milli
+    FROM panel
+    WHERE n_prices > 1 AND min_unit_cents > 0
+    ORDER BY spread_milli DESC, l_partkey
+    LIMIT 100
+"""
+
+
+# --- moving annual total ------------------------------------------------------------
+
+MAT_MONTHS = 12
+
+
+def moving_annual_total(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Moving annual total (MAT) per brand: trailing-{MAT_MONTHS}-month
+    revenue at each month — the BI smoothing standard that removes
+    seasonality without a model, and the denominator share-of-market
+    trackers quote. RANGE window over the integer month index, so gaps
+    in a brand's months still get the right trailing span.
+
+    Output per (brand, month): (p_brand, month, rev_cents, mat_cents,
+    n_months_in_window). Exact cents.
+
+    Scale shape: one (brand, month) aggregate, one brand-partitioned
+    RANGE window over the bounded month panel."""
+    monthly = (
+        lineitem.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            lineitem.l_partkey == part.p_partkey,
+        )
+        .groupBy(
+            "p_brand", F.date_trunc("month", "l_shipdate").alias("mth")
+        )
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(round(l_extendedprice * (1 - l_discount) * 100)"
+                    " AS BIGINT)"
+                )
+            ).alias("rev_cents")
+        )
+        .select(
+            "p_brand",
+            F.col("mth").cast("date").alias("month"),
+            (F.year("mth") * 12 + F.month("mth")).alias("midx"),
+            "rev_cents",
+        )
+    )
+    w = (
+        Window.partitionBy("p_brand")
+        .orderBy("midx")
+        .rangeBetween(-(MAT_MONTHS - 1), 0)
+    )
+    return (
+        monthly.select(
+            "p_brand",
+            "month",
+            F.col("rev_cents").cast("long").alias("rev_cents"),
+            F.sum("rev_cents").over(w).cast("long").alias("mat_cents"),
+            F.count("*").over(w).cast("long").alias("n_months_in_window"),
+        )
+        .orderBy("p_brand", "month")
+    )
+
+
+MOVING_ANNUAL_TOTAL_SQL = f"""
+    WITH monthly AS (
+        SELECT p.p_brand,
+               CAST(date_trunc('month', l.l_shipdate) AS DATE) AS month,
+               year(date_trunc('month', l.l_shipdate)) * 12
+                 + month(date_trunc('month', l.l_shipdate)) AS midx,
+               CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                   * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1, 2, 3
+    )
+    SELECT p_brand, month, rev_cents,
+           CAST(SUM(rev_cents) OVER (
+               PARTITION BY p_brand ORDER BY midx
+               RANGE BETWEEN {MAT_MONTHS - 1} PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS mat_cents,
+           CAST(COUNT(*) OVER (
+               PARTITION BY p_brand ORDER BY midx
+               RANGE BETWEEN {MAT_MONTHS - 1} PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_months_in_window
+    FROM monthly
+    ORDER BY p_brand, month
+"""

@@ -2933,3 +2933,81 @@ def test_process_conformance_flags_violations(spark):
     assert rows[("view", "click")].allowed == 1
     v = rows[("purchase", "purchase")]
     assert v.allowed == 0 and v.violation_share_milli == 1000
+
+
+# --- tax profile (L-336) ---------------------------------------------------------------
+
+
+def test_tax_profile_effective_rate(spark):
+    li = spark.createDataFrame(
+        [
+            (1, 1, 1, 1.0, 100.0, 0.0, dt.datetime(2024, 1, 1), "N", 0.05),
+            (2, 1, 1, 1.0, 100.0, 0.0, dt.datetime(2024, 1, 1), "N", 0.07),
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_quantity double, "
+        "l_extendedprice double, l_discount double, l_shipdate timestamp,"
+        " l_returnflag string, l_tax double",
+    )
+    r = warehouse.tax_profile(li).collect()[0]
+    assert (r.net_cents, r.tax_cents) == (20000, 1200)
+    assert r.effective_milli == 60
+    assert (r.min_rate_milli, r.max_rate_milli) == (50, 70)
+
+
+# --- normalization impact (L-337) ----------------------------------------------------------
+
+
+def test_normalization_impact_uplift(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "Hello World", "en", "s0"),
+            (2, "hello   world", "en", "s0"),  # dup only after norm
+            (3, "same bytes", "en", "s0"),
+            (4, "same bytes", "en", "s0"),  # raw dup
+        ],
+    )
+    r = dedup.normalization_impact(docs).collect()[0]
+    assert (r.raw_dup_docs, r.norm_dup_docs, r.uplift_docs) == (1, 2, 1)
+
+
+# --- price consistency (L-338) ---------------------------------------------------------------
+
+
+def test_price_consistency_spread(spark):
+    li = spark.createDataFrame(
+        [
+            (1, 1, 1, 1.0, 100.0, 0.0, dt.datetime(2024, 1, 1)),
+            (2, 1, 1, 1.0, 150.0, 0.0, dt.datetime(2024, 1, 2)),
+            (3, 2, 1, 1.0, 100.0, 0.0, dt.datetime(2024, 1, 3)),
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_quantity double, "
+        "l_extendedprice double, l_discount double, l_shipdate timestamp",
+    )
+    rows = warehouse.price_consistency(li).collect()
+    assert len(rows) == 1  # part 2 is consistent
+    assert (rows[0].l_partkey, rows[0].n_prices, rows[0].spread_milli) == (1, 2, 500)
+
+
+# --- moving annual total (L-339) ----------------------------------------------------------------
+
+
+def test_moving_annual_total_trailing_range(spark):
+    part = spark.createDataFrame(
+        [(1, "n", "B1", "S", 1, 1.0)],
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    )
+    # 14 consecutive months of $100
+    li = spark.createDataFrame(
+        [(m, 1, 1, 1.0, 100.0, 0.0,
+          dt.datetime(2023 + (m - 1) // 12, (m - 1) % 12 + 1, 5))
+         for m in range(1, 15)],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_quantity double, "
+        "l_extendedprice double, l_discount double, l_shipdate timestamp",
+    )
+    rows = warehouse.moving_annual_total(li, part).collect()
+    assert rows[0].mat_cents == 10000 and rows[0].n_months_in_window == 1
+    assert rows[11].mat_cents == 120000 and rows[11].n_months_in_window == 12
+    # window slides: month 13 still spans 12 months
+    assert rows[13].mat_cents == 120000 and rows[13].n_months_in_window == 12

@@ -301,6 +301,10 @@ PROBES = [
     "warehouse_variance_decomposition",
     "warehouse_lorenz_points",
     "events_process_conformance",
+    "warehouse_tax_profile",
+    "dedup_normalization_impact",
+    "warehouse_price_consistency",
+    "warehouse_moving_annual_total",
 ]
 
 
