@@ -1157,3 +1157,19 @@ def q_normalization_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw-hash vs normalized-hash duplicate counts per source — the
     normalizer's measured uplift."""
     return dedup.normalization_impact(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "embedding_intrinsic_dimension", oracle=similarity.intrinsic_dimension_sql()
+)
+def q_intrinsic_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TwoNN intrinsic-dimension estimate over the adaptive mod-sample
+    — micro-nat quantized ratios, one integer division."""
+    return similarity.intrinsic_dimension(load_table(spark, sf_dir, "embeddings"))
+
+
+@register("text_encoding_profile", oracle=text.ENCODING_PROFILE_SQL)
+def q_encoding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UTF-8 bytes-per-char and multibyte density per language — the
+    mojibake / mislabeled-language ingest audit."""
+    return text.encoding_profile(load_table(spark, sf_dir, "documents"))

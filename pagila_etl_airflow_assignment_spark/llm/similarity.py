@@ -2144,3 +2144,122 @@ def ivf_balance_sql(n_centroids: int = IVF_CENTROIDS) -> str:
         GROUP BY a.list_id
         ORDER BY a.list_id
     """
+
+
+# --- intrinsic dimension (TwoNN) ----------------------------------------------------
+
+
+def intrinsic_dimension(embeddings: DataFrame) -> DataFrame:
+    """TwoNN intrinsic-dimension estimate (Facco et al. 2017, Sci.Rep.):
+    d ≈ n / Σ ln(r₂/r₁) over each point's two nearest-neighbor
+    distances — the honest answer to "how many of these 64 dimensions
+    are real?", which prices every downstream choice (PQ code size, JL
+    target dim, ANN list count). Estimated on the same adaptive
+    mod-sample as the kNN audits; distances are cosine (1 − cos),
+    rounded once to 6 dp so both engines rank and ratio identical values.
+
+    Cross-engine exactness: each point's ln(r₂/r₁) quantizes ONCE to
+    integer micro-nats (the entropy treatment) and the estimator is a
+    single integer-sum division. Points with r₁ = 0 (exact duplicates)
+    are excluded, as the estimator requires r₂ > r₁ > 0. Output one
+    row: (n_points, sum_lnratio_micro, id_milli).
+
+    Scale shape: the hubness exact-graph audit form — bounded sample,
+    ANN lists replace it at corpus scale."""
+    corpus = (
+        embeddings.crossJoin(F.broadcast(_hubness_mod(embeddings)))
+        .where(F.col("vec_id") % F.col("mod") == 0)
+        .select("vec_id", "embedding", _l2norm(F.col("embedding")).alias("nrm"))
+    )
+    right = corpus.select(
+        F.col("vec_id").alias("nbr_id"),
+        F.col("embedding").alias("n_emb"),
+        F.col("nrm").alias("n_nrm"),
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(right))
+        .where(F.col("vec_id") != F.col("nbr_id"))
+        .select(
+            "vec_id",
+            "nbr_id",
+            F.round(
+                F.lit(1.0)
+                - _dot(F.col("embedding"), F.col("n_emb"))
+                / (F.col("nrm") * F.col("n_nrm")),
+                6,
+            ).alias("dist"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("dist").asc(), F.col("nbr_id").asc()
+    )
+    two = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 2)
+        .groupBy("vec_id")
+        .agg(
+            F.min(F.when(F.col("rank") == 1, F.col("dist"))).alias("r1"),
+            F.min(F.when(F.col("rank") == 2, F.col("dist"))).alias("r2"),
+        )
+        .where((F.col("r1") > 0) & (F.col("r2") > F.col("r1")))
+        .select(
+            F.round(F.log(F.col("r2") / F.col("r1")) * 1e6)
+            .cast("long")
+            .alias("lnr_micro")
+        )
+    )
+    return two.agg(
+        F.count("*").cast("long").alias("n_points"),
+        F.sum("lnr_micro").cast("long").alias("sum_lnratio_micro"),
+    ).select(
+        "n_points",
+        "sum_lnratio_micro",
+        F.expr(
+            "CASE WHEN sum_lnratio_micro > 0 THEN"
+            " CAST(1000 * n_points * CAST(1000000 AS BIGINT)"
+            " DIV sum_lnratio_micro AS BIGINT)"
+            " ELSE CAST(0 AS BIGINT) END"
+        ).alias("id_milli"),
+    )
+
+
+def intrinsic_dimension_sql() -> str:
+    return f"""
+        WITH m AS ({HUBNESS_MOD_SQL}),
+        corpus AS (
+            SELECT vec_id, embedding FROM embeddings
+            WHERE vec_id % (SELECT mod FROM m) = 0
+        ),
+        scored AS (
+            SELECT a.vec_id, b.vec_id AS nbr_id,
+                   round(1.0 - list_cosine_similarity(
+                       a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+                       AS dist
+            FROM corpus a CROSS JOIN corpus b
+            WHERE a.vec_id <> b.vec_id
+        ),
+        two AS (
+            SELECT vec_id,
+                   MIN(CASE WHEN rank = 1 THEN dist END) AS r1,
+                   MIN(CASE WHEN rank = 2 THEN dist END) AS r2
+            FROM (
+                SELECT vec_id, dist,
+                       row_number() OVER (
+                           PARTITION BY vec_id ORDER BY dist ASC, nbr_id ASC
+                       ) AS rank
+                FROM scored
+            ) WHERE rank <= 2
+            GROUP BY vec_id
+        ),
+        quantized AS (
+            SELECT CAST(round(ln(r2 / r1) * 1e6) AS BIGINT) AS lnr_micro
+            FROM two WHERE r1 > 0 AND r2 > r1
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+               CAST(SUM(lnr_micro) AS BIGINT) AS sum_lnratio_micro,
+               CASE WHEN SUM(lnr_micro) > 0 THEN
+                    CAST(1000 * COUNT(*) * CAST(1000000 AS BIGINT)
+                         // SUM(lnr_micro) AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END AS id_milli
+        FROM quantized
+    """

@@ -1734,3 +1734,76 @@ def classifier_calibration_sql() -> str:
     FROM panel
     ORDER BY bin
     """
+
+
+# --- encoding profile ---------------------------------------------------------------
+
+
+def encoding_profile(docs: DataFrame) -> DataFrame:
+    """Byte-vs-character encoding audit per language: UTF-8 bytes per
+    character and the multibyte density — the ingest check that catches
+    mojibake (Latin text suddenly 2 bytes/char), mislabeled languages
+    (a "zh" source at 1.0 bytes/char), and the storage-cost input for
+    byte-budgeted shards. Output per lang: (lang, n_docs, chars, bytes,
+    bytes_per_char_milli, multibyte_milli).
+
+    Exact integers: bytes via octet_length of the UTF-8 encoding, the
+    two rates half-up milli.
+
+    Scale shape: narrow per-row projection + bounded lang rollup."""
+    graded = docs.select(
+        "lang",
+        F.length("text").cast("long").alias("chars"),
+        F.octet_length("text").cast("long").alias("bytes"),
+    )
+    return (
+        graded.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("chars").cast("long").alias("chars"),
+            F.sum("bytes").cast("long").alias("bytes"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "chars",
+            "bytes",
+            F.expr(
+                "CASE WHEN chars > 0 THEN"
+                " CAST((2000 * bytes + chars) DIV (2 * chars) AS BIGINT)"
+                " ELSE CAST(0 AS BIGINT) END"
+            ).alias("bytes_per_char_milli"),
+            F.expr(
+                "CASE WHEN chars > 0 THEN"
+                " CAST(1000 * (bytes - chars) DIV chars AS BIGINT)"
+                " ELSE CAST(0 AS BIGINT) END"
+            ).alias("multibyte_milli"),
+        )
+        .orderBy("lang")
+    )
+
+
+ENCODING_PROFILE_SQL = """
+    WITH graded AS (
+        SELECT lang,
+               CAST(length(text) AS BIGINT) AS chars,
+               CAST(octet_length(encode(text)) AS BIGINT) AS bytes
+        FROM documents
+    ),
+    panel AS (
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(chars) AS BIGINT) AS chars,
+               CAST(SUM(bytes) AS BIGINT) AS bytes
+        FROM graded GROUP BY lang
+    )
+    SELECT lang, n_docs, chars, bytes,
+           CASE WHEN chars > 0 THEN
+                CAST((2000 * bytes + chars) // (2 * chars) AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS bytes_per_char_milli,
+           CASE WHEN chars > 0 THEN
+                CAST(1000 * (bytes - chars) // chars AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS multibyte_milli
+    FROM panel
+    ORDER BY lang
+"""

@@ -2263,3 +2263,82 @@ def local_clustering_sql(
         GROUP BY 1
         ORDER BY 1
     """
+
+
+# --- support-threshold sweep --------------------------------------------------------
+
+SUPPORT_SWEEP = (1, 2, 3, 5)
+
+
+def support_sweep(lineitem: DataFrame, max_basket: int = 30) -> DataFrame:
+    """Support-threshold tuning curve for the co-purchase graph: edge
+    and node counts at each candidate ``min_support`` {SUPPORT_SWEEP} —
+    the knob every graph operator here inherits (TRI_MIN_SUPPORT),
+    picked from the survival curve instead of folklore (too low keeps
+    one-off coincidences; too high disconnects the graph). The graph
+    twin of dedup_threshold_sweep.
+
+    One pair aggregation; the grid is a constant explode over the
+    REDUCED edge-support relation. Output per threshold:
+    (min_support, n_edges, n_nodes).
+
+    Scale shape: identical to the edge build every graph op shares,
+    plus a ≤4-element explode on the edge relation."""
+    edges = (
+        _oriented_pair_rel(lineitem, max_basket)
+        .groupBy(F.col("part_a").alias("u"), F.col("part_b").alias("v"))
+        .agg(F.count("*").alias("support"))
+    )
+    grid = F.array(*[F.lit(s) for s in SUPPORT_SWEEP])
+    graded = edges.select(
+        "u", "v", "support", F.explode(grid).alias("min_support")
+    ).where(F.col("support") >= F.col("min_support"))
+    e_panel = graded.groupBy(
+        F.col("min_support").cast("long").alias("min_support")
+    ).agg(F.count("*").cast("long").alias("n_edges"))
+    n_panel = (
+        graded.select("min_support", F.explode(F.array("u", "v")).alias("nd"))
+        .groupBy(F.col("min_support").cast("long").alias("min_support"))
+        .agg(F.count_distinct("nd").cast("long").alias("n_nodes"))
+    )
+    return e_panel.join(n_panel, "min_support").orderBy("min_support")
+
+
+def support_sweep_sql(max_basket: int = 30) -> str:
+    grid = ", ".join(str(s) for s in SUPPORT_SWEEP)
+    return f"""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), small AS (
+            SELECT l_orderkey FROM items
+            GROUP BY l_orderkey HAVING COUNT(*) <= {max_basket}
+        ), basket AS (
+            SELECT i.l_orderkey, i.l_partkey FROM items i
+            JOIN small USING (l_orderkey)
+        ), edges AS (
+            SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS support
+            FROM basket a JOIN basket b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+        ),
+        grid AS (SELECT unnest([{grid}]) AS min_support),
+        graded AS (
+            SELECT e.u, e.v, g.min_support
+            FROM edges e CROSS JOIN grid g
+            WHERE e.support >= g.min_support
+        ),
+        e_panel AS (
+            SELECT CAST(min_support AS BIGINT) AS min_support,
+                   CAST(COUNT(*) AS BIGINT) AS n_edges
+            FROM graded GROUP BY 1
+        ),
+        n_panel AS (
+            SELECT CAST(min_support AS BIGINT) AS min_support,
+                   CAST(COUNT(DISTINCT nd) AS BIGINT) AS n_nodes
+            FROM (SELECT min_support, unnest([u, v]) AS nd FROM graded)
+            GROUP BY 1
+        )
+        SELECT min_support, n_edges, n_nodes
+        FROM e_panel JOIN n_panel USING (min_support)
+        ORDER BY min_support
+    """

@@ -2183,3 +2183,17 @@ def q_moving_annual_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     return warehouse.moving_annual_total(
         load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
     )
+
+
+@register("graph_support_sweep", oracle=graph.support_sweep_sql())
+def q_support_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Support-threshold survival curve for the co-purchase graph:
+    edges and nodes per candidate min_support."""
+    return graph.support_sweep(load_table(spark, sf_dir, "lineitem"))
+
+
+@register("warehouse_fiscal_445", oracle=warehouse.FISCAL_445_REVENUE_SQL)
+def q_fiscal_445(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue on the retail 4-4-5 fiscal calendar — pure integer week
+    arithmetic, no date table."""
+    return warehouse.fiscal_445_revenue(load_table(spark, sf_dir, "lineitem"))

@@ -4544,3 +4544,82 @@ MOVING_ANNUAL_TOTAL_SQL = f"""
     FROM monthly
     ORDER BY p_brand, month
 """
+
+
+# --- 4-4-5 fiscal calendar ----------------------------------------------------------
+
+FISCAL_EPOCH = "1994-12-26"  # Monday before the earliest shipdate:
+# every datediff is non-negative, so trunc-DIV (Spark) == floor-// (DuckDB)
+
+
+def fiscal_445_revenue(lineitem: DataFrame) -> DataFrame:
+    """Revenue on the retail 4-4-5 fiscal calendar: 52-week fiscal
+    years of four 13-week quarters, each split 4+4+5 weeks — the
+    calendar merchandising actually plans on, where every period has
+    the same number of weekends and "month over month" is comparable by
+    construction (calendar months aren't: 28–31 days, 4–5 weekends).
+
+    Pure integer week arithmetic off a fixed Monday epoch: fiscal year
+    = week DIV 52, week-in-year = week MOD 52, quarter = wiy DIV 13,
+    period-in-quarter from the 4/8 cutoffs. No calendar UDF, no date
+    table — the same expression in both engines. Output per
+    (fiscal_year, fiscal_period): revenue, lines, weeks observed.
+
+    Scale shape: narrow projection + bounded (year, period) rollup."""
+    wk = F.expr(
+        f"CAST(datediff(CAST(l_shipdate AS DATE), DATE '{FISCAL_EPOCH}')"
+        " AS BIGINT) DIV 7"
+    )
+    graded = lineitem.select(
+        F.expr(
+            "CAST(round(l_extendedprice * (1 - l_discount) * 100)"
+            " AS BIGINT)"
+        ).alias("cents"),
+        wk.alias("wk"),
+    ).select(
+        "cents",
+        "wk",
+        F.expr("CAST(wk DIV 52 AS BIGINT)").alias("fiscal_year"),
+        F.expr(
+            "CAST(3 * ((wk % 52) DIV 13)"
+            " + CASE WHEN (wk % 52) % 13 < 4 THEN 0"
+            "        WHEN (wk % 52) % 13 < 8 THEN 1 ELSE 2 END + 1"
+            " AS BIGINT)"
+        ).alias("fiscal_period"),
+    )
+    return (
+        graded.groupBy("fiscal_year", "fiscal_period")
+        .agg(
+            F.sum("cents").cast("long").alias("rev_cents"),
+            F.count("*").cast("long").alias("n_lines"),
+            F.count_distinct("wk").cast("long").alias("n_weeks"),
+        )
+        .orderBy("fiscal_year", "fiscal_period")
+    )
+
+
+FISCAL_445_REVENUE_SQL = f"""
+    WITH graded AS (
+        SELECT CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                    AS BIGINT) AS cents,
+               CAST(date_diff('day', DATE '{FISCAL_EPOCH}',
+                              CAST(l_shipdate AS DATE)) AS BIGINT) // 7 AS wk
+        FROM lineitem
+    ),
+    mapped AS (
+        SELECT cents, wk,
+               CAST(wk // 52 AS BIGINT) AS fiscal_year,
+               CAST(3 * ((wk % 52) // 13)
+                    + CASE WHEN (wk % 52) % 13 < 4 THEN 0
+                           WHEN (wk % 52) % 13 < 8 THEN 1 ELSE 2 END + 1
+                    AS BIGINT) AS fiscal_period
+        FROM graded
+    )
+    SELECT fiscal_year, fiscal_period,
+           CAST(SUM(cents) AS BIGINT) AS rev_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(COUNT(DISTINCT wk) AS BIGINT) AS n_weeks
+    FROM mapped
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""

@@ -3011,3 +3011,77 @@ def test_moving_annual_total_trailing_range(spark):
     assert rows[11].mat_cents == 120000 and rows[11].n_months_in_window == 12
     # window slides: month 13 still spans 12 months
     assert rows[13].mat_cents == 120000 and rows[13].n_months_in_window == 12
+
+
+# --- support sweep (L-340) --------------------------------------------------------------
+
+
+def test_support_sweep_survival(spark):
+    from pagila_etl_airflow_assignment_spark.operators import graph
+
+    # pair (1,2) in two orders (support 2); pair (3,4) once
+    li = spark.createDataFrame(
+        [(10, 1, 1, 1.0, 1.0, 0.0, dt.datetime(2024, 1, 1)),
+         (10, 2, 1, 1.0, 1.0, 0.0, dt.datetime(2024, 1, 1)),
+         (11, 1, 1, 1.0, 1.0, 0.0, dt.datetime(2024, 1, 2)),
+         (11, 2, 1, 1.0, 1.0, 0.0, dt.datetime(2024, 1, 2)),
+         (12, 3, 1, 1.0, 1.0, 0.0, dt.datetime(2024, 1, 3)),
+         (12, 4, 1, 1.0, 1.0, 0.0, dt.datetime(2024, 1, 3))],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_quantity double, "
+        "l_extendedprice double, l_discount double, l_shipdate timestamp",
+    )
+    rows = {r.min_support: r for r in graph.support_sweep(li).collect()}
+    assert (rows[1].n_edges, rows[1].n_nodes) == (2, 4)
+    assert (rows[2].n_edges, rows[2].n_nodes) == (1, 2)
+    assert 3 not in rows or rows[3].n_edges == 0  # empty thresholds drop out
+
+
+# --- intrinsic dimension (L-341) ------------------------------------------------------------
+
+
+def test_intrinsic_dimension_positive(spark):
+    from pagila_etl_airflow_assignment_spark.llm import similarity
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 13) % 17), float((i * 5) % 11), 1.0], 0)
+         for i in range(40)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    r = similarity.intrinsic_dimension(emb).collect()[0]
+    assert r.n_points > 0 and r.sum_lnratio_micro > 0
+    assert r.id_milli > 0
+
+
+# --- encoding profile (L-342) -----------------------------------------------------------------
+
+
+def test_encoding_profile_multibyte(spark):
+    docs = spark.createDataFrame(
+        [(1, "abcd", "en", "s0", 4), (2, "日本語です", "ja", "s0", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    from pagila_etl_airflow_assignment_spark.llm import text as text_mod
+
+    rows = {r.lang: r for r in text_mod.encoding_profile(docs).collect()}
+    assert rows["en"].bytes_per_char_milli == 1000
+    assert rows["ja"].bytes == 15 and rows["ja"].bytes_per_char_milli == 3000
+    assert rows["ja"].multibyte_milli == 2000
+
+
+# --- fiscal 4-4-5 (L-343) -----------------------------------------------------------------------
+
+
+def test_fiscal_445_period_mapping(spark):
+    # week 0 starts 1994-12-26; 1995-01-25 is in week 4 -> period 2
+    li = spark.createDataFrame(
+        [(1, 1, 1, 1.0, 100.0, 0.0, dt.datetime(1994, 12, 27)),
+         (2, 1, 1, 1.0, 100.0, 0.0, dt.datetime(1995, 1, 25)),
+         (3, 1, 1, 1.0, 100.0, 0.0, dt.datetime(1995, 3, 1))],  # wk 9 -> P3
+        "l_orderkey long, l_partkey long, l_suppkey long, l_quantity double, "
+        "l_extendedprice double, l_discount double, l_shipdate timestamp",
+    )
+    rows = {(r.fiscal_year, r.fiscal_period): r
+            for r in warehouse.fiscal_445_revenue(li).collect()}
+    assert rows[(0, 1)].rev_cents == 10000
+    assert rows[(0, 2)].rev_cents == 10000
+    assert rows[(0, 3)].rev_cents == 10000

@@ -147,6 +147,8 @@ ALLOWED: dict[str, set[str]] = {
     "embedding_knn_hubness": {"BroadcastNestedLoopJoin"},
     # same adaptive mod-sample k-NN graph, label-purity readout
     "embedding_knn_purity": {"BroadcastNestedLoopJoin"},
+    # same adaptive mod-sample graph, TwoNN ratio readout
+    "embedding_intrinsic_dimension": {"BroadcastNestedLoopJoin"},
     # broadcast 1-row max-shipdate cutoff scalar (order-aging treatment)
     "warehouse_assortment_attrition": {"BroadcastNestedLoopJoin"},
     # broadcast 1-row basket-count scalar (lift denominator)

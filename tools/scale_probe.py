@@ -305,6 +305,10 @@ PROBES = [
     "dedup_normalization_impact",
     "warehouse_price_consistency",
     "warehouse_moving_annual_total",
+    "graph_support_sweep",
+    "embedding_intrinsic_dimension",
+    "text_encoding_profile",
+    "warehouse_fiscal_445",
 ]
 
 
