@@ -1896,3 +1896,86 @@ TOKEN_YIELD_SQL = f"""
     GROUP BY source
     ORDER BY source
 """
+
+
+# --- cross-language vocabulary overlap -------------------------------------------------
+
+
+def lang_overlap(docs: DataFrame) -> DataFrame:
+    """Cross-language vocabulary overlap: Jaccard of the distinct-token
+    vocabularies for every language pair — high overlap between two
+    supposedly-different languages is the smoking gun for lang-ID
+    errors, code-switching, or untranslated boilerplate leaking across
+    splits. Output per pair: (lang_a, lang_b, vocab_a, vocab_b,
+    n_shared, jaccard_milli).
+
+    The (lang, term) relation is the vocab grain (distinct, one
+    shuffle); the pair join is term-keyed between bounded-language
+    vocabularies, then one bounded pair rollup. Exact integers.
+
+    Scale shape: term-keyed equi-join (the term domain is the join
+    key, languages are data) — never a lang × lang Cartesian over
+    terms."""
+    # grams() keys by doc_id; re-attach lang via the docs projection
+    toks = grams(docs, 1).join(
+        F.broadcast(docs.select("doc_id", "lang")), "doc_id"
+    )
+    vocab = toks.select("lang", "gram").distinct()
+    margins = vocab.groupBy("lang").agg(F.count("*").alias("v"))
+    shared = (
+        vocab.alias("a")
+        .join(
+            vocab.alias("b"),
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.lang") < F.col("b.lang")),
+        )
+        .groupBy(
+            F.col("a.lang").alias("lang_a"), F.col("b.lang").alias("lang_b")
+        )
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    ma = margins.select(F.col("lang").alias("lang_a"), F.col("v").alias("vocab_a"))
+    mb = margins.select(F.col("lang").alias("lang_b"), F.col("v").alias("vocab_b"))
+    return (
+        shared.join(F.broadcast(ma), "lang_a")
+        .join(F.broadcast(mb), "lang_b")
+        .select(
+            "lang_a",
+            "lang_b",
+            F.col("vocab_a").cast("long").alias("vocab_a"),
+            F.col("vocab_b").cast("long").alias("vocab_b"),
+            "n_shared",
+            F.expr(
+                "CAST(1000 * n_shared DIV (vocab_a + vocab_b - n_shared)"
+                " AS BIGINT)"
+            ).alias("jaccard_milli"),
+        )
+        .orderBy("lang_a", "lang_b")
+    )
+
+
+LANG_OVERLAP_SQL = f"""
+    WITH toks AS ({grams_sql(1)}),
+    vocab AS (
+        SELECT DISTINCT d.lang, t.gram
+        FROM toks t JOIN documents d USING (doc_id)
+    ),
+    margins AS (SELECT lang, COUNT(*) AS v FROM vocab GROUP BY lang),
+    shared AS (
+        SELECT a.lang AS lang_a, b.lang AS lang_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM vocab a JOIN vocab b
+          ON a.gram = b.gram AND a.lang < b.lang
+        GROUP BY 1, 2
+    )
+    SELECT s.lang_a, s.lang_b,
+           CAST(ma.v AS BIGINT) AS vocab_a,
+           CAST(mb.v AS BIGINT) AS vocab_b,
+           s.n_shared,
+           CAST(1000 * s.n_shared // (ma.v + mb.v - s.n_shared) AS BIGINT)
+               AS jaccard_milli
+    FROM shared s
+    JOIN margins ma ON ma.lang = s.lang_a
+    JOIN margins mb ON mb.lang = s.lang_b
+    ORDER BY s.lang_a, s.lang_b
+"""

@@ -758,3 +758,65 @@ def aspect_buckets_sql() -> str:
         GROUP BY aspect_milli
         ORDER BY aspect_milli
     """
+
+
+# --- perceptual-hash threshold sweep --------------------------------------------------
+
+PHASH_SWEEP = (2, 6, 10, 14)
+
+
+def phash_sweep(docs: DataFrame) -> DataFrame:
+    """Hamming-radius tuning curve for perceptual-hash image dedup:
+    pair volume and affected payloads at each candidate radius
+    {PHASH_SWEEP} — the multimodal twin of dedup_threshold_sweep (too
+    tight misses re-encodes; too loose merges distinct creatives).
+
+    One banded candidate pass (the phash_pairs plan, bucket-capped);
+    the grid explodes over the verified pair relation only. Output per
+    radius: (max_hamming, n_pairs, n_payloads).
+
+    Scale shape: identical to phash_pairs plus a ≤4-element explode on
+    the REDUCED pair relation."""
+    pairs = phash_pairs(docs)
+    grid = F.array(*[F.lit(h) for h in PHASH_SWEEP])
+    graded = pairs.select(
+        "doc_a", "doc_b", "hamming", F.explode(grid).alias("max_hamming")
+    ).where(F.col("hamming") <= F.col("max_hamming"))
+    p_panel = graded.groupBy(
+        F.col("max_hamming").cast("long").alias("max_hamming")
+    ).agg(F.count("*").cast("long").alias("n_pairs"))
+    d_panel = (
+        graded.select(
+            "max_hamming", F.explode(F.array("doc_a", "doc_b")).alias("d")
+        )
+        .groupBy(F.col("max_hamming").cast("long").alias("max_hamming"))
+        .agg(F.count_distinct("d").cast("long").alias("n_payloads"))
+    )
+    return p_panel.join(d_panel, "max_hamming").orderBy("max_hamming")
+
+
+def phash_sweep_sql() -> str:
+    grid = ", ".join(str(h) for h in PHASH_SWEEP)
+    return f"""
+        WITH pairs AS ({phash_pairs_sql()}),
+        grid AS (SELECT unnest([{grid}]) AS max_hamming),
+        graded AS (
+            SELECT p.doc_a, p.doc_b, g.max_hamming
+            FROM pairs p CROSS JOIN grid g
+            WHERE p.hamming <= g.max_hamming
+        ),
+        p_panel AS (
+            SELECT CAST(max_hamming AS BIGINT) AS max_hamming,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM graded GROUP BY 1
+        ),
+        d_panel AS (
+            SELECT CAST(max_hamming AS BIGINT) AS max_hamming,
+                   CAST(COUNT(DISTINCT d) AS BIGINT) AS n_payloads
+            FROM (SELECT max_hamming, unnest([doc_a, doc_b]) AS d FROM graded)
+            GROUP BY 1
+        )
+        SELECT max_hamming, n_pairs, n_payloads
+        FROM p_panel JOIN d_panel USING (max_hamming)
+        ORDER BY max_hamming
+    """

@@ -1173,3 +1173,16 @@ def q_encoding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UTF-8 bytes-per-char and multibyte density per language — the
     mojibake / mislabeled-language ingest audit."""
     return text.encoding_profile(load_table(spark, sf_dir, "documents"))
+
+
+@register("multimodal_phash_sweep", oracle=multimodal.phash_sweep_sql())
+def q_phash_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-radius tuning curve for perceptual-hash dedup."""
+    return multimodal.phash_sweep(load_table(spark, sf_dir, "documents"))
+
+
+@register("vocab_lang_overlap", oracle=corpus_stats.LANG_OVERLAP_SQL)
+def q_lang_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-language vocabulary Jaccard — the lang-ID error and
+    boilerplate-leak detector."""
+    return corpus_stats.lang_overlap(load_table(spark, sf_dir, "documents"))

@@ -2197,3 +2197,16 @@ def q_fiscal_445(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue on the retail 4-4-5 fiscal calendar — pure integer week
     arithmetic, no date table."""
     return warehouse.fiscal_445_revenue(load_table(spark, sf_dir, "lineitem"))
+
+
+@register("events_aa_calibration", oracle=stats.aa_calibration_sql())
+def q_aa_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/A calibration drill: Welch t on the null md5 split — the
+    platform health check before trusting any real readout."""
+    return stats.aa_calibration(load_table(spark, sf_dir, "events"))
+
+
+@register("warehouse_dom_profile", oracle=warehouse.DOM_PROFILE_SQL)
+def q_dom_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-month revenue cadence: share per day-of-month."""
+    return warehouse.dom_profile(load_table(spark, sf_dir, "orders"))

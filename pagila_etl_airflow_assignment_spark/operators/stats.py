@@ -1904,3 +1904,74 @@ def srm_check_sql() -> str:
         FROM counts
         ORDER BY event_type
     """
+
+
+# --- A/A calibration drill -----------------------------------------------------------
+
+
+def aa_calibration(events: DataFrame) -> DataFrame:
+    """A/A calibration drill: run the Welch readout on a NULL split
+    (the md5 assignment hash, same as srm_check) where the true effect
+    is zero by construction — the experimentation-platform health check
+    that catches broken variance estimates, clustered users, or
+    assignment leakage BEFORE anyone trusts a real A/B readout. The
+    well-calibrated outcome is |t| small for every metric.
+
+    Same sufficient-statistics single pass as welch_ab_test; the
+    calibrated flag pins |t| < 3 (comfortably inside any sane null band
+    for these n). Output per type: (event_type, n_a, n_b, t_stat,
+    calibrated).
+
+    Scale shape: one conditional aggregate pass, bounded panel."""
+    from ..llm.hashing import md5_int
+
+    g = (md5_int(F.col("user_id").cast("string")) % 2 == 0).cast("int")
+    agg = events.groupBy("event_type").agg(
+        F.count(F.when(g == 1, F.col("value"))).alias("n_a"),
+        F.avg(F.when(g == 1, F.col("value"))).alias("m_a"),
+        F.var_samp(F.when(g == 1, F.col("value"))).alias("v_a"),
+        F.count(F.when(g == 0, F.col("value"))).alias("n_b"),
+        F.avg(F.when(g == 0, F.col("value"))).alias("m_b"),
+        F.var_samp(F.when(g == 0, F.col("value"))).alias("v_b"),
+    )
+    se2 = F.col("v_a") / F.col("n_a") + F.col("v_b") / F.col("n_b")
+    ok = (F.col("n_a") >= 2) & (F.col("n_b") >= 2) & (se2 > 0)
+    t = (F.col("m_a") - F.col("m_b")) / F.sqrt(se2)
+    return agg.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round(F.when(ok, t), 6).alias("t_stat"),
+        F.when(ok & (F.abs(t) < 3.0), 1).otherwise(0).cast("int").alias(
+            "calibrated"
+        ),
+    ).orderBy("event_type")
+
+
+def aa_calibration_sql() -> str:
+    from ..llm.hashing import md5_int_sql
+
+    g = f"CAST(({md5_int_sql('CAST(user_id AS VARCHAR)')} % 2) = 0 AS INT)"
+    return f"""
+        WITH agg AS (
+            SELECT event_type,
+                   COUNT(CASE WHEN {g} = 1 THEN value END) AS n_a,
+                   AVG(CASE WHEN {g} = 1 THEN value END) AS m_a,
+                   VAR_SAMP(CASE WHEN {g} = 1 THEN value END) AS v_a,
+                   COUNT(CASE WHEN {g} = 0 THEN value END) AS n_b,
+                   AVG(CASE WHEN {g} = 0 THEN value END) AS m_b,
+                   VAR_SAMP(CASE WHEN {g} = 0 THEN value END) AS v_b
+            FROM events GROUP BY event_type
+        )
+        SELECT event_type, n_a, n_b,
+               ROUND(CASE WHEN n_a >= 2 AND n_b >= 2
+                          AND v_a / n_a + v_b / n_b > 0
+                     THEN (m_a - m_b) / sqrt(v_a / n_a + v_b / n_b)
+                     END, 6) AS t_stat,
+               CAST(CASE WHEN n_a >= 2 AND n_b >= 2
+                         AND v_a / n_a + v_b / n_b > 0
+                         AND abs((m_a - m_b) / sqrt(v_a / n_a + v_b / n_b)) < 3.0
+                    THEN 1 ELSE 0 END AS INT) AS calibrated
+        FROM agg
+        ORDER BY event_type
+    """

@@ -4623,3 +4623,55 @@ FISCAL_445_REVENUE_SQL = f"""
     GROUP BY 1, 2
     ORDER BY 1, 2
 """
+
+
+# --- day-of-month profile -----------------------------------------------------------
+
+
+def dom_profile(orders: DataFrame) -> DataFrame:
+    """Intra-month revenue cadence: order count and revenue share per
+    day-of-month — the paycheck-cycle curve (spikes at the 1st/15th)
+    that staffing, promo timing, and anomaly baselines need; the DOW
+    ANOVA can't see it (weekday and day-of-month decorrelate over
+    months). Output per day 1..31: (dom, n_orders, rev_cents,
+    rev_share_milli).
+
+    Scale shape: narrow projection + bounded 31-row rollup; the share
+    divides by a window total over the panel."""
+    graded = orders.select(
+        F.dayofmonth("o_orderdate").cast("long").alias("dom"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    return (
+        graded.groupBy("dom")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("rev_cents"),
+        )
+        .select(
+            "dom",
+            "n_orders",
+            "rev_cents",
+            F.expr(
+                "CAST(1000 * rev_cents DIV (SUM(rev_cents) OVER ())"
+                " AS BIGINT)"
+            ).alias("rev_share_milli"),
+        )
+        .orderBy("dom")
+    )
+
+
+DOM_PROFILE_SQL = """
+    WITH panel AS (
+        SELECT CAST(dayofmonth(o_orderdate) AS BIGINT) AS dom,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS rev_cents
+        FROM orders GROUP BY 1
+    )
+    SELECT dom, n_orders, rev_cents,
+           CAST(1000 * rev_cents // (SUM(rev_cents) OVER ()) AS BIGINT)
+               AS rev_share_milli
+    FROM panel
+    ORDER BY dom
+"""

@@ -3085,3 +3085,70 @@ def test_fiscal_445_period_mapping(spark):
     assert rows[(0, 1)].rev_cents == 10000
     assert rows[(0, 2)].rev_cents == 10000
     assert rows[(0, 3)].rev_cents == 10000
+
+
+# --- phash sweep (L-344) --------------------------------------------------------------
+
+
+def test_phash_sweep_monotone(spark):
+    from pagila_etl_airflow_assignment_spark.llm import multimodal
+
+    docs = _docs(
+        spark,
+        [
+            (1, "aaaa bbbb cccc dddd eeee ffff gggg hhhh", "en", "s0"),
+            (2, "aaaa bbbb cccc dddd eeee ffff gggg hhhh", "en", "s0"),
+            (3, "zzzz yyyy xxxx wwww vvvv uuuu tttt ssss", "en", "s0"),
+        ],
+    )
+    rows = {r.max_hamming: r.n_pairs for r in multimodal.phash_sweep(docs).collect()}
+    if rows:  # identical docs collide at hamming 0 -> present at all radii
+        vals = [rows[k] for k in sorted(rows)]
+        assert vals == sorted(vals)  # monotone non-decreasing with radius
+
+
+# --- A/A calibration (L-345) ------------------------------------------------------------
+
+
+def test_aa_calibration_null_split_calibrated(spark):
+    from pagila_etl_airflow_assignment_spark.operators import stats
+
+    # same value distribution for everyone -> t ~ 0, calibrated
+    ev = _events(
+        spark,
+        [(i, _ts(1 + i % 20), i, "click", float(i % 7)) for i in range(400)],
+    )
+    r = stats.aa_calibration(ev).collect()[0]
+    assert r.calibrated == 1 and abs(r.t_stat) < 3
+
+
+# --- DOM profile (L-346) -----------------------------------------------------------------
+
+
+def test_dom_profile_shares(spark):
+    orders = spark.createDataFrame(
+        [(1, 1, "F", 100.0, dt.datetime(2024, 1, 1), "3-M"),
+         (2, 1, "F", 300.0, dt.datetime(2024, 1, 15), "3-M")],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    rows = {r.dom: r for r in warehouse.dom_profile(orders).collect()}
+    assert rows[1].rev_share_milli == 250
+    assert rows[15].rev_share_milli == 750
+
+
+# --- lang overlap (L-347) ---------------------------------------------------------------
+
+
+def test_lang_overlap_jaccard(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma", "en", "s0"),
+            (2, "alpha delta", "fr", "s0"),
+        ],
+    )
+    r = corpus_stats.lang_overlap(docs).collect()[0]
+    # vocab en={alpha,beta,gamma}, fr={alpha,delta}; shared=1, union=4
+    assert (r.lang_a, r.lang_b) == ("en", "fr")
+    assert (r.vocab_a, r.vocab_b, r.n_shared, r.jaccard_milli) == (3, 2, 1, 250)

@@ -309,6 +309,10 @@ PROBES = [
     "embedding_intrinsic_dimension",
     "text_encoding_profile",
     "warehouse_fiscal_445",
+    "multimodal_phash_sweep",
+    "events_aa_calibration",
+    "warehouse_dom_profile",
+    "vocab_lang_overlap",
 ]
 
 
