@@ -2852,3 +2852,74 @@ NORMALIZATION_IMPACT_SQL = f"""
     GROUP BY source
     ORDER BY source
 """
+
+
+# --- SimHash bit-balance audit ------------------------------------------------------
+
+
+def simhash_balance(docs: DataFrame) -> DataFrame:
+    """Hash-quality audit of the SimHash signatures this engine's
+    near-dup banding rides on: per bit position, the share of corpus
+    signatures with that bit set. A healthy signature sits near 500
+    milli everywhere; a skewed bit carries almost no information, so k
+    skewed bits silently shrink an n-bit signature to (n−k) effective
+    bits and inflate band collisions — the first thing to check when
+    LSH candidate volume looks wrong.
+
+    Output per bit 0..{SIMHASH_BITS}−1: (bit, ones, n_docs, ones_milli,
+    degenerate) with degenerate = outside the [200, 800] milli band.
+
+    Scale shape: one signature pass + a constant {SIMHASH_BITS}-element
+    explode, bounded bit rollup."""
+    sig = simhash_signatures(docs)
+    bits = F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))
+    graded = sig.select(
+        F.explode(bits).alias("bit"),
+        F.col("simhash"),
+    ).select(
+        "bit",
+        F.expr(
+            "CAST(shiftright(simhash, CAST(bit AS INT)) & 1 AS BIGINT)"
+        ).alias("b"),
+    )
+    return (
+        graded.groupBy(F.col("bit").cast("long").alias("bit"))
+        .agg(
+            F.sum("b").cast("long").alias("ones"),
+            F.count("*").cast("long").alias("n_docs"),
+        )
+        .withColumn(
+            "ones_milli",
+            F.expr("CAST(1000 * ones DIV n_docs AS BIGINT)"),
+        )
+        .withColumn(
+            "degenerate",
+            ((F.col("ones_milli") < 200) | (F.col("ones_milli") > 800))
+            .cast("int"),
+        )
+        .orderBy("bit")
+    )
+
+
+def simhash_balance_sql() -> str:
+    return f"""
+        WITH sig AS ({simhash_signatures_sql()}),
+        grid AS (SELECT unnest(generate_series(0, {SIMHASH_BITS - 1})) AS bit),
+        graded AS (
+            SELECT g.bit,
+                   CAST((s.simhash >> CAST(g.bit AS INT)) & 1 AS BIGINT) AS b
+            FROM sig s CROSS JOIN grid g
+        ),
+        panel AS (
+            SELECT CAST(bit AS BIGINT) AS bit,
+                   CAST(SUM(b) AS BIGINT) AS ones,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM graded GROUP BY bit
+        )
+        SELECT bit, ones, n_docs,
+               CAST(1000 * ones // n_docs AS BIGINT) AS ones_milli,
+               CAST(1000 * ones // n_docs < 200
+                    OR 1000 * ones // n_docs > 800 AS INT) AS degenerate
+        FROM panel
+        ORDER BY bit
+    """

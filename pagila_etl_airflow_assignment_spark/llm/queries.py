@@ -1186,3 +1186,10 @@ def q_lang_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-language vocabulary Jaccard — the lang-ID error and
     boilerplate-leak detector."""
     return corpus_stats.lang_overlap(load_table(spark, sf_dir, "documents"))
+
+
+@register("dedup_simhash_balance", oracle=dedup.simhash_balance_sql())
+def q_simhash_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bit SimHash balance audit — degenerate bits shrink the
+    effective signature and inflate band collisions."""
+    return dedup.simhash_balance(load_table(spark, sf_dir, "documents"))

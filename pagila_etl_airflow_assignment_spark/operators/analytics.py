@@ -1793,3 +1793,102 @@ INCIDENT_IMPACT_SQL = """
     GROUP BY e.event_type
     ORDER BY e.event_type
 """
+
+
+# --- metric-tree decomposition ------------------------------------------------------
+
+METRIC_SPLIT_DAY = 16  # period 0 = days 1-15, period 1 = days 16+
+
+
+def metric_decomposition(events: DataFrame) -> DataFrame:
+    """Metric-tree decomposition of total purchase value between two
+    periods: total = DAU × purchases/user × value/purchase, so
+    Δln(total) = Δln(users) + Δln(freq) + Δln(value) — the growth
+    readout that turns "revenue moved 12%" into WHICH lever moved it.
+    Periods split at day {METRIC_SPLIT_DAY} of the fixture month.
+
+    Exact integers: each factor's ln quantizes ONCE per period to
+    micro-nats (the entropy treatment); contributions are differences
+    of those BIGINTs and sum to the total's delta by construction of
+    the identity (up to the three independent roundings, ±3 micro).
+    Output one row: (users_delta_micro, freq_delta_micro,
+    value_delta_micro, total_delta_micro, residual_micro).
+
+    Scale shape: two conditional aggregates over the purchase scan,
+    1-row combine."""
+    p = events.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        (F.dayofmonth("ts") >= METRIC_SPLIT_DAY).cast("int").alias("period"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    agg = p.groupBy("period").agg(
+        F.count_distinct("user_id").alias("users"),
+        F.count("*").alias("n"),
+        F.sum("cents").alias("cents"),
+    )
+    micro = (
+        lambda c: F.round(F.log(c) * F.lit(1e6)).cast("long")  # noqa: E731
+    )
+    lns = agg.select(
+        "period",
+        micro(F.col("users")).alias("lu"),
+        micro(F.col("n") / F.col("users")).alias("lf"),
+        micro(F.col("cents") / F.col("n")).alias("lv"),
+        micro(F.col("cents")).alias("lt"),
+    )
+    p0 = lns.where(F.col("period") == 0).select(
+        F.col("lu").alias("lu0"), F.col("lf").alias("lf0"),
+        F.col("lv").alias("lv0"), F.col("lt").alias("lt0"),
+    )
+    p1 = lns.where(F.col("period") == 1).select(
+        F.col("lu").alias("lu1"), F.col("lf").alias("lf1"),
+        F.col("lv").alias("lv1"), F.col("lt").alias("lt1"),
+    )
+    return p0.crossJoin(F.broadcast(p1)).select(
+        (F.col("lu1") - F.col("lu0")).alias("users_delta_micro"),
+        (F.col("lf1") - F.col("lf0")).alias("freq_delta_micro"),
+        (F.col("lv1") - F.col("lv0")).alias("value_delta_micro"),
+        (F.col("lt1") - F.col("lt0")).alias("total_delta_micro"),
+        (
+            (F.col("lt1") - F.col("lt0"))
+            - (F.col("lu1") - F.col("lu0"))
+            - (F.col("lf1") - F.col("lf0"))
+            - (F.col("lv1") - F.col("lv0"))
+        ).alias("residual_micro"),
+    )
+
+
+METRIC_DECOMPOSITION_SQL = f"""
+    WITH p AS (
+        SELECT user_id,
+               CAST(dayofmonth(ts) >= {METRIC_SPLIT_DAY} AS INT) AS period,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    ),
+    agg AS (
+        SELECT period,
+               COUNT(DISTINCT user_id) AS users,
+               COUNT(*) AS n,
+               SUM(cents) AS cents
+        FROM p GROUP BY period
+    ),
+    lns AS (
+        SELECT period,
+               CAST(round(ln(users) * 1e6) AS BIGINT) AS lu,
+               CAST(round(ln(CAST(n AS DOUBLE) / users) * 1e6) AS BIGINT)
+                   AS lf,
+               CAST(round(ln(CAST(cents AS DOUBLE) / n) * 1e6) AS BIGINT)
+                   AS lv,
+               CAST(round(ln(cents) * 1e6) AS BIGINT) AS lt
+        FROM agg
+    )
+    SELECT CAST(p1.lu - p0.lu AS BIGINT) AS users_delta_micro,
+           CAST(p1.lf - p0.lf AS BIGINT) AS freq_delta_micro,
+           CAST(p1.lv - p0.lv AS BIGINT) AS value_delta_micro,
+           CAST(p1.lt - p0.lt AS BIGINT) AS total_delta_micro,
+           CAST((p1.lt - p0.lt) - (p1.lu - p0.lu)
+                - (p1.lf - p0.lf) - (p1.lv - p0.lv) AS BIGINT)
+               AS residual_micro
+    FROM (SELECT * FROM lns WHERE period = 0) p0
+    CROSS JOIN (SELECT * FROM lns WHERE period = 1) p1
+"""

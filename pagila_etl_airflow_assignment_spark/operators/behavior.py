@@ -674,3 +674,67 @@ TYPE_AFFINITY_SQL = """
     JOIN margins mb ON mb.event_type = p.type_b
     ORDER BY p.type_a, p.type_b
 """
+
+
+# --- value-by-tenure curve ----------------------------------------------------------
+
+
+def tenure_value_curve(events: DataFrame) -> DataFrame:
+    """Monetization-maturity curve: average purchase value as a
+    function of user TENURE (days since the user's first event) — do
+    users spend more as they mature, independent of calendar time? The
+    cohort-LTV readout re-based onto the tenure axis every lifecycle
+    model consumes.
+
+    One per-user min-ts window sets tenure; purchases bucket by tenure
+    week. Output per bucket: (tenure_week, n_purchases, n_users,
+    avg_value_cents) — half-up exact cents.
+
+    Scale shape: one user-keyed window over the event scan, bounded
+    tenure rollup."""
+    w = Window.partitionBy("user_id")
+    graded = (
+        events.withColumn("first_ts", F.min("ts").over(w))
+        .where(F.col("event_type") == "purchase")
+        .select(
+            (F.datediff(F.to_date("ts"), F.to_date("first_ts")) / 7)
+            .cast("long")
+            .alias("tenure_week"),
+            "user_id",
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+    )
+    return (
+        graded.groupBy("tenure_week")
+        .agg(
+            F.count("*").cast("long").alias("n_purchases"),
+            F.count_distinct("user_id").cast("long").alias("n_users"),
+            F.expr(
+                "CAST((2 * SUM(cents) + COUNT(*)) DIV (2 * COUNT(*))"
+                " AS BIGINT)"
+            ).alias("avg_value_cents"),
+        )
+        .orderBy("tenure_week")
+    )
+
+
+TENURE_VALUE_CURVE_SQL = """
+    WITH graded AS (
+        SELECT date_diff('day',
+                   CAST(MIN(ts) OVER (PARTITION BY user_id) AS DATE),
+                   CAST(ts AS DATE)) // 7 AS tenure_week,
+               user_id,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               event_type
+        FROM events
+    )
+    SELECT CAST(tenure_week AS BIGINT) AS tenure_week,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST((2 * SUM(cents) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+               AS avg_value_cents
+    FROM graded
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    ORDER BY 1
+"""

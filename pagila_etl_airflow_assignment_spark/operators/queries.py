@@ -2210,3 +2210,27 @@ def q_aa_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dom_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-month revenue cadence: share per day-of-month."""
     return warehouse.dom_profile(load_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "events_metric_decomposition", oracle=analytics.METRIC_DECOMPOSITION_SQL
+)
+def q_metric_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric-tree decomposition: Δln(total) split into users, freq
+    and value levers in exact micro-nats."""
+    return analytics.metric_decomposition(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "events_tenure_value_curve", oracle=behavior.TENURE_VALUE_CURVE_SQL
+)
+def q_tenure_value_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average purchase value by user tenure week — the monetization
+    maturity curve."""
+    return behavior.tenure_value_curve(load_table(spark, sf_dir, "events"))
+
+
+@register("warehouse_status_mix", oracle=warehouse.STATUS_MIX_SQL)
+def q_status_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-status mix per month with exact milli shares."""
+    return warehouse.status_mix(load_table(spark, sf_dir, "orders"))

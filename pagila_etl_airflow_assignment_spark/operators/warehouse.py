@@ -4675,3 +4675,56 @@ DOM_PROFILE_SQL = """
     FROM panel
     ORDER BY dom
 """
+
+
+# --- order-status mix ---------------------------------------------------------------
+
+
+def status_mix(orders: DataFrame) -> DataFrame:
+    """Order-status mix per month: open / in-process / fulfilled shares
+    — the operational funnel panel (a rising 'O' share means intake is
+    outpacing fulfillment long before backlog alarms fire). Output per
+    (month, status): n_orders, rev_cents, share_milli of the month.
+
+    Scale shape: narrow projection + bounded (month, status) rollup;
+    shares via a month-partition window over the panel."""
+    graded = orders.select(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+        F.col("o_orderstatus").alias("status"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    return (
+        graded.groupBy("month", "status")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("rev_cents"),
+        )
+        .select(
+            "month",
+            "status",
+            "n_orders",
+            "rev_cents",
+            F.expr(
+                "CAST(1000 * n_orders DIV (SUM(n_orders) OVER"
+                " (PARTITION BY month)) AS BIGINT)"
+            ).alias("share_milli"),
+        )
+        .orderBy("month", "status")
+    )
+
+
+STATUS_MIX_SQL = """
+    WITH panel AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               o_orderstatus AS status,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS rev_cents
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT month, status, n_orders, rev_cents,
+           CAST(1000 * n_orders // (SUM(n_orders) OVER (PARTITION BY month))
+                AS BIGINT) AS share_milli
+    FROM panel
+    ORDER BY month, status
+"""

@@ -3152,3 +3152,71 @@ def test_lang_overlap_jaccard(spark):
     # vocab en={alpha,beta,gamma}, fr={alpha,delta}; shared=1, union=4
     assert (r.lang_a, r.lang_b) == ("en", "fr")
     assert (r.vocab_a, r.vocab_b, r.n_shared, r.jaccard_milli) == (3, 2, 1, 250)
+
+
+# --- metric decomposition (L-348) -------------------------------------------------------
+
+
+def test_metric_decomposition_identity(spark):
+    from pagila_etl_airflow_assignment_spark.operators import analytics
+
+    # period 0: 2 users x 1 purchase x $1; period 1: 4 users x 1 x $1
+    ev = _events(
+        spark,
+        [(1, _ts(2), 1, "purchase", 1.0), (2, _ts(3), 2, "purchase", 1.0),
+         (3, _ts(20), 1, "purchase", 1.0), (4, _ts(21), 2, "purchase", 1.0),
+         (5, _ts(22), 3, "purchase", 1.0), (6, _ts(23), 4, "purchase", 1.0)],
+    )
+    r = analytics.metric_decomposition(ev).collect()[0]
+    # ln(4/2) = 0.693147 -> users lever carries the whole change
+    assert abs(r.users_delta_micro - 693147) <= 1
+    assert r.freq_delta_micro == 0 and r.value_delta_micro == 0
+    assert abs(r.residual_micro) <= 3
+
+
+# --- simhash balance (L-349) --------------------------------------------------------------
+
+
+def test_simhash_balance_has_all_bits(spark):
+    docs = _docs(
+        spark,
+        [(i, f"text number {i} with words {i * 7} and {i * 13}", "en", "s0")
+         for i in range(1, 21)],
+    )
+    rows = dedup.simhash_balance(docs).collect()
+    assert len(rows) == 48
+    assert all(r.n_docs == 20 for r in rows)
+    assert all(0 <= r.ones_milli <= 1000 for r in rows)
+
+
+# --- tenure value curve (L-350) --------------------------------------------------------------
+
+
+def test_tenure_value_curve_buckets(spark):
+    from pagila_etl_airflow_assignment_spark.operators import behavior
+
+    # user 1: first event day 1; purchases day 1 ($1) and day 9 ($3)
+    ev = _events(
+        spark,
+        [(1, _ts(1), 1, "purchase", 1.0), (2, _ts(9), 1, "purchase", 3.0)],
+    )
+    rows = {r.tenure_week: r for r in behavior.tenure_value_curve(ev).collect()}
+    assert rows[0].avg_value_cents == 100
+    assert rows[1].avg_value_cents == 300
+
+
+# --- status mix (L-351) -------------------------------------------------------------------------
+
+
+def test_status_mix_shares(spark):
+    orders = spark.createDataFrame(
+        [(1, 1, "F", 100.0, dt.datetime(2024, 1, 1), "3-M"),
+         (2, 1, "O", 100.0, dt.datetime(2024, 1, 2), "3-M"),
+         (3, 1, "F", 100.0, dt.datetime(2024, 1, 3), "3-M"),
+         (4, 1, "F", 100.0, dt.datetime(2024, 1, 4), "3-M")],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    rows = {r.status: r for r in warehouse.status_mix(orders).collect()}
+    assert rows["F"].share_milli == 750
+    assert rows["O"].share_milli == 250

@@ -163,6 +163,8 @@ ALLOWED: dict[str, set[str]] = {
     "events_incident_impact": {"BroadcastNestedLoopJoin"},
     # broadcast 1-row global-mean center scalar (overflow discipline)
     "warehouse_variance_decomposition": {"BroadcastNestedLoopJoin"},
+    # two 1-row period-factor aggregates cross-joined
+    "events_metric_decomposition": {"BroadcastNestedLoopJoin"},
     # Python UDTF: BatchEvalPython IS the UDTF execution node in Spark 4 —
     # this query exists to pin the UDTF boundary, not to avoid it
     "text_sentence_split_udtf": {"BatchEvalPython"},

@@ -313,6 +313,10 @@ PROBES = [
     "events_aa_calibration",
     "warehouse_dom_profile",
     "vocab_lang_overlap",
+    "events_metric_decomposition",
+    "dedup_simhash_balance",
+    "events_tenure_value_curve",
+    "warehouse_status_mix",
 ]
 
 
