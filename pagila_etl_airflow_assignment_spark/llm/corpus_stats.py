@@ -1979,3 +1979,68 @@ LANG_OVERLAP_SQL = f"""
     JOIN margins mb ON mb.lang = s.lang_b
     ORDER BY s.lang_a, s.lang_b
 """
+
+
+# --- hapax / vocabulary-richness profile ----------------------------------------------
+
+
+def hapax_profile(docs: DataFrame) -> DataFrame:
+    """Vocabulary-richness profile per source: hapax legomena share
+    (terms occurring exactly once) and type-token ratio — the cheap,
+    sensitive detectors for OCR noise and machine-generated filler
+    (noise inflates hapax; template spam crushes TTR). Output per
+    source: (source, n_tokens, n_types, n_hapax, ttr_milli,
+    hapax_milli).
+
+    Scale shape: one (source, term) aggregate with map-side combine,
+    one bounded source rollup. Exact integers."""
+    toks = grams(docs, 1).join(
+        F.broadcast(docs.select("doc_id", "source")), "doc_id"
+    )
+    terms = toks.groupBy("source", "gram").agg(F.count("*").alias("tf"))
+    return (
+        terms.groupBy("source")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("n_types"),
+            F.sum((F.col("tf") == 1).cast("long")).cast("long").alias(
+                "n_hapax"
+            ),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_types",
+            "n_hapax",
+            F.expr("CAST(1000 * n_types DIV n_tokens AS BIGINT)").alias(
+                "ttr_milli"
+            ),
+            F.expr("CAST(1000 * n_hapax DIV n_types AS BIGINT)").alias(
+                "hapax_milli"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+HAPAX_PROFILE_SQL = f"""
+    WITH toks AS ({grams_sql(1)}),
+    terms AS (
+        SELECT d.source, t.gram, COUNT(*) AS tf
+        FROM toks t JOIN documents d USING (doc_id)
+        GROUP BY 1, 2
+    ),
+    panel AS (
+        SELECT source,
+               CAST(SUM(tf) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               CAST(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_hapax
+        FROM terms GROUP BY source
+    )
+    SELECT source, n_tokens, n_types, n_hapax,
+           CAST(1000 * n_types // n_tokens AS BIGINT) AS ttr_milli,
+           CAST(1000 * n_hapax // n_types AS BIGINT) AS hapax_milli
+    FROM panel
+    ORDER BY source
+"""

@@ -1193,3 +1193,10 @@ def q_simhash_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-bit SimHash balance audit — degenerate bits shrink the
     effective signature and inflate band collisions."""
     return dedup.simhash_balance(load_table(spark, sf_dir, "documents"))
+
+
+@register("vocab_hapax_profile", oracle=corpus_stats.HAPAX_PROFILE_SQL)
+def q_hapax_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax share and type-token ratio per source — OCR-noise and
+    template-spam detectors."""
+    return corpus_stats.hapax_profile(load_table(spark, sf_dir, "documents"))

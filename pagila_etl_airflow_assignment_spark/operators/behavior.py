@@ -738,3 +738,74 @@ TENURE_VALUE_CURVE_SQL = """
     GROUP BY 1
     ORDER BY 1
 """
+
+
+# --- engagement fatigue curve ----------------------------------------------------------
+
+FATIGUE_MAX_POS = 10
+
+
+def fatigue_curve(events: DataFrame) -> DataFrame:
+    """Engagement-fatigue curve: the average gap to the NEXT event as a
+    function of the event's position within the user's day — rising
+    gaps at higher positions mean sessions decay (fatigue); flat gaps
+    mean depth is free and pagination/feed length isn't the binding
+    constraint.
+
+    One per-(user, day) window orders events and takes lead(ts);
+    positions cap at {FATIGUE_MAX_POS}. Output per position:
+    (position, n_gaps, avg_gap_ms) — half-up exact milliseconds.
+
+    Scale shape: one user-day-keyed window over the event scan,
+    bounded position rollup."""
+    from ..functions import micros
+
+    w = Window.partitionBy("user_id", F.to_date("ts")).orderBy(
+        "ts", "event_id"
+    )
+    graded = (
+        events.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.least(
+                F.row_number().over(w), F.lit(FATIGUE_MAX_POS)
+            ).alias("position"),
+            (F.lead(micros(F.col("ts"))).over(w) - micros(F.col("ts"))).alias(
+                "gap_us"
+            ),
+        )
+        .where(F.col("gap_us").isNotNull())
+    )
+    return (
+        graded.groupBy(F.col("position").cast("long").alias("position"))
+        .agg(
+            F.count("*").cast("long").alias("n_gaps"),
+            F.expr(
+                "CAST((SUM(gap_us) DIV 500 + COUNT(*))"
+                " DIV (2 * COUNT(*)) AS BIGINT)"
+            ).alias("avg_gap_ms"),
+        )
+        .orderBy("position")
+    )
+
+
+FATIGUE_CURVE_SQL = f"""
+    WITH graded AS (
+        SELECT LEAST(row_number() OVER (
+                   PARTITION BY user_id, CAST(ts AS DATE)
+                   ORDER BY ts, event_id), {FATIGUE_MAX_POS}) AS position,
+               LEAD(epoch_us(ts)) OVER (
+                   PARTITION BY user_id, CAST(ts AS DATE)
+                   ORDER BY ts, event_id) - epoch_us(ts) AS gap_us
+        FROM events
+    )
+    SELECT CAST(position AS BIGINT) AS position,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST((SUM(gap_us) // 500 + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+               AS avg_gap_ms
+    FROM graded
+    WHERE gap_us IS NOT NULL
+    GROUP BY position
+    ORDER BY position
+"""

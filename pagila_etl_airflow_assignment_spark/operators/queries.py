@@ -2234,3 +2234,31 @@ def q_tenure_value_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_status_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-status mix per month with exact milli shares."""
     return warehouse.status_mix(load_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "warehouse_supplier_switching", oracle=warehouse.SUPPLIER_SWITCHING_SQL
+)
+def q_supplier_switching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-set switching matrix per brand between timeline halves
+    — exact set algebra, procurement stability."""
+    return warehouse.supplier_switching(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+@register("events_fatigue_curve", oracle=behavior.FATIGUE_CURVE_SQL)
+def q_fatigue_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement fatigue: average next-event gap by within-day event
+    position, exact milliseconds."""
+    return behavior.fatigue_curve(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "events_attribution_window_sweep",
+    oracle=temporal.attribution_window_sweep_sql(),
+)
+def q_attribution_window_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attach-rate curve over the attribution-lookback grid — one as-of
+    pass, constant-grid explode."""
+    return temporal.attribution_window_sweep(load_table(spark, sf_dir, "events"))

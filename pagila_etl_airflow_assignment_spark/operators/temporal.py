@@ -561,3 +561,107 @@ def time_decay_attribution_sql(
         GROUP BY 1
         ORDER BY 1
     """
+
+
+# --- attribution-window sweep ---------------------------------------------------------
+
+ATTRIB_WINDOW_SWEEP_S = (3600, 86400, 259200)  # 1h, 1d, 3d
+
+
+def attribution_window_sweep(events: DataFrame) -> DataFrame:
+    """Attribution-window tuning curve: what share of purchases gets a
+    click attributed at each candidate lookback {ATTRIB_WINDOW_SWEEP_S}
+    seconds — the knob behind every attribution model here, picked from
+    the attach-rate knee instead of the org's folklore default.
+
+    One as-of pass computes each purchase's gap to its NEAREST prior
+    click (per-user max_by window — never one join per window); the
+    grid explodes over the purchase-gap relation. Output per window:
+    (window_s, n_purchases, n_attributed, attach_milli).
+
+    Scale shape: one user-keyed interval join bounded by the LARGEST
+    window, then a constant-grid explode on the purchase grain."""
+    from ..functions import micros
+
+    max_w = max(ATTRIB_WINDOW_SWEEP_S)
+    clicks = events.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("click_ts")
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    paired = purchases.join(
+        clicks,
+        (F.col("pu") == F.col("cu"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {max_w} SECOND")
+        ),
+        "left",
+    )
+    gaps = paired.groupBy("purchase_id").agg(
+        F.min(
+            micros(F.col("purchase_ts")) - micros(F.col("click_ts"))
+        ).alias("gap_us")
+    )
+    grid = F.array(*[F.lit(s) for s in ATTRIB_WINDOW_SWEEP_S])
+    graded = gaps.select(
+        "gap_us", F.explode(grid).alias("window_s")
+    )
+    return (
+        graded.groupBy(F.col("window_s").cast("long").alias("window_s"))
+        .agg(
+            F.count("*").cast("long").alias("n_purchases"),
+            F.sum(
+                (
+                    F.col("gap_us")
+                    <= F.col("window_s").cast("long") * 1_000_000
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("n_attributed"),
+        )
+        .withColumn(
+            "attach_milli",
+            F.expr("CAST(1000 * n_attributed DIV n_purchases AS BIGINT)"),
+        )
+        .orderBy("window_s")
+    )
+
+
+def attribution_window_sweep_sql() -> str:
+    max_w = max(ATTRIB_WINDOW_SWEEP_S)
+    grid = ", ".join(str(s) for s in ATTRIB_WINDOW_SWEEP_S)
+    return f"""
+        WITH gaps AS (
+            SELECT p.event_id AS purchase_id,
+                   MIN(epoch_us(p.ts) - epoch_us(c.ts)) AS gap_us
+            FROM events p
+            LEFT JOIN events c
+              ON c.user_id = p.user_id
+             AND c.event_type = 'click'
+             AND c.ts <= p.ts
+             AND c.ts >= p.ts - INTERVAL {max_w} SECOND
+            WHERE p.event_type = 'purchase'
+            GROUP BY p.event_id
+        ),
+        grid AS (SELECT unnest([{grid}]) AS window_s),
+        graded AS (
+            SELECT g.gap_us, w.window_s
+            FROM gaps g CROSS JOIN grid w
+        )
+        SELECT CAST(window_s AS BIGINT) AS window_s,
+               CAST(COUNT(*) AS BIGINT) AS n_purchases,
+               CAST(SUM(CASE WHEN gap_us <= CAST(window_s AS BIGINT) * 1000000
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
+               CAST(1000 * SUM(CASE WHEN gap_us
+                                    <= CAST(window_s AS BIGINT) * 1000000
+                               THEN 1 ELSE 0 END) // COUNT(*) AS BIGINT)
+                   AS attach_milli
+        FROM graded
+        GROUP BY window_s
+        ORDER BY window_s
+    """

@@ -4728,3 +4728,113 @@ STATUS_MIX_SQL = """
     FROM panel
     ORDER BY month, status
 """
+
+
+# --- supplier switching -------------------------------------------------------------
+
+SWITCH_SPLIT_YEAR = 1998
+
+
+def supplier_switching(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Supplier-switching matrix per brand: of the parts shipped in both
+    halves of the timeline (through {SWITCH_SPLIT_YEAR} vs after), how
+    many kept their supplier set, widened it, narrowed it, or changed
+    it outright — the procurement-stability readout single-period
+    supplier counts (Q16 shape) can't show.
+
+    Per (part, period): the distinct supplier set; classification by
+    exact set algebra (same / superset / subset / changed). Output per
+    brand: (p_brand, n_parts, n_same, n_widened, n_narrowed, n_changed,
+    stable_milli).
+
+    Scale shape: one (part, period) collect_set aggregate off the fact
+    scan, one part-grain join of the two halves, brand rollup with the
+    part dim broadcast."""
+    sets = (
+        lineitem.groupBy(
+            "l_partkey",
+            (F.year("l_shipdate") > SWITCH_SPLIT_YEAR).cast("int").alias(
+                "period"
+            ),
+        )
+        .agg(F.sort_array(F.collect_set("l_suppkey")).alias("supps"))
+    )
+    p0 = sets.where(F.col("period") == 0).select(
+        "l_partkey", F.col("supps").alias("s0")
+    )
+    p1 = sets.where(F.col("period") == 1).select(
+        "l_partkey", F.col("supps").alias("s1")
+    )
+    both = p0.join(p1, "l_partkey").select(
+        "l_partkey",
+        F.when(F.col("s0") == F.col("s1"), "same")
+        .when(F.size(F.array_except("s0", "s1")) == 0, "widened")
+        .when(F.size(F.array_except("s1", "s0")) == 0, "narrowed")
+        .otherwise("changed")
+        .alias("cls"),
+    )
+    return (
+        both.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            both.l_partkey == part.p_partkey,
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.sum((F.col("cls") == "same").cast("long"))
+            .cast("long")
+            .alias("n_same"),
+            F.sum((F.col("cls") == "widened").cast("long"))
+            .cast("long")
+            .alias("n_widened"),
+            F.sum((F.col("cls") == "narrowed").cast("long"))
+            .cast("long")
+            .alias("n_narrowed"),
+            F.sum((F.col("cls") == "changed").cast("long"))
+            .cast("long")
+            .alias("n_changed"),
+        )
+        .withColumn(
+            "stable_milli",
+            F.expr("CAST(1000 * n_same DIV n_parts AS BIGINT)"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+SUPPLIER_SWITCHING_SQL = f"""
+    WITH sets AS (
+        SELECT l_partkey,
+               CAST(year(l_shipdate) > {SWITCH_SPLIT_YEAR} AS INT) AS period,
+               list_sort(list(DISTINCT l_suppkey)) AS supps
+        FROM lineitem GROUP BY 1, 2
+    ),
+    paired AS (
+        SELECT p0.l_partkey,
+               CASE WHEN p0.supps = p1.supps THEN 'same'
+                    WHEN len(list_filter(p0.supps,
+                             x -> NOT list_contains(p1.supps, x))) = 0
+                        THEN 'widened'
+                    WHEN len(list_filter(p1.supps,
+                             x -> NOT list_contains(p0.supps, x))) = 0
+                        THEN 'narrowed'
+                    ELSE 'changed' END AS cls
+        FROM (SELECT * FROM sets WHERE period = 0) p0
+        JOIN (SELECT * FROM sets WHERE period = 1) p1 USING (l_partkey)
+    )
+    SELECT p.p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(CASE WHEN cls = 'same' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_same,
+           CAST(SUM(CASE WHEN cls = 'widened' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_widened,
+           CAST(SUM(CASE WHEN cls = 'narrowed' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_narrowed,
+           CAST(SUM(CASE WHEN cls = 'changed' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_changed,
+           CAST(1000 * SUM(CASE WHEN cls = 'same' THEN 1 ELSE 0 END)
+                // COUNT(*) AS BIGINT) AS stable_milli
+    FROM paired b JOIN part p ON b.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    ORDER BY p.p_brand
+"""

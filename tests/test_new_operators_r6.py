@@ -3220,3 +3220,81 @@ def test_status_mix_shares(spark):
     rows = {r.status: r for r in warehouse.status_mix(orders).collect()}
     assert rows["F"].share_milli == 750
     assert rows["O"].share_milli == 250
+
+
+# --- supplier switching (L-352) -----------------------------------------------------------
+
+
+def test_supplier_switching_set_algebra(spark):
+    part = spark.createDataFrame(
+        [(1, "n", "B1", "S", 1, 1.0), (2, "n", "B1", "S", 1, 1.0)],
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    )
+    li = spark.createDataFrame(
+        [
+            # part 1: supplier {1} early -> {1,2} late (widened)
+            (1, 1, 1, 1.0, 1.0, 0.0, dt.datetime(1996, 1, 1)),
+            (2, 1, 1, 1.0, 1.0, 0.0, dt.datetime(2000, 1, 1)),
+            (3, 1, 2, 1.0, 1.0, 0.0, dt.datetime(2000, 2, 1)),
+            # part 2: {3} -> {4} (changed)
+            (4, 2, 3, 1.0, 1.0, 0.0, dt.datetime(1996, 1, 1)),
+            (5, 2, 4, 1.0, 1.0, 0.0, dt.datetime(2000, 1, 1)),
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_quantity double, "
+        "l_extendedprice double, l_discount double, l_shipdate timestamp",
+    )
+    r = warehouse.supplier_switching(li, part).collect()[0]
+    assert (r.n_parts, r.n_widened, r.n_changed, r.n_same) == (2, 1, 1, 0)
+    assert r.stable_milli == 0
+
+
+# --- fatigue curve (L-353) -------------------------------------------------------------------
+
+
+def test_fatigue_curve_gaps_by_position(spark):
+    from pagila_etl_airflow_assignment_spark.operators import behavior
+
+    # u1 day1: events at 0s, 10s, 40s -> gaps 10s (pos1), 30s (pos2)
+    ev = _events(
+        spark,
+        [(1, _ts(1, 0, 0, 0), 1, "view", 0.0),
+         (2, _ts(1, 0, 0, 10), 1, "view", 0.0),
+         (3, _ts(1, 0, 0, 40), 1, "view", 0.0)],
+    )
+    rows = {r.position: r for r in behavior.fatigue_curve(ev).collect()}
+    assert rows[1].avg_gap_ms == 10000
+    assert rows[2].avg_gap_ms == 30000
+
+
+# --- hapax profile (L-354) -----------------------------------------------------------------------
+
+
+def test_hapax_profile_counts(spark):
+    docs = _docs(spark, [(1, "aa aa bb", "en", "s0")])
+    r = corpus_stats.hapax_profile(docs).collect()[0]
+    # tokens 3, types 2 (aa, bb), hapax 1 (bb)
+    assert (r.n_tokens, r.n_types, r.n_hapax) == (3, 2, 1)
+    assert (r.ttr_milli, r.hapax_milli) == (666, 500)
+
+
+# --- attribution window sweep (L-355) ---------------------------------------------------------------
+
+
+def test_attribution_window_sweep_attach_rates(spark):
+    from pagila_etl_airflow_assignment_spark.operators import temporal
+
+    # purchase A: click 30 min before (attaches at all windows)
+    # purchase B: click 2 days before (attaches only at 3d)
+    ev = _events(
+        spark,
+        [(1, dt.datetime(2024, 1, 5, 11, 30), 1, "click", 0.0),
+         (2, dt.datetime(2024, 1, 5, 12, 0), 1, "purchase", 1.0),
+         (3, dt.datetime(2024, 1, 3, 12, 0), 2, "click", 0.0),
+         (4, dt.datetime(2024, 1, 5, 12, 0), 2, "purchase", 1.0)],
+    )
+    rows = {r.window_s: r for r in temporal.attribution_window_sweep(ev).collect()}
+    assert rows[3600].n_attributed == 1
+    assert rows[86400].n_attributed == 1
+    assert rows[259200].n_attributed == 2
+    assert rows[3600].attach_milli == 500

@@ -317,6 +317,10 @@ PROBES = [
     "dedup_simhash_balance",
     "events_tenure_value_curve",
     "warehouse_status_mix",
+    "warehouse_supplier_switching",
+    "events_fatigue_curve",
+    "vocab_hapax_profile",
+    "events_attribution_window_sweep",
 ]
 
 
