@@ -2044,3 +2044,87 @@ HAPAX_PROFILE_SQL = f"""
     FROM panel
     ORDER BY source
 """
+
+
+# --- text predictability (conditional bigram entropy) -----------------------------------
+
+
+def predictability(docs: DataFrame) -> DataFrame:
+    """Per-source text predictability: the conditional word entropy
+    H(w₂|w₁) = H(w₁w₂) − H(w₁) over each source's bigram stream, in
+    exact micro-nats — low conditional entropy marks templated /
+    machine-generated text (the next word is nearly determined),
+    high marks diverse natural prose; the per-source companion to the
+    document-level repetition signals.
+
+    The entropy identity reduces to (Σ c₁·ln c₁ − Σ c₁₂·ln c₁₂) / N
+    — each ln quantizes ONCE per distinct count to micro-nats (the
+    events_user_entropy treatment), sums are exact BIGINTs, one signed
+    half-up division at the end. Output per source:
+    (source, n_bigrams, cond_entropy_micro).
+
+    Scale shape: one (source, bigram) aggregate and its context
+    marginal (both map-side combinable), bounded source rollup."""
+    micro = lambda col: F.round(F.log(col) * F.lit(1e6)).cast("long")  # noqa: E731
+    bg = grams(docs, 2).join(
+        F.broadcast(docs.select("doc_id", "source")), "doc_id"
+    )
+    c12 = bg.groupBy("source", "gram").agg(F.count("*").alias("c"))
+    c1 = (
+        bg.select("source", F.expr("split_part(gram, ' ', 1)").alias("w1"))
+        .groupBy("source", "w1")
+        .agg(F.count("*").alias("c"))
+    )
+    s12 = c12.groupBy("source").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * micro(F.col("c"))).alias("s12"),
+    )
+    s1 = c1.groupBy("source").agg(
+        F.sum(F.col("c") * micro(F.col("c"))).alias("s1")
+    )
+    return (
+        s12.join(s1, "source")
+        .select(
+            "source",
+            F.col("n").cast("long").alias("n_bigrams"),
+            F.expr(
+                "CAST(CASE WHEN s1 < s12 THEN -1 ELSE 1 END"
+                " * ((2 * abs(s1 - s12) + n) DIV (2 * n)) AS BIGINT)"
+            ).alias("cond_entropy_micro"),
+        )
+        .orderBy("source")
+    )
+
+
+PREDICTABILITY_SQL = f"""
+    WITH bg AS (
+        SELECT t.doc_id, d.source, t.gram
+        FROM ({grams_sql(2)}) t JOIN documents d USING (doc_id)
+    ),
+    c12 AS (
+        SELECT source, gram, COUNT(*) AS c FROM bg GROUP BY 1, 2
+    ),
+    c1 AS (
+        SELECT source, split_part(gram, ' ', 1) AS w1, COUNT(*) AS c
+        FROM bg GROUP BY 1, 2
+    ),
+    s12 AS (
+        SELECT source,
+               CAST(SUM(c) AS BIGINT) AS n,
+               CAST(SUM(c * CAST(round(ln(c) * 1e6) AS BIGINT)) AS BIGINT)
+                   AS s12
+        FROM c12 GROUP BY source
+    ),
+    s1 AS (
+        SELECT source,
+               CAST(SUM(c * CAST(round(ln(c) * 1e6) AS BIGINT)) AS BIGINT)
+                   AS s1
+        FROM c1 GROUP BY source
+    )
+    SELECT s12.source, s12.n AS n_bigrams,
+           CAST((CASE WHEN s1.s1 < s12.s12 THEN -1 ELSE 1 END)
+                * ((2 * abs(s1.s1 - s12.s12) + s12.n) // (2 * s12.n))
+                AS BIGINT) AS cond_entropy_micro
+    FROM s12 JOIN s1 USING (source)
+    ORDER BY s12.source
+"""

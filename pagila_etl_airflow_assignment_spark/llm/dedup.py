@@ -2923,3 +2923,77 @@ def simhash_balance_sql() -> str:
         FROM panel
         ORDER BY bit
     """
+
+
+# --- dedup key-policy audit ---------------------------------------------------------
+
+
+def key_policy(docs: DataFrame) -> DataFrame:
+    """Dedup KEY-POLICY audit: duplicate counts under the three common
+    fingerprint scopes — global (text only), per-language (text+lang),
+    per-source (text+source) — the governance decision behind every
+    dedup run ("is the same text in two sources a duplicate or a
+    licensing fact?") made with numbers. Scoped keys can only split
+    global dup groups, so dup counts are monotone non-increasing down
+    the table; the deltas are exactly the cross-lang / cross-source
+    duplicate mass at stake.
+
+    Output per policy: (policy, n_dupes, n_groups_with_dupes).
+
+    Scale shape: three fingerprint-keyed aggregates over the normalized
+    hash (map-side combinable), 1-row results unioned."""
+    fp = F.md5(_norm(F.col("text")))
+    out = []
+    for policy, keys in (
+        ("global", [fp]),
+        ("per_lang", [fp, F.col("lang")]),
+        ("per_source", [fp, F.col("source")]),
+    ):
+        g = docs.groupBy(*keys).agg(F.count("*").alias("n"))
+        out.append(
+            g.agg(
+                F.lit(policy).alias("policy"),
+                F.sum(F.col("n") - 1).cast("long").alias("n_dupes"),
+                F.sum((F.col("n") > 1).cast("long"))
+                .cast("long")
+                .alias("n_groups_with_dupes"),
+            )
+        )
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res.orderBy("policy")
+
+
+KEY_POLICY_SQL = f"""
+    WITH g_global AS (
+        SELECT COUNT(*) AS n FROM documents
+        GROUP BY md5({_norm_sql('text')})
+    ),
+    g_lang AS (
+        SELECT COUNT(*) AS n FROM documents
+        GROUP BY md5({_norm_sql('text')}), lang
+    ),
+    g_source AS (
+        SELECT COUNT(*) AS n FROM documents
+        GROUP BY md5({_norm_sql('text')}), source
+    )
+    SELECT * FROM (
+        SELECT 'global' AS policy,
+               CAST(SUM(n - 1) AS BIGINT) AS n_dupes,
+               CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_groups_with_dupes
+        FROM g_global
+        UNION ALL
+        SELECT 'per_lang',
+               CAST(SUM(n - 1) AS BIGINT),
+               CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM g_lang
+        UNION ALL
+        SELECT 'per_source',
+               CAST(SUM(n - 1) AS BIGINT),
+               CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM g_source
+    )
+    ORDER BY policy
+"""

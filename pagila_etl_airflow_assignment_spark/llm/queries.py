@@ -1200,3 +1200,17 @@ def q_hapax_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hapax share and type-token ratio per source — OCR-noise and
     template-spam detectors."""
     return corpus_stats.hapax_profile(load_table(spark, sf_dir, "documents"))
+
+
+@register("dedup_key_policy", oracle=dedup.KEY_POLICY_SQL)
+def q_key_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup key-policy audit: dup mass under global vs per-lang vs
+    per-source fingerprint scopes."""
+    return dedup.key_policy(load_table(spark, sf_dir, "documents"))
+
+
+@register("text_predictability", oracle=corpus_stats.PREDICTABILITY_SQL)
+def q_predictability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional bigram entropy per source in exact micro-nats — the
+    template/boilerplate predictability signal."""
+    return corpus_stats.predictability(load_table(spark, sf_dir, "documents"))

@@ -809,3 +809,94 @@ FATIGUE_CURVE_SQL = f"""
     GROUP BY position
     ORDER BY position
 """
+
+
+# --- activation latency -------------------------------------------------------------
+
+
+def activation_latency(events: DataFrame) -> DataFrame:
+    """Activation-latency panel: time from each user's SIGNUP to their
+    FIRST PURCHASE, bucketed in days — the onboarding-funnel number
+    ("half of converters buy within N days") that decides trial length
+    and nudge timing. Users who signed up but never purchased report in
+    the 'never' bucket, so the panel is a complete partition of the
+    signup cohort.
+
+    One user-grain aggregate takes min(signup ts) and min(purchase ts);
+    the gap buckets as 0 / 1-3 / 4-7 / 8+ days / never. Output per
+    bucket: (latency_bucket, n_users, share_milli).
+
+    Scale shape: one conditional user-keyed aggregate, bounded bucket
+    rollup; shares via a window over the ≤5-row panel."""
+    per_user = (
+        events.groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "signup", F.col("ts"))
+            ).alias("signup_ts"),
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("ts"))
+            ).alias("first_buy_ts"),
+        )
+        .where(F.col("signup_ts").isNotNull())
+    )
+    gap_days = F.datediff(
+        F.to_date("first_buy_ts"), F.to_date("signup_ts")
+    )
+    bucket = (
+        F.when(
+            F.col("first_buy_ts").isNull()
+            | (F.col("first_buy_ts") < F.col("signup_ts")),
+            "never",
+        )
+        .when(gap_days <= 0, "0d")
+        .when(gap_days <= 3, "1-3d")
+        .when(gap_days <= 7, "4-7d")
+        .otherwise("8d+")
+    )
+    return (
+        per_user.groupBy(bucket.alias("latency_bucket"))
+        .agg(F.count("*").cast("long").alias("n_users"))
+        .select(
+            "latency_bucket",
+            "n_users",
+            F.expr(
+                "CAST(1000 * n_users DIV (SUM(n_users) OVER ()) AS BIGINT)"
+            ).alias("share_milli"),
+        )
+        .orderBy("latency_bucket")
+    )
+
+
+ACTIVATION_LATENCY_SQL = """
+    WITH per_user AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'signup' THEN ts END) AS signup_ts,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+                   AS first_buy_ts
+        FROM events GROUP BY user_id
+        HAVING MIN(CASE WHEN event_type = 'signup' THEN ts END) IS NOT NULL
+    ),
+    graded AS (
+        SELECT CASE
+                 WHEN first_buy_ts IS NULL OR first_buy_ts < signup_ts
+                     THEN 'never'
+                 WHEN date_diff('day', CAST(signup_ts AS DATE),
+                                CAST(first_buy_ts AS DATE)) <= 0 THEN '0d'
+                 WHEN date_diff('day', CAST(signup_ts AS DATE),
+                                CAST(first_buy_ts AS DATE)) <= 3 THEN '1-3d'
+                 WHEN date_diff('day', CAST(signup_ts AS DATE),
+                                CAST(first_buy_ts AS DATE)) <= 7 THEN '4-7d'
+                 ELSE '8d+' END AS latency_bucket
+        FROM per_user
+    ),
+    panel AS (
+        SELECT latency_bucket, CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM graded GROUP BY latency_bucket
+    )
+    SELECT latency_bucket, n_users,
+           CAST(1000 * n_users // (SUM(n_users) OVER ()) AS BIGINT)
+               AS share_milli
+    FROM panel
+    ORDER BY latency_bucket
+"""

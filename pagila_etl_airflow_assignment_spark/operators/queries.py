@@ -2262,3 +2262,22 @@ def q_attribution_window_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Attach-rate curve over the attribution-lookback grid — one as-of
     pass, constant-grid explode."""
     return temporal.attribution_window_sweep(load_table(spark, sf_dir, "events"))
+
+
+@register("events_activation_latency", oracle=behavior.ACTIVATION_LATENCY_SQL)
+def q_activation_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup-to-first-purchase latency panel with a complete 'never'
+    bucket over the signup cohort."""
+    return behavior.activation_latency(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "warehouse_quantity_price_breaks",
+    oracle=warehouse.quantity_price_breaks_sql(),
+)
+def q_quantity_price_breaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Realized bulk-discount ladder: unit price by quantity band per
+    brand, signed break vs the smallest band."""
+    return warehouse.quantity_price_breaks(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )

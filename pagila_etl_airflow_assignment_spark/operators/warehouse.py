@@ -4838,3 +4838,109 @@ SUPPLIER_SWITCHING_SQL = f"""
     GROUP BY p.p_brand
     ORDER BY p.p_brand
 """
+
+
+# --- quantity price breaks ----------------------------------------------------------
+
+QTY_BANDS = ((1, 9), (10, 24), (25, 39), (40, 10**9))
+
+
+def quantity_price_breaks(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Bulk-discount ladder per brand: average unit price by quantity
+    band — whether larger lines actually transact at lower unit prices,
+    and by how much (the realized price break, which contract terms
+    promise but order data has to confirm). Output per (brand, band):
+    (p_brand, qty_band, n_lines, avg_unit_cents, break_milli) where
+    break compares the band to the brand's smallest-quantity band.
+
+    Exact integers: unit price is floor cents per unit at the LINE
+    grain, band averages are half-up, the break is an abs/sign milli.
+
+    Scale shape: one narrow banding projection, bounded (brand, band)
+    rollup, a brand-partition window over the ≤4-row band panel."""
+    band = F.lit(None).cast("string")
+    for lo, hi in reversed(QTY_BANDS):
+        label = f"{lo:02d}+" if hi >= 10**9 else f"{lo:02d}-{hi:02d}"
+        band = F.when(
+            (F.col("l_quantity") >= lo) & (F.col("l_quantity") <= hi), label
+        ).otherwise(band)
+    graded = (
+        lineitem.where(F.col("l_quantity") > 0)
+        .join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            lineitem.l_partkey == part.p_partkey,
+        )
+        .select(
+            "p_brand",
+            band.alias("qty_band"),
+            F.expr(
+                "CAST(CAST(round(l_extendedprice * (1 - l_discount) * 100)"
+                " AS BIGINT) DIV CAST(l_quantity AS BIGINT) AS BIGINT)"
+            ).alias("unit_cents"),
+        )
+    )
+    panel = graded.groupBy("p_brand", "qty_band").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.expr(
+            "CAST((2 * SUM(unit_cents) + COUNT(*)) DIV (2 * COUNT(*))"
+            " AS BIGINT)"
+        ).alias("avg_unit_cents"),
+    )
+    w = Window.partitionBy("p_brand").orderBy("qty_band")
+    return (
+        panel.withColumn(
+            "base_cents", F.first("avg_unit_cents").over(w)
+        )
+        .withColumn(
+            "break_milli",
+            F.expr(
+                "CAST(CASE WHEN avg_unit_cents > base_cents THEN -1 ELSE 1"
+                " END * (1000 * abs(base_cents - avg_unit_cents)"
+                " DIV base_cents) AS BIGINT)"
+            ),
+        )
+        .select(
+            "p_brand", "qty_band", "n_lines", "avg_unit_cents", "break_milli"
+        )
+        .orderBy("p_brand", "qty_band")
+    )
+
+
+def quantity_price_breaks_sql() -> str:
+    arms = " ".join(
+        f"WHEN l_quantity >= {lo} AND l_quantity <= {hi} THEN "
+        + (f"'{lo:02d}+'" if hi >= 10**9 else f"'{lo:02d}-{hi:02d}'")
+        for lo, hi in QTY_BANDS
+    )
+    return f"""
+        WITH graded AS (
+            SELECT p.p_brand,
+                   CASE {arms} END AS qty_band,
+                   CAST(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                   * 100) AS BIGINT)
+                        // CAST(l.l_quantity AS BIGINT) AS BIGINT)
+                       AS unit_cents
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE l.l_quantity > 0
+        ),
+        panel AS (
+            SELECT p_brand, qty_band,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST((2 * SUM(unit_cents) + COUNT(*)) // (2 * COUNT(*))
+                        AS BIGINT) AS avg_unit_cents
+            FROM graded GROUP BY 1, 2
+        ),
+        based AS (
+            SELECT *, FIRST(avg_unit_cents) OVER (
+                       PARTITION BY p_brand ORDER BY qty_band
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS base_cents
+            FROM panel
+        )
+        SELECT p_brand, qty_band, n_lines, avg_unit_cents,
+               CAST((CASE WHEN avg_unit_cents > base_cents THEN -1 ELSE 1 END)
+                    * (1000 * abs(base_cents - avg_unit_cents) // base_cents)
+                    AS BIGINT) AS break_milli
+        FROM based
+        ORDER BY p_brand, qty_band
+    """

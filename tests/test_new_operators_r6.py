@@ -3298,3 +3298,86 @@ def test_attribution_window_sweep_attach_rates(spark):
     assert rows[86400].n_attributed == 1
     assert rows[259200].n_attributed == 2
     assert rows[3600].attach_milli == 500
+
+
+# --- dedup key policy (L-356) -----------------------------------------------------------
+
+
+def test_key_policy_monotone_scoping(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "same text", "en", "sA"),
+            (2, "same text", "en", "sB"),  # cross-source dup
+            (3, "same text", "fr", "sA"),  # cross-lang dup
+        ],
+    )
+    rows = {r.policy: r for r in dedup.key_policy(docs).collect()}
+    assert rows["global"].n_dupes == 2
+    assert rows["per_lang"].n_dupes == 1  # en pair only
+    assert rows["per_source"].n_dupes == 1  # sA pair only
+    assert rows["global"].n_groups_with_dupes == 1
+
+
+# --- activation latency (L-357) -------------------------------------------------------------
+
+
+def test_activation_latency_buckets(spark):
+    from pagila_etl_airflow_assignment_spark.operators import behavior
+
+    ev = _events(
+        spark,
+        [
+            (1, _ts(1), 1, "signup", 0.0), (2, _ts(1, 5), 1, "purchase", 1.0),
+            (3, _ts(1), 2, "signup", 0.0), (4, _ts(3), 2, "purchase", 1.0),
+            (5, _ts(1), 3, "signup", 0.0),  # never purchases
+        ],
+    )
+    rows = {r.latency_bucket: r for r in behavior.activation_latency(ev).collect()}
+    assert rows["0d"].n_users == 1
+    assert rows["1-3d"].n_users == 1
+    assert rows["never"].n_users == 1
+    assert sum(r.n_users for r in rows.values()) == 3
+
+
+# --- quantity price breaks (L-358) -------------------------------------------------------------
+
+
+def test_quantity_price_breaks_ladder(spark):
+    part = spark.createDataFrame(
+        [(1, "n", "B1", "S", 1, 1.0)],
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    )
+    li = spark.createDataFrame(
+        [
+            # qty 5 at $10/unit; qty 20 at $8/unit -> 20% break
+            (1, 1, 1, 5.0, 50.0, 0.0, dt.datetime(2024, 1, 1)),
+            (2, 1, 1, 20.0, 160.0, 0.0, dt.datetime(2024, 1, 2)),
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_quantity double, "
+        "l_extendedprice double, l_discount double, l_shipdate timestamp",
+    )
+    rows = {r.qty_band: r for r in warehouse.quantity_price_breaks(li, part).collect()}
+    assert rows["01-09"].avg_unit_cents == 1000
+    assert rows["10-24"].avg_unit_cents == 800
+    assert rows["01-09"].break_milli == 0
+    assert rows["10-24"].break_milli == 200
+
+
+# --- text predictability (L-359) ------------------------------------------------------------------
+
+
+def test_predictability_templated_lower_entropy(spark):
+    docs = _docs(
+        spark,
+        [
+            # templated: every bigram determined by its first word
+            (1, "a b a b a b a b", "en", "tmpl"),
+            # diverse: contexts fan out
+            (2, "a b a c a d a e", "en", "wild"),
+        ],
+    )
+    rows = {r.source: r for r in corpus_stats.predictability(docs).collect()}
+    assert rows["tmpl"].cond_entropy_micro == 0  # fully predictable
+    assert rows["wild"].cond_entropy_micro > 0

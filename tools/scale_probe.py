@@ -321,6 +321,10 @@ PROBES = [
     "events_fatigue_curve",
     "vocab_hapax_profile",
     "events_attribution_window_sweep",
+    "dedup_key_policy",
+    "events_activation_latency",
+    "warehouse_quantity_price_breaks",
+    "text_predictability",
 ]
 
 
