@@ -2997,3 +2997,119 @@ KEY_POLICY_SQL = f"""
     )
     ORDER BY policy
 """
+
+
+# --- dedup survivor audit -----------------------------------------------------------
+
+
+def survivor_audit(docs: DataFrame) -> DataFrame:
+    """Does first-occurrence dedup keep the RIGHT copy? Documents
+    sharing a normalized 64-char PREFIX are truncation/continuation
+    variants of one another (the mirror-cut-short case), and the
+    min-doc_id keep rule may systematically keep the SHORTER variant
+    while dropping the fuller copy. This audit measures that over
+    global prefix groups, attributed to the kept copy's source, how often the kept raw length is below the
+    longest dropped variant's, and both averages — the evidence for
+    switching to a quality-ranked representative
+    (dedup_cluster_representatives) when it matters.
+
+    Output per source: (source, n_groups, kept_shorter_groups,
+    kept_shorter_milli, avg_kept_chars, avg_max_dropped_chars).
+
+    Scale shape: one fingerprint-grain aggregate (arg-min kept length,
+    conditional max dropped length), bounded source rollup."""
+    fp = F.md5(F.substring(_norm(F.col("text")), 1, 64)).alias("fp")
+    graded = docs.select("doc_id", "source", "n_chars", fp)
+    # GLOBAL prefix groups (variants routinely span sources), attributed
+    # to the KEPT doc's source — the owner of the surviving copy
+    groups = (
+        graded.groupBy("fp")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("doc_id").alias("keep_id"),
+            F.min_by("n_chars", "doc_id").alias("kept_chars"),
+            F.min_by("source", "doc_id").alias("source"),
+        )
+        .where(F.col("n") > 1)
+    )
+    dropped_max = (
+        graded.alias("g")
+        .join(groups.select("fp", "keep_id").alias("k"), "fp")
+        .where(F.col("g.doc_id") != F.col("k.keep_id"))
+        .groupBy("fp")
+        .agg(F.max("n_chars").alias("max_dropped_chars"))
+    )
+    dupg = groups.join(dropped_max, "fp").select(
+        "source", "kept_chars", "max_dropped_chars"
+    )
+    return (
+        dupg.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_groups"),
+            F.sum(
+                (F.col("kept_chars") < F.col("max_dropped_chars")).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("kept_shorter_groups"),
+            F.expr(
+                "CAST((2 * SUM(kept_chars) + COUNT(*)) DIV (2 * COUNT(*))"
+                " AS BIGINT)"
+            ).alias("avg_kept_chars"),
+            F.expr(
+                "CAST((2 * SUM(max_dropped_chars) + COUNT(*))"
+                " DIV (2 * COUNT(*)) AS BIGINT)"
+            ).alias("avg_max_dropped_chars"),
+        )
+        .withColumn(
+            "kept_shorter_milli",
+            F.expr(
+                "CAST(1000 * kept_shorter_groups DIV n_groups AS BIGINT)"
+            ),
+        )
+        .select(
+            "source", "n_groups", "kept_shorter_groups",
+            "kept_shorter_milli", "avg_kept_chars", "avg_max_dropped_chars",
+        )
+        .orderBy("source")
+    )
+
+
+SURVIVOR_AUDIT_SQL = f"""
+    WITH graded AS (
+        SELECT doc_id, source, n_chars,
+               md5(substr({_norm_sql('text')}, 1, 64)) AS fp
+        FROM documents
+    ),
+    groups AS (
+        SELECT fp,
+               COUNT(*) AS n,
+               MIN(doc_id) AS keep_id,
+               arg_min(n_chars, doc_id) AS kept_chars,
+               arg_min(source, doc_id) AS source
+        FROM graded
+        GROUP BY fp
+        HAVING COUNT(*) > 1
+    ),
+    dropped_max AS (
+        SELECT g.fp, MAX(g.n_chars) AS max_dropped_chars
+        FROM graded g JOIN groups k USING (fp)
+        WHERE g.doc_id <> k.keep_id
+        GROUP BY g.fp
+    )
+    SELECT gr.source,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN gr.kept_chars < dm.max_dropped_chars
+                    THEN 1 ELSE 0 END) AS BIGINT) AS kept_shorter_groups,
+           CAST(1000 * SUM(CASE WHEN gr.kept_chars < dm.max_dropped_chars
+                           THEN 1 ELSE 0 END) // COUNT(*) AS BIGINT)
+               AS kept_shorter_milli,
+           CAST((2 * SUM(gr.kept_chars) + COUNT(*)) // (2 * COUNT(*))
+                AS BIGINT) AS avg_kept_chars,
+           CAST((2 * SUM(dm.max_dropped_chars) + COUNT(*)) // (2 * COUNT(*))
+                AS BIGINT) AS avg_max_dropped_chars
+    FROM groups gr JOIN dropped_max dm USING (fp)
+    GROUP BY gr.source
+    ORDER BY gr.source
+"""

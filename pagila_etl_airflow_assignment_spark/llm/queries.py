@@ -1214,3 +1214,17 @@ def q_predictability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional bigram entropy per source in exact micro-nats — the
     template/boilerplate predictability signal."""
     return corpus_stats.predictability(load_table(spark, sf_dir, "documents"))
+
+
+@register("sampling_temporal_split", oracle=sampling.TEMPORAL_SPLIT_SQL)
+def q_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/test split audit with the entity-leakage rate —
+    hash splits can't leak the future; time splits leak entities."""
+    return sampling.temporal_split(load_table(spark, sf_dir, "events"))
+
+
+@register("dedup_survivor_audit", oracle=dedup.SURVIVOR_AUDIT_SQL)
+def q_survivor_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does min-id dedup keep the best raw variant? Kept-vs-dropped
+    length audit over normalized dup groups."""
+    return dedup.survivor_audit(load_table(spark, sf_dir, "documents"))

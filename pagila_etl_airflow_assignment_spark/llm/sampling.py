@@ -1059,3 +1059,97 @@ def training_manifest_sql() -> str:
         FROM fp
         ORDER BY doc_id
     """
+
+
+# --- temporal split audit -----------------------------------------------------------
+
+TEMPORAL_SPLIT_DAY = 21  # train: day < 21; test: day >= 21
+
+
+def temporal_split(events: DataFrame) -> DataFrame:
+    """Temporal train/test split audit over the event stream: counts per
+    side and the ENTITY-LEAKAGE rate — users appearing on both sides of
+    the time boundary. Hash splits (split_assign) guarantee disjoint
+    documents; temporal splits guarantee no future leakage but NOT
+    disjoint entities, and a model personalizing on user history needs
+    to know exactly how much user overlap the split carries.
+
+    Output per event_type: (event_type, train_n, test_n, train_users,
+    test_users, overlap_users, overlap_milli) with overlap over the
+    test-side users (the contaminated fraction of evaluation).
+
+    Scale shape: one (type, user, side) distinct projection, bounded
+    type rollup."""
+    sides = events.select(
+        "event_type",
+        "user_id",
+        (F.dayofmonth("ts") >= TEMPORAL_SPLIT_DAY).cast("int").alias("side"),
+    )
+    counts = sides.groupBy("event_type").agg(
+        F.sum(F.when(F.col("side") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("train_n"),
+        F.sum(F.when(F.col("side") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("test_n"),
+    )
+    per_user = sides.distinct().groupBy("event_type", "user_id").agg(
+        F.max(F.when(F.col("side") == 0, 1).otherwise(0)).alias("in_train"),
+        F.max(F.when(F.col("side") == 1, 1).otherwise(0)).alias("in_test"),
+    )
+    users = per_user.groupBy("event_type").agg(
+        F.sum("in_train").cast("long").alias("train_users"),
+        F.sum("in_test").cast("long").alias("test_users"),
+        F.sum(F.col("in_train") * F.col("in_test"))
+        .cast("long")
+        .alias("overlap_users"),
+    )
+    return (
+        counts.join(users, "event_type")
+        .withColumn(
+            "overlap_milli",
+            F.expr(
+                "CASE WHEN test_users > 0 THEN"
+                " CAST(1000 * overlap_users DIV test_users AS BIGINT)"
+                " ELSE CAST(0 AS BIGINT) END"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+TEMPORAL_SPLIT_SQL = f"""
+    WITH sides AS (
+        SELECT event_type, user_id,
+               CAST(dayofmonth(ts) >= {TEMPORAL_SPLIT_DAY} AS INT) AS side
+        FROM events
+    ),
+    counts AS (
+        SELECT event_type,
+               CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS train_n,
+               CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS test_n
+        FROM sides GROUP BY event_type
+    ),
+    per_user AS (
+        SELECT event_type, user_id,
+               MAX(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS in_train,
+               MAX(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS in_test
+        FROM (SELECT DISTINCT * FROM sides) GROUP BY 1, 2
+    ),
+    users AS (
+        SELECT event_type,
+               CAST(SUM(in_train) AS BIGINT) AS train_users,
+               CAST(SUM(in_test) AS BIGINT) AS test_users,
+               CAST(SUM(in_train * in_test) AS BIGINT) AS overlap_users
+        FROM per_user GROUP BY event_type
+    )
+    SELECT c.event_type, c.train_n, c.test_n,
+           u.train_users, u.test_users, u.overlap_users,
+           CASE WHEN u.test_users > 0 THEN
+                CAST(1000 * u.overlap_users // u.test_users AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS overlap_milli
+    FROM counts c JOIN users u USING (event_type)
+    ORDER BY c.event_type
+"""

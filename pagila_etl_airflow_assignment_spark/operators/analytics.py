@@ -1892,3 +1892,103 @@ METRIC_DECOMPOSITION_SQL = f"""
     FROM (SELECT * FROM lns WHERE period = 0) p0
     CROSS JOIN (SELECT * FROM lns WHERE period = 1) p1
 """
+
+
+# --- 24h load shape -----------------------------------------------------------------
+
+
+def load_shape(events: DataFrame) -> DataFrame:
+    """24-hour load-shape summary per event type: average hourly volume
+    at the PEAK hour vs the TROUGH hour and their ratio — the two
+    numbers capacity sizing actually uses (provision for peak, autoscale
+    floor at trough), condensed from the full hourly heatmap.
+
+    Per (type, hour-of-day): total events and distinct observed days →
+    average per occurrence in milli; peak/trough by exact max/min over
+    the ≤24-row panel (ties to the earlier hour). Output per type:
+    (event_type, peak_hour, peak_avg_milli, trough_hour,
+    trough_avg_milli, peak_trough_ratio_milli).
+
+    Scale shape: one (type, hour) aggregate, bounded 24-row rollup."""
+    hourly = events.groupBy(
+        "event_type", F.hour("ts").alias("hod")
+    ).agg(
+        F.count("*").alias("n"),
+        F.count_distinct(F.to_date("ts")).alias("days"),
+    )
+    graded = hourly.select(
+        "event_type",
+        "hod",
+        F.expr("CAST((2000 * n + days) DIV (2 * days) AS BIGINT)").alias(
+            "avg_milli"
+        ),
+    )
+    w_peak = Window.partitionBy("event_type").orderBy(
+        F.desc("avg_milli"), F.col("hod")
+    )
+    w_trough = Window.partitionBy("event_type").orderBy(
+        F.asc("avg_milli"), F.col("hod")
+    )
+    ranked = graded.select(
+        "event_type",
+        "hod",
+        "avg_milli",
+        F.row_number().over(w_peak).alias("rp"),
+        F.row_number().over(w_trough).alias("rt"),
+    )
+    peak = ranked.where(F.col("rp") == 1).select(
+        "event_type",
+        F.col("hod").cast("long").alias("peak_hour"),
+        F.col("avg_milli").alias("peak_avg_milli"),
+    )
+    trough = ranked.where(F.col("rt") == 1).select(
+        "event_type",
+        F.col("hod").cast("long").alias("trough_hour"),
+        F.col("avg_milli").alias("trough_avg_milli"),
+    )
+    return (
+        peak.join(trough, "event_type")
+        .withColumn(
+            "peak_trough_ratio_milli",
+            F.expr(
+                "CASE WHEN trough_avg_milli > 0 THEN"
+                " CAST(1000 * peak_avg_milli DIV trough_avg_milli AS BIGINT)"
+                " ELSE CAST(0 AS BIGINT) END"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+LOAD_SHAPE_SQL = """
+    WITH hourly AS (
+        SELECT event_type, hour(ts) AS hod,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS days
+        FROM events GROUP BY 1, 2
+    ),
+    graded AS (
+        SELECT event_type, hod,
+               CAST((2000 * n + days) // (2 * days) AS BIGINT) AS avg_milli
+        FROM hourly
+    ),
+    ranked AS (
+        SELECT event_type, hod, avg_milli,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY avg_milli DESC, hod) AS rp,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY avg_milli ASC, hod) AS rt
+        FROM graded
+    )
+    SELECT p.event_type,
+           CAST(p.hod AS BIGINT) AS peak_hour,
+           p.avg_milli AS peak_avg_milli,
+           CAST(t.hod AS BIGINT) AS trough_hour,
+           t.avg_milli AS trough_avg_milli,
+           CASE WHEN t.avg_milli > 0 THEN
+                CAST(1000 * p.avg_milli // t.avg_milli AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS peak_trough_ratio_milli
+    FROM (SELECT * FROM ranked WHERE rp = 1) p
+    JOIN (SELECT * FROM ranked WHERE rt = 1) t USING (event_type)
+    ORDER BY p.event_type
+"""

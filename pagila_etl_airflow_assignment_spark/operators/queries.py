@@ -2281,3 +2281,18 @@ def q_quantity_price_breaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return warehouse.quantity_price_breaks(
         load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
     )
+
+
+@register("warehouse_hhi_trend", oracle=warehouse.HHI_TREND_SQL)
+def q_hhi_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand-concentration (HHI) trend per year in exact basis-point
+    arithmetic."""
+    return warehouse.hhi_trend(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+@register("events_load_shape", oracle=analytics.LOAD_SHAPE_SQL)
+def q_load_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """24h load shape per type: peak vs trough hour and their ratio."""
+    return analytics.load_shape(load_table(spark, sf_dir, "events"))

@@ -4944,3 +4944,81 @@ def quantity_price_breaks_sql() -> str:
         FROM based
         ORDER BY p_brand, qty_band
     """
+
+
+# --- HHI concentration trend --------------------------------------------------------
+
+
+def hhi_trend(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Brand-concentration trend: the Herfindahl–Hirschman index of
+    brand revenue shares per YEAR — whether the assortment is
+    concentrating (platform risk) or fragmenting over time; the static
+    concentration snapshot can't show direction.
+
+    HHI in exact integer points (share² summed, shares in basis points
+    → HHI 0..10000·10000 scaled to the conventional 0..10000 via one
+    division): per (year, brand) revenue cents, shares in basis points
+    against the year total (window over the bounded panel), HHI =
+    Σ bp² / 10000. Output per year: (yr, n_brands, hhi_points,
+    top_share_bp).
+
+    Scale shape: one (year, brand) aggregate with the part dim
+    broadcast, windows over the ≤|years|·|brands| panel."""
+    panel = (
+        lineitem.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            lineitem.l_partkey == part.p_partkey,
+        )
+        .groupBy(F.year("l_shipdate").alias("yr"), "p_brand")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(round(l_extendedprice * (1 - l_discount) * 100)"
+                    " AS BIGINT)"
+                )
+            ).alias("cents")
+        )
+    )
+    w = Window.partitionBy("yr")
+    shares = panel.select(
+        "yr",
+        F.expr(
+            "CAST(10000 * cents DIV (SUM(cents) OVER (PARTITION BY yr))"
+            " AS BIGINT)"
+        ).alias("bp"),
+    )
+    return (
+        shares.groupBy("yr")
+        .agg(
+            F.count("*").cast("long").alias("n_brands"),
+            F.expr("CAST(SUM(bp * bp) DIV 10000 AS BIGINT)").alias(
+                "hhi_points"
+            ),
+            F.max("bp").cast("long").alias("top_share_bp"),
+        )
+        .orderBy("yr")
+    )
+
+
+HHI_TREND_SQL = """
+    WITH panel AS (
+        SELECT year(l.l_shipdate) AS yr, p.p_brand,
+               CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                   * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1, 2
+    ),
+    shares AS (
+        SELECT yr,
+               CAST(10000 * cents // (SUM(cents) OVER (PARTITION BY yr))
+                    AS BIGINT) AS bp
+        FROM panel
+    )
+    SELECT yr,
+           CAST(COUNT(*) AS BIGINT) AS n_brands,
+           CAST(SUM(bp * bp) // 10000 AS BIGINT) AS hhi_points,
+           CAST(MAX(bp) AS BIGINT) AS top_share_bp
+    FROM shares
+    GROUP BY yr
+    ORDER BY yr
+"""

@@ -3381,3 +3381,81 @@ def test_predictability_templated_lower_entropy(spark):
     rows = {r.source: r for r in corpus_stats.predictability(docs).collect()}
     assert rows["tmpl"].cond_entropy_micro == 0  # fully predictable
     assert rows["wild"].cond_entropy_micro > 0
+
+
+# --- temporal split (L-360) --------------------------------------------------------------
+
+
+def test_temporal_split_overlap(spark):
+    ev = _events(
+        spark,
+        [(1, _ts(5), 1, "click", 0.0), (2, _ts(25), 1, "click", 0.0),
+         (3, _ts(5), 2, "click", 0.0), (4, _ts(25), 3, "click", 0.0)],
+    )
+    r = sampling.temporal_split(ev).collect()[0]
+    assert (r.train_n, r.test_n) == (2, 2)
+    assert (r.train_users, r.test_users, r.overlap_users) == (2, 2, 1)
+    assert r.overlap_milli == 500
+
+
+# --- HHI trend (L-361) ------------------------------------------------------------------------
+
+
+def test_hhi_trend_monopoly_vs_duopoly(spark):
+    part = spark.createDataFrame(
+        [(1, "n", "B1", "S", 1, 1.0), (2, "n", "B2", "S", 1, 1.0)],
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    )
+    li = spark.createDataFrame(
+        [
+            # 1996: B1 only -> HHI 10000; 2000: 50/50 -> HHI 5000
+            (1, 1, 1, 1.0, 100.0, 0.0, dt.datetime(1996, 1, 1)),
+            (2, 1, 1, 1.0, 100.0, 0.0, dt.datetime(2000, 1, 1)),
+            (3, 2, 1, 1.0, 100.0, 0.0, dt.datetime(2000, 2, 1)),
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_quantity double, "
+        "l_extendedprice double, l_discount double, l_shipdate timestamp",
+    )
+    rows = {r.yr: r for r in warehouse.hhi_trend(li, part).collect()}
+    assert rows[1996].hhi_points == 10000
+    assert rows[2000].hhi_points == 5000
+    assert rows[2000].top_share_bp == 5000
+
+
+# --- load shape (L-362) --------------------------------------------------------------------------
+
+
+def test_load_shape_peak_trough(spark):
+    from pagila_etl_airflow_assignment_spark.operators import analytics
+
+    ev = _events(
+        spark,
+        # hour 9: 3 events over 1 day; hour 3: 1 event over 1 day
+        [(1, _ts(1, 9), 1, "view", 0.0), (2, _ts(1, 9, 5), 2, "view", 0.0),
+         (3, _ts(1, 9, 10), 3, "view", 0.0), (4, _ts(1, 3), 1, "view", 0.0)],
+    )
+    r = analytics.load_shape(ev).collect()[0]
+    assert (r.peak_hour, r.trough_hour) == (9, 3)
+    assert r.peak_trough_ratio_milli == 3000
+
+
+# --- survivor audit (L-363) ------------------------------------------------------------------------
+
+
+def test_survivor_audit_kept_shorter(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 2
+    docs = _docs(
+        spark,
+        [
+            (1, base, "en", "sA"),              # kept (min id), shorter
+            (2, base + " extended tail content", "en", "sB"),
+            (3, "a completely different unrelated document", "en", "sA"),
+        ],
+    )
+    r = dedup.survivor_audit(docs).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert row.source == "sA"  # kept doc 1's source
+    assert (row.n_groups, row.kept_shorter_groups, row.kept_shorter_milli) == (1, 1, 1000)
+    assert row.avg_max_dropped_chars > row.avg_kept_chars

@@ -325,6 +325,10 @@ PROBES = [
     "events_activation_latency",
     "warehouse_quantity_price_breaks",
     "text_predictability",
+    "sampling_temporal_split",
+    "warehouse_hhi_trend",
+    "events_load_shape",
+    "dedup_survivor_audit",
 ]
 
 
