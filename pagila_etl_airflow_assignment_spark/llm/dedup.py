@@ -3113,3 +3113,86 @@ SURVIVOR_AUDIT_SQL = f"""
     GROUP BY gr.source
     ORDER BY gr.source
 """
+
+
+# --- shingle document-frequency spectrum ----------------------------------------------
+
+
+def df_spectrum(docs: DataFrame, n: int = DEFAULT_N) -> DataFrame:
+    """Document-frequency spectrum of the shingle universe: how many
+    shingles live at each df band (1, 2, 3-5, 6-20, 21+) and the share
+    of posting-list PAIR WORK each band would generate (Σ C(df,2)) —
+    the evidence behind DEFAULT_MAX_DF: df=1 shingles are pure index
+    overhead (no pairs), the 21+ band is where quadratic pair cost
+    concentrates, and the cap's cost/recall trade reads directly off
+    this table.
+
+    Output per band: (df_band, n_shingles, share_milli,
+    pair_work_milli) — both shares exact milli of their totals.
+
+    Scale shape: one shingle aggregate (map-side combinable), bounded
+    band rollup; the spectrum never materializes pairs."""
+    sh = shingles(docs, n)
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    band = (
+        F.when(F.col("df") == 1, "1")
+        .when(F.col("df") == 2, "2")
+        .when(F.col("df") <= 5, "3-5")
+        .when(F.col("df") <= 20, "6-20")
+        .otherwise("21+")
+    )
+    graded = freq.select(
+        band.alias("df_band"),
+        F.expr("CAST(df * (df - 1) AS BIGINT) DIV 2").alias("pairs"),
+    )
+    return (
+        graded.groupBy("df_band")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum("pairs").alias("_pairs"),
+        )
+        .select(
+            "df_band",
+            "n_shingles",
+            F.expr(
+                "CAST(1000 * n_shingles DIV (SUM(n_shingles) OVER ())"
+                " AS BIGINT)"
+            ).alias("share_milli"),
+            F.expr(
+                "CASE WHEN SUM(_pairs) OVER () > 0 THEN"
+                " CAST(1000 * _pairs DIV (SUM(_pairs) OVER ()) AS BIGINT)"
+                " ELSE CAST(0 AS BIGINT) END"
+            ).alias("pair_work_milli"),
+        )
+        .orderBy("df_band")
+    )
+
+
+def df_spectrum_sql(n: int = DEFAULT_N) -> str:
+    return f"""
+        WITH sh AS ({shingles_sql(n)}),
+        freq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+        graded AS (
+            SELECT CASE WHEN df = 1 THEN '1'
+                        WHEN df = 2 THEN '2'
+                        WHEN df <= 5 THEN '3-5'
+                        WHEN df <= 20 THEN '6-20'
+                        ELSE '21+' END AS df_band,
+                   CAST(df * (df - 1) AS BIGINT) // 2 AS pairs
+            FROM freq
+        ),
+        panel AS (
+            SELECT df_band,
+                   CAST(COUNT(*) AS BIGINT) AS n_shingles,
+                   CAST(SUM(pairs) AS BIGINT) AS pairs
+            FROM graded GROUP BY df_band
+        )
+        SELECT df_band, n_shingles,
+               CAST(1000 * n_shingles // (SUM(n_shingles) OVER ())
+                    AS BIGINT) AS share_milli,
+               CASE WHEN SUM(pairs) OVER () > 0 THEN
+                    CAST(1000 * pairs // (SUM(pairs) OVER ()) AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END AS pair_work_milli
+        FROM panel
+        ORDER BY df_band
+    """

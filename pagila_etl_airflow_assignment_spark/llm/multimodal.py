@@ -820,3 +820,84 @@ def phash_sweep_sql() -> str:
         FROM p_panel JOIN d_panel USING (max_hamming)
         ORDER BY max_hamming
     """
+
+
+# --- payload size percentiles ---------------------------------------------------------
+
+
+def payload_percentiles(docs: DataFrame) -> DataFrame:
+    """Payload-size distribution per media kind: exact p50/p90/p99 byte
+    sizes — the shard-sizing and memory-budget input (row-group sizing,
+    Arrow batch caps, decode buffer pools all key off the tail, not the
+    mean). Percentiles are EXACT order statistics by rank selection
+    (ceil(q·n) rule in pure integers), not approximate sketches — the
+    PSI/newsvendor discipline.
+
+    Output per kind: (kind, n_payloads, p50_bytes, p90_bytes,
+    p99_bytes, max_bytes).
+
+    Scale shape: one kind-keyed rank window over the metadata
+    projection; payload bytes are measured, never moved."""
+    media = media_from_documents(docs).select(
+        "kind", F.octet_length("payload").cast("long").alias("bytes")
+    )
+    w = Window.partitionBy("kind").orderBy("bytes")
+    n = Window.partitionBy("kind")
+    ranked = media.select(
+        "kind",
+        "bytes",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(n).alias("n"),
+    )
+    def pick(q_num: int, q_den: int, out: str):
+        return (
+            ranked.where(
+                F.col("rn")
+                == F.expr(f"CAST(({q_num} * n + {q_den - 1}) DIV {q_den}"
+                          " AS BIGINT)")
+            )
+            .select("kind", F.col("bytes").alias(out))
+        )
+    base = ranked.groupBy("kind").agg(
+        F.max("n").cast("long").alias("n_payloads"),
+        F.max("bytes").cast("long").alias("max_bytes"),
+    )
+    return (
+        base.join(pick(1, 2, "p50_bytes"), "kind")
+        .join(pick(9, 10, "p90_bytes"), "kind")
+        .join(pick(99, 100, "p99_bytes"), "kind")
+        .select(
+            "kind", "n_payloads", "p50_bytes", "p90_bytes", "p99_bytes",
+            "max_bytes",
+        )
+        .orderBy("kind")
+    )
+
+
+PAYLOAD_PERCENTILES_SQL = """
+    WITH media AS (
+        SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio'
+                    ELSE 'video' END AS kind,
+               CAST(octet_length(encode(text)) AS BIGINT) AS bytes
+        FROM documents
+    ),
+    ranked AS (
+        SELECT kind, bytes,
+               row_number() OVER (PARTITION BY kind ORDER BY bytes) AS rn,
+               COUNT(*) OVER (PARTITION BY kind) AS n
+        FROM media
+    )
+    SELECT kind,
+           CAST(MAX(n) AS BIGINT) AS n_payloads,
+           CAST(MAX(CASE WHEN rn = (1 * n + 1) // 2 THEN bytes END)
+                AS BIGINT) AS p50_bytes,
+           CAST(MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN bytes END)
+                AS BIGINT) AS p90_bytes,
+           CAST(MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN bytes END)
+                AS BIGINT) AS p99_bytes,
+           CAST(MAX(bytes) AS BIGINT) AS max_bytes
+    FROM ranked
+    GROUP BY kind
+    ORDER BY kind
+"""

@@ -1228,3 +1228,28 @@ def q_survivor_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Does min-id dedup keep the best raw variant? Kept-vs-dropped
     length audit over normalized dup groups."""
     return dedup.survivor_audit(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "multimodal_payload_percentiles", oracle=multimodal.PAYLOAD_PERCENTILES_SQL
+)
+def q_payload_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact payload-size order statistics per media kind — the
+    shard/buffer sizing tail."""
+    return multimodal.payload_percentiles(load_table(spark, sf_dir, "documents"))
+
+
+@register("dedup_df_spectrum", oracle=dedup.df_spectrum_sql())
+def q_df_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle document-frequency spectrum with pair-work shares — the
+    evidence behind the max_df cap."""
+    return dedup.df_spectrum(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "embedding_assignment_margin", oracle=similarity.assignment_margin_sql()
+)
+def q_assignment_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-vs-second centroid cosine margin distribution — the
+    cluster-assignment confidence audit."""
+    return similarity.assignment_margin(load_table(spark, sf_dir, "embeddings"))

@@ -2263,3 +2263,142 @@ def intrinsic_dimension_sql() -> str:
                     ELSE CAST(0 AS BIGINT) END AS id_milli
         FROM quantized
     """
+
+
+# --- centroid assignment margin --------------------------------------------------------
+
+MARGIN_BUCKETS_MILLI = (10, 50, 100, 250)
+
+
+def assignment_margin(
+    embeddings: DataFrame, n_centroids: int = IVF_CENTROIDS
+) -> DataFrame:
+    """Cluster-assignment confidence audit: the cosine MARGIN between
+    each vector's best and second-best IVF centroid, bucketed — a mass
+    of near-zero margins means assignments are arbitrary (so nprobe
+    must rise and any cluster-based curation is unstable), while fat
+    margins justify nprobe=1 serving. The distribution completes the
+    confusion/silhouette/balance family with the per-vector confidence
+    view.
+
+    Same deterministic centroids and affinity pass as ann_ivf_topk;
+    margins quantize ONCE to milli and bucket at
+    {MARGIN_BUCKETS_MILLI}. Output per bucket: (margin_bucket, n_vecs,
+    share_milli).
+
+    Scale shape: one broadcast-centroid affinity pass, one vec-keyed
+    top-2 aggregate, bounded bucket rollup."""
+    from .hashing import md5_int
+
+    corpus = embeddings.select(
+        "vec_id", "embedding", _l2norm(F.col("embedding")).alias("nrm")
+    )
+    centroids = (
+        corpus.withColumn("ck", md5_int(F.col("vec_id").cast("string")))
+        .orderBy("ck", "vec_id")
+        .limit(n_centroids)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("c_emb"),
+            F.col("nrm").alias("c_nrm"),
+        )
+    )
+    affinity = corpus.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "centroid_id",
+        F.round(
+            _dot(F.col("embedding"), F.col("c_emb"))
+            / (F.col("nrm") * F.col("c_nrm")),
+            6,
+        ).alias("c_sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("c_sim").desc(), F.col("centroid_id").asc()
+    )
+    two = (
+        affinity.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 2)
+        .groupBy("vec_id")
+        .agg(
+            F.max(F.when(F.col("rk") == 1, F.col("c_sim"))).alias("s1"),
+            F.max(F.when(F.col("rk") == 2, F.col("c_sim"))).alias("s2"),
+        )
+        .select(
+            F.round((F.col("s1") - F.col("s2")) * 1000)
+            .cast("long")
+            .alias("margin_milli")
+        )
+    )
+    b = MARGIN_BUCKETS_MILLI
+    bucket = (
+        F.when(F.col("margin_milli") < b[0], f"<{b[0]:03d}")
+        .when(F.col("margin_milli") < b[1], f"{b[0]:03d}-{b[1]:03d}")
+        .when(F.col("margin_milli") < b[2], f"{b[1]:03d}-{b[2]:03d}")
+        .when(F.col("margin_milli") < b[3], f"{b[2]:03d}-{b[3]:03d}")
+        .otherwise(f"{b[3]:03d}+")
+    )
+    return (
+        two.groupBy(bucket.alias("margin_bucket"))
+        .agg(F.count("*").cast("long").alias("n_vecs"))
+        .select(
+            "margin_bucket",
+            "n_vecs",
+            F.expr(
+                "CAST(1000 * n_vecs DIV (SUM(n_vecs) OVER ()) AS BIGINT)"
+            ).alias("share_milli"),
+        )
+        .orderBy("margin_bucket")
+    )
+
+
+def assignment_margin_sql(n_centroids: int = IVF_CENTROIDS) -> str:
+    from .hashing import md5_int_sql
+
+    ck = md5_int_sql("CAST(vec_id AS VARCHAR)")
+    b = MARGIN_BUCKETS_MILLI
+    return f"""
+        WITH centroids AS (
+            SELECT vec_id AS centroid_id, embedding AS c_emb
+            FROM embeddings
+            ORDER BY {ck}, vec_id
+            LIMIT {n_centroids}
+        ),
+        affinity AS (
+            SELECT v.vec_id, c.centroid_id,
+                   round(list_cosine_similarity(
+                       v.embedding::DOUBLE[], c.c_emb::DOUBLE[]), 6) AS c_sim
+            FROM embeddings v CROSS JOIN centroids c
+        ),
+        two AS (
+            SELECT vec_id,
+                   CAST(round((MAX(CASE WHEN rk = 1 THEN c_sim END)
+                               - MAX(CASE WHEN rk = 2 THEN c_sim END))
+                              * 1000) AS BIGINT) AS margin_milli
+            FROM (
+                SELECT vec_id, c_sim,
+                       row_number() OVER (
+                           PARTITION BY vec_id
+                           ORDER BY c_sim DESC, centroid_id ASC
+                       ) AS rk
+                FROM affinity
+            ) WHERE rk <= 2
+            GROUP BY vec_id
+        ),
+        panel AS (
+            SELECT CASE WHEN margin_milli < {b[0]} THEN '<{b[0]:03d}'
+                        WHEN margin_milli < {b[1]}
+                            THEN '{b[0]:03d}-{b[1]:03d}'
+                        WHEN margin_milli < {b[2]}
+                            THEN '{b[1]:03d}-{b[2]:03d}'
+                        WHEN margin_milli < {b[3]}
+                            THEN '{b[2]:03d}-{b[3]:03d}'
+                        ELSE '{b[3]:03d}+' END AS margin_bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_vecs
+            FROM two GROUP BY 1
+        )
+        SELECT margin_bucket, n_vecs,
+               CAST(1000 * n_vecs // (SUM(n_vecs) OVER ()) AS BIGINT)
+                   AS share_milli
+        FROM panel
+        ORDER BY margin_bucket
+    """

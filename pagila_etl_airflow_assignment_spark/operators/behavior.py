@@ -900,3 +900,91 @@ ACTIVATION_LATENCY_SQL = """
     FROM panel
     ORDER BY latency_bucket
 """
+
+
+# --- cohort half-life ---------------------------------------------------------------
+
+
+def cohort_half_life(events: DataFrame) -> DataFrame:
+    """Activity half-life per weekly signup cohort: the first week
+    offset at which the cohort's active users fall below HALF of its
+    week-0 actives — the single decay number retention matrices bury,
+    and the honest comparison axis across cohorts of different sizes.
+
+    Cohort = the user's first-event week; actives per (cohort, offset)
+    from the distinct user-week projection; the half-life is the MIN
+    offset with actives·2 < cohort_size (NULL-free: cohorts that never
+    halve inside the observed window report -1). Output per cohort:
+    (cohort_week, cohort_size, half_life_weeks).
+
+    Scale shape: one per-user min window, one (cohort, offset)
+    aggregate, bounded cohort rollup."""
+    uw = events.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("week")
+    ).distinct()
+    w = Window.partitionBy("user_id")
+    graded = uw.withColumn("cohort_week", F.min("week").over(w)).select(
+        "user_id",
+        "cohort_week",
+        (F.datediff("week", "cohort_week") / 7).cast("long").alias("offset"),
+    )
+    panel = graded.groupBy("cohort_week", "offset").agg(
+        F.count("*").alias("actives")
+    )
+    size = panel.where(F.col("offset") == 0).select(
+        "cohort_week", F.col("actives").alias("cohort_size")
+    )
+    halved = (
+        panel.join(size, "cohort_week")
+        .where((F.col("offset") > 0) & (F.col("actives") * 2 < F.col("cohort_size")))
+        .groupBy("cohort_week")
+        .agg(F.min("offset").alias("half_life_weeks"))
+    )
+    return (
+        size.join(halved, "cohort_week", "left")
+        .select(
+            "cohort_week",
+            F.col("cohort_size").cast("long").alias("cohort_size"),
+            F.coalesce("half_life_weeks", F.lit(-1))
+            .cast("long")
+            .alias("half_life_weeks"),
+        )
+        .orderBy("cohort_week")
+    )
+
+
+COHORT_HALF_LIFE_SQL = """
+    WITH uw AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('week', ts) AS DATE) AS week
+        FROM events
+    ),
+    graded AS (
+        SELECT user_id,
+               MIN(week) OVER (PARTITION BY user_id) AS cohort_week,
+               date_diff('day',
+                   MIN(week) OVER (PARTITION BY user_id), week) // 7
+                   AS woff
+        FROM uw
+    ),
+    panel AS (
+        SELECT cohort_week, woff, COUNT(*) AS actives
+        FROM graded GROUP BY 1, 2
+    ),
+    sz AS (
+        SELECT cohort_week, actives AS cohort_size
+        FROM panel WHERE woff = 0
+    ),
+    halved AS (
+        SELECT p.cohort_week, MIN(p.woff) AS half_life_weeks
+        FROM panel p JOIN sz USING (cohort_week)
+        WHERE p.woff > 0 AND p.actives * 2 < sz.cohort_size
+        GROUP BY p.cohort_week
+    )
+    SELECT s.cohort_week,
+           CAST(s.cohort_size AS BIGINT) AS cohort_size,
+           CAST(COALESCE(h.half_life_weeks, -1) AS BIGINT)
+               AS half_life_weeks
+    FROM sz s LEFT JOIN halved h USING (cohort_week)
+    ORDER BY s.cohort_week
+"""

@@ -2296,3 +2296,10 @@ def q_hhi_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_load_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """24h load shape per type: peak vs trough hour and their ratio."""
     return analytics.load_shape(load_table(spark, sf_dir, "events"))
+
+
+@register("events_cohort_half_life", oracle=behavior.COHORT_HALF_LIFE_SQL)
+def q_cohort_half_life(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First week offset where each signup cohort halves — the decay
+    number retention matrices bury."""
+    return behavior.cohort_half_life(load_table(spark, sf_dir, "events"))

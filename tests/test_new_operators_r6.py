@@ -3459,3 +3459,84 @@ def test_survivor_audit_kept_shorter(spark):
     assert row.source == "sA"  # kept doc 1's source
     assert (row.n_groups, row.kept_shorter_groups, row.kept_shorter_milli) == (1, 1, 1000)
     assert row.avg_max_dropped_chars > row.avg_kept_chars
+
+
+# --- payload percentiles (L-364) -----------------------------------------------------------
+
+
+def test_payload_percentiles_rank_selection(spark):
+    from pagila_etl_airflow_assignment_spark.llm import multimodal
+
+    # image docs: ids 3,6,...,30 -> 10 payloads of controlled lengths
+    docs = _docs(
+        spark,
+        [(3 * i, "x" * (10 * i), "en", "s0") for i in range(1, 11)],
+    )
+    rows = {r.kind: r for r in multimodal.payload_percentiles(docs).collect()}
+    img = rows["image"]
+    assert img.n_payloads == 10
+    assert img.p50_bytes == 50   # rank ceil(10/2)=5 -> 50 chars
+    assert img.p90_bytes == 90
+    assert img.max_bytes == 100
+
+
+# --- df spectrum (L-365) ----------------------------------------------------------------------
+
+
+def test_df_spectrum_pair_work(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "aa bb cc dd ee ff", "en", "s0"),
+            (2, "aa bb cc dd ee ff", "en", "s0"),
+            (3, "zz yy xx ww vv uu", "en", "s0"),
+        ],
+    )
+    rows = {r.df_band: r for r in dedup.df_spectrum(docs).collect()}
+    # doc1/doc2 shingles have df=2 (pairs=1 each); doc3's are df=1
+    assert rows["2"].pair_work_milli == 1000
+    assert rows["1"].pair_work_milli == 0
+
+
+# --- assignment margin (L-366) ------------------------------------------------------------------
+
+
+def test_assignment_margin_buckets_sum(spark):
+    from pagila_etl_airflow_assignment_spark.llm import similarity
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 11) % 7), float((i * 3) % 5), 1.0], 0)
+         for i in range(60)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = similarity.assignment_margin(emb).collect()
+    assert sum(r.n_vecs for r in rows) == 60
+    assert 990 <= sum(r.share_milli for r in rows) <= 1000
+
+
+# --- cohort half-life (L-367) --------------------------------------------------------------------
+
+
+def test_cohort_half_life_detects_halving(spark):
+    from pagila_etl_airflow_assignment_spark.operators import behavior
+
+    # cohort wk0: 4 users; wk1: 3 active (not halved); wk2: 1 (halved)
+    ev = _events(
+        spark,
+        [(i, _ts(1 + i), i, "view", 0.0) for i in range(1, 5)]
+        + [(10 + i, _ts(8 + i), i, "view", 0.0) for i in range(1, 4)]
+        + [(20, _ts(16), 1, "view", 0.0)],
+    )
+    r = behavior.cohort_half_life(ev).collect()[0]
+    assert (r.cohort_size, r.half_life_weeks) == (4, 2)
+
+
+def test_cohort_half_life_never_halves(spark):
+    from pagila_etl_airflow_assignment_spark.operators import behavior
+
+    ev = _events(
+        spark,
+        [(1, _ts(1), 1, "view", 0.0), (2, _ts(8), 1, "view", 0.0)],
+    )
+    r = behavior.cohort_half_life(ev).collect()[0]
+    assert r.half_life_weeks == -1

@@ -157,6 +157,8 @@ ALLOWED: dict[str, set[str]] = {
     "warehouse_snapshot_retention": {"BroadcastNestedLoopJoin"},
     # broadcast centroid set + 1-row corpus-count scalar (IVF audit)
     "ann_ivf_balance": {"BroadcastNestedLoopJoin"},
+    # broadcast centroid set (same affinity pass, margin readout)
+    "embedding_assignment_margin": {"BroadcastNestedLoopJoin"},
     # broadcast 1-row min-class-count scalar (balance target)
     "sampling_class_balance": {"BroadcastNestedLoopJoin"},
     # broadcast 1-row argmax incident-day scalar

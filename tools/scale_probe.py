@@ -329,6 +329,10 @@ PROBES = [
     "warehouse_hhi_trend",
     "events_load_shape",
     "dedup_survivor_audit",
+    "multimodal_payload_percentiles",
+    "dedup_df_spectrum",
+    "embedding_assignment_margin",
+    "events_cohort_half_life",
 ]
 
 
