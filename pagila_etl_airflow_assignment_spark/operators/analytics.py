@@ -1992,3 +1992,82 @@ LOAD_SHAPE_SQL = """
     JOIN (SELECT * FROM ranked WHERE rt = 1) t USING (event_type)
     ORDER BY p.event_type
 """
+
+
+# --- incident hotspots --------------------------------------------------------------
+
+
+def incident_hotspots(events: DataFrame) -> DataFrame:
+    """Blast-radius drill-down: on the peak-error day (the same argmax
+    scalar as incident_impact), which HOURS carried the errors — the
+    panel the on-call actually scans to find the trigger window.
+    Output per hour of the incident day with ≥1 error: (hour, n_errors,
+    n_events, error_share_milli of the day's errors).
+
+    Scale shape: argmax-day scalar broadcast, one filtered (hour)
+    rollup."""
+    err_daily = (
+        events.where(F.col("event_type") == "error")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("ne"))
+    )
+    incident = (
+        err_daily.select(
+            "day",
+            F.row_number()
+            .over(Window.orderBy(F.desc("ne"), F.col("day")))
+            .alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .select(F.col("day").alias("iday"))
+    )
+    day_events = events.crossJoin(F.broadcast(incident)).where(
+        F.to_date("ts") == F.col("iday")
+    )
+    panel = day_events.groupBy(F.hour("ts").cast("long").alias("hour")).agg(
+        F.sum((F.col("event_type") == "error").cast("long"))
+        .cast("long")
+        .alias("n_errors"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+    return (
+        panel.where(F.col("n_errors") > 0)
+        .select(
+            "hour",
+            "n_errors",
+            "n_events",
+            F.expr(
+                "CAST(1000 * n_errors DIV (SUM(n_errors) OVER ()) AS BIGINT)"
+            ).alias("error_share_milli"),
+        )
+        .orderBy("hour")
+    )
+
+
+INCIDENT_HOTSPOTS_SQL = """
+    WITH err_daily AS (
+        SELECT CAST(ts AS DATE) AS day, COUNT(*) AS ne
+        FROM events WHERE event_type = 'error' GROUP BY 1
+    ),
+    incident AS (
+        SELECT day AS iday FROM (
+            SELECT day, row_number() OVER (ORDER BY ne DESC, day) AS rn
+            FROM err_daily
+        ) WHERE rn = 1
+    ),
+    panel AS (
+        SELECT CAST(hour(e.ts) AS BIGINT) AS hour,
+               CAST(SUM(CASE WHEN e.event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_errors,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events e CROSS JOIN incident i
+        WHERE CAST(e.ts AS DATE) = i.iday
+        GROUP BY 1
+    )
+    SELECT hour, n_errors, n_events,
+           CAST(1000 * n_errors // (SUM(n_errors) OVER ()) AS BIGINT)
+               AS error_share_milli
+    FROM panel
+    WHERE n_errors > 0
+    ORDER BY hour
+"""

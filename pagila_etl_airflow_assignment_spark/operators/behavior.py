@@ -988,3 +988,56 @@ COHORT_HALF_LIFE_SQL = """
     FROM sz s LEFT JOIN halved h USING (cohort_week)
     ORDER BY s.cohort_week
 """
+
+
+# --- conversion by depth ------------------------------------------------------------
+
+DEPTH_CAP = 20
+
+
+def conversion_by_depth(events: DataFrame) -> DataFrame:
+    """Conversion-by-depth curve: at the nth event of a user's
+    lifetime, how likely is that event a purchase — the engagement-
+    depth monetization curve (does conversion propensity build with
+    usage, or are buyers decided early?), the event-count twin of the
+    tenure (calendar) curve. Positions cap at {DEPTH_CAP}.
+
+    One per-user lifetime-order window; bounded position rollup.
+    Output per position: (position, n_events, n_purchases,
+    conversion_milli)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    graded = events.select(
+        F.least(F.row_number().over(w), F.lit(DEPTH_CAP)).alias("position"),
+        (F.col("event_type") == "purchase").cast("long").alias("is_buy"),
+    )
+    return (
+        graded.groupBy(F.col("position").cast("long").alias("position"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("is_buy").cast("long").alias("n_purchases"),
+        )
+        .withColumn(
+            "conversion_milli",
+            F.expr("CAST(1000 * n_purchases DIV n_events AS BIGINT)"),
+        )
+        .orderBy("position")
+    )
+
+
+CONVERSION_BY_DEPTH_SQL = f"""
+    WITH graded AS (
+        SELECT LEAST(row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id),
+                   {DEPTH_CAP}) AS position,
+               CAST(event_type = 'purchase' AS BIGINT) AS is_buy
+        FROM events
+    )
+    SELECT CAST(position AS BIGINT) AS position,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(is_buy) AS BIGINT) AS n_purchases,
+           CAST(1000 * SUM(is_buy) // COUNT(*) AS BIGINT)
+               AS conversion_milli
+    FROM graded
+    GROUP BY position
+    ORDER BY position
+"""

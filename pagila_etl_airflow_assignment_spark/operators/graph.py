@@ -2342,3 +2342,125 @@ def support_sweep_sql(max_basket: int = 30) -> str:
         FROM e_panel JOIN n_panel USING (min_support)
         ORDER BY min_support
     """
+
+
+# --- brand conductance --------------------------------------------------------------
+
+
+def brand_conductance(
+    lineitem: DataFrame, part: DataFrame, max_basket: int = 30,
+    min_support: int = TRI_MIN_SUPPORT,
+) -> DataFrame:
+    """Per-community conductance of the brand partition on the
+    co-purchase graph: cut edges / (internal·2 + cut) per brand — the
+    LOCAL community-quality readout the single-number modularity
+    (graph_brand_modularity) averages away: one porous brand can hide
+    inside a good global Q. Low conductance = the brand's parts really
+    are bought together; high = the brand label fights the purchase
+    graph.
+
+    Same support-pruned edge relation as the census family, endpoints
+    labeled via the broadcast part dim. Output per brand: (p_brand,
+    internal_edges, cut_edges, conductance_milli).
+
+    Scale shape: edge-keyed label join (dim broadcast), bounded brand
+    rollup — cut edges count toward BOTH endpoint brands (the standard
+    boundary-volume convention)."""
+    edges = (
+        _oriented_pair_rel(lineitem, max_basket)
+        .groupBy(F.col("part_a").alias("u"), F.col("part_b").alias("v"))
+        .agg(F.count("*").alias("support"))
+        .where(F.col("support") >= min_support)
+        .select("u", "v")
+    )
+    dim = part.select("p_partkey", "p_brand")
+    labeled = (
+        edges.join(
+            F.broadcast(dim.withColumnRenamed("p_partkey", "u")
+                        .withColumnRenamed("p_brand", "bu")), "u"
+        )
+        .join(
+            F.broadcast(dim.withColumnRenamed("p_partkey", "v")
+                        .withColumnRenamed("p_brand", "bv")), "v"
+        )
+    )
+    internal = (
+        labeled.where(F.col("bu") == F.col("bv"))
+        .groupBy(F.col("bu").alias("p_brand"))
+        .agg(F.count("*").cast("long").alias("internal_edges"))
+    )
+    cut = (
+        labeled.where(F.col("bu") != F.col("bv"))
+        .select(F.explode(F.array("bu", "bv")).alias("p_brand"))
+        .groupBy("p_brand")
+        .agg(F.count("*").cast("long").alias("cut_edges"))
+    )
+    return (
+        internal.join(cut, "p_brand", "full")
+        .select(
+            "p_brand",
+            F.coalesce("internal_edges", F.lit(0)).cast("long").alias(
+                "internal_edges"
+            ),
+            F.coalesce("cut_edges", F.lit(0)).cast("long").alias("cut_edges"),
+        )
+        .withColumn(
+            "conductance_milli",
+            F.expr(
+                "CASE WHEN 2 * internal_edges + cut_edges > 0 THEN"
+                " CAST(1000 * cut_edges DIV (2 * internal_edges + cut_edges)"
+                " AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+            ),
+        )
+        .orderBy("p_brand")
+    )
+
+
+def brand_conductance_sql(
+    max_basket: int = 30, min_support: int = TRI_MIN_SUPPORT
+) -> str:
+    return f"""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), small AS (
+            SELECT l_orderkey FROM items
+            GROUP BY l_orderkey HAVING COUNT(*) <= {max_basket}
+        ), basket AS (
+            SELECT i.l_orderkey, i.l_partkey FROM items i
+            JOIN small USING (l_orderkey)
+        ), edges AS (
+            SELECT a.l_partkey AS u, b.l_partkey AS v
+            FROM basket a JOIN basket b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= {min_support}
+        ),
+        labeled AS (
+            SELECT e.u, e.v, pu.p_brand AS bu, pv.p_brand AS bv
+            FROM edges e
+            JOIN part pu ON pu.p_partkey = e.u
+            JOIN part pv ON pv.p_partkey = e.v
+        ),
+        internal AS (
+            SELECT bu AS p_brand, CAST(COUNT(*) AS BIGINT) AS internal_edges
+            FROM labeled WHERE bu = bv GROUP BY bu
+        ),
+        cut AS (
+            SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS cut_edges
+            FROM (
+                SELECT unnest([bu, bv]) AS p_brand
+                FROM labeled WHERE bu <> bv
+            ) GROUP BY p_brand
+        )
+        SELECT p_brand,
+               COALESCE(i.internal_edges, 0) AS internal_edges,
+               COALESCE(c.cut_edges, 0) AS cut_edges,
+               CASE WHEN 2 * COALESCE(i.internal_edges, 0)
+                         + COALESCE(c.cut_edges, 0) > 0 THEN
+                    CAST(1000 * COALESCE(c.cut_edges, 0)
+                         // (2 * COALESCE(i.internal_edges, 0)
+                             + COALESCE(c.cut_edges, 0)) AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END AS conductance_milli
+        FROM internal i FULL JOIN cut c USING (p_brand)
+        ORDER BY p_brand
+    """

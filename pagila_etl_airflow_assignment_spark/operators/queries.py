@@ -2303,3 +2303,34 @@ def q_cohort_half_life(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First week offset where each signup cohort halves — the decay
     number retention matrices bury."""
     return behavior.cohort_half_life(load_table(spark, sf_dir, "events"))
+
+
+@register("graph_brand_conductance", oracle=graph.brand_conductance_sql())
+def q_brand_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand conductance of the co-purchase partition — the local
+    community quality modularity averages away."""
+    return graph.brand_conductance(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+@register("warehouse_rounding_residue", oracle=warehouse.ROUNDING_RESIDUE_SQL)
+def q_rounding_residue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-cent rounding residue per month — the ledger reconciliation
+    gap and salami-slicing check."""
+    return warehouse.rounding_residue(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "events_conversion_by_depth", oracle=behavior.CONVERSION_BY_DEPTH_SQL
+)
+def q_conversion_by_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase propensity at the nth lifetime event — the engagement-
+    depth monetization curve."""
+    return behavior.conversion_by_depth(load_table(spark, sf_dir, "events"))
+
+
+@register("events_incident_hotspots", oracle=analytics.INCIDENT_HOTSPOTS_SQL)
+def q_incident_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-level drill-down of the peak-error day."""
+    return analytics.incident_hotspots(load_table(spark, sf_dir, "events"))

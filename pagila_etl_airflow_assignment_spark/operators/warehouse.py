@@ -5022,3 +5022,60 @@ HHI_TREND_SQL = """
     GROUP BY yr
     ORDER BY yr
 """
+
+
+# --- rounding-residue audit ----------------------------------------------------------
+
+
+def rounding_residue(lineitem: DataFrame) -> DataFrame:
+    """Penny-rounding audit per month: the sub-cent residue each line's
+    round-to-cents discards, summed — the reconciliation gap between
+    the cent-ledger and the raw price math, and the classic
+    salami-slicing fraud check (a healthy book's net residue hovers
+    near zero; a biased rounding path drifts linearly with volume).
+
+    residue_centi = round(net·10000) − 100·round(net·100): the signed
+    hundredth-of-a-cent remainder, computed ONCE per line from the same
+    double both engines read. Output per month: (month, n_lines,
+    net_residue_centicents, abs_residue_centicents, max_abs_centicents).
+
+    Scale shape: narrow projection + bounded month rollup."""
+    res = F.expr(
+        "CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)"
+        " - 100 * CAST(round(l_extendedprice * (1 - l_discount) * 100)"
+        " AS BIGINT)"
+    )
+    graded = lineitem.select(
+        F.date_trunc("month", "l_shipdate").cast("date").alias("month"),
+        res.alias("r"),
+    )
+    return (
+        graded.groupBy("month")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum("r").cast("long").alias("net_residue_centicents"),
+            F.sum(F.abs("r")).cast("long").alias("abs_residue_centicents"),
+            F.max(F.abs("r")).cast("long").alias("max_abs_centicents"),
+        )
+        .orderBy("month")
+    )
+
+
+ROUNDING_RESIDUE_SQL = """
+    WITH graded AS (
+        SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+               CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                    AS BIGINT)
+                 - 100 * CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                              AS BIGINT) AS r
+        FROM lineitem
+    )
+    SELECT month,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(r) AS BIGINT) AS net_residue_centicents,
+           CAST(SUM(abs(r)) AS BIGINT) AS abs_residue_centicents,
+           CAST(MAX(abs(r)) AS BIGINT) AS max_abs_centicents
+    FROM graded
+    GROUP BY month
+    ORDER BY month
+"""

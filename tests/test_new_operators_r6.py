@@ -3540,3 +3540,88 @@ def test_cohort_half_life_never_halves(spark):
     )
     r = behavior.cohort_half_life(ev).collect()[0]
     assert r.half_life_weeks == -1
+
+
+# --- brand conductance (L-368) -----------------------------------------------------------
+
+
+def test_brand_conductance_cut_vs_internal(spark):
+    from pagila_etl_airflow_assignment_spark.operators import graph
+
+    part = spark.createDataFrame(
+        [(1, "n", "B1", "S", 1, 1.0), (2, "n", "B1", "S", 1, 1.0),
+         (3, "n", "B2", "S", 1, 1.0)],
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    )
+    # edges (support 2): (1,2) internal to B1; (2,3) cut between B1, B2
+    rows_li = []
+    ok = 1
+    for _ in range(2):
+        for pair in [(1, 2), (2, 3)]:
+            for p in pair:
+                rows_li.append((ok, p, 1, 1.0, 1.0, 0.0, dt.datetime(2024, 1, 1)))
+            ok += 1
+    li = spark.createDataFrame(
+        rows_li,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_quantity double, "
+        "l_extendedprice double, l_discount double, l_shipdate timestamp",
+    )
+    rows = {r.p_brand: r for r in graph.brand_conductance(li, part).collect()}
+    assert (rows["B1"].internal_edges, rows["B1"].cut_edges) == (1, 1)
+    assert rows["B1"].conductance_milli == 333  # 1/(2+1)
+    assert (rows["B2"].internal_edges, rows["B2"].cut_edges) == (0, 1)
+    assert rows["B2"].conductance_milli == 1000
+
+
+# --- rounding residue (L-369) --------------------------------------------------------------
+
+
+def test_rounding_residue_signed(spark):
+    li = spark.createDataFrame(
+        # net 100.005 -> cents 10001 (half-up), residue 1000005-1000100=-95
+        [(1, 1, 1, 1.0, 100.005, 0.0, dt.datetime(2024, 1, 1)),
+         (2, 1, 1, 1.0, 100.0, 0.0, dt.datetime(2024, 1, 2))],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_quantity double, "
+        "l_extendedprice double, l_discount double, l_shipdate timestamp",
+    )
+    r = warehouse.rounding_residue(li).collect()[0]
+    assert r.n_lines == 2
+    # the exact-zero line contributes 0; the other a sub-cent residue
+    assert abs(r.net_residue_centicents) < 100
+    assert r.max_abs_centicents < 100
+
+
+# --- conversion by depth (L-370) ------------------------------------------------------------
+
+
+def test_conversion_by_depth_curve(spark):
+    from pagila_etl_airflow_assignment_spark.operators import behavior
+
+    ev = _events(
+        spark,
+        [(1, _ts(1, 1), 1, "view", 0.0), (2, _ts(1, 2), 1, "purchase", 1.0),
+         (3, _ts(1, 1), 2, "view", 0.0), (4, _ts(1, 2), 2, "view", 0.0)],
+    )
+    rows = {r.position: r for r in behavior.conversion_by_depth(ev).collect()}
+    assert rows[1].conversion_milli == 0
+    assert (rows[2].n_events, rows[2].n_purchases) == (2, 1)
+    assert rows[2].conversion_milli == 500
+
+
+# --- incident hotspots (L-371) ----------------------------------------------------------------
+
+
+def test_incident_hotspots_shares(spark):
+    from pagila_etl_airflow_assignment_spark.operators import analytics
+
+    ev = _events(
+        spark,
+        [(1, _ts(2, 9), 1, "error", 0.0), (2, _ts(2, 9, 30), 2, "error", 0.0),
+         (3, _ts(2, 14), 3, "error", 0.0), (4, _ts(2, 9, 45), 4, "view", 0.0),
+         (5, _ts(5, 1), 1, "error", 0.0)],
+    )
+    rows = {r.hour: r for r in analytics.incident_hotspots(ev).collect()}
+    assert set(rows) == {9, 14}
+    assert rows[9].error_share_milli == 666
+    assert rows[9].n_events == 3  # includes the non-error event that hour

@@ -163,6 +163,8 @@ ALLOWED: dict[str, set[str]] = {
     "sampling_class_balance": {"BroadcastNestedLoopJoin"},
     # broadcast 1-row argmax incident-day scalar
     "events_incident_impact": {"BroadcastNestedLoopJoin"},
+    # same argmax incident-day scalar, hour drill-down
+    "events_incident_hotspots": {"BroadcastNestedLoopJoin"},
     # broadcast 1-row global-mean center scalar (overflow discipline)
     "warehouse_variance_decomposition": {"BroadcastNestedLoopJoin"},
     # two 1-row period-factor aggregates cross-joined

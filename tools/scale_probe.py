@@ -333,6 +333,10 @@ PROBES = [
     "dedup_df_spectrum",
     "embedding_assignment_margin",
     "events_cohort_half_life",
+    "graph_brand_conductance",
+    "warehouse_rounding_residue",
+    "events_conversion_by_depth",
+    "events_incident_hotspots",
 ]
 
 
