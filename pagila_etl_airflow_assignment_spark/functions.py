@@ -35,20 +35,33 @@ def isqrt(col: Column | str) -> Column:
     the result exact — and therefore bit-identical cross-engine, which is
     what lets sqrt-based statistics live in the exact-integer output
     discipline (stddev, EOQ) instead of the float-hash danger zone.
+
+    Overflow discipline: for any c <= 2^63-1 the double seed s0 is at most
+    3037000499 (sqrt(2^63) ≈ 3037000499.976, and cast+sqrt are both
+    correctly rounded), so s0*s0 and 2*s0 always fit in int64 — but
+    (s0+1)^2 does NOT (3037000500^2 > 2^63-1). The up-correction probe is
+    therefore written as `c - s0*s0 > 2*s0` (algebraically c >= (s0+1)^2),
+    which never forms the overflowing square. Valid for the full
+    non-negative BIGINT domain.
     """
     c = F.col(col) if isinstance(col, str) else col
     s0 = F.floor(F.sqrt(c.cast("double"))).cast("long")
     return (
-        F.when((s0 + 1) * (s0 + 1) <= c, s0 + 1)
+        F.when(c - s0 * s0 > 2 * s0, s0 + 1)
         .when(s0 * s0 > c, s0 - 1)
         .otherwise(s0)
     )
 
 
 def isqrt_sql(expr: str) -> str:
-    """DuckDB twin of ``isqrt``: exact floor-sqrt of a BIGINT expression."""
+    """DuckDB twin of ``isqrt``: exact floor-sqrt of a BIGINT expression.
+
+    Mirrors the overflow-free up-probe (`c - s0*s0 > 2*s0`): DuckDB raises
+    an out-of-range error on BIGINT overflow, so the naive (s0+1)^2 form
+    would abort (rather than wrap) for inputs near 2^63.
+    """
     s0 = f"CAST(FLOOR(SQRT(CAST(({expr}) AS DOUBLE))) AS BIGINT)"
     return (
-        f"(CASE WHEN ({s0} + 1) * ({s0} + 1) <= ({expr}) THEN {s0} + 1 "
+        f"(CASE WHEN ({expr}) - {s0} * {s0} > 2 * {s0} THEN {s0} + 1 "
         f"WHEN {s0} * {s0} > ({expr}) THEN {s0} - 1 ELSE {s0} END)"
     )

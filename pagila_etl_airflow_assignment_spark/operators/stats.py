@@ -951,9 +951,12 @@ def kendall_tau_daily(
         F.sum((F.col("prod") < 0).cast("long")).alias("discordant"),
         F.sum((F.col("prod") == 0).cast("long")).alias("tied"),
     )
-    n_days = daily.count()  # scalar probe over the bounded grid
-    return agg.select(
-        F.lit(n_days).cast("long").alias("n_days"),
+    # 1-row scalar rides the plan as a broadcast cross join (the allowlisted
+    # scalar-broadcast pattern, same as events_acf_daily/events_xcorr_daily)
+    # rather than an eager driver-side count() at plan-construction time.
+    day_count = daily.agg(F.count("*").cast("long").alias("n_days"))
+    return agg.crossJoin(F.broadcast(day_count)).select(
+        "n_days",
         "concordant",
         "discordant",
         "tied",

@@ -15,6 +15,19 @@ patterns that kill large-scale runs:
                                    cross joins; every such use must be
                                    allowlisted here WITH its justification so
                                    a new accidental one fails the audit.
+- ``UNBOUNDED_WINDOW``           — a Window with an EMPTY partitionSpec whose
+                                   input subtree is NOT provably bounded. An
+                                   unpartitioned window single-tasks its whole
+                                   input, so it is only acceptable over a
+                                   relation already reduced by an aggregate /
+                                   limit / literal (week spines, top-k pools,
+                                   day grids). Checked MECHANICALLY: walk the
+                                   physical tree; for every empty-partition
+                                   Window, every path from it to a source leaf
+                                   (file scan / unbounded Range) must cross an
+                                   Aggregate or Limit node. No allowlist — a
+                                   bounded input is a structural property, not
+                                   a per-query judgement call.
 
 Usage: python tools/plan_audit.py [sf_dir]
 Prints one JSON line {"flags": {query: [pattern,...]}, "unexpected": N} and
@@ -210,6 +223,88 @@ ALLOWED: dict[str, set[str]] = {
 
 PATTERNS = ("CartesianProduct", "BatchEvalPython", "BroadcastNestedLoopJoin")
 
+# Nodes that make every row set below them bounded (grammar of the walk):
+# aggregates collapse to |groups| (all our unpartitioned-window inputs are
+# group-bounded aggregates: spines, grids, top-k pools); limits are literal
+# row caps; LocalTableScan is a literal relation.
+_BOUNDING_NODES = (
+    "HashAggregate",
+    "SortAggregate",
+    "ObjectHashAggregate",
+    "GlobalLimit",
+    "LocalLimit",
+    "CollectLimit",
+    "TakeOrderedAndProject",
+    "WindowGroupLimit",
+    "LocalTableScan",
+)
+# Leaves that mean "data-sized source reached without a bound in between".
+_SOURCE_LEAVES = ("Scan", "FileScan", "BatchScan", "Range", "ReusedExchange")
+
+# A literal Range (spark.range(n)) is a bounded grid, not a data source, as
+# long as its element count is a small constant (day/hour/bin grids).
+_RANGE_BOUND = 1_000_000
+_RANGE_RE = None
+
+
+def _is_bounded_range(node) -> bool:
+    global _RANGE_RE
+    if _RANGE_RE is None:
+        import re
+
+        _RANGE_RE = re.compile(r"Range \((-?\d+), (-?\d+), step=(-?\d+)")
+    m = _RANGE_RE.match(node.toString().splitlines()[0].strip())
+    if not m:
+        return False
+    start, end, step = (int(g) for g in m.groups())
+    return step != 0 and abs((end - start) // step) <= _RANGE_BOUND
+
+
+def _children(node):
+    cs = node.children()
+    return [cs.apply(i) for i in range(cs.length())]
+
+
+def _window_nodes(node, out):
+    """Collect (window_node) for every physical Window in the tree (descending
+    through AdaptiveSparkPlan wrappers and query stages)."""
+    name = node.nodeName()
+    if name == "AdaptiveSparkPlan":
+        _window_nodes(node.initialPlan(), out)
+        return
+    if name == "Window" and node.partitionSpec().length() == 0:
+        out.append(node)
+    for c in _children(node):
+        _window_nodes(c, out)
+
+
+def _subtree_is_bounded(node) -> bool:
+    """True iff every path from ``node`` to a source leaf crosses a bounding
+    node — i.e. the relation feeding an unpartitioned window is small by
+    construction, not data-sized."""
+    name = node.nodeName()
+    if any(name.startswith(b) for b in _BOUNDING_NODES):
+        return True
+    if name == "AdaptiveSparkPlan":
+        return _subtree_is_bounded(node.initialPlan())
+    kids = _children(node)
+    if not kids:
+        if name.startswith("Range"):
+            return _is_bounded_range(node)
+        # leaf: a literal/empty relation is bounded, a source scan is not
+        return not any(name.startswith(s) for s in _SOURCE_LEAVES)
+    # joins/unions/projects/generates: bounded iff ALL inputs are bounded
+    return all(_subtree_is_bounded(c) for c in kids)
+
+
+def unbounded_windows(jplan) -> int:
+    wins: list = []
+    _window_nodes(jplan, wins)
+    return sum(
+        0 if all(_subtree_is_bounded(c) for c in _children(w)) else 1
+        for w in wins
+    )
+
 
 def main() -> None:
     spark = build_session(app_name="plan-audit")
@@ -218,12 +313,16 @@ def main() -> None:
     for name, fn in queries().items():
         try:
             df = fn(spark, SF_DIR)
-            plan = df._jdf.queryExecution().executedPlan().toString()
+            jplan = df._jdf.queryExecution().executedPlan()
+            plan = jplan.toString()
+            n_unbounded = unbounded_windows(jplan)
         except Exception as exc:
             flags[name] = [f"PLAN_ERROR: {str(exc).splitlines()[0][:150]}"]
             unexpected += 1
             continue
         hits = [p for p in PATTERNS if p in plan]
+        if n_unbounded:
+            hits.append(f"UNBOUNDED_WINDOW x{n_unbounded}")
         bad = [p for p in hits if p not in ALLOWED.get(name, set())]
         if hits:
             flags[name] = hits
