@@ -507,6 +507,34 @@ def product_quantization_sql(
 SIM_PROFILE_BINS = 20
 
 
+def _md5_pair_sides(vectors: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The deterministic md5-rank pairing used by similarity_profile and
+    matryoshka_quality: rank the corpus by (md5(vec_id), vec_id), pair even
+    rank with the following odd rank. The rank is computed with the
+    two-level device (ranks.with_global_row_number) — within-md5-bucket
+    window + bounded bucket prefix — producing the SAME ranks as a global
+    Window.orderBy without ever materializing the corpus in one task."""
+    from ..ranks import md5_bucket, with_global_row_number
+    from .hashing import md5_int
+
+    h = md5_int(F.col("vec_id").cast("string"))
+    ranked = with_global_row_number(
+        vectors.select("vec_id", "embedding", h.alias("__h")),
+        md5_bucket(F.col("__h")),
+        [F.col("__h"), F.col("vec_id")],
+        out="__rn",
+    ).select("vec_id", "embedding", (F.col("__rn") - 1).alias("rk"))
+    lo = ranked.where(F.col("rk") % 2 == 0).select(
+        (F.col("rk") / 2).cast("long").alias("pair_id"),
+        F.col("embedding").alias("emb_a"),
+    )
+    hi = ranked.where(F.col("rk") % 2 == 1).select(
+        ((F.col("rk") - 1) / 2).cast("long").alias("pair_id"),
+        F.col("embedding").alias("emb_b"),
+    )
+    return lo, hi
+
+
 def similarity_profile(
     vectors: DataFrame, n_bins: int = SIM_PROFILE_BINS
 ) -> DataFrame:
@@ -517,24 +545,13 @@ def similarity_profile(
     giving |corpus|/2 disjoint pairs with no self-join fan-out and no
     driver-side count.
 
-    One rank window over md5 order (ties impossible — vec_id tiebreak),
-    one equi-join on the pair index, narrow cosine folds, one ≤n_bins-row
+    The md5-order rank is the TWO-LEVEL global row_number (ranks.py:
+    within-bucket window + bounded bucket-prefix counts), so no single task
+    ever holds the corpus — bit-identical to the naive global window; one
+    equi-join on the pair index, narrow cosine folds, one ≤n_bins-row
     aggregate. No sampling randomness: backfills reproduce the identical
     profile."""
-    from .hashing import md5_int
-
-    w = Window.orderBy(md5_int(F.col("vec_id").cast("string")), "vec_id")
-    ranked = vectors.select(
-        "vec_id", "embedding", (F.row_number().over(w) - 1).alias("rk")
-    )
-    lo = ranked.where(F.col("rk") % 2 == 0).select(
-        (F.col("rk") / 2).cast("long").alias("pair_id"),
-        F.col("embedding").alias("emb_a"),
-    )
-    hi = ranked.where(F.col("rk") % 2 == 1).select(
-        ((F.col("rk") - 1) / 2).cast("long").alias("pair_id"),
-        F.col("embedding").alias("emb_b"),
-    )
+    lo, hi = _md5_pair_sides(vectors)
     dot = F.aggregate(
         F.zip_with(
             F.col("emb_a"), F.col("emb_b"), lambda x, y: x.cast("double") * y.cast("double")
@@ -867,21 +884,9 @@ def matryoshka_quality(
 
     Exactness: per-pair errors quantize to exact integers (round of
     bit-identical double folds), so all aggregates are order-free integer
-    sums; per-width output is ≤|widths| rows."""
-    from .hashing import md5_int
-
-    w = Window.orderBy(md5_int(F.col("vec_id").cast("string")), "vec_id")
-    ranked = vectors.select(
-        "vec_id", "embedding", (F.row_number().over(w) - 1).alias("rk")
-    )
-    lo = ranked.where(F.col("rk") % 2 == 0).select(
-        (F.col("rk") / 2).cast("long").alias("pair_id"),
-        F.col("embedding").alias("emb_a"),
-    )
-    hi = ranked.where(F.col("rk") % 2 == 1).select(
-        ((F.col("rk") - 1) / 2).cast("long").alias("pair_id"),
-        F.col("embedding").alias("emb_b"),
-    )
+    sums; per-width output is ≤|widths| rows. Pairing rides the two-level
+    rank device (no single-task window), same as similarity_profile."""
+    lo, hi = _md5_pair_sides(vectors)
 
     from .dedup import _cosine as cos  # dot/( ‖a‖·‖b‖ ) — the op order DuckDB's
     # list_cosine_similarity reproduces bit-for-bit (dedup.py:680)

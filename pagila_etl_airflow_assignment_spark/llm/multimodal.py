@@ -598,12 +598,13 @@ def bitrate_outliers(docs: DataFrame) -> DataFrame:
     (a '128 kbps' audio file at 9000 kbps is a mislabeled WAV) that runs
     before any expensive decode.
 
-    p99 is ORDER-STATISTIC SELECTION (ceil(0.99·n)-th smallest by
-    row_number — the PSI/median-CI discipline), so the threshold and every
-    flag are engine-exact.
+    p99 is ORDER-STATISTIC SELECTION (ceil(0.99·n)-th smallest — the
+    PSI/median-CI discipline) via ranks.kth_smallest, so the threshold and
+    every flag are engine-exact.
 
-    Scale shape: narrow per-row arithmetic + one rank selection on the
-    kbps relation (two-stage at scale), broadcast back as one scalar."""
+    Scale shape: narrow per-row arithmetic + the kth_smallest device (per-
+    kbps counts + one cumulative window over that bounded aggregate — no
+    data-sized sort), broadcast back as one scalar."""
     # the DECLARED duration comes from upstream metadata, not the payload —
     # modeled as an id-keyed stand-in so declared and actual can disagree
     # (duration_ms in media_from_documents is derived FROM the byte length,
@@ -621,15 +622,10 @@ def bitrate_outliers(docs: DataFrame) -> DataFrame:
             "kbps"
         ),
     )
-    w = Window.orderBy("kbps", "media_id")
-    g = Window.partitionBy()
-    ranked = rated.select(
-        "media_id", "kind", "kbps",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(g).alias("n"),
-    )
-    p99 = ranked.where(
-        F.col("rn") == F.expr("CAST((99 * n + 99) DIV 100 AS INT)")
+    from ..ranks import kth_smallest
+
+    p99 = kth_smallest(
+        rated.select("kbps"), "kbps", "CAST((99 * n + 99) DIV 100 AS BIGINT)"
     ).select(F.col("kbps").alias("p99_kbps"))
     return (
         rated.crossJoin(F.broadcast(p99))

@@ -794,18 +794,24 @@ def pps_systematic(docs: DataFrame, n: int = PPS_SAMPLE_N) -> DataFrame:
     running-sum window, the comparison cross-multiplies, nothing divides
     until the pinned floor.
 
-    Scale shape: one ordered running-sum window (two-stage at scale: per-
-    partition partials + offset join — the standard distributed scan) and
-    a narrow filter."""
+    Scale shape: the running sum is the TWO-LEVEL distributed scan
+    (ranks.with_global_running_sum: per-md5-bucket cumulative window +
+    bounded bucket-prefix totals) — bit-identical to the naive global
+    window with no single-task sort; the grand total rides a broadcast
+    1-row cross join; then a narrow filter."""
+    from ..ranks import md5_bucket, with_global_running_sum
     from .hashing import md5_int
 
-    w = Window.orderBy(md5_int(F.col("doc_id").cast("string")), "doc_id")
-    g = Window.partitionBy()
-    cum = (
-        docs.select("doc_id", "n_chars")
-        .withColumn("cum", F.sum("n_chars").over(w))
-        .withColumn("tot", F.sum("n_chars").over(g))
-    )
+    h = md5_int(F.col("doc_id").cast("string"))
+    cum = with_global_running_sum(
+        docs.select("doc_id", "n_chars", h.alias("__h")),
+        md5_bucket(F.col("__h")),
+        [F.col("__h"), F.col("doc_id")],
+        F.col("n_chars"),
+        out="cum",
+    ).drop("__h")
+    tot = docs.agg(F.sum("n_chars").cast("long").alias("tot"))
+    cum = cum.crossJoin(F.broadcast(tot))
     # threshold index below a cumulative point x: floor((2*x*n - tot) / (2*tot))
     # (thresholds at (2j+1)*tot/(2n), j = 0..n-1) — computed with a +2*tot
     # shift so the numerator stays positive and integer DIV is a true floor

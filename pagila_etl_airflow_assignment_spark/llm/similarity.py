@@ -1661,8 +1661,10 @@ def mips_reduction(embeddings: DataFrame, query_ids: list[int]) -> DataFrame:
     base = embeddings.select(
         "vec_id", "embedding", F.round(sq_nano).cast("long").alias("sq_nano")
     )
-    g = Window.partitionBy()
-    with_aug = base.withColumn("max_sq", F.max("sq_nano").over(g)).select(
+    # corpus max-norm scalar rides a broadcast 1-row cross join (not an
+    # unpartitioned window, which would single-task the corpus)
+    max_sq = base.agg(F.max("sq_nano").alias("max_sq"))
+    with_aug = base.crossJoin(F.broadcast(max_sq)).select(
         "vec_id",
         "embedding",
         # augmented coordinate, nano-quantized once: sqrt(M^2 - |x|^2)

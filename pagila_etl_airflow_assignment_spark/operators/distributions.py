@@ -925,14 +925,13 @@ def conformal_interval(events: DataFrame) -> DataFrame:
     coverage_milli).
 
     Exactness: predictions are floor-divided integer cents, residuals exact
-    integers, and q_hat is ORDER-STATISTIC SELECTION by row_number (the PSI
-    lesson: rank selection, never float quantiles). Coverage is one milli
-    division at the end.
+    integers, and q_hat is ORDER-STATISTIC SELECTION (the PSI lesson: rank
+    selection, never float quantiles) via ranks.kth_smallest. Coverage is
+    one milli division at the end.
 
     Scale shape: predictor and residuals are user-keyed aggregates/joins;
-    the only narrow-waist step is selecting the q_hat order statistic,
-    which ranks the CALIBRATION RESIDUALS ONLY (a purchase subset of one
-    10-day window — bounded, and itself two-stage if it ever grew);
+    q_hat selection is per-score counts + one cumulative window over that
+    bounded aggregate (ranks.kth_smallest) — no data-sized rank window;
     coverage is a map-side-combined count."""
     p = events.where(F.col("event_type") == "purchase").select(
         "event_id",
@@ -950,20 +949,11 @@ def conformal_interval(events: DataFrame) -> DataFrame:
         .join(pred, "user_id")
         .select("event_id", F.abs(F.col("cents") - F.col("pred")).alias("score"))
     )
-    w_all = Window.orderBy(F.lit(1)).rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    ranked = cal.select(
-        "score",
-        F.row_number()
-        .over(Window.orderBy(F.col("score").asc(), F.col("event_id").asc()))
-        .alias("rn"),
-        F.count("*").over(w_all).alias("n_cal"),
-    )
-    q_hat = ranked.where(
-        F.col("rn")
-        == F.expr(f"CAST((9 * (n_cal + 1) + 9) DIV 10 AS INT)")
-    ).select(F.col("score").alias("q_hat_cents"), "n_cal")
+    from ..ranks import kth_smallest
+
+    q_hat = kth_smallest(
+        cal.select("score"), "score", "CAST((9 * (n + 1) + 9) DIV 10 AS BIGINT)"
+    ).select(F.col("score").alias("q_hat_cents"), F.col("n").alias("n_cal"))
     test = (
         p.where(F.col("day") >= 21)
         .join(pred, "user_id")

@@ -367,9 +367,15 @@ def woe_iv_binning(events: DataFrame, n_bins: int = WOE_BINS) -> DataFrame:
 
     Label: did the click's user purchase within the dataset AFTER the click
     (a per-user first-purchase MIN joined back — user-keyed, no event×event
-    join). Bins are value quintiles via deterministic ntile; good/bad rates
-    use add-one smoothing so empty cells stay finite; WOE = ln(good%/bad%),
-    IV = Σ (good%−bad%)·WOE, both rounded at 6 dp on the ≤n_bins grid."""
+    join). Bins are value quintiles with EXACT NTILE semantics computed
+    distributed: the global (value, event_id) rank comes from the two-level
+    device (ranks.with_global_row_number — within-floor(value)-bucket window
+    + bounded bucket-prefix counts, never a single-task sort), then the
+    NTILE bucket formula (first n%bins buckets get ceil(n/bins) rows) maps
+    rank → bin, bit-identical to ntile() over a global window. Good/bad
+    rates use add-one smoothing so empty cells stay finite; WOE =
+    ln(good%/bad%), IV = Σ (good%−bad%)·WOE, both rounded at 6 dp on the
+    ≤n_bins grid."""
     first_purchase = (
         events.where(F.col("event_type") == "purchase")
         .groupBy("user_id")
@@ -388,9 +394,28 @@ def woe_iv_binning(events: DataFrame, n_bins: int = WOE_BINS) -> DataFrame:
             ).cast("int").alias("good"),
         )
     )
-    w = Window.orderBy("value", "event_id")
-    binned = clicks.select(
-        F.ntile(n_bins).over(w).alias("bin"), "good"
+    from ..ranks import with_global_row_number
+
+    ranked = with_global_row_number(
+        clicks,
+        F.floor("value").cast("long"),  # monotone in the leading order key
+        [F.col("value"), F.col("event_id")],
+        out="rn",
+    )
+    n_tot = clicks.agg(F.count("*").cast("long").alias("n_tot"))
+    # exact NTILE(n_bins): with q = n DIV bins and r = n % bins, buckets
+    # 1..r hold q+1 rows, buckets r+1..bins hold q rows (guarded: the ELSE
+    # branch only evaluates when q >= 1, i.e. rn > r)
+    ntile_expr = F.expr(
+        f"CAST(CASE WHEN rn <= (n_tot % {n_bins}) * ((n_tot DIV {n_bins}) + 1)"
+        f" THEN (rn - 1) DIV ((n_tot DIV {n_bins}) + 1)"
+        f" ELSE (n_tot % {n_bins})"
+        f"  + (rn - (n_tot % {n_bins}) * ((n_tot DIV {n_bins}) + 1) - 1)"
+        f"    DIV (n_tot DIV {n_bins})"
+        f" END + 1 AS INT)"
+    )
+    binned = ranked.crossJoin(F.broadcast(n_tot)).select(
+        ntile_expr.alias("bin"), "good"
     )
     cells = binned.groupBy("bin").agg(
         F.sum("good").alias("n_good"),

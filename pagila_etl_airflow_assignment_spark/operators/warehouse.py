@@ -1293,25 +1293,42 @@ def part_skyline(part: DataFrame) -> DataFrame:
     on the frontier iff NO other part is both cheaper-or-equal and
     bigger-or-equal (with at least one strict). The classic dominance
     operator relational engines lack natively; at two dimensions it
-    collapses to ONE ordered window: sort by (price asc, size desc) and keep
-    rows whose size strictly exceeds the running max size of everything
-    cheaper — no self-join, no quadratic step, and the same plan holds at
-    any cardinality (the window runs on the |parts| relation, and a
-    price-bucketed two-pass refinement shards the sort at 100 TB).
+    collapses to a running max over the (price asc, size desc) order —
+    executed as the price-bucketed TWO-PASS refinement (the 100 TB shape,
+    not just a claim): a running max WITHIN each $100 price band
+    (partitioned window) combined with the max size over all strictly
+    cheaper bands (ranks.bucket_prefix — one bounded window over the
+    ≤|bands| aggregate). Bit-identical to the single global window: every
+    equal-price tie lives inside one band, and all cheaper bands precede
+    the whole band in the global order.
 
     Exact arithmetic: price compares in integer cents; ties inside one cent
     bucket resolve by the window ORDER (size desc, partkey) so both engines
     walk an identical sequence."""
+    from ..ranks import bucket_prefix
+
     cents = F.floor(F.col("p_retailprice") * 100).cast("long")
-    w = (
-        Window.orderBy(
+    base = part.select(
+        "p_partkey", "p_name", cents.alias("price_cents"), "p_size"
+    ).withColumn("__band", F.expr("price_cents DIV 10000"))
+    w_band = (
+        Window.partitionBy("__band")
+        .orderBy(
             F.col("price_cents").asc(), F.col("p_size").desc(), F.col("p_partkey")
         )
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    ranked = part.select(
-        "p_partkey", "p_name", cents.alias("price_cents"), "p_size"
-    ).withColumn("max_size_cheaper", F.max("p_size").over(w))
+    prefix = bucket_prefix(
+        base, F.col("__band"), F.max("p_size"), "__cheaper_band_max", combine=F.max
+    )
+    ranked = (
+        base.withColumn("__within_max", F.max("p_size").over(w_band))
+        .join(prefix, F.col("__band") == F.col("__bucket"), "left")
+        .withColumn(
+            "max_size_cheaper",
+            F.greatest("__within_max", "__cheaper_band_max"),
+        )
+    )
     return (
         ranked.where(
             F.col("max_size_cheaper").isNull()

@@ -1,0 +1,114 @@
+"""ranks.py: the two-level distributed replacements for global windows must
+be BIT-IDENTICAL to the naive single-window forms they replaced (that is the
+whole contract — oracles written against the naive shapes keep certifying)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from pagila_etl_airflow_assignment_spark.ranks import (
+    kth_smallest,
+    md5_bucket,
+    with_global_row_number,
+    with_global_running_sum,
+)
+
+
+@pytest.fixture(scope="module")
+def rows(spark):
+    rng = random.Random(11)
+    data = [(i, rng.randrange(0, 40), rng.randrange(1, 500)) for i in range(1, 301)]
+    return spark.createDataFrame(data, "id long, v long, wt long").cache()
+
+
+def test_global_row_number_matches_naive_window(spark, rows):
+    naive = rows.select(
+        "id", F.row_number().over(Window.orderBy("v", "id")).alias("rn")
+    )
+    two_level = with_global_row_number(
+        rows, F.col("v") % 7, [F.col("v"), F.col("id")], out="rn"
+    ).select("id", "rn")
+    # bucket v%7 is NOT monotone in v — must not be used; verify the helper
+    # with a monotone bucket and prove the non-monotone one differs
+    good = with_global_row_number(
+        rows, (F.col("v") / 10).cast("long"), [F.col("v"), F.col("id")], out="rn"
+    ).select("id", "rn")
+    want = {r.id: r.rn for r in naive.collect()}
+    got = {r.id: r.rn for r in good.collect()}
+    assert got == want
+    bad = {r.id: r.rn for r in two_level.collect()}
+    assert bad != want  # documents the monotonicity requirement
+
+
+def test_global_running_sum_matches_naive_window(spark, rows):
+    naive = rows.select(
+        "id",
+        F.sum("wt")
+        .over(
+            Window.orderBy("v", "id").rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("cum"),
+    )
+    got = with_global_running_sum(
+        rows, (F.col("v") / 10).cast("long"), [F.col("v"), F.col("id")],
+        F.col("wt"), out="cum",
+    ).select("id", "cum")
+    assert {r.id: r.cum for r in got.collect()} == {
+        r.id: r.cum for r in naive.collect()
+    }
+
+
+def test_kth_smallest_matches_row_number_selection(spark, rows):
+    for k_sql, k in [("1", 1), ("n", 300), ("(n + 1) DIV 2", 150), ("299", 299)]:
+        naive = (
+            rows.select(
+                "v", F.row_number().over(Window.orderBy("v", "id")).alias("rn")
+            )
+            .where(F.col("rn") == k)
+            .first()
+            .v
+        )
+        got = kth_smallest(rows.select("v"), "v", k_sql).first()
+        assert (got.v, got.n) == (naive, 300), k_sql
+
+
+def test_kth_smallest_empty_when_k_exceeds_n(spark, rows):
+    assert kth_smallest(rows.select("v"), "v", "n + 1").count() == 0
+
+
+@pytest.mark.parametrize("n,bins", [(1, 5), (4, 5), (5, 5), (7, 5), (23, 5), (100, 7)])
+def test_exact_ntile_formula_matches_builtin(spark, n, bins):
+    """The rank->bin formula used by woe_iv_binning must reproduce NTILE for
+    every (n mod bins) residue class, including n < bins (q=0)."""
+    df = spark.createDataFrame([(i,) for i in range(1, n + 1)], "id long")
+    naive = df.select(
+        "id", F.ntile(bins).over(Window.orderBy("id")).alias("bin")
+    )
+    formula = df.selectExpr(
+        "id",
+        f"CAST(CASE WHEN id <= ({n} % {bins}) * (({n} DIV {bins}) + 1)"
+        f" THEN (id - 1) DIV (({n} DIV {bins}) + 1)"
+        f" ELSE ({n} % {bins})"
+        f"  + (id - ({n} % {bins}) * (({n} DIV {bins}) + 1) - 1)"
+        f"    DIV ({n} DIV {bins})"
+        f" END + 1 AS INT) AS bin",
+    )
+    assert {r.id: r.bin for r in formula.collect()} == {
+        r.id: r.bin for r in naive.collect()
+    }
+
+
+def test_md5_bucket_is_monotone_in_md5(spark):
+    from pagila_etl_airflow_assignment_spark.llm.hashing import md5_int
+
+    df = spark.range(1, 2000).select(
+        md5_int(F.col("id").cast("string")).alias("h")
+    )
+    got = df.select("h", md5_bucket(F.col("h")).alias("b")).collect()
+    pairs = sorted((r.h, r.b) for r in got)
+    assert all(pairs[i][1] <= pairs[i + 1][1] for i in range(len(pairs) - 1))
+    assert len({b for _, b in pairs}) > 1  # actually shards

@@ -219,6 +219,10 @@ ALLOWED: dict[str, set[str]] = {
     "sampling_temperature_mixture": {"BroadcastNestedLoopJoin"},
     # composed from the broadcast-query-set brute-force + IVF pipelines
     "ann_ivf_recall_curve": {"BroadcastNestedLoopJoin"},
+    # broadcast 1-row total-chars scalar (systematic-threshold denominator)
+    "sampling_pps_systematic": {"BroadcastNestedLoopJoin"},
+    # broadcast 1-row click-count scalar (exact-NTILE rank mapping)
+    "events_woe_iv": {"BroadcastNestedLoopJoin"},
 }
 
 PATTERNS = ("CartesianProduct", "BatchEvalPython", "BroadcastNestedLoopJoin")
