@@ -269,23 +269,16 @@ def minhash_signatures_sql(k: int = MINHASH_K, n: int = DEFAULT_N) -> str:
     """
 
 
-def minhash_lsh_pairs(
+def _lsh_candidate_pairs(
     docs: DataFrame,
     k: int = MINHASH_K,
     bands: int = LSH_BANDS,
     n: int = DEFAULT_N,
-    verify_threshold: float = 0.2,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
-    """MinHash-LSH candidate generation + exact-Jaccard verification.
-
-    Banding: signature split into ``bands`` bands of k/bands rows; docs
-    colliding on any full band become candidates. Candidates are then verified
-    with the exact n-gram Jaccard, so the output has no false positives —
-    recall (vs the exact all-pairs join) is what LSH trades away.
-    ``max_bucket`` drops degenerate buckets (e.g. the all-empty-docs
-    signature) before the self-join — the same skew guard as ``max_df``.
-    """
+    """Distinct (doc_a < doc_b) MinHash-LSH band-collision candidates — the
+    shared blocking stage of minhash_lsh_pairs (Jaccard verify) and
+    edit_distance_pairs (levenshtein verify)."""
     sig = minhash_signatures(docs, k, n)
     rows_per_band = k // bands
     band_cols = [
@@ -303,7 +296,7 @@ def minhash_lsh_pairs(
     ).repartition("bucket")  # single exchange shared by cap + self-join
     if max_bucket is not None:
         bucketed = _bucket_cap(bucketed, max_bucket)
-    candidates = (
+    return (
         bucketed.alias("a")
         .join(bucketed.alias("b"), "bucket")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
@@ -312,6 +305,26 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    n: int = DEFAULT_N,
+    verify_threshold: float = 0.2,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """MinHash-LSH candidate generation + exact-Jaccard verification.
+
+    Banding: signature split into ``bands`` bands of k/bands rows; docs
+    colliding on any full band become candidates. Candidates are then verified
+    with the exact n-gram Jaccard, so the output has no false positives —
+    recall (vs the exact all-pairs join) is what LSH trades away.
+    ``max_bucket`` drops degenerate buckets (e.g. the all-empty-docs
+    signature) before the self-join — the same skew guard as ``max_df``.
+    """
+    candidates = _lsh_candidate_pairs(docs, k, bands, n, max_bucket)
     # Exact-Jaccard verification restricted to the candidate pairs — the whole
     # point of LSH at scale. (An earlier form computed the full all-pairs
     # Jaccard and joined, making LSH cost MORE than brute force.) Work is
@@ -352,17 +365,14 @@ def minhash_lsh_pairs(
     )
 
 
-def minhash_lsh_pairs_sql(
+def _lsh_candidates_ctes_sql(
     k: int = MINHASH_K,
     bands: int = LSH_BANDS,
     n: int = DEFAULT_N,
-    verify_threshold: float = 0.2,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> str:
-    """Full DuckDB oracle for ``minhash_lsh_pairs``: the banding, bucket
-    self-join and exact-Jaccard verification are all deterministic given the
-    md5-derived hash twins, so the whole pipeline (not just the verify stage)
-    is SQL-expressible."""
+    """CTE chain (sig → bucketed0 → bucketed → cand) shared by the LSH-blocked
+    oracles: ``cand`` is the distinct (doc_a < doc_b) candidate set."""
     rows_per_band = k // bands
     band_exprs = ",\n                ".join(
         "concat_ws('_', "
@@ -376,8 +386,7 @@ def minhash_lsh_pairs_sql(
         if max_bucket is not None
         else ""
     )
-    return f"""
-        WITH sig AS ({minhash_signatures_sql(k, n)}),
+    return f"""sig AS ({minhash_signatures_sql(k, n)}),
         bucketed0 AS (
             SELECT doc_id, unnest([
                 {band_exprs}
@@ -389,7 +398,22 @@ def minhash_lsh_pairs_sql(
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM bucketed a JOIN bucketed b USING (bucket)
             WHERE a.doc_id < b.doc_id
-        ),
+        )"""
+
+
+def minhash_lsh_pairs_sql(
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    n: int = DEFAULT_N,
+    verify_threshold: float = 0.2,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> str:
+    """Full DuckDB oracle for ``minhash_lsh_pairs``: the banding, bucket
+    self-join and exact-Jaccard verification are all deterministic given the
+    md5-derived hash twins, so the whole pipeline (not just the verify stage)
+    is SQL-expressible."""
+    return f"""
+        WITH {_lsh_candidates_ctes_sql(k, bands, n, max_bucket)},
         sh AS ({shingles_sql(n)}),
         sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
         inter AS (
@@ -405,6 +429,79 @@ def minhash_lsh_pairs_sql(
         JOIN sizes sa ON sa.doc_id = doc_a
         JOIN sizes sb ON sb.doc_id = doc_b
         WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= {verify_threshold}
+        ORDER BY doc_a, doc_b
+    """
+
+
+# --- LSH-blocked exact edit distance -------------------------------------------
+
+EDIT_MAX_DIST = 32
+
+
+def edit_distance_pairs(
+    docs: DataFrame,
+    max_dist: int = EDIT_MAX_DIST,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    n: int = DEFAULT_N,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Character-level near-dup pairs: MinHash-LSH band collisions generate
+    candidates, exact Levenshtein on the normalized text verifies them —
+    (doc_a, doc_b, dist) for dist <= max_dist. The edit-distance layer
+    catches in-place token substitutions (dates, names, version strings)
+    that shingle-Jaccard under-scores when every affected n-gram changes.
+
+    Precision is exact (every emitted pair IS within max_dist); recall is
+    the LSH trade, same as minhash_lsh_pairs. The verify uses Spark's
+    THRESHOLDED levenshtein (banded O(max_dist * len) per pair, not the
+    full O(len^2) DP) — the candidates-only + banded-DP combination is
+    what keeps character-exact dedup affordable at corpus scale.
+
+    Scale shape: the blocking stage is the audited LSH pipeline (hot-bucket
+    cap, bucket-keyed self-join); verification joins the candidate pairs
+    back to the two text sides by doc key and runs a narrow per-row
+    comparison — no all-pairs step anywhere."""
+    cand = _lsh_candidate_pairs(docs, k, bands, n, max_bucket)
+    norm = docs.select("doc_id", _norm(F.col("text")).alias("norm_text"))
+    dist = F.levenshtein("text_a", "text_b", max_dist)
+    return (
+        cand.join(
+            norm.select(
+                F.col("doc_id").alias("doc_a"), F.col("norm_text").alias("text_a")
+            ).hint("shuffle_hash"),
+            "doc_a",
+        )
+        .join(
+            norm.select(
+                F.col("doc_id").alias("doc_b"), F.col("norm_text").alias("text_b")
+            ).hint("shuffle_hash"),
+            "doc_b",
+        )
+        .select("doc_a", "doc_b", dist.cast("int").alias("dist"))
+        .where((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def edit_distance_pairs_sql(
+    max_dist: int = EDIT_MAX_DIST,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    n: int = DEFAULT_N,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> str:
+    """DuckDB twin: same LSH candidate CTEs + unbanded levenshtein filter
+    (DuckDB has no threshold arg; the <= filter selects the same set)."""
+    return f"""
+        WITH {_lsh_candidates_ctes_sql(k, bands, n, max_bucket)},
+        norm AS (SELECT doc_id, {_norm_sql('text')} AS norm_text FROM documents)
+        SELECT doc_a, doc_b,
+               CAST(levenshtein(a.norm_text, b.norm_text) AS INT) AS dist
+        FROM cand
+        JOIN norm a ON a.doc_id = doc_a
+        JOIN norm b ON b.doc_id = doc_b
+        WHERE levenshtein(a.norm_text, b.norm_text) <= {max_dist}
         ORDER BY doc_a, doc_b
     """
 

@@ -1253,3 +1253,24 @@ def q_assignment_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Best-vs-second centroid cosine margin distribution — the
     cluster-assignment confidence audit."""
     return similarity.assignment_margin(load_table(spark, sf_dir, "embeddings"))
+
+
+@register("dedup_edit_distance", oracle=dedup.edit_distance_pairs_sql())
+def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-blocked exact Levenshtein near-dup pairs — character-level
+    verification (banded thresholded DP) on MinHash candidates."""
+    return dedup.edit_distance_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register("sampling_dedup_epochs", oracle=sampling.dedup_aware_epochs_sql())
+def q_dedup_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-neutralizing epoch weights per source — each unique
+    content trains ~target epochs regardless of copy count."""
+    return sampling.dedup_aware_epochs(load_table(spark, sf_dir, "documents"))
+
+
+@register("embedding_knn_reciprocity", oracle=similarity.knn_reciprocity_sql())
+def q_knn_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rank mutual-edge share of the exact k-NN graph — the
+    mutual-kNN filter yield / hubness companion."""
+    return similarity.knn_reciprocity(load_table(spark, sf_dir, "embeddings"))

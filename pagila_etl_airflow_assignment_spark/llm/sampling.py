@@ -1159,3 +1159,99 @@ TEMPORAL_SPLIT_SQL = f"""
     FROM counts c JOIN users u USING (event_type)
     ORDER BY c.event_type
 """
+
+
+# --- dedup-aware epoch weighting ------------------------------------------------
+
+TARGET_EPOCHS_MILLI = 2000  # train each unique CONTENT ~2 epochs
+
+
+def dedup_aware_epochs(
+    docs: DataFrame, target_epochs_milli: int = TARGET_EPOCHS_MILLI
+) -> DataFrame:
+    """Per-document training-epoch weights that neutralize duplication: a
+    document whose normalized content appears c times in the corpus gets
+    weight target/c, so each unique CONTENT is seen ~target epochs however
+    many copies survived ingestion (the data-mixture hygiene step between
+    dedup and sampling — drop-all-dups loses coverage, keep-all over-trains
+    on boilerplate). Output: the per-source rollup consumers actually
+    schedule with — (source, docs, unique_docs, max_copies,
+    effective_epochs_milli); the doc-grain weights are the intermediate
+    ``weighted`` relation.
+
+    Exact integers: weight = target_milli DIV n_copies (floor; NOT a
+    double divide — Spark's double→long cast truncates where DuckDB's
+    rounds); the rollup divides total weight by doc count at milli.
+
+    Scale shape: one fingerprint hash-groupBy (map-side combined) + one
+    fingerprint-keyed join back — the dedup_exact economics; no windows."""
+    from .text import _norm
+
+    fp = docs.select(
+        "doc_id", "source", F.md5(_norm(F.col("text"))).alias("fingerprint")
+    )
+    counts = fp.groupBy("fingerprint").agg(
+        F.count("*").cast("long").alias("n_copies")
+    )
+    weighted = fp.join(counts.hint("shuffle_hash"), "fingerprint").select(
+        "doc_id",
+        "source",
+        "n_copies",
+        F.expr(f"CAST({target_epochs_milli} DIV n_copies AS BIGINT)").alias(
+            "epoch_weight_milli"
+        ),
+    )
+    return (
+        weighted.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("docs"),
+            F.sum("epoch_weight_milli").cast("long").alias("weight_sum_milli"),
+            F.sum(F.when(F.col("n_copies") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("unique_docs"),
+            F.max("n_copies").cast("long").alias("max_copies"),
+        )
+        .select(
+            "source",
+            "docs",
+            "unique_docs",
+            "max_copies",
+            F.expr("CAST(weight_sum_milli DIV docs AS BIGINT)").alias(
+                "effective_epochs_milli"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def dedup_aware_epochs_sql(
+    target_epochs_milli: int = TARGET_EPOCHS_MILLI,
+) -> str:
+    from .text import _norm_sql
+
+    return f"""
+        WITH fp AS (
+            SELECT doc_id, source, md5({_norm_sql('text')}) AS fingerprint
+            FROM documents
+        ),
+        counts AS (
+            SELECT fingerprint, CAST(COUNT(*) AS BIGINT) AS n_copies
+            FROM fp GROUP BY 1
+        ),
+        weighted AS (
+            SELECT doc_id, source, n_copies,
+                   CAST({target_epochs_milli} // n_copies AS BIGINT)
+                       AS epoch_weight_milli
+            FROM fp JOIN counts USING (fingerprint)
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS docs,
+               CAST(SUM(CASE WHEN n_copies = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS unique_docs,
+               CAST(MAX(n_copies) AS BIGINT) AS max_copies,
+               CAST(SUM(epoch_weight_milli) // COUNT(*) AS BIGINT)
+                   AS effective_epochs_milli
+        FROM weighted
+        GROUP BY source
+        ORDER BY source
+    """

@@ -1822,26 +1822,13 @@ HUBNESS_MOD_SQL = f"""
 """
 
 
-def knn_hubness(embeddings: DataFrame, k: int = HUBNESS_K) -> DataFrame:
-    """In-degree histogram of the exact k-NN graph — the standard
-    embedding-space health check for HUBNESS (Radovanovic et al., JMLR
-    2010): in high-dimensional or badly-normalized spaces a few "hub"
-    points appear in everyone's neighbor list (in-degree >> k) while
-    antihubs appear in none (in-degree 0), and ANN recall, dedup and
-    retrieval all degrade. A healthy space has in-degrees concentrated
-    near k.
-
-    Graph: each sampled vector's exact top-k cosine neighbors within the
-    content-stable adaptive mod-sample (vec_id % mod == 0, mod the smallest power of
-    two keeping <= {HUBNESS_TARGET} vectors — content-stable AND bounded
-    at any corpus size, so the audit cost never grows quadratically). Output: one row per observed in-degree
-    (indeg, n_vecs), exact integers, plus antihubs as indeg = 0.
-
-    Scale shape: the exact graph is quadratic by construction — the
-    audit form. At corpus scale the SAME histogram reads off the
-    ANN-index neighbor lists (ann_lsh_topk / ann_ivf_topk) instead;
-    the brute-force pairing here is the sf-bounded oracle baseline.
-    """
+def _sampled_knn(
+    embeddings: DataFrame, k: int = HUBNESS_K
+) -> tuple[DataFrame, DataFrame]:
+    """(corpus, knn): the content-stable adaptive mod-sample and its exact
+    top-k cosine graph (vec_id, nbr_id, cosine, rank) — the shared audit
+    substrate of knn_hubness / knn_reciprocity (and the same shape the ANN
+    indexes emit at corpus scale)."""
     corpus = (
         embeddings.crossJoin(F.broadcast(_hubness_mod(embeddings)))
         .where(F.col("vec_id") % F.col("mod") == 0)
@@ -1871,6 +1858,30 @@ def knn_hubness(embeddings: DataFrame, k: int = HUBNESS_K) -> DataFrame:
     knn = scored.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= k
     )
+    return corpus, knn
+
+
+def knn_hubness(embeddings: DataFrame, k: int = HUBNESS_K) -> DataFrame:
+    """In-degree histogram of the exact k-NN graph — the standard
+    embedding-space health check for HUBNESS (Radovanovic et al., JMLR
+    2010): in high-dimensional or badly-normalized spaces a few "hub"
+    points appear in everyone's neighbor list (in-degree >> k) while
+    antihubs appear in none (in-degree 0), and ANN recall, dedup and
+    retrieval all degrade. A healthy space has in-degrees concentrated
+    near k.
+
+    Graph: each sampled vector's exact top-k cosine neighbors within the
+    content-stable adaptive mod-sample (vec_id % mod == 0, mod the smallest power of
+    two keeping <= {HUBNESS_TARGET} vectors — content-stable AND bounded
+    at any corpus size, so the audit cost never grows quadratically). Output: one row per observed in-degree
+    (indeg, n_vecs), exact integers, plus antihubs as indeg = 0.
+
+    Scale shape: the exact graph is quadratic by construction — the
+    audit form. At corpus scale the SAME histogram reads off the
+    ANN-index neighbor lists (ann_lsh_topk / ann_ivf_topk) instead;
+    the brute-force pairing here is the sf-bounded oracle baseline.
+    """
+    corpus, knn = _sampled_knn(embeddings, k)
     indeg = (
         corpus.select("vec_id")
         .join(
@@ -1919,6 +1930,91 @@ def knn_hubness_sql(k: int = HUBNESS_K) -> str:
         )
         SELECT indeg, CAST(COUNT(*) AS BIGINT) AS n_vecs
         FROM indeg GROUP BY indeg ORDER BY indeg
+    """
+
+
+# --- k-NN graph reciprocity ---------------------------------------------------------
+
+
+def knn_reciprocity(embeddings: DataFrame, k: int = HUBNESS_K) -> DataFrame:
+    """Per-rank reciprocity curve of the exact k-NN graph: for each neighbor
+    rank r, the share of directed edges (x -> its r-th neighbor y) where x
+    also appears anywhere in y's own top-k. Low reciprocity at small r is
+    the other face of hubness (hubs absorb everyone's edges and return
+    none) and predicts poor kNN-graph clustering / NN-descent convergence;
+    mutual-kNN filters (the standard semantic-dedup graph cleanup) keep
+    exactly the reciprocated edges, so the curve IS that filter's yield.
+
+    Same content-stable adaptive mod-sample and exact top-k graph as
+    knn_hubness (shared _sampled_knn); the reciprocation test is one
+    self-semi-join of the ≤ sample*k edge list on the reversed key. Output
+    per rank: (rank, edges, reciprocal, reciprocity_milli).
+
+    Scale shape: the audit form is sample-bounded at any sf; at corpus
+    scale the same curve reads off ANN neighbor lists instead."""
+    _, knn = _sampled_knn(embeddings, k)
+    edges = knn.select("vec_id", "nbr_id", "rank")
+    rev = edges.select(
+        F.col("vec_id").alias("nbr_id"), F.col("nbr_id").alias("vec_id")
+    ).withColumn("recip", F.lit(1))
+    marked = edges.join(rev.distinct(), ["vec_id", "nbr_id"], "left")
+    return (
+        marked.groupBy("rank")
+        .agg(
+            F.count("*").cast("long").alias("edges"),
+            F.sum(F.coalesce("recip", F.lit(0))).cast("long").alias("reciprocal"),
+        )
+        .select(
+            F.col("rank").cast("int").alias("rank"),
+            "edges",
+            "reciprocal",
+            F.expr("CAST(1000 * reciprocal DIV edges AS BIGINT)").alias(
+                "reciprocity_milli"
+            ),
+        )
+        .orderBy("rank")
+    )
+
+
+def knn_reciprocity_sql(k: int = HUBNESS_K) -> str:
+    return f"""
+        WITH m AS ({HUBNESS_MOD_SQL}),
+        corpus AS (
+            SELECT vec_id, embedding FROM embeddings
+            WHERE vec_id % (SELECT mod FROM m) = 0
+        ),
+        scored AS (
+            SELECT a.vec_id, b.vec_id AS nbr_id,
+                   round(list_cosine_similarity(
+                       a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+                       AS cosine
+            FROM corpus a CROSS JOIN corpus b
+            WHERE a.vec_id <> b.vec_id
+        ),
+        knn AS (
+            SELECT vec_id, nbr_id,
+                   row_number() OVER (
+                       PARTITION BY vec_id ORDER BY cosine DESC, nbr_id ASC
+                   ) AS rank
+            FROM scored
+            QUALIFY rank <= {k}
+        ),
+        marked AS (
+            SELECT e.rank,
+                   CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END AS recip
+            FROM knn e
+            LEFT JOIN (SELECT DISTINCT nbr_id AS vec_id, vec_id AS nbr_id
+                       FROM knn) r
+                   ON r.vec_id = e.vec_id AND r.nbr_id = e.nbr_id
+        )
+        SELECT CAST(rank AS INT) AS rank,
+               CAST(COUNT(*) AS BIGINT) AS edges,
+               CAST(SUM(recip) AS BIGINT) AS reciprocal,
+               CAST(1000 * SUM(recip) // COUNT(*) AS BIGINT)
+                   AS reciprocity_milli
+        FROM marked
+        GROUP BY rank
+        ORDER BY rank
     """
 
 

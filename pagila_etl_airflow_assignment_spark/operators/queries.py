@@ -2334,3 +2334,27 @@ def q_conversion_by_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_incident_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hour-level drill-down of the peak-error day."""
     return analytics.incident_hotspots(load_table(spark, sf_dir, "events"))
+
+
+@register("events_bh_fdr", oracle=stats.bh_fdr_panel_sql())
+def q_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg step-up over the per-type z panel — FDR-controlled
+    reject set via a precomputed z-critical literal table (no runtime
+    quantile function in either engine)."""
+    return stats.bh_fdr_panel(load_table(spark, sf_dir, "events"))
+
+
+@register("events_sprt", oracle=stats.SPRT_DAILY_SQL)
+def q_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald SPRT on the daily conversion stream — integer micro-nat LLR
+    walk with precomputed log constants; always-valid sequential decision."""
+    return stats.sprt_daily(load_table(spark, sf_dir, "events"))
+
+
+@register("warehouse_croston", oracle=warehouse.croston_forecast_sql())
+def q_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston intermittent-demand forecast per brand over the sparse part
+    slice — coupled size/interval smoothers as one JVM array fold."""
+    return warehouse.croston_forecast(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )

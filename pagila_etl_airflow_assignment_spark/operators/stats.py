@@ -2003,3 +2003,275 @@ def aa_calibration_sql() -> str:
         FROM agg
         ORDER BY event_type
     """
+
+
+# --- Benjamini-Hochberg FDR over the per-hour z panel -------------------------------
+
+# Two-sided z critical values z_crit(m, i) = Phi^-1(1 - (i*q/m)/2) at q = 0.10,
+# micro-quantized, for every family size the bounded hour panel can take
+# (m <= 24). Computed ONCE at import from the stdlib normal inverse CDF and
+# embedded as integer literals in BOTH engines, so the BH decision needs no
+# erf/quantile builtin anywhere at runtime — |z| (already 6-dp stable)
+# compares against the same integers on both sides.
+BH_Q_MILLI = 100
+BH_MAX_M = 24
+
+
+def _bh_crit_rows() -> list[tuple[int, int, int]]:
+    from statistics import NormalDist
+
+    nd = NormalDist()
+    q = BH_Q_MILLI / 1000.0
+    return [
+        (m, i, round(nd.inv_cdf(1.0 - (i * q / m) / 2.0) * 1e6))
+        for m in range(1, BH_MAX_M + 1)
+        for i in range(1, m + 1)
+    ]
+
+
+def bh_fdr_panel(events: DataFrame) -> DataFrame:
+    """Benjamini-Hochberg FDR control over the per-hour-of-day two-proportion
+    z panel: for each of the (up to 24) hour strata, a two-proportion z tests
+    whether the parity cohorts convert (user purchased within that hour cell)
+    at different rates; when one experiment reads out m strata, the
+    0.05-per-stratum habit false-positives at 1-(0.95^m) — BH caps the
+    EXPECTED FALSE DISCOVERY RATE at q across the family. Strata rank by |z|
+    descending; the largest rank k with |z|_(k) >= z_crit(m, k) and every
+    rank <= k is rejected (step-up).
+
+    The z->p boundary needs no quantile function at runtime: z_crit(m, i) is
+    a precomputed micro-integer literal table joined on (family size, rank)
+    — both engines compare the SAME integers, so the reject set is
+    engine-exact even though p-values never materialize.
+
+    Scale shape: one (hour, user, day) aggregate (map-side combined) -> a
+    ≤24-row panel; everything after is windows/joins on that panel and the
+    ≤300-row literal table (the unpartitioned rank window runs over the
+    bounded aggregate — gate-clean)."""
+    spark = events.sparkSession
+    crit = spark.createDataFrame(
+        _bh_crit_rows(), "m int, bh_rank int, z_crit_micro long"
+    )
+    cells = (
+        events.select(
+            F.hour("ts").alias("hr"),
+            F.to_date("ts").alias("day"),
+            "user_id",
+            (F.col("event_type") == "purchase").cast("int").alias("pur"),
+        )
+        .groupBy("hr", "day", "user_id")
+        .agg(F.max("pur").alias("conv"))
+        .withColumn("in_a", (F.col("user_id") % 2 == 0).cast("int"))
+    )
+    agg = cells.groupBy("hr").agg(
+        F.sum(F.when(F.col("in_a") == 1, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("in_a") == 1, F.col("conv")).otherwise(0)).alias("c_a"),
+        F.sum(F.when(F.col("in_a") == 0, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("in_a") == 0, F.col("conv")).otherwise(0)).alias("c_b"),
+    )
+    pa = F.col("c_a").cast("double") / F.col("n_a").cast("double")
+    pb = F.col("c_b").cast("double") / F.col("n_b").cast("double")
+    pool = (F.col("c_a") + F.col("c_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    se = F.sqrt(
+        pool
+        * (1.0 - pool)
+        * (1.0 / F.col("n_a").cast("double") + 1.0 / F.col("n_b").cast("double"))
+    )
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0) & (pool > 0) & (pool < 1)
+    z = agg.select(
+        "hr", F.round(F.when(ok, (pa - pb) / se), 6).alias("z_stat")
+    ).where(F.col("z_stat").isNotNull())
+    z = z.select(
+        "hr",
+        "z_stat",
+        F.round(F.abs(F.col("z_stat")) * 1e6).cast("long").alias("abs_z_micro"),
+    )
+    ranked = z.withColumn(
+        "bh_rank",
+        F.row_number().over(
+            Window.orderBy(F.col("abs_z_micro").desc(), F.col("hr"))
+        ),
+    ).withColumn("m", F.count("*").over(Window.partitionBy()).cast("int"))
+    marked = ranked.join(F.broadcast(crit), ["m", "bh_rank"], "left").withColumn(
+        "passes", (F.col("abs_z_micro") >= F.col("z_crit_micro")).cast("int")
+    )
+    cutoff = marked.agg(
+        F.max(F.when(F.col("passes") == 1, F.col("bh_rank"))).alias("k_reject")
+    )
+    return (
+        marked.crossJoin(F.broadcast(cutoff))
+        .select(
+            F.col("hr").cast("int").alias("hr"),
+            "z_stat",
+            "bh_rank",
+            "z_crit_micro",
+            F.coalesce(
+                (F.col("bh_rank") <= F.col("k_reject")).cast("int"), F.lit(0)
+            ).alias("rejected"),
+        )
+        .orderBy("bh_rank")
+    )
+
+
+def bh_fdr_panel_sql() -> str:
+    values = ", ".join(f"({m}, {i}, {c})" for m, i, c in _bh_crit_rows())
+    return f"""
+        WITH crit(m, bh_rank, z_crit_micro) AS (VALUES {values}),
+        cells AS (
+            SELECT EXTRACT(hour FROM ts) AS hr, CAST(ts AS DATE) AS day,
+                   user_id,
+                   MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS conv,
+                   ANY_VALUE(CAST(user_id % 2 = 0 AS INT)) AS in_a
+            FROM events GROUP BY 1, 2, 3
+        ),
+        agg AS (
+            SELECT hr,
+                   CAST(SUM(CASE WHEN in_a = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                   CAST(SUM(CASE WHEN in_a = 1 THEN conv ELSE 0 END) AS BIGINT) AS c_a,
+                   CAST(SUM(CASE WHEN in_a = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                   CAST(SUM(CASE WHEN in_a = 0 THEN conv ELSE 0 END) AS BIGINT) AS c_b
+            FROM cells GROUP BY hr
+        ),
+        z AS (
+            SELECT hr,
+                   round(CASE WHEN n_a > 0 AND n_b > 0
+                               AND (c_a + c_b) > 0 AND (c_a + c_b) < (n_a + n_b)
+                              THEN (CAST(c_a AS DOUBLE) / n_a
+                                    - CAST(c_b AS DOUBLE) / n_b)
+                                   / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                                          * (1.0 - CAST(c_a + c_b AS DOUBLE)
+                                                   / (n_a + n_b))
+                                          * (1.0 / n_a + 1.0 / n_b))
+                         END, 6) AS z_stat
+            FROM agg
+        ),
+        zz AS (
+            SELECT hr, z_stat,
+                   CAST(round(abs(z_stat) * 1e6) AS BIGINT) AS abs_z_micro
+            FROM z WHERE z_stat IS NOT NULL
+        ),
+        ranked AS (
+            SELECT hr, z_stat, abs_z_micro,
+                   CAST(row_number() OVER (
+                       ORDER BY abs_z_micro DESC, hr) AS INT) AS bh_rank,
+                   CAST(COUNT(*) OVER () AS INT) AS m
+            FROM zz
+        ),
+        marked AS (
+            SELECT ranked.*, z_crit_micro,
+                   CASE WHEN abs_z_micro >= z_crit_micro THEN 1 ELSE 0 END
+                       AS passes
+            FROM ranked LEFT JOIN crit USING (m, bh_rank)
+        ),
+        cutoff AS (
+            SELECT MAX(CASE WHEN passes = 1 THEN bh_rank END) AS k_reject
+            FROM marked
+        )
+        SELECT CAST(hr AS INT) AS hr, z_stat, bh_rank,
+               CAST(z_crit_micro AS BIGINT) AS z_crit_micro,
+               COALESCE(CAST(bh_rank <= k_reject AS INT), 0) AS rejected
+        FROM marked CROSS JOIN cutoff
+        ORDER BY bh_rank
+    """
+
+
+# --- sequential probability ratio test (SPRT) ---------------------------------------
+
+# H0: daily per-user conversion p = 0.40 vs H1: p = 0.50, alpha = beta = 0.05.
+# Log-likelihood increments and Wald thresholds precomputed to micro-nats so
+# the cumulative LLR walk is pure integer arithmetic in both engines:
+#   L1 = ln(p1/p0)*1e6, L0 = ln((1-p1)/(1-p0))*1e6
+#   upper = ln((1-beta)/alpha)*1e6, lower = ln(beta/(1-alpha))*1e6
+SPRT_P0_MILLI = 400
+SPRT_P1_MILLI = 500
+SPRT_L1_MICRO = 223144   # round(ln(0.5/0.4) * 1e6)
+SPRT_L0_MICRO = -182322  # round(ln(0.5/0.6) * 1e6)
+SPRT_UPPER_MICRO = 2944439   # round(ln(0.95/0.05) * 1e6)
+SPRT_LOWER_MICRO = -2944439  # round(ln(0.05/0.95) * 1e6)
+
+
+def sprt_daily(events: DataFrame) -> DataFrame:
+    """Wald's sequential probability ratio test on the daily conversion
+    stream — the always-valid alternative to fixed-horizon A/B peeking: a
+    trial is an active (user, day), a success is a purchase by that user
+    that day; after each day the cumulative log-likelihood ratio
+    LLR_t = c_t*ln(p1/p0) + (n_t-c_t)*ln((1-p1)/(1-p0)) either crosses
+    ln((1-b)/a) (accept H1), ln(b/(1-a)) (accept H0), or continues.
+
+    All four log constants are micro-nat integer literals (precomputed —
+    no runtime ln anywhere), so the LLR walk and both threshold crossings
+    are exact integer comparisons; the decision sequence is bit-identical
+    across engines. Output per day: (day, trials, conversions, cum_llr
+    _micro, decision).
+
+    Scale shape: one (user, day) aggregate (map-side combined) -> one
+    bounded day grid; the cumulative window runs over the ≤|days|
+    aggregate."""
+    ud = (
+        events.select(
+            F.to_date("ts").alias("day"),
+            "user_id",
+            (F.col("event_type") == "purchase").cast("int").alias("pur"),
+        )
+        .groupBy("day", "user_id")
+        .agg(F.max("pur").alias("converted"))
+    )
+    daily = ud.groupBy("day").agg(
+        F.count("*").cast("long").alias("trials"),
+        F.sum("converted").cast("long").alias("conversions"),
+    )
+    wc = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.select(
+        "day",
+        "trials",
+        "conversions",
+        (
+            F.sum("conversions").over(wc) * F.lit(SPRT_L1_MICRO)
+            + (F.sum("trials").over(wc) - F.sum("conversions").over(wc))
+            * F.lit(SPRT_L0_MICRO)
+        ).alias("cum_llr_micro"),
+    )
+    return cum.select(
+        "day",
+        "trials",
+        "conversions",
+        "cum_llr_micro",
+        F.when(F.col("cum_llr_micro") >= SPRT_UPPER_MICRO, "accept_h1")
+        .when(F.col("cum_llr_micro") <= SPRT_LOWER_MICRO, "accept_h0")
+        .otherwise("continue")
+        .alias("decision"),
+    ).orderBy("day")
+
+
+SPRT_DAILY_SQL = f"""
+    WITH ud AS (
+        SELECT CAST(ts AS DATE) AS day, user_id,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+        FROM events GROUP BY 1, 2
+    ),
+    daily AS (
+        SELECT day, CAST(COUNT(*) AS BIGINT) AS trials,
+               CAST(SUM(converted) AS BIGINT) AS conversions
+        FROM ud GROUP BY day
+    ),
+    cum AS (
+        SELECT day, trials, conversions,
+               SUM(conversions) OVER w * {SPRT_L1_MICRO}
+               + (SUM(trials) OVER w - SUM(conversions) OVER w)
+                 * ({SPRT_L0_MICRO}) AS cum_llr_micro
+        FROM daily
+        WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+    )
+    SELECT day, trials, conversions,
+           CAST(cum_llr_micro AS BIGINT) AS cum_llr_micro,
+           CASE WHEN cum_llr_micro >= {SPRT_UPPER_MICRO} THEN 'accept_h1'
+                WHEN cum_llr_micro <= {SPRT_LOWER_MICRO} THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM cum
+    ORDER BY day
+"""

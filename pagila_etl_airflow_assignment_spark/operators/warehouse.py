@@ -5096,3 +5096,177 @@ ROUNDING_RESIDUE_SQL = """
     GROUP BY month
     ORDER BY month
 """
+
+
+# --- Croston intermittent-demand forecast -------------------------------------------
+
+CROSTON_ALPHA_MILLI = 200
+CROSTON_MIN_SIZE = 48  # the sparse tail of the part catalog (intermittent slice)
+
+
+def croston_forecast(
+    lineitem: DataFrame,
+    part: DataFrame,
+    alpha_milli: int = CROSTON_ALPHA_MILLI,
+    min_size: int = CROSTON_MIN_SIZE,
+) -> DataFrame:
+    """Croston's method per brand over the INTERMITTENT demand slice (parts
+    with p_size >= min_size — the sparse tail where months with zero demand
+    are common and plain exponential smoothing collapses toward zero between
+    hits): two coupled exponential smoothers, one over NON-ZERO demand sizes
+    z, one over the INTER-DEMAND intervals x, both updated only on demand
+    months; the per-period forecast is z/x. The standard spare-parts /
+    slow-mover forecaster (Croston 1972) that EOQ/reorder-point planning
+    consumes for the long tail.
+
+    The recursion is sequential, so it runs as ONE JVM array fold over each
+    brand's dense month grid (the holt_level_trend treatment — never a
+    driver loop); state is exact integer milli-units with half-up emits, so
+    the fold is bit-identical to the oracle's recursive CTE. Demand
+    quantities land as exact integer units (TPC-H quantities are whole).
+
+    Scale shape: one (brand, month) aggregate; the dense grid is brands x
+    months (bounded); per-brand folds are narrow array ops. Output per
+    brand: (brand, n_months, demand_months, size_milli, interval_milli,
+    forecast_per_month_milli)."""
+    monthly = (
+        lineitem.join(
+            F.broadcast(part.where(F.col("p_size") >= min_size).select(
+                "p_partkey", "p_brand"
+            )),
+            lineitem.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.date_trunc("month", "l_shipdate").cast("date").alias("month"),
+        )
+        .agg(F.sum("l_quantity").cast("long").alias("qty"))
+    )
+    bounds = monthly.agg(
+        F.min("month").alias("lo"), F.max("month").alias("hi")
+    )
+    months = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 month)")).alias("month")
+    )
+    brands = monthly.select("brand").distinct()
+    grid = (
+        brands.crossJoin(F.broadcast(months))
+        .join(monthly, ["brand", "month"], "left")
+        .select("brand", "month", F.coalesce("qty", F.lit(0)).alias("qty"))
+    )
+    ys = grid.groupBy("brand").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("month", "qty"))),
+            lambda s: s["qty"],
+        ).alias("ys")
+    )
+
+    def hu(num: str) -> str:  # half-up milli emit (sizes/intervals are >= 0)
+        return f"CAST((2 * ({num}) + 1000) DIV 2000 AS BIGINT)"
+
+    a = alpha_milli
+    # state: (started, z_milli, x_milli, q periods since last demand, nd)
+    nz = hu(f"{a} * y * 1000 + {1000 - a} * acc.z")
+    nx = hu(f"{a} * (acc.q + 1) * 1000 + {1000 - a} * acc.x")
+    fold = F.expr(
+        "aggregate(ys,"
+        " named_struct('started', CAST(0 AS BIGINT), 'z', CAST(0 AS BIGINT),"
+        "              'x', CAST(0 AS BIGINT), 'q', CAST(0 AS BIGINT),"
+        "              'nd', CAST(0 AS BIGINT)),"
+        " (acc, y) -> CASE"
+        "   WHEN y = 0 THEN named_struct('started', acc.started, 'z', acc.z,"
+        "        'x', acc.x, 'q', acc.q + 1, 'nd', acc.nd)"
+        "   WHEN acc.started = 0 THEN named_struct('started', CAST(1 AS BIGINT),"
+        "        'z', y * 1000, 'x', (acc.q + 1) * 1000,"
+        "        'q', CAST(0 AS BIGINT), 'nd', acc.nd + 1)"
+        "   ELSE named_struct('started', CAST(1 AS BIGINT),"
+        f"        'z', {nz}, 'x', {nx},"
+        "        'q', CAST(0 AS BIGINT), 'nd', acc.nd + 1) END,"
+        " acc -> acc)"
+    )
+    return (
+        ys.select("brand", F.size("ys").cast("long").alias("n_months"), fold.alias("s"))
+        .where(F.col("s.started") == 1)
+        .select(
+            "brand",
+            "n_months",
+            F.col("s.nd").alias("demand_months"),
+            F.col("s.z").alias("size_milli"),
+            F.col("s.x").alias("interval_milli"),
+            F.expr("CAST(s.z * 1000 DIV s.x AS BIGINT)").alias(
+                "forecast_per_month_milli"
+            ),
+        )
+        .orderBy("brand")
+    )
+
+
+def croston_forecast_sql(
+    alpha_milli: int = CROSTON_ALPHA_MILLI, min_size: int = CROSTON_MIN_SIZE
+) -> str:
+    a = alpha_milli
+
+    def hu(num: str) -> str:
+        return f"CAST((2 * ({num}) + 1000) // 2000 AS BIGINT)"
+
+    nz = hu(f"{a} * g.qty * 1000 + {1000 - a} * s.z")
+    nx = hu(f"{a} * (s.q + 1) * 1000 + {1000 - a} * s.x")
+    return f"""
+        WITH RECURSIVE monthly AS (
+            SELECT p.p_brand AS brand,
+                   CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+                   CAST(SUM(l_quantity) AS BIGINT) AS qty
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_size >= {min_size}
+            GROUP BY 1, 2
+        ),
+        bounds AS (SELECT MIN(month) AS lo, MAX(month) AS hi FROM monthly),
+        months AS (
+            SELECT month, row_number() OVER (ORDER BY month) AS idx
+            FROM (SELECT CAST(unnest(generate_series(lo, hi,
+                             INTERVAL 1 MONTH)) AS DATE) AS month
+                  FROM bounds)
+        ),
+        nm AS (SELECT COUNT(*) AS n_months FROM months),
+        grid AS (
+            SELECT b.brand, m.month, m.idx, COALESCE(mo.qty, 0) AS qty
+            FROM (SELECT DISTINCT brand FROM monthly) b
+            CROSS JOIN months m
+            LEFT JOIN monthly mo ON mo.brand = b.brand AND mo.month = m.month
+        ),
+        walk AS (
+            SELECT brand, idx,
+                   CASE WHEN qty = 0 THEN 0 ELSE 1 END AS started,
+                   CASE WHEN qty = 0 THEN CAST(0 AS BIGINT)
+                        ELSE qty * 1000 END AS z,
+                   CASE WHEN qty = 0 THEN CAST(0 AS BIGINT)
+                        ELSE idx * 1000 END AS x,
+                   CASE WHEN qty = 0 THEN CAST(idx AS BIGINT)
+                        ELSE CAST(0 AS BIGINT) END AS q,
+                   CASE WHEN qty = 0 THEN CAST(0 AS BIGINT)
+                        ELSE CAST(1 AS BIGINT) END AS nd
+            FROM grid WHERE idx = 1
+            UNION ALL
+            SELECT g.brand, g.idx,
+                   CASE WHEN g.qty > 0 THEN 1 ELSE s.started END,
+                   CASE WHEN g.qty = 0 THEN s.z
+                        WHEN s.started = 0 THEN g.qty * 1000
+                        ELSE {nz} END,
+                   CASE WHEN g.qty = 0 THEN s.x
+                        WHEN s.started = 0 THEN (s.q + 1) * 1000
+                        ELSE {nx} END,
+                   CASE WHEN g.qty = 0 THEN s.q + 1 ELSE CAST(0 AS BIGINT) END,
+                   CASE WHEN g.qty = 0 THEN s.nd ELSE s.nd + 1 END
+            FROM walk s JOIN grid g ON g.brand = s.brand AND g.idx = s.idx + 1
+        )
+        SELECT w.brand,
+               CAST(nm.n_months AS BIGINT) AS n_months,
+               CAST(w.nd AS BIGINT) AS demand_months,
+               CAST(w.z AS BIGINT) AS size_milli,
+               CAST(w.x AS BIGINT) AS interval_milli,
+               CAST(w.z * 1000 // w.x AS BIGINT) AS forecast_per_month_milli
+        FROM walk w
+        CROSS JOIN nm
+        WHERE w.idx = CAST(nm.n_months AS BIGINT) AND w.started = 1
+        ORDER BY w.brand
+    """

@@ -104,3 +104,149 @@ def test_r7_rotation_head_is_never_certified_backlog():
     assert set(tail) == certified
     # every listed name still exists in the registry (no stale rotation rows)
     assert backlog <= set(names) and certified <= set(names)
+
+
+# --- round-7 new operators -----------------------------------------------------------
+
+DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def test_edit_distance_pairs_finds_near_dups(spark):
+    """Identical docs -> dist 0; one-word substitution -> small positive
+    dist; unrelated docs never pair."""
+    from pagila_etl_airflow_assignment_spark.llm import dedup
+
+    # long enough that a one-word substitution keeps shingle-Jaccard high
+    # (the LSH blocking stage is recall-approximate; this fixture is a
+    # deterministic band hit)
+    base = (
+        "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod "
+        "tempor incididunt ut labore et dolore magna aliqua enim ad minim veniam "
+        "quis nostrud exercitation ullamco laboris nisi aliquip commodo consequat"
+    )
+    texts = [
+        base,
+        base,
+        base.replace(" dolor ", " color "),
+        "zebra quokka wombat platypus echidna cassowary kookaburra dingo emu bilby",
+    ]
+    docs = spark.createDataFrame(
+        [(i + 1, t, "en", "s", len(t)) for i, t in enumerate(texts)], DOC_SCHEMA
+    )
+    got = {(r.doc_a, r.doc_b): r.dist for r in dedup.edit_distance_pairs(docs).collect()}
+    assert got[(1, 2)] == 0
+    assert 0 < got[(1, 3)] <= 2  # one-char substitution after normalization
+    assert all(4 not in pair for pair in got)
+
+
+def test_dedup_aware_epochs_weights(spark):
+    """3 copies of one content + 1 unique in one source: effective epochs =
+    (3*(t/3) + t) / 4 = t/2 at milli, floor arithmetic."""
+    from pagila_etl_airflow_assignment_spark.llm.sampling import (
+        TARGET_EPOCHS_MILLI,
+        dedup_aware_epochs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "same text", "en", "srcA", 9),
+            (2, "same text", "en", "srcA", 9),
+            (3, "same text", "en", "srcA", 9),
+            (4, "unique text", "en", "srcA", 11),
+        ],
+        DOC_SCHEMA,
+    )
+    r = dedup_aware_epochs(docs).collect()[0]
+    t = TARGET_EPOCHS_MILLI
+    assert (r.source, r.docs, r.unique_docs, r.max_copies) == ("srcA", 4, 1, 3)
+    assert r.effective_epochs_milli == (3 * (t // 3) + t) // 4
+
+
+def test_sprt_daily_decision_boundaries(spark):
+    """All-convert days push the LLR up by L1 per trial; the decision flips
+    to accept_h1 exactly when cum >= upper."""
+    from pagila_etl_airflow_assignment_spark.operators.stats import (
+        SPRT_L1_MICRO,
+        SPRT_UPPER_MICRO,
+        sprt_daily,
+    )
+    import datetime as dt
+
+    rows = []
+    # 20 users purchase every day -> each day adds 20 * L1_MICRO
+    for d in range(5):
+        for u in range(20):
+            rows.append((u, "purchase", dt.datetime(2024, 1, 1 + d, 10), 1.0))
+    events = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp, value double"
+    )
+    out = sprt_daily(events).collect()
+    per_day = 20 * SPRT_L1_MICRO
+    for i, r in enumerate(out, start=1):
+        assert r.cum_llr_micro == i * per_day
+        want = "accept_h1" if i * per_day >= SPRT_UPPER_MICRO else "continue"
+        assert r.decision == want
+
+
+def test_bh_fdr_monotone_reject_prefix(spark):
+    """The reject set is always a prefix of the |z| ranking, crit values
+    decrease with rank, and m equals the row count."""
+    from conftest import SF_SMALL
+    from pagila_etl_airflow_assignment_spark.operators.stats import bh_fdr_panel
+    from pagila_etl_airflow_assignment_spark.sources.parquet import load_table
+
+    rows = bh_fdr_panel(load_table(spark, SF_SMALL, "events")).collect()
+    assert rows, "panel empty"
+    m = len(rows)
+    assert [r.bh_rank for r in rows] == list(range(1, m + 1))
+    crits = [r.z_crit_micro for r in rows]
+    assert crits == sorted(crits, reverse=True)
+    flags = [r.rejected for r in rows]
+    assert flags == sorted(flags, reverse=True)  # prefix property
+
+
+def test_croston_hand_computed(spark):
+    """Demand 10 at month1, zero months 2-3, demand 20 at month4, alpha=0.2:
+    z = (200*20000 + 800*10000) DIV 1000 = 12000 milli,
+    x = (200*3000 + 800*1000) DIV 1000 = 1400 milli (interval 3),
+    forecast = 12000*1000 DIV 1400 = 8571 milli/month."""
+    import datetime as dt
+    from pagila_etl_airflow_assignment_spark.operators.warehouse import (
+        croston_forecast,
+    )
+
+    part = spark.createDataFrame(
+        [(1, "n", "Brand#55", "T", 50, 1.0)],
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    )
+    li = spark.createDataFrame(
+        [
+            (1, 1, 1, 10.0, 1.0, 0.0, dt.datetime(2024, 1, 15)),
+            (2, 1, 1, 20.0, 1.0, 0.0, dt.datetime(2024, 4, 15)),
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_quantity double,"
+        " l_extendedprice double, l_discount double, l_shipdate timestamp",
+    )
+    r = croston_forecast(li, part).collect()[0]
+    assert (r.n_months, r.demand_months) == (4, 2)
+    assert (r.size_milli, r.interval_milli) == (12000, 1400)
+    assert r.forecast_per_month_milli == 12000 * 1000 // 1400
+
+
+def test_knn_reciprocity_two_clusters(spark):
+    """Two tight 2-vector clusters with k exceeding the sample: every
+    nearest-neighbor edge at rank 1 is mutual (each vector's top neighbor
+    is its cluster twin)."""
+    from pagila_etl_airflow_assignment_spark.llm.similarity import knn_reciprocity
+
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.99, 0.01, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.99, 0.01]),
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    rows = {r.rank: r for r in knn_reciprocity(emb, k=2).collect()}
+    assert rows[1].edges == 4 and rows[1].reciprocal == 4
+    assert rows[1].reciprocity_milli == 1000

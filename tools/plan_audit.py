@@ -223,6 +223,12 @@ ALLOWED: dict[str, set[str]] = {
     "sampling_pps_systematic": {"BroadcastNestedLoopJoin"},
     # broadcast 1-row click-count scalar (exact-NTILE rank mapping)
     "events_woe_iv": {"BroadcastNestedLoopJoin"},
+    # broadcast bounded month spine x brand dim (dense intermittent grid)
+    "warehouse_croston": {"BroadcastNestedLoopJoin"},
+    # broadcast 1-row BH cutoff scalar over the ≤24-row hour panel
+    "events_bh_fdr": {"BroadcastNestedLoopJoin"},
+    # broadcast adaptive mod-sample (the knn_hubness audit economics)
+    "embedding_knn_reciprocity": {"BroadcastNestedLoopJoin"},
 }
 
 PATTERNS = ("CartesianProduct", "BatchEvalPython", "BroadcastNestedLoopJoin")
