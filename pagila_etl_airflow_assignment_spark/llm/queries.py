@@ -1274,3 +1274,10 @@ def q_knn_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-rank mutual-edge share of the exact k-NN graph — the
     mutual-kNN filter yield / hubness companion."""
     return similarity.knn_reciprocity(load_table(spark, sf_dir, "embeddings"))
+
+
+@register("text_dp_noisy_counts", oracle=text.dp_noisy_counts_sql())
+def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-mechanism release of per-(lang, source) doc counts —
+    deterministic hash-uniform inverse-CDF noise (testable stand-in)."""
+    return text.dp_noisy_counts(load_table(spark, sf_dir, "documents"))

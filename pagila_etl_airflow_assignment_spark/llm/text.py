@@ -1807,3 +1807,98 @@ ENCODING_PROFILE_SQL = """
     FROM panel
     ORDER BY lang
 """
+
+
+# --- differential-privacy-style noisy counts ----------------------------------------
+
+DP_EPSILON_MILLI = 1000  # epsilon = 1.0, sensitivity 1 -> Laplace scale b = 1
+
+
+def dp_noisy_counts(docs: DataFrame, epsilon_milli: int = DP_EPSILON_MILLI) -> DataFrame:
+    """Laplace-mechanism release of the per-(lang, source) document counts —
+    the governance primitive for publishing corpus composition without
+    exposing exact membership (a count's ±1 neighborhood is ε-indistinguishable
+    at scale b = sensitivity/ε = 1000/epsilon_milli).
+
+    DETERMINISM NOTE (the testable stand-in): the Laplace draw uses the
+    inverse-CDF on a hash-uniform u = (md5(lang||source) + 0.5) / 2^60
+    instead of a cryptographic RNG — same magnitude distribution across
+    groups, bit-reproducible in both engines, and exactly what the DuckDB
+    oracle recomputes. A production release swaps ONLY the uniform source;
+    the mechanism, scale, and post-processing are this code.
+
+    Output per group: (lang, source, true_n, noise_milli, noisy_n) — true_n
+    ships here for auditability of the fixture release; a real publication
+    drops it.
+
+    Scale shape: one bounded (lang, source) aggregate + narrow per-row hash
+    math; zero extra shuffles."""
+    from .hashing import md5_int
+
+    b_milli = F.lit(1000 * 1000).cast("double") / F.lit(epsilon_milli).cast("double")
+    grp = docs.groupBy("lang", "source").agg(
+        F.count("*").cast("long").alias("true_n")
+    )
+    u = (
+        md5_int(F.concat_ws("|", F.col("lang"), F.col("source"))).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 60))
+    centered = u - F.lit(0.5)
+    noise_milli = F.round(
+        -b_milli
+        * F.signum(centered)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(centered))
+    ).cast("long")
+    return (
+        grp.select(
+            "lang",
+            "source",
+            "true_n",
+            noise_milli.alias("noise_milli"),
+        )
+        .select(
+            "lang",
+            "source",
+            "true_n",
+            "noise_milli",
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.col("true_n")
+                + F.expr(
+                    "CAST(CASE WHEN noise_milli < 0 THEN -((-noise_milli + 500) DIV 1000)"
+                    " ELSE (noise_milli + 500) DIV 1000 END AS BIGINT)"
+                ),
+            ).alias("noisy_n"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+def dp_noisy_counts_sql(epsilon_milli: int = DP_EPSILON_MILLI) -> str:
+    from .hashing import md5_int_sql
+
+    h = md5_int_sql("concat_ws('|', lang, source)")
+    return f"""
+        WITH grp AS (
+            SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS true_n
+            FROM documents GROUP BY lang, source
+        ),
+        noised AS (
+            SELECT lang, source, true_n,
+                   CAST(round(
+                       -(1000.0 * 1000.0 / {epsilon_milli})
+                       * sign(({h} + 0.5) / 1152921504606846976.0 - 0.5)
+                       * ln(1.0 - 2.0 * abs(({h} + 0.5) / 1152921504606846976.0
+                                             - 0.5))
+                   ) AS BIGINT) AS noise_milli
+            FROM grp
+        )
+        SELECT lang, source, true_n, noise_milli,
+               GREATEST(CAST(0 AS BIGINT),
+                        true_n + CAST(CASE WHEN noise_milli < 0
+                                      THEN -((-noise_milli + 500) // 1000)
+                                      ELSE (noise_milli + 500) // 1000 END
+                                      AS BIGINT)) AS noisy_n
+        FROM noised
+        ORDER BY lang, source
+    """

@@ -2071,3 +2071,108 @@ INCIDENT_HOTSPOTS_SQL = """
     WHERE n_errors > 0
     ORDER BY hour
 """
+
+
+# --- maximum drawdown of the daily cumulative net value ------------------------------
+
+
+def max_drawdown_daily(events: DataFrame) -> DataFrame:
+    """Maximum drawdown of the cumulative daily net value series — the
+    worst peak-to-trough drop (classic risk/health metric, applied to the
+    revenue-minus-errors pulse of the event stream): running peak of the
+    cumulative series, drawdown = peak − current, argmax with the peak/
+    trough days pinned. One panel row: (n_days, peak_day, trough_day,
+    peak_cents, trough_cents, max_drawdown_cents).
+
+    Exact integer cents end to end; the tie policy (earliest trough, then
+    its earliest preceding peak) is encoded in the rank ORDER so both
+    engines select the identical episode.
+
+    Scale shape: one day-grain aggregate collapses the stream; every window
+    (cumsum, running max, rank) runs over the bounded ≤|days| grid."""
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("net_cents")
+    )
+    wc = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.select(
+        "day",
+        F.sum("net_cents").over(wc).alias("cum_cents"),
+    )
+    run = cum.select(
+        "day",
+        "cum_cents",
+        F.max("cum_cents").over(wc.orderBy("day")).alias("peak_cents"),
+    ).withColumn("drawdown", F.col("peak_cents") - F.col("cum_cents"))
+    ranked = run.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(F.col("drawdown").desc(), F.col("day").asc())
+        ),
+    )
+    worst = ranked.where(F.col("rk") == 1).select(
+        F.col("day").alias("trough_day"),
+        F.col("cum_cents").alias("trough_cents"),
+        F.col("peak_cents"),
+        F.col("drawdown").alias("max_drawdown_cents"),
+    )
+    peak_day = (
+        run.join(
+            F.broadcast(worst.select("peak_cents", "trough_day")),
+            "peak_cents",
+        )
+        .where(F.col("day") <= F.col("trough_day"))
+        .agg(F.min("day").alias("peak_day"))
+    )
+    n_days = daily.agg(F.count("*").cast("long").alias("n_days"))
+    return (
+        worst.crossJoin(F.broadcast(peak_day))
+        .crossJoin(F.broadcast(n_days))
+        .select(
+            "n_days",
+            "peak_day",
+            "trough_day",
+            "peak_cents",
+            "trough_cents",
+            "max_drawdown_cents",
+        )
+    )
+
+
+MAX_DRAWDOWN_SQL = """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS net_cents
+        FROM events GROUP BY 1
+    ),
+    cum AS (
+        SELECT day,
+               SUM(net_cents) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND CURRENT ROW) AS cum_cents
+        FROM daily
+    ),
+    run AS (
+        SELECT day, cum_cents,
+               MAX(cum_cents) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND CURRENT ROW) AS peak_cents
+        FROM cum
+    ),
+    worst AS (
+        SELECT day AS trough_day, cum_cents AS trough_cents, peak_cents,
+               peak_cents - cum_cents AS max_drawdown_cents
+        FROM run
+        ORDER BY peak_cents - cum_cents DESC, day ASC
+        LIMIT 1
+    ),
+    pk AS (
+        SELECT MIN(r.day) AS peak_day
+        FROM run r JOIN worst w ON r.peak_cents = w.peak_cents
+        WHERE r.day <= w.trough_day
+    ),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily)
+    SELECT n_days, peak_day, trough_day,
+           CAST(peak_cents AS BIGINT) AS peak_cents,
+           CAST(trough_cents AS BIGINT) AS trough_cents,
+           CAST(max_drawdown_cents AS BIGINT) AS max_drawdown_cents
+    FROM worst CROSS JOIN pk CROSS JOIN nd
+"""

@@ -1041,3 +1041,71 @@ CONVERSION_BY_DEPTH_SQL = f"""
     GROUP BY position
     ORDER BY position
 """
+
+
+# --- velocity (burst-rate) flags ------------------------------------------------------
+
+VELOCITY_WINDOW_S = 3600
+VELOCITY_THRESHOLD = 3
+
+
+def velocity_flags(
+    events: DataFrame,
+    window_s: int = VELOCITY_WINDOW_S,
+    threshold: int = VELOCITY_THRESHOLD,
+) -> DataFrame:
+    """Rule-based velocity screen (the first-line fraud/abuse/bot control):
+    an event trips the rule when its user produced >= threshold events
+    within the trailing window_s seconds (inclusive of itself). Output per
+    offending user: (user_id, flagged_events, max_in_window, first_flag_ts)
+    — the review queue, not the raw stream.
+
+    Exact by construction: the trailing count is a RANGE frame over integer
+    epoch seconds partitioned by user — identical semantics in both engines,
+    no session/gap heuristics.
+
+    Scale shape: ONE user-partitioned range window (the per-user rolling
+    pattern of events_user_rolling_stats) + a user-grain rollup of the
+    flagged subset; no self-join, no event x event fan-out."""
+    sec = (micros("ts") / F.lit(1_000_000)).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-(window_s - 1), 0)
+    )
+    counted = events.select("user_id", "ts", sec.alias("sec")).withColumn(
+        "in_window", F.count("*").over(w)
+    )
+    flagged = counted.where(F.col("in_window") >= threshold)
+    return (
+        flagged.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("flagged_events"),
+            F.max("in_window").cast("long").alias("max_in_window"),
+            F.min("ts").alias("first_flag_ts"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def velocity_flags_sql(
+    window_s: int = VELOCITY_WINDOW_S, threshold: int = VELOCITY_THRESHOLD
+) -> str:
+    return f"""
+        WITH counted AS (
+            SELECT user_id, ts,
+                   COUNT(*) OVER (
+                       PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
+                       RANGE BETWEEN {window_s - 1} PRECEDING AND CURRENT ROW
+                   ) AS in_window
+            FROM events
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS flagged_events,
+               CAST(MAX(in_window) AS BIGINT) AS max_in_window,
+               MIN(ts) AS first_flag_ts
+        FROM counted
+        WHERE in_window >= {threshold}
+        GROUP BY user_id
+        ORDER BY user_id
+    """

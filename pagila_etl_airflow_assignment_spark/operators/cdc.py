@@ -449,3 +449,104 @@ def multimaster_lww_sql() -> str:
         GROUP BY winner
         ORDER BY winner
     """
+
+
+# --- change-log compaction audit -----------------------------------------------------
+
+# Deterministic synthetic change log over the orders key space: every key is
+# inserted at v1; keys %3 == 0 updated at v2; keys %7 == 0 updated again at
+# v3; keys %10 == DELETE_MOD tombstoned at v4 — a realistic mixed history
+# with multi-version keys and deletes, derivable identically in both engines.
+
+
+def log_compaction_audit(orders: DataFrame) -> DataFrame:
+    """Compaction economics of a keyed change log (the Kafka-compaction /
+    LSM question: how much of the log is dead weight?): per order status,
+    the log record count, live keys (latest op is not a delete), tombstones,
+    superseded records reclaimable by compaction, and write amplification
+    (log records per live key, milli). The planning input for compaction
+    scheduling and tombstone-retention sizing.
+
+    Scale shape: the log is synthesized as a narrow union of key projections
+    (no join); the audit itself is one (key)-grain latest-op reduction — an
+    aggregate, not a window — plus a bounded status rollup."""
+    base = orders.select("o_orderkey", "o_orderstatus")
+    v1 = base.select("o_orderkey", "o_orderstatus", F.lit(1).alias("v"),
+                     F.lit("insert").alias("op"))
+    v2 = base.where(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", "o_orderstatus", F.lit(2).alias("v"), F.lit("update").alias("op")
+    )
+    v3 = base.where(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey", "o_orderstatus", F.lit(3).alias("v"), F.lit("update").alias("op")
+    )
+    v4 = base.where(F.col("o_orderkey") % 10 == DELETE_MOD).select(
+        "o_orderkey", "o_orderstatus", F.lit(4).alias("v"), F.lit("delete").alias("op")
+    )
+    log = v1.unionByName(v2).unionByName(v3).unionByName(v4)
+    per_key = log.groupBy("o_orderkey", "o_orderstatus").agg(
+        F.count("*").cast("long").alias("versions"),
+        F.max(F.struct("v", "op")).getField("op").alias("last_op"),
+    )
+    return (
+        per_key.groupBy("o_orderstatus")
+        .agg(
+            F.sum("versions").cast("long").alias("log_records"),
+            F.sum(F.when(F.col("last_op") != "delete", 1).otherwise(0))
+            .cast("long")
+            .alias("live_keys"),
+            F.sum(F.when(F.col("last_op") == "delete", 1).otherwise(0))
+            .cast("long")
+            .alias("tombstoned_keys"),
+            F.sum(F.col("versions") - 1).cast("long").alias("superseded_records"),
+        )
+        .select(
+            "o_orderstatus",
+            "log_records",
+            "live_keys",
+            "tombstoned_keys",
+            "superseded_records",
+            F.expr(
+                "CAST(CASE WHEN live_keys > 0 THEN 1000 * log_records DIV live_keys"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("write_amp_milli"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def log_compaction_audit_sql() -> str:
+    return f"""
+        WITH base AS (SELECT o_orderkey, o_orderstatus FROM orders),
+        log AS (
+            SELECT o_orderkey, o_orderstatus, 1 AS v, 'insert' AS op FROM base
+            UNION ALL
+            SELECT o_orderkey, o_orderstatus, 2, 'update' FROM base
+            WHERE o_orderkey % 3 = 0
+            UNION ALL
+            SELECT o_orderkey, o_orderstatus, 3, 'update' FROM base
+            WHERE o_orderkey % 7 = 0
+            UNION ALL
+            SELECT o_orderkey, o_orderstatus, 4, 'delete' FROM base
+            WHERE o_orderkey % 10 = {DELETE_MOD}
+        ),
+        per_key AS (
+            SELECT o_orderkey, o_orderstatus,
+                   CAST(COUNT(*) AS BIGINT) AS versions,
+                   arg_max(op, v) AS last_op
+            FROM log GROUP BY 1, 2
+        )
+        SELECT o_orderstatus,
+               CAST(SUM(versions) AS BIGINT) AS log_records,
+               CAST(SUM(CASE WHEN last_op <> 'delete' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS live_keys,
+               CAST(SUM(CASE WHEN last_op = 'delete' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS tombstoned_keys,
+               CAST(SUM(versions - 1) AS BIGINT) AS superseded_records,
+               CAST(CASE WHEN SUM(CASE WHEN last_op <> 'delete' THEN 1 ELSE 0 END) > 0
+                    THEN 1000 * SUM(versions)
+                         // SUM(CASE WHEN last_op <> 'delete' THEN 1 ELSE 0 END)
+                    ELSE 0 END AS BIGINT) AS write_amp_milli
+        FROM per_key
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """

@@ -2358,3 +2358,31 @@ def q_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
     return warehouse.croston_forecast(
         load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
     )
+
+
+@register("events_drawdown", oracle=analytics.MAX_DRAWDOWN_SQL)
+def q_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the cumulative daily net value — worst
+    peak-to-trough episode with days pinned, exact cents."""
+    return analytics.max_drawdown_daily(load_table(spark, sf_dir, "events"))
+
+
+@register("cdc_log_compaction", oracle=cdc.log_compaction_audit_sql())
+def q_log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-log compaction economics per status: live keys, tombstones,
+    superseded records, write amplification."""
+    return cdc.log_compaction_audit(load_table(spark, sf_dir, "orders"))
+
+
+@register("events_velocity_flags", oracle=behavior.velocity_flags_sql())
+def q_velocity_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window event-rate rule (fraud/bot velocity screen) — one
+    user-partitioned RANGE window, per-user review rollup."""
+    return behavior.velocity_flags(load_table(spark, sf_dir, "events"))
+
+
+@register("events_dfg_waits", oracle=sequences.DFG_WAITS_SQL)
+def q_dfg_waits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directly-follows graph with exact median/mean waiting time per edge
+    — the process-mining bottleneck map."""
+    return sequences.dfg_waits(load_table(spark, sf_dir, "events"))

@@ -1491,3 +1491,96 @@ def process_conformance_sql() -> str:
         FROM flagged
         ORDER BY from_type, to_type
     """
+
+
+# --- directly-follows graph with waiting-time profile ---------------------------------
+
+
+def dfg_waits(events: DataFrame) -> DataFrame:
+    """Directly-follows graph with a waiting-time profile per edge — the
+    process-mining primitive behind bottleneck maps: for each consecutive
+    event pair within a user's timeline, edge (src -> dst) with the wait in
+    seconds; per edge report volume, mean wait, and the EXACT median wait
+    (the weighted-median threshold device — smallest wait whose cumulative
+    count reaches half, integer cross-multiplied, no float quantile).
+
+    Scale shape: one user-partitioned lead window builds the edges; the
+    median runs per edge over the (edge, wait)-grain aggregate (cumulative
+    window partitioned BY EDGE — never unpartitioned); mean is integer
+    micros DIV count."""
+    from ..functions import micros
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        events.select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+            (F.lead(micros("ts")).over(w) - micros("ts")).alias("wait_us"),
+        )
+        .where(F.col("dst").isNotNull())
+        .select("src", "dst", (F.col("wait_us") / 1_000_000).cast("long").alias("wait_s"))
+    )
+    per_wait = edges.groupBy("src", "dst", "wait_s").agg(
+        F.count("*").alias("m")
+    )
+    wp = Window.partitionBy("src", "dst")
+    wo = wp.orderBy("wait_s").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_wait.select(
+        "src",
+        "dst",
+        "wait_s",
+        F.sum("m").over(wo).alias("cum"),
+        F.sum("m").over(wp).alias("tot"),
+        F.sum(F.col("m") * F.col("wait_s")).over(wp).alias("wait_sum"),
+    )
+    return (
+        cum.where(2 * F.col("cum") >= F.col("tot"))
+        .groupBy("src", "dst")
+        .agg(
+            F.max("tot").cast("long").alias("n_transitions"),
+            F.expr("CAST(MAX(wait_sum) DIV MAX(tot) AS BIGINT)").alias(
+                "mean_wait_s"
+            ),
+            F.min("wait_s").cast("long").alias("median_wait_s"),
+        )
+        .orderBy("src", "dst")
+    )
+
+
+DFG_WAITS_SQL = """
+    WITH edges AS (
+        SELECT src, dst, CAST(wait_us // 1000000 AS BIGINT) AS wait_s
+        FROM (
+            SELECT event_type AS src,
+                   LEAD(event_type) OVER w AS dst,
+                   LEAD(epoch_us(ts)) OVER w - epoch_us(ts) AS wait_us
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        WHERE dst IS NOT NULL
+    ),
+    per_wait AS (
+        SELECT src, dst, wait_s, COUNT(*) AS m
+        FROM edges GROUP BY 1, 2, 3
+    ),
+    cum AS (
+        SELECT src, dst, wait_s,
+               SUM(m) OVER (PARTITION BY src, dst ORDER BY wait_s
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum,
+               SUM(m) OVER (PARTITION BY src, dst) AS tot,
+               SUM(m * wait_s) OVER (PARTITION BY src, dst) AS wait_sum
+        FROM per_wait
+    )
+    SELECT src, dst,
+           CAST(MAX(tot) AS BIGINT) AS n_transitions,
+           CAST(MAX(wait_sum) // MAX(tot) AS BIGINT) AS mean_wait_s,
+           CAST(MIN(wait_s) AS BIGINT) AS median_wait_s
+    FROM cum
+    WHERE 2 * cum >= tot
+    GROUP BY src, dst
+    ORDER BY src, dst
+"""

@@ -250,3 +250,112 @@ def test_knn_reciprocity_two_clusters(spark):
     rows = {r.rank: r for r in knn_reciprocity(emb, k=2).collect()}
     assert rows[1].edges == 4 and rows[1].reciprocal == 4
     assert rows[1].reciprocity_milli == 1000
+
+
+def test_dp_noisy_counts_mechanism(spark):
+    """Noise is deterministic per group key, counts clamp at zero, and the
+    milli noise rounds to the count offset with half-up semantics."""
+    from pagila_etl_airflow_assignment_spark.llm.text import dp_noisy_counts
+
+    docs = spark.createDataFrame(
+        [(i, "t", "en", "srcA", 1) for i in range(1, 6)]
+        + [(i, "t", "fr", "srcB", 1) for i in range(6, 9)],
+        DOC_SCHEMA,
+    )
+    rows = {(r.lang, r.source): r for r in dp_noisy_counts(docs).collect()}
+    a, b = rows[("en", "srcA")], rows[("fr", "srcB")]
+    assert (a.true_n, b.true_n) == (5, 3)
+    for r in (a, b):
+        off = (abs(r.noise_milli) + 500) // 1000 * (1 if r.noise_milli >= 0 else -1)
+        assert r.noisy_n == max(0, r.true_n + off)
+    # determinism: same input -> same noise
+    again = {(r.lang, r.source): r.noise_milli for r in dp_noisy_counts(docs).collect()}
+    assert again[("en", "srcA")] == a.noise_milli
+
+
+def test_max_drawdown_hand_computed(spark):
+    """Daily nets +10, -3, -4, +2, -5: cumulative 10,7,3,5,0 -> worst
+    drawdown 10 (peak day1 -> trough day5)."""
+    import datetime as dt
+    from pagila_etl_airflow_assignment_spark.operators.analytics import (
+        max_drawdown_daily,
+    )
+
+    nets = [10.0, -3.0, -4.0, 2.0, -5.0]
+    rows = [
+        (1, "view", dt.datetime(2024, 1, 1 + i, 12), v) for i, v in enumerate(nets)
+    ]
+    events = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp, value double"
+    )
+    r = max_drawdown_daily(events).collect()[0]
+    assert r.n_days == 5
+    assert r.max_drawdown_cents == 1000
+    assert (str(r.peak_day), str(r.trough_day)) == ("2024-01-01", "2024-01-05")
+    assert (r.peak_cents, r.trough_cents) == (1000, 0)
+
+
+def test_log_compaction_hand_computed(spark):
+    """Keys 1..10, one status: inserts 10; updates at %3==0 (3,6,9) and
+    %7==0 (7); delete at %10==DELETE_MOD. Check totals."""
+    from pagila_etl_airflow_assignment_spark.operators import cdc
+
+    orders = spark.createDataFrame(
+        [(k, "O", 1.0) for k in range(1, 11)],
+        "o_orderkey long, o_orderstatus string, o_totalprice double",
+    )
+    r = cdc.log_compaction_audit(orders).collect()[0]
+    expected_records = 10 + 3 + 1 + 1  # v1 all, v2 {3,6,9}, v3 {7}, v4 {DELETE_MOD}
+    assert r.log_records == expected_records
+    assert r.live_keys + r.tombstoned_keys == 10
+    assert r.tombstoned_keys == 1
+    assert r.superseded_records == expected_records - 10
+    assert r.write_amp_milli == 1000 * expected_records // r.live_keys
+
+
+def test_velocity_flags_threshold(spark):
+    """3 events inside one hour trip the rule; spread-out events do not."""
+    import datetime as dt
+    from pagila_etl_airflow_assignment_spark.operators.behavior import velocity_flags
+
+    rows = [
+        # user 1: burst of 3 within 10 minutes
+        (1, "click", dt.datetime(2024, 1, 1, 10, 0), 0.0),
+        (1, "click", dt.datetime(2024, 1, 1, 10, 5), 0.0),
+        (1, "click", dt.datetime(2024, 1, 1, 10, 9), 0.0),
+        # user 2: 3 events spread over 3 hours
+        (2, "click", dt.datetime(2024, 1, 1, 10, 0), 0.0),
+        (2, "click", dt.datetime(2024, 1, 1, 11, 30), 0.0),
+        (2, "click", dt.datetime(2024, 1, 1, 13, 0), 0.0),
+    ]
+    events = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp, value double"
+    )
+    got = {r.user_id: r for r in velocity_flags(events).collect()}
+    assert 1 in got and 2 not in got
+    assert got[1].flagged_events == 1 and got[1].max_in_window == 3
+
+
+def test_dfg_waits_hand_computed(spark):
+    """view -> click -> purchase with 10s and 30s waits for one user; a
+    second user repeats view -> click with 20s: median/mean per edge."""
+    import datetime as dt
+    from pagila_etl_airflow_assignment_spark.operators.sequences import dfg_waits
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (1, 1, "view", t0, 0.0),
+        (2, 1, "click", t0 + dt.timedelta(seconds=10), 0.0),
+        (3, 1, "purchase", t0 + dt.timedelta(seconds=40), 0.0),
+        (4, 2, "view", t0, 0.0),
+        (5, 2, "click", t0 + dt.timedelta(seconds=20), 0.0),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp,"
+        " value double"
+    )
+    got = {(r.src, r.dst): r for r in dfg_waits(events).collect()}
+    vc = got[("view", "click")]
+    assert (vc.n_transitions, vc.mean_wait_s, vc.median_wait_s) == (2, 15, 10)
+    cp = got[("click", "purchase")]
+    assert (cp.n_transitions, cp.mean_wait_s, cp.median_wait_s) == (1, 30, 30)

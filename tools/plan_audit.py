@@ -229,6 +229,8 @@ ALLOWED: dict[str, set[str]] = {
     "events_bh_fdr": {"BroadcastNestedLoopJoin"},
     # broadcast adaptive mod-sample (the knn_hubness audit economics)
     "embedding_knn_reciprocity": {"BroadcastNestedLoopJoin"},
+    # broadcast 1-row peak/trough/day-count scalars over the day grid
+    "events_drawdown": {"BroadcastNestedLoopJoin"},
 }
 
 PATTERNS = ("CartesianProduct", "BatchEvalPython", "BroadcastNestedLoopJoin")

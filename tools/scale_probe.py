@@ -337,6 +337,20 @@ PROBES = [
     "warehouse_rounding_residue",
     "events_conversion_by_depth",
     "events_incident_hotspots",
+    # round-7 additions (L-372..377): LSH-blocked levenshtein verify,
+    # fingerprint epoch weights, bounded-panel BH/SPRT, dense-grid Croston
+    # fold, sampled kNN reciprocity
+    "dedup_edit_distance",
+    "sampling_dedup_epochs",
+    "events_bh_fdr",
+    "events_sprt",
+    "warehouse_croston",
+    "embedding_knn_reciprocity",
+    "text_dp_noisy_counts",
+    "events_drawdown",
+    "cdc_log_compaction",
+    "events_velocity_flags",
+    "events_dfg_waits",
 ]
 
 
