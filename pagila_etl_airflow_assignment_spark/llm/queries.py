@@ -1281,3 +1281,10 @@ def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Laplace-mechanism release of per-(lang, source) doc counts —
     deterministic hash-uniform inverse-CDF noise (testable stand-in)."""
     return text.dp_noisy_counts(load_table(spark, sf_dir, "documents"))
+
+
+@register("sampling_purged_kfold", oracle=sampling.purged_kfold_sql())
+def q_purged_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purged k-fold CV plan with embargo over the time-ordered event
+    stream — contiguous day folds, leakage buffer audit."""
+    return sampling.purged_kfold(load_table(spark, sf_dir, "events"))

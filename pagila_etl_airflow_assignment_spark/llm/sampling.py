@@ -1255,3 +1255,122 @@ def dedup_aware_epochs_sql(
         GROUP BY source
         ORDER BY source
     """
+
+
+# --- purged k-fold with embargo (temporal CV) -----------------------------------------
+
+PURGED_K = 5
+PURGED_EMBARGO_DAYS = 2
+
+
+def purged_kfold(
+    events: DataFrame, k: int = PURGED_K, embargo_days: int = PURGED_EMBARGO_DAYS
+) -> DataFrame:
+    """Purged k-fold cross-validation plan over a time-ordered stream
+    (the leakage-safe CV for serially-correlated data, à la combinatorial
+    purged CV): days split into k CONTIGUOUS folds; each fold's training
+    set excludes the test days PLUS an embargo_days buffer on both sides,
+    so label lookahead and autocorrelation bleed cannot leak across the
+    split. Output per fold: (fold, test_days, test_rows, train_days,
+    train_rows, purged_days) — the audit a training pipeline materializes
+    before building fold datasets.
+
+    Exact integers: fold assignment is the contiguous-quantile index
+    (idx-1)*k DIV n_days over the bounded day grid; all counts are sums.
+
+    Scale shape: one day-grain aggregate; fold ranges are a ≤k-row
+    aggregate; the day x fold membership test is a bounded ≤|days|·k
+    broadcast join. Event rows are never re-scanned per fold."""
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("long").alias("rows")
+    )
+    nd = daily.agg(F.count("*").cast("long").alias("n_days"))
+    wd = Window.orderBy("day")
+    idx = (
+        daily.crossJoin(F.broadcast(nd))
+        .withColumn("idx", F.row_number().over(wd))
+        .withColumn("fold", F.expr(f"CAST((idx - 1) * {k} DIV n_days AS INT)"))
+        .select("day", "rows", "idx", "fold")
+    )
+    ranges = idx.groupBy("fold").agg(
+        F.min("idx").alias("lo"), F.max("idx").alias("hi")
+    )
+    marked = idx.select("idx", "rows").crossJoin(F.broadcast(ranges)).select(
+        "fold",
+        "rows",
+        F.when(
+            (F.col("idx") >= F.col("lo")) & (F.col("idx") <= F.col("hi")), "test"
+        )
+        .when(
+            (F.col("idx") >= F.col("lo") - embargo_days)
+            & (F.col("idx") <= F.col("hi") + embargo_days),
+            "purged",
+        )
+        .otherwise("train")
+        .alias("role"),
+    )
+    return (
+        marked.groupBy("fold")
+        .agg(
+            F.sum(F.when(F.col("role") == "test", 1).otherwise(0))
+            .cast("long")
+            .alias("test_days"),
+            F.sum(F.when(F.col("role") == "test", F.col("rows")).otherwise(0))
+            .cast("long")
+            .alias("test_rows"),
+            F.sum(F.when(F.col("role") == "train", 1).otherwise(0))
+            .cast("long")
+            .alias("train_days"),
+            F.sum(F.when(F.col("role") == "train", F.col("rows")).otherwise(0))
+            .cast("long")
+            .alias("train_rows"),
+            F.sum(F.when(F.col("role") == "purged", 1).otherwise(0))
+            .cast("long")
+            .alias("purged_days"),
+        )
+        .orderBy("fold")
+    )
+
+
+def purged_kfold_sql(
+    k: int = PURGED_K, embargo_days: int = PURGED_EMBARGO_DAYS
+) -> str:
+    return f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS rows_
+            FROM events GROUP BY 1
+        ),
+        nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily),
+        idx AS (
+            SELECT day, rows_,
+                   row_number() OVER (ORDER BY day) AS idx,
+                   CAST((row_number() OVER (ORDER BY day) - 1) * {k}
+                        // n_days AS INT) AS fold
+            FROM daily CROSS JOIN nd
+        ),
+        ranges AS (
+            SELECT fold, MIN(idx) AS lo, MAX(idx) AS hi FROM idx GROUP BY fold
+        ),
+        marked AS (
+            SELECT r.fold, i.rows_,
+                   CASE WHEN i.idx BETWEEN r.lo AND r.hi THEN 'test'
+                        WHEN i.idx BETWEEN r.lo - {embargo_days}
+                                       AND r.hi + {embargo_days} THEN 'purged'
+                        ELSE 'train' END AS role
+            FROM idx i CROSS JOIN ranges r
+        )
+        SELECT fold,
+               CAST(SUM(CASE WHEN role = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS test_days,
+               CAST(SUM(CASE WHEN role = 'test' THEN rows_ ELSE 0 END) AS BIGINT)
+                   AS test_rows,
+               CAST(SUM(CASE WHEN role = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS train_days,
+               CAST(SUM(CASE WHEN role = 'train' THEN rows_ ELSE 0 END) AS BIGINT)
+                   AS train_rows,
+               CAST(SUM(CASE WHEN role = 'purged' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS purged_days
+        FROM marked
+        GROUP BY fold
+        ORDER BY fold
+    """

@@ -2176,3 +2176,83 @@ MAX_DRAWDOWN_SQL = """
            CAST(max_drawdown_cents AS BIGINT) AS max_drawdown_cents
     FROM worst CROSS JOIN pk CROSS JOIN nd
 """
+
+
+# --- Ljung-Box portmanteau test over the daily ACF -----------------------------------
+
+LJUNG_BOX_H = 7
+# chi-square upper 5% critical value with h = 7 dof, micro-quantized
+# (14.067140 — the standard table constant; embedding it as a literal keeps
+# the decision integer-exact with no runtime chi-square inverse anywhere)
+LJUNG_BOX_CRIT_MICRO = 14_067_140
+
+
+def ljung_box_daily(events: DataFrame, h: int = LJUNG_BOX_H) -> DataFrame:
+    """Ljung-Box portmanteau whiteness test on the daily event-count series:
+    Q = n(n+2) Σ_{k=1..h} ρ_k²/(n−k) against the χ²(h) 5% critical value —
+    the "is there ANY autocorrelation left" gate run on forecast residuals
+    and A/A streams before trusting iid-based intervals.
+
+    Composition + exactness: ρ_k are the ALREADY-CERTIFIED integer-milli
+    autocorrelations of acf_daily; Q is then a pure integer function of them
+    (per-lag term = n(n+2)·ρ_milli² DIV (n−k), summed, in micro units) and
+    the decision compares micro integers against the literal critical value
+    — bit-identical across engines. The milli quantization of ρ perturbs Q
+    by < 0.1% of typical values, far from decision boundaries at any
+    realistic n (documented trade for engine-exactness).
+
+    Scale shape: inherits acf_daily's one day-grain aggregate + h lead
+    windows over the bounded grid; everything else is ≤h rows."""
+    acf = acf_daily(events, h)
+    nd = (
+        events.select(F.to_date("ts").alias("day"))
+        .distinct()
+        .agg(F.count("*").cast("long").alias("n_days"))
+    )
+    terms = acf.crossJoin(F.broadcast(nd)).select(
+        "n_days",
+        F.expr(
+            "CAST(n_days * (n_days + 2) * acf_milli * acf_milli"
+            " DIV (n_days - lag) AS BIGINT)"
+        ).alias("term_micro"),
+    )
+    return (
+        terms.groupBy("n_days")
+        .agg(
+            F.count("*").cast("long").alias("h"),
+            F.sum("term_micro").cast("long").alias("q_micro"),
+        )
+        .select(
+            "n_days",
+            "h",
+            "q_micro",
+            F.lit(LJUNG_BOX_CRIT_MICRO).cast("long").alias("crit_micro"),
+            (F.col("q_micro") > LJUNG_BOX_CRIT_MICRO).cast("int").alias(
+                "reject_whiteness"
+            ),
+        )
+    )
+
+
+def ljung_box_daily_sql(h: int = LJUNG_BOX_H) -> str:
+    return f"""
+        WITH acf AS ({acf_daily_sql(h)}),
+        nd AS (
+            SELECT CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days
+            FROM events
+        ),
+        terms AS (
+            SELECT n_days,
+                   CAST(n_days * (n_days + 2) * acf_milli * acf_milli
+                        // (n_days - lag) AS BIGINT) AS term_micro
+            FROM acf CROSS JOIN nd
+        )
+        SELECT n_days,
+               CAST(COUNT(*) AS BIGINT) AS h,
+               CAST(SUM(term_micro) AS BIGINT) AS q_micro,
+               CAST({LJUNG_BOX_CRIT_MICRO} AS BIGINT) AS crit_micro,
+               CAST(SUM(term_micro) > {LJUNG_BOX_CRIT_MICRO} AS INT)
+                   AS reject_whiteness
+        FROM terms
+        GROUP BY n_days
+    """

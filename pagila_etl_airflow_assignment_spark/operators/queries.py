@@ -2386,3 +2386,28 @@ def q_dfg_waits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directly-follows graph with exact median/mean waiting time per edge
     — the process-mining bottleneck map."""
     return sequences.dfg_waits(load_table(spark, sf_dir, "events"))
+
+
+@register("warehouse_demand_classification", oracle=warehouse.demand_classification_sql())
+def q_demand_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Syntetos-Boylan ADI x CV^2 demand-pattern quadrants per brand — the
+    forecaster router for the sparse part slice."""
+    return warehouse.demand_classification(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+@register("warehouse_ss_policy_sim", oracle=warehouse.ss_policy_simulation_sql())
+def q_ss_policy_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(s,S) periodic-review inventory replay per brand: fill rate,
+    stockouts, orders, average stock — one JVM fold per brand."""
+    return warehouse.ss_policy_simulation(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+@register("events_ljung_box", oracle=analytics.ljung_box_daily_sql())
+def q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box whiteness test composed over the certified integer-milli
+    daily ACF; chi-square critical value as a micro literal."""
+    return analytics.ljung_box_daily(load_table(spark, sf_dir, "events"))

@@ -5270,3 +5270,291 @@ def croston_forecast_sql(
         WHERE w.idx = CAST(nm.n_months AS BIGINT) AND w.started = 1
         ORDER BY w.brand
     """
+
+
+# --- Syntetos-Boylan demand classification --------------------------------------------
+
+ADI_CUT_MILLI = 1320  # 1.32 mean inter-demand interval
+CV2_CUT_MILLI = 490   # 0.49 squared coefficient of variation
+
+
+def demand_classification(
+    lineitem: DataFrame,
+    part: DataFrame,
+    min_size: int = CROSTON_MIN_SIZE,
+) -> DataFrame:
+    """Syntetos-Boylan demand-pattern quadrants per brand over the sparse
+    part slice — the router that decides WHICH forecaster each series gets
+    (smooth -> exponential smoothing, intermittent -> croston_forecast,
+    erratic/lumpy -> bootstrap/quantile methods): ADI (average inter-demand
+    interval, months per demand month) x CV^2 (squared coefficient of
+    variation of the NON-ZERO demand sizes), cut at the canonical
+    1.32 / 0.49.
+
+    Exact integers: ADI_milli = 1000*n_months DIV demand_months; CV^2 via
+    the sufficient-stats identity (d*sum(q^2) - S^2) / S^2 at milli —
+    population variance over mean squared, no float moments; the quadrant
+    label compares milli integers against literal cuts, so both engines
+    classify identically.
+
+    Scale shape: one (brand, month) aggregate + a bounded brand rollup —
+    no grid, no windows."""
+    monthly = (
+        lineitem.join(
+            F.broadcast(
+                part.where(F.col("p_size") >= min_size).select(
+                    "p_partkey", "p_brand"
+                )
+            ),
+            lineitem.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.date_trunc("month", "l_shipdate").cast("date").alias("month"),
+        )
+        .agg(F.sum("l_quantity").cast("long").alias("qty"))
+    )
+    span = monthly.agg(
+        F.expr(
+            "CAST(months_between(date_trunc('month', MAX(month)),"
+            " date_trunc('month', MIN(month))) AS BIGINT) + 1"
+        ).alias("n_months")
+    )
+    per_brand = monthly.groupBy("brand").agg(
+        F.count("*").cast("long").alias("demand_months"),
+        F.sum("qty").cast("long").alias("s_qty"),
+        F.sum(F.col("qty") * F.col("qty")).cast("long").alias("s_qty2"),
+    )
+    adi = F.expr("CAST(1000 * n_months DIV demand_months AS BIGINT)")
+    cv2 = F.expr(
+        "CAST(1000 * (demand_months * s_qty2 - s_qty * s_qty)"
+        " DIV (s_qty * s_qty) AS BIGINT)"
+    )
+    return (
+        per_brand.crossJoin(F.broadcast(span))
+        .select(
+            "brand",
+            "n_months",
+            "demand_months",
+            adi.alias("adi_milli"),
+            cv2.alias("cv2_milli"),
+        )
+        .withColumn(
+            "pattern",
+            F.when(
+                (F.col("adi_milli") < ADI_CUT_MILLI)
+                & (F.col("cv2_milli") < CV2_CUT_MILLI),
+                "smooth",
+            )
+            .when(F.col("adi_milli") >= ADI_CUT_MILLI, F.when(
+                F.col("cv2_milli") < CV2_CUT_MILLI, "intermittent"
+            ).otherwise("lumpy"))
+            .otherwise("erratic"),
+        )
+        .orderBy("brand")
+    )
+
+
+def demand_classification_sql(min_size: int = CROSTON_MIN_SIZE) -> str:
+    return f"""
+        WITH monthly AS (
+            SELECT p.p_brand AS brand,
+                   CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+                   CAST(SUM(l_quantity) AS BIGINT) AS qty
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_size >= {min_size}
+            GROUP BY 1, 2
+        ),
+        span AS (
+            SELECT CAST(date_diff('month', date_trunc('month', MIN(month)),
+                        date_trunc('month', MAX(month))) AS BIGINT) + 1
+                       AS n_months
+            FROM monthly
+        ),
+        per_brand AS (
+            SELECT brand,
+                   CAST(COUNT(*) AS BIGINT) AS demand_months,
+                   CAST(SUM(qty) AS BIGINT) AS s_qty,
+                   CAST(SUM(qty * qty) AS BIGINT) AS s_qty2
+            FROM monthly GROUP BY brand
+        )
+        SELECT brand, n_months, demand_months,
+               CAST(1000 * n_months // demand_months AS BIGINT) AS adi_milli,
+               CAST(1000 * (demand_months * s_qty2 - s_qty * s_qty)
+                    // (s_qty * s_qty) AS BIGINT) AS cv2_milli,
+               CASE WHEN 1000 * n_months // demand_months < {ADI_CUT_MILLI}
+                         AND 1000 * (demand_months * s_qty2 - s_qty * s_qty)
+                             // (s_qty * s_qty) < {CV2_CUT_MILLI} THEN 'smooth'
+                    WHEN 1000 * n_months // demand_months >= {ADI_CUT_MILLI}
+                         AND 1000 * (demand_months * s_qty2 - s_qty * s_qty)
+                             // (s_qty * s_qty) < {CV2_CUT_MILLI}
+                        THEN 'intermittent'
+                    WHEN 1000 * n_months // demand_months >= {ADI_CUT_MILLI}
+                        THEN 'lumpy'
+                    ELSE 'erratic' END AS pattern
+        FROM per_brand CROSS JOIN span
+        ORDER BY brand
+    """
+
+
+# --- (s, S) replenishment policy simulation -------------------------------------------
+
+SS_REORDER_POINT = 100   # units: reorder when on-hand falls below s
+SS_ORDER_UP_TO = 400     # order up to S at each review
+
+
+def ss_policy_simulation(
+    lineitem: DataFrame,
+    part: DataFrame,
+    s_point: int = SS_REORDER_POINT,
+    s_cap: int = SS_ORDER_UP_TO,
+    min_size: int = CROSTON_MIN_SIZE,
+) -> DataFrame:
+    """Periodic-review (s, S) inventory policy replay per brand: walk the
+    monthly demand series with start stock S; each month satisfy demand
+    (lost sales below zero), then reorder up to S when on-hand < s — the
+    what-if companion to croston_forecast/reorder_points that turns a
+    forecastable series into policy KPIs: fill rate, stockout months,
+    orders placed, average month-end inventory.
+
+    Same execution shape as the croston fold: the walk is ONE JVM array
+    fold per brand over the dense bounded month grid, exact integer units
+    throughout; oracle is the recursive-CTE twin walking identical state.
+
+    Scale shape: (brand, month) aggregate -> bounded grid -> narrow
+    per-brand fold; output is ≤|brands| rows."""
+    monthly = (
+        lineitem.join(
+            F.broadcast(
+                part.where(F.col("p_size") >= min_size).select(
+                    "p_partkey", "p_brand"
+                )
+            ),
+            lineitem.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.date_trunc("month", "l_shipdate").cast("date").alias("month"),
+        )
+        .agg(F.sum("l_quantity").cast("long").alias("qty"))
+    )
+    bounds = monthly.agg(F.min("month").alias("lo"), F.max("month").alias("hi"))
+    months = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 month)")).alias("month")
+    )
+    brands = monthly.select("brand").distinct()
+    grid = (
+        brands.crossJoin(F.broadcast(months))
+        .join(monthly, ["brand", "month"], "left")
+        .select("brand", "month", F.coalesce("qty", F.lit(0)).alias("qty"))
+    )
+    ys = grid.groupBy("brand").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("month", "qty"))),
+            lambda st: st["qty"],
+        ).alias("ys")
+    )
+    # state: (oh on-hand, served, demand, stockouts, orders, inv_sum)
+    fold = F.expr(
+        f"aggregate(ys,"
+        f" named_struct('oh', CAST({s_cap} AS BIGINT), 'served', CAST(0 AS BIGINT),"
+        f"              'dem', CAST(0 AS BIGINT), 'so', CAST(0 AS BIGINT),"
+        f"              'ord', CAST(0 AS BIGINT), 'inv', CAST(0 AS BIGINT)),"
+        f" (acc, y) -> named_struct("
+        f"   'oh', CASE WHEN GREATEST(acc.oh - y, CAST(0 AS BIGINT)) < {s_point}"
+        f"              THEN CAST({s_cap} AS BIGINT)"
+        f"              ELSE GREATEST(acc.oh - y, CAST(0 AS BIGINT)) END,"
+        f"   'served', acc.served + LEAST(acc.oh, y),"
+        f"   'dem', acc.dem + y,"
+        f"   'so', acc.so + CASE WHEN y > acc.oh THEN 1 ELSE 0 END,"
+        f"   'ord', acc.ord + CASE WHEN GREATEST(acc.oh - y, CAST(0 AS BIGINT))"
+        f"                              < {s_point} THEN 1 ELSE 0 END,"
+        f"   'inv', acc.inv + GREATEST(acc.oh - y, CAST(0 AS BIGINT))),"
+        f" acc -> acc)"
+    )
+    return (
+        ys.select("brand", F.size("ys").cast("long").alias("n_months"), fold.alias("st"))
+        .select(
+            "brand",
+            "n_months",
+            F.col("st.dem").alias("total_demand"),
+            F.col("st.served").alias("served"),
+            F.col("st.so").alias("stockout_months"),
+            F.col("st.ord").alias("orders_placed"),
+            F.expr(
+                "CAST(CASE WHEN st.dem > 0 THEN 1000 * st.served DIV st.dem"
+                " ELSE 1000 END AS BIGINT)"
+            ).alias("fill_rate_milli"),
+            F.expr("CAST(st.inv DIV n_months AS BIGINT)").alias(
+                "avg_month_end_units"
+            ),
+        )
+        .orderBy("brand")
+    )
+
+
+def ss_policy_simulation_sql(
+    s_point: int = SS_REORDER_POINT,
+    s_cap: int = SS_ORDER_UP_TO,
+    min_size: int = CROSTON_MIN_SIZE,
+) -> str:
+    return f"""
+        WITH RECURSIVE monthly AS (
+            SELECT p.p_brand AS brand,
+                   CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+                   CAST(SUM(l_quantity) AS BIGINT) AS qty
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_size >= {min_size}
+            GROUP BY 1, 2
+        ),
+        bounds AS (SELECT MIN(month) AS lo, MAX(month) AS hi FROM monthly),
+        months AS (
+            SELECT month, row_number() OVER (ORDER BY month) AS idx
+            FROM (SELECT CAST(unnest(generate_series(lo, hi,
+                             INTERVAL 1 MONTH)) AS DATE) AS month
+                  FROM bounds)
+        ),
+        nm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_months FROM months),
+        grid AS (
+            SELECT b.brand, m.idx, COALESCE(mo.qty, 0) AS qty
+            FROM (SELECT DISTINCT brand FROM monthly) b
+            CROSS JOIN months m
+            LEFT JOIN monthly mo ON mo.brand = b.brand AND mo.month = m.month
+        ),
+        walk AS (
+            SELECT brand, idx,
+                   CASE WHEN GREATEST({s_cap} - qty, 0) < {s_point}
+                        THEN CAST({s_cap} AS BIGINT)
+                        ELSE CAST(GREATEST({s_cap} - qty, 0) AS BIGINT) END AS oh,
+                   CAST(LEAST(CAST({s_cap} AS BIGINT), qty) AS BIGINT) AS served,
+                   qty AS dem,
+                   CAST(CASE WHEN qty > {s_cap} THEN 1 ELSE 0 END AS BIGINT) AS so,
+                   CAST(CASE WHEN GREATEST({s_cap} - qty, 0) < {s_point}
+                        THEN 1 ELSE 0 END AS BIGINT) AS ord,
+                   CAST(GREATEST({s_cap} - qty, 0) AS BIGINT) AS inv
+            FROM grid WHERE idx = 1
+            UNION ALL
+            SELECT g.brand, g.idx,
+                   CASE WHEN GREATEST(w.oh - g.qty, 0) < {s_point}
+                        THEN CAST({s_cap} AS BIGINT)
+                        ELSE CAST(GREATEST(w.oh - g.qty, 0) AS BIGINT) END,
+                   w.served + LEAST(w.oh, g.qty),
+                   w.dem + g.qty,
+                   w.so + CASE WHEN g.qty > w.oh THEN 1 ELSE 0 END,
+                   w.ord + CASE WHEN GREATEST(w.oh - g.qty, 0) < {s_point}
+                           THEN 1 ELSE 0 END,
+                   w.inv + GREATEST(w.oh - g.qty, 0)
+            FROM walk w JOIN grid g ON g.brand = w.brand AND g.idx = w.idx + 1
+        )
+        SELECT w.brand, nm.n_months,
+               CAST(w.dem AS BIGINT) AS total_demand,
+               CAST(w.served AS BIGINT) AS served,
+               CAST(w.so AS BIGINT) AS stockout_months,
+               CAST(w.ord AS BIGINT) AS orders_placed,
+               CAST(CASE WHEN w.dem > 0 THEN 1000 * w.served // w.dem
+                    ELSE 1000 END AS BIGINT) AS fill_rate_milli,
+               CAST(w.inv // nm.n_months AS BIGINT) AS avg_month_end_units
+        FROM walk w CROSS JOIN nm
+        WHERE w.idx = nm.n_months
+        ORDER BY w.brand
+    """

@@ -359,3 +359,111 @@ def test_dfg_waits_hand_computed(spark):
     assert (vc.n_transitions, vc.mean_wait_s, vc.median_wait_s) == (2, 15, 10)
     cp = got[("click", "purchase")]
     assert (cp.n_transitions, cp.mean_wait_s, cp.median_wait_s) == (1, 30, 30)
+
+
+def _li_part(spark, demands):
+    """(lineitem, part) for one brand with monthly demand list (qty per
+    consecutive month starting 2024-01; zeros skipped)."""
+    import datetime as dt
+
+    part = spark.createDataFrame(
+        [(1, "n", "Brand#55", "T", 50, 1.0)],
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    )
+    rows = [
+        (i, 1, 1, float(q), 1.0, 0.0, dt.datetime(2024, 1 + i, 15))
+        for i, q in enumerate(demands)
+        if q > 0
+    ]
+    li = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_quantity double,"
+        " l_extendedprice double, l_discount double, l_shipdate timestamp",
+    )
+    return li, part
+
+
+def test_demand_classification_quadrants(spark):
+    """Demand every month, equal sizes -> ADI 1.0, CV^2 0 -> smooth;
+    demand 1 month of 4 -> ADI 4.0 -> intermittent (sizes equal)."""
+    from pagila_etl_airflow_assignment_spark.operators.warehouse import (
+        demand_classification,
+    )
+
+    li, part = _li_part(spark, [10, 10, 10, 10])
+    r = demand_classification(li, part).collect()[0]
+    assert (r.adi_milli, r.cv2_milli, r.pattern) == (1000, 0, "smooth")
+
+    li2, part2 = _li_part(spark, [10, 0, 0, 0])
+    # single demand month in a 1-month span (zeros produce no rows, so the
+    # span collapses): ADI 1000, CV2 0 -> smooth. Use two demand months far
+    # apart instead: months 1 and 4 -> span 4, demand 2 -> ADI 2000.
+    li3, part3 = _li_part(spark, [10, 0, 0, 10])
+    r3 = demand_classification(li3, part3).collect()[0]
+    assert (r3.adi_milli, r3.cv2_milli, r3.pattern) == (2000, 0, "intermittent")
+
+
+def test_ss_policy_hand_computed(spark):
+    """S=400, s=100, demands 350, 50, 200: month1 serve 350 (post 50 < 100
+    -> reorder to 400); month2 serve 50 (post 350); month3 serve 200 (post
+    150). No stockouts, 1 order, fill rate 1000."""
+    from pagila_etl_airflow_assignment_spark.operators.warehouse import (
+        ss_policy_simulation,
+    )
+
+    li, part = _li_part(spark, [350, 50, 200])
+    r = ss_policy_simulation(li, part).collect()[0]
+    assert (r.total_demand, r.served) == (600, 600)
+    assert (r.stockout_months, r.orders_placed, r.fill_rate_milli) == (0, 1, 1000)
+    assert r.avg_month_end_units == (50 + 350 + 150) // 3
+
+
+def test_purged_kfold_embargo_accounting(spark):
+    """10 days, k=5, embargo 2: every fold has 2 test days; per fold,
+    train + purged + test == 10 and the embargo removes up to 2 days each
+    side of the test block."""
+    import datetime as dt
+    from pagila_etl_airflow_assignment_spark.llm.sampling import purged_kfold
+
+    rows = [
+        (d, "view", dt.datetime(2024, 1, 1 + d, 10), 0.0) for d in range(10)
+    ]
+    events = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp, value double"
+    )
+    out = {r.fold: r for r in purged_kfold(events).collect()}
+    assert sorted(out) == [0, 1, 2, 3, 4]
+    for f, r in out.items():
+        assert r.test_days == 2
+        assert r.test_days + r.train_days + r.purged_days == 10
+    # middle fold (2): test idx 5-6, embargo covers 3,4,7,8 -> train = 4
+    assert out[2].train_days == 4 and out[2].purged_days == 4
+    # first fold: test idx 1-2, embargo 3,4 -> train 6
+    assert out[0].train_days == 6 and out[0].purged_days == 2
+
+
+def test_ljung_box_composes_acf(spark):
+    """Q equals the integer recomposition of acf_daily's milli values, and
+    a strongly weekly-periodic series rejects whiteness."""
+    import datetime as dt
+    from pagila_etl_airflow_assignment_spark.operators.analytics import (
+        LJUNG_BOX_CRIT_MICRO,
+        acf_daily,
+        ljung_box_daily,
+    )
+
+    rows = []
+    for d in range(28):  # 4 weekly cycles, weekend spike
+        n = 40 if (d % 7) in (5, 6) else 5
+        for i in range(n):
+            rows.append((i, "view", dt.datetime(2024, 1, 1 + d, 10, 0, i % 60), 0.0))
+    events = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp, value double"
+    )
+    r = ljung_box_daily(events).collect()[0]
+    assert r.n_days == 28 and r.h == 7
+    acf = {a.lag: a.acf_milli for a in acf_daily(events, 7).collect()}
+    want = sum(28 * 30 * acf[k] * acf[k] // (28 - k) for k in range(1, 8))
+    assert r.q_micro == want
+    assert r.reject_whiteness == 1 and r.q_micro > LJUNG_BOX_CRIT_MICRO

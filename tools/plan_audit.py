@@ -231,6 +231,14 @@ ALLOWED: dict[str, set[str]] = {
     "embedding_knn_reciprocity": {"BroadcastNestedLoopJoin"},
     # broadcast 1-row peak/trough/day-count scalars over the day grid
     "events_drawdown": {"BroadcastNestedLoopJoin"},
+    # broadcast bounded month spine x brand dim (dense grid, croston twin)
+    "warehouse_ss_policy_sim": {"BroadcastNestedLoopJoin"},
+    # broadcast 1-row span scalar over the bounded brand panel
+    "warehouse_demand_classification": {"BroadcastNestedLoopJoin"},
+    # broadcast 1-row day-count + ≤k-row fold ranges over the day grid
+    "sampling_purged_kfold": {"BroadcastNestedLoopJoin"},
+    # inherits acf_daily's 1-row (n,S)/denominator scalars + day-count scalar
+    "events_ljung_box": {"BroadcastNestedLoopJoin"},
 }
 
 PATTERNS = ("CartesianProduct", "BatchEvalPython", "BroadcastNestedLoopJoin")

@@ -351,6 +351,10 @@ PROBES = [
     "cdc_log_compaction",
     "events_velocity_flags",
     "events_dfg_waits",
+    "warehouse_demand_classification",
+    "warehouse_ss_policy_sim",
+    "sampling_purged_kfold",
+    "events_ljung_box",
 ]
 
 
