@@ -2256,3 +2256,98 @@ def ljung_box_daily_sql(h: int = LJUNG_BOX_H) -> str:
         FROM terms
         GROUP BY n_days
     """
+
+
+# --- multi-window error-budget burn-rate alerts ---------------------------------------
+
+BURN_BUDGET_PCT = 5          # SLO: 5% error budget
+BURN_LONG_HOURS = 6          # long window
+BURN_THRESHOLD_MILLI = 4500  # alert when BOTH windows burn > 4.5x budget
+
+
+def burn_rate_alerts(
+    events: DataFrame,
+    budget_pct: int = BURN_BUDGET_PCT,
+    long_hours: int = BURN_LONG_HOURS,
+    threshold_milli: int = BURN_THRESHOLD_MILLI,
+) -> DataFrame:
+    """Multi-window error-budget burn-rate alerting (the SRE-workbook page
+    of events_error_budget): per hour, the 1-hour and trailing long_hours
+    burn rates (error share over the 1/budget normalizer), alerting only
+    when BOTH exceed the threshold — the short window gives fast detection,
+    the long window suppresses blips. Output: the alerting hours with both
+    burns.
+
+    Exact integers: burn_milli = 1000 * errors * (100/budget_pct) DIV total
+    — no float ratio; window sums are integer counts over the bounded hour
+    grid (the cumulative windows run on the hour-grain AGGREGATE).
+
+    Scale shape: one hour-grain aggregate collapses the stream; two range
+    windows over the ≤|hours| grid; output is the alert set only."""
+    hourly = events.groupBy(
+        F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.count("*").cast("long").alias("total"),
+        F.sum((F.col("event_type") == "error").cast("long")).alias("errors"),
+    )
+    mult = 100 // budget_pct
+    hsec = F.unix_timestamp("hour").cast("long")
+    wl = (
+        Window.orderBy(hsec)
+        .rangeBetween(-(long_hours - 1) * 3600, 0)
+    )
+    burned = hourly.select(
+        "hour",
+        "total",
+        "errors",
+        F.sum("total").over(wl).alias("l_total"),
+        F.sum("errors").over(wl).alias("l_errors"),
+    ).select(
+        "hour",
+        F.expr(f"CAST(1000 * errors * {mult} DIV total AS BIGINT)").alias(
+            "short_burn_milli"
+        ),
+        F.expr(f"CAST(1000 * l_errors * {mult} DIV l_total AS BIGINT)").alias(
+            "long_burn_milli"
+        ),
+    )
+    return (
+        burned.where(
+            (F.col("short_burn_milli") > threshold_milli)
+            & (F.col("long_burn_milli") > threshold_milli)
+        )
+        .orderBy("hour")
+    )
+
+
+def burn_rate_alerts_sql(
+    budget_pct: int = BURN_BUDGET_PCT,
+    long_hours: int = BURN_LONG_HOURS,
+    threshold_milli: int = BURN_THRESHOLD_MILLI,
+) -> str:
+    mult = 100 // budget_pct
+    return f"""
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS hour,
+                   CAST(COUNT(*) AS BIGINT) AS total,
+                   CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS errors
+            FROM events GROUP BY 1
+        ),
+        burned AS (
+            SELECT hour,
+                   CAST(1000 * errors * {mult} // total AS BIGINT)
+                       AS short_burn_milli,
+                   CAST(1000 * SUM(errors) OVER w * {mult}
+                        // SUM(total) OVER w AS BIGINT) AS long_burn_milli
+            FROM hourly
+            WINDOW w AS (ORDER BY epoch(hour)
+                         RANGE BETWEEN {(long_hours - 1) * 3600} PRECEDING
+                         AND CURRENT ROW)
+        )
+        SELECT hour, short_burn_milli, long_burn_milli
+        FROM burned
+        WHERE short_burn_milli > {threshold_milli}
+          AND long_burn_milli > {threshold_milli}
+        ORDER BY hour
+    """

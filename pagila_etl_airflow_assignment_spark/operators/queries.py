@@ -2411,3 +2411,10 @@ def q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ljung-Box whiteness test composed over the certified integer-milli
     daily ACF; chi-square critical value as a micro literal."""
     return analytics.ljung_box_daily(load_table(spark, sf_dir, "events"))
+
+
+@register("events_burn_rate_alerts", oracle=analytics.burn_rate_alerts_sql())
+def q_burn_rate_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window SLO burn-rate alerts: 1h + trailing 6h error burns,
+    alert only when BOTH exceed 2x budget — exact integer milli burns."""
+    return analytics.burn_rate_alerts(load_table(spark, sf_dir, "events"))

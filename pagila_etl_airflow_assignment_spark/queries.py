@@ -476,3 +476,65 @@ def q_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (hypertable-rollup pattern): flows SUM, the outstanding stock takes the
     last week's value via max_by."""
     return monthly_rollup(weekly_rental_summary(load_rental(spark, sf_dir)))
+
+
+UPDATE_LAG_SQL = f"""
+    WITH rental AS ({RENTAL_DUCKDB_SQL}),
+    lagged AS (
+        SELECT CAST(date_diff('day', CAST(rental_date AS DATE),
+                    CAST(last_update AS DATE)) // 7 AS BIGINT) AS lag_weeks
+        FROM rental
+    ),
+    hist AS (
+        SELECT lag_weeks, CAST(COUNT(*) AS BIGINT) AS n
+        FROM lagged GROUP BY lag_weeks
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM hist)
+    SELECT lag_weeks, n,
+           CAST(1000 * n // total AS BIGINT) AS share_milli,
+           CAST(1000 * SUM(n) OVER (ORDER BY lag_weeks DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                // total AS BIGINT) AS tail_share_milli
+    FROM hist CROSS JOIN tot
+    ORDER BY lag_weeks
+"""
+
+
+@register("rental_update_lag_profile", oracle=UPDATE_LAG_SQL)
+def rental_update_lag_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Update-lag histogram of the rental fact table — HOW LATE data
+    actually arrives, in weeks between rental_date and last_update: the
+    empirical input for sizing the incremental protocol's dirty-week window
+    (README.md:95-98 late-update semantics; a watermark policy that assumes
+    max-2-week lag is falsified by a fat tail_share here). Output per lag
+    week: (lag_weeks, n, share_milli, tail_share_milli) where tail_share is
+    the share of rows at >= that lag — the direct "how far back must
+    recompute reach" curve.
+
+    Scale shape: narrow date arithmetic + one bounded lag-week aggregate;
+    the tail cumulative runs over the ≤|lag weeks| relation."""
+    rental = load_rental(spark, sf_dir)
+    lagged = rental.select(
+        F.expr(
+            "CAST(datediff(CAST(last_update AS DATE), CAST(rental_date AS DATE))"
+            " DIV 7 AS BIGINT)"
+        ).alias("lag_weeks")
+    )
+    hist = lagged.groupBy("lag_weeks").agg(F.count("*").cast("long").alias("n"))
+    tot = hist.agg(F.sum("n").cast("long").alias("total"))
+    wt = Window.orderBy(F.col("lag_weeks").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .withColumn("tail_n", F.sum("n").over(wt))
+        .select(
+            "lag_weeks",
+            "n",
+            F.expr("CAST(1000 * n DIV total AS BIGINT)").alias("share_milli"),
+            F.expr("CAST(1000 * tail_n DIV total AS BIGINT)").alias(
+                "tail_share_milli"
+            ),
+        )
+        .orderBy("lag_weeks")
+    )

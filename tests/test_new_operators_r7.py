@@ -467,3 +467,44 @@ def test_ljung_box_composes_acf(spark):
     want = sum(28 * 30 * acf[k] * acf[k] // (28 - k) for k in range(1, 8))
     assert r.q_micro == want
     assert r.reject_whiteness == 1 and r.q_micro > LJUNG_BOX_CRIT_MICRO
+
+
+def test_burn_rate_alerts_both_windows_required(spark):
+    """An isolated 1-hour error spike inside a clean 6-hour context must NOT
+    alert (long window suppresses); a sustained 6-hour burn must."""
+    import datetime as dt
+    from pagila_etl_airflow_assignment_spark.operators.analytics import (
+        burn_rate_alerts,
+    )
+
+    rows = []
+    # hours 0-11 clean (20 views), hour 12 spike (10 errors + 10 views),
+    # hours 18-23 sustained burn (10 errors + 10 views each)
+    for h in range(24):
+        errs = 10 if (h == 12 or 18 <= h <= 23) else 0
+        for i in range(errs):
+            rows.append((i, "error", dt.datetime(2024, 1, 1, h, 1, i), 0.0))
+        for i in range(20 - errs if errs else 20):
+            rows.append((i, "view", dt.datetime(2024, 1, 1, h, 2, i), 0.0))
+    events = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp, value double"
+    )
+    alerts = {r.hour.hour for r in burn_rate_alerts(events).collect()}
+    assert 12 not in alerts  # blip suppressed by the 6h window
+    assert 23 in alerts  # sustained burn alerts once the long window fills
+    # short burn at alerting hours = 1000 * 10 * 20 / 20 = 10000 > 4500
+
+
+def test_update_lag_profile_shape(spark):
+    """Lag weeks are non-negative, shares sum to ~1000, tail share is
+    monotone non-increasing, lag 0 (same-week updates) dominates nothing
+    beyond the 45-day return window (max 7 weeks)."""
+    from conftest import SF_SMALL
+    from pagila_etl_airflow_assignment_spark.registry import queries
+
+    df = queries()["rental_update_lag_profile"](spark.getActiveSession() or spark, SF_SMALL)
+    rows = sorted(df.collect(), key=lambda r: r.lag_weeks)
+    assert rows[0].lag_weeks >= 0 and rows[-1].lag_weeks <= 7
+    tails = [r.tail_share_milli for r in rows]
+    assert tails == sorted(tails, reverse=True)
+    assert tails[0] == 1000  # smallest lag's tail covers everything

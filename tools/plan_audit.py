@@ -239,6 +239,8 @@ ALLOWED: dict[str, set[str]] = {
     "sampling_purged_kfold": {"BroadcastNestedLoopJoin"},
     # inherits acf_daily's 1-row (n,S)/denominator scalars + day-count scalar
     "events_ljung_box": {"BroadcastNestedLoopJoin"},
+    # broadcast 1-row total scalar over the bounded lag-week histogram
+    "rental_update_lag_profile": {"BroadcastNestedLoopJoin"},
 }
 
 PATTERNS = ("CartesianProduct", "BatchEvalPython", "BroadcastNestedLoopJoin")

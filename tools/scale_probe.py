@@ -355,6 +355,8 @@ PROBES = [
     "warehouse_ss_policy_sim",
     "sampling_purged_kfold",
     "events_ljung_box",
+    "events_burn_rate_alerts",
+    "rental_update_lag_profile",
 ]
 
 
