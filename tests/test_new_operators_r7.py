@@ -508,3 +508,46 @@ def test_update_lag_profile_shape(spark):
     tails = [r.tail_share_milli for r in rows]
     assert tails == sorted(tails, reverse=True)
     assert tails[0] == 1000  # smallest lag's tail covers everything
+
+
+def test_unbounded_window_walker_detects_and_clears(spark):
+    """The plan-audit walker must flag an unpartitioned window over a raw
+    scan-shaped relation and clear (a) partitioned windows, (b) unpartitioned
+    windows over aggregates, and (c) literal Range grids."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import plan_audit as pa
+    from pyspark.sql import Window
+
+    import tempfile, shutil
+    d = tempfile.mkdtemp(prefix="winwalk-")
+    try:
+        spark.range(0, 1000).selectExpr("id", "id % 7 AS k").write.mode(
+            "overwrite"
+        ).parquet(d)
+        df = spark.read.parquet(d)
+
+        bad = df.withColumn("rn", F.row_number().over(Window.orderBy("id")))
+        assert pa.unbounded_windows(bad._jdf.queryExecution().executedPlan()) == 1
+
+        good_part = df.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("k").orderBy("id"))
+        )
+        assert (
+            pa.unbounded_windows(good_part._jdf.queryExecution().executedPlan())
+            == 0
+        )
+
+        agg = df.groupBy("k").count()
+        good_agg = agg.withColumn("rn", F.row_number().over(Window.orderBy("k")))
+        assert (
+            pa.unbounded_windows(good_agg._jdf.queryExecution().executedPlan())
+            == 0
+        )
+
+        grid = spark.range(0, 24).withColumn(
+            "rn", F.row_number().over(Window.orderBy("id"))
+        )
+        assert pa.unbounded_windows(grid._jdf.queryExecution().executedPlan()) == 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
