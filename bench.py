@@ -134,6 +134,13 @@ HEADLINE = [
     "warehouse_top_supplier",
     "warehouse_returned_items",
     "warehouse_parts_supplier_counts",
+    # round-7 additions without an auto-included prefix
+    "warehouse_croston",
+    "warehouse_demand_classification",
+    "warehouse_ss_policy_sim",
+    "cdc_log_compaction",
+    "rental_update_lag_profile",
+    "embedding_knn_reciprocity",
 ]
 
 

@@ -66,9 +66,16 @@ def main() -> int:
     if BARE:
         from pyspark.sql import SparkSession
 
+        # "Bare" means bare SQL semantics (ANSI on, machine timezone, no
+        # nanosAsLong, no AQE/shuffle tuning) — NOT an artificially tiny JVM:
+        # the default 1g driver heap dies with Connection-refused near the
+        # end of a 441-query sf0.1 sweep (observed twice in r7), which tests
+        # the heap size, not the engine. Memory must be set BEFORE the JVM
+        # launches, hence here rather than post-hoc.
         spark = (
             SparkSession.builder.master("local[32]")
             .appName("verify-local-bare")
+            .config("spark.driver.memory", "48g")
             .getOrCreate()
         )
     else:
