@@ -1913,3 +1913,103 @@ CENTROID_CONFUSION_SQL = """
     FROM cells
     ORDER BY true_label, assigned_label
 """
+
+
+# --- norm clipping threshold ----------------------------------------------------------
+
+CLIP_PCT_MILLI = 995  # clip at the p99.5 norm
+
+
+def norm_clip_threshold(
+    vectors: DataFrame, pct_milli: int = CLIP_PCT_MILLI
+) -> DataFrame:
+    """Embedding-norm clipping plan: the EXACT p99.5 L2-norm order statistic
+    (in integer nano units) and the clipping impact — how many vectors
+    exceed it and what share of total squared mass they carry. The standard
+    pre-index hygiene step (outlier norms dominate IP/cosine scores and
+    wreck IVF cell balance); serving pipelines clip to this threshold.
+
+    Exactness: norms quantize once to nano (the module's micro/nano
+    discipline); the threshold is rank-selected by ranks.kth_smallest
+    (ceil(pct * n) — per-value counts + one cumulative window over that
+    bounded aggregate), so threshold, counts, and shares are engine-exact.
+
+    Scale shape: one narrow norm projection + the kth_smallest device +
+    one broadcast-threshold aggregate; no sort of the corpus."""
+    from ..ranks import kth_smallest
+
+    norm_nano = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda a, t: a + t,
+            )
+        )
+        * F.lit(1e9)
+    ).cast("long")
+    normed = vectors.select(norm_nano.alias("norm_nano"))
+    thr = kth_smallest(
+        normed, "norm_nano", f"CAST(({pct_milli} * n + 999) DIV 1000 AS BIGINT)"
+    ).select(F.col("norm_nano").alias("clip_nano"), F.col("n").alias("n_vecs"))
+    return (
+        normed.crossJoin(F.broadcast(thr))
+        .agg(
+            F.max("n_vecs").alias("n_vecs"),
+            F.max("clip_nano").alias("clip_nano"),
+            F.sum((F.col("norm_nano") > F.col("clip_nano")).cast("long")).alias(
+                "n_clipped"
+            ),
+            F.sum(
+                F.when(
+                    F.col("norm_nano") > F.col("clip_nano"),
+                    F.col("norm_nano") / 1e9 * (F.col("norm_nano") / 1e9),
+                ).otherwise(0.0)
+            ).alias("_clipped_sq"),
+            F.sum((F.col("norm_nano") / 1e9) * (F.col("norm_nano") / 1e9)).alias(
+                "_total_sq"
+            ),
+        )
+        .select(
+            "n_vecs",
+            "clip_nano",
+            "n_clipped",
+            F.expr(
+                "CAST(round(1000 * _clipped_sq / _total_sq) AS BIGINT)"
+            ).alias("clipped_mass_milli"),
+        )
+    )
+
+
+def norm_clip_threshold_sql(pct_milli: int = CLIP_PCT_MILLI) -> str:
+    return f"""
+        WITH normed AS (
+            SELECT CAST(round(sqrt(list_sum(list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * 1e9)
+                       AS BIGINT) AS norm_nano
+            FROM embeddings
+        ),
+        per_v AS (SELECT norm_nano, COUNT(*) AS m FROM normed GROUP BY 1),
+        cum AS (
+            SELECT norm_nano,
+                   SUM(m) OVER (ORDER BY norm_nano ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW) AS cum
+            FROM per_v
+        ),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM normed),
+        thr AS (
+            SELECT MIN(norm_nano) AS clip_nano, MAX(n) AS n_vecs
+            FROM cum CROSS JOIN tot
+            WHERE cum >= CAST(({pct_milli} * n + 999) // 1000 AS BIGINT)
+        )
+        SELECT n_vecs, clip_nano,
+               CAST(SUM(CASE WHEN norm_nano > clip_nano THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_clipped,
+               CAST(round(1000 * SUM(CASE WHEN norm_nano > clip_nano
+                        THEN (norm_nano / 1e9) * (norm_nano / 1e9)
+                        ELSE 0.0 END)
+                    / SUM((norm_nano / 1e9) * (norm_nano / 1e9))) AS BIGINT)
+                   AS clipped_mass_milli
+        FROM normed CROSS JOIN thr
+        GROUP BY n_vecs, clip_nano
+    """

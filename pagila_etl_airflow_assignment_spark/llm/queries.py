@@ -1288,3 +1288,13 @@ def q_purged_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Purged k-fold CV plan with embargo over the time-ordered event
     stream — contiguous day folds, leakage buffer audit."""
     return sampling.purged_kfold(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "embedding_norm_clip_threshold",
+    oracle=embeddings_mod.norm_clip_threshold_sql(),
+)
+def q_norm_clip_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p99.5 norm order statistic (ranks.kth_smallest device) + the
+    clipping impact — pre-index embedding hygiene."""
+    return embeddings_mod.norm_clip_threshold(load_table(spark, sf_dir, "embeddings"))

@@ -551,3 +551,21 @@ def test_unbounded_window_walker_detects_and_clears(spark):
         assert pa.unbounded_windows(grid._jdf.queryExecution().executedPlan()) == 0
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_norm_clip_threshold_hand_computed(spark):
+    """10 unit-norm vectors + 1 outlier of norm 10: p99.5 rank = ceil(.995*11)
+    = 11 -> threshold IS the outlier norm, nothing strictly exceeds it;
+    at p90 the rank-10 value (1.0) clips exactly the outlier, which carries
+    100/(10+100) of the squared mass."""
+    from pagila_etl_airflow_assignment_spark.llm.embeddings import (
+        norm_clip_threshold,
+    )
+
+    vecs = [(i, [1.0, 0.0]) for i in range(10)] + [(10, [10.0, 0.0])]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    r = norm_clip_threshold(emb).collect()[0]
+    assert (r.n_vecs, r.clip_nano, r.n_clipped) == (11, 10_000_000_000, 0)
+    r90 = norm_clip_threshold(emb, pct_milli=900).collect()[0]
+    assert (r90.clip_nano, r90.n_clipped) == (1_000_000_000, 1)
+    assert r90.clipped_mass_milli == round(1000 * 100 / 110)

@@ -241,6 +241,8 @@ ALLOWED: dict[str, set[str]] = {
     "events_ljung_box": {"BroadcastNestedLoopJoin"},
     # broadcast 1-row total scalar over the bounded lag-week histogram
     "rental_update_lag_profile": {"BroadcastNestedLoopJoin"},
+    # broadcast 1-row clip-threshold order statistic (kth_smallest device)
+    "embedding_norm_clip_threshold": {"BroadcastNestedLoopJoin"},
 }
 
 PATTERNS = ("CartesianProduct", "BatchEvalPython", "BroadcastNestedLoopJoin")

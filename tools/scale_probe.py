@@ -357,6 +357,7 @@ PROBES = [
     "events_ljung_box",
     "events_burn_rate_alerts",
     "rental_update_lag_profile",
+    "embedding_norm_clip_threshold",
 ]
 
 
