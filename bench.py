@@ -141,6 +141,7 @@ HEADLINE = [
     "cdc_log_compaction",
     "rental_update_lag_profile",
     "embedding_knn_reciprocity",
+    "embedding_norm_clip_threshold",
 ]
 
 
