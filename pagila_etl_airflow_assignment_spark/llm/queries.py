@@ -1298,3 +1298,10 @@ def q_norm_clip_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact p99.5 norm order statistic (ranks.kth_smallest device) + the
     clipping impact — pre-index embedding hygiene."""
     return embeddings_mod.norm_clip_threshold(load_table(spark, sf_dir, "embeddings"))
+
+
+@register("sampling_ht_estimate", oracle=sampling.ht_estimate_sql())
+def q_ht_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horvitz-Thompson total-words estimate from the PPS systematic
+    sample, with multiplicity weights and the exact-truth error readout."""
+    return sampling.ht_estimate(load_table(spark, sf_dir, "documents"))

@@ -1374,3 +1374,125 @@ def purged_kfold_sql(
         GROUP BY fold
         ORDER BY fold
     """
+
+
+# --- Horvitz-Thompson estimation over the PPS systematic sample -----------------------
+
+
+def ht_estimate(docs: DataFrame, n: int = PPS_SAMPLE_N) -> DataFrame:
+    """Horvitz-Thompson ratio estimation riding the pps_systematic design:
+    estimate the corpus TOTAL WORD COUNT from only the n size-sampled
+    documents, weights tot_chars/(n·chars_i) with multiplicity (a unit whose
+    size spans k thresholds contributes k times) — the estimator that makes
+    unequal-probability sampling actually usable, and the closure check
+    that our PPS design is self-weighting (chars-per-word is stable, so the
+    HT error should sit within a few percent).
+
+    Output one row: (n_thresholds, sampled_units, true_total_words,
+    ht_estimate_words, err_milli). The estimate is the double chain rounded
+    at the end (identical in both engines); truth is an exact integer sum.
+
+    Scale shape: the same two-level running-sum device as pps_systematic,
+    one narrow word-count projection on the SAMPLED rows only, broadcast
+    1-row totals."""
+    from ..ranks import md5_bucket, with_global_running_sum
+    from .hashing import md5_int
+
+    h = md5_int(F.col("doc_id").cast("string"))
+    base = docs.select(
+        "doc_id",
+        "n_chars",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("words"),
+        h.alias("__h"),
+    )
+    cum = with_global_running_sum(
+        base,
+        md5_bucket(F.col("__h")),
+        [F.col("__h"), F.col("doc_id")],
+        F.col("n_chars"),
+        out="cum",
+    ).drop("__h")
+    tot = docs.agg(
+        F.sum("n_chars").cast("long").alias("tot"),
+    )
+    idx = lambda x: F.expr(  # noqa: E731
+        f"CAST((2 * ({x}) * {n} - tot + 2 * tot) DIV (2 * tot) - 1 AS BIGINT)"
+    )
+    hits = (
+        cum.crossJoin(F.broadcast(tot))
+        .withColumn("m", idx("cum") - idx("(cum - n_chars)"))
+        .where(F.col("m") > 0)
+    )
+    est = hits.agg(
+        F.count("*").cast("long").alias("sampled_units"),
+        F.sum("m").cast("long").alias("n_thresholds"),
+        F.sum(
+            F.col("m").cast("double")
+            * F.col("words").cast("double")
+            / F.col("n_chars").cast("double")
+        ).alias("_wsum"),
+        F.max(F.col("tot")).alias("_tot"),
+    )
+    truth = docs.select(
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("w")
+    ).agg(F.sum("w").cast("long").alias("true_total_words"))
+    ht = F.col("_wsum") * F.col("_tot").cast("double") / F.lit(float(n))
+    return (
+        est.crossJoin(F.broadcast(truth))
+        .select(
+            "n_thresholds",
+            "sampled_units",
+            "true_total_words",
+            F.round(ht).cast("long").alias("ht_estimate_words"),
+            F.round(
+                1000.0
+                * (ht - F.col("true_total_words").cast("double"))
+                / F.col("true_total_words").cast("double")
+            )
+            .cast("long")
+            .alias("err_milli"),
+        )
+    )
+
+
+def ht_estimate_sql(n: int = PPS_SAMPLE_N) -> str:
+    from .hashing import md5_int_sql
+
+    h = md5_int_sql("CAST(doc_id AS VARCHAR)")
+    words = "CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)"
+    return f"""
+        WITH base AS (
+            SELECT doc_id, n_chars, {words} AS words, {h} AS h
+            FROM documents
+        ),
+        cum AS (
+            SELECT doc_id, n_chars, words,
+                   SUM(n_chars) OVER (ORDER BY h, doc_id ROWS BETWEEN
+                       UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM base
+        ),
+        tot AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS tot FROM documents),
+        hits AS (
+            SELECT words, n_chars, tot,
+                   ((2 * cum * {n} - tot + 2 * tot) // (2 * tot) - 1)
+                   - ((2 * (cum - n_chars) * {n} - tot + 2 * tot)
+                      // (2 * tot) - 1) AS m
+            FROM cum CROSS JOIN tot
+        ),
+        est AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS sampled_units,
+                   CAST(SUM(m) AS BIGINT) AS n_thresholds,
+                   SUM(m * CAST(words AS DOUBLE) / n_chars) AS wsum,
+                   MAX(tot) AS tot
+            FROM hits WHERE m > 0
+        ),
+        truth AS (
+            SELECT CAST(SUM({words}) AS BIGINT) AS true_total_words
+            FROM documents
+        )
+        SELECT n_thresholds, sampled_units, true_total_words,
+               CAST(round(wsum * tot / {n}.0) AS BIGINT) AS ht_estimate_words,
+               CAST(round(1000.0 * (wsum * tot / {n}.0 - true_total_words)
+                    / true_total_words) AS BIGINT) AS err_milli
+        FROM est CROSS JOIN truth
+    """

@@ -2351,3 +2351,136 @@ def burn_rate_alerts_sql(
           AND long_burn_milli > {threshold_milli}
         ORDER BY hour
     """
+
+
+# --- interrupted time-series (segmented regression around the incident) ---------------
+
+
+def interrupted_time_series(events: DataFrame) -> DataFrame:
+    """Segmented-regression ITS around the worst incident day (the
+    quasi-experimental causal read when no control group exists — the
+    upgrade over eyeballing a dashboards dip): pick the intervention day T
+    as the max-error day (the events_incident_impact device), fit separate
+    OLS lines value ~ day_index on the pre and post segments, and report
+    the LEVEL change (gap between the two fitted lines AT T) and SLOPE
+    change. One panel row: (n_days, incident_day, pre_days, post_days,
+    slope_pre, slope_post, slope_change, level_change).
+
+    Arithmetic: daily sums are exact integer cents; the OLS closed form
+    then runs in doubles with 6-dp emits (the user_trend discipline — the
+    double chain is identical in both engines, so the rounding is
+    bit-stable). Degenerate segments (< 2 days) emit NULL slopes.
+
+    Scale shape: one day-grain aggregate; the argmax-day scalar and both
+    segment fits are broadcast 1-row aggregates over the bounded grid."""
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("y"),
+        F.sum((F.col("event_type") == "error").cast("long")).alias("errs"),
+    )
+    wd = Window.orderBy("day")
+    idx = daily.withColumn("t", F.row_number().over(wd).cast("double"))
+    incident = (
+        idx.orderBy(F.col("errs").desc(), F.col("day").asc())
+        .limit(1)
+        .select(F.col("day").alias("incident_day"), F.col("t").alias("t0"))
+    )
+    seg = idx.crossJoin(F.broadcast(incident)).withColumn(
+        "is_pre", (F.col("t") < F.col("t0")).cast("int")
+    )
+    stats = seg.groupBy("is_pre").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("t").alias("sx"),
+        F.sum(F.col("y").cast("double")).alias("sy"),
+        F.sum(F.col("t") * F.col("y").cast("double")).alias("sxy"),
+        F.sum(F.col("t") * F.col("t")).alias("sxx"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.when(den > 0, (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / den)
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    fitted = stats.select(
+        "is_pre",
+        F.col("n").cast("long").alias("seg_days"),
+        slope.alias("b"),
+        intercept.alias("a"),
+    )
+    pre = fitted.where("is_pre = 1").select(
+        F.col("seg_days").alias("pre_days"),
+        F.col("b").alias("b_pre"),
+        F.col("a").alias("a_pre"),
+    )
+    post = fitted.where("is_pre = 0").select(
+        F.col("seg_days").alias("post_days"),
+        F.col("b").alias("b_post"),
+        F.col("a").alias("a_post"),
+    )
+    nd = daily.agg(F.count("*").cast("long").alias("n_days"))
+    return (
+        pre.crossJoin(F.broadcast(post))
+        .crossJoin(F.broadcast(incident))
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "n_days",
+            "incident_day",
+            "pre_days",
+            "post_days",
+            F.round("b_pre", 6).alias("slope_pre"),
+            F.round("b_post", 6).alias("slope_post"),
+            F.round(F.col("b_post") - F.col("b_pre"), 6).alias("slope_change"),
+            F.round(
+                (F.col("a_post") + F.col("b_post") * F.col("t0"))
+                - (F.col("a_pre") + F.col("b_pre") * F.col("t0")),
+                6,
+            ).alias("level_change"),
+        )
+    )
+
+
+INTERRUPTED_TS_SQL = """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS errs
+        FROM events GROUP BY 1
+    ),
+    idx AS (
+        SELECT day, y, errs,
+               CAST(row_number() OVER (ORDER BY day) AS DOUBLE) AS t
+        FROM daily
+    ),
+    incident AS (
+        SELECT day AS incident_day, t AS t0
+        FROM idx ORDER BY errs DESC, day ASC LIMIT 1
+    ),
+    seg AS (
+        SELECT idx.*, CASE WHEN t < t0 THEN 1 ELSE 0 END AS is_pre
+        FROM idx CROSS JOIN incident
+    ),
+    stats AS (
+        SELECT is_pre,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               SUM(t) AS sx, SUM(CAST(y AS DOUBLE)) AS sy,
+               SUM(t * CAST(y AS DOUBLE)) AS sxy, SUM(t * t) AS sxx
+        FROM seg GROUP BY is_pre
+    ),
+    fitted AS (
+        SELECT is_pre, CAST(n AS BIGINT) AS seg_days,
+               CASE WHEN n * sxx - sx * sx > 0
+                    THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS b,
+               (sy - CASE WHEN n * sxx - sx * sx > 0
+                     THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END * sx)
+                   / n AS a
+        FROM stats
+    ),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily)
+    SELECT n_days, incident_day,
+           pre.seg_days AS pre_days, post.seg_days AS post_days,
+           round(pre.b, 6) AS slope_pre,
+           round(post.b, 6) AS slope_post,
+           round(post.b - pre.b, 6) AS slope_change,
+           round((post.a + post.b * t0) - (pre.a + pre.b * t0), 6)
+               AS level_change
+    FROM (SELECT * FROM fitted WHERE is_pre = 1) pre
+    CROSS JOIN (SELECT * FROM fitted WHERE is_pre = 0) post
+    CROSS JOIN incident CROSS JOIN nd
+"""

@@ -2418,3 +2418,10 @@ def q_burn_rate_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-window SLO burn-rate alerts: 1h + trailing 6h error burns,
     alert only when BOTH exceed 2x budget — exact integer milli burns."""
     return analytics.burn_rate_alerts(load_table(spark, sf_dir, "events"))
+
+
+@register("events_interrupted_ts", oracle=analytics.INTERRUPTED_TS_SQL)
+def q_interrupted_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segmented-regression ITS around the worst incident day: slope and
+    level changes from pre/post OLS fits on the bounded day grid."""
+    return analytics.interrupted_time_series(load_table(spark, sf_dir, "events"))

@@ -569,3 +569,45 @@ def test_norm_clip_threshold_hand_computed(spark):
     r90 = norm_clip_threshold(emb, pct_milli=900).collect()[0]
     assert (r90.clip_nano, r90.n_clipped) == (1_000_000_000, 1)
     assert r90.clipped_mass_milli == round(1000 * 100 / 110)
+
+
+def test_interrupted_ts_detects_level_and_slope_change(spark):
+    """Flat pre-period (100/day), incident at day 11 (errors spike), then a
+    declining post-period: level change ~-30, slope turns negative."""
+    import datetime as dt
+    from pagila_etl_airflow_assignment_spark.operators.analytics import (
+        interrupted_time_series,
+    )
+
+    rows = []
+    for d in range(1, 11):  # pre: flat 100 cents/day
+        rows.append((1, "view", dt.datetime(2024, 1, d, 12), 1.00))
+    for i in range(5):  # incident day 11: error burst
+        rows.append((1, "error", dt.datetime(2024, 1, 11, 12, i), 0.0))
+    rows.append((1, "view", dt.datetime(2024, 1, 11, 13), 0.70))
+    for d in range(12, 21):  # post: declining from 0.65 by 0.05/day
+        rows.append((1, "view", dt.datetime(2024, 1, d, 12), 0.65 - 0.05 * (d - 12)))
+    events = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp, value double"
+    )
+    r = interrupted_time_series(events).collect()[0]
+    assert str(r.incident_day) == "2024-01-11"
+    assert (r.pre_days, r.post_days) == (10, 10)
+    assert abs(r.slope_pre) < 1e-6  # flat pre
+    assert r.slope_change < 0 and r.level_change < 0
+
+
+def test_ht_estimate_recovers_total_on_uniform_docs(spark):
+    """Identical docs -> constant words/chars ratio -> the HT ratio
+    estimator is EXACT regardless of which units the design picks."""
+    from pagila_etl_airflow_assignment_spark.llm.sampling import ht_estimate
+
+    text = "alpha beta gamma delta"  # 4 words, 22 chars
+    docs = spark.createDataFrame(
+        [(i, text, "en", "s", len(text)) for i in range(1, 201)], DOC_SCHEMA
+    )
+    r = ht_estimate(docs).collect()[0]
+    assert r.true_total_words == 800
+    assert r.ht_estimate_words == 800
+    assert r.err_milli == 0
+    assert r.n_thresholds == 50

@@ -243,6 +243,10 @@ ALLOWED: dict[str, set[str]] = {
     "rental_update_lag_profile": {"BroadcastNestedLoopJoin"},
     # broadcast 1-row clip-threshold order statistic (kth_smallest device)
     "embedding_norm_clip_threshold": {"BroadcastNestedLoopJoin"},
+    # broadcast 1-row incident/segment-fit/day-count scalars (day grid)
+    "events_interrupted_ts": {"BroadcastNestedLoopJoin"},
+    # broadcast 1-row char-total and truth scalars (PPS design)
+    "sampling_ht_estimate": {"BroadcastNestedLoopJoin"},
 }
 
 PATTERNS = ("CartesianProduct", "BatchEvalPython", "BroadcastNestedLoopJoin")

@@ -358,6 +358,8 @@ PROBES = [
     "events_burn_rate_alerts",
     "rental_update_lag_profile",
     "embedding_norm_clip_threshold",
+    "events_interrupted_ts",
+    "sampling_ht_estimate",
 ]
 
 
