@@ -84,19 +84,19 @@ def test_kendall_tau_values_small_grid(spark):
     assert r.tau_a_milli == 1000
 
 
-# --- round-7 driver-sample rotation invariants --------------------------------------
+# --- round-8 driver-sample rotation invariants --------------------------------------
 
 
-def test_r7_rotation_head_is_never_certified_backlog():
+def test_r8_rotation_head_is_never_certified_backlog():
     """The first 50 emitted names must all come from the never-driver-sampled
-    backlog (so CORRECTNESS_r7 certifies 50 first-time queries), and emission
+    backlog (so CORRECTNESS_r8 certifies 50 first-time queries), and emission
     must cover the registry exactly once."""
     from pagila_etl_airflow_assignment_spark import registry
 
     names = list(registry.queries())
     assert len(names) == len(set(names))
-    backlog = set(registry._NEVER_DRIVER_SAMPLED_R7)
-    certified = set(registry._DRIVER_CERTIFIED_R6)
+    backlog = set(registry._NEVER_DRIVER_SAMPLED_R8)
+    certified = set(registry._DRIVER_CERTIFIED_R7)
     head = names[:50]
     assert all(n in backlog for n in head), [n for n in head if n not in backlog]
     # certified-green queries are re-sampled last, never displacing the backlog
@@ -569,6 +569,17 @@ def test_norm_clip_threshold_hand_computed(spark):
     r90 = norm_clip_threshold(emb, pct_milli=900).collect()[0]
     assert (r90.clip_nano, r90.n_clipped) == (1_000_000_000, 1)
     assert r90.clipped_mass_milli == round(1000 * 100 / 110)
+
+
+def test_norm_clip_threshold_empty_input_zero_rows(spark):
+    """Empty embeddings -> zero rows (matching the oracle's GROUP BY), not a
+    single all-NULL row from a global aggregate."""
+    from pagila_etl_airflow_assignment_spark.llm.embeddings import (
+        norm_clip_threshold,
+    )
+
+    emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert norm_clip_threshold(emb).count() == 0
 
 
 def test_interrupted_ts_detects_level_and_slope_change(spark):
