@@ -1952,11 +1952,13 @@ def norm_clip_threshold(
     thr = kth_smallest(
         normed, "norm_nano", f"CAST(({pct_milli} * n + 999) DIV 1000 AS BIGINT)"
     ).select(F.col("norm_nano").alias("clip_nano"), F.col("n").alias("n_vecs"))
+    # group by the broadcast scalars (not a global agg) so empty input emits
+    # zero rows on both engines — a global .agg() would emit one all-NULL row
+    # while the oracle's GROUP BY n_vecs, clip_nano emits none
     return (
         normed.crossJoin(F.broadcast(thr))
+        .groupBy("n_vecs", "clip_nano")
         .agg(
-            F.max("n_vecs").alias("n_vecs"),
-            F.max("clip_nano").alias("clip_nano"),
             F.sum((F.col("norm_nano") > F.col("clip_nano")).cast("long")).alias(
                 "n_clipped"
             ),

@@ -31,10 +31,12 @@ def _l2_norm_vec():
     def udf(embs: pd.Series) -> pd.Series:
         import numpy as np
 
-        # one vectorized numpy reduction per Arrow batch
-        return embs.map(
-            lambda v: float(np.sqrt(np.sum(np.asarray(v, dtype="float64") ** 2)))
-        )
+        # ONE numpy reduction per Arrow batch: stack the fixed-dim vectors
+        # into a 2-D matrix and reduce along axis 1 — no per-row Python
+        if not len(embs):
+            return pd.Series([], dtype="float64")
+        mat = np.stack(embs.to_numpy()).astype("float64", copy=False)
+        return pd.Series(np.sqrt((mat * mat).sum(axis=1)), index=embs.index)
 
     return udf
 
@@ -66,8 +68,10 @@ def _median_agg():
     def udf(values: pd.Series) -> float:
         import numpy as np
 
-        v = values.dropna()
-        return float(np.median(v)) if len(v) else None
+        # materialize the group as one float64 ndarray (no object-dtype
+        # pandas reduction) before the numpy median
+        v = values.dropna().to_numpy(dtype="float64")
+        return float(np.median(v)) if v.size else None
 
     return udf
 

@@ -2416,7 +2416,7 @@ def q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("events_burn_rate_alerts", oracle=analytics.burn_rate_alerts_sql())
 def q_burn_rate_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-window SLO burn-rate alerts: 1h + trailing 6h error burns,
-    alert only when BOTH exceed 2x budget — exact integer milli burns."""
+    alert only when BOTH exceed 4.5x budget — exact integer milli burns."""
     return analytics.burn_rate_alerts(load_table(spark, sf_dir, "events"))
 
 
@@ -2425,3 +2425,62 @@ def q_interrupted_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Segmented-regression ITS around the worst incident day: slope and
     level changes from pre/post OLS fits on the bounded day grid."""
     return analytics.interrupted_time_series(load_table(spark, sf_dir, "events"))
+
+
+# --- round-8 operators ----------------------------------------------------------------
+
+
+@register("events_spearman_daily", oracle=stats.spearman_daily_sql())
+def q_spearman_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (tie-correct, Pearson-on-average-ranks)
+    between daily click and error counts; doubled integer ranks keep every
+    sufficient statistic exact until the one final sqrt."""
+    return stats.spearman_daily(load_table(spark, sf_dir, "events"))
+
+
+@register("events_runs_test", oracle=stats.runs_test_daily_sql())
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test for randomness of the daily count sequence
+    around its kth_smallest-selected median — the distribution-free
+    trend/oscillation check."""
+    return stats.runs_test_daily(load_table(spark, sf_dir, "events"))
+
+
+@register("events_theil_index", oracle=stats.theil_index_users_sql())
+def q_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality of per-user spend (additively decomposable
+    entropy form) with the ln(n)-normalized variant; exact-cents user
+    totals feed the single float boundary."""
+    return stats.theil_index_users(load_table(spark, sf_dir, "events"))
+
+
+@register("events_evt_return_level", oracle=stats.evt_return_level_sql())
+def q_evt_return_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel method-of-moments fit over daily maxima and the 30-day
+    return level — tail extrapolation beyond the observed range, from
+    exact integer sufficient statistics."""
+    return stats.evt_return_level(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "warehouse_shipmode_priority", oracle=tpch_shapes.shipmode_priority_counts_sql()
+)
+def q_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: critical- vs normal-priority line counts per
+    shipment class (returnflag x linestatus), year predicate pushed to the
+    fact scan — completes the Q1-Q22 shape sweep."""
+    return tpch_shapes.shipmode_priority_counts(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "orders")
+    )
+
+
+@register("warehouse_brand_transition", oracle=warehouse.brand_transition_matrix_sql())
+def q_brand_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand-to-brand repurchase transition matrix over consecutive orders
+    per customer (dominant brand via struct-min, exact centi quantities,
+    milli row shares)."""
+    return warehouse.brand_transition_matrix(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "part"),
+    )

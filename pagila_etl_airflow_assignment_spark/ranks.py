@@ -40,7 +40,12 @@ def kth_smallest(values: DataFrame, value_col: str, k_sql: str) -> DataFrame:
 
     Shape: groupBy(value) count (bounded by the value domain, map-side
     combined), ONE cumulative window over that aggregate, broadcast 1-row
-    total. No data-sized sort, no single-task window."""
+    total. No data-sized sort, no single-task window.
+
+    The ``k >= 1`` guard keeps the empty-result contract of the
+    ``row_number() == k`` form it replaces: without it, a k_sql evaluating
+    to <= 0 would have ``cum >= k`` match every row and return the minimum
+    instead of the empty relation."""
     per_v = values.groupBy(value_col).agg(F.count("*").alias("m"))
     cum = per_v.select(
         value_col,
@@ -51,7 +56,7 @@ def kth_smallest(values: DataFrame, value_col: str, k_sql: str) -> DataFrame:
     tot = values.agg(F.count("*").cast("long").alias("n"))
     return (
         cum.crossJoin(F.broadcast(tot))
-        .where(F.col("cum") >= F.expr(k_sql))
+        .where((F.col("cum") >= F.expr(k_sql)) & (F.expr(k_sql) >= F.lit(1)))
         .groupBy("n")
         .agg(F.min(value_col).alias(value_col))
         .select("n", value_col)

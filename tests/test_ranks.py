@@ -80,6 +80,14 @@ def test_kth_smallest_empty_when_k_exceeds_n(spark, rows):
     assert kth_smallest(rows.select("v"), "v", "n + 1").count() == 0
 
 
+def test_kth_smallest_empty_when_k_below_one(spark, rows):
+    # row_number() == k matches nothing for k <= 0; the cum >= k rewrite must
+    # keep that contract instead of returning the minimum value
+    assert kth_smallest(rows.select("v"), "v", "0").count() == 0
+    assert kth_smallest(rows.select("v"), "v", "-3").count() == 0
+    assert kth_smallest(rows.select("v"), "v", "n - n").count() == 0
+
+
 @pytest.mark.parametrize("n,bins", [(1, 5), (4, 5), (5, 5), (7, 5), (23, 5), (100, 7)])
 def test_exact_ntile_formula_matches_builtin(spark, n, bins):
     """The rank->bin formula used by woe_iv_binning must reproduce NTILE for

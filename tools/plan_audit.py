@@ -247,6 +247,12 @@ ALLOWED: dict[str, set[str]] = {
     "events_interrupted_ts": {"BroadcastNestedLoopJoin"},
     # broadcast 1-row char-total and truth scalars (PPS design)
     "sampling_ht_estimate": {"BroadcastNestedLoopJoin"},
+    # broadcast 1-row kth_smallest median scalar over the day grid
+    "events_runs_test": {"BroadcastNestedLoopJoin"},
+    # broadcast 1-row (n_users, total_cents) scalar
+    "events_theil_index": {"BroadcastNestedLoopJoin"},
+    # broadcast 1-row char-total scalar (same PPS device as ht_estimate)
+    "sampling_kish_neff": {"BroadcastNestedLoopJoin"},
 }
 
 PATTERNS = ("CartesianProduct", "BatchEvalPython", "BroadcastNestedLoopJoin")
@@ -315,6 +321,11 @@ def _subtree_is_bounded(node) -> bool:
         return True
     if name == "AdaptiveSparkPlan":
         return _subtree_is_bounded(node.initialPlan())
+    if name.startswith("ReusedExchange"):
+        # a reused exchange is as bounded as the exchange it references —
+        # classifying it as a source leaf would false-flag a bounded window
+        # after AQE exchange reuse
+        return _subtree_is_bounded(node.child())
     kids = _children(node)
     if not kids:
         if name.startswith("Range"):

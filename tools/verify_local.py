@@ -75,7 +75,10 @@ def main() -> int:
         spark = (
             SparkSession.builder.master("local[32]")
             .appName("verify-local-bare")
-            .config("spark.driver.memory", "48g")
+            .config(
+                "spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_VERIFY_DRIVER_MEM", "48g"),
+            )
             .getOrCreate()
         )
     else:
