@@ -2128,3 +2128,79 @@ PREDICTABILITY_SQL = f"""
     FROM s12 JOIN s1 USING (source)
     ORDER BY s12.source
 """
+
+
+# --- Yule's K lexical richness --------------------------------------------------------
+
+
+def yule_k(docs: DataFrame) -> DataFrame:
+    """Yule's K characteristic per source: (source, n_tokens, n_types,
+    yule_k_milli) ordered by source.
+
+    The length-invariant lexical-richness statistic — K = 10^4 *
+    (sum_m m^2 V_m - N) / N^2 over the frequency spectrum (V_m = number of
+    types occurring m times, N = token count). High K = vocabulary
+    concentrated in few repeated types (templated/boilerplate text); low K
+    = diverse vocabulary. Complements heaps_law (growth curve) and
+    hapax_profile (spectrum head) with the single-number summary, and is
+    exactly the repeated-measure curation filters threshold on.
+
+    Exactness: sum_m m^2 V_m = sum over types of freq^2, so the sufficient
+    statistics are exact BIGINTs; the milli emit is ONE double division
+    chain over those integers (identical literals both engines — an
+    all-integer emit would overflow 2^63 at corpus scale, where
+    10^7 * sum(f^2) can exceed it).
+
+    Scale shape: one (source, term) hash aggregate with map-side combine,
+    one source rollup. No window, no sort, no explode beyond the token
+    split."""
+    toks = docs.select(
+        "source", F.explode(F.split(_norm_text(F.col("text")), WS_RE)).alias("w")
+    ).where(F.col("w") != "")
+    per_term = toks.groupBy("source", "w").agg(F.count("*").alias("f"))
+    return (
+        per_term.groupBy("source")
+        .agg(
+            F.sum("f").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("n_types"),
+            F.sum(F.col("f") * F.col("f")).cast("long").alias("s2"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_types",
+            # K_milli = round(10^4 * 1000 * (s2 - N) / N^2) via one double
+            # chain over the exact integer stats (overflow-free at any N)
+            F.expr(
+                "CAST(CASE WHEN n_tokens > 0 THEN"
+                " round(10000000.0 * CAST(s2 - n_tokens AS DOUBLE)"
+                "       / CAST(n_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE))"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("yule_k_milli"),
+        )
+        .orderBy("source")
+    )
+
+
+def yule_k_sql() -> str:
+    return f"""
+        WITH toks AS (
+            SELECT source, unnest(string_split_regex(
+                       {_norm_text_sql('text')}, '{WS_RE}')) AS w
+            FROM documents
+        ),
+        per_term AS (
+            SELECT source, w, CAST(COUNT(*) AS BIGINT) AS f
+            FROM toks WHERE w <> '' GROUP BY source, w
+        )
+        SELECT source,
+               CAST(SUM(f) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               CAST(CASE WHEN SUM(f) > 0 THEN
+                    round(10000000.0 * CAST(SUM(f * f) - SUM(f) AS DOUBLE)
+                          / CAST(SUM(f) AS DOUBLE) / CAST(SUM(f) AS DOUBLE))
+                    ELSE 0 END AS BIGINT) AS yule_k_milli
+        FROM per_term
+        GROUP BY source
+        ORDER BY source
+    """

@@ -1305,3 +1305,17 @@ def q_ht_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Horvitz-Thompson total-words estimate from the PPS systematic
     sample, with multiplicity weights and the exact-truth error readout."""
     return sampling.ht_estimate(load_table(spark, sf_dir, "documents"))
+
+
+@register("vocab_yule_k", oracle=corpus_stats.yule_k_sql())
+def q_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yule's K lexical-richness characteristic per source from the exact
+    integer frequency spectrum — the single-number repetition summary."""
+    return corpus_stats.yule_k(load_table(spark, sf_dir, "documents"))
+
+
+@register("sampling_kish_neff", oracle=sampling.kish_neff_sql())
+def q_kish_neff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kish effective sample size + design effect of the PPS design's HT
+    weights — how many equivalent SRS units the weighted draw is worth."""
+    return sampling.kish_neff(load_table(spark, sf_dir, "documents"))

@@ -1496,3 +1496,108 @@ def ht_estimate_sql(n: int = PPS_SAMPLE_N) -> str:
                     / true_total_words) AS BIGINT) AS err_milli
         FROM est CROSS JOIN truth
     """
+
+
+# --- Kish effective sample size -------------------------------------------------------
+
+
+def kish_neff(docs: DataFrame, n: int = PPS_SAMPLE_N) -> DataFrame:
+    """Kish effective sample size of the pps_systematic design's HT weights:
+    one row (sampled_units, n_draws, neff_milli, deff_milli).
+
+    THE one-number diagnostic for any weighted sample: neff =
+    (sum m*w)^2 / (sum m*w^2) over the drawn units (multiplicity m for
+    units spanning several thresholds), deff = n/neff >= 1 the variance
+    inflation vs equal-probability sampling. Closes the design loop the
+    module opened: pps_systematic draws, ht_estimate estimates, this
+    says how many "equivalent SRS units" the weighted draw is worth.
+    Weights use the scale-free w = 1/n_chars form (neff is invariant
+    under constant rescaling, so the tot/n factor cancels).
+
+    Scale shape: identical to ht_estimate — the two-level running-sum
+    device over the corpus, then all arithmetic on the <= n sampled rows;
+    both emits are one double chain over exact integers."""
+    from ..ranks import md5_bucket, with_global_running_sum
+    from .hashing import md5_int
+
+    h = md5_int(F.col("doc_id").cast("string"))
+    base = docs.select("doc_id", "n_chars", h.alias("__h"))
+    cum = with_global_running_sum(
+        base,
+        md5_bucket(F.col("__h")),
+        [F.col("__h"), F.col("doc_id")],
+        F.col("n_chars"),
+        out="cum",
+    ).drop("__h")
+    tot = docs.agg(F.sum("n_chars").cast("long").alias("tot"))
+    idx = lambda x: F.expr(  # noqa: E731
+        f"CAST((2 * ({x}) * {n} - tot + 2 * tot) DIV (2 * tot) - 1 AS BIGINT)"
+    )
+    hits = (
+        cum.crossJoin(F.broadcast(tot))
+        .withColumn("m", idx("cum") - idx("(cum - n_chars)"))
+        .where(F.col("m") > 0)
+    )
+    return hits.agg(
+        F.count("*").cast("long").alias("sampled_units"),
+        F.sum("m").cast("long").alias("n_draws"),
+        F.sum(F.col("m").cast("double") / F.col("n_chars").cast("double")).alias(
+            "_sw"
+        ),
+        F.sum(
+            F.col("m").cast("double")
+            / (F.col("n_chars").cast("double") * F.col("n_chars").cast("double"))
+        ).alias("_sw2"),
+    ).select(
+        "sampled_units",
+        "n_draws",
+        F.expr(
+            "CAST(CASE WHEN _sw2 > 0"
+            " THEN round(1000.0 * _sw * _sw / _sw2) ELSE 0 END AS BIGINT)"
+        ).alias("neff_milli"),
+        F.expr(
+            "CAST(CASE WHEN _sw > 0"
+            " THEN round(1000.0 * n_draws * _sw2 / (_sw * _sw))"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("deff_milli"),
+    )
+
+
+def kish_neff_sql(n: int = PPS_SAMPLE_N) -> str:
+    from .hashing import md5_int_sql
+
+    h = md5_int_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+        WITH base AS (
+            SELECT doc_id, n_chars, {h} AS h FROM documents
+        ),
+        cum AS (
+            SELECT doc_id, n_chars,
+                   SUM(n_chars) OVER (ORDER BY h, doc_id ROWS BETWEEN
+                       UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM base
+        ),
+        tot AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS tot FROM documents),
+        hits AS (
+            SELECT n_chars,
+                   ((2 * cum * {n} - tot + 2 * tot) // (2 * tot) - 1)
+                   - ((2 * (cum - n_chars) * {n} - tot + 2 * tot)
+                      // (2 * tot) - 1) AS m
+            FROM cum CROSS JOIN tot
+        ),
+        est AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS sampled_units,
+                   CAST(SUM(m) AS BIGINT) AS n_draws,
+                   SUM(m * 1.0 / n_chars) AS sw,
+                   SUM(m * 1.0 / (CAST(n_chars AS DOUBLE) * n_chars)) AS sw2
+            FROM hits WHERE m > 0
+        )
+        SELECT sampled_units, n_draws,
+               CAST(CASE WHEN sw2 > 0
+                    THEN round(1000.0 * sw * sw / sw2) ELSE 0 END AS BIGINT)
+                   AS neff_milli,
+               CAST(CASE WHEN sw > 0
+                    THEN round(1000.0 * n_draws * sw2 / (sw * sw))
+                    ELSE 0 END AS BIGINT) AS deff_milli
+        FROM est
+    """

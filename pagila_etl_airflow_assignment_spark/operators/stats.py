@@ -2275,3 +2275,376 @@ SPRT_DAILY_SQL = f"""
     FROM cum
     ORDER BY day
 """
+
+
+# --- Spearman rank correlation (daily grid) ------------------------------------------
+
+SPEARMAN_X_TYPE = "click"
+SPEARMAN_Y_TYPE = "error"
+
+
+def spearman_daily(
+    events: DataFrame, x_type: str = SPEARMAN_X_TYPE, y_type: str = SPEARMAN_Y_TYPE
+) -> DataFrame:
+    """Spearman rank correlation between two event types' DAILY counts:
+    one row (n_days, var2x, var2y, rho_milli).
+
+    The tie-correct form (Pearson on average ranks) — NOT the 6*sum(d^2)
+    shortcut, which is wrong whenever two days tie on a count. Ranks are
+    kept exact by working with DOUBLED average ranks (2*avg_rank =
+    2*min_rank + ties - 1, always an integer), so every sufficient
+    statistic (n, S_x, S_xx, S_xy) is an exact BIGINT and the one float
+    boundary is the final sqrt. var2x/var2y = n*S_xx - S_x^2 over the
+    doubled ranks (integer dispersion diagnostics; 0 iff all days tie).
+
+    Scale shape: the day grid is a bounded aggregate (<=|days| rows); both
+    rank windows run over that aggregate, never raw events — the same
+    bounded-window discipline as kendall_tau_daily (complements it: tau-a
+    is the pairwise-count form, this is the rank-moment form)."""
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum((F.col("event_type") == x_type).cast("long")).alias("x"),
+        F.sum((F.col("event_type") == y_type).cast("long")).alias("y"),
+    )
+    r2 = lambda c: (  # noqa: E731  doubled average rank: 2*min_rank + ties - 1
+        2 * F.rank().over(Window.orderBy(c))
+        + F.count("*").over(Window.partitionBy(c))
+        - 1
+    ).cast("long")
+    ranked = daily.select(r2("x").alias("rx"), r2("y").alias("ry"))
+    agg = ranked.agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("rx").cast("long").alias("sx"),
+        F.sum("ry").cast("long").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).cast("long").alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).cast("long").alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).cast("long").alias("sxy"),
+    )
+    return agg.select(
+        "n_days",
+        (F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("var2x"),
+        (F.col("n_days") * F.col("syy") - F.col("sy") * F.col("sy")).alias("var2y"),
+        F.expr(
+            "CAST(CASE WHEN n_days * sxx - sx * sx > 0"
+            "           AND n_days * syy - sy * sy > 0"
+            " THEN round(1000.0 * (n_days * sxy - sx * sy)"
+            "      / sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE)"
+            "             * CAST(n_days * syy - sy * sy AS DOUBLE)))"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("rho_milli"),
+    )
+
+
+def spearman_daily_sql(
+    x_type: str = SPEARMAN_X_TYPE, y_type: str = SPEARMAN_Y_TYPE
+) -> str:
+    return f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(SUM(CASE WHEN event_type = '{x_type}' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS x,
+                   CAST(SUM(CASE WHEN event_type = '{y_type}' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS y
+            FROM events GROUP BY CAST(ts AS DATE)
+        ),
+        ranked AS (
+            SELECT CAST(2 * RANK() OVER (ORDER BY x)
+                        + COUNT(*) OVER (PARTITION BY x) - 1 AS BIGINT) AS rx,
+                   CAST(2 * RANK() OVER (ORDER BY y)
+                        + COUNT(*) OVER (PARTITION BY y) - 1 AS BIGINT) AS ry
+            FROM daily
+        ),
+        agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+                   CAST(SUM(rx) AS BIGINT) AS sx, CAST(SUM(ry) AS BIGINT) AS sy,
+                   CAST(SUM(rx * rx) AS BIGINT) AS sxx,
+                   CAST(SUM(ry * ry) AS BIGINT) AS syy,
+                   CAST(SUM(rx * ry) AS BIGINT) AS sxy
+            FROM ranked
+        )
+        SELECT n_days,
+               CAST(n_days * sxx - sx * sx AS BIGINT) AS var2x,
+               CAST(n_days * syy - sy * sy AS BIGINT) AS var2y,
+               CAST(CASE WHEN n_days * sxx - sx * sx > 0
+                          AND n_days * syy - sy * sy > 0
+                    THEN round(1000.0 * (n_days * sxy - sx * sy)
+                         / sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE)
+                                * CAST(n_days * syy - sy * sy AS DOUBLE)))
+                    ELSE 0 END AS BIGINT) AS rho_milli
+        FROM agg
+    """
+
+
+# --- Wald-Wolfowitz runs test ---------------------------------------------------------
+
+
+def runs_test_daily(events: DataFrame) -> DataFrame:
+    """Wald-Wolfowitz runs test for randomness of the daily event-count
+    sequence around its median: one row (n_above, n_below, runs, z_milli).
+
+    Too few runs = trend/clustering, too many = oscillation — the
+    distribution-free stationarity check that needs no model of the
+    counts. Days equal to the median are dropped (the textbook
+    convention); the lower median comes from the ranks.kth_smallest
+    order-statistic device (k = ceil(n/2)) so no corpus sort enters the
+    plan. mu = 2ab/N + 1 and sigma^2 = 2ab(2ab-N)/(N^2 (N-1)) are
+    assembled from exact integers; the one float boundary is the final
+    z = (R - mu)/sigma emit at milli.
+
+    Scale shape: day-grid aggregate (bounded), the kth_smallest device
+    over the <=|days| count relation, one lag window over the bounded
+    signed grid."""
+    from ..ranks import kth_smallest
+
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    med = kth_smallest(daily.select("c"), "c", "(n + 1) DIV 2").select(
+        F.col("c").alias("med")
+    )
+    signed = (
+        daily.crossJoin(F.broadcast(med))
+        .where(F.col("c") != F.col("med"))
+        .select("day", (F.col("c") > F.col("med")).cast("int").alias("s"))
+    )
+    w = Window.orderBy("day")
+    runs = signed.select(
+        "s",
+        (F.col("s") != F.coalesce(F.lag("s").over(w), F.col("s") + 1))
+        .cast("long")
+        .alias("new_run"),
+    )
+    agg = runs.agg(
+        F.sum("s").cast("long").alias("n_above"),
+        F.sum(F.lit(1) - F.col("s")).cast("long").alias("n_below"),
+        F.sum("new_run").cast("long").alias("runs"),
+    )
+    return agg.select(
+        "n_above",
+        "n_below",
+        "runs",
+        F.expr(
+            "CAST(CASE WHEN n_above > 0 AND n_below > 0"
+            " AND n_above + n_below > 1"
+            " AND 2.0 * n_above * n_below * (2.0 * n_above * n_below - n_above - n_below) > 0"
+            " THEN round(1000.0 * (runs - (2.0 * n_above * n_below / (n_above + n_below) + 1))"
+            "   / sqrt(2.0 * n_above * n_below * (2.0 * n_above * n_below - n_above - n_below)"
+            "          / (CAST(n_above + n_below AS DOUBLE) * (n_above + n_below)"
+            "             * (n_above + n_below - 1))))"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("z_milli"),
+    )
+
+
+def runs_test_daily_sql() -> str:
+    return """
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY CAST(ts AS DATE)
+        ),
+        med AS (
+            SELECT c AS med FROM (
+                SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS rn FROM daily
+            ) r
+            WHERE rn = (SELECT (COUNT(*) + 1) // 2 FROM daily)
+        ),
+        signed AS (
+            SELECT day, CAST(c > (SELECT med FROM med) AS INT) AS s
+            FROM daily WHERE c <> (SELECT med FROM med)
+        ),
+        runs AS (
+            SELECT s,
+                   CASE WHEN s <> COALESCE(
+                            LAG(s) OVER (ORDER BY day), s + 1)
+                        THEN 1 ELSE 0 END AS new_run
+            FROM signed
+        ),
+        agg AS (
+            SELECT CAST(SUM(s) AS BIGINT) AS n_above,
+                   CAST(SUM(1 - s) AS BIGINT) AS n_below,
+                   CAST(SUM(new_run) AS BIGINT) AS runs
+            FROM runs
+        )
+        SELECT n_above, n_below, runs,
+               CAST(CASE WHEN n_above > 0 AND n_below > 0
+                    AND n_above + n_below > 1
+                    AND 2.0 * n_above * n_below * (2.0 * n_above * n_below - n_above - n_below) > 0
+                    THEN round(1000.0 * (runs - (2.0 * n_above * n_below / (n_above + n_below) + 1))
+                      / sqrt(2.0 * n_above * n_below * (2.0 * n_above * n_below - n_above - n_below)
+                             / (CAST(n_above + n_below AS DOUBLE) * (n_above + n_below)
+                                * (n_above + n_below - 1))))
+                    ELSE 0 END AS BIGINT) AS z_milli
+        FROM agg
+    """
+
+
+# --- Theil inequality index -----------------------------------------------------------
+
+
+def theil_index_users(events: DataFrame) -> DataFrame:
+    """Theil T inequality index of per-user total spend: one row
+    (n_users, total_cents, theil_milli, theil_norm_milli).
+
+    The entropy-based inequality measure that (unlike Gini) decomposes
+    additively across subgroups: T = (1/n) * sum_u (x_u/mu) ln(x_u/mu),
+    0 = perfect equality, ln(n) = one user holds everything;
+    theil_norm_milli = T/ln(n) rescales to [0,1000]. Complements
+    warehouse_segment_gini (rank-based) with the decomposable form.
+
+    Exactness: per-row cents quantization, exact integer per-user totals
+    and grand total; each user's term is computed from those integers so
+    the only float accumulation is the final sum of ln terms (rounded
+    once at milli).
+
+    Scale shape: one user-keyed partial+final hash aggregate, a broadcast
+    1-row total, one final 1-row aggregate. No window, no sort."""
+    cents = F.expr("CAST(round(value * 100) AS BIGINT)")
+    per_u = (
+        events.select(F.col("user_id"), cents.alias("cents"))
+        .groupBy("user_id")
+        .agg(F.sum("cents").alias("x"))
+        .where(F.col("x") > 0)
+    )
+    tot = per_u.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("x").cast("long").alias("total_cents"),
+    )
+    terms = per_u.crossJoin(F.broadcast(tot)).select(
+        "n_users",
+        "total_cents",
+        (
+            (F.col("x").cast("double") / F.col("total_cents").cast("double"))
+            * F.log(
+                F.col("x").cast("double")
+                * F.col("n_users").cast("double")
+                / F.col("total_cents").cast("double")
+            )
+        ).alias("t"),
+    )
+    return (
+        terms.groupBy("n_users", "total_cents")
+        .agg(F.sum("t").alias("_t"))
+        .select(
+            "n_users",
+            "total_cents",
+            F.expr("CAST(round(1000.0 * _t) AS BIGINT)").alias("theil_milli"),
+            F.expr(
+                "CAST(CASE WHEN n_users > 1"
+                " THEN round(1000.0 * _t / ln(CAST(n_users AS DOUBLE)))"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("theil_norm_milli"),
+        )
+    )
+
+
+def theil_index_users_sql() -> str:
+    return """
+        WITH per_u AS (
+            SELECT user_id, CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                                 AS BIGINT) AS x
+            FROM events GROUP BY user_id
+            HAVING SUM(CAST(round(value * 100) AS BIGINT)) > 0
+        ),
+        tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CAST(SUM(x) AS BIGINT) AS total_cents
+            FROM per_u
+        ),
+        terms AS (
+            SELECT n_users, total_cents,
+                   (CAST(x AS DOUBLE) / total_cents)
+                   * ln(CAST(x AS DOUBLE) * n_users / total_cents) AS t
+            FROM per_u, tot
+        )
+        SELECT n_users, total_cents,
+               CAST(round(1000.0 * SUM(t)) AS BIGINT) AS theil_milli,
+               CAST(CASE WHEN n_users > 1
+                    THEN round(1000.0 * SUM(t) / ln(CAST(n_users AS DOUBLE)))
+                    ELSE 0 END AS BIGINT) AS theil_norm_milli
+        FROM terms
+        GROUP BY n_users, total_cents
+    """
+
+
+# --- extreme-value (Gumbel) return level ----------------------------------------------
+
+EVT_RETURN_DAYS = 30
+_EULER_GAMMA = 0.5772156649015329
+_SQRT6_OVER_PI = 0.7796968012336793  # sqrt(6)/pi as an identical literal
+
+
+def evt_return_level(events: DataFrame, t_days: int = EVT_RETURN_DAYS) -> DataFrame:
+    """Gumbel (EV-I) return level from DAILY MAXIMUM event values: one row
+    (n_days, max_mean_centi, max_sd_centi, rl_centi) — the value expected
+    to be exceeded once per ``t_days`` days, by method-of-moments fit
+    (beta = s*sqrt(6)/pi, mu = m - gamma*beta, RL = mu - beta*ln(-ln(1 - 1/T))).
+
+    The capacity-planning / fraud-threshold statistic that percentiles of
+    the pooled distribution cannot give: it models the tail of the DAILY
+    EXTREMES, extrapolating beyond the observed range.
+
+    Exactness: daily maxima are exact integer cents; mean and variance come
+    from the integer sufficient statistics (n, sum x, sum x^2), so both
+    engines evaluate the identical rational-to-double chain and round once
+    at centi.
+
+    Scale shape: one day-keyed max aggregate (bounded grid), one 1-row
+    final aggregate; no window, no sort."""
+    cents = F.expr("CAST(round(value * 100) AS BIGINT)")
+    daily = events.select(F.to_date("ts").alias("day"), cents.alias("c")).groupBy(
+        "day"
+    ).agg(F.max("c").alias("mx"))
+    agg = daily.agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("mx").cast("long").alias("s1"),
+        F.sum(F.col("mx") * F.col("mx")).cast("long").alias("s2"),
+    )
+    m = F.col("s1").cast("double") / F.col("n_days").cast("double")
+    var = (
+        F.col("n_days").cast("double") * F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double")
+    ) / (
+        F.col("n_days").cast("double") * (F.col("n_days").cast("double") - 1)
+    )
+    beta = F.sqrt(var) * F.lit(_SQRT6_OVER_PI)
+    mu = m - F.lit(_EULER_GAMMA) * beta
+    rl = mu - beta * F.log(-F.log(F.lit(1.0) - F.lit(1.0) / F.lit(float(t_days))))
+    return agg.where(F.col("n_days") > 1).select(
+        "n_days",
+        F.round(m).cast("long").alias("max_mean_centi"),
+        F.round(F.sqrt(var)).cast("long").alias("max_sd_centi"),
+        F.round(rl).cast("long").alias("rl_centi"),
+    )
+
+
+def evt_return_level_sql(t_days: int = EVT_RETURN_DAYS) -> str:
+    return f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   MAX(CAST(round(value * 100) AS BIGINT)) AS mx
+            FROM events GROUP BY CAST(ts AS DATE)
+        ),
+        agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+                   CAST(SUM(mx) AS BIGINT) AS s1,
+                   CAST(SUM(mx * mx) AS BIGINT) AS s2
+            FROM daily
+        )
+        SELECT n_days,
+               CAST(round(CAST(s1 AS DOUBLE) / n_days) AS BIGINT) AS max_mean_centi,
+               CAST(round(sqrt((CAST(n_days AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+                               / (CAST(n_days AS DOUBLE) * (n_days - 1))))
+                    AS BIGINT) AS max_sd_centi,
+               CAST(round(
+                   (CAST(s1 AS DOUBLE) / n_days
+                    - {_EULER_GAMMA} * sqrt((CAST(n_days AS DOUBLE) * s2
+                                             - CAST(s1 AS DOUBLE) * s1)
+                                            / (CAST(n_days AS DOUBLE) * (n_days - 1)))
+                      * {_SQRT6_OVER_PI})
+                   - sqrt((CAST(n_days AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+                          / (CAST(n_days AS DOUBLE) * (n_days - 1)))
+                     * {_SQRT6_OVER_PI}
+                     * ln(-ln(1.0 - 1.0 / {t_days}))
+               ) AS BIGINT) AS rl_centi
+        FROM agg
+        WHERE n_days > 1
+    """

@@ -974,3 +974,53 @@ def dominant_part_suppliers_sql(min_share_pct: int = 50) -> str:
         )
         ORDER BY s_suppkey
     """
+
+
+# --- Q12 shape: shipment class vs order priority --------------------------------------
+
+Q12_YEAR = 1997
+_HIGH_PRI = ("1-URGENT", "2-HIGH")
+
+
+def shipmode_priority_counts(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """Q12 shape (the fixture has no l_shipmode/receiptdate, so the shipment
+    class is the return-flag × line-status pair and the date predicate runs
+    on l_shipdate): per shipment class, how many ``{Q12_YEAR}``-shipped lines
+    belong to critical-priority (1-URGENT/2-HIGH) orders vs the rest —
+    the logistics-mix readout Q12 exists for.
+
+    Shape: the year predicate is pushed to the lineitem scan; orders arrives
+    projected to (o_orderkey, o_orderpriority) and the join output is
+    immediately collapsed by the bounded (flag, status) key — conditional
+    aggregation, no second pass. Output: (l_returnflag, l_linestatus,
+    high_line_count, low_line_count) ordered by the class pair."""
+    pri = F.col("o_orderpriority").isin(*_HIGH_PRI)
+    return (
+        lineitem.where(F.year("l_shipdate") == Q12_YEAR)
+        .select("l_orderkey", "l_returnflag", "l_linestatus")
+        .join(
+            orders.select("o_orderkey", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(pri.cast("long")).alias("high_line_count"),
+            F.sum((~pri).cast("long")).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def shipmode_priority_counts_sql() -> str:
+    high = ", ".join(f"'{p}'" for p in _HIGH_PRI)
+    return f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CASE WHEN o_orderpriority IN ({high}) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority IN ({high}) THEN 0 ELSE 1 END)
+                    AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE year(l_shipdate) = {Q12_YEAR}
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """

@@ -5558,3 +5558,102 @@ def ss_policy_simulation_sql(
         WHERE w.idx = nm.n_months
         ORDER BY w.brand
     """
+
+
+# --- brand repurchase transitions -----------------------------------------------------
+
+
+def brand_transition_matrix(
+    lineitem: DataFrame, orders: DataFrame, part: DataFrame
+) -> DataFrame:
+    """Brand-to-brand repurchase transition matrix: for every pair of
+    CONSECUTIVE orders by the same customer, the dominant brand of the
+    earlier vs the later order — (prev_brand, next_brand, n_pairs,
+    share_milli), share over each prev_brand row. The brand-loyalty /
+    switching readout at the order grain (the customer-journey twin of
+    events' type-transition matrix, and the brand analogue of
+    supplier_switching's set-stability view).
+
+    Dominant brand per order = max total quantity, ties to the
+    lexicographically smallest brand (min over the (-qty, brand) struct —
+    deterministic in both engines). Quantities quantize to exact centi
+    units; shares are half-up integer milli.
+
+    Scale shape: one (order, brand) aggregate off the fact scan, a
+    per-order struct-min rollup, one customer-partitioned lag window over
+    the order grain (keyed, never global), then a bounded
+    |brands|^2 matrix rollup with a window over that matrix."""
+    qty = F.expr("CAST(round(l_quantity * 100) AS BIGINT)")
+    ob = (
+        lineitem.select("l_orderkey", "l_partkey", qty.alias("q"))
+        .join(part.select("p_partkey", "p_brand"), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_orderkey", "p_brand")
+        .agg(F.sum("q").alias("bq"))
+    )
+    dom = (
+        ob.select(
+            "l_orderkey",
+            F.struct((-F.col("bq")).alias("negq"), F.col("p_brand").alias("b")).alias("s"),
+        )
+        .groupBy("l_orderkey")
+        .agg(F.min("s")["b"].alias("brand"))
+    )
+    seq = orders.select("o_orderkey", "o_custkey", "o_orderdate").join(
+        dom, F.col("o_orderkey") == F.col("l_orderkey")
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    pairs = seq.select(
+        F.lag("brand").over(w).alias("prev_brand"),
+        F.col("brand").alias("next_brand"),
+    ).where(F.col("prev_brand").isNotNull())
+    matrix = pairs.groupBy("prev_brand", "next_brand").agg(
+        F.count("*").cast("long").alias("n_pairs")
+    )
+    wp = Window.partitionBy("prev_brand")
+    return matrix.select(
+        "prev_brand",
+        "next_brand",
+        "n_pairs",
+        F.expr(
+            "CAST((2 * 1000 * n_pairs + SUM(n_pairs) OVER (PARTITION BY prev_brand))"
+            " DIV (2 * SUM(n_pairs) OVER (PARTITION BY prev_brand)) AS BIGINT)"
+        ).alias("share_milli"),
+    ).orderBy("prev_brand", "next_brand")
+
+
+def brand_transition_matrix_sql() -> str:
+    return """
+        WITH ob AS (
+            SELECT l_orderkey, p_brand,
+                   CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS bq
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY l_orderkey, p_brand
+        ),
+        dom AS (
+            SELECT l_orderkey,
+                   (MIN(struct_pack(negq := -bq, b := p_brand))).b AS brand
+            FROM ob GROUP BY l_orderkey
+        ),
+        seq AS (
+            SELECT o_custkey, o_orderdate, o_orderkey, brand
+            FROM orders JOIN dom ON o_orderkey = l_orderkey
+        ),
+        pairs AS (
+            SELECT LAG(brand) OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS prev_brand,
+                   brand AS next_brand
+            FROM seq
+        ),
+        matrix AS (
+            SELECT prev_brand, next_brand, CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM pairs WHERE prev_brand IS NOT NULL
+            GROUP BY prev_brand, next_brand
+        )
+        SELECT prev_brand, next_brand, n_pairs,
+               CAST((2 * 1000 * n_pairs
+                     + SUM(n_pairs) OVER (PARTITION BY prev_brand))
+                    // (2 * SUM(n_pairs) OVER (PARTITION BY prev_brand))
+                    AS BIGINT) AS share_milli
+        FROM matrix
+        ORDER BY prev_brand, next_brand
+    """

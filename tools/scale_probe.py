@@ -360,6 +360,14 @@ PROBES = [
     "embedding_norm_clip_threshold",
     "events_interrupted_ts",
     "sampling_ht_estimate",
+    "warehouse_shipmode_priority",
+    "events_spearman_daily",
+    "events_runs_test",
+    "events_theil_index",
+    "vocab_yule_k",
+    "events_evt_return_level",
+    "sampling_kish_neff",
+    "warehouse_brand_transition",
 ]
 
 
