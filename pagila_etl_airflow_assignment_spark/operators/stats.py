@@ -2491,9 +2491,11 @@ def theil_index_users(events: DataFrame) -> DataFrame:
     warehouse_segment_gini (rank-based) with the decomposable form.
 
     Exactness: per-row cents quantization, exact integer per-user totals
-    and grand total; each user's term is computed from those integers so
-    the only float accumulation is the final sum of ln terms (rounded
-    once at milli).
+    and grand total; each user's term is computed from those integers and
+    QUANTIZED TO NANO before summing (the events_user_entropy
+    quantize-then-integer-sum pattern), so the aggregate is order-free —
+    no float sum rides the shuffle, and the per-term quantization error
+    (<= 0.5 nano x |users|) sits far below the milli emit.
 
     Scale shape: one user-keyed partial+final hash aggregate, a broadcast
     1-row total, one final 1-row aggregate. No window, no sort."""
@@ -2511,25 +2513,31 @@ def theil_index_users(events: DataFrame) -> DataFrame:
     terms = per_u.crossJoin(F.broadcast(tot)).select(
         "n_users",
         "total_cents",
-        (
-            (F.col("x").cast("double") / F.col("total_cents").cast("double"))
+        F.round(
+            F.lit(1e9)
+            * (F.col("x").cast("double") / F.col("total_cents").cast("double"))
             * F.log(
                 F.col("x").cast("double")
                 * F.col("n_users").cast("double")
                 / F.col("total_cents").cast("double")
             )
-        ).alias("t"),
+        )
+        .cast("long")
+        .alias("t_nano"),
     )
     return (
         terms.groupBy("n_users", "total_cents")
-        .agg(F.sum("t").alias("_t"))
+        .agg(F.sum("t_nano").alias("_t_nano"))
         .select(
             "n_users",
             "total_cents",
-            F.expr("CAST(round(1000.0 * _t) AS BIGINT)").alias("theil_milli"),
+            F.expr(
+                "CAST(round(CAST(_t_nano AS DOUBLE) / 1e6) AS BIGINT)"
+            ).alias("theil_milli"),
             F.expr(
                 "CAST(CASE WHEN n_users > 1"
-                " THEN round(1000.0 * _t / ln(CAST(n_users AS DOUBLE)))"
+                " THEN round(CAST(_t_nano AS DOUBLE) / 1e6"
+                "            / ln(CAST(n_users AS DOUBLE)))"
                 " ELSE 0 END AS BIGINT)"
             ).alias("theil_norm_milli"),
         )
@@ -2551,14 +2559,17 @@ def theil_index_users_sql() -> str:
         ),
         terms AS (
             SELECT n_users, total_cents,
-                   (CAST(x AS DOUBLE) / total_cents)
-                   * ln(CAST(x AS DOUBLE) * n_users / total_cents) AS t
+                   CAST(round(1e9 * (CAST(x AS DOUBLE) / total_cents)
+                        * ln(CAST(x AS DOUBLE) * n_users / total_cents))
+                        AS BIGINT) AS t_nano
             FROM per_u, tot
         )
         SELECT n_users, total_cents,
-               CAST(round(1000.0 * SUM(t)) AS BIGINT) AS theil_milli,
+               CAST(round(CAST(SUM(t_nano) AS DOUBLE) / 1e6) AS BIGINT)
+                   AS theil_milli,
                CAST(CASE WHEN n_users > 1
-                    THEN round(1000.0 * SUM(t) / ln(CAST(n_users AS DOUBLE)))
+                    THEN round(CAST(SUM(t_nano) AS DOUBLE) / 1e6
+                               / ln(CAST(n_users AS DOUBLE)))
                     ELSE 0 END AS BIGINT) AS theil_norm_milli
         FROM terms
         GROUP BY n_users, total_cents
