@@ -2204,3 +2204,260 @@ def yule_k_sql() -> str:
         GROUP BY source
         ORDER BY source
     """
+
+
+# --- Burrows' delta (stylometric source distance) ---------------------------------------
+
+DELTA_TOP_K = 30
+
+
+def burrows_delta(docs: DataFrame, k: int = DELTA_TOP_K) -> DataFrame:
+    """Burrows' delta between every source pair: (source_a, source_b,
+    n_terms, delta_milli), a < b, ordered.
+
+    THE stylometric distance (Burrows 2002): over the corpus's top-k most
+    frequent words, z-score each source's usage rate against the across-
+    source distribution of that word, then delta = mean |z_a - z_b|.
+    Low delta = stylistically/registrally similar sources — the signal
+    mixture audits use to catch one crawl re-labeled as two.
+
+    Exactness: per-source rates quantize once to an integer micro rate
+    (round over exact counts); mean/sd per word come from exact integer
+    sufficient statistics over the <=|sources| rate rows, so both engines
+    evaluate the identical double chain; delta sums run over the bounded
+    k x |sources|^2 grid.
+
+    Scale shape: one (source, word) aggregate, a distributed top-k on the
+    word rollup (TakeOrderedAndProject), broadcast word-stat rows, a
+    bounded pair join. Zero data-sized windows."""
+    toks = docs.select(
+        "source", F.explode(F.split(_norm_text(F.col("text")), WS_RE)).alias("w")
+    ).where(F.col("w") != "")
+    sw = toks.groupBy("source", "w").agg(F.count("*").cast("long").alias("f"))
+    stot = sw.groupBy("source").agg(F.sum("f").cast("long").alias("tot"))
+    topk = (
+        sw.groupBy("w")
+        .agg(F.sum("f").cast("long").alias("cf"))
+        .orderBy(F.desc("cf"), F.asc("w"))
+        .limit(k)
+        .select("w")
+    )
+    # dense (source x top-k word) grid so absent words contribute rate 0
+    grid = stot.crossJoin(F.broadcast(topk))
+    rates = (
+        grid.join(sw, ["source", "w"], "left")
+        .select(
+            "source",
+            "w",
+            F.expr(
+                "CAST(round(1000000.0 * COALESCE(f, 0) / tot) AS BIGINT)"
+            ).alias("r"),
+        )
+    )
+    wstats = rates.groupBy("w").agg(
+        F.count("*").cast("long").alias("ns"),
+        F.sum("r").cast("long").alias("s1"),
+        F.sum(F.col("r") * F.col("r")).cast("long").alias("s2"),
+    )
+    z = rates.join(F.broadcast(wstats), "w").select(
+        "source",
+        "w",
+        F.expr(
+            "CASE WHEN ns > 1 AND ns * s2 - s1 * s1 > 0 THEN"
+            " (r - CAST(s1 AS DOUBLE) / ns)"
+            " / sqrt((CAST(ns AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)"
+            "        / (CAST(ns AS DOUBLE) * (ns - 1)))"
+            " ELSE 0.0 END"
+        ).alias("z"),
+    )
+    za, zb = z.alias("za"), z.alias("zb")
+    pairs = za.join(
+        zb,
+        (F.col("za.w") == F.col("zb.w"))
+        & (F.col("za.source") < F.col("zb.source")),
+    ).select(
+        F.col("za.source").alias("source_a"),
+        F.col("zb.source").alias("source_b"),
+        # quantize each word's |z_a - z_b| to nano before the integer sum
+        # so the per-pair mean is order-free
+        F.expr("CAST(round(1e9 * abs(za.z - zb.z)) AS BIGINT)").alias("d_nano"),
+    )
+    return (
+        pairs.groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").cast("long").alias("n_terms"),
+            F.sum("d_nano").alias("_d"),
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_terms",
+            F.expr(
+                "CAST(round(CAST(_d AS DOUBLE) / n_terms / 1e6) AS BIGINT)"
+            ).alias("delta_milli"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def burrows_delta_sql(k: int = DELTA_TOP_K) -> str:
+    return f"""
+        WITH toks AS (
+            SELECT source, unnest(string_split_regex(
+                       {_norm_text_sql('text')}, '{WS_RE}')) AS w
+            FROM documents
+        ),
+        sw AS (
+            SELECT source, w, CAST(COUNT(*) AS BIGINT) AS f
+            FROM toks WHERE w <> '' GROUP BY source, w
+        ),
+        stot AS (
+            SELECT source, CAST(SUM(f) AS BIGINT) AS tot FROM sw GROUP BY source
+        ),
+        topk AS (
+            SELECT w FROM (
+                SELECT w, SUM(f) AS cf FROM sw GROUP BY w
+                ORDER BY cf DESC, w ASC LIMIT {k}
+            )
+        ),
+        rates AS (
+            SELECT stot.source, topk.w,
+                   CAST(round(1000000.0 * COALESCE(sw.f, 0) / stot.tot)
+                        AS BIGINT) AS r
+            FROM stot CROSS JOIN topk
+            LEFT JOIN sw ON sw.source = stot.source AND sw.w = topk.w
+        ),
+        wstats AS (
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS ns,
+                   CAST(SUM(r) AS BIGINT) AS s1,
+                   CAST(SUM(r * r) AS BIGINT) AS s2
+            FROM rates GROUP BY w
+        ),
+        z AS (
+            SELECT source, rates.w,
+                   CASE WHEN ns > 1 AND ns * s2 - s1 * s1 > 0 THEN
+                        (r - CAST(s1 AS DOUBLE) / ns)
+                        / sqrt((CAST(ns AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+                               / (CAST(ns AS DOUBLE) * (ns - 1)))
+                        ELSE 0.0 END AS z
+            FROM rates JOIN wstats ON rates.w = wstats.w
+        ),
+        pairs AS (
+            SELECT za.source AS source_a, zb.source AS source_b,
+                   CAST(round(1e9 * abs(za.z - zb.z)) AS BIGINT) AS d_nano
+            FROM z za JOIN z zb
+              ON za.w = zb.w AND za.source < zb.source
+        )
+        SELECT source_a, source_b,
+               CAST(COUNT(*) AS BIGINT) AS n_terms,
+               CAST(round(CAST(SUM(d_nano) AS DOUBLE) / COUNT(*) / 1e6)
+                    AS BIGINT) AS delta_milli
+        FROM pairs
+        GROUP BY source_a, source_b
+        ORDER BY source_a, source_b
+    """
+
+
+# --- G2 keyness (source vs rest of corpus) ----------------------------------------------
+
+KEYNESS_TOP_N = 10
+KEYNESS_MIN_F = 5
+
+
+def keyness_g2(docs: DataFrame, top_n: int = KEYNESS_TOP_N) -> DataFrame:
+    """Log-likelihood (G2) keyness: the ``top_n`` terms most distinctive of
+    each source vs the REST of the corpus — (source, term, f_source,
+    g2_micro), rank by (g2 desc, term) within source.
+
+    The corpus-linguistics standard (Dunning 1993 / Rayson-Garside): for
+    term w in source s, a = freq in s, b = freq elsewhere; expected counts
+    split the term's corpus total by token-mass share; G2 = 2*(a ln(a/Ea)
+    + b ln(b/Eb)) (zero-count halves contribute 0). Unlike TF-IDF
+    (document-frequency based), keyness is frequency-profile based — it
+    surfaces over-used common words too. Terms rarer than {KEYNESS_MIN_F}
+    corpus-wide are dropped (G2 is chi-square-unstable on tiny counts).
+
+    Exactness: every input to the ln chain is an exact BIGINT; g2
+    quantizes once to micro (deterministic double chain both engines).
+
+    Scale shape: (source, term) and term rollup aggregates, broadcast
+    1-row corpus total + tiny source-mass dim, rank window partitioned by
+    source over the vocabulary-bounded keyed relation."""
+    toks = docs.select(
+        "source", F.explode(F.split(_norm_text(F.col("text")), WS_RE)).alias("w")
+    ).where(F.col("w") != "")
+    sw = toks.groupBy("source", "w").agg(F.count("*").cast("long").alias("a"))
+    tw = sw.groupBy("w").agg(F.sum("a").cast("long").alias("cw")).where(
+        F.col("cw") >= KEYNESS_MIN_F
+    )
+    stot = sw.groupBy("source").agg(F.sum("a").cast("long").alias("ts"))
+    tot = stot.agg(F.sum("ts").cast("long").alias("tc"))
+    g2 = (
+        sw.join(tw, "w")
+        .join(F.broadcast(stot), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("w").alias("term"),
+            F.col("a").alias("f_source"),
+            F.expr(
+                "CAST(round(1000000.0 * 2.0 * ("
+                " CASE WHEN a > 0 THEN a * ln(CAST(a AS DOUBLE) * tc"
+                "      / (CAST(cw AS DOUBLE) * ts)) ELSE 0.0 END"
+                " + CASE WHEN cw - a > 0 THEN (cw - a)"
+                "      * ln(CAST(cw - a AS DOUBLE) * tc"
+                "           / (CAST(cw AS DOUBLE) * (tc - ts))) ELSE 0.0 END"
+                ")) AS BIGINT)"
+            ).alias("g2_micro"),
+        )
+    )
+    wrank = Window.partitionBy("source").orderBy(
+        F.desc("g2_micro"), F.asc("term")
+    )
+    return (
+        g2.withColumn("rnk", F.row_number().over(wrank))
+        .where(F.col("rnk") <= top_n)
+        .select("source", "term", "f_source", "g2_micro")
+        .orderBy("source", F.desc("g2_micro"), "term")
+    )
+
+
+def keyness_g2_sql(top_n: int = KEYNESS_TOP_N) -> str:
+    return f"""
+        WITH toks AS (
+            SELECT source, unnest(string_split_regex(
+                       {_norm_text_sql('text')}, '{WS_RE}')) AS w
+            FROM documents
+        ),
+        sw AS (
+            SELECT source, w, CAST(COUNT(*) AS BIGINT) AS a
+            FROM toks WHERE w <> '' GROUP BY source, w
+        ),
+        tw AS (
+            SELECT w, CAST(SUM(a) AS BIGINT) AS cw FROM sw GROUP BY w
+            HAVING SUM(a) >= {KEYNESS_MIN_F}
+        ),
+        stot AS (
+            SELECT source, CAST(SUM(a) AS BIGINT) AS ts FROM sw GROUP BY source
+        ),
+        tot AS (SELECT CAST(SUM(ts) AS BIGINT) AS tc FROM stot),
+        g2 AS (
+            SELECT source, w AS term, a AS f_source,
+                   CAST(round(1000000.0 * 2.0 * (
+                       CASE WHEN a > 0 THEN a * ln(CAST(a AS DOUBLE) * tc
+                            / (CAST(cw AS DOUBLE) * ts)) ELSE 0.0 END
+                       + CASE WHEN cw - a > 0 THEN (cw - a)
+                            * ln(CAST(cw - a AS DOUBLE) * tc
+                                 / (CAST(cw AS DOUBLE) * (tc - ts))) ELSE 0.0 END
+                   )) AS BIGINT) AS g2_micro
+            FROM sw JOIN tw USING (w) JOIN stot USING (source) CROSS JOIN tot
+        )
+        SELECT source, term, f_source, g2_micro
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                       ORDER BY g2_micro DESC, term ASC) AS rnk
+            FROM g2
+        )
+        WHERE rnk <= {top_n}
+        ORDER BY source, g2_micro DESC, term
+    """

@@ -1319,3 +1319,17 @@ def q_kish_neff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kish effective sample size + design effect of the PPS design's HT
     weights — how many equivalent SRS units the weighted draw is worth."""
     return sampling.kish_neff(load_table(spark, sf_dir, "documents"))
+
+
+@register("text_burrows_delta", oracle=corpus_stats.burrows_delta_sql())
+def q_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' delta stylometric distance between source pairs over the
+    corpus top-30 words (integer micro rates, z-scored per word)."""
+    return corpus_stats.burrows_delta(load_table(spark, sf_dir, "documents"))
+
+
+@register("vocab_keyness_g2", oracle=corpus_stats.keyness_g2_sql())
+def q_keyness_g2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunning G2 keyness: the 10 most source-distinctive terms vs the
+    rest of the corpus, exact-integer inputs to one ln chain."""
+    return corpus_stats.keyness_g2(load_table(spark, sf_dir, "documents"))

@@ -2484,3 +2484,38 @@ def q_brand_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "orders"),
         load_table(spark, sf_dir, "part"),
     )
+
+
+@register("events_mann_kendall", oracle=stats.mann_kendall_daily_sql())
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test on daily counts — tie-corrected
+    integer variance, continuity-corrected z."""
+    return stats.mann_kendall_daily(load_table(spark, sf_dir, "events"))
+
+
+@register("events_sen_slope", oracle=stats.sen_slope_daily_sql())
+def q_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen median slope of daily counts — the robust trend estimate
+    via two kth_smallest order statistics over the day-pair slopes."""
+    return stats.sen_slope_daily(load_table(spark, sf_dir, "events"))
+
+
+@register("events_poisson_gap_check", oracle=stats.poisson_gap_check_sql())
+def q_poisson_gap_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned KS of per-user inter-arrival gaps against the fitted
+    exponential — the memoryless-arrival (bot/burst) check per type."""
+    return stats.poisson_gap_check(load_table(spark, sf_dir, "events"))
+
+
+@register("warehouse_price_index", oracle=warehouse.price_index_monthly_sql())
+def q_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres / Paasche / Fisher monthly price indexes vs the base
+    month, matched-model, exact integer value/quantity sums."""
+    return warehouse.price_index_monthly(load_table(spark, sf_dir, "lineitem"))
+
+
+@register("warehouse_hill_tail_index", oracle=warehouse.hill_tail_index_sql())
+def q_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill tail-index of order totals at k=50/100/200 — power-law
+    heaviness from distributed top-k pools, no global sort."""
+    return warehouse.hill_tail_index(load_table(spark, sf_dir, "orders"))

@@ -2659,3 +2659,281 @@ def evt_return_level_sql(t_days: int = EVT_RETURN_DAYS) -> str:
         FROM agg
         WHERE n_days > 1
     """
+
+
+# --- Mann-Kendall trend test ----------------------------------------------------------
+
+
+def mann_kendall_daily(events: DataFrame) -> DataFrame:
+    """Mann-Kendall trend test on the daily event-count sequence: one row
+    (n_days, s_stat, var18, z_milli).
+
+    The nonparametric monotone-trend test (the runs test's directional
+    sibling): S = sum over day pairs i<j of sign(c_j - c_i); the
+    tie-corrected variance 18*Var(S) = n(n-1)(2n+5) - sum_t t(t-1)(2t+5)
+    stays a single exact BIGINT (var18), and z applies the standard
+    continuity correction (S -> S -+ 1). The one float boundary is the
+    final sqrt.
+
+    Scale shape: bounded day-grid aggregate, a <=|days|^2 self-join ON THAT
+    GRID (never raw events — the kendall_tau_daily economics), tie groups
+    from a second count-keyed aggregate of the same grid."""
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    s = a.join(b, F.col("a.day") < F.col("b.day")).agg(
+        F.sum(F.signum(F.col("b.c") - F.col("a.c")).cast("long"))
+        .alias("s_stat"),
+    )
+    ties = daily.groupBy("c").agg(F.count("*").cast("long").alias("t")).agg(
+        F.sum("t").cast("long").alias("n_days"),
+        F.sum(
+            F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+        ).cast("long").alias("tie_term"),
+    )
+    return (
+        s.crossJoin(F.broadcast(ties))
+        .select(
+            "n_days",
+            F.coalesce("s_stat", F.lit(0)).alias("s_stat"),
+            (
+                F.col("n_days") * (F.col("n_days") - 1) * (2 * F.col("n_days") + 5)
+                - F.col("tie_term")
+            ).alias("var18"),
+        )
+        .select(
+            "n_days",
+            "s_stat",
+            "var18",
+            F.expr(
+                "CAST(CASE WHEN var18 > 0 AND s_stat <> 0"
+                " THEN round(1000.0 * (s_stat - CAST(SIGN(s_stat) AS BIGINT))"
+                "      / sqrt(CAST(var18 AS DOUBLE) / 18.0))"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("z_milli"),
+        )
+    )
+
+
+def mann_kendall_daily_sql() -> str:
+    return """
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY CAST(ts AS DATE)
+        ),
+        s AS (
+            SELECT CAST(COALESCE(SUM(SIGN(b.c - a.c)), 0) AS BIGINT) AS s_stat
+            FROM daily a JOIN daily b ON a.day < b.day
+        ),
+        ties AS (
+            SELECT CAST(SUM(t) AS BIGINT) AS n_days,
+                   CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+            FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM daily GROUP BY c)
+        )
+        SELECT n_days, s_stat,
+               CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_term
+                    AS BIGINT) AS var18,
+               CAST(CASE WHEN n_days * (n_days - 1) * (2 * n_days + 5) - tie_term > 0
+                          AND s_stat <> 0
+                    THEN round(1000.0 * (s_stat - CAST(SIGN(s_stat) AS BIGINT))
+                         / sqrt(CAST(n_days * (n_days - 1) * (2 * n_days + 5)
+                                     - tie_term AS DOUBLE) / 18.0))
+                    ELSE 0 END AS BIGINT) AS z_milli
+        FROM s CROSS JOIN ties
+    """
+
+
+# --- Theil-Sen robust slope -----------------------------------------------------------
+
+
+def sen_slope_daily(events: DataFrame) -> DataFrame:
+    """Theil-Sen median slope of the daily event-count series: one row
+    (n_pairs, sen_slope_milli) in counts-per-day milli units.
+
+    The robust trend ESTIMATE completing mann_kendall's trend TEST: the
+    median over all day-pair slopes (c_j - c_i)/(days between), immune to
+    up to ~29% outlier days where an OLS slope is not. Pair slopes
+    quantize once to milli (round over exact integers — deterministic in
+    both engines); the median is the average of the lower/upper
+    kth_smallest order statistics, so no data-sized sort: the pair
+    relation is <=|days|^2 rows and the selection device runs on
+    per-value counts.
+
+    Scale shape: bounded day-grid self-join + two kth_smallest devices +
+    one half-up average emit."""
+    from ..ranks import kth_smallest
+
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = a.join(b, F.col("a.day") < F.col("b.day")).select(
+        F.expr(
+            "CAST(round(1000.0 * (b.c - a.c)"
+            " / CAST(datediff(b.day, a.day) AS DOUBLE)) AS BIGINT)"
+        ).alias("slope_milli")
+    )
+    lo = kth_smallest(slopes, "slope_milli", "(n + 1) DIV 2").select(
+        F.col("n").alias("n_pairs"), F.col("slope_milli").alias("v_lo")
+    )
+    hi = kth_smallest(slopes, "slope_milli", "n DIV 2 + 1").select(
+        F.col("slope_milli").alias("v_hi")
+    )
+    return lo.crossJoin(F.broadcast(hi)).select(
+        "n_pairs",
+        F.expr("CAST(round((v_lo + v_hi) / 2.0) AS BIGINT)").alias(
+            "sen_slope_milli"
+        ),
+    )
+
+
+def sen_slope_daily_sql() -> str:
+    return """
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY CAST(ts AS DATE)
+        ),
+        slopes AS (
+            SELECT CAST(round(1000.0 * (b.c - a.c)
+                       / CAST(datediff('day', a.day, b.day) AS DOUBLE))
+                       AS BIGINT) AS slope_milli
+            FROM daily a JOIN daily b ON a.day < b.day
+        ),
+        ranked AS (
+            SELECT slope_milli,
+                   ROW_NUMBER() OVER (ORDER BY slope_milli) AS rn,
+                   COUNT(*) OVER () AS m
+            FROM slopes
+        )
+        SELECT CAST(MAX(m) AS BIGINT) AS n_pairs,
+               CAST(round((MAX(CASE WHEN rn = (m + 1) // 2 THEN slope_milli END)
+                           + MAX(CASE WHEN rn = m // 2 + 1 THEN slope_milli END))
+                          / 2.0) AS BIGINT) AS sen_slope_milli
+        FROM ranked
+    """
+
+
+# --- Poisson-process gap check ----------------------------------------------------------
+
+
+def poisson_gap_check(events: DataFrame) -> DataFrame:
+    """Is each user's event arrival Poisson? Per event type, the
+    inter-arrival gaps WITHIN each (user, type) stream are pooled and their
+    empirical distribution is compared to Exp(1/mean) at power-of-two gap
+    boundaries: (event_type, n_gaps, mean_gap_micros, ks_binned_milli) —
+    the max |empirical CDF - exponential CDF| over the <=64 bit-length
+    bins. Large KS = bursty / scheduled (bot-like) arrivals, small =
+    memoryless.
+
+    The binned KS is the scale-honest form: an exact KS needs a global
+    per-type sort of all gaps (single-task at 100 TB); bit-length binning
+    bounds the comparison grid at 64 rows per type while pinning the
+    statistic exactly (integer bin counts; the exponential CDF at exact
+    2^b boundaries from the exact integer mean).
+
+    Scale shape: one (user,type)-partitioned lag window on raw events
+    (keyed), a (type, bit)-keyed aggregate (<=64 x |types|), one cumulative
+    window over that bounded grid, broadcast per-type 1-row means."""
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gaps = (
+        events.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .where(F.col("prev_ts").isNotNull())
+        .select(
+            "event_type",
+            (
+                F.unix_micros(F.col("ts")) - F.unix_micros(F.col("prev_ts"))
+            ).alias("gap_us"),
+        )
+        .where(F.col("gap_us") > 0)
+    )
+    means = gaps.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        F.sum("gap_us").cast("long").alias("sum_us"),
+    )
+    bins = gaps.groupBy(
+        "event_type", F.length(F.bin(F.col("gap_us"))).cast("int").alias("b")
+    ).agg(F.count("*").cast("long").alias("m"))
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = bins.select("event_type", "b", F.sum("m").over(wcum).alias("cum"))
+    joined = cum.join(means, "event_type")
+    # boundary = 2^b - 1 (max value with that bit length); F_exp(x) = 1 - exp(-x/mean)
+    dev = joined.select(
+        "event_type",
+        "n_gaps",
+        "sum_us",
+        F.expr(
+            "abs(CAST(cum AS DOUBLE) / n_gaps"
+            " - (1.0 - exp(-(CAST(shiftleft(CAST(1 AS BIGINT), b) - 1 AS DOUBLE))"
+            "              * n_gaps / sum_us)))"
+        ).alias("dev"),
+    )
+    return (
+        dev.groupBy("event_type", "n_gaps", "sum_us")
+        .agg(F.max("dev").alias("_ks"))
+        .select(
+            "event_type",
+            "n_gaps",
+            # integer DIV on both sides (Spark's double->BIGINT cast
+            # truncates while DuckDB's rounds — the known dtype trap)
+            F.expr(
+                "CAST(CASE WHEN n_gaps > 0 THEN sum_us DIV n_gaps"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("mean_gap_micros"),
+            F.expr("CAST(round(1000.0 * _ks) AS BIGINT)").alias(
+                "ks_binned_milli"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+def poisson_gap_check_sql() -> str:
+    return """
+        WITH gaps AS (
+            SELECT event_type,
+                   epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id)) AS gap_us
+            FROM events
+        ),
+        pos AS (
+            SELECT event_type, CAST(gap_us AS BIGINT) AS gap_us
+            FROM gaps WHERE gap_us IS NOT NULL AND gap_us > 0
+        ),
+        means AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+                   CAST(SUM(gap_us) AS BIGINT) AS sum_us
+            FROM pos GROUP BY event_type
+        ),
+        bins AS (
+            SELECT event_type, CAST(length(bin(gap_us)) AS INT) AS b,
+                   CAST(COUNT(*) AS BIGINT) AS m
+            FROM pos GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT event_type, b,
+                   SUM(m) OVER (PARTITION BY event_type ORDER BY b
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM bins
+        ),
+        dev AS (
+            SELECT c.event_type, n_gaps, sum_us,
+                   abs(CAST(cum AS DOUBLE) / n_gaps
+                       - (1.0 - exp(-(CAST((CAST(1 AS BIGINT) << b) - 1 AS DOUBLE))
+                                    * n_gaps / sum_us))) AS dev
+            FROM cum c JOIN means USING (event_type)
+        )
+        SELECT event_type, n_gaps,
+               CAST(CASE WHEN n_gaps > 0 THEN sum_us // n_gaps
+                    ELSE 0 END AS BIGINT) AS mean_gap_micros,
+               CAST(round(1000.0 * MAX(dev)) AS BIGINT) AS ks_binned_milli
+        FROM dev
+        GROUP BY event_type, n_gaps, sum_us
+        ORDER BY event_type
+    """

@@ -5657,3 +5657,208 @@ def brand_transition_matrix_sql() -> str:
         FROM matrix
         ORDER BY prev_brand, next_brand
     """
+
+
+# --- Laspeyres / Paasche / Fisher price index -------------------------------------------
+
+
+def price_index_monthly(lineitem: DataFrame) -> DataFrame:
+    """Monthly price indexes vs the first shipping month: (month, n_parts,
+    laspeyres_milli, paasche_milli, fisher_milli), 1000 = base level.
+
+    The index-number triple every pricing/inflation readout reduces to:
+    Laspeyres holds the BASE month's part mix fixed (sum p_t q_0 / sum
+    p_0 q_0), Paasche holds the CURRENT mix (sum p_t q_t / sum p_0 q_t),
+    Fisher is their geometric mean (the "ideal" index). Per (part, month)
+    the unit price is the value/quantity ratio; only parts traded in both
+    the base and the current month enter (the matched-model convention).
+
+    Exactness: value sums are exact cents and quantity sums exact centi
+    units; two of the four index components ARE those integer sums
+    (p_t*q_t = value_t, p_0*q_0 = value_0); the cross terms quantize per
+    part to micro-cents before the integer sum, so no float rides the
+    shuffle.
+
+    Scale shape: one (part, month) aggregate off the fact scan, a
+    broadcast 1-row base-month scalar, one part-keyed join of each month
+    against the base slice, a bounded per-month rollup."""
+    pm = lineitem.groupBy(
+        "l_partkey",
+        F.date_trunc("month", F.col("l_shipdate")).cast("date").alias("month"),
+    ).agg(
+        F.sum(F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).alias("v"),
+        F.sum(F.expr("CAST(round(l_quantity * 100) AS BIGINT)")).alias("q"),
+    ).where(F.col("q") > 0)
+    base_m = pm.agg(F.min("month").alias("bm"))
+    base = (
+        pm.crossJoin(F.broadcast(base_m))
+        .where(F.col("month") == F.col("bm"))
+        .select("l_partkey", F.col("v").alias("v0"), F.col("q").alias("q0"))
+    )
+    joined = pm.join(base, "l_partkey").select(
+        "month",
+        "v",
+        "v0",
+        # cross terms p_t*q_0 and p_0*q_t, quantized per part to micro-cents
+        F.expr("CAST(round(1e6 * CAST(v AS DOUBLE) * q0 / q) AS BIGINT)").alias(
+            "ptq0_micro"
+        ),
+        F.expr("CAST(round(1e6 * CAST(v0 AS DOUBLE) * q / q0) AS BIGINT)").alias(
+            "p0qt_micro"
+        ),
+    )
+    agg = joined.groupBy("month").agg(
+        F.count("*").cast("long").alias("n_parts"),
+        F.sum("v").alias("sum_vt"),
+        F.sum("v0").alias("sum_v0"),
+        F.sum("ptq0_micro").alias("sum_ptq0"),
+        F.sum("p0qt_micro").alias("sum_p0qt"),
+    )
+    lasp = "CAST(sum_ptq0 AS DOUBLE) / (1e6 * sum_v0)"
+    paas = "1e6 * CAST(sum_vt AS DOUBLE) / sum_p0qt"
+    return agg.select(
+        "month",
+        "n_parts",
+        F.expr(f"CAST(round(1000.0 * {lasp}) AS BIGINT)").alias("laspeyres_milli"),
+        F.expr(f"CAST(round(1000.0 * {paas}) AS BIGINT)").alias("paasche_milli"),
+        F.expr(
+            f"CAST(round(1000.0 * sqrt(({lasp}) * ({paas}))) AS BIGINT)"
+        ).alias("fisher_milli"),
+    ).orderBy("month")
+
+
+def price_index_monthly_sql() -> str:
+    lasp = "CAST(sum_ptq0 AS DOUBLE) / (1e6 * sum_v0)"
+    paas = "1e6 * CAST(sum_vt AS DOUBLE) / sum_p0qt"
+    return f"""
+        WITH pm AS (
+            SELECT l_partkey,
+                   CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+                   CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS v,
+                   CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT))
+                        AS BIGINT) AS q
+            FROM lineitem
+            GROUP BY 1, 2
+            HAVING SUM(CAST(round(l_quantity * 100) AS BIGINT)) > 0
+        ),
+        base AS (
+            SELECT l_partkey, v AS v0, q AS q0 FROM pm
+            WHERE month = (SELECT MIN(month) FROM pm)
+        ),
+        joined AS (
+            SELECT month, v, v0,
+                   CAST(round(1e6 * CAST(v AS DOUBLE) * q0 / q) AS BIGINT)
+                       AS ptq0_micro,
+                   CAST(round(1e6 * CAST(v0 AS DOUBLE) * q / q0) AS BIGINT)
+                       AS p0qt_micro
+            FROM pm JOIN base USING (l_partkey)
+        ),
+        agg AS (
+            SELECT month, CAST(COUNT(*) AS BIGINT) AS n_parts,
+                   CAST(SUM(v) AS BIGINT) AS sum_vt,
+                   CAST(SUM(v0) AS BIGINT) AS sum_v0,
+                   CAST(SUM(ptq0_micro) AS BIGINT) AS sum_ptq0,
+                   CAST(SUM(p0qt_micro) AS BIGINT) AS sum_p0qt
+            FROM joined GROUP BY month
+        )
+        SELECT month, n_parts,
+               CAST(round(1000.0 * {lasp}) AS BIGINT) AS laspeyres_milli,
+               CAST(round(1000.0 * {paas}) AS BIGINT) AS paasche_milli,
+               CAST(round(1000.0 * sqrt(({lasp}) * ({paas}))) AS BIGINT)
+                   AS fisher_milli
+        FROM agg
+        ORDER BY month
+    """
+
+
+# --- Hill tail-index estimator ----------------------------------------------------------
+
+HILL_KS = (50, 100, 200)
+
+
+def hill_tail_index(orders: DataFrame, ks: tuple[int, ...] = HILL_KS) -> DataFrame:
+    """Hill estimator of the order-value tail index at several k:
+    (k, x_ref_cents, hill_alpha_milli), one row per k, ordered.
+
+    The Pareto/power-law tail-heaviness readout (Hill 1975): alpha_hat =
+    k / sum_{i<=k} ln(x_(i)/x_(k+1)) over the k largest order totals.
+    A stable alpha across k = genuine power-law tail (plan for extreme
+    orders); alpha rising with k = the "tail" is really lognormal-ish.
+    Complements evt_return_level (block maxima) with the
+    peaks-over-threshold view.
+
+    Exactness: order totals quantize to exact cents; each ln term is
+    computed from two exact integers and quantized to nano before the
+    integer sum (order-free); one double division at the emit.
+
+    Scale shape: per k one distributed top-(k+1)
+    (TakeOrderedAndProject — no global sort), a broadcast 1-row
+    reference scalar, and the rest on the <=k+1-row pool."""
+    cents = F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    out = None
+    for k in ks:
+        pool = (
+            orders.select(cents.alias("c"), "o_orderkey")
+            .orderBy(F.desc("c"), F.asc("o_orderkey"))
+            .limit(k + 1)
+        )
+        ref = pool.agg(F.min("c").alias("x_ref"))
+        terms = (
+            pool.crossJoin(F.broadcast(ref))
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.orderBy(F.desc("c"), F.asc("o_orderkey"))
+                ),
+            )
+            .where(F.col("rn") <= k)
+            .select(
+                "x_ref",
+                F.expr(
+                    "CAST(round(1e9 * ln(CAST(c AS DOUBLE) / x_ref)) AS BIGINT)"
+                ).alias("t_nano"),
+            )
+        )
+        row = terms.groupBy("x_ref").agg(
+            F.count("*").cast("long").alias("n_top"),
+            F.sum("t_nano").alias("_s"),
+        ).select(
+            F.lit(k).cast("long").alias("k"),
+            F.col("x_ref").alias("x_ref_cents"),
+            F.expr(
+                "CAST(CASE WHEN _s > 0 THEN"
+                " round(1000.0 * n_top / (CAST(_s AS DOUBLE) / 1e9))"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("hill_alpha_milli"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("k")
+
+
+def hill_tail_index_sql(ks: tuple[int, ...] = HILL_KS) -> str:
+    blocks = []
+    for k in ks:
+        blocks.append(f"""
+        SELECT CAST({k} AS BIGINT) AS k,
+               MAX(x_ref) AS x_ref_cents,
+               CAST(CASE WHEN SUM(t_nano) > 0 THEN
+                    round(1000.0 * COUNT(*) / (CAST(SUM(t_nano) AS DOUBLE) / 1e9))
+                    ELSE 0 END AS BIGINT) AS hill_alpha_milli
+        FROM (
+            SELECT x_ref,
+                   CAST(round(1e9 * ln(CAST(c AS DOUBLE) / x_ref)) AS BIGINT)
+                       AS t_nano
+            FROM (
+                SELECT c, o_orderkey,
+                       MIN(c) OVER () AS x_ref,
+                       ROW_NUMBER() OVER (ORDER BY c DESC, o_orderkey) AS rn
+                FROM (
+                    SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+                           o_orderkey
+                    FROM orders ORDER BY c DESC, o_orderkey LIMIT {k + 1}
+                )
+            )
+            WHERE rn <= {k}
+        )""")
+    return " UNION ALL ".join(blocks) + " ORDER BY k"

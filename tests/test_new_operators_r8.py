@@ -270,3 +270,222 @@ def test_kish_neff_skewed_sizes_deff_above_one(spark):
     )
     r = kish_neff(docs).collect()[0]
     assert r.deff_milli > 1000  # unequal weights always inflate variance
+
+
+# --- Mann-Kendall (L-401) --------------------------------------------------------------
+
+
+def test_mann_kendall_increasing_trend(spark):
+    """counts (1,2,3): S=3, no ties -> var18 = 3*2*11 = 66, z continuity-
+    corrected."""
+    from pagila_etl_airflow_assignment_spark.operators.stats import mann_kendall_daily
+
+    rows = []
+    for d, c in enumerate([1, 2, 3], start=1):
+        rows += [(1, "view", f"2024-01-0{d} 10:00:00", 0.0)] * c
+    r = mann_kendall_daily(_events(spark, rows)).collect()[0]
+    assert (r.n_days, r.s_stat, r.var18) == (3, 3, 66)
+    assert r.z_milli == round(1000.0 * 2 / math.sqrt(66 / 18.0))
+
+
+def test_mann_kendall_all_tied_is_zero(spark):
+    from pagila_etl_airflow_assignment_spark.operators.stats import mann_kendall_daily
+
+    rows = []
+    for d in range(1, 4):
+        rows += [(1, "view", f"2024-01-0{d} 10:00:00", 0.0)] * 2
+    r = mann_kendall_daily(_events(spark, rows)).collect()[0]
+    assert (r.s_stat, r.var18, r.z_milli) == (0, 0, 0)
+
+
+# --- Theil-Sen slope (L-402) -------------------------------------------------------------
+
+
+def test_sen_slope_linear_series(spark):
+    from pagila_etl_airflow_assignment_spark.operators.stats import sen_slope_daily
+
+    rows = []
+    for d, c in enumerate([1, 2, 3], start=1):
+        rows += [(1, "view", f"2024-01-0{d} 10:00:00", 0.0)] * c
+    r = sen_slope_daily(_events(spark, rows)).collect()[0]
+    assert (r.n_pairs, r.sen_slope_milli) == (3, 1000)
+
+
+def test_sen_slope_even_pairs_median(spark):
+    """counts (1,2,4,4): slopes milli sorted (0,1000,1000,1000,1500,2000),
+    lower/upper median both 1000."""
+    from pagila_etl_airflow_assignment_spark.operators.stats import sen_slope_daily
+
+    rows = []
+    for d, c in enumerate([1, 2, 4, 4], start=1):
+        rows += [(1, "view", f"2024-01-0{d} 10:00:00", 0.0)] * c
+    r = sen_slope_daily(_events(spark, rows)).collect()[0]
+    assert (r.n_pairs, r.sen_slope_milli) == (6, 1000)
+
+
+# --- Poisson gap check (L-400) -----------------------------------------------------------
+
+
+def test_poisson_gap_check_hand_computed(spark):
+    """One user, gaps exactly 1s/1s/1s: mean 1e6 us, single bit-20 bin,
+    KS = |1 - F_exp(2^20 - 1)|."""
+    from pagila_etl_airflow_assignment_spark.operators.stats import poisson_gap_check
+
+    rows = [
+        (1, "click", "2024-01-01 10:00:00", 0.0),
+        (1, "click", "2024-01-01 10:00:01", 0.0),
+        (1, "click", "2024-01-01 10:00:02", 0.0),
+        (1, "click", "2024-01-01 10:00:03", 0.0),
+    ]
+    df = spark.createDataFrame(
+        [(i + 1, *r) for i, r in enumerate(rows)],
+        "event_id long, user_id long, event_type string, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    r = poisson_gap_check(df).collect()[0]
+    assert (r.event_type, r.n_gaps, r.mean_gap_micros) == ("click", 3, 1000000)
+    want = abs(1.0 - (1.0 - math.exp(-(2**20 - 1) * 3 / 3000000.0)))
+    assert r.ks_binned_milli == round(1000.0 * want)
+
+
+# --- Burrows' delta (L-403) ---------------------------------------------------------------
+
+
+def test_burrows_delta_two_sources(spark):
+    """s1 = 'a a b', s2 = 'a b b': per-word z gap is sqrt(2) for both words
+    -> delta = 1414 milli; identical sources -> 0."""
+    from pagila_etl_airflow_assignment_spark.llm.corpus_stats import burrows_delta
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a b", "en", "s1", 5),
+            (2, "a b b", "en", "s2", 5),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    r = burrows_delta(docs).collect()
+    assert len(r) == 1
+    assert (r[0].source_a, r[0].source_b, r[0].n_terms) == ("s1", "s2", 2)
+    assert r[0].delta_milli == 1414
+
+    same = spark.createDataFrame(
+        [
+            (1, "a a b", "en", "s1", 5),
+            (2, "a a b", "en", "s2", 5),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    assert burrows_delta(same).collect()[0].delta_milli == 0
+
+
+# --- G2 keyness (L-406) ---------------------------------------------------------------
+
+
+def test_keyness_g2_distinctive_term_tops(spark):
+    """'zzz' appears 5x, only in s1 -> top keyword for s1 with the
+    hand-computed G2 (b-half contributes 0)."""
+    from pagila_etl_airflow_assignment_spark.llm.corpus_stats import keyness_g2
+
+    s1 = "zzz zzz zzz zzz zzz " + "common word here now yes " * 4
+    s2 = "common word here now yes " * 8
+    docs = spark.createDataFrame(
+        [(1, s1.strip(), "en", "s1", 5), (2, s2.strip(), "en", "s2", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = keyness_g2(docs).collect()
+    top_s1 = [r for r in got if r.source == "s1"][0]
+    assert top_s1.term == "zzz" and top_s1.f_source == 5
+    a, cw, ts, tc = 5, 5, 25, 65
+    g2 = 2.0 * (a * math.log(a * tc / (cw * ts)))
+    assert top_s1.g2_micro == round(1e6 * g2)
+
+
+# --- price index (L-404) ---------------------------------------------------------------
+
+
+def test_price_index_base_month_is_1000(spark):
+    """part 1: 10 units @ 10.00 in m1, 20 units @ 11.00 in m2 -> all three
+    indexes 1100 at m2 (single part => L = P = F); base month pins 1000."""
+    from pagila_etl_airflow_assignment_spark.operators.warehouse import (
+        price_index_monthly,
+    )
+
+    li = spark.createDataFrame(
+        [
+            (1, 1, 100.00, 10.0, "2024-01-05"),
+            (2, 1, 220.00, 20.0, "2024-02-05"),
+        ],
+        "l_orderkey long, l_partkey long, l_extendedprice double, "
+        "l_quantity double, l_shipdate string",
+    ).withColumn("l_shipdate", F.to_timestamp("l_shipdate"))
+    got = {str(r.month): r for r in price_index_monthly(li).collect()}
+    m1, m2 = got["2024-01-01"], got["2024-02-01"]
+    assert (m1.laspeyres_milli, m1.paasche_milli, m1.fisher_milli) == (
+        1000,
+        1000,
+        1000,
+    )
+    assert (m2.laspeyres_milli, m2.paasche_milli, m2.fisher_milli) == (
+        1100,
+        1100,
+        1100,
+    )
+
+
+def test_price_index_matched_model_drops_new_parts(spark):
+    """a part absent from the base month never enters any index."""
+    from pagila_etl_airflow_assignment_spark.operators.warehouse import (
+        price_index_monthly,
+    )
+
+    li = spark.createDataFrame(
+        [
+            (1, 1, 100.00, 10.0, "2024-01-05"),
+            (2, 1, 100.00, 10.0, "2024-02-05"),
+            (3, 2, 999.00, 1.0, "2024-02-20"),  # new part, no base row
+        ],
+        "l_orderkey long, l_partkey long, l_extendedprice double, "
+        "l_quantity double, l_shipdate string",
+    ).withColumn("l_shipdate", F.to_timestamp("l_shipdate"))
+    got = {str(r.month): r for r in price_index_monthly(li).collect()}
+    assert got["2024-02-01"].n_parts == 1
+    assert got["2024-02-01"].laspeyres_milli == 1000
+
+
+# --- Hill tail index (L-405) -------------------------------------------------------------
+
+
+def test_hill_tail_index_mirror_model(spark):
+    """Replicate the exact quantized computation in Python on a
+    deterministic Pareto-ish series."""
+    from pagila_etl_airflow_assignment_spark.operators.warehouse import (
+        hill_tail_index,
+    )
+
+    vals = [round(100000.0 / ((i + 1) ** 0.5), 2) for i in range(250)]
+    orders = spark.createDataFrame(
+        [(i + 1, v) for i, v in enumerate(vals)],
+        "o_orderkey long, o_totalprice double",
+    )
+    got = {r.k: r for r in hill_tail_index(orders).collect()}
+    cents = sorted(
+        (round(v * 100) for v in vals), reverse=True
+    )
+    for k in (50, 100, 200):
+        pool = cents[: k + 1]
+        x_ref = pool[-1]
+        s_nano = sum(round(1e9 * math.log(c / x_ref)) for c in pool[:k])
+        want = round(1000.0 * k / (s_nano / 1e9))
+        assert got[k].x_ref_cents == x_ref
+        assert got[k].hill_alpha_milli == want
+
+
+def test_hill_tail_index_degenerate_equal_values(spark):
+    from pagila_etl_airflow_assignment_spark.operators.warehouse import (
+        hill_tail_index,
+    )
+
+    orders = spark.createDataFrame(
+        [(i + 1, 10.0) for i in range(300)], "o_orderkey long, o_totalprice double"
+    )
+    for r in hill_tail_index(orders).collect():
+        assert r.hill_alpha_milli == 0

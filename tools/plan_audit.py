@@ -253,6 +253,18 @@ ALLOWED: dict[str, set[str]] = {
     "events_theil_index": {"BroadcastNestedLoopJoin"},
     # broadcast 1-row char-total scalar (same PPS device as ht_estimate)
     "sampling_kish_neff": {"BroadcastNestedLoopJoin"},
+    # bounded day-grid self-join (non-equi a.day < b.day) + 1-row tie scalar
+    "events_mann_kendall": {"BroadcastNestedLoopJoin"},
+    # bounded day-grid self-join + kth_smallest 1-row scalars
+    "events_sen_slope": {"BroadcastNestedLoopJoin"},
+    # broadcast 1-row base-month scalar (matched-model index)
+    "warehouse_price_index": {"BroadcastNestedLoopJoin"},
+    # broadcast 1-row top-pool reference scalar per k
+    "warehouse_hill_tail_index": {"BroadcastNestedLoopJoin"},
+    # broadcast <=30-row top-k word dim (dense source x word grid)
+    "text_burrows_delta": {"BroadcastNestedLoopJoin"},
+    # broadcast 1-row corpus-token total scalar
+    "vocab_keyness_g2": {"BroadcastNestedLoopJoin"},
 }
 
 PATTERNS = ("CartesianProduct", "BatchEvalPython", "BroadcastNestedLoopJoin")

@@ -368,6 +368,13 @@ PROBES = [
     "events_evt_return_level",
     "sampling_kish_neff",
     "warehouse_brand_transition",
+    "events_poisson_gap_check",
+    "events_mann_kendall",
+    "events_sen_slope",
+    "text_burrows_delta",
+    "warehouse_price_index",
+    "warehouse_hill_tail_index",
+    "vocab_keyness_g2",
 ]
 
 
