@@ -2519,3 +2519,38 @@ def q_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hill tail-index of order totals at k=50/100/200 — power-law
     heaviness from distributed top-k pools, no global sort."""
     return warehouse.hill_tail_index(load_table(spark, sf_dir, "orders"))
+
+
+@register("events_granger_lite", oracle=stats.granger_lite_daily_sql())
+def q_granger_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bidirectional Granger-style lagged predictability F-test on daily
+    click/error counts — Frisch-Waugh from exact centered moments."""
+    return stats.granger_lite_daily(load_table(spark, sf_dir, "events"))
+
+
+@register("events_brown_forsythe", oracle=stats.brown_forsythe_test_sql())
+def q_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe (median-based Levene) equal-spread test across event
+    types — the robust homoskedasticity gate before pooled t-tests."""
+    return stats.brown_forsythe_test(load_table(spark, sf_dir, "events"))
+
+
+@register("events_mantel_haenszel", oracle=stats.mantel_haenszel_or_sql())
+def q_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mantel-Haenszel stratified odds ratio vs the naive pooled OR —
+    the effect-size estimator behind simpson_check's sign audit."""
+    return stats.mantel_haenszel_or(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "warehouse_theil_decomposition",
+    oracle=warehouse.theil_decomposition_nation_sql(),
+)
+def q_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality of customer revenue split into between- and
+    within-nation components (total = between + within)."""
+    return warehouse.theil_decomposition_nation(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+    )

@@ -2937,3 +2937,439 @@ def poisson_gap_check_sql() -> str:
         GROUP BY event_type, n_gaps, sum_us
         ORDER BY event_type
     """
+
+
+# --- Granger-lite lagged predictability test --------------------------------------------
+
+
+def granger_lite_daily(events: DataFrame) -> DataFrame:
+    """Bivariate Granger-style predictability F-test on the daily grid,
+    both directions: (direction, n_obs, f_milli) — does yesterday's CLICK
+    count predict today's ERROR count beyond yesterday's errors (and vice
+    versa)?
+
+    Model A: y_t ~ 1 + y_{t-1}; model B adds x_{t-1};
+    F = (RSS_A - RSS_B) / (RSS_B / (m - 3)). Assembled by Frisch-Waugh
+    from CENTERED cross-moment sums c_ab = m*sum(ab) - sum(a)*sum(b) —
+    all exact BIGINTs off one bounded lagged-day relation — so both
+    engines run the identical double chain (the 1/m scale factors cancel
+    inside F). Degenerate fits (zero lag variance / zero extra signal /
+    zero residual) emit 0.
+
+    Scale shape: day-grid aggregate, ONE lag window over the bounded
+    grid, two 1-row moment aggregates (one per direction) unioned."""
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum((F.col("event_type") == "click").cast("long")).alias("x"),
+        F.sum((F.col("event_type") == "error").cast("long")).alias("y"),
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "x",
+        "y",
+        F.lag("x").over(w).alias("xl"),
+        F.lag("y").over(w).alias("yl"),
+    ).where(F.col("xl").isNotNull())
+
+    def one_direction(ycol: str, y1col: str, x1col: str, label: str):
+        yv, l1, l2 = F.col(ycol), F.col(y1col), F.col(x1col)
+        m = lagged.agg(
+            F.count("*").cast("long").alias("m"),
+            F.sum(yv).alias("sy"),
+            F.sum(l1).alias("s1"),
+            F.sum(l2).alias("s2"),
+            F.sum(yv * yv).alias("syy"),
+            F.sum(l1 * l1).alias("s11"),
+            F.sum(l2 * l2).alias("s22"),
+            F.sum(l1 * yv).alias("s1y"),
+            F.sum(l2 * yv).alias("s2y"),
+            F.sum(l1 * l2).alias("s12"),
+        )
+        centered = m.select(
+            "m",
+            (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")).alias("cyy"),
+            (F.col("m") * F.col("s11") - F.col("s1") * F.col("s1")).alias("c11"),
+            (F.col("m") * F.col("s22") - F.col("s2") * F.col("s2")).alias("c22"),
+            (F.col("m") * F.col("s1y") - F.col("s1") * F.col("sy")).alias("c1y"),
+            (F.col("m") * F.col("s2y") - F.col("s2") * F.col("sy")).alias("c2y"),
+            (F.col("m") * F.col("s12") - F.col("s1") * F.col("s2")).alias("c12"),
+        )
+        # Frisch-Waugh: residualize the extra lag on the own lag, then the
+        # extra sum of squares is num2^2/den2
+        fw = centered.select(
+            "m",
+            F.expr(
+                "CASE WHEN c11 > 0 THEN CAST(cyy AS DOUBLE)"
+                " - CAST(c1y AS DOUBLE) * c1y / c11 ELSE 0.0 END"
+            ).alias("rss_a"),
+            F.expr(
+                "CASE WHEN c11 > 0 THEN CAST(c2y AS DOUBLE)"
+                " - CAST(c12 AS DOUBLE) * c1y / c11 ELSE 0.0 END"
+            ).alias("num2"),
+            F.expr(
+                "CASE WHEN c11 > 0 THEN CAST(c22 AS DOUBLE)"
+                " - CAST(c12 AS DOUBLE) * c12 / c11 ELSE 0.0 END"
+            ).alias("den2"),
+        ).select(
+            "m",
+            "rss_a",
+            F.expr(
+                "CASE WHEN den2 > 1e-9 THEN rss_a - num2 * num2 / den2"
+                " ELSE rss_a END"
+            ).alias("rss_b"),
+            F.expr(
+                "CASE WHEN den2 > 1e-9 THEN num2 * num2 / den2 ELSE 0.0 END"
+            ).alias("extra_ss"),
+        )
+        return fw.select(
+            F.lit(label).alias("direction"),
+            F.col("m").alias("n_obs"),
+            F.expr(
+                "CAST(round(1000.0 * CASE WHEN m > 3 AND rss_b > 1e-9"
+                " THEN extra_ss / (rss_b / (m - 3)) ELSE 0.0 END) AS BIGINT)"
+            ).alias("f_milli"),
+        )
+
+    fwd = one_direction("y", "yl", "xl", "clicks->errors")
+    rev = one_direction("x", "xl", "yl", "errors->clicks")
+    return fwd.unionByName(rev).orderBy("direction")
+
+
+def _granger_direction_sql(ycol: str, y1col: str, x1col: str, label: str) -> str:
+    return f"""
+        SELECT '{label}' AS direction, m AS n_obs,
+               CAST(round(1000.0 * CASE WHEN m > 3 AND rss_b > 1e-9
+                    THEN extra_ss / (rss_b / (m - 3)) ELSE 0.0 END)
+                    AS BIGINT) AS f_milli
+        FROM (
+            SELECT m, rss_a,
+                   CASE WHEN den2 > 1e-9 THEN rss_a - num2 * num2 / den2
+                        ELSE rss_a END AS rss_b,
+                   CASE WHEN den2 > 1e-9 THEN num2 * num2 / den2
+                        ELSE 0.0 END AS extra_ss
+            FROM (
+                SELECT m,
+                       CASE WHEN c11 > 0 THEN CAST(cyy AS DOUBLE)
+                            - CAST(c1y AS DOUBLE) * c1y / c11 ELSE 0.0 END AS rss_a,
+                       CASE WHEN c11 > 0 THEN CAST(c2y AS DOUBLE)
+                            - CAST(c12 AS DOUBLE) * c1y / c11 ELSE 0.0 END AS num2,
+                       CASE WHEN c11 > 0 THEN CAST(c22 AS DOUBLE)
+                            - CAST(c12 AS DOUBLE) * c12 / c11 ELSE 0.0 END AS den2
+                FROM (
+                    SELECT m,
+                           m * syy - sy * sy AS cyy,
+                           m * s11 - s1 * s1 AS c11,
+                           m * s22 - s2 * s2 AS c22,
+                           m * s1y - s1 * sy AS c1y,
+                           m * s2y - s2 * sy AS c2y,
+                           m * s12 - s1 * s2 AS c12
+                    FROM (
+                        SELECT CAST(COUNT(*) AS BIGINT) AS m,
+                               CAST(SUM({ycol}) AS BIGINT) AS sy,
+                               CAST(SUM({y1col}) AS BIGINT) AS s1,
+                               CAST(SUM({x1col}) AS BIGINT) AS s2,
+                               CAST(SUM({ycol} * {ycol}) AS BIGINT) AS syy,
+                               CAST(SUM({y1col} * {y1col}) AS BIGINT) AS s11,
+                               CAST(SUM({x1col} * {x1col}) AS BIGINT) AS s22,
+                               CAST(SUM({y1col} * {ycol}) AS BIGINT) AS s1y,
+                               CAST(SUM({x1col} * {ycol}) AS BIGINT) AS s2y,
+                               CAST(SUM({y1col} * {x1col}) AS BIGINT) AS s12
+                        FROM lagged
+                    )
+                )
+            )
+        )"""
+
+
+def granger_lite_daily_sql() -> str:
+    fwd = _granger_direction_sql("y", "yl", "xl", "clicks->errors")
+    rev = _granger_direction_sql("x", "xl", "yl", "errors->clicks")
+    return f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS x,
+                   CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS y
+            FROM events GROUP BY CAST(ts AS DATE)
+        ),
+        lagged AS (
+            SELECT x, y,
+                   LAG(x) OVER (ORDER BY day) AS xl,
+                   LAG(y) OVER (ORDER BY day) AS yl
+            FROM daily
+            QUALIFY xl IS NOT NULL
+        )
+        {fwd}
+        UNION ALL
+        {rev}
+        ORDER BY direction
+    """
+
+
+# --- Brown-Forsythe (median-based Levene) variance-equality test --------------------------
+
+
+def brown_forsythe_test(events: DataFrame) -> DataFrame:
+    """Brown-Forsythe test for equal value SPREAD across event types: one
+    row (k_groups, n_total, f_milli) — the one-way ANOVA F applied to
+    absolute deviations from each group's MEDIAN.
+
+    Welch (events_welch_ab_test) and the dow ANOVA compare MEANS; this is
+    the robust scale-equality companion (Levene with the median center —
+    the variant that survives skew), the gate before pooling variances or
+    trusting a t-test's homoskedasticity assumption.
+
+    Exactness: values quantize to cents; per-type medians come from the
+    2*cum >= tot threshold over the (type, cents) aggregate (the
+    weighted_median_price device — bounded by the value domain,
+    partitioned by type); |x - med| is an exact integer, so every ANOVA
+    sufficient statistic (n_g, sum z, sum z^2) is an exact BIGINT and the
+    per-group double terms quantize to micro before the <=k-row sums.
+
+    Scale shape: one (type, cents) aggregate, one type-partitioned window
+    over it, a broadcast <=|types| median dim, one keyed aggregate."""
+    cents = F.expr("CAST(round(value * 100) AS BIGINT)")
+    vals = events.select("event_type", cents.alias("c"))
+    per_vc = vals.groupBy("event_type", "c").agg(F.count("*").alias("m"))
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("event_type")
+    med = (
+        per_vc.select(
+            "event_type",
+            "c",
+            F.sum("m").over(wcum).alias("cum"),
+            F.sum("m").over(wtot).alias("tot"),
+        )
+        .where(2 * F.col("cum") >= F.col("tot"))
+        .groupBy("event_type")
+        .agg(F.min("c").alias("med"))
+    )
+    z = vals.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("c") - F.col("med")).alias("z")
+    )
+    g = z.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_g"),
+        F.sum("z").cast("long").alias("sz"),
+        F.sum(F.col("z") * F.col("z")).cast("long").alias("szz"),
+    )
+    per_g = g.select(
+        "n_g",
+        "sz",
+        # per-group double terms quantized to micro (order-free k-row sums)
+        F.expr(
+            "CAST(round(1e6 * CAST(sz AS DOUBLE) * sz / n_g) AS BIGINT)"
+        ).alias("bss_micro"),
+        F.expr(
+            "CAST(round(1e6 * (szz - CAST(sz AS DOUBLE) * sz / n_g)) AS BIGINT)"
+        ).alias("wss_micro"),
+    )
+    agg = per_g.agg(
+        F.count("*").cast("long").alias("k_groups"),
+        F.sum("n_g").cast("long").alias("n_total"),
+        F.sum("sz").cast("long").alias("sz_all"),
+        F.sum("bss_micro").alias("bss_m"),
+        F.sum("wss_micro").alias("wss_m"),
+    )
+    return agg.select(
+        "k_groups",
+        "n_total",
+        F.expr(
+            "CAST(round(1000.0 * CASE WHEN k_groups > 1 AND n_total > k_groups"
+            " AND wss_m > 0 THEN"
+            " ((CAST(bss_m AS DOUBLE) / 1e6"
+            "   - CAST(sz_all AS DOUBLE) * sz_all / n_total) / (k_groups - 1))"
+            " / ((CAST(wss_m AS DOUBLE) / 1e6) / (n_total - k_groups))"
+            " ELSE 0.0 END) AS BIGINT)"
+        ).alias("f_milli"),
+    )
+
+
+def brown_forsythe_test_sql() -> str:
+    return """
+        WITH vals AS (
+            SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+            FROM events
+        ),
+        per_vc AS (
+            SELECT event_type, c, CAST(COUNT(*) AS BIGINT) AS m
+            FROM vals GROUP BY event_type, c
+        ),
+        med AS (
+            SELECT event_type, MIN(c) AS med FROM (
+                SELECT event_type, c,
+                       SUM(m) OVER (PARTITION BY event_type ORDER BY c
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS cum,
+                       SUM(m) OVER (PARTITION BY event_type) AS tot
+                FROM per_vc
+            ) WHERE 2 * cum >= tot
+            GROUP BY event_type
+        ),
+        z AS (
+            SELECT vals.event_type, abs(c - med) AS z
+            FROM vals JOIN med USING (event_type)
+        ),
+        g AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_g,
+                   CAST(SUM(z) AS BIGINT) AS sz,
+                   CAST(SUM(z * z) AS BIGINT) AS szz
+            FROM z GROUP BY event_type
+        ),
+        per_g AS (
+            SELECT n_g, sz,
+                   CAST(round(1e6 * CAST(sz AS DOUBLE) * sz / n_g) AS BIGINT)
+                       AS bss_micro,
+                   CAST(round(1e6 * (szz - CAST(sz AS DOUBLE) * sz / n_g))
+                        AS BIGINT) AS wss_micro
+            FROM g
+        ),
+        agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS k_groups,
+                   CAST(SUM(n_g) AS BIGINT) AS n_total,
+                   CAST(SUM(sz) AS BIGINT) AS sz_all,
+                   CAST(SUM(bss_micro) AS BIGINT) AS bss_m,
+                   CAST(SUM(wss_micro) AS BIGINT) AS wss_m
+            FROM per_g
+        )
+        SELECT k_groups, n_total,
+               CAST(round(1000.0 * CASE WHEN k_groups > 1 AND n_total > k_groups
+                    AND wss_m > 0 THEN
+                    ((CAST(bss_m AS DOUBLE) / 1e6
+                      - CAST(sz_all AS DOUBLE) * sz_all / n_total) / (k_groups - 1))
+                    / ((CAST(wss_m AS DOUBLE) / 1e6) / (n_total - k_groups))
+                    ELSE 0.0 END) AS BIGINT) AS f_milli
+        FROM agg
+    """
+
+
+# --- Mantel-Haenszel pooled odds ratio ------------------------------------------------
+
+
+def mantel_haenszel_or(events: DataFrame) -> DataFrame:
+    """Mantel-Haenszel stratified odds ratio for the variant->purchase
+    effect, controlling for user activity: one row (n_strata,
+    or_pooled_milli, or_mh_milli).
+
+    simpson_check flags WHEN pooling flips the comparison's sign; this is
+    the standard ESTIMATOR that fixes it — OR_MH = sum(a_i d_i / n_i) /
+    sum(b_i c_i / n_i) over the activity strata (same parity-variant and
+    tercile-strata rules), vs the naive pooled-table OR. A large gap
+    between the two IS the confounding, now in effect-size units.
+
+    Exactness: all 2x2 cells are exact BIGINTs; each stratum's two ratio
+    terms quantize to micro before the <=|strata|-row sums; one division
+    at the emit.
+
+    Scale shape: one user-grain aggregate, a <=|strata| cell rollup —
+    nothing data-sized past the first shuffle."""
+    per_user = events.groupBy("user_id").agg(
+        F.count("*").alias("n_ev"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "conv"
+        ),
+    )
+    assigned = per_user.select(
+        F.least(F.lit(SIMPSON_STRATA - 1), F.expr("n_ev DIV 67")).alias("stratum"),
+        (F.col("user_id") % 2 == 1).alias("treat"),
+        "conv",
+    )
+    cells = assigned.groupBy("stratum").agg(
+        F.sum(F.when(F.col("treat"), F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("a"),
+        F.sum(F.when(F.col("treat"), 1 - F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("b"),
+        F.sum(F.when(~F.col("treat"), F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("c"),
+        F.sum(F.when(~F.col("treat"), 1 - F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("d"),
+    )
+    terms = cells.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.expr(
+            "CAST(round(1e6 * CAST(a AS DOUBLE) * d / (a + b + c + d)) AS BIGINT)"
+        ).alias("ad_micro"),
+        F.expr(
+            "CAST(round(1e6 * CAST(b AS DOUBLE) * c / (a + b + c + d)) AS BIGINT)"
+        ).alias("bc_micro"),
+    )
+    agg = terms.agg(
+        F.count("*").cast("long").alias("n_strata"),
+        F.sum("a").cast("long").alias("ta"),
+        F.sum("b").cast("long").alias("tb"),
+        F.sum("c").cast("long").alias("tc"),
+        F.sum("d").cast("long").alias("td"),
+        F.sum("ad_micro").alias("ad_m"),
+        F.sum("bc_micro").alias("bc_m"),
+    )
+    return agg.select(
+        "n_strata",
+        F.expr(
+            "CAST(CASE WHEN tb * tc > 0 THEN"
+            " round(1000.0 * CAST(ta AS DOUBLE) * td / (CAST(tb AS DOUBLE) * tc))"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("or_pooled_milli"),
+        F.expr(
+            "CAST(CASE WHEN bc_m > 0 THEN"
+            " round(1000.0 * CAST(ad_m AS DOUBLE) / bc_m)"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("or_mh_milli"),
+    )
+
+
+def mantel_haenszel_or_sql() -> str:
+    return f"""
+        WITH per_user AS (
+            SELECT user_id, COUNT(*) AS n_ev,
+                   MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS conv
+            FROM events GROUP BY user_id
+        ),
+        assigned AS (
+            SELECT LEAST({SIMPSON_STRATA - 1}, n_ev // 67) AS stratum,
+                   (user_id % 2 = 1) AS treat, conv
+            FROM per_user
+        ),
+        cells AS (
+            SELECT stratum,
+                   CAST(SUM(CASE WHEN treat THEN conv ELSE 0 END) AS BIGINT) AS a,
+                   CAST(SUM(CASE WHEN treat THEN 1 - conv ELSE 0 END) AS BIGINT) AS b,
+                   CAST(SUM(CASE WHEN NOT treat THEN conv ELSE 0 END) AS BIGINT) AS c,
+                   CAST(SUM(CASE WHEN NOT treat THEN 1 - conv ELSE 0 END) AS BIGINT) AS d
+            FROM assigned GROUP BY stratum
+        ),
+        terms AS (
+            SELECT a, b, c, d,
+                   CAST(round(1e6 * CAST(a AS DOUBLE) * d / (a + b + c + d))
+                        AS BIGINT) AS ad_micro,
+                   CAST(round(1e6 * CAST(b AS DOUBLE) * c / (a + b + c + d))
+                        AS BIGINT) AS bc_micro
+            FROM cells
+        ),
+        agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+                   CAST(SUM(a) AS BIGINT) AS ta, CAST(SUM(b) AS BIGINT) AS tb,
+                   CAST(SUM(c) AS BIGINT) AS tc, CAST(SUM(d) AS BIGINT) AS td,
+                   CAST(SUM(ad_micro) AS BIGINT) AS ad_m,
+                   CAST(SUM(bc_micro) AS BIGINT) AS bc_m
+            FROM terms
+        )
+        SELECT n_strata,
+               CAST(CASE WHEN tb * tc > 0 THEN
+                    round(1000.0 * CAST(ta AS DOUBLE) * td / (CAST(tb AS DOUBLE) * tc))
+                    ELSE 0 END AS BIGINT) AS or_pooled_milli,
+               CAST(CASE WHEN bc_m > 0 THEN
+                    round(1000.0 * CAST(ad_m AS DOUBLE) / bc_m)
+                    ELSE 0 END AS BIGINT) AS or_mh_milli
+        FROM agg
+    """

@@ -5862,3 +5862,148 @@ def hill_tail_index_sql(ks: tuple[int, ...] = HILL_KS) -> str:
             WHERE rn <= {k}
         )""")
     return " UNION ALL ".join(blocks) + " ORDER BY k"
+
+
+# --- Theil inequality decomposition by nation ---------------------------------------------
+
+
+def theil_decomposition_nation(
+    orders: DataFrame, customer: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Theil T decomposition of customer-revenue inequality into BETWEEN-
+    nation and WITHIN-nation components: three rows (component,
+    theil_milli) for 'total', 'between', 'within' — total = between +
+    within (the additivity Gini lacks, and the reason Theil is the
+    decomposition tool).
+
+    between = sum_g (S_g/S) ln((S_g/S)/(n_g/N)) over nations; within =
+    sum_u (x_u/S) ln(x_u n_g / S_g) — each customer term uses only its
+    OWN nation's scalars, so the whole decomposition is two keyed passes.
+
+    Exactness: revenue is exact integer cents; every ln term quantizes to
+    nano before its integer sum (order-free), same discipline as
+    events_theil_index; the identity holds to quantization error
+    (<= 0.5 nano per term).
+
+    Scale shape: one customer-grain aggregate off orders, broadcast
+    customer->nation dims, a <=|nations| group rollup, broadcast 1-row
+    grand totals."""
+    cents = F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    per_c = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum(cents).alias("x"))
+        .where(F.col("x") > 0)
+        .join(
+            F.broadcast(
+                customer.select("c_custkey", "c_nationkey").join(
+                    F.broadcast(nation.select("n_nationkey", "n_name")),
+                    F.col("c_nationkey") == F.col("n_nationkey"),
+                )
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select("n_name", "x")
+    )
+    groups = per_c.groupBy("n_name").agg(
+        F.count("*").cast("long").alias("n_g"),
+        F.sum("x").cast("long").alias("s_g"),
+    )
+    tot = groups.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("s_g").cast("long").alias("s"),
+    )
+    between = (
+        groups.crossJoin(F.broadcast(tot))
+        .select(
+            F.expr(
+                "CAST(round(1e9 * (CAST(s_g AS DOUBLE) / s)"
+                " * ln((CAST(s_g AS DOUBLE) / s) / (CAST(n_g AS DOUBLE) / n)))"
+                " AS BIGINT)"
+            ).alias("t_nano")
+        )
+        .agg(F.sum("t_nano").alias("_t"))
+        .select(
+            F.lit("between").alias("component"),
+            F.expr("CAST(round(CAST(_t AS DOUBLE) / 1e6) AS BIGINT)").alias(
+                "theil_milli"
+            ),
+        )
+    )
+    per_c_terms = per_c.join(F.broadcast(groups), "n_name").crossJoin(
+        F.broadcast(tot)
+    )
+    within = (
+        per_c_terms.select(
+            F.expr(
+                "CAST(round(1e9 * (CAST(x AS DOUBLE) / s)"
+                " * ln(CAST(x AS DOUBLE) * n_g / s_g)) AS BIGINT)"
+            ).alias("t_nano")
+        )
+        .agg(F.sum("t_nano").alias("_t"))
+        .select(
+            F.lit("within").alias("component"),
+            F.expr("CAST(round(CAST(_t AS DOUBLE) / 1e6) AS BIGINT)").alias(
+                "theil_milli"
+            ),
+        )
+    )
+    total = (
+        per_c.crossJoin(F.broadcast(tot))
+        .select(
+            F.expr(
+                "CAST(round(1e9 * (CAST(x AS DOUBLE) / s)"
+                " * ln(CAST(x AS DOUBLE) * n / s)) AS BIGINT)"
+            ).alias("t_nano")
+        )
+        .agg(F.sum("t_nano").alias("_t"))
+        .select(
+            F.lit("total").alias("component"),
+            F.expr("CAST(round(CAST(_t AS DOUBLE) / 1e6) AS BIGINT)").alias(
+                "theil_milli"
+            ),
+        )
+    )
+    return total.unionByName(between).unionByName(within).orderBy("component")
+
+
+def theil_decomposition_nation_sql() -> str:
+    return """
+        WITH per_c AS (
+            SELECT n_name, x FROM (
+                SELECT o_custkey,
+                       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                            AS BIGINT) AS x
+                FROM orders GROUP BY o_custkey
+                HAVING SUM(CAST(round(o_totalprice * 100) AS BIGINT)) > 0
+            ) o
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+        ),
+        groups AS (
+            SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_g,
+                   CAST(SUM(x) AS BIGINT) AS s_g
+            FROM per_c GROUP BY n_name
+        ),
+        tot AS (
+            SELECT CAST(SUM(n_g) AS BIGINT) AS n, CAST(SUM(s_g) AS BIGINT) AS s
+            FROM groups
+        )
+        SELECT 'total' AS component,
+               CAST(round(CAST(SUM(CAST(round(1e9 * (CAST(x AS DOUBLE) / s)
+                    * ln(CAST(x AS DOUBLE) * n / s)) AS BIGINT)) AS DOUBLE) / 1e6)
+                    AS BIGINT) AS theil_milli
+        FROM per_c CROSS JOIN tot
+        UNION ALL
+        SELECT 'between' AS component,
+               CAST(round(CAST(SUM(CAST(round(1e9 * (CAST(s_g AS DOUBLE) / s)
+                    * ln((CAST(s_g AS DOUBLE) / s) / (CAST(n_g AS DOUBLE) / n)))
+                    AS BIGINT)) AS DOUBLE) / 1e6) AS BIGINT) AS theil_milli
+        FROM groups CROSS JOIN tot
+        UNION ALL
+        SELECT 'within' AS component,
+               CAST(round(CAST(SUM(CAST(round(1e9 * (CAST(x AS DOUBLE) / s)
+                    * ln(CAST(x AS DOUBLE) * n_g / s_g)) AS BIGINT)) AS DOUBLE)
+                    / 1e6) AS BIGINT) AS theil_milli
+        FROM per_c JOIN groups USING (n_name) CROSS JOIN tot
+        ORDER BY component
+    """

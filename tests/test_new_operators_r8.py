@@ -489,3 +489,190 @@ def test_hill_tail_index_degenerate_equal_values(spark):
     )
     for r in hill_tail_index(orders).collect():
         assert r.hill_alpha_milli == 0
+
+
+# --- Granger-lite (L-407) ---------------------------------------------------------------
+
+
+def _granger_mirror(xs, ys):
+    """Mirror the engine's exact centered-moment / Frisch-Waugh chain."""
+    pairs = [(ys[t], ys[t - 1], xs[t - 1]) for t in range(1, len(ys))]
+    m = len(pairs)
+    sy = sum(p[0] for p in pairs); s1 = sum(p[1] for p in pairs)
+    s2 = sum(p[2] for p in pairs)
+    syy = sum(p[0] * p[0] for p in pairs); s11 = sum(p[1] * p[1] for p in pairs)
+    s22 = sum(p[2] * p[2] for p in pairs); s1y = sum(p[1] * p[0] for p in pairs)
+    s2y = sum(p[2] * p[0] for p in pairs); s12 = sum(p[1] * p[2] for p in pairs)
+    cyy = m * syy - sy * sy; c11 = m * s11 - s1 * s1; c22 = m * s22 - s2 * s2
+    c1y = m * s1y - s1 * sy; c2y = m * s2y - s2 * sy; c12 = m * s12 - s1 * s2
+    if c11 <= 0:
+        return 0
+    rss_a = cyy - c1y * c1y / c11
+    num2 = c2y - c12 * c1y / c11
+    den2 = c22 - c12 * c12 / c11
+    rss_b = rss_a - num2 * num2 / den2 if den2 > 1e-9 else rss_a
+    extra = num2 * num2 / den2 if den2 > 1e-9 else 0.0
+    if m <= 3 or rss_b <= 1e-9:
+        return 0
+    return round(1000.0 * extra / (rss_b / (m - 3)))
+
+
+def test_granger_lite_mirror_model(spark):
+    """Clicks lead errors by one day (plus wiggle): the engine must equal
+    the Python mirror of the same exact-moment chain, and the leading
+    direction must dominate the reverse."""
+    from pagila_etl_airflow_assignment_spark.operators.stats import granger_lite_daily
+
+    xs = [3, 7, 2, 9, 4, 8, 1, 6, 5, 7, 3, 9]
+    ys = [0] + [x + (i % 2) for i, x in enumerate(xs[:-1], start=1)]
+    rows = []
+    for d, (x, y) in enumerate(zip(xs, ys), start=1):
+        day = f"2024-01-{d:02d}"
+        rows += [(1, "click", f"{day} 10:00:00", 0.0)] * x
+        rows += [(1, "error", f"{day} 11:00:00", 0.0)] * y
+    got = {r.direction: r for r in granger_lite_daily(_events(spark, rows)).collect()}
+    fwd, rev = got["clicks->errors"], got["errors->clicks"]
+    assert fwd.n_obs == len(xs) - 1
+    assert fwd.f_milli == _granger_mirror(xs, ys)
+    assert rev.f_milli == _granger_mirror(ys, xs)
+    assert fwd.f_milli > rev.f_milli  # the planted lead direction wins
+
+
+# --- Brown-Forsythe (L-408) -----------------------------------------------------------
+
+
+def test_brown_forsythe_hand_computed(spark):
+    """A = (0.01,0.02,0.03), B = (0.10,0.20,0.30) cents: med-deviations
+    z_A=(1,0,1), z_B=(10,0,10) -> F = 54 / (67.333/4) with the engine's
+    micro quantization."""
+    from pagila_etl_airflow_assignment_spark.operators.stats import (
+        brown_forsythe_test,
+    )
+
+    rows = [
+        (1, "click", "2024-01-01 10:00:00", 0.01),
+        (1, "click", "2024-01-01 10:01:00", 0.02),
+        (1, "click", "2024-01-01 10:02:00", 0.03),
+        (1, "error", "2024-01-01 10:03:00", 0.10),
+        (1, "error", "2024-01-01 10:04:00", 0.20),
+        (1, "error", "2024-01-01 10:05:00", 0.30),
+    ]
+    r = brown_forsythe_test(_events(spark, rows)).collect()[0]
+    assert (r.k_groups, r.n_total) == (2, 6)
+    bss_m = round(1e6 * 2 * 2 / 3) + round(1e6 * 20 * 20 / 3)
+    wss_m = round(1e6 * (2 - 2 * 2 / 3)) + round(1e6 * (200 - 20 * 20 / 3))
+    f = ((bss_m / 1e6 - 22 * 22 / 6) / 1) / ((wss_m / 1e6) / 4)
+    assert r.f_milli == round(1000.0 * f)
+
+
+def test_brown_forsythe_equal_spreads_near_zero(spark):
+    from pagila_etl_airflow_assignment_spark.operators.stats import (
+        brown_forsythe_test,
+    )
+
+    rows = []
+    for i, v in enumerate([0.01, 0.02, 0.03]):
+        rows.append((1, "click", f"2024-01-01 10:0{i}:00", v))
+        rows.append((1, "error", f"2024-01-01 11:0{i}:00", v + 0.50))
+    r = brown_forsythe_test(_events(spark, rows)).collect()[0]
+    assert r.f_milli == 0  # identical spreads around different medians
+
+
+# --- Mantel-Haenszel (L-409) ---------------------------------------------------------
+
+
+def test_mantel_haenszel_single_stratum_equals_pooled(spark):
+    """All users light-activity -> one stratum -> OR_MH == pooled OR.
+    treat (odd ids): 1 conv of 2; ctrl: 1 of 2 -> OR = 1.000."""
+    from pagila_etl_airflow_assignment_spark.operators.stats import mantel_haenszel_or
+
+    rows = [
+        (1, "purchase", "2024-01-01 10:00:00", 0.0),
+        (3, "view", "2024-01-01 10:00:00", 0.0),
+        (2, "purchase", "2024-01-01 10:00:00", 0.0),
+        (4, "view", "2024-01-01 10:00:00", 0.0),
+    ]
+    r = mantel_haenszel_or(_events(spark, rows)).collect()[0]
+    assert r.n_strata == 1
+    assert r.or_pooled_milli == r.or_mh_milli == 1000
+
+
+def test_mantel_haenszel_mirror_two_strata(spark):
+    """Heavy users (>=67 events) land in stratum 1; mirror the micro-
+    quantized MH chain in Python."""
+    from pagila_etl_airflow_assignment_spark.operators.stats import mantel_haenszel_or
+
+    rows = []
+    # stratum 0: 8 light users, odd=treat; conv pattern
+    light = {1: 1, 3: 1, 5: 0, 7: 0, 2: 1, 4: 0, 6: 0, 8: 0}
+    for uid, conv in light.items():
+        rows.append((uid, "purchase" if conv else "view", "2024-01-01 10:00:00", 0.0))
+    # stratum 1: 4 heavy users (70 events each)
+    heavy = {11: 1, 13: 0, 12: 0, 14: 0}
+    for uid, conv in heavy.items():
+        for i in range(69):
+            rows.append((uid, "view", "2024-01-02 10:00:00", 0.0))
+        rows.append((uid, "purchase" if conv else "view", "2024-01-02 11:00:00", 0.0))
+    r = mantel_haenszel_or(_events(spark, rows)).collect()[0]
+    assert r.n_strata == 2
+    # mirror: stratum cells (a=conv_treat, b, c=conv_ctrl, d)
+    cells = [(2, 2, 1, 3), (1, 1, 0, 2)]
+    ad = sum(round(1e6 * a * d / (a + b + c + d)) for a, b, c, d in cells)
+    bc = sum(round(1e6 * b * c / (a + b + c + d)) for a, b, c, d in cells)
+    assert r.or_mh_milli == round(1000.0 * ad / bc)
+    ta, tb, tc, td = (sum(x) for x in zip(*cells))
+    assert r.or_pooled_milli == round(1000.0 * ta * td / (tb * tc))
+
+
+# --- Theil decomposition (L-410) --------------------------------------------------------
+
+
+def test_theil_decomposition_identity_and_degenerate(spark):
+    """One customer per nation -> within = 0, between = total; the
+    additive identity holds to quantization."""
+    from pagila_etl_airflow_assignment_spark.operators.warehouse import (
+        theil_decomposition_nation,
+    )
+
+    orders = spark.createDataFrame(
+        [(1, 101, 100.00), (2, 102, 300.00)],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    )
+    customer = spark.createDataFrame(
+        [(101, 1), (102, 2)], "c_custkey long, c_nationkey long"
+    )
+    nation = spark.createDataFrame(
+        [(1, "AAA"), (2, "BBB")], "n_nationkey long, n_name string"
+    )
+    got = {r.component: r.theil_milli for r in theil_decomposition_nation(
+        orders, customer, nation
+    ).collect()}
+    assert got["within"] == 0
+    t = 0.5 * (0.5 * math.log(0.5) + 1.5 * math.log(1.5))
+    assert got["total"] == round(1000.0 * t)
+    assert got["between"] == got["total"]
+
+
+def test_theil_decomposition_additivity(spark):
+    from pagila_etl_airflow_assignment_spark.operators.warehouse import (
+        theil_decomposition_nation,
+    )
+
+    orders = spark.createDataFrame(
+        [(i, 100 + i, float(v)) for i, v in enumerate(
+            [10, 40, 25, 25, 70, 5, 90, 35], start=1
+        )],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    )
+    customer = spark.createDataFrame(
+        [(100 + i, 1 + (i % 3)) for i in range(1, 9)],
+        "c_custkey long, c_nationkey long",
+    )
+    nation = spark.createDataFrame(
+        [(1, "AAA"), (2, "BBB"), (3, "CCC")], "n_nationkey long, n_name string"
+    )
+    got = {r.component: r.theil_milli for r in theil_decomposition_nation(
+        orders, customer, nation
+    ).collect()}
+    assert abs(got["total"] - (got["between"] + got["within"])) <= 1
+    assert got["total"] > 0

@@ -265,6 +265,8 @@ ALLOWED: dict[str, set[str]] = {
     "text_burrows_delta": {"BroadcastNestedLoopJoin"},
     # broadcast 1-row corpus-token total scalar
     "vocab_keyness_g2": {"BroadcastNestedLoopJoin"},
+    # broadcast 1-row grand-total scalars (three decomposition passes)
+    "warehouse_theil_decomposition": {"BroadcastNestedLoopJoin"},
 }
 
 PATTERNS = ("CartesianProduct", "BatchEvalPython", "BroadcastNestedLoopJoin")

@@ -375,6 +375,10 @@ PROBES = [
     "warehouse_price_index",
     "warehouse_hill_tail_index",
     "vocab_keyness_g2",
+    "events_granger_lite",
+    "events_brown_forsythe",
+    "events_mantel_haenszel",
+    "warehouse_theil_decomposition",
 ]
 
 
