@@ -2554,3 +2554,54 @@ def q_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "customer"),
         load_table(spark, sf_dir, "nation"),
     )
+
+
+@register("warehouse_late_order_priority", oracle=warehouse.late_order_priority_sql())
+def q_late_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS-as-LEFT-SEMI with a both-sides join predicate
+    (late line = shipped 90+ days after order date), per-priority counts."""
+    return warehouse.late_order_priority(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+@register("events_kruskal_wallis", oracle=stats.kruskal_wallis_test_sql())
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis rank ANOVA of value across event types — doubled
+    exact pooled ranks off the cent-value aggregate, tie-corrected."""
+    return stats.kruskal_wallis_test(load_table(spark, sf_dir, "events"))
+
+
+@register("warehouse_measure_correlation", oracle=warehouse.measure_correlation_sql())
+def q_measure_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix of the four lineitem measures from ONE
+    scan — 14 exact DECIMAL moment sums, 6-pair literal unpivot."""
+    return warehouse.measure_correlation(load_table(spark, sf_dir, "lineitem"))
+
+
+@register("events_cramers_v", oracle=stats.cramers_v_dow_sql())
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramer's V effect size for event_type x day-of-week — densified
+    grid, micro-quantized chi-square terms, bounded-window margins."""
+    return stats.cramers_v_dow(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "events_permutation_entropy", oracle=stats.permutation_entropy_daily_sql()
+)
+def q_permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-3 permutation entropy of each type's daily-count sequence —
+    ordinal complexity from a 2-lead window over the bounded day grid."""
+    return stats.permutation_entropy_daily(load_table(spark, sf_dir, "events"))
+
+
+@register("warehouse_bullwhip_ratio", oracle=warehouse.bullwhip_ratio_sql())
+def q_bullwhip_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bullwhip amplification per brand: monthly ordered-quantity variance
+    over shipped-quantity variance on one shared densified month spine."""
+    return warehouse.bullwhip_ratio(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "part"),
+    )

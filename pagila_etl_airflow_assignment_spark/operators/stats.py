@@ -3373,3 +3373,617 @@ def mantel_haenszel_or_sql() -> str:
                     ELSE 0 END AS BIGINT) AS or_mh_milli
         FROM agg
     """
+
+
+# --- Kruskal-Wallis rank ANOVA -----------------------------------------------------------
+
+
+def kruskal_wallis_test(events: DataFrame) -> DataFrame:
+    """Kruskal-Wallis rank one-way ANOVA of event value across event types:
+    one row (k_groups, n_total, h_milli, hc_milli) — the nonparametric
+    companion to dow_anova/Welch (means) and brown_forsythe (spreads).
+
+    Exactness: values quantize to cents; pooled average ranks come DOUBLED
+    (r2 = 2*cum_before + t + 1, an exact BIGINT off the per-cent-value
+    aggregate) so tied groups share an exact integer rank; each group's H
+    contribution 3*R2_g^2/(n_g*N*(N+1)) quantizes to micro before the
+    <=|types|-row integer sum (order-free); the tie correction
+    C = 1 - sum(t^3-t)/(N^3-N) divides once at the end (both engines run
+    the identical double chain).
+
+    Scale shape: one (cents) aggregate + ONE cumulative window over it
+    (the kth_smallest discipline — never the raw rows), one (type, cents)
+    aggregate joined on the cent key, one <=|types|-row reduction."""
+    cents = F.expr("CAST(round(value * 100) AS BIGINT)")
+    vals = events.select("event_type", cents.alias("c"))
+    per_c = vals.groupBy("c").agg(F.count("*").cast("long").alias("t"))
+    wcum = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = per_c.select(
+        "c",
+        "t",
+        (2 * F.sum("t").over(wcum) - F.col("t") + 1).alias("r2"),
+    )
+    per_tc = vals.groupBy("event_type", "c").agg(
+        F.count("*").cast("long").alias("m")
+    )
+    groups = (
+        per_tc.join(ranked.select("c", "r2"), "c")
+        .groupBy("event_type")
+        .agg(
+            F.sum("m").cast("long").alias("n_g"),
+            F.sum(F.col("m") * F.col("r2")).cast("long").alias("r2_g"),
+        )
+    )
+    tot = ranked.agg(
+        F.sum("t").cast("long").alias("n_tot"),
+        F.sum(
+            F.col("t").cast("decimal(38,0)")
+            * F.col("t") * F.col("t") - F.col("t")
+        ).cast("decimal(38,0)").alias("tie3"),
+    )
+    terms = groups.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n_tot",
+        "tie3",
+        F.expr(
+            "CAST(round(1e6 * 3.0 * CAST(r2_g AS DOUBLE) * r2_g"
+            " / (CAST(n_g AS DOUBLE) * n_tot * (n_tot + 1))) AS BIGINT)"
+        ).alias("h_micro_g"),
+    )
+    return (
+        terms.groupBy("n_tot", "tie3")
+        .agg(
+            F.count("*").cast("long").alias("k_groups"),
+            F.sum("h_micro_g").cast("long").alias("s_micro"),
+        )
+        .select(
+            "k_groups",
+            F.col("n_tot").alias("n_total"),
+            (F.col("s_micro") - F.expr(
+                "CAST(round(1e6 * 3.0 * (n_tot + 1)) AS BIGINT)"
+            )).alias("h_micro"),
+            F.expr(
+                "CASE WHEN n_tot > 1 THEN 1.0 - CAST(tie3 AS DOUBLE)"
+                " / (CAST(n_tot AS DOUBLE) * n_tot * n_tot - n_tot)"
+                " ELSE 1.0 END"
+            ).alias("c_tie"),
+        )
+        .select(
+            "k_groups",
+            "n_total",
+            F.expr("CAST(round(h_micro / 1000.0) AS BIGINT)").alias("h_milli"),
+            F.expr(
+                "CAST(CASE WHEN c_tie > 0"
+                " THEN round(h_micro / c_tie / 1000.0) ELSE 0 END AS BIGINT)"
+            ).alias("hc_milli"),
+        )
+    )
+
+
+def kruskal_wallis_test_sql() -> str:
+    return """
+        WITH vals AS (
+            SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+            FROM events
+        ),
+        per_c AS (
+            SELECT c, CAST(COUNT(*) AS BIGINT) AS t FROM vals GROUP BY c
+        ),
+        ranked AS (
+            SELECT c, t,
+                   2 * SUM(t) OVER (ORDER BY c
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - t + 1 AS r2
+            FROM per_c
+        ),
+        per_tc AS (
+            SELECT event_type, c, CAST(COUNT(*) AS BIGINT) AS m
+            FROM vals GROUP BY event_type, c
+        ),
+        groups AS (
+            SELECT event_type, CAST(SUM(m) AS BIGINT) AS n_g,
+                   CAST(SUM(m * r2) AS BIGINT) AS r2_g
+            FROM per_tc JOIN ranked USING (c)
+            GROUP BY event_type
+        ),
+        tot AS (
+            SELECT CAST(SUM(t) AS BIGINT) AS n_tot,
+                   SUM(CAST(t AS HUGEINT) * t * t - t) AS tie3
+            FROM ranked
+        ),
+        terms AS (
+            SELECT event_type, n_tot, tie3,
+                   CAST(round(1e6 * 3.0 * CAST(r2_g AS DOUBLE) * r2_g
+                        / (CAST(n_g AS DOUBLE) * n_tot * (n_tot + 1)))
+                        AS BIGINT) AS h_micro_g
+            FROM groups CROSS JOIN tot
+        ),
+        agg AS (
+            SELECT n_tot, tie3,
+                   CAST(COUNT(*) AS BIGINT) AS k_groups,
+                   CAST(SUM(h_micro_g) AS BIGINT)
+                   - CAST(round(1e6 * 3.0 * (n_tot + 1)) AS BIGINT) AS h_micro,
+                   CASE WHEN n_tot > 1 THEN 1.0 - CAST(tie3 AS DOUBLE)
+                        / (CAST(n_tot AS DOUBLE) * n_tot * n_tot - n_tot)
+                        ELSE 1.0 END AS c_tie
+            FROM terms
+            GROUP BY n_tot, tie3
+        )
+        SELECT k_groups, n_tot AS n_total,
+               CAST(round(h_micro / 1000.0) AS BIGINT) AS h_milli,
+               CAST(CASE WHEN c_tie > 0
+                    THEN round(h_micro / c_tie / 1000.0)
+                    ELSE 0 END AS BIGINT) AS hc_milli
+        FROM agg
+    """
+
+
+# --- Cramer's V association strength -----------------------------------------------------
+
+
+def cramers_v_dow(events: DataFrame) -> DataFrame:
+    """Cramer's V association between event_type and day-of-week: one row
+    (n_total, n_types, n_dows, chi2_milli, v_milli) — chi_square_independence
+    measures WHETHER type and time-of-day associate; this is the bounded
+    [0,1] effect SIZE on the type x weekday grid (comparable across tables
+    of different dimension, unlike raw chi-square).
+
+    Day-of-week is pure date arithmetic (days since the Monday epoch mod 7,
+    the dow_anova device) so both engines bucket identically; the grid is
+    DENSIFIED (zero cells contribute their full expected count); per-cell
+    (o-e)^2/e terms quantize to micro before the <=|types|*7-row integer
+    sum; V = sqrt(chi2 / (N * min(r-1, c-1))) runs the identical double
+    chain in both engines.
+
+    Scale shape: one (type, dow) aggregate, margins as window sums over the
+    bounded cell relation, one broadcast grid cross join, one reduction."""
+    dow = F.expr("CAST(datediff(CAST(ts AS DATE), DATE'1970-01-05') % 7 AS INT)")
+    observed = events.groupBy(
+        "event_type", dow.alias("dow")
+    ).agg(F.count("*").cast("long").alias("o"))
+    grid = observed.select("event_type").distinct().crossJoin(
+        F.broadcast(observed.select("dow").distinct())
+    )
+    cells = grid.join(observed, ["event_type", "dow"], "left").select(
+        "event_type", "dow", F.coalesce("o", F.lit(0)).alias("o")
+    )
+    wt = Window.partitionBy("event_type")
+    wd = Window.partitionBy("dow")
+    terms = cells.select(
+        "event_type",
+        "dow",
+        "o",
+        F.sum("o").over(wt).alias("rt"),
+        F.sum("o").over(wd).alias("ct"),
+    ).select(
+        "event_type",
+        "dow",
+        "o",
+        F.expr(
+            "CAST(round(1e6 * (o - CAST(rt AS DOUBLE) * ct"
+            " / SUM(o) OVER ()) * (o - CAST(rt AS DOUBLE) * ct / SUM(o) OVER ())"
+            " / (CAST(rt AS DOUBLE) * ct / SUM(o) OVER ())) AS BIGINT)"
+        ).alias("term_micro"),
+    )
+    return (
+        terms.agg(
+            F.sum(F.col("o")).cast("long").alias("n_total"),
+            F.countDistinct("event_type").cast("long").alias("n_types"),
+            F.countDistinct("dow").cast("long").alias("n_dows"),
+            F.sum("term_micro").cast("long").alias("chi2_micro"),
+        )
+        .select(
+            "n_total",
+            "n_types",
+            "n_dows",
+            F.expr("CAST(round(chi2_micro / 1000.0) AS BIGINT)").alias(
+                "chi2_milli"
+            ),
+            F.expr(
+                "CAST(CASE WHEN n_total > 0 AND least(n_types, n_dows) > 1"
+                " THEN round(1000.0 * sqrt(chi2_micro / 1e6"
+                "      / (CAST(n_total AS DOUBLE)"
+                "         * (least(n_types, n_dows) - 1))))"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("v_milli"),
+        )
+    )
+
+
+def cramers_v_dow_sql() -> str:
+    return """
+        WITH observed AS (
+            SELECT event_type,
+                   CAST(datediff('day', DATE '1970-01-05', CAST(ts AS DATE)) % 7
+                        AS INT) AS dow,
+                   CAST(COUNT(*) AS BIGINT) AS o
+            FROM events GROUP BY 1, 2
+        ),
+        grid AS (
+            SELECT t.event_type, d.dow
+            FROM (SELECT DISTINCT event_type FROM observed) t
+            CROSS JOIN (SELECT DISTINCT dow FROM observed) d
+        ),
+        cells AS (
+            SELECT g.event_type, g.dow, COALESCE(o.o, 0) AS o
+            FROM grid g LEFT JOIN observed o
+              ON g.event_type = o.event_type AND g.dow = o.dow
+        ),
+        terms AS (
+            SELECT event_type, dow, o,
+                   CAST(round(1e6 * (o - CAST(rt AS DOUBLE) * ct / n)
+                        * (o - CAST(rt AS DOUBLE) * ct / n)
+                        / (CAST(rt AS DOUBLE) * ct / n)) AS BIGINT) AS term_micro
+            FROM (
+                SELECT event_type, dow, o,
+                       SUM(o) OVER (PARTITION BY event_type) AS rt,
+                       SUM(o) OVER (PARTITION BY dow) AS ct,
+                       SUM(o) OVER () AS n
+                FROM cells
+            )
+        ),
+        agg AS (
+            SELECT CAST(SUM(o) AS BIGINT) AS n_total,
+                   CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+                   CAST(COUNT(DISTINCT dow) AS BIGINT) AS n_dows,
+                   CAST(SUM(term_micro) AS BIGINT) AS chi2_micro
+            FROM terms
+        )
+        SELECT n_total, n_types, n_dows,
+               CAST(round(chi2_micro / 1000.0) AS BIGINT) AS chi2_milli,
+               CAST(CASE WHEN n_total > 0 AND least(n_types, n_dows) > 1
+                    THEN round(1000.0 * sqrt(chi2_micro / 1e6
+                         / (CAST(n_total AS DOUBLE)
+                            * (least(n_types, n_dows) - 1))))
+                    ELSE 0 END AS BIGINT) AS v_milli
+        FROM agg
+    """
+
+
+# --- Permutation entropy of the daily sequence --------------------------------------------
+
+
+def permutation_entropy_daily(events: DataFrame) -> DataFrame:
+    """Order-3 permutation entropy of each type's daily-count sequence:
+    (event_type, n_windows, pe_milli) — the complexity measure that
+    separates trending/periodic series (few ordinal patterns dominate, PE
+    near 0) from noise-like ones (all six patterns equally likely, PE near
+    1000), complementing text_predictability's symbol-level entropy with an
+    ORDINAL, magnitude-free view of the shape.
+
+    Each consecutive day-count triple maps to one of six ordinal patterns
+    via three pairwise comparisons with the standard later-index-wins tie
+    rule (>= on the forward pairs), so the pattern code is exact integer
+    arithmetic; pattern-share entropy terms -p*ln(p) quantize to micro
+    before the <=6-row integer sum, normalized by ln(6).
+
+    Scale shape: bounded (type, day) aggregate, one type-partitioned
+    2-lead window over it, a <=|types|*6 pattern aggregate + reduction."""
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").cast("long").alias("c"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    pats = (
+        daily.select(
+            "event_type",
+            "c",
+            F.lead("c", 1).over(w).alias("c1"),
+            F.lead("c", 2).over(w).alias("c2"),
+        )
+        .where(F.col("c2").isNotNull())
+        .select(
+            "event_type",
+            (
+                (F.col("c1") >= F.col("c")).cast("int") * 4
+                + (F.col("c2") >= F.col("c")).cast("int") * 2
+                + (F.col("c2") >= F.col("c1")).cast("int")
+            ).alias("code"),
+        )
+    )
+    per_pat = pats.groupBy("event_type", "code").agg(
+        F.count("*").cast("long").alias("w")
+    )
+    wn = Window.partitionBy("event_type")
+    terms = per_pat.select(
+        "event_type",
+        F.sum("w").over(wn).alias("n_windows"),
+        F.expr(
+            "CAST(round(-1e6 * (CAST(w AS DOUBLE)"
+            " / SUM(w) OVER (PARTITION BY event_type))"
+            " * ln(CAST(w AS DOUBLE)"
+            " / SUM(w) OVER (PARTITION BY event_type))) AS BIGINT)"
+        ).alias("term_micro"),
+    )
+    return (
+        terms.groupBy("event_type", "n_windows")
+        .agg(F.sum("term_micro").cast("long").alias("h_micro"))
+        .select(
+            "event_type",
+            "n_windows",
+            F.expr(
+                "CAST(round(h_micro / 1000.0 / ln(6.0)) AS BIGINT)"
+            ).alias("pe_milli"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def permutation_entropy_daily_sql() -> str:
+    return """
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        pats AS (
+            SELECT event_type,
+                   CAST(c1 >= c AS INT) * 4 + CAST(c2 >= c AS INT) * 2
+                   + CAST(c2 >= c1 AS INT) AS code
+            FROM (
+                SELECT event_type, c,
+                       LEAD(c, 1) OVER (PARTITION BY event_type ORDER BY day) AS c1,
+                       LEAD(c, 2) OVER (PARTITION BY event_type ORDER BY day) AS c2
+                FROM daily
+            )
+            WHERE c2 IS NOT NULL
+        ),
+        per_pat AS (
+            SELECT event_type, code, CAST(COUNT(*) AS BIGINT) AS w
+            FROM pats GROUP BY event_type, code
+        ),
+        terms AS (
+            SELECT event_type,
+                   SUM(w) OVER (PARTITION BY event_type) AS n_windows,
+                   CAST(round(-1e6
+                        * (CAST(w AS DOUBLE)
+                           / SUM(w) OVER (PARTITION BY event_type))
+                        * ln(CAST(w AS DOUBLE)
+                             / SUM(w) OVER (PARTITION BY event_type)))
+                        AS BIGINT) AS term_micro
+            FROM per_pat
+        )
+        SELECT event_type, CAST(n_windows AS BIGINT) AS n_windows,
+               CAST(round(SUM(term_micro) / 1000.0 / ln(6.0)) AS BIGINT)
+                   AS pe_milli
+        FROM terms
+        GROUP BY event_type, n_windows
+        ORDER BY event_type
+    """
+
+
+# --- Page-Hinkley drift detector ---------------------------------------------------------
+
+
+def page_hinkley_daily(events: DataFrame) -> DataFrame:
+    """Page-Hinkley upward-drift statistic over the daily mean value: one
+    row (n_days, ph_max_milli, alarm_day) — the sequential change detector
+    whose statistic PH_t = g_t - min_{s<=t} g_s (g the cumulative
+    deviation-from-running-mean) rises only on SUSTAINED upward shifts,
+    complementing cusum_drift (known-target CUSUM) and changepoint (single
+    retrospective split) with the classic online-detector semantics;
+    alarm_day is the earliest day attaining the maximum.
+
+    Exactness: daily means are exact centi-sum / count doubles; each
+    deviation term x_t - mean_{1..t} quantizes to micro BEFORE the
+    cumulative integer sum, so prefix minima and the final max compare
+    exact BIGINTs; both engines walk the identical ordered double chain
+    (cumulative window sums are sequential in day order, not reduction
+    trees).
+
+    Scale shape: one (day) aggregate, three cumulative windows over the
+    bounded day grid, a bounded-sort limit 1."""
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("sc"),
+        F.count("*").cast("long").alias("cnt"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    m = daily.select(
+        "day",
+        F.expr("CAST(sc AS DOUBLE) / cnt").alias("x"),
+    )
+    cum = m.select(
+        "day",
+        "x",
+        F.sum("x").over(w).alias("cx"),
+        F.row_number()
+        .over(Window.orderBy("day"))
+        .cast("long")
+        .alias("t"),
+    ).select(
+        "day",
+        F.expr("CAST(round(1e6 * (x - cx / t)) AS BIGINT)").alias(
+            "term_micro"
+        ),
+    )
+    g = cum.select(
+        "day",
+        F.sum("term_micro").over(w).alias("g"),
+    ).select(
+        "day",
+        (F.col("g") - F.min("g").over(w)).alias("ph"),
+    )
+    tot = g.agg(F.count("*").cast("long").alias("n_days"))
+    return (
+        g.orderBy(F.col("ph").desc(), F.col("day").asc())
+        .limit(1)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n_days",
+            F.expr("CAST(round(ph / 1000.0) AS BIGINT)").alias(
+                "ph_max_milli"
+            ),
+            F.col("day").alias("alarm_day"),
+        )
+    )
+
+
+def page_hinkley_daily_sql() -> str:
+    return """
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sc,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM events GROUP BY CAST(ts AS DATE)
+        ),
+        m AS (
+            SELECT day, CAST(sc AS DOUBLE) / cnt AS x FROM daily
+        ),
+        cum AS (
+            SELECT day,
+                   CAST(round(1e6 * (x - SUM(x) OVER (ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        / ROW_NUMBER() OVER (ORDER BY day))) AS BIGINT)
+                       AS term_micro
+            FROM m
+        ),
+        g AS (
+            SELECT day,
+                   SUM(term_micro) OVER (ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gv
+            FROM cum
+        ),
+        ph AS (
+            SELECT day,
+                   gv - MIN(gv) OVER (ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph
+            FROM g
+        )
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ph) AS n_days,
+               CAST(round(ph / 1000.0) AS BIGINT) AS ph_max_milli,
+               day AS alarm_day
+        FROM ph
+        ORDER BY ph DESC, day ASC
+        LIMIT 1
+    """
+
+
+# --- Friedman rank test ------------------------------------------------------------------
+
+
+def friedman_test_daily(events: DataFrame) -> DataFrame:
+    """Friedman rank test — do the event types keep the same activity
+    ordering across days? One row (n_blocks, k_treatments, q_milli):
+    blocks are days, treatments are event types, observations the
+    densified daily counts (an absent type is a real 0 that must rank
+    lowest, not a dropped cell).
+
+    The repeated-measures companion to kruskal_wallis (independent
+    groups): ranking WITHIN each day removes day-level volume shifts, so
+    only the ordering signal remains. Uses the tie-general form
+    Q = (k-1) * S_t / S_e with doubled within-block average ranks
+    (r2 = 2*(rank-1) + ties + 1, exact BIGINTs): S_t = sum_j
+    (R2_j - n(k+1))^2 / 4, S_e = (sum r2^2 - n*k*(k+1)^2) / 4 — the /4
+    cancels, leaving ONE double division.
+
+    Scale shape: bounded (type, day) aggregate densified by a broadcast
+    grid, two day-partitioned windows over it, a <=|types| rollup."""
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").cast("long").alias("c"))
+    grid = daily.select("event_type").distinct().crossJoin(
+        F.broadcast(daily.select("day").distinct())
+    )
+    cells = grid.join(daily, ["event_type", "day"], "left").select(
+        "event_type", "day", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    ranked = cells.select(
+        "event_type",
+        "day",
+        (
+            2 * (F.rank().over(Window.partitionBy("day").orderBy("c")) - 1)
+            + F.count("*").over(Window.partitionBy("day", "c"))
+            + 1
+        ).cast("long").alias("r2"),
+    )
+    per_type = ranked.groupBy("event_type").agg(
+        F.sum("r2").cast("long").alias("r2_j"),
+        F.count("*").cast("long").alias("n_blocks"),
+        F.sum(F.col("r2") * F.col("r2")).cast("long").alias("sq"),
+    )
+    agg = per_type.agg(
+        F.max("n_blocks").cast("long").alias("n_blocks"),
+        F.count("*").cast("long").alias("k_treatments"),
+        F.sum("sq").cast("long").alias("sum_sq"),
+    )
+    st = (
+        per_type.select("r2_j").crossJoin(F.broadcast(agg))
+        .groupBy("n_blocks", "k_treatments", "sum_sq")
+        .agg(
+            F.sum(
+                (F.col("r2_j") - F.col("n_blocks") * (F.col("k_treatments") + 1))
+                * (F.col("r2_j") - F.col("n_blocks") * (F.col("k_treatments") + 1))
+            )
+            .cast("long")
+            .alias("s_t2")
+        )
+    )
+    return (
+        st.select(
+            "n_blocks",
+            "k_treatments",
+            F.expr(
+                "CAST(CASE WHEN sum_sq - n_blocks * k_treatments"
+                " * (k_treatments + 1) * (k_treatments + 1) > 0"
+                " THEN round(1000.0 * (k_treatments - 1) * s_t2"
+                " / (sum_sq - n_blocks * k_treatments"
+                "    * (k_treatments + 1) * (k_treatments + 1)))"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("q_milli"),
+        )
+    )
+
+
+def friedman_test_daily_sql() -> str:
+    return """
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        grid AS (
+            SELECT t.event_type, d.day
+            FROM (SELECT DISTINCT event_type FROM daily) t
+            CROSS JOIN (SELECT DISTINCT day FROM daily) d
+        ),
+        cells AS (
+            SELECT g.event_type, g.day, COALESCE(daily.c, 0) AS c
+            FROM grid g LEFT JOIN daily
+              ON g.event_type = daily.event_type AND g.day = daily.day
+        ),
+        ranked AS (
+            SELECT event_type, day,
+                   CAST(2 * (RANK() OVER (PARTITION BY day ORDER BY c) - 1)
+                        + COUNT(*) OVER (PARTITION BY day, c) + 1
+                        AS BIGINT) AS r2
+            FROM cells
+        ),
+        per_type AS (
+            SELECT event_type,
+                   CAST(SUM(r2) AS BIGINT) AS r2_j,
+                   CAST(COUNT(*) AS BIGINT) AS n_blocks,
+                   CAST(SUM(r2 * r2) AS BIGINT) AS sq
+            FROM ranked GROUP BY event_type
+        ),
+        agg AS (
+            SELECT MAX(n_blocks) AS n_blocks,
+                   CAST(COUNT(*) AS BIGINT) AS k_treatments,
+                   CAST(SUM(sq) AS BIGINT) AS sum_sq
+            FROM per_type
+        ),
+        st AS (
+            SELECT a.n_blocks, a.k_treatments, a.sum_sq,
+                   CAST(SUM((p.r2_j - a.n_blocks * (a.k_treatments + 1))
+                        * (p.r2_j - a.n_blocks * (a.k_treatments + 1)))
+                        AS BIGINT) AS s_t2
+            FROM per_type p CROSS JOIN agg a
+            GROUP BY a.n_blocks, a.k_treatments, a.sum_sq
+        )
+        SELECT n_blocks, k_treatments,
+               CAST(CASE WHEN sum_sq - n_blocks * k_treatments
+                         * (k_treatments + 1) * (k_treatments + 1) > 0
+                    THEN round(1000.0 * (k_treatments - 1) * s_t2
+                         / (sum_sq - n_blocks * k_treatments
+                            * (k_treatments + 1) * (k_treatments + 1)))
+                    ELSE 0 END AS BIGINT) AS q_milli
+        FROM st
+    """

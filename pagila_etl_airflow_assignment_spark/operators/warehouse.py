@@ -6007,3 +6007,606 @@ def theil_decomposition_nation_sql() -> str:
         FROM per_c JOIN groups USING (n_name) CROSS JOIN tot
         ORDER BY component
     """
+
+
+def late_order_priority(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q4 shape — order-priority checking: per priority class within
+    one order quarter, how many orders had at least one LATE line (shipped
+    90+ days after the order date): (o_orderpriority, late_orders).
+
+    Q4's defining plan feature is the EXISTS decorrelated to a LEFT SEMI
+    join (each qualifying order counted once no matter how many late lines)
+    with a join-level predicate referencing BOTH sides (l_shipdate vs
+    o_orderdate + 90 days), so the filter rides the join, not a post-pass.
+    The reference's commit/receipt date pair maps to shipdate-vs-orderdate
+    lag on this schema. Completes the TPC-H sweep alongside Q12's
+    shipment-class counts (warehouse_shipmode_priority).
+
+    Scale shape: the quarter predicate prunes the orders scan BEFORE the
+    shuffle; semi join shuffles on the natural l_orderkey/o_orderkey key
+    (no dedup pass — semi joins short-circuit); final <=5-group aggregate."""
+    q = orders.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    late = q.join(
+        lineitem.select("l_orderkey", "l_shipdate"),
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") >= F.expr("o_orderdate + INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("late_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def late_order_priority_sql() -> str:
+    return """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS late_orders
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1996-04-01'
+          AND EXISTS (
+              SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate >= o.o_orderdate + INTERVAL 90 DAY
+          )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """
+
+
+def measure_correlation(lineitem: DataFrame) -> DataFrame:
+    """Pearson correlation matrix over the four lineitem measures
+    (quantity, extendedprice, discount, tax) from ONE scan: six rows
+    (pair, n, corr_micro) — the multicollinearity screen a feature
+    pipeline runs before regressions (price_elasticity fits ONE pair;
+    this profiles every pair at once, e.g. the engineered qty-price link).
+
+    Exactness: correlation is scale-invariant, so each measure quantizes
+    on a fixed integer grid (centi quantity/price, basis-point
+    discount/tax); all 14 moment sums (4 sums, 4 squares, 6 cross
+    products) accumulate as exact DECIMAL(38,0) in one partial+final
+    aggregate; centered c_xy = n*Sxy - Sx*Sy stays exact DECIMAL and both
+    engines finish with the identical double chain c_xy/sqrt(c_xx*c_yy).
+
+    Scale shape: ONE map-side-combining 1-row aggregate over the fact scan
+    (ReadSchema pruned to 4 columns), then a 6-row literal unpivot —
+    nothing shuffles but 14 numbers."""
+    d38 = "decimal(38,0)"
+    q = F.expr("CAST(round(l_quantity * 100) AS BIGINT)").cast(d38)
+    p = F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").cast(d38)
+    dc = F.expr("CAST(round(l_discount * 10000) AS BIGINT)").cast(d38)
+    tx = F.expr("CAST(round(l_tax * 10000) AS BIGINT)").cast(d38)
+    cols = {"q": q, "p": p, "d": dc, "t": tx}
+    aggs = [F.count("*").cast(d38).alias("n")]
+    names = list(cols)
+    for a in names:
+        aggs.append(F.sum(cols[a]).cast(d38).alias(f"s_{a}"))
+    for i, a in enumerate(names):
+        for b in names[i:]:
+            aggs.append(
+                F.sum(cols[a] * cols[b]).cast(d38).alias(f"s_{a}{b}")
+            )
+    m = lineitem.agg(*aggs)
+    pairs = [(a, b) for i, a in enumerate(names) for b in names[i + 1:]]
+    pair_rows = []
+    for a, b in pairs:
+        pair_rows.append(
+            f"STRUCT('{a}~{b}' AS pair,"
+            f" CAST(n * s_{a}{b} - s_{a} * s_{b} AS DOUBLE) AS cxy,"
+            f" CAST(n * s_{a}{a} - s_{a} * s_{a} AS DOUBLE) AS cxx,"
+            f" CAST(n * s_{b}{b} - s_{b} * s_{b} AS DOUBLE) AS cyy)"
+        )
+    return (
+        m.select(
+            F.col("n").cast("long").alias("n"),
+            F.explode(F.expr("ARRAY(" + ", ".join(pair_rows) + ")")).alias(
+                "pr"
+            ),
+        )
+        .select(
+            F.col("pr.pair").alias("pair"),
+            "n",
+            F.expr(
+                "CAST(CASE WHEN pr.cxx > 0 AND pr.cyy > 0"
+                " THEN round(1e6 * pr.cxy / sqrt(pr.cxx * pr.cyy))"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("corr_micro"),
+        )
+        .orderBy("pair")
+    )
+
+
+def measure_correlation_sql() -> str:
+    names = ["q", "p", "d", "t"]
+    pairs = [(a, b) for i, a in enumerate(names) for b in names[i + 1:]]
+    arms = "\n            UNION ALL\n".join(
+        f"""            SELECT '{a}~{b}' AS pair, CAST(n AS BIGINT) AS n,
+                   CAST(CASE WHEN n * s_{a}{a} - s_{a} * s_{a} > 0
+                             AND n * s_{b}{b} - s_{b} * s_{b} > 0
+                        THEN round(1e6
+                             * CAST(n * s_{a}{b} - s_{a} * s_{b} AS DOUBLE)
+                             / sqrt(CAST(n * s_{a}{a} - s_{a} * s_{a} AS DOUBLE)
+                                    * CAST(n * s_{b}{b} - s_{b} * s_{b} AS DOUBLE)))
+                        ELSE 0 END AS BIGINT) AS corr_micro
+            FROM m"""
+        for a, b in pairs
+    )
+    return f"""
+        WITH v AS (
+            SELECT CAST(CAST(round(l_quantity * 100) AS BIGINT) AS HUGEINT) AS q,
+                   CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS HUGEINT) AS p,
+                   CAST(CAST(round(l_discount * 10000) AS BIGINT) AS HUGEINT) AS d,
+                   CAST(CAST(round(l_tax * 10000) AS BIGINT) AS HUGEINT) AS t
+            FROM lineitem
+        ),
+        m AS (
+            SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                   SUM(q) AS s_q, SUM(p) AS s_p, SUM(d) AS s_d, SUM(t) AS s_t,
+                   SUM(q * q) AS s_qq, SUM(q * p) AS s_qp, SUM(q * d) AS s_qd,
+                   SUM(q * t) AS s_qt, SUM(p * p) AS s_pp, SUM(p * d) AS s_pd,
+                   SUM(p * t) AS s_pt, SUM(d * d) AS s_dd, SUM(d * t) AS s_dt,
+                   SUM(t * t) AS s_tt
+            FROM v
+        )
+        SELECT * FROM (
+{arms}
+        )
+        ORDER BY pair
+    """
+
+
+def bullwhip_ratio(
+    lineitem: DataFrame, orders: DataFrame, part: DataFrame
+) -> DataFrame:
+    """Bullwhip amplification per brand: the variance of monthly ORDERED
+    quantity over the variance of monthly SHIPPED quantity — (p_brand,
+    n_months, ratio_milli). A ratio above 1000 means order timing
+    concentrates demand into spikier months than the shipment schedule
+    smooths out — the supply-chain amplification the reorder-point and
+    (s,S) sims assume away.
+
+    Both series densify onto ONE shared month spine (the union of active
+    order/ship months x 25 brands): a month with zero orders is a real
+    zero in the variance, not a missing row. Variance compares as the
+    exact centered form n*Sqq - Sq^2 on DECIMAL(38,0) centi-quantities
+    (the shared n makes the n^2 factors cancel in the ratio), so the only
+    float step is the final division.
+
+    Scale shape: two fact-grain keyed aggregates to (brand, month), a
+    bounded spine cross join (|brands| x |months|), two <=|brands|-row
+    reductions — no window anywhere."""
+    qty = F.expr("CAST(round(l_quantity * 100) AS BIGINT)")
+    brand = F.broadcast(part.select("p_partkey", "p_brand"))
+    ordered = (
+        lineitem.join(
+            orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(brand, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            "p_brand", F.date_trunc("month", "o_orderdate").alias("mon")
+        )
+        .agg(F.sum(qty).cast("long").alias("oq"))
+    )
+    shipped = (
+        lineitem.join(brand, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            "p_brand", F.date_trunc("month", "l_shipdate").alias("mon")
+        )
+        .agg(F.sum(qty).cast("long").alias("sq"))
+    )
+    spine = (
+        ordered.select("mon")
+        .unionByName(shipped.select("mon"))
+        .distinct()
+        .crossJoin(F.broadcast(part.select("p_brand").distinct()))
+    )
+    grid = (
+        spine.join(ordered, ["p_brand", "mon"], "left")
+        .join(shipped, ["p_brand", "mon"], "left")
+        .select(
+            "p_brand",
+            "mon",
+            F.coalesce("oq", F.lit(0)).alias("oq"),
+            F.coalesce("sq", F.lit(0)).alias("sq"),
+        )
+    )
+    d38 = "decimal(38,0)"
+    g = grid.groupBy("p_brand").agg(
+        F.count("*").cast("long").alias("n_months"),
+        F.sum(F.col("oq").cast(d38)).cast(d38).alias("so"),
+        F.sum((F.col("oq").cast(d38) * F.col("oq"))).cast(d38).alias("soo"),
+        F.sum(F.col("sq").cast(d38)).cast(d38).alias("ss"),
+        F.sum((F.col("sq").cast(d38) * F.col("sq"))).cast(d38).alias("sss"),
+    )
+    return g.select(
+        "p_brand",
+        "n_months",
+        F.expr(
+            "CAST(CASE WHEN CAST(n_months * sss - ss * ss AS DOUBLE) > 0"
+            " THEN round(1000.0 * CAST(n_months * soo - so * so AS DOUBLE)"
+            "      / CAST(n_months * sss - ss * ss AS DOUBLE))"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("ratio_milli"),
+    ).orderBy("p_brand")
+
+
+def bullwhip_ratio_sql() -> str:
+    return """
+        WITH ordered AS (
+            SELECT p.p_brand, date_trunc('month', o.o_orderdate) AS mon,
+                   CAST(SUM(CAST(round(l.l_quantity * 100) AS BIGINT))
+                        AS BIGINT) AS oq
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY 1, 2
+        ),
+        shipped AS (
+            SELECT p.p_brand, date_trunc('month', l.l_shipdate) AS mon,
+                   CAST(SUM(CAST(round(l.l_quantity * 100) AS BIGINT))
+                        AS BIGINT) AS sq
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY 1, 2
+        ),
+        spine AS (
+            SELECT b.p_brand, m.mon
+            FROM (SELECT DISTINCT p_brand FROM part) b
+            CROSS JOIN (
+                SELECT mon FROM ordered
+                UNION
+                SELECT mon FROM shipped
+            ) m
+        ),
+        grid AS (
+            SELECT s.p_brand, s.mon,
+                   CAST(COALESCE(o.oq, 0) AS HUGEINT) AS oq,
+                   CAST(COALESCE(h.sq, 0) AS HUGEINT) AS sq
+            FROM spine s
+            LEFT JOIN ordered o ON s.p_brand = o.p_brand AND s.mon = o.mon
+            LEFT JOIN shipped h ON s.p_brand = h.p_brand AND s.mon = h.mon
+        ),
+        g AS (
+            SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_months,
+                   SUM(oq) AS so, SUM(oq * oq) AS soo,
+                   SUM(sq) AS ss, SUM(sq * sq) AS sss
+            FROM grid GROUP BY p_brand
+        )
+        SELECT p_brand, n_months,
+               CAST(CASE WHEN CAST(n_months * sss - ss * ss AS DOUBLE) > 0
+                    THEN round(1000.0
+                         * CAST(n_months * soo - so * so AS DOUBLE)
+                         / CAST(n_months * sss - ss * ss AS DOUBLE))
+                    ELSE 0 END AS BIGINT) AS ratio_milli
+        FROM g
+        ORDER BY p_brand
+    """
+
+
+def dickey_fuller_daily_revenue(orders: DataFrame) -> DataFrame:
+    """Dickey-Fuller unit-root check on daily revenue: one row (n_obs,
+    gamma_micro, t_milli) from the regression dy_t = a + g*y_{t-1} + e —
+    g near 0 (t above the ~-2.9 critical band) means shocks PERSIST (a
+    random-walk level, so "daily revenue" charts need differencing);
+    strongly negative t means mean reversion. The stationarity gate in
+    front of the trend/forecast family (holt, croston, interrupted_ts fit
+    levels they assume are stationary).
+
+    Exactness: daily revenue is an exact centi BIGINT; all six regression
+    moments accumulate as DECIMAL(38,0) (a 100 TB day can hold ~1e17
+    centi-cents, whose square overflows BIGINT); centered C_xx/C_xy/C_yy
+    stay DECIMAL-exact and both engines finish with one identical double
+    chain gamma = C_xy/C_xx, t = gamma / sqrt(m(C_yy - C_xy^2/C_xx)
+    / ((m-2) C_xx)).
+
+    Scale shape: one (day) aggregate, ONE lag window over the bounded day
+    grid, one 1-row moment reduction."""
+    cents = F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("day")
+    ).agg(F.sum(cents).cast("long").alias("y"))
+    w = Window.orderBy("day")
+    d38 = "decimal(38,0)"
+    lagged = (
+        daily.select("day", "y", F.lag("y").over(w).alias("x"))
+        .where(F.col("x").isNotNull())
+        .select(
+            F.col("x").cast(d38).alias("x"),
+            (F.col("y") - F.col("x")).cast(d38).alias("dy"),
+        )
+    )
+    m = lagged.agg(
+        F.count("*").cast(d38).alias("m"),
+        F.sum("x").cast(d38).alias("sx"),
+        F.sum("dy").cast(d38).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast(d38).alias("sxx"),
+        F.sum(F.col("x") * F.col("dy")).cast(d38).alias("sxy"),
+        F.sum(F.col("dy") * F.col("dy")).cast(d38).alias("syy"),
+    )
+    return m.select(
+        F.col("m").cast("long").alias("n_obs"),
+        F.expr(
+            "CAST(m * sxx - sx * sx AS DOUBLE)"
+        ).alias("cxx"),
+        F.expr(
+            "CAST(m * sxy - sx * sy AS DOUBLE)"
+        ).alias("cxy"),
+        F.expr(
+            "CAST(m * syy - sy * sy AS DOUBLE)"
+        ).alias("cyy"),
+    ).select(
+        "n_obs",
+        F.expr(
+            "CAST(CASE WHEN cxx > 0 THEN round(1e6 * cxy / cxx)"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("gamma_micro"),
+        F.expr(
+            "CAST(CASE WHEN cxx > 0 AND n_obs > 2"
+            " AND cyy - cxy * cxy / cxx > 1e-9"
+            " THEN round(1000.0 * (cxy / cxx)"
+            "      / sqrt(n_obs * (cyy - cxy * cxy / cxx)"
+            "             / ((n_obs - 2.0) * cxx)))"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("t_milli"),
+    )
+
+
+def dickey_fuller_daily_revenue_sql() -> str:
+    return """
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS y
+            FROM orders GROUP BY 1
+        ),
+        lagged AS (
+            SELECT CAST(x AS HUGEINT) AS x, CAST(y - x AS HUGEINT) AS dy
+            FROM (
+                SELECT y, LAG(y) OVER (ORDER BY day) AS x FROM daily
+            )
+            WHERE x IS NOT NULL
+        ),
+        m AS (
+            SELECT CAST(COUNT(*) AS HUGEINT) AS m,
+                   SUM(x) AS sx, SUM(dy) AS sy,
+                   SUM(x * x) AS sxx, SUM(x * dy) AS sxy, SUM(dy * dy) AS syy
+            FROM lagged
+        ),
+        c AS (
+            SELECT CAST(m AS BIGINT) AS n_obs,
+                   CAST(m * sxx - sx * sx AS DOUBLE) AS cxx,
+                   CAST(m * sxy - sx * sy AS DOUBLE) AS cxy,
+                   CAST(m * syy - sy * sy AS DOUBLE) AS cyy
+            FROM m
+        )
+        SELECT n_obs,
+               CAST(CASE WHEN cxx > 0 THEN round(1e6 * cxy / cxx)
+                    ELSE 0 END AS BIGINT) AS gamma_micro,
+               CAST(CASE WHEN cxx > 0 AND n_obs > 2
+                         AND cyy - cxy * cxy / cxx > 1e-9
+                    THEN round(1000.0 * (cxy / cxx)
+                         / sqrt(n_obs * (cyy - cxy * cxy / cxx)
+                                / ((n_obs - 2.0) * cxx)))
+                    ELSE 0 END AS BIGINT) AS t_milli
+        FROM c
+    """
+
+
+def weibull_latency_fit(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """Two-quantile Weibull fit of order->ship latency: one row (n_lines,
+    q25_days, q75_days, shape_milli, scale_milli) — the parametric summary
+    the (s,S)/reorder sims can consume as a lead-time distribution instead
+    of the empirical histogram; shape < 1000 (milli) flags a heavy early
+    mass (many instant ships), shape > 1000 an S-curve delay.
+
+    Method: exact integer order statistics q25/q75 off the bounded
+    latency-day domain (ONE cumulative window over the per-latency count
+    aggregate — the kth_smallest discipline, both quantiles selected from
+    the same pass with ceil ranks), then the closed-form two-point
+    inversion of q_p = scale * (-ln(1-p))^(1/shape):
+    shape = (ln ln 4 - ln ln(4/3)) / (ln q75 - ln q25). Exact-integer
+    quantiles mean the only float steps are four ln calls both engines
+    share.
+
+    Scale shape: fact-scan equi-join on the natural orderkey, a bounded
+    (latency) aggregate + one cumulative window, broadcast 1-row total."""
+    lat = (
+        lineitem.select("l_orderkey", "l_shipdate")
+        .join(
+            orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.expr(
+                "datediff(CAST(l_shipdate AS DATE), CAST(o_orderdate AS DATE))"
+            ).alias("lat")
+        )
+        .where(F.col("lat") >= 1)
+    )
+    per_l = lat.groupBy("lat").agg(F.count("*").cast("long").alias("m"))
+    wcum = Window.orderBy("lat").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_l.select("lat", F.sum("m").over(wcum).alias("cum"))
+    tot = lat.agg(F.count("*").cast("long").alias("n_lines"))
+    qs = cum.crossJoin(F.broadcast(tot)).agg(
+        F.max("n_lines").cast("long").alias("n_lines"),
+        F.min(
+            F.when(
+                F.expr("cum >= (n_lines + 3) DIV 4"), F.col("lat")
+            )
+        ).cast("long").alias("q25_days"),
+        F.min(
+            F.when(
+                F.expr("cum >= (3 * n_lines + 3) DIV 4"), F.col("lat")
+            )
+        ).cast("long").alias("q75_days"),
+    )
+    return qs.select(
+        "n_lines",
+        "q25_days",
+        "q75_days",
+        F.expr(
+            "CAST(CASE WHEN q75_days > q25_days AND q25_days >= 1"
+            " THEN round(1000.0 * (ln(ln(4.0)) - ln(ln(4.0 / 3.0)))"
+            "      / (ln(CAST(q75_days AS DOUBLE)) - ln(CAST(q25_days AS DOUBLE))))"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("shape_milli"),
+        F.expr(
+            "CAST(CASE WHEN q75_days > q25_days AND q25_days >= 1"
+            " THEN round(1000.0 * exp(ln(CAST(q75_days AS DOUBLE))"
+            "      - ln(ln(4.0)) * (ln(CAST(q75_days AS DOUBLE))"
+            "         - ln(CAST(q25_days AS DOUBLE)))"
+            "        / (ln(ln(4.0)) - ln(ln(4.0 / 3.0)))))"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("scale_milli"),
+    )
+
+
+def weibull_latency_fit_sql() -> str:
+    return """
+        WITH lat AS (
+            SELECT datediff('day', CAST(o.o_orderdate AS DATE),
+                            CAST(l.l_shipdate AS DATE)) AS lat
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE datediff('day', CAST(o.o_orderdate AS DATE),
+                           CAST(l.l_shipdate AS DATE)) >= 1
+        ),
+        per_l AS (
+            SELECT lat, CAST(COUNT(*) AS BIGINT) AS m FROM lat GROUP BY lat
+        ),
+        cum AS (
+            SELECT lat, SUM(m) OVER (ORDER BY lat
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM per_l
+        ),
+        tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_lines FROM lat
+        ),
+        qs AS (
+            SELECT MAX(n_lines) AS n_lines,
+                   CAST(MIN(CASE WHEN cum >= (n_lines + 3) // 4
+                            THEN lat END) AS BIGINT) AS q25_days,
+                   CAST(MIN(CASE WHEN cum >= (3 * n_lines + 3) // 4
+                            THEN lat END) AS BIGINT) AS q75_days
+            FROM cum CROSS JOIN tot
+        )
+        SELECT n_lines, q25_days, q75_days,
+               CAST(CASE WHEN q75_days > q25_days AND q25_days >= 1
+                    THEN round(1000.0 * (ln(ln(4.0)) - ln(ln(4.0 / 3.0)))
+                         / (ln(CAST(q75_days AS DOUBLE))
+                            - ln(CAST(q25_days AS DOUBLE))))
+                    ELSE 0 END AS BIGINT) AS shape_milli,
+               CAST(CASE WHEN q75_days > q25_days AND q25_days >= 1
+                    THEN round(1000.0 * exp(ln(CAST(q75_days AS DOUBLE))
+                         - ln(ln(4.0)) * (ln(CAST(q75_days AS DOUBLE))
+                            - ln(CAST(q25_days AS DOUBLE)))
+                           / (ln(ln(4.0)) - ln(ln(4.0 / 3.0)))))
+                    ELSE 0 END AS BIGINT) AS scale_milli
+        FROM qs
+    """
+
+
+def cpk_latency(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """Process-capability indexes Cp / Cpk of order->ship latency against
+    the [0, 120]-day service spec: one row (n_lines, mean_milli,
+    sigma_milli, cp_milli, cpk_milli) — the variables-control-chart
+    companion to the attribute p-chart (returns_p_chart): Cp asks whether
+    the spread FITS the spec band at all, Cpk whether it fits WHERE the
+    process is centered (Cpk << Cp = a centering problem, not a variance
+    problem).
+
+    Exactness: latency days are exact integers; n / sum / sum-of-squares
+    accumulate as DECIMAL(38,0) so the sample variance numerator
+    n*Sxx - Sx^2 is exact; both engines share one double chain for
+    sigma = sqrt(num / (n(n-1))) and the index ratios.
+
+    Scale shape: the weibull_latency_fit join + ONE 1-row moment
+    aggregate — no window, no grid."""
+    d38 = "decimal(38,0)"
+    lat = (
+        lineitem.select("l_orderkey", "l_shipdate")
+        .join(
+            orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.expr(
+                "CAST(datediff(CAST(l_shipdate AS DATE),"
+                " CAST(o_orderdate AS DATE)) AS BIGINT)"
+            ).alias("lat")
+        )
+        .where(F.col("lat") >= 0)
+    )
+    m = lat.agg(
+        F.count("*").cast(d38).alias("n"),
+        F.sum(F.col("lat").cast(d38)).cast(d38).alias("s"),
+        F.sum(F.col("lat").cast(d38) * F.col("lat")).cast(d38).alias("ss"),
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_lines"),
+        F.expr("CAST(s AS DOUBLE) / CAST(n AS DOUBLE)").alias("mu"),
+        F.expr("CAST(n * ss - s * s AS DOUBLE)").alias("num"),
+    ).select(
+        "n_lines",
+        F.expr("CAST(round(1000.0 * mu) AS BIGINT)").alias("mean_milli"),
+        F.expr(
+            "CAST(CASE WHEN n_lines > 1 AND num > 0 THEN"
+            " round(1000.0 * sqrt(num / (CAST(n_lines AS DOUBLE)"
+            " * (n_lines - 1.0)))) ELSE 0 END AS BIGINT)"
+        ).alias("sigma_milli"),
+        F.expr(
+            "CAST(CASE WHEN n_lines > 1 AND num > 0 THEN"
+            " round(1000.0 * 120.0 / (6.0 * sqrt(num"
+            " / (CAST(n_lines AS DOUBLE) * (n_lines - 1.0)))))"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("cp_milli"),
+        F.expr(
+            "CAST(CASE WHEN n_lines > 1 AND num > 0 THEN"
+            " round(1000.0 * least(120.0 - mu, mu - 0.0)"
+            " / (3.0 * sqrt(num / (CAST(n_lines AS DOUBLE)"
+            " * (n_lines - 1.0))))) ELSE 0 END AS BIGINT)"
+        ).alias("cpk_milli"),
+    )
+
+
+def cpk_latency_sql() -> str:
+    return """
+        WITH lat AS (
+            SELECT CAST(datediff('day', CAST(o.o_orderdate AS DATE),
+                                 CAST(l.l_shipdate AS DATE)) AS BIGINT) AS lat
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE datediff('day', CAST(o.o_orderdate AS DATE),
+                           CAST(l.l_shipdate AS DATE)) >= 0
+        ),
+        m AS (
+            SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                   SUM(CAST(lat AS HUGEINT)) AS s,
+                   SUM(CAST(lat AS HUGEINT) * lat) AS ss
+            FROM lat
+        ),
+        c AS (
+            SELECT CAST(n AS BIGINT) AS n_lines,
+                   CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+                   CAST(n * ss - s * s AS DOUBLE) AS num
+            FROM m
+        )
+        SELECT n_lines,
+               CAST(round(1000.0 * mu) AS BIGINT) AS mean_milli,
+               CAST(CASE WHEN n_lines > 1 AND num > 0 THEN
+                    round(1000.0 * sqrt(num / (CAST(n_lines AS DOUBLE)
+                    * (n_lines - 1.0)))) ELSE 0 END AS BIGINT) AS sigma_milli,
+               CAST(CASE WHEN n_lines > 1 AND num > 0 THEN
+                    round(1000.0 * 120.0 / (6.0 * sqrt(num
+                    / (CAST(n_lines AS DOUBLE) * (n_lines - 1.0)))))
+                    ELSE 0 END AS BIGINT) AS cp_milli,
+               CAST(CASE WHEN n_lines > 1 AND num > 0 THEN
+                    round(1000.0 * least(120.0 - mu, mu - 0.0)
+                    / (3.0 * sqrt(num / (CAST(n_lines AS DOUBLE)
+                    * (n_lines - 1.0))))) ELSE 0 END AS BIGINT) AS cpk_milli
+        FROM c
+    """

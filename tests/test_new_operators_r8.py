@@ -676,3 +676,245 @@ def test_theil_decomposition_additivity(spark):
     ).collect()}
     assert abs(got["total"] - (got["between"] + got["within"])) <= 1
     assert got["total"] > 0
+
+
+# --- Kruskal-Wallis (L-412) ------------------------------------------------------------
+
+
+def test_kruskal_wallis_textbook_two_groups(spark):
+    """A={1,2}, B={3,4}: ranks 1..4, R_A=3, R_B=7 ->
+    H = 12/(4*5)*(9/2+49/2) - 3*5 = 2.4; no ties -> hc == h."""
+    from pagila_etl_airflow_assignment_spark.operators.stats import (
+        kruskal_wallis_test,
+    )
+
+    rows = [
+        (1, "a", "2024-01-01 10:00:00", 1.0),
+        (1, "a", "2024-01-01 11:00:00", 2.0),
+        (1, "b", "2024-01-01 12:00:00", 3.0),
+        (1, "b", "2024-01-01 13:00:00", 4.0),
+    ]
+    r = kruskal_wallis_test(_events(spark, rows)).collect()[0]
+    assert (r.k_groups, r.n_total, r.h_milli, r.hc_milli) == (2, 4, 2400, 2400)
+
+
+def test_kruskal_wallis_tie_correction(spark):
+    """A={1,1}, B={2,2}: doubled avg ranks 3,3,7,7 -> H = 2.4;
+    C = 1 - 12/60 = 0.8 -> Hc = 3.0."""
+    from pagila_etl_airflow_assignment_spark.operators.stats import (
+        kruskal_wallis_test,
+    )
+
+    rows = [
+        (1, "a", "2024-01-01 10:00:00", 1.0),
+        (1, "a", "2024-01-01 11:00:00", 1.0),
+        (1, "b", "2024-01-01 12:00:00", 2.0),
+        (1, "b", "2024-01-01 13:00:00", 2.0),
+    ]
+    r = kruskal_wallis_test(_events(spark, rows)).collect()[0]
+    assert (r.h_milli, r.hc_milli) == (2400, 3000)
+
+
+# --- Cramer's V (L-414) ----------------------------------------------------------------
+
+
+def test_cramers_v_perfect_association(spark):
+    """2x2, each type entirely on its own weekday: chi2 = N = 4, V = 1."""
+    from pagila_etl_airflow_assignment_spark.operators.stats import cramers_v_dow
+
+    rows = [
+        (1, "x", "2024-01-01 10:00:00", 0.0),  # Monday
+        (2, "x", "2024-01-01 11:00:00", 0.0),
+        (3, "y", "2024-01-02 10:00:00", 0.0),  # Tuesday
+        (4, "y", "2024-01-02 11:00:00", 0.0),
+    ]
+    r = cramers_v_dow(_events(spark, rows)).collect()[0]
+    assert (r.n_total, r.n_types, r.n_dows) == (4, 2, 2)
+    assert (r.chi2_milli, r.v_milli) == (4000, 1000)
+
+
+def test_cramers_v_independence_is_zero(spark):
+    """Identical type mix on both days -> chi2 = 0, V = 0."""
+    from pagila_etl_airflow_assignment_spark.operators.stats import cramers_v_dow
+
+    rows = []
+    for day in ("2024-01-01", "2024-01-02"):
+        rows += [(1, "x", f"{day} 10:00:00", 0.0),
+                 (2, "y", f"{day} 11:00:00", 0.0)]
+    r = cramers_v_dow(_events(spark, rows)).collect()[0]
+    assert (r.chi2_milli, r.v_milli) == (0, 0)
+
+
+# --- Permutation entropy (L-415) -------------------------------------------------------
+
+
+def test_permutation_entropy_two_patterns(spark):
+    """Daily counts (1,2,3,2): codes 7 (rise-rise) and 6 (rise-fall),
+    each p=1/2 -> H = ln 2, pe = round(1000*ln2/ln6) = 387."""
+    import math
+
+    from pagila_etl_airflow_assignment_spark.operators.stats import (
+        permutation_entropy_daily,
+    )
+
+    rows = []
+    for d, c in enumerate([1, 2, 3, 2], start=1):
+        rows += [(1, "view", f"2024-01-0{d} 10:00:00", 0.0)] * c
+    r = permutation_entropy_daily(_events(spark, rows)).collect()[0]
+    assert r.n_windows == 2
+    per_term = round(-1e6 * 0.5 * math.log(0.5))
+    want = round(2 * per_term / 1000.0 / math.log(6.0))
+    assert r.pe_milli == want
+
+
+def test_permutation_entropy_monotone_is_zero(spark):
+    """Strictly rising counts -> a single ordinal pattern -> PE = 0."""
+    from pagila_etl_airflow_assignment_spark.operators.stats import (
+        permutation_entropy_daily,
+    )
+
+    rows = []
+    for d, c in enumerate([1, 2, 3, 4, 5], start=1):
+        rows += [(1, "view", f"2024-01-0{d} 10:00:00", 0.0)] * c
+    r = permutation_entropy_daily(_events(spark, rows)).collect()[0]
+    assert (r.n_windows, r.pe_milli) == (3, 0)
+
+
+# --- TPC-H Q4 shape (L-411) ------------------------------------------------------------
+
+
+def _orders(spark, rows):
+    """rows: (o_orderkey, o_orderdate, o_orderpriority)"""
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate string, o_orderpriority string"
+    )
+    return df.withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+
+
+def _lineitem_ship(spark, rows):
+    """rows: (l_orderkey, l_partkey, l_quantity, l_shipdate)"""
+    df = spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_quantity double, l_shipdate string"
+    )
+    return df.withColumn("l_shipdate", F.to_timestamp("l_shipdate"))
+
+
+def test_late_order_priority_semi_join_counts_each_order_once(spark):
+    orders = _orders(
+        spark,
+        [
+            (1, "1996-01-10", "1-URGENT"),   # two late lines -> counted once
+            (2, "1996-02-10", "1-URGENT"),   # on-time line only
+            (3, "1996-03-10", "5-LOW"),      # one late line
+            (4, "1995-06-01", "1-URGENT"),   # late line but outside quarter
+        ],
+    )
+    lines = _lineitem_ship(
+        spark,
+        [
+            (1, 1, 1.0, "1996-06-01"),
+            (1, 1, 1.0, "1996-07-01"),
+            (2, 1, 1.0, "1996-02-20"),
+            (3, 1, 1.0, "1996-08-01"),
+            (4, 1, 1.0, "1996-01-01"),
+        ],
+    )
+    from pagila_etl_airflow_assignment_spark.operators.warehouse import (
+        late_order_priority,
+    )
+
+    got = {
+        r.o_orderpriority: r.late_orders
+        for r in late_order_priority(orders, lines).collect()
+    }
+    assert got == {"1-URGENT": 1, "5-LOW": 1}
+
+
+def test_late_order_priority_boundary_exactly_90_days(spark):
+    """Ship date exactly order + 90 days is late (>=)."""
+    orders = _orders(spark, [(1, "1996-01-01", "3-MEDIUM")])
+    lines = _lineitem_ship(spark, [(1, 1, 1.0, "1996-03-31")])  # +90 days
+    from pagila_etl_airflow_assignment_spark.operators.warehouse import (
+        late_order_priority,
+    )
+
+    rows = late_order_priority(orders, lines).collect()
+    assert [(r.o_orderpriority, r.late_orders) for r in rows] == [
+        ("3-MEDIUM", 1)
+    ]
+
+
+# --- Measure correlation (L-413) -------------------------------------------------------
+
+
+def test_measure_correlation_signs(spark):
+    """qty == price (r=+1), discount anti-monotone (r=-1), tax monotone."""
+    df = spark.createDataFrame(
+        [
+            (1.0, 1.0, 0.03, 0.01),
+            (2.0, 2.0, 0.02, 0.02),
+            (3.0, 3.0, 0.01, 0.03),
+        ],
+        "l_quantity double, l_extendedprice double, l_discount double, l_tax double",
+    )
+    from pagila_etl_airflow_assignment_spark.operators.warehouse import (
+        measure_correlation,
+    )
+
+    got = {r.pair: r.corr_micro for r in measure_correlation(df).collect()}
+    assert got == {
+        "q~p": 1000000,
+        "q~d": -1000000,
+        "q~t": 1000000,
+        "p~d": -1000000,
+        "p~t": 1000000,
+        "d~t": -1000000,
+    }
+
+
+def test_measure_correlation_constant_column_guard(spark):
+    """Zero variance -> corr fixed at 0, not NaN."""
+    df = spark.createDataFrame(
+        [
+            (1.0, 10.0, 0.05, 0.01),
+            (2.0, 20.0, 0.05, 0.02),
+        ],
+        "l_quantity double, l_extendedprice double, l_discount double, l_tax double",
+    )
+    from pagila_etl_airflow_assignment_spark.operators.warehouse import (
+        measure_correlation,
+    )
+
+    got = {r.pair: r.corr_micro for r in measure_correlation(df).collect()}
+    assert got["q~d"] == 0 and got["p~d"] == 0 and got["d~t"] == 0
+    assert got["q~p"] == 1000000
+
+
+# --- Bullwhip ratio (L-416) ------------------------------------------------------------
+
+
+def test_bullwhip_ratio_hand_computed(spark):
+    """Ordered monthly centi-qty (4000,1000,0) vs shipped (3000,1000,1000):
+    numerators 26e6 vs 8e6 -> ratio 3.25 -> 3250 milli."""
+    orders = _orders(
+        spark, [(1, "1996-01-05", "1-URGENT"), (2, "1996-02-05", "1-URGENT")]
+    )
+    lines = _lineitem_ship(
+        spark,
+        [
+            (1, 1, 30.0, "1996-01-10"),
+            (1, 1, 10.0, "1996-03-10"),
+            (2, 1, 10.0, "1996-02-10"),
+        ],
+    )
+    part = spark.createDataFrame(
+        [(1, "BrandA")], "p_partkey long, p_brand string"
+    )
+    from pagila_etl_airflow_assignment_spark.operators.warehouse import (
+        bullwhip_ratio,
+    )
+
+    rows = bullwhip_ratio(lines, orders, part).collect()
+    assert [(r.p_brand, r.n_months, r.ratio_milli) for r in rows] == [
+        ("BrandA", 3, 3250)
+    ]

@@ -267,6 +267,12 @@ ALLOWED: dict[str, set[str]] = {
     "vocab_keyness_g2": {"BroadcastNestedLoopJoin"},
     # broadcast 1-row grand-total scalars (three decomposition passes)
     "warehouse_theil_decomposition": {"BroadcastNestedLoopJoin"},
+    # broadcast 1-row (n_total, tie3) scalar over the rank aggregate
+    "events_kruskal_wallis": {"BroadcastNestedLoopJoin"},
+    # broadcast ≤7-row weekday margin × ≤|types| margin (dense grid)
+    "events_cramers_v": {"BroadcastNestedLoopJoin"},
+    # broadcast ≤|brands| dim × bounded month spine (dense variance grid)
+    "warehouse_bullwhip_ratio": {"BroadcastNestedLoopJoin"},
 }
 
 PATTERNS = ("CartesianProduct", "BatchEvalPython", "BroadcastNestedLoopJoin")

@@ -379,6 +379,12 @@ PROBES = [
     "events_brown_forsythe",
     "events_mantel_haenszel",
     "warehouse_theil_decomposition",
+    "warehouse_late_order_priority",
+    "events_kruskal_wallis",
+    "warehouse_measure_correlation",
+    "events_cramers_v",
+    "events_permutation_entropy",
+    "warehouse_bullwhip_ratio",
 ]
 
 
