@@ -2605,3 +2605,48 @@ def q_bullwhip_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "orders"),
         load_table(spark, sf_dir, "part"),
     )
+
+
+@register("events_page_hinkley", oracle=stats.page_hinkley_daily_sql())
+def q_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley upward-drift statistic over the daily mean value —
+    the sequential online change detector, micro-quantized terms."""
+    return stats.page_hinkley_daily(load_table(spark, sf_dir, "events"))
+
+
+@register("events_friedman_test", oracle=stats.friedman_test_daily_sql())
+def q_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman repeated-measures rank test: do event types keep the same
+    activity ordering across days? Densified grid, doubled within-day ranks."""
+    return stats.friedman_test_daily(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "warehouse_dickey_fuller", oracle=warehouse.dickey_fuller_daily_revenue_sql()
+)
+def q_dickey_fuller(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dickey-Fuller unit-root check on daily revenue — DECIMAL(38,0)-exact
+    regression moments, one lag window over the bounded day grid."""
+    return warehouse.dickey_fuller_daily_revenue(
+        load_table(spark, sf_dir, "orders")
+    )
+
+
+@register("warehouse_weibull_latency", oracle=warehouse.weibull_latency_fit_sql())
+def q_weibull_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-quantile Weibull fit of order->ship latency — exact integer
+    q25/q75 order statistics, closed-form shape/scale inversion."""
+    return warehouse.weibull_latency_fit(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+    )
+
+
+@register("warehouse_cpk_latency", oracle=warehouse.cpk_latency_sql())
+def q_cpk_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cp/Cpk process-capability indexes of ship latency against the
+    [0,120]-day spec — DECIMAL-exact moments, one 1-row aggregate."""
+    return warehouse.cpk_latency(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+    )

@@ -3651,20 +3651,31 @@ def permutation_entropy_daily(events: DataFrame) -> DataFrame:
     1000), complementing text_predictability's symbol-level entropy with an
     ORDINAL, magnitude-free view of the shape.
 
-    Each consecutive day-count triple maps to one of six ordinal patterns
-    via three pairwise comparisons with the standard later-index-wins tie
-    rule (>= on the forward pairs), so the pattern code is exact integer
-    arithmetic; pattern-share entropy terms -p*ln(p) quantize to micro
-    before the <=6-row integer sum, normalized by ln(6).
+    The (type, day) grid is densified with a broadcast type x day cross
+    join before windowing, so a zero-event day is a real 0 observation
+    (ranked lowest by the tie rule) and every triple spans three
+    CONSECUTIVE observed-range days — gap days are never spliced into one
+    ordinal window. Each consecutive day-count triple maps to one of six
+    ordinal patterns via three pairwise comparisons with the standard
+    later-index-wins tie rule (>= on the forward pairs), so the pattern
+    code is exact integer arithmetic; pattern-share entropy terms -p*ln(p)
+    quantize to micro before the <=6-row integer sum, normalized by ln(6).
 
-    Scale shape: bounded (type, day) aggregate, one type-partitioned
-    2-lead window over it, a <=|types|*6 pattern aggregate + reduction."""
+    Scale shape: bounded (type, day) aggregate densified by a broadcast
+    grid, one type-partitioned 2-lead window over it, a <=|types|*6
+    pattern aggregate + reduction."""
     daily = events.groupBy(
         "event_type", F.to_date("ts").alias("day")
     ).agg(F.count("*").cast("long").alias("c"))
+    grid = daily.select("event_type").distinct().crossJoin(
+        F.broadcast(daily.select("day").distinct())
+    )
+    cells = grid.join(daily, ["event_type", "day"], "left").select(
+        "event_type", "day", F.coalesce("c", F.lit(0)).alias("c")
+    )
     w = Window.partitionBy("event_type").orderBy("day")
     pats = (
-        daily.select(
+        cells.select(
             "event_type",
             "c",
             F.lead("c", 1).over(w).alias("c1"),
@@ -3715,6 +3726,16 @@ def permutation_entropy_daily_sql() -> str:
                    CAST(COUNT(*) AS BIGINT) AS c
             FROM events GROUP BY 1, 2
         ),
+        grid AS (
+            SELECT t.event_type, d.day
+            FROM (SELECT DISTINCT event_type FROM daily) t
+            CROSS JOIN (SELECT DISTINCT day FROM daily) d
+        ),
+        cells AS (
+            SELECT g.event_type, g.day, COALESCE(daily.c, 0) AS c
+            FROM grid g LEFT JOIN daily
+              ON g.event_type = daily.event_type AND g.day = daily.day
+        ),
         pats AS (
             SELECT event_type,
                    CAST(c1 >= c AS INT) * 4 + CAST(c2 >= c AS INT) * 2
@@ -3723,7 +3744,7 @@ def permutation_entropy_daily_sql() -> str:
                 SELECT event_type, c,
                        LEAD(c, 1) OVER (PARTITION BY event_type ORDER BY day) AS c1,
                        LEAD(c, 2) OVER (PARTITION BY event_type ORDER BY day) AS c2
-                FROM daily
+                FROM cells
             )
             WHERE c2 IS NOT NULL
         ),

@@ -6433,8 +6433,7 @@ def weibull_latency_fit(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
     wcum = Window.orderBy("lat").rowsBetween(Window.unboundedPreceding, 0)
     cum = per_l.select("lat", F.sum("m").over(wcum).alias("cum"))
     tot = lat.agg(F.count("*").cast("long").alias("n_lines"))
-    qs = cum.crossJoin(F.broadcast(tot)).agg(
-        F.max("n_lines").cast("long").alias("n_lines"),
+    qagg = cum.crossJoin(F.broadcast(tot)).agg(
         F.min(
             F.when(
                 F.expr("cum >= (n_lines + 3) DIV 4"), F.col("lat")
@@ -6446,6 +6445,9 @@ def weibull_latency_fit(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
             )
         ).cast("long").alias("q75_days"),
     )
+    # tot drives the final row so an empty latency set reports n_lines=0
+    # (not NULL) with NULL quantiles
+    qs = tot.crossJoin(F.broadcast(qagg))
     return qs.select(
         "n_lines",
         "q25_days",
@@ -6487,13 +6489,16 @@ def weibull_latency_fit_sql() -> str:
         tot AS (
             SELECT CAST(COUNT(*) AS BIGINT) AS n_lines FROM lat
         ),
-        qs AS (
-            SELECT MAX(n_lines) AS n_lines,
-                   CAST(MIN(CASE WHEN cum >= (n_lines + 3) // 4
+        qagg AS (
+            SELECT CAST(MIN(CASE WHEN cum >= (n_lines + 3) // 4
                             THEN lat END) AS BIGINT) AS q25_days,
                    CAST(MIN(CASE WHEN cum >= (3 * n_lines + 3) // 4
                             THEN lat END) AS BIGINT) AS q75_days
             FROM cum CROSS JOIN tot
+        ),
+        qs AS (
+            SELECT t.n_lines, q.q25_days, q.q75_days
+            FROM tot t CROSS JOIN qagg q
         )
         SELECT n_lines, q25_days, q75_days,
                CAST(CASE WHEN q75_days > q25_days AND q25_days >= 1

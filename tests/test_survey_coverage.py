@@ -33,3 +33,22 @@ def test_every_query_name_is_unique_and_callable():
     assert len(qs) >= 30
     for name, fn in qs.items():
         assert callable(fn), name
+
+
+def test_query_catalog_is_fresh():
+    """QUERIES.md is generated (tools/gen_query_catalog.py); its headline
+    count and row set must match the live registry, so a round cannot close
+    with a stale catalog."""
+    qs = registry.queries()
+    text = Path(__file__).resolve().parent.parent.joinpath("QUERIES.md").read_text()
+    m = re.search(r"^(\d+) registered queries", text, re.M)
+    assert m, "QUERIES.md missing the generated count line"
+    assert int(m.group(1)) == len(qs), (
+        f"QUERIES.md says {m.group(1)} queries but registry has {len(qs)}; "
+        "re-run: python tools/gen_query_catalog.py > QUERIES.md"
+    )
+    catalog_names = set(re.findall(r"^\| `([a-z0-9_]+)` \|", text, re.M))
+    assert catalog_names == set(qs), (
+        "QUERIES.md rows diverge from the registry; re-run "
+        "tools/gen_query_catalog.py"
+    )

@@ -273,6 +273,12 @@ ALLOWED: dict[str, set[str]] = {
     "events_cramers_v": {"BroadcastNestedLoopJoin"},
     # broadcast ≤|brands| dim × bounded month spine (dense variance grid)
     "warehouse_bullwhip_ratio": {"BroadcastNestedLoopJoin"},
+    # densified bounded type x day grid (broadcast distinct-days side)
+    "events_permutation_entropy": {"BroadcastNestedLoopJoin"},
+    # L-417..421: crossJoin(broadcast(1-row total/aggregate)) scalars
+    "events_page_hinkley": {"BroadcastNestedLoopJoin"},
+    "events_friedman_test": {"BroadcastNestedLoopJoin"},
+    "warehouse_weibull_latency": {"BroadcastNestedLoopJoin"},
 }
 
 PATTERNS = ("CartesianProduct", "BatchEvalPython", "BroadcastNestedLoopJoin")
