@@ -84,19 +84,19 @@ def test_kendall_tau_values_small_grid(spark):
     assert r.tau_a_milli == 1000
 
 
-# --- round-8 driver-sample rotation invariants --------------------------------------
+# --- driver-sample rotation invariants (re-cut each round) ---------------------------
 
 
-def test_r8_rotation_head_is_never_certified_backlog():
+def test_rotation_head_is_never_certified_backlog():
     """The first 50 emitted names must all come from the never-driver-sampled
-    backlog (so CORRECTNESS_r8 certifies 50 first-time queries), and emission
-    must cover the registry exactly once."""
+    backlog (so the round's CORRECTNESS sample certifies 50 first-time
+    queries), and emission must cover the registry exactly once."""
     from pagila_etl_airflow_assignment_spark import registry
 
     names = list(registry.queries())
     assert len(names) == len(set(names))
-    backlog = set(registry._NEVER_DRIVER_SAMPLED_R8)
-    certified = set(registry._DRIVER_CERTIFIED_R7)
+    backlog = set(registry._NEVER_DRIVER_SAMPLED_R9)
+    certified = set(registry._DRIVER_CERTIFIED_R8)
     head = names[:50]
     assert all(n in backlog for n in head), [n for n in head if n not in backlog]
     # certified-green queries are re-sampled last, never displacing the backlog
