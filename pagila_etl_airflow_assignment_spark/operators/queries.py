@@ -2650,3 +2650,47 @@ def q_cpk_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem"),
         load_table(spark, sf_dir, "orders"),
     )
+
+
+@register("events_jarque_bera", oracle=stats.jarque_bera_daily_sql())
+def q_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test on daily event counts — DECIMAL-exact
+    raw power sums, one 1-row moment reduction."""
+    return stats.jarque_bera_daily(load_table(spark, sf_dir, "events"))
+
+
+@register("events_durbin_watson", oracle=stats.durbin_watson_daily_sql())
+def q_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson serial-correlation check on daily value-sum OLS
+    residuals — milli-quantized residuals, one lag window on the day grid."""
+    return stats.durbin_watson_daily(load_table(spark, sf_dir, "events"))
+
+
+@register("events_grubbs_test", oracle=stats.grubbs_test_daily_sql())
+def q_grubbs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs single-outlier test on daily mean values — exact integer
+    deviations, earliest-day tie-break, bounded limit-1 sort."""
+    return stats.grubbs_test_daily(load_table(spark, sf_dir, "events"))
+
+
+@register("events_levene_test", oracle=stats.levene_test_sql())
+def q_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levene mean-centered spread test across event types — milli-cent
+    deviations, brown_forsythe's ANOVA skeleton with the classical center."""
+    return stats.levene_test(load_table(spark, sf_dir, "events"))
+
+
+@register("events_bartlett_test", oracle=stats.bartlett_test_sql())
+def q_bartlett_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett variance-homogeneity test across event types —
+    DECIMAL-exact centi moments, micro-quantized per-group log terms."""
+    return stats.bartlett_test(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "events_cochran_armitage", oracle=stats.cochran_armitage_trend_sql()
+)
+def q_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage ordered trend test of error share across the four
+    six-hour day parts — exact BIGINT sufficient statistics."""
+    return stats.cochran_armitage_trend(load_table(spark, sf_dir, "events"))

@@ -4008,3 +4008,669 @@ def friedman_test_daily_sql() -> str:
                     ELSE 0 END AS BIGINT) AS q_milli
         FROM st
     """
+
+
+# --- Jarque-Bera normality test ---------------------------------------------------------
+
+
+def jarque_bera_daily(events: DataFrame) -> DataFrame:
+    """Jarque-Bera normality test on the daily event-count series: one row
+    (n_days, skew_milli, exkurt_milli, jb_milli).
+
+    The moment-based normality gate in front of every device here that
+    leans on a normal approximation (welch, prop_ztest, grubbs): JB =
+    n/6 * (g1^2 + g2^2/4) from sample skewness g1 = m3/m2^1.5 and excess
+    kurtosis g2 = m4/m2^2 - 3; JB >> 5.99 (chi2_2, 5%) says the daily
+    counts are NOT normal and the z-device p-values are optimistic.
+
+    Exactness: daily counts are exact BIGINTs; the four raw power sums
+    S1..S4 accumulate as DECIMAL(38,0) (a 100 TB day can hold ~1e9 events
+    whose 4th power overflows BIGINT), so the reduction is order-free;
+    both engines then run one identical double chain (central moments
+    from raw moments, then g1/g2/JB) on the single 1-row relation.
+
+    Scale shape: one (day) aggregate, one 1-row moment reduction — no
+    window, no join."""
+    d38 = "decimal(38,0)"
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast(d38).alias("c")
+    )
+    m = daily.agg(
+        F.count("*").cast(d38).alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+        F.sum(F.col("c") * F.col("c") * F.col("c")).alias("s3"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") * F.col("c")).alias("s4"),
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.expr("CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)").alias("mean"),
+        F.expr("CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)").alias("r2"),
+        F.expr("CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)").alias("r3"),
+        F.expr("CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)").alias("r4"),
+    ).select(
+        "n_days",
+        (F.col("r2") - F.col("mean") * F.col("mean")).alias("m2"),
+        (
+            F.col("r3")
+            - 3 * F.col("mean") * F.col("r2")
+            + 2 * F.col("mean") * F.col("mean") * F.col("mean")
+        ).alias("m3"),
+        (
+            F.col("r4")
+            - 4 * F.col("mean") * F.col("r3")
+            + 6 * F.col("mean") * F.col("mean") * F.col("r2")
+            - 3 * F.col("mean") * F.col("mean") * F.col("mean") * F.col("mean")
+        ).alias("m4"),
+    ).select(
+        "n_days",
+        F.expr(
+            "CAST(CASE WHEN m2 > 0"
+            " THEN round(1000.0 * m3 / pow(m2, 1.5)) ELSE 0 END AS BIGINT)"
+        ).alias("skew_milli"),
+        F.expr(
+            "CAST(CASE WHEN m2 > 0"
+            " THEN round(1000.0 * (m4 / (m2 * m2) - 3.0))"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("exkurt_milli"),
+        F.expr(
+            "CAST(CASE WHEN m2 > 0 THEN round("
+            " 1000.0 * n_days / 6.0 * (pow(m3 / pow(m2, 1.5), 2)"
+            " + pow(m4 / (m2 * m2) - 3.0, 2) / 4.0)) ELSE 0 END AS BIGINT)"
+        ).alias("jb_milli"),
+    )
+
+
+def jarque_bera_daily_sql() -> str:
+    return """
+        WITH daily AS (
+            SELECT CAST(COUNT(*) AS HUGEINT) AS c
+            FROM events GROUP BY CAST(ts AS DATE)
+        ),
+        m AS (
+            SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(c) AS s1,
+                   SUM(c * c) AS s2, SUM(c * c * c) AS s3,
+                   SUM(c * c * c * c) AS s4
+            FROM daily
+        ),
+        r AS (
+            SELECT CAST(n AS BIGINT) AS n_days,
+                   CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+                   CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+                   CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+                   CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+            FROM m
+        ),
+        c AS (
+            SELECT n_days,
+                   r2 - mean * mean AS m2,
+                   r3 - 3 * mean * r2 + 2 * mean * mean * mean AS m3,
+                   r4 - 4 * mean * r3 + 6 * mean * mean * r2
+                       - 3 * mean * mean * mean * mean AS m4
+            FROM r
+        )
+        SELECT n_days,
+               CAST(CASE WHEN m2 > 0
+                    THEN round(1000.0 * m3 / pow(m2, 1.5))
+                    ELSE 0 END AS BIGINT) AS skew_milli,
+               CAST(CASE WHEN m2 > 0
+                    THEN round(1000.0 * (m4 / (m2 * m2) - 3.0))
+                    ELSE 0 END AS BIGINT) AS exkurt_milli,
+               CAST(CASE WHEN m2 > 0 THEN round(
+                    1000.0 * n_days / 6.0 * (pow(m3 / pow(m2, 1.5), 2)
+                    + pow(m4 / (m2 * m2) - 3.0, 2) / 4.0))
+                    ELSE 0 END AS BIGINT) AS jb_milli
+        FROM c
+    """
+
+
+# --- Durbin-Watson residual autocorrelation ---------------------------------------------
+
+
+def durbin_watson_daily(events: DataFrame) -> DataFrame:
+    """Durbin-Watson statistic on the residuals of the daily value-sum OLS
+    trend: one row (n_days, slope_micro, dw_milli).
+
+    dickey_fuller asks "is the LEVEL a random walk"; this asks the
+    regression-diagnostics question "after fitting the linear trend, are
+    the residuals serially correlated" — DW ~ 2 means clean errors, DW
+    << 2 positive autocorrelation (the OLS t-stats on the trend are then
+    overconfident and granger_lite/interrupted_ts fits inherit the bias).
+
+    Exactness: daily value sums are exact centi BIGINTs and t is the day
+    row-number, so all five regression moments are exact DECIMAL(38,0)
+    and slope/intercept form one deterministic double pair; residuals
+    quantize to milli-cents BEFORE the lag/square sums, which then
+    accumulate as exact DECIMAL(38,0) (order-free).
+
+    Scale shape: one (day) aggregate, one 1-row moment reduction
+    broadcast back onto the bounded day grid, one lag window over that
+    grid, one final 1-row reduction."""
+    d38 = "decimal(38,0)"
+    cents = F.expr("CAST(round(value * 100) AS BIGINT)")
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(cents).cast("long").alias("y")
+    )
+    t = daily.select(
+        "day",
+        "y",
+        F.row_number().over(Window.orderBy("day")).cast("long").alias("t"),
+    )
+    m = t.agg(
+        F.count("*").cast(d38).alias("n"),
+        F.sum(F.col("t").cast(d38)).alias("st"),
+        F.sum((F.col("t") * F.col("t")).cast(d38)).alias("stt"),
+        F.sum(F.col("y").cast(d38)).alias("sy"),
+        F.sum(F.col("t").cast(d38) * F.col("y").cast(d38)).alias("sty"),
+    ).select(
+        F.col("n").cast("long").alias("n_days"),
+        F.expr("CAST(n * stt - st * st AS DOUBLE)").alias("ctt"),
+        F.expr("CAST(n * sty - st * sy AS DOUBLE)").alias("cty"),
+        F.expr("CAST(st AS DOUBLE) / CAST(n AS DOUBLE)").alias("tbar"),
+        F.expr("CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)").alias("ybar"),
+    )
+    resid = t.crossJoin(F.broadcast(m)).select(
+        "day",
+        "n_days",
+        F.expr(
+            "CAST(round(1000.0 * (y - (ybar + CASE WHEN ctt > 0"
+            " THEN cty / ctt ELSE 0.0 END * (t - tbar)))) AS BIGINT)"
+        ).alias("e"),
+        F.expr(
+            "CAST(CASE WHEN ctt > 0 THEN round(1e6 * cty / ctt)"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("slope_micro"),
+    )
+    w = Window.orderBy("day")
+    dd = resid.select(
+        "n_days",
+        "slope_micro",
+        F.col("e").cast(d38).alias("e"),
+        (F.col("e") - F.lag("e").over(w)).cast(d38).alias("d"),
+    )
+    return (
+        dd.groupBy("n_days", "slope_micro")
+        .agg(
+            F.sum(F.col("e") * F.col("e")).alias("see"),
+            F.sum(F.col("d") * F.col("d")).alias("sdd"),
+        )
+        .select(
+            "n_days",
+            "slope_micro",
+            F.expr(
+                "CAST(CASE WHEN see > 0 THEN round("
+                " 1000.0 * CAST(sdd AS DOUBLE) / CAST(see AS DOUBLE))"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("dw_milli"),
+        )
+    )
+
+
+def durbin_watson_daily_sql() -> str:
+    return """
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+            FROM events GROUP BY 1
+        ),
+        t AS (
+            SELECT day, y,
+                   CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t
+            FROM daily
+        ),
+        m AS (
+            SELECT CAST(n AS BIGINT) AS n_days,
+                   CAST(n * stt - st * st AS DOUBLE) AS ctt,
+                   CAST(n * sty - st * sy AS DOUBLE) AS cty,
+                   CAST(st AS DOUBLE) / CAST(n AS DOUBLE) AS tbar,
+                   CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS ybar
+            FROM (
+                SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                       SUM(CAST(t AS HUGEINT)) AS st,
+                       SUM(CAST(t AS HUGEINT) * CAST(t AS HUGEINT)) AS stt,
+                       SUM(CAST(y AS HUGEINT)) AS sy,
+                       SUM(CAST(t AS HUGEINT) * CAST(y AS HUGEINT)) AS sty
+                FROM t
+            )
+        ),
+        resid AS (
+            SELECT day, n_days,
+                   CAST(round(1000.0 * (y - (ybar + CASE WHEN ctt > 0
+                        THEN cty / ctt ELSE 0.0 END * (t - tbar))))
+                        AS BIGINT) AS e,
+                   CAST(CASE WHEN ctt > 0 THEN round(1e6 * cty / ctt)
+                        ELSE 0 END AS BIGINT) AS slope_micro
+            FROM t CROSS JOIN m
+        ),
+        dd AS (
+            SELECT n_days, slope_micro, CAST(e AS HUGEINT) AS e,
+                   CAST(e - LAG(e) OVER (ORDER BY day) AS HUGEINT) AS d
+            FROM resid
+        )
+        SELECT n_days, slope_micro,
+               CAST(CASE WHEN SUM(e * e) > 0 THEN round(
+                    1000.0 * CAST(SUM(d * d) AS DOUBLE)
+                    / CAST(SUM(e * e) AS DOUBLE))
+                    ELSE 0 END AS BIGINT) AS dw_milli
+        FROM dd
+        GROUP BY n_days, slope_micro
+    """
+
+
+# --- Grubbs single-outlier test ---------------------------------------------------------
+
+
+def grubbs_test_daily(events: DataFrame) -> DataFrame:
+    """Grubbs test for a single outlier among the daily mean values: one
+    row (n_days, g_milli, outlier_day).
+
+    mad_outliers flags EVERY point beyond a robust band; Grubbs is the
+    classical single-most-extreme-point TEST — G = max|x_i - mean| / s,
+    compared against the t-based critical value, the device for "is the
+    worst day a genuine anomaly or just the tail of a normal month".
+
+    Exactness: each daily mean quantizes once to micro (round over the
+    exact centi-sum/count double), so S1/S2 accumulate as DECIMAL(38,0)
+    and the deviation |n*m_i - S1| is an exact integer comparable without
+    division; argmax ties break to the earliest day via a bounded
+    (deviation DESC, day ASC) limit-1 sort on the day grid.
+
+    Scale shape: one (day) aggregate, one 1-row moment reduction
+    broadcast back onto the bounded day grid, one limit-1 bounded sort."""
+    d38 = "decimal(38,0)"
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.expr(
+            "CAST(round(1e6 * CAST(SUM(CAST(round(value * 100) AS BIGINT))"
+            " AS DOUBLE) / COUNT(*) / 100.0) AS BIGINT)"
+        ).alias("m")
+    )
+    mom = daily.agg(
+        F.count("*").cast(d38).alias("n"),
+        F.sum(F.col("m").cast(d38)).alias("s1"),
+        F.sum(F.col("m").cast(d38) * F.col("m").cast(d38)).alias("s2"),
+    )
+    dev = daily.crossJoin(F.broadcast(mom)).select(
+        "day",
+        F.col("n").cast("long").alias("n_days"),
+        F.expr("CAST(abs(n * m - s1) AS DECIMAL(38,0))").alias("dev"),
+        F.expr("CAST(n * s2 - s1 * s1 AS DOUBLE)").alias("css_n"),
+    )
+    return (
+        dev.orderBy(F.col("dev").desc(), F.col("day").asc())
+        .limit(1)
+        .select(
+            "n_days",
+            F.expr(
+                "CAST(CASE WHEN css_n > 0 AND n_days > 1 THEN round("
+                " 1000.0 * CAST(dev AS DOUBLE)"
+                " / (n_days * sqrt(css_n / n_days / (n_days - 1))))"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("g_milli"),
+            F.col("day").alias("outlier_day"),
+        )
+    )
+
+
+def grubbs_test_daily_sql() -> str:
+    return """
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(round(1e6 * CAST(SUM(CAST(round(value * 100)
+                        AS BIGINT)) AS DOUBLE) / COUNT(*) / 100.0)
+                        AS BIGINT) AS m
+            FROM events GROUP BY 1
+        ),
+        mom AS (
+            SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                   SUM(CAST(m AS HUGEINT)) AS s1,
+                   SUM(CAST(m AS HUGEINT) * CAST(m AS HUGEINT)) AS s2
+            FROM daily
+        ),
+        dev AS (
+            SELECT day, CAST(n AS BIGINT) AS n_days,
+                   abs(n * m - s1) AS dev,
+                   CAST(n * s2 - s1 * s1 AS DOUBLE) AS css_n
+            FROM daily CROSS JOIN mom
+        )
+        SELECT n_days,
+               CAST(CASE WHEN css_n > 0 AND n_days > 1 THEN round(
+                    1000.0 * CAST(dev AS DOUBLE)
+                    / (n_days * sqrt(css_n / n_days / (n_days - 1))))
+                    ELSE 0 END AS BIGINT) AS g_milli,
+               day AS outlier_day
+        FROM dev
+        ORDER BY dev DESC, day ASC
+        LIMIT 1
+    """
+
+
+# --- Levene mean-centered spread test ---------------------------------------------------
+
+
+def levene_test(events: DataFrame) -> DataFrame:
+    """Levene test (MEAN-centered) for equal value spread across event
+    types: one row (k_groups, n_total, w_milli).
+
+    brown_forsythe is the median-centered robust variant; this is the
+    original Levene W — more powerful under near-normality, the pair the
+    textbooks report side by side. Identical ANOVA skeleton, different
+    center.
+
+    Exactness: the per-type center is the exact centi-sum/count double;
+    each |x - mean_g| quantizes once to milli-cents, so group sums of z
+    and z^2 accumulate as DECIMAL(38,0) (order-free) and the per-group
+    double terms quantize to micro before the <=k-row sums, exactly the
+    brown_forsythe discipline.
+
+    Scale shape: one (type) mean aggregate broadcast back onto the rows,
+    one keyed aggregate, one <=k-row reduction."""
+    d38 = "decimal(38,0)"
+    cents = F.expr("CAST(round(value * 100) AS BIGINT)")
+    vals = events.select("event_type", cents.alias("c"))
+    means = vals.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("sc"),
+        F.count("*").cast("long").alias("cnt"),
+    )
+    z = vals.join(F.broadcast(means), "event_type").select(
+        "event_type",
+        F.expr(
+            "CAST(round(1000.0 * abs(c - CAST(sc AS DOUBLE) / cnt))"
+            " AS BIGINT)"
+        ).alias("z"),
+    )
+    g = z.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_g"),
+        F.sum(F.col("z").cast(d38)).alias("sz"),
+        F.sum(F.col("z").cast(d38) * F.col("z").cast(d38)).alias("szz"),
+    )
+    per_g = g.select(
+        "n_g",
+        F.col("sz").alias("szd"),
+        F.expr(
+            "CAST(round(CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE) / n_g / 1e6)"
+            " AS BIGINT)"
+        ).alias("bss_milli2"),
+        F.expr(
+            "CAST(round((CAST(szz AS DOUBLE)"
+            " - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE) / n_g) / 1e6)"
+            " AS BIGINT)"
+        ).alias("wss_milli2"),
+    )
+    agg = per_g.agg(
+        F.count("*").cast("long").alias("k_groups"),
+        F.sum("n_g").cast("long").alias("n_total"),
+        F.sum("szd").cast("double").alias("sz_all"),
+        F.sum("bss_milli2").cast("long").alias("bss"),
+        F.sum("wss_milli2").cast("long").alias("wss"),
+    )
+    return agg.select(
+        "k_groups",
+        "n_total",
+        F.expr(
+            "CAST(round(1000.0 * CASE WHEN k_groups > 1 AND n_total > k_groups"
+            " AND wss > 0 THEN"
+            " ((bss - sz_all * sz_all / n_total / 1e6) / (k_groups - 1))"
+            " / (CAST(wss AS DOUBLE) / (n_total - k_groups))"
+            " ELSE 0.0 END) AS BIGINT)"
+        ).alias("w_milli"),
+    )
+
+
+def levene_test_sql() -> str:
+    return """
+        WITH vals AS (
+            SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+            FROM events
+        ),
+        means AS (
+            SELECT event_type, CAST(SUM(c) AS BIGINT) AS sc,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM vals GROUP BY event_type
+        ),
+        z AS (
+            SELECT vals.event_type,
+                   CAST(round(1000.0 * abs(c - CAST(sc AS DOUBLE) / cnt))
+                        AS BIGINT) AS z
+            FROM vals JOIN means USING (event_type)
+        ),
+        g AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_g,
+                   SUM(CAST(z AS HUGEINT)) AS sz,
+                   SUM(CAST(z AS HUGEINT) * CAST(z AS HUGEINT)) AS szz
+            FROM z GROUP BY event_type
+        ),
+        per_g AS (
+            SELECT n_g, sz AS szd,
+                   CAST(round(CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)
+                        / n_g / 1e6) AS BIGINT) AS bss_milli2,
+                   CAST(round((CAST(szz AS DOUBLE)
+                        - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE) / n_g)
+                        / 1e6) AS BIGINT) AS wss_milli2
+            FROM g
+        ),
+        agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS k_groups,
+                   CAST(SUM(n_g) AS BIGINT) AS n_total,
+                   CAST(SUM(szd) AS DOUBLE) AS sz_all,
+                   CAST(SUM(bss_milli2) AS BIGINT) AS bss,
+                   CAST(SUM(wss_milli2) AS BIGINT) AS wss
+            FROM per_g
+        )
+        SELECT k_groups, n_total,
+               CAST(round(1000.0 * CASE WHEN k_groups > 1
+                    AND n_total > k_groups AND wss > 0 THEN
+                    ((bss - sz_all * sz_all / n_total / 1e6) / (k_groups - 1))
+                    / (CAST(wss AS DOUBLE) / (n_total - k_groups))
+                    ELSE 0.0 END) AS BIGINT) AS w_milli
+        FROM agg
+    """
+
+
+# --- Bartlett variance-homogeneity test -------------------------------------------------
+
+
+def bartlett_test(events: DataFrame) -> DataFrame:
+    """Bartlett test for equal value VARIANCE across event types: one row
+    (k_groups, n_total, chi2_milli).
+
+    The likelihood-ratio member of the spread-test trio (levene mean-
+    centered, brown_forsythe median-centered): most powerful when the
+    groups really are normal, notoriously fragile otherwise — reporting
+    all three is how an analyst reads whether a variance difference is
+    real or a tail artifact.
+
+    Exactness: per-type sufficient statistics (n, sum c, sum c^2) are
+    exact DECIMAL(38,0) centi sums; each group's double terms
+    ((n_g-1)*s2_g, (n_g-1)*ln(s2_g), 1/(n_g-1)) quantize to fixed
+    denominators BEFORE the <=k-row integer sums, so the final chi-square
+    assembles from exact integers with one double chain.
+
+    Scale shape: one keyed aggregate, one <=k-row reduction — no window,
+    no join."""
+    d38 = "decimal(38,0)"
+    cents = F.expr("CAST(round(value * 100) AS BIGINT)")
+    g = (
+        events.select("event_type", cents.alias("c"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_g"),
+            F.sum(F.col("c").cast(d38)).alias("sc"),
+            F.sum(F.col("c").cast(d38) * F.col("c").cast(d38)).alias("scc"),
+        )
+        .where(F.col("n_g") > 1)
+    )
+    per_g = g.select(
+        "n_g",
+        # s2_g in cents^2: (scc - sc^2/n) / (n-1), double from exact ints
+        F.expr(
+            "CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)"
+            " / n_g"
+        ).alias("css"),
+    ).select(
+        "n_g",
+        F.expr("CAST(round(1e3 * css) AS DECIMAL(38,0))").alias(
+            "pooled_milli"
+        ),
+        F.expr(
+            "CAST(CASE WHEN css > 0 THEN"
+            " round(1e6 * (n_g - 1) * ln(css / (n_g - 1)))"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("lns_micro"),
+        F.expr("CAST(round(1e12 / (n_g - 1)) AS BIGINT)").alias(
+            "inv_pico"
+        ),
+    )
+    agg = per_g.agg(
+        F.count("*").cast("long").alias("k_groups"),
+        F.sum("n_g").cast("long").alias("n_total"),
+        F.sum("pooled_milli").alias("pooled_m"),
+        F.sum("lns_micro").cast("long").alias("lns_m"),
+        F.sum("inv_pico").cast("long").alias("inv_p"),
+    )
+    return agg.select(
+        "k_groups",
+        "n_total",
+        F.expr(
+            "CAST(CASE WHEN k_groups > 1 AND n_total > k_groups"
+            " AND pooled_m > 0 THEN round(1000.0 *"
+            " ((n_total - k_groups)"
+            "  * ln(CAST(pooled_m AS DOUBLE) / 1e3 / (n_total - k_groups))"
+            "  - CAST(lns_m AS DOUBLE) / 1e6)"
+            " / (1.0 + (CAST(inv_p AS DOUBLE) / 1e12"
+            "           - 1.0 / (n_total - k_groups))"
+            "          / (3.0 * (k_groups - 1))))"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("chi2_milli"),
+    )
+
+
+def bartlett_test_sql() -> str:
+    return """
+        WITH g AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_g,
+                   SUM(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT))
+                       AS sc,
+                   SUM(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT)
+                       * CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT))
+                       AS scc
+            FROM events GROUP BY event_type
+            HAVING COUNT(*) > 1
+        ),
+        per_g AS (
+            SELECT n_g,
+                   CAST(round(1e3 * css) AS HUGEINT) AS pooled_milli,
+                   CAST(CASE WHEN css > 0 THEN
+                        round(1e6 * (n_g - 1) * ln(css / (n_g - 1)))
+                        ELSE 0 END AS BIGINT) AS lns_micro,
+                   CAST(round(1e12 / (n_g - 1)) AS BIGINT) AS inv_pico
+            FROM (
+                SELECT n_g,
+                       CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE)
+                           * CAST(sc AS DOUBLE) / n_g AS css
+                FROM g
+            )
+        ),
+        agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS k_groups,
+                   CAST(SUM(n_g) AS BIGINT) AS n_total,
+                   SUM(pooled_milli) AS pooled_m,
+                   CAST(SUM(lns_micro) AS BIGINT) AS lns_m,
+                   CAST(SUM(inv_pico) AS BIGINT) AS inv_p
+            FROM per_g
+        )
+        SELECT k_groups, n_total,
+               CAST(CASE WHEN k_groups > 1 AND n_total > k_groups
+                    AND pooled_m > 0 THEN round(1000.0 *
+                    ((n_total - k_groups)
+                     * ln(CAST(pooled_m AS DOUBLE) / 1e3 / (n_total - k_groups))
+                     - CAST(lns_m AS DOUBLE) / 1e6)
+                    / (1.0 + (CAST(inv_p AS DOUBLE) / 1e12
+                              - 1.0 / (n_total - k_groups))
+                             / (3.0 * (k_groups - 1))))
+                    ELSE 0 END AS BIGINT) AS chi2_milli
+        FROM agg
+    """
+
+
+# --- Cochran-Armitage trend test --------------------------------------------------------
+
+
+def cochran_armitage_trend(events: DataFrame) -> DataFrame:
+    """Cochran-Armitage trend test for error share across the four
+    six-hour day parts: one row (n_groups, n_total, z_milli).
+
+    chi_square asks "is outcome INDEPENDENT of the hour bucket";
+    Cochran-Armitage asks the sharper ORDERED question — does the error
+    proportion trend monotonically across morning -> night (scores
+    w = 0,1,2,3)? The dose-response device: one degree of freedom, so it
+    detects gradients chi-square dilutes across cells.
+
+    Exactness: every sufficient statistic (N, R, sum w*r, sum w*n,
+    sum w^2*n) is an exact BIGINT count sum over the <=4-row bucket grid;
+    the statistic T = sum w*r - (R/N) sum w*n and its variance form one
+    deterministic double chain with the final sqrt as the only float
+    boundary.
+
+    Scale shape: one (bucket) aggregate, one <=4-row reduction — no
+    window, no join."""
+    g = events.groupBy(
+        F.floor(F.hour("ts") / 6).cast("int").alias("bucket")
+    ).agg(
+        F.count("*").cast("long").alias("n_g"),
+        F.sum(
+            (F.col("event_type") == "error").cast("long")
+        ).cast("long").alias("r_g"),
+    )
+    agg = g.agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.sum("n_g").cast("long").alias("n_total"),
+        F.sum("r_g").cast("long").alias("r_total"),
+        F.sum(F.col("bucket") * F.col("r_g")).cast("long").alias("swr"),
+        F.sum(F.col("bucket") * F.col("n_g")).cast("long").alias("swn"),
+        F.sum(
+            F.col("bucket") * F.col("bucket") * F.col("n_g")
+        ).cast("long").alias("sw2n"),
+    )
+    return agg.select(
+        "n_groups",
+        "n_total",
+        F.expr(
+            "CAST(CASE WHEN n_total > 0 AND r_total > 0"
+            " AND r_total < n_total THEN round(1000.0 *"
+            " (swr - CAST(r_total AS DOUBLE) / n_total * swn)"
+            " / sqrt(CAST(r_total AS DOUBLE) / n_total"
+            "        * (1.0 - CAST(r_total AS DOUBLE) / n_total)"
+            "        * (sw2n - CAST(swn AS DOUBLE) * swn / n_total)))"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("z_milli"),
+    )
+
+
+def cochran_armitage_trend_sql() -> str:
+    return """
+        WITH g AS (
+            SELECT CAST(FLOOR(EXTRACT(hour FROM ts) / 6) AS INT) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_g,
+                   CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS r_g
+            FROM events GROUP BY 1
+        ),
+        agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+                   CAST(SUM(n_g) AS BIGINT) AS n_total,
+                   CAST(SUM(r_g) AS BIGINT) AS r_total,
+                   CAST(SUM(bucket * r_g) AS BIGINT) AS swr,
+                   CAST(SUM(bucket * n_g) AS BIGINT) AS swn,
+                   CAST(SUM(bucket * bucket * n_g) AS BIGINT) AS sw2n
+            FROM g
+        )
+        SELECT n_groups, n_total,
+               CAST(CASE WHEN n_total > 0 AND r_total > 0
+                    AND r_total < n_total THEN round(1000.0 *
+                    (swr - CAST(r_total AS DOUBLE) / n_total * swn)
+                    / sqrt(CAST(r_total AS DOUBLE) / n_total
+                           * (1.0 - CAST(r_total AS DOUBLE) / n_total)
+                           * (sw2n - CAST(swn AS DOUBLE) * swn / n_total)))
+                    ELSE 0 END AS BIGINT) AS z_milli
+        FROM agg
+    """

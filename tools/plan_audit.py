@@ -105,6 +105,10 @@ ALLOWED: dict[str, set[str]] = {
     "text_js_divergence_sources": {"BroadcastNestedLoopJoin"},
     # bounded day-grid self-join (non-equi a.day < b.day, ≤|days|² pairs)
     "events_kendall_tau": {"BroadcastNestedLoopJoin"},
+    # broadcast 1-row OLS-moment scalar back onto the bounded day grid
+    "events_durbin_watson": {"BroadcastNestedLoopJoin"},
+    # broadcast 1-row (n, S1, S2) moment scalar over the bounded day grid
+    "events_grubbs_test": {"BroadcastNestedLoopJoin"},
     # broadcast 1-row (n, S) and denominator scalars over the day grid
     "events_acf_daily": {"BroadcastNestedLoopJoin"},
     # broadcast 1-row (n, Sx, Sy) and denominator scalars over the day grid
