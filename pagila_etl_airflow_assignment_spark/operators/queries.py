@@ -2694,3 +2694,51 @@ def q_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cochran-Armitage ordered trend test of error share across the four
     six-hour day parts — exact BIGINT sufficient statistics."""
     return stats.cochran_armitage_trend(load_table(spark, sf_dir, "events"))
+
+
+@register("events_mcnemar_test", oracle=stats.mcnemar_test_sql())
+def q_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar paired-binary test of user activity flipping across the
+    mid-window cutoff — exact discordant-cell counts."""
+    return stats.mcnemar_test(load_table(spark, sf_dir, "events"))
+
+
+@register("events_cochran_q", oracle=stats.cochran_q_test_sql())
+def q_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q repeated-binary test across click/view/purchase
+    participation flags blocked by user — all-integer statistics."""
+    return stats.cochran_q_test(load_table(spark, sf_dir, "events"))
+
+
+@register("events_kpss_test", oracle=stats.kpss_daily_sql())
+def q_kpss_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPSS level-stationarity statistic on daily counts — all-integer
+    partial-sum ratio, the dickey_fuller null flipped."""
+    return stats.kpss_daily(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "events_wilcoxon_signed_rank",
+    oracle=stats.wilcoxon_signed_rank_daily_sql(),
+)
+def q_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test of paired daily click/error counts —
+    doubled average ranks, tie-corrected normal approximation."""
+    return stats.wilcoxon_signed_rank_daily(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "events_spectral_periodogram",
+    oracle=stats.spectral_periodogram_daily_sql(),
+)
+def q_spectral_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Periodogram of daily counts at periods 2..14 — micro-quantized
+    trig projections, weekly cadence shows as an amplitude spike."""
+    return stats.spectral_periodogram_daily(load_table(spark, sf_dir, "events"))
+
+
+@register("events_hurst_rs", oracle=stats.hurst_rs_daily_sql())
+def q_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst rescaled-range exponent over 4/8/16-day blocks — integer
+    scaled partial sums, log2-spaced OLS slope."""
+    return stats.hurst_rs_daily(load_table(spark, sf_dir, "events"))

@@ -4674,3 +4674,661 @@ def cochran_armitage_trend_sql() -> str:
                     ELSE 0 END AS BIGINT) AS z_milli
         FROM agg
     """
+
+
+# --- McNemar paired-binary test ---------------------------------------------------------
+
+MCNEMAR_CUTOFF = "2024-01-16"
+
+
+def mcnemar_test(events: DataFrame, cutoff: str = MCNEMAR_CUTOFF) -> DataFrame:
+    """McNemar test of user-activity flips across the mid-window cutoff:
+    one row (n_users, n01, n10, chi2_milli).
+
+    prop_ztest compares two INDEPENDENT samples; McNemar is the PAIRED
+    companion — each user is their own control, and only the discordant
+    cells (active-then-silent n10, silent-then-active n01) carry
+    information. chi2 = (|n01 - n10| - 1)^2 / (n01 + n10) with the
+    continuity correction; a large value says the active population
+    genuinely shifted rather than churned symmetrically.
+
+    Exactness: both cells are exact BIGINT counts from one per-user
+    boolean aggregate; the statistic is one integer-fed division.
+
+    Scale shape: one (user) aggregate, one 1-row reduction — no window,
+    no join."""
+    per_user = events.groupBy("user_id").agg(
+        F.max((F.to_date("ts") < F.lit(cutoff)).cast("int")).alias("a"),
+        F.max((F.to_date("ts") >= F.lit(cutoff)).cast("int")).alias("b"),
+    )
+    agg = per_user.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum(((F.col("a") == 0) & (F.col("b") == 1)).cast("long"))
+        .cast("long")
+        .alias("n01"),
+        F.sum(((F.col("a") == 1) & (F.col("b") == 0)).cast("long"))
+        .cast("long")
+        .alias("n10"),
+    )
+    return agg.select(
+        "n_users",
+        "n01",
+        "n10",
+        F.expr(
+            "CAST(CASE WHEN n01 + n10 > 0 THEN round(1000.0"
+            " * (abs(n01 - n10) - 1) * (abs(n01 - n10) - 1)"
+            " / (n01 + n10)) ELSE 0 END AS BIGINT)"
+        ).alias("chi2_milli"),
+    )
+
+
+def mcnemar_test_sql(cutoff: str = MCNEMAR_CUTOFF) -> str:
+    return f"""
+        WITH per_user AS (
+            SELECT user_id,
+                   MAX(CASE WHEN CAST(ts AS DATE) < DATE '{cutoff}'
+                       THEN 1 ELSE 0 END) AS a,
+                   MAX(CASE WHEN CAST(ts AS DATE) >= DATE '{cutoff}'
+                       THEN 1 ELSE 0 END) AS b
+            FROM events GROUP BY user_id
+        ),
+        agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CAST(SUM(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n01,
+                   CAST(SUM(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n10
+            FROM per_user
+        )
+        SELECT n_users, n01, n10,
+               CAST(CASE WHEN n01 + n10 > 0 THEN round(1000.0
+                    * (abs(n01 - n10) - 1) * (abs(n01 - n10) - 1)
+                    / (n01 + n10)) ELSE 0 END AS BIGINT) AS chi2_milli
+        FROM agg
+    """
+
+
+# --- Cochran's Q repeated-binary test ---------------------------------------------------
+
+COCHRAN_Q_TYPES = ("click", "view", "purchase")
+
+
+def cochran_q_test(events: DataFrame) -> DataFrame:
+    """Cochran's Q test across the click/view/purchase participation
+    flags, blocked by user: one row (n_users, q_milli).
+
+    friedman_test ranks CONTINUOUS daily magnitudes; Cochran's Q is its
+    BINARY specialisation — did each user touch each funnel surface, and
+    do the three participation rates differ once per-user propensity is
+    blocked out? Q = (k-1)(k*sum C_j^2 - T^2) / (k*T - sum R_i^2) with
+    C_j the per-type column totals, R_i the per-user row totals, T their
+    common grand total.
+
+    Exactness: every statistic is an exact BIGINT count sum (R_i <= 3, so
+    R_i^2 sums stay tiny); one integer-fed division closes it.
+
+    Scale shape: one (user) aggregate, one 1-row reduction — no window,
+    no join."""
+    k = len(COCHRAN_Q_TYPES)
+    flags = [
+        F.max((F.col("event_type") == t).cast("int")).alias(f"x{j}")
+        for j, t in enumerate(COCHRAN_Q_TYPES)
+    ]
+    per_user = events.groupBy("user_id").agg(*flags)
+    r = per_user.select(
+        (sum(F.col(f"x{j}") for j in range(k))).cast("long").alias("r"),
+        *[F.col(f"x{j}").cast("long") for j in range(k)],
+    )
+    agg = r.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("r").cast("long").alias("t_total"),
+        F.sum(F.col("r") * F.col("r")).cast("long").alias("srr"),
+        *[F.sum(f"x{j}").cast("long").alias(f"c{j}") for j in range(k)],
+    )
+    c2 = " + ".join(f"c{j} * c{j}" for j in range(k))
+    return agg.select(
+        "n_users",
+        F.expr(
+            f"CAST(CASE WHEN {k} * t_total - srr > 0 THEN round(1000.0"
+            f" * {k - 1} * ({k} * ({c2}) - t_total * t_total)"
+            f" / ({k} * t_total - srr)) ELSE 0 END AS BIGINT)"
+        ).alias("q_milli"),
+    )
+
+
+def cochran_q_test_sql() -> str:
+    k = len(COCHRAN_Q_TYPES)
+    cols = ",\n                   ".join(
+        f"MAX(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS x{j}"
+        for j, t in enumerate(COCHRAN_Q_TYPES)
+    )
+    rsum = " + ".join(f"x{j}" for j in range(k))
+    csums = ",\n                   ".join(
+        f"CAST(SUM(x{j}) AS BIGINT) AS c{j}" for j in range(k)
+    )
+    c2 = " + ".join(f"c{j} * c{j}" for j in range(k))
+    return f"""
+        WITH per_user AS (
+            SELECT user_id,
+                   {cols}
+            FROM events GROUP BY user_id
+        ),
+        r AS (
+            SELECT CAST({rsum} AS BIGINT) AS r,
+                   {', '.join(f'CAST(x{j} AS BIGINT) AS x{j}' for j in range(k))}
+            FROM per_user
+        ),
+        agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CAST(SUM(r) AS BIGINT) AS t_total,
+                   CAST(SUM(r * r) AS BIGINT) AS srr,
+                   {csums}
+            FROM r
+        )
+        SELECT n_users,
+               CAST(CASE WHEN {k} * t_total - srr > 0 THEN round(1000.0
+                    * {k - 1} * ({k} * ({c2}) - t_total * t_total)
+                    / ({k} * t_total - srr)) ELSE 0 END AS BIGINT) AS q_milli
+        FROM agg
+    """
+
+
+# --- KPSS level-stationarity statistic --------------------------------------------------
+
+
+def kpss_daily(events: DataFrame) -> DataFrame:
+    """KPSS level-stationarity statistic (lag-0 long-run variance) on the
+    daily event-count series: one row (n_days, kpss_micro).
+
+    dickey_fuller's null is a UNIT ROOT (reject => stationary); KPSS
+    flips the burden — its null is stationarity, so the pair brackets the
+    series from both sides (both-reject means structural trouble). With
+    the lag-0 variance the statistic reduces to sum_t S_t^2 / (n *
+    sum_t e_t^2) for demeaned partial sums S_t.
+
+    Exactness: fully integer — n*e_t = n*c_t - S1 is an exact BIGINT, its
+    cumulative sum C_t stays integer, and the statistic is the all-integer
+    ratio sum C_t^2 / (n * sum (n e_t)^2) with both power sums in
+    DECIMAL(38,0); the single division is the only float boundary.
+
+    Scale shape: one (day) aggregate, one 1-row scalar broadcast back,
+    one cumulative window over the bounded day grid, one 1-row
+    reduction."""
+    d38 = "decimal(38,0)"
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    tot = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s1"),
+    )
+    e = daily.crossJoin(F.broadcast(tot)).select(
+        "day",
+        "n",
+        (F.col("n") * F.col("c") - F.col("s1")).alias("ne"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = e.select(
+        "n",
+        F.col("ne").cast(d38).alias("ne"),
+        F.sum("ne").over(w).cast(d38).alias("cne"),
+    )
+    return (
+        cum.groupBy("n")
+        .agg(
+            F.sum(F.col("cne") * F.col("cne")).alias("scc"),
+            F.sum(F.col("ne") * F.col("ne")).alias("see"),
+        )
+        .select(
+            F.col("n").alias("n_days"),
+            F.expr(
+                "CAST(CASE WHEN see > 0 THEN round(1e6"
+                " * CAST(scc AS DOUBLE) / (n * CAST(see AS DOUBLE)))"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("kpss_micro"),
+        )
+    )
+
+
+def kpss_daily_sql() -> str:
+    return """
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s1
+            FROM daily
+        ),
+        e AS (
+            SELECT day, n, CAST(n * c - s1 AS BIGINT) AS ne
+            FROM daily CROSS JOIN tot
+        ),
+        cum AS (
+            SELECT n, CAST(ne AS HUGEINT) AS ne,
+                   CAST(SUM(ne) OVER (ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS HUGEINT) AS cne
+            FROM e
+        )
+        SELECT n AS n_days,
+               CAST(CASE WHEN SUM(ne * ne) > 0 THEN round(1e6
+                    * CAST(SUM(cne * cne) AS DOUBLE)
+                    / (n * CAST(SUM(ne * ne) AS DOUBLE)))
+                    ELSE 0 END AS BIGINT) AS kpss_micro
+        FROM cum
+        GROUP BY n
+    """
+
+
+# --- Wilcoxon signed-rank paired test ---------------------------------------------------
+
+WILCOXON_X_TYPE = "click"
+WILCOXON_Y_TYPE = "error"
+
+
+def wilcoxon_signed_rank_daily(events: DataFrame) -> DataFrame:
+    """Wilcoxon signed-rank test of paired daily click vs error counts:
+    one row (n_pairs, w2_plus, z_milli).
+
+    spearman_daily correlates the two series; this TESTS whether their
+    per-day DIFFERENCE is symmetric around zero — the nonparametric
+    paired-t replacement. Zero differences drop (Wilcoxon's rule); |d|
+    gets average ranks; W+ sums the ranks of the positive days, and z
+    applies the normal approximation with the tie-corrected variance
+    var = n(n+1)(2n+1)/24 - sum(t^3 - t)/48.
+
+    Exactness: doubled average ranks (2*cum_before + t + 1) are exact
+    BIGINTs from one cumulative window over the <=|days| distinct-|d|
+    grid, so w2_plus = 2*W+ is integer; the tie sum is integer; the one
+    float boundary is the final sqrt.
+
+    Scale shape: one (day) conditional aggregate, one (|d|) aggregate,
+    one cumulative window over that bounded grid, one 1-row reduction."""
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum((F.col("event_type") == WILCOXON_X_TYPE).cast("long"))
+        .cast("long")
+        .alias("x"),
+        F.sum((F.col("event_type") == WILCOXON_Y_TYPE).cast("long"))
+        .cast("long")
+        .alias("y"),
+    )
+    d = daily.select(
+        (F.col("x") - F.col("y")).alias("d")
+    ).where(F.col("d") != 0)
+    per_ad = d.groupBy(F.abs(F.col("d")).alias("ad")).agg(
+        F.count("*").cast("long").alias("t"),
+        F.sum((F.col("d") > 0).cast("long")).cast("long").alias("pos"),
+    )
+    w = (
+        Window.orderBy("ad")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = per_ad.select(
+        "t",
+        "pos",
+        (F.coalesce(F.sum("t").over(w), F.lit(0))).alias("cum_before"),
+    )
+    agg = ranked.agg(
+        F.sum("t").cast("long").alias("n_pairs"),
+        F.sum(
+            F.col("pos") * (2 * F.col("cum_before") + F.col("t") + 1)
+        ).cast("long").alias("w2_plus"),
+        F.sum(
+            F.col("t") * F.col("t") * F.col("t") - F.col("t")
+        ).cast("long").alias("tie3"),
+    )
+    return agg.select(
+        "n_pairs",
+        F.coalesce("w2_plus", F.lit(0)).alias("w2_plus"),
+        F.expr(
+            "CAST(CASE WHEN n_pairs > 0 AND"
+            " n_pairs * (n_pairs + 1.0) * (2 * n_pairs + 1) / 24.0"
+            " - tie3 / 48.0 > 0"
+            " THEN round(1000.0"
+            " * (w2_plus / 2.0 - n_pairs * (n_pairs + 1.0) / 4.0)"
+            " / sqrt(n_pairs * (n_pairs + 1.0) * (2 * n_pairs + 1) / 24.0"
+            "        - tie3 / 48.0))"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("z_milli"),
+    )
+
+
+def wilcoxon_signed_rank_daily_sql() -> str:
+    return f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(SUM(CASE WHEN event_type = '{WILCOXON_X_TYPE}'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                   CAST(SUM(CASE WHEN event_type = '{WILCOXON_Y_TYPE}'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS y
+            FROM events GROUP BY 1
+        ),
+        d AS (
+            SELECT x - y AS d FROM daily WHERE x - y <> 0
+        ),
+        per_ad AS (
+            SELECT abs(d) AS ad, CAST(COUNT(*) AS BIGINT) AS t,
+                   CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS pos
+            FROM d GROUP BY abs(d)
+        ),
+        ranked AS (
+            SELECT t, pos,
+                   COALESCE(SUM(t) OVER (ORDER BY ad
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS cum_before
+            FROM per_ad
+        ),
+        agg AS (
+            SELECT CAST(COALESCE(SUM(t), 0) AS BIGINT) AS n_pairs,
+                   CAST(COALESCE(SUM(pos * (2 * cum_before + t + 1)), 0)
+                        AS BIGINT) AS w2_plus,
+                   CAST(COALESCE(SUM(t * t * t - t), 0) AS BIGINT) AS tie3
+            FROM ranked
+        )
+        SELECT n_pairs, w2_plus,
+               CAST(CASE WHEN n_pairs > 0 AND
+                    n_pairs * (n_pairs + 1.0) * (2 * n_pairs + 1) / 24.0
+                    - tie3 / 48.0 > 0
+                    THEN round(1000.0
+                    * (w2_plus / 2.0 - n_pairs * (n_pairs + 1.0) / 4.0)
+                    / sqrt(n_pairs * (n_pairs + 1.0) * (2 * n_pairs + 1)
+                           / 24.0 - tie3 / 48.0))
+                    ELSE 0 END AS BIGINT) AS z_milli
+        FROM agg
+    """
+
+
+# --- Periodogram seasonality scan -------------------------------------------------------
+
+SPECTRAL_MIN_PERIOD = 2
+SPECTRAL_MAX_PERIOD = 14
+
+
+def spectral_periodogram_daily(events: DataFrame) -> DataFrame:
+    """Discrete periodogram of the daily event-count series at candidate
+    periods 2..14 days: rows (period, amp_micro), ordered by period.
+
+    acf_daily measures lag correlation one lag at a time; the
+    periodogram projects the demeaned series onto sin/cos pairs so a
+    weekly cadence shows as an amplitude SPIKE at period 7 even when
+    phase shifts would smear the ACF. amp = sqrt(A^2 + B^2) / n for
+    A = sum (c_t - mean) cos(2 pi t / p), B likewise with sin.
+
+    Exactness: the demeaned value (c_t - S1/n) is a deterministic double
+    from exact integers; each cos/sin projection term quantizes to micro
+    BEFORE the per-period integer sums (the permutation-entropy ln
+    discipline applied to trig), so A and B are exact BIGINTs and the
+    final sqrt is the one float boundary.
+
+    Scale shape: one (day) aggregate, a bounded 13x|days| explode of the
+    day grid, one (period) aggregate — no data-sized shuffle."""
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    tot = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s1"),
+    )
+    t = daily.select(
+        "c",
+        F.row_number().over(Window.orderBy("day")).cast("long").alias("t"),
+    )
+    terms = (
+        t.crossJoin(F.broadcast(tot))
+        .select(
+            "c",
+            "t",
+            "n",
+            "s1",
+            F.explode(
+                F.sequence(
+                    F.lit(SPECTRAL_MIN_PERIOD), F.lit(SPECTRAL_MAX_PERIOD)
+                )
+            ).alias("period"),
+        )
+        .select(
+            "period",
+            "n",
+            F.expr(
+                "CAST(round(1e6 * (c - CAST(s1 AS DOUBLE) / n)"
+                " * cos(2 * pi() * t / period)) AS BIGINT)"
+            ).alias("ca"),
+            F.expr(
+                "CAST(round(1e6 * (c - CAST(s1 AS DOUBLE) / n)"
+                " * sin(2 * pi() * t / period)) AS BIGINT)"
+            ).alias("sb"),
+        )
+    )
+    return (
+        terms.groupBy("period", "n")
+        .agg(
+            F.sum("ca").cast("long").alias("a"),
+            F.sum("sb").cast("long").alias("b"),
+        )
+        .select(
+            F.col("period").cast("int").alias("period"),
+            F.expr(
+                "CAST(round(sqrt(CAST(a AS DOUBLE) * a"
+                " + CAST(b AS DOUBLE) * b) / n) AS BIGINT)"
+            ).alias("amp_micro"),
+        )
+        .orderBy("period")
+    )
+
+
+def spectral_periodogram_daily_sql() -> str:
+    return f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s1
+            FROM daily
+        ),
+        t AS (
+            SELECT c,
+                   CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t
+            FROM daily
+        ),
+        terms AS (
+            SELECT p.period, n,
+                   CAST(round(1e6 * (c - CAST(s1 AS DOUBLE) / n)
+                        * cos(2 * pi() * t / p.period)) AS BIGINT) AS ca,
+                   CAST(round(1e6 * (c - CAST(s1 AS DOUBLE) / n)
+                        * sin(2 * pi() * t / p.period)) AS BIGINT) AS sb
+            FROM t CROSS JOIN tot
+            CROSS JOIN (
+                SELECT CAST(generate_series AS BIGINT) AS period
+                FROM generate_series({SPECTRAL_MIN_PERIOD},
+                                     {SPECTRAL_MAX_PERIOD})
+            ) p
+        )
+        SELECT CAST(period AS INT) AS period,
+               CAST(round(sqrt(CAST(SUM(ca) AS DOUBLE) * SUM(ca)
+                    + CAST(SUM(sb) AS DOUBLE) * SUM(sb)) / n) AS BIGINT)
+                   AS amp_micro
+        FROM terms
+        GROUP BY period, n
+        ORDER BY period
+    """
+
+
+# --- Hurst rescaled-range exponent ------------------------------------------------------
+
+HURST_WINDOWS = (4, 8, 16)
+
+
+def hurst_rs_daily(events: DataFrame) -> DataFrame:
+    """Hurst rescaled-range (R/S) exponent of the daily event-count
+    series: one row (n_days, rs4_milli, rs8_milli, rs16_milli,
+    hurst_milli).
+
+    acf/ljung_box see short-range correlation; R/S sees LONG-range
+    persistence — split the present-day ordinal series into blocks of
+    w = 4/8/16 days, take each block's range of demeaned partial sums
+    over its standard deviation, and read the growth rate: H ~ 0.5 is a
+    random walk, H > 0.5 trending/persistent load, H < 0.5 mean-
+    reverting. With log2-spaced windows the 3-point OLS slope of
+    ln(R/S) on ln(w) reduces exactly to (ln rs16 - ln rs4)/(2 ln 2).
+
+    Exactness: within a w-day block the scaled partial sum w*C_j =
+    w*cumsum(c) - j*S_b is an exact BIGINT, so each block's range and
+    variance term (w*sum c^2 - S_b^2) are integers; per-block R/S
+    quantizes to milli before the per-w average (exact integer mean
+    rounded once), and only complete blocks (n_b = w) count. Gap days do
+    NOT densify: t is the ordinal index over PRESENT days (the
+    permutation-entropy caveat, stated).
+
+    Scale shape: one (day) aggregate, a bounded 3x|days| explode, two
+    windows partitioned by (w, block) over that grid, one (w, block)
+    aggregate, one <=3-row reduction."""
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    t = daily.select(
+        "c",
+        F.row_number().over(Window.orderBy("day")).cast("long").alias("t"),
+    )
+    ex = t.select(
+        "c",
+        "t",
+        F.explode(F.array(*[F.lit(w) for w in HURST_WINDOWS])).alias("w"),
+    ).select(
+        "c",
+        "w",
+        F.floor((F.col("t") - 1) / F.col("w")).cast("long").alias("blk"),
+        "t",
+    )
+    win = Window.partitionBy("w", "blk").orderBy("t")
+    cums = ex.select(
+        "c",
+        "w",
+        "blk",
+        F.sum("c").over(
+            win.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("cum"),
+        F.row_number().over(win).cast("long").alias("j"),
+        F.sum("c").over(Window.partitionBy("w", "blk")).alias("sb"),
+    ).select(
+        "c",
+        "w",
+        "blk",
+        (F.col("w") * F.col("cum") - F.col("j") * F.col("sb")).alias("wc"),
+    )
+    blocks = (
+        cums.groupBy("w", "blk")
+        .agg(
+            F.count("*").cast("long").alias("n_b"),
+            (F.max("wc") - F.min("wc")).alias("r_scaled"),
+            (
+                F.first("w") * F.sum(F.col("c") * F.col("c"))
+                - F.sum("c") * F.sum("c")
+            ).cast("long").alias("denom2"),
+        )
+        .where((F.col("n_b") == F.col("w")) & (F.col("denom2") > 0))
+        .select(
+            "w",
+            F.expr(
+                "CAST(round(1000.0 * r_scaled / sqrt(CAST(denom2 AS DOUBLE)))"
+                " AS BIGINT)"
+            ).alias("rs_milli"),
+        )
+    )
+    per_w = blocks.groupBy("w").agg(
+        F.expr("CAST(round(AVG(CAST(rs_milli AS DOUBLE))) AS BIGINT)").alias(
+            "rs"
+        )
+    )
+    n_days = daily.agg(F.count("*").cast("long").alias("n_days"))
+    wide = per_w.groupBy().agg(
+        *[
+            F.max(
+                F.when(F.col("w") == w, F.col("rs"))
+            ).alias(f"rs{w}_milli")
+            for w in HURST_WINDOWS
+        ]
+    )
+    return (
+        n_days.crossJoin(F.broadcast(wide))
+        .select(
+            "n_days",
+            *[
+                F.coalesce(f"rs{w}_milli", F.lit(0)).alias(f"rs{w}_milli")
+                for w in HURST_WINDOWS
+            ],
+        )
+        .select(
+            "n_days",
+            *[f"rs{w}_milli" for w in HURST_WINDOWS],
+            F.expr(
+                "CAST(CASE WHEN rs4_milli > 0 AND rs16_milli > 0"
+                " THEN round(1000.0"
+                " * (ln(rs16_milli / 1000.0) - ln(rs4_milli / 1000.0))"
+                " / (2 * ln(2.0))) ELSE 0 END AS BIGINT)"
+            ).alias("hurst_milli"),
+        )
+    )
+
+
+def hurst_rs_daily_sql() -> str:
+    ws = ", ".join(str(w) for w in HURST_WINDOWS)
+    return f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY 1
+        ),
+        t AS (
+            SELECT c,
+                   CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t
+            FROM daily
+        ),
+        ex AS (
+            SELECT c, CAST(wd.w AS BIGINT) AS w,
+                   CAST((t - 1) // wd.w AS BIGINT) AS blk, t
+            FROM t CROSS JOIN (
+                SELECT UNNEST(ARRAY[{ws}]) AS w
+            ) wd
+        ),
+        cums AS (
+            SELECT c, w, blk,
+                   w * SUM(c) OVER (PARTITION BY w, blk ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - CAST(ROW_NUMBER() OVER (PARTITION BY w, blk ORDER BY t)
+                          AS BIGINT)
+                     * SUM(c) OVER (PARTITION BY w, blk) AS wc
+            FROM ex
+        ),
+        blocks AS (
+            SELECT w,
+                   CAST(round(1000.0 * (MAX(wc) - MIN(wc))
+                        / sqrt(CAST(MIN(w) * SUM(c * c) - SUM(c) * SUM(c)
+                               AS DOUBLE))) AS BIGINT) AS rs_milli
+            FROM cums
+            GROUP BY w, blk
+            HAVING COUNT(*) = MIN(w)
+               AND MIN(w) * SUM(c * c) - SUM(c) * SUM(c) > 0
+        ),
+        per_w AS (
+            SELECT w,
+                   CAST(round(AVG(CAST(rs_milli AS DOUBLE))) AS BIGINT) AS rs
+            FROM blocks GROUP BY w
+        ),
+        wide AS (
+            SELECT {', '.join(
+                f"COALESCE(MAX(CASE WHEN w = {w} THEN rs END), 0)"
+                f" AS rs{w}_milli" for w in HURST_WINDOWS)}
+            FROM per_w
+        ),
+        nd AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily
+        )
+        SELECT n_days, {', '.join(f"rs{w}_milli" for w in HURST_WINDOWS)},
+               CAST(CASE WHEN rs4_milli > 0 AND rs16_milli > 0
+                    THEN round(1000.0
+                    * (ln(rs16_milli / 1000.0) - ln(rs4_milli / 1000.0))
+                    / (2 * ln(2.0))) ELSE 0 END AS BIGINT) AS hurst_milli
+        FROM nd CROSS JOIN wide
+    """

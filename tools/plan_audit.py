@@ -109,6 +109,12 @@ ALLOWED: dict[str, set[str]] = {
     "events_durbin_watson": {"BroadcastNestedLoopJoin"},
     # broadcast 1-row (n, S1, S2) moment scalar over the bounded day grid
     "events_grubbs_test": {"BroadcastNestedLoopJoin"},
+    # broadcast 1-row (n, S1) scalar over the bounded day grid
+    "events_kpss_test": {"BroadcastNestedLoopJoin"},
+    # broadcast 1-row (n, S1) scalar + bounded 13-period explode
+    "events_spectral_periodogram": {"BroadcastNestedLoopJoin"},
+    # broadcast 1-row per-window R/S pivot onto the 1-row day count
+    "events_hurst_rs": {"BroadcastNestedLoopJoin"},
     # broadcast 1-row (n, S) and denominator scalars over the day grid
     "events_acf_daily": {"BroadcastNestedLoopJoin"},
     # broadcast 1-row (n, Sx, Sy) and denominator scalars over the day grid
