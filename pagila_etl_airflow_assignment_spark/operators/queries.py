@@ -2742,3 +2742,82 @@ def q_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hurst rescaled-range exponent over 4/8/16-day blocks — integer
     scaled partial sums, log2-spaced OLS slope."""
     return stats.hurst_rs_daily(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "warehouse_local_supplier_volume",
+    oracle=tpch_shapes.local_supplier_volume_sql(),
+)
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5: per-nation revenue from same-nation customer/supplier trade in
+    one region and year — broadcast dim chain, one orderkey shuffle."""
+    return tpch_shapes.local_supplier_volume(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+@register(
+    "warehouse_tracking_signal", oracle=warehouse.tracking_signal_brands_sql()
+)
+def q_tracking_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigg tracking signal of the naive monthly forecast per brand —
+    exact integer error sums, the forecast-bias production alarm."""
+    return warehouse.tracking_signal_brands(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
+@register(
+    "warehouse_wilson_ranking", oracle=warehouse.wilson_return_ranking_sql()
+)
+def q_wilson_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson-score lower-bound leaderboard of brand return rates — the
+    small-sample-safe frequentist ranking."""
+    return warehouse.wilson_return_ranking(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
+@register("warehouse_otif_fill_rate", oracle=warehouse.otif_fill_rate_sql())
+def q_otif_fill_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-time-in-full fill rate per order month — order-grain all-lines
+    verdict, exact integer counts."""
+    return warehouse.otif_fill_rate(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+    )
+
+
+@register(
+    "warehouse_atkinson_index", oracle=warehouse.atkinson_index_customers_sql()
+)
+def q_atkinson_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atkinson inequality index (epsilon=1) of customer revenue —
+    micro-quantized log sums, the welfare-theoretic Gini companion."""
+    return warehouse.atkinson_index_customers(load_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "warehouse_bass_diffusion", oracle=warehouse.bass_diffusion_fit_sql()
+)
+def q_bass_diffusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bass diffusion p/q/m fit over monthly first-time customers —
+    DECIMAL-exact quadratic regression moments, Cramer solve."""
+    return warehouse.bass_diffusion_fit(load_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "warehouse_theta_forecast", oracle=warehouse.theta_forecast_backtest_sql()
+)
+def q_theta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-method one-step backtest on monthly revenue — prefix OLS +
+    micro-quantized SES terms on the bounded month-pair grid."""
+    return warehouse.theta_forecast_backtest(load_table(spark, sf_dir, "orders"))

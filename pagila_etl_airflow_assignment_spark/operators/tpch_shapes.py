@@ -1024,3 +1024,77 @@ def shipmode_priority_counts_sql() -> str:
         GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus
     """
+
+
+def local_supplier_volume(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = "ASIA",
+    year: int = 1996,
+) -> DataFrame:
+    """Q5: revenue per nation within one region and one order year, counting
+    only LOCAL trade — lineitems whose supplier sits in the customer's own
+    nation (c_nationkey = s_nationkey).
+
+    Plan shape: region -> nation is a broadcast chain pruning both dims
+    before any fact touches them; the year-filtered orders join the
+    region's customers (broadcast), lineitem ⋈ orders is the one genuine
+    shuffle (orderkey), the supplier dim broadcasts onto l_suppkey, and
+    the same-nation predicate rides the join so mismatched rows never
+    reach the aggregate. Revenue sums as DECIMAL(18,2) (order-free).
+    """
+    nat = nation.join(
+        F.broadcast(region.where(F.col("r_name") == region_name)),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    cust = customer.join(
+        F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", F.col("c_nationkey").alias("cust_nation"))
+    ords = (
+        orders.where(F.year("o_orderdate") == year)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "cust_nation")
+    )
+    supp = supplier.join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    return (
+        lineitem.join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("cust_nation") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(_price() * (_one() - _disc())).cast("double").alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+def local_supplier_volume_sql(
+    region_name: str = "ASIA", year: int = 1996
+) -> str:
+    p = "CAST(l_extendedprice AS DECIMAL(18,2))"
+    d = "CAST(l_discount AS DECIMAL(18,2))"
+    return f"""
+        SELECT n_name,
+               CAST(SUM({p} * (CAST(1 AS DECIMAL(18,2)) - {d})) AS DOUBLE)
+                   AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+                     AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = '{region_name}'
+          AND EXTRACT(year FROM o_orderdate) = {year}
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+    """

@@ -6615,3 +6615,750 @@ def cpk_latency_sql() -> str:
                     * (n_lines - 1.0))))) ELSE 0 END AS BIGINT) AS cpk_milli
         FROM c
     """
+
+
+# --- Forecast tracking signal -----------------------------------------------------------
+
+
+def tracking_signal_brands(
+    lineitem: DataFrame, orders: DataFrame, part: DataFrame
+) -> DataFrame:
+    """Trigg tracking signal of the naive one-step forecast per brand:
+    rows (p_brand, n_months, ts_milli), ordered by brand.
+
+    forecast_backtest prices forecast ACCURACY; the tracking signal
+    monitors forecast BIAS in production — TS = cumulative error /
+    cumulative mean absolute error at the latest month. |TS| near its
+    bound (n/MAD ratio drifting one-sided) is the classic "retire this
+    forecast" alarm. The naive forecast is the previous PRESENT month's
+    quantity (months with zero sales for a brand do not densify —
+    stated, as in permutation_entropy).
+
+    Exactness: monthly quantities are exact centi BIGINTs, so the
+    forecast errors and their absolute values are integers, the two
+    running sums are exact, and the single division closes it.
+
+    Scale shape: one (brand, month) aggregate over the broadcast-part
+    join, one brand-partitioned lag + two brand-partitioned running sums
+    over the bounded month grid, one per-brand limit-1 via max month."""
+    qty = F.expr("CAST(round(l_quantity * 100) AS BIGINT)")
+    monthly = (
+        lineitem.join(
+            orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy(
+            "p_brand", F.date_trunc("month", "o_orderdate").alias("month")
+        )
+        .agg(F.sum(qty).cast("long").alias("q"))
+    )
+    w = Window.partitionBy("p_brand").orderBy("month")
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    err = monthly.select(
+        "p_brand",
+        "month",
+        (F.col("q") - F.lag("q").over(w)).alias("e"),
+    ).where(F.col("e").isNotNull())
+    cum = err.select(
+        "p_brand",
+        "month",
+        F.count("*").over(wcum).cast("long").alias("m"),
+        F.sum("e").over(wcum).cast("long").alias("ce"),
+        F.sum(F.abs(F.col("e"))).over(wcum).cast("long").alias("cae"),
+        F.row_number().over(
+            Window.partitionBy("p_brand").orderBy(F.desc("month"))
+        ).alias("rn"),
+    ).where(F.col("rn") == 1)
+    return cum.select(
+        "p_brand",
+        F.col("m").alias("n_months"),
+        F.expr(
+            "CAST(CASE WHEN cae > 0 THEN round(1000.0 * ce * m / cae)"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("ts_milli"),
+    ).orderBy("p_brand")
+
+
+def tracking_signal_brands_sql() -> str:
+    return """
+        WITH monthly AS (
+            SELECT p_brand, date_trunc('month', o_orderdate) AS month,
+                   CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT))
+                        AS BIGINT) AS q
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN part ON l_partkey = p_partkey
+            GROUP BY 1, 2
+        ),
+        err AS (
+            SELECT p_brand, month,
+                   q - LAG(q) OVER (PARTITION BY p_brand ORDER BY month) AS e
+            FROM monthly
+        ),
+        cum AS (
+            SELECT p_brand, month,
+                   CAST(COUNT(*) OVER win AS BIGINT) AS m,
+                   CAST(SUM(e) OVER win AS BIGINT) AS ce,
+                   CAST(SUM(abs(e)) OVER win AS BIGINT) AS cae,
+                   ROW_NUMBER() OVER (PARTITION BY p_brand
+                       ORDER BY month DESC) AS rn
+            FROM err
+            WHERE e IS NOT NULL
+            WINDOW win AS (PARTITION BY p_brand ORDER BY month
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT p_brand, m AS n_months,
+               CAST(CASE WHEN cae > 0 THEN round(1000.0 * ce * m / cae)
+                    ELSE 0 END AS BIGINT) AS ts_milli
+        FROM cum
+        WHERE rn = 1
+        ORDER BY p_brand
+    """
+
+
+# --- Wilson lower-bound ranking ---------------------------------------------------------
+
+WILSON_Z = 1.96
+WILSON_TOP_K = 10
+
+
+def wilson_return_ranking(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Wilson-score lower-bound ranking of brand return rates: the top
+    WILSON_TOP_K rows (p_brand, n_lines, n_returned, wilson_lb_milli).
+
+    bayes_smoothed_ranking shrinks toward a global prior; the Wilson
+    bound is the frequentist counterpart — rank by the LOWER confidence
+    limit so a brand with 3/3 returns cannot outrank one with 80/100,
+    the standard small-sample-safe leaderboard device.
+
+    Exactness: n and r are exact BIGINT counts per brand; the bound is
+    one deterministic double chain at z = 1.96; ties break on brand
+    within the bounded (<=|brands|) top-k sort.
+
+    Scale shape: one broadcast dim join, one (brand) aggregate, one
+    bounded top-k."""
+    g = (
+        lineitem.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum((F.col("l_returnflag") == "R").cast("long"))
+            .cast("long")
+            .alias("n_returned"),
+        )
+    )
+    z2 = WILSON_Z * WILSON_Z
+    return (
+        g.select(
+            "p_brand",
+            "n_lines",
+            "n_returned",
+            F.expr(
+                f"CAST(CASE WHEN n_lines > 0 THEN round(1000.0 *"
+                f" ((n_returned + {z2 / 2.0}) / (n_lines + {z2})"
+                f"  - {WILSON_Z} / (n_lines + {z2})"
+                f"    * sqrt(CAST(n_returned AS DOUBLE) * (n_lines - n_returned)"
+                f"           / n_lines + {z2 / 4.0})))"
+                f" ELSE 0 END AS BIGINT)"
+            ).alias("wilson_lb_milli"),
+        )
+        .orderBy(F.desc("wilson_lb_milli"), "p_brand")
+        .limit(WILSON_TOP_K)
+    )
+
+
+def wilson_return_ranking_sql() -> str:
+    z2 = WILSON_Z * WILSON_Z
+    return f"""
+        WITH g AS (
+            SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_returned
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand
+        )
+        SELECT p_brand, n_lines, n_returned,
+               CAST(CASE WHEN n_lines > 0 THEN round(1000.0 *
+                    ((n_returned + {z2 / 2.0}) / (n_lines + {z2})
+                     - {WILSON_Z} / (n_lines + {z2})
+                       * sqrt(CAST(n_returned AS DOUBLE) * (n_lines - n_returned)
+                              / n_lines + {z2 / 4.0})))
+                    ELSE 0 END AS BIGINT) AS wilson_lb_milli
+        FROM g
+        ORDER BY wilson_lb_milli DESC, p_brand
+        LIMIT {WILSON_TOP_K}
+    """
+
+
+# --- OTIF fill rate ---------------------------------------------------------------------
+
+OTIF_DAYS = 30
+
+
+def otif_fill_rate(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """On-time-in-full fill rate per order month: rows (month, n_orders,
+    otif_orders, otif_milli), ordered by month.
+
+    sla_compliance scores individual line latencies; OTIF is the supply-
+    chain headline at ORDER grain — an order counts only if EVERY line
+    shipped within OTIF_DAYS of the order date, so one straggler line
+    fails the whole order (the metric procurement contracts actually
+    bind on).
+
+    Exactness: the order-grain verdict is max(ship-orderdate) <= 30 days
+    over exact day differences; month rates are exact integer counts
+    with one closing division.
+
+    Scale shape: lineitem ⋈ orders on orderkey (the one shuffle), an
+    order-grain aggregate, then a bounded month-grain aggregate."""
+    per_order = (
+        lineitem.join(
+            orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.max(
+                F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+            ).alias("max_lag")
+        )
+    )
+    return (
+        per_order.groupBy(
+            F.to_date(F.date_trunc("month", "o_orderdate")).alias("month")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum((F.col("max_lag") <= OTIF_DAYS).cast("long"))
+            .cast("long")
+            .alias("otif_orders"),
+        )
+        .select(
+            "month",
+            "n_orders",
+            "otif_orders",
+            F.expr(
+                "CAST(round(1000.0 * otif_orders / n_orders) AS BIGINT)"
+            ).alias("otif_milli"),
+        )
+        .orderBy("month")
+    )
+
+
+def otif_fill_rate_sql() -> str:
+    return f"""
+        WITH per_order AS (
+            SELECT o_orderkey, o_orderdate,
+                   MAX(date_diff('day', CAST(o_orderdate AS DATE),
+                       CAST(l_shipdate AS DATE))) AS max_lag
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderkey, o_orderdate
+        )
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CASE WHEN max_lag <= {OTIF_DAYS} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS otif_orders,
+               CAST(round(1000.0 * SUM(CASE WHEN max_lag <= {OTIF_DAYS}
+                    THEN 1 ELSE 0 END) / COUNT(*)) AS BIGINT) AS otif_milli
+        FROM per_order
+        GROUP BY 1
+        ORDER BY month
+    """
+
+
+# --- Atkinson inequality index ----------------------------------------------------------
+
+
+def atkinson_index_customers(orders: DataFrame) -> DataFrame:
+    """Atkinson inequality index (epsilon = 1) of per-customer revenue:
+    one row (n_customers, atkinson_milli).
+
+    segment_gini and lorenz_points measure inequality geometrically; the
+    Atkinson index is the WELFARE-theoretic member — at epsilon 1 it is
+    1 - geometric_mean / arithmetic_mean, i.e. the share of total
+    revenue society would give up to equalize it. 0 = perfectly equal;
+    rises as the top customers dominate.
+
+    Exactness: per-customer revenue is an exact centi BIGINT; each
+    ln(revenue) quantizes once to micro so the log sum is an exact
+    integer reduction (order-free), the arithmetic mean comes from the
+    exact centi total, and one exp/division chain closes it.
+
+    Scale shape: one (customer) aggregate, one 1-row reduction."""
+    cents = F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum(cents).cast("long").alias("rev"))
+        .where(F.col("rev") > 0)
+    )
+    agg = per_cust.agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum(F.col("rev").cast("decimal(38,0)")).alias("s_rev"),
+        F.sum(
+            F.expr("CAST(round(1e6 * ln(rev / 100.0)) AS BIGINT)")
+        ).cast("long").alias("s_ln_micro"),
+    )
+    return agg.select(
+        "n_customers",
+        F.expr(
+            "CAST(CASE WHEN n_customers > 0 AND s_rev > 0 THEN round(1000.0"
+            " * (1.0 - exp(CAST(s_ln_micro AS DOUBLE) / 1e6 / n_customers)"
+            "   / (CAST(s_rev AS DOUBLE) / 100.0 / n_customers)))"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("atkinson_milli"),
+    )
+
+
+def atkinson_index_customers_sql() -> str:
+    return """
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS rev
+            FROM orders GROUP BY o_custkey
+            HAVING SUM(CAST(round(o_totalprice * 100) AS BIGINT)) > 0
+        ),
+        agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+                   SUM(CAST(rev AS HUGEINT)) AS s_rev,
+                   CAST(SUM(CAST(round(1e6 * ln(rev / 100.0)) AS BIGINT))
+                        AS BIGINT) AS s_ln_micro
+            FROM per_cust
+        )
+        SELECT n_customers,
+               CAST(CASE WHEN n_customers > 0 AND s_rev > 0 THEN round(1000.0
+                    * (1.0 - exp(CAST(s_ln_micro AS DOUBLE) / 1e6 / n_customers)
+                      / (CAST(s_rev AS DOUBLE) / 100.0 / n_customers)))
+                    ELSE 0 END AS BIGINT) AS atkinson_milli
+        FROM agg
+    """
+
+
+# --- Bass diffusion fit -----------------------------------------------------------------
+
+
+def bass_diffusion_fit(orders: DataFrame) -> DataFrame:
+    """Discrete Bass diffusion fit over monthly first-time customers: one
+    row (n_months, p_micro, q_micro, m_est).
+
+    cohort_ltv and growth_accounting describe adoption retrospectively;
+    the Bass model FITS it — n_t = p*m + (q - p)*N_{t-1} - (q/m)*N_{t-1}^2
+    regresses new adopters on cumulative adopters (the classic
+    Bass/Srinivasan discrete estimation), giving innovation p, imitation
+    q, and the implied market ceiling m as the positive root of
+    c*m^2 + b*m + a = 0.
+
+    Exactness: monthly first-purchase counts and their cumulative lags
+    are exact BIGINTs; all eight regression moments up to N^4 accumulate
+    as DECIMAL(38,0) (a 100 TB install base of ~1e9 keeps N^4 within
+    1e38 for bounded month grids), and the 3x3 Cramer solve plus root
+    extraction is one deterministic double chain.
+
+    Scale shape: one (customer) min-date aggregate, one bounded (month)
+    aggregate, one cumulative lag window over the month grid, one 1-row
+    moment reduction."""
+    d38 = "decimal(38,0)"
+    first = orders.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("month")
+    )
+    monthly = first.groupBy("month").agg(
+        F.count("*").cast("long").alias("n_new")
+    )
+    w = Window.orderBy("month").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    lagged = monthly.select(
+        F.col("n_new").cast(d38).alias("y"),
+        F.coalesce(F.sum("n_new").over(w), F.lit(0)).cast(d38).alias("x"),
+    )
+    m = lagged.agg(
+        F.count("*").cast(d38).alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+        F.sum(F.col("x") * F.col("x") * F.col("x")).alias("sx3"),
+        F.sum(F.col("x") * F.col("x") * F.col("x") * F.col("x")).alias("sx4"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x") * F.col("y")).alias("sx2y"),
+    )
+    # Cramer solve of [[n,sx,sx2],[sx,sx2,sx3],[sx2,sx3,sx4]] [a,b,c]' =
+    # [sy,sxy,sx2y]' — determinants as doubles from the exact decimals.
+    return m.select(
+        F.col("n").cast("long").alias("n_months"),
+        F.expr("CAST(n AS DOUBLE)").alias("dn"),
+        F.expr("CAST(sx AS DOUBLE)").alias("dsx"),
+        F.expr("CAST(sx2 AS DOUBLE)").alias("dsx2"),
+        F.expr("CAST(sx3 AS DOUBLE)").alias("dsx3"),
+        F.expr("CAST(sx4 AS DOUBLE)").alias("dsx4"),
+        F.expr("CAST(sy AS DOUBLE)").alias("dsy"),
+        F.expr("CAST(sxy AS DOUBLE)").alias("dsxy"),
+        F.expr("CAST(sx2y AS DOUBLE)").alias("dsx2y"),
+    ).select(
+        "n_months",
+        F.expr(
+            "dn * (dsx2 * dsx4 - dsx3 * dsx3)"
+            " - dsx * (dsx * dsx4 - dsx3 * dsx2)"
+            " + dsx2 * (dsx * dsx3 - dsx2 * dsx2)"
+        ).alias("det"),
+        F.expr(
+            "dsy * (dsx2 * dsx4 - dsx3 * dsx3)"
+            " - dsx * (dsxy * dsx4 - dsx2y * dsx3)"
+            " + dsx2 * (dsxy * dsx3 - dsx2y * dsx2)"
+        ).alias("det_a"),
+        F.expr(
+            "dn * (dsxy * dsx4 - dsx2y * dsx3)"
+            " - dsy * (dsx * dsx4 - dsx3 * dsx2)"
+            " + dsx2 * (dsx * dsx2y - dsx2 * dsxy)"
+        ).alias("det_b"),
+        F.expr(
+            "dn * (dsx2 * dsx2y - dsx3 * dsxy)"
+            " - dsx * (dsx * dsx2y - dsx2 * dsxy)"
+            " + dsy * (dsx * dsx3 - dsx2 * dsx2)"
+        ).alias("det_c"),
+    ).select(
+        "n_months",
+        F.expr("CASE WHEN det <> 0 THEN det_a / det ELSE 0 END").alias("a"),
+        F.expr("CASE WHEN det <> 0 THEN det_b / det ELSE 0 END").alias("b"),
+        F.expr("CASE WHEN det <> 0 THEN det_c / det ELSE 0 END").alias("c"),
+    ).select(
+        "n_months",
+        "a",
+        "b",
+        "c",
+        F.expr(
+            "CASE WHEN c < 0 AND b * b - 4 * a * c >= 0"
+            " THEN (-b - sqrt(b * b - 4 * a * c)) / (2 * c)"
+            " ELSE 0.0 END"
+        ).alias("m_root"),
+    ).select(
+        "n_months",
+        F.expr(
+            "CAST(CASE WHEN m_root > 0 THEN round(1e6 * a / m_root)"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("p_micro"),
+        F.expr(
+            "CAST(CASE WHEN m_root > 0 THEN round(-1e6 * c * m_root)"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("q_micro"),
+        F.expr("CAST(round(m_root) AS BIGINT)").alias("m_est"),
+    )
+
+
+def bass_diffusion_fit_sql() -> str:
+    return """
+        WITH first_m AS (
+            SELECT o_custkey, date_trunc('month', MIN(o_orderdate)) AS month
+            FROM orders GROUP BY o_custkey
+        ),
+        monthly AS (
+            SELECT month, CAST(COUNT(*) AS BIGINT) AS n_new
+            FROM first_m GROUP BY month
+        ),
+        lagged AS (
+            SELECT CAST(n_new AS HUGEINT) AS y,
+                   CAST(COALESCE(SUM(n_new) OVER (ORDER BY month
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS HUGEINT) AS x
+            FROM monthly
+        ),
+        m AS (
+            SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(y) AS sy, SUM(x) AS sx,
+                   SUM(x * x) AS sx2, SUM(x * x * x) AS sx3,
+                   SUM(x * x * x * x) AS sx4,
+                   SUM(x * y) AS sxy, SUM(x * x * y) AS sx2y
+            FROM lagged
+        ),
+        d AS (
+            SELECT CAST(n AS BIGINT) AS n_months,
+                   CAST(n AS DOUBLE) AS dn, CAST(sx AS DOUBLE) AS dsx,
+                   CAST(sx2 AS DOUBLE) AS dsx2, CAST(sx3 AS DOUBLE) AS dsx3,
+                   CAST(sx4 AS DOUBLE) AS dsx4, CAST(sy AS DOUBLE) AS dsy,
+                   CAST(sxy AS DOUBLE) AS dsxy, CAST(sx2y AS DOUBLE) AS dsx2y
+            FROM m
+        ),
+        dets AS (
+            SELECT n_months,
+                   dn * (dsx2 * dsx4 - dsx3 * dsx3)
+                   - dsx * (dsx * dsx4 - dsx3 * dsx2)
+                   + dsx2 * (dsx * dsx3 - dsx2 * dsx2) AS det,
+                   dsy * (dsx2 * dsx4 - dsx3 * dsx3)
+                   - dsx * (dsxy * dsx4 - dsx2y * dsx3)
+                   + dsx2 * (dsxy * dsx3 - dsx2y * dsx2) AS det_a,
+                   dn * (dsxy * dsx4 - dsx2y * dsx3)
+                   - dsy * (dsx * dsx4 - dsx3 * dsx2)
+                   + dsx2 * (dsx * dsx2y - dsx2 * dsxy) AS det_b,
+                   dn * (dsx2 * dsx2y - dsx3 * dsxy)
+                   - dsx * (dsx * dsx2y - dsx2 * dsxy)
+                   + dsy * (dsx * dsx3 - dsx2 * dsx2) AS det_c
+            FROM d
+        ),
+        abc AS (
+            SELECT n_months,
+                   CASE WHEN det <> 0 THEN det_a / det ELSE 0 END AS a,
+                   CASE WHEN det <> 0 THEN det_b / det ELSE 0 END AS b,
+                   CASE WHEN det <> 0 THEN det_c / det ELSE 0 END AS c
+            FROM dets
+        ),
+        root AS (
+            SELECT n_months, a, b, c,
+                   CASE WHEN c < 0 AND b * b - 4 * a * c >= 0
+                        THEN (-b - sqrt(b * b - 4 * a * c)) / (2 * c)
+                        ELSE 0.0 END AS m_root
+            FROM abc
+        )
+        SELECT n_months,
+               CAST(CASE WHEN m_root > 0 THEN round(1e6 * a / m_root)
+                    ELSE 0 END AS BIGINT) AS p_micro,
+               CAST(CASE WHEN m_root > 0 THEN round(-1e6 * c * m_root)
+                    ELSE 0 END AS BIGINT) AS q_micro,
+               CAST(round(m_root) AS BIGINT) AS m_est
+        FROM root
+    """
+
+
+# --- Theta-method forecast backtest -----------------------------------------------------
+
+THETA_ALPHA = 0.5
+
+
+def theta_forecast_backtest(orders: DataFrame) -> DataFrame:
+    """Theta-method one-step forecast backtest on monthly revenue: one
+    row (n_months, theta_mae_micro, naive_mae_micro).
+
+    holt_level_trend fits one smoothing pass over the whole series; the
+    theta device is the M3-winning combination forecast — the average of
+    a simple-exponential-smoothing level (alpha = 0.5) and the OLS trend
+    line — and this operator prices it honestly: for every month T >= 3
+    it forecasts T from months 1..T-1 only, then reports the mean
+    absolute error against the naive last-value forecast.
+
+    Exactness: monthly revenue is an exact centi BIGINT; prefix OLS
+    moments come from exact cumulative integer sums; each SES term
+    y_s * alpha^(T-1-s) (full weight alpha^(T-2) on s=1) quantizes to
+    micro-dollars inside the bounded <=|months|^2 prefix self-join, so
+    every per-T forecast is assembled from integers with one double
+    chain, and the two MAEs are exact integer averages rounded once.
+
+    Scale shape: one bounded (month) aggregate, one cumulative-moment
+    window over the month grid, one <=|months|^2 self-join ON THAT GRID
+    (the mann_kendall economics), two 1-row reductions."""
+    d38 = "decimal(38,0)"
+    cents = F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(F.sum(cents).cast("long").alias("y"))
+    t = monthly.select(
+        "y",
+        F.row_number().over(Window.orderBy("month")).cast("long").alias("t"),
+    )
+    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    pre = t.select(
+        "t",
+        "y",
+        F.count("*").over(wcum).cast("long").alias("m"),
+        F.sum(F.col("t").cast(d38)).over(wcum).alias("st"),
+        F.sum((F.col("t") * F.col("t")).cast(d38)).over(wcum).alias("stt"),
+        F.sum(F.col("y").cast(d38)).over(wcum).alias("sy"),
+        F.sum((F.col("t").cast(d38) * F.col("y").cast(d38)))
+        .over(wcum)
+        .alias("sty"),
+    )
+    a, b = t.alias("a"), pre.alias("b")
+    ses_terms = a.join(
+        b, F.col("a.t") <= F.col("b.t")
+    ).select(
+        F.col("b.t").alias("T"),
+        F.col("b.y").alias("y_T"),
+        F.col("b.m").alias("m"),
+        F.col("b.st").alias("st"),
+        F.col("b.stt").alias("stt"),
+        F.col("b.sy").alias("sy"),
+        F.col("b.sty").alias("sty"),
+        F.expr(
+            f"CAST(round(a.y / 100.0 * 1e6 * CASE WHEN a.t = 1"
+            f" THEN pow({1 - THETA_ALPHA}, b.t - 2)"
+            f" ELSE {THETA_ALPHA} * pow({1 - THETA_ALPHA}, b.t - 1 - a.t)"
+            f" END) AS BIGINT)"
+        ).alias("ses_term_micro"),
+        F.expr("CAST(round(a.y / 100.0 * 1e6) AS BIGINT)").alias("y_micro"),
+        (F.col("a.t") == F.col("b.t")).cast("int").alias("is_self"),
+        (F.col("a.t") == F.col("b.t") - 1).cast("int").alias("is_prev"),
+    )
+    # per-T assembly: SES level over s <= T-1, prefix trend over s <= T-1
+    # (shift: use the T-1 cumulative moments via self rows at b.t = T).
+    # We instead regroup on T with terms restricted to s <= T-1 by zeroing
+    # the self term, and carry the T-1 moments by subtracting the self
+    # contribution from the cumulative sums.
+    per_t = ses_terms.groupBy("T").agg(
+        F.max("y_T").alias("y_t"),
+        F.max("m").alias("m"),
+        F.max(F.col("st").cast("double")).alias("st"),
+        F.max(F.col("stt").cast("double")).alias("stt"),
+        F.max(F.col("sy").cast("double")).alias("sy"),
+        F.max(F.col("sty").cast("double")).alias("sty"),
+        F.sum(
+            F.col("ses_term_micro") * (1 - F.col("is_self"))
+        ).cast("long").alias("ses_micro"),
+        F.max(F.col("is_prev") * F.col("y_micro")).cast("long").alias(
+            "y_prev_micro"
+        ),
+        F.max(F.col("is_self") * F.col("y_micro")).cast("long").alias(
+            "y_self_micro"
+        ),
+    )
+    scored = per_t.where(F.col("T") >= 3).select(
+        "T",
+        "y_self_micro",
+        "y_prev_micro",
+        "ses_micro",
+        # prefix (1..T-1) OLS moments: subtract the self row
+        (F.col("m") - 1).alias("m1"),
+        (F.col("st") - F.col("T")).alias("st1"),
+        (F.col("stt") - F.col("T") * F.col("T")).alias("stt1"),
+        (F.col("sy") - F.col("y_t")).alias("sy1"),
+        (F.col("sty") - F.col("T") * F.col("y_t")).alias("sty1"),
+    ).select(
+        "T",
+        "y_self_micro",
+        "y_prev_micro",
+        "ses_micro",
+        F.expr(
+            "CASE WHEN m1 * stt1 - st1 * st1 <> 0 THEN"
+            " (m1 * sty1 - st1 * sy1) / (m1 * stt1 - st1 * st1)"
+            " ELSE 0.0 END"
+        ).alias("slope_cents"),
+        F.expr("sy1 / m1").alias("ybar_cents"),
+        F.expr("st1 / m1").alias("tbar"),
+    ).select(
+        "T",
+        "y_self_micro",
+        F.expr(
+            "CAST(round(0.5 * (ses_micro"
+            " + 1e6 * (ybar_cents + slope_cents * (T - tbar)) / 100.0))"
+            " AS BIGINT)"
+        ).alias("theta_micro"),
+        "y_prev_micro",
+    )
+    agg = scored.agg(
+        F.count("*").cast("long").alias("n_scored"),
+        F.sum(F.abs(F.col("y_self_micro") - F.col("theta_micro")))
+        .cast("long")
+        .alias("sae_theta"),
+        F.sum(F.abs(F.col("y_self_micro") - F.col("y_prev_micro")))
+        .cast("long")
+        .alias("sae_naive"),
+    )
+    n_m = t.agg(F.max("t").cast("long").alias("n_months"))
+    return (
+        n_m.crossJoin(F.broadcast(agg))
+        .select(
+            "n_months",
+            F.expr(
+                "CAST(CASE WHEN n_scored > 0"
+                " THEN round(CAST(sae_theta AS DOUBLE) / n_scored)"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("theta_mae_micro"),
+            F.expr(
+                "CAST(CASE WHEN n_scored > 0"
+                " THEN round(CAST(sae_naive AS DOUBLE) / n_scored)"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("naive_mae_micro"),
+        )
+    )
+
+
+def theta_forecast_backtest_sql() -> str:
+    al = THETA_ALPHA
+    return f"""
+        WITH monthly AS (
+            SELECT date_trunc('month', o_orderdate) AS month,
+                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS y
+            FROM orders GROUP BY 1
+        ),
+        t AS (
+            SELECT y,
+                   CAST(ROW_NUMBER() OVER (ORDER BY month) AS BIGINT) AS t
+            FROM monthly
+        ),
+        pre AS (
+            SELECT t, y,
+                   CAST(COUNT(*) OVER win AS BIGINT) AS m,
+                   SUM(CAST(t AS HUGEINT)) OVER win AS st,
+                   SUM(CAST(t AS HUGEINT) * CAST(t AS HUGEINT)) OVER win
+                       AS stt,
+                   SUM(CAST(y AS HUGEINT)) OVER win AS sy,
+                   SUM(CAST(t AS HUGEINT) * CAST(y AS HUGEINT)) OVER win
+                       AS sty
+            FROM t
+            WINDOW win AS (ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        ses_terms AS (
+            SELECT b.t AS bt, b.y AS y_t, b.m AS m,
+                   CAST(b.st AS DOUBLE) AS st, CAST(b.stt AS DOUBLE) AS stt,
+                   CAST(b.sy AS DOUBLE) AS sy, CAST(b.sty AS DOUBLE) AS sty,
+                   CAST(round(a.y / 100.0 * 1e6 * CASE WHEN a.t = 1
+                        THEN pow({1 - al}, b.t - 2)
+                        ELSE {al} * pow({1 - al}, b.t - 1 - a.t)
+                        END) AS BIGINT) AS ses_term_micro,
+                   CAST(round(a.y / 100.0 * 1e6) AS BIGINT) AS y_micro,
+                   CASE WHEN a.t = b.t THEN 1 ELSE 0 END AS is_self,
+                   CASE WHEN a.t = b.t - 1 THEN 1 ELSE 0 END AS is_prev
+            FROM t a JOIN pre b ON a.t <= b.t
+        ),
+        per_t AS (
+            SELECT bt AS T, MAX(y_t) AS y_t, MAX(m) AS m,
+                   MAX(st) AS st, MAX(stt) AS stt,
+                   MAX(sy) AS sy, MAX(sty) AS sty,
+                   CAST(SUM(ses_term_micro * (1 - is_self)) AS BIGINT)
+                       AS ses_micro,
+                   CAST(MAX(is_prev * y_micro) AS BIGINT) AS y_prev_micro,
+                   CAST(MAX(is_self * y_micro) AS BIGINT) AS y_self_micro
+            FROM ses_terms
+            GROUP BY bt
+        ),
+        scored AS (
+            SELECT T, y_self_micro, y_prev_micro, ses_micro,
+                   m - 1 AS m1, st - T AS st1, stt - T * T AS stt1,
+                   sy - y_t AS sy1, sty - T * y_t AS sty1
+            FROM per_t
+            WHERE T >= 3
+        ),
+        fc AS (
+            SELECT T, y_self_micro, y_prev_micro,
+                   CAST(round(0.5 * (ses_micro
+                        + 1e6 * ((sy1 / m1) + (CASE WHEN m1 * stt1 - st1 * st1
+                            <> 0 THEN (m1 * sty1 - st1 * sy1)
+                            / (m1 * stt1 - st1 * st1) ELSE 0.0 END)
+                          * (T - st1 / m1)) / 100.0)) AS BIGINT)
+                       AS theta_micro
+            FROM scored
+        ),
+        agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_scored,
+                   CAST(COALESCE(SUM(abs(y_self_micro - theta_micro)), 0)
+                        AS BIGINT) AS sae_theta,
+                   CAST(COALESCE(SUM(abs(y_self_micro - y_prev_micro)), 0)
+                        AS BIGINT) AS sae_naive
+            FROM fc
+        ),
+        n_m AS (
+            SELECT CAST(MAX(t) AS BIGINT) AS n_months FROM t
+        )
+        SELECT n_months,
+               CAST(CASE WHEN n_scored > 0
+                    THEN round(CAST(sae_theta AS DOUBLE) / n_scored)
+                    ELSE 0 END AS BIGINT) AS theta_mae_micro,
+               CAST(CASE WHEN n_scored > 0
+                    THEN round(CAST(sae_naive AS DOUBLE) / n_scored)
+                    ELSE 0 END AS BIGINT) AS naive_mae_micro
+        FROM n_m CROSS JOIN agg
+    """

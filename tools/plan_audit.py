@@ -115,6 +115,8 @@ ALLOWED: dict[str, set[str]] = {
     "events_spectral_periodogram": {"BroadcastNestedLoopJoin"},
     # broadcast 1-row per-window R/S pivot onto the 1-row day count
     "events_hurst_rs": {"BroadcastNestedLoopJoin"},
+    # bounded month-grid prefix self-join (non-equi a.t <= b.t) + 1-row MAE
+    "warehouse_theta_forecast": {"BroadcastNestedLoopJoin"},
     # broadcast 1-row (n, S) and denominator scalars over the day grid
     "events_acf_daily": {"BroadcastNestedLoopJoin"},
     # broadcast 1-row (n, Sx, Sy) and denominator scalars over the day grid
