@@ -4636,7 +4636,9 @@ def cochran_armitage_trend(events: DataFrame) -> DataFrame:
         "n_total",
         F.expr(
             "CAST(CASE WHEN n_total > 0 AND r_total > 0"
-            " AND r_total < n_total THEN round(1000.0 *"
+            " AND r_total < n_total"
+            " AND sw2n - CAST(swn AS DOUBLE) * swn / n_total > 0"
+            " THEN round(1000.0 *"
             " (swr - CAST(r_total AS DOUBLE) / n_total * swn)"
             " / sqrt(CAST(r_total AS DOUBLE) / n_total"
             "        * (1.0 - CAST(r_total AS DOUBLE) / n_total)"
@@ -4666,7 +4668,9 @@ def cochran_armitage_trend_sql() -> str:
         )
         SELECT n_groups, n_total,
                CAST(CASE WHEN n_total > 0 AND r_total > 0
-                    AND r_total < n_total THEN round(1000.0 *
+                    AND r_total < n_total
+                    AND sw2n - CAST(swn AS DOUBLE) * swn / n_total > 0
+                    THEN round(1000.0 *
                     (swr - CAST(r_total AS DOUBLE) / n_total * swn)
                     / sqrt(CAST(r_total AS DOUBLE) / n_total
                            * (1.0 - CAST(r_total AS DOUBLE) / n_total)

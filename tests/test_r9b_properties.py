@@ -1,0 +1,857 @@
+"""Property tests for the round-9 statistical/warehouse devices
+(L-422..L-440): each Spark plan must equal a direct Python reference of the
+same exact-arithmetic chain on arbitrary series — the device-level guarantee
+the DuckDB oracles then certify at corpus scale."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+except ImportError:  # pragma: no cover
+    pytest.skip("hypothesis not installed", allow_module_level=True)
+
+from pyspark.sql import functions as F
+
+
+def _rha(x: float) -> int:
+    """Match Spark/DuckDB round(): half away from zero, not banker's."""
+    return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+
+# per-day lists of event centi-values (>= 2 days, 1-4 events per day)
+DAY_VALUE_SERIES = st.lists(
+    st.lists(st.integers(-500, 500), min_size=1, max_size=4),
+    min_size=2,
+    max_size=12,
+)
+
+# per-day event counts (>= 2 days)
+DAY_COUNTS = st.lists(st.integers(1, 6), min_size=2, max_size=34)
+
+
+def _events_from_values(spark, series, event_type="click"):
+    rows = []
+    for d, centis in enumerate(series, start=1):
+        day = f"2024-01-{d:02d}"
+        rows += [
+            (1, event_type, f"{day} 10:00:00", c / 100.0) for c in centis
+        ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts string, value double"
+    )
+    return df.withColumn("ts", F.to_timestamp("ts"))
+
+
+def _events_from_counts(spark, counts):
+    return _events_from_values(spark, [[100] * c for c in counts])
+
+
+# --- Jarque-Bera ------------------------------------------------------------
+
+
+def _jb_ref(counts):
+    n = len(counts)
+    s1 = sum(counts)
+    s2 = sum(c * c for c in counts)
+    s3 = sum(c**3 for c in counts)
+    s4 = sum(c**4 for c in counts)
+    mean, r2, r3, r4 = s1 / n, s2 / n, s3 / n, s4 / n
+    m2 = r2 - mean * mean
+    m3 = r3 - 3 * mean * r2 + 2 * mean**3
+    m4 = r4 - 4 * mean * r3 + 6 * mean * mean * r2 - 3 * mean**4
+    if m2 <= 0:
+        return 0, 0, 0
+    g1 = m3 / m2**1.5
+    g2 = m4 / (m2 * m2) - 3.0
+    return (
+        _rha(1000 * g1),
+        _rha(1000 * g2),
+        _rha(1000 * n / 6.0 * (g1 * g1 + g2 * g2 / 4.0)),
+    )
+
+
+@settings(max_examples=8, deadline=None)
+@given(counts=DAY_COUNTS)
+def test_jarque_bera_matches_reference(spark, counts):
+    from pagila_etl_airflow_assignment_spark.operators.stats import (
+        jarque_bera_daily,
+    )
+
+    r = jarque_bera_daily(_events_from_counts(spark, counts)).collect()[0]
+    sk, ek, jb = _jb_ref(counts)
+    assert r.n_days == len(counts)
+    assert (r.skew_milli, r.exkurt_milli, r.jb_milli) == (sk, ek, jb)
+
+
+# --- Durbin-Watson ----------------------------------------------------------
+
+
+def _dw_ref(series):
+    ys = [sum(cs) for cs in series]
+    n = len(ys)
+    st_ = sum(range(1, n + 1))
+    stt = sum(t * t for t in range(1, n + 1))
+    sy = sum(ys)
+    sty = sum(t * y for t, y in zip(range(1, n + 1), ys))
+    ctt = float(n * stt - st_ * st_)
+    cty = float(n * sty - st_ * sy)
+    tbar, ybar = st_ / n, sy / n
+    slope = cty / ctt if ctt > 0 else 0.0
+    es = [
+        _rha(1000 * (y - (ybar + slope * (t - tbar))))
+        for t, y in zip(range(1, n + 1), ys)
+    ]
+    see = sum(e * e for e in es)
+    sdd = sum((b - a) ** 2 for a, b in zip(es, es[1:]))
+    dw = _rha(1000 * sdd / see) if see > 0 else 0
+    return _rha(1e6 * cty / ctt) if ctt > 0 else 0, dw
+
+
+@settings(max_examples=8, deadline=None)
+@given(series=DAY_VALUE_SERIES)
+def test_durbin_watson_matches_reference(spark, series):
+    from pagila_etl_airflow_assignment_spark.operators.stats import (
+        durbin_watson_daily,
+    )
+
+    r = durbin_watson_daily(_events_from_values(spark, series)).collect()[0]
+    slope_micro, dw_milli = _dw_ref(series)
+    assert r.n_days == len(series)
+    assert (r.slope_micro, r.dw_milli) == (slope_micro, dw_milli)
+
+
+# --- Grubbs -----------------------------------------------------------------
+
+
+def _grubbs_ref(series):
+    ms = [_rha(1e6 * (sum(cs) / len(cs)) / 100.0) for cs in series]
+    n = len(ms)
+    s1 = sum(ms)
+    s2 = sum(m * m for m in ms)
+    devs = [abs(n * m - s1) for m in ms]
+    best = max(range(n), key=lambda i: (devs[i], -i))
+    css_n = float(n * s2 - s1 * s1)
+    if css_n > 0 and n > 1:
+        g = _rha(
+            1000 * devs[best] / (n * math.sqrt(css_n / n / (n - 1)))
+        )
+    else:
+        g = 0
+    return g, best + 1
+
+
+@settings(max_examples=8, deadline=None)
+@given(series=DAY_VALUE_SERIES)
+def test_grubbs_matches_reference(spark, series):
+    from pagila_etl_airflow_assignment_spark.operators.stats import (
+        grubbs_test_daily,
+    )
+
+    r = grubbs_test_daily(_events_from_values(spark, series)).collect()[0]
+    g, day = _grubbs_ref(series)
+    assert r.n_days == len(series)
+    assert r.g_milli == g
+    assert r.outlier_day.day == day
+
+
+# --- Levene / Bartlett -------------------------------------------------------
+
+GROUPED_VALUES = st.lists(
+    st.lists(st.integers(-500, 500), min_size=2, max_size=6),
+    min_size=2,
+    max_size=4,
+)
+
+
+def _grouped_events(spark, groups):
+    rows = []
+    for gi, vals in enumerate(groups):
+        for c in vals:
+            rows.append((1, f"type{gi}", "2024-01-05 10:00:00", c / 100.0))
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts string, value double"
+    )
+    return df.withColumn("ts", F.to_timestamp("ts"))
+
+
+def _levene_ref(groups):
+    k = len(groups)
+    n_total = sum(len(g) for g in groups)
+    szs, bsss, wsss = [], [], []
+    for g in groups:
+        sc, cnt = sum(g), len(g)
+        zs = [_rha(1000 * abs(c - sc / cnt)) for c in g]
+        sz = sum(zs)
+        szz = sum(z * z for z in zs)
+        szs.append(sz)
+        bsss.append(_rha(sz * float(sz) / cnt / 1e6))
+        wsss.append(_rha((szz - float(sz) * sz / cnt) / 1e6))
+    sz_all = float(sum(szs))
+    bss, wss = sum(bsss), sum(wsss)
+    if k > 1 and n_total > k and wss > 0:
+        return _rha(
+            1000
+            * ((bss - sz_all * sz_all / n_total / 1e6) / (k - 1))
+            / (wss / (n_total - k))
+        )
+    return 0
+
+
+@settings(max_examples=8, deadline=None)
+@given(groups=GROUPED_VALUES)
+def test_levene_matches_reference(spark, groups):
+    from pagila_etl_airflow_assignment_spark.operators.stats import (
+        levene_test,
+    )
+
+    r = levene_test(_grouped_events(spark, groups)).collect()[0]
+    assert r.k_groups == len(groups)
+    assert r.n_total == sum(len(g) for g in groups)
+    assert r.w_milli == _levene_ref(groups)
+
+
+def _bartlett_ref(groups):
+    groups = [g for g in groups if len(g) > 1]
+    k = len(groups)
+    n_total = sum(len(g) for g in groups)
+    pooled_m, lns_m, inv_p = 0, 0, 0
+    for g in groups:
+        n, sc = len(g), sum(g)
+        scc = sum(c * c for c in g)
+        css = float(scc) - float(sc) * sc / n
+        pooled_m += _rha(1e3 * css)
+        lns_m += _rha(1e6 * (n - 1) * math.log(css / (n - 1))) if css > 0 else 0
+        inv_p += _rha(1e12 / (n - 1))
+    if k > 1 and n_total > k and pooled_m > 0:
+        return _rha(
+            1000.0
+            * (
+                (n_total - k) * math.log(pooled_m / 1e3 / (n_total - k))
+                - lns_m / 1e6
+            )
+            / (1.0 + (inv_p / 1e12 - 1.0 / (n_total - k)) / (3.0 * (k - 1)))
+        )
+    return 0
+
+
+@settings(max_examples=8, deadline=None)
+@given(groups=GROUPED_VALUES)
+def test_bartlett_matches_reference(spark, groups):
+    from pagila_etl_airflow_assignment_spark.operators.stats import (
+        bartlett_test,
+    )
+
+    r = bartlett_test(_grouped_events(spark, groups)).collect()[0]
+    assert r.k_groups == len(groups)
+    assert r.chi2_milli == _bartlett_ref(groups)
+
+
+# --- Cochran-Armitage --------------------------------------------------------
+
+# per day-part bucket: (total events, errors among them); 1-4 buckets
+CA_BUCKETS = st.lists(
+    st.tuples(st.integers(1, 8), st.integers(0, 8)).map(
+        lambda t: (max(t), min(t))
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+def _ca_events(spark, buckets):
+    rows = []
+    for b, (n, r) in enumerate(buckets):
+        hour = b * 6
+        for i in range(n):
+            et = "error" if i < r else "click"
+            rows.append((1, et, f"2024-01-05 {hour:02d}:30:00", 1.0))
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts string, value double"
+    )
+    return df.withColumn("ts", F.to_timestamp("ts"))
+
+
+def _ca_ref(buckets):
+    n_total = sum(n for n, _ in buckets)
+    r_total = sum(r for _, r in buckets)
+    swr = sum(b * r for b, (_, r) in enumerate(buckets))
+    swn = sum(b * n for b, (n, _) in enumerate(buckets))
+    sw2n = sum(b * b * n for b, (n, _) in enumerate(buckets))
+    if 0 < r_total < n_total:
+        p = r_total / n_total
+        var = p * (1 - p) * (sw2n - float(swn) * swn / n_total)
+        if var > 0:
+            return _rha(1000 * (swr - p * swn) / math.sqrt(var))
+    return 0
+
+
+@settings(max_examples=8, deadline=None)
+@given(buckets=CA_BUCKETS)
+def test_cochran_armitage_matches_reference(spark, buckets):
+    from pagila_etl_airflow_assignment_spark.operators.stats import (
+        cochran_armitage_trend,
+    )
+
+    r = cochran_armitage_trend(_ca_events(spark, buckets)).collect()[0]
+    assert r.n_groups == len(buckets)
+    assert r.n_total == sum(n for n, _ in buckets)
+    assert r.z_milli == _ca_ref(buckets)
+
+
+# --- McNemar / Cochran's Q ----------------------------------------------------
+
+# per user: (active first half, active second half), at least one true
+USER_HALVES = st.lists(
+    st.sampled_from([(1, 0), (0, 1), (1, 1)]), min_size=1, max_size=20
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(halves=USER_HALVES)
+def test_mcnemar_matches_reference(spark, halves):
+    from pagila_etl_airflow_assignment_spark.operators.stats import (
+        mcnemar_test,
+    )
+
+    rows = []
+    for u, (a, b) in enumerate(halves):
+        if a:
+            rows.append((u, "click", "2024-01-05 10:00:00", 1.0))
+        if b:
+            rows.append((u, "click", "2024-01-25 10:00:00", 1.0))
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    r = mcnemar_test(df).collect()[0]
+    n01 = sum(1 for a, b in halves if not a and b)
+    n10 = sum(1 for a, b in halves if a and not b)
+    assert (r.n_users, r.n01, r.n10) == (len(halves), n01, n10)
+    exp = (
+        _rha(1000 * (abs(n01 - n10) - 1) ** 2 / (n01 + n10))
+        if n01 + n10 > 0
+        else 0
+    )
+    assert r.chi2_milli == exp
+
+
+USER_FLAGS = st.lists(
+    st.tuples(st.booleans(), st.booleans(), st.booleans()),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(flags=USER_FLAGS)
+def test_cochran_q_matches_reference(spark, flags):
+    from pagila_etl_airflow_assignment_spark.operators.stats import (
+        COCHRAN_Q_TYPES,
+        cochran_q_test,
+    )
+
+    rows = []
+    for u, fs in enumerate(flags):
+        rows.append((u, "signup", "2024-01-05 10:00:00", 1.0))
+        for t, f in zip(COCHRAN_Q_TYPES, fs):
+            if f:
+                rows.append((u, t, "2024-01-06 10:00:00", 1.0))
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    r = cochran_q_test(df).collect()[0]
+    k = 3
+    t_total = sum(sum(fs) for fs in flags)
+    srr = sum(sum(fs) ** 2 for fs in flags)
+    cs = [sum(fs[j] for fs in flags) for j in range(k)]
+    denom = k * t_total - srr
+    exp = (
+        _rha(
+            1000.0
+            * (k - 1)
+            * (k * sum(c * c for c in cs) - t_total * t_total)
+            / denom
+        )
+        if denom > 0
+        else 0
+    )
+    assert r.n_users == len(flags)
+    assert r.q_milli == exp
+
+
+# --- KPSS ---------------------------------------------------------------------
+
+
+def _kpss_ref(counts):
+    n = len(counts)
+    s1 = sum(counts)
+    es = [n * c - s1 for c in counts]
+    cs, acc = [], 0
+    for e in es:
+        acc += e
+        cs.append(acc)
+    see = sum(e * e for e in es)
+    scc = sum(c * c for c in cs)
+    return _rha(1e6 * scc / (n * see)) if see > 0 else 0
+
+
+@settings(max_examples=8, deadline=None)
+@given(counts=DAY_COUNTS)
+def test_kpss_matches_reference(spark, counts):
+    from pagila_etl_airflow_assignment_spark.operators.stats import kpss_daily
+
+    r = kpss_daily(_events_from_counts(spark, counts)).collect()[0]
+    assert r.n_days == len(counts)
+    assert r.kpss_micro == _kpss_ref(counts)
+
+
+# --- Wilcoxon signed-rank ------------------------------------------------------
+
+# per day: (clicks, errors)
+DAY_PAIRS = st.lists(
+    st.tuples(st.integers(0, 6), st.integers(0, 6)).filter(
+        lambda t: t[0] + t[1] > 0
+    ),
+    min_size=2,
+    max_size=14,
+)
+
+
+def _wilcoxon_ref(pairs):
+    ds = [x - y for x, y in pairs if x != y]
+    n = len(ds)
+    if n == 0:
+        return 0, 0, 0
+    groups = {}
+    for d in ds:
+        groups.setdefault(abs(d), [0, 0])
+        groups[abs(d)][0] += 1
+        if d > 0:
+            groups[abs(d)][1] += 1
+    w2, tie3, cum = 0, 0, 0
+    for ad in sorted(groups):
+        t, pos = groups[ad]
+        w2 += pos * (2 * cum + t + 1)
+        tie3 += t**3 - t
+        cum += t
+    var = n * (n + 1.0) * (2 * n + 1) / 24.0 - tie3 / 48.0
+    z = (
+        _rha(1000 * (w2 / 2.0 - n * (n + 1.0) / 4.0) / math.sqrt(var))
+        if var > 0
+        else 0
+    )
+    return n, w2, z
+
+
+@settings(max_examples=8, deadline=None)
+@given(pairs=DAY_PAIRS)
+def test_wilcoxon_matches_reference(spark, pairs):
+    from pagila_etl_airflow_assignment_spark.operators.stats import (
+        wilcoxon_signed_rank_daily,
+    )
+
+    rows = []
+    for d, (x, y) in enumerate(pairs, start=1):
+        day = f"2024-01-{d:02d}"
+        rows += [(1, "click", f"{day} 10:00:00", 1.0)] * x
+        rows += [(1, "error", f"{day} 11:00:00", 1.0)] * y
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    r = wilcoxon_signed_rank_daily(df).collect()[0]
+    n, w2, z = _wilcoxon_ref(pairs)
+    assert (r.n_pairs, r.w2_plus, r.z_milli) == (n, w2, z)
+
+
+# --- Periodogram ---------------------------------------------------------------
+
+
+def _spectral_ref(counts):
+    n = len(counts)
+    s1 = sum(counts)
+    out = {}
+    for p in range(2, 15):
+        a = sum(
+            _rha(1e6 * (c - s1 / n) * math.cos(2 * math.pi * t / p))
+            for t, c in enumerate(counts, start=1)
+        )
+        b = sum(
+            _rha(1e6 * (c - s1 / n) * math.sin(2 * math.pi * t / p))
+            for t, c in enumerate(counts, start=1)
+        )
+        out[p] = _rha(math.sqrt(float(a) * a + float(b) * b) / n)
+    return out
+
+
+@settings(max_examples=6, deadline=None)
+@given(counts=DAY_COUNTS)
+def test_spectral_matches_reference(spark, counts):
+    from pagila_etl_airflow_assignment_spark.operators.stats import (
+        spectral_periodogram_daily,
+    )
+
+    rows = spectral_periodogram_daily(
+        _events_from_counts(spark, counts)
+    ).collect()
+    exp = _spectral_ref(counts)
+    assert {r.period: r.amp_micro for r in rows} == exp
+
+
+# --- Hurst R/S -------------------------------------------------------------------
+
+
+def _hurst_ref(counts):
+    rs = {}
+    for w in (4, 8, 16):
+        vals = []
+        for b in range(len(counts) // w):
+            blk = counts[b * w : (b + 1) * w]
+            sb = sum(blk)
+            wc, acc = [], 0
+            for j, c in enumerate(blk, start=1):
+                acc += c
+                wc.append(w * acc - j * sb)
+            denom2 = w * sum(c * c for c in blk) - sb * sb
+            if denom2 > 0:
+                vals.append(
+                    _rha(1000 * (max(wc) - min(wc)) / math.sqrt(denom2))
+                )
+        rs[w] = _rha(sum(vals) / len(vals)) if vals else 0
+    if rs[4] > 0 and rs[16] > 0:
+        h = _rha(
+            1000
+            * (math.log(rs[16] / 1000.0) - math.log(rs[4] / 1000.0))
+            / (2 * math.log(2.0))
+        )
+    else:
+        h = 0
+    return rs, h
+
+
+@settings(max_examples=8, deadline=None)
+@given(counts=DAY_COUNTS)
+def test_hurst_matches_reference(spark, counts):
+    from pagila_etl_airflow_assignment_spark.operators.stats import (
+        hurst_rs_daily,
+    )
+
+    r = hurst_rs_daily(_events_from_counts(spark, counts)).collect()[0]
+    rs, h = _hurst_ref(counts)
+    assert r.n_days == len(counts)
+    assert (r.rs4_milli, r.rs8_milli, r.rs16_milli) == (rs[4], rs[8], rs[16])
+    assert r.hurst_milli == h
+
+
+# --- Atkinson index ------------------------------------------------------------
+
+CUST_REVENUES = st.lists(st.integers(1, 10**7), min_size=1, max_size=25)
+
+
+@settings(max_examples=8, deadline=None)
+@given(revs=CUST_REVENUES)
+def test_atkinson_matches_reference(spark, revs):
+    from pagila_etl_airflow_assignment_spark.operators.warehouse import (
+        atkinson_index_customers,
+    )
+
+    rows = [
+        (u, u, "O", r / 100.0, "1995-03-01 00:00:00", "1-URGENT")
+        for u, r in enumerate(revs)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+    r = atkinson_index_customers(df).collect()[0]
+    n = len(revs)
+    s_ln = sum(_rha(1e6 * math.log(c / 100.0)) for c in revs)
+    s_rev = sum(revs)
+    exp = _rha(
+        1000
+        * (1.0 - math.exp(s_ln / 1e6 / n) / (s_rev / 100.0 / n))
+    )
+    assert (r.n_customers, r.atkinson_milli) == (n, exp)
+
+
+# --- Wilson ranking --------------------------------------------------------------
+
+BRAND_COUNTS = st.lists(
+    st.tuples(st.integers(1, 12), st.integers(0, 12)).map(
+        lambda t: (max(t), min(t))
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(brands=BRAND_COUNTS)
+def test_wilson_matches_reference(spark, brands):
+    from pagila_etl_airflow_assignment_spark.operators.warehouse import (
+        WILSON_TOP_K,
+        WILSON_Z,
+        wilson_return_ranking,
+    )
+
+    li_rows, part_rows = [], []
+    key = 0
+    for b, (n, r) in enumerate(brands):
+        part_rows.append((b, f"part{b}", f"Brand#{b:02d}", "t", 1, 1.0))
+        for i in range(n):
+            key += 1
+            li_rows.append(
+                (key, b, 1, 1, 1.0, 10.0, 0.0, 0.0,
+                 "R" if i < r else "N", "O", "1995-03-05 00:00:00")
+            )
+    li = spark.createDataFrame(
+        li_rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate string",
+    ).withColumn("l_shipdate", F.to_timestamp("l_shipdate"))
+    part = spark.createDataFrame(
+        part_rows,
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    )
+    got = wilson_return_ranking(li, part).collect()
+    z2 = WILSON_Z * WILSON_Z
+    exp = []
+    for b, (n, r) in enumerate(brands):
+        lb = _rha(
+            1000
+            * (
+                (r + z2 / 2.0) / (n + z2)
+                - WILSON_Z
+                / (n + z2)
+                * math.sqrt(float(r) * (n - r) / n + z2 / 4.0)
+            )
+        )
+        exp.append((f"Brand#{b:02d}", n, r, lb))
+    exp.sort(key=lambda t: (-t[3], t[0]))
+    exp = exp[:WILSON_TOP_K]
+    assert [tuple(r) for r in got] == exp
+
+
+# --- OTIF fill rate ----------------------------------------------------------------
+
+# per order: list of line ship lags (days); all in one month
+ORDER_LAGS = st.lists(
+    st.lists(st.integers(0, 60), min_size=1, max_size=4),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(orders_lags=ORDER_LAGS)
+def test_otif_matches_reference(spark, orders_lags):
+    import datetime as dt
+
+    from pagila_etl_airflow_assignment_spark.operators.warehouse import (
+        OTIF_DAYS,
+        otif_fill_rate,
+    )
+
+    base = dt.date(1995, 3, 10)
+    o_rows, li_rows = [], []
+    for ok, lags in enumerate(orders_lags):
+        o_rows.append((ok, ok, "O", 1.0, "1995-03-10 00:00:00", "1-URGENT"))
+        for i, lag in enumerate(lags):
+            ship = base + dt.timedelta(days=lag)
+            li_rows.append(
+                (ok, 1, 1, i, 1.0, 10.0, 0.0, 0.0, "N", "O",
+                 f"{ship.isoformat()} 00:00:00")
+            )
+    o = spark.createDataFrame(
+        o_rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+    li = spark.createDataFrame(
+        li_rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate string",
+    ).withColumn("l_shipdate", F.to_timestamp("l_shipdate"))
+    r = otif_fill_rate(li, o).collect()[0]
+    n = len(orders_lags)
+    otif = sum(1 for lags in orders_lags if max(lags) <= OTIF_DAYS)
+    assert (r.n_orders, r.otif_orders, r.otif_milli) == (
+        n,
+        otif,
+        _rha(1000 * otif / n),
+    )
+
+
+# --- Tracking signal ----------------------------------------------------------------
+
+# one brand, monthly centi-quantities
+MONTHLY_QTY = st.lists(st.integers(1, 5000), min_size=2, max_size=12)
+
+
+@settings(max_examples=8, deadline=None)
+@given(qtys=MONTHLY_QTY)
+def test_tracking_signal_matches_reference(spark, qtys):
+    from pagila_etl_airflow_assignment_spark.operators.warehouse import (
+        tracking_signal_brands,
+    )
+
+    o_rows, li_rows = [], []
+    for m, q in enumerate(qtys):
+        o_rows.append(
+            (m, 1, "O", 1.0, f"1995-{m + 1:02d}-05 00:00:00", "1-URGENT")
+        )
+        li_rows.append(
+            (m, 1, 1, 1, q / 100.0, 10.0, 0.0, 0.0, "N", "O",
+             f"1995-{m + 1:02d}-10 00:00:00")
+        )
+    o = spark.createDataFrame(
+        o_rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+    li = spark.createDataFrame(
+        li_rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate string",
+    ).withColumn("l_shipdate", F.to_timestamp("l_shipdate"))
+    part = spark.createDataFrame(
+        [(1, "p", "Brand#11", "t", 1, 1.0)],
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    )
+    r = tracking_signal_brands(li, o, part).collect()[0]
+    es = [b - a for a, b in zip(qtys, qtys[1:])]
+    m = len(es)
+    ce, cae = sum(es), sum(abs(e) for e in es)
+    exp = _rha(1000.0 * ce * m / cae) if cae > 0 else 0
+    assert (r.p_brand, r.n_months, r.ts_milli) == ("Brand#11", m, exp)
+
+
+# --- Bass diffusion -----------------------------------------------------------------
+
+# monthly new-customer counts
+MONTHLY_NEW = st.lists(st.integers(1, 40), min_size=3, max_size=12)
+
+
+@settings(max_examples=8, deadline=None)
+@given(news=MONTHLY_NEW)
+def test_bass_matches_reference(spark, news):
+    from pagila_etl_airflow_assignment_spark.operators.warehouse import (
+        bass_diffusion_fit,
+    )
+
+    rows, cust = [], 0
+    for m, k in enumerate(news):
+        for _ in range(k):
+            rows.append(
+                (cust, cust, "O", 1.0, f"1995-{m + 1:02d}-05 00:00:00",
+                 "1-URGENT")
+            )
+            cust += 1
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+    r = bass_diffusion_fit(df).collect()[0]
+    n = len(news)
+    xs, ys, acc = [], [], 0
+    for k in news:
+        xs.append(acc)
+        ys.append(k)
+        acc += k
+    sy = float(sum(ys)); sx = float(sum(xs))
+    sx2 = float(sum(x * x for x in xs)); sx3 = float(sum(x**3 for x in xs))
+    sx4 = float(sum(x**4 for x in xs))
+    sxy = float(sum(x * y for x, y in zip(xs, ys)))
+    sx2y = float(sum(x * x * y for x, y in zip(xs, ys)))
+    dn = float(n)
+    det = (dn * (sx2 * sx4 - sx3 * sx3) - sx * (sx * sx4 - sx3 * sx2)
+           + sx2 * (sx * sx3 - sx2 * sx2))
+    det_a = (sy * (sx2 * sx4 - sx3 * sx3) - sx * (sxy * sx4 - sx2y * sx3)
+             + sx2 * (sxy * sx3 - sx2y * sx2))
+    det_b = (dn * (sxy * sx4 - sx2y * sx3) - sy * (sx * sx4 - sx3 * sx2)
+             + sx2 * (sx * sx2y - sx2 * sxy))
+    det_c = (dn * (sx2 * sx2y - sx3 * sxy) - sx * (sx * sx2y - sx2 * sxy)
+             + sy * (sx * sx3 - sx2 * sx2))
+    a = det_a / det if det != 0 else 0.0
+    b = det_b / det if det != 0 else 0.0
+    c = det_c / det if det != 0 else 0.0
+    if c < 0 and b * b - 4 * a * c >= 0:
+        m_root = (-b - math.sqrt(b * b - 4 * a * c)) / (2 * c)
+    else:
+        m_root = 0.0
+    p_micro = _rha(1e6 * a / m_root) if m_root > 0 else 0
+    q_micro = _rha(-1e6 * c * m_root) if m_root > 0 else 0
+    assert r.n_months == n
+    assert (r.p_micro, r.q_micro, r.m_est) == (
+        p_micro, q_micro, _rha(m_root)
+    )
+
+
+# --- Theta forecast backtest ----------------------------------------------------------
+
+MONTHLY_REV = st.lists(st.integers(100, 10**6), min_size=3, max_size=12)
+
+
+def _theta_ref(cents):
+    al = 0.5
+    n = len(cents)
+    sae_t, sae_n, scored = 0, 0, 0
+    for T in range(3, n + 1):
+        ses = 0
+        for s in range(1, T):
+            y = cents[s - 1]
+            w = (1 - al) ** (T - 2) if s == 1 else al * (1 - al) ** (T - 1 - s)
+            ses += _rha(y / 100.0 * 1e6 * w)
+        m1 = T - 1
+        st1 = sum(range(1, T))
+        stt1 = sum(t * t for t in range(1, T))
+        sy1 = sum(cents[:m1])
+        sty1 = sum(t * y for t, y in zip(range(1, T), cents[:m1]))
+        den = m1 * stt1 - st1 * st1
+        slope = (m1 * sty1 - st1 * sy1) / den if den != 0 else 0.0
+        trend = sy1 / m1 + slope * (T - st1 / m1)
+        theta = _rha(0.5 * (ses + 1e6 * trend / 100.0))
+        y_self = _rha(cents[T - 1] / 100.0 * 1e6)
+        y_prev = _rha(cents[T - 2] / 100.0 * 1e6)
+        sae_t += abs(y_self - theta)
+        sae_n += abs(y_self - y_prev)
+        scored += 1
+    return (
+        _rha(sae_t / scored) if scored else 0,
+        _rha(sae_n / scored) if scored else 0,
+    )
+
+
+@settings(max_examples=8, deadline=None)
+@given(revs=MONTHLY_REV)
+def test_theta_matches_reference(spark, revs):
+    from pagila_etl_airflow_assignment_spark.operators.warehouse import (
+        theta_forecast_backtest,
+    )
+
+    rows = [
+        (m, 1, "O", r / 100.0, f"1995-{m + 1:02d}-05 00:00:00", "1-URGENT")
+        for m, r in enumerate(revs)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+    r = theta_forecast_backtest(df).collect()[0]
+    mae_t, mae_n = _theta_ref(revs)
+    assert r.n_months == len(revs)
+    assert (r.theta_mae_micro, r.naive_mae_micro) == (mae_t, mae_n)
