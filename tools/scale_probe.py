@@ -385,6 +385,27 @@ PROBES = [
     "events_cramers_v",
     "events_permutation_entropy",
     "warehouse_bullwhip_ratio",
+    # round-9 additions (L-422..L-440): classical tests on the bounded day
+    # grid, TPC-H Q5, supply-chain/forecast devices
+    "events_jarque_bera",
+    "events_durbin_watson",
+    "events_grubbs_test",
+    "events_levene_test",
+    "events_bartlett_test",
+    "events_cochran_armitage",
+    "events_mcnemar_test",
+    "events_cochran_q",
+    "events_kpss_test",
+    "events_wilcoxon_signed_rank",
+    "events_spectral_periodogram",
+    "events_hurst_rs",
+    "warehouse_local_supplier_volume",
+    "warehouse_tracking_signal",
+    "warehouse_wilson_ranking",
+    "warehouse_otif_fill_rate",
+    "warehouse_atkinson_index",
+    "warehouse_bass_diffusion",
+    "warehouse_theta_forecast",
 ]
 
 
