@@ -2484,3 +2484,160 @@ INTERRUPTED_TS_SQL = """
     CROSS JOIN (SELECT * FROM fitted WHERE is_pre = 0) post
     CROSS JOIN incident CROSS JOIN nd
 """
+
+
+# --- Little's law audit ---------------------------------------------------------
+
+LITTLES_GAP_MIN = 30
+
+
+def littles_law_daily(events: DataFrame, gap_min: int = LITTLES_GAP_MIN) -> DataFrame:
+    """Little's law audit per day: rows (day, n_started,
+    l_obs_micro, l_pred_micro), ordered by day.
+
+    session_concurrency tracks the instantaneous L; this audits the
+    queueing identity L = lambda * W against it — l_pred charges each
+    session's FULL duration to its start day (lambda * W in day units),
+    l_obs integrates actual within-day presence (sessions clipped at
+    midnight). The two diverge exactly by cross-midnight mass, so the gap
+    is a boundary-effect meter for any daily-grain session KPI.
+
+    Exactness: session bounds are exact microsecond integers
+    (unix-epoch), overlaps are integer min/max differences, and both
+    outputs quantize once from integer-microsecond sums.
+
+    Scale shape: one user-partitioned session window pass, a bounded
+    <=|session-days| explode (sessions span whole days, not rows), two
+    (day) aggregates joined on the bounded day grid."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        (
+            F.coalesce(
+                (
+                    F.unix_micros(F.col("ts"))
+                    - F.unix_micros(F.lag("ts").over(w))
+                )
+                > gap_min * 60 * 1000000,
+                F.lit(True),
+            )
+        )
+        .cast("int")
+        .alias("is_new"),
+    )
+    sess = marked.select(
+        "user_id",
+        "ts",
+        F.sum("is_new")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("sid"),
+    ).groupBy("user_id", "sid").agg(
+        F.unix_micros(F.min("ts")).alias("s_us"),
+        F.unix_micros(F.max("ts")).alias("e_us"),
+        F.to_date(F.min("ts")).alias("start_day"),
+        F.to_date(F.max("ts")).alias("end_day"),
+    )
+    pred = sess.groupBy(F.col("start_day").alias("day")).agg(
+        F.count("*").cast("long").alias("n_started"),
+        F.sum(F.col("e_us") - F.col("s_us")).cast("long").alias("dur_us"),
+    )
+    DAY_US = 86400 * 1000000
+    obs = (
+        sess.select(
+            "s_us",
+            "e_us",
+            F.explode(
+                F.sequence(F.col("start_day"), F.col("end_day"))
+            ).alias("day"),
+        )
+        .select(
+            "day",
+            (
+                F.least(
+                    F.col("e_us"),
+                    F.unix_micros(
+                        F.to_timestamp(F.date_add(F.col("day"), 1))
+                    ),
+                )
+                - F.greatest(
+                    F.col("s_us"),
+                    F.unix_micros(F.to_timestamp(F.col("day"))),
+                )
+            ).alias("ov_us"),
+        )
+        .groupBy("day")
+        .agg(F.sum("ov_us").cast("long").alias("ov_us"))
+    )
+    return (
+        pred.join(obs, "day", "outer")
+        .select(
+            "day",
+            F.coalesce("n_started", F.lit(0)).alias("n_started"),
+            F.expr(
+                f"CAST(round(1e6 * COALESCE(ov_us, 0) / {DAY_US}.0)"
+                " AS BIGINT)"
+            ).alias("l_obs_micro"),
+            F.expr(
+                f"CAST(round(1e6 * COALESCE(dur_us, 0) / {DAY_US}.0)"
+                " AS BIGINT)"
+            ).alias("l_pred_micro"),
+        )
+        .orderBy("day")
+    )
+
+
+def littles_law_daily_sql(gap_min: int = LITTLES_GAP_MIN) -> str:
+    return f"""
+        WITH marked AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                        > {gap_min} * 60 * CAST(1000000 AS BIGINT)
+                        OR LAG(ts) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id, sid,
+                   epoch_us(MIN(ts)) AS s_us, epoch_us(MAX(ts)) AS e_us,
+                   CAST(MIN(ts) AS DATE) AS start_day,
+                   CAST(MAX(ts) AS DATE) AS end_day
+            FROM (
+                SELECT user_id, ts,
+                       SUM(is_new) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS sid
+                FROM marked
+            )
+            GROUP BY user_id, sid
+        ),
+        pred AS (
+            SELECT start_day AS day, CAST(COUNT(*) AS BIGINT) AS n_started,
+                   CAST(SUM(e_us - s_us) AS BIGINT) AS dur_us
+            FROM sess GROUP BY start_day
+        ),
+        obs AS (
+            SELECT day,
+                   CAST(SUM(LEAST(e_us, epoch_us(CAST(day + 1 AS TIMESTAMP)))
+                        - GREATEST(s_us, epoch_us(CAST(day AS TIMESTAMP))))
+                        AS BIGINT) AS ov_us
+            FROM (
+                SELECT s_us, e_us,
+                       UNNEST(generate_series(start_day, end_day,
+                              INTERVAL 1 DAY))::DATE AS day
+                FROM sess
+            )
+            GROUP BY day
+        )
+        SELECT COALESCE(pred.day, obs.day) AS day,
+               COALESCE(n_started, 0) AS n_started,
+               CAST(round(1e6 * COALESCE(ov_us, 0) / 86400000000.0)
+                    AS BIGINT) AS l_obs_micro,
+               CAST(round(1e6 * COALESCE(dur_us, 0) / 86400000000.0)
+                    AS BIGINT) AS l_pred_micro
+        FROM pred FULL OUTER JOIN obs ON pred.day = obs.day
+        ORDER BY day
+    """

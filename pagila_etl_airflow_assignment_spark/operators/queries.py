@@ -2821,3 +2821,73 @@ def q_theta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta-method one-step backtest on monthly revenue — prefix OLS +
     micro-quantized SES terms on the bounded month-pair grid."""
     return warehouse.theta_forecast_backtest(load_table(spark, sf_dir, "orders"))
+
+
+@register("events_pacf", oracle=stats.pacf_daily_sql())
+def q_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation at lags 1-3 via Durbin-Levinson — exact
+    integer lag-product sums, the AR-order diagnostic."""
+    return stats.pacf_daily(load_table(spark, sf_dir, "events"))
+
+
+@register("events_breusch_pagan", oracle=stats.breusch_pagan_daily_sql())
+def q_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Koenker-Breusch-Pagan heteroscedasticity test on daily OLS
+    residuals — squared-residual auxiliary regression, n*R^2."""
+    return stats.breusch_pagan_daily(load_table(spark, sf_dir, "events"))
+
+
+@register("events_sign_test", oracle=stats.sign_test_daily_sql())
+def q_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired sign test of daily click vs error counts — direction-only
+    floor under the Wilcoxon, continuity-corrected z."""
+    return stats.sign_test_daily(load_table(spark, sf_dir, "events"))
+
+
+@register("events_capture_recapture", oracle=stats.capture_recapture_sql())
+def q_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chapman capture-recapture population estimate from the two month
+    halves — exact mark/recapture/overlap counts."""
+    return stats.capture_recapture(load_table(spark, sf_dir, "events"))
+
+
+@register("events_design_effect", oracle=stats.design_effect_users_sql())
+def q_design_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-sampling design effect of user clustering — one-way ANOVA
+    ICC and DEFF, the effective-sample-size discount."""
+    return stats.design_effect_users(load_table(spark, sf_dir, "events"))
+
+
+@register("events_littles_law", oracle=analytics.littles_law_daily_sql())
+def q_littles_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Little's law audit per day: observed within-day session presence vs
+    full-duration charge — the cross-midnight boundary meter."""
+    return analytics.littles_law_daily(load_table(spark, sf_dir, "events"))
+
+
+@register("events_tukey_fences", oracle=stats.tukey_fences_by_type_sql())
+def q_tukey_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey boxplot fence census per event type — exact integer quartile
+    order statistics, doubled-cent fences."""
+    return stats.tukey_fences_by_type(load_table(spark, sf_dir, "events"))
+
+
+@register("events_cohens_kappa", oracle=stats.cohens_kappa_daily_sql())
+def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between click/view participation at user-day grain —
+    chance-corrected agreement from exact 2x2 cells."""
+    return stats.cohens_kappa_daily(load_table(spark, sf_dir, "events"))
+
+
+@register("events_phi_coefficient", oracle=stats.phi_coefficient_daily_sql())
+def q_phi_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phi coefficient of click/error co-occurrence at user-day grain —
+    the signed 2x2 Pearson correlation."""
+    return stats.phi_coefficient_daily(load_table(spark, sf_dir, "events"))
+
+
+@register("events_odds_ratio_ci", oracle=stats.odds_ratio_ci_daily_sql())
+def q_odds_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haldane-corrected odds ratio of purchase given click with Woolf
+    95% CI — the crude-OR headline under mantel_haenszel."""
+    return stats.odds_ratio_ci_daily(load_table(spark, sf_dir, "events"))

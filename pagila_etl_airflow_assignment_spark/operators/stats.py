@@ -5336,3 +5336,903 @@ def hurst_rs_daily_sql() -> str:
                     / (2 * ln(2.0))) ELSE 0 END AS BIGINT) AS hurst_milli
         FROM nd CROSS JOIN wide
     """
+
+
+# --- Partial autocorrelation (Durbin-Levinson, lags 1-3) ---------------------------------
+
+
+def pacf_daily(events: DataFrame) -> DataFrame:
+    """Partial autocorrelation of the daily event-count series at lags
+    1..3 via the Durbin-Levinson recursion: one row (n_days, pacf1_milli,
+    pacf2_milli, pacf3_milli).
+
+    acf_daily reports RAW lag correlation, which smears an AR(1) across
+    every lag; PACF removes the shorter-lag pathway so an AR(p) series
+    shows exactly p nonzero spikes — the classic order-selection
+    diagnostic in front of holt/theta/croston model choices.
+
+    Exactness: the scaled deviations X_t = n*c_t - S1 are exact BIGINTs,
+    every lag product sum accumulates as DECIMAL(38,0), so the three ACF
+    ratios r_k = sum X_t X_{t-k} / sum X^2 are deterministic doubles from
+    exact integers and the Durbin-Levinson chain is one scripted double
+    sequence, identical in both engines.
+
+    Scale shape: one (day) aggregate, one 1-row scalar broadcast, three
+    lag windows over the bounded day grid, one 1-row reduction."""
+    d38 = "decimal(38,0)"
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    tot = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s1"),
+    )
+    w = Window.orderBy("day")
+    x = daily.crossJoin(F.broadcast(tot)).select(
+        "day",
+        "n",
+        (F.col("n") * F.col("c") - F.col("s1")).alias("x"),
+    )
+    lagged = x.select(
+        "n",
+        F.col("x").cast(d38).alias("x"),
+        F.lag("x", 1).over(w).cast(d38).alias("x1"),
+        F.lag("x", 2).over(w).cast(d38).alias("x2"),
+        F.lag("x", 3).over(w).cast(d38).alias("x3"),
+    )
+    mom = lagged.groupBy("n").agg(
+        F.sum(F.col("x") * F.col("x")).alias("s0"),
+        F.sum(F.col("x") * F.col("x1")).alias("sl1"),
+        F.sum(F.col("x") * F.col("x2")).alias("sl2"),
+        F.sum(F.col("x") * F.col("x3")).alias("sl3"),
+    )
+    return mom.select(
+        F.col("n").alias("n_days"),
+        F.expr(
+            "CASE WHEN s0 > 0 THEN CAST(sl1 AS DOUBLE) / CAST(s0 AS DOUBLE)"
+            " ELSE 0.0 END"
+        ).alias("r1"),
+        F.expr(
+            "CASE WHEN s0 > 0 THEN CAST(sl2 AS DOUBLE) / CAST(s0 AS DOUBLE)"
+            " ELSE 0.0 END"
+        ).alias("r2"),
+        F.expr(
+            "CASE WHEN s0 > 0 THEN CAST(sl3 AS DOUBLE) / CAST(s0 AS DOUBLE)"
+            " ELSE 0.0 END"
+        ).alias("r3"),
+    ).select(
+        "n_days",
+        "r1",
+        "r2",
+        "r3",
+        F.expr(
+            "CASE WHEN 1 - r1 * r1 <> 0"
+            " THEN (r2 - r1 * r1) / (1 - r1 * r1) ELSE 0.0 END"
+        ).alias("phi22"),
+    ).select(
+        "n_days",
+        "r1",
+        "r2",
+        "r3",
+        "phi22",
+        (F.col("r1") * (1 - F.col("phi22"))).alias("phi21"),
+    ).select(
+        "n_days",
+        F.expr("CAST(round(1000 * r1) AS BIGINT)").alias("pacf1_milli"),
+        F.expr("CAST(round(1000 * phi22) AS BIGINT)").alias("pacf2_milli"),
+        F.expr(
+            "CAST(CASE WHEN 1 - phi21 * r1 - phi22 * r2 <> 0"
+            " THEN round(1000 * (r3 - phi21 * r2 - phi22 * r1)"
+            "      / (1 - phi21 * r1 - phi22 * r2))"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("pacf3_milli"),
+    )
+
+
+def pacf_daily_sql() -> str:
+    return """
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s1
+            FROM daily
+        ),
+        x AS (
+            SELECT day, n, CAST(n * c - s1 AS BIGINT) AS x
+            FROM daily CROSS JOIN tot
+        ),
+        lagged AS (
+            SELECT n, CAST(x AS HUGEINT) AS x,
+                   CAST(LAG(x, 1) OVER (ORDER BY day) AS HUGEINT) AS x1,
+                   CAST(LAG(x, 2) OVER (ORDER BY day) AS HUGEINT) AS x2,
+                   CAST(LAG(x, 3) OVER (ORDER BY day) AS HUGEINT) AS x3
+            FROM x
+        ),
+        mom AS (
+            SELECT n, SUM(x * x) AS s0, SUM(x * x1) AS sl1,
+                   SUM(x * x2) AS sl2, SUM(x * x3) AS sl3
+            FROM lagged GROUP BY n
+        ),
+        r AS (
+            SELECT n AS n_days,
+                   CASE WHEN s0 > 0 THEN CAST(sl1 AS DOUBLE)
+                        / CAST(s0 AS DOUBLE) ELSE 0.0 END AS r1,
+                   CASE WHEN s0 > 0 THEN CAST(sl2 AS DOUBLE)
+                        / CAST(s0 AS DOUBLE) ELSE 0.0 END AS r2,
+                   CASE WHEN s0 > 0 THEN CAST(sl3 AS DOUBLE)
+                        / CAST(s0 AS DOUBLE) ELSE 0.0 END AS r3
+            FROM mom
+        ),
+        p2 AS (
+            SELECT n_days, r1, r2, r3,
+                   CASE WHEN 1 - r1 * r1 <> 0
+                        THEN (r2 - r1 * r1) / (1 - r1 * r1)
+                        ELSE 0.0 END AS phi22
+            FROM r
+        ),
+        p3 AS (
+            SELECT n_days, r1, r2, r3, phi22,
+                   r1 * (1 - phi22) AS phi21
+            FROM p2
+        )
+        SELECT n_days,
+               CAST(round(1000 * r1) AS BIGINT) AS pacf1_milli,
+               CAST(round(1000 * phi22) AS BIGINT) AS pacf2_milli,
+               CAST(CASE WHEN 1 - phi21 * r1 - phi22 * r2 <> 0
+                    THEN round(1000 * (r3 - phi21 * r2 - phi22 * r1)
+                         / (1 - phi21 * r1 - phi22 * r2))
+                    ELSE 0 END AS BIGINT) AS pacf3_milli
+        FROM p3
+    """
+
+
+# --- Breusch-Pagan heteroscedasticity (Koenker form) ------------------------------------
+
+
+def breusch_pagan_daily(events: DataFrame) -> DataFrame:
+    """Koenker-Breusch-Pagan heteroscedasticity test on the daily
+    value-sum OLS residuals: one row (n_days, bp_milli).
+
+    durbin_watson checks the residuals' serial CORRELATION; this checks
+    their VARIANCE stability — regress squared residuals on the day
+    index, and BP = n * R^2 of that auxiliary fit. BP above ~3.84
+    (chi2_1, 5%) says variance trends with time and the trend fit's
+    standard errors are unreliable.
+
+    Exactness: residuals quantize to whole dollars (squares then stay
+    within DECIMAL(38,0) power sums), the auxiliary R^2 assembles from
+    exact integer moments, and both engines share one scripted double
+    chain.
+
+    Scale shape: one (day) aggregate, one 1-row OLS scalar broadcast,
+    one 1-row auxiliary moment reduction — no data-sized window."""
+    d38 = "decimal(38,0)"
+    cents = F.expr("CAST(round(value * 100) AS BIGINT)")
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(cents).cast("long").alias("y")
+    )
+    t = daily.select(
+        "y",
+        F.row_number().over(Window.orderBy("day")).cast("long").alias("t"),
+    )
+    m = t.agg(
+        F.count("*").cast(d38).alias("n"),
+        F.sum(F.col("t").cast(d38)).alias("st"),
+        F.sum((F.col("t") * F.col("t")).cast(d38)).alias("stt"),
+        F.sum(F.col("y").cast(d38)).alias("sy"),
+        F.sum(F.col("t").cast(d38) * F.col("y").cast(d38)).alias("sty"),
+    ).select(
+        F.col("n").cast("long").alias("n_days"),
+        F.expr("CAST(n * stt - st * st AS DOUBLE)").alias("ctt"),
+        F.expr("CAST(n * sty - st * sy AS DOUBLE)").alias("cty"),
+        F.expr("CAST(st AS DOUBLE) / CAST(n AS DOUBLE)").alias("tbar"),
+        F.expr("CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)").alias("ybar"),
+    )
+    u = t.crossJoin(F.broadcast(m)).select(
+        "t",
+        "n_days",
+        F.expr(
+            "CAST(round((y - (ybar + CASE WHEN ctt > 0"
+            " THEN cty / ctt ELSE 0.0 END * (t - tbar))) / 100.0)"
+            " AS BIGINT)"
+        ).alias("e"),
+    ).select(
+        "t",
+        "n_days",
+        (F.col("e").cast(d38) * F.col("e").cast(d38)).alias("u"),
+    )
+    aux = u.groupBy("n_days").agg(
+        F.sum(F.col("t").cast(d38)).alias("st"),
+        F.sum((F.col("t") * F.col("t")).cast(d38)).alias("stt"),
+        F.sum("u").alias("su"),
+        F.sum(F.col("t").cast(d38) * F.col("u")).alias("stu"),
+        F.sum(F.col("u") * F.col("u")).alias("suu"),
+    )
+    return aux.select(
+        "n_days",
+        F.expr(
+            "CAST(CASE WHEN (n_days * stt - st * st) > 0"
+            " AND (n_days * suu - su * su) > 0"
+            " THEN round(1000.0 * n_days"
+            "  * pow(CAST(n_days * stu - st * su AS DOUBLE), 2)"
+            "  / (CAST(n_days * stt - st * st AS DOUBLE)"
+            "     * CAST(n_days * suu - su * su AS DOUBLE)))"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("bp_milli"),
+    )
+
+
+def breusch_pagan_daily_sql() -> str:
+    return """
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+            FROM events GROUP BY 1
+        ),
+        t AS (
+            SELECT y,
+                   CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t
+            FROM daily
+        ),
+        m AS (
+            SELECT CAST(n AS BIGINT) AS n_days,
+                   CAST(n * stt - st * st AS DOUBLE) AS ctt,
+                   CAST(n * sty - st * sy AS DOUBLE) AS cty,
+                   CAST(st AS DOUBLE) / CAST(n AS DOUBLE) AS tbar,
+                   CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS ybar
+            FROM (
+                SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                       SUM(CAST(t AS HUGEINT)) AS st,
+                       SUM(CAST(t AS HUGEINT) * CAST(t AS HUGEINT)) AS stt,
+                       SUM(CAST(y AS HUGEINT)) AS sy,
+                       SUM(CAST(t AS HUGEINT) * CAST(y AS HUGEINT)) AS sty
+                FROM t
+            )
+        ),
+        u AS (
+            SELECT t, n_days,
+                   CAST(e AS HUGEINT) * CAST(e AS HUGEINT) AS u
+            FROM (
+                SELECT t, n_days,
+                       CAST(round((y - (ybar + CASE WHEN ctt > 0
+                            THEN cty / ctt ELSE 0.0 END * (t - tbar)))
+                            / 100.0) AS BIGINT) AS e
+                FROM t CROSS JOIN m
+            )
+        ),
+        aux AS (
+            SELECT n_days,
+                   SUM(CAST(t AS HUGEINT)) AS st,
+                   SUM(CAST(t AS HUGEINT) * CAST(t AS HUGEINT)) AS stt,
+                   SUM(u) AS su,
+                   SUM(CAST(t AS HUGEINT) * u) AS stu,
+                   SUM(u * u) AS suu
+            FROM u GROUP BY n_days
+        )
+        SELECT n_days,
+               CAST(CASE WHEN (n_days * stt - st * st) > 0
+                    AND (n_days * suu - su * su) > 0
+                    THEN round(1000.0 * n_days
+                     * pow(CAST(n_days * stu - st * su AS DOUBLE), 2)
+                     / (CAST(n_days * stt - st * st AS DOUBLE)
+                        * CAST(n_days * suu - su * su AS DOUBLE)))
+                    ELSE 0 END AS BIGINT) AS bp_milli
+        FROM aux
+    """
+
+
+# --- Paired sign test --------------------------------------------------------------------
+
+
+def sign_test_daily(events: DataFrame) -> DataFrame:
+    """Paired sign test of daily click vs error counts: one row
+    (m_days, s_plus, z_milli).
+
+    wilcoxon_signed_rank weights each day by the SIZE of its difference;
+    the sign test is the assumption-free floor — only the direction
+    counts, so it survives any monotone transform of the counts. Zero
+    days drop; S+ counts click-heavy days; z applies the continuity
+    correction z = (d - sign(d)) / sqrt(m) for d = 2*S+ - m.
+
+    Exactness: all-integer until the final sqrt.
+
+    Scale shape: one (day) conditional aggregate, one 1-row reduction."""
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum((F.col("event_type") == WILCOXON_X_TYPE).cast("long"))
+        .cast("long")
+        .alias("x"),
+        F.sum((F.col("event_type") == WILCOXON_Y_TYPE).cast("long"))
+        .cast("long")
+        .alias("y"),
+    )
+    agg = daily.where(F.col("x") != F.col("y")).agg(
+        F.count("*").cast("long").alias("m_days"),
+        F.sum((F.col("x") > F.col("y")).cast("long"))
+        .cast("long")
+        .alias("s_plus"),
+    )
+    return agg.select(
+        F.coalesce("m_days", F.lit(0)).alias("m_days"),
+        F.coalesce("s_plus", F.lit(0)).alias("s_plus"),
+        F.expr(
+            "CAST(CASE WHEN m_days > 0 AND 2 * s_plus - m_days <> 0"
+            " THEN round(1000.0 * (2 * s_plus - m_days"
+            "      - CAST(SIGN(2 * s_plus - m_days) AS BIGINT))"
+            "      / sqrt(CAST(m_days AS DOUBLE)))"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("z_milli"),
+    )
+
+
+def sign_test_daily_sql() -> str:
+    return f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(SUM(CASE WHEN event_type = '{WILCOXON_X_TYPE}'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                   CAST(SUM(CASE WHEN event_type = '{WILCOXON_Y_TYPE}'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS y
+            FROM events GROUP BY 1
+        ),
+        agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS m_days,
+                   CAST(COALESCE(SUM(CASE WHEN x > y THEN 1 ELSE 0 END), 0)
+                        AS BIGINT) AS s_plus
+            FROM daily WHERE x <> y
+        )
+        SELECT m_days, s_plus,
+               CAST(CASE WHEN m_days > 0 AND 2 * s_plus - m_days <> 0
+                    THEN round(1000.0 * (2 * s_plus - m_days
+                         - CAST(SIGN(2 * s_plus - m_days) AS BIGINT))
+                         / sqrt(CAST(m_days AS DOUBLE)))
+                    ELSE 0 END AS BIGINT) AS z_milli
+        FROM agg
+    """
+
+
+# --- Capture-recapture population estimate ------------------------------------------------
+
+
+def capture_recapture(events: DataFrame, cutoff: str = MCNEMAR_CUTOFF) -> DataFrame:
+    """Chapman capture-recapture estimate of the active population from
+    the two month halves: one row (n1, n2, m_both, n_hat).
+
+    DAU/WAU devices count who was SEEN; capture-recapture estimates who
+    EXISTS — treat the first half-month as the marking sample and the
+    second as the recapture, and the Chapman estimator
+    N = (n1+1)(n2+1)/(m+1) - 1 sizes the population including users the
+    window never observed (the ecology device, standard for "how many
+    real users does this product have").
+
+    Exactness: three exact BIGINT counts from one per-user boolean
+    aggregate; one integer-fed division rounded once.
+
+    Scale shape: one (user) aggregate, one 1-row reduction."""
+    per_user = events.groupBy("user_id").agg(
+        F.max((F.to_date("ts") < F.lit(cutoff)).cast("int")).alias("a"),
+        F.max((F.to_date("ts") >= F.lit(cutoff)).cast("int")).alias("b"),
+    )
+    agg = per_user.agg(
+        F.sum(F.col("a").cast("long")).cast("long").alias("n1"),
+        F.sum(F.col("b").cast("long")).cast("long").alias("n2"),
+        F.sum((F.col("a") * F.col("b")).cast("long"))
+        .cast("long")
+        .alias("m_both"),
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        "m_both",
+        F.expr(
+            "CAST(round(CAST((n1 + 1) AS DOUBLE) * (n2 + 1) / (m_both + 1)"
+            " - 1) AS BIGINT)"
+        ).alias("n_hat"),
+    )
+
+
+def capture_recapture_sql(cutoff: str = MCNEMAR_CUTOFF) -> str:
+    return f"""
+        WITH per_user AS (
+            SELECT user_id,
+                   MAX(CASE WHEN CAST(ts AS DATE) < DATE '{cutoff}'
+                       THEN 1 ELSE 0 END) AS a,
+                   MAX(CASE WHEN CAST(ts AS DATE) >= DATE '{cutoff}'
+                       THEN 1 ELSE 0 END) AS b
+            FROM events GROUP BY user_id
+        ),
+        agg AS (
+            SELECT CAST(SUM(a) AS BIGINT) AS n1,
+                   CAST(SUM(b) AS BIGINT) AS n2,
+                   CAST(SUM(a * b) AS BIGINT) AS m_both
+            FROM per_user
+        )
+        SELECT n1, n2, m_both,
+               CAST(round(CAST((n1 + 1) AS DOUBLE) * (n2 + 1) / (m_both + 1)
+                    - 1) AS BIGINT) AS n_hat
+        FROM agg
+    """
+
+
+# --- Cluster-sampling design effect --------------------------------------------------------
+
+
+def design_effect_users(events: DataFrame) -> DataFrame:
+    """Survey-sampling design effect of clustering by user: one row
+    (n_clusters, n_total, icc_milli, deff_milli).
+
+    sampling_* devices pick rows; this prices what user-level clustering
+    COSTS — the intraclass correlation of event values within users
+    (one-way ANOVA estimator, ANOVA cluster size m0) gives
+    DEFF = 1 + (N/k - 1) * ICC, the factor by which a user-clustered
+    sample's variance exceeds a true row-level SRS (the number every
+    user-sampled A/B readout silently divides its effective n by).
+
+    Exactness: per-user sufficient statistics (n_i, sum c, sum c^2) are
+    exact centi integers; each user's two double terms (s_i^2/n_i and
+    the within-SS remainder) quantize to micro before the k-row integer
+    sums (DECIMAL(38,0)), and Sum n_i^2 stays integer, so MSB/MSW/ICC
+    form one deterministic double chain.
+
+    Scale shape: one (user) aggregate, one 1-row reduction."""
+    d38 = "decimal(38,0)"
+    cents = F.expr("CAST(round(value * 100) AS BIGINT)")
+    per_user = events.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_i"),
+        F.sum(cents).cast("long").alias("s_i"),
+        F.sum(cents * cents).cast(d38).alias("ss_i"),
+    )
+    terms = per_user.select(
+        "n_i",
+        F.col("s_i").cast(d38).alias("s_i"),
+        F.expr(
+            "CAST(round(1e6 * CAST(s_i AS DOUBLE) * s_i / n_i) AS DECIMAL(38,0))"
+        ).alias("b_micro"),
+        F.expr(
+            "CAST(round(1e6 * (CAST(ss_i AS DOUBLE)"
+            " - CAST(s_i AS DOUBLE) * s_i / n_i)) AS DECIMAL(38,0))"
+        ).alias("w_micro"),
+        (F.col("n_i") * F.col("n_i")).cast(d38).alias("n2_i"),
+    )
+    agg = terms.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("n_i").cast("long").alias("n_total"),
+        F.sum("s_i").alias("s_all"),
+        F.sum("b_micro").alias("b_m"),
+        F.sum("w_micro").alias("w_m"),
+        F.sum("n2_i").alias("sn2"),
+    )
+    return agg.select(
+        F.col("k").alias("n_clusters"),
+        "n_total",
+        F.expr(
+            "CASE WHEN k > 1 AND n_total > k THEN"
+            " ((CAST(b_m AS DOUBLE) / 1e6"
+            "   - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE) / n_total)"
+            "  / (k - 1))"
+            " ELSE 0.0 END"
+        ).alias("msb"),
+        F.expr(
+            "CASE WHEN n_total > k THEN"
+            " (CAST(w_m AS DOUBLE) / 1e6) / (n_total - k) ELSE 0.0 END"
+        ).alias("msw"),
+        F.expr(
+            "CASE WHEN k > 1 THEN"
+            " (n_total - CAST(sn2 AS DOUBLE) / n_total) / (k - 1)"
+            " ELSE 0.0 END"
+        ).alias("m0"),
+    ).select(
+        "n_clusters",
+        "n_total",
+        F.expr(
+            "CASE WHEN msb + (m0 - 1) * msw > 0"
+            " THEN (msb - msw) / (msb + (m0 - 1) * msw) ELSE 0.0 END"
+        ).alias("icc"),
+    ).select(
+        "n_clusters",
+        "n_total",
+        F.expr("CAST(round(1000 * icc) AS BIGINT)").alias("icc_milli"),
+        F.expr(
+            "CAST(round(1000 * (1.0 + (CAST(n_total AS DOUBLE) / n_clusters"
+            " - 1.0) * icc)) AS BIGINT)"
+        ).alias("deff_milli"),
+    )
+
+
+def design_effect_users_sql() -> str:
+    return """
+        WITH per_user AS (
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_i,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS s_i,
+                   SUM(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT)
+                       * CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT))
+                       AS ss_i
+            FROM events GROUP BY user_id
+        ),
+        terms AS (
+            SELECT n_i, CAST(s_i AS HUGEINT) AS s_i,
+                   CAST(round(1e6 * CAST(s_i AS DOUBLE) * s_i / n_i)
+                        AS HUGEINT) AS b_micro,
+                   CAST(round(1e6 * (CAST(ss_i AS DOUBLE)
+                        - CAST(s_i AS DOUBLE) * s_i / n_i)) AS HUGEINT)
+                       AS w_micro,
+                   CAST(n_i AS HUGEINT) * CAST(n_i AS HUGEINT) AS n2_i
+            FROM per_user
+        ),
+        agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                   CAST(SUM(n_i) AS BIGINT) AS n_total,
+                   SUM(s_i) AS s_all, SUM(b_micro) AS b_m,
+                   SUM(w_micro) AS w_m, SUM(n2_i) AS sn2
+            FROM terms
+        ),
+        ms AS (
+            SELECT k AS n_clusters, n_total,
+                   CASE WHEN k > 1 AND n_total > k THEN
+                        ((CAST(b_m AS DOUBLE) / 1e6
+                          - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE)
+                            / n_total) / (k - 1))
+                        ELSE 0.0 END AS msb,
+                   CASE WHEN n_total > k THEN
+                        (CAST(w_m AS DOUBLE) / 1e6) / (n_total - k)
+                        ELSE 0.0 END AS msw,
+                   CASE WHEN k > 1 THEN
+                        (n_total - CAST(sn2 AS DOUBLE) / n_total) / (k - 1)
+                        ELSE 0.0 END AS m0
+            FROM agg
+        ),
+        icc_t AS (
+            SELECT n_clusters, n_total,
+                   CASE WHEN msb + (m0 - 1) * msw > 0
+                        THEN (msb - msw) / (msb + (m0 - 1) * msw)
+                        ELSE 0.0 END AS icc
+            FROM ms
+        )
+        SELECT n_clusters, n_total,
+               CAST(round(1000 * icc) AS BIGINT) AS icc_milli,
+               CAST(round(1000 * (1.0 + (CAST(n_total AS DOUBLE) / n_clusters
+                    - 1.0) * icc)) AS BIGINT) AS deff_milli
+        FROM icc_t
+    """
+
+
+# --- Tukey fences outlier census ----------------------------------------------------------
+
+
+def tukey_fences_by_type(events: DataFrame) -> DataFrame:
+    """Tukey boxplot fence census per event type: rows (event_type,
+    q1_cents, q3_cents, n_low, n_high), ordered by type.
+
+    mad_outliers bands around the median; the Tukey fences are the
+    boxplot's quartile rule — flag values beyond [q1 - 1.5*IQR,
+    q3 + 1.5*IQR] — the convention every visual outlier readout uses, so
+    shipping it keeps the engine's censuses comparable with the chart.
+
+    Exactness: quartiles are exact integer order statistics from the
+    (type, cents) aggregate (min c with 4*cum >= tot and >= 3*tot); the
+    fences stay integral by working in DOUBLED cents (2*lo = 2*q1 -
+    3*IQR), so the outlier census is pure integer comparison.
+
+    Scale shape: one (type, cents) aggregate, one type-partitioned
+    cumulative window over the bounded value domain, a broadcast
+    <=|types| fence dim back onto the rows, one keyed aggregate."""
+    cents = F.expr("CAST(round(value * 100) AS BIGINT)")
+    vals = events.select("event_type", cents.alias("c"))
+    per_vc = vals.groupBy("event_type", "c").agg(F.count("*").alias("m"))
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("event_type")
+    cum = per_vc.select(
+        "event_type",
+        "c",
+        F.sum("m").over(wcum).alias("cum"),
+        F.sum("m").over(wtot).alias("tot"),
+    )
+    q1 = (
+        cum.where(4 * F.col("cum") >= F.col("tot"))
+        .groupBy("event_type")
+        .agg(F.min("c").alias("q1"))
+    )
+    q3 = (
+        cum.where(4 * F.col("cum") >= 3 * F.col("tot"))
+        .groupBy("event_type")
+        .agg(F.min("c").alias("q3"))
+    )
+    fences = q1.join(q3, "event_type").select(
+        "event_type",
+        "q1",
+        "q3",
+        # doubled-cent fences: 2*lo = 5*q1 - 3*q3, 2*hi = 5*q3 - 3*q1
+        (5 * F.col("q1") - 3 * F.col("q3")).alias("lo2"),
+        (5 * F.col("q3") - 3 * F.col("q1")).alias("hi2"),
+    )
+    return (
+        vals.join(F.broadcast(fences), "event_type")
+        .groupBy("event_type", "q1", "q3")
+        .agg(
+            F.sum((2 * F.col("c") < F.col("lo2")).cast("long"))
+            .cast("long")
+            .alias("n_low"),
+            F.sum((2 * F.col("c") > F.col("hi2")).cast("long"))
+            .cast("long")
+            .alias("n_high"),
+        )
+        .select(
+            "event_type",
+            F.col("q1").alias("q1_cents"),
+            F.col("q3").alias("q3_cents"),
+            "n_low",
+            "n_high",
+        )
+        .orderBy("event_type")
+    )
+
+
+def tukey_fences_by_type_sql() -> str:
+    return """
+        WITH vals AS (
+            SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+            FROM events
+        ),
+        per_vc AS (
+            SELECT event_type, c, CAST(COUNT(*) AS BIGINT) AS m
+            FROM vals GROUP BY event_type, c
+        ),
+        cum AS (
+            SELECT event_type, c,
+                   SUM(m) OVER (PARTITION BY event_type ORDER BY c
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum,
+                   SUM(m) OVER (PARTITION BY event_type) AS tot
+            FROM per_vc
+        ),
+        q1 AS (
+            SELECT event_type, MIN(c) AS q1 FROM cum
+            WHERE 4 * cum >= tot GROUP BY event_type
+        ),
+        q3 AS (
+            SELECT event_type, MIN(c) AS q3 FROM cum
+            WHERE 4 * cum >= 3 * tot GROUP BY event_type
+        ),
+        fences AS (
+            SELECT q1.event_type, q1, q3,
+                   5 * q1 - 3 * q3 AS lo2, 5 * q3 - 3 * q1 AS hi2
+            FROM q1 JOIN q3 USING (event_type)
+        )
+        SELECT vals.event_type, q1 AS q1_cents, q3 AS q3_cents,
+               CAST(SUM(CASE WHEN 2 * c < lo2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_low,
+               CAST(SUM(CASE WHEN 2 * c > hi2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_high
+        FROM vals JOIN fences USING (event_type)
+        GROUP BY vals.event_type, q1, q3
+        ORDER BY event_type
+    """
+
+
+# --- 2x2 agreement / association devices ---------------------------------------------------
+
+KAPPA_A_TYPE = "click"
+KAPPA_B_TYPE = "view"
+OR_EXPOSURE_TYPE = "click"
+OR_OUTCOME_TYPE = "purchase"
+
+
+def _user_day_flags(events: DataFrame, t1: str, t2: str) -> DataFrame:
+    return events.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(
+        F.max((F.col("event_type") == t1).cast("int")).alias("a"),
+        F.max((F.col("event_type") == t2).cast("int")).alias("b"),
+    )
+
+
+_USER_DAY_FLAGS_SQL = """
+            SELECT user_id, CAST(ts AS DATE) AS day,
+                   MAX(CASE WHEN event_type = '{t1}' THEN 1 ELSE 0 END) AS a,
+                   MAX(CASE WHEN event_type = '{t2}' THEN 1 ELSE 0 END) AS b
+            FROM events GROUP BY user_id, CAST(ts AS DATE)
+"""
+
+_CELLS_SQL = """
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(a * b) AS BIGINT) AS n11,
+                   CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+                   CAST(SUM((1 - a) * b) AS BIGINT) AS n01,
+                   CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00
+            FROM flags
+"""
+
+
+def _cells(flags: DataFrame) -> DataFrame:
+    return flags.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum((F.col("a") * F.col("b")).cast("long")).cast("long").alias("n11"),
+        F.sum((F.col("a") * (1 - F.col("b"))).cast("long"))
+        .cast("long")
+        .alias("n10"),
+        F.sum(((1 - F.col("a")) * F.col("b")).cast("long"))
+        .cast("long")
+        .alias("n01"),
+        F.sum(((1 - F.col("a")) * (1 - F.col("b"))).cast("long"))
+        .cast("long")
+        .alias("n00"),
+    )
+
+
+def cohens_kappa_daily(events: DataFrame) -> DataFrame:
+    """Cohen's kappa between the click and view participation flags at
+    (user, day) grain: one row (n_units, kappa_milli).
+
+    Raw percent agreement rewards imbalance (two raters who always say
+    "no" agree perfectly); kappa removes chance agreement
+    (po - pe)/(1 - pe) — the standard label-quality device when two
+    heuristic annotators (here: two engagement surfaces) tag the same
+    units.
+
+    Exactness: the 2x2 cells are exact BIGINT counts; po and pe form one
+    deterministic double chain on the 1-row cell relation.
+
+    Scale shape: one (user, day) aggregate, one 1-row reduction."""
+    c = _cells(_user_day_flags(events, KAPPA_A_TYPE, KAPPA_B_TYPE))
+    return c.select(
+        F.col("n").alias("n_units"),
+        F.expr(
+            "CAST(CASE WHEN n > 0 AND"
+            " 1.0 - ((n11 + n10) * CAST(n11 + n01 AS DOUBLE)"
+            "        + (n01 + n00) * CAST(n10 + n00 AS DOUBLE)) / n / n <> 0"
+            " THEN round(1000.0 *"
+            " ((CAST(n11 + n00 AS DOUBLE) / n)"
+            "  - ((n11 + n10) * CAST(n11 + n01 AS DOUBLE)"
+            "     + (n01 + n00) * CAST(n10 + n00 AS DOUBLE)) / n / n)"
+            " / (1.0 - ((n11 + n10) * CAST(n11 + n01 AS DOUBLE)"
+            "           + (n01 + n00) * CAST(n10 + n00 AS DOUBLE)) / n / n))"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("kappa_milli"),
+    )
+
+
+def cohens_kappa_daily_sql() -> str:
+    flags = _USER_DAY_FLAGS_SQL.format(t1=KAPPA_A_TYPE, t2=KAPPA_B_TYPE)
+    return f"""
+        WITH flags AS (
+{flags}
+        ),
+        c AS (
+{_CELLS_SQL}
+        )
+        SELECT n AS n_units,
+               CAST(CASE WHEN n > 0 AND
+                    1.0 - ((n11 + n10) * CAST(n11 + n01 AS DOUBLE)
+                           + (n01 + n00) * CAST(n10 + n00 AS DOUBLE))
+                          / n / n <> 0
+                    THEN round(1000.0 *
+                    ((CAST(n11 + n00 AS DOUBLE) / n)
+                     - ((n11 + n10) * CAST(n11 + n01 AS DOUBLE)
+                        + (n01 + n00) * CAST(n10 + n00 AS DOUBLE)) / n / n)
+                    / (1.0 - ((n11 + n10) * CAST(n11 + n01 AS DOUBLE)
+                              + (n01 + n00) * CAST(n10 + n00 AS DOUBLE))
+                             / n / n))
+                    ELSE 0 END AS BIGINT) AS kappa_milli
+        FROM c
+    """
+
+
+def phi_coefficient_daily(events: DataFrame) -> DataFrame:
+    """Phi coefficient of click/error co-occurrence at (user, day) grain:
+    one row (n_units, phi_milli).
+
+    chi_square tests hour-by-type independence on the whole grid; phi is
+    the 2x2 special case read as a CORRELATION (the Pearson r of two
+    binary columns): do error days coincide with click days once margins
+    are accounted for? Signed, so negative phi means errors cluster on
+    the quiet days.
+
+    Exactness: four exact BIGINT cells; one double chain ending in the
+    sqrt of the margin product.
+
+    Scale shape: one (user, day) aggregate, one 1-row reduction."""
+    c = _cells(_user_day_flags(events, OR_EXPOSURE_TYPE, "error"))
+    return c.select(
+        F.col("n").alias("n_units"),
+        F.expr(
+            "CAST(CASE WHEN (n11 + n10) > 0 AND (n01 + n00) > 0"
+            " AND (n11 + n01) > 0 AND (n10 + n00) > 0"
+            " THEN round(1000.0"
+            " * (CAST(n11 AS DOUBLE) * n00 - CAST(n10 AS DOUBLE) * n01)"
+            " / sqrt(CAST(n11 + n10 AS DOUBLE) * (n01 + n00)"
+            "        * (n11 + n01) * (n10 + n00)))"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("phi_milli"),
+    )
+
+
+def phi_coefficient_daily_sql() -> str:
+    flags = _USER_DAY_FLAGS_SQL.format(t1=OR_EXPOSURE_TYPE, t2="error")
+    return f"""
+        WITH flags AS (
+{flags}
+        ),
+        c AS (
+{_CELLS_SQL}
+        )
+        SELECT n AS n_units,
+               CAST(CASE WHEN (n11 + n10) > 0 AND (n01 + n00) > 0
+                    AND (n11 + n01) > 0 AND (n10 + n00) > 0
+                    THEN round(1000.0
+                    * (CAST(n11 AS DOUBLE) * n00 - CAST(n10 AS DOUBLE) * n01)
+                    / sqrt(CAST(n11 + n10 AS DOUBLE) * (n01 + n00)
+                           * (n11 + n01) * (n10 + n00)))
+                    ELSE 0 END AS BIGINT) AS phi_milli
+        FROM c
+    """
+
+
+def odds_ratio_ci_daily(events: DataFrame) -> DataFrame:
+    """Haldane-corrected odds ratio of purchase given click at (user,
+    day) grain, with the Woolf 95% CI: one row (n_units, or_milli,
+    ci_lo_milli, ci_hi_milli).
+
+    mantel_haenszel pools stratified ORs; this is the headline crude OR
+    with its log-normal interval — the +0.5 Haldane-Anscombe correction
+    keeps every cell positive so the estimate and CI exist even when a
+    cell is empty (the small-segment case that breaks the naive ad/bc).
+
+    Exactness: four exact BIGINT cells; the corrected OR and the Woolf
+    interval are one deterministic double chain (ln/exp/sqrt at the
+    1-row boundary only).
+
+    Scale shape: one (user, day) aggregate, one 1-row reduction."""
+    c = _cells(_user_day_flags(events, OR_EXPOSURE_TYPE, OR_OUTCOME_TYPE))
+    return c.select(
+        F.col("n").alias("n_units"),
+        F.expr(
+            "CAST(round(1000.0 * (n11 + 0.5) * (n00 + 0.5)"
+            " / ((n10 + 0.5) * (n01 + 0.5))) AS BIGINT)"
+        ).alias("or_milli"),
+        F.expr(
+            "CAST(round(1000.0 * exp(ln((n11 + 0.5) * (n00 + 0.5)"
+            " / ((n10 + 0.5) * (n01 + 0.5)))"
+            " - 1.96 * sqrt(1.0 / (n11 + 0.5) + 1.0 / (n10 + 0.5)"
+            " + 1.0 / (n01 + 0.5) + 1.0 / (n00 + 0.5)))) AS BIGINT)"
+        ).alias("ci_lo_milli"),
+        F.expr(
+            "CAST(round(1000.0 * exp(ln((n11 + 0.5) * (n00 + 0.5)"
+            " / ((n10 + 0.5) * (n01 + 0.5)))"
+            " + 1.96 * sqrt(1.0 / (n11 + 0.5) + 1.0 / (n10 + 0.5)"
+            " + 1.0 / (n01 + 0.5) + 1.0 / (n00 + 0.5)))) AS BIGINT)"
+        ).alias("ci_hi_milli"),
+    )
+
+
+def odds_ratio_ci_daily_sql() -> str:
+    flags = _USER_DAY_FLAGS_SQL.format(
+        t1=OR_EXPOSURE_TYPE, t2=OR_OUTCOME_TYPE
+    )
+    return f"""
+        WITH flags AS (
+{flags}
+        ),
+        c AS (
+{_CELLS_SQL}
+        )
+        SELECT n AS n_units,
+               CAST(round(1000.0 * (n11 + 0.5) * (n00 + 0.5)
+                    / ((n10 + 0.5) * (n01 + 0.5))) AS BIGINT) AS or_milli,
+               CAST(round(1000.0 * exp(ln((n11 + 0.5) * (n00 + 0.5)
+                    / ((n10 + 0.5) * (n01 + 0.5)))
+                    - 1.96 * sqrt(1.0 / (n11 + 0.5) + 1.0 / (n10 + 0.5)
+                    + 1.0 / (n01 + 0.5) + 1.0 / (n00 + 0.5))))
+                    AS BIGINT) AS ci_lo_milli,
+               CAST(round(1000.0 * exp(ln((n11 + 0.5) * (n00 + 0.5)
+                    / ((n10 + 0.5) * (n01 + 0.5)))
+                    + 1.96 * sqrt(1.0 / (n11 + 0.5) + 1.0 / (n10 + 0.5)
+                    + 1.0 / (n01 + 0.5) + 1.0 / (n00 + 0.5))))
+                    AS BIGINT) AS ci_hi_milli
+        FROM c
+    """

@@ -855,3 +855,415 @@ def test_theta_matches_reference(spark, revs):
     mae_t, mae_n = _theta_ref(revs)
     assert r.n_months == len(revs)
     assert (r.theta_mae_micro, r.naive_mae_micro) == (mae_t, mae_n)
+
+
+# --- PACF (Durbin-Levinson) ------------------------------------------------------
+
+
+def _pacf_ref(counts):
+    n = len(counts)
+    s1 = sum(counts)
+    xs = [n * c - s1 for c in counts]
+    s0 = sum(x * x for x in xs)
+
+    def lag_sum(k):
+        return sum(x * y for x, y in zip(xs[k:], xs[:-k] if k else xs))
+
+    r1 = lag_sum(1) / s0 if s0 > 0 else 0.0
+    r2 = lag_sum(2) / s0 if s0 > 0 else 0.0
+    r3 = lag_sum(3) / s0 if s0 > 0 else 0.0
+    phi22 = (r2 - r1 * r1) / (1 - r1 * r1) if 1 - r1 * r1 != 0 else 0.0
+    phi21 = r1 * (1 - phi22)
+    den = 1 - phi21 * r1 - phi22 * r2
+    p3 = _rha(1000 * (r3 - phi21 * r2 - phi22 * r1) / den) if den != 0 else 0
+    return _rha(1000 * r1), _rha(1000 * phi22), p3
+
+
+@settings(max_examples=8, deadline=None)
+@given(counts=st.lists(st.integers(1, 6), min_size=4, max_size=20))
+def test_pacf_matches_reference(spark, counts):
+    from pagila_etl_airflow_assignment_spark.operators.stats import pacf_daily
+
+    r = pacf_daily(_events_from_counts(spark, counts)).collect()[0]
+    p1, p2, p3 = _pacf_ref(counts)
+    assert r.n_days == len(counts)
+    assert (r.pacf1_milli, r.pacf2_milli, r.pacf3_milli) == (p1, p2, p3)
+
+
+# --- Breusch-Pagan -----------------------------------------------------------------
+
+
+def _bp_ref(series):
+    ys = [sum(cs) for cs in series]
+    n = len(ys)
+    st_ = sum(range(1, n + 1))
+    stt = sum(t * t for t in range(1, n + 1))
+    sy = sum(ys)
+    sty = sum(t * y for t, y in zip(range(1, n + 1), ys))
+    ctt = float(n * stt - st_ * st_)
+    cty = float(n * sty - st_ * sy)
+    tbar, ybar = st_ / n, sy / n
+    slope = cty / ctt if ctt > 0 else 0.0
+    us = [
+        _rha((y - (ybar + slope * (t - tbar))) / 100.0) ** 2
+        for t, y in zip(range(1, n + 1), ys)
+    ]
+    su = sum(us)
+    stu = sum(t * u for t, u in zip(range(1, n + 1), us))
+    suu = sum(u * u for u in us)
+    dt = n * stt - st_ * st_
+    du = n * suu - su * su
+    if dt > 0 and du > 0:
+        return _rha(1000 * n * (n * stu - st_ * su) ** 2 / (float(dt) * du))
+    return 0
+
+
+@settings(max_examples=8, deadline=None)
+@given(series=DAY_VALUE_SERIES)
+def test_breusch_pagan_matches_reference(spark, series):
+    from pagila_etl_airflow_assignment_spark.operators.stats import (
+        breusch_pagan_daily,
+    )
+
+    r = breusch_pagan_daily(_events_from_values(spark, series)).collect()[0]
+    assert r.n_days == len(series)
+    assert r.bp_milli == _bp_ref(series)
+
+
+# --- Sign test / capture-recapture ---------------------------------------------------
+
+
+@settings(max_examples=8, deadline=None)
+@given(pairs=DAY_PAIRS)
+def test_sign_test_matches_reference(spark, pairs):
+    from pagila_etl_airflow_assignment_spark.operators.stats import (
+        sign_test_daily,
+    )
+
+    rows = []
+    for d, (x, y) in enumerate(pairs, start=1):
+        day = f"2024-01-{d:02d}"
+        rows += [(1, "click", f"{day} 10:00:00", 1.0)] * x
+        rows += [(1, "error", f"{day} 11:00:00", 1.0)] * y
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    r = sign_test_daily(df).collect()[0]
+    nz = [(x, y) for x, y in pairs if x != y]
+    m = len(nz)
+    s = sum(1 for x, y in nz if x > y)
+    d = 2 * s - m
+    exp = (
+        _rha(1000 * (d - (1 if d > 0 else -1)) / math.sqrt(m))
+        if m > 0 and d != 0
+        else 0
+    )
+    assert (r.m_days, r.s_plus, r.z_milli) == (m, s, exp)
+
+
+@settings(max_examples=8, deadline=None)
+@given(halves=USER_HALVES)
+def test_capture_recapture_matches_reference(spark, halves):
+    from pagila_etl_airflow_assignment_spark.operators.stats import (
+        capture_recapture,
+    )
+
+    rows = []
+    for u, (a, b) in enumerate(halves):
+        if a:
+            rows.append((u, "click", "2024-01-05 10:00:00", 1.0))
+        if b:
+            rows.append((u, "click", "2024-01-25 10:00:00", 1.0))
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    r = capture_recapture(df).collect()[0]
+    n1 = sum(a for a, _ in halves)
+    n2 = sum(b for _, b in halves)
+    m = sum(a * b for a, b in halves)
+    assert (r.n1, r.n2, r.m_both) == (n1, n2, m)
+    assert r.n_hat == _rha((n1 + 1) * (n2 + 1) / (m + 1) - 1)
+
+
+# --- Design effect ---------------------------------------------------------------------
+
+USER_VALUE_GROUPS = st.lists(
+    st.lists(st.integers(-500, 500), min_size=1, max_size=5),
+    min_size=2,
+    max_size=10,
+)
+
+
+def _deff_ref(groups):
+    k = len(groups)
+    n_total = sum(len(g) for g in groups)
+    s_all = sum(sum(g) for g in groups)
+    b_m = sum(_rha(1e6 * float(sum(g)) * sum(g) / len(g)) for g in groups)
+    w_m = sum(
+        _rha(
+            1e6
+            * (
+                float(sum(c * c for c in g))
+                - float(sum(g)) * sum(g) / len(g)
+            )
+        )
+        for g in groups
+    )
+    sn2 = sum(len(g) ** 2 for g in groups)
+    msb = (
+        (b_m / 1e6 - float(s_all) * s_all / n_total) / (k - 1)
+        if k > 1 and n_total > k
+        else 0.0
+    )
+    msw = (w_m / 1e6) / (n_total - k) if n_total > k else 0.0
+    m0 = (n_total - sn2 / n_total) / (k - 1) if k > 1 else 0.0
+    icc = (
+        (msb - msw) / (msb + (m0 - 1) * msw)
+        if msb + (m0 - 1) * msw > 0
+        else 0.0
+    )
+    return _rha(1000 * icc), _rha(1000 * (1.0 + (n_total / k - 1.0) * icc))
+
+
+@settings(max_examples=8, deadline=None)
+@given(groups=USER_VALUE_GROUPS)
+def test_design_effect_matches_reference(spark, groups):
+    from pagila_etl_airflow_assignment_spark.operators.stats import (
+        design_effect_users,
+    )
+
+    rows = []
+    for u, vals in enumerate(groups):
+        for c in vals:
+            rows.append((u, "click", "2024-01-05 10:00:00", c / 100.0))
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    r = design_effect_users(df).collect()[0]
+    icc, deff = _deff_ref(groups)
+    assert (r.n_clusters, r.n_total) == (len(groups), sum(len(g) for g in groups))
+    assert (r.icc_milli, r.deff_milli) == (icc, deff)
+
+
+# --- Little's law ------------------------------------------------------------------------
+
+# per user: sorted minute offsets within a 3-day window
+USER_MINUTES = st.lists(
+    st.lists(st.integers(0, 3 * 1440 - 1), min_size=1, max_size=8).map(
+        lambda xs: sorted(set(xs))
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+
+def _littles_ref(users):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    gap = 30 * 60 * 1000000
+    day_us = 86400 * 1000000
+    sessions = []
+    for minutes in users:
+        cur = []
+        prev = None
+        for m in minutes:
+            us = int(
+                (base + dt.timedelta(minutes=m) - dt.datetime(1970, 1, 1))
+                .total_seconds() * 1e6
+            )
+            if prev is not None and us - prev <= gap:
+                cur.append(us)
+            else:
+                if cur:
+                    sessions.append((cur[0], cur[-1]))
+                cur = [us]
+            prev = us
+        if cur:
+            sessions.append((cur[0], cur[-1]))
+    pred, obs = {}, {}
+    for s, e in sessions:
+        sd = s // day_us
+        pred.setdefault(sd, [0, 0])
+        pred[sd][0] += 1
+        pred[sd][1] += e - s
+        d = sd
+        while d <= e // day_us:
+            lo = max(s, d * day_us)
+            hi = min(e, (d + 1) * day_us)
+            obs[d] = obs.get(d, 0) + (hi - lo)
+            d += 1
+    out = {}
+    for d in set(pred) | set(obs):
+        n, dur = pred.get(d, [0, 0])
+        out[d] = (
+            n,
+            _rha(1e6 * obs.get(d, 0) / day_us),
+            _rha(1e6 * dur / day_us),
+        )
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(users=USER_MINUTES)
+def test_littles_law_matches_reference(spark, users):
+    import datetime as dt
+
+    from pagila_etl_airflow_assignment_spark.operators.analytics import (
+        littles_law_daily,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for u, minutes in enumerate(users):
+        for m in minutes:
+            ts = base + dt.timedelta(minutes=m)
+            rows.append((eid, u, "click", ts.strftime("%Y-%m-%d %H:%M:%S"), 1.0))
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, ts string,"
+        " value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        (r.day - dt.date(1970, 1, 1)).days: (
+            r.n_started,
+            r.l_obs_micro,
+            r.l_pred_micro,
+        )
+        for r in littles_law_daily(df).collect()
+    }
+    assert got == _littles_ref(users)
+
+
+# --- Tukey fences -----------------------------------------------------------------
+
+
+@settings(max_examples=8, deadline=None)
+@given(groups=GROUPED_VALUES)
+def test_tukey_fences_matches_reference(spark, groups):
+    from pagila_etl_airflow_assignment_spark.operators.stats import (
+        tukey_fences_by_type,
+    )
+
+    rows = tukey_fences_by_type(_grouped_events(spark, groups)).collect()
+    got = {
+        r.event_type: (r.q1_cents, r.q3_cents, r.n_low, r.n_high)
+        for r in rows
+    }
+    exp = {}
+    for gi, vals in enumerate(groups):
+        s = sorted(vals)
+        tot = len(s)
+        cum = 0
+        q1 = q3 = None
+        seen = {}
+        for v in s:
+            seen[v] = seen.get(v, 0) + 1
+        cum = 0
+        for v in sorted(seen):
+            cum += seen[v]
+            if q1 is None and 4 * cum >= tot:
+                q1 = v
+            if q3 is None and 4 * cum >= 3 * tot:
+                q3 = v
+        lo2, hi2 = 5 * q1 - 3 * q3, 5 * q3 - 3 * q1
+        exp[f"type{gi}"] = (
+            q1,
+            q3,
+            sum(1 for v in vals if 2 * v < lo2),
+            sum(1 for v in vals if 2 * v > hi2),
+        )
+    assert got == exp
+
+
+# --- 2x2 devices --------------------------------------------------------------------
+
+UNIT_CELLS = st.lists(
+    st.sampled_from([(1, 1), (1, 0), (0, 1), (0, 0)]),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _two_flag_events(spark, cells, t1, t2):
+    rows = []
+    for u, (a, b) in enumerate(cells):
+        rows.append((u, "signup", "2024-01-05 10:00:00", 1.0))
+        if a:
+            rows.append((u, t1, "2024-01-05 11:00:00", 1.0))
+        if b:
+            rows.append((u, t2, "2024-01-05 12:00:00", 1.0))
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts string, value double"
+    )
+    return df.withColumn("ts", F.to_timestamp("ts"))
+
+
+def _cells_of(cells):
+    n11 = sum(1 for a, b in cells if a and b)
+    n10 = sum(1 for a, b in cells if a and not b)
+    n01 = sum(1 for a, b in cells if not a and b)
+    n00 = sum(1 for a, b in cells if not a and not b)
+    return n11, n10, n01, n00
+
+
+@settings(max_examples=8, deadline=None)
+@given(cells=UNIT_CELLS)
+def test_cohens_kappa_matches_reference(spark, cells):
+    from pagila_etl_airflow_assignment_spark.operators.stats import (
+        KAPPA_A_TYPE,
+        KAPPA_B_TYPE,
+        cohens_kappa_daily,
+    )
+
+    df = _two_flag_events(spark, cells, KAPPA_A_TYPE, KAPPA_B_TYPE)
+    r = cohens_kappa_daily(df).collect()[0]
+    n11, n10, n01, n00 = _cells_of(cells)
+    n = len(cells)
+    pe = ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) / n / n
+    po = (n11 + n00) / n
+    exp = _rha(1000 * (po - pe) / (1 - pe)) if 1 - pe != 0 else 0
+    assert (r.n_units, r.kappa_milli) == (n, exp)
+
+
+@settings(max_examples=8, deadline=None)
+@given(cells=UNIT_CELLS)
+def test_phi_matches_reference(spark, cells):
+    from pagila_etl_airflow_assignment_spark.operators.stats import (
+        OR_EXPOSURE_TYPE,
+        phi_coefficient_daily,
+    )
+
+    df = _two_flag_events(spark, cells, OR_EXPOSURE_TYPE, "error")
+    r = phi_coefficient_daily(df).collect()[0]
+    n11, n10, n01, n00 = _cells_of(cells)
+    margins = (n11 + n10) * (n01 + n00) * (n11 + n01) * (n10 + n00)
+    exp = (
+        _rha(1000 * (n11 * n00 - n10 * n01) / math.sqrt(margins))
+        if margins > 0
+        else 0
+    )
+    assert (r.n_units, r.phi_milli) == (len(cells), exp)
+
+
+@settings(max_examples=8, deadline=None)
+@given(cells=UNIT_CELLS)
+def test_odds_ratio_matches_reference(spark, cells):
+    from pagila_etl_airflow_assignment_spark.operators.stats import (
+        OR_EXPOSURE_TYPE,
+        OR_OUTCOME_TYPE,
+        odds_ratio_ci_daily,
+    )
+
+    df = _two_flag_events(spark, cells, OR_EXPOSURE_TYPE, OR_OUTCOME_TYPE)
+    r = odds_ratio_ci_daily(df).collect()[0]
+    n11, n10, n01, n00 = _cells_of(cells)
+    orr = (n11 + 0.5) * (n00 + 0.5) / ((n10 + 0.5) * (n01 + 0.5))
+    se = math.sqrt(
+        1 / (n11 + 0.5) + 1 / (n10 + 0.5) + 1 / (n01 + 0.5) + 1 / (n00 + 0.5)
+    )
+    assert r.n_units == len(cells)
+    assert r.or_milli == _rha(1000 * orr)
+    assert r.ci_lo_milli == _rha(1000 * math.exp(math.log(orr) - 1.96 * se))
+    assert r.ci_hi_milli == _rha(1000 * math.exp(math.log(orr) + 1.96 * se))

@@ -115,6 +115,10 @@ ALLOWED: dict[str, set[str]] = {
     "events_spectral_periodogram": {"BroadcastNestedLoopJoin"},
     # broadcast 1-row per-window R/S pivot onto the 1-row day count
     "events_hurst_rs": {"BroadcastNestedLoopJoin"},
+    # broadcast 1-row (n, S1) scalar for the lag-deviation grid
+    "events_pacf": {"BroadcastNestedLoopJoin"},
+    # broadcast 1-row OLS-moment scalar for the auxiliary regression
+    "events_breusch_pagan": {"BroadcastNestedLoopJoin"},
     # bounded month-grid prefix self-join (non-equi a.t <= b.t) + 1-row MAE
     "warehouse_theta_forecast": {"BroadcastNestedLoopJoin"},
     # broadcast 1-row (n, S) and denominator scalars over the day grid

@@ -406,6 +406,17 @@ PROBES = [
     "warehouse_atkinson_index",
     "warehouse_bass_diffusion",
     "warehouse_theta_forecast",
+    # round-9 batches 4-5 (L-441..L-450)
+    "events_pacf",
+    "events_breusch_pagan",
+    "events_sign_test",
+    "events_capture_recapture",
+    "events_design_effect",
+    "events_littles_law",
+    "events_tukey_fences",
+    "events_cohens_kappa",
+    "events_phi_coefficient",
+    "events_odds_ratio_ci",
 ]
 
 
