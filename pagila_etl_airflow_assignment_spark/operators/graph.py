@@ -2464,3 +2464,115 @@ def brand_conductance_sql(
         FROM internal i FULL JOIN cut c USING (p_brand)
         ORDER BY p_brand
     """
+
+
+# --- eigenvector centrality ------------------------------------------------------
+
+EIG_ITERS = 3
+EIG_TOP_K = 20
+
+
+def eigenvector_centrality(
+    lineitem: DataFrame,
+    iters: int = EIG_ITERS,
+    k: int = EIG_TOP_K,
+    max_basket: int = 30,
+) -> DataFrame:
+    """Top-k parts by eigenvector centrality over the co-purchase graph
+    after a FIXED number of sum-normalized power iterations: rows
+    (p_partkey, score_micro).
+
+    PageRank divides each node's mass by its degree (a random surfer);
+    eigenvector centrality does NOT — a hub connected to other hubs
+    scores high even when those hubs spray edges everywhere, which is
+    the "status" reading of centrality (Bonacich). The two rank
+    genuinely differently on skewed-degree graphs.
+
+    Exactness: scores re-quantize to micro (sum-normalized) after every
+    iteration, so each round's accumulation is an exact integer sum over
+    the edge relation — order-free where float mass sums would not be —
+    and the oracle unrolls the identical integer chain.
+
+    Scale shape: per iteration one src-keyed rank join + one dst-keyed
+    aggregate (the copurchase_pagerank economics); the normalizing scalar
+    is a broadcast 1-row aggregate."""
+    edges = _symmetric_edges(lineitem, max_basket)
+    # x1 = A . 1 = degree; normalize to micro
+    deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("x"))
+    scores = deg.select(F.col("src").alias("node"), F.col("x"))
+    for _ in range(iters - 1):
+        s = scores.agg(F.sum("x").cast("long").alias("s"))
+        norm = scores.crossJoin(F.broadcast(s)).select(
+            "node",
+            F.expr(
+                "CAST(round(1e6 * CAST(x AS DOUBLE) / s) AS BIGINT)"
+            ).alias("xn"),
+        )
+        scores = (
+            edges.join(norm, F.col("src") == F.col("node"))
+            .groupBy("dst")
+            .agg(F.sum("xn").cast("long").alias("x"))
+            .select(F.col("dst").alias("node"), "x")
+        )
+    s = scores.agg(F.sum("x").cast("long").alias("s"))
+    return (
+        scores.crossJoin(F.broadcast(s))
+        .select(
+            F.col("node").alias("p_partkey"),
+            F.expr(
+                "CAST(round(1e6 * CAST(x AS DOUBLE) / s) AS BIGINT)"
+            ).alias("score_micro"),
+        )
+        .orderBy(F.desc("score_micro"), "p_partkey")
+        .limit(k)
+    )
+
+
+def eigenvector_centrality_sql(
+    iters: int = EIG_ITERS, k: int = EIG_TOP_K, max_basket: int = 30
+) -> str:
+    its = [
+        """x1 AS (
+            SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS x
+            FROM edges GROUP BY src
+        )"""
+    ]
+    for i in range(2, iters + 1):
+        its.append(
+            f"""n{i - 1} AS (
+            SELECT node,
+                   CAST(round(1e6 * CAST(x AS DOUBLE)
+                        / (SELECT CAST(SUM(x) AS BIGINT) FROM x{i - 1}))
+                        AS BIGINT) AS xn
+            FROM x{i - 1}
+        ),
+        x{i} AS (
+            SELECT e.dst AS node, CAST(SUM(n.xn) AS BIGINT) AS x
+            FROM edges e JOIN n{i - 1} n ON n.node = e.src
+            GROUP BY e.dst
+        )"""
+        )
+    chain = ",\n        ".join(its)
+    return f"""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), small AS (
+            SELECT l_orderkey FROM items
+            GROUP BY l_orderkey HAVING COUNT(*) <= {max_basket}
+        ), basket AS (
+            SELECT i.l_orderkey, i.l_partkey FROM items i
+            JOIN small USING (l_orderkey)
+        ), edges AS (
+            SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+            FROM basket a JOIN basket b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        ),
+        {chain}
+        SELECT node AS p_partkey,
+               CAST(round(1e6 * CAST(x AS DOUBLE)
+                    / (SELECT CAST(SUM(x) AS BIGINT) FROM x{iters}))
+                    AS BIGINT) AS score_micro
+        FROM x{iters}
+        ORDER BY score_micro DESC, p_partkey
+        LIMIT {k}
+    """

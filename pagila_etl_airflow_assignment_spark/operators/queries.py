@@ -2891,3 +2891,30 @@ def q_odds_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Haldane-corrected odds ratio of purchase given click with Woolf
     95% CI — the crude-OR headline under mantel_haenszel."""
     return stats.odds_ratio_ci_daily(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "graph_eigenvector_centrality", oracle=graph.eigenvector_centrality_sql()
+)
+def q_eigenvector_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eigenvector centrality over the co-purchase graph — sum-normalized
+    integer power iterations, the status reading PageRank's surfer misses."""
+    return graph.eigenvector_centrality(load_table(spark, sf_dir, "lineitem"))
+
+
+@register("events_transfer_entropy", oracle=stats.transfer_entropy_daily_sql())
+def q_transfer_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 binary transfer entropy between daily click and error series,
+    both directions — the information-theoretic Granger."""
+    return stats.transfer_entropy_daily(load_table(spark, sf_dir, "events"))
+
+
+@register("warehouse_median_polish", oracle=warehouse.median_polish_brands_sql())
+def q_median_polish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey median polish of the brand x month revenue matrix — all-integer
+    robust two-way decomposition, two full sweeps."""
+    return warehouse.median_polish_brands(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "part"),
+    )

@@ -6236,3 +6236,150 @@ def odds_ratio_ci_daily_sql() -> str:
                     AS BIGINT) AS ci_hi_milli
         FROM c
     """
+
+
+# --- Transfer entropy (binary, lag 1) -------------------------------------------------------
+
+
+def transfer_entropy_daily(events: DataFrame) -> DataFrame:
+    """Lag-1 binary transfer entropy between the daily click and error
+    count series, both directions: one row (n_obs, te_xy_micro,
+    te_yx_micro) with X = click, Y = error.
+
+    granger_lite asks the LINEAR question (does lagged X improve an OLS
+    fit of Y); transfer entropy asks it information-theoretically on the
+    up/down symbolization — TE(X->Y) = sum p(y_t, y_{t-1}, x_{t-1}) *
+    ln[p(y_t|y_{t-1},x_{t-1}) / p(y_t|y_{t-1})] — so nonlinear couplings
+    that Granger's F misses still register, and the X->Y / Y->X asymmetry
+    reads as direction.
+
+    Exactness: the joint (x_t, x_lag, y_t, y_lag) distribution is a <=16
+    -cell exact BIGINT count grid; every margin is a window sum over that
+    grid; each cell's ln term quantizes to micro before the <=16-row sum.
+
+    Scale shape: one (day) conditional aggregate, two lag windows over
+    the bounded day grid, one <=16-cell aggregate with margin windows."""
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum((F.col("event_type") == WILCOXON_X_TYPE).cast("long"))
+        .cast("long")
+        .alias("x"),
+        F.sum((F.col("event_type") == WILCOXON_Y_TYPE).cast("long"))
+        .cast("long")
+        .alias("y"),
+    )
+    w = Window.orderBy("day")
+    sym = daily.select(
+        "day",
+        (F.col("x") > F.lag("x").over(w)).cast("int").alias("xt"),
+        (F.col("y") > F.lag("y").over(w)).cast("int").alias("yt"),
+        F.lag((F.col("x") > F.lag("x").over(w)).cast("int")).over(w).alias(
+            "xl"
+        ),
+        F.lag((F.col("y") > F.lag("y").over(w)).cast("int")).over(w).alias(
+            "yl"
+        ),
+    ).where(F.col("xl").isNotNull())
+    cells = sym.groupBy("xt", "xl", "yt", "yl").agg(
+        F.count("*").cast("long").alias("m")
+    )
+    wn = Window.partitionBy(F.lit(1))
+
+    def margin(*cols):
+        return F.sum("m").over(Window.partitionBy(*cols)).cast("long")
+
+    terms = cells.select(
+        "m",
+        F.sum("m").over(wn).cast("long").alias("n"),
+        # TE(X->Y): a=yt, b=yl, c=xl
+        margin("yt", "yl", "xl").alias("xy_abc"),
+        margin("yl", "xl").alias("xy_bc"),
+        margin("yt", "yl").alias("xy_ab"),
+        margin("yl").alias("xy_b"),
+        # TE(Y->X): a=xt, b=xl, c=yl
+        margin("xt", "xl", "yl").alias("yx_abc"),
+        margin("xl", "yl").alias("yx_bc"),
+        margin("xt", "xl").alias("yx_ab"),
+        margin("xl").alias("yx_b"),
+    )
+    agg = terms.groupBy("n").agg(
+        F.sum(
+            F.expr(
+                "CAST(round(1e6 * m * ln(CAST(xy_abc AS DOUBLE) * xy_b"
+                " / (CAST(xy_bc AS DOUBLE) * xy_ab))) AS BIGINT)"
+            )
+        ).cast("long").alias("te_xy_n_micro"),
+        F.sum(
+            F.expr(
+                "CAST(round(1e6 * m * ln(CAST(yx_abc AS DOUBLE) * yx_b"
+                " / (CAST(yx_bc AS DOUBLE) * yx_ab))) AS BIGINT)"
+            )
+        ).cast("long").alias("te_yx_n_micro"),
+    )
+    return agg.select(
+        F.col("n").alias("n_obs"),
+        F.expr(
+            "CAST(round(CAST(te_xy_n_micro AS DOUBLE) / n) AS BIGINT)"
+        ).alias("te_xy_micro"),
+        F.expr(
+            "CAST(round(CAST(te_yx_n_micro AS DOUBLE) / n) AS BIGINT)"
+        ).alias("te_yx_micro"),
+    )
+
+
+def transfer_entropy_daily_sql() -> str:
+    return f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(SUM(CASE WHEN event_type = '{WILCOXON_X_TYPE}'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                   CAST(SUM(CASE WHEN event_type = '{WILCOXON_Y_TYPE}'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS y
+            FROM events GROUP BY 1
+        ),
+        ud AS (
+            SELECT day,
+                   CASE WHEN x > LAG(x) OVER w THEN 1 ELSE 0 END AS xt,
+                   CASE WHEN y > LAG(y) OVER w THEN 1 ELSE 0 END AS yt,
+                   LAG(x) OVER w AS px
+            FROM daily
+            WINDOW w AS (ORDER BY day)
+        ),
+        sym AS (
+            SELECT xt, yt,
+                   LAG(xt) OVER w AS xl, LAG(yt) OVER w AS yl
+            FROM ud
+            WHERE px IS NOT NULL
+            WINDOW w AS (ORDER BY day)
+        ),
+        cells AS (
+            SELECT xt, xl, yt, yl, CAST(COUNT(*) AS BIGINT) AS m
+            FROM sym WHERE xl IS NOT NULL
+            GROUP BY xt, xl, yt, yl
+        ),
+        terms AS (
+            SELECT m,
+                   CAST(SUM(m) OVER () AS BIGINT) AS n,
+                   CAST(SUM(m) OVER (PARTITION BY yt, yl, xl) AS BIGINT)
+                       AS xy_abc,
+                   CAST(SUM(m) OVER (PARTITION BY yl, xl) AS BIGINT) AS xy_bc,
+                   CAST(SUM(m) OVER (PARTITION BY yt, yl) AS BIGINT) AS xy_ab,
+                   CAST(SUM(m) OVER (PARTITION BY yl) AS BIGINT) AS xy_b,
+                   CAST(SUM(m) OVER (PARTITION BY xt, xl, yl) AS BIGINT)
+                       AS yx_abc,
+                   CAST(SUM(m) OVER (PARTITION BY xl, yl) AS BIGINT) AS yx_bc,
+                   CAST(SUM(m) OVER (PARTITION BY xt, xl) AS BIGINT) AS yx_ab,
+                   CAST(SUM(m) OVER (PARTITION BY xl) AS BIGINT) AS yx_b
+            FROM cells
+        )
+        SELECT n AS n_obs,
+               CAST(round(CAST(SUM(CAST(round(1e6 * m
+                    * ln(CAST(xy_abc AS DOUBLE) * xy_b
+                         / (CAST(xy_bc AS DOUBLE) * xy_ab))) AS BIGINT))
+                    AS DOUBLE) / n) AS BIGINT) AS te_xy_micro,
+               CAST(round(CAST(SUM(CAST(round(1e6 * m
+                    * ln(CAST(yx_abc AS DOUBLE) * yx_b
+                         / (CAST(yx_bc AS DOUBLE) * yx_ab))) AS BIGINT))
+                    AS DOUBLE) / n) AS BIGINT) AS te_yx_micro
+        FROM terms
+        GROUP BY n
+    """

@@ -7362,3 +7362,181 @@ def theta_forecast_backtest_sql() -> str:
                     ELSE 0 END AS BIGINT) AS naive_mae_micro
         FROM n_m CROSS JOIN agg
     """
+
+
+# --- Tukey median polish ----------------------------------------------------------------
+
+
+def _wmed(df: DataFrame, part_col: str, val_col: str, out_col: str) -> DataFrame:
+    """Lower weighted median of ``val_col`` within ``part_col`` groups —
+    the engine-wide min(v with 2*cum >= tot) device on the bounded grid."""
+    wcum = (
+        Window.partitionBy(part_col)
+        .orderBy(val_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy(part_col)
+    return (
+        df.select(
+            part_col,
+            val_col,
+            F.count("*").over(wcum).alias("cum"),
+            F.count("*").over(wtot).alias("tot"),
+        )
+        .where(2 * F.col("cum") >= F.col("tot"))
+        .groupBy(part_col)
+        .agg(F.min(val_col).alias(out_col))
+    )
+
+
+_WMED_SQL = """
+            SELECT {part}, MIN({val}) AS {out} FROM (
+                SELECT {part}, {val},
+                       COUNT(*) OVER (PARTITION BY {part} ORDER BY {val}
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS cum,
+                       COUNT(*) OVER (PARTITION BY {part}) AS tot
+                FROM {src}
+            ) WHERE 2 * cum >= tot
+            GROUP BY {part}
+"""
+
+
+def median_polish_brands(
+    lineitem: DataFrame, orders: DataFrame, part: DataFrame
+) -> DataFrame:
+    """Tukey median polish of the (brand x month) revenue matrix, two full
+    row/column sweeps: rows (p_brand, row_eff_cents, med_abs_resid_cents,
+    max_abs_resid_cents), ordered by brand.
+
+    variance_decomposition splits the same matrix with MEANS, which one
+    hot month can dominate; the median polish is the robust two-way
+    decomposition y = overall + row + col + resid — after two sweeps the
+    brand effects resist outlier months, and the residual summary flags
+    brand-month cells the additive model cannot explain (the classic
+    exploratory two-way table device).
+
+    Exactness: cell revenues are exact centi BIGINTs and the lower
+    weighted median of integers is an integer, so every sweep subtracts
+    exact integers and the residual summaries are integer order
+    statistics — no float anywhere. Absent brand-month cells stay absent
+    (medians run over PRESENT cells; stated, the permutation_entropy
+    caveat).
+
+    Scale shape: one (brand, month) aggregate over the broadcast-part
+    join, then four median windows and a final summary, all on the
+    bounded <=|brands|x|months| grid."""
+    cents = F.expr(
+        "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"
+    )
+    grid = (
+        lineitem.join(
+            orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy(
+            "p_brand",
+            F.to_date(F.date_trunc("month", "o_orderdate")).alias("month"),
+        )
+        .agg(F.sum(cents).cast("long").alias("r"))
+    )
+    row_eff = None
+    r = grid
+    for sweep in range(2):
+        rm = _wmed(r, "p_brand", "r", "rm")
+        row_eff = (
+            rm.select("p_brand", F.col("rm").alias("row_eff"))
+            if row_eff is None
+            else row_eff.join(rm, "p_brand").select(
+                "p_brand",
+                (F.col("row_eff") + F.col("rm")).alias("row_eff"),
+            )
+        )
+        r = r.join(F.broadcast(rm), "p_brand").select(
+            "p_brand", "month", (F.col("r") - F.col("rm")).alias("r")
+        )
+        cm = _wmed(r, "month", "r", "cm")
+        r = r.join(F.broadcast(cm), "month").select(
+            "p_brand", "month", (F.col("r") - F.col("cm")).alias("r")
+        )
+    resid = r.groupBy("p_brand").agg(
+        F.max(F.abs(F.col("r"))).alias("max_abs_resid_cents")
+    )
+    med_resid = _wmed(
+        r.select("p_brand", F.abs(F.col("r")).alias("ar")),
+        "p_brand",
+        "ar",
+        "med_abs_resid_cents",
+    )
+    return (
+        row_eff.join(med_resid, "p_brand")
+        .join(resid, "p_brand")
+        .select(
+            "p_brand",
+            F.col("row_eff").alias("row_eff_cents"),
+            "med_abs_resid_cents",
+            "max_abs_resid_cents",
+        )
+        .orderBy("p_brand")
+    )
+
+
+def median_polish_brands_sql() -> str:
+    def wmed(src, part, val, out):
+        return _WMED_SQL.format(src=src, part=part, val=val, out=out)
+
+    return f"""
+        WITH grid AS (
+            SELECT p_brand,
+                   CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                   CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount)
+                        * 100) AS BIGINT)) AS BIGINT) AS r
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN part ON l_partkey = p_partkey
+            GROUP BY 1, 2
+        ),
+        rm1 AS ({wmed("grid", "p_brand", "r", "rm")}),
+        r1 AS (
+            SELECT p_brand, month, grid.r - rm AS r
+            FROM grid JOIN rm1 USING (p_brand)
+        ),
+        cm1 AS ({wmed("r1", "month", "r", "cm")}),
+        r2 AS (
+            SELECT p_brand, month, r1.r - cm AS r
+            FROM r1 JOIN cm1 USING (month)
+        ),
+        rm2 AS ({wmed("r2", "p_brand", "r", "rm")}),
+        r3 AS (
+            SELECT p_brand, month, r2.r - rm AS r
+            FROM r2 JOIN rm2 USING (p_brand)
+        ),
+        cm2 AS ({wmed("r3", "month", "r", "cm")}),
+        r4 AS (
+            SELECT p_brand, month, r3.r - cm AS r
+            FROM r3 JOIN cm2 USING (month)
+        ),
+        abs_r AS (
+            SELECT p_brand, abs(r) AS ar FROM r4
+        ),
+        med_resid AS ({wmed("abs_r", "p_brand", "ar", "med_ar")}),
+        max_resid AS (
+            SELECT p_brand, MAX(abs(r)) AS max_ar FROM r4 GROUP BY p_brand
+        ),
+        row_eff AS (
+            SELECT p_brand, rm1.rm + rm2.rm AS row_eff
+            FROM rm1 JOIN rm2 USING (p_brand)
+        )
+        SELECT p_brand,
+               CAST(row_eff AS BIGINT) AS row_eff_cents,
+               CAST(med_ar AS BIGINT) AS med_abs_resid_cents,
+               CAST(max_ar AS BIGINT) AS max_abs_resid_cents
+        FROM row_eff
+        JOIN med_resid USING (p_brand)
+        JOIN max_resid USING (p_brand)
+        ORDER BY p_brand
+    """

@@ -1267,3 +1267,238 @@ def test_odds_ratio_matches_reference(spark, cells):
     assert r.or_milli == _rha(1000 * orr)
     assert r.ci_lo_milli == _rha(1000 * math.exp(math.log(orr) - 1.96 * se))
     assert r.ci_hi_milli == _rha(1000 * math.exp(math.log(orr) + 1.96 * se))
+
+
+# --- Transfer entropy -------------------------------------------------------------------
+
+
+def _te_ref(pairs):
+    n_days = len(pairs)
+    xs = [x for x, _ in pairs]
+    ys = [y for _, y in pairs]
+    xt = [1 if xs[i] > xs[i - 1] else 0 for i in range(1, n_days)]
+    yt = [1 if ys[i] > ys[i - 1] else 0 for i in range(1, n_days)]
+    trips = [
+        (xt[i], xt[i - 1], yt[i], yt[i - 1]) for i in range(1, len(xt))
+    ]
+    if not trips:
+        return None
+    from collections import Counter
+
+    cells = Counter(trips)
+    n = len(trips)
+
+    def te(role):
+        # role maps cell -> (a, b, c)
+        def marg(keyf):
+            mm = Counter()
+            for cell, m in cells.items():
+                mm[keyf(cell)] += m
+            return mm
+
+        abc = marg(lambda t: role(t))
+        bc = marg(lambda t: role(t)[1:])
+        ab = marg(lambda t: role(t)[:2])
+        b = marg(lambda t: role(t)[1])
+        tot = 0
+        for cell, m in cells.items():
+            a_, b_, c_ = role(cell)
+            tot += _rha(
+                1e6
+                * m
+                * math.log(
+                    abc[(a_, b_, c_)] * b[b_] / (bc[(b_, c_)] * ab[(a_, b_)])
+                )
+            )
+        return _rha(tot / n)
+
+    te_xy = te(lambda t: (t[2], t[3], t[1]))  # a=yt, b=yl, c=xl
+    te_yx = te(lambda t: (t[0], t[1], t[3]))  # a=xt, b=xl, c=yl
+    return n, te_xy, te_yx
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 4)),
+        min_size=4,
+        max_size=20,
+    )
+)
+def test_transfer_entropy_matches_reference(spark, pairs):
+    from pagila_etl_airflow_assignment_spark.operators.stats import (
+        transfer_entropy_daily,
+    )
+
+    rows = []
+    for d, (x, y) in enumerate(pairs, start=1):
+        day = f"2024-01-{d:02d}"
+        rows += [(1, "click", f"{day} 10:00:00", 1.0)] * x
+        rows += [(1, "error", f"{day} 11:00:00", 1.0)] * y
+        rows.append((1, "signup", f"{day} 09:00:00", 1.0))  # keep day present
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = transfer_entropy_daily(df).collect()
+    exp = _te_ref(pairs)
+    assert exp is not None
+    r = got[0]
+    assert (r.n_obs, r.te_xy_micro, r.te_yx_micro) == exp
+
+
+# --- Eigenvector centrality ---------------------------------------------------------------
+
+BASKETS = st.lists(
+    st.lists(st.integers(1, 8), min_size=2, max_size=4).map(
+        lambda xs: sorted(set(xs))
+    ).filter(lambda xs: len(xs) >= 2),
+    min_size=1,
+    max_size=6,
+)
+
+
+def _eig_ref(baskets, iters=3):
+    edges = set()
+    for b in baskets:
+        for a in b:
+            for c in b:
+                if a != c:
+                    edges.add((a, c))
+    nodes = {a for a, _ in edges}
+    x = {v: sum(1 for s, _ in edges if s == v) for v in nodes}
+    for _ in range(iters - 1):
+        s = sum(x.values())
+        xn = {v: _rha(1e6 * x[v] / s) for v in x}
+        nxt = {}
+        for a, c in edges:
+            nxt[c] = nxt.get(c, 0) + xn[a]
+        x = nxt
+    s = sum(x.values())
+    scored = sorted(
+        ((_rha(1e6 * xv / s), v) for v, xv in x.items()),
+        key=lambda t: (-t[0], t[1]),
+    )
+    return [(v, sc) for sc, v in scored[:20]]
+
+
+@settings(max_examples=8, deadline=None)
+@given(baskets=BASKETS)
+def test_eigenvector_matches_reference(spark, baskets):
+    from pagila_etl_airflow_assignment_spark.operators.graph import (
+        eigenvector_centrality,
+    )
+
+    rows = []
+    for ok, parts in enumerate(baskets):
+        for i, pk in enumerate(parts):
+            rows.append(
+                (ok, pk, 1, i, 1.0, 10.0, 0.0, 0.0, "N", "O",
+                 "1995-03-05 00:00:00")
+            )
+    li = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate string",
+    ).withColumn("l_shipdate", F.to_timestamp("l_shipdate"))
+    got = [(r.p_partkey, r.score_micro) for r in
+           eigenvector_centrality(li).collect()]
+    assert got == _eig_ref(baskets)
+
+
+# --- Median polish ---------------------------------------------------------------------
+
+
+def _lower_wmed(vals):
+    s = sorted(vals)
+    tot = len(s)
+    cum = 0
+    for v in s:
+        cum += 1
+        if 2 * cum >= tot:
+            return v
+
+
+def _polish_ref(cells):
+    # cells: {(brand, month): cents}
+    r = dict(cells)
+    brands = sorted({b for b, _ in cells})
+    months = sorted({m for _, m in cells})
+    row_eff = {b: 0 for b in brands}
+    for _ in range(2):
+        for b in brands:
+            med = _lower_wmed([r[k] for k in r if k[0] == b])
+            row_eff[b] += med
+            for k in list(r):
+                if k[0] == b:
+                    r[k] -= med
+        for m in months:
+            vals = [r[k] for k in r if k[1] == m]
+            if not vals:
+                continue
+            med = _lower_wmed(vals)
+            for k in list(r):
+                if k[1] == m:
+                    r[k] -= med
+    out = {}
+    for b in brands:
+        res = [abs(r[k]) for k in r if k[0] == b]
+        out[b] = (row_eff[b], _lower_wmed(res), max(res))
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    grid=st.dictionaries(
+        st.tuples(st.integers(0, 3), st.integers(1, 6)),
+        st.integers(-10**6, 10**6),
+        min_size=2,
+        max_size=18,
+    )
+)
+def test_median_polish_matches_reference(spark, grid):
+    from pagila_etl_airflow_assignment_spark.operators.warehouse import (
+        median_polish_brands,
+    )
+
+    o_rows, li_rows, part_rows, key = [], [], {}, 0
+    for (b, m), cents in grid.items():
+        part_rows[b] = (b, f"p{b}", f"Brand#{b:02d}", "t", 1, 1.0)
+        key += 1
+        o_rows.append(
+            (key, 1, "O", 1.0, f"1995-{m:02d}-05 00:00:00", "1-URGENT")
+        )
+        li_rows.append(
+            (key, b, 1, 1, 1.0, cents / 100.0, 0.0, 0.0, "N", "O",
+             f"1995-{m:02d}-06 00:00:00")
+        )
+    o = spark.createDataFrame(
+        o_rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+    li = spark.createDataFrame(
+        li_rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate string",
+    ).withColumn("l_shipdate", F.to_timestamp("l_shipdate"))
+    pt = spark.createDataFrame(
+        list(part_rows.values()),
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    )
+    got = {
+        r.p_brand: (
+            r.row_eff_cents,
+            r.med_abs_resid_cents,
+            r.max_abs_resid_cents,
+        )
+        for r in median_polish_brands(li, o, pt).collect()
+    }
+    exp = {
+        f"Brand#{b:02d}": v for b, v in _polish_ref(grid).items()
+    }
+    assert got == exp

@@ -119,6 +119,8 @@ ALLOWED: dict[str, set[str]] = {
     "events_pacf": {"BroadcastNestedLoopJoin"},
     # broadcast 1-row OLS-moment scalar for the auxiliary regression
     "events_breusch_pagan": {"BroadcastNestedLoopJoin"},
+    # broadcast 1-row normalization scalar per power iteration
+    "graph_eigenvector_centrality": {"BroadcastNestedLoopJoin"},
     # bounded month-grid prefix self-join (non-equi a.t <= b.t) + 1-row MAE
     "warehouse_theta_forecast": {"BroadcastNestedLoopJoin"},
     # broadcast 1-row (n, S) and denominator scalars over the day grid

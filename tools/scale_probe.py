@@ -417,6 +417,9 @@ PROBES = [
     "events_cohens_kappa",
     "events_phi_coefficient",
     "events_odds_ratio_ci",
+    "graph_eigenvector_centrality",
+    "events_transfer_entropy",
+    "warehouse_median_polish",
 ]
 
 
