@@ -142,6 +142,16 @@ HEADLINE = [
     "rental_update_lag_profile",
     "embedding_knn_reciprocity",
     "embedding_norm_clip_threshold",
+    # round-9 additions without an auto-included prefix
+    "warehouse_local_supplier_volume",
+    "warehouse_tracking_signal",
+    "warehouse_wilson_ranking",
+    "warehouse_otif_fill_rate",
+    "warehouse_atkinson_index",
+    "warehouse_bass_diffusion",
+    "warehouse_theta_forecast",
+    "warehouse_median_polish",
+    "graph_eigenvector_centrality",
 ]
 
 
