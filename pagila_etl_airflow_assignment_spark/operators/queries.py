@@ -2918,3 +2918,38 @@ def q_median_polish(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "orders"),
         load_table(spark, sf_dir, "part"),
     )
+
+
+@register("events_bowker_symmetry", oracle=stats.bowker_symmetry_test_sql())
+def q_bowker_symmetry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bowker kxk transition-symmetry test on user event sequences —
+    McNemar's generalization, micro-quantized pair terms."""
+    return stats.bowker_symmetry_test(load_table(spark, sf_dir, "events"))
+
+
+@register("events_c_chart", oracle=stats.c_chart_daily_sql())
+def q_c_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shewhart c-chart on daily error counts — Poisson 3-sigma limits,
+    exact breach census."""
+    return stats.c_chart_daily(load_table(spark, sf_dir, "events"))
+
+
+@register("events_turning_points", oracle=stats.turning_points_daily_sql())
+def q_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turning-point randomness test on daily counts — strict local
+    extrema vs the 2/3 i.i.d. rate."""
+    return stats.turning_points_daily(load_table(spark, sf_dir, "events"))
+
+
+@register("events_mood_median", oracle=stats.mood_median_test_sql())
+def q_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test across event types — grand-median dichotomy
+    chi-square, the tie-proof location check."""
+    return stats.mood_median_test(load_table(spark, sf_dir, "events"))
+
+
+@register("warehouse_kraljic_matrix", oracle=warehouse.kraljic_matrix_sql())
+def q_kraljic_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kraljic procurement portfolio: supplier spend x part-exclusivity
+    risk quadrants — exact integer mean cuts."""
+    return warehouse.kraljic_matrix(load_table(spark, sf_dir, "lineitem"))

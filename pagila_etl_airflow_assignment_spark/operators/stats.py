@@ -6383,3 +6383,421 @@ def transfer_entropy_daily_sql() -> str:
         FROM terms
         GROUP BY n
     """
+
+
+# --- Bowker symmetry test ------------------------------------------------------------------
+
+
+def bowker_symmetry_test(events: DataFrame) -> DataFrame:
+    """Bowker test of event-type transition symmetry: one row
+    (n_transitions, df, bowker_milli).
+
+    mcnemar_test is the 2x2 paired-flip test; Bowker is its kxk
+    generalization on the user-sequence TRANSITION matrix — is A->B as
+    common as B->A for every unordered type pair? Rejection means the
+    funnel has a preferred direction (which events_markov_* then model);
+    df counts the informative pairs.
+
+    Exactness: transition counts are exact BIGINTs from one lag pass;
+    each pair's (n_ij - n_ji)^2 / (n_ij + n_ji) term quantizes to micro
+    before the <=k(k-1)/2-row sum.
+
+    Scale shape: one user-partitioned lag window (data-sized but
+    user-keyed), one (from, to) aggregate, a bounded <=k^2 self-join on
+    that grid, one 1-row reduction."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        events.select(
+            "user_id",
+            F.col("event_type").alias("t_to"),
+            F.lag("event_type").over(w).alias("t_from"),
+        )
+        .where(F.col("t_from").isNotNull())
+        .groupBy("t_from", "t_to")
+        .agg(F.count("*").cast("long").alias("m"))
+    )
+    a, b = trans.alias("a"), trans.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.t_from") == F.col("b.t_to"))
+        & (F.col("a.t_to") == F.col("b.t_from"))
+        & (F.col("a.t_from") < F.col("a.t_to")),
+        "left",
+    ).where(F.col("a.t_from") < F.col("a.t_to")).select(
+        F.col("a.m").alias("nij"),
+        F.coalesce(F.col("b.m"), F.lit(0)).alias("nji"),
+    )
+    # pairs where only the j>i direction exists are missed by iterating a
+    # on i<j cells only when the i<j cell is absent; union the orphans
+    orphans = b.join(
+        a,
+        (F.col("b.t_from") == F.col("a.t_to"))
+        & (F.col("b.t_to") == F.col("a.t_from")),
+        "left_anti",
+    ).where(F.col("b.t_from") > F.col("b.t_to")).select(
+        F.lit(0).cast("long").alias("nij"),
+        F.col("b.m").alias("nji"),
+    )
+    allp = pairs.unionByName(orphans)
+    total = trans.agg(
+        F.coalesce(F.sum("m").cast("long"), F.lit(0).cast("long")).alias(
+            "n_transitions"
+        )
+    )
+    agg = allp.agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum(
+            F.expr(
+                "CAST(round(1e6 * CAST((nij - nji) AS DOUBLE) * (nij - nji)"
+                " / (nij + nji)) AS BIGINT)"
+            )
+        ).cast("long").alias("b_micro"),
+    )
+    return total.crossJoin(F.broadcast(agg)).select(
+        "n_transitions",
+        F.coalesce("df", F.lit(0)).alias("df"),
+        F.expr(
+            "CAST(round(COALESCE(b_micro, 0) / 1000.0) AS BIGINT)"
+        ).alias("bowker_milli"),
+    )
+
+
+def bowker_symmetry_test_sql() -> str:
+    return """
+        WITH trans AS (
+            SELECT t_from, t_to, CAST(COUNT(*) AS BIGINT) AS m
+            FROM (
+                SELECT event_type AS t_to,
+                       LAG(event_type) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS t_from
+                FROM events
+            )
+            WHERE t_from IS NOT NULL
+            GROUP BY t_from, t_to
+        ),
+        pairs AS (
+            SELECT a.m AS nij, COALESCE(b.m, 0) AS nji
+            FROM trans a LEFT JOIN trans b
+              ON a.t_from = b.t_to AND a.t_to = b.t_from
+            WHERE a.t_from < a.t_to
+        ),
+        orphans AS (
+            SELECT CAST(0 AS BIGINT) AS nij, b.m AS nji
+            FROM trans b
+            WHERE b.t_from > b.t_to
+              AND NOT EXISTS (
+                SELECT 1 FROM trans a
+                WHERE a.t_from = b.t_to AND a.t_to = b.t_from
+              )
+        ),
+        allp AS (
+            SELECT * FROM pairs UNION ALL SELECT * FROM orphans
+        ),
+        agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS df,
+                   CAST(COALESCE(SUM(CAST(round(1e6
+                        * CAST((nij - nji) AS DOUBLE) * (nij - nji)
+                        / (nij + nji)) AS BIGINT)), 0) AS BIGINT) AS b_micro
+            FROM allp
+        ),
+        total AS (
+            SELECT CAST(COALESCE(SUM(m), 0) AS BIGINT) AS n_transitions
+            FROM trans
+        )
+        SELECT n_transitions, df,
+               CAST(round(b_micro / 1000.0) AS BIGINT) AS bowker_milli
+        FROM total CROSS JOIN agg
+    """
+
+
+# --- c-chart on daily error counts ----------------------------------------------------------
+
+C_CHART_TYPE = "error"
+
+
+def c_chart_daily(events: DataFrame) -> DataFrame:
+    """Shewhart c-chart on daily error counts: one row (n_days,
+    cbar_milli, ucl_milli, n_above, n_below).
+
+    returns_p_chart monitors a PROPORTION with per-month denominators;
+    the c-chart is its Poisson sibling for raw defect COUNTS on a
+    constant-exposure window — limits at cbar +- 3*sqrt(cbar), the SPC
+    rule every incident dashboard reimplements.
+
+    Exactness: the center line is the exact rational S/n; each day's
+    out-of-limit flag compares the integer count against one
+    deterministic double limit; counts of breaches are exact.
+
+    Scale shape: one (day) conditional aggregate, one 1-row scalar
+    broadcast back onto the bounded day grid, one 1-row reduction."""
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum((F.col("event_type") == C_CHART_TYPE).cast("long"))
+        .cast("long")
+        .alias("c")
+    )
+    tot = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s"),
+    )
+    flagged = daily.crossJoin(F.broadcast(tot)).select(
+        "n",
+        "s",
+        (
+            F.col("c")
+            > F.expr("CAST(s AS DOUBLE) / n + 3 * sqrt(CAST(s AS DOUBLE) / n)")
+        ).cast("long").alias("above"),
+        (
+            F.col("c")
+            < F.expr("CAST(s AS DOUBLE) / n - 3 * sqrt(CAST(s AS DOUBLE) / n)")
+        ).cast("long").alias("below"),
+    )
+    return flagged.groupBy("n", "s").agg(
+        F.sum("above").cast("long").alias("n_above"),
+        F.sum("below").cast("long").alias("n_below"),
+    ).select(
+        F.col("n").alias("n_days"),
+        F.expr("CAST(round(1000.0 * s / n) AS BIGINT)").alias("cbar_milli"),
+        F.expr(
+            "CAST(round(1000.0 * (CAST(s AS DOUBLE) / n"
+            " + 3 * sqrt(CAST(s AS DOUBLE) / n))) AS BIGINT)"
+        ).alias("ucl_milli"),
+        "n_above",
+        "n_below",
+    )
+
+
+def c_chart_daily_sql() -> str:
+    return f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(SUM(CASE WHEN event_type = '{C_CHART_TYPE}'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS c
+            FROM events GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s
+            FROM daily
+        ),
+        flagged AS (
+            SELECT n, s,
+                   CASE WHEN c > CAST(s AS DOUBLE) / n
+                        + 3 * sqrt(CAST(s AS DOUBLE) / n)
+                        THEN 1 ELSE 0 END AS above,
+                   CASE WHEN c < CAST(s AS DOUBLE) / n
+                        - 3 * sqrt(CAST(s AS DOUBLE) / n)
+                        THEN 1 ELSE 0 END AS below
+            FROM daily CROSS JOIN tot
+        )
+        SELECT n AS n_days,
+               CAST(round(1000.0 * s / n) AS BIGINT) AS cbar_milli,
+               CAST(round(1000.0 * (CAST(s AS DOUBLE) / n
+                    + 3 * sqrt(CAST(s AS DOUBLE) / n))) AS BIGINT)
+                   AS ucl_milli,
+               CAST(SUM(above) AS BIGINT) AS n_above,
+               CAST(SUM(below) AS BIGINT) AS n_below
+        FROM flagged
+        GROUP BY n, s
+    """
+
+
+# --- Turning-point randomness test ----------------------------------------------------------
+
+
+def turning_points_daily(events: DataFrame) -> DataFrame:
+    """Turning-point test for randomness of the daily count series: one
+    row (n_days, n_turns, z_milli).
+
+    runs_test checks sign runs around the median; the turning-point test
+    checks local WIGGLES — a strict local max or min at t has expected
+    rate 2/3 under i.i.d., so too few turns means trend/smoothness and
+    too many means oscillation. Strict inequalities only: plateau points
+    are not turns (stated).
+
+    Exactness: the turn flag is an integer comparison of three exact
+    counts; E[T] = 2(n-2)/3 and Var = (16n-29)/90 feed one final double
+    chain.
+
+    Scale shape: one (day) aggregate, two lag/lead windows over the
+    bounded day grid, one 1-row reduction."""
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    w = Window.orderBy("day")
+    t = daily.select(
+        "c",
+        F.lag("c").over(w).alias("p"),
+        F.lead("c").over(w).alias("f"),
+    ).where(F.col("p").isNotNull() & F.col("f").isNotNull())
+    agg = t.agg(
+        F.count("*").cast("long").alias("inner_n"),
+        F.sum(
+            (
+                ((F.col("p") < F.col("c")) & (F.col("c") > F.col("f")))
+                | ((F.col("p") > F.col("c")) & (F.col("c") < F.col("f")))
+            ).cast("long")
+        ).cast("long").alias("n_turns"),
+    )
+    return agg.select(
+        (F.col("inner_n") + 2).alias("n_days"),
+        F.coalesce("n_turns", F.lit(0)).alias("n_turns"),
+        F.expr(
+            "CAST(CASE WHEN inner_n > 0 AND 16.0 * (inner_n + 2) - 29 > 0"
+            " THEN round(1000.0 * (n_turns - 2.0 * inner_n / 3.0)"
+            " / sqrt((16.0 * (inner_n + 2) - 29) / 90.0))"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("z_milli"),
+    )
+
+
+def turning_points_daily_sql() -> str:
+    return """
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY 1
+        ),
+        t AS (
+            SELECT c, LAG(c) OVER (ORDER BY day) AS p,
+                   LEAD(c) OVER (ORDER BY day) AS f
+            FROM daily
+        ),
+        agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS inner_n,
+                   CAST(COALESCE(SUM(CASE WHEN (p < c AND c > f)
+                        OR (p > c AND c < f) THEN 1 ELSE 0 END), 0)
+                        AS BIGINT) AS n_turns
+            FROM t WHERE p IS NOT NULL AND f IS NOT NULL
+        )
+        SELECT CAST(inner_n + 2 AS BIGINT) AS n_days, n_turns,
+               CAST(CASE WHEN inner_n > 0 AND 16.0 * (inner_n + 2) - 29 > 0
+                    THEN round(1000.0 * (n_turns - 2.0 * inner_n / 3.0)
+                    / sqrt((16.0 * (inner_n + 2) - 29) / 90.0))
+                    ELSE 0 END AS BIGINT) AS z_milli
+        FROM agg
+    """
+
+
+# --- Mood's median test ------------------------------------------------------------------
+
+
+def mood_median_test(events: DataFrame) -> DataFrame:
+    """Mood's median test across event types: one row (k_groups, n_total,
+    chi2_milli).
+
+    kruskal_wallis compares full rank distributions; Mood's test is the
+    blunt-but-robust location check — dichotomize every value at the
+    GRAND median and chi-square the above/at-or-below table by type. It
+    survives heavy ties and contamination that distort rank sums.
+
+    Exactness: the grand median is the exact lower weighted median over
+    the bounded (cents) value-domain grid; cell counts are exact
+    BIGINTs; each cell's (o - e)^2 / e term quantizes to micro before
+    the <=2k-row sum.
+
+    Scale shape: one (cents) aggregate + global cum window on that
+    bounded domain grid, one broadcast scalar back, one (type) aggregate,
+    one <=k-row reduction."""
+    cents = F.expr("CAST(round(value * 100) AS BIGINT)")
+    vals = events.select("event_type", cents.alias("c"))
+    per_c = vals.groupBy("c").agg(F.count("*").alias("m"))
+    wcum = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    med = (
+        per_c.select(
+            "c",
+            F.sum("m").over(wcum).alias("cum"),
+            F.sum("m").over(Window.partitionBy(F.lit(1))).alias("tot"),
+        )
+        .where(2 * F.col("cum") >= F.col("tot"))
+        .agg(F.min("c").alias("gmed"))
+    )
+    g = (
+        vals.crossJoin(F.broadcast(med))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_g"),
+            F.sum((F.col("c") > F.col("gmed")).cast("long"))
+            .cast("long")
+            .alias("a_g"),
+        )
+    )
+    tot = g.agg(
+        F.count("*").cast("long").alias("k_groups"),
+        F.sum("n_g").cast("long").alias("n_total"),
+        F.sum("a_g").cast("long").alias("a_total"),
+    )
+    terms = g.crossJoin(F.broadcast(tot)).select(
+        "k_groups",
+        "n_total",
+        F.expr(
+            "CAST(round(1e6 * ("
+            " pow(a_g - CAST(n_g AS DOUBLE) * a_total / n_total, 2)"
+            "   / (CAST(n_g AS DOUBLE) * a_total / n_total)"
+            " + pow((n_g - a_g) - CAST(n_g AS DOUBLE) * (n_total - a_total)"
+            "       / n_total, 2)"
+            "   / (CAST(n_g AS DOUBLE) * (n_total - a_total) / n_total)))"
+            " AS BIGINT)"
+        ).alias("term_micro"),
+        F.col("a_total"),
+    )
+    return (
+        terms.where((F.col("a_total") > 0) & (F.col("a_total") < F.col("n_total")))
+        .groupBy("k_groups", "n_total")
+        .agg(F.sum("term_micro").cast("long").alias("chi2_micro"))
+        .select(
+            "k_groups",
+            "n_total",
+            F.expr("CAST(round(chi2_micro / 1000.0) AS BIGINT)").alias(
+                "chi2_milli"
+            ),
+        )
+    )
+
+
+def mood_median_test_sql() -> str:
+    return """
+        WITH vals AS (
+            SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+            FROM events
+        ),
+        per_c AS (
+            SELECT c, CAST(COUNT(*) AS BIGINT) AS m FROM vals GROUP BY c
+        ),
+        med AS (
+            SELECT MIN(c) AS gmed FROM (
+                SELECT c,
+                       SUM(m) OVER (ORDER BY c
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS cum,
+                       SUM(m) OVER () AS tot
+                FROM per_c
+            ) WHERE 2 * cum >= tot
+        ),
+        g AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_g,
+                   CAST(SUM(CASE WHEN c > gmed THEN 1 ELSE 0 END) AS BIGINT)
+                       AS a_g
+            FROM vals CROSS JOIN med
+            GROUP BY event_type
+        ),
+        tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS k_groups,
+                   CAST(SUM(n_g) AS BIGINT) AS n_total,
+                   CAST(SUM(a_g) AS BIGINT) AS a_total
+            FROM g
+        ),
+        terms AS (
+            SELECT k_groups, n_total, a_total,
+                   CAST(round(1e6 * (
+                        pow(a_g - CAST(n_g AS DOUBLE) * a_total / n_total, 2)
+                          / (CAST(n_g AS DOUBLE) * a_total / n_total)
+                        + pow((n_g - a_g) - CAST(n_g AS DOUBLE)
+                              * (n_total - a_total) / n_total, 2)
+                          / (CAST(n_g AS DOUBLE) * (n_total - a_total)
+                             / n_total))) AS BIGINT) AS term_micro
+            FROM g CROSS JOIN tot
+        )
+        SELECT k_groups, n_total,
+               CAST(round(SUM(term_micro) / 1000.0) AS BIGINT) AS chi2_milli
+        FROM terms
+        WHERE a_total > 0 AND a_total < n_total
+        GROUP BY k_groups, n_total
+    """

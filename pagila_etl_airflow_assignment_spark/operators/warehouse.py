@@ -7540,3 +7540,134 @@ def median_polish_brands_sql() -> str:
         JOIN max_resid USING (p_brand)
         ORDER BY p_brand
     """
+
+
+# --- Kraljic procurement matrix ------------------------------------------------------------
+
+
+def kraljic_matrix(lineitem: DataFrame) -> DataFrame:
+    """Kraljic procurement-portfolio matrix of suppliers: rows
+    (quadrant, n_suppliers, spend_cents), ordered by quadrant.
+
+    vendor_scorecard grades suppliers individually; the Kraljic matrix is
+    the 2x2 PORTFOLIO view procurement actually acts on — spend (profit
+    impact) against supply risk, where a supplier's risk is how
+    EXCLUSIVE its parts are (mean of 1/#suppliers-per-part over its
+    lines: parts only it ships score 1, commodity parts score ~0).
+    Quadrants: strategic (high/high), leverage (high spend, low risk),
+    bottleneck (low spend, high risk), non_critical (low/low); cuts at
+    the grand means (means, not medians, keep the cut exact without a
+    data-sized value-domain window — stated).
+
+    Exactness: spend is an exact centi BIGINT; per-line exclusivity
+    quantizes to micro (1e6 // #suppliers is exact integer division), so
+    supplier risk is an exact integer mean; both cuts compare scaled
+    integers (n * x vs sum) without division.
+
+    Scale shape: one (part) supplier-count aggregate joined back
+    (partkey-keyed), one (supplier) aggregate, one 1-row mean scalar,
+    one bounded 4-row final aggregate."""
+    part_suppliers = lineitem.groupBy("l_partkey").agg(
+        F.countDistinct("l_suppkey").cast("long").alias("ns")
+    )
+    lines = lineitem.join(part_suppliers, "l_partkey").select(
+        "l_suppkey",
+        F.expr(
+            "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"
+        ).alias("rev"),
+        F.expr("CAST(1000000 AS BIGINT) DIV ns").alias("excl_micro"),
+    )
+    supp = lines.groupBy("l_suppkey").agg(
+        F.sum("rev").cast("long").alias("spend"),
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum("excl_micro").cast("long").alias("s_excl"),
+    )
+    tot = supp.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum(F.col("spend").cast("decimal(38,0)")).alias("t_spend"),
+        # risk cut compares n_lines-weighted ratios exactly:
+        # risk_i = s_excl/n_lines vs mean risk = sum(s_excl/n_lines)/k —
+        # quantize each supplier ratio to micro first (exact int mean)
+        F.sum(
+            F.expr("CAST(round(CAST(s_excl AS DOUBLE) / n_lines) AS BIGINT)")
+        ).cast("long").alias("t_risk"),
+    )
+    quad = supp.crossJoin(F.broadcast(tot)).select(
+        "spend",
+        F.expr(
+            "CASE WHEN CAST(k AS DECIMAL(38,0)) * spend >= t_spend"
+            " THEN 'high' ELSE 'low' END"
+        ).alias("spend_band"),
+        F.expr(
+            "CASE WHEN k * CAST(round(CAST(s_excl AS DOUBLE) / n_lines)"
+            " AS BIGINT) >= t_risk THEN 'high' ELSE 'low' END"
+        ).alias("risk_band"),
+    ).select(
+        "spend",
+        F.expr(
+            "CASE WHEN spend_band = 'high' AND risk_band = 'high'"
+            " THEN 'strategic'"
+            " WHEN spend_band = 'high' THEN 'leverage'"
+            " WHEN risk_band = 'high' THEN 'bottleneck'"
+            " ELSE 'non_critical' END"
+        ).alias("quadrant"),
+    )
+    return (
+        quad.groupBy("quadrant")
+        .agg(
+            F.count("*").cast("long").alias("n_suppliers"),
+            F.sum("spend").cast("long").alias("spend_cents"),
+        )
+        .orderBy("quadrant")
+    )
+
+
+def kraljic_matrix_sql() -> str:
+    return """
+        WITH part_suppliers AS (
+            SELECT l_partkey,
+                   CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS ns
+            FROM lineitem GROUP BY l_partkey
+        ),
+        lines AS (
+            SELECT l_suppkey,
+                   CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                        AS BIGINT) AS rev,
+                   CAST(1000000 AS BIGINT) // ns AS excl_micro
+            FROM lineitem JOIN part_suppliers USING (l_partkey)
+        ),
+        supp AS (
+            SELECT l_suppkey, CAST(SUM(rev) AS BIGINT) AS spend,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(SUM(excl_micro) AS BIGINT) AS s_excl
+            FROM lines GROUP BY l_suppkey
+        ),
+        tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                   SUM(CAST(spend AS HUGEINT)) AS t_spend,
+                   CAST(SUM(CAST(round(CAST(s_excl AS DOUBLE) / n_lines)
+                        AS BIGINT)) AS BIGINT) AS t_risk
+            FROM supp
+        ),
+        quad AS (
+            SELECT spend,
+                   CASE WHEN CASE WHEN CAST(k AS HUGEINT) * spend >= t_spend
+                             THEN 'high' ELSE 'low' END = 'high'
+                        AND CASE WHEN k * CAST(round(CAST(s_excl AS DOUBLE)
+                            / n_lines) AS BIGINT) >= t_risk
+                            THEN 'high' ELSE 'low' END = 'high'
+                        THEN 'strategic'
+                        WHEN CAST(k AS HUGEINT) * spend >= t_spend
+                        THEN 'leverage'
+                        WHEN k * CAST(round(CAST(s_excl AS DOUBLE) / n_lines)
+                             AS BIGINT) >= t_risk
+                        THEN 'bottleneck'
+                        ELSE 'non_critical' END AS quadrant
+            FROM supp CROSS JOIN tot
+        )
+        SELECT quadrant, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+               CAST(SUM(spend) AS BIGINT) AS spend_cents
+        FROM quad
+        GROUP BY quadrant
+        ORDER BY quadrant
+    """

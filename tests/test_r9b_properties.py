@@ -1502,3 +1502,197 @@ def test_median_polish_matches_reference(spark, grid):
         f"Brand#{b:02d}": v for b, v in _polish_ref(grid).items()
     }
     assert got == exp
+
+
+# --- Bowker symmetry ---------------------------------------------------------------------
+
+USER_SEQS = st.lists(
+    st.lists(st.sampled_from(["click", "view", "purchase"]),
+             min_size=1, max_size=8),
+    min_size=1,
+    max_size=6,
+)
+
+
+def _bowker_ref(seqs):
+    from collections import Counter
+
+    trans = Counter()
+    for seq in seqs:
+        for a, b in zip(seq, seq[1:]):
+            trans[(a, b)] += 1
+    keys = sorted({k for p in trans for k in p})
+    df, b_micro = 0, 0
+    for i, a in enumerate(keys):
+        for b in keys[i + 1:]:
+            nij, nji = trans.get((a, b), 0), trans.get((b, a), 0)
+            if nij + nji > 0:
+                df += 1
+                b_micro += _rha(1e6 * (nij - nji) ** 2 / (nij + nji))
+    return sum(trans.values()), df, _rha(b_micro / 1000.0)
+
+
+@settings(max_examples=8, deadline=None)
+@given(seqs=USER_SEQS)
+def test_bowker_matches_reference(spark, seqs):
+    from pagila_etl_airflow_assignment_spark.operators.stats import (
+        bowker_symmetry_test,
+    )
+
+    rows, eid = [], 0
+    for u, seq in enumerate(seqs):
+        for i, t in enumerate(seq):
+            rows.append((eid, u, t, f"2024-01-05 10:{i:02d}:00", 1.0))
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, ts string,"
+        " value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    r = bowker_symmetry_test(df).collect()[0]
+    n, dfree, bow = _bowker_ref(seqs)
+    assert (r.n_transitions, r.df, r.bowker_milli) == (n, dfree, bow)
+
+
+# --- c-chart / turning points / Mood median ---------------------------------------------
+
+
+@settings(max_examples=8, deadline=None)
+@given(counts=st.lists(st.integers(0, 9), min_size=2, max_size=20))
+def test_c_chart_matches_reference(spark, counts):
+    from pagila_etl_airflow_assignment_spark.operators.stats import (
+        c_chart_daily,
+    )
+
+    rows = []
+    for d, c in enumerate(counts, start=1):
+        day = f"2024-01-{d:02d}"
+        rows.append((1, "click", f"{day} 09:00:00", 1.0))  # keep day present
+        rows += [(1, "error", f"{day} 10:00:00", 1.0)] * c
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    r = c_chart_daily(df).collect()[0]
+    n, s = len(counts), sum(counts)
+    cb = s / n
+    ucl, lcl = cb + 3 * math.sqrt(cb), cb - 3 * math.sqrt(cb)
+    assert r.n_days == n
+    assert r.cbar_milli == _rha(1000 * cb)
+    assert r.ucl_milli == _rha(1000 * ucl)
+    assert r.n_above == sum(1 for c in counts if c > ucl)
+    assert r.n_below == sum(1 for c in counts if c < lcl)
+
+
+@settings(max_examples=8, deadline=None)
+@given(counts=st.lists(st.integers(1, 6), min_size=3, max_size=24))
+def test_turning_points_matches_reference(spark, counts):
+    from pagila_etl_airflow_assignment_spark.operators.stats import (
+        turning_points_daily,
+    )
+
+    r = turning_points_daily(_events_from_counts(spark, counts)).collect()[0]
+    n = len(counts)
+    turns = sum(
+        1
+        for i in range(1, n - 1)
+        if (counts[i - 1] < counts[i] > counts[i + 1])
+        or (counts[i - 1] > counts[i] < counts[i + 1])
+    )
+    z = _rha(
+        1000 * (turns - 2.0 * (n - 2) / 3.0)
+        / math.sqrt((16.0 * n - 29) / 90.0)
+    )
+    assert (r.n_days, r.n_turns, r.z_milli) == (n, turns, z)
+
+
+@settings(max_examples=8, deadline=None)
+@given(groups=GROUPED_VALUES)
+def test_mood_median_matches_reference(spark, groups):
+    from pagila_etl_airflow_assignment_spark.operators.stats import (
+        mood_median_test,
+    )
+
+    got = mood_median_test(_grouped_events(spark, groups)).collect()
+    allv = [c for g in groups for c in g]
+    gmed = _lower_wmed(allv)
+    n_total = len(allv)
+    a_total = sum(1 for c in allv if c > gmed)
+    k = len(groups)
+    if not (0 < a_total < n_total):
+        assert got == []
+        return
+    chi_micro = 0
+    for g in groups:
+        n_g = len(g)
+        a_g = sum(1 for c in g if c > gmed)
+        ea = n_g * a_total / n_total
+        eb = n_g * (n_total - a_total) / n_total
+        chi_micro += _rha(
+            1e6 * ((a_g - ea) ** 2 / ea + ((n_g - a_g) - eb) ** 2 / eb)
+        )
+    r = got[0]
+    assert (r.k_groups, r.n_total) == (k, n_total)
+    assert r.chi2_milli == _rha(chi_micro / 1000.0)
+
+
+# --- Kraljic matrix ------------------------------------------------------------------------
+
+# lines: (suppkey, partkey, revenue cents)
+KRALJIC_LINES = st.lists(
+    st.tuples(st.integers(1, 4), st.integers(1, 6), st.integers(1, 10**6)),
+    min_size=2,
+    max_size=20,
+)
+
+
+def _kraljic_ref(lines):
+    from collections import defaultdict
+
+    ns = defaultdict(set)
+    for s, p, _ in lines:
+        ns[p].add(s)
+    supp = defaultdict(lambda: [0, 0, 0])  # spend, n_lines, s_excl
+    for s, p, rev in lines:
+        supp[s][0] += rev
+        supp[s][1] += 1
+        supp[s][2] += 10**6 // len(ns[p])
+    k = len(supp)
+    t_spend = sum(v[0] for v in supp.values())
+    risks = {s: _rha(v[2] / v[1]) for s, v in supp.items()}
+    t_risk = sum(risks.values())
+    out = defaultdict(lambda: [0, 0])
+    for s, v in supp.items():
+        hs = k * v[0] >= t_spend
+        hr = k * risks[s] >= t_risk
+        q = ("strategic" if hr else "leverage") if hs else (
+            "bottleneck" if hr else "non_critical"
+        )
+        out[q][0] += 1
+        out[q][1] += v[0]
+    return {q: tuple(v) for q, v in out.items()}
+
+
+@settings(max_examples=8, deadline=None)
+@given(lines=KRALJIC_LINES)
+def test_kraljic_matches_reference(spark, lines):
+    from pagila_etl_airflow_assignment_spark.operators.warehouse import (
+        kraljic_matrix,
+    )
+
+    li_rows = [
+        (i, p, s, 1, 1.0, rev / 100.0, 0.0, 0.0, "N", "O",
+         "1995-03-05 00:00:00")
+        for i, (s, p, rev) in enumerate(lines)
+    ]
+    li = spark.createDataFrame(
+        li_rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate string",
+    ).withColumn("l_shipdate", F.to_timestamp("l_shipdate"))
+    got = {
+        r.quadrant: (r.n_suppliers, r.spend_cents)
+        for r in kraljic_matrix(li).collect()
+    }
+    assert got == _kraljic_ref(lines)

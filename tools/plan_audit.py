@@ -121,6 +121,14 @@ ALLOWED: dict[str, set[str]] = {
     "events_breusch_pagan": {"BroadcastNestedLoopJoin"},
     # broadcast 1-row normalization scalar per power iteration
     "graph_eigenvector_centrality": {"BroadcastNestedLoopJoin"},
+    # broadcast 1-row transition total x pair-term aggregate
+    "events_bowker_symmetry": {"BroadcastNestedLoopJoin"},
+    # broadcast 1-row (n, S) scalar over the bounded day grid
+    "events_c_chart": {"BroadcastNestedLoopJoin"},
+    # broadcast 1-row grand-median scalar + k-row margin totals
+    "events_mood_median": {"BroadcastNestedLoopJoin"},
+    # broadcast 1-row spend/risk mean cuts onto the supplier grid
+    "warehouse_kraljic_matrix": {"BroadcastNestedLoopJoin"},
     # bounded month-grid prefix self-join (non-equi a.t <= b.t) + 1-row MAE
     "warehouse_theta_forecast": {"BroadcastNestedLoopJoin"},
     # broadcast 1-row (n, S) and denominator scalars over the day grid

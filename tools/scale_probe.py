@@ -420,6 +420,11 @@ PROBES = [
     "graph_eigenvector_centrality",
     "events_transfer_entropy",
     "warehouse_median_polish",
+    "events_bowker_symmetry",
+    "events_c_chart",
+    "events_turning_points",
+    "events_mood_median",
+    "warehouse_kraljic_matrix",
 ]
 
 
