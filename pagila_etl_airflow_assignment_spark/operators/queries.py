@@ -2953,3 +2953,31 @@ def q_kraljic_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kraljic procurement portfolio: supplier spend x part-exclusivity
     risk quadrants — exact integer mean cuts."""
     return warehouse.kraljic_matrix(load_table(spark, sf_dir, "lineitem"))
+
+
+@register("events_ks_uniformity", oracle=stats.ks_uniformity_seconds_sql())
+def q_ks_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned one-sample KS test of second-of-day against uniform —
+    all-integer sup deviation over the 86400-bin grid."""
+    return stats.ks_uniformity_seconds(load_table(spark, sf_dir, "events"))
+
+
+@register("events_hellinger_hourly", oracle=stats.hellinger_hourly_sql())
+def q_hellinger_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hellinger distance between click/error hour-of-day profiles —
+    micro-quantized Bhattacharyya terms on the dense 24-hour grid."""
+    return stats.hellinger_hourly(load_table(spark, sf_dir, "events"))
+
+
+@register("events_cox_stuart", oracle=stats.cox_stuart_daily_sql())
+def q_cox_stuart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cox-Stuart half-pairing trend test on daily counts — the frugal
+    binomial sibling of Mann-Kendall."""
+    return stats.cox_stuart_daily(load_table(spark, sf_dir, "events"))
+
+
+@register("events_page_trend", oracle=stats.page_trend_test_sql())
+def q_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's L ordered trend test across day parts blocked by day —
+    doubled within-day ranks, the rank Cochran-Armitage."""
+    return stats.page_trend_test(load_table(spark, sf_dir, "events"))

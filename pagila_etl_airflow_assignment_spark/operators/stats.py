@@ -6801,3 +6801,411 @@ def mood_median_test_sql() -> str:
         WHERE a_total > 0 AND a_total < n_total
         GROUP BY k_groups, n_total
     """
+
+
+# --- Binned KS uniformity test --------------------------------------------------------------
+
+KS_BINS = 86400  # second-of-day bins
+
+
+def ks_uniformity_seconds(events: DataFrame) -> DataFrame:
+    """Binned one-sample Kolmogorov-Smirnov test of event second-of-day
+    against the uniform law: one row (n_events, d_micro, worst_second).
+
+    ks_drift compares two empirical windows; this asks the ABSOLUTE
+    question — is intraday arrival time uniform, or does load pool at
+    specific seconds (cron spikes, batch jobs)? The statistic is the sup
+    over the 86400-bin grid of |ECDF - (b+1)/B|, the binned KS (stated:
+    bins, not the continuous-time statistic).
+
+    Exactness: fully integer — the deviation per bin is
+    |B*cum_b - N*(b+1)|, an exact BIGINT, so the argmax and the final
+    quantization are deterministic; ties on the max break to the
+    earliest second via the bounded (dev DESC, second ASC) limit-1 sort.
+
+    Scale shape: one (second) aggregate over the bounded 86400-bin
+    domain, one cumulative window on that grid, one broadcast N scalar,
+    one limit-1 bounded sort."""
+    sec = F.expr(
+        "CAST(hour(ts) * 3600 + minute(ts) * 60 + second(ts) AS BIGINT)"
+    )
+    per_s = events.groupBy(sec.alias("s")).agg(
+        F.count("*").cast("long").alias("m")
+    )
+    tot = per_s.agg(F.sum("m").cast("long").alias("n"))
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
+    dev = (
+        per_s.select("s", F.sum("m").over(w).cast("long").alias("cum"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "s",
+            "n",
+            F.abs(
+                F.lit(KS_BINS) * F.col("cum") - F.col("n") * (F.col("s") + 1)
+            ).alias("dev"),
+        )
+    )
+    return (
+        dev.orderBy(F.col("dev").desc(), F.col("s").asc())
+        .limit(1)
+        .select(
+            F.col("n").alias("n_events"),
+            F.expr(
+                f"CAST(round(1e6 * CAST(dev AS DOUBLE) / (CAST(n AS DOUBLE)"
+                f" * {KS_BINS})) AS BIGINT)"
+            ).alias("d_micro"),
+            F.col("s").alias("worst_second"),
+        )
+    )
+
+
+def ks_uniformity_seconds_sql() -> str:
+    return f"""
+        WITH per_s AS (
+            SELECT CAST(EXTRACT(hour FROM ts) * 3600
+                   + EXTRACT(minute FROM ts) * 60
+                   + FLOOR(EXTRACT(second FROM ts)) AS BIGINT) AS s,
+                   CAST(COUNT(*) AS BIGINT) AS m
+            FROM events GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(SUM(m) AS BIGINT) AS n FROM per_s
+        ),
+        dev AS (
+            SELECT s, n,
+                   abs({KS_BINS} * SUM(m) OVER (ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - n * (s + 1)) AS dev
+            FROM per_s CROSS JOIN tot
+        )
+        SELECT n AS n_events,
+               CAST(round(1e6 * CAST(dev AS DOUBLE) / (CAST(n AS DOUBLE)
+                    * {KS_BINS})) AS BIGINT) AS d_micro,
+               s AS worst_second
+        FROM dev
+        ORDER BY dev DESC, s ASC
+        LIMIT 1
+    """
+
+
+# --- Hellinger distance between hourly profiles ----------------------------------------------
+
+HELLINGER_X_TYPE = "click"
+HELLINGER_Y_TYPE = "error"
+
+
+def hellinger_hourly(events: DataFrame) -> DataFrame:
+    """Hellinger distance between the click and error hour-of-day
+    profiles: one row (n_x, n_y, bc_micro, hellinger_milli).
+
+    chi_square tests hour-type INDEPENDENCE; the Hellinger distance
+    MEASURES how far the two intraday shapes sit apart (0 identical, 1
+    disjoint) via the Bhattacharyya coefficient BC = sum sqrt(p_h q_h)
+    over the dense 24-hour grid — the bounded-metric companion the
+    drift monitors (psi_drift) quote.
+
+    Exactness: hour counts are exact BIGINTs on the densified 24-row
+    grid (zero hours are real zeros); each sqrt(p q) term quantizes to
+    micro before the 24-row integer sum; H = sqrt(1 - BC) closes it.
+
+    Scale shape: one (hour) conditional aggregate densified against a
+    24-row literal spine, one 1-row totals broadcast, one 24-row
+    reduction."""
+    per_h = events.groupBy(F.hour("ts").alias("h")).agg(
+        F.sum((F.col("event_type") == HELLINGER_X_TYPE).cast("long"))
+        .cast("long")
+        .alias("x"),
+        F.sum((F.col("event_type") == HELLINGER_Y_TYPE).cast("long"))
+        .cast("long")
+        .alias("y"),
+    )
+    spine = events.sparkSession.range(24).select(
+        F.col("id").cast("int").alias("h")
+    )
+    dense = spine.join(per_h, "h", "left").select(
+        "h",
+        F.coalesce("x", F.lit(0)).alias("x"),
+        F.coalesce("y", F.lit(0)).alias("y"),
+    )
+    tot = dense.agg(
+        F.sum("x").cast("long").alias("nx"),
+        F.sum("y").cast("long").alias("ny"),
+    )
+    terms = dense.crossJoin(F.broadcast(tot)).select(
+        "nx",
+        "ny",
+        F.expr(
+            "CAST(CASE WHEN nx > 0 AND ny > 0 THEN"
+            " round(1e6 * sqrt(CAST(x AS DOUBLE) / nx"
+            "                  * CAST(y AS DOUBLE) / ny))"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("t_micro"),
+    )
+    return terms.groupBy("nx", "ny").agg(
+        F.sum("t_micro").cast("long").alias("bc_micro")
+    ).select(
+        F.col("nx").alias("n_x"),
+        F.col("ny").alias("n_y"),
+        "bc_micro",
+        F.expr(
+            "CAST(round(1000.0 * sqrt(GREATEST(0.0,"
+            " 1.0 - bc_micro / 1e6))) AS BIGINT)"
+        ).alias("hellinger_milli"),
+    )
+
+
+def hellinger_hourly_sql() -> str:
+    return f"""
+        WITH per_h AS (
+            SELECT CAST(EXTRACT(hour FROM ts) AS INT) AS h,
+                   CAST(SUM(CASE WHEN event_type = '{HELLINGER_X_TYPE}'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                   CAST(SUM(CASE WHEN event_type = '{HELLINGER_Y_TYPE}'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS y
+            FROM events GROUP BY 1
+        ),
+        spine AS (
+            SELECT CAST(generate_series AS INT) AS h
+            FROM generate_series(0, 23)
+        ),
+        dense AS (
+            SELECT spine.h, COALESCE(x, 0) AS x, COALESCE(y, 0) AS y
+            FROM spine LEFT JOIN per_h ON spine.h = per_h.h
+        ),
+        tot AS (
+            SELECT CAST(SUM(x) AS BIGINT) AS nx,
+                   CAST(SUM(y) AS BIGINT) AS ny
+            FROM dense
+        ),
+        terms AS (
+            SELECT nx, ny,
+                   CAST(CASE WHEN nx > 0 AND ny > 0 THEN
+                        round(1e6 * sqrt(CAST(x AS DOUBLE) / nx
+                                         * CAST(y AS DOUBLE) / ny))
+                        ELSE 0 END AS BIGINT) AS t_micro
+            FROM dense CROSS JOIN tot
+        )
+        SELECT nx AS n_x, ny AS n_y,
+               CAST(SUM(t_micro) AS BIGINT) AS bc_micro,
+               CAST(round(1000.0 * sqrt(GREATEST(0.0,
+                    1.0 - SUM(t_micro) / 1e6))) AS BIGINT)
+                   AS hellinger_milli
+        FROM terms
+        GROUP BY nx, ny
+    """
+
+
+# --- Cox-Stuart trend test --------------------------------------------------------------------
+
+
+def cox_stuart_daily(events: DataFrame) -> DataFrame:
+    """Cox-Stuart trend test on the daily count series: one row
+    (n_pairs, s_plus, z_milli).
+
+    mann_kendall scores ALL day pairs (O(n^2) evidence); Cox-Stuart is
+    the frugal classic — pair day t with day t + n/2 (odd middle day
+    drops) and sign-test the halves, trading power for a statistic whose
+    null is exactly binomial(1/2). Tied pairs drop (Wilcoxon's rule).
+
+    Exactness: the pairing join is integer index arithmetic with the
+    half-offset from a 1-row scalar; counts are exact; the
+    continuity-corrected z is the sign-test chain.
+
+    Scale shape: one (day) aggregate, one 1-row offset scalar, one
+    bounded equi-join of the day grid onto itself, one 1-row
+    reduction."""
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    t = daily.select(
+        "c",
+        F.row_number().over(Window.orderBy("day")).cast("long").alias("t"),
+    )
+    off = t.agg(
+        (F.floor(F.max("t") / 2)).cast("long").alias("m"),
+        F.max("t").cast("long").alias("n"),
+    )
+    # pair day t (t <= m) with day t + (n - m): for even n the offset is
+    # exactly m; for odd n it is m + 1, so the middle day joins neither
+    # half (the classic drop-the-middle rule)
+    a = t.crossJoin(F.broadcast(off)).where(F.col("t") <= F.col("m"))
+    b = t.select(F.col("t").alias("t2"), F.col("c").alias("c2"))
+    pairs = a.join(
+        b, F.col("t") + F.col("n") - F.col("m") == F.col("t2")
+    ).select("c", "c2")
+    agg = pairs.where(F.col("c") != F.col("c2")).agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum((F.col("c2") > F.col("c")).cast("long"))
+        .cast("long")
+        .alias("s_plus"),
+    )
+    return agg.select(
+        F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+        F.coalesce("s_plus", F.lit(0)).alias("s_plus"),
+        F.expr(
+            "CAST(CASE WHEN n_pairs > 0 AND 2 * s_plus - n_pairs <> 0"
+            " THEN round(1000.0 * (2 * s_plus - n_pairs"
+            "      - CAST(SIGN(2 * s_plus - n_pairs) AS BIGINT))"
+            "      / sqrt(CAST(n_pairs AS DOUBLE)))"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("z_milli"),
+    )
+
+
+def cox_stuart_daily_sql() -> str:
+    return """
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY 1
+        ),
+        t AS (
+            SELECT c,
+                   CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t
+            FROM daily
+        ),
+        off AS (
+            SELECT CAST(FLOOR(MAX(t) / 2) AS BIGINT) AS m,
+                   CAST(MAX(t) AS BIGINT) AS n
+            FROM t
+        ),
+        pairs AS (
+            SELECT a.c AS c, b.c AS c2
+            FROM t a CROSS JOIN off
+            JOIN t b ON a.t + n - m = b.t
+            WHERE a.t <= m
+        ),
+        agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(COALESCE(SUM(CASE WHEN c2 > c THEN 1 ELSE 0 END), 0)
+                        AS BIGINT) AS s_plus
+            FROM pairs WHERE c <> c2
+        )
+        SELECT n_pairs, s_plus,
+               CAST(CASE WHEN n_pairs > 0 AND 2 * s_plus - n_pairs <> 0
+                    THEN round(1000.0 * (2 * s_plus - n_pairs
+                         - CAST(SIGN(2 * s_plus - n_pairs) AS BIGINT))
+                         / sqrt(CAST(n_pairs AS DOUBLE)))
+                    ELSE 0 END AS BIGINT) AS z_milli
+        FROM agg
+    """
+
+
+# --- Page's ordered trend test -------------------------------------------------------------
+
+
+def page_trend_test(events: DataFrame) -> DataFrame:
+    """Page's L test for an ORDERED treatment effect across the four
+    six-hour day parts, blocked by day: one row (n_days, l2_stat,
+    z_milli).
+
+    friedman_test asks "do the treatments differ at all"; Page's L asks
+    the sharper monotone question — does activity RANK increase from
+    night to evening in the hypothesized order (scores 1..4)? L = sum_j
+    j * R_j over within-day ranks; one degree of freedom buys power the
+    omnibus test dilutes, exactly the Cochran-Armitage move on ranks.
+
+    Exactness: within-day DOUBLED average ranks (2*cum_before + t + 1)
+    are exact BIGINTs over the dense day x 4-bucket grid (absent buckets
+    are real zero counts), so l2_stat = 2L is an exact integer; the
+    normal approximation uses the tie-free E/Var (stated — ties share
+    doubled ranks but the variance keeps the classical form).
+
+    Scale shape: one (day, bucket) aggregate densified against a 4-row
+    literal spine, one day-partitioned rank window over that bounded
+    grid, one 1-row reduction."""
+    k = 4
+    per_db = events.groupBy(
+        F.to_date("ts").alias("day"),
+        F.floor(F.hour("ts") / 6).cast("int").alias("b"),
+    ).agg(F.count("*").cast("long").alias("c"))
+    spine = (
+        per_db.select("day")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                events.sparkSession.range(k).select(
+                    F.col("id").cast("int").alias("b")
+                )
+            )
+        )
+    )
+    dense = spine.join(per_db, ["day", "b"], "left").select(
+        "day", "b", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    wcum = (
+        Window.partitionBy("day")
+        .orderBy("c")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    wtie = Window.partitionBy("day", "c")
+    ranked = dense.select(
+        "day",
+        "b",
+        (
+            2 * F.coalesce(F.count("*").over(wcum), F.lit(0))
+            + F.count("*").over(wtie)
+            + 1
+        ).cast("long").alias("r2"),
+    )
+    agg = ranked.agg(
+        (F.countDistinct("day")).cast("long").alias("n_days"),
+        F.sum((F.col("b") + 1) * F.col("r2")).cast("long").alias("l2"),
+    )
+    kk = float(k)
+    return agg.select(
+        "n_days",
+        F.coalesce("l2", F.lit(0)).alias("l2_stat"),
+        F.expr(
+            f"CAST(CASE WHEN n_days > 0 THEN round(1000.0"
+            f" * (l2 / 2.0 - n_days * {kk} * ({kk} + 1) * ({kk} + 1) / 4.0)"
+            f" / sqrt(n_days * {kk} * {kk} * ({kk} + 1)"
+            f"        * ({kk} * {kk} - 1) / 144.0))"
+            f" ELSE 0 END AS BIGINT)"
+        ).alias("z_milli"),
+    )
+
+
+def page_trend_test_sql() -> str:
+    k = 4
+    kk = float(k)
+    return f"""
+        WITH per_db AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(FLOOR(EXTRACT(hour FROM ts) / 6) AS INT) AS b,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        spine AS (
+            SELECT day, CAST(g.generate_series AS INT) AS b
+            FROM (SELECT DISTINCT day FROM per_db)
+            CROSS JOIN generate_series(0, {k - 1}) g
+        ),
+        dense AS (
+            SELECT spine.day, spine.b, COALESCE(c, 0) AS c
+            FROM spine LEFT JOIN per_db
+              ON spine.day = per_db.day AND spine.b = per_db.b
+        ),
+        ranked AS (
+            SELECT day, b,
+                   CAST(2 * COALESCE(COUNT(*) OVER (PARTITION BY day
+                        ORDER BY c
+                        RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0)
+                   + COUNT(*) OVER (PARTITION BY day, c) + 1 AS BIGINT)
+                       AS r2
+            FROM dense
+        ),
+        agg AS (
+            SELECT CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days,
+                   CAST(COALESCE(SUM((b + 1) * r2), 0) AS BIGINT) AS l2
+            FROM ranked
+        )
+        SELECT n_days, l2 AS l2_stat,
+               CAST(CASE WHEN n_days > 0 THEN round(1000.0
+                    * (l2 / 2.0 - n_days * {kk} * ({kk} + 1) * ({kk} + 1)
+                       / 4.0)
+                    / sqrt(n_days * {kk} * {kk} * ({kk} + 1)
+                           * ({kk} * {kk} - 1) / 144.0))
+                    ELSE 0 END AS BIGINT) AS z_milli
+        FROM agg
+    """

@@ -1696,3 +1696,142 @@ def test_kraljic_matches_reference(spark, lines):
         for r in kraljic_matrix(li).collect()
     }
     assert got == _kraljic_ref(lines)
+
+
+# --- KS uniformity / Hellinger / Cox-Stuart / Page --------------------------------------
+
+# events at specific seconds-of-day (one day)
+EVENT_SECONDS = st.lists(st.integers(0, 86399), min_size=1, max_size=30)
+
+
+@settings(max_examples=8, deadline=None)
+@given(secs=EVENT_SECONDS)
+def test_ks_uniformity_matches_reference(spark, secs):
+    from pagila_etl_airflow_assignment_spark.operators.stats import (
+        ks_uniformity_seconds,
+    )
+
+    rows = [
+        (1, "click",
+         f"2024-01-05 {s // 3600:02d}:{s % 3600 // 60:02d}:{s % 60:02d}",
+         1.0)
+        for s in secs
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    r = ks_uniformity_seconds(df).collect()[0]
+    n = len(secs)
+    from collections import Counter
+
+    cnt = Counter(secs)
+    cum, best = 0, None
+    for s in sorted(cnt):
+        cum += cnt[s]
+        dev = abs(86400 * cum - n * (s + 1))
+        if best is None or dev > best[0]:
+            best = (dev, s)
+    assert r.n_events == n
+    assert r.d_micro == _rha(1e6 * best[0] / (n * 86400))
+    assert r.worst_second == best[1]
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    hours=st.lists(
+        st.tuples(st.integers(0, 23), st.sampled_from(["click", "error"])),
+        min_size=2,
+        max_size=30,
+    ).filter(
+        lambda hs: any(t == "click" for _, t in hs)
+        and any(t == "error" for _, t in hs)
+    )
+)
+def test_hellinger_matches_reference(spark, hours):
+    from pagila_etl_airflow_assignment_spark.operators.stats import (
+        hellinger_hourly,
+    )
+
+    rows = [
+        (1, t, f"2024-01-05 {h:02d}:30:00", 1.0) for h, t in hours
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    r = hellinger_hourly(df).collect()[0]
+    nx = sum(1 for _, t in hours if t == "click")
+    ny = sum(1 for _, t in hours if t == "error")
+    bc = 0
+    for h in range(24):
+        x = sum(1 for hh, t in hours if hh == h and t == "click")
+        y = sum(1 for hh, t in hours if hh == h and t == "error")
+        bc += _rha(1e6 * math.sqrt(x / nx * y / ny))
+    assert (r.n_x, r.n_y, r.bc_micro) == (nx, ny, bc)
+    assert r.hellinger_milli == _rha(
+        1000 * math.sqrt(max(0.0, 1.0 - bc / 1e6))
+    )
+
+
+@settings(max_examples=8, deadline=None)
+@given(counts=st.lists(st.integers(1, 6), min_size=2, max_size=25))
+def test_cox_stuart_matches_reference(spark, counts):
+    from pagila_etl_airflow_assignment_spark.operators.stats import (
+        cox_stuart_daily,
+    )
+
+    r = cox_stuart_daily(_events_from_counts(spark, counts)).collect()[0]
+    n = len(counts)
+    m = n // 2
+    off = n - m
+    pairs = [(counts[i], counts[i + off]) for i in range(m)]
+    nz = [(a, b) for a, b in pairs if a != b]
+    mm = len(nz)
+    sp = sum(1 for a, b in nz if b > a)
+    d = 2 * sp - mm
+    z = (
+        _rha(1000 * (d - (1 if d > 0 else -1)) / math.sqrt(mm))
+        if mm > 0 and d != 0
+        else 0
+    )
+    assert (r.n_pairs, r.s_plus, r.z_milli) == (mm, sp, z)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    days=st.lists(
+        st.tuples(
+            st.integers(0, 5), st.integers(0, 5),
+            st.integers(0, 5), st.integers(0, 5),
+        ).filter(lambda t: sum(t) > 0),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_page_trend_matches_reference(spark, days):
+    from pagila_etl_airflow_assignment_spark.operators.stats import (
+        page_trend_test,
+    )
+
+    rows = []
+    for d, parts in enumerate(days, start=1):
+        day = f"2024-01-{d:02d}"
+        for b, c in enumerate(parts):
+            rows += [(1, "click", f"{day} {b * 6 + 1:02d}:00:00", 1.0)] * c
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    r = page_trend_test(df).collect()[0]
+    k = 4
+    l2 = 0
+    for parts in days:
+        for b, c in enumerate(parts):
+            below = sum(1 for v in parts if v < c)
+            ties = sum(1 for v in parts if v == c)
+            l2 += (b + 1) * (2 * below + ties + 1)
+    n = len(days)
+    z = _rha(
+        1000
+        * (l2 / 2.0 - n * k * (k + 1) ** 2 / 4.0)
+        / math.sqrt(n * k * k * (k + 1) * (k * k - 1) / 144.0)
+    )
+    assert (r.n_days, r.l2_stat, r.z_milli) == (n, l2, z)

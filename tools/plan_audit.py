@@ -129,6 +129,14 @@ ALLOWED: dict[str, set[str]] = {
     "events_mood_median": {"BroadcastNestedLoopJoin"},
     # broadcast 1-row spend/risk mean cuts onto the supplier grid
     "warehouse_kraljic_matrix": {"BroadcastNestedLoopJoin"},
+    # broadcast 1-row N scalar over the bounded second-of-day grid
+    "events_ks_uniformity": {"BroadcastNestedLoopJoin"},
+    # broadcast 1-row totals over the dense 24-hour grid + 24-row spine
+    "events_hellinger_hourly": {"BroadcastNestedLoopJoin"},
+    # broadcast 1-row half-offset scalar onto the bounded day grid
+    "events_cox_stuart": {"BroadcastNestedLoopJoin"},
+    # broadcast 4-row bucket spine onto the distinct-day relation
+    "events_page_trend": {"BroadcastNestedLoopJoin"},
     # bounded month-grid prefix self-join (non-equi a.t <= b.t) + 1-row MAE
     "warehouse_theta_forecast": {"BroadcastNestedLoopJoin"},
     # broadcast 1-row (n, S) and denominator scalars over the day grid

@@ -425,6 +425,10 @@ PROBES = [
     "events_turning_points",
     "events_mood_median",
     "warehouse_kraljic_matrix",
+    "events_ks_uniformity",
+    "events_hellinger_hourly",
+    "events_cox_stuart",
+    "events_page_trend",
 ]
 
 
