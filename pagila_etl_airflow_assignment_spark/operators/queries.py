@@ -2981,3 +2981,34 @@ def q_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Page's L ordered trend test across day parts blocked by day —
     doubled within-day ranks, the rank Cochran-Armitage."""
     return stats.page_trend_test(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "events_seasonal_mann_kendall",
+    oracle=stats.seasonal_mann_kendall_daily_sql(),
+)
+def q_seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal Mann-Kendall: within-weekday pair trend test, summed S
+    and tie-corrected variance over the 7 seasons."""
+    return stats.seasonal_mann_kendall_daily(load_table(spark, sf_dir, "events"))
+
+
+@register("events_updown_runs", oracle=stats.updown_runs_daily_sql())
+def q_updown_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Up/down runs randomness test on daily counts — maximal monotone
+    stretches of the first-difference sign."""
+    return stats.updown_runs_daily(load_table(spark, sf_dir, "events"))
+
+
+@register("events_bartels_rank", oracle=stats.bartels_rank_daily_sql())
+def q_bartels_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartels rank von Neumann ratio — model-free serial-dependence
+    check on doubled average ranks."""
+    return stats.bartels_rank_daily(load_table(spark, sf_dir, "events"))
+
+
+@register("events_logrank_test", oracle=stats.logrank_test_sql())
+def q_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test of time-to-purchase between signup-day clickers and
+    non-clickers — hypergeometric O-E over the bounded horizon grid."""
+    return stats.logrank_test(load_table(spark, sf_dir, "events"))

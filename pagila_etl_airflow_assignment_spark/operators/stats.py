@@ -7209,3 +7209,554 @@ def page_trend_test_sql() -> str:
                     ELSE 0 END AS BIGINT) AS z_milli
         FROM agg
     """
+
+
+# --- Seasonal Mann-Kendall ------------------------------------------------------------------
+
+
+def seasonal_mann_kendall_daily(events: DataFrame) -> DataFrame:
+    """Seasonal Mann-Kendall trend test on daily counts, seasons =
+    day-of-week: one row (n_days, s_stat, var18, z_milli).
+
+    Plain mann_kendall confounds a real trend with the weekly cadence
+    (every Monday beats every Sunday, and cross-weekday pairs flood S
+    with cycle signal); the seasonal variant compares days only WITHIN
+    the same weekday and sums the seven S and variance terms — the
+    hydrology-standard fix, here sharing the plain device's exact
+    integer chain per season.
+
+    Exactness: identical to mann_kendall per weekday — S from a bounded
+    same-weekday pair join, tie-corrected 18*Var as exact BIGINTs summed
+    over the 7 seasons, continuity-corrected z as the one float
+    boundary.
+
+    Scale shape: one (day) aggregate, a <=7x(|days|/7)^2 within-season
+    pair join ON THE GRID, one (weekday, count)-keyed tie aggregate, one
+    1-row reduction."""
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("long").alias("c")
+    ).select("day", "c", F.dayofweek("day").alias("dw"))
+    a, b = daily.alias("a"), daily.alias("b")
+    s = a.join(
+        b,
+        (F.col("a.dw") == F.col("b.dw")) & (F.col("a.day") < F.col("b.day")),
+    ).agg(
+        F.coalesce(
+            F.sum(F.signum(F.col("b.c") - F.col("a.c")).cast("long")),
+            F.lit(0),
+        ).alias("s_stat")
+    )
+    per_season = daily.groupBy("dw", "c").agg(
+        F.count("*").cast("long").alias("t")
+    )
+    var = per_season.groupBy("dw").agg(
+        F.sum("t").cast("long").alias("n_s"),
+        F.sum(
+            F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+        ).cast("long").alias("tie_term"),
+    ).agg(
+        F.sum("n_s").cast("long").alias("n_days"),
+        F.sum(
+            F.col("n_s") * (F.col("n_s") - 1) * (2 * F.col("n_s") + 5)
+            - F.col("tie_term")
+        ).cast("long").alias("var18"),
+    )
+    return s.crossJoin(F.broadcast(var)).select(
+        "n_days",
+        "s_stat",
+        "var18",
+        F.expr(
+            "CAST(CASE WHEN var18 > 0 AND s_stat <> 0"
+            " THEN round(1000.0 * (s_stat - CAST(SIGN(s_stat) AS BIGINT))"
+            "      / sqrt(CAST(var18 AS DOUBLE) / 18.0))"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("z_milli"),
+    )
+
+
+def seasonal_mann_kendall_daily_sql() -> str:
+    return """
+        WITH daily AS (
+            SELECT day, c, CAST(EXTRACT(dow FROM day) AS INT) AS dw
+            FROM (
+                SELECT CAST(ts AS DATE) AS day,
+                       CAST(COUNT(*) AS BIGINT) AS c
+                FROM events GROUP BY 1
+            )
+        ),
+        s AS (
+            SELECT CAST(COALESCE(SUM(SIGN(b.c - a.c)), 0) AS BIGINT) AS s_stat
+            FROM daily a JOIN daily b
+              ON a.dw = b.dw AND a.day < b.day
+        ),
+        per_season AS (
+            SELECT dw, CAST(COUNT(*) AS BIGINT) AS t
+            FROM daily GROUP BY dw, c
+        ),
+        var AS (
+            SELECT CAST(SUM(n_s) AS BIGINT) AS n_days,
+                   CAST(SUM(n_s * (n_s - 1) * (2 * n_s + 5) - tie_term)
+                        AS BIGINT) AS var18
+            FROM (
+                SELECT dw, CAST(SUM(t) AS BIGINT) AS n_s,
+                       CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT)
+                           AS tie_term
+                FROM per_season GROUP BY dw
+            )
+        )
+        SELECT n_days, s_stat, var18,
+               CAST(CASE WHEN var18 > 0 AND s_stat <> 0
+                    THEN round(1000.0 * (s_stat - CAST(SIGN(s_stat) AS BIGINT))
+                         / sqrt(CAST(var18 AS DOUBLE) / 18.0))
+                    ELSE 0 END AS BIGINT) AS z_milli
+        FROM s CROSS JOIN var
+    """
+
+
+# --- Up/down runs test ---------------------------------------------------------------------
+
+
+def updown_runs_daily(events: DataFrame) -> DataFrame:
+    """Up/down runs test on the daily count series: one row (n_moves,
+    n_runs, z_milli).
+
+    runs_test counts runs around the MEDIAN (level randomness);
+    turning_points counts extrema; the up/down runs test counts maximal
+    monotone STRETCHES of the first-difference sign — the NIST-handbook
+    trio's third member, sensitive to slow drifts the other two smooth
+    over. Tied consecutive days drop their move (stated).
+
+    Exactness: signs are exact integer comparisons; a run starts where
+    the sign differs from the previous non-tie sign, counted with one
+    lag over the bounded move grid; E[R] = (2m+1)/3 and
+    Var = (16m-13)/90 on m moves feed the one float boundary.
+
+    Scale shape: one (day) aggregate, two lag windows over the bounded
+    day grid, one 1-row reduction."""
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    w = Window.orderBy("day")
+    moves = daily.select(
+        "day",
+        F.signum(F.col("c") - F.lag("c").over(w)).cast("int").alias("sg"),
+    ).where(F.col("sg").isNotNull() & (F.col("sg") != 0))
+    runs = moves.select(
+        "sg",
+        F.lag("sg").over(Window.orderBy("day")).alias("prev"),
+    ).agg(
+        F.count("*").cast("long").alias("n_moves"),
+        F.sum(
+            (F.col("prev").isNull() | (F.col("sg") != F.col("prev"))).cast(
+                "long"
+            )
+        ).cast("long").alias("n_runs"),
+    )
+    return runs.select(
+        F.coalesce("n_moves", F.lit(0)).alias("n_moves"),
+        F.coalesce("n_runs", F.lit(0)).alias("n_runs"),
+        F.expr(
+            "CAST(CASE WHEN n_moves > 1 AND 16.0 * n_moves - 13 > 0"
+            " THEN round(1000.0 * (n_runs - (2.0 * n_moves + 1) / 3.0)"
+            "      / sqrt((16.0 * n_moves - 13) / 90.0))"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("z_milli"),
+    )
+
+
+def updown_runs_daily_sql() -> str:
+    return """
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY 1
+        ),
+        moves AS (
+            SELECT day, sg FROM (
+                SELECT day,
+                       CAST(SIGN(c - LAG(c) OVER (ORDER BY day)) AS INT)
+                           AS sg
+                FROM daily
+            ) WHERE sg IS NOT NULL AND sg <> 0
+        ),
+        runs AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_moves,
+                   CAST(COALESCE(SUM(CASE WHEN prev IS NULL OR sg <> prev
+                        THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_runs
+            FROM (
+                SELECT sg, LAG(sg) OVER (ORDER BY day) AS prev FROM moves
+            )
+        )
+        SELECT n_moves, n_runs,
+               CAST(CASE WHEN n_moves > 1 AND 16.0 * n_moves - 13 > 0
+                    THEN round(1000.0 * (n_runs - (2.0 * n_moves + 1) / 3.0)
+                         / sqrt((16.0 * n_moves - 13) / 90.0))
+                    ELSE 0 END AS BIGINT) AS z_milli
+        FROM runs
+    """
+
+
+# --- Bartels rank von Neumann test ------------------------------------------------------------
+
+
+def bartels_rank_daily(events: DataFrame) -> DataFrame:
+    """Bartels rank version of the von Neumann ratio on daily counts: one
+    row (n_days, rvn_milli, z_milli).
+
+    The Durbin-Watson device needs a fitted model; Bartels' test asks the
+    model-free randomness question on RANKS — RVN = sum (R_t - R_{t+1})^2
+    / sum (R_t - Rbar)^2, near 2 under randomness, small under positive
+    serial dependence. Using doubled average ranks keeps everything
+    integer; E = 2, Var ~ 4/n gives the z.
+
+    Exactness: doubled average ranks (2*cum_less + ties + 1) come from a
+    RANGE-frame window over the bounded count-domain grid (deterministic
+    under ties), adjacent-difference and deviation sums are exact
+    DECIMAL(38,0), and the ratio is the one float boundary.
+
+    Scale shape: one (day) aggregate, one RANGE-frame rank window and
+    one lag window over the bounded day grid, one 1-row reduction."""
+    d38 = "decimal(38,0)"
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    wr = Window.orderBy("c").rangeBetween(Window.unboundedPreceding, -1)
+    wt = Window.partitionBy("c")
+    ranked = daily.select(
+        "day",
+        (
+            2 * F.coalesce(F.count("*").over(wr), F.lit(0))
+            + F.count("*").over(wt)
+            + 1
+        ).cast("long").alias("r2"),
+    )
+    w = Window.orderBy("day")
+    t = ranked.select(
+        "r2",
+        (F.col("r2") - F.lead("r2").over(w)).cast(d38).alias("d"),
+    )
+    mom = t.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("r2").cast(d38)).alias("sr"),
+        F.sum(F.col("r2").cast(d38) * F.col("r2").cast(d38)).alias("srr"),
+        F.sum(F.col("d") * F.col("d")).alias("sdd"),
+    )
+    return mom.select(
+        F.col("n").alias("n_days"),
+        F.expr(
+            "CASE WHEN CAST(srr AS DOUBLE)"
+            " - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE) / n > 0"
+            " THEN CAST(sdd AS DOUBLE) / (CAST(srr AS DOUBLE)"
+            " - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE) / n)"
+            " ELSE 0.0 END"
+        ).alias("rvn"),
+    ).select(
+        "n_days",
+        F.expr("CAST(round(1000 * rvn) AS BIGINT)").alias("rvn_milli"),
+        F.expr(
+            "CAST(CASE WHEN n_days > 1 AND rvn > 0"
+            " THEN round(1000.0 * (rvn - 2.0) / sqrt(4.0 / n_days))"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("z_milli"),
+    )
+
+
+def bartels_rank_daily_sql() -> str:
+    return """
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY 1
+        ),
+        ranked AS (
+            SELECT day,
+                   CAST(2 * COALESCE(COUNT(*) OVER (ORDER BY c
+                        RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0)
+                   + COUNT(*) OVER (PARTITION BY c) + 1 AS BIGINT) AS r2
+            FROM daily
+        ),
+        t AS (
+            SELECT CAST(r2 AS HUGEINT) AS r2,
+                   CAST(r2 - LEAD(r2) OVER (ORDER BY day) AS HUGEINT) AS d
+            FROM ranked
+        ),
+        mom AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(r2) AS sr,
+                   SUM(r2 * r2) AS srr, SUM(d * d) AS sdd
+            FROM t
+        ),
+        r AS (
+            SELECT n AS n_days,
+                   CASE WHEN CAST(srr AS DOUBLE)
+                        - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE) / n > 0
+                        THEN CAST(sdd AS DOUBLE) / (CAST(srr AS DOUBLE)
+                        - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE) / n)
+                        ELSE 0.0 END AS rvn
+            FROM mom
+        )
+        SELECT n_days,
+               CAST(round(1000 * rvn) AS BIGINT) AS rvn_milli,
+               CAST(CASE WHEN n_days > 1 AND rvn > 0
+                    THEN round(1000.0 * (rvn - 2.0) / sqrt(4.0 / n_days))
+                    ELSE 0 END AS BIGINT) AS z_milli
+        FROM r
+    """
+
+
+# --- Log-rank survival test -------------------------------------------------------------------
+
+LOGRANK_HORIZON_DAYS = 14
+
+
+def logrank_test(
+    events: DataFrame, horizon: int = LOGRANK_HORIZON_DAYS
+) -> DataFrame:
+    """Log-rank test of time-to-first-purchase between signup-day
+    clickers and non-clickers: one row (n_users, o_minus_e_milli,
+    z_milli).
+
+    kaplan_meier DRAWS the two survival curves; the log-rank test is the
+    classic verdict on whether they differ — at every event day compare
+    observed group-1 conversions against the at-risk-proportional
+    expectation, with hypergeometric variance. Cohort: users with a
+    signup event; group 1 clicked on their signup day; follow-up is
+    capped at ``horizon`` days (administrative censoring).
+
+    Exactness: per-user times are exact day differences; the risk sets
+    are reverse-cumulative integer sums over the bounded (group x
+    horizon) grid; each day's O-E and variance term quantizes to micro
+    before the <=horizon-row sums; the final z is the one float
+    boundary.
+
+    Scale shape: two user-grain aggregates (signup/first-purchase), one
+    bounded (group, day) aggregate with a reverse-cumulative window,
+    one 1-row reduction."""
+    su = events.where(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("signup_ts")
+    )
+    clicks = events.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.to_date("ts").alias("click_day")
+    ).distinct()
+    grouped = su.join(
+        clicks,
+        (F.col("user_id") == F.col("cu"))
+        & (F.col("click_day") == F.to_date("signup_ts")),
+        "left",
+    ).select(
+        "user_id",
+        "signup_ts",
+        F.max((F.col("cu").isNotNull()).cast("int"))
+        .over(Window.partitionBy("user_id"))
+        .alias("g"),
+    ).select("user_id", "signup_ts", "g").distinct()
+    purch = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    timed = (
+        grouped.join(
+            purch,
+            (F.col("user_id") == F.col("pu"))
+            & (F.col("pts") > F.col("signup_ts")),
+            "left",
+        )
+        .groupBy("user_id", "g")
+        .agg(
+            F.min(
+                F.datediff(F.to_date("pts"), F.to_date("signup_ts"))
+            ).alias("delay")
+        )
+        .select(
+            "g",
+            F.expr(
+                f"CAST(CASE WHEN delay IS NULL OR delay > {horizon}"
+                f" THEN {horizon} ELSE delay END AS BIGINT)"
+            ).alias("t"),
+            F.expr(
+                f"CAST(CASE WHEN delay IS NULL OR delay > {horizon}"
+                f" THEN 0 ELSE 1 END AS BIGINT)"
+            ).alias("ev"),
+        )
+    )
+    per_gt = timed.groupBy("g", "t").agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("ev").cast("long").alias("d"),
+    )
+    wrev = (
+        Window.partitionBy("g")
+        .orderBy(F.desc("t"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    risk = per_gt.select(
+        "g",
+        "t",
+        "d",
+        F.sum("m").over(wrev).cast("long").alias("n_at_risk"),
+    )
+    g1 = risk.where(F.col("g") == 1).select(
+        F.col("t").alias("t1"),
+        F.col("d").alias("d1"),
+        F.col("n_at_risk").alias("n1"),
+    )
+    g0 = risk.where(F.col("g") == 0).select(
+        F.col("t").alias("t0"),
+        F.col("d").alias("d0"),
+        F.col("n_at_risk").alias("n0"),
+    )
+    # dense day outer-join on the bounded horizon grid; absent side
+    # carries zero deaths and the NEXT-lower at-risk count — approximate
+    # by treating absent (g, t) cells as d=0 with at-risk from the same
+    # group's later rows; for exactness both engines densify identically:
+    spine = events.sparkSession.range(horizon + 1).select(
+        F.col("id").cast("long").alias("t")
+    )
+    def dense(side, tcol, dcol, ncol):
+        j = spine.join(side, spine.t == F.col(tcol), "left").select(
+            "t",
+            F.coalesce(dcol, F.lit(0)).alias(dcol),
+            F.col(ncol),
+        )
+        wfill = (
+            Window.orderBy(F.desc("t"))
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return j.select(
+            "t",
+            dcol,
+            F.coalesce(
+                F.max(ncol).over(wfill), F.lit(0)
+            ).cast("long").alias(ncol),
+        )
+    d1 = dense(g1, "t1", "d1", "n1")
+    d0 = dense(g0, "t0", "d0", "n0")
+    terms = d1.join(d0, "t").select(
+        "t",
+        (F.col("d1") + F.col("d0")).alias("dt"),
+        (F.col("n1") + F.col("n0")).alias("nt"),
+        "d1",
+        "n1",
+        "n0",
+    ).where(F.col("dt") > 0).select(
+        F.expr(
+            "CAST(round(1e6 * (d1 - CAST(n1 AS DOUBLE) * dt / nt))"
+            " AS BIGINT)"
+        ).alias("oe_micro"),
+        F.expr(
+            "CAST(CASE WHEN nt > 1 THEN round(1e6"
+            " * CAST(dt AS DOUBLE) * (nt - dt) * n1 * n0"
+            " / (CAST(nt AS DOUBLE) * nt * (nt - 1)))"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("v_micro"),
+    )
+    n_users = timed.agg(F.count("*").cast("long").alias("n_users"))
+    agg = terms.agg(
+        F.coalesce(F.sum("oe_micro").cast("long"), F.lit(0).cast("long")).alias("oe"),
+        F.coalesce(F.sum("v_micro").cast("long"), F.lit(0).cast("long")).alias("v"),
+    )
+    return n_users.crossJoin(F.broadcast(agg)).select(
+        "n_users",
+        F.expr("CAST(round(oe / 1000.0) AS BIGINT)").alias("o_minus_e_milli"),
+        F.expr(
+            "CAST(CASE WHEN v > 0 THEN round(1000.0 * oe / 1e6"
+            " / sqrt(v / 1e6)) ELSE 0 END AS BIGINT)"
+        ).alias("z_milli"),
+    )
+
+
+def logrank_test_sql(horizon: int = LOGRANK_HORIZON_DAYS) -> str:
+    return f"""
+        WITH su AS (
+            SELECT user_id, MIN(ts) AS signup_ts
+            FROM events WHERE event_type = 'signup'
+            GROUP BY user_id
+        ),
+        clicks AS (
+            SELECT DISTINCT user_id AS cu, CAST(ts AS DATE) AS click_day
+            FROM events WHERE event_type = 'click'
+        ),
+        grouped AS (
+            SELECT DISTINCT user_id, signup_ts,
+                   MAX(CASE WHEN cu IS NOT NULL THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id) AS g
+            FROM su LEFT JOIN clicks
+              ON user_id = cu AND click_day = CAST(signup_ts AS DATE)
+        ),
+        timed AS (
+            SELECT g,
+                   CAST(CASE WHEN delay IS NULL OR delay > {horizon}
+                        THEN {horizon} ELSE delay END AS BIGINT) AS t,
+                   CAST(CASE WHEN delay IS NULL OR delay > {horizon}
+                        THEN 0 ELSE 1 END AS BIGINT) AS ev
+            FROM (
+                SELECT grouped.user_id, g,
+                       MIN(date_diff('day', CAST(signup_ts AS DATE),
+                           CAST(pts AS DATE))) AS delay
+                FROM grouped LEFT JOIN (
+                    SELECT user_id AS pu, ts AS pts
+                    FROM events WHERE event_type = 'purchase'
+                ) p ON grouped.user_id = pu AND pts > signup_ts
+                GROUP BY grouped.user_id, g
+            )
+        ),
+        per_gt AS (
+            SELECT g, t, CAST(COUNT(*) AS BIGINT) AS m,
+                   CAST(SUM(ev) AS BIGINT) AS d
+            FROM timed GROUP BY g, t
+        ),
+        risk AS (
+            SELECT g, t, d,
+                   CAST(SUM(m) OVER (PARTITION BY g ORDER BY t DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS n_at_risk
+            FROM per_gt
+        ),
+        spine AS (
+            SELECT CAST(generate_series AS BIGINT) AS t
+            FROM generate_series(0, {horizon})
+        ),
+        d1 AS (
+            SELECT t, d1,
+                   CAST(COALESCE(MAX(n1) OVER (ORDER BY t DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                        0) AS BIGINT) AS n1
+            FROM (
+                SELECT spine.t, COALESCE(d, 0) AS d1, n_at_risk AS n1
+                FROM spine LEFT JOIN (SELECT * FROM risk WHERE g = 1) r
+                  ON spine.t = r.t
+            )
+        ),
+        d0 AS (
+            SELECT t, d0,
+                   CAST(COALESCE(MAX(n0) OVER (ORDER BY t DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                        0) AS BIGINT) AS n0
+            FROM (
+                SELECT spine.t, COALESCE(d, 0) AS d0, n_at_risk AS n0
+                FROM spine LEFT JOIN (SELECT * FROM risk WHERE g = 0) r
+                  ON spine.t = r.t
+            )
+        ),
+        terms AS (
+            SELECT CAST(round(1e6 * (d1 - CAST(n1 AS DOUBLE)
+                        * (d1 + d0) / (n1 + n0))) AS BIGINT) AS oe_micro,
+                   CAST(CASE WHEN n1 + n0 > 1 THEN round(1e6
+                        * CAST(d1 + d0 AS DOUBLE) * ((n1 + n0) - (d1 + d0))
+                        * n1 * n0
+                        / (CAST(n1 + n0 AS DOUBLE) * (n1 + n0)
+                           * ((n1 + n0) - 1)))
+                        ELSE 0 END AS BIGINT) AS v_micro
+            FROM d1 JOIN d0 USING (t)
+            WHERE d1 + d0 > 0
+        ),
+        agg AS (
+            SELECT CAST(COALESCE(SUM(oe_micro), 0) AS BIGINT) AS oe,
+                   CAST(COALESCE(SUM(v_micro), 0) AS BIGINT) AS v
+            FROM terms
+        ),
+        nu AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM timed
+        )
+        SELECT n_users,
+               CAST(round(oe / 1000.0) AS BIGINT) AS o_minus_e_milli,
+               CAST(CASE WHEN v > 0 THEN round(1000.0 * oe / 1e6
+                    / sqrt(v / 1e6)) ELSE 0 END AS BIGINT) AS z_milli
+        FROM nu CROSS JOIN agg
+    """

@@ -1835,3 +1835,178 @@ def test_page_trend_matches_reference(spark, days):
         / math.sqrt(n * k * k * (k + 1) * (k * k - 1) / 144.0)
     )
     assert (r.n_days, r.l2_stat, r.z_milli) == (n, l2, z)
+
+
+# --- Seasonal MK / up-down runs / Bartels / log-rank -------------------------------------
+
+
+@settings(max_examples=8, deadline=None)
+@given(counts=st.lists(st.integers(1, 6), min_size=3, max_size=28))
+def test_seasonal_mk_matches_reference(spark, counts):
+    import datetime as dt
+
+    from pagila_etl_airflow_assignment_spark.operators.stats import (
+        seasonal_mann_kendall_daily,
+    )
+
+    r = seasonal_mann_kendall_daily(
+        _events_from_counts(spark, counts)
+    ).collect()[0]
+    base = dt.date(2024, 1, 1)
+    days = [(base + dt.timedelta(days=i), c) for i, c in enumerate(counts)]
+    s_stat, var18 = 0, 0
+    for dw in range(7):
+        sub = [c for d, c in days if d.weekday() == dw]
+        for i in range(len(sub)):
+            for j in range(i + 1, len(sub)):
+                s_stat += (sub[j] > sub[i]) - (sub[j] < sub[i])
+        n = len(sub)
+        from collections import Counter
+
+        ties = Counter(sub)
+        var18 += n * (n - 1) * (2 * n + 5) - sum(
+            t * (t - 1) * (2 * t + 5) for t in ties.values()
+        )
+    z = (
+        _rha(
+            1000
+            * (s_stat - (1 if s_stat > 0 else -1))
+            / math.sqrt(var18 / 18.0)
+        )
+        if var18 > 0 and s_stat != 0
+        else 0
+    )
+    assert (r.n_days, r.s_stat, r.var18, r.z_milli) == (
+        len(counts),
+        s_stat,
+        var18,
+        z,
+    )
+
+
+@settings(max_examples=8, deadline=None)
+@given(counts=st.lists(st.integers(1, 5), min_size=3, max_size=28))
+def test_updown_runs_matches_reference(spark, counts):
+    from pagila_etl_airflow_assignment_spark.operators.stats import (
+        updown_runs_daily,
+    )
+
+    r = updown_runs_daily(_events_from_counts(spark, counts)).collect()[0]
+    sgs = [
+        1 if b > a else -1
+        for a, b in zip(counts, counts[1:])
+        if a != b
+    ]
+    m = len(sgs)
+    runs = sum(
+        1 for i, s in enumerate(sgs) if i == 0 or s != sgs[i - 1]
+    )
+    z = (
+        _rha(
+            1000
+            * (runs - (2.0 * m + 1) / 3.0)
+            / math.sqrt((16.0 * m - 13) / 90.0)
+        )
+        if m > 1 and 16.0 * m - 13 > 0
+        else 0
+    )
+    assert (r.n_moves, r.n_runs, r.z_milli) == (m, runs, z)
+
+
+@settings(max_examples=8, deadline=None)
+@given(counts=st.lists(st.integers(1, 6), min_size=2, max_size=25))
+def test_bartels_rank_matches_reference(spark, counts):
+    from pagila_etl_airflow_assignment_spark.operators.stats import (
+        bartels_rank_daily,
+    )
+
+    r = bartels_rank_daily(_events_from_counts(spark, counts)).collect()[0]
+    n = len(counts)
+    r2 = [
+        2 * sum(1 for v in counts if v < c)
+        + sum(1 for v in counts if v == c)
+        + 1
+        for c in counts
+    ]
+    sr = sum(r2)
+    srr = sum(x * x for x in r2)
+    sdd = sum((a - b) ** 2 for a, b in zip(r2, r2[1:]))
+    css = srr - sr * sr / n
+    rvn = sdd / css if css > 0 else 0.0
+    assert r.n_days == n
+    assert r.rvn_milli == _rha(1000 * rvn)
+    exp_z = (
+        _rha(1000 * (rvn - 2.0) / math.sqrt(4.0 / n))
+        if n > 1 and rvn > 0
+        else 0
+    )
+    assert r.z_milli == exp_z
+
+
+# users: (clicked_on_signup_day, purchase_delay_days or None)
+LOGRANK_USERS = st.lists(
+    st.tuples(
+        st.booleans(),
+        st.one_of(st.none(), st.integers(1, 20)),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+def _logrank_ref(users, horizon=14):
+    timed = []
+    for g, delay in users:
+        if delay is None or delay > horizon:
+            timed.append((1 if g else 0, horizon, 0))
+        else:
+            timed.append((1 if g else 0, delay, 1))
+    oe_micro, v_micro = 0, 0
+    for t in range(horizon + 1):
+        n1 = sum(1 for g, tt, _ in timed if g == 1 and tt >= t)
+        n0 = sum(1 for g, tt, _ in timed if g == 0 and tt >= t)
+        d1 = sum(1 for g, tt, e in timed if g == 1 and tt == t and e)
+        d0 = sum(1 for g, tt, e in timed if g == 0 and tt == t and e)
+        dt_, nt = d1 + d0, n1 + n0
+        if dt_ > 0:
+            oe_micro += _rha(1e6 * (d1 - n1 * dt_ / nt))
+            if nt > 1:
+                v_micro += _rha(
+                    1e6 * dt_ * (nt - dt_) * n1 * n0 / (nt * nt * (nt - 1))
+                )
+    oe = _rha(oe_micro / 1000.0)
+    z = (
+        _rha(1000.0 * oe_micro / 1e6 / math.sqrt(v_micro / 1e6))
+        if v_micro > 0
+        else 0
+    )
+    return len(users), oe, z
+
+
+@settings(max_examples=8, deadline=None)
+@given(users=LOGRANK_USERS)
+def test_logrank_matches_reference(spark, users):
+    from pagila_etl_airflow_assignment_spark.operators.stats import (
+        logrank_test,
+    )
+
+    rows, eid = [], 0
+    for u, (g, delay) in enumerate(users):
+        rows.append((eid, u, "signup", "2024-01-02 10:00:00", 1.0))
+        eid += 1
+        if g:
+            rows.append((eid, u, "click", "2024-01-02 11:00:00", 1.0))
+            eid += 1
+        if delay is not None:
+            d = 2 + delay
+            rows.append(
+                (eid, u, "purchase", f"2024-01-{d:02d} 10:30:00", 1.0)
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, ts string,"
+        " value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    r = logrank_test(df).collect()[0]
+    assert (r.n_users, r.o_minus_e_milli, r.z_milli) == _logrank_ref(users)

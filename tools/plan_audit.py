@@ -137,6 +137,10 @@ ALLOWED: dict[str, set[str]] = {
     "events_cox_stuart": {"BroadcastNestedLoopJoin"},
     # broadcast 4-row bucket spine onto the distinct-day relation
     "events_page_trend": {"BroadcastNestedLoopJoin"},
+    # bounded within-weekday day-grid pair join + 1-row variance scalar
+    "events_seasonal_mann_kendall": {"BroadcastNestedLoopJoin"},
+    # broadcast 1-row (O-E, V) aggregate onto the 1-row cohort count
+    "events_logrank_test": {"BroadcastNestedLoopJoin"},
     # bounded month-grid prefix self-join (non-equi a.t <= b.t) + 1-row MAE
     "warehouse_theta_forecast": {"BroadcastNestedLoopJoin"},
     # broadcast 1-row (n, S) and denominator scalars over the day grid

@@ -429,6 +429,10 @@ PROBES = [
     "events_hellinger_hourly",
     "events_cox_stuart",
     "events_page_trend",
+    "events_seasonal_mann_kendall",
+    "events_updown_runs",
+    "events_bartels_rank",
+    "events_logrank_test",
 ]
 
 
