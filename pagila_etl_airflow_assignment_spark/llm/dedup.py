@@ -3293,3 +3293,93 @@ def df_spectrum_sql(n: int = DEFAULT_N) -> str:
         FROM panel
         ORDER BY df_band
     """
+
+
+# --- LSH precision/recall scorecard ----------------------------------------------
+
+
+def lsh_pr_scorecard(
+    docs: DataFrame,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    n: int = DEFAULT_N,
+    threshold: float = 0.2,
+    max_df: int | None = DEFAULT_MAX_DF,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Precision/recall of the MinHash-LSH CANDIDATE stage against the
+    exact n-gram-Jaccard ground truth: one row (n_truth, n_cand, n_hits,
+    precision_milli, recall_milli).
+
+    dedup_lsh_calibration predicts band collision rates from theory; this
+    MEASURES the end-to-end operating point on the actual corpus —
+    precision says how much candidate verification work the banding
+    wastes, recall says how many true near-dup pairs it never surfaces
+    (the pairs no amount of verification can recover). The pair every
+    LSH parameter change must be priced on.
+
+    Exactness: both pair sets are the engine's own deterministic devices
+    (md5-derived hashes, capped universes); the scorecard is three exact
+    BIGINT counts and two closing divisions.
+
+    Scale shape: reuses the banded/bucketed candidate plan and the
+    inverted-index truth plan (never all-pairs), one pair-keyed join of
+    the two bounded pair relations, one 1-row reduction."""
+    truth = ngram_jaccard_pairs(docs, n, threshold, max_df).select(
+        "doc_a", "doc_b"
+    )
+    cand = _lsh_candidate_pairs(docs, k, bands, n, max_bucket)
+    n_truth = truth.agg(F.count("*").cast("long").alias("n_truth"))
+    n_cand = cand.agg(F.count("*").cast("long").alias("n_cand"))
+    hits = truth.join(cand, ["doc_a", "doc_b"]).agg(
+        F.count("*").cast("long").alias("n_hits")
+    )
+    return (
+        n_truth.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(hits))
+        .select(
+            "n_truth",
+            "n_cand",
+            "n_hits",
+            F.expr(
+                "CAST(CASE WHEN n_cand > 0 THEN"
+                " round(1000.0 * n_hits / n_cand) ELSE 0 END AS BIGINT)"
+            ).alias("precision_milli"),
+            F.expr(
+                "CAST(CASE WHEN n_truth > 0 THEN"
+                " round(1000.0 * n_hits / n_truth) ELSE 0 END AS BIGINT)"
+            ).alias("recall_milli"),
+        )
+    )
+
+
+def lsh_pr_scorecard_sql(
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    n: int = DEFAULT_N,
+    threshold: float = 0.2,
+    max_df: int | None = DEFAULT_MAX_DF,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> str:
+    return f"""
+        WITH {_lsh_candidates_ctes_sql(k, bands, n, max_bucket)},
+        truth AS (
+            SELECT doc_a, doc_b FROM (
+                {ngram_jaccard_pairs_sql(n, threshold, max_df)}
+            ) t
+        ),
+        nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+        nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cand FROM cand),
+        nh AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_hits
+            FROM truth JOIN cand USING (doc_a, doc_b)
+        )
+        SELECT n_truth, n_cand, n_hits,
+               CAST(CASE WHEN n_cand > 0 THEN
+                    round(1000.0 * n_hits / n_cand) ELSE 0 END AS BIGINT)
+                   AS precision_milli,
+               CAST(CASE WHEN n_truth > 0 THEN
+                    round(1000.0 * n_hits / n_truth) ELSE 0 END AS BIGINT)
+                   AS recall_milli
+        FROM nt CROSS JOIN nc CROSS JOIN nh
+    """

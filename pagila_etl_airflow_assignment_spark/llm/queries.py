@@ -1333,3 +1333,11 @@ def q_keyness_g2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dunning G2 keyness: the 10 most source-distinctive terms vs the
     rest of the corpus, exact-integer inputs to one ln chain."""
     return corpus_stats.keyness_g2(load_table(spark, sf_dir, "documents"))
+
+
+@register("dedup_lsh_pr_scorecard", oracle=dedup.lsh_pr_scorecard_sql())
+def q_lsh_pr_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured precision/recall of the MinHash-LSH candidate stage
+    against the exact n-gram-Jaccard ground truth — the operating point
+    every banding change must be priced on."""
+    return dedup.lsh_pr_scorecard(load_table(spark, sf_dir, "documents"))

@@ -2010,3 +2010,24 @@ def test_logrank_matches_reference(spark, users):
     ).withColumn("ts", F.to_timestamp("ts"))
     r = logrank_test(df).collect()[0]
     assert (r.n_users, r.o_minus_e_milli, r.z_milli) == _logrank_ref(users)
+
+
+# --- LSH P/R scorecard invariants -----------------------------------------------------------
+
+
+def test_lsh_pr_scorecard_invariants(spark):
+    from pagila_etl_airflow_assignment_spark.llm.dedup import (
+        lsh_pr_scorecard,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    r = lsh_pr_scorecard(docs).collect()[0]
+    assert 0 <= r.n_hits <= min(r.n_truth, r.n_cand)
+    assert 0 <= r.precision_milli <= 1000
+    assert 0 <= r.recall_milli <= 1000
+    # ground truth matches the registered exact-Jaccard device
+    assert r.n_truth == ngram_jaccard_pairs(docs).count()
+    # every VERIFIED lsh pair is a candidate, so verified <= hits-universe
+    assert minhash_lsh_pairs(docs).count() <= r.n_cand

@@ -141,6 +141,8 @@ ALLOWED: dict[str, set[str]] = {
     "events_seasonal_mann_kendall": {"BroadcastNestedLoopJoin"},
     # broadcast 1-row (O-E, V) aggregate onto the 1-row cohort count
     "events_logrank_test": {"BroadcastNestedLoopJoin"},
+    # three 1-row pair-count scalars cross-joined
+    "dedup_lsh_pr_scorecard": {"BroadcastNestedLoopJoin"},
     # bounded month-grid prefix self-join (non-equi a.t <= b.t) + 1-row MAE
     "warehouse_theta_forecast": {"BroadcastNestedLoopJoin"},
     # broadcast 1-row (n, S) and denominator scalars over the day grid

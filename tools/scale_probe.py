@@ -433,6 +433,7 @@ PROBES = [
     "events_updown_runs",
     "events_bartels_rank",
     "events_logrank_test",
+    "dedup_lsh_pr_scorecard",
 ]
 
 
