@@ -4974,13 +4974,18 @@ def wilcoxon_signed_rank_daily(events: DataFrame) -> DataFrame:
         (F.coalesce(F.sum("t").over(w), F.lit(0))).alias("cum_before"),
     )
     agg = ranked.agg(
-        F.sum("t").cast("long").alias("n_pairs"),
+        F.coalesce(F.sum("t").cast("long"), F.lit(0).cast("long")).alias(
+            "n_pairs"
+        ),
         F.sum(
             F.col("pos") * (2 * F.col("cum_before") + F.col("t") + 1)
         ).cast("long").alias("w2_plus"),
-        F.sum(
-            F.col("t") * F.col("t") * F.col("t") - F.col("t")
-        ).cast("long").alias("tie3"),
+        F.coalesce(
+            F.sum(
+                F.col("t") * F.col("t") * F.col("t") - F.col("t")
+            ).cast("long"),
+            F.lit(0).cast("long"),
+        ).alias("tie3"),
     )
     return agg.select(
         "n_pairs",
@@ -6815,12 +6820,19 @@ def ks_uniformity_seconds(events: DataFrame) -> DataFrame:
     ks_drift compares two empirical windows; this asks the ABSOLUTE
     question — is intraday arrival time uniform, or does load pool at
     specific seconds (cron spikes, batch jobs)? The statistic is the sup
-    over the 86400-bin grid of |ECDF - (b+1)/B|, the binned KS (stated:
-    bins, not the continuous-time statistic).
+    over the FULL 86400-bin grid of |ECDF - (b+1)/B|, the binned KS
+    (stated: bins, not the continuous-time statistic). Empty bins need
+    no densified spine: inside a gap the ECDF is flat while the uniform
+    CDF rises, so the gap's sup sits at the last empty bin before the
+    next occupied second s and equals |B*(cum_s - m_s) - N*s| — the
+    PRE-JUMP deviation evaluated at s. Each occupied bin therefore
+    contributes greatest(post-jump, pre-jump) and the grid sup is exact;
+    worst_second reports the occupied bin whose jump bounds the sup
+    (the gap-end case points at the bin that ENDS the deficit run).
 
-    Exactness: fully integer — the deviation per bin is
-    |B*cum_b - N*(b+1)|, an exact BIGINT, so the argmax and the final
-    quantization are deterministic; ties on the max break to the
+    Exactness: fully integer — both deviation terms are exact BIGINTs
+    (|B*cum - N*(s+1)| and |B*(cum-m) - N*s|), so the argmax and the
+    final quantization are deterministic; ties on the max break to the
     earliest second via the bounded (dev DESC, second ASC) limit-1 sort.
 
     Scale shape: one (second) aggregate over the bounded 86400-bin
@@ -6835,13 +6847,20 @@ def ks_uniformity_seconds(events: DataFrame) -> DataFrame:
     tot = per_s.agg(F.sum("m").cast("long").alias("n"))
     w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
     dev = (
-        per_s.select("s", F.sum("m").over(w).cast("long").alias("cum"))
+        per_s.select("s", "m", F.sum("m").over(w).cast("long").alias("cum"))
         .crossJoin(F.broadcast(tot))
         .select(
             "s",
             "n",
-            F.abs(
-                F.lit(KS_BINS) * F.col("cum") - F.col("n") * (F.col("s") + 1)
+            F.greatest(
+                F.abs(
+                    F.lit(KS_BINS) * F.col("cum")
+                    - F.col("n") * (F.col("s") + 1)
+                ),
+                F.abs(
+                    F.lit(KS_BINS) * (F.col("cum") - F.col("m"))
+                    - F.col("n") * F.col("s")
+                ),
             ).alias("dev"),
         )
     )
@@ -6871,12 +6890,18 @@ def ks_uniformity_seconds_sql() -> str:
         tot AS (
             SELECT CAST(SUM(m) AS BIGINT) AS n FROM per_s
         ),
+        cums AS (
+            SELECT s, m, n,
+                   SUM(m) OVER (ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum
+            FROM per_s CROSS JOIN tot
+        ),
         dev AS (
             SELECT s, n,
-                   abs({KS_BINS} * SUM(m) OVER (ORDER BY s
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                       - n * (s + 1)) AS dev
-            FROM per_s CROSS JOIN tot
+                   greatest(abs({KS_BINS} * cum - n * (s + 1)),
+                            abs({KS_BINS} * (cum - m) - n * s)) AS dev
+            FROM cums
         )
         SELECT n AS n_events,
                CAST(round(1e6 * CAST(dev AS DOUBLE) / (CAST(n AS DOUBLE)

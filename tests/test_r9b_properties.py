@@ -1727,8 +1727,13 @@ def test_ks_uniformity_matches_reference(spark, secs):
     cnt = Counter(secs)
     cum, best = 0, None
     for s in sorted(cnt):
+        # gap-end (pre-jump) deviation at the last empty bin before s,
+        # then the post-jump deviation at s itself: the grid sup is the
+        # max of the two evaluated at every occupied bin.
+        pre = abs(86400 * cum - n * s)
         cum += cnt[s]
-        dev = abs(86400 * cum - n * (s + 1))
+        post = abs(86400 * cum - n * (s + 1))
+        dev = max(pre, post)
         if best is None or dev > best[0]:
             best = (dev, s)
     assert r.n_events == n
