@@ -95,8 +95,8 @@ def test_rotation_head_is_never_certified_backlog():
 
     names = list(registry.queries())
     assert len(names) == len(set(names))
-    backlog = set(registry._NEVER_DRIVER_SAMPLED_R9)
-    certified = set(registry._DRIVER_CERTIFIED_R8)
+    backlog = set(registry._NEVER_DRIVER_SAMPLED_R10)
+    certified = set(registry._DRIVER_CERTIFIED_R9)
     head = names[:50]
     assert all(n in backlog for n in head), [n for n in head if n not in backlog]
     # certified-green queries are re-sampled last, never displacing the backlog
