@@ -16,8 +16,8 @@ BENCH_DETAIL.json under "queries_reps" for auditability.
 The stdout JSON line must stay SHORT: the round driver captures only the tail
 few KB of stdout, and round 3's ~3.4 KB line (81 per-query timings) got its head
 truncated, leaving BENCH_r03.json unparseable. So stdout carries the totals plus
-the per-query map for the fixed HEADLINE subset only; the full per-query map is
-written to BENCH_DETAIL.json next to this file.
+the 20 slowest per-query timings only; the full per-query map is written to
+BENCH_DETAIL.json next to this file.
 """
 
 from __future__ import annotations
@@ -33,126 +33,14 @@ from pagila_etl_airflow_assignment_spark.session import build_session
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Headline set: the flagship + the heaviest representative per operator family.
-HEADLINE = [
-    "weekly_rental_summary",
-    "weekly_rental_summary_correlated",
-    "a1_delta_scan",
-    "d5_affected_weeks",
-    "d2_weekly_counts",
-    "warehouse_pricing_summary",
-    "warehouse_star_join_revenue",
-    "warehouse_local_supplier_volume",
-    "warehouse_salted_aggregation",
-    "warehouse_topk_per_nation",
-    "warehouse_rollup_revenue",
-    "warehouse_pivot_revenue",
-    "warehouse_semi_anti_priority",
-    "warehouse_table_profile",
-    "warehouse_skew_profile",
-    "warehouse_encoding_advisor",
-    "warehouse_zorder_layout",
-    "warehouse_price_volume_mix",
-    "warehouse_budget_apportionment",
-    "warehouse_reorder_points",
-    "warehouse_constraint_checks",
-    "events_session_window_native",
-    "asof_click_attribution",
-    "asof_next_error_after_click",
-    "range_click_correlation",
-    "events_value_percentiles",
-    "text_chunking",
-    "weekly_summary_monthly_rollup",
-    "warehouse_grouping_sets_revenue",
-    "cdc_orders_snapshot_diff",
-    "cdc_orders_apply_roundtrip",
-    "cdc_partition_checksums",
-    "incremental_backfill_plan",
-    "embedding_centroid_outliers",
-    "warehouse_salted_skew_join",
-    "embedding_kmeans_step",
-    "warehouse_fuzzy_part_match",
-    "warehouse_shipping_priority",
-    "warehouse_large_volume_orders",
-    "warehouse_sole_final_shipper",
-    "warehouse_dormant_rich_customers",
-    "warehouse_supplier_concentration",
-    "warehouse_nation_trade_volume",
-    "warehouse_min_cost_supplier",
-    "graph_copurchase_pairs",
-    "graph_part_degree",
-    "warehouse_customer_deciles",
-    "warehouse_ship_latency",
-    "warehouse_order_aging",
-    "warehouse_topdown_forecast",
-    "warehouse_date_dimension",
-    "warehouse_weighted_median_price",
-    "source_scorecard",
-    "split_leakage_audit",
-    "embedding_quantize_int8",
-    "embedding_hamming_pairs",
-    "graph_copurchase_pagerank",
-    "graph_association_rules",
-    "warehouse_promo_revenue_share",
-    "warehouse_disjunctive_revenue",
-    "graph_triangle_census",
-    "graph_bfs_distance",
-    "graph_kcore",
-    "graph_label_propagation",
-    "graph_assortativity",
-    "warehouse_customer_set_ops",
-    "warehouse_phonetic_match",
-    "warehouse_forecast_revenue",
-    "warehouse_market_share",
-    "warehouse_product_profit",
-    "warehouse_dominant_suppliers",
-    "warehouse_ivm_counting",
-    "warehouse_golden_records",
-    "embedding_random_projection",
-    "embedding_product_quantization",
-    "embedding_similarity_profile",
-    "embedding_dimension_stats",
-    "embedding_matryoshka_quality",
-    "embedding_kmeans_lloyd",
-    "embedding_kcenter_coreset",
-    "embedding_cluster_silhouette",
-    "embedding_pca_power_iteration",
-    "graph_personalized_pagerank",
-    "warehouse_part_skyline",
-    "graph_link_prediction",
-    "warehouse_fd_profile",
-    "warehouse_revenue_growth",
-    "warehouse_abc_classification",
-    "warehouse_cohort_ltv",
-    "warehouse_share_shift",
-    "warehouse_new_vs_returning",
-    "warehouse_discount_lift",
-    "warehouse_benford_audit",
-    "warehouse_sla_compliance",
-    "warehouse_custdist",
-    "warehouse_small_qty_revenue",
-    "warehouse_top_supplier",
-    "warehouse_returned_items",
-    "warehouse_parts_supplier_counts",
-    # round-7 additions without an auto-included prefix
-    "warehouse_croston",
-    "warehouse_demand_classification",
-    "warehouse_ss_policy_sim",
-    "cdc_log_compaction",
-    "rental_update_lag_profile",
-    "embedding_knn_reciprocity",
-    "embedding_norm_clip_threshold",
-    # round-9 additions without an auto-included prefix
-    "warehouse_local_supplier_volume",
-    "warehouse_tracking_signal",
-    "warehouse_wilson_ranking",
-    "warehouse_otif_fill_rate",
-    "warehouse_atkinson_index",
-    "warehouse_bass_diffusion",
-    "warehouse_theta_forecast",
-    "warehouse_median_polish",
-    "graph_eigenvector_centrality",
-]
+# Bench set (round 10): the FULL registry, so every registered query carries a
+# recorded per-round floor — the round-9 judge flagged 87 silently-unpriced
+# queries under the old fixed-HEADLINE + prefix scheme (a regression in any of
+# them would not show in any BENCH artifact). Exclusions must be explicit AND
+# justified here; there are currently none — all 519 queries run clean at
+# sf0.1 (the round-9 full bare sweep is the proof).
+EXCLUDED: dict[str, str] = {}
+
 
 
 def main() -> None:
@@ -160,13 +48,7 @@ def main() -> None:
 
     spark = build_session(app_name="engine-bench")
     qmap = queries()
-    names = [n for n in HEADLINE if n in qmap]
-    # plus the llm/streaming extension headliners
-    for n in qmap:
-        if n.startswith(
-            ("dedup_", "ann_", "text_", "events_", "multimodal_", "vocab_", "sampling_")
-        ) and n not in names:
-            names.append(n)
+    names = [n for n in qmap if n not in EXCLUDED]
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     timings: dict[str, float] = {}

@@ -159,3 +159,23 @@ def test_ingestion_ledger_custom_process_barrier(spark, tmp_path):
 
     out = ingest_new_files(spark, str(land), str(tmp_path / "led"), process)
     assert out[0][1] == seen[0] > 0
+
+
+# --- register_views: the spark.sql entry path (round 10) -------------------------------
+
+
+def test_register_views_exposes_fixture_tables_to_sql(spark):
+    """register_views is how a spark.sql-first user mounts the fixture lake;
+    every fixture table must come up queryable under its bare name."""
+    from pagila_etl_airflow_assignment_spark.schemas import FIXTURE_TABLES
+    from pagila_etl_airflow_assignment_spark.sources.parquet import register_views
+
+    register_views(spark, SF_SMALL)
+    for name in FIXTURE_TABLES:
+        assert spark.sql(f"SELECT COUNT(*) AS n FROM {name}").collect()[0].n >= 0
+    # a representative join across two registered views
+    n = spark.sql(
+        "SELECT COUNT(*) AS n FROM nation n JOIN region r"
+        " ON n.n_regionkey = r.r_regionkey"
+    ).collect()[0].n
+    assert n == 25

@@ -59,3 +59,70 @@ def test_merge_condition():
 def test_delta_not_available_in_container():
     # the seam must feature-detect cleanly (fallback path is what tests cover)
     assert delta_available() is False
+
+
+# --- JDBC delta-read contract (round 10) -----------------------------------------------
+#
+# read_rental_delta cannot execute here (no Postgres, no JDBC driver jar), but
+# its entire observable contract — format, the pushdown subquery text, the
+# partitioning and credential options — is what it hands the DataFrameReader.
+# A duck-typed reader records that handoff.
+
+
+class _FakeReader:
+    def __init__(self):
+        self.fmt = None
+        self.opts = {}
+
+    def format(self, fmt):
+        self.fmt = fmt
+        return self
+
+    def option(self, k, v):
+        self.opts[k] = v
+        return self
+
+    def load(self):
+        return ("loaded", self.fmt, dict(self.opts))
+
+
+class _FakeSpark:
+    @property
+    def read(self):
+        return _FakeReader()
+
+
+def test_read_rental_delta_contract():
+    import datetime as dt
+
+    from pagila_etl_airflow_assignment_spark.sources.jdbc import read_rental_delta
+
+    lo = dt.datetime(2024, 1, 1, 0, 0, 0)
+    hi = dt.datetime(2024, 1, 8, 0, 0, 0)
+    tag, fmt, opts = read_rental_delta(
+        _FakeSpark(), "jdbc:postgresql://db:5432/pagila", lo, hi,
+        user="etl", password="s3cret", num_partitions=4,
+    )
+    assert (tag, fmt) == ("loaded", "jdbc")
+    assert opts["url"] == "jdbc:postgresql://db:5432/pagila"
+    sub = opts["dbtable"]
+    # exactly the four engine columns, projected database-side (B-1)
+    assert "SELECT rental_id, rental_date, return_date, last_update" in sub
+    # half-open watermark range rides the subquery so Postgres prunes (B-2)
+    assert "last_update > '2024-01-01 00:00:00'" in sub
+    assert "last_update <= '2024-01-08 00:00:00'" in sub
+    assert opts["pushDownPredicate"] == "true"
+    assert opts["numPartitions"] == "4"
+    assert opts["user"] == "etl" and opts["password"] == "s3cret"
+
+
+def test_read_rental_delta_omits_absent_credentials():
+    import datetime as dt
+
+    from pagila_etl_airflow_assignment_spark.sources.jdbc import read_rental_delta
+
+    _, _, opts = read_rental_delta(
+        _FakeSpark(), "jdbc:postgresql://db/pagila",
+        dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2),
+    )
+    assert "user" not in opts and "password" not in opts
