@@ -153,3 +153,276 @@ def maintained_agg_view_counting_sql(
         HAVING COUNT(*) > 0
         ORDER BY o_custkey
     """
+
+
+# --- outer-join IVM: LEFT join view under right-side inserts AND deletes ------
+#
+# The production shape of the reference's summary (etl_script_incremental_
+# pandas.py:200-236 LEFT-joins the week spine against rentals): a LEFT join
+# view must keep a null-extended row for every unmatched left key, and a
+# right-side delta can FLIP that row — the first matching insert retracts the
+# null-extended row, and the delete of the last match re-emits it. The
+# insert-only bilinear rule above cannot express either flip; this is the
+# outer-join delta rule (Griffin & Libkin-style, specialised to LEFT).
+
+OUTER_INS_MOD = 7
+OUTER_DEL_MOD = 11
+OUTER_VIEW_YEAR = 1995
+
+
+def _outer_slices(orders: DataFrame, ins_mod: int, del_mod: int):
+    """(pre, inserts, deletes) for the 1995-order-book fixture: the year
+    scope leaves ~20% of customers unmatched so the view carries REAL
+    null-extended rows, and the key-mod deltas populate both flip
+    directions (sf0.01: 82 null→matched, 39 matched→null)."""
+    b = orders.where(F.year("o_orderdate") == OUTER_VIEW_YEAR)
+    pre = b.where(F.col("o_orderkey") % ins_mod != 0)
+    inserts = b.where(F.col("o_orderkey") % ins_mod == 0)
+    deletes = pre.where(F.col("o_orderkey") % del_mod == 0)
+    return pre, inserts, deletes
+
+
+def _outer_total():
+    """decimal(18,2)->double boundary cast both engines share (deferred:
+    building a Column at import time needs an active SparkContext)."""
+    return F.col("o_totalprice").cast("decimal(18,2)").cast("double")
+
+
+def maintained_left_join_view(
+    customer: DataFrame,
+    orders: DataFrame,
+    ins_mod: int = OUTER_INS_MOD,
+    del_mod: int = OUTER_DEL_MOD,
+) -> DataFrame:
+    """LEFT-join IVM: V = customer LEFT JOIN orders@1995, maintained under a
+    mixed right-side delta batch without re-joining the bases. Must equal
+    the oracle's DIRECT left join of the final order book row-for-row.
+
+    Delta rule: with m(k) the per-left-key match count (the auxiliary view
+    counting IVM already maintains), the corrections are
+      retract: matched rows of deleted orders, PLUS the null-extended row
+               of every key flipping m: 0 -> >0 (its first match arrived);
+      emit:    customer ⋈ inserts, PLUS a fresh null-extended row for every
+               key flipping m: >0 -> 0 (its last match left).
+    Both flip sets are DELTA-KEYED — only keys present in the delta batch
+    can flip — so every correction join is delta-sized.
+
+    Exactness: pure relational algebra on exact keys; the one cast is the
+    decimal(18,2)->double boundary both engines share.
+
+    Scale shape: per-key m0/m1 counts join only the delta key set; the
+    retract set is delta-sized and broadcast into one LEFT ANTI pass over
+    the materialized view (a production MoR/Delta sink turns that pass into
+    keyed deletes); emissions are delta-sized joins. Nothing re-joins the
+    full bases — that is the oracle's job."""
+    pre, inserts, deletes = _outer_slices(orders, ins_mod, del_mod)
+
+    # materialized state: the view before the delta batch
+    v0 = customer.join(
+        pre, customer["c_custkey"] == pre["o_custkey"], "left"
+    ).select("c_custkey", "c_mktsegment", "o_orderkey", _outer_total().alias("order_total"))
+
+    # per-key match counts — m0 stands for the maintained count auxiliary;
+    # the flip computation touches only keys present in the delta batch
+    m0 = pre.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count("*").cast("long").alias("m0")
+    )
+    di = inserts.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count("*").cast("long").alias("n_ins")
+    )
+    dd = deletes.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count("*").cast("long").alias("n_del")
+    )
+    flips = (
+        di.select("k")
+        .unionByName(dd.select("k"))
+        .distinct()
+        .join(m0, "k", "left")
+        .join(di, "k", "left")
+        .join(dd, "k", "left")
+        .select(
+            "k",
+            F.coalesce("m0", F.lit(0)).alias("m0"),
+            (
+                F.coalesce("m0", F.lit(0))
+                + F.coalesce("n_ins", F.lit(0))
+                - F.coalesce("n_del", F.lit(0))
+            ).alias("m1"),
+        )
+    )
+    to_matched = flips.where((F.col("m0") == 0) & (F.col("m1") > 0)).select("k")
+    to_null = flips.where((F.col("m0") > 0) & (F.col("m1") == 0)).select("k")
+
+    retract = deletes.select(
+        F.col("o_custkey").alias("r_key"), F.col("o_orderkey").alias("r_order")
+    ).unionByName(
+        to_matched.select(
+            F.col("k").alias("r_key"), F.lit(None).cast("long").alias("r_order")
+        )
+    )
+    kept = v0.join(
+        F.broadcast(retract),
+        (v0["c_custkey"] == retract["r_key"])
+        & (v0["o_orderkey"].eqNullSafe(retract["r_order"])),
+        "left_anti",
+    )
+    emit_matched = customer.join(
+        inserts, customer["c_custkey"] == inserts["o_custkey"]
+    ).select("c_custkey", "c_mktsegment", "o_orderkey", _outer_total().alias("order_total"))
+    emit_null = customer.join(
+        F.broadcast(to_null), customer["c_custkey"] == to_null["k"]
+    ).select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("double").alias("order_total"),
+    )
+    return (
+        kept.unionByName(emit_matched)
+        .unionByName(emit_null)
+        .orderBy("c_custkey", "o_orderkey")
+    )
+
+
+def maintained_left_join_view_sql(
+    ins_mod: int = OUTER_INS_MOD, del_mod: int = OUTER_DEL_MOD
+) -> str:
+    return f"""
+        WITH b_final AS (
+            SELECT * FROM orders
+            WHERE EXTRACT(year FROM o_orderdate) = {OUTER_VIEW_YEAR}
+              AND (o_orderkey % {ins_mod} = 0
+                   OR o_orderkey % {del_mod} <> 0)
+        )
+        SELECT c_custkey, c_mktsegment, o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+                   AS order_total
+        FROM customer LEFT JOIN b_final ON c_custkey = o_custkey
+        ORDER BY c_custkey, o_orderkey
+    """
+
+
+def left_join_view_delta_ledger(
+    customer: DataFrame,
+    orders: DataFrame,
+    ins_mod: int = OUTER_INS_MOD,
+    del_mod: int = OUTER_DEL_MOD,
+) -> DataFrame:
+    """The outer-join delta rule's retract/emit ledger — the correction
+    stream itself as a relation, so the rule (not just its end state) is
+    the tested artifact: rows (action, reason, c_custkey, o_orderkey).
+
+      retract/match_delete   one per deleted matched row
+      emit/match_insert      one per inserted matched row
+      retract/flip_to_matched the null-extended row of a key whose first
+                              match arrived (m: 0 -> >0)
+      emit/flip_to_null       a fresh null-extended row for a key whose
+                              last match left (m: >0 -> 0)
+
+    A downstream MoR sink applies exactly this ledger; its net effect on
+    the materialized view is pinned by warehouse_ivm_outer_join.
+
+    Scale shape: identical to the view maintenance minus the view pass —
+    every relation here is delta-sized."""
+    pre, inserts, deletes = _outer_slices(orders, ins_mod, del_mod)
+    m0 = pre.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count("*").cast("long").alias("m0")
+    )
+    di = inserts.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count("*").cast("long").alias("n_ins")
+    )
+    dd = deletes.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count("*").cast("long").alias("n_del")
+    )
+    flips = (
+        di.select("k")
+        .unionByName(dd.select("k"))
+        .distinct()
+        .join(m0, "k", "left")
+        .join(di, "k", "left")
+        .join(dd, "k", "left")
+        .select(
+            "k",
+            F.coalesce("m0", F.lit(0)).alias("m0"),
+            (
+                F.coalesce("m0", F.lit(0))
+                + F.coalesce("n_ins", F.lit(0))
+                - F.coalesce("n_del", F.lit(0))
+            ).alias("m1"),
+        )
+    )
+    nullkey = F.lit(None).cast("long")
+    ledger = (
+        deletes.select(
+            F.lit("retract").alias("action"),
+            F.lit("match_delete").alias("reason"),
+            F.col("o_custkey").alias("c_custkey"),
+            F.col("o_orderkey"),
+        )
+        .unionByName(
+            customer.join(
+                inserts, customer["c_custkey"] == inserts["o_custkey"]
+            ).select(
+                F.lit("emit").alias("action"),
+                F.lit("match_insert").alias("reason"),
+                F.col("c_custkey"),
+                F.col("o_orderkey"),
+            )
+        )
+        .unionByName(
+            flips.where((F.col("m0") == 0) & (F.col("m1") > 0)).select(
+                F.lit("retract").alias("action"),
+                F.lit("flip_to_matched").alias("reason"),
+                F.col("k").alias("c_custkey"),
+                nullkey.alias("o_orderkey"),
+            )
+        )
+        .unionByName(
+            flips.where((F.col("m0") > 0) & (F.col("m1") == 0)).select(
+                F.lit("emit").alias("action"),
+                F.lit("flip_to_null").alias("reason"),
+                F.col("k").alias("c_custkey"),
+                nullkey.alias("o_orderkey"),
+            )
+        )
+    )
+    return ledger.orderBy("action", "reason", "c_custkey", "o_orderkey")
+
+
+def left_join_view_delta_ledger_sql(
+    ins_mod: int = OUTER_INS_MOD, del_mod: int = OUTER_DEL_MOD
+) -> str:
+    return f"""
+        WITH b AS (
+            SELECT * FROM orders
+            WHERE EXTRACT(year FROM o_orderdate) = {OUTER_VIEW_YEAR}
+        ),
+        pre AS (SELECT * FROM b WHERE o_orderkey % {ins_mod} <> 0),
+        ins AS (SELECT * FROM b WHERE o_orderkey % {ins_mod} = 0),
+        del AS (SELECT * FROM pre WHERE o_orderkey % {del_mod} = 0),
+        m AS (
+            SELECT k, SUM(m0) AS m0, SUM(m0) + SUM(i) - SUM(d) AS m1
+            FROM (
+                SELECT o_custkey AS k, COUNT(*) AS m0, 0 AS i, 0 AS d
+                FROM pre GROUP BY 1
+                UNION ALL
+                SELECT o_custkey, 0, COUNT(*), 0 FROM ins GROUP BY 1
+                UNION ALL
+                SELECT o_custkey, 0, 0, COUNT(*) FROM del GROUP BY 1
+            ) GROUP BY k
+            HAVING SUM(i) > 0 OR SUM(d) > 0
+        )
+        SELECT 'retract' AS action, 'match_delete' AS reason,
+               o_custkey AS c_custkey, o_orderkey
+        FROM del
+        UNION ALL
+        SELECT 'emit', 'match_insert', c_custkey, o_orderkey
+        FROM customer JOIN ins ON c_custkey = o_custkey
+        UNION ALL
+        SELECT 'retract', 'flip_to_matched', k, CAST(NULL AS BIGINT)
+        FROM m WHERE m0 = 0 AND m1 > 0
+        UNION ALL
+        SELECT 'emit', 'flip_to_null', k, CAST(NULL AS BIGINT)
+        FROM m WHERE m0 > 0 AND m1 = 0
+        ORDER BY action, reason, c_custkey, o_orderkey
+    """

@@ -3012,3 +3012,26 @@ def q_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Log-rank test of time-to-purchase between signup-day clickers and
     non-clickers — hypergeometric O-E over the bounded horizon grid."""
     return stats.logrank_test(load_table(spark, sf_dir, "events"))
+
+
+# --- round 10 -------------------------------------------------------------------------
+
+
+@register("warehouse_ivm_outer_join", oracle=ivm.maintained_left_join_view_sql())
+def q_ivm_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outer-join IVM: LEFT-join view maintained under right-side inserts
+    AND deletes with null side-flips (first match retracts the null row,
+    last delete re-emits it); oracle LEFT-joins the final state directly."""
+    return ivm.maintained_left_join_view(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+@register("warehouse_ivm_outer_deltas", oracle=ivm.left_join_view_delta_ledger_sql())
+def q_ivm_outer_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The outer-join delta rule's retract/emit ledger — the correction
+    stream a MoR sink would apply, keyed by (action, reason); every
+    relation delta-sized."""
+    return ivm.left_join_view_delta_ledger(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )

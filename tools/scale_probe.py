@@ -434,6 +434,9 @@ PROBES = [
     "events_bartels_rank",
     "events_logrank_test",
     "dedup_lsh_pr_scorecard",
+    # round-10
+    "warehouse_ivm_outer_join",
+    "warehouse_ivm_outer_deltas",
 ]
 
 
