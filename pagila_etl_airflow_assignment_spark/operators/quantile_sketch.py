@@ -252,7 +252,7 @@ def tdigest_merge_report_sql() -> str:
                est_mcenti, exact_mcenti,
                est_mcenti - exact_mcenti AS err_mcenti
         FROM est JOIN exact ON est.p_pct = exact.p_pct
-        ORDER BY p_pct
+        ORDER BY est.p_pct
     """
 
 

@@ -10,7 +10,7 @@ from ..registry import register
 from ..incremental import backfill
 from ..sources.parquet import load_table
 from ..schemas import ORDERS
-from . import analytics, behavior, bitmap, cdc, cmsketch, distributions, features, graph, hll, ivm, layout, profile, sequences, stats, temporal, tpch_shapes, warehouse
+from . import analytics, behavior, bitmap, cdc, cmsketch, distributions, features, graph, hll, ivm, layout, profile, quantile_sketch, sequences, stats, temporal, tpch_shapes, warehouse
 
 
 @register(
@@ -3035,3 +3035,23 @@ def q_ivm_outer_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivm.left_join_view_delta_ledger(
         load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
     )
+
+
+@register(
+    "events_tdigest_quantiles", oracle=quantile_sketch.tdigest_merge_report_sql()
+)
+def q_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic t-digest: per-day digests merged via the asin scale
+    function, queried at 7 percentiles and scored against the exact lower
+    weighted quantile — the mergeable-quantile-summary path at scale."""
+    return quantile_sketch.tdigest_merge_report(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "events_moments_tail_bounds", oracle=quantile_sketch.moments_tail_bounds_sql()
+)
+def q_moments_tail_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moments sketch: mergeable power sums S1..S4 in decimal(38,0), the
+    2nd/4th-moment Chebyshev tail bounds they imply, and the bound-vs-true
+    exceedance check at three deviation levels."""
+    return quantile_sketch.moments_tail_bounds(load_table(spark, sf_dir, "events"))

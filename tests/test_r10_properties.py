@@ -137,3 +137,141 @@ def test_outer_join_delta_ledger_applies_to_view(spark, custs, orders):
         for r in maintained_left_join_view(cust, odf).collect()
     }
     assert applied == v1
+
+
+# --- t-digest merge report (L-470) --------------------------------------------------------
+
+TD_DAY_VALUES = st.lists(
+    st.lists(st.integers(-400, 49000), min_size=1, max_size=8),
+    min_size=1,
+    max_size=5,
+)
+
+
+def _tdigest_ref(day_values):
+    """Direct reference of the whole chain: per-day digests -> merge ->
+    7 probes -> exact lower weighted quantiles."""
+    from collections import Counter
+
+    D = 32
+
+    def scale(cum, m, n):
+        x = (2 * cum - m - n) / n
+        k = math.floor(D * (math.asin(x) / math.pi + 0.5))
+        return min(max(k, 0), D - 1)
+
+    day_cents = []  # (day, cid, w, mean_mc)
+    for day, vals in enumerate(day_values):
+        cnt = Counter(vals)
+        n = sum(cnt.values())
+        cum = 0
+        buckets = {}
+        for c in sorted(cnt):
+            m = cnt[c]
+            cum += m
+            cid = scale(cum, m, n)
+            w0, s0 = buckets.get(cid, (0, 0))
+            buckets[cid] = (w0 + m, s0 + m * c)
+        for cid, (w, s) in buckets.items():
+            day_cents.append((day, cid, w, _rha(1000.0 * s / w)))
+
+    tw = sum(w for _, _, w, _ in day_cents)
+    cumw, merged = 0, {}
+    for day, cid, w, mc in sorted(day_cents, key=lambda t: (t[3], t[0], t[1])):
+        cumw += w
+        gid = scale(cumw, w, tw)
+        w0, s0 = merged.get(gid, (0, 0))
+        merged[gid] = (w0 + w, s0 + w * mc)
+    cents = sorted(
+        (gid, w, _rha(1.0 * s / w)) for gid, (w, s) in merged.items()
+    )
+    n_cent = len(cents)
+
+    allv = Counter()
+    for vals in day_values:
+        allv.update(vals)
+    n = sum(allv.values())
+
+    out = {}
+    for p in (1, 5, 25, 50, 75, 95, 99):
+        cw, est = 0, None
+        for gid, w, mc in cents:
+            cw += w
+            if 100 * cw >= p * tw:
+                est = mc
+                break
+        cum, exact = 0, None
+        for c in sorted(allv):
+            cum += allv[c]
+            if 100 * cum >= p * n:
+                exact = 1000 * c
+                break
+        out[p] = (n_cent, est, exact, est - exact)
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(day_values=TD_DAY_VALUES)
+def test_tdigest_matches_reference(spark, day_values):
+    from pagila_etl_airflow_assignment_spark.operators.quantile_sketch import (
+        tdigest_merge_report,
+    )
+
+    rows = []
+    for day, vals in enumerate(day_values, start=1):
+        for i, c in enumerate(vals):
+            rows.append(
+                (1, "click", f"2024-01-{day:02d} 10:{i:02d}:00", c / 100.0)
+            )
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        r.p_pct: (r.n_centroids, r.est_mcenti, r.exact_mcenti, r.err_mcenti)
+        for r in tdigest_merge_report(df).collect()
+    }
+    assert got == _tdigest_ref(day_values)
+
+
+# --- moments-sketch tail bounds (L-471) ---------------------------------------------------
+
+MO_VALUES = st.lists(st.integers(-400, 49000), min_size=2, max_size=30)
+
+
+def _moments_ref(cents):
+    n = len(cents)
+    s1 = sum(cents)
+    s2 = sum(c * c for c in cents)
+    s3 = sum(c**3 for c in cents)
+    s4 = sum(c**4 for c in cents)
+    mu = s1 / n
+    var = s2 / n - mu * mu
+    mu4 = (s4 - 4 * mu * s3 + 6 * mu * mu * s2 - 3 * n * mu**4) / n
+    out = {}
+    for d in (5000, 10000, 20000):
+        cheb2 = _rha(1e6 * min(1.0, var / (float(d) * d)))
+        cheb4 = _rha(1e6 * min(1.0, mu4 / float(d) ** 4))
+        true = _rha(1e6 * sum(1 for c in cents if abs(c - mu) >= d) / n)
+        out[d] = (n, cheb2, cheb4, true, true <= min(cheb2, cheb4))
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(cents=MO_VALUES)
+def test_moments_bounds_match_reference(spark, cents):
+    from pagila_etl_airflow_assignment_spark.operators.quantile_sketch import (
+        moments_tail_bounds,
+    )
+
+    rows = [
+        (1, "click", f"2024-01-05 10:{i % 60:02d}:{i // 60:02d}", c / 100.0)
+        for i, c in enumerate(cents)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        r.d_centi: (r.n, r.cheb2_micro, r.cheb4_micro, r.true_micro, r.bound_holds)
+        for r in moments_tail_bounds(df).collect()
+    }
+    assert got == _moments_ref(cents)

@@ -437,6 +437,8 @@ PROBES = [
     # round-10
     "warehouse_ivm_outer_join",
     "warehouse_ivm_outer_deltas",
+    "events_tdigest_quantiles",
+    "events_moments_tail_bounds",
 ]
 
 
