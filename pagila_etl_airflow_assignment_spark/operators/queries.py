@@ -3055,3 +3055,22 @@ def q_moments_tail_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     2nd/4th-moment Chebyshev tail bounds they imply, and the bound-vs-true
     exceedance check at three deviation levels."""
     return quantile_sketch.moments_tail_bounds(load_table(spark, sf_dir, "events"))
+
+
+@register("events_ar2_forecast", oracle=stats.ar2_yule_walker_forecast_sql())
+def q_ar2_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR(2) Yule-Walker fit of daily counts with 1-/2-step forecasts —
+    exact-integer lag moments, one scripted double chain at the 1-row
+    boundary."""
+    return stats.ar2_yule_walker_forecast(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "events_cumulative_periodogram",
+    oracle=stats.cumulative_periodogram_test_sql(),
+)
+def q_cumulative_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett's cumulative-periodogram white-noise test over the Fourier
+    frequencies of the daily count series — KS-style max deviation from the
+    flat spectrum with exact DECIMAL(38,0) deviation arithmetic."""
+    return stats.cumulative_periodogram_test(load_table(spark, sf_dir, "events"))

@@ -7785,3 +7785,335 @@ def logrank_test_sql(horizon: int = LOGRANK_HORIZON_DAYS) -> str:
                     / sqrt(v / 1e6)) ELSE 0 END AS BIGINT) AS z_milli
         FROM nu CROSS JOIN agg
     """
+
+
+# --- AR(2) Yule-Walker forecast ---------------------------------------------------------
+
+
+def ar2_yule_walker_forecast(events: DataFrame) -> DataFrame:
+    """AR(2) fit of the daily event-count series by Yule-Walker, plus the
+    1- and 2-step-ahead forecasts: one row (n_days, phi1_micro, phi2_micro,
+    f1_milli, f2_milli).
+
+    pacf_daily DIAGNOSES the order; this FITS the model the diagnosis
+    points at and emits the numbers a capacity planner actually wants —
+    tomorrow's and the day-after's expected load:
+        phi1 = r1(1-r2)/(1-r1^2),  phi2 = (r2-r1^2)/(1-r1^2)
+        f1 = mu + phi1(c_n - mu) + phi2(c_{n-1} - mu)
+        f2 = mu + phi1(f1 - mu)  + phi2(c_n - mu)
+
+    Exactness: scaled deviations X_t = n*c_t - S1 are exact BIGINTs; the
+    lag product sums accumulate as DECIMAL(38,0), so r1, r2 are
+    deterministic doubles from exact integers; the phi/forecast chain is
+    one scripted double sequence identical in both engines, quantized at
+    the 1-row boundary.
+
+    Scale shape: one (day) aggregate, one 1-row scalar broadcast, two lag
+    windows over the bounded day grid, one bounded last-two-days pivot,
+    one 1-row reduction."""
+    d38 = "decimal(38,0)"
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    tot = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s1"),
+    )
+    w = Window.orderBy("day")
+    x = daily.crossJoin(F.broadcast(tot)).select(
+        "day", "n", "s1", "c", (F.col("n") * F.col("c") - F.col("s1")).alias("x")
+    )
+    mom = (
+        x.select(
+            "n",
+            F.col("x").cast(d38).alias("x"),
+            F.lag("x", 1).over(w).cast(d38).alias("x1"),
+            F.lag("x", 2).over(w).cast(d38).alias("x2"),
+        )
+        .groupBy("n")
+        .agg(
+            F.sum(F.col("x") * F.col("x")).alias("s0"),
+            F.sum(F.col("x") * F.col("x1")).alias("sl1"),
+            F.sum(F.col("x") * F.col("x2")).alias("sl2"),
+        )
+    )
+    wd = Window.orderBy(F.col("day").desc())
+    last2 = (
+        daily.select("c", F.row_number().over(wd).alias("rn"))
+        .where(F.col("rn") <= 2)
+        .groupBy()
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("c"))).alias("cn"),
+            F.max(F.when(F.col("rn") == 2, F.col("c"))).alias("cn1"),
+        )
+    )
+    return (
+        mom.crossJoin(F.broadcast(last2))
+        .crossJoin(F.broadcast(tot.select("s1")))
+        .select(
+            F.col("n").alias("n_days"),
+            F.expr(
+                "CASE WHEN s0 > 0 THEN CAST(sl1 AS DOUBLE) / CAST(s0 AS DOUBLE)"
+                " ELSE 0.0 END"
+            ).alias("r1"),
+            F.expr(
+                "CASE WHEN s0 > 0 THEN CAST(sl2 AS DOUBLE) / CAST(s0 AS DOUBLE)"
+                " ELSE 0.0 END"
+            ).alias("r2"),
+            F.expr("CAST(s1 AS DOUBLE) / n").alias("mu"),
+            F.coalesce(F.col("cn"), F.lit(0)).alias("cn"),
+            F.coalesce(F.col("cn1"), F.col("cn"), F.lit(0)).alias("cn1"),
+        )
+        .select(
+            "n_days",
+            "mu",
+            "cn",
+            "cn1",
+            F.expr(
+                "CASE WHEN 1 - r1 * r1 <> 0"
+                " THEN r1 * (1 - r2) / (1 - r1 * r1) ELSE 0.0 END"
+            ).alias("phi1"),
+            F.expr(
+                "CASE WHEN 1 - r1 * r1 <> 0"
+                " THEN (r2 - r1 * r1) / (1 - r1 * r1) ELSE 0.0 END"
+            ).alias("phi2"),
+        )
+        .select(
+            "n_days",
+            "mu",
+            "cn",
+            "phi1",
+            "phi2",
+            (
+                F.col("mu")
+                + F.col("phi1") * (F.col("cn") - F.col("mu"))
+                + F.col("phi2") * (F.col("cn1") - F.col("mu"))
+            ).alias("f1"),
+        )
+        .select(
+            "n_days",
+            F.expr("CAST(round(1e6 * phi1) AS BIGINT)").alias("phi1_micro"),
+            F.expr("CAST(round(1e6 * phi2) AS BIGINT)").alias("phi2_micro"),
+            F.expr("CAST(round(1000 * f1) AS BIGINT)").alias("f1_milli"),
+            F.expr(
+                "CAST(round(1000 * (mu + phi1 * (f1 - mu)"
+                " + phi2 * (cn - mu))) AS BIGINT)"
+            ).alias("f2_milli"),
+        )
+    )
+
+
+def ar2_yule_walker_forecast_sql() -> str:
+    return """
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s1
+            FROM daily
+        ),
+        x AS (
+            SELECT day, n, s1, c, CAST(n * c - s1 AS HUGEINT) AS x
+            FROM daily CROSS JOIN tot
+        ),
+        lagged AS (
+            SELECT n, x,
+                   lag(x, 1) OVER (ORDER BY day) AS x1,
+                   lag(x, 2) OVER (ORDER BY day) AS x2
+            FROM x
+        ),
+        mom AS (
+            SELECT n, SUM(x * x) AS s0, SUM(x * x1) AS sl1, SUM(x * x2) AS sl2
+            FROM lagged GROUP BY n
+        ),
+        last2 AS (
+            SELECT MAX(CASE WHEN rn = 1 THEN c END) AS cn,
+                   MAX(CASE WHEN rn = 2 THEN c END) AS cn1
+            FROM (
+                SELECT c, row_number() OVER (ORDER BY day DESC) AS rn
+                FROM daily
+            ) WHERE rn <= 2
+        ),
+        base AS (
+            SELECT mom.n AS n_days,
+                   CASE WHEN s0 > 0 THEN CAST(sl1 AS DOUBLE) / CAST(s0 AS DOUBLE)
+                        ELSE 0.0 END AS r1,
+                   CASE WHEN s0 > 0 THEN CAST(sl2 AS DOUBLE) / CAST(s0 AS DOUBLE)
+                        ELSE 0.0 END AS r2,
+                   CAST(s1 AS DOUBLE) / mom.n AS mu,
+                   COALESCE(cn, 0) AS cn,
+                   COALESCE(cn1, cn, 0) AS cn1
+            FROM mom CROSS JOIN last2 CROSS JOIN tot
+        ),
+        fit AS (
+            SELECT n_days, mu, cn, cn1,
+                   CASE WHEN 1 - r1 * r1 <> 0
+                        THEN r1 * (1 - r2) / (1 - r1 * r1) ELSE 0.0 END AS phi1,
+                   CASE WHEN 1 - r1 * r1 <> 0
+                        THEN (r2 - r1 * r1) / (1 - r1 * r1) ELSE 0.0 END AS phi2
+            FROM base
+        ),
+        fc AS (
+            SELECT n_days, mu, cn, phi1, phi2,
+                   mu + phi1 * (cn - mu) + phi2 * (cn1 - mu) AS f1
+            FROM fit
+        )
+        SELECT n_days,
+               CAST(round(1e6 * phi1) AS BIGINT) AS phi1_micro,
+               CAST(round(1e6 * phi2) AS BIGINT) AS phi2_micro,
+               CAST(round(1000 * f1) AS BIGINT) AS f1_milli,
+               CAST(round(1000 * (mu + phi1 * (f1 - mu) + phi2 * (cn - mu)))
+                   AS BIGINT) AS f2_milli
+        FROM fc
+    """
+
+
+# --- Bartlett's cumulative periodogram white-noise test ---------------------------------
+
+
+def cumulative_periodogram_test(events: DataFrame) -> DataFrame:
+    """Bartlett's cumulative-periodogram white-noise test on the daily
+    event-count series: one row (n_days, m_freqs, d_milli, worst_freq).
+
+    spectral_periodogram reports amplitude per candidate PERIOD; Bartlett's
+    test asks the global question — is the whole spectrum FLAT (white
+    noise)? The normalized cumulative periodogram C_k over the Fourier
+    frequencies j=1..m (m = floor((n-1)/2)) should climb the diagonal k/m;
+    the KS-style statistic D = max_k |C_k - k/m| flags any spectral
+    concentration (a weekly peak shows as a jump at j ~ n/7).
+
+    Exactness: projection terms (c_t - mu)*cos/sin quantize to micro
+    BEFORE the per-frequency integer sums (the spectral_periodogram
+    discipline); I_j = A_j^2 + B_j^2 accumulates in DECIMAL(38,0), so the
+    deviation |m*cum_k - k*tot| is exact and the argmax is deterministic
+    with ties breaking to the earliest frequency.
+
+    Scale shape: one (day) aggregate, one bounded m x n explode of the day
+    grid, one (frequency) aggregate, one cumulative window over the
+    bounded m-row frequency grid, one limit-1 bounded sort."""
+    d38 = "decimal(38,0)"
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    tot = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s1"),
+    )
+    t = daily.select(
+        "c", F.row_number().over(Window.orderBy("day")).cast("long").alias("t")
+    )
+    proj = (
+        t.crossJoin(F.broadcast(tot))
+        .where(F.col("n") >= 3)
+        .select(
+            "c",
+            "t",
+            "n",
+            "s1",
+            F.explode(
+                F.expr("sequence(1, CAST(floor((n - 1) / 2) AS INT))")
+            ).alias("j"),
+        )
+        .select(
+            "j",
+            "n",
+            F.expr(
+                "CAST(round(1e6 * (c - CAST(s1 AS DOUBLE) / n)"
+                " * cos(2 * pi() * j * t / n)) AS BIGINT)"
+            ).alias("a_term"),
+            F.expr(
+                "CAST(round(1e6 * (c - CAST(s1 AS DOUBLE) / n)"
+                " * sin(2 * pi() * j * t / n)) AS BIGINT)"
+            ).alias("b_term"),
+        )
+    )
+    per_j = proj.groupBy("j", "n").agg(
+        (
+            F.sum("a_term").cast(d38) * F.sum("a_term").cast(d38)
+            + F.sum("b_term").cast(d38) * F.sum("b_term").cast(d38)
+        ).alias("i_j")
+    )
+    wj = Window.orderBy("j").rowsBetween(Window.unboundedPreceding, 0)
+    dev = per_j.select(
+        "j",
+        "n",
+        F.count("*").over(Window.partitionBy(F.lit(1))).cast("long").alias("m"),
+        F.sum("i_j").over(wj).alias("cum"),
+        F.sum("i_j").over(Window.partitionBy(F.lit(1))).alias("tot_i"),
+    ).select(
+        "j",
+        "n",
+        "m",
+        F.abs(
+            F.col("m").cast(d38) * F.col("cum")
+            - F.col("j").cast(d38) * F.col("tot_i")
+        ).alias("dev"),
+        "tot_i",
+    )
+    return (
+        dev.orderBy(F.col("dev").desc(), F.col("j").asc())
+        .limit(1)
+        .select(
+            F.col("n").alias("n_days"),
+            F.col("m").alias("m_freqs"),
+            F.expr(
+                "CAST(CASE WHEN tot_i > 0 THEN round(1000 * CAST(dev AS DOUBLE)"
+                " / (m * CAST(tot_i AS DOUBLE))) ELSE 0 END AS BIGINT)"
+            ).alias("d_milli"),
+            F.col("j").alias("worst_freq"),
+        )
+    )
+
+
+def cumulative_periodogram_test_sql() -> str:
+    return """
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s1
+            FROM daily
+        ),
+        t AS (
+            SELECT c, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+            FROM daily
+        ),
+        proj AS (
+            SELECT j, n,
+                   CAST(round(1e6 * (c - CAST(s1 AS DOUBLE) / n)
+                        * cos(2 * pi() * j * t / n)) AS BIGINT) AS a_term,
+                   CAST(round(1e6 * (c - CAST(s1 AS DOUBLE) / n)
+                        * sin(2 * pi() * j * t / n)) AS BIGINT) AS b_term
+            FROM t CROSS JOIN tot
+            CROSS JOIN UNNEST(generate_series(1,
+                CAST(floor((n - 1) / 2) AS BIGINT))) AS g(j)
+            WHERE n >= 3
+        ),
+        per_j AS (
+            SELECT j, n,
+                   CAST(SUM(a_term) AS HUGEINT) * CAST(SUM(a_term) AS HUGEINT)
+                   + CAST(SUM(b_term) AS HUGEINT) * CAST(SUM(b_term) AS HUGEINT)
+                       AS i_j
+            FROM proj GROUP BY j, n
+        ),
+        dev AS (
+            SELECT j, n,
+                   COUNT(*) OVER () AS m,
+                   abs(CAST(COUNT(*) OVER () AS HUGEINT)
+                       * SUM(i_j) OVER (ORDER BY j
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - CAST(j AS HUGEINT) * SUM(i_j) OVER ()) AS dev,
+                   SUM(i_j) OVER () AS tot_i
+            FROM per_j
+        )
+        SELECT n AS n_days, CAST(m AS BIGINT) AS m_freqs,
+               CAST(CASE WHEN tot_i > 0 THEN round(1000 * CAST(dev AS DOUBLE)
+                    / (m * CAST(tot_i AS DOUBLE))) ELSE 0 END AS BIGINT)
+                   AS d_milli,
+               j AS worst_freq
+        FROM dev
+        ORDER BY dev DESC, j ASC
+        LIMIT 1
+    """

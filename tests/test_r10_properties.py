@@ -275,3 +275,99 @@ def test_moments_bounds_match_reference(spark, cents):
         for r in moments_tail_bounds(df).collect()
     }
     assert got == _moments_ref(cents)
+
+
+# --- AR(2) Yule-Walker forecast (L-472) ---------------------------------------------------
+
+AR2_COUNTS = st.lists(st.integers(1, 50), min_size=3, max_size=20)
+
+
+def _ar2_ref(counts):
+    n = len(counts)
+    s1 = sum(counts)
+    mu = s1 / n
+    xs = [n * c - s1 for c in counts]
+    s0 = sum(x * x for x in xs)
+    sl1 = sum(xs[t] * xs[t - 1] for t in range(1, n))
+    sl2 = sum(xs[t] * xs[t - 2] for t in range(2, n))
+    r1 = sl1 / s0 if s0 > 0 else 0.0
+    r2 = sl2 / s0 if s0 > 0 else 0.0
+    den = 1 - r1 * r1
+    phi1 = r1 * (1 - r2) / den if den != 0 else 0.0
+    phi2 = (r2 - r1 * r1) / den if den != 0 else 0.0
+    cn, cn1 = counts[-1], counts[-2]
+    f1 = mu + phi1 * (cn - mu) + phi2 * (cn1 - mu)
+    f2 = mu + phi1 * (f1 - mu) + phi2 * (cn - mu)
+    return (n, _rha(1e6 * phi1), _rha(1e6 * phi2), _rha(1000 * f1), _rha(1000 * f2))
+
+
+@settings(max_examples=10, deadline=None)
+@given(counts=AR2_COUNTS)
+def test_ar2_forecast_matches_reference(spark, counts):
+    from pagila_etl_airflow_assignment_spark.operators.stats import (
+        ar2_yule_walker_forecast,
+    )
+
+    rows = []
+    for d, c in enumerate(counts, start=1):
+        rows += [(1, "click", f"2024-01-{d:02d} 10:00:00", 1.0)] * c
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    r = ar2_yule_walker_forecast(df).collect()[0]
+    assert (
+        r.n_days,
+        r.phi1_micro,
+        r.phi2_micro,
+        r.f1_milli,
+        r.f2_milli,
+    ) == _ar2_ref(counts)
+
+
+# --- Bartlett cumulative periodogram (L-473) ----------------------------------------------
+
+CP_COUNTS = st.lists(st.integers(1, 50), min_size=3, max_size=16)
+
+
+def _cumper_ref(counts):
+    n = len(counts)
+    mu = sum(counts) / n
+    m = (n - 1) // 2
+    devs = []
+    ijs = []
+    for j in range(1, m + 1):
+        a = sum(
+            _rha(1e6 * (c - mu) * math.cos(2 * math.pi * j * t / n))
+            for t, c in enumerate(counts, start=1)
+        )
+        b = sum(
+            _rha(1e6 * (c - mu) * math.sin(2 * math.pi * j * t / n))
+            for t, c in enumerate(counts, start=1)
+        )
+        ijs.append(a * a + b * b)
+    tot = sum(ijs)
+    cum, best = 0, None
+    for j, ij in enumerate(ijs, start=1):
+        cum += ij
+        d = abs(m * cum - j * tot)
+        if best is None or d > best[0]:
+            best = (d, j)
+    d_milli = _rha(1000 * best[0] / (m * tot)) if tot > 0 else 0
+    return (n, m, d_milli, best[1])
+
+
+@settings(max_examples=10, deadline=None)
+@given(counts=CP_COUNTS)
+def test_cumulative_periodogram_matches_reference(spark, counts):
+    from pagila_etl_airflow_assignment_spark.operators.stats import (
+        cumulative_periodogram_test,
+    )
+
+    rows = []
+    for d, c in enumerate(counts, start=1):
+        rows += [(1, "click", f"2024-01-{d:02d} 10:00:00", 1.0)] * c
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    r = cumulative_periodogram_test(df).collect()[0]
+    assert (r.n_days, r.m_freqs, r.d_milli, r.worst_freq) == _cumper_ref(counts)

@@ -439,6 +439,8 @@ PROBES = [
     "warehouse_ivm_outer_deltas",
     "events_tdigest_quantiles",
     "events_moments_tail_bounds",
+    "events_ar2_forecast",
+    "events_cumulative_periodogram",
 ]
 
 
