@@ -2641,3 +2641,99 @@ def littles_law_daily_sql(gap_min: int = LITTLES_GAP_MIN) -> str:
         FROM pred FULL OUTER JOIN obs ON pred.day = obs.day
         ORDER BY day
     """
+
+
+RMST_HORIZONS = (7, 14, 30)
+RMST_MAX_DAYS = 30  # must cover max(RMST_HORIZONS); hazard's own 14-day
+                    # horizon would silently truncate the 30-day integral
+
+
+def restricted_mean_survival(
+    events: DataFrame, max_days: int = RMST_MAX_DAYS
+) -> DataFrame:
+    """Restricted mean survival time over the discrete_hazard table: for
+    each horizon tau, RMST(tau) = sum_{d<tau} S(d) — the expected number of
+    conversion-free days out of the first tau, the scalar clinicians and
+    retention analysts quote when hazard curves cross and medians mislead:
+    rows (tau_days, n_users, rmst_milli).
+
+    kaplan_meier draws the CURVE; RMST integrates it, and on the discrete
+    day grid the integral is a plain sum of the survival steps.
+
+    Exactness: survival quantizes per day to micro (round(1e6 * exp of the
+    cumulative ln-sum) — the KM ladder's engine-stable form) BEFORE the
+    horizon sums, so each RMST is an exact integer sum over <= tau rows and
+    the final milli rounding is deterministic.
+
+    Scale shape: rides discrete_hazard (one user-keyed aggregate, bounded
+    day grid); adds one cumulative window over that grid and a 3-row
+    literal horizon join."""
+    h = discrete_hazard(events, max_days)
+    n, d = F.col("n_at_risk"), F.col("n_converted")
+    term = F.when((n > 0) & (d < n), F.log((n - d).cast("double") / n)).otherwise(
+        F.lit(0.0)
+    )
+    died = ((n > 0) & (d == n)).cast("int")
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    s_micro = (
+        h.withColumn("t", term)
+        .withColumn("z", F.max(died).over(w))
+        .select(
+            "day",
+            F.first(n).over(w).alias("n_users"),
+            F.when(F.col("z") == 1, F.lit(0))
+            .otherwise(F.expr("CAST(round(1e6 * exp(SUM(t) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))) AS BIGINT)"))
+            .alias("s_micro"),
+        )
+    )
+    taus = events.sparkSession.createDataFrame(
+        [(t,) for t in RMST_HORIZONS], "tau_days int"
+    )
+    return (
+        s_micro.crossJoin(F.broadcast(taus))
+        .where(F.col("day") < F.col("tau_days"))
+        .groupBy("tau_days")
+        .agg(
+            F.max("n_users").cast("long").alias("n_users"),
+            F.expr("CAST(round(SUM(s_micro) / 1000.0) AS BIGINT)").alias(
+                "rmst_milli"
+            ),
+        )
+        .orderBy("tau_days")
+    )
+
+
+def restricted_mean_survival_sql(max_days: int = RMST_MAX_DAYS) -> str:
+    taus = ", ".join(f"({t})" for t in RMST_HORIZONS)
+    return f"""
+    WITH h AS ({discrete_hazard_sql(max_days)}),
+    t AS (
+        SELECT day, n_at_risk,
+               CASE WHEN n_at_risk > 0 AND n_converted < n_at_risk
+                    THEN ln(CAST(n_at_risk - n_converted AS DOUBLE) / n_at_risk)
+                    ELSE 0.0 END AS lt,
+               CASE WHEN n_at_risk > 0 AND n_converted = n_at_risk
+                    THEN 1 ELSE 0 END AS died
+        FROM h
+    ),
+    s AS (
+        SELECT day,
+               FIRST(n_at_risk) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_users,
+               CASE WHEN MAX(died) OVER (ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+                    THEN 0
+                    ELSE CAST(round(1e6 * exp(SUM(lt) OVER (ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)))
+                        AS BIGINT)
+               END AS s_micro
+        FROM t
+    ),
+    taus(tau_days) AS (VALUES {taus})
+    SELECT tau_days, CAST(MAX(n_users) AS BIGINT) AS n_users,
+           CAST(round(SUM(s_micro) / 1000.0) AS BIGINT) AS rmst_milli
+    FROM s CROSS JOIN taus
+    WHERE day < tau_days
+    GROUP BY tau_days
+    ORDER BY tau_days
+    """

@@ -3074,3 +3074,22 @@ def q_cumulative_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequencies of the daily count series — KS-style max deviation from the
     flat spectrum with exact DECIMAL(38,0) deviation arithmetic."""
     return stats.cumulative_periodogram_test(load_table(spark, sf_dir, "events"))
+
+
+@register("events_rmst", oracle=analytics.restricted_mean_survival_sql())
+def q_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restricted mean survival time at 7/14/30-day horizons — the KM curve
+    integrated on the discrete day grid with micro-quantized survival
+    steps."""
+    return analytics.restricted_mean_survival(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "events_jonckheere_terpstra",
+    oracle=stats.jonckheere_terpstra_dayparts_sql(),
+)
+def q_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere-Terpstra ordered-trend test of value across day-parts —
+    grid-cumulative pair counting (never pair enumeration) with the full
+    tie-corrected variance."""
+    return stats.jonckheere_terpstra_dayparts(load_table(spark, sf_dir, "events"))

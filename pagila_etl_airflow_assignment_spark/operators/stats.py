@@ -8117,3 +8117,204 @@ def cumulative_periodogram_test_sql() -> str:
         ORDER BY dev DESC, j ASC
         LIMIT 1
     """
+
+
+# --- Jonckheere-Terpstra ordered-alternative trend test ----------------------------------
+
+JT_BLOCKS = ((0, 7, "night"), (8, 15, "day"), (16, 23, "evening"))
+
+
+def jonckheere_terpstra_dayparts(events: DataFrame) -> DataFrame:
+    """Jonckheere-Terpstra test for an ORDERED trend of event value across
+    the three day-parts night < day < evening: one row (n_total, jt2,
+    z_milli).
+
+    kruskal_wallis asks "do the groups differ AT ALL"; JT asks the sharper
+    ordered-alternative question — do values RISE along a stated group
+    ordering — and buys power by only counting concordant pairs:
+    JT = sum_{i<j} [#(x<y) + (1/2)#(x=y)] over group pairs, with the full
+    tie-corrected normal approximation
+        var = A/72 + B/(36 N(N-1)(N-2)) + C/(8 N(N-1))
+        A = N(N-1)(2N+5) - sum_g n(n-1)(2n+5) - sum_v t(t-1)(2t+5)
+        B = [sum_g n(n-1)(n-2)] * [sum_v t(t-1)(t-2)]
+        C = [sum_g n(n-1)]      * [sum_v t(t-1)]
+    (t_v = global tie count at value v).
+
+    The pair counts never enumerate pairs: on the shared centi-value grid
+    with per-group counts m_g(c) and cumulative counts cum_g(c),
+    2*JT = sum_c sum_{i<j} m_j(c) * (2*cum_i(c) - m_i(c)) — one window set
+    over the bounded grid, one reduction. All sums are exact (DECIMAL(38,0)
+    past the BIGINT edge); the one float chain is the final z.
+
+    Scale shape: one (value, group) grid aggregate, three cumulative
+    windows over the bounded value grid, two bounded reductions (grid +
+    3-row group sizes), one 1-row combine."""
+    d38 = "decimal(38,0)"
+    g = F.when(F.hour("ts") <= 7, F.lit(0)).when(
+        F.hour("ts") <= 15, F.lit(1)
+    ).otherwise(F.lit(2))
+    grid = (
+        events.where(F.col("value").isNotNull())
+        .groupBy(
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("c"),
+            g.alias("g"),
+        )
+        .agg(F.count("*").cast("long").alias("m"))
+    )
+    wide = grid.groupBy("c").agg(
+        F.sum(F.when(F.col("g") == 0, F.col("m")).otherwise(0))
+        .cast("long")
+        .alias("m0"),
+        F.sum(F.when(F.col("g") == 1, F.col("m")).otherwise(0))
+        .cast("long")
+        .alias("m1"),
+        F.sum(F.when(F.col("g") == 2, F.col("m")).otherwise(0))
+        .cast("long")
+        .alias("m2"),
+    )
+    w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    cum = wide.select(
+        "c",
+        "m0",
+        "m1",
+        "m2",
+        F.sum("m0").over(w).cast("long").alias("c0"),
+        F.sum("m1").over(w).cast("long").alias("c1"),
+        F.sum("m2").over(w).cast("long").alias("c2"),
+    )
+    # 2*JT and the global tie sums in one grid reduction
+    jt = cum.agg(
+        F.sum(
+            F.col("m1").cast(d38) * (2 * F.col("c0") - F.col("m0")).cast(d38)
+            + F.col("m2").cast(d38) * (2 * F.col("c0") - F.col("m0")).cast(d38)
+            + F.col("m2").cast(d38) * (2 * F.col("c1") - F.col("m1")).cast(d38)
+        ).alias("jt2"),
+        F.sum(
+            (F.col("m0") + F.col("m1") + F.col("m2")).cast(d38)
+            * (F.col("m0") + F.col("m1") + F.col("m2") - 1).cast(d38)
+            * (2 * (F.col("m0") + F.col("m1") + F.col("m2")) + 5).cast(d38)
+        ).alias("t25"),
+        F.sum(
+            (F.col("m0") + F.col("m1") + F.col("m2")).cast(d38)
+            * (F.col("m0") + F.col("m1") + F.col("m2") - 1).cast(d38)
+        ).alias("t2"),
+        F.sum(
+            (F.col("m0") + F.col("m1") + F.col("m2")).cast(d38)
+            * (F.col("m0") + F.col("m1") + F.col("m2") - 1).cast(d38)
+            * (F.col("m0") + F.col("m1") + F.col("m2") - 2).cast(d38)
+        ).alias("t3"),
+    )
+    sizes = grid.groupBy("g").agg(F.sum("m").cast("long").alias("n_g"))
+    gs = sizes.agg(
+        F.sum("n_g").cast("long").alias("n_total"),
+        F.sum(F.col("n_g").cast(d38) * F.col("n_g").cast(d38)).alias("sum_n2"),
+        F.sum(
+            F.col("n_g").cast(d38)
+            * (F.col("n_g") - 1).cast(d38)
+            * (2 * F.col("n_g") + 5).cast(d38)
+        ).alias("g25"),
+        F.sum(F.col("n_g").cast(d38) * (F.col("n_g") - 1).cast(d38)).alias("g2"),
+        F.sum(
+            F.col("n_g").cast(d38)
+            * (F.col("n_g") - 1).cast(d38)
+            * (F.col("n_g") - 2).cast(d38)
+        ).alias("g3"),
+    )
+    return (
+        jt.crossJoin(F.broadcast(gs))
+        .select(
+            "n_total",
+            F.col("jt2").cast("long").alias("jt2"),
+            "sum_n2",
+            F.expr(
+                "CASE WHEN n_total >= 3 THEN"
+                " (CAST(n_total AS DOUBLE) * (n_total - 1) * (2 * n_total + 5)"
+                "  - CAST(g25 AS DOUBLE) - CAST(t25 AS DOUBLE)) / 72"
+                " + CAST(g3 AS DOUBLE) * CAST(t3 AS DOUBLE)"
+                "   / (36.0 * n_total * (n_total - 1) * (n_total - 2))"
+                " + CAST(g2 AS DOUBLE) * CAST(t2 AS DOUBLE)"
+                "   / (8.0 * n_total * (n_total - 1))"
+                " ELSE 0.0 END"
+            ).alias("var_jt"),
+        )
+        .select(
+            "n_total",
+            "jt2",
+            F.expr(
+                "CAST(CASE WHEN var_jt > 0 THEN round(1000 * "
+                " (CAST(jt2 AS DOUBLE) / 2"
+                "  - (CAST(n_total AS DOUBLE) * n_total"
+                "     - CAST(sum_n2 AS DOUBLE)) / 4)"
+                " / sqrt(var_jt)) ELSE 0 END AS BIGINT)"
+            ).alias("z_milli"),
+        )
+    )
+
+
+def jonckheere_terpstra_dayparts_sql() -> str:
+    return """
+        WITH grid AS (
+            SELECT CAST(round(value * 100) AS BIGINT) AS c,
+                   CASE WHEN EXTRACT(hour FROM ts) <= 7 THEN 0
+                        WHEN EXTRACT(hour FROM ts) <= 15 THEN 1
+                        ELSE 2 END AS g,
+                   CAST(COUNT(*) AS BIGINT) AS m
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        wide AS (
+            SELECT c,
+                   CAST(SUM(CASE WHEN g = 0 THEN m ELSE 0 END) AS BIGINT) AS m0,
+                   CAST(SUM(CASE WHEN g = 1 THEN m ELSE 0 END) AS BIGINT) AS m1,
+                   CAST(SUM(CASE WHEN g = 2 THEN m ELSE 0 END) AS BIGINT) AS m2
+            FROM grid GROUP BY c
+        ),
+        cum AS (
+            SELECT c, m0, m1, m2,
+                   SUM(m0) OVER w AS c0, SUM(m1) OVER w AS c1,
+                   SUM(m2) OVER w AS c2
+            FROM wide
+            WINDOW w AS (ORDER BY c
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        jt AS (
+            SELECT SUM(CAST(m1 AS HUGEINT) * (2 * c0 - m0)
+                       + CAST(m2 AS HUGEINT) * (2 * c0 - m0)
+                       + CAST(m2 AS HUGEINT) * (2 * c1 - m1)) AS jt2,
+                   SUM(CAST(m0 + m1 + m2 AS HUGEINT) * (m0 + m1 + m2 - 1)
+                       * (2 * (m0 + m1 + m2) + 5)) AS t25,
+                   SUM(CAST(m0 + m1 + m2 AS HUGEINT) * (m0 + m1 + m2 - 1)) AS t2,
+                   SUM(CAST(m0 + m1 + m2 AS HUGEINT) * (m0 + m1 + m2 - 1)
+                       * (m0 + m1 + m2 - 2)) AS t3
+            FROM cum
+        ),
+        gs AS (
+            SELECT CAST(SUM(n_g) AS BIGINT) AS n_total,
+                   SUM(CAST(n_g AS HUGEINT) * n_g) AS sum_n2,
+                   SUM(CAST(n_g AS HUGEINT) * (n_g - 1) * (2 * n_g + 5)) AS g25,
+                   SUM(CAST(n_g AS HUGEINT) * (n_g - 1)) AS g2,
+                   SUM(CAST(n_g AS HUGEINT) * (n_g - 1) * (n_g - 2)) AS g3
+            FROM (
+                SELECT g, CAST(SUM(m) AS BIGINT) AS n_g FROM grid GROUP BY g
+            )
+        ),
+        v AS (
+            SELECT n_total, CAST(jt2 AS BIGINT) AS jt2, sum_n2,
+                   CASE WHEN n_total >= 3 THEN
+                     (CAST(n_total AS DOUBLE) * (n_total - 1) * (2 * n_total + 5)
+                      - CAST(g25 AS DOUBLE) - CAST(t25 AS DOUBLE)) / 72
+                     + CAST(g3 AS DOUBLE) * CAST(t3 AS DOUBLE)
+                       / (36.0 * n_total * (n_total - 1) * (n_total - 2))
+                     + CAST(g2 AS DOUBLE) * CAST(t2 AS DOUBLE)
+                       / (8.0 * n_total * (n_total - 1))
+                   ELSE 0.0 END AS var_jt
+            FROM jt CROSS JOIN gs
+        )
+        SELECT n_total, jt2,
+               CAST(CASE WHEN var_jt > 0 THEN round(1000 *
+                    (CAST(jt2 AS DOUBLE) / 2
+                     - (CAST(n_total AS DOUBLE) * n_total
+                        - CAST(sum_n2 AS DOUBLE)) / 4)
+                    / sqrt(var_jt)) ELSE 0 END AS BIGINT) AS z_milli
+        FROM v
+    """

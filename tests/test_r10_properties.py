@@ -371,3 +371,128 @@ def test_cumulative_periodogram_matches_reference(spark, counts):
     ).withColumn("ts", F.to_timestamp("ts"))
     r = cumulative_periodogram_test(df).collect()[0]
     assert (r.n_days, r.m_freqs, r.d_milli, r.worst_freq) == _cumper_ref(counts)
+
+
+# --- restricted mean survival time (L-474) -------------------------------------------------
+
+# per-user conversion offsets: None = censored, else days to purchase 0..35
+RMST_USERS = st.lists(
+    st.one_of(st.none(), st.integers(0, 35)), min_size=1, max_size=12
+)
+
+
+def _rmst_ref(offsets, max_days=30):
+    n_users = len(offsets)
+    conv = {}
+    for o in offsets:
+        if o is not None and 0 <= o <= max_days:
+            conv[o] = conv.get(o, 0) + 1
+    out = {}
+    ln_sum, died, smicro = 0.0, False, []
+    at_risk = n_users
+    for day in range(0, max_days + 1):
+        d = conv.get(day, 0)
+        if at_risk > 0 and d == at_risk:
+            died = True
+        if at_risk > 0 and d < at_risk:
+            ln_sum += math.log((at_risk - d) / at_risk)
+        smicro.append(0 if died else _rha(1e6 * math.exp(ln_sum)))
+        at_risk -= d
+    for tau in (7, 14, 30):
+        out[tau] = (n_users, _rha(sum(smicro[:tau]) / 1000.0))
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(offsets=RMST_USERS)
+def test_rmst_matches_reference(spark, offsets):
+    import datetime as dt
+
+    from pagila_etl_airflow_assignment_spark.operators.analytics import (
+        restricted_mean_survival,
+    )
+
+    rows = []
+    eid = 0
+    base = dt.datetime(2024, 1, 1)
+    for u, off in enumerate(offsets, start=1):
+        eid += 1
+        rows.append((eid, base, u, "signup", 0.0))
+        if off is not None:
+            eid += 1
+            rows.append(
+                (eid, base + dt.timedelta(days=off, hours=1), u, "purchase", 0.0)
+            )
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    )
+    got = {r.tau_days: (r.n_users, r.rmst_milli) for r in restricted_mean_survival(ev).collect()}
+    assert got == _rmst_ref(offsets)
+
+
+# --- Jonckheere-Terpstra (L-475) ------------------------------------------------------------
+
+# values (centi) per ordered group (3 groups)
+JT_GROUPS = st.tuples(
+    st.lists(st.integers(0, 8), min_size=1, max_size=8),
+    st.lists(st.integers(0, 8), min_size=1, max_size=8),
+    st.lists(st.integers(0, 8), min_size=1, max_size=8),
+)
+
+
+def _jt_ref(groups):
+    from collections import Counter
+
+    n = sum(len(g) for g in groups)
+    jt2 = 0
+    for i in range(3):
+        for j in range(i + 1, 3):
+            for x in groups[i]:
+                for y in groups[j]:
+                    if x < y:
+                        jt2 += 2
+                    elif x == y:
+                        jt2 += 1
+    sum_n2 = sum(len(g) ** 2 for g in groups)
+    g25 = sum(len(g) * (len(g) - 1) * (2 * len(g) + 5) for g in groups)
+    g2 = sum(len(g) * (len(g) - 1) for g in groups)
+    g3 = sum(len(g) * (len(g) - 1) * (len(g) - 2) for g in groups)
+    ties = Counter()
+    for g in groups:
+        ties.update(g)
+    t25 = sum(t * (t - 1) * (2 * t + 5) for t in ties.values())
+    t2 = sum(t * (t - 1) for t in ties.values())
+    t3 = sum(t * (t - 1) * (t - 2) for t in ties.values())
+    if n >= 3:
+        var = (
+            (n * (n - 1) * (2 * n + 5) - g25 - t25) / 72
+            + g3 * t3 / (36.0 * n * (n - 1) * (n - 2))
+            + g2 * t2 / (8.0 * n * (n - 1))
+        )
+        z = _rha(1000 * (jt2 / 2 - (n * n - sum_n2) / 4) / math.sqrt(var)) if var > 0 else 0
+    else:
+        z = 0
+    return (n, jt2, z)
+
+
+@settings(max_examples=10, deadline=None)
+@given(groups=JT_GROUPS)
+def test_jonckheere_matches_reference(spark, groups):
+    from pagila_etl_airflow_assignment_spark.operators.stats import (
+        jonckheere_terpstra_dayparts,
+    )
+
+    hours = (3, 10, 20)  # night / day / evening block representatives
+    rows = []
+    for gi, vals in enumerate(groups):
+        for k, c in enumerate(vals):
+            rows.append(
+                (1, "click", f"2024-01-05 {hours[gi]:02d}:{k:02d}:00", c / 100.0)
+            )
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    r = jonckheere_terpstra_dayparts(df).collect()[0]
+    assert (r.n_total, r.jt2, r.z_milli) == _jt_ref(groups)

@@ -441,6 +441,8 @@ PROBES = [
     "events_moments_tail_bounds",
     "events_ar2_forecast",
     "events_cumulative_periodogram",
+    "events_rmst",
+    "events_jonckheere_terpstra",
 ]
 
 
