@@ -1341,3 +1341,24 @@ def q_lsh_pr_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the exact n-gram-Jaccard ground truth — the operating point
     every banding change must be priced on."""
     return dedup.lsh_pr_scorecard(load_table(spark, sf_dir, "documents"))
+
+
+# --- round 10 ---------------------------------------------------------------------------
+
+
+@register("ann_map_eval", oracle=similarity.map_eval_sql(ANN_QUERY_IDS))
+def q_map_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP@k of the LSH ranking vs exact cosine — order-sensitive binary
+    ranking quality with lcm-cleared precision denominators, exact
+    integer throughout."""
+    return similarity.map_eval(
+        load_table(spark, sf_dir, "embeddings"), ANN_QUERY_IDS
+    )
+
+
+@register("text_brier_decomposition", oracle=text.brier_decomposition_sql())
+def q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the quality classifier's Brier score —
+    reliability/resolution/uncertainty over the calibration bins with the
+    within-bin residual reported, not assumed zero."""
+    return text.brier_decomposition(load_table(spark, sf_dir, "documents"))

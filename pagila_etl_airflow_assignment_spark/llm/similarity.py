@@ -2500,3 +2500,101 @@ def assignment_margin_sql(n_centroids: int = IVF_CENTROIDS) -> str:
         FROM panel
         ORDER BY margin_bucket
     """
+
+
+# --- MAP@k of the LSH ranking -----------------------------------------------------------
+
+MAP_LCM = 60  # lcm(1..DEFAULT_K): clears every precision denominator
+
+
+def map_eval(
+    embeddings: DataFrame, query_ids: list[int], k: int = DEFAULT_K
+) -> DataFrame:
+    """MAP@k of the LSH approximate ranking against the exact cosine top-k
+    — the ORDER-sensitive binary metric between recall@k (order-blind) and
+    NDCG (graded): AP = (1/k) sum_i hit_i * (cumhits_i / i), so an early
+    miss drags every later precision term. Output: (query_id, n_hits,
+    ap_scaled, ap_milli) per query, ordered.
+
+    Everything is exact-integer: hits are 0/1 from the (query, vec) join,
+    cumulative hits ride a rank window over <= k rows, each precision
+    denominator clears through the lcm weight {MAP_LCM}/i, and ap_milli is
+    one positive floor division of BIGINTs — nothing to drift cross-engine.
+
+    Scale shape: identical economics to ndcg_eval — both rankings come
+    from broadcast-query pipelines, the alignment join is (query,
+    vec)-keyed over <= |queries| * k rows, the window partitions per
+    query."""
+    exact = brute_force_topk(embeddings, query_ids, k).select(
+        "query_id", "vec_id", F.lit(1).alias("hit")
+    )
+    approx = lsh_bucket_topk(embeddings, query_ids, k).select(
+        "query_id", "vec_id", F.col("rank").alias("arank")
+    )
+    w_expr = "CASE arank " + " ".join(
+        f"WHEN {i} THEN {MAP_LCM // i}" for i in range(1, k + 1)
+    ) + " ELSE 0 END"
+    wq = Window.partitionBy("query_id").orderBy("arank").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    aligned = approx.join(exact, ["query_id", "vec_id"], "left").select(
+        "query_id",
+        "arank",
+        F.coalesce("hit", F.lit(0)).alias("hit"),
+    )
+    per_q = (
+        aligned.select(
+            "query_id",
+            "hit",
+            F.expr(w_expr).alias("w"),
+            F.sum("hit").over(wq).cast("long").alias("cumhits"),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.sum("hit").cast("long").alias("n_hits"),
+            F.sum(F.col("hit") * F.col("cumhits") * F.col("w"))
+            .cast("long")
+            .alias("ap_scaled"),
+        )
+    )
+    return per_q.select(
+        "query_id",
+        "n_hits",
+        "ap_scaled",
+        F.expr(f"CAST(1000 * ap_scaled DIV {MAP_LCM * k} AS BIGINT)").alias(
+            "ap_milli"
+        ),
+    ).orderBy("query_id")
+
+
+def map_eval_sql(query_ids: list[int], k: int = DEFAULT_K) -> str:
+    w_expr = "CASE a.rank " + " ".join(
+        f"WHEN {i} THEN {MAP_LCM // i}" for i in range(1, k + 1)
+    ) + " ELSE 0 END"
+    return f"""
+        WITH exact_r AS ({brute_force_topk_sql(query_ids, k)}),
+        approx_r AS ({lsh_bucket_topk_sql(query_ids, k)}),
+        aligned AS (
+            SELECT a.query_id, a.rank AS arank,
+                   CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit,
+                   {w_expr} AS w
+            FROM approx_r a
+            LEFT JOIN exact_r e
+              ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+        ),
+        cum AS (
+            SELECT query_id, hit, w,
+                   SUM(hit) OVER (PARTITION BY query_id ORDER BY arank
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cumhits
+            FROM aligned
+        )
+        SELECT query_id,
+               CAST(SUM(hit) AS BIGINT) AS n_hits,
+               CAST(SUM(hit * cumhits * w) AS BIGINT) AS ap_scaled,
+               CAST(1000 * SUM(hit * cumhits * w) // {MAP_LCM * k} AS BIGINT)
+                   AS ap_milli
+        FROM cum
+        GROUP BY query_id
+        ORDER BY query_id
+    """

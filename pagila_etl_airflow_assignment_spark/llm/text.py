@@ -1902,3 +1902,193 @@ def dp_noisy_counts_sql(epsilon_milli: int = DP_EPSILON_MILLI) -> str:
         FROM noised
         ORDER BY lang, source
     """
+
+
+def brier_decomposition(docs: DataFrame) -> DataFrame:
+    """Murphy decomposition of the quality classifier's Brier score over
+    the 10 calibration bins: one row (n_docs, brier_micro, rel_micro,
+    res_micro, unc_micro, resid_micro).
+
+    classifier_calibration reports ECE (an L1 story); the Brier
+    decomposition is the proper-scoring-rule account: BS = REL - RES + UNC
+    where reliability penalizes miscalibrated bins, resolution rewards
+    bins that separate the base rate, and uncertainty is the irreducible
+    o(1-o). The identity holds exactly only when forecasts are constant
+    within bins, so the residual (BS - REL + RES - UNC, the within-bin
+    variance term the binning hides) is REPORTED rather than assumed zero.
+
+    Exactness: per-doc squared errors (p_milli - 1000*label)^2 are exact
+    BIGINTs; REL's per-bin term (p_sum - 1000*pos)^2 / n_b and RES's
+    n_b*(acc - base)^2 quantize per bin before the 10-row sums; half-up
+    integer division closes BS; one double chain at the 1-row boundary for
+    REL/RES/UNC. Same scorer and binning as classifier_calibration.
+
+    Scale shape: the zero-shuffle classifier expression, one 10-row bin
+    aggregate, one 1-row combine."""
+    from .hashing import md5_int
+
+    toks = F.split(_norm(F.col("text")), WS_RE)
+    wsum = F.aggregate(
+        F.transform(F.col("t"), lambda t: md5_int(t) % CLF_W_MOD),
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + w,
+    )
+    scored = (
+        docs.select("doc_id", "n_chars", toks.alias("t"))
+        .select(
+            "n_chars",
+            F.size("t").cast("long").alias("n_tokens"),
+            wsum.alias("wsum"),
+        )
+        .select(
+            "n_chars",
+            (
+                F.expr("CAST((2 * wsum + n_tokens) DIV (2 * n_tokens) AS BIGINT)")
+                - F.lit(1000)
+            ).alias("logit_milli"),
+        )
+        .select(
+            F.expr(
+                "LEAST(CAST(1000 AS BIGINT),"
+                " GREATEST(CAST(0 AS BIGINT), 500 + logit_milli))"
+            ).alias("p_milli"),
+            F.when(F.col("n_chars") >= CALIB_LABEL_CHARS, 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("label"),
+        )
+    )
+    binned = scored.groupBy(
+        F.expr("LEAST(CAST(9 AS BIGINT), p_milli DIV 100)").alias("bin")
+    ).agg(
+        F.count("*").cast("long").alias("n_b"),
+        F.sum("p_milli").cast("long").alias("p_sum"),
+        F.sum("label").cast("long").alias("pos"),
+        F.sum(
+            (F.col("p_milli") - 1000 * F.col("label"))
+            * (F.col("p_milli") - 1000 * F.col("label"))
+        )
+        .cast("long")
+        .alias("sq_err"),
+    )
+    tot = binned.agg(
+        F.sum("n_b").cast("long").alias("n_docs"),
+        F.sum("pos").cast("long").alias("pos_all"),
+        F.sum("sq_err").cast("long").alias("sq_all"),
+    )
+    terms = binned.crossJoin(F.broadcast(tot)).select(
+        "n_docs",
+        "pos_all",
+        "sq_all",
+        # REL term in micro*N units: (p_sum - 1000*pos)^2 / n_b
+        F.expr(
+            "CAST(round(CAST((p_sum - 1000 * pos) AS DOUBLE)"
+            " * (p_sum - 1000 * pos) / n_b) AS BIGINT)"
+        ).alias("rel_t"),
+        # RES term in micro*N units: n_b * (1000*pos/n_b - 1000*pos_all/n_docs)^2
+        F.expr(
+            "CAST(round(n_b * pow(1000.0 * pos / n_b"
+            " - 1000.0 * pos_all / n_docs, 2)) AS BIGINT)"
+        ).alias("res_t"),
+    )
+    agg = terms.groupBy("n_docs", "pos_all", "sq_all").agg(
+        F.sum("rel_t").cast("long").alias("rel_num"),
+        F.sum("res_t").cast("long").alias("res_num"),
+    )
+    return agg.select(
+        "n_docs",
+        F.expr("CAST((2 * sq_all + n_docs) DIV (2 * n_docs) AS BIGINT)").alias(
+            "brier_micro"
+        ),
+        F.expr("CAST((2 * rel_num + n_docs) DIV (2 * n_docs) AS BIGINT)").alias(
+            "rel_micro"
+        ),
+        F.expr("CAST((2 * res_num + n_docs) DIV (2 * n_docs) AS BIGINT)").alias(
+            "res_micro"
+        ),
+        F.expr(
+            "CAST(round(1e6 * (1.0 * pos_all / n_docs)"
+            " * (1 - 1.0 * pos_all / n_docs)) AS BIGINT)"
+        ).alias("unc_micro"),
+    ).select(
+        "n_docs",
+        "brier_micro",
+        "rel_micro",
+        "res_micro",
+        "unc_micro",
+        (
+            F.col("brier_micro")
+            - F.col("rel_micro")
+            + F.col("res_micro")
+            - F.col("unc_micro")
+        ).alias("resid_micro"),
+    )
+
+
+def brier_decomposition_sql() -> str:
+    from .hashing import md5_int_sql
+
+    w = f"({md5_int_sql('t')} % {CLF_W_MOD})"
+    return rf"""
+    WITH toks AS (
+        SELECT doc_id, n_chars,
+               string_split_regex({_norm_sql('text')}, '{WS_RE}') AS t
+        FROM documents
+    ),
+    scored0 AS (
+        SELECT n_chars,
+               CAST(len(t) AS BIGINT) AS n_tokens,
+               CAST(list_sum(list_transform(t, t -> {w})) AS BIGINT) AS wsum
+        FROM toks
+    ),
+    scored AS (
+        SELECT LEAST(CAST(1000 AS BIGINT), GREATEST(CAST(0 AS BIGINT),
+                   500 + (2 * wsum + n_tokens) // (2 * n_tokens) - 1000))
+                   AS p_milli,
+               CASE WHEN n_chars >= {CALIB_LABEL_CHARS} THEN 1 ELSE 0 END
+                   AS label
+        FROM scored0
+    ),
+    binned AS (
+        SELECT LEAST(CAST(9 AS BIGINT), p_milli // 100) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n_b,
+               CAST(SUM(p_milli) AS BIGINT) AS p_sum,
+               CAST(SUM(label) AS BIGINT) AS pos,
+               CAST(SUM((p_milli - 1000 * label) * (p_milli - 1000 * label))
+                   AS BIGINT) AS sq_err
+        FROM scored GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_b) AS BIGINT) AS n_docs,
+               CAST(SUM(pos) AS BIGINT) AS pos_all,
+               CAST(SUM(sq_err) AS BIGINT) AS sq_all
+        FROM binned
+    ),
+    terms AS (
+        SELECT n_docs, pos_all, sq_all,
+               CAST(round(CAST((p_sum - 1000 * pos) AS DOUBLE)
+                    * (p_sum - 1000 * pos) / n_b) AS BIGINT) AS rel_t,
+               CAST(round(n_b * pow(1000.0 * pos / n_b
+                    - 1000.0 * pos_all / n_docs, 2)) AS BIGINT) AS res_t
+        FROM binned CROSS JOIN tot
+    ),
+    agg AS (
+        SELECT n_docs, pos_all, sq_all,
+               CAST(SUM(rel_t) AS BIGINT) AS rel_num,
+               CAST(SUM(res_t) AS BIGINT) AS res_num
+        FROM terms GROUP BY n_docs, pos_all, sq_all
+    )
+    SELECT n_docs,
+           CAST((2 * sq_all + n_docs) // (2 * n_docs) AS BIGINT) AS brier_micro,
+           CAST((2 * rel_num + n_docs) // (2 * n_docs) AS BIGINT) AS rel_micro,
+           CAST((2 * res_num + n_docs) // (2 * n_docs) AS BIGINT) AS res_micro,
+           CAST(round(1e6 * (1.0 * pos_all / n_docs)
+                * (1 - 1.0 * pos_all / n_docs)) AS BIGINT) AS unc_micro,
+           CAST((2 * sq_all + n_docs) // (2 * n_docs)
+                - (2 * rel_num + n_docs) // (2 * n_docs)
+                + (2 * res_num + n_docs) // (2 * n_docs)
+                - round(1e6 * (1.0 * pos_all / n_docs)
+                        * (1 - 1.0 * pos_all / n_docs)) AS BIGINT)
+               AS resid_micro
+    FROM agg
+    """

@@ -2737,3 +2737,157 @@ def restricted_mean_survival_sql(max_days: int = RMST_MAX_DAYS) -> str:
     GROUP BY tau_days
     ORDER BY tau_days
     """
+
+
+ERLANG_SERVICE_PER_HOUR = 50  # declared per-server service rate
+ERLANG_GRID = 8  # servers evaluated: c0 .. c0+7
+ERLANG_C_CAP = 12  # factorial() stays in BIGINT; see docstring for big-a form
+
+
+def erlang_c_staffing(
+    events: DataFrame, mu: int = ERLANG_SERVICE_PER_HOUR
+) -> DataFrame:
+    """Erlang-C staffing table from the measured event arrival rate: for 8
+    candidate server counts, the probability an arrival waits and its
+    expected queue delay — the queueing-theory capacity answer behind
+    littles_law's empirical one: rows (servers, rho_micro, p_wait_micro,
+    wq_ms) ordered by servers.
+
+    lambda is measured (N events over 24*|days| hours); mu is the declared
+    {ERLANG_SERVICE_PER_HOUR}/hour. With offered load a = lambda/mu,
+        C(c, a) = (a^c / (c! (1-rho))) / (sum_{{k<c}} a^k/k! + a^c/(c!(1-rho)))
+        Wq = C / (c*mu - lambda),  rho = a/c
+    The grid starts at ceil(a) (capped at {ERLANG_C_CAP} so factorial()
+    stays exact BIGINT — production sizing at hundreds of erlangs uses the
+    Horner/lgamma form) and unstable rows (rho >= 1) emit the honest
+    sentinel p_wait = 1, wq = 0.
+
+    Exactness: N and the day count are exact; each a^k/k! term quantizes
+    to pico before the bounded k-sum, so the C ratio is a deterministic
+    double of two exact BIGINTs.
+
+    Scale shape: one 2-scalar aggregate of the events table; everything
+    after is an 8 x <=c literal grid."""
+    tot = events.agg(
+        F.count("*").cast("long").alias("n"),
+        F.countDistinct(F.to_date("ts")).cast("long").alias("days"),
+    )
+    base = tot.select(
+        "n",
+        "days",
+        F.expr("CAST(n AS DOUBLE) / (24 * days)").alias("lam"),
+    ).select(
+        "lam",
+        F.expr(f"lam / {mu}").alias("a"),
+        F.expr(
+            f"CAST(greatest(1, least(CAST(ceil(lam / {mu}) AS BIGINT),"
+            f" {ERLANG_C_CAP})) AS BIGINT)"
+        ).alias("c0"),
+    )
+    grid = base.select(
+        "lam",
+        "a",
+        F.explode(
+            F.expr(f"sequence(c0, c0 + {ERLANG_GRID - 1})")
+        ).alias("c"),
+    )
+    terms = grid.select(
+        "lam",
+        "a",
+        "c",
+        F.explode(F.expr("sequence(0, CAST(c - 1 AS INT))")).alias("k"),
+    ).select(
+        "lam",
+        "a",
+        "c",
+        F.expr(
+            "CASE WHEN a < c THEN CAST(round(1e12 * pow(a, k) / factorial(k))"
+            " AS BIGINT) ELSE 0 END"
+        ).alias("t_k"),
+    )
+    summed = terms.groupBy("lam", "a", "c").agg(
+        F.sum("t_k").cast("long").alias("s_pico")
+    )
+    return (
+        summed.select(
+            "lam",
+            "a",
+            "c",
+            "s_pico",
+            F.expr(
+                "CASE WHEN a < c THEN CAST(round(1e12 * pow(a, c)"
+                " / (factorial(CAST(c AS INT)) * (1 - a / c))) AS BIGINT)"
+                " ELSE 0 END"
+            ).alias("l_pico"),
+        )
+        .select(
+            F.col("c").cast("long").alias("servers"),
+            F.expr("CAST(round(1e6 * a / c) AS BIGINT)").alias("rho_micro"),
+            F.expr(
+                "CASE WHEN a < c THEN CAST(round(1e6 * l_pico"
+                " / CAST(s_pico + l_pico AS DOUBLE)) AS BIGINT)"
+                " ELSE 1000000 END"
+            ).alias("p_wait_micro"),
+            F.expr(
+                f"CASE WHEN a < c THEN CAST(round(1000 * 3600"
+                f" * (l_pico / CAST(s_pico + l_pico AS DOUBLE))"
+                f" / (c * {mu} - lam)) AS BIGINT)"
+                " ELSE 0 END"
+            ).alias("wq_ms"),
+        )
+        .orderBy("servers")
+    )
+
+
+def erlang_c_staffing_sql(mu: int = ERLANG_SERVICE_PER_HOUR) -> str:
+    return f"""
+    WITH tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS days
+        FROM events
+    ),
+    base AS (
+        SELECT CAST(n AS DOUBLE) / (24 * days) AS lam,
+               CAST(n AS DOUBLE) / (24 * days) / {mu} AS a,
+               CAST(greatest(1, least(CAST(ceil(CAST(n AS DOUBLE)
+                   / (24 * days) / {mu}) AS BIGINT), {ERLANG_C_CAP}))
+                   AS BIGINT) AS c0
+        FROM tot
+    ),
+    grid AS (
+        SELECT lam, a, c
+        FROM base CROSS JOIN UNNEST(generate_series(0, {ERLANG_GRID - 1}))
+            AS gi(i)
+        CROSS JOIN LATERAL (SELECT c0 + i AS c) g
+    ),
+    terms AS (
+        SELECT lam, a, c,
+               CASE WHEN a < c THEN CAST(round(1e12 * pow(a, k)
+                    / factorial(CAST(k AS INT))) AS BIGINT)
+                    ELSE 0 END AS t_k
+        FROM grid CROSS JOIN UNNEST(generate_series(0, 50)) AS gk(k)
+        WHERE k < c
+    ),
+    summed AS (
+        SELECT lam, a, c, CAST(SUM(t_k) AS BIGINT) AS s_pico
+        FROM terms GROUP BY lam, a, c
+    ),
+    scored AS (
+        SELECT lam, a, c, s_pico,
+               CASE WHEN a < c THEN CAST(round(1e12 * pow(a, c)
+                    / (factorial(CAST(c AS INT)) * (1 - a / c))) AS BIGINT)
+                    ELSE 0 END AS l_pico
+        FROM summed
+    )
+    SELECT CAST(c AS BIGINT) AS servers,
+           CAST(round(1e6 * a / c) AS BIGINT) AS rho_micro,
+           CASE WHEN a < c THEN CAST(round(1e6 * l_pico
+                / CAST(s_pico + l_pico AS DOUBLE)) AS BIGINT)
+                ELSE 1000000 END AS p_wait_micro,
+           CASE WHEN a < c THEN CAST(round(1000 * 3600
+                * (l_pico / CAST(s_pico + l_pico AS DOUBLE))
+                / (c * {mu} - lam)) AS BIGINT)
+                ELSE 0 END AS wq_ms
+    FROM scored
+    ORDER BY servers
+    """

@@ -3093,3 +3093,11 @@ def q_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid-cumulative pair counting (never pair enumeration) with the full
     tie-corrected variance."""
     return stats.jonckheere_terpstra_dayparts(load_table(spark, sf_dir, "events"))
+
+
+@register("events_erlang_c", oracle=analytics.erlang_c_staffing_sql())
+def q_erlang_c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Erlang-C staffing table from the measured arrival rate — wait
+    probability and expected queue delay across 8 server counts, pico-
+    quantized term sums on a bounded factorial grid."""
+    return analytics.erlang_c_staffing(load_table(spark, sf_dir, "events"))

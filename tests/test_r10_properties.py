@@ -496,3 +496,173 @@ def test_jonckheere_matches_reference(spark, groups):
     ).withColumn("ts", F.to_timestamp("ts"))
     r = jonckheere_terpstra_dayparts(df).collect()[0]
     assert (r.n_total, r.jt2, r.z_milli) == _jt_ref(groups)
+
+
+# --- Erlang-C staffing (L-476) ---------------------------------------------------------
+
+ERL_SHAPE = st.tuples(st.integers(10, 400), st.integers(1, 5), st.integers(1, 5))
+
+
+def _erlang_ref(n, days, mu):
+    lam = n / (24 * days)
+    a = lam / mu
+    c0 = max(1, min(math.ceil(a), 12))
+    out = {}
+    for c in range(c0, c0 + 8):
+        rho = a / c
+        if a < c:
+            s = sum(
+                _rha(1e12 * a**k / math.factorial(k)) for k in range(c)
+            )
+            ell = _rha(1e12 * a**c / (math.factorial(c) * (1 - rho)))
+            pw = _rha(1e6 * ell / (s + ell))
+            wq = _rha(1000 * 3600 * (ell / (s + ell)) / (c * mu - lam))
+        else:
+            pw, wq = 1000000, 0
+        out[c] = (_rha(1e6 * rho), pw, wq)
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(shape=ERL_SHAPE)
+def test_erlang_c_matches_reference(spark, shape):
+    from pagila_etl_airflow_assignment_spark.operators.analytics import (
+        erlang_c_staffing,
+    )
+
+    n, days, mu = shape
+    rows = [
+        (
+            i,
+            "click",
+            f"2024-01-{(i % days) + 1:02d} {(i // days) % 24:02d}:00:00",
+            1.0,
+        )
+        for i in range(n)
+    ]
+    df = (
+        spark.createDataFrame(
+            rows, "user_id long, event_type string, ts string, value double"
+        )
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    got = {
+        r.servers: (r.rho_micro, r.p_wait_micro, r.wq_ms)
+        for r in erlang_c_staffing(df, mu=mu).collect()
+    }
+    assert got == _erlang_ref(n, days, mu)
+
+
+# --- MAP@k (L-477) -----------------------------------------------------------------------
+
+
+def test_map_eval_matches_python_ap_of_the_certified_rankings(spark):
+    """AP computed in Python from the module's own exact/LSH rankings
+    (each independently certified) must equal map_eval's output — the AP
+    formula gets its own differential."""
+    from pagila_etl_airflow_assignment_spark.llm import similarity
+
+    vecs = spark.createDataFrame(
+        [
+            (i, [0.1 * ((i * 13 + j * 7) % 23 - 11) for j in range(64)], 0)
+            for i in range(30)
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    qids = [0, 1, 2]
+    k = 5
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in similarity.brute_force_topk(vecs, qids, k).collect()
+    }
+    approx = sorted(
+        (r.query_id, r.rank, r.vec_id)
+        for r in similarity.lsh_bucket_topk(vecs, qids, k).collect()
+    )
+    ref = {}
+    for q in qids:
+        ranked = [v for (qq, _, v) in approx if qq == q]
+        hits, cum, ap_scaled = 0, 0, 0
+        for i, v in enumerate(ranked, start=1):
+            if (q, v) in exact:
+                cum += 1
+                hits += 1
+                ap_scaled += cum * (60 // i)
+        ref[q] = (hits, ap_scaled, 1000 * ap_scaled // 300)
+    got = {
+        r.query_id: (r.n_hits, r.ap_scaled, r.ap_milli)
+        for r in similarity.map_eval(vecs, qids, k).collect()
+    }
+    assert got == ref
+
+
+# --- Brier decomposition (L-478) -----------------------------------------------------------
+
+BRIER_DOCS = st.lists(
+    st.tuples(st.text(alphabet="abcdef ghij", min_size=1, max_size=30), st.integers(10, 600)),
+    min_size=2,
+    max_size=12,
+)
+
+
+def _brier_ref(docs):
+    import hashlib
+    import re
+
+    def p_label(text, n_chars):
+        norm = re.sub(r"\s+", " ", text.strip()).lower()
+        toks = re.split(r"\s+", norm)
+        wsum = sum(
+            int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % 2001
+            for t in toks
+        )
+        nt = len(toks)
+        p = 500 + (2 * wsum + nt) // (2 * nt) - 1000
+        return max(0, min(1000, p)), 1 if n_chars >= 300 else 0
+
+    scored = [p_label(t, nc) for t, nc in docs]
+    from collections import defaultdict
+
+    bins = defaultdict(lambda: [0, 0, 0, 0])  # n, p_sum, pos, sq
+    for p, lab in scored:
+        b = min(9, p // 100)
+        bins[b][0] += 1
+        bins[b][1] += p
+        bins[b][2] += lab
+        bins[b][3] += (p - 1000 * lab) ** 2
+    n = len(scored)
+    pos_all = sum(v[2] for v in bins.values())
+    sq_all = sum(v[3] for v in bins.values())
+    rel_num = sum(
+        _rha(float((v[1] - 1000 * v[2])) * (v[1] - 1000 * v[2]) / v[0])
+        for v in bins.values()
+    )
+    res_num = sum(
+        _rha(v[0] * (1000.0 * v[2] / v[0] - 1000.0 * pos_all / n) ** 2)
+        for v in bins.values()
+    )
+    brier = (2 * sq_all + n) // (2 * n)
+    rel = (2 * rel_num + n) // (2 * n)
+    res = (2 * res_num + n) // (2 * n)
+    unc = _rha(1e6 * (pos_all / n) * (1 - pos_all / n))
+    return (n, brier, rel, res, unc, brier - rel + res - unc)
+
+
+@settings(max_examples=10, deadline=None)
+@given(docs=BRIER_DOCS)
+def test_brier_decomposition_matches_reference(spark, docs):
+    from pagila_etl_airflow_assignment_spark.llm.text import brier_decomposition
+
+    df = spark.createDataFrame(
+        [(i, t, "en", "webA", nc) for i, (t, nc) in enumerate(docs)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    r = brier_decomposition(df).collect()[0]
+    assert (
+        r.n_docs,
+        r.brier_micro,
+        r.rel_micro,
+        r.res_micro,
+        r.unc_micro,
+        r.resid_micro,
+    ) == _brier_ref(docs)

@@ -443,6 +443,9 @@ PROBES = [
     "events_cumulative_periodogram",
     "events_rmst",
     "events_jonckheere_terpstra",
+    "events_erlang_c",
+    "ann_map_eval",
+    "text_brier_decomposition",
 ]
 
 
