@@ -2576,3 +2576,133 @@ def eigenvector_centrality_sql(
         ORDER BY score_micro DESC, p_partkey
         LIMIT {k}
     """
+
+
+# --- k-truss decomposition -------------------------------------------------------
+
+KTRUSS_K = 4     # every surviving edge sits in >= k-2 = 2 triangles
+KTRUSS_PEELS = 2
+
+
+def ktruss_edges(
+    lineitem: DataFrame,
+    k: int = KTRUSS_K,
+    peels: int = KTRUSS_PEELS,
+    max_basket: int = 30,
+) -> DataFrame:
+    """Edges surviving ``peels`` rounds of k-truss peeling on the
+    co-purchase graph: each round computes every edge's SUPPORT (the
+    number of triangles through it, via one wedge join) and drops edges
+    with support < k-2. Output: (part_a, part_b, support, n_peels) for the
+    surviving oriented edges with their residual support, ordered.
+
+    kcore_membership peels NODES by degree — cheap but loose (a hub of
+    pendant triangles passes). The truss condition is the standard
+    tightening: an edge must be EMBEDDED in triangles, which is the
+    community-detection workhorse one level up from the triangle census.
+    A fixed peel count keeps the whole decomposition one declarative plan
+    (the kcore treatment); the oracle unrolls identical rounds.
+
+    Scale shape: each round is one wedge join (src-keyed, the triangle-
+    census economics with the max_basket skew cap) + one semi-join of the
+    edge relation against surviving support; per-round localCheckpoint
+    stops the 3^peels subplan fan-out, exactly as in kcore."""
+    sym = _symmetric_edges(lineitem, max_basket).localCheckpoint(eager=False)
+    oriented = sym.where(F.col("src") < F.col("dst")).localCheckpoint(
+        eager=False
+    )
+    for _ in range(peels):
+        wedge = (
+            sym.select(F.col("src").alias("a"), F.col("dst").alias("w"))
+            .join(
+                sym.select(F.col("src").alias("b"), F.col("dst").alias("w")),
+                "w",
+            )
+            .where(F.col("a") < F.col("b"))
+        )
+        sup = (
+            oriented.join(
+                wedge,
+                (oriented["src"] == wedge["a"]) & (oriented["dst"] == wedge["b"]),
+            )
+            .groupBy("src", "dst")
+            .agg(F.count("*").cast("long").alias("support"))
+        )
+        oriented = (
+            sup.where(F.col("support") >= k - 2)
+            .select("src", "dst")
+            .localCheckpoint(eager=False)
+        )
+        sym = oriented.unionByName(
+            oriented.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).localCheckpoint(eager=False)
+    # residual support of the survivors against the final edge set
+    wedge = (
+        sym.select(F.col("src").alias("a"), F.col("dst").alias("w"))
+        .join(sym.select(F.col("src").alias("b"), F.col("dst").alias("w")), "w")
+        .where(F.col("a") < F.col("b"))
+    )
+    return (
+        oriented.join(
+            wedge,
+            (oriented["src"] == wedge["a"]) & (oriented["dst"] == wedge["b"]),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("long").alias("support"))
+        .select(
+            F.col("src").alias("part_a"),
+            F.col("dst").alias("part_b"),
+            "support",
+            F.lit(peels).alias("n_peels"),
+        )
+        .orderBy("part_a", "part_b")
+    )
+
+
+def ktruss_edges_sql(
+    k: int = KTRUSS_K, peels: int = KTRUSS_PEELS, max_basket: int = 30
+) -> str:
+    its = [
+        "sym0 AS (SELECT src, dst FROM edges)",
+        "o0 AS (SELECT src, dst FROM edges WHERE src < dst)",
+    ]
+    for i in range(1, peels + 1):
+        its.append(
+            f"""sup{i} AS (
+            SELECT o.src, o.dst, COUNT(*) AS support
+            FROM o{i - 1} o
+            JOIN sym{i - 1} e1 ON e1.src = o.src
+            JOIN sym{i - 1} e2 ON e2.src = o.dst AND e2.dst = e1.dst
+            GROUP BY o.src, o.dst
+        ), o{i} AS (
+            SELECT src, dst FROM sup{i} WHERE support >= {k - 2}
+        ), sym{i} AS (
+            SELECT src, dst FROM o{i}
+            UNION ALL SELECT dst, src FROM o{i}
+        )"""
+        )
+    chain = ",\n        ".join(its)
+    return f"""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), small AS (
+            SELECT l_orderkey FROM items
+            GROUP BY l_orderkey HAVING COUNT(*) <= {max_basket}
+        ), basket AS (
+            SELECT i.l_orderkey, i.l_partkey FROM items i
+            JOIN small USING (l_orderkey)
+        ), edges AS (
+            SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+            FROM basket a JOIN basket b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        ),
+        {chain}
+        SELECT o.src AS part_a, o.dst AS part_b,
+               CAST(COUNT(*) AS BIGINT) AS support,
+               {peels} AS n_peels
+        FROM o{peels} o
+        JOIN sym{peels} e1 ON e1.src = o.src
+        JOIN sym{peels} e2 ON e2.src = o.dst AND e2.dst = e1.dst
+        GROUP BY o.src, o.dst
+        ORDER BY part_a, part_b
+    """

@@ -291,3 +291,153 @@ SNAPSHOT_RETENTION_SQL = f"""
     FROM flagged
     ORDER BY snap_date
 """
+
+
+# --- Hilbert-curve layout ------------------------------------------------------
+
+HB_BITS = 6            # 64x64 cell grid
+HB_N = 1 << HB_BITS
+HB_BUCKETS = 64        # simulated file count (top Hilbert bits)
+
+
+def _hilbert_rounds():
+    """(s, q_expr, x_expr, y_expr) per unrolled xy2d round — identical
+    arithmetic string in both dialects (CASE replaces the XOR so no
+    engine-specific bit intrinsics appear)."""
+    rounds = []
+    s = HB_N // 2
+    while s > 0:
+        rx = f"(CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END)"
+        q = (
+            f"(CASE WHEN {rx} = 0 AND {ry} = 0 THEN 0"
+            f" WHEN {rx} = 0 THEN 1"
+            f" WHEN {ry} = 1 THEN 2 ELSE 3 END)"
+        )
+        x_new = (
+            f"(CASE WHEN {ry} = 1 THEN x"
+            f" WHEN {rx} = 1 THEN {HB_N - 1} - y ELSE y END)"
+        )
+        y_new = (
+            f"(CASE WHEN {ry} = 1 THEN y"
+            f" WHEN {rx} = 1 THEN {HB_N - 1} - x ELSE x END)"
+        )
+        rounds.append((s, q, x_new, y_new))
+        s //= 2
+    return rounds
+
+
+def hilbert_layout_quality(orders: DataFrame) -> DataFrame:
+    """The z-order report's Hilbert twin, same schema, directly comparable
+    row-for-row: assign each order a Hilbert-curve position over
+    (o_custkey, o_orderdate) on the {HB_N}x{HB_N} grid and report per
+    simulated file bucket the min/max range each dimension exposes to
+    pruning: (bucket, n_rows, cust_lo, cust_hi, day_lo, day_hi,
+    cust_width_milli, day_width_milli).
+
+    Why a second curve: z-order's bit interleave has long diagonal jumps
+    (bucket boundaries where the curve teleports across the grid), so some
+    buckets span a large range on one dimension; the Hilbert curve is
+    unit-step everywhere (every consecutive cell is grid-adjacent — pinned
+    by the property test), which tightens the worst buckets. Reading this
+    report against warehouse_zorder_layout quantifies that textbook claim
+    on real keys.
+
+    The xy2d walk is {HB_BITS} unrolled rotation rounds of plain integer
+    CASE arithmetic — the same expression string in both dialects, exact
+    by construction.
+
+    Scale shape: a narrow per-row expression, one bucket-keyed aggregate,
+    one 1-row global-span broadcast — identical economics to the z-order
+    report."""
+    cust = f"(o_custkey % {HB_N})"
+    day = f"(datediff(CAST(o_orderdate AS DATE), DATE'1992-01-01') % {HB_N})"
+    base = orders.select(
+        F.expr(cust).cast("long").alias("x"),
+        F.expr(day).cast("long").alias("y"),
+        F.lit(0).cast("long").alias("d"),
+    )
+    cur = base.select(
+        F.col("x").alias("c"), F.col("y").alias("dy"), "x", "y", "d"
+    )
+    for s, q, x_new, y_new in _hilbert_rounds():
+        cur = cur.select(
+            "c",
+            "dy",
+            F.expr(x_new).cast("long").alias("x"),
+            F.expr(y_new).cast("long").alias("y"),
+            (F.col("d") + s * s * F.expr(q)).cast("long").alias("d"),
+        )
+    rows = cur.select(
+        "c",
+        F.col("dy").alias("dd"),
+        F.expr(f"d DIV {HB_N * HB_N // HB_BUCKETS}").cast("long").alias("bucket"),
+    )
+    buckets = rows.groupBy("bucket").agg(
+        F.count("*").alias("n_rows"),
+        F.min("c").alias("cust_lo"),
+        F.max("c").alias("cust_hi"),
+        F.min("dd").alias("day_lo"),
+        F.max("dd").alias("day_hi"),
+    )
+    glob = rows.agg(
+        (F.max("c") - F.min("c")).alias("gc"),
+        (F.max("dd") - F.min("dd")).alias("gd"),
+    )
+    width = lambda hi, lo, g: F.expr(
+        f"CAST((2000 * ({hi} - {lo}) + {g}) DIV (2 * {g}) AS BIGINT)"
+    )
+    return (
+        buckets.crossJoin(F.broadcast(glob))
+        .select(
+            "bucket",
+            "n_rows",
+            "cust_lo",
+            "cust_hi",
+            "day_lo",
+            "day_hi",
+            width("cust_hi", "cust_lo", "gc").alias("cust_width_milli"),
+            width("day_hi", "day_lo", "gd").alias("day_width_milli"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def hilbert_layout_quality_sql() -> str:
+    cust = f"(o_custkey % {HB_N})"
+    day = f"(CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT) % {HB_N})"
+    ctes = [
+        f"r0 AS (SELECT {cust} AS c, {day} AS dy, {cust} AS x, {day} AS y,"
+        f" CAST(0 AS BIGINT) AS d FROM orders)"
+    ]
+    for i, (s, q, x_new, y_new) in enumerate(_hilbert_rounds(), start=1):
+        ctes.append(
+            f"r{i} AS (SELECT c, dy, CAST({x_new} AS BIGINT) AS x,"
+            f" CAST({y_new} AS BIGINT) AS y,"
+            f" d + {s * s} * {q} AS d FROM r{i - 1})"
+        )
+    chain = ",\n        ".join(ctes)
+    last = f"r{HB_BITS}"
+    return f"""
+        WITH {chain},
+        rows_h AS (
+            SELECT c, dy AS dd, d // {HB_N * HB_N // HB_BUCKETS} AS bucket
+            FROM {last}
+        ),
+        buckets AS (
+            SELECT bucket, COUNT(*) AS n_rows,
+                   MIN(c) AS cust_lo, MAX(c) AS cust_hi,
+                   MIN(dd) AS day_lo, MAX(dd) AS day_hi
+            FROM rows_h GROUP BY bucket
+        ),
+        gspan AS (
+            SELECT MAX(c) - MIN(c) AS gc, MAX(dd) - MIN(dd) AS gd FROM rows_h
+        )
+        SELECT bucket, n_rows, cust_lo, cust_hi, day_lo, day_hi,
+               CAST((2000 * (cust_hi - cust_lo) + gc) // (2 * gc) AS BIGINT)
+                   AS cust_width_milli,
+               CAST((2000 * (day_hi - day_lo) + gd) // (2 * gd) AS BIGINT)
+                   AS day_width_milli
+        FROM buckets CROSS JOIN gspan
+        ORDER BY bucket
+    """

@@ -3101,3 +3101,29 @@ def q_erlang_c(spark: SparkSession, sf_dir: str) -> DataFrame:
     probability and expected queue delay across 8 server counts, pico-
     quantized term sums on a bounded factorial grid."""
     return analytics.erlang_c_staffing(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "warehouse_hilbert_layout", oracle=layout.hilbert_layout_quality_sql()
+)
+def q_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering report over (custkey, orderdate) — the
+    z-order twin with unit-step locality; same schema so the two layouts
+    read side by side."""
+    return layout.hilbert_layout_quality(load_table(spark, sf_dir, "orders"))
+
+
+@register("graph_ktruss", oracle=graph.ktruss_edges_sql())
+def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-truss peel of the co-purchase graph — edges embedded in >= k-2
+    triangles after fixed unrolled support/peel rounds, the community
+    filter one level above kcore."""
+    return graph.ktruss_edges(load_table(spark, sf_dir, "lineitem"))
+
+
+@register("events_ewma_chart", oracle=stats.ewma_control_chart_sql())
+def q_ewma_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart on daily counts — geometric-kernel smoothing with
+    exact time-varying start-up limits, the small-persistent-shift
+    detector c_chart cannot be."""
+    return stats.ewma_control_chart(load_table(spark, sf_dir, "events"))

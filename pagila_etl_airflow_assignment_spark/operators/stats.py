@@ -8318,3 +8318,154 @@ def jonckheere_terpstra_dayparts_sql() -> str:
                     / sqrt(var_jt)) ELSE 0 END AS BIGINT) AS z_milli
         FROM v
     """
+
+
+# --- EWMA control chart -------------------------------------------------------------------
+
+EWMA_LAMBDA_MILLI = 200  # lambda = 0.2
+EWMA_L = 3  # control-limit width in sigma_z units
+
+
+def ewma_control_chart(events: DataFrame) -> DataFrame:
+    """EWMA control chart on daily event counts: rows (day, c, z_micro,
+    lcl_micro, ucl_micro, breach) ordered by day.
+
+    c_chart flags single-day Poisson excursions; the EWMA chart
+    accumulates SMALL persistent shifts a Shewhart chart never trips on:
+        z_t = (1-l)^t * mu + l * sum_{i<=t} (1-l)^{t-i} c_i,   l = 0.2
+    with the exact time-varying limits mu +/- L*sigma*sqrt(l/(2-l) *
+    (1-(1-l)^{2t})) — tight at start-up, widening to the asymptote, so
+    early drift is not masked by the steady-state band.
+
+    Exactness: each power-weighted term l*(1-l)^(t-i)*c_i and the
+    (1-l)^t*mu carry-in quantize to micro BEFORE the integer sum per t (the
+    permutation-entropy discipline applied to the geometric kernel); mu
+    and sigma come from exact count sums, so the limits are one
+    deterministic double chain quantized per row; breach compares
+    integers.
+
+    Scale shape: one (day) aggregate, one bounded t x i grid join over the
+    <=|days|^2/2 day pairs (30 days -> 465 terms), one 1-row scalar
+    broadcast."""
+    lam = EWMA_LAMBDA_MILLI / 1000.0
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    t_rel = daily.select(
+        "day",
+        "c",
+        F.row_number().over(Window.orderBy("day")).cast("long").alias("t"),
+    )
+    tot = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+    )
+    i_rel = t_rel.select(F.col("t").alias("i"), F.col("c").alias("ci"))
+    terms = (
+        t_rel.join(i_rel, F.col("i") <= F.col("t"))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("day", "c", "t", "n", "s1", "s2")
+        .agg(
+            F.sum(
+                F.expr(
+                    f"CAST(round(1e6 * {lam}e0 * pow({1 - lam}e0, t - i) * ci)"
+                    " AS BIGINT)"
+                )
+            )
+            .cast("long")
+            .alias("w_sum")
+        )
+    )
+    return (
+        terms.select(
+            "day",
+            "c",
+            (
+                F.col("w_sum")
+                + F.expr(
+                    f"CAST(round(1e6 * pow({1 - lam}e0, t)"
+                    " * (CAST(s1 AS DOUBLE) / n)) AS BIGINT)"
+                )
+            ).alias("z_micro"),
+            F.expr(
+                f"CAST(round(1e6 * (CAST(s1 AS DOUBLE) / n - {EWMA_L}"
+                f" * sqrt(CAST(s2 AS DOUBLE) / n"
+                f"        - pow(CAST(s1 AS DOUBLE) / n, 2))"
+                f" * sqrt({lam}e0 / {2 - lam}e0"
+                f"        * (1 - pow({1 - lam}e0, 2 * t))))) AS BIGINT)"
+            ).alias("lcl_micro"),
+            F.expr(
+                f"CAST(round(1e6 * (CAST(s1 AS DOUBLE) / n + {EWMA_L}"
+                f" * sqrt(CAST(s2 AS DOUBLE) / n"
+                f"        - pow(CAST(s1 AS DOUBLE) / n, 2))"
+                f" * sqrt({lam}e0 / {2 - lam}e0"
+                f"        * (1 - pow({1 - lam}e0, 2 * t))))) AS BIGINT)"
+            ).alias("ucl_micro"),
+        )
+        .select(
+            "day",
+            "c",
+            "z_micro",
+            "lcl_micro",
+            "ucl_micro",
+            (
+                (F.col("z_micro") < F.col("lcl_micro"))
+                | (F.col("z_micro") > F.col("ucl_micro"))
+            ).alias("breach"),
+        )
+        .orderBy("day")
+    )
+
+
+def ewma_control_chart_sql() -> str:
+    lam = EWMA_LAMBDA_MILLI / 1000.0
+    return f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY 1
+        ),
+        t_rel AS (
+            SELECT day, c,
+                   CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+            FROM daily
+        ),
+        tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(c) AS BIGINT) AS s1,
+                   CAST(SUM(c * c) AS BIGINT) AS s2
+            FROM daily
+        ),
+        terms AS (
+            SELECT a.day, a.c, a.t, n, s1, s2,
+                   CAST(SUM(CAST(round(1e6 * {lam}e0
+                        * pow({1 - lam}e0, a.t - b.t) * b.c) AS BIGINT))
+                        AS BIGINT) AS w_sum
+            FROM t_rel a
+            JOIN t_rel b ON b.t <= a.t
+            CROSS JOIN tot
+            GROUP BY a.day, a.c, a.t, n, s1, s2
+        ),
+        z AS (
+            SELECT day, c,
+                   w_sum + CAST(round(1e6 * pow({1 - lam}e0, t)
+                       * (CAST(s1 AS DOUBLE) / n)) AS BIGINT) AS z_micro,
+                   CAST(round(1e6 * (CAST(s1 AS DOUBLE) / n - {EWMA_L}
+                        * sqrt(CAST(s2 AS DOUBLE) / n
+                               - pow(CAST(s1 AS DOUBLE) / n, 2))
+                        * sqrt({lam}e0 / {2 - lam}e0
+                               * (1 - pow({1 - lam}e0, 2 * t))))) AS BIGINT)
+                       AS lcl_micro,
+                   CAST(round(1e6 * (CAST(s1 AS DOUBLE) / n + {EWMA_L}
+                        * sqrt(CAST(s2 AS DOUBLE) / n
+                               - pow(CAST(s1 AS DOUBLE) / n, 2))
+                        * sqrt({lam}e0 / {2 - lam}e0
+                               * (1 - pow({1 - lam}e0, 2 * t))))) AS BIGINT)
+                       AS ucl_micro
+            FROM terms
+        )
+        SELECT day, c, z_micro, lcl_micro, ucl_micro,
+               z_micro < lcl_micro OR z_micro > ucl_micro AS breach
+        FROM z
+        ORDER BY day
+    """

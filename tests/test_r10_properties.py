@@ -666,3 +666,165 @@ def test_brier_decomposition_matches_reference(spark, docs):
         r.unc_micro,
         r.resid_micro,
     ) == _brier_ref(docs)
+
+
+# --- Hilbert layout (L-479) -----------------------------------------------------------------
+
+
+def _hilbert_xy2d_ref(n, x, y):
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = n - 1 - x, n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_unroll_matches_reference_and_is_unit_step(spark):
+    """The 6 unrolled rotation rounds must reproduce the canonical xy2d on
+    EVERY cell of the 64x64 grid, and the resulting curve must be
+    unit-step (each consecutive position grid-adjacent) — the locality
+    property the layout report's claim rests on."""
+    import datetime as dt
+
+    from pagila_etl_airflow_assignment_spark.operators.layout import (
+        HB_N,
+        _hilbert_rounds,
+    )
+
+    base = spark.range(HB_N * HB_N).selectExpr(
+        f"CAST(id DIV {HB_N} AS BIGINT) AS gx",
+        f"CAST(id % {HB_N} AS BIGINT) AS gy",
+    )
+    cur = base.selectExpr("gx", "gy", "gx AS x", "gy AS y", "CAST(0 AS BIGINT) AS d")
+    from pyspark.sql import functions as F2
+
+    for s, q, x_new, y_new in _hilbert_rounds():
+        cur = cur.select(
+            "gx",
+            "gy",
+            F2.expr(x_new).cast("long").alias("x"),
+            F2.expr(y_new).cast("long").alias("y"),
+            (F2.col("d") + s * s * F2.expr(q)).cast("long").alias("d"),
+        )
+    got = {(r.gx, r.gy): r.d for r in cur.collect()}
+    inv = {}
+    for (x, y), d in got.items():
+        assert d == _hilbert_xy2d_ref(HB_N, x, y), (x, y)
+        inv[d] = (x, y)
+    assert len(inv) == HB_N * HB_N  # bijection
+    for d in range(HB_N * HB_N - 1):
+        x1, y1 = inv[d]
+        x2, y2 = inv[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1  # unit-step everywhere
+
+
+# --- k-truss (L-480) -------------------------------------------------------------------------
+
+KT_BASKETS = st.lists(
+    st.lists(st.integers(1, 9), min_size=2, max_size=4).map(
+        lambda xs: sorted(set(xs))
+    ).filter(lambda xs: len(xs) >= 2),
+    min_size=1,
+    max_size=7,
+)
+
+
+def _ktruss_ref(baskets, k=4, peels=2):
+    edges = set()
+    for b in baskets:
+        for a in b:
+            for c in b:
+                if a < c:
+                    edges.add((a, c))
+
+    def support(oriented):
+        sym = oriented | {(b, a) for a, b in oriented}
+        adj = {}
+        for a, b in sym:
+            adj.setdefault(a, set()).add(b)
+        return {
+            (a, b): len(adj.get(a, set()) & adj.get(b, set()))
+            for a, b in oriented
+        }
+
+    oriented = set(edges)
+    for _ in range(peels):
+        sup = support(oriented)
+        oriented = {e for e, s in sup.items() if s >= k - 2}
+    return {(a, b): s for (a, b), s in support(oriented).items() if s > 0}
+
+
+@settings(max_examples=8, deadline=None)
+@given(baskets=KT_BASKETS)
+def test_ktruss_matches_reference(spark, baskets):
+    import datetime as dt
+
+    from pagila_etl_airflow_assignment_spark.operators.graph import ktruss_edges
+
+    li = spark.createDataFrame(
+        [
+            (o, p, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", dt.datetime(1996, 1, 1))
+            for o, parts in enumerate(baskets)
+            for p in parts
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    )
+    got = {(r.part_a, r.part_b): r.support for r in ktruss_edges(li).collect()}
+    assert got == _ktruss_ref(baskets)
+
+
+# --- EWMA control chart (L-481) ---------------------------------------------------------------
+
+EWMA_COUNTS = st.lists(st.integers(1, 40), min_size=2, max_size=12)
+
+
+def _ewma_ref(counts):
+    lam, L = 0.2, 3
+    n = len(counts)
+    s1 = sum(counts)
+    s2 = sum(c * c for c in counts)
+    mu = s1 / n
+    sd = math.sqrt(s2 / n - mu * mu)
+    out = {}
+    for t, c in enumerate(counts, start=1):
+        w_sum = sum(
+            _rha(1e6 * lam * (1 - lam) ** (t - i) * counts[i - 1])
+            for i in range(1, t + 1)
+        )
+        z = w_sum + _rha(1e6 * (1 - lam) ** t * mu)
+        half = L * sd * math.sqrt(lam / (2 - lam) * (1 - (1 - lam) ** (2 * t)))
+        lcl, ucl = _rha(1e6 * (mu - half)), _rha(1e6 * (mu + half))
+        out[t] = (c, z, lcl, ucl, z < lcl or z > ucl)
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(counts=EWMA_COUNTS)
+def test_ewma_chart_matches_reference(spark, counts):
+    from pagila_etl_airflow_assignment_spark.operators.stats import (
+        ewma_control_chart,
+    )
+
+    rows = []
+    for d, c in enumerate(counts, start=1):
+        rows += [(1, "click", f"2024-01-{d:02d} 10:00:00", 1.0)] * c
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        t: (r.c, r.z_micro, r.lcl_micro, r.ucl_micro, r.breach)
+        for t, r in enumerate(
+            ewma_control_chart(df).orderBy("day").collect(), start=1
+        )
+    }
+    assert got == _ewma_ref(counts)

@@ -446,6 +446,9 @@ PROBES = [
     "events_erlang_c",
     "ann_map_eval",
     "text_brier_decomposition",
+    "warehouse_hilbert_layout",
+    "graph_ktruss",
+    "events_ewma_chart",
 ]
 
 
