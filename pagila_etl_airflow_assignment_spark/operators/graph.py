@@ -2706,3 +2706,94 @@ def ktruss_edges_sql(
         GROUP BY o.src, o.dst
         ORDER BY part_a, part_b
     """
+
+
+def local_clustering(lineitem: DataFrame, max_basket: int = 30) -> DataFrame:
+    """Local clustering coefficient per part over the co-purchase graph:
+    (p_partkey, degree, triangles, lcc_micro), ordered — how CLOSED each
+    node's neighborhood is (C_v = 2*T_v / (d_v * (d_v - 1))), the per-node
+    refinement of the global triangle census and the standard small-world
+    diagnostic before any community algorithm.
+
+    Exactness: degrees and triangle counts are exact integers from the
+    deduped edge relation; lcc quantizes once at the row boundary; nodes
+    with degree < 2 report lcc = 0 by convention (no wedge to close).
+
+    Scale shape: one degree aggregate plus one v-centered wedge join
+    (E(v,u) x E(v,w), u < w) semi-joined against the oriented edge set —
+    the triangle-census economics with the same max_basket skew cap."""
+    sym = _symmetric_edges(lineitem, max_basket)
+    oriented = sym.where(F.col("src") < F.col("dst"))
+    deg = sym.groupBy("src").agg(F.count("*").cast("long").alias("degree"))
+    wedge = (
+        sym.select(F.col("src").alias("v"), F.col("dst").alias("u"))
+        .join(
+            sym.select(F.col("src").alias("v"), F.col("dst").alias("w")),
+            "v",
+        )
+        .where(F.col("u") < F.col("w"))
+    )
+    tri = (
+        wedge.join(
+            oriented,
+            (wedge["u"] == oriented["src"]) & (wedge["w"] == oriented["dst"]),
+        )
+        .groupBy("v")
+        .agg(F.count("*").cast("long").alias("triangles"))
+    )
+    return (
+        deg.join(tri, deg["src"] == tri["v"], "left")
+        .select(
+            F.col("src").alias("p_partkey"),
+            "degree",
+            F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+        )
+        .select(
+            "p_partkey",
+            "degree",
+            "triangles",
+            F.expr(
+                "CAST(CASE WHEN degree >= 2 THEN round(1e6 * 2.0 * triangles"
+                " / (CAST(degree AS DOUBLE) * (degree - 1))) ELSE 0 END"
+                " AS BIGINT)"
+            ).alias("lcc_micro"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+def local_clustering_sql(max_basket: int = 30) -> str:
+    return f"""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), small AS (
+            SELECT l_orderkey FROM items
+            GROUP BY l_orderkey HAVING COUNT(*) <= {max_basket}
+        ), basket AS (
+            SELECT i.l_orderkey, i.l_partkey FROM items i
+            JOIN small USING (l_orderkey)
+        ), edges AS (
+            SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+            FROM basket a JOIN basket b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        ),
+        deg AS (
+            SELECT src, CAST(COUNT(*) AS BIGINT) AS degree
+            FROM edges GROUP BY src
+        ),
+        tri AS (
+            SELECT e1.src AS v, CAST(COUNT(*) AS BIGINT) AS triangles
+            FROM edges e1
+            JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst
+            JOIN edges o ON o.src = e1.dst AND o.dst = e2.dst
+            GROUP BY e1.src
+        )
+        SELECT d.src AS p_partkey, degree,
+               COALESCE(triangles, 0) AS triangles,
+               CAST(CASE WHEN degree >= 2 THEN round(1e6 * 2.0
+                    * COALESCE(triangles, 0)
+                    / (CAST(degree AS DOUBLE) * (degree - 1)))
+                    ELSE 0 END AS BIGINT) AS lcc_micro
+        FROM deg d LEFT JOIN tri ON d.src = tri.v
+        ORDER BY p_partkey
+    """

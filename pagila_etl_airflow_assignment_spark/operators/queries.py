@@ -3127,3 +3127,25 @@ def q_ewma_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact time-varying start-up limits, the small-persistent-shift
     detector c_chart cannot be."""
     return stats.ewma_control_chart(load_table(spark, sf_dir, "events"))
+
+
+@register("events_siegel_slope", oracle=stats.siegel_slope_daily_sql())
+def q_siegel_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Siegel repeated-median trend — the 50%-breakdown robust line via two
+    grid-median layers over the bounded pairwise-slope relation."""
+    return stats.siegel_slope_daily(load_table(spark, sf_dir, "events"))
+
+
+@register("graph_local_clustering", oracle=graph.local_clustering_sql())
+def q_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per part — how closed each co-purchase
+    neighborhood is, one wedge join with the triangle-census economics."""
+    return graph.local_clustering(load_table(spark, sf_dir, "lineitem"))
+
+
+@register("warehouse_fisher_index", oracle=warehouse.fisher_price_index_sql())
+def q_fisher_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres/Paasche/Fisher price indices per ship year against the
+    1995 matched basket — exact same-year revenue sums, centi-quantized
+    cross terms."""
+    return warehouse.fisher_price_index(load_table(spark, sf_dir, "lineitem"))

@@ -8469,3 +8469,166 @@ def ewma_control_chart_sql() -> str:
         FROM z
         ORDER BY day
     """
+
+
+# --- Siegel repeated-median slope -----------------------------------------------------------
+
+
+def siegel_slope_daily(events: DataFrame) -> DataFrame:
+    """Siegel repeated-median trend of the daily event-count series: one
+    row (n_days, slope_micro, intercept_milli).
+
+    sen_slope takes ONE median over all pairwise slopes (29% breakdown);
+    Siegel medians twice — per point over its pairwise slopes, then over
+    the per-point medians — reaching the 50% breakdown point, the most
+    outlier-proof line available, and still pure relational algebra on the
+    bounded day grid.
+
+    Exactness: each pairwise slope quantizes to micro BEFORE any median;
+    both median layers are the house lower weighted median (min value with
+    2*cum >= tot over a cumulative window on the bounded slope grid);
+    the intercept medians the per-point residuals c_i - slope*t_i in exact
+    milli.
+
+    Scale shape: one (day) aggregate, one bounded |days|^2 pair join
+    (30 days -> 435 pairs), two grid-median window passes, one bounded
+    residual median."""
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    t_rel = daily.select(
+        "c", F.row_number().over(Window.orderBy("day")).cast("long").alias("t")
+    )
+    n_rel = t_rel.agg(F.count("*").cast("long").alias("n"))
+    pairs = (
+        t_rel.alias("a")
+        .join(t_rel.alias("b"), F.expr("a.t <> b.t"))
+        .select(
+            F.col("a.t").alias("i"),
+            F.expr(
+                "CAST(round(1e6 * (b.c - a.c) / CAST(b.t - a.t AS DOUBLE))"
+                " AS BIGINT)"
+            ).alias("s_micro"),
+        )
+    )
+    # median per point i over its slope grid
+    gi = pairs.groupBy("i", "s_micro").agg(F.count("*").cast("long").alias("m"))
+    wi = Window.partitionBy("i").orderBy("s_micro").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    med_i = (
+        gi.select(
+            "i",
+            "s_micro",
+            F.sum("m").over(wi).alias("cum"),
+            F.sum("m").over(Window.partitionBy("i")).alias("tot"),
+        )
+        .where(2 * F.col("cum") >= F.col("tot"))
+        .groupBy("i")
+        .agg(F.min("s_micro").alias("med_i"))
+    )
+    # global median over the per-point medians
+    gm = med_i.groupBy("med_i").agg(F.count("*").cast("long").alias("m"))
+    wg = Window.orderBy("med_i").rowsBetween(Window.unboundedPreceding, 0)
+    slope = (
+        gm.select(
+            "med_i",
+            F.sum("m").over(wg).alias("cum"),
+            F.sum("m").over(Window.partitionBy(F.lit(1))).alias("tot"),
+        )
+        .where(2 * F.col("cum") >= F.col("tot"))
+        .agg(F.min("med_i").alias("slope_micro"))
+    )
+    resid = t_rel.crossJoin(F.broadcast(slope)).select(
+        F.expr("CAST(1000 * c - CAST(round(slope_micro * t / 1000.0) AS BIGINT) AS BIGINT)").alias(
+            "r_milli"
+        )
+    )
+    gr = resid.groupBy("r_milli").agg(F.count("*").cast("long").alias("m"))
+    wr = Window.orderBy("r_milli").rowsBetween(Window.unboundedPreceding, 0)
+    intercept = (
+        gr.select(
+            "r_milli",
+            F.sum("m").over(wr).alias("cum"),
+            F.sum("m").over(Window.partitionBy(F.lit(1))).alias("tot"),
+        )
+        .where(2 * F.col("cum") >= F.col("tot"))
+        .agg(F.min("r_milli").alias("intercept_milli"))
+    )
+    return (
+        n_rel.crossJoin(F.broadcast(slope))
+        .crossJoin(F.broadcast(intercept))
+        .select(
+            F.col("n").alias("n_days"), "slope_micro", "intercept_milli"
+        )
+    )
+
+
+def siegel_slope_daily_sql() -> str:
+    return """
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY 1
+        ),
+        t_rel AS (
+            SELECT c, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+            FROM daily
+        ),
+        n_rel AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t_rel),
+        pairs AS (
+            SELECT a.t AS i,
+                   CAST(round(1e6 * (b.c - a.c)
+                        / CAST(b.t - a.t AS DOUBLE)) AS BIGINT) AS s_micro
+            FROM t_rel a JOIN t_rel b ON a.t <> b.t
+        ),
+        gi AS (
+            SELECT i, s_micro, CAST(COUNT(*) AS BIGINT) AS m
+            FROM pairs GROUP BY i, s_micro
+        ),
+        med_i AS (
+            SELECT i, MIN(s_micro) AS med_i FROM (
+                SELECT i, s_micro,
+                       SUM(m) OVER (PARTITION BY i ORDER BY s_micro
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS cum,
+                       SUM(m) OVER (PARTITION BY i) AS tot
+                FROM gi
+            ) WHERE 2 * cum >= tot GROUP BY i
+        ),
+        gm AS (
+            SELECT med_i, CAST(COUNT(*) AS BIGINT) AS m
+            FROM med_i GROUP BY med_i
+        ),
+        slope AS (
+            SELECT MIN(med_i) AS slope_micro FROM (
+                SELECT med_i,
+                       SUM(m) OVER (ORDER BY med_i
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS cum,
+                       SUM(m) OVER () AS tot
+                FROM gm
+            ) WHERE 2 * cum >= tot
+        ),
+        resid AS (
+            SELECT CAST(1000 * c
+                   - CAST(round(slope_micro * t / 1000.0) AS BIGINT)
+                   AS BIGINT) AS r_milli
+            FROM t_rel CROSS JOIN slope
+        ),
+        gr AS (
+            SELECT r_milli, CAST(COUNT(*) AS BIGINT) AS m
+            FROM resid GROUP BY r_milli
+        ),
+        intercept AS (
+            SELECT MIN(r_milli) AS intercept_milli FROM (
+                SELECT r_milli,
+                       SUM(m) OVER (ORDER BY r_milli
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS cum,
+                       SUM(m) OVER () AS tot
+                FROM gr
+            ) WHERE 2 * cum >= tot
+        )
+        SELECT n AS n_days, slope_micro, intercept_milli
+        FROM n_rel CROSS JOIN slope CROSS JOIN intercept
+    """

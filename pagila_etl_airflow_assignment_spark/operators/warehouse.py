@@ -7671,3 +7671,132 @@ def kraljic_matrix_sql() -> str:
         GROUP BY quadrant
         ORDER BY quadrant
     """
+
+
+# --- Laspeyres / Paasche / Fisher price indices -------------------------------------------
+
+FISHER_BASE_YEAR = 1995
+
+
+def fisher_price_index(lineitem: DataFrame) -> DataFrame:
+    """Classic price-index triple per ship year against the {FISHER_BASE_YEAR}
+    base: rows (year, n_parts, laspeyres_micro, paasche_micro,
+    fisher_micro), ordered by year.
+
+    price_volume_mix decomposes one period pair's revenue BRIDGE; the
+    index family answers the level question economists ask of the same
+    data — how much of revenue motion is price: Laspeyres fixes the BASE
+    basket (sum p_y q_0 / sum p_0 q_0), Paasche the CURRENT one, and
+    Fisher is their geometric mean (the "ideal" index that passes the
+    time-reversal test). Only parts traded in both years enter (matched
+    basket).
+
+    Exactness: per-part unit prices are rationals of exact decimal sums
+    (rev/qty); the two cross terms p_y*q_0 and p_0*q_y quantize to centi
+    per part before the year sums; the two SAME-year terms are exact
+    revenue sums needing no quantization at all; ratios and the final
+    sqrt are one double chain per year row.
+
+    Scale shape: one (part, year) aggregate of lineitem, one part-keyed
+    self-join of that bounded relation against its base-year slice, one
+    year-keyed reduction."""
+    py = lineitem.groupBy(
+        F.col("l_partkey").alias("pk"),
+        F.year("l_shipdate").alias("yr"),
+    ).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev"),
+    )
+    base = py.where(F.col("yr") == FISHER_BASE_YEAR).select(
+        F.col("pk").alias("bpk"),
+        F.col("qty").alias("q0"),
+        F.col("rev").alias("r0"),
+    )
+    cur = py.where(F.col("yr") != FISHER_BASE_YEAR)
+    joined = cur.join(base, cur["pk"] == base["bpk"]).select(
+        "yr",
+        # p_y * q_0 = (rev_y / qty_y) * q0 — centi-quantized per part
+        F.expr(
+            "CAST(round(100 * CAST(rev AS DOUBLE) / CAST(qty AS DOUBLE)"
+            " * CAST(q0 AS DOUBLE)) AS BIGINT)"
+        ).alias("pyq0_c"),
+        # p_0 * q_y = (r0 / q0) * qty
+        F.expr(
+            "CAST(round(100 * CAST(r0 AS DOUBLE) / CAST(q0 AS DOUBLE)"
+            " * CAST(qty AS DOUBLE)) AS BIGINT)"
+        ).alias("p0qy_c"),
+        F.expr("CAST(round(100 * CAST(rev AS DOUBLE)) AS BIGINT)").alias(
+            "ryqy_c"
+        ),
+        F.expr("CAST(round(100 * CAST(r0 AS DOUBLE)) AS BIGINT)").alias(
+            "r0q0_c"
+        ),
+    )
+    agg = joined.groupBy("yr").agg(
+        F.count("*").cast("long").alias("n_parts"),
+        F.sum("pyq0_c").cast("long").alias("l_num"),
+        F.sum("r0q0_c").cast("long").alias("l_den"),
+        F.sum("ryqy_c").cast("long").alias("p_num"),
+        F.sum("p0qy_c").cast("long").alias("p_den"),
+    )
+    return (
+        agg.select(
+            F.col("yr").alias("year"),
+            "n_parts",
+            F.expr(
+                "CAST(round(1e6 * l_num / CAST(l_den AS DOUBLE)) AS BIGINT)"
+            ).alias("laspeyres_micro"),
+            F.expr(
+                "CAST(round(1e6 * p_num / CAST(p_den AS DOUBLE)) AS BIGINT)"
+            ).alias("paasche_micro"),
+            F.expr(
+                "CAST(round(1e6 * sqrt((l_num / CAST(l_den AS DOUBLE))"
+                " * (p_num / CAST(p_den AS DOUBLE)))) AS BIGINT)"
+            ).alias("fisher_micro"),
+        )
+        .orderBy("year")
+    )
+
+
+def fisher_price_index_sql() -> str:
+    return f"""
+        WITH py AS (
+            SELECT l_partkey AS pk, EXTRACT(year FROM l_shipdate) AS yr,
+                   SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty,
+                   SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+            FROM lineitem GROUP BY 1, 2
+        ),
+        base AS (
+            SELECT pk AS bpk, qty AS q0, rev AS r0
+            FROM py WHERE yr = {FISHER_BASE_YEAR}
+        ),
+        joined AS (
+            SELECT yr,
+                   CAST(round(100 * CAST(rev AS DOUBLE) / CAST(qty AS DOUBLE)
+                        * CAST(q0 AS DOUBLE)) AS BIGINT) AS pyq0_c,
+                   CAST(round(100 * CAST(r0 AS DOUBLE) / CAST(q0 AS DOUBLE)
+                        * CAST(qty AS DOUBLE)) AS BIGINT) AS p0qy_c,
+                   CAST(round(100 * CAST(rev AS DOUBLE)) AS BIGINT) AS ryqy_c,
+                   CAST(round(100 * CAST(r0 AS DOUBLE)) AS BIGINT) AS r0q0_c
+            FROM py JOIN base ON pk = bpk
+            WHERE yr <> {FISHER_BASE_YEAR}
+        ),
+        agg AS (
+            SELECT yr, CAST(COUNT(*) AS BIGINT) AS n_parts,
+                   CAST(SUM(pyq0_c) AS BIGINT) AS l_num,
+                   CAST(SUM(r0q0_c) AS BIGINT) AS l_den,
+                   CAST(SUM(ryqy_c) AS BIGINT) AS p_num,
+                   CAST(SUM(p0qy_c) AS BIGINT) AS p_den
+            FROM joined GROUP BY yr
+        )
+        SELECT CAST(yr AS BIGINT) AS year, n_parts,
+               CAST(round(1e6 * l_num / CAST(l_den AS DOUBLE)) AS BIGINT)
+                   AS laspeyres_micro,
+               CAST(round(1e6 * p_num / CAST(p_den AS DOUBLE)) AS BIGINT)
+                   AS paasche_micro,
+               CAST(round(1e6 * sqrt((l_num / CAST(l_den AS DOUBLE))
+                    * (p_num / CAST(p_den AS DOUBLE)))) AS BIGINT)
+                   AS fisher_micro
+        FROM agg
+        ORDER BY year
+    """

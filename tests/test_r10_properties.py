@@ -828,3 +828,182 @@ def test_ewma_chart_matches_reference(spark, counts):
         )
     }
     assert got == _ewma_ref(counts)
+
+
+# --- Siegel repeated-median slope (L-482) ----------------------------------------------------
+
+SIEGEL_COUNTS = st.lists(st.integers(1, 40), min_size=2, max_size=12)
+
+
+def _lower_median(vals):
+    s = sorted(vals)
+    cum, tot = 0, len(s)
+    from collections import Counter
+
+    cnt = Counter(s)
+    for v in sorted(cnt):
+        cum += cnt[v]
+        if 2 * cum >= tot:
+            return v
+    return s[-1]
+
+
+def _siegel_ref(counts):
+    n = len(counts)
+    meds = []
+    for i in range(1, n + 1):
+        slopes = [
+            _rha(1e6 * (counts[j - 1] - counts[i - 1]) / (j - i))
+            for j in range(1, n + 1)
+            if j != i
+        ]
+        meds.append(_lower_median(slopes))
+    slope = _lower_median(meds)
+    resid = [
+        1000 * counts[t - 1] - _rha(slope * t / 1000.0)
+        for t in range(1, n + 1)
+    ]
+    return (n, slope, _lower_median(resid))
+
+
+@settings(max_examples=10, deadline=None)
+@given(counts=SIEGEL_COUNTS)
+def test_siegel_matches_reference(spark, counts):
+    from pagila_etl_airflow_assignment_spark.operators.stats import (
+        siegel_slope_daily,
+    )
+
+    rows = []
+    for d, c in enumerate(counts, start=1):
+        rows += [(1, "click", f"2024-01-{d:02d} 10:00:00", 1.0)] * c
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    r = siegel_slope_daily(df).collect()[0]
+    assert (r.n_days, r.slope_micro, r.intercept_milli) == _siegel_ref(counts)
+
+
+# --- local clustering coefficient (L-483) ----------------------------------------------------
+
+
+@settings(max_examples=8, deadline=None)
+@given(baskets=KT_BASKETS)
+def test_local_clustering_matches_reference(spark, baskets):
+    import datetime as dt
+
+    from pagila_etl_airflow_assignment_spark.operators.graph import local_clustering
+
+    li = spark.createDataFrame(
+        [
+            (o, p, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", dt.datetime(1996, 1, 1))
+            for o, parts in enumerate(baskets)
+            for p in parts
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    )
+    edges = set()
+    for b in baskets:
+        for a in b:
+            for c in b:
+                if a != c:
+                    edges.add((a, c))
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+    ref = {}
+    for v, nb in adj.items():
+        d = len(nb)
+        tri = sum(1 for u in nb for w in nb if u < w and (u, w) in edges)
+        lcc = _rha(1e6 * 2.0 * tri / (d * (d - 1))) if d >= 2 else 0
+        ref[v] = (d, tri, lcc)
+    got = {
+        r.p_partkey: (r.degree, r.triangles, r.lcc_micro)
+        for r in local_clustering(li).collect()
+    }
+    assert got == ref
+
+
+# --- Fisher price index (L-484) ---------------------------------------------------------------
+
+FISHER_LINES = st.lists(
+    # (partkey, year_offset 0|1|2, qty, price_cents)
+    st.tuples(
+        st.integers(1, 5),
+        st.integers(0, 2),
+        st.integers(1, 9),
+        st.integers(100, 5000),
+    ),
+    min_size=2,
+    max_size=15,
+)
+
+
+def _fisher_ref(lines):
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0])  # (pk, yr) -> [qty, rev_cents]
+    for pk, yo, q, pc in lines:
+        yr = 1995 + yo
+        agg[(pk, yr)][0] += q
+        agg[(pk, yr)][1] += q * pc  # extendedprice = qty * unit price
+    base = {pk: v for (pk, yr), v in agg.items() if yr == 1995}
+    out = {}
+    years = sorted({yr for (_, yr) in agg if yr != 1995})
+    for yr in years:
+        rows = [
+            (v[0], v[1] / 100.0, base[pk][0], base[pk][1] / 100.0)
+            for (pk, y), v in agg.items()
+            if y == yr and pk in base
+        ]
+        if not rows:
+            continue
+        l_num = sum(_rha(100 * (rev / q) * q0) for q, rev, q0, r0 in rows)
+        l_den = sum(_rha(100 * r0) for q, rev, q0, r0 in rows)
+        p_num = sum(_rha(100 * rev) for q, rev, q0, r0 in rows)
+        p_den = sum(_rha(100 * (r0 / q0) * q) for q, rev, q0, r0 in rows)
+        lasp = _rha(1e6 * l_num / l_den)
+        paas = _rha(1e6 * p_num / p_den)
+        fish = _rha(1e6 * math.sqrt((l_num / l_den) * (p_num / p_den)))
+        out[yr] = (len(rows), lasp, paas, fish)
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(lines=FISHER_LINES)
+def test_fisher_index_matches_reference(spark, lines):
+    import datetime as dt
+
+    from pagila_etl_airflow_assignment_spark.operators.warehouse import (
+        fisher_price_index,
+    )
+
+    li = spark.createDataFrame(
+        [
+            (
+                i,
+                pk,
+                1,
+                1,
+                float(q),
+                q * pc / 100.0,
+                0.0,
+                0.0,
+                "N",
+                "O",
+                dt.datetime(1995 + yo, 6, 1),
+            )
+            for i, (pk, yo, q, pc) in enumerate(lines)
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    )
+    got = {
+        r.year: (r.n_parts, r.laspeyres_micro, r.paasche_micro, r.fisher_micro)
+        for r in fisher_price_index(li).collect()
+    }
+    assert got == _fisher_ref(lines)

@@ -449,6 +449,9 @@ PROBES = [
     "warehouse_hilbert_layout",
     "graph_ktruss",
     "events_ewma_chart",
+    "events_siegel_slope",
+    "graph_local_clustering",
+    "warehouse_fisher_index",
 ]
 
 
