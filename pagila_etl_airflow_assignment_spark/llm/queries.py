@@ -1362,3 +1362,11 @@ def q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     reliability/resolution/uncertainty over the calibration bins with the
     within-bin residual reported, not assumed zero."""
     return text.brier_decomposition(load_table(spark, sf_dir, "documents"))
+
+
+@register("text_classifier_auc", oracle=text.classifier_auc_sql())
+def q_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC of the quality classifier via the rank-sum identity on the
+    bounded score grid — discrimination, the deploy question calibration
+    does not answer."""
+    return text.classifier_auc(load_table(spark, sf_dir, "documents"))

@@ -2092,3 +2092,135 @@ def brier_decomposition_sql() -> str:
                AS resid_micro
     FROM agg
     """
+
+
+def classifier_auc(docs: DataFrame) -> DataFrame:
+    """ROC AUC of the quality classifier against the long-form label: one
+    row (n_pos, n_neg, auc_micro, gini_micro).
+
+    classifier_calibration asks "does the score tell the truth about its
+    confidence"; AUC asks the other deploy question — "does it RANK
+    positives above negatives at all" (discrimination vs calibration; a
+    model can ace either and flunk the other). Computed by the rank-sum
+    identity AUC = (R_pos - n_pos(n_pos+1)/2) / (n_pos * n_neg) with
+    average ranks for ties, so it never enumerates pairs.
+
+    Exactness: doubled average ranks (2*cum_before + m + 1) on the
+    bounded p_milli score grid are exact BIGINTs (the wilcoxon device),
+    so 2*R_pos is an exact integer sum and auc_micro is one rounded
+    division. gini = 2*AUC - 1 rides the same integers. Same scorer and
+    label as classifier_calibration.
+
+    Scale shape: the zero-shuffle classifier expression, one score-grid
+    aggregate (<=1001 rows), one cumulative window on that grid, one
+    1-row reduction."""
+    from .hashing import md5_int
+
+    toks = F.split(_norm(F.col("text")), WS_RE)
+    wsum = F.aggregate(
+        F.transform(F.col("t"), lambda t: md5_int(t) % CLF_W_MOD),
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + w,
+    )
+    scored = (
+        docs.select("doc_id", "n_chars", toks.alias("t"))
+        .select(
+            "n_chars",
+            F.size("t").cast("long").alias("n_tokens"),
+            wsum.alias("wsum"),
+        )
+        .select(
+            F.expr(
+                "LEAST(CAST(1000 AS BIGINT), GREATEST(CAST(0 AS BIGINT),"
+                " 500 + (2 * wsum + n_tokens) DIV (2 * n_tokens) - 1000))"
+            ).alias("p_milli"),
+            F.when(F.col("n_chars") >= CALIB_LABEL_CHARS, 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("label"),
+        )
+    )
+    grid = scored.groupBy("p_milli").agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("label").cast("long").alias("pos"),
+    )
+    w = Window.orderBy("p_milli").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = grid.select(
+        "m",
+        "pos",
+        F.coalesce(F.sum("m").over(w), F.lit(0)).cast("long").alias("cb"),
+    )
+    agg = ranked.agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum(F.col("m") - F.col("pos")).cast("long").alias("n_neg"),
+        F.sum(F.col("pos") * (2 * F.col("cb") + F.col("m") + 1))
+        .cast("long")
+        .alias("r2_pos"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.expr(
+            "CAST(CASE WHEN n_pos > 0 AND n_neg > 0 THEN"
+            " round(1e6 * (r2_pos - CAST(n_pos AS DOUBLE) * (n_pos + 1))"
+            " / (2.0 * n_pos * n_neg)) ELSE 0 END AS BIGINT)"
+        ).alias("auc_micro"),
+    ).select(
+        "n_pos",
+        "n_neg",
+        "auc_micro",
+        (2 * F.col("auc_micro") - 1000000).alias("gini_micro"),
+    )
+
+
+def classifier_auc_sql() -> str:
+    from .hashing import md5_int_sql
+
+    w = f"({md5_int_sql('t')} % {CLF_W_MOD})"
+    return rf"""
+    WITH toks AS (
+        SELECT n_chars,
+               string_split_regex({_norm_sql('text')}, '{WS_RE}') AS t
+        FROM documents
+    ),
+    scored0 AS (
+        SELECT n_chars,
+               CAST(len(t) AS BIGINT) AS n_tokens,
+               CAST(list_sum(list_transform(t, t -> {w})) AS BIGINT) AS wsum
+        FROM toks
+    ),
+    scored AS (
+        SELECT LEAST(CAST(1000 AS BIGINT), GREATEST(CAST(0 AS BIGINT),
+                   500 + (2 * wsum + n_tokens) // (2 * n_tokens) - 1000))
+                   AS p_milli,
+               CASE WHEN n_chars >= {CALIB_LABEL_CHARS} THEN 1 ELSE 0 END
+                   AS label
+        FROM scored0
+    ),
+    grid AS (
+        SELECT p_milli, CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(label) AS BIGINT) AS pos
+        FROM scored GROUP BY p_milli
+    ),
+    ranked AS (
+        SELECT m, pos,
+               COALESCE(SUM(m) OVER (ORDER BY p_milli
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        FROM grid
+    ),
+    agg AS (
+        SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+               CAST(SUM(m - pos) AS BIGINT) AS n_neg,
+               CAST(SUM(pos * (2 * cb + m + 1)) AS BIGINT) AS r2_pos
+        FROM ranked
+    )
+    SELECT n_pos, n_neg,
+           CAST(CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+                round(1e6 * (r2_pos - CAST(n_pos AS DOUBLE) * (n_pos + 1))
+                / (2.0 * n_pos * n_neg)) ELSE 0 END AS BIGINT) AS auc_micro,
+           2 * CAST(CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+                round(1e6 * (r2_pos - CAST(n_pos AS DOUBLE) * (n_pos + 1))
+                / (2.0 * n_pos * n_neg)) ELSE 0 END AS BIGINT) - 1000000
+               AS gini_micro
+    FROM agg
+    """

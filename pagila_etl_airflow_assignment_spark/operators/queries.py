@@ -3149,3 +3149,18 @@ def q_fisher_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     1995 matched basket — exact same-year revenue sums, centi-quantized
     cross terms."""
     return warehouse.fisher_price_index(load_table(spark, sf_dir, "lineitem"))
+
+
+@register("events_cliffs_delta", oracle=stats.cliffs_delta_sql())
+def q_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta effect size between click and error values — ordinal
+    P(X>Y)-P(X<Y) by grid-cumulative pair counting."""
+    return stats.cliffs_delta(load_table(spark, sf_dir, "events"))
+
+
+@register("events_james_stein", oracle=stats.james_stein_type_means_sql())
+def q_james_stein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """James-Stein shrinkage of per-type daily means toward the grand mean
+    — the empirical-Bayes ranking stabilizer, exact sums with one bounded
+    double chain."""
+    return stats.james_stein_type_means(load_table(spark, sf_dir, "events"))

@@ -8632,3 +8632,237 @@ def siegel_slope_daily_sql() -> str:
         SELECT n AS n_days, slope_micro, intercept_milli
         FROM n_rel CROSS JOIN slope CROSS JOIN intercept
     """
+
+
+# --- Cliff's delta ordinal effect size ------------------------------------------------------
+
+CLIFFS_X_TYPE = "click"
+CLIFFS_Y_TYPE = "error"
+
+
+def cliffs_delta(events: DataFrame) -> DataFrame:
+    """Cliff's delta between the click and error value distributions: one
+    row (n_x, n_y, gt_pairs, lt_pairs, delta_milli).
+
+    mannwhitney_u delivers a p-value; Cliff's delta is the matching
+    EFFECT SIZE the test leaves unstated — P(X > Y) - P(X < Y), an ordinal
+    measure immune to the variance assumptions Cohen's d smuggles in
+    (|delta| < 0.147 is the conventional "negligible" line).
+
+    The pair counts never enumerate pairs: on the shared centi grid with
+    per-side counts m_x(c), m_y(c) and cumulative counts,
+    gt = sum_c m_x(c) * cumlt_y(c) and lt symmetrically — two cumulative
+    windows over the bounded grid (the Jonckheere treatment for two
+    groups).
+
+    Scale shape: one (value, side) grid aggregate, two cumulative windows
+    on the bounded grid, one 1-row reduction."""
+    d38 = "decimal(38,0)"
+    grid = (
+        events.where(
+            F.col("value").isNotNull()
+            & F.col("event_type").isin(CLIFFS_X_TYPE, CLIFFS_Y_TYPE)
+        )
+        .groupBy(F.expr("CAST(round(value * 100) AS BIGINT)").alias("c"))
+        .agg(
+            F.sum((F.col("event_type") == CLIFFS_X_TYPE).cast("long"))
+            .cast("long")
+            .alias("mx"),
+            F.sum((F.col("event_type") == CLIFFS_Y_TYPE).cast("long"))
+            .cast("long")
+            .alias("my"),
+        )
+    )
+    w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    cum = grid.select(
+        "c",
+        "mx",
+        "my",
+        (F.sum("mx").over(w) - F.col("mx")).cast("long").alias("cxlt"),
+        (F.sum("my").over(w) - F.col("my")).cast("long").alias("cylt"),
+    )
+    agg = cum.agg(
+        F.sum("mx").cast("long").alias("n_x"),
+        F.sum("my").cast("long").alias("n_y"),
+        F.sum(F.col("mx").cast(d38) * F.col("cylt").cast(d38)).alias("gt"),
+        F.sum(F.col("my").cast(d38) * F.col("cxlt").cast(d38)).alias("lt"),
+    )
+    return agg.select(
+        "n_x",
+        "n_y",
+        F.col("gt").cast("long").alias("gt_pairs"),
+        F.col("lt").cast("long").alias("lt_pairs"),
+        F.expr(
+            "CAST(CASE WHEN n_x > 0 AND n_y > 0 THEN"
+            " round(1000 * (CAST(gt AS DOUBLE) - CAST(lt AS DOUBLE))"
+            " / (CAST(n_x AS DOUBLE) * n_y)) ELSE 0 END AS BIGINT)"
+        ).alias("delta_milli"),
+    )
+
+
+def cliffs_delta_sql() -> str:
+    return f"""
+        WITH grid AS (
+            SELECT CAST(round(value * 100) AS BIGINT) AS c,
+                   CAST(SUM(CASE WHEN event_type = '{CLIFFS_X_TYPE}'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS mx,
+                   CAST(SUM(CASE WHEN event_type = '{CLIFFS_Y_TYPE}'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS my
+            FROM events
+            WHERE value IS NOT NULL
+              AND event_type IN ('{CLIFFS_X_TYPE}', '{CLIFFS_Y_TYPE}')
+            GROUP BY 1
+        ),
+        cum AS (
+            SELECT c, mx, my,
+                   SUM(mx) OVER w - mx AS cxlt,
+                   SUM(my) OVER w - my AS cylt
+            FROM grid
+            WINDOW w AS (ORDER BY c
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        agg AS (
+            SELECT CAST(SUM(mx) AS BIGINT) AS n_x,
+                   CAST(SUM(my) AS BIGINT) AS n_y,
+                   SUM(CAST(mx AS HUGEINT) * cylt) AS gt,
+                   SUM(CAST(my AS HUGEINT) * cxlt) AS lt
+            FROM cum
+        )
+        SELECT n_x, n_y,
+               CAST(gt AS BIGINT) AS gt_pairs,
+               CAST(lt AS BIGINT) AS lt_pairs,
+               CAST(CASE WHEN n_x > 0 AND n_y > 0 THEN
+                    round(1000 * (CAST(gt AS DOUBLE) - CAST(lt AS DOUBLE))
+                    / (CAST(n_x AS DOUBLE) * n_y)) ELSE 0 END AS BIGINT)
+                   AS delta_milli
+        FROM agg
+    """
+
+
+# --- James-Stein shrinkage of per-type daily means --------------------------------------
+
+
+def james_stein_type_means(events: DataFrame) -> DataFrame:
+    """James-Stein shrinkage of each event type's daily-count mean toward
+    the grand mean: rows (event_type, n_days, raw_milli, shrunk_milli,
+    shrink_factor_milli), ordered by type.
+
+    The estimator that made empirical Bayes famous: with k >= 4 parallel
+    means, shrinking each toward the pooled center STRICTLY dominates the
+    raw means under squared loss. Factor b = max(0, 1 - (k-3) * s^2 /
+    sum_i (xbar_i - xbar)^2) with s^2 the (pooled) variance of a daily
+    mean, applied as shrunk_i = xbar + b * (xbar_i - xbar) — the ranking
+    stabilizer for small-sample per-segment KPIs.
+
+    Exactness: per-type day counts are exact; all means are rationals of
+    exact sums evaluated in one double chain over the <=|types|-row grid,
+    quantized to milli at the row boundary. Spread and s^2 come from the
+    same exact sums.
+
+    Scale shape: one (type, day) aggregate, one |types|-row grid, one
+    1-row scalar broadcast."""
+    td = events.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    per_type = td.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("c").cast("long").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+    )
+    tot = per_type.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("s1").cast("long").alias("g1"),
+        F.sum("n_days").cast("long").alias("gd"),
+        # pooled within-type variance of a single day count, then of a mean
+        F.sum(
+            F.expr("CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n_days")
+        ).alias("ss_within"),
+    )
+    base = per_type.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n_days",
+        F.expr("CAST(s1 AS DOUBLE) / n_days").alias("xbar_i"),
+        F.expr("CAST(g1 AS DOUBLE) / gd").alias("xbar"),
+        "k",
+        "gd",
+        "ss_within",
+    )
+    spread = base.groupBy().agg(
+        F.sum(F.expr("pow(xbar_i - xbar, 2)")).alias("spread"),
+    )
+    return (
+        base.crossJoin(F.broadcast(spread))
+        .select(
+            "event_type",
+            "n_days",
+            F.expr("CAST(round(1000 * xbar_i) AS BIGINT)").alias("raw_milli"),
+            F.expr(
+                "CASE WHEN k >= 4 AND spread > 0 AND gd > k THEN"
+                " greatest(0.0, 1 - (k - 3)"
+                "   * (ss_within / (gd - k) / n_days) / spread)"
+                " ELSE 1.0 END"
+            ).alias("b"),
+            "xbar",
+            "xbar_i",
+        )
+        .select(
+            "event_type",
+            "n_days",
+            "raw_milli",
+            F.expr(
+                "CAST(round(1000 * (xbar + b * (xbar_i - xbar))) AS BIGINT)"
+            ).alias("shrunk_milli"),
+            F.expr("CAST(round(1000 * b) AS BIGINT)").alias(
+                "shrink_factor_milli"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+def james_stein_type_means_sql() -> str:
+    return """
+        WITH td AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        per_type AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+                   CAST(SUM(c) AS BIGINT) AS s1,
+                   CAST(SUM(c * c) AS BIGINT) AS s2
+            FROM td GROUP BY event_type
+        ),
+        tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                   CAST(SUM(s1) AS BIGINT) AS g1,
+                   CAST(SUM(n_days) AS BIGINT) AS gd,
+                   SUM(CAST(s2 AS DOUBLE)
+                       - CAST(s1 AS DOUBLE) * s1 / n_days) AS ss_within
+            FROM per_type
+        ),
+        base AS (
+            SELECT event_type, n_days,
+                   CAST(s1 AS DOUBLE) / n_days AS xbar_i,
+                   CAST(g1 AS DOUBLE) / gd AS xbar,
+                   k, gd, ss_within
+            FROM per_type CROSS JOIN tot
+        ),
+        spread AS (
+            SELECT SUM(pow(xbar_i - xbar, 2)) AS spread FROM base
+        )
+        SELECT event_type, n_days,
+               CAST(round(1000 * xbar_i) AS BIGINT) AS raw_milli,
+               CAST(round(1000 * (xbar
+                    + CASE WHEN k >= 4 AND spread > 0 AND gd > k THEN
+                        greatest(0.0, 1 - (k - 3)
+                          * (ss_within / (gd - k) / n_days) / spread)
+                      ELSE 1.0 END * (xbar_i - xbar))) AS BIGINT)
+                   AS shrunk_milli,
+               CAST(round(1000 * CASE WHEN k >= 4 AND spread > 0 AND gd > k THEN
+                        greatest(0.0, 1 - (k - 3)
+                          * (ss_within / (gd - k) / n_days) / spread)
+                      ELSE 1.0 END) AS BIGINT) AS shrink_factor_milli
+        FROM base CROSS JOIN spread
+        ORDER BY event_type
+    """

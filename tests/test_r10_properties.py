@@ -1007,3 +1007,152 @@ def test_fisher_index_matches_reference(spark, lines):
         for r in fisher_price_index(li).collect()
     }
     assert got == _fisher_ref(lines)
+
+
+# --- Cliff's delta (L-485) ---------------------------------------------------------------------
+
+CLIFF_PAIRS = st.tuples(
+    st.lists(st.integers(0, 10), min_size=1, max_size=12),
+    st.lists(st.integers(0, 10), min_size=1, max_size=12),
+)
+
+
+def _cliffs_ref(xs, ys):
+    gt = sum(1 for x in xs for y in ys if x > y)
+    lt = sum(1 for x in xs for y in ys if x < y)
+    d = _rha(1000 * (gt - lt) / (len(xs) * len(ys)))
+    return (len(xs), len(ys), gt, lt, d)
+
+
+@settings(max_examples=10, deadline=None)
+@given(pairs=CLIFF_PAIRS)
+def test_cliffs_delta_matches_reference(spark, pairs):
+    from pagila_etl_airflow_assignment_spark.operators.stats import cliffs_delta
+
+    xs, ys = pairs
+    rows = [
+        (1, "click", f"2024-01-05 10:{i:02d}:00", c / 100.0)
+        for i, c in enumerate(xs)
+    ] + [
+        (1, "error", f"2024-01-05 11:{i:02d}:00", c / 100.0)
+        for i, c in enumerate(ys)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    r = cliffs_delta(df).collect()[0]
+    assert (r.n_x, r.n_y, r.gt_pairs, r.lt_pairs, r.delta_milli) == _cliffs_ref(
+        xs, ys
+    )
+
+
+# --- James-Stein (L-486) -------------------------------------------------------------------------
+
+JS_GROUPS = st.lists(
+    st.lists(st.integers(1, 30), min_size=1, max_size=6),
+    min_size=1,
+    max_size=5,
+)
+
+
+def _js_ref(groups):
+    k = len(groups)
+    g1 = sum(sum(g) for g in groups)
+    gd = sum(len(g) for g in groups)
+    xbar = g1 / gd
+    ss_within = sum(
+        sum(c * c for c in g) - sum(g) ** 2 / len(g) for g in groups
+    )
+    spread = sum((sum(g) / len(g) - xbar) ** 2 for g in groups)
+    out = {}
+    for gi, g in enumerate(groups):
+        n = len(g)
+        xi = sum(g) / n
+        if k >= 4 and spread > 0 and gd > k:
+            b = max(0.0, 1 - (k - 3) * (ss_within / (gd - k) / n) / spread)
+        else:
+            b = 1.0
+        out[gi] = (n, _rha(1000 * xi), _rha(1000 * (xbar + b * (xi - xbar))), _rha(1000 * b))
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(groups=JS_GROUPS)
+def test_james_stein_matches_reference(spark, groups):
+    from pagila_etl_airflow_assignment_spark.operators.stats import (
+        james_stein_type_means,
+    )
+
+    types = ["click", "error", "purchase", "signup", "view"]
+    rows = []
+    for gi, g in enumerate(groups):
+        for d, c in enumerate(g, start=1):
+            rows += [(1, types[gi], f"2024-01-{d:02d} 10:00:00", 1.0)] * c
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        types.index(r.event_type): (
+            r.n_days,
+            r.raw_milli,
+            r.shrunk_milli,
+            r.shrink_factor_milli,
+        )
+        for r in james_stein_type_means(df).collect()
+    }
+    assert got == _js_ref(groups)
+
+
+# --- classifier AUC (L-487) ----------------------------------------------------------------------
+
+
+@settings(max_examples=10, deadline=None)
+@given(docs=BRIER_DOCS)
+def test_classifier_auc_matches_reference(spark, docs):
+    import hashlib
+    import re
+
+    from pagila_etl_airflow_assignment_spark.llm.text import classifier_auc
+
+    def p_label(text, n_chars):
+        norm = re.sub(r"\s+", " ", text.strip()).lower()
+        toks = re.split(r"\s+", norm)
+        wsum = sum(
+            int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % 2001
+            for t in toks
+        )
+        nt = len(toks)
+        p = 500 + (2 * wsum + nt) // (2 * nt) - 1000
+        return max(0, min(1000, p)), 1 if n_chars >= 300 else 0
+
+    scored = [p_label(t, nc) for t, nc in docs]
+    n_pos = sum(lab for _, lab in scored)
+    n_neg = len(scored) - n_pos
+    # average-rank sum of positives via the doubled-rank grid
+    from collections import Counter
+
+    grid = Counter()
+    posg = Counter()
+    for p, lab in scored:
+        grid[p] += 1
+        posg[p] += lab
+    cb, r2 = 0, 0
+    for p in sorted(grid):
+        m = grid[p]
+        r2 += posg[p] * (2 * cb + m + 1)
+        cb += m
+    if n_pos > 0 and n_neg > 0:
+        auc = _rha(1e6 * (r2 - n_pos * (n_pos + 1)) / (2.0 * n_pos * n_neg))
+    else:
+        auc = 0
+    df = spark.createDataFrame(
+        [(i, t, "en", "webA", nc) for i, (t, nc) in enumerate(docs)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    r = classifier_auc(df).collect()[0]
+    assert (r.n_pos, r.n_neg, r.auc_micro, r.gini_micro) == (
+        n_pos,
+        n_neg,
+        auc,
+        2 * auc - 1000000,
+    )

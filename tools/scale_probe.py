@@ -452,6 +452,9 @@ PROBES = [
     "events_siegel_slope",
     "graph_local_clustering",
     "warehouse_fisher_index",
+    "events_cliffs_delta",
+    "events_james_stein",
+    "text_classifier_auc",
 ]
 
 
