@@ -2891,3 +2891,71 @@ def erlang_c_staffing_sql(mu: int = ERLANG_SERVICE_PER_HOUR) -> str:
     FROM scored
     ORDER BY servers
     """
+
+
+def nelson_aalen_hazard(
+    events: DataFrame, max_days: int = HAZARD_MAX_DAYS
+) -> DataFrame:
+    """Nelson-Aalen cumulative hazard over the discrete_hazard table with
+    its Poisson-type variance: rows (day, n_at_risk, n_converted, h_micro,
+    var_pico) ordered by day.
+
+    kaplan_meier multiplies survival; Nelson-Aalen SUMS hazard — the
+    estimator of choice when curves must be added or compared (its
+    increments are the hazard itself) and the base of the Breslow
+    estimator: H(t) = sum_{s<=t} d_s/n_s, var = sum d_s/n_s^2.
+
+    Exactness: each increment d/n and variance term d/n^2 quantizes
+    (micro / pico) BEFORE the cumulative integer sums over the bounded
+    day grid, so the running totals are exact BIGINTs.
+
+    Scale shape: rides discrete_hazard; adds two cumulative windows over
+    the bounded grid."""
+    h = discrete_hazard(events, max_days)
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    terms = h.select(
+        "day",
+        "n_at_risk",
+        "n_converted",
+        F.expr(
+            "CASE WHEN n_at_risk > 0 THEN CAST(round(1e6 * n_converted"
+            " / CAST(n_at_risk AS DOUBLE)) AS BIGINT) ELSE 0 END"
+        ).alias("dh_micro"),
+        F.expr(
+            "CASE WHEN n_at_risk > 0 THEN CAST(round(1e12 * n_converted"
+            " / (CAST(n_at_risk AS DOUBLE) * n_at_risk)) AS BIGINT)"
+            " ELSE 0 END"
+        ).alias("dv_pico"),
+    )
+    return terms.select(
+        "day",
+        "n_at_risk",
+        "n_converted",
+        F.sum("dh_micro").over(w).cast("long").alias("h_micro"),
+        F.sum("dv_pico").over(w).cast("long").alias("var_pico"),
+    ).orderBy("day")
+
+
+def nelson_aalen_hazard_sql(max_days: int = HAZARD_MAX_DAYS) -> str:
+    return f"""
+    WITH h AS ({discrete_hazard_sql(max_days)}),
+    terms AS (
+        SELECT day, n_at_risk, n_converted,
+               CASE WHEN n_at_risk > 0 THEN CAST(round(1e6 * n_converted
+                    / CAST(n_at_risk AS DOUBLE)) AS BIGINT) ELSE 0 END
+                   AS dh_micro,
+               CASE WHEN n_at_risk > 0 THEN CAST(round(1e12 * n_converted
+                    / (CAST(n_at_risk AS DOUBLE) * n_at_risk)) AS BIGINT)
+                    ELSE 0 END AS dv_pico
+        FROM h
+    )
+    SELECT day, n_at_risk, n_converted,
+           CAST(SUM(dh_micro) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS h_micro,
+           CAST(SUM(dv_pico) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS var_pico
+    FROM terms
+    ORDER BY day
+    """

@@ -3164,3 +3164,28 @@ def q_james_stein(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the empirical-Bayes ranking stabilizer, exact sums with one bounded
     double chain."""
     return stats.james_stein_type_means(load_table(spark, sf_dir, "events"))
+
+
+@register("events_nelson_aalen", oracle=analytics.nelson_aalen_hazard_sql())
+def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard with Poisson-type variance — the
+    additive survival estimator, micro/pico-quantized increments on the
+    bounded day grid."""
+    return analytics.nelson_aalen_hazard(load_table(spark, sf_dir, "events"))
+
+
+@register("events_cross_spectrum", oracle=stats.cross_spectrum_daily_sql())
+def q_cross_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-spectrum of click vs error daily series — co/quadrature
+    spectra, amplitude, and phase lag per candidate period."""
+    return stats.cross_spectrum_daily(load_table(spark, sf_dir, "events"))
+
+
+@register("warehouse_risk_pooling", oracle=warehouse.risk_pooling_by_brand_sql())
+def q_risk_pooling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Risk-pooling report per brand — how much demand sigma (hence safety
+    stock) consolidation saves, with cross-stream correlation handled
+    exactly via pooled per-month totals."""
+    return warehouse.risk_pooling_by_brand(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )

@@ -8866,3 +8866,178 @@ def james_stein_type_means_sql() -> str:
         FROM base CROSS JOIN spread
         ORDER BY event_type
     """
+
+
+# --- Cross-spectrum of the click/error daily series ------------------------------------------
+
+XSPEC_X_TYPE = "click"
+XSPEC_Y_TYPE = "error"
+
+
+def cross_spectrum_daily(events: DataFrame) -> DataFrame:
+    """Cross-spectrum between the click and error daily-count series at
+    candidate periods 2..14 days: rows (period, co_spectrum, quad_spectrum,
+    amp_micro2, phase_milli) ordered by period.
+
+    xcorr_daily measures time-domain lag correlation; the cross-spectrum
+    asks WHERE in frequency the two series co-move and by what PHASE —
+    co-spectrum C = AxAy + BxBy, quadrature Q = AxBy - AyBx, phase lag
+    atan2(Q, C) — a weekly click cadence that errors follow half a cycle
+    later shows as amplitude at period 7 with phase ~pi.
+
+    Exactness: the per-series projections Ax, Bx, Ay, By quantize each
+    term to micro before their integer sums (the spectral_periodogram
+    discipline); C and Q are then exact DECIMAL(38,0) products; amplitude
+    and atan2 are the one double chain per bounded period row. atan2 is
+    IEEE-identical in both engines on identical exact inputs.
+
+    Scale shape: one (day) conditional aggregate, one bounded 13 x |days|
+    explode, one (period) reduction."""
+    d38 = "decimal(38,0)"
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum((F.col("event_type") == XSPEC_X_TYPE).cast("long"))
+        .cast("long")
+        .alias("x"),
+        F.sum((F.col("event_type") == XSPEC_Y_TYPE).cast("long"))
+        .cast("long")
+        .alias("y"),
+    )
+    tot = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+    )
+    t = daily.select(
+        "x", "y", F.row_number().over(Window.orderBy("day")).cast("long").alias("t")
+    )
+    terms = (
+        t.crossJoin(F.broadcast(tot))
+        .select(
+            "x",
+            "y",
+            "t",
+            "n",
+            "sx",
+            "sy",
+            F.explode(
+                F.sequence(F.lit(SPECTRAL_MIN_PERIOD), F.lit(SPECTRAL_MAX_PERIOD))
+            ).alias("period"),
+        )
+        .select(
+            "period",
+            F.expr(
+                "CAST(round(1e6 * (x - CAST(sx AS DOUBLE) / n)"
+                " * cos(2 * pi() * t / period)) AS BIGINT)"
+            ).alias("ax"),
+            F.expr(
+                "CAST(round(1e6 * (x - CAST(sx AS DOUBLE) / n)"
+                " * sin(2 * pi() * t / period)) AS BIGINT)"
+            ).alias("bx"),
+            F.expr(
+                "CAST(round(1e6 * (y - CAST(sy AS DOUBLE) / n)"
+                " * cos(2 * pi() * t / period)) AS BIGINT)"
+            ).alias("ay"),
+            F.expr(
+                "CAST(round(1e6 * (y - CAST(sy AS DOUBLE) / n)"
+                " * sin(2 * pi() * t / period)) AS BIGINT)"
+            ).alias("by"),
+        )
+    )
+    per_p = terms.groupBy("period").agg(
+        F.sum("ax").cast(d38).alias("sax"),
+        F.sum("bx").cast(d38).alias("sbx"),
+        F.sum("ay").cast(d38).alias("say"),
+        F.sum("by").cast(d38).alias("sby"),
+    )
+    return (
+        per_p.select(
+            "period",
+            (F.col("sax") * F.col("say") + F.col("sbx") * F.col("sby"))
+            .cast(d38)
+            .alias("c"),
+            (F.col("sax") * F.col("sby") - F.col("say") * F.col("sbx"))
+            .cast(d38)
+            .alias("q"),
+        )
+        .select(
+            F.col("period").cast("long").alias("period"),
+            F.expr("CAST(round(CAST(c AS DOUBLE) / 1e12) AS BIGINT)").alias(
+                "co_spectrum"
+            ),
+            F.expr("CAST(round(CAST(q AS DOUBLE) / 1e12) AS BIGINT)").alias(
+                "quad_spectrum"
+            ),
+            F.expr(
+                "CAST(round(sqrt(CAST(c AS DOUBLE) * CAST(c AS DOUBLE)"
+                " + CAST(q AS DOUBLE) * CAST(q AS DOUBLE)) / 1e12) AS BIGINT)"
+            ).alias("amp_micro2"),
+            F.expr(
+                "CAST(CASE WHEN c <> 0 OR q <> 0 THEN"
+                " round(1000 * atan2(CAST(q AS DOUBLE), CAST(c AS DOUBLE)))"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("phase_milli"),
+        )
+        .orderBy("period")
+    )
+
+
+def cross_spectrum_daily_sql() -> str:
+    return f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(SUM(CASE WHEN event_type = '{XSPEC_X_TYPE}'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                   CAST(SUM(CASE WHEN event_type = '{XSPEC_Y_TYPE}'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS y
+            FROM events GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy
+            FROM daily
+        ),
+        t AS (
+            SELECT x, y,
+                   CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+            FROM daily
+        ),
+        terms AS (
+            SELECT period,
+                   CAST(round(1e6 * (x - CAST(sx AS DOUBLE) / n)
+                        * cos(2 * pi() * t / period)) AS BIGINT) AS ax,
+                   CAST(round(1e6 * (x - CAST(sx AS DOUBLE) / n)
+                        * sin(2 * pi() * t / period)) AS BIGINT) AS bx,
+                   CAST(round(1e6 * (y - CAST(sy AS DOUBLE) / n)
+                        * cos(2 * pi() * t / period)) AS BIGINT) AS ay,
+                   CAST(round(1e6 * (y - CAST(sy AS DOUBLE) / n)
+                        * sin(2 * pi() * t / period)) AS BIGINT) AS by
+            FROM t CROSS JOIN tot
+            CROSS JOIN UNNEST(generate_series({SPECTRAL_MIN_PERIOD},
+                {SPECTRAL_MAX_PERIOD})) AS g(period)
+        ),
+        per_p AS (
+            SELECT period,
+                   CAST(SUM(ax) AS HUGEINT) AS sax,
+                   CAST(SUM(bx) AS HUGEINT) AS sbx,
+                   CAST(SUM(ay) AS HUGEINT) AS say,
+                   CAST(SUM(by) AS HUGEINT) AS sby
+            FROM terms GROUP BY period
+        ),
+        cq AS (
+            SELECT period, sax * say + sbx * sby AS c,
+                   sax * sby - say * sbx AS q
+            FROM per_p
+        )
+        SELECT CAST(period AS BIGINT) AS period,
+               CAST(round(CAST(c AS DOUBLE) / 1e12) AS BIGINT) AS co_spectrum,
+               CAST(round(CAST(q AS DOUBLE) / 1e12) AS BIGINT) AS quad_spectrum,
+               CAST(round(sqrt(CAST(c AS DOUBLE) * CAST(c AS DOUBLE)
+                    + CAST(q AS DOUBLE) * CAST(q AS DOUBLE)) / 1e12)
+                   AS BIGINT) AS amp_micro2,
+               CAST(CASE WHEN c <> 0 OR q <> 0 THEN
+                    round(1000 * atan2(CAST(q AS DOUBLE), CAST(c AS DOUBLE)))
+                    ELSE 0 END AS BIGINT) AS phase_milli
+        FROM cq
+        ORDER BY period
+    """

@@ -7800,3 +7800,156 @@ def fisher_price_index_sql() -> str:
         FROM agg
         ORDER BY year
     """
+
+
+# --- risk pooling (demand aggregation benefit) ------------------------------------------------
+
+
+def risk_pooling_by_brand(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Supply-chain risk-pooling report per brand: how much demand
+    variability disappears when per-nation-ish demand streams pool into
+    one: rows (brand, n_streams, sum_sigma_milli, pooled_sigma_milli,
+    pooling_gain_milli), ordered by brand.
+
+    reorder_points sizes safety stock per stream; this quantifies the
+    CONSOLIDATION decision — sqrt-law pooling: safety stock scales with
+    sigma, and sigma_pooled <= sum sigma_i (equality only under perfect
+    correlation), so gain = 1 - sigma_pooled / sum sigma_i is the fraction
+    of safety stock a central warehouse saves. Streams are the supplier
+    key mod 5 (the fixture's nation proxy); months are the demand
+    periods.
+
+    Exactness: per (brand, stream, month) demand sums are exact decimals;
+    sigmas are population std via exact S1/S2 sums over the bounded
+    (brand, stream) and (brand) grids; one double chain per brand row,
+    quantized milli. The pooled sigma derives from per-month POOLED
+    totals, so correlation between streams is handled exactly, not
+    assumed away.
+
+    Scale shape: one (brand, stream, month) aggregate of lineitem+part,
+    two bounded-grid reductions, one brand-keyed join of the two."""
+    base = (
+        lineitem.join(part, lineitem["l_partkey"] == part["p_partkey"])
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            (F.col("l_suppkey") % 5).alias("stream"),
+            F.date_trunc("month", "l_shipdate").cast("date").alias("mon"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q"))
+    )
+    # complete (brand, stream, month) grid so zero-demand periods count
+    spine = (
+        base.select("brand").distinct()
+        .crossJoin(base.select("stream").distinct())
+        .crossJoin(base.select("mon").distinct())
+    )
+    dense = spine.join(base, ["brand", "stream", "mon"], "left").select(
+        "brand",
+        "stream",
+        "mon",
+        F.coalesce(F.col("q"), F.lit(0).cast("decimal(18,2)")).alias("q"),
+    )
+    per_stream = dense.groupBy("brand", "stream").agg(
+        F.count("*").cast("long").alias("nm"),
+        F.sum(F.col("q").cast("double")).alias("s1"),
+        F.sum(F.expr("CAST(q AS DOUBLE) * CAST(q AS DOUBLE)")).alias("s2"),
+    )
+    sigmas = per_stream.select(
+        "brand",
+        F.expr("sqrt(greatest(0.0, s2 / nm - pow(s1 / nm, 2)))").alias("sig"),
+    ).groupBy("brand").agg(
+        F.count("*").cast("long").alias("n_streams"),
+        F.sum(F.expr("CAST(round(1000 * sig) AS BIGINT)"))
+        .cast("long")
+        .alias("sum_sigma_milli"),
+    )
+    pooled = (
+        dense.groupBy("brand", "mon")
+        .agg(F.sum(F.col("q").cast("double")).alias("qm"))
+        .groupBy("brand")
+        .agg(
+            F.count("*").cast("long").alias("nm"),
+            F.sum("qm").alias("s1"),
+            F.sum(F.expr("qm * qm")).alias("s2"),
+        )
+        .select(
+            "brand",
+            F.expr(
+                "CAST(round(1000 * sqrt(greatest(0.0, s2 / nm"
+                " - pow(s1 / nm, 2)))) AS BIGINT)"
+            ).alias("pooled_sigma_milli"),
+        )
+    )
+    return (
+        sigmas.join(pooled, "brand")
+        .select(
+            "brand",
+            "n_streams",
+            "sum_sigma_milli",
+            "pooled_sigma_milli",
+            F.expr(
+                "CAST(CASE WHEN sum_sigma_milli > 0 THEN round(1000 *"
+                " (1 - CAST(pooled_sigma_milli AS DOUBLE) / sum_sigma_milli))"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("pooling_gain_milli"),
+        )
+        .orderBy("brand")
+    )
+
+
+def risk_pooling_by_brand_sql() -> str:
+    return """
+        WITH base AS (
+            SELECT p_brand AS brand, l_suppkey % 5 AS stream,
+                   CAST(date_trunc('month', l_shipdate) AS DATE) AS mon,
+                   SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY 1, 2, 3
+        ),
+        spine AS (
+            SELECT brand, stream, mon
+            FROM (SELECT DISTINCT brand FROM base)
+            CROSS JOIN (SELECT DISTINCT stream FROM base)
+            CROSS JOIN (SELECT DISTINCT mon FROM base)
+        ),
+        dense AS (
+            SELECT s.brand, s.stream, s.mon,
+                   COALESCE(b.q, CAST(0 AS DECIMAL(18,2))) AS q
+            FROM spine s LEFT JOIN base b
+              ON s.brand = b.brand AND s.stream = b.stream AND s.mon = b.mon
+        ),
+        per_stream AS (
+            SELECT brand, stream, CAST(COUNT(*) AS BIGINT) AS nm,
+                   SUM(CAST(q AS DOUBLE)) AS s1,
+                   SUM(CAST(q AS DOUBLE) * CAST(q AS DOUBLE)) AS s2
+            FROM dense GROUP BY brand, stream
+        ),
+        sigmas AS (
+            SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_streams,
+                   CAST(SUM(CAST(round(1000 * sqrt(greatest(0.0,
+                        s2 / nm - pow(s1 / nm, 2)))) AS BIGINT)) AS BIGINT)
+                       AS sum_sigma_milli
+            FROM per_stream GROUP BY brand
+        ),
+        pooled AS (
+            SELECT brand,
+                   CAST(round(1000 * sqrt(greatest(0.0,
+                        s2 / nm - pow(s1 / nm, 2)))) AS BIGINT)
+                       AS pooled_sigma_milli
+            FROM (
+                SELECT brand, CAST(COUNT(*) AS BIGINT) AS nm,
+                       SUM(qm) AS s1, SUM(qm * qm) AS s2
+                FROM (
+                    SELECT brand, mon, SUM(CAST(q AS DOUBLE)) AS qm
+                    FROM dense GROUP BY brand, mon
+                ) GROUP BY brand
+            )
+        )
+        SELECT s.brand, n_streams, sum_sigma_milli, pooled_sigma_milli,
+               CAST(CASE WHEN sum_sigma_milli > 0 THEN round(1000 *
+                    (1 - CAST(pooled_sigma_milli AS DOUBLE)
+                         / sum_sigma_milli))
+                    ELSE 0 END AS BIGINT) AS pooling_gain_milli
+        FROM sigmas s JOIN pooled p ON s.brand = p.brand
+        ORDER BY s.brand
+    """

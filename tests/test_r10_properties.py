@@ -1156,3 +1156,162 @@ def test_classifier_auc_matches_reference(spark, docs):
         auc,
         2 * auc - 1000000,
     )
+
+
+# --- Nelson-Aalen (L-488) ------------------------------------------------------------------------
+
+
+@settings(max_examples=10, deadline=None)
+@given(offsets=RMST_USERS)
+def test_nelson_aalen_matches_reference(spark, offsets):
+    import datetime as dt
+
+    from pagila_etl_airflow_assignment_spark.operators.analytics import (
+        HAZARD_MAX_DAYS,
+        nelson_aalen_hazard,
+    )
+
+    max_days = HAZARD_MAX_DAYS
+    rows = []
+    eid = 0
+    base = dt.datetime(2024, 1, 1)
+    for u, off in enumerate(offsets, start=1):
+        eid += 1
+        rows.append((eid, base, u, "signup", 0.0))
+        if off is not None:
+            eid += 1
+            rows.append(
+                (eid, base + dt.timedelta(days=off, hours=1), u, "purchase", 0.0)
+            )
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    )
+    conv = {}
+    for o in offsets:
+        if o is not None and 0 <= o <= max_days:
+            conv[o] = conv.get(o, 0) + 1
+    at_risk = len(offsets)
+    hm, vp = 0, 0
+    ref = {}
+    for day in range(0, max_days + 1):
+        d = conv.get(day, 0)
+        if at_risk > 0:
+            hm += _rha(1e6 * d / at_risk)
+            vp += _rha(1e12 * d / (at_risk * at_risk))
+        ref[day] = (at_risk, d, hm, vp)
+        at_risk -= d
+    got = {
+        r.day: (r.n_at_risk, r.n_converted, r.h_micro, r.var_pico)
+        for r in nelson_aalen_hazard(ev).collect()
+    }
+    assert got == ref
+
+
+# --- cross-spectrum (L-489) ------------------------------------------------------------------------
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 20)).filter(
+            lambda t: t[0] + t[1] > 0
+        ),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_cross_spectrum_matches_reference(spark, pairs):
+    from pagila_etl_airflow_assignment_spark.operators.stats import (
+        cross_spectrum_daily,
+    )
+
+    rows = []
+    for d, (x, y) in enumerate(pairs, start=1):
+        day = f"2024-01-{d:02d}"
+        rows += [(1, "click", f"{day} 10:00:00", 1.0)] * x
+        rows += [(1, "error", f"{day} 11:00:00", 1.0)] * y
+        rows.append((1, "signup", f"{day} 09:00:00", 1.0))
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    n = len(pairs)
+    mx = sum(x for x, _ in pairs) / n
+    my = sum(y for _, y in pairs) / n
+    ref = {}
+    for p in range(2, 15):
+        sax = sum(
+            _rha(1e6 * (x - mx) * math.cos(2 * math.pi * t / p))
+            for t, (x, _) in enumerate(pairs, start=1)
+        )
+        sbx = sum(
+            _rha(1e6 * (x - mx) * math.sin(2 * math.pi * t / p))
+            for t, (x, _) in enumerate(pairs, start=1)
+        )
+        say = sum(
+            _rha(1e6 * (y - my) * math.cos(2 * math.pi * t / p))
+            for t, (_, y) in enumerate(pairs, start=1)
+        )
+        sby = sum(
+            _rha(1e6 * (y - my) * math.sin(2 * math.pi * t / p))
+            for t, (_, y) in enumerate(pairs, start=1)
+        )
+        c = sax * say + sbx * sby
+        q = sax * sby - say * sbx
+        ref[p] = (
+            _rha(c / 1e12),
+            _rha(q / 1e12),
+            _rha(math.sqrt(float(c) * c + float(q) * q) / 1e12),
+            _rha(1000 * math.atan2(q, c)) if (c != 0 or q != 0) else 0,
+        )
+    got = {
+        r.period: (r.co_spectrum, r.quad_spectrum, r.amp_micro2, r.phase_milli)
+        for r in cross_spectrum_daily(df).collect()
+    }
+    assert got == ref
+
+
+# --- risk pooling (L-490) ------------------------------------------------------------------------
+
+
+def test_risk_pooling_reference_fixture(spark):
+    """Two perfectly anti-correlated streams pool to (near) zero sigma —
+    pooling gain ~1000 milli; a single stream pools to itself — gain 0."""
+    import datetime as dt
+
+    from pagila_etl_airflow_assignment_spark.operators.warehouse import (
+        risk_pooling_by_brand,
+    )
+
+    # brand X: stream 0 sells [10, 0], stream 1 sells [0, 10] (anti-corr)
+    # brand Y: single stream, varying demand
+    lines = [
+        # (orderkey, partkey, suppkey, month, qty)
+        (1, 1, 5, 1, 10.0),   # X stream 0 (5 % 5 = 0), Jan
+        (2, 1, 6, 2, 10.0),   # X stream 1 (6 % 5 = 1), Feb
+        (3, 2, 7, 1, 4.0),    # Y stream 2, Jan
+        (4, 2, 7, 2, 8.0),    # Y stream 2, Feb
+    ]
+    li = spark.createDataFrame(
+        [
+            (o, pk, sk, 1, q, q, 0.0, 0.0, "N", "O", dt.datetime(1996, m, 15))
+            for o, pk, sk, m, q in lines
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    )
+    part = spark.createDataFrame(
+        [(1, "X"), (2, "Y")], "p_partkey long, p_brand string"
+    )
+    got = {r.brand: r for r in risk_pooling_by_brand(li, part).collect()}
+    # brand X: each stream sigma = 5 (values 10,0), sum = 10000 milli;
+    # pooled per-month totals are [10, 10] -> sigma 0 -> gain 1000
+    assert got["X"].sum_sigma_milli == 10000
+    assert got["X"].pooled_sigma_milli == 0
+    assert got["X"].pooling_gain_milli == 1000
+    # brand Y: one active stream (others zero), pooled == that stream
+    assert got["Y"].pooled_sigma_milli == 2000  # sigma of [4, 8] = 2
+    assert got["Y"].pooling_gain_milli >= 0

@@ -455,6 +455,9 @@ PROBES = [
     "events_cliffs_delta",
     "events_james_stein",
     "text_classifier_auc",
+    "events_nelson_aalen",
+    "events_cross_spectrum",
+    "warehouse_risk_pooling",
 ]
 
 
