@@ -2461,3 +2461,117 @@ def keyness_g2_sql(top_n: int = KEYNESS_TOP_N) -> str:
         WHERE rnk <= {top_n}
         ORDER BY source, g2_micro DESC, term
     """
+
+
+GOOD_TURING_MAX_R = 10
+
+
+def good_turing_smoothing(docs: DataFrame) -> DataFrame:
+    """Good-Turing smoothed unigram counts over the corpus: rows
+    (r, n_r, r_star_milli, prob_mass_micro) for raw counts r = 1..{GOOD_TURING_MAX_R}
+    plus the r = 0 unseen-mass row, ordered by r.
+
+    unigram_logprob assigns ML probabilities that give unseen words zero
+    mass; Good-Turing is the classical fix the smoothing literature builds
+    on (Katz backoff starts here): r* = (r+1) * N_{r+1} / N_r on the
+    frequency-of-frequencies table, and the reserved unseen mass is
+    P_0 = N_1 / N. Rows where N_{r+1} = 0 report r* = r (no evidence to
+    discount — the standard cutoff treatment, which is also why the table
+    stops at a small max r).
+
+    Exactness: the frequency-of-frequencies table is exact integers from
+    two aggregates; r* and the per-r probability mass N_r * r* / N are
+    one rounded division each over the bounded r-grid.
+
+    Scale shape: one (term) aggregate with map-side combine, one (r)
+    aggregate over the term table (bounded output), one 1-row totals
+    broadcast."""
+    terms = (
+        grams(docs, 1)
+        .groupBy("gram")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    fof = (
+        terms.where(F.col("tf") <= GOOD_TURING_MAX_R + 1)
+        .groupBy("tf")
+        .agg(F.count("*").cast("long").alias("n_r"))
+    )
+    tot = terms.agg(F.sum("tf").cast("long").alias("n_tokens"))
+    nxt = fof.select((F.col("tf") - 1).alias("tf"), F.col("n_r").alias("n_r1"))
+    grid = docs.sparkSession.range(0, GOOD_TURING_MAX_R + 1).select(
+        F.col("id").cast("long").alias("r")
+    )
+    return (
+        grid.join(fof.withColumnRenamed("tf", "r"), "r", "left")
+        .join(nxt.withColumnRenamed("tf", "r"), "r", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "r",
+            F.coalesce("n_r", F.lit(0)).cast("long").alias("n_r"),
+            F.coalesce("n_r1", F.lit(0)).cast("long").alias("n_r1"),
+            "n_tokens",
+        )
+        .select(
+            "r",
+            "n_r",
+            F.expr(
+                "CAST(CASE WHEN r = 0 THEN 0"
+                " WHEN n_r > 0 AND n_r1 > 0 THEN"
+                "   round(1000.0 * (r + 1) * n_r1 / n_r)"
+                " ELSE 1000 * r END AS BIGINT)"
+            ).alias("r_star_milli"),
+            F.expr(
+                "CAST(CASE WHEN r = 0 THEN round(1e6 * n_r1"
+                "   / CAST(n_tokens AS DOUBLE))"  # P0 = N1 / N
+                " WHEN n_r > 0 AND n_r1 > 0 THEN"
+                "   round(1e6 * n_r * ((r + 1.0) * n_r1 / n_r)"
+                "         / CAST(n_tokens AS DOUBLE))"
+                " ELSE round(1e6 * n_r * CAST(r AS DOUBLE)"
+                "      / CAST(n_tokens AS DOUBLE)) END AS BIGINT)"
+            ).alias("prob_mass_micro"),
+        )
+        .orderBy("r")
+    )
+
+
+def good_turing_smoothing_sql() -> str:
+    return f"""
+    WITH toks AS ({grams_sql(1)}),
+    terms AS (
+        SELECT gram, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY gram
+    ),
+    fof AS (
+        SELECT tf, CAST(COUNT(*) AS BIGINT) AS n_r
+        FROM terms WHERE tf <= {GOOD_TURING_MAX_R + 1} GROUP BY tf
+    ),
+    tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS n_tokens FROM terms),
+    grid AS (
+        SELECT CAST(r AS BIGINT) AS r
+        FROM UNNEST(generate_series(0, {GOOD_TURING_MAX_R})) AS g(r)
+    ),
+    dense AS (
+        SELECT grid.r,
+               COALESCE(f.n_r, 0) AS n_r,
+               COALESCE(f1.n_r, 0) AS n_r1,
+               n_tokens
+        FROM grid
+        LEFT JOIN fof f ON f.tf = grid.r
+        LEFT JOIN fof f1 ON f1.tf = grid.r + 1
+        CROSS JOIN tot
+    )
+    SELECT r, n_r,
+           CAST(CASE WHEN r = 0 THEN 0
+                WHEN n_r > 0 AND n_r1 > 0 THEN
+                  round(1000.0 * (r + 1) * n_r1 / n_r)
+                ELSE 1000 * r END AS BIGINT) AS r_star_milli,
+           CAST(CASE WHEN r = 0 THEN round(1e6 * n_r1
+                  / CAST(n_tokens AS DOUBLE))
+                WHEN n_r > 0 AND n_r1 > 0 THEN
+                  round(1e6 * n_r * ((r + 1.0) * n_r1 / n_r)
+                        / CAST(n_tokens AS DOUBLE))
+                ELSE round(1e6 * n_r * CAST(r AS DOUBLE)
+                     / CAST(n_tokens AS DOUBLE)) END AS BIGINT)
+               AS prob_mass_micro
+    FROM dense
+    ORDER BY r
+    """

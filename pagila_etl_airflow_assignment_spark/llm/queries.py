@@ -1370,3 +1370,11 @@ def q_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded score grid — discrimination, the deploy question calibration
     does not answer."""
     return text.classifier_auc(load_table(spark, sf_dir, "documents"))
+
+
+@register("vocab_good_turing", oracle=corpus_stats.good_turing_smoothing_sql())
+def q_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing smoothed counts on the frequency-of-frequencies table —
+    discounted r* and the reserved unseen mass P0 = N1/N, the classical
+    base of Katz backoff."""
+    return corpus_stats.good_turing_smoothing(load_table(spark, sf_dir, "documents"))

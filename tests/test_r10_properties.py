@@ -1315,3 +1315,59 @@ def test_risk_pooling_reference_fixture(spark):
     # brand Y: one active stream (others zero), pooled == that stream
     assert got["Y"].pooled_sigma_milli == 2000  # sigma of [4, 8] = 2
     assert got["Y"].pooling_gain_milli >= 0
+
+
+# --- Good-Turing (L-491) -----------------------------------------------------------------------
+
+GT_DOCS = st.lists(
+    st.lists(
+        st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta"]),
+        min_size=1,
+        max_size=10,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _gt_ref(docs):
+    from collections import Counter
+
+    tf = Counter()
+    for toks in docs:
+        tf.update(toks)
+    n = sum(tf.values())
+    fof = Counter(tf.values())
+    out = {}
+    for r in range(0, 11):
+        n_r = fof.get(r, 0) if r <= 11 else 0
+        n_r1 = fof.get(r + 1, 0)
+        if r == 0:
+            rs = 0
+            pm = _rha(1e6 * n_r1 / n)
+        elif n_r > 0 and n_r1 > 0:
+            rs = _rha(1000.0 * (r + 1) * n_r1 / n_r)
+            pm = _rha(1e6 * n_r * ((r + 1.0) * n_r1 / n_r) / n)
+        else:
+            rs = 1000 * r
+            pm = _rha(1e6 * n_r * float(r) / n)
+        out[r] = (n_r, rs, pm)
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(docs=GT_DOCS)
+def test_good_turing_matches_reference(spark, docs):
+    from pagila_etl_airflow_assignment_spark.llm.corpus_stats import (
+        good_turing_smoothing,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks), "en", "webA", 100) for i, toks in enumerate(docs)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {
+        r.r: (r.n_r, r.r_star_milli, r.prob_mass_micro)
+        for r in good_turing_smoothing(df).collect()
+    }
+    assert got == _gt_ref(docs)

@@ -458,6 +458,7 @@ PROBES = [
     "events_nelson_aalen",
     "events_cross_spectrum",
     "warehouse_risk_pooling",
+    "vocab_good_turing",
 ]
 
 
