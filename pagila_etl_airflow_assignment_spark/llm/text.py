@@ -1886,10 +1886,10 @@ def dp_noisy_counts_sql(epsilon_milli: int = DP_EPSILON_MILLI) -> str:
         noised AS (
             SELECT lang, source, true_n,
                    CAST(round(
-                       -(1000.0 * 1000.0 / {epsilon_milli})
-                       * sign(({h} + 0.5) / 1152921504606846976.0 - 0.5)
-                       * ln(1.0 - 2.0 * abs(({h} + 0.5) / 1152921504606846976.0
-                                             - 0.5))
+                       -(1000.0e0 * 1000.0e0 / {epsilon_milli})
+                       * sign(({h} + 0.5e0) / 1152921504606846976.0e0 - 0.5e0)
+                       * ln(1.0e0 - 2.0e0 * abs(({h} + 0.5e0) / 1152921504606846976.0e0
+                                             - 0.5e0))
                    ) AS BIGINT) AS noise_milli
             FROM grp
         )

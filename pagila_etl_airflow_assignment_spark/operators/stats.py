@@ -2654,7 +2654,7 @@ def evt_return_level_sql(t_days: int = EVT_RETURN_DAYS) -> str:
                    - sqrt((CAST(n_days AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
                           / (CAST(n_days AS DOUBLE) * (n_days - 1)))
                      * {_SQRT6_OVER_PI}
-                     * ln(-ln(1.0 - 1.0 / {t_days}))
+                     * ln(-ln(1.0e0 - 1.0e0 / {t_days}))
                ) AS BIGINT) AS rl_centi
         FROM agg
         WHERE n_days > 1

@@ -6454,7 +6454,7 @@ def weibull_latency_fit(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
         "q75_days",
         F.expr(
             "CAST(CASE WHEN q75_days > q25_days AND q25_days >= 1"
-            " THEN round(1000.0 * (ln(ln(4.0)) - ln(ln(4.0 / 3.0)))"
+            " THEN round(1000.0 * (ln(ln(4.0)) - ln(ln(4.0e0 / 3.0e0)))"
             "      / (ln(CAST(q75_days AS DOUBLE)) - ln(CAST(q25_days AS DOUBLE))))"
             " ELSE 0 END AS BIGINT)"
         ).alias("shape_milli"),
@@ -6463,7 +6463,7 @@ def weibull_latency_fit(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
             " THEN round(1000.0 * exp(ln(CAST(q75_days AS DOUBLE))"
             "      - ln(ln(4.0)) * (ln(CAST(q75_days AS DOUBLE))"
             "         - ln(CAST(q25_days AS DOUBLE)))"
-            "        / (ln(ln(4.0)) - ln(ln(4.0 / 3.0)))))"
+            "        / (ln(ln(4.0)) - ln(ln(4.0e0 / 3.0e0)))))"
             " ELSE 0 END AS BIGINT)"
         ).alias("scale_milli"),
     )
@@ -6502,7 +6502,7 @@ def weibull_latency_fit_sql() -> str:
         )
         SELECT n_lines, q25_days, q75_days,
                CAST(CASE WHEN q75_days > q25_days AND q25_days >= 1
-                    THEN round(1000.0 * (ln(ln(4.0)) - ln(ln(4.0 / 3.0)))
+                    THEN round(1000.0 * (ln(ln(4.0)) - ln(ln(4.0e0 / 3.0e0)))
                          / (ln(CAST(q75_days AS DOUBLE))
                             - ln(CAST(q25_days AS DOUBLE))))
                     ELSE 0 END AS BIGINT) AS shape_milli,
@@ -6510,7 +6510,7 @@ def weibull_latency_fit_sql() -> str:
                     THEN round(1000.0 * exp(ln(CAST(q75_days AS DOUBLE))
                          - ln(ln(4.0)) * (ln(CAST(q75_days AS DOUBLE))
                             - ln(CAST(q25_days AS DOUBLE)))
-                           / (ln(ln(4.0)) - ln(ln(4.0 / 3.0)))))
+                           / (ln(ln(4.0)) - ln(ln(4.0e0 / 3.0e0)))))
                     ELSE 0 END AS BIGINT) AS scale_milli
         FROM qs
     """
@@ -7840,8 +7840,8 @@ def risk_pooling_by_brand(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     # complete (brand, stream, month) grid so zero-demand periods count
     spine = (
         base.select("brand").distinct()
-        .crossJoin(base.select("stream").distinct())
-        .crossJoin(base.select("mon").distinct())
+        .crossJoin(F.broadcast(base.select("stream").distinct()))
+        .crossJoin(F.broadcast(base.select("mon").distinct()))
     )
     dense = spine.join(base, ["brand", "stream", "mon"], "left").select(
         "brand",

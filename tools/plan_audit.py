@@ -319,6 +319,25 @@ ALLOWED: dict[str, set[str]] = {
     "events_page_hinkley": {"BroadcastNestedLoopJoin"},
     "events_friedman_test": {"BroadcastNestedLoopJoin"},
     "warehouse_weibull_latency": {"BroadcastNestedLoopJoin"},
+    # round-10 (L-468..491): crossJoin(broadcast(1-row scalar)) totals and
+    # bounded literal grids (7-probe percentiles, 3-row deviation levels,
+    # 3-row horizons, distinct stream/month spines, r-grid)
+    "events_tdigest_quantiles": {"BroadcastNestedLoopJoin"},
+    "events_moments_tail_bounds": {"BroadcastNestedLoopJoin"},
+    "events_ar2_forecast": {"BroadcastNestedLoopJoin"},
+    "events_cumulative_periodogram": {"BroadcastNestedLoopJoin"},
+    "events_rmst": {"BroadcastNestedLoopJoin"},
+    "events_jonckheere_terpstra": {"BroadcastNestedLoopJoin"},
+    "ann_map_eval": {"BroadcastNestedLoopJoin"},
+    "text_brier_decomposition": {"BroadcastNestedLoopJoin"},
+    "warehouse_hilbert_layout": {"BroadcastNestedLoopJoin"},
+    "events_ewma_chart": {"BroadcastNestedLoopJoin"},
+    "events_siegel_slope": {"BroadcastNestedLoopJoin"},
+    "events_james_stein": {"BroadcastNestedLoopJoin"},
+    "events_nelson_aalen": {"BroadcastNestedLoopJoin"},
+    "events_cross_spectrum": {"BroadcastNestedLoopJoin"},
+    "warehouse_risk_pooling": {"BroadcastNestedLoopJoin"},
+    "vocab_good_turing": {"BroadcastNestedLoopJoin"},
 }
 
 PATTERNS = ("CartesianProduct", "BatchEvalPython", "BroadcastNestedLoopJoin")
