@@ -2708,7 +2708,7 @@ def ktruss_edges_sql(
     """
 
 
-def local_clustering(lineitem: DataFrame, max_basket: int = 30) -> DataFrame:
+def clustering_coefficient(lineitem: DataFrame, max_basket: int = 30) -> DataFrame:
     """Local clustering coefficient per part over the co-purchase graph:
     (p_partkey, degree, triangles, lcc_micro), ordered — how CLOSED each
     node's neighborhood is (C_v = 2*T_v / (d_v * (d_v - 1))), the per-node
@@ -2762,7 +2762,7 @@ def local_clustering(lineitem: DataFrame, max_basket: int = 30) -> DataFrame:
     )
 
 
-def local_clustering_sql(max_basket: int = 30) -> str:
+def clustering_coefficient_sql(max_basket: int = 30) -> str:
     return f"""
         WITH items AS (
             SELECT DISTINCT l_orderkey, l_partkey FROM lineitem

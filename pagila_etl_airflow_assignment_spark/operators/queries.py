@@ -3136,11 +3136,14 @@ def q_siegel_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.siegel_slope_daily(load_table(spark, sf_dir, "events"))
 
 
-@register("graph_local_clustering", oracle=graph.local_clustering_sql())
-def q_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Local clustering coefficient per part — how closed each co-purchase
-    neighborhood is, one wedge join with the triangle-census economics."""
-    return graph.local_clustering(load_table(spark, sf_dir, "lineitem"))
+@register(
+    "graph_clustering_coefficient", oracle=graph.clustering_coefficient_sql()
+)
+def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full per-part clustering coefficient table (degree, triangles,
+    C_v) — the raw relation behind graph_local_clustering's decile panel,
+    one wedge join with the triangle-census economics."""
+    return graph.clustering_coefficient(load_table(spark, sf_dir, "lineitem"))
 
 
 @register("warehouse_fisher_index", oracle=warehouse.fisher_price_index_sql())

@@ -888,10 +888,12 @@ def test_siegel_matches_reference(spark, counts):
 
 @settings(max_examples=8, deadline=None)
 @given(baskets=KT_BASKETS)
-def test_local_clustering_matches_reference(spark, baskets):
+def test_clustering_coefficient_matches_reference(spark, baskets):
     import datetime as dt
 
-    from pagila_etl_airflow_assignment_spark.operators.graph import local_clustering
+    from pagila_etl_airflow_assignment_spark.operators.graph import (
+        clustering_coefficient,
+    )
 
     li = spark.createDataFrame(
         [
@@ -921,7 +923,7 @@ def test_local_clustering_matches_reference(spark, baskets):
         ref[v] = (d, tri, lcc)
     got = {
         r.p_partkey: (r.degree, r.triangles, r.lcc_micro)
-        for r in local_clustering(li).collect()
+        for r in clustering_coefficient(li).collect()
     }
     assert got == ref
 

@@ -35,9 +35,15 @@ DAY_COUNTS = st.lists(st.integers(1, 6), min_size=2, max_size=34)
 
 
 def _events_from_values(spark, series, event_type="click"):
+    import datetime as _dt
+
     rows = []
-    for d, centis in enumerate(series, start=1):
-        day = f"2024-01-{d:02d}"
+    base = _dt.date(2024, 1, 1)
+    for d, centis in enumerate(series):
+        # real date arithmetic: f"2024-01-{d}" breaks past day 31 (the
+        # silent-NULL to_timestamp dropped a day and a randomized
+        # Hypothesis run caught it via kpss/hurst n_days mismatches)
+        day = (base + _dt.timedelta(days=d)).isoformat()
         rows += [
             (1, event_type, f"{day} 10:00:00", c / 100.0) for c in centis
         ]

@@ -450,7 +450,7 @@ PROBES = [
     "graph_ktruss",
     "events_ewma_chart",
     "events_siegel_slope",
-    "graph_local_clustering",
+    "graph_clustering_coefficient",
     "warehouse_fisher_index",
     "events_cliffs_delta",
     "events_james_stein",
