@@ -3192,3 +3192,89 @@ def q_risk_pooling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return warehouse.risk_pooling_by_brand(
         load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
     )
+
+
+@register("events_aalen_johansen", oracle=stats.aalen_johansen_sql())
+def q_aalen_johansen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aalen-Johansen cumulative incidence for the purchase-vs-error
+    competing risks after signup — the correct per-cause decomposition
+    where 1-KM overstates."""
+    return stats.aalen_johansen(load_table(spark, sf_dir, "events"))
+
+
+@register("events_gehan_wilcoxon", oracle=stats.gehan_wilcoxon_test_sql())
+def q_gehan_wilcoxon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gehan-Breslow-Wilcoxon survival test — the n_t-weighted companion
+    to the log-rank verdict, sensitive to early divergence."""
+    return stats.gehan_wilcoxon_test(load_table(spark, sf_dir, "events"))
+
+
+@register("events_ansari_bradley", oracle=stats.ansari_bradley_test_sql())
+def q_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ansari-Bradley rank scale test between click and error values —
+    the tent-score verdict on dispersion, free of moment assumptions."""
+    return stats.ansari_bradley_test(load_table(spark, sf_dir, "events"))
+
+
+@register("events_cvm_two_sample", oracle=stats.cvm_two_sample_test_sql())
+def q_cvm_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramer-von Mises statistic between click and error
+    values — integrated squared ECDF gap, the whole-support complement
+    to the KS sup."""
+    return stats.cvm_two_sample_test(load_table(spark, sf_dir, "events"))
+
+
+@register("events_kendall_w", oracle=stats.kendall_w_daily_sql())
+def q_kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's W concordance of the event types' day-load rankings —
+    the k-judge generalization of rank correlation, tie-corrected."""
+    return stats.kendall_w_daily(load_table(spark, sf_dir, "events"))
+
+
+@register("events_quade_test", oracle=stats.quade_test_daily_sql())
+def q_quade_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quade test across event types blocked by day — range-rank-weighted
+    within-block ranks, the higher-power small-k companion to Friedman."""
+    return stats.quade_test_daily(load_table(spark, sf_dir, "events"))
+
+
+@register("events_lomb_scargle", oracle=stats.lomb_scargle_daily_sql())
+def q_lomb_scargle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lomb-Scargle periodogram of the daily mean click value — the
+    irregular-sampling spectral estimator with per-frequency tau shift."""
+    return stats.lomb_scargle_daily(load_table(spark, sf_dir, "events"))
+
+
+@register("events_allan_variance", oracle=stats.allan_variance_hourly_sql())
+def q_allan_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allan variance of the hourly event rate at tau = 1/2/4/8 h — the
+    frequency-stability curve, exact integer bin arithmetic."""
+    return stats.allan_variance_hourly(load_table(spark, sf_dir, "events"))
+
+
+@register("events_arch_lm", oracle=stats.arch_lm_daily_sql())
+def q_arch_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engle's ARCH LM test on daily value log-returns — does volatility
+    cluster, n R^2 from one exact-integer regression."""
+    return stats.arch_lm_daily(load_table(spark, sf_dir, "events"))
+
+
+@register("events_dfa", oracle=stats.dfa_daily_sql())
+def q_dfa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detrended fluctuation analysis of daily click counts — box-wise
+    linear detrend, log-equidistant sizes, closed-form alpha."""
+    return stats.dfa_daily(load_table(spark, sf_dir, "events"))
+
+
+@register("events_sample_entropy", oracle=stats.sample_entropy_daily_sql())
+def q_sample_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample entropy SampEn(2, 0.2 sigma) of daily click counts — the
+    amplitude-aware regularity verdict over a capped 256-day tail."""
+    return stats.sample_entropy_daily(load_table(spark, sf_dir, "events"))
+
+
+@register("events_engle_granger", oracle=stats.engle_granger_daily_sql())
+def q_engle_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engle-Granger cointegration lite: OLS hedge ratio between click and
+    purchase daily totals, then a Dickey-Fuller verdict on the spread."""
+    return stats.engle_granger_daily(load_table(spark, sf_dir, "events"))

@@ -9041,3 +9041,2127 @@ def cross_spectrum_daily_sql() -> str:
         FROM cq
         ORDER BY period
     """
+
+
+# --- Aalen-Johansen competing-risks cumulative incidence ---------------------------------
+
+AJ_HORIZON_DAYS = 14
+
+
+def aalen_johansen(events: DataFrame, horizon: int = AJ_HORIZON_DAYS) -> DataFrame:
+    """Aalen-Johansen cumulative incidence under competing risks after
+    signup: cause 1 = first purchase, cause 2 = first error, whichever
+    strikes first (ties resolve to purchase), administratively censored
+    at ``horizon`` days. One row per event day: (t, n_at_risk,
+    d_purchase, d_error, cif_purchase_micro, cif_error_micro).
+
+    kaplan_meier treats conversion as the only exit; with competing
+    events, 1-KM per cause OVERSTATES each incidence because it censors
+    the competitor as if independent. Aalen-Johansen is the correct
+    decomposition: CIF_k(t) = sum_{s<=t} S(s-) * d_k(s)/n(s) with S the
+    all-cause product-limit curve, so the causes' CIFs and the overall
+    survival partition probability-1 exactly.
+
+    Exactness: day differences and risk sets are exact integers on the
+    bounded day grid; S(s-) uses the deterministic exp-of-cumulative-ln
+    ladder (the kaplan_meier convention, analytics.py:906); each day's
+    CIF increment quantizes to micro before the integer cumulative sum.
+
+    Scale shape: one user-grain signup aggregate, one user-grain
+    competing-first aggregate, one bounded day-grid aggregate with three
+    sequential windows over the <=horizon+1-row grid."""
+    su = events.where(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("signup_ts")
+    )
+    firsts = (
+        su.join(
+            events.where(F.col("event_type").isin("purchase", "error")).select(
+                F.col("user_id").alias("eu"),
+                F.col("event_type").alias("etype"),
+                F.col("ts").alias("ets"),
+            ),
+            (F.col("user_id") == F.col("eu")) & (F.col("ets") > F.col("signup_ts")),
+            "left",
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("etype") == "purchase",
+                    F.datediff(F.to_date("ets"), F.to_date("signup_ts")),
+                )
+            ).alias("tp"),
+            F.min(
+                F.when(
+                    F.col("etype") == "error",
+                    F.datediff(F.to_date("ets"), F.to_date("signup_ts")),
+                )
+            ).alias("te"),
+        )
+    )
+    timed = firsts.select(
+        F.expr(
+            f"CAST(CASE WHEN tp IS NOT NULL AND tp <= {horizon}"
+            f" AND (te IS NULL OR tp <= te) THEN tp"
+            f" WHEN te IS NOT NULL AND te <= {horizon} THEN te"
+            f" ELSE {horizon} END AS BIGINT)"
+        ).alias("t"),
+        F.expr(
+            f"CAST(CASE WHEN tp IS NOT NULL AND tp <= {horizon}"
+            f" AND (te IS NULL OR tp <= te) THEN 1"
+            f" WHEN te IS NOT NULL AND te <= {horizon} THEN 2"
+            f" ELSE 0 END AS BIGINT)"
+        ).alias("cause"),
+    )
+    grid = timed.groupBy("t").agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum((F.col("cause") == 1).cast("long")).cast("long").alias("d1"),
+        F.sum((F.col("cause") == 2).cast("long")).cast("long").alias("d2"),
+    )
+    wrev = Window.orderBy(F.desc("t")).rowsBetween(Window.unboundedPreceding, 0)
+    risk = grid.select(
+        "t", "d1", "d2", F.sum("m").over(wrev).cast("long").alias("n")
+    )
+    d = F.col("d1") + F.col("d2")
+    pre = risk.withColumn(
+        "lt",
+        F.when(
+            (F.col("n") > 0) & (d < F.col("n")),
+            F.log((F.col("n") - d).cast("double") / F.col("n")),
+        ).otherwise(F.lit(0.0e0)),
+    ).withColumn("died", ((F.col("n") > 0) & (d == F.col("n"))).cast("int"))
+    wprev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    curve = pre.select(
+        "t",
+        "d1",
+        "d2",
+        "n",
+        F.when(F.coalesce(F.max("died").over(wprev), F.lit(0)) == 1, F.lit(0.0e0))
+        .otherwise(F.exp(F.coalesce(F.sum("lt").over(wprev), F.lit(0.0e0))))
+        .alias("s_prev"),
+    )
+    incs = curve.select(
+        "t",
+        F.col("n").alias("n_at_risk"),
+        F.col("d1").alias("d_purchase"),
+        F.col("d2").alias("d_error"),
+        F.expr("CAST(round(1e6 * s_prev * d1 / n) AS BIGINT)").alias("i1"),
+        F.expr("CAST(round(1e6 * s_prev * d2 / n) AS BIGINT)").alias("i2"),
+    ).where((F.col("d_purchase") + F.col("d_error")) > 0)
+    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    return incs.select(
+        "t",
+        "n_at_risk",
+        "d_purchase",
+        "d_error",
+        F.sum("i1").over(wcum).cast("long").alias("cif_purchase_micro"),
+        F.sum("i2").over(wcum).cast("long").alias("cif_error_micro"),
+    ).orderBy("t")
+
+
+def aalen_johansen_sql(horizon: int = AJ_HORIZON_DAYS) -> str:
+    return f"""
+        WITH su AS (
+            SELECT user_id, MIN(ts) AS signup_ts
+            FROM events WHERE event_type = 'signup'
+            GROUP BY user_id
+        ),
+        firsts AS (
+            SELECT su.user_id,
+                   MIN(CASE WHEN etype = 'purchase' THEN
+                       date_diff('day', CAST(signup_ts AS DATE),
+                                 CAST(ets AS DATE)) END) AS tp,
+                   MIN(CASE WHEN etype = 'error' THEN
+                       date_diff('day', CAST(signup_ts AS DATE),
+                                 CAST(ets AS DATE)) END) AS te
+            FROM su LEFT JOIN (
+                SELECT user_id AS eu, event_type AS etype, ts AS ets
+                FROM events WHERE event_type IN ('purchase', 'error')
+            ) e ON su.user_id = eu AND ets > signup_ts
+            GROUP BY su.user_id
+        ),
+        timed AS (
+            SELECT CAST(CASE WHEN tp IS NOT NULL AND tp <= {horizon}
+                             AND (te IS NULL OR tp <= te) THEN tp
+                             WHEN te IS NOT NULL AND te <= {horizon} THEN te
+                             ELSE {horizon} END AS BIGINT) AS t,
+                   CAST(CASE WHEN tp IS NOT NULL AND tp <= {horizon}
+                             AND (te IS NULL OR tp <= te) THEN 1
+                             WHEN te IS NOT NULL AND te <= {horizon} THEN 2
+                             ELSE 0 END AS BIGINT) AS cause
+            FROM firsts
+        ),
+        grid AS (
+            SELECT t, CAST(COUNT(*) AS BIGINT) AS m,
+                   CAST(SUM(CASE WHEN cause = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS d1,
+                   CAST(SUM(CASE WHEN cause = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS d2
+            FROM timed GROUP BY t
+        ),
+        risk AS (
+            SELECT t, d1, d2,
+                   CAST(SUM(m) OVER (ORDER BY t DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS n
+            FROM grid
+        ),
+        pre AS (
+            SELECT t, d1, d2, n,
+                   CASE WHEN n > 0 AND d1 + d2 < n THEN
+                        ln(CAST(n - d1 - d2 AS DOUBLE) / n) ELSE 0.0e0 END AS lt,
+                   CASE WHEN n > 0 AND d1 + d2 = n THEN 1 ELSE 0 END AS died
+            FROM risk
+        ),
+        curve AS (
+            SELECT t, d1, d2, n,
+                   CASE WHEN COALESCE(MAX(died) OVER w, 0) = 1 THEN 0.0e0
+                        ELSE exp(COALESCE(SUM(lt) OVER w, 0.0e0)) END AS s_prev
+            FROM pre
+            WINDOW w AS (ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        ),
+        incs AS (
+            SELECT t, n AS n_at_risk, d1 AS d_purchase, d2 AS d_error,
+                   CAST(round(1e6 * s_prev * d1 / n) AS BIGINT) AS i1,
+                   CAST(round(1e6 * s_prev * d2 / n) AS BIGINT) AS i2
+            FROM curve
+            WHERE d1 + d2 > 0
+        )
+        SELECT t, n_at_risk, d_purchase, d_error,
+               CAST(SUM(i1) OVER wc AS BIGINT) AS cif_purchase_micro,
+               CAST(SUM(i2) OVER wc AS BIGINT) AS cif_error_micro
+        FROM incs
+        WINDOW wc AS (ORDER BY t
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ORDER BY t
+    """
+
+
+# --- Gehan-Wilcoxon (generalized Wilcoxon) survival test ---------------------------------
+
+GEHAN_HORIZON_DAYS = 14
+GEHAN_GROUP_TYPE = "view"
+
+
+def gehan_wilcoxon_test(
+    events: DataFrame, horizon: int = GEHAN_HORIZON_DAYS
+) -> DataFrame:
+    """Gehan-Breslow-Wilcoxon test of time-to-first-purchase between
+    signup-day viewers and non-viewers: one row (n_users, w_milli,
+    z_milli).
+
+    logrank_test weights every event day equally, making it most
+    powerful under proportional hazards; Gehan's generalized Wilcoxon
+    weights each day by the at-risk count n_t, emphasizing EARLY
+    differences — the standard companion verdict when curves cross or
+    hazards converge. W = sum_t n_t (d1_t - n1_t d_t / n_t); the n_t^2
+    weight cancels one nt^2 in the hypergeometric variance, leaving
+    Var = sum_t d_t (n_t - d_t) n1_t n0_t / (n_t - 1).
+
+    Cohort: users with a signup event; group 1 viewed on their signup
+    day; follow-up capped at ``horizon`` days (administrative
+    censoring), the logrank_test conventions with an independent group
+    split so the two tests answer different questions on the fixture.
+
+    Exactness: risk sets are reverse-cumulative integer sums on the
+    bounded (group x horizon) grid, densified over the day spine the
+    same way in both engines; each day's weighted O-E and variance term
+    quantizes to micro (decimal-38 sums) before the <=horizon-row
+    reduction; the final z is the one float boundary.
+
+    Scale shape: two user-grain aggregates, one bounded (group, day)
+    aggregate with a reverse-cumulative window, one 1-row reduction."""
+    d38 = "decimal(38,0)"
+    su = events.where(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("signup_ts")
+    )
+    views = (
+        events.where(F.col("event_type") == GEHAN_GROUP_TYPE)
+        .select(F.col("user_id").alias("vu"), F.to_date("ts").alias("view_day"))
+        .distinct()
+    )
+    grouped = (
+        su.join(
+            views,
+            (F.col("user_id") == F.col("vu"))
+            & (F.col("view_day") == F.to_date("signup_ts")),
+            "left",
+        )
+        .groupBy("user_id", "signup_ts")
+        .agg(F.max((F.col("vu").isNotNull()).cast("int")).alias("g"))
+    )
+    purch = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    timed = (
+        grouped.join(
+            purch,
+            (F.col("user_id") == F.col("pu")) & (F.col("pts") > F.col("signup_ts")),
+            "left",
+        )
+        .groupBy("user_id", "g")
+        .agg(
+            F.min(F.datediff(F.to_date("pts"), F.to_date("signup_ts"))).alias(
+                "delay"
+            )
+        )
+        .select(
+            "g",
+            F.expr(
+                f"CAST(CASE WHEN delay IS NULL OR delay > {horizon}"
+                f" THEN {horizon} ELSE delay END AS BIGINT)"
+            ).alias("t"),
+            F.expr(
+                f"CAST(CASE WHEN delay IS NULL OR delay > {horizon}"
+                f" THEN 0 ELSE 1 END AS BIGINT)"
+            ).alias("ev"),
+        )
+    )
+    per_gt = timed.groupBy("g", "t").agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("ev").cast("long").alias("d"),
+    )
+    wrev = (
+        Window.partitionBy("g")
+        .orderBy(F.desc("t"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    risk = per_gt.select(
+        "g", "t", "d", F.sum("m").over(wrev).cast("long").alias("n_at_risk")
+    )
+    spine = events.sparkSession.range(horizon + 1).select(
+        F.col("id").cast("long").alias("t")
+    )
+
+    def dense(side, dcol, ncol):
+        j = spine.join(side, "t", "left").select(
+            "t",
+            F.coalesce(dcol, F.lit(0)).cast("long").alias(dcol),
+            F.col(ncol),
+        )
+        wfill = Window.orderBy(F.desc("t")).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        return j.select(
+            "t",
+            dcol,
+            F.coalesce(F.max(ncol).over(wfill), F.lit(0))
+            .cast("long")
+            .alias(ncol),
+        )
+
+    g1 = dense(
+        risk.where(F.col("g") == 1).select(
+            "t", F.col("d").alias("d1"), F.col("n_at_risk").alias("n1")
+        ),
+        "d1",
+        "n1",
+    )
+    g0 = dense(
+        risk.where(F.col("g") == 0).select(
+            "t", F.col("d").alias("d0"), F.col("n_at_risk").alias("n0")
+        ),
+        "d0",
+        "n0",
+    )
+    terms = (
+        g1.join(g0, "t")
+        .select(
+            "t",
+            (F.col("d1") + F.col("d0")).alias("dt"),
+            (F.col("n1") + F.col("n0")).alias("nt"),
+            "d1",
+            "n1",
+            "n0",
+        )
+        .where(F.col("dt") > 0)
+        .select(
+            F.expr(
+                "CAST(round(1e6 * nt * (d1 - CAST(n1 AS DOUBLE) * dt / nt))"
+                f" AS {d38})"
+            ).alias("w_micro"),
+            F.expr(
+                "CAST(CASE WHEN nt > 1 THEN round(1e6"
+                " * CAST(dt AS DOUBLE) * (nt - dt) * n1 * n0 / (nt - 1))"
+                f" ELSE 0 END AS {d38})"
+            ).alias("v_micro"),
+        )
+    )
+    n_users = timed.agg(F.count("*").cast("long").alias("n_users"))
+    agg = terms.agg(
+        F.coalesce(F.sum("w_micro"), F.lit(0).cast(d38)).alias("w"),
+        F.coalesce(F.sum("v_micro"), F.lit(0).cast(d38)).alias("v"),
+    )
+    return n_users.crossJoin(F.broadcast(agg)).select(
+        "n_users",
+        F.expr("CAST(round(CAST(w AS DOUBLE) / 1000.0e0) AS BIGINT)").alias(
+            "w_milli"
+        ),
+        F.expr(
+            "CAST(CASE WHEN CAST(v AS DOUBLE) > 0 THEN"
+            " round(1000.0e0 * (CAST(w AS DOUBLE) / 1e6)"
+            " / sqrt(CAST(v AS DOUBLE) / 1e6)) ELSE 0 END AS BIGINT)"
+        ).alias("z_milli"),
+    )
+
+
+def gehan_wilcoxon_test_sql(horizon: int = GEHAN_HORIZON_DAYS) -> str:
+    return f"""
+        WITH su AS (
+            SELECT user_id, MIN(ts) AS signup_ts
+            FROM events WHERE event_type = 'signup'
+            GROUP BY user_id
+        ),
+        views AS (
+            SELECT DISTINCT user_id AS vu, CAST(ts AS DATE) AS view_day
+            FROM events WHERE event_type = '{GEHAN_GROUP_TYPE}'
+        ),
+        grouped AS (
+            SELECT user_id, signup_ts,
+                   MAX(CASE WHEN vu IS NOT NULL THEN 1 ELSE 0 END) AS g
+            FROM su LEFT JOIN views
+              ON user_id = vu AND view_day = CAST(signup_ts AS DATE)
+            GROUP BY user_id, signup_ts
+        ),
+        timed AS (
+            SELECT g,
+                   CAST(CASE WHEN delay IS NULL OR delay > {horizon}
+                        THEN {horizon} ELSE delay END AS BIGINT) AS t,
+                   CAST(CASE WHEN delay IS NULL OR delay > {horizon}
+                        THEN 0 ELSE 1 END AS BIGINT) AS ev
+            FROM (
+                SELECT grouped.user_id, g,
+                       MIN(date_diff('day', CAST(signup_ts AS DATE),
+                           CAST(pts AS DATE))) AS delay
+                FROM grouped LEFT JOIN (
+                    SELECT user_id AS pu, ts AS pts
+                    FROM events WHERE event_type = 'purchase'
+                ) p ON grouped.user_id = pu AND pts > signup_ts
+                GROUP BY grouped.user_id, g
+            )
+        ),
+        per_gt AS (
+            SELECT g, t, CAST(COUNT(*) AS BIGINT) AS m,
+                   CAST(SUM(ev) AS BIGINT) AS d
+            FROM timed GROUP BY g, t
+        ),
+        risk AS (
+            SELECT g, t, d,
+                   CAST(SUM(m) OVER (PARTITION BY g ORDER BY t DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS n_at_risk
+            FROM per_gt
+        ),
+        spine AS (
+            SELECT CAST(generate_series AS BIGINT) AS t
+            FROM generate_series(0, {horizon})
+        ),
+        d1 AS (
+            SELECT t, d1,
+                   CAST(COALESCE(MAX(n1) OVER (ORDER BY t DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                        0) AS BIGINT) AS n1
+            FROM (
+                SELECT spine.t, CAST(COALESCE(d, 0) AS BIGINT) AS d1,
+                       n_at_risk AS n1
+                FROM spine LEFT JOIN (SELECT * FROM risk WHERE g = 1) r
+                  ON spine.t = r.t
+            )
+        ),
+        d0 AS (
+            SELECT t, d0,
+                   CAST(COALESCE(MAX(n0) OVER (ORDER BY t DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                        0) AS BIGINT) AS n0
+            FROM (
+                SELECT spine.t, CAST(COALESCE(d, 0) AS BIGINT) AS d0,
+                       n_at_risk AS n0
+                FROM spine LEFT JOIN (SELECT * FROM risk WHERE g = 0) r
+                  ON spine.t = r.t
+            )
+        ),
+        terms AS (
+            SELECT CAST(round(1e6 * nt * (d1 - CAST(n1 AS DOUBLE) * dt / nt))
+                       AS HUGEINT) AS w_micro,
+                   CAST(CASE WHEN nt > 1 THEN round(1e6
+                        * CAST(dt AS DOUBLE) * (nt - dt) * n1 * n0 / (nt - 1))
+                        ELSE 0 END AS HUGEINT) AS v_micro
+            FROM (
+                SELECT d1.t, d1.d1 + d0.d0 AS dt, d1.n1 + d0.n0 AS nt,
+                       d1.d1 AS d1, d1.n1 AS n1, d0.n0 AS n0
+                FROM d1 JOIN d0 ON d1.t = d0.t
+            )
+            WHERE dt > 0
+        ),
+        agg AS (
+            SELECT COALESCE(SUM(w_micro), 0) AS w,
+                   COALESCE(SUM(v_micro), 0) AS v
+            FROM terms
+        ),
+        nu AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM timed)
+        SELECT n_users,
+               CAST(round(CAST(w AS DOUBLE) / 1000.0e0) AS BIGINT) AS w_milli,
+               CAST(CASE WHEN CAST(v AS DOUBLE) > 0 THEN
+                    round(1000.0e0 * (CAST(w AS DOUBLE) / 1e6)
+                    / sqrt(CAST(v AS DOUBLE) / 1e6)) ELSE 0 END AS BIGINT)
+                   AS z_milli
+        FROM nu CROSS JOIN agg
+    """
+
+
+# --- Ansari-Bradley rank-based scale test ------------------------------------------------
+
+AB_X_TYPE = "click"
+AB_Y_TYPE = "error"
+
+
+def ansari_bradley_test(events: DataFrame) -> DataFrame:
+    """Ansari-Bradley rank test for a SCALE difference between the click
+    and error value distributions: one row (n_x, n_y, ab_x2, z_milli).
+
+    levene_test / bartlett_test / brown_forsythe compare variances
+    through moments; Ansari-Bradley is the rank-based scale verdict —
+    score each observation a(r) = min(r, N+1-r) (the "tent": extremes
+    score low, the middle scores high) and sum the scores of sample X.
+    A small AB means X occupies the tails (larger scale), immune to the
+    moment assumptions the variance tests smuggle in.
+
+    Ties: every observation in a tied block takes the score of the
+    block MIDRANK (the documented variant this engine pins; the
+    property test's direct reference implements the same rule). Doubled
+    scores 2a = min(2r, 2(N+1)-2r) keep everything integer: 2r =
+    2*cum_below + block + 1.
+
+    Exactness: scores, the statistic, and the moment sums are exact
+    integers (decimal-38) on the centi value grid; the mean/variance
+    under the tie-conditional null come from the finite-population
+    draw-m-of-N identity Var = m n (N S2 - S1^2) / (N^2 (N-1)) on those
+    sums; the final z is the one float boundary.
+
+    Scale shape: one (value) grid aggregate, one cumulative window on
+    the bounded grid, one 1-row scalar broadcast, one 1-row reduction."""
+    d38 = "decimal(38,0)"
+    grid = (
+        events.where(
+            F.col("value").isNotNull()
+            & F.col("event_type").isin(AB_X_TYPE, AB_Y_TYPE)
+        )
+        .groupBy(F.expr("CAST(round(value * 100) AS BIGINT)").alias("c"))
+        .agg(
+            F.sum((F.col("event_type") == AB_X_TYPE).cast("long"))
+            .cast("long")
+            .alias("mx"),
+            F.sum((F.col("event_type") == AB_Y_TYPE).cast("long"))
+            .cast("long")
+            .alias("my"),
+        )
+        .withColumn("mt", (F.col("mx") + F.col("my")).cast("long"))
+    )
+    w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, -1)
+    cum = grid.withColumn(
+        "cumlt", F.coalesce(F.sum("mt").over(w), F.lit(0)).cast("long")
+    )
+    tot = grid.agg(
+        F.sum("mx").cast("long").alias("m"),
+        F.sum("my").cast("long").alias("n"),
+        F.sum("mt").cast("long").alias("nn"),
+    )
+    scored = cum.crossJoin(F.broadcast(tot)).select(
+        "mx",
+        "my",
+        "mt",
+        "m",
+        "n",
+        "nn",
+        F.expr(
+            "least(2 * cumlt + mt + 1, 2 * (nn + 1) - (2 * cumlt + mt + 1))"
+        ).alias("a2"),
+    )
+    agg = scored.agg(
+        F.max("m").alias("m"),
+        F.max("n").alias("n"),
+        F.max("nn").alias("nn"),
+        F.sum(F.col("mx").cast(d38) * F.col("a2").cast(d38)).alias("ab2"),
+        F.sum(F.col("mt").cast(d38) * F.col("a2").cast(d38)).alias("s1"),
+        F.sum(
+            F.col("mt").cast(d38) * F.col("a2").cast(d38) * F.col("a2").cast(d38)
+        ).alias("s2"),
+    )
+    return agg.select(
+        F.col("m").alias("n_x"),
+        F.col("n").alias("n_y"),
+        F.col("ab2").cast("long").alias("ab_x2"),
+        F.expr(
+            "CAST(CASE WHEN nn > 1 AND m > 0 AND n > 0"
+            " AND CAST(nn AS DOUBLE) * CAST(s2 AS DOUBLE)"
+            "     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) > 0 THEN"
+            " round(1000 * (CAST(ab2 AS DOUBLE)"
+            "   - CAST(m AS DOUBLE) * CAST(s1 AS DOUBLE) / nn)"
+            " / sqrt(CAST(m AS DOUBLE) * n"
+            "   * (CAST(nn AS DOUBLE) * CAST(s2 AS DOUBLE)"
+            "      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))"
+            "   / (CAST(nn AS DOUBLE) * nn * (nn - 1))))"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("z_milli"),
+    )
+
+
+def ansari_bradley_test_sql() -> str:
+    return f"""
+        WITH grid AS (
+            SELECT CAST(round(value * 100) AS BIGINT) AS c,
+                   CAST(SUM(CASE WHEN event_type = '{AB_X_TYPE}'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS mx,
+                   CAST(SUM(CASE WHEN event_type = '{AB_Y_TYPE}'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS my
+            FROM events
+            WHERE value IS NOT NULL
+              AND event_type IN ('{AB_X_TYPE}', '{AB_Y_TYPE}')
+            GROUP BY 1
+        ),
+        cum AS (
+            SELECT c, mx, my, mx + my AS mt,
+                   CAST(COALESCE(SUM(mx + my) OVER (ORDER BY c
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS BIGINT) AS cumlt
+            FROM grid
+        ),
+        tot AS (
+            SELECT CAST(SUM(mx) AS BIGINT) AS m,
+                   CAST(SUM(my) AS BIGINT) AS n,
+                   CAST(SUM(mx + my) AS BIGINT) AS nn
+            FROM grid
+        ),
+        scored AS (
+            SELECT mx, my, mt, m, n, nn,
+                   LEAST(2 * cumlt + mt + 1,
+                         2 * (nn + 1) - (2 * cumlt + mt + 1)) AS a2
+            FROM cum CROSS JOIN tot
+        ),
+        agg AS (
+            SELECT MAX(m) AS m, MAX(n) AS n, MAX(nn) AS nn,
+                   SUM(CAST(mx AS HUGEINT) * a2) AS ab2,
+                   SUM(CAST(mt AS HUGEINT) * a2) AS s1,
+                   SUM(CAST(mt AS HUGEINT) * a2 * a2) AS s2
+            FROM scored
+        )
+        SELECT m AS n_x, n AS n_y,
+               CAST(ab2 AS BIGINT) AS ab_x2,
+               CAST(CASE WHEN nn > 1 AND m > 0 AND n > 0
+                    AND CAST(nn AS DOUBLE) * CAST(s2 AS DOUBLE)
+                        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) > 0 THEN
+                    round(1000 * (CAST(ab2 AS DOUBLE)
+                      - CAST(m AS DOUBLE) * CAST(s1 AS DOUBLE) / nn)
+                    / sqrt(CAST(m AS DOUBLE) * n
+                      * (CAST(nn AS DOUBLE) * CAST(s2 AS DOUBLE)
+                         - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                      / (CAST(nn AS DOUBLE) * nn * (nn - 1))))
+                    ELSE 0 END AS BIGINT) AS z_milli
+        FROM agg
+    """
+
+
+# --- Cramer-von Mises two-sample test ----------------------------------------------------
+
+CVM_X_TYPE = "click"
+CVM_Y_TYPE = "error"
+
+
+def cvm_two_sample_test(events: DataFrame) -> DataFrame:
+    """Two-sample Cramer-von Mises test between the click and error value
+    distributions: one row (n_x, n_y, t_micro, z_milli).
+
+    ks_drift compares the two ECDFs at their single worst point; the CvM
+    statistic integrates the SQUARED ECDF gap over the whole support, so
+    diffuse distributional drift that never produces one large gap still
+    registers. Rank form (Anderson 1962): with r_i the overall ranks of
+    sample X and s_j of sample Y, U = m sum_i (r_i - i)^2 +
+    n sum_j (s_j - j)^2 and T = U/(N m n) - (4mn - 1)/(6N).
+
+    Ties: every observation in a tied block takes the block MIDRANK for
+    both its overall rank and its within-sample index (the engine's
+    pinned variant; the property test's direct reference implements the
+    same rule). Doubled ranks keep the squared differences integer:
+    (2r - 2i) is even-safe integer arithmetic on the centi grid.
+
+    Exactness: U accumulates as exact decimal-38 integers (4U exactly);
+    the null mean E[T] = (N+1)/(6N) and Anderson's variance
+    (N+1) (4mnN - 3(m^2+n^2) - 2mn) / (45 N^2 4mn) assemble in one
+    double chain at the 1-row boundary.
+
+    Scale shape: one (value) grid aggregate, one cumulative window on
+    the bounded grid, one 1-row reduction."""
+    d38 = "decimal(38,0)"
+    grid = (
+        events.where(
+            F.col("value").isNotNull()
+            & F.col("event_type").isin(CVM_X_TYPE, CVM_Y_TYPE)
+        )
+        .groupBy(F.expr("CAST(round(value * 100) AS BIGINT)").alias("c"))
+        .agg(
+            F.sum((F.col("event_type") == CVM_X_TYPE).cast("long"))
+            .cast("long")
+            .alias("mx"),
+            F.sum((F.col("event_type") == CVM_Y_TYPE).cast("long"))
+            .cast("long")
+            .alias("my"),
+        )
+        .withColumn("mt", (F.col("mx") + F.col("my")).cast("long"))
+    )
+    w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, -1)
+    cum = grid.select(
+        "c",
+        "mx",
+        "my",
+        "mt",
+        F.coalesce(F.sum("mt").over(w), F.lit(0)).cast("long").alias("cumt"),
+        F.coalesce(F.sum("mx").over(w), F.lit(0)).cast("long").alias("cumx"),
+        F.coalesce(F.sum("my").over(w), F.lit(0)).cast("long").alias("cumy"),
+    )
+    diffs = cum.select(
+        "mx",
+        "my",
+        ((2 * F.col("cumt") + F.col("mt") + 1)
+         - (2 * F.col("cumx") + F.col("mx") + 1)).alias("dx"),
+        ((2 * F.col("cumt") + F.col("mt") + 1)
+         - (2 * F.col("cumy") + F.col("my") + 1)).alias("dy"),
+    )
+    agg = diffs.agg(
+        F.sum("mx").cast("long").alias("m"),
+        F.sum("my").cast("long").alias("n"),
+        F.sum(
+            F.col("mx").cast(d38) * F.col("dx").cast(d38) * F.col("dx").cast(d38)
+        ).alias("u4x"),
+        F.sum(
+            F.col("my").cast(d38) * F.col("dy").cast(d38) * F.col("dy").cast(d38)
+        ).alias("u4y"),
+    )
+    return agg.select(
+        F.col("m").alias("n_x"),
+        F.col("n").alias("n_y"),
+        F.expr(
+            "CAST(CASE WHEN m > 0 AND n > 0 THEN round(1e6 * ("
+            " (CAST(m AS DOUBLE) * CAST(u4x AS DOUBLE)"
+            "  + CAST(n AS DOUBLE) * CAST(u4y AS DOUBLE)) / 4.0e0"
+            " / (CAST(m + n AS DOUBLE) * m * n)"
+            " - (4.0e0 * m * n - 1) / (6.0e0 * (m + n))))"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("t_micro"),
+        F.expr(
+            "CAST(CASE WHEN m > 0 AND n > 0"
+            " AND 4.0e0 * m * n * (m + n) - 3.0e0 * (CAST(m AS DOUBLE) * m"
+            "     + CAST(n AS DOUBLE) * n) - 2.0e0 * m * n > 0 THEN"
+            " round(1000 * (("
+            "  (CAST(m AS DOUBLE) * CAST(u4x AS DOUBLE)"
+            "   + CAST(n AS DOUBLE) * CAST(u4y AS DOUBLE)) / 4.0e0"
+            "  / (CAST(m + n AS DOUBLE) * m * n)"
+            "  - (4.0e0 * m * n - 1) / (6.0e0 * (m + n)))"
+            "  - (CAST(m + n AS DOUBLE) + 1) / (6.0e0 * (m + n)))"
+            " / sqrt((CAST(m + n AS DOUBLE) + 1)"
+            "   * (4.0e0 * m * n * (m + n) - 3.0e0 * (CAST(m AS DOUBLE) * m"
+            "      + CAST(n AS DOUBLE) * n) - 2.0e0 * m * n)"
+            "   / (45.0e0 * CAST(m + n AS DOUBLE) * (m + n) * 4.0e0 * m * n)))"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("z_milli"),
+    )
+
+
+def cvm_two_sample_test_sql() -> str:
+    return f"""
+        WITH grid AS (
+            SELECT CAST(round(value * 100) AS BIGINT) AS c,
+                   CAST(SUM(CASE WHEN event_type = '{CVM_X_TYPE}'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS mx,
+                   CAST(SUM(CASE WHEN event_type = '{CVM_Y_TYPE}'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS my
+            FROM events
+            WHERE value IS NOT NULL
+              AND event_type IN ('{CVM_X_TYPE}', '{CVM_Y_TYPE}')
+            GROUP BY 1
+        ),
+        cum AS (
+            SELECT c, mx, my, mx + my AS mt,
+                   CAST(COALESCE(SUM(mx + my) OVER w, 0) AS BIGINT) AS cumt,
+                   CAST(COALESCE(SUM(mx) OVER w, 0) AS BIGINT) AS cumx,
+                   CAST(COALESCE(SUM(my) OVER w, 0) AS BIGINT) AS cumy
+            FROM grid
+            WINDOW w AS (ORDER BY c
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        ),
+        diffs AS (
+            SELECT mx, my,
+                   (2 * cumt + mt + 1) - (2 * cumx + mx + 1) AS dx,
+                   (2 * cumt + mt + 1) - (2 * cumy + my + 1) AS dy
+            FROM cum
+        ),
+        agg AS (
+            SELECT CAST(SUM(mx) AS BIGINT) AS m,
+                   CAST(SUM(my) AS BIGINT) AS n,
+                   SUM(CAST(mx AS HUGEINT) * dx * dx) AS u4x,
+                   SUM(CAST(my AS HUGEINT) * dy * dy) AS u4y
+            FROM diffs
+        )
+        SELECT m AS n_x, n AS n_y,
+               CAST(CASE WHEN m > 0 AND n > 0 THEN round(1e6 * (
+                    (CAST(m AS DOUBLE) * CAST(u4x AS DOUBLE)
+                     + CAST(n AS DOUBLE) * CAST(u4y AS DOUBLE)) / 4.0e0
+                    / (CAST(m + n AS DOUBLE) * m * n)
+                    - (4.0e0 * m * n - 1) / (6.0e0 * (m + n))))
+                    ELSE 0 END AS BIGINT) AS t_micro,
+               CAST(CASE WHEN m > 0 AND n > 0
+                    AND 4.0e0 * m * n * (m + n) - 3.0e0 * (CAST(m AS DOUBLE) * m
+                        + CAST(n AS DOUBLE) * n) - 2.0e0 * m * n > 0 THEN
+                    round(1000 * ((
+                     (CAST(m AS DOUBLE) * CAST(u4x AS DOUBLE)
+                      + CAST(n AS DOUBLE) * CAST(u4y AS DOUBLE)) / 4.0e0
+                     / (CAST(m + n AS DOUBLE) * m * n)
+                     - (4.0e0 * m * n - 1) / (6.0e0 * (m + n)))
+                     - (CAST(m + n AS DOUBLE) + 1) / (6.0e0 * (m + n)))
+                    / sqrt((CAST(m + n AS DOUBLE) + 1)
+                      * (4.0e0 * m * n * (m + n) - 3.0e0 * (CAST(m AS DOUBLE) * m
+                         + CAST(n AS DOUBLE) * n) - 2.0e0 * m * n)
+                      / (45.0e0 * CAST(m + n AS DOUBLE) * (m + n)
+                         * 4.0e0 * m * n)))
+                    ELSE 0 END AS BIGINT) AS z_milli
+        FROM agg
+    """
+
+
+# --- Kendall's W (coefficient of concordance) --------------------------------------------
+
+
+def kendall_w_daily(events: DataFrame) -> DataFrame:
+    """Kendall's W — do the event types agree on which days are busy?
+    One row (k_judges, n_days, w_micro, chi2_milli).
+
+    spearman_daily correlates TWO series; Kendall's W is the k-judge
+    generalization: each event type ranks the days by its daily count,
+    and W in [0,1] measures how concordant the k rankings are (W=1:
+    every type peaks on the same days; W~0: independent load shapes).
+    Tie-corrected form: W = 12 S / (k^2 (n^3 - n) - k sum_j T_j) with
+    S = sum_i (R_i - k(n+1)/2)^2 and T_j = sum(t^3 - t) over judge j's
+    tie blocks; chi2_r = k (n-1) W is the Friedman-equivalent verdict.
+
+    Ranks are MIDRANKS on the dense (type x day) grid — days a type
+    never fired on enter as zero counts (a judge that skips a day still
+    ranks it, lowest), densified identically in both engines via the
+    distinct-days x distinct-types cross of two tiny post-aggregate
+    relations. Doubled ranks 2r = 2 cum_below + block + 1 and doubled
+    rank sums keep S exact: 4S = sum_i (R2_i - k(n+1))^2 in decimal-38.
+
+    Scale shape: one (type, day) aggregate, one bounded grid densify
+    (broadcast cross of two aggregates), one per-type rank window on
+    the (type, count) grid, two bounded reductions."""
+    d38 = "decimal(38,0)"
+    td = events.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    types = td.select("event_type").distinct()
+    days = td.select("day").distinct()
+    dense = (
+        types.crossJoin(F.broadcast(days))
+        .join(td, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt"),
+        )
+    )
+    cells = dense.groupBy("event_type", "cnt").agg(
+        F.count("*").cast("long").alias("tcnt")
+    )
+    wr = (
+        Window.partitionBy("event_type")
+        .orderBy("cnt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked_cells = cells.select(
+        "event_type",
+        "cnt",
+        "tcnt",
+        (
+            F.coalesce(F.sum("tcnt").over(wr), F.lit(0)) * 2
+            + F.col("tcnt")
+            + 1
+        )
+        .cast("long")
+        .alias("r2"),
+    )
+    ranked = dense.join(ranked_cells, ["event_type", "cnt"]).select("day", "r2")
+    rsum = ranked.groupBy("day").agg(F.sum("r2").cast("long").alias("r2sum"))
+    kn = dense.agg(
+        F.count_distinct("event_type").cast("long").alias("k"),
+        F.count_distinct("day").cast("long").alias("n"),
+    )
+    s4 = (
+        rsum.crossJoin(F.broadcast(kn))
+        .select(
+            (
+                (F.col("r2sum") - F.col("k") * (F.col("n") + 1)).cast(d38)
+                * (F.col("r2sum") - F.col("k") * (F.col("n") + 1)).cast(d38)
+            ).alias("sq")
+        )
+        .agg(F.sum("sq").alias("s4"))
+    )
+    ties = ranked_cells.agg(
+        F.sum(
+            F.col("tcnt").cast(d38) * F.col("tcnt").cast(d38) * F.col("tcnt").cast(d38)
+            - F.col("tcnt").cast(d38)
+        ).alias("tsum")
+    )
+    return (
+        kn.crossJoin(F.broadcast(s4))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            F.col("k").alias("k_judges"),
+            F.col("n").alias("n_days"),
+            F.expr(
+                "CAST(CASE WHEN CAST(k AS DOUBLE) * k"
+                " * (CAST(n AS DOUBLE) * n * n - n)"
+                " - k * CAST(tsum AS DOUBLE) > 0 THEN"
+                " round(1e6 * 3.0e0 * CAST(s4 AS DOUBLE)"
+                " / (CAST(k AS DOUBLE) * k * (CAST(n AS DOUBLE) * n * n - n)"
+                "    - k * CAST(tsum AS DOUBLE)))"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("w_micro"),
+            F.expr(
+                "CAST(CASE WHEN CAST(k AS DOUBLE) * k"
+                " * (CAST(n AS DOUBLE) * n * n - n)"
+                " - k * CAST(tsum AS DOUBLE) > 0 THEN"
+                " round(1000 * k * (n - 1) * 3.0e0 * CAST(s4 AS DOUBLE)"
+                " / (CAST(k AS DOUBLE) * k * (CAST(n AS DOUBLE) * n * n - n)"
+                "    - k * CAST(tsum AS DOUBLE)))"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("chi2_milli"),
+        )
+    )
+
+
+def kendall_w_daily_sql() -> str:
+    return """
+        WITH td AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM events GROUP BY 1, 2
+        ),
+        dense AS (
+            SELECT t.event_type, d.day, COALESCE(td.cnt, 0) AS cnt
+            FROM (SELECT DISTINCT event_type FROM td) t
+            CROSS JOIN (SELECT DISTINCT day FROM td) d
+            LEFT JOIN td ON td.event_type = t.event_type AND td.day = d.day
+        ),
+        cells AS (
+            SELECT event_type, cnt, CAST(COUNT(*) AS BIGINT) AS tcnt
+            FROM dense GROUP BY 1, 2
+        ),
+        ranked_cells AS (
+            SELECT event_type, cnt, tcnt,
+                   CAST(COALESCE(SUM(tcnt) OVER (PARTITION BY event_type
+                        ORDER BY cnt
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) * 2 + tcnt + 1 AS BIGINT) AS r2
+            FROM cells
+        ),
+        ranked AS (
+            SELECT dense.day, r2
+            FROM dense JOIN ranked_cells
+              ON dense.event_type = ranked_cells.event_type
+             AND dense.cnt = ranked_cells.cnt
+        ),
+        rsum AS (
+            SELECT day, CAST(SUM(r2) AS BIGINT) AS r2sum
+            FROM ranked GROUP BY day
+        ),
+        kn AS (
+            SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k,
+                   CAST(COUNT(DISTINCT day) AS BIGINT) AS n
+            FROM dense
+        ),
+        s4 AS (
+            SELECT SUM(CAST(r2sum - k * (n + 1) AS HUGEINT)
+                       * CAST(r2sum - k * (n + 1) AS HUGEINT)) AS s4
+            FROM rsum CROSS JOIN kn
+        ),
+        ties AS (
+            SELECT SUM(CAST(tcnt AS HUGEINT) * tcnt * tcnt - tcnt) AS tsum
+            FROM ranked_cells
+        )
+        SELECT k AS k_judges, n AS n_days,
+               CAST(CASE WHEN CAST(k AS DOUBLE) * k
+                    * (CAST(n AS DOUBLE) * n * n - n)
+                    - k * CAST(tsum AS DOUBLE) > 0 THEN
+                    round(1e6 * 3.0e0 * CAST(s4 AS DOUBLE)
+                    / (CAST(k AS DOUBLE) * k * (CAST(n AS DOUBLE) * n * n - n)
+                       - k * CAST(tsum AS DOUBLE)))
+                    ELSE 0 END AS BIGINT) AS w_micro,
+               CAST(CASE WHEN CAST(k AS DOUBLE) * k
+                    * (CAST(n AS DOUBLE) * n * n - n)
+                    - k * CAST(tsum AS DOUBLE) > 0 THEN
+                    round(1000 * k * (n - 1) * 3.0e0 * CAST(s4 AS DOUBLE)
+                    / (CAST(k AS DOUBLE) * k * (CAST(n AS DOUBLE) * n * n - n)
+                       - k * CAST(tsum AS DOUBLE)))
+                    ELSE 0 END AS BIGINT) AS chi2_milli
+        FROM kn CROSS JOIN s4 CROSS JOIN ties
+    """
+
+
+# --- Quade test (weighted within-block ranks) ---------------------------------------------
+
+
+def quade_test_daily(events: DataFrame) -> DataFrame:
+    """Quade test for treatment differences across blocked observations —
+    days are blocks, event types are treatments, daily counts the
+    response: one row (n_blocks, k_treatments, f_milli).
+
+    friedman_test ranks within blocks and weighs every block equally;
+    Quade additionally weights each block by the RANK OF ITS RANGE, so
+    days where the types genuinely diverge dominate — the more powerful
+    choice for small k. S_ij = Q_i (r_ij - (k+1)/2), F = (n-1) B /
+    (A - B) with A = sum S_ij^2, B = sum_j S_j^2 / n; F is NULL when
+    A = B (perfect agreement saturates the statistic).
+
+    Integer form: with doubled midranks 2r and doubled block-range
+    ranks 2Q, 4 S_ij = 2Q (2r - (k+1)) is exact; 16A and 16nB
+    accumulate in decimal-38, and F = (n-1) sum S4_j^2 /
+    (n sum S4_ij^2 - sum S4_j^2) needs no dequantization at all.
+
+    Scale shape: one (type, day) aggregate, the bounded grid densify,
+    one per-day range aggregate, two midrank windows on bounded grids,
+    two bounded reductions."""
+    d38 = "decimal(38,0)"
+    td = events.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    types = td.select("event_type").distinct()
+    days = td.select("day").distinct()
+    dense = (
+        types.crossJoin(F.broadcast(days))
+        .join(td, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt"),
+        )
+    )
+    # within-block (per-day) midranks of the k treatments
+    bcells = dense.groupBy("day", "cnt").agg(
+        F.count("*").cast("long").alias("tcnt")
+    )
+    wb = (
+        Window.partitionBy("day")
+        .orderBy("cnt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    branks = bcells.select(
+        "day",
+        "cnt",
+        (
+            F.coalesce(F.sum("tcnt").over(wb), F.lit(0)) * 2
+            + F.col("tcnt")
+            + 1
+        )
+        .cast("long")
+        .alias("r2"),
+    )
+    # block ranges, then midranks of the ranges across blocks
+    ranges = dense.groupBy("day").agg(
+        (F.max("cnt") - F.min("cnt")).cast("long").alias("rng")
+    )
+    rcells = ranges.groupBy("rng").agg(F.count("*").cast("long").alias("tcnt"))
+    wq = Window.orderBy("rng").rowsBetween(Window.unboundedPreceding, -1)
+    qranks = rcells.select(
+        "rng",
+        (
+            F.coalesce(F.sum("tcnt").over(wq), F.lit(0)) * 2
+            + F.col("tcnt")
+            + 1
+        )
+        .cast("long")
+        .alias("q2"),
+    )
+    qd = ranges.join(qranks, "rng").select("day", "q2")
+    kn = dense.agg(
+        F.count_distinct("event_type").cast("long").alias("k"),
+        F.count_distinct("day").cast("long").alias("n"),
+    )
+    sij = (
+        dense.join(branks, ["day", "cnt"])
+        .join(qd, "day")
+        .crossJoin(F.broadcast(kn))
+        .select(
+            "event_type",
+            (F.col("q2").cast(d38)
+             * (F.col("r2") - (F.col("k") + 1)).cast(d38)).alias("s4"),
+            "k",
+            "n",
+        )
+    )
+    a16 = sij.agg(F.sum(F.col("s4") * F.col("s4")).alias("a16"))
+    sj = sij.groupBy("event_type").agg(F.sum("s4").alias("s4j"))
+    b16n = sj.agg(F.sum(F.col("s4j") * F.col("s4j")).alias("b16n"))
+    return (
+        kn.crossJoin(F.broadcast(a16))
+        .crossJoin(F.broadcast(b16n))
+        .select(
+            F.col("n").alias("n_blocks"),
+            F.col("k").alias("k_treatments"),
+            F.expr(
+                "CAST(CASE WHEN CAST(n AS DOUBLE) * CAST(a16 AS DOUBLE)"
+                " - CAST(b16n AS DOUBLE) > 0 THEN"
+                " round(1000 * (n - 1) * CAST(b16n AS DOUBLE)"
+                " / (CAST(n AS DOUBLE) * CAST(a16 AS DOUBLE)"
+                "    - CAST(b16n AS DOUBLE)))"
+                " ELSE NULL END AS BIGINT)"
+            ).alias("f_milli"),
+        )
+    )
+
+
+def quade_test_daily_sql() -> str:
+    return """
+        WITH td AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM events GROUP BY 1, 2
+        ),
+        dense AS (
+            SELECT t.event_type, d.day, COALESCE(td.cnt, 0) AS cnt
+            FROM (SELECT DISTINCT event_type FROM td) t
+            CROSS JOIN (SELECT DISTINCT day FROM td) d
+            LEFT JOIN td ON td.event_type = t.event_type AND td.day = d.day
+        ),
+        bcells AS (
+            SELECT day, cnt, CAST(COUNT(*) AS BIGINT) AS tcnt
+            FROM dense GROUP BY 1, 2
+        ),
+        branks AS (
+            SELECT day, cnt,
+                   CAST(COALESCE(SUM(tcnt) OVER (PARTITION BY day
+                        ORDER BY cnt
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) * 2 + tcnt + 1 AS BIGINT) AS r2
+            FROM bcells
+        ),
+        ranges AS (
+            SELECT day, CAST(MAX(cnt) - MIN(cnt) AS BIGINT) AS rng
+            FROM dense GROUP BY day
+        ),
+        rcells AS (
+            SELECT rng, CAST(COUNT(*) AS BIGINT) AS tcnt
+            FROM ranges GROUP BY rng
+        ),
+        qranks AS (
+            SELECT rng,
+                   CAST(COALESCE(SUM(tcnt) OVER (ORDER BY rng
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) * 2 + tcnt + 1 AS BIGINT) AS q2
+            FROM rcells
+        ),
+        qd AS (
+            SELECT day, q2 FROM ranges JOIN qranks ON ranges.rng = qranks.rng
+        ),
+        kn AS (
+            SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k,
+                   CAST(COUNT(DISTINCT day) AS BIGINT) AS n
+            FROM dense
+        ),
+        sij AS (
+            SELECT dense.event_type,
+                   CAST(q2 AS HUGEINT) * (r2 - (k + 1)) AS s4,
+                   k, n
+            FROM dense
+            JOIN branks ON dense.day = branks.day AND dense.cnt = branks.cnt
+            JOIN qd ON dense.day = qd.day
+            CROSS JOIN kn
+        ),
+        a16 AS (SELECT SUM(s4 * s4) AS a16 FROM sij),
+        sj AS (
+            SELECT event_type, SUM(s4) AS s4j FROM sij GROUP BY event_type
+        ),
+        b16n AS (SELECT SUM(s4j * s4j) AS b16n FROM sj)
+        SELECT n AS n_blocks, k AS k_treatments,
+               CAST(CASE WHEN CAST(n AS DOUBLE) * CAST(a16 AS DOUBLE)
+                    - CAST(b16n AS DOUBLE) > 0 THEN
+                    round(1000 * (n - 1) * CAST(b16n AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * CAST(a16 AS DOUBLE)
+                       - CAST(b16n AS DOUBLE)))
+                    ELSE NULL END AS BIGINT) AS f_milli
+        FROM kn CROSS JOIN a16 CROSS JOIN b16n
+    """
+
+
+# --- Lomb-Scargle periodogram (irregular sampling) ----------------------------------------
+
+LOMB_TYPE = "click"
+LOMB_MIN_PERIOD = 2
+LOMB_MAX_PERIOD = 14
+
+
+def lomb_scargle_daily(events: DataFrame) -> DataFrame:
+    """Lomb-Scargle normalized periodogram of the daily MEAN click value
+    at candidate periods 2..14 days: rows (period, n_days, power_micro).
+
+    spectral_periodogram projects onto sin/cos over a row-numbered dense
+    grid — correct only for regular sampling. Lomb-Scargle is the
+    estimator for IRREGULAR sampling: days without clicks are genuinely
+    absent (not zero), t is the real calendar offset, and the per-
+    frequency phase shift tau (tan 2wt = S_sin2/S_cos2) restores the
+    orthogonality the missing days break. Power is in the classical
+    normalization P = [A^2/CC + B^2/SS] / (2 sigma^2).
+
+    Exactness: day offsets are exact integers from the min-day scalar;
+    each projection term quantizes to micro before its integer sum (the
+    cross_spectrum_daily discipline); tau, the shifted projections, and
+    the final power assemble in one double chain per bounded period row.
+
+    Scale shape: one (day) aggregate, one 1-row scalar broadcast, one
+    bounded 13 x |days| explode, one (period) reduction."""
+    d38 = "decimal(38,0)"
+    daily = (
+        events.where(
+            (F.col("event_type") == LOMB_TYPE) & F.col("value").isNotNull()
+        )
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("s"),
+            F.count("*").cast("long").alias("c"),
+        )
+    )
+    tot = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.min("day").alias("day0"),
+        # grand mean of the daily means, micro-quantized per day for an
+        # exact scalar both engines share
+        F.sum(
+            F.expr("CAST(round(1e4 * s / c) AS BIGINT)")
+        ).cast("long").alias("ybar_sum_micro"),
+    )
+    base = daily.crossJoin(F.broadcast(tot)).select(
+        F.datediff("day", "day0").cast("long").alias("t"),
+        "s",
+        "c",
+        "n",
+        F.expr(
+            "CAST(round(1e4 * s / c) AS BIGINT) - ybar_sum_micro / CAST(n AS DOUBLE)"
+        ).alias("yc_micro"),
+    )
+    terms = base.select(
+        "n",
+        "yc_micro",
+        "t",
+        F.explode(
+            F.sequence(F.lit(LOMB_MIN_PERIOD), F.lit(LOMB_MAX_PERIOD))
+        ).alias("period"),
+    ).select(
+        "period",
+        "n",
+        F.expr(
+            "CAST(round(yc_micro * cos(2 * pi() * t / period)) AS BIGINT)"
+        ).alias("yct"),
+        F.expr(
+            "CAST(round(yc_micro * sin(2 * pi() * t / period)) AS BIGINT)"
+        ).alias("yst"),
+        F.expr(
+            "CAST(round(1e6 * cos(4 * pi() * t / period)) AS BIGINT)"
+        ).alias("c2t"),
+        F.expr(
+            "CAST(round(1e6 * sin(4 * pi() * t / period)) AS BIGINT)"
+        ).alias("s2t"),
+        F.expr(
+            "CAST(round(yc_micro / 1e2) * CAST(round(yc_micro / 1e2) AS BIGINT)"
+            " AS BIGINT)"
+        ).alias("yy"),
+    )
+    per_p = terms.groupBy("period").agg(
+        F.max("n").alias("n"),
+        F.sum(F.col("yct").cast(d38)).alias("syc"),
+        F.sum(F.col("yst").cast(d38)).alias("sys"),
+        F.sum(F.col("c2t").cast(d38)).alias("sc2"),
+        F.sum(F.col("s2t").cast(d38)).alias("ss2"),
+        F.sum(F.col("yy").cast(d38)).alias("syy"),
+    )
+    staged = per_p.select(
+        F.col("period").cast("long").alias("period"),
+        "n",
+        F.expr(
+            "cos(atan2(CAST(ss2 AS DOUBLE), CAST(sc2 AS DOUBLE)) / 2)"
+            " * CAST(syc AS DOUBLE)"
+            " + sin(atan2(CAST(ss2 AS DOUBLE), CAST(sc2 AS DOUBLE)) / 2)"
+            " * CAST(sys AS DOUBLE)"
+        ).alias("aa"),
+        F.expr(
+            "cos(atan2(CAST(ss2 AS DOUBLE), CAST(sc2 AS DOUBLE)) / 2)"
+            " * CAST(sys AS DOUBLE)"
+            " - sin(atan2(CAST(ss2 AS DOUBLE), CAST(sc2 AS DOUBLE)) / 2)"
+            " * CAST(syc AS DOUBLE)"
+        ).alias("bb"),
+        F.expr(
+            "(n + cos(atan2(CAST(ss2 AS DOUBLE), CAST(sc2 AS DOUBLE)))"
+            " * CAST(sc2 AS DOUBLE) / 1e6"
+            " + sin(atan2(CAST(ss2 AS DOUBLE), CAST(sc2 AS DOUBLE)))"
+            " * CAST(ss2 AS DOUBLE) / 1e6) / 2"
+        ).alias("cc"),
+        F.expr(
+            "(n - cos(atan2(CAST(ss2 AS DOUBLE), CAST(sc2 AS DOUBLE)))"
+            " * CAST(sc2 AS DOUBLE) / 1e6"
+            " - sin(atan2(CAST(ss2 AS DOUBLE), CAST(sc2 AS DOUBLE)))"
+            " * CAST(ss2 AS DOUBLE) / 1e6) / 2"
+        ).alias("ss"),
+        F.expr("CAST(syy AS DOUBLE) * 1e4").alias("syy2"),
+    )
+    # a degenerate component (SS = 0 at the Nyquist period 2 under
+    # integer-day sampling) contributes nothing rather than NaN
+    return staged.select(
+        "period",
+        F.col("n").alias("n_days"),
+        F.expr(
+            "CAST(CASE WHEN n > 1 AND syy2 > 0 THEN round(1e6 *"
+            " ((CASE WHEN cc > 1e-9 THEN aa * aa / cc ELSE 0e0 END)"
+            "  + (CASE WHEN ss > 1e-9 THEN bb * bb / ss ELSE 0e0 END))"
+            " / (2e0 * (syy2 / (n - 1)))) ELSE NULL END AS BIGINT)"
+        ).alias("power_micro"),
+    ).orderBy("period")
+
+
+def lomb_scargle_daily_sql() -> str:
+    return f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS s,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events
+            WHERE event_type = '{LOMB_TYPE}' AND value IS NOT NULL
+            GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n, MIN(day) AS day0,
+                   CAST(SUM(CAST(round(1e4 * s / c) AS BIGINT)) AS BIGINT)
+                       AS ybar_sum_micro
+            FROM daily
+        ),
+        base AS (
+            SELECT CAST(date_diff('day', day0, day) AS BIGINT) AS t, n,
+                   CAST(round(1e4 * s / c) AS BIGINT)
+                       - ybar_sum_micro / CAST(n AS DOUBLE) AS yc_micro
+            FROM daily CROSS JOIN tot
+        ),
+        terms AS (
+            SELECT period, n,
+                   CAST(round(yc_micro * cos(2 * pi() * t / period))
+                       AS BIGINT) AS yct,
+                   CAST(round(yc_micro * sin(2 * pi() * t / period))
+                       AS BIGINT) AS yst,
+                   CAST(round(1e6 * cos(4 * pi() * t / period)) AS BIGINT)
+                       AS c2t,
+                   CAST(round(1e6 * sin(4 * pi() * t / period)) AS BIGINT)
+                       AS s2t,
+                   CAST(round(yc_micro / 1e2)
+                        * CAST(round(yc_micro / 1e2) AS BIGINT) AS BIGINT)
+                       AS yy
+            FROM base
+            CROSS JOIN (
+                SELECT CAST(generate_series AS BIGINT) AS period
+                FROM generate_series({LOMB_MIN_PERIOD}, {LOMB_MAX_PERIOD})
+            )
+        ),
+        per_p AS (
+            SELECT period, MAX(n) AS n,
+                   SUM(CAST(yct AS HUGEINT)) AS syc,
+                   SUM(CAST(yst AS HUGEINT)) AS sys,
+                   SUM(CAST(c2t AS HUGEINT)) AS sc2,
+                   SUM(CAST(s2t AS HUGEINT)) AS ss2,
+                   SUM(CAST(yy AS HUGEINT)) AS syy
+            FROM terms GROUP BY period
+        )
+        , staged AS (
+            SELECT CAST(period AS BIGINT) AS period, n,
+                   cos(atan2(CAST(ss2 AS DOUBLE), CAST(sc2 AS DOUBLE)) / 2)
+                     * CAST(syc AS DOUBLE)
+                   + sin(atan2(CAST(ss2 AS DOUBLE), CAST(sc2 AS DOUBLE)) / 2)
+                     * CAST(sys AS DOUBLE) AS aa,
+                   cos(atan2(CAST(ss2 AS DOUBLE), CAST(sc2 AS DOUBLE)) / 2)
+                     * CAST(sys AS DOUBLE)
+                   - sin(atan2(CAST(ss2 AS DOUBLE), CAST(sc2 AS DOUBLE)) / 2)
+                     * CAST(syc AS DOUBLE) AS bb,
+                   (n + cos(atan2(CAST(ss2 AS DOUBLE), CAST(sc2 AS DOUBLE)))
+                     * CAST(sc2 AS DOUBLE) / 1e6
+                   + sin(atan2(CAST(ss2 AS DOUBLE), CAST(sc2 AS DOUBLE)))
+                     * CAST(ss2 AS DOUBLE) / 1e6) / 2 AS cc,
+                   (n - cos(atan2(CAST(ss2 AS DOUBLE), CAST(sc2 AS DOUBLE)))
+                     * CAST(sc2 AS DOUBLE) / 1e6
+                   - sin(atan2(CAST(ss2 AS DOUBLE), CAST(sc2 AS DOUBLE)))
+                     * CAST(ss2 AS DOUBLE) / 1e6) / 2 AS ss,
+                   CAST(syy AS DOUBLE) * 1e4 AS syy2
+            FROM per_p
+        )
+        SELECT period, n AS n_days,
+               CAST(CASE WHEN n > 1 AND syy2 > 0 THEN round(1e6 *
+                    ((CASE WHEN cc > 1e-9 THEN aa * aa / cc ELSE 0e0 END)
+                     + (CASE WHEN ss > 1e-9 THEN bb * bb / ss ELSE 0e0 END))
+                    / (2e0 * (syy2 / (n - 1)))) ELSE NULL END AS BIGINT)
+                   AS power_micro
+        FROM staged
+        ORDER BY period
+    """
+
+
+# --- Allan variance of the hourly event rate ----------------------------------------------
+
+ALLAN_TAUS = (1, 2, 4, 8)
+
+
+def allan_variance_hourly(events: DataFrame) -> DataFrame:
+    """Allan variance of the hourly event count at averaging windows tau
+    in {1, 2, 4, 8} hours: rows (tau_hours, m_bins, avar_micro).
+
+    events_daily_volatility measures dispersion at ONE timescale; the
+    Allan deviation curve is the frequency-stability diagnostic — how
+    the variance of adjacent-window averages decays as the window
+    grows. White noise falls as 1/tau; a flat or rising tail exposes
+    drift/flicker that a single-scale variance cannot see. AVAR(tau) =
+    sum (ybar_{i+1} - ybar_i)^2 / (2 (M-1)), non-overlapping bins.
+
+    Exactness: hourly counts live on the dense hour spine (zero hours
+    count — absence of traffic IS the signal here, unlike the Lomb
+    case); with integer bin sums s_i, AVAR = sum (s_{i+1} - s_i)^2 /
+    (2 (M-1) tau^2) is exact integer arithmetic until the one final
+    division.
+
+    Scale shape: one (hour) aggregate, one bounded spine densify from a
+    1-row min/max scalar, one 4 x |hours| explode, one (tau, bin)
+    aggregate with a lead window per tau, one 4-row reduction."""
+    d38 = "decimal(38,0)"
+    hourly = events.groupBy(
+        F.expr("CAST(floor(unix_timestamp(ts) / 3600) AS BIGINT)").alias("h")
+    ).agg(F.count("*").cast("long").alias("c"))
+    bounds = hourly.agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.lit(0), F.col("h1") - F.col("h0"))).alias("idx"),
+        "h0",
+    )
+    dense = spine.join(
+        hourly, spine.idx + F.col("h0") == hourly.h, "left"
+    ).select("idx", F.coalesce("c", F.lit(0)).cast("long").alias("c"))
+    taus = dense.select(
+        "idx",
+        "c",
+        F.explode(F.array(*[F.lit(t) for t in ALLAN_TAUS])).alias("tau"),
+    )
+    bins = (
+        taus.groupBy("tau", (F.col("idx") / F.col("tau")).cast("long").alias("b"))
+        .agg(F.count("*").cast("long").alias("nh"), F.sum("c").cast("long").alias("s"))
+        .where(F.col("nh") == F.col("tau"))
+    )
+    wlead = Window.partitionBy("tau").orderBy("b")
+    diffs = bins.select(
+        "tau",
+        (F.lead("s").over(wlead) - F.col("s")).alias("d"),
+    ).where(F.col("d").isNotNull())
+    agg = diffs.groupBy("tau").agg(
+        F.count("*").cast("long").alias("pairs"),
+        F.sum(F.col("d").cast(d38) * F.col("d").cast(d38)).alias("sd2"),
+    )
+    return agg.select(
+        F.col("tau").cast("long").alias("tau_hours"),
+        (F.col("pairs") + 1).cast("long").alias("m_bins"),
+        F.expr(
+            "CAST(CASE WHEN pairs > 0 THEN round(1e6 * CAST(sd2 AS DOUBLE)"
+            " / (2e0 * pairs * tau * tau)) ELSE NULL END AS BIGINT)"
+        ).alias("avar_micro"),
+    ).orderBy("tau_hours")
+
+
+def allan_variance_hourly_sql() -> str:
+    tau_values = ", ".join(f"({t})" for t in ALLAN_TAUS)
+    return f"""
+        WITH hourly AS (
+            SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY 1
+        ),
+        bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hourly),
+        spine AS (
+            SELECT CAST(unnest(generate_series(0, h1 - h0)) AS BIGINT) AS idx,
+                   h0
+            FROM bounds
+        ),
+        dense AS (
+            SELECT idx, COALESCE(c, 0) AS c
+            FROM spine LEFT JOIN hourly ON spine.idx + spine.h0 = hourly.h
+        ),
+        taus AS (
+            SELECT idx, c, tau
+            FROM dense CROSS JOIN (VALUES {tau_values}) t(tau)
+        ),
+        bins AS (
+            SELECT tau, idx // tau AS b,
+                   CAST(COUNT(*) AS BIGINT) AS nh,
+                   CAST(SUM(c) AS BIGINT) AS s
+            FROM taus GROUP BY 1, 2
+            HAVING COUNT(*) = tau
+        ),
+        diffs AS (
+            SELECT tau, d FROM (
+                SELECT tau,
+                       LEAD(s) OVER (PARTITION BY tau ORDER BY b) - s AS d
+                FROM bins
+            ) WHERE d IS NOT NULL
+        ),
+        agg AS (
+            SELECT tau, CAST(COUNT(*) AS BIGINT) AS pairs,
+                   SUM(CAST(d AS HUGEINT) * d) AS sd2
+            FROM diffs GROUP BY tau
+        )
+        SELECT CAST(tau AS BIGINT) AS tau_hours,
+               CAST(pairs + 1 AS BIGINT) AS m_bins,
+               CAST(CASE WHEN pairs > 0 THEN round(1e6 * CAST(sd2 AS DOUBLE)
+                    / (2e0 * pairs * tau * tau)) ELSE NULL END AS BIGINT)
+                   AS avar_micro
+        FROM agg
+        ORDER BY tau_hours
+    """
+
+
+# --- Engle's ARCH LM test ------------------------------------------------------------------
+
+
+def arch_lm_daily(events: DataFrame) -> DataFrame:
+    """Engle's ARCH LM test (one lag) on the daily log-returns of total
+    event value: one row (n_pairs, r2_micro, lm_milli).
+
+    events_daily_volatility reports the MAGNITUDE of return variance;
+    the ARCH test asks whether that variance CLUSTERS — regress today's
+    squared return on yesterday's; LM = n R^2 ~ chi2(1) under
+    homoskedasticity. Volatility clustering is what invalidates every
+    iid-variance control band downstream (ewma_chart, daily bands), so
+    this is the gate that says whether those bands need a GARCH-style
+    widening. Returns follow the present-day convention of the
+    volatility device (gaps between active days count as one step);
+    zero mean equation, the standard small-sample simplification.
+
+    Exactness: returns quantize to micro before squaring, so all five
+    regression sums (n, Sx, Sy, Sxx, Syy, Sxy) are exact decimal-38
+    integers over the lag-paired day grid; R^2 = (n Sxy - Sx Sy)^2 /
+    ((n Sxx - Sx^2)(n Syy - Sy^2)) is one double chain at the 1-row
+    boundary.
+
+    Scale shape: one (day) aggregate, one lag window over the bounded
+    day grid, one 1-row reduction."""
+    d38 = "decimal(38,0)"
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("v")
+    ).where(F.col("v") > 0)
+    w = Window.orderBy("day")
+    rets2 = daily.select(
+        "day",
+        F.lag("v").over(w).alias("vp"),
+        "v",
+    ).where(F.col("vp").isNotNull()).select(
+        "day",
+        F.expr(
+            "CAST(round(1e6 * ln(CAST(v AS DOUBLE) / vp)) AS BIGINT)"
+        ).alias("q"),
+    )
+    u = rets2.select(
+        "day", (F.col("q").cast(d38) * F.col("q").cast(d38)).alias("u")
+    )
+    pairs = u.select(
+        "u", F.lag("u").over(Window.orderBy("day")).alias("ulag")
+    ).where(F.col("ulag").isNotNull())
+    agg = pairs.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("ulag").alias("sx"),
+        F.sum("u").alias("sy"),
+        F.sum(F.col("ulag") * F.col("ulag")).alias("sxx"),
+        F.sum(F.col("u") * F.col("u")).alias("syy"),
+        F.sum(F.col("ulag") * F.col("u")).alias("sxy"),
+    )
+    r2 = (
+        "((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " * (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))"
+        " / ((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+        "    * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+    )
+    guard = (
+        "n > 1 AND (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)"
+        " * CAST(sx AS DOUBLE)) > 0 AND (n * CAST(syy AS DOUBLE)"
+        " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0"
+    )
+    return agg.select(
+        F.col("n").alias("n_pairs"),
+        F.expr(
+            f"CAST(CASE WHEN {guard} THEN round(1e6 * {r2})"
+            " ELSE NULL END AS BIGINT)"
+        ).alias("r2_micro"),
+        F.expr(
+            f"CAST(CASE WHEN {guard} THEN round(1000 * n * {r2})"
+            " ELSE NULL END AS BIGINT)"
+        ).alias("lm_milli"),
+    )
+
+
+def arch_lm_daily_sql() -> str:
+    r2 = (
+        "((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " * (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))"
+        " / ((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+        "    * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+    )
+    guard = (
+        "n > 1 AND (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)"
+        " * CAST(sx AS DOUBLE)) > 0 AND (n * CAST(syy AS DOUBLE)"
+        " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0"
+    )
+    return f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS v
+            FROM events GROUP BY 1
+            HAVING SUM(CAST(round(value * 100) AS BIGINT)) > 0
+        ),
+        rets2 AS (
+            SELECT day,
+                   CAST(round(1e6 * ln(CAST(v AS DOUBLE) / vp)) AS BIGINT)
+                       AS q
+            FROM (
+                SELECT day, v, LAG(v) OVER (ORDER BY day) AS vp FROM daily
+            ) WHERE vp IS NOT NULL
+        ),
+        u AS (
+            SELECT day, CAST(q AS HUGEINT) * q AS u FROM rets2
+        ),
+        pairs AS (
+            SELECT u, ulag FROM (
+                SELECT u, LAG(u) OVER (ORDER BY day) AS ulag FROM u
+            ) WHERE ulag IS NOT NULL
+        ),
+        agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(ulag) AS sx, SUM(u) AS sy,
+                   SUM(ulag * ulag) AS sxx, SUM(u * u) AS syy,
+                   SUM(ulag * u) AS sxy
+            FROM pairs
+        )
+        SELECT n AS n_pairs,
+               CAST(CASE WHEN {guard} THEN round(1e6 * {r2})
+                    ELSE NULL END AS BIGINT) AS r2_micro,
+               CAST(CASE WHEN {guard} THEN round(1000 * n * {r2})
+                    ELSE NULL END AS BIGINT) AS lm_milli
+        FROM agg
+    """
+
+
+# --- Detrended fluctuation analysis --------------------------------------------------------
+
+DFA_BOX_SIZES = (4, 8, 16)
+DFA_TYPE = "click"
+
+
+def dfa_daily(events: DataFrame) -> DataFrame:
+    """Detrended fluctuation analysis of the daily click-count series:
+    one row (n_days, f2_4_pico, f2_8_pico, f2_16_pico, alpha_milli).
+
+    hurst_rs estimates long-range dependence through rescaled ranges,
+    which trends contaminate; DFA is the modern counterpart that
+    REMOVES a linear trend inside every box before measuring
+    fluctuation, so a drifting event rate does not masquerade as
+    memory. alpha ~ 0.5 white noise, ~1.0 1/f, >1 nonstationary.
+
+    Integer core: the mean-centered profile is kept exact by scaling by
+    n: Z_k = n * prefix_k - k * S (integers), so per-box sums (Sz, Szz,
+    Sjz) are exact decimal-38; each complete box's OLS residual sum
+    SSR = Szz - Sz^2/s - 12 (Sjz - (s+1)/2 Sz)^2 / (s (s^2-1)) is one
+    double chain, normalized by s n^2 and quantized to pico before the
+    per-size integer mean. Box sizes 4/8/16 are log-equidistant, so
+    alpha = (ln F2(16) - ln F2(4)) / (4 ln 2) exactly — no regression.
+
+    Scale shape: one (day) aggregate, one cumulative window on the
+    bounded day grid, one 3 x |days| explode, one (size, box) aggregate,
+    one 3-row pivot reduction."""
+    d38 = "decimal(38,0)"
+    daily = events.where(F.col("event_type") == DFA_TYPE).groupBy(
+        F.to_date("ts").alias("day")
+    ).agg(F.count("*").cast("long").alias("c"))
+    w = Window.orderBy("day")
+    tot = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s_all"),
+    )
+    prof = daily.select(
+        F.row_number().over(w).cast("long").alias("k"),
+        F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("pref"),
+    ).crossJoin(F.broadcast(tot)).select(
+        "k",
+        "n",
+        (F.col("n").cast(d38) * F.col("pref").cast(d38)
+         - F.col("k").cast(d38) * F.col("s_all").cast(d38)).alias("z"),
+    )
+    boxes = prof.select(
+        "k",
+        "n",
+        "z",
+        F.explode(F.array(*[F.lit(s) for s in DFA_BOX_SIZES])).alias("s"),
+    ).select(
+        "s",
+        "n",
+        "z",
+        F.expr("CAST((k - 1) DIV s AS BIGINT)").alias("b"),
+        F.expr("CAST((k - 1) % s + 1 AS BIGINT)").alias("j"),
+    )
+    per_box = (
+        boxes.groupBy("s", "b")
+        .agg(
+            F.max("n").alias("n"),
+            F.count("*").cast("long").alias("cnt"),
+            F.sum("z").alias("sz"),
+            F.sum(F.col("z") * F.col("z")).alias("szz"),
+            F.sum(F.col("j").cast(d38) * F.col("z")).alias("sjz"),
+        )
+        .where(F.col("cnt") == F.col("s"))
+    )
+    ssr = per_box.select(
+        "s",
+        F.expr(
+            "CAST(round(1e12 * ("
+            " CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE) / s"
+            " - 12e0 * (CAST(sjz AS DOUBLE)"
+            "     - (s + 1) / 2e0 * CAST(sz AS DOUBLE))"
+            "   * (CAST(sjz AS DOUBLE) - (s + 1) / 2e0 * CAST(sz AS DOUBLE))"
+            "   / (CAST(s AS DOUBLE) * (CAST(s AS DOUBLE) * s - 1)))"
+            " / (CAST(s AS DOUBLE) * CAST(n AS DOUBLE) * n)) AS BIGINT)"
+        ).alias("t_pico"),
+    )
+    per_s = ssr.groupBy("s").agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum(F.col("t_pico").cast(d38)).alias("tp"),
+    )
+    flat = per_s.groupBy().agg(
+        *[
+            F.max(
+                F.when(
+                    F.col("s") == sz,
+                    F.expr("CAST(round(CAST(tp AS DOUBLE) / m) AS BIGINT)"),
+                )
+            ).alias(f"f2_{sz}_pico")
+            for sz in DFA_BOX_SIZES
+        ]
+    )
+    n1 = daily.agg(F.count("*").cast("long").alias("n_days"))
+    return n1.crossJoin(F.broadcast(flat)).select(
+        "n_days",
+        "f2_4_pico",
+        "f2_8_pico",
+        "f2_16_pico",
+        F.expr(
+            "CAST(CASE WHEN f2_4_pico > 0 AND f2_16_pico > 0 THEN"
+            " round(1000 * (ln(f2_16_pico / 1e12) - ln(f2_4_pico / 1e12))"
+            " / (4e0 * ln(2e0))) ELSE NULL END AS BIGINT)"
+        ).alias("alpha_milli"),
+    )
+
+
+def dfa_daily_sql() -> str:
+    f2_cols = ", ".join(
+        f"MAX(CASE WHEN s = {sz} THEN"
+        f" CAST(round(CAST(tp AS DOUBLE) / m) AS BIGINT) END) AS f2_{sz}_pico"
+        for sz in DFA_BOX_SIZES
+    )
+    sizes = ", ".join(f"({s})" for s in DFA_BOX_SIZES)
+    return f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+            FROM events WHERE event_type = '{DFA_TYPE}'
+            GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(c) AS BIGINT) AS s_all
+            FROM daily
+        ),
+        prof AS (
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS k,
+                   n,
+                   CAST(n AS HUGEINT)
+                     * CAST(SUM(c) OVER (ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS HUGEINT)
+                   - CAST(ROW_NUMBER() OVER (ORDER BY day) AS HUGEINT)
+                     * s_all AS z
+            FROM daily CROSS JOIN tot
+        ),
+        boxes AS (
+            SELECT s, n, z,
+                   (k - 1) // s AS b,
+                   (k - 1) % s + 1 AS j
+            FROM prof CROSS JOIN (VALUES {sizes}) sz(s)
+        ),
+        per_box AS (
+            SELECT s, b, MAX(n) AS n, CAST(COUNT(*) AS BIGINT) AS cnt,
+                   SUM(z) AS sz, SUM(z * z) AS szz,
+                   SUM(CAST(j AS HUGEINT) * z) AS sjz
+            FROM boxes GROUP BY 1, 2
+            HAVING COUNT(*) = s
+        ),
+        ssr AS (
+            SELECT s,
+                   CAST(round(1e12 * (
+                     CAST(szz AS DOUBLE)
+                     - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE) / s
+                     - 12e0 * (CAST(sjz AS DOUBLE)
+                         - (s + 1) / 2e0 * CAST(sz AS DOUBLE))
+                       * (CAST(sjz AS DOUBLE)
+                         - (s + 1) / 2e0 * CAST(sz AS DOUBLE))
+                       / (CAST(s AS DOUBLE) * (CAST(s AS DOUBLE) * s - 1)))
+                     / (CAST(s AS DOUBLE) * CAST(n AS DOUBLE) * n))
+                       AS BIGINT) AS t_pico
+            FROM per_box
+        ),
+        per_s AS (
+            SELECT s, CAST(COUNT(*) AS BIGINT) AS m,
+                   SUM(CAST(t_pico AS HUGEINT)) AS tp
+            FROM ssr GROUP BY s
+        ),
+        flat AS (SELECT {f2_cols} FROM per_s),
+        n1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily)
+        SELECT n_days, f2_4_pico, f2_8_pico, f2_16_pico,
+               CAST(CASE WHEN f2_4_pico > 0 AND f2_16_pico > 0 THEN
+                    round(1000 * (ln(f2_16_pico / 1e12)
+                          - ln(f2_4_pico / 1e12))
+                    / (4e0 * ln(2e0))) ELSE NULL END AS BIGINT)
+                   AS alpha_milli
+        FROM n1 CROSS JOIN flat
+    """
+
+
+# --- Sample entropy -------------------------------------------------------------------------
+
+SAMPEN_TYPE = "click"
+SAMPEN_MAX_DAYS = 256
+
+
+def sample_entropy_daily(events: DataFrame) -> DataFrame:
+    """Sample entropy SampEn(m=2, r=0.2 sigma) of the daily click-count
+    series (last ``SAMPEN_MAX_DAYS`` days): one row (n_days, b_pairs,
+    a_pairs, sampen_milli).
+
+    permutation_entropy scores ORDINAL pattern diversity; SampEn is the
+    amplitude-aware regularity verdict — the negative log conditional
+    probability that two length-2 templates matching within tolerance r
+    still match when extended to length 3. Low SampEn = self-similar,
+    predictable load; high = irregular. Self-matches are excluded by
+    construction (i < j), the property that makes SampEn unbiased where
+    ApEn is not.
+
+    Exactness: counts are integers, template distances are integer
+    Chebyshev diffs compared against the one double tolerance r
+    (0.2 * sd from exact sums); B and A are exact pair counts and the
+    final -ln(A/B) is the one float boundary.
+
+    Scale shape: one (day) aggregate, one bounded-tail filter (row_number
+    window over the day grid), two lead windows, one broadcast self-pair
+    join capped at 256 x 256, one 1-row reduction."""
+    daily = events.where(F.col("event_type") == SAMPEN_TYPE).groupBy(
+        F.to_date("ts").alias("day")
+    ).agg(F.count("*").cast("long").alias("c"))
+    wdesc = Window.orderBy(F.desc("day"))
+    tail = daily.select(
+        "day", "c", F.row_number().over(wdesc).alias("rdesc")
+    ).where(F.col("rdesc") <= SAMPEN_MAX_DAYS)
+    w = Window.orderBy("day")
+    tmpl = tail.select(
+        F.row_number().over(w).cast("long").alias("i"),
+        F.col("c").alias("c1"),
+        F.lead("c", 1).over(w).alias("c2"),
+        F.lead("c", 2).over(w).alias("c3"),
+    )
+    sd = tail.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+    ).select(
+        "n",
+        F.expr(
+            "CASE WHEN n > 1 THEN 0.2e0 * sqrt((CAST(s2 AS DOUBLE)"
+            " - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1)) ELSE 0e0 END"
+        ).alias("r"),
+    )
+    a = tmpl.select(
+        F.col("i").alias("ia"),
+        F.col("c1").alias("a1"),
+        F.col("c2").alias("a2"),
+        F.col("c3").alias("a3"),
+    )
+    b = tmpl.select(
+        F.col("i").alias("ib"),
+        F.col("c1").alias("b1"),
+        F.col("c2").alias("b2"),
+        F.col("c3").alias("b3"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("ia") < F.col("ib")).crossJoin(
+        F.broadcast(sd)
+    )
+    agg = pairs.agg(
+        F.max("n").alias("n"),
+        F.sum(
+            (
+                F.col("a2").isNotNull()
+                & F.col("b2").isNotNull()
+                & (F.abs(F.col("a1") - F.col("b1")) <= F.col("r"))
+                & (F.abs(F.col("a2") - F.col("b2")) <= F.col("r"))
+            ).cast("long")
+        ).alias("b_pairs"),
+        F.sum(
+            (
+                F.col("a3").isNotNull()
+                & F.col("b3").isNotNull()
+                & (F.abs(F.col("a1") - F.col("b1")) <= F.col("r"))
+                & (F.abs(F.col("a2") - F.col("b2")) <= F.col("r"))
+                & (F.abs(F.col("a3") - F.col("b3")) <= F.col("r"))
+            ).cast("long")
+        ).alias("a_pairs"),
+    )
+    return agg.select(
+        F.col("n").alias("n_days"),
+        F.coalesce("b_pairs", F.lit(0)).cast("long").alias("b_pairs"),
+        F.coalesce("a_pairs", F.lit(0)).cast("long").alias("a_pairs"),
+        F.expr(
+            "CAST(CASE WHEN a_pairs > 0 AND b_pairs > 0 THEN"
+            " round(-1000 * ln(CAST(a_pairs AS DOUBLE) / b_pairs))"
+            " ELSE NULL END AS BIGINT)"
+        ).alias("sampen_milli"),
+    )
+
+
+def sample_entropy_daily_sql() -> str:
+    return f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+            FROM events WHERE event_type = '{SAMPEN_TYPE}'
+            GROUP BY 1
+        ),
+        tail AS (
+            SELECT day, c FROM (
+                SELECT day, c,
+                       ROW_NUMBER() OVER (ORDER BY day DESC) AS rdesc
+                FROM daily
+            ) WHERE rdesc <= {SAMPEN_MAX_DAYS}
+        ),
+        tmpl AS (
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i,
+                   c AS c1,
+                   LEAD(c, 1) OVER (ORDER BY day) AS c2,
+                   LEAD(c, 2) OVER (ORDER BY day) AS c3
+            FROM tail
+        ),
+        sd AS (
+            SELECT n,
+                   CASE WHEN n > 1 THEN 0.2e0 * sqrt((CAST(s2 AS DOUBLE)
+                        - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1))
+                        ELSE 0e0 END AS r
+            FROM (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(c) AS BIGINT) AS s1,
+                       CAST(SUM(c * c) AS BIGINT) AS s2
+                FROM tail
+            )
+        ),
+        agg AS (
+            SELECT MAX(n) AS n,
+                   CAST(SUM(CASE WHEN a.c2 IS NOT NULL AND b.c2 IS NOT NULL
+                        AND abs(a.c1 - b.c1) <= r AND abs(a.c2 - b.c2) <= r
+                        THEN 1 ELSE 0 END) AS BIGINT) AS b_pairs,
+                   CAST(SUM(CASE WHEN a.c3 IS NOT NULL AND b.c3 IS NOT NULL
+                        AND abs(a.c1 - b.c1) <= r AND abs(a.c2 - b.c2) <= r
+                        AND abs(a.c3 - b.c3) <= r
+                        THEN 1 ELSE 0 END) AS BIGINT) AS a_pairs
+            FROM tmpl a JOIN tmpl b ON a.i < b.i
+            CROSS JOIN sd
+        )
+        SELECT n AS n_days,
+               COALESCE(b_pairs, 0) AS b_pairs,
+               COALESCE(a_pairs, 0) AS a_pairs,
+               CAST(CASE WHEN a_pairs > 0 AND b_pairs > 0 THEN
+                    round(-1000 * ln(CAST(a_pairs AS DOUBLE) / b_pairs))
+                    ELSE NULL END AS BIGINT) AS sampen_milli
+        FROM agg
+    """
+
+
+# --- Engle-Granger cointegration (lite) -----------------------------------------------------
+
+EG_X_TYPE = "click"
+EG_Y_TYPE = "purchase"
+
+
+def engle_granger_daily(events: DataFrame) -> DataFrame:
+    """Engle-Granger two-step cointegration check between the daily click
+    and purchase value totals: one row (n_days, beta_micro, adf_milli).
+
+    granger_lite asks whether clicks help FORECAST purchases; the
+    Engle-Granger question is stronger — do the two levels share a
+    common stochastic trend, i.e. is some linear combination
+    stationary? Step 1 fits y = a + b x by OLS; step 2 runs the
+    no-constant Dickey-Fuller regression on the residuals (delta e_t =
+    rho e_{t-1}): adf = rho / se(rho). An adf far below ~-3.3 says the
+    spread mean-reverts — the statistical license for pair-level
+    monitoring of the two streams.
+
+    Exactness: OLS comes from exact integer cent sums; residuals
+    quantize to micro immediately, so the DF sums (Se^2, Se d, Sd^2)
+    are exact decimal-38 and SSR = Sd^2 - (Se d)^2 / Se^2 needs no
+    per-row float accumulation; rho, se, adf are one double chain.
+
+    Scale shape: one (day) conditional aggregate, two 1-row scalar
+    broadcasts, one lag window over the bounded day grid, one 1-row
+    reduction."""
+    d38 = "decimal(38,0)"
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == EG_X_TYPE,
+                F.expr("CAST(round(value * 100) AS BIGINT)"),
+            )
+        ).alias("x"),
+        F.sum(
+            F.when(
+                F.col("event_type") == EG_Y_TYPE,
+                F.expr("CAST(round(value * 100) AS BIGINT)"),
+            )
+        ).alias("y"),
+    ).where(F.col("x").isNotNull() & F.col("y").isNotNull())
+    ols = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast(d38).alias("sx"),
+        F.sum("y").cast(d38).alias("sy"),
+        F.sum(F.col("x").cast(d38) * F.col("x").cast(d38)).alias("sxx"),
+        F.sum(F.col("x").cast(d38) * F.col("y").cast(d38)).alias("sxy"),
+    ).select(
+        "n",
+        F.expr(
+            "CASE WHEN n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)"
+            " * CAST(sx AS DOUBLE) > 0 THEN"
+            " (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+            " / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+            " ELSE 0e0 END"
+        ).alias("beta"),
+        F.expr("CAST(sy AS DOUBLE) / n").alias("ybar"),
+        F.expr("CAST(sx AS DOUBLE) / n").alias("xbar"),
+    )
+    resid = daily.crossJoin(F.broadcast(ols)).select(
+        "day",
+        "n",
+        "beta",
+        F.expr(
+            "CAST(round(1e6 * (y - (ybar - beta * xbar) - beta * x))"
+            " AS BIGINT)"
+        ).alias("e"),
+    )
+    w = Window.orderBy("day")
+    pairs = resid.select(
+        "n",
+        "beta",
+        F.col("e"),
+        F.lag("e").over(w).alias("ep"),
+    ).where(F.col("ep").isNotNull())
+    agg = pairs.agg(
+        F.max("n").alias("n"),
+        F.max("beta").alias("beta"),
+        F.count("*").cast("long").alias("np"),
+        F.sum(F.col("ep").cast(d38) * F.col("ep").cast(d38)).alias("see"),
+        F.sum(
+            F.col("ep").cast(d38) * (F.col("e") - F.col("ep")).cast(d38)
+        ).alias("sed"),
+        F.sum(
+            (F.col("e") - F.col("ep")).cast(d38)
+            * (F.col("e") - F.col("ep")).cast(d38)
+        ).alias("sdd"),
+    )
+    return agg.select(
+        F.col("n").alias("n_days"),
+        F.expr("CAST(round(1e6 * beta) AS BIGINT)").alias("beta_micro"),
+        F.expr(
+            "CAST(CASE WHEN np > 2 AND CAST(see AS DOUBLE) > 0"
+            " AND CAST(sdd AS DOUBLE) - CAST(sed AS DOUBLE) * CAST(sed AS DOUBLE)"
+            "     / CAST(see AS DOUBLE) > 0 THEN"
+            " round(1000 * (CAST(sed AS DOUBLE) / CAST(see AS DOUBLE))"
+            " / sqrt((CAST(sdd AS DOUBLE) - CAST(sed AS DOUBLE)"
+            "         * CAST(sed AS DOUBLE) / CAST(see AS DOUBLE))"
+            "        / (np - 1) / CAST(see AS DOUBLE)))"
+            " ELSE NULL END AS BIGINT)"
+        ).alias("adf_milli"),
+    )
+
+
+def engle_granger_daily_sql() -> str:
+    return f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   SUM(CASE WHEN event_type = '{EG_X_TYPE}' THEN
+                       CAST(round(value * 100) AS BIGINT) END) AS x,
+                   SUM(CASE WHEN event_type = '{EG_Y_TYPE}' THEN
+                       CAST(round(value * 100) AS BIGINT) END) AS y
+            FROM events GROUP BY 1
+            HAVING SUM(CASE WHEN event_type = '{EG_X_TYPE}' THEN
+                       CAST(round(value * 100) AS BIGINT) END) IS NOT NULL
+               AND SUM(CASE WHEN event_type = '{EG_Y_TYPE}' THEN
+                       CAST(round(value * 100) AS BIGINT) END) IS NOT NULL
+        ),
+        ols AS (
+            SELECT n,
+                   CASE WHEN n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                        * CAST(sx AS DOUBLE) > 0 THEN
+                        (n * CAST(sxy AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                        / (n * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        ELSE 0e0 END AS beta,
+                   CAST(sy AS DOUBLE) / n AS ybar,
+                   CAST(sx AS DOUBLE) / n AS xbar
+            FROM (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(x) AS HUGEINT) AS sx,
+                       CAST(SUM(y) AS HUGEINT) AS sy,
+                       SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                       SUM(CAST(x AS HUGEINT) * y) AS sxy
+                FROM daily
+            )
+        ),
+        resid AS (
+            SELECT day, n, beta,
+                   CAST(round(1e6 * (y - (ybar - beta * xbar) - beta * x))
+                       AS BIGINT) AS e
+            FROM daily CROSS JOIN ols
+        ),
+        pairs AS (
+            SELECT n, beta, e, ep FROM (
+                SELECT n, beta, e, LAG(e) OVER (ORDER BY day) AS ep
+                FROM resid
+            ) WHERE ep IS NOT NULL
+        ),
+        agg AS (
+            SELECT MAX(n) AS n, MAX(beta) AS beta,
+                   CAST(COUNT(*) AS BIGINT) AS np,
+                   SUM(CAST(ep AS HUGEINT) * ep) AS see,
+                   SUM(CAST(ep AS HUGEINT) * (e - ep)) AS sed,
+                   SUM(CAST(e - ep AS HUGEINT) * (e - ep)) AS sdd
+            FROM pairs
+        )
+        SELECT n AS n_days,
+               CAST(round(1e6 * beta) AS BIGINT) AS beta_micro,
+               CAST(CASE WHEN np > 2 AND CAST(see AS DOUBLE) > 0
+                    AND CAST(sdd AS DOUBLE) - CAST(sed AS DOUBLE)
+                        * CAST(sed AS DOUBLE) / CAST(see AS DOUBLE) > 0 THEN
+                    round(1000 * (CAST(sed AS DOUBLE) / CAST(see AS DOUBLE))
+                    / sqrt((CAST(sdd AS DOUBLE) - CAST(sed AS DOUBLE)
+                            * CAST(sed AS DOUBLE) / CAST(see AS DOUBLE))
+                           / (np - 1) / CAST(see AS DOUBLE)))
+                    ELSE NULL END AS BIGINT) AS adf_milli
+        FROM agg
+    """

@@ -338,6 +338,21 @@ ALLOWED: dict[str, set[str]] = {
     "events_cross_spectrum": {"BroadcastNestedLoopJoin"},
     "warehouse_risk_pooling": {"BroadcastNestedLoopJoin"},
     "vocab_good_turing": {"BroadcastNestedLoopJoin"},
+    # round-10b (L-492..497): 1-row scalar broadcasts (group totals, k/n
+    # scalars, S4/tie sums) and the tiny distinct-types x distinct-days
+    # densify grid (both sides post-aggregate, <=|types|*|days| rows)
+    "events_gehan_wilcoxon": {"BroadcastNestedLoopJoin"},
+    "events_ansari_bradley": {"BroadcastNestedLoopJoin"},
+    "events_kendall_w": {"BroadcastNestedLoopJoin"},
+    "events_quade_test": {"BroadcastNestedLoopJoin"},
+    # round-10b time-series (L-498..503): 1-row scalar broadcasts (min-day /
+    # grand-mean / OLS coefficients / tolerance), the bounded hour spine,
+    # and the capped 256-row SampEn self-pair broadcast
+    "events_lomb_scargle": {"BroadcastNestedLoopJoin"},
+    "events_allan_variance": {"BroadcastNestedLoopJoin"},
+    "events_dfa": {"BroadcastNestedLoopJoin"},
+    "events_sample_entropy": {"BroadcastNestedLoopJoin"},
+    "events_engle_granger": {"BroadcastNestedLoopJoin"},
 }
 
 PATTERNS = ("CartesianProduct", "BatchEvalPython", "BroadcastNestedLoopJoin")

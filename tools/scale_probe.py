@@ -459,6 +459,20 @@ PROBES = [
     "events_cross_spectrum",
     "warehouse_risk_pooling",
     "vocab_good_turing",
+    # round-10b (L-492..497)
+    "events_aalen_johansen",
+    "events_gehan_wilcoxon",
+    "events_ansari_bradley",
+    "events_cvm_two_sample",
+    "events_kendall_w",
+    "events_quade_test",
+    # round-10b time-series (L-498..503)
+    "events_lomb_scargle",
+    "events_allan_variance",
+    "events_arch_lm",
+    "events_dfa",
+    "events_sample_entropy",
+    "events_engle_granger",
 ]
 
 
