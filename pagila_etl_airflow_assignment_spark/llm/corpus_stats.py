@@ -2575,3 +2575,321 @@ def good_turing_smoothing_sql() -> str:
     FROM dense
     ORDER BY r
     """
+
+
+# --- Interpolated Kneser-Ney bigram probabilities --------------------------------------------
+
+KN_DISCOUNT = "0.75e0"
+KN_TOP_K = 20
+
+
+def kneser_ney_bigrams(docs: DataFrame, k: int = KN_TOP_K) -> DataFrame:
+    """Interpolated Kneser-Ney probability for the top-k corpus bigrams:
+    rows (w1, w2, cnt, p_kn_micro) ordered by count desc, bigram asc.
+
+    good_turing_smoothing reserves mass by re-estimating COUNTS;
+    Kneser-Ney is the stronger idea that made modern n-gram LMs: subtract
+    a fixed discount D from every bigram and give the freed mass to a
+    CONTINUATION unigram — how many distinct contexts a word completes,
+    not how often it occurs ("francisco" is frequent but follows only
+    "san", so its continuation probability is tiny). P(w2|w1) =
+    max(c12-D,0)/c1 + (D*N1+(w1,.)/c1) * (N1+(.,w2)/N1+(.,.)), the
+    Chen-Goodman interpolated form with D = 0.75.
+
+    All four count relations (bigram counts, left-context totals,
+    forward/backward continuation fan-outs) are exact integer aggregates
+    of the shared gram relation; the probability is one double chain per
+    output row, micro-quantized.
+
+    Scale shape: one gram explode, one (gram) aggregate, two fan-out
+    aggregates joined back on the gram keys, one scalar broadcast, one
+    distributed top-k."""
+    big = grams(docs, 2).withColumnRenamed("gram", "bg")
+    cb = big.groupBy("bg").agg(F.count("*").cast("long").alias("cnt"))
+    parts = cb.select(
+        "bg",
+        "cnt",
+        F.split(F.col("bg"), " ")[0].alias("w1"),
+        F.split(F.col("bg"), " ")[1].alias("w2"),
+    )
+    fw = parts.groupBy("w1").agg(
+        F.sum("cnt").cast("long").alias("c1"),
+        F.count("*").cast("long").alias("n1fw"),
+    )
+    bw = parts.groupBy("w2").agg(F.count("*").cast("long").alias("n1bw"))
+    nbb = cb.agg(F.count("*").cast("long").alias("nbb"))
+    scored = (
+        parts.join(fw, "w1")
+        .join(bw, "w2")
+        .crossJoin(F.broadcast(nbb))
+        .select(
+            "w1",
+            "w2",
+            "cnt",
+            F.expr(
+                f"CAST(round(1e6 * ("
+                f" greatest(cnt - {KN_DISCOUNT}, 0e0) / c1"
+                f" + ({KN_DISCOUNT} * n1fw / c1)"
+                f"   * (CAST(n1bw AS DOUBLE) / nbb))) AS BIGINT)"
+            ).alias("p_kn_micro"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("cnt"), F.asc("w1"), F.asc("w2")
+    ).limit(k)
+
+
+def kneser_ney_bigrams_sql(k: int = KN_TOP_K) -> str:
+    return f"""
+        WITH big AS ({grams_sql(2)}),
+        cb AS (
+            SELECT gram AS bg, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM big GROUP BY gram
+        ),
+        parts AS (
+            SELECT bg, cnt,
+                   string_split(bg, ' ')[1] AS w1,
+                   string_split(bg, ' ')[2] AS w2
+            FROM cb
+        ),
+        fw AS (
+            SELECT w1, CAST(SUM(cnt) AS BIGINT) AS c1,
+                   CAST(COUNT(*) AS BIGINT) AS n1fw
+            FROM parts GROUP BY w1
+        ),
+        bw AS (
+            SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1bw
+            FROM parts GROUP BY w2
+        ),
+        nbb AS (SELECT CAST(COUNT(*) AS BIGINT) AS nbb FROM cb)
+        SELECT parts.w1, parts.w2, cnt,
+               CAST(round(1e6 * (
+                   greatest(cnt - {KN_DISCOUNT}, 0e0) / c1
+                   + ({KN_DISCOUNT} * n1fw / c1)
+                     * (CAST(n1bw AS DOUBLE) / nbb))) AS BIGINT)
+                   AS p_kn_micro
+        FROM parts
+        JOIN fw ON parts.w1 = fw.w1
+        JOIN bw ON parts.w2 = bw.w2
+        CROSS JOIN nbb
+        ORDER BY cnt DESC, parts.w1 ASC, parts.w2 ASC
+        LIMIT {k}
+    """
+
+
+# --- Mean segmental type-token ratio ---------------------------------------------------------
+
+MSTTR_SEGMENT = 50
+
+
+def msttr_by_lang(docs: DataFrame, seg_len: int = MSTTR_SEGMENT) -> DataFrame:
+    """Mean segmental type-token ratio per language: rows (lang, n_docs,
+    n_segments, msttr_micro) ordered by lang.
+
+    vocab_yule_k and the TTR family score lexical diversity on WHOLE
+    documents, which confounds diversity with length (TTR falls as any
+    text grows). MSTTR is the standard length-controlled form: chop each
+    document into consecutive ``seg_len``-token segments, take the TTR
+    of each COMPLETE segment, and average — every segment contributes at
+    the same denominator, so corpora of different document lengths
+    compare honestly.
+
+    Exactness: per-segment distinct counts are integers; MSTTR =
+    sum(distinct) / (seg_len * n_segments) is one exact rational per
+    language, micro-quantized at the boundary.
+
+    Scale shape: one token posexplode, one per-doc re-index window, one
+    (doc, segment) distinct aggregate, one (lang) reduction."""
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.posexplode(F.split(_norm_text(F.col("text")), WS_RE)).alias(
+            "pos", "w"
+        ),
+    ).where(F.col("w") != "")
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    seg = toks.select(
+        "doc_id",
+        "lang",
+        "w",
+        ((F.row_number().over(wdoc) - 1) / seg_len)
+        .cast("long")
+        .alias("seg_id"),
+    )
+    per_seg = seg.groupBy("doc_id", "lang", "seg_id").agg(
+        F.count("*").cast("long").alias("n_tok"),
+        F.count_distinct("w").cast("long").alias("n_types"),
+    ).where(F.col("n_tok") == seg_len)
+    return (
+        per_seg.groupBy("lang")
+        .agg(
+            F.count_distinct("doc_id").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_segments"),
+            F.sum("n_types").cast("long").alias("st"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_segments",
+            F.expr(
+                f"CAST(round(1e6 * st / ({seg_len}e0 * n_segments))"
+                " AS BIGINT)"
+            ).alias("msttr_micro"),
+        )
+        .orderBy("lang")
+    )
+
+
+def msttr_by_lang_sql(seg_len: int = MSTTR_SEGMENT) -> str:
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, lang, pos, w FROM (
+                SELECT doc_id, lang,
+                       generate_subscripts(w_list, 1) AS pos,
+                       unnest(w_list) AS w
+                FROM (
+                    SELECT doc_id, lang,
+                           string_split_regex({_norm_text_sql('text')},
+                                              '{WS_RE}') AS w_list
+                    FROM documents
+                )
+            ) WHERE w <> ''
+        ),
+        seg AS (
+            SELECT doc_id, lang, w,
+                   (ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) - 1)
+                       // {seg_len} AS seg_id
+            FROM toks
+        ),
+        per_seg AS (
+            SELECT doc_id, lang, seg_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_tok,
+                   CAST(COUNT(DISTINCT w) AS BIGINT) AS n_types
+            FROM seg GROUP BY 1, 2, 3
+            HAVING COUNT(*) = {seg_len}
+        )
+        SELECT lang,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_segments,
+               CAST(round(1e6 * SUM(n_types)
+                    / ({seg_len}e0 * COUNT(*))) AS BIGINT) AS msttr_micro
+        FROM per_seg
+        GROUP BY lang
+        ORDER BY lang
+    """
+
+
+# --- Beta-binomial empirical-Bayes shrinkage of per-source pass rates ------------------------
+
+BB_CHARS_MIN = 400
+
+
+def beta_binomial_source_rates(
+    docs: DataFrame, chars_min: int = BB_CHARS_MIN
+) -> DataFrame:
+    """Empirical-Bayes beta-binomial shrinkage of each source's
+    long-document rate (n_chars >= ``chars_min``): rows (source, n_docs,
+    pass_rate_micro, shrunk_rate_micro) ordered by source.
+
+    events_james_stein shrinks NORMAL means; per-source pass RATES are
+    binomial, where the right prior is a Beta fitted by method of
+    moments on the observed proportions: common = m(1-m)/v - 1, alpha =
+    m*common, beta = (1-m)*common, and every source's posterior mean is
+    (k + alpha)/(n + alpha + beta) — small sources move toward the
+    corpus-wide rate, large sources barely move. The curation ranking
+    this feeds stops whipsawing on 25-doc sources. Falls back to the raw
+    rate when the moment fit is undefined (v = 0 or v >= m(1-m)).
+
+    Exactness: per-source proportions quantize to micro before the
+    cross-source moment sums (exact integers); the Beta fit and
+    posterior means are one double chain per bounded source row.
+
+    Scale shape: one (source) aggregate, one 1-row scalar broadcast over
+    the bounded source grid."""
+    per_src = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum((F.col("n_chars") >= chars_min).cast("long"))
+        .cast("long")
+        .alias("k"),
+    ).withColumn(
+        "pm", F.expr("CAST(round(1e6 * k / n) AS BIGINT)")
+    )
+    mom = per_src.agg(
+        F.count("*").cast("long").alias("s"),
+        F.sum("pm").cast("long").alias("sp"),
+        F.sum(F.col("pm") * F.col("pm")).cast("decimal(38,0)").alias("spp"),
+    )
+    return (
+        per_src.crossJoin(F.broadcast(mom))
+        .select(
+            "source",
+            F.col("n").alias("n_docs"),
+            F.col("pm").alias("pass_rate_micro"),
+            F.expr(
+                "CAST(round(1e6 * ("
+                " CASE WHEN s > 1"
+                "  AND (CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * sp / s)"
+                "      / (s - 1) / 1e12 > 0e0"
+                "  AND (CAST(sp AS DOUBLE) / s / 1e6)"
+                "      * (1e0 - CAST(sp AS DOUBLE) / s / 1e6)"
+                "      > (CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * sp / s)"
+                "        / (s - 1) / 1e12"
+                " THEN (k + (CAST(sp AS DOUBLE) / s / 1e6)"
+                "         * ((CAST(sp AS DOUBLE) / s / 1e6)"
+                "            * (1e0 - CAST(sp AS DOUBLE) / s / 1e6)"
+                "            / ((CAST(spp AS DOUBLE)"
+                "                - CAST(sp AS DOUBLE) * sp / s)"
+                "               / (s - 1) / 1e12) - 1e0))"
+                "      / (n + (CAST(sp AS DOUBLE) / s / 1e6)"
+                "           * (1e0 - CAST(sp AS DOUBLE) / s / 1e6)"
+                "           / ((CAST(spp AS DOUBLE)"
+                "               - CAST(sp AS DOUBLE) * sp / s)"
+                "              / (s - 1) / 1e12) - 1e0)"
+                " ELSE CAST(k AS DOUBLE) / n END)) AS BIGINT)"
+            ).alias("shrunk_rate_micro"),
+        )
+        .orderBy("source")
+    )
+
+
+def beta_binomial_source_rates_sql(chars_min: int = BB_CHARS_MIN) -> str:
+    return f"""
+        WITH per_src AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN n_chars >= {chars_min} THEN 1 ELSE 0
+                       END) AS BIGINT) AS k,
+                   CAST(round(1e6 * SUM(CASE WHEN n_chars >= {chars_min}
+                       THEN 1 ELSE 0 END) / COUNT(*)) AS BIGINT) AS pm
+            FROM documents GROUP BY source
+        ),
+        mom AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS s,
+                   CAST(SUM(pm) AS BIGINT) AS sp,
+                   SUM(CAST(pm AS HUGEINT) * pm) AS spp
+            FROM per_src
+        )
+        SELECT source, n AS n_docs, pm AS pass_rate_micro,
+               CAST(round(1e6 * (
+                 CASE WHEN s > 1
+                  AND (CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * sp / s)
+                      / (s - 1) / 1e12 > 0e0
+                  AND (CAST(sp AS DOUBLE) / s / 1e6)
+                      * (1e0 - CAST(sp AS DOUBLE) / s / 1e6)
+                      > (CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * sp / s)
+                        / (s - 1) / 1e12
+                 THEN (k + (CAST(sp AS DOUBLE) / s / 1e6)
+                         * ((CAST(sp AS DOUBLE) / s / 1e6)
+                            * (1e0 - CAST(sp AS DOUBLE) / s / 1e6)
+                            / ((CAST(spp AS DOUBLE)
+                                - CAST(sp AS DOUBLE) * sp / s)
+                               / (s - 1) / 1e12) - 1e0))
+                      / (n + (CAST(sp AS DOUBLE) / s / 1e6)
+                           * (1e0 - CAST(sp AS DOUBLE) / s / 1e6)
+                           / ((CAST(spp AS DOUBLE)
+                               - CAST(sp AS DOUBLE) * sp / s)
+                              / (s - 1) / 1e12) - 1e0)
+                 ELSE CAST(k AS DOUBLE) / n END)) AS BIGINT)
+                   AS shrunk_rate_micro
+        FROM per_src CROSS JOIN mom
+        ORDER BY source
+    """

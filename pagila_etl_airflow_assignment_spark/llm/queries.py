@@ -1378,3 +1378,26 @@ def q_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
     discounted r* and the reserved unseen mass P0 = N1/N, the classical
     base of Katz backoff."""
     return corpus_stats.good_turing_smoothing(load_table(spark, sf_dir, "documents"))
+
+
+@register("text_kneser_ney_bigrams", oracle=corpus_stats.kneser_ney_bigrams_sql())
+def q_kneser_ney_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney probabilities for the top corpus bigrams —
+    absolute discounting with continuation-count backoff mass."""
+    return corpus_stats.kneser_ney_bigrams(load_table(spark, sf_dir, "documents"))
+
+
+@register("text_msttr", oracle=corpus_stats.msttr_by_lang_sql())
+def q_msttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean segmental type-token ratio per language — length-controlled
+    lexical diversity over complete 50-token segments."""
+    return corpus_stats.msttr_by_lang(load_table(spark, sf_dir, "documents"))
+
+
+@register("text_beta_binomial", oracle=corpus_stats.beta_binomial_source_rates_sql())
+def q_beta_binomial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beta-binomial empirical-Bayes shrinkage of per-source long-document
+    rates — method-of-moments prior, posterior-mean stabilized ranking."""
+    return corpus_stats.beta_binomial_source_rates(
+        load_table(spark, sf_dir, "documents")
+    )

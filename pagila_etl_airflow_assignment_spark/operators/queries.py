@@ -3278,3 +3278,25 @@ def q_engle_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engle-Granger cointegration lite: OLS hedge ratio between click and
     purchase daily totals, then a Dickey-Fuller verdict on the spread."""
     return stats.engle_granger_daily(load_table(spark, sf_dir, "events"))
+
+
+@register("events_isotonic_calibration", oracle=stats.isotonic_calibration_sql())
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact isotonic regression of purchase rate on click-count bin via
+    the minimax closed form on the bounded bin grid — monotone by
+    construction."""
+    return stats.isotonic_calibration(load_table(spark, sf_dir, "events"))
+
+
+@register("events_xbar_r_chart", oracle=stats.xbar_r_chart_sql())
+def q_xbar_r_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shewhart Xbar-R chart over daily 5-value click subgroups — location
+    and within-day dispersion against A2/D4 range-based limits."""
+    return stats.xbar_r_chart(load_table(spark, sf_dir, "events"))
+
+
+@register("graph_katz_centrality", oracle=graph.katz_centrality_sql())
+def q_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated Katz centrality on the co-purchase graph — alpha-damped
+    walk mass, integer-micro per hop, honest on disconnected graphs."""
+    return graph.katz_centrality(load_table(spark, sf_dir, "lineitem"))

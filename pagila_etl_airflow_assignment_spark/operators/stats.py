@@ -11165,3 +11165,264 @@ def engle_granger_daily_sql() -> str:
                     ELSE NULL END AS BIGINT) AS adf_milli
         FROM agg
     """
+
+
+# --- Isotonic (PAVA) calibration of conversion vs engagement --------------------------------
+
+ISO_MAX_BIN = 10
+
+
+def isotonic_calibration(events: DataFrame) -> DataFrame:
+    """Isotonic regression of the purchase rate on the click-count bin:
+    rows (click_bin, n_users, rate_raw_micro, rate_iso_micro) ordered by
+    bin, with the isotonic column nondecreasing by construction.
+
+    events_target_encoding hands downstream models a RAW per-bin rate;
+    when the business prior says "more engagement never hurts
+    conversion", the monotone fit is the right calibrator. This is
+    exact isotonic regression — not PAVA's sequential pooling but its
+    closed form, fit_i = max_{a<=i} min_{b>=i} weightedMean(y[a..b])
+    (they provably coincide) — which IS expressible as bounded
+    relational algebra because the bin grid is <= ISO_MAX_BIN rows.
+
+    Exactness: interval means are rationals of exact integer cumulative
+    sums; min/max over exact doubles are order-free; the one micro
+    quantization happens at the output boundary.
+
+    Scale shape: one user-grain aggregate, a <=10-row bin grid, two
+    broadcast grid self-joins (<=10^3 interval-bin rows), two bounded
+    reductions."""
+    users = events.where(
+        F.col("event_type").isin("click", "purchase")
+    ).groupBy("user_id").agg(
+        F.sum((F.col("event_type") == "click").cast("long"))
+        .cast("long")
+        .alias("clicks"),
+        F.max((F.col("event_type") == "purchase").cast("long"))
+        .cast("long")
+        .alias("purchased"),
+    ).where(F.col("clicks") > 0)
+    bins = users.groupBy(
+        F.least(F.col("clicks"), F.lit(ISO_MAX_BIN)).alias("bin")
+    ).agg(
+        F.count("*").cast("long").alias("w"),
+        F.sum("purchased").cast("long").alias("y"),
+    )
+    wc = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = bins.select(
+        "bin",
+        "w",
+        "y",
+        F.sum("w").over(wc).cast("long").alias("cwi"),
+        F.sum("y").over(wc).cast("long").alias("cyi"),
+        (F.sum("w").over(wc) - F.col("w")).cast("long").alias("cwe"),
+        (F.sum("y").over(wc) - F.col("y")).cast("long").alias("cye"),
+    )
+    lo = cum.select(
+        F.col("bin").alias("a"), F.col("cwe").alias("awe"), F.col("cye").alias("aye")
+    )
+    hi = cum.select(
+        F.col("bin").alias("b"), F.col("cwi").alias("bwi"), F.col("cyi").alias("byi")
+    )
+    intervals = lo.join(F.broadcast(hi), F.col("a") <= F.col("b")).select(
+        "a",
+        "b",
+        (
+            (F.col("byi") - F.col("aye")).cast("double")
+            / (F.col("bwi") - F.col("awe")).cast("double")
+        ).alias("mean"),
+    )
+    pts = cum.select(F.col("bin").alias("i"))
+    inner = (
+        pts.join(
+            F.broadcast(intervals),
+            (F.col("a") <= F.col("i")) & (F.col("i") <= F.col("b")),
+        )
+        .groupBy("i", "a")
+        .agg(F.min("mean").alias("mn"))
+        .groupBy("i")
+        .agg(F.max("mn").alias("fit"))
+    )
+    return (
+        cum.join(inner, cum.bin == F.col("i"))
+        .select(
+            F.col("bin").alias("click_bin"),
+            F.col("w").alias("n_users"),
+            F.expr("CAST(round(1e6 * y / w) AS BIGINT)").alias("rate_raw_micro"),
+            F.expr("CAST(round(1e6 * fit) AS BIGINT)").alias("rate_iso_micro"),
+        )
+        .orderBy("click_bin")
+    )
+
+
+def isotonic_calibration_sql() -> str:
+    return f"""
+        WITH users AS (
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS clicks,
+                   CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                       END) AS BIGINT) AS purchased
+            FROM events
+            WHERE event_type IN ('click', 'purchase')
+            GROUP BY user_id
+            HAVING SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) > 0
+        ),
+        bins AS (
+            SELECT LEAST(clicks, {ISO_MAX_BIN}) AS bin,
+                   CAST(COUNT(*) AS BIGINT) AS w,
+                   CAST(SUM(purchased) AS BIGINT) AS y
+            FROM users GROUP BY 1
+        ),
+        cum AS (
+            SELECT bin, w, y,
+                   CAST(SUM(w) OVER wc AS BIGINT) AS cwi,
+                   CAST(SUM(y) OVER wc AS BIGINT) AS cyi,
+                   CAST(SUM(w) OVER wc - w AS BIGINT) AS cwe,
+                   CAST(SUM(y) OVER wc - y AS BIGINT) AS cye
+            FROM bins
+            WINDOW wc AS (ORDER BY bin
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        intervals AS (
+            SELECT lo.bin AS a, hi.bin AS b,
+                   CAST(hi.cyi - lo.cye AS DOUBLE)
+                   / CAST(hi.cwi - lo.cwe AS DOUBLE) AS mean
+            FROM cum lo JOIN cum hi ON lo.bin <= hi.bin
+        ),
+        inner_fit AS (
+            SELECT i, MAX(mn) AS fit FROM (
+                SELECT p.bin AS i, iv.a, MIN(iv.mean) AS mn
+                FROM cum p JOIN intervals iv
+                  ON iv.a <= p.bin AND p.bin <= iv.b
+                GROUP BY p.bin, iv.a
+            ) GROUP BY i
+        )
+        SELECT bin AS click_bin, w AS n_users,
+               CAST(round(1e6 * y / w) AS BIGINT) AS rate_raw_micro,
+               CAST(round(1e6 * fit) AS BIGINT) AS rate_iso_micro
+        FROM cum JOIN inner_fit ON cum.bin = inner_fit.i
+        ORDER BY click_bin
+    """
+
+
+# --- Xbar-R control chart -------------------------------------------------------------------
+
+XBAR_SUBGROUP = 5
+XBAR_A2 = "0.577e0"   # Shewhart chart constants for n = 5 (public tables)
+XBAR_D4 = "2.114e0"
+XBAR_TYPE = "click"
+
+
+def xbar_r_chart(events: DataFrame) -> DataFrame:
+    """Shewhart Xbar-R control chart over daily click-value subgroups:
+    rows (day, xbar_milli, r_cents, x_ooc, r_ooc) ordered by day.
+
+    ewma_chart tracks a drifting MEAN with memory; the Xbar-R pair is
+    the classical subgroup chart — each day's first 5 click values form
+    a rational subgroup, the R chart watches WITHIN-day dispersion and
+    the Xbar chart watches day-to-day location against A2*Rbar limits
+    (the range-based sigma estimate, constants for n=5). A day can be
+    out of control on either chart independently, which is the point.
+
+    Determinism: the 5-row subgroup is picked by (ts, event_id) row
+    order — a total order, so both engines draw identical subgroups.
+    Sums are exact cents; grand means are rationals of exact sums; the
+    limit comparison runs in one double chain mirrored on both sides.
+
+    Scale shape: one day-partitioned top-5 window over clicks, one day
+    aggregate, one 1-row scalar broadcast."""
+    clicks = events.where(
+        (F.col("event_type") == XBAR_TYPE) & F.col("value").isNotNull()
+    ).select(
+        F.to_date("ts").alias("day"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("v"),
+        "ts",
+        "event_id",
+    )
+    wday = Window.partitionBy("day").orderBy("ts", "event_id")
+    sub = clicks.withColumn("rn", F.row_number().over(wday)).where(
+        F.col("rn") <= XBAR_SUBGROUP
+    )
+    days = sub.groupBy("day").agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum("v").cast("long").alias("s"),
+        (F.max("v") - F.min("v")).cast("long").alias("r"),
+    ).where(F.col("cnt") == XBAR_SUBGROUP)
+    tot = days.agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("s").cast("long").alias("ss"),
+        F.sum("r").cast("long").alias("sr"),
+    )
+    n = XBAR_SUBGROUP
+    return (
+        days.crossJoin(F.broadcast(tot))
+        .select(
+            "day",
+            F.expr(f"CAST(round(1000e0 * s / {n}) AS BIGINT)").alias(
+                "xbar_milli"
+            ),
+            F.col("r").alias("r_cents"),
+            F.expr(
+                f"CAST(CASE WHEN CAST(s AS DOUBLE) / {n}"
+                f" > CAST(ss AS DOUBLE) / ({n} * m)"
+                f"   + {XBAR_A2} * (CAST(sr AS DOUBLE) / m)"
+                f" OR CAST(s AS DOUBLE) / {n}"
+                f" < CAST(ss AS DOUBLE) / ({n} * m)"
+                f"   - {XBAR_A2} * (CAST(sr AS DOUBLE) / m)"
+                " THEN 1 ELSE 0 END AS BIGINT)"
+            ).alias("x_ooc"),
+            F.expr(
+                f"CAST(CASE WHEN r > {XBAR_D4} * (CAST(sr AS DOUBLE) / m)"
+                " THEN 1 ELSE 0 END AS BIGINT)"
+            ).alias("r_ooc"),
+        )
+        .orderBy("day")
+    )
+
+
+def xbar_r_chart_sql() -> str:
+    n = XBAR_SUBGROUP
+    return f"""
+        WITH clicks AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(round(value * 100) AS BIGINT) AS v, ts, event_id
+            FROM events
+            WHERE event_type = '{XBAR_TYPE}' AND value IS NOT NULL
+        ),
+        sub AS (
+            SELECT day, v FROM (
+                SELECT day, v,
+                       ROW_NUMBER() OVER (PARTITION BY day
+                           ORDER BY ts, event_id) AS rn
+                FROM clicks
+            ) WHERE rn <= {n}
+        ),
+        days AS (
+            SELECT day, CAST(COUNT(*) AS BIGINT) AS cnt,
+                   CAST(SUM(v) AS BIGINT) AS s,
+                   CAST(MAX(v) - MIN(v) AS BIGINT) AS r
+            FROM sub GROUP BY day
+            HAVING COUNT(*) = {n}
+        ),
+        tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS m,
+                   CAST(SUM(s) AS BIGINT) AS ss,
+                   CAST(SUM(r) AS BIGINT) AS sr
+            FROM days
+        )
+        SELECT day,
+               CAST(round(1000e0 * s / {n}) AS BIGINT) AS xbar_milli,
+               r AS r_cents,
+               CAST(CASE WHEN CAST(s AS DOUBLE) / {n}
+                    > CAST(ss AS DOUBLE) / ({n} * m)
+                      + {XBAR_A2} * (CAST(sr AS DOUBLE) / m)
+                    OR CAST(s AS DOUBLE) / {n}
+                    < CAST(ss AS DOUBLE) / ({n} * m)
+                      - {XBAR_A2} * (CAST(sr AS DOUBLE) / m)
+                    THEN 1 ELSE 0 END AS BIGINT) AS x_ooc,
+               CAST(CASE WHEN r > {XBAR_D4} * (CAST(sr AS DOUBLE) / m)
+                    THEN 1 ELSE 0 END AS BIGINT) AS r_ooc
+        FROM days CROSS JOIN tot
+        ORDER BY day
+    """

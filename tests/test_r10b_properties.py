@@ -734,3 +734,371 @@ def test_engle_granger_matches_reference(spark, days):
             rows.append((2, "purchase", _ts(d, 11), y / 100.0))
     r = engle_granger_daily(_events(spark, rows)).collect()[0]
     assert (r["n_days"], r["beta_micro"], r["adf_milli"]) == ref
+
+
+# --- Isotonic calibration (L-504) -------------------------------------------------------------
+
+ISO_USERS = st.lists(
+    st.tuples(st.integers(1, 14), st.booleans()),
+    min_size=1,
+    max_size=30,
+)
+
+
+def _iso_ref(users):
+    bins = {}
+    for clicks, purchased in users:
+        b = min(clicks, 10)
+        w, y = bins.get(b, (0, 0))
+        bins[b] = (w + 1, y + (1 if purchased else 0))
+    order = sorted(bins)
+    cw = cy = 0
+    cum = {}
+    for b in order:
+        w, y = bins[b]
+        cum[b] = (cw, cy, cw + w, cy + y)  # (cwe, cye, cwi, cyi)
+        cw += w
+        cy += y
+    means = {
+        (a, b): (cum[b][3] - cum[a][1]) / float(cum[b][2] - cum[a][0])
+        for a in order
+        for b in order
+        if a <= b
+    }
+    out = []
+    for i in order:
+        fit = max(
+            min(means[(a, b)] for b in order if b >= i)
+            for a in order
+            if a <= i
+        )
+        w, y = bins[i]
+        out.append((i, w, _rha(1e6 * y / w), _rha(1e6 * fit)))
+    return out
+
+
+@settings(max_examples=12, deadline=None)
+@given(users=ISO_USERS)
+def test_isotonic_calibration_matches_reference(spark, users):
+    from pagila_etl_airflow_assignment_spark.operators.stats import (
+        isotonic_calibration,
+    )
+
+    rows = []
+    for u, (clicks, purchased) in enumerate(users):
+        rows += [(u, "click", _ts(0, 10), 1.0)] * clicks
+        if purchased:
+            rows.append((u, "purchase", _ts(1, 10), 1.0))
+    got = [
+        (r["click_bin"], r["n_users"], r["rate_raw_micro"], r["rate_iso_micro"])
+        for r in isotonic_calibration(_events(spark, rows)).collect()
+    ]
+    ref = _iso_ref(users)
+    assert got == ref
+    iso = [r[3] for r in got]
+    assert iso == sorted(iso)  # monotone by construction
+
+
+# --- Xbar-R chart (L-505) ----------------------------------------------------------------------
+
+XBAR_DAYS = st.lists(
+    st.lists(st.integers(0, 50000), min_size=1, max_size=9),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _xbar_ref(days):
+    subs = [vals[:5] for vals in days if len(vals) >= 5]
+    if not subs:
+        return []
+    m = len(subs)
+    ss = sum(sum(s) for s in subs)
+    sr = sum(max(s) - min(s) for s in subs)
+    out = []
+    for d, vals in enumerate(days):
+        if len(vals) < 5:
+            continue
+        s5 = vals[:5]
+        s, r = sum(s5), max(s5) - min(s5)
+        xbar = float(s) / 5
+        center = float(ss) / (5 * m)
+        rbar = float(sr) / m
+        x_ooc = 1 if (xbar > center + 0.577 * rbar or xbar < center - 0.577 * rbar) else 0
+        r_ooc = 1 if r > 2.114 * rbar else 0
+        out.append((d, _rha(1000.0 * s / 5), r, x_ooc, r_ooc))
+    return out
+
+
+@settings(max_examples=12, deadline=None)
+@given(days=XBAR_DAYS)
+def test_xbar_r_chart_matches_reference(spark, days):
+    from pagila_etl_airflow_assignment_spark.operators.stats import (
+        xbar_r_chart,
+    )
+
+    rows = []
+    eid = 0
+    for d, vals in enumerate(days):
+        for i, c in enumerate(vals):
+            rows.append(
+                (
+                    eid,
+                    1,
+                    "click",
+                    f"{(BASE + dt.timedelta(days=d)).isoformat()}"
+                    f" 10:{i:02d}:00",
+                    c / 100.0,
+                )
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, ts string,"
+        " value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = [
+        (
+            (r["day"] - BASE).days,
+            r["xbar_milli"],
+            r["r_cents"],
+            r["x_ooc"],
+            r["r_ooc"],
+        )
+        for r in xbar_r_chart(df).collect()
+    ]
+    assert got == _xbar_ref(days)
+
+
+# --- Katz centrality (L-506) --------------------------------------------------------------------
+
+KATZ_BASKETS = st.lists(
+    st.lists(st.integers(1, 12), min_size=1, max_size=5, unique=True),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _katz_ref(baskets, iters=4, k=50):
+    edges = set()
+    for b in baskets:
+        if len(set(b)) > 30:
+            continue
+        for x in b:
+            for y in b:
+                if x != y:
+                    edges.add((x, y))
+    if not edges:
+        return []
+    nodes = {s for s, _ in edges}
+    v = {n: 1000000 for n in nodes}
+    total = {}
+    for _ in range(iters):
+        nxt = {}
+        for s, d in edges:
+            if s in v:
+                nxt[d] = nxt.get(d, 0) + v[s]
+        v = {d: _rha(0.05 * x) for d, x in nxt.items()}
+        for d, x in v.items():
+            total[d] = total.get(d, 0) + x
+    ranked = sorted(total.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return ranked
+
+
+@settings(max_examples=10, deadline=None)
+@given(baskets=KATZ_BASKETS)
+def test_katz_centrality_matches_reference(spark, baskets):
+    from pagila_etl_airflow_assignment_spark.operators.graph import (
+        katz_centrality,
+    )
+
+    rows = [
+        (o + 1, p, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", "1995-01-01 00:00:00")
+        for o, basket in enumerate(baskets)
+        for p in basket
+    ]
+    li = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate string",
+    ).withColumn("l_shipdate", F.to_timestamp("l_shipdate"))
+    got = [
+        (r["p_partkey"], r["katz_micro"]) for r in katz_centrality(li).collect()
+    ]
+    assert got == _katz_ref(baskets)
+
+
+# --- Kneser-Ney bigrams (L-507) -----------------------------------------------------------------
+
+KN_WORDS = ["alpha", "beta", "gamma", "delta", "epsilon"]
+KN_DOCS = st.lists(
+    st.lists(st.integers(0, 4), min_size=0, max_size=12),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _kn_ref(docs, d=0.75, k=20):
+    cb = {}
+    for words in docs:
+        toks = [KN_WORDS[i] for i in words]
+        for a, b in zip(toks, toks[1:]):
+            cb[(a, b)] = cb.get((a, b), 0) + 1
+    if not cb:
+        return []
+    c1, n1fw, n1bw = {}, {}, {}
+    for (a, b), c in cb.items():
+        c1[a] = c1.get(a, 0) + c
+        n1fw[a] = n1fw.get(a, 0) + 1
+        n1bw[b] = n1bw.get(b, 0) + 1
+    nbb = len(cb)
+    out = []
+    for (a, b), c in cb.items():
+        p = max(c - d, 0.0) / c1[a] + (d * n1fw[a] / c1[a]) * (
+            float(n1bw[b]) / nbb
+        )
+        out.append((a, b, c, _rha(1e6 * p)))
+    out.sort(key=lambda t: (-t[2], t[0], t[1]))
+    return out[:k]
+
+
+@settings(max_examples=10, deadline=None)
+@given(docs=KN_DOCS)
+def test_kneser_ney_matches_reference(spark, docs):
+    from pagila_etl_airflow_assignment_spark.llm.corpus_stats import (
+        kneser_ney_bigrams,
+    )
+
+    rows = [
+        (i, " ".join(KN_WORDS[w] for w in words), "en", "src0", 1)
+        for i, words in enumerate(docs)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    )
+    got = [
+        (r["w1"], r["w2"], r["cnt"], r["p_kn_micro"])
+        for r in kneser_ney_bigrams(df).collect()
+    ]
+    assert got == _kn_ref(docs)
+
+
+# --- MSTTR (L-508) -------------------------------------------------------------------------------
+
+MSTTR_DOCS = st.lists(
+    st.tuples(
+        st.sampled_from(["en", "fr"]),
+        st.lists(st.integers(0, 4), min_size=0, max_size=130),
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+def _msttr_ref(docs, seg_len=50):
+    out = []
+    for lang in sorted({l for l, _ in docs}):
+        n_docs = 0
+        n_segs = 0
+        st_ = 0
+        for l2, words in docs:
+            if l2 != lang:
+                continue
+            toks = [KN_WORDS[i] for i in words]
+            segs = [
+                toks[i * seg_len : (i + 1) * seg_len]
+                for i in range(len(toks) // seg_len)
+            ]
+            if segs:
+                n_docs += 1
+                n_segs += len(segs)
+                st_ += sum(len(set(seg)) for seg in segs)
+        if n_segs:
+            out.append(
+                (lang, n_docs, n_segs, _rha(1e6 * st_ / (seg_len * float(n_segs))))
+            )
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(docs=MSTTR_DOCS)
+def test_msttr_matches_reference(spark, docs):
+    from pagila_etl_airflow_assignment_spark.llm.corpus_stats import (
+        msttr_by_lang,
+    )
+
+    rows = [
+        (i, " ".join(KN_WORDS[w] for w in words), lang, "src0", 1)
+        for i, (lang, words) in enumerate(docs)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    )
+    got = [
+        (r["lang"], r["n_docs"], r["n_segments"], r["msttr_micro"])
+        for r in msttr_by_lang(df).collect()
+    ]
+    assert got == _msttr_ref(docs)
+
+
+# --- Beta-binomial shrinkage (L-509) -------------------------------------------------------------
+
+BB_SOURCES = st.lists(
+    st.lists(st.integers(100, 700), min_size=1, max_size=10),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _bb_ref(sources, chars_min=400):
+    rows = []
+    stats = []
+    for i, chars in enumerate(sources):
+        n = len(chars)
+        k = sum(1 for c in chars if c >= chars_min)
+        pm = _rha(1e6 * k / n)
+        stats.append((f"src{i}", n, k, pm))
+    s = len(stats)
+    sp = sum(t[3] for t in stats)
+    spp = sum(t[3] * t[3] for t in stats)
+    for source, n, k, pm in sorted(stats):
+        if s > 1:
+            v = (float(spp) - float(sp) * sp / s) / (s - 1) / 1e12
+            m = float(sp) / s / 1e6
+            if v > 0.0 and m * (1.0 - m) > v:
+                common = m * (1.0 - m) / v - 1.0
+                shrunk = (k + m * common) / (n + common)
+            else:
+                shrunk = float(k) / n
+        else:
+            shrunk = float(k) / n
+        rows.append((source, n, pm, _rha(1e6 * shrunk)))
+    return rows
+
+
+@settings(max_examples=10, deadline=None)
+@given(sources=BB_SOURCES)
+def test_beta_binomial_matches_reference(spark, sources):
+    from pagila_etl_airflow_assignment_spark.llm.corpus_stats import (
+        beta_binomial_source_rates,
+    )
+
+    rows = []
+    did = 0
+    for i, chars in enumerate(sources):
+        for c in chars:
+            rows.append((did, "x", "en", f"src{i}", c))
+            did += 1
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    )
+    got = [
+        (r["source"], r["n_docs"], r["pass_rate_micro"], r["shrunk_rate_micro"])
+        for r in beta_binomial_source_rates(df).collect()
+    ]
+    assert got == _bb_ref(sources)

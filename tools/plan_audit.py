@@ -353,6 +353,13 @@ ALLOWED: dict[str, set[str]] = {
     "events_dfa": {"BroadcastNestedLoopJoin"},
     "events_sample_entropy": {"BroadcastNestedLoopJoin"},
     "events_engle_granger": {"BroadcastNestedLoopJoin"},
+    # round-10b calibration/LM (L-504..509): <=10-row bin-grid interval
+    # self-joins (isotonic), 1-row scalar broadcasts (subgroup grand means,
+    # bigram-universe size, moment sums)
+    "events_isotonic_calibration": {"BroadcastNestedLoopJoin"},
+    "events_xbar_r_chart": {"BroadcastNestedLoopJoin"},
+    "text_kneser_ney_bigrams": {"BroadcastNestedLoopJoin"},
+    "text_beta_binomial": {"BroadcastNestedLoopJoin"},
 }
 
 PATTERNS = ("CartesianProduct", "BatchEvalPython", "BroadcastNestedLoopJoin")

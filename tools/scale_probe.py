@@ -473,6 +473,13 @@ PROBES = [
     "events_dfa",
     "events_sample_entropy",
     "events_engle_granger",
+    # round-10b calibration/LM (L-504..509)
+    "events_isotonic_calibration",
+    "events_xbar_r_chart",
+    "graph_katz_centrality",
+    "text_kneser_ney_bigrams",
+    "text_msttr",
+    "text_beta_binomial",
 ]
 
 
