@@ -1401,3 +1401,33 @@ def q_beta_binomial(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_stats.beta_binomial_source_rates(
         load_table(spark, sf_dir, "documents")
     )
+
+
+@register("sampling_raking_ipf", oracle=sampling.raking_ipf_sql())
+def q_raking_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raking / IPF: reweight the long-document subsample so both its
+    lang and source margins match the full corpus."""
+    return sampling.raking_ipf(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "sampling_jackknife_ratio", oracle=sampling.jackknife_ratio_daily_sql()
+)
+def q_jackknife_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-day jackknife SE of the purchase/click ratio — the
+    design-based variance for cluster-correlated day totals."""
+    return sampling.jackknife_ratio_daily(load_table(spark, sf_dir, "events"))
+
+
+@register("text_ocr_garbage", oracle=text.ocr_garbage_scores_sql())
+def q_ocr_garbage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OCR-junk screening per source: consonant smears, mid-word case
+    flips, symbol debris — routes cleanup, not quality cuts."""
+    return text.ocr_garbage_scores(load_table(spark, sf_dir, "documents"))
+
+
+@register("text_classifier_pr_auc", oracle=text.classifier_pr_auc_sql())
+def q_classifier_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (PR-AUC) of the quality classifier — the
+    imbalance-honest companion to ROC AUC."""
+    return text.classifier_pr_auc(load_table(spark, sf_dir, "documents"))

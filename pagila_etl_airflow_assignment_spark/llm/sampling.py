@@ -1601,3 +1601,229 @@ def kish_neff_sql(n: int = PPS_SAMPLE_N) -> str:
                     ELSE 0 END AS BIGINT) AS deff_milli
         FROM est
     """
+
+
+# --- Raking (iterative proportional fitting) ----------------------------------------------------
+
+RAKE_CHARS_MIN = 500  # the "kept" curation subsample being calibrated
+RAKE_CYCLES = 3
+
+
+def raking_ipf(docs: DataFrame, chars_min: int = RAKE_CHARS_MIN) -> DataFrame:
+    """Rake the long-document subsample back to the full corpus margins:
+    rows (lang, source, n_kept, weight_micro) ordered by (lang, source).
+
+    A curation cut (n_chars >= chars_min) distorts the corpus mix —
+    some (lang, source) cells survive disproportionately. Raking / IPF
+    is the standard survey fix: iteratively scale each cell weight so
+    the weighted lang margins, then the weighted source margins, match
+    the FULL corpus counts; after a few cycles the kept sample
+    reweights to the original two-way mix without estimating the full
+    joint. Three row+column cycles unrolled (the fast-converging
+    regime for near-separable tables); sampling_mixture_weighted
+    rebalances ONE margin — this is the two-margin generalization.
+
+    Exactness: cell counts and corpus margins are exact BIGINTs;
+    weights re-quantize to integer micro after EVERY scaling step (the
+    eigenvector-centrality discipline), so each step is an exact
+    integer aggregate in both engines and the result is bit-stable.
+
+    Scale shape: two margin aggregates + one (lang, source) cell
+    aggregate; each iteration is a partitioned window re-sum on the
+    bounded <=|langs|x|sources| grid — nothing data-sized past the
+    first shuffles."""
+    kept = (
+        docs.where(F.col("n_chars") >= chars_min)
+        .groupBy("lang", "source")
+        .agg(F.count("*").cast("long").alias("n_kept"))
+    )
+    t_lang = docs.groupBy("lang").agg(F.count("*").cast("long").alias("t_l"))
+    t_src = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("t_s")
+    )
+    cells = (
+        kept.join(F.broadcast(t_lang), "lang")
+        .join(F.broadcast(t_src), "source")
+        .select(
+            "lang",
+            "source",
+            "n_kept",
+            "t_l",
+            "t_s",
+            F.lit(1000000).cast("long").alias("w"),
+        )
+    )
+    for _ in range(RAKE_CYCLES):
+        for margin, target in (("lang", "t_l"), ("source", "t_s")):
+            wm = Window.partitionBy(margin)
+            cells = (
+                cells.withColumn(
+                    "__s",
+                    F.sum(F.col("w") * F.col("n_kept")).over(wm).cast("long"),
+                )
+                .withColumn(
+                    "w",
+                    F.expr(
+                        f"CAST(CASE WHEN __s > 0 THEN round(CAST(w AS DOUBLE)"
+                        f" * {target} * 1e6 / __s) ELSE w END AS BIGINT)"
+                    ),
+                )
+                .drop("__s")
+            )
+    return cells.select(
+        "lang",
+        "source",
+        "n_kept",
+        F.col("w").alias("weight_micro"),
+    ).orderBy("lang", "source")
+
+
+def raking_ipf_sql(chars_min: int = RAKE_CHARS_MIN) -> str:
+    its = [
+        """it0 AS (
+            SELECT lang, source, n_kept, t_l, t_s,
+                   CAST(1000000 AS BIGINT) AS w
+            FROM kept JOIN t_lang USING (lang) JOIN t_src USING (source)
+        )"""
+    ]
+    k = 0
+    for _ in range(RAKE_CYCLES):
+        for margin, target in (("lang", "t_l"), ("source", "t_s")):
+            k += 1
+            its.append(
+                f"""it{k} AS (
+            SELECT lang, source, n_kept, t_l, t_s,
+                   CAST(CASE WHEN SUM(w * n_kept) OVER (PARTITION BY {margin})
+                        > 0 THEN round(CAST(w AS DOUBLE) * {target} * 1e6
+                        / SUM(w * n_kept) OVER (PARTITION BY {margin}))
+                        ELSE w END AS BIGINT) AS w
+            FROM it{k - 1}
+        )"""
+            )
+    chain = ",\n        ".join(its)
+    return f"""
+        WITH kept AS (
+            SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_kept
+            FROM documents WHERE n_chars >= {chars_min}
+            GROUP BY lang, source
+        ),
+        t_lang AS (
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS t_l
+            FROM documents GROUP BY lang
+        ),
+        t_src AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS t_s
+            FROM documents GROUP BY source
+        ),
+        {chain}
+        SELECT lang, source, n_kept, w AS weight_micro
+        FROM it{k}
+        ORDER BY lang, source
+    """
+
+
+# --- Delete-one-day jackknife of the ratio estimator --------------------------------------------
+
+
+def jackknife_ratio_daily(events: DataFrame) -> DataFrame:
+    """Delete-one-day jackknife variance of the purchase/click ratio:
+    one row (n_days, ratio_micro, se_jack_micro).
+
+    The conversion ratio R = sum(purchases)/sum(clicks) is a RATIO of
+    correlated day totals — its naive binomial SE is wrong whenever
+    days are the real sampling unit (campaign days shift both counts
+    together). The delete-one-group jackknife is the standard
+    design-based fix: R_(-j) over each left-out day, var = (n-1)/n *
+    sum (R_(-j) - Rbar)^2; sampling_design_effect diagnoses clustering,
+    this PRICES it into an honest SE.
+
+    Exactness: day totals and the leave-one-out numerators/denominators
+    are exact BIGINTs; each replicate ratio quantizes to micro before
+    the integer sum/sum-of-squares (HUGEINT/decimal cube guard); the
+    (n-1)/n variance closes in one double chain.
+
+    Scale shape: one (day) aggregate, one 1-row totals broadcast over
+    the bounded <=366-day grid, one bounded reduction."""
+    per_day = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum((F.col("event_type") == "click").cast("long"))
+        .cast("long")
+        .alias("c"),
+        F.sum((F.col("event_type") == "purchase").cast("long"))
+        .cast("long")
+        .alias("p"),
+    )
+    tot = per_day.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("c").cast("long").alias("sc"),
+        F.sum("p").cast("long").alias("sp"),
+    )
+    reps = per_day.crossJoin(F.broadcast(tot)).select(
+        "n",
+        "sc",
+        "sp",
+        F.expr(
+            "CAST(CASE WHEN sc - c > 0 THEN round(1e6"
+            " * CAST(sp - p AS DOUBLE) / (sc - c)) ELSE 0 END AS BIGINT)"
+        ).alias("r_micro"),
+    )
+    agg = reps.groupBy("n", "sc", "sp").agg(
+        F.sum("r_micro").cast("long").alias("sr"),
+        F.sum(F.col("r_micro").cast("decimal(38,0)") * F.col("r_micro"))
+        .cast("decimal(38,0)")
+        .alias("srr"),
+    )
+    return agg.select(
+        F.col("n").alias("n_days"),
+        F.expr(
+            "CAST(CASE WHEN sc > 0 THEN round(1e6 * CAST(sp AS DOUBLE) / sc)"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("ratio_micro"),
+        F.expr(
+            "CAST(CASE WHEN n > 1 AND CAST(srr AS DOUBLE)"
+            "     - CAST(sr AS DOUBLE) * sr / n > 0e0"
+            " THEN round(sqrt((CAST(n AS DOUBLE) - 1) / n"
+            "  * (CAST(srr AS DOUBLE) - CAST(sr AS DOUBLE) * sr / n)))"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("se_jack_micro"),
+    )
+
+
+def jackknife_ratio_daily_sql() -> str:
+    return """
+        WITH per_day AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+                       END) AS BIGINT) AS c,
+                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                       END) AS BIGINT) AS p
+            FROM events GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(c) AS BIGINT) AS sc,
+                   CAST(SUM(p) AS BIGINT) AS sp
+            FROM per_day
+        ),
+        reps AS (
+            SELECT n, sc, sp,
+                   CAST(CASE WHEN sc - c > 0 THEN round(1e6
+                        * CAST(sp - p AS DOUBLE) / (sc - c))
+                        ELSE 0 END AS BIGINT) AS r_micro
+            FROM per_day CROSS JOIN tot
+        ),
+        agg AS (
+            SELECT n, sc, sp,
+                   CAST(SUM(r_micro) AS BIGINT) AS sr,
+                   SUM(CAST(r_micro AS HUGEINT) * r_micro) AS srr
+            FROM reps GROUP BY n, sc, sp
+        )
+        SELECT n AS n_days,
+               CAST(CASE WHEN sc > 0 THEN round(1e6 * CAST(sp AS DOUBLE) / sc)
+                    ELSE 0 END AS BIGINT) AS ratio_micro,
+               CAST(CASE WHEN n > 1 AND CAST(srr AS DOUBLE)
+                         - CAST(sr AS DOUBLE) * sr / n > 0e0
+                    THEN round(sqrt((CAST(n AS DOUBLE) - 1) / n
+                     * (CAST(srr AS DOUBLE) - CAST(sr AS DOUBLE) * sr / n)))
+                    ELSE 0 END AS BIGINT) AS se_jack_micro
+        FROM agg
+    """

@@ -2224,3 +2224,267 @@ def classifier_auc_sql() -> str:
                AS gini_micro
     FROM agg
     """
+
+
+# --- OCR-garbage detection ----------------------------------------------------------------------
+
+OCR_RUN_RE = r"[b-df-hj-np-tv-xz]{4,}"  # 4+ lowercase consonant run
+OCR_FLIP_RE = r"[a-z][A-Z]"  # case flip inside a word
+OCR_SYM_RE = r"[^A-Za-z0-9 ]"  # anything outside alnum+space
+OCR_FLAG_MILLI = 500
+
+
+def ocr_garbage_scores(docs: DataFrame) -> DataFrame:
+    """OCR-junk screening per source: rows (source, n_docs,
+    avg_garbage_milli, n_flagged) ordered by source.
+
+    Scanned-document corpora inject a failure mode the fluency scorers
+    miss: OCR noise reads as exotic-but-wordlike text (consonant
+    smears 'rn'->'m' gone wrong, case flips mid-word, symbol debris).
+    Three cheap signals, each the standard OCR-QA heuristic: density of
+    4+ consonant runs, lowercase->uppercase flips inside words, and
+    non-alphanumeric symbol load; garbage = 0.4*min(1, runs*20/tokens)
+    + 0.3*min(1, flips*10/tokens) + 0.3*min(1, 5*symbols/chars).
+    text_quality_scores judges fluency; this isolates the SCAN
+    artifacts so a cleanup pass (not a quality cut) can be routed.
+
+    Exactness: all three signals are exact integer counts off regexes;
+    the bounded [0,1] combination quantizes to milli per doc before the
+    per-source integer sum; one division at the emit.
+
+    Scale shape: zero-shuffle regexp counting, one (source)
+    aggregate."""
+    runs = F.size(F.expr(f"regexp_extract_all(lower(text), '{OCR_RUN_RE}', 0)"))
+    flips = F.size(F.expr(f"regexp_extract_all(text, '{OCR_FLIP_RE}', 0)"))
+    syms = F.length("text") - F.length(
+        F.regexp_replace(F.col("text"), OCR_SYM_RE, "")
+    )
+    toks = F.size(F.split(_norm(F.col("text")), WS_RE))
+    scored = docs.select(
+        "source",
+        runs.cast("long").alias("runs"),
+        flips.cast("long").alias("flips"),
+        syms.cast("long").alias("syms"),
+        toks.cast("long").alias("toks"),
+        F.length("text").cast("long").alias("chars"),
+    ).select(
+        "source",
+        F.expr(
+            "CAST(round(1000.0 * ("
+            " 0.4e0 * least(1e0, CASE WHEN toks > 0 THEN 20e0 * runs / toks"
+            "                         ELSE 0e0 END)"
+            " + 0.3e0 * least(1e0, CASE WHEN toks > 0 THEN 10e0 * flips / toks"
+            "                           ELSE 0e0 END)"
+            " + 0.3e0 * least(1e0, CASE WHEN chars > 0 THEN 5e0 * syms / chars"
+            "                           ELSE 0e0 END))) AS BIGINT)"
+        ).alias("g_milli"),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("g_milli").cast("long").alias("sg"),
+            F.sum((F.col("g_milli") > OCR_FLAG_MILLI).cast("long"))
+            .cast("long")
+            .alias("n_flagged"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.expr(
+                "CAST(round(CAST(sg AS DOUBLE) / n_docs) AS BIGINT)"
+            ).alias("avg_garbage_milli"),
+            "n_flagged",
+        )
+        .orderBy("source")
+    )
+
+
+def ocr_garbage_scores_sql() -> str:
+    return f"""
+        WITH scored AS (
+            SELECT source,
+                   CAST(round(1000.0 * (
+                     0.4e0 * least(1e0, CASE WHEN toks > 0
+                         THEN 20e0 * runs / toks ELSE 0e0 END)
+                     + 0.3e0 * least(1e0, CASE WHEN toks > 0
+                         THEN 10e0 * flips / toks ELSE 0e0 END)
+                     + 0.3e0 * least(1e0, CASE WHEN chars > 0
+                         THEN 5e0 * syms / chars ELSE 0e0 END)))
+                     AS BIGINT) AS g_milli
+            FROM (
+                SELECT source,
+                       CAST(len(regexp_extract_all(lower(text),
+                           '{OCR_RUN_RE}')) AS BIGINT) AS runs,
+                       CAST(len(regexp_extract_all(text,
+                           '{OCR_FLIP_RE}')) AS BIGINT) AS flips,
+                       CAST(length(text) - length(regexp_replace(text,
+                           '{OCR_SYM_RE}', '', 'g')) AS BIGINT) AS syms,
+                       CAST(len(string_split_regex({_norm_sql('text')},
+                           '{WS_RE}')) AS BIGINT) AS toks,
+                       CAST(length(text) AS BIGINT) AS chars
+                FROM documents
+            )
+        )
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(round(CAST(SUM(g_milli) AS DOUBLE) / COUNT(*)) AS BIGINT)
+                   AS avg_garbage_milli,
+               CAST(SUM(CASE WHEN g_milli > {OCR_FLAG_MILLI} THEN 1 ELSE 0
+                   END) AS BIGINT) AS n_flagged
+        FROM scored
+        GROUP BY source
+        ORDER BY source
+    """
+
+
+# --- Average precision (PR-AUC) of the quality classifier ---------------------------------------
+
+
+def classifier_pr_auc(docs: DataFrame) -> DataFrame:
+    """Average precision (PR-AUC) of the quality classifier against the
+    long-form label: one row (n_pos, n_neg, ap_micro, baseline_micro).
+
+    classifier_auc ranks pairs (ROC), which flatters a scorer on
+    imbalanced labels — ROC AUC stays high while precision at the
+    actual operating points collapses. Average precision is the
+    imbalance-honest summary: AP = sum over descending score levels of
+    (recall gain) * (precision at that level), i.e. the step-function
+    area under the PR curve (the scikit-learn definition, tie-clean
+    because levels — not rows — drive the steps). baseline = n_pos/n is
+    the random-classifier AP, the floor to judge lift against. Same
+    scorer and label as classifier_auc/classifier_calibration.
+
+    Exactness: the score grid, its descending cumulatives (TP_cum,
+    k_cum), and the per-level positives are exact BIGINTs; each level's
+    pos_l * TP_cum / (n_pos * k_cum) term quantizes to micro before the
+    <=1001-row integer sum.
+
+    Scale shape: the zero-shuffle classifier expression, one score-grid
+    aggregate (<=1001 rows), one descending cumulative window on that
+    grid, one 1-row reduction."""
+    from .hashing import md5_int
+
+    toks = F.split(_norm(F.col("text")), WS_RE)
+    wsum = F.aggregate(
+        F.transform(F.col("t"), lambda t: md5_int(t) % CLF_W_MOD),
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + w,
+    )
+    scored = (
+        docs.select("doc_id", "n_chars", toks.alias("t"))
+        .select(
+            "n_chars",
+            F.size("t").cast("long").alias("n_tokens"),
+            wsum.alias("wsum"),
+        )
+        .select(
+            F.expr(
+                "LEAST(CAST(1000 AS BIGINT), GREATEST(CAST(0 AS BIGINT),"
+                " 500 + (2 * wsum + n_tokens) DIV (2 * n_tokens) - 1000))"
+            ).alias("p_milli"),
+            F.when(F.col("n_chars") >= CALIB_LABEL_CHARS, 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("label"),
+        )
+    )
+    grid = scored.groupBy("p_milli").agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("label").cast("long").alias("pos"),
+    )
+    wdesc = Window.orderBy(F.desc("p_milli")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cums = grid.select(
+        "m",
+        "pos",
+        F.sum("m").over(wdesc).cast("long").alias("k_cum"),
+        F.sum("pos").over(wdesc).cast("long").alias("tp_cum"),
+    )
+    tot = grid.agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum(F.col("m") - F.col("pos")).cast("long").alias("n_neg"),
+    )
+    terms = cums.crossJoin(F.broadcast(tot)).select(
+        "n_pos",
+        "n_neg",
+        F.expr(
+            "CAST(CASE WHEN n_pos > 0 THEN round(1e6"
+            " * CAST(pos AS DOUBLE) * tp_cum"
+            " / (CAST(n_pos AS DOUBLE) * k_cum)) ELSE 0 END AS BIGINT)"
+        ).alias("term_micro"),
+    )
+    return terms.groupBy("n_pos", "n_neg").agg(
+        F.sum("term_micro").cast("long").alias("ap_micro")
+    ).select(
+        "n_pos",
+        "n_neg",
+        "ap_micro",
+        F.expr(
+            "CAST(CASE WHEN n_pos + n_neg > 0 THEN round(1e6"
+            " * CAST(n_pos AS DOUBLE) / (n_pos + n_neg))"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("baseline_micro"),
+    )
+
+
+def classifier_pr_auc_sql() -> str:
+    from .hashing import md5_int_sql
+
+    w = f"({md5_int_sql('t')} % {CLF_W_MOD})"
+    return rf"""
+    WITH toks AS (
+        SELECT n_chars,
+               string_split_regex({_norm_sql('text')}, '{WS_RE}') AS t
+        FROM documents
+    ),
+    scored0 AS (
+        SELECT n_chars,
+               CAST(len(t) AS BIGINT) AS n_tokens,
+               CAST(list_sum(list_transform(t, t -> {w})) AS BIGINT) AS wsum
+        FROM toks
+    ),
+    scored AS (
+        SELECT LEAST(CAST(1000 AS BIGINT), GREATEST(CAST(0 AS BIGINT),
+                   500 + (2 * wsum + n_tokens) // (2 * n_tokens) - 1000))
+                   AS p_milli,
+               CASE WHEN n_chars >= {CALIB_LABEL_CHARS} THEN 1 ELSE 0 END
+                   AS label
+        FROM scored0
+    ),
+    grid AS (
+        SELECT p_milli, CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(label) AS BIGINT) AS pos
+        FROM scored GROUP BY p_milli
+    ),
+    cums AS (
+        SELECT m, pos,
+               CAST(SUM(m) OVER (ORDER BY p_milli DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS k_cum,
+               CAST(SUM(pos) OVER (ORDER BY p_milli DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS tp_cum
+        FROM grid
+    ),
+    tot AS (
+        SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+               CAST(SUM(m - pos) AS BIGINT) AS n_neg
+        FROM grid
+    ),
+    terms AS (
+        SELECT n_pos, n_neg,
+               CAST(CASE WHEN n_pos > 0 THEN round(1e6
+                    * CAST(pos AS DOUBLE) * tp_cum
+                    / (CAST(n_pos AS DOUBLE) * k_cum)) ELSE 0 END AS BIGINT)
+                   AS term_micro
+        FROM cums CROSS JOIN tot
+    )
+    SELECT n_pos, n_neg,
+           CAST(SUM(term_micro) AS BIGINT) AS ap_micro,
+           CAST(CASE WHEN n_pos + n_neg > 0 THEN round(1e6
+                * CAST(n_pos AS DOUBLE) / (n_pos + n_neg))
+                ELSE 0 END AS BIGINT) AS baseline_micro
+    FROM terms
+    GROUP BY n_pos, n_neg
+    """

@@ -426,3 +426,154 @@ def left_join_view_delta_ledger_sql(
         FROM m WHERE m0 > 0 AND m1 = 0
         ORDER BY action, reason, c_custkey, o_orderkey
     """
+
+
+# --- MIN/MAX IVM: non-self-maintainable aggregate under deletes ----------------
+#
+# COUNT/SUM absorb deletes algebraically (the counting rule above); MAX does
+# NOT — deleting the current maximum says nothing about the runner-up, so the
+# view must RESCAN exactly the groups whose deleted batch touched their stored
+# max. The whole point of the device is that the rescan set is delta-bounded:
+# groups untouched by deletes, or whose deleted max sits strictly below the
+# stored max, maintain in O(delta); only max-touching groups pay a base read,
+# and that read is a semi-join-pruned scan of just those groups.
+
+MINMAX_INS_MOD = 7
+MINMAX_DEL_MOD = 11
+
+
+def maintained_max_view(
+    lineitem: DataFrame,
+    ins_mod: int = MINMAX_INS_MOD,
+    del_mod: int = MINMAX_DEL_MOD,
+) -> DataFrame:
+    """MAX-view IVM under mixed deltas with rescan-set detection: rows
+    (l_suppkey, n_live, max_cents, rescanned) ordered by l_suppkey.
+
+    View: per-supplier max line price (cents). Fixture deltas are the
+    module's deterministic key-mod slices: l_orderkey % ins_mod = 0 rows
+    are the insert batch; of the pre-existing rest, % del_mod = 0 get
+    deleted. Maintenance: deleted-batch max per group vs the stored max
+    decides safe (strictly below: subtract counts, keep max) vs rescan
+    (equal: re-aggregate ONLY that group from the live base); inserts
+    merge with a plain greatest. The oracle aggregates the final table
+    state directly and recomputes the rescan flag from first
+    principles — the identity maintenance must preserve.
+
+    Exactness: prices quantize to cents; all maxima/counts are exact
+    BIGINTs; the insert merge is an explicit null-safe CASE (no engine
+    greatest() null-semantics dependence).
+
+    Scale shape: the view partials never rescan history; the delete and
+    insert aggregates are delta-sized; the rescan scan is semi-join
+    pruned to max-touched groups only."""
+    cents = F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+    rows = lineitem.select(
+        "l_orderkey", "l_suppkey", cents.alias("c")
+    )
+    pre = rows.where(F.col("l_orderkey") % ins_mod != 0)
+    inserts = rows.where(F.col("l_orderkey") % ins_mod == 0)
+    deletes = pre.where(F.col("l_orderkey") % del_mod == 0)
+    live = pre.where(F.col("l_orderkey") % del_mod != 0)
+
+    v0 = pre.groupBy("l_suppkey").agg(
+        F.max("c").alias("mx"), F.count("*").cast("long").alias("n")
+    )
+    dd = deletes.groupBy("l_suppkey").agg(
+        F.max("c").alias("dmx"), F.count("*").cast("long").alias("dn")
+    )
+    state = v0.join(dd, "l_suppkey", "left")
+    flag = state.select(
+        "l_suppkey",
+        F.when(F.col("dmx") == F.col("mx"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("rescanned"),
+    )
+    safe = state.where(
+        F.col("dmx").isNull() | (F.col("dmx") < F.col("mx"))
+    ).select(
+        "l_suppkey",
+        F.col("mx").alias("m2"),
+        (F.col("n") - F.coalesce(F.col("dn"), F.lit(0))).alias("n2"),
+    )
+    touched = state.where(F.col("dmx") == F.col("mx")).select("l_suppkey")
+    resc = (
+        live.join(touched, "l_suppkey", "left_semi")
+        .groupBy("l_suppkey")
+        .agg(
+            F.max("c").alias("m2"),
+            F.count("*").cast("long").alias("n2"),
+        )
+    )
+    maintained = safe.unionByName(resc)
+    ins_agg = inserts.groupBy("l_suppkey").agg(
+        F.max("c").alias("imx"), F.count("*").cast("long").alias("inn")
+    )
+    merged = (
+        maintained.join(ins_agg, "l_suppkey", "full_outer")
+        .select(
+            "l_suppkey",
+            (
+                F.coalesce(F.col("n2"), F.lit(0))
+                + F.coalesce(F.col("inn"), F.lit(0))
+            ).alias("n_live"),
+            F.expr(
+                "CASE WHEN m2 IS NULL THEN imx WHEN imx IS NULL THEN m2"
+                " WHEN imx > m2 THEN imx ELSE m2 END"
+            ).alias("max_cents"),
+        )
+        .where(F.col("n_live") > 0)
+    )
+    return (
+        merged.join(flag, "l_suppkey", "left")
+        .select(
+            "l_suppkey",
+            "n_live",
+            "max_cents",
+            F.coalesce(F.col("rescanned"), F.lit(0)).alias("rescanned"),
+        )
+        .orderBy("l_suppkey")
+    )
+
+
+def maintained_max_view_sql(
+    ins_mod: int = MINMAX_INS_MOD, del_mod: int = MINMAX_DEL_MOD
+) -> str:
+    return f"""
+        WITH rows_c AS (
+            SELECT l_orderkey, l_suppkey,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+            FROM lineitem
+        ),
+        pre AS (
+            SELECT * FROM rows_c WHERE l_orderkey % {ins_mod} <> 0
+        ),
+        final_state AS (
+            SELECT l_suppkey, c FROM pre WHERE l_orderkey % {del_mod} <> 0
+            UNION ALL
+            SELECT l_suppkey, c FROM rows_c WHERE l_orderkey % {ins_mod} = 0
+        ),
+        v0 AS (
+            SELECT l_suppkey, MAX(c) AS mx FROM pre GROUP BY l_suppkey
+        ),
+        dd AS (
+            SELECT l_suppkey, MAX(c) AS dmx
+            FROM pre WHERE l_orderkey % {del_mod} = 0
+            GROUP BY l_suppkey
+        ),
+        flag AS (
+            SELECT v0.l_suppkey,
+                   CASE WHEN dmx = mx THEN 1 ELSE 0 END AS rescanned
+            FROM v0 LEFT JOIN dd USING (l_suppkey)
+        ),
+        final_agg AS (
+            SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_live,
+                   MAX(c) AS max_cents
+            FROM final_state GROUP BY l_suppkey
+        )
+        SELECT f.l_suppkey, n_live, max_cents,
+               CAST(COALESCE(rescanned, 0) AS BIGINT) AS rescanned
+        FROM final_agg f LEFT JOIN flag USING (l_suppkey)
+        ORDER BY l_suppkey
+    """

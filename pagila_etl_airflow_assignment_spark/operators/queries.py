@@ -3300,3 +3300,74 @@ def q_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Truncated Katz centrality on the co-purchase graph — alpha-damped
     walk mass, integer-micro per hop, honest on disconnected graphs."""
     return graph.katz_centrality(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "events_anderson_darling", oracle=stats.anderson_darling_uniformity_sql()
+)
+def q_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anderson-Darling uniformity of intraday arrival seconds — the
+    tail-weighted companion to the KS sup-norm test."""
+    return stats.anderson_darling_uniformity(load_table(spark, sf_dir, "events"))
+
+
+@register("events_hodges_lehmann", oracle=stats.hodges_lehmann_daily_sql())
+def q_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann pseudomedian of the daily click-error gap — the
+    robust effect size the signed-rank test inverts."""
+    return stats.hodges_lehmann_daily(load_table(spark, sf_dir, "events"))
+
+
+@register("events_pettitt", oracle=stats.pettitt_daily_sql())
+def q_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt rank changepoint on daily click counts — the
+    outlier-immune twin of the SSE changepoint localizer."""
+    return stats.pettitt_daily(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "events_breslow_day", oracle=stats.breslow_day_homogeneity_sql()
+)
+def q_breslow_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breslow-Day homogeneity of the stratified odds ratio — tests the
+    common-effect assumption behind the Mantel-Haenszel summary."""
+    return stats.breslow_day_homogeneity(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "events_brunner_munzel", oracle=stats.brunner_munzel_weekend_sql()
+)
+def q_brunner_munzel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brunner-Munzel weekend-vs-weekday comparison — the
+    heteroscedasticity-robust replacement for Mann-Whitney."""
+    return stats.brunner_munzel_weekend(load_table(spark, sf_dir, "events"))
+
+
+@register("events_dunn_posthoc", oracle=stats.dunn_posthoc_types_sql())
+def q_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunn's post-hoc pairwise rank z-scores after Kruskal-Wallis,
+    reusing the pooled midranks and shared tie correction."""
+    return stats.dunn_posthoc_types(load_table(spark, sf_dir, "events"))
+
+
+@register("events_sax_motifs", oracle=stats.sax_motifs_daily_sql())
+def q_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolic motif counts over the z-normalized daily click
+    series — repeated local shapes as exact string counting."""
+    return stats.sax_motifs_daily(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "events_zero_inflation", oracle=stats.zero_inflation_score_sql()
+)
+def q_zero_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """van den Broek score test for excess zero purchase days against
+    the Poisson null — the dormant-user mixture detector."""
+    return stats.zero_inflation_score(load_table(spark, sf_dir, "events"))
+
+
+@register("warehouse_ivm_minmax", oracle=ivm.maintained_max_view_sql())
+def q_ivm_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAX-view IVM under deletes: non-self-maintainable aggregate with a
+    delta-bounded, semi-join-pruned rescan set."""
+    return ivm.maintained_max_view(load_table(spark, sf_dir, "lineitem"))

@@ -11426,3 +11426,1075 @@ def xbar_r_chart_sql() -> str:
         FROM days CROSS JOIN tot
         ORDER BY day
     """
+
+
+# --- Anderson-Darling uniformity of intraday arrival times ------------------------------------
+
+AD_BINS = 172800  # doubled second-of-day grid: x_s = (2s+1)/172800 is exact-rational
+AD_CRIT_5PCT_MILLI = 2492  # asymptotic 5% critical value for a fully specified null
+
+
+def anderson_darling_uniformity(events: DataFrame) -> DataFrame:
+    """Anderson-Darling test of event second-of-day against the uniform
+    law: one row (n_events, a2_milli, reject_5pct).
+
+    ks_uniformity_seconds takes the sup-norm view, which is blind to
+    tail misfit (the KS weight vanishes near 0 and 1); A-D reweights the
+    integrated squared ECDF gap by 1/(F(1-F)), so cron spikes in the
+    first/last minutes of the day — exactly where batch jobs land — get
+    full power. Statistic on the second-of-day bins at midpoints
+    x_s = (2s+1)/172800: A2 = -n - (1/n) * sum over occupied seconds of
+    [lo_s * ln(x_s) + hi_s * ln(1-x_s)] where lo_s = t*(2*cum - t) and
+    hi_s = t*(2*(n-cum) + t) are the exact block sums of (2i-1) and
+    (2(n-i)+1) over that second's tied rank block.
+
+    Exactness: both rank-block coefficients are exact BIGINTs off the
+    cumulative second grid; each second's log term divides by n and
+    quantizes to micro before the order-free integer sum; x_s and 1-x_s
+    are exact rationals divided once (ln of identical doubles in both
+    engines).
+
+    Scale shape: one (second) aggregate over the bounded 86400-bin
+    domain, one cumulative window on that grid, one 1-row N broadcast,
+    one bounded reduction."""
+    sec = F.expr(
+        "CAST(hour(ts) * 3600 + minute(ts) * 60 + second(ts) AS BIGINT)"
+    )
+    per_s = events.groupBy(sec.alias("s")).agg(
+        F.count("*").cast("long").alias("t")
+    )
+    tot = per_s.agg(F.sum("t").cast("long").alias("n"))
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
+    terms = (
+        per_s.select("s", "t", F.sum("t").over(w).cast("long").alias("cum"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n",
+            F.expr(
+                f"CAST(round(1e6 * ("
+                f"  CAST(t * (2 * cum - t) AS DOUBLE)"
+                f"    * ln((2 * s + 1) / {AD_BINS}e0)"
+                f"  + CAST(t * (2 * (n - cum) + t) AS DOUBLE)"
+                f"    * ln(({AD_BINS} - 2 * s - 1) / {AD_BINS}e0)"
+                f") / n) AS BIGINT)"
+            ).alias("term_micro"),
+        )
+    )
+    return (
+        terms.groupBy("n")
+        .agg(F.sum("term_micro").cast("long").alias("s_micro"))
+        .select(
+            F.col("n").alias("n_events"),
+            F.expr(
+                "CAST(round(1000.0 * (-CAST(n AS DOUBLE)"
+                " - s_micro / 1e6)) AS BIGINT)"
+            ).alias("a2_milli"),
+        )
+        .select(
+            "n_events",
+            "a2_milli",
+            F.expr(
+                f"CAST(CASE WHEN a2_milli > {AD_CRIT_5PCT_MILLI}"
+                f" THEN 1 ELSE 0 END AS BIGINT)"
+            ).alias("reject_5pct"),
+        )
+    )
+
+
+def anderson_darling_uniformity_sql() -> str:
+    return f"""
+        WITH per_s AS (
+            SELECT CAST(EXTRACT(hour FROM ts) * 3600
+                   + EXTRACT(minute FROM ts) * 60
+                   + FLOOR(EXTRACT(second FROM ts)) AS BIGINT) AS s,
+                   CAST(COUNT(*) AS BIGINT) AS t
+            FROM events GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(SUM(t) AS BIGINT) AS n FROM per_s
+        ),
+        cums AS (
+            SELECT s, t, n,
+                   SUM(t) OVER (ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum
+            FROM per_s CROSS JOIN tot
+        ),
+        terms AS (
+            SELECT n,
+                   CAST(round(1e6 * (
+                     CAST(t * (2 * cum - t) AS DOUBLE)
+                       * ln((2 * s + 1) / {AD_BINS}e0)
+                     + CAST(t * (2 * (n - cum) + t) AS DOUBLE)
+                       * ln(({AD_BINS} - 2 * s - 1) / {AD_BINS}e0)
+                   ) / n) AS BIGINT) AS term_micro
+            FROM cums
+        ),
+        agg AS (
+            SELECT n, CAST(SUM(term_micro) AS BIGINT) AS s_micro
+            FROM terms GROUP BY n
+        )
+        SELECT n AS n_events,
+               CAST(round(1000.0 * (-CAST(n AS DOUBLE) - s_micro / 1e6))
+                    AS BIGINT) AS a2_milli,
+               CAST(CASE WHEN round(1000.0 * (-CAST(n AS DOUBLE)
+                         - s_micro / 1e6)) > {AD_CRIT_5PCT_MILLI}
+                    THEN 1 ELSE 0 END AS BIGINT) AS reject_5pct
+        FROM agg
+    """
+
+
+# --- Hodges-Lehmann pseudomedian of daily click-error differences -----------------------------
+
+
+def hodges_lehmann_daily(events: DataFrame) -> DataFrame:
+    """Hodges-Lehmann estimator of the daily click-error count gap: one
+    row (n_days, n_pairs, hl_milli).
+
+    events_wilcoxon_signed_rank answers WHETHER the paired daily gap is
+    centered at zero; this is the matching EFFECT-SIZE estimator — the
+    median of all Walsh averages (d_i + d_j)/2 over day pairs i <= j —
+    the location estimate the signed-rank test actually inverts, robust
+    to the outlier days that wreck the plain mean gap.
+
+    Exactness: daily differences are exact BIGINTs; Walsh sums w = d_i +
+    d_j stay integer over the bounded <=366-day self-join; the median is
+    an exact order statistic off the (w) grid cumulative (doubled form
+    w_lo + w_hi handles even pair counts without a float midpoint); one
+    division at the emit.
+
+    Scale shape: one (day) aggregate, a bounded <=366x366/2 self-join on
+    the day grid, one (w) aggregate + cumulative window, one 1-row
+    order-statistic broadcast."""
+    per_day = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum((F.col("event_type") == "click").cast("long"))
+        .cast("long")
+        .alias("clicks"),
+        F.sum((F.col("event_type") == "error").cast("long"))
+        .cast("long")
+        .alias("errors"),
+    ).select("day", (F.col("clicks") - F.col("errors")).alias("d"))
+    a = per_day.select(F.col("day").alias("day_a"), F.col("d").alias("da"))
+    b = per_day.select(F.col("day").alias("day_b"), F.col("d").alias("db"))
+    walsh = (
+        a.join(b, F.col("day_a") <= F.col("day_b"))
+        .select((F.col("da") + F.col("db")).alias("w"))
+    )
+    per_w = walsh.groupBy("w").agg(F.count("*").cast("long").alias("c"))
+    wcum = Window.orderBy("w").rowsBetween(Window.unboundedPreceding, 0)
+    cums = per_w.select("w", F.sum("c").over(wcum).cast("long").alias("cum"))
+    tot = cums.agg(F.max("cum").cast("long").alias("m"))
+    picked = (
+        cums.crossJoin(F.broadcast(tot))
+        .agg(
+            F.min(
+                F.when(F.col("cum") >= F.expr("(m + 1) DIV 2"), F.col("w"))
+            ).alias("w_lo"),
+            F.min(
+                F.when(F.col("cum") >= F.expr("(m + 2) DIV 2"), F.col("w"))
+            ).alias("w_hi"),
+            F.max("m").cast("long").alias("n_pairs"),
+        )
+    )
+    n_days = per_day.agg(F.count("*").cast("long").alias("n_days"))
+    return (
+        n_days.crossJoin(F.broadcast(picked))
+        .select(
+            "n_days",
+            "n_pairs",
+            F.expr(
+                "CAST(round(1000.0 * (w_lo + w_hi) / 4e0) AS BIGINT)"
+            ).alias("hl_milli"),
+        )
+    )
+
+
+def hodges_lehmann_daily_sql() -> str:
+    return """
+        WITH per_day AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+                       END) AS BIGINT)
+                   - CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0
+                       END) AS BIGINT) AS d
+            FROM events GROUP BY 1
+        ),
+        walsh AS (
+            SELECT a.d + b.d AS w
+            FROM per_day a JOIN per_day b ON a.day <= b.day
+        ),
+        per_w AS (
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM walsh GROUP BY w
+        ),
+        cums AS (
+            SELECT w, SUM(c) OVER (ORDER BY w
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM per_w
+        ),
+        tot AS (
+            SELECT CAST(MAX(cum) AS BIGINT) AS m FROM cums
+        ),
+        picked AS (
+            SELECT MIN(CASE WHEN cum >= (m + 1) // 2 THEN w END) AS w_lo,
+                   MIN(CASE WHEN cum >= (m + 2) // 2 THEN w END) AS w_hi,
+                   CAST(MAX(m) AS BIGINT) AS n_pairs
+            FROM cums CROSS JOIN tot
+        ),
+        nd AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM per_day
+        )
+        SELECT n_days, n_pairs,
+               CAST(round(1000.0 * (w_lo + w_hi) / 4e0) AS BIGINT) AS hl_milli
+        FROM nd CROSS JOIN picked
+    """
+
+
+# --- Pettitt rank changepoint test -------------------------------------------------------------
+
+
+def pettitt_daily(events: DataFrame) -> DataFrame:
+    """Pettitt rank-based changepoint test on daily click counts: one row
+    (n_days, k_stat, change_date, p_micro).
+
+    events_changepoint localizes a mean shift by SSE (moment-based, so a
+    single outlier day can pull the split); Pettitt is its rank twin —
+    U_t = sum_{i<=t, j>t} sgn(x_i - x_j), K = max|U_t| — invariant to
+    any monotone transform of the counts and the standard first test in
+    hydrology/telemetry for an undated regime break. With midranks the
+    prefix identity stays exact: U_t = sum_{i<=t} r2_i - t(n+1) where r2
+    is the DOUBLED pooled midrank (within-prefix pairs cancel by
+    antisymmetry), so ties cost nothing.
+
+    Exactness: fully integer — doubled midranks off the (count) grid,
+    one cumulative sum per day index, U_t and K exact BIGINTs; the
+    argmax tie breaks to the earliest day via the bounded sort; the
+    asymptotic p = 2*exp(-6K^2/(n^3+n^2)) is one double at the emit.
+
+    Scale shape: one (day) aggregate, one (count) grid aggregate +
+    cumulative window, one bounded <=366-row window + limit-1 sort."""
+    per_day = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum((F.col("event_type") == "click").cast("long"))
+        .cast("long")
+        .alias("x")
+    )
+    per_c = per_day.groupBy("x").agg(F.count("*").cast("long").alias("t"))
+    wc = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = per_c.select(
+        "x", (2 * F.sum("t").over(wc) - F.col("t") + 1).alias("r2")
+    )
+    tot = per_day.agg(F.count("*").cast("long").alias("n"))
+    wd = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    u = (
+        per_day.join(ranked, "x")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "day",
+            "n",
+            F.row_number().over(Window.orderBy("day")).alias("tpos"),
+            F.sum("r2").over(wd).cast("long").alias("s2"),
+        )
+        .where(F.col("tpos") < F.col("n"))
+        .select(
+            "day",
+            "n",
+            F.abs(F.col("s2") - F.col("tpos") * (F.col("n") + 1)).alias("u"),
+        )
+    )
+    return (
+        u.orderBy(F.col("u").desc(), F.col("day").asc())
+        .limit(1)
+        .select(
+            F.col("n").alias("n_days"),
+            F.col("u").alias("k_stat"),
+            F.col("day").alias("change_date"),
+            F.expr(
+                "CAST(round(1e6 * least(1e0, 2e0 * exp("
+                " -6e0 * CAST(u AS DOUBLE) * u"
+                " / (CAST(n AS DOUBLE) * n * n + CAST(n AS DOUBLE) * n))))"
+                " AS BIGINT)"
+            ).alias("p_micro"),
+        )
+    )
+
+
+def pettitt_daily_sql() -> str:
+    return """
+        WITH per_day AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+                       END) AS BIGINT) AS x
+            FROM events GROUP BY 1
+        ),
+        per_c AS (
+            SELECT x, CAST(COUNT(*) AS BIGINT) AS t FROM per_day GROUP BY x
+        ),
+        ranked AS (
+            SELECT x, 2 * SUM(t) OVER (ORDER BY x
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - t + 1 AS r2
+            FROM per_c
+        ),
+        tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n FROM per_day
+        ),
+        seq AS (
+            SELECT day, n,
+                   ROW_NUMBER() OVER (ORDER BY day) AS tpos,
+                   SUM(r2) OVER (ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS s2
+            FROM per_day JOIN ranked USING (x) CROSS JOIN tot
+        ),
+        u AS (
+            SELECT day, n, abs(s2 - tpos * (n + 1)) AS u
+            FROM seq WHERE tpos < n
+        )
+        SELECT n AS n_days, u AS k_stat, day AS change_date,
+               CAST(round(1e6 * least(1e0, 2e0 * exp(
+                   -6e0 * CAST(u AS DOUBLE) * u
+                   / (CAST(n AS DOUBLE) * n * n + CAST(n AS DOUBLE) * n))))
+                   AS BIGINT) AS p_micro
+        FROM u
+        ORDER BY u DESC, day ASC
+        LIMIT 1
+    """
+
+
+# --- Breslow-Day homogeneity of stratified odds ratios -----------------------------------------
+
+
+def breslow_day_homogeneity(events: DataFrame) -> DataFrame:
+    """Breslow-Day test that the variant->purchase odds ratio is COMMON
+    across the activity strata: one row (n_strata, or_mh_milli,
+    bd_chi2_milli).
+
+    events_mantel_haenszel reports the pooled OR_MH assuming the strata
+    share one effect; this tests that assumption — under the common-OR
+    null each stratum's expected a-cell E solves the quadratic
+    (1-psi)E^2 + [n0-m1+psi(n1+m1)]E - psi*n1*m1 = 0 (root inside the
+    margin bounds), and X2 = sum (a-E)^2/V with V = 1/(1/E + 1/(n1-E) +
+    1/(m1-E) + 1/(n0-m1+E)) ~ chi2(strata-1). A significant X2 says the
+    MH summary hides real effect heterogeneity (report per-stratum ORs
+    instead). Same strata and 2x2 cells as events_mantel_haenszel.
+
+    Exactness: cells are exact BIGINTs; OR_MH comes off the same micro
+    term sums as the MH device (identical chain both engines); each
+    stratum's E/V/term is one bounded double chain quantized to micro
+    before the <=|strata|-row sum.
+
+    Scale shape: one user-grain aggregate, a <=|strata| cell rollup, one
+    1-row psi broadcast joined back to the bounded cell grid."""
+    per_user = events.groupBy("user_id").agg(
+        F.count("*").alias("n_ev"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "conv"
+        ),
+    )
+    assigned = per_user.select(
+        F.least(F.lit(SIMPSON_STRATA - 1), F.expr("n_ev DIV 67")).alias("stratum"),
+        (F.col("user_id") % 2 == 1).alias("treat"),
+        "conv",
+    )
+    cells = assigned.groupBy("stratum").agg(
+        F.sum(F.when(F.col("treat"), F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("a"),
+        F.sum(F.when(F.col("treat"), 1 - F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("b"),
+        F.sum(F.when(~F.col("treat"), F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("c"),
+        F.sum(F.when(~F.col("treat"), 1 - F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("d"),
+    )
+    psi = cells.select(
+        F.expr(
+            "CAST(round(1e6 * CAST(a AS DOUBLE) * d / (a + b + c + d)) AS BIGINT)"
+        ).alias("ad_micro"),
+        F.expr(
+            "CAST(round(1e6 * CAST(b AS DOUBLE) * c / (a + b + c + d)) AS BIGINT)"
+        ).alias("bc_micro"),
+    ).agg(
+        F.expr(
+            "CASE WHEN SUM(bc_micro) > 0 THEN"
+            " CAST(SUM(ad_micro) AS DOUBLE) / SUM(bc_micro)"
+            " ELSE 1e0 END"
+        ).alias("psi")
+    )
+    ex = (
+        cells.crossJoin(F.broadcast(psi))
+        .select(
+            "a",
+            "psi",
+            (F.col("a") + F.col("b")).alias("n1"),
+            (F.col("c") + F.col("d")).alias("n0"),
+            (F.col("a") + F.col("c")).alias("m1"),
+        )
+        .select(
+            "a",
+            "psi",
+            "n1",
+            "n0",
+            "m1",
+            F.expr(
+                "CASE WHEN abs(psi - 1e0) < 1e-12"
+                " THEN CAST(n1 AS DOUBLE) * m1 / (n1 + n0)"
+                " ELSE ("
+                "  -(n0 - m1 + psi * (n1 + m1))"
+                "  + CASE WHEN"
+                "    greatest(0e0,"
+                "      (-(n0 - m1 + psi * (n1 + m1))"
+                "       + sqrt(greatest(0e0, (n0 - m1 + psi * (n1 + m1))"
+                "              * (n0 - m1 + psi * (n1 + m1))"
+                "              + 4e0 * (1e0 - psi) * psi * n1 * m1)))"
+                "      / (2e0 * (1e0 - psi))) <= CAST(least(n1, m1) AS DOUBLE)"
+                "    AND (-(n0 - m1 + psi * (n1 + m1))"
+                "         + sqrt(greatest(0e0, (n0 - m1 + psi * (n1 + m1))"
+                "                * (n0 - m1 + psi * (n1 + m1))"
+                "                + 4e0 * (1e0 - psi) * psi * n1 * m1)))"
+                "        / (2e0 * (1e0 - psi)) >= greatest(0e0, CAST(m1 - n0 AS DOUBLE))"
+                "   THEN sqrt(greatest(0e0, (n0 - m1 + psi * (n1 + m1))"
+                "             * (n0 - m1 + psi * (n1 + m1))"
+                "             + 4e0 * (1e0 - psi) * psi * n1 * m1))"
+                "   ELSE -sqrt(greatest(0e0, (n0 - m1 + psi * (n1 + m1))"
+                "              * (n0 - m1 + psi * (n1 + m1))"
+                "              + 4e0 * (1e0 - psi) * psi * n1 * m1)) END"
+                " ) / (2e0 * (1e0 - psi)) END"
+            ).alias("e"),
+        )
+        .select(
+            F.expr(
+                "CAST(round(1e6 * CASE WHEN e > 1e-9 AND n1 - e > 1e-9"
+                " AND m1 - e > 1e-9 AND n0 - m1 + e > 1e-9"
+                " THEN (a - e) * (a - e)"
+                " * (1e0 / e + 1e0 / (n1 - e) + 1e0 / (m1 - e)"
+                "    + 1e0 / (n0 - m1 + e)) ELSE 0e0 END) AS BIGINT)"
+            ).alias("term_micro"),
+            F.expr("CAST(round(1e6 * psi) AS BIGINT)").alias("psi_micro"),
+        )
+    )
+    return ex.groupBy("psi_micro").agg(
+        F.count("*").cast("long").alias("n_strata"),
+        F.sum("term_micro").cast("long").alias("s_micro"),
+    ).select(
+        "n_strata",
+        F.expr("CAST(round(psi_micro / 1000.0) AS BIGINT)").alias(
+            "or_mh_milli"
+        ),
+        F.expr("CAST(round(s_micro / 1000.0) AS BIGINT)").alias(
+            "bd_chi2_milli"
+        ),
+    )
+
+
+def breslow_day_homogeneity_sql() -> str:
+    return f"""
+        WITH per_user AS (
+            SELECT user_id, COUNT(*) AS n_ev,
+                   MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS conv
+            FROM events GROUP BY user_id
+        ),
+        assigned AS (
+            SELECT LEAST({SIMPSON_STRATA - 1}, n_ev // 67) AS stratum,
+                   (user_id % 2 = 1) AS treat, conv
+            FROM per_user
+        ),
+        cells AS (
+            SELECT stratum,
+                   CAST(SUM(CASE WHEN treat THEN conv ELSE 0 END) AS BIGINT) AS a,
+                   CAST(SUM(CASE WHEN treat THEN 1 - conv ELSE 0 END) AS BIGINT) AS b,
+                   CAST(SUM(CASE WHEN NOT treat THEN conv ELSE 0 END) AS BIGINT) AS c,
+                   CAST(SUM(CASE WHEN NOT treat THEN 1 - conv ELSE 0 END) AS BIGINT) AS d
+            FROM assigned GROUP BY stratum
+        ),
+        psi AS (
+            SELECT CASE WHEN SUM(bc_micro) > 0 THEN
+                       CAST(SUM(ad_micro) AS DOUBLE) / SUM(bc_micro)
+                   ELSE 1e0 END AS psi
+            FROM (
+                SELECT CAST(round(1e6 * CAST(a AS DOUBLE) * d
+                           / (a + b + c + d)) AS BIGINT) AS ad_micro,
+                       CAST(round(1e6 * CAST(b AS DOUBLE) * c
+                           / (a + b + c + d)) AS BIGINT) AS bc_micro
+                FROM cells
+            )
+        ),
+        marg AS (
+            SELECT a, psi, a + b AS n1, c + d AS n0, a + c AS m1
+            FROM cells CROSS JOIN psi
+        ),
+        ex AS (
+            SELECT a, psi, n1, n0, m1,
+                   CASE WHEN abs(psi - 1e0) < 1e-12
+                    THEN CAST(n1 AS DOUBLE) * m1 / (n1 + n0)
+                    ELSE (
+                     -(n0 - m1 + psi * (n1 + m1))
+                     + CASE WHEN
+                       greatest(0e0,
+                         (-(n0 - m1 + psi * (n1 + m1))
+                          + sqrt(greatest(0e0, (n0 - m1 + psi * (n1 + m1))
+                                 * (n0 - m1 + psi * (n1 + m1))
+                                 + 4e0 * (1e0 - psi) * psi * n1 * m1)))
+                         / (2e0 * (1e0 - psi))) <= CAST(least(n1, m1) AS DOUBLE)
+                       AND (-(n0 - m1 + psi * (n1 + m1))
+                            + sqrt(greatest(0e0, (n0 - m1 + psi * (n1 + m1))
+                                   * (n0 - m1 + psi * (n1 + m1))
+                                   + 4e0 * (1e0 - psi) * psi * n1 * m1)))
+                           / (2e0 * (1e0 - psi)) >= greatest(0e0, CAST(m1 - n0 AS DOUBLE))
+                      THEN sqrt(greatest(0e0, (n0 - m1 + psi * (n1 + m1))
+                                * (n0 - m1 + psi * (n1 + m1))
+                                + 4e0 * (1e0 - psi) * psi * n1 * m1))
+                      ELSE -sqrt(greatest(0e0, (n0 - m1 + psi * (n1 + m1))
+                                 * (n0 - m1 + psi * (n1 + m1))
+                                 + 4e0 * (1e0 - psi) * psi * n1 * m1)) END
+                    ) / (2e0 * (1e0 - psi)) END AS e
+            FROM marg
+        ),
+        terms AS (
+            SELECT CAST(round(1e6 * CASE WHEN e > 1e-9 AND n1 - e > 1e-9
+                        AND m1 - e > 1e-9 AND n0 - m1 + e > 1e-9
+                        THEN (a - e) * (a - e)
+                        * (1e0 / e + 1e0 / (n1 - e) + 1e0 / (m1 - e)
+                           + 1e0 / (n0 - m1 + e)) ELSE 0e0 END)
+                        AS BIGINT) AS term_micro,
+                   CAST(round(1e6 * psi) AS BIGINT) AS psi_micro
+            FROM ex
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+               CAST(round(psi_micro / 1000.0) AS BIGINT) AS or_mh_milli,
+               CAST(round(CAST(SUM(term_micro) AS BIGINT) / 1000.0)
+                    AS BIGINT) AS bd_chi2_milli
+        FROM terms
+        GROUP BY psi_micro
+    """
+
+
+# --- Brunner-Munzel generalized Wilcoxon -------------------------------------------------------
+
+
+def brunner_munzel_weekend(events: DataFrame) -> DataFrame:
+    """Brunner-Munzel test of weekend vs weekday event values: one row
+    (n_weekday, n_weekend, p_hat_micro, w_milli, df_milli).
+
+    events_mannwhitney_u assumes equal shapes/variances under the null
+    (pure exchangeability); Brunner-Munzel drops that — it estimates
+    P(X < Y) + P(X = Y)/2 directly and studentizes with per-group rank
+    variances, staying valid when the weekend distribution is wider,
+    not just shifted (the documented failure mode of WMW under
+    heteroscedasticity). W = n_x*n_y*(Rbar_y - Rbar_x) / (N*sqrt(n_x*S_x
+    + n_y*S_y)) with S_g the variance of (pooled - within - mean)
+    rank deviations; Welch-Satterthwaite df from the same two sums.
+
+    Exactness: values quantize to cents; pooled (r2) and within-group
+    (w2) DOUBLED midranks are exact BIGINTs off the cent grids; each
+    cell's m*dev^2/(n_g-1) quantizes to micro before the per-group
+    integer sum; the final W/p-hat/df chain is one identical double
+    chain in both engines.
+
+    Scale shape: one (cents) + one (group, cents) aggregate, cumulative
+    windows on those bounded grids only, one 2-row group broadcast."""
+    g = (F.dayofweek("ts").isin(1, 7)).cast("int")
+    cents = F.expr("CAST(round(value * 100) AS BIGINT)")
+    vals = events.select(g.alias("g"), cents.alias("c"))
+    per_c = vals.groupBy("c").agg(F.count("*").cast("long").alias("t"))
+    wcum = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    pooled = per_c.select(
+        "c", (2 * F.sum("t").over(wcum) - F.col("t") + 1).alias("r2")
+    )
+    per_gc = vals.groupBy("g", "c").agg(F.count("*").cast("long").alias("m"))
+    wg = (
+        Window.partitionBy("g")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = per_gc.select(
+        "g", "c", "m", (2 * F.sum("m").over(wg) - F.col("m") + 1).alias("w2")
+    )
+    cells = within.join(pooled, "c")
+    grp = cells.groupBy("g").agg(
+        F.sum("m").cast("long").alias("n_g"),
+        F.sum(F.col("m") * F.col("r2")).cast("long").alias("sr2"),
+    )
+    s = (
+        cells.join(grp, "g")
+        .select(
+            "g",
+            "n_g",
+            "sr2",
+            F.expr(
+                "CAST(round(1e6 * CASE WHEN n_g > 1 THEN m"
+                " * (((r2 - w2) - CAST(sr2 AS DOUBLE) / n_g + (n_g + 1))"
+                "    / 2e0)"
+                " * (((r2 - w2) - CAST(sr2 AS DOUBLE) / n_g + (n_g + 1))"
+                "    / 2e0) / (n_g - 1) ELSE 0e0 END) AS BIGINT)"
+            ).alias("cell_micro"),
+        )
+        .groupBy("g", "n_g", "sr2")
+        .agg(F.sum("cell_micro").cast("long").alias("s_micro"))
+    )
+    one = s.agg(
+        F.max(F.when(F.col("g") == 0, F.col("n_g"))).alias("nx"),
+        F.max(F.when(F.col("g") == 0, F.col("sr2"))).alias("rx"),
+        F.max(F.when(F.col("g") == 0, F.col("s_micro"))).alias("sx"),
+        F.max(F.when(F.col("g") == 1, F.col("n_g"))).alias("ny"),
+        F.max(F.when(F.col("g") == 1, F.col("sr2"))).alias("ry"),
+        F.max(F.when(F.col("g") == 1, F.col("s_micro"))).alias("sy"),
+    )
+    return one.select(
+        F.col("nx").alias("n_weekday"),
+        F.col("ny").alias("n_weekend"),
+        F.expr(
+            "CAST(round(1e6 * (CAST(ry AS DOUBLE) / (2e0 * ny)"
+            " - (ny + 1) / 2e0) / nx) AS BIGINT)"
+        ).alias("p_hat_micro"),
+        F.expr(
+            "CAST(CASE WHEN nx * (sx / 1e6) + ny * (sy / 1e6) > 0e0 THEN"
+            " round(1000.0 * CAST(nx AS DOUBLE) * ny"
+            "  * (CAST(ry AS DOUBLE) / (2e0 * ny)"
+            "     - CAST(rx AS DOUBLE) / (2e0 * nx))"
+            "  / ((CAST(nx AS DOUBLE) + ny)"
+            "     * sqrt(nx * (sx / 1e6) + ny * (sy / 1e6))))"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("w_milli"),
+        F.expr(
+            "CAST(CASE WHEN nx > 1 AND ny > 1"
+            " AND (nx * (sx / 1e6)) * (nx * (sx / 1e6)) / (nx - 1)"
+            "     + (ny * (sy / 1e6)) * (ny * (sy / 1e6)) / (ny - 1) > 0e0"
+            " THEN round(1000.0"
+            "  * (nx * (sx / 1e6) + ny * (sy / 1e6))"
+            "  * (nx * (sx / 1e6) + ny * (sy / 1e6))"
+            "  / ((nx * (sx / 1e6)) * (nx * (sx / 1e6)) / (nx - 1)"
+            "     + (ny * (sy / 1e6)) * (ny * (sy / 1e6)) / (ny - 1)))"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("df_milli"),
+    )
+
+
+def brunner_munzel_weekend_sql() -> str:
+    return """
+        WITH vals AS (
+            SELECT CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS g,
+                   CAST(round(value * 100) AS BIGINT) AS c
+            FROM events
+        ),
+        per_c AS (
+            SELECT c, CAST(COUNT(*) AS BIGINT) AS t FROM vals GROUP BY c
+        ),
+        pooled AS (
+            SELECT c, 2 * SUM(t) OVER (ORDER BY c
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - t + 1 AS r2
+            FROM per_c
+        ),
+        per_gc AS (
+            SELECT g, c, CAST(COUNT(*) AS BIGINT) AS m
+            FROM vals GROUP BY g, c
+        ),
+        within AS (
+            SELECT g, c, m,
+                   2 * SUM(m) OVER (PARTITION BY g ORDER BY c
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - m + 1 AS w2
+            FROM per_gc
+        ),
+        cells AS (
+            SELECT g, m, w2, r2 FROM within JOIN pooled USING (c)
+        ),
+        grp AS (
+            SELECT g, CAST(SUM(m) AS BIGINT) AS n_g,
+                   CAST(SUM(m * r2) AS BIGINT) AS sr2
+            FROM cells GROUP BY g
+        ),
+        s AS (
+            SELECT c2.g, n_g, sr2,
+                   CAST(SUM(CAST(round(1e6 * CASE WHEN n_g > 1 THEN m
+                       * (((r2 - w2) - CAST(sr2 AS DOUBLE) / n_g + (n_g + 1))
+                          / 2e0)
+                       * (((r2 - w2) - CAST(sr2 AS DOUBLE) / n_g + (n_g + 1))
+                          / 2e0) / (n_g - 1) ELSE 0e0 END) AS BIGINT))
+                       AS BIGINT) AS s_micro
+            FROM cells c2 JOIN grp USING (g)
+            GROUP BY c2.g, n_g, sr2
+        ),
+        one AS (
+            SELECT MAX(CASE WHEN g = 0 THEN n_g END) AS nx,
+                   MAX(CASE WHEN g = 0 THEN sr2 END) AS rx,
+                   MAX(CASE WHEN g = 0 THEN s_micro END) AS sx,
+                   MAX(CASE WHEN g = 1 THEN n_g END) AS ny,
+                   MAX(CASE WHEN g = 1 THEN sr2 END) AS ry,
+                   MAX(CASE WHEN g = 1 THEN s_micro END) AS sy
+            FROM s
+        )
+        SELECT nx AS n_weekday, ny AS n_weekend,
+               CAST(round(1e6 * (CAST(ry AS DOUBLE) / (2e0 * ny)
+                    - (ny + 1) / 2e0) / nx) AS BIGINT) AS p_hat_micro,
+               CAST(CASE WHEN nx * (sx / 1e6) + ny * (sy / 1e6) > 0e0 THEN
+                    round(1000.0 * CAST(nx AS DOUBLE) * ny
+                     * (CAST(ry AS DOUBLE) / (2e0 * ny)
+                        - CAST(rx AS DOUBLE) / (2e0 * nx))
+                     / ((CAST(nx AS DOUBLE) + ny)
+                        * sqrt(nx * (sx / 1e6) + ny * (sy / 1e6))))
+                    ELSE 0 END AS BIGINT) AS w_milli,
+               CAST(CASE WHEN nx > 1 AND ny > 1
+                    AND (nx * (sx / 1e6)) * (nx * (sx / 1e6)) / (nx - 1)
+                        + (ny * (sy / 1e6)) * (ny * (sy / 1e6)) / (ny - 1) > 0e0
+                    THEN round(1000.0
+                     * (nx * (sx / 1e6) + ny * (sy / 1e6))
+                     * (nx * (sx / 1e6) + ny * (sy / 1e6))
+                     / ((nx * (sx / 1e6)) * (nx * (sx / 1e6)) / (nx - 1)
+                        + (ny * (sy / 1e6)) * (ny * (sy / 1e6)) / (ny - 1)))
+                    ELSE 0 END AS BIGINT) AS df_milli
+        FROM one
+    """
+
+
+# --- Dunn's post-hoc rank comparisons ----------------------------------------------------------
+
+
+def dunn_posthoc_types(events: DataFrame) -> DataFrame:
+    """Dunn's post-hoc pairwise rank comparisons across event types: rows
+    (type_a, type_b, n_a, n_b, z_milli) ordered by (type_a, type_b).
+
+    events_kruskal_wallis says WHETHER the type value distributions
+    differ; Dunn's test is the matching post-hoc — which PAIRS differ —
+    reusing the pooled midranks (never re-ranking each pair, which
+    breaks the KW alignment): z_ab = (Rbar_a - Rbar_b) / sqrt((N(N+1)/12
+    - T/(12(N-1))) * (1/n_a + 1/n_b)) with T = sum(t^3 - t) the shared
+    tie correction.
+
+    Exactness: the doubled-midrank sums r2_g and the tie cube T are
+    exact integers off the cent grid (the KW chain verbatim); each
+    pair's z is one identical double chain over the bounded <=|types|^2
+    grid.
+
+    Scale shape: one (cents) + one (type, cents) aggregate, a
+    <=|types|^2/2 self-join on the group relation, one 1-row totals
+    broadcast."""
+    cents = F.expr("CAST(round(value * 100) AS BIGINT)")
+    vals = events.select("event_type", cents.alias("c"))
+    per_c = vals.groupBy("c").agg(F.count("*").cast("long").alias("t"))
+    wcum = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = per_c.select(
+        "c",
+        "t",
+        (2 * F.sum("t").over(wcum) - F.col("t") + 1).alias("r2"),
+    )
+    per_tc = vals.groupBy("event_type", "c").agg(
+        F.count("*").cast("long").alias("m")
+    )
+    groups = (
+        per_tc.join(ranked.select("c", "r2"), "c")
+        .groupBy("event_type")
+        .agg(
+            F.sum("m").cast("long").alias("n_g"),
+            F.sum(F.col("m") * F.col("r2")).cast("long").alias("r2_g"),
+        )
+    )
+    tot = ranked.agg(
+        F.sum("t").cast("long").alias("n_tot"),
+        F.sum(
+            F.col("t").cast("decimal(38,0)") * F.col("t") * F.col("t")
+            - F.col("t")
+        )
+        .cast("double")
+        .alias("tie3"),
+    )
+    a = groups.select(
+        F.col("event_type").alias("type_a"),
+        F.col("n_g").alias("n_a"),
+        F.col("r2_g").alias("r2_a"),
+    )
+    b = groups.select(
+        F.col("event_type").alias("type_b"),
+        F.col("n_g").alias("n_b"),
+        F.col("r2_g").alias("r2_b"),
+    )
+    return (
+        a.join(b, F.col("type_a") < F.col("type_b"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            F.expr(
+                "CAST(CASE WHEN n_tot > 1 AND"
+                " (CAST(n_tot AS DOUBLE) * (n_tot + 1) / 12e0"
+                "  - tie3 / (12e0 * (n_tot - 1)))"
+                " * (1e0 / n_a + 1e0 / n_b) > 0e0"
+                " THEN round(1000.0"
+                "  * (CAST(r2_a AS DOUBLE) / (2e0 * n_a)"
+                "     - CAST(r2_b AS DOUBLE) / (2e0 * n_b))"
+                "  / sqrt((CAST(n_tot AS DOUBLE) * (n_tot + 1) / 12e0"
+                "          - tie3 / (12e0 * (n_tot - 1)))"
+                "         * (1e0 / n_a + 1e0 / n_b)))"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("z_milli"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+def dunn_posthoc_types_sql() -> str:
+    return """
+        WITH vals AS (
+            SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+            FROM events
+        ),
+        per_c AS (
+            SELECT c, CAST(COUNT(*) AS BIGINT) AS t FROM vals GROUP BY c
+        ),
+        ranked AS (
+            SELECT c, t,
+                   2 * SUM(t) OVER (ORDER BY c
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - t + 1 AS r2
+            FROM per_c
+        ),
+        per_tc AS (
+            SELECT event_type, c, CAST(COUNT(*) AS BIGINT) AS m
+            FROM vals GROUP BY event_type, c
+        ),
+        groups AS (
+            SELECT event_type, CAST(SUM(m) AS BIGINT) AS n_g,
+                   CAST(SUM(m * r2) AS BIGINT) AS r2_g
+            FROM per_tc JOIN ranked USING (c)
+            GROUP BY event_type
+        ),
+        tot AS (
+            SELECT CAST(SUM(t) AS BIGINT) AS n_tot,
+                   CAST(SUM(CAST(t AS HUGEINT) * t * t - t) AS DOUBLE) AS tie3
+            FROM ranked
+        )
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               a.n_g AS n_a, b.n_g AS n_b,
+               CAST(CASE WHEN n_tot > 1 AND
+                    (CAST(n_tot AS DOUBLE) * (n_tot + 1) / 12e0
+                     - tie3 / (12e0 * (n_tot - 1)))
+                    * (1e0 / a.n_g + 1e0 / b.n_g) > 0e0
+                    THEN round(1000.0
+                     * (CAST(a.r2_g AS DOUBLE) / (2e0 * a.n_g)
+                        - CAST(b.r2_g AS DOUBLE) / (2e0 * b.n_g))
+                     / sqrt((CAST(n_tot AS DOUBLE) * (n_tot + 1) / 12e0
+                             - tie3 / (12e0 * (n_tot - 1)))
+                            * (1e0 / a.n_g + 1e0 / b.n_g)))
+                    ELSE 0 END AS BIGINT) AS z_milli
+        FROM groups a JOIN groups b ON a.event_type < b.event_type
+        CROSS JOIN tot
+        ORDER BY type_a, type_b
+    """
+
+
+# --- SAX motif discovery -----------------------------------------------------------------------
+
+SAX_TOP_K = 10
+SAX_WORD = 3
+
+
+def sax_motifs_daily(events: DataFrame) -> DataFrame:
+    """SAX motif discovery over the daily click series: top-10 rows
+    (word, n_occurrences) by frequency — symbolic 3-day patterns after
+    z-normalizing and discretizing each day into a 4-letter Gaussian
+    alphabet (breakpoints -0.6745/0/0.6745, the N(0,1) quartiles).
+
+    events_spectral_periodogram finds PERIODIC structure; SAX motifs
+    find REPEATED LOCAL SHAPES regardless of phase — the standard
+    time-series-mining reduction (Lin et al.'s symbolic representation)
+    that turns subsequence matching into exact string counting, which
+    is what a relational engine does best. Recurring 'dcd' spikes or
+    'aaa' troughs surface as high-count words.
+
+    Exactness: daily counts are exact BIGINTs; mean/variance come off
+    integer sums; each day's letter is a CASE over one identical
+    z double chain; words concatenate via two bounded LEADs; count
+    ties break lexicographically in the bounded top-k sort.
+
+    Scale shape: one (day) aggregate, one 1-row moment broadcast, two
+    LEADs on the bounded day grid, one (word) aggregate + limit sort."""
+    per_day = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum((F.col("event_type") == "click").cast("long"))
+        .cast("long")
+        .alias("x")
+    )
+    mom = per_day.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+    )
+    lettered = per_day.crossJoin(F.broadcast(mom)).select(
+        "day",
+        F.expr(
+            "CASE WHEN n > 1 AND (CAST(sxx AS DOUBLE)"
+            "     - CAST(sx AS DOUBLE) * sx / n) / (n - 1) > 0e0 THEN"
+            " CASE WHEN (x - CAST(sx AS DOUBLE) / n)"
+            "      / sqrt((CAST(sxx AS DOUBLE)"
+            "              - CAST(sx AS DOUBLE) * sx / n) / (n - 1))"
+            "      < -0.6745e0 THEN 'a'"
+            " WHEN (x - CAST(sx AS DOUBLE) / n)"
+            "      / sqrt((CAST(sxx AS DOUBLE)"
+            "              - CAST(sx AS DOUBLE) * sx / n) / (n - 1))"
+            "      < 0e0 THEN 'b'"
+            " WHEN (x - CAST(sx AS DOUBLE) / n)"
+            "      / sqrt((CAST(sxx AS DOUBLE)"
+            "              - CAST(sx AS DOUBLE) * sx / n) / (n - 1))"
+            "      < 0.6745e0 THEN 'c'"
+            " ELSE 'd' END ELSE 'b' END"
+        ).alias("letter"),
+    )
+    wd = Window.orderBy("day")
+    words = lettered.select(
+        F.concat(
+            F.col("letter"),
+            F.lead("letter", 1).over(wd),
+            F.lead("letter", 2).over(wd),
+        ).alias("word")
+    ).where(F.col("word").isNotNull())
+    return (
+        words.groupBy("word")
+        .agg(F.count("*").cast("long").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "word")
+        .limit(SAX_TOP_K)
+    )
+
+
+def sax_motifs_daily_sql() -> str:
+    return f"""
+        WITH per_day AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+                       END) AS BIGINT) AS x
+            FROM events GROUP BY 1
+        ),
+        mom AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   SUM(CAST(x AS HUGEINT) * x) AS sxx
+            FROM per_day
+        ),
+        lettered AS (
+            SELECT day,
+                   CASE WHEN n > 1 AND (CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * sx / n) / (n - 1) > 0e0 THEN
+                    CASE WHEN (x - CAST(sx AS DOUBLE) / n)
+                         / sqrt((CAST(sxx AS DOUBLE)
+                                 - CAST(sx AS DOUBLE) * sx / n) / (n - 1))
+                         < -0.6745e0 THEN 'a'
+                    WHEN (x - CAST(sx AS DOUBLE) / n)
+                         / sqrt((CAST(sxx AS DOUBLE)
+                                 - CAST(sx AS DOUBLE) * sx / n) / (n - 1))
+                         < 0e0 THEN 'b'
+                    WHEN (x - CAST(sx AS DOUBLE) / n)
+                         / sqrt((CAST(sxx AS DOUBLE)
+                                 - CAST(sx AS DOUBLE) * sx / n) / (n - 1))
+                         < 0.6745e0 THEN 'c'
+                    ELSE 'd' END ELSE 'b' END AS letter
+            FROM per_day CROSS JOIN mom
+        ),
+        words AS (
+            SELECT letter
+                   || LEAD(letter, 1) OVER (ORDER BY day)
+                   || LEAD(letter, 2) OVER (ORDER BY day) AS word
+            FROM lettered
+        )
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        FROM words WHERE word IS NOT NULL
+        GROUP BY word
+        ORDER BY n_occurrences DESC, word ASC
+        LIMIT {SAX_TOP_K}
+    """
+
+
+# --- Zero-inflation score test -----------------------------------------------------------------
+
+
+def zero_inflation_score(events: DataFrame) -> DataFrame:
+    """van den Broek score test for excess zeros in per-user-day purchase
+    counts: one row (n_cells, n_zero, lambda_micro, s_milli).
+
+    events_overdispersion flags variance > mean; this asks the sharper
+    question — are there MORE ZERO days than a Poisson with the
+    observed rate allows (the signature of a dormant-vs-active user
+    mixture, which a plain Poisson model of purchase intensity
+    silently misfits)? S = (n0 - n*p0)^2 / (n*p0*(1-p0) -
+    n*lambda*p0^2) with p0 = exp(-lambda), ~ chi2(1) under the Poisson
+    null. Cells are user-days with ANY activity, so the zeros are real
+    observed-but-idle exposures, not structural absences.
+
+    Exactness: cell counts and the zero tally are exact BIGINTs off one
+    (user, day) aggregate; lambda and the score statistic are one
+    identical double chain at the 1-row emit.
+
+    Scale shape: one (user, day) aggregate, one global reduction —
+    nothing data-sized past the first shuffle."""
+    cells = events.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.sum((F.col("event_type") == "purchase").cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    agg = cells.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum((F.col("y") == 0).cast("long")).cast("long").alias("n0"),
+        F.sum("y").cast("long").alias("sy"),
+    )
+    return agg.select(
+        F.col("n").alias("n_cells"),
+        F.col("n0").alias("n_zero"),
+        F.expr(
+            "CAST(round(1e6 * CAST(sy AS DOUBLE) / n) AS BIGINT)"
+        ).alias("lambda_micro"),
+        F.expr(
+            "CAST(CASE WHEN n * exp(-CAST(sy AS DOUBLE) / n)"
+            "     * (1e0 - exp(-CAST(sy AS DOUBLE) / n))"
+            "     - CAST(sy AS DOUBLE)"
+            "       * exp(-CAST(sy AS DOUBLE) / n)"
+            "       * exp(-CAST(sy AS DOUBLE) / n) > 0e0"
+            " THEN round(1000.0"
+            "  * (n0 - n * exp(-CAST(sy AS DOUBLE) / n))"
+            "  * (n0 - n * exp(-CAST(sy AS DOUBLE) / n))"
+            "  / (n * exp(-CAST(sy AS DOUBLE) / n)"
+            "     * (1e0 - exp(-CAST(sy AS DOUBLE) / n))"
+            "     - CAST(sy AS DOUBLE)"
+            "       * exp(-CAST(sy AS DOUBLE) / n)"
+            "       * exp(-CAST(sy AS DOUBLE) / n)))"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("s_milli"),
+    )
+
+
+def zero_inflation_score_sql() -> str:
+    return """
+        WITH cells AS (
+            SELECT user_id, CAST(ts AS DATE) AS day,
+                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                       END) AS BIGINT) AS y
+            FROM events GROUP BY 1, 2
+        ),
+        agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n0,
+                   CAST(SUM(y) AS BIGINT) AS sy
+            FROM cells
+        )
+        SELECT n AS n_cells, n0 AS n_zero,
+               CAST(round(1e6 * CAST(sy AS DOUBLE) / n) AS BIGINT)
+                   AS lambda_micro,
+               CAST(CASE WHEN n * exp(-CAST(sy AS DOUBLE) / n)
+                    * (1e0 - exp(-CAST(sy AS DOUBLE) / n))
+                    - CAST(sy AS DOUBLE)
+                      * exp(-CAST(sy AS DOUBLE) / n)
+                      * exp(-CAST(sy AS DOUBLE) / n) > 0e0
+                THEN round(1000.0
+                 * (n0 - n * exp(-CAST(sy AS DOUBLE) / n))
+                 * (n0 - n * exp(-CAST(sy AS DOUBLE) / n))
+                 / (n * exp(-CAST(sy AS DOUBLE) / n)
+                    * (1e0 - exp(-CAST(sy AS DOUBLE) / n))
+                    - CAST(sy AS DOUBLE)
+                      * exp(-CAST(sy AS DOUBLE) / n)
+                      * exp(-CAST(sy AS DOUBLE) / n)))
+                ELSE 0 END AS BIGINT) AS s_milli
+        FROM agg
+    """

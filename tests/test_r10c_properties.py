@@ -1,0 +1,732 @@
+"""Property tests for the round-10c devices (L-510..L-513): each Spark plan
+must equal a direct Python reference of the same exact-arithmetic chain on
+arbitrary inputs — the device-level guarantee the DuckDB oracles then certify
+at corpus scale."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+from collections import Counter
+
+import pytest
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+except ImportError:  # pragma: no cover
+    pytest.skip("hypothesis not installed", allow_module_level=True)
+
+from pyspark.sql import functions as F
+
+
+def _rha(x: float) -> int:
+    """Match Spark/DuckDB round(): half away from zero, not banker's."""
+    return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+
+BASE = dt.date(2024, 1, 1)
+
+
+def _events(spark, rows):
+    """rows: (user_id, event_type, ts_string, value)"""
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts string, value double"
+    )
+    return df.withColumn("ts", F.to_timestamp("ts"))
+
+
+# --- Anderson-Darling uniformity (L-510) ------------------------------------------------------
+#
+# Arbitrary multiset of second-of-day values.
+
+AD_SECONDS = st.lists(st.integers(0, 86399), min_size=1, max_size=40)
+
+
+def _ad_ref(seconds):
+    cnt = Counter(seconds)
+    n = len(seconds)
+    cum = 0
+    s_micro = 0
+    for s in sorted(cnt):
+        t = cnt[s]
+        cum += t
+        lo = t * (2 * cum - t)
+        hi = t * (2 * (n - cum) + t)
+        term = (
+            lo * math.log((2 * s + 1) / 172800.0)
+            + hi * math.log((172800 - 2 * s - 1) / 172800.0)
+        ) / n
+        s_micro += _rha(1e6 * term)
+    a2_milli = _rha(1000.0 * (-float(n) - s_micro / 1e6))
+    return (n, a2_milli, 1 if a2_milli > 2492 else 0)
+
+
+@settings(max_examples=12, deadline=None)
+@given(seconds=AD_SECONDS)
+def test_anderson_darling_matches_reference(spark, seconds):
+    from pagila_etl_airflow_assignment_spark.operators.stats import (
+        anderson_darling_uniformity,
+    )
+
+    rows = []
+    for i, s in enumerate(seconds):
+        h, rem = divmod(s, 3600)
+        m, sec = divmod(rem, 60)
+        rows.append(
+            (i, "click", f"{BASE.isoformat()} {h:02d}:{m:02d}:{sec:02d}", 1.0)
+        )
+    got = [
+        (r["n_events"], r["a2_milli"], r["reject_5pct"])
+        for r in anderson_darling_uniformity(_events(spark, rows)).collect()
+    ]
+    assert got == [_ad_ref(seconds)]
+
+
+# --- Hodges-Lehmann pseudomedian (L-511) -------------------------------------------------------
+#
+# Per-day (clicks, errors) counts on consecutive days.
+
+HL_DAYS = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12)),
+    min_size=1,
+    max_size=16,
+)
+
+
+def _hl_ref(days):
+    ds = [c - e for c, e in days]
+    walsh = sorted(
+        ds[i] + ds[j] for i in range(len(ds)) for j in range(i, len(ds))
+    )
+    m = len(walsh)
+    w_lo = walsh[(m + 1) // 2 - 1]
+    w_hi = walsh[(m + 2) // 2 - 1]
+    return (len(ds), m, _rha(1000.0 * (w_lo + w_hi) / 4.0))
+
+
+@settings(max_examples=12, deadline=None)
+@given(days=HL_DAYS)
+def test_hodges_lehmann_matches_reference(spark, days):
+    from pagila_etl_airflow_assignment_spark.operators.stats import (
+        hodges_lehmann_daily,
+    )
+
+    rows = []
+    for d, (c, e) in enumerate(days):
+        day = (BASE + dt.timedelta(days=d)).isoformat()
+        rows.append((d, "signup", f"{day} 09:00:00", 1.0))
+        for k in range(c):
+            rows.append((d, "click", f"{day} 10:{k:02d}:00", 1.0))
+        for k in range(e):
+            rows.append((d, "error", f"{day} 11:{k:02d}:00", 1.0))
+    got = [
+        (r["n_days"], r["n_pairs"], r["hl_milli"])
+        for r in hodges_lehmann_daily(_events(spark, rows)).collect()
+    ]
+    assert got == [_hl_ref(days)]
+
+
+# --- Pettitt changepoint (L-512) ---------------------------------------------------------------
+#
+# Daily click counts in day order (every day also carries one error row so
+# zero-click days stay on the grid).
+
+PETTITT_DAYS = st.lists(st.integers(0, 15), min_size=2, max_size=20)
+
+
+def _pettitt_ref(xs):
+    n = len(xs)
+    cnt = Counter(xs)
+    r2 = {}
+    cum = 0
+    for v in sorted(cnt):
+        t = cnt[v]
+        r2[v] = 2 * cum + t + 1
+        cum += t
+    best = None
+    s2 = 0
+    for t, x in enumerate(xs[:-1], start=1):
+        s2 += r2[x]
+        u = abs(s2 - t * (n + 1))
+        if best is None or u > best[0]:
+            best = (u, t - 1)
+    u, day_idx = best
+    p = _rha(
+        1e6
+        * min(
+            1.0,
+            2.0 * math.exp(-6.0 * u * u / (float(n) ** 3 + float(n) ** 2)),
+        )
+    )
+    return (n, u, (BASE + dt.timedelta(days=day_idx)).isoformat(), p)
+
+
+@settings(max_examples=12, deadline=None)
+@given(xs=PETTITT_DAYS)
+def test_pettitt_matches_reference(spark, xs):
+    from pagila_etl_airflow_assignment_spark.operators.stats import (
+        pettitt_daily,
+    )
+
+    rows = []
+    for d, c in enumerate(xs):
+        day = (BASE + dt.timedelta(days=d)).isoformat()
+        rows.append((d, "error", f"{day} 09:00:00", 1.0))
+        for k in range(c):
+            rows.append((d, "click", f"{day} 10:{k:02d}:00", 1.0))
+    got = [
+        (r["n_days"], r["k_stat"], r["change_date"].isoformat(), r["p_micro"])
+        for r in pettitt_daily(_events(spark, rows)).collect()
+    ]
+    assert got == [_pettitt_ref(xs)]
+
+
+# --- Breslow-Day homogeneity (L-513) -----------------------------------------------------------
+#
+# Users: (high_activity_stratum, converted). user_id = index, so treat is the
+# index parity exactly as the device derives it.
+
+BD_USERS = st.lists(
+    st.tuples(st.booleans(), st.booleans()), min_size=4, max_size=14
+)
+
+
+def _bd_ref(users):
+    cells = {}
+    for uid, (hi, conv) in enumerate(users):
+        stratum = 1 if hi else 0
+        treat = uid % 2 == 1
+        a, b, c, d = cells.get(stratum, (0, 0, 0, 0))
+        if treat and conv:
+            a += 1
+        elif treat:
+            b += 1
+        elif conv:
+            c += 1
+        else:
+            d += 1
+        cells[stratum] = (a, b, c, d)
+    ad_m = sum(
+        _rha(1e6 * a * d / (a + b + c + d)) for a, b, c, d in cells.values()
+    )
+    bc_m = sum(
+        _rha(1e6 * b * c / (a + b + c + d)) for a, b, c, d in cells.values()
+    )
+    psi = ad_m / bc_m if bc_m > 0 else 1.0
+    s_micro = 0
+    for a, b, c, d in cells.values():
+        n1, n0, m1 = a + b, c + d, a + c
+        if abs(psi - 1.0) < 1e-12:
+            e = n1 * m1 / (n1 + n0)
+        else:
+            bq = n0 - m1 + psi * (n1 + m1)
+            disc = max(0.0, bq * bq + 4.0 * (1.0 - psi) * psi * n1 * m1)
+            rplus = (-bq + math.sqrt(disc)) / (2.0 * (1.0 - psi))
+            if max(0.0, rplus) <= min(n1, m1) and rplus >= max(
+                0.0, float(m1 - n0)
+            ):
+                e = rplus
+            else:
+                e = (-bq - math.sqrt(disc)) / (2.0 * (1.0 - psi))
+        if (
+            e > 1e-9
+            and n1 - e > 1e-9
+            and m1 - e > 1e-9
+            and n0 - m1 + e > 1e-9
+        ):
+            term = (a - e) * (a - e) * (
+                1.0 / e + 1.0 / (n1 - e) + 1.0 / (m1 - e) + 1.0 / (n0 - m1 + e)
+            )
+        else:
+            term = 0.0
+        s_micro += _rha(1e6 * term)
+    psi_micro = _rha(1e6 * psi)
+    return (len(cells), _rha(psi_micro / 1000.0), _rha(s_micro / 1000.0))
+
+
+@settings(max_examples=10, deadline=None)
+@given(users=BD_USERS)
+def test_breslow_day_matches_reference(spark, users):
+    from pagila_etl_airflow_assignment_spark.operators.stats import (
+        breslow_day_homogeneity,
+    )
+
+    rows = []
+    for uid, (hi, conv) in enumerate(users):
+        n_clicks = 67 if hi else 1
+        for k in range(n_clicks):
+            rows.append(
+                (uid, "click", f"{BASE.isoformat()} 10:{k % 60:02d}:{k // 60:02d}", 1.0)
+            )
+        if conv:
+            rows.append((uid, "purchase", f"{BASE.isoformat()} 12:00:00", 1.0))
+    got = [
+        (r["n_strata"], r["or_mh_milli"], r["bd_chi2_milli"])
+        for r in breslow_day_homogeneity(_events(spark, rows)).collect()
+    ]
+    assert got == [_bd_ref(users)]
+
+
+# --- Brunner-Munzel (L-514) ---------------------------------------------------------------
+#
+# Observations: (is_weekend, cents). BASE is a Monday; weekend rows land on
+# the following Saturday.
+
+BM_OBS = st.lists(
+    st.tuples(st.booleans(), st.integers(-8, 8)), min_size=2, max_size=24
+).filter(lambda o: any(g for g, _ in o) and any(not g for g, _ in o))
+
+
+def _bm_ref(obs):
+    pooled_cnt = Counter(c for _, c in obs)
+    r2 = {}
+    cum = 0
+    for v in sorted(pooled_cnt):
+        t = pooled_cnt[v]
+        r2[v] = 2 * cum + t + 1
+        cum += t
+    out = {}
+    for g in (0, 1):
+        gc = Counter(c for gg, c in obs if gg == g)
+        w2 = {}
+        cumg = 0
+        for v in sorted(gc):
+            m = gc[v]
+            w2[v] = 2 * cumg + m + 1
+            cumg += m
+        n_g = sum(gc.values())
+        sr2 = sum(m * r2[v] for v, m in gc.items())
+        s_micro = 0
+        for v, m in gc.items():
+            if n_g > 1:
+                dev = ((r2[v] - w2[v]) - sr2 / n_g + (n_g + 1)) / 2.0
+                s_micro += _rha(1e6 * m * dev * dev / (n_g - 1))
+            else:
+                s_micro += _rha(0.0)
+        out[g] = (n_g, sr2, s_micro)
+    nx, rx, sx = out[0]
+    ny, ry, sy = out[1]
+    p_hat = _rha(1e6 * (ry / (2.0 * ny) - (ny + 1) / 2.0) / nx)
+    den = nx * (sx / 1e6) + ny * (sy / 1e6)
+    if den > 0:
+        w = _rha(
+            1000.0
+            * nx
+            * ny
+            * (ry / (2.0 * ny) - rx / (2.0 * nx))
+            / ((float(nx) + ny) * math.sqrt(den))
+        )
+    else:
+        w = 0
+    dfden = 0.0
+    if nx > 1 and ny > 1:
+        dfden = (nx * (sx / 1e6)) ** 2 / (nx - 1) + (ny * (sy / 1e6)) ** 2 / (
+            ny - 1
+        )
+    df = _rha(1000.0 * den * den / dfden) if nx > 1 and ny > 1 and dfden > 0 else 0
+    return (nx, ny, p_hat, w, df)
+
+
+@settings(max_examples=12, deadline=None)
+@given(obs=BM_OBS)
+def test_brunner_munzel_matches_reference(spark, obs):
+    from pagila_etl_airflow_assignment_spark.operators.stats import (
+        brunner_munzel_weekend,
+    )
+
+    rows = []
+    for i, (g, c) in enumerate(obs):
+        day = (BASE + dt.timedelta(days=5 if g else 0)).isoformat()
+        rows.append((i, "click", f"{day} 10:{i % 60:02d}:00", c / 100.0))
+    got = [
+        (
+            r["n_weekday"],
+            r["n_weekend"],
+            r["p_hat_micro"],
+            r["w_milli"],
+            r["df_milli"],
+        )
+        for r in brunner_munzel_weekend(_events(spark, rows)).collect()
+    ]
+    assert got == [_bm_ref(obs)]
+
+
+# --- Dunn post-hoc (L-515) ------------------------------------------------------------------
+
+DUNN_OBS = st.lists(
+    st.tuples(st.sampled_from(["click", "error", "purchase"]), st.integers(-6, 6)),
+    min_size=2,
+    max_size=24,
+)
+
+
+def _dunn_ref(obs):
+    pooled_cnt = Counter(c for _, c in obs)
+    r2 = {}
+    cum = 0
+    for v in sorted(pooled_cnt):
+        t = pooled_cnt[v]
+        r2[v] = 2 * cum + t + 1
+        cum += t
+    n_tot = len(obs)
+    tie3 = float(sum(t**3 - t for t in pooled_cnt.values()))
+    groups = {}
+    for ty, c in obs:
+        n, s = groups.get(ty, (0, 0))
+        groups[ty] = (n + 1, s + r2[c])
+    out = []
+    for ta in sorted(groups):
+        for tb in sorted(groups):
+            if ta >= tb:
+                continue
+            na, ra = groups[ta]
+            nb, rb = groups[tb]
+            var = (
+                n_tot * (n_tot + 1) / 12.0 - tie3 / (12.0 * (n_tot - 1))
+            ) * (1.0 / na + 1.0 / nb) if n_tot > 1 else 0.0
+            if n_tot > 1 and var > 0:
+                z = _rha(
+                    1000.0
+                    * (ra / (2.0 * na) - rb / (2.0 * nb))
+                    / math.sqrt(var)
+                )
+            else:
+                z = 0
+            out.append((ta, tb, na, nb, z))
+    return out
+
+
+@settings(max_examples=12, deadline=None)
+@given(obs=DUNN_OBS)
+def test_dunn_posthoc_matches_reference(spark, obs):
+    from pagila_etl_airflow_assignment_spark.operators.stats import (
+        dunn_posthoc_types,
+    )
+
+    rows = [
+        (i, ty, f"{BASE.isoformat()} 10:{i % 60:02d}:00", c / 100.0)
+        for i, (ty, c) in enumerate(obs)
+    ]
+    got = [
+        (r["type_a"], r["type_b"], r["n_a"], r["n_b"], r["z_milli"])
+        for r in dunn_posthoc_types(_events(spark, rows)).collect()
+    ]
+    assert got == _dunn_ref(obs)
+
+
+# --- SAX motifs (L-516) -----------------------------------------------------------------------
+
+SAX_DAYS = st.lists(st.integers(0, 20), min_size=3, max_size=24)
+
+
+def _sax_ref(xs):
+    n = len(xs)
+    sx = sum(xs)
+    sxx = sum(x * x for x in xs)
+    var = (sxx - sx * sx / n) / (n - 1) if n > 1 else 0.0
+    letters = []
+    for x in xs:
+        if n > 1 and var > 0:
+            z = (x - sx / n) / math.sqrt(var)
+            if z < -0.6745:
+                letters.append("a")
+            elif z < 0:
+                letters.append("b")
+            elif z < 0.6745:
+                letters.append("c")
+            else:
+                letters.append("d")
+        else:
+            letters.append("b")
+    words = Counter(
+        "".join(letters[i : i + 3]) for i in range(len(letters) - 2)
+    )
+    ranked = sorted(words.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    return [(w, c) for w, c in ranked]
+
+
+@settings(max_examples=12, deadline=None)
+@given(xs=SAX_DAYS)
+def test_sax_motifs_matches_reference(spark, xs):
+    from pagila_etl_airflow_assignment_spark.operators.stats import (
+        sax_motifs_daily,
+    )
+
+    rows = []
+    for d, c in enumerate(xs):
+        day = (BASE + dt.timedelta(days=d)).isoformat()
+        rows.append((d, "error", f"{day} 09:00:00", 1.0))
+        for k in range(c):
+            rows.append((d, "click", f"{day} 10:{k:02d}:00", 1.0))
+    got = [
+        (r["word"], r["n_occurrences"])
+        for r in sax_motifs_daily(_events(spark, rows)).collect()
+    ]
+    assert got == _sax_ref(xs)
+
+
+# --- Zero-inflation score test (L-517) ---------------------------------------------------------
+#
+# One user per cell; every cell carries a click so zero-purchase days exist.
+
+ZI_CELLS = st.lists(st.integers(0, 6), min_size=1, max_size=20)
+
+
+def _zi_ref(ys):
+    n = len(ys)
+    n0 = sum(1 for y in ys if y == 0)
+    sy = sum(ys)
+    lam = sy / n
+    p0 = math.exp(-lam)
+    den = n * p0 * (1.0 - p0) - sy * p0 * p0
+    s = _rha(1000.0 * (n0 - n * p0) ** 2 / den) if den > 0 else 0
+    return (n, n0, _rha(1e6 * lam), s)
+
+
+@settings(max_examples=12, deadline=None)
+@given(ys=ZI_CELLS)
+def test_zero_inflation_matches_reference(spark, ys):
+    from pagila_etl_airflow_assignment_spark.operators.stats import (
+        zero_inflation_score,
+    )
+
+    rows = []
+    for u, y in enumerate(ys):
+        day = BASE.isoformat()
+        rows.append((u, "click", f"{day} 09:00:00", 1.0))
+        for k in range(y):
+            rows.append((u, "purchase", f"{day} 10:{k:02d}:00", 1.0))
+    got = [
+        (r["n_cells"], r["n_zero"], r["lambda_micro"], r["s_milli"])
+        for r in zero_inflation_score(_events(spark, rows)).collect()
+    ]
+    assert got == [_zi_ref(ys)]
+
+
+# --- Raking IPF (L-518) -------------------------------------------------------------------------
+
+RAKE_DOCS = st.lists(
+    st.tuples(
+        st.sampled_from(["en", "de", "fr"]),
+        st.sampled_from(["web", "books"]),
+        st.booleans(),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+def _rake_ref(docs):
+    kept = Counter((l, s) for l, s, long_ in docs if long_)
+    t_l = Counter(l for l, _, _ in docs)
+    t_s = Counter(s for _, s, _ in docs)
+    cells = {k: [n, 1000000] for k, n in kept.items()}
+    for _ in range(3):
+        for axis in (0, 1):
+            sums = {}
+            for (l, s), (n, w) in cells.items():
+                key = l if axis == 0 else s
+                sums[key] = sums.get(key, 0) + w * n
+            for k in cells:
+                key = k[axis]
+                target = t_l[key] if axis == 0 else t_s[key]
+                n, w = cells[k]
+                if sums[key] > 0:
+                    cells[k] = [n, _rha(float(w) * target * 1e6 / sums[key])]
+    return sorted((l, s, n, w) for (l, s), (n, w) in cells.items())
+
+
+@settings(max_examples=10, deadline=None)
+@given(docs=RAKE_DOCS)
+def test_raking_ipf_matches_reference(spark, docs):
+    from pagila_etl_airflow_assignment_spark.llm.sampling import raking_ipf
+
+    rows = [
+        (i, "text", l, s, 900 if long_ else 100)
+        for i, (l, s, long_) in enumerate(docs)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = [
+        (r["lang"], r["source"], r["n_kept"], r["weight_micro"])
+        for r in raking_ipf(df).collect()
+    ]
+    assert got == _rake_ref(docs)
+
+
+# --- Jackknife ratio (L-519) ---------------------------------------------------------------------
+
+JK_DAYS = st.lists(
+    st.tuples(st.integers(0, 10), st.integers(0, 5)), min_size=1, max_size=16
+)
+
+
+def _jk_ref(days):
+    n = len(days)
+    sc = sum(c for c, _ in days)
+    sp = sum(p for _, p in days)
+    reps = [
+        _rha(1e6 * float(sp - p) / (sc - c)) if sc - c > 0 else 0
+        for c, p in days
+    ]
+    sr = sum(reps)
+    srr = sum(r * r for r in reps)
+    ratio = _rha(1e6 * float(sp) / sc) if sc > 0 else 0
+    inner = float(srr) - float(sr) * sr / n
+    se = (
+        _rha(math.sqrt((float(n) - 1) / n * inner))
+        if n > 1 and inner > 0
+        else 0
+    )
+    return (n, ratio, se)
+
+
+@settings(max_examples=12, deadline=None)
+@given(days=JK_DAYS)
+def test_jackknife_ratio_matches_reference(spark, days):
+    from pagila_etl_airflow_assignment_spark.llm.sampling import (
+        jackknife_ratio_daily,
+    )
+
+    rows = []
+    for d, (c, p) in enumerate(days):
+        day = (BASE + dt.timedelta(days=d)).isoformat()
+        rows.append((d, "signup", f"{day} 08:00:00", 1.0))
+        for k in range(c):
+            rows.append((d, "click", f"{day} 10:{k:02d}:00", 1.0))
+        for k in range(p):
+            rows.append((d, "purchase", f"{day} 11:{k:02d}:00", 1.0))
+    got = [
+        (r["n_days"], r["ratio_micro"], r["se_jack_micro"])
+        for r in jackknife_ratio_daily(_events(spark, rows)).collect()
+    ]
+    assert got == [_jk_ref(days)]
+
+
+# --- OCR garbage (L-520) --------------------------------------------------------------------------
+
+import re as _re  # noqa: E402
+
+OCR_DOCS = st.lists(
+    st.tuples(
+        st.text(alphabet="abRTz#$ qwrt", min_size=0, max_size=30),
+        st.sampled_from(["web", "books"]),
+    ),
+    min_size=1,
+    max_size=15,
+)
+
+
+def _ocr_ref(docs):
+    per_src = {}
+    for text, src in docs:
+        norm = _re.sub(r"\s+", " ", text.strip()).lower()
+        toks = len(_re.split(r"\s+", norm))
+        runs = len(_re.findall(r"[b-df-hj-np-tv-xz]{4,}", text.lower()))
+        flips = len(_re.findall(r"[a-z][A-Z]", text))
+        syms = len(_re.findall(r"[^A-Za-z0-9 ]", text))
+        chars = len(text)
+        g = _rha(
+            1000.0
+            * (
+                0.4 * min(1.0, 20.0 * runs / toks if toks > 0 else 0.0)
+                + 0.3 * min(1.0, 10.0 * flips / toks if toks > 0 else 0.0)
+                + 0.3 * min(1.0, 5.0 * syms / chars if chars > 0 else 0.0)
+            )
+        )
+        n, sg, fl = per_src.get(src, (0, 0, 0))
+        per_src[src] = (n + 1, sg + g, fl + (1 if g > 500 else 0))
+    return sorted(
+        (src, n, _rha(float(sg) / n), fl)
+        for src, (n, sg, fl) in per_src.items()
+    )
+
+
+@settings(max_examples=12, deadline=None)
+@given(docs=OCR_DOCS)
+def test_ocr_garbage_matches_reference(spark, docs):
+    from pagila_etl_airflow_assignment_spark.llm.text import ocr_garbage_scores
+
+    rows = [
+        (i, text, "en", src, len(text)) for i, (text, src) in enumerate(docs)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = [
+        (r["source"], r["n_docs"], r["avg_garbage_milli"], r["n_flagged"])
+        for r in ocr_garbage_scores(df).collect()
+    ]
+    assert got == _ocr_ref(docs)
+
+
+# --- Classifier PR-AUC (L-521) ---------------------------------------------------------------------
+
+import hashlib as _hashlib  # noqa: E402
+
+PR_DOCS = st.lists(
+    st.tuples(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+            min_size=1,
+            max_size=6,
+        ),
+        st.booleans(),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+def _pr_ref(docs):
+    grid = {}
+    for words, long_ in docs:
+        text = " ".join(words)
+        norm = _re.sub(r"\s+", " ", text.strip()).lower()
+        toks = _re.split(r"\s+", norm)
+        nt = len(toks)
+        wsum = sum(
+            int(_hashlib.md5(t.encode()).hexdigest()[:15], 16) % 2001
+            for t in toks
+        )
+        p = min(1000, max(0, 500 + (2 * wsum + nt) // (2 * nt) - 1000))
+        label = 1 if long_ else 0
+        m, pos = grid.get(p, (0, 0))
+        grid[p] = (m + 1, pos + label)
+    n_pos = sum(pos for _, pos in grid.values())
+    n_neg = sum(m - pos for m, pos in grid.values())
+    ap = 0
+    k_cum = tp_cum = 0
+    for p in sorted(grid, reverse=True):
+        m, pos = grid[p]
+        k_cum += m
+        tp_cum += pos
+        if n_pos > 0:
+            ap += _rha(
+                1e6 * float(pos) * tp_cum / (float(n_pos) * k_cum)
+            )
+    base = (
+        _rha(1e6 * float(n_pos) / (n_pos + n_neg)) if n_pos + n_neg > 0 else 0
+    )
+    return (n_pos, n_neg, ap, base)
+
+
+@settings(max_examples=10, deadline=None)
+@given(docs=PR_DOCS)
+def test_classifier_pr_auc_matches_reference(spark, docs):
+    from pagila_etl_airflow_assignment_spark.llm.text import classifier_pr_auc
+
+    rows = [
+        (i, " ".join(words), "en", "web", 900 if long_ else 100)
+        for i, (words, long_) in enumerate(docs)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = [
+        (r["n_pos"], r["n_neg"], r["ap_micro"], r["baseline_micro"])
+        for r in classifier_pr_auc(df).collect()
+    ]
+    assert got == [_pr_ref(docs)]
