@@ -1431,3 +1431,15 @@ def q_classifier_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Average precision (PR-AUC) of the quality classifier — the
     imbalance-honest companion to ROC AUC."""
     return text.classifier_pr_auc(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "ann_filtered_recall",
+    oracle=similarity.filtered_ann_recall_sql(ANN_QUERY_IDS),
+)
+def q_ann_filtered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-filtered IVF search vs the filtered exact truth — prices the
+    attribute-filter recall loss vector indexes silently pay."""
+    return similarity.filtered_ann_recall(
+        load_table(spark, sf_dir, "embeddings"), ANN_QUERY_IDS
+    )

@@ -2598,3 +2598,162 @@ def map_eval_sql(query_ids: list[int], k: int = DEFAULT_K) -> str:
         GROUP BY query_id
         ORDER BY query_id
     """
+
+
+# --- filtered ANN: post-filter recall audit -----------------------------------------
+
+
+FILTERED_POOL = 20  # unfiltered IVF candidates fetched per query
+FILTERED_NPROBE = 4
+
+
+def filtered_ann_recall(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = DEFAULT_K,
+    pool: int = FILTERED_POOL,
+    n_centroids: int = IVF_CENTROIDS,
+    nprobe: int = FILTERED_NPROBE,
+) -> DataFrame:
+    """Recall@k of POST-FILTERED IVF search against the filtered exact
+    truth: one row (n_queries, n_true, n_hit, recall_milli).
+
+    Attribute-filtered vector search (label % 2 = 0 plays the tenant /
+    language / safety predicate) is where ANN indexes quietly rot: the
+    index is built on the FULL corpus, so a query fetches its top-pool
+    unfiltered candidates, drops the ones failing the predicate, and
+    hopes k survivors remain — recall falls with the filter's
+    selectivity (the known post-filter failure mode; the fix is either
+    a larger pool or a filter-aware index). This device PRICES that
+    loss: IVF pool of ``pool`` (ann_ivf_topk machinery verbatim),
+    predicate applied post-candidates, top-k of survivors, judged
+    against the exact brute-force top-k over the PRE-filtered corpus.
+
+    Exactness: both sides round cosine to 6dp with vec_id tiebreaks
+    (the brute_force_topk convention); hit counts are exact integers,
+    one milli division at the emit.
+
+    Scale shape: the IVF plan (broadcast centroids + probes, one
+    assignment shuffle) plus one broadcast-query filtered scan for the
+    truth; the recall join touches <= |queries| * pool rows."""
+    cand_pool = ivf_topk(embeddings, query_ids, pool, n_centroids, nprobe)
+    labels = embeddings.select("vec_id", "label")
+    surv = cand_pool.join(labels, "vec_id").where(F.col("label") % 2 == 0)
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    approx = (
+        surv.withColumn("r2", F.row_number().over(wk))
+        .where(F.col("r2") <= k)
+        .select("query_id", F.col("vec_id").alias("got_id"))
+    )
+    corpus = embeddings.select(
+        "vec_id", "label", "embedding", _l2norm(F.col("embedding")).alias("nrm")
+    )
+    queries = corpus.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    truth_scored = (
+        corpus.where(F.col("label") % 2 == 0)
+        .crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                _dot(F.col("q_emb"), F.col("embedding"))
+                / (F.col("q_nrm") * F.col("nrm")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    truth = (
+        truth_scored.withColumn("rank", F.row_number().over(wk))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id")
+    )
+    per_q = (
+        truth.join(
+            approx,
+            (truth["query_id"] == approx["query_id"])
+            & (truth["vec_id"] == approx["got_id"]),
+            "left",
+        )
+        .groupBy(truth["query_id"])
+        .agg(
+            F.count("*").cast("long").alias("n_true"),
+            F.count("got_id").cast("long").alias("n_hit"),
+        )
+    )
+    return per_q.agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.sum("n_true").cast("long").alias("n_true"),
+        F.sum("n_hit").cast("long").alias("n_hit"),
+        F.expr(
+            "CAST(round(1000.0 * CAST(SUM(n_hit) AS DOUBLE) / SUM(n_true))"
+            " AS BIGINT)"
+        ).alias("recall_milli"),
+    )
+
+
+def filtered_ann_recall_sql(
+    query_ids: list[int],
+    k: int = DEFAULT_K,
+    pool: int = FILTERED_POOL,
+    n_centroids: int = IVF_CENTROIDS,
+    nprobe: int = FILTERED_NPROBE,
+) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+        WITH cand_pool AS ({ivf_topk_sql(query_ids, pool, n_centroids, nprobe)}),
+        surv AS (
+            SELECT p.query_id, p.vec_id, p.cosine,
+                   row_number() OVER (
+                       PARTITION BY p.query_id
+                       ORDER BY p.cosine DESC, p.vec_id ASC
+                   ) AS r2
+            FROM cand_pool p JOIN embeddings e ON p.vec_id = e.vec_id
+            WHERE e.label % 2 = 0
+        ),
+        approx AS (
+            SELECT query_id, vec_id AS got_id FROM surv WHERE r2 <= {k}
+        ),
+        queries AS (
+            SELECT vec_id AS query_id, embedding AS q_emb
+            FROM embeddings WHERE vec_id IN ({ids})
+        ),
+        truth_scored AS (
+            SELECT q.query_id, c.vec_id,
+                   round(list_cosine_similarity(
+                       q.q_emb::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine
+            FROM embeddings c CROSS JOIN queries q
+            WHERE c.label % 2 = 0 AND c.vec_id <> q.query_id
+        ),
+        truth AS (
+            SELECT query_id, vec_id
+            FROM (
+                SELECT query_id, vec_id,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY cosine DESC, vec_id ASC
+                       ) AS rank
+                FROM truth_scored
+            ) WHERE rank <= {k}
+        ),
+        per_q AS (
+            SELECT t.query_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_true,
+                   CAST(COUNT(a.got_id) AS BIGINT) AS n_hit
+            FROM truth t LEFT JOIN approx a
+              ON t.query_id = a.query_id AND t.vec_id = a.got_id
+            GROUP BY t.query_id
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+               CAST(SUM(n_true) AS BIGINT) AS n_true,
+               CAST(SUM(n_hit) AS BIGINT) AS n_hit,
+               CAST(round(1000.0 * CAST(SUM(n_hit) AS DOUBLE) / SUM(n_true))
+                    AS BIGINT) AS recall_milli
+        FROM per_q
+    """

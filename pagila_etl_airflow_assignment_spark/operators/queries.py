@@ -3371,3 +3371,10 @@ def q_ivm_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MAX-view IVM under deletes: non-self-maintainable aggregate with a
     delta-bounded, semi-join-pruned rescan set."""
     return ivm.maintained_max_view(load_table(spark, sf_dir, "lineitem"))
+
+
+@register("events_harrell_c", oracle=stats.harrell_c_index_sql())
+def q_harrell_c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harrell's C-index of click volume predicting time-to-purchase —
+    censoring-aware discrimination over comparable user pairs."""
+    return stats.harrell_c_index(load_table(spark, sf_dir, "events"))

@@ -12498,3 +12498,159 @@ def zero_inflation_score_sql() -> str:
                 ELSE 0 END AS BIGINT) AS s_milli
         FROM agg
     """
+
+
+# --- Harrell's concordance index ---------------------------------------------------------------
+
+CINDEX_HORIZON_DAYS = 14
+CINDEX_MAX_USERS = 256
+
+
+def harrell_c_index(
+    events: DataFrame,
+    horizon: int = CINDEX_HORIZON_DAYS,
+    max_users: int = CINDEX_MAX_USERS,
+) -> DataFrame:
+    """Harrell's concordance index of click volume as a predictor of
+    time-to-first-purchase: one row (n_users, n_pairs, c_index_micro).
+
+    events_kaplan_meier/nelson_aalen DESCRIBE the conversion process;
+    the C-index EVALUATES a predictor of it — over every comparable
+    user pair (i converts strictly earlier and is uncensored), does the
+    higher-risk score (more clicks) belong to the earlier converter?
+    C = (#concordant + 0.5 * #score-ties) / #comparable — THE standard
+    discrimination metric for survival models, censoring-aware where
+    plain rank correlation is not. Duration = days from first activity
+    to first purchase, administratively censored at the horizon (the
+    discrete_hazard convention).
+
+    Exactness: durations, event flags, and click scores are exact
+    integers; concordance counts in DOUBLED units (2 concordant / 1
+    tie) so the half-credit never floats; one division at the emit.
+
+    Scale shape: one user-grain aggregate, a deterministic md5-ordered
+    cap to <=max_users rows (the sample-entropy discipline), one
+    bounded <=max_users^2 pair join, one 1-row reduction."""
+    from ..llm.hashing import md5_int
+
+    per_user = (
+        events.groupBy("user_id")
+        .agg(
+            F.min(F.to_date("ts")).alias("t0"),
+            F.min(
+                F.when(
+                    F.col("event_type") == "purchase", F.to_date("ts")
+                )
+            ).alias("tp"),
+            F.sum((F.col("event_type") == "click").cast("long"))
+            .cast("long")
+            .alias("score"),
+        )
+        .select(
+            "user_id",
+            "score",
+            F.expr(
+                f"CAST(CASE WHEN tp IS NOT NULL"
+                f" AND datediff(tp, t0) <= {horizon}"
+                f" THEN datediff(tp, t0) ELSE {horizon} END AS BIGINT)"
+            ).alias("t"),
+            F.expr(
+                f"CAST(CASE WHEN tp IS NOT NULL"
+                f" AND datediff(tp, t0) <= {horizon}"
+                f" THEN 1 ELSE 0 END AS BIGINT)"
+            ).alias("ev"),
+        )
+    )
+    sample = (
+        per_user.withColumn("hk", md5_int(F.col("user_id").cast("string")))
+        .orderBy("hk", "user_id")
+        .limit(max_users)
+        .select("user_id", "score", "t", "ev")
+    )
+    a = sample.select(
+        F.col("user_id").alias("ua"),
+        F.col("score").alias("sa"),
+        F.col("t").alias("ta"),
+        F.col("ev").alias("eva"),
+    )
+    b = sample.select(
+        F.col("user_id").alias("ub"),
+        F.col("score").alias("sb"),
+        F.col("t").alias("tb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("ta") < F.col("tb")) & (F.col("eva") == 1),
+    ).select(
+        F.when(F.col("sa") > F.col("sb"), F.lit(2))
+        .when(F.col("sa") == F.col("sb"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("conc2")
+    )
+    n_users = sample.agg(F.count("*").cast("long").alias("n_users"))
+    agg = pairs.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.coalesce(F.sum("conc2"), F.lit(0)).cast("long").alias("c2"),
+    )
+    return n_users.crossJoin(F.broadcast(agg)).select(
+        "n_users",
+        "n_pairs",
+        F.expr(
+            "CAST(CASE WHEN n_pairs > 0 THEN round(1e6 * CAST(c2 AS DOUBLE)"
+            " / (2e0 * n_pairs)) ELSE 0 END AS BIGINT)"
+        ).alias("c_index_micro"),
+    )
+
+
+def harrell_c_index_sql(
+    horizon: int = CINDEX_HORIZON_DAYS, max_users: int = CINDEX_MAX_USERS
+) -> str:
+    return f"""
+        WITH per_user AS (
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+                       END) AS BIGINT) AS score,
+                   CAST(CASE WHEN MIN(CASE WHEN event_type = 'purchase'
+                            THEN CAST(ts AS DATE) END) IS NOT NULL
+                        AND date_diff('day', MIN(CAST(ts AS DATE)),
+                            MIN(CASE WHEN event_type = 'purchase'
+                                THEN CAST(ts AS DATE) END)) <= {horizon}
+                        THEN date_diff('day', MIN(CAST(ts AS DATE)),
+                            MIN(CASE WHEN event_type = 'purchase'
+                                THEN CAST(ts AS DATE) END))
+                        ELSE {horizon} END AS BIGINT) AS t,
+                   CAST(CASE WHEN MIN(CASE WHEN event_type = 'purchase'
+                            THEN CAST(ts AS DATE) END) IS NOT NULL
+                        AND date_diff('day', MIN(CAST(ts AS DATE)),
+                            MIN(CASE WHEN event_type = 'purchase'
+                                THEN CAST(ts AS DATE) END)) <= {horizon}
+                        THEN 1 ELSE 0 END AS BIGINT) AS ev
+            FROM events GROUP BY user_id
+        ),
+        sample_u AS (
+            SELECT user_id, score, t, ev
+            FROM per_user
+            ORDER BY CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1,
+                15)) AS UBIGINT)::BIGINT, user_id
+            LIMIT {max_users}
+        ),
+        pairs AS (
+            SELECT CASE WHEN a.score > b.score THEN 2
+                        WHEN a.score = b.score THEN 1 ELSE 0 END AS conc2
+            FROM sample_u a JOIN sample_u b
+              ON a.t < b.t AND a.ev = 1
+        ),
+        nu AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM sample_u
+        ),
+        agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(COALESCE(SUM(conc2), 0) AS BIGINT) AS c2
+            FROM pairs
+        )
+        SELECT n_users, n_pairs,
+               CAST(CASE WHEN n_pairs > 0 THEN round(1e6 * CAST(c2 AS DOUBLE)
+                    / (2e0 * n_pairs)) ELSE 0 END AS BIGINT) AS c_index_micro
+        FROM nu CROSS JOIN agg
+    """

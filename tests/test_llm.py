@@ -119,3 +119,21 @@ def test_media_plumbing_schema_and_batches(spark, docs):
     assert feats.schema == multimodal.FEATURE_SCHEMA
     row = feats.where(F.col("media_id") == 0).first()
     assert row.n_bytes > 0 and 0 <= row.byte_mean <= 255 and len(row.header_hex) == 8
+
+
+def test_filtered_ann_recall_invariants(spark):
+    """Post-filtered IVF recall: counts are consistent, recall is the exact
+    milli division, and the truth side never exceeds k per query."""
+    from pagila_etl_airflow_assignment_spark.llm.similarity import (
+        DEFAULT_K,
+        filtered_ann_recall,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    row = filtered_ann_recall(emb, [0, 1, 2, 3, 4]).collect()[0]
+    assert row["n_queries"] >= 1
+    assert 0 <= row["n_hit"] <= row["n_true"]
+    assert row["n_true"] <= DEFAULT_K * row["n_queries"]
+    assert row["recall_milli"] == round(
+        1000.0 * row["n_hit"] / row["n_true"]
+    )

@@ -730,3 +730,108 @@ def test_classifier_pr_auc_matches_reference(spark, docs):
         for r in classifier_pr_auc(df).collect()
     ]
     assert got == [_pr_ref(docs)]
+
+
+# --- MIN/MAX IVM (L-522) --------------------------------------------------------------------------
+#
+# Rows: (l_orderkey, l_suppkey, price_cents). The device's maintenance path
+# must equal the direct aggregate of the final state, and the rescan flag
+# must mark exactly the groups whose deleted max touched the stored max.
+
+IVM_ROWS = st.lists(
+    st.tuples(st.integers(1, 40), st.integers(1, 5), st.integers(100, 900)),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _ivm_ref(rows, ins_mod=7, del_mod=11):
+    pre = [(o, s, c) for o, s, c in rows if o % ins_mod != 0]
+    ins = [(o, s, c) for o, s, c in rows if o % ins_mod == 0]
+    dels = [(o, s, c) for o, s, c in pre if o % del_mod == 0]
+    live = [(o, s, c) for o, s, c in pre if o % del_mod != 0]
+    mx = {}
+    for _, s, c in pre:
+        mx[s] = max(mx.get(s, c), c)
+    dmx = {}
+    for _, s, c in dels:
+        dmx[s] = max(dmx.get(s, c), c)
+    flag = {s: (1 if s in dmx and dmx[s] == mx[s] else 0) for s in mx}
+    final = {}
+    for _, s, c in live + ins:
+        n, m = final.get(s, (0, None))
+        final[s] = (n + 1, c if m is None or c > m else m)
+    return sorted(
+        (s, n, m, flag.get(s, 0)) for s, (n, m) in final.items()
+    )
+
+
+@settings(max_examples=15, deadline=None)
+@given(rows=IVM_ROWS)
+def test_ivm_minmax_matches_reference(spark, rows):
+    from pagila_etl_airflow_assignment_spark.operators.ivm import (
+        maintained_max_view,
+    )
+
+    df = spark.createDataFrame(
+        [(o, s, c / 100.0) for o, s, c in rows],
+        "l_orderkey long, l_suppkey long, l_extendedprice double",
+    )
+    got = [
+        (r["l_suppkey"], r["n_live"], r["max_cents"], r["rescanned"])
+        for r in maintained_max_view(df).collect()
+    ]
+    assert got == _ivm_ref(rows)
+
+
+# --- Harrell's C-index (L-524) ---------------------------------------------------------------------
+#
+# Users: (click count, purchase delay days or None). All users fit under the
+# md5 sample cap, so the pair set is exact.
+
+CIDX_USERS = st.lists(
+    st.tuples(st.integers(0, 9), st.one_of(st.none(), st.integers(0, 20))),
+    min_size=1,
+    max_size=16,
+)
+
+
+def _cidx_ref(users, horizon=14):
+    per = []
+    for clicks, delay in users:
+        if delay is not None and delay <= horizon:
+            per.append((clicks, delay, 1))
+        else:
+            per.append((clicks, horizon, 0))
+    n_pairs = 0
+    c2 = 0
+    for sa, ta, eva in per:
+        for sb, tb, _ in per:
+            if ta < tb and eva == 1:
+                n_pairs += 1
+                c2 += 2 if sa > sb else (1 if sa == sb else 0)
+    c = _rha(1e6 * c2 / (2.0 * n_pairs)) if n_pairs > 0 else 0
+    return (len(per), n_pairs, c)
+
+
+@settings(max_examples=12, deadline=None)
+@given(users=CIDX_USERS)
+def test_harrell_c_matches_reference(spark, users):
+    from pagila_etl_airflow_assignment_spark.operators.stats import (
+        harrell_c_index,
+    )
+
+    rows = []
+    for u, (clicks, delay) in enumerate(users):
+        day0 = BASE.isoformat()
+        rows.append((u, "signup", f"{day0} 08:00:00", 1.0))
+        for k in range(clicks):
+            rows.append((u, "click", f"{day0} 09:{k:02d}:00", 1.0))
+        if delay is not None:
+            dp = (BASE + dt.timedelta(days=delay)).isoformat()
+            rows.append((u, "purchase", f"{dp} 12:00:00", 1.0))
+    got = [
+        (r["n_users"], r["n_pairs"], r["c_index_micro"])
+        for r in harrell_c_index(_events(spark, rows)).collect()
+    ]
+    assert got == [_cidx_ref(users)]
