@@ -480,6 +480,22 @@ PROBES = [
     "text_kneser_ney_bigrams",
     "text_msttr",
     "text_beta_binomial",
+    # round-10c additions (L-510..524)
+    "events_anderson_darling",
+    "events_hodges_lehmann",
+    "events_pettitt",
+    "events_breslow_day",
+    "events_brunner_munzel",
+    "events_dunn_posthoc",
+    "events_sax_motifs",
+    "events_zero_inflation",
+    "sampling_raking_ipf",
+    "sampling_jackknife_ratio",
+    "text_ocr_garbage",
+    "text_classifier_pr_auc",
+    "warehouse_ivm_minmax",
+    "ann_filtered_recall",
+    "events_harrell_c",
 ]
 
 
