@@ -2893,3 +2893,109 @@ def beta_binomial_source_rates_sql(chars_min: int = BB_CHARS_MIN) -> str:
         FROM per_src CROSS JOIN mom
         ORDER BY source
     """
+
+
+# --- Krippendorff's alpha across curation filters ------------------------------------------------
+
+KRIPP_LEN_CHARS = 300
+KRIPP_MIN_TOKENS = 40
+KRIPP_MAX_SYM_PER_KCHAR = 80
+
+
+def krippendorff_alpha_filters(docs: DataFrame) -> DataFrame:
+    """Krippendorff's alpha agreement among three binary curation judges
+    (length, token-count, symbol-cleanliness): one row (n_units, n_pos,
+    n_neg, do_micro, de_micro, alpha_milli).
+
+    text_filter_agreement reports pairwise Cohen's kappa; Krippendorff's
+    alpha is the MULTI-RATER generalization reviewers actually ask for —
+    one chance-corrected number for the whole judge panel, built from
+    the coincidence matrix: with m=3 judges per doc and k_u positive
+    votes, Do = sum k_u(m-k_u) / N and De = 2*N1*N0 / (N(N-1)) over the
+    N = 3n total votes; alpha = 1 - Do/De. Low alpha says the filters
+    measure DIFFERENT things and a majority vote is unstable.
+
+    Exactness: vote counts are exact integers end-to-end; Do and De
+    quantize to micro only at the emit, alpha is one double division.
+
+    Scale shape: one zero-shuffle judge expression, one global
+    reduction."""
+    toks = F.size(F.split(_norm_text(F.col("text")), WS_RE))
+    syms = F.length("text") - F.length(
+        F.regexp_replace(F.col("text"), r"[^A-Za-z0-9 ]", "")
+    )
+    k = (
+        (F.col("n_chars") >= KRIPP_LEN_CHARS).cast("long")
+        + (toks >= KRIPP_MIN_TOKENS).cast("long")
+        + (
+            syms * 1000
+            <= F.lit(KRIPP_MAX_SYM_PER_KCHAR)
+            * F.greatest(F.length("text"), F.lit(1))
+        ).cast("long")
+    )
+    per_doc = docs.select(k.alias("k"))
+    agg = per_doc.agg(
+        F.count("*").cast("long").alias("n_units"),
+        F.sum("k").cast("long").alias("n_pos"),
+        F.sum(F.col("k") * (3 - F.col("k"))).cast("long").alias("dis"),
+    )
+    return agg.select(
+        "n_units",
+        "n_pos",
+        (3 * F.col("n_units") - F.col("n_pos")).alias("n_neg"),
+        F.expr(
+            "CAST(round(1e6 * CAST(dis AS DOUBLE) / (3 * n_units))"
+            " AS BIGINT)"
+        ).alias("do_micro"),
+        F.expr(
+            "CAST(round(1e6 * 2e0 * CAST(n_pos AS DOUBLE)"
+            " * (3 * n_units - n_pos)"
+            " / (CAST(3 * n_units AS DOUBLE) * (3 * n_units - 1)))"
+            " AS BIGINT)"
+        ).alias("de_micro"),
+        F.expr(
+            "CAST(CASE WHEN n_pos > 0 AND n_pos < 3 * n_units THEN"
+            " round(1000.0 * (1e0 - (CAST(dis AS DOUBLE) / (3 * n_units))"
+            "  / (2e0 * CAST(n_pos AS DOUBLE) * (3 * n_units - n_pos)"
+            "     / (CAST(3 * n_units AS DOUBLE) * (3 * n_units - 1)))))"
+            " ELSE 1000 END AS BIGINT)"
+        ).alias("alpha_milli"),
+    )
+
+
+def krippendorff_alpha_filters_sql() -> str:
+    return f"""
+        WITH judged AS (
+            SELECT CAST(CASE WHEN n_chars >= {KRIPP_LEN_CHARS} THEN 1 ELSE 0
+                       END AS BIGINT)
+                   + CAST(CASE WHEN len(string_split_regex(
+                         {_norm_text_sql('text')}, '{WS_RE}'))
+                         >= {KRIPP_MIN_TOKENS} THEN 1 ELSE 0 END AS BIGINT)
+                   + CAST(CASE WHEN (length(text) - length(regexp_replace(
+                         text, '[^A-Za-z0-9 ]', '', 'g'))) * 1000
+                         <= {KRIPP_MAX_SYM_PER_KCHAR}
+                            * greatest(length(text), 1)
+                         THEN 1 ELSE 0 END AS BIGINT) AS k
+            FROM documents
+        ),
+        agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
+                   CAST(SUM(k) AS BIGINT) AS n_pos,
+                   CAST(SUM(k * (3 - k)) AS BIGINT) AS dis
+            FROM judged
+        )
+        SELECT n_units, n_pos,
+               3 * n_units - n_pos AS n_neg,
+               CAST(round(1e6 * CAST(dis AS DOUBLE) / (3 * n_units))
+                    AS BIGINT) AS do_micro,
+               CAST(round(1e6 * 2e0 * CAST(n_pos AS DOUBLE)
+                    * (3 * n_units - n_pos)
+                    / (CAST(3 * n_units AS DOUBLE) * (3 * n_units - 1)))
+                    AS BIGINT) AS de_micro,
+               CAST(CASE WHEN n_pos > 0 AND n_pos < 3 * n_units THEN
+                    round(1000.0 * (1e0 - (CAST(dis AS DOUBLE) / (3 * n_units))
+                     / (2e0 * CAST(n_pos AS DOUBLE) * (3 * n_units - n_pos)
+                        / (CAST(3 * n_units AS DOUBLE) * (3 * n_units - 1)))))
+                    ELSE 1000 END AS BIGINT) AS alpha_milli
+        FROM agg
+    """

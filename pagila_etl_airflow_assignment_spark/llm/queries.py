@@ -1443,3 +1443,25 @@ def q_ann_filtered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.filtered_ann_recall(
         load_table(spark, sf_dir, "embeddings"), ANN_QUERY_IDS
     )
+
+
+@register(
+    "text_krippendorff_alpha",
+    oracle=corpus_stats.krippendorff_alpha_filters_sql(),
+)
+def q_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha across three binary curation judges — the
+    multi-rater generalization of the pairwise kappa device."""
+    return corpus_stats.krippendorff_alpha_filters(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
+@register(
+    "text_naive_bayes_confusion", oracle=text.naive_bayes_confusion_sql()
+)
+def q_naive_bayes_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes trained on the even-md5 half, confusion
+    matrix on the held-out half — classifier training as two relational
+    aggregates."""
+    return text.naive_bayes_confusion(load_table(spark, sf_dir, "documents"))

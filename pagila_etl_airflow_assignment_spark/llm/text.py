@@ -2488,3 +2488,191 @@ def classifier_pr_auc_sql() -> str:
     FROM terms
     GROUP BY n_pos, n_neg
     """
+
+
+# --- Trained multinomial Naive Bayes language classifier -----------------------------------------
+
+NB_TOP = 20  # confusion cells are bounded by |langs|^2 anyway
+
+
+def naive_bayes_confusion(docs: DataFrame) -> DataFrame:
+    """Train a multinomial Naive Bayes language classifier on the even-md5
+    half of the corpus, score the odd half, report the confusion matrix:
+    rows (actual_lang, predicted_lang, n_docs) ordered by (actual,
+    predicted).
+
+    text_lang_id is a FIXED heuristic and text_classifier_score carries
+    FIXED weights; this one is TRAINED from the data — per-(lang, token)
+    Laplace-smoothed log-likelihoods ln((c_tc + 1)/(tot_c + V)) plus
+    ln priors, the argmax over classes per held-out doc. The entire
+    train step is two relational aggregates, which is the point: at
+    100 TB "fit a text classifier" is a groupBy, not a GPU job.
+
+    Exactness: every per-token log term and each prior quantizes to
+    integer micro BEFORE the per-(doc, class) sum, so the score is an
+    exact integer regardless of aggregation order (the float-sum trap
+    this repo's discipline exists for); argmax ties break to the
+    lexicographically first class.
+
+    Scale shape: one (lang, token) train aggregate, one broadcast of the
+    <=|langs| class table + V/prior scalars, one token-keyed join of the
+    exploded test side against the trained table, one (doc, class)
+    aggregate, one bounded argmax window on the <=|docs|x|langs|
+    relation, one confusion rollup."""
+    from .hashing import md5_int
+
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.split(_norm(F.col("text")), WS_RE).alias("t"),
+        (md5_int(F.col("doc_id").cast("string")) % 2 == 0).alias("is_train"),
+    )
+    train_toks = (
+        base.where(F.col("is_train"))
+        .select("lang", F.explode("t").alias("tok"))
+        .where(F.col("tok") != "")
+    )
+    ctc = train_toks.groupBy("lang", "tok").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    totc = ctc.groupBy("lang").agg(F.sum("c").cast("long").alias("tot"))
+    vocab = ctc.select("tok").distinct().agg(
+        F.count("*").cast("long").alias("v")
+    )
+    prior = (
+        base.where(F.col("is_train"))
+        .groupBy("lang")
+        .agg(F.count("*").cast("long").alias("nd"))
+    )
+    prior_tot = prior.agg(F.sum("nd").cast("long").alias("ndt"))
+    classes = (
+        prior.join(F.broadcast(totc), "lang")
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(prior_tot))
+        .select(
+            F.col("lang").alias("cls"),
+            "tot",
+            "v",
+            F.expr(
+                "CAST(round(1e6 * ln(CAST(nd AS DOUBLE) / ndt)) AS BIGINT)"
+            ).alias("prior_micro"),
+        )
+    )
+    test_toks = (
+        base.where(~F.col("is_train"))
+        .select("doc_id", "lang", F.explode("t").alias("tok"))
+        .where(F.col("tok") != "")
+    )
+    terms = (
+        test_toks.crossJoin(F.broadcast(classes))
+        .join(
+            ctc.select(
+                F.col("lang").alias("cls"), "tok", F.col("c").alias("ct")
+            ),
+            ["cls", "tok"],
+            "left",
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "cls",
+            "prior_micro",
+            F.expr(
+                "CAST(round(1e6 * ln((COALESCE(ct, 0) + 1e0) / (tot + v)))"
+                " AS BIGINT)"
+            ).alias("term_micro"),
+        )
+    )
+    scored = terms.groupBy("doc_id", "lang", "cls", "prior_micro").agg(
+        F.sum("term_micro").cast("long").alias("ll")
+    ).select(
+        "doc_id",
+        "lang",
+        "cls",
+        (F.col("ll") + F.col("prior_micro")).alias("score"),
+    )
+    wd = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("cls").asc()
+    )
+    pred = (
+        scored.withColumn("rk", F.row_number().over(wd))
+        .where(F.col("rk") == 1)
+        .select("lang", F.col("cls").alias("predicted_lang"))
+    )
+    return (
+        pred.groupBy(F.col("lang").alias("actual_lang"), "predicted_lang")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .orderBy("actual_lang", "predicted_lang")
+    )
+
+
+def naive_bayes_confusion_sql() -> str:
+    from .hashing import md5_int_sql
+
+    is_train = f"({md5_int_sql('CAST(doc_id AS VARCHAR)')} % 2 = 0)"
+    return f"""
+        WITH base AS (
+            SELECT doc_id, lang,
+                   string_split({_norm_sql('text')}, ' ') AS t,
+                   {is_train} AS is_train
+            FROM documents
+        ),
+        train_toks AS (
+            SELECT lang, unnest(t) AS tok FROM base WHERE is_train
+        ),
+        ctc AS (
+            SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c
+            FROM train_toks WHERE tok <> '' GROUP BY lang, tok
+        ),
+        totc AS (
+            SELECT lang, CAST(SUM(c) AS BIGINT) AS tot FROM ctc GROUP BY lang
+        ),
+        vocab AS (
+            SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM ctc
+        ),
+        prior AS (
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS nd
+            FROM base WHERE is_train GROUP BY lang
+        ),
+        prior_tot AS (
+            SELECT CAST(SUM(nd) AS BIGINT) AS ndt FROM prior
+        ),
+        classes AS (
+            SELECT prior.lang AS cls, tot, v,
+                   CAST(round(1e6 * ln(CAST(nd AS DOUBLE) / ndt)) AS BIGINT)
+                       AS prior_micro
+            FROM prior JOIN totc USING (lang)
+            CROSS JOIN vocab CROSS JOIN prior_tot
+        ),
+        test_toks AS (
+            SELECT doc_id, lang, unnest(t) AS tok
+            FROM base WHERE NOT is_train
+        ),
+        terms AS (
+            SELECT tt.doc_id, tt.lang, cl.cls, cl.prior_micro,
+                   CAST(round(1e6 * ln((COALESCE(ctc.c, 0) + 1e0)
+                        / (cl.tot + cl.v))) AS BIGINT) AS term_micro
+            FROM test_toks tt
+            CROSS JOIN classes cl
+            LEFT JOIN ctc ON ctc.lang = cl.cls AND ctc.tok = tt.tok
+            WHERE tt.tok <> ''
+        ),
+        scored AS (
+            SELECT doc_id, lang, cls,
+                   CAST(SUM(term_micro) AS BIGINT) + prior_micro AS score
+            FROM terms GROUP BY doc_id, lang, cls, prior_micro
+        ),
+        pred AS (
+            SELECT lang, cls AS predicted_lang
+            FROM (
+                SELECT lang, cls, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY score DESC, cls ASC) AS rk
+                FROM scored
+            ) WHERE rk = 1
+        )
+        SELECT lang AS actual_lang, predicted_lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM pred
+        GROUP BY lang, predicted_lang
+        ORDER BY actual_lang, predicted_lang
+    """

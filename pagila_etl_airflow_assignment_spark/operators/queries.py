@@ -3378,3 +3378,32 @@ def q_harrell_c(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Harrell's C-index of click volume predicting time-to-purchase —
     censoring-aware discrimination over comparable user pairs."""
     return stats.harrell_c_index(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "events_decision_stump", oracle=stats.decision_stump_engagement_sql()
+)
+def q_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best information-gain split of conversion on the activity grid —
+    the tree-learner inner loop as a window plus argmax."""
+    return stats.decision_stump_engagement(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "events_regression_discontinuity",
+    oracle=stats.regression_discontinuity_sql(),
+)
+def q_regression_discontinuity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharp RDD at the median-activity cutoff: local linear fits both
+    sides, conversion jump read at the threshold."""
+    return stats.regression_discontinuity(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "events_randomization_inference",
+    oracle=stats.randomization_inference_sql(),
+)
+def q_randomization_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher randomization test of the variant lift — 32 deterministic
+    pseudo-assignments, exact design-based p-value."""
+    return stats.randomization_inference(load_table(spark, sf_dir, "events"))

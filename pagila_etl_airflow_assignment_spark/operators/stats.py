@@ -12654,3 +12654,470 @@ def harrell_c_index_sql(
                     / (2e0 * n_pairs)) ELSE 0 END AS BIGINT) AS c_index_micro
         FROM nu CROSS JOIN agg
     """
+
+
+# --- Information-gain decision stump -------------------------------------------------------------
+
+
+def _bent(a: str, m: str) -> str:
+    """Binary entropy (nats) of a/m as an engine-identical SQL fragment;
+    0 when degenerate so 0*ln(0) never evaluates."""
+    return (
+        f"CASE WHEN ({m}) > 0 AND ({a}) > 0 AND ({a}) < ({m}) THEN"
+        f" -(CAST({a} AS DOUBLE) / ({m})) * ln(CAST({a} AS DOUBLE) / ({m}))"
+        f" - (CAST(({m}) - ({a}) AS DOUBLE) / ({m}))"
+        f" * ln(CAST(({m}) - ({a}) AS DOUBLE) / ({m}))"
+        f" ELSE 0e0 END"
+    )
+
+
+def decision_stump_engagement(events: DataFrame) -> DataFrame:
+    """Best information-gain decision stump predicting conversion from
+    user activity: one row (n_users, split_value, ig_micro, n_left,
+    pos_left, n_right, pos_right).
+
+    events_woe_iv scores FIXED bins; a stump SEARCHES every candidate
+    threshold on the activity grid for the split that maximizes
+    information gain — the inner loop of every tree learner, expressed
+    as one cumulative pass: the (value) grid's running (count, positive)
+    prefix gives each threshold's left/right entropy in closed form, so
+    "train a depth-1 tree" is a window + argmax, not an iterative
+    scanner. The winning split is the natural activation threshold for
+    the engagement-based targeting rules downstream devices assume.
+
+    Exactness: grid counts and prefixes are exact BIGINTs; each
+    threshold's gain is one identical double chain quantized to micro;
+    the argmax breaks ties to the smallest split via the bounded
+    (ig DESC, v ASC) limit-1 sort.
+
+    Scale shape: one user-grain aggregate, one (value) grid aggregate +
+    cumulative window, one 1-row totals broadcast, one bounded limit
+    sort."""
+    per_user = events.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("v"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("conv"),
+    )
+    grid = per_user.groupBy("v").agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum("conv").cast("long").alias("pos"),
+    )
+    wc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cums = grid.select(
+        "v",
+        F.sum("cnt").over(wc).cast("long").alias("cl"),
+        F.sum("pos").over(wc).cast("long").alias("pl"),
+    )
+    tot = grid.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("p"),
+    )
+    ig = (
+        f"{_bent('p', 'n')}"
+        f" - (CAST(cl AS DOUBLE) / n) * ({_bent('pl', 'cl')})"
+        f" - (CAST(n - cl AS DOUBLE) / n) * ({_bent('p - pl', 'n - cl')})"
+    )
+    scored = (
+        cums.crossJoin(F.broadcast(tot))
+        .where(F.col("cl") < F.col("n"))
+        .select(
+            "v",
+            "n",
+            "p",
+            "cl",
+            "pl",
+            F.expr(f"CAST(round(1e6 * ({ig})) AS BIGINT)").alias("ig_micro"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("ig_micro").desc(), F.col("v").asc())
+        .limit(1)
+        .select(
+            F.col("n").alias("n_users"),
+            F.col("v").alias("split_value"),
+            "ig_micro",
+            F.col("cl").alias("n_left"),
+            F.col("pl").alias("pos_left"),
+            (F.col("n") - F.col("cl")).alias("n_right"),
+            (F.col("p") - F.col("pl")).alias("pos_right"),
+        )
+    )
+
+
+def decision_stump_engagement_sql() -> str:
+    ig = (
+        f"{_bent('p', 'n')}"
+        f" - (CAST(cl AS DOUBLE) / n) * ({_bent('pl', 'cl')})"
+        f" - (CAST(n - cl AS DOUBLE) / n) * ({_bent('p - pl', 'n - cl')})"
+    )
+    return f"""
+        WITH per_user AS (
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS v,
+                   CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                       END) AS BIGINT) AS conv
+            FROM events GROUP BY user_id
+        ),
+        grid AS (
+            SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt,
+                   CAST(SUM(conv) AS BIGINT) AS pos
+            FROM per_user GROUP BY v
+        ),
+        cums AS (
+            SELECT v,
+                   CAST(SUM(cnt) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS cl,
+                   CAST(SUM(pos) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS pl
+            FROM grid
+        ),
+        tot AS (
+            SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+                   CAST(SUM(pos) AS BIGINT) AS p
+            FROM grid
+        ),
+        scored AS (
+            SELECT v, n, p, cl, pl,
+                   CAST(round(1e6 * ({ig})) AS BIGINT) AS ig_micro
+            FROM cums CROSS JOIN tot
+            WHERE cl < n
+        )
+        SELECT n AS n_users, v AS split_value, ig_micro,
+               cl AS n_left, pl AS pos_left,
+               n - cl AS n_right, p - pl AS pos_right
+        FROM scored
+        ORDER BY ig_micro DESC, v ASC
+        LIMIT 1
+    """
+
+
+# --- Regression discontinuity at the median activity cutoff --------------------------------------
+
+
+def regression_discontinuity(events: DataFrame) -> DataFrame:
+    """Sharp regression-discontinuity estimate of the conversion jump at
+    the median-activity cutoff: one row (cutoff, bandwidth, n_left,
+    n_right, jump_micro, slope_l_micro, slope_r_micro).
+
+    events_diff_in_diff needs a time dimension; RDD is the causal device
+    for a THRESHOLD rule (bonus at x >= c, rate limit, loyalty tier):
+    fit local linear regressions of conversion on centered activity on
+    each side of the cutoff within a bandwidth, and read the jump
+    between the two intercepts at the cutoff. Cutoff = exact lower
+    median of per-user activity (data-driven, deterministic), bandwidth
+    = half the cutoff.
+
+    Exactness: the median comes off the integer activity grid
+    cumulative; per-side OLS runs on exact integer sums (y is 0/1, x is
+    centered activity); slopes/intercepts are one identical double
+    chain; zero-variance sides degrade to the side mean.
+
+    Scale shape: one user-grain aggregate, one (value) grid cumulative
+    for the median, one 1-row cutoff broadcast, one bounded per-side
+    reduction."""
+    per_user = events.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("v"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    grid = per_user.groupBy("v").agg(F.count("*").cast("long").alias("cnt"))
+    wc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cums = grid.select(
+        "v", F.sum("cnt").over(wc).cast("long").alias("cum")
+    )
+    tot = cums.agg(F.max("cum").cast("long").alias("n"))
+    cutoff = (
+        cums.crossJoin(F.broadcast(tot))
+        .where(F.col("cum") >= F.expr("(n + 1) DIV 2"))
+        .agg(F.min("v").cast("long").alias("c"))
+        .select("c", F.expr("greatest(c DIV 2, 1)").alias("bw"))
+    )
+    sides = (
+        per_user.crossJoin(F.broadcast(cutoff))
+        .where(
+            (F.col("v") >= F.col("c") - F.col("bw"))
+            & (F.col("v") < F.col("c") + F.col("bw"))
+        )
+        .select(
+            "c",
+            "bw",
+            (F.col("v") >= F.col("c")).cast("int").alias("side"),
+            (F.col("v") - F.col("c")).alias("x"),
+            "y",
+        )
+    )
+    per_side = sides.groupBy("c", "bw", "side").agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    fit = (
+        "CASE WHEN CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx <> 0e0"
+        " THEN (CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+        " / (CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+        " ELSE 0e0 END"
+    )
+    icept = f"(CAST(sy AS DOUBLE) - ({fit}) * sx) / m"
+    one = per_side.groupBy("c", "bw").agg(
+        F.max(F.when(F.col("side") == 0, F.col("m"))).alias("n_left"),
+        F.max(F.when(F.col("side") == 1, F.col("m"))).alias("n_right"),
+        F.max(
+            F.when(F.col("side") == 0, F.expr(f"{icept}"))
+        ).alias("al"),
+        F.max(
+            F.when(F.col("side") == 1, F.expr(f"{icept}"))
+        ).alias("ar"),
+        F.max(F.when(F.col("side") == 0, F.expr(fit))).alias("bl"),
+        F.max(F.when(F.col("side") == 1, F.expr(fit))).alias("br"),
+    )
+    return one.select(
+        F.col("c").alias("cutoff"),
+        F.col("bw").alias("bandwidth"),
+        "n_left",
+        "n_right",
+        F.expr("CAST(round(1e6 * (ar - al)) AS BIGINT)").alias("jump_micro"),
+        F.expr("CAST(round(1e6 * bl) AS BIGINT)").alias("slope_l_micro"),
+        F.expr("CAST(round(1e6 * br) AS BIGINT)").alias("slope_r_micro"),
+    )
+
+
+def regression_discontinuity_sql() -> str:
+    fit = (
+        "CASE WHEN CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx <> 0e0"
+        " THEN (CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+        " / (CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+        " ELSE 0e0 END"
+    )
+    icept = f"(CAST(sy AS DOUBLE) - ({fit}) * sx) / m"
+    return f"""
+        WITH per_user AS (
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS v,
+                   CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                       END) AS BIGINT) AS y
+            FROM events GROUP BY user_id
+        ),
+        grid AS (
+            SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM per_user GROUP BY v
+        ),
+        cums AS (
+            SELECT v, CAST(SUM(cnt) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum
+            FROM grid
+        ),
+        tot AS (
+            SELECT CAST(MAX(cum) AS BIGINT) AS n FROM cums
+        ),
+        cutoff AS (
+            SELECT CAST(MIN(v) AS BIGINT) AS c,
+                   greatest(CAST(MIN(v) AS BIGINT) // 2, 1) AS bw
+            FROM cums CROSS JOIN tot
+            WHERE cum >= (n + 1) // 2
+        ),
+        sides AS (
+            SELECT c, bw,
+                   CASE WHEN v >= c THEN 1 ELSE 0 END AS side,
+                   v - c AS x, y
+            FROM per_user CROSS JOIN cutoff
+            WHERE v >= c - bw AND v < c + bw
+        ),
+        per_side AS (
+            SELECT c, bw, side,
+                   CAST(COUNT(*) AS BIGINT) AS m,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy
+            FROM sides GROUP BY c, bw, side
+        ),
+        one AS (
+            SELECT c, bw,
+                   MAX(CASE WHEN side = 0 THEN m END) AS n_left,
+                   MAX(CASE WHEN side = 1 THEN m END) AS n_right,
+                   MAX(CASE WHEN side = 0 THEN {icept} END) AS al,
+                   MAX(CASE WHEN side = 1 THEN {icept} END) AS ar,
+                   MAX(CASE WHEN side = 0 THEN {fit} END) AS bl,
+                   MAX(CASE WHEN side = 1 THEN {fit} END) AS br
+            FROM per_side GROUP BY c, bw
+        )
+        SELECT c AS cutoff, bw AS bandwidth, n_left, n_right,
+               CAST(round(1e6 * (ar - al)) AS BIGINT) AS jump_micro,
+               CAST(round(1e6 * bl) AS BIGINT) AS slope_l_micro,
+               CAST(round(1e6 * br) AS BIGINT) AS slope_r_micro
+        FROM one
+    """
+
+
+# --- Fisher randomization inference --------------------------------------------------------------
+
+RANDINF_REPS = 32
+
+
+def randomization_inference(
+    events: DataFrame, reps: int = RANDINF_REPS
+) -> DataFrame:
+    """Fisher randomization test of the parity-variant conversion lift:
+    one row (n_users, diff_obs_micro, n_reps, n_extreme, p_micro).
+
+    events_welch_ab_test buys its p-value from a normal approximation;
+    randomization inference buys it from the DESIGN — re-randomize the
+    treatment assignment (md5-derived, deterministic), recompute the
+    rate difference under each pseudo-assignment, and count how often
+    the sham |diff| reaches the observed one: p = (1 + #extreme) /
+    (reps + 1), exact under the sharp null with zero distributional
+    assumptions. The 32 replicates explode BEFORE the partial
+    aggregate, so the whole test is one shuffle.
+
+    Exactness: per-rep arm counts are exact integers; each rep's rate
+    difference quantizes to micro before the exact |diff| comparison;
+    the p-value is one integer division at the emit.
+
+    Scale shape: one user-grain aggregate, a x(reps) literal explode on
+    the user grain, one (rep, arm) rollup, one bounded reduction."""
+    from ..llm.hashing import md5_int
+
+    per_user = events.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("conv"),
+    )
+    obs = per_user.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, F.col("conv"))).alias("ct"),
+        F.sum((F.col("user_id") % 2 == 1).cast("long")).alias("nt"),
+        F.sum(F.when(F.col("user_id") % 2 == 0, F.col("conv"))).alias("cc"),
+        F.sum((F.col("user_id") % 2 == 0).cast("long")).alias("nc"),
+    ).select(
+        "n_users",
+        F.expr(
+            "CAST(round(1e6 * (CAST(ct AS DOUBLE) / nt"
+            " - CAST(cc AS DOUBLE) / nc)) AS BIGINT)"
+        ).alias("diff_obs_micro"),
+    )
+    reps_df = (
+        per_user.select(
+            "user_id",
+            "conv",
+            F.explode(F.sequence(F.lit(0), F.lit(reps - 1))).alias("r"),
+        )
+        .select(
+            "r",
+            "conv",
+            (
+                md5_int(
+                    F.concat_ws(
+                        "_",
+                        F.col("user_id").cast("string"),
+                        F.col("r").cast("string"),
+                    )
+                )
+                % 2
+                == 1
+            ).alias("treat"),
+        )
+        .groupBy("r")
+        .agg(
+            F.sum(F.when(F.col("treat"), F.col("conv"))).alias("ct"),
+            F.sum(F.col("treat").cast("long")).alias("nt"),
+            F.sum(F.when(~F.col("treat"), F.col("conv"))).alias("cc"),
+            F.sum((~F.col("treat")).cast("long")).alias("nc"),
+        )
+        .select(
+            F.expr(
+                "CAST(CASE WHEN nt > 0 AND nc > 0 THEN"
+                " round(1e6 * (CAST(ct AS DOUBLE) / nt"
+                " - CAST(cc AS DOUBLE) / nc)) ELSE 0 END AS BIGINT)"
+            ).alias("diff_micro")
+        )
+    )
+    reps_agg = reps_df.crossJoin(F.broadcast(obs)).agg(
+        F.max("n_users").alias("n_users"),
+        F.max("diff_obs_micro").alias("diff_obs_micro"),
+        F.count("*").cast("long").alias("n_reps"),
+        F.sum(
+            (F.abs(F.col("diff_micro")) >= F.abs(F.col("diff_obs_micro")))
+            .cast("long")
+        )
+        .cast("long")
+        .alias("n_extreme"),
+    )
+    return reps_agg.select(
+        "n_users",
+        "diff_obs_micro",
+        "n_reps",
+        "n_extreme",
+        F.expr(
+            "CAST(round(1e6 * (1e0 + n_extreme) / (n_reps + 1)) AS BIGINT)"
+        ).alias("p_micro"),
+    )
+
+
+def randomization_inference_sql(reps: int = RANDINF_REPS) -> str:
+    from ..llm.hashing import md5_int_sql
+
+    h = md5_int_sql("CAST(user_id AS VARCHAR) || '_' || CAST(r AS VARCHAR)")
+    return f"""
+        WITH per_user AS (
+            SELECT user_id,
+                   CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                       END) AS BIGINT) AS conv
+            FROM events GROUP BY user_id
+        ),
+        obs AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CAST(round(1e6 * (
+                       CAST(SUM(CASE WHEN user_id % 2 = 1 THEN conv END)
+                            AS DOUBLE)
+                       / SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                       - CAST(SUM(CASE WHEN user_id % 2 = 0 THEN conv END)
+                              AS DOUBLE)
+                       / SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)))
+                       AS BIGINT) AS diff_obs_micro
+            FROM per_user
+        ),
+        expanded AS (
+            SELECT user_id, conv,
+                   unnest(generate_series(0, {reps - 1})) AS r
+            FROM per_user
+        ),
+        assigned AS (
+            SELECT r, conv,
+                   ({h}) % 2 = 1 AS treat
+            FROM expanded
+        ),
+        per_rep AS (
+            SELECT r,
+                   CAST(CASE WHEN SUM(CASE WHEN treat THEN 1 ELSE 0 END) > 0
+                        AND SUM(CASE WHEN NOT treat THEN 1 ELSE 0 END) > 0
+                        THEN round(1e6 * (
+                            CAST(SUM(CASE WHEN treat THEN conv END)
+                                 AS DOUBLE)
+                            / SUM(CASE WHEN treat THEN 1 ELSE 0 END)
+                            - CAST(SUM(CASE WHEN NOT treat THEN conv END)
+                                   AS DOUBLE)
+                            / SUM(CASE WHEN NOT treat THEN 1 ELSE 0 END)))
+                        ELSE 0 END AS BIGINT) AS diff_micro
+            FROM assigned GROUP BY r
+        )
+        SELECT MAX(n_users) AS n_users,
+               MAX(diff_obs_micro) AS diff_obs_micro,
+               CAST(COUNT(*) AS BIGINT) AS n_reps,
+               CAST(SUM(CASE WHEN abs(diff_micro) >= abs(diff_obs_micro)
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+               CAST(round(1e6 * (1e0 + SUM(CASE WHEN abs(diff_micro)
+                    >= abs(diff_obs_micro) THEN 1 ELSE 0 END))
+                    / (COUNT(*) + 1)) AS BIGINT) AS p_micro
+        FROM per_rep CROSS JOIN obs
+    """

@@ -835,3 +835,357 @@ def test_harrell_c_matches_reference(spark, users):
         for r in harrell_c_index(_events(spark, rows)).collect()
     ]
     assert got == [_cidx_ref(users)]
+
+
+# --- Krippendorff's alpha (L-525) -------------------------------------------------------------------
+#
+# Docs: (long, n_tokens, n_symbols); text = 'aa ' * tokens + '#' * symbols.
+
+KRIPP_DOCS = st.lists(
+    st.tuples(st.booleans(), st.integers(0, 50), st.integers(0, 30)),
+    min_size=1,
+    max_size=20,
+)
+
+
+def _kripp_ref(docs):
+    n_units = len(docs)
+    n_pos = 0
+    dis = 0
+    for long_, ntok, nsym in docs:
+        text = "aa " * ntok + "#" * nsym
+        norm = _re.sub(r"\s+", " ", text.strip()).lower()
+        toks = len(_re.split(r"\s+", norm))
+        syms = len(_re.findall(r"[^A-Za-z0-9 ]", text))
+        k = (
+            (1 if (900 if long_ else 100) >= 300 else 0)
+            + (1 if toks >= 40 else 0)
+            + (1 if syms * 1000 <= 80 * max(len(text), 1) else 0)
+        )
+        n_pos += k
+        dis += k * (3 - k)
+    nn = 3 * n_units
+    do = _rha(1e6 * dis / nn)
+    de = _rha(1e6 * 2.0 * n_pos * (nn - n_pos) / (float(nn) * (nn - 1)))
+    if 0 < n_pos < nn:
+        alpha = _rha(
+            1000.0
+            * (
+                1.0
+                - (dis / nn)
+                / (2.0 * n_pos * (nn - n_pos) / (float(nn) * (nn - 1)))
+            )
+        )
+    else:
+        alpha = 1000
+    return (n_units, n_pos, nn - n_pos, do, de, alpha)
+
+
+@settings(max_examples=12, deadline=None)
+@given(docs=KRIPP_DOCS)
+def test_krippendorff_matches_reference(spark, docs):
+    from pagila_etl_airflow_assignment_spark.llm.corpus_stats import (
+        krippendorff_alpha_filters,
+    )
+
+    rows = [
+        (i, "aa " * ntok + "#" * nsym, "en", "web", 900 if long_ else 100)
+        for i, (long_, ntok, nsym) in enumerate(docs)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = [
+        (
+            r["n_units"],
+            r["n_pos"],
+            r["n_neg"],
+            r["do_micro"],
+            r["de_micro"],
+            r["alpha_milli"],
+        )
+        for r in krippendorff_alpha_filters(df).collect()
+    ]
+    assert got == [_kripp_ref(docs)]
+
+
+# --- Trained Naive Bayes (L-526) ---------------------------------------------------------------------
+
+NB_DOCS = st.lists(
+    st.tuples(
+        st.sampled_from(["en", "de"]),
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=1, max_size=5
+        ),
+    ),
+    min_size=2,
+    max_size=20,
+)
+
+
+def _md5i(s):
+    return int(_hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _nb_ref(docs):
+    train, test = [], []
+    for i, (lang, words) in enumerate(docs):
+        (train if _md5i(str(i)) % 2 == 0 else test).append((i, lang, words))
+    ctc = Counter()
+    totc = Counter()
+    for _, lang, words in train:
+        for w in words:
+            ctc[(lang, w)] += 1
+            totc[lang] += 1
+    vocab = len({w for (_, w) in ctc})
+    prior = Counter(lang for _, lang, _ in train)
+    ndt = sum(prior.values())
+    classes = sorted(set(prior) & set(totc))
+    pred_counts = Counter()
+    for _, lang, words in test:
+        if not classes or not words:
+            continue
+        best = None
+        for cls in classes:
+            pm = _rha(1e6 * math.log(prior[cls] / ndt))
+            ll = sum(
+                _rha(
+                    1e6
+                    * math.log(
+                        (ctc.get((cls, w), 0) + 1.0) / (totc[cls] + vocab)
+                    )
+                )
+                for w in words
+            )
+            score = ll + pm
+            if best is None or score > best[0] or (
+                score == best[0] and cls < best[1]
+            ):
+                best = (score, cls)
+        pred_counts[(lang, best[1])] += 1
+    return sorted(
+        (a, p, n) for (a, p), n in pred_counts.items()
+    )
+
+
+@settings(max_examples=10, deadline=None)
+@given(docs=NB_DOCS)
+def test_naive_bayes_matches_reference(spark, docs):
+    from pagila_etl_airflow_assignment_spark.llm.text import (
+        naive_bayes_confusion,
+    )
+
+    rows = [
+        (i, " ".join(words), lang, "web", 100)
+        for i, (lang, words) in enumerate(docs)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = [
+        (r["actual_lang"], r["predicted_lang"], r["n_docs"])
+        for r in naive_bayes_confusion(df).collect()
+    ]
+    assert got == _nb_ref(docs)
+
+
+# --- Decision stump (L-527) ----------------------------------------------------------------------
+
+STUMP_USERS = st.lists(
+    st.tuples(st.integers(1, 8), st.booleans()), min_size=2, max_size=20
+)
+
+
+def _ent(a, m):
+    if m > 0 and 0 < a < m:
+        return -(a / m) * math.log(a / m) - ((m - a) / m) * math.log(
+            (m - a) / m
+        )
+    return 0.0
+
+
+def _stump_ref(users):
+    per = [(k + (1 if conv else 0), 1 if conv else 0) for k, conv in users]
+    grid = {}
+    for v, y in per:
+        c, p = grid.get(v, (0, 0))
+        grid[v] = (c + 1, p + y)
+    n = sum(c for c, _ in grid.values())
+    p = sum(q for _, q in grid.values())
+    cl = pl = 0
+    best = None
+    for v in sorted(grid):
+        c, q = grid[v]
+        cl += c
+        pl += q
+        if cl >= n:
+            continue
+        ig = (
+            _ent(p, n)
+            - (cl / n) * _ent(pl, cl)
+            - ((n - cl) / n) * _ent(p - pl, n - cl)
+        )
+        igm = _rha(1e6 * ig)
+        if best is None or igm > best[0]:
+            best = (igm, v, cl, pl)
+    if best is None:
+        return None
+    igm, v, cl, pl = best
+    return (n, v, igm, cl, pl, n - cl, p - pl)
+
+
+@settings(max_examples=12, deadline=None)
+@given(users=STUMP_USERS)
+def test_decision_stump_matches_reference(spark, users):
+    from pagila_etl_airflow_assignment_spark.operators.stats import (
+        decision_stump_engagement,
+    )
+
+    rows = []
+    for u, (k, conv) in enumerate(users):
+        for j in range(k):
+            rows.append((u, "click", f"{BASE.isoformat()} 10:{j:02d}:00", 1.0))
+        if conv:
+            rows.append((u, "purchase", f"{BASE.isoformat()} 12:00:00", 1.0))
+    got = [
+        (
+            r["n_users"],
+            r["split_value"],
+            r["ig_micro"],
+            r["n_left"],
+            r["pos_left"],
+            r["n_right"],
+            r["pos_right"],
+        )
+        for r in decision_stump_engagement(_events(spark, rows)).collect()
+    ]
+    ref = _stump_ref(users)
+    assert got == ([ref] if ref is not None else [])
+
+
+# --- Regression discontinuity (L-528) ------------------------------------------------------------
+
+RDD_USERS = st.lists(
+    st.tuples(st.integers(1, 12), st.booleans()), min_size=4, max_size=24
+)
+
+
+def _rdd_ref(users):
+    per = [(k + (1 if conv else 0), 1 if conv else 0) for k, conv in users]
+    vs = sorted(v for v, _ in per)
+    n = len(vs)
+    c = vs[(n + 1) // 2 - 1]
+    bw = max(c // 2, 1)
+    sides = {}
+    for v, y in per:
+        if c - bw <= v < c + bw:
+            side = 1 if v >= c else 0
+            m, sx, sy, sxx, sxy = sides.get(side, (0, 0, 0, 0, 0))
+            x = v - c
+            sides[side] = (m + 1, sx + x, sy + y, sxx + x * x, sxy + x * y)
+
+    def fit(side):
+        if side not in sides:
+            return None, None, None
+        m, sx, sy, sxx, sxy = sides[side]
+        den = float(m) * sxx - float(sx) * sx
+        b = (float(m) * sxy - float(sx) * sy) / den if den != 0 else 0.0
+        a = (float(sy) - b * sx) / m
+        return m, a, b
+
+    nl, al, bl = fit(0)
+    nr, ar, br = fit(1)
+    jump = (
+        _rha(1e6 * (ar - al)) if al is not None and ar is not None else None
+    )
+    sl = _rha(1e6 * bl) if bl is not None else None
+    sr = _rha(1e6 * br) if br is not None else None
+    return (c, bw, nl, nr, jump, sl, sr)
+
+
+@settings(max_examples=12, deadline=None)
+@given(users=RDD_USERS)
+def test_rdd_matches_reference(spark, users):
+    from pagila_etl_airflow_assignment_spark.operators.stats import (
+        regression_discontinuity,
+    )
+
+    rows = []
+    for u, (k, conv) in enumerate(users):
+        for j in range(k):
+            rows.append((u, "click", f"{BASE.isoformat()} 10:{j:02d}:00", 1.0))
+        if conv:
+            rows.append((u, "purchase", f"{BASE.isoformat()} 12:00:00", 1.0))
+    got = [
+        (
+            r["cutoff"],
+            r["bandwidth"],
+            r["n_left"],
+            r["n_right"],
+            r["jump_micro"],
+            r["slope_l_micro"],
+            r["slope_r_micro"],
+        )
+        for r in regression_discontinuity(_events(spark, rows)).collect()
+    ]
+    assert got == [_rdd_ref(users)]
+
+
+# --- Randomization inference (L-529) ---------------------------------------------------------------
+
+RI_USERS = st.lists(st.booleans(), min_size=4, max_size=24).filter(
+    lambda u: len(u) >= 4
+)
+
+
+def _ri_ref(users, reps=32):
+    per = [(u, 1 if conv else 0) for u, conv in enumerate(users)]
+    nt = sum(1 for u, _ in per if u % 2 == 1)
+    nc = sum(1 for u, _ in per if u % 2 == 0)
+    ct = sum(y for u, y in per if u % 2 == 1)
+    cc = sum(y for u, y in per if u % 2 == 0)
+    dobs = _rha(1e6 * (ct / nt - cc / nc))
+    n_ext = 0
+    for r in range(reps):
+        t = [(_md5i(f"{u}_{r}") % 2 == 1, y) for u, y in per]
+        nt_r = sum(1 for tr, _ in t if tr)
+        nc_r = len(t) - nt_r
+        if nt_r > 0 and nc_r > 0:
+            d = _rha(
+                1e6
+                * (
+                    sum(y for tr, y in t if tr) / nt_r
+                    - sum(y for tr, y in t if not tr) / nc_r
+                )
+            )
+        else:
+            d = 0
+        if abs(d) >= abs(dobs):
+            n_ext += 1
+    p = _rha(1e6 * (1.0 + n_ext) / (reps + 1))
+    return (len(per), dobs, reps, n_ext, p)
+
+
+@settings(max_examples=10, deadline=None)
+@given(users=RI_USERS)
+def test_randomization_inference_matches_reference(spark, users):
+    from pagila_etl_airflow_assignment_spark.operators.stats import (
+        randomization_inference,
+    )
+
+    rows = []
+    for u, conv in enumerate(users):
+        rows.append((u, "click", f"{BASE.isoformat()} 10:00:00", 1.0))
+        if conv:
+            rows.append((u, "purchase", f"{BASE.isoformat()} 12:00:00", 1.0))
+    got = [
+        (
+            r["n_users"],
+            r["diff_obs_micro"],
+            r["n_reps"],
+            r["n_extreme"],
+            r["p_micro"],
+        )
+        for r in randomization_inference(_events(spark, rows)).collect()
+    ]
+    assert got == [_ri_ref(users)]

@@ -360,6 +360,32 @@ ALLOWED: dict[str, set[str]] = {
     "events_xbar_r_chart": {"BroadcastNestedLoopJoin"},
     "text_kneser_ney_bigrams": {"BroadcastNestedLoopJoin"},
     "text_beta_binomial": {"BroadcastNestedLoopJoin"},
+    # round-10c devices (L-510..524): 1-row N/moment/psi/total scalar
+    # broadcasts (AD, Pettitt, Breslow-Day, jackknife, PR-AUC totals), the
+    # bounded <=366-day Walsh-grid self-join (Hodges-Lehmann), the
+    # <=|types|^2 Dunn pair join, the md5-capped 256-row C-index pair join,
+    # and the broadcast query/filter sides of the filtered-ANN recall audit
+    "events_anderson_darling": {"BroadcastNestedLoopJoin"},
+    "events_hodges_lehmann": {"BroadcastNestedLoopJoin"},
+    "events_pettitt": {"BroadcastNestedLoopJoin"},
+    "events_breslow_day": {"BroadcastNestedLoopJoin"},
+    "events_dunn_posthoc": {"BroadcastNestedLoopJoin"},
+    "events_sax_motifs": {"BroadcastNestedLoopJoin"},
+    "sampling_jackknife_ratio": {"BroadcastNestedLoopJoin"},
+    "text_classifier_pr_auc": {"BroadcastNestedLoopJoin"},
+    "ann_filtered_recall": {"BroadcastNestedLoopJoin"},
+    "events_harrell_c": {"BroadcastNestedLoopJoin"},
+    # round-10c trained/causal devices (L-525..529): 1-row vocab/prior/
+    # cutoff/observed-diff scalar broadcasts and bounded grid reductions
+    "text_naive_bayes_confusion": {"BroadcastNestedLoopJoin"},
+    "events_decision_stump": {"BroadcastNestedLoopJoin"},
+    "events_regression_discontinuity": {"BroadcastNestedLoopJoin"},
+    "events_randomization_inference": {"BroadcastNestedLoopJoin"},
+    "events_brunner_munzel": {"BroadcastNestedLoopJoin"},
+    "events_zero_inflation": {"BroadcastNestedLoopJoin"},
+    "text_krippendorff_alpha": {"BroadcastNestedLoopJoin"},
+    "sampling_raking_ipf": {"BroadcastNestedLoopJoin"},
+    "warehouse_ivm_minmax": {"BroadcastNestedLoopJoin"},
 }
 
 PATTERNS = ("CartesianProduct", "BatchEvalPython", "BroadcastNestedLoopJoin")
