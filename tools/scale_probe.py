@@ -496,6 +496,11 @@ PROBES = [
     "warehouse_ivm_minmax",
     "ann_filtered_recall",
     "events_harrell_c",
+    "text_krippendorff_alpha",
+    "text_naive_bayes_confusion",
+    "events_decision_stump",
+    "events_regression_discontinuity",
+    "events_randomization_inference",
 ]
 
 
