@@ -1465,3 +1465,12 @@ def q_naive_bayes_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     matrix on the held-out half — classifier training as two relational
     aggregates."""
     return text.naive_bayes_confusion(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_heldout_perplexity", oracle=text.heldout_bigram_perplexity_sql()
+)
+def q_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out bigram perplexity per language — THE LM number, trained
+    on the even-md5 half, measured on the odd half."""
+    return text.heldout_bigram_perplexity(load_table(spark, sf_dir, "documents"))

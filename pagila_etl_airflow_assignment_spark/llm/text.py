@@ -2676,3 +2676,158 @@ def naive_bayes_confusion_sql() -> str:
         GROUP BY lang, predicted_lang
         ORDER BY actual_lang, predicted_lang
     """
+
+
+# --- Held-out bigram perplexity ------------------------------------------------------------------
+
+
+def heldout_bigram_perplexity(docs: DataFrame) -> DataFrame:
+    """Laplace-smoothed bigram LM trained on the even-md5 half, held-out
+    perplexity per language on the odd half: rows (lang, n_bigrams,
+    avg_nll_micro, ppl_milli) ordered by lang.
+
+    text_bigram_backoff and text_kneser_ney_bigrams TRAIN smoothers on
+    the whole corpus; none of the LM devices yet report THE LM number —
+    held-out perplexity. Per test bigram (w1, w2): nll = -ln((c(w1,w2)
+    + 1) / (c(w1) + V)) with counts from the train half only and V the
+    train unigram vocabulary; ppl = exp(mean nll). Rising ppl per lang
+    flags the slice where the corpus under-trains its own language
+    model — the data-mix signal DoReMi-style reweighting consumes.
+
+    Exactness: per-bigram nll quantizes to integer micro before the
+    per-lang sum (the order-free float-sum discipline); exp of the
+    identical mean closes it in both engines.
+
+    Scale shape: one train (w1, w2) + one train (w1) aggregate, the
+    exploded test bigrams joined on those keys (one shuffle each), a
+    1-row vocab broadcast, one (lang) rollup."""
+    from .hashing import md5_int
+
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.split(_norm(F.col("text")), WS_RE).alias("t"),
+        (md5_int(F.col("doc_id").cast("string")) % 2 == 0).alias("is_train"),
+    )
+    def bigrams(side):
+        toks = base.where(side).select(
+            "lang",
+            F.posexplode("t").alias("p", "w1"),
+            F.col("t").alias("t"),
+        )
+        return (
+            toks.where(F.col("p") < F.size("t") - 1)
+            .select(
+                "lang",
+                "w1",
+                F.expr("t[p + 1]").alias("w2"),
+            )
+            .where((F.col("w1") != "") & (F.col("w2") != ""))
+        )
+
+    train_bi = bigrams(F.col("is_train"))
+    cbi = train_bi.groupBy("w1", "w2").agg(
+        F.count("*").cast("long").alias("cb")
+    )
+    cuni = train_bi.groupBy("w1").agg(F.count("*").cast("long").alias("cu"))
+    vocab = (
+        base.where(F.col("is_train"))
+        .select(F.explode("t").alias("w"))
+        .where(F.col("w") != "")
+        .agg(F.countDistinct("w").cast("long").alias("v"))
+    )
+    test_bi = bigrams(~F.col("is_train"))
+    terms = (
+        test_bi.join(cbi, ["w1", "w2"], "left")
+        .join(cuni, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "lang",
+            F.expr(
+                "CAST(round(1e6 * -ln((COALESCE(cb, 0) + 1e0)"
+                " / (COALESCE(cu, 0) + v))) AS BIGINT)"
+            ).alias("nll_micro"),
+        )
+    )
+    return (
+        terms.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum("nll_micro").cast("long").alias("snll"),
+        )
+        .select(
+            "lang",
+            "n_bigrams",
+            F.expr(
+                "CAST(round(CAST(snll AS DOUBLE) / n_bigrams) AS BIGINT)"
+            ).alias("avg_nll_micro"),
+            F.expr(
+                "CAST(round(1000.0 * exp(CAST(snll AS DOUBLE)"
+                " / n_bigrams / 1e6)) AS BIGINT)"
+            ).alias("ppl_milli"),
+        )
+        .orderBy("lang")
+    )
+
+
+def heldout_bigram_perplexity_sql() -> str:
+    from .hashing import md5_int_sql
+
+    is_train = f"({md5_int_sql('CAST(doc_id AS VARCHAR)')} % 2 = 0)"
+    return f"""
+        WITH base AS (
+            SELECT doc_id, lang,
+                   string_split({_norm_sql('text')}, ' ') AS t,
+                   {is_train} AS is_train
+            FROM documents
+        ),
+        train_bi AS (
+            SELECT lang, t[p] AS w1, t[p + 1] AS w2
+            FROM (
+                SELECT lang, t,
+                       unnest(generate_series(1, len(t) - 1)) AS p
+                FROM base WHERE is_train
+            )
+            WHERE t[p] <> '' AND t[p + 1] <> ''
+        ),
+        cbi AS (
+            SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb
+            FROM train_bi GROUP BY w1, w2
+        ),
+        cuni AS (
+            SELECT w1, CAST(COUNT(*) AS BIGINT) AS cu
+            FROM train_bi GROUP BY w1
+        ),
+        vocab AS (
+            SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v
+            FROM (
+                SELECT unnest(t) AS w FROM base WHERE is_train
+            ) WHERE w <> ''
+        ),
+        test_bi AS (
+            SELECT lang, t[p] AS w1, t[p + 1] AS w2
+            FROM (
+                SELECT lang, t,
+                       unnest(generate_series(1, len(t) - 1)) AS p
+                FROM base WHERE NOT is_train
+            )
+            WHERE t[p] <> '' AND t[p + 1] <> ''
+        ),
+        terms AS (
+            SELECT lang,
+                   CAST(round(1e6 * -ln((COALESCE(cb, 0) + 1e0)
+                        / (COALESCE(cu, 0) + v))) AS BIGINT) AS nll_micro
+            FROM test_bi
+            LEFT JOIN cbi USING (w1, w2)
+            LEFT JOIN cuni USING (w1)
+            CROSS JOIN vocab
+        )
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(round(CAST(SUM(nll_micro) AS DOUBLE) / COUNT(*))
+                    AS BIGINT) AS avg_nll_micro,
+               CAST(round(1000.0 * exp(CAST(SUM(nll_micro) AS DOUBLE)
+                    / COUNT(*) / 1e6)) AS BIGINT) AS ppl_milli
+        FROM terms
+        GROUP BY lang
+        ORDER BY lang
+    """

@@ -3407,3 +3407,17 @@ def q_randomization_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fisher randomization test of the variant lift — 32 deterministic
     pseudo-assignments, exact design-based p-value."""
     return stats.randomization_inference(load_table(spark, sf_dir, "events"))
+
+
+@register("events_chatterjee_xi", oracle=stats.chatterjee_xi_daily_sql())
+def q_chatterjee_xi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chatterjee's xi: assumption-free dependence of error load on click
+    load — catches non-monotone structure rho and tau miss."""
+    return stats.chatterjee_xi_daily(load_table(spark, sf_dir, "events"))
+
+
+@register("warehouse_wagner_whitin", oracle=warehouse.wagner_whitin_plan_sql())
+def q_wagner_whitin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wagner-Whitin optimal lot sizing — the order-covers-range DAG
+    shortest path solved by 12 exact min-plus relaxation rounds."""
+    return warehouse.wagner_whitin_plan(load_table(spark, sf_dir, "lineitem"))

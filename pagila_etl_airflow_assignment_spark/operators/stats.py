@@ -13121,3 +13121,123 @@ def randomization_inference_sql(reps: int = RANDINF_REPS) -> str:
                     / (COUNT(*) + 1)) AS BIGINT) AS p_micro
         FROM per_rep CROSS JOIN obs
     """
+
+
+# --- Chatterjee's xi dependence coefficient -------------------------------------------------------
+
+
+def chatterjee_xi_daily(events: DataFrame) -> DataFrame:
+    """Chatterjee's xi coefficient of daily error load as a function of
+    daily click load: one row (n_days, sum_abs_dr, denom2, xi_milli).
+
+    events_spearman_daily and kendall_tau detect MONOTONE association
+    and events_mutual_information needs binning; Chatterjee's xi (2020)
+    is the modern assumption-free dependence coefficient — 0 iff
+    independent, 1 iff y is a measurable function of x, monotone or
+    not (a V-shaped load curve scores high where rho ~ 0). Computed in
+    its exact tie-robust form: sort days by (clicks, day), take
+    r_i = #{j: y_j <= y_i} and l_i = #{j: y_j >= y_i}; xi = 1 -
+    n * sum|r_{i+1} - r_i| / (2 * sum l_i (n - l_i)). The day tiebreak
+    makes the sort deterministic (stated: deterministic, not the
+    randomized tie treatment of the paper).
+
+    Exactness: fully integer — y-grid cumulatives give r and l exactly,
+    the rank-step sum rides one bounded LEAD over the <=366-day grid,
+    and xi is one division at the emit.
+
+    Scale shape: one (day) aggregate, one (y) grid cumulative joined
+    back, one bounded day-ordered LEAD, one 1-row reduction."""
+    per_day = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum((F.col("event_type") == "click").cast("long"))
+        .cast("long")
+        .alias("x"),
+        F.sum((F.col("event_type") == "error").cast("long"))
+        .cast("long")
+        .alias("y"),
+    )
+    per_y = per_day.groupBy("y").agg(F.count("*").cast("long").alias("t"))
+    wy = Window.orderBy("y").rowsBetween(Window.unboundedPreceding, 0)
+    yrank = per_y.select(
+        "y",
+        F.sum("t").over(wy).cast("long").alias("r"),
+        (F.sum("t").over(wy) - F.col("t")).cast("long").alias("below"),
+    )
+    tot = per_day.agg(F.count("*").cast("long").alias("n"))
+    ranked = (
+        per_day.join(yrank, "y")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "day", "x", "n", "r", (F.col("n") - F.col("below")).alias("l")
+        )
+    )
+    wx = Window.orderBy("x", "day")
+    stepped = ranked.select(
+        "n",
+        "l",
+        F.abs(F.lead("r", 1).over(wx) - F.col("r")).alias("dr"),
+    )
+    agg = stepped.groupBy("n").agg(
+        F.coalesce(F.sum("dr"), F.lit(0)).cast("long").alias("sdr"),
+        F.sum(F.col("l") * (F.col("n") - F.col("l")))
+        .cast("long")
+        .alias("den"),
+    )
+    return agg.select(
+        F.col("n").alias("n_days"),
+        F.col("sdr").alias("sum_abs_dr"),
+        (2 * F.col("den")).alias("denom2"),
+        F.expr(
+            "CAST(CASE WHEN den > 0 THEN round(1000.0 * (1e0"
+            " - CAST(n AS DOUBLE) * sdr / (2e0 * den))) ELSE 0 END"
+            " AS BIGINT)"
+        ).alias("xi_milli"),
+    )
+
+
+def chatterjee_xi_daily_sql() -> str:
+    return """
+        WITH per_day AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+                       END) AS BIGINT) AS x,
+                   CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0
+                       END) AS BIGINT) AS y
+            FROM events GROUP BY 1
+        ),
+        per_y AS (
+            SELECT y, CAST(COUNT(*) AS BIGINT) AS t FROM per_day GROUP BY y
+        ),
+        yrank AS (
+            SELECT y,
+                   CAST(SUM(t) OVER (ORDER BY y
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS r,
+                   CAST(SUM(t) OVER (ORDER BY y
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - t AS BIGINT) AS below
+            FROM per_y
+        ),
+        tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n FROM per_day
+        ),
+        ranked AS (
+            SELECT day, x, n, r, n - below AS l
+            FROM per_day JOIN yrank USING (y) CROSS JOIN tot
+        ),
+        stepped AS (
+            SELECT n, l,
+                   abs(LEAD(r, 1) OVER (ORDER BY x, day) - r) AS dr
+            FROM ranked
+        ),
+        agg AS (
+            SELECT n,
+                   CAST(COALESCE(SUM(dr), 0) AS BIGINT) AS sdr,
+                   CAST(SUM(l * (n - l)) AS BIGINT) AS den
+            FROM stepped GROUP BY n
+        )
+        SELECT n AS n_days, sdr AS sum_abs_dr, 2 * den AS denom2,
+               CAST(CASE WHEN den > 0 THEN round(1000.0 * (1e0
+                    - CAST(n AS DOUBLE) * sdr / (2e0 * den))) ELSE 0 END
+                    AS BIGINT) AS xi_milli
+        FROM agg
+    """

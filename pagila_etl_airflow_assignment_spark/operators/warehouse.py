@@ -7953,3 +7953,196 @@ def risk_pooling_by_brand_sql() -> str:
         FROM sigmas s JOIN pooled p ON s.brand = p.brand
         ORDER BY s.brand
     """
+
+
+# --- Wagner-Whitin optimal lot sizing ------------------------------------------------------------
+
+WW_YEAR = 1995
+WW_PERIODS = 12
+WW_SETUP_COST = 50_000  # per order, in quantity-unit-month equivalents
+WW_HOLD_COST = 1  # per unit per month carried
+WW_INF = 10**15
+
+
+def wagner_whitin_plan(lineitem: DataFrame) -> DataFrame:
+    """Wagner-Whitin optimal lot-sizing over the 12 monthly demands of
+    the fixture year: rows (month, demand_units, f_cost, order_month)
+    ordered by month — f_cost the optimal cost of covering months
+    1..month, order_month the month whose order serves this month's
+    demand in the optimal plan.
+
+    warehouse_eoq_quantity assumes STATIONARY demand; Wagner-Whitin is
+    the exact dynamic counterpart — when demand varies by month the
+    optimal plan batches orders where holding is cheap and splits where
+    it is not, and the classic solution is a shortest path on the
+    "order at i covers i..j" DAG: c_ij = K + h * sum_{t=i..j} (t-i) d_t,
+    f_j = min_i (f_{i-1} + c_ij). Twelve min-plus relaxation rounds on
+    the bounded 13-node grid solve it exactly — a dynamic program
+    expressed as relational algebra, the same discipline as the
+    eigenvector/Katz iterations.
+
+    Exactness: demands quantize to integer units; every edge cost, path
+    cost, and the argmin (smallest order month on ties) are exact
+    BIGINT min-reductions.
+
+    Scale shape: one (month) aggregate over the year scan, one bounded
+    12^3 cost-grid build, 12 relaxation rounds each a <=13-row join —
+    nothing data-sized past the first shuffle."""
+    months = (
+        lineitem.where(F.year("l_shipdate") == WW_YEAR)
+        .groupBy(F.month("l_shipdate").alias("m"))
+        .agg(
+            F.expr("CAST(round(SUM(l_quantity)) AS BIGINT)").alias("d")
+        )
+    )
+    spark = lineitem.sparkSession
+    spine = spark.range(1, WW_PERIODS + 1).select(
+        F.col("id").cast("int").alias("m")
+    )
+    dense = spine.join(months, "m", "left").select(
+        "m", F.coalesce("d", F.lit(0)).cast("long").alias("d")
+    )
+    i_j = (
+        spine.select(F.col("m").alias("i"))
+        .join(spine.select(F.col("m").alias("j")), F.col("i") <= F.col("j"))
+    )
+    edges = (
+        i_j.join(
+            dense.select(F.col("m").alias("t"), "d"),
+            (F.col("t") >= F.col("i")) & (F.col("t") <= F.col("j")),
+        )
+        .groupBy("i", "j")
+        .agg(
+            (
+                F.lit(WW_SETUP_COST)
+                + F.lit(WW_HOLD_COST)
+                * F.sum((F.col("t") - F.col("i")) * F.col("d"))
+            )
+            .cast("long")
+            .alias("cost")
+        )
+        .select(
+            (F.col("i") - 1).alias("src"), F.col("j").alias("dst"), "cost", "i"
+        )
+    )
+    nodes = spark.range(0, WW_PERIODS + 1).select(
+        F.col("id").cast("int").alias("node")
+    )
+    dist = nodes.select(
+        "node",
+        F.when(F.col("node") == 0, F.lit(0))
+        .otherwise(F.lit(WW_INF))
+        .cast("long")
+        .alias("f"),
+    )
+    edges = edges.localCheckpoint()  # bounded 78-row grid, built once
+    for _ in range(WW_PERIODS):
+        # dist is referenced twice per round (relax + merge); localCheckpoint
+        # the 13-row relation so the logical plan stays linear instead of
+        # doubling every round (the personalized-pagerank discipline)
+        dist = dist.localCheckpoint()
+        cand = (
+            dist.join(edges, dist["node"] == edges["src"])
+            .groupBy("dst")
+            .agg(F.min(F.col("f") + F.col("cost")).cast("long").alias("fc"))
+        )
+        dist = (
+            dist.join(cand, dist["node"] == cand["dst"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("f"), F.coalesce(F.col("fc"), F.lit(WW_INF))
+                ).cast("long").alias("f"),
+            )
+        )
+    dist = dist.localCheckpoint()  # referenced twice more by the backtrack
+    pred = (
+        dist.select(F.col("node").alias("src"), F.col("f").alias("fs"))
+        .join(edges, "src")
+        .join(
+            dist.select(F.col("node").alias("dst"), F.col("f").alias("fd")),
+            "dst",
+        )
+        .where(F.col("fs") + F.col("cost") == F.col("fd"))
+        .groupBy("dst", "fd")
+        .agg(F.min("i").cast("long").alias("order_month"))
+    )
+    return (
+        pred.join(dense, pred["dst"] == dense["m"])
+        .select(
+            F.col("dst").cast("long").alias("month"),
+            F.col("d").alias("demand_units"),
+            F.col("fd").alias("f_cost"),
+            "order_month",
+        )
+        .orderBy("month")
+    )
+
+
+def wagner_whitin_plan_sql() -> str:
+    # every round references the previous one twice; MATERIALIZED stops the
+    # optimizer from inlining the chain (which would expand 2^12 subtrees)
+    rounds = [
+        """d0 AS MATERIALIZED (
+            SELECT node, CASE WHEN node = 0 THEN CAST(0 AS BIGINT)
+                   ELSE CAST({inf} AS BIGINT) END AS f
+            FROM nodes
+        )""".format(inf=WW_INF)
+    ]
+    for k in range(1, WW_PERIODS + 1):
+        rounds.append(
+            f"""d{k} AS MATERIALIZED (
+            SELECT node,
+                   least(f, COALESCE((
+                       SELECT MIN(p.f + e.cost)
+                       FROM d{k - 1} p JOIN edges e ON p.node = e.src
+                       WHERE e.dst = d{k - 1}.node
+                   ), CAST({WW_INF} AS BIGINT))) AS f
+            FROM d{k - 1}
+        )"""
+        )
+    chain = ",\n        ".join(rounds)
+    return f"""
+        WITH months AS (
+            SELECT CAST(EXTRACT(month FROM l_shipdate) AS INT) AS m,
+                   CAST(round(SUM(l_quantity)) AS BIGINT) AS d
+            FROM lineitem
+            WHERE EXTRACT(year FROM l_shipdate) = {WW_YEAR}
+            GROUP BY 1
+        ),
+        spine AS (
+            SELECT unnest(generate_series(1, {WW_PERIODS})) AS m
+        ),
+        dense AS (
+            SELECT spine.m, CAST(COALESCE(d, 0) AS BIGINT) AS d
+            FROM spine LEFT JOIN months ON spine.m = months.m
+        ),
+        edges AS MATERIALIZED (
+            SELECT i - 1 AS src, j AS dst,
+                   CAST({WW_SETUP_COST} + {WW_HOLD_COST}
+                        * SUM((t.m - i) * t.d) AS BIGINT) AS cost,
+                   i
+            FROM (
+                SELECT a.m AS i, b.m AS j
+                FROM spine a JOIN spine b ON a.m <= b.m
+            ) ij
+            JOIN dense t ON t.m >= ij.i AND t.m <= ij.j
+            GROUP BY i, j
+        ),
+        nodes AS (
+            SELECT unnest(generate_series(0, {WW_PERIODS})) AS node
+        ),
+        {chain},
+        pred AS (
+            SELECT e.dst, fd.f AS fd, CAST(MIN(e.i) AS BIGINT) AS order_month
+            FROM d{WW_PERIODS} fs
+            JOIN edges e ON fs.node = e.src
+            JOIN d{WW_PERIODS} fd ON fd.node = e.dst
+            WHERE fs.f + e.cost = fd.f
+            GROUP BY e.dst, fd.f
+        )
+        SELECT CAST(pred.dst AS BIGINT) AS month, dense.d AS demand_units,
+               pred.fd AS f_cost, pred.order_month
+        FROM pred JOIN dense ON pred.dst = dense.m
+        ORDER BY month
+    """

@@ -1189,3 +1189,164 @@ def test_randomization_inference_matches_reference(spark, users):
         for r in randomization_inference(_events(spark, rows)).collect()
     ]
     assert got == [_ri_ref(users)]
+
+
+# --- Chatterjee's xi (L-530) -----------------------------------------------------------------------
+
+XI_DAYS = st.lists(
+    st.tuples(st.integers(0, 10), st.integers(0, 10)), min_size=2, max_size=20
+)
+
+
+def _xi_ref(days):
+    n = len(days)
+    ys = [y for _, y in days]
+    r = {v: sum(1 for w in ys if w <= v) for v in set(ys)}
+    l = {v: sum(1 for w in ys if w >= v) for v in set(ys)}
+    order = sorted(range(n), key=lambda i: (days[i][0], i))
+    sdr = sum(
+        abs(r[ys[order[i + 1]]] - r[ys[order[i]]]) for i in range(n - 1)
+    )
+    den = sum(l[y] * (n - l[y]) for y in ys)
+    xi = _rha(1000.0 * (1.0 - n * sdr / (2.0 * den))) if den > 0 else 0
+    return (n, sdr, 2 * den, xi)
+
+
+@settings(max_examples=12, deadline=None)
+@given(days=XI_DAYS)
+def test_chatterjee_xi_matches_reference(spark, days):
+    from pagila_etl_airflow_assignment_spark.operators.stats import (
+        chatterjee_xi_daily,
+    )
+
+    rows = []
+    for d, (c, e) in enumerate(days):
+        day = (BASE + dt.timedelta(days=d)).isoformat()
+        rows.append((d, "signup", f"{day} 08:00:00", 1.0))
+        for k in range(c):
+            rows.append((d, "click", f"{day} 10:{k:02d}:00", 1.0))
+        for k in range(e):
+            rows.append((d, "error", f"{day} 11:{k:02d}:00", 1.0))
+    got = [
+        (r["n_days"], r["sum_abs_dr"], r["denom2"], r["xi_milli"])
+        for r in chatterjee_xi_daily(_events(spark, rows)).collect()
+    ]
+    assert got == [_xi_ref(days)]
+
+
+# --- Held-out bigram perplexity (L-531) --------------------------------------------------------------
+
+PPL_DOCS = st.lists(
+    st.tuples(
+        st.sampled_from(["en", "de"]),
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc"]), min_size=2, max_size=6
+        ),
+    ),
+    min_size=2,
+    max_size=16,
+)
+
+
+def _ppl_ref(docs):
+    train, test = [], []
+    for i, (lang, words) in enumerate(docs):
+        (train if _md5i(str(i)) % 2 == 0 else test).append((lang, words))
+    cbi = Counter()
+    cuni = Counter()
+    vocab = set()
+    for _, words in train:
+        vocab.update(words)
+        for a, b in zip(words, words[1:]):
+            cbi[(a, b)] += 1
+            cuni[a] += 1
+    v = len(vocab)
+    per_lang = {}
+    for lang, words in test:
+        for a, b in zip(words, words[1:]):
+            nll = _rha(
+                1e6 * -math.log((cbi.get((a, b), 0) + 1.0) / (cuni.get(a, 0) + v))
+            )
+            n, s = per_lang.get(lang, (0, 0))
+            per_lang[lang] = (n + 1, s + nll)
+    return sorted(
+        (
+            lang,
+            n,
+            _rha(float(s) / n),
+            _rha(1000.0 * math.exp(float(s) / n / 1e6)),
+        )
+        for lang, (n, s) in per_lang.items()
+    )
+
+
+@settings(max_examples=10, deadline=None)
+@given(docs=PPL_DOCS)
+def test_heldout_perplexity_matches_reference(spark, docs):
+    from pagila_etl_airflow_assignment_spark.llm.text import (
+        heldout_bigram_perplexity,
+    )
+
+    rows = [
+        (i, " ".join(words), lang, "web", 100)
+        for i, (lang, words) in enumerate(docs)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = [
+        (r["lang"], r["n_bigrams"], r["avg_nll_micro"], r["ppl_milli"])
+        for r in heldout_bigram_perplexity(df).collect()
+    ]
+    ref = _ppl_ref(docs)
+    # a train half with no bigrams still defines v=0 smoothing; the device
+    # and reference share that convention exactly
+    assert got == ref
+
+
+# --- Wagner-Whitin (L-532) ----------------------------------------------------------------------------
+
+WW_DEMANDS = st.lists(st.integers(0, 2000), min_size=12, max_size=12)
+
+
+def _ww_ref(demands, K=50_000, h=1):
+    T = 12
+    d = [0] + list(demands)
+    INF = 10**15
+    cost = {}
+    for i in range(1, T + 1):
+        for j in range(i, T + 1):
+            cost[(i, j)] = K + h * sum((t - i) * d[t] for t in range(i, j + 1))
+    f = [0] + [INF] * T
+    for j in range(1, T + 1):
+        f[j] = min(f[i - 1] + cost[(i, j)] for i in range(1, j + 1))
+    out = []
+    for j in range(1, T + 1):
+        om = min(
+            i for i in range(1, j + 1) if f[i - 1] + cost[(i, j)] == f[j]
+        )
+        out.append((j, d[j], f[j], om))
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(demands=WW_DEMANDS)
+def test_wagner_whitin_matches_reference(spark, demands):
+    from pagila_etl_airflow_assignment_spark.operators.warehouse import (
+        wagner_whitin_plan,
+    )
+
+    rows = []
+    k = 0
+    for m, dem in enumerate(demands, start=1):
+        # one line per month carrying the whole demand as quantity
+        rows.append((k, f"1995-{m:02d}-15 00:00:00", float(dem)))
+        k += 1
+    df = spark.createDataFrame(
+        rows, "l_orderkey long, l_shipdate string, l_quantity double"
+    ).withColumn("l_shipdate", F.to_timestamp("l_shipdate"))
+    got = [
+        (r["month"], r["demand_units"], r["f_cost"], r["order_month"])
+        for r in wagner_whitin_plan(df).collect()
+    ]
+    assert got == _ww_ref(demands)

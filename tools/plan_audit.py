@@ -386,6 +386,11 @@ ALLOWED: dict[str, set[str]] = {
     "text_krippendorff_alpha": {"BroadcastNestedLoopJoin"},
     "sampling_raking_ipf": {"BroadcastNestedLoopJoin"},
     "warehouse_ivm_minmax": {"BroadcastNestedLoopJoin"},
+    # round-10c dependence/LM/optimization devices (L-530..532): 1-row N
+    # broadcasts, the vocab scalar, and the bounded 13-node DAG relaxation
+    "events_chatterjee_xi": {"BroadcastNestedLoopJoin"},
+    "text_heldout_perplexity": {"BroadcastNestedLoopJoin"},
+    "warehouse_wagner_whitin": {"BroadcastNestedLoopJoin"},
 }
 
 PATTERNS = ("CartesianProduct", "BatchEvalPython", "BroadcastNestedLoopJoin")

@@ -501,6 +501,9 @@ PROBES = [
     "events_decision_stump",
     "events_regression_discontinuity",
     "events_randomization_inference",
+    "events_chatterjee_xi",
+    "text_heldout_perplexity",
+    "warehouse_wagner_whitin",
 ]
 
 
