@@ -3421,3 +3421,24 @@ def q_wagner_whitin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wagner-Whitin optimal lot sizing — the order-covers-range DAG
     shortest path solved by 12 exact min-plus relaxation rounds."""
     return warehouse.wagner_whitin_plan(load_table(spark, sf_dir, "lineitem"))
+
+
+@register("events_dp_user_level", oracle=stats.dp_user_level_counts_sql())
+def q_dp_user_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-level DP release: per-user contribution clamped, Laplace at
+    cap/epsilon — the protection unit privacy reviews demand."""
+    return stats.dp_user_level_counts(load_table(spark, sf_dir, "events"))
+
+
+@register("events_qini_uplift", oracle=stats.qini_uplift_curve_sql())
+def q_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini uplift curve: cumulative treated-minus-scaled-control
+    converts by score decile — who to target, not just the ATE."""
+    return stats.qini_uplift_curve(load_table(spark, sf_dir, "events"))
+
+
+@register("events_yuen_trimmed", oracle=stats.yuen_trimmed_test_sql())
+def q_yuen_trimmed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yuen's 20%-trimmed-mean test with winsorized variance — robust
+    mean comparison that survives the heavy tails."""
+    return stats.yuen_trimmed_test(load_table(spark, sf_dir, "events"))

@@ -13241,3 +13241,458 @@ def chatterjee_xi_daily_sql() -> str:
                     AS BIGINT) AS xi_milli
         FROM agg
     """
+
+
+# --- User-level differential privacy release ------------------------------------------------------
+
+DP_USER_CAP = 5
+DP_USER_EPSILON_MILLI = 1000  # epsilon = 1.0
+
+
+def dp_user_level_counts(
+    events: DataFrame,
+    cap: int = DP_USER_CAP,
+    epsilon_milli: int = DP_USER_EPSILON_MILLI,
+) -> DataFrame:
+    """User-level DP release of per-type event counts: rows (event_type,
+    true_n, clamped_n, noise_milli, noisy_n) ordered by event_type.
+
+    text_dp_noisy_counts protects ROWS (sensitivity 1); protecting USERS
+    is the guarantee privacy reviews actually demand, and it needs the
+    step row-level DP skips: bound each user's contribution FIRST
+    (clamp their per-type count at ``cap``), which fixes the user
+    sensitivity at cap and prices the Laplace scale b = cap/epsilon.
+    The clamped-vs-true gap ships as the visible bias the release
+    trades for the stronger unit of protection.
+
+    DETERMINISM NOTE (the dp_noisy_counts convention): the Laplace draw
+    is inverse-CDF on the hash-uniform u = (md5(type) + 0.5)/2^60 —
+    bit-reproducible in both engines; production swaps only the uniform
+    source.
+
+    Scale shape: one (user, type) aggregate, one (type) rollup, narrow
+    per-row hash math — nothing data-sized past the first shuffle."""
+    from ..llm.hashing import md5_int
+
+    per_ut = events.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    per_t = per_ut.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("true_n"),
+        F.sum(F.least(F.col("c"), F.lit(cap))).cast("long").alias("clamped_n"),
+    )
+    b_milli = (
+        F.lit(cap * 1000 * 1000).cast("double")
+        / F.lit(epsilon_milli).cast("double")
+    )
+    u = (
+        md5_int(F.col("event_type")).cast("double") + F.lit(0.5)
+    ) / F.lit(float(1 << 60))
+    centered = u - F.lit(0.5)
+    noise_milli = F.round(
+        -b_milli
+        * F.signum(centered)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(centered))
+    ).cast("long")
+    return (
+        per_t.select(
+            "event_type", "true_n", "clamped_n", noise_milli.alias("noise_milli")
+        )
+        .select(
+            "event_type",
+            "true_n",
+            "clamped_n",
+            "noise_milli",
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.col("clamped_n")
+                + F.expr(
+                    "CAST(CASE WHEN noise_milli < 0 THEN"
+                    " -((-noise_milli + 500) DIV 1000)"
+                    " ELSE (noise_milli + 500) DIV 1000 END AS BIGINT)"
+                ),
+            ).alias("noisy_n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def dp_user_level_counts_sql(
+    cap: int = DP_USER_CAP, epsilon_milli: int = DP_USER_EPSILON_MILLI
+) -> str:
+    from ..llm.hashing import md5_int_sql
+
+    u = f"(({md5_int_sql('event_type')}) + 0.5) / {float(1 << 60)}"
+    return f"""
+        WITH per_ut AS (
+            SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY user_id, event_type
+        ),
+        per_t AS (
+            SELECT event_type,
+                   CAST(SUM(c) AS BIGINT) AS true_n,
+                   CAST(SUM(least(c, {cap})) AS BIGINT) AS clamped_n
+            FROM per_ut GROUP BY event_type
+        ),
+        noised AS (
+            SELECT event_type, true_n, clamped_n,
+                   CAST(round(-({cap * 1000 * 1000} / {epsilon_milli}.0)
+                        * sign(({u}) - 0.5)
+                        * ln(1.0 - 2.0 * abs(({u}) - 0.5))) AS BIGINT)
+                       AS noise_milli
+            FROM per_t
+        )
+        SELECT event_type, true_n, clamped_n, noise_milli,
+               greatest(CAST(0 AS BIGINT), clamped_n
+                   + CAST(CASE WHEN noise_milli < 0 THEN
+                         -((-noise_milli + 500) // 1000)
+                         ELSE (noise_milli + 500) // 1000 END AS BIGINT))
+                   AS noisy_n
+        FROM noised
+        ORDER BY event_type
+    """
+
+
+# --- Qini uplift curve ------------------------------------------------------------------------------
+
+QINI_DECILES = 10
+
+
+def qini_uplift_curve(events: DataFrame) -> DataFrame:
+    """Qini uplift curve of click volume as a targeting score for the
+    parity variant: rows (decile, n_t, n_c, conv_t, conv_c, qini_micro)
+    ordered by decile.
+
+    events_welch_ab_test prices the AVERAGE effect; uplift modeling asks
+    WHO to target — rank users by score, and at each cumulative decile
+    compare treated converters against the control converters scaled to
+    the treated exposure: Qini(d) = conv_T(d) - conv_C(d) * N_T(d) /
+    N_C(d). A curve above the diagonal means the score finds the
+    persuadables; the area is the standard uplift-model metric.
+
+    Exactness: the decile assignment is an exact integer rank formula
+    ((rank-1)*10 DIV n) on the deterministic (score DESC, user) order;
+    all cumulative counts are integers; one micro division per decile
+    row.
+
+    Scale shape: one user-grain aggregate, one rank window over the
+    user-grain relation, one <=10-row cumulative rollup."""
+    per_user = events.groupBy("user_id").agg(
+        F.sum((F.col("event_type") == "click").cast("long"))
+        .cast("long")
+        .alias("score"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("conv"),
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("user_id").asc())
+    tot = per_user.agg(F.count("*").cast("long").alias("n"))
+    ranked = per_user.crossJoin(F.broadcast(tot)).select(
+        (F.col("user_id") % 2 == 1).alias("treat"),
+        "conv",
+        F.expr(
+            f"CAST((CAST(ROW_NUMBER() OVER (ORDER BY score DESC, user_id ASC)"
+            f" AS BIGINT) - 1) * {QINI_DECILES} AS BIGINT) DIV n + 1"
+        ).alias("decile"),
+    )
+    per_d = ranked.groupBy("decile").agg(
+        F.sum(F.col("treat").cast("long")).cast("long").alias("nt"),
+        F.sum((~F.col("treat")).cast("long")).cast("long").alias("nc"),
+        F.sum(F.when(F.col("treat"), F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("ct"),
+        F.sum(F.when(~F.col("treat"), F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("cc"),
+    )
+    wd = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_d.select(
+            "decile",
+            F.sum("nt").over(wd).cast("long").alias("n_t"),
+            F.sum("nc").over(wd).cast("long").alias("n_c"),
+            F.sum("ct").over(wd).cast("long").alias("conv_t"),
+            F.sum("cc").over(wd).cast("long").alias("conv_c"),
+        )
+        .select(
+            "decile",
+            "n_t",
+            "n_c",
+            "conv_t",
+            "conv_c",
+            F.expr(
+                "CAST(CASE WHEN n_c > 0 THEN round(1e6 * (conv_t"
+                " - CAST(conv_c AS DOUBLE) * n_t / n_c)) ELSE 0 END"
+                " AS BIGINT)"
+            ).alias("qini_micro"),
+        )
+        .orderBy("decile")
+    )
+
+
+def qini_uplift_curve_sql() -> str:
+    return f"""
+        WITH per_user AS (
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+                       END) AS BIGINT) AS score,
+                   CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                       END) AS BIGINT) AS conv
+            FROM events GROUP BY user_id
+        ),
+        tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n FROM per_user
+        ),
+        ranked AS (
+            SELECT (user_id % 2 = 1) AS treat, conv,
+                   (CAST(ROW_NUMBER() OVER (ORDER BY score DESC, user_id ASC)
+                        AS BIGINT) - 1) * {QINI_DECILES} // n + 1 AS decile
+            FROM per_user CROSS JOIN tot
+        ),
+        per_d AS (
+            SELECT decile,
+                   CAST(SUM(CASE WHEN treat THEN 1 ELSE 0 END) AS BIGINT)
+                       AS nt,
+                   CAST(SUM(CASE WHEN NOT treat THEN 1 ELSE 0 END) AS BIGINT)
+                       AS nc,
+                   CAST(SUM(CASE WHEN treat THEN conv ELSE 0 END) AS BIGINT)
+                       AS ct,
+                   CAST(SUM(CASE WHEN NOT treat THEN conv ELSE 0 END)
+                       AS BIGINT) AS cc
+            FROM ranked GROUP BY decile
+        ),
+        cums AS (
+            SELECT decile,
+                   CAST(SUM(nt) OVER (ORDER BY decile
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS n_t,
+                   CAST(SUM(nc) OVER (ORDER BY decile
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS n_c,
+                   CAST(SUM(ct) OVER (ORDER BY decile
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS conv_t,
+                   CAST(SUM(cc) OVER (ORDER BY decile
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS conv_c
+            FROM per_d
+        )
+        SELECT decile, n_t, n_c, conv_t, conv_c,
+               CAST(CASE WHEN n_c > 0 THEN round(1e6 * (conv_t
+                    - CAST(conv_c AS DOUBLE) * n_t / n_c)) ELSE 0 END
+                    AS BIGINT) AS qini_micro
+        FROM cums
+        ORDER BY decile
+    """
+
+
+# --- Yuen's trimmed-mean test -------------------------------------------------------------------
+
+
+def yuen_trimmed_test(events: DataFrame) -> DataFrame:
+    """Yuen's 20%-trimmed-mean test of weekend vs weekday event values:
+    one row (n_weekday, n_weekend, h_weekday, h_weekend,
+    tdiff_micro, t_milli, df_milli).
+
+    events_welch_ab_test compares raw means (heavy tails wreck both the
+    estimate and its SE); events_brunner_munzel abandons means entirely.
+    Yuen's test keeps the mean INTERPRETATION but robustifies it: trim
+    the top and bottom 20% per group, compare trimmed means, and
+    studentize with the WINSORIZED variance (the correct pairing —
+    trimmed mean's variance is the winsorized one, not the trimmed
+    one). t = (tm1 - tm2)/sqrt(d1 + d2), d_g = (n_g-1)s2w_g/(h_g(h_g-1))
+    with h = n - 2g the kept count; Welch-Satterthwaite df.
+
+    Exactness: per-cell rank-block overlaps with the kept window give
+    EXACT integer trimmed/winsorized sums off the cents grid (no
+    per-row clipping pass); the t/df chain is one identical double
+    chain at the 1-row emit.
+
+    Scale shape: one (group, cents) aggregate, one cumulative window
+    per group on that grid, one 2-row order-statistic broadcast, one
+    bounded reduction."""
+    g = (F.dayofweek("ts").isin(1, 7)).cast("int")
+    cents = F.expr("CAST(round(value * 100) AS BIGINT)")
+    vals = events.select(g.alias("g"), cents.alias("c"))
+    per_gc = vals.groupBy("g", "c").agg(F.count("*").cast("long").alias("t"))
+    wg = (
+        Window.partitionBy("g")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cums = per_gc.select(
+        "g", "c", "t", F.sum("t").over(wg).cast("long").alias("cum")
+    )
+    grp = per_gc.groupBy("g").agg(F.sum("t").cast("long").alias("n"))
+    bounds = (
+        cums.join(grp, "g")
+        .groupBy("g", "n")
+        .agg(
+            F.min(
+                F.when(F.col("cum") >= F.expr("n DIV 5 + 1"), F.col("c"))
+            ).alias("lo"),
+            F.min(
+                F.when(F.col("cum") >= F.expr("n - n DIV 5"), F.col("c"))
+            ).alias("hi"),
+        )
+        .select("g", "n", F.expr("n DIV 5").alias("gt"), "lo", "hi")
+    )
+    cells = cums.join(bounds, "g").select(
+        "g",
+        "n",
+        "gt",
+        "lo",
+        "hi",
+        F.expr(
+            "greatest(CAST(0 AS BIGINT), least(cum, n - gt)"
+            " - greatest(cum - t + 1, gt + 1) + 1)"
+        ).alias("ov"),
+        "c",
+    )
+    sums = cells.groupBy("g", "n", "gt", "lo", "hi").agg(
+        F.sum(F.col("c") * F.col("ov")).cast("long").alias("ts"),
+        F.sum(
+            F.col("c").cast("decimal(38,0)") * F.col("c") * F.col("ov")
+        )
+        .cast("decimal(38,0)")
+        .alias("tsq"),
+    )
+    dexpr = (
+        "CASE WHEN n - 2 * gt > 1 AND n > 1 THEN"
+        " (CAST(n AS DOUBLE) - 1)"
+        " * ((CAST(tsq AS DOUBLE) + gt * (CAST(lo AS DOUBLE) * lo"
+        "     + CAST(hi AS DOUBLE) * hi)"
+        "     - (CAST(ts AS DOUBLE) + gt * (CAST(lo AS DOUBLE) + hi))"
+        "       * (CAST(ts AS DOUBLE) + gt * (CAST(lo AS DOUBLE) + hi)) / n)"
+        "    / (n - 1))"
+        " / ((CAST(n AS DOUBLE) - 2 * gt) * (n - 2 * gt - 1))"
+        " ELSE 0e0 END"
+    )
+    one = sums.select(
+        "g",
+        "n",
+        (F.col("n") - 2 * F.col("gt")).alias("h"),
+        F.expr(
+            "CASE WHEN n - 2 * gt > 0 THEN"
+            " CAST(ts AS DOUBLE) / (n - 2 * gt) ELSE 0e0 END"
+        ).alias("tm"),
+        F.expr(dexpr).alias("d"),
+    ).agg(
+        F.max(F.when(F.col("g") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("g") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("g") == 0, F.col("h"))).alias("h0"),
+        F.max(F.when(F.col("g") == 1, F.col("h"))).alias("h1"),
+        F.max(F.when(F.col("g") == 0, F.col("tm"))).alias("tm0"),
+        F.max(F.when(F.col("g") == 1, F.col("tm"))).alias("tm1"),
+        F.max(F.when(F.col("g") == 0, F.col("d"))).alias("d0"),
+        F.max(F.when(F.col("g") == 1, F.col("d"))).alias("d1"),
+    )
+    return one.select(
+        F.col("n0").alias("n_weekday"),
+        F.col("n1").alias("n_weekend"),
+        F.col("h0").alias("h_weekday"),
+        F.col("h1").alias("h_weekend"),
+        F.expr("CAST(round(1e6 * (tm1 - tm0) / 100e0) AS BIGINT)").alias(
+            "tdiff_micro"
+        ),
+        F.expr(
+            "CAST(CASE WHEN d0 + d1 > 0e0 THEN"
+            " round(1000.0 * (tm1 - tm0) / sqrt(d0 + d1))"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("t_milli"),
+        F.expr(
+            "CAST(CASE WHEN h0 > 1 AND h1 > 1"
+            " AND d0 * d0 / (h0 - 1) + d1 * d1 / (h1 - 1) > 0e0"
+            " THEN round(1000.0 * (d0 + d1) * (d0 + d1)"
+            "  / (d0 * d0 / (h0 - 1) + d1 * d1 / (h1 - 1)))"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("df_milli"),
+    )
+
+
+def yuen_trimmed_test_sql() -> str:
+    dexpr = (
+        "CASE WHEN n - 2 * gt > 1 AND n > 1 THEN"
+        " (CAST(n AS DOUBLE) - 1)"
+        " * ((CAST(tsq AS DOUBLE) + gt * (CAST(lo AS DOUBLE) * lo"
+        "     + CAST(hi AS DOUBLE) * hi)"
+        "     - (CAST(ts AS DOUBLE) + gt * (CAST(lo AS DOUBLE) + hi))"
+        "       * (CAST(ts AS DOUBLE) + gt * (CAST(lo AS DOUBLE) + hi)) / n)"
+        "    / (n - 1))"
+        " / ((CAST(n AS DOUBLE) - 2 * gt) * (n - 2 * gt - 1))"
+        " ELSE 0e0 END"
+    )
+    return f"""
+        WITH vals AS (
+            SELECT CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS g,
+                   CAST(round(value * 100) AS BIGINT) AS c
+            FROM events
+        ),
+        per_gc AS (
+            SELECT g, c, CAST(COUNT(*) AS BIGINT) AS t
+            FROM vals GROUP BY g, c
+        ),
+        cums AS (
+            SELECT g, c, t,
+                   CAST(SUM(t) OVER (PARTITION BY g ORDER BY c
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS cum
+            FROM per_gc
+        ),
+        grp AS (
+            SELECT g, CAST(SUM(t) AS BIGINT) AS n FROM per_gc GROUP BY g
+        ),
+        bounds AS (
+            SELECT g, n, n // 5 AS gt,
+                   MIN(CASE WHEN cum >= n // 5 + 1 THEN c END) AS lo,
+                   MIN(CASE WHEN cum >= n - n // 5 THEN c END) AS hi
+            FROM cums JOIN grp USING (g)
+            GROUP BY g, n
+        ),
+        cells AS (
+            SELECT cums.g, n, gt, lo, hi,
+                   greatest(CAST(0 AS BIGINT), least(cum, n - gt)
+                       - greatest(cum - t + 1, gt + 1) + 1) AS ov,
+                   c
+            FROM cums JOIN bounds ON cums.g = bounds.g
+        ),
+        sums AS (
+            SELECT g, n, gt, lo, hi,
+                   CAST(SUM(c * ov) AS BIGINT) AS ts,
+                   SUM(CAST(c AS HUGEINT) * c * ov) AS tsq
+            FROM cells GROUP BY g, n, gt, lo, hi
+        ),
+        one AS (
+            SELECT g, n, n - 2 * gt AS h,
+                   CASE WHEN n - 2 * gt > 0 THEN
+                       CAST(ts AS DOUBLE) / (n - 2 * gt) ELSE 0e0 END AS tm,
+                   {dexpr} AS d
+            FROM sums
+        ),
+        piv AS (
+            SELECT MAX(CASE WHEN g = 0 THEN n END) AS n0,
+                   MAX(CASE WHEN g = 1 THEN n END) AS n1,
+                   MAX(CASE WHEN g = 0 THEN h END) AS h0,
+                   MAX(CASE WHEN g = 1 THEN h END) AS h1,
+                   MAX(CASE WHEN g = 0 THEN tm END) AS tm0,
+                   MAX(CASE WHEN g = 1 THEN tm END) AS tm1,
+                   MAX(CASE WHEN g = 0 THEN d END) AS d0,
+                   MAX(CASE WHEN g = 1 THEN d END) AS d1
+            FROM one
+        )
+        SELECT n0 AS n_weekday, n1 AS n_weekend,
+               h0 AS h_weekday, h1 AS h_weekend,
+               CAST(round(1e6 * (tm1 - tm0) / 100e0) AS BIGINT)
+                   AS tdiff_micro,
+               CAST(CASE WHEN d0 + d1 > 0e0 THEN
+                    round(1000.0 * (tm1 - tm0) / sqrt(d0 + d1))
+                    ELSE 0 END AS BIGINT) AS t_milli,
+               CAST(CASE WHEN h0 > 1 AND h1 > 1
+                    AND d0 * d0 / (h0 - 1) + d1 * d1 / (h1 - 1) > 0e0
+                    THEN round(1000.0 * (d0 + d1) * (d0 + d1)
+                     / (d0 * d0 / (h0 - 1) + d1 * d1 / (h1 - 1)))
+                    ELSE 0 END AS BIGINT) AS df_milli
+        FROM piv
+    """

@@ -1350,3 +1350,198 @@ def test_wagner_whitin_matches_reference(spark, demands):
         for r in wagner_whitin_plan(df).collect()
     ]
     assert got == _ww_ref(demands)
+
+
+# --- User-level DP (L-533) ------------------------------------------------------------------------
+
+DPU_USERS = st.lists(
+    st.tuples(st.integers(0, 8), st.integers(0, 8)), min_size=1, max_size=15
+)
+
+
+def _dpu_ref(users, cap=5, eps_milli=1000):
+    out = []
+    for etype in ("click", "error"):
+        idx = 0 if etype == "click" else 1
+        counts = [u[idx] for u in users if u[idx] > 0]
+        if not counts:
+            continue
+        true_n = sum(counts)
+        clamped = sum(min(c, cap) for c in counts)
+        u = (_md5i(etype) + 0.5) / float(1 << 60)
+        cen = u - 0.5
+        b = cap * 1000 * 1000 / eps_milli
+        noise = _rha(
+            -b * math.copysign(1.0, cen) * math.log(1.0 - 2.0 * abs(cen))
+        )
+        step = (
+            -((-noise + 500) // 1000) if noise < 0 else (noise + 500) // 1000
+        )
+        out.append((etype, true_n, clamped, noise, max(0, clamped + step)))
+    return sorted(out)
+
+
+@settings(max_examples=12, deadline=None)
+@given(users=DPU_USERS)
+def test_dp_user_level_matches_reference(spark, users):
+    from pagila_etl_airflow_assignment_spark.operators.stats import (
+        dp_user_level_counts,
+    )
+
+    rows = []
+    for u, (nc, ne) in enumerate(users):
+        for k in range(nc):
+            rows.append((u, "click", f"{BASE.isoformat()} 10:{k:02d}:00", 1.0))
+        for k in range(ne):
+            rows.append((u, "error", f"{BASE.isoformat()} 11:{k:02d}:00", 1.0))
+    if not rows:
+        return
+    got = [
+        (
+            r["event_type"],
+            r["true_n"],
+            r["clamped_n"],
+            r["noise_milli"],
+            r["noisy_n"],
+        )
+        for r in dp_user_level_counts(_events(spark, rows)).collect()
+    ]
+    assert got == _dpu_ref(users)
+
+
+# --- Qini uplift (L-534) --------------------------------------------------------------------------
+
+QINI_USERS = st.lists(
+    st.tuples(st.integers(0, 9), st.booleans()), min_size=2, max_size=24
+)
+
+
+def _qini_ref(users):
+    per = []
+    for u, (score_clicks, conv) in enumerate(users):
+        score = score_clicks
+        per.append((u, score, 1 if conv else 0))
+    n = len(per)
+    order = sorted(per, key=lambda r: (-r[1], r[0]))
+    cum = {}
+    for rank, (u, score, conv) in enumerate(order, start=1):
+        d = (rank - 1) * 10 // n + 1
+        nt, nc, ct, cc = cum.get(d, (0, 0, 0, 0))
+        if u % 2 == 1:
+            nt += 1
+            ct += conv
+        else:
+            nc += 1
+            cc += conv
+        cum[d] = (nt, nc, ct, cc)
+    out = []
+    ant = anc = act = acc = 0
+    for d in sorted(cum):
+        nt, nc, ct, cc = cum[d]
+        ant += nt
+        anc += nc
+        act += ct
+        acc += cc
+        q = _rha(1e6 * (act - acc * ant / anc)) if anc > 0 else 0
+        out.append((d, ant, anc, act, acc, q))
+    return out
+
+
+@settings(max_examples=12, deadline=None)
+@given(users=QINI_USERS)
+def test_qini_matches_reference(spark, users):
+    from pagila_etl_airflow_assignment_spark.operators.stats import (
+        qini_uplift_curve,
+    )
+
+    rows = []
+    for u, (clicks, conv) in enumerate(users):
+        rows.append((u, "signup", f"{BASE.isoformat()} 08:00:00", 1.0))
+        for k in range(clicks):
+            rows.append((u, "click", f"{BASE.isoformat()} 10:{k:02d}:00", 1.0))
+        if conv:
+            rows.append((u, "purchase", f"{BASE.isoformat()} 12:00:00", 1.0))
+    got = [
+        (r["decile"], r["n_t"], r["n_c"], r["conv_t"], r["conv_c"], r["qini_micro"])
+        for r in qini_uplift_curve(_events(spark, rows)).collect()
+    ]
+    assert got == _qini_ref(users)
+
+
+# --- Yuen's trimmed test (L-535) --------------------------------------------------------------------
+
+YUEN_OBS = st.lists(
+    st.tuples(st.booleans(), st.integers(-8, 8)), min_size=2, max_size=24
+).filter(lambda o: any(g for g, _ in o) and any(not g for g, _ in o))
+
+
+def _yuen_group(cs):
+    n = len(cs)
+    gt = n // 5
+    xs = sorted(cs)
+    lo = xs[gt]
+    hi = xs[n - gt - 1]
+    kept = xs[gt : n - gt]
+    h = n - 2 * gt
+    ts = sum(kept)
+    tsq = sum(x * x for x in kept)
+    tm = ts / h if h > 0 else 0.0
+    if h > 1 and n > 1:
+        sw = float(ts) + gt * (float(lo) + hi)
+        sww = float(tsq) + gt * (float(lo) * lo + float(hi) * hi)
+        d = (float(n) - 1) * ((sww - sw * sw / n) / (n - 1)) / (
+            float(h) * (h - 1)
+        )
+    else:
+        d = 0.0
+    return n, h, tm, d
+
+
+def _yuen_ref(obs):
+    g0 = [c for g, c in obs if not g]
+    g1 = [c for g, c in obs if g]
+    n0, h0, tm0, d0 = _yuen_group(g0)
+    n1, h1, tm1, d1 = _yuen_group(g1)
+    tdiff = _rha(1e6 * (tm1 - tm0) / 100.0)
+    t = (
+        _rha(1000.0 * (tm1 - tm0) / math.sqrt(d0 + d1))
+        if d0 + d1 > 0
+        else 0
+    )
+    dfden = (
+        d0 * d0 / (h0 - 1) + d1 * d1 / (h1 - 1)
+        if h0 > 1 and h1 > 1
+        else 0.0
+    )
+    df = (
+        _rha(1000.0 * (d0 + d1) ** 2 / dfden)
+        if h0 > 1 and h1 > 1 and dfden > 0
+        else 0
+    )
+    return (n0, n1, h0, h1, tdiff, t, df)
+
+
+@settings(max_examples=12, deadline=None)
+@given(obs=YUEN_OBS)
+def test_yuen_matches_reference(spark, obs):
+    from pagila_etl_airflow_assignment_spark.operators.stats import (
+        yuen_trimmed_test,
+    )
+
+    rows = []
+    for i, (g, c) in enumerate(obs):
+        day = (BASE + dt.timedelta(days=5 if g else 0)).isoformat()
+        rows.append((i, "click", f"{day} 10:{i % 60:02d}:00", c / 100.0))
+    got = [
+        (
+            r["n_weekday"],
+            r["n_weekend"],
+            r["h_weekday"],
+            r["h_weekend"],
+            r["tdiff_micro"],
+            r["t_milli"],
+            r["df_milli"],
+        )
+        for r in yuen_trimmed_test(_events(spark, rows)).collect()
+    ]
+    assert got == [_yuen_ref(obs)]

@@ -391,6 +391,11 @@ ALLOWED: dict[str, set[str]] = {
     "events_chatterjee_xi": {"BroadcastNestedLoopJoin"},
     "text_heldout_perplexity": {"BroadcastNestedLoopJoin"},
     "warehouse_wagner_whitin": {"BroadcastNestedLoopJoin"},
+    # round-10c privacy/uplift/robust devices (L-533..535): 1-row totals
+    # and 2-row order-statistic scalar broadcasts
+    "events_dp_user_level": {"BroadcastNestedLoopJoin"},
+    "events_qini_uplift": {"BroadcastNestedLoopJoin"},
+    "events_yuen_trimmed": {"BroadcastNestedLoopJoin"},
 }
 
 PATTERNS = ("CartesianProduct", "BatchEvalPython", "BroadcastNestedLoopJoin")

@@ -504,6 +504,9 @@ PROBES = [
     "events_chatterjee_xi",
     "text_heldout_perplexity",
     "warehouse_wagner_whitin",
+    "events_dp_user_level",
+    "events_qini_uplift",
+    "events_yuen_trimmed",
 ]
 
 
