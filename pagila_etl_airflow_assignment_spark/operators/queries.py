@@ -3442,3 +3442,26 @@ def q_yuen_trimmed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Yuen's 20%-trimmed-mean test with winsorized variance — robust
     mean comparison that survives the heavy tails."""
     return stats.yuen_trimmed_test(load_table(spark, sf_dir, "events"))
+
+
+@register("events_wasserstein_hourly", oracle=stats.wasserstein_hourly_sql())
+def q_wasserstein_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Wasserstein distance between click and error intraday
+    profiles — transport distance, not pointwise bin comparison."""
+    return stats.wasserstein_hourly(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "events_energy_distance", oracle=stats.energy_distance_weekend_sql()
+)
+def q_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Szekely's energy distance, weekend vs weekday values — the
+    quadratic pair statistic reduced to one cumulative grid pass."""
+    return stats.energy_distance_weekend(load_table(spark, sf_dir, "events"))
+
+
+@register("warehouse_silver_meal", oracle=warehouse.silver_meal_plan_sql())
+def q_silver_meal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silver-Meal heuristic lot sizing priced against the Wagner-Whitin
+    optimum — heuristic, optimum, and the gap in one device."""
+    return warehouse.silver_meal_plan(load_table(spark, sf_dir, "lineitem"))

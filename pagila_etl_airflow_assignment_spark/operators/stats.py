@@ -13696,3 +13696,284 @@ def yuen_trimmed_test_sql() -> str:
                     ELSE 0 END AS BIGINT) AS df_milli
         FROM piv
     """
+
+
+# --- 1-D Wasserstein (earth mover's) distance -----------------------------------------------------
+
+
+def wasserstein_hourly(events: DataFrame) -> DataFrame:
+    """1-D Wasserstein-1 (earth mover's) distance between the click and
+    error hour-of-day profiles: one row (n_x, n_y, emd_micro).
+
+    events_hellinger_hourly and psi_drift compare bins POINTWISE — they
+    cannot tell "shifted by one hour" from "scrambled"; W1 is the
+    transport metric that can: on the dense 24-bin grid it is exactly
+    sum_h |CDF_x(h) - CDF_y(h)| (in hours of mass-distance), the number
+    drift dashboards want when the question is HOW FAR the load moved,
+    not just whether it differs.
+
+    Exactness: fully integer until the emit — both CDFs ride the
+    densified 24-row grid as cumulative counts, the sum of absolute
+    normalized-count differences uses the cross-multiplied form
+    |n_y*cum_x - n_x*cum_y| so no per-bin float division happens.
+
+    Scale shape: one (hour) conditional aggregate densified against a
+    24-row literal spine, one cumulative window on that grid, one 1-row
+    reduction."""
+    per_h = events.groupBy(F.hour("ts").alias("h")).agg(
+        F.sum((F.col("event_type") == "click").cast("long"))
+        .cast("long")
+        .alias("x"),
+        F.sum((F.col("event_type") == "error").cast("long"))
+        .cast("long")
+        .alias("y"),
+    )
+    spine = events.sparkSession.range(24).select(
+        F.col("id").cast("int").alias("h")
+    )
+    dense = spine.join(per_h, "h", "left").select(
+        "h",
+        F.coalesce("x", F.lit(0)).alias("x"),
+        F.coalesce("y", F.lit(0)).alias("y"),
+    )
+    wc = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
+    cums = dense.select(
+        "h",
+        F.sum("x").over(wc).cast("long").alias("cx"),
+        F.sum("y").over(wc).cast("long").alias("cy"),
+    )
+    tot = dense.agg(
+        F.sum("x").cast("long").alias("nx"),
+        F.sum("y").cast("long").alias("ny"),
+    )
+    return (
+        cums.crossJoin(F.broadcast(tot))
+        .where(F.col("h") < 23)
+        .groupBy("nx", "ny")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("ny").cast("decimal(38,0)") * F.col("cx")
+                    - F.col("nx").cast("decimal(38,0)") * F.col("cy")
+                )
+            )
+            .cast("decimal(38,0)")
+            .alias("s")
+        )
+        .select(
+            F.col("nx").alias("n_x"),
+            F.col("ny").alias("n_y"),
+            F.expr(
+                "CAST(CASE WHEN nx > 0 AND ny > 0 THEN round(1e6"
+                " * CAST(s AS DOUBLE) / (CAST(nx AS DOUBLE) * ny))"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("emd_micro"),
+        )
+    )
+
+
+def wasserstein_hourly_sql() -> str:
+    return """
+        WITH per_h AS (
+            SELECT CAST(EXTRACT(hour FROM ts) AS INT) AS h,
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+                       END) AS BIGINT) AS x,
+                   CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0
+                       END) AS BIGINT) AS y
+            FROM events GROUP BY 1
+        ),
+        spine AS (
+            SELECT unnest(generate_series(0, 23)) AS h
+        ),
+        dense AS (
+            SELECT spine.h,
+                   CAST(COALESCE(x, 0) AS BIGINT) AS x,
+                   CAST(COALESCE(y, 0) AS BIGINT) AS y
+            FROM spine LEFT JOIN per_h ON spine.h = per_h.h
+        ),
+        cums AS (
+            SELECT h,
+                   CAST(SUM(x) OVER (ORDER BY h
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS cx,
+                   CAST(SUM(y) OVER (ORDER BY h
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS cy
+            FROM dense
+        ),
+        tot AS (
+            SELECT CAST(SUM(x) AS BIGINT) AS nx,
+                   CAST(SUM(y) AS BIGINT) AS ny
+            FROM dense
+        )
+        SELECT nx AS n_x, ny AS n_y,
+               CAST(CASE WHEN nx > 0 AND ny > 0 THEN round(1e6
+                    * CAST(SUM(abs(CAST(ny AS HUGEINT) * cx
+                                   - CAST(nx AS HUGEINT) * cy)) AS DOUBLE)
+                    / (CAST(nx AS DOUBLE) * ny))
+                    ELSE 0 END AS BIGINT) AS emd_micro
+        FROM cums CROSS JOIN tot
+        WHERE h < 23
+        GROUP BY nx, ny
+    """
+
+
+# --- Two-sample energy distance -------------------------------------------------------------------
+
+
+def energy_distance_weekend(events: DataFrame) -> DataFrame:
+    """Szekely's two-sample energy distance between weekend and weekday
+    event values: one row (n_x, n_y, exy_micro, exx_micro, eyy_micro,
+    energy_micro).
+
+    The rank tests (mannwhitney, brunner_munzel, yuen) compare LOCATION
+    (and cvm/ks compare CDFs pointwise); the energy statistic E =
+    2E|X-Y| - E|X-X'| - E|Y-Y'| is the metric two-sample test —
+    consistent against ANY distributional difference, the basis of
+    modern MMD-style checks. Every pairwise-|difference| mean reduces
+    to exact order-statistic algebra on the cents grid: sum_ij |x_i -
+    y_j| = sum over grid values v of t_y(v) * [v*(2*cx(v) - NX) + SX -
+    2*sx(v)] with cx/sx the count/sum of X at-or-below v — so the
+    "quadratic" statistic costs one cumulative pass, never a pair join.
+
+    Exactness: all three pair sums are exact integers (HUGEINT/decimal
+    guards); three micro divisions at the 1-row emit.
+
+    Scale shape: one (cents) two-sided aggregate, two cumulative
+    windows on that grid, one 1-row totals broadcast, one bounded
+    reduction."""
+    g = (F.dayofweek("ts").isin(1, 7)).cast("int")
+    cents = F.expr("CAST(round(value * 100) AS BIGINT)")
+    per_c = (
+        events.select(g.alias("g"), cents.alias("c"))
+        .groupBy("c")
+        .agg(
+            F.sum(F.when(F.col("g") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("tx"),
+            F.sum(F.when(F.col("g") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("ty"),
+        )
+    )
+    wc = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    cums = per_c.select(
+        "c",
+        "tx",
+        "ty",
+        F.sum("tx").over(wc).cast("long").alias("cx"),
+        F.sum("ty").over(wc).cast("long").alias("cy"),
+        F.sum(F.col("tx") * F.col("c")).over(wc).cast("long").alias("sx"),
+        F.sum(F.col("ty") * F.col("c")).over(wc).cast("long").alias("sy"),
+    )
+    tot = per_c.agg(
+        F.sum("tx").cast("long").alias("nx"),
+        F.sum("ty").cast("long").alias("ny"),
+        F.sum(F.col("tx") * F.col("c")).cast("long").alias("sxt"),
+        F.sum(F.col("ty") * F.col("c")).cast("long").alias("syt"),
+    )
+    pair = lambda t, cnt, cum, s, n_, st: (  # noqa: E731
+        f"SUM(CAST({t} AS DECIMAL(38,0))"
+        f" * (CAST(c AS DECIMAL(38,0)) * (2 * {cum} - {n_})"
+        f"    + {st} - 2 * {s}))"
+    )
+    agg = cums.crossJoin(F.broadcast(tot)).groupBy(
+        "nx", "ny", "sxt", "syt"
+    ).agg(
+        F.expr(pair("ty", "ty", "cx", "sx", "nx", "sxt"))
+        .cast("decimal(38,0)")
+        .alias("dxy"),
+        F.expr(pair("tx", "tx", "cx", "sx", "nx", "sxt"))
+        .cast("decimal(38,0)")
+        .alias("dxx"),
+        F.expr(pair("ty", "ty", "cy", "sy", "ny", "syt"))
+        .cast("decimal(38,0)")
+        .alias("dyy"),
+    )
+    return agg.select(
+        F.col("nx").alias("n_x"),
+        F.col("ny").alias("n_y"),
+        F.expr(
+            "CAST(CASE WHEN nx > 0 AND ny > 0 THEN round(1e6"
+            " * CAST(dxy AS DOUBLE) / (CAST(nx AS DOUBLE) * ny) / 100e0)"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("exy_micro"),
+        F.expr(
+            "CAST(CASE WHEN nx > 0 THEN round(1e6"
+            " * CAST(dxx AS DOUBLE) / (CAST(nx AS DOUBLE) * nx) / 100e0)"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("exx_micro"),
+        F.expr(
+            "CAST(CASE WHEN ny > 0 THEN round(1e6"
+            " * CAST(dyy AS DOUBLE) / (CAST(ny AS DOUBLE) * ny) / 100e0)"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("eyy_micro"),
+        F.expr(
+            "CAST(CASE WHEN nx > 0 AND ny > 0 THEN round(1e6 * ("
+            " 2e0 * CAST(dxy AS DOUBLE) / (CAST(nx AS DOUBLE) * ny)"
+            " - CAST(dxx AS DOUBLE) / (CAST(nx AS DOUBLE) * nx)"
+            " - CAST(dyy AS DOUBLE) / (CAST(ny AS DOUBLE) * ny)) / 100e0)"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("energy_micro"),
+    )
+
+
+def energy_distance_weekend_sql() -> str:
+    def pair(t, cum, s, n_, st):
+        return (
+            f"SUM(CAST({t} AS HUGEINT)"
+            f" * (CAST(c AS HUGEINT) * (2 * {cum} - {n_})"
+            f"    + {st} - 2 * {s}))"
+        )
+
+    return f"""
+        WITH per_c AS (
+            SELECT CAST(round(value * 100) AS BIGINT) AS c,
+                   CAST(SUM(CASE WHEN dayofweek(ts) IN (0, 6) THEN 0 ELSE 1
+                       END) AS BIGINT) AS tx,
+                   CAST(SUM(CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0
+                       END) AS BIGINT) AS ty
+            FROM events GROUP BY 1
+        ),
+        cums AS (
+            SELECT c, tx, ty,
+                   CAST(SUM(tx) OVER w AS BIGINT) AS cx,
+                   CAST(SUM(ty) OVER w AS BIGINT) AS cy,
+                   CAST(SUM(tx * c) OVER w AS BIGINT) AS sx,
+                   CAST(SUM(ty * c) OVER w AS BIGINT) AS sy
+            FROM per_c
+            WINDOW w AS (ORDER BY c
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        tot AS (
+            SELECT CAST(SUM(tx) AS BIGINT) AS nx,
+                   CAST(SUM(ty) AS BIGINT) AS ny,
+                   CAST(SUM(tx * c) AS BIGINT) AS sxt,
+                   CAST(SUM(ty * c) AS BIGINT) AS syt
+            FROM per_c
+        ),
+        agg AS (
+            SELECT nx, ny,
+                   {pair('ty', 'cx', 'sx', 'nx', 'sxt')} AS dxy,
+                   {pair('tx', 'cx', 'sx', 'nx', 'sxt')} AS dxx,
+                   {pair('ty', 'cy', 'sy', 'ny', 'syt')} AS dyy
+            FROM cums CROSS JOIN tot
+            GROUP BY nx, ny, sxt, syt
+        )
+        SELECT nx AS n_x, ny AS n_y,
+               CAST(CASE WHEN nx > 0 AND ny > 0 THEN round(1e6
+                    * CAST(dxy AS DOUBLE) / (CAST(nx AS DOUBLE) * ny) / 100e0)
+                    ELSE 0 END AS BIGINT) AS exy_micro,
+               CAST(CASE WHEN nx > 0 THEN round(1e6
+                    * CAST(dxx AS DOUBLE) / (CAST(nx AS DOUBLE) * nx) / 100e0)
+                    ELSE 0 END AS BIGINT) AS exx_micro,
+               CAST(CASE WHEN ny > 0 THEN round(1e6
+                    * CAST(dyy AS DOUBLE) / (CAST(ny AS DOUBLE) * ny) / 100e0)
+                    ELSE 0 END AS BIGINT) AS eyy_micro,
+               CAST(CASE WHEN nx > 0 AND ny > 0 THEN round(1e6 * (
+                    2e0 * CAST(dxy AS DOUBLE) / (CAST(nx AS DOUBLE) * ny)
+                    - CAST(dxx AS DOUBLE) / (CAST(nx AS DOUBLE) * nx)
+                    - CAST(dyy AS DOUBLE) / (CAST(ny AS DOUBLE) * ny)) / 100e0)
+                    ELSE 0 END AS BIGINT) AS energy_micro
+        FROM agg
+    """

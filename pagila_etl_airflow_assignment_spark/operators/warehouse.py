@@ -7964,30 +7964,10 @@ WW_HOLD_COST = 1  # per unit per month carried
 WW_INF = 10**15
 
 
-def wagner_whitin_plan(lineitem: DataFrame) -> DataFrame:
-    """Wagner-Whitin optimal lot-sizing over the 12 monthly demands of
-    the fixture year: rows (month, demand_units, f_cost, order_month)
-    ordered by month — f_cost the optimal cost of covering months
-    1..month, order_month the month whose order serves this month's
-    demand in the optimal plan.
-
-    warehouse_eoq_quantity assumes STATIONARY demand; Wagner-Whitin is
-    the exact dynamic counterpart — when demand varies by month the
-    optimal plan batches orders where holding is cheap and splits where
-    it is not, and the classic solution is a shortest path on the
-    "order at i covers i..j" DAG: c_ij = K + h * sum_{t=i..j} (t-i) d_t,
-    f_j = min_i (f_{i-1} + c_ij). Twelve min-plus relaxation rounds on
-    the bounded 13-node grid solve it exactly — a dynamic program
-    expressed as relational algebra, the same discipline as the
-    eigenvector/Katz iterations.
-
-    Exactness: demands quantize to integer units; every edge cost, path
-    cost, and the argmin (smallest order month on ties) are exact
-    BIGINT min-reductions.
-
-    Scale shape: one (month) aggregate over the year scan, one bounded
-    12^3 cost-grid build, 12 relaxation rounds each a <=13-row join —
-    nothing data-sized past the first shuffle."""
+def _ww_dense_edges(lineitem: DataFrame):
+    """(dense demand grid, cover-DAG edges) shared by the optimal plan and
+    the Silver-Meal heuristic: dense = 12 monthly demand units, edges =
+    (src=i-1, dst=j, cost=K + h*sum (t-i) d_t, i) on the bounded grid."""
     months = (
         lineitem.where(F.year("l_shipdate") == WW_YEAR)
         .groupBy(F.month("l_shipdate").alias("m"))
@@ -8025,6 +8005,13 @@ def wagner_whitin_plan(lineitem: DataFrame) -> DataFrame:
             (F.col("i") - 1).alias("src"), F.col("j").alias("dst"), "cost", "i"
         )
     )
+    # bounded 78-row grid, built once; checkpoint so every consumer reuse
+    # (relaxation rounds, backtrack, heuristic chain) stays plan-linear
+    return dense, edges.localCheckpoint()
+
+
+def _ww_dist(spark, edges: DataFrame) -> DataFrame:
+    """12 exact min-plus relaxation rounds on the 13-node cover DAG."""
     nodes = spark.range(0, WW_PERIODS + 1).select(
         F.col("id").cast("int").alias("node")
     )
@@ -8035,7 +8022,6 @@ def wagner_whitin_plan(lineitem: DataFrame) -> DataFrame:
         .cast("long")
         .alias("f"),
     )
-    edges = edges.localCheckpoint()  # bounded 78-row grid, built once
     for _ in range(WW_PERIODS):
         # dist is referenced twice per round (relax + merge); localCheckpoint
         # the 13-row relation so the logical plan stays linear instead of
@@ -8055,7 +8041,35 @@ def wagner_whitin_plan(lineitem: DataFrame) -> DataFrame:
                 ).cast("long").alias("f"),
             )
         )
-    dist = dist.localCheckpoint()  # referenced twice more by the backtrack
+    return dist.localCheckpoint()  # consumers reference it repeatedly
+
+
+def wagner_whitin_plan(lineitem: DataFrame) -> DataFrame:
+    """Wagner-Whitin optimal lot-sizing over the 12 monthly demands of
+    the fixture year: rows (month, demand_units, f_cost, order_month)
+    ordered by month — f_cost the optimal cost of covering months
+    1..month, order_month the month whose order serves this month's
+    demand in the optimal plan.
+
+    warehouse_eoq_quantity assumes STATIONARY demand; Wagner-Whitin is
+    the exact dynamic counterpart — when demand varies by month the
+    optimal plan batches orders where holding is cheap and splits where
+    it is not, and the classic solution is a shortest path on the
+    "order at i covers i..j" DAG: c_ij = K + h * sum_{t=i..j} (t-i) d_t,
+    f_j = min_i (f_{i-1} + c_ij). Twelve min-plus relaxation rounds on
+    the bounded 13-node grid solve it exactly — a dynamic program
+    expressed as relational algebra, the same discipline as the
+    eigenvector/Katz iterations.
+
+    Exactness: demands quantize to integer units; every edge cost, path
+    cost, and the argmin (smallest order month on ties) are exact
+    BIGINT min-reductions.
+
+    Scale shape: one (month) aggregate over the year scan, one bounded
+    12^3 cost-grid build, 12 relaxation rounds each a <=13-row join —
+    nothing data-sized past the first shuffle."""
+    dense, edges = _ww_dense_edges(lineitem)
+    dist = _ww_dist(lineitem.sparkSession, edges)
     pred = (
         dist.select(F.col("node").alias("src"), F.col("f").alias("fs"))
         .join(edges, "src")
@@ -8079,31 +8093,10 @@ def wagner_whitin_plan(lineitem: DataFrame) -> DataFrame:
     )
 
 
-def wagner_whitin_plan_sql() -> str:
-    # every round references the previous one twice; MATERIALIZED stops the
-    # optimizer from inlining the chain (which would expand 2^12 subtrees)
-    rounds = [
-        """d0 AS MATERIALIZED (
-            SELECT node, CASE WHEN node = 0 THEN CAST(0 AS BIGINT)
-                   ELSE CAST({inf} AS BIGINT) END AS f
-            FROM nodes
-        )""".format(inf=WW_INF)
-    ]
-    for k in range(1, WW_PERIODS + 1):
-        rounds.append(
-            f"""d{k} AS MATERIALIZED (
-            SELECT node,
-                   least(f, COALESCE((
-                       SELECT MIN(p.f + e.cost)
-                       FROM d{k - 1} p JOIN edges e ON p.node = e.src
-                       WHERE e.dst = d{k - 1}.node
-                   ), CAST({WW_INF} AS BIGINT))) AS f
-            FROM d{k - 1}
-        )"""
-        )
-    chain = ",\n        ".join(rounds)
-    return f"""
-        WITH months AS (
+def _ww_sql_prefix() -> str:
+    """months/spine/dense/edges/nodes CTE text shared by the optimal plan
+    and the Silver-Meal heuristic oracles."""
+    return f"""months AS (
             SELECT CAST(EXTRACT(month FROM l_shipdate) AS INT) AS m,
                    CAST(round(SUM(l_quantity)) AS BIGINT) AS d
             FROM lineitem
@@ -8131,8 +8124,40 @@ def wagner_whitin_plan_sql() -> str:
         ),
         nodes AS (
             SELECT unnest(generate_series(0, {WW_PERIODS})) AS node
-        ),
-        {chain},
+        )"""
+
+
+def _ww_sql_chain() -> str:
+    """The d0..d12 min-plus relaxation CTE chain. Every round references the
+    previous one twice; MATERIALIZED stops the optimizer from inlining the
+    chain (which would expand 2^12 subtrees)."""
+    rounds = [
+        """d0 AS MATERIALIZED (
+            SELECT node, CASE WHEN node = 0 THEN CAST(0 AS BIGINT)
+                   ELSE CAST({inf} AS BIGINT) END AS f
+            FROM nodes
+        )""".format(inf=WW_INF)
+    ]
+    for k in range(1, WW_PERIODS + 1):
+        rounds.append(
+            f"""d{k} AS MATERIALIZED (
+            SELECT node,
+                   least(f, COALESCE((
+                       SELECT MIN(p.f + e.cost)
+                       FROM d{k - 1} p JOIN edges e ON p.node = e.src
+                       WHERE e.dst = d{k - 1}.node
+                   ), CAST({WW_INF} AS BIGINT))) AS f
+            FROM d{k - 1}
+        )"""
+        )
+    return ",\n        ".join(rounds)
+
+
+def wagner_whitin_plan_sql() -> str:
+    chain = _ww_sql_chain()
+    return f"""
+        WITH {{prefix}},
+        {{chain}},
         pred AS (
             SELECT e.dst, fd.f AS fd, CAST(MIN(e.i) AS BIGINT) AS order_month
             FROM d{WW_PERIODS} fs
@@ -8145,4 +8170,147 @@ def wagner_whitin_plan_sql() -> str:
                pred.fd AS f_cost, pred.order_month
         FROM pred JOIN dense ON pred.dst = dense.m
         ORDER BY month
+    """.format(prefix=_ww_sql_prefix(), chain=chain)
+
+
+
+
+# --- Silver-Meal heuristic + optimality gap --------------------------------------------------------
+
+
+def silver_meal_plan(lineitem: DataFrame) -> DataFrame:
+    """Silver-Meal lot-sizing heuristic on the same 12-month demand as
+    warehouse_wagner_whitin, priced against the optimum: rows
+    (order_month, cover_through, order_cost, total_sm_cost,
+    optimal_cost, gap_milli) ordered by order_month.
+
+    Wagner-Whitin is exact but sequential folklore says planners run
+    Silver-Meal: from each order month extend the cover while the
+    average cost PER PERIOD still falls, order again at the first rise.
+    The heuristic's stop rule is a per-start argmin on the bounded cost
+    grid and the order chain is <=12 deterministic hops — so heuristic,
+    optimum, and the gap between them (the number that justifies ever
+    deploying the DP) come out of one device.
+
+    Exactness: stop decisions compare average costs cross-multiplied in
+    exact integers (cost_next * len_cur vs cost_cur * len_next — no
+    float averages); the chain, both totals, and gap_milli's one
+    division are exact.
+
+    Scale shape: the shared (month) aggregate + bounded cost grid, one
+    per-start window for the stop rule, <=12 1-row chain hops
+    (localCheckpoint-linear), the shared 12-round optimum."""
+    dense, edges = _ww_dense_edges(lineitem)
+    spark = lineitem.sparkSession
+    # stop rule per start i: first j where avg cost rises (or the horizon)
+    wj = Window.partitionBy("i").orderBy("j")
+    avg_rise = (
+        F.lead("cost", 1).over(wj) * (F.col("j") - F.col("i") + 1)
+        > F.col("cost") * (F.col("j") - F.col("i") + 2)
+    )
+    stops = (
+        edges.select("i", "dst", "cost")
+        .withColumnRenamed("dst", "j")
+        .withColumn("rise", avg_rise)
+        .where(F.col("rise") | (F.col("j") == WW_PERIODS))
+        .groupBy("i")
+        .agg(F.min("j").cast("int").alias("jstar"))
+        .join(
+            edges.select("i", F.col("dst").alias("jstar"), "cost"),
+            ["i", "jstar"],
+        )
+        .localCheckpoint()
+    )
+    chain = spark.range(1, 2).select(F.col("id").cast("int").alias("i"))
+    orders = chain
+    for _ in range(WW_PERIODS - 1):
+        chain = (
+            chain.join(stops, "i")
+            .select((F.col("jstar") + 1).cast("int").alias("i"))
+            .where(F.col("i") <= WW_PERIODS)
+            .localCheckpoint()
+        )
+        orders = orders.unionByName(chain)
+    plan = orders.distinct().join(stops, "i")
+    totals = plan.agg(F.sum("cost").cast("long").alias("total_sm"))
+    dist = _ww_dist(spark, edges)
+    opt = dist.where(F.col("node") == WW_PERIODS).select(
+        F.col("f").alias("optimal_cost")
+    )
+    return (
+        plan.crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(opt))
+        .select(
+            F.col("i").cast("long").alias("order_month"),
+            F.col("jstar").cast("long").alias("cover_through"),
+            F.col("cost").alias("order_cost"),
+            F.col("total_sm").alias("total_sm_cost"),
+            "optimal_cost",
+            F.expr(
+                "CAST(CASE WHEN optimal_cost > 0 THEN round(1000.0"
+                " * CAST(total_sm AS DOUBLE) / optimal_cost)"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("gap_milli"),
+        )
+        .orderBy("order_month")
+    )
+
+
+def silver_meal_plan_sql() -> str:
+    hops = ["c0 AS MATERIALIZED (SELECT 1 AS i)"]
+    for k in range(1, WW_PERIODS):
+        hops.append(
+            f"""c{k} AS MATERIALIZED (
+            SELECT CAST(s.jstar + 1 AS INT) AS i
+            FROM c{k - 1} JOIN stops s ON c{k - 1}.i = s.i
+            WHERE s.jstar + 1 <= {WW_PERIODS}
+        )"""
+        )
+    hop_chain = ",\n        ".join(hops)
+    hop_union = " UNION ".join(
+        f"SELECT i FROM c{k}" for k in range(WW_PERIODS)
+    )
+    return f"""
+        WITH {_ww_sql_prefix()},
+        {_ww_sql_chain()},
+        stops AS MATERIALIZED (
+            SELECT r.i, r.jstar, e2.cost
+            FROM (
+                SELECT i, CAST(MIN(j) AS INT) AS jstar
+                FROM (
+                    SELECT i, dst AS j, cost,
+                           LEAD(cost, 1) OVER (PARTITION BY i ORDER BY dst)
+                               * (dst - i + 1)
+                           > cost * (dst - i + 2) AS rise
+                    FROM edges
+                )
+                WHERE rise OR j = {WW_PERIODS}
+                GROUP BY i
+            ) r
+            JOIN edges e2 ON e2.i = r.i AND e2.dst = r.jstar
+        ),
+        {hop_chain},
+        orders AS ({hop_union}),
+        plan AS (
+            SELECT o.i, s.jstar, s.cost
+            FROM (SELECT DISTINCT i FROM orders) o
+            JOIN stops s ON o.i = s.i
+        ),
+        totals AS (
+            SELECT CAST(SUM(cost) AS BIGINT) AS total_sm FROM plan
+        ),
+        opt AS (
+            SELECT f AS optimal_cost FROM d{WW_PERIODS}
+            WHERE node = {WW_PERIODS}
+        )
+        SELECT CAST(plan.i AS BIGINT) AS order_month,
+               CAST(plan.jstar AS BIGINT) AS cover_through,
+               plan.cost AS order_cost,
+               totals.total_sm AS total_sm_cost,
+               opt.optimal_cost,
+               CAST(CASE WHEN opt.optimal_cost > 0 THEN round(1000.0
+                    * CAST(totals.total_sm AS DOUBLE) / opt.optimal_cost)
+                    ELSE 0 END AS BIGINT) AS gap_milli
+        FROM plan CROSS JOIN totals CROSS JOIN opt
+        ORDER BY order_month
     """

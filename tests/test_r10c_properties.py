@@ -1545,3 +1545,173 @@ def test_yuen_matches_reference(spark, obs):
         for r in yuen_trimmed_test(_events(spark, rows)).collect()
     ]
     assert got == [_yuen_ref(obs)]
+
+
+# --- Wasserstein hourly (L-536) ---------------------------------------------------------------------
+
+EMD_HOURS = st.lists(
+    st.tuples(st.integers(0, 23), st.booleans()), min_size=1, max_size=40
+)
+
+
+def _emd_ref(obs):
+    cx = [0] * 24
+    cy = [0] * 24
+    for h, is_err in obs:
+        (cy if is_err else cx)[h] += 1
+    nx, ny = sum(cx), sum(cy)
+    ax = ay = 0
+    s = 0
+    for h in range(23):
+        ax += cx[h]
+        ay += cy[h]
+        s += abs(ny * ax - nx * ay)
+    emd = _rha(1e6 * s / (float(nx) * ny)) if nx > 0 and ny > 0 else 0
+    return (nx, ny, emd)
+
+
+@settings(max_examples=12, deadline=None)
+@given(obs=EMD_HOURS)
+def test_wasserstein_matches_reference(spark, obs):
+    from pagila_etl_airflow_assignment_spark.operators.stats import (
+        wasserstein_hourly,
+    )
+
+    rows = [
+        (
+            i,
+            "error" if is_err else "click",
+            f"{BASE.isoformat()} {h:02d}:05:00",
+            1.0,
+        )
+        for i, (h, is_err) in enumerate(obs)
+    ]
+    got = [
+        (r["n_x"], r["n_y"], r["emd_micro"])
+        for r in wasserstein_hourly(_events(spark, rows)).collect()
+    ]
+    assert got == [_emd_ref(obs)]
+
+
+# --- Energy distance (L-537) --------------------------------------------------------------------------
+
+ED_OBS = st.lists(
+    st.tuples(st.booleans(), st.integers(-8, 8)), min_size=2, max_size=24
+)
+
+
+def _ed_ref(obs):
+    xs = [c for g, c in obs if not g]
+    ys = [c for g, c in obs if g]
+    nx, ny = len(xs), len(ys)
+
+    def msum(a, b):
+        return sum(abs(u - v) for u in a for v in b)
+
+    dxy = msum(xs, ys)
+    dxx = msum(xs, xs)
+    dyy = msum(ys, ys)
+    exy = _rha(1e6 * dxy / (float(nx) * ny) / 100.0) if nx and ny else 0
+    exx = _rha(1e6 * dxx / (float(nx) * nx) / 100.0) if nx else 0
+    eyy = _rha(1e6 * dyy / (float(ny) * ny) / 100.0) if ny else 0
+    en = (
+        _rha(
+            1e6
+            * (
+                2.0 * dxy / (float(nx) * ny)
+                - dxx / (float(nx) * nx)
+                - dyy / (float(ny) * ny)
+            )
+            / 100.0
+        )
+        if nx and ny
+        else 0
+    )
+    return (nx, ny, exy, exx, eyy, en)
+
+
+@settings(max_examples=12, deadline=None)
+@given(obs=ED_OBS.filter(lambda o: any(g for g, _ in o) and any(not g for g, _ in o)))
+def test_energy_distance_matches_reference(spark, obs):
+    from pagila_etl_airflow_assignment_spark.operators.stats import (
+        energy_distance_weekend,
+    )
+
+    rows = []
+    for i, (g, c) in enumerate(obs):
+        day = (BASE + dt.timedelta(days=5 if g else 0)).isoformat()
+        rows.append((i, "click", f"{day} 10:{i % 60:02d}:00", c / 100.0))
+    got = [
+        (
+            r["n_x"],
+            r["n_y"],
+            r["exy_micro"],
+            r["exx_micro"],
+            r["eyy_micro"],
+            r["energy_micro"],
+        )
+        for r in energy_distance_weekend(_events(spark, rows)).collect()
+    ]
+    assert got == [_ed_ref(obs)]
+
+
+# --- Silver-Meal vs Wagner-Whitin (L-538) -----------------------------------------------------------
+
+
+def _sm_ref(demands, K=50_000, h=1):
+    T = 12
+    d = [0] + list(demands)
+    cost = {}
+    for i in range(1, T + 1):
+        for j in range(i, T + 1):
+            cost[(i, j)] = K + h * sum((t - i) * d[t] for t in range(i, j + 1))
+    stops = {}
+    for i in range(1, T + 1):
+        jstar = T
+        for j in range(i, T):
+            if cost[(i, j + 1)] * (j - i + 1) > cost[(i, j)] * (j - i + 2):
+                jstar = j
+                break
+        stops[i] = jstar
+    orders = []
+    i = 1
+    while i <= T:
+        orders.append(i)
+        i = stops[i] + 1
+    total = sum(cost[(i, stops[i])] for i in orders)
+    f = [0] + [10**15] * T
+    for j in range(1, T + 1):
+        f[j] = min(f[i - 1] + cost[(i, j)] for i in range(1, j + 1))
+    opt = f[T]
+    gap = _rha(1000.0 * total / opt) if opt > 0 else 0
+    return [
+        (i, stops[i], cost[(i, stops[i])], total, opt, gap) for i in orders
+    ]
+
+
+@settings(max_examples=8, deadline=None)
+@given(demands=WW_DEMANDS)
+def test_silver_meal_matches_reference(spark, demands):
+    from pagila_etl_airflow_assignment_spark.operators.warehouse import (
+        silver_meal_plan,
+    )
+
+    rows = [
+        (m, f"1995-{m:02d}-15 00:00:00", float(dem))
+        for m, dem in enumerate(demands, start=1)
+    ]
+    df = spark.createDataFrame(
+        rows, "l_orderkey long, l_shipdate string, l_quantity double"
+    ).withColumn("l_shipdate", F.to_timestamp("l_shipdate"))
+    got = [
+        (
+            r["order_month"],
+            r["cover_through"],
+            r["order_cost"],
+            r["total_sm_cost"],
+            r["optimal_cost"],
+            r["gap_milli"],
+        )
+        for r in silver_meal_plan(df).collect()
+    ]
+    assert got == _sm_ref(demands)

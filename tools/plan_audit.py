@@ -396,6 +396,11 @@ ALLOWED: dict[str, set[str]] = {
     "events_dp_user_level": {"BroadcastNestedLoopJoin"},
     "events_qini_uplift": {"BroadcastNestedLoopJoin"},
     "events_yuen_trimmed": {"BroadcastNestedLoopJoin"},
+    # round-10c transport/energy/lot-sizing devices (L-536..538): 24-row
+    # spine + 1-row totals broadcasts and the bounded cover-DAG chain
+    "events_wasserstein_hourly": {"BroadcastNestedLoopJoin"},
+    "events_energy_distance": {"BroadcastNestedLoopJoin"},
+    "warehouse_silver_meal": {"BroadcastNestedLoopJoin"},
 }
 
 PATTERNS = ("CartesianProduct", "BatchEvalPython", "BroadcastNestedLoopJoin")

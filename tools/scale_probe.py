@@ -507,6 +507,9 @@ PROBES = [
     "events_dp_user_level",
     "events_qini_uplift",
     "events_yuen_trimmed",
+    "events_wasserstein_hourly",
+    "events_energy_distance",
+    "warehouse_silver_meal",
 ]
 
 
