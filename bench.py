@@ -37,8 +37,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # recorded per-round floor — the round-9 judge flagged 87 silently-unpriced
 # queries under the old fixed-HEADLINE + prefix scheme (a regression in any of
 # them would not show in any BENCH artifact). Exclusions must be explicit AND
-# justified here; there are currently none — all 519 queries run clean at
-# sf0.1 (the round-9 full bare sweep is the proof).
+# justified here; there are currently none — the full registry runs clean at
+# sf0.1 (the round-9 519-query bare sweep plus per-addition verification).
 EXCLUDED: dict[str, str] = {}
 
 
