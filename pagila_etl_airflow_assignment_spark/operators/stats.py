@@ -11746,7 +11746,8 @@ def pettitt_daily_sql() -> str:
             FROM per_day JOIN ranked USING (x) CROSS JOIN tot
         ),
         u AS (
-            SELECT day, n, abs(s2 - tpos * (n + 1)) AS u
+            SELECT day, n,
+                   CAST(abs(s2 - tpos * (n + 1)) AS BIGINT) AS u
             FROM seq WHERE tpos < n
         )
         SELECT n AS n_days, u AS k_stat, day AS change_date,
