@@ -103,18 +103,12 @@ def centroid_outliers_sql(top_k: int = OUTLIER_TOP_K) -> str:
 KMEANS_K = 8
 
 
-def kmeans_step(embeddings: DataFrame, k: int = KMEANS_K) -> DataFrame:
-    """One Lloyd iteration from the md5-ordered deterministic seed centroids
-    (the refinement pass the IVF index's docstring promises): assign every
-    vector to its nearest seed by cosine (argmax affinity, ties to larger
-    centroid_id — Spark max-struct order), then emit the refined centroids
-    as LONG-form (centroid_id, pos, c_new) plus member counts.
-
-    Scale: the seed set is tiny and broadcast; assignment is one narrow pass
-    over the corpus; the mean is a (centroid_id, pos) keyed aggregate after
-    posexplode — two map-side-combined shuffles total per iteration, no
-    driver-side vectors. Long-form output avoids array re-assembly and is
-    exactly what the next iteration's broadcast join consumes."""
+def kmeans_assignment(embeddings: DataFrame, k: int = KMEANS_K) -> DataFrame:
+    """Deterministic one-shot k-means assignment: md5-ordered seed centroids
+    (no RNG), nearest seed by cosine with a 9-dp round before the argmax so
+    both engines resolve near-ties identically. Returns (centroid_id, vec_id,
+    embedding) — the shared front half of kmeans_step and the external
+    cluster-validation queries."""
     from .dedup import _dot, _l2norm
     from .hashing import md5_int
 
@@ -131,7 +125,7 @@ def kmeans_step(embeddings: DataFrame, k: int = KMEANS_K) -> DataFrame:
             F.col("nrm").alias("c_nrm"),
         )
     )
-    assignment = (
+    return (
         corpus.crossJoin(F.broadcast(seeds))
         .select(
             "vec_id",
@@ -155,6 +149,21 @@ def kmeans_step(embeddings: DataFrame, k: int = KMEANS_K) -> DataFrame:
         )
         .select(F.col("best.centroid_id").alias("centroid_id"), "vec_id", "embedding")
     )
+
+
+def kmeans_step(embeddings: DataFrame, k: int = KMEANS_K) -> DataFrame:
+    """One Lloyd iteration from the md5-ordered deterministic seed centroids
+    (the refinement pass the IVF index's docstring promises): assign every
+    vector to its nearest seed by cosine (argmax affinity, ties to larger
+    centroid_id — Spark max-struct order), then emit the refined centroids
+    as LONG-form (centroid_id, pos, c_new) plus member counts.
+
+    Scale: the seed set is tiny and broadcast; assignment is one narrow pass
+    over the corpus; the mean is a (centroid_id, pos) keyed aggregate after
+    posexplode — two map-side-combined shuffles total per iteration, no
+    driver-side vectors. Long-form output avoids array re-assembly and is
+    exactly what the next iteration's broadcast join consumes."""
+    assignment = kmeans_assignment(embeddings, k)
     exploded = assignment.select(
         "centroid_id", "vec_id", F.posexplode("embedding").alias("pos0", "x")
     )
@@ -168,11 +177,12 @@ def kmeans_step(embeddings: DataFrame, k: int = KMEANS_K) -> DataFrame:
     )
 
 
-def kmeans_step_sql(k: int = KMEANS_K) -> str:
+def kmeans_assignment_ctes(k: int = KMEANS_K) -> str:
+    """The seeds/affinity/assignment CTE chain (no WITH keyword) shared by
+    every oracle that consumes the deterministic one-shot assignment."""
     from .hashing import md5_int_sql
 
-    return f"""
-    WITH seeds AS (
+    return f"""seeds AS (
         SELECT vec_id AS centroid_id, embedding AS c_emb
         FROM embeddings
         ORDER BY {md5_int_sql("CAST(vec_id AS VARCHAR)")}, vec_id
@@ -192,7 +202,12 @@ def kmeans_step_sql(k: int = KMEANS_K) -> str:
             ) AS rn
             FROM affinity
         ) WHERE rn = 1
-    ),
+    )"""
+
+
+def kmeans_step_sql(k: int = KMEANS_K) -> str:
+    return f"""
+    WITH {kmeans_assignment_ctes(k)},
     exploded AS (
         SELECT centroid_id, vec_id,
                generate_subscripts(embedding, 1) AS pos,
@@ -2014,4 +2029,337 @@ def norm_clip_threshold_sql(pct_milli: int = CLIP_PCT_MILLI) -> str:
                    AS clipped_mass_milli
         FROM normed CROSS JOIN thr
         GROUP BY n_vecs, clip_nano
+    """
+
+
+# --- cluster-validity indices ---------------------------------------------------------
+#
+# The unsupervised model-selection numbers an embedding pipeline reads before
+# committing to a clustering: Davies-Bouldin (lower = tighter/better
+# separated), Calinski-Harabasz (higher = better), and the Adjusted Rand
+# Index against the deterministic one-step k-means assignment (external
+# validation of the stored labels). Reference surface: the clustering audit
+# of a curation pipeline (cf. ref etl.py:128-141's single GROUP BY summary —
+# these are the same "profile the groups" device at embedding scale).
+#
+# Scale design: everything reduces through (label, pos)-keyed aggregates over
+# the posexploded corpus (map-side combined), then bounded |labels|x|labels|
+# grids; per-vector distances quantize ONCE to exact integer nano/micro units
+# so every cross-row sum is an order-free BIGINT — no distributed float sums
+# feed a comparison or a division.
+
+
+def _own_centroid_dist_nano(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, label, d_nano): Euclidean distance of each vector to its own
+    label centroid, centroid components rounded to 9 dp first so both engines
+    measure against identical centers; the distance itself quantizes to an
+    exact BIGINT in nano units."""
+    exploded = embeddings.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos0", "x")
+    ).select("vec_id", "label", (F.col("pos0") + 1).alias("pos"),
+             F.col("x").cast("double").alias("x"))
+    cents = (
+        exploded.groupBy("label", "pos")
+        .agg(F.round(F.avg("x"), 9).alias("c"))
+    )
+    return (
+        exploded.join(F.broadcast(cents), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.expr(
+                "CAST(round(sqrt(SUM((x - c) * (x - c))) * 1e9) AS BIGINT)"
+            ).alias("d_nano")
+        )
+    )
+
+
+def davies_bouldin(embeddings: DataFrame) -> DataFrame:
+    """Davies-Bouldin index over the stored labels: per-label intra scatter
+    S_i (mean distance to centroid), pairwise centroid separations M_ij, the
+    worst ratio R_i = max_j (S_i+S_j)/M_ij, and the index itself (mean R_i).
+
+    Output: one row per label (label, n_members, s_intra, r_max, db_index) —
+    db_index repeated so the relation is self-contained."""
+    d = _own_centroid_dist_nano(embeddings)
+    s = (
+        d.groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.round(F.sum("d_nano") / F.count("*") / 1e9, 9).alias("s_intra"),
+        )
+    )
+    exploded = embeddings.select(
+        "label", F.posexplode("embedding").alias("pos0", "x")
+    ).select("label", (F.col("pos0") + 1).alias("pos"),
+             F.col("x").cast("double").alias("x"))
+    cents = exploded.groupBy("label", "pos").agg(
+        F.round(F.avg("x"), 9).alias("c")
+    )
+    pair_sep = (
+        cents.alias("a")
+        .join(cents.alias("b"), on="pos")
+        .where(F.col("a.label") != F.col("b.label"))
+        .groupBy(F.col("a.label").alias("li"), F.col("b.label").alias("lj"))
+        .agg(
+            F.round(
+                F.sqrt(F.sum((F.col("a.c") - F.col("b.c")) ** 2)), 9
+            ).alias("m_sep")
+        )
+    )
+    r = (
+        pair_sep.join(F.broadcast(s.select(F.col("label").alias("li"),
+                                           F.col("s_intra").alias("si"))), "li")
+        .join(F.broadcast(s.select(F.col("label").alias("lj"),
+                                   F.col("s_intra").alias("sj"))), "lj")
+        .groupBy("li")
+        .agg(
+            F.max(F.round((F.col("si") + F.col("sj")) / F.col("m_sep"), 6))
+            .alias("r_max")
+        )
+    )
+    db = r.agg(F.round(F.avg("r_max"), 6).alias("db_index"))
+    return (
+        s.join(r, s.label == r.li)
+        .crossJoin(F.broadcast(db))
+        .select("label", "n_members", F.round("s_intra", 6).alias("s_intra"),
+                "r_max", "db_index")
+        .orderBy("label")
+    )
+
+
+def davies_bouldin_sql() -> str:
+    return """
+    WITH exploded AS (
+        SELECT vec_id, label,
+               generate_subscripts(embedding, 1) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings
+    ),
+    cents AS (
+        SELECT label, pos, round(AVG(x), 9) AS c
+        FROM exploded GROUP BY label, pos
+    ),
+    dists AS (
+        SELECT e.vec_id, e.label,
+               CAST(round(sqrt(SUM((e.x - c.c) * (e.x - c.c))) * 1e9)
+                    AS BIGINT) AS d_nano
+        FROM exploded e JOIN cents c ON e.label = c.label AND e.pos = c.pos
+        GROUP BY e.vec_id, e.label
+    ),
+    s AS (
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS n_members,
+               round(SUM(d_nano) / COUNT(*) / 1e9, 9) AS s_intra
+        FROM dists GROUP BY label
+    ),
+    pair_sep AS (
+        SELECT a.label AS li, b.label AS lj,
+               round(sqrt(SUM((a.c - b.c) * (a.c - b.c))), 9) AS m_sep
+        FROM cents a JOIN cents b ON a.pos = b.pos AND a.label <> b.label
+        GROUP BY a.label, b.label
+    ),
+    r AS (
+        SELECT p.li, MAX(round((si.s_intra + sj.s_intra) / p.m_sep, 6))
+               AS r_max
+        FROM pair_sep p
+        JOIN s si ON si.label = p.li
+        JOIN s sj ON sj.label = p.lj
+        GROUP BY p.li
+    ),
+    db AS (SELECT round(AVG(r_max), 6) AS db_index FROM r)
+    SELECT s.label, s.n_members, round(s.s_intra, 6) AS s_intra,
+           r.r_max, db.db_index
+    FROM s JOIN r ON r.li = s.label CROSS JOIN db
+    ORDER BY s.label
+    """
+
+
+def calinski_harabasz(embeddings: DataFrame) -> DataFrame:
+    """Calinski-Harabasz (variance-ratio) score of the stored labels: the
+    between-cluster dispersion per degree of freedom over the within-cluster
+    dispersion per degree of freedom.
+
+    Within sum W quantizes each vector's squared distance to micro BIGINT
+    (order-free exact sum over the corpus); between sum B is |labels| exact
+    scalar terms. One row: (n_vecs, k, w_within, b_between, ch)."""
+    exploded = embeddings.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos0", "x")
+    ).select("vec_id", "label", (F.col("pos0") + 1).alias("pos"),
+             F.col("x").cast("double").alias("x"))
+    cents = exploded.groupBy("label", "pos").agg(
+        F.round(F.avg("x"), 9).alias("c"), F.count("*").alias("n_i")
+    )
+    w = (
+        exploded.join(F.broadcast(cents.select("label", "pos", "c")),
+                      ["label", "pos"])
+        .groupBy("vec_id")
+        .agg(F.expr(
+            "CAST(round(SUM((x - c) * (x - c)) * 1e6) AS BIGINT)"
+        ).alias("d2_micro"))
+        .agg(F.sum("d2_micro").alias("w_micro"),
+             F.count("*").cast("long").alias("n_vecs"))
+    )
+    grand = exploded.groupBy("pos").agg(F.round(F.avg("x"), 9).alias("g"))
+    b = (
+        cents.join(F.broadcast(grand), "pos")
+        .groupBy("label")
+        .agg(
+            F.first("n_i").alias("n_i"),
+            F.round(F.sum((F.col("c") - F.col("g")) ** 2), 9).alias("d2g"),
+        )
+        .agg(
+            F.round(F.sum(F.col("n_i") * F.col("d2g")), 6).alias("b_between"),
+            F.count("*").cast("long").alias("k"),
+        )
+    )
+    return (
+        w.crossJoin(F.broadcast(b))
+        .select(
+            "n_vecs",
+            "k",
+            F.round(F.col("w_micro") / 1e6, 6).alias("w_within"),
+            "b_between",
+            F.round(
+                (F.col("b_between") / (F.col("k") - 1))
+                / ((F.col("w_micro") / 1e6) / (F.col("n_vecs") - F.col("k"))),
+                6,
+            ).alias("ch"),
+        )
+    )
+
+
+def calinski_harabasz_sql() -> str:
+    return """
+    WITH exploded AS (
+        SELECT vec_id, label,
+               generate_subscripts(embedding, 1) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings
+    ),
+    cents AS (
+        SELECT label, pos, round(AVG(x), 9) AS c, COUNT(*) AS n_i
+        FROM exploded GROUP BY label, pos
+    ),
+    w AS (
+        SELECT CAST(SUM(d2_micro) AS BIGINT) AS w_micro,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs
+        FROM (
+            SELECT e.vec_id,
+                   CAST(round(SUM((e.x - c.c) * (e.x - c.c)) * 1e6)
+                        AS BIGINT) AS d2_micro
+            FROM exploded e
+            JOIN cents c ON e.label = c.label AND e.pos = c.pos
+            GROUP BY e.vec_id
+        )
+    ),
+    grand AS (
+        SELECT pos, round(AVG(x), 9) AS g FROM exploded GROUP BY pos
+    ),
+    b AS (
+        SELECT round(SUM(n_i * d2g), 6) AS b_between,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM (
+            SELECT c.label, MIN(c.n_i) AS n_i,
+                   round(SUM((c.c - g.g) * (c.c - g.g)), 9) AS d2g
+            FROM cents c JOIN grand g ON c.pos = g.pos
+            GROUP BY c.label
+        )
+    )
+    SELECT n_vecs, k,
+           round(w_micro / 1e6, 6) AS w_within,
+           b_between,
+           round((b_between / (k - 1))
+                 / ((w_micro / 1e6) / (n_vecs - k)), 6) AS ch
+    FROM w CROSS JOIN b
+    """
+
+
+def ari_vs_kmeans(embeddings: DataFrame, k: int = KMEANS_K) -> DataFrame:
+    """Adjusted Rand Index between the stored labels and the deterministic
+    one-step k-means assignment — external validation of a clustering by
+    pair counting, chance-corrected.
+
+    Everything is integer until the single final division: contingency
+    counts n_ij, comb2 sums over cells/rows/cols, n·(n−1)/2 — so the score
+    is bit-identical across engines. Degenerate partitions (denominator 0:
+    both sides all-singletons or one cluster) emit ARI 1.0 by convention.
+
+    One row: (n_vecs, k_assigned, sum_comb_cells, sum_comb_rows,
+    sum_comb_cols, ari)."""
+    assign = kmeans_assignment(embeddings, k).select("vec_id", "centroid_id")
+    pairs = embeddings.select("vec_id", "label").join(assign, "vec_id")
+    comb2 = lambda c: (F.col(c) * (F.col(c) - F.lit(1)) / F.lit(2)).cast("long")  # noqa: E731
+    cells = (
+        pairs.groupBy("label", "centroid_id").agg(F.count("*").alias("n"))
+    )
+    sum_cells = cells.agg(
+        F.sum(comb2("n")).alias("sum_comb_cells"),
+        F.sum("n").cast("long").alias("n_vecs"),
+        F.count_distinct("centroid_id").cast("long").alias("k_assigned"),
+    )
+    sum_rows = (
+        cells.groupBy("label").agg(F.sum("n").alias("a"))
+        .agg(F.sum(comb2("a")).alias("sum_comb_rows"))
+    )
+    sum_cols = (
+        cells.groupBy("centroid_id").agg(F.sum("n").alias("b"))
+        .agg(F.sum(comb2("b")).alias("sum_comb_cols"))
+    )
+    joined = sum_cells.crossJoin(F.broadcast(sum_rows)).crossJoin(
+        F.broadcast(sum_cols)
+    )
+    comb_n = (F.col("n_vecs") * (F.col("n_vecs") - 1) / 2).cast("long")
+    expected = F.col("sum_comb_rows") * F.col("sum_comb_cols") / comb_n
+    max_idx = (F.col("sum_comb_rows") + F.col("sum_comb_cols")) / F.lit(2.0)
+    return joined.select(
+        "n_vecs",
+        "k_assigned",
+        "sum_comb_cells",
+        "sum_comb_rows",
+        "sum_comb_cols",
+        F.when(max_idx - expected == 0, F.lit(1.0))
+        .otherwise(
+            F.round((F.col("sum_comb_cells") - expected) / (max_idx - expected), 6)
+        )
+        .alias("ari"),
+    )
+
+
+def ari_vs_kmeans_sql(k: int = KMEANS_K) -> str:
+    return f"""
+    WITH {kmeans_assignment_ctes(k)},
+    pairs AS (
+        SELECT e.vec_id, e.label, a.centroid_id
+        FROM embeddings e JOIN assignment a ON a.vec_id = e.vec_id
+    ),
+    cells AS (
+        SELECT label, centroid_id, COUNT(*) AS n
+        FROM pairs GROUP BY label, centroid_id
+    ),
+    sums AS (
+        SELECT CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS sum_comb_cells,
+               CAST(SUM(n) AS BIGINT) AS n_vecs,
+               CAST(COUNT(DISTINCT centroid_id) AS BIGINT) AS k_assigned
+        FROM cells
+    ),
+    rowsum AS (
+        SELECT CAST(SUM(a * (a - 1) // 2) AS BIGINT) AS sum_comb_rows
+        FROM (SELECT SUM(n) AS a FROM cells GROUP BY label)
+    ),
+    colsum AS (
+        SELECT CAST(SUM(b * (b - 1) // 2) AS BIGINT) AS sum_comb_cols
+        FROM (SELECT SUM(n) AS b FROM cells GROUP BY centroid_id)
+    )
+    SELECT n_vecs, k_assigned, sum_comb_cells, sum_comb_rows, sum_comb_cols,
+           CASE WHEN (sum_comb_rows + sum_comb_cols) / 2.0
+                     - sum_comb_rows * sum_comb_cols
+                       / CAST(n_vecs * (n_vecs - 1) // 2 AS DOUBLE) = 0
+                THEN 1.0
+                ELSE round(
+                    (sum_comb_cells - sum_comb_rows * sum_comb_cols
+                        / CAST(n_vecs * (n_vecs - 1) // 2 AS DOUBLE))
+                    / ((sum_comb_rows + sum_comb_cols) / 2.0
+                        - sum_comb_rows * sum_comb_cols
+                          / CAST(n_vecs * (n_vecs - 1) // 2 AS DOUBLE)), 6)
+           END AS ari
+    FROM sums CROSS JOIN rowsum CROSS JOIN colsum
     """

@@ -1474,3 +1474,48 @@ def q_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Held-out bigram perplexity per language — THE LM number, trained
     on the even-md5 half, measured on the odd half."""
     return text.heldout_bigram_perplexity(load_table(spark, sf_dir, "documents"))
+
+
+@register("embedding_davies_bouldin", oracle=embeddings_mod.davies_bouldin_sql())
+def q_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Davies-Bouldin cluster-validity index of the stored labels — the
+    lower-is-better separation score read before committing a clustering."""
+    return embeddings_mod.davies_bouldin(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "embedding_calinski_harabasz",
+    oracle=embeddings_mod.calinski_harabasz_sql(),
+)
+def q_calinski_harabasz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calinski-Harabasz variance-ratio score — between/within dispersion
+    per degree of freedom, exact-integer within sum."""
+    return embeddings_mod.calinski_harabasz(
+        load_table(spark, sf_dir, "embeddings")
+    )
+
+
+@register("embedding_ari_kmeans", oracle=embeddings_mod.ari_vs_kmeans_sql())
+def q_ari_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjusted Rand Index of stored labels vs the deterministic one-step
+    k-means assignment — chance-corrected pair-counting agreement, all
+    integer until the final division."""
+    return embeddings_mod.ari_vs_kmeans(load_table(spark, sf_dir, "embeddings"))
+
+
+@register("embedding_knn_shapley", oracle=similarity.knn_shapley_sql())
+def q_knn_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact KNN-Shapley data valuation of every training vector against
+    the md5-sampled test set — the closed-form suffix recursion as a
+    per-test window sum in exact nano units."""
+    return similarity.knn_shapley(load_table(spark, sf_dir, "embeddings"))
+
+
+@register("ann_rrf_fusion", oracle=similarity.rrf_fusion_sql(ANN_QUERY_IDS))
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of the cosine and inner-product rankings —
+    the score-free hybrid-search combiner, fused order engine-exact in
+    micro units."""
+    return similarity.rrf_fusion(
+        load_table(spark, sf_dir, "embeddings"), ANN_QUERY_IDS
+    )

@@ -2757,3 +2757,317 @@ def filtered_ann_recall_sql(
                     AS BIGINT) AS recall_milli
         FROM per_q
     """
+
+
+# --- KNN-Shapley data valuation -------------------------------------------------------
+
+SHAPLEY_TEST_POINTS = 16
+SHAPLEY_K = 5
+
+
+def knn_shapley(
+    embeddings: DataFrame,
+    n_test: int = SHAPLEY_TEST_POINTS,
+    k: int = SHAPLEY_K,
+) -> DataFrame:
+    """Exact KNN-Shapley value of every training vector (Jia et al., PVLDB
+    2019): the Shapley value of each training point for a K-NN classifier
+    admits a closed form — sort train points by distance to a test point,
+    then the tail recursion s_i = s_{i+1} + (1[y_i=y_t] - 1[y_{i+1}=y_t]) /
+    max(K, i) with s_n = 1[y_n=y_t]/n. The data-valuation number a training
+    corpus is curated by: negative values are mislabeled/poisonous
+    candidates, the top values are the exemplars.
+
+    Spark shape: the test set is the md5-ordered first ``n_test`` vectors
+    (deterministic, no RNG) and is BROADCAST; distances are one narrow pass
+    over the corpus; the recursion is a suffix window sum per test point
+    (each term quantized ONCE to nano BIGINT so the suffix sums and the
+    final per-train aggregation are order-free exact integers). Cost is
+    O(n_test · corpus) with bounded n_test — the documented scale cap; the
+    per-test windows partition by test_id, so the sort parallelizes across
+    the test set.
+
+    Output: one row per training vector (vec_id, label, shap_nano_sum,
+    shapley) where shapley = shap_nano_sum / (n_test · 1e9)."""
+    from .hashing import md5_int
+
+    tests = (
+        embeddings.withColumn("ck", md5_int(F.col("vec_id").cast("string")))
+        .orderBy("ck", "vec_id")
+        .limit(n_test)
+        .select(
+            F.col("vec_id").alias("test_id"),
+            F.col("embedding").alias("t_emb"),
+            F.col("label").alias("t_label"),
+        )
+    )
+    train = embeddings.join(
+        tests.select(F.col("test_id").alias("vec_id")), "vec_id", "left_anti"
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("t_emb"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = train.crossJoin(F.broadcast(tests)).select(
+        "test_id",
+        "vec_id",
+        "label",
+        F.round(d2, 9).alias("d2"),
+        (F.col("label") == F.col("t_label")).cast("int").alias("match"),
+    )
+    w_rank = Window.partitionBy("test_id").orderBy(
+        F.col("d2").asc(), F.col("vec_id").asc()
+    )
+    ranked = pairs.select(
+        "test_id",
+        "vec_id",
+        "label",
+        "match",
+        F.row_number().over(w_rank).alias("r"),
+        F.count("*").over(Window.partitionBy("test_id")).alias("n_train"),
+        F.lead("match").over(w_rank).alias("next_match"),
+    )
+    term = F.when(
+        F.col("next_match").isNull(),
+        F.col("match") / F.col("n_train"),
+    ).otherwise(
+        (F.col("match") - F.col("next_match"))
+        / F.greatest(F.lit(k), F.col("r"))
+    )
+    # suffix sum expressed as a RUNNING cumulative over descending rank:
+    # Spark's UNBOUNDED FOLLOWING frame re-scans the partition tail per row
+    # (O(n^2) per test point — measured x13 wall at x10 data); the
+    # descending running frame is the O(n) streaming aggregator.
+    w_suffix = (
+        Window.partitionBy("test_id")
+        .orderBy(F.col("r").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scored = ranked.select(
+        "test_id",
+        "vec_id",
+        "label",
+        F.col("r"),
+        F.round(term * 1e9).cast("long").alias("term_nano"),
+    ).select(
+        "test_id",
+        "vec_id",
+        "label",
+        F.sum("term_nano").over(w_suffix).alias("s_nano"),
+    )
+    return (
+        scored.groupBy("vec_id", "label")
+        .agg(F.sum("s_nano").alias("shap_nano_sum"))
+        .select(
+            "vec_id",
+            "label",
+            "shap_nano_sum",
+            # + 0.0 canonicalizes IEEE -0.0 (an all-negative-rounding-to-zero
+            # value would otherwise hash as "-0.000000" on one engine only)
+            (F.round(F.col("shap_nano_sum") / (n_test * 1e9), 6) + 0.0).alias(
+                "shapley"
+            ),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def knn_shapley_sql(
+    n_test: int = SHAPLEY_TEST_POINTS, k: int = SHAPLEY_K
+) -> str:
+    from .hashing import md5_int_sql
+
+    return f"""
+    WITH tests AS (
+        SELECT vec_id AS test_id, embedding AS t_emb, label AS t_label
+        FROM embeddings
+        ORDER BY {md5_int_sql("CAST(vec_id AS VARCHAR)")}, vec_id
+        LIMIT {n_test}
+    ),
+    train AS (
+        SELECT * FROM embeddings
+        WHERE vec_id NOT IN (SELECT test_id FROM tests)
+    ),
+    pairs AS (
+        SELECT t.test_id, e.vec_id, e.label,
+               round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                   j -> (CAST(e.embedding[j] AS DOUBLE)
+                         - CAST(t.t_emb[j] AS DOUBLE))
+                        * (CAST(e.embedding[j] AS DOUBLE)
+                           - CAST(t.t_emb[j] AS DOUBLE)))), 9) AS d2,
+               CASE WHEN e.label = t.t_label THEN 1 ELSE 0 END AS match
+        FROM train e CROSS JOIN tests t
+    ),
+    ranked AS (
+        SELECT test_id, vec_id, label, match,
+               row_number() OVER (
+                   PARTITION BY test_id ORDER BY d2 ASC, vec_id ASC
+               ) AS r,
+               COUNT(*) OVER (PARTITION BY test_id) AS n_train,
+               lead(match) OVER (
+                   PARTITION BY test_id ORDER BY d2 ASC, vec_id ASC
+               ) AS next_match
+        FROM pairs
+    ),
+    terms AS (
+        SELECT test_id, vec_id, label,
+               CAST(round(1e9 * CASE
+                   WHEN next_match IS NULL
+                       THEN CAST(match AS DOUBLE) / n_train
+                   ELSE CAST(match - next_match AS DOUBLE)
+                        / GREATEST({k}, r)
+               END) AS BIGINT) AS term_nano,
+               r
+        FROM ranked
+    ),
+    suffix AS (
+        SELECT test_id, vec_id, label,
+               SUM(term_nano) OVER (
+                   PARTITION BY test_id ORDER BY r DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS s_nano
+        FROM terms
+    )
+    SELECT vec_id, label,
+           CAST(SUM(s_nano) AS BIGINT) AS shap_nano_sum,
+           round(SUM(s_nano) / ({n_test} * 1e9), 6) + 0.0 AS shapley
+    FROM suffix
+    GROUP BY vec_id, label
+    ORDER BY vec_id
+    """
+
+
+# --- reciprocal-rank fusion -----------------------------------------------------------
+
+RRF_K = 60
+RRF_TOP = 10
+
+
+def rrf_fusion(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    rrf_k: int = RRF_K,
+    top: int = RRF_TOP,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR 2009) of two retrieval
+    rankings — cosine similarity and raw inner product (which disagree
+    whenever candidate norms vary) — fused as Σ 1/(k + rank_list(d)), the
+    standard score-free hybrid-search combiner (lexical ∪ semantic in a RAG
+    stack; two vector scorings here, same algebra).
+
+    Both rankings come from one broadcast pass over the corpus; the fused
+    score is per-row scalar arithmetic quantized to micro BIGINT, so the
+    fused ordering is engine-exact. Output: top-``top`` per query
+    (query_id, fused_rank, vec_id, r_cos, r_dot, rrf_micro)."""
+    from .dedup import _dot, _l2norm
+
+    corpus = embeddings.select(
+        "vec_id", "embedding", _l2norm(F.col("embedding")).alias("nrm")
+    )
+    queries = corpus.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                _dot(F.col("q_emb"), F.col("embedding"))
+                / (F.col("q_nrm") * F.col("nrm")),
+                9,
+            ).alias("cosine"),
+            F.round(_dot(F.col("q_emb"), F.col("embedding")), 9).alias("dot"),
+        )
+    )
+    w_cos = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    w_dot = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("vec_id").asc()
+    )
+    fused = scored.select(
+        "query_id",
+        "vec_id",
+        F.row_number().over(w_cos).alias("r_cos"),
+        F.row_number().over(w_dot).alias("r_dot"),
+    ).select(
+        "query_id",
+        "vec_id",
+        "r_cos",
+        "r_dot",
+        F.round(
+            1e6
+            * (
+                1.0 / (F.lit(rrf_k) + F.col("r_cos"))
+                + 1.0 / (F.lit(rrf_k) + F.col("r_dot"))
+            )
+        )
+        .cast("long")
+        .alias("rrf_micro"),
+    )
+    w_fused = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_micro").desc(), F.col("vec_id").asc()
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w_fused).cast("int"))
+        .where(F.col("fused_rank") <= top)
+        .select("query_id", "fused_rank", "vec_id", "r_cos", "r_dot", "rrf_micro")
+        .orderBy("query_id", "fused_rank")
+    )
+
+
+def rrf_fusion_sql(
+    query_ids: list[int], rrf_k: int = RRF_K, top: int = RRF_TOP
+) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+    WITH queries AS (
+        SELECT vec_id AS query_id, embedding AS q_emb
+        FROM embeddings WHERE vec_id IN ({ids})
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id,
+               round(list_cosine_similarity(
+                   e.embedding::DOUBLE[], q.q_emb::DOUBLE[]), 9) AS cosine,
+               round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                   j -> CAST(e.embedding[j] AS DOUBLE)
+                        * CAST(q.q_emb[j] AS DOUBLE))), 9) AS dot
+        FROM embeddings e CROSS JOIN queries q
+        WHERE e.vec_id <> q.query_id
+    ),
+    ranked AS (
+        SELECT query_id, vec_id,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC
+               ) AS r_cos,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY dot DESC, vec_id ASC
+               ) AS r_dot
+        FROM scored
+    ),
+    fused AS (
+        SELECT query_id, vec_id, r_cos, r_dot,
+               CAST(round(1e6 * (1.0 / ({rrf_k} + r_cos)
+                                 + 1.0 / ({rrf_k} + r_dot))) AS BIGINT)
+                   AS rrf_micro
+        FROM ranked
+    )
+    SELECT query_id,
+           CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY rrf_micro DESC, vec_id ASC
+           ) AS INTEGER) AS fused_rank,
+           vec_id, r_cos, r_dot, rrf_micro
+    FROM fused
+    QUALIFY fused_rank <= {top}
+    ORDER BY query_id, fused_rank
+    """

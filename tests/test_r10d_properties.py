@@ -1,0 +1,354 @@
+"""Property tests for the round-10d devices (L-539..L-543): each Spark plan
+must equal a direct Python reference of the same exact-arithmetic chain on
+arbitrary inputs — the device-level guarantee the DuckDB oracles then certify
+at corpus scale.
+
+Vector components are drawn on the quarter grid (k/4, |k| <= 8) so every
+cross-row sum is exact in binary and the reference is bit-identical to any
+aggregation order."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter, defaultdict
+
+import pytest
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+except ImportError:  # pragma: no cover
+    pytest.skip("hypothesis not installed", allow_module_level=True)
+
+
+def _rha(x: float) -> int:
+    """Match Spark/DuckDB round(): half away from zero, not banker's."""
+    return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+
+def _r(x: float, dp: int) -> float:
+    return _rha(x * 10**dp) / 10**dp
+
+
+def _md5_int(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+DIM = 6
+
+VECS = st.lists(
+    st.tuples(
+        st.lists(
+            st.integers(-8, 8).map(lambda k: k / 4.0),
+            min_size=DIM,
+            max_size=DIM,
+        ),
+        st.integers(0, 2),
+    ),
+    min_size=4,
+    max_size=14,
+)
+
+
+def _emb_df(spark, rows):
+    return spark.createDataFrame(
+        [(i, v, lab) for i, (v, lab) in enumerate(rows)],
+        "vec_id long, embedding array<float>, label int",
+    )
+
+
+# --- Davies-Bouldin (L-539) -----------------------------------------------------------
+#
+# Labels get a distinct per-label offset added to component 0 so centroids
+# can never coincide (m_sep > 0), which is the operator's documented domain.
+
+
+def _db_ref(rows):
+    by_label = defaultdict(list)
+    for v, lab in rows:
+        by_label[lab].append(v)
+    cents = {
+        lab: [_r(sum(v[p] for v in vs) / len(vs), 9) for p in range(DIM)]
+        for lab, vs in by_label.items()
+    }
+    s = {}
+    n = {}
+    for lab, vs in by_label.items():
+        d_nanos = [
+            _rha(
+                math.sqrt(sum((v[p] - cents[lab][p]) ** 2 for p in range(DIM)))
+                * 1e9
+            )
+            for v in vs
+        ]
+        n[lab] = len(vs)
+        s[lab] = _r(sum(d_nanos) / len(vs) / 1e9, 9)
+    labs = sorted(by_label)
+    r_max = {}
+    for li in labs:
+        best = None
+        for lj in labs:
+            if lj == li:
+                continue
+            m = _r(
+                math.sqrt(
+                    sum((cents[li][p] - cents[lj][p]) ** 2 for p in range(DIM))
+                ),
+                9,
+            )
+            ratio = _r((s[li] + s[lj]) / m, 6)
+            best = ratio if best is None or ratio > best else best
+        r_max[li] = best
+    db = _r(sum(r_max.values()) / len(labs), 6)
+    return {
+        lab: (n[lab], _r(s[lab], 6), r_max[lab], db) for lab in labs
+    }
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=VECS)
+def test_davies_bouldin_matches_reference(spark, rows):
+    from pagila_etl_airflow_assignment_spark.llm.embeddings import (
+        davies_bouldin,
+    )
+
+    # need >= 2 labels; separate centroids by construction
+    rows = [
+        ([v[0] + 40.0 * lab] + v[1:], lab) for v, lab in rows
+    ]
+    if len({lab for _, lab in rows}) < 2:
+        rows = rows + [([100.0] * DIM, 2)]
+    got = {
+        r["label"]: (r["n_members"], r["s_intra"], r["r_max"], r["db_index"])
+        for r in davies_bouldin(_emb_df(spark, rows)).collect()
+    }
+    assert got == _db_ref(rows)
+
+
+# --- Calinski-Harabasz (L-540) --------------------------------------------------------
+
+
+def _ch_ref(rows):
+    by_label = defaultdict(list)
+    for v, lab in rows:
+        by_label[lab].append(v)
+    n_vecs = len(rows)
+    k = len(by_label)
+    cents = {
+        lab: [_r(sum(v[p] for v in vs) / len(vs), 9) for p in range(DIM)]
+        for lab, vs in by_label.items()
+    }
+    w_micro = sum(
+        _rha(sum((v[p] - cents[lab][p]) ** 2 for p in range(DIM)) * 1e6)
+        for lab, vs in by_label.items()
+        for v in vs
+    )
+    grand = [
+        _r(sum(v[p] for v, _ in rows) / n_vecs, 9) for p in range(DIM)
+    ]
+    b = _r(
+        sum(
+            len(vs)
+            * _r(sum((cents[lab][p] - grand[p]) ** 2 for p in range(DIM)), 9)
+            for lab, vs in by_label.items()
+        ),
+        6,
+    )
+    ch = _r((b / (k - 1)) / ((w_micro / 1e6) / (n_vecs - k)), 6)
+    return (n_vecs, k, _r(w_micro / 1e6, 6), b, ch)
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=VECS)
+def test_calinski_harabasz_matches_reference(spark, rows):
+    from pagila_etl_airflow_assignment_spark.llm.embeddings import (
+        calinski_harabasz,
+    )
+
+    if len({lab for _, lab in rows}) < 2:
+        rows = rows + [([100.0] * DIM, 2)]
+    # W must be positive (a degenerate all-identical-per-label corpus has
+    # CH undefined); nudge one duplicate if needed
+    by_label = defaultdict(set)
+    for v, lab in rows:
+        by_label[lab].add(tuple(v))
+    if all(len(s) == 1 for s in by_label.values()):
+        lab0 = rows[0][1]
+        rows = rows + [([x + 1.0 for x in rows[0][0]], lab0)]
+    [got] = calinski_harabasz(_emb_df(spark, rows)).collect()
+    assert (
+        got["n_vecs"],
+        got["k"],
+        got["w_within"],
+        got["b_between"],
+        got["ch"],
+    ) == _ch_ref(rows)
+
+
+# --- Adjusted Rand Index (L-541) ------------------------------------------------------
+#
+# The pair-counting algebra gets its own differential against the module's
+# OWN certified assignment (kmeans_assignment is pinned by the kmeans_step
+# oracle), mirroring the MAP@k test pattern.
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=VECS)
+def test_ari_matches_python_pair_counting(spark, rows):
+    from pagila_etl_airflow_assignment_spark.llm.embeddings import (
+        ari_vs_kmeans,
+        kmeans_assignment,
+    )
+
+    # zero vectors break the cosine assignment (0/0); shift off origin
+    rows = [([x + 20.0 for x in v], lab) for v, lab in rows]
+    df = _emb_df(spark, rows)
+    k = 3
+    assign = {
+        r["vec_id"]: r["centroid_id"]
+        for r in kmeans_assignment(df, k).collect()
+    }
+    cells = Counter((lab, assign[i]) for i, (_, lab) in enumerate(rows))
+    comb2 = lambda n: n * (n - 1) // 2  # noqa: E731
+    sum_cells = sum(comb2(c) for c in cells.values())
+    arow = Counter()
+    acol = Counter()
+    for (lab, cid), c in cells.items():
+        arow[lab] += c
+        acol[cid] += c
+    sum_rows = sum(comb2(c) for c in arow.values())
+    sum_cols = sum(comb2(c) for c in acol.values())
+    n = len(rows)
+    comb_n = comb2(n)
+    expected = sum_rows * sum_cols / comb_n
+    max_idx = (sum_rows + sum_cols) / 2.0
+    ari = 1.0 if max_idx - expected == 0 else _r(
+        (sum_cells - expected) / (max_idx - expected), 6
+    )
+    [got] = ari_vs_kmeans(df, k).collect()
+    assert (
+        got["n_vecs"],
+        got["sum_comb_cells"],
+        got["sum_comb_rows"],
+        got["sum_comb_cols"],
+        got["ari"],
+    ) == (n, sum_cells, sum_rows, sum_cols, ari)
+
+
+# --- KNN-Shapley (L-542) --------------------------------------------------------------
+
+
+def _shapley_ref(rows, n_test, k):
+    ids = list(range(len(rows)))
+    test_ids = sorted(ids, key=lambda i: (_md5_int(str(i)), i))[:n_test]
+    train_ids = [i for i in ids if i not in test_ids]
+    out = Counter()
+    for t in test_ids:
+        tv, tlab = rows[t]
+        ranked = sorted(
+            train_ids,
+            key=lambda i: (
+                _r(sum((rows[i][0][p] - tv[p]) ** 2 for p in range(DIM)), 9),
+                i,
+            ),
+        )
+        n = len(ranked)
+        terms = []
+        for pos, i in enumerate(ranked, start=1):
+            match = 1 if rows[i][1] == tlab else 0
+            if pos == n:
+                term = match / n
+            else:
+                nxt = 1 if rows[ranked[pos]][1] == tlab else 0
+                term = (match - nxt) / max(k, pos)
+            terms.append(_rha(term * 1e9))
+        suffix = 0
+        s_by_id = {}
+        for pos in range(n, 0, -1):
+            suffix += terms[pos - 1]
+            s_by_id[ranked[pos - 1]] = suffix
+        for i, s in s_by_id.items():
+            out[i] += s
+    return {i: out[i] for i in train_ids}
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=VECS)
+def test_knn_shapley_matches_reference(spark, rows):
+    from pagila_etl_airflow_assignment_spark.llm.similarity import knn_shapley
+
+    n_test, k = 3, 2
+    got = {
+        r["vec_id"]: r["shap_nano_sum"]
+        for r in knn_shapley(_emb_df(spark, rows), n_test, k).collect()
+    }
+    assert got == _shapley_ref(rows, n_test, k)
+
+
+# --- Reciprocal-rank fusion (L-543) ---------------------------------------------------
+
+
+def _rrf_ref(rows, query_ids, rrf_k, top):
+    def dot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    out = []
+    for q in query_ids:
+        qv = rows[q][0]
+        qn = math.sqrt(dot(qv, qv))
+        cands = []
+        for i, (v, _) in enumerate(rows):
+            if i == q:
+                continue
+            nrm = math.sqrt(dot(v, v))
+            cands.append(
+                (i, _r(dot(qv, v) / (qn * nrm), 9), _r(dot(qv, v), 9))
+            )
+        by_cos = sorted(cands, key=lambda t: (-t[1], t[0]))
+        by_dot = sorted(cands, key=lambda t: (-t[2], t[0]))
+        r_cos = {i: r for r, (i, _, _) in enumerate(by_cos, start=1)}
+        r_dot = {i: r for r, (i, _, _) in enumerate(by_dot, start=1)}
+        fused = sorted(
+            (
+                (
+                    -_rha(
+                        1e6
+                        * (
+                            1.0 / (rrf_k + r_cos[i])
+                            + 1.0 / (rrf_k + r_dot[i])
+                        )
+                    ),
+                    i,
+                )
+                for i, _, _ in cands
+            )
+        )
+        for rank, (neg_micro, i) in enumerate(fused[:top], start=1):
+            out.append((q, rank, i, r_cos[i], r_dot[i], -neg_micro))
+    return sorted(out)
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=VECS)
+def test_rrf_fusion_matches_reference(spark, rows):
+    from pagila_etl_airflow_assignment_spark.llm.similarity import rrf_fusion
+
+    # zero vectors break cosine (0/0); shift off origin
+    rows = [([x + 20.0 for x in v], lab) for v, lab in rows]
+    qids = [0, 1]
+    got = sorted(
+        (
+            r["query_id"],
+            r["fused_rank"],
+            r["vec_id"],
+            r["r_cos"],
+            r["r_dot"],
+            r["rrf_micro"],
+        )
+        for r in rrf_fusion(_emb_df(spark, rows), qids, top=5).collect()
+    )
+    assert got == _rrf_ref(rows, qids, 60, 5)

@@ -401,6 +401,13 @@ ALLOWED: dict[str, set[str]] = {
     "events_wasserstein_hourly": {"BroadcastNestedLoopJoin"},
     "events_energy_distance": {"BroadcastNestedLoopJoin"},
     "warehouse_silver_meal": {"BroadcastNestedLoopJoin"},
+    # round-10d cluster-validity / valuation / fusion devices (L-539..543):
+    # 1-row index scalars, k-seed / n_test / query-set tiny broadcasts
+    "embedding_davies_bouldin": {"BroadcastNestedLoopJoin"},
+    "embedding_calinski_harabasz": {"BroadcastNestedLoopJoin"},
+    "embedding_ari_kmeans": {"BroadcastNestedLoopJoin"},
+    "embedding_knn_shapley": {"BroadcastNestedLoopJoin"},
+    "ann_rrf_fusion": {"BroadcastNestedLoopJoin"},
 }
 
 PATTERNS = ("CartesianProduct", "BatchEvalPython", "BroadcastNestedLoopJoin")

@@ -510,6 +510,12 @@ PROBES = [
     "events_wasserstein_hourly",
     "events_energy_distance",
     "warehouse_silver_meal",
+    # round-10d cluster-validity / valuation / fusion (L-539..543)
+    "embedding_davies_bouldin",
+    "embedding_calinski_harabasz",
+    "embedding_ari_kmeans",
+    "embedding_knn_shapley",
+    "ann_rrf_fusion",
 ]
 
 
