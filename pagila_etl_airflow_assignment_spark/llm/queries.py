@@ -1519,3 +1519,18 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.rrf_fusion(
         load_table(spark, sf_dir, "embeddings"), ANN_QUERY_IDS
     )
+
+
+@register("text_fairness_audit", oracle=text.fairness_audit_sql())
+def q_fairness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-fairness audit of the quality classifier across sources:
+    demographic-parity and equalized-odds gaps vs the Gopher-rule truth."""
+    return text.fairness_audit(load_table(spark, sf_dir, "documents"))
+
+
+@register("text_label_noise", oracle=text.label_noise_estimate_sql())
+def q_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confident-learning label-noise matrix: per-class confidence
+    thresholds gate the (stored lang, predicted lang) joint — the
+    estimated mislabel census of the corpus."""
+    return text.label_noise_estimate(load_table(spark, sf_dir, "documents"))

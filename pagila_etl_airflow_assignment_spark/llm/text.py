@@ -2831,3 +2831,235 @@ def heldout_bigram_perplexity_sql() -> str:
         GROUP BY lang
         ORDER BY lang
     """
+
+
+# --- group-fairness audit of the quality classifier ------------------------------------
+
+
+def fairness_audit(docs: DataFrame) -> DataFrame:
+    """Group-fairness audit of the linear quality classifier across sources:
+    demographic parity (per-source selection rate vs overall) and equalized
+    odds (per-source TPR/FPR vs overall, truth = the Gopher rule conjunction).
+    The pre-deployment review of any learned curation filter — a filter that
+    passes aggregate precision but silently zeroes out one source is how a
+    training corpus loses a domain.
+
+    All rates are exact milli integers on non-negative operands (half-up
+    integer division); gaps are plain integer differences against the 1-row
+    broadcast overall. Sources with no true positives (or no true negatives)
+    emit NULL TPR (FPR) rather than a fabricated rate.
+
+    Scale: two zero-shuffle scoring passes share the corpus scan, one
+    (source) aggregate, one 1-row overall broadcast."""
+    pred = classifier_scores(docs).select("doc_id", "clf_keep")
+    truth = gopher_rules(docs).select("doc_id", "gopher_keep")
+    labeled = (
+        docs.select("doc_id", "source")
+        .join(pred, "doc_id")
+        .join(truth, "doc_id")
+        .select(
+            "source",
+            F.col("clf_keep").cast("int").alias("p"),
+            F.col("gopher_keep").cast("int").alias("t"),
+        )
+    )
+    def _rates(grouped: DataFrame) -> DataFrame:
+        return grouped.select(
+            "*",
+            F.expr(
+                "CAST((2 * 1000 * n_sel + n) DIV (2 * n) AS BIGINT)"
+            ).alias("sel_milli"),
+            F.expr(
+                "CASE WHEN n_pos > 0 THEN CAST((2 * 1000 * n_tp + n_pos)"
+                " DIV (2 * n_pos) AS BIGINT) END"
+            ).alias("tpr_milli"),
+            F.expr(
+                "CASE WHEN n - n_pos > 0 THEN CAST((2 * 1000 * n_fp"
+                " + (n - n_pos)) DIV (2 * (n - n_pos)) AS BIGINT) END"
+            ).alias("fpr_milli"),
+        )
+
+    aggs = [
+        F.count("*").cast("long").alias("n"),
+        F.sum("p").cast("long").alias("n_sel"),
+        F.sum("t").cast("long").alias("n_pos"),
+        F.sum(F.col("p") * F.col("t")).cast("long").alias("n_tp"),
+        F.sum(F.col("p") * (1 - F.col("t"))).cast("long").alias("n_fp"),
+    ]
+    per_source = _rates(labeled.groupBy("source").agg(*aggs))
+    overall = _rates(labeled.groupBy().agg(*aggs)).select(
+        F.col("sel_milli").alias("o_sel"),
+        F.col("tpr_milli").alias("o_tpr"),
+        F.col("fpr_milli").alias("o_fpr"),
+    )
+    return (
+        per_source.crossJoin(F.broadcast(overall))
+        .select(
+            "source",
+            "n",
+            "sel_milli",
+            "tpr_milli",
+            "fpr_milli",
+            (F.col("sel_milli") - F.col("o_sel")).alias("dp_gap_milli"),
+            (F.col("tpr_milli") - F.col("o_tpr")).alias("tpr_gap_milli"),
+            (F.col("fpr_milli") - F.col("o_fpr")).alias("fpr_gap_milli"),
+        )
+        .orderBy("source")
+    )
+
+
+def fairness_audit_sql() -> str:
+    return f"""
+    WITH pred AS (
+        SELECT doc_id, clf_keep FROM ({_classifier_scores_sql()})
+    ),
+    truth AS (
+        SELECT doc_id, gopher_keep FROM ({_gopher_rules_sql()})
+    ),
+    labeled AS (
+        SELECT d.source,
+               CASE WHEN p.clf_keep THEN 1 ELSE 0 END AS p,
+               CASE WHEN t.gopher_keep THEN 1 ELSE 0 END AS t
+        FROM documents d
+        JOIN pred p USING (doc_id)
+        JOIN truth t USING (doc_id)
+    ),
+    per_source AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(p) AS BIGINT) AS n_sel,
+               CAST(SUM(t) AS BIGINT) AS n_pos,
+               CAST(SUM(p * t) AS BIGINT) AS n_tp,
+               CAST(SUM(p * (1 - t)) AS BIGINT) AS n_fp
+        FROM labeled GROUP BY source
+    ),
+    rated AS (
+        SELECT source, n,
+               CAST((2 * 1000 * n_sel + n) // (2 * n) AS BIGINT) AS sel_milli,
+               CASE WHEN n_pos > 0 THEN
+                   CAST((2 * 1000 * n_tp + n_pos) // (2 * n_pos) AS BIGINT)
+               END AS tpr_milli,
+               CASE WHEN n - n_pos > 0 THEN
+                   CAST((2 * 1000 * n_fp + (n - n_pos))
+                        // (2 * (n - n_pos)) AS BIGINT)
+               END AS fpr_milli
+        FROM per_source
+    ),
+    overall AS (
+        SELECT CAST((2 * 1000 * SUM(n_sel) + SUM(n))
+                    // (2 * SUM(n)) AS BIGINT) AS o_sel,
+               CASE WHEN SUM(n_pos) > 0 THEN
+                   CAST((2 * 1000 * SUM(n_tp) + SUM(n_pos))
+                        // (2 * SUM(n_pos)) AS BIGINT)
+               END AS o_tpr,
+               CASE WHEN SUM(n) - SUM(n_pos) > 0 THEN
+                   CAST((2 * 1000 * SUM(n_fp) + (SUM(n) - SUM(n_pos)))
+                        // (2 * (SUM(n) - SUM(n_pos))) AS BIGINT)
+               END AS o_fpr
+        FROM per_source
+    )
+    SELECT source, n, sel_milli, tpr_milli, fpr_milli,
+           sel_milli - o_sel AS dp_gap_milli,
+           tpr_milli - o_tpr AS tpr_gap_milli,
+           fpr_milli - o_fpr AS fpr_gap_milli
+    FROM rated CROSS JOIN overall
+    ORDER BY source
+    """
+
+
+# --- confident-learning label-noise estimate --------------------------------------------
+
+
+def label_noise_estimate(docs: DataFrame) -> DataFrame:
+    """Confident-learning label-noise matrix (Northcutt et al., JAIR 2021,
+    simplified to the single-score regime): per-class confidence thresholds
+    t_j = mean lexicon confidence of docs PREDICTED as j, then the confident
+    joint C[stored_lang][pred_lang] counts only docs whose prediction clears
+    its class threshold — the estimated mislabel census a curation pipeline
+    reads before trusting its `lang` column.
+
+    Confidence is the exact milli ratio lexicon_hits/n_words; thresholds and
+    cell counts are all integer arithmetic. Output: one row per observed
+    (lang, pred_lang) cell with the raw and confident counts plus the global
+    off-diagonal confident share in milli.
+
+    Scale: one zero-shuffle scoring pass, a |langs|-row threshold aggregate
+    broadcast back, one (lang, pred_lang) aggregate."""
+    scored = (
+        lang_id(docs)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select(
+            "lang",
+            "pred_lang",
+            F.expr(
+                "CAST((2 * 1000 * lexicon_hits + GREATEST(n_words, 1))"
+                " DIV (2 * GREATEST(n_words, 1)) AS BIGINT)"
+            ).alias("conf_milli"),
+        )
+    )
+    thresholds = scored.groupBy("pred_lang").agg(
+        F.expr(
+            "CAST((2 * SUM(conf_milli) + COUNT(*)) DIV (2 * COUNT(*))"
+            " AS BIGINT)"
+        ).alias("t_milli")
+    )
+    cells = (
+        scored.join(F.broadcast(thresholds), "pred_lang")
+        .groupBy("lang", "pred_lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(
+                (F.col("conf_milli") >= F.col("t_milli")).cast("long")
+            ).alias("n_confident"),
+        )
+    )
+    noise = cells.agg(
+        F.expr(
+            "CASE WHEN SUM(n_confident) > 0 THEN CAST((2 * 1000 *"
+            " SUM(CASE WHEN lang <> pred_lang THEN n_confident ELSE 0 END)"
+            " + SUM(n_confident)) DIV (2 * SUM(n_confident)) AS BIGINT)"
+            " ELSE 0 END"
+        ).alias("noise_milli")
+    )
+    return (
+        cells.crossJoin(F.broadcast(noise))
+        .select("lang", "pred_lang", "n_docs", "n_confident", "noise_milli")
+        .orderBy("lang", "pred_lang")
+    )
+
+
+def label_noise_estimate_sql() -> str:
+    return f"""
+    WITH scored AS (
+        SELECT d.lang, p.pred_lang,
+               CAST((2 * 1000 * p.lexicon_hits + GREATEST(p.n_words, 1))
+                    // (2 * GREATEST(p.n_words, 1)) AS BIGINT) AS conf_milli
+        FROM documents d
+        JOIN ({_lang_id_sql()}) p USING (doc_id)
+    ),
+    thresholds AS (
+        SELECT pred_lang,
+               CAST((2 * SUM(conf_milli) + COUNT(*)) // (2 * COUNT(*))
+                    AS BIGINT) AS t_milli
+        FROM scored GROUP BY pred_lang
+    ),
+    cells AS (
+        SELECT s.lang, s.pred_lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN s.conf_milli >= t.t_milli THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_confident
+        FROM scored s JOIN thresholds t USING (pred_lang)
+        GROUP BY s.lang, s.pred_lang
+    ),
+    noise AS (
+        SELECT CASE WHEN SUM(n_confident) > 0 THEN
+                   CAST((2 * 1000 * SUM(CASE WHEN lang <> pred_lang
+                                 THEN n_confident ELSE 0 END)
+                         + SUM(n_confident)) // (2 * SUM(n_confident))
+                        AS BIGINT)
+               ELSE 0 END AS noise_milli
+        FROM cells
+    )
+    SELECT lang, pred_lang, n_docs, n_confident, noise_milli
+    FROM cells CROSS JOIN noise
+    ORDER BY lang, pred_lang
+    """

@@ -3465,3 +3465,44 @@ def q_silver_meal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Silver-Meal heuristic lot sizing priced against the Wagner-Whitin
     optimum — heuristic, optimum, and the gap in one device."""
     return warehouse.silver_meal_plan(load_table(spark, sf_dir, "lineitem"))
+
+
+@register("events_iv_wald", oracle=stats.iv_wald_sql())
+def q_iv_wald(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instrumental-variable Wald estimate: view exposure instruments
+    clicking, purchase cents is the outcome — reduced form over first
+    stage, NULL when the instrument is empty."""
+    return stats.iv_wald(load_table(spark, sf_dir, "events"))
+
+
+@register("events_mediation_sobel", oracle=stats.mediation_sobel_sql())
+def q_mediation_sobel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baron-Kenny mediation with the Sobel test: does view volume act on
+    spend through click volume? Closed-form paths from one
+    sufficient-statistics aggregate."""
+    return stats.mediation_sobel(load_table(spark, sf_dir, "events"))
+
+
+@register("events_cooks_distance", oracle=stats.cooks_distance_sql())
+def q_cooks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cook's distance of each day on the daily-revenue OLS trend — the
+    influence diagnostic behind "is this trend one anomalous day?"."""
+    return stats.cooks_distance(load_table(spark, sf_dir, "events"))
+
+
+@register("events_sinkhorn_ot", oracle=stats.sinkhorn_ot_sql())
+def q_sinkhorn_ot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropic optimal transport (Sinkhorn) between weekday and weekend
+    intraday click profiles on the circular hour metric — scaling rounds
+    on the bounded 576-cell kernel grid, engine-exact in integer units."""
+    return stats.sinkhorn_ot(load_table(spark, sf_dir, "events"))
+
+
+@register("warehouse_oaxaca_blinder", oracle=warehouse.oaxaca_blinder_sql())
+def q_oaxaca_blinder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oaxaca-Blinder decomposition of the BUILDING-vs-MACHINERY mean
+    spend gap into endowment (order frequency) and coefficient effects."""
+    return warehouse.oaxaca_blinder(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+    )

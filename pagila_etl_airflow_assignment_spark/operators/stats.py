@@ -13978,3 +13978,685 @@ def energy_distance_weekend_sql() -> str:
                     ELSE 0 END AS BIGINT) AS energy_micro
         FROM agg
     """
+
+
+# --- instrumental-variable Wald estimator ---------------------------------------------
+
+
+def iv_wald(events: DataFrame) -> DataFrame:
+    """Instrumental-variable (Wald) estimate of the effect of engagement on
+    purchase spend: instrument Z = user ever saw a 'view' (the exposure
+    encouragement), endogenous treatment D = user ever clicked, outcome Y =
+    purchase cents. Wald = (E[Y|Z=1] − E[Y|Z=0]) / (E[D|Z=1] − E[D|Z=0]) —
+    the reduced form over the first stage, the simplest estimator that
+    survives treatment self-selection (naive D-conditioning does not).
+
+    Cell means are exact half-up integers (cents / milli); the ratio is the
+    single final division, NULL when the first stage is empty (a weak-to-no
+    instrument must surface as NULL, not a fabricated effect).
+
+    Scale: one user-grain aggregate, one 2-cell rollup."""
+    per_user = events.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "view").cast("int")).alias("z"),
+        F.max((F.col("event_type") == "click").cast("int")).alias("d"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.expr("CAST(round(value * 100) AS BIGINT)"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("y_cents"),
+    )
+    cells = per_user.groupBy("z").agg(
+        F.count("*").cast("long").alias("n"),
+        F.expr(
+            "CAST((2 * SUM(y_cents) + COUNT(*)) DIV (2 * COUNT(*))"
+            " AS BIGINT)"
+        ).alias("mean_y_cents"),
+        F.expr(
+            "CAST((2 * 1000 * SUM(d) + COUNT(*)) DIV (2 * COUNT(*))"
+            " AS BIGINT)"
+        ).alias("mean_d_milli"),
+    )
+    return cells.agg(
+        F.sum(F.when(F.col("z") == 1, F.col("n"))).alias("n_z1"),
+        F.sum(F.when(F.col("z") == 0, F.col("n"))).alias("n_z0"),
+        F.sum(
+            F.when(F.col("z") == 1, F.col("mean_y_cents")).otherwise(
+                -F.col("mean_y_cents")
+            )
+        ).alias("itt_cents"),
+        F.sum(
+            F.when(F.col("z") == 1, F.col("mean_d_milli")).otherwise(
+                -F.col("mean_d_milli")
+            )
+        ).alias("first_stage_milli"),
+    ).select(
+        "n_z1",
+        "n_z0",
+        "itt_cents",
+        "first_stage_milli",
+        F.when(
+            F.col("first_stage_milli") != 0,
+            F.round(
+                1000.0 * F.col("itt_cents") / F.col("first_stage_milli"), 6
+            ),
+        ).alias("wald_cents"),
+    )
+
+
+def iv_wald_sql() -> str:
+    return """
+    WITH per_user AS (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS z,
+               MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS d,
+               SUM(CASE WHEN event_type = 'purchase'
+                   THEN CAST(round(value * 100) AS BIGINT)
+                   ELSE 0 END) AS y_cents
+        FROM events GROUP BY user_id
+    ),
+    cells AS (
+        SELECT z, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST((2 * SUM(y_cents) + COUNT(*)) // (2 * COUNT(*))
+                    AS BIGINT) AS mean_y_cents,
+               CAST((2 * 1000 * SUM(d) + COUNT(*)) // (2 * COUNT(*))
+                    AS BIGINT) AS mean_d_milli
+        FROM per_user GROUP BY z
+    )
+    SELECT CAST(SUM(CASE WHEN z = 1 THEN n END) AS BIGINT) AS n_z1,
+           CAST(SUM(CASE WHEN z = 0 THEN n END) AS BIGINT) AS n_z0,
+           CAST(SUM(CASE WHEN z = 1 THEN mean_y_cents
+                         ELSE -mean_y_cents END) AS BIGINT) AS itt_cents,
+           CAST(SUM(CASE WHEN z = 1 THEN mean_d_milli
+                         ELSE -mean_d_milli END) AS BIGINT)
+               AS first_stage_milli,
+           CASE WHEN SUM(CASE WHEN z = 1 THEN mean_d_milli
+                              ELSE -mean_d_milli END) <> 0 THEN
+               round(1000.0 * SUM(CASE WHEN z = 1 THEN mean_y_cents
+                                       ELSE -mean_y_cents END)
+                     / SUM(CASE WHEN z = 1 THEN mean_d_milli
+                                ELSE -mean_d_milli END), 6)
+           END AS wald_cents
+    FROM cells
+    """
+
+
+# --- mediation analysis (product of coefficients + Sobel) -----------------------------
+
+
+def mediation_sobel(events: DataFrame) -> DataFrame:
+    """Baron-Kenny mediation with the Sobel test: does engagement (X =
+    views per user) act on spend (Y = purchase cents) THROUGH clicking
+    (M = clicks per user)? Closed-form paths from one user-grain sufficient
+    -statistics aggregate: a (X→M), b (M→Y | X), the direct path c′, the
+    total path c, the indirect effect a·b, and Sobel z = a·b /
+    √(a²·s_b² + b²·s_a²).
+
+    Every cross-user sum is an exact BIGINT (counts and cents); the path
+    algebra is scalar double arithmetic on those exact integers — identical
+    in any engine and any partitioning. Degenerate designs (zero X variance
+    or a collinear X/M) emit NULL paths rather than dividing by zero.
+
+    Scale: one user aggregate + one 10-sum reduction; nothing after the
+    first shuffle is data-sized."""
+    per_user = events.groupBy("user_id").agg(
+        F.sum((F.col("event_type") == "view").cast("long")).alias("x"),
+        F.sum((F.col("event_type") == "click").cast("long")).alias("m"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.expr("CAST(round(value * 100) AS BIGINT)"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("y"),
+    )
+    sums = per_user.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("m").alias("sm"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("m") * F.col("m")).alias("smm"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("m")).alias("sxm"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("m") * F.col("y")).alias("smy"),
+    )
+    c = sums.select(
+        "n",
+        (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")).alias("cxx"),
+        (F.col("smm") - F.col("sm") * F.col("sm") / F.col("n")).alias("cmm"),
+        (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")).alias("cyy"),
+        (F.col("sxm") - F.col("sx") * F.col("sm") / F.col("n")).alias("cxm"),
+        (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")).alias("cxy"),
+        (F.col("smy") - F.col("sm") * F.col("sy") / F.col("n")).alias("cmy"),
+    )
+    withdet = c.select(
+        "*", (F.col("cmm") * F.col("cxx") - F.col("cxm") * F.col("cxm")).alias("det")
+    )
+    a = F.col("cxm") / F.col("cxx")
+    b = (F.col("cmy") * F.col("cxx") - F.col("cxy") * F.col("cxm")) / F.col("det")
+    cprime = (
+        F.col("cxy") * F.col("cmm") - F.col("cmy") * F.col("cxm")
+    ) / F.col("det")
+    ctotal = F.col("cxy") / F.col("cxx")
+    sa2 = ((F.col("cmm") - a * F.col("cxm")) / (F.col("n") - 2)) / F.col("cxx")
+    sb2 = (
+        (F.col("cyy") - b * F.col("cmy") - cprime * F.col("cxy"))
+        / (F.col("n") - 3)
+    ) * F.col("cxx") / F.col("det")
+    ok = (F.col("cxx") > 0) & (F.col("det") > 0) & (F.col("n") > 3)
+    return withdet.select(
+        "n",
+        F.when(ok, F.round(a, 6)).alias("a_path"),
+        F.when(ok, F.round(b, 6)).alias("b_path"),
+        F.when(ok, F.round(cprime, 6)).alias("c_direct"),
+        F.when(F.col("cxx") > 0, F.round(ctotal, 6)).alias("c_total"),
+        F.when(ok, F.round(a * b, 6)).alias("indirect"),
+        F.when(
+            ok & (a * a * sb2 + b * b * sa2 > 0),
+            F.round(a * b / F.sqrt(a * a * sb2 + b * b * sa2), 6),
+        ).alias("sobel_z"),
+    )
+
+
+def mediation_sobel_sql() -> str:
+    return """
+    WITH per_user AS (
+        SELECT user_id,
+               SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS x,
+               SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS m,
+               SUM(CASE WHEN event_type = 'purchase'
+                   THEN CAST(round(value * 100) AS BIGINT)
+                   ELSE 0 END) AS y
+        FROM events GROUP BY user_id
+    ),
+    sums AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(m) AS BIGINT) AS sm,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(m * m) AS BIGINT) AS smm,
+               CAST(SUM(y * y) AS BIGINT) AS syy,
+               CAST(SUM(x * m) AS BIGINT) AS sxm,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(m * y) AS BIGINT) AS smy
+        FROM per_user
+    ),
+    c AS (
+        SELECT n,
+               sxx - CAST(sx AS DOUBLE) * sx / n AS cxx,
+               smm - CAST(sm AS DOUBLE) * sm / n AS cmm,
+               syy - CAST(sy AS DOUBLE) * sy / n AS cyy,
+               sxm - CAST(sx AS DOUBLE) * sm / n AS cxm,
+               sxy - CAST(sx AS DOUBLE) * sy / n AS cxy,
+               smy - CAST(sm AS DOUBLE) * sy / n AS cmy
+        FROM sums
+    ),
+    paths AS (
+        SELECT n, cxx, cmm, cyy, cxm, cxy, cmy,
+               cmm * cxx - cxm * cxm AS det,
+               cxm / cxx AS a,
+               (cmy * cxx - cxy * cxm) / (cmm * cxx - cxm * cxm) AS b,
+               (cxy * cmm - cmy * cxm) / (cmm * cxx - cxm * cxm) AS cprime,
+               cxy / cxx AS ctotal
+        FROM c
+    ),
+    ses AS (
+        SELECT *,
+               ((cmm - a * cxm) / (n - 2)) / cxx AS sa2,
+               ((cyy - b * cmy - cprime * cxy) / (n - 3)) * cxx / det AS sb2,
+               (cxx > 0 AND det > 0 AND n > 3) AS ok
+        FROM paths
+    )
+    SELECT n,
+           CASE WHEN ok THEN round(a, 6) END AS a_path,
+           CASE WHEN ok THEN round(b, 6) END AS b_path,
+           CASE WHEN ok THEN round(cprime, 6) END AS c_direct,
+           CASE WHEN cxx > 0 THEN round(ctotal, 6) END AS c_total,
+           CASE WHEN ok THEN round(a * b, 6) END AS indirect,
+           CASE WHEN ok AND a * a * sb2 + b * b * sa2 > 0 THEN
+               round(a * b / sqrt(a * a * sb2 + b * b * sa2), 6)
+           END AS sobel_z
+    FROM ses
+    """
+
+
+# --- OLS influence diagnostics (Cook's distance) --------------------------------------
+
+COOKS_TOP = 10
+
+
+def cooks_distance(events: DataFrame, top: int = COOKS_TOP) -> DataFrame:
+    """Cook's distance of each day on the daily-revenue OLS trend — which
+    days, if deleted, would move the fitted line the most. The regression
+    diagnostic behind every "is this trend real or one anomalous day?"
+    review: D_i = e_i²·h_i / (p·s²·(1−h_i)²) with leverage h_i = 1/n +
+    (x_i−x̄)²/Sxx, p = 2.
+
+    The day panel and all cross-day sums are exact BIGINTs; residuals are
+    quantized ONCE to integer cents so SSE is an order-free exact sum; the
+    per-day leverage/D assembly is scalar arithmetic on those integers.
+    Output: the top-``top`` days by D (day, y_cents, e_cents, leverage,
+    cooks_d)."""
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("y_cents")
+    )
+    spine = daily.select(
+        "day",
+        "y_cents",
+        F.datediff(
+            "day", F.min("day").over(Window.partitionBy())
+        ).cast("long").alias("x"),
+    )
+    sums = spine.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y_cents").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y_cents")).alias("sxy"),
+    ).select(
+        "n",
+        "sx",
+        "sy",
+        (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")).alias("cxx"),
+        (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")).alias("cxy"),
+    )
+    fitted = spine.crossJoin(F.broadcast(sums)).select(
+        "day",
+        "y_cents",
+        "x",
+        "n",
+        "cxx",
+        F.col("sx").alias("sx"),
+        F.round(
+            F.col("y_cents")
+            - (
+                (F.col("sy") / F.col("n"))
+                + (F.col("cxy") / F.col("cxx"))
+                * (F.col("x") - F.col("sx") / F.col("n"))
+            )
+        )
+        .cast("long")
+        .alias("e_cents"),
+    )
+    sse = fitted.agg(
+        F.sum(F.col("e_cents") * F.col("e_cents")).alias("sse")
+    )
+    # a zero-SSE (perfectly-fit) panel has no influence to measure: NULL,
+    # ordered last explicitly (engine NULL-order defaults differ)
+    w = Window.orderBy(F.col("cooks_d").desc_nulls_last(), F.col("day").asc())
+    return (
+        fitted.crossJoin(F.broadcast(sse))
+        .select(
+            "day",
+            "y_cents",
+            "e_cents",
+            F.round(
+                1.0 / F.col("n")
+                + (F.col("x") - F.col("sx") / F.col("n")) ** 2 / F.col("cxx"),
+                9,
+            ).alias("leverage"),
+            F.col("n"),
+            F.col("sse"),
+        )
+        .select(
+            "day",
+            "y_cents",
+            "e_cents",
+            "leverage",
+            F.when(
+                F.col("sse") > 0,
+                F.round(
+                    (F.col("e_cents") * F.col("e_cents") * F.col("leverage"))
+                    / (
+                        2.0
+                        * (F.col("sse") / (F.col("n") - 2))
+                        * (1.0 - F.col("leverage")) ** 2
+                    ),
+                    6,
+                ),
+            ).alias("cooks_d"),
+        )
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= top)
+        .orderBy("rnk")
+    )
+
+
+def cooks_distance_sql(top: int = COOKS_TOP) -> str:
+    return f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS y_cents
+        FROM events GROUP BY 1
+    ),
+    spine AS (
+        SELECT day, y_cents,
+               CAST(date_diff('day', MIN(day) OVER (), day) AS BIGINT) AS x
+        FROM daily
+    ),
+    sums AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y_cents) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) - CAST(SUM(x) AS DOUBLE)
+                   * SUM(x) / COUNT(*) AS cxx,
+               CAST(SUM(x * y_cents) AS BIGINT) - CAST(SUM(x) AS DOUBLE)
+                   * SUM(y_cents) / COUNT(*) AS cxy
+        FROM spine
+    ),
+    fitted AS (
+        SELECT day, y_cents, x, n, cxx, sx,
+               CAST(round(y_cents - ((CAST(sy AS DOUBLE) / n)
+                   + (cxy / cxx) * (x - CAST(sx AS DOUBLE) / n)))
+                   AS BIGINT) AS e_cents
+        FROM spine CROSS JOIN sums
+    ),
+    sse AS (
+        SELECT CAST(SUM(e_cents * e_cents) AS BIGINT) AS sse FROM fitted
+    ),
+    scored AS (
+        SELECT day, y_cents, e_cents,
+               round(1.0 / n + (x - CAST(sx AS DOUBLE) / n)
+                     * (x - CAST(sx AS DOUBLE) / n) / cxx, 9) AS leverage,
+               n, sse
+        FROM fitted CROSS JOIN sse
+    )
+    SELECT day, y_cents, e_cents, leverage,
+           CASE WHEN sse > 0 THEN
+               round((CAST(e_cents AS DOUBLE) * e_cents * leverage)
+                     / (2.0 * (CAST(sse AS DOUBLE) / (n - 2))
+                        * (1.0 - leverage) * (1.0 - leverage)), 6)
+           END AS cooks_d,
+           CAST(row_number() OVER (
+               ORDER BY CASE WHEN sse > 0 THEN
+                   round((CAST(e_cents AS DOUBLE) * e_cents * leverage)
+                        / (2.0 * (CAST(sse AS DOUBLE) / (n - 2))
+                           * (1.0 - leverage) * (1.0 - leverage)), 6)
+                   END DESC NULLS LAST,
+                        day ASC) AS INTEGER) AS rnk
+    FROM scored
+    QUALIFY rnk <= {top}
+    ORDER BY rnk
+    """
+
+
+# --- entropic optimal transport (Sinkhorn) --------------------------------------------
+
+SINKHORN_EPS = 4.0
+SINKHORN_ITERS = 6
+
+# Kernel constants K(c) = exp(-c/eps) precomputed HERE (not in either engine)
+# and quantized to nano: circular hour distance c ranges over 0..12 only, so
+# inlining 13 literals removes the one libm call whose last-ulp behaviour
+# could differ between the JVM and DuckDB.
+import math as _math  # noqa: E402
+
+_SINKHORN_K_NANO: dict[int, int] = {
+    c: int(round(1e9 * _math.exp(-c / SINKHORN_EPS))) for c in range(13)
+}
+
+
+def _sinkhorn_kernel_case() -> str:
+    whens = " ".join(
+        f"WHEN {c} THEN CAST({v} AS BIGINT)"
+        for c, v in sorted(_SINKHORN_K_NANO.items())
+    )
+    return f"CASE c {whens} END"
+
+
+def sinkhorn_ot(events: DataFrame, iters: int = SINKHORN_ITERS) -> DataFrame:
+    """Entropic optimal transport (Sinkhorn-Knopp, Cuturi NeurIPS 2013)
+    between the weekday and weekend intraday click profiles on the circular
+    24-hour cost c(i,j) = min(|i−j|, 24−|i−j|): ``iters`` alternating
+    scaling rounds u ← a/(Kv), v ← b/(Kᵀu), then the transport cost
+    Σ uᵢK(c)vⱼ·c — the regularized transport distance that, unlike the 1-D
+    Wasserstein (L-536), survives arbitrary ground metrics.
+
+    Cross-engine exactness: the 13 kernel values are Python-precomputed nano
+    literals (no engine libm); u/v live in integer micro units re-quantized
+    every half-round, so each scaling sum Σ k_nano·v_micro is an order-free
+    exact BIGINT; the final plan quantizes per-cell to pico before the cost
+    and marginal-residual sums.
+
+    Scale shape: two hour aggregates densified on the 24-bin spine; every
+    iteration touches only the 576-cell kernel grid (bounded, broadcast);
+    cost is iterations × grid, independent of corpus size."""
+    per_h = events.where(F.col("event_type") == "click").groupBy(
+        F.hour("ts").alias("h")
+    ).agg(
+        F.sum(
+            (~F.dayofweek("ts").isin(1, 7)).cast("long")
+        ).alias("na"),
+        F.sum(F.dayofweek("ts").isin(1, 7).cast("long")).alias("nb"),
+    )
+    spine = events.sparkSession.range(24).select(
+        F.col("id").cast("int").alias("h")
+    )
+    dense = (
+        spine.join(per_h, "h", "left")
+        .select(
+            "h",
+            F.coalesce("na", F.lit(0)).cast("long").alias("na"),
+            F.coalesce("nb", F.lit(0)).cast("long").alias("nb"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = dense.agg(
+        F.sum("na").cast("long").alias("tot_a"),
+        F.sum("nb").cast("long").alias("tot_b"),
+    )
+    a_rel = dense.crossJoin(F.broadcast(tot)).select(
+        F.col("h").alias("i"), "na", "tot_a"
+    )
+    b_rel = dense.crossJoin(F.broadcast(tot)).select(
+        F.col("h").alias("j"), "nb", "tot_b"
+    )
+    kcase = _sinkhorn_kernel_case()
+    grid = (
+        spine.select(F.col("h").alias("i"))
+        .crossJoin(spine.select(F.col("h").alias("j")))
+        .select(
+            "i",
+            "j",
+            F.expr("LEAST(abs(i - j), 24 - abs(i - j))").alias("c"),
+        )
+        .select("i", "j", "c", F.expr(kcase).alias("k_nano"))
+        .localCheckpoint(eager=False)
+    )
+    v = b_rel.select("j", F.lit(1_000_000).cast("long").alias("v_micro"))
+    u = None
+    for _ in range(iters):
+        s_u = grid.join(F.broadcast(v), "j").groupBy("i").agg(
+            F.sum(F.col("k_nano") * F.col("v_micro")).alias("s")
+        )
+        u = (
+            a_rel.join(s_u, "i")
+            .select(
+                "i",
+                F.when(
+                    (F.col("s") > 0) & (F.col("na") > 0),
+                    F.round(
+                        1e21 * F.col("na") / F.col("tot_a") / F.col("s")
+                    ).cast("long"),
+                )
+                .otherwise(F.lit(0).cast("long"))
+                .alias("u_micro"),
+            )
+            .localCheckpoint()
+        )
+        s_v = grid.join(F.broadcast(u), "i").groupBy("j").agg(
+            F.sum(F.col("k_nano") * F.col("u_micro")).alias("s")
+        )
+        v = (
+            b_rel.join(s_v, "j")
+            .select(
+                "j",
+                F.when(
+                    (F.col("s") > 0) & (F.col("nb") > 0),
+                    F.round(
+                        1e21 * F.col("nb") / F.col("tot_b") / F.col("s")
+                    ).cast("long"),
+                )
+                .otherwise(F.lit(0).cast("long"))
+                .alias("v_micro"),
+            )
+            .localCheckpoint()
+        )
+    plan = (
+        grid.join(F.broadcast(u), "i")
+        .join(F.broadcast(v), "j")
+        .select(
+            "i",
+            "j",
+            "c",
+            F.round(
+                F.col("u_micro")
+                * F.col("k_nano").cast("double")
+                * F.col("v_micro")
+                / 1e9
+            )
+            .cast("long")
+            .alias("p_pico"),
+        )
+    )
+    row_err = (
+        plan.groupBy("i")
+        .agg(F.sum("p_pico").alias("row_pico"))
+        .join(a_rel, "i")
+        .select(
+            F.abs(
+                F.round(F.col("row_pico") / 1e6).cast("long")
+                - F.round(1e6 * F.col("na") / F.col("tot_a")).cast("long")
+            ).alias("err")
+        )
+        .agg(F.max("err").alias("max_row_err_micro"))
+    )
+    col_err = (
+        plan.groupBy("j")
+        .agg(F.sum("p_pico").alias("col_pico"))
+        .join(b_rel, "j")
+        .select(
+            F.abs(
+                F.round(F.col("col_pico") / 1e6).cast("long")
+                - F.round(1e6 * F.col("nb") / F.col("tot_b")).cast("long")
+            ).alias("err")
+        )
+        .agg(F.max("err").alias("max_col_err_micro"))
+    )
+    summary = plan.agg(
+        F.round(F.sum(F.col("p_pico") * F.col("c")) / 1e6)
+        .cast("long")
+        .alias("cost_micro"),
+        F.round(F.sum("p_pico") / 1e6).cast("long").alias("mass_micro"),
+    )
+    return (
+        tot.crossJoin(F.broadcast(summary))
+        .crossJoin(F.broadcast(row_err))
+        .crossJoin(F.broadcast(col_err))
+        .select(
+            F.col("tot_a").alias("n_weekday"),
+            F.col("tot_b").alias("n_weekend"),
+            F.lit(iters).cast("int").alias("iterations"),
+            "cost_micro",
+            "mass_micro",
+            "max_row_err_micro",
+            "max_col_err_micro",
+        )
+    )
+
+
+def sinkhorn_ot_sql(iters: int = SINKHORN_ITERS) -> str:
+    kcase = _sinkhorn_kernel_case()
+    parts = [
+        f"""
+    WITH per_h AS (
+        SELECT EXTRACT(hour FROM ts) AS h,
+               SUM(CASE WHEN isodow(ts) <= 5 THEN 1 ELSE 0 END) AS na,
+               SUM(CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END) AS nb
+        FROM events WHERE event_type = 'click' GROUP BY 1
+    ),
+    spine AS (SELECT CAST(i AS INTEGER) AS h FROM range(0, 24) t(i)),
+    dense AS (
+        SELECT s.h,
+               CAST(COALESCE(p.na, 0) AS BIGINT) AS na,
+               CAST(COALESCE(p.nb, 0) AS BIGINT) AS nb
+        FROM spine s LEFT JOIN per_h p ON p.h = s.h
+    ),
+    tot AS (
+        SELECT CAST(SUM(na) AS BIGINT) AS tot_a,
+               CAST(SUM(nb) AS BIGINT) AS tot_b
+        FROM dense
+    ),
+    grid AS (
+        SELECT a.h AS i, b.h AS j,
+               LEAST(abs(a.h - b.h), 24 - abs(a.h - b.h)) AS c
+        FROM spine a CROSS JOIN spine b
+    ),
+    kgrid AS (SELECT i, j, c, {kcase} AS k_nano FROM grid),
+    v0 AS (SELECT h AS j, CAST(1000000 AS BIGINT) AS v_micro FROM spine)"""
+    ]
+    for r in range(1, iters + 1):
+        parts.append(
+            f""",
+    su{r} AS (
+        SELECT g.i, CAST(SUM(g.k_nano * v.v_micro) AS BIGINT) AS s
+        FROM kgrid g JOIN v{r - 1} v ON v.j = g.j GROUP BY g.i
+    ),
+    u{r} AS (
+        SELECT d.h AS i,
+               CASE WHEN s.s > 0 AND d.na > 0 THEN
+                   CAST(round(1e21 * d.na / t.tot_a / s.s) AS BIGINT)
+               ELSE CAST(0 AS BIGINT) END AS u_micro
+        FROM dense d JOIN su{r} s ON s.i = d.h CROSS JOIN tot t
+    ),
+    sv{r} AS (
+        SELECT g.j, CAST(SUM(g.k_nano * u.u_micro) AS BIGINT) AS s
+        FROM kgrid g JOIN u{r} u ON u.i = g.i GROUP BY g.j
+    ),
+    v{r} AS (
+        SELECT d.h AS j,
+               CASE WHEN s.s > 0 AND d.nb > 0 THEN
+                   CAST(round(1e21 * d.nb / t.tot_b / s.s) AS BIGINT)
+               ELSE CAST(0 AS BIGINT) END AS v_micro
+        FROM dense d JOIN sv{r} s ON s.j = d.h CROSS JOIN tot t
+    )"""
+        )
+    parts.append(
+        f""",
+    plan AS (
+        SELECT g.i, g.j, g.c,
+               CAST(round(u.u_micro * CAST(g.k_nano AS DOUBLE) * v.v_micro
+                          / 1e9) AS BIGINT) AS p_pico
+        FROM kgrid g
+        JOIN u{iters} u ON u.i = g.i
+        JOIN v{iters} v ON v.j = g.j
+    ),
+    row_err AS (
+        SELECT MAX(abs(CAST(round(r.row_pico / 1e6) AS BIGINT)
+                   - CAST(round(1e6 * d.na / t.tot_a) AS BIGINT)))
+               AS max_row_err_micro
+        FROM (SELECT i, SUM(p_pico) AS row_pico FROM plan GROUP BY i) r
+        JOIN dense d ON d.h = r.i CROSS JOIN tot t
+    ),
+    col_err AS (
+        SELECT MAX(abs(CAST(round(cl.col_pico / 1e6) AS BIGINT)
+                   - CAST(round(1e6 * d.nb / t.tot_b) AS BIGINT)))
+               AS max_col_err_micro
+        FROM (SELECT j, SUM(p_pico) AS col_pico FROM plan GROUP BY j) cl
+        JOIN dense d ON d.h = cl.j CROSS JOIN tot t
+    ),
+    summary AS (
+        SELECT CAST(round(SUM(p_pico * c) / 1e6) AS BIGINT) AS cost_micro,
+               CAST(round(SUM(p_pico) / 1e6) AS BIGINT) AS mass_micro
+        FROM plan
+    )
+    SELECT t.tot_a AS n_weekday, t.tot_b AS n_weekend,
+           CAST({iters} AS INTEGER) AS iterations,
+           s.cost_micro, s.mass_micro,
+           r.max_row_err_micro, c.max_col_err_micro
+    FROM tot t CROSS JOIN summary s CROSS JOIN row_err r CROSS JOIN col_err c
+    """
+    )
+    return "".join(parts)

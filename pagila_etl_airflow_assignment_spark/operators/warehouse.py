@@ -8314,3 +8314,167 @@ def silver_meal_plan_sql() -> str:
         FROM plan CROSS JOIN totals CROSS JOIN opt
         ORDER BY order_month
     """
+
+
+# --- Oaxaca-Blinder gap decomposition ---------------------------------------------------
+
+OAXACA_SEG_A = "BUILDING"
+OAXACA_SEG_B = "MACHINERY"
+
+
+def oaxaca_blinder(
+    orders: DataFrame,
+    customer: DataFrame,
+    seg_a: str = OAXACA_SEG_A,
+    seg_b: str = OAXACA_SEG_B,
+) -> DataFrame:
+    """Oaxaca-Blinder decomposition of the mean-spend gap between two
+    market segments: how much of (mean A − mean B) is EXPLAINED by the
+    segments ordering at different frequencies (endowments) vs the same
+    frequency being worth different revenue (coefficients + intercept)?
+    Per-customer OLS spend ~ order-count within each segment, then the
+    two-fold split gap = β_A(x̄_A − x̄_B) + [x̄_B(β_A − β_B) + (α_A − α_B)]
+    — the workhorse decomposition for any "why do these cohorts differ"
+    review.
+
+    All cross-customer sums are exact BIGINTs (counts / cents); the
+    decomposition is scalar double algebra on them, and explained +
+    unexplained reproduces the raw gap by construction. Degenerate groups
+    (no order-count variance) emit NULL components.
+
+    Scale: one order-grain aggregate joined to the broadcast customer dim,
+    one 2-group sufficient-statistics rollup."""
+    per_cust = (
+        orders.join(
+            F.broadcast(
+                customer.where(
+                    F.col("c_mktsegment").isin(seg_a, seg_b)
+                ).select("c_custkey", "c_mktsegment")
+            ),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("x"),
+            F.sum(
+                F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+            ).alias("y"),
+        )
+    )
+    g = per_cust.groupBy("c_mktsegment").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    sides = g.agg(
+        *[
+            F.sum(
+                F.when(F.col("c_mktsegment") == seg, F.col(c))
+            ).alias(f"{c}_{tag}")
+            for seg, tag in ((seg_a, "a"), (seg_b, "b"))
+            for c in ("n", "sx", "sy", "sxx", "sxy")
+        ]
+    )
+    def beta(tag: str):
+        cxx = F.col(f"sxx_{tag}") - F.col(f"sx_{tag}") * F.col(
+            f"sx_{tag}"
+        ) / F.col(f"n_{tag}")
+        cxy = F.col(f"sxy_{tag}") - F.col(f"sx_{tag}") * F.col(
+            f"sy_{tag}"
+        ) / F.col(f"n_{tag}")
+        return cxx, cxy
+
+    cxx_a, cxy_a = beta("a")
+    cxx_b, cxy_b = beta("b")
+    beta_a = cxy_a / cxx_a
+    beta_b = cxy_b / cxx_b
+    xbar_a = F.col("sx_a") / F.col("n_a")
+    xbar_b = F.col("sx_b") / F.col("n_b")
+    ybar_a = F.col("sy_a") / F.col("n_a")
+    ybar_b = F.col("sy_b") / F.col("n_b")
+    alpha_a = ybar_a - beta_a * xbar_a
+    alpha_b = ybar_b - beta_b * xbar_b
+    ok = (cxx_a > 0) & (cxx_b > 0)
+    return sides.select(
+        F.col("n_a"),
+        F.col("n_b"),
+        F.expr(
+            "CAST((2 * sy_a + n_a) DIV (2 * n_a) AS BIGINT)"
+        ).alias("mean_a_cents"),
+        F.expr(
+            "CAST((2 * sy_b + n_b) DIV (2 * n_b) AS BIGINT)"
+        ).alias("mean_b_cents"),
+        F.round(ybar_a - ybar_b, 6).alias("gap_cents"),
+        F.when(ok, F.round(beta_a * (xbar_a - xbar_b), 6)).alias(
+            "explained_cents"
+        ),
+        F.when(
+            ok,
+            F.round(xbar_b * (beta_a - beta_b) + (alpha_a - alpha_b), 6),
+        ).alias("unexplained_cents"),
+    )
+
+
+def oaxaca_blinder_sql(
+    seg_a: str = OAXACA_SEG_A, seg_b: str = OAXACA_SEG_B
+) -> str:
+    return f"""
+    WITH per_cust AS (
+        SELECT o.o_custkey, c.c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS x,
+               CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS y
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        WHERE c.c_mktsegment IN ('{seg_a}', '{seg_b}')
+        GROUP BY o.o_custkey, c.c_mktsegment
+    ),
+    g AS (
+        SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM per_cust GROUP BY c_mktsegment
+    ),
+    sides AS (
+        SELECT
+            CAST(SUM(CASE WHEN c_mktsegment = '{seg_a}' THEN n END) AS BIGINT) AS n_a,
+            CAST(SUM(CASE WHEN c_mktsegment = '{seg_a}' THEN sx END) AS BIGINT) AS sx_a,
+            CAST(SUM(CASE WHEN c_mktsegment = '{seg_a}' THEN sy END) AS BIGINT) AS sy_a,
+            CAST(SUM(CASE WHEN c_mktsegment = '{seg_a}' THEN sxx END) AS BIGINT) AS sxx_a,
+            CAST(SUM(CASE WHEN c_mktsegment = '{seg_a}' THEN sxy END) AS BIGINT) AS sxy_a,
+            CAST(SUM(CASE WHEN c_mktsegment = '{seg_b}' THEN n END) AS BIGINT) AS n_b,
+            CAST(SUM(CASE WHEN c_mktsegment = '{seg_b}' THEN sx END) AS BIGINT) AS sx_b,
+            CAST(SUM(CASE WHEN c_mktsegment = '{seg_b}' THEN sy END) AS BIGINT) AS sy_b,
+            CAST(SUM(CASE WHEN c_mktsegment = '{seg_b}' THEN sxx END) AS BIGINT) AS sxx_b,
+            CAST(SUM(CASE WHEN c_mktsegment = '{seg_b}' THEN sxy END) AS BIGINT) AS sxy_b
+        FROM g
+    ),
+    algebra AS (
+        SELECT *,
+               sxx_a - CAST(sx_a AS DOUBLE) * sx_a / n_a AS cxx_a,
+               sxy_a - CAST(sx_a AS DOUBLE) * sy_a / n_a AS cxy_a,
+               sxx_b - CAST(sx_b AS DOUBLE) * sx_b / n_b AS cxx_b,
+               sxy_b - CAST(sx_b AS DOUBLE) * sy_b / n_b AS cxy_b,
+               CAST(sx_a AS DOUBLE) / n_a AS xbar_a,
+               CAST(sx_b AS DOUBLE) / n_b AS xbar_b,
+               CAST(sy_a AS DOUBLE) / n_a AS ybar_a,
+               CAST(sy_b AS DOUBLE) / n_b AS ybar_b
+        FROM sides
+    )
+    SELECT n_a, n_b,
+           CAST((2 * sy_a + n_a) // (2 * n_a) AS BIGINT) AS mean_a_cents,
+           CAST((2 * sy_b + n_b) // (2 * n_b) AS BIGINT) AS mean_b_cents,
+           round(ybar_a - ybar_b, 6) AS gap_cents,
+           CASE WHEN cxx_a > 0 AND cxx_b > 0 THEN
+               round((cxy_a / cxx_a) * (xbar_a - xbar_b), 6)
+           END AS explained_cents,
+           CASE WHEN cxx_a > 0 AND cxx_b > 0 THEN
+               round(xbar_b * (cxy_a / cxx_a - cxy_b / cxx_b)
+                     + ((ybar_a - (cxy_a / cxx_a) * xbar_a)
+                        - (ybar_b - (cxy_b / cxx_b) * xbar_b)), 6)
+           END AS unexplained_cents
+    FROM algebra
+    """

@@ -408,6 +408,12 @@ ALLOWED: dict[str, set[str]] = {
     "embedding_ari_kmeans": {"BroadcastNestedLoopJoin"},
     "embedding_knn_shapley": {"BroadcastNestedLoopJoin"},
     "ann_rrf_fusion": {"BroadcastNestedLoopJoin"},
+    # round-10e causal/fairness devices (L-544..550): 1-row sufficient-stat
+    # scalars, 24-bin spine grids, 1-row overall-rate broadcasts
+    "events_cooks_distance": {"BroadcastNestedLoopJoin"},
+    "events_sinkhorn_ot": {"BroadcastNestedLoopJoin"},
+    "text_fairness_audit": {"BroadcastNestedLoopJoin"},
+    "text_label_noise": {"BroadcastNestedLoopJoin"},
 }
 
 PATTERNS = ("CartesianProduct", "BatchEvalPython", "BroadcastNestedLoopJoin")

@@ -516,6 +516,14 @@ PROBES = [
     "embedding_ari_kmeans",
     "embedding_knn_shapley",
     "ann_rrf_fusion",
+    # round-10e causal/fairness devices (L-544..550)
+    "events_iv_wald",
+    "events_mediation_sobel",
+    "events_cooks_distance",
+    "events_sinkhorn_ot",
+    "warehouse_oaxaca_blinder",
+    "text_fairness_audit",
+    "text_label_noise",
 ]
 
 
