@@ -2999,3 +2999,335 @@ def krippendorff_alpha_filters_sql() -> str:
                     ELSE 1000 END AS BIGINT) AS alpha_milli
         FROM agg
     """
+
+
+# --- query-likelihood retrieval (Dirichlet smoothing) -----------------------------------
+
+QL_MU = 2000
+
+
+def query_likelihood_topk(
+    docs: DataFrame,
+    n_query_terms: int = BM25_QUERY_TERMS,
+    k: int = BM25_TOP_K,
+    mu: int = QL_MU,
+) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty, SIGIR
+    2001) for the same deterministic corpus query BM25 uses: score(d) =
+    Σ_t ln((tf_td + μ·cf_t/|C|)/(|d| + μ)) — the language-modeling ranking
+    that, unlike BM25, scores EVERY document (smoothing mass keeps zero-tf
+    docs comparable), the second classic lexical scorer a hybrid retrieval
+    stack fuses.
+
+    Exactness: per-(doc, term) contributions round ONCE to micro-nat ints
+    (deterministic ln over exact integer tf/cf/dl statistics, the
+    unigram_logprob convention); doc scores are order-free integer sums.
+
+    Plan: the ≤``n_query_terms``-row query-stats relation broadcasts against
+    the doc-length relation (every doc, not just matching postings — the
+    smoothing semantics), with tf filled from the postings left join."""
+    g = grams(docs, 1).withColumnRenamed("gram", "term")
+    tf = g.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = g.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    dstats = tf.groupBy("term").agg(F.count("*").alias("df"))
+    corpus = dl.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_len"),
+    )
+    qterms = (
+        g.groupBy("term")
+        .agg(F.count("*").alias("cf"))
+        .join(dstats, "term")
+        .crossJoin(F.broadcast(corpus))
+        .where(F.lit(1000) * F.col("df") < F.lit(600) * F.col("n_docs"))
+        .orderBy(F.desc("cf"), "term")
+        .limit(n_query_terms)
+        .select("term", "cf", "total_len")
+    )
+    scored = (
+        docs.select("doc_id")
+        .join(dl, "doc_id", "left")
+        .select("doc_id", F.coalesce("dl", F.lit(0)).alias("dl"))
+        .crossJoin(F.broadcast(qterms))
+        .join(tf, ["doc_id", "term"], "left")
+        .select(
+            "doc_id",
+            F.expr(
+                f"CAST(round(1e6 * ln((COALESCE(tf, 0)"
+                f" + {mu} * CAST(cf AS DOUBLE) / total_len)"
+                f" / (dl + {mu}))) AS BIGINT)"
+            ).alias("c_micro"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("c_micro").cast("long").alias("ql_micro_nat"))
+        .orderBy(F.desc("ql_micro_nat"), "doc_id")
+        .limit(k)
+    )
+
+
+def query_likelihood_topk_sql(
+    n_query_terms: int = BM25_QUERY_TERMS,
+    k: int = BM25_TOP_K,
+    mu: int = QL_MU,
+    docs_rel: str = "documents",
+) -> str:
+    return f"""
+    WITH g AS (
+        SELECT doc_id, gram AS term FROM ({grams_sql(1, docs_rel)})
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM g GROUP BY doc_id, term
+    ),
+    dl AS (
+        SELECT doc_id, COUNT(*) AS dl FROM g GROUP BY doc_id
+    ),
+    dstats AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    corpus AS (
+        SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_len
+        FROM dl
+    ),
+    qterms AS (
+        SELECT t.term, t.cf, c.total_len
+        FROM (SELECT term, COUNT(*) AS cf FROM g GROUP BY term) t
+        JOIN dstats d USING (term)
+        CROSS JOIN corpus c
+        WHERE 1000 * d.df < 600 * c.n_docs
+        ORDER BY t.cf DESC, t.term
+        LIMIT {n_query_terms}
+    ),
+    base AS (
+        SELECT d.doc_id, COALESCE(l.dl, 0) AS dl
+        FROM {docs_rel} d LEFT JOIN dl l USING (doc_id)
+    )
+    SELECT b.doc_id,
+           CAST(SUM(CAST(round(1e6 * ln((COALESCE(f.tf, 0)
+               + {mu} * CAST(q.cf AS DOUBLE) / q.total_len)
+               / (b.dl + {mu}))) AS BIGINT)) AS BIGINT) AS ql_micro_nat
+    FROM base b
+    CROSS JOIN qterms q
+    LEFT JOIN tf f ON f.doc_id = b.doc_id AND f.term = q.term
+    GROUP BY b.doc_id
+    ORDER BY ql_micro_nat DESC, b.doc_id
+    LIMIT {k}
+    """
+
+
+# --- Bradley-Terry preference strengths -------------------------------------------------
+
+BT_ITERS = 10
+
+
+def bradley_terry(docs: DataFrame, iters: int = BT_ITERS) -> DataFrame:
+    """Bradley-Terry preference strengths per source via ``iters`` MM
+    (minorization-maximization) rounds — THE model behind preference-ranked
+    training data (RLHF reward modeling ranks completions with exactly this
+    likelihood). Matches derive deterministically from the corpus: adjacent
+    doc_ids (2k, 2k+1) from different sources play one match, longer text
+    wins (tie → even doc). MM update p_i ← W_i / Σ_j n_ij/(p_i+p_j),
+    renormalized each round to mean 1.
+
+    Cross-engine exactness: strengths live in integer micro units; each
+    pair term n_ij/(p_i+p_j) rounds ONCE to an exact nano int, so both the
+    denominator and the normalization are order-free integer sums; a floor
+    of 1 micro keeps a winless source's division defined.
+
+    Scale: one self-join on the derived pair key (narrow), then ``iters``
+    rounds over the bounded |sources|² match grid — iteration cost is
+    independent of corpus size."""
+    a = docs.where(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") / 2).cast("long").alias("pair"),
+        F.col("source").alias("src_a"),
+        F.col("n_chars").alias("len_a"),
+    )
+    b = docs.where(F.col("doc_id") % 2 == 1).select(
+        ((F.col("doc_id") - 1) / 2).cast("long").alias("pair"),
+        F.col("source").alias("src_b"),
+        F.col("n_chars").alias("len_b"),
+    )
+    matches = (
+        a.join(b, "pair")
+        .where(F.col("src_a") != F.col("src_b"))
+        .select(
+            F.when(F.col("len_a") >= F.col("len_b"), F.col("src_a"))
+            .otherwise(F.col("src_b"))
+            .alias("winner"),
+            F.when(F.col("len_a") >= F.col("len_b"), F.col("src_b"))
+            .otherwise(F.col("src_a"))
+            .alias("loser"),
+        )
+    )
+    wins = matches.groupBy(F.col("winner").alias("i"), F.col("loser").alias("j")).agg(
+        F.count("*").cast("long").alias("w")
+    )
+    mat = (
+        wins.select("i", "j", "w")
+        .unionAll(
+            wins.select(
+                F.col("j").alias("i"), F.col("i").alias("j"),
+                F.lit(0).cast("long").alias("w"),
+            )
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("w").alias("w"))
+    )
+    n_ij = (
+        mat.alias("x")
+        .join(
+            mat.alias("y"),
+            (F.col("x.i") == F.col("y.j")) & (F.col("x.j") == F.col("y.i")),
+        )
+        .select(
+            F.col("x.i").alias("i"),
+            F.col("x.j").alias("j"),
+            F.col("x.w").alias("w"),
+            (F.col("x.w") + F.col("y.w")).alias("n"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    items = n_ij.groupBy("i").agg(
+        F.sum("w").cast("long").alias("wins"),
+        F.sum("n").cast("long").alias("n_matches"),
+    ).localCheckpoint(eager=False)
+    n_items = items.agg(F.count("*").cast("long").alias("k"))
+    p = items.select("i", F.lit(1_000_000).cast("long").alias("p_micro"))
+    for _ in range(iters):
+        denom = (
+            n_ij.join(
+                F.broadcast(p.select(F.col("i"), F.col("p_micro").alias("pi"))),
+                "i",
+            )
+            .join(
+                F.broadcast(
+                    p.select(F.col("i").alias("j"), F.col("p_micro").alias("pj"))
+                ),
+                "j",
+            )
+            .groupBy("i")
+            .agg(
+                F.sum(
+                    F.expr(
+                        "CAST(round(1e15 * n / (pi + pj)) AS BIGINT)"
+                    )
+                ).alias("d_nano")
+            )
+        )
+        praw = (
+            items.join(denom, "i")
+            .select(
+                "i",
+                F.expr(
+                    "CASE WHEN d_nano > 0 THEN"
+                    " CAST(round(1e15 * wins / d_nano) AS BIGINT)"
+                    " ELSE CAST(0 AS BIGINT) END"
+                ).alias("praw_micro"),
+            )
+        )
+        tot = praw.agg(F.sum("praw_micro").alias("tot"))
+        p = (
+            praw.crossJoin(F.broadcast(tot))
+            .crossJoin(F.broadcast(n_items))
+            .select(
+                "i",
+                F.expr(
+                    "GREATEST(CAST(1 AS BIGINT),"
+                    " CAST(round(1e6 * k * praw_micro / tot) AS BIGINT))"
+                ).alias("p_micro"),
+            )
+            .localCheckpoint()
+        )
+    w_rank = Window.orderBy(F.col("p_micro").desc(), F.col("source").asc())
+    return (
+        items.join(p, "i")
+        .select(
+            F.col("i").alias("source"),
+            "n_matches",
+            "wins",
+            "p_micro",
+        )
+        .withColumn("rnk", F.row_number().over(w_rank).cast("int"))
+        .orderBy("rnk")
+    )
+
+
+def bradley_terry_sql(iters: int = BT_ITERS, docs_rel: str = "documents") -> str:
+    parts = [
+        f"""
+    WITH a AS (
+        SELECT doc_id // 2 AS pair, source AS src_a, n_chars AS len_a
+        FROM {docs_rel} WHERE doc_id % 2 = 0
+    ),
+    b AS (
+        SELECT (doc_id - 1) // 2 AS pair, source AS src_b, n_chars AS len_b
+        FROM {docs_rel} WHERE doc_id % 2 = 1
+    ),
+    matches AS (
+        SELECT CASE WHEN len_a >= len_b THEN src_a ELSE src_b END AS winner,
+               CASE WHEN len_a >= len_b THEN src_b ELSE src_a END AS loser
+        FROM a JOIN b USING (pair)
+        WHERE src_a <> src_b
+    ),
+    wins AS (
+        SELECT winner AS i, loser AS j, CAST(COUNT(*) AS BIGINT) AS w
+        FROM matches GROUP BY winner, loser
+    ),
+    mat AS (
+        SELECT i, j, CAST(SUM(w) AS BIGINT) AS w
+        FROM (
+            SELECT i, j, w FROM wins
+            UNION ALL
+            SELECT j AS i, i AS j, CAST(0 AS BIGINT) AS w FROM wins
+        ) GROUP BY i, j
+    ),
+    n_ij AS MATERIALIZED (
+        SELECT x.i, x.j, x.w, x.w + y.w AS n
+        FROM mat x JOIN mat y ON x.i = y.j AND x.j = y.i
+    ),
+    items AS MATERIALIZED (
+        SELECT i, CAST(SUM(w) AS BIGINT) AS wins,
+               CAST(SUM(n) AS BIGINT) AS n_matches
+        FROM n_ij GROUP BY i
+    ),
+    n_items AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM items),
+    p0 AS MATERIALIZED (SELECT i, CAST(1000000 AS BIGINT) AS p_micro FROM items)"""
+    ]
+    for r in range(1, iters + 1):
+        parts.append(
+            f""",
+    den{r} AS (
+        SELECT m.i,
+               CAST(SUM(CAST(round(1e15 * m.n
+                   / (pi.p_micro + pj.p_micro)) AS BIGINT)) AS BIGINT)
+                   AS d_nano
+        FROM n_ij m
+        JOIN p{r - 1} pi ON pi.i = m.i
+        JOIN p{r - 1} pj ON pj.i = m.j
+        GROUP BY m.i
+    ),
+    praw{r} AS (
+        SELECT t.i,
+               CASE WHEN d.d_nano > 0 THEN
+                   CAST(round(1e15 * t.wins / d.d_nano) AS BIGINT)
+               ELSE CAST(0 AS BIGINT) END AS praw_micro
+        FROM items t JOIN den{r} d ON d.i = t.i
+    ),
+    tot{r} AS (SELECT CAST(SUM(praw_micro) AS BIGINT) AS tot FROM praw{r}),
+    p{r} AS MATERIALIZED (
+        SELECT pr.i,
+               GREATEST(CAST(1 AS BIGINT),
+                   CAST(round(1e6 * n.k * pr.praw_micro / t.tot) AS BIGINT))
+                   AS p_micro
+        FROM praw{r} pr CROSS JOIN tot{r} t CROSS JOIN n_items n
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT t.i AS source, t.n_matches, t.wins, p.p_micro,
+           CAST(row_number() OVER (ORDER BY p.p_micro DESC, t.i ASC)
+                AS INTEGER) AS rnk
+    FROM items t JOIN p{iters} p ON p.i = t.i
+    ORDER BY rnk
+    """
+    )
+    return "".join(parts)

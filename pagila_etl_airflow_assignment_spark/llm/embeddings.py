@@ -2363,3 +2363,178 @@ def ari_vs_kmeans_sql(k: int = KMEANS_K) -> str:
            END AS ari
     FROM sums CROSS JOIN rowsum CROSS JOIN colsum
     """
+
+
+# --- facility-location greedy subset selection ----------------------------------------
+
+FL_ROUNDS = 5
+FL_GROUND = 64
+
+
+def facility_location(
+    embeddings: DataFrame, rounds: int = FL_ROUNDS, ground: int = FL_GROUND
+) -> DataFrame:
+    """Greedy facility-location subset selection: ``rounds`` times pick the
+    vector whose addition most increases Σ_g max_{s∈sel} sim(g, s) over the
+    md5-sampled ``ground``-point witness set — the submodular coverage
+    objective behind representative-subset curation (the 1−1/e greedy
+    guarantee is the standard justification), complementing the k-center
+    coreset's pure-diversity rule (L-172).
+
+    Exactness by construction: coordinates quantize ONCE to integer micro,
+    similarity is the exact BIGINT dot product of micro vectors, and every
+    gain is an order-free integer sum with a (gain DESC, vec_id) total
+    order — no float enters the argmax. The bounded ground set is the
+    documented scale cap: per round one broadcast of the 64-row coverage
+    state against the corpus-sized sim relation (computed once), one top-1.
+
+    Output: (sel_round, vec_id, gain, coverage) — coverage is the running
+    objective, so the relation doubles as the submodular-returns curve."""
+    from .hashing import md5_int
+
+    xm_rel = embeddings.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * F.lit(1e6)).cast("long"),
+        ).alias("xm"),
+    )
+    ground_rel = (
+        xm_rel.withColumn("ck", md5_int(F.col("vec_id").cast("string")))
+        .orderBy("ck", "vec_id")
+        .limit(ground)
+        .select(F.col("vec_id").alias("g_id"), F.col("xm").alias("g_xm"))
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("xm"), F.col("g_xm"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    simgrid = (
+        xm_rel.crossJoin(F.broadcast(ground_rel))
+        .select(F.col("vec_id").alias("cand_id"), "g_id", dot.alias("sim"))
+        .localCheckpoint(eager=False)
+    )
+    cur = ground_rel.select("g_id", F.lit(0).cast("long").alias("cur_sim"))
+    sel = None
+    for r in range(1, rounds + 1):
+        gains = (
+            simgrid.join(F.broadcast(cur), "g_id")
+            .select(
+                "cand_id",
+                F.greatest(F.lit(0).cast("long"), F.col("sim") - F.col("cur_sim")).alias(
+                    "g"
+                ),
+            )
+            .groupBy("cand_id")
+            .agg(F.sum("g").alias("gain"))
+        )
+        if sel is not None:
+            gains = gains.join(
+                sel.select(F.col("vec_id").alias("cand_id")), "cand_id", "left_anti"
+            )
+        winner = (
+            gains.orderBy(F.desc("gain"), "cand_id")
+            .limit(1)
+            .select(
+                F.lit(r).cast("int").alias("sel_round"),
+                F.col("cand_id").alias("vec_id"),
+                "gain",
+            )
+            .localCheckpoint()
+        )
+        sel = winner if sel is None else sel.unionAll(winner).localCheckpoint()
+        w_sim = simgrid.join(
+            F.broadcast(winner.select(F.col("vec_id").alias("cand_id"))),
+            "cand_id",
+        ).select("g_id", F.col("sim").alias("w_sim"))
+        cur = (
+            cur.join(w_sim, "g_id", "left")
+            .select(
+                "g_id",
+                F.greatest(
+                    F.col("cur_sim"), F.coalesce(F.col("w_sim"), F.lit(0))
+                ).alias("cur_sim"),
+            )
+            .localCheckpoint()
+        )
+    w_cum = Window.orderBy("sel_round").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return sel.select(
+        "sel_round", "vec_id", "gain", F.sum("gain").over(w_cum).alias("coverage")
+    ).orderBy("sel_round")
+
+
+def facility_location_sql(
+    rounds: int = FL_ROUNDS, ground: int = FL_GROUND
+) -> str:
+    from .hashing import md5_int_sql
+
+    parts = [
+        f"""
+    WITH xm AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS xm
+        FROM embeddings
+    ),
+    ground_rel AS MATERIALIZED (
+        SELECT vec_id AS g_id, xm AS g_xm
+        FROM xm
+        ORDER BY {md5_int_sql("CAST(vec_id AS VARCHAR)")}, vec_id
+        LIMIT {ground}
+    ),
+    simgrid AS MATERIALIZED (
+        SELECT c.vec_id AS cand_id, g.g_id,
+               CAST(list_sum(list_transform(range(1, len(c.xm) + 1),
+                   j -> c.xm[j] * g.g_xm[j])) AS BIGINT) AS sim
+        FROM xm c CROSS JOIN ground_rel g
+    ),
+    cur0 AS MATERIALIZED (
+        SELECT g_id, CAST(0 AS BIGINT) AS cur_sim FROM ground_rel
+    ),
+    sel0 AS MATERIALIZED (
+        SELECT CAST(0 AS INTEGER) AS sel_round,
+               CAST(-1 AS BIGINT) AS vec_id, CAST(0 AS BIGINT) AS gain
+        WHERE FALSE
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+    win{r} AS MATERIALIZED (
+        SELECT CAST({r} AS INTEGER) AS sel_round, s.cand_id AS vec_id,
+               CAST(SUM(GREATEST(CAST(0 AS BIGINT), s.sim - c.cur_sim))
+                    AS BIGINT) AS gain
+        FROM simgrid s JOIN cur{r - 1} c USING (g_id)
+        WHERE s.cand_id NOT IN (SELECT vec_id FROM sel{r - 1})
+        GROUP BY s.cand_id
+        ORDER BY gain DESC, s.cand_id ASC
+        LIMIT 1
+    ),
+    sel{r} AS MATERIALIZED (
+        SELECT * FROM sel{r - 1} UNION ALL SELECT * FROM win{r}
+    ),
+    cur{r} AS MATERIALIZED (
+        SELECT c.g_id,
+               GREATEST(c.cur_sim, COALESCE(w.sim, CAST(0 AS BIGINT)))
+                   AS cur_sim
+        FROM cur{r - 1} c
+        LEFT JOIN (
+            SELECT s.g_id, s.sim
+            FROM simgrid s JOIN win{r} w ON w.vec_id = s.cand_id
+        ) w ON w.g_id = c.g_id
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT sel_round, vec_id, gain,
+           CAST(SUM(gain) OVER (ORDER BY sel_round
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS coverage
+    FROM sel{rounds}
+    ORDER BY sel_round
+    """
+    )
+    return "".join(parts)

@@ -1534,3 +1534,42 @@ def q_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     thresholds gate the (stored lang, predicted lang) joint — the
     estimated mislabel census of the corpus."""
     return text.label_noise_estimate(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_query_likelihood", oracle=corpus_stats.query_likelihood_topk_sql()
+)
+def q_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood top-20 for the corpus query —
+    the LM retrieval scorer beside BM25, micro-nat exact."""
+    return corpus_stats.query_likelihood_topk(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
+@register("text_bradley_terry", oracle=corpus_stats.bradley_terry_sql())
+def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry preference strengths per source from deterministic
+    adjacent-doc matches — MM rounds in exact micro units, the RLHF
+    reward-model likelihood as relational algebra."""
+    return corpus_stats.bradley_terry(load_table(spark, sf_dir, "documents"))
+
+
+@register("sampling_unimax", oracle=sampling.unimax_allocation_sql())
+def q_unimax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax multilingual budget allocation: exact integer water-filling
+    across languages with an epoch cap — the post-temperature-sampling
+    mixture rule."""
+    return sampling.unimax_allocation(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "embedding_facility_location",
+    oracle=embeddings_mod.facility_location_sql(),
+)
+def q_facility_location(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy facility-location subset selection against the md5-sampled
+    witness set — submodular coverage curation, exact-integer argmax."""
+    return embeddings_mod.facility_location(
+        load_table(spark, sf_dir, "embeddings")
+    )

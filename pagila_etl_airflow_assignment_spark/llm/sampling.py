@@ -1827,3 +1827,198 @@ def jackknife_ratio_daily_sql() -> str:
                     ELSE 0 END AS BIGINT) AS se_jack_micro
         FROM agg
     """
+
+
+# --- UniMax budget allocation ---------------------------------------------------------
+
+UNIMAX_EPOCH_CAP = 4
+UNIMAX_BUDGET_X_MILLI = 2000  # budget = 2x the corpus token count
+
+
+def unimax_allocation(
+    docs: DataFrame,
+    epoch_cap: int = UNIMAX_EPOCH_CAP,
+    budget_x_milli: int = UNIMAX_BUDGET_X_MILLI,
+) -> DataFrame:
+    """UniMax multilingual budget allocation (Chung et al., ICLR 2023):
+    spread a token budget as uniformly as possible across languages, capping
+    each at ``epoch_cap`` epochs of its corpus — the water-filling rule that
+    replaced temperature sampling for multilingual pretraining mixes.
+    Budget = ``budget_x_milli``/1000 × total corpus tokens.
+
+    Exact waterline: languages sorted by capacity ascending; a language is
+    capacity-capped while c_k·(langs remaining) < budget remaining (checked
+    in exact integer cross-multiplication — no division), the rest split the
+    leftover evenly with the remainder going to the smallest languages first.
+    Everything is BIGINT; Σ alloc == min(budget, Σ capacity) by construction.
+
+    Output per language: (lang, n_tokens, capacity, alloc_tokens,
+    epochs_milli). Scale: one token-count aggregate; the waterfill runs on
+    the |langs|-row relation."""
+    per_lang = (
+        docs.select(
+            "lang",
+            F.size(
+                F.filter(
+                    F.split(F.trim("text"), r"\s+"),
+                    lambda w: w != F.lit(""),
+                )
+            ).cast("long").alias("toks"),
+        )
+        .groupBy("lang")
+        .agg(F.sum("toks").alias("n_tokens"))
+        .select(
+            "lang",
+            "n_tokens",
+            (F.col("n_tokens") * epoch_cap).alias("capacity"),
+        )
+    )
+    tot = per_lang.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count("*").cast("long").alias("k"),
+    ).select(
+        "k",
+        F.expr(
+            f"CAST((2 * {budget_x_milli} * total_tokens + 1000)"
+            " DIV 2000 AS BIGINT)"
+        ).alias("budget"),
+    )
+    w_asc = Window.orderBy(F.col("capacity").asc(), F.col("lang").asc())
+    ranked = (
+        per_lang.crossJoin(F.broadcast(tot))
+        .select(
+            "*",
+            F.row_number().over(w_asc).cast("long").alias("rn"),
+            F.coalesce(
+                F.sum("capacity").over(
+                    w_asc.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).alias("cum_before"),
+        )
+        .withColumn(
+            "raw_capped",
+            F.col("capacity") * (F.col("k") - F.col("rn") + 1)
+            < F.col("budget") - F.col("cum_before"),
+        )
+    )
+    boundary = ranked.agg(
+        F.min(F.when(~F.col("raw_capped"), F.col("rn"))).alias("b_rn")
+    )
+    flagged = ranked.crossJoin(F.broadcast(boundary)).withColumn(
+        "capped", F.col("b_rn").isNotNull() & (F.col("rn") < F.col("b_rn"))
+    )
+    capped_tot = flagged.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("capped"), F.col("capacity"))), F.lit(0)
+        ).alias("capped_sum"),
+        F.sum((~F.col("capped")).cast("long")).alias("n_open"),
+    )
+    return (
+        flagged.crossJoin(F.broadcast(capped_tot))
+        .select(
+            "lang",
+            "n_tokens",
+            "capacity",
+            F.when(F.col("capped"), F.col("capacity"))
+            .when(
+                F.col("n_open") > 0,
+                F.least(
+                    F.col("capacity"),
+                    F.expr(
+                        "(budget - capped_sum) DIV n_open"
+                        " + CASE WHEN rn - (k - n_open) <="
+                        " (budget - capped_sum) % n_open THEN 1 ELSE 0 END"
+                    ),
+                ),
+            )
+            .otherwise(F.col("capacity"))
+            .cast("long")
+            .alias("alloc_tokens"),
+        )
+        .withColumn(
+            "epochs_milli",
+            F.expr(
+                "CASE WHEN n_tokens > 0 THEN CAST((2 * 1000 * alloc_tokens"
+                " + n_tokens) DIV (2 * n_tokens) AS BIGINT) ELSE 0 END"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+def unimax_allocation_sql(
+    epoch_cap: int = UNIMAX_EPOCH_CAP,
+    budget_x_milli: int = UNIMAX_BUDGET_X_MILLI,
+    docs_rel: str = "documents",
+) -> str:
+    return f"""
+    WITH per_lang AS (
+        SELECT lang,
+               CAST(SUM(len(list_filter(string_split_regex(trim(text),
+                   '\\s+'), w -> w <> ''))) AS BIGINT) AS n_tokens
+        FROM {docs_rel} GROUP BY lang
+    ),
+    caps AS (
+        SELECT lang, n_tokens, n_tokens * {epoch_cap} AS capacity
+        FROM per_lang
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST((2 * {budget_x_milli} * SUM(n_tokens) + 1000) // 2000
+                    AS BIGINT) AS budget
+        FROM caps
+    ),
+    ranked AS (
+        SELECT c.*, t.k, t.budget,
+               CAST(row_number() OVER w AS BIGINT) AS rn,
+               CAST(COALESCE(SUM(capacity) OVER (
+                   ORDER BY capacity ASC, lang ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cum_before
+        FROM caps c CROSS JOIN tot t
+        WINDOW w AS (ORDER BY capacity ASC, lang ASC)
+    ),
+    cond AS (
+        SELECT *,
+               capacity * (k - rn + 1) < budget - cum_before AS raw_capped
+        FROM ranked
+    ),
+    boundary AS (
+        SELECT MIN(CASE WHEN NOT raw_capped THEN rn END) AS b_rn FROM cond
+    ),
+    flagged AS (
+        SELECT c.*, (b.b_rn IS NOT NULL AND c.rn < b.b_rn) AS capped
+        FROM cond c CROSS JOIN boundary b
+    ),
+    open_tot AS (
+        SELECT CAST(COALESCE(SUM(CASE WHEN capped THEN capacity END), 0)
+                    AS BIGINT) AS capped_sum,
+               CAST(SUM(CASE WHEN capped THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_open
+        FROM flagged
+    )
+    SELECT f.lang, f.n_tokens, f.capacity,
+           CAST(CASE
+               WHEN f.capped THEN f.capacity
+               WHEN o.n_open > 0 THEN LEAST(f.capacity,
+                   (f.budget - o.capped_sum) // o.n_open
+                   + CASE WHEN f.rn - (f.k - o.n_open)
+                          <= (f.budget - o.capped_sum) % o.n_open
+                     THEN 1 ELSE 0 END)
+               ELSE f.capacity
+           END AS BIGINT) AS alloc_tokens,
+           CASE WHEN f.n_tokens > 0 THEN
+               CAST((2 * 1000 * (CASE
+                   WHEN f.capped THEN f.capacity
+                   WHEN o.n_open > 0 THEN LEAST(f.capacity,
+                       (f.budget - o.capped_sum) // o.n_open
+                       + CASE WHEN f.rn - (f.k - o.n_open)
+                              <= (f.budget - o.capped_sum) % o.n_open
+                         THEN 1 ELSE 0 END)
+                   ELSE f.capacity END) + f.n_tokens)
+                   // (2 * f.n_tokens) AS BIGINT)
+           ELSE 0 END AS epochs_milli
+    FROM flagged f CROSS JOIN open_tot o
+    ORDER BY f.lang
+    """

@@ -3506,3 +3506,13 @@ def q_oaxaca_blinder(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "orders"),
         load_table(spark, sf_dir, "customer"),
     )
+
+
+@register(
+    "events_attribution_markov", oracle=sequences.markov_attribution_sql()
+)
+def q_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain removal-effect attribution: absorbing-chain value
+    iteration for the full chain and every channel-removed variant, all
+    in exact micro units."""
+    return sequences.markov_attribution(load_table(spark, sf_dir, "events"))

@@ -414,6 +414,13 @@ ALLOWED: dict[str, set[str]] = {
     "events_sinkhorn_ot": {"BroadcastNestedLoopJoin"},
     "text_fairness_audit": {"BroadcastNestedLoopJoin"},
     "text_label_noise": {"BroadcastNestedLoopJoin"},
+    # round-10f preference/selection/attribution devices (L-551..555):
+    # bounded match grids, 1-row totals, witness/state-set broadcasts
+    "text_bradley_terry": {"BroadcastNestedLoopJoin"},
+    "text_query_likelihood": {"BroadcastNestedLoopJoin"},
+    "sampling_unimax": {"BroadcastNestedLoopJoin"},
+    "embedding_facility_location": {"BroadcastNestedLoopJoin"},
+    "events_attribution_markov": {"BroadcastNestedLoopJoin"},
 }
 
 PATTERNS = ("CartesianProduct", "BatchEvalPython", "BroadcastNestedLoopJoin")

@@ -524,6 +524,12 @@ PROBES = [
     "warehouse_oaxaca_blinder",
     "text_fairness_audit",
     "text_label_noise",
+    # round-10f preference/selection/attribution devices (L-551..555)
+    "text_bradley_terry",
+    "text_query_likelihood",
+    "sampling_unimax",
+    "embedding_facility_location",
+    "events_attribution_markov",
 ]
 
 
