@@ -897,3 +897,165 @@ PAYLOAD_PERCENTILES_SQL = """
     GROUP BY kind
     ORDER BY kind
 """
+
+
+# --- shot-boundary detection ----------------------------------------------------------
+
+SHOT_FRAMES = 16
+SHOT_BINS = 8
+SHOT_TAU = 3
+SHOT_MIN_LEN = SHOT_FRAMES * SHOT_BINS
+
+
+def shot_boundaries(docs: DataFrame) -> DataFrame:
+    """Shot-boundary detection over the byte-stream stand-in: each payload
+    splits into {SHOT_FRAMES} frames of {SHOT_BINS} bins, every frame gets
+    an average-hash bit signature (bin mean > frame mean), and a CUT is
+    declared wherever adjacent frames' signatures differ in >= {SHOT_TAU}
+    bits — the classic perceptual-hash shot detector a video curation
+    pipeline runs before sampling one frame per shot (a fixed-rate sampler
+    oversamples static scenes and misses fast ones).
+
+    Per doc: (doc_id, n_frames, n_cuts, max_hamming, mean_shot_frames_milli).
+    Payloads shorter than {SHOT_MIN_LEN} bytes are skipped (no stable
+    signature), mirroring the phash length gate.
+
+    All signatures are exact integer comparisons of half-up milli means;
+    the adjacent-frame compare is a self-join on (doc, bin) at frame+1 —
+    bounded fan-out, no window over the byte stream. A real decoded frame
+    luma plugs into the same (doc, frame, bin) aggregate unchanged."""
+    nf, nb = SHOT_FRAMES, SHOT_BINS
+    g = nf * nb
+    chars = (
+        docs.where(F.length("text") >= SHOT_MIN_LEN)
+        .select(
+            "doc_id",
+            F.length("text").cast("long").alias("l"),
+            F.posexplode(F.split("text", "")).alias("pos", "ch"),
+        )
+        .where(F.col("ch") != "")
+        .select(
+            "doc_id",
+            F.expr(f"(pos * {g} DIV l) DIV {nb}").alias("frame"),
+            F.expr(f"(pos * {g} DIV l) % {nb}").alias("bin"),
+            F.ascii("ch").cast("long").alias("cp"),
+        )
+    )
+    bins = chars.groupBy("doc_id", "frame", "bin").agg(
+        F.sum("cp").alias("bsum"), F.count("*").cast("long").alias("bcnt")
+    )
+    frames = bins.groupBy("doc_id", "frame").agg(
+        F.sum("bsum").alias("fsum"), F.sum("bcnt").alias("fcnt")
+    )
+    bits = (
+        bins.join(frames, ["doc_id", "frame"])
+        .select(
+            "doc_id",
+            "frame",
+            "bin",
+            (
+                F.expr("(2 * 1000 * bsum + bcnt) DIV (2 * bcnt)")
+                > F.expr("(2 * 1000 * fsum + fcnt) DIV (2 * fcnt)")
+            ).cast("int").alias("bit"),
+        )
+    )
+    hamming = (
+        bits.alias("a")
+        .join(
+            bits.alias("b"),
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.bin") == F.col("b.bin"))
+            & (F.col("a.frame") + 1 == F.col("b.frame")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_id"), F.col("a.frame").alias("frame"))
+        .agg(
+            F.sum(
+                (F.col("a.bit") != F.col("b.bit")).cast("long")
+            ).alias("h")
+        )
+    )
+    frame_counts = frames.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_frames")
+    )
+    return (
+        hamming.groupBy("doc_id")
+        .agg(
+            F.sum((F.col("h") >= SHOT_TAU).cast("long")).alias("n_cuts"),
+            F.max("h").alias("max_hamming"),
+        )
+        .join(frame_counts, "doc_id")
+        .select(
+            "doc_id",
+            "n_frames",
+            "n_cuts",
+            "max_hamming",
+            F.expr(
+                "CAST((2 * 1000 * n_frames + (n_cuts + 1))"
+                " DIV (2 * (n_cuts + 1)) AS BIGINT)"
+            ).alias("mean_shot_frames_milli"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def shot_boundaries_sql() -> str:
+    nf, nb, g = SHOT_FRAMES, SHOT_BINS, SHOT_FRAMES * SHOT_BINS
+    return f"""
+    WITH chars AS (
+        SELECT doc_id,
+               ((pos - 1) * {g} // l) // {nb} AS frame,
+               ((pos - 1) * {g} // l) % {nb} AS bin,
+               CAST(unicode(ch) AS BIGINT) AS cp
+        FROM (
+            SELECT doc_id, length(text) AS l,
+                   generate_subscripts(string_split(text, ''), 1) AS pos,
+                   unnest(string_split(text, '')) AS ch
+            FROM documents WHERE length(text) >= {SHOT_MIN_LEN}
+        )
+        WHERE ch <> ''
+    ),
+    bins AS (
+        SELECT doc_id, frame, bin,
+               CAST(SUM(cp) AS BIGINT) AS bsum,
+               CAST(COUNT(*) AS BIGINT) AS bcnt
+        FROM chars GROUP BY doc_id, frame, bin
+    ),
+    frames AS (
+        SELECT doc_id, frame,
+               CAST(SUM(bsum) AS BIGINT) AS fsum,
+               CAST(SUM(bcnt) AS BIGINT) AS fcnt
+        FROM bins GROUP BY doc_id, frame
+    ),
+    bits AS (
+        SELECT b.doc_id, b.frame, b.bin,
+               CASE WHEN (2 * 1000 * b.bsum + b.bcnt) // (2 * b.bcnt)
+                    > (2 * 1000 * f.fsum + f.fcnt) // (2 * f.fcnt)
+               THEN 1 ELSE 0 END AS bit
+        FROM bins b JOIN frames f USING (doc_id, frame)
+    ),
+    hamming AS (
+        SELECT a.doc_id, a.frame,
+               CAST(SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END)
+                    AS BIGINT) AS h
+        FROM bits a
+        JOIN bits b ON b.doc_id = a.doc_id AND b.bin = a.bin
+                   AND b.frame = a.frame + 1
+        GROUP BY a.doc_id, a.frame
+    ),
+    frame_counts AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames
+        FROM frames GROUP BY doc_id
+    )
+    SELECT h.doc_id, fc.n_frames,
+           CAST(SUM(CASE WHEN h.h >= {SHOT_TAU} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_cuts,
+           CAST(MAX(h.h) AS BIGINT) AS max_hamming,
+           CAST((2 * 1000 * fc.n_frames
+                 + (SUM(CASE WHEN h.h >= {SHOT_TAU} THEN 1 ELSE 0 END) + 1))
+                // (2 * (SUM(CASE WHEN h.h >= {SHOT_TAU} THEN 1 ELSE 0 END)
+                         + 1)) AS BIGINT) AS mean_shot_frames_milli
+    FROM hamming h
+    JOIN frame_counts fc USING (doc_id)
+    GROUP BY h.doc_id, fc.n_frames
+    ORDER BY h.doc_id
+    """

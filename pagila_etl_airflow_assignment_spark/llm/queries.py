@@ -1573,3 +1573,13 @@ def q_facility_location(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embeddings_mod.facility_location(
         load_table(spark, sf_dir, "embeddings")
     )
+
+
+@register(
+    "multimodal_shot_boundaries", oracle=multimodal.shot_boundaries_sql()
+)
+def q_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash shot-boundary detection over the byte-stream
+    stand-in: per-frame bit signatures, adjacent-frame hamming cuts,
+    shots-per-video report."""
+    return multimodal.shot_boundaries(load_table(spark, sf_dir, "documents"))

@@ -19,7 +19,7 @@ exercised, including the ΔA⋈ΔB corner).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 ORDERS_DELTA_MOD = 7
@@ -576,4 +576,172 @@ def maintained_max_view_sql(
                CAST(COALESCE(rescanned, 0) AS BIGINT) AS rescanned
         FROM final_agg f LEFT JOIN flag USING (l_suppkey)
         ORDER BY l_suppkey
+    """
+
+
+# --- top-k view maintenance ------------------------------------------------------------
+
+TOPK_K = 3
+
+
+def maintained_topk_view(
+    lineitem: DataFrame,
+    k: int = TOPK_K,
+    ins_mod: int = MINMAX_INS_MOD,
+    del_mod: int = MINMAX_DEL_MOD,
+) -> DataFrame:
+    """Top-k-per-group view IVM under mixed deltas: rows (l_suppkey, rnk,
+    price_cents, n_live, rescanned) — per-supplier top-``k`` line prices.
+
+    The delete rule generalizes the MAX view (L-522): a delete batch is
+    SAFE for a group iff its max deleted price sits strictly below the
+    stored k-th price (it cannot have been a member); otherwise ONLY that
+    group re-aggregates from the live base (semi-join pruned). Inserts are
+    always safe — the new top-k is the top-k of (stored top-k ∪ insert
+    batch), a bounded merge; this insert-cheap / delete-fragile asymmetry
+    is exactly why leaderboard views keep tombstone counts.
+
+    Deltas are the module's deterministic key-mod slices (MINMAX rules).
+    Exactness: cents BIGINTs with the (price DESC, l_orderkey, l_linenumber)
+    total order shared by both engines. The oracle re-aggregates the final
+    table state and recomputes the rescan flag from first principles."""
+    cents = F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+    rows = lineitem.select(
+        "l_orderkey", "l_linenumber", "l_suppkey", cents.alias("c")
+    )
+    pre = rows.where(F.col("l_orderkey") % ins_mod != 0)
+    inserts = rows.where(F.col("l_orderkey") % ins_mod == 0)
+    deletes = pre.where(F.col("l_orderkey") % del_mod == 0)
+    live = pre.where(F.col("l_orderkey") % del_mod != 0)
+
+    w = Window.partitionBy("l_suppkey").orderBy(
+        F.col("c").desc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()
+    )
+    v0 = pre.withColumn("rnk", F.row_number().over(w)).where(
+        F.col("rnk") <= k
+    )
+    kth = v0.groupBy("l_suppkey").agg(F.min("c").alias("kth"))
+    n0 = pre.groupBy("l_suppkey").agg(F.count("*").cast("long").alias("n0"))
+    dd = deletes.groupBy("l_suppkey").agg(
+        F.max("c").alias("dmx"), F.count("*").cast("long").alias("dn")
+    )
+    state = kth.join(dd, "l_suppkey", "left")
+    touched = state.where(F.col("dmx") >= F.col("kth")).select("l_suppkey")
+    safe_topk = v0.join(touched, "l_suppkey", "left_anti").select(
+        "l_suppkey", "l_orderkey", "l_linenumber", "c"
+    )
+    resc_topk = (
+        live.join(touched, "l_suppkey", "left_semi")
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "c")
+    )
+    merged = (
+        safe_topk.unionByName(resc_topk)
+        .unionByName(
+            inserts.select("l_suppkey", "l_orderkey", "l_linenumber", "c")
+        )
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= k)
+    )
+    counts = (
+        n0.join(dd.select("l_suppkey", "dn"), "l_suppkey", "left")
+        .join(
+            inserts.groupBy("l_suppkey").agg(
+                F.count("*").cast("long").alias("inn")
+            ),
+            "l_suppkey",
+            "full_outer",
+        )
+        .select(
+            "l_suppkey",
+            (
+                F.coalesce(F.col("n0"), F.lit(0))
+                - F.coalesce(F.col("dn"), F.lit(0))
+                + F.coalesce(F.col("inn"), F.lit(0))
+            ).alias("n_live"),
+        )
+    )
+    flag = state.select(
+        "l_suppkey",
+        F.when(F.col("dmx") >= F.col("kth"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("rescanned"),
+    )
+    return (
+        merged.join(counts, "l_suppkey")
+        .join(flag, "l_suppkey", "left")
+        .where(F.col("n_live") > 0)
+        .select(
+            "l_suppkey",
+            "rnk",
+            F.col("c").alias("price_cents"),
+            "n_live",
+            F.coalesce("rescanned", F.lit(0)).alias("rescanned"),
+        )
+        .orderBy("l_suppkey", "rnk")
+    )
+
+
+def maintained_topk_view_sql(
+    k: int = TOPK_K,
+    ins_mod: int = MINMAX_INS_MOD,
+    del_mod: int = MINMAX_DEL_MOD,
+) -> str:
+    """First-principles oracle: the final-state top-k plus the recomputed
+    rescan flag (deleted max >= k-th of the PRE state)."""
+    return f"""
+    WITH rows_c AS (
+        SELECT l_orderkey, l_linenumber, l_suppkey,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+        FROM lineitem
+    ),
+    pre AS (SELECT * FROM rows_c WHERE l_orderkey % {ins_mod} <> 0),
+    inserts AS (SELECT * FROM rows_c WHERE l_orderkey % {ins_mod} = 0),
+    deletes AS (SELECT * FROM pre WHERE l_orderkey % {del_mod} = 0),
+    live AS (SELECT * FROM pre WHERE l_orderkey % {del_mod} <> 0),
+    final_state AS (
+        SELECT * FROM live UNION ALL SELECT * FROM inserts
+    ),
+    topk AS (
+        SELECT l_suppkey, l_orderkey, l_linenumber, c,
+               row_number() OVER (
+                   PARTITION BY l_suppkey
+                   ORDER BY c DESC, l_orderkey ASC, l_linenumber ASC
+               ) AS rnk
+        FROM final_state
+        QUALIFY rnk <= {k}
+    ),
+    counts AS (
+        SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_live
+        FROM final_state GROUP BY l_suppkey
+    ),
+    kth AS (
+        SELECT l_suppkey, MIN(c) AS kth FROM (
+            SELECT l_suppkey, c,
+                   row_number() OVER (
+                       PARTITION BY l_suppkey
+                       ORDER BY c DESC, l_orderkey ASC, l_linenumber ASC
+                   ) AS rnk
+            FROM pre
+            QUALIFY rnk <= {k}
+        ) GROUP BY l_suppkey
+    ),
+    flag AS (
+        SELECT k.l_suppkey,
+               CAST(CASE WHEN d.dmx >= k.kth THEN 1 ELSE 0 END AS BIGINT)
+                   AS rescanned
+        FROM kth k
+        LEFT JOIN (
+            SELECT l_suppkey, MAX(c) AS dmx FROM deletes GROUP BY l_suppkey
+        ) d USING (l_suppkey)
+    )
+    SELECT t.l_suppkey, CAST(t.rnk AS INTEGER) AS rnk,
+           t.c AS price_cents, n.n_live,
+           COALESCE(f.rescanned, 0) AS rescanned
+    FROM topk t
+    JOIN counts n USING (l_suppkey)
+    LEFT JOIN flag f USING (l_suppkey)
+    ORDER BY t.l_suppkey, t.rnk
     """

@@ -3516,3 +3516,27 @@ def q_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration for the full chain and every channel-removed variant, all
     in exact micro units."""
     return sequences.markov_attribution(load_table(spark, sf_dir, "events"))
+
+
+@register("warehouse_ivm_topk", oracle=ivm.maintained_topk_view_sql())
+def q_ivm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k-per-supplier view IVM under mixed deltas: insert-cheap
+    bounded merge, delete-fragile semi-join-pruned rescans — the
+    leaderboard-view maintenance rule."""
+    return ivm.maintained_topk_view(load_table(spark, sf_dir, "lineitem"))
+
+
+@register("events_qte_deciles", oracle=stats.qte_deciles_sql())
+def q_qte_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects at the nine deciles — the
+    distributional effect panel the ATE flattens, exact order
+    statistics."""
+    return stats.qte_deciles(load_table(spark, sf_dir, "events"))
+
+
+@register("events_fwl_partial_out", oracle=stats.fwl_partial_out_sql())
+def q_fwl_partial_out(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frisch-Waugh-Lovell partialling-out: the controlled click effect
+    via direct OLS and via residual-on-residual, with the identity gap
+    certified numerically."""
+    return stats.fwl_partial_out(load_table(spark, sf_dir, "events"))

@@ -14660,3 +14660,213 @@ def sinkhorn_ot_sql(iters: int = SINKHORN_ITERS) -> str:
     """
     )
     return "".join(parts)
+
+
+# --- quantile treatment effects -------------------------------------------------------
+
+
+def qte_deciles(events: DataFrame) -> DataFrame:
+    """Quantile treatment effects at the nine deciles: the clicker vs
+    non-clicker per-user spend distributions compared quantile-by-quantile
+    — the distributional view an average treatment effect flattens (a
+    treatment can move the top decile and leave the median alone; the ATE
+    reports mush).
+
+    Quantiles are exact type-1 order statistics (value at rank ⌈d·n/10⌉
+    under the (cents, user_id) total order), so every number is an exact
+    BIGINT and the effect column is plain integer subtraction.
+
+    Scale: one user aggregate, one rank window per group, a 9-row grid
+    join."""
+    per_user = events.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "click").cast("int")).alias("t"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.expr("CAST(round(value * 100) AS BIGINT)"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("y"),
+    )
+    w = Window.partitionBy("t").orderBy(F.col("y").asc(), F.col("user_id").asc())
+    ranked = per_user.select(
+        "t",
+        "y",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.count("*").over(Window.partitionBy("t")).cast("long").alias("n"),
+    )
+    deciles = events.sparkSession.range(1, 10).select(
+        F.col("id").cast("int").alias("decile")
+    )
+    qs = (
+        ranked.crossJoin(F.broadcast(deciles))
+        # ceil via (d*n+9) DIV 10 on POSITIVE operands only: Spark DIV
+        # truncates toward zero while DuckDB // floors, so the negated-ceil
+        # idiom silently floors on one engine (caught by the property test;
+        # the sf0.01 fixture's group sizes are multiples of 10 and masked it)
+        .where(F.col("rn") == F.expr("CAST((decile * n + 9) DIV 10 AS BIGINT)"))
+        .groupBy("decile")
+        .agg(
+            F.sum(F.when(F.col("t") == 1, F.col("y"))).alias("q_treated"),
+            F.sum(F.when(F.col("t") == 0, F.col("y"))).alias("q_control"),
+            F.max(F.when(F.col("t") == 1, F.col("n"))).alias("n_treated"),
+            F.max(F.when(F.col("t") == 0, F.col("n"))).alias("n_control"),
+        )
+    )
+    return qs.select(
+        "decile",
+        "n_treated",
+        "n_control",
+        "q_treated",
+        "q_control",
+        (F.col("q_treated") - F.col("q_control")).alias("qte_cents"),
+    ).orderBy("decile")
+
+
+def qte_deciles_sql() -> str:
+    return """
+    WITH per_user AS (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS t,
+               SUM(CASE WHEN event_type = 'purchase'
+                   THEN CAST(round(value * 100) AS BIGINT)
+                   ELSE 0 END) AS y
+        FROM events GROUP BY user_id
+    ),
+    ranked AS (
+        SELECT t, y,
+               CAST(row_number() OVER (
+                   PARTITION BY t ORDER BY y ASC, user_id ASC
+               ) AS BIGINT) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY t) AS BIGINT) AS n
+        FROM per_user
+    ),
+    deciles AS (SELECT CAST(d AS INTEGER) AS decile FROM range(1, 10) t(d)),
+    qs AS (
+        SELECT d.decile,
+               SUM(CASE WHEN r.t = 1 THEN r.y END) AS q_treated,
+               SUM(CASE WHEN r.t = 0 THEN r.y END) AS q_control,
+               MAX(CASE WHEN r.t = 1 THEN r.n END) AS n_treated,
+               MAX(CASE WHEN r.t = 0 THEN r.n END) AS n_control
+        FROM ranked r
+        JOIN deciles d
+          ON r.rn = CAST((d.decile * r.n + 9) // 10 AS BIGINT)
+        GROUP BY d.decile
+    )
+    SELECT decile,
+           CAST(n_treated AS BIGINT) AS n_treated,
+           CAST(n_control AS BIGINT) AS n_control,
+           CAST(q_treated AS BIGINT) AS q_treated,
+           CAST(q_control AS BIGINT) AS q_control,
+           CAST(q_treated - q_control AS BIGINT) AS qte_cents
+    FROM qs
+    ORDER BY decile
+    """
+
+
+# --- Frisch-Waugh-Lovell partialling-out ----------------------------------------------
+
+
+def fwl_partial_out(events: DataFrame) -> DataFrame:
+    """Frisch-Waugh-Lovell partialling-out: the effect of click volume on
+    spend CONTROLLING for view volume, computed twice — once as the direct
+    two-regressor OLS coefficient and once the double-ML way (residualize
+    Y on X, residualize D on X, regress residual on residual) — with the
+    FWL identity gap reported. The partialling-out recipe is the core of
+    every modern debiased-ML estimator; the gap column certifies the
+    algebra to 1e-6 instead of assuming it.
+
+    All cross-user sums are exact BIGINTs; both routes are scalar double
+    algebra over them. Collinear or zero-variance designs emit NULLs."""
+    per_user = events.groupBy("user_id").agg(
+        F.sum((F.col("event_type") == "view").cast("long")).alias("x"),
+        F.sum((F.col("event_type") == "click").cast("long")).alias("d"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.expr("CAST(round(value * 100) AS BIGINT)"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("y"),
+    )
+    sums = per_user.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("d").alias("sd"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("d") * F.col("d")).alias("sdd"),
+        F.sum(F.col("x") * F.col("d")).alias("sxd"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("d") * F.col("y")).alias("sdy"),
+    )
+    c = sums.select(
+        "n",
+        (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")).alias("cxx"),
+        (F.col("sdd") - F.col("sd") * F.col("sd") / F.col("n")).alias("cdd"),
+        (F.col("sxd") - F.col("sx") * F.col("sd") / F.col("n")).alias("cxd"),
+        (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")).alias("cxy"),
+        (F.col("sdy") - F.col("sd") * F.col("sy") / F.col("n")).alias("cdy"),
+    )
+    det = F.col("cdd") * F.col("cxx") - F.col("cxd") * F.col("cxd")
+    direct = (F.col("cdy") * F.col("cxx") - F.col("cxy") * F.col("cxd")) / det
+    # residual-on-residual: gamma = cxd/cxx, delta = cxy/cxx;
+    # beta = cov(d~ , y~)/var(d~) with d~ = d - gamma x, y~ = y - delta x
+    gamma = F.col("cxd") / F.col("cxx")
+    res_cov = F.col("cdy") - gamma * F.col("cxy")
+    res_var = F.col("cdd") - gamma * F.col("cxd")
+    fwl = res_cov / res_var
+    ok = (F.col("cxx") > 0) & (det > 0)
+    return c.select(
+        "n",
+        F.when(ok, F.round(direct, 6)).alias("beta_direct"),
+        F.when(ok, F.round(fwl, 6)).alias("beta_fwl"),
+        F.when(ok, F.round(F.abs(direct - fwl), 9)).alias("identity_gap"),
+    )
+
+
+def fwl_partial_out_sql() -> str:
+    return """
+    WITH per_user AS (
+        SELECT user_id,
+               SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS x,
+               SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS d,
+               SUM(CASE WHEN event_type = 'purchase'
+                   THEN CAST(round(value * 100) AS BIGINT)
+                   ELSE 0 END) AS y
+        FROM events GROUP BY user_id
+    ),
+    sums AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(d) AS BIGINT) AS sd,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(d * d) AS BIGINT) AS sdd,
+               CAST(SUM(x * d) AS BIGINT) AS sxd,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(d * y) AS BIGINT) AS sdy
+        FROM per_user
+    ),
+    c AS (
+        SELECT n,
+               sxx - CAST(sx AS DOUBLE) * sx / n AS cxx,
+               sdd - CAST(sd AS DOUBLE) * sd / n AS cdd,
+               sxd - CAST(sx AS DOUBLE) * sd / n AS cxd,
+               sxy - CAST(sx AS DOUBLE) * sy / n AS cxy,
+               sdy - CAST(sd AS DOUBLE) * sy / n AS cdy
+        FROM sums
+    ),
+    algebra AS (
+        SELECT n, cxx,
+               cdd * cxx - cxd * cxd AS det,
+               (cdy * cxx - cxy * cxd) / (cdd * cxx - cxd * cxd) AS direct,
+               (cdy - (cxd / cxx) * cxy)
+                   / (cdd - (cxd / cxx) * cxd) AS fwl
+        FROM c
+    )
+    SELECT n,
+           CASE WHEN cxx > 0 AND det > 0 THEN round(direct, 6) END
+               AS beta_direct,
+           CASE WHEN cxx > 0 AND det > 0 THEN round(fwl, 6) END AS beta_fwl,
+           CASE WHEN cxx > 0 AND det > 0 THEN round(abs(direct - fwl), 9) END
+               AS identity_gap
+    FROM algebra
+    """

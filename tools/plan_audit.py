@@ -421,6 +421,10 @@ ALLOWED: dict[str, set[str]] = {
     "sampling_unimax": {"BroadcastNestedLoopJoin"},
     "embedding_facility_location": {"BroadcastNestedLoopJoin"},
     "events_attribution_markov": {"BroadcastNestedLoopJoin"},
+    # round-10g IVM/causal devices (L-556..559): 9-row decile grid and
+    # 1-row sufficient-stat broadcasts
+    "events_qte_deciles": {"BroadcastNestedLoopJoin"},
+    "events_fwl_partial_out": {"BroadcastNestedLoopJoin"},
 }
 
 PATTERNS = ("CartesianProduct", "BatchEvalPython", "BroadcastNestedLoopJoin")

@@ -530,6 +530,11 @@ PROBES = [
     "sampling_unimax",
     "embedding_facility_location",
     "events_attribution_markov",
+    # round-10g IVM/multimodal/causal devices (L-556..559)
+    "warehouse_ivm_topk",
+    "multimodal_shot_boundaries",
+    "events_qte_deciles",
+    "events_fwl_partial_out",
 ]
 
 
