@@ -2538,3 +2538,174 @@ def facility_location_sql(
     """
     )
     return "".join(parts)
+
+
+# --- local outlier factor -------------------------------------------------------------
+
+LOF_K = 5
+LOF_SAMPLE = 256
+LOF_TOP = 10
+
+
+def lof_outliers(
+    embeddings: DataFrame,
+    k: int = LOF_K,
+    sample: int = LOF_SAMPLE,
+    top: int = LOF_TOP,
+) -> DataFrame:
+    """Local Outlier Factor (Breunig et al., SIGMOD 2000) over the
+    md5-sampled ``sample``-vector witness set: density-RELATIVE outlier
+    scoring — a point is anomalous if its local density is low compared to
+    its neighbors' densities, which catches outliers-near-dense-clusters
+    that the global centroid-distance audit (L-40) misses entirely.
+
+    Exactness chain: micro-quantized coordinates give exact BIGINT squared
+    distances, and each distance becomes the INTEGER micro unit
+    round(sqrt(d2)) — sqrt of an exact int is correctly rounded IEEE and
+    never lands on .5 (sqrt(n) is integer or irrational), so every engine
+    derives the identical BIGINT; kNN membership, reachability sums, lrd
+    and the final LOF ratio are then integer arithmetic to the last
+    division. (Rounding a 1e6-magnitude double to 9 dp instead sits BELOW
+    the double's ulp — the property test caught the resulting last-digit
+    engine drift.) The md5 sample cap is the documented scale boundary
+    (the full-corpus path plugs the LSH bucket candidates from the dedup
+    stack into the same pair relation).
+
+    Output: top-``top`` rows (vec_id, kdist_micro, lrd_micro, lof)."""
+    from .hashing import md5_int
+
+    xm_rel = (
+        embeddings.withColumn("ck", md5_int(F.col("vec_id").cast("string")))
+        .orderBy("ck", "vec_id")
+        .limit(sample)
+        .select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * F.lit(1e6)).cast("long"),
+            ).alias("xm"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("a.xm"), F.col("b.xm"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    pairs = (
+        xm_rel.alias("a")
+        .join(xm_rel.alias("b"), F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("i"),
+            F.col("b.vec_id").alias("j"),
+            F.round(F.sqrt(d2)).cast("long").alias("d"),
+        )
+    )
+    w_nn = Window.partitionBy("i").orderBy(F.col("d").asc(), F.col("j").asc())
+    ranked = pairs.select(
+        "i", "j", "d", F.row_number().over(w_nn).alias("rnk")
+    ).where(F.col("rnk") <= k).localCheckpoint(eager=False)
+    kdist = ranked.groupBy("i").agg(F.max("d").alias("kdist_micro"))
+    reach = (
+        ranked.join(
+            kdist.select(
+                F.col("i").alias("j"), F.col("kdist_micro").alias("kd_j")
+            ),
+            "j",
+        )
+        .select("i", "j", F.greatest("kd_j", "d").alias("reach_micro"))
+    )
+    # GREATEST(1, sum): an all-duplicate neighborhood has zero total
+    # reachability; the floor keeps lrd finite (and maximal) there
+    lrd = reach.groupBy("i").agg(
+        F.expr(
+            f"CAST(round(1e12 * {k} / GREATEST(1, SUM(reach_micro)))"
+            " AS BIGINT)"
+        ).alias("lrd_micro")
+    )
+    lof = (
+        ranked.select("i", "j")
+        .join(lrd.select(F.col("i").alias("j"), F.col("lrd_micro").alias("lrd_j")), "j")
+        .groupBy("i")
+        .agg(F.sum("lrd_j").alias("sum_lrd_j"))
+        .join(lrd, "i")
+        .select(
+            F.col("i").alias("vec_id"),
+            F.round(
+                F.col("sum_lrd_j") / (F.lit(k) * F.col("lrd_micro")), 6
+            ).alias("lof"),
+            "lrd_micro",
+        )
+        .join(
+            kdist.select(F.col("i").alias("vec_id"), "kdist_micro"), "vec_id"
+        )
+    )
+    w_top = Window.orderBy(F.col("lof").desc(), F.col("vec_id").asc())
+    return (
+        lof.withColumn("rnk", F.row_number().over(w_top).cast("int"))
+        .where(F.col("rnk") <= top)
+        .select("rnk", "vec_id", "kdist_micro", "lrd_micro", "lof")
+        .orderBy("rnk")
+    )
+
+
+def lof_outliers_sql(
+    k: int = LOF_K, sample: int = LOF_SAMPLE, top: int = LOF_TOP
+) -> str:
+    from .hashing import md5_int_sql
+
+    return f"""
+    WITH xm AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS xm
+        FROM embeddings
+        ORDER BY {md5_int_sql("CAST(vec_id AS VARCHAR)")}, vec_id
+        LIMIT {sample}
+    ),
+    pairs AS MATERIALIZED (
+        SELECT a.vec_id AS i, b.vec_id AS j,
+               CAST(round(sqrt(list_sum(list_transform(
+                   range(1, len(a.xm) + 1),
+                   p -> CAST((a.xm[p] - b.xm[p]) * (a.xm[p] - b.xm[p])
+                        AS DOUBLE))))) AS BIGINT) AS d
+        FROM xm a JOIN xm b ON a.vec_id <> b.vec_id
+    ),
+    ranked AS MATERIALIZED (
+        SELECT i, j, d,
+               row_number() OVER (
+                   PARTITION BY i ORDER BY d ASC, j ASC
+               ) AS rnk
+        FROM pairs
+        QUALIFY rnk <= {k}
+    ),
+    kdist AS MATERIALIZED (
+        SELECT i, MAX(d) AS kdist_micro FROM ranked GROUP BY i
+    ),
+    lrd AS MATERIALIZED (
+        SELECT r.i,
+               CAST(round(1e12 * {k} / GREATEST(1,
+                   SUM(GREATEST(kj.kdist_micro, r.d)))) AS BIGINT)
+                   AS lrd_micro
+        FROM ranked r JOIN kdist kj ON kj.i = r.j
+        GROUP BY r.i
+    ),
+    lof AS (
+        SELECT r.i AS vec_id,
+               round(SUM(lj.lrd_micro)
+                     / ({k} * CAST(li.lrd_micro AS DOUBLE)), 6) AS lof,
+               li.lrd_micro
+        FROM ranked r
+        JOIN lrd lj ON lj.i = r.j
+        JOIN lrd li ON li.i = r.i
+        GROUP BY r.i, li.lrd_micro
+    )
+    SELECT CAST(row_number() OVER (ORDER BY l.lof DESC, l.vec_id ASC)
+                AS INTEGER) AS rnk,
+           l.vec_id, kd.kdist_micro, l.lrd_micro, l.lof
+    FROM lof l JOIN kdist kd ON kd.i = l.vec_id
+    QUALIFY rnk <= {top}
+    ORDER BY rnk
+    """

@@ -1583,3 +1583,18 @@ def q_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     stand-in: per-frame bit signatures, adjacent-frame hamming cuts,
     shots-per-video report."""
     return multimodal.shot_boundaries(load_table(spark, sf_dir, "documents"))
+
+
+@register("embedding_lof_outliers", oracle=embeddings_mod.lof_outliers_sql())
+def q_lof_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local Outlier Factor over the md5-sampled witness set —
+    density-relative anomaly scores the centroid audit cannot see."""
+    return embeddings_mod.lof_outliers(load_table(spark, sf_dir, "embeddings"))
+
+
+@register("text_temperature_scaling", oracle=text.temperature_scaling_sql())
+def q_temperature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaling grid search: the NLL curve of
+    sigmoid(logit/T) vs the Gopher truth with the argmin flagged —
+    post-hoc calibration for the deployed quality filter."""
+    return text.temperature_scaling(load_table(spark, sf_dir, "documents"))

@@ -3063,3 +3063,97 @@ def label_noise_estimate_sql() -> str:
     FROM cells CROSS JOIN noise
     ORDER BY lang, pred_lang
     """
+
+
+# --- temperature scaling of the quality classifier --------------------------------------
+
+TEMP_GRID_CENTI = tuple(range(50, 310, 25))  # 0.50 .. 3.00 in 0.25 steps
+
+
+def temperature_scaling(docs: DataFrame) -> DataFrame:
+    """Temperature scaling of the linear quality classifier (Guo et al.,
+    ICML 2017): grid-search the single scalar T that minimizes the
+    negative log-likelihood of sigmoid(logit/T) against the Gopher-rule
+    truth — the one-parameter post-hoc calibration every deployed filter
+    gets before its scores are treated as probabilities (the reliability
+    diagram L-257 measures the miscalibration; this fixes it).
+
+    Per-doc NLL contributions quantize ONCE to micro-nat (deterministic
+    ln/sigmoid over the exact integer logit, the BM25/QL convention), so
+    each grid point's total is an order-free integer sum and the argmin has
+    a (nll, T) total order. Output: one row per grid temperature
+    (t_centi, nll_micro_nat, is_best).
+
+    Scale: two zero-shuffle scorers share the corpus scan; the grid
+    explodes x|T| before one partial aggregate."""
+    pred = classifier_scores(docs).select("doc_id", "logit_milli")
+    truth = gopher_rules(docs).select(
+        "doc_id", F.col("gopher_keep").cast("int").alias("y")
+    )
+    grid = F.explode(
+        F.array(*[F.lit(t) for t in TEMP_GRID_CENTI])
+    ).alias("t_centi")
+    scored = (
+        pred.join(truth, "doc_id")
+        .select("logit_milli", "y", grid)
+        .select(
+            "t_centi",
+            F.expr(
+                "CAST(round(1e6 * ("
+                " ln(1.0 + exp(-abs(logit_milli / 1000.0 / (t_centi / 100.0))))"
+                " + CASE WHEN (CASE WHEN logit_milli >= 0 THEN 1 ELSE 0 END) <> y"
+                "   THEN abs(logit_milli / 1000.0 / (t_centi / 100.0))"
+                "   ELSE 0.0 END)) AS BIGINT)"
+            ).alias("nll_micro"),
+        )
+    )
+    totals = scored.groupBy("t_centi").agg(
+        F.sum("nll_micro").alias("nll_micro_nat")
+    )
+    w_best = Window.orderBy(
+        F.col("nll_micro_nat").asc(), F.col("t_centi").asc()
+    )
+    return (
+        totals.withColumn(
+            "is_best", (F.row_number().over(w_best) == 1).cast("int")
+        )
+        .select("t_centi", "nll_micro_nat", "is_best")
+        .orderBy("t_centi")
+    )
+
+
+def temperature_scaling_sql() -> str:
+    grid = ", ".join(str(t) for t in TEMP_GRID_CENTI)
+    return f"""
+    WITH pred AS (
+        SELECT doc_id, logit_milli FROM ({_classifier_scores_sql()})
+    ),
+    truth AS (
+        SELECT doc_id,
+               CASE WHEN gopher_keep THEN 1 ELSE 0 END AS y
+        FROM ({_gopher_rules_sql()})
+    ),
+    scored AS (
+        SELECT t.t_centi,
+               CAST(round(1e6 * (
+                   ln(1.0 + exp(-abs(p.logit_milli / 1000.0
+                                     / (t.t_centi / 100.0))))
+                   + CASE WHEN (CASE WHEN p.logit_milli >= 0
+                                THEN 1 ELSE 0 END) <> u.y
+                     THEN abs(p.logit_milli / 1000.0 / (t.t_centi / 100.0))
+                     ELSE 0.0 END)) AS BIGINT) AS nll_micro
+        FROM pred p
+        JOIN truth u USING (doc_id)
+        CROSS JOIN (SELECT UNNEST([{grid}]) AS t_centi) t
+    ),
+    totals AS (
+        SELECT t_centi, CAST(SUM(nll_micro) AS BIGINT) AS nll_micro_nat
+        FROM scored GROUP BY t_centi
+    )
+    SELECT CAST(t_centi AS INTEGER) AS t_centi, nll_micro_nat,
+           CAST(CASE WHEN row_number() OVER (
+               ORDER BY nll_micro_nat ASC, t_centi ASC) = 1
+           THEN 1 ELSE 0 END AS INTEGER) AS is_best
+    FROM totals
+    ORDER BY t_centi
+    """

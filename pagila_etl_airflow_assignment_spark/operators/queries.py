@@ -3540,3 +3540,10 @@ def q_fwl_partial_out(spark: SparkSession, sf_dir: str) -> DataFrame:
     via direct OLS and via residual-on-residual, with the identity gap
     certified numerically."""
     return stats.fwl_partial_out(load_table(spark, sf_dir, "events"))
+
+
+@register("events_alpha_footprint", oracle=sequences.alpha_footprint_sql())
+def q_alpha_footprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Process-mining footprint matrix: causal / parallel / choice
+    relations per activity pair from the direct-follows counts."""
+    return sequences.alpha_footprint(load_table(spark, sf_dir, "events"))

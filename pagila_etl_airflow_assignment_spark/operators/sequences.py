@@ -1907,3 +1907,100 @@ def markov_attribution_sql(
     """
     )
     return "".join(parts)
+
+
+# --- alpha-algorithm footprint matrix -------------------------------------------------
+
+
+def alpha_footprint(events: DataFrame) -> DataFrame:
+    """Process-mining footprint matrix (the α-algorithm's first step, van
+    der Aalst): classify every ordered activity pair from the
+    direct-follows counts of per-user event sequences — a →  b (causality:
+    a follows into b, never the reverse), a # b (never adjacent), a || b
+    (both directions observed: parallelism/loop). The DFG-waits view
+    (L-382) prices the edges; the footprint is the RELATIONAL abstraction
+    process discovery actually consumes.
+
+    One lag window over the event log, one (src,dst) count aggregate,
+    then the bounded |activities|² grid join — all exact integers.
+
+    Output per ordered pair (a, b), a < b lexically: (a, b, df_ab, df_ba,
+    relation) where relation is 'causal_ab', 'causal_ba', 'parallel', or
+    'choice'."""
+    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    df_counts = (
+        events.select(
+            "user_id",
+            F.col("event_type").alias("b"),
+            F.lag("event_type").over(w_seq).alias("a"),
+        )
+        .where(F.col("a").isNotNull())
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    acts = events.select(F.col("event_type").alias("act")).distinct()
+    grid = (
+        acts.select(F.col("act").alias("a"))
+        .crossJoin(F.broadcast(acts.select(F.col("act").alias("b"))))
+        .where(F.col("a") < F.col("b"))
+    )
+    fwd = df_counts.select("a", "b", F.col("n").alias("df_ab"))
+    bwd = df_counts.select(
+        F.col("b").alias("a"), F.col("a").alias("b"), F.col("n").alias("df_ba")
+    )
+    return (
+        grid.join(fwd, ["a", "b"], "left")
+        .join(bwd, ["a", "b"], "left")
+        .select(
+            "a",
+            "b",
+            F.coalesce("df_ab", F.lit(0)).alias("df_ab"),
+            F.coalesce("df_ba", F.lit(0)).alias("df_ba"),
+        )
+        .withColumn(
+            "relation",
+            F.when(
+                (F.col("df_ab") > 0) & (F.col("df_ba") > 0), "parallel"
+            )
+            .when(F.col("df_ab") > 0, "causal_ab")
+            .when(F.col("df_ba") > 0, "causal_ba")
+            .otherwise("choice"),
+        )
+        .orderBy("a", "b")
+    )
+
+
+def alpha_footprint_sql() -> str:
+    return """
+    WITH seq AS (
+        SELECT user_id, event_type AS b,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS a
+        FROM events
+    ),
+    df_counts AS (
+        SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE a IS NOT NULL GROUP BY a, b
+    ),
+    acts AS (SELECT DISTINCT event_type AS act FROM events),
+    grid AS (
+        SELECT x.act AS a, y.act AS b
+        FROM acts x CROSS JOIN acts y
+        WHERE x.act < y.act
+    )
+    SELECT g.a, g.b,
+           COALESCE(f.n, 0) AS df_ab,
+           COALESCE(r.n, 0) AS df_ba,
+           CASE
+               WHEN COALESCE(f.n, 0) > 0 AND COALESCE(r.n, 0) > 0
+                   THEN 'parallel'
+               WHEN COALESCE(f.n, 0) > 0 THEN 'causal_ab'
+               WHEN COALESCE(r.n, 0) > 0 THEN 'causal_ba'
+               ELSE 'choice'
+           END AS relation
+    FROM grid g
+    LEFT JOIN df_counts f ON f.a = g.a AND f.b = g.b
+    LEFT JOIN df_counts r ON r.a = g.b AND r.b = g.a
+    ORDER BY g.a, g.b
+    """

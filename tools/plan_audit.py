@@ -425,6 +425,10 @@ ALLOWED: dict[str, set[str]] = {
     # 1-row sufficient-stat broadcasts
     "events_qte_deciles": {"BroadcastNestedLoopJoin"},
     "events_fwl_partial_out": {"BroadcastNestedLoopJoin"},
+    # round-10h outlier/process/calibration devices (L-560..562):
+    # witness-sample pair joins and bounded activity grids
+    "embedding_lof_outliers": {"BroadcastNestedLoopJoin"},
+    "events_alpha_footprint": {"BroadcastNestedLoopJoin"},
 }
 
 PATTERNS = ("CartesianProduct", "BatchEvalPython", "BroadcastNestedLoopJoin")

@@ -535,6 +535,10 @@ PROBES = [
     "multimodal_shot_boundaries",
     "events_qte_deciles",
     "events_fwl_partial_out",
+    # round-10h outlier/process/calibration devices (L-560..562)
+    "embedding_lof_outliers",
+    "events_alpha_footprint",
+    "text_temperature_scaling",
 ]
 
 
