@@ -2709,3 +2709,90 @@ def lof_outliers_sql(
     QUALIFY rnk <= {top}
     ORDER BY rnk
     """
+
+
+# --- per-dimension quantile normalization ---------------------------------------------
+
+
+def quantile_normalize(embeddings: DataFrame) -> DataFrame:
+    """Per-dimension quantile normalization (the microarray-era recipe that
+    generalizes to embedding post-processing): replace every dimension's
+    r-th order statistic with the ACROSS-dimension mean of r-th order
+    statistics, forcing all dimensions onto one shared marginal — the
+    whitening-lite that fixes per-dimension scale pathologies before
+    distance-based retrieval (the dimension-stats audit L-153 diagnoses
+    them; this repairs them).
+
+    Exact chain: micro coordinates, rank by (value, vec_id) per dimension,
+    target per rank = exact half-up integer mean over the |dims| values at
+    that rank. Output per dimension: (pos, l1_shift_micro, sum_after,
+    sumsq_after) — the after-sums are IDENTICAL for every pos by
+    construction, a self-certifying invariant the oracle re-derives.
+
+    Scale: one posexplode, two (pos)-keyed windows/aggregates, one
+    rank-keyed mean broadcast back — all map-side combined."""
+    exploded = embeddings.select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "x")
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.expr("CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)").alias("xm"),
+    )
+    w_rank = Window.partitionBy("pos").orderBy(
+        F.col("xm").asc(), F.col("vec_id").asc()
+    )
+    ranked = exploded.select(
+        "pos", "xm", F.row_number().over(w_rank).alias("r")
+    )
+    targets = ranked.groupBy("r").agg(
+        F.expr(
+            "CAST(CASE WHEN SUM(xm) >= 0"
+            " THEN (2 * SUM(xm) + COUNT(*)) DIV (2 * COUNT(*))"
+            " ELSE -((2 * -SUM(xm) + COUNT(*)) DIV (2 * COUNT(*))) END"
+            " AS BIGINT)"
+        ).alias("t")
+    )
+    return (
+        ranked.join(F.broadcast(targets), "r")
+        .groupBy("pos")
+        .agg(
+            F.sum(F.abs(F.col("xm") - F.col("t"))).alias("l1_shift_micro"),
+            F.sum("t").alias("sum_after"),
+            F.sum(F.col("t") * F.col("t")).alias("sumsq_after"),
+        )
+        .orderBy("pos")
+    )
+
+
+def quantile_normalize_sql() -> str:
+    return """
+    WITH exploded AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) AS pos,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6)
+                    AS BIGINT) AS xm
+        FROM embeddings
+    ),
+    ranked AS (
+        SELECT pos, xm,
+               row_number() OVER (
+                   PARTITION BY pos ORDER BY xm ASC, vec_id ASC
+               ) AS r
+        FROM exploded
+    ),
+    targets AS (
+        SELECT r,
+               CAST(CASE WHEN SUM(xm) >= 0
+                    THEN (2 * SUM(xm) + COUNT(*)) // (2 * COUNT(*))
+                    ELSE -((2 * -SUM(xm) + COUNT(*)) // (2 * COUNT(*))) END
+                    AS BIGINT) AS t
+        FROM ranked GROUP BY r
+    )
+    SELECT k.pos,
+           CAST(SUM(abs(k.xm - t.t)) AS BIGINT) AS l1_shift_micro,
+           CAST(SUM(t.t) AS BIGINT) AS sum_after,
+           CAST(SUM(t.t * t.t) AS BIGINT) AS sumsq_after
+    FROM ranked k JOIN targets t USING (r)
+    GROUP BY k.pos
+    ORDER BY k.pos
+    """

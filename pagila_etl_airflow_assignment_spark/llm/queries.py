@@ -1598,3 +1598,16 @@ def q_temperature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigmoid(logit/T) vs the Gopher truth with the argmin flagged —
     post-hoc calibration for the deployed quality filter."""
     return text.temperature_scaling(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "embedding_quantile_normalize",
+    oracle=embeddings_mod.quantile_normalize_sql(),
+)
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension quantile normalization onto the shared average
+    order-statistic marginal — identical after-sums per dimension by
+    construction, self-certifying."""
+    return embeddings_mod.quantile_normalize(
+        load_table(spark, sf_dir, "embeddings")
+    )

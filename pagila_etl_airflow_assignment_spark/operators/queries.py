@@ -3547,3 +3547,18 @@ def q_alpha_footprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Process-mining footprint matrix: causal / parallel / choice
     relations per activity pair from the direct-follows counts."""
     return sequences.alpha_footprint(load_table(spark, sf_dir, "events"))
+
+
+@register("warehouse_mantissa_arc", oracle=warehouse.mantissa_arc_test_sql())
+def q_mantissa_arc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford mantissa-arc test: mean resultant vector of the base-10
+    mantissa circle — the second-order forensic check behind the
+    first-digit audit."""
+    return warehouse.mantissa_arc_test(load_table(spark, sf_dir, "orders"))
+
+
+@register("events_kingman_vut", oracle=stats.kingman_vut_sql())
+def q_kingman_vut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kingman VUT waiting-time approximation for the purchase stream —
+    Variability x Utilization x Time from exact moment sums."""
+    return stats.kingman_vut(load_table(spark, sf_dir, "events"))

@@ -14870,3 +14870,146 @@ def fwl_partial_out_sql() -> str:
                AS identity_gap
     FROM algebra
     """
+
+
+# --- Kingman VUT waiting-time approximation -------------------------------------------
+
+
+def kingman_vut(events: DataFrame) -> DataFrame:
+    """Kingman's VUT formula for the G/G/1 queue fed by the purchase
+    stream: Wq ≈ (ρ/(1−ρ)) · ((ca² + cs²)/2) · τ_s — waiting time as
+    Variability × Utilization × Time, the capacity-planning identity that
+    explains why 85%-utilized systems melt. Arrivals are the purchase
+    timestamps (inter-arrival mean/CV from exact epoch-micro gaps);
+    service times are the purchase values read as seconds.
+
+    All moments come from exact BIGINT sums (micros / value-milli); the
+    formula is scalar algebra on them, NULL when the queue is unstable
+    (ρ ≥ 1) or degenerate (<2 arrivals). One row: (n, lambda_micro_per_s,
+    tau_s_milli, ca2, cs2, rho, wq_seconds)."""
+    # gaps in MILLIseconds: a micro-gap square overflows int64 on an
+    # hours-long gap — DuckDB raises, Spark (ANSI off) silently wraps.
+    # The sequence window partitions by DAY (a global ORDER BY over the
+    # purchase stream is the unpartitioned-window scale bug plan_audit
+    # exists to catch); cross-midnight gaps come from the bounded day-grain
+    # first/last relation.
+    base = events.where(F.col("event_type") == "purchase").select(
+        F.to_date("ts").alias("day"),
+        F.expr("unix_micros(ts) DIV 1000").alias("tu"),
+        "event_id",
+        F.expr("CAST(round(value * 1000) AS BIGINT)").alias("svc_milli"),
+    )
+    w_day = Window.partitionBy("day").orderBy(
+        F.col("tu").asc(), F.col("event_id").asc()
+    )
+    intra = base.select(
+        (F.col("tu") - F.lag("tu").over(w_day)).alias("gap_ms")
+    ).where(F.col("gap_ms").isNotNull())
+    day_ends = base.groupBy("day").agg(
+        F.min("tu").alias("first_tu"), F.max("tu").alias("last_tu")
+    )
+    w_days = Window.orderBy("day")
+    cross = day_ends.select(
+        (F.col("first_tu") - F.lag("last_tu").over(w_days)).alias("gap_ms")
+    ).where(F.col("gap_ms").isNotNull())
+    gaps = intra.unionAll(cross)
+    gagg = gaps.agg(
+        F.sum("gap_ms").alias("sg"),
+        F.sum(F.col("gap_ms") * F.col("gap_ms")).alias("sgg"),
+        F.count("gap_ms").cast("long").alias("ng"),
+    )
+    sagg = base.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("svc_milli").alias("ss"),
+        F.sum(F.col("svc_milli") * F.col("svc_milli")).alias("sss"),
+    )
+    agg = sagg.crossJoin(F.broadcast(gagg))
+    mean_gap = F.col("sg") / F.col("ng")
+    var_gap = (
+        F.col("sgg") - F.col("sg") * F.col("sg") / F.col("ng")
+    ) / (F.col("ng") - 1)
+    mean_svc = F.col("ss") / F.col("n")
+    var_svc = (
+        F.col("sss") - F.col("ss") * F.col("ss") / F.col("n")
+    ) / (F.col("n") - 1)
+    ca2 = var_gap / (mean_gap * mean_gap)
+    cs2 = var_svc / (mean_svc * mean_svc)
+    rho = mean_svc / mean_gap  # both in milliseconds
+    wq = (rho / (1.0 - rho)) * ((ca2 + cs2) / 2.0) * (mean_svc / 1000.0)
+    ok = (F.col("ng") > 1) & (mean_gap > 0) & (mean_svc > 0) & (rho < 1)
+    return agg.select(
+        "n",
+        F.round(1e9 / mean_gap).cast("long").alias("lambda_micro_per_s"),
+        F.round(mean_svc).cast("long").alias("tau_s_milli"),
+        F.when(F.col("ng") > 1, F.round(ca2, 6)).alias("ca2"),
+        F.when(F.col("n") > 1, F.round(cs2, 6)).alias("cs2"),
+        F.when(mean_gap > 0, F.round(rho, 6)).alias("rho"),
+        F.when(ok, F.round(wq, 6)).alias("wq_seconds"),
+    )
+
+
+def kingman_vut_sql() -> str:
+    return """
+    WITH base AS (
+        SELECT CAST(ts AS DATE) AS day,
+               epoch_us(ts) // 1000 AS tu,
+               event_id,
+               CAST(round(value * 1000) AS BIGINT) AS svc_milli
+        FROM events WHERE event_type = 'purchase'
+    ),
+    intra AS (
+        SELECT tu - lag(tu) OVER (
+                   PARTITION BY day ORDER BY tu ASC, event_id ASC
+               ) AS gap_ms
+        FROM base
+    ),
+    day_ends AS (
+        SELECT day, MIN(tu) AS first_tu, MAX(tu) AS last_tu
+        FROM base GROUP BY day
+    ),
+    cross_gaps AS (
+        SELECT first_tu - lag(last_tu) OVER (ORDER BY day) AS gap_ms
+        FROM day_ends
+    ),
+    gaps AS (
+        SELECT gap_ms FROM intra WHERE gap_ms IS NOT NULL
+        UNION ALL
+        SELECT gap_ms FROM cross_gaps WHERE gap_ms IS NOT NULL
+    ),
+    agg AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM base) AS n,
+               CAST(SUM(gap_ms) AS BIGINT) AS sg,
+               CAST(SUM(gap_ms * gap_ms) AS BIGINT) AS sgg,
+               CAST(COUNT(gap_ms) AS BIGINT) AS ng,
+               (SELECT CAST(SUM(svc_milli) AS BIGINT) FROM base) AS ss,
+               (SELECT CAST(SUM(svc_milli * svc_milli) AS BIGINT)
+                FROM base) AS sss
+        FROM gaps
+    ),
+    alg AS (
+        SELECT n, ng,
+               CAST(sg AS DOUBLE) / ng AS mean_gap,
+               (sgg - CAST(sg AS DOUBLE) * sg / ng) / (ng - 1) AS var_gap,
+               CAST(ss AS DOUBLE) / n AS mean_svc,
+               (sss - CAST(ss AS DOUBLE) * ss / n) / (n - 1) AS var_svc
+        FROM agg
+    )
+    SELECT n,
+           CAST(round(1e9 / mean_gap) AS BIGINT) AS lambda_micro_per_s,
+           CAST(round(mean_svc) AS BIGINT) AS tau_s_milli,
+           CASE WHEN ng > 1 THEN
+               round(var_gap / (mean_gap * mean_gap), 6) END AS ca2,
+           CASE WHEN n > 1 THEN
+               round(var_svc / (mean_svc * mean_svc), 6) END AS cs2,
+           CASE WHEN mean_gap > 0 THEN
+               round(mean_svc / mean_gap, 6) END AS rho,
+           CASE WHEN ng > 1 AND mean_gap > 0 AND mean_svc > 0
+                     AND mean_svc / mean_gap < 1 THEN
+               round((mean_svc / mean_gap)
+                     / (1.0 - mean_svc / mean_gap)
+                     * ((var_gap / (mean_gap * mean_gap)
+                         + var_svc / (mean_svc * mean_svc)) / 2.0)
+                     * (mean_svc / 1000.0), 6)
+           END AS wq_seconds
+    FROM alg
+    """

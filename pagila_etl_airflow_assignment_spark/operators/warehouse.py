@@ -8478,3 +8478,74 @@ def oaxaca_blinder_sql(
            END AS unexplained_cents
     FROM algebra
     """
+
+
+# --- Benford mantissa-arc test --------------------------------------------------------
+
+
+def mantissa_arc_test(orders: DataFrame) -> DataFrame:
+    """Benford mantissa-arc test on order totals: under Benford's law the
+    base-10 mantissae are uniform on the circle, so the mean resultant
+    vector of (cos 2πm, sin 2πm) should sit at the origin; the statistic
+    n·L² is asymptotically chi-square(2). The second-order forensic check
+    behind the first-digit audit (L-145) — digit histograms can pass while
+    the mantissa distribution is visibly lumpy (price points!).
+
+    Per-row cos/sin contributions round ONCE to micro ints (the ln/exp
+    micro-nat convention), so the resultant sums are order-free; the
+    statistic assembles from two exact integers. One row: (n, cos_micro,
+    sin_micro, l2_micro, arc_stat)."""
+    terms = orders.where(F.col("o_totalprice") > 0).select(
+        F.expr(
+            "CAST(round(1e6 * cos(2 * pi() * (log10(CAST(o_totalprice AS"
+            " DOUBLE)) - floor(log10(CAST(o_totalprice AS DOUBLE))))))"
+            " AS BIGINT)"
+        ).alias("c_micro"),
+        F.expr(
+            "CAST(round(1e6 * sin(2 * pi() * (log10(CAST(o_totalprice AS"
+            " DOUBLE)) - floor(log10(CAST(o_totalprice AS DOUBLE))))))"
+            " AS BIGINT)"
+        ).alias("s_micro"),
+    )
+    agg = terms.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("c_micro").alias("cos_micro"),
+        F.sum("s_micro").alias("sin_micro"),
+    )
+    l2 = (
+        (F.col("cos_micro") / F.col("n") / 1e6) ** 2
+        + (F.col("sin_micro") / F.col("n") / 1e6) ** 2
+    )
+    return agg.select(
+        "n",
+        "cos_micro",
+        "sin_micro",
+        F.round(l2 * 1e6).cast("long").alias("l2_micro"),
+        F.round(F.col("n") * l2, 6).alias("arc_stat"),
+    )
+
+
+def mantissa_arc_test_sql() -> str:
+    return """
+    WITH terms AS (
+        SELECT CAST(round(1e6 * cos(2 * pi() * (log10(o_totalprice)
+                   - floor(log10(o_totalprice))))) AS BIGINT) AS c_micro,
+               CAST(round(1e6 * sin(2 * pi() * (log10(o_totalprice)
+                   - floor(log10(o_totalprice))))) AS BIGINT) AS s_micro
+        FROM orders WHERE o_totalprice > 0
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(c_micro) AS BIGINT) AS cos_micro,
+               CAST(SUM(s_micro) AS BIGINT) AS sin_micro
+        FROM terms
+    )
+    SELECT n, cos_micro, sin_micro,
+           CAST(round(1e6 * ((cos_micro / n / 1e6) * (cos_micro / n / 1e6)
+               + (sin_micro / n / 1e6) * (sin_micro / n / 1e6)))
+               AS BIGINT) AS l2_micro,
+           round(n * ((cos_micro / n / 1e6) * (cos_micro / n / 1e6)
+               + (sin_micro / n / 1e6) * (sin_micro / n / 1e6)), 6)
+               AS arc_stat
+    FROM agg
+    """

@@ -539,6 +539,10 @@ PROBES = [
     "embedding_lof_outliers",
     "events_alpha_footprint",
     "text_temperature_scaling",
+    # round-10i normalization/forensics/queueing devices (L-563..565)
+    "embedding_quantile_normalize",
+    "warehouse_mantissa_arc",
+    "events_kingman_vut",
 ]
 
 
