@@ -188,3 +188,179 @@ def shard_manifest_sql(
         GROUP BY source, shard_idx
         ORDER BY source, shard_idx
     """
+
+
+# --- padding-waste bucketing curve ----------------------------------------------------
+
+PADDING_BUCKET_COUNTS = (1, 2, 4, 8)
+
+
+def padding_waste_curve(
+    docs: DataFrame, bucket_counts: tuple[int, ...] = PADDING_BUCKET_COUNTS
+) -> DataFrame:
+    """Length-bucketing padding-waste curve: if documents are batched in
+    ``b`` length-quantile buckets and every batch pads to its bucket max,
+    how many pad tokens does each choice of ``b`` burn? The
+    training-throughput planning number behind length-grouped batching
+    (b=1 is naive global padding; the curve shows the marginal win of each
+    doubling) — the offline complement of the packing shards (L-39).
+
+    Scale shape: the corpus reduces to the LENGTH HISTOGRAM first (one
+    aggregate), and quantile buckets are assigned by exact integer
+    rank-interval overlap against the bucket boundaries — no global
+    row_number over the corpus (an unpartitioned window over a data-sized
+    relation is exactly what plan_audit flags). All BIGINTs.
+
+    Output per bucket count: (n_buckets, n_docs, total_tokens,
+    padded_tokens, waste_tokens, waste_milli)."""
+    toks = docs.select(
+        F.size(
+            F.filter(
+                F.split(F.trim("text"), WS_RE), lambda w: w != F.lit("")
+            )
+        ).cast("long").alias("len"),
+    )
+    hist = toks.groupBy("len").agg(F.count("*").cast("long").alias("cnt"))
+    w_cum = Window.orderBy("len").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "len",
+        "cnt",
+        F.sum("cnt").over(w_cum).alias("hi"),
+        F.sum("cnt").over(Window.partitionBy()).alias("n"),
+    ).select(
+        "len", "cnt", (F.col("hi") - F.col("cnt") + 1).alias("lo"), "hi", "n"
+    )
+    grid = F.explode(
+        F.array(*[F.lit(b) for b in bucket_counts])
+    ).alias("n_buckets")
+    buckets = (
+        cum.select("len", "cnt", "lo", "hi", "n", grid)
+        .select(
+            "*",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_buckets") - 1)
+            ).alias("bucket"),
+        )
+        .select(
+            "n_buckets",
+            "bucket",
+            "len",
+            # bucket k covers ranks r with (r-1)*b DIV n = k:
+            # r in [ceil(k*n/b)+1, ceil((k+1)*n/b)]
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.least(
+                    F.col("hi"),
+                    F.expr(
+                        "((bucket + 1) * n + n_buckets - 1) DIV n_buckets"
+                    ),
+                )
+                - F.greatest(
+                    F.col("lo"),
+                    F.expr("(bucket * n + n_buckets - 1) DIV n_buckets + 1"),
+                )
+                + 1,
+            ).alias("overlap"),
+        )
+        .where(F.col("overlap") > 0)
+    )
+    per_bucket = buckets.groupBy("n_buckets", "bucket").agg(
+        F.sum("overlap").alias("bn"),
+        F.max("len").alias("bmax"),
+        F.sum(F.col("len") * F.col("overlap")).alias("bsum"),
+    )
+    return (
+        per_bucket.groupBy("n_buckets")
+        .agg(
+            F.sum("bn").alias("n_docs"),
+            F.sum("bsum").alias("total_tokens"),
+            F.sum(F.col("bn") * F.col("bmax")).alias("padded_tokens"),
+        )
+        .select(
+            F.col("n_buckets").cast("int").alias("n_buckets"),
+            "n_docs",
+            "total_tokens",
+            "padded_tokens",
+            (F.col("padded_tokens") - F.col("total_tokens")).alias(
+                "waste_tokens"
+            ),
+            F.expr(
+                "CASE WHEN padded_tokens > 0 THEN CAST((2 * 1000 *"
+                " (padded_tokens - total_tokens) + padded_tokens)"
+                " DIV (2 * padded_tokens) AS BIGINT) ELSE 0 END"
+            ).alias("waste_milli"),
+        )
+        .orderBy("n_buckets")
+    )
+
+
+def padding_waste_curve_sql(
+    bucket_counts: tuple[int, ...] = PADDING_BUCKET_COUNTS,
+    docs_rel: str = "documents",
+) -> str:
+    from .text import WS_RE as _ws
+
+    blist = ", ".join(str(b) for b in bucket_counts)
+    return f"""
+    WITH toks AS (
+        SELECT CAST(len(list_filter(string_split_regex(trim(text),
+                   '{_ws}'), w -> w <> '')) AS BIGINT) AS len
+        FROM {docs_rel}
+    ),
+    hist AS (
+        SELECT len, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY len
+    ),
+    cum AS (
+        SELECT len, cnt,
+               CAST(SUM(cnt) OVER (ORDER BY len
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS hi,
+               CAST(SUM(cnt) OVER () AS BIGINT) AS n
+        FROM hist
+    ),
+    buckets AS (
+        SELECT g.n_buckets, bk.bucket, c.len,
+               GREATEST(CAST(0 AS BIGINT),
+                   LEAST(c.hi,
+                       ((bk.bucket + 1) * c.n + g.n_buckets - 1)
+                           // g.n_buckets)
+                   - GREATEST(c.hi - c.cnt + 1,
+                       (bk.bucket * c.n + g.n_buckets - 1)
+                           // g.n_buckets + 1)
+                   + 1) AS overlap
+        FROM cum c
+        CROSS JOIN (SELECT UNNEST([{blist}]) AS n_buckets) g
+        CROSS JOIN LATERAL (
+            SELECT UNNEST(range(0, g.n_buckets)) AS bucket
+        ) bk
+        WHERE GREATEST(CAST(0 AS BIGINT),
+                   LEAST(c.hi,
+                       ((bk.bucket + 1) * c.n + g.n_buckets - 1)
+                           // g.n_buckets)
+                   - GREATEST(c.hi - c.cnt + 1,
+                       (bk.bucket * c.n + g.n_buckets - 1)
+                           // g.n_buckets + 1)
+                   + 1) > 0
+    ),
+    per_bucket AS (
+        SELECT n_buckets, bucket,
+               CAST(SUM(overlap) AS BIGINT) AS bn,
+               CAST(MAX(len) AS BIGINT) AS bmax,
+               CAST(SUM(len * overlap) AS BIGINT) AS bsum
+        FROM buckets GROUP BY n_buckets, bucket
+    )
+    SELECT CAST(n_buckets AS INTEGER) AS n_buckets,
+           CAST(SUM(bn) AS BIGINT) AS n_docs,
+           CAST(SUM(bsum) AS BIGINT) AS total_tokens,
+           CAST(SUM(bn * bmax) AS BIGINT) AS padded_tokens,
+           CAST(SUM(bn * bmax) - SUM(bsum) AS BIGINT) AS waste_tokens,
+           CASE WHEN SUM(bn * bmax) > 0 THEN
+               CAST((2 * 1000 * (SUM(bn * bmax) - SUM(bsum))
+                     + SUM(bn * bmax)) // (2 * SUM(bn * bmax)) AS BIGINT)
+           ELSE 0 END AS waste_milli
+    FROM per_bucket
+    GROUP BY n_buckets
+    ORDER BY n_buckets
+    """

@@ -1611,3 +1611,10 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embeddings_mod.quantile_normalize(
         load_table(spark, sf_dir, "embeddings")
     )
+
+
+@register("text_padding_waste", oracle=packing.padding_waste_curve_sql())
+def q_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketing padding-waste curve from the length histogram —
+    the batching-efficiency planning number, exact rank-interval algebra."""
+    return packing.padding_waste_curve(load_table(spark, sf_dir, "documents"))

@@ -3562,3 +3562,18 @@ def q_kingman_vut(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kingman VUT waiting-time approximation for the purchase stream —
     Variability x Utilization x Time from exact moment sums."""
     return stats.kingman_vut(load_table(spark, sf_dir, "events"))
+
+
+@register("events_obrien_fleming", oracle=stats.obrien_fleming_sql())
+def q_obrien_fleming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O'Brien-Fleming group-sequential looks on the md5 A/B split —
+    five calendar-quintile interim z-tests against the published
+    boundaries."""
+    return stats.obrien_fleming(load_table(spark, sf_dir, "events"))
+
+
+@register("warehouse_cache_hit_curve", oracle=warehouse.cache_hit_curve_sql())
+def q_cache_hit_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perfect-LFU cache-hit curve over part popularity — the hot-set
+    capacity-planning curve, exact cumulative shares."""
+    return warehouse.cache_hit_curve(load_table(spark, sf_dir, "lineitem"))

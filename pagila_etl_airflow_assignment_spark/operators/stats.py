@@ -15013,3 +15013,180 @@ def kingman_vut_sql() -> str:
            END AS wq_seconds
     FROM alg
     """
+
+
+# --- O'Brien-Fleming group-sequential monitoring --------------------------------------
+
+# Published two-sided alpha=0.05 O'Brien-Fleming z-boundaries for K=5
+# equally-spaced looks (classic table; milli units).
+OBF_BOUNDS_MILLI = (4877, 3357, 2680, 2290, 2031)
+
+
+def obrien_fleming(events: DataFrame) -> DataFrame:
+    """O'Brien-Fleming group-sequential monitoring of the md5-split A/B on
+    per-user purchase spend: five calendar looks (the day spine's quintile
+    cutoffs), a Welch-style z at each, compared against the published OBF
+    boundaries — the interim-analysis discipline that lets an experiment
+    stop early WITHOUT inflating alpha (the SPRT (L-375) is the per-event
+    version; OBF is the scheduled-look industry standard).
+
+    All look panels come from exact BIGINT sums; the day spine is the only
+    windowed relation (bounded). Output per look: (look, cutoff_day, n_a,
+    n_b, z_stat, bound_milli, crossed)."""
+    arm = (
+        F.expr(
+            "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 8), 16, 10)"
+            " AS BIGINT) % 2"
+        )
+    ).alias("arm")
+    days = events.select(F.to_date("ts").alias("day")).distinct()
+    w_day = Window.orderBy("day")
+    day_ranked = days.select(
+        "day",
+        F.row_number().over(w_day).cast("long").alias("r"),
+        F.count("*").over(Window.partitionBy()).cast("long").alias("nd"),
+    )
+    looks = events.sparkSession.range(1, 6).select(
+        F.col("id").cast("int").alias("look")
+    )
+    cutoffs = (
+        day_ranked.crossJoin(F.broadcast(looks))
+        .where(F.col("r") == F.expr("CAST((look * nd + 4) DIV 5 AS BIGINT)"))
+        .select("look", F.col("day").alias("cutoff_day"))
+    )
+    # reduce to the (user, day) panel FIRST: one corpus pass, then the
+    # 5-look explode touches only the panel (and md5 runs once per user-day,
+    # not once per event x look — measured 16 s -> ~7 s at sf0.01)
+    user_day = events.select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        F.when(
+            F.col("event_type") == "purchase",
+            F.expr("CAST(round(value * 100) AS BIGINT)"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("cents"),
+    ).groupBy("user_id", "day").agg(F.sum("cents").alias("d_cents"))
+    per_user = (
+        user_day.select("user_id", arm, "day", "d_cents")
+        .crossJoin(F.broadcast(cutoffs))
+        .where(F.col("day") <= F.col("cutoff_day"))
+        .groupBy("look", "cutoff_day", "user_id", "arm")
+        .agg(F.sum("d_cents").alias("y"))
+    )
+    panel = per_user.groupBy("look", "cutoff_day").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == 0, F.col("y"))).alias("sa"),
+        F.sum(F.when(F.col("arm") == 0, F.col("y") * F.col("y"))).alias("qa"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.sum(F.when(F.col("arm") == 1, F.col("y"))).alias("sb"),
+        F.sum(F.when(F.col("arm") == 1, F.col("y") * F.col("y"))).alias("qb"),
+    )
+    va = (F.col("qa") - F.col("sa") * F.col("sa") / F.col("n_a")) / (
+        F.col("n_a") - 1
+    )
+    vb = (F.col("qb") - F.col("sb") * F.col("sb") / F.col("n_b")) / (
+        F.col("n_b") - 1
+    )
+    se2 = va / F.col("n_a") + vb / F.col("n_b")
+    z = (
+        F.col("sa") / F.col("n_a") - F.col("sb") / F.col("n_b")
+    ) / F.sqrt(se2)
+    bounds = F.array(*[F.lit(b) for b in OBF_BOUNDS_MILLI])
+    return (
+        panel.select(
+            "look",
+            "cutoff_day",
+            "n_a",
+            "n_b",
+            F.when(
+                (F.col("n_a") > 1) & (F.col("n_b") > 1) & (se2 > 0),
+                F.round(z, 6),
+            ).alias("z_stat"),
+            F.element_at(bounds, F.col("look")).cast("long").alias(
+                "bound_milli"
+            ),
+        )
+        .withColumn(
+            "crossed",
+            F.when(
+                F.col("z_stat").isNotNull()
+                & (F.abs(F.col("z_stat")) * 1000 > F.col("bound_milli")),
+                1,
+            )
+            .otherwise(0)
+            .cast("int"),
+        )
+        .orderBy("look")
+    )
+
+
+def obrien_fleming_sql() -> str:
+    bounds = ", ".join(str(b) for b in OBF_BOUNDS_MILLI)
+    return f"""
+    WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+    day_ranked AS (
+        SELECT day,
+               CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS r,
+               CAST(COUNT(*) OVER () AS BIGINT) AS nd
+        FROM days
+    ),
+    cutoffs AS (
+        SELECT l.look, d.day AS cutoff_day
+        FROM day_ranked d
+        JOIN (SELECT UNNEST([1, 2, 3, 4, 5]) AS look) l
+          ON d.r = CAST((l.look * d.nd + 4) // 5 AS BIGINT)
+    ),
+    user_day AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               SUM(CASE WHEN event_type = 'purchase'
+                   THEN CAST(round(value * 100) AS BIGINT)
+                   ELSE 0 END) AS d_cents
+        FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    per_user AS (
+        SELECT c.look, c.cutoff_day, u.user_id,
+               CAST(('0x' || substring(md5(CAST(u.user_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 2 AS arm,
+               SUM(u.d_cents) AS y
+        FROM user_day u
+        JOIN cutoffs c ON u.day <= c.cutoff_day
+        GROUP BY c.look, c.cutoff_day, u.user_id
+    ),
+    panel AS (
+        SELECT look, cutoff_day,
+               CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_a,
+               CAST(SUM(CASE WHEN arm = 0 THEN y END) AS BIGINT) AS sa,
+               CAST(SUM(CASE WHEN arm = 0 THEN y * y END) AS BIGINT) AS qa,
+               CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_b,
+               CAST(SUM(CASE WHEN arm = 1 THEN y END) AS BIGINT) AS sb,
+               CAST(SUM(CASE WHEN arm = 1 THEN y * y END) AS BIGINT) AS qb
+        FROM per_user GROUP BY look, cutoff_day
+    ),
+    alg AS (
+        SELECT *,
+               (qa - CAST(sa AS DOUBLE) * sa / n_a) / (n_a - 1) / n_a
+               + (qb - CAST(sb AS DOUBLE) * sb / n_b) / (n_b - 1) / n_b
+                   AS se2
+        FROM panel
+    )
+    SELECT CAST(look AS INTEGER) AS look, cutoff_day, n_a, n_b,
+           CASE WHEN n_a > 1 AND n_b > 1 AND se2 > 0 THEN
+               round((CAST(sa AS DOUBLE) / n_a - CAST(sb AS DOUBLE) / n_b)
+                     / sqrt(se2), 6)
+           END AS z_stat,
+           CAST([{bounds}][look] AS BIGINT) AS bound_milli,
+           CAST(CASE WHEN n_a > 1 AND n_b > 1 AND se2 > 0
+                     AND abs((CAST(sa AS DOUBLE) / n_a
+                              - CAST(sb AS DOUBLE) / n_b) / sqrt(se2))
+                         * 1000 > [{bounds}][look]
+                THEN 1 ELSE 0 END AS INTEGER) AS crossed
+    FROM alg
+    ORDER BY look
+    """

@@ -8549,3 +8549,87 @@ def mantissa_arc_test_sql() -> str:
                AS arc_stat
     FROM agg
     """
+
+
+# --- LFU cache-hit curve --------------------------------------------------------------
+
+CACHE_SIZES = (1, 4, 16, 64, 256)
+
+
+def cache_hit_curve(
+    lineitem: DataFrame, sizes: tuple[int, ...] = CACHE_SIZES
+) -> DataFrame:
+    """Perfect-LFU cache-hit curve over part popularity: if the ``C``
+    hottest parts were pinned, what fraction of line items would hit? The
+    capacity-planning curve for any hot-set cache (dimension cache,
+    broadcast cut-off, CDN tier) — read it where the marginal doubling
+    stops paying.
+
+    One (part) aggregate, one rank window over that bounded item relation,
+    one cumulative sum, and a literal size grid — all exact integers.
+    Output per size: (cache_size, n_items, hits, total, hit_milli)."""
+    pop = lineitem.groupBy("l_partkey").agg(
+        F.count("*").cast("long").alias("freq")
+    )
+    w_rank = Window.orderBy(F.col("freq").desc(), F.col("l_partkey").asc())
+    ranked = pop.select(
+        "freq",
+        F.row_number().over(w_rank).cast("long").alias("r"),
+    ).select(
+        "r",
+        F.sum("freq").over(
+            Window.orderBy("r").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ).alias("cum"),
+        F.sum("freq").over(Window.partitionBy()).alias("total"),
+        F.count("*").over(Window.partitionBy()).cast("long").alias("n_items"),
+    )
+    grid = F.explode(F.array(*[F.lit(c) for c in sizes])).alias("cache_size")
+    return (
+        ranked.select("r", "cum", "total", "n_items", grid)
+        .where(F.col("r") == F.least(F.col("cache_size"), F.col("n_items")))
+        .select(
+            F.col("cache_size").cast("int").alias("cache_size"),
+            "n_items",
+            F.col("cum").alias("hits"),
+            "total",
+            F.expr(
+                "CAST((2 * 1000 * cum + total) DIV (2 * total) AS BIGINT)"
+            ).alias("hit_milli"),
+        )
+        .orderBy("cache_size")
+    )
+
+
+def cache_hit_curve_sql(sizes: tuple[int, ...] = CACHE_SIZES) -> str:
+    slist = ", ".join(str(c) for c in sizes)
+    return f"""
+    WITH pop AS (
+        SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+        SELECT CAST(row_number() OVER (
+                   ORDER BY freq DESC, l_partkey ASC) AS BIGINT) AS r,
+               freq
+        FROM pop
+    ),
+    cum AS (
+        SELECT r,
+               CAST(SUM(freq) OVER (ORDER BY r
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum,
+               CAST(SUM(freq) OVER () AS BIGINT) AS total,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n_items
+        FROM ranked
+    )
+    SELECT CAST(g.cache_size AS INTEGER) AS cache_size, c.n_items,
+           c.cum AS hits, c.total,
+           CAST((2 * 1000 * c.cum + c.total) // (2 * c.total) AS BIGINT)
+               AS hit_milli
+    FROM cum c
+    JOIN (SELECT UNNEST([{slist}]) AS cache_size) g
+      ON c.r = LEAST(g.cache_size, c.n_items)
+    ORDER BY cache_size
+    """

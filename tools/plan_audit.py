@@ -429,6 +429,11 @@ ALLOWED: dict[str, set[str]] = {
     # witness-sample pair joins and bounded activity grids
     "embedding_lof_outliers": {"BroadcastNestedLoopJoin"},
     "events_alpha_footprint": {"BroadcastNestedLoopJoin"},
+    # round-10j batching/sequential/caching devices (L-566..568): literal
+    # bucket/size grids and 5-row cutoff broadcasts
+    "text_padding_waste": {"BroadcastNestedLoopJoin"},
+    "events_obrien_fleming": {"BroadcastNestedLoopJoin"},
+    "warehouse_cache_hit_curve": {"BroadcastNestedLoopJoin"},
 }
 
 PATTERNS = ("CartesianProduct", "BatchEvalPython", "BroadcastNestedLoopJoin")

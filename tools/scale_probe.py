@@ -543,6 +543,10 @@ PROBES = [
     "embedding_quantile_normalize",
     "warehouse_mantissa_arc",
     "events_kingman_vut",
+    # round-10j batching/sequential/caching devices (L-566..568)
+    "text_padding_waste",
+    "events_obrien_fleming",
+    "warehouse_cache_hit_curve",
 ]
 
 
