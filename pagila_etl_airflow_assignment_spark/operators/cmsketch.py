@@ -17,7 +17,7 @@ one-sided guarantee (estimate ≥ true count) is pinned by a property test.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..llm.hashing import (
@@ -223,4 +223,254 @@ def cm_join_size_estimate_sql(
             ) b USING (user_id)
         )
         SELECT cm_join_size, exact_join_size FROM est CROSS JOIN exact
+    """
+
+
+# --- AMS F2 (second frequency moment) sketch ------------------------------------------
+
+AMS_SKETCHES = 16
+AMS_GROUPS = 4
+
+
+def ams_f2(events: DataFrame) -> DataFrame:
+    """AMS tug-of-war sketch (Alon-Matias-Szegedy, STOC'96) for F₂ — the
+    second frequency moment of the per-user event counts, aka the
+    self-join size: {AMS_SKETCHES} independent ±1 signings of the
+    frequency vector, squared, averaged in {AMS_GROUPS} groups and
+    median-combined — the sketch whose 4-wise-independent variance bound
+    started the streaming-algorithms literature (the CM sketch (L-84)
+    bounds point queries; AMS bounds the quadratic aggregate itself).
+
+    Signs come from the md5 universal family, so every sketch is an exact
+    BIGINT sum; the estimate (median of group means) and the exact F₂ sit
+    side by side with the relative error in milli. One row: (n_users,
+    f2_exact, f2_estimate, rel_err_milli)."""
+    per_user = events.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("f")
+    )
+    hp = md5_int(F.col("user_id").cast("string")) % F.lit(HASH_P)
+    signed = per_user.select(
+        "f",
+        hp.alias("h"),
+        *[
+            (F.lit(1) - 2 * (universal_hash(hp, a, b) % 2)).alias(f"s{r}")
+            for r, (a, b) in enumerate(universal_params(AMS_SKETCHES))
+        ],
+    )
+    agg = signed.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum(F.col("f") * F.col("f")).alias("f2_exact"),
+        *[
+            F.sum(F.col(f"s{r}") * F.col("f")).alias(f"z{r}")
+            for r in range(AMS_SKETCHES)
+        ],
+    )
+    per_group = AMS_SKETCHES // AMS_GROUPS
+    means = [
+        F.expr(
+            "CAST(("
+            + " + ".join(
+                f"z{g * per_group + i} * z{g * per_group + i}"
+                for i in range(per_group)
+            )
+            + f") DIV {per_group} AS BIGINT)"
+        ).alias(f"m{g}")
+        for g in range(AMS_GROUPS)
+    ]
+    with_means = agg.select("n_users", "f2_exact", *means)
+    marr = F.array_sort(F.array(*[F.col(f"m{g}") for g in range(AMS_GROUPS)]))
+    # Spark [] is 0-based (DuckDB's is 1-based): middle two of 4 are [1],[2]
+    est = F.expr("CAST((sorted_m[1] + sorted_m[2]) DIV 2 AS BIGINT)")
+    return (
+        with_means.withColumn("sorted_m", marr)
+        .select(
+            "n_users",
+            "f2_exact",
+            est.alias("f2_estimate"),
+            F.expr(
+                "CAST((2 * 1000 * abs(CAST((sorted_m[1] + sorted_m[2]) DIV 2"
+                " AS BIGINT) - f2_exact) + f2_exact) DIV (2 * f2_exact)"
+                " AS BIGINT)"
+            ).alias("rel_err_milli"),
+        )
+    )
+
+
+def ams_f2_sql() -> str:
+    hp = f"({md5_int_sql('CAST(user_id AS VARCHAR)')} % {HASH_P})"
+    params = universal_params(AMS_SKETCHES)
+    sign_cols = ", ".join(
+        f"(1 - 2 * ({universal_hash_sql('h', a, b)} % 2)) AS s{r}"
+        for r, (a, b) in enumerate(params)
+    )
+    z_cols = ", ".join(
+        f"CAST(SUM(s{r} * f) AS BIGINT) AS z{r}" for r in range(AMS_SKETCHES)
+    )
+    per_group = AMS_SKETCHES // AMS_GROUPS
+    mean_cols = ", ".join(
+        "CAST(("
+        + " + ".join(
+            f"z{g * per_group + i} * z{g * per_group + i}"
+            for i in range(per_group)
+        )
+        + f") // {per_group} AS BIGINT) AS m{g}"
+        for g in range(AMS_GROUPS)
+    )
+    mlist = ", ".join(f"m{g}" for g in range(AMS_GROUPS))
+    return f"""
+    WITH per_user AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS f
+        FROM events GROUP BY user_id
+    ),
+    hashed AS (
+        SELECT f, {hp} AS h FROM per_user
+    ),
+    signed AS (
+        SELECT f, {sign_cols} FROM hashed
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(f * f) AS BIGINT) AS f2_exact,
+               {z_cols}
+        FROM signed
+    ),
+    grouped AS (
+        SELECT n_users, f2_exact, {mean_cols} FROM agg
+    ),
+    est AS (
+        SELECT n_users, f2_exact,
+               list_sort([{mlist}]) AS sorted_m
+        FROM grouped
+    )
+    SELECT n_users, f2_exact,
+           CAST((sorted_m[2] + sorted_m[3]) // 2 AS BIGINT) AS f2_estimate,
+           CAST((2 * 1000 * abs(CAST((sorted_m[2] + sorted_m[3]) // 2
+               AS BIGINT) - f2_exact) + f2_exact) // (2 * f2_exact)
+               AS BIGINT) AS rel_err_milli
+    FROM est
+    """
+
+
+# --- mergeable heavy-hitter summaries (Misra-Gries style) -----------------------------
+
+MG_K = 8
+MG_TOP = 10
+
+
+def heavy_hitters_mg(
+    events: DataFrame, k: int = MG_K, top: int = MG_TOP
+) -> DataFrame:
+    """Mergeable heavy-hitter summaries with deterministic error bounds:
+    each day keeps only its top-``k`` users (the Misra-Gries/SpaceSaving
+    memory contract) plus one residual cap — the largest UNTRACKED count
+    that day; merging the per-day summaries yields, for every candidate, a
+    lower bound (tracked mass) and an upper bound (tracked mass + caps of
+    the days that dropped it). The practical distributed frequent-items
+    recipe — and because the fixture also has the exact counts, the
+    guarantee lb ≤ exact ≤ ub is CERTIFIED per row rather than assumed.
+
+    All counts/caps/bounds are exact BIGINTs; per-day windows partition by
+    day. Output: top-``top`` candidates by lower bound (user_id,
+    n_days_tracked, lb, ub, exact, within_bounds)."""
+    day_counts = events.groupBy(
+        F.to_date("ts").alias("day"), "user_id"
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    w_day = Window.partitionBy("day").orderBy(
+        F.col("cnt").desc(), F.col("user_id").asc()
+    )
+    ranked = day_counts.withColumn("rnk", F.row_number().over(w_day))
+    tracked = ranked.where(F.col("rnk") <= k)
+    caps = (
+        ranked.groupBy("day")
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("rnk") == k + 1, F.col("cnt"))),
+                F.lit(0),
+            ).alias("cap")
+        )
+    )
+    total_caps = caps.agg(F.sum("cap").alias("all_caps"))
+    cand = tracked.join(caps, "day").groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_days_tracked"),
+        F.sum("cnt").alias("lb"),
+        F.sum("cap").alias("caps_while_tracked"),
+    )
+    exact = day_counts.groupBy("user_id").agg(F.sum("cnt").alias("exact"))
+    w_top = Window.orderBy(F.col("lb").desc(), F.col("user_id").asc())
+    return (
+        cand.crossJoin(F.broadcast(total_caps))
+        .join(exact, "user_id")
+        .select(
+            "user_id",
+            "n_days_tracked",
+            "lb",
+            (
+                F.col("lb") + F.col("all_caps") - F.col("caps_while_tracked")
+            ).alias("ub"),
+            "exact",
+        )
+        .withColumn(
+            "within_bounds",
+            (
+                (F.col("lb") <= F.col("exact"))
+                & (F.col("exact") <= F.col("ub"))
+            ).cast("int"),
+        )
+        .withColumn("rnk", F.row_number().over(w_top).cast("int"))
+        .where(F.col("rnk") <= top)
+        .select(
+            "rnk", "user_id", "n_days_tracked", "lb", "ub", "exact",
+            "within_bounds",
+        )
+        .orderBy("rnk")
+    )
+
+
+def heavy_hitters_mg_sql(k: int = MG_K, top: int = MG_TOP) -> str:
+    return f"""
+    WITH day_counts AS (
+        SELECT CAST(ts AS DATE) AS day, user_id,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY day ORDER BY cnt DESC, user_id ASC
+        ) AS rnk
+        FROM day_counts
+    ),
+    tracked AS (SELECT * FROM ranked WHERE rnk <= {k}),
+    caps AS (
+        SELECT day,
+               CAST(COALESCE(MAX(CASE WHEN rnk = {k} + 1 THEN cnt END), 0)
+                    AS BIGINT) AS cap
+        FROM ranked GROUP BY day
+    ),
+    total_caps AS (SELECT CAST(SUM(cap) AS BIGINT) AS all_caps FROM caps),
+    cand AS (
+        SELECT t.user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_days_tracked,
+               CAST(SUM(t.cnt) AS BIGINT) AS lb,
+               CAST(SUM(c.cap) AS BIGINT) AS caps_while_tracked
+        FROM tracked t JOIN caps c USING (day)
+        GROUP BY t.user_id
+    ),
+    exact AS (
+        SELECT user_id, CAST(SUM(cnt) AS BIGINT) AS exact
+        FROM day_counts GROUP BY user_id
+    )
+    SELECT CAST(row_number() OVER (ORDER BY cd.lb DESC, cd.user_id ASC)
+                AS INTEGER) AS rnk,
+           cd.user_id, cd.n_days_tracked, cd.lb,
+           cd.lb + tc.all_caps - cd.caps_while_tracked AS ub,
+           e.exact,
+           CAST(CASE WHEN cd.lb <= e.exact
+                      AND e.exact <= cd.lb + tc.all_caps
+                          - cd.caps_while_tracked
+                THEN 1 ELSE 0 END AS INTEGER) AS within_bounds
+    FROM cand cd
+    CROSS JOIN total_caps tc
+    JOIN exact e USING (user_id)
+    QUALIFY rnk <= {top}
+    ORDER BY rnk
     """

@@ -745,3 +745,109 @@ def maintained_topk_view_sql(
     LEFT JOIN flag f USING (l_suppkey)
     ORDER BY t.l_suppkey, t.rnk
     """
+
+
+# --- join-aggregate (SPJA) view maintenance -------------------------------------------
+
+
+def maintained_join_agg_view(
+    orders: DataFrame,
+    customer: DataFrame,
+    ins_mod: int = MINMAX_INS_MOD,
+    del_mod: int = MINMAX_DEL_MOD,
+) -> DataFrame:
+    """SPJA view IVM — the textbook composite: a SUM aggregate OVER a join
+    (per-nation revenue = γ_nation,SUM(orders ⋈ customer)) maintained under
+    mixed fact-side deltas by pushing the deltas THROUGH the join into the
+    aggregate: Δview = γ(ΔO ⋈ C) added for inserts, subtracted for
+    deletes — no rescan ever, because SUM/COUNT are self-maintainable
+    (contrast the delete-fragile MAX (L-522) and top-k (L-556) views).
+
+    Deltas are the module's deterministic key-mod slices on o_orderkey.
+    Output per nation: (nation, n_live, revenue_cents, ins_cents,
+    del_cents) where revenue = v0 + ins − del; the oracle re-aggregates
+    the final state and re-derives the delta columns from first
+    principles — the maintenance identity.
+
+    Scale: delta-sized join legs against the broadcast dim; the stored
+    view is only ever touched per-group."""
+    cents = F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    dim = F.broadcast(customer.select("c_custkey", "c_nationkey"))
+    joined = orders.join(dim, orders.o_custkey == F.col("c_custkey")).select(
+        "o_orderkey", F.col("c_nationkey").alias("nation"), cents.alias("c")
+    )
+    pre = joined.where(F.col("o_orderkey") % ins_mod != 0)
+    inserts = joined.where(F.col("o_orderkey") % ins_mod == 0)
+    deletes = pre.where(F.col("o_orderkey") % del_mod == 0)
+
+    v0 = pre.groupBy("nation").agg(
+        F.sum("c").alias("s0"), F.count("*").cast("long").alias("n0")
+    )
+    d_ins = inserts.groupBy("nation").agg(
+        F.sum("c").alias("si"), F.count("*").cast("long").alias("ni")
+    )
+    d_del = deletes.groupBy("nation").agg(
+        F.sum("c").alias("sd"), F.count("*").cast("long").alias("nd")
+    )
+    return (
+        v0.join(d_ins, "nation", "full_outer")
+        .join(d_del, "nation", "full_outer")
+        .select(
+            "nation",
+            (
+                F.coalesce("n0", F.lit(0))
+                + F.coalesce("ni", F.lit(0))
+                - F.coalesce("nd", F.lit(0))
+            ).alias("n_live"),
+            (
+                F.coalesce("s0", F.lit(0))
+                + F.coalesce("si", F.lit(0))
+                - F.coalesce("sd", F.lit(0))
+            ).alias("revenue_cents"),
+            F.coalesce("si", F.lit(0)).alias("ins_cents"),
+            F.coalesce("sd", F.lit(0)).alias("del_cents"),
+        )
+        .where(F.col("n_live") > 0)
+        .orderBy("nation")
+    )
+
+
+def maintained_join_agg_view_sql(
+    ins_mod: int = MINMAX_INS_MOD, del_mod: int = MINMAX_DEL_MOD
+) -> str:
+    """First-principles oracle: aggregate the FINAL table state over the
+    join, and re-derive the delta columns directly from the slices."""
+    return f"""
+    WITH joined AS (
+        SELECT o.o_orderkey, c.c_nationkey AS nation,
+               CAST(round(o.o_totalprice * 100) AS BIGINT) AS cts
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    live AS (
+        SELECT * FROM joined
+        WHERE o_orderkey % {ins_mod} = 0
+           OR (o_orderkey % {ins_mod} <> 0 AND o_orderkey % {del_mod} <> 0)
+    ),
+    final AS (
+        SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_live,
+               CAST(SUM(cts) AS BIGINT) AS revenue_cents
+        FROM live GROUP BY nation
+    ),
+    ins AS (
+        SELECT nation, CAST(SUM(cts) AS BIGINT) AS ins_cents
+        FROM joined WHERE o_orderkey % {ins_mod} = 0 GROUP BY nation
+    ),
+    del_ AS (
+        SELECT nation, CAST(SUM(cts) AS BIGINT) AS del_cents
+        FROM joined
+        WHERE o_orderkey % {ins_mod} <> 0 AND o_orderkey % {del_mod} = 0
+        GROUP BY nation
+    )
+    SELECT f.nation, f.n_live, f.revenue_cents,
+           COALESCE(i.ins_cents, 0) AS ins_cents,
+           COALESCE(d.del_cents, 0) AS del_cents
+    FROM final f
+    LEFT JOIN ins i USING (nation)
+    LEFT JOIN del_ d USING (nation)
+    ORDER BY f.nation
+    """

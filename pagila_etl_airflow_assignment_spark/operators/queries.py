@@ -3577,3 +3577,37 @@ def q_cache_hit_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perfect-LFU cache-hit curve over part popularity — the hot-set
     capacity-planning curve, exact cumulative shares."""
     return warehouse.cache_hit_curve(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "warehouse_ivm_join_agg", oracle=ivm.maintained_join_agg_view_sql()
+)
+def q_ivm_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPJA view IVM: per-nation revenue over orders x customer maintained
+    by pushing fact deltas through the join into the self-maintainable
+    SUM — no rescan ever."""
+    return ivm.maintained_join_agg_view(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+    )
+
+
+@register("events_ams_f2", oracle=cmsketch.ams_f2_sql())
+def q_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS tug-of-war F2 sketch vs the exact self-join size — 16 exact
+    integer signings, grouped means, median combine."""
+    return cmsketch.ams_f2(load_table(spark, sf_dir, "events"))
+
+
+@register("events_heavy_hitters", oracle=cmsketch.heavy_hitters_mg_sql())
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable per-day top-k heavy-hitter summaries with certified
+    lb <= exact <= ub bounds — the distributed frequent-items recipe."""
+    return cmsketch.heavy_hitters_mg(load_table(spark, sf_dir, "events"))
+
+
+@register("warehouse_topk_stability", oracle=warehouse.topk_stability_sql())
+def q_topk_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year top-20 part-revenue ranking stability: Jaccard
+    survival + Kendall tau-a by exact pair counting."""
+    return warehouse.topk_stability(load_table(spark, sf_dir, "lineitem"))

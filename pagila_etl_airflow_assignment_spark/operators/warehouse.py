@@ -8633,3 +8633,142 @@ def cache_hit_curve_sql(sizes: tuple[int, ...] = CACHE_SIZES) -> str:
       ON c.r = LEAST(g.cache_size, c.n_items)
     ORDER BY cache_size
     """
+
+
+# --- top-k ranking stability ----------------------------------------------------------
+
+TOPK_STAB_K = 20
+
+
+def topk_stability(lineitem: DataFrame, k: int = TOPK_STAB_K) -> DataFrame:
+    """Year-over-year top-k stability of the part revenue ranking: for
+    each consecutive ship-year pair, how much of the top-``k`` list
+    survives (Jaccard) and how consistently the survivors are ordered
+    (Kendall tau-a by exact pair counting) — the leaderboard-churn metric
+    behind "is this ranking signal or noise?" reviews.
+
+    One (year, part) revenue aggregate, per-year rank windows on the
+    bounded part relation, a ≤k-row year-pair join and a ≤k² concordance
+    grid — all exact integers except the final tau ratio.
+
+    Output per pair: (year_a, year_b, n_common, jaccard_milli, n_conc,
+    n_disc, tau)."""
+    rev = lineitem.groupBy(
+        F.year("l_shipdate").alias("yr"), "l_partkey"
+    ).agg(
+        F.sum(
+            F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+        ).alias("rev")
+    )
+    w_yr = Window.partitionBy("yr").orderBy(
+        F.col("rev").desc(), F.col("l_partkey").asc()
+    )
+    topk = rev.withColumn("rnk", F.row_number().over(w_yr)).where(
+        F.col("rnk") <= k
+    )
+    a = topk.select(
+        F.col("yr").alias("year_a"),
+        F.col("l_partkey").alias("pk"),
+        F.col("rnk").alias("ra"),
+    )
+    b = topk.select(
+        (F.col("yr") - 1).alias("year_a"),
+        F.col("yr").alias("year_b"),
+        F.col("l_partkey").alias("pk"),
+        F.col("rnk").alias("rb"),
+    )
+    common = a.join(b, ["year_a", "pk"]).select(
+        "year_a", "year_b", "pk", "ra", "rb"
+    )
+    pairs = (
+        common.alias("x")
+        .join(
+            common.alias("y"),
+            (F.col("x.year_a") == F.col("y.year_a"))
+            & (F.col("x.pk") < F.col("y.pk")),
+        )
+        .select(
+            F.col("x.year_a").alias("year_a"),
+            (
+                (F.col("x.ra") - F.col("y.ra"))
+                * (F.col("x.rb") - F.col("y.rb"))
+                > 0
+            ).cast("long").alias("conc"),
+        )
+    )
+    pair_agg = pairs.groupBy("year_a").agg(
+        F.sum("conc").alias("n_conc"),
+        F.sum(1 - F.col("conc")).alias("n_disc"),
+    )
+    overlap = common.groupBy("year_a", "year_b").agg(
+        F.count("*").cast("long").alias("n_common")
+    )
+    return (
+        overlap.join(pair_agg, "year_a", "left")
+        .select(
+            "year_a",
+            "year_b",
+            "n_common",
+            F.expr(
+                f"CAST((2 * 1000 * n_common + (2 * {k} - n_common))"
+                f" DIV (2 * (2 * {k} - n_common)) AS BIGINT)"
+            ).alias("jaccard_milli"),
+            F.coalesce("n_conc", F.lit(0)).alias("n_conc"),
+            F.coalesce("n_disc", F.lit(0)).alias("n_disc"),
+            F.expr(
+                "CASE WHEN n_common > 1 THEN round(CAST(n_conc - n_disc"
+                " AS DOUBLE) / (n_common * (n_common - 1) / 2), 6) END"
+            ).alias("tau"),
+        )
+        .orderBy("year_a")
+    )
+
+
+def topk_stability_sql(k: int = TOPK_STAB_K) -> str:
+    return f"""
+    WITH rev AS (
+        SELECT EXTRACT(year FROM l_shipdate) AS yr, l_partkey,
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev
+        FROM lineitem GROUP BY 1, 2
+    ),
+    topk AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY yr ORDER BY rev DESC, l_partkey ASC
+        ) AS rnk
+        FROM rev
+        QUALIFY rnk <= {k}
+    ),
+    common AS (
+        SELECT a.yr AS year_a, b.yr AS year_b, a.l_partkey AS pk,
+               a.rnk AS ra, b.rnk AS rb
+        FROM topk a
+        JOIN topk b ON b.yr = a.yr + 1 AND b.l_partkey = a.l_partkey
+    ),
+    pair_agg AS (
+        SELECT x.year_a,
+               CAST(SUM(CASE WHEN (x.ra - y.ra) * (x.rb - y.rb) > 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_conc,
+               CAST(SUM(CASE WHEN (x.ra - y.ra) * (x.rb - y.rb) > 0
+                        THEN 0 ELSE 1 END) AS BIGINT) AS n_disc
+        FROM common x
+        JOIN common y ON y.year_a = x.year_a AND x.pk < y.pk
+        GROUP BY x.year_a
+    ),
+    overlap AS (
+        SELECT year_a, year_b, CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM common GROUP BY year_a, year_b
+    )
+    SELECT o.year_a, o.year_b, o.n_common,
+           CAST((2 * 1000 * o.n_common + (2 * {k} - o.n_common))
+                // (2 * (2 * {k} - o.n_common)) AS BIGINT) AS jaccard_milli,
+           COALESCE(p.n_conc, 0) AS n_conc,
+           COALESCE(p.n_disc, 0) AS n_disc,
+           CASE WHEN o.n_common > 1 THEN
+               round(CAST(p.n_conc - p.n_disc AS DOUBLE)
+                     / (o.n_common * (o.n_common - 1) / 2), 6)
+           END AS tau
+    FROM overlap o
+    LEFT JOIN pair_agg p USING (year_a)
+    ORDER BY o.year_a
+    """

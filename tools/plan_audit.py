@@ -434,6 +434,8 @@ ALLOWED: dict[str, set[str]] = {
     "text_padding_waste": {"BroadcastNestedLoopJoin"},
     "events_obrien_fleming": {"BroadcastNestedLoopJoin"},
     "warehouse_cache_hit_curve": {"BroadcastNestedLoopJoin"},
+    # round-10k sketch/stability devices (L-570..572): 1-row caps totals
+    "events_heavy_hitters": {"BroadcastNestedLoopJoin"},
 }
 
 PATTERNS = ("CartesianProduct", "BatchEvalPython", "BroadcastNestedLoopJoin")

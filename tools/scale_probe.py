@@ -547,6 +547,11 @@ PROBES = [
     "text_padding_waste",
     "events_obrien_fleming",
     "warehouse_cache_hit_curve",
+    # round-10k IVM/sketch/stability devices (L-569..572)
+    "warehouse_ivm_join_agg",
+    "events_ams_f2",
+    "events_heavy_hitters",
+    "warehouse_topk_stability",
 ]
 
 
