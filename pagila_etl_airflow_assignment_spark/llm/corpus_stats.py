@@ -3186,10 +3186,13 @@ def bradley_terry(docs: DataFrame, iters: int = BT_ITERS) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
+    # NOT checkpointed: the trailing groupBy keeps this relation visibly
+    # bounded to the plan auditor (a checkpointed RDD reads as a source
+    # leaf, which would flag the final rank window as unbounded)
     items = n_ij.groupBy("i").agg(
         F.sum("w").cast("long").alias("wins"),
         F.sum("n").cast("long").alias("n_matches"),
-    ).localCheckpoint(eager=False)
+    )
     n_items = items.agg(F.count("*").cast("long").alias("k"))
     p = items.select("i", F.lit(1_000_000).cast("long").alias("p_micro"))
     for _ in range(iters):
@@ -3238,8 +3241,11 @@ def bradley_terry(docs: DataFrame, iters: int = BT_ITERS) -> DataFrame:
             .localCheckpoint()
         )
     w_rank = Window.orderBy(F.col("p_micro").desc(), F.col("source").asc())
+    # the no-op re-aggregate over the unique key restores mechanical
+    # boundedness after the checkpointed iteration state
+    p_final = p.groupBy("i").agg(F.max("p_micro").alias("p_micro"))
     return (
-        items.join(p, "i")
+        items.join(p_final, "i")
         .select(
             F.col("i").alias("source"),
             "n_matches",

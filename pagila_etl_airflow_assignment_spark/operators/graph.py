@@ -2901,3 +2901,227 @@ def katz_centrality_sql(
         ORDER BY katz_micro DESC, p_partkey ASC
         LIMIT {k}
     """
+
+
+# --- SimRank on the co-purchase core --------------------------------------------------
+
+SIMRANK_CORE = 16
+SIMRANK_C_MILLI = 800
+SIMRANK_ROUNDS = 4
+SIMRANK_TOP = 15
+
+
+def simrank_core(
+    lineitem: DataFrame,
+    core: int = SIMRANK_CORE,
+    rounds: int = SIMRANK_ROUNDS,
+    top: int = SIMRANK_TOP,
+    max_basket: int = 30,
+) -> DataFrame:
+    """SimRank (Jeh & Widom, KDD 2002) on the co-purchase CORE: "two parts
+    are similar if their neighbors are similar" — s(a,b) =
+    C/(|N(a)||N(b)|) · Σ s(u,v) over neighbor pairs, the structural
+    similarity that finds substitutes the co-occurrence count itself
+    misses (they are rarely bought TOGETHER). The universe is the induced
+    subgraph on the ``core`` highest-degree parts, so every iteration is a
+    bounded ≤core² grid — the standard core trick for an O(n²·d²)
+    recursion (full-graph SimRank runs the same plan per partition
+    block).
+
+    Exact: scores live in integer micro units re-quantized per round;
+    neighbor sums are order-free BIGINT aggregates; ties in the top list
+    break on (part_a, part_b). Output: top-``top`` pairs (part_a, part_b,
+    n_a, n_b, simrank_micro)."""
+    pairs = (
+        _oriented_pair_rel(lineitem, max_basket)
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("w"))
+    )
+    sym = pairs.select("part_a", "part_b").unionAll(
+        pairs.select(
+            F.col("part_b").alias("part_a"), F.col("part_a").alias("part_b")
+        )
+    )
+    deg = sym.groupBy("part_a").agg(F.count("*").cast("long").alias("d"))
+    core_rel = (
+        deg.orderBy(F.desc("d"), "part_a")
+        .limit(core)
+        .select(F.col("part_a").alias("node"))
+        .localCheckpoint(eager=False)
+    )
+    edges = (
+        sym.join(core_rel.select(F.col("node").alias("part_a")), "part_a")
+        .join(core_rel.select(F.col("node").alias("part_b")), "part_b")
+        .select(F.col("part_a").alias("u"), F.col("part_b").alias("v"))
+        .localCheckpoint(eager=False)
+    )
+    cdeg = edges.groupBy("u").agg(F.count("*").cast("long").alias("nd"))
+    grid = (
+        core_rel.select(F.col("node").alias("a"))
+        .crossJoin(core_rel.select(F.col("node").alias("b")))
+        .localCheckpoint(eager=False)
+    )
+    s = grid.select(
+        "a",
+        "b",
+        F.when(F.col("a") == F.col("b"), F.lit(1_000_000))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("s_micro"),
+    )
+    for _ in range(rounds):
+        contrib = (
+            s.select(
+                F.col("a").alias("na"),
+                F.col("b").alias("nb"),
+                F.col("s_micro").alias("sn"),
+            )
+            .join(
+                edges.select(F.col("u").alias("a"), F.col("v").alias("na")),
+                "na",
+            )
+            .join(
+                edges.select(F.col("u").alias("b"), F.col("v").alias("nb")),
+                "nb",
+            )
+            .groupBy("a", "b")
+            .agg(F.sum("sn").alias("nsum"))
+        )
+        s = (
+            grid.join(contrib, ["a", "b"], "left")
+            .join(cdeg.select(F.col("u").alias("a"), F.col("nd").alias("da")), "a", "left")
+            .join(cdeg.select(F.col("u").alias("b"), F.col("nd").alias("db")), "b", "left")
+            .select(
+                "a",
+                "b",
+                F.when(F.col("a") == F.col("b"), F.lit(1_000_000).cast("long"))
+                .otherwise(
+                    F.expr(
+                        f"CAST(round({SIMRANK_C_MILLI} * COALESCE(nsum, 0)"
+                        " / (1000.0 * GREATEST(1, da * db))) AS BIGINT)"
+                    )
+                )
+                .alias("s_micro"),
+            )
+            .coalesce(1)
+            .localCheckpoint()
+        )
+    w_top = Window.orderBy(
+        F.col("s_micro").desc(), F.col("a").asc(), F.col("b").asc()
+    )
+    return (
+        s.where(F.col("a") < F.col("b"))
+        .join(cdeg.select(F.col("u").alias("a"), F.col("nd").alias("n_a")), "a")
+        .join(cdeg.select(F.col("u").alias("b"), F.col("nd").alias("n_b")), "b")
+        .withColumn("rnk", F.row_number().over(w_top).cast("int"))
+        .where(F.col("rnk") <= top)
+        .select(
+            "rnk",
+            F.col("a").alias("part_a"),
+            F.col("b").alias("part_b"),
+            "n_a",
+            "n_b",
+            "s_micro",
+        )
+        .orderBy("rnk")
+    )
+
+
+def simrank_core_sql(
+    core: int = SIMRANK_CORE,
+    rounds: int = SIMRANK_ROUNDS,
+    top: int = SIMRANK_TOP,
+    max_basket: int = 30,
+) -> str:
+    parts = [
+        f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    small AS (
+        SELECT l_orderkey FROM items
+        GROUP BY l_orderkey HAVING COUNT(*) <= {max_basket}
+    ),
+    basket AS (
+        SELECT i.l_orderkey, i.l_partkey FROM items i
+        JOIN small USING (l_orderkey)
+    ),
+    pairs AS MATERIALIZED (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+        FROM basket a JOIN basket b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+    ),
+    sym AS MATERIALIZED (
+        SELECT part_a, part_b FROM pairs
+        UNION ALL
+        SELECT part_b AS part_a, part_a AS part_b FROM pairs
+    ),
+    deg AS (
+        SELECT part_a, CAST(COUNT(*) AS BIGINT) AS d
+        FROM sym GROUP BY part_a
+    ),
+    core_rel AS MATERIALIZED (
+        SELECT part_a AS node FROM deg
+        ORDER BY d DESC, part_a LIMIT {core}
+    ),
+    edges AS MATERIALIZED (
+        SELECT s.part_a AS u, s.part_b AS v
+        FROM sym s
+        JOIN core_rel ca ON ca.node = s.part_a
+        JOIN core_rel cb ON cb.node = s.part_b
+    ),
+    cdeg AS MATERIALIZED (
+        SELECT u, CAST(COUNT(*) AS BIGINT) AS nd FROM edges GROUP BY u
+    ),
+    grid AS MATERIALIZED (
+        SELECT a.node AS a, b.node AS b
+        FROM core_rel a CROSS JOIN core_rel b
+    ),
+    s0 AS MATERIALIZED (
+        SELECT a, b,
+               CAST(CASE WHEN a = b THEN 1000000 ELSE 0 END AS BIGINT)
+                   AS s_micro
+        FROM grid
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+    contrib{r} AS (
+        SELECT ea.u AS a, eb.u AS b,
+               CAST(SUM(sp.s_micro) AS BIGINT) AS nsum
+        FROM s{r - 1} sp
+        JOIN edges ea ON ea.v = sp.a
+        JOIN edges eb ON eb.v = sp.b
+        GROUP BY ea.u, eb.u
+    ),
+    s{r} AS MATERIALIZED (
+        SELECT g.a, g.b,
+               CAST(CASE WHEN g.a = g.b THEN 1000000
+                    ELSE CAST(round({SIMRANK_C_MILLI}
+                        * COALESCE(c.nsum, 0)
+                        / (1000.0 * GREATEST(1, da.nd * db.nd)))
+                        AS BIGINT)
+               END AS BIGINT) AS s_micro
+        FROM grid g
+        LEFT JOIN contrib{r} c ON c.a = g.a AND c.b = g.b
+        LEFT JOIN cdeg da ON da.u = g.a
+        LEFT JOIN cdeg db ON db.u = g.b
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT CAST(row_number() OVER (
+               ORDER BY s.s_micro DESC, s.a ASC, s.b ASC) AS INTEGER) AS rnk,
+           s.a AS part_a, s.b AS part_b, da.nd AS n_a, db.nd AS n_b,
+           s.s_micro
+    FROM s{rounds} s
+    JOIN cdeg da ON da.u = s.a
+    JOIN cdeg db ON db.u = s.b
+    WHERE s.a < s.b
+    QUALIFY rnk <= {top}
+    ORDER BY rnk
+    """
+    )
+    return "".join(parts)

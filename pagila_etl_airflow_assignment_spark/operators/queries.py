@@ -3611,3 +3611,24 @@ def q_topk_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Year-over-year top-20 part-revenue ranking stability: Jaccard
     survival + Kendall tau-a by exact pair counting."""
     return warehouse.topk_stability(load_table(spark, sf_dir, "lineitem"))
+
+
+@register("events_cvar_daily", oracle=stats.cvar_daily_sql())
+def q_cvar_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VaR and expected shortfall of daily revenue at 5% and 10% tails —
+    exact worst-day order statistics and tail means."""
+    return stats.cvar_daily(load_table(spark, sf_dir, "events"))
+
+
+@register("events_burstiness_memory", oracle=stats.burstiness_memory_sql())
+def q_burstiness_memory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh-Barabási burstiness B and memory M of click inter-event times —
+    the human-vs-machine activity fingerprint."""
+    return stats.burstiness_memory(load_table(spark, sf_dir, "events"))
+
+
+@register("graph_simrank", oracle=graph.simrank_core_sql())
+def q_simrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimRank on the co-purchase core: structural substitute similarity
+    via bounded neighbor-pair recursion in exact micro units."""
+    return graph.simrank_core(load_table(spark, sf_dir, "lineitem"))

@@ -15190,3 +15190,224 @@ def obrien_fleming_sql() -> str:
     FROM alg
     ORDER BY look
     """
+
+
+# --- expected shortfall (CVaR) --------------------------------------------------------
+
+CVAR_LEVELS_MILLI = (50, 100)
+
+
+def cvar_daily(
+    events: DataFrame, levels_milli: tuple[int, ...] = CVAR_LEVELS_MILLI
+) -> DataFrame:
+    """Value-at-Risk and expected shortfall (CVaR) of daily revenue: at
+    tail level α, VaR is the ⌈α·n⌉-th worst day and CVaR the exact mean of
+    those worst days — the coherent tail-risk number (CVaR subadditivity
+    is why Basel moved to it) applied to the revenue stream's bad days.
+
+    The day panel is the only windowed relation (bounded); the tail mean
+    is an exact half-up integer over BIGINT cents. Output per level:
+    (alpha_milli, n_days, n_tail, var_cents, cvar_cents)."""
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("y")
+    )
+    w = Window.orderBy(F.col("y").asc(), F.col("day").asc())
+    ranked = daily.select(
+        "y",
+        F.row_number().over(w).cast("long").alias("r"),
+        F.count("*").over(Window.partitionBy()).cast("long").alias("n"),
+    )
+    grid = F.explode(
+        F.array(*[F.lit(a) for a in levels_milli])
+    ).alias("alpha_milli")
+    tail = (
+        ranked.select("y", "r", "n", grid)
+        .where(
+            F.col("r")
+            <= F.expr("CAST((alpha_milli * n + 999) DIV 1000 AS BIGINT)")
+        )
+        .groupBy("alpha_milli")
+        .agg(
+            F.max("n").alias("n_days"),
+            F.count("*").cast("long").alias("n_tail"),
+            F.max("y").alias("var_cents"),
+            F.expr(
+                "CAST(CASE WHEN SUM(y) >= 0"
+                " THEN (2 * SUM(y) + COUNT(*)) DIV (2 * COUNT(*))"
+                " ELSE -((2 * -SUM(y) + COUNT(*)) DIV (2 * COUNT(*))) END"
+                " AS BIGINT)"
+            ).alias("cvar_cents"),
+        )
+    )
+    return tail.select(
+        F.col("alpha_milli").cast("int").alias("alpha_milli"),
+        "n_days",
+        "n_tail",
+        "var_cents",
+        "cvar_cents",
+    ).orderBy("alpha_milli")
+
+
+def cvar_daily_sql(
+    levels_milli: tuple[int, ...] = CVAR_LEVELS_MILLI
+) -> str:
+    grid = ", ".join(str(a) for a in levels_milli)
+    return f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    ranked AS (
+        SELECT y,
+               CAST(row_number() OVER (ORDER BY y ASC, day ASC)
+                    AS BIGINT) AS r,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM daily
+    ),
+    tail AS (
+        SELECT g.alpha_milli, k.y, k.n
+        FROM ranked k
+        CROSS JOIN (SELECT UNNEST([{grid}]) AS alpha_milli) g
+        WHERE k.r <= CAST((g.alpha_milli * k.n + 999) // 1000 AS BIGINT)
+    )
+    SELECT CAST(alpha_milli AS INTEGER) AS alpha_milli,
+           CAST(MAX(n) AS BIGINT) AS n_days,
+           CAST(COUNT(*) AS BIGINT) AS n_tail,
+           CAST(MAX(y) AS BIGINT) AS var_cents,
+           CAST(CASE WHEN SUM(y) >= 0
+                THEN (2 * SUM(y) + COUNT(*)) // (2 * COUNT(*))
+                ELSE -((2 * -SUM(y) + COUNT(*)) // (2 * COUNT(*))) END
+                AS BIGINT) AS cvar_cents
+    FROM tail
+    GROUP BY alpha_milli
+    ORDER BY alpha_milli
+    """
+
+
+# --- burstiness and memory of the event stream ----------------------------------------
+
+
+def burstiness_memory(events: DataFrame) -> DataFrame:
+    """Goh-Barabási burstiness and memory of per-user click inter-event
+    times: B = (σ−μ)/(σ+μ) (−1 regular clock, 0 Poisson, →1 bursty) and
+    M = Pearson correlation of consecutive gaps — the two-number
+    fingerprint separating human activity (bursty, weak memory) from
+    machine traffic (regular or strongly autocorrelated), sharpening the
+    bot-regularity screen (L-157).
+
+    Gaps come from USER-partitioned lag windows (seconds, exact BIGINT);
+    every moment and the consecutive-gap cross-moment are exact sums; the
+    two statistics are scalar algebra. One row: (n_gaps, n_pairs,
+    mean_gap_s, burstiness, memory)."""
+    w_u = Window.partitionBy("user_id").orderBy("tu", "event_id")
+    gaps = (
+        events.where(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.expr("unix_micros(ts) DIV 1000000").alias("tu"),
+            "event_id",
+        )
+        .select(
+            "user_id",
+            (F.col("tu") - F.lag("tu").over(w_u)).alias("g"),
+            "tu",
+            "event_id",
+        )
+    )
+    pairs = gaps.select(
+        "g", F.lead("g").over(w_u).alias("g2")
+    ).where(F.col("g").isNotNull() & F.col("g2").isNotNull())
+    gagg = gaps.where(F.col("g").isNotNull()).agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        F.sum("g").alias("sg"),
+        F.sum(F.col("g") * F.col("g")).alias("sgg"),
+    )
+    pagg = pairs.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("g").alias("px"),
+        F.sum("g2").alias("py"),
+        F.sum(F.col("g") * F.col("g")).alias("pxx"),
+        F.sum(F.col("g2") * F.col("g2")).alias("pyy"),
+        F.sum(F.col("g") * F.col("g2")).alias("pxy"),
+    )
+    mu = F.col("sg") / F.col("n_gaps")
+    var = (F.col("sgg") - F.col("sg") * F.col("sg") / F.col("n_gaps")) / (
+        F.col("n_gaps") - 1
+    )
+    sd = F.sqrt(var)
+    b = (sd - mu) / (sd + mu)
+    cxy = F.col("pxy") - F.col("px") * F.col("py") / F.col("n_pairs")
+    cxx = F.col("pxx") - F.col("px") * F.col("px") / F.col("n_pairs")
+    cyy = F.col("pyy") - F.col("py") * F.col("py") / F.col("n_pairs")
+    m = cxy / F.sqrt(cxx * cyy)
+    return (
+        gagg.crossJoin(F.broadcast(pagg))
+        .select(
+            "n_gaps",
+            "n_pairs",
+            F.when(
+                F.col("n_gaps") > 0, F.round(mu, 6)
+            ).alias("mean_gap_s"),
+            F.when(
+                (F.col("n_gaps") > 1) & (sd + mu > 0), F.round(b, 6)
+            ).alias("burstiness"),
+            F.when(
+                (F.col("n_pairs") > 1) & (cxx > 0) & (cyy > 0),
+                F.round(m, 6),
+            ).alias("memory"),
+        )
+    )
+
+
+def burstiness_memory_sql() -> str:
+    return """
+    WITH ticks AS (
+        SELECT user_id, epoch_us(ts) // 1000000 AS tu, event_id
+        FROM events WHERE event_type = 'click'
+    ),
+    g1 AS (
+        SELECT user_id, tu, event_id,
+               tu - lag(tu) OVER (
+                   PARTITION BY user_id ORDER BY tu, event_id) AS g
+        FROM ticks
+    ),
+    gaps AS (
+        SELECT g,
+               lead(g) OVER (
+                   PARTITION BY user_id ORDER BY tu, event_id) AS g2
+        FROM g1
+    ),
+    gagg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_gaps,
+               CAST(SUM(g) AS BIGINT) AS sg,
+               CAST(SUM(g * g) AS BIGINT) AS sgg
+        FROM gaps WHERE g IS NOT NULL
+    ),
+    pagg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(g) AS BIGINT) AS px,
+               CAST(SUM(g2) AS BIGINT) AS py,
+               CAST(SUM(g * g) AS BIGINT) AS pxx,
+               CAST(SUM(g2 * g2) AS BIGINT) AS pyy,
+               CAST(SUM(g * g2) AS BIGINT) AS pxy
+        FROM gaps WHERE g IS NOT NULL AND g2 IS NOT NULL
+    ),
+    alg AS (
+        SELECT *,
+               CAST(sg AS DOUBLE) / n_gaps AS mu,
+               sqrt((sgg - CAST(sg AS DOUBLE) * sg / n_gaps)
+                    / (n_gaps - 1)) AS sd,
+               pxy - CAST(px AS DOUBLE) * py / n_pairs AS cxy,
+               pxx - CAST(px AS DOUBLE) * px / n_pairs AS cxx,
+               pyy - CAST(py AS DOUBLE) * py / n_pairs AS cyy
+        FROM gagg CROSS JOIN pagg
+    )
+    SELECT n_gaps, n_pairs,
+           CASE WHEN n_gaps > 0 THEN round(mu, 6) END AS mean_gap_s,
+           CASE WHEN n_gaps > 1 AND sd + mu > 0 THEN
+               round((sd - mu) / (sd + mu), 6) END AS burstiness,
+           CASE WHEN n_pairs > 1 AND cxx > 0 AND cyy > 0 THEN
+               round(cxy / sqrt(cxx * cyy), 6) END AS memory
+    FROM alg
+    """

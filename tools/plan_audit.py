@@ -436,6 +436,13 @@ ALLOWED: dict[str, set[str]] = {
     "warehouse_cache_hit_curve": {"BroadcastNestedLoopJoin"},
     # round-10k sketch/stability devices (L-570..572): 1-row caps totals
     "events_heavy_hitters": {"BroadcastNestedLoopJoin"},
+    # round-10l risk/dynamics/graph devices (L-573..575): level grids,
+    # 1-row moment scalars, bounded core grids
+    "events_cvar_daily": {"BroadcastNestedLoopJoin"},
+    "events_burstiness_memory": {"BroadcastNestedLoopJoin"},
+    "graph_simrank": {"BroadcastNestedLoopJoin"},
+    # 1-row gap-moment scalar broadcast onto the 1-row service-moment agg
+    "events_kingman_vut": {"BroadcastNestedLoopJoin"},
 }
 
 PATTERNS = ("CartesianProduct", "BatchEvalPython", "BroadcastNestedLoopJoin")

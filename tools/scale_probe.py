@@ -552,6 +552,10 @@ PROBES = [
     "events_ams_f2",
     "events_heavy_hitters",
     "warehouse_topk_stability",
+    # round-10l risk/dynamics/graph devices (L-573..575)
+    "events_cvar_daily",
+    "events_burstiness_memory",
+    "graph_simrank",
 ]
 
 
