@@ -3509,13 +3509,16 @@ def q_oaxaca_blinder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "events_attribution_markov", oracle=sequences.markov_attribution_sql()
+    "events_attribution_timedecay",
+    oracle=sequences.time_decay_attribution_sql(),
 )
-def q_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Markov-chain removal-effect attribution: absorbing-chain value
-    iteration for the full chain and every channel-removed variant, all
-    in exact micro units."""
-    return sequences.markov_attribution(load_table(spark, sf_dir, "events"))
+def q_attribution_timedecay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay attribution: 2^(-dt/12h) recency credit inside the
+    7-day lookback — the continuous last-touch rule completing the
+    linear/position/Shapley/Markov ladder."""
+    return sequences.time_decay_attribution(
+        load_table(spark, sf_dir, "events")
+    )
 
 
 @register("warehouse_ivm_topk", oracle=ivm.maintained_topk_view_sql())

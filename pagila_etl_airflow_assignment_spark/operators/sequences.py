@@ -1586,329 +1586,6 @@ DFG_WAITS_SQL = """
 """
 
 
-# --- Markov-chain attribution (removal effect) ----------------------------------------
-
-MARKOV_ATTR_CHANNELS = ("view", "click", "signup")
-MARKOV_ATTR_ROUNDS = 12
-
-
-def markov_attribution(
-    events: DataFrame,
-    channels: tuple[str, ...] = MARKOV_ATTR_CHANNELS,
-    rounds: int = MARKOV_ATTR_ROUNDS,
-) -> DataFrame:
-    """Markov-chain (removal-effect) conversion attribution: model user
-    journeys as a first-order chain over touch channels with absorbing
-    purchase/null states, then credit each channel by how much the
-    start→purchase absorption probability DROPS when the channel is removed
-    (its transitions redirected to null) — the data-driven attribution rule
-    that sits between last-touch heuristics and the exact Shapley lattice
-    (L-100/130/L-shapley already registered; this is the chain-based
-    industry standard).
-
-    The absorption probabilities come from ``rounds`` value-iteration
-    sweeps a(s) ← Σ_d p(s,d)·a(d) run simultaneously for the full chain
-    and every removal variant (one (variant, src)-keyed aggregate per
-    sweep on the ≤|variants|·|states|² bounded transition grid); transition
-    probabilities and absorption values are exact half-up micro integers,
-    so every sweep is order-free integer arithmetic.
-
-    Scale: journeys need one lag window over the touch subset; everything
-    after is bounded-grid iteration independent of corpus size.
-
-    Output per channel: (channel, f_full_micro, f_removed_micro,
-    removal_micro, share_milli)."""
-    chan_col = F.col("event_type")
-    touches = events.where(chan_col.isin(*channels)).select(
-        "user_id", chan_col.alias("ch"), "ts", "event_id"
-    )
-    conv = events.groupBy("user_id").agg(
-        F.max((F.col("event_type") == "purchase").cast("int")).alias("conv")
-    )
-    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = touches.select(
-        "user_id",
-        "ch",
-        F.lag("ch").over(w_seq).alias("prev"),
-        F.lead("ch").over(w_seq).alias("nxt"),
-    )
-    outcome = F.when(F.col("conv") == 1, "purchase").otherwise("null")
-    internal = seq.select(
-        "user_id",
-        F.coalesce("prev", F.lit("start")).alias("src"),
-        F.col("ch").alias("dst"),
-    )
-    final = (
-        seq.where(F.col("nxt").isNull())
-        .join(conv, "user_id")
-        .select("user_id", F.col("ch").alias("src"), outcome.alias("dst"))
-    )
-    no_touch = (
-        conv.join(touches.select("user_id").distinct(), "user_id", "left_anti")
-        .select("user_id", F.lit("start").alias("src"), outcome.alias("dst"))
-    )
-    trans = (
-        internal.select("src", "dst")
-        .unionAll(final.select("src", "dst"))
-        .unionAll(no_touch.select("src", "dst"))
-        .groupBy("src", "dst")
-        .agg(F.count("*").alias("n"))
-    )
-    p = trans.withColumn(
-        "p_micro",
-        F.expr(
-            "CAST((2 * 1000000 * n + SUM(n) OVER (PARTITION BY src))"
-            " DIV (2 * SUM(n) OVER (PARTITION BY src)) AS BIGINT)"
-        ),
-    ).select("src", "dst", "p_micro")
-    # literal relations built via explode-of-array (Catalyst LocalRelation):
-    # an RDD-backed createDataFrame here routes every one of the ~12 rounds
-    # through Python-worker serialization
-    variants = events.sparkSession.range(1).select(
-        F.explode(
-            F.array(F.lit("full"), *[F.lit(c) for c in channels])
-        ).alias("variant")
-    )
-    p_v = (
-        p.crossJoin(F.broadcast(variants))
-        .where(
-            (F.col("variant") == "full")
-            | (
-                (F.col("src") != F.col("variant"))
-                & (F.col("dst") != F.col("variant"))
-            )
-        )
-        .select("variant", "src", "dst", "p_micro")
-        .coalesce(1)
-        .localCheckpoint(eager=False)
-    )
-    transient = events.sparkSession.range(1).select(
-        F.explode(
-            F.array(F.lit("start"), *[F.lit(c) for c in channels])
-        ).alias("state")
-    )
-    absorbing = events.sparkSession.range(1).select(
-        F.explode(
-            F.array(
-                F.struct(
-                    F.lit("purchase").alias("state"),
-                    F.lit(1_000_000).cast("long").alias("a_micro"),
-                ),
-                F.struct(
-                    F.lit("null").alias("state"),
-                    F.lit(0).cast("long").alias("a_micro"),
-                ),
-            )
-        ).alias("s")
-    ).select("s.state", "s.a_micro")
-    spine = variants.crossJoin(transient)
-    a = (
-        spine.select("variant", "state", F.lit(0).cast("long").alias("a_micro"))
-        .unionAll(
-            variants.crossJoin(absorbing).select("variant", "state", "a_micro")
-        )
-        .coalesce(1)
-        .localCheckpoint(eager=False)
-    )
-    for _ in range(rounds):
-        upd = (
-            p_v.join(
-                a.select(
-                    "variant", F.col("state").alias("dst"), F.col("a_micro").alias("ad")
-                ),
-                ["variant", "dst"],
-            )
-            .groupBy("variant", F.col("src").alias("state"))
-            .agg(
-                F.expr(
-                    "CAST((2 * SUM(p_micro * ad) + 1000000)"
-                    " DIV 2000000 AS BIGINT)"
-                ).alias("a_new")
-            )
-        )
-        a = (
-            spine.join(upd, ["variant", "state"], "left")
-            .select(
-                "variant",
-                "state",
-                F.coalesce("a_new", F.lit(0)).cast("long").alias("a_micro"),
-            )
-            .unionAll(
-                variants.crossJoin(absorbing).select(
-                    "variant", "state", "a_micro"
-                )
-            )
-            # the state relation is <= |variants|x|states| rows; without the
-            # coalesce each round's union+shuffle ACCUMULATES partitions
-            # (measured 1024-task stages and a 383 s wall on 24 rows)
-            .coalesce(1)
-            .localCheckpoint()
-        )
-    f = a.where(F.col("state") == "start").select(
-        "variant", F.col("a_micro").alias("f_micro")
-    )
-    f_full = f.where(F.col("variant") == "full").select(
-        F.col("f_micro").alias("f_full_micro")
-    )
-    removed = (
-        f.where(F.col("variant") != "full")
-        .crossJoin(F.broadcast(f_full))
-        .select(
-            F.col("variant").alias("channel"),
-            "f_full_micro",
-            F.col("f_micro").alias("f_removed_micro"),
-            F.expr(
-                "CASE WHEN f_full_micro > 0 THEN"
-                " CAST((2 * 1000000 * (f_full_micro - f_micro)"
-                " + f_full_micro) DIV (2 * f_full_micro) AS BIGINT)"
-                " ELSE CAST(0 AS BIGINT) END"
-            ).alias("removal_micro"),
-        )
-    )
-    tot = removed.agg(F.sum("removal_micro").alias("tot_removal"))
-    return (
-        removed.crossJoin(F.broadcast(tot))
-        .select(
-            "channel",
-            "f_full_micro",
-            "f_removed_micro",
-            "removal_micro",
-            F.expr(
-                "CASE WHEN tot_removal > 0 THEN"
-                " CAST((2 * 1000 * removal_micro + tot_removal)"
-                " DIV (2 * tot_removal) AS BIGINT)"
-                " ELSE CAST(0 AS BIGINT) END"
-            ).alias("share_milli"),
-        )
-        .orderBy("channel")
-    )
-
-
-def markov_attribution_sql(
-    channels: tuple[str, ...] = MARKOV_ATTR_CHANNELS,
-    rounds: int = MARKOV_ATTR_ROUNDS,
-) -> str:
-    chan_list = ", ".join(f"'{c}'" for c in channels)
-    variant_rows = ", ".join(f"('{v}')" for v in ("full",) + tuple(channels))
-    transient_rows = ", ".join(f"('{s}')" for s in ("start",) + tuple(channels))
-    parts = [
-        f"""
-    WITH touches AS (
-        SELECT user_id, event_type AS ch, ts, event_id
-        FROM events WHERE event_type IN ({chan_list})
-    ),
-    conv AS MATERIALIZED (
-        SELECT user_id,
-               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-                   AS conv
-        FROM events GROUP BY user_id
-    ),
-    seq AS MATERIALIZED (
-        SELECT user_id, ch,
-               lag(ch) OVER w AS prev,
-               lead(ch) OVER w AS nxt
-        FROM touches
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ),
-    trans AS MATERIALIZED (
-        SELECT src, dst, COUNT(*) AS n FROM (
-            SELECT COALESCE(prev, 'start') AS src, ch AS dst FROM seq
-            UNION ALL
-            SELECT s.ch AS src,
-                   CASE WHEN c.conv = 1 THEN 'purchase' ELSE 'null' END AS dst
-            FROM seq s JOIN conv c USING (user_id)
-            WHERE s.nxt IS NULL
-            UNION ALL
-            SELECT 'start' AS src,
-                   CASE WHEN c.conv = 1 THEN 'purchase' ELSE 'null' END AS dst
-            FROM conv c
-            WHERE c.user_id NOT IN (SELECT DISTINCT user_id FROM touches)
-        ) GROUP BY src, dst
-    ),
-    p AS MATERIALIZED (
-        SELECT src, dst,
-               CAST((2 * 1000000 * n + SUM(n) OVER (PARTITION BY src))
-                    // (2 * SUM(n) OVER (PARTITION BY src)) AS BIGINT)
-                   AS p_micro
-        FROM trans
-    ),
-    variants AS (SELECT * FROM (VALUES {variant_rows}) t(variant)),
-    transient AS (SELECT * FROM (VALUES {transient_rows}) t(state)),
-    p_v AS MATERIALIZED (
-        SELECT v.variant, p.src, p.dst, p.p_micro
-        FROM p CROSS JOIN variants v
-        WHERE v.variant = 'full'
-           OR (p.src <> v.variant AND p.dst <> v.variant)
-    ),
-    spine AS (
-        SELECT v.variant, t.state FROM variants v CROSS JOIN transient t
-    ),
-    a0 AS MATERIALIZED (
-        SELECT variant, state, CAST(0 AS BIGINT) AS a_micro FROM spine
-        UNION ALL
-        SELECT v.variant, s.state, s.a_micro
-        FROM variants v CROSS JOIN (VALUES
-            ('purchase', CAST(1000000 AS BIGINT)),
-            ('null', CAST(0 AS BIGINT))) s(state, a_micro)
-    )"""
-    ]
-    for r in range(1, rounds + 1):
-        parts.append(
-            f""",
-    a{r} AS MATERIALIZED (
-        SELECT sp.variant, sp.state,
-               CAST(COALESCE(u.a_new, 0) AS BIGINT) AS a_micro
-        FROM spine sp
-        LEFT JOIN (
-            SELECT t.variant, t.src AS state,
-                   CAST((2 * SUM(t.p_micro * prev.a_micro) + 1000000)
-                        // 2000000 AS BIGINT) AS a_new
-            FROM p_v t
-            JOIN a{r - 1} prev
-              ON prev.variant = t.variant AND prev.state = t.dst
-            GROUP BY t.variant, t.src
-        ) u ON u.variant = sp.variant AND u.state = sp.state
-        UNION ALL
-        SELECT v.variant, s.state, s.a_micro
-        FROM variants v CROSS JOIN (VALUES
-            ('purchase', CAST(1000000 AS BIGINT)),
-            ('null', CAST(0 AS BIGINT))) s(state, a_micro)
-    )"""
-        )
-    parts.append(
-        f""",
-    f AS (
-        SELECT variant, a_micro AS f_micro FROM a{rounds}
-        WHERE state = 'start'
-    ),
-    f_full AS (
-        SELECT f_micro AS f_full_micro FROM f WHERE variant = 'full'
-    ),
-    removed AS (
-        SELECT f.variant AS channel, ff.f_full_micro,
-               f.f_micro AS f_removed_micro,
-               CASE WHEN ff.f_full_micro > 0 THEN
-                   CAST((2 * 1000000 * (ff.f_full_micro - f.f_micro)
-                         + ff.f_full_micro) // (2 * ff.f_full_micro)
-                        AS BIGINT)
-               ELSE CAST(0 AS BIGINT) END AS removal_micro
-        FROM f CROSS JOIN f_full ff
-        WHERE f.variant <> 'full'
-    ),
-    tot AS (SELECT CAST(SUM(removal_micro) AS BIGINT) AS tot_removal
-            FROM removed)
-    SELECT r.channel, r.f_full_micro, r.f_removed_micro, r.removal_micro,
-           CASE WHEN t.tot_removal > 0 THEN
-               CAST((2 * 1000 * r.removal_micro + t.tot_removal)
-                    // (2 * t.tot_removal) AS BIGINT)
-           ELSE CAST(0 AS BIGINT) END AS share_milli
-    FROM removed r CROSS JOIN tot t
-    ORDER BY r.channel
-    """
-    )
-    return "".join(parts)
-
-
 # --- alpha-algorithm footprint matrix -------------------------------------------------
 
 
@@ -2003,4 +1680,120 @@ def alpha_footprint_sql() -> str:
     LEFT JOIN df_counts f ON f.a = g.a AND f.b = g.b
     LEFT JOIN df_counts r ON r.a = g.b AND r.b = g.a
     ORDER BY g.a, g.b
+    """
+
+
+# --- time-decay attribution -----------------------------------------------------------
+
+TDECAY_CHANNELS = ("view", "click", "signup")
+TDECAY_HALFLIFE_H = 12
+TDECAY_WINDOW_DAYS = 7
+
+
+def time_decay_attribution(
+    events: DataFrame,
+    channels: tuple[str, ...] = TDECAY_CHANNELS,
+    halflife_h: int = TDECAY_HALFLIFE_H,
+    window_days: int = TDECAY_WINDOW_DAYS,
+) -> DataFrame:
+    """Time-decay conversion attribution: every touch inside the
+    ``window_days`` lookback before a purchase earns credit 2^(−Δt/h)
+    with half-life ``h`` hours — the recency-weighted rule that completes
+    the classic attribution ladder already in the registry (linear L-100,
+    position L-130, Shapley L-shapley, Markov removal L-224): last-touch
+    bias made continuous instead of absolute.
+
+    Decay is DISCRETE: credit halves once per full elapsed half-life
+    (integer exponent), because 2^-n is an exact IEEE double — a
+    continuous 2^(-t/h) needs libm pow, whose last ulp differs between
+    engines and flips micro rounding (observed: 3-micro drift over 5k
+    rows). Credits are exact integers after the single micro round, so
+    channel totals are order-free integer sums. Output per channel: (channel,
+    n_touches, credit_micro, share_milli).
+
+    Scale: a user-keyed touch↔purchase range join (the as-of family's
+    shape — co-partitioned on user, never all-pairs), one channel
+    rollup."""
+    touches = events.where(F.col("event_type").isin(*channels)).select(
+        "user_id",
+        F.col("event_type").alias("channel"),
+        F.expr("unix_micros(ts) DIV 1000000").alias("tu"),
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id", F.expr("unix_micros(ts) DIV 1000000").alias("pu")
+    )
+    window_s = window_days * 86400
+    credits = (
+        touches.join(purchases, "user_id")
+        .where(
+            (F.col("tu") < F.col("pu"))
+            & (F.col("pu") - F.col("tu") <= window_s)
+        )
+        .select(
+            "channel",
+            F.expr(
+                f"CAST(round(1e6 * pow(2.0, -CAST((pu - tu)"
+                f" DIV (3600 * {halflife_h}) AS DOUBLE))) AS BIGINT)"
+            ).alias("c_micro"),
+        )
+    )
+    per_channel = credits.groupBy("channel").agg(
+        F.count("*").cast("long").alias("n_touches"),
+        F.sum("c_micro").alias("credit_micro"),
+    )
+    tot = per_channel.agg(F.sum("credit_micro").alias("tot"))
+    return (
+        per_channel.crossJoin(F.broadcast(tot))
+        .select(
+            "channel",
+            "n_touches",
+            "credit_micro",
+            F.expr(
+                "CASE WHEN tot > 0 THEN CAST((2 * 1000 * credit_micro + tot)"
+                " DIV (2 * tot) AS BIGINT) ELSE 0 END"
+            ).alias("share_milli"),
+        )
+        .orderBy("channel")
+    )
+
+
+def time_decay_attribution_sql(
+    channels: tuple[str, ...] = TDECAY_CHANNELS,
+    halflife_h: int = TDECAY_HALFLIFE_H,
+    window_days: int = TDECAY_WINDOW_DAYS,
+) -> str:
+    chan_list = ", ".join(f"'{c}'" for c in channels)
+    window_s = window_days * 86400
+    return f"""
+    WITH touches AS (
+        SELECT user_id, event_type AS channel,
+               epoch_us(ts) // 1000000 AS tu
+        FROM events WHERE event_type IN ({chan_list})
+    ),
+    purchases AS (
+        SELECT user_id, epoch_us(ts) // 1000000 AS pu
+        FROM events WHERE event_type = 'purchase'
+    ),
+    credits AS (
+        SELECT t.channel,
+               CAST(round(1e6 * pow(2.0, -CAST((p.pu - t.tu)
+                   // (3600 * {halflife_h}) AS DOUBLE))) AS BIGINT)
+                   AS c_micro
+        FROM touches t
+        JOIN purchases p ON p.user_id = t.user_id
+        WHERE t.tu < p.pu AND p.pu - t.tu <= {window_s}
+    ),
+    per_channel AS (
+        SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_touches,
+               CAST(SUM(c_micro) AS BIGINT) AS credit_micro
+        FROM credits GROUP BY channel
+    ),
+    tot AS (SELECT CAST(SUM(credit_micro) AS BIGINT) AS tot
+            FROM per_channel)
+    SELECT channel, n_touches, credit_micro,
+           CASE WHEN tot > 0 THEN
+               CAST((2 * 1000 * credit_micro + tot) // (2 * tot) AS BIGINT)
+           ELSE 0 END AS share_milli
+    FROM per_channel CROSS JOIN tot
+    ORDER BY channel
     """

@@ -319,116 +319,83 @@ def test_facility_location_matches_reference(spark, rows):
     assert got == _fl_ref(rows, rounds, ground)
 
 
-# --- Markov attribution (L-555) ---------------------------------------------------------
+# --- time-decay attribution (L-555) -----------------------------------------------------
 #
-# Per-user journeys: a sequence of touches from {view, click, signup} plus a
-# converted flag; timestamps are strictly increasing within a user.
+# Per-user touches at hour offsets before a purchase at a fixed time.
 
-MK_USERS = st.lists(
+TD_USERS = st.lists(
     st.tuples(
-        st.lists(st.sampled_from(["view", "click", "signup"]), min_size=0, max_size=5),
+        st.lists(
+            st.tuples(
+                st.sampled_from(["view", "click", "signup"]),
+                st.integers(1, 200),  # hours before the purchase
+            ),
+            min_size=0,
+            max_size=5,
+        ),
         st.booleans(),
     ),
-    min_size=2,
-    max_size=14,
+    min_size=1,
+    max_size=10,
 )
 
 
-def _mk_ref(users, rounds=12):
-    channels = ("view", "click", "signup")
-    trans = Counter()
-    for touches, conv in users:
-        outcome = "purchase" if conv else "null"
-        if not touches:
-            trans[("start", outcome)] += 1
+def _td_ref(users, halflife_h=12, window_days=7):
+    from collections import defaultdict as dd
+
+    per = dd(lambda: [0, 0])
+    for touches, purchased in users:
+        if not purchased:
             continue
-        prev = "start"
-        for ch in touches:
-            trans[(prev, ch)] += 1
-            prev = ch
-        trans[(prev, outcome)] += 1
-    out_tot = Counter()
-    for (src, _), n in trans.items():
-        out_tot[src] += n
-    p = {
-        (src, dst): _mean_hup(1_000_000 * n, out_tot[src])
-        for (src, dst), n in trans.items()
-    }
-    variants = ["full"] + list(channels)
-    f = {}
-    for var in variants:
-        pv = {
-            (s, d): pm
-            for (s, d), pm in p.items()
-            if var == "full" or (s != var and d != var)
-        }
-        a = {s: 0 for s in ("start",) + channels}
-        a["purchase"] = 1_000_000
-        a["null"] = 0
-        for _ in range(rounds):
-            new = {}
-            for s in ("start",) + channels:
-                tot = sum(
-                    pm * a[d] for (ss, d), pm in pv.items() if ss == s
-                )
-                new[s] = (2 * tot + 1_000_000) // 2_000_000 if tot else 0
-            a.update(new)
-        f[var] = a["start"]
-    removed = {}
-    for c in channels:
-        rm = (
-            _mean_hup(1_000_000 * (f["full"] - f[c]), f["full"])
-            if f["full"] > 0
-            else 0
-        )
-        removed[c] = rm
-    tot_rm = sum(removed.values())
+        for ch, hours in touches:
+            dt_s = hours * 3600
+            if dt_s <= window_days * 86400:
+                n = dt_s // (3600 * halflife_h)
+                c = _rha(1e6 * 2.0 ** -n)
+                per[ch][0] += 1
+                per[ch][1] += c
+    tot = sum(v[1] for v in per.values())
     return {
-        c: (
-            f["full"],
-            f[c],
-            removed[c],
-            _mean_hup(1000 * removed[c], tot_rm) if tot_rm > 0 else 0,
+        ch: (
+            n,
+            c,
+            (2 * 1000 * c + tot) // (2 * tot) if tot > 0 else 0,
         )
-        for c in channels
+        for ch, (n, c) in per.items()
     }
 
 
-@settings(max_examples=8, deadline=None)
-@given(users=MK_USERS)
-def test_markov_attribution_matches_reference(spark, users):
+@settings(max_examples=10, deadline=None)
+@given(users=TD_USERS)
+def test_time_decay_attribution_matches_reference(spark, users):
     from pagila_etl_airflow_assignment_spark.operators.sequences import (
-        markov_attribution,
+        time_decay_attribution,
     )
 
     rows = []
     eid = 0
-    for u, (touches, conv) in enumerate(users):
-        for k, ch in enumerate(touches):
-            rows.append((eid, u, ch, f"2024-01-01 {k:02d}:00:00", 0.0))
+    base_purchase = "2024-02-01 00:00:00"
+    import datetime as dt
+
+    p_ts = dt.datetime(2024, 2, 1, 0, 0, 0)
+    for u, (touches, purchased) in enumerate(users):
+        for ch, hours in touches:
+            t = p_ts - dt.timedelta(hours=hours)
+            rows.append((eid, u, ch, t.strftime("%Y-%m-%d %H:%M:%S"), 0.0))
             eid += 1
-        rows.append(
-            (
-                eid,
-                u,
-                "purchase" if conv else "error",
-                "2024-01-01 23:00:00",
-                1.0,
-            )
-        )
-        eid += 1
+        if purchased:
+            rows.append((eid, u, "purchase", base_purchase, 1.0))
+            eid += 1
+        elif not touches:
+            rows.append((eid, u, "error", base_purchase, 0.0))
+            eid += 1
     df = spark.createDataFrame(
         rows,
         "event_id long, user_id long, event_type string, ts string,"
         " value double",
     ).withColumn("ts", F.to_timestamp("ts"))
     got = {
-        r["channel"]: (
-            r["f_full_micro"],
-            r["f_removed_micro"],
-            r["removal_micro"],
-            r["share_milli"],
-        )
-        for r in markov_attribution(df).collect()
+        r["channel"]: (r["n_touches"], r["credit_micro"], r["share_milli"])
+        for r in time_decay_attribution(df).collect()
     }
-    assert got == _mk_ref(users)
+    assert got == _td_ref(users)

@@ -420,7 +420,7 @@ ALLOWED: dict[str, set[str]] = {
     "text_query_likelihood": {"BroadcastNestedLoopJoin"},
     "sampling_unimax": {"BroadcastNestedLoopJoin"},
     "embedding_facility_location": {"BroadcastNestedLoopJoin"},
-    "events_attribution_markov": {"BroadcastNestedLoopJoin"},
+    "events_attribution_timedecay": {"BroadcastNestedLoopJoin"},
     # round-10g IVM/causal devices (L-556..559): 9-row decile grid and
     # 1-row sufficient-stat broadcasts
     "events_qte_deciles": {"BroadcastNestedLoopJoin"},

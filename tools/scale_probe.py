@@ -529,7 +529,7 @@ PROBES = [
     "text_query_likelihood",
     "sampling_unimax",
     "embedding_facility_location",
-    "events_attribution_markov",
+    "events_attribution_timedecay",
     # round-10g IVM/multimodal/causal devices (L-556..559)
     "warehouse_ivm_topk",
     "multimodal_shot_boundaries",
