@@ -305,13 +305,16 @@ def q_range_click_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "warehouse_local_supplier_volume", oracle=warehouse.LOCAL_SUPPLIER_VOLUME_SQL
+    "warehouse_same_nation_revenue", oracle=warehouse.LOCAL_SUPPLIER_VOLUME_SQL
 )
-def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: revenue by nation where the customer and the line's
-    supplier share a nation — a 6-way join whose cross-dimension equality
-    (c_nationkey = s_nationkey) rides the broadcast chain as a residual, so
-    the fact side still pays only the single orders-key shuffle."""
+def q_same_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unfiltered Q5 shape: revenue by nation where the customer and the
+    line's supplier share a nation — a 6-way join whose cross-dimension
+    equality (c_nationkey = s_nationkey) rides the broadcast chain as a
+    residual, so the fact side still pays only the single orders-key
+    shuffle. (The region/year-filtered literal Q5 is
+    warehouse_local_supplier_volume, L-434 — this same-name registration
+    used to silently shadow it.)"""
     return warehouse.local_supplier_volume(
         load_table(spark, sf_dir, "lineitem"),
         load_table(spark, sf_dir, "orders"),
