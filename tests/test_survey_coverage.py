@@ -52,3 +52,15 @@ def test_query_catalog_is_fresh():
         "QUERIES.md rows diverge from the registry; re-run "
         "tools/gen_query_catalog.py"
     )
+
+
+def test_duplicate_registration_raises():
+    """A duplicate register() name must fail at decoration time — silent
+    dict overwrite shadowed two operators before this guard existed."""
+    import pytest as _pytest
+
+    from pagila_etl_airflow_assignment_spark import registry
+
+    registry.queries()  # force _load_all
+    with _pytest.raises(ValueError, match="duplicate query registration"):
+        registry.register("dedup_exact")(lambda spark, sf: None)
