@@ -15296,10 +15296,14 @@ def burstiness_memory(events: DataFrame) -> DataFrame:
     machine traffic (regular or strongly autocorrelated), sharpening the
     bot-regularity screen (L-157).
 
-    Gaps come from USER-partitioned lag windows (seconds, exact BIGINT);
-    every moment and the consecutive-gap cross-moment are exact sums; the
-    two statistics are scalar algebra. One row: (n_gaps, n_pairs,
-    mean_gap_s, burstiness, memory)."""
+    Gaps come from USER-partitioned lag windows (seconds, exact BIGINT).
+    First moments are exact integer sums; SECOND moments accumulate in
+    double — a year-long gap squares to ~1e15 and a corpus of them
+    overflows int64 (the bare ANSI run caught it; non-ANSI Spark would
+    wrap silently while DuckDB promotes to HUGEINT) — and the 1e-15
+    relative float error sits nine orders below the 6-dp rounding of the
+    unit-scale outputs. One row: (n_gaps, n_pairs, mean_gap_s,
+    burstiness, memory)."""
     w_u = Window.partitionBy("user_id").orderBy("tu", "event_id")
     gaps = (
         events.where(F.col("event_type") == "click")
@@ -15318,28 +15322,35 @@ def burstiness_memory(events: DataFrame) -> DataFrame:
     pairs = gaps.select(
         "g", F.lead("g").over(w_u).alias("g2")
     ).where(F.col("g").isNotNull() & F.col("g2").isNotNull())
+    gd = F.col("g").cast("double")
+    g2d = F.col("g2").cast("double")
     gagg = gaps.where(F.col("g").isNotNull()).agg(
         F.count("*").cast("long").alias("n_gaps"),
         F.sum("g").alias("sg"),
-        F.sum(F.col("g") * F.col("g")).alias("sgg"),
+        F.sum(gd * gd).alias("sgg"),
     )
     pagg = pairs.agg(
         F.count("*").cast("long").alias("n_pairs"),
         F.sum("g").alias("px"),
         F.sum("g2").alias("py"),
-        F.sum(F.col("g") * F.col("g")).alias("pxx"),
-        F.sum(F.col("g2") * F.col("g2")).alias("pyy"),
-        F.sum(F.col("g") * F.col("g2")).alias("pxy"),
+        F.sum(gd * gd).alias("pxx"),
+        F.sum(g2d * g2d).alias("pyy"),
+        F.sum(gd * g2d).alias("pxy"),
     )
+    # first-moment squares also widen to double BEFORE the multiply:
+    # (sum of gaps)^2 passes 2^63 at corpus scale (ANSI catches it)
+    sgd = F.col("sg").cast("double")
+    pxd = F.col("px").cast("double")
+    pyd = F.col("py").cast("double")
     mu = F.col("sg") / F.col("n_gaps")
-    var = (F.col("sgg") - F.col("sg") * F.col("sg") / F.col("n_gaps")) / (
+    var = (F.col("sgg") - sgd * sgd / F.col("n_gaps")) / (
         F.col("n_gaps") - 1
     )
     sd = F.sqrt(var)
     b = (sd - mu) / (sd + mu)
-    cxy = F.col("pxy") - F.col("px") * F.col("py") / F.col("n_pairs")
-    cxx = F.col("pxx") - F.col("px") * F.col("px") / F.col("n_pairs")
-    cyy = F.col("pyy") - F.col("py") * F.col("py") / F.col("n_pairs")
+    cxy = F.col("pxy") - pxd * pyd / F.col("n_pairs")
+    cxx = F.col("pxx") - pxd * pxd / F.col("n_pairs")
+    cyy = F.col("pyy") - pyd * pyd / F.col("n_pairs")
     m = cxy / F.sqrt(cxx * cyy)
     return (
         gagg.crossJoin(F.broadcast(pagg))
@@ -15381,16 +15392,16 @@ def burstiness_memory_sql() -> str:
     gagg AS (
         SELECT CAST(COUNT(*) AS BIGINT) AS n_gaps,
                CAST(SUM(g) AS BIGINT) AS sg,
-               CAST(SUM(g * g) AS BIGINT) AS sgg
+               SUM(CAST(g AS DOUBLE) * g) AS sgg
         FROM gaps WHERE g IS NOT NULL
     ),
     pagg AS (
         SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
                CAST(SUM(g) AS BIGINT) AS px,
                CAST(SUM(g2) AS BIGINT) AS py,
-               CAST(SUM(g * g) AS BIGINT) AS pxx,
-               CAST(SUM(g2 * g2) AS BIGINT) AS pyy,
-               CAST(SUM(g * g2) AS BIGINT) AS pxy
+               SUM(CAST(g AS DOUBLE) * g) AS pxx,
+               SUM(CAST(g2 AS DOUBLE) * g2) AS pyy,
+               SUM(CAST(g AS DOUBLE) * g2) AS pxy
         FROM gaps WHERE g IS NOT NULL AND g2 IS NOT NULL
     ),
     alg AS (
