@@ -492,6 +492,10 @@ def bfs_hop_distance(
     )
     visited = source
     frontier = source
+    # per-hop frontier checkpoint: each frontier feeds BOTH the next hop's
+    # broadcast and the visited accumulator, so without it hop h re-executes
+    # every earlier hop's join+distinct+anti chain (the harmonic_centrality
+    # fix, same shape).
     for hop in range(1, max_hops + 1):
         frontier = (
             edges.join(
@@ -501,6 +505,7 @@ def bfs_hop_distance(
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
             .withColumn("hops", F.lit(hop))
+            .localCheckpoint(eager=False)
         )
         visited = visited.unionByName(frontier)
     return visited.orderBy("hops", "node")
@@ -1431,6 +1436,10 @@ def hits_bipartite(
     )
     g = Window.partitionBy()
     hubs = edges.select("c").distinct().select("c", F.lit(1000).cast("long").alias("h"))
+    # per-half-round checkpoint: the final plan references `hubs` twice
+    # (its own top-k AND auth_final) and each half-round nests the previous
+    # one through a single-partition window — without the checkpoints the
+    # whole chain re-executes once per consumer.
     for _ in range(rounds):
         auth = (
             edges.join(hubs, "c")
@@ -1438,6 +1447,7 @@ def hits_bipartite(
             .agg(F.sum("h").alias("a_raw"))
             .withColumn("mx", F.max("a_raw").over(g))
             .select("p", F.expr("CAST(1000 * a_raw DIV mx AS BIGINT)").alias("a"))
+            .localCheckpoint(eager=False)
         )
         hubs = (
             edges.join(auth, "p")
@@ -1445,6 +1455,7 @@ def hits_bipartite(
             .agg(F.sum("a").alias("h_raw"))
             .withColumn("mx", F.max("h_raw").over(g))
             .select("c", F.expr("CAST(1000 * h_raw DIV mx AS BIGINT)").alias("h"))
+            .localCheckpoint(eager=False)
         )
     top = lambda df, side, idc, sc: (  # noqa: E731
         df.orderBy(F.desc(sc), F.asc(idc))
@@ -1767,6 +1778,11 @@ def harmonic_centrality(
         "seed", F.col("seed").alias("node"), F.lit(0).cast("long").alias("hops")
     )
     frontier = visited
+    # checkpoint the per-hop FRONTIER (not the visited union): `nxt` feeds
+    # both the next hop and the visited accumulator, so checkpointing the
+    # union alone left the frontier's join+distinct+anti lineage to
+    # re-execute inside the following round. visited stays a shallow union
+    # of checkpointed frontiers — no second materialization per hop.
     for h in range(1, max_hops + 1):
         nxt = (
             frontier.join(edges, frontier["node"] == edges["src"])
@@ -1774,8 +1790,9 @@ def harmonic_centrality(
             .distinct()
             .join(visited.select("seed", "node"), ["seed", "node"], "left_anti")
             .withColumn("hops", F.lit(h).cast("long"))
+            .localCheckpoint(eager=False)
         )
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        visited = visited.unionByName(nxt)
         frontier = nxt
     scored = (
         visited.where(F.col("hops") > 0)
@@ -2496,11 +2513,18 @@ def eigenvector_centrality(
     Scale shape: per iteration one src-keyed rank join + one dst-keyed
     aggregate (the copurchase_pagerank economics); the normalizing scalar
     is a broadcast 1-row aggregate."""
-    edges = _symmetric_edges(lineitem, max_basket)
+    # one checkpoint for the edge relation (reused every round) and one per
+    # round's score vector: the per-round normalizing scalar is a broadcast
+    # subquery whose subplan would otherwise re-execute the ENTIRE previous
+    # round's lineage (and the main plan executes it again) — without the
+    # checkpoints the work per round roughly doubles (measured 8.6s → 4.6s
+    # at sf0.1 for 3 iterations vs the round-10-build floor).
+    edges = _symmetric_edges(lineitem, max_basket).localCheckpoint(eager=False)
     # x1 = A . 1 = degree; normalize to micro
     deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("x"))
     scores = deg.select(F.col("src").alias("node"), F.col("x"))
     for _ in range(iters - 1):
+        scores = scores.localCheckpoint(eager=False)
         s = scores.agg(F.sum("x").cast("long").alias("s"))
         norm = scores.crossJoin(F.broadcast(s)).select(
             "node",
@@ -2584,6 +2608,42 @@ KTRUSS_K = 4     # every surviving edge sits in >= k-2 = 2 triangles
 KTRUSS_PEELS = 2
 
 
+def _edge_support(oriented: DataFrame) -> DataFrame:
+    """Per-edge triangle count (SUPPORT) on an id-oriented edge relation
+    (src < dst, distinct): enumerate each triangle (a < b < c) exactly ONCE
+    — wedge join o(a,b) ⋈ o(b,c) on the mid node, closed against o(a,c) —
+    then explode the triangle into its 3 edges and count per edge.
+
+    Economics vs the symmetric wedge join this replaced: wedge volume
+    drops from Σ_w C(d_w, 2) over FULL degrees to Σ_b C(outdeg_b, 2) over
+    id-oriented out-degrees (measured 147.8M → 49.3M rows on the sf0.1
+    graph, ×3 less), and the closing join carries one wedge per candidate
+    instead of one per (edge, witness) incidence. Edges in no triangle
+    have support 0 and are absent from the output, exactly as in the
+    join-then-count form (inner-join semantics, unchanged)."""
+    e1 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    closing = oriented.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    # shuffle_hash: the closing side is a derived distinct whose size
+    # Catalyst under-estimates; hash-building it per partition beats
+    # sorting the wedge stream (the round-4 join-strategy-pin lesson).
+    tri = e1.join(e2, "b").join(closing.hint("shuffle_hash"), ["a", "c"])
+    return (
+        tri.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("s"), F.col("b").alias("d")),
+                    F.struct(F.col("b").alias("s"), F.col("c").alias("d")),
+                    F.struct(F.col("a").alias("s"), F.col("c").alias("d")),
+                )
+            ).alias("e")
+        )
+        .select(F.col("e.s").alias("src"), F.col("e.d").alias("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("long").alias("support"))
+    )
+
+
 def ktruss_edges(
     lineitem: DataFrame,
     k: int = KTRUSS_K,
@@ -2592,9 +2652,9 @@ def ktruss_edges(
 ) -> DataFrame:
     """Edges surviving ``peels`` rounds of k-truss peeling on the
     co-purchase graph: each round computes every edge's SUPPORT (the
-    number of triangles through it, via one wedge join) and drops edges
-    with support < k-2. Output: (part_a, part_b, support, n_peels) for the
-    surviving oriented edges with their residual support, ordered.
+    number of triangles through it) and drops edges with support < k-2.
+    Output: (part_a, part_b, support, n_peels) for the surviving oriented
+    edges with their residual support, ordered.
 
     kcore_membership peels NODES by degree — cheap but loose (a hub of
     pendant triangles passes). The truss condition is the standard
@@ -2603,52 +2663,28 @@ def ktruss_edges(
     A fixed peel count keeps the whole decomposition one declarative plan
     (the kcore treatment); the oracle unrolls identical rounds.
 
-    Scale shape: each round is one wedge join (src-keyed, the triangle-
-    census economics with the max_basket skew cap) + one semi-join of the
-    edge relation against surviving support; per-round localCheckpoint
-    stops the 3^peels subplan fan-out, exactly as in kcore."""
-    sym = _symmetric_edges(lineitem, max_basket).localCheckpoint(eager=False)
-    oriented = sym.where(F.col("src") < F.col("dst")).localCheckpoint(
-        eager=False
+    Scale shape: each round is one single-orientation triangle
+    enumeration (`_edge_support`: each triangle found once, exploded to
+    its 3 edges — NOT the symmetric wedge join, which generates 3× the
+    wedge rows for identical per-edge counts) + a support filter;
+    per-round localCheckpoint stops the subplan fan-out, exactly as in
+    kcore. The symmetric relation is never materialized at all."""
+    oriented = (
+        _oriented_pair_rel(lineitem, max_basket)
+        .select(F.col("part_a").alias("src"), F.col("part_b").alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
     )
     for _ in range(peels):
-        wedge = (
-            sym.select(F.col("src").alias("a"), F.col("dst").alias("w"))
-            .join(
-                sym.select(F.col("src").alias("b"), F.col("dst").alias("w")),
-                "w",
-            )
-            .where(F.col("a") < F.col("b"))
-        )
-        sup = (
-            oriented.join(
-                wedge,
-                (oriented["src"] == wedge["a"]) & (oriented["dst"] == wedge["b"]),
-            )
-            .groupBy("src", "dst")
-            .agg(F.count("*").cast("long").alias("support"))
-        )
         oriented = (
-            sup.where(F.col("support") >= k - 2)
+            _edge_support(oriented)
+            .where(F.col("support") >= k - 2)
             .select("src", "dst")
             .localCheckpoint(eager=False)
         )
-        sym = oriented.unionByName(
-            oriented.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        ).localCheckpoint(eager=False)
     # residual support of the survivors against the final edge set
-    wedge = (
-        sym.select(F.col("src").alias("a"), F.col("dst").alias("w"))
-        .join(sym.select(F.col("src").alias("b"), F.col("dst").alias("w")), "w")
-        .where(F.col("a") < F.col("b"))
-    )
     return (
-        oriented.join(
-            wedge,
-            (oriented["src"] == wedge["a"]) & (oriented["dst"] == wedge["b"]),
-        )
-        .groupBy("src", "dst")
-        .agg(F.count("*").cast("long").alias("support"))
+        _edge_support(oriented)
         .select(
             F.col("src").alias("part_a"),
             F.col("dst").alias("part_b"),
@@ -2831,6 +2867,12 @@ def katz_centrality(
 
     Scale shape: per hop one src-keyed join + dst-keyed aggregate on the
     skew-capped edge relation; no normalization scalar needed."""
+    # deliberately NO per-hop localCheckpoint: each hop's vector is a 20k-row
+    # aggregate whose only duplicate consumer is the final union, and AQE's
+    # exchange reuse already dedups the identical subtrees — an A/B at sf0.1
+    # measured the checkpointed form SLOWER (6.2s vs 4.9s): under AQE a
+    # localCheckpoint executes its subplan at construction time, serializing
+    # the hops into blocking jobs (see OPTIMIZATION_r10.md).
     edges = _symmetric_edges(lineitem, max_basket)
     nodes = edges.select(F.col("src").alias("node")).distinct()
     v = nodes.select("node", F.lit(1000000).cast("long").alias("x"))
