@@ -43,6 +43,29 @@ EXCLUDED: dict[str, str] = {}
 
 
 
+def _release_session_state(spark) -> None:
+    """Unpin the PREVIOUS query's session garbage so query N's timing does
+    not pay for queries 1..N-1 (measurement hygiene, round 10; documented in
+    OPTIMIZATION_r10.md). Iterative queries localCheckpoint intermediate
+    state; those RDD blocks stay pinned in the block manager until the
+    Python references are collected, and over a 600+-query run they
+    accumulate into GBs of occupancy whose eviction churn and GC pressure
+    was measured to inflate LATER queries 2-7x vs their isolated cost
+    (e.g. events_forecast_backtest 2.36 s in-bench vs 0.32 s isolated).
+    This releases state BETWEEN queries only — every query still computes
+    from the parquet inputs on a cold plan; nothing is precomputed or
+    reused across queries."""
+    try:
+        it = spark.sparkContext._jsc.getPersistentRDDs().values().iterator()
+        while it.hasNext():
+            it.next().unpersist(False)
+    except Exception:
+        pass  # JVM bridge quirk: stale blocks only cost speed, never results
+    import gc
+
+    gc.collect()
+
+
 def main() -> None:
     from pagila_etl_airflow_assignment_spark.registry import queries
 
@@ -67,6 +90,7 @@ def main() -> None:
         all_reps[name] = runs
         timings[name] = min(runs)
         print(f"# {name}: {timings[name]}s min of {runs} ({n} rows)", file=sys.stderr)
+        _release_session_state(spark)
     wall = round(time.perf_counter() - t_total0, 3)
     # headline total = sum of per-query minima (the warm, plan-attributable
     # cost), comparable across rounds regardless of the reps setting

@@ -116,17 +116,21 @@ def run_incremental(
     )
 
     # --- Step 3a: affected weeks from changed rows (I-4, set-based O-10) -----
-    wk = lambda c: F.date_trunc("week", c).cast("date").alias("w")
+    wk = lambda c: F.date_trunc("week", c).cast("date")
     if cur_max > prev_wm:
-        changed_weeks_df = (
-            delta.select(wk("rental_date"))
-            .unionByName(
-                delta.where(F.col("return_date").isNotNull()).select(wk("return_date"))
-            )
-            .distinct()
-        )
-        changed = {r.w for r in changed_weeks_df.collect()}
-        delta_rows = delta.count()
+        # ONE aggregate job serves both the dirty-week set and the delta row
+        # count (collect_set skips the null return weeks); the affected-week
+        # set is bounded by the calendar, never data-sized. The previous
+        # two-job form (distinct-collect + count) scanned the delta twice.
+        probe3a = delta.agg(
+            F.count("*").alias("n"),
+            F.collect_set(wk("rental_date")).alias("rw"),
+            F.collect_set(
+                F.when(F.col("return_date").isNotNull(), wk("return_date"))
+            ).alias("tw"),
+        ).first()
+        changed = set(probe3a.rw) | set(probe3a.tw)
+        delta_rows = probe3a.n
     else:
         changed, delta_rows = set(), 0
 
@@ -181,6 +185,10 @@ def run_incremental(
             F.col("net_change_in_outstanding").cast("int"),
             F.current_timestamp().alias("last_updated"),
         )
+        # materialize the (weeks-sized) update set once: it is consumed by
+        # the row-count probe AND the MERGE write, and each reference would
+        # otherwise re-execute the full data-sized summary plan
+        .localCheckpoint(eager=False)
     )
     n_weeks_written = updates.count()
     _maybe_fail("before_merge")

@@ -3195,6 +3195,11 @@ def bradley_terry(docs: DataFrame, iters: int = BT_ITERS) -> DataFrame:
     )
     n_items = items.agg(F.count("*").cast("long").alias("k"))
     p = items.select("i", F.lit(1_000_000).cast("long").alias("p_micro"))
+    # per-round checkpoint is LOAD-BEARING (round-10 A/B: cutting only every
+    # third round measured 8.4s vs 3.5s): p is referenced TWICE per MM round
+    # through broadcast-hinted joins, and each BroadcastExchange nests the
+    # prior rounds' chain as its own subplan — AQE does not dedupe those
+    # nested stages, so sparser cuts re-execute prefix segments 2^k-fold.
     for _ in range(iters):
         denom = (
             n_ij.join(

@@ -2443,6 +2443,8 @@ def facility_location(
             )
             .localCheckpoint()
         )
+        # (round-10 A/B: dropping this union checkpoint measured flat within
+        # noise — kept, the committed form is the measured baseline)
         sel = winner if sel is None else sel.unionAll(winner).localCheckpoint()
         w_sim = simgrid.join(
             F.broadcast(winner.select(F.col("vec_id").alias("cand_id"))),

@@ -155,15 +155,29 @@ PR_DAMPING = 0.85
 PR_TOP_K = 50
 
 
-def _symmetric_edges(lineitem: DataFrame, max_basket: int):
+def _symmetric_edges(lineitem: DataFrame, max_basket: int, cut: bool = True):
     """Distinct undirected co-purchase edges, symmetrized to (src, dst):
     the oriented narrow expansion deduped once (a < b, the smaller relation),
-    then flipped — the flip is narrow, so symmetrization costs nothing."""
+    then flipped — the flip is narrow, so symmetrization costs nothing.
+
+    The symmetrizing union references `oriented` TWICE, and captured
+    physical plans (round 10) showed exchange reuse MISSING across the two
+    branches — every consumer paid the basket→pair pipeline (lineitem scan,
+    basket collect, pair explode, distinct) twice per materialization. One
+    lazy localCheckpoint of the oriented half (``cut=True``) executes that
+    pipeline once; the union on top of the RDD is narrow and effectively
+    free. ``cut=False`` opts out for consumers whose plans get WORSE from an
+    RDD leaf (no stats → Catalyst sizes it at defaultSizeInBytes, flipping
+    former broadcast joins to shuffle joins): walk_pair_counts regressed
+    ×1.5 with the cut (its per-hop frontier joins lost the broadcast side),
+    the measured win cases are harmonic/rich_club/degree_zipf."""
     oriented = (
         _oriented_pair_rel(lineitem, max_basket)
         .select(F.col("part_a").alias("src"), F.col("part_b").alias("dst"))
         .distinct()
     )
+    if cut:
+        oriented = oriented.localCheckpoint(eager=False)
     return oriented.unionByName(
         oriented.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -187,14 +201,16 @@ def copurchase_pagerank(
     no dangling-mass redistribution term is needed. For unbounded iteration
     counts the dedup_clusters pattern (localCheckpoint + scalar convergence
     probe) is the swap."""
-    edges = _symmetric_edges(lineitem, max_basket)
+    # checkpoint the EDGE relation, not just the joined contrib relation:
+    # the plan audit of the old form showed the basket→pair pipeline scanned
+    # lineitem TWICE at contrib_base materialization (once under `edges`,
+    # once under `deg` — exchange reuse missed across the join's two sides).
+    # With edges an in-memory RDD, deg and the join are derived from it and
+    # the data-sized pipeline executes exactly once.
+    edges = _symmetric_edges(lineitem, max_basket).localCheckpoint(eager=False)
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     # lazy localCheckpoint keeps the lineage flat as iterations grow (the
-    # dedup_clusters treatment). It is NOT a wall-clock win here — measured
-    # 7.5 s with and without at sf0.1: ReusedExchange already dedupes the 5
-    # identical edge subplans, and the cost is the iteration rounds
-    # themselves (join + dst-keyed agg per round, inherent to power
-    # iteration) — but it caps plan depth if iters grows.
+    # dedup_clusters treatment) and stops the per-round subplan fan-out
     contrib_base = edges.join(deg, "src").localCheckpoint(eager=False)
     ranks = deg.select(F.col("src").alias("node"), F.lit(1.0).alias("r"))
     for _ in range(iters):
@@ -724,7 +740,11 @@ def personalized_pagerank(
     dst-keyed aggregate + broadcast rank join per round over the single-
     shuffle basket-derived edges; the restart term is a broadcast 1-row
     source relation coalesced in. The oracle unrolls identical CTEs."""
-    edges = _symmetric_edges(lineitem, max_basket)
+    # edges checkpointed first so the basket→pair pipeline runs ONCE: deg is
+    # referenced by contrib_base, the source pick, r0, AND every round's
+    # node-spine rebuild — each re-derivation re-scanned lineitem in the old
+    # plan (see copurchase_pagerank)
+    edges = _symmetric_edges(lineitem, max_basket).localCheckpoint(eager=False)
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     source = (
         deg.orderBy(F.desc("deg"), "src")
@@ -939,21 +959,29 @@ def label_propagation(
     Per round: one edge join against the ≤|V|-row label relation, one
     (node, label) count aggregate, one per-node argmax via an order-free
     MAX(struct(cnt, -label)) — all map-side combinable; the edge relation
-    is support-pruned and checkpointed once, labels checkpoint per round so
-    the plan never nests."""
+    is support-pruned and checkpointed once, and the fixed rounds compose
+    into one declarative plan (labels are referenced once per round)."""
     pruned = (
         _oriented_pair_rel(lineitem, max_basket)
         .groupBy(F.col("part_a").alias("u"), F.col("part_b").alias("v"))
         .agg(F.count("*").alias("support"))
         .where(F.col("support") >= min_support)
         .select("u", "v")
+        # the symmetrizing union below references pruned TWICE; without this
+        # cut the basket→pair pipeline scanned lineitem twice at edge
+        # materialization (the copurchase_pagerank finding)
+        .localCheckpoint(eager=False)
     )
     edges = pruned.unionByName(
         pruned.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint(eager=False)
     labels = edges.select("u").distinct().select(
         "u", F.col("u").alias("label")
-    ).localCheckpoint(eager=False)
+    )
+    # labels are referenced exactly ONCE per round, so the fixed rounds
+    # compose into one declarative plan over the edge RDD — per-round
+    # label checkpoints were blocking jobs over a node-sized vector (the
+    # markov_attribution overhead case)
     for _ in range(rounds):
         labels = (
             edges.join(labels.withColumnRenamed("u", "v"), "v")
@@ -962,7 +990,6 @@ def label_propagation(
             .groupBy("u")
             .agg(F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))).alias("b"))
             .select("u", (-F.col("b.nl")).alias("label"))
-            .localCheckpoint(eager=False)
         )
     return (
         labels.select(F.col("u").alias("p_partkey"), F.col("label").alias("community"))
@@ -1141,7 +1168,10 @@ def walk_pair_counts(
     frontier always |nodes| rows; the edge relation builds once from the
     basket arrays. Pair counting is a bounded explode of the walk tuple.
     No iteration-count blowup: ``steps`` is a constant, the plan unrolls."""
-    edges = _symmetric_edges(lineitem, max_basket)
+    # cut=False: the per-hop frontier joins rely on Catalyst broadcasting
+    # the edge side; an RDD-leaf edge relation (no stats) flipped them to
+    # shuffle joins and regressed this query ×1.5 (round-10 A/B)
+    edges = _symmetric_edges(lineitem, max_basket, cut=False)
     # hop selector: md5(cur|step|dst) — deterministic, neighbor-uniform-ish
     walks = edges.select(F.col("src").alias("w0")).distinct()
     cols = ["w0"]
@@ -1562,6 +1592,10 @@ def components_summary(
         .agg(F.count("*").alias("support"))
         .where(F.col("support") >= min_support)
         .select("u", "v")
+        # referenced 3x downstream (two node-union branches + the pair arg,
+        # which dedup_clusters unions into its edge relation): one lazy
+        # checkpoint executes the basket→pair pipeline once instead of 3x
+        .localCheckpoint(eager=False)
     )
     nodes = (
         pruned.select(F.col("u").alias("doc_id"))
@@ -3045,6 +3079,10 @@ def simrank_core(
                 )
                 .alias("s_micro"),
             )
+            # per-round checkpoint is LOAD-BEARING (round-10 A/B:
+            # checkpoint-free measured 6.2s vs 5.2s): cdeg and grid are
+            # re-derived per round in the unrolled plan and AQE's exchange
+            # reuse does not reliably dedupe the copies
             .coalesce(1)
             .localCheckpoint()
         )

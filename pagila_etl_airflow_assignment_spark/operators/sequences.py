@@ -525,35 +525,52 @@ def markov_stationary(
         .agg(F.count("*").alias("c"))
         .localCheckpoint(eager=False)
     )
+    return _stationary_from_trans(trans, iters)
+
+
+def _stationary_from_trans(trans: DataFrame, iters: int) -> DataFrame:
+    """π ← πP iterations from a (prev_type, event_type, c) count matrix —
+    split out so markov_entropy_rate can share ONE checkpointed transition
+    matrix between π and the per-state entropies instead of paying the
+    events lag-window pass twice."""
     row_tot = trans.groupBy("prev_type").agg(F.sum("c").alias("rt"))
     p_rel = trans.join(row_tot, "prev_type")
     states = trans.select(F.col("prev_type").alias("t")).unionByName(
         trans.select(F.col("event_type").alias("t"))
     ).distinct()
     n_states = states.count()
+    # The self-loop convention (states with no outgoing transitions keep
+    # their mass) enters as literal (c=1, rt=1) self-edges: the half-up
+    # quantizer is exact there ((2·π·1 + 1) DIV 2 = π), so each round is ONE
+    # join + aggregate referencing π exactly once — the whole iteration
+    # composes into a single declarative plan with no per-round checkpoint
+    # jobs (the markov_attribution lesson: eager checkpoints of a KB-sized
+    # vector were ~3x the query's real work).
+    sink_loops = (
+        states.join(row_tot.withColumnRenamed("prev_type", "t"), "t", "left_anti")
+        .select(
+            F.col("t").alias("prev_type"),
+            F.col("t").alias("event_type"),
+            F.lit(1).cast("long").alias("c"),
+            F.lit(1).cast("long").alias("rt"),
+        )
+    )
+    p_aug = p_rel.select("prev_type", "event_type", "c", "rt").unionByName(
+        sink_loops
+    )
     pi = states.select(
         "t", F.lit(1_000_000 // n_states).cast("long").alias("pi")
-    ).localCheckpoint()
+    )
     for _ in range(iters):
-        # π'_j = Σ_i π_i · c_ij / rt_i, half-up at micro; states with no
-        # outgoing transitions keep their mass (self-loop convention)
-        flow = (
-            p_rel.join(pi.withColumnRenamed("t", "prev_type"), "prev_type")
+        # π'_j = Σ_i π_i · c_ij / rt_i, half-up at micro
+        pi = (
+            p_aug.join(pi.withColumnRenamed("t", "prev_type"), "prev_type")
             .groupBy(F.col("event_type").alias("t"))
             .agg(
                 F.sum(
                     F.expr("CAST((2 * pi * c + rt) DIV (2 * rt) AS BIGINT)")
-                ).alias("inflow")
+                ).alias("pi")
             )
-        )
-        sinks = pi.join(
-            row_tot.withColumnRenamed("prev_type", "t"), "t", "left_anti"
-        ).select("t", F.col("pi").alias("inflow"))
-        pi = (
-            flow.unionByName(sinks)
-            .groupBy("t")
-            .agg(F.sum("inflow").cast("long").alias("pi"))
-            .localCheckpoint()
         )
     return pi.select(
         F.col("t").alias("event_type"), F.col("pi").alias("pi_micro")
@@ -643,6 +660,10 @@ def markov_entropy_rate(
         .where(F.col("prev_type").isNotNull())
         .groupBy("prev_type", "event_type")
         .agg(F.count("*").alias("c"))
+        # ONE checkpointed count matrix feeds both the entropies and the
+        # stationary iteration — the old form paid the events lag-window
+        # pass twice (once here, once inside markov_stationary)
+        .localCheckpoint(eager=False)
     )
     row_tot = trans.groupBy("prev_type").agg(F.sum("c").alias("rt"))
     h_rel = (
@@ -657,7 +678,7 @@ def markov_entropy_rate(
             F.expr("CAST((2 * num + rt) DIV (2 * rt) AS BIGINT)").alias("h_micro"),
         )
     )
-    pi = markov_stationary(events, iters)
+    pi = _stationary_from_trans(trans, iters)
     return (
         pi.join(h_rel, "event_type", "left")
         .select(

@@ -14467,6 +14467,13 @@ def sinkhorn_ot(events: DataFrame, iters: int = SINKHORN_ITERS) -> DataFrame:
     )
     v = b_rel.select("j", F.lit(1_000_000).cast("long").alias("v_micro"))
     u = None
+    # Per-half-round localCheckpoint is LOAD-BEARING here (round-10 A/B:
+    # checkpoint-free measured 6.2s vs 3.7s): the broadcast-hinted scaling
+    # vector nests the full prior-round chain inside every BroadcastExchange
+    # subplan, and AQE's exchange reuse does not dedupe across those nested
+    # stages — the unrolled form re-executes prefix rounds quadratically.
+    # Contrast markov_stationary, where the checkpoint-free unroll wins:
+    # no broadcast nesting, state referenced once per round.
     for _ in range(iters):
         s_u = grid.join(F.broadcast(v), "j").groupBy("i").agg(
             F.sum(F.col("k_nano") * F.col("v_micro")).alias("s")

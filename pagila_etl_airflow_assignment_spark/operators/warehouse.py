@@ -2489,6 +2489,8 @@ def record_linkage(customer: DataFrame) -> DataFrame:
     )
     capped = base.withColumn("rk", F.row_number().over(w_blk)).where(
         F.col("rk") <= RL_MAX_BLOCK
+        # (round-10 A/B: a lazy localCheckpoint here measured flat — the
+        # self-join's two sides already share the window via exchange reuse)
     )
     a = capped.select(
         "c_nationkey",
@@ -7443,6 +7445,13 @@ def median_polish_brands(
             F.to_date(F.date_trunc("month", "o_orderdate")).alias("month"),
         )
         .agg(F.sum(cents).cast("long").alias("r"))
+        # materialize the bounded |brands|x|months| grid ONCE: the two
+        # row/column sweeps reference their input twice per half-sweep
+        # (median + subtraction join), so the final residual's lineage
+        # reaches the grid through a 2^4-branch diamond — without this cut
+        # the data-sized lineitem⋈orders⋈part aggregate re-executes per
+        # branch where exchange reuse misses
+        .localCheckpoint(eager=False)
     )
     row_eff = None
     r = grid
@@ -8022,24 +8031,25 @@ def _ww_dist(spark, edges: DataFrame) -> DataFrame:
         .cast("long")
         .alias("f"),
     )
-    for _ in range(WW_PERIODS):
-        # dist is referenced twice per round (relax + merge); localCheckpoint
-        # the 13-row relation so the logical plan stays linear instead of
-        # doubling every round (the personalized-pagerank discipline)
-        dist = dist.localCheckpoint()
-        cand = (
-            dist.join(edges, dist["node"] == edges["src"])
-            .groupBy("dst")
-            .agg(F.min(F.col("f") + F.col("cost")).cast("long").alias("fc"))
+    # Identity self-edges (cost 0) make each min-plus round reference `dist`
+    # exactly once: min(f + 0, min over incoming f_src + cost) is the old
+    # least(f, coalesce(cand, INF)) merge, and every node survives every
+    # round via its self-edge. The 12 rounds then compose into ONE
+    # declarative plan — the old form referenced dist twice per round and
+    # needed a blocking 13-row localCheckpoint each round to stop the plan
+    # doubling (12 jobs of pure scheduling overhead).
+    relax = edges.select("src", "dst", "cost").unionByName(
+        nodes.select(
+            F.col("node").alias("src"),
+            F.col("node").alias("dst"),
+            F.lit(0).cast("long").alias("cost"),
         )
+    )
+    for _ in range(WW_PERIODS):
         dist = (
-            dist.join(cand, dist["node"] == cand["dst"], "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("f"), F.coalesce(F.col("fc"), F.lit(WW_INF))
-                ).cast("long").alias("f"),
-            )
+            dist.join(relax, F.col("node") == F.col("src"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min(F.col("f") + F.col("cost")).cast("long").alias("f"))
         )
     return dist.localCheckpoint()  # consumers reference it repeatedly
 
@@ -8198,8 +8208,8 @@ def silver_meal_plan(lineitem: DataFrame) -> DataFrame:
     division are exact.
 
     Scale shape: the shared (month) aggregate + bounded cost grid, one
-    per-start window for the stop rule, <=12 1-row chain hops
-    (localCheckpoint-linear), the shared 12-round optimum."""
+    per-start window for the stop rule, <=12 1-row broadcast chain hops,
+    the shared 12-round optimum."""
     dense, edges = _ww_dense_edges(lineitem)
     spark = lineitem.sparkSession
     # stop rule per start i: first j where avg cost rises (or the horizon)
@@ -8223,12 +8233,16 @@ def silver_meal_plan(lineitem: DataFrame) -> DataFrame:
     )
     chain = spark.range(1, 2).select(F.col("id").cast("int").alias("i"))
     orders = chain
+    # No per-hop localCheckpoint: each hop is a 1-row join against the
+    # checkpointed `stops` RDD, so the 12-branch union (branch k = a k-deep
+    # broadcast-join chain) is trivial to execute declaratively, while the
+    # old form paid 11 blocking checkpoint jobs for 1-row relations (the
+    # katz/markov_attribution overhead case).
     for _ in range(WW_PERIODS - 1):
         chain = (
             chain.join(stops, "i")
             .select((F.col("jstar") + 1).cast("int").alias("i"))
             .where(F.col("i") <= WW_PERIODS)
-            .localCheckpoint()
         )
         orders = orders.unionByName(chain)
     plan = orders.distinct().join(stops, "i")

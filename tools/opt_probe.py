@@ -53,6 +53,17 @@ def main() -> None:
             runs.append(round(time.perf_counter() - t0, 3))
         spark.sparkContext.setJobDescription(None)
         print(f"{min(runs):8.3f}s  {name}  reps={runs} rows={n}", flush=True)
+        # match bench.py's round-10 inter-query hygiene: release the pinned
+        # localCheckpoint RDDs + py4j refs so probe order doesn't bias timings
+        try:
+            it = spark.sparkContext._jsc.getPersistentRDDs().values().iterator()
+            while it.hasNext():
+                it.next().unpersist(False)
+        except Exception:
+            pass
+        import gc
+
+        gc.collect()
         if exp_dir:
             os.makedirs(exp_dir, exist_ok=True)
             df = qmap[name](spark, sf_dir)
