@@ -29,7 +29,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from pagila_etl_airflow_assignment_spark.session import build_session
+from pagila_etl_airflow_assignment_spark.session import (
+    build_session,
+    release_session_state as _release_session_state,
+)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -39,31 +42,14 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # them would not show in any BENCH artifact). Exclusions must be explicit AND
 # justified here; there are currently none — the full registry runs clean at
 # sf0.1 (the round-9 519-query bare sweep plus per-addition verification).
+#
+# Inter-query hygiene lives in session.release_session_state (round 11: one
+# shared implementation for bench.py and tools/opt_probe.py, extended to also
+# GC the JVM so the ContextCleaner drops broadcast blocks and shuffle files
+# between queries — the round-10 residual in-bench-vs-isolated divergence).
+# It runs BETWEEN queries, never inside a timed rep; nothing is cached,
+# precomputed or reused across queries.
 EXCLUDED: dict[str, str] = {}
-
-
-
-def _release_session_state(spark) -> None:
-    """Unpin the PREVIOUS query's session garbage so query N's timing does
-    not pay for queries 1..N-1 (measurement hygiene, round 10; documented in
-    OPTIMIZATION_r10.md). Iterative queries localCheckpoint intermediate
-    state; those RDD blocks stay pinned in the block manager until the
-    Python references are collected, and over a 600+-query run they
-    accumulate into GBs of occupancy whose eviction churn and GC pressure
-    was measured to inflate LATER queries 2-7x vs their isolated cost
-    (e.g. events_forecast_backtest 2.36 s in-bench vs 0.32 s isolated).
-    This releases state BETWEEN queries only — every query still computes
-    from the parquet inputs on a cold plan; nothing is precomputed or
-    reused across queries."""
-    try:
-        it = spark.sparkContext._jsc.getPersistentRDDs().values().iterator()
-        while it.hasNext():
-            it.next().unpersist(False)
-    except Exception:
-        pass  # JVM bridge quirk: stale blocks only cost speed, never results
-    import gc
-
-    gc.collect()
 
 
 def main() -> None:

@@ -96,41 +96,40 @@ def run_incremental(
         watermark_reset = True
     _maybe_fail("after_reset")
 
-    # --- Step 1: time window (A-2) -------------------------------------------
+    # --- Steps 1-3a fused: ONE source pass (A-2 + I-3 + I-4) ------------------
+    # The watermark is read BEFORE the probe, and the half-open delta window
+    # (prev, cur_max] has cur_max = MAX(last_update) over this very snapshot —
+    # its upper bound never excludes a row — so the delta membership predicate
+    # reduces to last_update > prev_wm, computable in the SAME aggregate that
+    # finds the window bounds. One full-source aggregate now serves the window
+    # probe, the delta row count AND the dirty-week set (collect_set skips the
+    # NULL non-delta / null-return entries; the week set is calendar-bounded,
+    # never data-sized). The previous two-job form scanned the source twice.
+    # When cur_max <= prev_wm no row passes the membership predicate, so the
+    # count/sets degrade to 0/empty exactly as the old guarded branch did.
     prev_wm = store.read(process_name)
+    wk = lambda c: F.date_trunc("week", c).cast("date")
+    act = F.to_date(
+        F.greatest("rental_date", F.coalesce("return_date", "rental_date"))
+    )
+    in_delta = F.col("last_update") > F.lit(prev_wm)
     probe = rental.agg(
         F.max("last_update").alias("max_lu"),
-        F.max(
-            F.to_date(F.greatest("rental_date", F.coalesce("return_date", "rental_date")))
-        ).alias("max_activity"),
-        F.min(
-            F.to_date(F.greatest("rental_date", F.coalesce("return_date", "rental_date")))
-        ).alias("min_activity"),
+        F.max(act).alias("max_activity"),
+        F.min(act).alias("min_activity"),
+        F.count(F.when(in_delta, F.lit(1))).alias("n_delta"),
+        F.collect_set(F.when(in_delta, wk("rental_date"))).alias("rw"),
+        F.collect_set(
+            F.when(in_delta & F.col("return_date").isNotNull(), wk("return_date"))
+        ).alias("tw"),
     ).first()
     cur_max = probe.max_lu if probe.max_lu is not None else prev_wm
     _maybe_fail("after_window")
 
-    # --- Step 2: delta over half-open (prev, cur] window (I-3/B-2) -----------
-    delta = rental.where(
-        (F.col("last_update") > F.lit(prev_wm)) & (F.col("last_update") <= F.lit(cur_max))
-    )
-
     # --- Step 3a: affected weeks from changed rows (I-4, set-based O-10) -----
-    wk = lambda c: F.date_trunc("week", c).cast("date")
     if cur_max > prev_wm:
-        # ONE aggregate job serves both the dirty-week set and the delta row
-        # count (collect_set skips the null return weeks); the affected-week
-        # set is bounded by the calendar, never data-sized. The previous
-        # two-job form (distinct-collect + count) scanned the delta twice.
-        probe3a = delta.agg(
-            F.count("*").alias("n"),
-            F.collect_set(wk("rental_date")).alias("rw"),
-            F.collect_set(
-                F.when(F.col("return_date").isNotNull(), wk("return_date"))
-            ).alias("tw"),
-        ).first()
-        changed = set(probe3a.rw) | set(probe3a.tw)
-        delta_rows = probe3a.n
+        changed = set(probe.rw) | set(probe.tw)
+        delta_rows = probe.n_delta
     else:
         changed, delta_rows = set(), 0
 

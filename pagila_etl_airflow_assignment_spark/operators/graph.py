@@ -158,19 +158,28 @@ PR_TOP_K = 50
 def _symmetric_edges(lineitem: DataFrame, max_basket: int, cut: bool = True):
     """Distinct undirected co-purchase edges, symmetrized to (src, dst):
     the oriented narrow expansion deduped once (a < b, the smaller relation),
-    then flipped — the flip is narrow, so symmetrization costs nothing.
+    then BOTH directions emitted by one narrow explode.
 
-    The symmetrizing union references `oriented` TWICE, and captured
-    physical plans (round 10) showed exchange reuse MISSING across the two
-    branches — every consumer paid the basket→pair pipeline (lineitem scan,
-    basket collect, pair explode, distinct) twice per materialization. One
-    lazy localCheckpoint of the oriented half (``cut=True``) executes that
-    pipeline once; the union on top of the RDD is narrow and effectively
-    free. ``cut=False`` opts out for consumers whose plans get WORSE from an
-    RDD leaf (no stats → Catalyst sizes it at defaultSizeInBytes, flipping
-    former broadcast joins to shuffle joins): walk_pair_counts regressed
-    ×1.5 with the cut (its per-hop frontier joins lost the broadcast side),
-    the measured win cases are harmonic/rich_club/degree_zipf."""
+    Round 11: the flip used to be a self-union, which references `oriented`
+    TWICE — captured round-10 plans showed exchange reuse MISSING across the
+    two branches, so every materialization paid the basket→pair pipeline
+    (lineitem scan, basket collect, pair explode, distinct) twice unless an
+    inner checkpoint was inserted, and THAT pinned a second copy of the edge
+    bytes for callers who checkpoint the symmetric relation themselves
+    (round-10 ADVICE). `explode` of the two orientations references
+    `oriented` ONCE: one pipeline execution per materialization by
+    construction, no union, and Catalyst stats survive (sizeInBytes ≈ 2×
+    the oriented child), so broadcast decisions downstream are unaffected.
+
+    ``cut=True`` additionally localCheckpoints the oriented half — for
+    consumers that reference the RESULT repeatedly without checkpointing it
+    themselves (katz's per-hop joins, simrank's prefix), so the pipeline
+    runs once per query rather than once per reference. Callers that
+    checkpoint the symmetric relation themselves pass ``cut=False``: the
+    outer checkpoint already bounds the pipeline to one execution, and the
+    inner RDD would just pin a second copy of every edge. ``cut=False`` is
+    also the stats-preserving choice (an RDD leaf has none) — the round-10
+    walk_pair_counts ×1.5 regression was exactly a lost broadcast."""
     oriented = (
         _oriented_pair_rel(lineitem, max_basket)
         .select(F.col("part_a").alias("src"), F.col("part_b").alias("dst"))
@@ -178,9 +187,14 @@ def _symmetric_edges(lineitem: DataFrame, max_basket: int, cut: bool = True):
     )
     if cut:
         oriented = oriented.localCheckpoint(eager=False)
-    return oriented.unionByName(
-        oriented.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    return oriented.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src").alias("src"), F.col("dst").alias("dst")),
+                F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+            )
+        ).alias("e")
+    ).select(F.col("e.src").alias("src"), F.col("e.dst").alias("dst"))
 
 
 def copurchase_pagerank(
@@ -207,7 +221,7 @@ def copurchase_pagerank(
     # once under `deg` — exchange reuse missed across the join's two sides).
     # With edges an in-memory RDD, deg and the join are derived from it and
     # the data-sized pipeline executes exactly once.
-    edges = _symmetric_edges(lineitem, max_basket).localCheckpoint(eager=False)
+    edges = _symmetric_edges(lineitem, max_basket, cut=False).localCheckpoint(eager=False)
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     # lazy localCheckpoint keeps the lineage flat as iterations grow (the
     # dedup_clusters treatment) and stops the per-round subplan fan-out
@@ -499,7 +513,7 @@ def bfs_hop_distance(
     (A/B-measured 11.1 s → 8.1 s at sf0.1; the residual cost is the hop
     joins themselves — this fixture's co-purchase graph is dense, so the
     hop-1 frontier is nearly the whole graph)."""
-    edges = _symmetric_edges(lineitem, max_basket).localCheckpoint(eager=True)
+    edges = _symmetric_edges(lineitem, max_basket, cut=False).localCheckpoint(eager=True)
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     source = (
         deg.orderBy(F.desc("deg"), "src")
@@ -744,7 +758,7 @@ def personalized_pagerank(
     # referenced by contrib_base, the source pick, r0, AND every round's
     # node-spine rebuild — each re-derivation re-scanned lineitem in the old
     # plan (see copurchase_pagerank)
-    edges = _symmetric_edges(lineitem, max_basket).localCheckpoint(eager=False)
+    edges = _symmetric_edges(lineitem, max_basket, cut=False).localCheckpoint(eager=False)
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     source = (
         deg.orderBy(F.desc("deg"), "src")
@@ -871,7 +885,7 @@ def kcore_membership(
     Output: the surviving node set with its residual degree after the last
     peel (residual >= k certifies core membership when the peel converged;
     the n_peels column makes the fixed-round contract explicit)."""
-    edges = _symmetric_edges(lineitem, max_basket).localCheckpoint(eager=False)
+    edges = _symmetric_edges(lineitem, max_basket, cut=False).localCheckpoint(eager=False)
     for _ in range(peels):
         deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
         keep = deg.where(F.col("deg") >= k).select("src")
@@ -1801,7 +1815,7 @@ def harmonic_centrality(
     Scale shape: each round is one (seed-tagged) frontier-edges join +
     distinct, anti-joined against the per-seed visited set — BFS economics
     ×{HARMONIC_SEEDS}; the centrality is one node-keyed SUM."""
-    edges = _symmetric_edges(lineitem, max_basket).localCheckpoint(eager=True)
+    edges = _symmetric_edges(lineitem, max_basket, cut=False).localCheckpoint(eager=True)
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     seed_rel = (
         deg.orderBy(F.desc("deg"), "src")
@@ -1917,7 +1931,9 @@ def degree_zipf(
 
     Scale shape: one node-degree aggregate, one |degrees|-row histogram,
     closed-form fit — no iteration."""
-    edges = _symmetric_edges(lineitem, max_basket)
+    # cut=False: edges is referenced exactly once (deg), so the pipeline runs
+    # once regardless and an inner checkpoint would only add a blocking job
+    edges = _symmetric_edges(lineitem, max_basket, cut=False)
     deg = edges.groupBy("src").agg(F.count("*").alias("d"))
     hist = deg.groupBy("d").agg(F.count("*").alias("cnt"))
     pts = hist.select(
@@ -1992,7 +2008,7 @@ def rich_club(
 
     Scale shape: one degree aggregate reused across the sweep; per-k work
     is a double broadcast semi-join + count."""
-    edges = _symmetric_edges(lineitem, max_basket).localCheckpoint(eager=True)
+    edges = _symmetric_edges(lineitem, max_basket, cut=False).localCheckpoint(eager=True)
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     sweeps = []
     for k in RICH_CLUB_KS:
@@ -2553,7 +2569,7 @@ def eigenvector_centrality(
     # round's lineage (and the main plan executes it again) — without the
     # checkpoints the work per round roughly doubles (measured 8.6s → 4.6s
     # at sf0.1 for 3 iterations vs the round-10-build floor).
-    edges = _symmetric_edges(lineitem, max_basket).localCheckpoint(eager=False)
+    edges = _symmetric_edges(lineitem, max_basket, cut=False).localCheckpoint(eager=False)
     # x1 = A . 1 = degree; normalize to micro
     deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("x"))
     scores = deg.select(F.col("src").alias("node"), F.col("x"))
@@ -2642,26 +2658,30 @@ KTRUSS_K = 4     # every surviving edge sits in >= k-2 = 2 triangles
 KTRUSS_PEELS = 2
 
 
-def _edge_support(oriented: DataFrame) -> DataFrame:
-    """Per-edge triangle count (SUPPORT) on an id-oriented edge relation
-    (src < dst, distinct): enumerate each triangle (a < b < c) exactly ONCE
-    — wedge join o(a,b) ⋈ o(b,c) on the mid node, closed against o(a,c) —
-    then explode the triangle into its 3 edges and count per edge.
+def _enumerate_triangles(oriented: DataFrame) -> DataFrame:
+    """All triangles (a < b < c) of an id-oriented edge relation (src < dst,
+    distinct), each found exactly ONCE: wedge join o(a,b) ⋈ o(b,c) on the
+    mid node, closed against o(a,c).
 
-    Economics vs the symmetric wedge join this replaced: wedge volume
-    drops from Σ_w C(d_w, 2) over FULL degrees to Σ_b C(outdeg_b, 2) over
-    id-oriented out-degrees (measured 147.8M → 49.3M rows on the sf0.1
+    Economics vs the symmetric wedge join this replaced (round 10): wedge
+    volume drops from Σ_w C(d_w, 2) over FULL degrees to Σ_b C(outdeg_b, 2)
+    over id-oriented out-degrees (measured 147.8M → 49.3M rows on the sf0.1
     graph, ×3 less), and the closing join carries one wedge per candidate
-    instead of one per (edge, witness) incidence. Edges in no triangle
-    have support 0 and are absent from the output, exactly as in the
-    join-then-count form (inner-join semantics, unchanged)."""
+    instead of one per (edge, witness) incidence."""
     e1 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     e2 = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     closing = oriented.select(F.col("src").alias("a"), F.col("dst").alias("c"))
     # shuffle_hash: the closing side is a derived distinct whose size
     # Catalyst under-estimates; hash-building it per partition beats
     # sorting the wedge stream (the round-4 join-strategy-pin lesson).
-    tri = e1.join(e2, "b").join(closing.hint("shuffle_hash"), ["a", "c"])
+    return e1.join(e2, "b").join(closing.hint("shuffle_hash"), ["a", "c"])
+
+
+def _triangle_support(tri: DataFrame) -> DataFrame:
+    """Per-edge triangle count (SUPPORT) from a triangle list (a < b < c):
+    explode each triangle into its 3 oriented edges and count per edge.
+    Edges in no triangle have support 0 and are absent from the output
+    (inner-join semantics, unchanged from the wedge-join-per-round form)."""
     return (
         tri.select(
             F.explode(
@@ -2676,6 +2696,12 @@ def _edge_support(oriented: DataFrame) -> DataFrame:
         .groupBy("src", "dst")
         .agg(F.count("*").cast("long").alias("support"))
     )
+
+
+def _edge_support(oriented: DataFrame) -> DataFrame:
+    """Per-edge triangle count on an id-oriented edge relation: enumerate
+    each triangle once, explode to its 3 edges, count per edge."""
+    return _triangle_support(_enumerate_triangles(oriented))
 
 
 def ktruss_edges(
@@ -2694,31 +2720,58 @@ def ktruss_edges(
     pendant triangles passes). The truss condition is the standard
     tightening: an edge must be EMBEDDED in triangles, which is the
     community-detection workhorse one level up from the triangle census.
-    A fixed peel count keeps the whole decomposition one declarative plan
-    (the kcore treatment); the oracle unrolls identical rounds.
 
-    Scale shape: each round is one single-orientation triangle
-    enumeration (`_edge_support`: each triangle found once, exploded to
-    its 3 edges — NOT the symmetric wedge join, which generates 3× the
-    wedge rows for identical per-edge counts) + a support filter;
-    per-round localCheckpoint stops the subplan fan-out, exactly as in
-    kcore. The symmetric relation is never materialized at all."""
+    Execution (round 11): the triangle set is enumerated ONCE on the
+    original oriented relation and materialized; every peel round is then
+    pure triangle-list maintenance — because the triangles of a subgraph
+    O_i ⊆ O_0 are exactly the triangles of O_0 whose three edges all
+    survive in O_i, round i's triangle set is round i-1's anti-joined
+    against the (small, broadcast) set of edges dropped in round i-1.
+    Edges with NO triangle never appear in any triangle, so anti-joining
+    only the support<k-2 edges is sufficient. The wedge join (49.3M rows
+    at sf0.1) runs once instead of once per round (peels+1 = 3 times),
+    and the per-round work is an explode+count over the shrinking
+    triangle list — identical support counts, same plan-visible results
+    round for round; the oracle unrolls the recompute-per-round form."""
     oriented = (
         _oriented_pair_rel(lineitem, max_basket)
         .select(F.col("part_a").alias("src"), F.col("part_b").alias("dst"))
         .distinct()
         .localCheckpoint(eager=False)
     )
+    tri = _enumerate_triangles(oriented).localCheckpoint(eager=False)
     for _ in range(peels):
-        oriented = (
-            _edge_support(oriented)
-            .where(F.col("support") >= k - 2)
+        dropped = (
+            _triangle_support(tri)
+            .where(F.col("support") < k - 2)
             .select("src", "dst")
-            .localCheckpoint(eager=False)
+        )
+        tri = (
+            tri.join(
+                F.broadcast(dropped).select(
+                    F.col("src").alias("a"), F.col("dst").alias("b")
+                ),
+                ["a", "b"],
+                "left_anti",
+            )
+            .join(
+                F.broadcast(dropped).select(
+                    F.col("src").alias("b"), F.col("dst").alias("c")
+                ),
+                ["b", "c"],
+                "left_anti",
+            )
+            .join(
+                F.broadcast(dropped).select(
+                    F.col("src").alias("a"), F.col("dst").alias("c")
+                ),
+                ["a", "c"],
+                "left_anti",
+            )
         )
     # residual support of the survivors against the final edge set
     return (
-        _edge_support(oriented)
+        _triangle_support(tri)
         .select(
             F.col("src").alias("part_a"),
             F.col("dst").alias("part_b"),
@@ -3008,15 +3061,13 @@ def simrank_core(
     neighbor sums are order-free BIGINT aggregates; ties in the top list
     break on (part_a, part_b). Output: top-``top`` pairs (part_a, part_b,
     n_a, n_b, simrank_micro)."""
-    pairs = (
-        _oriented_pair_rel(lineitem, max_basket)
-        .groupBy("part_a", "part_b")
-        .agg(F.count("*").alias("w"))
-    )
-    sym = pairs.select("part_a", "part_b").unionAll(
-        pairs.select(
-            F.col("part_b").alias("part_a"), F.col("part_a").alias("part_b")
-        )
+    # round 11: the old prefix re-ran the basket→pair pipeline up to 4×
+    # (the symmetrizing union's two branches, under BOTH the core_rel and
+    # the edges checkpoint — exchange reuse misses across union branches,
+    # the round-10 _symmetric_edges finding). _symmetric_edges checkpoints
+    # the oriented half once; everything below derives from that RDD.
+    sym = _symmetric_edges(lineitem, max_basket).select(
+        F.col("src").alias("part_a"), F.col("dst").alias("part_b")
     )
     deg = sym.groupBy("part_a").agg(F.count("*").cast("long").alias("d"))
     core_rel = (

@@ -65,6 +65,49 @@ def build_session(
     return spark
 
 
+def release_session_state(spark: SparkSession) -> None:
+    """Unpin the PREVIOUS query's session garbage so a measurement harness
+    (bench.py, tools/opt_probe.py) does not charge query N for queries
+    1..N-1 (round-10/11 measurement hygiene; one shared implementation per
+    ADVICE.md round 10 so the two harness copies cannot drift).
+
+    Invariant this relies on: NO persisted state is referenced across query
+    boundaries — every query computes cold from the parquet inputs, and the
+    localCheckpoint RDDs a query pins live only within that query's
+    execution. Unpersisting a localCheckpointed RDD destroys its only copy
+    (lineage is truncated), so any DataFrame held across a query boundary
+    would fail with a missing-block error; nothing in the engine does that,
+    and the bench protocol forbids it.
+
+    What is released, and why (round-10 finding: late-run queries measured
+    2-7x their isolated cost before this):
+    - persistent RDD blocks (iterative queries' localCheckpoints stay pinned
+      until their Python references are collected);
+    - the SQL cache (empty by policy — ``clearCache`` is a cheap assert);
+    - a Python GC so py4j proxies drop their JVM references, then a JVM GC so
+      the ContextCleaner processes the newly weakly-reachable RDDs,
+      broadcasts and shuffle registrations (shuffle files and broadcast
+      blocks are only deleted when the cleaner sees the GC'd reference)."""
+    try:
+        it = spark.sparkContext._jsc.getPersistentRDDs().values().iterator()
+        while it.hasNext():
+            it.next().unpersist(False)
+    except Exception:
+        pass  # JVM bridge quirk: stale blocks only delay cleanup, and nothing
+        # may reference persisted state across queries anyway (see above)
+    try:
+        spark.catalog.clearCache()
+    except Exception:
+        pass
+    import gc
+
+    gc.collect()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
+
+
 def _quiet_known_benign_warnings(spark: SparkSession) -> None:
     """Raise the log level of WindowExec only.
 

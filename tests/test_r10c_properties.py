@@ -17,6 +17,11 @@ try:
 except ImportError:  # pragma: no cover
     pytest.skip("hypothesis not installed", allow_module_level=True)
 
+# Device-property suite: every test drives Spark per Hypothesis example,
+# so the file costs minutes. Runs under SPARK_GRAFT_FULL_TESTS=1 (round-close
+# / CI profile); the fast default keeps the oracle-differential coverage.
+pytestmark = pytest.mark.slow
+
 from pyspark.sql import functions as F
 
 

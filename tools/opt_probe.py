@@ -18,7 +18,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pagila_etl_airflow_assignment_spark.session import build_session
+from pagila_etl_airflow_assignment_spark.session import (
+    build_session,
+    release_session_state,
+)
 
 
 def main() -> None:
@@ -53,17 +56,10 @@ def main() -> None:
             runs.append(round(time.perf_counter() - t0, 3))
         spark.sparkContext.setJobDescription(None)
         print(f"{min(runs):8.3f}s  {name}  reps={runs} rows={n}", flush=True)
-        # match bench.py's round-10 inter-query hygiene: release the pinned
-        # localCheckpoint RDDs + py4j refs so probe order doesn't bias timings
-        try:
-            it = spark.sparkContext._jsc.getPersistentRDDs().values().iterator()
-            while it.hasNext():
-                it.next().unpersist(False)
-        except Exception:
-            pass
-        import gc
-
-        gc.collect()
+        # bench.py's inter-query hygiene (shared impl): release pinned
+        # localCheckpoint RDDs, broadcasts and shuffle files so probe order
+        # doesn't bias timings
+        release_session_state(spark)
         if exp_dir:
             os.makedirs(exp_dir, exist_ok=True)
             df = qmap[name](spark, sf_dir)
